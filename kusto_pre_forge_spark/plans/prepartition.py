@@ -1,0 +1,104 @@
+"""The PrePartition pipeline — the reference's only live pipeline.
+
+Reference composition (code/KustoPreForgeLib/EtlRun.cs:123-137):
+
+    ListBlobSource → DownloadBlobTransform → [GunzipContentTransform] →
+    CsvParseTransform(colIndex, partitionFn) → PartitioningTextTransform →
+    PartitionedContentSink(stagingContainers, 1-min flush)
+
+Spark-first re-expression (SURVEY §7 Phase 1): the download/gunzip/parse
+stages are the Spark reader; the hash+scatter+sink stages are
+
+    withColumn(pid, kusto_preforge_hash(key, N, seed))
+      → repartition(pid)                  # the shuffle IS the scatter
+      → write.partitionBy(pid)            # per-partition staged output
+
+Intended semantics (not the buggy byte layout — SURVEY §4.3 #1/#2/#3):
+dense per-partition concatenation of records, every input record present in
+exactly one partition, partition id = XOR-fold hash of the key field.
+
+Scale: the only wide exchange is the single hash repartition on ``pid`` —
+map-side the hash is computed inside WholeStageCodegen; AQE coalesces small
+partitions. ``max_partition_count`` ≤ 2048 (Kusto's cap) keeps output file
+counts bounded at 100 TB; per-pid output splits into multiple files sized by
+``spark.sql.files.maxRecordsPerFile`` if needed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kusto_pre_forge_spark.catalog import PartitionPolicy
+from kusto_pre_forge_spark.functions.hashing import kusto_preforge_hash
+
+PID_COL = "_kpf_pid"
+SOURCE_COL = "_kpf_source"
+
+
+def prepartition(df: DataFrame, policy: PartitionPolicy) -> DataFrame:
+    """Assign the reference's partition id to every record.
+
+    ≡ CsvParseTransform extracting the key column + PartitioningHelper hash
+    (ref: Transforms/CsvParseTransform.cs:83-102, PartitioningHelper.cs:15-24).
+    NULL keys hash like the empty field (hash = seed % N): the reference
+    never materializes a NULL (raw bytes of an empty CSV field are empty).
+    """
+    key = policy.column_name
+    hashed = kusto_preforge_hash(key, policy.max_partition_count, policy.seed)
+    pid = F.when(F.col(key).isNull(), policy.seed % policy.max_partition_count).otherwise(hashed)
+    return df.withColumn(PID_COL, pid.cast("int"))
+
+
+def partition_samples(df_with_pid: DataFrame, policy: PartitionPolicy) -> DataFrame:
+    """One sample key value per partition id.
+
+    ≡ CsvParseTransform keeping the first seen value per pid
+    (ref: Transforms/CsvParseTransform.cs:93-98, sampling dict :124-133).
+    "First seen" is scan-order-dependent; we pin ``min`` for determinism —
+    any representative value satisfies the reference's use (it only labels
+    staged blobs). Map-side partial aggregation makes this a cheap shuffle.
+    """
+    return df_with_pid.groupBy(PID_COL).agg(
+        F.min(policy.column_name).alias("partition_value_sample"),
+        F.count(F.lit(1)).alias("record_count"),
+    )
+
+
+@dataclass
+class PrePartitionResult:
+    output_path: str
+    manifest: list[dict]
+
+
+def run_prepartition(
+    df: DataFrame,
+    policy: PartitionPolicy,
+    output_path: str,
+    fmt: str = "parquet",
+    compression: str | None = None,
+) -> PrePartitionResult:
+    """Full pipeline: hash → scatter → partitioned write → manifest.
+
+    The write is the PartitionedContentSink analogue
+    (ref: Transforms/PartitionedContentSink.cs:54-132): one directory per
+    partition id replaces one staged block blob per pid; the returned
+    manifest (pid, sample, count) replaces the sink's journal counters.
+    Flush-interval/micro-batch semantics live in ``streaming.ingest``.
+    """
+    with_pid = prepartition(df, policy)
+    writer = (
+        # repartition by pid so each output partition is written densely by
+        # the tasks owning that pid — the shuffle is the reference's scatter.
+        with_pid.repartition(policy.max_partition_count, F.col(PID_COL))
+        .write.mode("overwrite")
+        .partitionBy(PID_COL)
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    getattr(writer, fmt)(output_path)
+
+    manifest = [r.asDict() for r in partition_samples(with_pid, policy).collect()]
+    return PrePartitionResult(output_path=output_path, manifest=manifest)

@@ -1,0 +1,183 @@
+"""The Split pipeline — size-capped sharding with header propagation.
+
+Reference (dormant but fully specified, SURVEY §3.3):
+
+    TextSource (stream+decompress) → TextLineParsingSink (cut at \\n, peel
+    header) → TextPartitionSink (2*cores+1 shard writers, shard counter
+    "00000") → TextStreamSinkBase (cap shard at MaxBytesPerShard, gzip) →
+    TextBlobSink / TextKustoSink (ingest-by tags)
+
+    files: code/KustoPreForgeLib/Text/TextSource.cs:19-108,
+    TextLineParsingSink.cs:10-100, TextPartitionSink.cs:13-58,
+    TextStreamSinkBase.cs:16-103, TextBlobSink.cs:15-46, TextKustoSink.cs:14-73
+
+Spark-first: line framing and decompression are the text reader; shard
+assignment is a per-source cumulative byte count (each record goes to shard
+``floor(bytes_before_record / max_bytes)``) — the deterministic, testable
+form of "seal the shard when the byte counter crosses the cap"
+(TextStreamSinkBase.cs:55-63). The reference caps *compressed* bytes; we cap
+uncompressed bytes (declared approximation, SURVEY §7 "What's hard" — no
+reference test requires compressed-byte exactness).
+
+Scale: the cumulative sum is a window partitioned by source file — one
+ordered pass per blob, which is exactly the reference's sequential-per-blob
+model; across blobs it is embarrassingly parallel. No global sort, no
+driver-side iteration over rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kusto_pre_forge_spark.config import RunSettings
+
+SOURCE_COL = "_kpf_source"
+SHARD_COL = "_kpf_shard_id"
+LAST_SHARD_COL = "_kpf_last_shard"
+ORDER_COL = "_kpf_order"
+
+
+def read_lines(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """Read newline-framed records with source lineage and in-file order.
+
+    ≡ TextSource + TextLineParsingSink framing (the reader already cuts at
+    newlines and handles a trailing unterminated record — which the live
+    reference parser drops, SURVEY §4.3 #3; intended semantics keep it).
+    ``_kpf_order`` is ``monotonically_increasing_id`` — increasing along each
+    file because splits are assigned in offset order, giving a stable
+    record order per source.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    return (
+        spark.read.text(paths)
+        .withColumnRenamed("value", "Text")
+        .withColumn(SOURCE_COL, F.input_file_name())
+        .withColumn(ORDER_COL, F.monotonically_increasing_id())
+    )
+
+
+def peel_header(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split off each source's first line as its header.
+
+    ≡ TextLineParsingSink.cs:56-71 (capture first line when
+    ``propagateHeader``, remove it from the stream, hand it to the sink
+    factory). Returns (headers: source→header, body).
+    """
+    w = Window.partitionBy(SOURCE_COL)
+    flagged = lines.withColumn("_first", F.min(ORDER_COL).over(w) == F.col(ORDER_COL))
+    headers = flagged.filter("_first").select(SOURCE_COL, F.col("Text").alias("header"))
+    body = flagged.filter(~F.col("_first")).drop("_first")
+    return headers, body
+
+
+def shard_assign(
+    body: DataFrame,
+    max_bytes_per_shard: int,
+    text_col: str = "Text",
+    order_col: str = ORDER_COL,
+) -> DataFrame:
+    """Assign a zero-padded shard id per record, per source.
+
+    Record cost = UTF-8 bytes + 1 for the newline the writer re-adds
+    (TextStreamSinkBase writes fragment + the framing byte). Shard id is
+    ``floor(cumulative_bytes_before / cap)`` over in-file order — every
+    shard except the last holds ≥1 record and ≤ cap+one-record bytes,
+    matching the reference's "seal after crossing the cap" loop
+    (TextStreamSinkBase.cs:55-63). Formatting "00000" per
+    TextPartitionSink.cs:53. Also marks ``_kpf_last_shard``
+    (TextKustoSink.cs:60-63 informational tag).
+    """
+    w = Window.partitionBy(SOURCE_COL).orderBy(order_col)
+    rec_bytes = F.octet_length(F.col(text_col)) + F.lit(1)
+    cum_before = F.sum(rec_bytes).over(w) - rec_bytes
+    shard_num = F.floor(cum_before / F.lit(max_bytes_per_shard)).cast("int")
+    df = body.withColumn("_kpf_shard_num", shard_num)
+    w_all = Window.partitionBy(SOURCE_COL)
+    return (
+        df.withColumn(SHARD_COL, F.format_string("%05d", F.col("_kpf_shard_num")))
+        .withColumn(
+            LAST_SHARD_COL,
+            F.col("_kpf_shard_num") == F.max("_kpf_shard_num").over(w_all),
+        )
+        .drop("_kpf_shard_num")
+    )
+
+
+@dataclass
+class SplitResult:
+    output_path: str
+    shards: list[dict]  # per-shard lineage rows (F4 manifest shape)
+
+
+def run_split(
+    spark: SparkSession,
+    paths: list[str] | str,
+    settings: RunSettings,
+    output_path: str,
+    max_bytes_per_shard: int | None = None,
+) -> SplitResult:
+    """End-to-end Split: read → (peel header) → shard → write shards.
+
+    Output layout: ``{output_path}/{SOURCE_COL}=.../{SHARD_COL}=NNNNN/``
+    text files (gzip per ``settings.output_compression``), the directory
+    form of ``{destName}-{shardId}.txt[.gz]`` (TextBlobSink.cs:29-34).
+    When headers propagate, each shard file begins with the source's
+    header line exactly once (TextStreamSinkBase.cs:49-53).
+    """
+    from kusto_pre_forge_spark.config import Compression
+
+    cap = max_bytes_per_shard or settings.max_bytes_per_shard
+    lines = read_lines(spark, paths)
+    if settings.csv_headers:
+        headers, body = peel_header(lines)
+    else:
+        headers, body = None, lines
+    sharded_body = shard_assign(body, cap).persist()
+    sharded = sharded_body
+
+    manifest = (
+        sharded.groupBy(SOURCE_COL, SHARD_COL)
+        .agg(
+            F.max(LAST_SHARD_COL).alias(LAST_SHARD_COL),
+            F.count(F.lit(1)).alias("record_count"),
+        )
+        .withColumn("ingest_by", F.concat_ws("-", F.col(SOURCE_COL), F.col(SHARD_COL)))
+        .collect()
+    )
+
+    if headers is not None:
+        # one header row per (source, shard), ordered before all records
+        shard_keys = sharded.select(SOURCE_COL, SHARD_COL).distinct()
+        header_rows = (
+            shard_keys.join(headers, SOURCE_COL)
+            .select(
+                F.col("header").alias("Text"),
+                SOURCE_COL,
+                F.lit(-1).cast("long").alias(ORDER_COL),
+                SHARD_COL,
+                F.lit(False).alias(LAST_SHARD_COL),
+            )
+        )
+        sharded = sharded.select(*header_rows.columns).unionByName(header_rows)
+
+    # partition directories use the source *basename* (the reference names
+    # shards "{destName}-{shardId}" next to the destination prefix,
+    # TextBlobSink.cs:29-34); full URIs stay in the manifest's ingest_by key.
+    src_name = F.element_at(F.split(F.col(SOURCE_COL), "/"), -1).alias("_kpf_src_name")
+    writer = (
+        sharded.withColumn("_kpf_src_name", src_name)
+        .repartition(F.col("_kpf_src_name"), F.col(SHARD_COL))
+        .sortWithinPartitions("_kpf_src_name", SHARD_COL, ORDER_COL)
+        .select("Text", "_kpf_src_name", SHARD_COL)
+        .write.mode("overwrite")
+        .partitionBy("_kpf_src_name", SHARD_COL)
+    )
+    if settings.output_compression == Compression.GZIP:
+        writer = writer.option("compression", "gzip")
+    writer.text(output_path)
+    sharded_body.unpersist()
+    return SplitResult(output_path=output_path, shards=[r.asDict() for r in manifest])

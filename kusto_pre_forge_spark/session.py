@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the engine.
+
+Replaces the reference's hand-rolled runtime (WorkQueue / MemoryTracker /
+WaitingQueue — code/KustoPreForgeLib/WorkQueue.cs:18-167,
+Memory/MemoryTracker.cs:21-439): Spark's scheduler, memory manager and
+shuffle service provide those semantics, so none of that is ported
+(SURVEY §2.4).
+
+Scale posture: AQE on (runtime coalesce + skew-join), shuffle partitions
+sized by env, Arrow enabled for the few pandas-UDF paths. On a real
+cluster the same builder is used with ``master`` unset (spark-submit
+decides) and ``shuffle_partitions`` scaled to ~2-3× total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    app_name: str = "kusto_pre_forge_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Local mode defaults match the test/bench environment (local[32]);
+    cluster deployments pass ``master=None`` with spark-submit conf.
+    """
+    cpus = DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.csv.parser.columnPruning.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if master or not SparkSession.getActiveSession():
+        builder = builder.master(master or f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,127 @@
+"""Idempotent ingestion sink — effectively-once semantics.
+
+Reference: TextKustoSink queues each shard for Kusto ingestion with
+``IngestByTags`` + ``IngestIfNotExists`` = ``{sourceUri}-{shardId}``
+(code/KustoPreForgeLib/Text/TextKustoSink.cs:48-63), so re-processing the
+same blob is a no-op: Kusto drops any ingestion whose ingest-by tag already
+exists. Combined with the Service Bus at-least-once delivery
+(ServiceBusServer.cs:75) this yields effectively-once ingestion
+(SURVEY §2.6 delivery row).
+
+Spark-first: a manifest table keyed by ``ingest_by`` plus a left-anti join
+on arrival. The manifest is tiny relative to the data (one row per shard ≈
+one row per 200 MB), so the anti-join broadcasts the manifest — no shuffle
+of the incoming data. Lineage columns follow FIXTURES.md F4:
+``ingest_by, kpf_original_blob, kpf_shard_id, kpf_last_shard``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("ingest_by", T.StringType(), False),
+        T.StructField("kpf_original_blob", T.StringType(), True),
+        T.StructField("kpf_shard_id", T.StringType(), True),
+        T.StructField("kpf_last_shard", T.BooleanType(), True),
+        T.StructField("record_count", T.LongType(), True),
+    ]
+)
+
+
+class IngestManifest:
+    """Parquet-backed ledger of committed (source, shard) units.
+
+    On a cluster this would be a transactional table (Delta ``txnAppId`` /
+    Iceberg snapshot); plain parquet + append is sufficient for the
+    at-most-once-per-key contract here because each micro-batch appends
+    only keys proven absent at read time and batches are serialized
+    (streaming foreachBatch runs batches in order).
+    """
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+        return self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
+
+    def filter_new(self, shards: DataFrame) -> DataFrame:
+        """Drop shards whose ingest_by key is already committed.
+
+        ≡ IngestIfNotExists (TextKustoSink.cs:50-51). Broadcast anti-join:
+        the manifest side is per-shard metadata, always small.
+        """
+        seen = self.read().select("ingest_by")
+        return shards.join(F.broadcast(seen), "ingest_by", "left_anti")
+
+    def commit(self, shards: DataFrame) -> None:
+        (
+            shards.select(
+                "ingest_by",
+                "kpf_original_blob",
+                "kpf_shard_id",
+                "kpf_last_shard",
+                "record_count",
+            )
+            .write.mode("append")
+            .parquet(self.path)
+        )
+
+
+def ingest_idempotent(
+    data: DataFrame,
+    manifest: IngestManifest,
+    dest_path: str,
+    source_col: str = "_kpf_source",
+    shard_col: str = "_kpf_shard_id",
+    last_col: str = "_kpf_last_shard",
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Ingest sharded data, skipping shards already committed.
+
+    Returns the shard-level manifest rows that were newly ingested.
+    The data write keys files by shard directory, so a retry after a
+    partial failure re-writes the same directories (overwrite of the
+    same deterministic locations) and only then commits the manifest —
+    the commit-last ordering mirrors the reference's
+    stage-blocks-then-commit-blocklist protocol
+    (Transforms/PartitionedContentSink.cs:101-132).
+    """
+    with_key = data.withColumn(
+        "ingest_by", F.concat_ws("-", F.col(source_col), F.col(shard_col))
+    )
+    shard_meta = (
+        with_key.groupBy("ingest_by", source_col, shard_col)
+        .agg(
+            F.max(F.col(last_col)).alias("kpf_last_shard"),
+            F.count(F.lit(1)).alias("record_count"),
+        )
+        .withColumnRenamed(source_col, "kpf_original_blob")
+        .withColumnRenamed(shard_col, "kpf_shard_id")
+    )
+    # Materialize the new-shard set up front: after the manifest commit the
+    # anti-join would recompute to empty, so the decision must be pinned.
+    spark = data.sparkSession
+    new_rows = manifest.filter_new(shard_meta).collect()
+    new_meta = spark.createDataFrame(new_rows, schema=MANIFEST_SCHEMA)
+
+    if new_rows:
+        new_keys = new_meta.select("ingest_by")
+        new_data = with_key.join(F.broadcast(new_keys), "ingest_by", "left_semi")
+        (
+            new_data.drop(source_col, last_col, "ingest_by")
+            .write.mode("append")
+            .partitionBy(shard_col)
+            .format(fmt)
+            .save(dest_path)
+        )
+        manifest.commit(new_meta)
+    return new_meta

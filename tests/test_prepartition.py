@@ -1,0 +1,60 @@
+"""PrePartition pipeline properties (SURVEY §5 pipeline properties a+b).
+
+(a) completeness — union of all partition outputs row-equals the input;
+(b) purity — every record in partition p satisfies hash(key) == p.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kusto_pre_forge_spark.catalog import PartitionPolicy
+from kusto_pre_forge_spark.functions.hashing import kusto_preforge_hash
+from kusto_pre_forge_spark.plans.prepartition import (
+    PID_COL,
+    partition_samples,
+    prepartition,
+    run_prepartition,
+)
+
+POLICY = PartitionPolicy(column_name="o_orderpriority", max_partition_count=8, seed=42)
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_smoke):
+    return spark.read.parquet(f"{sf_smoke}/orders.parquet")
+
+
+def test_purity_and_range(orders):
+    df = prepartition(orders, POLICY)
+    bad = df.filter(
+        (F.col(PID_COL) < 0)
+        | (F.col(PID_COL) >= POLICY.max_partition_count)
+        | (F.col(PID_COL) != kusto_preforge_hash("o_orderpriority", 8, 42))
+    )
+    assert bad.count() == 0
+
+
+def test_samples_one_per_pid(orders):
+    df = prepartition(orders, POLICY)
+    samples = partition_samples(df, POLICY).collect()
+    pids = [r[PID_COL] for r in samples]
+    assert len(pids) == len(set(pids))
+    total = sum(r.record_count for r in samples)
+    assert total == orders.count()
+    for r in samples:
+        assert r.partition_value_sample is not None
+
+
+def test_end_to_end_completeness(spark, orders, tmp_path):
+    out = str(tmp_path / "pp_out")
+    res = run_prepartition(orders, POLICY, out)
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    # round-trip rows identical (ignoring the added pid partition column)
+    cols = orders.columns
+    assert back.select(cols).exceptAll(orders).count() == 0
+    assert orders.exceptAll(back.select(cols)).count() == 0
+    # purity holds on the files as written
+    reread_bad = back.filter(F.col(PID_COL) != kusto_preforge_hash("o_orderpriority", 8, 42))
+    assert reread_bad.count() == 0
+    assert sum(m["record_count"] for m in res.manifest) == orders.count()
