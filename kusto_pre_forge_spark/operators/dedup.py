@@ -1,0 +1,332 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference surface (SURVEY §2.5 notes the reference has no joins or
+dedup at all — its only idempotency is the ingest-by tag, Text/TextKustoSink.cs:50-51);
+these are the BASELINE.json north-star extensions. All operators are
+DataFrame-in / DataFrame-out, shuffle-conscious, and collect nothing:
+
+- exact_dedup        — content-hash groupBy (one shuffle on a 128-bit key)
+- minhash_lsh_pairs  — shingle → MinHash → banded LSH → bucket join →
+                       exact-Jaccard verify (the standard near-dup pipeline;
+                       cf. Broder 1997, "On the resemblance and containment
+                       of documents")
+- simhash            — 64-bit Charikar fingerprint + chunk-banded Hamming
+                       candidate pairs (Charikar 2002; Manku et al. 2007)
+- ngram_jaccard_pairs— exact n-gram Jaccard via shared-shingle join (no
+                       cross join: pairs are generated only for documents
+                       sharing at least one shingle)
+- embedding_dup_pairs— cosine near-duplicates over an embedding column
+
+Determinism: every hash is derived from md5 (identical hex in Spark and
+DuckDB), so the oracle in __spark_entry__ can replay the exact pipeline in
+SQL. No Python/pandas UDFs anywhere — all array/higher-order expressions,
+fully inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kusto_pre_forge_spark.functions.hashing import content_hash
+
+# 2^31-ish prime for the universal-hash family (a*x + b) % P; fits in long
+# arithmetic without overflow for 32-bit inputs.
+_MH_PRIME = 2_147_483_647
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per distinct text content.
+
+    Scale: groupBy on the md5 fingerprint, not the full text — the shuffle
+    moves 16-byte keys + ids, then a semi-join restores surviving rows.
+    (A window over the hash would shuffle whole documents.)
+    """
+    survivors = (
+        df.select(content_hash(text_col).alias("_h"), F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(survivors, id_col, "left_semi")
+
+
+def char_shingles(col: Column | str, n: int = 5) -> Column:
+    """Distinct character n-gram array (lowercased) — dedup's unit of text."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram array."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), k - F.lit(1))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def _shingle_hash32(sh: Column) -> Column:
+    """Stable 32-bit shingle hash: first 8 hex chars of md5 → int.
+
+    md5-derived so the DuckDB oracle reproduces it exactly
+    (same construction in __spark_entry__ oracle SQL).
+    """
+    return F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 7) -> Column:
+    """MinHash signature: for each hash fn j, min_j over shingles of
+    (a_j * h(s) + b_j) mod P. Pure array expression, no explode."""
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _MH_PRIME), rng.randrange(0, _MH_PRIME)) for _ in range(num_hashes)]
+    hashes = F.transform(shingles, _shingle_hash32)
+
+    # NB: HOF lambdas must be unary — pyspark reads the arity to bind
+    # (element, index, ...) args, so coefficients are closed over via a factory.
+    def min_under(a: int, b: int) -> Column:
+        return F.array_min(F.transform(hashes, lambda h: (h * a + b) % _MH_PRIME))
+
+    return F.array(*[min_under(a, b) for a, b in coeffs])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH + exact verify.
+
+    Plan shape (the scalable standard):
+      1. per-doc signature (narrow, codegen)
+      2. explode to ``bands`` rows/doc, band key = md5 of the band slice
+      3. self-join on (band, key) with id_a < id_b → candidates (the only
+         shuffle that matters; bucket sizes are bounded because identical
+         bands imply high similarity)
+      4. exact Jaccard on distinct shingle arrays filters false positives
+
+    Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
+    At 100 TB: candidates ≪ n²; hot buckets (boilerplate docs) can be
+    salted or capped — noted for the skew pass.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        char_shingles(text_col, shingle_n).alias("_sh"),
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes, seed))
+
+    banded = base.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(",", F.slice("_sig", b * rows_per_band + 1, rows_per_band))
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("_id", "_sh", "bk.band", "bk.key")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._sh").alias("sh_a"),
+            F.col("r._sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def token_hashes60(col: Column | str, token_split: str = r"\s+") -> Column:
+    """Per-token 60-bit hashes (first 15 md5 hex chars → positive long)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), token_split)
+    return F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+
+
+#: SimHash bit-fold over a precomputed `_th` token-hash array column.
+#: Written as SQL because the bit index is a lambda variable — SQL's
+#: shiftright takes expressions, the Python wrapper only ints. Bit b of the
+#: fingerprint is set iff a strict majority of token hashes have bit b set.
+_SIMHASH_EXPR = """
+aggregate(
+  sequence(59, 0, -1),
+  cast(0 as bigint),
+  (acc, b) -> acc * 2 + if(
+      2 * aggregate(_th, cast(0 as bigint),
+                    (c, h) -> c + (shiftright(h, b) & 1)) > size(_th),
+      1, 0)
+)
+"""
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, _fp) — 60-bit SimHash fingerprint per document."""
+    return (
+        df.select(F.col(id_col).alias("_id"), token_hashes60(text_col).alias("_th"))
+        .withColumn("_fp", F.expr(_SIMHASH_EXPR))
+        .select("_id", "_fp")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding (Manku et al., WWW'07): split the 60-bit fingerprint
+    into ``chunks`` pieces; any pair within distance ``chunks - 1`` shares
+    at least one exact chunk, so the join key is (chunk_index, chunk_value)
+    — never a cross join. Exact Hamming verify via bit_count(xor).
+    """
+    bits_per = 60 // chunks
+    fp = simhash_fingerprints(df, text_col, id_col)
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("ci"),
+            F.shiftright(F.col("_fp"), i * bits_per)
+            .bitwiseAND((1 << bits_per) - 1)
+            .alias("cv"),
+        )
+        for i in range(chunks)
+    ]
+    chunked = fp.select(
+        "_id", "_fp", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("_id", "_fp", "c.ci", "c.cv")
+
+    l, r = chunked.alias("l"), chunked.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.ci") == F.col("r.ci"))
+            & (F.col("l.cv") == F.col("r.cv"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._fp").alias("fp_a"),
+            F.col("r._fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+
+    Inverted-index join: explode shingles → join on shingle → count shared
+    per pair → Jaccard = shared / (|A| + |B| - shared). Only co-shingled
+    pairs are materialized. At scale, stop-shingles (appearing in a large
+    fraction of docs) should be dropped first — a one-line document-
+    frequency filter; kept exact here.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(char_shingles(text_col, shingle_n)).alias("s"),
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    l, r = sh.alias("l"), sh.alias("r")
+    shared = (
+        l.join(r, (F.col("l.s") == F.col("r.s")) & (F.col("l._id") < F.col("r._id")))
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    bucket_bits: int = 0,
+    seed: int = 11,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    ``bucket_bits = 0`` → exact all-pairs (for oracle-checkable small runs).
+    ``bucket_bits > 0`` → random-hyperplane LSH pre-bucketing (the scale
+    path): pairs are only compared within a sign-pattern bucket, trading
+    recall for a ~2^bits reduction in comparisons.
+    """
+    from kusto_pre_forge_spark.operators.similarity import cosine, hyperplane_bucket
+
+    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if bucket_bits > 0:
+        v = v.withColumn("_bkt", hyperplane_bucket(F.col("_v"), bucket_bits, seed))
+        join_cond = (F.col("l._bkt") == F.col("r._bkt")) & (F.col("l._id") < F.col("r._id"))
+    else:
+        join_cond = F.col("l._id") < F.col("r._id")
+    l, r = v.alias("l"), v.alias("r")
+    pairs = l.join(r, join_cond).select(
+        F.col("l._id").alias("id_a"),
+        F.col("r._id").alias("id_b"),
+        cosine(F.col("l._v"), F.col("r._v")).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

@@ -1,0 +1,262 @@
+"""The emitted-KQL operator layer (SURVEY §2.5).
+
+The reference delegates all relational work to Kusto; this module provides
+native Spark implementations of every KQL construct the reference emits,
+with KQL-faithful semantics. Emission sites cited per function — e.g. the
+partitioning-config query ``... | project ... | where ... | mv-expand ...``
+at code/KustoPreForgeLib/EtlRun.cs:150-164, the shard-tracking queries at
+code/IntegrationTests/TestBase.cs:308-336, and the invariant assertions at
+code/IntegrationTests/Text/NoHeaderNoCompressionTest.cs:19-51.
+
+Everything here is a thin, lazily-composed wrapper over DataFrame ops —
+Catalyst sees through all of it (predicate pushdown, column pruning, codegen
+still apply). Nothing collects; nothing drops to Python row loops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# tabular operators
+# --------------------------------------------------------------------------
+
+
+def project(df: DataFrame, **cols: Column | str) -> DataFrame:
+    """KQL ``project a = expr, b`` — select/rename/compute.
+
+    Emitted at EtlRun.cs:153-159 and TestBase.cs:316,331.
+    """
+    return df.select(*[(F.col(c) if isinstance(c, str) else c).alias(name) for name, c in cols.items()])
+
+
+def where(df: DataFrame, predicate: Column | str) -> DataFrame:
+    """KQL ``where pred`` — emitted at EtlRun.cs:155, TestBase.cs:313,330."""
+    return df.filter(predicate)
+
+
+def extend(df: DataFrame, **cols: Column) -> DataFrame:
+    """KQL ``extend c = expr`` — computed columns (schema.kql:10-21)."""
+    return df.withColumns(dict(cols))
+
+
+def mv_expand(df: DataFrame, col: str, to: str | None = None) -> DataFrame:
+    """KQL ``mv-expand c`` — explode an array/dynamic column row-wise.
+
+    Emitted at EtlRun.cs:154, TestBase.cs:314,329. KQL drops rows whose
+    array is empty/null — Spark's ``explode`` (not ``explode_outer``)
+    matches that exactly.
+    """
+    out = to or col
+    others = [c for c in df.columns if c != col]
+    return df.select(*others, F.explode(F.col(col)).alias(out))
+
+
+def mv_apply(df: DataFrame, col: str, inner, to: str | None = None) -> DataFrame:
+    """KQL ``mv-apply c on (subquery)`` — per-row array subquery.
+
+    Emitted at schema.kql:11-15. ``inner`` is a lambda over the element
+    Column returning a Column; implemented with higher-order functions so
+    it never explodes/regroups (no shuffle at all).
+    """
+    return df.withColumn(to or col, F.transform(F.col(col), inner))
+
+
+def summarize(
+    df: DataFrame,
+    by: Sequence[str],
+    aggs: Mapping[str, Column],
+) -> DataFrame:
+    """KQL ``summarize agg1 = f(x), ... by k1, k2``.
+
+    Emitted at TestBase.cs:311,328 and NoHeaderNoCompressionTest.cs:25-33.
+    Hash aggregate with map-side partial aggregation — the scalable default.
+    """
+    exprs = [c.alias(name) for name, c in aggs.items()]
+    return df.groupBy(*by).agg(*exprs) if by else df.agg(*exprs)
+
+
+def distinct_of(df: DataFrame, *cols: str) -> DataFrame:
+    """KQL ``summarize by k`` ≡ ``distinct k`` (NoHeaderNoCompressionTest.cs:25-26)."""
+    return df.select(*cols).distinct()
+
+
+def count_rows(df: DataFrame, alias: str = "Count") -> DataFrame:
+    """KQL ``count`` / ``toscalar(... | count)`` (NoHeaderNoCompressionTest.cs:26-34)."""
+    return df.agg(F.count(F.lit(1)).alias(alias))
+
+
+def take_any(col: Column | str) -> Column:
+    """KQL ``take_any(x)`` aggregate — any value per group.
+
+    Emitted at TestBase.cs:311,328. KQL picks an arbitrary value; we pin
+    ``min`` so results are deterministic and oracle-checkable (any single
+    value satisfies take_any's contract).
+    """
+    return F.min(col)
+
+
+def take(df: DataFrame, n: int) -> DataFrame:
+    """KQL ``take n`` — e.g. ``take 0`` at TestCaseConfiguration.cs:63."""
+    return df.limit(n)
+
+
+def top(df: DataFrame, n: int, by: Sequence[Column]) -> DataFrame:
+    """KQL ``top n by expr`` — capability row in SURVEY §2.5 (sort/top-k).
+
+    Spark's ``orderBy().limit()`` compiles to TakeOrderedAndProject: each
+    task keeps a size-n heap, only n rows per task reach the driver-side
+    merge — no global sort at any scale.
+    """
+    return df.orderBy(*by).limit(n)
+
+
+def kql_range(spark: SparkSession, name: str, start: int, stop: int, step: int = 1) -> DataFrame:
+    """KQL ``range x from a to b step s`` — inclusive bounds (schema.kql:6,9)."""
+    return spark.range(start, stop + (1 if step > 0 else -1), step).withColumnRenamed("id", name)
+
+
+# --------------------------------------------------------------------------
+# scalar / aggregate functions
+# --------------------------------------------------------------------------
+
+
+def todynamic(col: Column | str) -> Column:
+    """KQL ``todynamic(json)`` (EtlRun.cs:153) — parse to a VariantType.
+
+    Spark 4's VARIANT is the dynamic type; path access via
+    ``variant_get``. For fixed shapes prefer ``from_json`` with a schema.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.parse_json(c)
+
+
+def dynamic_get(col: Column, path: str, typ: str) -> Column:
+    """Path access ``x.y.z`` on a dynamic value (EtlRun.cs:157-159)."""
+    return F.try_variant_get(col, f"$.{path}", typ)
+
+
+def json_path(col: Column | str, path: str) -> Column:
+    """``todynamic(x).y`` shortcut over raw JSON text without variant."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.get_json_object(c, f"$.{path}")
+
+
+def tostring(c: Column) -> Column:
+    """KQL ``tostring`` (EtlRun.cs:157-159)."""
+    return c.cast("string")
+
+
+def toint(c: Column) -> Column:
+    """KQL ``toint`` — KQL returns null on unparsable input, as try_cast."""
+    return c.try_cast("int")
+
+
+def tolong(c: Column) -> Column:
+    return c.try_cast("long")
+
+
+def todouble(c: Column) -> Column:
+    return c.try_cast("double")
+
+
+def todatetime(c: Column) -> Column:
+    """KQL ``todatetime`` (NoHeaderNoCompressionTest.cs:23)."""
+    return c.try_cast("timestamp")
+
+
+def has_term(col: Column | str, term: str) -> Column:
+    """KQL ``x has "term"`` — whole-term, case-insensitive match.
+
+    Emitted at TestBase.cs:313,330. KQL's ``has`` matches on token
+    boundaries (alphanumeric runs), not substrings: "North has 'nor'" is
+    false. Implemented as a case-insensitive regex with non-alphanumeric
+    boundaries — stays in codegen (Java regex), no UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    import re as _re
+
+    pat = f"(?i)(^|[^a-zA-Z0-9]){_re.escape(term)}($|[^a-zA-Z0-9])"
+    return c.rlike(pat)
+
+
+def split_ix(col: Column | str, sep: str, ix: int) -> Column:
+    """KQL ``split(s, sep)[i]`` (TestBase.cs:316,331).
+
+    KQL split is a *literal* separator; Spark's F.split takes a regex, so
+    the separator is quoted. Out-of-range index yields NULL in both —
+    ``F.get`` (not ``[]``, which throws under ANSI mode).
+    """
+    import re as _re
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.get(F.split(c, _re.escape(sep)), ix)
+
+
+def parse_csv(col: Column | str, schema: str) -> Column:
+    """KQL ``parse_csv(line)`` (NoHeaderNoCompressionTest.cs:22).
+
+    RFC-4180 quoting ("" escapes) to match CsvParseTransform.cs:64-82.
+    Returns a struct; access fields positionally like KQL's array index.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.from_csv(c, schema, {"quote": '"', "escape": '"'})
+
+
+def case_(*args: tuple[Column, Column] | Column) -> Column:
+    """KQL ``case(pred1, val1, pred2, val2, ..., default)`` (schema.kql:18)."""
+    *pairs, default = args
+    expr: Column | None = None
+    for pred, val in pairs:
+        expr = F.when(pred, val) if expr is None else expr.when(pred, val)
+    return default if expr is None else expr.otherwise(default)
+
+
+def make_list(col: Column | str, sort: bool = True) -> Column:
+    """KQL ``make_list(x)`` aggregate (schema.kql:8,14).
+
+    KQL's list order is arrival order (nondeterministic under parallel
+    scan); we sort by default so results are stable and oracle-checkable.
+    """
+    c = F.collect_list(col)
+    return F.sort_array(c) if sort else c
+
+
+def strcat(*cols: Column | str) -> Column:
+    """KQL ``strcat(...)`` (schema.kql:16,20)."""
+    return F.concat(*[F.lit(c) if isinstance(c, str) else c for c in cols])
+
+
+def strcat_array(col: Column, sep: str) -> Column:
+    """KQL ``strcat_array(arr, sep)`` (schema.kql:16)."""
+    return F.array_join(col, sep)
+
+
+def array_length(col: Column | str) -> Column:
+    """KQL ``array_length`` (schema.kql:21)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(c)
+
+
+def new_guid() -> Column:
+    """KQL ``new_guid()`` (schema.kql:7). Nondeterministic by nature."""
+    return F.expr("uuid()")
+
+
+def now() -> Column:
+    """KQL ``now()`` (schema.kql:19)."""
+    return F.current_timestamp()
+
+
+def datetime_add_seconds(ts: Column, seconds: Column) -> Column:
+    """KQL ``ts - 1s * n`` arithmetic (schema.kql:19) — second granularity."""
+    return F.timestamp_add("SECOND", seconds.cast("long"), ts)
+
+
+def bin(col: Column, interval: str) -> Column:
+    """KQL ``bin(ts, 1d)`` — time bucketing (standard KQL companion of
+    summarize; Spark's date_trunc/window equivalent)."""
+    return F.date_trunc(interval, col)

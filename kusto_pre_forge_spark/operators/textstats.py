@@ -1,0 +1,163 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+BASELINE.json north-star extensions (not in the reference surface). All are
+narrow per-row column expressions — no shuffle, no UDF; they run inside
+WholeStageCodegen and scale linearly with the scan.
+
+Determinism/oracle: token rules are plain regexes; the fingerprint hash is
+md5-derived so the DuckDB oracle can replay it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\s+"
+#: BPE-ish word/number/punctuation splitter (GPT-2-style coarse classes):
+#: runs of letters, runs of digits, or single non-space punctuation.
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def tokens(col: Column | str, pattern: str = TOKEN_RE) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), pattern), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: number of regex token matches (letters run /
+    digits run / single punctuation). A cheap, deterministic proxy for a
+    real BPE vocab size estimate."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_RE), 0))
+
+
+#: small marker-word profiles per language — an n-gram/stopword heuristic.
+#: Real language ID (fasttext/CLD3) is not in this container; the operator
+#: contract (argmax over per-language evidence scores) is what matters.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "avec"],
+}
+
+
+def lang_scores(col: Column | str, profiles: dict[str, list[str]] | None = None) -> Column:
+    """Per-language marker-hit counts as a map<lang, int>."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    profiles = profiles or LANG_MARKERS
+    entries = []
+    for lang, markers in profiles.items():
+        hits = F.size(F.filter(toks, lambda t: t.isin(markers)))
+        entries += [F.lit(lang), hits]
+    return F.create_map(*entries)
+
+
+def lang_id(col: Column | str, profiles: dict[str, list[str]] | None = None) -> Column:
+    """argmax language, 'und' (undetermined) when no marker hits.
+
+    Ties break alphabetically (deterministic, oracle-checkable).
+    """
+    profiles = profiles or LANG_MARKERS
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+
+    def marker_hits(markers: list[str]) -> Column:
+        # unary lambda only — pyspark binds HOF args by lambda arity
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+    best_lang, best_hits = F.lit("und"), F.lit(0)
+    for lang in sorted(profiles):  # alphabetical scan order = tie-break
+        hits = marker_hits(profiles[lang])
+        is_better = hits > best_hits
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(is_better, hits).otherwise(best_hits)
+    return best_lang
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Standard pre-training quality signals per document:
+
+    n_chars, n_tokens, mean_token_len, punct_ratio (punctuation chars /
+    chars), digit_ratio, stopword_ratio (English-marker tokens / tokens),
+    upper_ratio. Composite ``quality_score`` in [0,1]: penalizes very short
+    docs, punctuation/digit floods, and zero-stopword text (a C4/Gopher-
+    style rule-based score).
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
+    punct = F.length(F.regexp_replace(c, "[^!-/:-@\\[-`{-~]", ""))
+    digits = F.length(F.regexp_replace(c, "[^0-9]", ""))
+    uppers = F.length(F.regexp_replace(c, "[^A-Z]", ""))
+    stop_hits = F.size(F.filter(F.transform(toks, F.lower), lambda t: t.isin(LANG_MARKERS["en"])))
+
+    out = (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("mean_token_len", (n_chars - n_tokens + 1) / safe_tokens)
+        .withColumn("punct_ratio", punct / safe_chars)
+        .withColumn("digit_ratio", digits / safe_chars)
+        .withColumn("upper_ratio", uppers / safe_chars)
+        .withColumn("stopword_ratio", stop_hits / safe_tokens)
+    )
+    score = (
+        F.least(F.col("n_tokens") / F.lit(20.0), F.lit(1.0)) * 0.4
+        + (1 - F.least(F.col("punct_ratio") * 4, F.lit(1.0))) * 0.2
+        + (1 - F.least(F.col("digit_ratio") * 4, F.lit(1.0))) * 0.2
+        + F.least(F.col("stopword_ratio") * 5, F.lit(1.0)) * 0.2
+    )
+    return out.withColumn("quality_score", score)
+
+
+def doc_fingerprint(col: Column | str, k: int = 3) -> Column:
+    """Rolling-hash document fingerprint (winnowing-lite).
+
+    Token k-gram rolling hashes h(g) = Σ tokhash(tᵢ)·Bᵏ⁻¹⁻ⁱ mod P; the
+    fingerprint is the *minimum* k-gram hash — robust to local edits
+    anywhere except the minimizing window (cf. Schleimer et al. 2003,
+    winnowing). Token hash is md5-derived (oracle-replayable).
+    """
+    B, P = 1_000_003, 2_147_483_647
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.lower(c))
+    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    n = F.size(th)
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    gram_hash = lambda i: F.aggregate(  # noqa: E731
+        F.slice(th, i, k), F.lit(0).cast("long"), lambda acc, h: (acc * B + h) % P
+    )
+    return F.array_min(F.transform(starts, gram_hash))
+
+
+def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One-stop per-document profile: tokens, quality, language, fingerprint."""
+    out = quality_features(df, text_col)
+    return (
+        out.withColumn("bpe_tokens", bpe_token_count(text_col))
+        .withColumn("lang_pred", lang_id(text_col))
+        .withColumn("fingerprint", doc_fingerprint(text_col))
+        .select(
+            id_col,
+            "n_chars",
+            "n_tokens",
+            "bpe_tokens",
+            "mean_token_len",
+            "punct_ratio",
+            "digit_ratio",
+            "upper_ratio",
+            "stopword_ratio",
+            "quality_score",
+            "lang_pred",
+            "fingerprint",
+        )
+    )

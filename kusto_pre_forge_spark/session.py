@@ -42,6 +42,9 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.csv.parser.columnPruning.enabled", "true")
+        # testdata events.parquet carries TIMESTAMP(NANOS); Spark reads it as
+        # long when this is set — tables.load_table converts back to timestamp
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -1,0 +1,97 @@
+"""Dedup operator semantics on documents + synthetic near-dups."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kusto_pre_forge_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_smoke):
+    return spark.read.parquet(f"{sf_smoke}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """documents + exact copies of 10 docs (ids shifted) + light edits of 5."""
+    base = docs.select("doc_id", "text")
+    copies = base.limit(10).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    edits = (
+        base.filter(F.col("doc_id") < 5)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        )
+    )
+    return base.unionByName(copies).unionByName(edits)
+
+
+def test_exact_dedup(spark, docs_with_dups):
+    out = dedup.exact_dedup(docs_with_dups, "text", "doc_id")
+    n_docs = docs_with_dups.count()
+    assert out.count() == n_docs - 10  # the 10 exact copies collapse
+    # survivors keep the min id: none of the copy ids survive
+    assert out.filter((F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)).count() == 0
+
+
+def test_minhash_lsh_finds_planted_near_dups(docs_with_dups):
+    pairs = dedup.minhash_lsh_pairs(
+        docs_with_dups, "text", "doc_id", num_hashes=64, bands=16, threshold=0.8
+    ).collect()
+    found = {(p.id_a, p.id_b) for p in pairs}
+    # exact copies are jaccard 1.0 — all must be found
+    for i in range(10):
+        assert (i, i + 100000) in found, f"exact copy pair {i} missed"
+    # light edits are >0.9 similar on 5-gram shingles — banding should catch them
+    edit_hits = sum((i, i + 200000) in found for i in range(5))
+    assert edit_hits >= 4
+    for p in pairs:
+        assert 0.8 <= p.jaccard <= 1.0
+
+
+def test_minhash_pairs_sound_vs_python(docs):
+    # every reported pair's jaccard must equal an independent Python
+    # computation of 5-gram Jaccard (the verify step is exact, so no false
+    # positives survive banding)
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8).collect()
+    assert pairs  # the synthetic corpus has genuine near-dups (small vocab)
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+
+    def sh(t):
+        t = t.lower()
+        return {t[i : i + 5] for i in range(max(len(t) - 4, 1))}
+
+    for p in pairs[:50]:
+        a, b = sh(texts[p.id_a]), sh(texts[p.id_b])
+        expect = len(a & b) / len(a | b)
+        assert abs(p.jaccard - expect) < 1e-12, (p.id_a, p.id_b)
+
+
+def test_simhash_pairs(docs_with_dups):
+    pairs = dedup.simhash_pairs(docs_with_dups, "text", "doc_id", max_hamming=3)
+    found = {(p.id_a, p.id_b): p.hamming for p in pairs.collect()}
+    for i in range(10):
+        assert found.get((i, i + 100000)) == 0, f"exact copy {i} should be hamming 0"
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghij"), (3, "zzzzzzzzzz")], ["doc_id", "text"]
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, "text", "doc_id", shingle_n=5, threshold=0.5)
+    rows = pairs.collect()
+    assert len(rows) == 1
+    assert (rows[0].id_a, rows[0].id_b, rows[0].jaccard) == (1, 2, 1.0)
+
+
+def test_embedding_dup_pairs(spark, sf_smoke):
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    # plant a duplicate vector
+    dup = emb.limit(1).select((F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label")
+    both = emb.select("vec_id", "embedding", "label").unionByName(dup)
+    pairs = dedup.embedding_dup_pairs(both, "embedding", "vec_id", threshold=0.999)
+    rows = pairs.collect()
+    assert any(r.id_b == r.id_a + 10000 and r.cosine > 0.999 for r in rows)
+    # bucketed variant must also find an identical vector (same bucket by construction)
+    bpairs = dedup.embedding_dup_pairs(both, "embedding", "vec_id", threshold=0.999, bucket_bits=6)
+    assert any(r.id_b == r.id_a + 10000 for r in bpairs.collect())

@@ -1,0 +1,108 @@
+"""KQL operator layer semantics (SURVEY §2.5) on tiny DataFrames."""
+
+from pyspark.sql import functions as F
+
+from kusto_pre_forge_spark.operators import kql
+
+
+def test_project_where_extend(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], ["x", "k"])
+    out = kql.project(kql.where(df, F.col("x") > 1), doubled=F.col("x") * 2, k="k")
+    rows = sorted((r.doubled, r.k) for r in out.collect())
+    assert rows == [(4, "b"), (6, "a")]
+
+
+def test_mv_expand_drops_empty_like_kql(spark):
+    df = spark.createDataFrame([(1, [10, 20]), (2, []), (3, None)], "id int, arr array<int>")
+    out = kql.mv_expand(df, "arr")
+    assert sorted((r.id, r.arr) for r in out.collect()) == [(1, 10), (1, 20)]
+
+
+def test_mv_apply(spark):
+    df = spark.createDataFrame([(1, [1, 2, 3])], "id int, arr array<int>")
+    out = kql.mv_apply(df, "arr", lambda x: x * 10, to="scaled")
+    assert out.collect()[0].scaled == [10, 20, 30]
+
+
+def test_summarize_take_any_make_list(spark):
+    df = spark.createDataFrame([("a", 3), ("a", 1), ("b", 2)], ["k", "v"])
+    out = kql.summarize(
+        df,
+        by=["k"],
+        aggs={"n": F.count(F.lit(1)), "any_v": kql.take_any("v"), "vs": kql.make_list("v")},
+    )
+    rows = {r.k: (r.n, r.any_v, r.vs) for r in out.collect()}
+    assert rows == {"a": (2, 1, [1, 3]), "b": (1, 2, [2])}
+
+
+def test_has_term_token_boundaries(spark):
+    df = spark.createDataFrame(
+        [("North wind",), ("Northern",), ("the NORTH!",), ("nor th",)], ["t"]
+    )
+    out = df.filter(kql.has_term("t", "north")).collect()
+    assert sorted(r.t for r in out) == ["North wind", "the NORTH!"]
+
+
+def test_split_ix_literal_separator(spark):
+    df = spark.createDataFrame([("a.b.c",)], ["s"])
+    r = df.select(
+        kql.split_ix("s", ".", 1).alias("mid"), kql.split_ix("s", ".", 9).alias("oob")
+    ).collect()[0]
+    assert r.mid == "b" and r.oob is None
+
+
+def test_parse_csv_rfc4180(spark):
+    df = spark.createDataFrame([('1,"a,""b"",c",x',)], ["line"])
+    r = df.select(kql.parse_csv("line", "i int, s string, t string").alias("p")).collect()[0]
+    assert (r.p.i, r.p.s, r.p.t) == (1, 'a,"b",c', "x")
+
+
+def test_case_and_casts(spark):
+    df = spark.createDataFrame([(1,), (5,), (50,)], ["x"])
+    out = df.select(
+        kql.case_(
+            (F.col("x") < 3, F.lit("low")),
+            (F.col("x") < 10, F.lit("mid")),
+            F.lit("high"),
+        ).alias("bucket"),
+        kql.toint(F.lit("12x")).alias("bad_int"),
+        kql.todatetime(F.lit("2024-01-02 03:04:05")).alias("ts"),
+    ).collect()
+    assert [r.bucket for r in out] == ["low", "mid", "high"]
+    assert out[0].bad_int is None
+    assert str(out[0].ts) == "2024-01-02 03:04:05"
+
+
+def test_range_inclusive_and_top(spark):
+    r = kql.kql_range(spark, "x", 1, 5, 2)
+    assert [row.x for row in r.collect()] == [1, 3, 5]
+    df = spark.createDataFrame([(i,) for i in range(10)], ["v"])
+    top = kql.top(df, 3, [F.col("v").desc()])
+    assert [row.v for row in top.collect()] == [9, 8, 7]
+
+
+def test_todynamic_variant_path(spark):
+    df = spark.createDataFrame([('{"a": {"b": 7}}',)], ["j"])
+    out = df.select(
+        kql.dynamic_get(kql.todynamic("j"), "a.b", "int").alias("v"),
+        kql.json_path("j", "a.b").alias("s"),
+    ).collect()[0]
+    assert out.v == 7 and out.s == "7"
+
+
+def test_strcat_array_length_guid(spark):
+    df = spark.createDataFrame([(["x", "y"],)], "arr array<string>")
+    r = df.select(
+        kql.strcat_array(F.col("arr"), "|").alias("j"),
+        kql.array_length("arr").alias("n"),
+        kql.new_guid().alias("g"),
+    ).collect()[0]
+    assert r.j == "x|y" and r.n == 2 and len(r.g) == 36
+
+
+def test_datetime_add_seconds(spark):
+    df = spark.createDataFrame([(3,)], ["n"])
+    r = df.select(
+        kql.datetime_add_seconds(F.lit("2024-01-01 00:00:00").cast("timestamp"), -F.col("n")).alias("ts")
+    ).collect()[0]
+    assert str(r.ts) == "2023-12-31 23:59:57"

@@ -1,0 +1,72 @@
+"""Similarity search: exact brute-force vs numpy oracle; LSH recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kusto_pre_forge_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_smoke):
+    return spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+
+
+def numpy_topk(vecs: dict, query_ids, k):
+    ids = sorted(vecs)
+    M = np.array([vecs[i] for i in ids], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    out = {}
+    for q in query_ids:
+        qi = ids.index(q)
+        sims = Mn @ Mn[qi]
+        order = sorted(
+            ((-(sims[j]), ids[j]) for j in range(len(ids)) if ids[j] != q)
+        )
+        out[q] = [vid for _, vid in order[:k]]
+    return out
+
+
+def test_cosine_topk_matches_numpy(emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = similarity.cosine_topk(emb, queries, k=10).collect()
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    expect = numpy_topk(vecs, range(5), 10)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert by_q == expect
+
+
+def test_cosine_topk_lsh_recall(emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, queries, k=10).collect()
+    approx = similarity.cosine_topk_lsh(
+        emb, queries, k=10, bits=4, probe_hamming=2, dim=64
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # note: the synthetic embeddings are isotropic random vectors, so true
+    # top-10 neighbors are barely closer than noise — sign-LSH recall is
+    # structurally modest here; chance for top-10-of-500 would be ~0.02.
+    assert recall >= 0.5, f"recall {recall}"
+    # every reported neighbor must carry a correct cosine (spot check one)
+    r0 = approx[0]
+    vecs = {r.vec_id: np.array(list(r.embedding), dtype=np.float64) for r in emb.collect()}
+    a, b = vecs[r0.query_id], vecs[r0.neighbor_id]
+    expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert abs(r0.cosine - expect) < 1e-9
+
+
+def test_lsh_is_subset_scored_identically(emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.cosine_topk(emb, queries, k=50).collect()
+    }
+    approx = similarity.cosine_topk_lsh(emb, queries, k=10, bits=8).collect()
+    for r in approx:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert abs(exact[key] - r.cosine) < 1e-12
