@@ -1,0 +1,94 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at sf0.01, then compares row count + column names + values after
+sorting columns by name and rows by all columns — the same shape as the
+driver's order-insensitive value-hash.
+"""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from kusto_pre_forge_spark.tables import TABLE_NAMES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def normalize(df):
+    """pandas → sorted-by-name columns, rows sorted by string repr."""
+    df = df[sorted(df.columns)]
+    rows = []
+    for tup in df.itertuples(index=False):
+        rows.append(tuple(_norm_val(v) for v in tup))
+    return sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+
+def _norm_val(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    # numpy scalars, timestamps, decimals → canonical python
+    if hasattr(v, "item"):
+        v = v.item()
+    return v
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert df.columns
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, ddb, name):
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    if name not in ORACLES:
+        # rows-only contract: must run and return a stable schema
+        assert len(sdf.columns) > 0
+        return
+    odf = ddb.sql(ORACLES[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns), f"{name}: column names differ"
+    assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} vs oracle {len(odf)}"
+    srows, orows = normalize(sdf), normalize(odf)
+    n_bad = 0
+    first_bad = None
+    for a, b in zip(srows, orows):
+        if not _rows_equal(a, b):
+            n_bad += 1
+            if first_bad is None:
+                first_bad = (a, b)
+    assert n_bad == 0, f"{name}: {n_bad}/{len(srows)} rows differ; first: {first_bad}"
+
+
+def _rows_equal(a, b):
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if isinstance(x, float) and isinstance(y, float):
+            # driver hashes values — require exact float equality
+            if x != y:
+                return False
+        elif x != y:
+            return False
+    return True
