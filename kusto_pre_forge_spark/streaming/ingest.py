@@ -1,0 +1,148 @@
+"""Continuous (streaming) ETL mode.
+
+Reference: the Service Bus server turns the batch tool into a continuous
+service — Event Grid blob-created events feed a queue; the server long-polls
+(1-min receive), runs one ETL per arriving blob, renews the message lock
+every 20 s, and completes the message only after success → at-least-once,
+made effectively-once by ingest-by tags
+(code/KustoPreForgeServiceBus/ServiceBusServer.cs:13-94;
+SURVEY §2.6, §3.2). The sink flushes on ≥1-minute wall-clock boundaries
+(Transforms/PartitionedContentSink.cs:166-174, EtlRun.cs:136).
+
+Spark-first mapping:
+
+- queue of blob-created events  → Structured Streaming *file source* on the
+  landing directory (exactly-once listing via the checkpointed file log —
+  stronger than the reference's at-least-once queue)
+- 1-min poll / flush interval   → ``trigger(processingTime="60 seconds")``
+- message completion            → checkpoint commit after each micro-batch
+- per-blob ETL + ingest-by tags → ``foreachBatch`` running the PrePartition
+  or Split plan with the idempotent manifest sink, so a replayed batch
+  (crash between write and checkpoint) is a no-op
+- lock renewal                  → obsolete: no lease to keep alive
+- backlog catch-up              → ``Trigger.AvailableNow`` (SURVEY §2.6)
+
+Scale: each micro-batch is a normal batch plan over the newly arrived
+files; ``maxFilesPerTrigger`` bounds batch size (the reference's 100 MB
+memory budget analogue — backpressure by admission, EtlRun.cs:27).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kusto_pre_forge_spark.catalog import PartitionPolicy
+from kusto_pre_forge_spark.plans.prepartition import PID_COL, prepartition
+from kusto_pre_forge_spark.sinks.manifest import IngestManifest
+
+
+class StreamingEtl:
+    """File-arrival continuous ETL over a landing directory."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        landing_dir: str,
+        checkpoint_dir: str,
+        output_dir: str,
+        schema,
+        fmt: str = "csv",
+        csv_headers: bool = True,
+        max_files_per_trigger: int | None = 16,
+    ) -> None:
+        self.spark = spark
+        self.landing_dir = landing_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.output_dir = output_dir
+        self.schema = schema
+        self.fmt = fmt
+        self.csv_headers = csv_headers
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def _source(self) -> DataFrame:
+        reader = self.spark.readStream.schema(self.schema)
+        if self.max_files_per_trigger:
+            # admission control ≡ the reference's bounded memory budget
+            # (16 concurrent downloads, DownloadBlobTransform.cs:10)
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        if self.fmt == "csv":
+            reader = reader.options(
+                header=str(self.csv_headers).lower(), quote='"', escape='"'
+            )
+            df = reader.csv(self.landing_dir)
+        elif self.fmt == "text":
+            df = reader.text(self.landing_dir)
+        else:
+            raise NotImplementedError(f"streaming format {self.fmt}")
+        return df.withColumn("_kpf_source", F.input_file_name())
+
+    def start_prepartition(
+        self,
+        policy: PartitionPolicy,
+        trigger_seconds: int | None = 60,
+        available_now: bool = False,
+    ) -> StreamingQuery:
+        """Continuous PrePartition: each micro-batch hash-partitions newly
+        arrived blobs and appends them under pid directories.
+
+        ``trigger_seconds=60`` mirrors the reference's flush interval
+        (EtlRun.cs:136); ``available_now=True`` drains the backlog and
+        stops (catch-up mode).
+        """
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            if not batch_df.head(1):
+                return
+            with_pid = prepartition(batch_df.drop("_kpf_source"), policy)
+            (
+                with_pid.repartition(policy.max_partition_count, F.col(PID_COL))
+                .write.mode("append")
+                .partitionBy(PID_COL)
+                .parquet(self.output_dir)
+            )
+
+        return self._start(process, trigger_seconds, available_now)
+
+    def start_idempotent_ingest(
+        self,
+        manifest_path: str,
+        trigger_seconds: int | None = 60,
+        available_now: bool = False,
+    ) -> StreamingQuery:
+        """Continuous ingest with ingest-by idempotency: one shard per
+        source blob per batch, skipped if its key was already committed
+        (≡ IngestByTags/IngestIfNotExists, TextKustoSink.cs:48-63)."""
+        manifest = IngestManifest(self.spark, manifest_path)
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            if not batch_df.head(1):
+                return
+            from kusto_pre_forge_spark.sinks.manifest import ingest_idempotent
+
+            sharded = batch_df.withColumn("_kpf_shard_id", F.lit("00000")).withColumn(
+                "_kpf_last_shard", F.lit(True)
+            )
+            ingest_idempotent(sharded, manifest, self.output_dir)
+
+        return self._start(process, trigger_seconds, available_now)
+
+    def _start(
+        self,
+        process: Callable[[DataFrame, int], None],
+        trigger_seconds: int | None,
+        available_now: bool,
+    ) -> StreamingQuery:
+        writer = (
+            self._source()
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_seconds:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        return writer.start()

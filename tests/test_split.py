@@ -1,0 +1,98 @@
+"""Split pipeline properties (SURVEY §5): completeness, line integrity,
+shard cap, header-per-shard, lineage manifest."""
+
+import glob
+import gzip
+
+import pytest
+
+from kusto_pre_forge_spark.config import Compression, RunSettings
+from kusto_pre_forge_spark.plans.split import run_split
+
+CAP = 16 * 1024
+
+
+@pytest.fixture(scope="module")
+def csv_blob(spark, sf_smoke, tmp_path_factory):
+    """One headered CSV blob serialized from orders."""
+    out = tmp_path_factory.mktemp("blob")
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    tmp = str(out / "tmp")
+    orders.coalesce(1).write.option("header", True).csv(tmp)
+    src = glob.glob(f"{tmp}/*.csv")[0]
+    import shutil
+
+    blob = str(out / "orders.csv")
+    shutil.move(src, blob)
+    with open(blob) as f:
+        lines = f.read().splitlines()
+    return blob, lines
+
+
+def read_shards(output_path):
+    """{shard_id: [lines]} from written shard files (txt or txt.gz)."""
+    shards = {}
+    for d in sorted(glob.glob(f"{output_path}/*/_kpf_shard_id=*")):
+        sid = d.rsplit("=", 1)[1]
+        lines = []
+        for f in sorted(glob.glob(f"{d}/part-*")):
+            if f.endswith(".gz"):
+                with gzip.open(f, "rt") as fh:
+                    lines += fh.read().splitlines()
+            else:
+                with open(f) as fh:
+                    lines += fh.read().splitlines()
+        shards[sid] = lines
+    return shards
+
+
+def test_split_properties_with_header_gzip(spark, tmp_path, csv_blob):
+    blob, lines = csv_blob
+    header, body = lines[0], lines[1:]
+    settings = RunSettings(csv_headers=True, output_compression=Compression.GZIP)
+    res = run_split(spark, blob, settings, str(tmp_path / "shards"), max_bytes_per_shard=CAP)
+    shards = read_shards(str(tmp_path / "shards"))
+
+    # (f) header exactly once per shard, as the first line
+    for sid, slines in shards.items():
+        assert slines[0] == header, f"shard {sid} missing header"
+        assert slines.count(header) == 1
+
+    # (a) completeness: all body records present exactly once, across shards
+    all_records = [ln for slines in shards.values() for ln in slines[1:]]
+    assert sorted(all_records) == sorted(body)
+
+    # (c) line integrity: every output line is a complete input line
+    input_set = set(body) | {header}
+    assert all(ln in input_set for slines in shards.values() for ln in slines)
+
+    # (d) cap: every shard's body ≤ cap + one record slack (seal-after-cross)
+    max_record = max(len(ln) + 1 for ln in body)
+    for sid, slines in shards.items():
+        nbytes = sum(len(ln) + 1 for ln in slines[1:])
+        assert nbytes <= CAP + max_record, f"shard {sid} over cap: {nbytes}"
+
+    # every shard except the last is full (≥ cap - max_record)
+    sids = sorted(shards)
+    for sid in sids[:-1]:
+        nbytes = sum(len(ln) + 1 for ln in shards[sid][1:])
+        assert nbytes >= CAP - max_record
+
+    # manifest: ids zero-padded "00000" (TextPartitionSink.cs:53), exactly
+    # one last shard, record counts match
+    assert sorted(s["_kpf_shard_id"] for s in res.shards) == sids
+    assert all(len(s["_kpf_shard_id"]) == 5 for s in res.shards)
+    assert sum(1 for s in res.shards if s["_kpf_last_shard"]) == 1
+    by_sid = {s["_kpf_shard_id"]: s for s in res.shards}
+    for sid in sids:
+        assert by_sid[sid]["record_count"] == len(shards[sid]) - 1
+
+
+def test_split_no_header_mode(spark, tmp_path, csv_blob):
+    blob, lines = csv_blob
+    settings = RunSettings(csv_headers=False)
+    run_split(spark, blob, settings, str(tmp_path / "shards2"), max_bytes_per_shard=CAP)
+    shards = read_shards(str(tmp_path / "shards2"))
+    # no peel: header line is just a record; all lines exactly once
+    all_records = [ln for slines in shards.values() for ln in slines]
+    assert sorted(all_records) == sorted(lines)

@@ -1,0 +1,113 @@
+"""Streaming mode: file arrival → micro-batch ETL, exactly-once semantics.
+
+Mirrors SURVEY §2.6: trigger ≡ flush interval, checkpoint ≡ message
+completion, idempotent sink ≡ ingest-by tags. Files are dropped into the
+landing dir in waves to simulate Event Grid arrivals (FIXTURES.md F5).
+"""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kusto_pre_forge_spark.catalog import PartitionPolicy
+from kusto_pre_forge_spark.functions.hashing import kusto_preforge_hash
+from kusto_pre_forge_spark.plans.prepartition import PID_COL
+from kusto_pre_forge_spark.streaming import StreamingEtl
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+POLICY = PartitionPolicy("o_orderpriority", 8, 42)
+
+
+@pytest.fixture()
+def landing(spark, sf_smoke, tmp_path):
+    """Write two waves of CSV blobs from the orders table."""
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    land = tmp_path / "landing"
+    wave1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    wave2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    wave1.coalesce(1).write.option("header", True).csv(str(land / "wave1_tmp"))
+    wave2.coalesce(1).write.option("header", True).csv(str(land / "wave2_tmp"))
+    import glob
+    import shutil
+
+    land.mkdir(exist_ok=True)
+    for i, tmp in enumerate(["wave1_tmp", "wave2_tmp"]):
+        src = glob.glob(str(land / tmp / "*.csv"))[0]
+        shutil.move(src, str(land / f"wave{i}.csv.pending"))
+        shutil.rmtree(str(land / tmp))
+    return land, orders
+
+
+def _drain(q):
+    q.awaitTermination(120)
+
+
+def test_streaming_prepartition_two_waves(spark, tmp_path, landing):
+    land, orders = landing
+    etl = StreamingEtl(
+        spark,
+        landing_dir=str(land) + "/*.csv",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_dir=str(tmp_path / "out"),
+        schema=SCHEMA,
+    )
+    # wave 1 arrives
+    (land / "wave0.csv.pending").rename(land / "wave0.csv")
+    q = etl.start_prepartition(POLICY, available_now=True)
+    _drain(q)
+    n1 = spark.read.parquet(str(tmp_path / "out")).count()
+    assert n1 == orders.filter(F.col("o_orderkey") % 2 == 0).count()
+
+    # wave 2 arrives later; checkpoint ensures wave 1 is not reprocessed
+    (land / "wave1.csv.pending").rename(land / "wave1.csv")
+    q = etl.start_prepartition(POLICY, available_now=True)
+    _drain(q)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == orders.count()
+
+    # purity: partition dirs honor the reference hash
+    bad = out.filter(F.col(PID_COL) != kusto_preforge_hash("o_orderpriority", 8, 42))
+    assert bad.count() == 0
+
+
+def test_streaming_idempotent_ingest_replay(spark, tmp_path, landing):
+    land, orders = landing
+    (land / "wave0.csv.pending").rename(land / "wave0.csv")
+    (land / "wave1.csv.pending").rename(land / "wave1.csv")
+
+    def make_etl(ckpt):
+        return StreamingEtl(
+            spark,
+            landing_dir=str(land) + "/*.csv",
+            checkpoint_dir=str(tmp_path / ckpt),
+            output_dir=str(tmp_path / "ingested"),
+            schema=SCHEMA,
+        )
+
+    q = make_etl("ckpt1").start_idempotent_ingest(
+        str(tmp_path / "manifest"), available_now=True
+    )
+    _drain(q)
+    n1 = spark.read.parquet(str(tmp_path / "ingested")).count()
+    assert n1 == orders.count()
+
+    # simulate a re-delivery: fresh checkpoint (≡ lost queue state) replays
+    # all files — the ingest-by manifest must make it a no-op
+    q = make_etl("ckpt2").start_idempotent_ingest(
+        str(tmp_path / "manifest"), available_now=True
+    )
+    _drain(q)
+    n2 = spark.read.parquet(str(tmp_path / "ingested")).count()
+    assert n2 == n1, "replayed batch must not duplicate rows"
