@@ -50,8 +50,21 @@ def sf_from_dir(path: str) -> float:
         return -1.0
 
 
+def warmup(spark) -> None:
+    """Pay one-time costs (JIT/codegen warm-up, Python worker fork, parquet
+    footer reads) outside the timed region so per-query numbers measure the
+    queries, not session startup."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    _noop = F.pandas_udf(lambda s: s, "long", PandasUDFType.SCALAR)
+    spark.range(1000).select(F.sum(_noop("id"))).collect()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).count()
+
+
 def main() -> None:
     spark = get_session(app_name="kpf-bench")
+    warmup(spark)
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
