@@ -468,6 +468,14 @@ def _q_similarity_topk_lsh(spark, sf):
     )
 
 
+def _q_similarity_topk_ivf(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_ivf(emb, q, k=10, n_cells=16, nprobe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def _q_simhash_pairs(spark, sf):
     """banded SimHash — not SQL-expressible; rows-only check."""
     d = load_table(spark, sf, "documents")
@@ -568,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "similarity_topk": _q_similarity_topk,
         "similarity_topk_lsh": _q_similarity_topk_lsh,
+        "similarity_topk_ivf": _q_similarity_topk_ivf,
         "simhash_pairs": _q_simhash_pairs,
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
@@ -615,6 +624,30 @@ def oracle_sql() -> dict[str, str]:
         "SELECT query_id, neighbor_id, "
         "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank "
         "FROM scored) WHERE rank <= 10"
+    )
+    ivf_rank = (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e, "
+        "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) nrm "
+        "FROM embeddings), "
+        # centroids = 16 lowest-id vectors, cid = rank order (0-based)
+        "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce, "
+        "sqrt(list_dot_product(e, e)) AS cn FROM v ORDER BY vec_id LIMIT 16), "
+        # scaled score to each centroid; argmax cell with (s DESC, cid ASC) ties
+        "sc AS (SELECT v.vec_id, c.cid, list_dot_product(v.e, c.ce) / c.cn AS s "
+        "FROM v CROSS JOIN cent c), "
+        "r AS (SELECT vec_id, cid, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM sc), "
+        "cells AS (SELECT vec_id, cid FROM r WHERE rn = 1), "
+        "probes AS (SELECT vec_id, cid FROM r WHERE rn <= 4 AND vec_id < 10), "
+        "cand AS (SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id, "
+        "list_dot_product(qv.e, cv.e) / (qv.nrm * cv.nrm) AS cosine "
+        "FROM probes p JOIN cells cl ON cl.cid = p.cid "
+        "JOIN v qv ON qv.vec_id = p.vec_id JOIN v cv ON cv.vec_id = cl.vec_id "
+        "WHERE cl.vec_id != p.vec_id) "
+        "SELECT query_id, neighbor_id, rank FROM ("
+        "SELECT query_id, neighbor_id, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank "
+        "FROM cand) WHERE rank <= 10"
     )
     fingerprint = (
         f"WITH t AS (SELECT doc_id, list_transform({_LTOKENS_SQL}, "
@@ -820,6 +853,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4"
         ),
         "similarity_topk": topk_rank,
+        "similarity_topk_ivf": ivf_rank,
         "text_tokens": (
             f"SELECT doc_id, CAST(len({_TOKENS_SQL}) AS INT) AS n_tokens, "
             "CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT) "

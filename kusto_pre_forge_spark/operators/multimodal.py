@@ -165,3 +165,104 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, blob_col).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, resized binary"
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, content_sha string, sample_rate int, n_samples long, "
+    "duration_s double, feature array<float>"
+)
+
+
+def resize_image(
+    df: DataFrame,
+    width: int,
+    height: int,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Resize images to ``width``×``height``, emitting a new binary payload.
+
+    Real resample needs PIL/libvips (absent here) → NotImplementedError
+    unless ``fake=True``: the stub emits a deterministic payload of exactly
+    ``width*height*3`` bytes derived by cycling the source sha256 digest,
+    so output size, schema, and Arrow batch shape behave like a real
+    resize. mapInPandas keeps payload transfer Arrow-batched; output rows
+    are wider than input metadata rows, so keep
+    ``spark.sql.files.maxPartitionBytes`` sized for decoded (not encoded)
+    bytes when chaining real codecs.
+    """
+    if not fake and not _IMAGE_LIBS_AVAILABLE:
+        raise NotImplementedError(
+            "image resize requires PIL/libvips (not in this container); "
+            "pass fake=True for the deterministic stub"
+        )
+
+    n_out = width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                digest = hashlib.sha256(bytes(blob)).digest()
+                payload = (digest * (n_out // len(digest) + 1))[:n_out]
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": width,
+                        "height": height,
+                        "resized": payload,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, blob_col).mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def decode_audio_features(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    fake: bool = False,
+    feature_dim: int = 8,
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """Decode audio and extract a per-clip feature vector.
+
+    Real decode needs soundfile/ffmpeg (absent here) → NotImplementedError
+    unless ``fake=True``: duration/sample counts derive from payload size
+    (1 pseudo-sample per payload byte) and features from the sha256
+    digest, deterministic across runs and engines.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires soundfile/ffmpeg (not in this container); "
+            "pass fake=True for the deterministic stub"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                raw = bytes(blob)
+                digest = hashlib.sha256(raw).digest()
+                n_samples = len(raw)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "content_sha": hashlib.sha256(raw).hexdigest(),
+                        "sample_rate": sample_rate,
+                        "n_samples": n_samples,
+                        "duration_s": n_samples / sample_rate,
+                        "feature": [digest[j] / 255.0 for j in range(feature_dim)],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, blob_col).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)

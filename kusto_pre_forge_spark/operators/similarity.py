@@ -12,6 +12,14 @@ Two tiers:
                              multi-probe by Hamming-adjacent buckets): the
                              scale path — candidate set shrinks ~2^bits,
                              recall traded explicitly.
+- ``cosine_topk_ivf``      — IVF-flat: assign every vector to its nearest
+                             of ``n_cells`` coarse centroids (inverted
+                             lists), probe the query's top ``nprobe``
+                             cells, exact-score within. Deterministic
+                             centroid choice (lowest-id corpus vectors) so
+                             an external SQL engine can replay the exact
+                             partitioning — swap in k-means centroids for
+                             production recall.
 
 All vector math is native (``F.zip_with`` + ``F.aggregate`` fold, i.e.
 JVM-side) — no pandas UDF in the scoring loop.
@@ -148,6 +156,103 @@ def cosine_topk_lsh(
             cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF-flat (inverted-file) partitioning.
+
+    Index build = one narrow pass: score every vector against the
+    ``n_cells`` centroids (a driver-side constant — centroids are the
+    corpus rows with the ``n_cells`` smallest ids, deterministic and tiny)
+    and keep the argmax cell. Queries explode to their top-``nprobe``
+    cells; a plain equi-join on cell id replaces the nested-loop scan, so
+    the scored candidate set shrinks ~``nprobe / n_cells``.
+
+    Scale: the centroid table is O(n_cells × dim) and rides the closure;
+    the corpus pass is embarrassingly parallel; the join shuffles on an
+    int key with bounded per-cell lists. ``nprobe = n_cells`` degenerates
+    to exact search (tests pin this). Ties (exact-duplicate vectors) break
+    toward the lower centroid index / neighbor id, matching the SQL
+    oracle's ``ORDER BY s DESC, cid ASC``.
+
+    Returns (query_id, neighbor_id, cosine, rank), rank in 1..k.
+    """
+    cent_rows = sorted(
+        corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .collect(),
+        key=lambda r: r[id_col],
+    )
+    cents = []
+    for j, r in enumerate(cent_rows):
+        vec = [float(x) for x in r[vec_col]]
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        cents.append((j, vec, math.sqrt(acc)))
+
+    def scaled_scores(v: Column) -> Column:
+        # cosine scaled by the (positive) query norm — argmax-equivalent,
+        # one fewer op to mirror in the oracle
+        return F.array(
+            *[
+                (dot(v, F.array(*[F.lit(x) for x in vec])) / F.lit(cn)).alias(f"s{j}")
+                for j, vec, cn in cents
+            ]
+        )
+
+    def best_cell(v: Column) -> Column:
+        s = scaled_scores(v)
+        return F.array_position(s, F.array_max(s)).cast("int") - 1
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        best_cell(F.col(vec_col)).alias("_cell"),
+    )
+
+    # top-nprobe probe cells per query: sort (score, -index) structs desc —
+    # lexicographic struct order gives score desc then index asc on ties
+    probe_structs = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    (dot(F.col("_qv"), F.array(*[F.lit(x) for x in vec])) / F.lit(cn)).alias("s"),
+                    F.lit(-j).alias("nj"),
+                )
+                for j, vec, cn in cents
+            ]
+        ),
+        asc=False,
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .withColumn("_probe", F.explode(F.slice(probe_structs, 1, nprobe)))
+        .select("query_id", "_qv", (-F.col("_probe.nj")).cast("int").alias("_cell"))
+    )
+
+    scored = (
+        c.join(F.broadcast(q), "_cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

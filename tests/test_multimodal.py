@@ -49,3 +49,33 @@ def test_sample_frames_stub(blobs):
     assert all(r.frame_index % 4 == 0 for r in rows)
     n_docs = len({r.doc_id for r in rows})
     assert n_docs == 50
+
+
+def test_resize_image_stub(blobs):
+    out = multimodal.resize_image(blobs, 8, 6, fake=True).collect()
+    assert len(out) == 50
+    for r in out:
+        assert (r.width, r.height) == (8, 6)
+        assert len(r.resized) == 8 * 6 * 3
+    # deterministic payloads
+    again = {r.doc_id: bytes(r.resized) for r in
+             multimodal.resize_image(blobs, 8, 6, fake=True).collect()}
+    for r in out:
+        assert again[r.doc_id] == bytes(r.resized)
+
+
+def test_decode_audio_features_stub(blobs):
+    out = multimodal.decode_audio_features(blobs, fake=True).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r.sample_rate == 16_000
+        assert r.n_samples > 0
+        assert abs(r.duration_s - r.n_samples / 16_000) < 1e-12
+        assert len(r.feature) == 8
+
+
+def test_resize_audio_without_libs_raise(blobs):
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(blobs, 8, 6, fake=False)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio_features(blobs, fake=False)

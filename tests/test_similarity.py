@@ -70,3 +70,34 @@ def test_lsh_is_subset_scored_identically(emb):
         key = (r.query_id, r.neighbor_id)
         if key in exact:
             assert abs(exact[key] - r.cosine) < 1e-12
+
+
+def test_ivf_full_probe_equals_exact(emb):
+    """nprobe = n_cells degenerates IVF to exact search — every cell probed."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, queries, k=10).collect()
+    ivf = similarity.cosine_topk_ivf(emb, queries, k=10, n_cells=8, nprobe=8).collect()
+    key = lambda rows: sorted((r.query_id, r.rank, r.neighbor_id) for r in rows)
+    assert key(ivf) == key(exact)
+
+
+def test_ivf_partial_probe_recall_and_soundness(emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, queries, k=10).collect()
+    approx = similarity.cosine_topk_ivf(emb, queries, k=10, n_cells=16, nprobe=4).collect()
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(set(exact_scores) & approx_set) / len(exact_scores)
+    # isotropic random vectors: 4/16 cells ≈ 25% of corpus scored; top-10
+    # neighbors of a query correlate with its cell, so recall beats 25%
+    assert recall >= 0.3, f"recall {recall}"
+    # soundness: any overlap with exact must carry the identical cosine
+    for r in approx:
+        k2 = (r.query_id, r.neighbor_id)
+        if k2 in exact_scores:
+            assert abs(exact_scores[k2] - r.cosine) < 1e-12
+    # ranks are contiguous from 1 per query
+    by_q = {}
+    for r in sorted(approx, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(ranks == list(range(1, len(ranks) + 1)) for ranks in by_q.values())
