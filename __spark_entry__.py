@@ -477,7 +477,6 @@ def _q_similarity_topk_ivf(spark, sf):
 
 
 def _q_simhash_pairs(spark, sf):
-    """banded SimHash — not SQL-expressible; rows-only check."""
     d = load_table(spark, sf, "documents")
     return dedup.simhash_pairs(d, "text", "doc_id", max_hamming=3)
 
@@ -624,6 +623,21 @@ def oracle_sql() -> dict[str, str]:
         "SELECT query_id, neighbor_id, "
         "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank "
         "FROM scored) WHERE rank <= 10"
+    )
+    # SimHash is md5-deterministic by design so the oracle can replay it;
+    # chunk banding is recall-complete for hamming <= chunks-1 (pigeonhole),
+    # so the oracle is simply "all pairs with hamming <= 3".
+    simhash = (
+        "WITH t AS (SELECT doc_id, list_transform("
+        "string_split_regex(trim(lower(text)), '\\s+'), "
+        "tok -> CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)) AS th FROM documents), "
+        "fp AS (SELECT doc_id, list_sum(list_transform(range(0, 60), b -> "
+        "CASE WHEN 2 * list_sum(list_transform(th, h -> (h >> b) & 1)) > len(th) "
+        "THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)) AS fp FROM t) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming "
+        "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.fp, b.fp)) <= 3"
     )
     ivf_rank = (
         "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e, "
@@ -854,6 +868,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "similarity_topk": topk_rank,
         "similarity_topk_ivf": ivf_rank,
+        "simhash_pairs": simhash,
         "text_tokens": (
             f"SELECT doc_id, CAST(len({_TOKENS_SQL}) AS INT) AS n_tokens, "
             "CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT) "
