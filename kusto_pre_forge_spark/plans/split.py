@@ -19,10 +19,13 @@ form of "seal the shard when the byte counter crosses the cap"
 uncompressed bytes (declared approximation, SURVEY §7 "What's hard" — no
 reference test requires compressed-byte exactness).
 
-Scale: the cumulative sum is a window partitioned by source file — one
-ordered pass per blob, which is exactly the reference's sequential-per-blob
-model; across blobs it is embarrassingly parallel. No global sort, no
-driver-side iteration over rows.
+Scale: the cumulative byte count is a two-phase distributed prefix sum —
+per-file-split subtotals, an exclusive prefix over that tiny aggregate,
+then within-split running sums in parallel — so a single huge blob is
+sharded by ALL its splits' tasks, not serialized onto one reducer (see
+shard_assign). Across blobs it is embarrassingly parallel, and no window
+ever partitions on the bare source column. No driver-side iteration over
+rows.
 """
 
 from __future__ import annotations
@@ -67,10 +70,16 @@ def peel_header(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
     ``propagateHeader``, remove it from the stream, hand it to the sink
     factory). Returns (headers: source→header, body).
     """
-    w = Window.partitionBy(SOURCE_COL)
-    flagged = lines.withColumn("_first", F.min(ORDER_COL).over(w) == F.col(ORDER_COL))
+    # min-per-source as a map-side-combinable aggregate broadcast back, NOT
+    # a `Window.partitionBy(source)` — that window would shuffle every row
+    # of a blob onto one reducer and strip the scan's split parallelism
+    # from everything downstream (shard_assign depends on it).
+    firsts = lines.groupBy(SOURCE_COL).agg(F.min(ORDER_COL).alias("_kpf_first"))
+    flagged = lines.join(F.broadcast(firsts), SOURCE_COL).withColumn(
+        "_first", F.col(ORDER_COL) == F.col("_kpf_first")
+    )
     headers = flagged.filter("_first").select(SOURCE_COL, F.col("Text").alias("header"))
-    body = flagged.filter(~F.col("_first")).drop("_first")
+    body = flagged.filter(~F.col("_first")).drop("_first", "_kpf_first")
     return headers, body
 
 
@@ -90,20 +99,65 @@ def shard_assign(
     (TextStreamSinkBase.cs:55-63). Formatting "00000" per
     TextPartitionSink.cs:53. Also marks ``_kpf_last_shard``
     (TextKustoSink.cs:60-63 informational tag).
+
+    Precondition: ``body`` is in scan layout — ``order_col`` monotone within
+    each partition and encoding the partition in its high bits, which is
+    exactly what ``read_lines`` produces (``monotonically_increasing_id``)
+    and what ``peel_header`` preserves (narrow ops only). Re-deriving the
+    order column after a repartition breaks the (split, order) agreement
+    the distributed prefix sum relies on.
     """
-    w = Window.partitionBy(SOURCE_COL).orderBy(order_col)
+    # Distributed prefix sum. A single window `partitionBy(source)
+    # orderBy(order)` would gather EVERY row of a blob onto one reducer —
+    # the per-source cumulative count would serialize a 1 TB blob onto a
+    # single task at 100 TB. Instead, the classic two-phase form:
+    #   1. per (source, input split) byte subtotals — a tiny aggregate,
+    #      one row per file split (O(data / maxPartitionBytes) rows);
+    #   2. exclusive prefix of the subtotals per source — a window over
+    #      the TINY aggregate, giving each split its base byte offset;
+    #   3. broadcast the offsets back; within-split running sum is a
+    #      window partitioned by (source, split) — parallel across splits.
+    # In-file order = (split asc, order asc): split ids follow file offset
+    # order, which is the same property `_kpf_order`
+    # (monotonically_increasing_id) already relies on.
     rec_bytes = F.octet_length(F.col(text_col)) + F.lit(1)
-    cum_before = F.sum(rec_bytes).over(w) - rec_bytes
+    t = body.withColumn("_kpf_split", F.spark_partition_id())
+
+    split_sums = t.groupBy(SOURCE_COL, "_kpf_split").agg(
+        F.sum(rec_bytes).alias("_kpf_split_bytes")
+    )
+    w_prefix = (
+        Window.partitionBy(SOURCE_COL)
+        .orderBy("_kpf_split")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = split_sums.select(
+        SOURCE_COL,
+        "_kpf_split",
+        F.coalesce(F.sum("_kpf_split_bytes").over(w_prefix), F.lit(0)).alias(
+            "_kpf_base"
+        ),
+    )
+
+    w_in = Window.partitionBy(SOURCE_COL, "_kpf_split").orderBy(order_col)
+    cum_before = F.col("_kpf_base") + F.sum(rec_bytes).over(w_in) - rec_bytes
     shard_num = F.floor(cum_before / F.lit(max_bytes_per_shard)).cast("int")
-    df = body.withColumn("_kpf_shard_num", shard_num)
-    w_all = Window.partitionBy(SOURCE_COL)
+    df = (
+        t.join(F.broadcast(offsets), [SOURCE_COL, "_kpf_split"])
+        .withColumn("_kpf_shard_num", shard_num)
+        .drop("_kpf_split", "_kpf_base")
+    )
+
+    # last-shard flag via a per-source max aggregate (broadcast back) —
+    # same reasoning: never a whole-source window over data rows
+    last = df.groupBy(SOURCE_COL).agg(F.max("_kpf_shard_num").alias("_kpf_max_shard"))
     return (
-        df.withColumn(SHARD_COL, F.format_string("%05d", F.col("_kpf_shard_num")))
+        df.join(F.broadcast(last), SOURCE_COL)
+        .withColumn(SHARD_COL, F.format_string("%05d", F.col("_kpf_shard_num")))
         .withColumn(
-            LAST_SHARD_COL,
-            F.col("_kpf_shard_num") == F.max("_kpf_shard_num").over(w_all),
+            LAST_SHARD_COL, F.col("_kpf_shard_num") == F.col("_kpf_max_shard")
         )
-        .drop("_kpf_shard_num")
+        .drop("_kpf_shard_num", "_kpf_max_shard")
     )
 
 

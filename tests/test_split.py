@@ -6,7 +6,10 @@ import gzip
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from kusto_pre_forge_spark.config import Compression, RunSettings
+from kusto_pre_forge_spark.plans import split as split_mod
 from kusto_pre_forge_spark.plans.split import run_split
 
 CAP = 16 * 1024
@@ -96,3 +99,41 @@ def test_split_no_header_mode(spark, tmp_path, csv_blob):
     # no peel: header line is just a record; all lines exactly once
     all_records = [ln for slines in shards.values() for ln in slines]
     assert sorted(all_records) == sorted(lines)
+
+
+def test_shard_assign_distributed_equals_single_window(spark, tmp_path):
+    """The two-phase prefix sum must equal the naive whole-source window
+    on a file the scanner actually cuts into many splits."""
+    from pyspark.sql import Window
+
+    lines = [f"row-{i:04d}-" + "x" * (i % 37) for i in range(2000)]
+    p = tmp_path / "big.txt"
+    p.write_text("\n".join(lines) + "\n")
+
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    try:
+        df = split_mod.read_lines(spark, str(p))
+        n_splits = df.select(F.spark_partition_id()).distinct().count()
+        assert n_splits > 4, f"expected a multi-split scan, got {n_splits}"
+        got = split_mod.shard_assign(df, max_bytes_per_shard=4096).collect()
+
+        rec = F.octet_length(F.col("Text")) + F.lit(1)
+        w = Window.partitionBy(split_mod.SOURCE_COL).orderBy(split_mod.ORDER_COL)
+        naive = (
+            df.withColumn(
+                "_n", F.floor((F.sum(rec).over(w) - rec) / F.lit(4096)).cast("int")
+            )
+            .select("Text", F.format_string("%05d", F.col("_n")).alias("shard"))
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+    g = {r.Text: r[split_mod.SHARD_COL] for r in got}
+    n = {r.Text: r.shard for r in naive}
+    assert g == n
+    # last-shard flag marks exactly the max shard's rows
+    mx = max(g.values())
+    for r in got:
+        assert r[split_mod.LAST_SHARD_COL] == (r[split_mod.SHARD_COL] == mx)
