@@ -79,6 +79,7 @@ def run_prepartition(
     output_path: str,
     fmt: str = "parquet",
     compression: str | None = None,
+    writers_per_partition: int | None = None,
 ) -> PrePartitionResult:
     """Full pipeline: hash → scatter → partitioned write → manifest.
 
@@ -87,15 +88,29 @@ def run_prepartition(
     partition id replaces one staged block blob per pid; the returned
     manifest (pid, sample, count) replaces the sink's journal counters.
     Flush-interval/micro-batch semantics live in ``streaming.ingest``.
+
+    ``writers_per_partition``: a policy with small ``max_partition_count``
+    (Kusto policies are often 8-256) would otherwise bound the write to N
+    reducers regardless of cluster size. Salting the exchange to
+    ``N × writers`` tasks keeps every executor writing (each pid directory
+    then holds ``writers`` dense files) — the analogue of the reference
+    sink's MAX_PARALLEL_WRITES=16 concurrent block writes per blob
+    (PartitionedContentSink.cs:136). Default: scale to the cluster,
+    ``max(1, defaultParallelism // N)``.
     """
     with_pid = prepartition(df, policy)
-    writer = (
+    n = policy.max_partition_count
+    writers = writers_per_partition or max(
+        1, df.sparkSession.sparkContext.defaultParallelism // n
+    )
+    if writers > 1:
+        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(writers))
+        scattered = with_pid.repartition(n * writers, F.col(PID_COL), salt)
+    else:
         # repartition by pid so each output partition is written densely by
         # the tasks owning that pid — the shuffle is the reference's scatter.
-        with_pid.repartition(policy.max_partition_count, F.col(PID_COL))
-        .write.mode("overwrite")
-        .partitionBy(PID_COL)
-    )
+        scattered = with_pid.repartition(n, F.col(PID_COL))
+    writer = scattered.write.mode("overwrite").partitionBy(PID_COL)
     if compression:
         writer = writer.option("compression", compression)
     getattr(writer, fmt)(output_path)

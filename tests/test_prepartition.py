@@ -58,3 +58,25 @@ def test_end_to_end_completeness(spark, orders, tmp_path):
     reread_bad = back.filter(F.col(PID_COL) != kusto_preforge_hash("o_orderpriority", 8, 42))
     assert reread_bad.count() == 0
     assert sum(m["record_count"] for m in res.manifest) == orders.count()
+
+
+def test_parallel_writers_complete_and_bounded(spark, sf_smoke, tmp_path):
+    """Salted scatter: same rows, same purity, ~writers files per pid."""
+    import glob
+
+    from kusto_pre_forge_spark.functions.hashing import kusto_preforge_hash
+
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    pol = PartitionPolicy("o_orderpriority", 4, 42)
+    out = str(tmp_path / "pp")
+    res = run_prepartition(orders, pol, out, writers_per_partition=4)
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    bad = back.filter(
+        F.col(PID_COL) != kusto_preforge_hash("o_orderpriority", 4, 42)
+    )
+    assert bad.count() == 0
+    for d in glob.glob(f"{out}/{PID_COL}=*"):
+        files = [f for f in glob.glob(f"{d}/*") if not f.endswith("_SUCCESS")]
+        assert 1 <= len(files) <= 4 + 1
+    assert sum(r["record_count"] for r in res.manifest) == orders.count()
