@@ -58,6 +58,49 @@ def list_source(
     return sorted(out)
 
 
+def read_zip_lines(
+    spark: SparkSession,
+    paths: list[str] | str,
+    drop_first_line: bool = False,
+) -> DataFrame:
+    """Text lines from the FIRST entry of each zip archive.
+
+    ref: Text/TextSource.cs:80-108 — the reference opens the archive and
+    reads only ``Entries.First()``; same here. Zip is not a splittable
+    codec, so the unit of parallelism is the archive (one task each),
+    exactly the reference's per-blob model; the whole archive is
+    decompressed in that task's memory, bounded by
+    ``spark.sql.files.maxPartitionBytes`` admission on the binary read.
+    ``drop_first_line`` peels a header at the source (zip lines arrive in
+    order inside the task, so no window is needed).
+    """
+    import pandas as pd
+
+    if isinstance(paths, str):
+        paths = [paths]
+    binary = spark.read.format("binaryFile").load(paths)
+
+    def extract(it):
+        import io
+        import zipfile
+
+        for pdf in it:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                with zipfile.ZipFile(io.BytesIO(bytes(content))) as z:
+                    names = z.namelist()
+                    text = z.read(names[0]).decode("utf-8") if names else ""
+                lines = text.splitlines()
+                if drop_first_line and lines:
+                    lines = lines[1:]
+                yield pd.DataFrame(
+                    {"Text": lines, "_kpf_source": [path] * len(lines)}
+                )
+
+    return binary.select("path", "content").mapInPandas(
+        extract, "Text string, _kpf_source string"
+    )
+
+
 def read_landing(
     spark: SparkSession,
     paths: list[str] | str,
@@ -75,9 +118,36 @@ def read_landing(
     (``input_file_name()``), the Spark-native form of BlobData's blob URI —
     lineage needed by the idempotent sink (Text/TextKustoSink.cs:52-63).
     """
+    from kusto_pre_forge_spark.config import Compression
+
     if isinstance(paths, str):
         paths = [paths]
     fmt = settings.fmt
+    if settings.input_compression == Compression.ZIP:
+        # gzip/zstd are transparent Hadoop codecs; zip needs the archive
+        # reader. txt: lines as-is. Delimited: parse the lines with
+        # from_csv against the caller's schema (required — there is no
+        # sampling pass over archive members).
+        if fmt == DataFormat.TXT:
+            return read_zip_lines(spark, paths)
+        if fmt in _DELIMITERS:
+            if schema is None:
+                raise ValueError("zip-compressed delimited input requires a schema")
+            lines = read_zip_lines(
+                spark, paths, drop_first_line=settings.csv_headers
+            )
+            ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            parsed = F.from_csv(
+                F.col("Text"),
+                F.lit(ddl),
+                {"sep": _DELIMITERS[fmt], "quote": '"', "escape": '"'},
+            )
+            return lines.select(parsed.alias("_r"), "_kpf_source").select(
+                "_r.*", "_kpf_source"
+            )
+        raise NotImplementedError(f"zip input for format {fmt}")
     if fmt == DataFormat.TXT:
         # landing table shape: one Text:string column (templates/script.kql:2)
         df = spark.read.text(paths).withColumnRenamed("value", "Text")
