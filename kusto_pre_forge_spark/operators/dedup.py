@@ -179,26 +179,27 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
 
-    # Two deliberate exchanges:
+    # Exchange placement, carefully chosen:
     # 1. repartition the RAW text first — a small parquet file arrives as
-    #    one split, and without this the shingle+hash projection (the
-    #    expensive step) runs in the single-core scan stage. Shuffling text
-    #    is ~13× cheaper than shuffling the shingle+hash arrays it expands
-    #    into, so hash-heavy work lands where all cores can chew on it.
-    # 2. repartition again before the signature lanes: an exchange barrier
-    #    stops CollapseProject from inlining the shingle-hash transform
-    #    into all 64 lanes (HOFs are interpreted — no codegen CSE, a
-    #    measured 14× slowdown). ReuseExchange dedupes this exchange
-    #    across the three downstream uses of `base`.
+    #    one split, and without this the shingle+hash work (the expensive
+    #    step) runs in the single-core scan stage. Shuffling text is ~13×
+    #    cheaper than shuffling the shingle arrays it expands into.
+    #    Explicit partition count: AQE's coalescer sizes stages by shuffle
+    #    BYTES, and raw text is tiny relative to the CPU the next stage
+    #    burns on it — left to itself it folds the stage back to one task.
+    # 2. signature BEFORE the second exchange: the pandas_udf evaluates in
+    #    its own ArrowEvalPython node, which CollapseProject cannot inline
+    #    (unlike expression lanes), and placing it upstream of the
+    #    exchange means ReuseExchange makes ALL downstream subtrees
+    #    (band join sides, payload joins) share one signature computation
+    #    and one Python round-trip.
     # The shingle hash is xxhash64 masked to 32 bits (JVM codegen) — the
     # exact-Jaccard verify below makes the output independent of the hash
     # choice, so the md5-derived _shingle_hash32 (kept for oracle-
     # reproducible ops like SimHash) isn't needed here.
-    # Explicit partition counts: AQE's coalescer sizes stages by shuffle
-    # BYTES, and raw text is tiny relative to the CPU the next projection
-    # burns on it — left to itself AQE folds these stages back to one task.
     n_part = df.sparkSession.sparkContext.defaultParallelism
-    hashed = (
+    sig_udf = minhash_signature_udf(num_hashes, seed)
+    base = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
         .repartition(n_part, "_id")
         .select("_id", char_shingles("_t", shingle_n).alias("_sh"))
@@ -208,11 +209,9 @@ def minhash_lsh_pairs(
                 F.col("_sh"), lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF))
             ),
         )
-    )
-    base = (
-        hashed.repartition(n_part, "_id")
-        .withColumn("_sig", minhash_signature_udf(num_hashes, seed)(F.col("_h32")))
+        .withColumn("_sig", sig_udf(F.col("_h32")))
         .drop("_h32")
+        .repartition(n_part, "_id")
     )
 
     # band keys WITHOUT payload: the bucket self-join only ever shuffles
