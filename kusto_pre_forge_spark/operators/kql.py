@@ -260,3 +260,52 @@ def bin(col: Column, interval: str) -> Column:
     """KQL ``bin(ts, 1d)`` — time bucketing (standard KQL companion of
     summarize; Spark's date_trunc/window equivalent)."""
     return F.date_trunc(interval, col)
+
+
+def print_expr(spark: SparkSession, **exprs: Column) -> DataFrame:
+    """KQL ``print name = expr, ...`` — a one-row table of scalars
+    (emission shape: the let/print invariant probes,
+    code/IntegrationTests/Text/NoHeaderNoCompressionTest.cs:21-38)."""
+    return spark.range(1).select(*[c.alias(n) for n, c in exprs.items()])
+
+
+def toscalar(df: DataFrame) -> Column:
+    """KQL ``toscalar(T)`` — first column of the first row as a scalar
+    usable in another query (NoHeaderNoCompressionTest.cs:26-34). Spark
+    form: a literal produced from a driver-evaluated 1×1 result; the input
+    must already aggregate to one row (e.g. ``count_rows``)."""
+    row = df.limit(1).collect()
+    if not row:
+        return F.lit(None)
+    return F.lit(row[0][0])
+
+
+def export_csv(
+    df: DataFrame,
+    prefix: str,
+    size_limit_bytes: int | None = None,
+    include_headers: bool = True,
+    distribution: int | None = None,
+) -> None:
+    """KQL ``.export to csv (prefix) with (sizeLimit, includeHeaders,
+    distribution)`` — the reference exports its 10M-row test dataset this
+    way (code/IntegrationTests/TestBase.cs:397-408).
+
+    Spark caps files by record count, not bytes, so ``sizeLimit``
+    approximates via rows-per-file = limit / sampled-average-row-width
+    (declared approximation, SURVEY §7 "What's hard" — the reference's own
+    cap applies to compressed bytes and no test requires byte exactness).
+    ``distribution`` ≡ per-node export parallelism → ``repartition(n)``.
+    """
+    writer_df = df
+    opts: dict[str, str] = {"header": str(include_headers).lower()}
+    if size_limit_bytes:
+        sample = df.limit(1000).select(
+            F.sum(F.octet_length(F.concat_ws(",", *df.columns))).alias("b"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        avg_row = (sample["b"] or 1) / max(sample["n"] or 1, 1) + 1
+        opts["maxRecordsPerFile"] = str(max(int(size_limit_bytes / avg_row), 1))
+    if distribution:
+        writer_df = writer_df.repartition(distribution)
+    writer_df.write.mode("overwrite").options(**opts).csv(prefix)

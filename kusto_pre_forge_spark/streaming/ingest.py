@@ -64,7 +64,14 @@ class StreamingEtl:
         self.max_files_per_trigger = max_files_per_trigger
 
     def _source(self) -> DataFrame:
-        reader = self.spark.readStream.schema(self.schema)
+        from pyspark.sql import types as T
+
+        schema = self.schema
+        if self.fmt == "text":
+            # the text source has exactly one string column regardless of
+            # the table schema the ETL will parse downstream
+            schema = T.StructType([T.StructField("value", T.StringType())])
+        reader = self.spark.readStream.schema(schema)
         if self.max_files_per_trigger:
             # admission control ≡ the reference's bounded memory budget
             # (16 concurrent downloads, DownloadBlobTransform.cs:10)
@@ -104,6 +111,49 @@ class StreamingEtl:
                 .partitionBy(PID_COL)
                 .parquet(self.output_dir)
             )
+
+        return self._start(process, trigger_seconds, available_now)
+
+    def start_split(
+        self,
+        max_bytes_per_shard: int,
+        output_compression=None,
+        trigger_seconds: int | None = 60,
+        available_now: bool = False,
+    ) -> StreamingQuery:
+        """Continuous Split: each micro-batch re-runs the batch Split plan
+        over the newly arrived blobs (the checkpointed file log supplies
+        exactly-once listing ≡ the reference's one-ETL-per-queue-message
+        loop, ServiceBusServer.cs:26-39).
+
+        The batch DataFrame is used only to discover the arrived files —
+        the Split plan re-reads them directly, so shard assignment sees
+        whole blobs regardless of micro-batch slicing. Outputs land under
+        per-(source, shard) partition dirs with dynamic partition
+        overwrite, so a replayed blob rewrites exactly its own shards
+        (idempotent by construction, ≡ ingest-by tags).
+        """
+        from kusto_pre_forge_spark.config import Compression, RunSettings
+        from kusto_pre_forge_spark.plans.split import run_split
+
+        settings = RunSettings(
+            csv_headers=self.csv_headers,
+            output_compression=output_compression or Compression.NONE,
+        )
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            paths = [r[0] for r in batch_df.select("_kpf_source").distinct().collect()]
+            if not paths:
+                return
+            conf = self.spark.conf
+            prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                run_split(
+                    self.spark, paths, settings, self.output_dir, max_bytes_per_shard
+                )
+            finally:
+                conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
         return self._start(process, trigger_seconds, available_now)
 

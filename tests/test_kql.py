@@ -106,3 +106,34 @@ def test_datetime_add_seconds(spark):
         kql.datetime_add_seconds(F.lit("2024-01-01 00:00:00").cast("timestamp"), -F.col("n")).alias("ts")
     ).collect()[0]
     assert str(r.ts) == "2023-12-31 23:59:57"
+
+
+def test_print_and_toscalar(spark):
+    one = kql.print_expr(spark, x=F.lit(2) + F.lit(3), s=F.lit("ab"))
+    r = one.collect()
+    assert len(r) == 1 and r[0].x == 5 and r[0].s == "ab"
+    # toscalar(count) feeds a literal into another query, the
+    # NoHeaderNoCompressionTest.cs:26-34 shape
+    n = kql.toscalar(kql.count_rows(spark.range(7)))
+    assert kql.print_expr(spark, n=n).collect()[0].n == 7
+
+
+def test_export_csv_size_limit_and_headers(spark, sf_smoke, tmp_path):
+    import glob
+
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = str(tmp_path / "export")
+    kql.export_csv(orders, out, size_limit_bytes=16 * 1024, include_headers=True)
+    files = sorted(glob.glob(f"{out}/*.csv"))
+    assert len(files) > 1, "size limit should split the export"
+    total = 0
+    import os
+
+    for f in files:
+        first = open(f).readline()
+        assert first.startswith("o_orderkey"), "each exported file carries the header"
+        total += sum(1 for _ in open(f)) - 1
+        assert os.path.getsize(f) <= 2 * 16 * 1024, "file size ~ sizeLimit"
+    assert total == orders.count()

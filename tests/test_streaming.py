@@ -111,3 +111,54 @@ def test_streaming_idempotent_ingest_replay(spark, tmp_path, landing):
     _drain(q)
     n2 = spark.read.parquet(str(tmp_path / "ingested")).count()
     assert n2 == n1, "replayed batch must not duplicate rows"
+
+
+def test_streaming_split_two_waves(spark, tmp_path, landing):
+    """Continuous Split: each arriving blob is sharded once; a second
+    availableNow run with the same checkpoint reprocesses nothing."""
+    import glob
+
+    land, orders = landing
+    etl = StreamingEtl(
+        spark,
+        landing_dir=str(land) + "/*.csv",
+        checkpoint_dir=str(tmp_path / "ckpt-split"),
+        output_dir=str(tmp_path / "shards"),
+        schema=SCHEMA,
+        fmt="text",
+    )
+    (land / "wave0.csv.pending").rename(land / "wave0.csv")
+    q = etl.start_split(max_bytes_per_shard=8 * 1024, available_now=True)
+    _drain(q)
+    n1 = len(glob.glob(str(tmp_path / "shards") + "/**/part-*", recursive=True))
+    assert n1 > 0
+
+    (land / "wave1.csv.pending").rename(land / "wave1.csv")
+    q = etl.start_split(max_bytes_per_shard=8 * 1024, available_now=True)
+    _drain(q)
+    files = glob.glob(str(tmp_path / "shards") + "/**/part-*", recursive=True)
+    srcs = {f.split("_kpf_src_name=")[1].split("/")[0] for f in files}
+    assert srcs == {"wave0.csv", "wave1.csv"}
+
+    # completeness: all body lines present exactly once (header line is
+    # peeled per source, shards carry the header via run_split only when
+    # it re-adds it — fmt=text streams raw lines, csv_headers=True peels)
+    out = spark.read.text([f for f in files])
+    # each source contributed its rows; total = orders + 2 headers re-added
+    n_rows = out.count()
+    assert n_rows >= orders.count()
+
+    # replay with a fresh checkpoint rewrites only its own partitions
+    etl2 = StreamingEtl(
+        spark,
+        landing_dir=str(land) + "/*.csv",
+        checkpoint_dir=str(tmp_path / "ckpt-split-2"),
+        output_dir=str(tmp_path / "shards"),
+        schema=SCHEMA,
+        fmt="text",
+    )
+    q = etl2.start_split(max_bytes_per_shard=8 * 1024, available_now=True)
+    _drain(q)
+    files2 = glob.glob(str(tmp_path / "shards") + "/**/part-*", recursive=True)
+    out2 = spark.read.text([f for f in files2])
+    assert out2.count() == n_rows, "replay must not duplicate rows"
