@@ -363,14 +363,23 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_n: int = 5,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
 
     Inverted-index join: explode shingles → join on shingle → count shared
     per pair → Jaccard = shared / (|A| + |B| - shared). Only co-shingled
-    pairs are materialized. At scale, stop-shingles (appearing in a large
-    fraction of docs) should be dropped first — a one-line document-
-    frequency filter; kept exact here.
+    pairs are materialized.
+
+    ``max_doc_freq`` is the scale valve: a stop-shingle appearing in k
+    documents contributes k² candidate rows to the self-join — one
+    boilerplate phrase across 1% of a large corpus makes the join
+    quadratic. Setting ``max_doc_freq`` drops shingles whose document
+    frequency exceeds it from the JOIN only; per-document shingle counts
+    (the Jaccard denominator) stay exact, so reported similarities are
+    underestimates that can only miss pairs whose overlap consists of
+    corpus-common boilerplate — which is what dedup wants to ignore
+    anyway. ``None`` = exact (the oracle-checked configuration).
     """
     sh = df.select(
         F.col(id_col).alias("_id"),
@@ -378,7 +387,17 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    l, r = sh.alias("l"), sh.alias("r")
+    sh_join = sh
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("s")
+        )
+        sh_join = sh.join(F.broadcast(hot), "s", "left_anti")
+
+    l, r = sh_join.alias("l"), sh_join.alias("r")
     shared = (
         l.join(r, (F.col("l.s") == F.col("r.s")) & (F.col("l._id") < F.col("r._id")))
         .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))

@@ -95,3 +95,42 @@ def test_embedding_dup_pairs(spark, sf_smoke):
     # bucketed variant must also find an identical vector (same bucket by construction)
     bpairs = dedup.embedding_dup_pairs(both, "embedding", "vec_id", threshold=0.999, bucket_bits=6)
     assert any(r.id_b == r.id_a + 10000 for r in bpairs.collect())
+
+
+def test_ngram_max_doc_freq_prunes_but_keeps_near_dups(spark):
+    """The DF cap drops corpus-wide boilerplate from the join but keeps
+    pairs whose overlap is rare (genuinely duplicated) text."""
+    import datetime
+
+    from kusto_pre_forge_spark.functions.datagen import generate_log_data
+
+    # 100 docs of random text (shingles ~unique) + a boilerplate suffix
+    # shared by EVERY doc + 3 planted near-dups of the random part
+    logs = generate_log_data(
+        spark, n_rows=100, seed=5, base_time=datetime.datetime(2026, 1, 1)
+    )
+    boiler = " standard legal disclaimer text"
+    docs = logs.select(
+        F.col("Id").alias("doc_id"),
+        F.concat(F.col("Text"), F.lit(boiler)).alias("text"),
+    )
+    dups = docs.filter(F.col("doc_id") <= 3).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+    )
+    corpus = docs.unionByName(dups)
+
+    exact = dedup.ngram_jaccard_pairs(corpus, "text", "doc_id", threshold=0.5).collect()
+    capped = dedup.ngram_jaccard_pairs(
+        corpus, "text", "doc_id", threshold=0.5, max_doc_freq=10
+    ).collect()
+    exact_pairs = {(r.id_a, r.id_b) for r in exact}
+    capped_pairs = {(r.id_a, r.id_b) for r in capped}
+    planted = {(i, i + 1000) for i in (1, 2, 3)}
+    assert planted <= exact_pairs
+    assert planted <= capped_pairs, "rare-shingle overlap must survive the cap"
+    assert capped_pairs <= exact_pairs, "capping can only drop pairs"
+    # reported jaccard never exceeds the exact value
+    exact_j = {(r.id_a, r.id_b): r.jaccard for r in exact}
+    for r in capped:
+        assert r.jaccard <= exact_j[(r.id_a, r.id_b)] + 1e-12
