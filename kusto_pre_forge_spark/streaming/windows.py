@@ -1,0 +1,137 @@
+"""Event-time streaming aggregation: watermarked windows and custom state.
+
+The reference needs none of this (SURVEY §2.6 — blobs are independent
+units, no event-time state), but a training-data pipeline at scale does:
+rate metrics over arriving documents, per-key sessionization of events,
+dedup-state across micro-batches. Two building blocks:
+
+- ``windowed_event_counts`` — tumbling/sliding event-time windows with a
+  watermark so late rows are merged until the watermark passes, then the
+  window state is evicted (bounded state, the only way streaming aggs
+  survive unbounded input).
+- ``running_totals_with_state`` — ``applyInPandasWithState``: an explicit
+  per-key state machine for aggregations Spark's built-ins can't express
+  (here: a running total + last-seen timestamp per key, emitted every
+  batch; swap the update function for custom semantics).
+
+Scale: state is partitioned by key across executors; the watermark bounds
+how much of it lives; checkpointing makes both exactly-once across
+restarts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked event-time window counts (works on batch DataFrames too,
+    where the watermark is a no-op — tests exploit this to pin values).
+
+    Returns (window.start, window.end, *keys, n).
+    """
+    # testdata stores ts as timestamp[ns] which Spark reads as long nanos;
+    # normalize to a timestamp like tables.load_table does
+    src = events
+    if dict(src.dtypes)[ts_col] == "bigint":
+        src = src.withColumn(
+            ts_col, F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+        )
+    win = (
+        F.window(ts_col, window_duration, slide)
+        if slide
+        else F.window(ts_col, window_duration)
+    )
+    src = src.withWatermark(ts_col, watermark) if src.isStreaming else src
+    group = [win] + [F.col(k) for k in (keys or [])]
+    return (
+        src.groupBy(*group)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *(keys or []),
+            "n",
+        )
+    )
+
+
+RUNNING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("total", T.LongType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+RUNNING_OUTPUT_SCHEMA = (
+    "key string, total bigint, last_ts timestamp, batch_rows bigint"
+)
+
+
+def running_totals_with_state(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str | None = None,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key running totals that survive across micro-batches.
+
+    Each batch emits one row per key seen in the batch with the
+    accumulated total so far — the shape of a streaming ingest counter
+    (the reference's PerfCounterJournal, but keyed and exactly-once).
+    """
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        rows = 0
+        add = 0
+        last = None
+        for pdf in pdfs:
+            rows += len(pdf)
+            add += int(pdf["_v"].sum())
+            mx = pdf[ts_col].max()
+            last = mx if last is None else max(last, mx)
+        if state.exists:
+            (total, prev_ts) = state.get
+            total += add
+            if last is None or (prev_ts is not None and prev_ts > last):
+                last = prev_ts
+        else:
+            total = add
+        state.update((total, last))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "total": [total],
+                "last_ts": [last],
+                "batch_rows": [rows],
+            }
+        )
+
+    ts = F.col(ts_col)
+    if dict(events.dtypes)[ts_col] == "bigint":
+        ts = F.timestamp_micros((ts / 1000).cast("long"))
+    src = events.select(
+        F.col(key_col).cast("string").alias(key_col),
+        ts.alias(ts_col),
+        (F.lit(1) if value_col is None else F.col(value_col)).cast("long").alias("_v"),
+    )
+    return src.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

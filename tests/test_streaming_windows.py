@@ -1,0 +1,110 @@
+"""Event-time streaming: watermarked windows, applyInPandasWithState."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from kusto_pre_forge_spark.streaming.windows import (
+    running_totals_with_state,
+    windowed_event_counts,
+)
+from kusto_pre_forge_spark.tables import load_table
+
+
+@pytest.fixture()
+def event_waves(spark, sf_smoke, tmp_path):
+    """events split into two parquet waves; wave 2 includes rows whose
+    timestamps fall into wave-1 windows (late data)."""
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    land = tmp_path / "ev"
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(land / "w0"))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(land / "w1"))
+    return str(land), ev
+
+
+def test_windowed_counts_batch_matches_plain_groupby(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    got = {
+        (r.window_start, r.window_end): r.n
+        for r in windowed_event_counts(ev, "ts", "1 hour").collect()
+    }
+    want = {
+        (r.w.start, r.w.end): r.n
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_windowed_counts_streaming_merges_late_rows(spark, event_waves, tmp_path):
+    """Two micro-batches (1 file each); batch 2 carries rows that are late
+    for batch-1 windows. Complete-mode output must equal the batch answer —
+    i.e. late rows merged into their original windows."""
+    land, ev = event_waves
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{land}/w0").schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{land}/w*/")
+    )
+    counts = windowed_event_counts(stream, "ts", "1 hour", watermark="2 days")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.window_end): r.n
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    want = {
+        (r.window_start, r.window_end): r.n
+        for r in windowed_event_counts(ev, "ts", "1 hour").collect()
+    }
+    assert got == want
+
+
+def test_running_totals_with_state_accumulates_across_batches(
+    spark, event_waves, tmp_path
+):
+    land, ev = event_waves
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{land}/w0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{land}/w*/")
+    )
+    totals = running_totals_with_state(stream, "event_type", "ts")
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("run_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM run_totals").collect()
+    assert rows, "stateful op emitted nothing"
+    # the LAST emission per key is the across-batch running total == batch count
+    last = {}
+    for r in rows:
+        last[r.key] = max(last.get(r.key, 0), r.total)
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert last == want
+    # state really persisted: some key must have emitted twice (two batches)
+    from collections import Counter
+
+    emissions = Counter(r.key for r in rows)
+    assert max(emissions.values()) >= 2, "expected per-key emissions from both batches"
