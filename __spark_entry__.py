@@ -522,6 +522,14 @@ def _q_multimodal_meta(spark, sf):
     )
 
 
+def _q_events_windowed(spark, sf):
+    """event-time tumbling windows via the streaming operator (batch mode)."""
+    from kusto_pre_forge_spark.streaming.windows import windowed_event_counts
+
+    e = load_table(spark, sf, "events")
+    return windowed_event_counts(e, "ts", "1 hour", keys=["event_type"])
+
+
 def _q_events_hourly(spark, sf):
     e = load_table(spark, sf, "events")
     return (
@@ -583,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_meta": _q_multimodal_meta,
         "events_hourly": _q_events_hourly,
+        "events_windowed": _q_events_windowed,
     }
 
 
@@ -895,5 +904,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, "
             "CAST(count(*) AS BIGINT) AS n, " + _sumd_sql("value", "sum_value") + " "
             "FROM events GROUP BY 1"
+        ),
+        "events_windowed": (
+            "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, "
+            "date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end, "
+            "event_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY 1, 2, 3"
         ),
     }
