@@ -47,6 +47,11 @@ def get_session(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # bucketed tables (operators/bucketing.py) land here, not in cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/kpf-spark-warehouse"),
+        )
     )
     if master or not SparkSession.getActiveSession():
         builder = builder.master(master or f"local[{cpus}]")
