@@ -35,8 +35,11 @@ HEADLINE = [
     "shard_assign",
     "window_topk",
     "sessionize",
+    "dedup_exact",
     "dedup_minhash",
     "similarity_topk",
+    "similarity_topk_ivf",
+    "events_windowed",
     "text_tokens",
     "text_fingerprint",
 ]
