@@ -30,8 +30,11 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -205,43 +208,60 @@ def cosine_topk_ivf(
             acc += x * x
         cents.append((j, vec, math.sqrt(acc)))
 
-    def scaled_scores(v: Column) -> Column:
-        # cosine scaled by the (positive) query norm — argmax-equivalent,
-        # one fewer op to mirror in the oracle
-        return F.array(
-            *[
-                (dot(v, F.array(*[F.lit(x) for x in vec])) / F.lit(cn)).alias(f"s{j}")
-                for j, vec, cn in cents
-            ]
+    # Scaled centroid scores as one vectorized pandas_udf: the interpreted
+    # HOF dot costs ~n_cells× a single cosine, which made assignment pricier
+    # than the brute-force scan it replaces at small scale. The numpy form
+    # accumulates dimension-by-dimension (a Python loop over dims, each step
+    # a fused batch op) — the SAME left-to-right IEEE addition order as the
+    # F.aggregate fold, so cell choices and the SQL oracle stay bit-exact.
+    C = np.array([vec for _, vec, _ in cents], dtype=np.float64)  # (cells, dim)
+    CN = np.array([cn for _, _, cn in cents], dtype=np.float64)  # (cells,)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _scores_udf(vs: pd.Series) -> pd.Series:
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vs])  # (n, dim)
+        acc = np.zeros((V.shape[0], C.shape[0]))
+        for dim in range(C.shape[1]):
+            acc += V[:, dim, None] * C[None, :, dim]
+        acc /= CN[None, :]
+        return pd.Series(list(acc))
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            _scores_udf(F.col(vec_col)).alias("_s"),
         )
-
-    def best_cell(v: Column) -> Column:
-        s = scaled_scores(v)
-        return F.array_position(s, F.array_max(s)).cast("int") - 1
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        best_cell(F.col(vec_col)).alias("_cell"),
+        .withColumn(
+            "_cell",
+            (F.array_position(F.col("_s"), F.array_max("_s")) - 1).cast("int"),
+        )
+        .drop("_s")
     )
 
     # top-nprobe probe cells per query: sort (score, -index) structs desc —
     # lexicographic struct order gives score desc then index asc on ties
-    probe_structs = F.sort_array(
-        F.array(
-            *[
-                F.struct(
-                    (dot(F.col("_qv"), F.array(*[F.lit(x) for x in vec])) / F.lit(cn)).alias("s"),
-                    F.lit(-j).alias("nj"),
-                )
-                for j, vec, cn in cents
-            ]
-        ),
-        asc=False,
-    )
+    def probe_structs(scores: Column) -> Column:
+        return F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        F.element_at(scores, j + 1).alias("s"),
+                        F.lit(-j).alias("nj"),
+                    )
+                    for j in range(len(cents))
+                ]
+            ),
+            asc=False,
+        )
+
     q = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-        .withColumn("_probe", F.explode(F.slice(probe_structs, 1, nprobe)))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            _scores_udf(F.col(vec_col)).alias("_s"),
+        )
+        .withColumn("_probe", F.explode(F.slice(probe_structs(F.col("_s")), 1, nprobe)))
         .select("query_id", "_qv", (-F.col("_probe.nj")).cast("int").alias("_cell"))
     )
 
