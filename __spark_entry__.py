@@ -522,6 +522,37 @@ def _q_multimodal_meta(spark, sf):
     )
 
 
+def _q_asof_join(spark, sf):
+    """clicks joined to each user's latest at-or-before purchase."""
+    from kusto_pre_forge_spark.operators.temporal import as_of_join
+
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    out = as_of_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["purchase_id"],
+    )
+    return out.select("event_id", "purchase_id")
+
+
+def _q_range_join_bands(spark, sf):
+    """lineitem quantities bucketed into value bands via range_join."""
+    from kusto_pre_forge_spark.operators.temporal import range_join
+
+    li = load_table(spark, sf, "lineitem").select("l_quantity")
+    bands = spark.createDataFrame(
+        [(float(i * 10), float(i * 10 + 10) - 0.001, f"band{i}") for i in range(6)],
+        ["lo", "hi", "band"],
+    )
+    out = range_join(li, bands, "l_quantity", "lo", "hi", bin_width=10.0)
+    return out.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
+
+
 def _q_events_windowed(spark, sf):
     """event-time tumbling windows via the streaming operator (batch mode)."""
     from kusto_pre_forge_spark.streaming.windows import windowed_event_counts
@@ -592,6 +623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "events_hourly": _q_events_hourly,
         "events_windowed": _q_events_windowed,
+        "asof_join": _q_asof_join,
+        "range_join_bands": _q_range_join_bands,
     }
 
 
@@ -910,5 +943,24 @@ def oracle_sql() -> dict[str, str]:
             "date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end, "
             "event_type, CAST(count(*) AS BIGINT) AS n "
             "FROM events GROUP BY 1, 2, 3"
+        ),
+        # DuckDB's native ASOF JOIN: greatest r.ts <= l.ts per key — the
+        # same latest-at-or-before semantics as operators/temporal.as_of_join
+        "asof_join": (
+            "WITH clicks AS (SELECT user_id, event_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "purchases AS (SELECT user_id, ts, max(event_id) AS purchase_id "
+            "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) "
+            "SELECT l.event_id, r.purchase_id "
+            "FROM clicks l ASOF LEFT JOIN purchases r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "range_join_bands": (
+            "WITH bands(lo, hi, band) AS (VALUES "
+            + ", ".join(
+                f"({float(i*10)}, {float(i*10+10)-0.001}, 'band{i}')" for i in range(6)
+            )
+            + ") SELECT band, CAST(count(*) AS BIGINT) AS n FROM lineitem "
+            "JOIN bands ON l_quantity BETWEEN lo AND hi GROUP BY band"
         ),
     }

@@ -1,0 +1,144 @@
+"""Temporal joins Spark lacks natively: as-of join and range join.
+
+Named in the build brief as the canonical "operator Spark lacks" examples;
+both are implemented as compositions of existing DataFrame ops (option (a)
+of the brief's ladder) — no Pandas UDF, no mapPartitions, so Catalyst
+keeps pushdown/codegen and the shapes scale:
+
+- ``as_of_join`` — for every left row, the single latest right row whose
+  timestamp ≤ the left timestamp (within an optional tolerance). The
+  classic union-and-forward-fill plan: tag both sides, union, single
+  shuffle+sort per key, ``last(ignorenulls)`` window to carry the most
+  recent right payload forward onto left rows. One exchange total —
+  strictly cheaper than the naive join+filter+rank (two wide joins) and
+  immune to the candidate blow-up a time-theta join would have.
+- ``range_join`` — left.point BETWEEN right.lo AND right.hi. A raw
+  inequality join is O(n×m); bucketizing turns it into an equi-join:
+  every right interval explodes to the fixed-width bins it overlaps,
+  left rows join on their point's bin, then the exact BETWEEN filters.
+  Bin width trades replication (wide intervals → many bins) against
+  bucket collision volume; pick ≈ median interval width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Latest-right-row-at-or-before-left join (MergeAsof semantics).
+
+    Returns every left row with ``right_cols`` (default: all non-key,
+    non-ts right columns) from the matching right row, null when no right
+    row precedes it (or the match is older than ``tolerance_seconds``).
+
+    Ties on timestamp: a right row at exactly the left timestamp matches.
+    When multiple right rows share one timestamp the last in (ts, marker)
+    sort order wins — deterministic for distinct payloads per key+ts.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+
+    # tag and align the two sides on a common schema
+    l_tagged = left.withColumn("_is_left", F.lit(1)).withColumn(
+        "_ts", F.col(left_ts)
+    )
+    for c in right_cols:
+        out_c = f"{c}{suffix}" if c in left.columns else c
+        l_tagged = l_tagged.withColumn(f"_r_{out_c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[
+            F.col(c).alias(f"_r_{c}{suffix}" if c in left.columns else f"_r_{c}")
+            for c in right_cols
+        ],
+    )
+    for c in left.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    r_tagged = r_tagged.select(*l_tagged.columns)
+
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # right rows sort before left rows at equal _ts (marker asc) so a
+    # right row at exactly the left timestamp is visible to it
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out_cols = [c for c in unioned.columns if c.startswith("_r_")]
+    filled = unioned
+    for c in out_cols:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    filled = filled.withColumn(
+        "_match_ts", F.last(F.when(F.col("_is_left") == 0, F.col("_ts")), ignorenulls=True).over(w)
+    )
+
+    result = filled.filter(F.col("_is_left") == 1)
+    if tolerance_seconds is not None:
+        stale = (
+            F.col("_match_ts").isNull()
+            | (
+                F.col("_ts").cast("double") - F.col("_match_ts").cast("double")
+                > F.lit(float(tolerance_seconds))
+            )
+        )
+        for c in out_cols:
+            result = result.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+    renames = {c: c[3:] for c in out_cols}
+    result = result.withColumnsRenamed(renames)
+    return result.drop("_is_left", "_ts", "_match_ts")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point: str,
+    lower: str,
+    upper: str,
+    keys: list[str] | None = None,
+    bin_width: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join: left rows matched to right rows where
+    ``lower <= point <= upper`` (optionally also equal on ``keys``).
+
+    ``bin_width=None`` falls back to the direct inequality join (correct,
+    fine when one side broadcasts). With ``bin_width`` set, intervals
+    explode to overlapped bins and the join is a hash equi-join on
+    (keys, bin) — the 100 TB form.
+    """
+    keys = keys or []
+    cond = (F.col(point) >= F.col(lower)) & (F.col(point) <= F.col(upper))
+    if bin_width is None:
+        for k in keys:
+            cond = cond & (left[k] == right[k])
+        return left.join(right, cond, how)
+
+    bw = float(bin_width)
+    l_b = left.withColumn("_bin", F.floor(F.col(point) / bw).cast("long"))
+    r_b = right.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lower) / bw).cast("long"),
+                F.floor(F.col(upper) / bw).cast("long"),
+            )
+        ),
+    )
+    joined = l_b.join(r_b, keys + ["_bin"], how).filter(cond)
+    return joined.drop("_bin")

@@ -1,0 +1,100 @@
+"""As-of join and range join vs pandas/naive oracles."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kusto_pre_forge_spark.operators.temporal import as_of_join, range_join
+from kusto_pre_forge_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def clicks_purchases(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts", "value"
+    )
+    return clicks, purchases
+
+
+def test_as_of_join_matches_pandas_merge_asof(clicks_purchases):
+    clicks, purchases = clicks_purchases
+    got = as_of_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["purchase_id", "value"],
+    ).toPandas()
+
+    lp = clicks.toPandas().sort_values("ts").reset_index(drop=True)
+    rp = purchases.toPandas().sort_values("ts").reset_index(drop=True)
+    want = pd.merge_asof(
+        lp, rp.rename(columns={"ts": "_rts"}), left_on="ts", right_on="_rts",
+        by="user_id", direction="backward",
+    )
+    g = got.sort_values("event_id").reset_index(drop=True)
+    w = want.sort_values("event_id").reset_index(drop=True)
+    assert len(g) == len(w) == len(lp)
+    assert (
+        g["purchase_id"].fillna(-1).astype("int64").tolist()
+        == w["purchase_id"].fillna(-1).astype("int64").tolist()
+    )
+
+
+def test_as_of_join_tolerance_nulls_stale_matches(clicks_purchases):
+    clicks, purchases = clicks_purchases
+    tol = 3600.0  # 1 hour
+    got = as_of_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["purchase_id"], tolerance_seconds=tol,
+    ).toPandas()
+    lp = clicks.toPandas()
+    rp = purchases.toPandas().rename(columns={"ts": "_rts"})
+    want = pd.merge_asof(
+        lp.sort_values("ts"), rp.sort_values("_rts"),
+        left_on="ts", right_on="_rts", by="user_id",
+        direction="backward", tolerance=pd.Timedelta(seconds=tol),
+    )
+    g = got.sort_values("event_id")["purchase_id"].fillna(-1).astype("int64").tolist()
+    w = want.sort_values("event_id")["purchase_id"].fillna(-1).astype("int64").tolist()
+    assert g == w
+    assert -1 in g, "tolerance should null out some stale matches"
+
+
+def test_range_join_binned_equals_naive(spark, sf_smoke):
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    bands = spark.createDataFrame(
+        [(float(i * 10), float(i * 10 + 10) - 0.001, f"band{i}") for i in range(6)],
+        ["lo", "hi", "band"],
+    )
+    naive = range_join(li, bands, "l_quantity", "lo", "hi").select(
+        "l_orderkey", "l_linenumber", "band"
+    )
+    binned = range_join(li, bands, "l_quantity", "lo", "hi", bin_width=7.0).select(
+        "l_orderkey", "l_linenumber", "band"
+    )
+    n = sorted(map(tuple, naive.collect()))
+    b = sorted(map(tuple, binned.collect()))
+    assert n == b and n, (len(n), len(b))
+
+
+def test_range_join_with_keys(spark):
+    left = spark.createDataFrame(
+        [("a", 5.0), ("a", 15.0), ("b", 5.0)], ["k", "x"]
+    )
+    right = spark.createDataFrame(
+        [("a", 0.0, 10.0, "lowA"), ("b", 0.0, 10.0, "lowB"), ("a", 10.0, 20.0, "hiA")],
+        ["k", "lo", "hi", "label"],
+    )
+    got = sorted(
+        (r.k, r.x, r.label)
+        for r in range_join(left, right, "x", "lo", "hi", keys=["k"], bin_width=4.0).collect()
+    )
+    assert got == [("a", 5.0, "lowA"), ("a", 15.0, "hiA"), ("b", 5.0, "lowB")]
