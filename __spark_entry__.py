@@ -553,6 +553,28 @@ def _q_range_join_bands(spark, sf):
     return out.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_rollup_multires(spark, sf):
+    """hypertable-style stacked hourly+daily rollup of events."""
+    from kusto_pre_forge_spark.operators.rollup import rollup_timeseries
+
+    e = load_table(spark, sf, "events").withColumn("value_dec", _dec(F.col("value")))
+    out = rollup_timeseries(
+        e, "ts", ["1 hour", "1 day"],
+        [("value_dec", "sum", "sum_value"), ("event_id", "count", "n")],
+    )
+    return out.select(
+        "resolution", "bucket_start", F.col("sum_value").cast("double").alias("sum_value"), "n"
+    )
+
+
+def _q_kql_dcount(spark, sf):
+    """KQL dcount (exact form) — distinct users per event type."""
+    e = load_table(spark, sf, "events")
+    return kql.summarize(
+        e, by=["event_type"], aggs={"dc_users": kql.dcount("user_id", exact=True)}
+    )
+
+
 def _q_events_windowed(spark, sf):
     """event-time tumbling windows via the streaming operator (batch mode)."""
     from kusto_pre_forge_spark.streaming.windows import windowed_event_counts
@@ -625,6 +647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "asof_join": _q_asof_join,
         "range_join_bands": _q_range_join_bands,
+        "rollup_multires": _q_rollup_multires,
+        "kql_dcount": _q_kql_dcount,
     }
 
 
@@ -954,6 +978,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l.event_id, r.purchase_id "
             "FROM clicks l ASOF LEFT JOIN purchases r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "rollup_multires": (
+            "SELECT '1 hour' AS resolution, date_trunc('hour', CAST(ts AS TIMESTAMP)) "
+            "AS bucket_start, " + _sumd_sql("value", "sum_value") + ", "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 2 "
+            "UNION ALL "
+            "SELECT '1 day', date_trunc('day', CAST(ts AS TIMESTAMP)), "
+            + _sumd_sql("value", "sum_value") + ", CAST(count(*) AS BIGINT) "
+            "FROM events GROUP BY 2"
+        ),
+        "kql_dcount": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS dc_users "
+            "FROM events GROUP BY 1"
         ),
         "range_join_bands": (
             "WITH bands(lo, hi, band) AS (VALUES "

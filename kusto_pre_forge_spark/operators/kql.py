@@ -309,3 +309,12 @@ def export_csv(
     if distribution:
         writer_df = writer_df.repartition(distribution)
     writer_df.write.mode("overwrite").options(**opts).csv(prefix)
+
+
+def dcount(col: Column | str, exact: bool = False) -> Column:
+    """KQL ``dcount(col)`` — distinct count, approximate (HLL++) by
+    default like Kusto's; ``exact=True`` for the precise variant (KQL's
+    ``count_distinct``). The approximate form is the 100 TB default: one
+    pass, fixed memory, mergeable sketch."""
+    return F.count_distinct(F.col(col) if isinstance(col, str) else col) if exact \
+        else F.approx_count_distinct(col)
