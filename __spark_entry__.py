@@ -553,6 +553,14 @@ def _q_range_join_bands(spark, sf):
     return out.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_session_stats(spark, sf):
+    """native session_window per-session aggregates (gap = 1h)."""
+    from kusto_pre_forge_spark.operators.sessions import session_stats
+
+    e = load_table(spark, sf, "events")
+    return session_stats(e, "user_id", "ts", 3600)
+
+
 def _q_rollup_multires(spark, sf):
     """hypertable-style stacked hourly+daily rollup of events."""
     from kusto_pre_forge_spark.operators.rollup import rollup_timeseries
@@ -649,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_bands": _q_range_join_bands,
         "rollup_multires": _q_rollup_multires,
         "kql_dcount": _q_kql_dcount,
+        "session_stats": _q_session_stats,
     }
 
 
@@ -978,6 +987,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l.event_id, r.purchase_id "
             "FROM clicks l ASOF LEFT JOIN purchases r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        # lag+cumsum segmentation == session_window semantics; end = max+gap
+        "session_stats": (
+            "WITH t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, "
+            "CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER "
+            "(PARTITION BY user_id ORDER BY ts) IS NULL "
+            "OR date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER "
+            "(PARTITION BY user_id ORDER BY ts), CAST(ts AS TIMESTAMP)) > 3600 "
+            "THEN 1 ELSE 0 END AS ns FROM events), "
+            "g AS (SELECT user_id, ts, sum(ns) OVER "
+            "(PARTITION BY user_id ORDER BY ts "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM t) "
+            "SELECT user_id, min(ts) AS session_start, "
+            "max(ts) + INTERVAL 3600 SECOND AS session_end, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM g GROUP BY user_id, sid"
         ),
         "rollup_multires": (
             "SELECT '1 hour' AS resolution, date_trunc('hour', CAST(ts AS TIMESTAMP)) "

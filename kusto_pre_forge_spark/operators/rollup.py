@@ -28,7 +28,7 @@ _REAGG = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 def _normalize_ts(df: DataFrame, ts_col: str) -> DataFrame:
     if dict(df.dtypes)[ts_col] == "bigint":  # testdata nanos-as-long
         return df.withColumn(
-            ts_col, F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
         )
     return df
 

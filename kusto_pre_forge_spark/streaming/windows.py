@@ -44,7 +44,7 @@ def windowed_event_counts(
     src = events
     if dict(src.dtypes)[ts_col] == "bigint":
         src = src.withColumn(
-            ts_col, F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
         )
     win = (
         F.window(ts_col, window_duration, slide)
@@ -122,7 +122,7 @@ def running_totals_with_state(
 
     ts = F.col(ts_col)
     if dict(events.dtypes)[ts_col] == "bigint":
-        ts = F.timestamp_micros((ts / 1000).cast("long"))
+        ts = F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
     src = events.select(
         F.col(key_col).cast("string").alias(key_col),
         ts.alias(ts_col),
