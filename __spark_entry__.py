@@ -553,6 +553,24 @@ def _q_range_join_bands(spark, sf):
     return out.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_kql_percentiles(spark, sf):
+    """KQL percentiles() — exact interpolated p50/p95 per event type."""
+    e = load_table(spark, sf, "events")
+    p50, p95 = kql.percentiles("value", 50, 95)
+    return e.groupBy("event_type").agg(
+        F.round(p50, 6).alias("p50"), F.round(p95, 6).alias("p95")
+    )
+
+
+def _q_kql_extract(spark, sf):
+    """KQL extract() — regex capture of the customer number suffix."""
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        kql.extract("c_name", r"Customer#(\d+)", 1).alias("cnum"),
+    )
+
+
 def _q_session_stats(spark, sf):
     """native session_window per-session aggregates (gap = 1h)."""
     from kusto_pre_forge_spark.operators.sessions import session_stats
@@ -658,6 +676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_multires": _q_rollup_multires,
         "kql_dcount": _q_kql_dcount,
         "session_stats": _q_session_stats,
+        "kql_percentiles": _q_kql_percentiles,
+        "kql_extract": _q_kql_extract,
     }
 
 
@@ -987,6 +1007,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l.event_id, r.purchase_id "
             "FROM clicks l ASOF LEFT JOIN purchases r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "kql_percentiles": (
+            "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, "
+            "round(quantile_cont(value, 0.95), 6) AS p95 FROM events GROUP BY 1"
+        ),
+        "kql_extract": (
+            "SELECT c_custkey, regexp_extract(c_name, 'Customer#(\\d+)', 1) AS cnum "
+            "FROM customer"
         ),
         # lag+cumsum segmentation == session_window semantics; end = max+gap
         "session_stats": (

@@ -318,3 +318,19 @@ def dcount(col: Column | str, exact: bool = False) -> Column:
     pass, fixed memory, mergeable sketch."""
     return F.count_distinct(F.col(col) if isinstance(col, str) else col) if exact \
         else F.approx_count_distinct(col)
+
+
+def percentiles(col: Column | str, *ps: float, approx: bool = False) -> list[Column]:
+    """KQL ``percentiles(col, p1, p2, ...)`` — exact linear-interpolation
+    percentiles by default (KQL's percentiles are estimates; we expose the
+    exact form for oracle-checkable results and ``approx=True`` —
+    percentile_approx, fixed-memory, mergeable — as the 100 TB default)."""
+    c = F.col(col) if isinstance(col, str) else col
+    fn = F.percentile_approx if approx else F.percentile
+    return [fn(c, p / 100.0).alias(f"p{int(p)}") for p in ps]
+
+
+def extract(col: Column | str, pattern: str, group: int = 0) -> Column:
+    """KQL ``extract(regex, captureGroup, text)`` — regexp capture."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, pattern, group)
