@@ -553,6 +553,31 @@ def _q_range_join_bands(spark, sf):
     return out.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_kql_scalar_suite(spark, sf):
+    """one pass over orders exercising the KQL scalar-function block:
+    iif/isempty/strlen/substring/replace_string/tolower/toupper wrapped in
+    countif/sumif/make_set aggregates per priority."""
+    o = load_table(spark, sf, "orders")
+    big = F.col("o_totalprice") > 100000
+    return (
+        o.withColumn("status_lc", kql.tolower("o_orderstatus"))
+        .withColumn("prio_code", kql.kql_substring("o_orderpriority", 0, 1))
+        .groupBy("prio_code")
+        .agg(
+            kql.countif(big).alias("n_big"),
+            F.round(
+                kql.sumif(_dec(F.col("o_totalprice")), big).cast("double"), 4
+            ).alias("sum_big"),
+            kql.strcat_array(kql.make_set("status_lc"), ",").alias("statuses"),
+            kql.countif(kql.isempty("o_orderstatus")).alias("n_empty_status"),
+            F.max(kql.strlen("o_orderpriority")).alias("max_prio_len"),
+            kql.countif(
+                kql.iif(F.col("o_totalprice") < 1000, F.lit(1), F.lit(0)) == 1
+            ).alias("n_tiny"),
+        )
+    )
+
+
 def _q_kql_percentiles(spark, sf):
     """KQL percentiles() — exact interpolated p50/p95 per event type."""
     e = load_table(spark, sf, "events")
@@ -678,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": _q_session_stats,
         "kql_percentiles": _q_kql_percentiles,
         "kql_extract": _q_kql_extract,
+        "kql_scalar_suite": _q_kql_scalar_suite,
     }
 
 
@@ -1007,6 +1033,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l.event_id, r.purchase_id "
             "FROM clicks l ASOF LEFT JOIN purchases r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "kql_scalar_suite": (
+            "SELECT substr(o_orderpriority, 1, 1) AS prio_code, "
+            "CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big, "
+            "round(CAST(sum(CASE WHEN o_totalprice > 100000 "
+            "THEN CAST(o_totalprice AS DECIMAL(20,4)) END) AS DOUBLE), 4) AS sum_big, "
+            "list_aggregate(list_sort(list_distinct(list(lower(o_orderstatus)))), 'string_agg', ',') AS statuses, "
+            "CAST(sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus = '' THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_empty_status, "
+            "CAST(max(length(o_orderpriority)) AS INT) AS max_prio_len, "
+            "CAST(sum(CASE WHEN o_totalprice < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_tiny "
+            "FROM orders GROUP BY 1"
         ),
         "kql_percentiles": (
             "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, "

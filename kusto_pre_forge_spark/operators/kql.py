@@ -334,3 +334,81 @@ def extract(col: Column | str, pattern: str, group: int = 0) -> Column:
     """KQL ``extract(regex, captureGroup, text)`` — regexp capture."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_extract(c, pattern, group)
+
+
+# --------------------------------------------------------------------------
+# common KQL scalar functions (1-line Spark equivalents, grouped here so a
+# Kusto user finds the name they know; all stay inside codegen)
+# --------------------------------------------------------------------------
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def iif(cond: Column, then_val: Column, else_val: Column) -> Column:
+    """KQL ``iif(cond, a, b)``."""
+    return F.when(cond, then_val).otherwise(else_val)
+
+
+def isempty(col: Column | str) -> Column:
+    """KQL ``isempty`` — true for null or ''."""
+    c = _c(col)
+    return c.isNull() | (c == "")
+
+
+def strlen(col: Column | str) -> Column:
+    return F.length(_c(col))
+
+
+def kql_substring(col: Column | str, start: int, length: int | None = None) -> Column:
+    """KQL ``substring(s, start[, length])`` — 0-based start."""
+    c = _c(col)
+    return F.substring(c, start + 1, length) if length is not None else F.expr(
+        f"substring({c._jc.toString()}, {start + 1})"
+    )
+
+
+def replace_string(col: Column | str, lookup: str, rewrite: str) -> Column:
+    """KQL ``replace_string`` — literal (non-regex) replacement."""
+    return F.replace(_c(col), F.lit(lookup), F.lit(rewrite))
+
+
+def tolower(col: Column | str) -> Column:
+    return F.lower(_c(col))
+
+
+def toupper(col: Column | str) -> Column:
+    return F.upper(_c(col))
+
+
+def countif(cond: Column) -> Column:
+    """KQL ``countif(predicate)`` aggregate."""
+    return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+
+def sumif(col: Column | str, cond: Column) -> Column:
+    """KQL ``sumif(col, predicate)`` aggregate."""
+    return F.sum(F.when(cond, _c(col)))
+
+
+def make_set(col: Column | str) -> Column:
+    """KQL ``make_set`` — distinct values as a (sorted, deterministic) array."""
+    return F.array_sort(F.collect_set(_c(col)))
+
+
+def startofday(col: Column | str) -> Column:
+    """KQL ``startofday``."""
+    return F.date_trunc("day", _c(col))
+
+
+def endofday(col: Column | str) -> Column:
+    """KQL ``endofday`` — last instant of the day (start of next day - 1µs)."""
+    return F.date_trunc("day", _c(col)) + F.expr("INTERVAL 1 DAY") - F.expr(
+        "INTERVAL 1 MICROSECOND"
+    )
+
+
+def ago(interval_expr: str) -> Column:
+    """KQL ``ago(1h)``-style — now() minus a SQL interval string."""
+    return F.current_timestamp() - F.expr(f"INTERVAL {interval_expr}")
