@@ -578,6 +578,61 @@ def _q_kql_scalar_suite(spark, sf):
     )
 
 
+def _q_kql_parse(spark, sf):
+    """KQL parse operator — split c_name into literal + typed captures."""
+    c = load_table(spark, sf, "customer")
+    return kql.parse_pattern(c, "c_name", "Customer#", ("cnum", "long")).select(
+        "c_custkey", "cnum"
+    )
+
+
+def _q_kql_make_series(spark, sf):
+    """KQL make-series | mv-expand — dense hourly sum(value) per event type,
+    gaps filled with default=0 over the global [min,max] hour axis."""
+    e = load_table(spark, sf, "events")
+    return kql.make_series(
+        e,
+        on="ts",
+        step="hour",
+        by=["event_type"],
+        agg=_sumd(F.col("value"), "series_value"),
+        default=0.0,
+        exploded=True,
+    )
+
+
+def _q_kql_join_innerunique(spark, sf):
+    """KQL join kind=innerunique (Kusto's default join) — left side deduped
+    to one row per key (first by l_linenumber for determinism), then inner
+    join to orders."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_linenumber"
+    )
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    return kql.join_innerunique(
+        li, o, ["l_orderkey"], ["l_linenumber", "l_partkey", "l_quantity"]
+    ).select(
+        "l_orderkey", "l_partkey", "l_quantity", "o_totalprice"
+    )
+
+
+def _q_set_except(spark, sf):
+    """Set op EXCEPT (distinct) — customers that have placed no orders."""
+    c = load_table(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    o = load_table(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    return c.subtract(o)
+
+
+def _q_set_intersect(spark, sf):
+    """Set op INTERSECT (distinct) — nation keys present in both customer
+    and supplier."""
+    c = load_table(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
 def _q_kql_percentiles(spark, sf):
     """KQL percentiles() — exact interpolated p50/p95 per event type."""
     e = load_table(spark, sf, "events")
@@ -704,6 +759,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_percentiles": _q_kql_percentiles,
         "kql_extract": _q_kql_extract,
         "kql_scalar_suite": _q_kql_scalar_suite,
+        "kql_parse": _q_kql_parse,
+        "kql_make_series": _q_kql_make_series,
+        "kql_join_innerunique": _q_kql_join_innerunique,
+        "set_except": _q_set_except,
+        "set_intersect": _q_set_intersect,
     }
 
 
@@ -1045,6 +1105,47 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(length(o_orderpriority)) AS INT) AS max_prio_len, "
             "CAST(sum(CASE WHEN o_totalprice < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_tiny "
             "FROM orders GROUP BY 1"
+        ),
+        "kql_parse": (
+            "SELECT c_custkey, CAST(regexp_extract(c_name, '^Customer#(.*)', 1) AS BIGINT) "
+            "AS cnum FROM customer"
+        ),
+        "kql_make_series": (
+            "WITH binned AS ("
+            " SELECT event_type, date_trunc('hour', ts) AS series_ts,"
+            " CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS series_value"
+            " FROM events GROUP BY 1, 2"
+            "), bounds AS ("
+            " SELECT min(date_trunc('hour', ts)) AS lo,"
+            " max(date_trunc('hour', ts)) AS hi FROM events"
+            "), axis AS ("
+            " SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS series_ts"
+            " FROM bounds"
+            "), keys AS (SELECT DISTINCT event_type FROM events) "
+            "SELECT k.event_type, a.series_ts,"
+            " coalesce(b.series_value, 0.0) AS series_value"
+            " FROM keys k CROSS JOIN axis a"
+            " LEFT JOIN binned b"
+            " ON b.event_type = k.event_type AND b.series_ts = a.series_ts"
+        ),
+        "kql_join_innerunique": (
+            "WITH dl AS ("
+            " SELECT l_orderkey, l_partkey, l_quantity FROM ("
+            "  SELECT l_orderkey, l_partkey, l_quantity,"
+            "  row_number() OVER (PARTITION BY l_orderkey"
+            "   ORDER BY l_linenumber, l_partkey, l_quantity) AS rn"
+            "  FROM lineitem) WHERE rn = 1"
+            ") "
+            "SELECT dl.l_orderkey, dl.l_partkey, dl.l_quantity, o.o_totalprice"
+            " FROM dl JOIN orders o ON o.o_orderkey = dl.l_orderkey"
+        ),
+        "set_except": (
+            "SELECT c_custkey AS k FROM customer"
+            " EXCEPT SELECT o_custkey AS k FROM orders"
+        ),
+        "set_intersect": (
+            "SELECT c_nationkey AS nk FROM customer"
+            " INTERSECT SELECT s_nationkey AS nk FROM supplier"
         ),
         "kql_percentiles": (
             "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, "

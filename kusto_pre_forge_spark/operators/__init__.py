@@ -1,3 +1,25 @@
-from kusto_pre_forge_spark.operators import dedup, kql, similarity, textstats
+from kusto_pre_forge_spark.operators import (
+    bucketing,
+    dedup,
+    kql,
+    multimodal,
+    rollup,
+    sessions,
+    similarity,
+    skew,
+    temporal,
+    textstats,
+)
 
-__all__ = ["kql", "dedup", "similarity", "textstats"]
+__all__ = [
+    "bucketing",
+    "dedup",
+    "kql",
+    "multimodal",
+    "rollup",
+    "sessions",
+    "similarity",
+    "skew",
+    "temporal",
+    "textstats",
+]

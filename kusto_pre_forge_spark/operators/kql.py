@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # --------------------------------------------------------------------------
@@ -412,3 +412,119 @@ def endofday(col: Column | str) -> Column:
 def ago(interval_expr: str) -> Column:
     """KQL ``ago(1h)``-style — now() minus a SQL interval string."""
     return F.current_timestamp() - F.expr(f"INTERVAL {interval_expr}")
+
+
+def parse_pattern(df: DataFrame, col: Column | str, *segments) -> DataFrame:
+    """KQL ``parse Col with "lit" Name:type "lit2" Name2:type2 ...``.
+
+    ``segments`` alternate string literals and ``(name, type)`` capture
+    tuples, e.g.::
+
+        parse_pattern(df, "c_name", "Customer#", ("cnum", "long"))
+
+    Compiles to ONE regexp_extract-based projection (anchored, literals
+    regex-escaped, captures non-greedy except the last) — a single
+    codegen'd pass, not one regex per field.
+    """
+    import re as _re
+
+    c = _c(col)
+    pattern = "^"
+    caps: list[tuple[str, str]] = []
+    for i, seg in enumerate(segments):
+        if isinstance(seg, str):
+            pattern += _re.escape(seg)
+        else:
+            name, typ = seg
+            is_last_capture = all(isinstance(s, str) for s in segments[i + 1 :])
+            pattern += "(.*)" if is_last_capture else "(.*?)"
+            caps.append((name, typ))
+    out = df
+    for gi, (name, typ) in enumerate(caps, start=1):
+        val = F.regexp_extract(c, pattern, gi)
+        if typ and typ != "string":
+            val = val.cast(typ)
+        out = out.withColumn(name, val)
+    return out
+
+
+def make_series(
+    df: DataFrame,
+    on: Column | str,
+    step: str,
+    by: list[str],
+    agg: Column,
+    default: float = 0.0,
+    value_name: str = "series_value",
+    ts_name: str = "series_ts",
+    exploded: bool = False,
+) -> DataFrame:
+    """KQL ``make-series agg() default=d on Ts step S by Keys``.
+
+    KQL extension beyond the reference's emitted surface (SURVEY §2.5 notes
+    the reference delegates relational work to Kusto; make-series is the
+    canonical Kusto time-series operator, so capability parity needs it).
+
+    Spark-first plan, no collect():
+      1. bucket ``on`` to ``step`` (date_trunc) and aggregate per (keys, bucket);
+      2. derive the axis bounds with a 1-row global agg, expand to the dense
+         axis via ``sequence() + explode`` (a literal-sized broadcast side);
+      3. dense axis = distinct-keys x axis (broadcast cross join — the axis
+         is tiny), left-join the aggregates, fill ``default``.
+
+    With ``exploded=True`` returns long form ``(keys..., ts_name,
+    value_name)`` (= make-series | mv-expand, hash-friendly); otherwise the
+    true KQL shape with aligned ``dynamic`` arrays per key row.
+
+    At 100 TB the only shuffles are the per-bucket aggregation (map-side
+    partial combine) and the distinct over keys; the axis join is broadcast.
+    """
+    step_interval = {"hour": "1 hour", "day": "1 day", "minute": "1 minute",
+                     "week": "1 week", "month": "1 month"}.get(step, step)
+    b = F.date_trunc(step, _c(on)).alias("_bucket")
+    binned = df.groupBy(*by, b).agg(agg.alias(value_name))
+    bounds = df.agg(
+        F.min(F.date_trunc(step, _c(on))).alias("_lo"),
+        F.max(F.date_trunc(step, _c(on))).alias("_hi"),
+    )
+    axis = bounds.select(
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL {step_interval}"))
+        ).alias("_bucket")
+    )
+    keys = df.select(*by).distinct()
+    dense = keys.crossJoin(F.broadcast(axis))
+    out = (
+        dense.join(binned, [*by, "_bucket"], "left")
+        .withColumn(value_name, F.coalesce(F.col(value_name), F.lit(default)))
+        .withColumnRenamed("_bucket", ts_name)
+    )
+    if exploded:
+        return out
+    pair = F.array_sort(F.collect_list(F.struct(F.col(ts_name), F.col(value_name))))
+    return out.groupBy(*by).agg(
+        F.transform(pair, lambda s: s[ts_name]).alias(ts_name),
+        F.transform(pair, lambda s: s[value_name]).alias(value_name),
+    )
+
+
+def join_innerunique(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_order: list[str],
+) -> DataFrame:
+    """KQL ``join kind=innerunique`` — Kusto's DEFAULT join flavor: the left
+    side is first deduplicated to one arbitrary row per key, then
+    inner-joined. Kusto picks a nondeterministic row; we take the first row
+    under ``left_order`` so results are stable and oracle-checkable.
+
+    Implemented as row_number()-over-window (one shuffle on the join key that
+    the subsequent join reuses — the window's hash partitioning co-locates
+    the rows the join needs, so AQE plans a single exchange on the left).
+    """
+    w = Window.partitionBy(*on).orderBy(*[_c(c) for c in left_order])
+    deduped = (
+        left.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    return deduped.join(right, on, "inner")

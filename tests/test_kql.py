@@ -137,3 +137,50 @@ def test_export_csv_size_limit_and_headers(spark, sf_smoke, tmp_path):
         total += sum(1 for _ in open(f)) - 1
         assert os.path.getsize(f) <= 2 * 16 * 1024, "file size ~ sizeLimit"
     assert total == orders.count()
+
+
+def test_make_series_dense_axis_and_default_fill(spark):
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        ("a", t, 1.0),                      # hour 00
+        ("a", t + dt.timedelta(hours=2), 2.0),  # hour 02 (hour 01 is a gap)
+        ("b", t, 5.0),                      # b has only hour 00
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = kql.make_series(
+        df, on="ts", step="hour", by=["k"], agg=F.sum("v"), default=0.0
+    )
+    got = {r.k: (r.series_ts, r.series_value) for r in out.collect()}
+    hours = [dt.datetime(2024, 1, 1, h) for h in (0, 1, 2)]
+    assert got["a"] == (hours, [1.0, 0.0, 2.0])
+    assert got["b"] == (hours, [5.0, 0.0, 0.0])
+
+
+def test_make_series_exploded_long_form(spark):
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 0, 0)
+    df = spark.createDataFrame(
+        [("a", t, 1.0), ("a", t + dt.timedelta(hours=1), 3.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = kql.make_series(
+        df, on="ts", step="hour", by=["k"], agg=F.sum("v"), exploded=True
+    )
+    assert sorted((r.k, r.series_ts, r.series_value) for r in out.collect()) == [
+        ("a", t, 1.0),
+        ("a", t + dt.timedelta(hours=1), 3.0),
+    ]
+
+
+def test_join_innerunique_dedupes_left_deterministically(spark):
+    left = spark.createDataFrame(
+        [(1, 2, "x"), (1, 1, "y"), (2, 1, "z")], ["k", "ord", "payload"]
+    )
+    right = spark.createDataFrame([(1, "r1"), (2, "r2")], ["k", "rv"])
+    out = kql.join_innerunique(left, right, ["k"], ["ord"])
+    rows = sorted((r.k, r.payload, r.rv) for r in out.collect())
+    # key 1 keeps the ord=1 row ("y"), not "x"
+    assert rows == [(1, "y", "r1"), (2, "z", "r2")]
