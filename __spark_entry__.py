@@ -633,6 +633,63 @@ def _q_set_intersect(spark, sf):
     return c.intersect(s)
 
 
+def _q_kql_top_nested(spark, sf):
+    """KQL top-nested — top 3 regions by total acctbal, top 2 nations within
+    each (hierarchical top-k; decimal sums for cross-engine exactness)."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    j = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name", "c_acctbal")
+    )
+    out = kql.top_nested(
+        j,
+        outer_key="r_name",
+        inner_key="n_name",
+        measure=F.sum(_dec(F.col("c_acctbal"))),
+        k_outer=3,
+        k_inner=2,
+        outer_alias="region_bal",
+        inner_alias="nation_bal",
+    )
+    return out.select(
+        "r_name",
+        F.col("region_bal").cast("double").alias("region_bal"),
+        "n_name",
+        F.col("nation_bal").cast("double").alias("nation_bal"),
+    )
+
+
+def _q_kql_mv_apply(spark, sf):
+    """KQL mv-apply — per-row array subquery via higher-order functions
+    (no explode/regroup): per-word lengths summed per document."""
+    d = load_table(spark, sf, "documents")
+    words = d.withColumn("words", F.split("text", " "))
+    applied = kql.mv_apply(words, "words", lambda x: F.length(x), to="lens")
+    return applied.select(
+        "doc_id",
+        F.aggregate(
+            "lens", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("word_chars"),
+    )
+
+
+def _q_window_lag_delta(spark, sf):
+    """Window analytic lag() — per-user value delta between consecutive
+    events (deterministic ts, event_id ordering)."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("value") - F.lag("value").over(w), F.lit(0.0)).alias(
+            "delta"
+        ),
+    )
+
+
 def _q_kql_percentiles(spark, sf):
     """KQL percentiles() — exact interpolated p50/p95 per event type."""
     e = load_table(spark, sf, "events")
@@ -764,6 +821,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_join_innerunique": _q_kql_join_innerunique,
         "set_except": _q_set_except,
         "set_intersect": _q_set_intersect,
+        "kql_top_nested": _q_kql_top_nested,
+        "kql_mv_apply": _q_kql_mv_apply,
+        "window_lag_delta": _q_window_lag_delta,
     }
 
 
@@ -1146,6 +1206,41 @@ def oracle_sql() -> dict[str, str]:
         "set_intersect": (
             "SELECT c_nationkey AS nk FROM customer"
             " INTERSECT SELECT s_nationkey AS nk FROM supplier"
+        ),
+        "kql_top_nested": (
+            "WITH j AS ("
+            " SELECT r_name, n_name, CAST(c_acctbal AS DECIMAL(20,4)) AS ab"
+            " FROM customer"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey"
+            "), inner_agg AS ("
+            " SELECT r_name, n_name, sum(ab) AS nb FROM j GROUP BY 1, 2"
+            "), outer_agg AS ("
+            " SELECT r_name, sum(nb) AS rb FROM inner_agg GROUP BY 1"
+            "), top_outer AS ("
+            " SELECT r_name, rb FROM ("
+            "  SELECT r_name, rb, row_number() OVER (ORDER BY rb DESC, r_name) AS r"
+            "  FROM outer_agg) WHERE r <= 3"
+            "), top_inner AS ("
+            " SELECT r_name, n_name, nb FROM ("
+            "  SELECT r_name, n_name, nb,"
+            "  row_number() OVER (PARTITION BY r_name ORDER BY nb DESC, n_name) AS r"
+            "  FROM inner_agg) WHERE r <= 2"
+            ") "
+            "SELECT o.r_name, CAST(o.rb AS DOUBLE) AS region_bal,"
+            " i.n_name, CAST(i.nb AS DOUBLE) AS nation_bal"
+            " FROM top_outer o JOIN top_inner i ON o.r_name = i.r_name"
+        ),
+        "kql_mv_apply": (
+            "SELECT doc_id, CAST(list_sum("
+            "list_transform(string_split(text, ' '), x -> length(x))"
+            ") AS BIGINT) AS word_chars FROM documents"
+        ),
+        "window_lag_delta": (
+            "SELECT event_id, user_id,"
+            " coalesce(value - lag(value) OVER"
+            " (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS delta"
+            " FROM events"
         ),
         "kql_percentiles": (
             "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, "

@@ -528,3 +528,46 @@ def join_innerunique(
         left.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )
     return deduped.join(right, on, "inner")
+
+
+def top_nested(
+    df: DataFrame,
+    outer_key: str,
+    inner_key: str,
+    measure: Column,
+    k_outer: int,
+    k_inner: int,
+    outer_alias: str = "outer_measure",
+    inner_alias: str = "inner_measure",
+) -> DataFrame:
+    """KQL ``top-nested k1 of A by agg, top-nested k2 of B by agg`` —
+    hierarchical top-k: keep the top ``k_outer`` outer groups by the summed
+    measure, and within each the top ``k_inner`` inner groups.
+
+    Ties broken by key name so results are deterministic/oracle-checkable.
+    Pass a decimal-typed ``measure`` when exact cross-engine sums matter
+    (the outer level re-sums the inner aggregates).
+
+    Scale notes: the inner aggregation is the only full-data shuffle; both
+    rankings run over group-cardinality-sized data (the outer ranking's
+    unpartitioned window is bounded by |outer_key| — fine for the dimension
+    cardinalities top-nested targets), and the final join broadcasts the
+    ≤k_outer-row outer side.
+    """
+    inner = df.groupBy(outer_key, inner_key).agg(measure.alias(inner_alias))
+    outer = inner.groupBy(outer_key).agg(F.sum(inner_alias).alias(outer_alias))
+    wo = Window.orderBy(F.col(outer_alias).desc(), F.col(outer_key))
+    top_outer = (
+        outer.withColumn("_r", F.row_number().over(wo))
+        .filter(F.col("_r") <= k_outer)
+        .drop("_r")
+    )
+    wi = Window.partitionBy(outer_key).orderBy(
+        F.col(inner_alias).desc(), F.col(inner_key)
+    )
+    top_inner = (
+        inner.withColumn("_r", F.row_number().over(wi))
+        .filter(F.col("_r") <= k_inner)
+        .drop("_r")
+    )
+    return F.broadcast(top_outer).join(top_inner, outer_key, "inner")
