@@ -690,6 +690,24 @@ def _q_window_lag_delta(spark, sf):
     )
 
 
+def _q_set_union(spark, sf):
+    """KQL union — by-name union of heterogeneous tables with null fill
+    (customer and supplier share only the name/nationkey shape)."""
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = load_table(spark, sf, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").cast("int").alias("nationkey"),
+    )
+    u = kql.union_tables(c, s)
+    # null-filled doubles arrive as NaN through pandas on the oracle side;
+    # pin a sentinel so the value-hash compares NULL-fill behavior stably
+    return u.withColumn("acctbal", F.coalesce("acctbal", F.lit(-1.0)))
+
+
 def _q_kql_percentiles(spark, sf):
     """KQL percentiles() — exact interpolated p50/p95 per event type."""
     e = load_table(spark, sf, "events")
@@ -824,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_top_nested": _q_kql_top_nested,
         "kql_mv_apply": _q_kql_mv_apply,
         "window_lag_delta": _q_window_lag_delta,
+        "set_union": _q_set_union,
     }
 
 
@@ -1241,6 +1260,14 @@ def oracle_sql() -> dict[str, str]:
             " coalesce(value - lag(value) OVER"
             " (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS delta"
             " FROM events"
+        ),
+        "set_union": (
+            "SELECT name, nationkey, coalesce(acctbal, -1.0) AS acctbal FROM ("
+            " SELECT c_name AS name, CAST(c_nationkey AS INT) AS nationkey,"
+            " c_acctbal AS acctbal FROM customer"
+            " UNION ALL BY NAME"
+            " SELECT s_name AS name, CAST(s_nationkey AS INT) AS nationkey"
+            " FROM supplier)"
         ),
         "kql_percentiles": (
             "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, "

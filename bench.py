@@ -60,8 +60,18 @@ def warmup(spark) -> None:
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.functions import PandasUDFType
 
-    _noop = F.pandas_udf(lambda s: s, "long", PandasUDFType.SCALAR)
-    spark.range(1000).select(F.sum(_noop("id"))).collect()
+    def _np_noop(s):
+        import numpy as np  # fork-time import cost paid here, not in queries
+
+        return s + int(np.int64(0))
+
+    _noop = F.pandas_udf(_np_noop, "long", PandasUDFType.SCALAR)
+    cores = spark.sparkContext.defaultParallelism
+    # one task per core so every Python worker in the pool forks + imports
+    # numpy now; a 1000-row range would warm only one or two workers
+    spark.range(cores * 1000).repartition(cores * 2).select(
+        F.sum(_noop("id"))
+    ).collect()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).count()
 
 

@@ -571,3 +571,16 @@ def top_nested(
         .drop("_r")
     )
     return F.broadcast(top_outer).join(top_inner, outer_key, "inner")
+
+
+def union_tables(*dfs: DataFrame) -> DataFrame:
+    """KQL ``union`` — multi-table union aligned BY COLUMN NAME, with
+    missing columns null-filled (KQL unions heterogeneous tables; SQL's
+    positional UNION ALL does not). ``unionByName(allowMissingColumns)``
+    is the exact Spark primitive: a zero-shuffle narrow concatenation of
+    inputs — partitions append, nothing moves.
+    """
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
