@@ -184,3 +184,52 @@ def test_join_innerunique_dedupes_left_deterministically(spark):
     rows = sorted((r.k, r.payload, r.rv) for r in out.collect())
     # key 1 keeps the ord=1 row ("y"), not "x"
     assert rows == [(1, "y", "r1"), (2, "z", "r2")]
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_innerunique_gets_window_group_limit_pushdown(spark):
+    """The rn=1 filter must compile to WindowGroupLimit (per-group limit
+    applied before/around the exchange), not a full window materialization."""
+    left = spark.range(100).selectExpr("id % 10 AS k", "id AS ord", "id AS p")
+    right = spark.range(10).selectExpr("id AS k", "id * 2 AS rv")
+    out = kql.join_innerunique(left, right, ["k"], ["ord"])
+    assert "WindowGroupLimit" in _physical_plan(out)
+
+
+def test_make_series_axis_is_broadcast(spark):
+    """The dense-axis cross join must broadcast the axis side — a shuffled
+    cross join over the keys would be a scale bug."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 1.0)], "k string, ts timestamp, v double"
+    )
+    out = kql.make_series(df, on="ts", step="hour", by=["k"], agg=F.sum("v"))
+    assert "BroadcastNestedLoopJoin" in _physical_plan(out)
+
+
+def test_union_tables_is_zero_shuffle(spark):
+    df1 = spark.createDataFrame([(1, "a")], ["x", "y"])
+    df2 = spark.createDataFrame([(2,)], ["x"])
+    out = kql.union_tables(df1, df2)
+    rows = sorted((r.x, r.y) for r in out.collect())
+    assert rows == [(1, "a"), (2, None)]
+    assert "Exchange" not in _physical_plan(out)
+
+
+def test_top_nested_hierarchy_and_ties(spark):
+    df = spark.createDataFrame(
+        [("r1", "n1", 10), ("r1", "n2", 5), ("r1", "n3", 1),
+         ("r2", "n4", 100), ("r3", "n5", 1), ("r3", "n6", 1)],
+        ["reg", "nat", "v"],
+    )
+    out = kql.top_nested(
+        df, "reg", "nat", F.sum("v"), k_outer=2, k_inner=1,
+        outer_alias="rv", inner_alias="nv",
+    )
+    rows = sorted((r.reg, r.rv, r.nat, r.nv) for r in out.collect())
+    # top 2 regions by total: r2 (100), r1 (16); within each the top nation
+    assert rows == [("r1", 16, "n1", 10), ("r2", 100, "n4", 100)]
