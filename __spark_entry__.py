@@ -690,6 +690,29 @@ def _q_window_lag_delta(spark, sf):
     )
 
 
+def _q_kql_series_fill_linear(spark, sf):
+    """KQL make-series default=null | series_fill_linear — hourly sums with
+    gaps linearly interpolated between bracketing samples (edges clamped)."""
+    e = load_table(spark, sf, "events").filter(F.col("value") > 4.0)
+    dense = kql.make_series(
+        e,
+        on="ts",
+        step="hour",
+        by=["event_type"],
+        agg=_sumd(F.col("value"), "series_value"),
+        default=None,
+        exploded=True,
+    )
+    filled = kql.series_fill_linear(
+        dense, on="series_ts", value="series_value", by=["event_type"]
+    )
+    return filled.select(
+        "event_type",
+        "series_ts",
+        F.round("series_value", 6).alias("series_value"),
+    )
+
+
 def _q_set_union(spark, sf):
     """KQL union — by-name union of heterogeneous tables with null fill
     (customer and supplier share only the name/nationkey shape)."""
@@ -843,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_mv_apply": _q_kql_mv_apply,
         "window_lag_delta": _q_window_lag_delta,
         "set_union": _q_set_union,
+        "kql_series_fill_linear": _q_kql_series_fill_linear,
     }
 
 
@@ -1260,6 +1284,48 @@ def oracle_sql() -> dict[str, str]:
             " coalesce(value - lag(value) OVER"
             " (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS delta"
             " FROM events"
+        ),
+        "kql_series_fill_linear": (
+            "WITH src AS (SELECT * FROM events WHERE value > 4.0"
+            "), binned AS ("
+            " SELECT event_type, date_trunc('hour', ts) AS series_ts,"
+            " CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS v"
+            " FROM src GROUP BY 1, 2"
+            "), bounds AS ("
+            " SELECT min(date_trunc('hour', ts)) AS lo,"
+            " max(date_trunc('hour', ts)) AS hi FROM src"
+            "), axis AS ("
+            " SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS series_ts"
+            " FROM bounds"
+            "), keys AS (SELECT DISTINCT event_type FROM src"
+            "), dense AS ("
+            " SELECT k.event_type, a.series_ts, b.v,"
+            " CAST(epoch(a.series_ts) AS BIGINT) AS p"
+            " FROM keys k CROSS JOIN axis a"
+            " LEFT JOIN binned b"
+            " ON b.event_type = k.event_type AND b.series_ts = a.series_ts"
+            "), brk AS ("
+            " SELECT event_type, series_ts, v, p,"
+            " last_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS)"
+            "  OVER wp AS pp,"
+            " last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)"
+            "  OVER wp AS pv,"
+            " first_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS)"
+            "  OVER wn AS np,"
+            " first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)"
+            "  OVER wn AS nv"
+            " FROM dense WINDOW"
+            " wp AS (PARTITION BY event_type ORDER BY series_ts"
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+            " wn AS (PARTITION BY event_type ORDER BY series_ts"
+            "  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+            ") "
+            "SELECT event_type, series_ts, round(CASE"
+            " WHEN v IS NOT NULL THEN v"
+            " WHEN pv IS NULL AND nv IS NOT NULL THEN nv"
+            " WHEN nv IS NULL AND pv IS NOT NULL THEN pv"
+            " ELSE pv + (nv - pv) * (p - pp) / (np - pp) END, 6) AS series_value"
+            " FROM brk"
         ),
         "set_union": (
             "SELECT name, nationkey, coalesce(acctbal, -1.0) AS acctbal FROM ("

@@ -454,7 +454,7 @@ def make_series(
     step: str,
     by: list[str],
     agg: Column,
-    default: float = 0.0,
+    default: float | None = 0.0,
     value_name: str = "series_value",
     ts_name: str = "series_ts",
     exploded: bool = False,
@@ -494,11 +494,13 @@ def make_series(
     )
     keys = df.select(*by).distinct()
     dense = keys.crossJoin(F.broadcast(axis))
-    out = (
-        dense.join(binned, [*by, "_bucket"], "left")
-        .withColumn(value_name, F.coalesce(F.col(value_name), F.lit(default)))
-        .withColumnRenamed("_bucket", ts_name)
-    )
+    out = dense.join(binned, [*by, "_bucket"], "left")
+    if default is not None:
+        out = out.withColumn(
+            value_name, F.coalesce(F.col(value_name), F.lit(default))
+        )
+    # default=None keeps gaps as nulls — feed to series_fill_linear
+    out = out.withColumnRenamed("_bucket", ts_name)
     if exploded:
         return out
     pair = F.array_sort(F.collect_list(F.struct(F.col(ts_name), F.col(value_name))))
@@ -584,3 +586,43 @@ def union_tables(*dfs: DataFrame) -> DataFrame:
     for df in dfs[1:]:
         out = out.unionByName(df, allowMissingColumns=True)
     return out
+
+
+def series_fill_linear(
+    df: DataFrame,
+    on: Column | str,
+    value: str,
+    by: list[str],
+    out_name: str | None = None,
+) -> DataFrame:
+    """KQL ``series_fill_linear`` — linearly interpolate null gaps in a
+    (long-form) series, clamping leading/trailing gaps to the nearest
+    non-null value. Companion of :func:`make_series` with ``default=None``.
+
+    Pure window-function plan (ignore-nulls last/first over the
+    per-key ordering): the struct trick ``last(when(v notnull,
+    struct(pos, v)), ignorenulls=True)`` carries the *position* of the
+    bracketing non-null samples, so irregular axes interpolate correctly.
+    One hash partitioning on the series keys, no UDF, no collect.
+    """
+    out_name = out_name or value
+    ts = _c(on)
+    v = F.col(value)
+    pos = ts.cast("long")  # epoch seconds; exact for binned axes
+    w = Window.partitionBy(*by).orderBy(ts)
+    prev = F.last(
+        F.when(v.isNotNull(), F.struct(pos.alias("p"), v.alias("v"))), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    nxt = F.first(
+        F.when(v.isNotNull(), F.struct(pos.alias("p"), v.alias("v"))), ignorenulls=True
+    ).over(w.rowsBetween(1, Window.unboundedFollowing))
+    interp = prev["v"] + (nxt["v"] - prev["v"]) * (pos - prev["p"]) / (
+        nxt["p"] - prev["p"]
+    )
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(prev.isNull() & nxt.isNotNull(), nxt["v"])
+        .when(nxt.isNull() & prev.isNotNull(), prev["v"])
+        .otherwise(interp)
+    )
+    return df.withColumn(out_name, filled)

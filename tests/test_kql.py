@@ -233,3 +233,18 @@ def test_top_nested_hierarchy_and_ties(spark):
     rows = sorted((r.reg, r.rv, r.nat, r.nv) for r in out.collect())
     # top 2 regions by total: r2 (100), r1 (16); within each the top nation
     assert rows == [("r1", 16, "n1", 10), ("r2", 100, "n4", 100)]
+
+
+def test_series_fill_linear_interpolates_and_clamps(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0)
+    hours = [t0 + dt.timedelta(hours=h) for h in range(6)]
+    # gaps: leading (h0), interior (h2, h3), trailing (h5)
+    vals = [None, 10.0, None, None, 40.0, None]
+    df = spark.createDataFrame(
+        list(zip(["k"] * 6, hours, vals)), "k string, ts timestamp, v double"
+    )
+    out = kql.series_fill_linear(df, on="ts", value="v", by=["k"])
+    got = [r.v for r in out.orderBy("ts").collect()]
+    assert got == [10.0, 10.0, 20.0, 30.0, 40.0, 40.0]
