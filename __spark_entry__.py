@@ -713,6 +713,25 @@ def _q_kql_series_fill_linear(spark, sf):
     )
 
 
+def _q_kql_lookup(spark, sf):
+    """KQL lookup kind=leftouter — fact-side orders against the customer
+    dimension (explicit broadcast; fact side never shuffles)."""
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return kql.lookup(o, c, ["o_custkey"], kind="leftouter")
+
+
+def _q_kql_top_hitters(spark, sf):
+    """KQL top-hitters — heaviest 5 users by summed event value (exact
+    two-stage heavy-hitters plan; deterministic tiebreak on user_id)."""
+    e = load_table(spark, sf, "events")
+    return kql.top_hitters(
+        e, of="user_id", k=5, by_sum=None, count_name="hits"
+    ).withColumn("hits", F.col("hits").cast("long"))
+
+
 def _q_set_union(spark, sf):
     """KQL union — by-name union of heterogeneous tables with null fill
     (customer and supplier share only the name/nationkey shape)."""
@@ -867,6 +886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag_delta": _q_window_lag_delta,
         "set_union": _q_set_union,
         "kql_series_fill_linear": _q_kql_series_fill_linear,
+        "kql_lookup": _q_kql_lookup,
+        "kql_top_hitters": _q_kql_top_hitters,
     }
 
 
@@ -1284,6 +1305,14 @@ def oracle_sql() -> dict[str, str]:
             " coalesce(value - lag(value) OVER"
             " (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS delta"
             " FROM events"
+        ),
+        "kql_lookup": (
+            "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders"
+            " LEFT JOIN customer ON o_custkey = c_custkey"
+        ),
+        "kql_top_hitters": (
+            "SELECT user_id, count(*) AS hits FROM events"
+            " GROUP BY 1 ORDER BY hits DESC, user_id LIMIT 5"
         ),
         "kql_series_fill_linear": (
             "WITH src AS (SELECT * FROM events WHERE value > 4.0"

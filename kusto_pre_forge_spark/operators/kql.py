@@ -626,3 +626,48 @@ def series_fill_linear(
         .otherwise(interp)
     )
     return df.withColumn(out_name, filled)
+
+
+def lookup(
+    left: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    kind: str = "leftouter",
+) -> DataFrame:
+    """KQL ``lookup kind=leftouter DimTable on Key`` — join against a
+    dimension table. KQL's lookup is defined for small right sides; we
+    encode that contract in the plan with an explicit ``broadcast`` hint
+    (the fact side never shuffles). ``kind`` ∈ {leftouter, inner}.
+    """
+    if kind not in ("leftouter", "inner"):
+        raise ValueError("lookup supports kind=leftouter|inner")
+    return left.join(F.broadcast(dim), on, kind)
+
+
+def top_hitters(
+    df: DataFrame,
+    of: str,
+    k: int,
+    by_sum: str | None = None,
+    count_name: str = "approximate_count",
+) -> DataFrame:
+    """KQL ``top-hitters k of Col [by SumCol]`` — heavy hitters.
+
+    KQL computes this approximately (space-saving sketch); at Spark scale
+    the exact two-stage plan is already cheap — a map-side-combined
+    groupBy(of) whose output is |distinct of| rows, then TakeOrderedAndProject
+    for the top k (per-task heaps, no global sort) — so we return EXACT
+    counts under the same contract (KQL's column name is kept).
+    """
+    measure = (
+        F.count(F.lit(1)) if by_sum is None else F.sum(F.col(by_sum))
+    ).alias(count_name)
+    agg = df.groupBy(of).agg(measure)
+    return agg.orderBy(F.col(count_name).desc(), F.col(of)).limit(k)
+
+
+def datatable(spark: SparkSession, schema: str, *rows: tuple) -> DataFrame:
+    """KQL ``datatable(col:type, ...) [values]`` — inline literal table
+    (the let-bound test fixtures shape, NoHeaderNoCompressionTest.cs:21-38).
+    """
+    return spark.createDataFrame(list(rows), schema)
