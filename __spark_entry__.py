@@ -713,6 +713,18 @@ def _q_kql_series_fill_linear(spark, sf):
     )
 
 
+def _q_kql_series_outliers(spark, sf):
+    """KQL series_outliers — Tukey-fence score (x - median) / IQR per
+    event type; quartiles exact-interpolated, broadcast back to rows."""
+    e = load_table(spark, sf, "events")
+    out = kql.series_outliers(e, value="value", by=["event_type"])
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("outlier_score", 6).alias("outlier_score"),
+    )
+
+
 def _q_kql_lookup(spark, sf):
     """KQL lookup kind=leftouter — fact-side orders against the customer
     dimension (explicit broadcast; fact side never shuffles)."""
@@ -888,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_series_fill_linear": _q_kql_series_fill_linear,
         "kql_lookup": _q_kql_lookup,
         "kql_top_hitters": _q_kql_top_hitters,
+        "kql_series_outliers": _q_kql_series_outliers,
     }
 
 
@@ -1305,6 +1318,19 @@ def oracle_sql() -> dict[str, str]:
             " coalesce(value - lag(value) OVER"
             " (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS delta"
             " FROM events"
+        ),
+        "kql_series_outliers": (
+            "WITH q AS ("
+            " SELECT event_type,"
+            " quantile_cont(value, 0.25) AS q1,"
+            " quantile_cont(value, 0.50) AS q2,"
+            " quantile_cont(value, 0.75) AS q3"
+            " FROM events GROUP BY 1"
+            ") "
+            "SELECT e.event_id, e.event_type,"
+            " round(CASE WHEN q.q3 - q.q1 = 0 THEN 0.0"
+            " ELSE (e.value - q.q2) / (q.q3 - q.q1) END, 6) AS outlier_score"
+            " FROM events e JOIN q USING (event_type)"
         ),
         "kql_lookup": (
             "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders"

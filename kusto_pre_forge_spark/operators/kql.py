@@ -671,3 +671,30 @@ def datatable(spark: SparkSession, schema: str, *rows: tuple) -> DataFrame:
     (the let-bound test fixtures shape, NoHeaderNoCompressionTest.cs:21-38).
     """
     return spark.createDataFrame(list(rows), schema)
+
+
+def series_outliers(
+    df: DataFrame,
+    value: str,
+    by: list[str],
+    score_name: str = "outlier_score",
+) -> DataFrame:
+    """KQL ``series_outliers`` — Tukey-fence anomaly score per series:
+    ``(x - median) / (p75 - p25)`` (0 when the IQR collapses).
+
+    Two-stage distributed plan: exact interpolated quartiles per key
+    (one map-side-combinable aggregation over the data; swap
+    ``percentiles(..., approx=True)`` mechanics in at extreme key
+    cardinality), broadcast-joined back onto the rows — the fact side
+    never reshuffles. Scoring is pure codegen arithmetic.
+    """
+    q1, q2, q3 = percentiles(value, 25, 50, 75)
+    quart = df.groupBy(*by).agg(
+        q1.alias("_q1"), q2.alias("_q2"), q3.alias("_q3")
+    )
+    joined = df.join(F.broadcast(quart), by, "inner")
+    iqr = F.col("_q3") - F.col("_q1")
+    score = F.when(iqr == 0, F.lit(0.0)).otherwise(
+        (F.col(value) - F.col("_q2")) / iqr
+    )
+    return joined.withColumn(score_name, score).drop("_q1", "_q2", "_q3")

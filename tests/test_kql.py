@@ -248,3 +248,17 @@ def test_series_fill_linear_interpolates_and_clamps(spark):
     out = kql.series_fill_linear(df, on="ts", value="v", by=["k"])
     got = [r.v for r in out.orderBy("ts").collect()]
     assert got == [10.0, 10.0, 20.0, 30.0, 40.0, 40.0]
+
+
+def test_series_outliers_tukey_score_and_degenerate_iqr(spark):
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [1, 2, 3, 4, 5]] + [("b", 7.0), ("b", 7.0)],
+        ["k", "v"],
+    )
+    out = kql.series_outliers(df, value="v", by=["k"])
+    rows = {(r.k, r.v): r.outlier_score for r in out.collect()}
+    # series a: median 3, IQR = 4 - 2 = 2 → score of 5 is (5-3)/2 = 1
+    assert rows[("a", 5.0)] == 1.0
+    assert rows[("a", 3.0)] == 0.0
+    # series b: IQR 0 → score pinned to 0, no divide-by-zero
+    assert rows[("b", 7.0)] == 0.0
