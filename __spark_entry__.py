@@ -713,6 +713,23 @@ def _q_kql_series_fill_linear(spark, sf):
     )
 
 
+def _q_pipeline_docs_clean(spark, sf):
+    """Composite training-data cleaning pipeline in ONE DAG: language-ID →
+    keep English → exact near-dup removal (min doc_id per content hash,
+    left-semi join) → per-source corpus stats. The shapes a 100 TB corpus
+    clean actually runs; every stage is the already-oracled operator."""
+    d = load_table(spark, sf, "documents")
+    en = d.withColumn("lang_pred", textstats.lang_id("text")).filter(
+        F.col("lang_pred") == "en"
+    )
+    keep = en.groupBy(F.md5("text").alias("m")).agg(F.min("doc_id").alias("doc_id"))
+    kept = en.join(keep.select("doc_id"), "doc_id", "leftsemi")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(textstats.token_count("text")).cast("long").alias("total_tokens"),
+    )
+
+
 def _q_kql_series_outliers(spark, sf):
     """KQL series_outliers — Tukey-fence score (x - median) / IQR per
     event type; quartiles exact-interpolated, broadcast back to rows."""
@@ -901,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_lookup": _q_kql_lookup,
         "kql_top_hitters": _q_kql_top_hitters,
         "kql_series_outliers": _q_kql_series_outliers,
+        "pipeline_docs_clean": _q_pipeline_docs_clean,
     }
 
 
@@ -1002,6 +1020,27 @@ def oracle_sql() -> dict[str, str]:
         "WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en' "
         "WHEN hes = greatest(hde, hen, hes, hfr) THEN 'es' "
         "ELSE 'fr' END AS lang_pred FROM h) GROUP BY lang_pred"
+    )
+    pipeline_docs = (
+        f"WITH t AS (SELECT doc_id, text, source, {_LTOKENS_SQL} AS toks"
+        " FROM documents), "
+        "h AS (SELECT doc_id, text, source, "
+        f"len(list_filter(toks, t -> list_contains({_DE}, t))) hde, "
+        f"len(list_filter(toks, t -> list_contains({_EN}, t))) hen, "
+        f"len(list_filter(toks, t -> list_contains({_ES}, t))) hes, "
+        f"len(list_filter(toks, t -> list_contains({_FR}, t))) hfr FROM t), "
+        "lng AS (SELECT doc_id, text, source, "
+        "CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und' "
+        "WHEN hde = greatest(hde, hen, hes, hfr) THEN 'de' "
+        "WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en' "
+        "WHEN hes = greatest(hde, hen, hes, hfr) THEN 'es' "
+        "ELSE 'fr' END AS lang_pred FROM h), "
+        "en AS (SELECT * FROM lng WHERE lang_pred = 'en'), "
+        "keep AS (SELECT min(doc_id) AS doc_id FROM en GROUP BY md5(text)), "
+        "kept AS (SELECT e.* FROM en e JOIN keep k ON e.doc_id = k.doc_id) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        f"CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens "
+        "FROM kept GROUP BY 1"
     )
     shard = (
         "WITH rec AS (SELECT octet_length(encode(concat_ws(',', "
@@ -1319,6 +1358,7 @@ def oracle_sql() -> dict[str, str]:
             " (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS delta"
             " FROM events"
         ),
+        "pipeline_docs_clean": pipeline_docs,
         "kql_series_outliers": (
             "WITH q AS ("
             " SELECT event_type,"
