@@ -722,8 +722,14 @@ def _q_pipeline_docs_clean(spark, sf):
     en = d.withColumn("lang_pred", textstats.lang_id("text")).filter(
         F.col("lang_pred") == "en"
     )
-    keep = en.groupBy(F.md5("text").alias("m")).agg(F.min("doc_id").alias("doc_id"))
-    kept = en.join(keep.select("doc_id"), "doc_id", "leftsemi")
+    # one shuffle on the content hash (vs groupBy(md5) + semi-join = three):
+    # rank within hash, keep the min-doc_id representative
+    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        en.withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(textstats.token_count("text")).cast("long").alias("total_tokens"),
