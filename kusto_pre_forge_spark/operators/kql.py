@@ -698,3 +698,29 @@ def series_outliers(
         (F.col(value) - F.col("_q2")) / iqr
     )
     return joined.withColumn(score_name, score).drop("_q1", "_q2", "_q3")
+
+
+def sort_by(df: DataFrame, *cols: Column | str, desc_first: bool = False) -> DataFrame:
+    """KQL ``sort by c1 [asc|desc], ...`` (alias ``order by``). KQL defaults
+    to DESCENDING order per key when unspecified — pass plain column names
+    with ``desc_first=True`` for that behavior, or explicit ``Column``
+    expressions (``F.col("x").desc()``) for full control. Compiles to a
+    range-partitioned global sort; prefer :func:`top` when a k-limit exists
+    (TakeOrderedAndProject avoids the global sort entirely).
+    """
+    exprs = [
+        (F.col(c).desc() if desc_first else F.col(c)) if isinstance(c, str) else c
+        for c in cols
+    ]
+    return df.orderBy(*exprs)
+
+
+def getschema(df: DataFrame) -> DataFrame:
+    """KQL ``getschema`` — the table's schema as rows
+    (ColumnName, ColumnOrdinal, ColumnType). Driver-side metadata only;
+    touches no data."""
+    spark = df.sparkSession
+    rows = [(n, i, t) for i, (n, t) in enumerate(df.dtypes)]
+    return spark.createDataFrame(
+        rows, "ColumnName string, ColumnOrdinal int, ColumnType string"
+    )

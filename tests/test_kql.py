@@ -262,3 +262,11 @@ def test_series_outliers_tukey_score_and_degenerate_iqr(spark):
     assert rows[("a", 3.0)] == 0.0
     # series b: IQR 0 → score pinned to 0, no divide-by-zero
     assert rows[("b", 7.0)] == 0.0
+
+
+def test_sort_by_kql_desc_default_and_getschema(spark):
+    df = spark.createDataFrame([(1, "b"), (3, "a"), (2, "c")], ["x", "y"])
+    assert [r.x for r in kql.sort_by(df, "x", desc_first=True).collect()] == [3, 2, 1]
+    schema = {(r.ColumnName, r.ColumnOrdinal, r.ColumnType)
+              for r in kql.getschema(df).collect()}
+    assert schema == {("x", 0, "bigint"), ("y", 1, "string")}
