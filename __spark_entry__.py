@@ -736,6 +736,13 @@ def _q_pipeline_docs_clean(spark, sf):
     )
 
 
+def _q_kql_bag_unpack(spark, sf):
+    """KQL evaluate bag_unpack — promote the props bag's keys to columns
+    via one codegen'd from_json against a declared schema."""
+    e = load_table(spark, sf, "events").select("event_id", "event_type", "props")
+    return kql.bag_unpack(e, "props", "k int")
+
+
 def _q_kql_series_outliers(spark, sf):
     """KQL series_outliers — Tukey-fence score (x - median) / IQR per
     event type; quartiles exact-interpolated, broadcast back to rows."""
@@ -925,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_top_hitters": _q_kql_top_hitters,
         "kql_series_outliers": _q_kql_series_outliers,
         "pipeline_docs_clean": _q_pipeline_docs_clean,
+        "kql_bag_unpack": _q_kql_bag_unpack,
     }
 
 
@@ -1365,6 +1373,10 @@ def oracle_sql() -> dict[str, str]:
             " FROM events"
         ),
         "pipeline_docs_clean": pipeline_docs,
+        "kql_bag_unpack": (
+            "SELECT event_id, event_type,"
+            " CAST(props->>'$.k' AS INT) AS k FROM events"
+        ),
         "kql_series_outliers": (
             "WITH q AS ("
             " SELECT event_type,"

@@ -724,3 +724,18 @@ def getschema(df: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         rows, "ColumnName string, ColumnOrdinal int, ColumnType string"
     )
+
+
+def bag_unpack(
+    df: DataFrame, col: str, schema: str, drop: bool = True
+) -> DataFrame:
+    """KQL ``evaluate bag_unpack(Col)`` — promote a dynamic bag's keys to
+    top-level columns. KQL infers the key set from the data; Spark-first we
+    take the declared ``schema`` (DDL string) so the plan stays static and
+    the parse is ONE codegen'd ``from_json`` (no per-row schema discovery —
+    at 100 TB inference would force an extra full scan).
+    """
+    others = [c for c in df.columns if not (drop and c == col)]
+    return df.select(
+        *others, F.from_json(F.col(col), schema).alias("_bag")
+    ).select(*others, "_bag.*")
