@@ -31,6 +31,7 @@ from kusto_pre_forge_spark.functions.hashing import (
 )
 from kusto_pre_forge_spark.operators import dedup, kql, similarity, textstats
 from kusto_pre_forge_spark.plans.prepartition import PID_COL, partition_samples, prepartition
+from kusto_pre_forge_spark.plans.split import keyed_shard_assign
 from kusto_pre_forge_spark.tables import load_table
 
 
@@ -242,22 +243,29 @@ def _csv_line_cols():
 
 def _q_shard_assign(spark, sf):
     """size-capped shard assignment (TextStreamSinkBase.cs:55-63,
-    TextPartitionSink.cs:53): cumulative bytes over in-order records."""
+    TextPartitionSink.cs:53): cumulative bytes over in-order records.
+
+    Uses the distributed two-phase prefix sum (plans/split.keyed_shard_assign)
+    keyed on orderkey ranges — bucket boundaries respect the global
+    (l_orderkey, l_linenumber) order, so the result is identical to one
+    global cumulative-sum window WITHOUT moving the table to a single
+    reducer (the oracle SQL below replays the global window form)."""
     li = load_table(spark, sf, "lineitem")
     cols = _csv_line_cols()
     line = F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
     cap = 256 * 1024
-    w = Window.orderBy("l_orderkey", "l_linenumber")
     rec = F.octet_length(line) + F.lit(1)
     df = li.select("l_orderkey", "l_linenumber", rec.alias("rec_bytes"))
-    cum_before = F.sum("rec_bytes").over(w) - F.col("rec_bytes")
-    return (
-        df.withColumn("shard_id", F.floor(cum_before / F.lit(cap)).cast("int"))
-        .groupBy("shard_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_records"),
-            F.sum("rec_bytes").cast("bigint").alias("n_bytes"),
-        )
+    assigned = keyed_shard_assign(
+        df,
+        order_cols=["l_orderkey", "l_linenumber"],
+        bucket=F.floor(F.col("l_orderkey") / F.lit(4096)),
+        rec_bytes=F.col("rec_bytes"),
+        max_bytes_per_shard=cap,
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("rec_bytes").cast("bigint").alias("n_bytes"),
     )
 
 
@@ -453,6 +461,16 @@ def _q_dedup_embedding(spark, sf):
     )
 
 
+def _q_dedup_embedding_lsh(spark, sf):
+    """the scale path: hyperplane-bucketed near-dup (no all-pairs join) —
+    pairs compared only within a sign-pattern bucket. The oracle replays
+    the seeded hyperplanes as SQL literals."""
+    emb = load_table(spark, sf, "embeddings")
+    return dedup.embedding_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.4, bucket_bits=4, seed=11
+    ).select("id_a", "id_b")
+
+
 def _q_similarity_topk(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
@@ -460,7 +478,8 @@ def _q_similarity_topk(spark, sf):
 
 
 def _q_similarity_topk_lsh(spark, sf):
-    """approximate ANN — not SQL-expressible; driver records rows-only."""
+    """approximate ANN via multi-probe hyperplane LSH; the oracle replays
+    the seeded hyperplanes as SQL literals (probe set ≡ Hamming ≤ 2)."""
     emb = load_table(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk_lsh(emb, q, k=10, bits=4, probe_hamming=2).select(
@@ -899,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "similarity_topk": _q_similarity_topk,
         "similarity_topk_lsh": _q_similarity_topk_lsh,
         "similarity_topk_ivf": _q_similarity_topk_ivf,
@@ -1012,6 +1032,49 @@ def oracle_sql() -> dict[str, str]:
         "SELECT query_id, neighbor_id, "
         "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank "
         "FROM cand) WHERE rank <= 10"
+    )
+    # Hyperplane-LSH replay: the planes are seeded driver-side constants
+    # (operators/similarity._hyperplanes), so the oracle embeds them as
+    # DOUBLE[] literals and recomputes the sign-pattern bucket exactly —
+    # the same trick the IVF oracle uses for its centroid table.
+    from kusto_pre_forge_spark.operators.similarity import _hyperplanes
+
+    def bucket_sql(bits: int, seed: int, dim: int = 64, vec: str = "e") -> str:
+        terms = []
+        for j, plane in enumerate(_hyperplanes(dim, bits, seed)):
+            lits = ", ".join(repr(x) for x in plane)
+            terms.append(
+                f"(CASE WHEN list_dot_product({vec}, [{lits}]) >= 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    _v_cte = (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e, "
+        "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "CAST(embedding AS DOUBLE[]))) nrm FROM embeddings), "
+    )
+    # multi-probe set {0} ∪ {1<<j} ∪ {pairs} == every bucket within Hamming
+    # distance 2, so the candidate join is simply bit_count(xor) <= 2
+    lsh_rank = (
+        _v_cte
+        + f"b AS (SELECT vec_id, e, nrm, {bucket_sql(4, 11)} AS bkt FROM v), "
+        "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine "
+        "FROM b q JOIN b c ON c.vec_id != q.vec_id "
+        "AND bit_count(xor(CAST(q.bkt AS BIGINT), CAST(c.bkt AS BIGINT))) <= 2 "
+        "WHERE q.vec_id < 10) "
+        "SELECT query_id, neighbor_id, rank FROM ("
+        "SELECT query_id, neighbor_id, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank "
+        "FROM scored) WHERE rank <= 10"
+    )
+    embed_lsh = (
+        _v_cte
+        + f"b AS (SELECT vec_id, e, nrm, {bucket_sql(4, 11)} AS bkt FROM v) "
+        "SELECT a.vec_id AS id_a, b2.vec_id AS id_b FROM b a JOIN b b2 "
+        "ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id "
+        "WHERE list_dot_product(a.e, b2.e) / (a.nrm * b2.nrm) >= 0.4"
     )
     fingerprint = (
         f"WITH t AS (SELECT doc_id, list_transform({_LTOKENS_SQL}, "
@@ -1237,7 +1300,9 @@ def oracle_sql() -> dict[str, str]:
             "ON a.vec_id < b.vec_id "
             "WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4"
         ),
+        "dedup_embedding_lsh": embed_lsh,
         "similarity_topk": topk_rank,
+        "similarity_topk_lsh": lsh_rank,
         "similarity_topk_ivf": ivf_rank,
         "simhash_pairs": simhash,
         "text_tokens": (

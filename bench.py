@@ -37,12 +37,19 @@ HEADLINE = [
     "sessionize",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_embedding_lsh",
     "similarity_topk",
     "similarity_topk_ivf",
     "events_windowed",
     "text_tokens",
     "text_fingerprint",
 ]
+
+# Projection-shaped queries: count() lets Catalyst prune the projection
+# entirely (it row-counts the parquet footer instead of running the
+# operator — the BASELINE.md trap). Force full materialization with a
+# row-count + xxhash64 checksum over every output column instead.
+CHECKSUM_ACTION = {"text_tokens", "text_fingerprint"}
 
 
 def sf_from_dir(path: str) -> float:
@@ -84,7 +91,21 @@ def main() -> None:
         fn = queries[name]
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
-        n = df.count()
+        if name in CHECKSUM_ACTION:
+            from pyspark.sql import functions as F
+
+            # bit_xor, not sum: sum(xxhash64) overflows long under ANSI mode
+            row = (
+                df.select(F.xxhash64(*df.columns).alias("_h"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.expr("bit_xor(_h)").alias("checksum"),
+                )
+                .collect()[0]
+            )
+            n = row["n"]
+        else:
+            n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)

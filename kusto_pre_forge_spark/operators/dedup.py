@@ -430,18 +430,63 @@ def embedding_dup_pairs(
     ``bucket_bits = 0`` → exact all-pairs (for oracle-checkable small runs).
     ``bucket_bits > 0`` → random-hyperplane LSH pre-bucketing (the scale
     path): pairs are only compared within a sign-pattern bucket, trading
-    recall for a ~2^bits reduction in comparisons.
+    recall for a ~2^bits reduction in comparisons. Within-bucket scoring is
+    one Arrow batch per bucket (``applyInPandas``) doing the pairwise
+    cosine as fused numpy ops — accumulated dimension-by-dimension, the
+    SAME left-to-right IEEE addition order as the ``F.aggregate`` fold and
+    DuckDB's ``list_dot_product``, so the 'cosine >= threshold' cut and the
+    SQL oracle stay bit-exact (the cosine_topk_ivf trick). An interpreted
+    per-pair HOF fold here costs ~dim lambda evals per candidate pair —
+    ~100× this form.
+
+    Parallelism of the scale path = 2^bucket_bits groups; size ``bits`` to
+    the cluster (and to keep one bucket's vectors in one task's memory) —
+    at 100 TB you'd run 16-20 bits, giving ~65k-1M way parallelism and
+    ~n/2^bits vectors per group.
     """
     from kusto_pre_forge_spark.operators.similarity import cosine, hyperplane_bucket
 
     v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if bucket_bits > 0:
         v = v.withColumn("_bkt", hyperplane_bucket(F.col("_v"), bucket_bits, seed))
-        join_cond = (F.col("l._bkt") == F.col("r._bkt")) & (F.col("l._id") < F.col("r._id"))
-    else:
-        join_cond = F.col("l._id") < F.col("r._id")
+
+        def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["_id"].to_numpy()
+            n = len(ids)
+            if n < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                    {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+                )
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            V = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf["_v"].iloc[order]]
+            )
+            # dimension-at-a-time accumulation == the fold's addition order
+            G = np.zeros((n, n))
+            sq = np.zeros(n)
+            for d in range(V.shape[1]):
+                col = V[:, d]
+                G += col[:, None] * col[None, :]
+                sq += col * col
+            nrm = np.sqrt(sq)
+            cos = G / (nrm[:, None] * nrm[None, :])
+            ia, ib = np.triu_indices(n, k=1)
+            keep = cos[ia, ib] >= threshold
+            return pd.DataFrame(
+                {
+                    "id_a": ids[ia[keep]],
+                    "id_b": ids[ib[keep]],
+                    "cosine": cos[ia[keep], ib[keep]],
+                }
+            )
+
+        return v.groupBy("_bkt").applyInPandas(
+            _bucket_pairs, "id_a long, id_b long, cosine double"
+        )
+
     l, r = v.alias("l"), v.alias("r")
-    pairs = l.join(r, join_cond).select(
+    pairs = l.join(r, F.col("l._id") < F.col("r._id")).select(
         F.col("l._id").alias("id_a"),
         F.col("r._id").alias("id_b"),
         cosine(F.col("l._v"), F.col("r._v")).alias("cosine"),

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kusto_pre_forge_spark.config import RunSettings
@@ -161,6 +161,101 @@ def shard_assign(
     )
 
 
+def keyed_shard_assign(
+    df: DataFrame,
+    order_cols: list[str],
+    bucket: Column,
+    rec_bytes: Column,
+    max_bytes_per_shard: int,
+    shard_col: str = "shard_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global-order shard assignment via a deterministic bucketed prefix sum.
+
+    Same two-phase shape as ``shard_assign`` (TextStreamSinkBase.cs:55-63
+    cap-and-seal semantics), but keyed on a DATA-derived bucket instead of
+    the physical input split, so an external SQL engine can replay it. The
+    caller guarantees bucket boundaries respect ``order_cols`` order (every
+    row of bucket i sorts before every row of bucket i+1); the result then
+    equals the single global window ``floor(cum_bytes_before / cap)``
+    without ever gathering the table onto one reducer:
+
+      1. per-bucket byte subtotals — a tiny map-side-combinable aggregate;
+      2. exclusive prefix over the subtotals — a window over the TINY
+         aggregate (one row per bucket);
+      3. broadcast the base offsets back; the within-bucket running sum is
+         a window partitioned by bucket — parallel across buckets.
+    """
+    t = df.withColumn("_kpf_bucket", bucket).withColumn("_kpf_rec_bytes", rec_bytes)
+    # One explicit hash exchange on the bucket key, reused by the subtotal
+    # aggregate, the offsets join, AND the within-bucket window (all need
+    # clustering on _kpf_bucket). The explicit count also defeats the AQE
+    # byte-based coalescer, which would funnel this small-bytes-per-row
+    # shuffle into one task and serialize the sort.
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    t = t.repartition(n_parts, "_kpf_bucket")
+    bucket_sums = t.groupBy("_kpf_bucket").agg(
+        F.sum("_kpf_rec_bytes").alias("_kpf_bucket_bytes")
+    )
+    # Exclusive prefix over the bucket subtotals WITHOUT an unpartitioned
+    # window (Catalyst folds literal partition keys away, and a bare
+    # orderBy window funnels everything to one reducer): group buckets
+    # into super-buckets of SUPER, prefix within each super-bucket via a
+    # properly-partitioned window, and resolve cross-super bases with a
+    # broadcast non-equi self-join over the (tiny) super totals —
+    # O(#buckets) + O((#buckets/SUPER)²) work, all parallel.
+    SUPER = 1024
+    bs = bucket_sums.withColumn(
+        "_kpf_super", F.floor(F.col("_kpf_bucket") / F.lit(SUPER))
+    )
+    w_within = (
+        Window.partitionBy("_kpf_super")
+        .orderBy("_kpf_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = bs.withColumn(
+        "_kpf_wbase",
+        F.coalesce(F.sum("_kpf_bucket_bytes").over(w_within), F.lit(0)),
+    )
+    super_tot = bs.groupBy("_kpf_super").agg(
+        F.sum("_kpf_bucket_bytes").alias("_kpf_super_bytes")
+    )
+    sbase = (
+        super_tot.select("_kpf_super")
+        .join(
+            F.broadcast(
+                super_tot.select(
+                    F.col("_kpf_super").alias("_kpf_super_lt"), "_kpf_super_bytes"
+                )
+            ),
+            F.col("_kpf_super_lt") < F.col("_kpf_super"),
+            "left",
+        )
+        .groupBy("_kpf_super")
+        .agg(F.coalesce(F.sum("_kpf_super_bytes"), F.lit(0)).alias("_kpf_sbase"))
+    )
+    offsets = (
+        within.join(F.broadcast(sbase), "_kpf_super")
+        .select(
+            "_kpf_bucket",
+            (F.col("_kpf_wbase") + F.col("_kpf_sbase")).alias("_kpf_base"),
+        )
+    )
+    w_in = Window.partitionBy("_kpf_bucket").orderBy(*order_cols)
+    cum_before = (
+        F.col("_kpf_base")
+        + F.sum("_kpf_rec_bytes").over(w_in)
+        - F.col("_kpf_rec_bytes")
+    )
+    return (
+        t.join(F.broadcast(offsets), "_kpf_bucket")
+        .withColumn(
+            shard_col, F.floor(cum_before / F.lit(max_bytes_per_shard)).cast("int")
+        )
+        .drop("_kpf_bucket", "_kpf_base", "_kpf_rec_bytes")
+    )
+
+
 @dataclass
 class SplitResult:
     output_path: str
@@ -228,6 +323,11 @@ def run_split(
         .sortWithinPartitions("_kpf_src_name", SHARD_COL, ORDER_COL)
         .select("Text", "_kpf_src_name", SHARD_COL)
         .write.mode("overwrite")
+        # dynamic as a per-write option: a re-run replaces exactly its own
+        # (source, shard) directories, never other sources' output — and it
+        # holds under foreachBatch's cloned session where a runtime
+        # spark.conf.set on the outer session is invisible
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_kpf_src_name", SHARD_COL)
     )
     if settings.output_compression == Compression.GZIP:

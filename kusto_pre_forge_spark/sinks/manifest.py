@@ -88,12 +88,17 @@ def ingest_idempotent(
     """Ingest sharded data, skipping shards already committed.
 
     Returns the shard-level manifest rows that were newly ingested.
-    The data write keys files by shard directory, so a retry after a
-    partial failure re-writes the same directories (overwrite of the
-    same deterministic locations) and only then commits the manifest —
-    the commit-last ordering mirrors the reference's
+    The data write is partitioned by the full ``ingest_by`` key and uses
+    dynamic partition OVERWRITE, so a retry after a crash between the data
+    write and the manifest commit replaces exactly its own shard
+    directories instead of appending a second copy — the commit-last
+    ordering plus replace-on-retry mirrors the reference's
     stage-blocks-then-commit-blocklist protocol
-    (Transforms/PartitionedContentSink.cs:101-132).
+    (Transforms/PartitionedContentSink.cs:101-132) and its
+    IngestIfNotExists effectively-once contract (TextKustoSink.cs:50-51).
+    Partitioning on ``ingest_by`` (not the bare shard id) matters: two
+    sources both have a shard "00000", and a retry of one must not clobber
+    the other's directory.
     """
     with_key = data.withColumn(
         "ingest_by", F.concat_ws("-", F.col(source_col), F.col(shard_col))
@@ -117,9 +122,12 @@ def ingest_idempotent(
         new_keys = new_meta.select("ingest_by")
         new_data = with_key.join(F.broadcast(new_keys), "ingest_by", "left_semi")
         (
-            new_data.drop(source_col, last_col, "ingest_by")
-            .write.mode("append")
-            .partitionBy(shard_col)
+            new_data.drop(source_col, last_col, shard_col)
+            .write.mode("overwrite")
+            # per-write option: works under foreachBatch's cloned session
+            # too, where a runtime spark.conf.set would not be seen
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_by")
             .format(fmt)
             .save(dest_path)
         )

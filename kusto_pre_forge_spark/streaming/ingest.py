@@ -99,16 +99,29 @@ class StreamingEtl:
         ``trigger_seconds=60`` mirrors the reference's flush interval
         (EtlRun.cs:136); ``available_now=True`` drains the backlog and
         stops (catch-up mode).
+
+        Replay safety: the checkpointed file log replays a crashed batch
+        with the SAME batch id and the same input files, so the write is
+        keyed by ``(pid, batch_id)`` under dynamic partition overwrite — a
+        replayed batch replaces exactly its own partition directories
+        instead of appending a second copy (effectively-once, ≡ the
+        ingest-by no-op in the batch sink, TextKustoSink.cs:50-51).
         """
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
             if not batch_df.head(1):
                 return
-            with_pid = prepartition(batch_df.drop("_kpf_source"), policy)
+            with_pid = prepartition(batch_df.drop("_kpf_source"), policy).withColumn(
+                "_kpf_batch", F.lit(batch_id)
+            )
+            # per-write option, not session conf: foreachBatch runs in a
+            # CLONED SparkSession whose conf snapshot predates any runtime
+            # spark.conf.set on the outer session
             (
                 with_pid.repartition(policy.max_partition_count, F.col(PID_COL))
-                .write.mode("append")
-                .partitionBy(PID_COL)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(PID_COL, "_kpf_batch")
                 .parquet(self.output_dir)
             )
 
@@ -145,15 +158,10 @@ class StreamingEtl:
             paths = [r[0] for r in batch_df.select("_kpf_source").distinct().collect()]
             if not paths:
                 return
-            conf = self.spark.conf
-            prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-            conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                run_split(
-                    self.spark, paths, settings, self.output_dir, max_bytes_per_shard
-                )
-            finally:
-                conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            # run_split's writer carries partitionOverwriteMode=dynamic as a
+            # per-write option, so a replayed blob rewrites exactly its own
+            # (source, shard) directories
+            run_split(self.spark, paths, settings, self.output_dir, max_bytes_per_shard)
 
         return self._start(process, trigger_seconds, available_now)
 

@@ -1,0 +1,69 @@
+"""Effectively-once batch ingestion (sinks/manifest.py).
+
+Reference contract: IngestByTags + IngestIfNotExists (TextKustoSink.cs:48-63)
+— re-delivery of an already-committed shard is a no-op, and a crash between
+the data write and the manifest commit must not duplicate rows on retry
+(stage-then-commit, Transforms/PartitionedContentSink.cs:101-132).
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from kusto_pre_forge_spark.sinks.manifest import IngestManifest, ingest_idempotent
+
+
+@pytest.fixture()
+def sharded(spark):
+    rows = [(src, f"{i % 2:05d}", i, f"payload-{src}-{i}") for src in ("a", "b") for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "src string, shard string, n long, payload string"
+    )
+    return (
+        df.withColumnRenamed("src", "_kpf_source")
+        .withColumnRenamed("shard", "_kpf_shard_id")
+        .withColumn("_kpf_last_shard", F.col("_kpf_shard_id") == "00001")
+    )
+
+
+def test_ingest_second_call_is_noop(spark, tmp_path, sharded):
+    manifest = IngestManifest(spark, str(tmp_path / "manifest"))
+    dest = str(tmp_path / "dest")
+    first = ingest_idempotent(sharded, manifest, dest)
+    assert first.count() == 4  # 2 sources x 2 shards
+    assert spark.read.parquet(dest).count() == 20
+
+    second = ingest_idempotent(sharded, manifest, dest)
+    assert second.count() == 0, "committed shards must be skipped"
+    assert spark.read.parquet(dest).count() == 20
+
+
+def test_ingest_crash_before_commit_retry_no_dup(spark, tmp_path, sharded):
+    """Crash window: data written, manifest commit lost. The retry re-selects
+    the same shards and must REPLACE their directories (dynamic partition
+    overwrite on ingest_by), not append a second copy."""
+    manifest_path = str(tmp_path / "manifest")
+    manifest = IngestManifest(spark, manifest_path)
+    dest = str(tmp_path / "dest")
+    ingest_idempotent(sharded, manifest, dest)
+    assert spark.read.parquet(dest).count() == 20
+
+    shutil.rmtree(manifest_path)  # ≡ commit never landed
+    retried = ingest_idempotent(sharded, manifest, dest)
+    assert retried.count() == 4
+    assert spark.read.parquet(dest).count() == 20, "retry must not duplicate rows"
+
+
+def test_ingest_same_shard_id_different_sources_coexist(spark, tmp_path, sharded):
+    """Partitioning must key on the full ingest_by (source-shard): ingesting
+    source b after source a must not clobber a's same-numbered shard."""
+    manifest = IngestManifest(spark, str(tmp_path / "manifest"))
+    dest = str(tmp_path / "dest")
+    a = sharded.filter(F.col("_kpf_source") == "a")
+    b = sharded.filter(F.col("_kpf_source") == "b")
+    ingest_idempotent(a, manifest, dest)
+    ingest_idempotent(b, manifest, dest)
+    out = spark.read.parquet(dest)
+    assert out.count() == 20
+    assert out.select("ingest_by").distinct().count() == 4

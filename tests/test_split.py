@@ -137,3 +137,35 @@ def test_shard_assign_distributed_equals_single_window(spark, tmp_path):
     mx = max(g.values())
     for r in got:
         assert r[split_mod.LAST_SHARD_COL] == (r[split_mod.SHARD_COL] == mx)
+
+
+def test_keyed_shard_assign_equals_global_window(spark):
+    """The bucketed two-phase prefix sum must equal the naive global
+    cumulative-sum window, including non-contiguous and skewed buckets."""
+    from pyspark.sql import Window
+
+    rows = [(i * 7 % 5000, i % 13, 10 + (i * 31 % 97)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k long, sub long, nb long").repartition(8)
+    got = (
+        split_mod.keyed_shard_assign(
+            df,
+            order_cols=["k", "sub"],
+            bucket=F.floor(F.col("k") / F.lit(100)),
+            rec_bytes=F.col("nb"),
+            max_bytes_per_shard=997,
+        )
+        .select("k", "sub", "shard_id")
+        .collect()
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("k", "sub")
+    naive = (
+        df.withColumn(
+            "shard_id",
+            F.floor((F.sum("nb").over(w) - F.col("nb")) / F.lit(997)).cast("int"),
+        )
+        .select("k", "sub", "shard_id")
+        .collect()
+    )
+    assert {(r.k, r.sub): r.shard_id for r in got} == {
+        (r.k, r.sub): r.shard_id for r in naive
+    }

@@ -162,3 +162,31 @@ def test_streaming_split_two_waves(spark, tmp_path, landing):
     files2 = glob.glob(str(tmp_path / "shards") + "/**/part-*", recursive=True)
     out2 = spark.read.text([f for f in files2])
     assert out2.count() == n_rows, "replay must not duplicate rows"
+
+
+def test_streaming_prepartition_replay_no_dup(spark, tmp_path, landing):
+    """A replayed micro-batch (fresh checkpoint ≡ lost commit) must replace
+    its own (pid, batch) partitions, not append a second copy."""
+    land, orders = landing
+    (land / "wave0.csv.pending").rename(land / "wave0.csv")
+
+    def make_etl(ckpt):
+        return StreamingEtl(
+            spark,
+            landing_dir=str(land) + "/*.csv",
+            checkpoint_dir=str(tmp_path / ckpt),
+            output_dir=str(tmp_path / "out"),
+            schema=SCHEMA,
+        )
+
+    q = make_etl("ckpt-a").start_prepartition(POLICY, available_now=True)
+    _drain(q)
+    n1 = spark.read.parquet(str(tmp_path / "out")).count()
+    assert n1 == orders.filter(F.col("o_orderkey") % 2 == 0).count()
+
+    # replay: fresh checkpoint re-delivers the same file as batch 0 again —
+    # dynamic overwrite on (pid, _kpf_batch) makes it a no-op
+    q = make_etl("ckpt-b").start_prepartition(POLICY, available_now=True)
+    _drain(q)
+    n2 = spark.read.parquet(str(tmp_path / "out")).count()
+    assert n2 == n1, "replayed batch must not duplicate rows"
