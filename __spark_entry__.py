@@ -526,7 +526,9 @@ def _q_text_langid(spark, sf):
 
 def _q_text_fingerprint(spark, sf):
     d = load_table(spark, sf, "documents")
-    return d.select("doc_id", textstats.doc_fingerprint("text", k=3).alias("fingerprint"))
+    # two-step form: materializes the md5 token-hash array once per row —
+    # the inline expression re-hashes per window (26× slower, textstats.py)
+    return textstats.fingerprint_df(d, "text", k=3).select("doc_id", "fingerprint")
 
 
 def _q_multimodal_meta(spark, sf):

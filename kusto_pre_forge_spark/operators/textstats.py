@@ -119,6 +119,42 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     return out.withColumn("quality_score", score)
 
 
+#: rolling-hash base and modulus (Rabin-Karp over token hashes)
+FP_BASE, FP_MOD = 1_000_003, 2_147_483_647
+
+
+def token_hashes(col: Column | str) -> Column:
+    """md5-derived per-token hash array (oracle-replayable: DuckDB recomputes
+    the same ``conv(substr(md5(tok),1,8),16,10)``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.lower(c))
+    return F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+
+
+def fingerprint_from_hashes(th_col: Column | str, k: int = 3) -> Column:
+    """Min k-gram rolling hash over an ALREADY-MATERIALIZED token-hash array.
+
+    ``th_col`` must be a real column, not the ``token_hashes`` expression
+    inline: interpreted higher-order functions have no common-subexpression
+    elimination, so referencing the md5 array from inside the per-window
+    lambda re-evaluates it for EVERY window — O(n_tokens²) md5 calls
+    (measured 26× slower on the documents table). Materializing it as its
+    own projection makes Catalyst compute it once per row (CollapseProject
+    declines to inline a multiply-referenced non-trivial alias).
+    """
+    th = F.col(th_col) if isinstance(th_col, str) else th_col
+    n = F.size(th)
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    gram_hash = lambda i: F.aggregate(  # noqa: E731
+        F.slice(th, i, k),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * FP_BASE + h) % FP_MOD,
+    )
+    return F.array_min(F.transform(starts, gram_hash))
+
+
 def doc_fingerprint(col: Column | str, k: int = 3) -> Column:
     """Rolling-hash document fingerprint (winnowing-lite).
 
@@ -126,17 +162,25 @@ def doc_fingerprint(col: Column | str, k: int = 3) -> Column:
     fingerprint is the *minimum* k-gram hash — robust to local edits
     anywhere except the minimizing window (cf. Schleimer et al. 2003,
     winnowing). Token hash is md5-derived (oracle-replayable).
+
+    NOTE: as a single inline expression this re-hashes every token per
+    window (no CSE inside interpreted HOF lambdas). Prefer
+    ``fingerprint_df`` / the ``token_hashes`` + ``fingerprint_from_hashes``
+    two-step on anything bigger than a smoke test.
     """
-    B, P = 1_000_003, 2_147_483_647
-    c = F.col(col) if isinstance(col, str) else col
-    toks = tokens(F.lower(c))
-    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
-    n = F.size(th)
-    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    gram_hash = lambda i: F.aggregate(  # noqa: E731
-        F.slice(th, i, k), F.lit(0).cast("long"), lambda acc, h: (acc * B + h) % P
+    return fingerprint_from_hashes(token_hashes(col), k)
+
+
+def fingerprint_df(
+    df: DataFrame, text_col: str, k: int = 3, out_col: str = "fingerprint"
+) -> DataFrame:
+    """Scale path for ``doc_fingerprint``: token hashes in their own
+    projection (computed once per row), then the min-gram fold."""
+    return (
+        df.withColumn("_kpf_th", token_hashes(text_col))
+        .withColumn(out_col, fingerprint_from_hashes(F.col("_kpf_th"), k))
+        .drop("_kpf_th")
     )
-    return F.array_min(F.transform(starts, gram_hash))
 
 
 def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -145,7 +189,9 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return (
         out.withColumn("bpe_tokens", bpe_token_count(text_col))
         .withColumn("lang_pred", lang_id(text_col))
-        .withColumn("fingerprint", doc_fingerprint(text_col))
+        # two-step fingerprint: hash array materialized once per row
+        .withColumn("_kpf_th", token_hashes(text_col))
+        .withColumn("fingerprint", fingerprint_from_hashes(F.col("_kpf_th")))
         .select(
             id_col,
             "n_chars",
