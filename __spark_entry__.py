@@ -765,8 +765,9 @@ def _q_kql_bag_unpack(spark, sf):
 
 
 def _q_kql_series_outliers(spark, sf):
-    """KQL series_outliers — Tukey-fence score (x - median) / IQR per
-    event type; quartiles exact-interpolated, broadcast back to rows."""
+    """KQL series_outliers — Tukey-fence score per event type: 0 inside
+    [q1-1.5·IQR, q3+1.5·IQR], signed IQR-distance beyond the fence
+    outside; quartiles exact-interpolated, broadcast back to rows."""
     e = load_table(spark, sf, "events")
     out = kql.series_outliers(e, value="value", by=["event_type"])
     return out.select(
@@ -1448,14 +1449,18 @@ def oracle_sql() -> dict[str, str]:
             "WITH q AS ("
             " SELECT event_type,"
             " quantile_cont(value, 0.25) AS q1,"
-            " quantile_cont(value, 0.50) AS q2,"
             " quantile_cont(value, 0.75) AS q3"
             " FROM events GROUP BY 1"
+            "), f AS ("
+            " SELECT event_type, q3 - q1 AS iqr,"
+            " q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q"
             ") "
             "SELECT e.event_id, e.event_type,"
-            " round(CASE WHEN q.q3 - q.q1 = 0 THEN 0.0"
-            " ELSE (e.value - q.q2) / (q.q3 - q.q1) END, 6) AS outlier_score"
-            " FROM events e JOIN q USING (event_type)"
+            " round(CASE WHEN f.iqr = 0 THEN 0.0"
+            " WHEN e.value > f.hi THEN (e.value - f.hi) / f.iqr"
+            " WHEN e.value < f.lo THEN (e.value - f.lo) / f.iqr"
+            " ELSE 0.0 END, 6) AS outlier_score"
+            " FROM events e JOIN f USING (event_type)"
         ),
         "kql_lookup": (
             "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders"

@@ -678,9 +678,15 @@ def series_outliers(
     value: str,
     by: list[str],
     score_name: str = "outlier_score",
+    fence_k: float = 1.5,
 ) -> DataFrame:
-    """KQL ``series_outliers`` — Tukey-fence anomaly score per series:
-    ``(x - median) / (p75 - p25)`` (0 when the IQR collapses).
+    """KQL ``series_outliers`` — Tukey-fence anomaly score per series.
+
+    Matches KQL's fence-test semantics: points INSIDE the fences
+    ``[q25 - k·IQR, q75 + k·IQR]`` score 0; outside, the score is the
+    signed distance beyond the violated fence in IQR units
+    (``(x - fence) / IQR``). 0 when the IQR collapses. (KQL's operator
+    works on packed series arrays; this is the per-row grouped adaptation.)
 
     Two-stage distributed plan: exact interpolated quartiles per key
     (one map-side-combinable aggregation over the data; swap
@@ -688,16 +694,20 @@ def series_outliers(
     cardinality), broadcast-joined back onto the rows — the fact side
     never reshuffles. Scoring is pure codegen arithmetic.
     """
-    q1, q2, q3 = percentiles(value, 25, 50, 75)
-    quart = df.groupBy(*by).agg(
-        q1.alias("_q1"), q2.alias("_q2"), q3.alias("_q3")
-    )
+    q1, q3 = percentiles(value, 25, 75)
+    quart = df.groupBy(*by).agg(q1.alias("_q1"), q3.alias("_q3"))
     joined = df.join(F.broadcast(quart), by, "inner")
     iqr = F.col("_q3") - F.col("_q1")
-    score = F.when(iqr == 0, F.lit(0.0)).otherwise(
-        (F.col(value) - F.col("_q2")) / iqr
+    lo = F.col("_q1") - fence_k * iqr
+    hi = F.col("_q3") + fence_k * iqr
+    x = F.col(value)
+    score = (
+        F.when(iqr == 0, F.lit(0.0))
+        .when(x > hi, (x - hi) / iqr)
+        .when(x < lo, (x - lo) / iqr)
+        .otherwise(F.lit(0.0))
     )
-    return joined.withColumn(score_name, score).drop("_q1", "_q2", "_q3")
+    return joined.withColumn(score_name, score).drop("_q1", "_q3")
 
 
 def sort_by(df: DataFrame, *cols: Column | str, desc_first: bool = False) -> DataFrame:

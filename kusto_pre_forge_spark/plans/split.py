@@ -41,6 +41,7 @@ SOURCE_COL = "_kpf_source"
 SHARD_COL = "_kpf_shard_id"
 LAST_SHARD_COL = "_kpf_last_shard"
 ORDER_COL = "_kpf_order"
+BLOCK_COL = "_kpf_block_start"
 
 
 def read_lines(spark: SparkSession, paths: list[str] | str) -> DataFrame:
@@ -60,6 +61,12 @@ def read_lines(spark: SparkSession, paths: list[str] | str) -> DataFrame:
         .withColumnRenamed("value", "Text")
         .withColumn(SOURCE_COL, F.input_file_name())
         .withColumn(ORDER_COL, F.monotonically_increasing_id())
+        # real in-file byte offset of the enclosing split: the cross-split
+        # ordering key for the distributed prefix sum. spark_partition_id
+        # would only work while FilePartition packing happens to preserve
+        # offset order (it sorts splits length-DESCENDING, so that's an
+        # accident of equal-sized splits, not a contract).
+        .withColumn(BLOCK_COL, F.col("_metadata.file_block_start"))
     )
 
 
@@ -100,12 +107,12 @@ def shard_assign(
     TextPartitionSink.cs:53. Also marks ``_kpf_last_shard``
     (TextKustoSink.cs:60-63 informational tag).
 
-    Precondition: ``body`` is in scan layout — ``order_col`` monotone within
-    each partition and encoding the partition in its high bits, which is
-    exactly what ``read_lines`` produces (``monotonically_increasing_id``)
-    and what ``peel_header`` preserves (narrow ops only). Re-deriving the
-    order column after a repartition breaks the (split, order) agreement
-    the distributed prefix sum relies on.
+    Precondition: ``body`` came from ``read_lines`` (possibly through
+    ``peel_header`` / other narrow ops): it carries ``_kpf_block_start``
+    (the enclosing split's in-file byte offset) and ``order_col`` is
+    monotone within each scan partition (``monotonically_increasing_id``).
+    Re-deriving the order column after a repartition breaks the
+    (split, order) agreement the distributed prefix sum relies on.
     """
     # Distributed prefix sum. A single window `partitionBy(source)
     # orderBy(order)` would gather EVERY row of a blob onto one reducer —
@@ -117,11 +124,17 @@ def shard_assign(
     #      the TINY aggregate, giving each split its base byte offset;
     #   3. broadcast the offsets back; within-split running sum is a
     #      window partitioned by (source, split) — parallel across splits.
-    # In-file order = (split asc, order asc): split ids follow file offset
-    # order, which is the same property `_kpf_order`
-    # (monotonically_increasing_id) already relies on.
+    # Cross-split order comes from the split's REAL in-file byte offset
+    # (_metadata.file_block_start captured by read_lines) — robust to
+    # FilePartition packing order, which sorts splits length-descending
+    # and so does NOT guarantee partition ids follow file offsets.
     rec_bytes = F.octet_length(F.col(text_col)) + F.lit(1)
-    t = body.withColumn("_kpf_split", F.spark_partition_id())
+    if BLOCK_COL in body.columns:
+        t = body.withColumn("_kpf_split", F.col(BLOCK_COL))
+    else:
+        # non-file inputs (unit tests, synthesized frames): fall back to the
+        # physical partition id, valid when order_col's high bits encode it
+        t = body.withColumn("_kpf_split", F.spark_partition_id())
 
     split_sums = t.groupBy(SOURCE_COL, "_kpf_split").agg(
         F.sum(rec_bytes).alias("_kpf_split_bytes")
@@ -157,7 +170,7 @@ def shard_assign(
         .withColumn(
             LAST_SHARD_COL, F.col("_kpf_shard_num") == F.col("_kpf_max_shard")
         )
-        .drop("_kpf_shard_num", "_kpf_max_shard")
+        .drop("_kpf_shard_num", "_kpf_max_shard", BLOCK_COL)
     )
 
 

@@ -1,5 +1,6 @@
 """KQL operator layer semantics (SURVEY §2.5) on tiny DataFrames."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from kusto_pre_forge_spark.operators import kql
@@ -250,16 +251,18 @@ def test_series_fill_linear_interpolates_and_clamps(spark):
     assert got == [10.0, 10.0, 20.0, 30.0, 40.0, 40.0]
 
 
-def test_series_outliers_tukey_score_and_degenerate_iqr(spark):
+def test_series_outliers_tukey_fences_and_degenerate_iqr(spark):
     df = spark.createDataFrame(
-        [("a", float(v)) for v in [1, 2, 3, 4, 5]] + [("b", 7.0), ("b", 7.0)],
+        [("a", float(v)) for v in [1, 2, 3, 4, 5, 100]] + [("b", 7.0), ("b", 7.0)],
         ["k", "v"],
     )
     out = kql.series_outliers(df, value="v", by=["k"])
     rows = {(r.k, r.v): r.outlier_score for r in out.collect()}
-    # series a: median 3, IQR = 4 - 2 = 2 → score of 5 is (5-3)/2 = 1
-    assert rows[("a", 5.0)] == 1.0
+    # series a: q1=2.25, q3=4.75, IQR=2.5 → fences [-1.5, 8.5];
+    # in-fence points score exactly 0, 100 scores (100-8.5)/2.5 = 36.6
+    assert rows[("a", 5.0)] == 0.0
     assert rows[("a", 3.0)] == 0.0
+    assert rows[("a", 100.0)] == pytest.approx(36.6)
     # series b: IQR 0 → score pinned to 0, no divide-by-zero
     assert rows[("b", 7.0)] == 0.0
 
