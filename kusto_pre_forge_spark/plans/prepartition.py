@@ -71,15 +71,22 @@ def partition_samples(df_with_pid: DataFrame, policy: PartitionPolicy) -> DataFr
 class PrePartitionResult:
     output_path: str
     manifest: list[dict]
+    #: per-run counter sums ≡ PerfCounterJournal output
+    #: (code/KustoPreForgeLib/PerfCounterJournal.cs:10-72) — derived from
+    #: the manifest aggregate the plan already computes, zero extra jobs
+    journal: dict[str, int] | None = None
+    #: staging roots when round-robin multi-dir output was requested
+    staging_paths: list[str] | None = None
 
 
 def run_prepartition(
     df: DataFrame,
     policy: PartitionPolicy,
-    output_path: str,
+    output_path: str | list[str],
     fmt: str = "parquet",
     compression: str | None = None,
     writers_per_partition: int | None = None,
+    perf_journal=None,
 ) -> PrePartitionResult:
     """Full pipeline: hash → scatter → partitioned write → manifest.
 
@@ -97,7 +104,17 @@ def run_prepartition(
     sink's MAX_PARALLEL_WRITES=16 concurrent block writes per blob
     (PartitionedContentSink.cs:136). Default: scale to the cluster,
     ``max(1, defaultParallelism // N)``.
+
+    ``output_path`` may be a LIST of staging roots — the reference's
+    multi-staging-container spread (PartitionedContentSink.cs:54-65 assigns
+    each new pid the next container round-robin; arrival order is
+    meaningless in a parallel engine, so the deterministic analogue is
+    ``pid % n_roots``). One scan, one shuffle, ONE write partitioned by
+    (staging, pid) into a temp root, then per-directory moves — a
+    metadata-only rename on a filesystem / same-account blob store, never
+    an extra pass over the data.
     """
+    staging = [output_path] if isinstance(output_path, str) else list(output_path)
     with_pid = prepartition(df, policy)
     n = policy.max_partition_count
     writers = writers_per_partition or max(
@@ -110,10 +127,59 @@ def run_prepartition(
         # repartition by pid so each output partition is written densely by
         # the tasks owning that pid — the shuffle is the reference's scatter.
         scattered = with_pid.repartition(n, F.col(PID_COL))
-    writer = scattered.write.mode("overwrite").partitionBy(PID_COL)
-    if compression:
-        writer = writer.option("compression", compression)
-    getattr(writer, fmt)(output_path)
+
+    if len(staging) == 1:
+        writer = scattered.write.mode("overwrite").partitionBy(PID_COL)
+        if compression:
+            writer = writer.option("compression", compression)
+        getattr(writer, fmt)(staging[0])
+    else:
+        _write_round_robin(scattered, staging, fmt, compression)
 
     manifest = [r.asDict() for r in partition_samples(with_pid, policy).collect()]
-    return PrePartitionResult(output_path=output_path, manifest=manifest)
+    if len(staging) > 1:
+        for m in manifest:
+            m["staging_dir"] = staging[m[PID_COL] % len(staging)]
+    counters = {
+        "PrePartition.RecordCount": sum(m["record_count"] for m in manifest),
+        "PrePartition.PartitionCount": len(manifest),
+    }
+    if perf_journal is not None:
+        for name, value in counters.items():
+            perf_journal.add_reading(name, value)
+    return PrePartitionResult(
+        output_path=staging[0],
+        manifest=manifest,
+        journal=counters,
+        staging_paths=staging if len(staging) > 1 else None,
+    )
+
+
+def _write_round_robin(
+    scattered: DataFrame, staging: list[str], fmt: str, compression: str | None
+) -> None:
+    """One write partitioned by (staging idx, pid), then per-pid directory
+    moves into the round-robin staging roots — rename, not rewrite."""
+    import os
+    import shutil
+
+    k = len(staging)
+    tmp_root = staging[0].rstrip("/") + ".__kpf_staging_tmp__"
+    staged = scattered.withColumn("_kpf_staging", F.pmod(F.col(PID_COL), F.lit(k)))
+    writer = staged.write.mode("overwrite").partitionBy("_kpf_staging", PID_COL)
+    if compression:
+        writer = writer.option("compression", compression)
+    getattr(writer, fmt)(tmp_root)
+    try:
+        for i, dest in enumerate(staging):
+            src_dir = os.path.join(tmp_root, f"_kpf_staging={i}")
+            if not os.path.isdir(src_dir):
+                continue
+            os.makedirs(dest, exist_ok=True)
+            for child in os.listdir(src_dir):
+                target = os.path.join(dest, child)
+                if os.path.isdir(target):
+                    shutil.rmtree(target)
+                shutil.move(os.path.join(src_dir, child), target)
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)

@@ -273,6 +273,10 @@ def keyed_shard_assign(
 class SplitResult:
     output_path: str
     shards: list[dict]  # per-shard lineage rows (F4 manifest shape)
+    #: per-run counter sums ≡ PerfCounterJournal output
+    #: (code/KustoPreForgeLib/PerfCounterJournal.cs:10-72); counter names
+    #: reuse the reference's where the concept maps 1:1
+    journal: dict[str, int] | None = None
 
 
 def run_split(
@@ -281,6 +285,7 @@ def run_split(
     settings: RunSettings,
     output_path: str,
     max_bytes_per_shard: int | None = None,
+    perf_journal=None,
 ) -> SplitResult:
     """End-to-end Split: read → (peel header) → shard → write shards.
 
@@ -306,6 +311,9 @@ def run_split(
         .agg(
             F.max(LAST_SHARD_COL).alias(LAST_SHARD_COL),
             F.count(F.lit(1)).alias("record_count"),
+            # record bytes + the newline the writer re-adds — the sink's
+            # Write.Size reading (PartitionedContentSink.cs:113-115)
+            F.sum(F.octet_length("Text") + F.lit(1)).alias("byte_count"),
         )
         .withColumn("ingest_by", F.concat_ws("-", F.col(SOURCE_COL), F.col(SHARD_COL)))
         .collect()
@@ -347,4 +355,15 @@ def run_split(
         writer = writer.option("compression", "gzip")
     writer.text(output_path)
     sharded_body.unpersist()
-    return SplitResult(output_path=output_path, shards=[r.asDict() for r in manifest])
+    shards = [r.asDict() for r in manifest]
+    counters = {
+        # same counter names as the reference where the concept maps 1:1
+        "ListBlob.BlobCommited": len({s[SOURCE_COL] for s in shards}),
+        "PartitionedContentSink.Write.Size": sum(s["byte_count"] for s in shards),
+        "TextSplit.RecordCount": sum(s["record_count"] for s in shards),
+        "TextSplit.ShardsSealed": len(shards),
+    }
+    if perf_journal is not None:
+        for name, value in counters.items():
+            perf_journal.add_reading(name, value)
+    return SplitResult(output_path=output_path, shards=shards, journal=counters)

@@ -80,3 +80,63 @@ def test_parallel_writers_complete_and_bounded(spark, sf_smoke, tmp_path):
         files = [f for f in glob.glob(f"{d}/*") if not f.endswith("_SUCCESS")]
         assert 1 <= len(files) <= 4 + 1
     assert sum(r["record_count"] for r in res.manifest) == orders.count()
+
+
+def test_round_robin_staging_dirs(spark, orders, tmp_path):
+    """Multi-staging-dir spread (PartitionedContentSink.cs:54-65): pid p
+    lands under staging[p % k], union of roots is complete, manifest
+    records the assignment."""
+    import glob
+    import os
+
+    staging = [str(tmp_path / f"stage{i}") for i in range(3)]
+    res = run_prepartition(orders, POLICY, staging)
+    assert res.staging_paths == staging
+
+    seen_pids = set()
+    for i, root in enumerate(staging):
+        for d in glob.glob(os.path.join(root, f"{PID_COL}=*")):
+            pid = int(d.rsplit("=", 1)[1])
+            assert pid % 3 == i, f"pid {pid} must round-robin to stage{pid % 3}"
+            seen_pids.add(pid)
+    assert seen_pids == {m[PID_COL] for m in res.manifest}
+    for m in res.manifest:
+        assert m["staging_dir"] == staging[m[PID_COL] % 3]
+    # no temp root left behind
+    assert not glob.glob(str(tmp_path / "*__kpf_staging_tmp__*"))
+
+    populated = [root for root in staging if glob.glob(os.path.join(root, "*"))]
+    assert len(populated) >= 2, "expected pids spread over multiple roots"
+    total = sum(spark.read.parquet(root).count() for root in populated)
+    assert total == orders.count()
+
+
+def test_journal_counters(spark, orders, tmp_path):
+    """PerfCounterJournal analogue: plans feed named counters; the journal
+    drains, sums by name, and reports in the reference's format."""
+    from kusto_pre_forge_spark.journal import PerfJournal
+
+    lines_out = []
+    j = PerfJournal(delay_seconds=0.05, sink=lines_out.append)
+    res = run_prepartition(orders, POLICY, str(tmp_path / "ppj"), perf_journal=j)
+    assert res.journal["PrePartition.RecordCount"] == orders.count()
+    assert res.journal["PrePartition.PartitionCount"] == len(res.manifest)
+    assert j.snapshot() == res.journal
+
+    j.report_counters()
+    assert any(line.startswith("PrePartition.RecordCount:  ") for line in lines_out)
+    # report drains: a second report with no new readings prints nothing
+    n = len(lines_out)
+    j.report_counters()
+    assert len(lines_out) == n
+
+    # background loop picks up later readings
+    j.start_reporting()
+    j.add_reading("Test.Counter", 41)
+    j.add_reading("Test.Counter", 1)
+    import time
+
+    time.sleep(0.3)
+    j.stop_reporting()
+    assert "Test.Counter:  42" in lines_out
+    assert j.snapshot()["Test.Counter"] == 42
