@@ -28,7 +28,27 @@ TABLE_NAMES = [
 ]
 
 
+def _driver_proof(spark: SparkSession) -> None:
+    """Set the runtime-settable confs every query depends on.
+
+    The driver harness builds its own plain SparkSession, so nothing from
+    session.get_session can be assumed. Everything here is runtime-settable
+    and idempotent: UTC session timezone (timestamp→string / bin must match
+    the DuckDB oracle, which is TZ-naive), and Arrow for the pandas-UDF
+    operators (perf only, but 10-100× on those paths).
+    """
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _driver_proof(spark)
     if name == "events":
         # events.ts is TIMESTAMP(NANOS); the vectorized reader rejects it
         # unless nanosAsLong is set. The conf is runtime-settable, so set it
