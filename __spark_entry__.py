@@ -880,8 +880,364 @@ def _q_events_hourly(spark, sf):
 
 
 # --------------------------------------------------------------------------
+# round-2 KQL surface: positional/conditional aggregates, scalar suite 2,
+# arrays, narrow, deterministic sample, scan, serialized-row functions,
+# series analytics, partition/facet/externaldata
+# --------------------------------------------------------------------------
+
+
+def _q_kql_argmax(spark, sf):
+    """KQL arg_max/arg_min — single-aggregate max_by/min_by keyed by a
+    (value, event_id) struct so ties stay deterministic."""
+    e = load_table(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        kql.arg_max(F.struct("value", "event_id"), "user_id").alias("argmax_user"),
+        kql.arg_min(F.struct("value", "event_id"), "user_id").alias("argmin_user"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+    )
+
+
+def _q_kql_condagg(spark, sf):
+    """KQL avgif/minif/maxif/dcountif/stdev/variance — one aggregation pass;
+    variance from decimal moment sums so both engines agree bit-exactly."""
+    li = load_table(spark, sf, "lineitem")
+    hi = F.col("l_quantity") > 25
+    lo = F.col("l_quantity") < 10
+    x = F.col("l_extendedprice").cast("decimal(18,4)")
+    agg = li.groupBy("l_returnflag").agg(
+        (F.sum(F.when(hi, x)).cast("double") / kql.countif(hi)).alias("avg_hi"),
+        kql.minif("l_extendedprice", lo).alias("min_lo"),
+        kql.maxif("l_extendedprice", hi).alias("max_hi"),
+        kql.dcountif("l_suppkey", hi, exact=True).alias("dc_supp_hi"),
+        F.sum(x).cast("double").alias("_sx"),
+        F.sum(x * x).cast("double").alias("_sxx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n = F.col("n").cast("double")
+    var = (F.col("_sxx") - F.col("_sx") * F.col("_sx") / n) / (n - 1)
+    return agg.select(
+        "l_returnflag", "avg_hi", "min_lo", "max_hi", "dc_supp_hi", "n",
+        var.alias("var_price"), F.sqrt(var).alias("stdev_price"),
+    )
+
+
+def _q_kql_scalar_suite2(spark, sf):
+    """Scalar batch 2: bin_at, datetime parts/format, start/end-of periods,
+    indexof/countof/reverse/trim, base64, sha256, tohex — all codegen."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 200)
+    return e.select(
+        "event_id",
+        kql.bin_at("ts", "1 hour", "1970-01-01 00:30:00").alias("bin30"),
+        kql.datetime_part("hour", "ts").alias("hr"),
+        kql.dayofweek_num("ts").alias("dow"),
+        kql.format_datetime("ts", "yyyy-MM-dd HH:mm").alias("fmt"),
+        kql.startofweek("ts").alias("sow"),
+        kql.endofmonth("ts").alias("eom"),
+        kql.indexof("event_type", "e").alias("idx_e"),
+        kql.countof("props", '"').alias("n_quotes"),
+        kql.reverse_str("event_type").alias("rev"),
+        kql.trim_kql("[aeiou]", "event_type").alias("trimmed"),
+        kql.base64_encode_tostring("event_type").alias("b64"),
+        kql.hash_sha256("event_type").alias("sha"),
+        kql.tohex("event_id").alias("hx"),
+    )
+
+
+def _q_kql_array_suite(spark, sf):
+    """Array/dynamic scalar batch: slice, index_of, sort, set ops, sum —
+    higher-order functions over the doc's own token array (no shuffle)."""
+    d = load_table(spark, sf, "documents").where(F.col("doc_id") < 25)
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    ref = F.array(F.lit("data"), F.lit("value"), F.lit("table"))
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.array_join(F.slice(words, 1, 3), " ").alias("first3"),
+        kql.array_index_of(words, "value").alias("idx_value"),
+        F.array_join(F.slice(kql.array_sort_asc(words), 1, 3), " ").alias("sorted3"),
+        F.array_join(kql.set_intersect_arr(words, ref), " ").alias("common"),
+        kql.array_sum(
+            F.sequence(F.lit(1), (F.size(words) % 10) + 1)
+        ).alias("seq_sum"),
+    )
+
+
+def _q_kql_narrow(spark, sf):
+    """KQL evaluate narrow() — unpivot a per-type aggregate to (Column,
+    Value) string rows; values pre-cast to decimal so both engines print
+    identical fixed-point strings."""
+    e = load_table(spark, sf, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("value"))).alias("sum_value"),
+    )
+    return kql.narrow(agg, ids=["event_type"], value_cols=["n", "sum_value"])
+
+
+def _q_kql_sample(spark, sf):
+    """Deterministic hash-threshold sample (reproducible 'sample 10%')."""
+    li = load_table(spark, sf, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    return kql.sample_deterministic(li, key, 0.1).select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+def _q_kql_scan(spark, sf):
+    """KQL scan (accumulate profile): per-user running value sum restarting
+    at each 'purchase' — segment-id windows, no Python state."""
+    e = load_table(spark, sf, "events").withColumn("vdec", _dec(F.col("value")))
+    out = kql.scan_accumulate(
+        e,
+        by=["user_id"],
+        order=["ts", "event_id"],
+        value="vdec",
+        restart=F.col("event_type") == "purchase",
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.col("scan_sum").cast("double").alias("scan_sum"),
+        F.col("scan_step").cast("long").alias("scan_step"),
+        F.col("scan_match_id").cast("long").alias("scan_match_id"),
+    )
+
+
+def _q_kql_rownumber(spark, sf):
+    """serialize + row_number + prev/next + row_cumsum in ONE window
+    partitioning (per user) — three logical KQL functions, one shuffle."""
+    e = load_table(spark, sf, "events").withColumn("vdec", _dec(F.col("value")))
+    out = kql.serialize_rows(e, order=["ts", "event_id"], by=["user_id"], row_name="rn")
+    out = kql.prev_next(out, "value", order=["ts", "event_id"], by=["user_id"])
+    out = kql.row_cumsum(out, "vdec", order=["ts", "event_id"], by=["user_id"])
+    return out.select(
+        "user_id", "event_id",
+        F.col("rn").cast("long").alias("rn"),
+        F.coalesce("prev_value", F.lit(-1.0)).alias("prev_value"),
+        F.coalesce("next_value", F.lit(-1.0)).alias("next_value"),
+        F.col("cumsum").cast("double").alias("cum_value"),
+    )
+
+
+def _series_daily(spark, sf):
+    """Shared base: dense daily sum(value) series per event_type."""
+    e = load_table(spark, sf, "events").withColumn("vdec", _dec(F.col("value")))
+    return kql.make_series(
+        e, on="ts", step="day", by=["event_type"],
+        agg=F.sum("vdec").cast("double"), default=0.0,
+    )
+
+
+def _q_kql_series_stats(spark, sf):
+    """series_stats over packed make-series arrays — one HOF pass."""
+    s = kql.series_stats(_series_daily(spark, sf), "series_value")
+    return s.select(
+        "event_type",
+        "series_min", "series_max", "series_min_idx", "series_max_idx",
+        F.round("series_avg", 3).alias("series_avg"),
+        F.round("series_stdev", 3).alias("series_stdev"),
+        F.round("series_sum", 3).alias("series_sum"),
+    )
+
+
+def _q_kql_series_mavg(spark, sf):
+    """series_moving_avg (trailing window 3) — transform+slice+aggregate
+    HOFs; exploded for the value-hash."""
+    s = _series_daily(spark, sf)
+    s = s.withColumn("mavg", kql.series_moving_avg("series_value", 3))
+    out = s.select(
+        "event_type",
+        F.posexplode(F.arrays_zip("series_ts", "series_value", "mavg")).alias(
+            "idx", "z"
+        ),
+    )
+    return out.select(
+        "event_type",
+        F.col("idx").cast("long").alias("idx"),
+        F.col("z.series_ts").alias("day"),
+        F.round(F.col("z.mavg"), 6).alias("mavg"),
+    )
+
+
+def _q_kql_series_corr(spark, sf):
+    """series_pearson_correlation between the hourly count series of two
+    event types (aligned dense axes, zip_with moment sums)."""
+    e = load_table(spark, sf, "events")
+    s = kql.make_series(
+        e.where(F.col("event_type").isin("click", "view")),
+        on="ts", step="hour", by=["event_type"],
+        agg=F.count(F.lit(1)).cast("double"), default=0.0,
+    )
+    a = s.where(F.col("event_type") == "click").select(
+        F.col("series_value").alias("va")
+    )
+    b = s.where(F.col("event_type") == "view").select(
+        F.col("series_value").alias("vb")
+    )
+    pair = a.crossJoin(b)
+    return pair.select(
+        F.round(kql.series_pearson_correlation("va", "vb"), 6).alias("corr_click_view")
+    )
+
+
+def _q_kql_hll_merge(spark, sf):
+    """hll / hll_merge / dcount_hll — mergeable sketch rollup (no SQL
+    oracle: Datasketches HLL internals aren't replayable in DuckDB; the
+    driver records the rows-only check)."""
+    e = load_table(spark, sf, "events")
+    per_type = e.groupBy("event_type").agg(kql.hll("user_id").alias("sketch"))
+    return per_type.agg(
+        kql.dcount_hll(kql.hll_merge("sketch")).alias("est_users")
+    )
+
+
+def _q_kql_partition_apply(spark, sf):
+    """KQL partition by lang (top 2 by n_chars) — applyInPandas escape
+    hatch, Arrow-batched per-key subquery."""
+    d = load_table(spark, sf, "documents").select("lang", "doc_id", "n_chars")
+
+    def top2(pdf):
+        return pdf.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).head(2)
+
+    return kql.partition_apply(
+        d, "lang", top2, "lang string, doc_id long, n_chars long"
+    )
+
+
+def _q_kql_facet(spark, sf):
+    """KQL facet by lang, source — one value-count table per column,
+    surfaced as a single (facet, value, count_) union for the gate."""
+    d = load_table(spark, sf, "documents")
+    facets = kql.facet_by(d, "lang", "source")
+    parts = [
+        df.select(F.lit(name).alias("facet"), F.col(name).alias("value"), "count_")
+        for name, df in facets.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _q_kql_externaldata(spark, sf):
+    """KQL externaldata — schema'd ad-hoc read of a non-catalog file."""
+    import csv
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "kpf-externaldata.csv")
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        for i in range(10):
+            w.writerow([i, f"name-{i}", i * 1.5])
+    return kql.externaldata(
+        spark, "id long, name string, score double", path
+    )
+
+
+# --------------------------------------------------------------------------
+# round-2 corpus-prep surface (operators/textprep.py)
+# --------------------------------------------------------------------------
+
+
+def _q_text_repetition(spark, sf):
+    """Gopher-style repetition quality signals per document."""
+    from kusto_pre_forge_spark.operators import textprep
+
+    d = load_table(spark, sf, "documents")
+    out = textprep.repetition_features(d)
+    return out.select(
+        "doc_id", "n_words",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
+def _q_text_pii_scrub(spark, sf):
+    """PII scrub over the events props payload (digit runs ≥ 2)."""
+    from kusto_pre_forge_spark.operators import textprep
+
+    e = load_table(spark, sf, "events")
+    out = textprep.pii_scrub(e, "props", "event_id", digit_re=r"\d{2,}")
+    return out.select(
+        "event_id", "n_emails", "n_digit_runs",
+        F.md5("scrubbed").alias("scrub_md5"),
+    )
+
+
+def _q_doc_chunks(spark, sf):
+    """Fixed-size (40-word) chunking — map-only generate, tokenizer-ready."""
+    from kusto_pre_forge_spark.operators import textprep
+
+    d = load_table(spark, sf, "documents")
+    return textprep.chunk_documents(d, chunk_words=40)
+
+
+def _q_corpus_ngrams(spark, sf):
+    """Corpus-wide top-20 bigrams (word-count shape, TakeOrdered top-k)."""
+    from kusto_pre_forge_spark.operators import textprep
+
+    d = load_table(spark, sf, "documents")
+    return textprep.corpus_ngram_topk(d, n=2, k=20)
+
+
+
+
+def _q_kql_predicates(spark, sf):
+    """KQL where-clause predicate suite: has_any/has_all, startswith,
+    endswith, matches regex, in~, between — all codegen'd booleans."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        kql.has_any("text", "data", "vector").alias("p_hasany"),
+        kql.has_all("text", "data", "table").alias("p_hasall"),
+        kql.startswith("source", "w").alias("p_sw"),
+        kql.endswith("source", "b").alias("p_ew"),
+        kql.matches_regex("lang", "^e").alias("p_rx"),
+        kql.in_ci("lang", "EN", "DE").alias("p_in"),
+        kql.between("n_chars", 100, 300).alias("p_btw"),
+    )
+
+
+def _q_kql_union_withsource(spark, sf):
+    """KQL union withsource= — heterogeneous union tagged with the
+    originating table name (zero-shuffle narrow concat)."""
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_name").alias("name"), F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    s = load_table(spark, sf, "supplier").select(
+        F.col("s_name").alias("name"), F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    return kql.union_withsource({"customer": c, "supplier": s})
+
+
+def _q_ann_recall(spark, sf):
+    """Measure-don't-guess: recall@10 of the LSH ANN path against the exact
+    brute-force ranking, per query vector. Both sides are deterministic, so
+    even the QUALITY metric is oracle-checkable — the eval harness a 100 TB
+    embedding pipeline runs before trading exactness for speed."""
+    from kusto_pre_forge_spark.operators import similarity
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    lsh = similarity.cosine_topk_lsh(emb, q, k=10, bits=4, probe_hamming=2).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(lsh, ["query_id", "neighbor_id"], "left_semi")
+    per_q = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return base.join(per_q, "query_id", "left").select(
+        "query_id",
+        (F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias("recall_at_10"),
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -956,6 +1312,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_series_outliers": _q_kql_series_outliers,
         "pipeline_docs_clean": _q_pipeline_docs_clean,
         "kql_bag_unpack": _q_kql_bag_unpack,
+        # round-2 KQL surface
+        "kql_argmax": _q_kql_argmax,
+        "kql_condagg": _q_kql_condagg,
+        "kql_scalar_suite2": _q_kql_scalar_suite2,
+        "kql_array_suite": _q_kql_array_suite,
+        "kql_narrow": _q_kql_narrow,
+        "kql_sample": _q_kql_sample,
+        "kql_scan": _q_kql_scan,
+        "kql_rownumber": _q_kql_rownumber,
+        "kql_series_stats": _q_kql_series_stats,
+        "kql_series_mavg": _q_kql_series_mavg,
+        "kql_series_corr": _q_kql_series_corr,
+        "kql_hll_merge": _q_kql_hll_merge,
+        "kql_partition_apply": _q_kql_partition_apply,
+        "kql_facet": _q_kql_facet,
+        "kql_externaldata": _q_kql_externaldata,
+        # round-2 corpus-prep surface
+        "text_repetition": _q_text_repetition,
+        "text_pii_scrub": _q_text_pii_scrub,
+        "doc_chunks": _q_doc_chunks,
+        "corpus_ngrams": _q_corpus_ngrams,
+        "kql_predicates": _q_kql_predicates,
+        "kql_union_withsource": _q_kql_union_withsource,
+        "ann_recall": _q_ann_recall,
     }
 
 
@@ -1563,5 +1943,241 @@ def oracle_sql() -> dict[str, str]:
             )
             + ") SELECT band, CAST(count(*) AS BIGINT) AS n FROM lineitem "
             "JOIN bands ON l_quantity BETWEEN lo AND hi GROUP BY band"
+        ),
+        # ---- round-2 KQL surface ----
+        "kql_argmax": (
+            "WITH r AS (SELECT event_type, user_id, value, event_id, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY value DESC, event_id DESC) AS rmax, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY value ASC, event_id ASC) AS rmin FROM events) "
+            "SELECT event_type, "
+            "max(CASE WHEN rmax = 1 THEN user_id END) AS argmax_user, "
+            "max(CASE WHEN rmin = 1 THEN user_id END) AS argmin_user, "
+            "max(value) AS max_value, min(value) AS min_value "
+            "FROM r GROUP BY event_type"
+        ),
+        "kql_condagg": (
+            "WITH a AS (SELECT l_returnflag, "
+            "CAST(sum(CASE WHEN l_quantity > 25 THEN CAST(l_extendedprice AS DECIMAL(10,4)) END) AS DOUBLE) "
+            "/ count(CASE WHEN l_quantity > 25 THEN 1 END) AS avg_hi, "
+            "min(CASE WHEN l_quantity < 10 THEN l_extendedprice END) AS min_lo, "
+            "max(CASE WHEN l_quantity > 25 THEN l_extendedprice END) AS max_hi, "
+            "CAST(count(DISTINCT CASE WHEN l_quantity > 25 THEN l_suppkey END) AS BIGINT) AS dc_supp_hi, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(10,4))) AS DOUBLE) AS sx, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxx, "
+            "CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag) "
+            "SELECT l_returnflag, avg_hi, min_lo, max_hi, dc_supp_hi, n, "
+            "(sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_price, "
+            "sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS stdev_price "
+            "FROM a"
+        ),
+        "kql_scalar_suite2": (
+            "SELECT event_id, "
+            "CAST(to_timestamp(1800 + floor((epoch(CAST(ts AS TIMESTAMP)) - 1800) / 3600) * 3600) AS TIMESTAMP) AS bin30, "
+            "CAST(date_part('hour', ts) AS INTEGER) AS hr, "
+            "CAST(dayofweek(ts) AS INTEGER) AS dow, "
+            "strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M') AS fmt, "
+            "date_trunc('day', CAST(ts AS TIMESTAMP)) - to_days(CAST(dayofweek(ts) AS INTEGER)) AS sow, "
+            "date_trunc('month', CAST(ts AS TIMESTAMP)) + INTERVAL 1 MONTH - INTERVAL 1 MICROSECOND AS eom, "
+            "CAST(strpos(event_type, 'e') - 1 AS BIGINT) AS idx_e, "
+            "CAST((length(props) - length(replace(props, '\"', ''))) AS BIGINT) AS n_quotes, "
+            "reverse(event_type) AS rev, "
+            "regexp_replace(event_type, '^(?:[aeiou])+|(?:[aeiou])+$', '', 'g') AS trimmed, "
+            "base64(encode(event_type)) AS b64, "
+            "sha256(event_type) AS sha, "
+            "lower(hex(event_id)) AS hx "
+            "FROM events WHERE event_id < 200"
+        ),
+        "kql_array_suite": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS w "
+            "FROM documents WHERE doc_id < 25) "
+            "SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, "
+            "array_to_string(list_slice(w, 1, 3), ' ') AS first3, "
+            "CAST(coalesce(list_position(w, 'value'), 0) - 1 AS BIGINT) AS idx_value, "
+            "array_to_string(list_slice(list_sort(w), 1, 3), ' ') AS sorted3, "
+            "coalesce(array_to_string(list_sort(list_intersect(w, ['data','value','table'])), ' '), '') AS common, "
+            "CAST(list_sum(range(1, (len(w) % 10) + 2)) AS DOUBLE) AS seq_sum "
+            "FROM t"
+        ),
+        "kql_narrow": (
+            "WITH a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "sum(CAST(value AS DECIMAL(20,4))) AS sum_value FROM events GROUP BY 1) "
+            "SELECT event_type, 'n' AS \"Column\", CAST(n AS VARCHAR) AS \"Value\" FROM a "
+            "UNION ALL "
+            "SELECT event_type, 'sum_value', CAST(sum_value AS VARCHAR) FROM a"
+        ),
+        "kql_sample": (
+            "SELECT l_orderkey, l_linenumber FROM lineitem "
+            "WHERE CAST(concat('0x', substr(md5(concat('kpf', '|', l_orderkey, '-', l_linenumber)), 1, 8)) AS BIGINT) "
+            f"< {int(0.1 * 0xFFFFFFFF)}"
+        ),
+        "kql_scan": (
+            "WITH seg AS (SELECT user_id, event_id, ts, "
+            "CAST(value AS DECIMAL(20,4)) AS vdec, "
+            "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM events) "
+            "SELECT user_id, event_id, "
+            "CAST(sum(vdec) OVER (PARTITION BY user_id, s ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS scan_sum, "
+            "CAST(row_number() OVER (PARTITION BY user_id, s ORDER BY ts, event_id) AS BIGINT) AS scan_step, "
+            "CAST(s AS BIGINT) AS scan_match_id "
+            "FROM seg"
+        ),
+        "kql_rownumber": (
+            "SELECT user_id, event_id, "
+            "CAST(row_number() OVER w AS BIGINT) AS rn, "
+            "coalesce(lag(value) OVER w, -1.0) AS prev_value, "
+            "coalesce(lead(value) OVER w, -1.0) AS next_value, "
+            "CAST(sum(CAST(value AS DECIMAL(20,4))) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "kql_series_stats": (
+            "WITH bounds AS (SELECT min(date_trunc('day', CAST(ts AS TIMESTAMP))) lo, "
+            "max(date_trunc('day', CAST(ts AS TIMESTAMP))) hi FROM events), "
+            "axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds), "
+            "keys AS (SELECT DISTINCT event_type FROM events), "
+            "binned AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, "
+            "CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS v FROM events GROUP BY 1, 2), "
+            "dense AS (SELECT k.event_type, a.d, "
+            "row_number() OVER (PARTITION BY k.event_type ORDER BY a.d) - 1 AS idx, "
+            "coalesce(b.v, 0.0) AS v "
+            "FROM keys k CROSS JOIN axis a "
+            "LEFT JOIN binned b ON b.event_type = k.event_type AND b.d = a.d), "
+            "dense2 AS (SELECT *, min(v) OVER (PARTITION BY event_type) AS mn, "
+            "max(v) OVER (PARTITION BY event_type) AS mx FROM dense) "
+            "SELECT event_type, min(v) AS series_min, max(v) AS series_max, "
+            "CAST(min(CASE WHEN v = mn THEN idx END) AS BIGINT) AS series_min_idx, "
+            "CAST(min(CASE WHEN v = mx THEN idx END) AS BIGINT) AS series_max_idx, "
+            "round(avg(v), 3) AS series_avg, round(stddev_samp(v), 3) AS series_stdev, "
+            "round(sum(v), 3) AS series_sum "
+            "FROM dense2 GROUP BY event_type"
+        ),
+        "kql_series_mavg": (
+            "WITH bounds AS (SELECT min(date_trunc('day', CAST(ts AS TIMESTAMP))) lo, "
+            "max(date_trunc('day', CAST(ts AS TIMESTAMP))) hi FROM events), "
+            "axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds), "
+            "keys AS (SELECT DISTINCT event_type FROM events), "
+            "binned AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, "
+            "CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS v FROM events GROUP BY 1, 2), "
+            "dense AS (SELECT k.event_type, a.d, "
+            "row_number() OVER (PARTITION BY k.event_type ORDER BY a.d) - 1 AS idx, "
+            "coalesce(b.v, 0.0) AS v "
+            "FROM keys k CROSS JOIN axis a "
+            "LEFT JOIN binned b ON b.event_type = k.event_type AND b.d = a.d) "
+            "SELECT event_type, CAST(idx AS BIGINT) AS idx, d AS day, "
+            "round(avg(v) OVER (PARTITION BY event_type ORDER BY idx "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg "
+            "FROM dense"
+        ),
+        "kql_series_corr": (
+            "WITH bounds AS (SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) lo, "
+            "max(date_trunc('hour', CAST(ts AS TIMESTAMP))) hi FROM events "
+            "WHERE event_type IN ('click', 'view')), "
+            "axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds), "
+            "binned AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, "
+            "CAST(count(*) AS DOUBLE) AS v FROM events "
+            "WHERE event_type IN ('click', 'view') GROUP BY 1, 2), "
+            "dense AS (SELECT t.event_type, a.h, coalesce(b.v, 0.0) AS v "
+            "FROM (VALUES ('click'), ('view')) t(event_type) CROSS JOIN axis a "
+            "LEFT JOIN binned b ON b.event_type = t.event_type AND b.h = a.h) "
+            "SELECT round(corr(c.v, w.v), 6) AS corr_click_view "
+            "FROM dense c JOIN dense w ON c.h = w.h "
+            "AND c.event_type = 'click' AND w.event_type = 'view'"
+        ),
+        "kql_partition_apply": (
+            "SELECT lang, doc_id, n_chars FROM ("
+            "SELECT lang, doc_id, n_chars, row_number() OVER "
+            "(PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn "
+            "FROM documents) WHERE rn <= 2"
+        ),
+        "kql_facet": (
+            "SELECT 'lang' AS facet, lang AS value, CAST(count(*) AS BIGINT) AS count_ "
+            "FROM documents GROUP BY lang "
+            "UNION ALL "
+            "SELECT 'source', source, CAST(count(*) AS BIGINT) FROM documents GROUP BY source"
+        ),
+        "kql_externaldata": (
+            "SELECT CAST(i AS BIGINT) AS id, 'name-' || i AS name, "
+            "CAST(i * 1.5 AS DOUBLE) AS score FROM range(10) t(i)"
+        ),
+        # ---- round-2 corpus-prep surface ----
+        "text_repetition": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS w "
+            "FROM documents), "
+            "base AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS n_words, "
+            "CASE WHEN len(w) = 0 THEN 0.0 ELSE "
+            "1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END AS dup_word_frac "
+            "FROM t), "
+            "u AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS ord FROM t), "
+            "bg AS (SELECT doc_id, word || ' ' || lead(word) OVER "
+            "(PARTITION BY doc_id ORDER BY ord) AS b FROM u), "
+            "cnt AS (SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY 1, 2), "
+            "stats AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS f FROM cnt GROUP BY 1) "
+            "SELECT base.doc_id, base.n_words, round(base.dup_word_frac, 6) AS dup_word_frac, "
+            "round(coalesce(stats.f, 0.0), 6) AS top_bigram_frac "
+            "FROM base LEFT JOIN stats ON base.doc_id = stats.doc_id"
+        ),
+        "text_pii_scrub": (
+            "SELECT event_id, "
+            "CAST(len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, "
+            "CAST(len(regexp_extract_all(props, '\\d{2,}')) AS BIGINT) AS n_digit_runs, "
+            "md5(regexp_replace(regexp_replace(props, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\d{2,}', '<NUM>', 'g')) AS scrub_md5 "
+            "FROM events"
+        ),
+        "doc_chunks": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS w "
+            "FROM documents), "
+            "n AS (SELECT doc_id, w, len(w) AS nw FROM t), "
+            "c AS (SELECT doc_id, w, nw, "
+            "unnest(range(0, CAST(greatest(ceil(nw / 40.0), 1) AS BIGINT))) AS chunk_id FROM n) "
+            "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+            "array_to_string(list_slice(w, chunk_id * 40 + 1, least((chunk_id + 1) * 40, nw)), ' ') AS chunk_text, "
+            "CAST(len(list_slice(w, chunk_id * 40 + 1, least((chunk_id + 1) * 40, nw))) AS BIGINT) AS chunk_words "
+            "FROM c"
+        ),
+        "kql_predicates": (
+            "SELECT doc_id, "
+            "(regexp_matches(text, '(?i)(^|[^a-zA-Z0-9])data($|[^a-zA-Z0-9])') OR regexp_matches(text, '(?i)(^|[^a-zA-Z0-9])vector($|[^a-zA-Z0-9])')) AS p_hasany, "
+            "(regexp_matches(text, '(?i)(^|[^a-zA-Z0-9])data($|[^a-zA-Z0-9])') AND regexp_matches(text, '(?i)(^|[^a-zA-Z0-9])table($|[^a-zA-Z0-9])')) AS p_hasall, "
+            "starts_with(lower(source), 'w') AS p_sw, "
+            "lower(source) LIKE '%b' AS p_ew, "
+            "regexp_matches(lang, '^e') AS p_rx, "
+            "lower(lang) IN ('en', 'de') AS p_in, "
+            "n_chars BETWEEN 100 AND 300 AS p_btw "
+            "FROM documents"
+        ),
+        "kql_union_withsource": (
+            "SELECT c_name AS name, CAST(c_nationkey AS INTEGER) AS nationkey, "
+            "'customer' AS source_ FROM customer "
+            "UNION ALL SELECT s_name, CAST(s_nationkey AS INTEGER), 'supplier' FROM supplier"
+        ),
+        "ann_recall": (
+            f"WITH exact_r AS ({topk_rank}), lsh_r AS ({lsh_rank}), "
+            "hits AS (SELECT e.query_id, count(*) AS n_hit FROM exact_r e "
+            "JOIN lsh_r l ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id "
+            "GROUP BY 1), "
+            "base AS (SELECT query_id, count(*) AS n_exact FROM exact_r GROUP BY 1) "
+            "SELECT b.query_id, CAST(coalesce(h.n_hit, 0) AS DOUBLE) / b.n_exact AS recall_at_10 "
+            "FROM base b LEFT JOIN hits h ON b.query_id = h.query_id"
+        ),
+        "corpus_ngrams": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS w "
+            "FROM documents), "
+            "u AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS ord FROM t), "
+            "bg AS (SELECT word || ' ' || lead(word) OVER "
+            "(PARTITION BY doc_id ORDER BY ord) AS ngram FROM u) "
+            "SELECT ngram, CAST(count(*) AS BIGINT) AS ngram_count FROM bg "
+            "WHERE ngram IS NOT NULL GROUP BY ngram "
+            "ORDER BY ngram_count DESC, ngram LIMIT 20"
         ),
     }

@@ -43,13 +43,17 @@ HEADLINE = [
     "events_windowed",
     "text_tokens",
     "text_fingerprint",
+    "kql_scan",
+    "doc_chunks",
+    "text_repetition",
+    "corpus_ngrams",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection
 # entirely (it row-counts the parquet footer instead of running the
 # operator — the BASELINE.md trap). Force full materialization with a
 # row-count + xxhash64 checksum over every output column instead.
-CHECKSUM_ACTION = {"text_tokens", "text_fingerprint"}
+CHECKSUM_ACTION = {"text_tokens", "text_fingerprint", "kql_scan", "doc_chunks"}
 
 
 def sf_from_dir(path: str) -> float:

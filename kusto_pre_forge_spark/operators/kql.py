@@ -749,3 +749,609 @@ def bag_unpack(
     return df.select(
         *others, F.from_json(F.col(col), schema).alias("_bag")
     ).select(*others, "_bag.*")
+
+
+# --------------------------------------------------------------------------
+# round-2 surface: conditional/positional aggregates, scan, narrow, sample,
+# partition, serialized-row functions, array/bag scalars, series analytics.
+# All stay declarative (window/groupBy/higher-order functions) — no Python
+# row loops; the one applyInPandas entry point (partition_apply) is the
+# documented escape hatch for arbitrary per-key subqueries, mirroring KQL's
+# ``partition`` operator contract.
+# --------------------------------------------------------------------------
+
+
+def arg_max(by: Column | str, payload: Column | str) -> Column:
+    """KQL ``arg_max(ExprToMaximize, PayloadExpr)`` — the payload value on
+    the row where ``by`` is maximal. Spark's native ``max_by`` — a single
+    map-side-combinable aggregate, no join-back or window needed (the
+    classic two-pass formulation shuffles twice; this shuffles once)."""
+    return F.max_by(_c(payload), _c(by))
+
+
+def arg_min(by: Column | str, payload: Column | str) -> Column:
+    """KQL ``arg_min`` — see :func:`arg_max`."""
+    return F.min_by(_c(payload), _c(by))
+
+
+def avgif(col: Column | str, cond: Column) -> Column:
+    """KQL ``avgif(col, predicate)`` aggregate."""
+    return F.avg(F.when(cond, _c(col)))
+
+
+def minif(col: Column | str, cond: Column) -> Column:
+    """KQL ``minif(col, predicate)`` aggregate."""
+    return F.min(F.when(cond, _c(col)))
+
+
+def maxif(col: Column | str, cond: Column) -> Column:
+    """KQL ``maxif(col, predicate)`` aggregate."""
+    return F.max(F.when(cond, _c(col)))
+
+
+def dcountif(col: Column | str, cond: Column, exact: bool = False) -> Column:
+    """KQL ``dcountif(col, predicate)`` — conditional distinct count;
+    approximate (HLL++) by default like :func:`dcount`."""
+    guarded = F.when(cond, _c(col))
+    return F.count_distinct(guarded) if exact else F.approx_count_distinct(guarded)
+
+
+def stdev(col: Column | str) -> Column:
+    """KQL ``stdev`` — sample standard deviation (Kusto's default)."""
+    return F.stddev_samp(_c(col))
+
+
+def variance(col: Column | str) -> Column:
+    """KQL ``variance`` — sample variance."""
+    return F.var_samp(_c(col))
+
+
+def hll(col: Column | str, precision: int = 12) -> Column:
+    """KQL ``hll(col)`` — a mergeable HyperLogLog sketch as a binary column
+    (Spark's Datasketches-backed ``hll_sketch_agg``). The 100 TB pattern:
+    sketch per fine-grained partition, :func:`hll_merge` to roll up, never
+    re-scan raw data for coarser distinct counts."""
+    return F.hll_sketch_agg(_c(col), F.lit(precision))
+
+
+def hll_merge(col: Column | str) -> Column:
+    """KQL ``hll_merge`` — union HLL sketches (one aggregation)."""
+    return F.hll_union_agg(_c(col))
+
+
+def dcount_hll(col: Column | str) -> Column:
+    """KQL ``dcount_hll(sketch)`` — estimate cardinality from a sketch."""
+    return F.hll_sketch_estimate(_c(col))
+
+
+def bin_at(col: Column | str, interval: str, fixed_point: str) -> Column:
+    """KQL ``bin_at(value, binSize, fixedPoint)`` — bins aligned to an
+    arbitrary anchor rather than the epoch. Pure timestamp arithmetic:
+    anchor + floor((x - anchor) / size) * size, all codegen."""
+    c = _c(col)
+    anchor = F.lit(fixed_point).cast("timestamp")
+    size_us = F.expr(f"INTERVAL {interval}")
+    delta = c.cast("double") - anchor.cast("double")
+    # interval length in seconds, computed as (epoch + interval) - epoch —
+    # Spark has no extract(epoch FROM interval). Fixed-width intervals only
+    # (day/hour/minute); month-sized bins aren't fixed-width anyway.
+    width = F.expr(f"cast(timestamp_seconds(0) + INTERVAL {interval} as double)")
+    return F.timestamp_seconds(
+        anchor.cast("double") + F.floor(delta / width) * width
+    )
+
+
+def datetime_part(part: str, col: Column | str) -> Column:
+    """KQL ``datetime_part(part, ts)`` — year/month/day/hour/minute/..."""
+    return F.date_part(F.lit(part), _c(col)).cast("int")
+
+
+def format_datetime(col: Column | str, fmt: str) -> Column:
+    """KQL ``format_datetime(ts, 'yyyy-MM-dd HH:mm:ss')`` — Spark's
+    ``date_format`` shares the yyyy/MM/dd pattern alphabet with Kusto."""
+    return F.date_format(_c(col), fmt)
+
+
+def dayofweek_num(col: Column | str) -> Column:
+    """KQL ``dayofweek`` returns a timespan of whole days since Sunday;
+    exposed here as that integer day count (0=Sunday..6=Saturday)."""
+    return (F.dayofweek(_c(col)) - 1).cast("int")
+
+
+def startofweek(col: Column | str) -> Column:
+    """KQL ``startofweek`` — Kusto weeks start SUNDAY; date_trunc('week')
+    is ISO-Monday, so truncate the day first, then step back to Sunday."""
+    d = F.date_trunc("day", _c(col))
+    return F.to_timestamp(F.date_sub(d, (F.dayofweek(d) - 1)))
+
+
+def startofmonth(col: Column | str) -> Column:
+    """KQL ``startofmonth``."""
+    return F.date_trunc("month", _c(col))
+
+
+def endofmonth(col: Column | str) -> Column:
+    """KQL ``endofmonth`` — last instant of the month."""
+    return (
+        F.date_trunc("month", _c(col))
+        + F.expr("INTERVAL 1 MONTH")
+        - F.expr("INTERVAL 1 MICROSECOND")
+    )
+
+
+def indexof(col: Column | str, lookup: str) -> Column:
+    """KQL ``indexof(s, lookup)`` — 0-based, -1 if absent (instr is
+    1-based with 0-absent, so shift by one)."""
+    return (F.instr(_c(col), lookup) - 1).cast("long")
+
+
+def countof(col: Column | str, search: str) -> Column:
+    """KQL ``countof(text, search)`` — non-overlapping occurrence count via
+    length arithmetic (no regex engine in the hot path)."""
+    c = _c(col)
+    return (
+        (F.length(c) - F.length(F.replace(c, F.lit(search), F.lit(""))))
+        / F.lit(len(search))
+    ).cast("long")
+
+
+def reverse_str(col: Column | str) -> Column:
+    """KQL ``reverse``."""
+    return F.reverse(_c(col))
+
+
+def trim_kql(regex: str, col: Column | str) -> Column:
+    """KQL ``trim(regex, text)`` — strips the LEADING and TRAILING match of
+    ``regex`` (KQL anchors it itself). One codegen'd regexp_replace."""
+    return F.regexp_replace(_c(col), f"^(?:{regex})+|(?:{regex})+$", "")
+
+
+def base64_encode_tostring(col: Column | str) -> Column:
+    """KQL ``base64_encode_tostring``."""
+    return F.base64(_c(col).cast("binary"))
+
+
+def base64_decode_tostring(col: Column | str) -> Column:
+    """KQL ``base64_decode_tostring``."""
+    return F.unbase64(_c(col)).cast("string")
+
+
+def hash_sha256(col: Column | str) -> Column:
+    """KQL ``hash_sha256`` — lowercase hex, same surface as Kusto."""
+    return F.sha2(_c(col).cast("string"), 256)
+
+
+def hash_md5(col: Column | str) -> Column:
+    """KQL ``hash_md5``."""
+    return F.md5(_c(col).cast("string"))
+
+
+def tohex(col: Column | str) -> Column:
+    """KQL ``tohex(int)`` — lowercase hex digits."""
+    return F.lower(F.hex(_c(col)))
+
+
+# ---- array / bag scalars (KQL dynamic functions; all higher-order ----
+# ---- functions → codegen'd, no Python)                            ----
+
+
+def array_slice(col: Column | str, start: int, end: int) -> Column:
+    """KQL ``array_slice(arr, start, end)`` — 0-based INCLUSIVE end
+    (negatives not supported here; F.slice is 1-based with length)."""
+    return F.slice(_c(col), start + 1, end - start + 1)
+
+
+def array_index_of(col: Column | str, value) -> Column:
+    """KQL ``array_index_of`` — 0-based, -1 when absent."""
+    return (F.array_position(_c(col), value) - 1).cast("long")
+
+
+def array_sum(col: Column | str) -> Column:
+    """KQL ``array_sum`` — aggregate over the array elements."""
+    return F.aggregate(
+        _c(col), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+
+
+def array_avg(col: Column | str) -> Column:
+    """KQL ``array_avg``."""
+    c = _c(col)
+    return array_sum(c) / F.size(c)
+
+
+def array_sort_asc(col: Column | str) -> Column:
+    """KQL ``array_sort_asc``."""
+    return F.array_sort(_c(col))
+
+
+def array_sort_desc(col: Column | str) -> Column:
+    """KQL ``array_sort_desc``."""
+    return F.reverse(F.array_sort(_c(col)))
+
+
+def array_rotate_left(col: Column | str, n: int) -> Column:
+    """KQL ``array_rotate_left(arr, n)`` — concat of the two slices."""
+    c = _c(col)
+    return F.concat(F.slice(c, n + 1, F.size(c) - n), F.slice(c, 1, n))
+
+
+def array_concat_kql(*cols: Column | str) -> Column:
+    """KQL ``array_concat``."""
+    return F.concat(*[_c(c) for c in cols])
+
+
+def set_union_arr(a: Column | str, b: Column | str) -> Column:
+    """KQL ``set_union(a, b)`` — distinct union, sorted for determinism
+    (KQL's order is unspecified; sorting makes results oracle-stable)."""
+    return F.array_sort(F.array_union(_c(a), _c(b)))
+
+
+def set_intersect_arr(a: Column | str, b: Column | str) -> Column:
+    """KQL ``set_intersect``."""
+    return F.array_sort(F.array_intersect(_c(a), _c(b)))
+
+
+def set_difference_arr(a: Column | str, b: Column | str) -> Column:
+    """KQL ``set_difference``."""
+    return F.array_sort(F.array_except(_c(a), _c(b)))
+
+
+def pack_array(*cols: Column | str) -> Column:
+    """KQL ``pack_array``."""
+    return F.array(*[_c(c) for c in cols])
+
+
+def bag_pack(*pairs) -> Column:
+    """KQL ``bag_pack(k1, v1, k2, v2, ...)`` — a dynamic property bag.
+    Emitted as a JSON string (the engine's dynamic representation), so it
+    round-trips through :func:`todynamic`/:func:`bag_unpack`."""
+    kvs = []
+    for i in range(0, len(pairs), 2):
+        k = pairs[i]
+        kvs.append(F.lit(k) if isinstance(k, str) else k)
+        kvs.append(_c(pairs[i + 1]))
+    return F.to_json(F.create_map(*kvs))
+
+
+def zip_arrays(a: Column | str, b: Column | str) -> Column:
+    """KQL ``zip(a, b)`` — pairwise array of 2-element arrays."""
+    return F.zip_with(
+        _c(a), _c(b), lambda x, y: F.array(x.cast("string"), y.cast("string"))
+    )
+
+
+# ---- serialized-row functions (KQL serialize / row_number / prev / ----
+# ---- next / row_cumsum) and the scan operator                      ----
+
+
+def serialize_rows(
+    df: DataFrame,
+    order: Sequence[Column | str],
+    by: Sequence[str] = (),
+    row_name: str = "row_number",
+) -> DataFrame:
+    """KQL ``serialize | extend row_number()`` — pins an explicit row order
+    and numbers rows 1..n (per ``by`` key if given).
+
+    Scale note: with no ``by`` this is a single-reducer window (Spark warns
+    "No Partition Defined") — exactly like KQL, where serialize of an
+    unpartitioned table is inherently sequential. Always pass ``by`` at
+    scale; the unkeyed form exists for small ordered outputs.
+    """
+    cols = [_c(c) for c in order]
+    w = (Window.partitionBy(*by) if by else Window.partitionBy()).orderBy(*cols)
+    return df.withColumn(row_name, F.row_number().over(w))
+
+
+def prev_next(
+    df: DataFrame,
+    col: Column | str,
+    order: Sequence[Column | str],
+    by: Sequence[str] = (),
+    offset: int = 1,
+    prev_name: str = "prev_value",
+    next_name: str = "next_value",
+) -> DataFrame:
+    """KQL ``prev(col)`` / ``next(col)`` over a serialized order — lag/lead
+    in one window pass (both functions share the frame, one shuffle)."""
+    cols = [_c(c) for c in order]
+    w = (Window.partitionBy(*by) if by else Window.partitionBy()).orderBy(*cols)
+    c = _c(col)
+    return df.withColumn(prev_name, F.lag(c, offset).over(w)).withColumn(
+        next_name, F.lead(c, offset).over(w)
+    )
+
+
+def row_cumsum(
+    df: DataFrame,
+    col: Column | str,
+    order: Sequence[Column | str],
+    by: Sequence[str] = (),
+    restart: Column | None = None,
+    out_name: str = "cumsum",
+) -> DataFrame:
+    """KQL ``row_cumsum(col[, restart])`` — running sum in serialized order,
+    resetting where ``restart`` is true.
+
+    The reset is expressed WITHOUT a self-join or Python state: a first
+    window pass turns the restart flags into a segment id (their running
+    sum), a second sums within (keys, segment). Two windows over the SAME
+    partitioning → one shuffle, second pass reuses the exchange.
+    """
+    cols = [_c(c) for c in order]
+    w = (Window.partitionBy(*by) if by else Window.partitionBy()).orderBy(*cols)
+    if restart is None:
+        return df.withColumn(
+            out_name,
+            F.sum(_c(col)).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    seg = F.sum(F.when(restart, 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_seg = df.withColumn("_kpf_seg", seg)
+    w2 = (
+        Window.partitionBy(*([*by, "_kpf_seg"])).orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return with_seg.withColumn(out_name, F.sum(_c(col)).over(w2)).drop("_kpf_seg")
+
+
+def scan_accumulate(
+    df: DataFrame,
+    by: Sequence[str],
+    order: Sequence[Column | str],
+    value: Column | str,
+    restart: Column,
+    out_name: str = "scan_sum",
+    step_name: str = "scan_step",
+) -> DataFrame:
+    """KQL ``scan`` (single-step accumulate profile): per key, walk rows in
+    order keeping a running aggregate that restarts whenever ``restart``
+    fires — the canonical ``scan declare (s:long) with (step S: true =>
+    s + x;)`` shape used for funnel/session accumulation.
+
+    Same segment-id trick as :func:`row_cumsum` (KQL's scan is sequential
+    per key; the two-window form is the shuffle-minimal distributed
+    equivalent). ``step_name`` numbers the rows within each scan segment —
+    the ``match_id()``-style output. Arbitrary multi-step scans with
+    cross-step predicates need per-key sequential logic: route those
+    through :func:`partition_apply`.
+    """
+    cols = [_c(c) for c in order]
+    w = Window.partitionBy(*by).orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    seg = F.sum(F.when(restart, 1).otherwise(0)).over(w)
+    with_seg = df.withColumn("_kpf_seg", seg)
+    w2 = Window.partitionBy(*([*by, "_kpf_seg"])).orderBy(*cols)
+    return (
+        with_seg.withColumn(
+            out_name,
+            F.sum(_c(value)).over(w2.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(step_name, F.row_number().over(w2))
+        .withColumnRenamed("_kpf_seg", "scan_match_id")
+    )
+
+
+def narrow(
+    df: DataFrame,
+    ids: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "Column",
+    value_name: str = "Value",
+) -> DataFrame:
+    """KQL ``evaluate narrow()`` — unpivot every non-id column to
+    (Column, Value) rows. Spark's native ``unpivot`` (a generate, no
+    shuffle); values are cast to string like narrow's dynamic output."""
+    casted = df.select(
+        *ids, *[F.col(c).cast("string").alias(c) for c in value_cols]
+    )
+    return casted.unpivot(list(ids), list(value_cols), var_name, value_name)
+
+
+def sample_deterministic(
+    df: DataFrame, key: Column | str, fraction: float, salt: str = "kpf"
+) -> DataFrame:
+    """KQL ``sample n`` is nondeterministic; at 100 TB a REPRODUCIBLE sample
+    is what a pipeline actually wants (re-runs must pick the same rows, and
+    an oracle must be able to replay the choice). Hash-threshold sampling:
+    keep rows whose salted md5(key) falls under ``fraction`` of the 32-bit
+    space. Pure codegen, no shuffle, stable under retries and engine
+    versions — unlike rand(), which Spark may re-evaluate per task attempt.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(salt), _c(key).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return df.where(bucket < F.lit(int(fraction * 0xFFFFFFFF)))
+
+
+def partition_apply(df: DataFrame, by: str, fn, schema: str) -> DataFrame:
+    """KQL ``partition by Col ( subquery )`` — run an arbitrary per-key
+    subquery. ``fn`` is a pandas DataFrame → pandas DataFrame function
+    applied per key group via ``applyInPandas`` (Arrow-batched, one
+    shuffle on the key).
+
+    This is the documented escape hatch for subqueries Catalyst can't
+    express (multi-step scans, per-key model fits). Anything expressible
+    as window/agg should NOT come here — the native form fuses into the
+    surrounding plan and skips Python entirely. Keys must each fit in one
+    task's memory (same contract as KQL's 64-partition limit, scaled).
+    """
+    return df.groupBy(by).applyInPandas(fn, schema)
+
+
+def facet_by(df: DataFrame, *cols: str, with_df: DataFrame | None = None) -> dict:
+    """KQL ``facet by c1, c2 [with (subquery)]`` — one value-count table per
+    column plus the optional ``with`` table. Returns {name: DataFrame};
+    each facet is an independent lazy plan over the SAME scan (Spark reuses
+    the cached/exchange stage when the action runs them together)."""
+    out: dict[str, DataFrame] = {}
+    if with_df is not None:
+        out["with"] = with_df
+    for c in cols:
+        out[c] = df.groupBy(c).agg(F.count(F.lit(1)).alias("count_")).orderBy(
+            F.col("count_").desc(), F.col(c)
+        )
+    return out
+
+
+def externaldata(
+    spark: SparkSession, schema: str, path: str, fmt: str = "csv", **options
+) -> DataFrame:
+    """KQL ``externaldata (schema) [uri] with (format=...)`` — ad-hoc typed
+    read of external files. Spark-first this is just a schema'd reader —
+    pushdown/pruning apply as with any source."""
+    reader = spark.read.schema(schema)
+    if fmt == "csv":
+        reader = reader.options(header="false", **options)
+    return reader.format(fmt).load(path)
+
+
+# ---- series analytics over make-series arrays (higher-order functions, ----
+# ---- no explode round-trip, no Python)                                 ----
+
+
+def series_stats(
+    df: DataFrame, value_col: str, prefix: str = "series"
+) -> DataFrame:
+    """KQL ``series_stats(arr)`` — min/max (+ positions), avg, stdev, sum
+    per series row. All from ONE pass of higher-order functions over the
+    packed array — the series never explodes back to rows.
+    """
+    c = F.col(value_col)
+    n = F.size(c)
+    s_sum = F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double"))
+    s_avg = s_sum / n
+    sq = F.aggregate(
+        c, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    # sample variance: (Σx² - n·μ²) / (n-1)
+    s_var = F.when(n > 1, (sq - n * s_avg * s_avg) / (n - 1)).otherwise(F.lit(0.0))
+    s_min, s_max = F.array_min(c), F.array_max(c)
+    return (
+        df.withColumn(f"{prefix}_min", s_min.cast("double"))
+        .withColumn(f"{prefix}_max", s_max.cast("double"))
+        .withColumn(
+            f"{prefix}_min_idx",
+            (F.array_position(c, s_min) - 1).cast("long"),
+        )
+        .withColumn(
+            f"{prefix}_max_idx",
+            (F.array_position(c, s_max) - 1).cast("long"),
+        )
+        .withColumn(f"{prefix}_avg", s_avg)
+        .withColumn(f"{prefix}_stdev", F.sqrt(s_var))
+        .withColumn(f"{prefix}_sum", s_sum)
+    )
+
+
+def series_moving_avg(col: Column | str, window: int, center: bool = False) -> Column:
+    """KQL ``series_moving_avg_fl`` / FIR with uniform taps — trailing
+    (or centered) moving average over a packed series array. Expressed as a
+    transform over indices + slice + aggregate: stays codegen'd; each
+    element averages its trailing ``window`` values (shorter head windows
+    use what exists, matching the fl library's edge behavior)."""
+    c = _c(col)
+    half = window // 2 if center else 0
+    return F.transform(
+        c,
+        lambda x, i: F.aggregate(
+            F.slice(
+                c,
+                F.greatest(i + 1 - (window - 1) + half, F.lit(1)),
+                F.least(
+                    F.lit(window),
+                    i + 1 + half - F.greatest(i + 1 - (window - 1) + half, F.lit(1)) + 1,
+                ),
+            ),
+            F.lit(0.0),
+            lambda a, x2: a + x2.cast("double"),
+        )
+        / F.least(F.lit(window), i + 1 + half).cast("double"),
+    )
+
+
+def series_pearson_correlation(a: Column | str, b: Column | str) -> Column:
+    """KQL ``series_pearson_correlation(s1, s2)`` — correlation of two
+    aligned series arrays, computed from the five moment sums in one
+    higher-order pass per array (no explode, no UDF)."""
+    ca, cb = _c(a), _c(b)
+    n = F.size(ca).cast("double")
+    sum_ = lambda c: F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double"))  # noqa: E731
+    sa, sb = sum_(ca), sum_(cb)
+    saa = F.aggregate(ca, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    sbb = F.aggregate(cb, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    sab = F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cov = sab - sa * sb / n
+    va = saa - sa * sa / n
+    vb = sbb - sb * sb / n
+    return cov / F.sqrt(va * vb)
+
+
+# ---- predicate scalars (KQL where-clause operators) ----
+
+
+def has_any(col: Column | str, *terms: str) -> Column:
+    """KQL ``x has_any (t1, t2, ...)`` — true when ANY whole term matches."""
+    out = has_term(col, terms[0])
+    for t in terms[1:]:
+        out = out | has_term(col, t)
+    return out
+
+
+def has_all(col: Column | str, *terms: str) -> Column:
+    """KQL ``x has_all (t1, t2, ...)`` — true when EVERY whole term matches."""
+    out = has_term(col, terms[0])
+    for t in terms[1:]:
+        out = out & has_term(col, t)
+    return out
+
+
+def startswith(col: Column | str, prefix: str, case_sensitive: bool = False) -> Column:
+    """KQL ``startswith`` (case-insensitive by default, like Kusto;
+    ``startswith_cs`` ≡ case_sensitive=True)."""
+    c = _c(col)
+    if case_sensitive:
+        return c.startswith(prefix)
+    return F.lower(c).startswith(prefix.lower())
+
+
+def endswith(col: Column | str, suffix: str, case_sensitive: bool = False) -> Column:
+    """KQL ``endswith`` / ``endswith_cs``."""
+    c = _c(col)
+    if case_sensitive:
+        return c.endswith(suffix)
+    return F.lower(c).endswith(suffix.lower())
+
+
+def matches_regex(col: Column | str, pattern: str) -> Column:
+    """KQL ``matches regex`` — RE2-compatible patterns recommended so the
+    same pattern replays in any oracle engine."""
+    return _c(col).rlike(pattern)
+
+
+def in_ci(col: Column | str, *values: str) -> Column:
+    """KQL ``x in~ (v1, v2, ...)`` — case-insensitive membership."""
+    return F.lower(_c(col)).isin(*[v.lower() for v in values])
+
+
+def between(col: Column | str, lo, hi) -> Column:
+    """KQL ``x between (lo .. hi)`` — inclusive both ends."""
+    c = _c(col)
+    return (c >= lo) & (c <= hi)
+
+
+def union_withsource(named: Mapping[str, DataFrame], source_name: str = "source_") -> DataFrame:
+    """KQL ``union withsource=Col T1, T2`` — union_tables plus the
+    originating-table name column (narrow concatenation, zero shuffle)."""
+    tagged = [
+        df.withColumn(source_name, F.lit(name)) for name, df in named.items()
+    ]
+    return union_tables(*tagged)

@@ -1,0 +1,182 @@
+"""Training-corpus preparation operators beyond per-doc stats (textstats.py):
+repetition-based quality signals, PII scrubbing, fixed-size chunking, and
+corpus-level n-gram frequency — the filter/transform stages an LLM data
+pipeline runs between raw crawl and tokenizer.
+
+Scale posture: everything is either a higher-order function over the text's
+own token array (no shuffle at all) or a two-level aggregation keyed by
+doc_id / n-gram (map-side partial combine; the n-gram count is the classic
+word-count shape that scales linearly). No Python UDFs anywhere — the hot
+path is pure codegen, which matters when "documents" is 100 TB of crawl.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+WS_RE = r"\s+"
+
+# Email + long-digit-run patterns, deliberately RE2-compatible so the exact
+# same pattern strings run in Spark (java.util.regex) and DuckDB (RE2) —
+# oracle replayability is part of the operator contract here.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+DIGIT_RUN_RE = r"\d{6,}"
+
+
+def _words(col: Column) -> Column:
+    """Whitespace tokens with empties dropped (split of a leading/trailing
+    -space string yields '' entries in both engines)."""
+    return F.filter(F.split(col, WS_RE), lambda w: w != "")
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    Outputs per doc: ``n_words``, ``dup_word_frac`` (1 - distinct/total),
+    ``top_bigram_frac`` (occurrences of the most frequent word bigram /
+    total bigrams; ties broken lexicographically smallest). High values of
+    either mark boilerplate/spam for corpus filtering.
+
+    Plan: the word-level fractions are higher-order functions on the token
+    array (zero shuffle); only the bigram mode needs an explode +
+    two-level count, keyed by (doc, bigram) then doc — both combine
+    map-side, and nothing ever aggregates across documents, so the job
+    scales with corpus size, not vocabulary.
+    """
+    words = _words(F.col(text_col))
+    base = df.select(
+        id_col,
+        words.alias("_w"),
+        F.size(words).alias("n_words"),
+        F.when(F.size(words) == 0, F.lit(0.0))
+        .otherwise(
+            1.0
+            - F.size(F.array_distinct(words)).cast("double")
+            / F.size(words).cast("double")
+        )
+        .alias("dup_word_frac"),
+    )
+    bigrams = base.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_w"), 1, F.greatest(F.size("_w") - 1, F.lit(0))),
+                F.slice(F.col("_w"), 2, F.greatest(F.size("_w") - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("_bg"),
+    )
+    per_bg = bigrams.groupBy(id_col, "_bg").agg(F.count(F.lit(1)).alias("_c"))
+    bg_stats = per_bg.groupBy(id_col).agg(
+        (F.max("_c").cast("double") / F.sum("_c").cast("double")).alias(
+            "top_bigram_frac"
+        )
+    )
+    # left join: a doc with < 2 words has no bigrams but must not vanish
+    return base.drop("_w").join(bg_stats, id_col, "left").select(
+        id_col,
+        "n_words",
+        "dup_word_frac",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    email_token: str = "<EMAIL>",
+    number_token: str = "<NUM>",
+    email_re: str = EMAIL_RE,
+    digit_re: str = DIGIT_RUN_RE,
+) -> DataFrame:
+    """Scrub email addresses and long digit runs, reporting match counts.
+
+    Output: (id, n_emails, n_digit_runs, scrubbed) — the scrubbed text plus
+    per-doc counts for pipeline telemetry (how much PII a source carries is
+    itself a quality signal). Single projection, two regexes, all codegen.
+    """
+    c = F.col(text_col)
+    return df.select(
+        id_col,
+        F.regexp_count(c, F.lit(email_re)).cast("long").alias("n_emails"),
+        F.regexp_count(c, F.lit(digit_re)).cast("long").alias("n_digit_runs"),
+        F.regexp_replace(
+            F.regexp_replace(c, email_re, email_token),
+            digit_re,
+            number_token,
+        ).alias("scrubbed"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 50,
+) -> DataFrame:
+    """Split each document into fixed-size word-window chunks.
+
+    Output: (id, chunk_id, chunk_text, chunk_words) — one row per chunk,
+    chunk_id 0-based. The tokenize → window → re-join all happens inside
+    array functions on the row (posexplode of a ``sequence`` of chunk
+    starts); Spark's generate is pipelined, so a 100 TB corpus chunks in a
+    single map-only stage — no shuffle, no UDF, and the output is exactly
+    the shape an embedding/tokenizer stage wants to consume.
+    """
+    words = _words(F.col(text_col))
+    tokenized = df.select(id_col, words.alias("_w"), F.size(words).alias("_n"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.floor((F.col("_n") - 1) / chunk_words).cast("int"), F.lit(0)
+        ),
+    )
+    exploded = tokenized.select(
+        id_col,
+        "_w",
+        "_n",
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    chunk = F.slice(F.col("_w"), F.col("_start") * chunk_words + 1, chunk_words)
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("chunk_words"),
+    )
+
+
+def corpus_ngram_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams with counts (tie-break: ngram asc).
+
+    The word-count shape: build each row's n-gram array with zip_with
+    (no cross-row state), explode, two-phase count (map-side partial
+    combine takes the shuffle down to |vocabulary|), TakeOrdered for the
+    top-k — no global sort. At 100 TB the only knob to watch is n-gram
+    cardinality; for n ≤ 3 on natural text the partial-aggregate hash map
+    stays effective.
+    """
+    words = _words(F.col(text_col))
+    grams = words
+    for i in range(1, n):
+        grams = F.zip_with(
+            F.slice(grams, 1, F.greatest(F.size(words) - i, F.lit(0))),
+            F.slice(words, i + 1, F.greatest(F.size(words) - i, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("ngram_count"))
+        .orderBy(F.col("ngram_count").desc(), F.col("ngram"))
+        .limit(k)
+    )

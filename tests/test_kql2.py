@@ -1,0 +1,211 @@
+"""Unit tests for the round-2 KQL surface: conditional/positional
+aggregates, scalar batch 2, array scalars, scan/serialized-row functions,
+narrow, deterministic sample, series analytics."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kusto_pre_forge_spark.operators import kql
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    return kql.datatable(
+        spark,
+        "k string, x long, v double, flag boolean",
+        ("a", 1, 10.0, False),
+        ("a", 2, 20.0, False),
+        ("a", 3, 5.0, True),
+        ("a", 4, 7.0, False),
+        ("b", 1, 100.0, False),
+        ("b", 2, 1.0, True),
+    )
+
+
+def test_arg_max_min(tiny):
+    row = tiny.groupBy().agg(
+        kql.arg_max("v", "x").alias("mx"), kql.arg_min("v", "x").alias("mn")
+    ).first()
+    assert row["mx"] == 1 and row["mn"] == 2  # v=100 → x=1; v=1 → x=2
+
+
+def test_conditional_aggs(tiny):
+    row = tiny.groupBy().agg(
+        kql.avgif("v", F.col("k") == "a").alias("avg_a"),
+        kql.minif("v", F.col("k") == "a").alias("min_a"),
+        kql.maxif("v", F.col("k") == "b").alias("max_b"),
+        kql.dcountif("x", F.col("k") == "a", exact=True).alias("dc_a"),
+    ).first()
+    assert row["avg_a"] == pytest.approx(10.5)
+    assert row["min_a"] == 5.0 and row["max_b"] == 100.0 and row["dc_a"] == 4
+
+
+def test_stdev_variance(tiny):
+    row = tiny.where("k = 'a'").groupBy().agg(
+        kql.stdev("v").alias("s"), kql.variance("v").alias("var")
+    ).first()
+    # sample variance of [10,20,5,7] = 45.666...
+    assert row["var"] == pytest.approx(44.33333333)
+    assert row["s"] == pytest.approx(math.sqrt(44.33333333))
+
+
+def test_hll_sketch_roundtrip(tiny):
+    per_k = tiny.groupBy("k").agg(kql.hll("x").alias("sk"))
+    est = per_k.agg(kql.dcount_hll(kql.hll_merge("sk")).alias("e")).first()["e"]
+    assert est == 4  # exact at tiny cardinality
+
+
+def test_bin_at_anchor(spark):
+    df = spark.sql("SELECT timestamp'1970-01-01 02:10:00' AS ts")
+    out = df.select(
+        kql.bin_at("ts", "1 hour", "1970-01-01 00:30:00").alias("b")
+    ).first()["b"]
+    assert out.hour == 1 and out.minute == 30  # 01:30, not 02:00
+
+
+def test_startofweek_is_sunday(spark):
+    df = spark.sql("SELECT timestamp'2024-01-10 13:00:00' AS ts")  # Wed
+    out = df.select(kql.startofweek("ts").alias("s")).first()["s"]
+    assert out.isoweekday() == 7 and out.day == 7  # Sunday Jan 7
+
+
+def test_string_scalars(spark):
+    df = kql.datatable(spark, "s string", ("abracadabra",))
+    row = df.select(
+        kql.indexof("s", "cad").alias("i"),
+        kql.countof("s", "ab").alias("c"),
+        kql.reverse_str("s").alias("r"),
+        kql.trim_kql("[ab]", "s").alias("t"),
+        kql.tohex(F.lit(255)).alias("h"),
+    ).first()
+    assert row["i"] == 4 and row["c"] == 2
+    assert row["r"] == "arbadacarba"
+    assert row["t"] == "racadabr"  # leading "ab" and trailing "a" stripped
+    assert row["h"] == "ff"
+
+
+def test_base64_roundtrip(spark):
+    df = kql.datatable(spark, "s string", ("hello",))
+    row = df.select(
+        kql.base64_decode_tostring(kql.base64_encode_tostring("s")).alias("rt")
+    ).first()
+    assert row["rt"] == "hello"
+
+
+def test_array_scalars(spark):
+    df = spark.sql(
+        "SELECT array('d','b','c','a') AS arr, array(1, 2, 3) AS nums"
+    )
+    row = df.select(
+        kql.array_slice("arr", 1, 2).alias("sl"),
+        kql.array_index_of("arr", "c").alias("ix"),
+        kql.array_index_of("arr", "zz").alias("missing"),
+        kql.array_sort_desc("arr").alias("sd"),
+        kql.array_rotate_left("arr", 1).alias("rot"),
+        kql.array_sum("nums").alias("sm"),
+        kql.set_difference_arr("arr", F.array(F.lit("a"), F.lit("b"))).alias("diff"),
+        kql.zip_arrays("nums", "nums").alias("z"),
+    ).first()
+    assert row["sl"] == ["b", "c"] and row["ix"] == 2 and row["missing"] == -1
+    assert row["sd"] == ["d", "c", "b", "a"]
+    assert row["rot"] == ["b", "c", "a", "d"]
+    assert row["sm"] == 6.0
+    assert row["diff"] == ["c", "d"]
+    assert row["z"][0] == ["1", "1"]
+
+
+def test_scan_accumulate_restart(tiny):
+    out = kql.scan_accumulate(
+        tiny, by=["k"], order=["x"], value="v", restart=F.col("flag")
+    )
+    rows = {(r["k"], r["x"]): (r["scan_sum"], r["scan_step"]) for r in out.collect()}
+    assert rows[("a", 1)] == (10.0, 1)
+    assert rows[("a", 2)] == (30.0, 2)
+    assert rows[("a", 3)] == (5.0, 1)  # restart fires ON the flagged row
+    assert rows[("a", 4)] == (12.0, 2)
+    assert rows[("b", 2)] == (1.0, 1)
+
+
+def test_row_cumsum_and_prev_next(tiny):
+    out = kql.row_cumsum(tiny, "v", order=["x"], by=["k"])
+    rows = {(r["k"], r["x"]): r["cumsum"] for r in out.collect()}
+    assert rows[("a", 4)] == 42.0 and rows[("b", 2)] == 101.0
+    pn = kql.prev_next(tiny, "v", order=["x"], by=["k"])
+    r = {(x["k"], x["x"]): (x["prev_value"], x["next_value"]) for x in pn.collect()}
+    assert r[("a", 1)] == (None, 20.0) and r[("a", 4)] == (5.0, None)
+
+
+def test_serialize_rows(tiny):
+    out = kql.serialize_rows(tiny, order=[F.col("v").desc()], by=["k"])
+    top = {r["k"]: r["x"] for r in out.where("row_number = 1").collect()}
+    assert top == {"a": 2, "b": 1}
+
+
+def test_narrow(tiny):
+    agg = tiny.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    out = kql.narrow(agg, ids=["k"], value_cols=["n"])
+    rows = {(r["k"], r["Column"]): r["Value"] for r in out.collect()}
+    assert rows[("a", "n")] == "4" and rows[("b", "n")] == "2"
+
+
+def test_sample_deterministic_stable(spark, sf_oracle):
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+    key = F.concat_ws("-", "l_orderkey", "l_linenumber")
+    a = kql.sample_deterministic(li, key, 0.1).count()
+    b = kql.sample_deterministic(li, key, 0.1).count()
+    n = li.count()
+    assert a == b  # reproducible
+    assert 0.05 * n < a < 0.15 * n  # roughly the asked fraction
+
+
+def test_series_stats_known(spark):
+    df = spark.sql("SELECT array(1.0, 5.0, 3.0, 5.0) AS s")
+    row = kql.series_stats(df, "s").first()
+    assert row["series_min"] == 1.0 and row["series_max"] == 5.0
+    assert row["series_min_idx"] == 0 and row["series_max_idx"] == 1  # first max
+    assert row["series_avg"] == pytest.approx(3.5)
+    assert row["series_sum"] == 14.0
+    assert row["series_stdev"] == pytest.approx(1.91485422)
+
+
+def test_series_moving_avg(spark):
+    df = spark.sql("SELECT array(3.0, 6.0, 9.0, 12.0) AS s")
+    out = df.select(kql.series_moving_avg("s", 3).alias("m")).first()["m"]
+    assert out == pytest.approx([3.0, 4.5, 6.0, 9.0])
+
+
+def test_series_pearson(spark):
+    df = spark.sql(
+        "SELECT array(1.0,2.0,3.0) AS a, array(2.0,4.0,6.0) AS b, "
+        "array(3.0,2.0,1.0) AS c"
+    )
+    row = df.select(
+        kql.series_pearson_correlation("a", "b").alias("pos"),
+        kql.series_pearson_correlation("a", "c").alias("neg"),
+    ).first()
+    assert row["pos"] == pytest.approx(1.0) and row["neg"] == pytest.approx(-1.0)
+
+
+def test_partition_apply(tiny):
+    def head1(pdf):
+        return pdf.sort_values("x").head(1)
+
+    out = kql.partition_apply(
+        tiny.select("k", "x", "v"), "k", head1, "k string, x long, v double"
+    )
+    assert {r["k"]: r["x"] for r in out.collect()} == {"a": 1, "b": 1}
+
+
+def test_facet_by(tiny):
+    f = kql.facet_by(tiny, "k")
+    assert set(f) == {"k"}
+    assert {r["k"]: r["count_"] for r in f["k"].collect()} == {"a": 4, "b": 2}
+
+
+def test_externaldata(spark, tmp_path):
+    p = tmp_path / "ext.csv"
+    p.write_text("1,x\n2,y\n")
+    out = kql.externaldata(spark, "id long, name string", str(p))
+    assert {r["id"]: r["name"] for r in out.collect()} == {1: "x", 2: "y"}

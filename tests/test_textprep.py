@@ -1,0 +1,74 @@
+"""Unit tests for corpus-prep operators (operators/textprep.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kusto_pre_forge_spark.operators import textprep
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "spam spam spam spam"),
+            (2, "one"),
+            (3, ""),
+            (4, "a b " * 30),  # 60 words, repeated bigram
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_repetition_features(docs):
+    out = {r["doc_id"]: r for r in textprep.repetition_features(docs).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}  # short docs survive
+    assert out[1]["dup_word_frac"] == pytest.approx(0.75)  # 1 distinct / 4
+    assert out[1]["top_bigram_frac"] == pytest.approx(1.0)  # all "spam spam"
+    assert out[0]["dup_word_frac"] == pytest.approx(1 / 6)
+    assert out[2]["top_bigram_frac"] == 0.0  # no bigrams
+    assert out[3]["n_words"] == 0 and out[3]["dup_word_frac"] == 0.0
+    # "a b a b ...": "a b" appears 30×, "b a" 29× → 30/59
+    assert out[4]["top_bigram_frac"] == pytest.approx(30 / 59)
+
+
+def test_pii_scrub(spark):
+    df = spark.createDataFrame(
+        [(0, "mail bob@example.com code 1234567 ok"), (1, "clean text")],
+        "id long, body string",
+    )
+    out = {r["id"]: r for r in textprep.pii_scrub(df, "body", "id").collect()}
+    assert out[0]["n_emails"] == 1 and out[0]["n_digit_runs"] == 1
+    assert out[0]["scrubbed"] == "mail <EMAIL> code <NUM> ok"
+    assert out[1]["n_emails"] == 0 and out[1]["scrubbed"] == "clean text"
+
+
+def test_chunking_boundaries(spark):
+    mk = lambda n: " ".join(f"w{i}" for i in range(n))  # noqa: E731
+    df = spark.createDataFrame(
+        [(0, mk(0)), (1, mk(39)), (2, mk(40)), (3, mk(41))],
+        "doc_id long, text string",
+    )
+    out = textprep.chunk_documents(df, chunk_words=40)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[0]) == 1 and by_doc[0][0]["chunk_words"] == 0
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_words"] == 39
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_words"] == 40
+    assert len(by_doc[3]) == 2
+    last = [r for r in by_doc[3] if r["chunk_id"] == 1][0]
+    assert last["chunk_words"] == 1 and last["chunk_text"] == "w40"
+
+
+def test_corpus_ngram_topk(docs):
+    out = textprep.corpus_ngram_topk(docs, n=2, k=3).collect()
+    assert out[0]["ngram"] == "a b" and out[0]["ngram_count"] == 30
+    assert out[1]["ngram"] == "b a" and out[1]["ngram_count"] == 29
+    assert out[2]["ngram"] == "spam spam" and out[2]["ngram_count"] == 3
+
+
+def test_corpus_trigrams(docs):
+    out = textprep.corpus_ngram_topk(docs, n=3, k=2).collect()
+    assert out[0]["ngram"] in ("a b a", "b a b")
+    assert out[0]["ngram_count"] == 29
