@@ -1234,10 +1234,43 @@ def _q_ann_recall(spark, sf):
     )
 
 
+def _q_kql_project_ops(spark, sf):
+    """KQL project-away / project-keep / project-rename / project-reorder
+    — column-metadata ops, zero data movement."""
+    o = load_table(spark, sf, "orders")
+    out = kql.project_away(o, "o_comment") if "o_comment" in o.columns else o
+    out = kql.project_keep(out, "o_orderkey", "o_custkey", "o_orderpriority")
+    out = kql.project_rename(out, okey="o_orderkey", prio="o_orderpriority")
+    return kql.project_reorder(out, "prio")
+
+
+def _q_kql_search(spark, sf):
+    """KQL search in (customer, supplier) "Customer#00000001" — cross-table
+    text search, per-table codegen OR-chain, narrow union."""
+    named = {
+        "nation": load_table(spark, sf, "nation"),
+        "region": load_table(spark, sf, "region"),
+    }
+    return kql.search_tables(named, "asia")
+
+
+def _q_kql_sample_distinct(spark, sf):
+    """KQL sample-distinct — reproducible n-of-distinct-keys pick."""
+    e = load_table(spark, sf, "events")
+    return kql.sample_distinct(e, "user_id", 10)
+
+
+def _q_doc_tfidf(spark, sf):
+    """top-3 TF-IDF terms per document (two-level agg + rank window)."""
+    from kusto_pre_forge_spark.operators import textprep
+
+    d = load_table(spark, sf, "documents")
+    return textprep.doc_tfidf_top_terms(d, k=3)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
-
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1336,6 +1369,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_predicates": _q_kql_predicates,
         "kql_union_withsource": _q_kql_union_withsource,
         "ann_recall": _q_ann_recall,
+        "kql_project_ops": _q_kql_project_ops,
+        "kql_search": _q_kql_search,
+        "kql_sample_distinct": _q_kql_sample_distinct,
+        "doc_tfidf": _q_doc_tfidf,
     }
 
 
@@ -1974,7 +2011,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kql_scalar_suite2": (
             "SELECT event_id, "
-            "CAST(to_timestamp(1800 + floor((epoch(CAST(ts AS TIMESTAMP)) - 1800) / 3600) * 3600) AS TIMESTAMP) AS bin30, "
+            "TIMESTAMP '1970-01-01 00:00:00' + to_seconds(CAST(1800 + "
+            "floor((epoch(CAST(ts AS TIMESTAMP)) - 1800) / 3600) * 3600 AS BIGINT)) AS bin30, "
             "CAST(date_part('hour', ts) AS INTEGER) AS hr, "
             "CAST(dayofweek(ts) AS INTEGER) AS dow, "
             "strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M') AS fmt, "
@@ -2168,6 +2206,35 @@ def oracle_sql() -> dict[str, str]:
             "base AS (SELECT query_id, count(*) AS n_exact FROM exact_r GROUP BY 1) "
             "SELECT b.query_id, CAST(coalesce(h.n_hit, 0) AS DOUBLE) / b.n_exact AS recall_at_10 "
             "FROM base b LEFT JOIN hits h ON b.query_id = h.query_id"
+        ),
+        "kql_project_ops": (
+            "SELECT o_orderpriority AS prio, o_orderkey AS okey, o_custkey FROM orders"
+        ),
+        "kql_search": (
+            "SELECT 'nation' AS source_, to_json(struct_pack("
+            "n_nationkey := n_nationkey, n_name := n_name, n_regionkey := n_regionkey)) AS row_json "
+            "FROM nation WHERE contains(lower(n_name), 'asia') "
+            "UNION ALL "
+            "SELECT 'region', to_json(struct_pack(r_regionkey := r_regionkey, r_name := r_name)) "
+            "FROM region WHERE contains(lower(r_name), 'asia')"
+        ),
+        "kql_sample_distinct": (
+            "SELECT user_id AS key FROM (SELECT DISTINCT user_id FROM events) "
+            "ORDER BY md5(concat('kpf', '|', user_id)), key LIMIT 10"
+        ),
+        "doc_tfidf": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS w FROM documents), "
+            "terms AS (SELECT doc_id, unnest(w) AS term FROM t), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2), "
+            "dfq AS (SELECT term, count(*) AS df_term FROM tf GROUP BY 1), "
+            "nn AS (SELECT count(*) AS n FROM documents), "
+            "s AS (SELECT doc_id, term, "
+            "round(tf * ln(CAST(n AS DOUBLE) / df_term), 6) AS tfidf "
+            "FROM tf JOIN dfq USING (term) CROSS JOIN nn), "
+            "r AS (SELECT doc_id, term, tfidf, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM s) "
+            "SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, tfidf FROM r WHERE rank <= 3"
         ),
         "corpus_ngrams": (
             "WITH t AS (SELECT doc_id, "

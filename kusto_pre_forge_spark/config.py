@@ -30,7 +30,7 @@ class DataFormat(Enum):
     """Declared format surface (Settings/BlobSettings.cs:13; Kusto SDK enum).
 
     The reference only ever implements txt/csv (EtlRun.cs:87-89 throws for the
-    rest); we support txt, csv, json, parquet natively via Spark readers.
+    rest); we support txt, csv, json, parquet, orc natively via Spark readers.
     """
 
     TXT = "txt"
@@ -39,6 +39,7 @@ class DataFormat(Enum):
     PSV = "psv"
     JSON = "json"
     PARQUET = "parquet"
+    ORC = "orc"
 
 
 class Compression(Enum):

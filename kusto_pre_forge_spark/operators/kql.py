@@ -1355,3 +1355,101 @@ def union_withsource(named: Mapping[str, DataFrame], source_name: str = "source_
         df.withColumn(source_name, F.lit(name)) for name, df in named.items()
     ]
     return union_tables(*tagged)
+
+
+# ---- project family / search / find / sampling variants ----
+
+
+def project_away(df: DataFrame, *cols: str) -> DataFrame:
+    """KQL ``project-away c1, c2`` — drop columns, keep the rest in order."""
+    return df.drop(*cols)
+
+
+def project_keep(df: DataFrame, *cols: str) -> DataFrame:
+    """KQL ``project-keep`` — keep listed columns in ORIGINAL table order
+    (unlike ``project``, which reorders to the listed order)."""
+    keep = set(cols)
+    return df.select(*[c for c in df.columns if c in keep])
+
+
+def project_rename(df: DataFrame, **renames: str) -> DataFrame:
+    """KQL ``project-rename new = old`` — rename without reordering."""
+    out = df
+    for new, old in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
+def project_reorder(df: DataFrame, *first: str) -> DataFrame:
+    """KQL ``project-reorder c1, c2`` — listed columns first, the rest
+    keep their original order after them."""
+    rest = [c for c in df.columns if c not in set(first)]
+    return df.select(*first, *rest)
+
+
+def parse_where(df: DataFrame, col: Column | str, *segments) -> DataFrame:
+    """KQL ``parse-where`` — like ``parse`` but rows that don't match the
+    pattern are DROPPED (parse emits nulls/empties for them). One extra
+    rlike filter on the same compiled pattern — still a single codegen'd
+    projection + filter, no second regex family."""
+    import re as _re
+
+    pattern = "^"
+    for seg in segments:
+        pattern += _re.escape(seg) if isinstance(seg, str) else "(.*?)"
+    out = parse_pattern(df, col, *segments)
+    return out.filter(_c(col).rlike(pattern))
+
+
+def search_tables(
+    named: Mapping[str, DataFrame], term: str, source_name: str = "source_"
+) -> DataFrame:
+    """KQL ``search in (T1, T2) "term"`` — case-insensitive substring match
+    over EVERY string column of every table; emits matching rows as
+    (source_, matched JSON) so heterogeneous schemas union cleanly.
+
+    Per table this is one codegen'd OR-chain over its string columns —
+    predicate pushdown still applies to each scan; no cross-table shuffle
+    (the union is a narrow concat). The JSON projection mirrors KQL's
+    pack_all() result shape for search.
+    """
+    low = term.lower()
+    parts = []
+    for name, df in named.items():
+        str_cols = [c for c, t in df.dtypes if t == "string"]
+        if not str_cols:
+            continue
+        pred = F.lower(F.col(str_cols[0])).contains(low)
+        for c in str_cols[1:]:
+            pred = pred | F.lower(F.col(c)).contains(low)
+        parts.append(
+            df.filter(pred).select(
+                F.lit(name).alias(source_name),
+                F.to_json(F.struct(*df.columns)).alias("row_json"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def sample_distinct(
+    df: DataFrame, key: Column | str, n: int, salt: str = "kpf"
+) -> DataFrame:
+    """KQL ``sample-distinct n of Key`` — n distinct key values. KQL's pick
+    is arbitrary; ours is the n smallest salted-md5 hashes, making the
+    sample REPRODUCIBLE and oracle-replayable (same rationale as
+    :func:`sample_deterministic`). distinct → TakeOrdered: no global sort,
+    each task keeps an n-heap.
+    """
+    return (
+        df.select(_c(key).alias("key"))
+        .distinct()
+        .withColumn(
+            "_h", F.md5(F.concat_ws("|", F.lit(salt), F.col("key").cast("string")))
+        )
+        .orderBy("_h", "key")
+        .limit(n)
+        .drop("_h")
+    )

@@ -180,3 +180,50 @@ def corpus_ngram_topk(
         .orderBy(F.col("ngram_count").desc(), F.col("ngram"))
         .limit(k)
     )
+
+
+def doc_tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (tie-break: term asc).
+
+    tf = in-doc count, idf = ln(N / df_term) over the corpus. The classic
+    two-aggregate shape: (doc, term) counts, term document-frequencies,
+    then a rank window per doc. The df_term side is |vocabulary|-sized —
+    broadcast when it fits, hash-join otherwise (left to Catalyst/AQE); the
+    corpus row count N is a scalar literal plan (1-row agg crossJoin), not
+    a driver-side collect.
+
+    At 100 TB the (doc, term) explode dominates; both aggregations combine
+    map-side, and nothing aggregates to a single key (no global hotspot).
+    """
+    words = _words(F.col(text_col))
+    terms = df.select(id_col, F.explode(words).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_term"))
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(n_docs)
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("_n").cast("double") / F.col("df_term")),
+        )
+    )
+    # rank on the ROUNDED score: mathematically-equal scores computed via
+    # different float paths (2·ln10 vs ln100) must tie identically in any
+    # replaying engine, and ties then break on the term string
+    scored = scored.withColumn("tfidf", F.round("tfidf", 6))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col, "term", F.col("rank").cast("long").alias("rank"), "tfidf"
+        )
+    )

@@ -165,6 +165,8 @@ def read_landing(
         df = spark.read.json(paths, schema=schema)
     elif fmt == DataFormat.PARQUET:
         df = spark.read.parquet(*paths)
+    elif fmt == DataFormat.ORC:
+        df = spark.read.orc(*paths)
     else:  # pragma: no cover - enum is closed
         raise NotImplementedError(f"format {fmt}")
     return df.withColumn("_kpf_source", F.input_file_name())

@@ -135,3 +135,25 @@ def running_totals_with_state(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def streaming_dedup(
+    docs: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-dedup: drop re-deliveries of the same key across
+    micro-batches — the continuous form of ``dedup.exact`` for a corpus
+    that arrives as a stream (re-crawled pages, replayed queue messages).
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key only
+    until the watermark passes its event time, so state is bounded by the
+    dedup horizon — the property that makes this runnable forever at
+    ingest scale, unlike an unbounded ``dropDuplicates`` whose state grows
+    with every distinct key it has ever seen. Keys are partitioned across
+    executors; checkpointing makes the drop decision exactly-once.
+    """
+    return docs.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

@@ -209,3 +209,64 @@ def test_externaldata(spark, tmp_path):
     p.write_text("1,x\n2,y\n")
     out = kql.externaldata(spark, "id long, name string", str(p))
     assert {r["id"]: r["name"] for r in out.collect()} == {1: "x", 2: "y"}
+
+
+def test_project_family(tiny):
+    out = kql.project_away(tiny, "flag")
+    assert out.columns == ["k", "x", "v"]
+    out = kql.project_keep(tiny, "v", "k")  # original order kept
+    assert out.columns == ["k", "v"]
+    out = kql.project_rename(tiny, key="k")
+    assert out.columns == ["key", "x", "v", "flag"]
+    out = kql.project_reorder(tiny, "v")
+    assert out.columns == ["v", "k", "x", "flag"]
+
+
+def test_parse_where_drops_nonmatching(spark):
+    df = kql.datatable(
+        spark, "s string", ("Customer#42",), ("garbage",), ("Customer#7",)
+    )
+    out = kql.parse_where(df, "s", "Customer#", ("cnum", "long"))
+    assert sorted(r["cnum"] for r in out.collect()) == [7, 42]
+
+
+def test_search_tables(tiny, spark):
+    other = kql.datatable(spark, "name string", ("findme-here",), ("nope",))
+    out = kql.search_tables({"t1": tiny, "t2": other}, "FINDME")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["source_"] == "t2"
+    assert "findme-here" in rows[0]["row_json"]
+
+
+def test_sample_distinct(tiny):
+    out = kql.sample_distinct(tiny, "x", 2)
+    a = sorted(r["key"] for r in out.collect())
+    b = sorted(r["key"] for r in kql.sample_distinct(tiny, "x", 2).collect())
+    assert a == b and len(a) == 2  # reproducible pick of 2 distinct keys
+
+
+def test_predicates(spark):
+    df = kql.datatable(spark, "s string, n long", ("North Wind", 5), ("seaside", 20))
+    rows = df.select(
+        kql.has_any("s", "wind", "fire").alias("any_"),
+        kql.has_all("s", "north", "wind").alias("all_"),
+        kql.startswith("s", "NORTH").alias("sw"),
+        kql.endswith("s", "SIDE").alias("ew"),
+        kql.matches_regex("s", "^[Ns]").alias("rx"),
+        kql.in_ci("s", "SEASIDE").alias("inci"),
+        kql.between("n", 5, 10).alias("btw"),
+    ).collect()
+    assert [r["any_"] for r in rows] == [True, False]
+    assert [r["all_"] for r in rows] == [True, False]
+    assert [r["sw"] for r in rows] == [True, False]
+    assert [r["ew"] for r in rows] == [False, True]
+    assert [r["rx"] for r in rows] == [True, True]
+    assert [r["inci"] for r in rows] == [False, True]
+    assert [r["btw"] for r in rows] == [True, False]
+
+
+def test_union_withsource(tiny, spark):
+    other = kql.datatable(spark, "k string", ("z",))
+    out = kql.union_withsource({"a": tiny.select("k"), "b": other})
+    counts = out.groupBy("source_").count().collect()
+    assert {r["source_"]: r["count"] for r in counts} == {"a": 6, "b": 1}

@@ -122,3 +122,16 @@ def test_partition_key_in_last_column_works(spark, tmp_path):
     # equal keys agree on pid regardless of column position
     pids = {r.key: r[PID_COL] for r in rows}
     assert pids["alpha"] is not None and len({r[PID_COL] for r in rows if r.key == "alpha"}) == 1
+
+
+def test_read_landing_orc(spark, sf_smoke, tmp_path):
+    from kusto_pre_forge_spark.config import DataFormat, RunSettings
+    from kusto_pre_forge_spark.sources.blob import read_landing
+
+    src = spark.read.parquet(f"{sf_smoke}/nation.parquet")
+    src.write.orc(str(tmp_path / "n.orc"))
+    got = read_landing(
+        spark, str(tmp_path / "n.orc"), RunSettings(fmt=DataFormat.ORC)
+    )
+    assert got.drop("_kpf_source").count() == src.count()
+    assert "_kpf_source" in got.columns

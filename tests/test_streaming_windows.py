@@ -108,3 +108,32 @@ def test_running_totals_with_state_accumulates_across_batches(
 
     emissions = Counter(r.key for r in rows)
     assert max(emissions.values()) >= 2, "expected per-key emissions from both batches"
+
+
+def test_streaming_dedup_drops_redelivery(spark, sf_smoke, tmp_path):
+    """The same blob delivered twice (two micro-batches): the deduped
+    stream must emit each event exactly once."""
+    from kusto_pre_forge_spark.streaming.windows import streaming_dedup
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "ts").limit(50)
+    land = tmp_path / "dup"
+    ev.coalesce(1).write.parquet(str(land / "w0"))
+    ev.coalesce(1).write.parquet(str(land / "w1"))  # re-delivery
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{land}/w0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{land}/w*/")
+    )
+    deduped = streaming_dedup(stream, ["event_id"], "ts", watermark="10 days")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    assert len(got) == 50
+    assert len({r.event_id for r in got}) == 50

@@ -72,3 +72,18 @@ def test_corpus_trigrams(docs):
     out = textprep.corpus_ngram_topk(docs, n=3, k=2).collect()
     assert out[0]["ngram"] in ("a b a", "b a b")
     assert out[0]["ngram_count"] == 29
+
+
+def test_tfidf_top_terms(spark):
+    df = spark.createDataFrame(
+        [(0, "apple apple banana"), (1, "banana cherry"), (2, "cherry date")],
+        "doc_id long, text string",
+    )
+    out = textprep.doc_tfidf_top_terms(df, k=2)
+    rows = {(r["doc_id"], r["rank"]): (r["term"], r["tfidf"]) for r in out.collect()}
+    # doc 0: apple tf=2 df=1 → 2*ln3 ≈ 2.197; banana tf=1 df=2 → ln1.5
+    assert rows[(0, 1)][0] == "apple"
+    assert rows[(0, 1)][1] == pytest.approx(2.197225, abs=1e-6)
+    assert rows[(0, 2)][0] == "banana"
+    # doc 2: date tf=1 df=1 → ln3 beats cherry (df=2)
+    assert rows[(2, 1)][0] == "date"
