@@ -210,6 +210,15 @@ def keyed_shard_assign(
     bucket_sums = t.groupBy("_kpf_bucket").agg(
         F.sum("_kpf_rec_bytes").alias("_kpf_bucket_bytes")
     )
+    # Pin the subtotals: the prefix machinery below reuses bucket_sums in
+    # several branches (within-super window, super totals, the non-equi
+    # base join), and each reuse would otherwise recompute the FULL input
+    # scan + record-byte projection (observed: 14 parquet scans of the data
+    # for one shard assignment). localCheckpoint materializes the
+    # bucket-sized aggregate once — O(#buckets) rows distributed across
+    # executors, no lineage back to the raw scan — so the raw data is read
+    # exactly twice: once for subtotals, once for the final row-level join.
+    bucket_sums = bucket_sums.localCheckpoint(eager=True)
     # Exclusive prefix over the bucket subtotals WITHOUT an unpartitioned
     # window (Catalyst folds literal partition keys away, and a bare
     # orderBy window funnels everything to one reducer): group buckets
