@@ -213,6 +213,18 @@ def minhash_lsh_pairs(
         .drop("_h32")
         .repartition(n_part, "_id")
     )
+    # Materialize (shingles, signature) ONCE. The original design placed
+    # the signature above a repartition exchange expecting ReuseExchange to
+    # share it across the three consumers (band keys, pair payload a/b) —
+    # but column pruning specializes each consumer's subtree (banded wants
+    # only _sig, payloads want _sh), the subplans stop being identical, and
+    # the executed plan ran the Arrow signature UDF 4× and re-scanned the
+    # source 4× (verified post-AQE). localCheckpoint pins the computed
+    # frame in executor storage (memory, spilling to disk): one scan, one
+    # Python round-trip. At corpus scale this stores ~shingle-expanded
+    # bytes; that is the same order as the shuffle the band join writes
+    # anyway, and strictly cheaper than 3× recompute of the hot stage.
+    base = base.localCheckpoint(eager=True)
 
     # band keys WITHOUT payload: the bucket self-join only ever shuffles
     # (id, band, 128-bit key) rows — shingle/signature arrays never ride
