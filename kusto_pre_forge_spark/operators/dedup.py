@@ -331,7 +331,10 @@ def simhash_pairs(
     — never a cross join. Exact Hamming verify via bit_count(xor).
     """
     bits_per = 60 // chunks
-    fp = simhash_fingerprints(df, text_col, id_col)
+    # fingerprints feed BOTH sides of the chunk self-join; without pinning,
+    # the md5-token transform recomputes per side (2 full scans). The frame
+    # is (id, 64-bit fp) — trivial to store, so materialize it once.
+    fp = simhash_fingerprints(df, text_col, id_col).localCheckpoint(eager=True)
     chunk_structs = [
         F.struct(
             F.lit(i).alias("ci"),
@@ -393,10 +396,15 @@ def ngram_jaccard_pairs(
     corpus-common boilerplate — which is what dedup wants to ignore
     anyway. ``None`` = exact (the oracle-checked configuration).
     """
+    # The shingle index feeds the size aggregate, the optional hot-shingle
+    # filter, and BOTH sides of the inverted-index self-join — four
+    # consumers whose pruned subtrees defeat exchange reuse (observed: 4
+    # source scans + 4 shingle explosions per call). Pin it once; it is the
+    # same data the join shuffles anyway.
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(char_shingles(text_col, shingle_n)).alias("s"),
-    )
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     sh_join = sh

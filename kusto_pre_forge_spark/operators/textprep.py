@@ -202,7 +202,14 @@ def doc_tfidf_top_terms(
     """
     words = _words(F.col(text_col))
     terms = df.select(id_col, F.explode(words).alias("term"))
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the document-frequency aggregate and the scoring join;
+    # pin it so the token explode + count runs once, not per consumer
+    # (unique (doc, term) rows — already smaller than the raw token stream)
+    tf = (
+        terms.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_term"))
     n_docs = df.select(F.count(F.lit(1)).alias("_n"))
     scored = (
