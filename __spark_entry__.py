@@ -1268,6 +1268,65 @@ def _q_doc_tfidf(spark, sf):
     return textprep.doc_tfidf_top_terms(d, k=3)
 
 
+def _q_kql_reduce(spark, sf):
+    """KQL reduce by — deterministic pattern clustering of event lines
+    (digit/hex/guid runs masked); the log-triage workhorse."""
+    e = load_table(spark, sf, "events")
+    line = F.concat_ws(" ", F.col("event_type"), F.col("props"))
+    return kql.reduce_by(e.select(line.alias("line")), "line")
+
+
+def _q_kql_bag_bits(spark, sf):
+    """KQL make_bag + binary_all_and/or/xor aggregates per event type."""
+    e = load_table(spark, sf, "events")
+    ev_k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        kql.make_bag_sorted(
+            (F.col("user_id") % 4).cast("string"), F.col("event_id").cast("string")
+        ).alias("bag"),
+        kql.binary_all_and(ev_k).cast("long").alias("all_and"),
+        kql.binary_all_or(ev_k).cast("long").alias("all_or"),
+        kql.binary_all_xor(ev_k).cast("long").alias("all_xor"),
+    )
+
+
+def _q_multimodal_decode(spark, sf):
+    """image decode plumbing (mapInPandas, Arrow batches) in fake mode —
+    the sha-derived pseudo-decode is deterministic, so even the stub is
+    oracle-checked end-to-end (features surfaced as exact byte ints)."""
+    from kusto_pre_forge_spark.operators import multimodal
+
+    d = load_table(spark, sf, "documents")
+    blobs = multimodal.attach_blob(d, "text")
+    feats = multimodal.decode_image_features(blobs, id_col="doc_id", fake=True)
+    return feats.select(
+        "doc_id",
+        "content_sha",
+        "width",
+        "height",
+        "channels",
+        F.array_join(
+            F.transform(
+                "feature", lambda x: F.round(x * 255).cast("int").cast("string")
+            ),
+            ",",
+        ).alias("feature_bytes"),
+    )
+
+
+def _q_multimodal_frames(spark, sf):
+    """video frame-sampling plumbing (fake mode): 32-byte frame windows
+    every 4th frame, sha per frame. ASCII-only docs so the SQL oracle's
+    char-based windows equal the stub's byte windows."""
+    from kusto_pre_forge_spark.operators import multimodal
+
+    d = load_table(spark, sf, "documents").where(
+        F.octet_length("text") == F.length("text")
+    )
+    blobs = multimodal.attach_blob(d, "text")
+    return multimodal.sample_frames(blobs, id_col="doc_id", every_n=4, fake=True)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1373,6 +1432,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_search": _q_kql_search,
         "kql_sample_distinct": _q_kql_sample_distinct,
         "doc_tfidf": _q_doc_tfidf,
+        "kql_reduce": _q_kql_reduce,
+        "kql_bag_bits": _q_kql_bag_bits,
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_frames": _q_multimodal_frames,
     }
 
 
@@ -2235,6 +2298,41 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT doc_id, term, tfidf, row_number() OVER "
             "(PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM s) "
             "SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, tfidf FROM r WHERE rank <= 3"
+        ),
+        "kql_reduce": (
+            "WITH t AS (SELECT event_type || ' ' || props AS line FROM events), "
+            "m AS (SELECT line, regexp_replace(regexp_replace(regexp_replace(line, "
+            "'[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}', '*', 'g'), "
+            "'[0-9a-fA-F]{8,}', '*', 'g'), '[0-9]+', '*', 'g') AS pattern FROM t) "
+            "SELECT pattern AS Pattern, CAST(count(*) AS BIGINT) AS Count, "
+            "min(line) AS Representative FROM m GROUP BY 1"
+        ),
+        "kql_bag_bits": (
+            "WITH kv AS (SELECT event_type, CAST(user_id % 4 AS VARCHAR) AS k, "
+            "min(CAST(event_id AS VARCHAR)) AS v FROM events GROUP BY 1, 2), "
+            "bags AS (SELECT event_type, '{' || string_agg('\"' || k || '\":\"' || v || '\"', ',' ORDER BY (k, v)) || '}' AS bag "
+            "FROM kv GROUP BY 1), "
+            "bits AS (SELECT event_type, CAST(bit_and(CAST(props->>'$.k' AS INT)) AS BIGINT) AS all_and, "
+            "CAST(bit_or(CAST(props->>'$.k' AS INT)) AS BIGINT) AS all_or, "
+            "CAST(bit_xor(CAST(props->>'$.k' AS INT)) AS BIGINT) AS all_xor FROM events GROUP BY 1) "
+            "SELECT b.event_type, bag, all_and, all_or, all_xor FROM bags b JOIN bits USING (event_type)"
+        ),
+        "multimodal_decode": (
+            "SELECT doc_id, sha256(text) AS content_sha, "
+            "16 + CAST(concat('0x', substr(sha256(text), 1, 2)) AS INT) AS width, "
+            "16 + CAST(concat('0x', substr(sha256(text), 3, 2)) AS INT) AS height, "
+            "3 AS channels, "
+            "array_to_string(list_transform(range(0, 8), j -> "
+            "CAST(CAST(concat('0x', substr(sha256(text), 5 + 2 * j, 2)) AS INT) AS VARCHAR)), ',') AS feature_bytes "
+            "FROM documents"
+        ),
+        "multimodal_frames": (
+            "WITH t AS (SELECT doc_id, text, "
+            "greatest(length(text) // 32, 1) AS nf FROM documents "
+            "WHERE octet_length(encode(text)) = length(text)), "
+            "f AS (SELECT doc_id, text, unnest(range(0, nf, 4)) AS fi FROM t) "
+            "SELECT doc_id, CAST(fi AS INT) AS frame_index, "
+            "sha256(substring(text, CAST(fi * 32 + 1 AS BIGINT), 32)) AS frame_sha FROM f"
         ),
         "corpus_ngrams": (
             "WITH t AS (SELECT doc_id, "

@@ -1453,3 +1453,83 @@ def sample_distinct(
         .limit(n)
         .drop("_h")
     )
+
+
+def reduce_by(
+    df: DataFrame,
+    col: Column | str,
+    count_name: str = "Count",
+    pattern_name: str = "Pattern",
+    rep_name: str = "Representative",
+) -> DataFrame:
+    """KQL ``reduce by Col`` — cluster strings into patterns by masking the
+    variable parts. Kusto's implementation is a proprietary similarity
+    heuristic; this engine defines the pattern DETERMINISTICALLY (so runs
+    and oracles agree): digit runs, hex runs (≥8), and guids collapse to
+    ``*``. Output is (Pattern, Count, Representative=min example) — one
+    codegen projection + one aggregation, the log-clustering workhorse.
+    """
+    c = _c(col)
+    masked = F.regexp_replace(
+        c,
+        "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+        "*",
+    )
+    masked = F.regexp_replace(masked, "[0-9a-fA-F]{8,}", "*")
+    masked = F.regexp_replace(masked, "[0-9]+", "*")
+    return (
+        df.select(c.alias("_v"), masked.alias(pattern_name))
+        .groupBy(pattern_name)
+        .agg(
+            F.count(F.lit(1)).alias(count_name),
+            F.min("_v").alias(rep_name),
+        )
+    )
+
+
+def make_bag_sorted(k: Column | str, v: Column | str) -> Column:
+    """KQL ``make_bag(bag_pack(k, v))`` aggregate — merge per-row pairs
+    into one JSON property bag. Keys are emitted SORTED (KQL's merge order
+    is unspecified; sorting makes the result deterministic and
+    oracle-replayable). Duplicate keys keep the smallest (k, v) pair, à la
+    take_any. Pure codegen: collect_set → array_sort → concat.
+    """
+    pair = F.struct(_c(k).cast("string").alias("k"), _c(v).cast("string").alias("v"))
+    entries = F.array_sort(F.collect_set(pair))
+    # drop duplicate keys, keeping the first (smallest v) after the sort;
+    # try_element_at is null on the empty accumulator → the null-safe
+    # comparison is false → first entry always appends
+    def _dedup_keys(acc, e):
+        return F.when(
+            F.try_element_at(acc, F.lit(-1))["k"].eqNullSafe(e["k"]),
+            acc,
+        ).otherwise(F.concat(acc, F.array(e)))
+
+    deduped = F.aggregate(
+        entries,
+        F.array().cast("array<struct<k:string,v:string>>"),
+        _dedup_keys,
+    )
+    body = F.array_join(
+        F.transform(
+            deduped,
+            lambda e: F.concat(F.lit('"'), e["k"], F.lit('":"'), e["v"], F.lit('"')),
+        ),
+        ",",
+    )
+    return F.concat(F.lit("{"), body, F.lit("}"))
+
+
+def binary_all_and(col: Column | str) -> Column:
+    """KQL ``binary_all_and`` aggregate."""
+    return F.expr(f"bit_and({_c(col)._jc.toString()})") if isinstance(col, Column) else F.expr(f"bit_and({col})")
+
+
+def binary_all_or(col: Column | str) -> Column:
+    """KQL ``binary_all_or`` aggregate."""
+    return F.expr(f"bit_or({col})") if isinstance(col, str) else F.expr(f"bit_or({col._jc.toString()})")
+
+
+def binary_all_xor(col: Column | str) -> Column:
+    """KQL ``binary_all_xor`` aggregate."""
+    return F.expr(f"bit_xor({col})") if isinstance(col, str) else F.expr(f"bit_xor({col._jc.toString()})")

@@ -270,3 +270,36 @@ def test_union_withsource(tiny, spark):
     out = kql.union_withsource({"a": tiny.select("k"), "b": other})
     counts = out.groupBy("source_").count().collect()
     assert {r["source_"]: r["count"] for r in counts} == {"a": 6, "b": 1}
+
+
+def test_reduce_by(spark):
+    df = kql.datatable(
+        spark,
+        "s string",
+        ("job 12 failed at 10:30",),
+        ("job 99 failed at 11:45",),
+        ("heartbeat ok",),
+        ("guid 6f9619ff-8b86-d011-b42d-00c04fc964ff seen",),
+    )
+    rows = {r["Pattern"]: r["Count"] for r in kql.reduce_by(df, "s").collect()}
+    assert rows["job * failed at *:*"] == 2
+    assert rows["heartbeat ok"] == 1
+    assert rows["guid * seen"] == 1
+
+
+def test_make_bag_sorted_dedups_keys(tiny):
+    row = tiny.groupBy().agg(
+        kql.make_bag_sorted("k", "x").alias("bag")
+    ).first()
+    # key a → values 1..4, smallest string "1"; key b → "1"
+    assert row["bag"] == '{"a":"1","b":"1"}'
+
+
+def test_binary_all_aggs(tiny):
+    row = tiny.groupBy().agg(
+        kql.binary_all_and("x").cast("long").alias("a"),
+        kql.binary_all_or("x").cast("long").alias("o"),
+        kql.binary_all_xor("x").cast("long").alias("x_"),
+    ).first()
+    # x values: 1,2,3,4,1,2 → and=0, or=7, xor=1^2^3^4^1^2=7
+    assert row["a"] == 0 and row["o"] == 7 and row["x_"] == 7
