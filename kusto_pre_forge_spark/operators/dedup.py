@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kusto_pre_forge_spark.functions.hashing import content_hash
+from kusto_pre_forge_spark.pinning import pin
 
 # 2^31-ish prime for the universal-hash family (a*x + b) % P; fits in long
 # arithmetic without overflow for 32-bit inputs.
@@ -160,6 +161,8 @@ def minhash_lsh_pairs(
     shingle_n: int = 5,
     threshold: float = 0.8,
     seed: int = 7,
+    max_bucket_size: int | None = None,
+    pin_mode: str = "persist",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact verify.
 
@@ -172,8 +175,25 @@ def minhash_lsh_pairs(
       4. exact Jaccard on distinct shingle arrays filters false positives
 
     Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
-    At 100 TB: candidates ≪ n²; hot buckets (boilerplate docs) can be
-    salted or capped — noted for the skew pass.
+
+    ``max_bucket_size`` is the hot-bucket valve (the ``max_doc_freq``
+    analogue of ``ngram_jaccard_pairs``): a band bucket holding k docs
+    contributes k·(k-1)/2 candidate rows, so ONE boilerplate template
+    shared by 1% of a 100 TB corpus makes a bucket quadratic. Buckets
+    larger than the cap are dropped from the candidate join entirely.
+    Recall note: a true near-dup pair agreeing on several bands survives
+    unless ALL of its shared bands are over-cap — and an over-cap bucket
+    means ≥ cap docs share that band, i.e. the pair is part of a giant
+    near-identical cluster that exact dedup / cluster resolution handles
+    more cheaply than pairwise LSH. ``None`` = exact banding (the
+    oracle-checked configuration).
+
+    ``pin_mode`` controls how the (shingles, signature) frame shared by
+    the band keys and both payload sides is materialized — see
+    ``kusto_pre_forge_spark.pinning``. The default lazy
+    ``persist(MEMORY_AND_DISK)`` keeps lineage, so an executor loss
+    recomputes lost partitions instead of failing the job; the first
+    consumer's action populates the cache for the other consumers.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -219,12 +239,15 @@ def minhash_lsh_pairs(
     # but column pruning specializes each consumer's subtree (banded wants
     # only _sig, payloads want _sh), the subplans stop being identical, and
     # the executed plan ran the Arrow signature UDF 4× and re-scanned the
-    # source 4× (verified post-AQE). localCheckpoint pins the computed
-    # frame in executor storage (memory, spilling to disk): one scan, one
-    # Python round-trip. At corpus scale this stores ~shingle-expanded
-    # bytes; that is the same order as the shuffle the band join writes
-    # anyway, and strictly cheaper than 3× recompute of the hot stage.
-    base = base.localCheckpoint(eager=True)
+    # source 4× (verified post-AQE). The lazy persist pins the computed
+    # frame (memory, spilling to disk) while KEEPING lineage — executor
+    # loss recomputes lost partitions instead of failing the job, and the
+    # first consumer populates the cache for the rest of the DAG (no
+    # up-front materialization job on the one-shot critical path). At
+    # corpus scale this stores ~shingle-expanded bytes; that is the same
+    # order as the shuffle the band join writes anyway, and strictly
+    # cheaper than 3× recompute of the hot stage.
+    base = pin(base, pin_mode)
 
     # band keys WITHOUT payload: the bucket self-join only ever shuffles
     # (id, band, 128-bit key) rows — shingle/signature arrays never ride
@@ -243,6 +266,19 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("_id", "bk.band", "bk.key")
+
+    if max_bucket_size is not None:
+        # Hot-bucket valve: drop over-cap (band, key) buckets BEFORE the
+        # self-join — the anti-join runs on the bucket-key aggregate (tiny
+        # relative to the corpus) and bounds every bucket's candidate
+        # contribution to max_bucket_size²/2.
+        hot = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "key")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -322,6 +358,7 @@ def simhash_pairs(
     id_col: str,
     max_hamming: int = 3,
     chunks: int = 4,
+    pin_mode: str = "persist",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -333,8 +370,9 @@ def simhash_pairs(
     bits_per = 60 // chunks
     # fingerprints feed BOTH sides of the chunk self-join; without pinning,
     # the md5-token transform recomputes per side (2 full scans). The frame
-    # is (id, 64-bit fp) — trivial to store, so materialize it once.
-    fp = simhash_fingerprints(df, text_col, id_col).localCheckpoint(eager=True)
+    # is (id, 64-bit fp) — trivial to store, so pin it (lazy persist keeps
+    # lineage; see kusto_pre_forge_spark.pinning).
+    fp = pin(simhash_fingerprints(df, text_col, id_col), pin_mode)
     chunk_structs = [
         F.struct(
             F.lit(i).alias("ci"),
@@ -379,6 +417,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 5,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    pin_mode: str = "persist",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
 
@@ -399,12 +438,16 @@ def ngram_jaccard_pairs(
     # The shingle index feeds the size aggregate, the optional hot-shingle
     # filter, and BOTH sides of the inverted-index self-join — four
     # consumers whose pruned subtrees defeat exchange reuse (observed: 4
-    # source scans + 4 shingle explosions per call). Pin it once; it is the
-    # same data the join shuffles anyway.
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(char_shingles(text_col, shingle_n)).alias("s"),
-    ).localCheckpoint(eager=True)
+    # source scans + 4 shingle explosions per call). Pin it once (lazy
+    # persist — lineage kept, cache filled by the first consumer); it is
+    # the same data the join shuffles anyway.
+    sh = pin(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(char_shingles(text_col, shingle_n)).alias("s"),
+        ),
+        pin_mode,
+    )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     sh_join = sh

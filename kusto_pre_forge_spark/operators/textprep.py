@@ -204,12 +204,12 @@ def doc_tfidf_top_terms(
     terms = df.select(id_col, F.explode(words).alias("term"))
     # tf feeds both the document-frequency aggregate and the scoring join;
     # pin it so the token explode + count runs once, not per consumer
-    # (unique (doc, term) rows — already smaller than the raw token stream)
-    tf = (
-        terms.groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
-    )
+    # (unique (doc, term) rows — already smaller than the raw token stream).
+    # Lazy persist: keeps lineage (executor loss recomputes, not fails) and
+    # defers materialization to the first consumer's action.
+    from kusto_pre_forge_spark.pinning import pin
+
+    tf = pin(terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_term"))
     n_docs = df.select(F.count(F.lit(1)).alias("_n"))
     scored = (

@@ -214,11 +214,16 @@ def keyed_shard_assign(
     # several branches (within-super window, super totals, the non-equi
     # base join), and each reuse would otherwise recompute the FULL input
     # scan + record-byte projection (observed: 14 parquet scans of the data
-    # for one shard assignment). localCheckpoint materializes the
-    # bucket-sized aggregate once — O(#buckets) rows distributed across
-    # executors, no lineage back to the raw scan — so the raw data is read
-    # exactly twice: once for subtotals, once for the final row-level join.
-    bucket_sums = bucket_sums.localCheckpoint(eager=True)
+    # for one shard assignment). The lazy persist pins the bucket-sized
+    # aggregate — O(#buckets) rows distributed across executors — so the
+    # raw data is read exactly twice: once for subtotals, once for the
+    # final row-level join. Lazy + lineage-keeping: no materialization job
+    # up front (round 2's eager localCheckpoint put a full extra pass on
+    # the one-shot critical path, +95% on shard_assign), and executor loss
+    # recomputes instead of failing.
+    from kusto_pre_forge_spark.pinning import pin
+
+    bucket_sums = pin(bucket_sums)
     # Exclusive prefix over the bucket subtotals WITHOUT an unpartitioned
     # window (Catalyst folds literal partition keys away, and a bare
     # orderBy window funnels everything to one reducer): group buckets
