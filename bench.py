@@ -3,7 +3,13 @@
 
 Prints ONE JSON line:
   {"metric": "headline_queries_wall_sec", "value": <total>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "errors": {name: msg, ...}, "sf": <sf>}
+
+Each query runs REPS (3) times; the reported number is the median, so a
+one-off GC pause or JIT blip doesn't read as a regression. Every query is
+fault-isolated: an exception records an entry in "errors" and the loop
+moves on — the JSON line is ALWAYS emitted (round 3 lost its entire bench
+to one AnalysisException; never again).
 
 Headline set: the flagship aggregation (Q1 shape), the heaviest joins
 (Q3/Q5 shapes), both reference pipelines (prepartition hash + scatter,
@@ -86,32 +92,55 @@ def warmup(spark) -> None:
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).count()
 
 
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def run_once(spark, queries, name: str) -> tuple[float, int]:
+    """One timed end-to-end run of a headline query. Returns (sec, rows)."""
+    fn = queries[name]
+    t0 = time.perf_counter()
+    df = fn(spark, SF_DIR)
+    if name in CHECKSUM_ACTION:
+        from pyspark.sql import functions as F
+
+        # bit_xor, not sum: sum(xxhash64) overflows long under ANSI mode
+        row = (
+            df.select(F.xxhash64(*df.columns).alias("_h"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(_h)").alias("checksum"),
+            )
+            .collect()[0]
+        )
+        n = row["n"]
+    else:
+        n = df.count()
+    return time.perf_counter() - t0, n
+
+
 def main() -> None:
     spark = get_session(app_name="kpf-bench")
-    warmup(spark)
+    try:
+        warmup(spark)
+    except Exception as exc:  # noqa: BLE001 — never let warmup kill the bench
+        print(f"# warmup failed: {exc!r}", file=sys.stderr)
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        if name in CHECKSUM_ACTION:
-            from pyspark.sql import functions as F
-
-            # bit_xor, not sum: sum(xxhash64) overflows long under ANSI mode
-            row = (
-                df.select(F.xxhash64(*df.columns).alias("_h"))
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.expr("bit_xor(_h)").alias("checksum"),
-                )
-                .collect()[0]
-            )
-            n = row["n"]
-        else:
-            n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        runs: list[float] = []
+        for rep in range(REPS):
+            try:
+                sec, n = run_once(spark, queries, name)
+            except Exception as exc:  # noqa: BLE001 — fault-isolate per query
+                msg = f"{type(exc).__name__}: {exc}"
+                errors[name] = msg[:500]
+                print(f"# {name}: FAILED rep {rep}: {msg[:200]}", file=sys.stderr)
+                break
+            runs.append(sec)
+            print(f"# {name}[{rep}]: {sec:.3f}s ({n} rows)", file=sys.stderr)
+        if runs:
+            timings[name] = round(sorted(runs)[len(runs) // 2], 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -120,6 +149,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
+                "reps": REPS,
                 "sf": sf_from_dir(SF_DIR),
             }
         )

@@ -22,15 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..tables import normalize_ts as _normalize_ts
+
 _REAGG = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
-
-
-def _normalize_ts(df: DataFrame, ts_col: str) -> DataFrame:
-    if dict(df.dtypes)[ts_col] == "bigint":  # testdata nanos-as-long
-        return df.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
-        )
-    return df
 
 
 def rollup_timeseries(

@@ -21,16 +21,35 @@ built-in can't express (session_window covers plain gap sessions).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..tables import normalize_ts as _norm_ts
 
-def _norm_ts(df: DataFrame, ts_col: str) -> DataFrame:
-    if dict(df.dtypes)[ts_col] == "bigint":  # testdata nanos-as-long
-        return df.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
-        )
-    return df
+
+def _floor_seconds(col: Column, dtype: str) -> Column:
+    """Epoch seconds (floor) for timestamp/NTZ columns; pass-through for
+    numeric ts columns.
+
+    Spark 4 forbids NTZ→numeric casts under ANSI, so NTZ goes through a
+    session-TZ TIMESTAMP cast first (the session TZ is pinned to UTC, so
+    values are unchanged). Floor-seconds subtraction — not
+    ``timestamp_diff`` — is deliberate: DuckDB's ``date_diff('second')``
+    oracle counts second-boundary crossings, which equals the difference
+    of floored epochs, not elapsed whole seconds.
+    """
+    if dtype == "timestamp_ntz":
+        col = col.cast("timestamp")
+    if dtype.startswith("timestamp"):
+        return col.cast("long")
+    return col
+
+
+def _gap_exceeds(cur: Column, prev: Column, dtype: str, gap_seconds: float) -> Column:
+    """gap(cur, prev) > gap_seconds for timestamp OR numeric ts columns."""
+    return (
+        _floor_seconds(cur, dtype) - _floor_seconds(prev, dtype)
+    ) > F.lit(gap_seconds)
 
 
 def sessionize_lag(
@@ -47,7 +66,9 @@ def sessionize_lag(
     prev = F.lag(F.col(ts_col)).over(w)
     new_session = F.when(
         prev.isNull()
-        | ((F.col(ts_col).cast("long") - prev.cast("long")) > gap_seconds),
+        | _gap_exceeds(
+            F.col(ts_col), prev, dict(src.dtypes)[ts_col], gap_seconds
+        ),
         1,
     ).otherwise(0)
     return src.withColumn(

@@ -50,16 +50,24 @@ def as_of_join(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != right_ts]
 
+    # TIMESTAMP_NTZ (tz-naive parquet under Spark 4) can't cast to numeric
+    # for the tolerance check and would also poison the union type if the
+    # two sides disagree — normalize to session-TZ TIMESTAMP (UTC, so
+    # values are unchanged) when building the common _ts column.
+    def _as_ts(df: DataFrame, col: str) -> Column:
+        c = F.col(col)
+        return c.cast("timestamp") if dict(df.dtypes)[col] == "timestamp_ntz" else c
+
     # tag and align the two sides on a common schema
     l_tagged = left.withColumn("_is_left", F.lit(1)).withColumn(
-        "_ts", F.col(left_ts)
+        "_ts", _as_ts(left, left_ts)
     )
     for c in right_cols:
         out_c = f"{c}{suffix}" if c in left.columns else c
         l_tagged = l_tagged.withColumn(f"_r_{out_c}", F.lit(None).cast(dict(right.dtypes)[c]))
     r_tagged = right.select(
         *keys,
-        F.col(right_ts).alias("_ts"),
+        _as_ts(right, right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
         *[
             F.col(c).alias(f"_r_{c}{suffix}" if c in left.columns else f"_r_{c}")

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..tables import normalize_ts as _norm_ts
+
 
 def windowed_event_counts(
     events: DataFrame,
@@ -39,13 +41,8 @@ def windowed_event_counts(
 
     Returns (window.start, window.end, *keys, n).
     """
-    # testdata stores ts as timestamp[ns] which Spark reads as long nanos;
-    # normalize to a timestamp like tables.load_table does
-    src = events
-    if dict(src.dtypes)[ts_col] == "bigint":
-        src = src.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
-        )
+    # normalize ts (nanos-as-long or TIMESTAMP_NTZ) like tables.load_table
+    src = _norm_ts(events, ts_col)
     win = (
         F.window(ts_col, window_duration, slide)
         if slide
@@ -120,9 +117,8 @@ def running_totals_with_state(
             }
         )
 
+    events = _norm_ts(events, ts_col)
     ts = F.col(ts_col)
-    if dict(events.dtypes)[ts_col] == "bigint":
-        ts = F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
     src = events.select(
         F.col(key_col).cast("string").alias(key_col),
         ts.alias(ts_col),
