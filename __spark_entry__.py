@@ -449,6 +449,21 @@ def _q_dedup_minhash(spark, sf):
     )
 
 
+def _q_dedup_clusters(spark, sf):
+    """Pairs → duplicate clusters: connected components (alternating
+    large-star/small-star) over the minhash near-dup pairs, labeled with
+    each component's min doc_id — the keep/drop decision the pair
+    generators alone can't answer."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=64, bands=16, shingle_n=5, threshold=0.9
+    )
+    return dedup.connected_components(pairs).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def _q_dedup_ngram(spark, sf):
     d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
     return dedup.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=5, threshold=0.8)
@@ -736,9 +751,11 @@ def _q_kql_series_fill_linear(spark, sf):
 
 def _q_pipeline_docs_clean(spark, sf):
     """Composite training-data cleaning pipeline in ONE DAG: language-ID →
-    keep English → exact near-dup removal (min doc_id per content hash,
-    left-semi join) → per-source corpus stats. The shapes a 100 TB corpus
-    clean actually runs; every stage is the already-oracled operator."""
+    keep English → exact dedup (min doc_id per content hash) → MinHash
+    near-dup pairs → connected-component cluster resolution → drop all but
+    each cluster's min-id survivor → per-source corpus stats. The shapes a
+    100 TB corpus clean actually runs; every stage is the already-oracled
+    operator."""
     d = load_table(spark, sf, "documents")
     en = d.withColumn("lang_pred", textstats.lang_id("text")).filter(
         F.col("lang_pred") == "en"
@@ -751,7 +768,13 @@ def _q_pipeline_docs_clean(spark, sf):
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    return kept.groupBy("source").agg(
+    # near-dup clusters on the exact-deduped survivors; keep min-id per
+    # cluster (pairs → components → anti-join, the actual keep/drop step)
+    pairs = dedup.minhash_lsh_pairs(
+        kept, "text", "doc_id", num_hashes=64, bands=16, shingle_n=5, threshold=0.9
+    )
+    final = dedup.dedup_survivors(kept, pairs, "doc_id")
+    return final.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(textstats.token_count("text")).cast("long").alias("total_tokens"),
     )
@@ -1367,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM-pipeline extensions
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -1582,7 +1606,7 @@ def oracle_sql() -> dict[str, str]:
         "ELSE 'fr' END AS lang_pred FROM h) GROUP BY lang_pred"
     )
     pipeline_docs = (
-        f"WITH t AS (SELECT doc_id, text, source, {_LTOKENS_SQL} AS toks"
+        f"WITH RECURSIVE t AS (SELECT doc_id, text, source, {_LTOKENS_SQL} AS toks"
         " FROM documents), "
         "h AS (SELECT doc_id, text, source, "
         f"len(list_filter(toks, t -> list_contains({_DE}, t))) hde, "
@@ -1597,10 +1621,24 @@ def oracle_sql() -> dict[str, str]:
         "ELSE 'fr' END AS lang_pred FROM h), "
         "en AS (SELECT * FROM lng WHERE lang_pred = 'en'), "
         "keep AS (SELECT min(doc_id) AS doc_id FROM en GROUP BY md5(text)), "
-        "kept AS (SELECT e.* FROM en e JOIN keep k ON e.doc_id = k.doc_id) "
+        "kept AS (SELECT e.* FROM en e JOIN keep k ON e.doc_id = k.doc_id), "
+        # near-dup cluster resolution on the exact-deduped set: >=0.9-Jaccard
+        # pairs → connected components (recursive reachability) → drop every
+        # row that is not its component's min id
+        f"sh AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM kept), "
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a "
+        "JOIN sh b ON a.doc_id < b.doc_id "
+        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+        "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.9), "
+        "edges AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p), "
+        "reach(src, node) AS ("
+        "SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+        "UNION SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node), "
+        "drops AS (SELECT src AS doc_id FROM reach GROUP BY src "
+        "HAVING min(node) != src) "
         "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
         f"CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens "
-        "FROM kept GROUP BY 1"
+        "FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM drops) GROUP BY 1"
     )
     shard = (
         "WITH rec AS (SELECT octet_length(encode(concat_ws(',', "
@@ -1774,6 +1812,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY md5(text)"
         ),
         "dedup_minhash": jacc.format(sh=_SHINGLE_SQL, flt="", thr="0.9"),
+        "dedup_clusters": (
+            # connected components over the same >=0.9-Jaccard pair set:
+            # enumerate reachable nodes per source (recursive CTE; the
+            # UNION dedups, so it terminates), label = min reachable id
+            "WITH RECURSIVE "
+            f"s AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a "
+            "JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.9), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM p "
+            "UNION SELECT id_b, id_a FROM p), "
+            "reach(src, node) AS ("
+            "SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+            "UNION "
+            "SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node) "
+            "SELECT CAST(src AS BIGINT) AS doc_id, "
+            "CAST(min(node) AS BIGINT) AS cluster_id FROM reach GROUP BY src"
+        ),
         "dedup_ngram": jacc.format(sh=_SHINGLE_SQL, flt=" WHERE doc_id < 200", thr="0.8"),
         "dedup_embedding": (
             "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e, "

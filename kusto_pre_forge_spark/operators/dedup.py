@@ -278,7 +278,11 @@ def minhash_lsh_pairs(
             .filter(F.col("_n") > max_bucket_size)
             .select("band", "key")
         )
-        banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
+        # No broadcast hint: the over-cap set is usually tiny but its size
+        # is corpus-dependent (up to n·bands/cap rows on a pathological
+        # corpus, past the 8 GB broadcast limit) — let AQE pick broadcast
+        # vs shuffle from the measured size at runtime.
+        banded = banded.join(hot, ["band", "key"], "left_anti")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -555,3 +559,135 @@ def embedding_dup_pairs(
         cosine(F.col("l._v"), F.col("r._v")).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution: pairs → components → survivors
+# ---------------------------------------------------------------------------
+# Every pair generator above answers "which documents are similar"; the
+# 100 TB question is "which rows do I drop". Near-dup pairs are the edges
+# of a graph whose connected components are the duplicate clusters; the
+# standard resolution keeps one representative (min id) per component and
+# drops the rest. Components are computed with the alternating
+# large-star / small-star algorithm (Kiveris et al. 2014, "Connected
+# Components in MapReduce and Beyond"): O(log n) rounds, each round two
+# key-partitioned aggregations — no vertex ever sees more than its
+# neighborhood, so it scales to billions of edges where a naive
+# transitive-closure join blows up.
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 16,
+) -> DataFrame:
+    """(id, cluster_id) for every node in ``pairs``; cluster_id = the
+    component's minimum id.
+
+    Driver-side loop, but nothing unbounded is collected: each round runs
+    one count+checksum action over the edge frame to test convergence.
+    Rounds are capped at ``max_iterations`` (the algorithm converges in
+    O(log n) rounds — 16 covers any realistic corpus; a non-converged exit
+    still returns valid labels, just possibly splitting one component).
+
+    Each round ends in an eager ``localCheckpoint``: a round references the
+    previous edge frame ~8× (symmetrize + two self-joins), so without
+    lineage truncation the LOGICAL plan grows 8^rounds and Catalyst
+    analysis — not execution — becomes the bottleneck. Truncation is the
+    standard for driver-loop graph iteration (GraphX/GraphFrames
+    checkpoint the same way). Trade-off: executor loss mid-computation
+    fails the op (rerun it) instead of recomputing lineage — acceptable
+    for a bounded O(log n)-round job, unlike the long-lived pipelines
+    where ``pinning.pin`` keeps lineage on purpose.
+    """
+    edges = (
+        pairs.select(
+            F.col(src_col).cast("long").alias("u"),
+            F.col(dst_col).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def checksum(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+        ).collect()[0]
+        return row["n"], row["x"]
+
+    prev_sum = None
+    for _ in range(max_iterations):
+        # Large-star: connect every neighbor larger than u to
+        # min(Γ(u) ∪ {u}). Neighborhoods are the symmetrized edge list.
+        nbr = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            nbr.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least(F.col("u"), F.col("_mv")).alias("m"))
+        )
+        large = (
+            nbr.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+        # Small-star: orient edges toward the smaller endpoint, then hang
+        # every small neighbor (and u itself) off the neighborhood min.
+        directed = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        dmins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        hang_nbrs = (
+            directed.join(dmins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        hang_self = dmins.select("u", F.col("m").alias("v"))
+        edges = (
+            hang_nbrs.union(hang_self)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate lineage, see docstring
+        )
+
+        cur_sum = checksum(edges)  # cheap: reads the checkpointed blocks
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    # Fixpoint edges form stars u → root(min). Labels: every satellite
+    # points at its root; roots label themselves.
+    sat = edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    roots = edges.select(F.col("v").alias("id")).distinct().withColumn(
+        "cluster_id", F.col("id")
+    )
+    labels = sat.unionByName(roots).distinct()
+    # a satellite of a merged star may briefly appear as a stale root too;
+    # keep the smallest label per id (min is always the true component root)
+    return labels.groupBy("id").agg(F.min("cluster_id").alias("cluster_id"))
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 16,
+) -> DataFrame:
+    """Drop all but the min-id representative of every duplicate cluster.
+
+    ``pairs`` is the output of any pair generator above (minhash_lsh,
+    simhash, ngram, embedding). Rows not in any pair are kept untouched.
+    One anti-join against the (small) drop set — the corpus itself is
+    never shuffled.
+    """
+    labels = connected_components(pairs, src_col, dst_col, max_iterations)
+    drops = labels.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drops, id_col, "left_anti")

@@ -28,10 +28,13 @@ Mode trade-offs (why lazy persist is the default):
 - ``none`` — no pin (accept recompute; useful when the caller persists a
   bigger enclosing frame itself).
 
-Pinned frames stay in executor storage until evicted (LRU) or the session
-ends; long-lived sessions calling these operators repeatedly can call
-``spark.catalog.clearCache()`` between batches, or pass ``pin="none"``
-and manage materialization themselves.
+Pinned frames stay in executor storage until evicted (LRU for in-memory
+blocks; disk-spilled blocks are only freed by unpersist/ContextCleaner
+after driver-side GC) or the session ends. Long-lived sessions calling
+these operators repeatedly should either call
+``spark.catalog.clearCache()`` between batches, or pass
+``pin_mode="none"`` (the operator kwarg) and manage materialization
+themselves — e.g. persist the input frame, run the operator, unpersist.
 """
 
 from __future__ import annotations
@@ -45,9 +48,12 @@ PIN_MODES = ("persist", "local_checkpoint", "checkpoint", "none")
 def pin(df: DataFrame, how: str = "persist") -> DataFrame:
     """Pin a multi-consumer frame so its lineage runs once, not per consumer.
 
-    See module docstring for mode semantics. Lazy in all modes except
-    ``checkpoint`` (reliable checkpoint is eager by Spark API design only
-    when requested; we pass eager=False and let the first action pay).
+    See module docstring for mode semantics. Lazy in ALL modes (checkpoint
+    is requested with eager=False): nothing materializes until the first
+    downstream action. The checkpoint branch persists before
+    checkpointing — without that, the checkpoint write re-runs the frame's
+    lineage a second time instead of reading the partitions the triggering
+    action just computed (the standard persist-then-checkpoint pattern).
     """
     if how == "none":
         return df
@@ -56,5 +62,5 @@ def pin(df: DataFrame, how: str = "persist") -> DataFrame:
     if how == "local_checkpoint":
         return df.localCheckpoint(eager=False)
     if how == "checkpoint":
-        return df.checkpoint(eager=False)
+        return df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(eager=False)
     raise ValueError(f"unknown pin mode {how!r}; expected one of {PIN_MODES}")

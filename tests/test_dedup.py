@@ -134,3 +134,117 @@ def test_ngram_max_doc_freq_prunes_but_keeps_near_dups(spark):
     exact_j = {(r.id_a, r.id_b): r.jaccard for r in exact}
     for r in capped:
         assert r.jaccard <= exact_j[(r.id_a, r.id_b)] + 1e-12
+
+
+def test_connected_components_labels_min_id(spark):
+    """Chain, star, and pair components all label with the component min."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 2), (10, 11), (20, 21), (20, 22)],
+        "id_a long, id_b long",
+    )
+    labels = {
+        (r.id, r.cluster_id) for r in dedup.connected_components(pairs).collect()
+    }
+    assert labels == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Worst-case diameter (a path graph) still collapses to one root
+    within the iteration cap — the O(log n) star-contraction property."""
+    n = 64
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    labels = dedup.connected_components(chain)
+    assert labels.count() == n + 1
+    assert labels.filter(F.col("cluster_id") != 0).count() == 0
+
+
+def test_connected_components_empty_pairs(spark):
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(empty).count() == 0
+
+
+def test_dedup_survivors_keeps_min_and_untouched_rows(spark, docs_with_dups):
+    """End-to-end pairs→clusters→survivors: every duplicate cluster keeps
+    exactly its min doc_id; rows in no pair pass through untouched."""
+    pairs = dedup.minhash_lsh_pairs(
+        docs_with_dups, "text", "doc_id", num_hashes=64, bands=16, threshold=0.95
+    )
+    out = dedup.dedup_survivors(docs_with_dups, pairs, "doc_id")
+    surviving = {r.doc_id for r in out.select("doc_id").collect()}
+    # the 10 exact copies (jaccard 1.0) must all be dropped, originals kept
+    for i in range(10):
+        assert i in surviving
+        assert i + 100000 not in surviving
+    # survivors + drops partition the corpus
+    n_pairs_nodes = (
+        pairs.select(F.col("id_a").alias("i"))
+        .union(pairs.select("id_b"))
+        .distinct()
+        .count()
+    )
+    n_clusters = (
+        dedup.connected_components(pairs).select("cluster_id").distinct().count()
+    )
+    assert len(surviving) == docs_with_dups.count() - (n_pairs_nodes - n_clusters)
+
+
+def test_minhash_hot_bucket_valve_drops_boilerplate_keeps_rare(spark):
+    """max_bucket_size: a giant near-identical template cluster is dropped
+    from the candidate join while an under-cap near-dup pair survives."""
+    # 60 near-identical boilerplate docs (every band bucket holds ~60) +
+    # one distinct near-dup pair of longer random-ish text
+    boiler = [
+        (i, "identical boilerplate legal disclaimer text repeated verbatim")
+        for i in range(60)
+    ]
+    rare_text = " ".join(f"token{j}" for j in range(40))
+    rare = [(1000, rare_text), (1001, rare_text + " x")]
+    corpus = spark.createDataFrame(boiler + rare, "doc_id long, text string")
+
+    exact = dedup.minhash_lsh_pairs(
+        corpus, "text", "doc_id", num_hashes=64, bands=16, threshold=0.8
+    )
+    capped = dedup.minhash_lsh_pairs(
+        corpus, "text", "doc_id", num_hashes=64, bands=16, threshold=0.8,
+        max_bucket_size=10,
+    )
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (1000, 1001) in exact_pairs
+    assert (1000, 1001) in capped_pairs, "under-cap near-dup must survive"
+    assert capped_pairs <= exact_pairs, "capping can only drop pairs"
+    # the 60-doc boilerplate cluster (>= cap in every bucket) is dropped
+    assert not any(a < 60 and b < 60 for a, b in capped_pairs)
+    assert any(a < 60 and b < 60 for a, b in exact_pairs)
+
+
+@pytest.mark.parametrize("pin_mode", ["persist", "local_checkpoint", "none"])
+def test_minhash_pin_modes_agree(spark, docs_with_dups, pin_mode):
+    """Every pin mode returns the same pair set (pinning is a
+    materialization strategy, never a semantics change)."""
+    pairs = dedup.minhash_lsh_pairs(
+        docs_with_dups, "text", "doc_id", num_hashes=64, bands=16,
+        threshold=0.95, pin_mode=pin_mode,
+    ).collect()
+    found = {(p.id_a, p.id_b) for p in pairs}
+    for i in range(10):
+        assert (i, i + 100000) in found
+
+
+def test_minhash_pin_mode_checkpoint_needs_dir(spark, docs_with_dups, tmp_path):
+    """checkpoint mode works once a checkpoint dir is set (and the frame
+    survives an action), validating the documented requirement."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    pairs = dedup.minhash_lsh_pairs(
+        docs_with_dups, "text", "doc_id", num_hashes=64, bands=16,
+        threshold=0.95, pin_mode="checkpoint",
+    ).collect()
+    found = {(p.id_a, p.id_b) for p in pairs}
+    for i in range(10):
+        assert (i, i + 100000) in found
