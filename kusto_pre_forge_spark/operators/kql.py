@@ -887,7 +887,11 @@ def indexof(col: Column | str, lookup: str) -> Column:
 
 def countof(col: Column | str, search: str) -> Column:
     """KQL ``countof(text, search)`` — non-overlapping occurrence count via
-    length arithmetic (no regex engine in the hot path)."""
+    length arithmetic (no regex engine in the hot path). An empty search
+    term counts 0 (Kusto returns the string length + 1 for the degenerate
+    empty needle; nobody wants that, and it used to ZeroDivisionError here)."""
+    if not search:
+        return F.lit(0).cast("long")
     c = _c(col)
     return (
         (F.length(c) - F.length(F.replace(c, F.lit(search), F.lit(""))))
@@ -1256,22 +1260,25 @@ def series_moving_avg(col: Column | str, window: int, center: bool = False) -> C
     use what exists, matching the fl library's edge behavior)."""
     c = _c(col)
     half = window // 2 if center else 0
-    return F.transform(
-        c,
-        lambda x, i: F.aggregate(
-            F.slice(
-                c,
-                F.greatest(i + 1 - (window - 1) + half, F.lit(1)),
-                F.least(
-                    F.lit(window),
-                    i + 1 + half - F.greatest(i + 1 - (window - 1) + half, F.lit(1)) + 1,
-                ),
-            ),
-            F.lit(0.0),
-            lambda a, x2: a + x2.cast("double"),
+
+    def _avg(x: Column, i: Column) -> Column:
+        # realized window: [start, end] clamped to the array bounds; the
+        # divisor is the REALIZED length (end - start + 1) — dividing by
+        # the nominal window counted positions past the array tail and
+        # deflated centered averages near the end
+        start = F.greatest(i + 1 - (window - 1) + half, F.lit(1))
+        end = F.least(i + 1 + half, F.size(c))
+        n = end - start + 1
+        return (
+            F.aggregate(
+                F.slice(c, start, n),
+                F.lit(0.0),
+                lambda a, x2: a + x2.cast("double"),
+            )
+            / n.cast("double")
         )
-        / F.least(F.lit(window), i + 1 + half).cast("double"),
-    )
+
+    return F.transform(c, _avg)
 
 
 def series_pearson_correlation(a: Column | str, b: Column | str) -> Column:
@@ -1299,7 +1306,10 @@ def series_pearson_correlation(a: Column | str, b: Column | str) -> Column:
 
 
 def has_any(col: Column | str, *terms: str) -> Column:
-    """KQL ``x has_any (t1, t2, ...)`` — true when ANY whole term matches."""
+    """KQL ``x has_any (t1, t2, ...)`` — true when ANY whole term matches.
+    Zero terms → false (nothing can match an empty disjunction)."""
+    if not terms:
+        return F.lit(False)
     out = has_term(col, terms[0])
     for t in terms[1:]:
         out = out | has_term(col, t)
@@ -1307,7 +1317,10 @@ def has_any(col: Column | str, *terms: str) -> Column:
 
 
 def has_all(col: Column | str, *terms: str) -> Column:
-    """KQL ``x has_all (t1, t2, ...)`` — true when EVERY whole term matches."""
+    """KQL ``x has_all (t1, t2, ...)`` — true when EVERY whole term matches.
+    Zero terms → true (vacuous conjunction)."""
+    if not terms:
+        return F.lit(True)
     out = has_term(col, terms[0])
     for t in terms[1:]:
         out = out & has_term(col, t)
@@ -1413,6 +1426,8 @@ def search_tables(
     (the union is a narrow concat). The JSON projection mirrors KQL's
     pack_all() result shape for search.
     """
+    if not named:
+        raise ValueError("search_tables needs at least one table")
     low = term.lower()
     parts = []
     for name, df in named.items():
@@ -1427,6 +1442,13 @@ def search_tables(
                 F.lit(name).alias(source_name),
                 F.to_json(F.struct(*df.columns)).alias("row_json"),
             )
+        )
+    if not parts:
+        # no table has a string column: a valid search with zero hits,
+        # not an error — emit an empty frame in the output schema
+        spark = next(iter(named.values())).sparkSession
+        return spark.createDataFrame(
+            [], f"{source_name} string, row_json string"
         )
     out = parts[0]
     for p in parts[1:]:
@@ -1510,26 +1532,24 @@ def make_bag_sorted(k: Column | str, v: Column | str) -> Column:
         F.array().cast("array<struct<k:string,v:string>>"),
         _dedup_keys,
     )
-    body = F.array_join(
-        F.transform(
-            deduped,
-            lambda e: F.concat(F.lit('"'), e["k"], F.lit('":"'), e["v"], F.lit('"')),
-        ),
-        ",",
-    )
-    return F.concat(F.lit("{"), body, F.lit("}"))
+    # to_json escapes quotes/backslashes/control chars properly (hand
+    # concatenation between quote literals produced invalid JSON for any
+    # key or value containing " or \); map_from_entries keeps the sorted
+    # entry order, so output is still deterministic
+    return F.to_json(F.map_from_entries(deduped))
 
 
 def binary_all_and(col: Column | str) -> Column:
-    """KQL ``binary_all_and`` aggregate."""
-    return F.expr(f"bit_and({_c(col)._jc.toString()})") if isinstance(col, Column) else F.expr(f"bit_and({col})")
+    """KQL ``binary_all_and`` aggregate (native bit_and: works on computed
+    Columns and under Spark Connect, unlike the former SQL-string round-trip)."""
+    return F.bit_and(_c(col))
 
 
 def binary_all_or(col: Column | str) -> Column:
     """KQL ``binary_all_or`` aggregate."""
-    return F.expr(f"bit_or({col})") if isinstance(col, str) else F.expr(f"bit_or({col._jc.toString()})")
+    return F.bit_or(_c(col))
 
 
 def binary_all_xor(col: Column | str) -> Column:
     """KQL ``binary_all_xor`` aggregate."""
-    return F.expr(f"bit_xor({col})") if isinstance(col, str) else F.expr(f"bit_xor({col._jc.toString()})")
+    return F.bit_xor(_c(col))

@@ -166,6 +166,77 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_iters: int = 5,
+    seed: int = 13,
+) -> list[list[float]]:
+    """Seeded fixed-iteration spherical k-means — the production centroid
+    story for :func:`cosine_topk_ivf` (lowest-id centroids are a
+    determinism device for oracles, not a recall story).
+
+    Spherical variant because the index metric is cosine: vectors are
+    L2-normalized, assignment is argmax dot, the cell update is the mean
+    of assigned unit vectors re-normalized. Every step is distributed:
+
+    - assignment — one vectorized pandas_udf pass (centroid matrix rides
+      the closure: n_cells × dim doubles);
+    - update — ``applyInPandas`` per cell (n_cells bounded groups, numpy
+      column means inside);
+    - driver traffic per iteration — exactly the n_cells × dim centroid
+      table, nothing corpus-sized.
+
+    Determinism: seeds are the ``n_cells`` corpus rows with the smallest
+    md5(seed ‖ id); iterations are a fixed count (no convergence test →
+    no data-dependent control flow); numpy means accumulate in a fixed
+    order. Empty cells keep their previous centroid.
+    """
+    seeds = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn(
+            "_h", F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("_id").cast("string")))
+        )
+        .orderBy("_h", "_id")
+        .limit(n_cells)
+        .collect()
+    )
+    C = np.array(
+        [np.asarray(r["_v"], dtype=np.float64) for r in seeds]
+    )  # (cells, dim)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    vecs = corpus.select(F.col(vec_col).alias("_v"))
+    for _ in range(n_iters):
+        Cb = C.copy()
+
+        @F.pandas_udf(T.IntegerType())
+        def _assign(vs: pd.Series) -> pd.Series:
+            V = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            return pd.Series(np.argmax(V @ Cb.T, axis=1).astype("int32"))
+
+        def _cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            return pd.DataFrame(
+                {"_cell": [int(pdf["_cell"].iloc[0])], "_mean": [V.mean(axis=0)]}
+            )
+
+        means = (
+            vecs.withColumn("_cell", _assign(F.col("_v")))
+            .groupBy("_cell")
+            .applyInPandas(_cell_mean, "_cell int, _mean array<double>")
+            .collect()
+        )
+        for r in means:
+            C[r["_cell"]] = np.asarray(r["_mean"], dtype=np.float64)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return [[float(x) for x in row] for row in C]
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -174,6 +245,7 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     n_cells: int = 16,
     nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF-flat (inverted-file) partitioning.
 
@@ -192,17 +264,24 @@ def cosine_topk_ivf(
     oracle's ``ORDER BY s DESC, cid ASC``.
 
     Returns (query_id, neighbor_id, cosine, rank), rank in 1..k.
+
+    ``centroids``: pass :func:`ivf_kmeans_centroids` output for trained
+    cells (the recall path). Default ``None`` keeps the deterministic
+    lowest-id-row centroids an external SQL oracle can replay.
     """
-    cent_rows = sorted(
-        corpus.select(id_col, vec_col)
-        .orderBy(F.col(id_col).asc())
-        .limit(n_cells)
-        .collect(),
-        key=lambda r: r[id_col],
-    )
+    if centroids is None:
+        cent_rows = sorted(
+            corpus.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(n_cells)
+            .collect(),
+            key=lambda r: r[id_col],
+        )
+        cent_vecs = [[float(x) for x in r[vec_col]] for r in cent_rows]
+    else:
+        cent_vecs = [[float(x) for x in v] for v in centroids[:n_cells]]
     cents = []
-    for j, r in enumerate(cent_rows):
-        vec = [float(x) for x in r[vec_col]]
+    for j, vec in enumerate(cent_vecs):
         acc = 0.0
         for x in vec:
             acc += x * x

@@ -159,9 +159,21 @@ def _write_round_robin(
     scattered: DataFrame, staging: list[str], fmt: str, compression: str | None
 ) -> None:
     """One write partitioned by (staging idx, pid), then per-pid directory
-    moves into the round-robin staging roots — rename, not rewrite."""
-    import os
-    import shutil
+    moves into the round-robin staging roots — rename, not rewrite.
+
+    Moves go through the Hadoop ``FileSystem`` API (resolved from the path
+    scheme), so they work on any store Spark can write to — local/file:,
+    HDFS, s3a://, abfss:// — not just the driver's local filesystem.
+    On HDFS/local the rename is a metadata op; object stores implement it
+    as server-side copy+delete, still never re-reading through Spark.
+    All staging roots must live on the SAME filesystem as the temp root
+    (the reference's multi-staging-container layout — one storage account)
+    because cross-filesystem rename is not defined.
+    """
+    spark = scattered.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
 
     k = len(staging)
     tmp_root = staging[0].rstrip("/") + ".__kpf_staging_tmp__"
@@ -170,16 +182,26 @@ def _write_round_robin(
     if compression:
         writer = writer.option("compression", compression)
     getattr(writer, fmt)(tmp_root)
+
+    tmp_path = HPath(tmp_root)
+    fs = tmp_path.getFileSystem(hconf)
     try:
         for i, dest in enumerate(staging):
-            src_dir = os.path.join(tmp_root, f"_kpf_staging={i}")
-            if not os.path.isdir(src_dir):
+            src_dir = HPath(tmp_path, f"_kpf_staging={i}")
+            if not fs.exists(src_dir):
                 continue
-            os.makedirs(dest, exist_ok=True)
-            for child in os.listdir(src_dir):
-                target = os.path.join(dest, child)
-                if os.path.isdir(target):
-                    shutil.rmtree(target)
-                shutil.move(os.path.join(src_dir, child), target)
+            dest_path = HPath(dest)
+            fs.mkdirs(dest_path)
+            for status in fs.listStatus(src_dir):
+                child = status.getPath()
+                target = HPath(dest_path, child.getName())
+                if fs.exists(target):
+                    fs.delete(target, True)
+                if not fs.rename(child, target):
+                    raise IOError(
+                        f"rename {child} -> {target} failed; are all "
+                        "staging roots on the same filesystem as the "
+                        "temp root?"
+                    )
     finally:
-        shutil.rmtree(tmp_root, ignore_errors=True)
+        fs.delete(tmp_path, True)

@@ -303,3 +303,60 @@ def test_binary_all_aggs(tiny):
     ).first()
     # x values: 1,2,3,4,1,2 → and=0, or=7, xor=1^2^3^4^1^2=7
     assert row["a"] == 0 and row["o"] == 7 and row["x_"] == 7
+
+
+def test_series_moving_avg_centered_edges(spark):
+    """center=True divisor = realized slice size at BOTH array ends
+    (previously deflated near the tail by counting past-the-end slots)."""
+    df = spark.createDataFrame([([1.0, 2.0, 3.0, 4.0, 5.0],)], "s array<double>")
+    out = df.select(kql.series_moving_avg("s", 3, center=True).alias("m")).first()["m"]
+    # window 3 centered: [1,2]/2, [1,2,3]/3, [2,3,4]/3, [3,4,5]/3, [4,5]/2
+    expect = [1.5, 2.0, 3.0, 4.0, 4.5]
+    assert [round(v, 9) for v in out] == expect
+    # trailing form unchanged: [1]/1, [1,2]/2, [1,2,3]/3, [2,3,4]/3, [3,4,5]/3
+    trail = df.select(kql.series_moving_avg("s", 3).alias("m")).first()["m"]
+    assert [round(v, 9) for v in trail] == [1.0, 1.5, 2.0, 3.0, 4.0]
+
+
+def test_make_bag_sorted_escapes_json(spark):
+    """Keys/values containing quotes and backslashes must round-trip as
+    valid JSON (raw concatenation produced broken strings)."""
+    import json
+
+    df = spark.createDataFrame(
+        [('say "hi"', 'back\\slash'), ("plain", 'quote"inside')],
+        "k string, v string",
+    )
+    bag = df.agg(kql.make_bag_sorted("k", "v").alias("bag")).first()["bag"]
+    parsed = json.loads(bag)  # raises if escaping is broken
+    assert parsed == {"plain": 'quote"inside', 'say "hi"': "back\\slash"}
+
+
+def test_binary_all_aggs_accept_computed_columns(tiny):
+    """Native bit_and/or/xor path: computed Column inputs (the SQL-string
+    round-trip used to mis-render them)."""
+    row = tiny.agg(
+        kql.binary_all_and(F.col("x") + 0).cast("long").alias("a"),
+        kql.binary_all_or(F.col("x") * 1).cast("long").alias("o"),
+    ).first()
+    xs = [r["x"] for r in tiny.select("x").collect()]
+    import functools, operator
+
+    assert row["a"] == functools.reduce(operator.and_, xs)
+    assert row["o"] == functools.reduce(operator.or_, xs)
+
+
+def test_degenerate_inputs_guarded(tiny, spark):
+    """Zero-term has_any/has_all, empty countof needle, and a
+    string-column-free search must not raise."""
+    row = tiny.select(
+        kql.has_any("s").alias("any0"),
+        kql.has_all("s").alias("all0"),
+        kql.countof("s", "").alias("c0"),
+    ).first()
+    assert row["any0"] is False and row["all0"] is True and row["c0"] == 0
+
+    nums = spark.range(3)  # no string columns anywhere
+    out = kql.search_tables({"nums": nums}, "zzz")
+    assert out.count() == 0
+    assert out.columns == ["source_", "row_json"]

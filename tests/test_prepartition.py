@@ -111,6 +111,31 @@ def test_round_robin_staging_dirs(spark, orders, tmp_path):
     assert total == orders.count()
 
 
+def test_round_robin_staging_file_uris(spark, orders, tmp_path):
+    """Same spread through explicit file: URIs — exercises the Hadoop
+    FileSystem rename path (scheme-resolved fs, not driver-local
+    os/shutil), the shape an object-store deployment takes."""
+    import glob
+    import os
+
+    staging = [f"file:{tmp_path}/ustage{i}" for i in range(2)]
+    res = run_prepartition(orders, POLICY, staging)
+    assert res.staging_paths == staging
+
+    populated = []
+    for i in range(2):
+        root = f"{tmp_path}/ustage{i}"
+        for d in glob.glob(os.path.join(root, f"{PID_COL}=*")):
+            pid = int(d.rsplit("=", 1)[1])
+            assert pid % 2 == i
+        if glob.glob(os.path.join(root, "*")):
+            populated.append(f"file:{root}")
+    assert not glob.glob(str(tmp_path / "*__kpf_staging_tmp__*"))
+    assert populated
+    total = sum(spark.read.parquet(root).count() for root in populated)
+    assert total == orders.count()
+
+
 def test_journal_counters(spark, orders, tmp_path):
     """PerfCounterJournal analogue: plans feed named counters; the journal
     drains, sums by name, and reports in the reference's format."""

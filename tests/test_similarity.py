@@ -101,3 +101,34 @@ def test_ivf_partial_probe_recall_and_soundness(emb):
     for r in sorted(approx, key=lambda r: (r.query_id, r.rank)):
         by_q.setdefault(r.query_id, []).append(r.rank)
     assert all(ranks == list(range(1, len(ranks) + 1)) for ranks in by_q.values())
+
+
+def test_ivf_kmeans_centroids_deterministic_and_improve_recall(spark, emb):
+    """Seeded fixed-iteration k-means: same inputs → identical centroids;
+    trained cells beat the lowest-id baseline on recall@10 for queries
+    disjoint from the baseline's centroid rows."""
+    from kusto_pre_forge_spark.operators import similarity
+
+    km1 = similarity.ivf_kmeans_centroids(emb, n_cells=8, n_iters=3, seed=13)
+    km2 = similarity.ivf_kmeans_centroids(emb, n_cells=8, n_iters=3, seed=13)
+    assert km1 == km2, "same seed must reproduce identical centroids"
+    assert len(km1) == 8
+    import math
+
+    for c in km1:  # spherical k-means → unit vectors
+        assert math.isqrt(0) == 0 and abs(sum(x * x for x in c) - 1.0) < 1e-9
+
+    q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    exact = similarity.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id")
+
+    def rec(approx):
+        hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+        return hits / exact.count()
+
+    trained = similarity.cosine_topk_ivf(
+        emb, q, k=10, n_cells=8, nprobe=2, centroids=km1
+    ).select("query_id", "neighbor_id")
+    base = similarity.cosine_topk_ivf(emb, q, k=10, n_cells=8, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
+    assert rec(trained) >= rec(base)
