@@ -118,6 +118,52 @@ def run_once(spark, queries, name: str) -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
+def bench_streaming(spark) -> dict:
+    """Measured availableNow micro-batch latency (BASELINE.md's streaming
+    claim, previously asserted only from test wall times): 4 CSV landing
+    blobs from the orders table, one continuous-PrePartition drain, wall
+    seconds end-to-end including checkpoint commit."""
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from kusto_pre_forge_spark.catalog import PartitionPolicy
+    from kusto_pre_forge_spark.streaming.ingest import StreamingEtl
+
+    d = tempfile.mkdtemp(prefix="kpf_bench_stream_")
+    try:
+        for i in range(4):
+            duckdb.sql(
+                f"COPY (SELECT * FROM '{SF_DIR}/orders.parquet' "
+                f"WHERE o_orderkey % 4 = {i}) TO '{d}/orders-{i:02d}.csv' (HEADER)"
+            )
+        schema = (
+            spark.read.option("header", True)
+            .option("inferSchema", True)
+            .csv(f"{d}/orders-00.csv")
+            .schema
+        )
+        etl = StreamingEtl(
+            spark,
+            landing_dir=d,
+            checkpoint_dir=f"{d}/_ckpt",
+            output_dir=f"{d}/_out",
+            schema=schema,
+            fmt="csv",
+        )
+        t0 = time.perf_counter()
+        q = etl.start_prepartition(
+            PartitionPolicy("o_orderpriority", 8, 42), available_now=True
+        )
+        q.awaitTermination()
+        sec = round(time.perf_counter() - t0, 3)
+        n = spark.read.parquet(f"{d}/_out").count()
+        return {"availablenow_sec": sec, "rows": n}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_session(app_name="kpf-bench")
     try:
@@ -141,6 +187,13 @@ def main() -> None:
             print(f"# {name}[{rep}]: {sec:.3f}s ({n} rows)", file=sys.stderr)
         if runs:
             timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+    try:
+        streaming = bench_streaming(spark)
+        print(f"# streaming availableNow: {streaming}", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 — fault-isolated like queries
+        streaming = None
+        errors["_streaming"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"# streaming bench FAILED: {exc}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -151,6 +204,7 @@ def main() -> None:
                 "queries": timings,
                 "errors": errors,
                 "reps": REPS,
+                "streaming": streaming,
                 "sf": sf_from_dir(SF_DIR),
             }
         )
