@@ -780,6 +780,144 @@ def _q_pipeline_docs_clean(spark, sf):
     )
 
 
+def _q_corpus_stratified_sample(spark, sf):
+    """Training-mixture builder: deterministic per-language sampling rates
+    (en 0.5, de 1.0, fr 0.2, everything else 0.1). Membership is a pure
+    function of the doc_id hash — replayable on any cluster layout, unlike
+    seeded sampleBy. Map-side filter, zero shuffle."""
+    from kusto_pre_forge_spark.operators import corpus as corpus_ops
+
+    d = load_table(spark, sf, "documents")
+    out = corpus_ops.stratified_sample(
+        d, "lang", {"en": 0.5, "de": 1.0, "fr": 0.2}, key="doc_id",
+        default_fraction=0.1,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def _q_corpus_shuffle(spark, sf):
+    """Reproducible global training order: total order by content hash,
+    dense 0-based position. Same order on any cluster/partitioning."""
+    from kusto_pre_forge_spark.operators import corpus as corpus_ops
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return corpus_ops.corpus_shuffle(d, "doc_id").select(
+        "doc_id", F.col("shuffle_pos").cast("long").alias("shuffle_pos")
+    )
+
+
+def _q_contamination_check(spark, sf):
+    """Benchmark decontamination: corpus docs sharing >=1 distinct word
+    8-gram with a benchmark doc (docs 0-19 stand in for the eval suite).
+    Inverted-index join on the n-gram hash — no cross join anywhere."""
+    from kusto_pre_forge_spark.operators import corpus as corpus_ops
+
+    d = load_table(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") < 20)
+    pool = d.filter(F.col("doc_id") >= 20)
+    out = corpus_ops.contamination_check(pool, bench, ngram_n=8, min_shared=1)
+    return out.select(
+        "corpus_id", "bench_id", F.col("shared_ngrams").cast("long").alias("shared_ngrams")
+    )
+
+
+def _q_kql_ipv4_suite(spark, sf):
+    """KQL IPv4 scalars: parse_ipv4 / format_ipv4 round-trip /
+    ipv4_is_private / ipv4_is_in_range — all codegen shift arithmetic.
+    IPs synthesized from event_id (incl. malformed rows → null, as KQL)."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 500)
+    eid = F.col("event_id")
+    ip = (
+        F.when(eid % 7 == 0, F.lit("not-an-ip"))
+        .when(
+            eid % 5 == 0,
+            F.concat_ws(".", F.lit("192"), F.lit("168"), (eid % 256), F.lit("1")),
+        )
+        .otherwise(
+            F.concat_ws(
+                ".",
+                F.lit("10"),
+                eid % 256,
+                F.floor(eid / 256) % 256,
+                F.floor(eid / 65536) % 256,
+            )
+        )
+    )
+    e = e.withColumn("ip", ip)
+
+    def b2s(c):  # nullable bool → 'true'/'false'/'null' (None↔NaN pandas drift)
+        return F.coalesce(c.cast("string"), F.lit("null"))
+
+    return e.select(
+        "event_id",
+        "ip",
+        kql.parse_ipv4("ip").alias("ip_num"),
+        kql.format_ipv4(kql.parse_ipv4("ip")).alias("ip_rt"),
+        b2s(kql.ipv4_is_private("ip")).alias("is_priv"),
+        b2s(kql.ipv4_is_in_range("ip", "10.0.0.0/8")).alias("in10"),
+    )
+
+
+def _q_kql_url_suite(spark, sf):
+    """KQL URL scalars: parse_url (dynamic bag via native parse_url parts,
+    port from AUTHORITY), url_encode_component (%20 semantics), url_decode
+    round-trip."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 300)
+    u = F.concat(
+        F.lit("https://"),
+        F.col("event_type"),
+        F.lit(".example.com:8080/p/"),
+        F.col("event_id"),
+        F.lit("?k="),
+        F.col("event_id") % 10,
+        F.lit("#s"),
+        F.col("event_id") % 3,
+    )
+    enc_src = F.concat(F.col("event_type"), F.lit(" "), F.col("event_id"))
+    return e.select(
+        "event_id",
+        F.to_json(kql.parse_url_kql(u)).alias("url_bag"),
+        kql.url_encode_component(enc_src).alias("enc"),
+        kql.url_decode(kql.url_encode_component(enc_src)).alias("dec"),
+    )
+
+
+def _q_kql_series_fill(spark, sf):
+    """Packed-array series_fill_forward/backward: per-type value series
+    (event_id order) with every 3rd point nulled, then filled both ways;
+    compared via order-preserving fold sums + residual null counts."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 300)
+    arr = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("event_id"), F.col("value").cast("double").alias("v"))
+            )
+        ),
+        lambda s: F.when(s["event_id"] % 3 == 0, F.lit(None).cast("double")).otherwise(
+            s["v"]
+        ),
+    )
+    g = e.groupBy("event_type").agg(arr.alias("_s"))
+    ff = kql.series_fill_forward("_s")
+    bf = kql.series_fill_backward("_s")
+
+    def fold_sum(c):
+        return F.round(
+            F.aggregate(c, F.lit(0.0), lambda a, x: a + F.coalesce(x, F.lit(0.0))), 6
+        )
+
+    def n_nulls(c):
+        return F.size(F.filter(c, lambda x: x.isNull())).cast("long")
+
+    return g.select(
+        "event_type",
+        fold_sum(ff).alias("ff_sum"),
+        fold_sum(bf).alias("bf_sum"),
+        n_nulls(ff).alias("ff_nulls"),
+        n_nulls(bf).alias("bf_nulls"),
+    )
+
+
 def _q_kql_bag_unpack(spark, sf):
     """KQL evaluate bag_unpack — promote the props bag's keys to columns
     via one codegen'd from_json against a declared schema."""
@@ -1466,6 +1604,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_top_hitters": _q_kql_top_hitters,
         "kql_series_outliers": _q_kql_series_outliers,
         "pipeline_docs_clean": _q_pipeline_docs_clean,
+        "corpus_stratified_sample": _q_corpus_stratified_sample,
+        "corpus_shuffle": _q_corpus_shuffle,
+        "contamination_check": _q_contamination_check,
+        "kql_ipv4_suite": _q_kql_ipv4_suite,
+        "kql_url_suite": _q_kql_url_suite,
+        "kql_series_fill": _q_kql_series_fill,
         "kql_bag_unpack": _q_kql_bag_unpack,
         # round-2 KQL surface
         "kql_argmax": _q_kql_argmax,
@@ -2018,6 +2162,99 @@ def oracle_sql() -> dict[str, str]:
             " FROM events"
         ),
         "pipeline_docs_clean": pipeline_docs,
+        "kql_ipv4_suite": (
+            "WITH b AS (SELECT event_id, CASE "
+            "WHEN event_id % 7 = 0 THEN 'not-an-ip' "
+            "WHEN event_id % 5 = 0 THEN concat('192.168.', CAST(event_id % 256 AS VARCHAR), '.1') "
+            "ELSE concat('10.', CAST(event_id % 256 AS VARCHAR), '.', "
+            "CAST((event_id // 256) % 256 AS VARCHAR), '.', "
+            "CAST((event_id // 65536) % 256 AS VARCHAR)) END AS ip "
+            "FROM events WHERE event_id < 500), "
+            "p AS (SELECT event_id, ip, CASE WHEN len(string_split(ip, '.')) = 4 "
+            "AND list_aggregate(list_transform(string_split(ip, '.'), "
+            "x -> CASE WHEN regexp_matches(x, '^[0-9]{1,3}$') "
+            "AND TRY_CAST(x AS BIGINT) <= 255 THEN 1 ELSE 0 END), 'min') = 1 "
+            "THEN CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216 "
+            "+ CAST(string_split(ip, '.')[2] AS BIGINT) * 65536 "
+            "+ CAST(string_split(ip, '.')[3] AS BIGINT) * 256 "
+            "+ CAST(string_split(ip, '.')[4] AS BIGINT) ELSE NULL END AS ip_num "
+            "FROM b) "
+            "SELECT event_id, ip, ip_num, "
+            "CASE WHEN ip_num IS NULL THEN '' ELSE concat("
+            "CAST((ip_num // 16777216) % 256 AS VARCHAR), '.', "
+            "CAST((ip_num // 65536) % 256 AS VARCHAR), '.', "
+            "CAST((ip_num // 256) % 256 AS VARCHAR), '.', "
+            "CAST(ip_num % 256 AS VARCHAR)) END AS ip_rt, "
+            "CASE WHEN ip_num IS NULL THEN 'null' ELSE CAST("
+            "(ip_num BETWEEN 167772160 AND 184549375) "
+            "OR (ip_num BETWEEN 2886729728 AND 2887778303) "
+            "OR (ip_num BETWEEN 3232235520 AND 3232301055) AS VARCHAR) END AS is_priv, "
+            "CASE WHEN ip_num IS NULL THEN 'null' ELSE CAST("
+            "ip_num BETWEEN 167772160 AND 184549375 AS VARCHAR) END AS in10 FROM p"
+        ),
+        "kql_url_suite": (
+            "SELECT event_id, "
+            "concat('{\"Scheme\":\"https\",\"Host\":\"', event_type, "
+            "'.example.com\",\"Port\":\"8080\",\"Path\":\"/p/', "
+            "CAST(event_id AS VARCHAR), '\",\"QueryString\":\"k=', "
+            "CAST(event_id % 10 AS VARCHAR), '\",\"Fragment\":\"s', "
+            "CAST(event_id % 3 AS VARCHAR), '\"}') AS url_bag, "
+            "replace(concat(event_type, ' ', CAST(event_id AS VARCHAR)), ' ', '%20') AS enc, "
+            "concat(event_type, ' ', CAST(event_id AS VARCHAR)) AS dec "
+            "FROM events WHERE event_id < 300"
+        ),
+        "kql_series_fill": (
+            "WITH e AS (SELECT event_type, event_id, CASE WHEN event_id % 3 = 0 "
+            "THEN NULL ELSE CAST(value AS DOUBLE) END AS v "
+            "FROM events WHERE event_id < 300), "
+            "f AS (SELECT event_type, event_id, "
+            "last_value(v IGNORE NULLS) OVER (PARTITION BY event_type "
+            "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv, "
+            "first_value(v IGNORE NULLS) OVER (PARTITION BY event_type "
+            "ORDER BY event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bv "
+            "FROM e), "
+            "g AS (SELECT event_type, "
+            "list(coalesce(fv, 0) ORDER BY event_id) AS ffl, "
+            "list(coalesce(bv, 0) ORDER BY event_id) AS bfl, "
+            "list(fv ORDER BY event_id) AS ffn, "
+            "list(bv ORDER BY event_id) AS bfn FROM f GROUP BY 1) "
+            "SELECT event_type, "
+            "round(list_aggregate(ffl, 'sum'), 6) AS ff_sum, "
+            "round(list_aggregate(bfl, 'sum'), 6) AS bf_sum, "
+            "CAST(len(list_filter(ffn, x -> x IS NULL)) AS BIGINT) AS ff_nulls, "
+            "CAST(len(list_filter(bfn, x -> x IS NULL)) AS BIGINT) AS bf_nulls "
+            "FROM g"
+        ),
+        "corpus_stratified_sample": (
+            # same md5-threshold construction as the Spark operator:
+            # u = int(first 8 md5 hex of 'kpf|<id>') / 2^32 < per-stratum rate
+            "SELECT doc_id, lang, source FROM documents WHERE "
+            "CAST(concat('0x', substr(md5(concat('kpf', '|', "
+            "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 < "
+            "CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 "
+            "WHEN 'fr' THEN 0.2 ELSE 0.1 END"
+        ),
+        "corpus_shuffle": (
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY "
+            "CAST(concat('0x', substr(md5(concat('kpf', '|', "
+            "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0, "
+            "doc_id) - 1 AS BIGINT) AS shuffle_pos "
+            "FROM documents WHERE doc_id < 100"
+        ),
+        "contamination_check": (
+            "WITH tok AS (SELECT doc_id, "
+            f"{_LTOKENS_SQL} AS toks FROM documents), "
+            "g AS (SELECT doc_id, list_distinct(list_transform("
+            "range(0, greatest(len(toks) - 7, 1)), "
+            "i -> array_to_string(toks[i+1:i+8], ' '))) AS gs FROM tok), "
+            "ce AS (SELECT doc_id AS corpus_id, unnest(gs) AS gr FROM g "
+            "WHERE doc_id >= 20), "
+            "be AS (SELECT doc_id AS bench_id, unnest(gs) AS gr FROM g "
+            "WHERE doc_id < 20) "
+            "SELECT corpus_id, bench_id, "
+            "CAST(count(DISTINCT ce.gr) AS BIGINT) AS shared_ngrams "
+            "FROM ce JOIN be USING (gr) GROUP BY 1, 2 HAVING count(DISTINCT ce.gr) >= 1"
+        ),
         "kql_bag_unpack": (
             "SELECT event_id, event_type,"
             " CAST(props->>'$.k' AS INT) AS k FROM events"

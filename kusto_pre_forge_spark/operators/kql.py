@@ -1553,3 +1553,124 @@ def binary_all_or(col: Column | str) -> Column:
 def binary_all_xor(col: Column | str) -> Column:
     """KQL ``binary_all_xor`` aggregate."""
     return F.bit_xor(_c(col))
+
+
+# ---- round-4 additions: IPv4 scalars, URL scalars, packed-series fills ----
+
+
+def parse_ipv4(col: Column | str) -> Column:
+    """KQL ``parse_ipv4`` — dotted-quad string → numeric (long); null for
+    malformed input. Pure codegen split + shift arithmetic."""
+    c = _c(col)
+    parts = F.split(c, r"\.")
+    ok = (F.size(parts) == 4) & F.forall(
+        parts, lambda p: p.rlike("^[0-9]{1,3}$") & (p.cast("long") <= 255)
+    )
+    val = (
+        parts[0].cast("long") * 16777216
+        + parts[1].cast("long") * 65536
+        + parts[2].cast("long") * 256
+        + parts[3].cast("long")
+    )
+    return F.when(ok, val).otherwise(F.lit(None).cast("long"))
+
+
+def format_ipv4(col: Column | str) -> Column:
+    """KQL ``format_ipv4`` — numeric → dotted-quad string."""
+    c = _c(col).cast("long")
+    return F.concat_ws(
+        ".",
+        F.floor(c / 16777216) % 256,
+        F.floor(c / 65536) % 256,
+        F.floor(c / 256) % 256,
+        c % 256,
+    )
+
+
+def ipv4_is_in_range(col: Column | str, cidr: str) -> Column:
+    """KQL ``ipv4_is_in_range(ip, 'a.b.c.d/p')`` — CIDR membership. The
+    block bounds are Python-side constants, so the test compiles to two
+    long comparisons; null (not false) for unparseable input, like KQL."""
+    base, _, bits = cidr.partition("/")
+    p = int(bits) if bits else 32
+    quads = [int(x) for x in base.split(".")]
+    base_num = (quads[0] << 24) | (quads[1] << 16) | (quads[2] << 8) | quads[3]
+    span = (1 << (32 - p)) - 1 if p < 32 else 0
+    lo = base_num & ~span & 0xFFFFFFFF
+    hi = lo | span
+    v = parse_ipv4(col)
+    return F.when(v.isNull(), F.lit(None).cast("boolean")).otherwise(
+        (v >= lo) & (v <= hi)
+    )
+
+
+def ipv4_is_private(col: Column | str) -> Column:
+    """KQL ``ipv4_is_private`` — RFC-1918 membership (10/8, 172.16/12,
+    192.168/16); null for unparseable input."""
+    out = F.lit(False)
+    for block in ("10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16"):
+        out = out | ipv4_is_in_range(col, block)
+    v = parse_ipv4(col)
+    return F.when(v.isNull(), F.lit(None).cast("boolean")).otherwise(out)
+
+
+def parse_url_kql(col: Column | str) -> Column:
+    """KQL ``parse_url`` — decompose a URL into a property bag. Emitted as
+    a struct (Scheme, Host, Port, Path, Query String, Fragment) built from
+    Spark's native ``parse_url`` (JVM java.net.URI — codegen'd, no UDF);
+    ``to_json`` of the result matches KQL's dynamic-bag shape."""
+    c = _c(col)
+    # PORT is not a parse_url part (Hive parts: PROTOCOL/HOST/PATH/QUERY/
+    # REF/FILE/AUTHORITY/USERINFO) — extract it from AUTHORITY instead
+    port = F.nullif(
+        F.regexp_extract(F.parse_url(c, F.lit("AUTHORITY")), r":(\d+)$", 1),
+        F.lit(""),
+    )
+    return F.struct(
+        F.parse_url(c, F.lit("PROTOCOL")).alias("Scheme"),
+        F.parse_url(c, F.lit("HOST")).alias("Host"),
+        port.alias("Port"),
+        F.parse_url(c, F.lit("PATH")).alias("Path"),
+        F.parse_url(c, F.lit("QUERY")).alias("QueryString"),
+        F.parse_url(c, F.lit("REF")).alias("Fragment"),
+    )
+
+
+def url_decode(col: Column | str) -> Column:
+    """KQL ``url_decode`` — percent-decoding (native, codegen)."""
+    return F.url_decode(_c(col))
+
+
+def url_encode_component(col: Column | str) -> Column:
+    """KQL ``url_encode_component`` — percent-encoding. Native url_encode
+    is java.net.URLEncoder (form encoding: space → '+'); KQL's component
+    encoding wants %20, so '+' is post-replaced."""
+    return F.replace(F.url_encode(_c(col)), F.lit("+"), F.lit("%20"))
+
+
+def series_fill_forward(col: Column | str) -> Column:
+    """KQL ``series_fill_forward`` over a PACKED series array (the
+    long-form windowed fill is :func:`series_fill_linear`): nulls take the
+    last preceding non-null value; leading nulls stay null. One aggregate
+    pass; state is (result-so-far, last-non-null)."""
+    c = _c(col)
+    return F.aggregate(
+        c,
+        F.struct(
+            F.array().cast("array<double>").alias("acc"),
+            F.lit(None).cast("double").alias("last"),
+        ),
+        lambda st, x: F.struct(
+            F.concat(
+                st["acc"], F.array(F.coalesce(x.cast("double"), st["last"]))
+            ).alias("acc"),
+            F.coalesce(x.cast("double"), st["last"]).alias("last"),
+        ),
+        lambda st: st["acc"],
+    )
+
+
+def series_fill_backward(col: Column | str) -> Column:
+    """KQL ``series_fill_backward`` over a packed series array — mirror of
+    :func:`series_fill_forward`."""
+    return F.reverse(series_fill_forward(F.reverse(_c(col))))

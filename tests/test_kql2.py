@@ -360,3 +360,55 @@ def test_degenerate_inputs_guarded(tiny, spark):
     out = kql.search_tables({"nums": nums}, "zzz")
     assert out.count() == 0
     assert out.columns == ["source_", "row_json"]
+
+
+def test_ipv4_scalars(spark):
+    df = spark.createDataFrame(
+        [("10.1.2.3",), ("8.8.8.8",), ("172.31.0.1",), ("256.1.1.1",), ("junk",)],
+        "ip string",
+    )
+    rows = df.select(
+        kql.parse_ipv4("ip").alias("n"),
+        kql.format_ipv4(kql.parse_ipv4("ip")).alias("rt"),
+        kql.ipv4_is_private("ip").alias("p"),
+        kql.ipv4_is_in_range("ip", "8.8.0.0/16").alias("r"),
+    ).collect()
+    assert rows[0]["n"] == 10 * 16777216 + 1 * 65536 + 2 * 256 + 3
+    assert rows[0]["rt"] == "10.1.2.3" and rows[0]["p"] is True
+    assert rows[1]["r"] is True and rows[1]["p"] is False
+    assert rows[2]["p"] is True  # 172.16/12 upper half
+    assert rows[3]["n"] is None and rows[3]["p"] is None  # octet > 255
+    assert rows[4]["n"] is None
+
+
+def test_url_scalars(spark):
+    df = spark.createDataFrame(
+        [("https://u.example.org:9443/a/b?q=1#top",)], "u string"
+    )
+    bag = df.select(F.to_json(kql.parse_url_kql("u")).alias("j")).first()["j"]
+    import json
+
+    d = json.loads(bag)
+    assert d == {
+        "Scheme": "https", "Host": "u.example.org", "Port": "9443",
+        "Path": "/a/b", "QueryString": "q=1", "Fragment": "top",
+    }
+    r = df.select(
+        kql.url_encode_component(F.lit("a b/c")).alias("e"),
+        kql.url_decode(F.lit("a%20b%2Fc")).alias("d"),
+    ).first()
+    assert r["e"] == "a%20b%2Fc" and r["d"] == "a b/c"
+
+
+def test_series_fill_packed_arrays(spark):
+    df = spark.createDataFrame(
+        [([None, 1.0, None, None, 4.0, None],), ([None, None],)],
+        "s array<double>",
+    )
+    rows = df.select(
+        kql.series_fill_forward("s").alias("f"),
+        kql.series_fill_backward("s").alias("b"),
+    ).collect()
+    assert rows[0]["f"] == [None, 1.0, 1.0, 1.0, 4.0, 4.0]
+    assert rows[0]["b"] == [1.0, 1.0, 4.0, 4.0, 4.0, None]
+    assert rows[1]["f"] == [None, None] and rows[1]["b"] == [None, None]
