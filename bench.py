@@ -43,6 +43,7 @@ HEADLINE = [
     "sessionize",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_clusters",
     "dedup_embedding_lsh",
     "similarity_topk",
     "similarity_topk_ivf",
@@ -53,6 +54,7 @@ HEADLINE = [
     "doc_chunks",
     "text_repetition",
     "corpus_ngrams",
+    "contamination_check",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection
