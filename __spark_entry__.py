@@ -918,6 +918,46 @@ def _q_kql_series_fill(spark, sf):
     )
 
 
+def _q_kql_scalar_suite3(spark, sf):
+    """Scalar batch 3: bitwise scalars (binary_and/or/xor/not, shifts,
+    popcount), strcmp, string_size (UTF-8 bytes), geo_distance_2points
+    (haversine, rounded — libm last-ulp drift) — all codegen."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 400)
+    eid = F.col("event_id")
+    # synthetic coordinates on a deterministic grid
+    lon1, lat1 = (eid % 360) - 180.0, (eid % 170) / 2.0 - 42.5
+    lon2, lat2 = lon1 + 1.5, lat1 + 0.75
+    return e.select(
+        "event_id",
+        kql.binary_and(eid, 0x5A5A).alias("b_and"),
+        kql.binary_or(eid, 0x0F0F).alias("b_or"),
+        kql.binary_xor(eid, 0x3333).alias("b_xor"),
+        kql.binary_not(eid).alias("b_not"),
+        kql.binary_shift_left(eid, 3).alias("b_shl"),
+        kql.binary_shift_right(eid, 2).alias("b_shr"),
+        kql.bitset_count_ones(eid).alias("pop"),
+        kql.strcmp("event_type", F.lit("purchase")).alias("cmp"),
+        kql.string_size("event_type").alias("sz"),
+        F.round(
+            kql.geo_distance_2points(lon1, lat1, lon2, lat2) / 1000.0, 3
+        ).alias("dist_km"),
+    )
+
+
+def _q_kql_rank(spark, sf):
+    """KQL row_rank_dense / row_rank_min per event_type over binned value
+    (coarse bins force ties so the two rank flavors differ)."""
+    e = (
+        load_table(spark, sf, "events")
+        .where(F.col("event_id") < 400)
+        .where(F.col("value").isNotNull())  # null sort order differs across engines
+    )
+    e = e.withColumn("vbin", F.floor(F.col("value") / 10).cast("long"))
+    d = kql.row_rank_dense(e, ["vbin", "event_id"], by=["event_type"], out_name="rd")
+    m = kql.row_rank_min(d, ["vbin"], by=["event_type"], out_name="rm")
+    return m.select("event_id", "event_type", "vbin", "rd", "rm")
+
+
 def _q_kql_bag_unpack(spark, sf):
     """KQL evaluate bag_unpack — promote the props bag's keys to columns
     via one codegen'd from_json against a declared schema."""
@@ -1610,6 +1650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_ipv4_suite": _q_kql_ipv4_suite,
         "kql_url_suite": _q_kql_url_suite,
         "kql_series_fill": _q_kql_series_fill,
+        "kql_scalar_suite3": _q_kql_scalar_suite3,
+        "kql_rank": _q_kql_rank,
         "kql_bag_unpack": _q_kql_bag_unpack,
         # round-2 KQL surface
         "kql_argmax": _q_kql_argmax,
@@ -2162,6 +2204,34 @@ def oracle_sql() -> dict[str, str]:
             " FROM events"
         ),
         "pipeline_docs_clean": pipeline_docs,
+        "kql_scalar_suite3": (
+            "SELECT event_id, "
+            "event_id & 23130 AS b_and, "
+            "event_id | 3855 AS b_or, "
+            "xor(event_id, 13107) AS b_xor, "
+            "~event_id AS b_not, "
+            "event_id << 3 AS b_shl, "
+            "event_id >> 2 AS b_shr, "
+            "CAST(bit_count(event_id) AS BIGINT) AS pop, "
+            "CAST(CASE WHEN event_type < 'purchase' THEN -1 "
+            "WHEN event_type > 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS cmp, "
+            "CAST(strlen(event_type) AS BIGINT) AS sz, "
+            "round(2 * 6371009.0 * asin(sqrt("
+            "pow(sin((radians((event_id % 170) / 2.0 - 42.5 + 0.75) - radians((event_id % 170) / 2.0 - 42.5)) / 2), 2) "
+            "+ cos(radians((event_id % 170) / 2.0 - 42.5)) * cos(radians((event_id % 170) / 2.0 - 42.5 + 0.75)) "
+            "* pow(sin((radians((event_id % 360) - 180.0 + 1.5) - radians((event_id % 360) - 180.0)) / 2), 2)"
+            ")) / 1000.0, 3) AS dist_km "
+            "FROM events WHERE event_id < 400"
+        ),
+        "kql_rank": (
+            "WITH e AS (SELECT event_id, event_type, "
+            "CAST(floor(CAST(value AS DOUBLE) / 10) AS BIGINT) AS vbin "
+            "FROM events WHERE event_id < 400 AND value IS NOT NULL) "
+            "SELECT event_id, event_type, vbin, "
+            "CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY vbin, event_id) AS BIGINT) AS rd, "
+            "CAST(rank() OVER (PARTITION BY event_type ORDER BY vbin) AS BIGINT) AS rm "
+            "FROM e"
+        ),
         "kql_ipv4_suite": (
             "WITH b AS (SELECT event_id, CASE "
             "WHEN event_id % 7 = 0 THEN 'not-an-ip' "

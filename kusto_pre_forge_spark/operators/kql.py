@@ -1674,3 +1674,96 @@ def series_fill_backward(col: Column | str) -> Column:
     """KQL ``series_fill_backward`` over a packed series array — mirror of
     :func:`series_fill_forward`."""
     return F.reverse(series_fill_forward(F.reverse(_c(col))))
+
+
+# ---- round-4 additions: bitwise scalars, geo, rank functions ----
+
+
+def binary_and(a: Column | str, b) -> Column:
+    """KQL ``binary_and(a, b)`` scalar."""
+    return _c(a).cast("long").bitwiseAND(_lit_or_col(b))
+
+
+def binary_or(a: Column | str, b) -> Column:
+    """KQL ``binary_or(a, b)`` scalar."""
+    return _c(a).cast("long").bitwiseOR(_lit_or_col(b))
+
+
+def binary_xor(a: Column | str, b) -> Column:
+    """KQL ``binary_xor(a, b)`` scalar."""
+    return _c(a).cast("long").bitwiseXOR(_lit_or_col(b))
+
+
+def binary_not(a: Column | str) -> Column:
+    """KQL ``binary_not`` — bitwise complement (``~`` on a PySpark Column
+    is LOGICAL not; ``bitwise_not`` is the numeric one)."""
+    return F.bitwise_not(_c(a).cast("long"))
+
+
+def binary_shift_left(a: Column | str, n: int) -> Column:
+    """KQL ``binary_shift_left(a, n)`` (constant shift amount)."""
+    return F.shiftleft(_c(a).cast("long"), n)
+
+
+def binary_shift_right(a: Column | str, n: int) -> Column:
+    """KQL ``binary_shift_right(a, n)`` (arithmetic shift, like Kusto on
+    long; constant shift amount)."""
+    return F.shiftright(_c(a).cast("long"), n)
+
+
+def bitset_count_ones(a: Column | str) -> Column:
+    """KQL ``bitset_count_ones`` — population count."""
+    return F.bit_count(_c(a).cast("long")).cast("long")
+
+
+def _lit_or_col(v) -> Column:
+    return F.lit(v).cast("long") if isinstance(v, int) else _c(v).cast("long")
+
+
+def strcmp(a: Column | str, b: Column | str) -> Column:
+    """KQL ``strcmp`` — -1/0/1 lexicographic comparison."""
+    ca, cb = _c(a), _c(b)
+    return (
+        F.when(ca < cb, -1).when(ca > cb, 1).otherwise(0).cast("long")
+    )
+
+
+def string_size(col: Column | str) -> Column:
+    """KQL ``string_size`` — byte length of the UTF-8 encoding (NOT the
+    char count; multibyte text differs)."""
+    return F.octet_length(_c(col)).cast("long")
+
+
+def geo_distance_2points(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column
+) -> Column:
+    """KQL ``geo_distance_2points`` — great-circle meters (haversine on
+    the WGS84 mean radius). Pure codegen trig; callers comparing against
+    another engine should round (libm sin/cos differ in the last ulp)."""
+    r = 6371009.0  # IUGG mean earth radius, meters
+    rad = lambda c: F.radians(c)  # noqa: E731
+    dlat = rad(lat2) - rad(lat1)
+    dlon = rad(lon2) - rad(lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(rad(lat1)) * F.cos(rad(lat2)) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * r) * F.asin(F.sqrt(a))
+
+
+def row_rank_dense(df: DataFrame, order: list, by: list[str] | None = None,
+                   out_name: str = "rank") -> DataFrame:
+    """KQL ``row_rank_dense`` — dense rank over the serialized order."""
+    w = (Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))).orderBy(
+        *[_c(c) for c in order]
+    )
+    return df.withColumn(out_name, F.dense_rank().over(w).cast("long"))
+
+
+def row_rank_min(df: DataFrame, order: list, by: list[str] | None = None,
+                 out_name: str = "rank") -> DataFrame:
+    """KQL ``row_rank_min`` — standard competition rank (gaps after ties)."""
+    w = (Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))).orderBy(
+        *[_c(c) for c in order]
+    )
+    return df.withColumn(out_name, F.rank().over(w).cast("long"))

@@ -56,3 +56,21 @@ def test_contamination_check_finds_planted_overlap(spark):
     out = corpus.contamination_check(pool, bench, ngram_n=8, min_shared=1).collect()
     assert {(r.corpus_id, r.bench_id) for r in out} == {(100, 0)}
     assert out[0].shared_ngrams == 1  # exactly the shared 8-gram window
+
+
+def test_stratified_sample_plan_has_no_exchange(spark, docs):
+    """The 100 TB claim is structural: mixture sampling must compile to a
+    scan + filter with NO shuffle anywhere in the executed plan."""
+    s = corpus.stratified_sample(docs, "lang", {"en": 0.5}, "doc_id")
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_contamination_check_broadcasts_benchmark_side(spark, docs):
+    """The benchmark (eval-suite) side must broadcast — a sort-merge join
+    here would shuffle the full corpus n-gram explosion."""
+    bench = docs.filter(F.col("doc_id") < 5)
+    c = corpus.contamination_check(docs, bench)
+    plan = c._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -412,3 +412,48 @@ def test_series_fill_packed_arrays(spark):
     assert rows[0]["f"] == [None, 1.0, 1.0, 1.0, 4.0, 4.0]
     assert rows[0]["b"] == [1.0, 1.0, 4.0, 4.0, 4.0, None]
     assert rows[1]["f"] == [None, None] and rows[1]["b"] == [None, None]
+
+
+def test_bitwise_scalars(spark):
+    df = spark.createDataFrame([(0b1100,)], "x long")
+    r = df.select(
+        kql.binary_and("x", 0b1010).alias("a"),
+        kql.binary_or("x", 0b0011).alias("o"),
+        kql.binary_xor("x", 0b1010).alias("x_"),
+        kql.binary_not("x").alias("n"),
+        kql.binary_shift_left("x", 2).alias("l"),
+        kql.binary_shift_right("x", 2).alias("r"),
+        kql.bitset_count_ones("x").alias("p"),
+    ).first()
+    assert (r["a"], r["o"], r["x_"], r["n"]) == (0b1000, 0b1111, 0b0110, -13)
+    assert (r["l"], r["r"], r["p"]) == (0b110000, 0b11, 2)
+
+
+def test_strcmp_and_string_size(spark):
+    df = spark.createDataFrame([("abc", "abd"), ("b", "a"), ("x", "x")], "a string, b string")
+    rows = df.select(kql.strcmp("a", "b").alias("c")).collect()
+    assert [r["c"] for r in rows] == [-1, 1, 0]
+    sz = spark.range(1).select(kql.string_size(F.lit("héllo")).alias("s")).first()["s"]
+    assert sz == 6  # é is 2 UTF-8 bytes
+
+
+def test_geo_distance_known_pair(spark):
+    # Paris (2.3522, 48.8566) → London (-0.1276, 51.5072) ≈ 343.5 km
+    df = spark.range(1)
+    km = df.select(
+        (kql.geo_distance_2points(
+            F.lit(2.3522), F.lit(48.8566), F.lit(-0.1276), F.lit(51.5072)
+        ) / 1000.0).alias("km")
+    ).first()["km"]
+    assert 340 < km < 347, km
+
+
+def test_row_rank_dense_vs_min(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 5)], "k string, v long"
+    )
+    d = kql.row_rank_dense(df, ["v"], by=["k"], out_name="rd")
+    m = kql.row_rank_min(d, ["v"], by=["k"], out_name="rm")
+    rows = {(r.k, r.v, r.rd, r.rm) for r in m.collect()}
+    assert ("a", 2, 2, 3) in rows  # dense: 2, min-rank: 3 after the tie
+    assert ("b", 5, 1, 1) in rows
