@@ -486,6 +486,21 @@ def _q_dedup_embedding_lsh(spark, sf):
     ).select("id_a", "id_b")
 
 
+def _q_dedup_embedding_clusters(spark, sf):
+    """Vector-side cluster resolution: hyperplane-LSH near-dup pairs →
+    connected components → (vec_id, cluster_id) labels — the embedding
+    twin of dedup_clusters, proving the pairs→clusters→survivors stage is
+    generator-agnostic."""
+    emb = load_table(spark, sf, "embeddings")
+    pairs = dedup.embedding_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.4, bucket_bits=4, seed=11
+    )
+    return dedup.connected_components(pairs).select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def _q_similarity_topk(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
@@ -1611,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": _q_dedup_ngram,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "dedup_embedding_clusters": _q_dedup_embedding_clusters,
         "similarity_topk": _q_similarity_topk,
         "similarity_topk_lsh": _q_similarity_topk_lsh,
         "similarity_topk_ivf": _q_similarity_topk_ivf,
@@ -2067,6 +2083,21 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4"
         ),
         "dedup_embedding_lsh": embed_lsh,
+        "dedup_embedding_clusters": (
+            "WITH RECURSIVE "
+            + _v_cte.replace("WITH ", "", 1)
+            + f"b AS (SELECT vec_id, e, nrm, {bucket_sql(4, 11)} AS bkt FROM v), "
+            "p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b FROM b a JOIN b b2 "
+            "ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id "
+            "WHERE list_dot_product(a.e, b2.e) / (a.nrm * b2.nrm) >= 0.4), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM p "
+            "UNION SELECT id_b, id_a FROM p), "
+            "reach(src, node) AS ("
+            "SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+            "UNION SELECT r.src, e2.v FROM reach r JOIN edges e2 ON e2.u = r.node) "
+            "SELECT CAST(src AS BIGINT) AS vec_id, "
+            "CAST(min(node) AS BIGINT) AS cluster_id FROM reach GROUP BY src"
+        ),
         "similarity_topk": topk_rank,
         "similarity_topk_lsh": lsh_rank,
         "similarity_topk_ivf": ivf_rank,

@@ -291,6 +291,10 @@ class SplitResult:
     #: (code/KustoPreForgeLib/PerfCounterJournal.cs:10-72); counter names
     #: reuse the reference's where the concept maps 1:1
     journal: dict[str, int] | None = None
+    #: set (and ``shards`` left empty) when the shard count exceeded the
+    #: driver-side manifest cap — the full manifest then lives as parquet
+    #: at this path instead of in driver memory
+    manifest_path: str | None = None
 
 
 def run_split(
@@ -300,6 +304,7 @@ def run_split(
     output_path: str,
     max_bytes_per_shard: int | None = None,
     perf_journal=None,
+    max_manifest_rows: int = 1_000_000,
 ) -> SplitResult:
     """End-to-end Split: read → (peel header) → shard → write shards.
 
@@ -308,6 +313,14 @@ def run_split(
     form of ``{destName}-{shardId}.txt[.gz]`` (TextBlobSink.cs:29-34).
     When headers propagate, each shard file begins with the source's
     header line exactly once (TextStreamSinkBase.cs:49-53).
+
+    The per-shard manifest is collected to the driver only up to
+    ``max_manifest_rows`` (a 100 TB run at 200 MB/shard is ~5×10⁵ shards
+    — fine; a mis-capped run could produce orders of magnitude more and
+    OOM the driver). Over the cap, the full manifest is written as
+    parquet under ``{output_path}/_kpf_manifest`` instead and
+    ``SplitResult.manifest_path`` points at it; journal counters are
+    computed distributively either way.
     """
     from kusto_pre_forge_spark.config import Compression
 
@@ -320,7 +333,7 @@ def run_split(
     sharded_body = shard_assign(body, cap).persist()
     sharded = sharded_body
 
-    manifest = (
+    manifest_df = (
         sharded.groupBy(SOURCE_COL, SHARD_COL)
         .agg(
             F.max(LAST_SHARD_COL).alias(LAST_SHARD_COL),
@@ -330,8 +343,14 @@ def run_split(
             F.sum(F.octet_length("Text") + F.lit(1)).alias("byte_count"),
         )
         .withColumn("ingest_by", F.concat_ws("-", F.col(SOURCE_COL), F.col(SHARD_COL)))
-        .collect()
     )
+    manifest = manifest_df.limit(max_manifest_rows + 1).collect()
+    manifest_path = None
+    if len(manifest) > max_manifest_rows:
+        # too many shards for driver memory: keep the manifest distributed
+        manifest_path = f"{output_path.rstrip('/')}/_kpf_manifest"
+        manifest_df.write.mode("overwrite").parquet(manifest_path)
+        manifest = []
 
     if headers is not None:
         # one header row per (source, shard), ordered before all records
@@ -368,16 +387,41 @@ def run_split(
     if settings.output_compression == Compression.GZIP:
         writer = writer.option("compression", "gzip")
     writer.text(output_path)
-    sharded_body.unpersist()
     shards = [r.asDict() for r in manifest]
-    counters = {
-        # same counter names as the reference where the concept maps 1:1
-        "ListBlob.BlobCommited": len({s[SOURCE_COL] for s in shards}),
-        "PartitionedContentSink.Write.Size": sum(s["byte_count"] for s in shards),
-        "TextSplit.RecordCount": sum(s["record_count"] for s in shards),
-        "TextSplit.ShardsSealed": len(shards),
-    }
+    if manifest_path is None:
+        counters = {
+            # same counter names as the reference where the concept maps 1:1
+            "ListBlob.BlobCommited": len({s[SOURCE_COL] for s in shards}),
+            "PartitionedContentSink.Write.Size": sum(s["byte_count"] for s in shards),
+            "TextSplit.RecordCount": sum(s["record_count"] for s in shards),
+            "TextSplit.ShardsSealed": len(shards),
+        }
+    else:
+        # over-cap path: counters from one distributed aggregate over the
+        # written manifest (bounded: a single 4-column row comes back)
+        row = (
+            spark.read.parquet(manifest_path)
+            .agg(
+                F.countDistinct(SOURCE_COL).alias("nsrc"),
+                F.sum("byte_count").alias("bytes"),
+                F.sum("record_count").alias("recs"),
+                F.count(F.lit(1)).alias("nshards"),
+            )
+            .collect()[0]
+        )
+        counters = {
+            "ListBlob.BlobCommited": int(row["nsrc"]),
+            "PartitionedContentSink.Write.Size": int(row["bytes"]),
+            "TextSplit.RecordCount": int(row["recs"]),
+            "TextSplit.ShardsSealed": int(row["nshards"]),
+        }
+    sharded_body.unpersist()
     if perf_journal is not None:
         for name, value in counters.items():
             perf_journal.add_reading(name, value)
-    return SplitResult(output_path=output_path, shards=shards, journal=counters)
+    return SplitResult(
+        output_path=output_path,
+        shards=shards,
+        journal=counters,
+        manifest_path=manifest_path,
+    )

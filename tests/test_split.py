@@ -169,3 +169,31 @@ def test_keyed_shard_assign_equals_global_window(spark):
     assert {(r.k, r.sub): r.shard_id for r in got} == {
         (r.k, r.sub): r.shard_id for r in naive
     }
+
+
+def test_run_split_manifest_cap_spills_to_parquet(spark, tmp_path, csv_blob):
+    """Over max_manifest_rows the per-shard manifest must stay distributed
+    (parquet under the output root) instead of collecting to the driver;
+    journal counters still come back exact via the distributed aggregate."""
+    from kusto_pre_forge_spark.config import RunSettings
+
+    blob, _ = csv_blob
+    out = str(tmp_path / "capped")
+    res = run_split(
+        spark,
+        blob,
+        RunSettings(csv_headers=True),
+        out,
+        max_bytes_per_shard=4 * 1024,
+        max_manifest_rows=1,  # force the spill path
+    )
+    assert res.shards == []
+    assert res.manifest_path == f"{out}/_kpf_manifest"
+    man = spark.read.parquet(res.manifest_path)
+    n_shards = man.count()
+    assert n_shards > 1
+    assert res.journal["TextSplit.ShardsSealed"] == n_shards
+    total_recs = sum(r["record_count"] for r in man.collect())
+    assert res.journal["TextSplit.RecordCount"] == total_recs
+    # underscore prefix keeps the manifest invisible to the shard readers
+    assert not spark.read.text(out).isEmpty()
