@@ -973,6 +973,30 @@ def _q_kql_rank(spark, sf):
     return m.select("event_id", "event_type", "vbin", "rd", "rm")
 
 
+def _q_kql_series_decompose(spark, sf):
+    """series_decompose + series_decompose_anomalies (long form) over
+    hourly per-type event counts, period=24: additive MA decomposition +
+    robust-z anomaly flags — deterministic windows, replayed exactly by
+    the oracle."""
+    e = load_table(spark, sf, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    dec = kql.series_decompose(hourly, "v", "h", ["event_type"], period=24)
+    an = kql.series_decompose_anomalies(
+        hourly, "v", "h", ["event_type"], 24, threshold=3.0
+    ).select("event_type", "h", "anomaly_flag")
+    return dec.join(an, ["event_type", "h"]).select(
+        "event_type",
+        "h",
+        "v",
+        F.round("sd_trend", 3).alias("trend"),
+        F.round("sd_seasonal", 3).alias("seasonal"),
+        F.round("sd_residual", 3).alias("residual"),
+        "anomaly_flag",
+    )
+
+
 def _q_kql_bag_unpack(spark, sf):
     """KQL evaluate bag_unpack — promote the props bag's keys to columns
     via one codegen'd from_json against a declared schema."""
@@ -1668,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_series_fill": _q_kql_series_fill,
         "kql_scalar_suite3": _q_kql_scalar_suite3,
         "kql_rank": _q_kql_rank,
+        "kql_series_decompose": _q_kql_series_decompose,
         "kql_bag_unpack": _q_kql_bag_unpack,
         # round-2 KQL surface
         "kql_argmax": _q_kql_argmax,
@@ -2235,6 +2260,32 @@ def oracle_sql() -> dict[str, str]:
             " FROM events"
         ),
         "pipeline_docs_clean": pipeline_docs,
+        "kql_series_decompose": (
+            "WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h, "
+            "CAST(count(*) AS DOUBLE) AS v FROM events GROUP BY 1, 2), "
+            "p AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) - 1 AS pos FROM e), "
+            "t AS (SELECT *, avg(v) OVER (PARTITION BY event_type ORDER BY h "
+            "ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS trend FROM p), "
+            "d AS (SELECT *, v - trend AS dt FROM t), "
+            # order-forced per-phase fold ≡ the Spark operator's sorted
+            # aggregate (window-avg summation order is engine-internal and
+            # drifts in the last ulp; a position-sorted left fold is
+            # bit-identical across engines)
+            "g AS (SELECT event_type, pos % 24 AS ph, "
+            "list_reduce(list(dt ORDER BY pos), (a, b) -> a + b) / count(*) AS seasonal "
+            "FROM d GROUP BY 1, 2), "
+            "s AS (SELECT d.*, g.seasonal FROM d JOIN g "
+            "ON d.event_type = g.event_type AND d.pos % 24 = g.ph), "
+            "r AS (SELECT *, v - (trend + seasonal) AS residual FROM s), "
+            "m AS (SELECT *, median(residual) OVER (PARTITION BY event_type) AS med FROM r), "
+            "m2 AS (SELECT *, median(abs(residual - med)) OVER (PARTITION BY event_type) AS mad FROM m) "
+            "SELECT event_type, h, v, round(trend, 3) AS trend, "
+            "round(seasonal, 3) AS seasonal, round(residual, 3) AS residual, "
+            "CAST(CASE WHEN mad = 0 THEN 0 "
+            "WHEN (residual - med) / (1.4826 * mad) > 3.0 THEN 1 "
+            "WHEN (residual - med) / (1.4826 * mad) < -3.0 THEN -1 "
+            "ELSE 0 END AS BIGINT) AS anomaly_flag FROM m2"
+        ),
         "kql_scalar_suite3": (
             "SELECT event_id, "
             "event_id & 23130 AS b_and, "

@@ -1767,3 +1767,117 @@ def row_rank_min(df: DataFrame, order: list, by: list[str] | None = None,
         *[_c(c) for c in order]
     )
     return df.withColumn(out_name, F.rank().over(w).cast("long"))
+
+
+# ---- round-4 additions: series decomposition + anomaly flags ----
+
+
+def series_decompose(
+    df: DataFrame,
+    value: str,
+    order: Column | str,
+    by: list[str],
+    period: int,
+    prefix: str = "sd",
+) -> DataFrame:
+    """KQL ``series_decompose`` in LONG form (one row per series point,
+    like :func:`series_fill_linear`) — adds ``{prefix}_trend``,
+    ``{prefix}_seasonal``, ``{prefix}_baseline``, ``{prefix}_residual``.
+
+    Kusto's implementation is proprietary; this engine defines the
+    decomposition DETERMINISTICALLY (same rationale as :func:`reduce_by`)
+    with the classical additive model:
+
+    - trend     — centered moving average, window = ``period``
+                  (realized-length divisor at the edges);
+    - seasonal  — per-phase mean of the detrended series
+                  (phase = position mod period);
+    - baseline  — trend + seasonal;  residual — x − baseline.
+
+    Long form, not packed arrays, deliberately: nested higher-order
+    functions are interpreted WITHOUT common-subexpression elimination,
+    so a packed-array formulation re-evaluates the decomposition subtree
+    per element (measured minutes for a 16-point series); the window
+    formulation is pure codegen, shuffles once on the series keys, and
+    scales with rows like any windowed aggregation.
+    """
+    half = period // 2
+    w = Window.partitionBy(*by).orderBy(_c(order))
+    pos = F.row_number().over(w) - 1
+    out = df.withColumn(f"_{prefix}_pos", pos)
+    wt = w.rowsBetween(-(period - 1 - half), half)
+    out = out.withColumn(
+        f"{prefix}_trend", F.avg(F.col(value).cast("double")).over(wt)
+    )
+    out = out.withColumn(
+        f"_{prefix}_dt", F.col(value).cast("double") - F.col(f"{prefix}_trend")
+    )
+    # Per-phase mean as an ORDER-FORCED left fold (sort by position, then
+    # sequential sum), not plain avg(): window-aggregate summation order is
+    # engine-internal, and the last-ulp drift vs an external oracle's avg
+    # flips values rounded for comparison. A position-sorted fold is
+    # bit-identical in any engine that can sort a list and fold it.
+    wp = Window.partitionBy(*by, F.col(f"_{prefix}_pos") % period)
+    phase_vals = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(f"_{prefix}_pos").alias("p"),
+                F.col(f"_{prefix}_dt").alias("dt"),
+            )
+        ).over(wp)
+    )
+    out = out.withColumn(
+        f"{prefix}_seasonal",
+        F.aggregate(phase_vals, F.lit(0.0), lambda a, e: a + e["dt"])
+        / F.size(phase_vals),
+    )
+    out = out.withColumn(
+        f"{prefix}_baseline",
+        F.col(f"{prefix}_trend") + F.col(f"{prefix}_seasonal"),
+    )
+    out = out.withColumn(
+        f"{prefix}_residual",
+        F.col(value).cast("double") - F.col(f"{prefix}_baseline"),
+    )
+    return out.drop(f"_{prefix}_pos", f"_{prefix}_dt")
+
+
+def series_decompose_anomalies(
+    df: DataFrame,
+    value: str,
+    order: Column | str,
+    by: list[str],
+    period: int,
+    threshold: float = 1.5,
+    flag_name: str = "anomaly_flag",
+) -> DataFrame:
+    """KQL ``series_decompose_anomalies`` (long form) — per-point anomaly
+    flags (+1 high / −1 low / 0 normal) from the decomposition residual
+    scored against a robust spread estimate:
+
+        score = (residual − median(residual)) / (1.4826 · MAD(residual))
+
+    (1.4826 · MAD ≈ σ under normality — the standard robust z-score;
+    ``percentile(…, 0.5)`` gives the same interpolated median DuckDB
+    uses, keeping the oracle exact). Zero MAD flags nothing.
+    """
+    out = series_decompose(df, value, order, by, period, prefix="_an")
+    wk = Window.partitionBy(*by)
+    med = F.expr("percentile(_an_residual, 0.5)").over(wk)
+    out = out.withColumn("_an_med", med)
+    out = out.withColumn("_an_absdev", F.abs(F.col("_an_residual") - F.col("_an_med")))
+    out = out.withColumn("_an_mad", F.expr("percentile(_an_absdev, 0.5)").over(wk))
+    denom = F.lit(1.4826) * F.col("_an_mad")
+    score = (F.col("_an_residual") - F.col("_an_med")) / denom
+    out = out.withColumn(
+        flag_name,
+        F.when(F.col("_an_mad") == 0, F.lit(0))
+        .when(score > threshold, F.lit(1))
+        .when(score < -threshold, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    return out.drop(
+        "_an_trend", "_an_seasonal", "_an_baseline", "_an_residual",
+        "_an_med", "_an_absdev", "_an_mad",
+    )

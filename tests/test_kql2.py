@@ -457,3 +457,24 @@ def test_row_rank_dense_vs_min(spark):
     rows = {(r.k, r.v, r.rd, r.rm) for r in m.collect()}
     assert ("a", 2, 2, 3) in rows  # dense: 2, min-rank: 3 after the tie
     assert ("b", 5, 1, 1) in rows
+
+
+def test_series_decompose_long_form_identity_and_outlier(spark):
+    """baseline + residual reconstructs the input exactly; a planted spike
+    on a smooth series is the top |residual| and flags +1; a clean series
+    flags nothing."""
+    rows = [("k", i, i * 1.0 + (40.0 if i == 13 else 0.0)) for i in range(24)]
+    rows += [("clean", i, 5.0) for i in range(24)]
+    df = spark.createDataFrame(rows, "k string, ord long, v double")
+
+    dec = kql.series_decompose(df, "v", "ord", ["k"], period=4)
+    for r in dec.collect():
+        assert abs(r.sd_baseline + r.sd_residual - r.v) < 1e-9
+        assert abs(r.sd_trend + r.sd_seasonal - r.sd_baseline) < 1e-9
+    spike = {r.ord: abs(r.sd_residual) for r in dec.filter(F.col("k") == "k").collect()}
+    assert max(spike, key=spike.get) == 13
+
+    an = kql.series_decompose_anomalies(df, "v", "ord", ["k"], 4, threshold=3.0)
+    flags = {(r.k, r.ord): r.anomaly_flag for r in an.collect()}
+    assert flags[("k", 13)] == 1
+    assert all(f == 0 for (k, _), f in flags.items() if k == "clean"), "constant series must not flag"
