@@ -997,6 +997,39 @@ def _q_kql_series_decompose(spark, sf):
     )
 
 
+def _q_activity_retention(spark, sf):
+    """KQL new_activity_metrics-style weekly cohort retention over events:
+    distinct (user, week) pairs → first-seen cohort → counts + ratio per
+    (cohort, offset)."""
+    from kusto_pre_forge_spark.operators import activity
+
+    e = load_table(spark, sf, "events")
+    out = activity.cohort_retention(e, "user_id", "ts", "week")
+    return out.select(
+        "cohort",
+        F.col("offset").cast("long").alias("offset"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.round("retention", 6).alias("retention"),
+    )
+
+
+def _q_activity_engagement(spark, sf):
+    """KQL activity_engagement — rolling DAU/WAU ratio over events via the
+    contribute-to-trailing-windows explode (no per-day rescans)."""
+    from kusto_pre_forge_spark.operators import activity
+
+    e = load_table(spark, sf, "events")
+    out = activity.rolling_engagement(e, "user_id", "ts", 1, 7)
+    return out.select(
+        # DATE → TIMESTAMP: DuckDB's pandas bridge widens DATE to
+        # datetime64 midnight, so match that shape for the value hash
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("inner_active").cast("long").alias("inner_active"),
+        F.col("outer_active").cast("long").alias("outer_active"),
+        F.round("engagement_ratio", 6).alias("engagement_ratio"),
+    )
+
+
 def _q_kql_bag_unpack(spark, sf):
     """KQL evaluate bag_unpack — promote the props bag's keys to columns
     via one codegen'd from_json against a declared schema."""
@@ -1693,6 +1726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_scalar_suite3": _q_kql_scalar_suite3,
         "kql_rank": _q_kql_rank,
         "kql_series_decompose": _q_kql_series_decompose,
+        "activity_retention": _q_activity_retention,
+        "activity_engagement": _q_activity_engagement,
         "kql_bag_unpack": _q_kql_bag_unpack,
         # round-2 KQL surface
         "kql_argmax": _q_kql_argmax,
@@ -2260,6 +2295,34 @@ def oracle_sql() -> dict[str, str]:
             " FROM events"
         ),
         "pipeline_docs_clean": pipeline_docs,
+        "activity_retention": (
+            "WITH p AS (SELECT DISTINCT user_id AS a, date_trunc('week', ts) AS b FROM events), "
+            "f AS (SELECT a, min(b) AS cohort FROM p GROUP BY 1), "
+            "j AS (SELECT p.a, f.cohort, "
+            "CAST((epoch(p.b) - epoch(f.cohort)) / 604800 AS BIGINT) AS \"offset\" "
+            "FROM p JOIN f USING (a)), "
+            "c AS (SELECT cohort, \"offset\", CAST(count(DISTINCT a) AS BIGINT) AS n_active "
+            "FROM j GROUP BY 1, 2), "
+            "s AS (SELECT cohort, n_active AS sz FROM c WHERE \"offset\" = 0) "
+            "SELECT c.cohort, c.\"offset\", c.n_active, "
+            "round(CAST(c.n_active AS DOUBLE) / s.sz, 6) AS retention "
+            "FROM c JOIN s USING (cohort)"
+        ),
+        "activity_engagement": (
+            "WITH p AS (SELECT DISTINCT user_id AS a, CAST(ts AS DATE) AS d FROM events), "
+            "ic AS (SELECT d AS day, CAST(count(DISTINCT a) AS BIGINT) AS inner_active "
+            "FROM p GROUP BY 1), "
+            "oc AS (SELECT DISTINCT a, CAST(unnest(generate_series(CAST(d AS TIMESTAMP), "
+            "CAST(d AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS day FROM p), "
+            "outc AS (SELECT day, CAST(count(DISTINCT a) AS BIGINT) AS outer_active "
+            "FROM oc GROUP BY 1), "
+            "obs AS (SELECT DISTINCT d AS day FROM p) "
+            "SELECT obs.day, coalesce(ic.inner_active, 0) AS inner_active, "
+            "coalesce(outc.outer_active, 0) AS outer_active, "
+            "round(CAST(coalesce(ic.inner_active, 0) AS DOUBLE) / "
+            "CAST(coalesce(outc.outer_active, 1) AS DOUBLE), 6) AS engagement_ratio "
+            "FROM obs LEFT JOIN ic USING (day) LEFT JOIN outc USING (day)"
+        ),
         "kql_series_decompose": (
             "WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h, "
             "CAST(count(*) AS DOUBLE) AS v FROM events GROUP BY 1, 2), "

@@ -1,0 +1,123 @@
+"""KQL activity-metrics plugin family: cohort retention and rolling
+engagement (``new_activity_metrics`` / ``activity_engagement`` analogues).
+
+Reference scope note: the reference delegates all analytics to Kusto
+(SURVEY §2.5); these are the activity plugins a Kusto user would reach for
+next, re-expressed as distributed aggregations.
+
+Scale posture — both operators reduce the event stream to DISTINCT
+(actor, bucket) pairs first (one map-side-combinable aggregation; the
+stream's volume collapses to |actors| × |buckets| before anything wide
+happens):
+
+- ``cohort_retention``   — first-seen bucket per actor (one aggregation),
+  joined back to activity pairs (hash join on actor), counted per
+  (cohort, offset). Nothing is ever quadratic; the join key is the actor.
+- ``rolling_engagement`` — the DAU/MAU trick: each (actor, day) pair
+  CONTRIBUTES to the outer windows of the following ``outer-1`` days, so
+  the rolling distinct count becomes explode(sequence) + distinct + count
+  — the shape that scales linearly with activity, never rescanning a
+  window per day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cohort_retention(
+    df: DataFrame,
+    actor_col: str,
+    ts_col: str,
+    bucket: str = "week",
+) -> DataFrame:
+    """KQL ``new_activity_metrics``-style cohort retention.
+
+    Buckets time by ``bucket`` (any ``date_trunc`` unit), assigns every
+    actor to the cohort of its FIRST active bucket, and counts distinct
+    actors per (cohort_bucket, offset) where offset is whole buckets since
+    the cohort started. Offset 0 is the cohort size; retention@k =
+    n_active(k) / n_active(0) — emitted as a ratio column.
+
+    Returns (cohort, offset, n_active, retention).
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    pairs = df.select(F.col(actor_col).alias("_a"), b.alias("_b")).distinct()
+    firsts = pairs.groupBy("_a").agg(F.min("_b").alias("_cohort"))
+    seconds_per = {"week": 7 * 86400, "day": 86400, "hour": 3600}[bucket]
+    joined = pairs.join(firsts, "_a").withColumn(
+        "_offset",
+        (
+            (F.unix_timestamp("_b") - F.unix_timestamp("_cohort"))
+            / seconds_per
+        ).cast("long"),
+    )
+    counts = joined.groupBy(F.col("_cohort").alias("cohort"), F.col("_offset").alias("offset")).agg(
+        F.count_distinct("_a").alias("n_active")
+    )
+    sizes = counts.filter(F.col("offset") == 0).select(
+        "cohort", F.col("n_active").alias("_size")
+    )
+    return (
+        counts.join(sizes, "cohort")
+        .withColumn(
+            "retention", F.col("n_active").cast("double") / F.col("_size")
+        )
+        .drop("_size")
+    )
+
+
+def rolling_engagement(
+    df: DataFrame,
+    actor_col: str,
+    ts_col: str,
+    inner_days: int = 1,
+    outer_days: int = 7,
+) -> DataFrame:
+    """KQL ``activity_engagement`` — rolling distinct-actor ratio
+    (DAU/WAU for the defaults; 1/28 or 1/30 for DAU/MAU).
+
+    For each activity day d: inner = distinct actors in
+    [d-inner_days+1, d], outer = same over ``outer_days``. Implemented by
+    exploding each (actor, day) pair into the days whose trailing window
+    it belongs to (sequence + explode), then one distinct-count per day —
+    no per-day rescans, no quadratic window joins.
+
+    Returns (day, inner_active, outer_active, engagement_ratio), days
+    restricted to those with outer activity (matching KQL, which emits
+    rows only for days inside the observed range).
+    """
+    day = F.to_date(F.col(ts_col))  # DATE so sequence/date_add stay date-typed
+    pairs = df.select(F.col(actor_col).alias("_a"), day.alias("_d")).distinct()
+
+    def window_counts(days: int, out_name: str) -> DataFrame:
+        contrib = pairs.select(
+            "_a",
+            F.explode(
+                F.sequence(
+                    F.col("_d"),
+                    F.date_add(F.col("_d"), days - 1),
+                )
+            ).alias("_day"),
+        ).distinct()
+        return contrib.groupBy("_day").agg(F.count_distinct("_a").alias(out_name))
+
+    inner = window_counts(inner_days, "inner_active")
+    outer = window_counts(outer_days, "outer_active")
+    # keep only days with real activity in range (the sequence also emits
+    # tail days past the last activity; KQL clips to the observed axis)
+    observed = pairs.select(F.col("_d").alias("_day")).distinct()
+    return (
+        observed.join(inner, "_day", "left")
+        .join(outer, "_day", "left")
+        .select(
+            F.col("_day").alias("day"),
+            F.coalesce("inner_active", F.lit(0)).alias("inner_active"),
+            F.coalesce("outer_active", F.lit(0)).alias("outer_active"),
+            (
+                F.coalesce("inner_active", F.lit(0)).cast("double")
+                / F.coalesce("outer_active", F.lit(1)).cast("double")
+            ).alias("engagement_ratio"),
+        )
+    )

@@ -1,0 +1,40 @@
+"""Activity metrics: cohort retention + rolling engagement
+(operators/activity.py)."""
+
+import datetime
+
+from kusto_pre_forge_spark.operators import activity
+
+
+def _df(spark):
+    D = datetime.datetime
+    rows = [
+        ("u1", D(2024, 1, 1)), ("u1", D(2024, 1, 8)), ("u1", D(2024, 1, 15)),
+        ("u2", D(2024, 1, 2)), ("u2", D(2024, 1, 9)),
+        ("u3", D(2024, 1, 10)),
+    ]
+    return spark.createDataFrame(rows, "u string, ts timestamp")
+
+
+def test_cohort_retention_weekly(spark):
+    ret = {
+        (str(r.cohort)[:10], r.offset): (r.n_active, round(r.retention, 3))
+        for r in activity.cohort_retention(_df(spark), "u", "ts", "week").collect()
+    }
+    # u1+u2 start week of Jan 1; u3 starts week of Jan 8
+    assert ret[("2024-01-01", 0)] == (2, 1.0)
+    assert ret[("2024-01-01", 1)] == (2, 1.0)
+    assert ret[("2024-01-01", 2)] == (1, 0.5)  # only u1 returns in week 3
+    assert ret[("2024-01-08", 0)] == (1, 1.0)
+
+
+def test_rolling_engagement_dau_wau(spark):
+    eng = {
+        str(r.day): (r.inner_active, r.outer_active)
+        for r in activity.rolling_engagement(_df(spark), "u", "ts", 1, 7).collect()
+    }
+    assert eng["2024-01-02"] == (1, 2)   # u2 today; u1 (Jan 1) still in window
+    assert eng["2024-01-08"] == (1, 2)   # u1 today; u2 (Jan 2) in [Jan 2..8]
+    assert eng["2024-01-10"] == (1, 3)   # u3 today; u1 (8), u2 (9) in window
+    # only observed activity days are emitted
+    assert "2024-01-03" not in eng
