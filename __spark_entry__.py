@@ -1030,6 +1030,28 @@ def _q_activity_engagement(spark, sf):
     )
 
 
+def _q_kql_bag_ops(spark, sf):
+    """Property-bag utilities: bag_merge (left wins), bag_remove_keys,
+    bag_keys — map functions end-to-end, deterministic sorted output."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 300)
+    bag1 = F.to_json(
+        F.create_map(
+            F.lit("et"), F.col("event_type"),
+            F.lit("id"), F.col("event_id").cast("string"),
+        )
+    )
+    bag2 = F.to_json(
+        F.create_map(F.lit("id"), F.lit("OVERRIDE"), F.lit("z"), F.lit("x"))
+    )
+    merged = kql.bag_merge(bag1, bag2)
+    return e.select(
+        "event_id",
+        merged.alias("merged"),
+        kql.bag_remove_keys(merged, ["et"]).alias("removed"),
+        F.array_join(kql.bag_keys(merged), ",").alias("keys"),
+    )
+
+
 def _q_kql_bag_unpack(spark, sf):
     """KQL evaluate bag_unpack — promote the props bag's keys to columns
     via one codegen'd from_json against a declared schema."""
@@ -1728,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_series_decompose": _q_kql_series_decompose,
         "activity_retention": _q_activity_retention,
         "activity_engagement": _q_activity_engagement,
+        "kql_bag_ops": _q_kql_bag_ops,
         "kql_bag_unpack": _q_kql_bag_unpack,
         # round-2 KQL surface
         "kql_argmax": _q_kql_argmax,
@@ -2295,6 +2318,16 @@ def oracle_sql() -> dict[str, str]:
             " FROM events"
         ),
         "pipeline_docs_clean": pipeline_docs,
+        "kql_bag_ops": (
+            # expected strings constructed directly: merged keys sorted
+            # (et, id, z), left bag's id wins over the OVERRIDE
+            "SELECT event_id, "
+            "concat('{\"et\":\"', event_type, '\",\"id\":\"', "
+            "CAST(event_id AS VARCHAR), '\",\"z\":\"x\"}') AS merged, "
+            "concat('{\"id\":\"', CAST(event_id AS VARCHAR), '\",\"z\":\"x\"}') AS removed, "
+            "'et,id,z' AS keys "
+            "FROM events WHERE event_id < 300"
+        ),
         "activity_retention": (
             "WITH p AS (SELECT DISTINCT user_id AS a, date_trunc('week', ts) AS b FROM events), "
             "f AS (SELECT a, min(b) AS cohort FROM p GROUP BY 1), "

@@ -1881,3 +1881,35 @@ def series_decompose_anomalies(
         "_an_trend", "_an_seasonal", "_an_baseline", "_an_residual",
         "_an_med", "_an_absdev", "_an_mad",
     )
+
+
+# ---- round-4 additions: property-bag utilities ----
+
+
+def bag_keys(col: Column | str) -> Column:
+    """KQL ``bag_keys`` — sorted key array of a JSON property bag
+    (sorted for determinism; KQL's order is unspecified)."""
+    return F.array_sort(F.json_object_keys(_c(col)))
+
+
+def bag_merge(a: Column | str, b: Column | str) -> Column:
+    """KQL ``bag_merge(a, b)`` — merge two JSON bags, LEFT value wins on
+    key conflicts (Kusto's rule). String-valued bags (the engine's bag
+    normal form, cf. :func:`make_bag_sorted`); output keys sorted."""
+    ma = F.from_json(_c(a), "map<string,string>")
+    mb = F.from_json(_c(b), "map<string,string>")
+    only_b = F.filter(
+        F.map_entries(mb),
+        lambda e: ~F.array_contains(F.map_keys(ma), e["key"]),
+    )
+    entries = F.array_sort(F.concat(F.map_entries(ma), only_b))
+    return F.to_json(F.map_from_entries(entries))
+
+
+def bag_remove_keys(col: Column | str, keys: list[str]) -> Column:
+    """KQL ``bag_remove_keys`` — drop the listed keys; output sorted."""
+    m = F.from_json(_c(col), "map<string,string>")
+    kept = F.filter(
+        F.map_entries(m), lambda e: ~e["key"].isin(*keys) if keys else F.lit(True)
+    )
+    return F.to_json(F.map_from_entries(F.array_sort(kept)))

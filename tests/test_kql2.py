@@ -478,3 +478,17 @@ def test_series_decompose_long_form_identity_and_outlier(spark):
     flags = {(r.k, r.ord): r.anomaly_flag for r in an.collect()}
     assert flags[("k", 13)] == 1
     assert all(f == 0 for (k, _), f in flags.items() if k == "clean"), "constant series must not flag"
+
+
+def test_bag_utilities(spark):
+    df = spark.createDataFrame(
+        [('{"b":"2","a":"1"}', '{"b":"X","c":"3"}')], "x string, y string"
+    )
+    r = df.select(
+        kql.bag_merge("x", "y").alias("m"),
+        kql.bag_remove_keys(F.col("x"), ["a"]).alias("rm"),
+        F.array_join(kql.bag_keys("x"), ",").alias("k"),
+    ).first()
+    assert r["m"] == '{"a":"1","b":"2","c":"3"}', "left wins on b, keys sorted"
+    assert r["rm"] == '{"b":"2"}'
+    assert r["k"] == "a,b"
