@@ -1030,6 +1030,37 @@ def _q_activity_engagement(spark, sf):
     )
 
 
+def _q_activity_funnel(spark, sf):
+    """Ordered funnel signup → click → purchase over events: each step's
+    first occurrence must be strictly after completing the previous step;
+    counts of actors reaching each step."""
+    from kusto_pre_forge_spark.operators import activity
+
+    e = load_table(spark, sf, "events")
+    out = activity.funnel_steps(
+        e, "user_id", "ts", "event_type", ["signup", "click", "purchase"]
+    )
+    return out.select(
+        F.col("step_index").cast("long").alias("step_index"),
+        "step_value",
+        F.col("n_actors").cast("long").alias("n_actors"),
+    )
+
+
+def _q_activity_transitions(spark, sf):
+    """Markov transition counts over each user's event sequence — one lag
+    window + one aggregation."""
+    from kusto_pre_forge_spark.operators import activity
+
+    e = load_table(spark, sf, "events")
+    out = activity.sequence_transitions(
+        e, "user_id", "ts", "event_type", order_cols=["event_id"]
+    )
+    return out.select(
+        "from_state", "to_state", F.col("n").cast("long").alias("n")
+    )
+
+
 def _q_kql_bag_ops(spark, sf):
     """Property-bag utilities: bag_merge (left wins), bag_remove_keys,
     bag_keys — map functions end-to-end, deterministic sorted output."""
@@ -1751,6 +1782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_retention": _q_activity_retention,
         "activity_engagement": _q_activity_engagement,
         "kql_bag_ops": _q_kql_bag_ops,
+        "activity_funnel": _q_activity_funnel,
+        "activity_transitions": _q_activity_transitions,
         "kql_bag_unpack": _q_kql_bag_unpack,
         # round-2 KQL surface
         "kql_argmax": _q_kql_argmax,
@@ -2318,6 +2351,28 @@ def oracle_sql() -> dict[str, str]:
             " FROM events"
         ),
         "pipeline_docs_clean": pipeline_docs,
+        "activity_funnel": (
+            "WITH s0 AS (SELECT user_id, min(ts) AS t FROM events "
+            "WHERE event_type = 'signup' GROUP BY 1), "
+            "s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN s0 ON e.user_id = s0.user_id "
+            "WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN s1 ON e.user_id = s1.user_id "
+            "WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1) "
+            "SELECT CAST(0 AS BIGINT) AS step_index, 'signup' AS step_value, "
+            "CAST(count(*) AS BIGINT) AS n_actors FROM s0 "
+            "UNION ALL SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s1 "
+            "UNION ALL SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2"
+        ),
+        "activity_transitions": (
+            "WITH o AS (SELECT user_id, event_type, "
+            "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events) "
+            "SELECT prev AS from_state, event_type AS to_state, "
+            "CAST(count(*) AS BIGINT) AS n FROM o WHERE prev IS NOT NULL "
+            "GROUP BY 1, 2"
+        ),
         "kql_bag_ops": (
             # expected strings constructed directly: merged keys sorted
             # (et, id, z), left bag's id wins over the OVERRIDE

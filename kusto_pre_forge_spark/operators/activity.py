@@ -121,3 +121,79 @@ def rolling_engagement(
             ).alias("engagement_ratio"),
         )
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    actor_col: str,
+    ts_col: str,
+    state_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """KQL ``funnel_sequence_completion``-style ordered funnel: how many
+    actors reached step k, where step k must occur STRICTLY AFTER the
+    actor's completion of step k-1 (first qualifying occurrence each).
+
+    Fully relational — one aggregation per step plus a hash join on the
+    actor id (steps lists are short; each join's right side is one row per
+    surviving actor, shrinking monotonically). No per-actor arrays, no
+    state machines: at 100 TB the event stream is only ever filtered by
+    step value and joined on its partition-friendly actor key.
+
+    Returns (step_index, step_value, n_actors), step_index 0-based.
+    """
+    reached = (
+        df.filter(F.col(state_col) == steps[0])
+        .groupBy(F.col(actor_col).alias("_a"))
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    counts = reached.select(
+        F.lit(0).alias("step_index"), F.lit(steps[0]).alias("step_value"), F.col("_a")
+    )
+    for i, s in enumerate(steps[1:], 1):
+        nxt = df.filter(F.col(state_col) == s).select(
+            F.col(actor_col).alias("_a"), F.col(ts_col).alias("_ts")
+        )
+        reached = (
+            nxt.join(reached, "_a")
+            .filter(F.col("_ts") > F.col("_t"))
+            .groupBy("_a")
+            .agg(F.min("_ts").alias("_t"))
+        )
+        counts = counts.unionByName(
+            reached.select(
+                F.lit(i).alias("step_index"),
+                F.lit(s).alias("step_value"),
+                F.col("_a"),
+            )
+        )
+    return counts.groupBy("step_index", "step_value").agg(
+        F.count(F.lit(1)).alias("n_actors")
+    )
+
+
+def sequence_transitions(
+    df: DataFrame,
+    actor_col: str,
+    ts_col: str,
+    state_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """State-transition (Markov) counts over each actor's ordered event
+    sequence: (from_state, to_state, n) for every consecutive pair. One
+    lag window per actor (single shuffle on the actor key) + one
+    map-side-combinable aggregation.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(actor_col).orderBy(ts_col, *(order_cols or []))
+    prev = F.lag(F.col(state_col)).over(w)
+    return (
+        df.withColumn("_prev", prev)
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(
+            F.col("_prev").alias("from_state"),
+            F.col(state_col).alias("to_state"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

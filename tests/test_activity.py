@@ -38,3 +38,42 @@ def test_rolling_engagement_dau_wau(spark):
     assert eng["2024-01-10"] == (1, 3)   # u3 today; u1 (8), u2 (9) in window
     # only observed activity days are emitted
     assert "2024-01-03" not in eng
+
+
+def test_funnel_steps_strict_ordering(spark):
+    import datetime
+    D = datetime.datetime
+    rows = [
+        # u1 completes the full funnel in order
+        ("u1", D(2024, 1, 1), "signup"), ("u1", D(2024, 1, 2), "click"),
+        ("u1", D(2024, 1, 3), "purchase"),
+        # u2 purchases BEFORE clicking: stops at click
+        ("u2", D(2024, 1, 1), "signup"), ("u2", D(2024, 1, 2), "purchase"),
+        ("u2", D(2024, 1, 3), "click"),
+        # u3 never signs up: not in the funnel at all
+        ("u3", D(2024, 1, 1), "click"), ("u3", D(2024, 1, 2), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, s string")
+    out = {
+        r.step_index: r.n_actors
+        for r in activity.funnel_steps(
+            df, "u", "ts", "s", ["signup", "click", "purchase"]
+        ).collect()
+    }
+    assert out == {0: 2, 1: 2, 2: 1}
+
+
+def test_sequence_transitions_counts(spark):
+    import datetime
+    D = datetime.datetime
+    rows = [
+        ("u1", D(2024, 1, 1), "a"), ("u1", D(2024, 1, 2), "b"),
+        ("u1", D(2024, 1, 3), "a"),
+        ("u2", D(2024, 1, 1), "a"), ("u2", D(2024, 1, 2), "b"),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, s string")
+    out = {
+        (r.from_state, r.to_state): r.n
+        for r in activity.sequence_transitions(df, "u", "ts", "s").collect()
+    }
+    assert out == {("a", "b"): 2, ("b", "a"): 1}
