@@ -1061,6 +1061,24 @@ def _q_activity_transitions(spark, sf):
     )
 
 
+def _q_kql_basket(spark, sf):
+    """evaluate basket() — exact frequent single values and cross-column
+    value pairs over (event_type, value quartile bucket), support >= 5%."""
+    e = load_table(spark, sf, "events").withColumn(
+        "vbucket",
+        F.when(F.col("value").isNull(), F.lit(-1))
+        .otherwise(F.floor(F.col("value") / 25))
+        .cast("long"),
+    )
+    out = kql.basket_frequent(e, ["event_type", "vbucket"], min_support=0.05)
+    return out.select(
+        "itemset",
+        F.col("size").cast("long").alias("size"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round("support", 6).alias("support"),
+    )
+
+
 def _q_kql_bag_ops(spark, sf):
     """Property-bag utilities: bag_merge (left wins), bag_remove_keys,
     bag_keys — map functions end-to-end, deterministic sorted output."""
@@ -1784,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_bag_ops": _q_kql_bag_ops,
         "activity_funnel": _q_activity_funnel,
         "activity_transitions": _q_activity_transitions,
+        "kql_basket": _q_kql_basket,
         "kql_bag_unpack": _q_kql_bag_unpack,
         # round-2 KQL surface
         "kql_argmax": _q_kql_argmax,
@@ -2351,6 +2370,25 @@ def oracle_sql() -> dict[str, str]:
             " FROM events"
         ),
         "pipeline_docs_clean": pipeline_docs,
+        "kql_basket": (
+            "WITH e AS (SELECT event_type, CASE WHEN value IS NULL THEN -1 "
+            "ELSE CAST(floor(CAST(value AS DOUBLE) / 25) AS BIGINT) END AS vbucket "
+            "FROM events), "
+            "n AS (SELECT count(*) AS total FROM e), "
+            "s1 AS (SELECT concat('event_type=', event_type) AS itemset, "
+            "CAST(1 AS BIGINT) AS size, CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM e GROUP BY event_type), "
+            "s2 AS (SELECT concat('vbucket=', CAST(vbucket AS VARCHAR)) AS itemset, "
+            "CAST(1 AS BIGINT) AS size, CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM e GROUP BY vbucket), "
+            "p AS (SELECT concat('event_type=', event_type, ',vbucket=', "
+            "CAST(vbucket AS VARCHAR)) AS itemset, CAST(2 AS BIGINT) AS size, "
+            "CAST(count(*) AS BIGINT) AS n_rows FROM e GROUP BY event_type, vbucket), "
+            "u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM p) "
+            "SELECT itemset, size, n_rows, "
+            "round(CAST(n_rows AS DOUBLE) / total, 6) AS support "
+            "FROM u, n WHERE n_rows >= 0.05 * total"
+        ),
         "activity_funnel": (
             "WITH s0 AS (SELECT user_id, min(ts) AS t FROM events "
             "WHERE event_type = 'signup' GROUP BY 1), "

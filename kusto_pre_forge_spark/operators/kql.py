@@ -1913,3 +1913,61 @@ def bag_remove_keys(col: Column | str, keys: list[str]) -> Column:
         F.map_entries(m), lambda e: ~e["key"].isin(*keys) if keys else F.lit(True)
     )
     return F.to_json(F.map_from_entries(F.array_sort(kept)))
+
+
+def basket_frequent(
+    df: DataFrame,
+    cols: list[str],
+    min_support: float = 0.05,
+    max_size: int = 2,
+) -> DataFrame:
+    """KQL ``evaluate basket()`` — frequent attribute-value combinations.
+
+    Kusto's basket is a sampled Apriori heuristic; this engine defines the
+    DETERMINISTIC exact variant over the given columns: every single
+    attribute value and (for ``max_size >= 2``) every cross-column value
+    pair whose row support ≥ ``min_support`` of the input. Itemsets are
+    rendered canonically as sorted ``col=value`` strings, so output is
+    oracle-replayable.
+
+    Scale: one map-side-combinable aggregation per column plus one per
+    column PAIR (k·(k−1)/2 for k columns — the column list is small by
+    construction; rows are never joined against rows). The support
+    denominator is one scalar count.
+    """
+    n = df.count()
+    floor_n = float(min_support) * n
+    parts = []
+    for c in cols:
+        parts.append(
+            df.groupBy(F.col(c))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .filter(F.col("n_rows") >= floor_n)
+            .select(
+                F.concat(F.lit(f"{c}="), F.col(c).cast("string")).alias("itemset"),
+                F.lit(1).alias("size"),
+                "n_rows",
+            )
+        )
+    if max_size >= 2:
+        for i, a in enumerate(cols):
+            for b in cols[i + 1 :]:
+                parts.append(
+                    df.groupBy(F.col(a), F.col(b))
+                    .agg(F.count(F.lit(1)).alias("n_rows"))
+                    .filter(F.col("n_rows") >= floor_n)
+                    .select(
+                        F.concat(
+                            F.lit(f"{a}="), F.col(a).cast("string"),
+                            F.lit(f",{b}="), F.col(b).cast("string"),
+                        ).alias("itemset"),
+                        F.lit(2).alias("size"),
+                        "n_rows",
+                    )
+                )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        "support", F.col("n_rows").cast("double") / F.lit(float(n))
+    )

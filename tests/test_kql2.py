@@ -492,3 +492,19 @@ def test_bag_utilities(spark):
     assert r["m"] == '{"a":"1","b":"2","c":"3"}', "left wins on b, keys sorted"
     assert r["rm"] == '{"b":"2"}'
     assert r["k"] == "a,b"
+
+
+def test_basket_frequent_exact_support(spark):
+    rows = [("a", "x")] * 6 + [("a", "y")] * 3 + [("b", "y")] * 1
+    df = spark.createDataFrame(rows, "c1 string, c2 string")
+    out = {
+        r.itemset: (r.size, r.n_rows, round(r.support, 3))
+        for r in kql.basket_frequent(df, ["c1", "c2"], min_support=0.3).collect()
+    }
+    assert out == {
+        "c1=a": (1, 9, 0.9),
+        "c2=x": (1, 6, 0.6),
+        "c2=y": (1, 4, 0.4),
+        "c1=a,c2=x": (2, 6, 0.6),
+        "c1=a,c2=y": (2, 3, 0.3),
+    }
