@@ -2586,7 +2586,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH tok AS (SELECT doc_id, "
             f"{_LTOKENS_SQL} AS toks FROM documents), "
             "g AS (SELECT doc_id, list_distinct(list_transform("
-            "range(0, greatest(len(toks) - 7, 1)), "
+            "range(0, greatest(len(toks) - 7, 0)), "
             "i -> array_to_string(toks[i+1:i+8], ' '))) AS gs FROM tok), "
             "ce AS (SELECT doc_id AS corpus_id, unnest(gs) AS gr FROM g "
             "WHERE doc_id >= 20), "

@@ -14,12 +14,15 @@ Scale posture:
   all (the per-stratum threshold test is a map-side predicate). At 100 TB
   this is the cheapest possible mixture sampler: the scan prunes columns
   to (strata, key) and the filter pushes into the scan.
-- ``corpus_shuffle``     — one global range-sort on a content hash. A
-  training export needs *some* total order; sorting by hash is the
-  standard trick that both shuffles reproducibly AND spreads adjacent
-  source documents (crawl locality) across the output. Spark's sort is a
-  range-partitioned exchange — the same cost any deterministic global
-  shuffle pays.
+- ``corpus_shuffle``     — one global range-sort on a content hash plus a
+  distributed prefix sum for the dense position. A training export needs
+  *some* total order; sorting by hash is the standard trick that both
+  shuffles reproducibly AND spreads adjacent source documents (crawl
+  locality) across the output. The position is NOT a global
+  ``row_number`` window (that would be ``Exchange SinglePartition`` — the
+  whole corpus through one task); it is base-offset + intra-partition
+  index, where the base offsets come from a per-partition count aggregate
+  (one row per partition). Same shape as ``plans/split.py:shard_assign``.
 - ``contamination_check`` — n-gram overlap join between a (small)
   benchmark set and the corpus, in the inverted-index shape: explode
   benchmark n-grams (tiny side, broadcast), equi-join corpus n-grams on
@@ -83,35 +86,88 @@ def corpus_shuffle(
     key: Column | str,
     salt: str = "kpf",
     position_col: str = "shuffle_pos",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Reproducible global shuffle: a total order by content hash.
 
-    Returns the input with a dense 0-based ``position_col``. The order is
-    a pure function of (salt, key), so a re-run — on a different cluster,
-    partition count, or input file layout — produces the identical
-    training order. Ties on the hash (birthday-bound rare at 32 bits)
-    break on the key itself, keeping the order total and deterministic.
+    Returns the input with a dense 0-based ``position_col`` (long). The
+    order is a pure function of (salt, key), so a re-run — on a different
+    cluster, partition count, or input file layout — produces the
+    identical training order. Ties on the hash (birthday-bound rare at
+    32 bits) break on the key itself, keeping the order total and
+    deterministic.
 
-    Plan: one range-partitioned sort exchange; the row number is a window
-    over the already-sorted data. For a file export, prefer writing the
-    sorted frame with ``sortWithinPartitions`` + per-file ordering instead
-    of collecting positions.
+    Plan — distributed prefix sum, never a whole-corpus window (a global
+    ``row_number().over(Window.orderBy(...))`` plans
+    ``Exchange SinglePartition``: every row through ONE task; dead at
+    100 TB). Instead:
+
+    1. range-partition + sort within partitions by ``(hash, key)`` — the
+       one full-data exchange, and range partition i holds globally
+       smaller values than partition i+1 by construction;
+    2. intra-partition index from ``monotonically_increasing_id`` (rows
+       stream out of the sort in order; ``mid - (pid << 33)`` is the
+       0-based index within the partition) — no second window, no second
+       shuffle of the data;
+    3. per-partition row counts (tiny aggregate: one row per partition),
+       exclusive-prefix-summed by partition id — the only unpartitioned
+       window runs over those O(num_partitions) rows, the same legitimate
+       tiny-side window as ``plans/split.py:shard_assign``;
+    4. broadcast the base offsets back: ``position = base + intra``.
+
+    The range exchange feeds both the counts and the join probe; AQE
+    stage reuse dedupes them when the branches canonicalize equal, and
+    otherwise column pruning collapses the counts branch to a
+    key-column-only scan + narrow shuffle — never a second full-width
+    pass. For a file export, prefer writing the sorted frame with
+    per-file ordering instead of materializing positions.
     """
     from pyspark.sql import Window
 
     k = F.col(key) if isinstance(key, str) else key
     h = _hash_unit(k.cast("string"), salt)
-    w = Window.orderBy(h.asc(), k.asc())
-    return df.withColumn(position_col, F.row_number().over(w) - 1)
+    t = df.withColumn("_kpf_h", h).withColumn("_kpf_k", k.cast("string"))
+    order = ["_kpf_h", "_kpf_k"]
+    if num_partitions is not None:
+        t = t.repartitionByRange(num_partitions, *order)
+    else:
+        t = t.repartitionByRange(*order)
+    t = (
+        t.sortWithinPartitions(*order)
+        .withColumn("_kpf_pid", F.spark_partition_id().cast("long"))
+        .withColumn(
+            "_kpf_intra",
+            F.monotonically_increasing_id() - F.shiftleft(F.col("_kpf_pid"), 33),
+        )
+    )
+    counts = t.groupBy("_kpf_pid").agg(F.count(F.lit(1)).alias("_kpf_n"))
+    w_prefix = Window.orderBy("_kpf_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_kpf_pid",
+        F.coalesce(F.sum("_kpf_n").over(w_prefix), F.lit(0)).alias("_kpf_base"),
+    )
+    return (
+        t.join(F.broadcast(offsets), "_kpf_pid")
+        .withColumn(position_col, F.col("_kpf_base") + F.col("_kpf_intra"))
+        .drop("_kpf_pid", "_kpf_intra", "_kpf_base", "_kpf_h", "_kpf_k")
+    )
 
 
 def _word_ngrams(col: Column, n: int) -> Column:
-    """Distinct lowercase word n-grams of the text."""
+    """Distinct lowercase word n-grams of the text.
+
+    Documents with fewer than ``n`` tokens yield an EMPTY array — never a
+    truncated pseudo-n-gram — so trivially short or empty documents can't
+    collide in the contamination overlap join.
+    """
     toks = F.filter(F.split(F.lower(F.trim(col)), WS_RE), lambda w: w != "")
-    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    k = F.size(toks) - F.lit(n - 1)
     idx = F.sequence(F.lit(0), k - F.lit(1))
-    return F.array_distinct(
+    grams = F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -74,3 +74,14 @@ def test_contamination_check_broadcasts_benchmark_side(spark, docs):
     plan = c._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_contamination_short_docs_yield_no_ngrams(spark):
+    bench = spark.createDataFrame(
+        [(0, "too short"), (1, "")], "doc_id long, text string"
+    )
+    pool = spark.createDataFrame(
+        [(100, "too short"), (101, ""), (102, "   ")], "doc_id long, text string"
+    )
+    # <8-token docs emit zero 8-grams: identical short/empty docs must NOT match
+    assert corpus.contamination_check(pool, bench, ngram_n=8).count() == 0
