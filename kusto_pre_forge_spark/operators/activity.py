@@ -34,25 +34,33 @@ def cohort_retention(
 ) -> DataFrame:
     """KQL ``new_activity_metrics``-style cohort retention.
 
-    Buckets time by ``bucket`` (any ``date_trunc`` unit), assigns every
-    actor to the cohort of its FIRST active bucket, and counts distinct
-    actors per (cohort_bucket, offset) where offset is whole buckets since
-    the cohort started. Offset 0 is the cohort size; retention@k =
-    n_active(k) / n_active(0) — emitted as a ratio column.
+    Buckets time by ``bucket`` — one of ``hour``, ``day``, ``week``
+    (fixed-length, offset by elapsed seconds) or ``month`` (calendar
+    months via ``months_between``, since months have no fixed length) —
+    assigns every actor to the cohort of its FIRST active bucket, and
+    counts distinct actors per (cohort_bucket, offset) where offset is
+    whole buckets since the cohort started. Offset 0 is the cohort size;
+    retention@k = n_active(k) / n_active(0) — emitted as a ratio column.
 
     Returns (cohort, offset, n_active, retention).
     """
+    seconds_per = {"week": 7 * 86400, "day": 86400, "hour": 3600}
+    if bucket not in seconds_per and bucket != "month":
+        raise ValueError(
+            f"bucket must be one of {sorted(seconds_per) + ['month']}, "
+            f"got {bucket!r}"
+        )
     b = F.date_trunc(bucket, F.col(ts_col))
     pairs = df.select(F.col(actor_col).alias("_a"), b.alias("_b")).distinct()
     firsts = pairs.groupBy("_a").agg(F.min("_b").alias("_cohort"))
-    seconds_per = {"week": 7 * 86400, "day": 86400, "hour": 3600}[bucket]
-    joined = pairs.join(firsts, "_a").withColumn(
-        "_offset",
-        (
+    if bucket == "month":
+        offset = F.months_between(F.col("_b"), F.col("_cohort")).cast("long")
+    else:
+        offset = (
             (F.unix_timestamp("_b") - F.unix_timestamp("_cohort"))
-            / seconds_per
-        ).cast("long"),
-    )
+            / seconds_per[bucket]
+        ).cast("long")
+    joined = pairs.join(firsts, "_a").withColumn("_offset", offset)
     counts = joined.groupBy(F.col("_cohort").alias("cohort"), F.col("_offset").alias("offset")).agg(
         F.count_distinct("_a").alias("n_active")
     )

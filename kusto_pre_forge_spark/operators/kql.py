@@ -1895,9 +1895,12 @@ def bag_keys(col: Column | str) -> Column:
 def bag_merge(a: Column | str, b: Column | str) -> Column:
     """KQL ``bag_merge(a, b)`` — merge two JSON bags, LEFT value wins on
     key conflicts (Kusto's rule). String-valued bags (the engine's bag
-    normal form, cf. :func:`make_bag_sorted`); output keys sorted."""
-    ma = F.from_json(_c(a), "map<string,string>")
-    mb = F.from_json(_c(b), "map<string,string>")
+    normal form, cf. :func:`make_bag_sorted`); output keys sorted.
+    A null/unparseable side is treated as the EMPTY bag (Kusto returns
+    the other bag rather than null-poisoning the merge)."""
+    empty = F.from_json(F.lit("{}"), "map<string,string>")
+    ma = F.coalesce(F.from_json(_c(a), "map<string,string>"), empty)
+    mb = F.coalesce(F.from_json(_c(b), "map<string,string>"), empty)
     only_b = F.filter(
         F.map_entries(mb),
         lambda e: ~F.array_contains(F.map_keys(ma), e["key"]),
@@ -1937,6 +1940,14 @@ def basket_frequent(
     """
     n = df.count()
     floor_n = float(min_support) * n
+
+    # A null attribute value still forms a (labeled) group: render it as
+    # the literal "null" instead of letting F.concat null-poison the whole
+    # itemset string (DuckDB's concat treats NULL as '' — the sentinel
+    # keeps both engines agreeing and the row identifiable).
+    def _s(col_name: str) -> Column:
+        return F.coalesce(F.col(col_name).cast("string"), F.lit("null"))
+
     parts = []
     for c in cols:
         parts.append(
@@ -1944,7 +1955,7 @@ def basket_frequent(
             .agg(F.count(F.lit(1)).alias("n_rows"))
             .filter(F.col("n_rows") >= floor_n)
             .select(
-                F.concat(F.lit(f"{c}="), F.col(c).cast("string")).alias("itemset"),
+                F.concat(F.lit(f"{c}="), _s(c)).alias("itemset"),
                 F.lit(1).alias("size"),
                 "n_rows",
             )
@@ -1958,8 +1969,8 @@ def basket_frequent(
                     .filter(F.col("n_rows") >= floor_n)
                     .select(
                         F.concat(
-                            F.lit(f"{a}="), F.col(a).cast("string"),
-                            F.lit(f",{b}="), F.col(b).cast("string"),
+                            F.lit(f"{a}="), _s(a),
+                            F.lit(f",{b}="), _s(b),
                         ).alias("itemset"),
                         F.lit(2).alias("size"),
                         "n_rows",

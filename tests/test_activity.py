@@ -77,3 +77,28 @@ def test_sequence_transitions_counts(spark):
         for r in activity.sequence_transitions(df, "u", "ts", "s").collect()
     }
     assert out == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_cohort_retention_monthly_calendar_units(spark):
+    import pytest
+    import datetime
+
+    D = datetime.datetime
+    rows = [
+        ("u1", D(2024, 1, 5)), ("u1", D(2024, 2, 20)), ("u1", D(2024, 4, 1)),
+        ("u2", D(2024, 1, 31)), ("u2", D(2024, 3, 1)),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp")
+    ret = {
+        (str(r.cohort)[:10], r.offset): r.n_active
+        for r in activity.cohort_retention(df, "u", "ts", "month").collect()
+    }
+    # variable-length months (Jan=31d, Feb=29d in 2024) must still land on
+    # whole calendar offsets — fixed-seconds division would misbucket Feb->Mar
+    assert ret[("2024-01-01", 0)] == 2
+    assert ret[("2024-01-01", 1)] == 1  # u1 in Feb
+    assert ret[("2024-01-01", 2)] == 1  # u2 in Mar
+    assert ret[("2024-01-01", 3)] == 1  # u1 in Apr
+
+    with pytest.raises(ValueError, match="bucket must be one of"):
+        activity.cohort_retention(df, "u", "ts", "fortnight")

@@ -508,3 +508,24 @@ def test_basket_frequent_exact_support(spark):
         "c1=a,c2=x": (2, 6, 0.6),
         "c1=a,c2=y": (2, 3, 0.3),
     }
+
+
+def test_bag_merge_null_side_is_empty_bag(spark):
+    df = spark.createDataFrame(
+        [('{"a":"1"}', None), (None, '{"b":"2"}'), (None, None)],
+        "x string, y string",
+    )
+    got = [r.m for r in df.select(kql.bag_merge("x", "y").alias("m")).collect()]
+    assert got == ['{"a":"1"}', '{"b":"2"}', "{}"], "null side = empty bag, not null poison"
+
+
+def test_basket_frequent_null_value_labeled(spark):
+    rows = [("a", None)] * 5 + [("a", "x")] * 5
+    df = spark.createDataFrame(rows, "c1 string, c2 string")
+    out = {
+        r.itemset: r.n_rows
+        for r in kql.basket_frequent(df, ["c1", "c2"], min_support=0.4).collect()
+    }
+    assert out["c2=null"] == 5, "null group must be labeled, not a NULL itemset"
+    assert out["c1=a,c2=null"] == 5
+    assert None not in out
