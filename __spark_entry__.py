@@ -1710,6 +1710,62 @@ def _q_multimodal_frames(spark, sf):
     return multimodal.sample_frames(blobs, id_col="doc_id", every_n=4, fake=True)
 
 
+def _q_multimodal_real_meta(spark, sf):
+    """REAL media metadata with zero codec dependencies: fabricate genuine
+    PNG and PCM-WAV files per doc (mediacodec.encode_*), then parse their
+    actual container bytes back with probe_media (PNG IHDR / JPEG SOFn /
+    RIFF fmt+data chunk walk). The oracle predicts the header fields from
+    the generation rule; the parse itself runs on the real bytes. Fields
+    absent for a kind are sentinel-coalesced to -1 (None/NaN differ
+    between engines' pandas bridges; exact ints don't)."""
+    from kusto_pre_forge_spark.operators import multimodal
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        from kusto_pre_forge_spark.operators import mediacodec
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 2 == 0:
+                    w, h = 1 + i % 16, 1 + i % 11
+                    payloads.append(
+                        mediacodec.encode_png(
+                            w, h, bytes([i % 256]) * (w * h * 3), 3
+                        )
+                    )
+                else:
+                    rate, n = 8000 + (i % 5) * 1000, 100 + i % 50
+                    payloads.append(
+                        mediacodec.encode_wav(rate, [(i * 257) % 16384] * n)
+                    )
+                ids.append(i)
+            yield pd.DataFrame({"doc_id": ids, "blob": payloads})
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    probed = multimodal.probe_media(blobs)
+    neg1 = F.lit(-1)
+    return probed.select(
+        "doc_id",
+        "media_kind",
+        F.coalesce("width", neg1).alias("width"),
+        F.coalesce("height", neg1).alias("height"),
+        "channels",
+        F.coalesce("sample_rate", neg1).alias("sample_rate"),
+        "bits_per_sample",
+        F.coalesce("n_samples", neg1.cast("long")).alias("n_samples"),
+        F.coalesce("duration_s", F.lit(-1.0)).alias("duration_s"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1837,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_bag_bits": _q_kql_bag_bits,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frames": _q_multimodal_frames,
+        "multimodal_real_meta": _q_multimodal_real_meta,
     }
 
 
@@ -3008,6 +3065,21 @@ def oracle_sql() -> dict[str, str]:
             "f AS (SELECT doc_id, text, unnest(range(0, nf, 4)) AS fi FROM t) "
             "SELECT doc_id, CAST(fi AS INT) AS frame_index, "
             "sha256(substring(text, CAST(fi * 32 + 1 AS BIGINT), 32)) AS frame_sha FROM f"
+        ),
+        "multimodal_real_meta": (
+            # predicts the true container-header fields the Spark side
+            # parses from REAL generated PNG/WAV bytes
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS media_kind, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 16 ELSE -1 END AS INT) AS width, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 11 ELSE -1 END AS INT) AS height, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels, "
+            "CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 5) * 1000 ELSE -1 END AS INT) AS sample_rate, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INT) AS bits_per_sample, "
+            "CAST(CASE WHEN doc_id % 2 = 1 THEN 100 + doc_id % 50 ELSE -1 END AS BIGINT) AS n_samples, "
+            "CASE WHEN doc_id % 2 = 1 THEN CAST(100 + doc_id % 50 AS DOUBLE) "
+            "/ (8000 + (doc_id % 5) * 1000) ELSE -1.0 END AS duration_s "
+            "FROM documents WHERE doc_id < 120"
         ),
         "corpus_ngrams": (
             "WITH t AS (SELECT doc_id, "

@@ -1,13 +1,23 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 BASELINE.json north-star extension. The engine treats media as
-``binary`` payload columns with a typed metadata struct; the Spark-side
-plumbing (schema, partition sizing, Arrow batch shape, UDF signatures) is
-real and tested, while the actual codec work is stubbed: the image/audio
-libraries are not in this container, so ``decode_*`` raise
-``NotImplementedError`` unless ``fake=True``, which produces deterministic
-hash-derived pseudo-decodes (stable across runs and engines) so downstream
-operators can be exercised end-to-end.
+``binary`` payload columns with a typed metadata struct. Real container
+handling is dependency-free (``mediacodec.py``, pure stdlib):
+
+- ``probe_media`` parses REAL headers — PNG IHDR, JPEG SOFn, GIF, BMP,
+  WAV fmt/data — giving true width/height/channels/sample-rate/duration
+  from actual bytes;
+- ``decode_image_features`` / ``resize_image`` fully decode (and
+  re-encode) real PNGs via zlib; JPEG/GIF/BMP get true header dimensions
+  (pixel features need an entropy decoder → null feature vector);
+- ``decode_audio_features`` fully decodes real PCM WAV.
+
+``fake=True`` remains for fabricating deterministic pseudo-decodes from
+arbitrary bytes (hash-derived, stable across runs and engines) so
+downstream operators can be exercised on non-media payloads; video frame
+sampling stays fake-only (an ffmpeg-class decoder is out of scope).
+Unrecognized containers on the real path raise ``NotImplementedError``
+inside the worker at execution time.
 
 Scale notes:
 - media rows are large → ``mapInPandas`` with Arrow batches keeps transfer
@@ -39,13 +49,63 @@ IMAGE_FEATURES_SCHEMA = (
 
 FRAME_SAMPLE_SCHEMA = "doc_id long, frame_index int, frame_sha string"
 
-_IMAGE_LIBS_AVAILABLE = False
-try:  # pragma: no cover - not in this container
-    import PIL.Image  # noqa: F401
+MEDIA_PROBE_SCHEMA = (
+    "doc_id long, media_kind string, width int, height int, channels int, "
+    "sample_rate int, bits_per_sample int, n_samples long, duration_s double"
+)
 
-    _IMAGE_LIBS_AVAILABLE = True
-except ImportError:
-    pass
+
+def probe_media(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """Parse REAL container headers from a binary column — no decoders,
+    no dependencies, just the fixed byte layouts (mediacodec.py): PNG
+    IHDR, JPEG SOFn, GIF, BMP, RIFF/WAVE. Unknown containers yield
+    media_kind='unknown' with null fields (never an error — probing is a
+    classification step, not a decode).
+
+    Arrow-batched ``mapInPandas``; output is narrow typed metadata, so
+    the wide payload column stops here — project this result, not the
+    input, into downstream joins.
+    """
+    from kusto_pre_forge_spark.operators import mediacodec
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                got = mediacodec.probe_bytes(bytes(blob))
+                got["doc_id"] = int(doc_id)
+                rows.append(got)
+            # nullable extension dtypes, NOT bare float64: plain pandas
+            # coerces None → NaN in numeric columns and Arrow then ships a
+            # NaN *value* (not a null) for doubles — poisoning downstream
+            # coalesce/comparisons. Int32/Float64 arrays keep true nulls.
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array([r["doc_id"] for r in rows], dtype="Int64"),
+                    "media_kind": [r["media_kind"] for r in rows],
+                    "width": pd.array([r["width"] for r in rows], dtype="Int32"),
+                    "height": pd.array([r["height"] for r in rows], dtype="Int32"),
+                    "channels": pd.array(
+                        [r["channels"] for r in rows], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [r["sample_rate"] for r in rows], dtype="Int32"
+                    ),
+                    "bits_per_sample": pd.array(
+                        [r["bits_per_sample"] for r in rows], dtype="Int32"
+                    ),
+                    "n_samples": pd.array(
+                        [r["n_samples"] for r in rows], dtype="Int64"
+                    ),
+                    "duration_s": pd.array(
+                        [r["duration_s"] for r in rows], dtype="Float64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, MEDIA_PROBE_SCHEMA)
 
 
 def read_binary_dir(spark, path: str, glob: str | None = None) -> DataFrame:
@@ -92,18 +152,22 @@ def decode_image_features(
 ) -> DataFrame:
     """Decode images and extract a feature vector per image.
 
-    Real decode requires PIL/libvips (absent here) → NotImplementedError.
-    ``fake=True``: deterministic pseudo-decode — dimensions and features
-    derived from the payload's sha256 bytes, so the full Arrow/mapInPandas
-    plumbing (batch iteration, schema, partition shape) runs for real.
-    """
-    if not fake and not _IMAGE_LIBS_AVAILABLE:
-        raise NotImplementedError(
-            "image decode requires PIL/libvips (not in this container); "
-            "pass fake=True for the deterministic stub"
-        )
+    Real path (``fake=False``, dependency-free — mediacodec.py):
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    - PNG: FULL decode (zlib inflate + unfilter) → true dimensions and a
+      real pixel-statistics feature vector — per-channel means (/255)
+      then per-channel stds (/128), padded with zeros to ``feature_dim``;
+    - JPEG / GIF / BMP: true header dimensions (SOFn / screen descriptor
+      / info header); pixel features need an entropy decoder, so the
+      feature vector is null;
+    - anything else: NotImplementedError from the worker at execution.
+
+    ``fake=True``: deterministic pseudo-decode — dimensions and features
+    derived from the payload's sha256 bytes — for exercising the
+    plumbing on non-media payloads.
+    """
+
+    def fake_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in it:
@@ -122,7 +186,54 @@ def decode_image_features(
                 )
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, blob_col).mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+    def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from kusto_pre_forge_spark.operators import mediacodec
+
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                raw = bytes(blob)
+                hdr = mediacodec.probe_bytes(raw)
+                kind = hdr["media_kind"]
+                if kind == "png":
+                    w, h, ch, px = mediacodec.decode_png(raw)
+                    n = w * h
+                    means = [
+                        sum(px[c::ch]) / n / 255.0 for c in range(ch)
+                    ]
+                    stds = []
+                    for c in range(ch):
+                        m = sum(px[c::ch]) / n
+                        stds.append(
+                            (sum((v - m) ** 2 for v in px[c::ch]) / n) ** 0.5
+                            / 128.0
+                        )
+                    feat = (means + stds + [0.0] * feature_dim)[:feature_dim]
+                elif kind in ("jpeg", "gif", "bmp"):
+                    w, h, ch = hdr["width"], hdr["height"], hdr["channels"]
+                    feat = None
+                else:
+                    raise NotImplementedError(
+                        f"unrecognized image container (kind={kind}); full "
+                        "JPEG/video decode needs codec libraries not in "
+                        "this container — pass fake=True for the stub"
+                    )
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "content_sha": hashlib.sha256(raw).hexdigest(),
+                        "width": w,
+                        "height": h,
+                        "channels": ch,
+                        "feature": feat,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    fn = fake_batches if fake else real_batches
+    return df.select(id_col, blob_col).mapInPandas(fn, IMAGE_FEATURES_SCHEMA)
 
 
 def sample_frames(
@@ -185,24 +296,21 @@ def resize_image(
 ) -> DataFrame:
     """Resize images to ``width``×``height``, emitting a new binary payload.
 
-    Real resample needs PIL/libvips (absent here) → NotImplementedError
-    unless ``fake=True``: the stub emits a deterministic payload of exactly
-    ``width*height*3`` bytes derived by cycling the source sha256 digest,
-    so output size, schema, and Arrow batch shape behave like a real
-    resize. mapInPandas keeps payload transfer Arrow-batched; output rows
-    are wider than input metadata rows, so keep
-    ``spark.sql.files.maxPartitionBytes`` sized for decoded (not encoded)
-    bytes when chaining real codecs.
-    """
-    if not fake and not _IMAGE_LIBS_AVAILABLE:
-        raise NotImplementedError(
-            "image resize requires PIL/libvips (not in this container); "
-            "pass fake=True for the deterministic stub"
-        )
+    Real path (``fake=False``): PNG in → nearest-neighbor resample on the
+    truly decoded pixels → PNG out (mediacodec decode/encode, stdlib
+    only). Non-PNG containers raise NotImplementedError in the worker (a
+    real JPEG resample needs an entropy decoder).
 
+    ``fake=True``: deterministic payload of exactly ``width*height*3``
+    bytes derived by cycling the source sha256 digest, so output size,
+    schema, and Arrow batch shape behave like a real resize. mapInPandas
+    keeps payload transfer Arrow-batched; output rows are wider than
+    input metadata rows, so keep ``spark.sql.files.maxPartitionBytes``
+    sized for decoded (not encoded) bytes when chaining real codecs.
+    """
     n_out = width * height * 3
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fake_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in it:
@@ -220,7 +328,44 @@ def resize_image(
                 )
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, blob_col).mapInPandas(batches, RESIZE_SCHEMA)
+    def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kusto_pre_forge_spark.operators import mediacodec
+
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                raw = bytes(blob)
+                if mediacodec.parse_png_header(raw) is None:
+                    raise NotImplementedError(
+                        "real resize supports PNG only (other formats need "
+                        "codec libraries not in this container); pass "
+                        "fake=True for the stub"
+                    )
+                sw, sh, ch, px = mediacodec.decode_png(raw)
+                out = bytearray(width * height * ch)
+                for y in range(height):
+                    sy = y * sh // height
+                    src_row = sy * sw * ch
+                    dst_row = y * width * ch
+                    for x in range(width):
+                        sx = x * sw // width
+                        s = src_row + sx * ch
+                        d = dst_row + x * ch
+                        out[d : d + ch] = px[s : s + ch]
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": width,
+                        "height": height,
+                        "resized": mediacodec.encode_png(
+                            width, height, bytes(out), ch
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    fn = fake_batches if fake else real_batches
+    return df.select(id_col, blob_col).mapInPandas(fn, RESIZE_SCHEMA)
 
 
 def decode_audio_features(
@@ -233,18 +378,20 @@ def decode_audio_features(
 ) -> DataFrame:
     """Decode audio and extract a per-clip feature vector.
 
-    Real decode needs soundfile/ffmpeg (absent here) → NotImplementedError
-    unless ``fake=True``: duration/sample counts derive from payload size
-    (1 pseudo-sample per payload byte) and features from the sha256
-    digest, deterministic across runs and engines.
-    """
-    if not fake:
-        raise NotImplementedError(
-            "audio decode requires soundfile/ffmpeg (not in this container); "
-            "pass fake=True for the deterministic stub"
-        )
+    Real path (``fake=False``, dependency-free): FULL PCM WAV decode
+    (mediacodec.py, 8/16-bit) — true sample rate / sample count /
+    duration from the actual RIFF chunks, and a real feature vector: RMS
+    energy of ``feature_dim`` equal-length segments of the (interleaved)
+    samples. Non-WAV containers raise NotImplementedError in the worker
+    (mp3/flac need codec libraries).
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    ``fake=True``: duration/sample counts derive from payload size (1
+    pseudo-sample per payload byte, at the given ``sample_rate``) and
+    features from the sha256 digest, deterministic across runs and
+    engines — for exercising the plumbing on non-media payloads.
+    """
+
+    def fake_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in it:
@@ -265,4 +412,44 @@ def decode_audio_features(
                 )
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, blob_col).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+    def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from kusto_pre_forge_spark.operators import mediacodec
+
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                raw = bytes(blob)
+                hdr = mediacodec.probe_bytes(raw)
+                if hdr["media_kind"] != "wav":
+                    raise NotImplementedError(
+                        "real audio decode supports PCM WAV only (mp3/flac "
+                        "need codec libraries not in this container); pass "
+                        "fake=True for the stub"
+                    )
+                rate, _ch, samples = mediacodec.decode_wav(raw)
+                n = len(samples)
+                seg = max(n // feature_dim, 1)
+                feat = []
+                for j in range(feature_dim):
+                    part = samples[j * seg : (j + 1) * seg]
+                    feat.append(
+                        (sum(v * v for v in part) / len(part)) ** 0.5
+                        if part
+                        else 0.0
+                    )
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "content_sha": hashlib.sha256(raw).hexdigest(),
+                        "sample_rate": rate,
+                        "n_samples": n,
+                        "duration_s": n / rate if rate else None,
+                        "feature": feat,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    fn = fake_batches if fake else real_batches
+    return df.select(id_col, blob_col).mapInPandas(fn, AUDIO_FEATURES_SCHEMA)

@@ -36,9 +36,12 @@ def test_decode_image_features_stub(blobs):
         assert again[r.doc_id] == (r.width, tuple(r.feature))
 
 
-def test_decode_without_libs_raises(blobs):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_features(blobs, fake=False)
+def test_decode_unrecognized_container_raises(blobs):
+    # text payloads are not a recognized media container: the real path
+    # fails at execution time inside the worker (Spark wraps the
+    # NotImplementedError in its PythonException)
+    with pytest.raises(Exception, match="unrecognized image container"):
+        multimodal.decode_image_features(blobs, fake=False).collect()
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(blobs, fake=False)
 
@@ -74,8 +77,109 @@ def test_decode_audio_features_stub(blobs):
         assert len(r.feature) == 8
 
 
-def test_resize_audio_without_libs_raise(blobs):
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_image(blobs, 8, 6, fake=False)
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_audio_features(blobs, fake=False)
+def test_resize_audio_unrecognized_container_raise(blobs):
+    with pytest.raises(Exception, match="real resize supports PNG only"):
+        multimodal.resize_image(blobs, 8, 6, fake=False).collect()
+    with pytest.raises(Exception, match="PCM WAV only"):
+        multimodal.decode_audio_features(blobs, fake=False).collect()
+
+
+# ---- real, dependency-free codecs (mediacodec.py) ----
+
+from kusto_pre_forge_spark.operators import mediacodec
+
+
+def _solid_png(w, h, rgb):
+    return mediacodec.encode_png(w, h, bytes(rgb) * (w * h), 3)
+
+
+def test_mediacodec_png_roundtrip_all_filters():
+    # encode (filter 0) -> decode must return the exact pixels
+    px = bytes(range(0, 240))  # 4x5 RGB = 60 px... actually 4*5*3 = 60 bytes
+    px = bytes((i * 7) % 256 for i in range(4 * 5 * 3))
+    raw = mediacodec.encode_png(4, 5, px, 3)
+    w, h, ch, got = mediacodec.decode_png(raw)
+    assert (w, h, ch) == (4, 5, 3)
+    assert got == px
+    hdr = mediacodec.parse_png_header(raw)
+    assert (hdr["width"], hdr["height"], hdr["channels"]) == (4, 5, 3)
+
+
+def test_mediacodec_jpeg_gif_bmp_headers():
+    # handcrafted JPEG: SOI + APP0 (to exercise marker skipping) + SOF0
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 15) + b"JFIF\x00" + b"\x00" * 8
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 480, 640) + bytes([3, 1, 0, 0])
+    jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    hj = mediacodec.parse_jpeg_header(jpeg)
+    assert (hj["width"], hj["height"], hj["channels"], hj["bits_per_sample"]) == (640, 480, 3, 8)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + bytes([0xF7, 0, 0])
+    hg = mediacodec.parse_gif_header(gif)
+    assert (hg["width"], hg["height"]) == (320, 200)
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50) + struct.pack("<HH", 1, 24) + b"\x00" * 8
+    hb = mediacodec.parse_bmp_header(bmp)
+    assert (hb["width"], hb["height"], hb["channels"]) == (100, 50, 3)
+
+
+def test_mediacodec_wav_roundtrip():
+    samples = [0, 16384, -16384, 32767, -32768] * 20
+    raw = mediacodec.encode_wav(8000, samples)
+    hdr = mediacodec.parse_wav_header(raw)
+    assert hdr["sample_rate"] == 8000
+    assert hdr["channels"] == 1
+    assert hdr["bits_per_sample"] == 16
+    assert hdr["n_samples"] == len(samples)
+    rate, ch, got = mediacodec.decode_wav(raw)
+    assert rate == 8000 and ch == 1
+    assert len(got) == len(samples)
+    assert abs(got[1] - 0.5) < 1e-3 and abs(got[3] - 1.0) < 1e-3
+
+
+@pytest.fixture(scope="module")
+def real_media(spark):
+    rows = [
+        (1, _solid_png(8, 4, (255, 0, 0))),          # solid red PNG
+        (2, _solid_png(3, 3, (0, 128, 0))),          # solid dark-green PNG
+        (3, mediacodec.encode_wav(16000, [8192] * 1600)),  # 0.1 s constant tone
+    ]
+    return spark.createDataFrame(rows, "doc_id long, blob binary")
+
+
+def test_probe_media_real_headers(real_media):
+    got = {r.doc_id: r for r in multimodal.probe_media(real_media).collect()}
+    assert (got[1].media_kind, got[1].width, got[1].height, got[1].channels) == ("png", 8, 4, 3)
+    assert (got[2].width, got[2].height) == (3, 3)
+    assert (got[3].media_kind, got[3].sample_rate, got[3].n_samples) == ("wav", 16000, 1600)
+    assert abs(got[3].duration_s - 0.1) < 1e-12
+    assert got[1].sample_rate is None and got[3].width is None
+
+
+def test_decode_image_features_real_png(real_media):
+    imgs = real_media.filter("doc_id < 3")
+    got = {r.doc_id: r for r in multimodal.decode_image_features(imgs, fake=False).collect()}
+    r1 = got[1]
+    assert (r1.width, r1.height, r1.channels) == (8, 4, 3)
+    # solid red: channel means (1, 0, 0), stds 0
+    assert abs(r1.feature[0] - 1.0) < 1e-6 and abs(r1.feature[1]) < 1e-6
+    assert abs(r1.feature[3]) < 1e-9 and abs(r1.feature[4]) < 1e-9
+    r2 = got[2]
+    assert abs(r2.feature[1] - 128 / 255) < 1e-6
+
+
+def test_resize_image_real_png(real_media, spark):
+    imgs = real_media.filter("doc_id = 1")
+    out = multimodal.resize_image(imgs, 4, 2, fake=False).collect()[0]
+    w, h, ch, px = mediacodec.decode_png(bytes(out.resized))
+    assert (w, h, ch) == (4, 2, 3)
+    assert px == bytes([255, 0, 0]) * 8, "nearest-neighbor of solid stays solid"
+
+
+def test_decode_audio_features_real_wav(real_media):
+    wavs = real_media.filter("doc_id = 3")
+    r = multimodal.decode_audio_features(wavs, fake=False).collect()[0]
+    assert r.sample_rate == 16000 and r.n_samples == 1600
+    assert abs(r.duration_s - 0.1) < 1e-12
+    # constant 8192/32768 = 0.25 amplitude -> RMS 0.25 in every segment
+    assert all(abs(f - 0.25) < 1e-6 for f in r.feature)
