@@ -188,8 +188,9 @@ def minhash_lsh_pairs(
     more cheaply than pairwise LSH. ``None`` = exact banding (the
     oracle-checked configuration).
 
-    ``pin_mode`` controls how the (shingles, signature) frame shared by
-    the band keys and both payload sides is materialized — see
+    ``pin_mode`` controls how the shared intermediates — the (id,
+    signature) frame consumed by the band keys and both prefilter sides,
+    and the post-prefilter candidate pairs — are materialized; see
     ``kusto_pre_forge_spark.pinning``. The default lazy
     ``persist(MEMORY_AND_DISK)`` keeps lineage, so an executor loss
     recomputes lost partitions instead of failing the job; the first
@@ -207,46 +208,47 @@ def minhash_lsh_pairs(
     #    Explicit partition count: AQE's coalescer sizes stages by shuffle
     #    BYTES, and raw text is tiny relative to the CPU the next stage
     #    burns on it — left to itself it folds the stage back to one task.
-    # 2. signature BEFORE the second exchange: the pandas_udf evaluates in
-    #    its own ArrowEvalPython node, which CollapseProject cannot inline
-    #    (unlike expression lanes), and placing it upstream of the
-    #    exchange means ReuseExchange makes ALL downstream subtrees
-    #    (band join sides, payload joins) share one signature computation
-    #    and one Python round-trip.
-    # The shingle hash is xxhash64 masked to 32 bits (JVM codegen) — the
-    # exact-Jaccard verify below makes the output independent of the hash
-    # choice, so the md5-derived _shingle_hash32 (kept for oracle-
-    # reproducible ops like SimHash) isn't needed here.
+    # 2. the signature path NEVER materializes shingle STRINGS: the hash
+    #    array comes straight from substring positions (xxhash64 masked to
+    #    32 bits, JVM codegen), and duplicates are left in — a MinHash min
+    #    over a multiset equals the min over its set, so the per-doc
+    #    array_distinct and the string array allocation are pure waste
+    #    here. Distinct string shingles are computed later, for CANDIDATE
+    #    docs only, where exact Jaccard actually needs them. (The
+    #    exact-verify makes the output independent of the hash choice, so
+    #    the md5-derived _shingle_hash32 — kept for oracle-reproducible
+    #    ops like SimHash — isn't needed either.)
     n_part = df.sparkSession.sparkContext.defaultParallelism
     sig_udf = minhash_signature_udf(num_hashes, seed)
+    lowered = F.lower(F.col("_t"))
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(lowered) - F.lit(shingle_n - 1), F.lit(1))
+    )
+    h32 = F.transform(
+        positions,
+        lambda i: F.xxhash64(F.substring(lowered, i, shingle_n)).bitwiseAND(
+            F.lit(0xFFFFFFFF)
+        ),
+    )
     base = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
         .repartition(n_part, "_id")
-        .select("_id", char_shingles("_t", shingle_n).alias("_sh"))
-        .withColumn(
-            "_h32",
-            F.transform(
-                F.col("_sh"), lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF))
-            ),
-        )
+        .select("_id", h32.alias("_h32"))
         .withColumn("_sig", sig_udf(F.col("_h32")))
         .drop("_h32")
-        .repartition(n_part, "_id")
     )
-    # Materialize (shingles, signature) ONCE. The original design placed
-    # the signature above a repartition exchange expecting ReuseExchange to
-    # share it across the three consumers (band keys, pair payload a/b) —
-    # but column pruning specializes each consumer's subtree (banded wants
-    # only _sig, payloads want _sh), the subplans stop being identical, and
-    # the executed plan ran the Arrow signature UDF 4× and re-scanned the
-    # source 4× (verified post-AQE). The lazy persist pins the computed
-    # frame (memory, spilling to disk) while KEEPING lineage — executor
-    # loss recomputes lost partitions instead of failing the job, and the
-    # first consumer populates the cache for the rest of the DAG (no
-    # up-front materialization job on the one-shot critical path). At
-    # corpus scale this stores ~shingle-expanded bytes; that is the same
-    # order as the shuffle the band join writes anyway, and strictly
-    # cheaper than 3× recompute of the hot stage.
+    # Materialize (id, signature) ONCE — 64 longs per doc, nothing else.
+    # (ReuseExchange can't share the signature across consumers: column
+    # pruning specializes each consumer's subtree and the executed plan
+    # ran the Arrow UDF 4× when this relied on exchange reuse — verified
+    # post-AQE.) The lazy persist pins the computed frame while KEEPING
+    # lineage — executor loss recomputes lost partitions instead of
+    # failing the job, and the first consumer's action populates the
+    # cache for the rest of the DAG. Earlier revisions persisted the
+    # string shingle arrays too (~5× the raw text); pinning only the
+    # fixed-width signatures makes the pinned footprint independent of
+    # document length — at 100 TB that is the difference between caching
+    # ~3 KB/doc and 512 B/doc.
     base = pin(base, pin_mode)
 
     # band keys WITHOUT payload: the bucket self-join only ever shuffles
@@ -297,26 +299,52 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # fetch payloads once per unique pair, prefilter on signature agreement
-    # (E[agree] = jaccard; the 0.2 slack makes a false drop of a
-    # >=threshold pair a >10-sigma event at 64 hashes), then exact verify.
-    a = base.select(
-        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.col("_sig").alias("sig_a")
-    )
-    b = base.select(
-        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), F.col("_sig").alias("sig_b")
-    )
-    paired = cand.join(a, "id_a").join(b, "id_b")
+    # prefilter on signature agreement first (E[agree] = jaccard; the 0.2
+    # slack makes a false drop of a >=threshold pair a >10-sigma event at
+    # 64 hashes) — signatures come from the pinned base, so this costs no
+    # recompute and shrinks the set that needs real shingle payloads.
+    sig_a = base.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
+    sig_b = base.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
     sig_agree = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z))
         / F.lit(float(num_hashes))
     )
-    paired = paired.filter(sig_agree >= threshold - 0.2)
+    surviving = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .filter(sig_agree >= threshold - 0.2)
+        .select("id_a", "id_b")
+    )
+    # Pinned: referenced twice below (the distinct-id set and the final
+    # pair join) — and it is tiny (candidate pairs, post-prefilter).
+    surviving = pin(surviving, pin_mode)
+
+    # Exact verify needs DISTINCT STRING shingles — but only for docs that
+    # actually appear in a surviving candidate pair, a vanishing fraction
+    # of the corpus. Re-scan the source for just those payloads (a
+    # map-side join against the small id set — AQE broadcasts it) instead
+    # of having shingled every document up front: one extra column-pruned
+    # scan is far cheaper at 100 TB than computing + pinning
+    # length-dependent shingle arrays for every doc.
+    ids = (
+        surviving.select(F.col("id_a").alias("_vid"))
+        .union(surviving.select(F.col("id_b").alias("_vid")))
+        .distinct()
+    )
+    payload = (
+        df.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_vt"))
+        .join(ids, "_vid")
+        .select("_vid", char_shingles("_vt", shingle_n).alias("_vsh"))
+    )
+    a = payload.select(F.col("_vid").alias("id_a"), F.col("_vsh").alias("sh_a"))
+    b = payload.select(F.col("_vid").alias("id_b"), F.col("_vsh").alias("sh_b"))
 
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        paired.withColumn("jaccard", inter / union)
+        surviving.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -114,11 +114,23 @@ def ingest_idempotent(
     )
     # Materialize the new-shard set up front: after the manifest commit the
     # anti-join would recompute to empty, so the decision must be pinned.
-    spark = data.sparkSession
-    new_rows = manifest.filter_new(shard_meta).collect()
-    new_meta = spark.createDataFrame(new_rows, schema=MANIFEST_SCHEMA)
+    # Pinned CLUSTER-side (eager localCheckpoint), never collected: one
+    # manifest row per ~200 MB shard is small at any realistic batch, but
+    # a 100 TB single-batch backfill is ~500k rows — the driver round-trip
+    # is a ceiling the executors don't need.
+    new_meta = (
+        manifest.filter_new(shard_meta)
+        .select(
+            "ingest_by",
+            "kpf_original_blob",
+            "kpf_shard_id",
+            "kpf_last_shard",
+            "record_count",
+        )
+        .localCheckpoint(eager=True)
+    )
 
-    if new_rows:
+    if not new_meta.isEmpty():
         new_keys = new_meta.select("ingest_by")
         new_data = with_key.join(F.broadcast(new_keys), "ingest_by", "left_semi")
         (
