@@ -836,6 +836,44 @@ def _q_contamination_check(spark, sf):
     )
 
 
+def _q_corpus_split(spark, sf):
+    """Deterministic train/val/test assignment: md5-hash thresholds over
+    doc_id (0.9/0.05/0.05), zero shuffle, zero RNG — the same row lands
+    in the same split on any cluster layout or engine."""
+    from kusto_pre_forge_spark.operators import corpus as corpus_ops
+
+    d = load_table(spark, sf, "documents")
+    return corpus_ops.train_split(d, "doc_id").select("doc_id", "lang", "split")
+
+
+def _q_corpus_pack(spark, sf):
+    """Sequence packing (concat-then-chunk): documents laid end-to-end in
+    the deterministic shuffle order, cut every 512 tokens. token_start is
+    a distributed prefix sum (plans/split.keyed_shard_assign) — never a
+    whole-corpus window."""
+    from kusto_pre_forge_spark.operators import corpus as corpus_ops
+
+    d = load_table(spark, sf, "documents")
+    return corpus_ops.sequence_pack(d, "text", "doc_id", seq_len=512).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("token_start").cast("long").alias("token_start"),
+        F.col("seq_id").cast("int").alias("seq_id"),
+    )
+
+
+def _q_corpus_line_dedup(spark, sf):
+    """Corpus-level boilerplate removal: drop every unit occurring in more
+    than 60 distinct documents (units = words here, sep=' '), reassemble
+    docs preserving order. The df-aggregate + anti-join shape of
+    CCNet-style line dedup."""
+    from kusto_pre_forge_spark.operators import corpus as corpus_ops
+
+    d = load_table(spark, sf, "documents")
+    out = corpus_ops.line_dedup(d, "text", "doc_id", max_doc_freq=60, sep=" ")
+    return out.select("doc_id", "clean_text")
+
+
 def _q_kql_ipv4_suite(spark, sf):
     """KQL IPv4 scalars: parse_ipv4 / format_ipv4 round-trip /
     ipv4_is_private / ipv4_is_in_range — all codegen shift arithmetic.
@@ -1850,6 +1888,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_docs_clean": _q_pipeline_docs_clean,
         "corpus_stratified_sample": _q_corpus_stratified_sample,
         "corpus_shuffle": _q_corpus_shuffle,
+        "corpus_split": _q_corpus_split,
+        "corpus_pack": _q_corpus_pack,
+        "corpus_line_dedup": _q_corpus_line_dedup,
         "contamination_check": _q_contamination_check,
         "kql_ipv4_suite": _q_kql_ipv4_suite,
         "kql_url_suite": _q_kql_url_suite,
@@ -2642,6 +2683,46 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0, "
             "doc_id) - 1 AS BIGINT) AS shuffle_pos "
             "FROM documents WHERE doc_id < 100"
+        ),
+        "corpus_split": (
+            # same md5 thresholds as train_split: u < 0.9 train,
+            # u < 0.95 val, else test
+            "SELECT doc_id, lang, CASE WHEN "
+            "CAST(concat('0x', substr(md5(concat('kpf-split', '|', "
+            "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 "
+            "< 0.9 THEN 'train' WHEN "
+            "CAST(concat('0x', substr(md5(concat('kpf-split', '|', "
+            "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 "
+            "< 0.95 THEN 'val' ELSE 'test' END AS split FROM documents"
+        ),
+        "corpus_pack": (
+            # global token stream in (hash, doc_id) order; the Spark side's
+            # distributed prefix sum must equal this single window cumsum
+            "WITH t AS (SELECT doc_id, "
+            f"CAST(len({_LTOKENS_SQL}) AS BIGINT) AS n_tokens, "
+            "CAST(concat('0x', substr(md5(concat('kpf', '|', "
+            "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 AS h "
+            "FROM documents) "
+            "SELECT doc_id, n_tokens, "
+            "CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+            "AS token_start, "
+            "CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) "
+            "AS INT) AS seq_id FROM t"
+        ),
+        "corpus_line_dedup": (
+            "WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "u AS (SELECT doc_id, unnest(ws) AS w, "
+            "unnest(range(1, len(ws) + 1)) AS pos FROM s), "
+            "hot AS (SELECT w FROM u GROUP BY w "
+            "HAVING count(DISTINCT doc_id) > 60), "
+            "kept AS (SELECT * FROM u ANTI JOIN hot USING (w)), "
+            "r AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS ct "
+            "FROM kept GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(r.ct, '') AS clean_text "
+            "FROM documents d LEFT JOIN r USING (doc_id)"
         ),
         "contamination_check": (
             "WITH tok AS (SELECT doc_id, "

@@ -153,6 +153,150 @@ def corpus_shuffle(
     )
 
 
+def train_split(
+    df: DataFrame,
+    key: Column | str,
+    weights: Mapping[str, float] | None = None,
+    salt: str = "kpf-split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — zero shuffle, zero RNG.
+
+    Each row's bucket is a pure function of (salt, key): the md5 hash unit
+    is compared against the cumulative weight thresholds in the order
+    ``weights`` lists them. The same row lands in the same split across
+    re-runs, re-partitioning, and engines (the DuckDB oracle replays the
+    identical arithmetic). Weights need not sum to 1 — the last split
+    absorbs the remainder (matching the common 0.9/0.05/0.05 convention
+    where rounding drift must not drop rows).
+    """
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if len(weights) < 2:
+        raise ValueError("train_split needs at least two splits")
+    k = F.col(key) if isinstance(key, str) else key
+    u = _hash_unit(k.cast("string"), salt)
+    names = list(weights)
+    expr = F.lit(names[-1])  # last split absorbs the remainder
+    cum = 0.0
+    thresholds = []
+    for name in names[:-1]:
+        cum += float(weights[name])
+        thresholds.append((name, cum))
+    for name, thr in reversed(thresholds):
+        expr = F.when(u < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def sequence_pack(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seq_len: int,
+    salt: str = "kpf",
+    num_buckets: int = 1024,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Pack documents into fixed-length training sequences
+    (concat-then-chunk): lay every document's tokens end-to-end in the
+    deterministic ``corpus_shuffle`` order, then cut the stream every
+    ``seq_len`` tokens. Returns (id, n_tokens, token_start, seq_id) where
+    ``token_start`` is the document's offset in the global token stream
+    and ``seq_id = floor(token_start / seq_len)`` — the sequence the
+    document STARTS in (documents crossing a boundary continue into the
+    next sequence, the standard causal-LM packing where only the chunker
+    downstream needs the boundary).
+
+    Plan — the same distributed prefix sum as ``keyed_shard_assign``
+    (plans/split.py): bucket by the leading hash digits (bucket boundaries
+    respect the (hash, key) order by construction), per-bucket token
+    subtotals, exclusive prefix over the tiny subtotal table, broadcast
+    the base offsets back, within-bucket running sum. Never a
+    whole-corpus window; one hash exchange on the bucket key. Token count
+    is whitespace tokenization (swap in a BPE count column upstream if
+    the run uses a real tokenizer — the packing math is count-agnostic).
+    """
+    from kusto_pre_forge_spark.plans.split import keyed_shard_assign
+
+    k = F.col(id_col).cast("string")
+    h = _hash_unit(k, salt)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), WS_RE), lambda w: w != ""
+    )
+    t = df.select(
+        F.col(id_col),
+        h.alias("_kpf_h"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    bucket = F.floor(F.col("_kpf_h") * F.lit(float(num_buckets))).cast("long")
+    out = keyed_shard_assign(
+        t,
+        order_cols=["_kpf_h", id_col],
+        bucket=bucket,
+        rec_bytes=F.col("n_tokens"),
+        max_bytes_per_shard=seq_len,
+        shard_col="seq_id",
+        num_partitions=num_partitions,
+        start_col="token_start",
+    )
+    return out.select(id_col, "n_tokens", "token_start", "seq_id")
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_doc_freq: int,
+    sep: str = "\n",
+    output_col: str = "clean_text",
+) -> DataFrame:
+    """Boilerplate-unit removal: drop every ``sep``-delimited unit (line,
+    paragraph — or word, with ``sep=' '``) that occurs in more than
+    ``max_doc_freq`` DISTINCT documents, and reassemble each document's
+    remaining units in their original order. This is the corpus-level
+    line-dedup step of CommonCrawl-style pipelines (navigation chrome,
+    cookie banners, license headers repeat across thousands of pages;
+    cf. CCNet / RefinedWeb) — df-based, so a unit repeated WITHIN one
+    document survives.
+
+    Plan: posexplode (map-side) → document-frequency aggregate on the
+    unit (map-side partial; the shuffle carries the unit exactly once
+    per (doc, unit)) → anti-join the exploded units against the over-cap
+    set (small — only units shared by >cap docs; AQE broadcasts it) →
+    one hash exchange on ``id_col`` to reassemble via
+    ``array_sort(collect_list(struct(pos, unit)))``. The reassembly
+    exchange is the unavoidable cost of rebuilding a document from its
+    parts; everything else is narrow or tiny. Documents whose every unit
+    was dropped come back as '' (left join + coalesce), never vanish.
+    """
+    import re as _re
+
+    pat = _re.escape(sep)
+    units = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), pat)).alias("_pos", "_u"),
+    )
+    hot = (
+        units.groupBy("_u")
+        .agg(F.count_distinct("_id").alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("_u")
+    )
+    kept = units.join(hot, "_u", "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_u"))),
+                lambda s: s["_u"],
+            ),
+            sep,
+        ).alias(output_col)
+    )
+    return df.join(
+        rebuilt.withColumnRenamed("_id", id_col), id_col, "left"
+    ).withColumn(output_col, F.coalesce(F.col(output_col), F.lit("")))
+
+
 def _word_ngrams(col: Column, n: int) -> Column:
     """Distinct lowercase word n-grams of the text.
 

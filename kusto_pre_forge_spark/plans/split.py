@@ -182,6 +182,7 @@ def keyed_shard_assign(
     max_bytes_per_shard: int,
     shard_col: str = "shard_id",
     num_partitions: int | None = None,
+    start_col: str | None = None,
 ) -> DataFrame:
     """Global-order shard assignment via a deterministic bucketed prefix sum.
 
@@ -274,13 +275,15 @@ def keyed_shard_assign(
         + F.sum("_kpf_rec_bytes").over(w_in)
         - F.col("_kpf_rec_bytes")
     )
-    return (
-        t.join(F.broadcast(offsets), "_kpf_bucket")
-        .withColumn(
-            shard_col, F.floor(cum_before / F.lit(max_bytes_per_shard)).cast("int")
-        )
-        .drop("_kpf_bucket", "_kpf_base", "_kpf_rec_bytes")
-    )
+    out = t.join(F.broadcast(offsets), "_kpf_bucket")
+    if start_col is not None:
+        # expose the exclusive running total itself (`sequence_pack` needs
+        # the token offset, not just the shard id)
+        out = out.withColumn(start_col, cum_before.cast("long"))
+        cum_before = F.col(start_col)
+    return out.withColumn(
+        shard_col, F.floor(cum_before / F.lit(max_bytes_per_shard)).cast("int")
+    ).drop("_kpf_bucket", "_kpf_base", "_kpf_rec_bytes")
 
 
 @dataclass

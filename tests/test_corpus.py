@@ -76,6 +76,80 @@ def test_contamination_check_broadcasts_benchmark_side(spark, docs):
     assert "SortMergeJoin" not in plan
 
 
+def test_train_split_deterministic_and_partition_free(spark, docs):
+    a = corpus.train_split(docs, "doc_id")
+    b = corpus.train_split(docs.repartition(9), "doc_id")
+    ma = {r.doc_id: r.split for r in a.select("doc_id", "split").collect()}
+    mb = {r.doc_id: r.split for r in b.select("doc_id", "split").collect()}
+    assert ma == mb, "assignment must not depend on partitioning"
+    n = len(ma)
+    n_train = sum(1 for v in ma.values() if v == "train")
+    assert set(ma.values()) <= {"train", "val", "test"}
+    assert 0.8 * n < n_train < 0.97 * n, "train fraction near 0.9"
+    # zero shuffle — structural scale claim, like stratified_sample
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_sequence_pack_equals_global_cumsum(spark, docs):
+    """The distributed prefix sum must equal the single global window —
+    and boundary docs continue into the next sequence by construction."""
+    out = corpus.sequence_pack(docs, "text", "doc_id", seq_len=128).collect()
+    rows = sorted(out, key=lambda r: r.token_start)
+    expect = 0
+    for r in rows:
+        assert r.token_start == expect, "dense exclusive cumsum"
+        assert r.seq_id == r.token_start // 128
+        expect += r.n_tokens
+    # partitioning-independent
+    out2 = corpus.sequence_pack(
+        docs.repartition(7), "text", "doc_id", seq_len=128
+    ).collect()
+    assert {(r.doc_id, r.token_start) for r in out2} == {
+        (r.doc_id, r.token_start) for r in out
+    }
+
+
+def test_sequence_pack_no_single_partition_exchange(spark, docs):
+    out = corpus.sequence_pack(docs, "text", "doc_id", seq_len=128)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_line_dedup_drops_hot_units_preserves_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "keep1 boiler keep2"),
+            (2, "boiler keep3"),
+            (3, "boiler"),
+            (4, "keep4 boiler boiler keep4"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.clean_text
+        for r in corpus.line_dedup(df, "text", "doc_id", max_doc_freq=3, sep=" ")
+        .select("doc_id", "clean_text")
+        .collect()
+    }
+    # 'boiler' occurs in 4 > 3 docs -> dropped everywhere; within-doc
+    # repeats of non-hot units survive; all-dropped docs come back as ''
+    assert out == {1: "keep1 keep2", 2: "keep3", 3: "", 4: "keep4 keep4"}
+
+
+def test_line_dedup_df_counts_distinct_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "x x x x x"), (2, "y z")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.clean_text
+        for r in corpus.line_dedup(df, "text", "doc_id", max_doc_freq=1, sep=" ")
+        .collect()
+    }
+    # 'x' appears 5 times but in ONE doc -> df=1, not hot -> kept
+    assert out[1] == "x x x x x"
+
+
 def test_contamination_short_docs_yield_no_ngrams(spark):
     bench = spark.createDataFrame(
         [(0, "too short"), (1, "")], "doc_id long, text string"
