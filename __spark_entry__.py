@@ -1808,6 +1808,117 @@ def _q_multimodal_real_meta(spark, sf):
     )
 
 
+def _q_kql_series_fit(spark, sf):
+    """series_fit_line + series_fit_2lines over the daily packed series —
+    closed-form OLS and best-split scan, all higher-order folds (kql.py)."""
+    s = _series_daily(spark, sf)
+    fit = kql.series_fit_line("series_value")
+    fit2 = kql.series_fit_2lines("series_value")
+    return s.select(
+        "event_type",
+        F.round(fit["slope"], 4).alias("slope"),
+        F.round(fit["interception"], 4).alias("interception"),
+        F.round(fit["rsquare"], 4).alias("rsquare"),
+        F.round(fit["variance"], 3).alias("variance"),
+        F.round(fit["rvariance"], 3).alias("rvariance"),
+        fit2["split_idx"].alias("split_idx"),
+        F.round(fit2["rsquare"], 4).alias("rsquare2"),
+        F.round(fit2["slope_left"], 4).alias("slope_left"),
+        F.round(fit2["slope_right"], 4).alias("slope_right"),
+        F.round(fit2["interception_left"], 4).alias("interception_left"),
+        F.round(fit2["interception_right"], 4).alias("interception_right"),
+    )
+
+
+def _q_kql_autocluster(spark, sf):
+    """evaluate autocluster() — deterministic exact variant: top common
+    segments over (event_type, value bucket, weekday), wildcards as null."""
+    e = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .withColumn("vbucket", F.floor(F.col("value") / 25).cast("string"))
+        .withColumn("dow", F.dayofweek("ts").cast("string"))
+    )
+    out = kql.autocluster(
+        e, ["event_type", "vbucket", "dow"], min_support=0.05, num_segments=12
+    )
+    return out.select(
+        "segment_id",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round("percent", 6).alias("percent"),
+        "event_type", "vbucket", "dow",
+    )
+
+
+def _q_kql_diffpatterns(spark, sf):
+    """evaluate diffpatterns() — pattern prevalence diff between the
+    even- and odd-user cohorts over (event_type, weekday)."""
+    e = (
+        load_table(spark, sf, "events")
+        .withColumn("cohort", (F.col("user_id") % 2 == 0).cast("string"))
+        .withColumn("dow", F.dayofweek("ts").cast("string"))
+    )
+    out = kql.diffpatterns(
+        e, ["event_type", "dow"], "cohort", "true", "false", min_support=0.05
+    )
+    return out.select(
+        F.col("count_a").cast("long").alias("count_a"),
+        F.col("count_b").cast("long").alias("count_b"),
+        F.round("percent_a", 6).alias("percent_a"),
+        F.round("percent_b", 6).alias("percent_b"),
+        F.round("percent_diff", 6).alias("percent_diff"),
+        "event_type", "dow",
+        F.col("size").cast("int").alias("size"),
+    )
+
+
+def _q_kql_percentilesw(spark, sf):
+    """percentilesw — weighted percentiles per event_type (weight =
+    event_id % 7 + 1): smallest value whose cumulative weight crosses the
+    p% threshold; per-group window + one aggregate."""
+    e = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .withColumn("w", (F.col("event_id") % 7 + 1).cast("double"))
+    )
+    out = kql.percentilesw(e, "value", "w", [25.0, 50.0, 90.0], by=["event_type"])
+    return out.select(
+        "event_type",
+        F.col("percentile_25_0").alias("p25"),
+        F.col("percentile_50_0").alias("p50"),
+        F.col("percentile_90_0").alias("p90"),
+    )
+
+
+def _q_kql_scalar_suite4(spark, sf):
+    """Scalar batch 4: totimespan / format_timespan round-trip, translate,
+    degrees/radians, cot, exp10/log10, isnan/isinf — all codegen."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 400)
+    eid = F.col("event_id")
+    ts_str = F.format_string(
+        "%d.%02d:%02d:%02d",
+        eid % 3, eid % 24, eid % 60, (eid * 7) % 60,
+    )
+    bad = F.concat(F.lit("x"), ts_str)  # invalid timespan -> null
+    seconds = kql.totimespan(ts_str)
+    x = (eid % 360).cast("double")
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        seconds.alias("span_sec"),
+        kql.totimespan(bad).alias("span_bad"),
+        kql.format_timespan(seconds, "d.hh:mm:ss").alias("span_rt"),
+        kql.format_timespan(seconds, "hh:mm:ss").alias("span_hms"),
+        kql.translate_kql("aeiou", "#", F.col("event_type")).alias("tr"),
+        F.round(F.degrees(F.radians(x)), 6).alias("deg_rt"),
+        F.round(F.cot(F.radians(x) + F.lit(0.1)), 6).alias("cotv"),
+        F.round(F.log10(v + 1.0), 6).alias("l10"),
+        F.round(F.pow(F.lit(10.0), (eid % 5).cast("double")), 1).alias("e10"),
+        F.isnan(v).alias("nanv"),
+        (F.abs(v) == float("inf")).alias("infv"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1897,6 +2008,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_series_fill": _q_kql_series_fill,
         "kql_scalar_suite3": _q_kql_scalar_suite3,
         "kql_rank": _q_kql_rank,
+        "kql_series_fit": _q_kql_series_fit,
+        "kql_autocluster": _q_kql_autocluster,
+        "kql_diffpatterns": _q_kql_diffpatterns,
+        "kql_percentilesw": _q_kql_percentilesw,
+        "kql_scalar_suite4": _q_kql_scalar_suite4,
         "kql_series_decompose": _q_kql_series_decompose,
         "activity_retention": _q_activity_retention,
         "activity_engagement": _q_activity_engagement,
@@ -2550,6 +2666,153 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(coalesce(ic.inner_active, 0) AS DOUBLE) / "
             "CAST(coalesce(outc.outer_active, 1) AS DOUBLE), 6) AS engagement_ratio "
             "FROM obs LEFT JOIN ic USING (day) LEFT JOIN outc USING (day)"
+        ),
+        "kql_series_fit": (
+            # same closed-form OLS as kql.series_fit_line/_2lines: raw sums
+            # (sy, syy, sxy over x = 0..n-1), centered forms, residual SSE;
+            # the 2-line scan replays every split s in [2, n-2] with
+            # FILTERed segment sums (right segment uses local x = idx - s)
+            "WITH bounds AS (SELECT min(date_trunc('day', CAST(ts AS TIMESTAMP))) lo, "
+            "max(date_trunc('day', CAST(ts AS TIMESTAMP))) hi FROM events), "
+            "axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds), "
+            "keys AS (SELECT DISTINCT event_type FROM events), "
+            "binned AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, "
+            "CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS v FROM events GROUP BY 1, 2), "
+            "dense AS (SELECT k.event_type, "
+            "row_number() OVER (PARTITION BY k.event_type ORDER BY a.d) - 1 AS idx, "
+            "coalesce(b.v, 0.0) AS v "
+            "FROM keys k CROSS JOIN axis a "
+            "LEFT JOIN binned b ON b.event_type = k.event_type AND b.d = a.d), "
+            "sums AS (SELECT event_type, count(*) AS n, sum(v) AS sy, "
+            "sum(v * v) AS syy, sum(idx * v) AS sxy FROM dense GROUP BY 1), "
+            "fit1 AS (SELECT event_type, n, "
+            "n * (n - 1) / 2.0 AS sx, (n - 1) * n * (2.0 * n - 1) / 6.0 AS sxx, "
+            "sy, syy, sxy FROM sums), "
+            "fit2 AS (SELECT *, "
+            "(sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope FROM fit1), "
+            "fit AS (SELECT *, (sy - slope * sx) / n AS interception, "
+            "(syy - sy * sy / n) / (n - 1) AS variance, "
+            "greatest((syy - sy * sy / n) - slope * (sxy - sx * sy / n), 0) "
+            "/ (n - 1) AS rvariance, syy - sy * sy / n AS syy_c FROM fit2), "
+            "splits AS (SELECT event_type, n, unnest(range(2, n - 1)) AS s "
+            "FROM sums WHERE n >= 4), "
+            "segsums AS (SELECT sp.event_type, sp.s, sp.n, "
+            "sum(d.v) FILTER (d.idx < sp.s) AS lsy, "
+            "sum(d.v * d.v) FILTER (d.idx < sp.s) AS lsyy, "
+            "sum(d.idx * d.v) FILTER (d.idx < sp.s) AS lsxy, "
+            "sum(d.v) FILTER (d.idx >= sp.s) AS rsy, "
+            "sum(d.v * d.v) FILTER (d.idx >= sp.s) AS rsyy, "
+            "sum((d.idx - sp.s) * d.v) FILTER (d.idx >= sp.s) AS rsxy "
+            "FROM splits sp JOIN dense d USING (event_type) GROUP BY 1, 2, 3), "
+            "segfit AS (SELECT *, s AS lm, n - s AS rm, "
+            "s * (s - 1) / 2.0 AS lsx, (s - 1) * s * (2.0 * s - 1) / 6.0 AS lsxx, "
+            "(n - s) * (n - s - 1) / 2.0 AS rsx, "
+            "(n - s - 1) * (n - s) * (2.0 * (n - s) - 1) / 6.0 AS rsxx "
+            "FROM segsums), "
+            "segsse AS (SELECT *, "
+            "(lsxy - lsx * lsy / lm) / (lsxx - lsx * lsx / lm) AS lslope, "
+            "(rsxy - rsx * rsy / rm) / (rsxx - rsx * rsx / rm) AS rslope "
+            "FROM segfit), "
+            "sse AS (SELECT *, "
+            "greatest((lsyy - lsy * lsy / lm) - lslope * (lsxy - lsx * lsy / lm), 0) + "
+            "greatest((rsyy - rsy * rsy / rm) - rslope * (rsxy - rsx * rsy / rm), 0) "
+            "AS total_sse FROM segsse), "
+            "best AS (SELECT *, row_number() OVER (PARTITION BY event_type "
+            "ORDER BY total_sse, s) AS rk FROM sse) "
+            "SELECT f.event_type, "
+            "round(f.slope, 4) AS slope, round(f.interception, 4) AS interception, "
+            "round(CASE WHEN f.variance > 0 THEN 1.0 - f.rvariance / f.variance "
+            "ELSE 1.0 END, 4) AS rsquare, "
+            "round(f.variance, 3) AS variance, round(f.rvariance, 3) AS rvariance, "
+            "CAST(b.s AS BIGINT) AS split_idx, "
+            "round(CASE WHEN f.syy_c > 0 THEN 1.0 - b.total_sse / f.syy_c "
+            "ELSE 1.0 END, 4) AS rsquare2, "
+            "round(b.lslope, 4) AS slope_left, round(b.rslope, 4) AS slope_right, "
+            "round((b.lsy - b.lslope * b.lsx) / b.lm, 4) AS interception_left, "
+            "round((b.rsy - b.rslope * b.rsx) / b.rm - b.rslope * b.s, 4) "
+            "AS interception_right "
+            "FROM fit f JOIN best b ON b.event_type = f.event_type AND b.rk = 1"
+        ),
+        "kql_autocluster": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(CAST(floor(value / 25) AS BIGINT) AS VARCHAR) AS vbucket, "
+            "CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS VARCHAR) AS dow "
+            "FROM events WHERE value IS NOT NULL), "
+            "tot AS (SELECT count(*) AS n FROM e), "
+            "pats AS ("
+            "SELECT 1 AS sz, concat('event_type=', event_type) AS pat, "
+            "event_type, CAST(NULL AS VARCHAR) AS vbucket, CAST(NULL AS VARCHAR) AS dow, "
+            "count(*) AS c FROM e GROUP BY event_type "
+            "UNION ALL SELECT 1, concat('vbucket=', vbucket), NULL, vbucket, NULL, "
+            "count(*) FROM e GROUP BY vbucket "
+            "UNION ALL SELECT 1, concat('dow=', dow), NULL, NULL, dow, "
+            "count(*) FROM e GROUP BY dow "
+            "UNION ALL SELECT 2, concat('event_type=', event_type, ',vbucket=', vbucket), "
+            "event_type, vbucket, NULL, count(*) FROM e GROUP BY event_type, vbucket "
+            "UNION ALL SELECT 2, concat('event_type=', event_type, ',dow=', dow), "
+            "event_type, NULL, dow, count(*) FROM e GROUP BY event_type, dow "
+            "UNION ALL SELECT 2, concat('vbucket=', vbucket, ',dow=', dow), "
+            "NULL, vbucket, dow, count(*) FROM e GROUP BY vbucket, dow), "
+            "f AS (SELECT * FROM pats, tot WHERE c >= 0.05 * n), "
+            "r AS (SELECT *, row_number() OVER (ORDER BY c DESC, sz ASC, pat ASC) "
+            "AS rk FROM f) "
+            "SELECT CAST(rk - 1 AS BIGINT) AS segment_id, CAST(c AS BIGINT) AS n_rows, "
+            "round(c / CAST(n AS DOUBLE), 6) AS percent, event_type, vbucket, dow "
+            "FROM r WHERE rk <= 12"
+        ),
+        "kql_diffpatterns": (
+            "WITH e AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'true' ELSE 'false' "
+            "END AS cohort, event_type, "
+            "CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS VARCHAR) AS dow FROM events), "
+            "tot AS (SELECT count(*) FILTER (cohort = 'true') AS na, "
+            "count(*) FILTER (cohort = 'false') AS nb FROM e), "
+            "pats AS ("
+            "SELECT 1 AS sz, event_type, CAST(NULL AS VARCHAR) AS dow, "
+            "count(*) FILTER (cohort = 'true') AS ca, "
+            "count(*) FILTER (cohort = 'false') AS cb FROM e GROUP BY event_type "
+            "UNION ALL SELECT 1, NULL, dow, count(*) FILTER (cohort = 'true'), "
+            "count(*) FILTER (cohort = 'false') FROM e GROUP BY dow "
+            "UNION ALL SELECT 2, event_type, dow, count(*) FILTER (cohort = 'true'), "
+            "count(*) FILTER (cohort = 'false') FROM e GROUP BY event_type, dow) "
+            "SELECT CAST(ca AS BIGINT) AS count_a, CAST(cb AS BIGINT) AS count_b, "
+            "round(ca / CAST(na AS DOUBLE), 6) AS percent_a, "
+            "round(cb / CAST(nb AS DOUBLE), 6) AS percent_b, "
+            "round(ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE), 6) AS percent_diff, "
+            "event_type, dow, CAST(sz AS INT) AS size "
+            "FROM pats, tot WHERE ca / CAST(na AS DOUBLE) >= 0.05 "
+            "OR cb / CAST(nb AS DOUBLE) >= 0.05"
+        ),
+        "kql_percentilesw": (
+            "WITH e AS (SELECT event_type, value, "
+            "CAST(event_id % 7 + 1 AS DOUBLE) AS w FROM events "
+            "WHERE value IS NOT NULL), "
+            "c AS (SELECT event_type, value, "
+            "sum(w) OVER (PARTITION BY event_type ORDER BY value "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw, "
+            "sum(w) OVER (PARTITION BY event_type) AS totw FROM e) "
+            "SELECT event_type, "
+            "min(CASE WHEN cumw >= 0.25 * totw THEN value END) AS p25, "
+            "min(CASE WHEN cumw >= 0.5 * totw THEN value END) AS p50, "
+            "min(CASE WHEN cumw >= 0.9 * totw THEN value END) AS p90 "
+            "FROM c GROUP BY event_type"
+        ),
+        "kql_scalar_suite4": (
+            "SELECT event_id, "
+            "CAST((event_id % 3) * 86400 + (event_id % 24) * 3600 + "
+            "(event_id % 60) * 60 + ((event_id * 7) % 60) AS DOUBLE) AS span_sec, "
+            "CAST(NULL AS DOUBLE) AS span_bad, "
+            "printf('%d.%02d:%02d:%02d', event_id % 3, event_id % 24, "
+            "event_id % 60, (event_id * 7) % 60) AS span_rt, "
+            "printf('%02d:%02d:%02d', (event_id % 3) * 24 + event_id % 24, "
+            "event_id % 60, (event_id * 7) % 60) AS span_hms, "
+            "translate(event_type, 'aeiou', '#') AS tr, "
+            "round(degrees(radians(CAST(event_id % 360 AS DOUBLE))), 6) AS deg_rt, "
+            "round(cot(radians(CAST(event_id % 360 AS DOUBLE)) + 0.1), 6) AS cotv, "
+            "round(log10(value + 1.0), 6) AS l10, "
+            "round(pow(10.0, CAST(event_id % 5 AS DOUBLE)), 1) AS e10, "
+            "isnan(value) AS nanv, "
+            "isinf(abs(value)) AS infv "
+            "FROM events WHERE event_id < 400"
         ),
         "kql_series_decompose": (
             "WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h, "

@@ -55,6 +55,8 @@ HEADLINE = [
     "text_repetition",
     "corpus_ngrams",
     "contamination_check",
+    "corpus_pack",
+    "corpus_line_dedup",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

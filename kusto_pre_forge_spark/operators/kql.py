@@ -1982,3 +1982,381 @@ def basket_frequent(
     return out.withColumn(
         "support", F.col("n_rows").cast("double") / F.lit(float(n))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: series line fitting, pattern mining, weighted
+# percentiles, timespan scalars
+# ---------------------------------------------------------------------------
+
+
+def _fsum(arr: Column) -> Column:
+    """Left-to-right double fold — the one addition order every engine can
+    replay (same convention as series_stats / series_pearson_correlation)."""
+    return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x.cast("double"))
+
+
+def _fit_sums(arr: Column, n: Column) -> tuple[Column, Column, Column]:
+    """(sy, syy, sxy) for a series segment with LOCAL x = 0..n-1."""
+    sy = _fsum(arr)
+    syy = _fsum(F.transform(arr, lambda y: y.cast("double") * y.cast("double")))
+    sxy = _fsum(
+        F.zip_with(
+            F.sequence(F.lit(0), n - 1),
+            arr,
+            lambda i, y: i.cast("double") * y.cast("double"),
+        )
+    )
+    return sy, syy, sxy
+
+
+def _ols(n: Column, sy: Column, syy: Column, sxy: Column):
+    """Closed-form OLS over x = 0..n-1: (slope, intercept, syy_c, sse).
+
+    sx = n(n-1)/2 and sxx = (n-1)n(2n-1)/6 are exact integer sums of the
+    index axis; syy_c is the centered Σ(y-ȳ)² and sse the residual sum of
+    squares — everything downstream (variance, rvariance, rsquare) derives
+    from these four.
+    """
+    nd = n.cast("double")
+    sx = nd * (nd - 1) / 2.0
+    sxx = (nd - 1) * nd * (2.0 * nd - 1) / 6.0
+    sxx_c = sxx - sx * sx / nd
+    sxy_c = sxy - sx * sy / nd
+    syy_c = syy - sy * sy / nd
+    slope = F.when(n > 1, sxy_c / sxx_c).otherwise(F.lit(0.0))
+    intercept = (sy - slope * sx) / nd
+    sse = F.greatest(syy_c - slope * sxy_c, F.lit(0.0))
+    return slope, intercept, syy_c, sse
+
+
+def series_fit_line(col: Column | str) -> Column:
+    """KQL ``series_fit_line(series)`` — least-squares line over the packed
+    array (x = element index). Returns a struct
+    (slope, interception, rsquare, variance, rvariance):
+    variance = sample variance of the series, rvariance = sample residual
+    variance, rsquare = 1 − rvariance/variance (1.0 for a flat series —
+    the fit is exact). One pass of higher-order folds, no explode, no UDF.
+    """
+    c = _c(col)
+    n = F.size(c)
+    sy, syy, sxy = _fit_sums(c, n)
+    slope, intercept, syy_c, sse = _ols(n, sy, syy, sxy)
+    variance = F.when(n > 1, syy_c / (n - 1)).otherwise(F.lit(0.0))
+    rvariance = F.when(n > 1, sse / (n - 1)).otherwise(F.lit(0.0))
+    rsquare = F.when(variance > 0, 1.0 - rvariance / variance).otherwise(F.lit(1.0))
+    return F.struct(
+        slope.alias("slope"),
+        intercept.alias("interception"),
+        rsquare.alias("rsquare"),
+        variance.alias("variance"),
+        rvariance.alias("rvariance"),
+    )
+
+
+def series_fit_2lines(col: Column | str) -> Column:
+    """KQL ``series_fit_2lines(series)`` — best single split of the series
+    into two independently-fitted segments, minimizing total residual SSE.
+
+    Returns a struct (split_idx, rsquare, slope_left, interception_left,
+    slope_right, interception_right). The split index s means the left
+    segment is elements [0, s) and the right is [s, n); both segments must
+    have ≥ 2 points, so s ranges over [2, n−2]. Intercepts are reported in
+    GLOBAL x coordinates (the line over the right segment evaluated at
+    x = 0), which is shift-consistent across engines; slopes and SSE are
+    shift-invariant. rsquare = 1 − (SSE_l + SSE_r)/Σ(y−ȳ)².
+
+    Cost: the candidate scan is O(n) splits × O(n) folds = O(n²) arithmetic
+    per series row, all inside codegen — fine for series arrays (a series
+    is one group's time axis, typically 10²–10³ bins), and embarrassingly
+    parallel across rows. Argmin ties break toward the smaller split via
+    struct ordering (sse first, then s).
+    """
+    c = _c(col)
+    n = F.size(c)
+    sy, syy, sxy = _fit_sums(c, n)
+    _, _, syy_c_tot, _ = _ols(n, sy, syy, sxy)
+
+    def seg_sse(arr: Column) -> Column:
+        m = F.size(arr)
+        s_y, s_yy, s_xy = _fit_sums(arr, m)
+        _, _, _, sse = _ols(m, s_y, s_yy, s_xy)
+        return sse
+
+    candidates = F.transform(
+        F.sequence(F.lit(2), F.greatest(n - 2, F.lit(2))),
+        lambda s: F.struct(
+            (seg_sse(F.slice(c, 1, s)) + seg_sse(F.slice(c, s + 1, n - s))).alias(
+                "sse"
+            ),
+            s.alias("s"),
+        ),
+    )
+    best = F.when(n >= 4, F.array_min(candidates)).otherwise(
+        F.struct(F.lit(0.0).alias("sse"), F.lit(0).alias("s"))
+    )
+    split = best["s"]
+
+    left = F.slice(c, 1, split)
+    right = F.slice(c, split + 1, n - split)
+    ln = F.size(left)
+    rn = F.size(right)
+    lsy, lsyy, lsxy = _fit_sums(left, ln)
+    rsy, rsyy, rsxy = _fit_sums(right, rn)
+    lslope, lint, _, _ = _ols(ln, lsy, lsyy, lsxy)
+    rslope, rint_local, _, _ = _ols(rn, rsy, rsyy, rsxy)
+    # local → global x: x_local = x_global − split
+    rint = rint_local - rslope * split.cast("double")
+    rsquare = F.when(
+        syy_c_tot > 0, 1.0 - best["sse"] / syy_c_tot
+    ).otherwise(F.lit(1.0))
+    return F.struct(
+        split.cast("long").alias("split_idx"),
+        rsquare.alias("rsquare"),
+        lslope.alias("slope_left"),
+        lint.alias("interception_left"),
+        rslope.alias("slope_right"),
+        rint.alias("interception_right"),
+    )
+
+
+def autocluster(
+    df: DataFrame,
+    cols: list[str],
+    min_support: float = 0.1,
+    max_size: int = 2,
+    num_segments: int = 16,
+) -> DataFrame:
+    """KQL ``evaluate autocluster()`` — common attribute-value segments.
+
+    Kusto's autocluster is a sampled heuristic; as with ``basket_frequent``
+    this engine defines the DETERMINISTIC exact variant: every pattern over
+    1..``max_size`` of the given columns (unlisted columns are wildcards)
+    whose row support ≥ ``min_support``, ranked by count desc (ties: fewer
+    wildcards first, then the rendered pattern), top ``num_segments`` kept.
+    Output: (segment_id, n_rows, percent, <one column per input column —
+    value, or null for wildcard>).
+
+    Scale: one map-side-combinable aggregation per column subset (the
+    column list is small by construction); rows never join rows; the
+    ranking window runs over ≤ Σ|distinct patterns| aggregate rows, not
+    data rows.
+    """
+    from itertools import combinations
+
+    n = df.count()
+    floor_n = float(min_support) * n
+
+    def _s(col_name: str) -> Column:
+        return F.coalesce(F.col(col_name).cast("string"), F.lit("null"))
+
+    parts = []
+    for size in range(1, max_size + 1):
+        for subset in combinations(cols, size):
+            proj = [
+                (_s(c) if c in subset else F.lit(None).cast("string")).alias(c)
+                for c in cols
+            ]
+            rendered = F.concat_ws(
+                ",", *[F.concat(F.lit(f"{c}="), _s(c)) for c in subset]
+            )
+            parts.append(
+                df.groupBy(*[F.col(c) for c in subset])
+                .agg(F.count(F.lit(1)).alias("n_rows"))
+                .filter(F.col("n_rows") >= floor_n)
+                .select(
+                    F.lit(size).alias("_size"),
+                    rendered.alias("_pattern"),
+                    F.col("n_rows"),
+                    *proj,
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # Rank by (n_rows desc, size asc, pattern asc) WITHOUT a global window:
+    # even over bounded aggregate rows, a row_number() window plans an
+    # Exchange SinglePartition, and the repo's plan-shape guard
+    # (tests/test_planshape.py) stays strictest if no query needs an
+    # allowlist. rank(x) = 1 + |{y : y sorts before x}| via a broadcast
+    # non-equi self-join over the tiny pattern set — the same shape as
+    # plans/split.py's super-bucket base resolution, O(p²) comparisons on
+    # O(p) aggregate rows.
+    l, r = out.alias("l"), out.alias("r")
+    lc, rc = (lambda c: F.col(f"l.{c}")), (lambda c: F.col(f"r.{c}"))
+    before = (rc("n_rows") > lc("n_rows")) | (
+        (rc("n_rows") == lc("n_rows"))
+        & (
+            (rc("_size") < lc("_size"))
+            | ((rc("_size") == lc("_size")) & (rc("_pattern") < lc("_pattern")))
+        )
+    )
+    ranked = (
+        l.join(F.broadcast(r), before, "left")
+        .groupBy(lc("_pattern").alias("_pattern"))
+        .agg(
+            (F.count(rc("_pattern")) + 1).alias("_rk"),
+            F.first(lc("n_rows")).alias("n_rows"),
+            *[F.first(lc(c)).alias(c) for c in cols],
+        )
+    )
+    return (
+        ranked.filter(F.col("_rk") <= num_segments)
+        .select(
+            (F.col("_rk") - 1).cast("long").alias("segment_id"),
+            F.col("n_rows"),
+            (F.col("n_rows").cast("double") / F.lit(float(n))).alias("percent"),
+            *[F.col(c) for c in cols],
+        )
+    )
+
+
+def diffpatterns(
+    df: DataFrame,
+    cols: list[str],
+    split_col: str,
+    value_a,
+    value_b,
+    min_support: float = 0.05,
+    max_size: int = 2,
+) -> DataFrame:
+    """KQL ``evaluate diffpatterns()`` — patterns whose prevalence differs
+    between two row cohorts (A = rows where ``split_col == value_a``, B =
+    ``== value_b``). Deterministic exact variant (Kusto's is sampled):
+    every pattern over 1..``max_size`` of ``cols`` with support ≥
+    ``min_support`` in EITHER cohort; output per pattern: count_a/b,
+    percent_a/b (of each cohort), percent_diff = percent_a − percent_b,
+    plus the pattern columns (null = wildcard).
+
+    Scale: same shape as ``autocluster`` — per-subset conditional
+    aggregations (count_if riding the same groupBy), no row-row joins.
+    """
+    from itertools import combinations
+
+    in_a = F.col(split_col) == F.lit(value_a)
+    in_b = F.col(split_col) == F.lit(value_b)
+    base = df.filter(in_a | in_b)
+    totals = base.agg(
+        F.sum(in_a.cast("long")).alias("na"), F.sum(in_b.cast("long")).alias("nb")
+    ).collect()[0]
+    na, nb = totals["na"] or 0, totals["nb"] or 0
+
+    def _s(col_name: str) -> Column:
+        return F.coalesce(F.col(col_name).cast("string"), F.lit("null"))
+
+    parts = []
+    for size in range(1, max_size + 1):
+        for subset in combinations(cols, size):
+            proj = [
+                (_s(c) if c in subset else F.lit(None).cast("string")).alias(c)
+                for c in cols
+            ]
+            parts.append(
+                base.groupBy(*[F.col(c) for c in subset])
+                .agg(
+                    F.sum(in_a.cast("long")).alias("count_a"),
+                    F.sum(in_b.cast("long")).alias("count_b"),
+                )
+                .select(F.lit(size).alias("_size"), "count_a", "count_b", *proj)
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    pa = F.col("count_a").cast("double") / F.lit(float(max(na, 1)))
+    pb = F.col("count_b").cast("double") / F.lit(float(max(nb, 1)))
+    return (
+        out.withColumn("percent_a", pa)
+        .withColumn("percent_b", pb)
+        .filter(
+            (F.col("percent_a") >= min_support) | (F.col("percent_b") >= min_support)
+        )
+        .withColumn("percent_diff", F.col("percent_a") - F.col("percent_b"))
+        .select(
+            "count_a", "count_b", "percent_a", "percent_b", "percent_diff",
+            *[F.col(c) for c in cols], F.col("_size").alias("size"),
+        )
+    )
+
+
+def percentilesw(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    percentiles: list[float],
+    by: list[str] | None = None,
+) -> DataFrame:
+    """KQL ``percentilew(expr, weight, p)`` / ``percentilesw(...)`` —
+    weighted percentiles per group. Definition (Kusto's documented
+    semantics): sort the group by value; the p-th weighted percentile is
+    the smallest value whose CUMULATIVE weight ≥ p% of the group's total
+    weight.
+
+    Plan: one window (partitioned by the group key — parallel across
+    groups, never a whole-table window) for the running weight, one
+    map-side-combinable aggregate for the thresholds. A 100 TB group is a
+    skew problem for ANY per-group percentile; the group key cardinality
+    is the parallelism, as with every KQL summarize.
+    """
+    by = by or []
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(F.col(value_col))
+    t = df.withColumn(
+        "_kpf_cumw",
+        F.sum(F.col(weight_col).cast("double")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    tot = Window.partitionBy(*[F.col(c) for c in by])
+    t = t.withColumn("_kpf_totw", F.sum(F.col(weight_col).cast("double")).over(tot))
+    aggs = [
+        F.min(
+            F.when(
+                F.col("_kpf_cumw") >= F.lit(p / 100.0) * F.col("_kpf_totw"),
+                F.col(value_col),
+            )
+        ).alias(f"percentile_{str(p).replace('.', '_')}")
+        for p in percentiles
+    ]
+    return t.groupBy(*[F.col(c) for c in by]).agg(*aggs)
+
+
+#: KQL timespan literal: [d.]hh:mm:ss[.fraction]
+_TIMESPAN_RE = r"^(?:(\d+)\.)?(\d+):(\d+):(\d+(?:\.\d+)?)$"
+
+
+def totimespan(col: Column | str) -> Column:
+    """KQL ``totimespan(string)`` → seconds (double); null when the string
+    is not a valid ``[d.]hh:mm:ss[.fraction]`` timespan — codegen regexp
+    arithmetic, replayable in any engine with regexp_extract."""
+    c = _c(col)
+    valid = c.rlike(_TIMESPAN_RE)
+    days = F.coalesce(
+        F.nullif(F.regexp_extract(c, _TIMESPAN_RE, 1), F.lit("")), F.lit("0")
+    ).cast("double")
+    h = F.regexp_extract(c, _TIMESPAN_RE, 2).cast("double")
+    m = F.regexp_extract(c, _TIMESPAN_RE, 3).cast("double")
+    s = F.regexp_extract(c, _TIMESPAN_RE, 4).cast("double")
+    return F.when(valid, days * 86400 + h * 3600 + m * 60 + s)
+
+
+def format_timespan(seconds: Column | str, fmt: str = "d.hh:mm:ss") -> Column:
+    """KQL ``format_timespan(timespan, format)`` for the common formats
+    ``d.hh:mm:ss`` and ``hh:mm:ss`` (hours overflow into the count in the
+    latter) — integer arithmetic + format_string, pure codegen."""
+    sec = _c(seconds).cast("long")
+    d = F.floor(sec / 86400)
+    h = F.floor((sec % 86400) / 3600)
+    m = F.floor((sec % 3600) / 60)
+    s = sec % 60
+    if fmt == "d.hh:mm:ss":
+        return F.format_string("%d.%02d:%02d:%02d", d, h, m, s)
+    if fmt == "hh:mm:ss":
+        return F.format_string("%02d:%02d:%02d", F.floor(sec / 3600), m, s)
+    raise ValueError(f"unsupported timespan format: {fmt}")
+
+
+def translate_kql(search: str, replace: str, text: Column | str) -> Column:
+    """KQL ``translate(searchList, replacementList, text)`` — Spark's
+    builtin with KQL's argument order (text LAST, literal char lists).
+    Extra search chars with no replacement are deleted, matching both
+    engines' translate semantics."""
+    return F.translate(_c(text), search, replace)

@@ -529,3 +529,85 @@ def test_basket_frequent_null_value_labeled(spark):
     assert out["c2=null"] == 5, "null group must be labeled, not a NULL itemset"
     assert out["c1=a,c2=null"] == 5
     assert None not in out
+
+
+def test_series_fit_line_perfect_and_flat(spark):
+    df = spark.createDataFrame(
+        [([1.0, 3.0, 5.0, 7.0],), ([4.0, 4.0, 4.0, 4.0],)],
+        "s array<double>",
+    )
+    out = df.select(kql.series_fit_line("s").alias("f")).collect()
+    perfect, flat = out[0].f, out[1].f
+    assert abs(perfect.slope - 2.0) < 1e-9
+    assert abs(perfect.interception - 1.0) < 1e-9
+    assert abs(perfect.rsquare - 1.0) < 1e-9
+    assert abs(flat.slope) < 1e-9
+    assert flat.rsquare == 1.0, "flat series: exact fit by convention"
+    assert flat.variance == 0.0
+
+
+def test_series_fit_2lines_finds_breakpoint(spark):
+    # flat at 0 for 5 points, then a jump onto slope 3 — break at index 5
+    # (the jump makes the breakpoint unique: no point lies on both lines)
+    left = [0.0] * 5
+    right = [3.0 * i + 4.0 for i in range(5)]
+    df = spark.createDataFrame([(left + right,)], "s array<double>")
+    f = df.select(kql.series_fit_2lines("s").alias("f")).collect()[0].f
+    assert f.split_idx == 5
+    assert abs(f.slope_left) < 1e-9
+    assert abs(f.slope_right - 3.0) < 1e-9
+    assert abs(f.rsquare - 1.0) < 1e-9
+    # right intercept in GLOBAL x: y = 3(x - 5) + 4 -> -11 at x = 0
+    assert abs(f.interception_right + 11.0) < 1e-9
+
+
+def test_percentilesw_weighted_semantics(spark):
+    # values 1..4, weight 1 except value 4 has weight 7 (total 10):
+    # p50 threshold 5.0 first crossed at value 4 (cum 3 -> 10)
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 7.0)], "v double, w double"
+    )
+    out = kql.percentilesw(df, "v", "w", [10.0, 50.0, 100.0]).collect()[0]
+    assert out.percentile_10_0 == 1.0
+    assert out.percentile_50_0 == 4.0
+    assert out.percentile_100_0 == 4.0
+
+
+def test_autocluster_ranks_and_wildcards(spark):
+    rows = [("a", "x")] * 6 + [("a", "y")] * 3 + [("b", "y")] * 1
+    df = spark.createDataFrame(rows, "c1 string, c2 string")
+    out = sorted(
+        kql.autocluster(df, ["c1", "c2"], min_support=0.3, num_segments=3).collect(),
+        key=lambda r: r.segment_id,
+    )
+    assert [r.segment_id for r in out] == [0, 1, 2]
+    top = out[0]
+    assert (top.c1, top.c2, top.n_rows) == ("a", None, 9), "c1=a covers 9 rows, c2 wildcard"
+    assert abs(top.percent - 0.9) < 1e-9
+
+
+def test_diffpatterns_cohort_counts(spark):
+    rows = [("a", "A")] * 6 + [("b", "A")] * 4 + [("a", "B")] * 2 + [("b", "B")] * 8
+    df = spark.createDataFrame(rows, "c1 string, g string")
+    out = {
+        r.c1: (r.count_a, r.count_b, round(r.percent_diff, 3))
+        for r in kql.diffpatterns(df, ["c1"], "g", "A", "B", min_support=0.05).collect()
+    }
+    assert out["a"] == (6, 2, 0.4), "a: 60% of A vs 20% of B"
+    assert out["b"] == (4, 8, -0.4)
+
+
+def test_totimespan_and_format_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("1.02:03:04",), ("02:03:04.5",), ("nonsense",), ("25:00:00",)],
+        "t string",
+    )
+    got = df.select(
+        kql.totimespan("t").alias("sec"),
+        kql.format_timespan(kql.totimespan("t"), "d.hh:mm:ss").alias("rt"),
+    ).collect()
+    assert got[0].sec == 86400 + 2 * 3600 + 3 * 60 + 4
+    assert got[0].rt == "1.02:03:04"
+    assert got[1].sec == 2 * 3600 + 3 * 60 + 4.5
+    assert got[2].sec is None
+    assert got[3].sec == 25 * 3600.0, "hours past 24 accepted (KQL timespan)"
