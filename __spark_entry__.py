@@ -1830,6 +1830,28 @@ def _q_kql_series_fit(spark, sf):
     )
 
 
+def _q_kql_series_periods(spark, sf):
+    """series_periods_detect — top-3 autocorrelation periods of the daily
+    series per event_type (lags 2..14, i.e. up to two weeks), exploded to
+    (event_type, rank, period, score) rows for the value-hash."""
+    s = _series_daily(spark, sf)
+    det = kql.series_periods_detect(
+        "series_value", min_period=2, max_period=14, num_periods=3
+    )
+    out = s.select("event_type", det.alias("d")).select(
+        "event_type",
+        F.posexplode(F.arrays_zip(F.col("d.periods"), F.col("d.scores"))).alias(
+            "rank", "z"
+        ),
+    )
+    return out.select(
+        "event_type",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("z.periods").cast("long").alias("period"),
+        F.round(F.col("z.scores"), 5).alias("score"),
+    )
+
+
 def _q_kql_autocluster(spark, sf):
     """evaluate autocluster() — deterministic exact variant: top common
     segments over (event_type, value bucket, weekday), wildcards as null."""
@@ -2009,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_scalar_suite3": _q_kql_scalar_suite3,
         "kql_rank": _q_kql_rank,
         "kql_series_fit": _q_kql_series_fit,
+        "kql_series_periods": _q_kql_series_periods,
         "kql_autocluster": _q_kql_autocluster,
         "kql_diffpatterns": _q_kql_diffpatterns,
         "kql_percentilesw": _q_kql_percentilesw,
@@ -2732,6 +2755,40 @@ def oracle_sql() -> dict[str, str]:
             "round((b.rsy - b.rslope * b.rsx) / b.rm - b.rslope * b.s, 4) "
             "AS interception_right "
             "FROM fit f JOIN best b ON b.event_type = f.event_type AND b.rk = 1"
+        ),
+        "kql_series_periods": (
+            # normalized ACF per lag via a self-join on the dense series
+            # (idx2 = idx + lag), ranked score-desc / lag-asc, top 3
+            "WITH bounds AS (SELECT min(date_trunc('day', CAST(ts AS TIMESTAMP))) lo, "
+            "max(date_trunc('day', CAST(ts AS TIMESTAMP))) hi FROM events), "
+            "axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds), "
+            "keys AS (SELECT DISTINCT event_type FROM events), "
+            "binned AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, "
+            "CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS v FROM events GROUP BY 1, 2), "
+            "dense AS (SELECT k.event_type, "
+            "row_number() OVER (PARTITION BY k.event_type ORDER BY a.d) - 1 AS idx, "
+            "coalesce(b.v, 0.0) AS v "
+            "FROM keys k CROSS JOIN axis a "
+            "LEFT JOIN binned b ON b.event_type = k.event_type AND b.d = a.d), "
+            "stats AS (SELECT event_type, avg(v) AS mu, "
+            "sum((v - (SELECT avg(v2.v) FROM dense v2 "
+            "WHERE v2.event_type = dense.event_type)) * "
+            "(v - (SELECT avg(v3.v) FROM dense v3 "
+            "WHERE v3.event_type = dense.event_type))) AS denom "
+            "FROM dense GROUP BY event_type), "
+            "lags AS (SELECT event_type, unnest(range(2, 15)) AS lag FROM keys), "
+            "acf AS (SELECT l.event_type, l.lag, "
+            "sum((d1.v - s.mu) * (d2.v - s.mu)) / any_value(s.denom) AS score "
+            "FROM lags l JOIN stats s USING (event_type) "
+            "JOIN dense d1 ON d1.event_type = l.event_type "
+            "JOIN dense d2 ON d2.event_type = l.event_type "
+            "AND d2.idx = d1.idx + l.lag "
+            "GROUP BY l.event_type, l.lag), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY event_type "
+            "ORDER BY score DESC, lag ASC) AS rk FROM acf) "
+            "SELECT event_type, CAST(rk - 1 AS INT) AS rank, "
+            "CAST(lag AS BIGINT) AS period, round(score, 5) AS score "
+            "FROM r WHERE rk <= 3"
         ),
         "kql_autocluster": (
             "WITH e AS (SELECT event_type, "

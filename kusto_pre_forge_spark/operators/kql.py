@@ -2360,3 +2360,64 @@ def translate_kql(search: str, replace: str, text: Column | str) -> Column:
     Extra search chars with no replacement are deleted, matching both
     engines' translate semantics."""
     return F.translate(_c(text), search, replace)
+
+
+def series_periods_detect(
+    col: Column | str,
+    min_period: int = 2,
+    max_period: int | None = None,
+    num_periods: int = 3,
+) -> Column:
+    """KQL ``series_periods_detect(series, ...)`` — dominant periods by
+    normalized autocorrelation (Kusto's detector is autoperiod-style;
+    this engine defines the deterministic ACF variant):
+
+        r(L) = Σᵢ (yᵢ − ȳ)(yᵢ₊L − ȳ) / Σᵢ (yᵢ − ȳ)²
+
+    over candidate lags L in [min_period, max_period] (default n/2),
+    returning a struct of two aligned arrays (periods, scores) with the
+    ``num_periods`` highest-scoring lags, score-desc / lag-asc. A flat
+    series (zero variance) yields empty arrays.
+
+    All higher-order folds over the packed array — O(lags·n) arithmetic
+    per series row inside codegen, no explode, no UDF, embarrassingly
+    parallel across series rows (same cost model as series_fit_2lines).
+    """
+    c = _c(col)
+    n = F.size(c)
+    mean = _fsum(c) / n.cast("double")
+    centered = F.transform(c, lambda y: y.cast("double") - mean)
+    denom = _fsum(F.transform(centered, lambda y: y * y))
+    hi = F.least(
+        F.lit(max_period) if max_period is not None else (n / 2).cast("int"),
+        n - 1,
+    )
+    lags = F.sequence(F.lit(min_period), F.greatest(hi, F.lit(min_period)))
+
+    def acf(L: Column) -> Column:
+        m = n - L
+        return (
+            _fsum(
+                F.zip_with(
+                    F.slice(centered, 1, m),
+                    F.slice(centered, L + 1, m),
+                    lambda a, b: a * b,
+                )
+            )
+            / denom
+        )
+
+    # sort ascending on (−score, lag) ≡ score desc, lag asc — struct
+    # ordering gives the deterministic tie-break for free
+    scored = F.transform(
+        lags, lambda L: F.struct((-acf(L)).alias("neg"), L.alias("lag"))
+    )
+    top = F.slice(F.array_sort(scored), 1, num_periods)
+    periods = F.transform(top, lambda t: t["lag"].cast("long"))
+    scores = F.transform(top, lambda t: -t["neg"])
+    empty_l = F.array().cast("array<long>")
+    empty_d = F.array().cast("array<double>")
+    return F.when(
+        (denom > 0) & (n > min_period),
+        F.struct(periods.alias("periods"), scores.alias("scores")),
+    ).otherwise(F.struct(empty_l.alias("periods"), empty_d.alias("scores")))

@@ -611,3 +611,19 @@ def test_totimespan_and_format_roundtrip(spark):
     assert got[1].sec == 2 * 3600 + 3 * 60 + 4.5
     assert got[2].sec is None
     assert got[3].sec == 25 * 3600.0, "hours past 24 accepted (KQL timespan)"
+
+
+def test_series_periods_detect_finds_planted_period(spark):
+    import math
+
+    series = [math.sin(2 * math.pi * i / 7) + 0.01 * i for i in range(56)]
+    df = spark.createDataFrame([(series,)], "s array<double>")
+    d = df.select(
+        kql.series_periods_detect("s", 2, 14, 3).alias("d")
+    ).collect()[0].d
+    assert d.periods[0] == 7, f"weekly period must rank first, got {d.periods}"
+    assert d.scores[0] > 0.8
+    # flat series -> empty result, not a crash or div-by-zero
+    flat = spark.createDataFrame([([5.0] * 20,)], "s array<double>")
+    d2 = flat.select(kql.series_periods_detect("s").alias("d")).collect()[0].d
+    assert list(d2.periods) == [] and list(d2.scores) == []
