@@ -59,10 +59,18 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(survivors, id_col, "left_semi")
 
 
-def char_shingles(col: Column | str, n: int = 5) -> Column:
-    """Distinct character n-gram array (lowercased) — dedup's unit of text."""
+def char_shingles(col: Column | str, n: int = 5, lowercase: bool = True) -> Column:
+    """Distinct character n-gram array (lowercased) — dedup's unit of text.
+
+    ⚠ expressions referenced inside a higher-order-function lambda are
+    re-evaluated PER ELEMENT (no CSE across iterations), so the lowering
+    must not ride into the per-position substring — pass an
+    already-lowered materialized column with ``lowercase=False`` on hot
+    paths (an inline ``lower()`` here costs O(len²) re-lowering).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    c = F.lower(c)
+    if lowercase:
+        c = F.lower(c)
     idx = F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
 
@@ -220,7 +228,12 @@ def minhash_lsh_pairs(
     #    ops like SimHash — isn't needed either.)
     n_part = df.sparkSession.sparkContext.defaultParallelism
     sig_udf = minhash_signature_udf(num_hashes, seed)
-    lowered = F.lower(F.col("_t"))
+    # ``_lt`` must be a MATERIALIZED attribute before the per-position
+    # transform: HOF lambda bodies re-evaluate per element (no CSE), so an
+    # inline lower() would re-lowercase the whole document once per
+    # shingle position — O(len²) character work (measured on
+    # contamination_check: the same inline-vs-attribute change was 8×).
+    lowered = F.col("_lt")
     positions = F.sequence(
         F.lit(1), F.greatest(F.length(lowered) - F.lit(shingle_n - 1), F.lit(1))
     )
@@ -231,7 +244,7 @@ def minhash_lsh_pairs(
         ),
     )
     base = (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        df.select(F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_lt"))
         .repartition(n_part, "_id")
         .select("_id", h32.alias("_h32"))
         .withColumn("_sig", sig_udf(F.col("_h32")))
@@ -332,9 +345,13 @@ def minhash_lsh_pairs(
         .distinct()
     )
     payload = (
-        df.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_vt"))
+        # lowered BEFORE the shingle transform (attribute, not inline —
+        # see char_shingles' per-element re-evaluation note)
+        df.select(F.col(id_col).alias("_vid"), F.lower(F.col(text_col)).alias("_vlt"))
         .join(ids, "_vid")
-        .select("_vid", char_shingles("_vt", shingle_n).alias("_vsh"))
+        .select(
+            "_vid", char_shingles("_vlt", shingle_n, lowercase=False).alias("_vsh")
+        )
     )
     a = payload.select(F.col("_vid").alias("id_a"), F.col("_vsh").alias("sh_a"))
     b = payload.select(F.col("_vid").alias("id_b"), F.col("_vsh").alias("sh_b"))
@@ -474,9 +491,13 @@ def ngram_jaccard_pairs(
     # persist — lineage kept, cache filled by the first consumer); it is
     # the same data the join shuffles anyway.
     sh = pin(
+        # two-step select: lowering materializes before the per-position
+        # transform (see char_shingles' per-element re-evaluation note)
         df.select(
-            F.col(id_col).alias("_id"),
-            F.explode(char_shingles(text_col, shingle_n)).alias("s"),
+            F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_lt")
+        ).select(
+            "_id",
+            F.explode(char_shingles("_lt", shingle_n, lowercase=False)).alias("s"),
         ),
         pin_mode,
     )
