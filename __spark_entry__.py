@@ -1830,6 +1830,25 @@ def _q_kql_series_fit(spark, sf):
     )
 
 
+def _q_sequence_detect(spark, sf):
+    """evaluate sequence_detect(): view -> click -> purchase per user,
+    each step within 2 days of the previous, whole sequence within 3 days
+    — greedy first-match, integer-microsecond arithmetic (activity.py)."""
+    from kusto_pre_forge_spark.operators import activity
+
+    e = load_table(spark, sf, "events")
+    out = activity.sequence_detect(
+        e, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+        max_step_seconds=2 * 86400,
+        max_span_seconds=3 * 86400,
+    )
+    return out.select(
+        "user_id", "step1_ts", "step2_ts", "step3_ts",
+        F.round("span_s", 6).alias("span_s"),
+    )
+
+
 def _q_kql_series_periods(spark, sf):
     """series_periods_detect — top-3 autocorrelation periods of the daily
     series per event_type (lags 2..14, i.e. up to two weeks), exploded to
@@ -2032,6 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_rank": _q_kql_rank,
         "kql_series_fit": _q_kql_series_fit,
         "kql_series_periods": _q_kql_series_periods,
+        "sequence_detect": _q_sequence_detect,
         "kql_autocluster": _q_kql_autocluster,
         "kql_diffpatterns": _q_kql_diffpatterns,
         "kql_percentilesw": _q_kql_percentilesw,
@@ -2755,6 +2775,23 @@ def oracle_sql() -> dict[str, str]:
             "round((b.rsy - b.rslope * b.rsx) / b.rm - b.rslope * b.s, 4) "
             "AS interception_right "
             "FROM fit f JOIN best b ON b.event_type = f.event_type AND b.rk = 1"
+        ),
+        "sequence_detect": (
+            "WITH s1 AS (SELECT user_id AS a, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id AS a, s1.t1, min(e.ts) AS t2 "
+            "FROM events e JOIN s1 ON e.user_id = s1.a "
+            "WHERE e.event_type = 'click' AND e.ts > s1.t1 "
+            "AND epoch_us(e.ts) - epoch_us(s1.t1) <= 172800000000 "
+            "GROUP BY 1, 2), "
+            "s3 AS (SELECT e.user_id AS a, s2.t1, s2.t2, min(e.ts) AS t3 "
+            "FROM events e JOIN s2 ON e.user_id = s2.a "
+            "WHERE e.event_type = 'purchase' AND e.ts > s2.t2 "
+            "AND epoch_us(e.ts) - epoch_us(s2.t2) <= 172800000000 "
+            "GROUP BY 1, 2, 3) "
+            "SELECT a AS user_id, t1 AS step1_ts, t2 AS step2_ts, t3 AS step3_ts, "
+            "round((epoch_us(t3) - epoch_us(t1)) / 1000000.0, 6) AS span_s "
+            "FROM s3 WHERE epoch_us(t3) - epoch_us(t1) <= 259200000000"
         ),
         "kql_series_periods": (
             # normalized ACF per lag via a self-join on the dense series

@@ -205,3 +205,63 @@ def sequence_transitions(
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def sequence_detect(
+    df: DataFrame,
+    actor_col: str,
+    ts_col: str,
+    state_col: str,
+    steps: list[str],
+    max_step_seconds: int,
+    max_span_seconds: int | None = None,
+) -> DataFrame:
+    """KQL ``evaluate sequence_detect()`` — time-constrained ordered event
+    sequences per actor. Deterministic greedy first-match semantics: step 1
+    anchors at the actor's EARLIEST matching event; each later step at the
+    earliest matching event strictly after the previous step and within
+    ``max_step_seconds`` of it; the whole sequence must fit in
+    ``max_span_seconds`` (when given). One row per actor that completes
+    the sequence, with every step's timestamp and the span.
+
+    Same relational shape as ``funnel_steps`` (one filtered aggregate per
+    step + a hash join on the actor key, right side one row per surviving
+    actor, shrinking monotonically) — no per-actor event arrays, no state
+    machine, so the event stream is only ever filtered and joined on its
+    partition-friendly key. Time arithmetic stays in integer microseconds
+    (``unix_micros``) so an external SQL engine replays it bit-exactly.
+    """
+    if len(steps) < 2:
+        raise ValueError("sequence_detect needs at least two steps")
+    cur = (
+        df.filter(F.col(state_col) == steps[0])
+        .groupBy(F.col(actor_col).alias("_a"))
+        .agg(F.min(ts_col).alias("_t1"))
+    )
+    carried = ["_t1"]
+    for i, s in enumerate(steps[1:], 2):
+        nxt = df.filter(F.col(state_col) == s).select(
+            F.col(actor_col).alias("_a"), F.col(ts_col).alias("_ts")
+        )
+        prev_t = F.col(f"_t{i - 1}")
+        cur = (
+            nxt.join(cur, "_a")
+            .filter(
+                (F.col("_ts") > prev_t)
+                & (
+                    F.unix_micros("_ts") - F.unix_micros(prev_t)
+                    <= max_step_seconds * 1_000_000
+                )
+            )
+            .groupBy("_a", *carried)
+            .agg(F.min("_ts").alias(f"_t{i}"))
+        )
+        carried.append(f"_t{i}")
+    span_us = F.unix_micros(F.col(f"_t{len(steps)}")) - F.unix_micros(F.col("_t1"))
+    if max_span_seconds is not None:
+        cur = cur.filter(span_us <= max_span_seconds * 1_000_000)
+    return cur.select(
+        F.col("_a").alias(actor_col),
+        *[F.col(f"_t{i}").alias(f"step{i}_ts") for i in range(1, len(steps) + 1)],
+        (span_us / 1_000_000.0).alias("span_s"),
+    )

@@ -102,3 +102,34 @@ def test_cohort_retention_monthly_calendar_units(spark):
 
     with pytest.raises(ValueError, match="bucket must be one of"):
         activity.cohort_retention(df, "u", "ts", "fortnight")
+
+
+def test_sequence_detect_constraints(spark):
+    from datetime import datetime as dt
+
+    from kusto_pre_forge_spark.operators.activity import sequence_detect
+
+    rows = [
+        # user 1: clean a->b->c within windows
+        (1, dt(2024, 1, 1, 0), "a"), (1, dt(2024, 1, 1, 1), "b"),
+        (1, dt(2024, 1, 1, 2), "c"),
+        # user 2: step gap too large (b is 3 days after a)
+        (2, dt(2024, 1, 1, 0), "a"), (2, dt(2024, 1, 4, 0), "b"),
+        (2, dt(2024, 1, 4, 1), "c"),
+        # user 3: wrong order (c before b)
+        (3, dt(2024, 1, 1, 0), "a"), (3, dt(2024, 1, 1, 1), "c"),
+        # user 4: greedy first-match anchors at EARLIEST a; later a ignored
+        (4, dt(2024, 1, 1, 0), "a"), (4, dt(2024, 1, 2, 0), "a"),
+        (4, dt(2024, 1, 1, 12), "b"), (4, dt(2024, 1, 1, 13), "c"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, s string")
+    out = {
+        r.u: (r.step1_ts, r.span_s)
+        for r in sequence_detect(
+            df, "u", "ts", "s", ["a", "b", "c"],
+            max_step_seconds=86400, max_span_seconds=2 * 86400,
+        ).collect()
+    }
+    assert set(out) == {1, 4}
+    assert out[1][1] == 7200.0
+    assert out[4][0] == dt(2024, 1, 1, 0), "anchored at earliest step-1 event"
