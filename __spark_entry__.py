@@ -1809,25 +1809,32 @@ def _q_multimodal_real_meta(spark, sf):
 
 
 def _q_kql_series_fit(spark, sf):
-    """series_fit_line + series_fit_2lines over the daily packed series —
-    closed-form OLS and best-split scan, all higher-order folds (kql.py)."""
+    """series_fit_line (closed-form OLS, higher-order folds) +
+    series_fit_2lines in its LINEAR exploded prefix-sum form
+    (series_fit_2lines_df — the packed-array candidate scan is O(n²) and
+    took 48 s on ~330-bin series; the window form is ~1 s and its
+    sequential cumsums replay bit-exactly in the SQL oracle)."""
     s = _series_daily(spark, sf)
     fit = kql.series_fit_line("series_value")
-    fit2 = kql.series_fit_2lines("series_value")
-    return s.select(
+    line = s.select(
         "event_type",
         F.round(fit["slope"], 4).alias("slope"),
         F.round(fit["interception"], 4).alias("interception"),
         F.round(fit["rsquare"], 4).alias("rsquare"),
         F.round(fit["variance"], 3).alias("variance"),
         F.round(fit["rvariance"], 3).alias("rvariance"),
-        fit2["split_idx"].alias("split_idx"),
-        F.round(fit2["rsquare"], 4).alias("rsquare2"),
-        F.round(fit2["slope_left"], 4).alias("slope_left"),
-        F.round(fit2["slope_right"], 4).alias("slope_right"),
-        F.round(fit2["interception_left"], 4).alias("interception_left"),
-        F.round(fit2["interception_right"], 4).alias("interception_right"),
     )
+    fit2 = kql.series_fit_2lines_df(s, "series_value", ["event_type"])
+    two = fit2.select(
+        "event_type",
+        F.col("fit2_split_idx").alias("split_idx"),
+        F.round("fit2_rsquare", 4).alias("rsquare2"),
+        F.round("fit2_slope_left", 4).alias("slope_left"),
+        F.round("fit2_slope_right", 4).alias("slope_right"),
+        F.round("fit2_interception_left", 4).alias("interception_left"),
+        F.round("fit2_interception_right", 4).alias("interception_right"),
+    )
+    return line.join(two, "event_type")
 
 
 def _q_sequence_detect(spark, sf):
@@ -2737,25 +2744,42 @@ def oracle_sql() -> dict[str, str]:
             "(syy - sy * sy / n) / (n - 1) AS variance, "
             "greatest((syy - sy * sy / n) - slope * (sxy - sx * sy / n), 0) "
             "/ (n - 1) AS rvariance, syy - sy * sy / n AS syy_c FROM fit2), "
-            "splits AS (SELECT event_type, n, unnest(range(2, n - 1)) AS s "
-            "FROM sums WHERE n >= 4), "
-            "segsums AS (SELECT sp.event_type, sp.s, sp.n, "
-            "sum(d.v) FILTER (d.idx < sp.s) AS lsy, "
-            "sum(d.v * d.v) FILTER (d.idx < sp.s) AS lsyy, "
-            "sum(d.idx * d.v) FILTER (d.idx < sp.s) AS lsxy, "
-            "sum(d.v) FILTER (d.idx >= sp.s) AS rsy, "
-            "sum(d.v * d.v) FILTER (d.idx >= sp.s) AS rsyy, "
-            "sum((d.idx - sp.s) * d.v) FILTER (d.idx >= sp.s) AS rsxy "
-            "FROM splits sp JOIN dense d USING (event_type) GROUP BY 1, 2, 3), "
-            "segfit AS (SELECT *, s AS lm, n - s AS rm, "
+            # 2-line scan in the SAME window form as series_fit_2lines_df:
+            # exclusive/inclusive sequential cumsums, totals = max inclusive
+            # cumsum — every quantity is the identical left-to-right double
+            # sum, so the per-split SSE argmin is bit-stable across engines
+            "pre AS (SELECT event_type, idx, "
+            "COALESCE(SUM(v) OVER (PARTITION BY event_type ORDER BY idx "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lsy, "
+            "COALESCE(SUM(v * v) OVER (PARTITION BY event_type ORDER BY idx "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lsyy, "
+            "COALESCE(SUM(idx * v) OVER (PARTITION BY event_type ORDER BY idx "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lsxy, "
+            "SUM(v) OVER (PARTITION BY event_type ORDER BY idx "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csy, "
+            "SUM(v * v) OVER (PARTITION BY event_type ORDER BY idx "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csyy, "
+            "SUM(idx * v) OVER (PARTITION BY event_type ORDER BY idx "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csxy "
+            "FROM dense), "
+            "tt AS (SELECT *, count(*) OVER (PARTITION BY event_type) AS n, "
+            "max_by(csy, idx) OVER (PARTITION BY event_type) AS tsy, "
+            "max_by(csyy, idx) OVER (PARTITION BY event_type) AS tsyy, "
+            "max_by(csxy, idx) OVER (PARTITION BY event_type) AS tsxy FROM pre), "
+            "cand AS (SELECT event_type, idx AS s, n, "
+            "lsy, lsyy, lsxy, tsy - lsy AS rsy, tsyy - lsyy AS rsyy, "
+            "(tsxy - lsxy) - idx * (tsy - lsy) AS rsxy, "
+            "tsyy - tsy * tsy / n AS syyc "
+            "FROM tt WHERE idx >= 2 AND idx <= n - 2), "
+            "seg AS (SELECT *, s AS lm, n - s AS rm, "
             "s * (s - 1) / 2.0 AS lsx, (s - 1) * s * (2.0 * s - 1) / 6.0 AS lsxx, "
             "(n - s) * (n - s - 1) / 2.0 AS rsx, "
             "(n - s - 1) * (n - s) * (2.0 * (n - s) - 1) / 6.0 AS rsxx "
-            "FROM segsums), "
+            "FROM cand), "
             "segsse AS (SELECT *, "
             "(lsxy - lsx * lsy / lm) / (lsxx - lsx * lsx / lm) AS lslope, "
             "(rsxy - rsx * rsy / rm) / (rsxx - rsx * rsx / rm) AS rslope "
-            "FROM segfit), "
+            "FROM seg), "
             "sse AS (SELECT *, "
             "greatest((lsyy - lsy * lsy / lm) - lslope * (lsxy - lsx * lsy / lm), 0) + "
             "greatest((rsyy - rsy * rsy / rm) - rslope * (rsxy - rsx * rsy / rm), 0) "
@@ -2768,7 +2792,7 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 1.0 END, 4) AS rsquare, "
             "round(f.variance, 3) AS variance, round(f.rvariance, 3) AS rvariance, "
             "CAST(b.s AS BIGINT) AS split_idx, "
-            "round(CASE WHEN f.syy_c > 0 THEN 1.0 - b.total_sse / f.syy_c "
+            "round(CASE WHEN b.syyc > 0 THEN 1.0 - b.total_sse / b.syyc "
             "ELSE 1.0 END, 4) AS rsquare2, "
             "round(b.lslope, 4) AS slope_left, round(b.rslope, 4) AS slope_right, "
             "round((b.lsy - b.lslope * b.lsx) / b.lm, 4) AS interception_left, "

@@ -57,6 +57,9 @@ HEADLINE = [
     "contamination_check",
     "corpus_pack",
     "corpus_line_dedup",
+    "kql_series_fit",
+    "kql_autocluster",
+    "sequence_detect",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

@@ -627,3 +627,27 @@ def test_series_periods_detect_finds_planted_period(spark):
     flat = spark.createDataFrame([([5.0] * 20,)], "s array<double>")
     d2 = flat.select(kql.series_periods_detect("s").alias("d")).collect()[0].d
     assert list(d2.periods) == [] and list(d2.scores) == []
+
+
+def test_series_fit_2lines_df_equals_packed_form(spark):
+    # jump series + a noisy-but-unambiguous series, incl. negative values
+    # (totals must come from the LAST cumsum, not max)
+    s1 = [0.0] * 5 + [3.0 * i + 4.0 for i in range(5)]
+    s2 = [-5.0, -3.0, -1.0, 1.0, 10.0, 11.0, 12.5, 13.0]
+    df = spark.createDataFrame([("a", s1), ("b", s2)], "k string, s array<double>")
+    packed = {
+        r.k: r.f
+        for r in df.select("k", kql.series_fit_2lines("s").alias("f")).collect()
+    }
+    dfform = {
+        r.k: r
+        for r in kql.series_fit_2lines_df(df, "s", ["k"]).collect()
+    }
+    for k in ("a", "b"):
+        assert dfform[k].fit2_split_idx == packed[k].split_idx
+        assert dfform[k].fit2_rsquare == pytest.approx(packed[k].rsquare)
+        assert dfform[k].fit2_slope_left == pytest.approx(packed[k].slope_left)
+        assert dfform[k].fit2_slope_right == pytest.approx(packed[k].slope_right)
+        assert dfform[k].fit2_interception_right == pytest.approx(
+            packed[k].interception_right
+        )
