@@ -1754,9 +1754,9 @@ def _q_multimodal_frames(spark, sf):
 
 def _q_multimodal_real_meta(spark, sf):
     """REAL media metadata with zero codec dependencies: fabricate genuine
-    PNG and PCM-WAV files per doc (mediacodec.encode_*), then parse their
-    actual container bytes back with probe_media (PNG IHDR / JPEG SOFn /
-    RIFF fmt+data chunk walk). The oracle predicts the header fields from
+    PNG, PCM-WAV, and ISO-BMFF/MP4 files per doc (mediacodec.encode_*),
+    then parse their actual container bytes back with probe_media (PNG
+    IHDR / JPEG SOFn / RIFF fmt+data chunk walk / MP4 moov box walk). The oracle predicts the header fields from
     the generation rule; the parse itself runs on the real bytes. Fields
     absent for a kind are sentinel-coalesced to -1 (None/NaN differ
     between engines' pandas bridges; exact ints don't)."""
@@ -1777,17 +1777,23 @@ def _q_multimodal_real_meta(spark, sf):
             ids, payloads = [], []
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
-                if i % 2 == 0:
+                if i % 3 == 0:
                     w, h = 1 + i % 16, 1 + i % 11
                     payloads.append(
                         mediacodec.encode_png(
                             w, h, bytes([i % 256]) * (w * h * 3), 3
                         )
                     )
-                else:
+                elif i % 3 == 1:
                     rate, n = 8000 + (i % 5) * 1000, 100 + i % 50
                     payloads.append(
                         mediacodec.encode_wav(rate, [(i * 257) % 16384] * n)
+                    )
+                else:
+                    payloads.append(
+                        mediacodec.encode_mp4_meta(
+                            16 + i % 32, 9 + i % 17, 1000 + (i % 20) * 500
+                        )
                     )
                 ids.append(i)
             yield pd.DataFrame({"doc_id": ids, "blob": payloads})
@@ -3536,15 +3542,19 @@ def oracle_sql() -> dict[str, str]:
             # predicts the true container-header fields the Spark side
             # parses from REAL generated PNG/WAV bytes
             "SELECT doc_id, "
-            "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS media_kind, "
-            "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 16 ELSE -1 END AS INT) AS width, "
-            "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 11 ELSE -1 END AS INT) AS height, "
-            "CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels, "
-            "CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 5) * 1000 ELSE -1 END AS INT) AS sample_rate, "
-            "CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INT) AS bits_per_sample, "
-            "CAST(CASE WHEN doc_id % 2 = 1 THEN 100 + doc_id % 50 ELSE -1 END AS BIGINT) AS n_samples, "
-            "CASE WHEN doc_id % 2 = 1 THEN CAST(100 + doc_id % 50 AS DOUBLE) "
-            "/ (8000 + (doc_id % 5) * 1000) ELSE -1.0 END AS duration_s "
+            "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS media_kind, "
+            "CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 16 "
+            "WHEN 2 THEN 16 + doc_id % 32 ELSE -1 END AS INT) AS width, "
+            "CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 11 "
+            "WHEN 2 THEN 9 + doc_id % 17 ELSE -1 END AS INT) AS height, "
+            "CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE NULL END AS INT) AS channels, "
+            "CAST(CASE doc_id % 3 WHEN 1 THEN 8000 + (doc_id % 5) * 1000 ELSE -1 END AS INT) AS sample_rate, "
+            "CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE NULL END AS INT) AS bits_per_sample, "
+            "CAST(CASE doc_id % 3 WHEN 1 THEN 100 + doc_id % 50 ELSE -1 END AS BIGINT) AS n_samples, "
+            "CASE doc_id % 3 WHEN 1 THEN CAST(100 + doc_id % 50 AS DOUBLE) "
+            "/ (8000 + (doc_id % 5) * 1000) "
+            "WHEN 2 THEN (1000 + (doc_id % 20) * 500) / 1000.0 "
+            "ELSE -1.0 END AS duration_s "
             "FROM documents WHERE doc_id < 120"
         ),
         "corpus_ngrams": (

@@ -153,12 +153,110 @@ def parse_wav_header(raw: bytes) -> dict | None:
     return out
 
 
+def _mp4_boxes(raw: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for ISO-BMFF boxes in a range."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack(">I", raw[pos : pos + 4])[0]
+        btype = raw[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize follows the type
+            if pos + 16 > end:
+                return
+            size = struct.unpack(">Q", raw[pos + 8 : pos + 16])[0]
+            body = pos + 16
+        if size < 8 or pos + size > end:
+            return
+        yield btype, body, pos + size
+        pos += size
+
+
+def parse_mp4_header(raw: bytes) -> dict | None:
+    """ISO-BMFF (MP4/MOV) box walk: ``moov/mvhd`` gives timescale+duration,
+    the first ``moov/trak/tkhd`` with a nonzero 16.16-fixed width/height
+    gives the visual track dimensions. Version 0 and 1 boxes both handled;
+    no decoder, no dependency — pure struct reads, like the other probes."""
+    if len(raw) < 12 or raw[4:8] != b"ftyp":
+        return None
+    out: dict = {"media_kind": "mp4"}
+    for btype, bs, be in _mp4_boxes(raw, 0, len(raw)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _mp4_boxes(raw, bs, be):
+            if ctype == b"mvhd" and ce - cs >= 24:
+                ver = raw[cs]
+                if ver == 1 and ce - cs >= 32:
+                    timescale = struct.unpack(">I", raw[cs + 20 : cs + 24])[0]
+                    duration = struct.unpack(">Q", raw[cs + 24 : cs + 32])[0]
+                else:
+                    timescale = struct.unpack(">I", raw[cs + 12 : cs + 16])[0]
+                    duration = struct.unpack(">I", raw[cs + 16 : cs + 20])[0]
+                if timescale:
+                    out["duration_s"] = duration / timescale
+            elif ctype == b"trak" and "width" not in out:
+                for ttype, ts, te in _mp4_boxes(raw, cs, ce):
+                    if ttype != b"tkhd":
+                        continue
+                    off = ts + (88 if raw[ts] == 1 else 76)
+                    if te - off >= 8:
+                        w = struct.unpack(">I", raw[off : off + 4])[0] >> 16
+                        h = struct.unpack(">I", raw[off + 4 : off + 8])[0] >> 16
+                        if w and h:
+                            out["width"], out["height"] = w, h
+    return out
+
+
+def encode_mp4_meta(
+    width: int, height: int, duration_units: int, timescale: int = 1000
+) -> bytes:
+    """Minimal valid metadata-only ISO-BMFF file (ftyp + moov(mvhd +
+    trak(tkhd))) — the test-fixture twin of ``parse_mp4_header``, as
+    ``encode_png``/``encode_wav`` are for their parsers (no media data)."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    mvhd = box(
+        b"mvhd",
+        bytes(4)  # version 0 + flags
+        + bytes(8)  # creation/modification
+        + struct.pack(">II", timescale, duration_units)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + bytes(10)
+        + _MP4_UNITY_MATRIX
+        + bytes(24)
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = box(
+        b"tkhd",
+        bytes(1) + b"\x00\x00\x07"  # version 0, flags: enabled|in-movie|preview
+        + bytes(8)
+        + struct.pack(">I", 1)  # track id
+        + bytes(4)
+        + struct.pack(">I", duration_units)
+        + bytes(8)
+        + bytes(8)  # layer/alt-group/volume/reserved
+        + _MP4_UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov
+
+
+_MP4_UNITY_MATRIX = struct.pack(
+    ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
 _PROBES = (
     parse_png_header,
     parse_jpeg_header,
     parse_gif_header,
     parse_bmp_header,
     parse_wav_header,
+    parse_mp4_header,
 )
 
 _PROBE_FIELDS = (

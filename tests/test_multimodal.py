@@ -183,3 +183,46 @@ def test_decode_audio_features_real_wav(real_media):
     assert abs(r.duration_s - 0.1) < 1e-12
     # constant 8192/32768 = 0.25 amplitude -> RMS 0.25 in every segment
     assert all(abs(f - 0.25) < 1e-6 for f in r.feature)
+
+
+def test_mp4_header_roundtrip():
+    from kusto_pre_forge_spark.operators import mediacodec as mc
+
+    blob = mc.encode_mp4_meta(640, 360, 2500, 1000)
+    got = mc.parse_mp4_header(blob)
+    assert got == {
+        "media_kind": "mp4", "duration_s": 2.5, "width": 640, "height": 360
+    }
+    assert mc.probe_bytes(blob)["media_kind"] == "mp4"
+    # malformed inputs: no crash, no false positive
+    assert mc.parse_mp4_header(blob[:10]) is None
+    assert mc.parse_mp4_header(b"\x00" * 64) is None
+    # truncated moov: still identified as mp4, fields absent
+    cut = mc.parse_mp4_header(blob[: len(blob) - 40])
+    assert cut is not None and cut["media_kind"] == "mp4"
+
+
+def test_mp4_version1_boxes():
+    import struct
+
+    from kusto_pre_forge_spark.operators import mediacodec as mc
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    mvhd_v1 = box(
+        b"mvhd",
+        b"\x01" + bytes(3) + bytes(16)
+        + struct.pack(">I", 600) + struct.pack(">Q", 1800)
+        + bytes(80),
+    )
+    tkhd_v1 = box(
+        b"tkhd",
+        b"\x01" + bytes(3) + bytes(84)
+        + struct.pack(">II", 320 << 16, 240 << 16),
+    )
+    blob = box(b"ftyp", b"isom" + bytes(4) + b"isom") + box(
+        b"moov", mvhd_v1 + box(b"trak", tkhd_v1)
+    )
+    got = mc.parse_mp4_header(blob)
+    assert got["duration_s"] == 3.0 and (got["width"], got["height"]) == (320, 240)
