@@ -449,6 +449,20 @@ def _q_dedup_minhash(spark, sf):
     )
 
 
+def _q_dedup_minhash_incremental(spark, sf):
+    """Continuous-ingestion dedup: near-dup pairs where at least one side
+    is a 'newly arrived' document (doc_id >= 400), against the already-
+    ingested corpus (doc_id < 400) — banded_new x banded_all candidate
+    join, never re-pairing the corpus against itself."""
+    d = load_table(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") < 400)
+    new = d.filter(F.col("doc_id") >= 400)
+    return dedup.minhash_lsh_pairs_incremental(
+        corpus, new, "text", "doc_id",
+        num_hashes=64, bands=16, shingle_n=5, threshold=0.9,
+    )
+
+
 def _q_dedup_clusters(spark, sf):
     """Pairs → duplicate clusters: connected components (alternating
     large-star/small-star) over the minhash near-dup pairs, labeled with
@@ -2013,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM-pipeline extensions
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_minhash_incremental": _q_dedup_minhash_incremental,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_embedding": _q_dedup_embedding,
@@ -2463,6 +2478,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY md5(text)"
         ),
         "dedup_minhash": jacc.format(sh=_SHINGLE_SQL, flt="", thr="0.9"),
+        "dedup_minhash_incremental": (
+            # the batch semantic oracle restricted to pairs touching a
+            # 'new' (doc_id >= 400) document
+            f"WITH s AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE (a.doc_id >= 400 OR b.doc_id >= 400) "
+            "AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.9"
+        ),
         "dedup_clusters": (
             # connected components over the same >=0.9-Jaccard pair set:
             # enumerate reachable nodes per source (recursive CTE; the

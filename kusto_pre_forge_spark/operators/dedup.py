@@ -160,6 +160,164 @@ def minhash_signature_from_hashes(
     return F.array(*[min_under(a, b) for a, b in coeffs])
 
 
+def _mh_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_n: int,
+    seed: int,
+) -> DataFrame:
+    """(_id, _sig) MinHash signatures — the shared first stage of the batch
+    and incremental LSH pipelines.
+
+    Exchange placement, carefully chosen:
+    1. repartition the RAW (lowered) text first — a small parquet file
+       arrives as one split, and without this the shingle+hash work (the
+       expensive step) runs in the single-core scan stage. Shuffling text
+       is ~13× cheaper than shuffling the shingle arrays it expands into.
+       Explicit partition count: AQE's coalescer sizes stages by shuffle
+       BYTES, and raw text is tiny relative to the CPU the next stage
+       burns on it — left to itself it folds the stage back to one task.
+    2. the signature path NEVER materializes shingle STRINGS: the hash
+       array comes straight from substring positions (xxhash64 masked to
+       32 bits, JVM codegen), and duplicates are left in — a MinHash min
+       over a multiset equals the min over its set, so the per-doc
+       array_distinct and the string array allocation are pure waste
+       here. Distinct string shingles are computed later, for CANDIDATE
+       docs only, where exact Jaccard actually needs them.
+    3. ``_lt`` must be a MATERIALIZED attribute before the per-position
+       transform: HOF lambda bodies re-evaluate per element (no CSE), so
+       an inline lower() would re-lowercase the whole document once per
+       shingle position — O(len²) character work.
+    """
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    sig_udf = minhash_signature_udf(num_hashes, seed)
+    lowered = F.col("_lt")
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(lowered) - F.lit(shingle_n - 1), F.lit(1))
+    )
+    h32 = F.transform(
+        positions,
+        lambda i: F.xxhash64(F.substring(lowered, i, shingle_n)).bitwiseAND(
+            F.lit(0xFFFFFFFF)
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_lt"))
+        .repartition(n_part, "_id")
+        .select("_id", h32.alias("_h32"))
+        .withColumn("_sig", sig_udf(F.col("_h32")))
+        .drop("_h32")
+    )
+
+
+def _mh_band_keys(base: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(_id, band, key) — band keys WITHOUT payload: the bucket join only
+    ever shuffles (id, band, 128-bit key) rows; shingle/signature arrays
+    never ride through the (potentially hot-bucket-inflated) candidate
+    explosion."""
+    return base.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",", F.slice("_sig", b * rows_per_band + 1, rows_per_band)
+                        )
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.key")
+
+
+def _mh_hot_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Over-cap (band, key) buckets — the hot-bucket valve's drop set: a
+    band bucket holding k docs contributes k·(k-1)/2 candidate rows, so
+    ONE boilerplate template shared by 1% of a 100 TB corpus makes a
+    bucket quadratic. The aggregate is tiny relative to the corpus and
+    capping bounds every bucket's candidate contribution to
+    max_bucket_size²/2. (No broadcast hint on the consuming anti-join:
+    the over-cap set is usually tiny but corpus-dependent — AQE picks
+    broadcast vs shuffle at runtime.)"""
+    return (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .select("band", "key")
+    )
+
+
+def _mh_sig_prefilter(
+    cand: DataFrame, sigs: DataFrame, num_hashes: int, threshold: float
+) -> DataFrame:
+    """Prefilter candidate pairs on signature agreement (E[agree] =
+    jaccard; the 0.2 slack makes a false drop of a >=threshold pair a
+    >10-sigma event at 64 hashes) — signatures come from the pinned
+    signature frame, so this costs no recompute and shrinks the set that
+    needs real shingle payloads."""
+    sig_a = sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
+    sig_agree = (
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z)
+        )
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .filter(sig_agree >= threshold - 0.2)
+        .select("id_a", "id_b")
+    )
+
+
+def _mh_exact_verify(
+    surviving: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verify over DISTINCT STRING shingles — computed only
+    for docs that appear in a surviving candidate pair, a vanishing
+    fraction of the corpus. Re-scans the source for just those payloads
+    (a map-side join against the small id set — AQE broadcasts it)
+    instead of having shingled every document up front: one extra
+    column-pruned scan is far cheaper at 100 TB than computing + pinning
+    length-dependent shingle arrays for every doc."""
+    ids = (
+        surviving.select(F.col("id_a").alias("_vid"))
+        .union(surviving.select(F.col("id_b").alias("_vid")))
+        .distinct()
+    )
+    payload = (
+        # lowered BEFORE the shingle transform (attribute, not inline —
+        # see char_shingles' per-element re-evaluation note)
+        df.select(F.col(id_col).alias("_vid"), F.lower(F.col(text_col)).alias("_vlt"))
+        .join(ids, "_vid")
+        .select(
+            "_vid", char_shingles("_vlt", shingle_n, lowercase=False).alias("_vsh")
+        )
+    )
+    a = payload.select(F.col("_vid").alias("id_a"), F.col("_vsh").alias("sh_a"))
+    b = payload.select(F.col("_vid").alias("id_b"), F.col("_vsh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        surviving.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -208,48 +366,6 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
 
-    # Exchange placement, carefully chosen:
-    # 1. repartition the RAW text first — a small parquet file arrives as
-    #    one split, and without this the shingle+hash work (the expensive
-    #    step) runs in the single-core scan stage. Shuffling text is ~13×
-    #    cheaper than shuffling the shingle arrays it expands into.
-    #    Explicit partition count: AQE's coalescer sizes stages by shuffle
-    #    BYTES, and raw text is tiny relative to the CPU the next stage
-    #    burns on it — left to itself it folds the stage back to one task.
-    # 2. the signature path NEVER materializes shingle STRINGS: the hash
-    #    array comes straight from substring positions (xxhash64 masked to
-    #    32 bits, JVM codegen), and duplicates are left in — a MinHash min
-    #    over a multiset equals the min over its set, so the per-doc
-    #    array_distinct and the string array allocation are pure waste
-    #    here. Distinct string shingles are computed later, for CANDIDATE
-    #    docs only, where exact Jaccard actually needs them. (The
-    #    exact-verify makes the output independent of the hash choice, so
-    #    the md5-derived _shingle_hash32 — kept for oracle-reproducible
-    #    ops like SimHash — isn't needed either.)
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    sig_udf = minhash_signature_udf(num_hashes, seed)
-    # ``_lt`` must be a MATERIALIZED attribute before the per-position
-    # transform: HOF lambda bodies re-evaluate per element (no CSE), so an
-    # inline lower() would re-lowercase the whole document once per
-    # shingle position — O(len²) character work (measured on
-    # contamination_check: the same inline-vs-attribute change was 8×).
-    lowered = F.col("_lt")
-    positions = F.sequence(
-        F.lit(1), F.greatest(F.length(lowered) - F.lit(shingle_n - 1), F.lit(1))
-    )
-    h32 = F.transform(
-        positions,
-        lambda i: F.xxhash64(F.substring(lowered, i, shingle_n)).bitwiseAND(
-            F.lit(0xFFFFFFFF)
-        ),
-    )
-    base = (
-        df.select(F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_lt"))
-        .repartition(n_part, "_id")
-        .select("_id", h32.alias("_h32"))
-        .withColumn("_sig", sig_udf(F.col("_h32")))
-        .drop("_h32")
-    )
     # Materialize (id, signature) ONCE — 64 longs per doc, nothing else.
     # (ReuseExchange can't share the signature across consumers: column
     # pruning specializes each consumer's subtree and the executed plan
@@ -262,42 +378,13 @@ def minhash_lsh_pairs(
     # fixed-width signatures makes the pinned footprint independent of
     # document length — at 100 TB that is the difference between caching
     # ~3 KB/doc and 512 B/doc.
-    base = pin(base, pin_mode)
+    base = pin(_mh_signatures(df, text_col, id_col, num_hashes, shingle_n, seed), pin_mode)
 
-    # band keys WITHOUT payload: the bucket self-join only ever shuffles
-    # (id, band, 128-bit key) rows — shingle/signature arrays never ride
-    # through the (potentially hot-bucket-inflated) candidate explosion.
-    banded = base.select(
-        "_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.concat_ws(",", F.slice("_sig", b * rows_per_band + 1, rows_per_band))
-                    ).alias("key"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("_id", "bk.band", "bk.key")
-
+    banded = _mh_band_keys(base, bands, rows_per_band)
     if max_bucket_size is not None:
-        # Hot-bucket valve: drop over-cap (band, key) buckets BEFORE the
-        # self-join — the anti-join runs on the bucket-key aggregate (tiny
-        # relative to the corpus) and bounds every bucket's candidate
-        # contribution to max_bucket_size²/2.
-        hot = (
-            banded.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bucket_size)
-            .select("band", "key")
+        banded = banded.join(
+            _mh_hot_buckets(banded, max_bucket_size), ["band", "key"], "left_anti"
         )
-        # No broadcast hint: the over-cap set is usually tiny but its size
-        # is corpus-dependent (up to n·bands/cap rows on a pathological
-        # corpus, past the 8 GB broadcast limit) — let AQE pick broadcast
-        # vs shuffle from the measured size at runtime.
-        banded = banded.join(hot, ["band", "key"], "left_anti")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -312,59 +399,88 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # prefilter on signature agreement first (E[agree] = jaccard; the 0.2
-    # slack makes a false drop of a >=threshold pair a >10-sigma event at
-    # 64 hashes) — signatures come from the pinned base, so this costs no
-    # recompute and shrinks the set that needs real shingle payloads.
-    sig_a = base.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
-    sig_b = base.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
-    sig_agree = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z))
-        / F.lit(float(num_hashes))
-    )
-    surviving = (
-        cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .filter(sig_agree >= threshold - 0.2)
-        .select("id_a", "id_b")
-    )
-    # Pinned: referenced twice below (the distinct-id set and the final
-    # pair join) — and it is tiny (candidate pairs, post-prefilter).
-    surviving = pin(surviving, pin_mode)
+    # Pinned: the prefiltered pair set is referenced twice by the verify
+    # stage (the distinct-id set and the final pair join) — and it is tiny.
+    surviving = pin(_mh_sig_prefilter(cand, base, num_hashes, threshold), pin_mode)
+    return _mh_exact_verify(surviving, df, text_col, id_col, shingle_n, threshold)
 
-    # Exact verify needs DISTINCT STRING shingles — but only for docs that
-    # actually appear in a surviving candidate pair, a vanishing fraction
-    # of the corpus. Re-scan the source for just those payloads (a
-    # map-side join against the small id set — AQE broadcasts it) instead
-    # of having shingled every document up front: one extra column-pruned
-    # scan is far cheaper at 100 TB than computing + pinning
-    # length-dependent shingle arrays for every doc.
-    ids = (
-        surviving.select(F.col("id_a").alias("_vid"))
-        .union(surviving.select(F.col("id_b").alias("_vid")))
-        .distinct()
+
+def minhash_lsh_pairs_incremental(
+    corpus_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+    seed: int = 7,
+    max_bucket_size: int | None = None,
+    pin_mode: str = "persist",
+) -> DataFrame:
+    """Continuous-ingestion near-dup: pairs (id_a < id_b, jaccard ≥
+    threshold) where AT LEAST ONE side is a newly arrived document —
+    semantically ``minhash_lsh_pairs(corpus ∪ new)`` minus the
+    corpus-internal pairs, without ever re-pairing the existing corpus
+    against itself.
+
+    This is the operating mode the reference's arrival-driven ETL implies
+    (SURVEY §3.2): each micro-batch of landed documents is deduplicated
+    against everything already ingested. The candidate join is
+    ``banded_new × banded_all`` — its cost scales with the BATCH, not the
+    corpus: per band bucket, only (new × bucket) candidates materialize,
+    and the corpus side contributes exactly the (id, band, 16-byte key)
+    rows the buckets of the new docs touch. The hot-bucket valve is
+    computed over the UNION banding (same drop set as the batch run, so
+    incremental results compose with batch semantics).
+
+    ``corpus_df`` and ``new_df`` must have disjoint ids. At 100 TB the
+    corpus signatures/band keys are a maintained table appended per batch
+    (the signature stage is deterministic in (seed, text), so stored and
+    recomputed keys agree); here they are recomputed from ``corpus_df``
+    to stay self-contained.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+
+    sig_new = pin(
+        _mh_signatures(new_df, text_col, id_col, num_hashes, shingle_n, seed),
+        pin_mode,
     )
-    payload = (
-        # lowered BEFORE the shingle transform (attribute, not inline —
-        # see char_shingles' per-element re-evaluation note)
-        df.select(F.col(id_col).alias("_vid"), F.lower(F.col(text_col)).alias("_vlt"))
-        .join(ids, "_vid")
-        .select(
-            "_vid", char_shingles("_vlt", shingle_n, lowercase=False).alias("_vsh")
+    sig_old = pin(
+        _mh_signatures(corpus_df, text_col, id_col, num_hashes, shingle_n, seed),
+        pin_mode,
+    )
+    banded_new = _mh_band_keys(sig_new, bands, rows_per_band)
+    banded_all = _mh_band_keys(sig_old, bands, rows_per_band).unionByName(banded_new)
+    if max_bucket_size is not None:
+        hot = _mh_hot_buckets(banded_all, max_bucket_size)
+        banded_new = banded_new.join(hot, ["band", "key"], "left_anti")
+        banded_all = banded_all.join(hot, ["band", "key"], "left_anti")
+
+    l, r = banded_new.alias("l"), banded_all.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l._id") != F.col("r._id")),
         )
+        # canonicalize: a (new, new) pair appears from both sides of the
+        # join; least/greatest + dropDuplicates collapses it
+        .select(
+            F.least("l._id", "r._id").alias("id_a"),
+            F.greatest("l._id", "r._id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
-    a = payload.select(F.col("_vid").alias("id_a"), F.col("_vsh").alias("sh_a"))
-    b = payload.select(F.col("_vid").alias("id_b"), F.col("_vsh").alias("sh_b"))
-
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
-        surviving.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    sigs = sig_old.unionByName(sig_new)
+    surviving = pin(_mh_sig_prefilter(cand, sigs, num_hashes, threshold), pin_mode)
+    src = corpus_df.select(F.col(id_col), F.col(text_col)).unionByName(
+        new_df.select(F.col(id_col), F.col(text_col))
     )
+    return _mh_exact_verify(surviving, src, text_col, id_col, shingle_n, threshold)
 
 
 def token_hashes60(col: Column | str, token_split: str = r"\s+") -> Column:

@@ -248,3 +248,29 @@ def test_minhash_pin_mode_checkpoint_needs_dir(spark, docs_with_dups, tmp_path):
     found = {(p.id_a, p.id_b) for p in pairs}
     for i in range(10):
         assert (i, i + 100000) in found
+
+
+def test_minhash_incremental_equals_batch_restriction(spark, sf_smoke):
+    """incremental(corpus, new) must equal the full batch run restricted
+    to pairs touching a new id — and contain no corpus-internal pair."""
+    from kusto_pre_forge_spark.operators import dedup
+
+    d = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    split = 400
+    corpus = d.filter(F.col("doc_id") < split)
+    new = d.filter(F.col("doc_id") >= split)
+    inc = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in dedup.minhash_lsh_pairs_incremental(
+            corpus, new, "text", "doc_id", threshold=0.9
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in dedup.minhash_lsh_pairs(
+            d, "text", "doc_id", threshold=0.9
+        ).collect()
+        if r.id_a >= split or r.id_b >= split
+    }
+    assert inc == full
+    assert all(a >= split or b >= split for a, b in inc)
