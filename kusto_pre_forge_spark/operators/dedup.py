@@ -309,9 +309,17 @@ def _mh_exact_verify(
     b = payload.select(F.col("_vid").alias("id_b"), F.col("_vsh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    # Explicit broadcast: the payload side holds shingle arrays for
+    # POST-PREFILTER candidate docs only — bounded by the signature
+    # prefilter (and the hot-bucket valve upstream), the same side the
+    # batch path's size estimation already broadcasts. The hint keeps the
+    # incremental path (whose union-of-scans input defeats size
+    # estimation and fell back to sort-merge pre-AQE) on the identical
+    # hash-join plan; candidate explosions are prevented by the valve,
+    # not by this join choice.
     return (
-        surviving.join(a, "id_a")
-        .join(b, "id_b")
+        surviving.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
