@@ -850,6 +850,18 @@ def _q_contamination_check(spark, sf):
     )
 
 
+def _q_text_lm_score(spark, sf):
+    """CCNet-style perplexity filter without an external LM: per-doc mean
+    ln p(w2|w1) under the corpus's own add-0.5-smoothed bigram model."""
+    d = load_table(spark, sf, "documents")
+    out = textstats.lm_score(d, "text", "doc_id", add_k=0.5)
+    return out.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round("lm_score", 6).alias("lm_score"),
+    )
+
+
 def _q_corpus_split(spark, sf):
     """Deterministic train/val/test assignment: md5-hash thresholds over
     doc_id (0.9/0.05/0.05), zero shuffle, zero RNG — the same row lands
@@ -2039,6 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
+        "text_lm_score": _q_text_lm_score,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_meta": _q_multimodal_meta,
@@ -3097,6 +3110,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0, "
             "doc_id) - 1 AS BIGINT) AS shuffle_pos "
             "FROM documents WHERE doc_id < 100"
+        ),
+        "text_lm_score": (
+            # bigram LM from the corpus's own counts; context counts derive
+            # from the bigram table so normalization matches the Spark side
+            "WITH t AS (SELECT doc_id, "
+            f"{_LTOKENS_SQL} AS toks FROM documents), "
+            "u AS (SELECT doc_id, unnest(toks) AS w, "
+            "unnest(range(1, len(toks) + 1)) AS i FROM t), "
+            "bg AS (SELECT doc_id, w AS w1, "
+            "lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2 FROM u), "
+            "b AS (SELECT * FROM bg WHERE w2 IS NOT NULL), "
+            "bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2), "
+            "cc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1), "
+            "vv AS (SELECT count(DISTINCT w) AS v FROM u) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+            "round(avg(ln((c12 + 0.5) / (c1 + 0.5 * v))), 6) AS lm_score "
+            "FROM b JOIN bc USING (w1, w2) JOIN cc USING (w1), vv "
+            "GROUP BY doc_id"
         ),
         "corpus_split": (
             # same md5 thresholds as train_split: u < 0.9 train,

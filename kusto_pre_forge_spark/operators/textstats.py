@@ -207,3 +207,61 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             "fingerprint",
         )
     )
+
+
+def lm_score(
+    df: DataFrame, text_col: str, id_col: str, add_k: float = 0.5
+) -> DataFrame:
+    """Corpus-bigram language-model score per document — the CCNet-style
+    perplexity filter WITHOUT an external LM: the model is estimated from
+    this corpus's own bigram counts. Score = mean ln p(wᵢ | wᵢ₋₁) over the
+    document's word bigrams with add-k smoothing,
+    ``p = (c(w₁w₂) + k) / (c(w₁·) + k·V)``; low scores mark documents
+    whose word transitions are atypical for the corpus (gibberish, tables,
+    wrong-language fragments). Returns (id, n_bigrams, lm_score); docs
+    with < 2 tokens have no bigrams and are omitted (they carry no
+    transition evidence — length filters handle them).
+
+    Plan: one bigram explode (narrow), two map-side-combinable count
+    aggregates sized by the VOCABULARY (bigram + context tables — at
+    100 TB these are the classic word-count shape), one scalar distinct
+    count broadcast as a literal-free cross join, and one hash join of
+    doc-bigrams against the count tables on the bigram key. Context
+    counts are derived from the bigram table (Σ c(w₁·)), keeping the
+    normalization consistent in any engine.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_w"))
+    k = F.size(F.col("_w")) - 1
+    bigrams = base.filter(k >= 1).select(
+        "_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_w"), 1, F.greatest(k, F.lit(0))),
+                F.slice(F.col("_w"), 2, F.greatest(k, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_bg"),
+    ).select("_id", "_bg.w1", "_bg.w2")
+
+    bigram_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("_c12")
+    )
+    context_counts = bigram_counts.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
+    vocab = base.select(F.explode("_w").alias("_t")).agg(
+        F.count_distinct("_t").alias("_v")
+    )
+
+    kk = F.lit(float(add_k))
+    p = (F.col("_c12") + kk) / (F.col("_c1") + kk * F.col("_v"))
+    return (
+        bigrams.join(bigram_counts, ["w1", "w2"])
+        .join(context_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(F.log(p)).alias("lm_score"),
+        )
+        .select(F.col("_id").alias(id_col), "n_bigrams", "lm_score")
+    )

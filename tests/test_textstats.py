@@ -70,3 +70,25 @@ def test_text_profile_on_documents(spark, sf_smoke):
     row = prof.filter(F.col("doc_id") == 0).collect()[0]
     assert row.n_tokens > 0 and row.fingerprint is not None
     assert 0.0 <= row.quality_score <= 1.0
+
+
+def test_lm_score_hand_computed(spark):
+    import math
+
+    from kusto_pre_forge_spark.operators.textstats import lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "z"), (4, "")],
+        "doc_id long, text string",
+    )
+    # bigrams: doc1: ab, ba, ab ; doc2: ab  -> c(ab)=3, c(ba)=1
+    # contexts: c(a.)=3, c(b.)=1 ; V = distinct tokens {a,b,z} = 3
+    out = {r.doc_id: r for r in lm_score(df, "text", "doc_id", add_k=0.5).collect()}
+    p_ab = (3 + 0.5) / (3 + 0.5 * 3)
+    p_ba = (1 + 0.5) / (1 + 0.5 * 3)
+    assert out[1].n_bigrams == 3
+    assert out[1].lm_score == pytest.approx(
+        (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    )
+    assert out[2].lm_score == pytest.approx(math.log(p_ab))
+    assert 3 not in out and 4 not in out, "docs without bigrams are omitted"
