@@ -463,6 +463,20 @@ def _q_dedup_minhash_incremental(spark, sf):
     )
 
 
+def _q_dedup_survivors_policy(spark, sf):
+    """Cluster resolution with a keep-best policy: survivor = the member
+    with the most characters (ties -> lowest doc_id) instead of min-id —
+    the 'keep the longest copy' rule real dedup pipelines use."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=64, bands=16, shingle_n=5, threshold=0.9
+    )
+    kept = dedup.dedup_survivors(
+        d, pairs, "doc_id", priority_col="n_chars"
+    )
+    return kept.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
+
 def _q_dedup_clusters(spark, sf):
     """Pairs → duplicate clusters: connected components (alternating
     large-star/small-star) over the minhash near-dup pairs, labeled with
@@ -2040,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_minhash_incremental": _q_dedup_minhash_incremental,
+        "dedup_survivors_policy": _q_dedup_survivors_policy,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_embedding": _q_dedup_embedding,
@@ -2521,6 +2536,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node) "
             "SELECT CAST(src AS BIGINT) AS doc_id, "
             "CAST(min(node) AS BIGINT) AS cluster_id FROM reach GROUP BY src"
+        ),
+        "dedup_survivors_policy": (
+            # same recursive-CTE component labels as dedup_clusters, then
+            # survivor = max n_chars (tie: min doc_id) per cluster;
+            # unclustered docs always survive
+            "WITH RECURSIVE "
+            f"s AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a "
+            "JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.9), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM p "
+            "UNION SELECT id_b, id_a FROM p), "
+            "reach(src, node) AS ("
+            "SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+            "UNION "
+            "SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node), "
+            "lab AS (SELECT src AS doc_id, min(node) AS cluster_id "
+            "FROM reach GROUP BY src), "
+            "ranked AS (SELECT l.doc_id, row_number() OVER ("
+            "PARTITION BY l.cluster_id "
+            "ORDER BY d.n_chars DESC, l.doc_id ASC) AS rk "
+            "FROM lab l JOIN documents d USING (doc_id)) "
+            "SELECT d.doc_id, d.n_chars FROM documents d "
+            "WHERE d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)"
         ),
         "dedup_ngram": jacc.format(sh=_SHINGLE_SQL, flt=" WHERE doc_id < 200", thr="0.8"),
         "dedup_embedding": (

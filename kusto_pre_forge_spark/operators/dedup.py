@@ -861,16 +861,40 @@ def dedup_survivors(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 16,
+    priority_col: str | None = None,
 ) -> DataFrame:
-    """Drop all but the min-id representative of every duplicate cluster.
+    """Drop all but one representative of every duplicate cluster.
+
+    Default policy keeps the min-id member. With ``priority_col``, the
+    survivor is the member with the HIGHEST priority (ties → lowest id) —
+    the "keep the longest / highest-quality copy" rule real pipelines
+    want (priority = n_chars, a quality score, a recency stamp …).
 
     ``pairs`` is the output of any pair generator above (minhash_lsh,
     simhash, ngram, embedding). Rows not in any pair are kept untouched.
     One anti-join against the (small) drop set — the corpus itself is
-    never shuffled.
+    never shuffled; the priority lookup joins the label set (clustered
+    docs only, a vanishing fraction) back to the source, and the
+    per-cluster argmax is one map-side-combinable ``max_by`` aggregate.
     """
     labels = connected_components(pairs, src_col, dst_col, max_iterations)
-    drops = labels.filter(F.col("id") != F.col("cluster_id")).select(
-        F.col("id").alias(id_col)
-    )
+    if priority_col is None:
+        drops = labels.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        pri = df.select(
+            F.col(id_col).alias("id"), F.col(priority_col).alias("_p")
+        )
+        lab = labels.join(pri, "id")
+        # max_by on (priority, -id): highest priority wins, ties break to
+        # the smallest id — struct comparison gives the total order
+        winners = lab.groupBy("cluster_id").agg(
+            F.expr("max_by(id, struct(_p, -id))").alias("_win")
+        )
+        drops = (
+            lab.join(winners, "cluster_id")
+            .filter(F.col("id") != F.col("_win"))
+            .select(F.col("id").alias(id_col))
+        )
     return df.join(drops, id_col, "left_anti")

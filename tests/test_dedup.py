@@ -274,3 +274,28 @@ def test_minhash_incremental_equals_batch_restriction(spark, sf_smoke):
     }
     assert inc == full
     assert all(a >= split or b >= split for a, b in inc)
+
+
+def test_dedup_survivors_priority_policy(spark):
+    """keep-best: highest priority survives, ties break to lowest id;
+    unclustered rows always survive."""
+    from kusto_pre_forge_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 99)],
+        "id long, pri long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    kept = {
+        r.id
+        for r in dedup.dedup_survivors(
+            df, pairs, "id", priority_col="pri"
+        ).collect()
+    }
+    # cluster {1,2,3,4}: max pri 30 held by 2 and 3 -> lowest id 2 wins
+    assert kept == {2, 9}
+    # default min-id policy unchanged
+    kept_min = {r.id for r in dedup.dedup_survivors(df, pairs, "id").collect()}
+    assert kept_min == {1, 9}
