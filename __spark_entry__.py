@@ -1902,6 +1902,47 @@ def _q_sequence_detect(spark, sf):
     )
 
 
+def _q_kql_scalar_suite5(spark, sf):
+    """Scalar batch 5: parse_version (decimal-comparable), extract_all,
+    jaccard_index, array_iff / array_shift_left, set_has_element,
+    format_bytes, strrep, strcat_delim — all codegen."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 400)
+    eid = F.col("event_id")
+    ver = F.format_string("%d.%d.%d", eid % 5, eid % 10, eid % 100)
+    base = e.select(
+        "event_id", "event_type", "props",
+        ver.alias("ver"),
+        F.sequence(eid % 5, eid % 5 + 4).alias("a1"),
+        F.sequence(eid % 7, eid % 7 + 4).alias("a2"),
+        F.array(eid % 2 == 0, eid % 3 == 0, F.lit(True)).alias("conds"),
+    )
+    return base.select(
+        "event_id",
+        kql.parse_version("ver").cast("string").alias("vnum"),
+        kql.parse_version(F.lit("not.a.version")).cast("string").alias("vbad"),
+        F.array_join(kql.extract_all_kql(r"(\d+)", "props"), ",").alias("digits"),
+        F.round(kql.jaccard_index("a1", "a2"), 6).alias("jacc"),
+        F.concat_ws(",", kql.array_iff("conds", "a1", "a2")).alias("picked"),
+        F.concat_ws(",", kql.array_shift_left("a1", 2, -1)).alias("shl"),
+        kql.set_has_element("a1", 3).alias("has3"),
+        kql.format_bytes(eid * 1536).alias("fb"),
+        kql.strrep(F.substring("event_type", 1, 2), 3).alias("rep"),
+        kql.strcat_delim("-", "event_type", (eid % 7).cast("string")).alias("cd"),
+    )
+
+
+def _q_kql_binary_agg(spark, sf):
+    """binary_all_and / binary_all_or / binary_all_xor aggregates per
+    event_type (masked ids keep the AND non-degenerate)."""
+    e = load_table(spark, sf, "events")
+    masked = (F.col("event_id") % 256).bitwiseOR(F.lit(0x1000).cast("long"))
+    return e.groupBy("event_type").agg(
+        kql.binary_all_and(masked).alias("b_and"),
+        kql.binary_all_or(masked).alias("b_or"),
+        kql.binary_all_xor(masked).alias("b_xor"),
+    )
+
+
 def _q_kql_series_periods(spark, sf):
     """series_periods_detect — top-3 autocorrelation periods of the daily
     series per event_type (lags 2..14, i.e. up to two weeks), exploded to
@@ -2112,6 +2153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_diffpatterns": _q_kql_diffpatterns,
         "kql_percentilesw": _q_kql_percentilesw,
         "kql_scalar_suite4": _q_kql_scalar_suite4,
+        "kql_scalar_suite5": _q_kql_scalar_suite5,
+        "kql_binary_agg": _q_kql_binary_agg,
         "kql_series_decompose": _q_kql_series_decompose,
         "activity_retention": _q_activity_retention,
         "activity_engagement": _q_activity_engagement,
@@ -2902,6 +2945,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a AS user_id, t1 AS step1_ts, t2 AS step2_ts, t3 AS step3_ts, "
             "round((epoch_us(t3) - epoch_us(t1)) / 1000000.0, 6) AS span_s "
             "FROM s3 WHERE epoch_us(t3) - epoch_us(t1) <= 259200000000"
+        ),
+        "kql_scalar_suite5": (
+            "WITH b AS (SELECT event_id, event_type, props, "
+            "printf('%d.%d.%d', event_id % 5, event_id % 10, event_id % 100) AS ver, "
+            "range(event_id % 5, event_id % 5 + 5) AS a1, "
+            "range(event_id % 7, event_id % 7 + 5) AS a2, "
+            "[event_id % 2 = 0, event_id % 3 = 0, true] AS conds "
+            "FROM events WHERE event_id < 400) "
+            "SELECT event_id, "
+            "CAST(CAST(string_split(ver, '.')[1] AS HUGEINT) * CAST('1000000000000000000000000' AS HUGEINT) "
+            "+ CAST(string_split(ver, '.')[2] AS HUGEINT) * 10000000000000000 "
+            "+ CAST(string_split(ver, '.')[3] AS HUGEINT) * 100000000 AS VARCHAR) AS vnum, "
+            "CAST(NULL AS VARCHAR) AS vbad, "
+            "array_to_string(regexp_extract_all(props, '(\\d+)', 1), ',') AS digits, "
+            "round(CAST(len(list_intersect(a1, a2)) AS DOUBLE) / "
+            "len(list_distinct(list_concat(a1, a2))), 6) AS jacc, "
+            "array_to_string([CASE WHEN conds[1] THEN a1[1] ELSE a2[1] END, "
+            "CASE WHEN conds[2] THEN a1[2] ELSE a2[2] END, "
+            "CASE WHEN conds[3] THEN a1[3] ELSE a2[3] END], ',') AS picked, "
+            "array_to_string(list_concat(a1[3:5], [-1, -1]), ',') AS shl, "
+            "list_contains(a1, 3) AS has3, "
+            "CASE WHEN event_id * 1536 >= 1048576 "
+            "THEN printf('%.1f MB', event_id * 1536 / 1048576.0) "
+            "WHEN event_id * 1536 >= 1024 "
+            "THEN printf('%.1f KB', event_id * 1536 / 1024.0) "
+            "ELSE printf('%.1f Bytes', CAST(event_id * 1536 AS DOUBLE)) END AS fb, "
+            "repeat(substr(event_type, 1, 2), 3) AS rep, "
+            "concat(event_type, '-', CAST(event_id % 7 AS VARCHAR)) AS cd "
+            "FROM b"
+        ),
+        "kql_binary_agg": (
+            "SELECT event_type, "
+            "bit_and(event_id % 256 | 4096) AS b_and, "
+            "bit_or(event_id % 256 | 4096) AS b_or, "
+            "bit_xor(event_id % 256 | 4096) AS b_xor "
+            "FROM events GROUP BY event_type"
         ),
         "kql_series_periods": (
             # normalized ACF per lag via a self-join on the dense series

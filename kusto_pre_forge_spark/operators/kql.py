@@ -2535,3 +2535,121 @@ def series_fit_2lines_df(
         b["rslope"].alias(f"{prefix}_slope_right"),
         b["rint"].alias(f"{prefix}_interception_right"),
     )
+
+
+def extract_all_kql(pattern: str, text: Column | str, group: int = 1) -> Column:
+    """KQL ``extract_all(regex, text)`` — all matches of the capture group
+    as an array (Spark's native regexp_extract_all; group 0 = whole
+    match)."""
+    return F.regexp_extract_all(_c(text), F.lit(pattern), group)
+
+
+#: dotted-version part weights: each part gets 8 decimal digits, as Kusto
+_VER_W = [10**24, 10**16, 10**8, 1]
+
+
+def parse_version(col: Column | str) -> Column:
+    """KQL ``parse_version(str)`` — dotted version (up to 4 numeric parts,
+    each < 10⁸) → one comparable decimal(38,0):
+    ``p1·10²⁴ + p2·10¹⁶ + p3·10⁸ + p4``. Missing parts count as 0; a
+    malformed first part (or >4 parts / non-numeric part) → null."""
+    c = _c(col)
+    parts = F.split(c, r"\.")
+    ok = (F.size(parts) >= 1) & (F.size(parts) <= 4) & c.rlike(r"^\d+(\.\d+){0,3}$")
+    total = F.lit(0).cast("decimal(38,0)")
+    for i, w in enumerate(_VER_W):
+        p = F.coalesce(
+            F.try_element_at(parts, F.lit(i + 1)).cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+        # weight as a string literal: 10²⁴ exceeds a long, so lit() can't
+        # carry it — the decimal cast parses it exactly
+        total = total + p * F.lit(str(w)).cast("decimal(38,0)")
+    return F.when(ok, total)
+
+
+def array_iff(cond: Column | str, if_true: Column | str, if_false: Column | str) -> Column:
+    """KQL ``array_iff(condition_array, when_true, when_false)`` — element-
+    wise select between two aligned arrays.
+
+    ⚠ pass MATERIALIZED attributes for the value arrays on hot paths —
+    the per-element ``element_at`` lookups re-evaluate inline expressions
+    per element (the HOF no-CSE rule)."""
+    t, f_ = _c(if_true), _c(if_false)
+    return F.transform(
+        _c(cond),
+        lambda c, i: F.when(c, F.try_element_at(t, i + 1)).otherwise(
+            F.try_element_at(f_, i + 1)
+        ),
+    )
+
+
+def array_shift_left(arr: Column | str, n: int, fill=None) -> Column:
+    """KQL ``array_shift_left(arr, n, [fill])`` — shift elements left by
+    ``n`` (negative = right), vacated slots filled with ``fill``/null."""
+    a = _c(arr)
+    size = F.size(a)
+    pad = lambda m: F.array_repeat(F.lit(fill), m)  # noqa: E731
+    if n >= 0:
+        return F.concat(F.slice(a, n + 1, F.greatest(size - n, F.lit(0))), pad(F.least(F.lit(n), size)))
+    m = -n
+    return F.concat(pad(F.least(F.lit(m), size)), F.slice(a, 1, F.greatest(size - m, F.lit(0))))
+
+
+def jaccard_index(a: Column | str, b: Column | str) -> Column:
+    """KQL ``jaccard_index(set1, set2)`` — |A∩B| / |A∪B| over array sets."""
+    inter = F.size(F.array_intersect(_c(a), _c(b))).cast("double")
+    union = F.size(F.array_union(_c(a), _c(b))).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def set_has_element(arr: Column | str, element) -> Column:
+    """KQL ``set_has_element(arr, value)``."""
+    return F.array_contains(_c(arr), element)
+
+
+_BYTE_UNITS = ["Bytes", "KB", "MB", "GB", "TB", "PB", "EB"]
+
+
+def format_bytes(size: Column | str, precision: int = 1) -> Column:
+    """KQL ``format_bytes(size, precision)`` — humanized 1024-base size
+    string, largest unit whose quotient is ≥ 1 (0 stays Bytes)."""
+    s = _c(size).cast("double")
+    expr = F.concat(
+        F.format_string(f"%.{precision}f", s), F.lit(" " + _BYTE_UNITS[0])
+    )
+    for i, unit in enumerate(_BYTE_UNITS[1:], 1):
+        bound = float(1024**i)
+        expr = F.when(
+            s >= bound,
+            F.concat(
+                F.format_string(f"%.{precision}f", s / bound),
+                F.lit(" " + unit),
+            ),
+        ).otherwise(expr)
+    return expr
+
+
+def strrep(s: Column | str, n: Column | int) -> Column:
+    """KQL ``strrep(value, multiplier)``."""
+    return F.repeat(_c(s), n)
+
+
+def strcat_delim(delim: str, *cols: Column | str) -> Column:
+    """KQL ``strcat_delim(delimiter, arg1, arg2, ...)``."""
+    return F.concat_ws(delim, *[_c(c) for c in cols])
+
+
+def binary_all_and(col: Column | str) -> Column:
+    """KQL ``binary_all_and(expr)`` aggregate — bitwise AND over the group."""
+    return F.bit_and(_c(col))
+
+
+def binary_all_or(col: Column | str) -> Column:
+    """KQL ``binary_all_or(expr)`` aggregate."""
+    return F.bit_or(_c(col))
+
+
+def binary_all_xor(col: Column | str) -> Column:
+    """KQL ``binary_all_xor(expr)`` aggregate."""
+    return F.bit_xor(_c(col))

@@ -651,3 +651,38 @@ def test_series_fit_2lines_df_equals_packed_form(spark):
         assert dfform[k].fit2_interception_right == pytest.approx(
             packed[k].interception_right
         )
+
+
+def test_parse_version_ordering_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("1.2.3",), ("1.2.10",), ("1.10.0",), ("2.0",), ("bad.ver",), ("1.2.3.4.5",)],
+        "v string",
+    )
+    got = [r.p for r in df.select(kql.parse_version("v").alias("p")).collect()]
+    assert got[4] is None and got[5] is None
+    nums = got[:4]
+    assert nums == sorted(nums), "dotted order must match numeric order"
+    assert nums[0] < nums[1] < nums[2] < nums[3]
+
+
+def test_array_shift_and_iff(spark):
+    df = spark.sql(
+        "SELECT array(1, 2, 3, 4) AS a, array(9, 9, 9, 9) AS b, "
+        "array(true, false, true, false) AS c"
+    )
+    row = df.select(
+        kql.array_shift_left("a", 2, 0).alias("l2"),
+        kql.array_shift_left("a", -1, 0).alias("r1"),
+        kql.array_iff("c", "a", "b").alias("iff"),
+    ).first()
+    assert row.l2 == [3, 4, 0, 0]
+    assert row.r1 == [0, 1, 2, 3]
+    assert row.iff == [1, 9, 3, 9]
+
+
+def test_format_bytes_units(spark):
+    df = spark.createDataFrame(
+        [(0,), (512,), (2048,), (3 * 1024 * 1024,)], "n long"
+    )
+    got = [r.f for r in df.select(kql.format_bytes("n").alias("f")).collect()]
+    assert got == ["0.0 Bytes", "512.0 Bytes", "2.0 KB", "3.0 MB"]
