@@ -1902,6 +1902,33 @@ def _q_sequence_detect(spark, sf):
     )
 
 
+def _q_kql_graph_match(spark, sf):
+    """make-graph + graph-match: the V-pattern (c1)-[buys]->(s)<-[buys]-(c2)
+    over the customer->supplier purchase graph (orders x lineitem) — two
+    hash joins on the node key, c1 < c2 canonicalization, per-pair edge
+    count. No graph runtime, no explosion (see graph_match_path's hub
+    valve note)."""
+    o = load_table(spark, sf, "orders").where(F.col("o_orderkey") < 3000)
+    li = load_table(spark, sf, "lineitem").where(F.col("l_orderkey") < 3000)
+    # typed node ids ('c:…', 's:…'): customers and suppliers live in one
+    # graph namespace, so the distinct-nodes rule can't alias a customer
+    # key to a numerically equal supplier key
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    paths = kql.graph_match_path(edges, ["fwd", "rev"])
+    return (
+        paths.filter(F.col("n0") < F.col("n2"))
+        .groupBy(F.col("n0").alias("c1"), F.col("n2").alias("c2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_suppliers"))
+        .filter(F.col("shared_suppliers") >= 3)
+    )
+
+
 def _q_kql_scalar_suite5(spark, sf):
     """Scalar batch 5: parse_version (decimal-comparable), extract_all,
     jaccard_index, array_iff / array_shift_left, set_has_element,
@@ -2154,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_percentilesw": _q_kql_percentilesw,
         "kql_scalar_suite4": _q_kql_scalar_suite4,
         "kql_scalar_suite5": _q_kql_scalar_suite5,
+        "kql_graph_match": _q_kql_graph_match,
         "kql_binary_agg": _q_kql_binary_agg,
         "kql_series_decompose": _q_kql_series_decompose,
         "activity_retention": _q_activity_retention,
@@ -2945,6 +2973,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a AS user_id, t1 AS step1_ts, t2 AS step2_ts, t3 AS step3_ts, "
             "round((epoch_us(t3) - epoch_us(t1)) / 1000000.0, 6) AS span_s "
             "FROM s3 WHERE epoch_us(t3) - epoch_us(t1) <= 259200000000"
+        ),
+        "kql_graph_match": (
+            "WITH e AS (SELECT DISTINCT concat('c:', o_custkey) AS s, "
+            "concat('s:', l_suppkey) AS d "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+            "WHERE o_orderkey < 3000) "
+            "SELECT a.s AS c1, b.s AS c2, "
+            "CAST(count(*) AS BIGINT) AS shared_suppliers "
+            "FROM e a JOIN e b ON a.d = b.d AND a.s < b.s "
+            "GROUP BY 1, 2 HAVING count(*) >= 3"
         ),
         "kql_scalar_suite5": (
             "WITH b AS (SELECT event_id, event_type, props, "

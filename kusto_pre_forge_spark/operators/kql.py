@@ -2653,3 +2653,62 @@ def binary_all_or(col: Column | str) -> Column:
 def binary_all_xor(col: Column | str) -> Column:
     """KQL ``binary_all_xor(expr)`` aggregate."""
     return F.bit_xor(_c(col))
+
+
+def graph_match_path(
+    edges: DataFrame,
+    directions: list[str],
+    src_col: str = "src",
+    dst_col: str = "dst",
+    distinct_nodes: bool = True,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """KQL ``make-graph`` + ``graph-match`` for fixed-length path patterns
+    — the relational core of graph queries, Spark-first: each hop is one
+    hash equi-join on the node key, so ``(n0)-[]->(n1)<-[]-(n2)`` is two
+    joins, not a graph runtime. ``directions`` gives each hop's arrow
+    (``"fwd"`` = src→dst, ``"rev"`` = dst→src), so V-shapes and chains
+    both express. Returns one row per matched path with columns
+    ``n0 … nk``; ``distinct_nodes`` adds KQL graph-match's default
+    no-repeated-node semantics (pairwise ≠ filters — patterns are short
+    by construction).
+
+    ``max_degree`` is the hub valve, same argument as the LSH hot-bucket
+    cap: a hub of degree d contributes d^hops paths, so one celebrity
+    node makes the join output super-linear. Nodes whose (undirected)
+    degree exceeds the cap are dropped from the EDGE set before matching
+    — the degree aggregate is node-sized, tiny next to the paths it
+    prevents. ``None`` = exact (the oracle-checked configuration).
+    """
+    if not directions:
+        raise ValueError("directions must name at least one hop")
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).distinct()
+    if max_degree is not None:
+        deg = (
+            e.select(F.col("s").alias("n"))
+            .unionAll(e.select(F.col("d").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") > max_degree)
+            .select("n")
+        )
+        e = e.join(
+            deg.withColumnRenamed("n", "s"), "s", "left_anti"
+        ).join(deg.withColumnRenamed("n", "d"), "d", "left_anti")
+    cur = None
+    for i, dirn in enumerate(directions):
+        if dirn == "fwd":
+            step = e.select(F.col("s").alias(f"n{i}"), F.col("d").alias(f"n{i + 1}"))
+        elif dirn == "rev":
+            step = e.select(F.col("d").alias(f"n{i}"), F.col("s").alias(f"n{i + 1}"))
+        else:
+            raise ValueError(f"direction must be 'fwd' or 'rev', got {dirn!r}")
+        cur = step if cur is None else cur.join(step, f"n{i}")
+    if distinct_nodes:
+        k = len(directions) + 1
+        for i in range(k):
+            for j in range(i + 1, k):
+                cur = cur.filter(F.col(f"n{i}") != F.col(f"n{j}"))
+    return cur

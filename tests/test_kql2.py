@@ -686,3 +686,36 @@ def test_format_bytes_units(spark):
     )
     got = [r.f for r in df.select(kql.format_bytes("n").alias("f")).collect()]
     assert got == ["0.0 Bytes", "512.0 Bytes", "2.0 KB", "3.0 MB"]
+
+
+def test_graph_match_patterns_and_hub_valve(spark):
+    edges = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x"), ("a", "y"), ("b", "y"), ("h", "a")],
+        "src string, dst string",
+    )
+    # V-pattern: (n0)->(n1)<-(n2)
+    v = {
+        (r.n0, r.n1, r.n2)
+        for r in kql.graph_match_path(edges, ["fwd", "rev"]).collect()
+        if r.n0 < r.n2
+    }
+    assert ("a", "x", "b") in v and ("a", "y", "b") in v and ("a", "x", "c") in v
+    assert all(p[0] != p[2] for p in v), "distinct-nodes semantics"
+    # chain: (n0)->(n1)->(n2): h->a->x / h->a->y
+    chain = {
+        (r.n0, r.n1, r.n2)
+        for r in kql.graph_match_path(edges, ["fwd", "fwd"]).collect()
+    }
+    assert chain == {("h", "a", "x"), ("h", "a", "y")}
+    # hub valve on a set where only x exceeds degree 2: x-paths dropped,
+    # y-paths survive
+    edges2 = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x"), ("a", "y"), ("b", "y")],
+        "src string, dst string",
+    )
+    capped = {
+        (r.n0, r.n1, r.n2)
+        for r in kql.graph_match_path(edges2, ["fwd", "rev"], max_degree=2).collect()
+    }
+    assert all(p[1] != "x" for p in capped)
+    assert ("a", "y", "b") in capped
