@@ -60,6 +60,9 @@ HEADLINE = [
     "kql_series_fit",
     "kql_autocluster",
     "sequence_detect",
+    "text_lm_score",
+    "dedup_minhash_incremental",
+    "kql_graph_match",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection
