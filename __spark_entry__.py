@@ -1902,6 +1902,32 @@ def _q_sequence_detect(spark, sf):
     )
 
 
+def _q_kql_ipv6_suite(spark, sf):
+    """KQL IPv6 scalars: parse_ipv6 canonicalization (:: expansion,
+    zero-padding), ipv6_compare, ipv6_is_match prefixes — pure string
+    HOFs. The oracle PREDICTS the canonical forms from the generation
+    rule instead of re-running a parser, so the parse itself is checked
+    against ground truth."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 400)
+    eid = F.col("event_id")
+    h1 = eid % 65536
+    h2 = (eid * 7) % 65536
+    s1 = F.format_string("2001:db8::%x", h1)
+    s1_alt = F.format_string("2001:0db8:0:0:0:0:0:%x", h1)
+    s2 = F.format_string("%x:%x:0:0:ff:%x:0:1", h1, h2, h1)
+    bad = F.format_string("x::%x", h1)
+    return e.select(
+        "event_id",
+        kql.parse_ipv6(s1).alias("canon1"),
+        kql.parse_ipv6(s2).alias("canon2"),
+        kql.parse_ipv6(bad).alias("canon_bad"),
+        kql.ipv6_compare(s1, s2).alias("cmp12"),
+        kql.ipv6_compare(s1, s1_alt).alias("cmp_eq"),
+        kql.ipv6_is_match(s1, s2, 32).alias("m32"),
+        kql.ipv6_is_match(s1, s1_alt, 128).alias("m128"),
+    )
+
+
 def _q_kql_graph_match(spark, sf):
     """make-graph + graph-match: the V-pattern (c1)-[buys]->(s)<-[buys]-(c2)
     over the customer->supplier purchase graph (orders x lineitem) — two
@@ -2182,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_scalar_suite4": _q_kql_scalar_suite4,
         "kql_scalar_suite5": _q_kql_scalar_suite5,
         "kql_graph_match": _q_kql_graph_match,
+        "kql_ipv6_suite": _q_kql_ipv6_suite,
         "kql_binary_agg": _q_kql_binary_agg,
         "kql_series_decompose": _q_kql_series_decompose,
         "activity_retention": _q_activity_retention,
@@ -2973,6 +3000,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a AS user_id, t1 AS step1_ts, t2 AS step2_ts, t3 AS step3_ts, "
             "round((epoch_us(t3) - epoch_us(t1)) / 1000000.0, 6) AS span_s "
             "FROM s3 WHERE epoch_us(t3) - epoch_us(t1) <= 259200000000"
+        ),
+        "kql_ipv6_suite": (
+            # predicts canonical forms from the generation rule (ground
+            # truth), never re-running a parser
+            "WITH b AS (SELECT event_id, "
+            "lpad(printf('%x', event_id % 65536), 4, '0') AS g1, "
+            "lpad(printf('%x', (event_id * 7) % 65536), 4, '0') AS g2 "
+            "FROM events WHERE event_id < 400), "
+            "c AS (SELECT event_id, "
+            "concat('20010db8', repeat('0', 20), g1) AS canon1, "
+            "concat(g1, g2, '0000', '0000', '00ff', g1, '0000', '0001') AS canon2 "
+            "FROM b) "
+            "SELECT event_id, canon1, canon2, "
+            "CAST(NULL AS VARCHAR) AS canon_bad, "
+            "CAST(CASE WHEN canon1 < canon2 THEN -1 "
+            "WHEN canon1 > canon2 THEN 1 ELSE 0 END AS INT) AS cmp12, "
+            "CAST(0 AS INT) AS cmp_eq, "
+            "substr(canon1, 1, 8) = substr(canon2, 1, 8) AS m32, "
+            "true AS m128 FROM c"
         ),
         "kql_graph_match": (
             "WITH e AS (SELECT DISTINCT concat('c:', o_custkey) AS s, "

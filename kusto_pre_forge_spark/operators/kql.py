@@ -2712,3 +2712,81 @@ def graph_match_path(
             for j in range(i + 1, k):
                 cur = cur.filter(F.col(f"n{i}") != F.col(f"n{j}"))
     return cur
+
+
+#: one 0000 group per missing position in a '::' expansion
+_IPV6_GROUP_RE = r"^[0-9A-Fa-f]{1,4}$"
+
+
+def parse_ipv6(col: Column | str) -> Column:
+    """KQL ``parse_ipv6(str)`` → the canonical lowercase 32-hex-digit form
+    (8 groups zero-padded, colons removed), null for malformed input.
+    Handles one ``::`` compression anywhere (leading/trailing/middle);
+    embedded-IPv4 tails are not supported (documented subset). Pure
+    string HOFs — no UDF; the canonical form makes ``ipv6_compare`` plain
+    string comparison and prefix matching a substring test."""
+    c = F.trim(_c(col))
+    has_dc = c.contains("::")
+    # '::' at most once
+    dc_ok = F.size(F.split(c, "::", -1)) <= 2
+    left_raw = F.when(has_dc, F.split(c, "::", -1).getItem(0)).otherwise(c)
+    right_raw = F.when(has_dc, F.split(c, "::", -1).getItem(1)).otherwise(F.lit(""))
+    # An empty SIDE is legal (leading/trailing '::'); an empty GROUP inside
+    # a side (stray ':', as in 'a:::b' whose right side is ':b') is not —
+    # so split without filtering and let the per-group regex reject ''.
+    empty_arr = F.array().cast("array<string>")
+    side = lambda x: F.when(x == "", empty_arr).otherwise(  # noqa: E731
+        F.split(x, ":", -1)
+    )
+    lg, rg = side(left_raw), side(right_raw)
+    n_missing = F.lit(8) - F.size(lg) - F.size(rg)
+    groups = F.when(
+        has_dc,
+        F.concat(
+            lg,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_missing, F.lit(0))),
+                lambda _: F.lit("0"),
+            ),
+            rg,
+        ),
+    ).otherwise(lg)
+    all_valid = F.forall(groups, lambda g: g.rlike(_IPV6_GROUP_RE))
+    # empty groups from things like ':::' or 'a::b::c' already failed via
+    # dc_ok / the filter; a bare '::' leaves 8 zero groups
+    ok = (
+        dc_ok
+        & (F.size(groups) == 8)
+        & all_valid
+        & F.when(has_dc, n_missing >= 1).otherwise(F.lit(True))
+    )
+    canon = F.lower(
+        F.array_join(F.transform(groups, lambda g: F.lpad(g, 4, "0")), "")
+    )
+    return F.when(ok, canon)
+
+
+def ipv6_compare(a: Column | str, b: Column | str) -> Column:
+    """KQL ``ipv6_compare`` — −1/0/1 on the canonical forms; null if
+    either side is malformed."""
+    ca, cb = parse_ipv6(a), parse_ipv6(b)
+    return (
+        F.when(ca.isNull() | cb.isNull(), F.lit(None).cast("int"))
+        .when(ca < cb, F.lit(-1))
+        .when(ca > cb, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def ipv6_is_match(a: Column | str, b: Column | str, prefix_bits: int = 128) -> Column:
+    """KQL ``ipv6_is_match(ip1, ip2, prefix)`` for nibble-aligned prefixes
+    (prefix_bits divisible by 4 — covers the operational /48 /56 /64
+    cases): equal canonical hex up to prefix_bits/4 digits."""
+    if prefix_bits % 4:
+        raise ValueError("ipv6_is_match supports nibble-aligned prefixes only")
+    n = prefix_bits // 4
+    ca, cb = parse_ipv6(a), parse_ipv6(b)
+    return F.when(
+        ca.isNotNull() & cb.isNotNull(),
+        F.substring(ca, 1, n) == F.substring(cb, 1, n),
+    )

@@ -719,3 +719,35 @@ def test_graph_match_patterns_and_hub_valve(spark):
     }
     assert all(p[1] != "x" for p in capped)
     assert ("a", "y", "b") in capped
+
+
+def test_parse_ipv6_edge_cases(spark):
+    cases = [
+        ("2001:db8::1", "20010db8000000000000000000000001"),
+        ("::1", "00000000000000000000000000000001"),
+        ("::", "00000000000000000000000000000000"),
+        ("1:2:3:4:5:6:7::", "00010002000300040005000600070000"),
+        ("2001:0DB8::FF00:42:8329", "20010db8000000000000ff0000428329"),
+        ("a:::b", None),
+        ("1:2:3:4:5:6:7:8:9", None),
+        ("g::1", None),
+        ("2001:db8::1::2", None),
+        (":::", None),
+        ("", None),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "s string")
+    got = [r.p for r in df.select(kql.parse_ipv6("s").alias("p")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_ipv6_compare_and_match(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    row = df.select(
+        kql.ipv6_compare(F.lit("::1"), F.lit("::2")).alias("lt"),
+        kql.ipv6_compare(F.lit("2001:db8::"), F.lit("2001:0DB8:0:0:0:0:0:0")).alias("eq"),
+        kql.ipv6_compare(F.lit("bad"), F.lit("::1")).alias("bad"),
+        kql.ipv6_is_match(F.lit("2001:db8::1"), F.lit("2001:db8::ffff"), 64).alias("m64"),
+        kql.ipv6_is_match(F.lit("2001:db8::1"), F.lit("2001:db9::1"), 32).alias("m32"),
+    ).first()
+    assert (row.lt, row.eq, row.bad) == (-1, 0, None)
+    assert row.m64 is True and row.m32 is False
