@@ -1902,6 +1902,37 @@ def _q_sequence_detect(spark, sf):
     )
 
 
+def _q_kql_top_nested_others(spark, sf):
+    """top-nested ... with others = 'Other': the per-group and grand
+    remainder rows, exact decimal differences of sums the plan already
+    computes."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    j = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name", "c_acctbal")
+    )
+    out = kql.top_nested(
+        j,
+        outer_key="r_name",
+        inner_key="n_name",
+        measure=F.sum(_dec(F.col("c_acctbal"))),
+        k_outer=3,
+        k_inner=2,
+        outer_alias="region_bal",
+        inner_alias="nation_bal",
+        others_label="Other",
+    )
+    return out.select(
+        "r_name",
+        F.col("region_bal").cast("double").alias("region_bal"),
+        "n_name",
+        F.col("nation_bal").cast("double").alias("nation_bal"),
+    )
+
+
 def _q_kql_ipv6_suite(spark, sf):
     """KQL IPv6 scalars: parse_ipv6 canonicalization (:: expansion,
     zero-padding), ipv6_compare, ipv6_is_match prefixes — pure string
@@ -2209,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_scalar_suite5": _q_kql_scalar_suite5,
         "kql_graph_match": _q_kql_graph_match,
         "kql_ipv6_suite": _q_kql_ipv6_suite,
+        "kql_top_nested_others": _q_kql_top_nested_others,
         "kql_binary_agg": _q_kql_binary_agg,
         "kql_series_decompose": _q_kql_series_decompose,
         "activity_retention": _q_activity_retention,
@@ -2809,6 +2841,44 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o.r_name, CAST(o.rb AS DOUBLE) AS region_bal,"
             " i.n_name, CAST(i.nb AS DOUBLE) AS nation_bal"
             " FROM top_outer o JOIN top_inner i ON o.r_name = i.r_name"
+        ),
+        "kql_top_nested_others": (
+            "WITH j AS ("
+            " SELECT r_name, n_name, CAST(c_acctbal AS DECIMAL(20,4)) AS ab"
+            " FROM customer"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey"
+            "), inner_agg AS ("
+            " SELECT r_name, n_name, sum(ab) AS nb FROM j GROUP BY 1, 2"
+            "), outer_agg AS ("
+            " SELECT r_name, sum(nb) AS rb FROM inner_agg GROUP BY 1"
+            "), top_outer AS ("
+            " SELECT r_name, rb FROM ("
+            "  SELECT r_name, rb, row_number() OVER (ORDER BY rb DESC, r_name) AS r"
+            "  FROM outer_agg) WHERE r <= 3"
+            "), top_inner AS ("
+            " SELECT r_name, n_name, nb FROM ("
+            "  SELECT r_name, n_name, nb,"
+            "  row_number() OVER (PARTITION BY r_name ORDER BY nb DESC, n_name) AS r"
+            "  FROM inner_agg) WHERE r <= 2"
+            "), kept AS ("
+            " SELECT o.r_name, o.rb, i.n_name, i.nb"
+            " FROM top_outer o JOIN top_inner i ON o.r_name = i.r_name"
+            "), inner_others AS ("
+            " SELECT o.r_name, o.rb, 'Other' AS n_name,"
+            " o.rb - s.kept_nb AS nb"
+            " FROM top_outer o JOIN (SELECT r_name, sum(nb) AS kept_nb"
+            " FROM top_inner GROUP BY 1) s ON o.r_name = s.r_name"
+            "), outer_others AS ("
+            " SELECT 'Other' AS r_name,"
+            " (SELECT sum(rb) FROM outer_agg) - (SELECT sum(rb) FROM top_outer) AS rb,"
+            " 'Other' AS n_name,"
+            " (SELECT sum(rb) FROM outer_agg) - (SELECT sum(rb) FROM top_outer) AS nb"
+            ") "
+            "SELECT r_name, CAST(rb AS DOUBLE) AS region_bal,"
+            " n_name, CAST(nb AS DOUBLE) AS nation_bal FROM ("
+            " SELECT * FROM kept UNION ALL SELECT * FROM inner_others"
+            " UNION ALL SELECT * FROM outer_others)"
         ),
         "kql_mv_apply": (
             "SELECT doc_id, CAST(list_sum("

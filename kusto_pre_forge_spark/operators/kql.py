@@ -541,20 +541,29 @@ def top_nested(
     k_inner: int,
     outer_alias: str = "outer_measure",
     inner_alias: str = "inner_measure",
+    others_label: str | None = None,
 ) -> DataFrame:
     """KQL ``top-nested k1 of A by agg, top-nested k2 of B by agg`` —
     hierarchical top-k: keep the top ``k_outer`` outer groups by the summed
     measure, and within each the top ``k_inner`` inner groups.
 
+    ``others_label`` enables KQL's ``with others = "label"`` rows: per kept
+    outer group, one row (inner_key = label) carrying the measure NOT in
+    its top-k inner groups; plus one row (outer_key = inner_key = label)
+    carrying the measure of all non-top outer groups. Key columns are cast
+    to string so the label can occupy them, as KQL renders it.
+
     Ties broken by key name so results are deterministic/oracle-checkable.
     Pass a decimal-typed ``measure`` when exact cross-engine sums matter
-    (the outer level re-sums the inner aggregates).
+    (the outer level re-sums the inner aggregates, and the others rows are
+    exact differences of those sums).
 
     Scale notes: the inner aggregation is the only full-data shuffle; both
     rankings run over group-cardinality-sized data (the outer ranking's
     unpartitioned window is bounded by |outer_key| — fine for the dimension
     cardinalities top-nested targets), and the final join broadcasts the
-    ≤k_outer-row outer side.
+    ≤k_outer-row outer side. The others rows derive from the same
+    aggregates — no extra pass over the data.
     """
     inner = df.groupBy(outer_key, inner_key).agg(measure.alias(inner_alias))
     outer = inner.groupBy(outer_key).agg(F.sum(inner_alias).alias(outer_alias))
@@ -572,7 +581,43 @@ def top_nested(
         .filter(F.col("_r") <= k_inner)
         .drop("_r")
     )
-    return F.broadcast(top_outer).join(top_inner, outer_key, "inner")
+    kept = F.broadcast(top_outer).join(top_inner, outer_key, "inner")
+    if others_label is None:
+        return kept
+
+    label = F.lit(others_label)
+    kept = kept.select(
+        F.col(outer_key).cast("string").alias(outer_key),
+        F.col(outer_alias),
+        F.col(inner_key).cast("string").alias(inner_key),
+        F.col(inner_alias),
+    )
+    # inner others: outer total minus the kept inner sums, per kept group
+    kept_inner_sums = top_inner.groupBy(outer_key).agg(
+        F.sum(inner_alias).alias("_kept")
+    )
+    inner_others = (
+        top_outer.join(kept_inner_sums, outer_key)
+        .select(
+            F.col(outer_key).cast("string").alias(outer_key),
+            F.col(outer_alias),
+            label.alias(inner_key),
+            (F.col(outer_alias) - F.col("_kept")).alias(inner_alias),
+        )
+    )
+    # outer others: everything outside the kept outer groups, one row
+    grand = outer.agg(F.sum(outer_alias).alias("_total"))
+    kept_outer_sum = top_outer.agg(F.sum(outer_alias).alias("_kept"))
+    outer_others = (
+        grand.crossJoin(kept_outer_sum)
+        .select(
+            label.alias(outer_key),
+            (F.col("_total") - F.col("_kept")).alias(outer_alias),
+            label.alias(inner_key),
+            (F.col("_total") - F.col("_kept")).alias(inner_alias),
+        )
+    )
+    return kept.unionByName(inner_others).unionByName(outer_others)
 
 
 def union_tables(*dfs: DataFrame) -> DataFrame:

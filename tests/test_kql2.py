@@ -751,3 +751,23 @@ def test_ipv6_compare_and_match(spark):
     ).first()
     assert (row.lt, row.eq, row.bad) == (-1, 0, None)
     assert row.m64 is True and row.m32 is False
+
+
+def test_top_nested_with_others(spark):
+    rows = (
+        [("r1", "a", 10.0)] * 2 + [("r1", "b", 5.0)] * 2 + [("r1", "c", 1.0)]
+        + [("r2", "x", 8.0)] + [("r3", "y", 2.0)]
+    )
+    df = spark.createDataFrame(rows, "o string, i string, v double")
+    out = kql.top_nested(
+        df, "o", "i", F.sum("v"), k_outer=2, k_inner=1,
+        outer_alias="om", inner_alias="im", others_label="Other",
+    ).collect()
+    got = {(r.o, r.i): (r.om, r.im) for r in out}
+    # top-2 outer: r1 (31), r2 (8); r3 (2) -> outer Other row
+    assert got[("Other", "Other")] == (2.0, 2.0)
+    # within r1: top-1 inner a (20); b+c (11) -> inner Other row
+    assert got[("r1", "a")] == (31.0, 20.0)
+    assert got[("r1", "Other")] == (31.0, 11.0)
+    assert got[("r2", "x")] == (8.0, 8.0)
+    assert got[("r2", "Other")] == (8.0, 0.0)
