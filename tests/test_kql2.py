@@ -771,3 +771,34 @@ def test_top_nested_with_others(spark):
     assert got[("r1", "Other")] == (31.0, 11.0)
     assert got[("r2", "x")] == (8.0, 8.0)
     assert got[("r2", "Other")] == (8.0, 0.0)
+
+
+def test_parse_ipv6_against_stdlib_fuzz(spark):
+    """200 seeded-random addresses (full, compressed, mixed-case, plus
+    malformed mutations) checked against Python's ipaddress module — an
+    independent ground-truth oracle, not a replay of our own parser."""
+    import ipaddress
+    import random
+
+    rng = random.Random(123)
+    cases = []
+    for _ in range(150):
+        groups = [rng.randrange(0, 0x10000) for _ in range(8)]
+        # zero a random run to exercise '::' compression via the stdlib's
+        # compressed form as an input variant
+        a, b = sorted(rng.sample(range(9), 2))
+        for i in range(a, b):
+            groups[i] = 0
+        full = ":".join(f"{g:x}" for g in groups)
+        addr = ipaddress.IPv6Address(full)
+        variant = rng.choice([full, addr.compressed, full.upper()])
+        cases.append((variant, "%032x" % int(addr)))
+    for _ in range(50):
+        bad = rng.choice(
+            ["1:2:3", "::g", "1::2::3", "12345::", ":1:2:3:4:5:6:7", "x", ""]
+        )
+        cases.append((bad, None))
+    df = spark.createDataFrame([(c,) for c, _ in cases], "s string")
+    got = [r.p for r in df.select(kql.parse_ipv6("s").alias("p")).collect()]
+    for (inp, want), have in zip(cases, got):
+        assert have == want, f"{inp!r}: got {have!r} want {want!r}"
