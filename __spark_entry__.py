@@ -1902,6 +1902,37 @@ def _q_sequence_detect(spark, sf):
     )
 
 
+def _q_kql_datetime_suite(spark, sf):
+    """Datetime scalar batch: unixtime round-trips, make_datetime,
+    boundary-crossing datetime_diff (KQL semantics: boundaries crossed,
+    not full periods), week_of_year (ISO), calendar parts, endofyear."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 400)
+    eid = F.col("event_id")
+    ts = F.col("ts")
+    anchor = F.lit("2024-01-15 06:30:00").cast("timestamp")
+    return e.select(
+        "event_id",
+        kql.unixtime_seconds_todatetime(eid * 3600 + 1700000000).alias("ut_s"),
+        kql.unixtime_milliseconds_todatetime(eid * 1000 + 1700000000000).alias("ut_ms"),
+        kql.make_datetime(F.lit(2024), (eid % 12) + 1, (eid % 28) + 1).alias("mkdt"),
+        kql.datetime_diff("year", ts, anchor).alias("dy"),
+        kql.datetime_diff("quarter", ts, anchor).alias("dq"),
+        kql.datetime_diff("month", ts, anchor).alias("dmo"),
+        kql.datetime_diff("week", ts, anchor).alias("dw"),
+        kql.datetime_diff("day", ts, anchor).alias("dd"),
+        kql.datetime_diff("hour", ts, anchor).alias("dh"),
+        kql.week_of_year(ts).cast("int").alias("woy"),
+        kql.dayofyear(ts).cast("int").alias("doy"),
+        kql.monthofyear(ts).cast("int").alias("moy"),
+        kql.hourofday(ts).cast("int").alias("hod"),
+        kql.getyear(ts).cast("int").alias("yr"),
+        kql.endofyear(ts).alias("eoy"),
+        kql.indexof_regex("event_type", "[iu]").alias("ixr"),
+        kql.indexof_regex("event_type", "zz").alias("ixr_miss"),
+        kql.has_any_index("event_type", ["xx", "ck", "or"]).alias("hai"),
+    )
+
+
 def _q_kql_top_nested_others(spark, sf):
     """top-nested ... with others = 'Other': the per-group and grand
     remainder rows, exact decimal differences of sums the plan already
@@ -2241,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_graph_match": _q_kql_graph_match,
         "kql_ipv6_suite": _q_kql_ipv6_suite,
         "kql_top_nested_others": _q_kql_top_nested_others,
+        "kql_datetime_suite": _q_kql_datetime_suite,
         "kql_binary_agg": _q_kql_binary_agg,
         "kql_series_decompose": _q_kql_series_decompose,
         "activity_retention": _q_activity_retention,
@@ -2841,6 +2873,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o.r_name, CAST(o.rb AS DOUBLE) AS region_bal,"
             " i.n_name, CAST(i.nb AS DOUBLE) AS nation_bal"
             " FROM top_outer o JOIN top_inner i ON o.r_name = i.r_name"
+        ),
+        "kql_datetime_suite": (
+            # naive-interval arithmetic (no TIMESTAMPTZ: engines' session
+            # zones must not leak in); date_diff args are start,end in
+            # DuckDB — reversed vs Spark's datediff(end, start)
+            "SELECT event_id, "
+            "TIMESTAMP '1970-01-01' + to_seconds(event_id * 3600 + 1700000000) AS ut_s, "
+            "TIMESTAMP '1970-01-01' + to_milliseconds(event_id * 1000 + 1700000000000) AS ut_ms, "
+            "make_timestamp(2024, CAST(event_id % 12 + 1 AS BIGINT), "
+            "CAST(event_id % 28 + 1 AS BIGINT), 0, 0, 0) AS mkdt, "
+            "CAST(year(ts) - 2024 AS BIGINT) AS dy, "
+            "CAST((year(ts) - 2024) * 4 + quarter(ts) - 1 AS BIGINT) AS dq, "
+            "CAST((year(ts) - 2024) * 12 + month(ts) - 1 AS BIGINT) AS dmo, "
+            "CAST(date_diff('day', DATE '2024-01-14', "
+            "CAST(ts AS DATE) - dayofweek(CAST(ts AS TIMESTAMP)) "
+            "* INTERVAL 1 DAY) / 7 AS BIGINT) AS dw, "
+            "CAST(date_diff('day', DATE '2024-01-15', CAST(ts AS DATE)) "
+            "AS BIGINT) AS dd, "
+            "CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0) "
+            "- floor(epoch_us(TIMESTAMP '2024-01-15 06:30:00') / 3600000000.0) "
+            "AS BIGINT) AS dh, "
+            "CAST(weekofyear(CAST(ts AS TIMESTAMP)) AS INT) AS woy, "
+            "CAST(dayofyear(CAST(ts AS TIMESTAMP)) AS INT) AS doy, "
+            "CAST(month(ts) AS INT) AS moy, "
+            "CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod, "
+            "CAST(year(ts) AS INT) AS yr, "
+            "make_timestamp(CAST(year(ts) + 1 AS BIGINT), 1, 1, 0, 0, 0) "
+            "- INTERVAL 1 MICROSECOND AS eoy, "
+            "CAST(CASE WHEN regexp_matches(event_type, '[iu]') "
+            "THEN length(string_split_regex(event_type, '[iu]')[1]) "
+            "ELSE -1 END AS BIGINT) AS ixr, "
+            "CAST(-1 AS BIGINT) AS ixr_miss, "
+            "CAST(CASE WHEN contains(event_type, 'xx') THEN 0 "
+            "WHEN contains(event_type, 'ck') THEN 1 "
+            "WHEN contains(event_type, 'or') THEN 2 ELSE -1 END AS BIGINT) AS hai "
+            "FROM events WHERE event_id < 400"
         ),
         "kql_top_nested_others": (
             "WITH j AS ("

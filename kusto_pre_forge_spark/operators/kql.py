@@ -2835,3 +2835,123 @@ def ipv6_is_match(a: Column | str, b: Column | str, prefix_bits: int = 128) -> C
         ca.isNotNull() & cb.isNotNull(),
         F.substring(ca, 1, n) == F.substring(cb, 1, n),
     )
+
+
+def unixtime_seconds_todatetime(col: Column | str) -> Column:
+    """KQL ``unixtime_seconds_todatetime`` — epoch seconds → timestamp."""
+    return F.timestamp_seconds(_c(col))
+
+
+def unixtime_milliseconds_todatetime(col: Column | str) -> Column:
+    """KQL ``unixtime_milliseconds_todatetime``."""
+    return F.timestamp_millis(_c(col).cast("long"))
+
+
+def make_datetime(y, mo, d, h=None, mi=None, s=None) -> Column:
+    """KQL ``make_datetime(y, m, d[, h, m, s])``."""
+    zero = F.lit(0)
+    return F.make_timestamp(
+        _c(y), _c(mo), _c(d),
+        _c(h) if h is not None else zero,
+        _c(mi) if mi is not None else zero,
+        _c(s) if s is not None else zero.cast("double"),
+    )
+
+
+def week_of_year(col: Column | str) -> Column:
+    """KQL ``week_of_year`` — ISO 8601 week number (Spark's weekofyear IS
+    ISO)."""
+    return F.weekofyear(_c(col))
+
+
+def monthofyear(col: Column | str) -> Column:
+    """KQL ``monthofyear``."""
+    return F.month(_c(col))
+
+
+def hourofday(col: Column | str) -> Column:
+    """KQL ``hourofday``."""
+    return F.hour(_c(col))
+
+
+def dayofyear(col: Column | str) -> Column:
+    """KQL ``dayofyear``."""
+    return F.dayofyear(_c(col))
+
+
+def getyear(col: Column | str) -> Column:
+    """KQL ``getyear``."""
+    return F.year(_c(col))
+
+
+def getmonth(col: Column | str) -> Column:
+    """KQL ``getmonth``."""
+    return F.month(_c(col))
+
+
+def endofyear(col: Column | str) -> Column:
+    """KQL ``endofyear`` — last microsecond of the year (KQL convention:
+    start of next year minus 1 tick; at micro resolution, −1 µs)."""
+    nxt = F.add_months(F.trunc(_c(col), "year"), 12)
+    return F.timestamp_micros(F.unix_micros(nxt.cast("timestamp")) - 1)
+
+
+def datetime_diff(period: str, a: Column | str, b: Column | str) -> Column:
+    """KQL ``datetime_diff(period, datetime1, datetime2)`` — the number of
+    period BOUNDARIES crossed between b and a (not elapsed full periods):
+    ``datetime_diff('year', 2015-01-01, 2014-12-31) == 1``. Supported:
+    year, quarter, month, week, day, hour, minute, second. All engine-
+    replayable integer arithmetic on calendar fields / epoch units; weeks
+    use KQL's Sunday boundary (via the ``startofweek`` convention).
+    """
+    ca, cb = _c(a), _c(b)
+    p = period.lower()
+    if p == "year":
+        return (F.year(ca) - F.year(cb)).cast("long")
+    if p == "quarter":
+        return (
+            (F.year(ca) - F.year(cb)) * 4 + (F.quarter(ca) - F.quarter(cb))
+        ).cast("long")
+    if p == "month":
+        return (
+            (F.year(ca) - F.year(cb)) * 12 + (F.month(ca) - F.month(cb))
+        ).cast("long")
+    if p == "week":
+        # boundary = Sunday; datediff of the week-starts / 7
+        sow = lambda c: F.date_sub(  # noqa: E731
+            F.to_date(c), (F.dayofweek(c) - 1)
+        )
+        return (F.datediff(sow(ca), sow(cb)) / 7).cast("long")
+    if p == "day":
+        return F.datediff(F.to_date(ca), F.to_date(cb)).cast("long")
+    if p in ("hour", "minute", "second"):
+        unit = {"hour": 3600, "minute": 60, "second": 1}[p]
+        floor_units = lambda c: F.floor(  # noqa: E731
+            F.unix_micros(c) / F.lit(unit * 1_000_000)
+        )
+        return (floor_units(ca) - floor_units(cb)).cast("long")
+    raise ValueError(f"unsupported datetime_diff period: {period}")
+
+
+def indexof_regex(text: Column | str, pattern: str) -> Column:
+    """KQL ``indexof_regex(source, regex)`` — 0-based offset of the first
+    regex match, −1 when absent. Engine-replayable form: the length of the
+    text before the first match (split-limit-2 prefix), guarded by an
+    rlike existence test — identical construction in the DuckDB oracle."""
+    c = _c(text)
+    prefix_len = F.length(F.split(c, pattern, 2).getItem(0))
+    return F.when(c.rlike(pattern), prefix_len.cast("long")).otherwise(F.lit(-1).cast("long"))
+
+
+def has_any_index(text: Column | str, values: list[str]) -> Column:
+    """KQL ``has_any_index(source, values)`` — 0-based index of the FIRST
+    list element the text contains as a substring, −1 if none."""
+    c = _c(text)
+    arr = F.array(*[F.lit(v) for v in values])
+    hits = F.filter(
+        F.transform(arr, lambda v, i: F.when(c.contains(v), i).otherwise(F.lit(-1))),
+        lambda x: x >= 0,
+    )
+    return F.when(F.size(hits) > 0, F.element_at(hits, 1).cast("long")).otherwise(
+        F.lit(-1).cast("long")
+    )

@@ -802,3 +802,42 @@ def test_parse_ipv6_against_stdlib_fuzz(spark):
     got = [r.p for r in df.select(kql.parse_ipv6("s").alias("p")).collect()]
     for (inp, want), have in zip(cases, got):
         assert have == want, f"{inp!r}: got {have!r} want {want!r}"
+
+
+def test_datetime_diff_boundary_semantics(spark):
+    """KQL counts BOUNDARIES crossed, not elapsed periods: one day apart
+    across New Year = 1 year / 1 quarter / 1 month / 1 day."""
+    df = spark.sql(
+        "SELECT timestamp'2015-01-01 00:00:00' AS a, "
+        "timestamp'2014-12-31 23:59:59' AS b, "
+        "timestamp'2024-01-14 23:00:00' AS sat, "  # Sunday boundary: 14th IS Sunday
+        "timestamp'2024-01-15 01:00:00' AS mon"
+    )
+    row = df.select(
+        kql.datetime_diff("year", F.col("a"), F.col("b")).alias("y"),
+        kql.datetime_diff("quarter", F.col("a"), F.col("b")).alias("q"),
+        kql.datetime_diff("month", F.col("a"), F.col("b")).alias("m"),
+        kql.datetime_diff("day", F.col("a"), F.col("b")).alias("d"),
+        kql.datetime_diff("hour", F.col("a"), F.col("b")).alias("h"),
+        kql.datetime_diff("week", F.col("mon"), F.col("sat")).alias("w0"),
+        kql.datetime_diff("day", F.col("b"), F.col("a")).alias("neg"),
+    ).first()
+    assert (row.y, row.q, row.m, row.d, row.h) == (1, 1, 1, 1, 1)
+    assert row.w0 == 0, "same Sunday-anchored week"
+    assert row.neg == -1, "antisymmetric"
+
+
+def test_datetime_scalars_and_indexof_regex(spark):
+    df = spark.sql("SELECT timestamp'2024-03-05 07:08:09' AS t, 'abcdef' AS s")
+    row = df.select(
+        kql.endofyear("t").alias("eoy"),
+        kql.week_of_year("t").alias("w"),
+        kql.indexof_regex("s", "cd").alias("i"),
+        kql.indexof_regex("s", "zz").alias("miss"),
+        kql.has_any_index("s", ["zz", "de", "ab"]).alias("hai"),
+        kql.unixtime_seconds_todatetime(F.lit(0)).alias("epoch"),
+    ).first()
+    assert str(row.eoy) == "2024-12-31 23:59:59.999999"
+    assert row.w == 10  # ISO week of 2024-03-05
+    assert (row.i, row.miss, row.hai) == (2, -1, 1)
+    assert str(row.epoch) == "1970-01-01 00:00:00"
