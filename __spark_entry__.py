@@ -1502,6 +1502,93 @@ def _q_kql_series_corr(spark, sf):
     )
 
 
+def _q_kql_series_fir(spark, sf):
+    """series_fir — trailing weighted [1,2,3] (normalized) and centered
+    uniform [1,1,1] FIR filters over the daily series; partial-window
+    edge renormalization, tap loops unrolled into codegen."""
+    s = _series_daily(spark, sf)
+    s = s.withColumn(
+        "fir", kql.series_fir("series_value", [1.0, 2.0, 3.0], normalize=True)
+    ).withColumn(
+        "firc",
+        kql.series_fir("series_value", [1.0, 1.0, 1.0], normalize=True, center=True),
+    )
+    out = s.select(
+        "event_type",
+        F.posexplode(F.arrays_zip("fir", "firc")).alias("idx", "z"),
+    )
+    return out.select(
+        "event_type",
+        F.col("idx").cast("long").alias("idx"),
+        F.round(F.col("z.fir"), 6).alias("fir"),
+        F.round(F.col("z.firc"), 6).alias("firc"),
+    )
+
+
+def _q_kql_series_iir(spark, sf):
+    """series_iir — first-order exponential smoothing (b=[0.2],
+    a=[1,−0.8]) as one left fold carrying the output array; the oracle
+    replays the identical recurrence via a recursive CTE."""
+    s = _series_daily(spark, sf)
+    s = s.withColumn("sm", kql.series_iir("series_value", [0.2], [1.0, -0.8]))
+    out = s.select("event_type", F.posexplode("sm").alias("idx", "y"))
+    return out.select(
+        "event_type",
+        F.col("idx").cast("long").alias("idx"),
+        F.round(F.col("y"), 6).alias("smoothed"),
+    )
+
+
+def _q_kql_series_seasonal(spark, sf):
+    """series_seasonal period=7 — weekly phase means broadcast back over
+    the daily series."""
+    s = _series_daily(spark, sf)
+    s = s.withColumn("seas", kql.series_seasonal("series_value", 7))
+    out = s.select("event_type", F.posexplode("seas").alias("idx", "v"))
+    return out.select(
+        "event_type",
+        F.col("idx").cast("long").alias("idx"),
+        F.round(F.col("v"), 6).alias("seasonal"),
+    )
+
+
+def _q_kql_series_arith(spark, sf):
+    """Element-wise series arithmetic (add/subtract/multiply/divide/abs)
+    on the aligned click/view hourly count series."""
+    e = load_table(spark, sf, "events")
+    s = kql.make_series(
+        e.where(F.col("event_type").isin("click", "view")),
+        on="ts", step="hour", by=["event_type"],
+        agg=F.count(F.lit(1)).cast("double"), default=0.0,
+    )
+    a = s.where(F.col("event_type") == "click").select(
+        F.col("series_value").alias("va")
+    )
+    b = s.where(F.col("event_type") == "view").select(
+        F.col("series_value").alias("vb")
+    )
+    pair = a.crossJoin(b).select(
+        kql.series_add("va", "vb").alias("s_add"),
+        kql.series_subtract("va", "vb").alias("s_sub"),
+        kql.series_multiply("va", "vb").alias("s_mul"),
+        kql.series_divide("va", "vb").alias("s_div"),
+    )
+    pair = pair.withColumn("s_abs", kql.series_abs("s_sub"))
+    out = pair.select(
+        F.posexplode(
+            F.arrays_zip("s_add", "s_sub", "s_mul", "s_div", "s_abs")
+        ).alias("idx", "z")
+    )
+    return out.select(
+        F.col("idx").cast("long").alias("idx"),
+        F.round(F.col("z.s_add"), 6).alias("s_add"),
+        F.round(F.col("z.s_sub"), 6).alias("s_sub"),
+        F.round(F.col("z.s_mul"), 6).alias("s_mul"),
+        F.round(F.col("z.s_div"), 6).alias("s_div"),
+        F.round(F.col("z.s_abs"), 6).alias("s_abs"),
+    )
+
+
 def _q_kql_hll_merge(spark, sf):
     """hll / hll_merge / dcount_hll — mergeable sketch rollup (no SQL
     oracle: Datasketches HLL internals aren't replayable in DuckDB; the
@@ -2294,6 +2381,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_series_stats": _q_kql_series_stats,
         "kql_series_mavg": _q_kql_series_mavg,
         "kql_series_corr": _q_kql_series_corr,
+        "kql_series_fir": _q_kql_series_fir,
+        "kql_series_iir": _q_kql_series_iir,
+        "kql_series_seasonal": _q_kql_series_seasonal,
+        "kql_series_arith": _q_kql_series_arith,
         "kql_hll_merge": _q_kql_hll_merge,
         "kql_partition_apply": _q_kql_partition_apply,
         "kql_facet": _q_kql_facet,
@@ -3791,6 +3882,99 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN binned b ON b.event_type = t.event_type AND b.h = a.h) "
             "SELECT round(corr(c.v, w.v), 6) AS corr_click_view "
             "FROM dense c JOIN dense w ON c.h = w.h "
+            "AND c.event_type = 'click' AND w.event_type = 'view'"
+        ),
+        # replays series_fir's unrolled tap sums in the identical
+        # left-to-right float addition order (see operators/kql.py)
+        "kql_series_fir": (
+            "WITH bounds AS (SELECT min(date_trunc('day', CAST(ts AS TIMESTAMP))) lo, "
+            "max(date_trunc('day', CAST(ts AS TIMESTAMP))) hi FROM events), "
+            "axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds), "
+            "keys AS (SELECT DISTINCT event_type FROM events), "
+            "binned AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, "
+            "CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS v FROM events GROUP BY 1, 2), "
+            "dense AS (SELECT k.event_type, "
+            "row_number() OVER (PARTITION BY k.event_type ORDER BY a.d) - 1 AS idx, "
+            "coalesce(b.v, 0.0) AS v "
+            "FROM keys k CROSS JOIN axis a "
+            "LEFT JOIN binned b ON b.event_type = k.event_type AND b.d = a.d), "
+            "sized AS (SELECT *, count(*) OVER (PARTITION BY event_type) AS cnt FROM dense) "
+            "SELECT event_type, CAST(idx AS BIGINT) AS idx, "
+            "round((0.0 + 1.0 * v "
+            " + CASE WHEN idx >= 1 THEN 2.0 * lag(v, 1) OVER w ELSE 0.0 END "
+            " + CASE WHEN idx >= 2 THEN 3.0 * lag(v, 2) OVER w ELSE 0.0 END) "
+            "/ (0.0 + 1.0 + CASE WHEN idx >= 1 THEN 2.0 ELSE 0.0 END "
+            " + CASE WHEN idx >= 2 THEN 3.0 ELSE 0.0 END), 6) AS fir, "
+            "round((0.0 "
+            " + CASE WHEN idx + 1 <= cnt - 1 THEN 1.0 * lead(v, 1) OVER w ELSE 0.0 END "
+            " + 1.0 * v "
+            " + CASE WHEN idx >= 1 THEN 1.0 * lag(v, 1) OVER w ELSE 0.0 END) "
+            "/ (0.0 + CASE WHEN idx + 1 <= cnt - 1 THEN 1.0 ELSE 0.0 END + 1.0 "
+            " + CASE WHEN idx >= 1 THEN 1.0 ELSE 0.0 END), 6) AS firc "
+            "FROM sized WINDOW w AS (PARTITION BY event_type ORDER BY idx)"
+        ),
+        # recursive CTE replays the fold's recurrence with the same float ops
+        "kql_series_iir": (
+            "WITH RECURSIVE bounds AS (SELECT min(date_trunc('day', CAST(ts AS TIMESTAMP))) lo, "
+            "max(date_trunc('day', CAST(ts AS TIMESTAMP))) hi FROM events), "
+            "axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds), "
+            "keys AS (SELECT DISTINCT event_type FROM events), "
+            "binned AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, "
+            "CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS v FROM events GROUP BY 1, 2), "
+            "dense AS (SELECT k.event_type, "
+            "row_number() OVER (PARTITION BY k.event_type ORDER BY a.d) - 1 AS idx, "
+            "coalesce(b.v, 0.0) AS v "
+            "FROM keys k CROSS JOIN axis a "
+            "LEFT JOIN binned b ON b.event_type = k.event_type AND b.d = a.d), "
+            "iir AS (SELECT event_type, idx, ((0.0 + 0.2 * v) - (0.0 + 0.0)) / 1.0 AS y "
+            "FROM dense WHERE idx = 0 "
+            "UNION ALL "
+            "SELECT d.event_type, d.idx, "
+            "((0.0 + 0.2 * d.v) - (0.0 + (-0.8) * i.y)) / 1.0 AS y "
+            "FROM dense d JOIN iir i ON d.event_type = i.event_type AND d.idx = i.idx + 1) "
+            "SELECT event_type, CAST(idx AS BIGINT) AS idx, round(y, 6) AS smoothed "
+            "FROM iir"
+        ),
+        # ordered aggregate reproduces the phase fold's ascending-index sums
+        "kql_series_seasonal": (
+            "WITH bounds AS (SELECT min(date_trunc('day', CAST(ts AS TIMESTAMP))) lo, "
+            "max(date_trunc('day', CAST(ts AS TIMESTAMP))) hi FROM events), "
+            "axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds), "
+            "keys AS (SELECT DISTINCT event_type FROM events), "
+            "binned AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, "
+            "CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS v FROM events GROUP BY 1, 2), "
+            "dense AS (SELECT k.event_type, "
+            "row_number() OVER (PARTITION BY k.event_type ORDER BY a.d) - 1 AS idx, "
+            "coalesce(b.v, 0.0) AS v "
+            "FROM keys k CROSS JOIN axis a "
+            "LEFT JOIN binned b ON b.event_type = k.event_type AND b.d = a.d), "
+            "phase AS (SELECT event_type, idx % 7 AS ph, "
+            "0.0 + sum(v ORDER BY idx) AS s, count(*) AS c "
+            "FROM dense GROUP BY event_type, idx % 7) "
+            "SELECT d.event_type, CAST(d.idx AS BIGINT) AS idx, "
+            "round(p.s / CAST(p.c AS DOUBLE), 6) AS seasonal "
+            "FROM dense d JOIN phase p ON p.event_type = d.event_type "
+            "AND p.ph = d.idx % 7"
+        ),
+        "kql_series_arith": (
+            "WITH bounds AS (SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) lo, "
+            "max(date_trunc('hour', CAST(ts AS TIMESTAMP))) hi FROM events "
+            "WHERE event_type IN ('click', 'view')), "
+            "axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds), "
+            "binned AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, "
+            "CAST(count(*) AS DOUBLE) AS v FROM events "
+            "WHERE event_type IN ('click', 'view') GROUP BY 1, 2), "
+            "dense AS (SELECT t.event_type, a.h, "
+            "row_number() OVER (PARTITION BY t.event_type ORDER BY a.h) - 1 AS idx, "
+            "coalesce(b.v, 0.0) AS v "
+            "FROM (VALUES ('click'), ('view')) t(event_type) CROSS JOIN axis a "
+            "LEFT JOIN binned b ON b.event_type = t.event_type AND b.h = a.h) "
+            "SELECT CAST(c.idx AS BIGINT) AS idx, "
+            "round(c.v + w.v, 6) AS s_add, round(c.v - w.v, 6) AS s_sub, "
+            "round(c.v * w.v, 6) AS s_mul, "
+            "round(c.v / nullif(w.v, 0.0), 6) AS s_div, "
+            "round(abs(c.v - w.v), 6) AS s_abs "
+            "FROM dense c JOIN dense w ON c.idx = w.idx "
             "AND c.event_type = 'click' AND w.event_type = 'view'"
         ),
         "kql_partition_apply": (

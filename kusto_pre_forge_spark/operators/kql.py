@@ -2955,3 +2955,150 @@ def has_any_index(text: Column | str, values: list[str]) -> Column:
     return F.when(F.size(hits) > 0, F.element_at(hits, 1).cast("long")).otherwise(
         F.lit(-1).cast("long")
     )
+
+
+# ---- series digital filters (series_fir / series_iir / series_seasonal) ----
+
+
+def series_fir(
+    col: Column | str,
+    coefs: list[float],
+    normalize: bool = True,
+    center: bool = False,
+) -> Column:
+    """KQL ``series_fir(series, filter, normalize, center)`` — finite
+    impulse response filter over a packed series array.
+
+    ``out[i] = Σ_j coefs[j] · x[i − j]`` (trailing; ``center=True``
+    anchors the filter's midpoint on ``i``). Edges use the PARTIAL
+    window: taps that fall outside the array are skipped, and with
+    ``normalize=True`` the divisor is the sum of the taps actually used —
+    the same edge behavior as ADX's moving-average example (a ramp-in,
+    never a NaN head). The coefficient list is a Python literal, so the
+    tap loop unrolls at plan-build time into one codegen'd expression per
+    element — no nested lambda, no UDF.
+    """
+    c = _c(col)
+    L = len(coefs)
+    if L == 0:
+        raise ValueError("series_fir needs at least one coefficient")
+    half = (L - 1) // 2 if center else 0
+
+    def _one(x: Column, i: Column) -> Column:
+        p = i + 1 + half  # 1-based anchor position of tap j=0
+        s = F.lit(0.0)
+        w = F.lit(0.0)
+        for j, coef in enumerate(coefs):
+            pos = p - j
+            valid = (pos >= 1) & (pos <= F.size(c))
+            s = s + F.when(
+                valid, F.lit(float(coef)) * F.element_at(c, pos).cast("double")
+            ).otherwise(F.lit(0.0))
+            w = w + F.when(valid, F.lit(float(coef))).otherwise(F.lit(0.0))
+        return s / w if normalize else s
+
+    return F.transform(c, _one)
+
+
+def series_iir(col: Column | str, b: list[float], a: list[float]) -> Column:
+    """KQL ``series_iir(series, b, a)`` — infinite impulse response filter:
+    ``y[i] = (Σ_j b[j]·x[i−j] − Σ_{j≥1} a[j]·y[i−j]) / a[0]``.
+
+    Inherently sequential (each output feeds the next), so it is computed
+    as ONE left fold over the positions, carrying the output array built
+    so far — still a single codegen'd expression per row, no UDF and no
+    explode. The per-step ``concat`` copies the accumulator, so the cost
+    is O(n²) in the series length: right for make-series outputs (tens to
+    thousands of points). For very long series, explode and use the
+    prefix-sum trick of ``series_fit_2lines_df`` instead.
+
+    Both tap loops unroll in Python (b, a are literals), accumulating
+    left-to-right — the DuckDB oracle replays the identical float
+    operation order via a recursive CTE.
+    """
+    c = _c(col)
+    if not a or not b:
+        raise ValueError("series_iir needs non-empty a and b")
+    a0 = float(a[0])
+
+    def _step(acc: Column, p: Column) -> Column:
+        bsum = F.lit(0.0)
+        for j, coef in enumerate(b):
+            pos = p - j
+            bsum = bsum + F.when(
+                pos >= 1, F.lit(float(coef)) * F.element_at(c, pos).cast("double")
+            ).otherwise(F.lit(0.0))
+        asum = F.lit(0.0)
+        for j, coef in enumerate(a[1:], start=1):
+            pos = p - j
+            asum = asum + F.when(
+                pos >= 1, F.lit(float(coef)) * F.element_at(acc, pos)
+            ).otherwise(F.lit(0.0))
+        y = (bsum - asum) / F.lit(a0)
+        return F.concat(acc, F.array(y))
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.size(c)),
+        F.array().cast("array<double>"),
+        _step,
+    )
+
+
+def series_seasonal(col: Column | str, period: int) -> Column:
+    """KQL ``series_seasonal(series, period)`` — the seasonal component:
+    every element is replaced by the mean of all elements sharing its
+    phase (``index mod period``).
+
+    Phase means are computed once per row with one indexed ``filter`` +
+    left-fold sum per phase (the phase loop unrolls in Python — period is
+    a literal), then broadcast back positionally. Sums run in ascending
+    index order, so the DuckDB oracle's ``sum(v ORDER BY idx)`` replays
+    the identical float addition order.
+    """
+    c = _c(col)
+    if period < 1:
+        raise ValueError("period must be >= 1")
+    means = []
+    for p in range(period):
+        vals = F.filter(c, lambda x, i: i % period == F.lit(p))
+        s = F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+        means.append(s / F.size(vals).cast("double"))
+    phase_means = F.array(*means)
+    return F.transform(c, lambda x, i: F.element_at(phase_means, i % period + 1))
+
+
+def series_add(a: Column | str, b: Column | str) -> Column:
+    """KQL ``series_add`` — element-wise sum of two aligned series."""
+    return F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") + y.cast("double"))
+
+
+def series_subtract(a: Column | str, b: Column | str) -> Column:
+    """KQL ``series_subtract`` — element-wise difference."""
+    return F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") - y.cast("double"))
+
+
+def series_multiply(a: Column | str, b: Column | str) -> Column:
+    """KQL ``series_multiply`` — element-wise product."""
+    return F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+
+
+def series_divide(a: Column | str, b: Column | str) -> Column:
+    """KQL ``series_divide`` — element-wise quotient; 0 denominators give
+    NULL (KQL yields NaN/inf; NULL is the engine-portable encoding and
+    what the oracle's NULLIF replays)."""
+    return F.zip_with(
+        _c(a),
+        _c(b),
+        lambda x, y: x.cast("double")
+        / F.when(y.cast("double") != 0.0, y.cast("double")),
+    )
+
+
+def series_abs(col: Column | str) -> Column:
+    """KQL ``series_abs`` — element-wise absolute value."""
+    return F.transform(_c(col), lambda x: F.abs(x.cast("double")))
+
+
+def series_sign(col: Column | str) -> Column:
+    """KQL ``series_sign`` — element-wise sign (−1.0 / 0.0 / 1.0)."""
+    return F.transform(_c(col), lambda x: F.signum(x.cast("double")))

@@ -841,3 +841,44 @@ def test_datetime_scalars_and_indexof_regex(spark):
     assert row.w == 10  # ISO week of 2024-03-05
     assert (row.i, row.miss, row.hai) == (2, -1, 1)
     assert str(row.epoch) == "1970-01-01 00:00:00"
+
+
+def test_series_fir_edges_and_center(spark):
+    df = spark.sql("SELECT array(1.0d, 2.0d, 3.0d, 4.0d) AS s")
+    row = df.select(
+        kql.series_fir("s", [1.0, 1.0], normalize=True).alias("ma"),
+        kql.series_fir("s", [1.0, 1.0, 1.0], normalize=True, center=True).alias("c"),
+        kql.series_fir("s", [2.0, 1.0], normalize=False).alias("raw"),
+    ).first()
+    # trailing [1,1]: head uses the partial window (just x[0])
+    assert row.ma == [1.0, 1.5, 2.5, 3.5]
+    # centered [1,1,1]: edges average the 2 available neighbors
+    assert row.c == [1.5, 2.0, 3.0, 3.5]
+    # normalize=False: plain weighted sum, missing taps contribute 0
+    assert row.raw == [2.0, 5.0, 8.0, 11.0]
+
+
+def test_series_iir_exponential_smoothing(spark):
+    df = spark.sql("SELECT array(10.0d, 0.0d, 0.0d) AS s")
+    row = df.select(kql.series_iir("s", [0.5], [1.0, -0.5]).alias("y")).first()
+    # y[i] = 0.5*x[i] + 0.5*y[i-1]
+    assert row.y == [5.0, 2.5, 1.25]
+
+
+def test_series_seasonal_phase_means(spark):
+    df = spark.sql("SELECT array(1.0d, 10.0d, 3.0d, 20.0d, 5.0d) AS s")
+    row = df.select(kql.series_seasonal("s", 2).alias("y")).first()
+    # phase 0: mean(1,3,5)=3; phase 1: mean(10,20)=15
+    assert row.y == [3.0, 15.0, 3.0, 15.0, 3.0]
+
+
+def test_series_arith_elementwise(spark):
+    df = spark.sql("SELECT array(4.0d, 9.0d) AS a, array(2.0d, 0.0d) AS b")
+    row = df.select(
+        kql.series_add("a", "b").alias("s"),
+        kql.series_divide("a", "b").alias("d"),
+        kql.series_sign(kql.series_subtract("b", "a")).alias("sg"),
+    ).first()
+    assert row.s == [6.0, 9.0]
+    assert row.d[0] == 2.0 and row.d[1] is None, "0 denominator -> NULL"
+    assert row.sg == [-1.0, -1.0]
