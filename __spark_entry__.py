@@ -876,6 +876,14 @@ def _q_text_lm_score(spark, sf):
     )
 
 
+def _q_text_bm25(spark, sf):
+    """BM25 top-15 retrieval for a 3-term query — sparse search / eval-set
+    mining over the documents table; Lucene idf, sum(dl)/N avgdl so the
+    oracle derives bit-identical corpus scalars."""
+    d = load_table(spark, sf, "documents")
+    return textstats.bm25_topk(d, ["spark", "window", "merge"], k=15)
+
+
 def _q_corpus_split(spark, sf):
     """Deterministic train/val/test assignment: md5-hash thresholds over
     doc_id (0.9/0.05/0.05), zero shuffle, zero RNG — the same row lands
@@ -2310,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
         "text_lm_score": _q_text_lm_score,
+        "text_bm25": _q_text_bm25,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_meta": _q_multimodal_meta,
@@ -3560,6 +3569,28 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(ln((c12 + 0.5) / (c1 + 0.5 * v))), 6) AS lm_score "
             "FROM b JOIN bc USING (w1, w2) JOIN cc USING (w1), vv "
             "GROUP BY doc_id"
+        ),
+        "text_bm25": (
+            # replays bm25_topk's expression tree operation-for-operation:
+            # Lucene idf, avgdl = sum(dl)/N over exact integer counts
+            "WITH t AS (SELECT doc_id, "
+            f"{_LTOKENS_SQL} AS toks FROM documents), "
+            "dl AS (SELECT doc_id, len(toks) AS dl FROM t), "
+            "corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+            "CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl), "
+            "u AS (SELECT doc_id, unnest(toks) AS term FROM t), "
+            "hits AS (SELECT * FROM u WHERE term IN ('spark', 'window', 'merge')), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2), "
+            "dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS dft FROM tf GROUP BY 1), "
+            "scored AS (SELECT tf.doc_id, "
+            "ln(1.0 + (c.n - d.dft + 0.5) / (d.dft + 0.5)) "
+            "* (CAST(tf.tf AS DOUBLE) * 2.2) "
+            "/ (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / c.avgdl)) AS w "
+            "FROM tf JOIN dfreq d USING (term) JOIN dl l ON l.doc_id = tf.doc_id, corpus c) "
+            "SELECT doc_id, round(sum(w), 6) AS bm25, "
+            "CAST(count(*) AS BIGINT) AS matched_terms "
+            "FROM scored GROUP BY doc_id "
+            "ORDER BY bm25 DESC, doc_id ASC LIMIT 15"
         ),
         "corpus_split": (
             # same md5 thresholds as train_split: u < 0.9 train,

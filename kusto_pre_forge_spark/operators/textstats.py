@@ -265,3 +265,88 @@ def lm_score(
         )
         .select(F.col("_id").alias(id_col), "n_bigrams", "lm_score")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k retrieval: the ``k`` documents best matching a bag of
+    query terms — the standard sparse-retrieval scorer (Robertson/Lucene
+    form) a training pipeline uses for eval-set mining, hard-negative
+    sampling, and corpus search.
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+    with ``idf(t) = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))`` (Lucene's
+    non-negative variant).
+
+    Scale shape: tokenize → KEEP ONLY QUERY TERMS (a literal ``isin``
+    filter pushed below the explode's shuffle — the token stream shrinks
+    to |query|-term hits before anything wide), then two map-side-combined
+    aggregates: tf per (doc, term) and df per term (|query|-sized,
+    broadcast back). Corpus scalars N / avgdl come from one 1-row
+    aggregate cross-joined as a literal plan — ``avgdl`` is computed as
+    ``sum(dl)/N`` over exact integer token counts, so every engine derives
+    the bit-identical double. The final top-k is
+    ``TakeOrderedAndProject`` (per-task heaps), never a global sort;
+    ranking compares the ROUNDED score (6 dp) with id tiebreak so
+    equal-by-math scores order identically in any replaying engine.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), TOKEN_RE), lambda w: w != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col, "_toks", F.size("_toks").cast("long").alias("_dl")
+    )
+    from kusto_pre_forge_spark.pinning import pin
+
+    # corpus scalars over EVERY document (zero-token docs count toward N
+    # and avgdl even though they can never match) — a pruned (text-only)
+    # scan + 1-row aggregate, not derived from the exploded stream
+    corpus = df.select(F.size(toks).cast("long").alias("_dl")).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        (F.sum("_dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "_avgdl"
+        ),
+    )
+    base = pin(base.select(id_col, "_dl", F.explode("_toks").alias("term")))
+    hits = base.filter(F.col("term").isin(list(query_terms)))
+    tf = hits.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("_dl").alias("_dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("_df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(corpus)
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n") - F.col("_df") + F.lit(0.5))
+                / (F.col("_df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_w",
+            F.col("_idf")
+            * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf").cast("double")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("_dl").cast("double") / F.col("_avgdl")
+                )
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.round(F.sum("_w"), 6).alias("bm25"),
+        F.count(F.lit(1)).cast("long").alias("matched_terms"),
+    )
+    return per_doc.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)

@@ -92,3 +92,38 @@ def test_lm_score_hand_computed(spark):
     )
     assert out[2].lm_score == pytest.approx(math.log(p_ab))
     assert 3 not in out and 4 not in out, "docs without bigrams are omitted"
+
+
+def test_bm25_topk_ranking(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark"),          # high tf, short doc
+            (2, "spark window"),               # two distinct query terms
+            (3, "window table table table table table table"),  # long doc
+            (4, "table scan only"),            # no query term
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in textstats.bm25_topk(docs, ["spark", "window"], k=10).collect()
+    }
+    assert 4 not in out, "docs matching no query term never appear"
+    assert out[2].matched_terms == 2 and out[1].matched_terms == 1
+    # doc 2 matches both terms and is short → best score
+    assert out[2].bm25 == max(r.bm25 for r in out.values())
+    # hand-check doc 1: tf=3, dl=3, N=4, avgdl=15/4, df(spark)=2
+    idf = math.log(1.0 + (4.0 - 2.0 + 0.5) / 2.5)
+    w = idf * (3.0 * 2.2) / (3.0 + 1.2 * (0.25 + 0.75 * 3.0 / 3.75))
+    assert out[1].bm25 == pytest.approx(w, abs=1e-6)
+
+
+def test_bm25_k_limits_and_ties(spark):
+    docs = spark.createDataFrame(
+        [(i, "spark") for i in range(5)], "doc_id long, text string"
+    )
+    rows = textstats.bm25_topk(docs, ["spark"], k=3).collect()
+    # identical scores → id ascending tiebreak, exactly k rows
+    assert [r.doc_id for r in rows] == [0, 1, 2]
