@@ -1099,6 +1099,21 @@ def _q_activity_retention(spark, sf):
     )
 
 
+def _q_activity_sliding_counts(spark, sf):
+    """KQL sliding_window_counts — rolling 7-day event count + distinct
+    users per day on the dense axis (contribute-to-trailing-bins explode,
+    one aggregate — the oracle's bin×event join is the sf0.01-only shape)."""
+    from kusto_pre_forge_spark.operators import activity
+
+    e = load_table(spark, sf, "events")
+    out = activity.sliding_window_counts(e, "user_id", "ts", lookback_days=7)
+    return out.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "count_events",
+        "dcount_actors",
+    )
+
+
 def _q_activity_engagement(spark, sf):
     """KQL activity_engagement — rolling DAU/WAU ratio over events via the
     contribute-to-trailing-windows explode (no per-day rescans)."""
@@ -2373,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_series_decompose": _q_kql_series_decompose,
         "activity_retention": _q_activity_retention,
         "activity_engagement": _q_activity_engagement,
+        "activity_sliding_counts": _q_activity_sliding_counts,
         "kql_bag_ops": _q_kql_bag_ops,
         "activity_funnel": _q_activity_funnel,
         "activity_transitions": _q_activity_transitions,
@@ -3123,6 +3139,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.cohort, c.\"offset\", c.n_active, "
             "round(CAST(c.n_active AS DOUBLE) / s.sz, 6) AS retention "
             "FROM c JOIN s USING (cohort)"
+        ),
+        "activity_sliding_counts": (
+            "WITH ev AS (SELECT user_id AS a, CAST(ts AS DATE) AS d FROM events), "
+            "bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM ev), "
+            "axis AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), "
+            "CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds), "
+            "agg AS (SELECT ax.day, CAST(count(*) AS BIGINT) AS c, "
+            "CAST(count(DISTINCT e.a) AS BIGINT) AS dc "
+            "FROM axis ax JOIN ev e ON e.d BETWEEN ax.day - 6 AND ax.day "
+            "GROUP BY 1) "
+            "SELECT CAST(axis.day AS TIMESTAMP) AS day, "
+            "coalesce(agg.c, 0) AS count_events, "
+            "coalesce(agg.dc, 0) AS dcount_actors "
+            "FROM axis LEFT JOIN agg USING (day)"
         ),
         "activity_engagement": (
             "WITH p AS (SELECT DISTINCT user_id AS a, CAST(ts AS DATE) AS d FROM events), "

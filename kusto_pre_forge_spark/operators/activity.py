@@ -265,3 +265,44 @@ def sequence_detect(
         *[F.col(f"_t{i}").alias(f"step{i}_ts") for i in range(1, len(steps) + 1)],
         (span_us / 1_000_000.0).alias("span_s"),
     )
+
+
+def sliding_window_counts(
+    df: DataFrame,
+    actor_col: str,
+    ts_col: str,
+    lookback_days: int = 7,
+) -> DataFrame:
+    """KQL ``evaluate sliding_window_counts(Id, Timeline, …, LookbackWindow,
+    Bin)`` — for every day on the dense observed axis, the event count and
+    distinct-actor count over the trailing ``lookback_days`` window
+    (e.g. rolling weekly active users + event volume).
+
+    Same scale shape as ``rolling_engagement``: each event contributes to
+    the ``lookback_days`` bins whose trailing window contains it (sequence
+    + explode — the blowup factor is the window/bin ratio, a constant),
+    then ONE map-side-combinable aggregate per bin; never a per-bin rescan
+    and never a quadratic bin×event join (that shape is fine for the
+    sf0.01 oracle, fatal at 100 TB). The dense axis comes from a 1-row
+    min/max aggregate exploded into days — bins with no activity in range
+    still appear with zero counts, matching KQL's dense timeline.
+    """
+    day = F.to_date(F.col(ts_col))
+    ev = df.select(F.col(actor_col).alias("_a"), day.alias("_d"))
+    bounds = ev.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    axis = bounds.select(F.explode(F.sequence("_lo", "_hi")).alias("day"))
+    contrib = ev.select(
+        "_a",
+        F.explode(
+            F.sequence(F.col("_d"), F.date_add(F.col("_d"), lookback_days - 1))
+        ).alias("day"),
+    )
+    agg = contrib.groupBy("day").agg(
+        F.count(F.lit(1)).alias("count_events"),
+        F.count_distinct("_a").alias("dcount_actors"),
+    )
+    return axis.join(agg, "day", "left").select(
+        "day",
+        F.coalesce("count_events", F.lit(0)).cast("long").alias("count_events"),
+        F.coalesce("dcount_actors", F.lit(0)).cast("long").alias("dcount_actors"),
+    )

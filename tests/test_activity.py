@@ -133,3 +133,28 @@ def test_sequence_detect_constraints(spark):
     assert set(out) == {1, 4}
     assert out[1][1] == 7200.0
     assert out[4][0] == dt(2024, 1, 1, 0), "anchored at earliest step-1 event"
+
+
+def test_sliding_window_counts_dense_axis(spark):
+    from kusto_pre_forge_spark.operators.activity import sliding_window_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 11:00:00"),
+            (2, "2024-01-02 09:00:00"),
+            (1, "2024-01-05 09:00:00"),
+        ],
+        "user_id long, ts string",
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts"))
+    out = {
+        str(r.day): (r.count_events, r.dcount_actors)
+        for r in sliding_window_counts(df, "user_id", "ts", lookback_days=3).collect()
+    }
+    # dense axis covers Jan 1..5 including the empty Jan 4 window gap
+    assert len(out) == 5
+    assert out["2024-01-01"] == (2, 1)
+    assert out["2024-01-02"] == (3, 2), "trailing 3d: both Jan1 events + Jan2"
+    assert out["2024-01-03"] == (3, 2)
+    assert out["2024-01-04"] == (1, 1), "only Jan 2 remains in window"
+    assert out["2024-01-05"] == (1, 1)
