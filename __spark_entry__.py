@@ -2100,6 +2100,44 @@ def _q_kql_ipv6_suite(spark, sf):
     )
 
 
+_GEO_POINTS = [
+    # (pid, lat, lon) — Wikipedia geohash vectors, origin, both poles, cities
+    (1, 57.64911, 10.40744), (2, 42.6, -5.6), (3, 0.0, 0.0),
+    (4, 90.0, 180.0), (5, -90.0, -180.0), (6, 48.8566, 2.3522),
+    (7, -33.8688, 151.2093), (8, 40.7128, -74.006), (9, 35.6762, 139.6503),
+    (10, -1.2921, 36.8219), (11, 19.4326, -99.1332), (12, 69.6496, 18.956),
+]
+
+
+def _q_kql_geo_suite(spark, sf):
+    """Geo scalars: geo_point_to_geohash (4- and 6-char), decode of the
+    COMPUTED hash (encode→decode roundtrip), haversine distance to Paris,
+    geo_point_in_circle. The oracle carries ground-truth hashes/centers
+    from an independent reference implementation (validated against the
+    public geohash test vectors), so the encoder is checked against truth,
+    not replayed."""
+    pts = kql.datatable(spark, "pid long, lat double, lon double", *_GEO_POINTS)
+    gh6 = kql.geo_point_to_geohash("lon", "lat", 6)
+    center = kql.geo_geohash_to_central_point(kql.geo_point_to_geohash("lon", "lat", 6))
+    return pts.select(
+        "pid",
+        kql.geo_point_to_geohash("lon", "lat", 4).alias("gh4"),
+        gh6.alias("gh6"),
+        center["lon"].alias("center_lon"),
+        center["lat"].alias("center_lat"),
+        F.round(
+            kql.geo_distance_2points(
+                F.col("lon"), F.col("lat"), F.lit(2.3522), F.lit(48.8566)
+            )
+            / 1000.0,
+            3,
+        ).alias("dist_paris_km"),
+        kql.geo_point_in_circle("lon", "lat", 2.3522, 48.8566, 2_000_000.0).alias(
+            "in_2000km"
+        ),
+    )
+
+
 def _q_kql_graph_match(spark, sf):
     """make-graph + graph-match: the V-pattern (c1)-[buys]->(s)<-[buys]-(c2)
     over the customer->supplier purchase graph (orders x lineitem) — two
@@ -2382,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_scalar_suite5": _q_kql_scalar_suite5,
         "kql_graph_match": _q_kql_graph_match,
         "kql_ipv6_suite": _q_kql_ipv6_suite,
+        "kql_geo_suite": _q_kql_geo_suite,
         "kql_top_nested_others": _q_kql_top_nested_others,
         "kql_datetime_suite": _q_kql_datetime_suite,
         "kql_binary_agg": _q_kql_binary_agg,
@@ -3268,6 +3307,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a AS user_id, t1 AS step1_ts, t2 AS step2_ts, t3 AS step3_ts, "
             "round((epoch_us(t3) - epoch_us(t1)) / 1000000.0, 6) AS span_s "
             "FROM s3 WHERE epoch_us(t3) - epoch_us(t1) <= 259200000000"
+        ),
+        "kql_geo_suite": (
+            # ground-truth hashes/centers from an independent reference
+            # implementation validated on the public geohash vectors;
+            # distance replays the haversine formula (suite3 pattern)
+            "WITH t(pid, lat, lon, gh4, gh6, clon, clat) AS (VALUES (1, 57.64911, 10.40744, 'u4pr', 'u4pruy', 10.4095458984375, 57.64801025390625), (2, 42.6, -5.6, 'ezs4', 'ezs42e', -5.5975341796875, 42.60223388671875), (3, 0.0, 0.0, 's000', 's00000', 0.0054931640625, 0.00274658203125), (4, 90.0, 180.0, 'zzzz', 'zzzzzz', 179.9945068359375, 89.99725341796875), (5, -90.0, -180.0, '0000', '000000', -179.9945068359375, -89.99725341796875), (6, 48.8566, 2.3522, 'u09t', 'u09tvw', 2.3565673828125, 48.85894775390625), (7, -33.8688, 151.2093, 'r3gx', 'r3gx2f', 151.2103271484375, -33.86810302734375), (8, 40.7128, -74.006, 'dr5r', 'dr5reg', -74.0093994140625, 40.71258544921875), (9, 35.6762, 139.6503, 'xn76', 'xn76cy', 139.6527099609375, 35.67535400390625), (10, -1.2921, 36.8219, 'kzf0', 'kzf0tu', 36.8206787109375, -1.29364013671875), (11, 19.4326, -99.1332, '9g3w', '9g3w81', -99.1351318359375, 19.43206787109375), (12, 69.6496, 18.956, 'ukmk', 'ukmkpr', 18.9569091796875, 69.65057373046875)) "
+            "SELECT CAST(pid AS BIGINT) AS pid, gh4, gh6, "
+            "clon AS center_lon, clat AS center_lat, "
+            "round(2 * 6371009.0 * asin(sqrt("
+            "pow(sin((radians(48.8566) - radians(lat)) / 2), 2) "
+            "+ cos(radians(lat)) * cos(radians(48.8566)) "
+            "* pow(sin((radians(2.3522) - radians(lon)) / 2), 2)"
+            ")) / 1000.0, 3) AS dist_paris_km, "
+            "2 * 6371009.0 * asin(sqrt("
+            "pow(sin((radians(48.8566) - radians(lat)) / 2), 2) "
+            "+ cos(radians(lat)) * cos(radians(48.8566)) "
+            "* pow(sin((radians(2.3522) - radians(lon)) / 2), 2)"
+            ")) <= 2000000.0 AS in_2000km "
+            "FROM t"
         ),
         "kql_ipv6_suite": (
             # predicts canonical forms from the generation rule (ground

@@ -3102,3 +3102,152 @@ def series_abs(col: Column | str) -> Column:
 def series_sign(col: Column | str) -> Column:
     """KQL ``series_sign`` — element-wise sign (−1.0 / 0.0 / 1.0)."""
     return F.transform(_c(col), lambda x: F.signum(x.cast("double")))
+
+
+# ---- geo scalars (geohash + containment; geo_distance_2points above) ----
+
+#: standard geohash base-32 alphabet (no a/i/l/o)
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _numc(v) -> Column:
+    """Column | name | numeric literal → Column, PRESERVING the numeric
+    type (``_lit_or_col`` casts to long — right for the bitwise scalars,
+    silently truncating for coordinates)."""
+    return F.lit(v) if isinstance(v, (int, float)) else _c(v)
+
+
+def geo_point_in_circle(
+    lon: Column | str,
+    lat: Column | str,
+    center_lon: float,
+    center_lat: float,
+    radius_m: float,
+) -> Column:
+    """KQL ``geo_point_in_circle(lon, lat, clon, clat, r)`` — true when the
+    point lies within ``radius_m`` meters of the center (haversine, the
+    same great-circle formula as ``geo_distance_2points``, so the
+    containment test is exactly ``distance <= r`` under one float path).
+    """
+    d = geo_distance_2points(
+        _numc(lon), _numc(lat), F.lit(center_lon), F.lit(center_lat)
+    )
+    return d <= F.lit(float(radius_m))
+
+
+def _geohash_fold(lon: Column, lat: Column, bits: Column) -> Column:
+    """Shared interval-halving fold: given a bit-source array (encode: one
+    slot per output bit, value ignored; decode: the actual bits), walk the
+    lat/lon interval halving and return the final struct
+    (lalo, lahi, lolo, lohi, chs) where ``chs`` is the array of base-32
+    character VALUES accumulated 5 bits at a time. Even global bit
+    positions split longitude, odd split latitude — the geohash
+    interleave.
+
+    ⚠ The char values are folded INSIDE the aggregate (not mapped from a
+    bits array afterwards) on purpose: referencing a lambda-bearing
+    expression from inside another HOF lambda miscompiles (nested
+    NamedLambdaVariable capture — observed wrong slices), so the result
+    struct must only ever be consumed OUTSIDE lambda bodies or as a HOF
+    *argument*."""
+    init = F.struct(
+        F.lit(-90.0).alias("lalo"),
+        F.lit(90.0).alias("lahi"),
+        F.lit(-180.0).alias("lolo"),
+        F.lit(180.0).alias("lohi"),
+        F.array().cast("array<int>").alias("chs"),
+    )
+
+    def step(acc: Column, item: Column) -> Column:
+        i = item["i"]
+        is_lon = i % 2 == 0
+        lo = F.when(is_lon, acc["lolo"]).otherwise(acc["lalo"])
+        hi = F.when(is_lon, acc["lohi"]).otherwise(acc["lahi"])
+        mid = (lo + hi) / F.lit(2.0)
+        # encode: derive the bit from the coordinate; decode: use the
+        # supplied bit (item.b >= 0 marks decode mode)
+        b = F.when(
+            item["b"] >= 0, item["b"] == 1
+        ).otherwise(F.when(is_lon, lon >= mid).otherwise(lat >= mid))
+        new_lo = F.when(b, mid).otherwise(lo)
+        new_hi = F.when(b, hi).otherwise(mid)
+        bit = b.cast("int")
+        chs = F.when(
+            i % 5 == 0, F.concat(acc["chs"], F.array(bit))
+        ).otherwise(
+            F.concat(
+                F.slice(acc["chs"], 1, F.size(acc["chs"]) - 1),
+                F.array(F.element_at(acc["chs"], -1) * 2 + bit),
+            )
+        )
+        return F.struct(
+            F.when(is_lon, acc["lalo"]).otherwise(new_lo).alias("lalo"),
+            F.when(is_lon, acc["lahi"]).otherwise(new_hi).alias("lahi"),
+            F.when(is_lon, new_lo).otherwise(acc["lolo"]).alias("lolo"),
+            F.when(is_lon, new_hi).otherwise(acc["lohi"]).alias("lohi"),
+            chs.alias("chs"),
+        )
+
+    items = F.transform(
+        bits, lambda b, i: F.struct(i.alias("i"), b.alias("b"))
+    )
+    return F.aggregate(items, init, step)
+
+
+def geo_point_to_geohash(
+    lon: Column | str, lat: Column | str, precision: int = 5
+) -> Column:
+    """KQL ``geo_point_to_geohash(longitude, latitude, accuracy)`` — the
+    standard interleaved base-32 geohash, computed as ONE interval-halving
+    left fold over the 5·precision bit positions (codegen, no UDF). Each
+    5-bit group maps through the geohash alphabet. NULL for out-of-range
+    coordinates (KQL returns empty; NULL is the engine-portable form).
+    """
+    lonc, latc = _numc(lon).cast("double"), _numc(lat).cast("double")
+    nbits = 5 * precision
+    placeholder = F.transform(
+        F.sequence(F.lit(1), F.lit(nbits)), lambda _: F.lit(-1)
+    )
+    folded = _geohash_fold(lonc, latc, placeholder)
+    b32 = F.split(F.lit(_GEOHASH32), "(?!^)")
+    # folded["chs"] is the HOF *argument* here, never inside a lambda body
+    # (see _geohash_fold's miscompilation warning)
+    chars = F.transform(folded["chs"], lambda v: F.element_at(b32, v + 1))
+    ok = (
+        latc.isNotNull()
+        & lonc.isNotNull()
+        & (latc >= -90)
+        & (latc <= 90)
+        & (lonc >= -180)
+        & (lonc <= 180)
+    )
+    return F.when(ok, F.array_join(chars, "")).otherwise(F.lit(None).cast("string"))
+
+
+def geo_geohash_to_central_point(gh: Column | str) -> Column:
+    """KQL ``geo_geohash_to_central_point(geohash)`` — decode a geohash to
+    the center of its cell; returns ``struct(lon double, lat double)``
+    (KQL returns a GeoJSON dynamic; the struct is the typed Spark form —
+    read ``.lon`` / ``.lat``). Same interval-halving fold as the encoder,
+    driven by the hash's bits; NULL for malformed input (bad alphabet
+    chars or empty).
+    """
+    c = _c(gh)
+    chars = F.filter(F.split(F.lower(c), "(?!^)"), lambda x: x != "")
+    b32 = F.split(F.lit(_GEOHASH32), "(?!^)")
+    vals = F.transform(chars, lambda ch: (F.array_position(b32, ch) - 1).cast("int"))
+    valid = (F.size(chars) > 0) & F.forall(vals, lambda v: v >= 0)
+    bits = F.flatten(
+        F.transform(
+            vals,
+            lambda v: F.array(
+                *[F.shiftright(v, k).bitwiseAND(F.lit(1)) for k in (4, 3, 2, 1, 0)]
+            ),
+        )
+    )
+    folded = _geohash_fold(F.lit(0.0), F.lit(0.0), bits)
+    center = F.struct(
+        ((folded["lolo"] + folded["lohi"]) / F.lit(2.0)).alias("lon"),
+        ((folded["lalo"] + folded["lahi"]) / F.lit(2.0)).alias("lat"),
+    )
+    return F.when(valid, center)

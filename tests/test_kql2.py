@@ -882,3 +882,24 @@ def test_series_arith_elementwise(spark):
     assert row.s == [6.0, 9.0]
     assert row.d[0] == 2.0 and row.d[1] is None, "0 denominator -> NULL"
     assert row.sg == [-1.0, -1.0]
+
+
+def test_geohash_known_vectors(spark):
+    df = spark.sql("SELECT 57.64911d AS lat, 10.40744d AS lon")
+    r = df.select(
+        kql.geo_point_to_geohash("lon", "lat", 11).alias("gh"),
+        kql.geo_point_to_geohash(F.lit(-5.6), F.lit(42.6), 5).alias("gh2"),
+        kql.geo_geohash_to_central_point(F.lit("ezs42")).alias("c"),
+        kql.geo_point_to_geohash(F.lit(200.0), F.lit(0.0), 5).alias("bad_lon"),
+        kql.geo_geohash_to_central_point(F.lit("ari")).alias("bad_alpha"),
+        kql.geo_point_in_circle(F.lit(2.36), F.lit(48.86), 2.3522, 48.8566, 1000.0).alias("near"),
+        kql.geo_point_in_circle(F.lit(10.0), F.lit(48.86), 2.3522, 48.8566, 1000.0).alias("far"),
+    ).first()
+    # Wikipedia geohash test vectors
+    assert r.gh == "u4pruydqqvj"
+    assert r.gh2 == "ezs42"
+    assert abs(r.c.lat - 42.60498046875) < 1e-12
+    assert abs(r.c.lon + 5.60302734375) < 1e-12
+    assert r.bad_lon is None, "out-of-range lon -> NULL"
+    assert r.bad_alpha is None, "'a' not in the geohash alphabet -> NULL"
+    assert r.near is True and r.far is False
