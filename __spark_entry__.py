@@ -2109,6 +2109,26 @@ _GEO_POINTS = [
 ]
 
 
+def _q_kql_xml_suite(spark, sf):
+    """parse_xml as xpath extraction: attribute, text leaf, repeated
+    elements, missing path, and a non-XML input nulled by the guard. The
+    oracle PREDICTS every extraction from the XML generation rule."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 400)
+    eid = F.col("event_id")
+    x = F.format_string(
+        '<ev id="%d"><type>%s</type><v>%d</v><v>%d</v></ev>',
+        eid, F.col("event_type"), eid % 10, (eid * 3) % 10,
+    )
+    return e.select(
+        "event_id",
+        kql.parse_xml_long(x, "/ev/@id").alias("xid"),
+        kql.parse_xml_string(x, "/ev/type").alias("xtype"),
+        F.array_join(kql.parse_xml_list(x, "/ev/v/text()"), ",").alias("vals"),
+        kql.parse_xml_string(x, "/ev/missing").alias("miss"),
+        kql.parse_xml_string(F.lit("plain text"), "/ev").alias("not_xml"),
+    )
+
+
 def _q_kql_geo_suite(spark, sf):
     """Geo scalars: geo_point_to_geohash (4- and 6-char), decode of the
     COMPUTED hash (encode→decode roundtrip), haversine distance to Paris,
@@ -2421,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_graph_match": _q_kql_graph_match,
         "kql_ipv6_suite": _q_kql_ipv6_suite,
         "kql_geo_suite": _q_kql_geo_suite,
+        "kql_xml_suite": _q_kql_xml_suite,
         "kql_top_nested_others": _q_kql_top_nested_others,
         "kql_datetime_suite": _q_kql_datetime_suite,
         "kql_binary_agg": _q_kql_binary_agg,
@@ -3307,6 +3328,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a AS user_id, t1 AS step1_ts, t2 AS step2_ts, t3 AS step3_ts, "
             "round((epoch_us(t3) - epoch_us(t1)) / 1000000.0, 6) AS span_s "
             "FROM s3 WHERE epoch_us(t3) - epoch_us(t1) <= 259200000000"
+        ),
+        "kql_xml_suite": (
+            # predicts the xpath results from the generation rule
+            "SELECT event_id, event_id AS xid, event_type AS xtype, "
+            "concat(CAST(event_id % 10 AS VARCHAR), ',', "
+            "CAST((event_id * 3) % 10 AS VARCHAR)) AS vals, "
+            "'' AS miss, CAST(NULL AS VARCHAR) AS not_xml "
+            "FROM events WHERE event_id < 400"
         ),
         "kql_geo_suite": (
             # ground-truth hashes/centers from an independent reference

@@ -3251,3 +3251,38 @@ def geo_geohash_to_central_point(gh: Column | str) -> Column:
         ((folded["lalo"] + folded["lahi"]) / F.lit(2.0)).alias("lat"),
     )
     return F.when(valid, center)
+
+
+# ---- parse_xml (xpath extraction form) ----
+
+
+def _xml_ok(c: Column) -> Column:
+    """Cheap well-formedness gate for the xpath scalars: input must start
+    with an XML tag. Hive's xpath UDFs THROW on malformed XML (KQL's
+    parse_xml returns null); this guard nulls the common garbage-input
+    case (non-XML strings, empty, NULL). Malformed XML past the first
+    byte still raises — documented divergence, the cost of staying on the
+    codegen'd built-in instead of a per-row Python XML parser."""
+    return c.isNotNull() & c.rlike(r"^\s*<")
+
+
+def parse_xml_string(xml: Column | str, path: str) -> Column:
+    """KQL ``parse_xml(x)`` + path access, string leaf — mapped to ONE
+    xpath extraction (`xpath_string`), the Spark-idiomatic form: the KQL
+    composition ``parse_xml(x).a.b`` never materializes the intermediate
+    dynamic, it compiles straight to the path query."""
+    c = _c(xml)
+    return F.when(_xml_ok(c), F.xpath_string(c, F.lit(path)))
+
+
+def parse_xml_long(xml: Column | str, path: str) -> Column:
+    """KQL ``tolong(parse_xml(x).…)`` — xpath_long, NULL-guarded."""
+    c = _c(xml)
+    return F.when(_xml_ok(c), F.xpath_long(c, F.lit(path)))
+
+
+def parse_xml_list(xml: Column | str, path: str) -> Column:
+    """KQL ``parse_xml`` array access — all matches of ``path`` as
+    ``array<string>`` (use ``…/text()`` for element text)."""
+    c = _c(xml)
+    return F.when(_xml_ok(c), F.xpath(c, F.lit(path)))

@@ -903,3 +903,22 @@ def test_geohash_known_vectors(spark):
     assert r.bad_lon is None, "out-of-range lon -> NULL"
     assert r.bad_alpha is None, "'a' not in the geohash alphabet -> NULL"
     assert r.near is True and r.far is False
+
+
+def test_parse_xml_xpath_forms(spark):
+    df = spark.sql(
+        """SELECT '<r a="5"><i>x</i><i>y</i></r>' AS x, 'nope' AS bad"""
+    )
+    r = df.select(
+        kql.parse_xml_long("x", "/r/@a").alias("a"),
+        kql.parse_xml_string("x", "/r/i").alias("first_i"),
+        kql.parse_xml_list("x", "/r/i/text()").alias("all_i"),
+        kql.parse_xml_string("x", "/r/none").alias("miss"),
+        kql.parse_xml_string("bad", "/r").alias("guarded"),
+        kql.parse_xml_string(F.lit(None).cast("string"), "/r").alias("null_in"),
+    ).first()
+    assert r.a == 5
+    assert r.first_i == "x"
+    assert r.all_i == ["x", "y"]
+    assert r.miss == ""
+    assert r.guarded is None and r.null_in is None
