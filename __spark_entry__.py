@@ -2109,6 +2109,22 @@ _GEO_POINTS = [
 ]
 
 
+def _q_kql_rows_near(spark, sf):
+    """rows_near — context rows around value>95 spikes, 2 before / 1
+    after, per event_type in (ts, event_id) order; one partitioned window
+    pass."""
+    e = load_table(spark, sf, "events")
+    out = kql.rows_near(
+        e,
+        F.col("value") > 95,
+        order=["ts", "event_id"],
+        by=["event_type"],
+        before=2,
+        after=1,
+    )
+    return out.select("event_id", "event_type", F.round("value", 4).alias("value"))
+
+
 def _q_kql_xml_suite(spark, sf):
     """parse_xml as xpath extraction: attribute, text leaf, repeated
     elements, missing path, and a non-XML input nulled by the guard. The
@@ -2442,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_ipv6_suite": _q_kql_ipv6_suite,
         "kql_geo_suite": _q_kql_geo_suite,
         "kql_xml_suite": _q_kql_xml_suite,
+        "kql_rows_near": _q_kql_rows_near,
         "kql_top_nested_others": _q_kql_top_nested_others,
         "kql_datetime_suite": _q_kql_datetime_suite,
         "kql_binary_agg": _q_kql_binary_agg,
@@ -3328,6 +3345,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a AS user_id, t1 AS step1_ts, t2 AS step2_ts, t3 AS step3_ts, "
             "round((epoch_us(t3) - epoch_us(t1)) / 1000000.0, 6) AS span_s "
             "FROM s3 WHERE epoch_us(t3) - epoch_us(t1) <= 259200000000"
+        ),
+        "kql_rows_near": (
+            "SELECT event_id, event_type, round(CAST(value AS DOUBLE), 4) AS value "
+            "FROM (SELECT event_id, event_type, value, "
+            "max(CASE WHEN CAST(value AS DOUBLE) > 95 THEN 1 ELSE 0 END) OVER "
+            "(PARTITION BY event_type ORDER BY ts, event_id "
+            "ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS keep "
+            "FROM events) WHERE keep = 1"
         ),
         "kql_xml_suite": (
             # predicts the xpath results from the generation rule

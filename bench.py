@@ -63,6 +63,8 @@ HEADLINE = [
     "text_lm_score",
     "dedup_minhash_incremental",
     "kql_graph_match",
+    "text_bm25",
+    "activity_sliding_counts",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

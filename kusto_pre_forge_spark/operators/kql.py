@@ -1145,6 +1145,35 @@ def row_cumsum(
     return with_seg.withColumn(out_name, F.sum(_c(col)).over(w2)).drop("_kpf_seg")
 
 
+def rows_near(
+    df: DataFrame,
+    condition: Column,
+    order: Sequence[Column | str],
+    by: Sequence[str] = (),
+    before: int = 1,
+    after: int | None = None,
+) -> DataFrame:
+    """KQL ``rows_near(Condition, NumRows[, RowsAfter])`` — keep every row
+    within ``before`` rows before / ``after`` rows after (default: same as
+    ``before``) a row matching ``condition``, in the serialized order.
+    The standard "show me context around the error line" operator.
+
+    One window pass: a row is kept iff ``max(match)`` over the frame
+    [-after, +before] is 1 (a match at j covers j−before .. j+after, so
+    row i looks back ``after`` and forward ``before``). Same scale
+    contract as ``serialize_rows``: pass ``by`` to partition the window;
+    the unkeyed form is the inherently-sequential KQL serialize."""
+    a = before if after is None else after
+    cols = [_c(c) for c in order]
+    w = (Window.partitionBy(*by) if by else Window.partitionBy()).orderBy(*cols)
+    match = F.when(condition, 1).otherwise(0)
+    keep = F.max(match).over(w.rowsBetween(-a, before)) == 1
+    # window functions can't sit in a WHERE clause — project then filter
+    return df.withColumn("_kpf_keep", keep).filter(F.col("_kpf_keep")).drop(
+        "_kpf_keep"
+    )
+
+
 def scan_accumulate(
     df: DataFrame,
     by: Sequence[str],

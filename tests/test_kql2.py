@@ -922,3 +922,24 @@ def test_parse_xml_xpath_forms(spark):
     assert r.all_i == ["x", "y"]
     assert r.miss == ""
     assert r.guarded is None and r.null_in is None
+
+
+def test_rows_near_context_window(spark):
+    df = spark.createDataFrame(
+        [(i, "a", 100.0 if i == 5 else 1.0) for i in range(10)],
+        "i long, g string, v double",
+    )
+    out = sorted(
+        r.i
+        for r in kql.rows_near(
+            df, F.col("v") > 50, order=["i"], by=["g"], before=2, after=1
+        ).collect()
+    )
+    # match at i=5 keeps [5-2, 5+1] = 3..6
+    assert out == [3, 4, 5, 6]
+    # unkeyed serialize form still works (small data)
+    out2 = sorted(
+        r.i
+        for r in kql.rows_near(df, F.col("v") > 50, order=["i"], before=0, after=2).collect()
+    )
+    assert out2 == [5, 6, 7]
