@@ -2109,6 +2109,33 @@ _GEO_POINTS = [
 ]
 
 
+def _q_kql_ipv4_suite2(spark, sf):
+    """IPv4 scalars round 2: ipv4_compare, ipv4_is_match at /24 and /16,
+    ipv4_netmask_suffix (default 32, malformed → null). IPs synthesized
+    from event_id; the oracle predicts every value from the rule."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 500)
+    eid = F.col("event_id")
+    y = F.floor(eid / 256) % 256
+    ip_a = F.when(eid % 7 == 0, F.lit("bad")).otherwise(
+        F.concat_ws(".", F.lit("10"), eid % 256, y, F.lit("0"))
+    )
+    ip_b = F.concat_ws(".", F.lit("10"), eid % 256, F.lit("0"), F.lit("0"))
+    cidr = F.when(eid % 2 == 0, ip_a).otherwise(
+        F.concat(ip_a, F.lit("/"), (eid % 40).cast("string"))
+    )
+
+    def b2s(c):
+        return F.coalesce(c.cast("string"), F.lit("null"))
+
+    return e.select(
+        "event_id",
+        F.coalesce(kql.ipv4_compare(ip_a, ip_b).cast("long"), F.lit(-99)).alias("cmp_ab"),
+        b2s(kql.ipv4_is_match(ip_a, ip_b, 24)).alias("m24"),
+        b2s(kql.ipv4_is_match(ip_a, ip_b, 16)).alias("m16"),
+        F.coalesce(kql.ipv4_netmask_suffix(cidr), F.lit(-99)).alias("sfx"),
+    )
+
+
 def _q_kql_rows_near(spark, sf):
     """rows_near — context rows around value>95 spikes, 2 before / 1
     after, per event_type in (ts, event_id) order; one partitioned window
@@ -2459,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_geo_suite": _q_kql_geo_suite,
         "kql_xml_suite": _q_kql_xml_suite,
         "kql_rows_near": _q_kql_rows_near,
+        "kql_ipv4_suite2": _q_kql_ipv4_suite2,
         "kql_top_nested_others": _q_kql_top_nested_others,
         "kql_datetime_suite": _q_kql_datetime_suite,
         "kql_binary_agg": _q_kql_binary_agg,
@@ -3345,6 +3373,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a AS user_id, t1 AS step1_ts, t2 AS step2_ts, t3 AS step3_ts, "
             "round((epoch_us(t3) - epoch_us(t1)) / 1000000.0, 6) AS span_s "
             "FROM s3 WHERE epoch_us(t3) - epoch_us(t1) <= 259200000000"
+        ),
+        "kql_ipv4_suite2": (
+            # predicts compare/match/suffix from the generation rule:
+            # A = 10.(id%256).(floor(id/256)%256).0 (or 'bad' when id%7=0),
+            # B = 10.(id%256).0.0
+            "SELECT event_id, "
+            "CAST(CASE WHEN event_id % 7 = 0 THEN -99 "
+            "WHEN (event_id // 256) % 256 > 0 THEN 1 ELSE 0 END AS BIGINT) AS cmp_ab, "
+            "CASE WHEN event_id % 7 = 0 THEN 'null' "
+            "WHEN (event_id // 256) % 256 = 0 THEN 'true' ELSE 'false' END AS m24, "
+            "CASE WHEN event_id % 7 = 0 THEN 'null' ELSE 'true' END AS m16, "
+            "CAST(CASE WHEN event_id % 7 = 0 THEN -99 "
+            "WHEN event_id % 2 = 0 THEN 32 "
+            "WHEN event_id % 40 <= 32 THEN event_id % 40 ELSE -99 END AS BIGINT) AS sfx "
+            "FROM events WHERE event_id < 500"
         ),
         "kql_rows_near": (
             "SELECT event_id, event_type, round(CAST(value AS DOUBLE), 4) AS value "

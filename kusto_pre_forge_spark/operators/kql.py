@@ -1688,6 +1688,45 @@ def ipv4_is_private(col: Column | str) -> Column:
     return F.when(v.isNull(), F.lit(None).cast("boolean")).otherwise(out)
 
 
+def ipv4_compare(a: Column | str, b: Column | str) -> Column:
+    """KQL ``ipv4_compare(ip1, ip2)`` — −1/0/1 on the numeric values,
+    null when either side is unparseable."""
+    va, vb = parse_ipv4(a), parse_ipv4(b)
+    cmp = F.when(va < vb, -1).when(va > vb, 1).otherwise(0)
+    return F.when(va.isNull() | vb.isNull(), F.lit(None).cast("int")).otherwise(
+        cmp.cast("int")
+    )
+
+
+def ipv4_is_match(a: Column | str, b: Column | str, prefix: int = 32) -> Column:
+    """KQL ``ipv4_is_match(ip1, ip2, prefix)`` — true when both addresses
+    share the leading ``prefix`` bits. Compiled to one shift-compare (the
+    mask is a Python-side constant); null if either side is unparseable."""
+    if not 0 <= prefix <= 32:
+        raise ValueError("prefix must be in [0, 32]")
+    va, vb = parse_ipv4(a), parse_ipv4(b)
+    shift = 32 - prefix
+    same = F.floor(va / F.lit(1 << shift)) == F.floor(vb / F.lit(1 << shift)) if shift else va == vb
+    return F.when(va.isNull() | vb.isNull(), F.lit(None).cast("boolean")).otherwise(
+        same
+    )
+
+
+def ipv4_netmask_suffix(col: Column | str) -> Column:
+    """KQL ``ipv4_netmask_suffix('a.b.c.d/nn')`` — the prefix length of a
+    CIDR string; 32 when no suffix is present (KQL's default); null for
+    malformed input (bad address, or suffix outside [0, 32])."""
+    c = _c(col)
+    addr = F.split(c, "/")[0]
+    has_suffix = c.contains("/")
+    sfx_str = F.split(c, "/")[1]
+    sfx_ok = sfx_str.rlike("^[0-9]{1,2}$") & (sfx_str.cast("int") <= 32)
+    sfx = F.when(~has_suffix, F.lit(32)).when(sfx_ok, sfx_str.cast("int"))
+    return F.when(
+        parse_ipv4(addr).isNotNull(), sfx.cast("long")
+    ).otherwise(F.lit(None).cast("long"))
+
+
 def parse_url_kql(col: Column | str) -> Column:
     """KQL ``parse_url`` — decompose a URL into a property bag. Emitted as
     a struct (Scheme, Host, Port, Path, Query String, Fragment) built from

@@ -943,3 +943,22 @@ def test_rows_near_context_window(spark):
         for r in kql.rows_near(df, F.col("v") > 50, order=["i"], before=0, after=2).collect()
     )
     assert out2 == [5, 6, 7]
+
+
+def test_ipv4_round2_scalars(spark):
+    df = spark.sql("SELECT 1 AS x")
+    r = df.select(
+        kql.ipv4_compare(F.lit("10.0.0.2"), F.lit("10.0.0.10")).alias("lt"),
+        kql.ipv4_compare(F.lit("10.0.0.2"), F.lit("10.0.0.2")).alias("eq"),
+        kql.ipv4_compare(F.lit("nope"), F.lit("10.0.0.2")).alias("bad"),
+        kql.ipv4_is_match(F.lit("10.1.2.3"), F.lit("10.1.2.200"), 24).alias("m24"),
+        kql.ipv4_is_match(F.lit("10.1.2.3"), F.lit("10.1.3.3"), 24).alias("n24"),
+        kql.ipv4_is_match(F.lit("1.2.3.4"), F.lit("200.2.3.4"), 0).alias("m0"),
+        kql.ipv4_netmask_suffix(F.lit("192.168.1.0/24")).alias("s24"),
+        kql.ipv4_netmask_suffix(F.lit("192.168.1.0")).alias("sdef"),
+        kql.ipv4_netmask_suffix(F.lit("192.168.1.0/40")).alias("sbad"),
+        kql.ipv4_netmask_suffix(F.lit("x/24")).alias("abad"),
+    ).first()
+    assert (r.lt, r.eq, r.bad) == (-1, 0, None)
+    assert (r.m24, r.n24, r.m0) == (True, False, True)
+    assert (r.s24, r.sdef, r.sbad, r.abad) == (24, 32, None, None)
