@@ -1315,6 +1315,25 @@ def _q_events_windowed(spark, sf):
     return windowed_event_counts(e, "ts", "1 hour", keys=["event_type"])
 
 
+def _q_events_session_window(spark, sf):
+    """Native session windows (F.session_window) in batch mode — the
+    streaming sessionizer's exact semantics (end = last event + gap,
+    half-open); value summed as decimal for engine-exact totals."""
+    from kusto_pre_forge_spark.streaming.windows import session_window_stats
+
+    e = load_table(spark, sf, "events").withColumn(
+        "value", F.col("value").cast("decimal(20,4)")
+    )
+    out = session_window_stats(e, "user_id", "ts", gap="30 minutes")
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
 def _q_events_hourly(spark, sf):
     e = load_table(spark, sf, "events")
     return (
@@ -2440,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "events_hourly": _q_events_hourly,
         "events_windowed": _q_events_windowed,
+        "events_session_window": _q_events_session_window,
         "asof_join": _q_asof_join,
         "range_join_bands": _q_range_join_bands,
         "rollup_multires": _q_rollup_multires,
@@ -3000,6 +3020,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, "
             "CAST(count(*) AS BIGINT) AS n, " + _sumd_sql("value", "sum_value") + " "
             "FROM events GROUP BY 1"
+        ),
+        "events_session_window": (
+            # replays session_window semantics: break when the gap to the
+            # previous event is >= 30 min (half-open window), end = last+gap
+            "WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, "
+            "CAST(value AS DECIMAL(20,4)) AS v FROM events), "
+            "l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM e), "
+            "m AS (SELECT *, CASE WHEN pts IS NULL "
+            "OR ts - pts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM l), "
+            "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+            "SELECT user_id, min(ts) AS session_start, "
+            "max(ts) + INTERVAL 30 MINUTE AS session_end, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(v) AS DOUBLE) AS total_value "
+            "FROM s GROUP BY user_id, sid"
         ),
         "events_windowed": (
             "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, "

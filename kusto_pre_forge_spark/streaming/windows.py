@@ -153,3 +153,44 @@ def streaming_dedup(
     return docs.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def session_window_stats(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time SESSION windows — the streaming form of the batch
+    ``sessionize`` operator: rows for one key belong to one session while
+    the gap between consecutive events stays under ``gap``; a quiet period
+    longer than the gap closes the session and (in streaming mode) the
+    watermark finalizes + evicts its state.
+
+    Built on ``F.session_window`` — Spark's native dynamic-gap session
+    aggregation — so session merging across micro-batches, late-row
+    handling, and state eviction are engine-managed instead of
+    hand-rolled ``applyInPandasWithState`` bookkeeping. Works on batch
+    DataFrames too (watermark no-op), which is how the unit test pins the
+    session boundaries exactly.
+
+    Returns (key, session_start, session_end, n_events, total_value).
+    """
+    src = _norm_ts(events, ts_col)
+    src = src.withWatermark(ts_col, watermark) if src.isStreaming else src
+    win = F.session_window(F.col(ts_col), gap)
+    return (
+        src.groupBy(win, F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -137,3 +137,51 @@ def test_streaming_dedup_drops_redelivery(spark, sf_smoke, tmp_path):
     got = spark.sql("SELECT event_id FROM dedup_out").collect()
     assert len(got) == 50
     assert len({r.event_id for r in got}) == 50
+
+
+def test_session_window_stats_batch_boundaries(spark):
+    from kusto_pre_forge_spark.streaming.windows import session_window_stats
+
+    rows = [
+        # key u1: two events 10 min apart (one session), then a 2h gap
+        (1, "2024-01-01 10:00:00", 5.0),
+        (1, "2024-01-01 10:10:00", 7.0),
+        (1, "2024-01-01 12:30:00", 1.0),
+        # key u2: single event
+        (2, "2024-01-01 09:00:00", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = sorted(
+        (r.user_id, str(r.session_start), r.n_events, r.total_value)
+        for r in session_window_stats(df, "user_id", "ts", gap="30 minutes").collect()
+    )
+    assert out == [
+        (1, "2024-01-01 10:00:00", 2, 12.0),
+        (1, "2024-01-01 12:30:00", 1, 1.0),
+        (2, "2024-01-01 09:00:00", 1, 2.0),
+    ]
+
+
+def test_session_window_stats_streaming(spark, sf_smoke, tmp_path):
+    from kusto_pre_forge_spark.streaming.windows import session_window_stats
+
+    ev = load_table(spark, sf_smoke, "events").select("user_id", "ts", "value")
+    land = tmp_path / "sess"
+    ev.coalesce(1).write.parquet(str(land / "w0"))
+    src = (
+        spark.readStream.schema(ev.schema).parquet(str(land / "*"))
+    )
+    q = (
+        session_window_stats(src, "user_id", "ts", gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM sess_out").first().n
+    want = session_window_stats(ev, "user_id", "ts", gap="30 minutes").count()
+    assert got == want and got > 0
