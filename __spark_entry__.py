@@ -2128,6 +2128,36 @@ _GEO_POINTS = [
 ]
 
 
+def _q_kql_scalar_suite6(spark, sf):
+    """Scalar batch 6: isfinite/isinf over injected ±inf/NaN, gettype
+    (static Catalyst type → KQL spelling, nulls at runtime), one-match
+    trim_start/trim_end, array_rotate_right, array_split. The oracle
+    predicts each value from the injection rule."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 400)
+    eid = F.col("event_id")
+    x = (
+        F.when(eid % 4 == 1, F.lit(float("inf")))
+        .when(eid % 4 == 2, F.lit(float("-inf")))
+        .when(eid % 4 == 3, F.lit(float("nan")))
+        .otherwise(F.col("value"))
+    )
+    arr = F.array(eid % 5, eid % 7, eid % 3, eid % 11)
+    return e.select(
+        "event_id",
+        kql.isfinite(x).alias("fin"),
+        kql.isinf(x).alias("inf_"),
+        kql.gettype("value").alias("t_value"),
+        kql.gettype("event_type").alias("t_type"),
+        kql.trim_start("[cv]", "event_type").alias("ts_"),
+        kql.trim_end("[ew]", "event_type").alias("te_"),
+        F.array_join(kql.array_rotate_right(arr, 2), ",").alias("rot"),
+        F.array_join(
+            F.transform(kql.array_split(arr, [2]), lambda s: F.array_join(s, ",")),
+            "|",
+        ).alias("split2"),
+    )
+
+
 def _q_kql_ipv4_suite2(spark, sf):
     """IPv4 scalars round 2: ipv4_compare, ipv4_is_match at /24 and /16,
     ipv4_netmask_suffix (default 32, malformed → null). IPs synthesized
@@ -2507,6 +2537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_xml_suite": _q_kql_xml_suite,
         "kql_rows_near": _q_kql_rows_near,
         "kql_ipv4_suite2": _q_kql_ipv4_suite2,
+        "kql_scalar_suite6": _q_kql_scalar_suite6,
         "kql_top_nested_others": _q_kql_top_nested_others,
         "kql_datetime_suite": _q_kql_datetime_suite,
         "kql_binary_agg": _q_kql_binary_agg,
@@ -3409,6 +3440,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a AS user_id, t1 AS step1_ts, t2 AS step2_ts, t3 AS step3_ts, "
             "round((epoch_us(t3) - epoch_us(t1)) / 1000000.0, 6) AS span_s "
             "FROM s3 WHERE epoch_us(t3) - epoch_us(t1) <= 259200000000"
+        ),
+        "kql_scalar_suite6": (
+            # predicts from the injection rule: id%4 = 1/2 -> ±inf,
+            # 3 -> NaN, 0 -> the raw value (finite or null)
+            "SELECT event_id, "
+            "CASE WHEN event_id % 4 = 0 THEN value IS NOT NULL ELSE false END AS fin, "
+            "event_id % 4 IN (1, 2) AS inf_, "
+            "CASE WHEN value IS NULL THEN 'null' ELSE 'real' END AS t_value, "
+            "CASE WHEN event_type IS NULL THEN 'null' ELSE 'string' END AS t_type, "
+            "regexp_replace(event_type, '^(?:[cv])', '') AS ts_, "
+            "regexp_replace(event_type, '(?:[ew])$', '') AS te_, "
+            "concat_ws(',', event_id % 3, event_id % 11, event_id % 5, event_id % 7) AS rot, "
+            "concat(concat_ws(',', event_id % 5, event_id % 7), '|', "
+            "concat_ws(',', event_id % 3, event_id % 11)) AS split2 "
+            "FROM events WHERE event_id < 400"
         ),
         "kql_ipv4_suite2": (
             # predicts compare/match/suffix from the generation rule:

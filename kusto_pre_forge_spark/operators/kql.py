@@ -3354,3 +3354,94 @@ def parse_xml_list(xml: Column | str, path: str) -> Column:
     ``array<string>`` (use ``…/text()`` for element text)."""
     c = _c(xml)
     return F.when(_xml_ok(c), F.xpath(c, F.lit(path)))
+
+
+# ---- scalar batch 6: type/float introspection, trim sides, array splits ----
+
+
+def isfinite(col: Column | str) -> Column:
+    """KQL ``isfinite`` — real and neither NaN nor ±inf; null input → false
+    (KQL semantics: null is not finite)."""
+    c = _c(col).cast("double")
+    return c.isNotNull() & ~F.isnan(c) & (c != F.lit(float("inf"))) & (
+        c != F.lit(float("-inf"))
+    )
+
+
+def isinf(col: Column | str) -> Column:
+    """KQL ``isinf`` — ±infinity (false for NaN/null)."""
+    c = _c(col).cast("double")
+    return c.isNotNull() & (
+        (c == F.lit(float("inf"))) | (c == F.lit(float("-inf")))
+    )
+
+
+def gettype(col: str) -> Column:
+    """KQL ``gettype`` — the value's runtime type name as KQL spells it.
+    Spark columns are statically typed, so the static Catalyst type (via
+    SQL ``typeof``) is remapped to the KQL spelling with one bounded CASE
+    chain; runtime nulls report ``null`` as KQL does. Takes the column
+    NAME (the typeof expression is resolved against the schema)."""
+    _KQL_TYPE = {
+        "bigint": "long", "int": "long", "smallint": "long", "tinyint": "long",
+        "double": "real", "float": "real", "string": "string",
+        "boolean": "bool", "timestamp": "datetime", "date": "datetime",
+        "binary": "blob",
+    }
+    t = F.expr(f"typeof({col})")
+    out = t
+    for spark_name, kql_name in sorted(_KQL_TYPE.items()):
+        out = F.when(t == spark_name, F.lit(kql_name)).otherwise(out)
+    out = F.when(t.startswith("decimal"), F.lit("decimal")).otherwise(out)
+    out = F.when(
+        t.startswith("array") | t.startswith("map") | t.startswith("struct"),
+        F.lit("dynamic"),
+    ).otherwise(out)
+    return F.when(F.col(col).isNull(), F.lit("null")).otherwise(out)
+
+
+def trim_start(pattern: str, col: Column | str) -> Column:
+    """KQL ``trim_start(regex, s)`` — strip ONE leading match."""
+    return F.regexp_replace(_c(col), f"^(?:{pattern})", "")
+
+
+def trim_end(pattern: str, col: Column | str) -> Column:
+    """KQL ``trim_end(regex, s)`` — strip ONE trailing match."""
+    return F.regexp_replace(_c(col), f"(?:{pattern})$", "")
+
+
+def array_rotate_right(col: Column | str, n: int) -> Column:
+    """KQL ``array_rotate_right`` — rotate by n (negative rotates left;
+    any magnitude normalizes mod the array length; empty arrays pass
+    through)."""
+    c = _c(col)
+    sz = F.size(c)
+    k = ((F.lit(int(n)) % sz) + sz) % sz  # normalized right-rotation
+    j = (sz - k) % sz  # equivalent left-rotation
+    return F.when(sz <= 0, c).otherwise(
+        F.concat(F.slice(c, j + 1, sz - j), F.slice(c, 1, j))
+    )
+
+
+def array_split(col: Column | str, indices: list[int]) -> Column:
+    """KQL ``array_split(arr, indices)`` — split into consecutive slices at
+    the given 0-based indices. Out-of-range indices clamp; returns
+    array<array<element>>. Indices are a Python literal list, so the
+    bounds build WITHOUT nested HOFs (a lambda-bearing bounds expression
+    referenced inside the slicing lambda miscompiles — see
+    ``_geohash_fold``)."""
+    c = _c(col)
+    n = F.size(c)
+    bounds = F.array(
+        F.lit(0),
+        *[F.greatest(F.least(F.lit(int(i)), n), F.lit(0)) for i in indices],
+        n,
+    )
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(len(indices) + 1)),
+        lambda j: F.slice(
+            c,
+            F.element_at(bounds, j) + 1,
+            F.element_at(bounds, j + 1) - F.element_at(bounds, j),
+        ),
+    )

@@ -962,3 +962,30 @@ def test_ipv4_round2_scalars(spark):
     assert (r.lt, r.eq, r.bad) == (-1, 0, None)
     assert (r.m24, r.n24, r.m0) == (True, False, True)
     assert (r.s24, r.sdef, r.sbad, r.abad) == (24, 32, None, None)
+
+
+def test_scalar_suite6_semantics(spark):
+    df = spark.sql(
+        "SELECT CAST('inf' AS DOUBLE) AS i, CAST('nan' AS DOUBLE) AS n, "
+        "1.5d AS d, CAST(NULL AS DOUBLE) AS z, array(1, 2, 3, 4, 5) AS a, "
+        "'  pad  ' AS s"
+    )
+    r = df.select(
+        kql.isfinite("d").alias("fd"), kql.isfinite("i").alias("fi"),
+        kql.isfinite("n").alias("fn"), kql.isfinite("z").alias("fz"),
+        kql.isinf("i").alias("ii"), kql.isinf("n").alias("inn"),
+        kql.gettype("d").alias("td"), kql.gettype("a").alias("ta"),
+        kql.gettype("z").alias("tz"),
+        kql.trim_start(r"\s+", "s").alias("t1"),
+        kql.trim_end(r"\s+", "s").alias("t2"),
+        kql.array_rotate_right("a", 7).alias("r7"),
+        kql.array_rotate_right("a", -1).alias("rm1"),
+        kql.array_split("a", [0, 5]).alias("edges"),
+    ).first()
+    assert (r.fd, r.fi, r.fn, r.fz) == (True, False, False, False)
+    assert (r.ii, r.inn) == (True, False)
+    assert (r.td, r.ta, r.tz) == ("real", "dynamic", "null")
+    assert (r.t1, r.t2) == ("pad  ", "  pad")
+    assert r.r7 == [4, 5, 1, 2, 3], "rotation normalizes mod length"
+    assert r.rm1 == [2, 3, 4, 5, 1], "negative rotates left"
+    assert r.edges == [[], [1, 2, 3, 4, 5], []]
