@@ -1921,6 +1921,45 @@ def _q_multimodal_frames(spark, sf):
     return multimodal.sample_frames(blobs, id_col="doc_id", every_n=4, fake=True)
 
 
+def _q_multimodal_image_dhash(spark, sf):
+    """Perceptual dHash over REAL decoded PNGs. Fixture images are built
+    so the hash is analytically predictable: even docs get a strictly
+    increasing horizontal gradient (every left<right bit set → hash −1 as
+    a signed long), odd docs a constant fill (no bit set → 0) — the
+    oracle checks the decode→grayscale→resize→hash pipeline against
+    ground truth, not a replay."""
+    from kusto_pre_forge_spark.operators import multimodal
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id")
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        from kusto_pre_forge_spark.operators import mediacodec
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 18, 8
+                if i % 2 == 0:
+                    row = bytes(x * 14 for x in range(w))
+                else:
+                    row = bytes([(i * 17) % 256]) * w
+                blobs.append(mediacodec.encode_png(w, h, row * h, 1))
+                ids.append(i)
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    return multimodal.image_dhash(blobs).select(
+        "doc_id", "dhash", "width", "height"
+    )
+
+
 def _q_multimodal_real_meta(spark, sf):
     """REAL media metadata with zero codec dependencies: fabricate genuine
     PNG, PCM-WAV, and ISO-BMFF/MP4 files per doc (mediacodec.encode_*),
@@ -2588,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_real_meta": _q_multimodal_real_meta,
+        "multimodal_image_dhash": _q_multimodal_image_dhash,
     }
 
 
@@ -4418,6 +4458,14 @@ def oracle_sql() -> dict[str, str]:
             "f AS (SELECT doc_id, text, unnest(range(0, nf, 4)) AS fi FROM t) "
             "SELECT doc_id, CAST(fi AS INT) AS frame_index, "
             "sha256(substring(text, CAST(fi * 32 + 1 AS BIGINT), 32)) AS frame_sha FROM f"
+        ),
+        "multimodal_image_dhash": (
+            # ground truth from the fixture rule: gradient -> all 64 bits
+            # set (signed -1), constant fill -> 0; true 18x8 dimensions
+            "SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE 0 END AS BIGINT) AS dhash, "
+            "CAST(18 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height "
+            "FROM documents WHERE doc_id < 80"
         ),
         "multimodal_real_meta": (
             # predicts the true container-header fields the Spark side

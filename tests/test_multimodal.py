@@ -226,3 +226,30 @@ def test_mp4_version1_boxes():
     )
     got = mc.parse_mp4_header(blob)
     assert got["duration_s"] == 3.0 and (got["width"], got["height"]) == (320, 240)
+
+
+def test_image_dhash_real_pixels(spark):
+    """dHash distinguishes real pixel content and survives re-encode."""
+    from kusto_pre_forge_spark.operators import mediacodec, multimodal
+
+    w, h = 18, 8
+    grad = bytes(x * 14 for x in range(w)) * h
+    flat = bytes([128]) * (w * h)
+    # near-dup of the gradient: one pixel nudged (hash should stay close)
+    nudged = bytearray(grad)
+    nudged[5] = max(0, nudged[5] - 3)
+    rows = [
+        (1, mediacodec.encode_png(w, h, grad, 1)),
+        (2, mediacodec.encode_png(w, h, flat, 1)),
+        (3, mediacodec.encode_png(w, h, bytes(nudged), 1)),
+        (4, b"not a png"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = {r.doc_id: r for r in multimodal.image_dhash(df).collect()}
+    assert out[1].dhash == -1, "strict gradient -> all 64 bits set"
+    assert out[2].dhash == 0, "constant image -> no bits set"
+    assert out[4].dhash is None, "non-PNG -> NULL hash"
+    # near-dup: hamming distance between 1 and 3 stays tiny
+    ham = bin((out[1].dhash ^ out[3].dhash) & (2**64 - 1)).count("1")
+    assert ham <= 2
+    assert (out[1].width, out[1].height) == (w, h)
