@@ -1960,6 +1960,43 @@ def _q_multimodal_image_dhash(spark, sf):
     )
 
 
+def _q_multimodal_audio_fp(spark, sf):
+    """Energy-delta fingerprint over REAL decoded WAVs; fixtures make the
+    hash analytic: even docs get an amplitude ramp (every later-frame
+    energy higher → all 32 bits → 4294967295), odd docs constant tone
+    (→ 0). Oracle = ground truth from the rule."""
+    from kusto_pre_forge_spark.operators import multimodal
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id")
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        from kusto_pre_forge_spark.operators import mediacodec
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rate = 8000 + (i % 5) * 1000
+                if i % 2 == 0:
+                    samples = [j * 16 for j in range(330)]
+                else:
+                    samples = [1000] * 330
+                blobs.append(mediacodec.encode_wav(rate, samples))
+                ids.append(i)
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    return multimodal.audio_fingerprint(blobs).select(
+        "doc_id", "afp", "sample_rate", "n_samples"
+    )
+
+
 def _q_multimodal_real_meta(spark, sf):
     """REAL media metadata with zero codec dependencies: fabricate genuine
     PNG, PCM-WAV, and ISO-BMFF/MP4 files per doc (mediacodec.encode_*),
@@ -2628,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_real_meta": _q_multimodal_real_meta,
         "multimodal_image_dhash": _q_multimodal_image_dhash,
+        "multimodal_audio_fp": _q_multimodal_audio_fp,
     }
 
 
@@ -4458,6 +4496,15 @@ def oracle_sql() -> dict[str, str]:
             "f AS (SELECT doc_id, text, unnest(range(0, nf, 4)) AS fi FROM t) "
             "SELECT doc_id, CAST(fi AS INT) AS frame_index, "
             "sha256(substring(text, CAST(fi * 32 + 1 AS BIGINT), 32)) AS frame_sha FROM f"
+        ),
+        "multimodal_audio_fp": (
+            # ground truth from the fixture rule: ramp -> all 32 bits,
+            # constant tone -> 0; true rate and sample count
+            "SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 4294967295 ELSE 0 END AS BIGINT) AS afp, "
+            "CAST(8000 + (doc_id % 5) * 1000 AS INTEGER) AS sample_rate, "
+            "CAST(330 AS BIGINT) AS n_samples "
+            "FROM documents WHERE doc_id < 80"
         ),
         "multimodal_image_dhash": (
             # ground truth from the fixture rule: gradient -> all 64 bits

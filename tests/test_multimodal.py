@@ -253,3 +253,26 @@ def test_image_dhash_real_pixels(spark):
     ham = bin((out[1].dhash ^ out[3].dhash) & (2**64 - 1)).count("1")
     assert ham <= 2
     assert (out[1].width, out[1].height) == (w, h)
+
+
+def test_audio_fingerprint_real_wav(spark):
+    from kusto_pre_forge_spark.operators import mediacodec, multimodal
+
+    ramp = [j * 16 for j in range(330)]
+    tone = [1000] * 330
+    # near-dup of the ramp: small additive noise keeps the loudness contour
+    noisy = [v + ((j * 7) % 5 - 2) for j, v in enumerate(ramp)]
+    rows = [
+        (1, mediacodec.encode_wav(8000, ramp)),
+        (2, mediacodec.encode_wav(8000, tone)),
+        (3, mediacodec.encode_wav(8000, noisy)),
+        (4, b"RIFFgarbage"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = {r.doc_id: r for r in multimodal.audio_fingerprint(df).collect()}
+    assert out[1].afp == 2**32 - 1, "ramp -> all 32 energy-delta bits"
+    assert out[2].afp == 0, "constant tone -> no bits"
+    assert out[4].afp is None, "non-WAV -> NULL"
+    ham = bin((out[1].afp ^ out[3].afp) & (2**64 - 1)).count("1")
+    assert ham <= 2, "noise preserves the loudness contour"
+    assert out[1].sample_rate == 8000 and out[1].n_samples == 330
