@@ -2234,6 +2234,69 @@ def _q_kql_scalar_suite6(spark, sf):
     )
 
 
+def _q_kql_fork(spark, sf):
+    """KQL fork — two branch subqueries over ONE materialized source,
+    unioned with a branch tag; exact decimal sums keep avg engine-exact."""
+    e = load_table(spark, sf, "events")
+    br = kql.fork(
+        e,
+        {
+            "counts": lambda d: d.groupBy("event_type").agg(
+                F.count(F.lit(1)).cast("double").alias("metric")
+            ),
+            "avg_value": lambda d: d.groupBy("event_type").agg(
+                (
+                    F.sum(_dec(F.col("value"))).cast("double")
+                    / F.count(F.col("value")).cast("double")
+                ).alias("metric")
+            ),
+        },
+    )
+    out = [
+        df.select(F.lit(name).alias("branch"), "event_type", F.round("metric", 6).alias("metric"))
+        for name, df in sorted(br.items())
+    ]
+    u = out[0]
+    for o in out[1:]:
+        u = u.unionByName(o)
+    return u
+
+
+def _q_kql_ipv4_lookup(spark, sf):
+    """evaluate ipv4_lookup — broadcast CIDR range join (multi-match
+    semantics: every containing block emits a row). IPs derived from
+    event_id; the oracle predicts membership from the rule."""
+    lk = kql.datatable(
+        spark,
+        "network string, name string",
+        ("10.0.0.0/8", "corp"),
+        ("10.1.0.0/16", "eng"),
+        ("192.168.0.0/16", "lab16"),
+        ("bad/8", "junk"),
+    )
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 500)
+    eid = F.col("event_id")
+    ip = (
+        F.when(eid % 7 == 0, F.lit("not-an-ip"))
+        .when(
+            eid % 5 == 0,
+            F.concat_ws(".", F.lit("192"), F.lit("168"), (eid % 256), F.lit("1")),
+        )
+        .otherwise(
+            F.concat_ws(
+                ".",
+                F.lit("10"),
+                eid % 256,
+                F.floor(eid / 256) % 256,
+                F.floor(eid / 65536) % 256,
+            )
+        )
+    )
+    t = e.select("event_id", ip.alias("ip"))
+    out = kql.ipv4_lookup(t, lk, "ip")
+    return out.select("event_id", "name", F.col("_prefix_len").alias("prefix_len"))
+
+
 def _q_kql_ipv4_suite2(spark, sf):
     """IPv4 scalars round 2: ipv4_compare, ipv4_is_match at /24 and /16,
     ipv4_netmask_suffix (default 32, malformed → null). IPs synthesized
@@ -2613,6 +2676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_xml_suite": _q_kql_xml_suite,
         "kql_rows_near": _q_kql_rows_near,
         "kql_ipv4_suite2": _q_kql_ipv4_suite2,
+        "kql_fork": _q_kql_fork,
+        "kql_ipv4_lookup": _q_kql_ipv4_lookup,
         "kql_scalar_suite6": _q_kql_scalar_suite6,
         "kql_top_nested_others": _q_kql_top_nested_others,
         "kql_datetime_suite": _q_kql_datetime_suite,
@@ -3533,6 +3598,30 @@ def oracle_sql() -> dict[str, str]:
             "concat(concat_ws(',', event_id % 5, event_id % 7), '|', "
             "concat_ws(',', event_id % 3, event_id % 11)) AS split2 "
             "FROM events WHERE event_id < 400"
+        ),
+        "kql_fork": (
+            "SELECT 'avg_value' AS branch, event_type, "
+            "round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) "
+            "/ CAST(count(value) AS DOUBLE), 6) AS metric "
+            "FROM events GROUP BY event_type "
+            "UNION ALL "
+            "SELECT 'counts' AS branch, event_type, "
+            "round(CAST(count(*) AS DOUBLE), 6) AS metric "
+            "FROM events GROUP BY event_type"
+        ),
+        "kql_ipv4_lookup": (
+            # predicts CIDR membership from the ip generation rule:
+            # %7=0 unparseable, %5=0 -> 192.168.x.1 (lab16 /16),
+            # else 10.x.y.z -> corp /8 (+ eng /16 when x = 1)
+            "SELECT event_id, 'corp' AS name, CAST(8 AS BIGINT) AS prefix_len "
+            "FROM events WHERE event_id < 500 "
+            "AND event_id % 7 != 0 AND event_id % 5 != 0 "
+            "UNION ALL "
+            "SELECT event_id, 'eng', 16 FROM events WHERE event_id < 500 "
+            "AND event_id % 7 != 0 AND event_id % 5 != 0 AND event_id % 256 = 1 "
+            "UNION ALL "
+            "SELECT event_id, 'lab16', 16 FROM events WHERE event_id < 500 "
+            "AND event_id % 7 != 0 AND event_id % 5 = 0"
         ),
         "kql_ipv4_suite2": (
             # predicts compare/match/suffix from the generation rule:

@@ -3445,3 +3445,70 @@ def array_split(col: Column | str, indices: list[int]) -> Column:
             F.element_at(bounds, j + 1) - F.element_at(bounds, j),
         ),
     )
+
+
+# ---- fork / materialize / ipv4_lookup ----
+
+
+def materialize(df: DataFrame, mode: str = "persist") -> DataFrame:
+    """KQL ``materialize(expr)`` — pin a subquery result so multiple
+    consumers share one evaluation. Thin alias over ``pinning.pin`` (lazy
+    persist: lineage kept, cache filled by the first consumer) — the
+    Spark-idiomatic form of Kusto's materialized subquery cache."""
+    from kusto_pre_forge_spark.pinning import pin
+
+    return pin(df, mode)
+
+
+def fork(
+    df: DataFrame, branches: dict[str, "object"], mode: str = "persist"
+) -> dict[str, DataFrame]:
+    """KQL ``fork (name1 = subquery1) (name2 = subquery2) …`` — run
+    several subqueries over ONE evaluation of the source. The source is
+    materialized (see :func:`materialize`) and each branch callable
+    receives it; returns {name: DataFrame}. The scan + upstream pipeline
+    runs once, not once per branch — exactly the plan-sharing KQL's fork
+    promises."""
+    src = materialize(df, mode)
+    return {name: fn(src) for name, fn in branches.items()}
+
+
+def ipv4_lookup(
+    df: DataFrame,
+    lookup: DataFrame,
+    ip_col: str,
+    cidr_col: str = "network",
+) -> DataFrame:
+    """KQL ``evaluate ipv4_lookup(LookupTable, ip, network)`` — annotate
+    each row with the lookup rows whose CIDR block contains its IP
+    (longest-prefix NOT applied — KQL emits every matching network, and
+    so does this; add a per-ip argmax on ``_prefix_len`` for LPM).
+
+    Scale shape: the lookup side is parsed once into [lo, hi] long bounds
+    and BROADCAST (a CIDR table is KBs–MBs against a TB fact stream), so
+    the containment test is a broadcast non-equi join — two long
+    comparisons per (row, block) candidate, never a shuffle of the fact
+    side. Unparseable IPs or networks simply don't match (KQL drops them
+    from the lookup result too)."""
+    sfx = F.split(F.col(cidr_col), "/")
+    base = parse_ipv4(sfx[0])
+    bits = F.when(
+        F.col(cidr_col).contains("/"), sfx[1].cast("int")
+    ).otherwise(F.lit(32))
+    ok = base.isNotNull() & bits.isNotNull() & (bits >= 0) & (bits <= 32)
+    # F.shiftleft needs a literal shift count; 2^(32-p) via pow stays exact
+    # for p in [0, 32] (well under 2^53)
+    span = F.pow(F.lit(2.0), (32 - bits).cast("double")).cast("long") - 1
+    lo = base - (base % (span + 1))
+    lk = lookup.withColumn("_kpf_lo", F.when(ok, lo)).withColumn(
+        "_kpf_hi", F.when(ok, lo + span)
+    ).withColumn("_prefix_len", F.when(ok, bits.cast("long")))
+    v = parse_ipv4(ip_col)
+    t = df.withColumn("_kpf_ip", v)
+    out = t.join(
+        F.broadcast(lk),
+        (F.col("_kpf_ip") >= F.col("_kpf_lo"))
+        & (F.col("_kpf_ip") <= F.col("_kpf_hi")),
+        "inner",
+    )
+    return out.drop("_kpf_ip", "_kpf_lo", "_kpf_hi")

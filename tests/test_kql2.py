@@ -989,3 +989,30 @@ def test_scalar_suite6_semantics(spark):
     assert r.r7 == [4, 5, 1, 2, 3], "rotation normalizes mod length"
     assert r.rm1 == [2, 3, 4, 5, 1], "negative rotates left"
     assert r.edges == [[], [1, 2, 3, 4, 5], []]
+
+
+def test_fork_shares_one_source(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "v long, g string")
+    br = kql.fork(
+        df,
+        {
+            "n": lambda d: d.groupBy("g").count(),
+            "s": lambda d: d.groupBy("g").agg(F.sum("v").alias("s")),
+        },
+    )
+    assert {r.g: r["count"] for r in br["n"].collect()} == {"a": 2, "b": 1}
+    assert {r.g: r.s for r in br["s"].collect()} == {"a": 3, "b": 3}
+
+
+def test_ipv4_lookup_multimatch_and_malformed(spark):
+    lk = spark.createDataFrame(
+        [("10.0.0.0/8", "corp"), ("10.1.0.0/16", "eng"), ("x/8", "junk")],
+        "network string, name string",
+    )
+    t = spark.createDataFrame(
+        [(1, "10.1.2.3"), (2, "10.200.0.1"), (3, "11.0.0.1"), (4, "garbage")],
+        "id long, ip string",
+    )
+    out = sorted((r.id, r.name) for r in kql.ipv4_lookup(t, lk, "ip").collect())
+    # 10.1.2.3 matches BOTH corp and eng; junk/garbage never match
+    assert out == [(1, "corp"), (1, "eng"), (2, "corp")]
