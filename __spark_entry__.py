@@ -2234,6 +2234,23 @@ def _q_kql_scalar_suite6(spark, sf):
     )
 
 
+def _q_kql_compression_suite(spark, sf):
+    """zlib/gzip ⇄ base64 codecs (Arrow-batched pandas_udf): round-trips
+    must restore the exact source text; malformed input nulls. The oracle
+    predicts the round-trip (= the input) — raw compressed bytes are
+    deliberately NOT emitted (zlib build-dependent)."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 300)
+    txt = F.format_string("payload-%s-%d", F.col("event_type"), F.col("event_id"))
+    z = kql.zlib_compress_to_base64_string(txt)
+    g = kql.gzip_compress_to_base64_string(txt)
+    return e.select(
+        "event_id",
+        kql.zlib_decompress_from_base64_string(z).alias("z_rt"),
+        kql.gzip_decompress_from_base64_string(g).alias("g_rt"),
+        kql.zlib_decompress_from_base64_string(F.lit("!not-base64!")).alias("bad"),
+    )
+
+
 def _q_kql_fork(spark, sf):
     """KQL fork — two branch subqueries over ONE materialized source,
     unioned with a branch tag; exact decimal sums keep avg engine-exact."""
@@ -2677,6 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_rows_near": _q_kql_rows_near,
         "kql_ipv4_suite2": _q_kql_ipv4_suite2,
         "kql_fork": _q_kql_fork,
+        "kql_compression_suite": _q_kql_compression_suite,
         "kql_ipv4_lookup": _q_kql_ipv4_lookup,
         "kql_scalar_suite6": _q_kql_scalar_suite6,
         "kql_top_nested_others": _q_kql_top_nested_others,
@@ -3598,6 +3616,13 @@ def oracle_sql() -> dict[str, str]:
             "concat(concat_ws(',', event_id % 5, event_id % 7), '|', "
             "concat_ws(',', event_id % 3, event_id % 11)) AS split2 "
             "FROM events WHERE event_id < 400"
+        ),
+        "kql_compression_suite": (
+            "SELECT event_id, "
+            "concat('payload-', event_type, '-', CAST(event_id AS VARCHAR)) AS z_rt, "
+            "concat('payload-', event_type, '-', CAST(event_id AS VARCHAR)) AS g_rt, "
+            "CAST(NULL AS VARCHAR) AS bad "
+            "FROM events WHERE event_id < 300"
         ),
         "kql_fork": (
             "SELECT 'avg_value' AS branch, event_type, "

@@ -3512,3 +3512,85 @@ def ipv4_lookup(
         "inner",
     )
     return out.drop("_kpf_ip", "_kpf_lo", "_kpf_hi")
+
+
+# ---- compression codecs (zlib / gzip ⇄ base64) ----
+# No JVM builtin exposes zlib/gzip as a scalar, so these are Arrow-batched
+# pandas_udfs — the sanctioned Python path (vectorized per batch, never
+# per-row py4j). Malformed input → NULL, matching KQL's empty-on-error.
+
+
+def _b64_codec_udf(transform, name: str):
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    # explicit SCALAR eval type: `from __future__ import annotations`
+    # makes pd.Series hints unresolvable strings for the hint inspector
+    def codec(s):
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return transform(v)
+            except Exception:
+                return None
+
+        return s.map(one)
+
+    codec.__name__ = name
+    return pandas_udf(codec, "string", PandasUDFType.SCALAR)
+
+
+def zlib_compress_to_base64_string(col: Column | str) -> Column:
+    """KQL ``zlib_compress_to_base64_string`` — deflate(level 6) + b64."""
+    import base64
+    import zlib
+
+    f = _b64_codec_udf(
+        lambda v: base64.b64encode(zlib.compress(v.encode("utf-8"), 6)).decode(),
+        "zlib_b64",
+    )
+    return f(_c(col))
+
+
+def zlib_decompress_from_base64_string(col: Column | str) -> Column:
+    """KQL ``zlib_decompress_from_base64_string`` — b64 → inflate → utf-8;
+    NULL on bad base64 / bad stream (KQL returns empty)."""
+    import base64
+    import zlib
+
+    f = _b64_codec_udf(
+        lambda v: zlib.decompress(base64.b64decode(v, validate=True)).decode("utf-8"),
+        "zlib_unb64",
+    )
+    return f(_c(col))
+
+
+def gzip_compress_to_base64_string(col: Column | str) -> Column:
+    """KQL ``gzip_compress_to_base64_string`` — gzip(mtime pinned to 0 so
+    the output is DETERMINISTIC — the stock gzip header embeds wall-clock
+    time, which would break replay) + b64."""
+    import base64
+    import gzip
+    import io
+
+    def enc(v: str) -> str:
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            g.write(v.encode("utf-8"))
+        return base64.b64encode(buf.getvalue()).decode()
+
+    return _b64_codec_udf(enc, "gzip_b64")(_c(col))
+
+
+def gzip_decompress_from_base64_string(col: Column | str) -> Column:
+    """KQL ``gzip_decompress_from_base64_string`` — b64 → gunzip → utf-8;
+    NULL on malformed input."""
+    import base64
+    import gzip
+
+    f = _b64_codec_udf(
+        lambda v: gzip.decompress(base64.b64decode(v, validate=True)).decode("utf-8"),
+        "gzip_unb64",
+    )
+    return f(_c(col))

@@ -1016,3 +1016,24 @@ def test_ipv4_lookup_multimatch_and_malformed(spark):
     out = sorted((r.id, r.name) for r in kql.ipv4_lookup(t, lk, "ip").collect())
     # 10.1.2.3 matches BOTH corp and eng; junk/garbage never match
     assert out == [(1, "corp"), (1, "eng"), (2, "corp")]
+
+
+def test_compression_codecs_roundtrip(spark):
+    df = spark.sql("SELECT 'hello κόσμος 123' AS t")
+    r = df.select(
+        kql.zlib_decompress_from_base64_string(
+            kql.zlib_compress_to_base64_string("t")
+        ).alias("z"),
+        kql.gzip_decompress_from_base64_string(
+            kql.gzip_compress_to_base64_string("t")
+        ).alias("g"),
+        kql.gzip_compress_to_base64_string("t").alias("g1"),
+        kql.zlib_decompress_from_base64_string(F.lit("###")).alias("bad_b64"),
+        kql.zlib_decompress_from_base64_string(F.lit("aGVsbG8=")).alias("bad_stream"),
+        kql.zlib_decompress_from_base64_string(F.lit(None).cast("string")).alias("nul"),
+    ).first()
+    assert r.z == "hello κόσμος 123" and r.g == "hello κόσμος 123"
+    # pinned mtime=0 keeps gzip output deterministic across runs
+    r2 = df.select(kql.gzip_compress_to_base64_string("t").alias("g1")).first()
+    assert r.g1 == r2.g1
+    assert r.bad_b64 is None and r.bad_stream is None and r.nul is None
