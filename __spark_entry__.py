@@ -2195,6 +2195,28 @@ def _q_kql_ipv6_suite(spark, sf):
     )
 
 
+#: shared (lon, lat) ring for the polygon test — oracle SQL is generated
+#: from the SAME literal, so both engines unroll identical arithmetic
+_GEO_POLY = [
+    (-10.5, 35.25), (25.75, 35.25), (40.5, 55.5), (10.25, 71.5), (-25.5, 60.75),
+]
+
+
+def _geo_poly_crossings_sql(px: str, py: str) -> str:
+    """Mechanically unroll the same ray cast as geo_point_in_polygon."""
+    terms = []
+    n = len(_GEO_POLY)
+    for i in range(n):
+        x1, y1 = _GEO_POLY[i]
+        x2, y2 = _GEO_POLY[(i + 1) % n]
+        terms.append(
+            f"CASE WHEN (({y1!r} > {py}) != ({y2!r} > {py})) "
+            f"AND ({px} < ({x2!r} - {x1!r}) * ({py} - {y1!r}) / ({y2!r} - {y1!r}) + {x1!r}) "
+            "THEN 1 ELSE 0 END"
+        )
+    return "(0 + " + " + ".join(terms) + ")"
+
+
 _GEO_POINTS = [
     # (pid, lat, lon) — Wikipedia geohash vectors, origin, both poles, cities
     (1, 57.64911, 10.40744), (2, 42.6, -5.6), (3, 0.0, 0.0),
@@ -2231,6 +2253,23 @@ def _q_kql_scalar_suite6(spark, sf):
             F.transform(kql.array_split(arr, [2]), lambda s: F.array_join(s, ",")),
             "|",
         ).alias("split2"),
+    )
+
+
+def _q_kql_geo_suite2(spark, sf):
+    """geo_point_in_polygon over event-derived points: the edge loop
+    unrolls into division-only arithmetic, so the oracle's mechanically
+    generated unroll of the SAME ring is bit-identical — no rounding
+    needed even for the boolean."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 2000)
+    eid = F.col("event_id")
+    lat = (eid % 1200).cast("double") / 10.0 - 60.0
+    lon = ((eid * 7) % 3400).cast("double") / 10.0 - 170.0
+    return e.select(
+        "event_id",
+        F.round(lat, 4).alias("lat"),
+        F.round(lon, 4).alias("lon"),
+        kql.geo_point_in_polygon(lon, lat, _GEO_POLY).alias("in_poly"),
     )
 
 
@@ -2695,6 +2734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_ipv4_suite2": _q_kql_ipv4_suite2,
         "kql_fork": _q_kql_fork,
         "kql_compression_suite": _q_kql_compression_suite,
+        "kql_geo_suite2": _q_kql_geo_suite2,
         "kql_ipv4_lookup": _q_kql_ipv4_lookup,
         "kql_scalar_suite6": _q_kql_scalar_suite6,
         "kql_top_nested_others": _q_kql_top_nested_others,
@@ -3616,6 +3656,16 @@ def oracle_sql() -> dict[str, str]:
             "concat(concat_ws(',', event_id % 5, event_id % 7), '|', "
             "concat_ws(',', event_id % 3, event_id % 11)) AS split2 "
             "FROM events WHERE event_id < 400"
+        ),
+        "kql_geo_suite2": (
+            "SELECT event_id, "
+            "round((event_id % 1200) / 10.0 - 60.0, 4) AS lat, "
+            "round(((event_id * 7) % 3400) / 10.0 - 170.0, 4) AS lon, "
+            "(" + _geo_poly_crossings_sql(
+                "(((event_id * 7) % 3400) / 10.0 - 170.0)",
+                "((event_id % 1200) / 10.0 - 60.0)",
+            ) + " % 2 = 1) AS in_poly "
+            "FROM events WHERE event_id < 2000"
         ),
         "kql_compression_suite": (
             "SELECT event_id, "

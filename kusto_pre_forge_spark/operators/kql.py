@@ -3594,3 +3594,31 @@ def gzip_decompress_from_base64_string(col: Column | str) -> Column:
         "gzip_unb64",
     )
     return f(_c(col))
+
+
+def geo_point_in_polygon(
+    lon: Column | str, lat: Column | str, polygon: list[tuple[float, float]]
+) -> Column:
+    """KQL ``geo_point_in_polygon(lon, lat, polygon)`` — ray-casting test
+    against a Python-literal (lon, lat) ring (no closing repeat needed).
+    The edge loop unrolls at plan-build time into one codegen'd crossing
+    count — division-only arithmetic, so any replaying engine computes
+    bit-identical results (no libm). Boundary points follow the standard
+    half-open crossing rule. NULL coordinates → false."""
+    if len(polygon) < 3:
+        raise ValueError("polygon needs at least 3 vertices")
+    px = _numc(lon).cast("double")
+    py = _numc(lat).cast("double")
+    crossings = F.lit(0)
+    n = len(polygon)
+    for i in range(n):
+        x1, y1 = polygon[i]
+        x2, y2 = polygon[(i + 1) % n]
+        x1c, y1c = F.lit(float(x1)), F.lit(float(y1))
+        x2c, y2c = F.lit(float(x2)), F.lit(float(y2))
+        straddles = (y1c > py) != (y2c > py)
+        xcross = (x2c - x1c) * (py - y1c) / (y2c - y1c) + x1c
+        crossings = crossings + F.when(
+            straddles & (px < xcross), 1
+        ).otherwise(0)
+    return px.isNotNull() & py.isNotNull() & (crossings % 2 == 1)

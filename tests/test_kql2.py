@@ -1037,3 +1037,26 @@ def test_compression_codecs_roundtrip(spark):
     r2 = df.select(kql.gzip_compress_to_base64_string("t").alias("g1")).first()
     assert r.g1 == r2.g1
     assert r.bad_b64 is None and r.bad_stream is None and r.nul is None
+
+
+def test_geo_point_in_polygon_raycast(spark):
+    square = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+    df = spark.sql("SELECT 1 AS x")
+    r = df.select(
+        kql.geo_point_in_polygon(F.lit(5.0), F.lit(5.0), square).alias("inside"),
+        kql.geo_point_in_polygon(F.lit(15.0), F.lit(5.0), square).alias("right_of"),
+        kql.geo_point_in_polygon(F.lit(-1.0), F.lit(5.0), square).alias("left_of"),
+        kql.geo_point_in_polygon(F.lit(5.0), F.lit(-1.0), square).alias("below"),
+        kql.geo_point_in_polygon(
+            F.lit(None).cast("double"), F.lit(5.0), square
+        ).alias("null_in"),
+    ).first()
+    assert r.inside is True
+    assert (r.right_of, r.left_of, r.below, r.null_in) == (False, False, False, False)
+    # concave polygon: notch cut into the square's right side
+    concave = [(0.0, 0.0), (10.0, 0.0), (4.0, 5.0), (10.0, 10.0), (0.0, 10.0)]
+    r2 = df.select(
+        kql.geo_point_in_polygon(F.lit(7.0), F.lit(5.0), concave).alias("in_notch"),
+        kql.geo_point_in_polygon(F.lit(2.0), F.lit(5.0), concave).alias("in_body"),
+    ).first()
+    assert r2.in_notch is False and r2.in_body is True
