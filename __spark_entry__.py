@@ -884,6 +884,22 @@ def _q_text_bm25(spark, sf):
     return textstats.bm25_topk(d, ["spark", "window", "merge"], k=15)
 
 
+def _q_text_bpe(spark, sf):
+    """Distributed mini-BPE: train 6 merge rules on the corpus (driver
+    loop of bounded 1-row collects, vocab stays distributed), then apply
+    them as chained codegen regexp passes. Rows-only check by design —
+    iterative training isn't SQL-replayable (cf. ann_recall_ivf); the
+    merge procedure itself is pinned against hand-computed Sennrich
+    vectors in tests/test_textprep.py."""
+    from kusto_pre_forge_spark.operators import textprep
+
+    d = load_table(spark, sf, "documents")
+    merges = textprep.train_bpe(d, n_merges=6)
+    return textprep.apply_bpe(d, merges).select(
+        "doc_id", "n_words", "n_bpe_tokens", "sample_tokens"
+    )
+
+
 def _q_corpus_split(spark, sf):
     """Deterministic train/val/test assignment: md5-hash thresholds over
     doc_id (0.9/0.05/0.05), zero shuffle, zero RNG — the same row lands
@@ -2679,6 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_lm_score": _q_text_lm_score,
         "text_bm25": _q_text_bm25,
+        "text_bpe": _q_text_bpe,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_meta": _q_multimodal_meta,

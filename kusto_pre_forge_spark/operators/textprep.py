@@ -234,3 +234,124 @@ def doc_tfidf_top_terms(
             id_col, "term", F.col("rank").cast("long").alias("rank"), "tfidf"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed mini-BPE: train merge rules on the corpus, apply them
+# ---------------------------------------------------------------------------
+
+
+def _java_q(s: str) -> str:
+    """Literal-quote a symbol for java.util.regex (\\Q…\\E, with the one
+    sequence that can escape a quote section split safely)."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _repl_q(s: str) -> str:
+    """Escape a regexp_replace replacement ($ group refs, backslashes)."""
+    return s.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def _merge_pattern(a: str, b: str) -> str:
+    """Match the adjacent symbol pair ``a b`` on word boundaries of the
+    space-joined symbol string. Lookarounds (not consumed spaces) keep
+    back-to-back occurrences both replaceable — ``a b a b`` → ``ab ab``,
+    where a space-consuming pattern would miss the second."""
+    return f"(?:(?<=^)|(?<= )){_java_q(a)} {_java_q(b)}(?=$| )"
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn byte-pair-encoding merge rules from the corpus — the standard
+    Sennrich et al. procedure, run Spark-first: the vocabulary is a
+    DISTRIBUTED (symbol-string, word_count) table, never a driver dict.
+
+    Per iteration (driver loop, bounded like ``connected_components``):
+    one map-side-combined aggregate counts adjacent symbol pairs weighted
+    by word frequency, ``limit(1)`` brings back exactly ONE row (the best
+    pair — ties break lexicographically for determinism), and the merge
+    applies as a single regexp_replace over the symbol strings (greedy
+    left-to-right non-overlapping, the reference semantics). Lineage is
+    truncated each round (lazy localCheckpoint) so the logical plan stays
+    flat across iterations.
+
+    At 100 TB the vocab table is |distinct words| rows — millions, not
+    trillions — so each iteration is a small aggregate; n_merges bounds
+    the driver loop. Returns the merge list for :func:`apply_bpe`.
+    """
+    words = (
+        df.select(F.explode(_words(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # symbol string: characters space-joined + end-of-word marker
+    syms = F.concat(
+        F.array_join(F.filter(F.split(F.col("w"), ""), lambda c: c != ""), " "),
+        F.lit(" </w>"),
+    )
+    vocab = words.select(syms.alias("s"), "cnt").localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        toks = F.split(F.col("s"), " ")
+        pairs = vocab.select(
+            F.explode(
+                F.when(
+                    F.size(toks) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 1),
+                        lambda i: F.struct(
+                            F.element_at(toks, i).alias("a"),
+                            F.element_at(toks, i + 1).alias("b"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("p"),
+            "cnt",
+        )
+        best = (
+            pairs.groupBy("p")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("p.a").asc(), F.col("p.b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < min_pair_count:
+            break
+        a, b = best[0]["p"]["a"], best[0]["p"]["b"]
+        merges.append((a, b))
+        vocab = vocab.withColumn(
+            "s", F.regexp_replace(F.col("s"), _merge_pattern(a, b), _repl_q(a + b))
+        ).localCheckpoint(eager=False)
+    return merges
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with learned BPE merges: per word, start from characters +
+    ``</w>`` and apply each merge in training order — k chained
+    regexp_replace passes over the space-joined symbol string, all
+    codegen, no UDF and no shuffle. Returns (id, n_words, n_bpe_tokens,
+    sample_tokens) where sample_tokens is the first word's final symbol
+    sequence (a human-checkable probe)."""
+    w = F.explode(_words(F.lower(F.col(text_col))))
+    t = df.select(F.col(id_col), w.alias("w"))
+    s = F.concat(
+        F.array_join(F.filter(F.split(F.col("w"), ""), lambda c: c != ""), " "),
+        F.lit(" </w>"),
+    )
+    for a, b in merges:
+        s = F.regexp_replace(s, _merge_pattern(a, b), _repl_q(a + b))
+    t = t.select(id_col, F.split(s, " ").alias("toks"))
+    return t.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.size("toks")).cast("long").alias("n_bpe_tokens"),
+        F.min(F.array_join("toks", "|")).alias("sample_tokens"),
+    )

@@ -87,3 +87,41 @@ def test_tfidf_top_terms(spark):
     assert rows[(0, 2)][0] == "banana"
     # doc 2: date tf=1 df=1 → ln3 beats cherry (df=2)
     assert rows[(2, 1)][0] == "date"
+
+
+def test_train_bpe_matches_reference_merges(spark):
+    """Pin the learned merges against a hand-run of the Sennrich procedure
+    on a tiny corpus: 'low low low lower newest newest'."""
+    from kusto_pre_forge_spark.operators.textprep import apply_bpe, train_bpe
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower newest newest")], "doc_id long, text string"
+    )
+    merges = train_bpe(df, n_merges=4, min_pair_count=2)
+    # word counts: low:3 lower:1 newest:2
+    # pair counts r1: (l,o)=4 (o,w)=4 (w,</w>)=3 (e,s)=2 ... tie (l,o)/(o,w)
+    # lexicographic tie-break -> (l,o); then (lo,w)=4; then (low,</w>)=3;
+    # then (e,s)=2
+    assert merges == [("l", "o"), ("lo", "w"), ("low", "</w>"), ("e", "s")]
+    out = apply_bpe(df, merges).collect()[0]
+    assert out.n_words == 6
+    # low->1 sym (low</w>) x3; lower-> low,e,r,</w> =4; newest-> n,e,w,es,t,</w> =6 x2
+    assert out.n_bpe_tokens == 3 * 1 + 4 + 2 * 6
+
+
+def test_bpe_merge_pattern_adjacent_and_specials(spark):
+    from kusto_pre_forge_spark.operators.textprep import train_bpe, apply_bpe
+
+    # back-to-back pair occurrences must BOTH merge ('abab' -> ab ab)
+    df = spark.createDataFrame([(1, "abab abab")], "doc_id long, text string")
+    merges = train_bpe(df, n_merges=1, min_pair_count=2)
+    assert merges == [("a", "b")]
+    out = apply_bpe(df, merges).collect()[0]
+    # abab -> ab ab </w> = 3 symbols per word
+    assert out.n_bpe_tokens == 6
+    # regex metachars in symbols must be literal-quoted
+    df2 = spark.createDataFrame([(1, "$. $. $.")], "doc_id long, text string")
+    m2 = train_bpe(df2, n_merges=2, min_pair_count=2)
+    assert m2[0] == ("$", ".")
+    out2 = apply_bpe(df2, m2).collect()[0]
+    assert out2.n_words == 3
