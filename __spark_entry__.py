@@ -884,6 +884,29 @@ def _q_text_bm25(spark, sf):
     return textstats.bm25_topk(d, ["spark", "window", "merge"], k=15)
 
 
+def _q_embedding_whiten(spark, sf):
+    """PCA whitening over the embeddings table (rows-only: the eigensolve
+    isn't SQL-replayable; cov(output) == I is pinned in
+    tests/test_similarity.py). Emits the whitened norm as a stable probe."""
+    from kusto_pre_forge_spark.operators.similarity import embedding_whiten
+
+    d = load_table(spark, sf, "embeddings")
+    out = embedding_whiten(d, "embedding", "vec_id")
+    return out.select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("whitened", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+            4,
+        ).alias("whitened_norm"),
+    )
+
+
 def _q_text_bpe(spark, sf):
     """Distributed mini-BPE: train 6 merge rules on the corpus (driver
     loop of bounded 1-row collects, vocab stays distributed), then apply
@@ -2696,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": _q_text_lm_score,
         "text_bm25": _q_text_bm25,
         "text_bpe": _q_text_bpe,
+        "embedding_whiten": _q_embedding_whiten,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_meta": _q_multimodal_meta,

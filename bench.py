@@ -65,6 +65,10 @@ HEADLINE = [
     "kql_graph_match",
     "text_bm25",
     "activity_sliding_counts",
+    "text_bpe",
+    "events_session_window",
+    "multimodal_image_dhash",
+    "kql_ipv4_lookup",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

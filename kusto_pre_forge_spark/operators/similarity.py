@@ -357,3 +357,93 @@ def cosine_topk_ivf(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Embedding whitening (PCA): distributed moments, bounded driver eigensolve
+# ---------------------------------------------------------------------------
+
+
+def embedding_whiten(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eps: float = 1e-6,
+    out_col: str = "whitened",
+) -> DataFrame:
+    """PCA-whiten an embedding column: x → Λ^(−1/2) Vᵀ (x − μ), making the
+    output covariance ≈ I. The standard retrieval-quality transform
+    (whitening / de-correlation before cosine — cf. "Whitening Sentence
+    Representations", su et al.) expressed Spark-first:
+
+    1. per-PARTITION moment matrices via ``mapInPandas`` — each task emits
+       ONE flattened (count, Σx, ΣxxT) row computed as a vectorized numpy
+       Gram product, so the shuffle carries partitions×(dim²+dim+1)
+       values, never the data;
+    2. one tiny aggregate sums those rows (columnar ``F.sum`` over the
+       flattened arrays via ``posexplode`` — bounded by dim², runs
+       anywhere);
+    3. the dim×dim eigensolve happens ONCE driver-side (numpy ``eigh`` on
+       a symmetric matrix — O(dim³) on ≤ a few thousand dims is
+       microseconds) and ships back as a broadcast literal;
+    4. projection is one more vectorized ``mapInPandas`` pass.
+
+    Nothing driver-sized ever moves except the dim×dim matrix — the same
+    bounded-traffic contract as the IVF k-means trainer.
+    """
+    import numpy as np
+
+    def moments(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(X))],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    part = df.select(vec_col).mapInPandas(
+        moments, "n double, s array<double>, g array<double>"
+    )
+    # sum the per-partition rows columnar-wise: explode position-wise and
+    # re-aggregate (rows are O(num_partitions) — trivially small)
+    totals = part.select(
+        "n", F.posexplode(F.concat(F.col("s"), F.col("g"))).alias("i", "v")
+    ).groupBy("i").agg(F.sum("v").alias("v"), F.sum(F.when(F.col("i") == 0, F.col("n"))).alias("_n"))
+    rows = totals.collect()
+    if not rows:
+        raise ValueError("embedding_whiten: empty input")
+    n_total = sum(r["_n"] for r in rows if r["_n"] is not None)
+    flat = [0.0] * len(rows)
+    for r in rows:
+        flat[r["i"]] = r["v"]
+    # infer dim from quadratic: len = dim + dim^2
+    dim = int((-1 + (1 + 4 * len(flat)) ** 0.5) / 2)
+    s = np.array(flat[:dim])
+    G = np.array(flat[dim:]).reshape(dim, dim)
+    mu = s / n_total
+    cov = G / n_total - np.outer(mu, mu)
+    w, V = np.linalg.eigh(cov)
+    W = V @ np.diag(1.0 / np.sqrt(np.maximum(w, eps))) @ V.T  # ZCA form
+    W_list = W.tolist()
+    mu_list = mu.tolist()
+
+    def project(it):
+        Wm = np.array(W_list)
+        mv = np.array(mu_list)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Y = (X - mv) @ Wm.T
+            out = pdf[[id_col]].copy()
+            out[out_col] = [y.tolist() for y in Y]
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(
+        project, f"{id_col} long, {out_col} array<double>"
+    )

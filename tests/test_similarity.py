@@ -132,3 +132,18 @@ def test_ivf_kmeans_centroids_deterministic_and_improve_recall(spark, emb):
         "query_id", "neighbor_id"
     )
     assert rec(trained) >= rec(base)
+
+
+def test_embedding_whiten_identity_covariance(spark, sf_smoke):
+    import numpy as np
+
+    from kusto_pre_forge_spark.operators.similarity import embedding_whiten
+
+    df = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    out = embedding_whiten(df, "embedding", "vec_id").collect()
+    Y = np.array([r.whitened for r in out])
+    assert len(out) == df.count(), "every vector projected"
+    C = np.cov(Y.T, bias=True)
+    assert np.abs(C - np.eye(C.shape[0])).max() < 1e-6, "cov(whitened) == I"
+    # mean removed
+    assert np.abs(Y.mean(axis=0)).max() < 1e-9
