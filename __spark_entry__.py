@@ -2295,6 +2295,47 @@ def _q_kql_scalar_suite6(spark, sf):
     )
 
 
+def _q_kql_dynamic_suite2(spark, sf):
+    """mv-expand with_itemindex (posexplode) + pack_all (row → bag in
+    column order) over derived arrays."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 300)
+    parts = F.split(
+        F.concat(F.col("event_type"), F.lit("-"), F.col("event_id").cast("string")),
+        "-",
+    )
+    base = e.select("event_id", "event_type", parts.alias("parts"))
+    bag_src = base.select("event_id", "event_type")
+    expanded = kql.mv_expand_itemindex(
+        base.select("event_id", "parts"), "parts", to="part"
+    )
+    bag = bag_src.select(
+        "event_id", kql.pack_all(bag_src).alias("bag")
+    )
+    return expanded.join(bag, "event_id").select(
+        "event_id", "item_index", "part", "bag"
+    )
+
+
+def _q_kql_series_cosine(spark, sf):
+    """series_cosine_similarity between the aligned click/view hourly
+    series (ordered folds ⇒ ordered-sum oracle parity)."""
+    e = load_table(spark, sf, "events")
+    s = kql.make_series(
+        e.where(F.col("event_type").isin("click", "view")),
+        on="ts", step="hour", by=["event_type"],
+        agg=F.count(F.lit(1)).cast("double"), default=0.0,
+    )
+    a = s.where(F.col("event_type") == "click").select(
+        F.col("series_value").alias("va")
+    )
+    b = s.where(F.col("event_type") == "view").select(
+        F.col("series_value").alias("vb")
+    )
+    return a.crossJoin(b).select(
+        F.round(kql.series_cosine_similarity("va", "vb"), 6).alias("cos_click_view")
+    )
+
+
 def _q_kql_geo_suite2(spark, sf):
     """geo_point_in_polygon over event-derived points: the edge loop
     unrolls into division-only arithmetic, so the oracle's mechanically
@@ -2776,6 +2817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_fork": _q_kql_fork,
         "kql_compression_suite": _q_kql_compression_suite,
         "kql_geo_suite2": _q_kql_geo_suite2,
+        "kql_dynamic_suite2": _q_kql_dynamic_suite2,
+        "kql_series_cosine": _q_kql_series_cosine,
         "kql_ipv4_lookup": _q_kql_ipv4_lookup,
         "kql_scalar_suite6": _q_kql_scalar_suite6,
         "kql_top_nested_others": _q_kql_top_nested_others,
@@ -3697,6 +3740,37 @@ def oracle_sql() -> dict[str, str]:
             "concat(concat_ws(',', event_id % 5, event_id % 7), '|', "
             "concat_ws(',', event_id % 3, event_id % 11)) AS split2 "
             "FROM events WHERE event_id < 400"
+        ),
+        "kql_dynamic_suite2": (
+            "WITH t AS (SELECT event_id, event_type, "
+            "string_split(concat(event_type, '-', CAST(event_id AS VARCHAR)), '-') AS parts "
+            "FROM events WHERE event_id < 300), "
+            "x AS (SELECT event_id, event_type, "
+            "unnest(range(0, len(parts))) AS item_index, "
+            "unnest(parts) AS part FROM t) "
+            "SELECT event_id, CAST(item_index AS BIGINT) AS item_index, part, "
+            "CAST(to_json(struct_pack(event_id := event_id, "
+            "event_type := event_type)) AS VARCHAR) AS bag "
+            "FROM x"
+        ),
+        "kql_series_cosine": (
+            "WITH bounds AS (SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) lo, "
+            "max(date_trunc('hour', CAST(ts AS TIMESTAMP))) hi FROM events "
+            "WHERE event_type IN ('click', 'view')), "
+            "axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds), "
+            "binned AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, "
+            "CAST(count(*) AS DOUBLE) AS v FROM events "
+            "WHERE event_type IN ('click', 'view') GROUP BY 1, 2), "
+            "dense AS (SELECT t.event_type, a.h, "
+            "row_number() OVER (PARTITION BY t.event_type ORDER BY a.h) - 1 AS idx, "
+            "coalesce(b.v, 0.0) AS v "
+            "FROM (VALUES ('click'), ('view')) t(event_type) CROSS JOIN axis a "
+            "LEFT JOIN binned b ON b.event_type = t.event_type AND b.h = a.h) "
+            "SELECT round((0.0 + sum(c.v * w.v ORDER BY c.idx)) / "
+            "(sqrt(0.0 + sum(c.v * c.v ORDER BY c.idx)) * "
+            "sqrt(0.0 + sum(w.v * w.v ORDER BY w.idx))), 6) AS cos_click_view "
+            "FROM dense c JOIN dense w ON c.idx = w.idx "
+            "AND c.event_type = 'click' AND w.event_type = 'view'"
         ),
         "kql_geo_suite2": (
             "SELECT event_id, "

@@ -3622,3 +3622,34 @@ def geo_point_in_polygon(
             straddles & (px < xcross), 1
         ).otherwise(0)
     return px.isNotNull() & py.isNotNull() & (crossings % 2 == 1)
+
+
+def mv_expand_itemindex(
+    df: DataFrame, col: str, index_name: str = "item_index", to: str | None = None
+) -> DataFrame:
+    """KQL ``mv-expand with_itemindex=ix c`` — explode with the element's
+    0-based position carried alongside (posexplode; empty/null arrays drop
+    rows, matching plain mv-expand)."""
+    out = to or col
+    others = [c for c in df.columns if c != col]
+    return df.select(
+        *others, F.posexplode(F.col(col)).alias(index_name, out)
+    ).withColumn(index_name, F.col(index_name).cast("long"))
+
+
+def pack_all(df: DataFrame, *, exclude: Sequence[str] = ()) -> Column:
+    """KQL ``pack_all()`` — the whole row as a property bag. Emitted as
+    ``to_json(struct(cols...))`` in the DataFrame's column order (KQL's
+    bag order is also declaration order), so a replaying engine building
+    the same-ordered struct serializes identically."""
+    cols = [c for c in df.columns if c not in set(exclude)]
+    return F.to_json(F.struct(*[F.col(c) for c in cols]))
+
+
+def series_cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """KQL ``series_cosine_similarity(s1, s2)`` — dot/(|a|·|b|) over two
+    aligned packed series, one zip_with + three left folds (deterministic
+    addition order; the oracle replays ordered sums)."""
+    from kusto_pre_forge_spark.operators.similarity import cosine
+
+    return cosine(_c(a), _c(b))

@@ -1060,3 +1060,25 @@ def test_geo_point_in_polygon_raycast(spark):
         kql.geo_point_in_polygon(F.lit(2.0), F.lit(5.0), concave).alias("in_body"),
     ).first()
     assert r2.in_notch is False and r2.in_body is True
+
+
+def test_mv_expand_itemindex_and_pack_all(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, None)], "id long, arr array<string>"
+    )
+    out = [(r.id, r.item_index, r.v) for r in kql.mv_expand_itemindex(df, "arr", to="v").collect()]
+    assert sorted(out) == [(1, 0, "a"), (1, 1, "b")], "empty/null arrays drop"
+    df2 = spark.createDataFrame([(1, "x")], "id long, name string")
+    bag = df2.select(kql.pack_all(df2).alias("b")).first().b
+    assert bag == '{"id":1,"name":"x"}'
+    bag2 = df2.select(kql.pack_all(df2, exclude=["name"]).alias("b")).first().b
+    assert bag2 == '{"id":1}'
+
+
+def test_series_cosine_similarity(spark):
+    df = spark.sql("SELECT array(1.0d, 0.0d) AS a, array(0.0d, 2.0d) AS b, array(3.0d, 0.0d) AS c")
+    r = df.select(
+        kql.series_cosine_similarity("a", "b").alias("orth"),
+        kql.series_cosine_similarity("a", "c").alias("par"),
+    ).first()
+    assert r.orth == 0.0 and abs(r.par - 1.0) < 1e-12
