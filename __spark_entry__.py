@@ -2295,6 +2295,36 @@ def _q_kql_scalar_suite6(spark, sf):
     )
 
 
+def _q_kql_join_kinds(spark, sf):
+    """KQL join kind=leftouter/rightouter/fullouter in one probe: per
+    nation, customer count vs supplier count — nations appearing on only
+    one side survive with null-coalesced zeros per kind. Dimension sides
+    are aggregates of small tables; Catalyst broadcasts them."""
+    c = load_table(spark, sf, "customer").groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = load_table(spark, sf, "supplier").groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    # restrict each side so the three kinds genuinely differ
+    c = c.where(F.col("c_nationkey") < 20)
+    s = s.where(F.col("s_nationkey") >= 5)
+    j = lambda kind: (  # noqa: E731
+        c.join(s, c["c_nationkey"] == s["s_nationkey"], kind)
+        .select(
+            F.coalesce(c["c_nationkey"], s["s_nationkey"]).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+    out = (
+        j("left").withColumn("kind", F.lit("leftouter"))
+        .unionByName(j("right").withColumn("kind", F.lit("rightouter")))
+        .unionByName(j("outer").withColumn("kind", F.lit("fullouter")))
+    )
+    return out.select("kind", "nationkey", "n_cust", "n_supp")
+
+
 def _q_kql_dynamic_suite2(spark, sf):
     """mv-expand with_itemindex (posexplode) + pack_all (row → bag in
     column order) over derived arrays."""
@@ -2817,6 +2847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_fork": _q_kql_fork,
         "kql_compression_suite": _q_kql_compression_suite,
         "kql_geo_suite2": _q_kql_geo_suite2,
+        "kql_join_kinds": _q_kql_join_kinds,
         "kql_dynamic_suite2": _q_kql_dynamic_suite2,
         "kql_series_cosine": _q_kql_series_cosine,
         "kql_ipv4_lookup": _q_kql_ipv4_lookup,
@@ -3740,6 +3771,23 @@ def oracle_sql() -> dict[str, str]:
             "concat(concat_ws(',', event_id % 5, event_id % 7), '|', "
             "concat_ws(',', event_id % 3, event_id % 11)) AS split2 "
             "FROM events WHERE event_id < 400"
+        ),
+        "kql_join_kinds": (
+            "WITH c AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust "
+            "FROM customer GROUP BY 1 HAVING c_nationkey < 20), "
+            "s AS (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_supp "
+            "FROM supplier GROUP BY 1 HAVING s_nationkey >= 5) "
+            "SELECT 'leftouter' AS kind, c.c_nationkey AS nationkey, "
+            "n_cust, coalesce(n_supp, 0) AS n_supp "
+            "FROM c LEFT JOIN s ON c_nationkey = s_nationkey "
+            "UNION ALL "
+            "SELECT 'rightouter', coalesce(c_nationkey, s_nationkey), "
+            "coalesce(n_cust, 0), n_supp "
+            "FROM c RIGHT JOIN s ON c_nationkey = s_nationkey "
+            "UNION ALL "
+            "SELECT 'fullouter', coalesce(c_nationkey, s_nationkey), "
+            "coalesce(n_cust, 0), coalesce(n_supp, 0) "
+            "FROM c FULL JOIN s ON c_nationkey = s_nationkey"
         ),
         "kql_dynamic_suite2": (
             "WITH t AS (SELECT event_id, event_type, "
