@@ -1153,6 +1153,20 @@ def _q_activity_sliding_counts(spark, sf):
     )
 
 
+def _q_activity_rolling_percentile(spark, sf):
+    """evaluate rolling_percentile — exact trailing-7-day p50 of value per
+    day on the dense axis (contribute explode + one percentile aggregate;
+    the oracle's bin×event join is the sf0.01-only shape)."""
+    from kusto_pre_forge_spark.operators import activity
+
+    e = load_table(spark, sf, "events")
+    out = activity.rolling_percentile(e, "value", "ts", 50.0, 7)
+    return out.select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.round("p50", 6).alias("p50"),
+    )
+
+
 def _q_activity_engagement(spark, sf):
     """KQL activity_engagement — rolling DAU/WAU ratio over events via the
     contribute-to-trailing-windows explode (no per-day rescans)."""
@@ -2859,6 +2873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_retention": _q_activity_retention,
         "activity_engagement": _q_activity_engagement,
         "activity_sliding_counts": _q_activity_sliding_counts,
+        "activity_rolling_percentile": _q_activity_rolling_percentile,
         "kql_bag_ops": _q_kql_bag_ops,
         "activity_funnel": _q_activity_funnel,
         "activity_transitions": _q_activity_transitions,
@@ -3627,6 +3642,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.cohort, c.\"offset\", c.n_active, "
             "round(CAST(c.n_active AS DOUBLE) / s.sz, 6) AS retention "
             "FROM c JOIN s USING (cohort)"
+        ),
+        "activity_rolling_percentile": (
+            "WITH ev AS (SELECT CAST(value AS DOUBLE) AS v, CAST(ts AS DATE) AS d "
+            "FROM events WHERE value IS NOT NULL), "
+            "bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM ev), "
+            "axis AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), "
+            "CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds), "
+            "agg AS (SELECT ax.day, quantile_cont(e.v, 0.5) AS p "
+            "FROM axis ax JOIN ev e ON e.d BETWEEN ax.day - 6 AND ax.day "
+            "GROUP BY 1) "
+            "SELECT CAST(axis.day AS TIMESTAMP) AS day, round(agg.p, 6) AS p50 "
+            "FROM axis LEFT JOIN agg USING (day)"
         ),
         "activity_sliding_counts": (
             "WITH ev AS (SELECT user_id AS a, CAST(ts AS DATE) AS d FROM events), "

@@ -306,3 +306,39 @@ def sliding_window_counts(
         F.coalesce("count_events", F.lit(0)).cast("long").alias("count_events"),
         F.coalesce("dcount_actors", F.lit(0)).cast("long").alias("dcount_actors"),
     )
+
+
+def rolling_percentile(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    percentile: float = 50.0,
+    window_days: int = 7,
+) -> DataFrame:
+    """KQL ``evaluate rolling_percentile(Value, Pct, Timeline, Bin, N)`` —
+    for every day on the dense observed axis, the EXACT interpolated
+    percentile of all values in the trailing ``window_days`` window.
+
+    Same contribute-to-trailing-bins explode as ``sliding_window_counts``
+    (constant window/bin blowup), one exact ``percentile`` aggregate per
+    bin — KQL computes this approximately (T-digest); exact is affordable
+    here because the shuffle carries (bin, value) pairs, and matches the
+    engine's exact ``percentiles()`` contract."""
+    day = F.to_date(F.col(ts_col))
+    ev = df.select(F.col(value_col).alias("_v"), day.alias("_d")).where(
+        F.col("_v").isNotNull()
+    )
+    bounds = ev.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    axis = bounds.select(F.explode(F.sequence("_lo", "_hi")).alias("day"))
+    contrib = ev.select(
+        "_v",
+        F.explode(
+            F.sequence(F.col("_d"), F.date_add(F.col("_d"), window_days - 1))
+        ).alias("day"),
+    )
+    agg = contrib.groupBy("day").agg(
+        F.percentile(F.col("_v"), F.lit(percentile / 100.0)).alias("_p")
+    )
+    return axis.join(agg, "day", "left").select(
+        "day", F.col("_p").alias(f"p{int(percentile)}")
+    )

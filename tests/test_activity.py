@@ -158,3 +158,25 @@ def test_sliding_window_counts_dense_axis(spark):
     assert out["2024-01-03"] == (3, 2)
     assert out["2024-01-04"] == (1, 1), "only Jan 2 remains in window"
     assert out["2024-01-05"] == (1, 1)
+
+
+def test_rolling_percentile_exact_window(spark):
+    from kusto_pre_forge_spark.operators.activity import rolling_percentile
+
+    F = __import__("pyspark.sql.functions", fromlist=["F"])
+    df = spark.createDataFrame(
+        [
+            (10.0, "2024-01-01 01:00:00"),
+            (20.0, "2024-01-02 01:00:00"),
+            (30.0, "2024-01-03 01:00:00"),
+        ],
+        "value double, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        str(r.day): r.p50
+        for r in rolling_percentile(df, "value", "ts", 50.0, 2).collect()
+    }
+    # 2-day trailing windows: Jan1 {10}, Jan2 {10,20}, Jan3 {20,30}
+    assert out["2024-01-01"] == 10.0
+    assert out["2024-01-02"] == 15.0, "exact interpolation between 10 and 20"
+    assert out["2024-01-03"] == 25.0
