@@ -2309,6 +2309,45 @@ def _q_kql_scalar_suite6(spark, sf):
     )
 
 
+def _q_kql_scalar_suite7(spark, sf):
+    """parse_path over windows/unix/url shapes + unicode codepoint
+    round-trip; the oracle predicts every component from the path
+    generation rule."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 300)
+    eid = F.col("event_id")
+    path = (
+        F.when(
+            eid % 3 == 0,
+            F.concat(F.lit("C:\\data\\f"), eid.cast("string"), F.lit(".csv")),
+        )
+        .when(
+            eid % 3 == 1,
+            F.concat(F.lit("/var/log/app"), (eid % 7).cast("string"), F.lit("/x.y.gz")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://h/a"), (eid % 5).cast("string"),
+                F.lit("/f"), eid.cast("string"), F.lit(".txt"),
+            )
+        )
+    )
+    p = kql.parse_path(path)
+    rt = kql.unicode_codepoints_to_string(
+        kql.unicode_codepoints_from_string(F.col("event_type"))
+    )
+    return e.select(
+        "event_id",
+        p["Scheme"].alias("scheme"),
+        p["RootPath"].alias("root"),
+        p["DirectoryPath"].alias("dirpath"),
+        p["DirectoryName"].alias("dirname"),
+        p["Filename"].alias("filename"),
+        p["Extension"].alias("ext"),
+        kql.unicode_codepoints_from_string(F.col("event_type"))[0].alias("cp0"),
+        rt.alias("roundtrip"),
+    )
+
+
 def _q_kql_join_kinds(spark, sf):
     """KQL join kind=leftouter/rightouter/fullouter in one probe: per
     nation, customer count vs supplier count — nations appearing on only
@@ -2862,6 +2901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_compression_suite": _q_kql_compression_suite,
         "kql_geo_suite2": _q_kql_geo_suite2,
         "kql_join_kinds": _q_kql_join_kinds,
+        "kql_scalar_suite7": _q_kql_scalar_suite7,
         "kql_dynamic_suite2": _q_kql_dynamic_suite2,
         "kql_series_cosine": _q_kql_series_cosine,
         "kql_ipv4_lookup": _q_kql_ipv4_lookup,
@@ -3798,6 +3838,25 @@ def oracle_sql() -> dict[str, str]:
             "concat(concat_ws(',', event_id % 5, event_id % 7), '|', "
             "concat_ws(',', event_id % 3, event_id % 11)) AS split2 "
             "FROM events WHERE event_id < 400"
+        ),
+        "kql_scalar_suite7": (
+            # predicts parse_path components from the generation rule
+            "SELECT event_id, "
+            "CASE WHEN event_id % 3 = 2 THEN 'https' ELSE '' END AS scheme, "
+            "CASE event_id % 3 WHEN 0 THEN 'C:' WHEN 1 THEN '/' ELSE '' END AS root, "
+            "CASE event_id % 3 WHEN 0 THEN 'C:/data' "
+            "WHEN 1 THEN concat('/var/log/app', CAST(event_id % 7 AS VARCHAR)) "
+            "ELSE concat('https://h/a', CAST(event_id % 5 AS VARCHAR)) END AS dirpath, "
+            "CASE event_id % 3 WHEN 0 THEN 'data' "
+            "WHEN 1 THEN concat('app', CAST(event_id % 7 AS VARCHAR)) "
+            "ELSE concat('a', CAST(event_id % 5 AS VARCHAR)) END AS dirname, "
+            "CASE event_id % 3 WHEN 0 THEN concat('f', CAST(event_id AS VARCHAR), '.csv') "
+            "WHEN 1 THEN 'x.y.gz' "
+            "ELSE concat('f', CAST(event_id AS VARCHAR), '.txt') END AS filename, "
+            "CASE event_id % 3 WHEN 0 THEN 'csv' WHEN 1 THEN 'gz' ELSE 'txt' END AS ext, "
+            "CAST(ascii(event_type) AS INTEGER) AS cp0, "
+            "event_type AS roundtrip "
+            "FROM events WHERE event_id < 300"
         ),
         "kql_join_kinds": (
             "WITH c AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust "

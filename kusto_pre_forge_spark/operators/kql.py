@@ -3653,3 +3653,45 @@ def series_cosine_similarity(a: Column | str, b: Column | str) -> Column:
     from kusto_pre_forge_spark.operators.similarity import cosine
 
     return cosine(_c(a), _c(b))
+
+
+def parse_path(col: Column | str) -> Column:
+    """KQL ``parse_path(path)`` — decompose a file path into a struct
+    (Scheme, RootPath, DirectoryPath, DirectoryName, Filename, Extension,
+    AlternateDataStreamName omitted — NTFS-only). Handles / and \\
+    separators; pure regexp codegen."""
+    c = _c(col)
+    norm = F.regexp_replace(c, r"\\", "/")
+    # '://' required — a bare 'C:' drive letter is a RootPath, not a scheme
+    scheme = F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    root = F.regexp_extract(norm, r"^([A-Za-z]:|/)", 1)
+    dirpath = F.regexp_extract(norm, r"^(.*)/[^/]*$", 1)
+    dirname = F.regexp_extract(dirpath, r"([^/]+)$", 1)
+    filename = F.regexp_extract(norm, r"([^/]*)$", 1)
+    ext = F.regexp_extract(filename, r"\.([^.]+)$", 1)
+    return F.struct(
+        scheme.alias("Scheme"),
+        root.alias("RootPath"),
+        dirpath.alias("DirectoryPath"),
+        dirname.alias("DirectoryName"),
+        filename.alias("Filename"),
+        ext.alias("Extension"),
+    )
+
+
+def unicode_codepoints_from_string(col: Column | str) -> Column:
+    """KQL ``unicode_codepoints_from_string`` — array<int> of the BMP
+    codepoints (char-wise ``ascii``; surrogate pairs come back as two
+    UTF-16 units — the KQL behavior for non-BMP differs, documented)."""
+    chars = F.filter(F.split(_c(col), "(?!^)"), lambda x: x != "")
+    return F.transform(chars, lambda ch: F.ascii(ch))
+
+
+def unicode_codepoints_to_string(col: Column | str) -> Column:
+    """KQL ``unicode_codepoints_to_string`` — codepoint array → string
+    (``char`` per element, one concat fold)."""
+    return F.aggregate(
+        _c(col),
+        F.lit(""),
+        lambda acc, x: F.concat(acc, F.char(x.cast("long"))),
+    )

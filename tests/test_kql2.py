@@ -1082,3 +1082,22 @@ def test_series_cosine_similarity(spark):
         kql.series_cosine_similarity("a", "c").alias("par"),
     ).first()
     assert r.orth == 0.0 and abs(r.par - 1.0) < 1e-12
+
+
+def test_parse_path_and_codepoints(spark):
+    df = spark.sql(
+        r"SELECT 'C:\\Users\\bob\\report.v2.pdf' AS w, "
+        "'/var/log/errors.log' AS u, 'noext' AS bare"
+    )
+    r = df.select(
+        kql.parse_path("w").alias("w"),
+        kql.parse_path("u").alias("u"),
+        kql.parse_path("bare").alias("b"),
+        kql.unicode_codepoints_from_string(F.lit("Hi")).alias("cp"),
+        kql.unicode_codepoints_to_string(F.array(F.lit(72), F.lit(105))).alias("s"),
+    ).first()
+    assert r.w.RootPath == "C:" and r.w.Scheme == "", "drive letter is not a scheme"
+    assert r.w.Filename == "report.v2.pdf" and r.w.Extension == "pdf"
+    assert r.u.DirectoryPath == "/var/log" and r.u.DirectoryName == "log"
+    assert r.b.Filename == "noext" and r.b.Extension == "" and r.b.DirectoryPath == ""
+    assert r.cp == [72, 105] and r.s == "Hi"
