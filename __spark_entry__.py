@@ -907,6 +907,27 @@ def _q_embedding_whiten(spark, sf):
     )
 
 
+def _q_corpus_budget_sample(spark, sf):
+    """Token-budget mixture sampling — per-source md5-threshold keep with
+    frac = min(1, budget/source_token_total), totals broadcast in-plan."""
+    from kusto_pre_forge_spark.operators import corpus as corpus_ops
+
+    d = load_table(spark, sf, "documents")
+    out = corpus_ops.budget_sample(d, "source", "doc_id", "n_chars", 20000)
+    return out.select("doc_id", "source", "n_chars")
+
+
+def _q_corpus_epoch_upsample(spark, sf):
+    """Fractional-epoch upsampling — 2.3 epochs of 'en', 0.7 of the rest;
+    deterministic per-(doc, epoch) md5 threshold, zero shuffle."""
+    from kusto_pre_forge_spark.operators import corpus as corpus_ops
+
+    d = load_table(spark, sf, "documents")
+    w = F.when(F.col("lang") == "en", F.lit(2.3)).otherwise(F.lit(0.7))
+    out = corpus_ops.epoch_upsample(d.withColumn("_w", w), "doc_id", "_w")
+    return out.select("doc_id", "lang", F.col("epoch").cast("long").alias("epoch"))
+
+
 def _q_text_bpe(spark, sf):
     """Distributed mini-BPE: train 6 merge rules on the corpus (driver
     loop of bounded 1-row collects, vocab stays distributed), then apply
@@ -2875,6 +2896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stratified_sample": _q_corpus_stratified_sample,
         "corpus_shuffle": _q_corpus_shuffle,
         "corpus_split": _q_corpus_split,
+        "corpus_budget_sample": _q_corpus_budget_sample,
+        "corpus_epoch_upsample": _q_corpus_epoch_upsample,
         "corpus_pack": _q_corpus_pack,
         "corpus_line_dedup": _q_corpus_line_dedup,
         "contamination_check": _q_contamination_check,
@@ -4349,6 +4372,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS matched_terms "
             "FROM scored GROUP BY doc_id "
             "ORDER BY bm25 DESC, doc_id ASC LIMIT 15"
+        ),
+        "corpus_budget_sample": (
+            "WITH t AS (SELECT source, sum(n_chars) AS total "
+            "FROM documents GROUP BY source) "
+            "SELECT doc_id, source, n_chars FROM documents JOIN t USING (source) "
+            "WHERE CAST(concat('0x', substr(md5(concat('kpf-budget', '|', "
+            "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 "
+            "< least(1.0, 20000 / CAST(total AS DOUBLE))"
+        ),
+        "corpus_epoch_upsample": (
+            "WITH d AS (SELECT doc_id, lang, "
+            "CASE WHEN lang = 'en' THEN 2.3 ELSE 0.7 END AS w FROM documents), "
+            "e AS (SELECT doc_id, lang, w, "
+            "unnest(range(0, CAST(ceil(w) AS BIGINT))) AS epoch FROM d) "
+            "SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch FROM e "
+            "WHERE epoch < floor(w) "
+            "OR CAST(concat('0x', substr(md5(concat('kpf-epoch', '|', "
+            "CAST(doc_id AS VARCHAR), '|', CAST(epoch AS VARCHAR))), 1, 8)) AS BIGINT) "
+            "/ 4294967296.0 < w - floor(w)"
         ),
         "corpus_split": (
             # same md5 thresholds as train_split: u < 0.9 train,

@@ -385,3 +385,75 @@ def contamination_check(
         .agg(F.count_distinct("_gh").alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= min_shared)
     )
+
+
+def budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    key: Column | str,
+    token_col: Column | str,
+    budget_tokens: int,
+    salt: str = "kpf-budget",
+) -> DataFrame:
+    """Token-budget mixture sampling: keep a deterministic subset of each
+    stratum so that every stratum contributes AT MOST ``budget_tokens``
+    (expected) — the "cap each source at N tokens" step of training-mix
+    construction.
+
+    Per-stratum keep fraction = min(1, budget / stratum_token_total),
+    computed IN-PLAN (one map-side-combined aggregate, broadcast back) —
+    no driver hop, no RNG: membership is the same md5-unit threshold as
+    ``stratified_sample``, so re-runs, repartitions, and other engines
+    reproduce the identical subset. Expected (not exact) cap: a
+    hash-threshold sample is the only shape that stays deterministic AND
+    shuffle-free on the data side; exact caps need a per-stratum prefix
+    sum (see ``sequence_pack``) at one extra exchange.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    totals = df.groupBy(strata_col).agg(F.sum(tok).alias("_kpf_total"))
+    frac = F.least(
+        F.lit(1.0),
+        F.lit(float(budget_tokens)) / F.col("_kpf_total").cast("double"),
+    )
+    u = _hash_unit(k.cast("string"), salt)
+    return (
+        df.join(F.broadcast(totals), strata_col)
+        .filter(u < frac)
+        .drop("_kpf_total")
+    )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    key: Column | str,
+    weight_col: Column | str,
+    salt: str = "kpf-epoch",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Fractional-epoch upsampling: repeat each row ``weight`` times,
+    where non-integer weights round deterministically per row — a row
+    with weight 2.3 appears in epochs 0 and 1 always, and in epoch 2
+    iff its content hash falls under 0.3. This is how training mixes
+    express "3.3 epochs of wikipedia, 0.7 of crawl" exactly, replayably,
+    and without RNG.
+
+    Plan: one ``explode(sequence(0, ceil(w)−1))`` — map-side, blowup
+    exactly the mixture weight — then the md5-threshold filter on the
+    (key, epoch) pair for the fractional last copy. No shuffle at all.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+        "double"
+    )
+    out = df.withColumn(
+        epoch_col,
+        F.explode(F.sequence(F.lit(0), F.ceil(w).cast("long") - 1)),
+    )
+    u = _hash_unit(
+        F.concat_ws("|", k.cast("string"), F.col(epoch_col).cast("string")), salt
+    )
+    # full epochs always kept; the last (fractional) epoch kept with
+    # probability frac(w) by content hash
+    keep = (F.col(epoch_col) < F.floor(w)) | (u < (w - F.floor(w)))
+    return out.filter(keep)

@@ -159,3 +159,48 @@ def test_contamination_short_docs_yield_no_ngrams(spark):
     )
     # <8-token docs emit zero 8-grams: identical short/empty docs must NOT match
     assert corpus.contamination_check(pool, bench, ngram_n=8).count() == 0
+
+
+def test_budget_sample_caps_expected_tokens(spark, sf_smoke):
+    from kusto_pre_forge_spark.operators.corpus import budget_sample
+
+    d = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    budget = 5000
+    out = budget_sample(d, "source", "doc_id", "n_chars", budget)
+    per = {
+        r.source: r.tok
+        for r in out.groupBy("source").agg(F.sum("n_chars").alias("tok")).collect()
+    }
+    totals = {
+        r.source: r.tok
+        for r in d.groupBy("source").agg(F.sum("n_chars").alias("tok")).collect()
+    }
+    for src, tok in per.items():
+        # expected cap: generous 3x slack for hash-threshold variance on
+        # small strata
+        assert tok <= max(3 * budget, totals[src]), (src, tok)
+    # sources under budget are kept whole
+    for src, tot in totals.items():
+        if tot <= budget:
+            assert per.get(src, 0) == tot
+    # deterministic: rerun identical
+    again = budget_sample(d, "source", "doc_id", "n_chars", budget)
+    assert sorted(r.doc_id for r in out.select("doc_id").collect()) == sorted(
+        r.doc_id for r in again.select("doc_id").collect()
+    )
+
+
+def test_epoch_upsample_fractional_epochs(spark):
+    from kusto_pre_forge_spark.operators.corpus import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(i, 2.5) for i in range(200)] + [(i, 1.0) for i in range(200, 300)],
+        "doc_id long, w double",
+    )
+    out = epoch_upsample(df, "doc_id", "w").groupBy("doc_id").count()
+    counts = {r.doc_id: r["count"] for r in out.collect()}
+    heavy = [counts[i] for i in range(200)]
+    assert all(c in (2, 3) for c in heavy), "2.5 epochs -> 2 or 3 copies"
+    frac3 = sum(1 for c in heavy if c == 3) / 200
+    assert 0.3 < frac3 < 0.7, f"~half get the 3rd copy, got {frac3}"
+    assert all(counts[i] == 1 for i in range(200, 300)), "weight 1 -> exactly 1"
