@@ -2330,6 +2330,56 @@ def _q_kql_scalar_suite6(spark, sf):
     )
 
 
+def _q_text_normalize(spark, sf):
+    """Unicode NFC + accent folding: composed/decomposed forms of the same
+    visual string must collide after NFC; accents fold to ASCII. Inputs
+    cycle through fixed composed/decomposed fixtures keyed off event_id;
+    the oracle predicts the normalized outputs."""
+    from kusto_pre_forge_spark.operators import textprep
+
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 200)
+    eid = F.col("event_id")
+    # 'café' composed (U+00E9) vs decomposed (e + U+0301); 'naïve' etc.
+    raw = (
+        F.when(eid % 4 == 0, F.lit("café"))
+        .when(eid % 4 == 1, F.lit("café"))
+        .when(eid % 4 == 2, F.lit("naïve"))
+        .otherwise(F.lit("über"))
+    )
+    return e.select(
+        "event_id",
+        textprep.normalize_unicode(raw, "NFC").alias("nfc"),
+        textprep.strip_accents(raw).alias("folded"),
+        F.length(textprep.normalize_unicode(raw, "NFD")).alias("nfd_len"),
+    )
+
+
+def _q_kql_has_ipv4(spark, sf):
+    """has_ipv4 / has_ipv4_prefix over synthesized log lines — validity
+    and delimiting predicted from the generation rule."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 400)
+    eid = F.col("event_id")
+    line = (
+        F.when(eid % 5 == 0, F.format_string("src %d.0.2.1 ok", eid % 300))
+        .when(eid % 5 == 1, F.lit("glued10.0.0.1 not delimited"))
+        .when(eid % 5 == 2, F.lit("src 10.0.0.999 invalid"))
+        .when(eid % 5 == 3, F.lit("no ip here"))
+        .otherwise(F.lit("tail ip 192.168.7.3"))
+    )
+    return e.select(
+        "event_id",
+        kql.has_ipv4(line).alias("has_ip"),
+        kql.has_ipv4_prefix(line, "192.168.").alias("has_192"),
+    )
+
+
+def _q_kql_dcount_intersect(spark, sf):
+    """evaluate dcount_intersect — exact progressive intersection of
+    click/view/purchase user sets."""
+    e = load_table(spark, sf, "events")
+    return kql.dcount_intersect(e, "user_id", "event_type", ["click", "view", "purchase"])
+
+
 def _q_kql_scalar_suite7(spark, sf):
     """parse_path over windows/unix/url shapes + unicode codepoint
     round-trip; the oracle predicts every component from the path
@@ -2925,6 +2975,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_geo_suite2": _q_kql_geo_suite2,
         "kql_join_kinds": _q_kql_join_kinds,
         "kql_scalar_suite7": _q_kql_scalar_suite7,
+        "kql_dcount_intersect": _q_kql_dcount_intersect,
+        "text_normalize": _q_text_normalize,
+        "kql_has_ipv4": _q_kql_has_ipv4,
         "kql_dynamic_suite2": _q_kql_dynamic_suite2,
         "kql_series_cosine": _q_kql_series_cosine,
         "kql_ipv4_lookup": _q_kql_ipv4_lookup,
@@ -3861,6 +3914,39 @@ def oracle_sql() -> dict[str, str]:
             "concat(concat_ws(',', event_id % 5, event_id % 7), '|', "
             "concat_ws(',', event_id % 3, event_id % 11)) AS split2 "
             "FROM events WHERE event_id < 400"
+        ),
+        "text_normalize": (
+            # predicts NFC + accent folding from the fixture rule; the
+            # composed literals below are NFC bytes
+            "SELECT event_id, "
+            "CASE WHEN event_id % 4 IN (0, 1) THEN 'caf\u00e9' "
+            "WHEN event_id % 4 = 2 THEN 'na\u00efve' ELSE '\u00fcber' END AS nfc, "
+            "CASE WHEN event_id % 4 IN (0, 1) THEN 'cafe' "
+            "WHEN event_id % 4 = 2 THEN 'naive' ELSE 'uber' END AS folded, "
+            "CAST(CASE WHEN event_id % 4 IN (0, 1) THEN 5 "
+            "WHEN event_id % 4 = 2 THEN 6 ELSE 5 END AS INTEGER) AS nfd_len "
+            "FROM events WHERE event_id < 200"
+        ),
+        "kql_has_ipv4": (
+            # validity predicted from the line rule; %5=0 lines embed
+            # (id%300).0.2.1, valid only when the first octet fits a byte
+            "SELECT event_id, "
+            "CASE event_id % 5 WHEN 0 THEN event_id % 300 <= 255 "
+            "WHEN 4 THEN true ELSE false END AS has_ip, "
+            "event_id % 5 = 4 AS has_192 "
+            "FROM events WHERE event_id < 400"
+        ),
+        "kql_dcount_intersect": (
+            "WITH g AS (SELECT user_id, "
+            "bool_or(event_type = 'click') AS c, "
+            "bool_or(event_type = 'view') AS v, "
+            "bool_or(event_type = 'purchase') AS p "
+            "FROM events WHERE event_type IN ('click', 'view', 'purchase') "
+            "GROUP BY user_id) "
+            "SELECT CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS s0, "
+            "CAST(sum(CASE WHEN c AND v THEN 1 ELSE 0 END) AS BIGINT) AS s1, "
+            "CAST(sum(CASE WHEN c AND v AND p THEN 1 ELSE 0 END) AS BIGINT) AS s2 "
+            "FROM g"
         ),
         "kql_scalar_suite7": (
             # predicts parse_path components from the generation rule

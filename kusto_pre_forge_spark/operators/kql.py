@@ -3695,3 +3695,64 @@ def unicode_codepoints_to_string(col: Column | str) -> Column:
         F.lit(""),
         lambda acc, x: F.concat(acc, F.char(x.cast("long"))),
     )
+
+
+def dcount_intersect(
+    df: DataFrame, key_col: str, group_col: str, groups: list[str]
+) -> DataFrame:
+    """KQL ``evaluate dcount_intersect(hll1, hll2, …)`` — distinct keys in
+    the PROGRESSIVE intersection of the groups: count(keys in g1),
+    count(keys in g1∩g2), count(keys in g1∩g2∩g3), … KQL estimates this
+    from HLL sketches; here the exact form is one distinct-pair aggregate
+    (map-side combined, |keys| rows after dedup) + one membership-bitmap
+    aggregate — affordable because the shuffle carries (key, group) pairs
+    once each, and exactness matches the engine's exact-dcount contract.
+
+    Returns one row: s0, s1, … sN−1 (KQL's column shape).
+    """
+    pairs = (
+        df.select(F.col(key_col).alias("_k"), F.col(group_col).alias("_g"))
+        .where(F.col("_g").isin(list(groups)))
+        .distinct()
+    )
+    sets = pairs.groupBy("_k").agg(F.collect_set("_g").alias("_gs"))
+    agg_cols = []
+    for i in range(len(groups)):
+        prefix = groups[: i + 1]
+        member = F.forall(
+            F.array(*[F.lit(g) for g in prefix]),
+            lambda g: F.array_contains(F.col("_gs"), g),
+        )
+        agg_cols.append(
+            F.sum(F.when(member, 1).otherwise(0)).cast("long").alias(f"s{i}")
+        )
+    return sets.agg(*agg_cols)
+
+
+def _ipv4_candidates(col: Column) -> Column:
+    """Whitespace-delimited dotted-quad candidates in the text."""
+    return F.regexp_extract_all(
+        col, F.lit(r"(?:(?<=^)|(?<=\s))((?:\d{1,3}\.){3}\d{1,3})(?=\s|$)"), 1
+    )
+
+
+def has_ipv4(col: Column | str) -> Column:
+    """KQL ``has_ipv4(text)`` — true when the text contains a VALID,
+    properly delimited IPv4 literal (every octet ≤ 255). Codegen:
+    regexp_extract_all + an exists() octet check — no UDF."""
+    c = _c(col)
+    return F.exists(
+        _ipv4_candidates(c),
+        lambda ip: F.forall(F.split(ip, r"\."), lambda p: p.cast("int") <= 255),
+    )
+
+
+def has_ipv4_prefix(col: Column | str, prefix: str) -> Column:
+    """KQL ``has_ipv4_prefix(text, prefix)`` — a valid delimited IPv4
+    literal starts with the given prefix string."""
+    c = _c(col)
+    return F.exists(
+        _ipv4_candidates(c),
+        lambda ip: F.forall(F.split(ip, r"\."), lambda p: p.cast("int") <= 255)
+        & ip.startswith(prefix),
+    )

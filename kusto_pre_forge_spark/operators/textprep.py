@@ -355,3 +355,46 @@ def apply_bpe(
         F.sum(F.size("toks")).cast("long").alias("n_bpe_tokens"),
         F.min(F.array_join("toks", "|")).alias("sample_tokens"),
     )
+
+
+def _text_udf(fn, name: str):
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    def wrapped(s):
+        return s.map(lambda v: None if v is None else fn(v))
+
+    wrapped.__name__ = name
+    return pandas_udf(wrapped, "string", PandasUDFType.SCALAR)
+
+
+def normalize_unicode(col: Column | str, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) — the canonicalization
+    step every dedup/tokenizer pipeline needs before hashing (visually
+    identical strings with different codepoint sequences must collide).
+    Arrow-batched pandas_udf over ``unicodedata`` (no JVM builtin)."""
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    c = F.col(col) if isinstance(col, str) else col
+    return _text_udf(lambda v: unicodedata.normalize(form, v), f"norm_{form}")(c)
+
+
+def strip_accents(col: Column | str) -> Column:
+    """Accent folding: NFD-decompose and drop combining marks (café→cafe).
+    Precomposed letters WITHOUT a canonical decomposition (ø, ł, đ …)
+    pass through unchanged — the NFD definition of accent stripping, which
+    is the replayable one (ICU-transliteration strippers also map ø→o but
+    are version-dependent)."""
+    import unicodedata
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _text_udf(
+        lambda v: "".join(
+            ch
+            for ch in unicodedata.normalize("NFD", v)
+            if not unicodedata.combining(ch)
+        ),
+        "strip_accents",
+    )(c)

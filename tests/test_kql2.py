@@ -1101,3 +1101,19 @@ def test_parse_path_and_codepoints(spark):
     assert r.u.DirectoryPath == "/var/log" and r.u.DirectoryName == "log"
     assert r.b.Filename == "noext" and r.b.Extension == "" and r.b.DirectoryPath == ""
     assert r.cp == [72, 105] and r.s == "Hi"
+
+
+def test_has_ipv4_and_prefix(spark):
+    df = spark.sql("SELECT 1 AS x")
+    r = df.select(
+        kql.has_ipv4(F.lit("src 10.1.2.3 dst")).alias("ok"),
+        kql.has_ipv4(F.lit("10.1.2.3")).alias("whole"),
+        kql.has_ipv4(F.lit("x10.1.2.3")).alias("glued"),
+        kql.has_ipv4(F.lit("300.1.2.3 here")).alias("badoct"),
+        kql.has_ipv4(F.lit("no ip")).alias("none"),
+        kql.has_ipv4_prefix(F.lit("a 192.168.1.5 b"), "192.168.").alias("pfx"),
+        kql.has_ipv4_prefix(F.lit("a 10.0.0.5 b"), "192.168.").alias("nopfx"),
+    ).first()
+    assert (r.ok, r.whole) == (True, True)
+    assert (r.glued, r.badoct, r.none) == (False, False, False)
+    assert (r.pfx, r.nopfx) == (True, False)

@@ -125,3 +125,23 @@ def test_bpe_merge_pattern_adjacent_and_specials(spark):
     assert m2[0] == ("$", ".")
     out2 = apply_bpe(df2, m2).collect()[0]
     assert out2.n_words == 3
+
+
+def test_unicode_normalize_and_fold(spark):
+    from kusto_pre_forge_spark.operators.textprep import (
+        normalize_unicode,
+        strip_accents,
+    )
+
+    df = spark.createDataFrame(
+        [("café", "café)")], "dec string, comp string"
+    ).selectExpr("dec", "'café' AS comp")
+    r = df.select(
+        normalize_unicode("dec", "NFC").alias("nfc"),
+        strip_accents("dec").alias("f1"),
+        strip_accents("comp").alias("f2"),
+        normalize_unicode(F.lit(None).cast("string"), "NFC").alias("nul"),
+    ).first()
+    assert r.nfc == "café", "decomposed -> composed under NFC"
+    assert r.f1 == "cafe" and r.f2 == "cafe"
+    assert r.nul is None
