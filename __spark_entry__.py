@@ -2330,6 +2330,28 @@ def _q_kql_scalar_suite6(spark, sf):
     )
 
 
+def _q_skew_salted_agg(spark, sf):
+    """Salted two-phase aggregation over the hot event_type key — results
+    must equal the plain groupBy (the oracle), while the plan spreads each
+    hot key over salt_buckets reducers."""
+    from kusto_pre_forge_spark.operators import skew
+
+    e = load_table(spark, sf, "events").withColumn("vdec", _dec(F.col("value")))
+    out = skew.salted_agg(
+        e,
+        ["event_type"],
+        [("event_id", "count", "n"), ("vdec", "sum", "sum_value"),
+         ("event_id", "max", "max_id")],
+        salt_buckets=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("max_id").cast("long").alias("max_id"),
+    )
+
+
 def _q_text_normalize(spark, sf):
     """Unicode NFC + accent folding: composed/decomposed forms of the same
     visual string must collide after NFC; accents fold to ASCII. Inputs
@@ -2977,6 +2999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_scalar_suite7": _q_kql_scalar_suite7,
         "kql_dcount_intersect": _q_kql_dcount_intersect,
         "text_normalize": _q_text_normalize,
+        "skew_salted_agg": _q_skew_salted_agg,
         "kql_has_ipv4": _q_kql_has_ipv4,
         "kql_dynamic_suite2": _q_kql_dynamic_suite2,
         "kql_series_cosine": _q_kql_series_cosine,
@@ -3914,6 +3937,12 @@ def oracle_sql() -> dict[str, str]:
             "concat(concat_ws(',', event_id % 5, event_id % 7), '|', "
             "concat_ws(',', event_id % 3, event_id % 11)) AS split2 "
             "FROM events WHERE event_id < 400"
+        ),
+        "skew_salted_agg": (
+            "SELECT event_type, CAST(count(event_id) AS BIGINT) AS n, "
+            "CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value, "
+            "CAST(max(event_id) AS BIGINT) AS max_id "
+            "FROM events GROUP BY event_type"
         ),
         "text_normalize": (
             # predicts NFC + accent folding from the fixture rule; the
