@@ -2330,6 +2330,22 @@ def _q_kql_scalar_suite6(spark, sf):
     )
 
 
+def _q_kql_graph_var(spark, sf):
+    """graph-match variable-length (a)-[*1..3]->(b) over a derived
+    functional graph (each node one outgoing edge): union of fixed-length
+    hash-join chains with pairwise-distinct nodes."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 2000)
+    edges = (
+        e.select(
+            (F.col("user_id") % 97).alias("src"),
+            ((F.col("user_id") * 7 + 1) % 97).alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .distinct()
+    )
+    return kql.graph_match_var(edges, 1, 3)
+
+
 def _q_skew_salted_agg(spark, sf):
     """Salted two-phase aggregation over the hot event_type key — results
     must equal the plain groupBy (the oracle), while the plan spreads each
@@ -3000,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_dcount_intersect": _q_kql_dcount_intersect,
         "text_normalize": _q_text_normalize,
         "skew_salted_agg": _q_skew_salted_agg,
+        "kql_graph_var": _q_kql_graph_var,
         "kql_has_ipv4": _q_kql_has_ipv4,
         "kql_dynamic_suite2": _q_kql_dynamic_suite2,
         "kql_series_cosine": _q_kql_series_cosine,
@@ -3937,6 +3954,21 @@ def oracle_sql() -> dict[str, str]:
             "concat(concat_ws(',', event_id % 5, event_id % 7), '|', "
             "concat_ws(',', event_id % 3, event_id % 11)) AS split2 "
             "FROM events WHERE event_id < 400"
+        ),
+        "kql_graph_var": (
+            "WITH ed AS (SELECT DISTINCT user_id % 97 AS s, "
+            "(user_id * 7 + 1) % 97 AS d FROM events "
+            "WHERE event_id < 2000 AND user_id IS NOT NULL) "
+            "SELECT s AS n_start, d AS n_end, CAST(1 AS BIGINT) AS hops "
+            "FROM ed WHERE s != d "
+            "UNION ALL "
+            "SELECT a.s, b.d, 2 FROM ed a JOIN ed b ON a.d = b.s "
+            "WHERE a.s != a.d AND a.s != b.d AND a.d != b.d "
+            "UNION ALL "
+            "SELECT a.s, c.d, 3 FROM ed a JOIN ed b ON a.d = b.s "
+            "JOIN ed c ON b.d = c.s "
+            "WHERE a.s != a.d AND a.s != b.d AND a.s != c.d "
+            "AND a.d != b.d AND a.d != c.d AND b.d != c.d"
         ),
         "skew_salted_agg": (
             "SELECT event_type, CAST(count(event_id) AS BIGINT) AS n, "

@@ -3756,3 +3756,53 @@ def has_ipv4_prefix(col: Column | str, prefix: str) -> Column:
         lambda ip: F.forall(F.split(ip, r"\."), lambda p: p.cast("int") <= 255)
         & ip.startswith(prefix),
     )
+
+
+def invoke(df: DataFrame, fn, *args, **kwargs) -> DataFrame:
+    """KQL ``T | invoke f(args)`` — apply a stored function to the tabular
+    input. Functions are plain Python callables taking (df, *args)."""
+    return fn(df, *args, **kwargs)
+
+
+def consume(df: DataFrame) -> int:
+    """KQL ``consume`` — run the query, discard the output, return the
+    row count (the UniversalSink analogue; ref: EtlRun.cs sink wiring)."""
+    return df.count()
+
+
+def as_view(df: DataFrame, name: str) -> DataFrame:
+    """KQL ``T | as Name`` — bind the tabular expression to a name usable
+    in later ``spark.sql`` text (a temp view), returning df unchanged."""
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def graph_match_var(
+    edges: DataFrame,
+    min_hops: int,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    distinct_nodes: bool = True,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """KQL graph-match variable-length pattern ``(a)-[e*min..max]->(b)``:
+    the union of the fixed-length forward chains, labeled with ``hops``.
+    Each length is its own join pipeline (`graph_match_path`), so the
+    plan is max_hops−min_hops+1 independent hash-join chains unioned —
+    no iteration state, and the hub valve applies per length. Returns
+    (n_start, n_end, hops)."""
+    if not 1 <= min_hops <= max_hops:
+        raise ValueError("need 1 <= min_hops <= max_hops")
+    out = None
+    for k in range(min_hops, max_hops + 1):
+        p = graph_match_path(
+            edges, ["fwd"] * k, src_col, dst_col, distinct_nodes, max_degree
+        )
+        leg = p.select(
+            F.col("n0").alias("n_start"),
+            F.col(f"n{k}").alias("n_end"),
+            F.lit(k).cast("long").alias("hops"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out

@@ -1117,3 +1117,15 @@ def test_has_ipv4_and_prefix(spark):
     assert (r.ok, r.whole) == (True, True)
     assert (r.glued, r.badoct, r.none) == (False, False, False)
     assert (r.pfx, r.nopfx) == (True, False)
+
+
+def test_invoke_consume_asview_graphvar(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert kql.consume(df) == 3
+    kql.as_view(df, "edges_v")
+    assert spark.sql("SELECT count(*) AS n FROM edges_v").first().n == 3
+    doubled = kql.invoke(df, lambda d, k: d.limit(k), 2)
+    assert doubled.count() == 2
+    out = {(r.n_start, r.n_end, r.hops) for r in kql.graph_match_var(df, 1, 2).collect()}
+    assert (1, 2, 1) in out and (1, 3, 2) in out and (2, 4, 2) in out
+    assert (1, 4, 3) not in out, "3 hops excluded by max_hops=2"
