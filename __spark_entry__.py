@@ -2330,6 +2330,23 @@ def _q_kql_scalar_suite6(spark, sf):
     )
 
 
+def _q_kql_graph_shortest(spark, sf):
+    """graph-shortest-paths from node 0 over the derived functional graph
+    — BFS driver loop vs a recursive-CTE oracle (min over all ≤15-hop
+    path lengths)."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 2000)
+    edges = (
+        e.select(
+            (F.col("user_id") % 97).alias("src"),
+            ((F.col("user_id") * 7 + 1) % 97).alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .distinct()
+    )
+    out = kql.graph_shortest_paths(edges, [0], max_hops=15)
+    return out.select("node", F.col("dist").cast("long").alias("dist"))
+
+
 def _q_kql_graph_var(spark, sf):
     """graph-match variable-length (a)-[*1..3]->(b) over a derived
     functional graph (each node one outgoing edge): union of fixed-length
@@ -3017,6 +3034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": _q_text_normalize,
         "skew_salted_agg": _q_skew_salted_agg,
         "kql_graph_var": _q_kql_graph_var,
+        "kql_graph_shortest": _q_kql_graph_shortest,
         "kql_has_ipv4": _q_kql_has_ipv4,
         "kql_dynamic_suite2": _q_kql_dynamic_suite2,
         "kql_series_cosine": _q_kql_series_cosine,
@@ -3954,6 +3972,16 @@ def oracle_sql() -> dict[str, str]:
             "concat(concat_ws(',', event_id % 5, event_id % 7), '|', "
             "concat_ws(',', event_id % 3, event_id % 11)) AS split2 "
             "FROM events WHERE event_id < 400"
+        ),
+        "kql_graph_shortest": (
+            "WITH RECURSIVE ed AS (SELECT DISTINCT user_id % 97 AS s, "
+            "(user_id * 7 + 1) % 97 AS d FROM events "
+            "WHERE event_id < 2000 AND user_id IS NOT NULL), "
+            "sp AS (SELECT CAST(0 AS BIGINT) AS node, 0 AS dist "
+            "UNION ALL "
+            "SELECT e.d, sp.dist + 1 FROM sp JOIN ed e ON e.s = sp.node "
+            "WHERE sp.dist < 15) "
+            "SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM sp GROUP BY node"
         ),
         "kql_graph_var": (
             "WITH ed AS (SELECT DISTINCT user_id % 97 AS s, "

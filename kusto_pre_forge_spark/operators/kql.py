@@ -3806,3 +3806,56 @@ def graph_match_var(
         )
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+def graph_shortest_paths(
+    edges: DataFrame,
+    sources: list,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 20,
+) -> DataFrame:
+    """KQL ``graph-shortest-paths`` (unweighted): hop distance from the
+    nearest source to every reachable node. Frontier-relaxation BFS as a
+    bounded driver loop — the same shape as ``connected_components``:
+    each round is one hash join (frontier × edges) + one min-combine
+    aggregate, lineage truncated per round (lazy localCheckpoint, the
+    convergence checksum materializes it), rounds bounded by the graph
+    diameter and ``max_hops``. Nothing driver-sized moves: convergence is
+    a 1-row count/checksum per round.
+
+    Returns (node, dist). Distances cap at ``max_hops`` (unreached nodes
+    are absent, as in KQL).
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("s"), F.col(dst_col).cast("long").alias("d")
+    ).distinct().localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(x), 0) for x in sources], "node long, dist int"
+    )
+
+    def checksum(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(node, dist))").alias("x"),
+        ).collect()[0]
+        return row["n"], row["x"]
+
+    prev = None
+    for hop in range(max_hops):
+        relaxed = (
+            dist.join(e, dist["node"] == e["s"])
+            .select(F.col("d").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        cur = checksum(dist)
+        if cur == prev:
+            break
+        prev = cur
+    return dist

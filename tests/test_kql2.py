@@ -1129,3 +1129,16 @@ def test_invoke_consume_asview_graphvar(spark):
     out = {(r.n_start, r.n_end, r.hops) for r in kql.graph_match_var(df, 1, 2).collect()}
     assert (1, 2, 1) in out and (1, 3, 2) in out and (2, 4, 2) in out
     assert (1, 4, 3) not in out, "3 hops excluded by max_hops=2"
+
+
+def test_graph_shortest_paths_bfs(spark):
+    # chain 1->2->3->4 plus shortcut 1->4 and a disconnected 9->10
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (9, 10)], "src long, dst long"
+    )
+    out = {r.node: r.dist for r in kql.graph_shortest_paths(df, [1]).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 1}, "shortcut wins; unreachable absent"
+    # cycle must converge, not loop forever
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    out2 = {r.node: r.dist for r in kql.graph_shortest_paths(cyc, [1]).collect()}
+    assert out2 == {1: 0, 2: 1}
