@@ -1174,6 +1174,32 @@ def _q_activity_sliding_counts(spark, sf):
     )
 
 
+def _q_activity_active_users(spark, sf):
+    """active_users_count — users active ≥2 distinct days of the trailing
+    7 per day, dense axis."""
+    from kusto_pre_forge_spark.operators import activity
+
+    e = load_table(spark, sf, "events")
+    out = activity.active_users_count(e, "user_id", "ts", 7, 2)
+    return out.select(
+        F.col("day").cast("timestamp").alias("day"), "active_users"
+    )
+
+
+def _q_activity_funnel_sequence(spark, sf):
+    """funnel_sequence — (prev, next) state pairs around every 'view'
+    event per user's time-ordered sequence."""
+    from kusto_pre_forge_spark.operators import activity
+
+    e = load_table(spark, sf, "events")
+    out = activity.funnel_sequence(e, "user_id", "ts", "event_type", "view")
+    return out.select(
+        F.coalesce("prev_state", F.lit("<start>")).alias("prev_state"),
+        F.coalesce("next_state", F.lit("<end>")).alias("next_state"),
+        "n",
+    )
+
+
 def _q_activity_rolling_percentile(spark, sf):
     """evaluate rolling_percentile — exact trailing-7-day p50 of value per
     day on the dense axis (contribute explode + one percentile aggregate;
@@ -3048,6 +3074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_engagement": _q_activity_engagement,
         "activity_sliding_counts": _q_activity_sliding_counts,
         "activity_rolling_percentile": _q_activity_rolling_percentile,
+        "activity_active_users": _q_activity_active_users,
+        "activity_funnel_sequence": _q_activity_funnel_sequence,
         "kql_bag_ops": _q_kql_bag_ops,
         "activity_funnel": _q_activity_funnel,
         "activity_transitions": _q_activity_transitions,
@@ -3816,6 +3844,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.cohort, c.\"offset\", c.n_active, "
             "round(CAST(c.n_active AS DOUBLE) / s.sz, 6) AS retention "
             "FROM c JOIN s USING (cohort)"
+        ),
+        "activity_active_users": (
+            "WITH p AS (SELECT DISTINCT user_id AS a, CAST(ts AS DATE) AS d FROM events), "
+            "bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM p), "
+            "axis AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), "
+            "CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds), "
+            "pa AS (SELECT ax.day, p.a, count(*) AS days FROM axis ax "
+            "JOIN p ON p.d BETWEEN ax.day - 6 AND ax.day GROUP BY 1, 2), "
+            "agg AS (SELECT day, CAST(count(*) AS BIGINT) AS au "
+            "FROM pa WHERE days >= 2 GROUP BY 1) "
+            "SELECT CAST(axis.day AS TIMESTAMP) AS day, "
+            "coalesce(agg.au, 0) AS active_users "
+            "FROM axis LEFT JOIN agg USING (day)"
+        ),
+        "activity_funnel_sequence": (
+            "WITH t AS (SELECT user_id AS a, CAST(ts AS TIMESTAMP) AS ts, "
+            "event_type AS s FROM events), "
+            "l AS (SELECT *, lag(s) OVER (PARTITION BY a ORDER BY ts, s) AS p, "
+            "lead(s) OVER (PARTITION BY a ORDER BY ts, s) AS nx FROM t) "
+            "SELECT coalesce(p, '<start>') AS prev_state, "
+            "coalesce(nx, '<end>') AS next_state, CAST(count(*) AS BIGINT) AS n "
+            "FROM l WHERE s = 'view' GROUP BY 1, 2"
         ),
         "activity_rolling_percentile": (
             "WITH ev AS (SELECT CAST(value AS DOUBLE) AS v, CAST(ts AS DATE) AS d "

@@ -22,7 +22,7 @@ happens):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -341,4 +341,73 @@ def rolling_percentile(
     )
     return axis.join(agg, "day", "left").select(
         "day", F.col("_p").alias(f"p{int(percentile)}")
+    )
+
+
+def active_users_count(
+    df: DataFrame,
+    actor_col: str,
+    ts_col: str,
+    lookback_days: int = 7,
+    min_active_days: int = 2,
+) -> DataFrame:
+    """KQL ``evaluate active_users_count(Id, Timeline, …, LookbackWindow,
+    Period, ActivePeriodsCount)`` — per day, how many users were active on
+    at least ``min_active_days`` DISTINCT days of the trailing window (the
+    robust engaged-actives metric that one-hit users can't inflate).
+
+    Distinct (actor, day) pairs first, contribute-to-trailing-bins
+    explode, then per (bin, actor) period counts → threshold → one count
+    per bin. All aggregates map-side combinable; blowup = the constant
+    window/bin ratio."""
+    day = F.to_date(F.col(ts_col))
+    pairs = df.select(F.col(actor_col).alias("_a"), day.alias("_d")).distinct()
+    bounds = pairs.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    axis = bounds.select(F.explode(F.sequence("_lo", "_hi")).alias("day"))
+    contrib = pairs.select(
+        "_a",
+        F.explode(
+            F.sequence(F.col("_d"), F.date_add(F.col("_d"), lookback_days - 1))
+        ).alias("day"),
+    )
+    per_actor = contrib.groupBy("day", "_a").agg(
+        F.count(F.lit(1)).alias("_days")
+    )
+    agg = (
+        per_actor.filter(F.col("_days") >= min_active_days)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    return axis.join(agg, "day", "left").select(
+        "day", F.coalesce("active_users", F.lit(0)).cast("long").alias("active_users")
+    )
+
+
+def funnel_sequence(
+    df: DataFrame,
+    actor_col: str,
+    ts_col: str,
+    state_col: str,
+    mid_state: str,
+) -> DataFrame:
+    """KQL ``evaluate funnel_sequence(Id, Timeline, State, …, MidState)``
+    — for every occurrence of ``mid_state`` in an actor's time-ordered
+    event sequence, count the (previous state, next state) pairs. One
+    lag+lead window per actor key (a single hash exchange), then a
+    map-side-combined count; boundary occurrences carry NULL prev/next,
+    as KQL renders sequence edges."""
+    w = Window.partitionBy("_a").orderBy(F.col("_ts"), F.col("_s"))
+    t = (
+        df.select(
+            F.col(actor_col).alias("_a"),
+            F.col(ts_col).alias("_ts"),
+            F.col(state_col).alias("_s"),
+        )
+        .withColumn("_prev", F.lag("_s").over(w))
+        .withColumn("_next", F.lead("_s").over(w))
+    )
+    return (
+        t.filter(F.col("_s") == mid_state)
+        .groupBy(F.col("_prev").alias("prev_state"), F.col("_next").alias("next_state"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )

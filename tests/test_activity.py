@@ -180,3 +180,44 @@ def test_rolling_percentile_exact_window(spark):
     assert out["2024-01-01"] == 10.0
     assert out["2024-01-02"] == 15.0, "exact interpolation between 10 and 20"
     assert out["2024-01-03"] == 25.0
+
+
+def test_active_users_count_threshold(spark):
+    from kusto_pre_forge_spark.operators.activity import active_users_count
+
+    F = __import__("pyspark.sql.functions", fromlist=["F"])
+    rows = [
+        # u1 active on 2 days of the window, u2 only 1
+        (1, "2024-01-01 01:00:00"), (1, "2024-01-02 01:00:00"),
+        (2, "2024-01-02 02:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        str(r.day): r.active_users
+        for r in active_users_count(df, "user_id", "ts", 3, 2).collect()
+    }
+    assert out["2024-01-01"] == 0, "nobody has 2 distinct days yet"
+    assert out["2024-01-02"] == 1, "only u1 crosses the 2-day threshold"
+
+
+def test_funnel_sequence_prev_next(spark):
+    from kusto_pre_forge_spark.operators.activity import funnel_sequence
+
+    F = __import__("pyspark.sql.functions", fromlist=["F"])
+    rows = [
+        (1, "2024-01-01 01:00:00", "a"),
+        (1, "2024-01-01 02:00:00", "mid"),
+        (1, "2024-01-01 03:00:00", "b"),
+        (2, "2024-01-01 01:00:00", "mid"),  # boundary: no prev/next
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, s string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        (r.prev_state, r.next_state): r.n
+        for r in funnel_sequence(df, "user_id", "ts", "s", "mid").collect()
+    }
+    assert out[("a", "b")] == 1
+    assert out[(None, None)] == 1
