@@ -2356,6 +2356,20 @@ def _q_kql_scalar_suite6(spark, sf):
     )
 
 
+def _q_kql_datetime_suite2(spark, sf):
+    """Calendar-boundary batch 2: startofyear/quarter, endofquarter/week
+    (−1 µs convention, Sunday-anchored weeks)."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 300)
+    t = F.col("ts")
+    return e.select(
+        "event_id",
+        kql.startofyear(t).alias("soy"),
+        kql.startofquarter(t).alias("soq"),
+        kql.endofquarter(t).alias("eoq"),
+        kql.endofweek(t).alias("eow"),
+    )
+
+
 def _q_kql_graph_shortest(spark, sf):
     """graph-shortest-paths from node 0 over the derived functional graph
     — BFS driver loop vs a recursive-CTE oracle (min over all ≤15-hop
@@ -3061,6 +3075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": _q_skew_salted_agg,
         "kql_graph_var": _q_kql_graph_var,
         "kql_graph_shortest": _q_kql_graph_shortest,
+        "kql_datetime_suite2": _q_kql_datetime_suite2,
         "kql_has_ipv4": _q_kql_has_ipv4,
         "kql_dynamic_suite2": _q_kql_dynamic_suite2,
         "kql_series_cosine": _q_kql_series_cosine,
@@ -4022,6 +4037,17 @@ def oracle_sql() -> dict[str, str]:
             "concat(concat_ws(',', event_id % 5, event_id % 7), '|', "
             "concat_ws(',', event_id % 3, event_id % 11)) AS split2 "
             "FROM events WHERE event_id < 400"
+        ),
+        "kql_datetime_suite2": (
+            "SELECT event_id, "
+            "date_trunc('year', CAST(ts AS TIMESTAMP)) AS soy, "
+            "date_trunc('quarter', CAST(ts AS TIMESTAMP)) AS soq, "
+            "date_trunc('quarter', CAST(ts AS TIMESTAMP)) + INTERVAL 3 MONTH "
+            "- INTERVAL 1 MICROSECOND AS eoq, "
+            "date_trunc('day', CAST(ts AS TIMESTAMP)) "
+            "- to_days(CAST(dayofweek(ts) AS INTEGER)) "
+            "+ INTERVAL 7 DAY - INTERVAL 1 MICROSECOND AS eow "
+            "FROM events WHERE event_id < 300"
         ),
         "kql_graph_shortest": (
             "WITH RECURSIVE ed AS (SELECT DISTINCT user_id % 97 AS s, "

@@ -3859,3 +3859,27 @@ def graph_shortest_paths(
             break
         prev = cur
     return dist
+
+
+def startofyear(col: Column | str) -> Column:
+    """KQL ``startofyear`` — midnight of Jan 1."""
+    return F.trunc(_c(col), "year").cast("timestamp")
+
+
+def startofquarter(col: Column | str) -> Column:
+    """KQL ``startofquarter`` — midnight of the quarter's first day."""
+    return F.trunc(_c(col), "quarter").cast("timestamp")
+
+
+def endofquarter(col: Column | str) -> Column:
+    """KQL ``endofquarter`` — last microsecond of the quarter (start of
+    next quarter − 1 µs, the endofyear convention)."""
+    nxt = F.add_months(F.trunc(_c(col), "quarter"), 3)
+    return F.timestamp_micros(F.unix_micros(nxt.cast("timestamp")) - 1)
+
+
+def endofweek(col: Column | str) -> Column:
+    """KQL ``endofweek`` — last microsecond of the KQL (Sunday-anchored)
+    week: startofweek + 7 days − 1 µs."""
+    nxt = F.date_add(startofweek(_c(col)).cast("date"), 7)
+    return F.timestamp_micros(F.unix_micros(nxt.cast("timestamp")) - 1)

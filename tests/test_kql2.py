@@ -1142,3 +1142,18 @@ def test_graph_shortest_paths_bfs(spark):
     cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
     out2 = {r.node: r.dist for r in kql.graph_shortest_paths(cyc, [1]).collect()}
     assert out2 == {1: 0, 2: 1}
+
+
+def test_quarter_week_boundaries(spark):
+    df = spark.sql("SELECT timestamp'2024-05-15 10:30:00' AS t")  # a Wednesday
+    r = df.select(
+        kql.startofyear("t").alias("soy"),
+        kql.startofquarter("t").alias("soq"),
+        kql.endofquarter("t").alias("eoq"),
+        kql.endofweek("t").alias("eow"),
+    ).first()
+    assert str(r.soy) == "2024-01-01 00:00:00"
+    assert str(r.soq) == "2024-04-01 00:00:00"
+    assert str(r.eoq) == "2024-06-30 23:59:59.999999"
+    # Sunday-anchored: week of Wed 2024-05-15 runs Sun 05-12 .. Sat 05-18
+    assert str(r.eow) == "2024-05-18 23:59:59.999999"
