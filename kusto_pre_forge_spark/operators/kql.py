@@ -3883,3 +3883,45 @@ def endofweek(col: Column | str) -> Column:
     week: startofweek + 7 days − 1 µs."""
     nxt = F.date_add(startofweek(_c(col)).cast("date"), 7)
     return F.timestamp_micros(F.unix_micros(nxt.cast("timestamp")) - 1)
+
+
+def export_any(
+    df: DataFrame,
+    prefix: str,
+    fmt: str = "parquet",
+    size_limit_bytes: int | None = None,
+    distribution: int | None = None,
+    compression: str | None = None,
+) -> None:
+    """KQL ``.export to parquet|json|csv|tsv (prefix) with (...)`` — the
+    full export-format surface (the reference only ever exercises csv;
+    Kusto's command supports these formats). Same contracts as
+    :func:`export_csv`: sizeLimit approximates via sampled average row
+    width → ``maxRecordsPerFile``; ``distribution`` → repartition;
+    compression maps to the format's codec option (gzip for text,
+    snappy/zstd for parquet)."""
+    fmt = fmt.lower()
+    if fmt == "csv":
+        return export_csv(df, prefix, size_limit_bytes, True, distribution)
+    if fmt not in ("parquet", "json", "tsv", "orc"):
+        raise ValueError(f"unsupported export format {fmt!r}")
+    writer_df = df.repartition(distribution) if distribution else df
+    opts: dict[str, str] = {}
+    if size_limit_bytes:
+        sample = df.limit(1000).select(
+            F.sum(F.octet_length(F.concat_ws(",", *df.columns))).alias("b"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        avg_row = (sample["b"] or 1) / max(sample["n"] or 1, 1) + 1
+        opts["maxRecordsPerFile"] = str(max(int(size_limit_bytes / avg_row), 1))
+    if compression:
+        opts["compression"] = compression
+    w = writer_df.write.mode("overwrite").options(**opts)
+    if fmt == "tsv":
+        w.option("sep", "\t").option("header", "true").csv(prefix)
+    elif fmt == "json":
+        w.json(prefix)
+    elif fmt == "orc":
+        w.orc(prefix)
+    else:
+        w.parquet(prefix)

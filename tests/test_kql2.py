@@ -1157,3 +1157,28 @@ def test_quarter_week_boundaries(spark):
     assert str(r.eoq) == "2024-06-30 23:59:59.999999"
     # Sunday-anchored: week of Wed 2024-05-15 runs Sun 05-12 .. Sat 05-18
     assert str(r.eow) == "2024-05-18 23:59:59.999999"
+
+
+def test_export_any_formats(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(100)], "id long, name string"
+    )
+    for fmt in ("parquet", "json", "tsv", "orc"):
+        out = str(tmp_path / fmt)
+        kql.export_any(df, out, fmt, distribution=2)
+        back = (
+            spark.read.option("sep", "\t").option("header", "true").csv(out)
+            if fmt == "tsv"
+            else getattr(spark.read, fmt)(out)
+        )
+        assert back.count() == 100, fmt
+    # size cap produces multiple parquet files
+    capped = str(tmp_path / "capped")
+    kql.export_any(df, capped, "parquet", size_limit_bytes=200)
+    import glob
+
+    assert len(glob.glob(f"{capped}/*.parquet")) > 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kql.export_any(df, str(tmp_path / "x"), "avro")
