@@ -2060,6 +2060,41 @@ def _q_multimodal_image_dhash(spark, sf):
     )
 
 
+def _q_multimodal_frame_plan(spark, sf):
+    """Frame-sampling plan from REAL MP4 metadata: fixtures encode a known
+    mvhd duration (doc_id-derived), the operator parses the actual boxes
+    and emits 1 fps sample timestamps; the oracle predicts the exact rows
+    from the duration rule."""
+    from kusto_pre_forge_spark.operators import multimodal
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id")
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        from kusto_pre_forge_spark.operators import mediacodec
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                # duration: (2 + i%5) seconds at timescale 1000
+                blobs.append(
+                    mediacodec.encode_mp4_meta(64, 48, (2 + i % 5) * 1000)
+                )
+                ids.append(i)
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    return multimodal.plan_frame_times(blobs, fps_sample=1.0).select(
+        "doc_id", "frame_index", "t_ms"
+    )
+
+
 def _q_multimodal_audio_fp(spark, sf):
     """Energy-delta fingerprint over REAL decoded WAVs; fixtures make the
     hash analytic: even docs get an amplitude ramp (every later-frame
@@ -3136,6 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_meta": _q_multimodal_real_meta,
         "multimodal_image_dhash": _q_multimodal_image_dhash,
         "multimodal_audio_fp": _q_multimodal_audio_fp,
+        "multimodal_frame_plan": _q_multimodal_frame_plan,
     }
 
 
@@ -5202,6 +5238,14 @@ def oracle_sql() -> dict[str, str]:
             "f AS (SELECT doc_id, text, unnest(range(0, nf, 4)) AS fi FROM t) "
             "SELECT doc_id, CAST(fi AS INT) AS frame_index, "
             "sha256(substring(text, CAST(fi * 32 + 1 AS BIGINT), 32)) AS frame_sha FROM f"
+        ),
+        "multimodal_frame_plan": (
+            # duration rule: (2 + doc_id%5) s at 1 fps -> duration+1 samples
+            "WITH x AS (SELECT doc_id, "
+            "unnest(range(0, 3 + doc_id % 5)) AS fi "
+            "FROM documents WHERE doc_id < 60) "
+            "SELECT doc_id, CAST(fi AS BIGINT) AS frame_index, "
+            "CAST(fi * 1000 AS BIGINT) AS t_ms FROM x"
         ),
         "multimodal_audio_fp": (
             # ground truth from the fixture rule: ramp -> all 32 bits,

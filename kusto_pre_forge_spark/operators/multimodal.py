@@ -599,3 +599,49 @@ def audio_fingerprint(
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
         batches, AUDIO_FP_SCHEMA
     )
+
+
+FRAME_PLAN_SCHEMA = "doc_id long, frame_index long, t_ms long"
+
+
+def plan_frame_times(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    fps_sample: float = 1.0,
+    max_frames: int = 64,
+) -> DataFrame:
+    """Frame-sampling PLAN from REAL video container metadata: parse the
+    MP4 ``mvhd`` duration (mediacodec box walk — no decoder needed) and
+    emit one row per sample timestamp at ``fps_sample`` frames/second,
+    capped at ``max_frames``. This is the half of frame sampling that
+    does NOT need ffmpeg — the timestamps drive the (stubbed) pixel
+    decoder downstream, so the Spark-side plumbing and the sampling math
+    run against real container bytes. Non-MP4 payloads yield no rows.
+    ``t_ms`` is integer milliseconds (exact arithmetic — oracle-safe)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kusto_pre_forge_spark.operators import mediacodec
+
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                hdr = mediacodec.parse_mp4_header(bytes(blob))
+                if not hdr or "duration_s" not in hdr:
+                    continue
+                step_ms = int(round(1000.0 / fps_sample))
+                dur_ms = int(round(hdr["duration_s"] * 1000.0))
+                n = min(max(dur_ms // step_ms + 1, 1), max_frames)
+                for fi in range(n):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_index": fi,
+                            "t_ms": fi * step_ms,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_index", "t_ms"]
+            ).astype({"doc_id": "int64", "frame_index": "int64", "t_ms": "int64"})
+
+    return df.select(id_col, blob_col).mapInPandas(batches, FRAME_PLAN_SCHEMA)

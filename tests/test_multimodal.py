@@ -276,3 +276,23 @@ def test_audio_fingerprint_real_wav(spark):
     ham = bin((out[1].afp ^ out[3].afp) & (2**64 - 1)).count("1")
     assert ham <= 2, "noise preserves the loudness contour"
     assert out[1].sample_rate == 8000 and out[1].n_samples == 330
+
+
+def test_plan_frame_times_real_mp4(spark):
+    from kusto_pre_forge_spark.operators import mediacodec, multimodal
+
+    rows = [
+        (1, mediacodec.encode_mp4_meta(64, 48, 3500)),  # 3.5 s
+        (2, b"not mp4"),
+        (3, mediacodec.encode_mp4_meta(64, 48, 500, timescale=100)),  # 5 s
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = multimodal.plan_frame_times(df, fps_sample=2.0).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.frame_index, r.t_ms))
+    # 3.5 s at 2 fps (500 ms step) -> 3500//500 + 1 = 8 samples
+    assert len(by_doc[1]) == 8 and by_doc[1][1] == (1, 500)
+    assert 2 not in by_doc, "non-MP4 emits no rows"
+    # v0 box with timescale 100: 5 s -> 11 samples
+    assert len(by_doc[3]) == 11
