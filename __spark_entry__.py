@@ -2391,6 +2391,29 @@ def _q_kql_scalar_suite6(spark, sf):
     )
 
 
+def _q_kql_scalar_suite8(spark, sf):
+    """Scalar batch 8: max_of/min_of (null-skipping), isascii,
+    estimate_data_size (documented octet_length approximation),
+    format_ipv4_mask, column_ifexists (plan-time bind)."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 300)
+    eid = F.col("event_id")
+    ip = F.concat_ws(".", F.lit("10"), eid % 256, F.lit("7"), F.lit("9"))
+    return e.select(
+        "event_id",
+        F.round(kql.max_of(F.col("value"), F.lit(50.0)), 4).alias("mx"),
+        F.round(
+            kql.min_of(F.col("value"), F.lit(50.0), F.lit(None).cast("double")), 4
+        ).alias("mn"),
+        kql.isascii("event_type").alias("ascii_t"),
+        kql.isascii(F.lit("café")).alias("ascii_f"),
+        kql.estimate_data_size(F.col("event_type"), eid).alias("sz"),
+        kql.format_ipv4_mask(ip, 24).alias("mask24"),
+        kql.format_ipv4_mask(F.lit("garbage"), 24).alias("mask_bad"),
+        kql.column_ifexists(e, "event_type", F.lit("none")).alias("present"),
+        kql.column_ifexists(e, "no_such_col", F.lit("fallback")).alias("absent"),
+    )
+
+
 def _q_kql_datetime_suite2(spark, sf):
     """Calendar-boundary batch 2: startofyear/quarter, endofquarter/week
     (−1 µs convention, Sunday-anchored weeks)."""
@@ -3111,6 +3134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_graph_var": _q_kql_graph_var,
         "kql_graph_shortest": _q_kql_graph_shortest,
         "kql_datetime_suite2": _q_kql_datetime_suite2,
+        "kql_scalar_suite8": _q_kql_scalar_suite8,
         "kql_has_ipv4": _q_kql_has_ipv4,
         "kql_dynamic_suite2": _q_kql_dynamic_suite2,
         "kql_series_cosine": _q_kql_series_cosine,
@@ -4073,6 +4097,20 @@ def oracle_sql() -> dict[str, str]:
             "concat(concat_ws(',', event_id % 5, event_id % 7), '|', "
             "concat_ws(',', event_id % 3, event_id % 11)) AS split2 "
             "FROM events WHERE event_id < 400"
+        ),
+        "kql_scalar_suite8": (
+            "SELECT event_id, "
+            "round(CASE WHEN value IS NULL OR value < 50 THEN 50.0 "
+            "ELSE CAST(value AS DOUBLE) END, 4) AS mx, "
+            "round(CASE WHEN value IS NULL OR value > 50 THEN 50.0 "
+            "ELSE CAST(value AS DOUBLE) END, 4) AS mn, "
+            "true AS ascii_t, false AS ascii_f, "
+            "CAST(octet_length(encode(event_type)) "
+            "+ octet_length(encode(CAST(event_id AS VARCHAR))) AS BIGINT) AS sz, "
+            "concat('10.', CAST(event_id % 256 AS VARCHAR), '.7.0/24') AS mask24, "
+            "CAST(NULL AS VARCHAR) AS mask_bad, "
+            "event_type AS present, 'fallback' AS absent "
+            "FROM events WHERE event_id < 300"
         ),
         "kql_datetime_suite2": (
             "SELECT event_id, "

@@ -3925,3 +3925,52 @@ def export_any(
         w.orc(prefix)
     else:
         w.parquet(prefix)
+
+
+def max_of(*cols: Column) -> Column:
+    """KQL ``max_of(a, b, …)`` — row-wise maximum, nulls ignored
+    (``greatest`` skips nulls unless every operand is null — the KQL
+    contract)."""
+    return F.greatest(*cols)
+
+
+def min_of(*cols: Column) -> Column:
+    """KQL ``min_of(a, b, …)`` — row-wise minimum, nulls ignored."""
+    return F.least(*cols)
+
+
+def isascii(col: Column | str) -> Column:
+    """KQL ``isascii`` — every character in [0, 127]; null → false."""
+    c = _c(col)
+    return c.isNotNull() & c.rlike(r"^[\x00-\x7F]*$")
+
+
+def estimate_data_size(*cols: Column) -> Column:
+    """KQL ``estimate_data_size(col1, …)`` — APPROXIMATE per-row payload
+    bytes: Σ octet_length(string form), nulls contributing 0. KQL's own
+    estimate is also type-heuristic, not storage-exact; this form is
+    engine-replayable (documented approximation)."""
+    total = F.lit(0)
+    for c in cols:
+        total = total + F.coalesce(F.octet_length(c.cast("string")), F.lit(0))
+    return total.cast("long")
+
+
+def format_ipv4_mask(col: Column | str, prefix: int) -> Column:
+    """KQL ``format_ipv4_mask(ip, prefix)`` — the ip masked to its network
+    address, rendered as 'a.b.c.d/prefix'; null for unparseable input."""
+    if not 0 <= prefix <= 32:
+        raise ValueError("prefix must be in [0, 32]")
+    v = parse_ipv4(col)
+    block = 1 << (32 - prefix)
+    base = v - (v % F.lit(block)) if prefix < 32 else v
+    return F.when(
+        v.isNotNull(), F.concat(format_ipv4(base), F.lit(f"/{prefix}"))
+    )
+
+
+def column_ifexists(df: DataFrame, name: str, default: Column) -> Column:
+    """KQL ``column_ifexists(name, default)`` — plan-time column presence
+    test (KQL resolves it at bind time too): the named column when the
+    input has it, else the default expression."""
+    return F.col(name) if name in df.columns else default

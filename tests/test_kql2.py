@@ -1182,3 +1182,21 @@ def test_export_any_formats(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         kql.export_any(df, str(tmp_path / "x"), "avro")
+
+
+def test_scalar_suite8_semantics(spark):
+    df = spark.sql("SELECT CAST(NULL AS DOUBLE) AS z, 3.0d AS v, 'héllo' AS nonascii")
+    r = df.select(
+        kql.max_of(F.col("z"), F.col("v"), F.lit(1.0)).alias("mx"),
+        kql.min_of(F.col("z"), F.col("v")).alias("mn"),
+        kql.isascii(F.lit("plain")).alias("a1"),
+        kql.isascii("nonascii").alias("a2"),
+        kql.isascii(F.lit(None).cast("string")).alias("a3"),
+        kql.estimate_data_size(F.lit("ab"), F.lit(123), F.col("z")).alias("sz"),
+        kql.format_ipv4_mask(F.lit("192.168.1.77"), 24).alias("m"),
+        kql.format_ipv4_mask(F.lit("192.168.1.77"), 32).alias("m32"),
+    ).first()
+    assert r.mx == 3.0 and r.mn == 3.0, "nulls skipped"
+    assert (r.a1, r.a2, r.a3) == (True, False, False)
+    assert r.sz == 5, "2 + 3 + 0 for the null"
+    assert r.m == "192.168.1.0/24" and r.m32 == "192.168.1.77/32"
