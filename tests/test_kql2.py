@@ -1200,3 +1200,71 @@ def test_scalar_suite8_semantics(spark):
     assert (r.a1, r.a2, r.a3) == (True, False, False)
     assert r.sz == 5, "2 + 3 + 0 for the null"
     assert r.m == "192.168.1.0/24" and r.m32 == "192.168.1.77/32"
+
+
+def test_geohash_fuzz_against_reference(spark):
+    """300 seeded-random points: Spark encode/decode vs an independent
+    textbook geohash implementation."""
+    import random
+
+    rnd = random.Random(4242)
+    B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def ref_encode(lat, lon, p):
+        lalo, lahi, lolo, lohi = -90.0, 90.0, -180.0, 180.0
+        bits = []
+        for i in range(5 * p):
+            if i % 2 == 0:
+                mid = (lolo + lohi) / 2
+                if lon >= mid:
+                    bits.append(1); lolo = mid
+                else:
+                    bits.append(0); lohi = mid
+            else:
+                mid = (lalo + lahi) / 2
+                if lat >= mid:
+                    bits.append(1); lalo = mid
+                else:
+                    bits.append(0); lahi = mid
+        return "".join(
+            B32[int("".join(map(str, bits[i * 5 : i * 5 + 5])), 2)]
+            for i in range(p)
+        )
+
+    pts = [
+        (i, rnd.uniform(-90, 90), rnd.uniform(-180, 180)) for i in range(300)
+    ]
+    df = spark.createDataFrame(pts, "i long, lat double, lon double")
+    got = {
+        r.i: (r.g7, (r.c.lon, r.c.lat))
+        for r in df.select(
+            "i",
+            kql.geo_point_to_geohash("lon", "lat", 7).alias("g7"),
+            kql.geo_geohash_to_central_point(
+                kql.geo_point_to_geohash("lon", "lat", 7)
+            ).alias("c"),
+        ).collect()
+    }
+    for i, lat, lon in pts:
+        g = ref_encode(lat, lon, 7)
+        assert got[i][0] == g, (i, lat, lon)
+        # decode(encode(p)) cell must contain the original point
+        clon, clat = got[i][1]
+        assert abs(clon - lon) < 360 / 2**17 and abs(clat - lat) < 180 / 2**17
+
+
+def test_series_fir_fuzz_against_numpy(spark):
+    """Interior points of a trailing FIR must equal numpy's convolution."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    xs = rng.uniform(-5, 5, size=40).round(6).tolist()
+    coefs = [0.5, 1.25, -2.0]
+    df = spark.createDataFrame([(xs,)], "s array<double>")
+    got = df.select(
+        kql.series_fir("s", coefs, normalize=False).alias("y")
+    ).first().y
+    # numpy 'full' convolution: out[i] = sum_j coefs[j] * x[i-j]
+    want = np.convolve(np.array(xs), np.array(coefs))[: len(xs)]
+    for i in range(2, len(xs)):  # interior: full taps available
+        assert abs(got[i] - want[i]) < 1e-9, i
