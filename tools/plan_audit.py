@@ -55,6 +55,13 @@ AUDITED = [
     ("text_bm25", "query-term filter below the tf aggregate; df side broadcast; top-k is TakeOrderedAndProject"),
     ("activity_sliding_counts", "constant-factor contribute explode + one combined count/dcount aggregate; no bin×event join"),
     ("kql_rows_near", "one window exchange partitioned by the group key — never SinglePartition"),
+    ("kql_ipv4_lookup", "CIDR side broadcast; containment is a broadcast non-equi join, fact side never shuffles"),
+    ("corpus_budget_sample", "per-stratum totals broadcast back; membership is a map-side hash-threshold filter"),
+    ("corpus_epoch_upsample", "explode + filter only — zero exchanges"),
+    ("activity_active_users", "distinct pairs → contribute explode → two map-side-combined aggregates"),
+    ("skew_salted_agg", "two-phase aggregation: hot keys spread over salt buckets before the combine"),
+    ("kql_graph_var", "union of independent hash-join chains, one per path length"),
+    ("text_bpe", "per-iteration: one pair-count aggregate + 1-row collect; vocab stays distributed"),
 ]
 
 
