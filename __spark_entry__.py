@@ -2391,6 +2391,20 @@ def _q_kql_scalar_suite6(spark, sf):
     )
 
 
+def _q_kql_series_forecast(spark, sf):
+    """series_decompose_forecast — 5 positions past each event_type's
+    daily series: OLS trend + per-phase (weekly) seasonal, every float
+    reduction order-forced so the oracle replays it bit-exactly."""
+    e = load_table(spark, sf, "events")
+    binned = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.sum(_dec(F.col("value"))).cast("double").alias("v"))
+    out = kql.series_decompose_forecast(binned, "v", "d", ["event_type"], 7, 5)
+    return out.select(
+        "event_type", "position", F.round("forecast", 6).alias("forecast")
+    )
+
+
 def _q_kql_scalar_suite8(spark, sf):
     """Scalar batch 8: max_of/min_of (null-skipping), isascii,
     estimate_data_size (documented octet_length approximation),
@@ -3135,6 +3149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_graph_shortest": _q_kql_graph_shortest,
         "kql_datetime_suite2": _q_kql_datetime_suite2,
         "kql_scalar_suite8": _q_kql_scalar_suite8,
+        "kql_series_forecast": _q_kql_series_forecast,
         "kql_has_ipv4": _q_kql_has_ipv4,
         "kql_dynamic_suite2": _q_kql_dynamic_suite2,
         "kql_series_cosine": _q_kql_series_cosine,
@@ -4097,6 +4112,44 @@ def oracle_sql() -> dict[str, str]:
             "concat(concat_ws(',', event_id % 5, event_id % 7), '|', "
             "concat_ws(',', event_id % 3, event_id % 11)) AS split2 "
             "FROM events WHERE event_id < 400"
+        ),
+        "kql_series_forecast": (
+            # replays the order-forced OLS + phase-mean computation with
+            # ordered sums and identical float expression shapes
+            "WITH binned AS (SELECT event_type, "
+            "date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, "
+            "CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS v "
+            "FROM events GROUP BY 1, 2), "
+            "pos AS (SELECT event_type, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY d) - 1 AS p, v "
+            "FROM binned), "
+            "st AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS nd, "
+            "0.0 + sum(v ORDER BY p) AS sy, "
+            "0.0 + sum(v * v ORDER BY p) AS syy, "
+            "0.0 + sum(CAST(p AS DOUBLE) * v ORDER BY p) AS sxy "
+            "FROM pos GROUP BY 1), "
+            "ols AS (SELECT event_type, nd, "
+            "CASE WHEN nd > 1 THEN "
+            "(sxy - (nd * (nd - 1) / 2.0) * sy / nd) / "
+            "((nd - 1) * nd * (2.0 * nd - 1) / 6.0 "
+            "- (nd * (nd - 1) / 2.0) * (nd * (nd - 1) / 2.0) / nd) "
+            "ELSE 0.0 END AS slope, sy FROM st), "
+            "ols2 AS (SELECT event_type, nd, slope, "
+            "(sy - slope * (nd * (nd - 1) / 2.0)) / nd AS icept FROM ols), "
+            "resid AS (SELECT p.event_type, p.p, "
+            "p.v - (o.slope * CAST(p.p AS DOUBLE) + o.icept) AS r "
+            "FROM pos p JOIN ols2 o USING (event_type)), "
+            "ph AS (SELECT event_type, p % 7 AS phase, "
+            "(0.0 + sum(r ORDER BY p)) / CAST(count(*) AS DOUBLE) AS smean "
+            "FROM resid GROUP BY 1, 2), "
+            "fc AS (SELECT o.event_type, o.slope, o.icept, "
+            "CAST(o.nd AS BIGINT) + j AS position "
+            "FROM ols2 o, unnest(range(0, 5)) AS t(j)) "
+            "SELECT fc.event_type, CAST(fc.position AS BIGINT) AS position, "
+            "round(fc.slope * CAST(fc.position AS DOUBLE) + fc.icept "
+            "+ coalesce(ph.smean, 0.0), 6) AS forecast "
+            "FROM fc LEFT JOIN ph ON ph.event_type = fc.event_type "
+            "AND ph.phase = fc.position % 7"
         ),
         "kql_scalar_suite8": (
             "SELECT event_id, "

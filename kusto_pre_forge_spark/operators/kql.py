@@ -3974,3 +3974,84 @@ def column_ifexists(df: DataFrame, name: str, default: Column) -> Column:
     test (KQL resolves it at bind time too): the named column when the
     input has it, else the default expression."""
     return F.col(name) if name in df.columns else default
+
+
+def series_decompose_forecast(
+    df: DataFrame,
+    value: str,
+    order: Column | str,
+    by: list[str],
+    period: int,
+    points: int,
+) -> DataFrame:
+    """KQL ``series_decompose_forecast(series, points)`` in LONG form —
+    extend each series ``points`` positions past its end with
+    ``OLS trend + per-phase seasonal`` (the additive model of
+    :func:`series_decompose`, with a LINE for the extrapolatable trend —
+    a moving average has no value past the data).
+
+    Determinism contract (same as series_decompose): every float
+    reduction is an ORDER-FORCED fold over position-sorted collect_lists,
+    so an external engine replays bit-identical sums with
+    ``sum(x ORDER BY pos)``. Plan: one row_number window on the series
+    key, one per-key aggregate (OLS sums via sorted fold), one per-phase
+    aggregate of the line-detrended residuals, then ``points`` forecast
+    rows exploded per key and a broadcastable phase join. Emits ONLY the
+    forecast rows: (by…, position, forecast).
+    """
+    w = Window.partitionBy(*by).orderBy(_c(order))
+    t = df.select(
+        *by,
+        (F.row_number().over(w) - 1).alias("_pos"),
+        F.col(value).cast("double").alias("_v"),
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("_pos").alias("p"), F.col("_v").alias("v")))
+    )
+    stats = t.groupBy(*by).agg(arr.alias("_arr"))
+    vs = F.transform(F.col("_arr"), lambda e: e["v"])
+    n = F.size(F.col("_arr"))
+    sy = F.aggregate(vs, F.lit(0.0), lambda a, x: a + x)
+    syy = F.aggregate(vs, F.lit(0.0), lambda a, x: a + x * x)
+    sxy = F.aggregate(
+        F.col("_arr"), F.lit(0.0), lambda a, e: a + e["p"].cast("double") * e["v"]
+    )
+    slope, intercept, _, _ = _ols(n, sy, syy, sxy)
+    stats = stats.select(
+        *by,
+        n.alias("_n"),
+        slope.alias("_slope"),
+        intercept.alias("_icept"),
+    )
+    # line-detrended residuals → per-phase means (order-forced fold)
+    r = t.join(stats, by).withColumn(
+        "_r",
+        F.col("_v")
+        - (F.col("_slope") * F.col("_pos").cast("double") + F.col("_icept")),
+    )
+    ph = r.groupBy(*by, (F.col("_pos") % period).alias("_phase")).agg(
+        (
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_pos").alias("p"), F.col("_r").alias("r"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda a, e: a + e["r"],
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_smean")
+    )
+    fc = stats.withColumn(
+        "_j", F.explode(F.sequence(F.lit(0), F.lit(points - 1)))
+    ).withColumn("position", (F.col("_n") + F.col("_j")).cast("long"))
+    fc = fc.withColumn("_phase", F.col("position") % period).join(
+        F.broadcast(ph), [*by, "_phase"], "left"
+    )
+    forecast = (
+        F.col("_slope") * F.col("position").cast("double")
+        + F.col("_icept")
+        + F.coalesce(F.col("_smean"), F.lit(0.0))
+    )
+    return fc.select(*by, "position", forecast.alias("forecast"))

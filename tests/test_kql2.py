@@ -1268,3 +1268,24 @@ def test_series_fir_fuzz_against_numpy(spark):
     want = np.convolve(np.array(xs), np.array(coefs))[: len(xs)]
     for i in range(2, len(xs)):  # interior: full taps available
         assert abs(got[i] - want[i]) < 1e-9, i
+
+
+def test_series_decompose_forecast_line_and_season(spark):
+    # perfectly linear series: forecast continues the line exactly
+    rows = [("k", i, 2.0 * i + 1.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, d long, v double")
+    out = {
+        r.position: r.forecast
+        for r in kql.series_decompose_forecast(df, "v", "d", ["g"], 5, 3).collect()
+    }
+    assert set(out) == {10, 11, 12}
+    for p, f in out.items():
+        assert abs(f - (2.0 * p + 1.0)) < 1e-9
+    # pure oscillation (period 2, zero trend): pattern repeats
+    rows2 = [("k", i, 10.0 if i % 2 == 0 else 0.0) for i in range(8)]
+    df2 = spark.createDataFrame(rows2, "g string, d long, v double")
+    out2 = {
+        r.position: r.forecast
+        for r in kql.series_decompose_forecast(df2, "v", "d", ["g"], 2, 2).collect()
+    }
+    assert abs(out2[8] - 10.0) < 1e-6 and abs(out2[9] - 0.0) < 1e-6
