@@ -2391,6 +2391,35 @@ def _q_kql_scalar_suite6(spark, sf):
     )
 
 
+def _q_kql_condagg2(spark, sf):
+    """Conditional collection aggregates: make_list_if / make_set_if
+    (sorted-for-determinism contract), take_anyif (min-matching),
+    percentiles_array."""
+    e = load_table(spark, sf, "events")
+    hot = F.col("value") > 90
+    out = e.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                kql.make_list_if(F.col("event_id"), hot, 5),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("hot_ids"),
+        F.array_join(
+            kql.make_set_if(F.col("user_id") % 10, hot).cast("array<string>"), ","
+        ).alias("hot_user_buckets"),
+        kql.take_anyif(F.col("event_id"), hot).alias("any_hot"),
+        F.array_join(
+            F.transform(
+                kql.percentiles_array(F.col("value"), 25, 50, 75),
+                lambda x: F.round(x, 4).cast("string"),
+            ),
+            ",",
+        ).alias("quartiles"),
+    )
+    return out
+
+
 def _q_kql_series_forecast(spark, sf):
     """series_decompose_forecast — 5 positions past each event_type's
     daily series: OLS trend + per-phase (weekly) seasonal, every float
@@ -3150,6 +3179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_datetime_suite2": _q_kql_datetime_suite2,
         "kql_scalar_suite8": _q_kql_scalar_suite8,
         "kql_series_forecast": _q_kql_series_forecast,
+        "kql_condagg2": _q_kql_condagg2,
         "kql_has_ipv4": _q_kql_has_ipv4,
         "kql_dynamic_suite2": _q_kql_dynamic_suite2,
         "kql_series_cosine": _q_kql_series_cosine,
@@ -4112,6 +4142,19 @@ def oracle_sql() -> dict[str, str]:
             "concat(concat_ws(',', event_id % 5, event_id % 7), '|', "
             "concat_ws(',', event_id % 3, event_id % 11)) AS split2 "
             "FROM events WHERE event_id < 400"
+        ),
+        "kql_condagg2": (
+            "SELECT event_type, "
+            "array_to_string((array_agg(CAST(event_id AS VARCHAR) ORDER BY event_id) "
+            "FILTER (WHERE CAST(value AS DOUBLE) > 90))[1:5], ',') AS hot_ids, "
+            "array_to_string(array_agg(DISTINCT CAST(user_id % 10 AS VARCHAR) "
+            "ORDER BY CAST(user_id % 10 AS VARCHAR)) "
+            "FILTER (WHERE CAST(value AS DOUBLE) > 90), ',') AS hot_user_buckets, "
+            "CAST(min(event_id) FILTER (WHERE CAST(value AS DOUBLE) > 90) AS BIGINT) AS any_hot, "
+            "concat(CAST(round(quantile_cont(CAST(value AS DOUBLE), 0.25), 4) AS VARCHAR), ',', "
+            "CAST(round(quantile_cont(CAST(value AS DOUBLE), 0.5), 4) AS VARCHAR), ',', "
+            "CAST(round(quantile_cont(CAST(value AS DOUBLE), 0.75), 4) AS VARCHAR)) AS quartiles "
+            "FROM events GROUP BY event_type"
         ),
         "kql_series_forecast": (
             # replays the order-forced OLS + phase-mean computation with

@@ -4055,3 +4055,33 @@ def series_decompose_forecast(
         + F.coalesce(F.col("_smean"), F.lit(0.0))
     )
     return fc.select(*by, "position", forecast.alias("forecast"))
+
+
+def make_list_if(col: Column | str, pred: Column, max_size: int | None = None) -> Column:
+    """KQL ``make_list_if(col, pred[, max])`` — conditional collect; the
+    output is SORTED for determinism (KQL's order is arrival order, which
+    no distributed engine can replay — same contract as make_list here)."""
+    c = F.array_sort(F.collect_list(F.when(pred, _c(col))))
+    return F.slice(c, 1, max_size) if max_size else c
+
+
+def make_set_if(col: Column | str, pred: Column, max_size: int | None = None) -> Column:
+    """KQL ``make_set_if(col, pred[, max])`` — conditional distinct
+    collect, sorted."""
+    c = F.array_sort(F.collect_set(F.when(pred, _c(col))))
+    return F.slice(c, 1, max_size) if max_size else c
+
+
+def take_anyif(col: Column | str, pred: Column) -> Column:
+    """KQL ``take_anyif(col, pred)`` — any value where pred holds; made
+    deterministic as the MINIMUM matching value (the take_any contract
+    here: any-value functions must replay identically across engines)."""
+    return F.min(F.when(pred, _c(col)))
+
+
+def percentiles_array(col: Column | str, *ps: float) -> Column:
+    """KQL ``percentiles_array(col, p1, p2, …)`` — the exact interpolated
+    percentiles as one array column."""
+    return F.percentile(
+        _c(col), F.array(*[F.lit(float(p) / 100.0) for p in ps])
+    )

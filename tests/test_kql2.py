@@ -1292,3 +1292,21 @@ def test_series_decompose_forecast_line_and_season(spark):
     # finite window), so assert the preserved OSCILLATION, not exact levels
     assert out2[8] - out2[9] > 8.0, "high/low phase alternation survives"
     assert 0.0 < (out2[8] + out2[9]) / 2 < 10.0, "forecast stays in range"
+
+
+def test_conditional_collection_aggs(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 95.0), ("a", 3, 99.0), ("a", 3, 99.0)],
+        "g string, id long, v double",
+    )
+    r = df.groupBy("g").agg(
+        kql.make_list_if(F.col("id"), F.col("v") > 90).alias("l"),
+        kql.make_set_if(F.col("id"), F.col("v") > 90).alias("s"),
+        kql.take_anyif(F.col("id"), F.col("v") > 90).alias("any_"),
+        kql.take_anyif(F.col("id"), F.col("v") > 1000).alias("none_"),
+        kql.percentiles_array(F.col("v"), 0, 100).alias("p"),
+    ).first()
+    assert r.l == [2, 3, 3], "list keeps duplicates, sorted"
+    assert r.s == [2, 3], "set dedups"
+    assert r.any_ == 2 and r.none_ is None
+    assert r.p == [5.0, 99.0]
