@@ -2391,6 +2391,23 @@ def _q_kql_scalar_suite6(spark, sf):
     )
 
 
+def _q_kql_string_distance(spark, sf):
+    """Levenshtein distance / normalized similarity between event_type
+    and a derived mutation of it (DuckDB's levenshtein replays the JVM's
+    exactly); soundex against ground-truth literals."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 300)
+    mutated = F.concat(F.reverse(F.col("event_type")), (F.col("event_id") % 10).cast("string"))
+    sdx_in = F.when(F.col("event_id") % 2 == 0, F.lit("Robert")).otherwise(
+        F.lit("Rupert")
+    )
+    return e.select(
+        "event_id",
+        kql.edit_distance("event_type", mutated).alias("lev"),
+        F.round(kql.string_similarity("event_type", mutated), 6).alias("sim"),
+        kql.soundex_kql(sdx_in).alias("sdx"),
+    )
+
+
 def _q_kql_condagg2(spark, sf):
     """Conditional collection aggregates: make_list_if / make_set_if
     (sorted-for-determinism contract), take_anyif (min-matching),
@@ -3180,6 +3197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_scalar_suite8": _q_kql_scalar_suite8,
         "kql_series_forecast": _q_kql_series_forecast,
         "kql_condagg2": _q_kql_condagg2,
+        "kql_string_distance": _q_kql_string_distance,
         "kql_has_ipv4": _q_kql_has_ipv4,
         "kql_dynamic_suite2": _q_kql_dynamic_suite2,
         "kql_series_cosine": _q_kql_series_cosine,
@@ -4142,6 +4160,19 @@ def oracle_sql() -> dict[str, str]:
             "concat(concat_ws(',', event_id % 5, event_id % 7), '|', "
             "concat_ws(',', event_id % 3, event_id % 11)) AS split2 "
             "FROM events WHERE event_id < 400"
+        ),
+        "kql_string_distance": (
+            # Robert/Rupert both soundex to R163 (the classic vector)
+            "WITH t AS (SELECT event_id, event_type, "
+            "concat(reverse(event_type), CAST(event_id % 10 AS VARCHAR)) AS m "
+            "FROM events WHERE event_id < 300) "
+            "SELECT event_id, "
+            "CAST(levenshtein(event_type, m) AS BIGINT) AS lev, "
+            "round(CASE WHEN greatest(length(event_type), length(m)) = 0 "
+            "THEN 1.0 ELSE 1.0 - CAST(levenshtein(event_type, m) AS DOUBLE) "
+            "/ CAST(greatest(length(event_type), length(m)) AS DOUBLE) END, 6) AS sim, "
+            "'R163' AS sdx "
+            "FROM t"
         ),
         "kql_condagg2": (
             "SELECT event_type, "

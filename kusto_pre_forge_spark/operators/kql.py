@@ -4085,3 +4085,24 @@ def percentiles_array(col: Column | str, *ps: float) -> Column:
     return F.percentile(
         _c(col), F.array(*[F.lit(float(p) / 100.0) for p in ps])
     )
+
+
+def edit_distance(a: Column | str, b: Column | str) -> Column:
+    """Levenshtein edit distance (Kusto exposes this via the
+    ``string_distance`` plugin family) — native JVM implementation."""
+    return F.levenshtein(_c(a), _c(b)).cast("long")
+
+
+def string_similarity(a: Column | str, b: Column | str) -> Column:
+    """Normalized edit similarity: 1 − lev/max(len) in [0, 1]; 1.0 for
+    two empty strings (no edits needed)."""
+    ca, cb = _c(a), _c(b)
+    mx = F.greatest(F.length(ca), F.length(cb))
+    return F.when(mx == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.levenshtein(ca, cb).cast("double") / mx.cast("double")
+    )
+
+
+def soundex_kql(col: Column | str) -> Column:
+    """``soundex`` phonetic code (American Soundex, JVM builtin)."""
+    return F.soundex(_c(col))

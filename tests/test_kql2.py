@@ -1310,3 +1310,18 @@ def test_conditional_collection_aggs(spark):
     assert r.s == [2, 3], "set dedups"
     assert r.any_ == 2 and r.none_ is None
     assert r.p == [5.0, 99.0]
+
+
+def test_string_distance_scalars(spark):
+    df = spark.sql("SELECT 'kitten' AS a, 'sitting' AS b, '' AS e")
+    r = df.select(
+        kql.edit_distance("a", "b").alias("d"),
+        F.round(kql.string_similarity("a", "b"), 4).alias("s"),
+        kql.string_similarity("e", "e").alias("both_empty"),
+        kql.soundex_kql(F.lit("Robert")).alias("x1"),
+        kql.soundex_kql(F.lit("Rupert")).alias("x2"),
+    ).first()
+    assert r.d == 3, "classic kitten->sitting"
+    assert abs(r.s - (1 - 3 / 7)) < 1e-4
+    assert r.both_empty == 1.0
+    assert r.x1 == r.x2 == "R163"
