@@ -2391,6 +2391,24 @@ def _q_kql_scalar_suite6(spark, sf):
     )
 
 
+def _q_dedup_edit_distance(spark, sf):
+    """Short-string near-dup pairs under Levenshtein ≤1 — pigeonhole
+    segment banding + exact verify; titles derived so consecutive docs
+    differ by exactly one substitution (the oracle replays the identical
+    candidate rule + verify in SQL)."""
+    from kusto_pre_forge_spark.operators import dedup as dedup_ops
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    title = F.concat(
+        F.lit("title-"),
+        F.floor(F.col("doc_id") / 2).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("-alpha")).otherwise(F.lit("-alphb")),
+    )
+    t = d.select("doc_id", title.alias("title"))
+    out = dedup_ops.edit_distance_pairs(t, "title", "doc_id", max_distance=1)
+    return out.select("id_a", "id_b", "distance")
+
+
 def _q_kql_string_distance(spark, sf):
     """Levenshtein distance / normalized similarity between event_type
     and a derived mutation of it (DuckDB's levenshtein replays the JVM's
@@ -3198,6 +3216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_series_forecast": _q_kql_series_forecast,
         "kql_condagg2": _q_kql_condagg2,
         "kql_string_distance": _q_kql_string_distance,
+        "dedup_edit_distance": _q_dedup_edit_distance,
         "kql_has_ipv4": _q_kql_has_ipv4,
         "kql_dynamic_suite2": _q_kql_dynamic_suite2,
         "kql_series_cosine": _q_kql_series_cosine,
@@ -4160,6 +4179,24 @@ def oracle_sql() -> dict[str, str]:
             "concat(concat_ws(',', event_id % 5, event_id % 7), '|', "
             "concat_ws(',', event_id % 3, event_id % 11)) AS split2 "
             "FROM events WHERE event_id < 400"
+        ),
+        "dedup_edit_distance": (
+            # replays the pigeonhole candidate rule (floor-split segments)
+            # and the levenshtein verify exactly
+            "WITH t AS (SELECT doc_id, concat('title-', "
+            "CAST(doc_id // 2 AS VARCHAR), "
+            "CASE WHEN doc_id % 2 = 0 THEN '-alpha' ELSE '-alphb' END) AS s "
+            "FROM documents WHERE doc_id < 100), "
+            "b AS (SELECT doc_id, s, i AS si, "
+            "substr(s, CAST(floor(i * length(s) / 2.0) AS INTEGER) + 1, "
+            "CAST(floor((i + 1) * length(s) / 2.0) AS INTEGER) "
+            "- CAST(floor(i * length(s) / 2.0) AS INTEGER)) AS sv "
+            "FROM t, unnest(range(0, 2)) AS u(i)), "
+            "c AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, "
+            "l.s AS ta, r.s AS tb FROM b l JOIN b r "
+            "ON l.si = r.si AND l.sv = r.sv AND l.doc_id < r.doc_id) "
+            "SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS distance "
+            "FROM c WHERE levenshtein(ta, tb) <= 1"
         ),
         "kql_string_distance": (
             # Robert/Rupert both soundex to R163 (the classic vector)

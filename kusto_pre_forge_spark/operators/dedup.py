@@ -898,3 +898,68 @@ def dedup_survivors(
             .select(F.col("id").alias(id_col))
         )
     return df.join(drops, id_col, "left_anti")
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Near-duplicate pairs under a Levenshtein bound — the short-string
+    (titles, names, URLs) member of the dedup family, where shingle/
+    minhash granularity is too coarse.
+
+    Candidate generation is the pigeonhole segment band: split each
+    string into ``max_distance+1`` even segments; two strings within
+    distance k must agree on at least one segment INDEX with identical
+    text **at the same split position** — provided their lengths are
+    close (checked in the verify). The join therefore ships
+    (segment_idx, segment_text) keys, never all pairs; candidates are
+    verified with exact ``levenshtein``. Candidate rule and verify are
+    both engine-replayable (DuckDB: substr arithmetic + levenshtein).
+
+    Contract note: even-split banding is complete for SUBSTITUTION edits
+    (equal lengths) and may miss insert/delete pairs whose alignment
+    shifts every segment — the documented trade for a bounded join key
+    (full PassJoin position windows would close it at ~3× key volume).
+    """
+    k = max_distance
+    n_seg = k + 1
+    t = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+
+    def segs(col: Column) -> Column:
+        ln = F.length(col)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_seg - 1)),
+            lambda i: F.struct(
+                i.alias("si"),
+                F.substring(
+                    col,
+                    (i * ln / n_seg).cast("int") + 1,
+                    ((i + 1) * ln / n_seg).cast("int")
+                    - (i * ln / n_seg).cast("int"),
+                ).alias("sv"),
+            ),
+        )
+
+    b = t.select("_id", "_t", F.explode(segs(F.col("_t"))).alias("_s"))
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l._s") == F.col("r._s")) & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._t").alias("ta"),
+            F.col("r._t").alias("tb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("distance", F.levenshtein("ta", "tb").cast("long"))
+        .filter(F.col("distance") <= k)
+        .select("id_a", "id_b", "distance")
+    )

@@ -299,3 +299,22 @@ def test_dedup_survivors_priority_policy(spark):
     # default min-id policy unchanged
     kept_min = {r.id for r in dedup.dedup_survivors(df, pairs, "id").collect()}
     assert kept_min == {1, 9}
+
+
+def test_edit_distance_pairs_banding(spark):
+    from kusto_pre_forge_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "spark-engine"),
+        (2, "spark-enginx"),  # 1 substitution from 1
+        (3, "spark-engzzz"),  # 3 substitutions from 1
+        (4, "totally-other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    out = {(r.id_a, r.id_b): r.distance for r in edit_distance_pairs(df, "s", "doc_id", 1).collect()}
+    assert out == {(1, 2): 1}, "only the distance-1 substitution pair"
+    # k=2: a 2-substitution pair with an agreeing half must appear
+    rows2 = [(1, "abcdef"), (2, "abcdxx")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, s string")
+    out2 = {(r.id_a, r.id_b): r.distance for r in edit_distance_pairs(df2, "s", "doc_id", 2).collect()}
+    assert out2 == {(1, 2): 2}
