@@ -2561,6 +2561,31 @@ def _q_skew_salted_agg(spark, sf):
     )
 
 
+def _q_text_url_normalize(spark, sf):
+    """URL canonicalization for crawl dedup — scheme/port/fragment/query-
+    order/trailing-slash invariances collapse to one key; the oracle
+    predicts the canonical form from the generation rule."""
+    from kusto_pre_forge_spark.operators import textprep
+
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 400)
+    eid = F.col("event_id")
+    url = (
+        F.when(
+            eid % 4 == 0,
+            F.format_string("HTTP://Site%d.COM:80/A/B/?z=9&a=%d#f", eid % 7, eid % 5),
+        )
+        .when(
+            eid % 4 == 1,
+            F.format_string("https://site%d.com:443/a/b?a=%d&z=9", eid % 7, eid % 5),
+        )
+        .when(eid % 4 == 2, F.format_string("https://site%d.com/a/b/", eid % 7))
+        .otherwise(F.format_string("https://site%d.com/", eid % 7))
+    )
+    return e.select(
+        "event_id", textprep.url_normalize(url).alias("canonical")
+    )
+
+
 def _q_text_normalize(spark, sf):
     """Unicode NFC + accent folding: composed/decomposed forms of the same
     visual string must collide after NFC; accents fold to ASCII. Inputs
@@ -3208,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_scalar_suite7": _q_kql_scalar_suite7,
         "kql_dcount_intersect": _q_kql_dcount_intersect,
         "text_normalize": _q_text_normalize,
+        "text_url_normalize": _q_text_url_normalize,
         "skew_salted_agg": _q_skew_salted_agg,
         "kql_graph_var": _q_kql_graph_var,
         "kql_graph_shortest": _q_kql_graph_shortest,
@@ -4317,6 +4343,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value, "
             "CAST(max(event_id) AS BIGINT) AS max_id "
             "FROM events GROUP BY event_type"
+        ),
+        "text_url_normalize": (
+            # rule: %4 in (0,1) normalize to the same ?a=..&z=9 form
+            "SELECT event_id, "
+            "CASE WHEN event_id % 4 IN (0, 1) THEN "
+            "concat('https://site', CAST(event_id % 7 AS VARCHAR), "
+            "'.com/a/b?a=', CAST(event_id % 5 AS VARCHAR), '&z=9') "
+            "WHEN event_id % 4 = 2 THEN "
+            "concat('https://site', CAST(event_id % 7 AS VARCHAR), '.com/a/b') "
+            "ELSE concat('https://site', CAST(event_id % 7 AS VARCHAR), '.com/') "
+            "END AS canonical "
+            "FROM events WHERE event_id < 400"
         ),
         "text_normalize": (
             # predicts NFC + accent folding from the fixture rule; the

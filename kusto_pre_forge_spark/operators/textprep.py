@@ -398,3 +398,39 @@ def strip_accents(col: Column | str) -> Column:
         ),
         "strip_accents",
     )(c)
+
+
+def url_normalize(col: Column | str) -> Column:
+    """Crawl-style URL canonicalization — the key-generation step of URL
+    dedup (the same page arrives as http/https, with fragments, default
+    ports, unsorted query params, trailing slashes):
+
+    - scheme + host + PATH lowercased (aggressive-dedup choice; query
+      values keep their case), scheme collapsed to https;
+    - default ports (:80/:443) dropped;
+    - fragment dropped;
+    - query parameters SORTED (split & → array_sort → rejoin);
+    - trailing slash trimmed from non-root paths.
+
+    Pure codegen (regexp + array HOFs) — at 100 TB this runs inside the
+    scan projection. Malformed input passes through lowercased (a dedup
+    key must never be null for a present URL).
+    """
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    no_frag = F.regexp_replace(c, r"#.*$", "")
+    lowered = F.concat(
+        F.lower(F.regexp_extract(no_frag, r"^([^?]*)", 1)),
+        F.regexp_extract(no_frag, r"(\?.*)?$", 1),
+    )
+    https = F.regexp_replace(lowered, r"^http://", "https://")
+    no_port = F.regexp_replace(https, r"^(https://[^/:?]+):(?:80|443)(?=[/?]|$)", "$1")
+    path = F.regexp_extract(no_port, r"^([^?]*)", 1)
+    query = F.regexp_extract(no_port, r"\?(.*)$", 1)
+    path_trimmed = F.when(
+        path.rlike(r"^https://[^/]+/.+/$"),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.when(
+        query == "", path_trimmed
+    ).otherwise(F.concat(path_trimmed, F.lit("?"), sorted_q))

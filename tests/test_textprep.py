@@ -145,3 +145,17 @@ def test_unicode_normalize_and_fold(spark):
     assert r.nfc == "café", "decomposed -> composed under NFC"
     assert r.f1 == "cafe" and r.f2 == "cafe"
     assert r.nul is None
+
+
+def test_url_normalize_invariances(spark):
+    from kusto_pre_forge_spark.operators.textprep import url_normalize
+
+    pairs = [
+        ("HTTP://Ex.COM:80/P/?b=2&a=1#x", "https://ex.com/p?a=1&b=2"),
+        ("https://ex.com:443/p/", "https://ex.com/p"),
+        ("https://ex.com/", "https://ex.com/"),
+        ("https://ex.com", "https://ex.com"),
+    ]
+    df = spark.createDataFrame(pairs, "u string, want string")
+    for r in df.select(url_normalize("u").alias("n"), "want").collect():
+        assert r.n == r.want
