@@ -792,6 +792,34 @@ def _q_kql_series_fill_linear(spark, sf):
     )
 
 
+def _q_pipeline_corpus_mix(spark, sf):
+    """Composite MIXTURE-construction pipeline in ONE DAG — the stage after
+    cleaning: quality gate (token count ≥ 20) → per-source token-budget
+    cap (budget_sample) → deterministic train/val/test split → 1.5-epoch
+    upsampling of the train split → per-(source, split, epoch) doc/token
+    totals. Every stage is hash-deterministic, so the ENTIRE composition
+    replays in the SQL oracle — the integration proof that the corpus ops
+    compose without hidden RNG or partition-order dependence."""
+    from kusto_pre_forge_spark.operators import corpus as corpus_ops
+
+    d = load_table(spark, sf, "documents").withColumn(
+        "n_tok", textstats.token_count("text").cast("long")
+    )
+    gated = d.filter(F.col("n_tok") >= 20)
+    capped = corpus_ops.budget_sample(gated, "source", "doc_id", "n_tok", 15000)
+    split = corpus_ops.train_split(capped, "doc_id")
+    train = split.filter(F.col("split") == "train").withColumn("_w", F.lit(1.5))
+    rest = split.filter(F.col("split") != "train").withColumn(
+        "epoch", F.lit(0)
+    )
+    up = corpus_ops.epoch_upsample(train, "doc_id", "_w").drop("_w")
+    mixed = up.unionByName(rest.select(*up.columns))
+    return mixed.groupBy("source", "split", F.col("epoch").cast("long").alias("epoch")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+
+
 def _q_pipeline_docs_clean(spark, sf):
     """Composite training-data cleaning pipeline in ONE DAG: language-ID →
     keep English → exact dedup (min doc_id per content hash) → MinHash
@@ -3199,6 +3227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_top_hitters": _q_kql_top_hitters,
         "kql_series_outliers": _q_kql_series_outliers,
         "pipeline_docs_clean": _q_pipeline_docs_clean,
+        "pipeline_corpus_mix": _q_pipeline_corpus_mix,
         "corpus_stratified_sample": _q_corpus_stratified_sample,
         "corpus_shuffle": _q_corpus_shuffle,
         "corpus_split": _q_corpus_split,
@@ -3962,6 +3991,28 @@ def oracle_sql() -> dict[str, str]:
             " coalesce(value - lag(value) OVER"
             " (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS delta"
             " FROM events"
+        ),
+        "pipeline_corpus_mix": (
+            # the whole mixture pipeline replayed: token gate -> budget cap
+            # -> split thresholds -> fractional epoch, all md5-unit rules
+            "WITH d AS (SELECT doc_id, source, "
+            "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '')) AS n_tok "
+            "FROM documents), "
+            "g AS (SELECT * FROM d WHERE n_tok >= 20), "
+            "t AS (SELECT source, sum(n_tok) AS total FROM g GROUP BY source), "
+            "c AS (SELECT g.* FROM g JOIN t USING (source) "
+            "WHERE CAST(concat('0x', substr(md5(concat('kpf-budget', '|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 < least(1.0, 15000 / CAST(total AS DOUBLE))), "
+            "s AS (SELECT *, CASE WHEN CAST(concat('0x', substr(md5(concat('kpf-split', '|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 < 0.9 THEN 'train' "
+            "WHEN CAST(concat('0x', substr(md5(concat('kpf-split', '|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 < 0.95 THEN 'val' ELSE 'test' END AS split FROM c), "
+            "up AS (SELECT source, split, 0 AS epoch, n_tok FROM s WHERE split = 'train' "
+            "UNION ALL "
+            "SELECT source, split, 1, n_tok FROM s WHERE split = 'train' "
+            "AND CAST(concat('0x', substr(md5(concat('kpf-epoch', '|', concat(CAST(doc_id AS VARCHAR), '|', '1'))), 1, 8)) AS BIGINT) / 4294967296.0 < 0.5 "
+            "UNION ALL "
+            "SELECT source, split, 0, n_tok FROM s WHERE split != 'train') "
+            "SELECT source, split, CAST(epoch AS BIGINT) AS epoch, "
+            "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens "
+            "FROM up GROUP BY 1, 2, 3"
         ),
         "pipeline_docs_clean": pipeline_docs,
         "kql_basket": (
