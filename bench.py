@@ -69,6 +69,8 @@ HEADLINE = [
     "events_session_window",
     "multimodal_image_dhash",
     "kql_ipv4_lookup",
+    "pipeline_corpus_mix",
+    "kql_series_forecast",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection
