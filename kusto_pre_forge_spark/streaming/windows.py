@@ -194,3 +194,95 @@ def session_window_stats(
             "total_value",
         )
     )
+
+
+ZSCORE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("m2", T.DoubleType()),
+    ]
+)
+
+ZSCORE_OUTPUT_SCHEMA = (
+    "key string, batch_rows bigint, n bigint, mean double, stdev double, "
+    "anomalies bigint, max_abs_z double"
+)
+
+
+def streaming_zscore_anomalies(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    threshold: float = 3.0,
+    min_history: int = 30,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming anomaly detection with EXPLICIT state: per-key running
+    mean/variance via Welford's online update (numerically stable — the
+    naive Σx² form cancels catastrophically on long streams), carried
+    across micro-batches in ``applyInPandasWithState``. Each arriving
+    value is scored against the state BEFORE it updates it (a point can't
+    vouch for itself), and batches emit one summary row per key:
+    anomaly count + the worst |z| this batch.
+
+    ``min_history`` gates scoring until the mean/stdev are trustworthy —
+    the first points of a key are never flagged. State is three numbers
+    per key (bounded forever); checkpointing makes counts exactly-once.
+    The batch-mode twin (same function, batch DataFrame) lets tests pin
+    the arithmetic without a streaming harness.
+    """
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        if state.exists:
+            n, mean, m2 = state.get
+        else:
+            n, mean, m2 = 0, 0.0, 0.0
+        rows = 0
+        anomalies = 0
+        max_abs_z = 0.0
+        for pdf in pdfs:
+            for v in pdf["_v"]:
+                rows += 1
+                x = float(v)
+                if n >= min_history and m2 > 0:
+                    sd = math.sqrt(m2 / (n - 1))
+                    if sd > 0:
+                        z = abs((x - mean) / sd)
+                        max_abs_z = max(max_abs_z, z)
+                        if z > threshold:
+                            anomalies += 1
+                # Welford update AFTER scoring
+                n += 1
+                d = x - mean
+                mean += d / n
+                m2 += d * (x - mean)
+        state.update((n, mean, m2))
+        sd_out = math.sqrt(m2 / (n - 1)) if n > 1 else 0.0
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "batch_rows": [rows],
+                "n": [n],
+                "mean": [mean],
+                "stdev": [sd_out],
+                "anomalies": [anomalies],
+                "max_abs_z": [max_abs_z],
+            }
+        )
+
+    src = events.select(
+        F.col(key_col).cast("string").alias(key_col),
+        F.col(value_col).cast("double").alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    return src.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

@@ -185,3 +185,45 @@ def test_session_window_stats_streaming(spark, sf_smoke, tmp_path):
     got = spark.sql("SELECT count(*) AS n FROM sess_out").first().n
     want = session_window_stats(ev, "user_id", "ts", gap="30 minutes").count()
     assert got == want and got > 0
+
+
+def test_streaming_zscore_state_across_batches(spark, tmp_path):
+    from kusto_pre_forge_spark.streaming.windows import (
+        streaming_zscore_anomalies,
+    )
+
+    # wave 1 (older file): 50 calm points; wave 2: one wild spike.
+    # maxFilesPerTrigger=1 makes each file its own micro-batch inside ONE
+    # availableNow run, so the Welford state must carry between batches.
+    calm = [("k", 10.0 + (i % 5) * 0.1) for i in range(50)]
+    spike = [("k", 10.2), ("k", 999.0)]
+    land = tmp_path / "z"
+    spark.createDataFrame(calm, "key string, v double").coalesce(1).write.parquet(
+        str(land / "w0")
+    )
+    import time as _time
+
+    _time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    spark.createDataFrame(spike, "key string, v double").coalesce(1).write.parquet(
+        str(land / "w1")
+    )
+    src = (
+        spark.readStream.schema("key string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "*"))
+    )
+    q = (
+        streaming_zscore_anomalies(src, "key", "v", threshold=5.0, min_history=30)
+        .writeStream.format("memory")
+        .queryName("z_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r.n: r for r in spark.sql("SELECT * FROM z_out").collect()}
+    assert 50 in rows and rows[50].anomalies == 0, "calm batch: no flags"
+    assert 52 in rows, "state carried into the second micro-batch"
+    assert rows[52].anomalies == 1, "only the 999 spike flags"
+    assert rows[52].max_abs_z > 100
