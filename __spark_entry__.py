@@ -348,6 +348,61 @@ def _q5_nation_revenue(spark, sf):
     )
 
 
+def _q7_volume_shipping(spark, sf):
+    """TPC-H Q7 shape: bilateral shipping volume between two nations per
+    ship-year — fact⋈fact on the order key with both nation dims
+    broadcast through customer/supplier."""
+    n1, n2 = "NATION_1", "NATION_2"
+    n = load_table(spark, sf, "nation")
+    c = load_table(spark, sf, "customer").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("cnk"),
+    )
+    s = load_table(spark, sf, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("snk"),
+    )
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .join(c, o.o_custkey == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def _q10_returned_items(spark, sf):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue —
+    returnflag filter pushed to the lineitem scan, nation broadcast,
+    TakeOrderedAndProject top-k."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("double")
+        .alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
 def _q_window_topk(spark, sf):
     li = load_table(spark, sf, "lineitem")
     w = Window.partitionBy("l_returnflag").orderBy(
@@ -3173,6 +3228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi": _q_join_semi,
         "q3_revenue_topk": _q3_revenue_topk,
         "q5_nation_revenue": _q5_nation_revenue,
+        "q7_volume_shipping": _q7_volume_shipping,
+        "q10_returned_items": _q10_returned_items,
         "window_topk": _q_window_topk,
         "window_running": _q_window_running,
         "agg_rollup": _q_rollup,
@@ -3627,6 +3684,28 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1998-01-01' "
             "GROUP BY o_orderkey, o_orderdate "
             "ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"
+        ),
+        "q7_volume_shipping": (
+            "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS INTEGER) AS l_year, "
+            "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+            "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+            "WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2') "
+            "OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1') "
+            "GROUP BY 1, 2, 3"
+        ),
+        "q10_returned_items": (
+            "SELECT c_custkey, c_name, n_name, "
+            "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' "
+            "GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
         ),
         "q5_nation_revenue": (
             "SELECT n_name, "

@@ -37,6 +37,8 @@ HEADLINE = [
     "kql_summarize_q1",
     "q3_revenue_topk",
     "q5_nation_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
     "prepartition_events",
     "shard_assign",
     "window_topk",
