@@ -2492,6 +2492,25 @@ def _q_dedup_edit_distance(spark, sf):
     return out.select("id_a", "id_b", "distance")
 
 
+def _q_kql_bag_ops2(spark, sf):
+    """Property-bag round 2: bag_has_key, bag_set_key (sorted rebuild),
+    array_reverse, repeat — over per-event JSON bags; the oracle predicts
+    outputs from the bag generation rule."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 300)
+    eid = F.col("event_id")
+    bag = F.format_string('{"a":"%d","z":"9"}', eid % 7)
+    return e.select(
+        "event_id",
+        kql.bag_has_key(bag, "a").alias("has_a"),
+        kql.bag_has_key(bag, "q").alias("has_q"),
+        kql.bag_has_key(F.lit("not json"), "a").alias("has_bad"),
+        kql.bag_set_key(bag, "m", (eid % 3).cast("string")).alias("upserted"),
+        kql.bag_set_key(bag, "a", F.lit("new")).alias("replaced"),
+        F.array_join(kql.array_reverse_kql(F.split(F.lit("x,y,z"), ",")), "|").alias("rev"),
+        F.array_join(kql.repeat_kql(F.lit("r"), (eid % 3).cast("int")), "").alias("reps"),
+    )
+
+
 def _q_kql_string_distance(spark, sf):
     """Levenshtein distance / normalized similarity between event_type
     and a derived mutation of it (DuckDB's levenshtein replays the JVM's
@@ -3328,6 +3347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_series_forecast": _q_kql_series_forecast,
         "kql_condagg2": _q_kql_condagg2,
         "kql_string_distance": _q_kql_string_distance,
+        "kql_bag_ops2": _q_kql_bag_ops2,
         "dedup_edit_distance": _q_dedup_edit_distance,
         "kql_has_ipv4": _q_kql_has_ipv4,
         "kql_dynamic_suite2": _q_kql_dynamic_suite2,
@@ -4353,6 +4373,15 @@ def oracle_sql() -> dict[str, str]:
             "ON l.si = r.si AND l.sv = r.sv AND l.doc_id < r.doc_id) "
             "SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS distance "
             "FROM c WHERE levenshtein(ta, tb) <= 1"
+        ),
+        "kql_bag_ops2": (
+            "SELECT event_id, true AS has_a, false AS has_q, false AS has_bad, "
+            "concat('{\"a\":\"', CAST(event_id % 7 AS VARCHAR), "
+            "'\",\"m\":\"', CAST(event_id % 3 AS VARCHAR), '\",\"z\":\"9\"}') AS upserted, "
+            "'{\"a\":\"new\",\"z\":\"9\"}' AS replaced, "
+            "'z|y|x' AS rev, "
+            "repeat('r', CAST(event_id % 3 AS INTEGER)) AS reps "
+            "FROM events WHERE event_id < 300"
         ),
         "kql_string_distance": (
             # Robert/Rupert both soundex to R163 (the classic vector)

@@ -4106,3 +4106,42 @@ def string_similarity(a: Column | str, b: Column | str) -> Column:
 def soundex_kql(col: Column | str) -> Column:
     """``soundex`` phonetic code (American Soundex, JVM builtin)."""
     return F.soundex(_c(col))
+
+
+def bag_has_key(bag: Column | str, key: str) -> Column:
+    """KQL ``bag_has_key(bag, key)`` — top-level key presence in a JSON
+    property bag (parsed as map; malformed/null bags → false)."""
+    m = F.from_json(_c(bag), "map<string,string>")
+    return F.coalesce(F.map_contains_key(m, key), F.lit(False))
+
+
+def bag_set_key(bag: Column | str, key: str, value: Column) -> Column:
+    """KQL ``bag_set_key(bag, key, value)`` — upsert one top-level key.
+    Rebuilt deterministically: entries sorted by key (the make_bag_sorted
+    contract — arrival order isn't replayable), value stringified."""
+    m = F.from_json(_c(bag), "map<string,string>")
+    m2 = F.map_filter(
+        F.coalesce(m, F.from_json(F.lit("{}"), "map<string,string>")),
+        lambda k, _: k != key,
+    )
+    entries = F.concat(
+        F.map_entries(m2),
+        F.array(F.struct(F.lit(key).alias("key"), value.cast("string").alias("value"))),
+    )
+    srt = F.array_sort(entries)
+    return F.to_json(F.map_from_entries(srt))
+
+
+def array_reverse_kql(col: Column | str) -> Column:
+    """KQL ``array_reverse``."""
+    return F.reverse(_c(col))
+
+
+def repeat_kql(value: Column, count: Column | int) -> Column:
+    """KQL ``repeat(value, count)`` — array of ``count`` copies; negative
+    counts → empty (KQL returns null; empty is the join-safe encoding,
+    documented)."""
+    n = count if isinstance(count, Column) else F.lit(int(count))
+    # NOT sequence(1, n): Spark's sequence DESCENDS when start > stop, so
+    # n = 0 would yield [1, 0] — two copies instead of none
+    return F.array_repeat(value, F.greatest(n, F.lit(0)))

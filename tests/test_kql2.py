@@ -1325,3 +1325,23 @@ def test_string_distance_scalars(spark):
     assert abs(r.s - (1 - 3 / 7)) < 1e-4
     assert r.both_empty == 1.0
     assert r.x1 == r.x2 == "R163"
+
+
+def test_bag_round2_and_repeat(spark):
+    df = spark.sql("""SELECT '{"b":"2","a":"1"}' AS bag""")
+    r = df.select(
+        kql.bag_has_key("bag", "a").alias("h"),
+        kql.bag_has_key("bag", "x").alias("m"),
+        kql.bag_has_key(F.lit(None).cast("string"), "a").alias("nul"),
+        kql.bag_set_key("bag", "c", F.lit(3)).alias("ins"),
+        kql.bag_set_key("bag", "a", F.lit("9")).alias("upd"),
+        kql.bag_set_key(F.lit("junk"), "k", F.lit("v")).alias("from_bad"),
+        kql.repeat_kql(F.lit(7), 3).alias("r3"),
+        kql.repeat_kql(F.lit(7), 0).alias("r0"),
+        kql.repeat_kql(F.lit(7), -2).alias("rneg"),
+    ).first()
+    assert (r.h, r.m, r.nul) == (True, False, False)
+    assert r.ins == '{"a":"1","b":"2","c":"3"}', "sorted rebuild"
+    assert r.upd == '{"a":"9","b":"2"}'
+    assert r.from_bad == '{"k":"v"}', "malformed bag treated as empty"
+    assert r.r3 == [7, 7, 7] and r.r0 == [] and r.rneg == []
