@@ -2492,6 +2492,33 @@ def _q_dedup_edit_distance(spark, sf):
     return out.select("id_a", "id_b", "distance")
 
 
+def _q_interval_overlap(spark, sf):
+    """Interval-overlap join (binned form): per user, click windows
+    [ts, ts+30m] × purchase windows [ts, ts+45m] that intersect; first-
+    shared-bin dedup keeps each pair exactly once. Seconds-since-epoch
+    arithmetic so the oracle replays the binning exactly."""
+    from kusto_pre_forge_spark.operators.temporal import interval_overlap_join
+
+    e = load_table(spark, sf, "events")
+    sec = F.unix_timestamp("ts").cast("double")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        sec.alias("c_start"), (sec + 1800).alias("c_end"),
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("buy_id"),
+        sec.alias("b_start"), (sec + 2700).alias("b_end"),
+    )
+    out = interval_overlap_join(
+        clicks, buys, "c_start", "c_end", "b_start", "b_end",
+        keys=["user_id"], bin_width=3600.0,
+    )
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlaps"),
+        F.min("click_id").cast("long").alias("first_click"),
+    )
+
+
 def _q_kql_bag_ops2(spark, sf):
     """Property-bag round 2: bag_has_key, bag_set_key (sorted rebuild),
     array_reverse, repeat — over per-event JSON bags; the oracle predicts
@@ -3348,6 +3375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_condagg2": _q_kql_condagg2,
         "kql_string_distance": _q_kql_string_distance,
         "kql_bag_ops2": _q_kql_bag_ops2,
+        "interval_overlap": _q_interval_overlap,
         "dedup_edit_distance": _q_dedup_edit_distance,
         "kql_has_ipv4": _q_kql_has_ipv4,
         "kql_dynamic_suite2": _q_kql_dynamic_suite2,
@@ -4373,6 +4401,21 @@ def oracle_sql() -> dict[str, str]:
             "ON l.si = r.si AND l.sv = r.sv AND l.doc_id < r.doc_id) "
             "SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS distance "
             "FROM c WHERE levenshtein(ta, tb) <= 1"
+        ),
+        "interval_overlap": (
+            "WITH c AS (SELECT user_id, event_id AS click_id, "
+            "epoch(CAST(ts AS TIMESTAMP)) AS cs, "
+            "epoch(CAST(ts AS TIMESTAMP)) + 1800 AS ce "
+            "FROM events WHERE event_type = 'click'), "
+            "b AS (SELECT user_id, event_id AS buy_id, "
+            "epoch(CAST(ts AS TIMESTAMP)) AS bs, "
+            "epoch(CAST(ts AS TIMESTAMP)) + 2700 AS be "
+            "FROM events WHERE event_type = 'purchase') "
+            "SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_overlaps, "
+            "CAST(min(click_id) AS BIGINT) AS first_click "
+            "FROM c JOIN b ON c.user_id = b.user_id "
+            "AND cs <= be AND bs <= ce "
+            "GROUP BY 1"
         ),
         "kql_bag_ops2": (
             "SELECT event_id, true AS has_a, false AS has_q, false AS has_bad, "

@@ -98,3 +98,33 @@ def test_range_join_with_keys(spark):
         for r in range_join(left, right, "x", "lo", "hi", keys=["k"], bin_width=4.0).collect()
     )
     assert got == [("a", 5.0, "lowA"), ("a", 15.0, "hiA"), ("b", 5.0, "lowB")]
+
+
+def test_interval_overlap_join_binned_equals_direct(spark):
+    from kusto_pre_forge_spark.operators.temporal import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 0.0, 10.0), (1, 2, 50.0, 60.0), (2, 3, 0.0, 5.0)],
+        "k long, lid long, ls double, le double",
+    )
+    right = spark.createDataFrame(
+        [(1, 7, 5.0, 7.0), (1, 8, 9.9, 55.0), (1, 9, 61.0, 70.0), (2, 10, 6.0, 8.0)],
+        "k long, rid long, rs double, re double",
+    )
+    direct = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", keys=["k"]
+        ).collect()
+    }
+    binned = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", keys=["k"], bin_width=4.0
+        ).collect()
+    }
+    # expected: lid1 overlaps rid7 (5-7 in 0-10) and rid8 (9.9 <= 10);
+    # lid2 overlaps rid8 (50 <= 55); lid3 (k=2) has no overlap with rid10?
+    # rid10 is 6-8 vs lid3 0-5 -> no. rid9 (61-70) vs lid2 (50-60) -> no.
+    assert direct == {(1, 7), (1, 8), (2, 8)}
+    assert binned == direct, "binned dedup form is exact"
