@@ -2519,6 +2519,24 @@ def _q_interval_overlap(spark, sf):
     )
 
 
+def _q_kql_math_suite(spark, sf):
+    """Math scalars: gamma/loggamma (Arrow pandas_udf — no JVM builtin),
+    exp2/log2, radians/degrees round-trip. gamma(n) for integer n is
+    (n−1)! exactly — the oracle uses DuckDB's own gamma/lgamma (same
+    libm contract) with round(6)."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 200)
+    x = (F.col("event_id") % 9).cast("double") + 1.5  # 1.5 .. 9.5
+    return e.select(
+        "event_id",
+        F.round(kql.gamma_kql(x), 6).alias("gam"),
+        F.round(kql.loggamma(x), 6).alias("lgam"),
+        kql.gamma_kql(F.lit(0.0)).alias("gam_pole"),
+        F.round(kql.exp2((F.col("event_id") % 10).cast("double")), 6).alias("e2"),
+        F.round(kql.log2_kql((F.col("event_id") % 10 + 1).cast("double")), 6).alias("l2"),
+        F.round(F.degrees(F.radians(F.col("event_id") % 180)), 6).alias("deg_rt"),
+    )
+
+
 def _q_kql_bag_ops2(spark, sf):
     """Property-bag round 2: bag_has_key, bag_set_key (sorted rebuild),
     array_reverse, repeat — over per-event JSON bags; the oracle predicts
@@ -3375,6 +3393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_condagg2": _q_kql_condagg2,
         "kql_string_distance": _q_kql_string_distance,
         "kql_bag_ops2": _q_kql_bag_ops2,
+        "kql_math_suite": _q_kql_math_suite,
         "interval_overlap": _q_interval_overlap,
         "dedup_edit_distance": _q_dedup_edit_distance,
         "kql_has_ipv4": _q_kql_has_ipv4,
@@ -4416,6 +4435,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM c JOIN b ON c.user_id = b.user_id "
             "AND cs <= be AND bs <= ce "
             "GROUP BY 1"
+        ),
+        "kql_math_suite": (
+            "SELECT event_id, "
+            "round(gamma((event_id % 9) + 1.5), 6) AS gam, "
+            "round(lgamma((event_id % 9) + 1.5), 6) AS lgam, "
+            "CAST(NULL AS DOUBLE) AS gam_pole, "
+            "round(pow(2.0, CAST(event_id % 10 AS DOUBLE)), 6) AS e2, "
+            "round(log2(CAST(event_id % 10 + 1 AS DOUBLE)), 6) AS l2, "
+            "round(degrees(radians(CAST(event_id % 180 AS DOUBLE))), 6) AS deg_rt "
+            "FROM events WHERE event_id < 200"
         ),
         "kql_bag_ops2": (
             "SELECT event_id, true AS has_a, false AS has_q, false AS has_bad, "

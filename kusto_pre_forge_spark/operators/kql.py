@@ -4145,3 +4145,64 @@ def repeat_kql(value: Column, count: Column | int) -> Column:
     # NOT sequence(1, n): Spark's sequence DESCENDS when start > stop, so
     # n = 0 would yield [1, 0] — two copies instead of none
     return F.array_repeat(value, F.greatest(n, F.lit(0)))
+
+
+def gamma_kql(col: Column | str) -> Column:
+    """KQL ``gamma(x)`` — Euler gamma. No JVM builtin, so an Arrow
+    pandas_udf over ``math.gamma``; non-positive integers / overflow →
+    NULL (KQL renders NaN/inf)."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    def f(s):
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return math.gamma(float(v))
+            except (ValueError, OverflowError):
+                return None
+
+        return s.map(one)
+
+    f.__name__ = "gamma_kql"
+    return pandas_udf(f, "double", PandasUDFType.SCALAR)(_c(col))
+
+
+def loggamma(col: Column | str) -> Column:
+    """KQL ``loggamma(x)`` — ln|Γ(x)| via ``math.lgamma`` (Arrow batch)."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    def f(s):
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return math.lgamma(float(v))
+            except (ValueError, OverflowError):
+                return None
+
+        return s.map(one)
+
+    f.__name__ = "loggamma"
+    return pandas_udf(f, "double", PandasUDFType.SCALAR)(_c(col))
+
+
+def exp2(col: Column | str) -> Column:
+    """KQL ``exp2`` — 2^x (codegen pow)."""
+    return F.pow(F.lit(2.0), _c(col).cast("double"))
+
+
+def log2_kql(col: Column | str) -> Column:
+    """KQL ``log2`` — native."""
+    return F.log2(_c(col))
+
+
+def pi_kql() -> Column:
+    """KQL ``pi()``."""
+    return F.lit(3.141592653589793)

@@ -1345,3 +1345,24 @@ def test_bag_round2_and_repeat(spark):
     assert r.upd == '{"a":"9","b":"2"}'
     assert r.from_bad == '{"k":"v"}', "malformed bag treated as empty"
     assert r.r3 == [7, 7, 7] and r.r0 == [] and r.rneg == []
+
+
+def test_math_suite_scalars(spark):
+    import math
+
+    df = spark.sql("SELECT 1 AS x")
+    r = df.select(
+        kql.gamma_kql(F.lit(5.0)).alias("g5"),
+        kql.gamma_kql(F.lit(0.5)).alias("gh"),
+        kql.gamma_kql(F.lit(-1.0)).alias("pole"),
+        kql.loggamma(F.lit(10.0)).alias("lg"),
+        kql.exp2(F.lit(10.0)).alias("e"),
+        kql.log2_kql(F.lit(8.0)).alias("l"),
+        kql.pi_kql().alias("p"),
+    ).first()
+    assert r.g5 == 24.0, "gamma(5) = 4!"
+    assert abs(r.gh - math.sqrt(math.pi)) < 1e-12
+    assert r.pole is None
+    assert abs(r.lg - math.lgamma(10.0)) < 1e-12
+    assert r.e == 1024.0 and r.l == 3.0
+    assert r.p == math.pi
