@@ -1366,3 +1366,37 @@ def test_math_suite_scalars(spark):
     assert abs(r.lg - math.lgamma(10.0)) < 1e-12
     assert r.e == 1024.0 and r.l == 3.0
     assert r.p == math.pi
+
+
+def test_simple_scalar_sweep(spark):
+    """Touch the simple scalars that only ever ran indirectly."""
+    df = spark.sql(
+        "SELECT timestamp'2024-03-05 07:08:09' AS t, array(1, 2, 3) AS a, "
+        "array(2, 3, 4) AS b, '42' AS s"
+    )
+    r = df.select(
+        kql.startofday("t").alias("sod"),
+        kql.endofday("t").alias("eod"),
+        kql.startofmonth("t").alias("som"),
+        kql.getmonth("t").alias("mo"),
+        kql.array_avg("a").alias("avg_"),
+        F.array_join(kql.array_concat_kql("a", "b").cast("array<string>"), ",").alias("cat"),
+        F.array_join(kql.set_union_arr("a", "b").cast("array<string>"), ",").alias("un"),
+        F.array_join(kql.pack_array(F.lit(1), F.lit(2)).cast("array<string>"), ",").alias("pk"),
+        kql.bag_pack("k1", F.lit("v1"), "k2", F.lit("2")).alias("bp"),
+        kql.tolong(F.col("s")).alias("lg"),
+        kql.todouble(F.col("s")).alias("db"),
+    ).first()
+    assert str(r.sod) == "2024-03-05 00:00:00"
+    assert str(r.eod).startswith("2024-03-05 23:59:59")
+    assert str(r.som).startswith("2024-03-01")
+    assert r.mo == 3
+    assert r.avg_ == 2.0
+    assert r.cat == "1,2,3,2,3,4"
+    assert set(r.un.split(",")) == {"1", "2", "3", "4"}
+    assert r.pk == "1,2"
+    assert '"k1":"v1"' in r.bp
+    assert r.lg == 42 and r.db == 42.0
+    # ago() is now()-relative; just check it's in the past
+    past = spark.sql("SELECT 1").select(kql.ago("1 HOUR").alias("p"), kql.now().alias("n")).first()
+    assert past.p < past.n
