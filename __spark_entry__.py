@@ -532,6 +532,23 @@ def _q_dedup_survivors_policy(spark, sf):
     return kept.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
 
 
+def _q_dedup_cluster_sizes(spark, sf):
+    """Dedup impact report: cluster-size histogram + droppable-doc count
+    per size — the "what will this dedup actually delete" summary a
+    pipeline owner reads before committing; same pair set and CC labels
+    as dedup_clusters."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=64, bands=16, shingle_n=5, threshold=0.9
+    )
+    labels = dedup.connected_components(pairs)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.count(F.lit(1)) * (F.col("cluster_size") - 1)).cast("long").alias("droppable_docs"),
+    ).select(F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters", "droppable_docs")
+
+
 def _q_dedup_clusters(spark, sf):
     """Pairs → duplicate clusters: connected components (alternating
     large-star/small-star) over the minhash near-dup pairs, labeled with
@@ -3306,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_incremental": _q_dedup_minhash_incremental,
         "dedup_survivors_policy": _q_dedup_survivors_policy,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -3842,6 +3860,28 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (a.doc_id >= 400 OR b.doc_id >= 400) "
             "AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
             "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.9"
+        ),
+        "dedup_cluster_sizes": (
+            "WITH RECURSIVE "
+            f"s AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a "
+            "JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.9), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM p "
+            "UNION SELECT id_b, id_a FROM p), "
+            "reach(src, node) AS ("
+            "SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+            "UNION "
+            "SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node), "
+            "lab AS (SELECT src AS doc_id, min(node) AS cluster_id "
+            "FROM reach GROUP BY src), "
+            "cs AS (SELECT cluster_id, count(*) AS cluster_size "
+            "FROM lab GROUP BY 1) "
+            "SELECT CAST(cluster_size AS BIGINT) AS cluster_size, "
+            "CAST(count(*) AS BIGINT) AS n_clusters, "
+            "CAST(count(*) * (cluster_size - 1) AS BIGINT) AS droppable_docs "
+            "FROM cs GROUP BY cluster_size"
         ),
         "dedup_clusters": (
             # connected components over the same >=0.9-Jaccard pair set:
