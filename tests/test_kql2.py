@@ -1400,3 +1400,45 @@ def test_simple_scalar_sweep(spark):
     # ago() is now()-relative; just check it's in the past
     past = spark.sql("SELECT 1").select(kql.ago("1 HOUR").alias("p"), kql.now().alias("n")).first()
     assert past.p < past.n
+
+
+def test_parse_ipv4_fuzz_against_stdlib(spark):
+    """300 seeded-random candidate strings (valid + malformed) vs the
+    stdlib ipaddress module."""
+    import ipaddress
+    import random
+
+    rnd = random.Random(1717)
+    cases = []
+    for i in range(300):
+        kind = i % 5
+        if kind == 0:
+            s = ".".join(str(rnd.randint(0, 255)) for _ in range(4))
+        elif kind == 1:
+            s = ".".join(str(rnd.randint(0, 400)) for _ in range(4))  # maybe bad
+        elif kind == 2:
+            s = ".".join(str(rnd.randint(0, 255)) for _ in range(rnd.choice([3, 5])))
+        elif kind == 3:
+            s = "1.2.3." + rnd.choice(["x", "-1", "04", "255"])
+        else:
+            s = rnd.choice(["", " 1.2.3.4", "1.2.3.4 ", "1..2.3", "a.b.c.d"])
+        cases.append((i, s))
+    df = spark.createDataFrame(cases, "i long, s string")
+    got = {
+        r.i: r.v
+        for r in df.select("i", kql.parse_ipv4("s").alias("v")).collect()
+    }
+    for i, s in cases:
+        try:
+            want = int(ipaddress.IPv4Address(s))
+        except (ipaddress.AddressValueError, ValueError):
+            want = None
+        # one documented divergence: stdlib rejects leading zeros ('04'),
+        # our parser (like KQL) reads them as decimal
+        if want is None and got[i] is not None:
+            parts = s.split(".")
+            assert len(parts) == 4 and all(
+                p.isdigit() and int(p) <= 255 for p in parts
+            ), (i, s, got[i])
+        else:
+            assert got[i] == want, (i, s)
