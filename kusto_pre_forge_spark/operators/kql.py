@@ -4206,3 +4206,12 @@ def log2_kql(col: Column | str) -> Column:
 def pi_kql() -> Column:
     """KQL ``pi()``."""
     return F.lit(3.141592653589793)
+
+
+def series_fill_const(col: Column | str, value: float = 0.0) -> Column:
+    """KQL ``series_fill_const(series, value)`` — replace null elements
+    with a constant (the third member of the fill family next to
+    forward/backward/linear)."""
+    return F.transform(
+        _c(col), lambda x: F.coalesce(x.cast("double"), F.lit(float(value)))
+    )

@@ -1442,3 +1442,13 @@ def test_parse_ipv4_fuzz_against_stdlib(spark):
             ), (i, s, got[i])
         else:
             assert got[i] == want, (i, s)
+
+
+def test_series_fill_const(spark):
+    df = spark.sql("SELECT array(1.0d, CAST(NULL AS DOUBLE), 3.0d) AS s")
+    r = df.select(
+        kql.series_fill_const("s", -1.0).alias("f"),
+        kql.series_fill_const("s").alias("z"),
+    ).first()
+    assert r.f == [1.0, -1.0, 3.0]
+    assert r.z == [1.0, 0.0, 3.0]
