@@ -5564,7 +5564,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(idx AS BIGINT) AS idx, round(y, 6) AS smoothed "
             "FROM iir"
         ),
-        # ordered aggregate reproduces the phase fold's ascending-index sums
+        # per-phase MEDIAN (ADX definition); DuckDB median() interpolates
+        # even-sized phases exactly like the Spark middle-pair average
         "kql_series_seasonal": (
             "WITH bounds AS (SELECT min(date_trunc('day', CAST(ts AS TIMESTAMP))) lo, "
             "max(date_trunc('day', CAST(ts AS TIMESTAMP))) hi FROM events), "
@@ -5578,10 +5579,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM keys k CROSS JOIN axis a "
             "LEFT JOIN binned b ON b.event_type = k.event_type AND b.d = a.d), "
             "phase AS (SELECT event_type, idx % 7 AS ph, "
-            "0.0 + sum(v ORDER BY idx) AS s, count(*) AS c "
+            "median(v) AS m "
             "FROM dense GROUP BY event_type, idx % 7) "
             "SELECT d.event_type, CAST(d.idx AS BIGINT) AS idx, "
-            "round(p.s / CAST(p.c AS DOUBLE), 6) AS seasonal "
+            "round(p.m, 6) AS seasonal "
             "FROM dense d JOIN phase p ON p.event_type = d.event_type "
             "AND p.ph = d.idx % 7"
         ),

@@ -446,9 +446,20 @@ def epoch_upsample(
     w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
         "double"
     )
+    # clamp to >= 0: sequence(0, end) DESCENDS when end < 0 (Spark emits
+    # [0, -1] for sequence(0, -1)), so an unclamped weight <= 0 would
+    # leak a phantom epoch=-1 row past the keep filter, and a negative
+    # weight would keep rows with probability frac(w). Weight <= 0 must
+    # mean "drop the row", which the clamped form guarantees: the single
+    # epoch-0 row fails both sides of `keep` when w <= 0.
+    w = F.greatest(w, F.lit(0.0))
     out = df.withColumn(
         epoch_col,
-        F.explode(F.sequence(F.lit(0), F.ceil(w).cast("long") - 1)),
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.ceil(w).cast("long") - 1, F.lit(0))
+            )
+        ),
     )
     u = _hash_unit(
         F.concat_ws("|", k.cast("string"), F.col(epoch_col).cast("string")), salt

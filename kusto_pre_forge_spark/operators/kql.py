@@ -1717,10 +1717,17 @@ def ipv4_netmask_suffix(col: Column | str) -> Column:
     CIDR string; 32 when no suffix is present (KQL's default); null for
     malformed input (bad address, or suffix outside [0, 32])."""
     c = _c(col)
-    addr = F.split(c, "/")[0]
+    parts = F.split(c, "/")
+    addr = parts[0]
     has_suffix = c.contains("/")
-    sfx_str = F.split(c, "/")[1]
-    sfx_ok = sfx_str.rlike("^[0-9]{1,2}$") & (sfx_str.cast("int") <= 32)
+    sfx_str = parts[1]
+    # more than one '/' ('1.2.3.4/24/9') is malformed — without the size
+    # guard split[1] would see '24' and wrongly return it
+    sfx_ok = (
+        (F.size(parts) <= 2)
+        & sfx_str.rlike("^[0-9]{1,2}$")
+        & (sfx_str.cast("int") <= 32)
+    )
     sfx = F.when(~has_suffix, F.lit(32)).when(sfx_ok, sfx_str.cast("int"))
     return F.when(
         parse_ipv4(addr).isNotNull(), sfx.cast("long")
@@ -3114,25 +3121,32 @@ def series_iir(col: Column | str, b: list[float], a: list[float]) -> Column:
 
 def series_seasonal(col: Column | str, period: int) -> Column:
     """KQL ``series_seasonal(series, period)`` — the seasonal component:
-    every element is replaced by the mean of all elements sharing its
-    phase (``index mod period``).
+    every element is replaced by the MEDIAN of all elements sharing its
+    phase (``index mod period``), matching ADX's definition (even-sized
+    phases interpolate the two middle values, the classical median that
+    DuckDB's ``median()`` replays exactly).
 
-    Phase means are computed once per row with one indexed ``filter`` +
-    left-fold sum per phase (the phase loop unrolls in Python — period is
-    a literal), then broadcast back positionally. Sums run in ascending
-    index order, so the DuckDB oracle's ``sum(v ORDER BY idx)`` replays
-    the identical float addition order.
+    Phase medians are computed once per row with one indexed ``filter`` +
+    ``array_sort`` + middle pick per phase (the phase loop unrolls in
+    Python — period is a literal), then broadcast back positionally.
+    Median needs no float summation, so the oracle replay is order-free.
     """
     c = _c(col)
     if period < 1:
         raise ValueError("period must be >= 1")
-    means = []
+    medians = []
     for p in range(period):
-        vals = F.filter(c, lambda x, i: i % period == F.lit(p))
-        s = F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
-        means.append(s / F.size(vals).cast("double"))
-    phase_means = F.array(*means)
-    return F.transform(c, lambda x, i: F.element_at(phase_means, i % period + 1))
+        vals = F.array_sort(F.filter(c, lambda x, i: i % period == F.lit(p)))
+        n = F.size(vals)
+        lo = F.floor((n + F.lit(1)) / F.lit(2)).cast("int")
+        hi = F.floor((n + F.lit(2)) / F.lit(2)).cast("int")
+        med = (
+            F.element_at(vals, lo).cast("double")
+            + F.element_at(vals, hi).cast("double")
+        ) / F.lit(2.0)
+        medians.append(med)
+    phase_medians = F.array(*medians)
+    return F.transform(c, lambda x, i: F.element_at(phase_medians, i % period + 1))
 
 
 def series_add(a: Column | str, b: Column | str) -> Column:

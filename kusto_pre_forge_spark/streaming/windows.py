@@ -161,6 +161,7 @@ def session_window_stats(
     ts_col: str,
     gap: str = "30 minutes",
     watermark: str = "1 hour",
+    value_col: str = "value",
 ) -> DataFrame:
     """Event-time SESSION windows — the streaming form of the batch
     ``sessionize`` operator: rows for one key belong to one session while
@@ -175,7 +176,8 @@ def session_window_stats(
     DataFrames too (watermark no-op), which is how the unit test pins the
     session boundaries exactly.
 
-    Returns (key, session_start, session_end, n_events, total_value).
+    Returns (key, session_start, session_end, n_events, total_value) —
+    total_value sums ``value_col`` (default ``"value"``).
     """
     src = _norm_ts(events, ts_col)
     src = src.withWatermark(ts_col, watermark) if src.isStreaming else src
@@ -184,7 +186,7 @@ def session_window_stats(
         src.groupBy(win, F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            F.sum(value_col).alias("total_value"),
         )
         .select(
             F.col(key_col),

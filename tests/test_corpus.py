@@ -204,3 +204,18 @@ def test_epoch_upsample_fractional_epochs(spark):
     frac3 = sum(1 for c in heavy if c == 3) / 200
     assert 0.3 < frac3 < 0.7, f"~half get the 3rd copy, got {frac3}"
     assert all(counts[i] == 1 for i in range(200, 300)), "weight 1 -> exactly 1"
+
+
+def test_epoch_upsample_nonpositive_weight_drops(spark):
+    from kusto_pre_forge_spark.operators.corpus import epoch_upsample
+
+    # weight 0 and negative weights must drop the row entirely — the
+    # unclamped sequence(0, ceil(w)-1) descends for w <= 0 and used to
+    # leak phantom epoch rows (ADVICE r5)
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -0.5), (3, -3.0), (4, 1.0)], "doc_id long, w double"
+    )
+    out = epoch_upsample(df, "doc_id", "w")
+    rows = out.collect()
+    assert sorted(r.doc_id for r in rows) == [4]
+    assert all(r.epoch == 0 for r in rows)

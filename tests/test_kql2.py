@@ -865,11 +865,12 @@ def test_series_iir_exponential_smoothing(spark):
     assert row.y == [5.0, 2.5, 1.25]
 
 
-def test_series_seasonal_phase_means(spark):
-    df = spark.sql("SELECT array(1.0d, 10.0d, 3.0d, 20.0d, 5.0d) AS s")
+def test_series_seasonal_phase_medians(spark):
+    df = spark.sql("SELECT array(1.0d, 10.0d, 2.0d, 20.0d, 100.0d) AS s")
     row = df.select(kql.series_seasonal("s", 2).alias("y")).first()
-    # phase 0: mean(1,3,5)=3; phase 1: mean(10,20)=15
-    assert row.y == [3.0, 15.0, 3.0, 15.0, 3.0]
+    # phase 0: median(1,2,100)=2 (NOT the mean 34.33); phase 1:
+    # median(10,20)=15 (even-sized phase interpolates the middle pair)
+    assert row.y == [2.0, 15.0, 2.0, 15.0, 2.0]
 
 
 def test_series_arith_elementwise(spark):
@@ -958,10 +959,12 @@ def test_ipv4_round2_scalars(spark):
         kql.ipv4_netmask_suffix(F.lit("192.168.1.0")).alias("sdef"),
         kql.ipv4_netmask_suffix(F.lit("192.168.1.0/40")).alias("sbad"),
         kql.ipv4_netmask_suffix(F.lit("x/24")).alias("abad"),
+        kql.ipv4_netmask_suffix(F.lit("1.2.3.4/24/9")).alias("dslash"),
     ).first()
     assert (r.lt, r.eq, r.bad) == (-1, 0, None)
     assert (r.m24, r.n24, r.m0) == (True, False, True)
     assert (r.s24, r.sdef, r.sbad, r.abad) == (24, 32, None, None)
+    assert r.dslash is None, "two slashes is malformed, not /24"
 
 
 def test_scalar_suite6_semantics(spark):
