@@ -985,25 +985,25 @@ def _q_text_bm25(spark, sf):
 
 
 def _q_embedding_whiten(spark, sf):
-    """PCA whitening over the embeddings table (rows-only: the eigensolve
-    isn't SQL-replayable; cov(output) == I is pinned in
-    tests/test_similarity.py). Emits the whitened norm as a stable probe."""
-    from kusto_pre_forge_spark.operators.similarity import embedding_whiten
+    """PCA whitening over the embeddings table, verified through its
+    predictive INVARIANT: the population covariance of the whitened
+    output is the identity matrix, which the oracle predicts without
+    replaying the eigensolve (cov entries computed in-plan from moment
+    sums — whiten_covariance_probe — never collecting vectors). The
+    per-vector transform itself (cov == I on raw floats, ZCA symmetry)
+    is pinned in tests/test_similarity.py."""
+    from kusto_pre_forge_spark.operators.similarity import (
+        embedding_whiten,
+        whiten_covariance_probe,
+    )
 
     d = load_table(spark, sf, "embeddings")
     out = embedding_whiten(d, "embedding", "vec_id")
-    return out.select(
-        "vec_id",
-        F.round(
-            F.sqrt(
-                F.aggregate(
-                    F.transform("whitened", lambda x: x * x),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-            ),
-            4,
-        ).alias("whitened_norm"),
+    return whiten_covariance_probe(out, "whitened").select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        "cov_ij",
+        "n_vectors",
     )
 
 
@@ -1031,9 +1031,11 @@ def _q_corpus_epoch_upsample(spark, sf):
 def _q_text_bpe(spark, sf):
     """Distributed mini-BPE: train 6 merge rules on the corpus (driver
     loop of bounded 1-row collects, vocab stays distributed), then apply
-    them as chained codegen regexp passes. Rows-only check by design —
-    iterative training isn't SQL-replayable (cf. ann_recall_ivf); the
-    merge procedure itself is pinned against hand-computed Sennrich
+    them as chained codegen regexp passes. Fully oracled: the DuckDB
+    oracle replays BOTH the 6 training iterations (unrolled CTE chain,
+    same argmax + tie-break) and the apply pass (double-space replace ==
+    the greedy lookaround merge) — see _bpe_oracle_sql. The merge
+    procedure is additionally pinned against hand-computed Sennrich
     vectors in tests/test_textprep.py."""
     from kusto_pre_forge_spark.operators import textprep
 
@@ -3493,6 +3495,76 @@ _ES = "['el','la','de','que','y','en','un','es','por','con']"
 _FR = "['le','la','de','et','un','est','que','pour','dans','avec']"
 
 
+def _bpe_oracle_sql(n_merges: int = 6, min_pair: int = 2) -> str:
+    """Full replay of train_bpe + apply_bpe in DuckDB — the 6 training
+    iterations UNROLLED as chained CTEs (word-type table → adjacent-pair
+    argmax with (n DESC, a, b) tie-break → vocab rewrite), then the same
+    merges applied per document word.
+
+    The greedy left-to-right non-overlapping regexp merge is replayed
+    with the DOUBLE-SPACE trick: with two spaces between symbols and one
+    at each end, every occurrence of ``' a  b '`` owns its boundary
+    spaces, so one plain ``replace()`` pass merges back-to-back pairs
+    exactly like Spark's lookaround pattern (``_merge_pattern``), and the
+    replacement ``' ab '`` restores the invariant. ``MATERIALIZED`` CTEs
+    stop DuckDB from inlining the chain exponentially. Early training
+    stop (best pair count < min_pair) is replayed by the CASE no-op: the
+    vocab stays fixed, so every later iteration re-finds the same sub-
+    threshold pair and also no-ops.
+    """
+    ws = r"\s+"
+    words = (
+        "unnest(list_filter(regexp_split_to_array(lower(text), '"
+        + ws
+        + "'), x -> x != '')) AS w"
+    )
+    charsplit = (
+        "array_to_string(list_transform(range(1, length(w)+1), i -> w[i]), ' ')"
+        " || ' </w>'"
+    )
+
+    def rewrite(i: int) -> str:
+        return (
+            "CASE WHEN (SELECT coalesce(max(n),0) FROM b{i}) >= {mp} THEN "
+            "replace(trim(replace(' ' || replace(s, ' ', '  ') || ' ', "
+            "' ' || (SELECT a FROM b{i}) || '  ' || (SELECT b FROM b{i}) || ' ', "
+            "' ' || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || ' ')), '  ', ' ') "
+            "ELSE s END"
+        ).format(i=i, mp=min_pair)
+
+    parts = [
+        "WITH words AS MATERIALIZED (SELECT w, count(*) AS cnt FROM ("
+        f"SELECT {words} FROM documents) GROUP BY w), "
+        f"v0 AS MATERIALIZED (SELECT {charsplit} AS s, cnt FROM words)"
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f", p{i} AS MATERIALIZED (SELECT z.p[1] AS a, z.p[2] AS b, "
+            f"sum(z.cnt) AS n FROM ("
+            f"SELECT unnest(list_zip(string_split(s, ' '), string_split(s, ' ')[2:])) AS p, cnt "
+            f"FROM v{i}) z WHERE z.p[2] IS NOT NULL GROUP BY 1, 2)"
+            f", b{i} AS MATERIALIZED (SELECT a, b, n FROM p{i} "
+            f"ORDER BY n DESC, a ASC, b ASC LIMIT 1)"
+            f", v{i + 1} AS MATERIALIZED (SELECT {rewrite(i)} AS s, cnt FROM v{i})"
+        )
+    parts.append(
+        f", docw AS MATERIALIZED (SELECT doc_id, {words} FROM documents)"
+        f", ds0 AS MATERIALIZED (SELECT doc_id, {charsplit} AS s FROM docw)"
+    )
+    for i in range(n_merges):
+        parts.append(
+            f", ds{i + 1} AS MATERIALIZED "
+            f"(SELECT doc_id, {rewrite(i)} AS s FROM ds{i})"
+        )
+    parts.append(
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(len(string_split(s, ' '))) AS BIGINT) AS n_bpe_tokens, "
+        "min(replace(s, ' ', '|')) AS sample_tokens "
+        f"FROM ds{n_merges} GROUP BY doc_id"
+    )
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     ev_k = "CAST(events.props->>'$.k' AS INT)"
     jacc = (
@@ -3670,6 +3742,18 @@ def oracle_sql() -> dict[str, str]:
         "FROM c GROUP BY 1"
     )
     return {
+        # full train+apply replay — see _bpe_oracle_sql
+        "text_bpe": _bpe_oracle_sql(),
+        # predictive invariant: cov(whitened) == I — the oracle emits the
+        # identity matrix at the data's dim plus the vector count
+        "embedding_whiten": (
+            "WITH dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1), "
+            "idx AS (SELECT unnest(range(0, (SELECT dim FROM dims))) AS k) "
+            "SELECT CAST(a.k AS BIGINT) AS i, CAST(b.k AS BIGINT) AS j, "
+            "CASE WHEN a.k = b.k THEN 1.0 ELSE 0.0 END AS cov_ij, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors "
+            "FROM idx a CROSS JOIN idx b"
+        ),
         "kql_project_where": (
             "SELECT l_orderkey, l_linenumber, "
             "l_extendedprice * (1 - l_discount) AS revenue "

@@ -447,3 +447,83 @@ def embedding_whiten(
     return df.select(id_col, vec_col).mapInPandas(
         project, f"{id_col} long, {out_col} array<double>"
     )
+
+
+def whiten_covariance_probe(
+    df: DataFrame,
+    vec_col: str = "whitened",
+    round_to: int = 6,
+) -> DataFrame:
+    """Population-covariance probe over a vector column, emitted as
+    (i, j, cov_ij, n_vectors) rows — the driver-checkable INVARIANT of
+    :func:`embedding_whiten`: cov(whitened) == I, so the oracle predicts
+    the identity matrix without replaying the eigensolve (the pattern of
+    the geo/ipv6 "predictive oracles").
+
+    Distributed shape: each row contributes one concatenated array
+    [1, x, vec(x xᵀ)] (count slot, first moment, flattened Gram — built
+    with array HOFs, no UDF), one posexplode + groupBy(pos) sums them
+    columnar-wise, and the dim+dim²-row result is reshaped to (i, j)
+    entries by joining the Gram slots to the two mean slots. The shuffle
+    carries dim²-sized aggregates, never vectors — the same
+    bounded-traffic contract as the whitening trainer itself.
+
+    ``round_to`` collapses float eigensolve noise (~1e-12) to exact
+    0/1; adding 0.0 normalizes IEEE −0.0 from tiny negatives.
+    """
+    w = F.col(vec_col)
+    arr = F.concat(
+        F.array(F.lit(1.0)),
+        w,
+        F.flatten(F.transform(w, lambda x: F.transform(w, lambda y: x * y))),
+    )
+    sums = (
+        df.select(F.posexplode(arr).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"))
+    )
+    # pos layout: 0 -> n; 1..dim -> sums; dim+1.. -> flattened Gram.
+    # max(pos) = dim + dim**2, so dim recovers as (-1+sqrt(1+4*mx))/2.
+    meta = sums.agg(
+        F.max("pos").alias("mx"),
+        F.sum(F.when(F.col("pos") == 0, F.col("v"))).alias("n"),
+    ).select(
+        F.floor((F.sqrt(1.0 + 4.0 * F.col("mx")) - 1.0) / 2.0)
+        .cast("long")
+        .alias("dim"),
+        F.col("n"),
+    )
+    g = (
+        sums.crossJoin(F.broadcast(meta))
+        .filter(F.col("pos") > F.col("dim"))
+        .select(
+            ((F.col("pos") - F.col("dim") - 1) / F.col("dim"))
+            .cast("long")
+            .alias("i"),
+            ((F.col("pos") - F.col("dim") - 1) % F.col("dim")).alias("j"),
+            (F.col("v") / F.col("n")).alias("exy"),
+            F.col("n"),
+        )
+    )
+    means = (
+        sums.crossJoin(F.broadcast(meta))
+        .filter((F.col("pos") >= 1) & (F.col("pos") <= F.col("dim")))
+        .select(
+            (F.col("pos") - 1).alias("k"), (F.col("v") / F.col("n")).alias("m")
+        )
+    )
+    mi = means.select(F.col("k").alias("i"), F.col("m").alias("m_i"))
+    mj = means.select(F.col("k").alias("j"), F.col("m").alias("m_j"))
+    return (
+        g.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.round(F.col("exy") - F.col("m_i") * F.col("m_j"), round_to)
+                + F.lit(0.0)
+            ).alias("cov_ij"),
+            F.col("n").cast("long").alias("n_vectors"),
+        )
+    )

@@ -1,5 +1,7 @@
 """Similarity search: exact brute-force vs numpy oracle; LSH recall."""
 
+import math
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -147,3 +149,26 @@ def test_embedding_whiten_identity_covariance(spark, sf_smoke):
     assert np.abs(C - np.eye(C.shape[0])).max() < 1e-6, "cov(whitened) == I"
     # mean removed
     assert np.abs(Y.mean(axis=0)).max() < 1e-9
+
+
+def test_whiten_covariance_probe_matches_numpy(spark, sf_smoke):
+    import numpy as np
+
+    from kusto_pre_forge_spark.operators.similarity import (
+        embedding_whiten,
+        whiten_covariance_probe,
+    )
+
+    df = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    out = embedding_whiten(df, "embedding", "vec_id")
+    probe = whiten_covariance_probe(out, "whitened").collect()
+    n = df.count()
+    dim = len(df.select("embedding").first()[0])
+    assert len(probe) == dim * dim
+    assert all(r.n_vectors == n for r in probe)
+    C = np.zeros((dim, dim))
+    for r in probe:
+        C[r.i][r.j] = r.cov_ij
+    assert np.array_equal(C, np.eye(dim)), "probe emits exact identity"
+    # no IEEE -0.0 survives the normalization (the oracle emits 0.0)
+    assert all(math.copysign(1.0, r.cov_ij) > 0 for r in probe)
