@@ -160,7 +160,8 @@ def interval_overlap_join(
     r_start: str,
     r_end: str,
     keys: list[str] | None = None,
-    bin_width: float | None = None,
+    bin_width: float | str | None = None,
+    max_bins_per_row: int = 4096,
 ) -> DataFrame:
     """Interval×interval overlap join — the sibling of :func:`range_join`
     (point-in-interval): pairs where ``[l_start, l_end]`` and
@@ -173,7 +174,21 @@ def interval_overlap_join(
     interval covers and the join becomes a hash equi-join on (keys, bin)
     — the 100 TB form; a pair overlapping several bins is deduplicated by
     keeping only the match in the FIRST shared bin (one codegen predicate
-    — no distinct pass, no row-id requirement on the caller)."""
+    — no distinct pass, no row-id requirement on the caller).
+
+    ``bin_width="auto"`` derives the width from the data: the larger of
+    the two sides' MEAN interval lengths (two 1-row aggregates, the
+    bounded-scalar-collect convention) — mean-length bins put the typical
+    interval in ~2 bins.
+
+    ``max_bins_per_row`` is the blow-up valve (sibling of the dedup
+    operators' ``max_bucket_size``): an interval covering more bins than
+    this — a mis-chosen width or an open-ended-interval sentinel — fails
+    the job with a clear error instead of emitting millions of rows from
+    one input row and OOMing a task. The check is a codegen
+    ``assert_true`` fused into the bin computation so the optimizer can
+    never prune it.
+    """
     keys = keys or []
     overlap = (F.col(l_start) <= F.col(r_end)) & (
         F.col(r_start) <= F.col(l_end)
@@ -184,18 +199,46 @@ def interval_overlap_join(
             cond = cond & (left[k] == right[k])
         return left.join(right, cond, "inner")
 
-    bw = float(bin_width)
+    if bin_width == "auto":
+        mean_l = left.agg(
+            F.avg(F.col(l_end) - F.col(l_start)).alias("m")
+        ).first()["m"]
+        mean_r = right.agg(
+            F.avg(F.col(r_end) - F.col(r_start)).alias("m")
+        ).first()["m"]
+        bw = max(float(mean_l or 0.0), float(mean_r or 0.0))
+        if bw <= 0.0:
+            bw = 1.0  # all degenerate/point intervals: any width works
+    else:
+        bw = float(bin_width)
 
     def binned(df: DataFrame, s: str, e: str) -> DataFrame:
-        return df.withColumn(
-            "_bin",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(s) / bw).cast("long"),
-                    F.floor(F.col(e) / bw).cast("long"),
-                )
-            ),
+        b_lo = F.floor(F.col(s) / bw).cast("long")
+        b_hi = F.floor(F.col(e) / bw).cast("long")
+        # the valve rides inside the sequence bound: when the row is over
+        # budget the assert fires at execution (coalesce keeps the type;
+        # assert_true yields NULL so it never alters a passing value)
+        n_bins = b_hi - b_lo + F.lit(1)
+        guarded_hi = F.when(n_bins <= F.lit(max_bins_per_row), b_hi).otherwise(
+            F.coalesce(
+                F.assert_true(
+                    F.lit(False),
+                    F.concat(
+                        F.lit(
+                            "interval_overlap_join: interval covers "
+                        ),
+                        n_bins.cast("string"),
+                        F.lit(
+                            f" bins > max_bins_per_row={max_bins_per_row}; "
+                            "raise bin_width (or max_bins_per_row), or check "
+                            "for open-ended-interval sentinels"
+                        ),
+                    ),
+                ).cast("long"),
+                b_hi,
+            )
         )
+        return df.withColumn("_bin", F.explode(F.sequence(b_lo, guarded_hi)))
 
     l_b = binned(left, l_start, l_end)
     r_b = binned(right, r_start, r_end)

@@ -128,3 +128,40 @@ def test_interval_overlap_join_binned_equals_direct(spark):
     # rid10 is 6-8 vs lid3 0-5 -> no. rid9 (61-70) vs lid2 (50-60) -> no.
     assert direct == {(1, 7), (1, 8), (2, 8)}
     assert binned == direct, "binned dedup form is exact"
+
+
+def test_interval_overlap_join_valve_and_auto_width(spark):
+    from kusto_pre_forge_spark.operators.temporal import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 10.0)], "lid long, ls double, le double"
+    )
+    # one pathological open-ended interval: ~2.5M bins at width 4
+    right = spark.createDataFrame(
+        [(7, 5.0, 7.0), (8, 0.0, 1e7)], "rid long, rs double, re double"
+    )
+    bad = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bin_width=4.0
+    )
+    try:
+        bad.collect()
+        raise AssertionError("valve did not fire")
+    except Exception as e:  # Py4J wraps the SparkRuntimeException
+        assert "max_bins_per_row" in str(e)
+
+    # auto width derives from mean interval lengths -> few bins per row,
+    # result identical to the direct inequality join
+    auto = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bin_width="auto",
+            max_bins_per_row=16,
+        ).collect()
+    }
+    direct = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re"
+        ).collect()
+    }
+    assert auto == direct == {(1, 7), (1, 8)}
