@@ -2162,6 +2162,62 @@ def _q_multimodal_image_dhash(spark, sf):
     )
 
 
+def _q_multimodal_image_dhash_jpeg(spark, sf):
+    """Perceptual dHash over REAL decoded JPEGs — the pure-numpy baseline
+    decoder (Huffman + dequant + IDCT) feeding the same pipeline as the
+    PNG variant. Fixtures rotate through the decoder's paths (grayscale,
+    4:4:4 color, 4:2:0 subsampled, restart markers) while keeping the
+    hash analytically predictable: even docs a strict horizontal
+    gradient (all left<right bits → −1), odd docs a constant fill (→ 0);
+    gradient steps of 28 gray levels dwarf the ≤3-level quality-95
+    quantization error, so lossy decode cannot flip a bit."""
+    from kusto_pre_forge_spark.operators import multimodal
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id")
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        from kusto_pre_forge_spark.operators import mediacodec
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 18, 8
+                if i % 2 == 0:
+                    row = bytes(x * 14 for x in range(w))
+                else:
+                    row = bytes([(i * 17) % 256]) * w
+                gray = row * h
+                if i % 8 == 0:
+                    # 4:2:0 color path: equal channels keep luma = gray
+                    px = bytes(
+                        b for v in gray for b in (v, v, v)
+                    )
+                    blob = mediacodec.encode_jpeg(
+                        w, h, px, 3, quality=95, subsampling="420"
+                    )
+                elif i % 8 == 4:
+                    blob = mediacodec.encode_jpeg(
+                        w, h, gray, 1, quality=95, restart_interval=2
+                    )
+                else:
+                    blob = mediacodec.encode_jpeg(w, h, gray, 1, quality=95)
+                blobs.append(blob)
+                ids.append(i)
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    return multimodal.image_dhash(blobs).select(
+        "doc_id", "dhash", "width", "height"
+    )
+
+
 def _q_multimodal_frame_plan(spark, sf):
     """Frame-sampling plan from REAL MP4 metadata: fixtures encode a known
     mvhd duration (doc_id-derived), the operator parses the actual boxes
@@ -3475,6 +3531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_real_meta": _q_multimodal_real_meta,
         "multimodal_image_dhash": _q_multimodal_image_dhash,
+        "multimodal_image_dhash_jpeg": _q_multimodal_image_dhash_jpeg,
         "multimodal_audio_fp": _q_multimodal_audio_fp,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
     }
@@ -5855,6 +5912,16 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_dhash": (
             # ground truth from the fixture rule: gradient -> all 64 bits
             # set (signed -1), constant fill -> 0; true 18x8 dimensions
+            "SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE 0 END AS BIGINT) AS dhash, "
+            "CAST(18 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height "
+            "FROM documents WHERE doc_id < 80"
+        ),
+        "multimodal_image_dhash_jpeg": (
+            # same analytic ground truth as the PNG variant: the fixture
+            # gradient's 28-level steps survive quality-95 quantization,
+            # so the decoded hash is exactly -1 / 0 regardless of the
+            # sampling/restart path the fixture rotation picked
             "SELECT doc_id, "
             "CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE 0 END AS BIGINT) AS dhash, "
             "CAST(18 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height "

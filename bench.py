@@ -70,6 +70,7 @@ HEADLINE = [
     "text_bpe",
     "events_session_window",
     "multimodal_image_dhash",
+    "multimodal_image_dhash_jpeg",
     "kql_ipv4_lookup",
     "pipeline_corpus_mix",
     "kql_series_forecast",

@@ -438,3 +438,678 @@ def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes
         + body
     )
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+# ---------------------------------------------------------------- JPEG codec
+#
+# Baseline sequential JFIF (ITU-T T.81) in numpy — the decode path the
+# verdict asked for: a 100 TB multimodal corpus is dominated by JPEGs, and
+# header metadata alone can't feed the perceptual dHash. The decoder is
+# general (tables come from the file's DQT/DHT segments, any sampling
+# factors, DRI/RSTn restarts); the encoder exists to fabricate REAL
+# spec-valid fixtures deterministically (4:4:4 or 4:2:0, IJG quality
+# scaling) — the same role encode_png/encode_wav play for their formats.
+# Progressive (SOF2) and arithmetic coding raise ValueError.
+
+#: zigzag index -> natural (row-major) block index, T.81 figure A.6
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K quantization tables (zigzag order follows from raster tables
+# being indexed through _JPEG_ZIGZAG at use sites; these are RASTER order)
+_JPEG_Q_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_Q_CHR = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K Huffman specs: (16 code-length counts, symbol values)
+_JPEG_HUFF_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JPEG_HUFF_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix():
+    """Orthonormal 8x8 DCT-II matrix T: forward F = T f T', inverse
+    f = T' F T."""
+    import numpy as np
+
+    x = np.arange(8)
+    T = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16.0)
+    T *= 0.5
+    T[0, :] = np.sqrt(1.0 / 8.0)
+    return T
+
+
+def _build_huff_decoder(counts, vals) -> dict:
+    """Canonical Huffman: (code_length, code) -> symbol."""
+    lut = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            lut[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+class _BitReader:
+    """MSB-first bit reader over already-unstuffed entropy bytes."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            # past-the-end reads behave as 1-padding (spec: fill bits are
+            # 1s) — lets a final EOB-less block terminate cleanly
+            return 1
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode(br: _BitReader, lut: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = lut.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map an s-bit magnitude to its signed value."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(raw: bytes):
+    """Full baseline JPEG decode → (width, height, channels, pixels).
+
+    Pixels are interleaved 8-bit row-major (RGB for 3-component YCbCr
+    frames, single-channel for grayscale) — the same contract as
+    :func:`decode_png`. Supports baseline + extended sequential Huffman
+    (SOF0/SOF1), any sampling factors (nearest-neighbor chroma
+    upsampling), 8-bit precision, DRI/RSTn restart intervals, tables read
+    from the file's own DQT/DHT segments. Progressive and arithmetic
+    frames raise ValueError.
+    """
+    import numpy as np
+
+    if len(raw) < 4 or raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart = 0
+    while pos + 2 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = raw[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        if pos + 2 > len(raw):
+            raise ValueError("truncated JPEG segment")
+        (seglen,) = struct.unpack(">H", raw[pos : pos + 2])
+        seg = raw[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(seg[i : i + 64], np.uint8).astype(
+                        np.int32
+                    )
+                    i += 64
+                else:
+                    qt[tq] = np.frombuffer(seg[i : i + 128], ">u2").astype(
+                        np.int32
+                    )
+                    i += 128
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                i += 1
+                counts = list(seg[i : i + 16])
+                i += 16
+                nv = sum(counts)
+                huff[(tc, th)] = _build_huff_decoder(counts, seg[i : i + nv])
+                i += nv
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if seg[0] != 8:
+                raise ValueError(f"unsupported JPEG precision {seg[0]}")
+            h, w = struct.unpack(">HH", seg[1:5])
+            comps = []
+            for ci in range(seg[5]):
+                cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 15, "tq": tq}
+                )
+            frame = (h, w, comps)
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG unsupported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG frame type 0x{marker:02x}")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            scomps = []
+            for ci in range(seg[0]):
+                cs, tt = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                scomps.append((cs, tt >> 4, tt & 15))
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            return _decode_jpeg_scan(
+                raw, pos + seglen, frame, qt, huff, scomps, restart
+            )
+        pos += seglen
+    raise ValueError("no JPEG scan found")
+
+
+def _decode_jpeg_scan(raw, start, frame, qt, huff, scomps, restart):
+    import numpy as np
+
+    h, w, comps = frame
+    byid = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # split entropy data at restart markers, unstuffing 0xFF00
+    segments = []
+    cur = bytearray()
+    i = start
+    n = len(raw)
+    while i < n:
+        b = raw[i]
+        if b == 0xFF:
+            nb = raw[i + 1] if i + 1 < n else 0xD9
+            if nb == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nb <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next real marker
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+
+    zz = _JPEG_ZIGZAG
+    # per-component zigzag-ordered dequant vectors and coef planes
+    coef = {}
+    for c in comps:
+        bw_, bh_ = mcus_x * c["h"], mcus_y * c["v"]
+        coef[c["id"]] = np.zeros((bh_, bw_, 64), dtype=np.int32)
+    dq = {c["id"]: qt[c["tq"]] for c in comps}
+
+    pred = {c["id"]: 0 for c in comps}
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu and mcu % restart == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("missing JPEG restart segment")
+                br = _BitReader(segments[seg_idx])
+                pred = {c["id"]: 0 for c in comps}
+            for cid, td, ta in scomps:
+                c = byid[cid]
+                dctab, actab = huff[(0, td)], huff[(1, ta)]
+                q = dq[cid]
+                plane = coef[cid]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = plane[my * c["v"] + by, mx * c["h"] + bx]
+                        s = _huff_decode(br, dctab)
+                        pred[cid] += _extend(br.read_bits(s), s)
+                        blk[0] = pred[cid] * int(q[0])
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, actab)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            blk[k] = _extend(br.read_bits(s), s) * int(q[k])
+                            k += 1
+            mcu += 1
+
+    # batched IDCT per component, then upsample + color convert
+    T = _dct_matrix()
+    planes = {}
+    for c in comps:
+        cid = c["id"]
+        bh_, bw_ = coef[cid].shape[:2]
+        nat = np.zeros((bh_, bw_, 64), dtype=np.float64)
+        nat[:, :, zz] = coef[cid]  # dezigzag: nat[natural_idx] = coef[zz_idx]
+        blocks = nat.reshape(bh_, bw_, 8, 8)
+        spatial = np.einsum("ab,ijbc,cd->ijad", T.T, blocks, T)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8)
+        plane = np.clip(np.round(plane + 128.0), 0, 255)
+        # nearest-neighbor upsample to full frame resolution
+        ys = (np.arange(h) * c["v"]) // vmax
+        xs = (np.arange(w) * c["h"]) // hmax
+        planes[cid] = plane[np.ix_(ys, xs)]
+
+    if len(comps) == 1:
+        out = planes[comps[0]["id"]].astype(np.uint8)
+        return w, h, 1, out.tobytes()
+    if len(comps) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(comps)}")
+    y = planes[comps[0]["id"]]
+    cb = planes[comps[1]["id"]] - 128.0
+    cr = planes[comps[2]["id"]] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return w, h, 3, out.tobytes()
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.out)
+
+    def restart_marker(self, idx: int) -> None:
+        """Byte-align with 1-fill, then emit RSTn (markers are never
+        stuffed)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (idx & 7)])
+
+
+def _build_huff_encoder(counts, vals) -> dict:
+    """Canonical Huffman: symbol -> (code, length)."""
+    enc = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            enc[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
+def _jpeg_quality_tables(quality: int):
+    """IJG quality scaling of the Annex K tables, clipped to [1, 255]."""
+    import numpy as np
+
+    quality = max(1, min(100, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (_JPEG_Q_LUM, _JPEG_Q_CHR):
+        q = (np.array(base, dtype=np.int64) * scale + 50) // 100
+        out.append(np.clip(q, 1, 255).astype(np.int32))
+    return out
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal valid baseline JFIF encoder (Annex K tables, IJG quality
+    scaling): grayscale (channels=1) or RGB→YCbCr (channels=3) with
+    4:4:4 or 4:2:0 (``subsampling``) chroma. Exists to fabricate real
+    spec-valid JPEG fixtures deterministically — the fixture-forging role
+    of :func:`encode_png` — and to round-trip-test :func:`decode_jpeg`.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (exercises the decoder's restart path).
+    """
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    a = np.frombuffer(pixels, np.uint8).reshape(height, width, channels)
+    a = a.astype(np.float64)
+    if channels == 3:
+        r, g, b = a[..., 0], a[..., 1], a[..., 2]
+        yp = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [yp, cb, cr]
+    else:
+        planes = [a[..., 0]]
+        subsampling = "444"
+
+    q_lum, q_chr = _jpeg_quality_tables(quality)
+    zz = _JPEG_ZIGZAG
+    q_lum_zz, q_chr_zz = q_lum[zz], q_chr[zz]
+    T = _dct_matrix()
+
+    def pad8(p):
+        ph = -(-p.shape[0] // 8) * 8
+        pw = -(-p.shape[1] // 8) * 8
+        return np.pad(
+            p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+        )
+
+    sub = subsampling == "420" and channels == 3
+    if sub:
+        # 2x2 box-average chroma, padded to even dims first
+        def down(p):
+            pp = np.pad(
+                p,
+                ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                mode="edge",
+            )
+            return (
+                pp[0::2, 0::2] + pp[1::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 1::2]
+            ) / 4.0
+
+        planes = [planes[0], down(planes[1]), down(planes[2])]
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1)] * len(planes)
+
+    # headers
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)
+
+    def dqt(tq, q_zz_):
+        body = bytes([tq]) + bytes(int(v) for v in q_zz_)
+        return b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dqt(0, q_lum_zz)
+    if channels == 3:
+        out += dqt(1, q_chr_zz)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, height, width, nc)
+    for ci in range(nc):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(tc, th, spec):
+        counts, vals = spec
+        body = bytes([(tc << 4) | th]) + bytes(counts) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, _JPEG_HUFF_DC_LUM) + dht(1, 0, _JPEG_HUFF_AC_LUM)
+    if channels == 3:
+        out += dht(0, 1, _JPEG_HUFF_DC_CHR) + dht(1, 1, _JPEG_HUFF_AC_CHR)
+
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_l = _build_huff_encoder(*_JPEG_HUFF_DC_LUM)
+    ac_l = _build_huff_encoder(*_JPEG_HUFF_AC_LUM)
+    dc_c = _build_huff_encoder(*_JPEG_HUFF_DC_CHR)
+    ac_c = _build_huff_encoder(*_JPEG_HUFF_AC_CHR)
+
+    bw_ = _BitWriter()
+    padded = [pad8(p) for p in planes]
+    if not sub:
+        # interleaved 1x1 MCUs: one block per component per MCU
+        preds = [0] * nc
+        ph, pw = padded[0].shape
+        T_ = T
+        import numpy as _np
+
+        qzs = [q_lum_zz] + [q_chr_zz] * (nc - 1)
+        encs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (nc - 1)
+        # precompute quantized zigzag blocks per plane
+        qblocks = []
+        for ci, p in enumerate(padded):
+            hh, ww = p.shape
+            blocks = (
+                p.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+                - 128.0
+            )
+            F2 = _np.einsum("ab,ijbc,cd->ijad", T_, blocks, T_.T)
+            flat = F2.reshape(hh // 8, ww // 8, 64)[:, :, zz]
+            qblocks.append(_np.round(flat / qzs[ci]).astype(_np.int32))
+        n_mcus = (ph // 8) * (pw // 8)
+        mcu_i = 0
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                for ci in range(nc):
+                    preds[ci] = _write_jpeg_block(
+                        bw_, qblocks[ci][by, bx], encs[ci], preds[ci]
+                    )
+                mcu_i += 1
+                if (
+                    restart_interval
+                    and mcu_i % restart_interval == 0
+                    and mcu_i < n_mcus
+                ):
+                    bw_.restart_marker(mcu_i // restart_interval - 1)
+                    preds = [0] * nc
+    else:
+        # 4:2:0 MCU: 4 Y blocks (2x2) then Cb, Cr
+        import numpy as _np
+
+        yq, cbq, crq = None, None, None
+        planes_q = []
+        for ci, p in enumerate(padded):
+            hh, ww = p.shape
+            blocks = (
+                p.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+                - 128.0
+            )
+            F2 = _np.einsum("ab,ijbc,cd->ijad", T, blocks, T.T)
+            flat = F2.reshape(hh // 8, ww // 8, 64)[:, :, zz]
+            qz_ = q_lum_zz if ci == 0 else q_chr_zz
+            planes_q.append(_np.round(flat / qz_).astype(_np.int32))
+        yq, cbq, crq = planes_q
+        # luma padded to multiples of 16 so every MCU has 4 Y blocks
+        ybh, ybw = yq.shape[:2]
+        cbh, cbw = cbq.shape[:2]
+        mcus_y, mcus_x = -(-ybh // 2), -(-ybw // 2)
+        if (mcus_y, mcus_x) != (cbh, cbw) or ybh % 2 or ybw % 2:
+            # re-pad luma plane to 16-multiples and redo (rare path)
+            p = padded[0]
+            hh = -(-p.shape[0] // 16) * 16
+            ww = -(-p.shape[1] // 16) * 16
+            p = _np.pad(
+                p,
+                ((0, hh - p.shape[0]), (0, ww - p.shape[1])),
+                mode="edge",
+            )
+            blocks = (
+                p.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+                - 128.0
+            )
+            F2 = _np.einsum("ab,ijbc,cd->ijad", T, blocks, T.T)
+            flat = F2.reshape(hh // 8, ww // 8, 64)[:, :, zz]
+            yq = _np.round(flat / q_lum_zz).astype(_np.int32)
+            mcus_y, mcus_x = hh // 16, ww // 16
+        predy = predcb = predcr = 0
+        n_mcus = mcus_y * mcus_x
+        mcu_i = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by, bx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    predy = _write_jpeg_block(
+                        bw_, yq[2 * my + by, 2 * mx + bx], (dc_l, ac_l), predy
+                    )
+                predcb = _write_jpeg_block(
+                    bw_, cbq[my, mx], (dc_c, ac_c), predcb
+                )
+                predcr = _write_jpeg_block(
+                    bw_, crq[my, mx], (dc_c, ac_c), predcr
+                )
+                mcu_i += 1
+                if (
+                    restart_interval
+                    and mcu_i % restart_interval == 0
+                    and mcu_i < n_mcus
+                ):
+                    bw_.restart_marker(mcu_i // restart_interval - 1)
+                    predy = predcb = predcr = 0
+
+    out += bw_.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _write_jpeg_block(bw_, blk, encs, pred: int) -> int:
+    """Huffman-encode one quantized zigzag block; returns new DC pred."""
+    import numpy as np
+
+    dc_enc, ac_enc = encs
+    diff = int(blk[0]) - pred
+    pred = int(blk[0])
+    s = abs(diff).bit_length()
+    code, ln = dc_enc[s]
+    bw_.write(code, ln)
+    if s:
+        bw_.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    nz = np.nonzero(blk[1:])[0]
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]
+            bw_.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_enc[(run << 4) | s]
+        bw_.write(code, ln)
+        bw_.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_enc[0x00]
+        bw_.write(code, ln)
+    return pred

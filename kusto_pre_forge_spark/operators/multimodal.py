@@ -157,9 +157,11 @@ def decode_image_features(
     - PNG: FULL decode (zlib inflate + unfilter) → true dimensions and a
       real pixel-statistics feature vector — per-channel means (/255)
       then per-channel stds (/128), padded with zeros to ``feature_dim``;
-    - JPEG / GIF / BMP: true header dimensions (SOFn / screen descriptor
-      / info header); pixel features need an entropy decoder, so the
-      feature vector is null;
+    - JPEG: FULL baseline decode (pure-numpy Huffman + dequant + IDCT,
+      mediacodec.decode_jpeg) → the same real pixel-statistics features;
+    - GIF / BMP: true header dimensions (screen descriptor / info
+      header); pixel features need an LZW/RLE decoder, so the feature
+      vector is null;
     - anything else: NotImplementedError from the worker at execution.
 
     ``fake=True``: deterministic pseudo-decode — dimensions and features
@@ -197,8 +199,11 @@ def decode_image_features(
                 raw = bytes(blob)
                 hdr = mediacodec.probe_bytes(raw)
                 kind = hdr["media_kind"]
-                if kind == "png":
-                    w, h, ch, px = mediacodec.decode_png(raw)
+                if kind in ("png", "jpeg"):
+                    if kind == "png":
+                        w, h, ch, px = mediacodec.decode_png(raw)
+                    else:
+                        w, h, ch, px = mediacodec.decode_jpeg(raw)
                     n = w * h
                     means = [
                         sum(px[c::ch]) / n / 255.0 for c in range(ch)
@@ -211,14 +216,13 @@ def decode_image_features(
                             / 128.0
                         )
                     feat = (means + stds + [0.0] * feature_dim)[:feature_dim]
-                elif kind in ("jpeg", "gif", "bmp"):
+                elif kind in ("gif", "bmp"):
                     w, h, ch = hdr["width"], hdr["height"], hdr["channels"]
                     feat = None
                 else:
                     raise NotImplementedError(
-                        f"unrecognized image container (kind={kind}); full "
-                        "JPEG/video decode needs codec libraries not in "
-                        "this container — pass fake=True for the stub"
+                        f"unrecognized image container (kind={kind}); "
+                        "pass fake=True for the stub"
                     )
                 rows.append(
                     {
@@ -296,10 +300,10 @@ def resize_image(
 ) -> DataFrame:
     """Resize images to ``width``×``height``, emitting a new binary payload.
 
-    Real path (``fake=False``): PNG in → nearest-neighbor resample on the
-    truly decoded pixels → PNG out (mediacodec decode/encode, stdlib
-    only). Non-PNG containers raise NotImplementedError in the worker (a
-    real JPEG resample needs an entropy decoder).
+    Real path (``fake=False``): PNG or baseline JPEG in →
+    nearest-neighbor resample on the truly decoded pixels → PNG out
+    (mediacodec codecs, dependency-free). Other containers raise
+    NotImplementedError in the worker.
 
     ``fake=True``: deterministic payload of exactly ``width*height*3``
     bytes derived by cycling the source sha256 digest, so output size,
@@ -335,13 +339,15 @@ def resize_image(
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 raw = bytes(blob)
-                if mediacodec.parse_png_header(raw) is None:
+                if mediacodec.parse_png_header(raw) is not None:
+                    sw, sh, ch, px = mediacodec.decode_png(raw)
+                elif mediacodec.parse_jpeg_header(raw) is not None:
+                    sw, sh, ch, px = mediacodec.decode_jpeg(raw)
+                else:
                     raise NotImplementedError(
-                        "real resize supports PNG only (other formats need "
-                        "codec libraries not in this container); pass "
+                        "real resize supports PNG and baseline JPEG; pass "
                         "fake=True for the stub"
                     )
-                sw, sh, ch, px = mediacodec.decode_png(raw)
                 out = bytearray(width * height * ch)
                 for y in range(height):
                     sy = y * sh // height
@@ -471,9 +477,10 @@ def image_dhash(
     dedup is the SAME pigeonhole chunk-banding as ``simhash_pairs`` — the
     operator's output column is drop-in for that pipeline.
 
-    Real decode only (PNG via mediacodec's zlib inflate + unfilter, no
-    codec dependencies); non-PNG payloads yield a NULL hash with the true
-    header dimensions when probeable. Arrow-batched ``mapInPandas``;
+    Real decode only (PNG via mediacodec's zlib inflate + unfilter, JPEG
+    via the pure-numpy baseline decoder — no codec dependencies); other
+    payloads yield a NULL hash with the true header dimensions when
+    probeable. Arrow-batched ``mapInPandas``;
     per-image work is numpy-vectorized (the per-row Python loop is over
     IMAGES, not pixels). At 100 TB this is a pure map stage — partition
     by input files, no shuffle.
@@ -489,7 +496,11 @@ def image_dhash(
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 raw = bytes(blob)
                 hdr = mediacodec.probe_bytes(raw)
-                if hdr["media_kind"] != "png":
+                if hdr["media_kind"] == "png":
+                    w, h, ch, pix = mediacodec.decode_png(raw)
+                elif hdr["media_kind"] == "jpeg":
+                    w, h, ch, pix = mediacodec.decode_jpeg(raw)
+                else:
                     rows.append(
                         {
                             "doc_id": int(doc_id),
@@ -499,7 +510,6 @@ def image_dhash(
                         }
                     )
                     continue
-                w, h, ch, pix = mediacodec.decode_png(raw)
                 a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, ch)
                 gray = a.mean(axis=2)  # float64 luma proxy, channel mean
                 # nearest-neighbor sample to 9 cols × 8 rows

@@ -78,7 +78,7 @@ def test_decode_audio_features_stub(blobs):
 
 
 def test_resize_audio_unrecognized_container_raise(blobs):
-    with pytest.raises(Exception, match="real resize supports PNG only"):
+    with pytest.raises(Exception, match="real resize supports PNG and baseline JPEG"):
         multimodal.resize_image(blobs, 8, 6, fake=False).collect()
     with pytest.raises(Exception, match="PCM WAV only"):
         multimodal.decode_audio_features(blobs, fake=False).collect()
@@ -296,3 +296,161 @@ def test_plan_frame_times_real_mp4(spark):
     assert 2 not in by_doc, "non-MP4 emits no rows"
     # v0 box with timescale 100: 5 s -> 11 samples
     assert len(by_doc[3]) == 11
+
+
+# --------------------------------------------------------------- JPEG codec
+
+
+def test_jpeg_roundtrip_constant_images():
+    """Constant fills are DC-only: every block reconstructs the same
+    value, so decode error is bounded by one quantization step."""
+    import numpy as np
+
+    for val in (0, 37, 128, 200, 255):
+        for ch in (1, 3):
+            w, h = 23, 17
+            px = bytes([val]) * (w * h * ch)
+            for sub in ("444", "420"):
+                if ch == 1 and sub == "420":
+                    continue
+                raw = mediacodec.encode_jpeg(
+                    w, h, px, ch, quality=90, subsampling=sub
+                )
+                W, H, C, out = mediacodec.decode_jpeg(raw)
+                assert (W, H, C) == (w, h, ch)
+                a = np.frombuffer(out, np.uint8).astype(int)
+                assert np.abs(a - val).max() <= 3, (val, ch, sub)
+
+
+def test_jpeg_roundtrip_smooth_gradient():
+    import numpy as np
+
+    w, h = 64, 48
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    img = ((xx * 255) // (w - 1)).astype(np.uint8)
+    rgb = np.stack(
+        [img, 255 - img, (yy * 255 // (h - 1)).astype(np.uint8)], axis=-1
+    )
+    for sub in ("444", "420"):
+        raw = mediacodec.encode_jpeg(
+            w, h, rgb.tobytes(), 3, quality=95, subsampling=sub
+        )
+        W, H, C, out = mediacodec.decode_jpeg(raw)
+        a = np.frombuffer(out, np.uint8).reshape(h, w, 3).astype(int)
+        err = np.abs(a - rgb.astype(int))
+        assert err.max() <= 14 and err.mean() < 3, (sub, err.max())
+
+
+def test_jpeg_restart_markers_do_not_change_pixels():
+    import numpy as np
+
+    w, h = 40, 24
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    rgb = np.stack(
+        [(xx * 4) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+    for sub in ("444", "420"):
+        base = mediacodec.decode_jpeg(
+            mediacodec.encode_jpeg(w, h, rgb.tobytes(), 3, 92, sub)
+        )[3]
+        for ri in (1, 3, 7):
+            raw = mediacodec.encode_jpeg(
+                w, h, rgb.tobytes(), 3, 92, sub, restart_interval=ri
+            )
+            assert mediacodec.decode_jpeg(raw)[3] == base, (sub, ri)
+
+
+def test_jpeg_vs_png_identical_content_fuzz():
+    """Fuzz: the SAME pixel content through the JPEG path stays close to
+    the lossless PNG path — small per-pixel error on smooth content and
+    (in image_dhash terms below) the same perceptual hash."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for _ in range(8):
+        w = int(rng.integers(9, 60))
+        h = int(rng.integers(8, 50))
+        # smooth content: random low-frequency mix (JPEG's good case)
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        a = (
+            128
+            + 60 * np.sin(xx / w * np.pi * float(rng.uniform(0.5, 2)))
+            + 50 * np.cos(yy / h * np.pi * float(rng.uniform(0.5, 2)))
+        )
+        gray = np.clip(a, 0, 255).astype(np.uint8)
+        png = mediacodec.encode_png(w, h, gray.tobytes(), 1)
+        jpg = mediacodec.encode_jpeg(w, h, gray.tobytes(), 1, quality=95)
+        pw, ph, pc, ppx = mediacodec.decode_png(png)
+        jw, jh, jc, jpx = mediacodec.decode_jpeg(jpg)
+        assert (pw, ph, pc) == (jw, jh, jc) == (w, h, 1)
+        perr = np.abs(
+            np.frombuffer(ppx, np.uint8).astype(int)
+            - np.frombuffer(jpx, np.uint8).astype(int)
+        )
+        assert perr.max() <= 8, perr.max()
+
+
+def test_jpeg_progressive_rejected():
+    # minimal SOI + SOF2 prefix must raise, not mis-decode
+    import struct as st
+
+    raw = b"\xff\xd8\xff\xc2" + st.pack(">H", 11) + bytes(9)
+    with pytest.raises(ValueError, match="progressive"):
+        mediacodec.decode_jpeg(raw)
+
+
+def test_image_dhash_real_jpeg_pixels(spark):
+    """dHash over REAL decoded JPEGs equals the PNG hash of the same
+    content — gradient -> -1, constant -> 0, and JPEG/PNG twins agree."""
+    import numpy as np
+
+    w, h = 18, 8
+    grad = bytes(x * 14 for x in range(w)) * h
+    flat = bytes([128]) * (w * h)
+    grad_rgb = np.repeat(
+        np.frombuffer(grad, np.uint8).reshape(h, w)[..., None], 3, axis=2
+    )
+    rows = [
+        (1, mediacodec.encode_jpeg(w, h, grad, 1, quality=95)),
+        (2, mediacodec.encode_jpeg(w, h, flat, 1, quality=90)),
+        (3, mediacodec.encode_png(w, h, grad, 1)),
+        (4, mediacodec.encode_jpeg(w, h, grad_rgb.tobytes(), 3, 95, "420")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = {r.doc_id: r for r in multimodal.image_dhash(df).collect()}
+    assert out[1].dhash == -1, "JPEG gradient -> all bits"
+    assert out[2].dhash == 0, "JPEG constant -> no bits"
+    assert out[1].dhash == out[3].dhash, "JPEG and PNG twins hash equal"
+    assert out[4].dhash == -1, "4:2:0 color gradient -> all bits"
+    assert (out[1].width, out[1].height) == (w, h)
+
+
+def test_decode_image_features_real_jpeg(spark):
+    """Real-JPEG features match the PNG features of identical content."""
+    import numpy as np
+
+    w, h = 32, 16
+    xx = np.tile(np.arange(w) * 8 % 256, (h, 1)).astype(np.uint8)
+    png = mediacodec.encode_png(w, h, xx.tobytes(), 1)
+    jpg = mediacodec.encode_jpeg(w, h, xx.tobytes(), 1, quality=95)
+    df = spark.createDataFrame(
+        [(1, png), (2, jpg)], "doc_id long, blob binary"
+    )
+    out = {
+        r.doc_id: r for r in multimodal.decode_image_features(df).collect()
+    }
+    assert out[2].feature is not None, "JPEG now yields real features"
+    assert (out[2].width, out[2].height, out[2].channels) == (w, h, 1)
+    f_png, f_jpg = np.array(out[1].feature), np.array(out[2].feature)
+    assert np.abs(f_png - f_jpg).max() < 0.02
+
+
+def test_resize_image_real_jpeg(spark):
+    w, h = 24, 16
+    grad = bytes((x * 11) % 256 for x in range(w)) * h
+    jpg = mediacodec.encode_jpeg(w, h, grad, 1, quality=95)
+    df = spark.createDataFrame([(1, jpg)], "doc_id long, blob binary")
+    row = multimodal.resize_image(df, 12, 8).first()
+    assert (row.width, row.height) == (12, 8)
+    rw, rh, rc, rpx = mediacodec.decode_png(bytes(row.resized))
+    assert (rw, rh, rc) == (12, 8, 1)
