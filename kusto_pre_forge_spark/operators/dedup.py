@@ -963,3 +963,71 @@ def edit_distance_pairs(
         .filter(F.col("distance") <= k)
         .select("id_a", "id_b", "distance")
     )
+
+
+def incremental_dedup_accept(
+    corpus_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+    seed: int = 7,
+    max_bucket_size: int | None = None,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Admission control for continuous corpus ingestion: which NEW
+    documents enter the corpus. A new doc is rejected when its near-dup
+    cluster (over :func:`minhash_lsh_pairs_incremental` pairs) already
+    contains a corpus member — the corpus is immutable history and always
+    wins — or when another new doc in the same cluster is the designated
+    survivor (min id, or highest ``priority_col``).
+
+    Cost scales with the batch (the incremental pair join never re-pairs
+    the corpus against itself); the cluster bookkeeping only ever touches
+    docs that appear in a pair — a vanishing fraction of the batch.
+    Returns the accepted subset of ``new_df``, unshuffled.
+    """
+    pairs = minhash_lsh_pairs_incremental(
+        corpus_df,
+        new_df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+    )
+    labels = connected_components(pairs, "id_a", "id_b")
+    corpus_ids = corpus_df.select(F.col(id_col).alias("id")).withColumn(
+        "_c", F.lit(1)
+    )
+    mem = labels.join(corpus_ids, "id", "left").withColumn(
+        "_c", F.coalesce(F.col("_c"), F.lit(0))
+    )
+    has_c = mem.groupBy("cluster_id").agg(F.max("_c").alias("_has_c"))
+    new_mem = mem.filter(F.col("_c") == 0)
+    if priority_col is None:
+        winners = new_mem.groupBy("cluster_id").agg(
+            F.min("id").alias("_win")
+        )
+    else:
+        pri = new_df.select(
+            F.col(id_col).alias("id"), F.col(priority_col).alias("_p")
+        )
+        winners = (
+            new_mem.join(pri, "id")
+            .groupBy("cluster_id")
+            .agg(F.expr("max_by(id, struct(_p, -id))").alias("_win"))
+        )
+    drops = (
+        new_mem.join(has_c, "cluster_id")
+        .join(winners, "cluster_id")
+        .filter((F.col("_has_c") == 1) | (F.col("id") != F.col("_win")))
+        .select(F.col("id").alias(id_col))
+    )
+    return new_df.join(drops, id_col, "left_anti")

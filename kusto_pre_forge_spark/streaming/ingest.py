@@ -188,6 +188,97 @@ class StreamingEtl:
 
         return self._start(process, trigger_seconds, available_now)
 
+    def dedup_ingest_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        corpus_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        **dedup_kwargs,
+    ) -> int:
+        """One micro-batch of continuous near-dup-controlled ingestion:
+        dedup the arrived docs against the persisted corpus (and each
+        other), append only the accepted ones. Factored out of
+        :meth:`start_dedup_ingest` so a crash-replay (same ``batch_id``,
+        same input) can be exercised directly in tests. Returns the
+        number of accepted docs.
+
+        Replay safety — two pieces working together:
+
+        - the corpus store is partitioned by ``_kpf_batch`` and written
+          with dynamic partition overwrite, so a replayed batch rewrites
+          exactly its own partition;
+        - the corpus read EXCLUDES the current batch's partition
+          (``_kpf_batch != batch_id``): on replay after a crash between
+          write and checkpoint-commit, the batch's own half-written docs
+          are invisible to the dedup decision, which therefore reproduces
+          the original accept set bit-for-bit instead of rejecting every
+          doc as a duplicate of itself.
+        """
+        from pyspark.errors import AnalysisException
+
+        from kusto_pre_forge_spark.operators.dedup import (
+            incremental_dedup_accept,
+        )
+
+        batch = batch_df.drop("_kpf_source").dropDuplicates([id_col])
+        if not batch.head(1):
+            return 0
+        try:
+            corpus = (
+                self.spark.read.parquet(corpus_dir)
+                .filter(F.col("_kpf_batch") != batch_id)
+                .drop("_kpf_batch")
+            )
+        except AnalysisException:  # first batch: store not created yet
+            corpus = self.spark.createDataFrame([], batch.schema)
+        accepted = incremental_dedup_accept(
+            corpus, batch, text_col, id_col, **dedup_kwargs
+        )
+        accepted = accepted.withColumn("_kpf_batch", F.lit(batch_id))
+        (
+            accepted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_kpf_batch")
+            .parquet(corpus_dir)
+        )
+        return (
+            self.spark.read.parquet(corpus_dir)
+            .filter(F.col("_kpf_batch") == batch_id)
+            .count()
+        )
+
+    def start_dedup_ingest(
+        self,
+        corpus_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        trigger_seconds: int | None = 60,
+        available_now: bool = False,
+        **dedup_kwargs,
+    ) -> StreamingQuery:
+        """Continuous near-dup-controlled corpus ingestion — the
+        production shape the incremental MinHash pieces were built for:
+        every micro-batch of landed documents is deduplicated against
+        everything already accepted (``minhash_lsh_pairs_incremental`` —
+        cost scales with the batch, the corpus never re-pairs itself) and
+        only novel docs are appended to the corpus store. First-arrival
+        wins: once a doc is in the corpus, later near-dups are dropped;
+        within a batch the min-id (or highest-priority) copy survives.
+
+        Effectively-once across crashes: see :meth:`dedup_ingest_batch`
+        (batch-partitioned store + own-partition-excluding corpus read),
+        checkpoint-committed per micro-batch like every other mode here.
+        """
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            self.dedup_ingest_batch(
+                batch_df, batch_id, corpus_dir, text_col, id_col, **dedup_kwargs
+            )
+
+        return self._start(process, trigger_seconds, available_now)
+
     def _start(
         self,
         process: Callable[[DataFrame, int], None],

@@ -190,3 +190,95 @@ def test_streaming_prepartition_replay_no_dup(spark, tmp_path, landing):
     _drain(q)
     n2 = spark.read.parquet(str(tmp_path / "out")).count()
     assert n2 == n1, "replayed batch must not duplicate rows"
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def test_streaming_dedup_ingest_across_batches(spark, tmp_path):
+    """Duplicates arriving across micro-batches are dropped exactly once
+    (first arrival wins), batch replay is a bit-exact no-op, and the
+    accepted set equals the batch-mode min-id dedup of the full input."""
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "completely different content about spark structured streaming",
+        4: "yet another unique document with enough shingles to matter",
+        6: "final unique text that resembles nothing else in the corpus",
+    }
+    # dup pairs: 3 == 1, 5 == 4 (identical text, jaccard 1.0)
+    waves = [
+        [(1, texts[1]), (2, texts[2])],
+        [(3, texts[1]), (4, texts[4])],
+        [(5, texts[4]), (6, texts[6])],
+    ]
+    land = tmp_path / "dedup_landing"
+    land.mkdir()
+    corpus_dir = str(tmp_path / "corpus")
+    etl = StreamingEtl(
+        spark,
+        str(land),
+        str(tmp_path / "ckpt_dedup"),
+        str(tmp_path / "out_unused"),
+        DOC_SCHEMA,
+        fmt="csv",
+        csv_headers=False,
+        max_files_per_trigger=1,  # one wave per micro-batch
+    )
+    import csv as _csv
+    import os as _os
+
+    now = time.time()
+    for i, wave in enumerate(waves):
+        p = land / f"wave{i}.csv"
+        with open(p, "w", newline="") as f:
+            _csv.writer(f).writerows(wave)
+        # the file source admits files oldest-first under
+        # maxFilesPerTrigger; spaced mtimes pin the arrival order
+        _os.utime(p, (now + i * 10, now + i * 10))
+    q = etl.start_dedup_ingest(
+        corpus_dir, trigger_seconds=None, available_now=True, shingle_n=4
+    )
+    _drain(q)
+    got = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(corpus_dir).collect()
+    }
+    assert set(got) == {1, 2, 4, 6}, got
+    assert got[1] == texts[1] and got[4] == texts[4]
+
+    # crash replay: rerun wave2's batch with its original batch id — the
+    # corpus read must exclude the batch's own partition, making the
+    # rerun reproduce the same accept set instead of dropping everything
+    corpus_before = sorted(
+        (r.doc_id, r.text, r._kpf_batch)
+        for r in spark.read.parquet(corpus_dir).collect()
+    )
+    replay_df = spark.createDataFrame(waves[1], DOC_SCHEMA)
+    n = etl.dedup_ingest_batch(replay_df, 1, corpus_dir, shingle_n=4)
+    corpus_after = sorted(
+        (r.doc_id, r.text, r._kpf_batch)
+        for r in spark.read.parquet(corpus_dir).collect()
+    )
+    assert corpus_after == corpus_before, "replay must be a no-op"
+    assert n == 1, "replay re-accepts exactly the original survivor (doc 4)"
+
+    # batch-mode equivalence: min-id survivors over the full input
+    from kusto_pre_forge_spark.operators.dedup import (
+        dedup_survivors,
+        minhash_lsh_pairs,
+    )
+
+    full = spark.createDataFrame(
+        [d for wave in waves for d in wave], DOC_SCHEMA
+    )
+    pairs = minhash_lsh_pairs(full, "text", "doc_id", shingle_n=4)
+    batch_ids = {
+        r.doc_id
+        for r in dedup_survivors(full, pairs, "doc_id").select("doc_id").collect()
+    }
+    assert batch_ids == set(got), "streaming == batch dedup on this input"
