@@ -265,6 +265,9 @@ def train_bpe(
     text_col: str = "text",
     n_merges: int = 8,
     min_pair_count: int = 2,
+    sample_frac: float | None = None,
+    sample_id_col: str | None = None,
+    sample_salt: str = "kpf-bpe",
 ) -> list[tuple[str, str]]:
     """Learn byte-pair-encoding merge rules from the corpus — the standard
     Sennrich et al. procedure, run Spark-first: the vocabulary is a
@@ -281,8 +284,25 @@ def train_bpe(
 
     At 100 TB the vocab table is |distinct words| rows — millions, not
     trillions — so each iteration is a small aggregate; n_merges bounds
-    the driver loop. Returns the merge list for :func:`apply_bpe`.
+    the driver loop. NOTE the loop bound: training launches ONE Spark job
+    per merge (the 1-row argmax), so a production 32k-merge tokenizer
+    means 32k sequential small jobs — at that scale train on a corpus
+    SAMPLE instead: pair statistics concentrate fast, so ``sample_frac``
+    (deterministic md5-threshold keep on ``sample_id_col``, the
+    corpus-assembly sampler — no RNG, replayable anywhere) recovers the
+    same merges from a fraction of the data; 32k merges over a 1%-of-
+    100 TB sample is the intended production configuration. Returns the
+    merge list for :func:`apply_bpe`.
     """
+    if sample_frac is not None:
+        if sample_id_col is None:
+            raise ValueError("sample_frac requires sample_id_col")
+        from kusto_pre_forge_spark.operators.corpus import _hash_unit
+
+        df = df.filter(
+            _hash_unit(F.col(sample_id_col).cast("string"), sample_salt)
+            < F.lit(float(sample_frac))
+        )
     words = (
         df.select(F.explode(_words(F.lower(F.col(text_col)))).alias("w"))
         .groupBy("w")

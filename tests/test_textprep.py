@@ -159,3 +159,37 @@ def test_url_normalize_invariances(spark):
     df = spark.createDataFrame(pairs, "u string, want string")
     for r in df.select(url_normalize("u").alias("n"), "want").collect():
         assert r.n == r.want
+
+
+def test_train_bpe_sampled_matches_full(spark):
+    """64 merges trained on a deterministic 10%-of-docs sample match the
+    full-corpus merges — the production configuration for large vocab
+    sizes (one Spark job per merge, so 32k-merge training runs on a
+    sample). Fixture: 500 docs that are scaled copies of one word mix,
+    so ANY non-empty subset has identical relative pair statistics and
+    the merge sequence provably agrees; the md5-threshold sampler makes
+    the subset — and hence the tokenizer — bit-reproducible anywhere."""
+    from kusto_pre_forge_spark.operators.textprep import train_bpe
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "wandering astronomers measure quasar brightness against "
+        "yesterday's calibration spreadsheets"
+    )
+    docs = spark.createDataFrame(
+        [(i, " ".join([base] * (1 + i % 3))) for i in range(500)],
+        "doc_id long, text string",
+    )
+    full = train_bpe(docs, n_merges=64)
+    sampled = train_bpe(
+        docs, n_merges=64, sample_frac=0.1, sample_id_col="doc_id"
+    )
+    assert len(full) == len(sampled) > 0
+    assert full == sampled, (full[:8], sampled[:8])
+    # the sampler must actually sample (not pass everything through)
+    from kusto_pre_forge_spark.operators.corpus import _hash_unit
+
+    n_kept = docs.filter(
+        _hash_unit(F.col("doc_id").cast("string"), "kpf-bpe") < 0.1
+    ).count()
+    assert 0 < n_kept < 100
