@@ -62,6 +62,12 @@ AUDITED = [
     ("skew_salted_agg", "two-phase aggregation: hot keys spread over salt buckets before the combine"),
     ("kql_graph_var", "union of independent hash-join chains, one per path length"),
     ("text_bpe", "per-iteration: one pair-count aggregate + 1-row collect; vocab stays distributed"),
+    ("dedup_clusters", "banded LSH pairs feed O(log n) CC rounds; pair input checkpointed once, docs never all-pair"),
+    ("dedup_cluster_sizes", "rides the same pair set as dedup_clusters; size histogram is one extra aggregate"),
+    ("kql_series_forecast", "per-series folds over packed arrays — one exchange to pack, no per-element shuffle"),
+    ("pipeline_corpus_mix", "gate→cap→split→upsample composes map-side; only the per-source totals aggregate exchanges"),
+    ("embedding_whiten", "moment arrays shuffle dim²-bounded aggregates; vectors never leave their partition"),
+    ("multimodal_image_dhash_jpeg", "pure map stage: Arrow-batched decode, zero exchanges below the fixture generator"),
 ]
 
 
