@@ -2218,6 +2218,43 @@ def _q_multimodal_image_dhash_jpeg(spark, sf):
     )
 
 
+def _q_multimodal_image_dhash_gif(spark, sf):
+    """Perceptual dHash over REAL decoded GIFs — stdlib LZW + palette
+    decode (mediacodec.decode_gif), lossless, so the analytic oracle is
+    exact with no quantization margin: even docs a strict horizontal
+    gradient (hash −1), odd docs a constant fill (hash 0)."""
+    from kusto_pre_forge_spark.operators import multimodal
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id")
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        from kusto_pre_forge_spark.operators import mediacodec
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 18, 8
+                if i % 2 == 0:
+                    row = bytes(x * 14 for x in range(w))
+                else:
+                    row = bytes([(i * 17) % 256]) * w
+                blobs.append(mediacodec.encode_gif(w, h, row * h, 1))
+                ids.append(i)
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    return multimodal.image_dhash(blobs).select(
+        "doc_id", "dhash", "width", "height"
+    )
+
+
 def _q_multimodal_frame_plan(spark, sf):
     """Frame-sampling plan from REAL MP4 metadata: fixtures encode a known
     mvhd duration (doc_id-derived), the operator parses the actual boxes
@@ -3532,6 +3569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_meta": _q_multimodal_real_meta,
         "multimodal_image_dhash": _q_multimodal_image_dhash,
         "multimodal_image_dhash_jpeg": _q_multimodal_image_dhash_jpeg,
+        "multimodal_image_dhash_gif": _q_multimodal_image_dhash_gif,
         "multimodal_audio_fp": _q_multimodal_audio_fp,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
     }
@@ -5922,6 +5960,14 @@ def oracle_sql() -> dict[str, str]:
             # gradient's 28-level steps survive quality-95 quantization,
             # so the decoded hash is exactly -1 / 0 regardless of the
             # sampling/restart path the fixture rotation picked
+            "SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE 0 END AS BIGINT) AS dhash, "
+            "CAST(18 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height "
+            "FROM documents WHERE doc_id < 80"
+        ),
+        "multimodal_image_dhash_gif": (
+            # GIF decode is lossless, so the same ground truth holds with
+            # zero tolerance: gradient -> -1, constant -> 0
             "SELECT doc_id, "
             "CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE 0 END AS BIGINT) AS dhash, "
             "CAST(18 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height "

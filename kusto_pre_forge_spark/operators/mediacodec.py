@@ -1113,3 +1113,231 @@ def _write_jpeg_block(bw_, blk, encs, pred: int) -> int:
         code, ln = ac_enc[0x00]
         bw_.write(code, ln)
     return pred
+
+
+# ---------------------------------------------------------------- GIF codec
+#
+# GIF87a/89a still-image decode — pure stdlib: the container is palette
+# indices compressed with variable-width LZW (LSB-first code packing).
+# Closes the "header-only" gap for the third common image container (the
+# first frame of an animation decodes; later frames would need disposal
+# compositing nobody needs for corpus fingerprinting). encode_gif forges
+# spec-valid fixtures with a real LZW compressor.
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> bytearray:
+    """Variable-width GIF LZW → palette indices."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    # dictionary: code -> byte sequence
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return out  # missing EOI: tolerate truncation
+            acc |= data[pos] << nbits  # LSB-first packing
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def decode_gif(raw: bytes):
+    """Decode the FIRST frame of a GIF → (width, height, 3, RGB bytes) at
+    logical-screen size: canvas filled with the background palette color,
+    frame composited at its (left, top) offset, interlacing unwoven.
+    Raises ValueError on malformed input."""
+    hdr = parse_gif_header(raw)
+    if hdr is None:
+        raise ValueError("not a GIF")
+    sw, sh = hdr["width"], hdr["height"]
+    packed = raw[10]
+    bg_index = raw[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        ncolors = 2 << (packed & 0x07)
+        gct = raw[pos : pos + 3 * ncolors]
+        pos += 3 * ncolors
+    while pos < len(raw):
+        intro = raw[pos]
+        if intro == 0x3B:  # trailer
+            break
+        if intro == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < len(raw) and raw[pos] != 0:
+                pos += 1 + raw[pos]
+            pos += 1
+            continue
+        if intro != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{intro:02x}")
+        left, top, fw, fh = struct.unpack("<HHHH", raw[pos + 1 : pos + 9])
+        ipacked = raw[pos + 9]
+        pos += 10
+        ct = gct
+        if ipacked & 0x80:  # local color table
+            ncolors = 2 << (ipacked & 0x07)
+            ct = raw[pos : pos + 3 * ncolors]
+            pos += 3 * ncolors
+        if ct is None:
+            raise ValueError("GIF image with no color table")
+        min_code_size = raw[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(raw) and raw[pos] != 0:
+            ln = raw[pos]
+            data += raw[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(min_code_size, bytes(data))
+        if len(idx) < fw * fh:
+            raise ValueError("GIF pixel data truncated")
+        if ipacked & 0x40:  # interlaced: 4-pass row order
+            rows = [None] * fh
+            src = 0
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                for y in range(start, fh, step):
+                    rows[y] = idx[src * fw : (src + 1) * fw]
+                    src += 1
+            flat = bytearray()
+            for r in rows:
+                flat += r
+            idx = flat
+        # composite onto the background-filled logical screen
+        bgo = 3 * bg_index
+        bg = ct[bgo : bgo + 3] if bgo + 3 <= len(ct) else b"\x00\x00\x00"
+        canvas = bytearray(bg * (sw * sh))
+        for y in range(fh):
+            cy = top + y
+            if cy >= sh:
+                break
+            row = idx[y * fw : (y + 1) * fw]
+            for x in range(min(fw, sw - left)):
+                o = 3 * (cy * sw + left + x)
+                c = 3 * row[x]
+                canvas[o : o + 3] = ct[c : c + 3]
+        return sw, sh, 3, bytes(canvas)
+    raise ValueError("no image data in GIF")
+
+
+def _gif_lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """Real GIF LZW compressor (variable-width, LSB-first packing)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        run = bytes([b])
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(
+    width: int, height: int, pixels: bytes, channels: int = 3
+) -> bytes:
+    """Minimal valid GIF89a still image with a real LZW compressor.
+
+    ``pixels``: interleaved RGB (channels=3) or grayscale (channels=1);
+    at most 256 distinct colors (GIF's palette limit) — raises otherwise.
+    """
+    if channels == 1:
+        rgb = bytes(b for v in pixels for b in (v, v, v))
+    elif channels == 3:
+        rgb = pixels
+    else:
+        raise ValueError("channels must be 1 or 3")
+    if len(rgb) != width * height * 3:
+        raise ValueError("pixel buffer size mismatch")
+    palette: dict[bytes, int] = {}
+    indices = bytearray()
+    for i in range(0, len(rgb), 3):
+        c = rgb[i : i + 3]
+        j = palette.get(c)
+        if j is None:
+            j = len(palette)
+            if j >= 256:
+                raise ValueError("more than 256 distinct colors")
+            palette[c] = j
+        indices.append(j)
+    bits = max(1, (len(palette) - 1).bit_length())
+    ncolors = 1 << bits
+    ct = b"".join(sorted(palette, key=palette.get)) + b"\x00\x00\x00" * (
+        ncolors - len(palette)
+    )
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT flag + size, bg 0, aspect
+    out += ct
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    min_code_size = max(2, bits)
+    out += bytes([min_code_size])
+    lzw = _gif_lzw_encode(min_code_size, bytes(indices))
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -159,9 +159,10 @@ def decode_image_features(
       then per-channel stds (/128), padded with zeros to ``feature_dim``;
     - JPEG: FULL baseline decode (pure-numpy Huffman + dequant + IDCT,
       mediacodec.decode_jpeg) → the same real pixel-statistics features;
-    - GIF / BMP: true header dimensions (screen descriptor / info
-      header); pixel features need an LZW/RLE decoder, so the feature
-      vector is null;
+    - GIF: FULL first-frame decode (stdlib LZW + palette,
+      mediacodec.decode_gif) → the same features;
+    - BMP: true header dimensions (info header); pixel features would
+      need the RLE/row-padding variants, so the feature vector is null;
     - anything else: NotImplementedError from the worker at execution.
 
     ``fake=True``: deterministic pseudo-decode — dimensions and features
@@ -199,11 +200,13 @@ def decode_image_features(
                 raw = bytes(blob)
                 hdr = mediacodec.probe_bytes(raw)
                 kind = hdr["media_kind"]
-                if kind in ("png", "jpeg"):
+                if kind in ("png", "jpeg", "gif"):
                     if kind == "png":
                         w, h, ch, px = mediacodec.decode_png(raw)
-                    else:
+                    elif kind == "jpeg":
                         w, h, ch, px = mediacodec.decode_jpeg(raw)
+                    else:
+                        w, h, ch, px = mediacodec.decode_gif(raw)
                     n = w * h
                     means = [
                         sum(px[c::ch]) / n / 255.0 for c in range(ch)
@@ -216,7 +219,7 @@ def decode_image_features(
                             / 128.0
                         )
                     feat = (means + stds + [0.0] * feature_dim)[:feature_dim]
-                elif kind in ("gif", "bmp"):
+                elif kind == "bmp":
                     w, h, ch = hdr["width"], hdr["height"], hdr["channels"]
                     feat = None
                 else:
@@ -300,7 +303,7 @@ def resize_image(
 ) -> DataFrame:
     """Resize images to ``width``×``height``, emitting a new binary payload.
 
-    Real path (``fake=False``): PNG or baseline JPEG in →
+    Real path (``fake=False``): PNG, baseline JPEG, or GIF in →
     nearest-neighbor resample on the truly decoded pixels → PNG out
     (mediacodec codecs, dependency-free). Other containers raise
     NotImplementedError in the worker.
@@ -343,10 +346,12 @@ def resize_image(
                     sw, sh, ch, px = mediacodec.decode_png(raw)
                 elif mediacodec.parse_jpeg_header(raw) is not None:
                     sw, sh, ch, px = mediacodec.decode_jpeg(raw)
+                elif mediacodec.parse_gif_header(raw) is not None:
+                    sw, sh, ch, px = mediacodec.decode_gif(raw)
                 else:
                     raise NotImplementedError(
-                        "real resize supports PNG and baseline JPEG; pass "
-                        "fake=True for the stub"
+                        "real resize supports PNG, baseline JPEG and GIF; "
+                        "pass fake=True for the stub"
                     )
                 out = bytearray(width * height * ch)
                 for y in range(height):
@@ -478,9 +483,9 @@ def image_dhash(
     operator's output column is drop-in for that pipeline.
 
     Real decode only (PNG via mediacodec's zlib inflate + unfilter, JPEG
-    via the pure-numpy baseline decoder — no codec dependencies); other
-    payloads yield a NULL hash with the true header dimensions when
-    probeable. Arrow-batched ``mapInPandas``;
+    via the pure-numpy baseline decoder, GIF via stdlib LZW + palette —
+    no codec dependencies); other payloads yield a NULL hash with the
+    true header dimensions when probeable. Arrow-batched ``mapInPandas``;
     per-image work is numpy-vectorized (the per-row Python loop is over
     IMAGES, not pixels). At 100 TB this is a pure map stage — partition
     by input files, no shuffle.
@@ -500,6 +505,8 @@ def image_dhash(
                     w, h, ch, pix = mediacodec.decode_png(raw)
                 elif hdr["media_kind"] == "jpeg":
                     w, h, ch, pix = mediacodec.decode_jpeg(raw)
+                elif hdr["media_kind"] == "gif":
+                    w, h, ch, pix = mediacodec.decode_gif(raw)
                 else:
                     rows.append(
                         {

@@ -78,7 +78,7 @@ def test_decode_audio_features_stub(blobs):
 
 
 def test_resize_audio_unrecognized_container_raise(blobs):
-    with pytest.raises(Exception, match="real resize supports PNG and baseline JPEG"):
+    with pytest.raises(Exception, match="real resize supports PNG, baseline JPEG and GIF"):
         multimodal.resize_image(blobs, 8, 6, fake=False).collect()
     with pytest.raises(Exception, match="PCM WAV only"):
         multimodal.decode_audio_features(blobs, fake=False).collect()
@@ -454,3 +454,93 @@ def test_resize_image_real_jpeg(spark):
     assert (row.width, row.height) == (12, 8)
     rw, rh, rc, rpx = mediacodec.decode_png(bytes(row.resized))
     assert (rw, rh, rc) == (12, 8, 1)
+
+
+# ---------------------------------------------------------------- GIF codec
+
+
+def test_gif_roundtrip_lossless_fuzz():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        w = int(rng.integers(1, 70))
+        h = int(rng.integers(1, 60))
+        nc = int(rng.integers(1, 200))
+        pal = rng.integers(0, 256, (nc, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, nc, (h, w))]
+        raw = mediacodec.encode_gif(w, h, img.tobytes(), 3)
+        W, H, C, out = mediacodec.decode_gif(raw)
+        assert (W, H, C) == (w, h, 3)
+        assert out == img.tobytes(), "GIF round-trip must be lossless"
+
+
+def test_gif_palette_limit_and_gray():
+    g = bytes(range(0, 250, 10))
+    raw = mediacodec.encode_gif(25, 1, g, 1)
+    _, _, _, out = mediacodec.decode_gif(raw)
+    assert out == bytes(b for v in g for b in (v, v, v))
+    too_many = bytes(
+        b for i in range(300) for b in (i % 256, i // 256, 7)
+    )
+    with pytest.raises(ValueError, match="256 distinct colors"):
+        mediacodec.encode_gif(300, 1, too_many, 3)
+
+
+def test_gif_interlaced_decode():
+    """Hand-build an interlaced GIF (rows stored in 4-pass order, flag
+    set) and check the decoder unweaves it back to raster order."""
+    import struct as st
+
+    w, h = 5, 11
+    # palette index image: row y filled with value y
+    rows = [bytes([y]) * w for y in range(h)]
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    indices = b"".join(rows[y] for y in order)
+    pal = bytes(b for i in range(16) for b in (i * 10, i * 10, i * 10))
+    out = bytearray(b"GIF89a")
+    out += st.pack("<HH", w, h)
+    out += bytes([0x80 | 3, 0, 0])  # GCT 16 colors
+    out += pal
+    out += b"\x2c" + st.pack("<HHHH", 0, 0, w, h) + bytes([0x40])  # interlace
+    out += bytes([4])  # min code size
+    lzw = mediacodec._gif_lzw_encode(4, indices)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    W, H, C, px = mediacodec.decode_gif(bytes(out))
+    assert (W, H, C) == (w, h, 3)
+    for y in range(h):
+        row = px[3 * y * w : 3 * (y + 1) * w]
+        assert row == bytes([y * 10] * 3) * w, f"row {y} misordered"
+
+
+def test_image_dhash_real_gif_pixels(spark):
+    w, h = 18, 8
+    grad = bytes(x * 14 for x in range(w)) * h
+    flat = bytes([64]) * (w * h)
+    rows = [
+        (1, mediacodec.encode_gif(w, h, grad, 1)),
+        (2, mediacodec.encode_gif(w, h, flat, 1)),
+        (3, mediacodec.encode_png(w, h, grad, 1)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = {r.doc_id: r for r in multimodal.image_dhash(df).collect()}
+    assert out[1].dhash == -1 and out[2].dhash == 0
+    assert out[1].dhash == out[3].dhash, "GIF and PNG twins hash equal"
+    assert (out[1].width, out[1].height) == (w, h)
+
+
+def test_resize_and_features_real_gif(spark):
+    w, h = 24, 12
+    grad = bytes((x * 11) % 256 for x in range(w)) * h
+    gif = mediacodec.encode_gif(w, h, grad, 1)
+    df = spark.createDataFrame([(1, gif)], "doc_id long, blob binary")
+    feat = multimodal.decode_image_features(df).first()
+    assert feat.feature is not None and feat.channels == 3
+    row = multimodal.resize_image(df, 12, 6).first()
+    rw, rh, rc, _ = mediacodec.decode_png(bytes(row.resized))
+    assert (rw, rh, rc) == (12, 6, 3)
