@@ -1288,6 +1288,23 @@ def _q_activity_active_users(spark, sf):
     )
 
 
+def _q_activity_counts_metrics(spark, sf):
+    """activity_counts_metrics — per-day count/dcount/new_dcount and the
+    running aggregated_dcount (= prefix sum of new actors, no quadratic
+    re-scan)."""
+    from kusto_pre_forge_spark.operators import activity
+
+    e = load_table(spark, sf, "events")
+    out = activity.activity_counts_metrics(e, "user_id", "ts")
+    return out.select(
+        F.col("bin").cast("timestamp").alias("bin"),
+        F.col("count_").cast("long").alias("count_"),
+        F.col("dcount").cast("long").alias("dcount"),
+        F.col("new_dcount").cast("long").alias("new_dcount"),
+        F.col("aggregated_dcount").cast("long").alias("aggregated_dcount"),
+    )
+
+
 def _q_activity_funnel_sequence(spark, sf):
     """funnel_sequence — (prev, next) state pairs around every 'view'
     event per user's time-ordered sequence."""
@@ -1794,6 +1811,74 @@ def _q_kql_series_seasonal(spark, sf):
         F.col("idx").cast("long").alias("idx"),
         F.round(F.col("v"), 6).alias("seasonal"),
     )
+
+
+def _q_kql_series_suite2(spark, sf):
+    """Series math batch 2 — scalar reductions (sum/avg/min/max,
+    dot product, magnitude) and element-wise exp/log/pow over the
+    aligned click/view hourly count series; every float reduction an
+    ascending-index fold so the oracle's ordered sums replay exactly."""
+    e = load_table(spark, sf, "events")
+    s = kql.make_series(
+        e.where(F.col("event_type").isin("click", "view")),
+        on="ts", step="hour", by=["event_type"],
+        agg=F.count(F.lit(1)).cast("double"), default=0.0,
+    )
+    a = s.where(F.col("event_type") == "click").select(
+        F.col("series_value").alias("va")
+    )
+    b = s.where(F.col("event_type") == "view").select(
+        F.col("series_value").alias("vb")
+    )
+    pair = a.crossJoin(b)
+    scalars = pair.select(
+        F.round(kql.series_sum("va"), 6).alias("s_sum"),
+        F.round(kql.series_avg("va"), 6).alias("s_avg"),
+        F.round(kql.series_min("va"), 6).alias("s_min"),
+        F.round(kql.series_max("va"), 6).alias("s_max"),
+        F.round(kql.series_dot_product("va", "vb"), 6).alias("s_dot"),
+        F.round(kql.series_magnitude("va"), 6).alias("s_mag"),
+        # element-wise probes folded to scalars so one row carries all:
+        F.round(
+            kql.series_sum(
+                kql.series_log(F.transform("va", lambda x: x + F.lit(1.0)))
+            ),
+            6,
+        ).alias("s_logsum"),
+        F.round(
+            F.element_at(kql.series_exp(kql.series_sign("vb")), 1), 6
+        ).alias("s_exp1"),
+        F.round(
+            kql.series_sum(
+                kql.series_pow("va", F.transform("va", lambda x: F.lit(2.0)))
+            ),
+            6,
+        ).alias("s_sumsq"),
+    )
+    return scalars
+
+
+def _q_kql_pivot(spark, sf):
+    """evaluate pivot(event_type, sum(value)) by day — one conditional
+    aggregate, columns value-sorted for deterministic order."""
+    e = load_table(spark, sf, "events").select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        "event_type",
+        _dec(F.col("value")).alias("v"),
+    )
+    out = kql.pivot_kql(
+        e,
+        "event_type",
+        "v",
+        agg="sum",
+        group_cols=["day"],
+        values=["click", "error", "purchase", "signup", "view"],
+    )
+    cols = [F.col("day").cast("timestamp").alias("day")] + [
+        F.round(F.col(c).cast("double"), 6).alias(f"v_{c}")
+        for c in ["click", "error", "purchase", "signup", "view"]
+    ]
+    return out.select(*cols)
 
 
 def _q_kql_series_arith(spark, sf):
@@ -3523,6 +3608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_sliding_counts": _q_activity_sliding_counts,
         "activity_rolling_percentile": _q_activity_rolling_percentile,
         "activity_active_users": _q_activity_active_users,
+        "activity_counts_metrics": _q_activity_counts_metrics,
         "activity_funnel_sequence": _q_activity_funnel_sequence,
         "kql_bag_ops": _q_kql_bag_ops,
         "activity_funnel": _q_activity_funnel,
@@ -3545,6 +3631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_series_iir": _q_kql_series_iir,
         "kql_series_seasonal": _q_kql_series_seasonal,
         "kql_series_arith": _q_kql_series_arith,
+        "kql_series_suite2": _q_kql_series_suite2,
+        "kql_pivot": _q_kql_pivot,
         "kql_hll_merge": _q_kql_hll_merge,
         "kql_partition_apply": _q_kql_partition_apply,
         "kql_facet": _q_kql_facet,
@@ -5764,6 +5852,55 @@ def oracle_sql() -> dict[str, str]:
             "round(p.m, 6) AS seasonal "
             "FROM dense d JOIN phase p ON p.event_type = d.event_type "
             "AND p.ph = d.idx % 7"
+        ),
+        "activity_counts_metrics": (
+            "WITH base AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS bin, "
+            "user_id AS actor FROM events), "
+            "per_bin AS (SELECT bin, CAST(count(*) AS BIGINT) AS count_, "
+            "CAST(count(DISTINCT actor) AS BIGINT) AS dcount FROM base GROUP BY bin), "
+            "fs AS (SELECT actor, min(bin) AS bin FROM base GROUP BY actor), "
+            "npb AS (SELECT bin, CAST(count(*) AS BIGINT) AS new_dcount FROM fs GROUP BY bin) "
+            "SELECT p.bin, p.count_, p.dcount, "
+            "CAST(coalesce(n.new_dcount, 0) AS BIGINT) AS new_dcount, "
+            "CAST(sum(coalesce(n.new_dcount, 0)) OVER (ORDER BY p.bin "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS aggregated_dcount "
+            "FROM per_bin p LEFT JOIN npb n ON n.bin = p.bin"
+        ),
+        "kql_series_suite2": (
+            # same dense click/view hourly series as kql_series_arith;
+            # every reduction replays the ascending-index fold order
+            "WITH bounds AS (SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) lo, "
+            "max(date_trunc('hour', CAST(ts AS TIMESTAMP))) hi FROM events "
+            "WHERE event_type IN ('click', 'view')), "
+            "axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds), "
+            "binned AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, "
+            "CAST(count(*) AS DOUBLE) AS v FROM events "
+            "WHERE event_type IN ('click', 'view') GROUP BY 1, 2), "
+            "dense AS (SELECT t.event_type, a.h, "
+            "row_number() OVER (PARTITION BY t.event_type ORDER BY a.h) - 1 AS idx, "
+            "coalesce(b.v, 0.0) AS v "
+            "FROM (VALUES ('click'), ('view')) t(event_type) CROSS JOIN axis a "
+            "LEFT JOIN binned b ON b.event_type = t.event_type AND b.h = a.h), "
+            "c AS (SELECT idx, v FROM dense WHERE event_type = 'click'), "
+            "w AS (SELECT idx, v FROM dense WHERE event_type = 'view') "
+            "SELECT round(0.0 + sum(c.v ORDER BY c.idx), 6) AS s_sum, "
+            "round((0.0 + sum(c.v ORDER BY c.idx)) / count(*), 6) AS s_avg, "
+            "round(min(c.v), 6) AS s_min, round(max(c.v), 6) AS s_max, "
+            "round(0.0 + sum(c.v * w.v ORDER BY c.idx), 6) AS s_dot, "
+            "round(sqrt(0.0 + sum(c.v * c.v ORDER BY c.idx)), 6) AS s_mag, "
+            "round(0.0 + sum(ln(c.v + 1.0) ORDER BY c.idx), 6) AS s_logsum, "
+            "round((SELECT exp(sign(v)) FROM w WHERE idx = 0), 6) AS s_exp1, "
+            "round(0.0 + sum(power(c.v, 2.0) ORDER BY c.idx), 6) AS s_sumsq "
+            "FROM c JOIN w ON c.idx = w.idx"
+        ),
+        "kql_pivot": (
+            "SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, "
+            "round(CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(20,4)) END) AS DOUBLE), 6) AS v_click, "
+            "round(CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(20,4)) END) AS DOUBLE), 6) AS v_error, "
+            "round(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(20,4)) END) AS DOUBLE), 6) AS v_purchase, "
+            "round(CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(20,4)) END) AS DOUBLE), 6) AS v_signup, "
+            "round(CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(20,4)) END) AS DOUBLE), 6) AS v_view "
+            "FROM events GROUP BY 1"
         ),
         "kql_series_arith": (
             "WITH bounds AS (SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) lo, "

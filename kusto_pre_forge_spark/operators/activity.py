@@ -411,3 +411,50 @@ def funnel_sequence(
         .groupBy(F.col("_prev").alias("prev_state"), F.col("_next").alias("next_state"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def activity_counts_metrics(
+    df: DataFrame,
+    actor_col: str,
+    ts_col: str,
+    bin: str = "day",
+) -> DataFrame:
+    """KQL ``evaluate activity_counts_metrics(actor, ts)`` — per time
+    bin: event ``count``, distinct-actor ``dcount``, ``new_dcount``
+    (actors whose FIRST appearance is this bin) and ``aggregated_dcount``
+    (distinct actors seen up to and including this bin).
+
+    The cumulative distinct needs no quadratic re-scan: distinct-so-far
+    is exactly the running sum of per-bin new actors, so the plan is two
+    actor-keyed aggregates (per-bin counts, per-actor first-seen) plus a
+    prefix sum OVER THE BIN AXIS. The new-actor counts are densified
+    (union with zero rows for every active bin, re-aggregated) BEFORE
+    the window, so the single-partition prefix-sum exchange consumes a
+    bins-sized aggregate directly — the exact shape the plan guard
+    admits — and the final per-bin join is broadcast.
+    """
+    b = F.date_trunc(bin, F.col(ts_col).cast("timestamp"))
+    base = df.select(b.alias("bin"), F.col(actor_col).alias("actor"))
+    per_bin = base.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("count_"),
+        F.countDistinct("actor").alias("dcount"),
+    )
+    first_seen = base.groupBy("actor").agg(F.min("bin").alias("bin"))
+    new_per_bin = first_seen.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("new_dcount")
+    )
+    dense_new = (
+        per_bin.select("bin", F.lit(0).cast("long").alias("new_dcount"))
+        .unionByName(new_per_bin)
+        .groupBy("bin")
+        .agg(F.sum("new_dcount").alias("new_dcount"))
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dense_new.withColumn(
+        "aggregated_dcount", F.sum("new_dcount").over(w)
+    )
+    return per_bin.join(F.broadcast(cum), "bin").select(
+        "bin", "count_", "dcount", "new_dcount", "aggregated_dcount"
+    )

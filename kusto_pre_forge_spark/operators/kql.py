@@ -1261,6 +1261,35 @@ def partition_apply(df: DataFrame, by: str, fn, schema: str) -> DataFrame:
     return df.groupBy(by).applyInPandas(fn, schema)
 
 
+def pivot_kql(
+    df: DataFrame,
+    pivot_col: str,
+    agg_col: str,
+    agg: str = "sum",
+    group_cols: list[str] | None = None,
+    values: list | None = None,
+) -> DataFrame:
+    """KQL ``evaluate pivot(pivotColumn, agg(aggColumn), group-by…)`` —
+    distinct pivot values become columns.
+
+    Spark-first: ``groupBy().pivot()`` — Catalyst rewrites it into ONE
+    aggregate with a conditional expression per pivot value (no join, no
+    second pass). ``values=None`` collects the distinct pivot values
+    first (bounded: it is the output WIDTH, and pivot is only sane for
+    low-cardinality columns) and sorts them so the column order is
+    deterministic — KQL's own column order is also value-sorted. Missing
+    combinations are NULL, matching KQL.
+    """
+    if values is None:
+        values = sorted(
+            r[0]
+            for r in df.select(pivot_col).distinct().collect()
+            if r[0] is not None
+        )
+    agg_fn = getattr(F, agg)(agg_col)
+    return df.groupBy(*(group_cols or [])).pivot(pivot_col, values).agg(agg_fn)
+
+
 def facet_by(df: DataFrame, *cols: str, with_df: DataFrame | None = None) -> dict:
     """KQL ``facet by c1, c2 [with (subquery)]`` — one value-count table per
     column plus the optional ``with`` table. Returns {name: DataFrame};
@@ -3184,6 +3213,68 @@ def series_abs(col: Column | str) -> Column:
 def series_sign(col: Column | str) -> Column:
     """KQL ``series_sign`` — element-wise sign (−1.0 / 0.0 / 1.0)."""
     return F.transform(_c(col), lambda x: F.signum(x.cast("double")))
+
+
+def series_sum(col: Column | str) -> Column:
+    """KQL ``series_sum`` — scalar sum of a series. Ascending-index left
+    fold, so the oracle's ``sum(v ORDER BY idx)`` replays the identical
+    float addition order."""
+    return F.aggregate(
+        _c(col), F.lit(0.0), lambda a, x: a + x.cast("double")
+    )
+
+
+def series_avg(col: Column | str) -> Column:
+    """KQL ``series_avg`` — scalar mean (ordered-fold sum / length)."""
+    c = _c(col)
+    return series_sum(c) / F.size(c).cast("double")
+
+
+def series_min(col: Column | str) -> Column:
+    """KQL ``series_min``."""
+    return F.array_min(_c(col)).cast("double")
+
+
+def series_max(col: Column | str) -> Column:
+    """KQL ``series_max``."""
+    return F.array_max(_c(col)).cast("double")
+
+
+def series_dot_product(a: Column | str, b: Column | str) -> Column:
+    """KQL ``series_dot_product`` — Σ aᵢ·bᵢ as one ascending-index fold
+    over the zipped pair array (oracle replays the same order)."""
+    prods = F.zip_with(
+        _c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def series_magnitude(col: Column | str) -> Column:
+    """KQL ``series_magnitude`` — the L2 norm √(Σ xᵢ²)."""
+    c = _c(col)
+    return F.sqrt(series_dot_product(c, c))
+
+
+def series_exp(col: Column | str) -> Column:
+    """KQL ``series_exp`` — element-wise eˣ."""
+    return F.transform(_c(col), lambda x: F.exp(x.cast("double")))
+
+
+def series_log(col: Column | str) -> Column:
+    """KQL ``series_log`` — element-wise natural log; non-positive input
+    yields NULL (KQL NaN/−inf; NULL is the engine-portable encoding, the
+    series_divide convention)."""
+    return F.transform(
+        _c(col),
+        lambda x: F.when(x.cast("double") > 0.0, F.log(x.cast("double"))),
+    )
+
+
+def series_pow(a: Column | str, b: Column | str) -> Column:
+    """KQL ``series_pow`` — element-wise aᵢ^bᵢ."""
+    return F.zip_with(
+        _c(a), _c(b), lambda x, y: F.pow(x.cast("double"), y.cast("double"))
+    )
 
 
 # ---- geo scalars (geohash + containment; geo_distance_2points above) ----

@@ -221,3 +221,27 @@ def test_funnel_sequence_prev_next(spark):
     }
     assert out[("a", "b")] == 1
     assert out[(None, None)] == 1
+
+
+def test_activity_counts_metrics(spark):
+    from kusto_pre_forge_spark.operators.activity import (
+        activity_counts_metrics,
+    )
+
+    rows = [
+        ("u1", "2024-01-01 03:00:00"),
+        ("u1", "2024-01-01 09:00:00"),
+        ("u2", "2024-01-01 10:00:00"),
+        ("u1", "2024-01-02 01:00:00"),
+        ("u3", "2024-01-02 02:00:00"),
+        ("u3", "2024-01-04 05:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "actor string, ts string")
+    out = {
+        str(r.bin.date()): r
+        for r in activity_counts_metrics(df, "actor", "ts").collect()
+    }
+    d1, d2, d4 = out["2024-01-01"], out["2024-01-02"], out["2024-01-04"]
+    assert (d1.count_, d1.dcount, d1.new_dcount, d1.aggregated_dcount) == (3, 2, 2, 2)
+    assert (d2.count_, d2.dcount, d2.new_dcount, d2.aggregated_dcount) == (2, 2, 1, 3)
+    assert (d4.count_, d4.dcount, d4.new_dcount, d4.aggregated_dcount) == (1, 1, 0, 3)

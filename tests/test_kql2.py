@@ -1455,3 +1455,43 @@ def test_series_fill_const(spark):
     ).first()
     assert r.f == [1.0, -1.0, 3.0]
     assert r.z == [1.0, 0.0, 3.0]
+
+
+def test_series_suite2_semantics(spark):
+    df = spark.sql(
+        "SELECT array(3.0d, 1.0d, 2.0d) AS a, array(2.0d, 0.0d, 10.0d) AS b"
+    )
+    r = df.select(
+        kql.series_sum("a").alias("s"),
+        kql.series_avg("a").alias("m"),
+        kql.series_min("a").alias("mn"),
+        kql.series_max("a").alias("mx"),
+        kql.series_dot_product("a", "b").alias("dot"),
+        kql.series_magnitude("b").alias("mag"),
+        kql.series_exp("a").alias("e"),
+        kql.series_log("b").alias("lg"),
+        kql.series_pow("a", "b").alias("pw"),
+    ).first()
+    assert (r.s, r.m, r.mn, r.mx) == (6.0, 2.0, 1.0, 3.0)
+    assert r.dot == 3.0 * 2.0 + 0.0 + 20.0
+    assert abs(r.mag - (4 + 0 + 100) ** 0.5) < 1e-12
+    assert abs(r.e[0] - math.exp(3.0)) < 1e-12
+    assert r.lg[1] is None, "log of non-positive -> NULL"
+    assert abs(r.lg[2] - math.log(10.0)) < 1e-12
+    assert r.pw == [9.0, 1.0, 1024.0]
+
+
+def test_pivot_kql_semantics(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 5.0), ("a", "x", 3.0)],
+        "g string, p string, v double",
+    )
+    out = kql.pivot_kql(df, "p", "v", agg="sum", group_cols=["g"])
+    rows = {r.g: r for r in out.collect()}
+    assert out.columns == ["g", "x", "y"], "value-sorted column order"
+    assert rows["a"].x == 4.0 and rows["a"].y == 2.0
+    assert rows["b"].x == 5.0 and rows["b"].y is None, "missing combo -> NULL"
+    # explicit values pin width and order regardless of data
+    out2 = kql.pivot_kql(df, "p", "v", group_cols=["g"], values=["y", "x", "z"])
+    assert out2.columns == ["g", "y", "x", "z"]
+    assert {r.g: r.z for r in out2.collect()} == {"a": None, "b": None}
