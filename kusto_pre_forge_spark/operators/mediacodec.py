@@ -1341,3 +1341,94 @@ def encode_gif(
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# ---------------------------------------------------------------- BMP codec
+#
+# Uncompressed BITMAPINFOHEADER BMP (BI_RGB): rows are 4-byte aligned and
+# stored bottom-up (negative height = top-down). 24/32-bit truecolor is
+# BGR(A) per pixel; 8-bit is palette-indexed via the BGRA color table.
+# The last still-image container gap — with PNG/JPEG/GIF this makes every
+# common image format's real pixels reachable without codec libraries.
+
+
+def decode_bmp(raw: bytes):
+    """Decode an uncompressed BMP → (width, height, 3, RGB bytes).
+    Supports 24/32-bit BI_RGB and 8-bit palettized; other depths or
+    compressions raise ValueError."""
+    hdr = parse_bmp_header(raw)
+    if hdr is None:
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", raw[10:14])
+    (hdr_size,) = struct.unpack("<I", raw[14:18])
+    width, height_raw = struct.unpack("<ii", raw[18:26])
+    (bits,) = struct.unpack("<H", raw[28:30])
+    (compression,) = struct.unpack("<I", raw[30:34])
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    if bits not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bits}")
+    if width <= 0 or height_raw == 0:
+        raise ValueError("degenerate BMP dimensions")
+    height = abs(height_raw)
+    top_down = height_raw < 0
+    palette = None
+    if bits == 8:
+        (n_colors,) = struct.unpack("<I", raw[46:50])
+        n_colors = n_colors or 256
+        pstart = 14 + hdr_size
+        palette = raw[pstart : pstart + 4 * n_colors]  # BGRA quads
+    stride = ((width * bits // 8) + 3) & ~3
+    out = bytearray(width * height * 3)
+    for row in range(height):
+        src_row = row if top_down else height - 1 - row
+        off = data_off + src_row * stride
+        line = raw[off : off + stride]
+        if len(line) < width * bits // 8:
+            raise ValueError("BMP pixel data truncated")
+        o = row * width * 3
+        if bits == 8:
+            for x in range(width):
+                p = 4 * line[x]
+                out[o + 3 * x : o + 3 * x + 3] = bytes(
+                    (palette[p + 2], palette[p + 1], palette[p])
+                )
+        else:
+            step = bits // 8
+            for x in range(width):
+                i = x * step
+                out[o + 3 * x : o + 3 * x + 3] = bytes(
+                    (line[i + 2], line[i + 1], line[i])
+                )
+    return width, height, 3, bytes(out)
+
+
+def encode_bmp(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Minimal valid 24-bit BI_RGB BMP (bottom-up rows, 4-byte-aligned).
+    ``pixels``: interleaved RGB (channels=3) or grayscale (channels=1)."""
+    if channels == 1:
+        rgb = bytes(b for v in pixels for b in (v, v, v))
+    elif channels == 3:
+        rgb = pixels
+    else:
+        raise ValueError("channels must be 1 or 3")
+    if len(rgb) != width * height * 3:
+        raise ValueError("pixel buffer size mismatch")
+    stride = ((width * 3) + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    body = bytearray()
+    for row in range(height - 1, -1, -1):  # bottom-up
+        o = row * width * 3
+        line = rgb[o : o + width * 3]
+        body += bytes(
+            b
+            for x in range(width)
+            for b in (line[3 * x + 2], line[3 * x + 1], line[3 * x])
+        )
+        body += pad
+    data_off = 14 + 40
+    out = b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+    out += struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return out + bytes(body)

@@ -161,8 +161,8 @@ def decode_image_features(
       mediacodec.decode_jpeg) → the same real pixel-statistics features;
     - GIF: FULL first-frame decode (stdlib LZW + palette,
       mediacodec.decode_gif) → the same features;
-    - BMP: true header dimensions (info header); pixel features would
-      need the RLE/row-padding variants, so the feature vector is null;
+    - BMP: FULL decode of uncompressed 8/24/32-bit BI_RGB
+      (mediacodec.decode_bmp) → the same features;
     - anything else: NotImplementedError from the worker at execution.
 
     ``fake=True``: deterministic pseudo-decode — dimensions and features
@@ -200,13 +200,15 @@ def decode_image_features(
                 raw = bytes(blob)
                 hdr = mediacodec.probe_bytes(raw)
                 kind = hdr["media_kind"]
-                if kind in ("png", "jpeg", "gif"):
+                if kind in ("png", "jpeg", "gif", "bmp"):
                     if kind == "png":
                         w, h, ch, px = mediacodec.decode_png(raw)
                     elif kind == "jpeg":
                         w, h, ch, px = mediacodec.decode_jpeg(raw)
-                    else:
+                    elif kind == "gif":
                         w, h, ch, px = mediacodec.decode_gif(raw)
+                    else:
+                        w, h, ch, px = mediacodec.decode_bmp(raw)
                     n = w * h
                     means = [
                         sum(px[c::ch]) / n / 255.0 for c in range(ch)
@@ -219,9 +221,6 @@ def decode_image_features(
                             / 128.0
                         )
                     feat = (means + stds + [0.0] * feature_dim)[:feature_dim]
-                elif kind == "bmp":
-                    w, h, ch = hdr["width"], hdr["height"], hdr["channels"]
-                    feat = None
                 else:
                     raise NotImplementedError(
                         f"unrecognized image container (kind={kind}); "
@@ -303,7 +302,7 @@ def resize_image(
 ) -> DataFrame:
     """Resize images to ``width``×``height``, emitting a new binary payload.
 
-    Real path (``fake=False``): PNG, baseline JPEG, or GIF in →
+    Real path (``fake=False``): PNG, baseline JPEG, GIF, or BMP in →
     nearest-neighbor resample on the truly decoded pixels → PNG out
     (mediacodec codecs, dependency-free). Other containers raise
     NotImplementedError in the worker.
@@ -348,10 +347,12 @@ def resize_image(
                     sw, sh, ch, px = mediacodec.decode_jpeg(raw)
                 elif mediacodec.parse_gif_header(raw) is not None:
                     sw, sh, ch, px = mediacodec.decode_gif(raw)
+                elif mediacodec.parse_bmp_header(raw) is not None:
+                    sw, sh, ch, px = mediacodec.decode_bmp(raw)
                 else:
                     raise NotImplementedError(
-                        "real resize supports PNG, baseline JPEG and GIF; "
-                        "pass fake=True for the stub"
+                        "real resize supports PNG, baseline JPEG, GIF and "
+                        "BMP; pass fake=True for the stub"
                     )
                 out = bytearray(width * height * ch)
                 for y in range(height):
@@ -483,9 +484,10 @@ def image_dhash(
     operator's output column is drop-in for that pipeline.
 
     Real decode only (PNG via mediacodec's zlib inflate + unfilter, JPEG
-    via the pure-numpy baseline decoder, GIF via stdlib LZW + palette —
-    no codec dependencies); other payloads yield a NULL hash with the
-    true header dimensions when probeable. Arrow-batched ``mapInPandas``;
+    via the pure-numpy baseline decoder, GIF via stdlib LZW + palette,
+    BMP via the uncompressed BI_RGB reader — no codec dependencies);
+    other payloads yield a NULL hash with the true header dimensions
+    when probeable. Arrow-batched ``mapInPandas``;
     per-image work is numpy-vectorized (the per-row Python loop is over
     IMAGES, not pixels). At 100 TB this is a pure map stage — partition
     by input files, no shuffle.
@@ -507,6 +509,8 @@ def image_dhash(
                     w, h, ch, pix = mediacodec.decode_jpeg(raw)
                 elif hdr["media_kind"] == "gif":
                     w, h, ch, pix = mediacodec.decode_gif(raw)
+                elif hdr["media_kind"] == "bmp":
+                    w, h, ch, pix = mediacodec.decode_bmp(raw)
                 else:
                     rows.append(
                         {

@@ -78,7 +78,7 @@ def test_decode_audio_features_stub(blobs):
 
 
 def test_resize_audio_unrecognized_container_raise(blobs):
-    with pytest.raises(Exception, match="real resize supports PNG, baseline JPEG and GIF"):
+    with pytest.raises(Exception, match="real resize supports PNG, baseline JPEG, GIF and"):
         multimodal.resize_image(blobs, 8, 6, fake=False).collect()
     with pytest.raises(Exception, match="PCM WAV only"):
         multimodal.decode_audio_features(blobs, fake=False).collect()
@@ -544,3 +544,69 @@ def test_resize_and_features_real_gif(spark):
     row = multimodal.resize_image(df, 12, 6).first()
     rw, rh, rc, _ = mediacodec.decode_png(bytes(row.resized))
     assert (rw, rh, rc) == (12, 6, 3)
+
+
+# ---------------------------------------------------------------- BMP codec
+
+
+def test_bmp_roundtrip_lossless_fuzz():
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    for _ in range(8):
+        w = int(rng.integers(1, 60))
+        h = int(rng.integers(1, 50))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        raw = mediacodec.encode_bmp(w, h, img.tobytes(), 3)
+        W, H, C, out = mediacodec.decode_bmp(raw)
+        assert (W, H, C) == (w, h, 3)
+        assert out == img.tobytes(), "BMP round-trip must be lossless"
+
+
+def test_bmp_topdown_and_8bit_palette():
+    import struct as st
+
+    # hand-build a top-down 32-bit BMP: 2x2, distinct colors
+    px = [(10, 20, 30, 0), (40, 50, 60, 0), (70, 80, 90, 0), (1, 2, 3, 0)]
+    body = b"".join(bytes((b, g, r, a)) for (r, g, b, a) in px)
+    raw = b"BM" + st.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    raw += st.pack("<IiiHHIIiiII", 40, 2, -2, 1, 32, 0, len(body), 0, 0, 0, 0)
+    raw += body
+    W, H, C, out = mediacodec.decode_bmp(raw)
+    assert (W, H, C) == (2, 2, 3)
+    assert out == bytes(
+        v for (r, g, b, a) in px for v in (r, g, b)
+    ), "top-down rows must not be flipped"
+
+    # 8-bit palettized, bottom-up, 4-byte row padding (w=3 -> stride 4)
+    pal = b"".join(bytes((i, 2 * i % 256, 3 * i % 256, 0)) for i in range(4))
+    rows_bottom_up = bytes([2, 1, 0, 0]) + bytes([3, 3, 3, 0])  # y=1 then y=0
+    raw8 = b"BM" + st.pack("<IHHI", 0, 0, 0, 54 + len(pal))
+    raw8 += st.pack("<IiiHHIIiiII", 40, 3, 2, 1, 8, 0, 0, 0, 0, 4, 0)
+    raw8 += pal + rows_bottom_up
+    W, H, C, out = mediacodec.decode_bmp(raw8)
+    assert (W, H, C) == (3, 2, 3)
+    # palette quads are BGRA: index i -> RGB (3i, 2i, i)
+    top = out[: 3 * 3]
+    assert top == bytes(v for i in (3, 3, 3) for v in (3 * i % 256, 2 * i, i))
+    bottom = out[3 * 3 :]
+    assert bottom == bytes(v for i in (2, 1, 0) for v in (3 * i % 256, 2 * i, i))
+
+
+def test_image_dhash_and_features_real_bmp(spark):
+    w, h = 18, 8
+    grad = bytes(x * 14 for x in range(w)) * h
+    rows = [
+        (1, mediacodec.encode_bmp(w, h, grad, 1)),
+        (2, mediacodec.encode_png(w, h, grad, 1)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = {r.doc_id: r for r in multimodal.image_dhash(df).collect()}
+    assert out[1].dhash == -1 and out[1].dhash == out[2].dhash
+    feat = multimodal.decode_image_features(
+        df.filter("doc_id = 1")
+    ).first()
+    assert feat.feature is not None and feat.channels == 3
+    row = multimodal.resize_image(df.filter("doc_id = 1"), 9, 4).first()
+    rw, rh, rc, _ = mediacodec.decode_png(bytes(row.resized))
+    assert (rw, rh, rc) == (9, 4, 3)
