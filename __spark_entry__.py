@@ -1305,6 +1305,25 @@ def _q_activity_counts_metrics(spark, sf):
     )
 
 
+def _q_activity_new_metrics(spark, sf):
+    """new_activity_metrics — per-day dcount/new/retained/churn and the
+    consecutive-period retention/churn rates, all from distinct
+    (actor, bin) pairs (one self-join a bin apart on the actor key)."""
+    from kusto_pre_forge_spark.operators import activity
+
+    e = load_table(spark, sf, "events")
+    out = activity.new_activity_metrics(e, "user_id", "ts")
+    return out.select(
+        F.col("bin").cast("timestamp").alias("bin"),
+        F.col("dcount").cast("long").alias("dcount"),
+        F.col("new_dcount").cast("long").alias("new_dcount"),
+        F.col("retained_dcount").cast("long").alias("retained_dcount"),
+        F.col("churn_dcount").cast("long").alias("churn_dcount"),
+        F.round(F.col("retention_rate"), 6).alias("retention_rate"),
+        F.round(F.col("churn_rate"), 6).alias("churn_rate"),
+    )
+
+
 def _q_activity_funnel_sequence(spark, sf):
     """funnel_sequence — (prev, next) state pairs around every 'view'
     event per user's time-ordered sequence."""
@@ -3609,6 +3628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_rolling_percentile": _q_activity_rolling_percentile,
         "activity_active_users": _q_activity_active_users,
         "activity_counts_metrics": _q_activity_counts_metrics,
+        "activity_new_metrics": _q_activity_new_metrics,
         "activity_funnel_sequence": _q_activity_funnel_sequence,
         "kql_bag_ops": _q_kql_bag_ops,
         "activity_funnel": _q_activity_funnel,
@@ -5865,6 +5885,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(coalesce(n.new_dcount, 0)) OVER (ORDER BY p.bin "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS aggregated_dcount "
             "FROM per_bin p LEFT JOIN npb n ON n.bin = p.bin"
+        ),
+        "activity_new_metrics": (
+            "WITH pairs AS (SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS bin, "
+            "user_id AS actor FROM events), "
+            "per_bin AS (SELECT bin, CAST(count(*) AS BIGINT) AS dcount FROM pairs GROUP BY bin), "
+            "npb AS (SELECT bin, CAST(count(*) AS BIGINT) AS new_dcount FROM "
+            "(SELECT actor, min(bin) AS bin FROM pairs GROUP BY actor) GROUP BY bin), "
+            "ret AS (SELECT p.bin, CAST(count(*) AS BIGINT) AS retained_dcount "
+            "FROM pairs p JOIN pairs q ON q.actor = p.actor "
+            "AND q.bin = p.bin - INTERVAL 1 DAY GROUP BY p.bin), "
+            "prev AS (SELECT bin + INTERVAL 1 DAY AS bin, dcount AS prev_dcount FROM per_bin) "
+            "SELECT b.bin, b.dcount, "
+            "CAST(coalesce(n.new_dcount, 0) AS BIGINT) AS new_dcount, "
+            "CAST(coalesce(r.retained_dcount, 0) AS BIGINT) AS retained_dcount, "
+            "CAST(coalesce(p.prev_dcount, 0) - coalesce(r.retained_dcount, 0) AS BIGINT) AS churn_dcount, "
+            "round(coalesce(r.retained_dcount, 0) / CAST(p.prev_dcount AS DOUBLE), 6) AS retention_rate, "
+            "round((coalesce(p.prev_dcount, 0) - coalesce(r.retained_dcount, 0)) / CAST(p.prev_dcount AS DOUBLE), 6) AS churn_rate "
+            "FROM per_bin b LEFT JOIN npb n ON n.bin = b.bin "
+            "LEFT JOIN ret r ON r.bin = b.bin LEFT JOIN prev p ON p.bin = b.bin"
         ),
         "kql_series_suite2": (
             # same dense click/view hourly series as kql_series_arith;

@@ -458,3 +458,80 @@ def activity_counts_metrics(
     return per_bin.join(F.broadcast(cum), "bin").select(
         "bin", "count_", "dcount", "new_dcount", "aggregated_dcount"
     )
+
+
+def new_activity_metrics(
+    df: DataFrame,
+    actor_col: str,
+    ts_col: str,
+    bin: str = "day",
+) -> DataFrame:
+    """KQL ``evaluate new_activity_metrics(actor, ts)`` (consecutive-
+    period form): per time bin — ``dcount`` (active actors),
+    ``new_dcount`` (first ever seen this bin), ``retained_dcount``
+    (active this bin AND the immediately previous bin), ``churn_dcount``
+    (active previous bin but not this one), plus ``retention_rate`` /
+    ``churn_rate`` over the previous bin's actives.
+
+    Everything reduces to DISTINCT (actor, bin) pairs first (the
+    activity-family contract — events collapse before any join), then:
+    retained = pairs self-joined one bin apart on the actor key (hash
+    join, actor-partitioned); churn = previous actives − retained (no
+    anti-join needed); new = per-actor min-bin aggregate. No windows, no
+    single-partition funnels.
+    """
+    if bin not in ("day", "hour", "week"):
+        raise ValueError("bin must be 'day', 'hour' or 'week'")
+    step = {"day": "INTERVAL 1 DAY", "hour": "INTERVAL 1 HOUR",
+            "week": "INTERVAL 7 DAY"}[bin]
+    b = F.date_trunc(bin, F.col(ts_col).cast("timestamp"))
+    pairs = (
+        df.select(b.alias("bin"), F.col(actor_col).alias("actor"))
+        .distinct()
+    )
+    per_bin = pairs.groupBy("bin").agg(F.count(F.lit(1)).alias("dcount"))
+    new_per_bin = (
+        pairs.groupBy("actor")
+        .agg(F.min("bin").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("new_dcount"))
+    )
+    nxt = pairs.select(
+        F.expr(f"bin + {step}").alias("bin"), F.col("actor")
+    )
+    retained = (
+        pairs.join(nxt, ["bin", "actor"])
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("retained_dcount"))
+    )
+    prev_dcount = per_bin.select(
+        F.expr(f"bin + {step}").alias("bin"),
+        F.col("dcount").alias("prev_dcount"),
+    )
+    out = (
+        per_bin.join(new_per_bin, "bin", "left")
+        .join(retained, "bin", "left")
+        .join(prev_dcount, "bin", "left")
+        .select(
+            "bin",
+            "dcount",
+            F.coalesce("new_dcount", F.lit(0)).alias("new_dcount"),
+            F.coalesce("retained_dcount", F.lit(0)).alias("retained_dcount"),
+            (
+                F.coalesce("prev_dcount", F.lit(0))
+                - F.coalesce("retained_dcount", F.lit(0))
+            ).alias("churn_dcount"),
+            (
+                F.coalesce("retained_dcount", F.lit(0))
+                / F.col("prev_dcount").cast("double")
+            ).alias("retention_rate"),
+            (
+                (
+                    F.coalesce("prev_dcount", F.lit(0))
+                    - F.coalesce("retained_dcount", F.lit(0))
+                )
+                / F.col("prev_dcount").cast("double")
+            ).alias("churn_rate"),
+        )
+    )
+    return out

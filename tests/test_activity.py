@@ -245,3 +245,27 @@ def test_activity_counts_metrics(spark):
     assert (d1.count_, d1.dcount, d1.new_dcount, d1.aggregated_dcount) == (3, 2, 2, 2)
     assert (d2.count_, d2.dcount, d2.new_dcount, d2.aggregated_dcount) == (2, 2, 1, 3)
     assert (d4.count_, d4.dcount, d4.new_dcount, d4.aggregated_dcount) == (1, 1, 0, 3)
+
+
+def test_new_activity_metrics(spark):
+    from kusto_pre_forge_spark.operators.activity import new_activity_metrics
+
+    rows = [
+        ("u1", "2024-01-01 03:00:00"),
+        ("u2", "2024-01-01 10:00:00"),
+        ("u1", "2024-01-02 01:00:00"),  # u1 retained, u2 churned
+        ("u3", "2024-01-02 02:00:00"),  # u3 new
+        ("u2", "2024-01-03 05:00:00"),  # u2 returns (not new, not retained)
+    ]
+    df = spark.createDataFrame(rows, "actor string, ts string")
+    out = {
+        str(r.bin.date()): r
+        for r in new_activity_metrics(df, "actor", "ts").collect()
+    }
+    d1, d2, d3 = out["2024-01-01"], out["2024-01-02"], out["2024-01-03"]
+    assert (d1.dcount, d1.new_dcount, d1.retained_dcount, d1.churn_dcount) == (2, 2, 0, 0)
+    assert d1.retention_rate is None, "no previous bin -> NULL rate"
+    assert (d2.dcount, d2.new_dcount, d2.retained_dcount, d2.churn_dcount) == (2, 1, 1, 1)
+    assert d2.retention_rate == 0.5 and d2.churn_rate == 0.5
+    assert (d3.dcount, d3.new_dcount, d3.retained_dcount, d3.churn_dcount) == (1, 0, 0, 2)
+    assert d3.retention_rate == 0.0 and d3.churn_rate == 1.0
