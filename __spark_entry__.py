@@ -1324,6 +1324,56 @@ def _q_activity_new_metrics(spark, sf):
     )
 
 
+def _q_activity_session_count(spark, sf):
+    """session_count — sessions started per day (first event or >30 min
+    gap), one lag window on the actor key."""
+    from kusto_pre_forge_spark.operators import activity
+
+    e = load_table(spark, sf, "events")
+    out = activity.session_count(e, "user_id", "ts")
+    return out.select(
+        F.col("bin").cast("timestamp").alias("bin"),
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+    )
+
+
+def _q_embedding_quantize(spark, sf):
+    """int8 symmetric per-vector quantization with in-plan reconstruction
+    error — scalar probes (exact integer q sums + rounded scale/mse) so
+    the oracle replays the arithmetic."""
+    from kusto_pre_forge_spark.operators.similarity import (
+        embedding_quantize_int8,
+    )
+
+    d = load_table(spark, sf, "embeddings")
+    out = embedding_quantize_int8(d, "embedding", "vec_id")
+    return out.select(
+        "vec_id",
+        F.round(F.col("scale"), 8).alias("scale_r"),
+        F.round(F.col("mse"), 8).alias("mse_r"),
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("q_sum"),
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda a, x: a + F.abs(x).cast("long")
+        ).alias("q_l1"),
+    )
+
+
+def _q_text_quality_lr(spark, sf):
+    """Logistic-regression quality classifier scored in codegen — model
+    inference as a scan projection, weights as literals."""
+    from kusto_pre_forge_spark.operators.textstats import (
+        quality_classifier_score,
+    )
+
+    d = load_table(spark, sf, "documents")
+    out = quality_classifier_score(d, "text", "doc_id")
+    return out.select(
+        "doc_id", F.round(F.col("lr_score"), 6).alias("lr_score"), "keep"
+    )
+
+
 def _q_activity_funnel_sequence(spark, sf):
     """funnel_sequence — (prev, next) state pairs around every 'view'
     event per user's time-ordered sequence."""
@@ -3629,6 +3679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_active_users": _q_activity_active_users,
         "activity_counts_metrics": _q_activity_counts_metrics,
         "activity_new_metrics": _q_activity_new_metrics,
+        "activity_session_count": _q_activity_session_count,
+        "embedding_quantize": _q_embedding_quantize,
+        "text_quality_lr": _q_text_quality_lr,
         "activity_funnel_sequence": _q_activity_funnel_sequence,
         "kql_bag_ops": _q_kql_bag_ops,
         "activity_funnel": _q_activity_funnel,
@@ -5904,6 +5957,56 @@ def oracle_sql() -> dict[str, str]:
             "round((coalesce(p.prev_dcount, 0) - coalesce(r.retained_dcount, 0)) / CAST(p.prev_dcount AS DOUBLE), 6) AS churn_rate "
             "FROM per_bin b LEFT JOIN npb n ON n.bin = b.bin "
             "LEFT JOIN ret r ON r.bin = b.bin LEFT JOIN prev p ON p.bin = b.bin"
+        ),
+        "activity_session_count": (
+            # per-bin start counts are invariant under permutation of
+            # equal timestamps, so the lag replay is order-safe
+            "WITH l AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, "
+            "lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id "
+            "ORDER BY CAST(ts AS TIMESTAMP)) AS prev FROM events), "
+            "s AS (SELECT * FROM l WHERE prev IS NULL OR "
+            "epoch(ts) - epoch(prev) > 1800.0) "
+            "SELECT date_trunc('day', ts) AS bin, "
+            "CAST(count(*) AS BIGINT) AS n_sessions FROM s GROUP BY 1"
+        ),
+        "embedding_quantize": (
+            "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+            "sc AS (SELECT vec_id, e, "
+            "list_max(list_transform(e, x -> abs(x))) / 127.0 AS s FROM v), "
+            "q AS (SELECT vec_id, e, s, "
+            "list_transform(e, x -> CASE WHEN s > 0 THEN CAST(round(x / s) AS INT) ELSE 0 END) AS qv "
+            "FROM sc) "
+            "SELECT vec_id, round(s, 8) AS scale_r, "
+            "round(list_sum(list_transform(list_zip(e, qv), p -> "
+            "power(p[1] - p[2] * s, 2.0))) / len(e), 8) AS mse_r, "
+            "CAST(list_sum(qv) AS BIGINT) AS q_sum, "
+            "CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1 "
+            "FROM q"
+        ),
+        "text_quality_lr": (
+            # replay of quality_features + the literal-weight sigmoid;
+            # term order matches the Spark sum (sorted by feature name)
+            "WITH f AS (SELECT doc_id, "
+            "length(text) AS n_chars, "
+            "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS n_tokens, "
+            "length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS punct, "
+            "length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits, "
+            "length(regexp_replace(text, '[^A-Z]', '', 'g')) AS uppers, "
+            "len(list_filter(list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != ''), t -> lower(t)), "
+            "t -> t IN ('the','and','of','to','in','is','that','it','for','with'))) AS stop_hits "
+            "FROM documents), "
+            "r AS (SELECT doc_id, "
+            "(n_chars - n_tokens + 1) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS mean_token_len, "
+            "punct / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio, "
+            "digits / CAST(greatest(n_chars, 1) AS DOUBLE) AS digit_ratio, "
+            "uppers / CAST(greatest(n_chars, 1) AS DOUBLE) AS upper_ratio, "
+            "stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stopword_ratio, "
+            "ln(1.0 + n_tokens) AS log_tokens FROM f), "
+            "z AS (SELECT doc_id, -1.5 + (-3.0) * digit_ratio + 0.35 * log_tokens "
+            "+ 0.15 * mean_token_len + (-4.0) * punct_ratio "
+            "+ 3.0 * stopword_ratio + (-1.0) * upper_ratio AS z FROM r) "
+            "SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS lr_score, "
+            "1.0 / (1.0 + exp(-z)) >= 0.5 AS keep FROM z"
         ),
         "kql_series_suite2": (
             # same dense click/view hourly series as kql_series_arith;

@@ -535,3 +535,38 @@ def new_activity_metrics(
         )
     )
     return out
+
+
+def session_count(
+    df: DataFrame,
+    actor_col: str,
+    ts_col: str,
+    bin: str = "day",
+    lookback_seconds: float = 1800.0,
+) -> DataFrame:
+    """KQL ``evaluate session_count(actor, ts)`` — sessions STARTED per
+    time bin, where a session starts at an actor's first event or after
+    more than ``lookback_seconds`` of inactivity.
+
+    One lag window per actor key (a single hash exchange on the actor —
+    the sessionize shape), then a map-side-combinable per-bin count of
+    the start events. Returns (bin, n_sessions).
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    starts = (
+        df.select(F.col(actor_col), ts.alias("_ts"))
+        .withColumn("_prev", F.lag("_ts").over(
+            Window.partitionBy(actor_col).orderBy("_ts")
+        ))
+        .filter(
+            F.col("_prev").isNull()
+            | (
+                F.col("_ts").cast("double") - F.col("_prev").cast("double")
+                > F.lit(float(lookback_seconds))
+            )
+        )
+    )
+    return (
+        starts.groupBy(F.date_trunc(bin, F.col("_ts")).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )

@@ -527,3 +527,41 @@ def whiten_covariance_probe(
             F.col("n").cast("long").alias("n_vectors"),
         )
     )
+
+
+def embedding_quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard 4× memory
+    compression before ANN serving: scale = max|xᵢ| / 127, qᵢ =
+    round(xᵢ/scale) ∈ [−127, 127], reconstruction x̂ᵢ = qᵢ·scale.
+
+    Pure array-HOF codegen (no UDF, no shuffle — a scan projection), so
+    it composes under any downstream op and the DuckDB oracle replays
+    the arithmetic exactly. Emits (id, q array<int>, scale, mse) where
+    mse is the per-vector reconstruction error — the quality probe a
+    100 TB quantization job reports per shard. All-zero vectors get
+    scale 0 and q = zeros (mse 0).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = maxabs / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.when(scale > 0.0, F.round(x / scale).cast("int"))
+        .otherwise(F.lit(0)),
+    )
+    err = F.zip_with(
+        v, q, lambda x, qq: (x - qq.cast("double") * scale) ** F.lit(2.0)
+    )
+    mse = F.aggregate(err, F.lit(0.0), lambda a, x: a + x) / F.size(v).cast(
+        "double"
+    )
+    return df.select(
+        F.col(id_col),
+        q.alias("q"),
+        scale.alias("scale"),
+        mse.alias("mse"),
+    )

@@ -350,3 +350,50 @@ def bm25_topk(
         F.count(F.lit(1)).cast("long").alias("matched_terms"),
     )
     return per_doc.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+
+
+#: default quality-classifier weights (offline-trained shape: positive on
+#: english-marker density and healthy token lengths, negative on symbol
+#: and digit floods; log-length saturates long docs)
+QUALITY_LR_WEIGHTS = {
+    "stopword_ratio": 3.0,
+    "mean_token_len": 0.15,
+    "punct_ratio": -4.0,
+    "digit_ratio": -3.0,
+    "upper_ratio": -1.0,
+    "log_tokens": 0.35,
+}
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    bias: float = -1.5,
+    keep_threshold: float = 0.5,
+) -> DataFrame:
+    """Model inference in-plan: a logistic-regression quality classifier
+    (fasttext/C4-classifier shape) scored entirely in codegen — the
+    weights are trained OFFLINE and shipped as literals, so scoring
+    100 TB is a scan projection with no UDF, no shuffle, and no model
+    server. Features are the :func:`quality_features` columns plus
+    ln(1+n_tokens); ``keep`` thresholds the sigmoid score.
+
+    Returns (id, lr_score, keep).
+    """
+    w = dict(QUALITY_LR_WEIGHTS)
+    if weights:
+        w.update(weights)
+    feats = quality_features(df, text_col).withColumn(
+        "log_tokens", F.log1p(F.col("n_tokens").cast("double"))
+    )
+    z = F.lit(float(bias))
+    for name, wt in sorted(w.items()):
+        z = z + F.lit(float(wt)) * F.col(name).cast("double")
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        F.col(id_col),
+        score.alias("lr_score"),
+        (score >= F.lit(float(keep_threshold))).alias("keep"),
+    )

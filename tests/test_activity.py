@@ -269,3 +269,21 @@ def test_new_activity_metrics(spark):
     assert d2.retention_rate == 0.5 and d2.churn_rate == 0.5
     assert (d3.dcount, d3.new_dcount, d3.retained_dcount, d3.churn_dcount) == (1, 0, 0, 2)
     assert d3.retention_rate == 0.0 and d3.churn_rate == 1.0
+
+
+def test_session_count(spark):
+    from kusto_pre_forge_spark.operators.activity import session_count
+
+    rows = [
+        ("u1", "2024-01-01 10:00:00"),  # session 1
+        ("u1", "2024-01-01 10:10:00"),  # same session (10 min gap)
+        ("u1", "2024-01-01 12:00:00"),  # session 2 (>30 min)
+        ("u2", "2024-01-01 09:00:00"),  # session 3
+        ("u2", "2024-01-02 09:00:00"),  # session 4, next day
+    ]
+    df = spark.createDataFrame(rows, "actor string, ts string")
+    out = {
+        str(r.bin.date()): r.n_sessions
+        for r in session_count(df, "actor", "ts").collect()
+    }
+    assert out == {"2024-01-01": 3, "2024-01-02": 1}

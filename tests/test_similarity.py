@@ -172,3 +172,28 @@ def test_whiten_covariance_probe_matches_numpy(spark, sf_smoke):
     assert np.array_equal(C, np.eye(dim)), "probe emits exact identity"
     # no IEEE -0.0 survives the normalization (the oracle emits 0.0)
     assert all(math.copysign(1.0, r.cov_ij) > 0 for r in probe)
+
+
+def test_embedding_quantize_int8(spark):
+    from kusto_pre_forge_spark.operators.similarity import (
+        embedding_quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [-2.0, 2.0, 1.0, -1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in embedding_quantize_int8(df).collect()}
+    r1 = out[1]
+    assert r1.q == [127, -64, 32, 0] and abs(r1.scale - 1.0 / 127) < 1e-12
+    # reconstruction error bounded by half a quantization step per dim
+    assert r1.mse <= (0.5 * r1.scale) ** 2 + 1e-15
+    r2 = out[2]
+    assert r2.q == [0, 0, 0, 0] and r2.scale == 0.0 and r2.mse == 0.0
+    r3 = out[3]
+    assert r3.q == [-127, 127, 64, -64]
+    assert max(abs(v) for v in r3.q) <= 127

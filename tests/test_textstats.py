@@ -127,3 +127,27 @@ def test_bm25_k_limits_and_ties(spark):
     rows = textstats.bm25_topk(docs, ["spark"], k=3).collect()
     # identical scores → id ascending tiebreak, exactly k rows
     assert [r.doc_id for r in rows] == [0, 1, 2]
+
+
+def test_quality_classifier_score(spark):
+    from kusto_pre_forge_spark.operators.textstats import (
+        quality_classifier_score,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat and it was pleased with the result"),
+        (2, "3141592653 2718281828 1414213562 1732050807 2236067977"),
+        (3, "!!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in quality_classifier_score(df).collect()}
+    assert 0.0 < out[3].lr_score < out[2].lr_score < out[1].lr_score < 1.0
+    assert out[1].keep and not out[2].keep and not out[3].keep
+    # weight override shifts the decision boundary
+    harsh = {
+        r.doc_id: r.keep
+        for r in quality_classifier_score(
+            df, bias=-30.0
+        ).collect()
+    }
+    assert not any(harsh.values()), "bias -30 rejects everything"
