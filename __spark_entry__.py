@@ -2409,6 +2409,53 @@ def _q_multimodal_image_dhash_gif(spark, sf):
     )
 
 
+def _q_multimodal_video_dhash(spark, sf):
+    """Per-frame perceptual dHash over REAL decoded video: MJPEG-in-AVI
+    fixtures (4 frames per doc; frame parity decides gradient vs
+    constant content) walked by the RIFF iterator, each frame decoded by
+    the baseline JPEG decoder, hashed with the image_dhash rule. The
+    oracle predicts every (doc, frame) hash from the fixture rule —
+    gradient steps of 28 gray levels dwarf quality-95 quantization, so
+    lossy decode cannot flip a bit."""
+    from kusto_pre_forge_spark.operators import multimodal
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id")
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        from kusto_pre_forge_spark.operators import mediacodec
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 18, 8
+                frames = []
+                for fi in range(4):
+                    if (i + fi) % 2 == 0:
+                        row = bytes(x * 14 for x in range(w))
+                    else:
+                        row = bytes([(i * 31 + fi * 17) % 256]) * w
+                    frames.append(
+                        mediacodec.encode_jpeg(w, h, row * h, 1, quality=95)
+                    )
+                blobs.append(mediacodec.encode_avi_mjpeg(w, h, frames, fps=4))
+                ids.append(i)
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    return multimodal.video_frame_dhash(blobs).select(
+        "doc_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        "dhash",
+    )
+
+
 def _q_multimodal_frame_plan(spark, sf):
     """Frame-sampling plan from REAL MP4 metadata: fixtures encode a known
     mvhd duration (doc_id-derived), the operator parses the actual boxes
@@ -3731,6 +3778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_dhash": _q_multimodal_image_dhash,
         "multimodal_image_dhash_jpeg": _q_multimodal_image_dhash_jpeg,
         "multimodal_image_dhash_gif": _q_multimodal_image_dhash_gif,
+        "multimodal_video_dhash": _q_multimodal_video_dhash,
         "multimodal_audio_fp": _q_multimodal_audio_fp,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
     }
@@ -6251,6 +6299,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE 0 END AS BIGINT) AS dhash, "
             "CAST(18 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height "
             "FROM documents WHERE doc_id < 80"
+        ),
+        "multimodal_video_dhash": (
+            # fixture rule: frame (doc+frame) even -> gradient -> -1,
+            # odd -> constant -> 0; 4 frames per doc under id 40
+            "SELECT d.doc_id, CAST(f.fi AS BIGINT) AS frame_index, "
+            "CAST(CASE WHEN (d.doc_id + f.fi) % 2 = 0 THEN -1 ELSE 0 END AS BIGINT) AS dhash "
+            "FROM documents d CROSS JOIN (VALUES (0), (1), (2), (3)) f(fi) "
+            "WHERE d.doc_id < 40"
         ),
         "multimodal_real_meta": (
             # predicts the true container-header fields the Spark side

@@ -258,6 +258,8 @@ _PROBES = (
     parse_wav_header,
     parse_mp4_header,
 )
+# parse_avi_header is appended to _PROBES after its definition below
+# (RIFF 'AVI ' never collides with RIFF 'WAVE')
 
 _PROBE_FIELDS = (
     "media_kind",
@@ -1432,3 +1434,119 @@ def encode_bmp(width: int, height: int, pixels: bytes, channels: int = 3) -> byt
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
     return out + bytes(body)
+
+
+# ---------------------------------------------------------------- AVI codec
+#
+# MJPEG-in-AVI: the RIFF container is a chunk walk, and every '00dc'
+# video chunk is a complete baseline JPEG — which decode_jpeg already
+# handles. That makes REAL video frame extraction possible with zero
+# codec dependencies for the MJPEG family (the format security cameras,
+# capture cards and many datasets actually use). Other video codecs
+# (H.264 etc.) stay env-gated.
+
+
+def parse_avi_header(raw: bytes) -> dict | None:
+    """RIFF-AVI main header (avih): width/height, frame count, fps."""
+    if len(raw) < 64 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        return None
+    pos = 12
+    info = None
+    while pos + 8 <= len(raw):
+        ctype = raw[pos : pos + 4]
+        (csize,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        if ctype == b"LIST" and raw[pos + 8 : pos + 12] == b"hdrl":
+            inner = pos + 12
+            end = pos + 8 + csize
+            while inner + 8 <= min(end, len(raw)):
+                ic = raw[inner : inner + 4]
+                (isz,) = struct.unpack("<I", raw[inner + 4 : inner + 8])
+                if ic == b"avih" and isz >= 40:
+                    a = raw[inner + 8 : inner + 8 + isz]
+                    usec_pf, _, _, _, total = struct.unpack("<IIIII", a[:20])
+                    w, h = struct.unpack("<II", a[32:40])
+                    info = {
+                        "media_kind": "avi",
+                        "width": w,
+                        "height": h,
+                        "channels": 3,
+                        "n_samples": total,  # frames, the WAV convention
+                        "duration_s": (
+                            total * usec_pf / 1e6 if usec_pf else None
+                        ),
+                    }
+                    return info
+                inner += 8 + isz + (isz & 1)
+        pos += 8 + csize + (csize & 1)
+    return info
+
+
+def iter_avi_mjpeg_frames(raw: bytes):
+    """Yield (frame_index, jpeg_bytes) for every '00dc'/'00db' video
+    chunk in the movi list. Raises ValueError if the container is not
+    AVI or a video chunk is not JPEG."""
+    if parse_avi_header(raw) is None:
+        raise ValueError("not an AVI")
+    pos = 12
+    idx = 0
+    while pos + 8 <= len(raw):
+        ctype = raw[pos : pos + 4]
+        (csize,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        if ctype == b"LIST" and raw[pos + 8 : pos + 12] == b"movi":
+            inner = pos + 12
+            end = min(pos + 8 + csize, len(raw))
+            while inner + 8 <= end:
+                ic = raw[inner : inner + 4]
+                (isz,) = struct.unpack("<I", raw[inner + 4 : inner + 8])
+                if ic in (b"00dc", b"00db"):
+                    frame = raw[inner + 8 : inner + 8 + isz]
+                    if frame[:2] != b"\xff\xd8":
+                        raise ValueError(
+                            "AVI video chunk is not MJPEG (only the MJPG "
+                            "codec decodes without external libraries)"
+                        )
+                    yield idx, frame
+                    idx += 1
+                inner += 8 + isz + (isz & 1)
+        pos += 8 + csize + (csize & 1)
+
+
+def encode_avi_mjpeg(
+    width: int, height: int, frames: list[bytes], fps: int = 10
+) -> bytes:
+    """Minimal valid MJPEG AVI: avih + one 'vids'/'MJPG' stream + movi
+    with one '00dc' chunk per JPEG frame. The fixture forge for the real
+    video-decode path."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(fps, 1),  # usec per frame
+        0, 0, 0,
+        len(frames),
+        0, 1, 0,
+        width, height,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0x47504A4D,  # 'MJPG'
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+_PROBES = _PROBES + (parse_avi_header,)

@@ -251,15 +251,43 @@ def sample_frames(
 ) -> DataFrame:
     """Sample video frames every ``every_n`` frames.
 
-    Real decode needs ffmpeg/pyav (absent) → NotImplementedError unless
-    ``fake=True`` (frames = fixed-size byte windows of the payload;
-    deterministic). One output row per sampled frame.
+    Real path (``fake=False``): MJPEG-in-AVI decodes for real — the RIFF
+    walk yields one complete baseline JPEG per '00dc' chunk, and
+    mediacodec.decode_jpeg turns the sampled ones into pixels;
+    ``frame_sha`` is the sha256 of the DECODED RGB/gray pixels, so two
+    MJPEG re-muxes of the same frames fingerprint identically. Other
+    containers (H.264 MP4 …) still raise: those codecs need external
+    libraries. ``fake=True``: deterministic byte-window stub. One output
+    row per sampled frame.
     """
-    if not fake:
-        raise NotImplementedError(
-            "video decode requires ffmpeg/pyav (not in this container); "
-            "pass fake=True for the deterministic stub"
-        )
+
+    def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from kusto_pre_forge_spark.operators import mediacodec
+
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                raw = bytes(blob)
+                if mediacodec.parse_avi_header(raw) is None:
+                    raise NotImplementedError(
+                        "real frame sampling decodes MJPEG-in-AVI only; "
+                        "other video codecs need ffmpeg/pyav (not in this "
+                        "container) — pass fake=True for the stub"
+                    )
+                for fi, frame in mediacodec.iter_avi_mjpeg_frames(raw):
+                    if fi % every_n:
+                        continue
+                    _, _, _, px = mediacodec.decode_jpeg(frame)
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_index": fi,
+                            "frame_sha": hashlib.sha256(px).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -281,7 +309,8 @@ def sample_frames(
                     )
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, blob_col).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+    fn = batches if fake else real_batches
+    return df.select(id_col, blob_col).mapInPandas(fn, FRAME_SAMPLE_SCHEMA)
 
 
 RESIZE_SCHEMA = "doc_id long, width int, height int, resized binary"
@@ -666,3 +695,63 @@ def plan_frame_times(
             ).astype({"doc_id": "int64", "frame_index": "int64", "t_ms": "int64"})
 
     return df.select(id_col, blob_col).mapInPandas(batches, FRAME_PLAN_SCHEMA)
+
+
+VIDEO_DHASH_SCHEMA = "doc_id long, frame_index int, dhash long"
+
+
+def video_frame_dhash(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    every_n: int = 1,
+) -> DataFrame:
+    """Per-frame perceptual dHash over REAL decoded video — the video
+    near-dup fingerprint: sample every ``every_n`` frames of an
+    MJPEG-in-AVI payload, decode each JPEG, hash with the same
+    grayscale→9×8→64-bit rule as :func:`image_dhash`, so frame hashes
+    are drop-in for the simhash chunk-banding pair pipeline (re-encoded
+    or re-muxed copies of a video land within a few Hamming bits per
+    frame). Pure map stage, Arrow-batched.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from kusto_pre_forge_spark.operators import mediacodec
+
+        def dhash64(w, h, ch, pix):
+            a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, ch)
+            gray = a.mean(axis=2)
+            ys = (np.arange(8) * h) // 8
+            xs = (np.arange(9) * w) // 9
+            g = gray[np.ix_(ys, xs)]
+            bits = (g[:, :-1] < g[:, 1:]).astype(np.uint64).ravel()
+            val = 0
+            for b in bits:
+                val = (val << 1) | int(b)
+            return val - (1 << 64) if val >= 1 << 63 else val
+
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                raw = bytes(blob)
+                for fi, frame in mediacodec.iter_avi_mjpeg_frames(raw):
+                    if fi % every_n:
+                        continue
+                    w, h, ch, px = mediacodec.decode_jpeg(frame)
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_index": int(fi),
+                            "dhash": dhash64(w, h, ch, px),
+                        }
+                    )
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "frame_index", "dhash"]
+            )
+            yield out
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        batches, VIDEO_DHASH_SCHEMA
+    )

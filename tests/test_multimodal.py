@@ -42,8 +42,9 @@ def test_decode_unrecognized_container_raises(blobs):
     # NotImplementedError in its PythonException)
     with pytest.raises(Exception, match="unrecognized image container"):
         multimodal.decode_image_features(blobs, fake=False).collect()
-    with pytest.raises(NotImplementedError):
-        multimodal.sample_frames(blobs, fake=False)
+    # real frame sampling now raises lazily in the worker for non-AVI
+    with pytest.raises(Exception, match="MJPEG-in-AVI"):
+        multimodal.sample_frames(blobs, fake=False).collect()
 
 
 def test_sample_frames_stub(blobs):
@@ -610,3 +611,58 @@ def test_image_dhash_and_features_real_bmp(spark):
     row = multimodal.resize_image(df.filter("doc_id = 1"), 9, 4).first()
     rw, rh, rc, _ = mediacodec.decode_png(bytes(row.resized))
     assert (rw, rh, rc) == (9, 4, 3)
+
+
+# ------------------------------------------------------------ AVI / video
+
+
+def _mjpeg_avi(w, h, n_frames, gradient_frames):
+    frames = []
+    for i in range(n_frames):
+        if i in gradient_frames:
+            row = bytes(x * 14 for x in range(w))
+        else:
+            row = bytes([30 * i % 256]) * w
+        frames.append(mediacodec.encode_jpeg(w, h, row * h, 1, quality=95))
+    return mediacodec.encode_avi_mjpeg(w, h, frames, fps=4)
+
+
+def test_avi_probe_and_frame_iter():
+    avi = _mjpeg_avi(18, 8, 4, {0, 2})
+    hdr = mediacodec.probe_bytes(avi)
+    assert (hdr["media_kind"], hdr["width"], hdr["height"]) == ("avi", 18, 8)
+    assert hdr["n_samples"] == 4 and abs(hdr["duration_s"] - 1.0) < 1e-9
+    frames = list(mediacodec.iter_avi_mjpeg_frames(avi))
+    assert [i for i, _ in frames] == [0, 1, 2, 3]
+    assert all(f[:2] == b"\xff\xd8" for _, f in frames)
+
+
+def test_sample_frames_real_mjpeg_avi(spark):
+    import hashlib
+
+    avi = _mjpeg_avi(18, 8, 6, set())
+    df = spark.createDataFrame([(1, avi)], "doc_id long, blob binary")
+    rows = sorted(
+        (r.frame_index, r.frame_sha)
+        for r in multimodal.sample_frames(df, every_n=2, fake=False).collect()
+    )
+    assert [i for i, _ in rows] == [0, 2, 4]
+    # sha is over DECODED pixels: recompute frame 0's expected hash
+    f0 = next(f for i, f in mediacodec.iter_avi_mjpeg_frames(avi) if i == 0)
+    _, _, _, px = mediacodec.decode_jpeg(f0)
+    assert rows[0][1] == hashlib.sha256(px).hexdigest()
+    # non-AVI still raises
+    bad = spark.createDataFrame([(2, b"not a video")], "doc_id long, blob binary")
+    with pytest.raises(Exception, match="MJPEG-in-AVI"):
+        multimodal.sample_frames(bad, fake=False).collect()
+
+
+def test_video_frame_dhash_real(spark):
+    avi = _mjpeg_avi(18, 8, 4, {0, 2})
+    df = spark.createDataFrame([(7, avi)], "doc_id long, blob binary")
+    out = {
+        r.frame_index: r.dhash
+        for r in multimodal.video_frame_dhash(df).collect()
+    }
+    assert out[0] == -1 and out[2] == -1, "gradient frames -> all bits"
+    assert out[1] == 0 and out[3] == 0, "constant frames -> no bits"
