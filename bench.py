@@ -74,6 +74,10 @@ HEADLINE = [
     "kql_ipv4_lookup",
     "pipeline_corpus_mix",
     "kql_series_forecast",
+    "multimodal_video_dhash",
+    "embedding_quantize",
+    "text_quality_lr",
+    "activity_counts_metrics",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

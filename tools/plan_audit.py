@@ -68,6 +68,11 @@ AUDITED = [
     ("pipeline_corpus_mix", "gate→cap→split→upsample composes map-side; only the per-source totals aggregate exchanges"),
     ("embedding_whiten", "moment arrays shuffle dim²-bounded aggregates; vectors never leave their partition"),
     ("multimodal_image_dhash_jpeg", "pure map stage: Arrow-batched decode, zero exchanges below the fixture generator"),
+    ("embedding_quantize", "array-HOF codegen scan projection — zero exchanges, no UDF"),
+    ("text_quality_lr", "model inference in the scan projection — zero exchanges, no UDF"),
+    ("activity_counts_metrics", "two actor-keyed aggregates + bins-sized prefix sum; broadcast final join"),
+    ("activity_new_metrics", "distinct pairs self-joined one bin apart on the actor key; no windows"),
+    ("multimodal_video_dhash", "pure map stage: RIFF walk + per-frame JPEG decode inside mapInPandas"),
 ]
 
 
