@@ -600,6 +600,16 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(raw: bytes):
+    """Wrapper converting truncation artifacts (IndexError / struct
+    unpack errors from cut-off header segments) into clean ValueErrors.
+    See :func:`_decode_jpeg` for the actual decoder contract."""
+    try:
+        return _decode_jpeg(raw)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated or corrupt JPEG: {exc}") from exc
+
+
+def _decode_jpeg(raw: bytes):
     """Full baseline JPEG decode → (width, height, channels, pixels).
 
     Pixels are interleaved 8-bit row-major (RGB for 3-component YCbCr
@@ -888,8 +898,8 @@ def encode_jpeg(
 
     if channels not in (1, 3):
         raise ValueError("channels must be 1 or 3")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "420", "422"):
+        raise ValueError("subsampling must be '444', '420' or '422'")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer size mismatch")
     a = np.frombuffer(pixels, np.uint8).reshape(height, width, channels)
@@ -916,21 +926,25 @@ def encode_jpeg(
             p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
         )
 
-    sub = subsampling == "420" and channels == 3
+    sub = subsampling in ("420", "422") and channels == 3
     if sub:
-        # 2x2 box-average chroma, padded to even dims first
+        # hy x vy box-average chroma, padded to sampling multiples first
+        hy, vy = (2, 2) if subsampling == "420" else (2, 1)
+
         def down(p):
             pp = np.pad(
                 p,
-                ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                ((0, (-p.shape[0]) % vy), (0, (-p.shape[1]) % hy)),
                 mode="edge",
             )
-            return (
-                pp[0::2, 0::2] + pp[1::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 1::2]
-            ) / 4.0
+            acc = np.zeros((pp.shape[0] // vy, pp.shape[1] // hy))
+            for dy in range(vy):
+                for dx in range(hy):
+                    acc += pp[dy::vy, dx::hy]
+            return acc / (vy * hy)
 
         planes = [planes[0], down(planes[1]), down(planes[2])]
-        samp = [(2, 2), (1, 1), (1, 1)]
+        samp = [(hy, vy), (1, 1), (1, 1)]
     else:
         samp = [(1, 1)] * len(planes)
 
@@ -1015,53 +1029,44 @@ def encode_jpeg(
                     bw_.restart_marker(mcu_i // restart_interval - 1)
                     preds = [0] * nc
     else:
-        # 4:2:0 MCU: 4 Y blocks (2x2) then Cb, Cr
+        # subsampled MCU: vy x hy Y blocks then Cb, Cr
         import numpy as _np
 
-        yq, cbq, crq = None, None, None
+        # luma padded to MCU multiples (8*hy x 8*vy) so every MCU is full
+        p = padded[0]
+        hh = -(-p.shape[0] // (8 * vy)) * (8 * vy)
+        ww = -(-p.shape[1] // (8 * hy)) * (8 * hy)
+        padded[0] = _np.pad(
+            p,
+            ((0, hh - p.shape[0]), (0, ww - p.shape[1])),
+            mode="edge",
+        )
         planes_q = []
         for ci, p in enumerate(padded):
-            hh, ww = p.shape
+            ph_, pw_ = p.shape
             blocks = (
-                p.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+                p.reshape(ph_ // 8, 8, pw_ // 8, 8).transpose(0, 2, 1, 3)
                 - 128.0
             )
             F2 = _np.einsum("ab,ijbc,cd->ijad", T, blocks, T.T)
-            flat = F2.reshape(hh // 8, ww // 8, 64)[:, :, zz]
+            flat = F2.reshape(ph_ // 8, pw_ // 8, 64)[:, :, zz]
             qz_ = q_lum_zz if ci == 0 else q_chr_zz
             planes_q.append(_np.round(flat / qz_).astype(_np.int32))
         yq, cbq, crq = planes_q
-        # luma padded to multiples of 16 so every MCU has 4 Y blocks
-        ybh, ybw = yq.shape[:2]
-        cbh, cbw = cbq.shape[:2]
-        mcus_y, mcus_x = -(-ybh // 2), -(-ybw // 2)
-        if (mcus_y, mcus_x) != (cbh, cbw) or ybh % 2 or ybw % 2:
-            # re-pad luma plane to 16-multiples and redo (rare path)
-            p = padded[0]
-            hh = -(-p.shape[0] // 16) * 16
-            ww = -(-p.shape[1] // 16) * 16
-            p = _np.pad(
-                p,
-                ((0, hh - p.shape[0]), (0, ww - p.shape[1])),
-                mode="edge",
-            )
-            blocks = (
-                p.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
-                - 128.0
-            )
-            F2 = _np.einsum("ab,ijbc,cd->ijad", T, blocks, T.T)
-            flat = F2.reshape(hh // 8, ww // 8, 64)[:, :, zz]
-            yq = _np.round(flat / q_lum_zz).astype(_np.int32)
-            mcus_y, mcus_x = hh // 16, ww // 16
+        mcus_y, mcus_x = hh // (8 * vy), ww // (8 * hy)
         predy = predcb = predcr = 0
         n_mcus = mcus_y * mcus_x
         mcu_i = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):
-                for by, bx in ((0, 0), (0, 1), (1, 0), (1, 1)):
-                    predy = _write_jpeg_block(
-                        bw_, yq[2 * my + by, 2 * mx + bx], (dc_l, ac_l), predy
-                    )
+                for by in range(vy):
+                    for bx in range(hy):
+                        predy = _write_jpeg_block(
+                            bw_,
+                            yq[vy * my + by, hy * mx + bx],
+                            (dc_l, ac_l),
+                            predy,
+                        )
                 predcb = _write_jpeg_block(
                     bw_, cbq[my, mx], (dc_c, ac_c), predcb
                 )

@@ -666,3 +666,48 @@ def test_video_frame_dhash_real(spark):
     }
     assert out[0] == -1 and out[2] == -1, "gradient frames -> all bits"
     assert out[1] == 0 and out[3] == 0, "constant frames -> no bits"
+
+
+def test_jpeg_422_and_color_fuzz():
+    """All three chroma modes round-trip smooth COLOR content closely,
+    with and without restart markers (the 4:2:2 MCU interleave exercises
+    the decoder's general sampling-factor path)."""
+    import numpy as np
+
+    w, h = 61, 37
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    rgb = np.stack(
+        [
+            np.clip(128 + 50 * np.sin(xx / 9.0) + 40 * np.cos(yy / 7.0), 0, 255),
+            np.clip(128 + 60 * np.cos(xx / 11.0), 0, 255),
+            np.clip(128 + 45 * np.sin((xx + yy) / 13.0), 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    for sub in ("444", "420", "422"):
+        for ri in (0, 3):
+            raw = mediacodec.encode_jpeg(
+                w, h, rgb.tobytes(), 3, quality=95,
+                subsampling=sub, restart_interval=ri,
+            )
+            W, H, C, out = mediacodec.decode_jpeg(raw)
+            assert (W, H, C) == (w, h, 3)
+            a = np.frombuffer(out, np.uint8).reshape(h, w, 3).astype(int)
+            err = np.abs(a - rgb.astype(int))
+            assert err.max() <= 20 and err.mean() < 4, (sub, ri)
+
+
+def test_jpeg_truncation_rejected():
+    px = bytes(range(0, 192)) * 8  # 24x16 gray with wraparound... 192*8
+    px = bytes((i * 5) % 256 for i in range(24 * 16))
+    raw = mediacodec.encode_jpeg(24, 16, px, 1, quality=90)
+    # cut inside the entropy stream: decode must not crash or hang;
+    # either a clean ValueError or a (wrong but bounded) partial decode
+    for cut in (len(raw) // 2, len(raw) - 10):
+        try:
+            mediacodec.decode_jpeg(raw[:cut])
+        except ValueError:
+            pass
+    # cut inside the HEADERS must raise cleanly
+    with pytest.raises(ValueError):
+        mediacodec.decode_jpeg(raw[:20])
