@@ -1988,13 +1988,26 @@ def _q_kql_series_arith(spark, sf):
 
 
 def _q_kql_hll_merge(spark, sf):
-    """hll / hll_merge / dcount_hll — mergeable sketch rollup (no SQL
-    oracle: Datasketches HLL internals aren't replayable in DuckDB; the
-    driver records the rows-only check)."""
+    """hll / hll_merge / dcount_hll — mergeable sketch rollup, verified
+    through a predictive invariant (the whiten-probe pattern): the
+    sketch bytes aren't DuckDB-replayable, but (a) the EXACT distinct
+    count is, and (b) Datasketches HLL at default lgK has ~1.6% relative
+    standard error, so the merged estimate landing within 5% of exact is
+    a deterministic property at this scale — emitted as a boolean the
+    oracle predicts true. Exactness is hash-checked, sketch quality is
+    property-checked."""
     e = load_table(spark, sf, "events")
     per_type = e.groupBy("event_type").agg(kql.hll("user_id").alias("sketch"))
-    return per_type.agg(
-        kql.dcount_hll(kql.hll_merge("sketch")).alias("est_users")
+    est = per_type.agg(
+        kql.dcount_hll(kql.hll_merge("sketch")).alias("_est")
+    )
+    exact = e.agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    return exact.crossJoin(est).select(
+        "exact_users",
+        (
+            F.abs(F.col("_est").cast("double") / F.col("exact_users") - 1.0)
+            < 0.05
+        ).alias("hll_within_5pct"),
     )
 
 
@@ -2151,7 +2164,11 @@ def _q_ann_recall_ivf(spark, sf):
     Config from the round-5 sweep (cells, iters, nprobe over 8 combos):
     16 cells / 8 iters / nprobe 6 → trained 0.69, lowest-id 0.62 at
     sf0.01 — past the 0.6 bar with the trained cells still clearly ahead.
-    Rows-only check (k-means is not SQL-expressible; no oracle entry)."""
+    Driver-checkable via the predictive-invariant pattern: the k-means
+    recall VALUE is not SQL-expressible, but both variants clearing the
+    0.55 floor is a deterministic property of the seeded run at the
+    driver's sf, emitted as a boolean the oracle predicts true (raw
+    recalls stay pinned in tests/test_similarity.py)."""
     from kusto_pre_forge_spark.operators import similarity
 
     emb = load_table(spark, sf, "embeddings")
@@ -2178,8 +2195,12 @@ def _q_ann_recall_ivf(spark, sf):
         mean_recall(trained, "ivf_kmeans")
         .unionByName(mean_recall(baseline, "ivf_lowest_id"))
         .groupBy("variant")
-        .agg(F.avg("r").alias("recall_at_10"))
-        .withColumn("config", F.lit("n_cells=16,n_iters=8,nprobe=6"))
+        .agg(F.avg("r").alias("_recall"))
+        .select(
+            "variant",
+            (F.col("_recall") >= 0.55).alias("recall_floor_ok"),
+            F.lit("n_cells=16,n_iters=8,nprobe=6").alias("config"),
+        )
         .orderBy("variant")
     )
 
@@ -6055,6 +6076,19 @@ def oracle_sql() -> dict[str, str]:
             "+ 3.0 * stopword_ratio + (-1.0) * upper_ratio AS z FROM r) "
             "SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS lr_score, "
             "1.0 / (1.0 + exp(-z)) >= 0.5 AS keep FROM z"
+        ),
+        "ann_recall_ivf": (
+            # predictive invariant: both IVF variants clear the 0.55
+            # recall floor deterministically at the driver's sf
+            "SELECT v AS variant, TRUE AS recall_floor_ok, "
+            "'n_cells=16,n_iters=8,nprobe=6' AS config "
+            "FROM (VALUES ('ivf_kmeans'), ('ivf_lowest_id')) t(v) ORDER BY v"
+        ),
+        "kql_hll_merge": (
+            # predictive invariant: exact dcount hash-checked; the merged
+            # HLL estimate within 5% of exact (sketch RSE ~1.6%) -> true
+            "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, "
+            "TRUE AS hll_within_5pct FROM events"
         ),
         "kql_series_suite2": (
             # same dense click/view hourly series as kql_series_arith;
