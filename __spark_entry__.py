@@ -2011,6 +2011,28 @@ def _q_kql_hll_merge(spark, sf):
     )
 
 
+def _q_kql_tdigest(spark, sf):
+    """percentile_tdigest — the mergeable approximate-percentile rollup,
+    verified like kql_hll_merge: the EXACT per-group median is
+    hash-checked; the sketch estimate landing within 1% of exact is a
+    deterministic property at accuracy 10000 and emitted as a boolean
+    the oracle predicts true."""
+    e = load_table(spark, sf, "events")
+    per = e.groupBy("event_type").agg(
+        kql.percentile_tdigest(F.col("value"), 0.5).alias("_approx"),
+        F.expr(
+            "percentile(value, 0.5)"
+        ).alias("_exact"),
+    )
+    return per.select(
+        "event_type",
+        F.round(F.col("_exact"), 6).alias("exact_p50"),
+        (
+            F.abs(F.col("_approx") / F.col("_exact") - 1.0) < 0.01
+        ).alias("tdigest_within_1pct"),
+    ).orderBy("event_type")
+
+
 def _q_kql_partition_apply(spark, sf):
     """KQL partition by lang (top 2 by n_chars) — applyInPandas escape
     hatch, Arrow-batched per-key subquery."""
@@ -3775,6 +3797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_series_suite2": _q_kql_series_suite2,
         "kql_pivot": _q_kql_pivot,
         "kql_hll_merge": _q_kql_hll_merge,
+        "kql_tdigest": _q_kql_tdigest,
         "kql_partition_apply": _q_kql_partition_apply,
         "kql_facet": _q_kql_facet,
         "kql_externaldata": _q_kql_externaldata,
@@ -6083,6 +6106,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT v AS variant, TRUE AS recall_floor_ok, "
             "'n_cells=16,n_iters=8,nprobe=6' AS config "
             "FROM (VALUES ('ivf_kmeans'), ('ivf_lowest_id')) t(v) ORDER BY v"
+        ),
+        "kql_tdigest": (
+            # exact per-group p50 hash-checked (DuckDB quantile_cont ==
+            # Spark percentile, both interpolate); sketch within 1% -> true
+            "SELECT event_type, "
+            "round(quantile_cont(value, 0.5), 6) AS exact_p50, "
+            "TRUE AS tdigest_within_1pct "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "kql_hll_merge": (
             # predictive invariant: exact dcount hash-checked; the merged

@@ -869,6 +869,24 @@ def dcount_hll(col: Column | str) -> Column:
     return F.hll_sketch_estimate(_c(col))
 
 
+def percentile_tdigest(
+    col: Column | str, p: float, accuracy: int = 10000
+) -> Column:
+    """KQL ``percentile_tdigest`` family — approximate percentile with
+    sketch-grade accuracy, the percentile analogue of :func:`hll`.
+
+    Spark's ``percentile_approx`` runs the same mergeable-summary
+    pattern internally (partial sketches per partition, one merge at the
+    aggregate — the 100 TB rollup shape KQL's ``tdigest``/
+    ``merge_tdigest`` expresses explicitly), so the KQL surface maps to
+    one built-in aggregate; ``accuracy`` is the 1/error knob (10000 →
+    worst-case rank error 1/10000·N). Sketch BYTES are not exposed —
+    rollups re-aggregate from the same pre-partitioned input, which at
+    this accuracy costs one extra pass, not a raw re-scan.
+    """
+    return F.percentile_approx(_c(col), F.lit(float(p)), F.lit(int(accuracy)))
+
+
 def bin_at(col: Column | str, interval: str, fixed_point: str) -> Column:
     """KQL ``bin_at(value, binSize, fixedPoint)`` — bins aligned to an
     arbitrary anchor rather than the epoch. Pure timestamp arithmetic:

@@ -1495,3 +1495,13 @@ def test_pivot_kql_semantics(spark):
     out2 = kql.pivot_kql(df, "p", "v", group_cols=["g"], values=["y", "x", "z"])
     assert out2.columns == ["g", "y", "x", "z"]
     assert {r.g: r.z for r in out2.collect()} == {"a": None, "b": None}
+
+
+def test_percentile_tdigest_accuracy(spark):
+    df = spark.range(10001).select(F.col("id").cast("double").alias("v"))
+    r = df.agg(
+        kql.percentile_tdigest("v", 0.5).alias("p50"),
+        kql.percentile_tdigest("v", 0.99).alias("p99"),
+    ).first()
+    assert abs(r.p50 - 5000.0) <= 5, "rank error bounded by N/accuracy"
+    assert abs(r.p99 - 9900.0) <= 5
