@@ -2033,6 +2033,47 @@ def _q_kql_tdigest(spark, sf):
     ).orderBy("event_type")
 
 
+def _q_kql_parse_kv(spark, sf):
+    """parse-kv over a kv-rendered events line (quoted value carries the
+    pair delimiter); the oracle predicts every extracted field straight
+    from the source columns."""
+    e = load_table(spark, sf, "events").filter(F.col("event_id") < 2000)
+    s = F.concat(
+        F.lit("id="), F.col("event_id").cast("string"),
+        F.lit(' type="'), F.col("event_type"), F.lit(" x"),
+        F.lit('" v='), F.round(F.col("value"), 3).cast("string"),
+    )
+    kv = kql.parse_kv(s, ["id", "type", "v", "missing"])
+    return e.select(
+        "event_id",
+        kv.getField("id").alias("kv_id"),
+        kv.getField("type").alias("kv_type"),
+        kv.getField("v").alias("kv_v"),
+        kv.getField("missing").alias("kv_missing"),
+    )
+
+
+def _q_kql_punycode(spark, sf):
+    """punycode encode/decode + IDNA domain form — ground-truth-vector
+    predictive oracle (the ipv6-suite pattern): fixture labels rotate by
+    doc_id, expected outputs are public RFC 3492 vectors."""
+    labels = ["münchen", "bücher", "españa", "café", "plain", "北京"]
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    lab = F.element_at(
+        F.array(*[F.lit(x) for x in labels]),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    enc = kql.punycode_from_string(lab)
+    return d.select(
+        "doc_id",
+        enc.alias("puny"),
+        kql.punycode_to_string(enc).alias("back"),
+        kql.punycode_domain_from_string(
+            F.concat(lab, F.lit(".example.com"))
+        ).alias("domain"),
+    )
+
+
 def _q_kql_partition_apply(spark, sf):
     """KQL partition by lang (top 2 by n_chars) — applyInPandas escape
     hatch, Arrow-batched per-key subquery."""
@@ -3798,6 +3839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_pivot": _q_kql_pivot,
         "kql_hll_merge": _q_kql_hll_merge,
         "kql_tdigest": _q_kql_tdigest,
+        "kql_parse_kv": _q_kql_parse_kv,
+        "kql_punycode": _q_kql_punycode,
         "kql_partition_apply": _q_kql_partition_apply,
         "kql_facet": _q_kql_facet,
         "kql_externaldata": _q_kql_externaldata,
@@ -6106,6 +6149,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT v AS variant, TRUE AS recall_floor_ok, "
             "'n_cells=16,n_iters=8,nprobe=6' AS config "
             "FROM (VALUES ('ivf_kmeans'), ('ivf_lowest_id')) t(v) ORDER BY v"
+        ),
+        "kql_parse_kv": (
+            "SELECT event_id, CAST(event_id AS VARCHAR) AS kv_id, "
+            "event_type || ' x' AS kv_type, "
+            "CAST(round(value, 3) AS VARCHAR) AS kv_v, "
+            "CAST(NULL AS VARCHAR) AS kv_missing "
+            "FROM events WHERE event_id < 2000"
+        ),
+        "kql_punycode": (
+            # RFC 3492 ground-truth vectors for the rotating fixture labels
+            "SELECT doc_id, "
+            "CASE doc_id % 6 WHEN 0 THEN 'mnchen-3ya' WHEN 1 THEN 'bcher-kva' "
+            "WHEN 2 THEN 'espaa-rta' WHEN 3 THEN 'caf-dma' "
+            "WHEN 4 THEN 'plain-' ELSE '1lq90i' END AS puny, "
+            "CASE doc_id % 6 WHEN 0 THEN 'münchen' WHEN 1 THEN 'bücher' "
+            "WHEN 2 THEN 'españa' WHEN 3 THEN 'café' "
+            "WHEN 4 THEN 'plain' ELSE '北京' END AS back, "
+            "CASE doc_id % 6 WHEN 0 THEN 'xn--mnchen-3ya.example.com' "
+            "WHEN 1 THEN 'xn--bcher-kva.example.com' "
+            "WHEN 2 THEN 'xn--espaa-rta.example.com' "
+            "WHEN 3 THEN 'xn--caf-dma.example.com' "
+            "WHEN 4 THEN 'plain.example.com' "
+            "ELSE 'xn--1lq90i.example.com' END AS domain "
+            "FROM documents WHERE doc_id < 120"
         ),
         "kql_tdigest": (
             # exact per-group p50 hash-checked (DuckDB quantile_cont ==

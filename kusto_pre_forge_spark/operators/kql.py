@@ -4338,3 +4338,91 @@ def series_fill_const(col: Column | str, value: float = 0.0) -> Column:
     return F.transform(
         _c(col), lambda x: F.coalesce(x.cast("double"), F.lit(float(value)))
     )
+
+
+def parse_kv(
+    col: Column | str,
+    keys: list[str],
+    pair_delimiter: str = " ",
+    kv_delimiter: str = "=",
+    quote: str = '"',
+) -> Column:
+    """KQL ``parse-kv`` — extract the given keys from a delimited
+    key-value text (``k1=v1 k2="quoted v" …``) as a struct, one regexp
+    per key compiled at plan build (codegen, no UDF, no map
+    materialization). Quoted values may contain the pair delimiter;
+    missing keys yield NULL fields — both per KQL.
+    """
+    import re as _re
+
+    c = _c(col)
+    pd_, kd, q = _re.escape(pair_delimiter), _re.escape(kv_delimiter), _re.escape(quote)
+    fields = []
+    for k in keys:
+        kq = _re.escape(k)
+        # quoted alternative first so a quoted value wins over the bare
+        # scan stopping at the first pair delimiter
+        pat = (
+            f"(?:^|{pd_}){kq}{kd}(?:{q}([^{q}]*){q}|([^{pd_}]*))"
+        )
+        quoted = F.regexp_extract(c, pat, 1)
+        bare = F.regexp_extract(c, pat, 2)
+        present = c.rlike(pat)
+        val = F.when(~present, F.lit(None).cast("string")).otherwise(
+            F.when(quoted != "", quoted).otherwise(bare)
+        )
+        fields.append(val.alias(k))
+    return F.struct(*fields)
+
+
+def punycode_from_string(col: Column | str) -> Column:
+    """KQL ``punycode_from_string`` — encode a Unicode label to its
+    punycode form (RFC 3492). Arrow-batched pandas_udf over Python's
+    stdlib ``punycode`` codec (no JVM scalar exists); NULL for
+    unencodable input, per KQL's null-for-error convention."""
+    from kusto_pre_forge_spark.operators.textprep import _text_udf
+
+    def enc(s: str):
+        try:
+            return s.encode("punycode").decode("ascii")
+        except Exception:
+            return None
+
+    return _text_udf(enc, "punycode_from_string")(_c(col))
+
+
+def punycode_to_string(col: Column | str) -> Column:
+    """KQL ``punycode_to_string`` — decode a punycode label; NULL for
+    malformed input."""
+    from kusto_pre_forge_spark.operators.textprep import _text_udf
+
+    def dec(s: str):
+        try:
+            return s.encode("ascii").decode("punycode")
+        except Exception:
+            return None
+
+    return _text_udf(dec, "punycode_to_string")(_c(col))
+
+
+def punycode_domain_from_string(col: Column | str) -> Column:
+    """KQL ``punycode_domain_from_string`` — IDNA-encode a full domain:
+    each dot-separated label becomes ``xn--<punycode>`` when non-ASCII,
+    stays verbatim otherwise (the RFC 5890 ACE form browsers show)."""
+    from kusto_pre_forge_spark.operators.textprep import _text_udf
+
+    def enc(s: str):
+        try:
+            out = []
+            for label in s.split("."):
+                if label.isascii():
+                    out.append(label)
+                else:
+                    out.append(
+                        "xn--" + label.encode("punycode").decode("ascii")
+                    )
+            return ".".join(out)
+        except Exception:
+            return None
+
+    return _text_udf(enc, "punycode_domain_from_string")(_c(col))

@@ -1505,3 +1505,37 @@ def test_percentile_tdigest_accuracy(spark):
     ).first()
     assert abs(r.p50 - 5000.0) <= 5, "rank error bounded by N/accuracy"
     assert abs(r.p99 - 9900.0) <= 5
+
+
+def test_parse_kv_semantics(spark):
+    df = spark.sql(
+        "SELECT 'ts=2024 msg=\"disk full now\" level=warn' AS s"
+    )
+    r = df.select(
+        kql.parse_kv("s", ["ts", "msg", "level", "absent"]).alias("kv")
+    ).first()
+    assert r.kv.ts == "2024"
+    assert r.kv.msg == "disk full now", "quoted value keeps the delimiter"
+    assert r.kv.level == "warn"
+    assert r.kv.absent is None, "missing key -> NULL"
+
+
+def test_punycode_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("münchen",), ("bücher",), ("plain",), ("",)], "s string"
+    )
+    out = df.select(
+        "s",
+        kql.punycode_from_string("s").alias("enc"),
+    ).withColumn("back", kql.punycode_to_string(F.col("enc")))
+    rows = {r.s: r for r in out.collect()}
+    assert rows["münchen"].enc == "mnchen-3ya"
+    assert rows["münchen"].back == "münchen"
+    assert rows["bücher"].back == "bücher"
+    assert rows["plain"].enc == "plain-"
+    dom = df.select(
+        kql.punycode_domain_from_string(F.lit("münchen.example.com")).alias("d")
+    ).first()
+    assert dom.d == "xn--mnchen-3ya.example.com"
+    bad = df.select(kql.punycode_to_string(F.lit("münchen")).alias("x")).first()
+    assert bad.x is None, "non-ascii punycode input -> NULL"
