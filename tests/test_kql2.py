@@ -1539,3 +1539,40 @@ def test_punycode_roundtrip(spark):
     assert dom.d == "xn--mnchen-3ya.example.com"
     bad = df.select(kql.punycode_to_string(F.lit("münchen")).alias("x")).first()
     assert bad.x is None, "non-ascii punycode input -> NULL"
+
+
+def test_parse_kv_edges(spark):
+    df = spark.sql("SELECT 'tid=9 id=5 empty= last=end' AS s")
+    r = df.select(
+        kql.parse_kv("s", ["id", "tid", "empty", "last"]).alias("kv")
+    ).first()
+    assert r.kv.id == "5", "key must not match inside a longer key (tid)"
+    assert r.kv.tid == "9"
+    assert r.kv.empty == "", "k= with nothing before delimiter -> empty"
+    assert r.kv.last == "end", "value at end of string"
+
+
+def test_pivot_kql_null_pivot_values(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", None, 9.0), ("b", "x", 2.0)],
+        "g string, p string, v double",
+    )
+    out = kql.pivot_kql(df, "p", "v", group_cols=["g"])
+    assert out.columns == ["g", "x"], "NULL pivot values are not columns"
+    rows = {r.g: r.x for r in out.collect()}
+    assert rows == {"a": 1.0, "b": 2.0}
+
+
+def test_punycode_edge_labels(spark):
+    r = (
+        spark.range(1)
+        .select(
+            kql.punycode_domain_from_string(F.lit("all.ascii.com")).alias("a"),
+            kql.punycode_from_string(F.lit("")).alias("e"),
+            kql.punycode_domain_from_string(F.lit("")).alias("ed"),
+        )
+        .first()
+    )
+    assert r.a == "all.ascii.com", "pure-ASCII domains pass through"
+    assert r.e == "" or r.e == "-"
+    assert r.ed == ""
