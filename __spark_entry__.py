@@ -2540,6 +2540,54 @@ def _q_multimodal_video_dhash(spark, sf):
     )
 
 
+def _q_multimodal_dedup_pairs(spark, sf):
+    """END-TO-END image near-dup pairs: real PNG fixtures → image_dhash →
+    generic pigeonhole-banded hamming_pairs. Three analytic hash classes
+    by doc_id % 3 — full gradient (−1), gradient with a flat tail byte
+    (0xFE per row), constant (0) — pairwise distances 0 within a class
+    and ≥ 8 across classes, so the oracle predicts the pair set exactly:
+    all same-class (a < b) pairs at distance 0."""
+    from kusto_pre_forge_spark.operators import multimodal
+    from kusto_pre_forge_spark.operators.dedup import hamming_pairs
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id")
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        from kusto_pre_forge_spark.operators import mediacodec
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 18, 8
+                cls = i % 3
+                if cls == 0:
+                    row = bytes(x * 14 for x in range(w))
+                elif cls == 1:
+                    # increasing through sampled col 14, flat tail: the
+                    # last sampled pair (x=14 vs x=16) compares equal
+                    row = bytes(
+                        (x * 14 if x <= 15 else 14 * 14) for x in range(w)
+                    )
+                else:
+                    row = bytes([123]) * w
+                blobs.append(mediacodec.encode_png(w, h, row * h, 1))
+                ids.append(i)
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    hashes = multimodal.image_dhash(blobs).select("doc_id", "dhash")
+    return hamming_pairs(hashes, "dhash", "doc_id", max_hamming=3).select(
+        "id_a", "id_b", "distance"
+    )
+
+
 def _q_multimodal_frame_plan(spark, sf):
     """Frame-sampling plan from REAL MP4 metadata: fixtures encode a known
     mvhd duration (doc_id-derived), the operator parses the actual boxes
@@ -3866,6 +3914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_dhash_jpeg": _q_multimodal_image_dhash_jpeg,
         "multimodal_image_dhash_gif": _q_multimodal_image_dhash_gif,
         "multimodal_video_dhash": _q_multimodal_video_dhash,
+        "multimodal_dedup_pairs": _q_multimodal_dedup_pairs,
         "multimodal_audio_fp": _q_multimodal_audio_fp,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
     }
@@ -6431,6 +6480,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE 0 END AS BIGINT) AS dhash, "
             "CAST(18 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height "
             "FROM documents WHERE doc_id < 80"
+        ),
+        "multimodal_dedup_pairs": (
+            # pair set predicted from the fixture classes: same class ->
+            # identical hash -> distance 0; cross-class distances >= 8
+            "WITH d AS (SELECT doc_id, doc_id % 3 AS cls FROM documents "
+            "WHERE doc_id < 60) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(0 AS INT) AS distance "
+            "FROM d a JOIN d b ON b.cls = a.cls AND b.doc_id > a.doc_id"
         ),
         "multimodal_video_dhash": (
             # fixture rule: frame (doc+frame) even -> gradient -> -1,

@@ -1031,3 +1031,73 @@ def incremental_dedup_accept(
         .select(F.col("id").alias(id_col))
     )
     return new_df.join(drops, id_col, "left_anti")
+
+
+def hamming_pairs(
+    df: DataFrame,
+    fp_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    n_bits: int = 64,
+    pin_mode: str = "persist",
+) -> DataFrame:
+    """Near-dup pairs over a PRECOMPUTED n-bit fingerprint column — the
+    generic pigeonhole-banded sibling of :func:`simhash_pairs` for
+    perceptual hashes the caller already has (image dHash, audio energy
+    fingerprint, per-frame video hashes).
+
+    Any pair within Hamming distance ``chunks − 1`` shares at least one
+    exact chunk (pigeonhole), so the candidate join is a hash equi-join
+    on (chunk_index, chunk_value) — never all-pairs; exact
+    ``bit_count(xor)`` verifies. Negative longs (dHash packs into a
+    signed 64-bit) are safe: the chunk mask keeps only the low bits, so
+    arithmetic sign-extension never reaches a join key. Returns
+    (id_a < id_b, distance).
+    """
+    if chunks <= max_hamming:
+        raise ValueError("need chunks > max_hamming for recall completeness")
+    bits_per = n_bits // chunks
+    mask = (1 << bits_per) - 1
+    fp = pin(
+        df.select(
+            F.col(id_col).alias("_id"), F.col(fp_col).cast("long").alias("_fp")
+        ),
+        pin_mode,
+    )
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("ci"),
+            F.shiftright(F.col("_fp"), i * bits_per)
+            .bitwiseAND(mask)
+            .alias("cv"),
+        )
+        for i in range(chunks)
+    ]
+    chunked = fp.select(
+        "_id", "_fp", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("_id", "_fp", "c.ci", "c.cv")
+    l, r = chunked.alias("l"), chunked.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.ci") == F.col("r.ci"))
+            & (F.col("l.cv") == F.col("r.cv"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._fp").alias("fp_a"),
+            F.col("r._fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "distance",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int"),
+        )
+        .filter(F.col("distance") <= max_hamming)
+        .select("id_a", "id_b", "distance")
+    )

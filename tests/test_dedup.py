@@ -318,3 +318,26 @@ def test_edit_distance_pairs_banding(spark):
     df2 = spark.createDataFrame(rows2, "doc_id long, s string")
     out2 = {(r.id_a, r.id_b): r.distance for r in edit_distance_pairs(df2, "s", "doc_id", 2).collect()}
     assert out2 == {(1, 2): 2}
+
+
+def test_hamming_pairs_generic(spark):
+    from kusto_pre_forge_spark.operators.dedup import hamming_pairs
+
+    rows = [
+        (1, -1),                 # all 64 bits set
+        (2, -1 ^ 0b101),         # 2 bits flipped from doc 1
+        (3, 0),                  # all clear
+        (4, 0b1),                # 1 bit from doc 3
+        (5, 0x0F0F0F0F0F0F0F0F), # far from everything
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, fp long")
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in hamming_pairs(df, "fp", "doc_id", max_hamming=3).collect()
+    }
+    assert got == {(1, 2): 2, (3, 4): 1}, got
+    # chunks must exceed max_hamming (pigeonhole completeness)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        hamming_pairs(df, "fp", "doc_id", max_hamming=4, chunks=4)
