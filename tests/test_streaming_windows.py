@@ -227,3 +227,19 @@ def test_streaming_zscore_state_across_batches(spark, tmp_path):
     assert 52 in rows, "state carried into the second micro-batch"
     assert rows[52].anomalies == 1, "only the 999 spike flags"
     assert rows[52].max_abs_z > 100
+
+
+def test_session_window_stats_custom_value_col(spark):
+    from kusto_pre_forge_spark.streaming.windows import session_window_stats
+
+    df = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 10:00:00", 3.0),
+            ("u1", "2024-01-01 10:10:00", 4.0),
+        ],
+        "user_id string, ts string, amount double",
+    )
+    r = session_window_stats(
+        df, "user_id", "ts", gap="30 minutes", value_col="amount"
+    ).first()
+    assert r.n_events == 2 and r.total_value == 7.0
