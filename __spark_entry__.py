@@ -4968,22 +4968,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WHERE event_id < 400"
         ),
         "dedup_edit_distance": (
-            # replays the pigeonhole candidate rule (floor-split segments)
-            # and the levenshtein verify exactly
+            # the segment-vs-window banding is COMPLETE for all edit
+            # kinds, so the oracle is the brute-force lev<=k pair set —
+            # a strictly stronger check than replaying the candidate rule
             "WITH t AS (SELECT doc_id, concat('title-', "
             "CAST(doc_id // 2 AS VARCHAR), "
             "CASE WHEN doc_id % 2 = 0 THEN '-alpha' ELSE '-alphb' END) AS s "
-            "FROM documents WHERE doc_id < 100), "
-            "b AS (SELECT doc_id, s, i AS si, "
-            "substr(s, CAST(floor(i * length(s) / 2.0) AS INTEGER) + 1, "
-            "CAST(floor((i + 1) * length(s) / 2.0) AS INTEGER) "
-            "- CAST(floor(i * length(s) / 2.0) AS INTEGER)) AS sv "
-            "FROM t, unnest(range(0, 2)) AS u(i)), "
-            "c AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, "
-            "l.s AS ta, r.s AS tb FROM b l JOIN b r "
-            "ON l.si = r.si AND l.sv = r.sv AND l.doc_id < r.doc_id) "
-            "SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS distance "
-            "FROM c WHERE levenshtein(ta, tb) <= 1"
+            "FROM documents WHERE doc_id < 100) "
+            "SELECT l.doc_id AS id_a, r.doc_id AS id_b, "
+            "CAST(levenshtein(l.s, r.s) AS BIGINT) AS distance "
+            "FROM t l JOIN t r ON l.doc_id < r.doc_id "
+            "WHERE levenshtein(l.s, r.s) <= 1"
         ),
         "interval_overlap": (
             "WITH c AS (SELECT user_id, event_id AS click_id, "

@@ -235,21 +235,48 @@ def _mh_band_keys(base: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     ).select("_id", "bk.band", "bk.key")
 
 
-def _mh_hot_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
-    """Over-cap (band, key) buckets — the hot-bucket valve's drop set: a
-    band bucket holding k docs contributes k·(k-1)/2 candidate rows, so
-    ONE boilerplate template shared by 1% of a 100 TB corpus makes a
-    bucket quadratic. The aggregate is tiny relative to the corpus and
-    capping bounds every bucket's candidate contribution to
+def _hot_buckets(
+    keyed: DataFrame, key_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Over-cap buckets on ``key_cols`` — the shared hot-bucket valve's
+    drop set: a bucket holding k rows contributes k·(k-1)/2 candidate
+    rows to a pair self-join, so ONE degenerate key (boilerplate LSH
+    band, all-zero dHash from blank images) shared by 1% of a 100 TB
+    corpus makes the join quadratic. The aggregate is tiny relative to
+    the corpus and capping bounds every bucket's contribution to
     max_bucket_size²/2. (No broadcast hint on the consuming anti-join:
     the over-cap set is usually tiny but corpus-dependent — AQE picks
     broadcast vs shuffle at runtime.)"""
     return (
-        banded.groupBy("band", "key")
+        keyed.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > max_bucket_size)
-        .select("band", "key")
+        .select(*key_cols)
     )
+
+
+def _apply_hot_bucket_valve(
+    keyed: DataFrame,
+    key_cols: list[str],
+    max_bucket_size: int | None,
+    journal=None,
+    counter: str = "HotBucketsDropped",
+) -> DataFrame:
+    """Anti-join the over-cap buckets away; when a ``PerfJournal`` is
+    given, record the dropped-bucket count (one tiny aggregate job, one
+    row of driver traffic — the same bounded pattern as the CC round
+    checksum)."""
+    if max_bucket_size is None:
+        return keyed
+    hot = _hot_buckets(keyed, key_cols, max_bucket_size)
+    if journal is not None:
+        journal.add_reading(counter, hot.count())
+    return keyed.join(hot, key_cols, "left_anti")
+
+
+def _mh_hot_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Over-cap (band, key) MinHash-LSH buckets — see :func:`_hot_buckets`."""
+    return _hot_buckets(banded, ["band", "key"], max_bucket_size)
 
 
 def _mh_sig_prefilter(
@@ -532,6 +559,8 @@ def simhash_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     pin_mode: str = "persist",
+    max_bucket_size: int | None = None,
+    journal=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -539,6 +568,15 @@ def simhash_pairs(
     into ``chunks`` pieces; any pair within distance ``chunks - 1`` shares
     at least one exact chunk, so the join key is (chunk_index, chunk_value)
     — never a cross join. Exact Hamming verify via bit_count(xor).
+
+    ``max_bucket_size`` is the hot-bucket valve (same pattern as
+    ``minhash_lsh_pairs``): a degenerate fingerprint — e.g. the all-zero
+    SimHash of trivially short/empty text, extremely common in crawl
+    data — puts k docs in one (chunk, value) bucket and k²/2 rows into
+    the self-join. Over-cap buckets are dropped from the join (such docs
+    are near-identical blobs that exact dedup handles more cheaply);
+    the drop count lands in ``journal`` when given. ``None`` = exact
+    banding (the oracle-checked configuration).
     """
     bits_per = 60 // chunks
     # fingerprints feed BOTH sides of the chunk self-join; without pinning,
@@ -558,6 +596,9 @@ def simhash_pairs(
     chunked = fp.select(
         "_id", "_fp", F.explode(F.array(*chunk_structs)).alias("c")
     ).select("_id", "_fp", "c.ci", "c.cv")
+    chunked = _apply_hot_bucket_valve(
+        chunked, ["ci", "cv"], max_bucket_size, journal, "SimHashPairs.HotBucketsDropped"
+    )
 
     l, r = chunked.alias("l"), chunked.alias("r")
     cand = (
@@ -910,56 +951,101 @@ def edit_distance_pairs(
     (titles, names, URLs) member of the dedup family, where shingle/
     minhash granularity is too coarse.
 
-    Candidate generation is the pigeonhole segment band: split each
-    string into ``max_distance+1`` even segments; two strings within
-    distance k must agree on at least one segment INDEX with identical
-    text **at the same split position** — provided their lengths are
-    close (checked in the verify). The join therefore ships
-    (segment_idx, segment_text) keys, never all pairs; candidates are
-    verified with exact ``levenshtein``. Candidate rule and verify are
-    both engine-replayable (DuckDB: substr arithmetic + levenshtein).
-
-    Contract note: even-split banding is complete for SUBSTITUTION edits
-    (equal lengths) and may miss insert/delete pairs whose alignment
-    shifts every segment — the documented trade for a bounded join key
-    (full PassJoin position windows would close it at ~3× key volume).
+    Candidate generation is PassJoin-style segment-vs-window banding
+    (Li et al., VLDB'11 pigeonhole): split each string into
+    ``max_distance+1`` even segments; in any pair within distance k, at
+    least one of A's segments survives every edit untouched, appearing
+    VERBATIM in B shifted by at most k positions (the net indel offset).
+    One side therefore emits its own (segment_idx, own_length, segment)
+    keys; the other emits, per segment index, the substrings B holds at
+    the segment boundaries of every candidate source length
+    ``len(B)±k`` shifted by every offset in ``[-k, +k]`` — COMPLETE for
+    insertions, deletions and substitutions alike, at
+    ``(k+1)·(2k+1)²`` window keys per row (k is 1-2 for title/URL dedup,
+    so ≤ 18-75 short keys — still a bounded hash equi-join, never
+    all-pairs; the length component of the key doubles as the
+    ``|len(A)-len(B)| ≤ k`` filter). Candidates are verified with exact
+    ``levenshtein``. Empty segments (strings shorter than k+1) keep
+    their empty window keys: such strings are within k edits of any
+    equally tiny string, and dropping the empty band would miss them.
+    Candidate rule and verify are engine-replayable (DuckDB: substr
+    arithmetic + levenshtein); completeness means the net result equals
+    the brute-force ``lev ≤ k`` pair set.
     """
     k = max_distance
     n_seg = k + 1
     t = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
 
-    def segs(col: Column) -> Column:
-        ln = F.length(col)
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(n_seg - 1)),
-            lambda i: F.struct(
-                i.alias("si"),
-                F.substring(
-                    col,
-                    (i * ln / n_seg).cast("int") + 1,
-                    ((i + 1) * ln / n_seg).cast("int")
-                    - (i * ln / n_seg).cast("int"),
-                ).alias("sv"),
-            ),
-        )
+    def seg_start(i: int, ln: Column) -> Column:
+        return (F.lit(i) * ln / n_seg).cast("int")
 
-    b = t.select("_id", "_t", F.explode(segs(F.col("_t"))).alias("_s"))
-    l, r = b.alias("l"), b.alias("r")
+    def seg_len(i: int, ln: Column) -> Column:
+        return seg_start(i + 1, ln) - seg_start(i, ln)
+
+    ln = F.length(F.col("_t"))
+    # segment side: this row's own even split, keyed by its own length
+    seg_structs = [
+        F.struct(
+            F.lit(i).alias("si"),
+            ln.alias("la"),
+            F.substring(F.col("_t"), seg_start(i, ln) + 1, seg_len(i, ln)).alias("sv"),
+        )
+        for i in range(n_seg)
+    ]
+    seg_side = t.select(
+        "_id", "_t", F.explode(F.array(*seg_structs)).alias("_s")
+    ).select("_id", "_t", "_s.si", "_s.la", "_s.sv")
+
+    # window side: substrings at the segment boundaries of every source
+    # length within ±k, shifted by every indel offset within ±k
+    win_structs = []
+    for i in range(n_seg):
+        for delta in range(-k, k + 1):
+            la = ln + delta  # candidate source length
+            for d in range(-k, k + 1):
+                start = seg_start(i, la) + 1 + d
+                win_structs.append(
+                    F.struct(
+                        F.lit(i).alias("si"),
+                        la.alias("la"),
+                        F.substring(F.col("_t"), start, seg_len(i, la)).alias("sv"),
+                        start.alias("_st"),
+                        seg_len(i, la).alias("_sl"),
+                    )
+                )
+    wins = F.filter(
+        F.array_distinct(F.array(*win_structs)),
+        # valid window: source length sane, start in range, window fully
+        # inside the string (a true occurrence always is; truncated
+        # substrings can never equal a full-length segment anyway)
+        lambda w: (w["la"] >= 0)
+        & (w["_st"] >= 1)
+        & (w["_st"] + w["_sl"] - 1 <= F.length(F.col("_t"))),
+    )
+    win_side = t.select("_id", "_t", F.explode(wins).alias("_w")).select(
+        "_id", "_t", "_w.si", "_w.la", "_w.sv"
+    )
+
+    l, r = seg_side.alias("l"), win_side.alias("r")
     cand = (
         l.join(
             r,
-            (F.col("l._s") == F.col("r._s")) & (F.col("l._id") < F.col("r._id")),
+            (F.col("l.si") == F.col("r.si"))
+            & (F.col("l.la") == F.col("r.la"))
+            & (F.col("l.sv") == F.col("r.sv"))
+            & (F.col("l._id") != F.col("r._id")),
         )
+        # either role order finds the pair; canonicalize + dedupe
         .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._t").alias("ta"),
-            F.col("r._t").alias("tb"),
+            F.least("l._id", "r._id").alias("id_a"),
+            F.greatest("l._id", "r._id").alias("id_b"),
+            F.least("l._t", "r._t").alias("_t1"),
+            F.greatest("l._t", "r._t").alias("_t2"),
         )
-        .distinct()
+        .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.withColumn("distance", F.levenshtein("ta", "tb").cast("long"))
+        cand.withColumn("distance", F.levenshtein("_t1", "_t2").cast("long"))
         .filter(F.col("distance") <= k)
         .select("id_a", "id_b", "distance")
     )
@@ -989,7 +1075,19 @@ def incremental_dedup_accept(
     the corpus against itself); the cluster bookkeeping only ever touches
     docs that appear in a pair — a vanishing fraction of the batch.
     Returns the accepted subset of ``new_df``, unshuffled.
+
+    Contract: ``id_col`` must be NUMERIC (``connected_components`` labels
+    over long ids) — checked up front so a string-id call fails at plan
+    build with a clear message instead of mid-job with CAST_INVALID_INPUT.
     """
+    _numeric = {"tinyint", "smallint", "int", "bigint", "long", "float", "double"}
+    for frame, name in ((new_df, "new_df"), (corpus_df, "corpus_df")):
+        dt = dict(frame.dtypes).get(id_col)
+        if dt is not None and dt not in _numeric and not dt.startswith("decimal"):
+            raise TypeError(
+                f"incremental_dedup_accept requires a numeric {id_col!r} "
+                f"({name} has {dt}): connected_components labels over long ids"
+            )
     pairs = minhash_lsh_pairs_incremental(
         corpus_df,
         new_df,
@@ -1020,9 +1118,11 @@ def incremental_dedup_accept(
             F.col(id_col).alias("id"), F.col(priority_col).alias("_p")
         )
         winners = (
+            # highest priority, then LOWEST id — min_by over (-_p, id)
+            # keeps the id un-negated (safe for any orderable id type)
             new_mem.join(pri, "id")
             .groupBy("cluster_id")
-            .agg(F.expr("max_by(id, struct(_p, -id))").alias("_win"))
+            .agg(F.expr("min_by(id, struct(-_p, id))").alias("_win"))
         )
     drops = (
         new_mem.join(has_c, "cluster_id")
@@ -1041,11 +1141,21 @@ def hamming_pairs(
     chunks: int = 4,
     n_bits: int = 64,
     pin_mode: str = "persist",
+    max_bucket_size: int | None = None,
+    journal=None,
 ) -> DataFrame:
     """Near-dup pairs over a PRECOMPUTED n-bit fingerprint column — the
     generic pigeonhole-banded sibling of :func:`simhash_pairs` for
     perceptual hashes the caller already has (image dHash, audio energy
     fingerprint, per-frame video hashes).
+
+    ``max_bucket_size`` is the hot-bucket valve: a degenerate
+    fingerprint — the all-zero dHash of blank/monochrome images, which
+    crawl data is full of — puts k files in one (chunk, value) bucket
+    and k²/2 rows into the self-join. Over-cap buckets are anti-joined
+    away (those files are byte-near-identical; exact/binary dedup covers
+    them) and the dropped-bucket count is journaled when a
+    ``PerfJournal`` is passed. ``None`` = exact banding.
 
     Any pair within Hamming distance ``chunks − 1`` shares at least one
     exact chunk (pigeonhole), so the candidate join is a hash equi-join
@@ -1077,6 +1187,9 @@ def hamming_pairs(
     chunked = fp.select(
         "_id", "_fp", F.explode(F.array(*chunk_structs)).alias("c")
     ).select("_id", "_fp", "c.ci", "c.cv")
+    chunked = _apply_hot_bucket_valve(
+        chunked, ["ci", "cv"], max_bucket_size, journal, "HammingPairs.HotBucketsDropped"
+    )
     l, r = chunked.alias("l"), chunked.alias("r")
     cand = (
         l.join(

@@ -1286,6 +1286,7 @@ def pivot_kql(
     agg: str = "sum",
     group_cols: list[str] | None = None,
     values: list | None = None,
+    max_values: int = 1000,
 ) -> DataFrame:
     """KQL ``evaluate pivot(pivotColumn, agg(aggColumn), group-by…)`` —
     distinct pivot values become columns.
@@ -1297,13 +1298,25 @@ def pivot_kql(
     low-cardinality columns) and sorts them so the column order is
     deterministic — KQL's own column order is also value-sorted. Missing
     combinations are NULL, matching KQL.
+
+    ``max_values`` is the width valve: the distinct-collect is correct
+    by convention (it IS the output width) but a miskeyed call on a
+    high-cardinality column (user_id…) would OOM the driver — probe with
+    ``limit(n+1)`` and raise a clear error over the cap instead (the
+    same bounded-collect pattern as the shard-manifest cap).
     """
     if values is None:
-        values = sorted(
+        probe = [
             r[0]
-            for r in df.select(pivot_col).distinct().collect()
-            if r[0] is not None
-        )
+            for r in df.select(pivot_col).distinct().limit(max_values + 1).collect()
+        ]
+        if len(probe) > max_values:
+            raise ValueError(
+                f"pivot_kql: over {max_values} distinct values in "
+                f"{pivot_col!r} — pivot output would be that wide; pass an "
+                f"explicit `values` list or raise `max_values` if intended"
+            )
+        values = sorted(v for v in probe if v is not None)
     agg_fn = getattr(F, agg)(agg_col)
     return df.groupBy(*(group_cols or [])).pivot(pivot_col, values).agg(agg_fn)
 
@@ -3187,10 +3200,17 @@ def series_seasonal(col: Column | str, period: int) -> Column:
         n = F.size(vals)
         lo = F.floor((n + F.lit(1)) / F.lit(2)).cast("int")
         hi = F.floor((n + F.lit(2)) / F.lit(2)).cast("int")
-        med = (
-            F.element_at(vals, lo).cast("double")
-            + F.element_at(vals, hi).cast("double")
-        ) / F.lit(2.0)
+        # period > series length leaves some phases EMPTY: lo==0 would make
+        # element_at throw INVALID_INDEX_OF_ZERO and fail the whole job —
+        # an empty phase yields NULL instead (the pre-median behavior).
+        med = F.when(
+            n > 0,
+            (
+                F.element_at(vals, F.greatest(lo, F.lit(1))).cast("double")
+                + F.element_at(vals, F.greatest(hi, F.lit(1))).cast("double")
+            )
+            / F.lit(2.0),
+        )
         medians.append(med)
     phase_medians = F.array(*medians)
     return F.transform(c, lambda x, i: F.element_at(phase_medians, i % period + 1))
@@ -4351,19 +4371,25 @@ def parse_kv(
     key-value text (``k1=v1 k2="quoted v" …``) as a struct, one regexp
     per key compiled at plan build (codegen, no UDF, no map
     materialization). Quoted values may contain the pair delimiter;
-    missing keys yield NULL fields — both per KQL.
+    missing keys yield NULL fields — both per KQL. A multi-character
+    ``pair_delimiter`` (e.g. ``", "``) is honored as a whole string:
+    bare values stop at the full delimiter (tempered-dot lookahead), not
+    at any single character of it.
     """
     import re as _re
 
     c = _c(col)
     pd_, kd, q = _re.escape(pair_delimiter), _re.escape(kv_delimiter), _re.escape(quote)
+    # single-char delimiter: negated class (cheapest); multi-char:
+    # tempered dot — consume any char that does not START the delimiter
+    bare_val = f"[^{pd_}]*" if len(pair_delimiter) == 1 else f"(?:(?!{pd_}).)*"
     fields = []
     for k in keys:
         kq = _re.escape(k)
         # quoted alternative first so a quoted value wins over the bare
         # scan stopping at the first pair delimiter
         pat = (
-            f"(?:^|{pd_}){kq}{kd}(?:{q}([^{q}]*){q}|([^{pd_}]*))"
+            f"(?:^|{pd_}){kq}{kd}(?:{q}([^{q}]*){q}|({bare_val}))"
         )
         quoted = F.regexp_extract(c, pat, 1)
         bare = F.regexp_extract(c, pat, 2)

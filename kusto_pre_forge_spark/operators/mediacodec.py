@@ -1243,6 +1243,11 @@ def decode_gif(raw: bytes):
         bgo = 3 * bg_index
         bg = ct[bgo : bgo + 3] if bgo + 3 <= len(ct) else b"\x00\x00\x00"
         canvas = bytearray(bg * (sw * sh))
+        # a palette index past the color table would make ct[c:c+3] a
+        # short slice; assigning it into the 3-byte canvas slice silently
+        # SHRINKS the bytearray, corrupting every later pixel and breaking
+        # the w*h*3 length contract (image_dhash reshapes by it) — reject
+        n_colors = len(ct) // 3
         for y in range(fh):
             cy = top + y
             if cy >= sh:
@@ -1250,6 +1255,8 @@ def decode_gif(raw: bytes):
             row = idx[y * fw : (y + 1) * fw]
             for x in range(min(fw, sw - left)):
                 o = 3 * (cy * sw + left + x)
+                if row[x] >= n_colors:
+                    raise ValueError("corrupt GIF: palette index out of range")
                 c = 3 * row[x]
                 canvas[o : o + 3] = ct[c : c + 3]
         return sw, sh, 3, bytes(canvas)

@@ -341,3 +341,116 @@ def test_hamming_pairs_generic(spark):
 
     with _pt.raises(ValueError):
         hamming_pairs(df, "fp", "doc_id", max_hamming=4, chunks=4)
+
+
+def test_hamming_pairs_hot_bucket_valve(spark):
+    """10k blank-image fingerprints (all-zero dHash) must not go quadratic:
+    the valve drops the degenerate buckets, journals the drop, and keeps
+    unrelated true pairs intact."""
+    from kusto_pre_forge_spark.journal import PerfJournal
+    from kusto_pre_forge_spark.operators.dedup import hamming_pairs
+
+    blanks = spark.range(10_000).select(
+        (F.col("id") + 1000).alias("doc_id"), F.lit(0).cast("long").alias("fp")
+    )
+    normal = spark.createDataFrame(
+        [(1, -1), (2, -1 ^ 0b101)], "doc_id long, fp long"
+    )
+    df = normal.unionByName(blanks)
+    j = PerfJournal(sink=lambda _s: None)
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in hamming_pairs(
+            df, "fp", "doc_id", max_hamming=3, max_bucket_size=100, journal=j
+        ).collect()
+    }
+    assert got == {(1, 2): 2}, "valve drops only the degenerate bucket's pairs"
+    # all 4 chunk buckets of the all-zero fp are over-cap -> journaled
+    assert j.snapshot()["HammingPairs.HotBucketsDropped"] == 4
+
+
+def test_simhash_pairs_hot_bucket_valve(spark):
+    from kusto_pre_forge_spark.journal import PerfJournal
+    from kusto_pre_forge_spark.operators.dedup import simhash_pairs
+
+    # 500 identical boilerplate docs -> one fingerprint -> hot buckets;
+    # plus one near-dup pair of a distinct longer text that must survive
+    boiler = spark.range(500).select(
+        (F.col("id") + 1000).alias("doc_id"), F.lit("buy now limited offer").alias("text")
+    )
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    normal = spark.createDataFrame(
+        [(1, base), (2, base + " ok")], "doc_id long, text string"
+    )
+    j = PerfJournal(sink=lambda _s: None)
+    pairs = simhash_pairs(
+        normal.unionByName(boiler),
+        "text",
+        "doc_id",
+        max_hamming=3,
+        max_bucket_size=50,
+        journal=j,
+    ).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in ids, "non-degenerate near-dup pair survives the valve"
+    assert all(a < 1000 and b < 1000 for a, b in ids), "boilerplate pairs dropped"
+    assert j.snapshot()["SimHashPairs.HotBucketsDropped"] == 4
+
+
+def test_incremental_dedup_accept_rejects_string_ids(spark):
+    """Numeric-id contract fails fast at plan build, not mid-job."""
+    corpus = spark.createDataFrame([("a", "some text")], "doc_id string, text string")
+    new = spark.createDataFrame([("b", "other text")], "doc_id string, text string")
+    with pytest.raises(TypeError, match="numeric"):
+        dedup.incremental_dedup_accept(corpus, new, "text", "doc_id")
+
+
+def test_edit_distance_pairs_indels(spark):
+    """Insert/delete near-dups — titles' dominant edit type — must be
+    found: the segment-vs-window banding is complete for ALL edit kinds,
+    matching brute-force lev<=k exactly."""
+    from kusto_pre_forge_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "The Matrix"),
+        (2, "The  Matrix"),      # pure insertion (double space), lev 1
+        (3, "The Matri"),        # deletion at the end, lev 1 from 1
+        (4, "A Matrix"),         # lev 4 from 1 -> out at k=1
+        (5, "he Matrix"),        # deletion at the FRONT (shifts all segments)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in edit_distance_pairs(df, "s", "doc_id", 1).collect()
+    }
+    # brute-force expectation
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {
+        (a, b): lev(sa, sb)
+        for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+        if lev(sa, sb) <= 1
+    }
+    assert got == want, (got, want)
+    assert (1, 2) in got and (1, 3) in got and (1, 5) in got
+
+
+def test_edit_distance_pairs_tiny_strings(spark):
+    """Strings shorter than k+1 (empty segments) still pair correctly."""
+    from kusto_pre_forge_spark.operators.dedup import edit_distance_pairs
+
+    rows = [(1, "a"), (2, "ab"), (3, ""), (4, "xy")]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in edit_distance_pairs(df, "s", "doc_id", 1).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 1}, got

@@ -1576,3 +1576,37 @@ def test_punycode_edge_labels(spark):
     assert r.a == "all.ascii.com", "pure-ASCII domains pass through"
     assert r.e == "" or r.e == "-"
     assert r.ed == ""
+
+
+def test_series_seasonal_period_longer_than_series(spark):
+    """period > len(series): empty phases must not crash the job
+    (element_at index-0 guard) — out-of-range phases are simply never
+    referenced by the output."""
+    df = spark.sql("SELECT array(1.0d, 2.0d, 3.0d) AS s")
+    row = df.select(kql.series_seasonal("s", 7).alias("y")).first()
+    assert row.y == [1.0, 2.0, 3.0]
+
+
+def test_parse_kv_multichar_pair_delimiter(spark):
+    """A multi-char delimiter must bound bare values as a whole string:
+    'hello world' contains a space (one char of ', ') but not ', '."""
+    df = spark.sql("SELECT 'a=1, b=hello world, c=\"x, y\"' AS s")
+    r = df.select(
+        kql.parse_kv("s", ["a", "b", "c"], pair_delimiter=", ").alias("kv")
+    ).first()
+    assert r.kv.a == "1"
+    assert r.kv.b == "hello world", "bare value stops at the FULL delimiter"
+    assert r.kv.c == "x, y", "quoted value may contain the delimiter"
+
+
+def test_pivot_kql_width_valve(spark):
+    df = spark.range(50).select(
+        F.lit("g").alias("g"),
+        F.concat(F.lit("p"), F.col("id")).alias("p"),
+        F.col("id").cast("double").alias("v"),
+    )
+    with pytest.raises(ValueError, match="distinct values"):
+        kql.pivot_kql(df, "p", "v", group_cols=["g"], max_values=10)
+    # explicit values bypass the probe entirely
+    out = kql.pivot_kql(df, "p", "v", group_cols=["g"], values=["p1", "p2"], max_values=10)
+    assert out.columns == ["g", "p1", "p2"]

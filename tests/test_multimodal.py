@@ -711,3 +711,26 @@ def test_jpeg_truncation_rejected():
     # cut inside the HEADERS must raise cleanly
     with pytest.raises(ValueError):
         mediacodec.decode_jpeg(raw[:20])
+
+
+def test_decode_gif_palette_index_out_of_range():
+    """A palette index past the color table must raise, not silently
+    shrink the canvas (which would break the w*h*3 length contract that
+    image_dhash reshapes by)."""
+    import struct as _struct
+
+    import pytest as _pt
+
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HH", 2, 1)
+    out += bytes([0x80 | 0, 0, 0])  # GCT present, 2 colors
+    out += b"\x00\x00\x00\xff\xff\xff"
+    out += b"\x2c" + _struct.pack("<HHHH", 0, 0, 2, 1) + b"\x00"
+    out += bytes([2])  # LZW min code size 2 -> indexes 0..3 encodable
+    lzw = mediacodec._gif_lzw_encode(2, bytes([0, 3]))  # 3 >= 2 colors
+    for i in range(0, len(lzw), 255):
+        c = lzw[i : i + 255]
+        out += bytes([len(c)]) + c
+    out += b"\x00\x3b"
+    with _pt.raises(ValueError, match="palette index out of range"):
+        mediacodec.decode_gif(bytes(out))
