@@ -260,6 +260,70 @@ def _merge_pattern(a: str, b: str) -> str:
     return f"(?:(?<=^)|(?<= )){_java_q(a)} {_java_q(b)}(?=$| )"
 
 
+def _train_bpe_driver(
+    word_counts: list[tuple[str, int]], n_merges: int, min_pair_count: int
+) -> list[tuple[str, str]]:
+    """In-driver sequential BPE over a (word, count) histogram — the
+    incremental pair-statistics algorithm of Sennrich et al.'s public
+    ``learn_bpe.py`` (ACL'16): a pair→{word_idx: occurrences} index
+    means each merge touches only the words containing the pair, so 32k
+    merges over a 1M-word histogram run in minutes of pure Python with
+    NO per-merge jobs. Semantics identical to the distributed loop:
+    greedy left-to-right non-overlapping merge, (count desc, pair asc)
+    tie-break, stop under ``min_pair_count``."""
+    vocab: list[tuple[tuple[str, ...], int]] = [
+        (tuple(list(w) + ["</w>"]), c) for w, c in word_counts
+    ]
+    from collections import Counter, defaultdict
+
+    stats: Counter = Counter()
+    indices: dict[tuple[str, str], dict[int, int]] = defaultdict(dict)
+    for wi, (syms, c) in enumerate(vocab):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            stats[p] += c
+            indices[p][wi] = indices[p].get(wi, 0) + 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if best[1] < min_pair_count:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        touched = list(indices[(a, b)].items())
+        for wi, _occ in touched:
+            syms, c = vocab[wi]
+            # retract this word's pair contributions
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] -= c
+                if stats[p] <= 0:
+                    del stats[p]
+                d = indices[p]
+                d[wi] -= 1
+                if d[wi] <= 0:
+                    del d[wi]
+            out: list[str] = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_syms = tuple(out)
+            vocab[wi] = (new_syms, c)
+            for i in range(len(new_syms) - 1):
+                p = (new_syms[i], new_syms[i + 1])
+                stats[p] += c
+                indices[p][wi] = indices[p].get(wi, 0) + 1
+    return merges
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -268,31 +332,55 @@ def train_bpe(
     sample_frac: float | None = None,
     sample_id_col: str | None = None,
     sample_salt: str = "kpf-bpe",
+    batch_top_k: int = 64,
+    driver_vocab_cap: int | None = None,
 ) -> list[tuple[str, str]]:
     """Learn byte-pair-encoding merge rules from the corpus — the standard
     Sennrich et al. procedure, run Spark-first: the vocabulary is a
     DISTRIBUTED (symbol-string, word_count) table, never a driver dict.
 
-    Per iteration (driver loop, bounded like ``connected_components``):
-    one map-side-combined aggregate counts adjacent symbol pairs weighted
-    by word frequency, ``limit(1)`` brings back exactly ONE row (the best
-    pair — ties break lexicographically for determinism), and the merge
-    applies as a single regexp_replace over the symbol strings (greedy
-    left-to-right non-overlapping, the reference semantics). Lineage is
-    truncated each round (lazy localCheckpoint) so the logical plan stays
-    flat across iterations.
+    Per ROUND (driver loop, bounded like ``connected_components``): one
+    map-side-combined aggregate counts adjacent symbol pairs weighted by
+    word frequency, ``limit(batch_top_k)`` brings back the head of the
+    ranking (count desc, then lexicographic — the deterministic
+    tie-break), and a greedy prefix of MUTUALLY NON-INTERACTING pairs is
+    accepted and applied together as chained regexp_replace passes in a
+    single projection (greedy left-to-right non-overlapping per merge,
+    the reference semantics). Lineage is truncated each round (lazy
+    localCheckpoint) so the logical plan stays flat.
+
+    The batch selection is EXACTLY equivalent to one-merge-at-a-time
+    training, not an approximation: merging (a, b) only changes the
+    counts of pairs that contain a, b, or the new symbol a+b, so the
+    accepted set is the contiguous ranked prefix up to the first pair
+    that shares a symbol (or equals a concatenation) with an earlier
+    accepted pair, pruned to counts STRICTLY greater than that stop
+    count — every count a newly created pair could reach is bounded by
+    the stop count, so the sequential argmax provably picks the accepted
+    pairs in exactly this order. If pruning empties the batch, the
+    single top pair is taken (always exact). This collapses a 32k-merge
+    training from 32k sequential jobs to a few hundred rounds — the
+    production-vocab path; equality with sequential training is pinned
+    in tests against an independent in-driver reference implementation.
 
     At 100 TB the vocab table is |distinct words| rows — millions, not
-    trillions — so each iteration is a small aggregate; n_merges bounds
-    the driver loop. NOTE the loop bound: training launches ONE Spark job
-    per merge (the 1-row argmax), so a production 32k-merge tokenizer
-    means 32k sequential small jobs — at that scale train on a corpus
-    SAMPLE instead: pair statistics concentrate fast, so ``sample_frac``
-    (deterministic md5-threshold keep on ``sample_id_col``, the
-    corpus-assembly sampler — no RNG, replayable anywhere) recovers the
-    same merges from a fraction of the data; 32k merges over a 1%-of-
-    100 TB sample is the intended production configuration. Returns the
-    merge list for :func:`apply_bpe`.
+    trillions — so each round is a small aggregate over it; driver
+    traffic is ``batch_top_k`` tiny rows per round. For huge corpora,
+    ``sample_frac`` (deterministic md5-threshold keep on
+    ``sample_id_col``, the corpus-assembly sampler — no RNG, replayable
+    anywhere) trains on a sample: pair statistics concentrate fast.
+
+    ``driver_vocab_cap`` is the PRODUCTION 32k-merge path and mirrors
+    how real tokenizer trainers work: the distributed job is the
+    word-count scan (the only part that touches 100 TB); the merge loop
+    itself runs over the top-``cap`` (count desc, word asc — fully
+    deterministic) word histogram IN THE DRIVER with Sennrich's
+    incremental pair-index algorithm — zero Spark jobs per merge, 32k
+    merges in minutes, driver traffic = one bounded histogram (1M words
+    ≈ tens of MB). When the cap exceeds the distinct-word count the
+    result is EXACTLY the sequential/distributed result (pinned in
+    tests); a tight cap drops only rare words' pair mass, the standard
+    trainer trade. Returns the merge list for :func:`apply_bpe`.
     """
     if sample_frac is not None:
         if sample_id_col is None:
@@ -303,11 +391,22 @@ def train_bpe(
             _hash_unit(F.col(sample_id_col).cast("string"), sample_salt)
             < F.lit(float(sample_frac))
         )
+    if batch_top_k < 1:
+        raise ValueError("batch_top_k must be >= 1")
     words = (
         df.select(F.explode(_words(F.lower(F.col(text_col)))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    if driver_vocab_cap is not None:
+        hist = (
+            words.orderBy(F.col("cnt").desc(), F.col("w").asc())
+            .limit(driver_vocab_cap)
+            .collect()
+        )
+        return _train_bpe_driver(
+            [(r["w"], r["cnt"]) for r in hist], n_merges, min_pair_count
+        )
     # symbol string: characters space-joined + end-of-word marker
     syms = F.concat(
         F.array_join(F.filter(F.split(F.col("w"), ""), lambda c: c != ""), " "),
@@ -315,7 +414,7 @@ def train_bpe(
     )
     vocab = words.select(syms.alias("s"), "cnt").localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
         toks = F.split(F.col("s"), " ")
         pairs = vocab.select(
             F.explode(
@@ -332,21 +431,100 @@ def train_bpe(
             ).alias("p"),
             "cnt",
         )
-        best = (
+        head = (
             pairs.groupBy("p")
             .agg(F.sum("cnt").alias("n"))
             .orderBy(F.col("n").desc(), F.col("p.a").asc(), F.col("p.b").asc())
-            .limit(1)
+            .limit(batch_top_k)
             .collect()
         )
-        if not best or best[0]["n"] < min_pair_count:
+        if not head or head[0]["n"] < min_pair_count:
             break
-        a, b = best[0]["p"]["a"], best[0]["p"]["b"]
-        merges.append((a, b))
-        vocab = vocab.withColumn(
-            "s", F.regexp_replace(F.col("s"), _merge_pattern(a, b), _repl_q(a + b))
-        ).localCheckpoint(eager=False)
+        # greedy non-interacting prefix: stop at the first pair touching
+        # an accepted symbol (or an accepted pair's concatenation — two
+        # distinct symbols may share a string form)
+        accepted: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        stop_n: int | None = None
+        for r in head:
+            a, b = r["p"]["a"], r["p"]["b"]
+            if a in used or b in used:
+                stop_n = r["n"]
+                break
+            accepted.append((a, b, r["n"]))
+            used.update((a, b, a + b))
+        if stop_n is None:
+            # no conflict in the fetched head: unseen pairs may tie with
+            # the last fetched count — unless the head was exhaustive
+            stop_n = head[-1]["n"] if len(head) == batch_top_k else min_pair_count - 1
+        batch = [
+            (a, b)
+            for a, b, n in accepted
+            if n > stop_n and n >= min_pair_count
+        ]
+        if not batch:
+            # ties right at the top: fall back to the plain argmax, which
+            # is always exact
+            batch = [(head[0]["p"]["a"], head[0]["p"]["b"])]
+        batch = batch[: n_merges - len(merges)]
+        merges.extend(batch)
+        s = F.col("s")
+        for a, b in batch:
+            s = F.regexp_replace(s, _merge_pattern(a, b), _repl_q(a + b))
+        vocab = vocab.withColumn("s", s).localCheckpoint(eager=False)
     return merges
+
+
+def _bpe_tokenize_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched word tokenizer applying the merge list in TRAINING
+    ORDER, one greedy left-to-right pass per merge — the exact chained-
+    regex semantics, in a rank-dict loop: per word, each merge costs one
+    O(1) adjacent-pair set probe and only applying merges rebuild the
+    token list, so 32k merges are ~32k set probes per DISTINCT word.
+    Within-batch memoization collapses repeated words."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    merge_list = list(merges)
+
+    def tokenize_batch(words: pd.Series):
+        memo: dict[str, tuple[int, str]] = {}
+
+        def tok(w: str) -> tuple[int, str]:
+            hit = memo.get(w)
+            if hit is not None:
+                return hit
+            toks = [c for c in w] + ["</w>"]
+            present = set(zip(toks, toks[1:]))
+            for a, b in merge_list:
+                if (a, b) not in present:
+                    continue
+                out = []
+                i = 0
+                n = len(toks)
+                while i < n:
+                    if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+                present = set(zip(toks, toks[1:]))
+            # the separate count keeps words containing a literal '|'
+            # honest (the joined string is a display probe, not the
+            # token-count source)
+            res = (len(toks), "|".join(toks))
+            memo[w] = res
+            return res
+
+        pairs = words.map(tok)
+        return pd.DataFrame(
+            {"n": pairs.map(lambda p: p[0]), "joined": pairs.map(lambda p: p[1])}
+        )
+
+    return pandas_udf(tokenize_batch, "n int, joined string", PandasUDFType.SCALAR)
 
 
 def apply_bpe(
@@ -354,26 +532,59 @@ def apply_bpe(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_chained: int = 256,
 ) -> DataFrame:
     """Tokenize with learned BPE merges: per word, start from characters +
-    ``</w>`` and apply each merge in training order — k chained
-    regexp_replace passes over the space-joined symbol string, all
-    codegen, no UDF and no shuffle. Returns (id, n_words, n_bpe_tokens,
+    ``</w>`` and apply each merge in training order (greedy left-to-right
+    non-overlapping per merge). Returns (id, n_words, n_bpe_tokens,
     sample_tokens) where sample_tokens is the first word's final symbol
-    sequence (a human-checkable probe)."""
+    sequence (a human-checkable probe).
+
+    Two physically different, semantically IDENTICAL paths (equivalence
+    pinned in tests):
+
+    - ``len(merges) <= max_chained``: one chained ``regexp_replace`` per
+      merge over the space-joined symbol string — all codegen, no UDF,
+      no extra shuffle. Right for small vocabularies, but at 32k merges
+      the expression tree itself (32k nested regex nodes) would sink
+      Catalyst analysis/codegen long before data size matters.
+    - beyond ``max_chained``: a rank-dict Arrow ``pandas_udf`` applies
+      the merge list per DISTINCT word (each merge is an O(1) set probe)
+      and the results join back to the per-(doc, word) counts — the
+      plan's expression depth is then independent of vocabulary size.
+      The join keys are (word, count) aggregates, far smaller than the
+      exploded word stream, and the tokenized side is |distinct words|
+      rows — at 100 TB this is the only shape that survives a
+      production vocabulary.
+    """
     w = F.explode(_words(F.lower(F.col(text_col))))
     t = df.select(F.col(id_col), w.alias("w"))
-    s = F.concat(
-        F.array_join(F.filter(F.split(F.col("w"), ""), lambda c: c != ""), " "),
-        F.lit(" </w>"),
+    if len(merges) <= max_chained:
+        s = F.concat(
+            F.array_join(F.filter(F.split(F.col("w"), ""), lambda c: c != ""), " "),
+            F.lit(" </w>"),
+        )
+        for a, b in merges:
+            s = F.regexp_replace(s, _merge_pattern(a, b), _repl_q(a + b))
+        t = t.select(id_col, F.split(s, " ").alias("toks"))
+        return t.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.size("toks")).cast("long").alias("n_bpe_tokens"),
+            F.min(F.array_join("toks", "|")).alias("sample_tokens"),
+        )
+    # rank-dict path: tokenize each distinct word once, join back to the
+    # per-(doc, word) repetition counts
+    per_word = t.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("_reps"))
+    tokenized = (
+        per_word.select("w")
+        .distinct()
+        .select("w", _bpe_tokenize_udf(merges)(F.col("w")).alias("_tk"))
     )
-    for a, b in merges:
-        s = F.regexp_replace(s, _merge_pattern(a, b), _repl_q(a + b))
-    t = t.select(id_col, F.split(s, " ").alias("toks"))
-    return t.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_words"),
-        F.sum(F.size("toks")).cast("long").alias("n_bpe_tokens"),
-        F.min(F.array_join("toks", "|")).alias("sample_tokens"),
+    joined = per_word.join(tokenized, "w")
+    return joined.groupBy(id_col).agg(
+        F.sum("_reps").cast("long").alias("n_words"),
+        F.sum(F.col("_reps") * F.col("_tk.n")).cast("long").alias("n_bpe_tokens"),
+        F.min("_tk.joined").alias("sample_tokens"),
     )
 
 

@@ -193,3 +193,127 @@ def test_train_bpe_sampled_matches_full(spark):
         _hash_unit(F.col("doc_id").cast("string"), "kpf-bpe") < 0.1
     ).count()
     assert 0 < n_kept < 100
+
+
+# ---------------------------------------------------------------------------
+# Production-vocab BPE: batched distributed training, in-driver training,
+# and the rank-dict apply path — all pinned equal to sequential semantics.
+
+
+def _ref_bpe_train(texts, n_merges, min_pair_count=2):
+    """Independent in-test sequential Sennrich reference (naive recount)."""
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.lower()):
+            if w:
+                words[w] += 1
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in words.items()}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if n < min_pair_count:
+            break
+        merges.append((a, b))
+        nv = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    return merges
+
+
+def _bpe_fixture_text():
+    pre = ["re", "un", "de", "pro", "con", "trans", "inter", "sub",
+           "over", "mis", "out", "up"]
+    root = ["form", "struct", "pos", "ject", "duct", "gress", "ceive",
+            "scribe", "tract", "mit", "fer", "vert"]
+    suf = ["ing", "ed", "ion", "or", "ive", "able", "ment", "ly"]
+    words = [a + b + c for a in pre for b in root for c in suf]
+    # varied frequencies keep the ranking mostly tie-free (batching-friendly)
+    return " ".join(w for i, w in enumerate(words) for _ in range(2 + (i * 7) % 13))
+
+
+def test_train_bpe_batched_512_equals_sequential(spark):
+    """>=512 merges: the batched distributed trainer must produce EXACTLY
+    the sequential merge list (the batch rule is provably exact, not an
+    approximation) — checked against an independent pure-Python
+    sequential reference."""
+    from kusto_pre_forge_spark.operators.textprep import train_bpe
+
+    text = _bpe_fixture_text()
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = train_bpe(df, n_merges=512, batch_top_k=64)
+    want = _ref_bpe_train([text], 512)
+    assert len(got) == 512
+    assert got == want
+
+
+def test_train_bpe_driver_histogram_equals_sequential(spark):
+    """The in-driver production path (capped word histogram + incremental
+    Sennrich) equals sequential training exactly when the cap covers the
+    vocabulary — including on a tie-heavy corpus."""
+    from kusto_pre_forge_spark.operators.textprep import train_bpe
+
+    text = _bpe_fixture_text()
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = train_bpe(df, n_merges=700, driver_vocab_cap=100_000)
+    want = _ref_bpe_train([text], 700)
+    assert got == want and len(got) >= 512
+    # tie-heavy corpus (every word count 2): driver == reference still
+    ties = " ".join(w for w in ["abc", "abd", "bcd", "cde", "ab", "bc"] * 2)
+    df2 = spark.createDataFrame([(1, ties)], "doc_id long, text string")
+    assert train_bpe(df2, n_merges=50, driver_vocab_cap=10) == _ref_bpe_train(
+        [ties], 50
+    )
+
+
+def test_apply_bpe_udf_path_equals_chained(spark):
+    """The rank-dict Arrow path and the chained-regex path are the same
+    function: identical (n_words, n_bpe_tokens, sample_tokens) per doc."""
+    from kusto_pre_forge_spark.operators.textprep import apply_bpe, train_bpe
+
+    text = _bpe_fixture_text()
+    docs = [(1, text), (2, "reformed reforming substructure"),
+            (3, "unjection  misducted\ttransgression"), (4, "zzz qqq")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = train_bpe(df, n_merges=120, driver_vocab_cap=100_000)
+    assert len(merges) == 120
+    chained = apply_bpe(df, merges, max_chained=10_000).orderBy("doc_id").collect()
+    arrow = apply_bpe(df, merges, max_chained=0).orderBy("doc_id").collect()
+    assert [r.asDict() for r in chained] == [r.asDict() for r in arrow]
+
+
+def test_apply_bpe_large_vocab_plan_depth(spark):
+    """At >=1k merges the executed plan must NOT be a 1k-deep
+    regexp_replace chain — the Arrow path keeps expression depth
+    independent of vocabulary size, and still counts correctly."""
+    from kusto_pre_forge_spark.operators.textprep import apply_bpe, train_bpe
+
+    text = _bpe_fixture_text()
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    # train to exhaustion (the fixture supports ~1.3k merges)
+    merges = train_bpe(df, n_merges=5000, driver_vocab_cap=100_000)
+    assert len(merges) >= 1000
+    out = apply_bpe(df, merges)  # default max_chained=256 -> Arrow path
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "regexp_replace" not in plan
+    assert "ArrowEvalPython" in plan or "Python" in plan
+    row = out.collect()[0]
+    # fully trained vocabulary: every word collapses to ONE symbol
+    assert row.n_bpe_tokens == row.n_words
