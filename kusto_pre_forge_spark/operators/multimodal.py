@@ -248,6 +248,7 @@ def sample_frames(
     id_col: str = "doc_id",
     every_n: int = 4,
     fake: bool = False,
+    decoder=None,
 ) -> DataFrame:
     """Sample video frames every ``every_n`` frames.
 
@@ -255,10 +256,18 @@ def sample_frames(
     walk yields one complete baseline JPEG per '00dc' chunk, and
     mediacodec.decode_jpeg turns the sampled ones into pixels;
     ``frame_sha`` is the sha256 of the DECODED RGB/gray pixels, so two
-    MJPEG re-muxes of the same frames fingerprint identically. Other
-    containers (H.264 MP4 …) still raise: those codecs need external
-    libraries. ``fake=True``: deterministic byte-window stub. One output
-    row per sampled frame.
+    MJPEG re-muxes of the same frames fingerprint identically.
+
+    ``decoder`` is the explicit extension point for every other codec
+    (H.264/VP9 MP4 …, which need external libraries this container lacks):
+    a callable ``raw_bytes -> iterable[(frame_index, pixel_bytes)]``
+    yielding decoded frames in index order. It is cloudpickled to the
+    executors like any mapInPandas closure, takes precedence over the
+    built-in container sniff, and its frames flow through the same
+    ``every_n`` sampling and pixel-sha fingerprinting (so a user wrapping
+    pyav/ffmpeg gets identical downstream semantics). Without a decoder,
+    non-MJPEG containers raise with this instruction. ``fake=True``:
+    deterministic byte-window stub. One output row per sampled frame.
     """
 
     def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -270,21 +279,29 @@ def sample_frames(
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 raw = bytes(blob)
-                if mediacodec.parse_avi_header(raw) is None:
-                    raise NotImplementedError(
-                        "real frame sampling decodes MJPEG-in-AVI only; "
-                        "other video codecs need ffmpeg/pyav (not in this "
-                        "container) — pass fake=True for the stub"
+                if decoder is not None:
+                    frames = decoder(raw)
+                elif mediacodec.parse_avi_header(raw) is not None:
+                    frames = (
+                        (fi, mediacodec.decode_jpeg(frame)[3])
+                        for fi, frame in mediacodec.iter_avi_mjpeg_frames(raw)
+                        if fi % every_n == 0
                     )
-                for fi, frame in mediacodec.iter_avi_mjpeg_frames(raw):
+                else:
+                    raise NotImplementedError(
+                        "built-in frame sampling decodes MJPEG-in-AVI only; "
+                        "pass decoder=<raw -> iter[(frame_index, pixels)]> "
+                        "to plug an external codec (ffmpeg/pyav), or "
+                        "fake=True for the stub"
+                    )
+                for fi, px in frames:
                     if fi % every_n:
                         continue
-                    _, _, _, px = mediacodec.decode_jpeg(frame)
                     rows.append(
                         {
                             "doc_id": int(doc_id),
                             "frame_index": fi,
-                            "frame_sha": hashlib.sha256(px).hexdigest(),
+                            "frame_sha": hashlib.sha256(bytes(px)).hexdigest(),
                         }
                     )
             yield pd.DataFrame(rows)

@@ -83,6 +83,12 @@ class StreamingEtl:
             df = reader.csv(self.landing_dir)
         elif self.fmt == "text":
             df = reader.text(self.landing_dir)
+        elif self.fmt == "json":
+            # JSON-lines landing blobs — same declared schema as batch
+            # read_landing (schema inference is disabled in streams)
+            df = reader.json(self.landing_dir)
+        elif self.fmt == "parquet":
+            df = reader.parquet(self.landing_dir)
         else:
             raise NotImplementedError(f"streaming format {self.fmt}")
         return df.withColumn("_kpf_source", F.input_file_name())

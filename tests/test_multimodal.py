@@ -734,3 +734,32 @@ def test_decode_gif_palette_index_out_of_range():
     out += b"\x00\x3b"
     with _pt.raises(ValueError, match="palette index out of range"):
         mediacodec.decode_gif(bytes(out))
+
+
+def test_sample_frames_pluggable_decoder(spark):
+    """An injected decoder (the extension point for codecs this container
+    lacks) flows through the same sampling + pixel-sha fingerprinting."""
+    import hashlib
+
+    def toy_decoder(raw: bytes):
+        # pretend the blob is 6 frames of 4 bytes each
+        for fi in range(6):
+            yield fi, raw[fi * 4 : (fi + 1) * 4]
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(24))), (2, bytes(range(100, 124)))],
+        "doc_id long, blob binary",
+    )
+    out = multimodal.sample_frames(df, every_n=2, decoder=toy_decoder).collect()
+    got = {(r.doc_id, r.frame_index): r.frame_sha for r in out}
+    assert set(got) == {(1, 0), (1, 2), (1, 4), (2, 0), (2, 2), (2, 4)}
+    assert got[(1, 0)] == hashlib.sha256(bytes(range(4))).hexdigest()
+    assert got[(2, 2)] == hashlib.sha256(bytes(range(108, 112))).hexdigest()
+
+
+def test_sample_frames_unknown_container_message(spark):
+    df = spark.createDataFrame([(1, b"not-a-video")], "doc_id long, blob binary")
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="decoder="):
+        multimodal.sample_frames(df, every_n=2).collect()

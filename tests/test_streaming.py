@@ -282,3 +282,58 @@ def test_streaming_dedup_ingest_across_batches(spark, tmp_path):
         for r in dedup_survivors(full, pairs, "doc_id").select("doc_id").collect()
     }
     assert batch_ids == set(got), "streaming == batch dedup on this input"
+
+
+def test_streaming_prepartition_json_landing(spark, sf_smoke, tmp_path):
+    """JSON-lines landing blobs stream through the same PrePartition plan;
+    a fresh-checkpoint replay is a no-op (dynamic (pid, batch) overwrite)."""
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    land = tmp_path / "landing_json"
+    orders.coalesce(1).write.json(str(land))
+
+    def make_etl(ckpt):
+        return StreamingEtl(
+            spark,
+            landing_dir=str(land) + "/*.json",
+            checkpoint_dir=str(tmp_path / ckpt),
+            output_dir=str(tmp_path / "out_json"),
+            schema=SCHEMA,
+            fmt="json",
+        )
+
+    q = make_etl("ckptj1").start_prepartition(POLICY, available_now=True)
+    _drain(q)
+    out = spark.read.parquet(str(tmp_path / "out_json"))
+    assert out.count() == orders.count()
+    bad = out.filter(F.col(PID_COL) != kusto_preforge_hash("o_orderpriority", 8, 42))
+    assert bad.count() == 0
+    # replay with a lost checkpoint: same files, same batch ids -> no dup
+    q = make_etl("ckptj2").start_prepartition(POLICY, available_now=True)
+    _drain(q)
+    assert spark.read.parquet(str(tmp_path / "out_json")).count() == orders.count()
+
+
+def test_streaming_prepartition_parquet_landing(spark, sf_smoke, tmp_path):
+    """Parquet landing blobs stream through the same plan."""
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    land = tmp_path / "landing_pq"
+    orders.coalesce(1).write.parquet(str(land))
+    etl = StreamingEtl(
+        spark,
+        landing_dir=str(land),
+        checkpoint_dir=str(tmp_path / "ckpt_pq"),
+        output_dir=str(tmp_path / "out_pq"),
+        schema=SCHEMA,
+        fmt="parquet",
+    )
+    q = etl.start_prepartition(POLICY, available_now=True)
+    _drain(q)
+    assert spark.read.parquet(str(tmp_path / "out_pq")).count() == orders.count()
