@@ -654,6 +654,55 @@ def _q_text_langid(spark, sf):
     )
 
 
+def _q_text_gopher(spark, sf):
+    """Gopher document-quality rules (Rae et al. 2021 App. A1.1) as one
+    codegen scan projection — exact integer numerators + round-6 ratios
+    so the DuckDB oracle replays every rule bit-for-bit."""
+    d = load_table(spark, sf, "documents")
+    return textstats.gopher_quality(d, "text")
+
+
+def _q_w3c_log_parse(spark, sf):
+    """w3clogfile format (reference DataSourceFormat,
+    Settings/BlobSettings.cs:13): W3C lines forged from events, parsed by
+    the positional #Fields projection ('-' -> NULL), then summarized.
+    The oracle predicts the parsed stats straight from the source
+    columns — any field-position slip shifts every group."""
+    from kusto_pre_forge_spark.sources.w3clog import w3c_parse
+
+    e = load_table(spark, sf, "events").filter(F.col("event_id") < 5000)
+    line = F.concat_ws(
+        " ",
+        F.date_format("ts", "yyyy-MM-dd"),
+        F.date_format("ts", "HH:mm:ss"),
+        F.concat(F.lit("10.0."), (F.col("user_id") % 256).cast("string"), F.lit(".1")),
+        F.upper("event_type"),
+        F.concat(F.lit("/p/"), (F.col("event_id") % 97).cast("string")),
+        F.when(F.col("value") > 50, F.lit("200")).otherwise(F.lit("404")),
+        F.when(F.col("event_id") % 7 == 0, F.lit("-")).otherwise(
+            (F.col("event_id") % 1000).cast("string")
+        ),
+    )
+    parsed = w3c_parse(
+        e.select(line.alias("value")),
+        ["date", "time", "c-ip", "cs-method", "cs-uri-stem", "sc-status", "time-taken"],
+    )
+    return parsed.groupBy("cs_method", "sc_status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("time_taken").isNull(), 1)).cast("long").alias("n_missing_tt"),
+        F.sum(F.col("time_taken").cast("long")).alias("sum_tt"),
+        F.min("cs_uri_stem").alias("first_uri"),
+    )
+
+
+def _q_text_c4(spark, sf):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2): line-keep predicate,
+    lorem-ipsum/brace/sentence-count doc drops, cleaned text rejoin —
+    all array HOFs, oracle-replayed including the cleaned_text string."""
+    d = load_table(spark, sf, "documents")
+    return textstats.c4_filters(d, "text")
+
+
 def _q_text_fingerprint(spark, sf):
     d = load_table(spark, sf, "documents")
     # two-step form: materializes the md5 token-hash array once per row —
@@ -3762,6 +3811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
+        "text_gopher": _q_text_gopher,
+        "text_c4": _q_text_c4,
+        "w3c_log_parse": _q_w3c_log_parse,
         "text_lm_score": _q_text_lm_score,
         "text_bm25": _q_text_bm25,
         "text_bpe": _q_text_bpe,
@@ -4497,6 +4549,76 @@ def oracle_sql() -> dict[str, str]:
             "AS stopword_ratio FROM t"
         ),
         "text_langid": lang_case,
+        "text_gopher": (
+            f"WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks, "
+            "list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lines "
+            "FROM documents) "
+            "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words, "
+            "CASE WHEN len(toks) > 0 THEN round(CAST(list_sum(list_transform(toks, "
+            "w -> length(w))) AS DOUBLE) / len(toks), 6) END AS mean_word_len, "
+            "CASE WHEN len(toks) > 0 THEN round(CAST(len(regexp_extract_all(text, '#')) "
+            "+ len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) / len(toks), 6) END "
+            "AS symbol_word_ratio, "
+            "CASE WHEN len(lines) > 0 THEN round(CAST(len(list_filter(lines, "
+            "x -> regexp_matches(trim(x), '^[-*•]'))) AS DOUBLE) / len(lines), 6) END "
+            "AS bullet_line_frac, "
+            "CASE WHEN len(lines) > 0 THEN round(CAST(len(list_filter(lines, "
+            "x -> regexp_matches(trim(x), '\\.\\.\\.$'))) AS DOUBLE) / len(lines), 6) END "
+            "AS ellipsis_line_frac, "
+            "CASE WHEN len(toks) > 0 THEN round(CAST(len(list_filter(toks, "
+            "w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(toks), 6) END "
+            "AS alpha_word_frac, "
+            "CAST(len(list_filter(list_transform(toks, w -> lower(w)), "
+            "w -> list_contains(['the','be','to','of','and','that','have','with'], w))) "
+            "AS BIGINT) AS stop_word_hits, "
+            "coalesce(len(toks) BETWEEN 50 AND 100000 "
+            "AND (CASE WHEN len(toks) > 0 THEN round(CAST(list_sum(list_transform(toks, "
+            "w -> length(w))) AS DOUBLE) / len(toks), 6) END) BETWEEN 3.0 AND 10.0 "
+            "AND (CASE WHEN len(toks) > 0 THEN round(CAST(len(regexp_extract_all(text, '#')) "
+            "+ len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) / len(toks), 6) END) <= 0.1 "
+            "AND (CASE WHEN len(lines) > 0 THEN round(CAST(len(list_filter(lines, "
+            "x -> regexp_matches(trim(x), '^[-*•]'))) AS DOUBLE) / len(lines), 6) END) <= 0.9 "
+            "AND (CASE WHEN len(lines) > 0 THEN round(CAST(len(list_filter(lines, "
+            "x -> regexp_matches(trim(x), '\\.\\.\\.$'))) AS DOUBLE) / len(lines), 6) END) <= 0.3 "
+            "AND (CASE WHEN len(toks) > 0 THEN round(CAST(len(list_filter(toks, "
+            "w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(toks), 6) END) >= 0.8 "
+            "AND len(list_filter(list_transform(toks, w -> lower(w)), "
+            "w -> list_contains(['the','be','to','of','and','that','have','with'], w))) >= 2, "
+            "false) AS passes_gopher "
+            "FROM t"
+        ),
+        "w3c_log_parse": (
+            # predictive: the stats of the parsed W3C lines derived
+            # directly from the source columns
+            "SELECT upper(event_type) AS cs_method, "
+            "CASE WHEN value > 50 THEN '200' ELSE '404' END AS sc_status, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(*) FILTER (WHERE event_id % 7 = 0) AS BIGINT) AS n_missing_tt, "
+            "CAST(sum(event_id % 1000) FILTER (WHERE event_id % 7 != 0) AS BIGINT) AS sum_tt, "
+            "min(concat('/p/', CAST(event_id % 97 AS VARCHAR))) AS first_uri "
+            "FROM events WHERE event_id < 5000 GROUP BY 1, 2"
+        ),
+        "text_c4": (
+            "WITH t AS (SELECT doc_id, text, "
+            "list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lines "
+            "FROM documents), "
+            "k AS (SELECT doc_id, text, lines, list_filter(lines, x -> "
+            "regexp_matches(trim(x), '[.!?\"]$') "
+            "AND len(list_filter(string_split_regex(trim(x), '\\s+'), w -> w != '')) >= 3 "
+            "AND NOT contains(lower(trim(x)), 'javascript') "
+            "AND NOT contains(trim(x), '{')) AS kept FROM t) "
+            "SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, "
+            "CAST(len(kept) AS BIGINT) AS n_kept_lines, "
+            "CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentences, "
+            "contains(lower(text), 'lorem ipsum') AS has_lorem, "
+            "contains(text, '{') AS has_brace, "
+            "(NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{') "
+            "AND len(regexp_extract_all(text, '[.!?]')) >= 3 AND len(kept) >= 1) "
+            "AS passes_c4, "
+            "coalesce(list_aggregate(list_transform(kept, x -> trim(x)), "
+            "'string_agg', chr(10)), '') AS cleaned_text "
+            "FROM k"
+        ),
         "text_fingerprint": fingerprint,
         "multimodal_meta": (
             "SELECT doc_id, sha256(text) AS content_sha, "

@@ -397,3 +397,144 @@ def quality_classifier_score(
         score.alias("lr_score"),
         (score >= F.lit(float(keep_threshold))).alias("keep"),
     )
+
+
+#: Gopher quality-rule stop words (Rae et al. 2021, "Scaling Language
+#: Models: Methods, Analysis & Insights from Training Gopher", App. A1.1)
+GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_word_hits: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021, Appendix A1.1)
+    as one codegen scan projection — the standard pre-training corpus
+    filter alongside C4's (:func:`c4_filters`).
+
+    Per doc: word count bounds, mean word length window, symbol-to-word
+    ratio (``#`` and ``...``), bullet-/ellipsis-line fractions, fraction
+    of words containing an alphabetic character, and the
+    ≥2-stop-words requirement; ``passes_gopher`` ANDs them all. No UDF,
+    no shuffle — at 100 TB this runs inside the scan, and the numerators
+    are exact integers so the DuckDB oracle replays bit-for-bit.
+    """
+    c = F.col(text_col)
+    words = tokens(c)
+    n_words = F.size(words)
+    sum_word_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = F.when(
+        n_words > 0, F.round(sum_word_len.cast("double") / n_words, 6)
+    )
+    n_hash = F.size(F.regexp_extract_all(c, F.lit("#"), 0))
+    n_ellipsis = F.size(F.regexp_extract_all(c, F.lit(r"\.\.\."), 0))
+    symbol_ratio = F.when(
+        n_words > 0, F.round((n_hash + n_ellipsis).cast("double") / n_words, 6)
+    )
+    lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(r"^[-*•]"))
+    )
+    n_ell_end = F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"\.\.\.$")))
+    bullet_frac = F.when(
+        n_lines > 0, F.round(n_bullet.cast("double") / n_lines, 6)
+    )
+    ellipsis_frac = F.when(
+        n_lines > 0, F.round(n_ell_end.cast("double") / n_lines, 6)
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_frac = F.when(
+        n_words > 0, F.round(n_alpha.cast("double") / n_words, 6)
+    )
+    stop_hits = F.size(
+        F.filter(F.transform(words, F.lower), lambda w: w.isin(GOPHER_STOP_WORDS))
+    )
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_word_ratio)
+        & (bullet_frac <= max_bullet_line_frac)
+        & (ellipsis_frac <= max_ellipsis_line_frac)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stop_word_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stop_word_hits"),
+        F.coalesce(passes, F.lit(False)).alias("passes_gopher"),
+    )
+
+
+def c4_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 3,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, §2.2) as one codegen
+    scan projection: keep lines that end in terminal punctuation and
+    have at least ``min_line_words`` words; drop lines mentioning
+    javascript or containing ``{``; drop whole docs containing
+    "lorem ipsum", containing ``{``, or with fewer than
+    ``min_sentences`` sentences.
+
+    Returns (id, n_lines, n_kept_lines, n_sentences, has_lorem,
+    has_brace, passes_c4, cleaned_text) — ``cleaned_text`` is the kept
+    lines rejoined, the document the next pipeline stage would ingest.
+    Line predicates are array HOFs over the split text (no UDF, no
+    shuffle); every count is an exact integer for oracle replay.
+    """
+    c = F.col(text_col)
+    lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+
+    def line_kept(x: Column) -> Column:
+        t = F.trim(x)
+        return (
+            t.rlike('[.!?"]$')
+            & (F.size(F.filter(F.split(t, r"\s+"), lambda w: w != "")) >= min_line_words)
+            & ~F.lower(t).contains("javascript")
+            & ~t.contains("{")
+        )
+
+    kept = F.filter(lines, line_kept)
+    n_sentences = F.size(F.regexp_extract_all(c, F.lit("[.!?]"), 0))
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    has_brace = c.contains("{")
+    passes = (
+        ~has_lorem
+        & ~has_brace
+        & (n_sentences >= min_sentences)
+        & (F.size(kept) >= 1)
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sentences.cast("long").alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        passes.alias("passes_c4"),
+        F.array_join(F.transform(kept, F.trim), "\n").alias("cleaned_text"),
+    )

@@ -135,3 +135,34 @@ def test_read_landing_orc(spark, sf_smoke, tmp_path):
     )
     assert got.drop("_kpf_source").count() == src.count()
     assert "_kpf_source" in got.columns
+
+
+def test_w3c_log_roundtrip(spark, tmp_path):
+    """w3clogfile source: #Fields-directed schema, '-' -> NULL, directive
+    lines dropped, names sanitized."""
+    from kusto_pre_forge_spark.sources.w3clog import read_w3c_log, w3c_parse
+
+    log = "\n".join(
+        [
+            "#Software: Internet Information Services 10.0",
+            "#Version: 1.0",
+            "#Fields: date time c-ip cs-method cs-uri-stem sc-status time-taken",
+            "2024-05-01 00:00:01 10.0.0.1 GET /index.html 200 12",
+            "2024-05-01 00:00:02 10.0.0.2 POST /api/upload 201 -",
+            "2024-05-01 00:00:03 - GET /favicon.ico 404 3",
+        ]
+    )
+    p = tmp_path / "ex240501.log"
+    p.write_text(log + "\n")
+    out = read_w3c_log(spark, str(p)).orderBy("time").collect()
+    assert [r.asDict() for r in out][0] == {
+        "date": "2024-05-01", "time": "00:00:01", "c_ip": "10.0.0.1",
+        "cs_method": "GET", "cs_uri_stem": "/index.html",
+        "sc_status": "200", "time_taken": "12",
+    }
+    assert out[1].time_taken is None, "'-' placeholder -> NULL"
+    assert out[2].c_ip is None
+    # parse-only entry point over an existing lines frame
+    df = spark.createDataFrame([("a b",), ("#x",)], "value string")
+    got = w3c_parse(df, ["cs(Referer)", "sc-bytes"]).collect()
+    assert len(got) == 1 and got[0].cs_referer == "a" and got[0].sc_bytes == "b"

@@ -151,3 +151,47 @@ def test_quality_classifier_score(spark):
         ).collect()
     }
     assert not any(harsh.values()), "bias -30 rejects everything"
+
+
+def test_gopher_quality_rules(spark):
+    """Gopher App-A1.1 rules: a normal doc passes; bullet/symbol-heavy and
+    stopword-free docs fail the specific rule that targets them."""
+    from kusto_pre_forge_spark.operators.textstats import gopher_quality
+
+    good = ("The quick brown fox and the lazy dog have fun with all of "
+            "that today. ") * 10
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "- b\n- c\n####"),            # bullets + symbols, no stopwords
+            (3, "word " * 60),                 # no alpha issue but 0 stopword hits
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_quality(df).collect()}
+    assert rows[1].passes_gopher
+    assert rows[1].n_words == 150 and rows[1].stop_word_hits == 70
+    assert not rows[2].passes_gopher
+    assert rows[2].bullet_line_frac == 0.666667
+    assert not rows[3].passes_gopher and rows[3].stop_word_hits == 0
+
+
+def test_c4_filters_rules(spark):
+    from kusto_pre_forge_spark.operators.textstats import c4_filters
+
+    df = spark.createDataFrame(
+        [
+            (1, "A good long sentence here.\nshort\nAnother fine sentence "
+                "with words!\nUses javascript heavily today."),
+            (2, "Lorem ipsum dolor sit. More text here. And more!"),
+            (3, "function f() { return 1; }. Two more sentences. Right here!"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in c4_filters(df).collect()}
+    assert rows[1].n_lines == 4 and rows[1].n_kept_lines == 2
+    assert rows[1].cleaned_text == (
+        "A good long sentence here.\nAnother fine sentence with words!"
+    )
+    assert not rows[2].passes_c4 and rows[2].has_lorem
+    assert not rows[3].passes_c4 and rows[3].has_brace
