@@ -197,3 +197,44 @@ def test_embedding_quantize_int8(spark):
     r3 = out[3]
     assert r3.q == [-127, 127, 64, -64]
     assert max(abs(v) for v in r3.q) <= 127
+
+
+def test_pq_topk_recall_and_compression(spark, emb):
+    """PQ ADC scan: recall pinned at the sweep-measured levels; codes are
+    m small ints (the 100 TB memory story); rerank lifts recall near
+    exact."""
+    from kusto_pre_forge_spark.operators import similarity
+
+    q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    exact = similarity.cosine_topk(emb, q, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    n_exact = exact.count()
+    cb = similarity.pq_train_codebooks(emb, m=32, ks=16, n_iters=5)
+    assert len(cb) == 32 and len(cb[0]) == 16 and len(cb[0][0]) == 2
+    codes = similarity.pq_encode(emb, cb)
+    row = codes.first()
+    assert len(row.codes) == 32 and all(0 <= c < 16 for c in row.codes)
+    raw = similarity.pq_topk(emb, q, k=10, codebooks=cb).select(
+        "query_id", "neighbor_id"
+    )
+    r_raw = exact.join(raw, ["query_id", "neighbor_id"], "left_semi").count() / n_exact
+    assert r_raw >= 0.55, r_raw
+    rr = similarity.pq_topk(emb, q, k=10, codebooks=cb, rerank=50).select(
+        "query_id", "neighbor_id"
+    )
+    r_rr = exact.join(rr, ["query_id", "neighbor_id"], "left_semi").count() / n_exact
+    assert r_rr >= 0.90, r_rr
+    assert r_rr >= r_raw, "rerank can only help"
+
+
+def test_pq_topk_validations(spark, emb):
+    from kusto_pre_forge_spark.operators import similarity
+
+    q = emb.limit(2)
+    with pytest.raises(ValueError, match="rerank"):
+        similarity.pq_topk(
+            emb, q, k=10, codebooks=[[[0.0] * 2] * 4] * 32, rerank=5
+        )
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.pq_train_codebooks(emb, m=7)
