@@ -662,6 +662,52 @@ def _q_text_gopher(spark, sf):
     return textstats.gopher_quality(d, "text")
 
 
+def _q_avro_roundtrip(spark, sf):
+    """Avro OCF codec (reference DataSourceFormat declares avro,
+    Settings/BlobSettings.cs:13; EtlRun throws on it) — a fully
+    distributed encode→decode round-trip: each Arrow batch of events
+    serializes to one deflate OCF blob and decodes back inside the same
+    mapInPandas pass (no temp files, no collect), then aggregates. The
+    oracle predicts the stats straight from events — any varint/union/
+    framing slip corrupts every group."""
+    import pandas as _pd
+
+    from kusto_pre_forge_spark.sources.avro import iter_ocf_records, write_avro_ocf
+
+    e = load_table(spark, sf, "events").filter(F.col("event_id") < 5000).select(
+        "event_id", "event_type", "value"
+    )
+    schema = {
+        "type": "record",
+        "name": "ev",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "event_type", "type": ["null", "string"]},
+            {"name": "value", "type": "double"},
+        ],
+    }
+
+    def rt(it):
+        for pdf in it:
+            recs = [
+                {
+                    "event_id": int(i),
+                    "event_type": None if t is None else str(t),
+                    "value": float(v),
+                }
+                for i, t, v in zip(pdf["event_id"], pdf["event_type"], pdf["value"])
+            ]
+            back = list(iter_ocf_records(write_avro_ocf(schema, recs, codec="deflate")))
+            yield _pd.DataFrame(back, columns=["event_id", "event_type", "value"])
+
+    decoded = e.mapInPandas(rt, "event_id long, event_type string, value double")
+    return decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("event_id").cast("long").alias("sum_id"),
+        _sumd(F.col("value"), "sum_value"),
+    )
+
+
 def _q_w3c_log_parse(spark, sf):
     """w3clogfile format (reference DataSourceFormat,
     Settings/BlobSettings.cs:13): W3C lines forged from events, parsed by
@@ -3859,6 +3905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": _q_text_gopher,
         "text_c4": _q_text_c4,
         "w3c_log_parse": _q_w3c_log_parse,
+        "avro_roundtrip": _q_avro_roundtrip,
         "text_lm_score": _q_text_lm_score,
         "text_bm25": _q_text_bm25,
         "text_bpe": _q_text_bpe,
@@ -4632,6 +4679,14 @@ def oracle_sql() -> dict[str, str]:
             "w -> list_contains(['the','be','to','of','and','that','have','with'], w))) >= 2, "
             "false) AS passes_gopher "
             "FROM t"
+        ),
+        "avro_roundtrip": (
+            # predictive: a correct OCF encode->decode is the identity,
+            # so the stats equal the source's
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(event_id) AS BIGINT) AS sum_id, "
+            + _sumd_sql("value", "sum_value")
+            + " FROM events WHERE event_id < 5000 GROUP BY 1"
         ),
         "w3c_log_parse": (
             # predictive: the stats of the parsed W3C lines derived

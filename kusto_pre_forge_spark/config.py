@@ -29,8 +29,11 @@ class EtlAction(Enum):
 class DataFormat(Enum):
     """Declared format surface (Settings/BlobSettings.cs:13; Kusto SDK enum).
 
-    The reference only ever implements txt/csv (EtlRun.cs:87-89 throws for the
-    rest); we support txt, csv, json, parquet, orc natively via Spark readers.
+    The reference only ever implements txt/csv (EtlRun.cs:87-89 throws for
+    the rest); we support txt, csv, json, parquet, orc natively via Spark
+    readers, plus avro (dependency-free OCF reader, ``sources/avro.py``)
+    and w3clogfile (#Fields-directed parser, ``sources/w3clog.py``) — the
+    two remaining members of the reference's declared enum.
     """
 
     TXT = "txt"
@@ -40,6 +43,8 @@ class DataFormat(Enum):
     JSON = "json"
     PARQUET = "parquet"
     ORC = "orc"
+    AVRO = "avro"
+    W3CLOGFILE = "w3clogfile"
 
 
 class Compression(Enum):

@@ -1,0 +1,340 @@
+"""Avro Object Container File source — dependency-free.
+
+Reference parity: the reference's blob settings declare ``avro`` in
+``DataSourceFormat`` (code/KustoPreForgeLib/Settings/BlobSettings.cs:13 via
+the Kusto SDK enum) but its ETL throws for every non-text format
+(code/KustoPreForgeLib/EtlRun.cs:87-89). The spark-avro connector is not on
+this classpath, so the format is implemented from the public spec
+(https://avro.apache.org/docs/1.12.0/specification/ — OCF §"Object
+Container Files", binary encoding §"Binary Encoding"): magic ``Obj\\x01``,
+a metadata map carrying ``avro.schema`` JSON + ``avro.codec``, a 16-byte
+sync marker, then blocks of (record count, byte size, possibly
+deflate-compressed data, sync marker).
+
+Spark-first layout: files parallelize through the built-in ``binaryFile``
+source (one task per blob — the reference's unit of work is also the whole
+blob), each file's records decode in Arrow batches via ``mapInPandas``,
+and the schema comes from ONE bounded driver-side head read of the first
+file — the same metadata-sniff shape as parquet footers and the W3C
+``#Fields`` directive.
+
+Scope (the Kusto-ingestion subset): top-level ``record`` of primitives,
+``["null", T]`` unions (→ nullable), ``enum`` (→ string), ``fixed``
+(→ binary), logical ``date`` / ``timestamp-millis`` / ``timestamp-micros``;
+``null`` and ``deflate`` codecs. Nested records/arrays/maps raise a clear
+NotImplementedError — a genuine unsupported-input guard, not a stub.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAGIC = b"Obj\x01"
+
+
+# ------------------------------------------------------------- binary codec
+
+
+def _read_long(buf: io.BytesIO) -> int:
+    """Zigzag varint (spec §Binary Encoding: int and long)."""
+    shift = 0
+    acc = 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise ValueError("truncated avro varint")
+        v = b[0]
+        acc |= (v & 0x7F) << shift
+        if not v & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _write_long(out: bytearray, n: int) -> None:
+    n = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+
+
+def _read_bytes(buf: io.BytesIO) -> bytes:
+    n = _read_long(buf)
+    data = buf.read(n)
+    if len(data) != n:
+        raise ValueError("truncated avro bytes")
+    return data
+
+
+def _read_map(buf: io.BytesIO) -> dict[str, bytes]:
+    """String→bytes map (used only for file metadata)."""
+    out: dict[str, bytes] = {}
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            break
+        if n < 0:  # negative count: a byte size follows (spec §Maps)
+            n = -n
+            _read_long(buf)
+        for _ in range(n):
+            k = _read_bytes(buf).decode("utf-8")
+            out[k] = _read_bytes(buf)
+    return out
+
+
+def _primitive_reader(sch):
+    """Reader function for one (possibly logical/union) schema node."""
+    if isinstance(sch, list):  # union
+        subs = [_primitive_reader(s) for s in sch]
+        return lambda buf: subs[_read_long(buf)](buf)
+    if isinstance(sch, dict):
+        t = sch["type"]
+        if t == "enum":
+            symbols = sch["symbols"]
+            return lambda buf: symbols[_read_long(buf)]
+        if t == "fixed":
+            size = int(sch["size"])
+            return lambda buf: buf.read(size)
+        if t in ("record", "array", "map"):
+            raise NotImplementedError(
+                f"nested avro {t} is outside the Kusto-ingestion subset"
+            )
+        return _primitive_reader(t)  # {"type": "long", "logicalType": ...}
+    if sch == "null":
+        return lambda buf: None
+    if sch == "boolean":
+        return lambda buf: buf.read(1) == b"\x01"
+    if sch in ("int", "long"):
+        return _read_long
+    if sch == "float":
+        return lambda buf: struct.unpack("<f", buf.read(4))[0]
+    if sch == "double":
+        return lambda buf: struct.unpack("<d", buf.read(8))[0]
+    if sch == "bytes":
+        return _read_bytes
+    if sch == "string":
+        return lambda buf: _read_bytes(buf).decode("utf-8")
+    raise NotImplementedError(f"avro type {sch!r}")
+
+
+def _logical(sch) -> str | None:
+    if isinstance(sch, list):
+        for s in sch:
+            lt = _logical(s)
+            if lt:
+                return lt
+        return None
+    if isinstance(sch, dict):
+        return sch.get("logicalType")
+    return None
+
+
+def _base_type(sch) -> str:
+    if isinstance(sch, list):
+        non_null = [s for s in sch if s != "null"]
+        if len(non_null) != 1:
+            raise NotImplementedError("only [null, T] unions are supported")
+        return _base_type(non_null[0])
+    if isinstance(sch, dict):
+        t = sch["type"]
+        if t == "enum":
+            return "string"
+        if t == "fixed":
+            return "bytes"
+        return _base_type(t)
+    return sch
+
+
+_SPARK_TYPES = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "bytes": "binary",
+    "string": "string",
+}
+
+
+def _field_plan(schema: dict):
+    """(name, reader, spark_ddl_type, post) per record field; ``post`` is
+    the column-level logical-type conversion key (timestamps/date)."""
+    if schema.get("type") != "record":
+        raise NotImplementedError("top-level avro schema must be a record")
+    plan = []
+    for f in schema["fields"]:
+        sch = f["type"]
+        reader = _primitive_reader(sch)
+        lt = _logical(sch)
+        base = _base_type(sch)
+        if lt in ("timestamp-millis", "timestamp-micros"):
+            ddl, post = "timestamp", lt
+        elif lt == "date":
+            ddl, post = "date", lt
+        else:
+            ddl, post = _SPARK_TYPES[base], None
+        plan.append((f["name"], reader, ddl, post))
+    return plan
+
+
+def parse_ocf_header(raw: bytes):
+    """(schema dict, codec, sync marker, body offset) from an OCF head."""
+    buf = io.BytesIO(raw)
+    if buf.read(4) != MAGIC:
+        raise ValueError("not an avro object container file")
+    meta = _read_map(buf)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    sync = buf.read(16)
+    return schema, codec, sync, buf.tell()
+
+
+def iter_ocf_records(raw: bytes):
+    """Decode every record of an OCF blob (null/deflate codecs)."""
+    schema, codec, sync, off = parse_ocf_header(raw)
+    plan = _field_plan(schema)
+    buf = io.BytesIO(raw)
+    buf.seek(off)
+    while buf.tell() < len(raw):
+        n_rec = _read_long(buf)
+        size = _read_long(buf)
+        block = buf.read(size)
+        if codec == "deflate":  # raw DEFLATE, no zlib header (spec §Codecs)
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise NotImplementedError(f"avro codec {codec!r}")
+        if buf.read(16) != sync:
+            raise ValueError("avro sync marker mismatch")
+        bbuf = io.BytesIO(block)
+        for _ in range(n_rec):
+            yield {name: reader(bbuf) for name, reader, _, _ in plan}
+
+
+def read_avro(spark: SparkSession, path: str, sample_file: str | None = None) -> DataFrame:
+    """Read an Avro OCF directory/glob as a typed DataFrame with
+    ``_kpf_source`` lineage. Schema from one driver head read of the
+    first file; record decoding is distributed per blob."""
+    import pandas as pd
+
+    if sample_file is None:
+        import glob as _glob
+        import os as _os
+
+        pats = path if isinstance(path, list) else [path]
+        cands = sorted(
+            f
+            for p in pats
+            for f in (
+                _glob.glob(_os.path.join(p, "*")) if _os.path.isdir(p) else _glob.glob(p)
+            )
+        )
+        if not cands:
+            raise FileNotFoundError(f"no files match {path!r}")
+        sample_file = cands[0]
+    with open(sample_file, "rb") as fh:
+        schema, _, _, _ = parse_ocf_header(fh.read(65536))
+    plan = _field_plan(schema)
+    ddl = ", ".join(f"`{n}` {t}" for n, _, t, _ in plan) + ", _kpf_source string"
+
+    def batches(it):
+        for pdf in it:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                recs = list(iter_ocf_records(bytes(content)))
+                cols = {n: [r[n] for r in recs] for n, _, _, _ in plan}
+                out = pd.DataFrame(cols, columns=[n for n, _, _, _ in plan])
+                for n, _, _, post in plan:
+                    if post == "timestamp-millis":
+                        out[n] = pd.to_datetime(out[n], unit="ms")
+                    elif post == "timestamp-micros":
+                        out[n] = pd.to_datetime(out[n], unit="us")
+                    elif post == "date":
+                        out[n] = pd.to_datetime(out[n], unit="D").dt.date
+                out["_kpf_source"] = p
+                yield out
+
+    bf = spark.read.format("binaryFile").load(path).select("path", "content")
+    return bf.mapInPandas(batches, ddl)
+
+
+# --------------------------------------------------- fixture-forging writer
+
+
+def write_avro_ocf(
+    schema: dict, records: list[dict], codec: str = "null", sync: bytes = b"\x07" * 16
+) -> bytes:
+    """Minimal OCF writer for fixtures/tests (same subset as the reader)."""
+    _field_plan(schema)  # validate the subset up front
+
+    def enc_value(out: bytearray, sch, v) -> None:
+        if isinstance(sch, list):
+            idx = next(
+                i for i, s in enumerate(sch) if (v is None) == (s == "null")
+            )
+            _write_long(out, idx)
+            enc_value(out, sch[idx], v)
+            return
+        if isinstance(sch, dict):
+            t = sch["type"]
+            if t == "enum":
+                _write_long(out, sch["symbols"].index(v))
+                return
+            if t == "fixed":
+                out.extend(v)
+                return
+            enc_value(out, t, v)
+            return
+        if sch == "null":
+            return
+        if sch == "boolean":
+            out.append(1 if v else 0)
+        elif sch in ("int", "long"):
+            _write_long(out, int(v))
+        elif sch == "float":
+            out.extend(struct.pack("<f", v))
+        elif sch == "double":
+            out.extend(struct.pack("<d", v))
+        elif sch in ("bytes", "string"):
+            data = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            _write_long(out, len(data))
+            out.extend(data)
+        else:  # pragma: no cover
+            raise NotImplementedError(f"avro type {sch!r}")
+
+    body = bytearray()
+    for r in records:
+        for f in schema["fields"]:
+            enc_value(body, f["type"], r[f["name"]])
+    block = bytes(body)
+    if codec == "deflate":
+        c = zlib.compressobj(9, zlib.DEFLATED, -15)
+        block = c.compress(block) + c.flush()
+    out = bytearray(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": codec.encode(),
+    }
+    _write_long(out, len(meta))
+    for k, v in sorted(meta.items()):
+        kb = k.encode()
+        _write_long(out, len(kb))
+        out.extend(kb)
+        _write_long(out, len(v))
+        out.extend(v)
+    _write_long(out, 0)
+    out.extend(sync)
+    _write_long(out, len(records))
+    _write_long(out, len(block))
+    out.extend(block)
+    out.extend(sync)
+    return bytes(out)

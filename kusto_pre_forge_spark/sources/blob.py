@@ -167,6 +167,17 @@ def read_landing(
         df = spark.read.parquet(*paths)
     elif fmt == DataFormat.ORC:
         df = spark.read.orc(*paths)
+    elif fmt == DataFormat.AVRO:
+        from kusto_pre_forge_spark.sources.avro import read_avro
+
+        # read_avro emits _kpf_source itself (binaryFile path column —
+        # input_file_name() is empty under non-file-scan sources)
+        return read_avro(spark, paths[0] if len(paths) == 1 else paths)
+    elif fmt == DataFormat.W3CLOGFILE:
+        from kusto_pre_forge_spark.sources.w3clog import w3c_parse, read_fields_directive
+
+        fields = read_fields_directive(paths[0])
+        df = w3c_parse(spark.read.text(paths), fields)
     else:  # pragma: no cover - enum is closed
         raise NotImplementedError(f"format {fmt}")
     return df.withColumn("_kpf_source", F.input_file_name())

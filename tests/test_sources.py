@@ -166,3 +166,89 @@ def test_w3c_log_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([("a b",), ("#x",)], "value string")
     got = w3c_parse(df, ["cs(Referer)", "sc-bytes"]).collect()
     assert len(got) == 1 and got[0].cs_referer == "a" and got[0].sc_bytes == "b"
+
+
+def test_avro_ocf_roundtrip(spark, tmp_path):
+    """Dependency-free Avro OCF: header/metadata/sync framing, zigzag
+    varints, deflate codec, [null,T] unions, enum/fixed/logical types —
+    read back through the distributed binaryFile + mapInPandas path."""
+    from kusto_pre_forge_spark.sources.avro import (
+        iter_ocf_records,
+        read_avro,
+        write_avro_ocf,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "ev",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "score", "type": "double"},
+            {"name": "ok", "type": "boolean"},
+            {"name": "kind", "type": {"type": "enum", "name": "k",
+                                      "symbols": ["a", "b", "c"]}},
+            {"name": "ts", "type": {"type": "long",
+                                    "logicalType": "timestamp-millis"}},
+            {"name": "payload", "type": "bytes"},
+        ],
+    }
+    records = [
+        {"id": 1, "name": "alpha", "score": 1.5, "ok": True, "kind": "b",
+         "ts": 1714521600123, "payload": b"\x00\x01"},
+        {"id": -2, "name": None, "score": -0.25, "ok": False, "kind": "a",
+         "ts": 1714521601000, "payload": b""},
+        {"id": 1 << 40, "name": "z", "score": 0.0, "ok": True, "kind": "c",
+         "ts": 0, "payload": b"xyz"},
+    ]
+    for codec in ("null", "deflate"):
+        raw = write_avro_ocf(schema, records, codec=codec)
+        got = list(iter_ocf_records(raw))
+        assert got == records, codec
+    p = tmp_path / "part-0.avro"
+    p.write_bytes(write_avro_ocf(schema, records, codec="deflate"))
+    df = read_avro(spark, str(tmp_path / "*.avro")).orderBy("score")
+    rows = df.collect()
+    assert [r.id for r in rows] == [-2, 1 << 40, 1]
+    assert rows[0].name is None and rows[2].name == "alpha"
+    assert rows[2].ts.isoformat().startswith("2024-05-01")
+    assert rows[2].payload == b"\x00\x01" and rows[1].kind == "c"
+    assert rows[0]._kpf_source.endswith("part-0.avro")
+
+
+def test_avro_via_read_landing(spark, tmp_path):
+    from kusto_pre_forge_spark.config import DataFormat, RunSettings
+    from kusto_pre_forge_spark.sources.avro import write_avro_ocf
+    from kusto_pre_forge_spark.sources.blob import read_landing
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "x", "type": "int"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    p = tmp_path / "data-00.avro"
+    p.write_bytes(
+        write_avro_ocf(schema, [{"x": i, "s": f"v{i}"} for i in range(100)])
+    )
+    out = read_landing(
+        spark, [str(p)], RunSettings(fmt=DataFormat.AVRO)
+    )
+    assert out.count() == 100
+    assert set(out.columns) == {"x", "s", "_kpf_source"}
+    assert out.agg(F.sum("x")).first()[0] == 4950
+
+
+def test_avro_unsupported_nested_raises(tmp_path):
+    from kusto_pre_forge_spark.sources.avro import write_avro_ocf
+    import pytest as _pt
+
+    nested = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": {"type": "array", "items": "int"}}],
+    }
+    with _pt.raises(NotImplementedError, match="nested avro"):
+        write_avro_ocf(nested, [])
