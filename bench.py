@@ -78,6 +78,11 @@ HEADLINE = [
     "embedding_quantize",
     "text_quality_lr",
     "activity_counts_metrics",
+    "text_c4",
+    "text_gopher",
+    "w3c_log_parse",
+    "avro_roundtrip",
+    "ann_recall_pq",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

@@ -73,6 +73,11 @@ AUDITED = [
     ("activity_counts_metrics", "two actor-keyed aggregates + bins-sized prefix sum; broadcast final join"),
     ("activity_new_metrics", "distinct pairs self-joined one bin apart on the actor key; no windows"),
     ("multimodal_video_dhash", "pure map stage: RIFF walk + per-frame JPEG decode inside mapInPandas"),
+    ("text_c4", "C4 cleaning rules in the scan projection — array HOFs, zero exchanges below the aggregate-free projection"),
+    ("text_gopher", "Gopher quality rules in the scan projection — zero exchanges, no UDF"),
+    ("w3c_log_parse", "positional split projection feeds one map-side-combined aggregate"),
+    ("avro_roundtrip", "OCF encode→decode is a pure map stage; one exchange for the final aggregate"),
+    ("dedup_edit_distance", "segment-vs-window banding: hash equi-join on (si, len, text) keys, never all-pairs"),
 ]
 
 
