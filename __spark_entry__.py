@@ -2401,9 +2401,14 @@ def _q_ann_recall_pq(spark, sf):
     rr = similarity.pq_topk(emb, q, k=10, codebooks=cb, rerank=50).select(
         "query_id", "neighbor_id"
     )
+    km = similarity.ivf_kmeans_centroids(emb, n_cells=16, n_iters=8, seed=13)
+    ivfpq = similarity.pq_topk_ivf(
+        emb, q, k=10, n_cells=16, nprobe=8, centroids=km, codebooks=cb, rerank=50
+    ).select("query_id", "neighbor_id")
     return (
         mean_recall(raw, "pq_adc", 0.55)
         .unionByName(mean_recall(rr, "pq_adc_rerank", 0.90))
+        .unionByName(mean_recall(ivfpq, "pq_ivf_rerank", 0.60))
         .orderBy("variant")
     )
 
@@ -6422,7 +6427,8 @@ def oracle_sql() -> dict[str, str]:
             # 0.90, deterministically at the driver's sf (seeded run)
             "SELECT v AS variant, TRUE AS recall_floor_ok, "
             "'m=32,ks=16,iters=5' AS config "
-            "FROM (VALUES ('pq_adc'), ('pq_adc_rerank')) t(v) ORDER BY v"
+            "FROM (VALUES ('pq_adc'), ('pq_adc_rerank'), ('pq_ivf_rerank')) t(v) "
+            "ORDER BY v"
         ),
         "kql_parse_kv": (
             "SELECT event_id, CAST(event_id AS VARCHAR) AS kv_id, "

@@ -800,3 +800,155 @@ def pq_topk(
     return exact.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def pq_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    m: int = 8,
+    ks: int = 16,
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVF-PQ — the canonical billion-scale ANN shape (FAISS IVFPQ;
+    Jégou et al. 2011 §V): IVF coarse cells prune candidates
+    (~``nprobe/n_cells`` of the corpus), PQ codes make scoring the
+    survivors a table-lookup fold, optional exact rerank restores
+    near-exact recall. Composition of :func:`cosine_topk_ivf`'s cell
+    machinery with :func:`pq_topk`'s ADC scan:
+
+    - corpus pass: one vectorized UDF emits the cell argmax, one Arrow
+      pass the PQ codes — the stored index is (id, cell int, m codes),
+      independent of dim;
+    - queries explode to top-``nprobe`` cells and carry their m×ks LUT;
+    - the candidate join is a hash equi-join on the int cell key and the
+      ADC score is a pure-codegen aggregate fold — the only per-candidate
+      work at 100 TB is m array lookups.
+
+    Returns (query_id, neighbor_id, pq_score, rank).
+    """
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            corpus, id_col=id_col, vec_col=vec_col, m=m, ks=ks
+        )
+    Cs = [np.asarray(c, dtype=np.float64) for c in codebooks]
+    m = len(Cs)
+    ks = Cs[0].shape[0]
+    dsub = Cs[0].shape[1]
+
+    if centroids is None:
+        centroids = ivf_kmeans_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells
+        )
+    C = np.array(centroids[:n_cells], dtype=np.float64)
+    CN = np.maximum(np.linalg.norm(C, axis=1), 1e-12)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _cell_scores(vs: pd.Series) -> pd.Series:
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        acc = np.zeros((V.shape[0], C.shape[0]))
+        for dim in range(C.shape[1]):
+            acc += V[:, dim, None] * C[None, :, dim]
+        acc /= CN[None, :]
+        return pd.Series(list(acc))
+
+    codes = (
+        pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+        .join(
+            corpus.select(
+                F.col(id_col).alias(id_col), F.col(vec_col).alias("_cv0")
+            ),
+            id_col,
+        )
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "codes",
+            _cell_scores(F.col("_cv0")).alias("_cs"),
+        )
+        .withColumn(
+            "_cell", (F.array_position(F.col("_cs"), F.array_max("_cs")) - 1).cast("int")
+        )
+        .drop("_cs")
+    )
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _lut(vs: pd.Series) -> pd.Series:
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        out = np.zeros((V.shape[0], m * ks))
+        for s in range(m):
+            Qs = V[:, s * dsub : (s + 1) * dsub]
+            out[:, s * ks : (s + 1) * ks] = Qs @ Cs[s].T
+        return pd.Series(list(out))
+
+    def probe_structs(scores: Column) -> Column:
+        return F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        F.element_at(scores, j + 1).alias("s"),
+                        F.lit(-j).alias("nj"),
+                    )
+                    for j in range(C.shape[0])
+                ]
+            ),
+            asc=False,
+        )
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _lut(F.col(vec_col)).alias("_lut"),
+            _cell_scores(F.col(vec_col)).alias("_cs"),
+        )
+        .withColumn("_probe", F.explode(F.slice(probe_structs(F.col("_cs")), 1, nprobe)))
+        .select("query_id", "_lut", (-F.col("_probe.nj")).cast("int").alias("_cell"))
+    )
+
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("_lut"), s * ks + F.element_at(F.col("codes"), s + 1) + 1
+        ),
+    )
+    scored = (
+        codes.join(F.broadcast(q), "_cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", score.alias("pq_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col("neighbor_id").asc()
+    )
+    if rerank is None:
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+    if rerank < k:
+        raise ValueError("rerank candidate count must be >= k")
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    v = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    exact = (
+        cand.join(v, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("pq_score"),
+        )
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

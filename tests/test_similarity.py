@@ -238,3 +238,30 @@ def test_pq_topk_validations(spark, emb):
         )
     with pytest.raises(ValueError, match="divisible"):
         similarity.pq_train_codebooks(emb, m=7)
+
+
+def test_pq_topk_ivf_composition(spark, emb):
+    """IVF-PQ: probing ALL cells degenerates to the PQ-only candidate set;
+    partial probes keep a useful recall at a fraction of the scan."""
+    from kusto_pre_forge_spark.operators import similarity
+
+    q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    exact = similarity.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    cb = similarity.pq_train_codebooks(emb, m=32, ks=16, n_iters=5)
+    km = similarity.ivf_kmeans_centroids(emb, n_cells=16, n_iters=8, seed=13)
+    # full probe == PQ-only (same candidates, same rerank)
+    full = similarity.pq_topk_ivf(
+        emb, q, k=10, n_cells=16, nprobe=16, centroids=km, codebooks=cb, rerank=50
+    ).select("query_id", "neighbor_id")
+    pq_only = similarity.pq_topk(emb, q, k=10, codebooks=cb, rerank=50).select(
+        "query_id", "neighbor_id"
+    )
+    assert full.exceptAll(pq_only).count() == 0
+    assert pq_only.exceptAll(full).count() == 0
+    # partial probe: recall floor at the measured level
+    part = similarity.pq_topk_ivf(
+        emb, q, k=10, n_cells=16, nprobe=8, centroids=km, codebooks=cb, rerank=50
+    ).select("query_id", "neighbor_id")
+    r = exact.join(part, ["query_id", "neighbor_id"], "left_semi").count() / n_exact
+    assert r >= 0.60, r
