@@ -662,6 +662,24 @@ def _q_text_gopher(spark, sf):
     return textstats.gopher_quality(d, "text")
 
 
+def _q_corpus_temperature_mix(spark, sf):
+    """Temperature-smoothed source mixture (XLM §3.1 / mT5 §3.2 α-
+    sampling): per-source rate wₛ·B/nₛ with w ∝ n^0.3, applied through
+    the deterministic epoch-explode + md5-threshold machinery — head
+    sources downsample, tail sources gain fractional epochs; zero
+    data-side shuffle. Oracle replays rate math + hash exactly."""
+    from kusto_pre_forge_spark.operators import corpus as corpus_ops
+
+    d = load_table(spark, sf, "documents")
+    mixed = corpus_ops.temperature_mix(
+        d, "source", "doc_id", "n_chars", alpha=0.3
+    )
+    return mixed.groupBy("source", "epoch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 def _q_avro_roundtrip(spark, sf):
     """Avro OCF codec (reference DataSourceFormat declares avro,
     Settings/BlobSettings.cs:13; EtlRun throws on it) — a fully
@@ -3911,6 +3929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4": _q_text_c4,
         "w3c_log_parse": _q_w3c_log_parse,
         "avro_roundtrip": _q_avro_roundtrip,
+        "corpus_temperature_mix": _q_corpus_temperature_mix,
         "text_lm_score": _q_text_lm_score,
         "text_bm25": _q_text_bm25,
         "text_bpe": _q_text_bpe,
@@ -4684,6 +4703,24 @@ def oracle_sql() -> dict[str, str]:
             "w -> list_contains(['the','be','to','of','and','that','have','with'], w))) >= 2, "
             "false) AS passes_gopher "
             "FROM t"
+        ),
+        "corpus_temperature_mix": (
+            "WITH t AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS n "
+            "FROM documents GROUP BY source), "
+            "s AS (SELECT sum(pow(n, 0.3)) AS wsum, sum(n) AS ntot FROM t), "
+            "r AS (SELECT source, pow(n, 0.3) / wsum * ntot / n AS rate FROM t, s), "
+            "d AS (SELECT doc_id, source, n_chars, greatest(rate, 0) AS rate "
+            "FROM documents JOIN r USING (source)), "
+            "e AS (SELECT *, unnest(range(0, greatest(CAST(ceil(rate) AS BIGINT), 1))) "
+            "AS epoch FROM d), "
+            "k AS (SELECT * FROM e WHERE epoch < floor(rate) OR "
+            "CAST(concat('0x', substr(md5(concat('kpf-temp', '|', "
+            "CAST(doc_id AS VARCHAR), '|', CAST(epoch AS VARCHAR))), 1, 8)) AS BIGINT) "
+            "/ 4294967296.0 < rate - floor(rate)) "
+            "SELECT source, CAST(epoch AS BIGINT) AS epoch, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM k GROUP BY 1, 2"
         ),
         "avro_roundtrip": (
             # predictive: a correct OCF encode->decode is the identity,

@@ -468,3 +468,66 @@ def epoch_upsample(
     # probability frac(w) by content hash
     keep = (F.col(epoch_col) < F.floor(w)) | (u < (w - F.floor(w)))
     return out.filter(keep)
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    key: Column | str,
+    token_col: Column | str,
+    alpha: float = 0.3,
+    budget_tokens: int | None = None,
+    salt: str = "kpf-temp",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Temperature-smoothed mixture sampling — the multilingual-training
+    standard (XLM, Conneau & Lample 2019 §3.1; mT5, Xue et al. 2021
+    §3.2): source s samples with weight wₛ ∝ nₛ^α, flattening the head
+    and boosting the tail (α=1 keeps natural proportions, α→0 goes
+    uniform). Each source's rate rₛ = wₛ·B / nₛ where B is the total
+    token budget (default: Σnₛ, i.e. reshape only); rₛ < 1 downsamples a
+    high-resource source, rₛ > 1 UPSAMPLES a low-resource one with
+    fractional epochs — both through the same deterministic md5-unit
+    machinery as :func:`epoch_upsample`, so the mix is RNG-free and
+    engine-replayable.
+
+    Plan shape: one map-side-combined aggregate for the per-source token
+    totals, broadcast back; then a map-only epoch explode + hash
+    threshold. No data-side shuffle at any scale. Returns the sampled
+    rows with ``epoch_col`` attached.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    k = F.col(key) if isinstance(key, str) else key
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    totals = df.groupBy(strata_col).agg(F.sum(tok).alias("_kpf_n"))
+    wsum = totals.agg(
+        F.sum(F.pow(F.col("_kpf_n").cast("double"), float(alpha))).alias("_kpf_wsum"),
+        F.sum("_kpf_n").alias("_kpf_ntot"),
+    )
+    rates = totals.crossJoin(F.broadcast(wsum)).select(
+        strata_col,
+        (
+            F.pow(F.col("_kpf_n").cast("double"), float(alpha))
+            / F.col("_kpf_wsum")
+            * (
+                F.lit(float(budget_tokens))
+                if budget_tokens is not None
+                else F.col("_kpf_ntot").cast("double")
+            )
+            / F.col("_kpf_n").cast("double")
+        ).alias("_kpf_rate"),
+    )
+    out = df.join(F.broadcast(rates), strata_col)
+    w = F.greatest(F.col("_kpf_rate"), F.lit(0.0))
+    out = out.withColumn(
+        epoch_col,
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.ceil(w).cast("long") - 1, F.lit(0)))
+        ),
+    )
+    u = _hash_unit(
+        F.concat_ws("|", k.cast("string"), F.col(epoch_col).cast("string")), salt
+    )
+    keep = (F.col(epoch_col) < F.floor(w)) | (u < (w - F.floor(w)))
+    return out.filter(keep).drop("_kpf_rate")

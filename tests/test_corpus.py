@@ -219,3 +219,28 @@ def test_epoch_upsample_nonpositive_weight_drops(spark):
     rows = out.collect()
     assert sorted(r.doc_id for r in rows) == [4]
     assert all(r.epoch == 0 for r in rows)
+
+
+def test_temperature_mix_alpha_semantics(spark):
+    """alpha=1 keeps natural proportions (rate 1 everywhere -> identity);
+    alpha<1 upsamples the tail source and downsamples the head."""
+    from kusto_pre_forge_spark.operators.corpus import temperature_mix
+
+    rows = [(i, "big" if i < 90 else "small", 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars int")
+    ident = temperature_mix(df, "source", "doc_id", "n_chars", alpha=1.0)
+    assert ident.count() == 100
+    assert ident.agg(F.max("epoch")).first()[0] == 0
+
+    mixed = temperature_mix(df, "source", "doc_id", "n_chars", alpha=0.3)
+    per = {r.source: r.n for r in mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # w_big = 90^0.3, w_small = 10^0.3 -> small rate = w_s*100/10 > 1 (upsampled)
+    assert per["small"] > 10, per
+    assert per["big"] < 90, per
+    # deterministic: re-run identical
+    again = {r.source: r.n for r in temperature_mix(df, "source", "doc_id", "n_chars", alpha=0.3).groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == again
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        temperature_mix(df, "source", "doc_id", "n_chars", alpha=0.0)
