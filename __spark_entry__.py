@@ -662,6 +662,22 @@ def _q_text_gopher(spark, sf):
     return textstats.gopher_quality(d, "text")
 
 
+def _q_layout_zorder(spark, sf):
+    """Z-order (Morton) layout keys — the write-side companion to
+    predicate pushdown: interleaved bits keep every indexed dimension's
+    ranges compact so row-group min/max stats prune on any of them.
+    Pure codegen integer math, oracled bit-for-bit."""
+    from kusto_pre_forge_spark.operators.layout import zorder_key
+
+    e = load_table(spark, sf, "events").filter(F.col("event_id") < 2000)
+    return e.select(
+        "event_id",
+        zorder_key([F.col("event_id") % 256, F.col("user_id") % 256], bits=8).alias(
+            "zkey"
+        ),
+    )
+
+
 def _q_corpus_temperature_mix(spark, sf):
     """Temperature-smoothed source mixture (XLM §3.1 / mT5 §3.2 α-
     sampling): per-source rate wₛ·B/nₛ with w ∝ n^0.3, applied through
@@ -3930,6 +3946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3c_log_parse": _q_w3c_log_parse,
         "avro_roundtrip": _q_avro_roundtrip,
         "corpus_temperature_mix": _q_corpus_temperature_mix,
+        "layout_zorder": _q_layout_zorder,
         "text_lm_score": _q_text_lm_score,
         "text_bm25": _q_text_bm25,
         "text_bpe": _q_text_bpe,
@@ -4703,6 +4720,16 @@ def oracle_sql() -> dict[str, str]:
             "w -> list_contains(['the','be','to','of','and','that','have','with'], w))) >= 2, "
             "false) AS passes_gopher "
             "FROM t"
+        ),
+        "layout_zorder": (
+            # Morton interleave replayed as unrolled bit arithmetic
+            "SELECT event_id, CAST("
+            + " + ".join(
+                f"((((event_id % 256) >> {j}) & 1) << {2 * j}) + "
+                f"((((user_id % 256) >> {j}) & 1) << {2 * j + 1})"
+                for j in range(8)
+            )
+            + " AS BIGINT) AS zkey FROM events WHERE event_id < 2000"
         ),
         "corpus_temperature_mix": (
             "WITH t AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS n "

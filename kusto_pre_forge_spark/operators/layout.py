@@ -1,0 +1,71 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering keys.
+
+The 100 TB write-side companion to predicate pushdown: parquet row-group
+min/max statistics prune scans only when rows with nearby key values sit
+in the same files. A single-column sort clusters one dimension and
+destroys the others; interleaving the bits of k columns (the Z-order /
+Morton curve, the technique behind Delta Lake's OPTIMIZE ZORDER BY and
+HBase/Accumulo shard keys) keeps EVERY indexed dimension's value ranges
+compact, so selective filters on any of them skip most row groups.
+
+Everything here is pure codegen integer arithmetic — the key computes in
+the scan projection, and the layout write is one ``repartitionByRange``
+(Spark's range partitioner samples the key distribution) plus a
+``sortWithinPartitions``. No UDF, no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton interleave of ``k`` non-negative integer columns at ``bits``
+    bits each: output bit ``j·k + i`` is bit ``j`` of column ``i``.
+    Values clamp into ``[0, 2^bits)`` (callers range-normalize or modulo
+    first — the key is a LAYOUT device, collisions are fine). Requires
+    ``k · bits ≤ 63`` so the key fits a signed long. Unrolled in Python
+    to ``k · bits`` masked shifts — a flat codegen expression, no UDF.
+    """
+    k = len(cols)
+    if k == 0:
+        raise ValueError("zorder_key needs at least one column")
+    if k * bits > 63:
+        raise ValueError(f"{k} cols × {bits} bits exceeds a signed long")
+    cap = (1 << bits) - 1
+    cs = [
+        F.least(
+            F.greatest((F.col(c) if isinstance(c, str) else c).cast("long"), F.lit(0)),
+            F.lit(cap),
+        )
+        for c in cols
+    ]
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, c in enumerate(cs):
+            acc = acc + F.shiftleft(
+                F.shiftright(c, j).bitwiseAND(F.lit(1)), j * k + i
+            )
+    return acc
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    num_partitions: int | None = None,
+    key_col: str = "_kpf_zkey",
+) -> DataFrame:
+    """Cluster rows for writing: compute the Z-order key, range-partition
+    on it (Spark samples the distribution — balanced output files), and
+    sort within partitions so row-group min/max stats are tight on every
+    interleaved dimension. Write the result with any sink; drop
+    ``key_col`` first if the key itself shouldn't persist."""
+    keyed = df.withColumn(key_col, zorder_key(list(cols), bits))
+    parted = (
+        keyed.repartitionByRange(num_partitions, key_col)
+        if num_partitions
+        else keyed.repartitionByRange(key_col)
+    )
+    return parted.sortWithinPartitions(key_col)

@@ -1,0 +1,61 @@
+"""Z-order layout: Morton math + range-partitioned clustered write."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kusto_pre_forge_spark.operators.layout import zorder_key, zorder_layout
+
+
+def test_zorder_key_morton_vectors(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (1, 1), (255, 0), (0, 255), (3, 5)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_key(["x", "y"], bits=8).alias("z")
+        ).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for j in range(8):
+            z |= ((x >> j) & 1) << (2 * j)
+            z |= ((y >> j) & 1) << (2 * j + 1)
+        return z
+
+    assert got == {(x, y): morton(x, y) for x, y in rows}
+    # clamping: negatives to 0, overflow to the cap
+    r = (
+        spark.createDataFrame([(-5, 300)], "x long, y long")
+        .select(zorder_key(["x", "y"], bits=8).alias("z"))
+        .first()
+    )
+    assert r.z == morton(0, 255)
+    with pytest.raises(ValueError, match="signed long"):
+        zorder_key(["x", "y"], bits=32)
+
+
+def test_zorder_layout_clusters_both_dims(spark):
+    """After the layout pass, per-partition min/max spans of BOTH
+    dimensions are tight relative to the global span — the property that
+    makes row-group stats prune on either column."""
+    n = 64
+    df = spark.createDataFrame(
+        [(i % n, i // n) for i in range(n * n)], "x long, y long"
+    )
+    laid = zorder_layout(df, ["x", "y"], bits=6, num_partitions=16)
+    spans = (
+        laid.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    avg_sx = sum(r.sx for r in spans) / len(spans)
+    avg_sy = sum(r.sy for r in spans) / len(spans)
+    # a single-column sort would leave the other dimension's span ~n-1;
+    # z-order keeps both average spans well under half the global span
+    assert avg_sx < n / 2, avg_sx
+    assert avg_sy < n / 2, avg_sy
