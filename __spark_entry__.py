@@ -662,6 +662,19 @@ def _q_text_gopher(spark, sf):
     return textstats.gopher_quality(d, "text")
 
 
+def _q_dedup_substring_spans(spark, sf):
+    """Cross-document duplicated spans (Lee et al. ACL'22 ExactSubstr,
+    rolling-window form): 8-token windows hashed, >=2-doc windows merged
+    into maximal per-doc [start, end) token spans. Oracle replays the
+    full window/hash/island pipeline."""
+    from kusto_pre_forge_spark.operators import dedup as dedup_ops
+
+    d = load_table(spark, sf, "documents")
+    return dedup_ops.exact_substring_spans(
+        d, "text", "doc_id", window_tokens=8, min_docs=2
+    )
+
+
 def _q_layout_zorder(spark, sf):
     """Z-order (Morton) layout keys — the write-side companion to
     predicate pushdown: interleaved bits keep every indexed dimension's
@@ -3947,6 +3960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip": _q_avro_roundtrip,
         "corpus_temperature_mix": _q_corpus_temperature_mix,
         "layout_zorder": _q_layout_zorder,
+        "dedup_substring_spans": _q_dedup_substring_spans,
         "text_lm_score": _q_text_lm_score,
         "text_bm25": _q_text_bm25,
         "text_bpe": _q_text_bpe,
@@ -4720,6 +4734,27 @@ def oracle_sql() -> dict[str, str]:
             "w -> list_contains(['the','be','to','of','and','that','have','with'], w))) >= 2, "
             "false) AS passes_gopher "
             "FROM t"
+        ),
+        "dedup_substring_spans": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            "w -> w != '') AS tk FROM documents), "
+            "w AS (SELECT doc_id, i, "
+            "md5(array_to_string(tk[i+1:i+8], ' ')) AS h "
+            "FROM t, unnest(range(0, greatest(len(tk) - 7, 0))) AS u(i)), "
+            "d AS (SELECT h FROM w GROUP BY h "
+            "HAVING count(DISTINCT doc_id) >= 2), "
+            "hits AS (SELECT * FROM w WHERE h IN (SELECT h FROM d)), "
+            "f AS (SELECT doc_id, i, CASE WHEN "
+            "lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL "
+            "OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 8 "
+            "THEN 1 ELSE 0 END AS nw FROM hits), "
+            "g AS (SELECT doc_id, i, sum(nw) OVER (PARTITION BY doc_id "
+            "ORDER BY i) AS island FROM f) "
+            "SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start, "
+            "CAST(max(i) + 8 AS BIGINT) AS span_end, "
+            "CAST(count(*) AS BIGINT) AS n_dup_windows "
+            "FROM g GROUP BY doc_id, island"
         ),
         "layout_zorder": (
             # Morton interleave replayed as unrolled bit arithmetic

@@ -1214,3 +1214,79 @@ def hamming_pairs(
         .filter(F.col("distance") <= max_hamming)
         .select("id_a", "id_b", "distance")
     )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated SPANS — the span-granularity member of
+    the dedup family ("Deduplicating Training Data Makes Language Models
+    Better", Lee et al., ACL 2022: removing repeated substrings, not
+    whole documents, is what fixes memorization). Their suffix-array
+    ExactSubstr is replaced by the shuffle-friendly rolling-window
+    equivalent: every ``window_tokens``-token window hashes to a 128-bit
+    key; a window appearing in ≥ ``min_docs`` DISTINCT documents marks a
+    duplicated region, and per document the overlapping windows merge
+    into maximal [start, end) token spans (gaps-and-islands over one
+    doc-key exchange).
+
+    Plan shape at 100 TB: one explode to ~n_tokens rows carrying ONLY
+    (doc, position, 16-byte hash) — never the window text; one map-side-
+    combined aggregate for document frequency; a hash semi-join back;
+    one window pass per doc for the merge. Window hashing makes a false
+    cross-doc match a ~2⁻¹²⁸ event, so no text verify stage is needed
+    (the paper's suffix approach is exact; md5 collisions are far below
+    data-corruption rates). Returns (id, span_start, span_end,
+    n_dup_windows) with token-index spans for the caller's cutter.
+    """
+    k = window_tokens
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_tk"))
+    wins = base.select(
+        "_id",
+        F.explode(
+            F.when(
+                F.size("_tk") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_tk") - k),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.md5(F.array_join(F.slice("_tk", i + 1, k), " ")).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<i:int,h:string>>"))
+        ).alias("w"),
+    ).select("_id", "w.i", "w.h")
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("_id").alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("h")
+    )
+    hits = wins.join(dup, "h", "left_semi")
+    w = Window.partitionBy("_id").orderBy("i")
+    flagged = hits.withColumn(
+        "_new",
+        F.when(
+            F.lag("i").over(w).isNull() | (F.col("i") > F.lag("i").over(w) + k),
+            1,
+        ).otherwise(0),
+    ).withColumn("_island", F.sum("_new").over(w))
+    return (
+        flagged.groupBy("_id", "_island")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + k).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_windows"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+            F.col("n_dup_windows").cast("long"),
+        )
+    )

@@ -454,3 +454,25 @@ def test_edit_distance_pairs_tiny_strings(spark):
         for r in edit_distance_pairs(df, "s", "doc_id", 1).collect()
     }
     assert got == {(1, 2): 1, (1, 3): 1}, got
+
+
+def test_exact_substring_spans_planted(spark):
+    """Planted shared boilerplate is found as a maximal merged span;
+    unique text produces none; within-doc repetition alone does not count
+    (min_docs=2 distinct docs)."""
+    from kusto_pre_forge_spark.operators.dedup import exact_substring_spans
+
+    boiler = "subscribe to our newsletter for daily updates and offers now"
+    rows = [
+        (1, f"intro words here {boiler} closing remark"),
+        (2, f"{boiler} totally different tail content follows here"),
+        (3, "completely unique text with no shared region at all kept"),
+        (4, "repeat repeat repeat repeat repeat repeat repeat repeat repeat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_substring_spans(df, "text", "doc_id", window_tokens=5, min_docs=2)
+    got = {r.doc_id: (r.span_start, r.span_end, r.n_dup_windows) for r in out.collect()}
+    assert set(got) == {1, 2}
+    # doc 1: boiler tokens occupy positions 3..12 -> windows 3..8 (k=5)
+    assert got[1] == (3, 13, 6), got
+    assert got[2] == (0, 10, 6), got
