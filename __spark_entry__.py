@@ -662,6 +662,19 @@ def _q_text_gopher(spark, sf):
     return textstats.gopher_quality(d, "text")
 
 
+def _q_kql_evaluate_python(spark, sf):
+    """ADX `evaluate python(typeof(...), script)` — mapInPandas-hosted
+    inline script (df in, result out, one partition per invocation);
+    row-local math so the oracle replays it as plain SQL."""
+    e = load_table(spark, sf, "events").filter(F.col("event_id") < 3000)
+    return kql.evaluate_python(
+        e.select("event_id", "value"),
+        "result = pd.DataFrame({'event_id': df['event_id'], "
+        "'score': (df['value'] * 2.0 + df['event_id'] % 10).round(6)})",
+        "event_id long, score double",
+    )
+
+
 def _q_dedup_substring_spans(spark, sf):
     """Cross-document duplicated spans (Lee et al. ACL'22 ExactSubstr,
     rolling-window form): 8-token windows hashed, >=2-doc windows merged
@@ -3961,6 +3974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_temperature_mix": _q_corpus_temperature_mix,
         "layout_zorder": _q_layout_zorder,
         "dedup_substring_spans": _q_dedup_substring_spans,
+        "kql_evaluate_python": _q_kql_evaluate_python,
         "text_lm_score": _q_text_lm_score,
         "text_bm25": _q_text_bm25,
         "text_bpe": _q_text_bpe,
@@ -4734,6 +4748,10 @@ def oracle_sql() -> dict[str, str]:
             "w -> list_contains(['the','be','to','of','and','that','have','with'], w))) >= 2, "
             "false) AS passes_gopher "
             "FROM t"
+        ),
+        "kql_evaluate_python": (
+            "SELECT event_id, round(value * 2.0 + event_id % 10, 6) AS score "
+            "FROM events WHERE event_id < 3000"
         ),
         "dedup_substring_spans": (
             "WITH t AS (SELECT doc_id, "

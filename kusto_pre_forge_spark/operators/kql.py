@@ -4452,3 +4452,38 @@ def punycode_domain_from_string(col: Column | str) -> Column:
             return None
 
     return _text_udf(enc, "punycode_domain_from_string")(_c(col))
+
+
+def evaluate_python(
+    df: DataFrame, script: str, output_schema: str, batch_size_hint: int | None = None
+) -> DataFrame:
+    """KQL ``evaluate python(typeof(...), script)`` (the ADX inline-Python
+    plugin) — Spark-first as ``mapInPandas``: the script runs per Arrow
+    batch with the batch bound as pandas DataFrame ``df`` and must bind
+    ``result`` to a pandas DataFrame matching ``output_schema`` (the
+    ``typeof`` spec, as Spark DDL). This is exactly the sandbox contract
+    of the ADX plugin (input table → df, output table → result), with
+    Spark's executor as the sandbox host; like ADX, the script sees one
+    PARTITION of data per invocation, so per-row/per-batch logic is
+    portable and global aggregates belong in the outer query.
+
+    Scale: Arrow-batched, embarrassingly parallel, no shuffle introduced;
+    the script cost is the per-row Python work itself — the same
+    "UDFs are the slow path" economics the ADX plugin has. Trust model
+    matches the reference's plugin too: scripts are code, run them only
+    from trusted queries.
+    """
+    code = compile(script, "<evaluate_python>", "exec")
+
+    def run(it):
+        import pandas as _pd
+
+        for pdf in it:
+            ns = {"df": pdf, "pd": _pd}
+            exec(code, ns)
+            out = ns.get("result")
+            if out is None:
+                raise ValueError("evaluate_python script must bind `result`")
+            yield out
+
+    return df.mapInPandas(run, output_schema)

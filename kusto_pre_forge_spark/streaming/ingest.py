@@ -285,6 +285,82 @@ class StreamingEtl:
 
         return self._start(process, trigger_seconds, available_now)
 
+    def corpus_stats_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        stats_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> int:
+        """One micro-batch of incremental corpus-statistics maintenance:
+        the batch's per-word (occurrences, document-frequency) DELTAS
+        land in a store partitioned by SOURCE FILE (md5 of the landing
+        blob path) — the additive half of a continuously maintained
+        vocabulary/IDF table (consumers sum partitions via
+        :meth:`read_corpus_stats`). File keys are stable across ANY
+        replay — same checkpoint (crash) or a rebuilt one (lost state,
+        different file→batch packing) — so dynamic partition overwrite
+        rewrites each file's delta identically and counts can never
+        double; batch ids (which DO renumber on checkpoint loss) never
+        key anything. Returns the number of delta rows written."""
+        batch = batch_df.dropDuplicates([id_col])
+        if not batch.head(1):
+            return 0
+        fkey = F.substring(F.md5(F.col("_kpf_source")), 1, 16)
+        toks = F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+        )
+        words = batch.select(
+            F.col(id_col).alias("_id"),
+            fkey.alias("_kpf_file"),
+            F.explode(toks).alias("w"),
+        )
+        delta = words.groupBy("_kpf_file", "w").agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("_id").alias("n_docs"),
+        )
+        (
+            delta.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_kpf_file")
+            .parquet(stats_dir)
+        )
+        return delta.count()
+
+    def start_corpus_stats(
+        self,
+        stats_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        trigger_seconds: int | None = 60,
+        available_now: bool = False,
+    ) -> StreamingQuery:
+        """Continuous vocabulary/IDF maintenance over the landing stream:
+        each micro-batch appends its additive per-word deltas (see
+        :meth:`corpus_stats_batch`); the merged table is always one
+        sum-by-word away (:meth:`read_corpus_stats`) — the streaming
+        counterpart of the batch tf-idf/BM25 statistics stages."""
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            self.corpus_stats_batch(batch_df, batch_id, stats_dir, text_col, id_col)
+
+        return self._start(process, trigger_seconds, available_now)
+
+    @staticmethod
+    def read_corpus_stats(spark: SparkSession, stats_dir: str) -> DataFrame:
+        """Merged corpus statistics: (word, n_occurrences, n_docs) summed
+        over every batch delta — one map-side-combined aggregate over the
+        compact delta store, not the corpus."""
+        return (
+            spark.read.parquet(stats_dir)
+            .groupBy("w")
+            .agg(
+                F.sum("n_occurrences").cast("long").alias("n_occurrences"),
+                F.sum("n_docs").cast("long").alias("n_docs"),
+            )
+        )
+
     def _start(
         self,
         process: Callable[[DataFrame, int], None],

@@ -1610,3 +1610,27 @@ def test_pivot_kql_width_valve(spark):
     # explicit values bypass the probe entirely
     out = kql.pivot_kql(df, "p", "v", group_cols=["g"], values=["p1", "p2"], max_values=10)
     assert out.columns == ["g", "p1", "p2"]
+
+
+def test_evaluate_python_plugin(spark):
+    """ADX `evaluate python()` contract: df in, result out, schema from
+    the typeof spec; partition-local execution."""
+    df = spark.range(100).select(
+        F.col("id").alias("x"), (F.col("id") % 7).alias("g")
+    )
+    out = kql.evaluate_python(
+        df,
+        "result = pd.DataFrame({'g': df['g'], 'y': df['x'] * 2 + 1})",
+        "g long, y long",
+    )
+    rows = out.groupBy("g").agg(F.sum("y").alias("s")).collect()
+    want = {}
+    for i in range(100):
+        want[i % 7] = want.get(i % 7, 0) + 2 * i + 1
+    assert {r.g: r.s for r in rows} == want
+
+    import pytest as _pt
+
+    bad = kql.evaluate_python(df, "x = 1", "g long, y long")
+    with _pt.raises(Exception, match="result"):
+        bad.collect()

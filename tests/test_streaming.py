@@ -337,3 +337,58 @@ def test_streaming_prepartition_parquet_landing(spark, sf_smoke, tmp_path):
     q = etl.start_prepartition(POLICY, available_now=True)
     _drain(q)
     assert spark.read.parquet(str(tmp_path / "out_pq")).count() == orders.count()
+
+
+def test_streaming_corpus_stats_accumulate_and_replay(spark, sf_smoke, tmp_path):
+    """Incremental vocabulary/IDF maintenance: per-batch word deltas
+    accumulate across waves; a lost-checkpoint replay rewrites its own
+    partitions (no double counting); the merged table equals the batch
+    computation over all docs."""
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").select("doc_id", "text")
+    land = tmp_path / "landing_docs"
+    land.mkdir()
+    w1 = docs.filter(F.col("doc_id") % 2 == 0)
+    w2 = docs.filter(F.col("doc_id") % 2 == 1)
+    w1.coalesce(1).write.json(str(land / "wave0"))
+    schema = docs.schema
+
+    def make_etl(ckpt):
+        return StreamingEtl(
+            spark,
+            landing_dir=str(land) + "/wave*/*.json",
+            checkpoint_dir=str(tmp_path / ckpt),
+            output_dir=str(tmp_path / "unused"),
+            schema=schema,
+            fmt="json",
+        )
+
+    stats_dir = str(tmp_path / "stats")
+    q = make_etl("ck1").start_corpus_stats(stats_dir, available_now=True)
+    _drain(q)
+    n1 = StreamingEtl.read_corpus_stats(spark, stats_dir).count()
+    assert n1 > 0
+
+    w2.coalesce(1).write.json(str(land / "wave1"))
+    q = make_etl("ck1").start_corpus_stats(stats_dir, available_now=True)
+    _drain(q)
+
+    merged = StreamingEtl.read_corpus_stats(spark, stats_dir)
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    expect = (
+        docs.select(F.col("doc_id").alias("_id"), F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("_id").alias("n_docs"),
+        )
+    )
+    assert merged.exceptAll(expect).count() == 0
+    assert expect.exceptAll(merged).count() == 0
+
+    # lost checkpoint: every file replays with the same batch semantics —
+    # partition overwrite keeps the merged counts identical
+    q = make_etl("ck2").start_corpus_stats(stats_dir, available_now=True)
+    _drain(q)
+    again = StreamingEtl.read_corpus_stats(spark, stats_dir)
+    assert again.exceptAll(expect).count() == 0
+    assert expect.exceptAll(again).count() == 0
