@@ -662,6 +662,52 @@ def _q_text_gopher(spark, sf):
     return textstats.gopher_quality(d, "text")
 
 
+def _q_pipeline_quality_route(spark, sf):
+    """Quality-filter ensemble routing — the decision stage a corpus
+    pipeline actually ships: Gopher rules, C4 rules and the LR classifier
+    evaluated in ONE pass over the scan (three projections of the same
+    frame, no self-join), each doc routed keep/drop with its FIRST
+    failing gate as the reason code. Oracle replays all three gates."""
+    from kusto_pre_forge_spark.operators import textstats
+
+    d = load_table(spark, sf, "documents")
+    g = textstats.gopher_quality(d, "text").select(
+        "doc_id", F.col("passes_gopher").alias("_g")
+    )
+    c = textstats.c4_filters(d, "text").select(
+        "doc_id", F.col("passes_c4").alias("_c")
+    )
+    lr = textstats.quality_classifier_score(d, "text").select(
+        "doc_id", F.col("keep").alias("_l")
+    )
+    routed = (
+        d.select("doc_id")
+        .join(g, "doc_id")
+        .join(c, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("_g") & F.col("_c")).alias("_gc"),
+            F.when(~F.col("_g"), F.lit("gopher"))
+            .when(~F.col("_c"), F.lit("c4"))
+            .otherwise(F.lit("pass"))
+            .alias("_pre"),
+        )
+        .join(lr, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("_gc") & F.col("_l")).alias("keep"),
+            F.when(F.col("_pre") != "pass", F.col("_pre"))
+            .when(~F.col("_l"), F.lit("lr"))
+            .otherwise(F.lit("pass"))
+            .alias("reason"),
+        )
+    )
+    return routed.groupBy("keep", "reason").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
+
+
 def _q_kql_evaluate_python(spark, sf):
     """ADX `evaluate python(typeof(...), script)` — mapInPandas-hosted
     inline script (df in, result out, one partition per invocation);
@@ -3975,6 +4021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_zorder": _q_layout_zorder,
         "dedup_substring_spans": _q_dedup_substring_spans,
         "kql_evaluate_python": _q_kql_evaluate_python,
+        "pipeline_quality_route": _q_pipeline_quality_route,
         "text_lm_score": _q_text_lm_score,
         "text_bm25": _q_text_bm25,
         "text_bpe": _q_text_bpe,
@@ -4752,6 +4799,55 @@ def oracle_sql() -> dict[str, str]:
         "kql_evaluate_python": (
             "SELECT event_id, round(value * 2.0 + event_id % 10, 6) AS score "
             "FROM events WHERE event_id < 3000"
+        ),
+        "pipeline_quality_route": (
+            f"WITH base AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks, "
+            "list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lines "
+            "FROM documents), "
+            "gp AS (SELECT doc_id, coalesce("
+            "len(toks) BETWEEN 50 AND 100000 "
+            "AND (CASE WHEN len(toks) > 0 THEN round(CAST(list_sum(list_transform(toks, "
+            "w -> length(w))) AS DOUBLE) / len(toks), 6) END) BETWEEN 3.0 AND 10.0 "
+            "AND (CASE WHEN len(toks) > 0 THEN round(CAST(len(regexp_extract_all(text, '#')) "
+            "+ len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) / len(toks), 6) END) <= 0.1 "
+            "AND (CASE WHEN len(lines) > 0 THEN round(CAST(len(list_filter(lines, "
+            "x -> regexp_matches(trim(x), '^[-*•]'))) AS DOUBLE) / len(lines), 6) END) <= 0.9 "
+            "AND (CASE WHEN len(lines) > 0 THEN round(CAST(len(list_filter(lines, "
+            "x -> regexp_matches(trim(x), '\\.\\.\\.$'))) AS DOUBLE) / len(lines), 6) END) <= 0.3 "
+            "AND (CASE WHEN len(toks) > 0 THEN round(CAST(len(list_filter(toks, "
+            "w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(toks), 6) END) >= 0.8 "
+            "AND len(list_filter(list_transform(toks, w -> lower(w)), "
+            "w -> list_contains(['the','be','to','of','and','that','have','with'], w))) >= 2, "
+            "false) AS g FROM base), "
+            "c4 AS (SELECT doc_id, (NOT contains(lower(text), 'lorem ipsum') "
+            "AND NOT contains(text, '{') "
+            "AND len(regexp_extract_all(text, '[.!?]')) >= 3 "
+            "AND len(list_filter(lines, x -> regexp_matches(trim(x), '[.!?\"]$') "
+            "AND len(list_filter(string_split_regex(trim(x), '\\s+'), w -> w != '')) >= 3 "
+            "AND NOT contains(lower(trim(x)), 'javascript') "
+            "AND NOT contains(trim(x), '{'))) >= 1) AS c FROM base), "
+            "f AS (SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens, "
+            "length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS punct, "
+            "length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits, "
+            "length(regexp_replace(text, '[^A-Z]', '', 'g')) AS uppers, "
+            "len(list_filter(list_transform(toks, t -> lower(t)), "
+            "t -> t IN ('the','and','of','to','in','is','that','it','for','with'))) AS stop_hits "
+            "FROM base), "
+            "z AS (SELECT doc_id, -1.5 "
+            "+ (-3.0) * (digits / CAST(greatest(n_chars, 1) AS DOUBLE)) "
+            "+ 0.35 * ln(1.0 + n_tokens) "
+            "+ 0.15 * ((n_chars - n_tokens + 1) / CAST(greatest(n_tokens, 1) AS DOUBLE)) "
+            "+ (-4.0) * (punct / CAST(greatest(n_chars, 1) AS DOUBLE)) "
+            "+ 3.0 * (stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE)) "
+            "+ (-1.0) * (uppers / CAST(greatest(n_chars, 1) AS DOUBLE)) AS z FROM f), "
+            "lr AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) >= 0.5 AS k FROM z), "
+            "r AS (SELECT gp.doc_id, g AND c AND k AS keep, "
+            "CASE WHEN NOT g THEN 'gopher' WHEN NOT c THEN 'c4' "
+            "WHEN NOT k THEN 'lr' ELSE 'pass' END AS reason "
+            "FROM gp JOIN c4 ON gp.doc_id = c4.doc_id "
+            "JOIN lr ON gp.doc_id = lr.doc_id) "
+            "SELECT keep, reason, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(min(doc_id) AS BIGINT) AS first_doc FROM r GROUP BY 1, 2"
         ),
         "dedup_substring_spans": (
             "WITH t AS (SELECT doc_id, "
