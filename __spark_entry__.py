@@ -662,6 +662,14 @@ def _q_text_gopher(spark, sf):
     return textstats.gopher_quality(d, "text")
 
 
+def _q_kql_diffpatterns_text(spark, sf):
+    """ADX `evaluate diffpatterns_text()`: terms most over/under-
+    represented between the en and non-en document sets, by exact
+    document-frequency divergence."""
+    d = load_table(spark, sf, "documents")
+    return kql.diffpatterns_text(d, "text", F.col("lang") == "en", top_k=20)
+
+
 def _q_pipeline_quality_route(spark, sf):
     """Quality-filter ensemble routing — the decision stage a corpus
     pipeline actually ships: Gopher rules, C4 rules and the LR classifier
@@ -4022,6 +4030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": _q_dedup_substring_spans,
         "kql_evaluate_python": _q_kql_evaluate_python,
         "pipeline_quality_route": _q_pipeline_quality_route,
+        "kql_diffpatterns_text": _q_kql_diffpatterns_text,
         "text_lm_score": _q_text_lm_score,
         "text_bm25": _q_text_bm25,
         "text_bpe": _q_text_bpe,
@@ -4799,6 +4808,23 @@ def oracle_sql() -> dict[str, str]:
         "kql_evaluate_python": (
             "SELECT event_id, round(value * 2.0 + event_id % 10, 6) AS score "
             "FROM events WHERE event_id < 3000"
+        ),
+        "kql_diffpatterns_text": (
+            f"WITH t AS (SELECT doc_id, lang = 'en' AS s, "
+            f"list_distinct({_TOKENS_SQL}) AS toks FROM documents), "
+            "n AS (SELECT count(*) FILTER (WHERE s) AS nt, "
+            "count(*) FILTER (WHERE NOT s) AS nf FROM t), "
+            "e AS (SELECT s, unnest(toks) AS term FROM t), "
+            "a AS (SELECT term, count(*) FILTER (WHERE s) AS n_true, "
+            "count(*) FILTER (WHERE NOT s) AS n_false FROM e GROUP BY term), "
+            "r AS (SELECT term, CAST(n_true AS BIGINT) AS n_true, "
+            "CAST(n_false AS BIGINT) AS n_false, "
+            "round(n_true / CAST(greatest(nt, 1) AS DOUBLE), 6) AS frac_true, "
+            "round(n_false / CAST(greatest(nf, 1) AS DOUBLE), 6) AS frac_false "
+            "FROM a, n WHERE n_true + n_false >= 2) "
+            "SELECT term, n_true, n_false, frac_true, frac_false, "
+            "round(abs(frac_true - frac_false), 6) AS diff FROM r "
+            "ORDER BY diff DESC, term ASC LIMIT 20"
         ),
         "pipeline_quality_route": (
             f"WITH base AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks, "

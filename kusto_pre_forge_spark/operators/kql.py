@@ -4487,3 +4487,60 @@ def evaluate_python(
             yield out
 
     return df.mapInPandas(run, output_schema)
+
+
+def diffpatterns_text(
+    df: DataFrame,
+    text_col: str,
+    split_col: Column | str,
+    top_k: int = 20,
+    min_doc_count: int = 2,
+) -> DataFrame:
+    """KQL ``evaluate diffpatterns_text(TextColumn, BoolColumn)`` — the
+    terms whose DOCUMENT frequency differs most between the true and
+    false row sets (ADX surfaces over/under-represented tokens between
+    an anomaly window and a baseline; this is the same contract with the
+    divergence spelled out).
+
+    One explode to DISTINCT (row, term) pairs — document frequency, so a
+    term spamming one doc cannot dominate — then a single
+    map-side-combined aggregate per term; scores are exact fractions
+    ``|df_true/n_true − df_false/n_false|``. top_k keeps the output the
+    report it is; ``min_doc_count`` drops noise terms. All counts
+    integer, ratios round-6 — engine-replayable. Returns (term, n_true,
+    n_false, frac_true, frac_false, diff) ordered by diff desc, term.
+    """
+    cond = (F.col(split_col) if isinstance(split_col, str) else split_col).cast(
+        "boolean"
+    )
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+        )
+    )
+    base = df.select(cond.alias("_s"), F.explode(toks).alias("term"))
+    totals = df.select(cond.alias("_s")).groupBy("_s").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    rows = {r["_s"]: r["_n"] for r in totals.collect() if r["_s"] is not None}
+    n_true = int(rows.get(True, 0))
+    n_false = int(rows.get(False, 0))
+    agg = base.groupBy("term").agg(
+        F.count(F.when(F.col("_s"), 1)).alias("n_true"),
+        F.count(F.when(~F.col("_s"), 1)).alias("n_false"),
+    )
+    frac_t = F.round(F.col("n_true") / F.lit(max(n_true, 1)), 6)
+    frac_f = F.round(F.col("n_false") / F.lit(max(n_false, 1)), 6)
+    return (
+        agg.filter(F.col("n_true") + F.col("n_false") >= min_doc_count)
+        .select(
+            "term",
+            F.col("n_true").cast("long"),
+            F.col("n_false").cast("long"),
+            frac_t.alias("frac_true"),
+            frac_f.alias("frac_false"),
+            F.round(F.abs(frac_t - frac_f), 6).alias("diff"),
+        )
+        .orderBy(F.col("diff").desc(), F.col("term").asc())
+        .limit(top_k)
+    )

@@ -348,6 +348,65 @@ class StreamingEtl:
         return self._start(process, trigger_seconds, available_now)
 
     @staticmethod
+    def compact_corpus_store(
+        spark: SparkSession, corpus_dir: str, keep_latest: int = 1
+    ) -> int:
+        """Merge all but the newest ``keep_latest`` batch partitions of a
+        dedup corpus store into one archive partition — the operational
+        valve against small-files growth (one partition per micro-batch,
+        a day of 1-min triggers is 1440 directories).
+
+        Replay-safety invariants preserved:
+
+        - only the most recent batch can ever be replayed (Structured
+          Streaming replays the not-yet-committed batch), so everything
+          older is final and free to merge; ``keep_latest`` newest
+          partitions are left untouched;
+        - archive partitions take fresh NEGATIVE batch ids (one per
+          compaction), which never collide with live batch ids, so the
+          own-partition-excluding corpus read keeps treating archived
+          docs as history;
+        - crash-safe ordering: the new archive lands (tmp write + rename)
+          BEFORE the merged sources delete. A crash in between leaves
+          duplicate corpus rows — harmless for dedup admission
+          (membership is idempotent) and healed by re-running compaction.
+
+        Returns the number of partitions merged (0 = nothing to do).
+        """
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        path_cls = jvm.org.apache.hadoop.fs.Path
+        root = path_cls(corpus_dir)
+        fs = root.getFileSystem(conf)
+        if not fs.exists(root):
+            return 0
+        batches = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("_kpf_batch="):
+                batches.append(int(name.split("=", 1)[1]))
+        live = sorted(b for b in batches if b >= 0)
+        merge = sorted(b for b in batches if b < 0) + live[: max(len(live) - keep_latest, 0)]
+        if len(merge) < 2:
+            return 0
+        archive_id = min([b for b in batches if b < 0] + [0]) - 1
+        merged = (
+            spark.read.parquet(corpus_dir)
+            .filter(F.col("_kpf_batch").isin(merge))
+            .drop("_kpf_batch")
+        )
+        tmp = path_cls(corpus_dir + "/_kpf_compact_tmp")
+        if fs.exists(tmp):
+            fs.delete(tmp, True)
+        merged.write.mode("overwrite").parquet(str(tmp))
+        # drop Spark's _SUCCESS marker so the renamed dir holds data only
+        fs.delete(path_cls(str(tmp) + "/_SUCCESS"), False)
+        fs.rename(tmp, path_cls(corpus_dir + f"/_kpf_batch={archive_id}"))
+        for b in merge:
+            fs.delete(path_cls(corpus_dir + f"/_kpf_batch={b}"), True)
+        return len(merge)
+
+    @staticmethod
     def read_corpus_stats(spark: SparkSession, stats_dir: str) -> DataFrame:
         """Merged corpus statistics: (word, n_occurrences, n_docs) summed
         over every batch delta — one map-side-combined aggregate over the

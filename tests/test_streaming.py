@@ -392,3 +392,50 @@ def test_streaming_corpus_stats_accumulate_and_replay(spark, sf_smoke, tmp_path)
     again = StreamingEtl.read_corpus_stats(spark, stats_dir)
     assert again.exceptAll(expect).count() == 0
     assert expect.exceptAll(again).count() == 0
+
+
+def test_compact_corpus_store(spark, tmp_path):
+    """Compaction merges finalized batch partitions into a negative-id
+    archive, keeps the newest batch replayable, preserves the corpus
+    row set, and leaves dedup admission semantics intact."""
+    import glob as _glob
+
+    etl = StreamingEtl(
+        spark,
+        str(tmp_path / "unused_landing"),
+        str(tmp_path / "unused_ckpt"),
+        str(tmp_path / "unused_out"),
+        DOC_SCHEMA,
+    )
+    corpus_dir = str(tmp_path / "corpus_c")
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "completely different content about spark structured streaming",
+        3: "yet another unique document with enough shingles to matter",
+    }
+    for bid, (i, t) in enumerate(texts.items()):
+        df = spark.createDataFrame([(i, t)], DOC_SCHEMA).withColumn(
+            "_kpf_source", F.lit(f"f{bid}")
+        )
+        etl.dedup_ingest_batch(df, bid, corpus_dir)
+    before = {
+        (r.doc_id, r.text) for r in spark.read.parquet(corpus_dir).drop("_kpf_batch").collect()
+    }
+    n = StreamingEtl.compact_corpus_store(spark, corpus_dir, keep_latest=1)
+    assert n == 2
+    parts = sorted(
+        p.split("=")[-1] for p in _glob.glob(corpus_dir + "/_kpf_batch=*")
+    )
+    assert parts == ["-1", "2"], parts
+    after = {
+        (r.doc_id, r.text) for r in spark.read.parquet(corpus_dir).drop("_kpf_batch").collect()
+    }
+    assert after == before
+    # dedup admission still rejects duplicates of ARCHIVED docs
+    dup = spark.createDataFrame([(9, texts[1])], DOC_SCHEMA).withColumn(
+        "_kpf_source", F.lit("f9")
+    )
+    accepted = etl.dedup_ingest_batch(dup, 3, corpus_dir)
+    assert accepted == 0
+    # idempotent: nothing left to merge besides archive + newest
+    assert StreamingEtl.compact_corpus_store(spark, corpus_dir, keep_latest=1) == 0
