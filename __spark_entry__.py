@@ -662,6 +662,36 @@ def _q_text_gopher(spark, sf):
     return textstats.gopher_quality(d, "text")
 
 
+def _q_kql_ipv6_lookup(spark, sf):
+    """evaluate ipv6_lookup(): /48 blocks forged from nation keys, IPv6
+    addresses from events — broadcast non-equi containment join on the
+    canonical hex form. Predictive oracle: a /48 block covers exactly the
+    first three groups, so a match is user_id % 30 == n_nationkey."""
+    e = load_table(spark, sf, "events").filter(F.col("event_id") < 5000)
+    n = load_table(spark, sf, "nation")
+    nets = n.select(
+        F.concat(
+            F.lit("2001:db8:"),
+            F.lower(F.hex(F.col("n_nationkey"))),
+            F.lit("::/48"),
+        ).alias("network"),
+        "n_name",
+    )
+    ips = e.select(
+        "event_id",
+        F.concat(
+            F.lit("2001:db8:"),
+            F.lower(F.hex(F.col("user_id") % 30)),
+            F.lit(":1::5"),
+        ).alias("ip"),
+    )
+    out = kql.ipv6_lookup(ips, nets, "ip")
+    return out.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("event_id").cast("long").alias("first_event"),
+    )
+
+
 def _q_kql_diffpatterns_text(spark, sf):
     """ADX `evaluate diffpatterns_text()`: terms most over/under-
     represented between the en and non-en document sets, by exact
@@ -4031,6 +4061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_evaluate_python": _q_kql_evaluate_python,
         "pipeline_quality_route": _q_pipeline_quality_route,
         "kql_diffpatterns_text": _q_kql_diffpatterns_text,
+        "kql_ipv6_lookup": _q_kql_ipv6_lookup,
         "text_lm_score": _q_text_lm_score,
         "text_bm25": _q_text_bm25,
         "text_bpe": _q_text_bpe,
@@ -4808,6 +4839,14 @@ def oracle_sql() -> dict[str, str]:
         "kql_evaluate_python": (
             "SELECT event_id, round(value * 2.0 + event_id % 10, 6) AS score "
             "FROM events WHERE event_id < 3000"
+        ),
+        "kql_ipv6_lookup": (
+            # predictive: /48 containment == equality of the first three
+            # groups == user_id % 30 = n_nationkey
+            "SELECT n_name, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(min(event_id) AS BIGINT) AS first_event "
+            "FROM events JOIN nation ON user_id % 30 = n_nationkey "
+            "WHERE event_id < 5000 GROUP BY 1"
         ),
         "kql_diffpatterns_text": (
             f"WITH t AS (SELECT doc_id, lang = 'en' AS s, "

@@ -4544,3 +4544,62 @@ def diffpatterns_text(
         .orderBy(F.col("diff").desc(), F.col("term").asc())
         .limit(top_k)
     )
+
+
+def ipv6_lookup(
+    df: DataFrame,
+    lookup: DataFrame,
+    ip_col: str,
+    cidr_col: str = "network",
+) -> DataFrame:
+    """KQL ``evaluate ipv6_lookup(LookupTable, ip, network)`` — annotate
+    each row with the lookup rows whose IPv6 CIDR block contains its
+    address (every match, like ``ipv4_lookup``; argmax ``_prefix_len``
+    for LPM).
+
+    The canonical 32-hex-digit form from :func:`parse_ipv6` turns prefix
+    containment into string comparison: a /p block matches iff the first
+    ``p // 4`` hex digits agree AND (for non-nibble-aligned p) the next
+    digit agrees on its top ``p % 4`` bits — the digit shift is plain
+    integer arithmetic, so the whole test is codegen. Lookup side parses
+    once and BROADCASTS (CIDR tables are tiny against a fact stream);
+    the fact side never shuffles. Unparseable IPs/networks don't match.
+    """
+    sfx = F.split(F.col(cidr_col), "/")
+    net = parse_ipv6(sfx[0])
+    bits = F.when(
+        F.col(cidr_col).contains("/"), sfx[1].cast("int")
+    ).otherwise(F.lit(128))
+    ok = net.isNotNull() & bits.isNotNull() & (bits >= 0) & (bits <= 128)
+    lk = (
+        lookup.withColumn("_kpf_net", F.when(ok, net))
+        .withColumn("_kpf_q", F.when(ok, F.floor(bits / 4).cast("int")))
+        .withColumn("_kpf_r", F.when(ok, (bits % 4).cast("int")))
+        .withColumn("_prefix_len", F.when(ok, bits.cast("long")))
+    )
+    t = df.withColumn("_kpf_ip6", parse_ipv6(ip_col))
+
+    def top_bits(canon: Column) -> Column:
+        # value of hex digit q+1, keeping only its top r bits
+        d = F.conv(F.substring(canon, F.col("_kpf_q") + 1, F.lit(1)), 16, 10).cast(
+            "int"
+        )
+        div = F.pow(F.lit(2.0), (F.lit(4) - F.col("_kpf_r")).cast("double")).cast(
+            "int"
+        )
+        return F.floor(d / div)
+
+    cond = (
+        F.col("_kpf_ip6").isNotNull()
+        & F.col("_kpf_net").isNotNull()
+        & (
+            F.substring(F.col("_kpf_ip6"), F.lit(1), F.col("_kpf_q"))
+            == F.substring(F.col("_kpf_net"), F.lit(1), F.col("_kpf_q"))
+        )
+        & (
+            (F.col("_kpf_r") == 0)
+            | (top_bits(F.col("_kpf_ip6")) == top_bits(F.col("_kpf_net")))
+        )
+    )
+    out = t.join(F.broadcast(lk), cond, "inner")
+    return out.drop("_kpf_ip6", "_kpf_net", "_kpf_q", "_kpf_r")

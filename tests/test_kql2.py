@@ -1634,3 +1634,34 @@ def test_evaluate_python_plugin(spark):
     bad = kql.evaluate_python(df, "x = 1", "g long, y long")
     with _pt.raises(Exception, match="result"):
         bad.collect()
+
+
+def test_ipv6_lookup_containment(spark):
+    nets = spark.createDataFrame(
+        [
+            ("2001:db8::/32", "doc"),
+            ("2001:db8:1::/48", "sub"),
+            ("2001:da8::/29", "odd"),     # non-nibble-aligned prefix
+            ("badnet", "junk"),
+        ],
+        "network string, name string",
+    )
+    ips = spark.createDataFrame(
+        [
+            (1, "2001:db8:1::5"),      # doc + sub
+            (2, "2001:db8:2::5"),      # doc only
+            (3, "2001:daf::1"),        # outside /29: 7th nibble 'b'... no —
+                                       # 'daf' shares '20010da', digit f>>3=1 -> match
+            (4, "2001:da9::1"),        # odd: da9 shares 7 nibbles + top bit of 9
+            (5, "2001:da0::1"),        # 7 nibbles agree but 0>>3=0 != 1 -> none
+            (6, "not-an-ip"),          # none
+        ],
+        "id long, ip string",
+    )
+    out = kql.ipv6_lookup(ips, nets, "ip")
+    got = sorted((r.id, r.name) for r in out.collect())
+    # /29 of 2001:da8:: = first 7 hex digits '20010da' + top bit of the
+    # 8th digit (8>>3 = 1): da8..daf match, da0..da7 and db* do not
+    assert got == sorted(
+        [(1, "doc"), (1, "sub"), (2, "doc"), (3, "odd"), (4, "odd")]
+    ), got
