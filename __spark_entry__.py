@@ -662,6 +662,19 @@ def _q_text_gopher(spark, sf):
     return textstats.gopher_quality(d, "text")
 
 
+def _q_dedup_span_cut(spark, sf):
+    """ExactSubstr cutting (Lee et al. ACL'22 §4.1): per duplicated
+    window the lowest doc keeps its occurrence; every other doc's
+    covered tokens are removed from the rebuilt text. Oracle replays
+    windows, ownership, islands, and the token-level rebuild."""
+    from kusto_pre_forge_spark.operators import dedup as dedup_ops
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return dedup_ops.cut_duplicate_spans(
+        d, "text", "doc_id", window_tokens=8, min_docs=2
+    )
+
+
 def _q_kql_ipv6_lookup(spark, sf):
     """evaluate ipv6_lookup(): /48 blocks forged from nation keys, IPv6
     addresses from events — broadcast non-equi containment join on the
@@ -4062,6 +4075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_quality_route": _q_pipeline_quality_route,
         "kql_diffpatterns_text": _q_kql_diffpatterns_text,
         "kql_ipv6_lookup": _q_kql_ipv6_lookup,
+        "dedup_span_cut": _q_dedup_span_cut,
         "text_lm_score": _q_text_lm_score,
         "text_bm25": _q_text_bm25,
         "text_bpe": _q_text_bpe,
@@ -4839,6 +4853,42 @@ def oracle_sql() -> dict[str, str]:
         "kql_evaluate_python": (
             "SELECT event_id, round(value * 2.0 + event_id % 10, 6) AS score "
             "FROM events WHERE event_id < 3000"
+        ),
+        "dedup_span_cut": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            "w -> w != '') AS tk FROM documents WHERE doc_id < 200), "
+            "w AS (SELECT doc_id, i, "
+            "md5(array_to_string(tk[i+1:i+8], ' ')) AS h "
+            "FROM t, unnest(range(0, greatest(len(tk) - 7, 0))) AS u(i)), "
+            "o AS (SELECT h, min(doc_id) AS winner FROM w GROUP BY h "
+            "HAVING count(DISTINCT doc_id) >= 2), "
+            "cw AS (SELECT w.doc_id, w.i FROM w JOIN o USING (h) "
+            "WHERE w.doc_id != o.winner), "
+            "f AS (SELECT doc_id, i, CASE WHEN "
+            "lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL "
+            "OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 8 "
+            "THEN 1 ELSE 0 END AS nw FROM cw), "
+            "g AS (SELECT doc_id, i, sum(nw) OVER (PARTITION BY doc_id "
+            "ORDER BY i) AS isl FROM f), "
+            "sp AS (SELECT doc_id, min(i) AS s, max(i) + 8 AS e "
+            "FROM g GROUP BY doc_id, isl), "
+            "cov AS (SELECT DISTINCT doc_id, p FROM sp, "
+            "unnest(range(s, e)) AS v(p)), "
+            "tp AS (SELECT doc_id, unnest(tk) AS tok, "
+            "unnest(range(len(tk))) AS p FROM t), "
+            "kept AS (SELECT tp.doc_id, tp.tok, tp.p FROM tp "
+            "LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p "
+            "WHERE cov.p IS NULL), "
+            "ka AS (SELECT doc_id, array_to_string(array_agg(tok ORDER BY p), ' ') "
+            "AS clean FROM kept GROUP BY doc_id), "
+            "nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nrem FROM cov "
+            "GROUP BY doc_id) "
+            "SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, "
+            "coalesce(nc.nrem, 0) AS n_tokens_removed, "
+            "coalesce(ka.clean, '') AS text_clean "
+            "FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id "
+            "LEFT JOIN nc ON t.doc_id = nc.doc_id"
         ),
         "kql_ipv6_lookup": (
             # predictive: /48 containment == equality of the first three

@@ -1290,3 +1290,93 @@ def exact_substring_spans(
             F.col("n_dup_windows").cast("long"),
         )
     )
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The cutting half of ExactSubstr dedup (Lee et al., ACL 2022 §4.1
+    cut every duplicated substring, keeping ONE copy): windows and
+    duplicate detection as in :func:`exact_substring_spans`, plus an
+    ownership rule — per duplicated window hash, the LOWEST doc id keeps
+    its occurrence; every other doc's matching windows merge into
+    maximal spans and the covered tokens are removed from the rebuilt
+    text.
+
+    Plan adds one winner aggregate (per-hash min id, map-side combined)
+    and a per-doc span array join to the spans pipeline; the rebuild is
+    array HOFs over the token list (covered positions materialized as a
+    flat int array BEFORE the filter — no nested lambda capture). Output
+    text is whitespace-normalized lowercase tokens (the windows' own
+    tokenization — cutting operates in token space). Returns (id,
+    n_tokens, n_tokens_removed, text_clean).
+    """
+    k = window_tokens
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_tk"))
+    wins = base.select(
+        "_id",
+        F.explode(
+            F.when(
+                F.size("_tk") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_tk") - k),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.md5(F.array_join(F.slice("_tk", i + 1, k), " ")).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<i:int,h:string>>"))
+        ).alias("w"),
+    ).select("_id", "w.i", "w.h")
+    owners = (
+        wins.groupBy("h")
+        .agg(
+            F.count_distinct("_id").alias("_df"),
+            F.min("_id").alias("_winner"),
+        )
+        .filter(F.col("_df") >= min_docs)
+        .select("h", "_winner")
+    )
+    cut_wins = wins.join(owners, "h").filter(F.col("_id") != F.col("_winner"))
+    w = Window.partitionBy("_id").orderBy("i")
+    flagged = cut_wins.withColumn(
+        "_new",
+        F.when(
+            F.lag("i").over(w).isNull() | (F.col("i") > F.lag("i").over(w) + k), 1
+        ).otherwise(0),
+    ).withColumn("_island", F.sum("_new").over(w))
+    spans = (
+        flagged.groupBy("_id", "_island")
+        .agg(F.min("i").alias("s"), (F.max("i") + k).alias("e"))
+        .groupBy("_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("_spans"))
+    )
+    joined = base.join(spans, "_id", "left").withColumn(
+        "_covered",
+        F.coalesce(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.col("_spans"), lambda sp: F.sequence(sp["s"], sp["e"] - 1)
+                    )
+                )
+            ),
+            F.array().cast("array<int>"),
+        ),
+    )
+    kept = F.filter(
+        F.col("_tk"), lambda x, i: ~F.array_contains(F.col("_covered"), i.cast("int"))
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.size("_tk").cast("long").alias("n_tokens"),
+        F.size("_covered").cast("long").alias("n_tokens_removed"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )

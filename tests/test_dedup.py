@@ -476,3 +476,30 @@ def test_exact_substring_spans_planted(spark):
     # doc 1: boiler tokens occupy positions 3..12 -> windows 3..8 (k=5)
     assert got[1] == (3, 13, 6), got
     assert got[2] == (0, 10, 6), got
+
+
+def test_cut_duplicate_spans_keep_first(spark):
+    """Lee et al. cutting semantics: per duplicated window the lowest doc
+    keeps its occurrence; other docs lose exactly the covered tokens."""
+    from kusto_pre_forge_spark.operators.dedup import cut_duplicate_spans
+
+    boiler = "subscribe to our newsletter for daily updates and offers now"
+    rows = [
+        (1, f"intro words here {boiler} closing remark"),
+        (2, f"{boiler} totally different tail content follows here"),
+        (3, f"another head then {boiler} and then some more text"),
+        (4, "unique text entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in cut_duplicate_spans(df, "text", "doc_id", window_tokens=5).collect()
+    }
+    assert got[1].n_tokens_removed == 0, "winner keeps its copy"
+    assert "subscribe" in got[1].text_clean
+    assert got[2].n_tokens_removed == 10
+    assert got[2].text_clean == "totally different tail content follows here"
+    assert got[3].n_tokens_removed == 10
+    assert "newsletter" not in got[3].text_clean
+    assert got[4].n_tokens_removed == 0
+    assert got[4].text_clean == "unique text entirely"
