@@ -952,3 +952,126 @@ def pq_topk_ivf(
     return exact.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def pq_build_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The STORED form of an IVF-PQ index: (id, cell int, m codes) — what
+    you persist instead of raw vectors (~32× smaller; dim never rides
+    along). One Arrow pass computes both the coarse cell and the PQ
+    codes; centroids/codebooks are frozen training artifacts passed in,
+    so index rows are deterministic and append-only (the property the
+    streaming maintainer relies on)."""
+    C = np.array(centroids, dtype=np.float64)
+    CN = np.maximum(np.linalg.norm(C, axis=1), 1e-12)
+
+    @F.pandas_udf(T.IntegerType())
+    def _cell(vs: pd.Series) -> pd.Series:
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        acc = np.zeros((V.shape[0], C.shape[0]))
+        for dim in range(C.shape[1]):
+            acc += V[:, dim, None] * C[None, :, dim]
+        acc /= CN[None, :]
+        return pd.Series(np.argmax(acc, axis=1).astype("int32"))
+
+    return (
+        pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+        .join(corpus.select(id_col, vec_col), id_col)
+        .select(
+            F.col(id_col),
+            _cell(F.col(vec_col)).alias("_cell"),
+            "codes",
+        )
+    )
+
+
+def pq_query_index(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search over a PREBUILT (id, cell, codes) index frame — the
+    query half of :func:`pq_build_index`, identical scoring to
+    :func:`pq_topk_ivf` but reading the persisted index instead of
+    encoding the corpus: queries carry their m×ks LUT + top-nprobe probe
+    cells, candidates join on the int cell key, scores are the codegen
+    lookup fold. Returns (query_id, neighbor_id, pq_score, rank)."""
+    Cs = [np.asarray(c, dtype=np.float64) for c in codebooks]
+    m = len(Cs)
+    ks = Cs[0].shape[0]
+    dsub = Cs[0].shape[1]
+    C = np.array(centroids, dtype=np.float64)
+    CN = np.maximum(np.linalg.norm(C, axis=1), 1e-12)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _cell_scores(vs: pd.Series) -> pd.Series:
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        acc = np.zeros((V.shape[0], C.shape[0]))
+        for dim in range(C.shape[1]):
+            acc += V[:, dim, None] * C[None, :, dim]
+        acc /= CN[None, :]
+        return pd.Series(list(acc))
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _lut(vs: pd.Series) -> pd.Series:
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        out = np.zeros((V.shape[0], m * ks))
+        for s in range(m):
+            Qs = V[:, s * dsub : (s + 1) * dsub]
+            out[:, s * ks : (s + 1) * ks] = Qs @ Cs[s].T
+        return pd.Series(list(out))
+
+    def probe_structs(scores: Column) -> Column:
+        return F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        F.element_at(scores, j + 1).alias("s"),
+                        F.lit(-j).alias("nj"),
+                    )
+                    for j in range(C.shape[0])
+                ]
+            ),
+            asc=False,
+        )
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _lut(F.col(vec_col)).alias("_lut"),
+            _cell_scores(F.col(vec_col)).alias("_cs"),
+        )
+        .withColumn("_probe", F.explode(F.slice(probe_structs(F.col("_cs")), 1, nprobe)))
+        .select("query_id", "_lut", (-F.col("_probe.nj")).cast("int").alias("_cell"))
+    )
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("_lut"), s * ks + F.element_at(F.col("codes"), s + 1) + 1
+        ),
+    )
+    scored = (
+        index.select(F.col(id_col).alias("neighbor_id"), "_cell", "codes")
+        .join(F.broadcast(q), "_cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", score.alias("pq_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -347,6 +347,69 @@ class StreamingEtl:
 
         return self._start(process, trigger_seconds, available_now)
 
+    def ann_index_batch(
+        self,
+        batch_df: DataFrame,
+        index_dir: str,
+        centroids: list,
+        codebooks: list,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> int:
+        """One micro-batch of incremental IVF-PQ index maintenance: the
+        arrived vectors encode to (id, cell, m codes) rows under frozen
+        centroids/codebooks (training artifacts — retraining is an
+        offline rebuild, as in every production ANN service) and land in
+        a SOURCE-FILE-keyed partition (md5 path — the same any-replay-
+        safe keying as :meth:`corpus_stats_batch`). Queries read the
+        union of partitions via :meth:`read_ann_index` +
+        ``pq_query_index``. Returns rows written."""
+        from kusto_pre_forge_spark.operators.similarity import pq_build_index
+
+        batch = batch_df.dropDuplicates([id_col])
+        if not batch.head(1):
+            return 0
+        fkey = F.substring(F.md5(F.col("_kpf_source")), 1, 16)
+        idx = pq_build_index(
+            batch, centroids, codebooks, id_col=id_col, vec_col=vec_col
+        ).join(batch.select(id_col, fkey.alias("_kpf_file")), id_col)
+        (
+            idx.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_kpf_file")
+            .parquet(index_dir)
+        )
+        return idx.count()
+
+    def start_ann_index(
+        self,
+        index_dir: str,
+        centroids: list,
+        codebooks: list,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        trigger_seconds: int | None = 60,
+        available_now: bool = False,
+    ) -> StreamingQuery:
+        """Continuous IVF-PQ index maintenance over the landing stream —
+        the serving-side counterpart of the batch ANN tier: vectors are
+        searchable one trigger after arrival, the stored index is ~32×
+        smaller than the raw vectors, and replays (crash or lost
+        checkpoint) rewrite identical file-keyed partitions."""
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            self.ann_index_batch(
+                batch_df, index_dir, centroids, codebooks, id_col, vec_col
+            )
+
+        return self._start(process, trigger_seconds, available_now)
+
+    @staticmethod
+    def read_ann_index(spark: SparkSession, index_dir: str) -> DataFrame:
+        """The queryable (id, cell, codes) union of every delta partition
+        — pass straight to ``pq_query_index``."""
+        return spark.read.parquet(index_dir).drop("_kpf_file")
+
     @staticmethod
     def compact_corpus_store(
         spark: SparkSession, corpus_dir: str, keep_latest: int = 1

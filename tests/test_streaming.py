@@ -439,3 +439,62 @@ def test_compact_corpus_store(spark, tmp_path):
     assert accepted == 0
     # idempotent: nothing left to merge besides archive + newest
     assert StreamingEtl.compact_corpus_store(spark, corpus_dir, keep_latest=1) == 0
+
+
+def test_streaming_ann_index_maintenance(spark, sf_smoke, tmp_path):
+    """Incremental IVF-PQ index: vectors arriving in waves are searchable
+    from the maintained store; results equal the batch-built index, and a
+    lost-checkpoint replay rewrites identical partitions."""
+    from pyspark.sql import types as T
+
+    from kusto_pre_forge_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cb = similarity.pq_train_codebooks(emb, m=8, ks=16, n_iters=2)
+    km = similarity.ivf_kmeans_centroids(emb, n_cells=8, n_iters=2)
+
+    land = tmp_path / "landing_vecs"
+    land.mkdir()
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.json(str(land / "w0"))
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.json(str(land / "w1"))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def make_etl(ck):
+        return StreamingEtl(
+            spark,
+            landing_dir=str(land) + "/w*/*.json",
+            checkpoint_dir=str(tmp_path / ck),
+            output_dir=str(tmp_path / "unused2"),
+            schema=schema,
+            fmt="json",
+        )
+
+    index_dir = str(tmp_path / "ann_index")
+    q = make_etl("cka1").start_ann_index(index_dir, km, cb, available_now=True)
+    _drain(q)
+    idx = StreamingEtl.read_ann_index(spark, index_dir)
+    assert idx.count() == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    from_stream = similarity.pq_query_index(
+        idx, queries, km, cb, k=5, nprobe=8
+    ).select("query_id", "neighbor_id", "rank")
+    from_batch_idx = similarity.pq_build_index(emb, km, cb)
+    from_batch = similarity.pq_query_index(
+        from_batch_idx, queries, km, cb, k=5, nprobe=8
+    ).select("query_id", "neighbor_id", "rank")
+    assert from_stream.exceptAll(from_batch).count() == 0
+    assert from_batch.exceptAll(from_stream).count() == 0
+
+    # lost checkpoint: full replay rewrites the same file-keyed partitions
+    q = make_etl("cka2").start_ann_index(index_dir, km, cb, available_now=True)
+    _drain(q)
+    again = StreamingEtl.read_ann_index(spark, index_dir)
+    assert again.count() == emb.count()
