@@ -83,13 +83,24 @@ HEADLINE = [
     "w3c_log_parse",
     "avro_roundtrip",
     "ann_recall_pq",
+    "dedup_substring_spans",
+    "dedup_span_cut",
+    "corpus_temperature_mix",
+    "pipeline_quality_route",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection
 # entirely (it row-counts the parquet footer instead of running the
 # operator — the BASELINE.md trap). Force full materialization with a
 # row-count + xxhash64 checksum over every output column instead.
-CHECKSUM_ACTION = {"text_tokens", "text_fingerprint", "kql_scan", "doc_chunks"}
+CHECKSUM_ACTION = {
+    "text_tokens",
+    "text_fingerprint",
+    "kql_scan",
+    "doc_chunks",
+    "text_c4",
+    "text_gopher",
+}
 
 
 def sf_from_dir(path: str) -> float:

@@ -78,6 +78,12 @@ AUDITED = [
     ("w3c_log_parse", "positional split projection feeds one map-side-combined aggregate"),
     ("avro_roundtrip", "OCF encode→decode is a pure map stage; one exchange for the final aggregate"),
     ("dedup_edit_distance", "segment-vs-window banding: hash equi-join on (si, len, text) keys, never all-pairs"),
+    ("dedup_substring_spans", "window hashes (16-byte keys) in the shuffle, never window text; one doc-key window pass for the island merge"),
+    ("dedup_span_cut", "spans join back per doc key; token rebuild is an array-HOF projection"),
+    ("corpus_temperature_mix", "per-source rate aggregate broadcast back; epoch explode + hash threshold are map-only"),
+    ("kql_diffpatterns_text", "distinct-term explode feeds one combined aggregate; top-k is a sort of term-cardinality rows"),
+    ("pipeline_quality_route", "three quality gates as projections of one scan; joins on the doc key only"),
+    ("layout_zorder", "Morton key is a flat codegen projection - zero exchanges"),
 ]
 
 
