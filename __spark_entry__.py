@@ -662,6 +662,29 @@ def _q_text_gopher(spark, sf):
     return textstats.gopher_quality(d, "text")
 
 
+def _q_kql_parse_where(spark, sf):
+    """KQL parse-where — parse_pattern + drop of non-matching rows (one
+    compiled regex for both match and extract). Mixed input forged from
+    customer names; the oracle replays the literal-prefix rule."""
+    c = load_table(spark, sf, "customer")
+    mixed = c.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.concat(F.lit("junk-"), F.col("c_name"))
+        )
+        .otherwise(F.col("c_name"))
+        .alias("s"),
+    )
+    return kql.parse_where(mixed, "s", "Customer#", ("cnum", "long")).select(
+        "c_custkey", "cnum"
+    )
+
+
+def _q_kql_getschema(spark, sf):
+    """KQL getschema — column metadata of the orders table as rows."""
+    return kql.getschema(load_table(spark, sf, "orders"))
+
+
 def _q_dedup_span_cut(spark, sf):
     """ExactSubstr cutting (Lee et al. ACL'22 §4.1): per duplicated
     window the lowest doc keeps its occurrence; every other doc's
@@ -4076,6 +4099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_diffpatterns_text": _q_kql_diffpatterns_text,
         "kql_ipv6_lookup": _q_kql_ipv6_lookup,
         "dedup_span_cut": _q_dedup_span_cut,
+        "kql_parse_where": _q_kql_parse_where,
+        "kql_getschema": _q_kql_getschema,
         "text_lm_score": _q_text_lm_score,
         "text_bm25": _q_text_bm25,
         "text_bpe": _q_text_bpe,
@@ -4853,6 +4878,21 @@ def oracle_sql() -> dict[str, str]:
         "kql_evaluate_python": (
             "SELECT event_id, round(value * 2.0 + event_id % 10, 6) AS score "
             "FROM events WHERE event_id < 3000"
+        ),
+        "kql_parse_where": (
+            "SELECT c_custkey, CAST(substr(c_name, 10) AS BIGINT) AS cnum "
+            "FROM customer WHERE c_custkey % 3 != 0"
+        ),
+        "kql_getschema": (
+            # predictive: the loaded orders schema as literal metadata rows
+            "SELECT * FROM (VALUES "
+            "('o_orderkey', CAST(0 AS BIGINT), 'bigint', 'bigint'), "
+            "('o_custkey', 1, 'bigint', 'bigint'), "
+            "('o_orderstatus', 2, 'string', 'string'), "
+            "('o_totalprice', 3, 'double', 'double'), "
+            "('o_orderdate', 4, 'timestamp', 'timestamp'), "
+            "('o_orderpriority', 5, 'string', 'string')) "
+            "t(ColumnName, ColumnOrdinal, DataType, ColumnType)"
         ),
         "dedup_span_cut": (
             "WITH t AS (SELECT doc_id, "

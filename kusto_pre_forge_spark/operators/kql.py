@@ -4603,3 +4603,35 @@ def ipv6_lookup(
     )
     out = t.join(F.broadcast(lk), cond, "inner")
     return out.drop("_kpf_ip6", "_kpf_net", "_kpf_q", "_kpf_r")
+
+
+def parse_where(df: DataFrame, col: Column | str, *segments) -> DataFrame:
+    """KQL ``parse-where`` — :func:`parse_pattern` that additionally DROPS
+    rows not matching the pattern (plain ``parse`` keeps them with
+    empty/null captures). Same single compiled regex; the filter is
+    ``rlike`` on it, so match + extract stay one codegen pass."""
+    import re as _re
+
+    c = _c(col)
+    pattern = "^"
+    for i, seg in enumerate(segments):
+        if isinstance(seg, str):
+            pattern += _re.escape(seg)
+        else:
+            is_last = all(isinstance(s, str) for s in segments[i + 1 :])
+            pattern += "(.*)" if is_last else "(.*?)"
+    return parse_pattern(df.filter(c.rlike(pattern)), col, *segments)
+
+
+def getschema(df: DataFrame) -> DataFrame:
+    """KQL ``getschema`` — one row per column: (ColumnName, ColumnOrdinal,
+    DataType, ColumnType). Driver-side metadata (the schema IS driver
+    state); emitted as a single-partition literal frame like ``print``."""
+    spark = df.sparkSession
+    rows = [
+        (f.name, i, f.dataType.simpleString(), f.dataType.simpleString())
+        for i, f in enumerate(df.schema.fields)
+    ]
+    return spark.createDataFrame(
+        rows, "ColumnName string, ColumnOrdinal long, DataType string, ColumnType string"
+    )

@@ -1665,3 +1665,24 @@ def test_ipv6_lookup_containment(spark):
     assert got == sorted(
         [(1, "doc"), (1, "sub"), (2, "doc"), (3, "odd"), (4, "odd")]
     ), got
+
+
+def test_parse_where_drops_nonmatching(spark):
+    df = spark.createDataFrame(
+        [(1, "Customer#000001"), (2, "garbage"), (3, "Customer#000042")],
+        "id long, s string",
+    )
+    out = kql.parse_where(df, "s", "Customer#", ("cnum", "long"))
+    got = sorted((r.id, r.cnum) for r in out.collect())
+    assert got == [(1, 1), (3, 42)], "non-matching row dropped, captures typed"
+    # plain parse keeps the garbage row (null capture)
+    kept = kql.parse_pattern(df, "s", "Customer#", ("cnum", "long"))
+    assert kept.count() == 3
+
+
+def test_getschema_metadata(spark):
+    df = spark.createDataFrame([(1, "a", 2.0)], "x long, s string, v double")
+    rows = kql.getschema(df).collect()
+    assert [(r.ColumnName, r.ColumnOrdinal, r.DataType) for r in rows] == [
+        ("x", 0, "bigint"), ("s", 1, "string"), ("v", 2, "double"),
+    ]

@@ -59,3 +59,43 @@ def test_zorder_layout_clusters_both_dims(spark):
     # z-order keeps both average spans well under half the global span
     assert avg_sx < n / 2, avg_sx
     assert avg_sy < n / 2, avg_sy
+
+
+def test_zorder_key_fuzz_vs_reference(spark):
+    """Property: the codegen Morton key equals the Python reference for
+    random coordinate batches (one Spark job for the whole batch)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def morton3(x, y, z, bits):
+        out = 0
+        for j in range(bits):
+            out |= ((x >> j) & 1) << (3 * j)
+            out |= ((y >> j) & 1) << (3 * j + 1)
+            out |= ((z >> j) & 1) << (3 * j + 2)
+        return out
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 2**10 - 1),
+                st.integers(0, 2**10 - 1),
+                st.integers(0, 2**10 - 1),
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def prop(coords):
+        df = spark.createDataFrame(coords, "x long, y long, z long")
+        got = [
+            r.k
+            for r in df.select(zorder_key(["x", "y", "z"], bits=10).alias("k"))
+            .orderBy("k")
+            .collect()
+        ]
+        want = sorted(morton3(x, y, z, 10) for x, y, z in coords)
+        assert got == want
+
+    prop()

@@ -252,3 +252,41 @@ def test_avro_unsupported_nested_raises(tmp_path):
     }
     with _pt.raises(NotImplementedError, match="nested avro"):
         write_avro_ocf(nested, [])
+
+
+def test_avro_ocf_roundtrip_fuzz():
+    """Property: encode→decode is the identity for any record set in the
+    supported subset (both codecs) — driver-side, no Spark session."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kusto_pre_forge_spark.sources.avro import iter_ocf_records, write_avro_ocf
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "y", "type": "bytes"},
+        ],
+    }
+    rec = st.fixed_dictionaries(
+        {
+            "i": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            "s": st.one_of(st.none(), st.text(max_size=40)),
+            "d": st.floats(allow_nan=False, width=64),
+            "b": st.booleans(),
+            "y": st.binary(max_size=30),
+        }
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(rec, max_size=20), st.sampled_from(["null", "deflate"]))
+    def prop(records, codec):
+        raw = write_avro_ocf(schema, records, codec=codec)
+        assert list(iter_ocf_records(raw)) == records
+
+    prop()
