@@ -227,6 +227,7 @@ def read_avro(spark: SparkSession, path: str, sample_file: str | None = None) ->
     first file; record decoding is distributed per blob."""
     import pandas as pd
 
+    header_bytes = 1 << 20  # metadata map precedes data; 1 MiB covers any sane schema
     if sample_file is None:
         import glob as _glob
         import os as _os
@@ -243,7 +244,7 @@ def read_avro(spark: SparkSession, path: str, sample_file: str | None = None) ->
             raise FileNotFoundError(f"no files match {path!r}")
         sample_file = cands[0]
     with open(sample_file, "rb") as fh:
-        schema, _, _, _ = parse_ocf_header(fh.read(65536))
+        schema, _, _, _ = parse_ocf_header(fh.read(header_bytes))
     plan = _field_plan(schema)
     ddl = ", ".join(f"`{n}` {t}" for n, _, t, _ in plan) + ", _kpf_source string"
 
