@@ -4856,8 +4856,8 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN len(toks) > 0 THEN round(CAST(len(list_filter(toks, "
             "w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(toks), 6) END "
             "AS alpha_word_frac, "
-            "CAST(len(list_filter(list_transform(toks, w -> lower(w)), "
-            "w -> list_contains(['the','be','to','of','and','that','have','with'], w))) "
+            "CAST(len(list_intersect(list_distinct(list_transform(toks, w -> lower(w))), "
+            "['the','be','to','of','and','that','have','with'])) "
             "AS BIGINT) AS stop_word_hits, "
             "coalesce(len(toks) BETWEEN 50 AND 100000 "
             "AND (CASE WHEN len(toks) > 0 THEN round(CAST(list_sum(list_transform(toks, "
@@ -4870,8 +4870,8 @@ def oracle_sql() -> dict[str, str]:
             "x -> regexp_matches(trim(x), '\\.\\.\\.$'))) AS DOUBLE) / len(lines), 6) END) <= 0.3 "
             "AND (CASE WHEN len(toks) > 0 THEN round(CAST(len(list_filter(toks, "
             "w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(toks), 6) END) >= 0.8 "
-            "AND len(list_filter(list_transform(toks, w -> lower(w)), "
-            "w -> list_contains(['the','be','to','of','and','that','have','with'], w))) >= 2, "
+            "AND len(list_intersect(list_distinct(list_transform(toks, w -> lower(w))), "
+            "['the','be','to','of','and','that','have','with'])) >= 2, "
             "false) AS passes_gopher "
             "FROM t"
         ),
@@ -4971,8 +4971,8 @@ def oracle_sql() -> dict[str, str]:
             "x -> regexp_matches(trim(x), '\\.\\.\\.$'))) AS DOUBLE) / len(lines), 6) END) <= 0.3 "
             "AND (CASE WHEN len(toks) > 0 THEN round(CAST(len(list_filter(toks, "
             "w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(toks), 6) END) >= 0.8 "
-            "AND len(list_filter(list_transform(toks, w -> lower(w)), "
-            "w -> list_contains(['the','be','to','of','and','that','have','with'], w))) >= 2, "
+            "AND len(list_intersect(list_distinct(list_transform(toks, w -> lower(w))), "
+            "['the','be','to','of','and','that','have','with'])) >= 2, "
             "false) AS g FROM base), "
             "c4 AS (SELECT doc_id, (NOT contains(lower(text), 'lorem ipsum') "
             "AND NOT contains(text, '{') "

@@ -1118,11 +1118,14 @@ def incremental_dedup_accept(
             F.col(id_col).alias("id"), F.col(priority_col).alias("_p")
         )
         winners = (
-            # highest priority, then LOWEST id — min_by over (-_p, id)
-            # keeps the id un-negated (safe for any orderable id type)
+            # highest priority, then LOWEST id. max_by over (_p, -id):
+            # negating the ID (numeric by the contract enforced above)
+            # keeps _p un-negated, so ANY orderable priority type works —
+            # timestamps and strings included (a min_by over -_p would
+            # reject non-numeric priorities at plan build)
             new_mem.join(pri, "id")
             .groupBy("cluster_id")
-            .agg(F.expr("min_by(id, struct(-_p, id))").alias("_win"))
+            .agg(F.expr("max_by(id, struct(_p, -id))").alias("_win"))
         )
     drops = (
         new_mem.join(has_c, "cluster_id")

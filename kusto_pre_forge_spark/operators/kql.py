@@ -414,6 +414,25 @@ def ago(interval_expr: str) -> Column:
     return F.current_timestamp() - F.expr(f"INTERVAL {interval_expr}")
 
 
+def _build_parse_pattern(segments) -> tuple[str, list[tuple[str, str]]]:
+    """(regex, captures) for the KQL ``parse`` segment list — ONE builder
+    shared by ``parse_pattern`` and ``parse_where`` so the row filter and
+    the extractor can never disagree."""
+    import re as _re
+
+    pattern = "^"
+    caps: list[tuple[str, str]] = []
+    for i, seg in enumerate(segments):
+        if isinstance(seg, str):
+            pattern += _re.escape(seg)
+        else:
+            name, typ = seg
+            is_last_capture = all(isinstance(s, str) for s in segments[i + 1 :])
+            pattern += "(.*)" if is_last_capture else "(.*?)"
+            caps.append((name, typ))
+    return pattern, caps
+
+
 def parse_pattern(df: DataFrame, col: Column | str, *segments) -> DataFrame:
     """KQL ``parse Col with "lit" Name:type "lit2" Name2:type2 ...``.
 
@@ -426,19 +445,8 @@ def parse_pattern(df: DataFrame, col: Column | str, *segments) -> DataFrame:
     regex-escaped, captures non-greedy except the last) — a single
     codegen'd pass, not one regex per field.
     """
-    import re as _re
-
     c = _c(col)
-    pattern = "^"
-    caps: list[tuple[str, str]] = []
-    for i, seg in enumerate(segments):
-        if isinstance(seg, str):
-            pattern += _re.escape(seg)
-        else:
-            name, typ = seg
-            is_last_capture = all(isinstance(s, str) for s in segments[i + 1 :])
-            pattern += "(.*)" if is_last_capture else "(.*?)"
-            caps.append((name, typ))
+    pattern, caps = _build_parse_pattern(segments)
     out = df
     for gi, (name, typ) in enumerate(caps, start=1):
         val = F.regexp_extract(c, pattern, gi)
@@ -1306,9 +1314,15 @@ def pivot_kql(
     same bounded-collect pattern as the shard-manifest cap).
     """
     if values is None:
+        # NULL filtered BEFORE the cap probe: NULL never becomes a column,
+        # so it must not count toward the width limit
         probe = [
             r[0]
-            for r in df.select(pivot_col).distinct().limit(max_values + 1).collect()
+            for r in df.select(pivot_col)
+            .where(F.col(pivot_col).isNotNull())
+            .distinct()
+            .limit(max_values + 1)
+            .collect()
         ]
         if len(probe) > max_values:
             raise ValueError(
@@ -1316,7 +1330,7 @@ def pivot_kql(
                 f"{pivot_col!r} — pivot output would be that wide; pass an "
                 f"explicit `values` list or raise `max_values` if intended"
             )
-        values = sorted(v for v in probe if v is not None)
+        values = sorted(probe)
     agg_fn = getattr(F, agg)(agg_col)
     return df.groupBy(*(group_cols or [])).pivot(pivot_col, values).agg(agg_fn)
 
@@ -4608,19 +4622,11 @@ def ipv6_lookup(
 def parse_where(df: DataFrame, col: Column | str, *segments) -> DataFrame:
     """KQL ``parse-where`` — :func:`parse_pattern` that additionally DROPS
     rows not matching the pattern (plain ``parse`` keeps them with
-    empty/null captures). Same single compiled regex; the filter is
-    ``rlike`` on it, so match + extract stay one codegen pass."""
-    import re as _re
-
-    c = _c(col)
-    pattern = "^"
-    for i, seg in enumerate(segments):
-        if isinstance(seg, str):
-            pattern += _re.escape(seg)
-        else:
-            is_last = all(isinstance(s, str) for s in segments[i + 1 :])
-            pattern += "(.*)" if is_last else "(.*?)"
-    return parse_pattern(df.filter(c.rlike(pattern)), col, *segments)
+    empty/null captures). The filter rlikes the SAME compiled pattern
+    the extractor uses (one shared builder), so match + extract stay one
+    codegen pass and can never disagree."""
+    pattern, _ = _build_parse_pattern(segments)
+    return parse_pattern(df.filter(_c(col).rlike(pattern)), col, *segments)
 
 
 def getschema(df: DataFrame) -> DataFrame:

@@ -699,6 +699,119 @@ def pq_encode(
     )
 
 
+def _pq_lut_udf(Cs):
+    """Per-query flattened m×ks lookup table of subvector dot products
+    over the L2-normalized query — the ADC scoring constant."""
+    m = len(Cs)
+    ks = Cs[0].shape[0]
+    dsub = Cs[0].shape[1]
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _lut(vs: pd.Series) -> pd.Series:
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        out = np.zeros((V.shape[0], m * ks))
+        for s in range(m):
+            Qs = V[:, s * dsub : (s + 1) * dsub]
+            out[:, s * ks : (s + 1) * ks] = Qs @ Cs[s].T
+        return pd.Series(list(out))
+
+    return _lut
+
+
+def _pq_cell_scores_udf(C):
+    """Cosine scores against the coarse IVF centroids — the dim-loop
+    accumulation keeps the same left-to-right IEEE order as the
+    F.aggregate fold (see cosine_topk_ivf's note)."""
+    CN = np.maximum(np.linalg.norm(C, axis=1), 1e-12)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _scores(vs: pd.Series) -> pd.Series:
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        acc = np.zeros((V.shape[0], C.shape[0]))
+        for dim in range(C.shape[1]):
+            acc += V[:, dim, None] * C[None, :, dim]
+        acc /= CN[None, :]
+        return pd.Series(list(acc))
+
+    return _scores
+
+
+def _pq_adc_score(m: int, ks: int) -> Column:
+    """The ADC score: sum of m table lookups — a pure-codegen aggregate
+    fold over `_lut` (the query's table) and `codes` (the candidate)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("_lut"), s * ks + F.element_at(F.col("codes"), s + 1) + 1
+        ),
+    )
+
+
+def _pq_probe_structs(n_cells: int, scores: Column) -> Column:
+    """Cells ranked by score desc (index asc on ties) as sortable structs."""
+    return F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    F.element_at(scores, j + 1).alias("s"),
+                    F.lit(-j).alias("nj"),
+                )
+                for j in range(n_cells)
+            ]
+        ),
+        asc=False,
+    )
+
+
+def _pq_rank_window():
+    # built lazily: Window specs need an active session at construction
+    return Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col("neighbor_id").asc()
+    )
+
+
+def _pq_finalize(
+    scored: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    rerank: int | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared top-k / rerank tail: either rank the ADC scores directly,
+    or keep the top ``rerank`` candidates, re-read ONLY their raw
+    vectors (|queries| × rerank rows), and exact-cosine re-rank."""
+    if rerank is None:
+        return scored.withColumn(
+            "rank", F.row_number().over(_pq_rank_window())
+        ).filter(F.col("rank") <= k)
+    if rerank < k:
+        raise ValueError("rerank candidate count must be >= k")
+    cand = (
+        scored.withColumn("rank", F.row_number().over(_pq_rank_window()))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    v = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    exact = (
+        cand.join(v, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("pq_score"),
+        )
+    )
+    return exact.withColumn("rank", F.row_number().over(_pq_rank_window())).filter(
+        F.col("rank") <= k
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -717,11 +830,12 @@ def pq_topk(
     lookups summed — a pure-codegen ``F.aggregate`` fold, no floats from
     the corpus touched at query time.
 
-    The scan is still corpus-wide (compose with IVF cells for candidate
-    pruning); the win is bandwidth: at 100 TB the scored table is ~3%
-    the size of the raw vectors, which is the difference between a
-    memory-resident index and re-reading parquet. Queries broadcast
-    (tiny side), so the cross join is broadcast-tiny by construction.
+    The scan is still corpus-wide (:func:`pq_topk_ivf` adds IVF cells
+    for candidate pruning); the win is bandwidth: at 100 TB the scored
+    table is ~3% the size of the raw vectors, which is the difference
+    between a memory-resident index and re-reading parquet. Queries
+    broadcast (tiny side), so the cross join is broadcast-tiny by
+    construction.
 
     ``rerank=C`` adds the standard ADC+rerank stage: the PQ scan keeps
     the top ``C ≥ k`` candidates per query, ONLY those re-read their raw
@@ -736,69 +850,93 @@ def pq_topk(
             corpus, id_col=id_col, vec_col=vec_col, m=m, ks=ks
         )
     Cs = [np.asarray(c, dtype=np.float64) for c in codebooks]
-    m = len(Cs)
-    ks = Cs[0].shape[0]
-    dsub = Cs[0].shape[1]
-
+    m, ks = len(Cs), Cs[0].shape[0]
     codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), "codes"
     )
-
-    @F.pandas_udf(T.ArrayType(T.DoubleType()))
-    def _lut(vs: pd.Series) -> pd.Series:
-        V = np.array([np.asarray(v, dtype=np.float64) for v in vs])
-        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        out = np.zeros((V.shape[0], m * ks))
-        for s in range(m):
-            Qs = V[:, s * dsub : (s + 1) * dsub]
-            out[:, s * ks : (s + 1) * ks] = Qs @ Cs[s].T
-        return pd.Series(list(out))
-
     q = queries.select(
-        F.col(id_col).alias("query_id"), _lut(F.col(vec_col)).alias("_lut")
-    )
-    score = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.col("_lut"), s * ks + F.element_at(F.col("codes"), s + 1) + 1
-        ),
+        F.col(id_col).alias("query_id"),
+        _pq_lut_udf(Cs)(F.col(vec_col)).alias("_lut"),
     )
     scored = (
         codes.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", score.alias("pq_score"))
+        .select("query_id", "neighbor_id", _pq_adc_score(m, ks).alias("pq_score"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("pq_score").desc(), F.col("neighbor_id").asc()
-    )
-    if rerank is None:
-        return scored.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= k
-        )
-    if rerank < k:
-        raise ValueError("rerank candidate count must be >= k")
-    cand = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
-    # exact rerank: only the |queries| × rerank winners re-read raw
-    # vectors (AQE broadcasts the candidate side against the scan)
-    v = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    exact = (
-        cand.join(v, "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
+    return _pq_finalize(scored, corpus, queries, k, rerank, id_col, vec_col)
+
+
+def pq_build_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The STORED form of an IVF-PQ index: (id, cell int, m codes) — what
+    you persist instead of raw vectors (~32× smaller; dim never rides
+    along). One Arrow pass computes both the coarse cell and the PQ
+    codes; centroids/codebooks are frozen training artifacts passed in,
+    so index rows are deterministic and append-only (the property the
+    streaming maintainer relies on)."""
+    C = np.array(centroids, dtype=np.float64)
+    cell_scores = _pq_cell_scores_udf(C)
+    return (
+        pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+        .join(corpus.select(id_col, vec_col), id_col)
+        # materialize the scores ONCE (a single Arrow UDF node); the
+        # argmax references the attribute, never a second UDF call
+        .withColumn("_cs", cell_scores(F.col(vec_col)))
         .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("pq_score"),
+            F.col(id_col),
+            (F.array_position(F.col("_cs"), F.array_max("_cs")) - 1)
+            .cast("int")
+            .alias("_cell"),
+            "codes",
         )
     )
-    return exact.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+
+
+def pq_query_index(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search over a PREBUILT (id, cell, codes) index frame — the
+    query half of :func:`pq_build_index`: queries carry their m×ks LUT +
+    top-nprobe probe cells, candidates join on the int cell key, scores
+    are the codegen lookup fold. Returns (query_id, neighbor_id,
+    pq_score, rank)."""
+    Cs = [np.asarray(c, dtype=np.float64) for c in codebooks]
+    m, ks = len(Cs), Cs[0].shape[0]
+    C = np.array(centroids, dtype=np.float64)
+    cell_scores = _pq_cell_scores_udf(C)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _pq_lut_udf(Cs)(F.col(vec_col)).alias("_lut"),
+            cell_scores(F.col(vec_col)).alias("_cs"),
+        )
+        .withColumn(
+            "_probe",
+            F.explode(
+                F.slice(_pq_probe_structs(C.shape[0], F.col("_cs")), 1, nprobe)
+            ),
+        )
+        .select("query_id", "_lut", (-F.col("_probe.nj")).cast("int").alias("_cell"))
+    )
+    return (
+        index.select(F.col(id_col).alias("neighbor_id"), "_cell", "codes")
+        .join(F.broadcast(q), "_cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _pq_adc_score(m, ks).alias("pq_score"))
+        .withColumn("rank", F.row_number().over(_pq_rank_window()))
+        .filter(F.col("rank") <= k)
     )
 
 
@@ -820,16 +958,10 @@ def pq_topk_ivf(
     Jégou et al. 2011 §V): IVF coarse cells prune candidates
     (~``nprobe/n_cells`` of the corpus), PQ codes make scoring the
     survivors a table-lookup fold, optional exact rerank restores
-    near-exact recall. Composition of :func:`cosine_topk_ivf`'s cell
-    machinery with :func:`pq_topk`'s ADC scan:
-
-    - corpus pass: one vectorized UDF emits the cell argmax, one Arrow
-      pass the PQ codes — the stored index is (id, cell int, m codes),
-      independent of dim;
-    - queries explode to top-``nprobe`` cells and carry their m×ks LUT;
-    - the candidate join is a hash equi-join on the int cell key and the
-      ADC score is a pure-codegen aggregate fold — the only per-candidate
-      work at 100 TB is m array lookups.
+    near-exact recall. LITERALLY the composition
+    ``pq_query_index(pq_build_index(corpus))`` plus the shared rerank
+    tail — one implementation of every stage (LUT, cell scores, ADC
+    fold, probe ranking) lives in the ``_pq_*`` helpers.
 
     Returns (query_id, neighbor_id, pq_score, rank).
     """
@@ -837,241 +969,21 @@ def pq_topk_ivf(
         codebooks = pq_train_codebooks(
             corpus, id_col=id_col, vec_col=vec_col, m=m, ks=ks
         )
-    Cs = [np.asarray(c, dtype=np.float64) for c in codebooks]
-    m = len(Cs)
-    ks = Cs[0].shape[0]
-    dsub = Cs[0].shape[1]
-
     if centroids is None:
         centroids = ivf_kmeans_centroids(
             corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells
         )
-    C = np.array(centroids[:n_cells], dtype=np.float64)
-    CN = np.maximum(np.linalg.norm(C, axis=1), 1e-12)
-
-    @F.pandas_udf(T.ArrayType(T.DoubleType()))
-    def _cell_scores(vs: pd.Series) -> pd.Series:
-        V = np.array([np.asarray(v, dtype=np.float64) for v in vs])
-        acc = np.zeros((V.shape[0], C.shape[0]))
-        for dim in range(C.shape[1]):
-            acc += V[:, dim, None] * C[None, :, dim]
-        acc /= CN[None, :]
-        return pd.Series(list(acc))
-
-    codes = (
-        pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
-        .join(
-            corpus.select(
-                F.col(id_col).alias(id_col), F.col(vec_col).alias("_cv0")
-            ),
-            id_col,
-        )
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            "codes",
-            _cell_scores(F.col("_cv0")).alias("_cs"),
-        )
-        .withColumn(
-            "_cell", (F.array_position(F.col("_cs"), F.array_max("_cs")) - 1).cast("int")
-        )
-        .drop("_cs")
-    )
-
-    @F.pandas_udf(T.ArrayType(T.DoubleType()))
-    def _lut(vs: pd.Series) -> pd.Series:
-        V = np.array([np.asarray(v, dtype=np.float64) for v in vs])
-        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        out = np.zeros((V.shape[0], m * ks))
-        for s in range(m):
-            Qs = V[:, s * dsub : (s + 1) * dsub]
-            out[:, s * ks : (s + 1) * ks] = Qs @ Cs[s].T
-        return pd.Series(list(out))
-
-    def probe_structs(scores: Column) -> Column:
-        return F.sort_array(
-            F.array(
-                *[
-                    F.struct(
-                        F.element_at(scores, j + 1).alias("s"),
-                        F.lit(-j).alias("nj"),
-                    )
-                    for j in range(C.shape[0])
-                ]
-            ),
-            asc=False,
-        )
-
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            _lut(F.col(vec_col)).alias("_lut"),
-            _cell_scores(F.col(vec_col)).alias("_cs"),
-        )
-        .withColumn("_probe", F.explode(F.slice(probe_structs(F.col("_cs")), 1, nprobe)))
-        .select("query_id", "_lut", (-F.col("_probe.nj")).cast("int").alias("_cell"))
-    )
-
-    score = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.col("_lut"), s * ks + F.element_at(F.col("codes"), s + 1) + 1
-        ),
-    )
-    scored = (
-        codes.join(F.broadcast(q), "_cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", score.alias("pq_score"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("pq_score").desc(), F.col("neighbor_id").asc()
+    centroids = centroids[:n_cells]
+    index = pq_build_index(
+        corpus, centroids, codebooks, id_col=id_col, vec_col=vec_col
     )
     if rerank is None:
-        return scored.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= k
+        return pq_query_index(
+            index, queries, centroids, codebooks, k=k, nprobe=nprobe,
+            id_col=id_col, vec_col=vec_col,
         )
-    if rerank < k:
-        raise ValueError("rerank candidate count must be >= k")
-    cand = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
-    v = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    exact = (
-        cand.join(v, "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("pq_score"),
-        )
-    )
-    return exact.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
-
-
-def pq_build_index(
-    corpus: DataFrame,
-    centroids: list[list[float]],
-    codebooks: list[list[list[float]]],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """The STORED form of an IVF-PQ index: (id, cell int, m codes) — what
-    you persist instead of raw vectors (~32× smaller; dim never rides
-    along). One Arrow pass computes both the coarse cell and the PQ
-    codes; centroids/codebooks are frozen training artifacts passed in,
-    so index rows are deterministic and append-only (the property the
-    streaming maintainer relies on)."""
-    C = np.array(centroids, dtype=np.float64)
-    CN = np.maximum(np.linalg.norm(C, axis=1), 1e-12)
-
-    @F.pandas_udf(T.IntegerType())
-    def _cell(vs: pd.Series) -> pd.Series:
-        V = np.array([np.asarray(v, dtype=np.float64) for v in vs])
-        acc = np.zeros((V.shape[0], C.shape[0]))
-        for dim in range(C.shape[1]):
-            acc += V[:, dim, None] * C[None, :, dim]
-        acc /= CN[None, :]
-        return pd.Series(np.argmax(acc, axis=1).astype("int32"))
-
-    return (
-        pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
-        .join(corpus.select(id_col, vec_col), id_col)
-        .select(
-            F.col(id_col),
-            _cell(F.col(vec_col)).alias("_cell"),
-            "codes",
-        )
-    )
-
-
-def pq_query_index(
-    index: DataFrame,
-    queries: DataFrame,
-    centroids: list[list[float]],
-    codebooks: list[list[list[float]]],
-    k: int = 10,
-    nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """ADC search over a PREBUILT (id, cell, codes) index frame — the
-    query half of :func:`pq_build_index`, identical scoring to
-    :func:`pq_topk_ivf` but reading the persisted index instead of
-    encoding the corpus: queries carry their m×ks LUT + top-nprobe probe
-    cells, candidates join on the int cell key, scores are the codegen
-    lookup fold. Returns (query_id, neighbor_id, pq_score, rank)."""
-    Cs = [np.asarray(c, dtype=np.float64) for c in codebooks]
-    m = len(Cs)
-    ks = Cs[0].shape[0]
-    dsub = Cs[0].shape[1]
-    C = np.array(centroids, dtype=np.float64)
-    CN = np.maximum(np.linalg.norm(C, axis=1), 1e-12)
-
-    @F.pandas_udf(T.ArrayType(T.DoubleType()))
-    def _cell_scores(vs: pd.Series) -> pd.Series:
-        V = np.array([np.asarray(v, dtype=np.float64) for v in vs])
-        acc = np.zeros((V.shape[0], C.shape[0]))
-        for dim in range(C.shape[1]):
-            acc += V[:, dim, None] * C[None, :, dim]
-        acc /= CN[None, :]
-        return pd.Series(list(acc))
-
-    @F.pandas_udf(T.ArrayType(T.DoubleType()))
-    def _lut(vs: pd.Series) -> pd.Series:
-        V = np.array([np.asarray(v, dtype=np.float64) for v in vs])
-        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        out = np.zeros((V.shape[0], m * ks))
-        for s in range(m):
-            Qs = V[:, s * dsub : (s + 1) * dsub]
-            out[:, s * ks : (s + 1) * ks] = Qs @ Cs[s].T
-        return pd.Series(list(out))
-
-    def probe_structs(scores: Column) -> Column:
-        return F.sort_array(
-            F.array(
-                *[
-                    F.struct(
-                        F.element_at(scores, j + 1).alias("s"),
-                        F.lit(-j).alias("nj"),
-                    )
-                    for j in range(C.shape[0])
-                ]
-            ),
-            asc=False,
-        )
-
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            _lut(F.col(vec_col)).alias("_lut"),
-            _cell_scores(F.col(vec_col)).alias("_cs"),
-        )
-        .withColumn("_probe", F.explode(F.slice(probe_structs(F.col("_cs")), 1, nprobe)))
-        .select("query_id", "_lut", (-F.col("_probe.nj")).cast("int").alias("_cell"))
-    )
-    score = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.col("_lut"), s * ks + F.element_at(F.col("codes"), s + 1) + 1
-        ),
-    )
-    scored = (
-        index.select(F.col(id_col).alias("neighbor_id"), "_cell", "codes")
-        .join(F.broadcast(q), "_cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", score.alias("pq_score"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("pq_score").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    scored = pq_query_index(
+        index, queries, centroids, codebooks, k=max(rerank, k), nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id", "pq_score")
+    return _pq_finalize(scored, corpus, queries, k, rerank, id_col, vec_col)

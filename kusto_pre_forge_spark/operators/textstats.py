@@ -459,8 +459,13 @@ def gopher_quality(
     alpha_frac = F.when(
         n_words > 0, F.round(n_alpha.cast("double") / n_words, 6)
     )
+    # DISTINCT stop words present ("contain at least two of the following
+    # stop words" — membership, not occurrences: 'the the' is ONE)
     stop_hits = F.size(
-        F.filter(F.transform(words, F.lower), lambda w: w.isin(GOPHER_STOP_WORDS))
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]),
+        )
     )
     passes = (
         (n_words >= min_words)

@@ -227,24 +227,17 @@ def read_avro(spark: SparkSession, path: str, sample_file: str | None = None) ->
     first file; record decoding is distributed per blob."""
     import pandas as pd
 
+    from kusto_pre_forge_spark.sources.w3clog import (
+        first_matching_file,
+        read_head_bytes,
+    )
+
     header_bytes = 1 << 20  # metadata map precedes data; 1 MiB covers any sane schema
     if sample_file is None:
-        import glob as _glob
-        import os as _os
-
-        pats = path if isinstance(path, list) else [path]
-        cands = sorted(
-            f
-            for p in pats
-            for f in (
-                _glob.glob(_os.path.join(p, "*")) if _os.path.isdir(p) else _glob.glob(p)
-            )
-        )
-        if not cands:
-            raise FileNotFoundError(f"no files match {path!r}")
-        sample_file = cands[0]
-    with open(sample_file, "rb") as fh:
-        schema, _, _, _ = parse_ocf_header(fh.read(header_bytes))
+        # Hadoop FS resolution: directories, globs, and any mounted URI
+        # scheme (abfss/s3a/hdfs) behave like local paths
+        sample_file = first_matching_file(spark, path)
+    schema, _, _, _ = parse_ocf_header(read_head_bytes(spark, sample_file, header_bytes))
     plan = _field_plan(schema)
     ddl = ", ".join(f"`{n}` {t}" for n, _, t, _ in plan) + ", _kpf_source string"
 

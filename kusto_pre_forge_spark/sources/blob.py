@@ -174,10 +174,11 @@ def read_landing(
         # input_file_name() is empty under non-file-scan sources)
         return read_avro(spark, paths[0] if len(paths) == 1 else paths)
     elif fmt == DataFormat.W3CLOGFILE:
-        from kusto_pre_forge_spark.sources.w3clog import w3c_parse, read_fields_directive
+        # read_w3c_log resolves dirs/globs/URIs to a sample file for the
+        # #Fields sniff — the same shapes every other format accepts
+        from kusto_pre_forge_spark.sources.w3clog import read_w3c_log
 
-        fields = read_fields_directive(paths[0])
-        df = w3c_parse(spark.read.text(paths), fields)
+        df = read_w3c_log(spark, paths if len(paths) > 1 else paths[0])
     else:  # pragma: no cover - enum is closed
         raise NotImplementedError(f"format {fmt}")
     return df.withColumn("_kpf_source", F.input_file_name())

@@ -42,18 +42,75 @@ def w3c_parse(
     NULL. Pure codegen — at 100 TB this is the scan projection."""
     names = [sanitize_field(f) if sanitize else f for f in fields]
     parts = F.split(F.col(value_col), " ")
+    # try_element_at, not element_at: a blank or truncated line (routine
+    # in real IIS logs) has fewer parts than fields, and under ANSI mode
+    # element_at would abort the whole job instead of yielding NULLs
     cols = [
-        F.nullif(F.element_at(parts, i + 1), F.lit("-")).alias(n)
+        F.nullif(F.try_element_at(parts, F.lit(i + 1)), F.lit("-")).alias(n)
         for i, n in enumerate(names)
     ]
     return df.filter(~F.col(value_col).startswith("#")).select(*cols)
 
 
-def read_fields_directive(path: str, max_bytes: int = 65536) -> list[str]:
+def first_matching_file(spark: SparkSession, path) -> str:
+    """Resolve a directory / glob / file spec (or a list of them) to the
+    lexicographically first matching FILE — through the Hadoop FileSystem
+    API, so abfss/s3a/hdfs URIs work exactly like local paths (the same
+    resolution every Spark reader's schema inference performs)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    pats = path if isinstance(path, list) else [path]
+    hits: list[str] = []
+    for p in pats:
+        jp = path_cls(p)
+        fs = jp.getFileSystem(conf)
+        st = fs.globStatus(jp)
+        stats = list(st) if st is not None else []
+        for s in stats:
+            if s.isDirectory():
+                for child in fs.listStatus(s.getPath()):
+                    if child.isFile():
+                        hits.append(str(child.getPath()))
+            else:
+                hits.append(str(s.getPath()))
+    if not hits:
+        raise FileNotFoundError(f"no files match {path!r}")
+    return sorted(hits)[0]
+
+
+def read_head_bytes(spark: SparkSession, path: str, max_bytes: int) -> bytes:
+    """Bounded driver-side head read through the Hadoop FS API (any URI
+    scheme) — the metadata-sniff primitive. One bulk ``toByteArray``
+    call (py4j auto-converts the returned byte[]), never per-byte
+    round-trips."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jp.getFileSystem(conf)
+    n = min(int(fs.getFileStatus(jp).getLen()), max_bytes)
+    stream = fs.open(jp)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream, n)
+        return bytes(data)
+    finally:
+        stream.close()
+
+
+def read_fields_directive(
+    path: str, max_bytes: int = 65536, spark: SparkSession | None = None
+) -> list[str]:
     """Driver-side schema sniff: the first ``#Fields:`` directive in the
-    file head (bounded read — W3C directives precede data per spec)."""
-    with open(path, "rb") as fh:
-        head = fh.read(max_bytes).decode("utf-8", errors="replace")
+    file head (bounded read — W3C directives precede data per spec).
+    With ``spark`` given, the read goes through the Hadoop FS API (any
+    URI scheme); otherwise a plain local ``open``."""
+    if spark is not None:
+        head = read_head_bytes(spark, path, max_bytes).decode(
+            "utf-8", errors="replace"
+        )
+    else:
+        with open(path, "rb") as fh:
+            head = fh.read(max_bytes).decode("utf-8", errors="replace")
     for line in head.splitlines():
         if line.startswith("#Fields:"):
             return line[len("#Fields:") :].split()
@@ -61,23 +118,15 @@ def read_fields_directive(path: str, max_bytes: int = 65536) -> list[str]:
 
 
 def read_w3c_log(
-    spark: SparkSession, path: str, sample_file: str | None = None, sanitize: bool = True
+    spark: SparkSession, path, sample_file: str | None = None, sanitize: bool = True
 ) -> DataFrame:
     """Read a w3clogfile directory/glob as a typed DataFrame: sniff the
     ``#Fields`` directive from ``sample_file`` (or the lexicographically
     first matching file — a homogeneous log set shares one schema, the
     same assumption parquet/csv schema inference makes), then parse all
-    lines distributed."""
+    lines distributed. Paths resolve through the Hadoop FS API, so any
+    URI scheme the cluster mounts works."""
     if sample_file is None:
-        import glob as _glob
-        import os as _os
-
-        if _os.path.isdir(path):
-            cands = sorted(_glob.glob(_os.path.join(path, "*")))
-        else:
-            cands = sorted(_glob.glob(path))
-        if not cands:
-            raise FileNotFoundError(f"no files match {path!r}")
-        sample_file = cands[0]
-    fields = read_fields_directive(sample_file)
+        sample_file = first_matching_file(spark, path)
+    fields = read_fields_directive(sample_file, spark=spark)
     return w3c_parse(spark.read.text(path), fields, sanitize=sanitize)

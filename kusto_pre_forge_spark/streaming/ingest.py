@@ -303,30 +303,40 @@ class StreamingEtl:
         different file→batch packing) — so dynamic partition overwrite
         rewrites each file's delta identically and counts can never
         double; batch ids (which DO renumber on checkpoint loss) never
-        key anything. Returns the number of delta rows written."""
-        batch = batch_df.dropDuplicates([id_col])
+        key anything. For the same reason the id dedup is PER FILE, not
+        per batch: a file's delta must be a pure function of that file
+        alone, or a repacked replay (doc in two files, different
+        file→batch packing) would rewrite different partition content
+        and double-count. Returns the number of delta rows written."""
+        fkey = F.substring(F.md5(F.col("_kpf_source")), 1, 16)
+        batch = batch_df.withColumn("_kpf_file", fkey).dropDuplicates(
+            [id_col, "_kpf_file"]
+        )
         if not batch.head(1):
             return 0
-        fkey = F.substring(F.md5(F.col("_kpf_source")), 1, 16)
         toks = F.filter(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
         )
         words = batch.select(
             F.col(id_col).alias("_id"),
-            fkey.alias("_kpf_file"),
+            "_kpf_file",
             F.explode(toks).alias("w"),
         )
         delta = words.groupBy("_kpf_file", "w").agg(
             F.count(F.lit(1)).alias("n_occurrences"),
             F.count_distinct("_id").alias("n_docs"),
         )
-        (
-            delta.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_kpf_file")
-            .parquet(stats_dir)
-        )
-        return delta.count()
+        delta.persist()
+        try:
+            (
+                delta.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_kpf_file")
+                .parquet(stats_dir)
+            )
+            return delta.count()
+        finally:
+            delta.unpersist()
 
     def start_corpus_stats(
         self,
@@ -366,20 +376,28 @@ class StreamingEtl:
         ``pq_query_index``. Returns rows written."""
         from kusto_pre_forge_spark.operators.similarity import pq_build_index
 
-        batch = batch_df.dropDuplicates([id_col])
+        # per-FILE id dedup: each file's partition must be a pure
+        # function of that file (see corpus_stats_batch's replay note)
+        fkey = F.substring(F.md5(F.col("_kpf_source")), 1, 16)
+        batch = batch_df.withColumn("_kpf_file", fkey).dropDuplicates(
+            [id_col, "_kpf_file"]
+        )
         if not batch.head(1):
             return 0
-        fkey = F.substring(F.md5(F.col("_kpf_source")), 1, 16)
         idx = pq_build_index(
             batch, centroids, codebooks, id_col=id_col, vec_col=vec_col
-        ).join(batch.select(id_col, fkey.alias("_kpf_file")), id_col)
-        (
-            idx.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_kpf_file")
-            .parquet(index_dir)
-        )
-        return idx.count()
+        ).join(batch.select(id_col, "_kpf_file"), id_col)
+        idx.persist()
+        try:
+            (
+                idx.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_kpf_file")
+                .parquet(index_dir)
+            )
+            return idx.count()
+        finally:
+            idx.unpersist()
 
     def start_ann_index(
         self,

@@ -290,3 +290,19 @@ def test_avro_ocf_roundtrip_fuzz():
         assert list(iter_ocf_records(raw)) == records
 
     prop()
+
+
+def test_w3c_parse_truncated_lines_yield_nulls(spark):
+    """Blank/truncated lines (routine in real IIS logs) must yield NULL
+    fields, not abort the job under ANSI mode."""
+    from kusto_pre_forge_spark.sources.w3clog import w3c_parse
+
+    df = spark.createDataFrame(
+        [("2024-05-01 00:00:01 10.0.0.1",), ("",), ("onlyonefield",)],
+        "value string",
+    )
+    out = w3c_parse(df, ["date", "time", "c-ip", "sc-status"]).collect()
+    assert len(out) == 3
+    assert out[0].sc_status is None, "missing trailing field -> NULL"
+    assert out[1].date == "" and out[1].time is None
+    assert out[2].time is None

@@ -498,3 +498,36 @@ def test_streaming_ann_index_maintenance(spark, sf_smoke, tmp_path):
     _drain(q)
     again = StreamingEtl.read_ann_index(spark, index_dir)
     assert again.count() == emb.count()
+
+
+def test_corpus_stats_file_partitions_are_pure(spark, tmp_path):
+    """A file's delta partition must be a pure function of that file:
+    re-writing one file's delta alone (the repacked-replay scenario, doc
+    shared across files) leaves merged counts unchanged."""
+    stats_dir = str(tmp_path / "stats_pure")
+    etl = StreamingEtl(
+        spark,
+        str(tmp_path / "u1"),
+        str(tmp_path / "u2"),
+        str(tmp_path / "u3"),
+        DOC_SCHEMA,
+    )
+    f1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta beta")], DOC_SCHEMA
+    ).withColumn("_kpf_source", F.lit("file1"))
+    f2 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (3, "delta")], DOC_SCHEMA
+    ).withColumn("_kpf_source", F.lit("file2"))
+    # original packing: both files in one batch (doc 1 in both files)
+    etl.corpus_stats_batch(f1.unionByName(f2), 0, stats_dir)
+    before = {
+        (r.w, r.n_occurrences, r.n_docs)
+        for r in StreamingEtl.read_corpus_stats(spark, stats_dir).collect()
+    }
+    # repacked replay: file2 arrives alone in its own batch
+    etl.corpus_stats_batch(f2, 1, stats_dir)
+    after = {
+        (r.w, r.n_occurrences, r.n_docs)
+        for r in StreamingEtl.read_corpus_stats(spark, stats_dir).collect()
+    }
+    assert after == before, "per-file purity: repacked replay must not drift"

@@ -170,7 +170,8 @@ def test_gopher_quality_rules(spark):
     )
     rows = {r.doc_id: r for r in gopher_quality(df).collect()}
     assert rows[1].passes_gopher
-    assert rows[1].n_words == 150 and rows[1].stop_word_hits == 70
+    # DISTINCT stop words present: the, and, of, that, have, with -> 6
+    assert rows[1].n_words == 150 and rows[1].stop_word_hits == 6
     assert not rows[2].passes_gopher
     assert rows[2].bullet_line_frac == 0.666667
     assert not rows[3].passes_gopher and rows[3].stop_word_hits == 0
