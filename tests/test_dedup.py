@@ -503,3 +503,50 @@ def test_cut_duplicate_spans_keep_first(spark):
     assert "newsletter" not in got[3].text_clean
     assert got[4].n_tokens_removed == 0
     assert got[4].text_clean == "unique text entirely"
+
+
+def test_edit_distance_pairs_completeness_fuzz(spark):
+    """Property: the banded pair set EQUALS brute-force lev<=k over random
+    short strings (including indel-heavy mutations) for k=1 and k=2."""
+    import itertools
+    import random as _random
+
+    from kusto_pre_forge_spark.operators.dedup import edit_distance_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    rng = _random.Random(421)
+    alphabet = "abc "
+    base = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 9)))
+            for _ in range(12)]
+    mutated = []
+    for s in base:
+        t = list(s)
+        op = rng.choice(["ins", "del", "sub"])
+        pos = rng.randint(0, max(len(t) - 1, 0))
+        if op == "ins":
+            t.insert(pos, rng.choice(alphabet))
+        elif op == "del" and t:
+            del t[pos]
+        elif t:
+            t[pos] = rng.choice(alphabet)
+        mutated.append("".join(t))
+    rows = [(i, s) for i, s in enumerate(base + mutated)]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    for k in (1, 2):
+        got = {
+            (r.id_a, r.id_b): r.distance
+            for r in edit_distance_pairs(df, "s", "doc_id", k).collect()
+        }
+        want = {
+            (a, b): lev(sa, sb)
+            for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+            if lev(sa, sb) <= k
+        }
+        assert got == want, (k, got.keys() ^ want.keys())

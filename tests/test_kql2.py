@@ -1686,3 +1686,29 @@ def test_getschema_metadata(spark):
     assert [(r.ColumnName, r.ColumnOrdinal, r.DataType) for r in rows] == [
         ("x", 0, "bigint"), ("s", 1, "string"), ("v", 2, "double"),
     ]
+
+
+def test_parse_ipv6_fuzz_vs_stdlib(spark):
+    """Property: canonicalization agrees with the stdlib ipaddress module
+    on valid addresses (compressed AND exploded forms) and rejects what
+    the subset documents (no embedded IPv4)."""
+    import ipaddress
+    import random as _random
+
+    rng = _random.Random(97)
+    addrs = [ipaddress.IPv6Address(rng.getrandbits(128)) for _ in range(60)]
+    rows = []
+    for a in addrs:
+        want = a.exploded.replace(":", "")
+        rows.append((a.compressed, want))
+        rows.append((a.exploded, want))
+    df = spark.createDataFrame(rows, "s string, want string")
+    out = df.select("want", kql.parse_ipv6("s").alias("got")).collect()
+    for r in out:
+        assert r.got == r.want, (r.got, r.want)
+    bad = spark.createDataFrame(
+        [("1:2:3:4:5:6:7:8:9",), ("::1::2",), ("g::1",), ("",)], "s string"
+    )
+    assert all(
+        r.got is None for r in bad.select(kql.parse_ipv6("s").alias("got")).collect()
+    )

@@ -317,3 +317,25 @@ def test_apply_bpe_large_vocab_plan_depth(spark):
     row = out.collect()[0]
     # fully trained vocabulary: every word collapses to ONE symbol
     assert row.n_bpe_tokens == row.n_words
+
+
+def test_url_normalize_idempotent_fuzz(spark):
+    """Property: normalize(normalize(u)) == normalize(u) — a dedup KEY
+    function must be a projection (stable under re-application)."""
+    urls = [
+        "HTTP://Example.COM:80/A/B/?z=1&a=2#frag",
+        "https://example.com:443/path/",
+        "http://example.com/UPPER?b=2&B=1&a",
+        "https://example.com",
+        "example.com/no-scheme?x=1#y",
+        "https://ex.com/a//b///c/?q=%41&Q=a",
+        "not a url at all",
+        "",
+    ]
+    from kusto_pre_forge_spark.operators.textprep import url_normalize
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(url_normalize("u").alias("n1"))
+    twice = once.select(F.col("n1"), url_normalize("n1").alias("n2")).collect()
+    for r in twice:
+        assert r.n2 == r.n1, (r.n1, r.n2)
