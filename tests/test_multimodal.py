@@ -763,3 +763,30 @@ def test_sample_frames_unknown_container_message(spark):
 
     with _pt.raises(Exception, match="decoder="):
         multimodal.sample_frames(df, every_n=2).collect()
+
+
+def test_resize_image_area_average(spark):
+    """Exact box-average resampling: 2x downscale of a checkerboard is the
+    analytic mean; fractional 3->2 spans use the hand-computed weights."""
+    import numpy as np
+
+    # 4x4 checkerboard of 0/255 in gray: every 2x2 box averages to 127.5 -> 128
+    board = np.indices((4, 4)).sum(axis=0) % 2 * 255
+    raw = mediacodec.encode_png(4, 4, board.astype(np.uint8).tobytes(), 1)
+    df = spark.createDataFrame([(1, raw)], "doc_id long, blob binary")
+    row = multimodal.resize_image(df, 2, 2, method="area").first()
+    _, _, _, px = mediacodec.decode_png(row.resized)
+    assert list(px) == [128, 128, 128, 128]
+
+    # 3 columns [0, 90, 240] -> 2 columns: spans [0,1.5) and [1.5,3)
+    # left = (1*0 + 0.5*90)/1.5 = 30; right = (0.5*90 + 1*240)/1.5 = 190
+    strip = bytes([0, 90, 240])
+    raw2 = mediacodec.encode_png(3, 1, strip, 1)
+    df2 = spark.createDataFrame([(1, raw2)], "doc_id long, blob binary")
+    row2 = multimodal.resize_image(df2, 2, 1, method="area").first()
+    _, _, _, px2 = mediacodec.decode_png(row2.resized)
+    assert list(px2) == [30, 190]
+
+    import pytest as _pt
+    with _pt.raises(Exception, match="unknown resize method"):
+        multimodal.resize_image(df2, 2, 1, method="bogus").first()
