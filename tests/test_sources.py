@@ -306,3 +306,28 @@ def test_w3c_parse_truncated_lines_yield_nulls(spark):
     assert out[0].sc_status is None, "missing trailing field -> NULL"
     assert out[1].date == "" and out[1].time is None
     assert out[2].time is None
+
+
+def test_w3c_parse_typed_fields(spark):
+    from kusto_pre_forge_spark.sources.w3clog import w3c_parse
+
+    df = spark.createDataFrame(
+        [
+            ("2024-05-01 GET 200 12",),
+            ("2024-05-01 GET xxx -",),  # malformed status -> NULL, '-' -> NULL
+        ],
+        "value string",
+    )
+    out = w3c_parse(
+        df, ["date", "cs-method", "sc-status", "time-taken"], typed=True
+    ).collect()
+    assert str(out[0].date) == "2024-05-01"
+    assert out[0].sc_status == 200 and out[0].time_taken == 12
+    assert out[1].sc_status is None and out[1].time_taken is None
+    types = dict(
+        w3c_parse(df, ["date", "cs-method", "sc-status", "time-taken"], typed=True).dtypes
+    )
+    assert types == {
+        "date": "date", "cs_method": "string",
+        "sc_status": "int", "time_taken": "bigint",
+    }
