@@ -662,6 +662,28 @@ def _q_text_gopher(spark, sf):
     return textstats.gopher_quality(d, "text")
 
 
+def _q_kql_series_fit_poly(spark, sf):
+    """KQL series_fit_poly (degree 2): closed-form quadratic LSQ — exact
+    Faulhaber power sums + ascending-index moment folds + Cramer's rule,
+    all plain arithmetic (no UDF). Oracle replays the identical folds
+    (sum ... ORDER BY x) and determinant expressions."""
+    e = load_table(spark, sf, "events").filter(F.col("event_id") < 400)
+    s = e.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("event_id", "value"))),
+            lambda r: r["value"],
+        ).alias("s")
+    )
+    f = kql.series_fit_poly("s")
+    return s.select(
+        "event_type",
+        f["c0"].alias("c0"),
+        f["c1"].alias("c1"),
+        f["c2"].alias("c2"),
+        f["rss"].alias("rss"),
+    )
+
+
 def _q_kql_parse_where(spark, sf):
     """KQL parse-where — parse_pattern + drop of non-matching rows (one
     compiled regex for both match and extract). Mixed input forged from
@@ -4100,6 +4122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_ipv6_lookup": _q_kql_ipv6_lookup,
         "dedup_span_cut": _q_dedup_span_cut,
         "kql_parse_where": _q_kql_parse_where,
+        "kql_series_fit_poly": _q_kql_series_fit_poly,
         "kql_getschema": _q_kql_getschema,
         "text_lm_score": _q_text_lm_score,
         "text_bm25": _q_text_bm25,
@@ -4882,6 +4905,38 @@ def oracle_sql() -> dict[str, str]:
         "kql_parse_where": (
             "SELECT c_custkey, CAST(substr(c_name, 10) AS BIGINT) AS cnum "
             "FROM customer WHERE c_custkey % 3 != 0"
+        ),
+        "kql_series_fit_poly": (
+            "WITH e AS (SELECT event_type, value, "
+            "CAST(row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 "
+            "AS DOUBLE) AS x FROM events WHERE event_id < 400), "
+            "a AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n, "
+            "sum(value ORDER BY x) AS t0, "
+            "sum(x * value ORDER BY x) AS t1, "
+            "sum(x * x * value ORDER BY x) AS t2 FROM e GROUP BY 1), "
+            "p AS (SELECT *, n - 1 AS m FROM a), "
+            "q AS (SELECT *, m * (m + 1) / 2 AS s1, "
+            "m * (m + 1) * (2 * m + 1) / 6 AS s2, "
+            "(m * (m + 1) / 2) * (m * (m + 1) / 2) AS s3, "
+            "m * (m + 1) * (2 * m + 1) * (3 * m * m + 3 * m - 1) / 30 AS s4 FROM p), "
+            "d AS (SELECT *, "
+            "n * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2) + s2 * (s1 * s3 - s2 * s2) AS dd, "
+            "t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - s3 * t2) + s2 * (t1 * s3 - s2 * t2) AS d0, "
+            "n * (t1 * s4 - s3 * t2) - t0 * (s1 * s4 - s3 * s2) + s2 * (s1 * t2 - t1 * s2) AS d1, "
+            "n * (s2 * t2 - t1 * s3) - s1 * (s1 * t2 - t1 * s2) + t0 * (s1 * s3 - s2 * s2) AS d2 "
+            "FROM q), "
+            "r AS (SELECT event_type, n, dd, d0 / dd AS c0, d1 / dd AS c1, d2 / dd AS c2 FROM d), "
+            "s AS (SELECT r.event_type, r.c0, r.c1, r.c2, r.n, r.dd, "
+            "sum((value - (c0 + c1 * x + c2 * x * x)) * "
+            "(value - (c0 + c1 * x + c2 * x * x)) ORDER BY x) AS rss "
+            "FROM e JOIN r ON e.event_type = r.event_type "
+            "GROUP BY r.event_type, r.c0, r.c1, r.c2, r.n, r.dd) "
+            "SELECT event_type, "
+            "CASE WHEN n >= 3 AND abs(dd) > 1e-9 THEN round(c0, 6) END AS c0, "
+            "CASE WHEN n >= 3 AND abs(dd) > 1e-9 THEN round(c1, 6) END AS c1, "
+            "CASE WHEN n >= 3 AND abs(dd) > 1e-9 THEN round(c2, 6) END AS c2, "
+            "CASE WHEN n >= 3 AND abs(dd) > 1e-9 THEN round(rss, 6) END AS rss "
+            "FROM s"
         ),
         "kql_getschema": (
             # predictive: the loaded orders schema as literal metadata rows

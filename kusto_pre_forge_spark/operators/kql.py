@@ -4641,3 +4641,75 @@ def getschema(df: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         rows, "ColumnName string, ColumnOrdinal long, DataType string, ColumnType string"
     )
+
+
+def series_fit_poly(col: Column | str, degree: int = 2) -> Column:
+    """KQL ``series_fit_poly(series[, degree])`` for degree 2 (the common
+    curvature fit; degree 1 is :func:`series_fit_line`): least-squares
+    quadratic over x = 0..n−1, solved in CLOSED FORM — the power sums
+    Σx..Σx⁴ come from Faulhaber's formulas (exact polynomials of n), the
+    moment sums Σy, Σxy, Σx²y are ascending-index folds, and the 3×3
+    normal system solves by Cramer's rule. Every operation is a plain
+    arithmetic expression (no UDF, no matrix library), and the fold
+    order is pinned so an external engine replays bit-for-bit.
+
+    Returns struct(c0, c1, c2, rss): ŷ = c0 + c1·x + c2·x², residual sum
+    of squares over the input points. NULL when n < 3 (underdetermined)
+    or the system is singular.
+    """
+    if degree != 2:
+        raise ValueError("series_fit_poly implements degree 2 (use series_fit_line for 1)")
+    c = _c(col)
+    n = F.size(c).cast("double")
+
+    # ascending-index folds (i is 1-based; x = i-1). Explicit products,
+    # not pow(): libm pow(x, 2.0) is not guaranteed bit-equal to x*x
+    # across engines, and the oracle replays these folds exactly.
+    def moment(px: int) -> Column:
+        def term(acc: Column, i: Column) -> Column:
+            x = (i - 1).cast("double")
+            y = F.element_at(c, i).cast("double")
+            if px == 0:
+                return acc + y
+            if px == 1:
+                return acc + x * y
+            return acc + x * x * y
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.size(c)), F.lit(0.0), term
+        )
+
+    m = n - 1  # max x
+    # Faulhaber: exact power sums of 0..m
+    s1 = m * (m + 1) / 2
+    s2 = m * (m + 1) * (2 * m + 1) / 6
+    s3 = (m * (m + 1) / 2) * (m * (m + 1) / 2)
+    s4 = m * (m + 1) * (2 * m + 1) * (3 * m * m + 3 * m - 1) / 30
+    t0, t1, t2 = moment(0), moment(1), moment(2)
+
+    def det3(a, b, cc, d, e, f_, g, h, i_):
+        return (
+            a * (e * i_ - f_ * h) - b * (d * i_ - f_ * g) + cc * (d * h - e * g)
+        )
+
+    D = det3(n, s1, s2, s1, s2, s3, s2, s3, s4)
+    D0 = det3(t0, s1, s2, t1, s2, s3, t2, s3, s4)
+    D1 = det3(n, t0, s2, s1, t1, s3, s2, t2, s4)
+    D2 = det3(n, s1, t0, s1, s2, t1, s2, s3, t2)
+    c0, c1, c2 = D0 / D, D1 / D, D2 / D
+    def rss_term(acc: Column, i: Column) -> Column:
+        x = (i - 1).cast("double")
+        d = F.element_at(c, i).cast("double") - (c0 + c1 * x + c2 * x * x)
+        return acc + d * d
+
+    rss = F.aggregate(F.sequence(F.lit(1), F.size(c)), F.lit(0.0), rss_term)
+    ok = (F.size(c) >= 3) & (F.abs(D) > 1e-9)
+    return F.when(
+        ok,
+        F.struct(
+            F.round(c0, 6).alias("c0"),
+            F.round(c1, 6).alias("c1"),
+            F.round(c2, 6).alias("c2"),
+            F.round(rss, 6).alias("rss"),
+        ),
+    )

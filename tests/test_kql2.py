@@ -1712,3 +1712,21 @@ def test_parse_ipv6_fuzz_vs_stdlib(spark):
     assert all(
         r.got is None for r in bad.select(kql.parse_ipv6("s").alias("got")).collect()
     )
+
+
+def test_series_fit_poly_recovers_coefficients(spark):
+    """Exact quadratic input recovers (c0, c1, c2) with rss 0; short and
+    degenerate inputs yield NULL."""
+    vals = [3 + 2 * x + 0.5 * x * x for x in range(8)]
+    df = spark.sql(
+        "SELECT array(" + ",".join(f"{v}d" for v in vals) + ") AS s"
+    )
+    r = df.select(kql.series_fit_poly("s").alias("f")).first()
+    assert r.f.asDict() == {"c0": 3.0, "c1": 2.0, "c2": 0.5, "rss": 0.0}
+    short = spark.sql("SELECT array(1.0d, 2.0d) AS s").select(
+        kql.series_fit_poly("s").alias("f")
+    ).first()
+    assert short.f is None
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        kql.series_fit_poly("s", degree=3)
