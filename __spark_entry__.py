@@ -1273,6 +1273,15 @@ def _q_text_lm_score(spark, sf):
     )
 
 
+def _q_text_ccnet_buckets(spark, sf):
+    """CCNet head/middle/tail perplexity buckets per language (Wenzek et
+    al. 2020 §4.3): corpus-bigram LM score + marker lang-id, split at
+    per-language percent_rank thirds (round-6 score ordering, id
+    tie-break — both engines sort the same keys)."""
+    d = load_table(spark, sf, "documents")
+    return textstats.ccnet_buckets(d, "text", "doc_id")
+
+
 def _q_text_bm25(spark, sf):
     """BM25 top-15 retrieval for a 3-term query — sparse search / eval-set
     mining over the documents table; Lucene idf, sum(dl)/N avgdl so the
@@ -4125,6 +4134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_series_fit_poly": _q_kql_series_fit_poly,
         "kql_getschema": _q_kql_getschema,
         "text_lm_score": _q_text_lm_score,
+        "text_ccnet_buckets": _q_text_ccnet_buckets,
         "text_bm25": _q_text_bm25,
         "text_bpe": _q_text_bpe,
         "embedding_whiten": _q_embedding_whiten,
@@ -6318,6 +6328,43 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(ln((c12 + 0.5) / (c1 + 0.5 * v))), 6) AS lm_score "
             "FROM b JOIN bc USING (w1, w2) JOIN cc USING (w1), vv "
             "GROUP BY doc_id"
+        ),
+        "text_ccnet_buckets": (
+            # lm CTE == text_lm_score oracle; lang CASE == text_langid
+            # oracle; percent_rank over (lang, round-6 score desc, id) —
+            # identical sort keys in both engines
+            "WITH t AS (SELECT doc_id, "
+            f"{_LTOKENS_SQL} AS toks FROM documents), "
+            "u AS (SELECT doc_id, unnest(toks) AS w, "
+            "unnest(range(1, len(toks) + 1)) AS i FROM t), "
+            "bg AS (SELECT doc_id, w AS w1, "
+            "lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2 FROM u), "
+            "b AS (SELECT * FROM bg WHERE w2 IS NOT NULL), "
+            "bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2), "
+            "cc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1), "
+            "vv AS (SELECT count(DISTINCT w) AS v FROM u), "
+            "lm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+            "round(avg(ln((c12 + 0.5) / (c1 + 0.5 * v))), 6) AS s "
+            "FROM b JOIN bc USING (w1, w2) JOIN cc USING (w1), vv "
+            "GROUP BY doc_id), "
+            "h AS (SELECT doc_id, "
+            f"len(list_filter(toks, t -> list_contains({_DE}, t))) hde, "
+            f"len(list_filter(toks, t -> list_contains({_EN}, t))) hen, "
+            f"len(list_filter(toks, t -> list_contains({_ES}, t))) hes, "
+            f"len(list_filter(toks, t -> list_contains({_FR}, t))) hfr FROM t), "
+            "lng AS (SELECT doc_id, "
+            "CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und' "
+            "WHEN hde = greatest(hde, hen, hes, hfr) THEN 'de' "
+            "WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en' "
+            "WHEN hes = greatest(hde, hen, hes, hfr) THEN 'es' "
+            "ELSE 'fr' END AS lang_pred FROM h), "
+            "j AS (SELECT lm.doc_id, lang_pred, n_bigrams, s "
+            "FROM lm JOIN lng USING (doc_id)) "
+            "SELECT doc_id, lang_pred, n_bigrams, s AS lm_score, "
+            "CASE WHEN pr < 1.0/3 THEN 'head' WHEN pr < 2.0/3 THEN 'middle' "
+            "ELSE 'tail' END AS ppl_bucket FROM "
+            "(SELECT *, percent_rank() OVER (PARTITION BY lang_pred "
+            "ORDER BY s DESC, doc_id ASC) AS pr FROM j)"
         ),
         "text_bm25": (
             # replays bm25_topk's expression tree operation-for-operation:

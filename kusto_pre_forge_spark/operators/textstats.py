@@ -543,3 +543,77 @@ def c4_filters(
         passes.alias("passes_c4"),
         F.array_join(F.transform(kept, F.trim), "\n").alias("cleaned_text"),
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    head_frac: float = 1.0 / 3,
+    middle_frac: float = 1.0 / 3,
+    approx: bool = False,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 §4.3):
+    score every document with the corpus-bigram LM (:func:`lm_score` — the
+    in-corpus stand-in for CCNet's external KenLM), identify its language
+    (:func:`lang_id`), and split each language's documents into
+    ``head`` / ``middle`` / ``tail`` buckets by per-language score
+    percentile. CCNet keeps ``head`` (lowest perplexity = highest mean
+    log-prob) for LM training and drops or down-weights ``tail``.
+
+    Returns (id, lang_pred, n_bigrams, lm_score, ppl_bucket). Documents
+    with < 2 tokens carry no bigram evidence and are omitted (inherited
+    from :func:`lm_score`; length filters handle them upstream).
+
+    Determinism/oracle: the percentile is ``percent_rank()`` over
+    (lang_pred) ordered by (round(lm_score, 6) DESC, id ASC) — rounding
+    first makes the order reproducible across engines whose ``ln`` agrees
+    to 6 dp (the pinned convention of the ``text_lm_score`` oracle), and
+    the id tie-break pins equal scores.
+
+    Scale: the exact path sorts each language partition once (the rank
+    IS CCNet's definition — a per-language sort of the scored corpus,
+    ~5 language partitions, skew-tolerant because the heavy work is the
+    upstream LM join, not this rank). For 100 TB-per-language corpora
+    pass ``approx=True``: bucket thresholds come from
+    ``approx_percentile`` (t-digest, bounded state, one aggregate) and
+    rows classify by broadcast threshold comparison — no sort at all, at
+    the cost of boundary rows landing within t-digest error of the cut.
+    """
+    from pyspark.sql.window import Window
+
+    scored = lm_score(df, text_col, id_col)
+    lang = df.select(
+        F.col(id_col), lang_id(F.col(text_col)).alias("lang_pred")
+    )
+    j = scored.join(lang, id_col).withColumn(
+        "_s", F.round(F.col("lm_score"), 6)
+    )
+    lo, hi = float(head_frac), float(head_frac) + float(middle_frac)
+    if approx:
+        cuts = j.groupBy("lang_pred").agg(
+            F.percentile_approx("_s", [1.0 - lo, 1.0 - hi], 10000).alias("_q")
+        )
+        j = j.join(F.broadcast(cuts), "lang_pred")
+        bucket = (
+            F.when(F.col("_s") >= F.col("_q")[0], F.lit("head"))
+            .when(F.col("_s") >= F.col("_q")[1], F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        w = Window.partitionBy("lang_pred").orderBy(
+            F.col("_s").desc(), F.col(id_col).asc()
+        )
+        pr = F.percent_rank().over(w)
+        bucket = (
+            F.when(pr < F.lit(lo), F.lit("head"))
+            .when(pr < F.lit(hi), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    return j.select(
+        F.col(id_col),
+        "lang_pred",
+        "n_bigrams",
+        F.col("_s").alias("lm_score"),
+        bucket.alias("ppl_bucket"),
+    )

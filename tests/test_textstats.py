@@ -196,3 +196,64 @@ def test_c4_filters_rules(spark):
     )
     assert not rows[2].passes_c4 and rows[2].has_lorem
     assert not rows[3].passes_c4 and rows[3].has_brace
+
+
+def _ccnet_corpus(spark):
+    # 6 english docs with clearly graded bigram typicality: repeated
+    # common transitions score high, one-off gibberish scores low
+    rows = [
+        (1, "the cat sat on the mat and the cat sat again"),
+        (2, "the cat sat on the mat and the dog sat too"),
+        (3, "the dog sat on the mat near the cat today"),
+        (4, "the cat ran on the mat and the dog ran off"),
+        (5, "mat cat zz qq the pp ww sat ee rr on"),
+        (6, "qq ww ee rr tt yy uu the ii oo cat"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "t"])
+
+
+def test_ccnet_buckets_exact(spark):
+    out = textstats.ccnet_buckets(_ccnet_corpus(spark), "t", "doc_id")
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 6
+    # every doc gets a bucket and a language
+    assert {r.ppl_bucket for r in rows.values()} == {"head", "middle", "tail"}
+    # bucket ordering tracks lm_score within a language: every head doc
+    # scores >= every tail doc of the same language
+    by_lang = {}
+    for r in rows.values():
+        by_lang.setdefault(r.lang_pred, []).append(r)
+    for grp in by_lang.values():
+        heads = [r.lm_score for r in grp if r.ppl_bucket == "head"]
+        tails = [r.lm_score for r in grp if r.ppl_bucket == "tail"]
+        if heads and tails:
+            assert min(heads) >= max(tails)
+    # gibberish-transition docs land in tail for their language group
+    tail_ids = {r.doc_id for r in rows.values() if r.ppl_bucket == "tail"}
+    assert 5 in tail_ids or 6 in tail_ids
+
+
+def test_ccnet_buckets_approx_agrees_on_clear_margins(spark):
+    df = _ccnet_corpus(spark)
+    exact = {
+        r.doc_id: r.ppl_bucket
+        for r in textstats.ccnet_buckets(df, "t", "doc_id").collect()
+    }
+    approx = {
+        r.doc_id: r.ppl_bucket
+        for r in textstats.ccnet_buckets(df, "t", "doc_id", approx=True).collect()
+    }
+    assert set(exact) == set(approx)
+    # high-resolution t-digest on a tiny set: cuts are exact, buckets agree
+    # except possibly rows exactly on a cut; require >= 2/3 agreement
+    agree = sum(exact[k] == approx[k] for k in exact)
+    assert agree >= (2 * len(exact)) // 3
+
+
+def test_ccnet_buckets_omits_sub_bigram_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "single"), (2, "the cat sat"), (3, "the cat sat on mats")],
+        ["doc_id", "t"],
+    )
+    ids = {r.doc_id for r in textstats.ccnet_buckets(df, "t", "doc_id").collect()}
+    assert ids == {2, 3}
