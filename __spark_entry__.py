@@ -1352,6 +1352,43 @@ def _q_text_bpe(spark, sf):
     )
 
 
+def _q_text_unigram(spark, sf):
+    """Unigram-LM tokenizer (SentencePiece/Kudo 2018): one distributed
+    word-count scan, in-driver EM + expected-count pruning to a 120-piece
+    vocab, then Viterbi segmentation of DISTINCT words joined back to
+    per-doc counts. Oracle: the Viterbi path PARTITIONS each word by
+    construction, so per-doc word counts and summed word lengths
+    (piece_chars) are exactly predictable by an engine that never saw the
+    vocabulary; the piece-count bounds and reconstruction flags are
+    invariants predicted true. EM monotonicity + brute-force Viterbi
+    optimality are pinned in tests/test_textprep.py."""
+    from kusto_pre_forge_spark.operators import textprep
+
+    d = load_table(spark, sf, "documents")
+    # max_piece_len=4 < the corpus's 8-char words forces real multi-piece
+    # Viterbi paths (the synthetic vocab is small enough that len=8 would
+    # make every word a single piece)
+    vocab = textprep.train_unigram(
+        d,
+        "text",
+        vocab_size=120,
+        max_piece_len=4,
+        n_em_iters=2,
+        driver_word_cap=50_000,
+    )
+    out = textprep.apply_unigram(d, vocab, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_words",
+        "piece_chars",
+        "reconstruct_ok",
+        (
+            (F.col("n_pieces") >= F.col("n_words"))
+            & (F.col("n_pieces") <= F.col("piece_chars"))
+        ).alias("pieces_bounds_ok"),
+    )
+
+
 def _q_corpus_split(spark, sf):
     """Deterministic train/val/test assignment: md5-hash thresholds over
     doc_id (0.9/0.05/0.05), zero shuffle, zero RNG — the same row lands
@@ -4137,6 +4174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ccnet_buckets": _q_text_ccnet_buckets,
         "text_bm25": _q_text_bm25,
         "text_bpe": _q_text_bpe,
+        "text_unigram": _q_text_unigram,
         "embedding_whiten": _q_embedding_whiten,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
@@ -6328,6 +6366,17 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(ln((c12 + 0.5) / (c1 + 0.5 * v))), 6) AS lm_score "
             "FROM b JOIN bc USING (w1, w2) JOIN cc USING (w1), vv "
             "GROUP BY doc_id"
+        ),
+        "text_unigram": (
+            # Viterbi pieces partition each word → word counts and summed
+            # word lengths are vocabulary-independent; flags are invariants
+            "WITH t AS (SELECT doc_id, "
+            f"{_LTOKENS_SQL} AS toks FROM documents) "
+            "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words, "
+            "CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0) "
+            "AS BIGINT) AS piece_chars, "
+            "true AS reconstruct_ok, true AS pieces_bounds_ok "
+            "FROM t WHERE len(toks) > 0"
         ),
         "text_ccnet_buckets": (
             # lm CTE == text_lm_score oracle; lang CASE == text_langid

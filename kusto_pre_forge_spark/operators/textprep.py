@@ -665,3 +665,319 @@ def url_normalize(col: Column | str) -> Column:
     return F.when(
         query == "", path_trimmed
     ).otherwise(F.concat(path_trimmed, F.lit("?"), sorted_q))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style; Kudo, ACL 2018)
+# ---------------------------------------------------------------------------
+
+
+def _unigram_em_pass(
+    hist: list[tuple[str, int]],
+    pieces: dict[str, float],
+    max_piece_len: int,
+) -> tuple[dict[str, float], float]:
+    """One full EM iteration over the word histogram: forward-backward
+    expected piece counts (E) then re-normalized log-probs (M). Returns
+    (new_logp, corpus_log_likelihood_before_update). Pure driver-side
+    numpy-free Python over the CAPPED histogram — the distributed part of
+    training is the word-count scan that produced ``hist``."""
+    from collections import defaultdict
+    from math import exp, inf, log
+
+    def logsumexp2(a: float, b: float) -> float:
+        if a == -inf:
+            return b
+        if b == -inf:
+            return a
+        m = a if a > b else b
+        return m + log(exp(a - m) + exp(b - m))
+
+    expected: dict[str, float] = defaultdict(float)
+    ll = 0.0
+    for w, cnt in hist:
+        n = len(w)
+        # forward
+        alpha = [-inf] * (n + 1)
+        alpha[0] = 0.0
+        for i in range(1, n + 1):
+            for l in range(1, min(max_piece_len, i) + 1):
+                lp = pieces.get(w[i - l : i])
+                if lp is None:
+                    continue
+                if alpha[i - l] != -inf:
+                    alpha[i] = logsumexp2(alpha[i], alpha[i - l] + lp)
+        if alpha[n] == -inf:
+            continue  # unrepresentable under current vocab (no char piece)
+        # backward
+        beta = [-inf] * (n + 1)
+        beta[n] = 0.0
+        for i in range(n - 1, -1, -1):
+            for l in range(1, min(max_piece_len, n - i) + 1):
+                lp = pieces.get(w[i : i + l])
+                if lp is None:
+                    continue
+                if beta[i + l] != -inf:
+                    beta[i] = logsumexp2(beta[i], beta[i + l] + lp)
+        ll += cnt * alpha[n]
+        # expected occupancy of every lattice edge
+        for i in range(n):
+            if alpha[i] == -inf:
+                continue
+            for l in range(1, min(max_piece_len, n - i) + 1):
+                p = w[i : i + l]
+                lp = pieces.get(p)
+                if lp is None or beta[i + l] == -inf:
+                    continue
+                expected[p] += cnt * exp(alpha[i] + lp + beta[i + l] - alpha[n])
+    total = sum(expected.values())
+    if total <= 0.0:
+        return dict(pieces), ll
+    lt = log(total)
+    floor = log(1e-12)
+    new_logp = {
+        p: (log(expected[p]) - lt) if expected.get(p, 0.0) > 0.0 else floor
+        for p in pieces
+    }
+    return new_logp, ll
+
+
+def _train_unigram_driver(
+    hist: list[tuple[str, int]],
+    vocab_size: int,
+    max_piece_len: int,
+    seed_size: int,
+    n_em_iters: int,
+    prune_frac: float,
+    ll_trace: list[float] | None = None,
+) -> list[tuple[str, float]]:
+    """In-driver unigram-LM training (Kudo 2018 §3.2) over a word
+    histogram: substring-frequency seeding, EM re-estimation, iterative
+    expected-count pruning (the standard simplification of the
+    likelihood-loss prune; single-character pieces are never pruned so
+    every string stays representable). Deterministic: seeds and prune
+    survivors rank by (score desc, piece asc); EM visits words in
+    histogram order with plain-Python accumulation."""
+    from collections import defaultdict
+    from math import log
+
+    # seed: every substring up to max_piece_len, frequency-weighted
+    freq: dict[str, int] = defaultdict(int)
+    for w, cnt in hist:
+        n = len(w)
+        for i in range(n):
+            for l in range(1, min(max_piece_len, n - i) + 1):
+                freq[w[i : i + l]] += cnt
+    chars = {p for p in freq if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in freq.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[: max(seed_size - len(chars), 0)]
+    seed = {p: float(c) for p, c in multi}
+    seed.update({p: float(freq[p]) for p in chars})
+    total = sum(seed.values())
+    pieces = {p: log(c / total) for p, c in seed.items()}
+
+    while True:
+        for _ in range(max(n_em_iters, 1)):
+            pieces, ll = _unigram_em_pass(hist, pieces, max_piece_len)
+            if ll_trace is not None:
+                ll_trace.append(ll)
+        n_multi = sum(1 for p in pieces if len(p) > 1)
+        target_multi = max(vocab_size - len(chars), 0)
+        if n_multi <= target_multi:
+            break
+        keep_multi = max(target_multi, int(n_multi * prune_frac))
+        if keep_multi >= n_multi:
+            keep_multi = target_multi
+        ranked = sorted(
+            ((p, lp) for p, lp in pieces.items() if len(p) > 1),
+            key=lambda plp: (-plp[1], plp[0]),
+        )[:keep_multi]
+        pieces = {p: lp for p, lp in ranked}
+        pieces.update(
+            {p: lp for p, lp in _relog_chars(chars, freq).items()}
+        )
+        # re-normalize is done by the next EM pass
+    return sorted(pieces.items())
+
+
+def _relog_chars(chars: set, freq: dict) -> dict[str, float]:
+    from math import log
+
+    total = sum(freq[c] for c in chars)
+    return {c: log(freq[c] / total) - log(1e3) for c in chars}
+
+
+def train_unigram(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 200,
+    max_piece_len: int = 8,
+    seed_size: int | None = None,
+    n_em_iters: int = 2,
+    prune_frac: float = 0.75,
+    driver_word_cap: int = 100_000,
+    sample_frac: float | None = None,
+    sample_id_col: str | None = None,
+    sample_salt: str = "kpf-unigram",
+) -> list[tuple[str, float]]:
+    """Train a unigram-LM subword vocabulary (SentencePiece's unigram
+    model — Kudo, ACL 2018) the way production trainers do: the ONLY part
+    that touches the corpus is one distributed word-count scan (the
+    100 TB-shaped job — explode + map-side-combined groupBy); the EM +
+    prune loop runs in the driver over the top-``driver_word_cap``
+    (count desc, word asc — deterministic) histogram, exactly the
+    :func:`train_bpe` ``driver_vocab_cap`` pattern. Driver traffic is the
+    bounded histogram, zero Spark jobs per EM iteration.
+
+    ``sample_frac`` composes the deterministic md5-threshold sampler in
+    front of the scan for corpora where even the histogram pass should
+    run on a slice. Returns a sorted (piece, logp) list for
+    :func:`apply_unigram`; all single characters of the capped histogram
+    are always in the vocabulary, so any of its words reconstructs
+    exactly (unseen characters fall back per-char at apply time).
+    """
+    if sample_frac is not None:
+        if sample_id_col is None:
+            raise ValueError("sample_frac requires sample_id_col")
+        from kusto_pre_forge_spark.operators.corpus import _hash_unit
+
+        df = df.filter(
+            _hash_unit(F.col(sample_id_col).cast("string"), sample_salt)
+            < F.lit(float(sample_frac))
+        )
+    hist_rows = (
+        df.select(F.explode(_words(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(driver_word_cap)
+        .collect()
+    )
+    hist = [(r["w"], int(r["cnt"])) for r in hist_rows]
+    if not hist:
+        return []
+    return _train_unigram_driver(
+        hist,
+        vocab_size=vocab_size,
+        max_piece_len=max_piece_len,
+        seed_size=seed_size if seed_size is not None else 8 * vocab_size,
+        n_em_iters=n_em_iters,
+        prune_frac=prune_frac,
+    )
+
+
+def _unigram_tokenize_udf(vocab: list[tuple[str, float]]):
+    """Arrow-batched Viterbi segmenter: per DISTINCT word, best[i] = max
+    over pieces ending at i of best[j] + logp(piece); unseen characters
+    fall back to a per-char unk penalty so concatenating the pieces
+    always rebuilds the word. Ties resolve to the FIRST accepted length
+    (shortest piece — lengths scan ascending, strict improvement
+    required), making the path deterministic."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    table = dict(vocab)
+    max_len = max((len(p) for p in table), default=1)
+    unk = (min(table.values(), default=0.0)) - 10.0
+    NEG = float("-inf")
+
+    def tokenize_batch(words: pd.Series):
+        memo: dict[str, tuple[int, str]] = {}
+
+        def tok(w: str) -> tuple[int, str]:
+            hit = memo.get(w)
+            if hit is not None:
+                return hit
+            n = len(w)
+            best = [NEG] * (n + 1)
+            best[0] = 0.0
+            back = [0] * (n + 1)
+            for i in range(1, n + 1):
+                for l in range(1, min(max_len, i) + 1):
+                    piece = w[i - l : i]
+                    lp = table.get(piece)
+                    if lp is None:
+                        if l != 1:
+                            continue
+                        lp = unk
+                    if best[i - l] == NEG:
+                        continue
+                    sc = best[i - l] + lp
+                    if sc > best[i]:
+                        best[i] = sc
+                        back[i] = i - l
+            out = []
+            i = n
+            while i > 0:
+                j = back[i]
+                out.append(w[j:i])
+                i = j
+            out.reverse()
+            res = (len(out), "|".join(out))
+            memo[w] = res
+            return res
+
+        pairs = words.map(tok)
+        return pd.DataFrame(
+            {"n": pairs.map(lambda p: p[0]), "joined": pairs.map(lambda p: p[1])}
+        )
+
+    return pandas_udf(tokenize_batch, "n int, joined string", PandasUDFType.SCALAR)
+
+
+def apply_unigram(
+    df: DataFrame,
+    vocab: list[tuple[str, float]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a trained unigram vocabulary: Viterbi
+    maximum-likelihood segmentation per word (Kudo 2018 §3.1). The plan
+    is the :func:`apply_bpe` rank-dict shape — the vocabulary rides the
+    closure, DISTINCT words tokenize once in an Arrow ``pandas_udf``,
+    results join back to per-(doc, word) counts — so expression depth
+    and per-row cost are independent of vocabulary size, and the
+    tokenized side is |distinct words| rows (the only shape that
+    survives 100 TB).
+
+    Returns (id, n_words, n_pieces, piece_chars, reconstruct_ok,
+    sample_pieces): ``piece_chars`` is Σ characters across pieces —
+    equal to Σ word lengths BY CONSTRUCTION (Viterbi paths partition the
+    word; unseen characters fall back per-char), which makes it and
+    ``reconstruct_ok`` exactly predictable by an engine that never saw
+    the vocabulary — the oracle hook. ``n_pieces`` is bounded by
+    [n_words, piece_chars]."""
+    w = F.explode(_words(F.lower(F.col(text_col))))
+    t = df.select(F.col(id_col), w.alias("w"))
+    per_word = t.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("_reps"))
+    tokenized = (
+        per_word.select("w")
+        .distinct()
+        .select(
+            "w",
+            _unigram_tokenize_udf(vocab)(F.col("w")).alias("_tk"),
+        )
+    )
+    # piece-partition check without splitting on '|' (words may contain a
+    # literal '|'): the join adds exactly n-1 separator chars, so
+    # len(joined) - (n-1) == len(word) iff the pieces partition the word
+    joined = per_word.join(tokenized, "w").withColumn(
+        "_ok",
+        (F.length("_tk.joined") - (F.col("_tk.n") - F.lit(1)))
+        == F.length("w"),
+    )
+    return joined.groupBy(id_col).agg(
+        F.sum("_reps").cast("long").alias("n_words"),
+        F.sum(F.col("_reps") * F.col("_tk.n")).cast("long").alias("n_pieces"),
+        F.sum(
+            F.col("_reps")
+            * (F.length("_tk.joined") - (F.col("_tk.n") - F.lit(1)))
+        )
+        .cast("long")
+        .alias("piece_chars"),
+        F.min("_ok").alias("reconstruct_ok"),
+        F.min("_tk.joined").alias("sample_pieces"),
+    )

@@ -339,3 +339,118 @@ def test_url_normalize_idempotent_fuzz(spark):
     twice = once.select(F.col("n1"), url_normalize("n1").alias("n2")).collect()
     for r in twice:
         assert r.n2 == r.n1, (r.n1, r.n2)
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer
+# ---------------------------------------------------------------------------
+
+
+def _toy_hist():
+    return [("abab", 50), ("ab", 30), ("ba", 10), ("cab", 5)]
+
+
+def test_unigram_em_likelihood_monotonic():
+    trace = []
+    textprep._train_unigram_driver(
+        _toy_hist(),
+        vocab_size=10_000,  # no pruning → pure EM
+        max_piece_len=4,
+        seed_size=10_000,
+        n_em_iters=5,
+        prune_frac=0.75,
+        ll_trace=trace,
+    )
+    assert len(trace) == 5
+    for a, b in zip(trace, trace[1:]):
+        assert b >= a - 1e-9, trace  # EM never decreases the likelihood
+
+
+def test_unigram_learns_frequent_substring():
+    vocab = textprep._train_unigram_driver(
+        _toy_hist(),
+        vocab_size=8,
+        max_piece_len=4,
+        seed_size=64,
+        n_em_iters=3,
+        prune_frac=0.5,
+    )
+    pieces = {p for p, _ in vocab}
+    assert {"a", "b", "c"} <= pieces  # chars never pruned
+    assert "ab" in pieces or "abab" in pieces  # dominant substring survives
+    assert len([p for p in pieces if len(p) > 1]) <= 8
+
+
+def test_unigram_train_deterministic(spark, docs):
+    v1 = textprep.train_unigram(docs, "text", vocab_size=30, n_em_iters=2)
+    v2 = textprep.train_unigram(docs, "text", vocab_size=30, n_em_iters=2)
+    assert v1 == v2
+    assert all(isinstance(p, str) and lp <= 0.0 for p, lp in v1)
+
+
+def test_unigram_viterbi_matches_bruteforce(spark):
+    from math import inf
+
+    vocab = [
+        ("a", -2.0), ("b", -2.5), ("c", -3.0),
+        ("ab", -1.2), ("bc", -1.5), ("abc", -2.9), ("cab", -2.2),
+    ]
+    table = dict(vocab)
+    unk = min(table.values()) - 10.0
+
+    def brute_best(w):
+        best = -inf
+        n = len(w)
+
+        def rec(i, score):
+            nonlocal best
+            if i == n:
+                best = max(best, score)
+                return
+            for j in range(i + 1, n + 1):
+                lp = table.get(w[i:j])
+                if lp is None:
+                    if j - i != 1:
+                        continue
+                    lp = unk
+                rec(j, score + lp)
+
+        rec(0, 0.0)
+        return best
+
+    words = ["abc", "abcab", "cabab", "azb", "bcbc", "a"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    out = {
+        r.w: r.tk
+        for r in df.select(
+            "w", textprep._unigram_tokenize_udf(vocab)(F.col("w")).alias("tk")
+        ).collect()
+    }
+    for w in words:
+        pieces = out[w].joined.split("|")
+        assert "".join(pieces) == w
+        score = sum(
+            table.get(p, unk if len(p) == 1 else -inf) for p in pieces
+        )
+        assert abs(score - brute_best(w)) < 1e-9, (w, pieces)
+
+
+def test_apply_unigram_reconstruct_bounds_and_unseen(spark, docs):
+    vocab = textprep.train_unigram(docs, "text", vocab_size=40, n_em_iters=2)
+    extra = spark.createDataFrame(
+        [(9, "the qqq zzz§ unseen|pipe")], "doc_id long, text string"
+    )
+    out = textprep.apply_unigram(docs.union(extra), vocab, "text", "doc_id")
+    rows = {r.doc_id: r for r in out.collect()}
+    assert 3 not in rows  # empty doc has no words
+    for r in rows.values():
+        assert r.reconstruct_ok, r
+        assert r.n_words <= r.n_pieces <= r.piece_chars, r
+    # piece_chars equals summed word lengths (the oracle identity)
+    import re
+
+    def chars(t):
+        return sum(len(w) for w in re.split(r"\s+", t.lower()) if w)
+
+    assert rows[0].piece_chars == chars("the cat sat on the mat")
+    assert rows[9].piece_chars == chars("the qqq zzz§ unseen|pipe")
