@@ -166,6 +166,23 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _train_sample(
+    corpus: DataFrame, id_col: str, sample_frac: float | None, salt: str
+) -> DataFrame:
+    """Deterministic md5-threshold training sample — the FAISS-style
+    train-on-a-slice path (codebook/centroid statistics concentrate fast;
+    training never needs the full 100 TB corpus). No RNG: the same rows
+    are picked on any cluster layout or engine."""
+    if sample_frac is None:
+        return corpus
+    if not 0.0 < sample_frac <= 1.0:
+        raise ValueError(f"sample_frac must be in (0, 1], got {sample_frac}")
+    from kusto_pre_forge_spark.operators.corpus import _hash_unit
+
+    unit = _hash_unit(F.col(id_col).cast("string"), salt)
+    return corpus.filter(unit < F.lit(float(sample_frac)))
+
+
 def ivf_kmeans_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -173,6 +190,7 @@ def ivf_kmeans_centroids(
     n_cells: int = 16,
     n_iters: int = 5,
     seed: int = 13,
+    sample_frac: float | None = None,
 ) -> list[list[float]]:
     """Seeded fixed-iteration spherical k-means — the production centroid
     story for :func:`cosine_topk_ivf` (lowest-id centroids are a
@@ -193,7 +211,13 @@ def ivf_kmeans_centroids(
     md5(seed ‖ id); iterations are a fixed count (no convergence test →
     no data-dependent control flow); numpy means accumulate in a fixed
     order. Empty cells keep their previous centroid.
+
+    ``sample_frac`` trains on a deterministic md5-threshold slice (the
+    FAISS convention — centroids need statistics, not the full corpus;
+    at 100 TB this is the difference between n_iters corpus scans and
+    n_iters sample scans). Assignment/search still covers every vector.
     """
+    corpus = _train_sample(corpus, id_col, sample_frac, "kpf-ivf")
     seeds = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .withColumn(
@@ -208,7 +232,9 @@ def ivf_kmeans_centroids(
     )  # (cells, dim)
     C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
-    vecs = corpus.select(F.col(vec_col).alias("_v"))
+    # the same (possibly sampled) vectors are scanned n_iters times —
+    # persist once, release after the loop
+    vecs = corpus.select(F.col(vec_col).alias("_v")).persist()
     for _ in range(n_iters):
         Cb = C.copy()
 
@@ -234,6 +260,7 @@ def ivf_kmeans_centroids(
         for r in means:
             C[r["_cell"]] = np.asarray(r["_mean"], dtype=np.float64)
         C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    vecs.unpersist()
     return [[float(x) for x in row] for row in C]
 
 
@@ -582,6 +609,7 @@ def pq_train_codebooks(
     ks: int = 16,
     n_iters: int = 5,
     seed: int = 29,
+    sample_frac: float | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace k-means codebooks over L2-NORMALIZED vectors: dim
     splits into ``m`` contiguous subvectors; each subspace learns ``ks``
@@ -597,8 +625,11 @@ def pq_train_codebooks(
     Determinism mirrors :func:`ivf_kmeans_centroids`: seeds are the
     ``ks`` corpus rows with smallest md5(seed ‖ id), iteration count is
     fixed, numpy accumulations have a fixed order; empty codes keep
-    their previous codeword.
+    their previous codeword. ``sample_frac`` trains the codebooks on a
+    deterministic md5-threshold slice (FAISS-style; encoding still
+    covers every vector).
     """
+    corpus = _train_sample(corpus, id_col, sample_frac, "kpf-pq")
     seeds = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .withColumn(
@@ -617,7 +648,7 @@ def pq_train_codebooks(
     # C[s]: (ks, dsub)
     C = [V0[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
 
-    vecs = corpus.select(F.col(vec_col).alias("_v"))
+    vecs = corpus.select(F.col(vec_col).alias("_v")).persist()
     part_schema = "sub int, code int, cnt long, vsum array<double>"
     for _ in range(n_iters):
         Cb = [c.copy() for c in C]
@@ -666,6 +697,7 @@ def pq_train_codebooks(
                 C[r["sub"]][r["code"]] = (
                     np.asarray(r["vsum"], dtype=np.float64) / r["cnt"]
                 )
+    vecs.unpersist()
     return [[[float(x) for x in row] for row in c] for c in C]
 
 

@@ -265,3 +265,32 @@ def test_pq_topk_ivf_composition(spark, emb):
     ).select("query_id", "neighbor_id")
     r = exact.join(part, ["query_id", "neighbor_id"], "left_semi").count() / n_exact
     assert r >= 0.60, r
+
+
+def test_sampled_training_deterministic_and_valid(spark, emb):
+    """sample_frac: deterministic slice (two runs identical artifacts),
+    rerank recall stays high, and bad fractions fail fast."""
+    from kusto_pre_forge_spark.operators import similarity
+
+    cb1 = similarity.pq_train_codebooks(emb, m=32, ks=16, n_iters=3, sample_frac=0.5)
+    cb2 = similarity.pq_train_codebooks(emb, m=32, ks=16, n_iters=3, sample_frac=0.5)
+    assert cb1 == cb2
+    km1 = similarity.ivf_kmeans_centroids(emb, n_cells=8, n_iters=3, sample_frac=0.5)
+    km2 = similarity.ivf_kmeans_centroids(emb, n_cells=8, n_iters=3, sample_frac=0.5)
+    assert km1 == km2
+    # sampled codebooks still support a high rerank recall (exact rerank
+    # mostly decouples recall from codebook quality)
+    q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    exact = similarity.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    rr = similarity.pq_topk(emb, q, k=10, codebooks=cb1, rerank=50).select(
+        "query_id", "neighbor_id"
+    )
+    n = exact.count()
+    r = exact.join(rr, ["query_id", "neighbor_id"], "left_semi").count() / n
+    assert r >= 0.85, r
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        similarity.pq_train_codebooks(emb, m=32, ks=16, sample_frac=0.0)
+    with _pt.raises(ValueError):
+        similarity.ivf_kmeans_centroids(emb, sample_frac=1.5)
