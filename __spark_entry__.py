@@ -586,6 +586,17 @@ def _q_dedup_embedding_lsh(spark, sf):
     ).select("id_a", "id_b")
 
 
+def _q_dedup_semantic(spark, sf):
+    """SemDeDup (Abbas et al. 2023): k-means-cell-scoped embedding dedup
+    — assign every vector to its argmax-cosine cell (deterministic
+    lowest-id centroids so the oracle can replay the assignment), connect
+    within-cell pairs at cosine ≥ 0.4, keep min-id per component. The
+    oracle replays ALL four stages: centroid argmax, cell-scoped pair
+    generation, recursive-CTE connected components, survivor rule."""
+    emb = load_table(spark, sf, "embeddings")
+    return dedup.semdedup(emb, "embedding", "vec_id", n_cells=16, threshold=0.4)
+
+
 def _q_dedup_embedding_clusters(spark, sf):
     """Vector-side cluster resolution: hyperplane-LSH near-dup pairs →
     connected components → (vec_id, cluster_id) labels — the embedding
@@ -4147,6 +4158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_semantic": _q_dedup_semantic,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "dedup_embedding_clusters": _q_dedup_embedding_clusters,
         "similarity_topk": _q_similarity_topk,
@@ -4870,6 +4882,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM v a JOIN v b "
             "ON a.vec_id < b.vec_id "
             "WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4"
+        ),
+        "dedup_semantic": (
+            "WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e, "
+            "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+            "CAST(embedding AS DOUBLE[]))) nrm FROM embeddings), "
+            "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
+            "e AS ce, sqrt(list_dot_product(e, e)) AS cn "
+            "FROM v ORDER BY vec_id LIMIT 16), "
+            "sc AS (SELECT v.vec_id, c.cid, "
+            "list_dot_product(v.e, c.ce) / c.cn AS s FROM v CROSS JOIN cent c), "
+            "r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY s DESC, cid ASC) AS rn FROM sc), "
+            "cells AS (SELECT vec_id, cid FROM r WHERE rn = 1), "
+            "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM cells ca JOIN cells cb ON ca.cid = cb.cid "
+            "JOIN v a ON a.vec_id = ca.vec_id JOIN v b ON b.vec_id = cb.vec_id "
+            "WHERE a.vec_id < b.vec_id "
+            "AND list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM p "
+            "UNION SELECT id_b, id_a FROM p), "
+            "reach(src, node) AS ("
+            "SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+            "UNION SELECT r2.src, e2.v FROM reach r2 JOIN edges e2 ON e2.u = r2.node), "
+            "comp AS (SELECT src AS vec_id, min(node) AS cl FROM reach GROUP BY src) "
+            "SELECT v.vec_id, CAST(cells.cid AS INT) AS cell, "
+            "CAST(coalesce(comp.cl, v.vec_id) AS BIGINT) AS cluster_id, "
+            "v.vec_id = coalesce(comp.cl, v.vec_id) AS is_kept "
+            "FROM v JOIN cells ON cells.vec_id = v.vec_id "
+            "LEFT JOIN comp ON comp.vec_id = v.vec_id"
         ),
         "dedup_embedding_lsh": embed_lsh,
         "dedup_embedding_clusters": (

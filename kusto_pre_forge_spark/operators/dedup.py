@@ -1383,3 +1383,107 @@ def cut_duplicate_spans(
         F.size("_covered").cast("long").alias("n_tokens_removed"),
         F.array_join(kept, " ").alias("text_clean"),
     )
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    centroids: list[list[float]] | None = None,
+    keep: str = "min_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication scoped to k-means cells — cluster the embedding space,
+    then within each cell connect pairs with cosine ≥ ``threshold`` and
+    keep ONE representative per duplicate group. The cell scoping is what
+    makes it tractable: pairwise comparison happens only inside a cell
+    (the paper's insight that semantic duplicates share a cluster), so
+    the cost is Σ|cell|² instead of n².
+
+    Stages (all existing machinery, composed):
+
+    - :func:`similarity.cell_assign` — one narrow vectorized pass, no
+      shuffle; ``centroids=None`` is the deterministic lowest-id variant
+      an external SQL oracle replays, :func:`ivf_kmeans_centroids`
+      (optionally ``sample_frac``-trained) is the production quality
+      path;
+    - within-cell pairs — one Arrow batch per cell (``applyInPandas``),
+      pairwise cosine accumulated dimension-by-dimension (bit-exact with
+      the SQL fold, see :func:`embedding_dup_pairs`);
+    - :func:`connected_components` — alternating-star, O(log n) rounds;
+    - survivor rule: ``min_id`` keeps the smallest id per group (the
+      repo-wide convention, oracle-friendly); ``far_from_centroid``
+      keeps the member FARTHEST from its cell centroid (the paper's §3
+      choice — retains the least prototypical example; tie → min id).
+
+    Returns (id, cell, cluster_id, is_kept) for EVERY input row —
+    singletons are their own cluster and always kept. At 100 TB size
+    ``n_cells`` so a cell's vectors fit one task (the paper uses 50k
+    cells for LAION); the pair stage parallelism equals ``n_cells``.
+    """
+    if keep not in ("min_id", "far_from_centroid"):
+        raise ValueError(f"keep must be min_id|far_from_centroid, got {keep!r}")
+    from kusto_pre_forge_spark.operators.similarity import cell_assign
+
+    assigned = cell_assign(
+        df, id_col=id_col, vec_col=vec_col, n_cells=n_cells, centroids=centroids
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        "cell",
+        "cell_score",
+    )
+
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(
+                {"id_a": "int64", "id_b": "int64"}
+            )
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.array([np.asarray(x, dtype=np.float64) for x in pdf["_v"].iloc[order]])
+        # dimension-at-a-time accumulation == the SQL fold's addition order
+        G = np.zeros((n, n))
+        sq = np.zeros(n)
+        for d in range(V.shape[1]):
+            col = V[:, d]
+            G += col[:, None] * col[None, :]
+            sq += col * col
+        nrm = np.sqrt(sq)
+        cos = G / (nrm[:, None] * nrm[None, :])
+        ia, ib = np.triu_indices(n, k=1)
+        sel = cos[ia, ib] >= threshold
+        return pd.DataFrame({"id_a": ids[ia[sel]], "id_b": ids[ib[sel]]})
+
+    pairs = assigned.groupBy("cell").applyInPandas(
+        _cell_pairs, "id_a long, id_b long"
+    )
+    comp = connected_components(pairs)  # (id, cluster_id)
+    labeled = (
+        assigned.join(
+            comp.select(
+                F.col("id").alias("_id"), F.col("cluster_id").alias("_cl")
+            ),
+            "_id",
+            "left",
+        )
+        .withColumn("cluster_id", F.coalesce(F.col("_cl"), F.col("_id")))
+        .drop("_cl")
+    )
+    if keep == "min_id":
+        is_kept = F.col("_id") == F.col("cluster_id")
+        out = labeled.withColumn("is_kept", is_kept)
+    else:
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("cell_score").asc(), F.col("_id").asc()
+        )
+        out = labeled.withColumn(
+            "is_kept", F.row_number().over(w) == F.lit(1)
+        )
+    return out.select(
+        F.col("_id").alias(id_col), "cell", "cluster_id", "is_kept"
+    )

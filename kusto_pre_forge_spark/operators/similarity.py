@@ -264,6 +264,90 @@ def ivf_kmeans_centroids(
     return [[float(x) for x in row] for row in C]
 
 
+def _prep_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    centroids: list[list[float]] | None,
+):
+    """(C, CN) centroid matrix + norms. ``centroids=None`` keeps the
+    deterministic lowest-id-row centroids an external SQL oracle can
+    replay; otherwise pass :func:`ivf_kmeans_centroids` output."""
+    if centroids is None:
+        cent_rows = sorted(
+            corpus.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(n_cells)
+            .collect(),
+            key=lambda r: r[id_col],
+        )
+        cent_vecs = [[float(x) for x in r[vec_col]] for r in cent_rows]
+    else:
+        cent_vecs = [[float(x) for x in v] for v in centroids[:n_cells]]
+    norms = []
+    for vec in cent_vecs:
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        norms.append(math.sqrt(acc))
+    C = np.array(cent_vecs, dtype=np.float64)  # (cells, dim)
+    CN = np.array(norms, dtype=np.float64)  # (cells,)
+    return C, CN
+
+
+def _centroid_scores_udf(C, CN):
+    """Scaled centroid scores as one vectorized pandas_udf: the
+    interpreted HOF dot costs ~n_cells× a single cosine, which made
+    assignment pricier than the brute-force scan it replaces at small
+    scale. The numpy form accumulates dimension-by-dimension (a Python
+    loop over dims, each step a fused batch op) — the SAME left-to-right
+    IEEE addition order as the ``F.aggregate`` fold, so cell choices and
+    the SQL oracle stay bit-exact."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _scores_udf(vs: pd.Series) -> pd.Series:
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vs])  # (n, dim)
+        acc = np.zeros((V.shape[0], C.shape[0]))
+        for dim in range(C.shape[1]):
+            acc += V[:, dim, None] * C[None, :, dim]
+        acc /= CN[None, :]
+        return pd.Series(list(acc))
+
+    return _scores_udf
+
+
+def cell_assign(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """(id, cell, cell_score, vec) — argmax-cosine cell per vector, the
+    IVF index-build pass exposed as its own operator (``semdedup`` and
+    index maintenance share it with :func:`cosine_topk_ivf`). One narrow
+    vectorized pass, no shuffle; ties break toward the lower cell index
+    (``array_position`` finds the FIRST max), matching the SQL oracle's
+    ``ORDER BY s DESC, cid ASC``. ``cell_score`` is dot(v, c)/|c| — the
+    argmax-equivalent scaled score (|v| constant per row)."""
+    C, CN = _prep_centroids(corpus, id_col, vec_col, n_cells, centroids)
+    _scores_udf = _centroid_scores_udf(C, CN)
+    return (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _scores_udf(F.col(vec_col)).alias("_s"),
+        )
+        .withColumn(
+            "cell",
+            (F.array_position(F.col("_s"), F.array_max("_s")) - 1).cast("int"),
+        )
+        .withColumn("cell_score", F.array_max("_s"))
+        .drop("_s")
+    )
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -296,41 +380,9 @@ def cosine_topk_ivf(
     cells (the recall path). Default ``None`` keeps the deterministic
     lowest-id-row centroids an external SQL oracle can replay.
     """
-    if centroids is None:
-        cent_rows = sorted(
-            corpus.select(id_col, vec_col)
-            .orderBy(F.col(id_col).asc())
-            .limit(n_cells)
-            .collect(),
-            key=lambda r: r[id_col],
-        )
-        cent_vecs = [[float(x) for x in r[vec_col]] for r in cent_rows]
-    else:
-        cent_vecs = [[float(x) for x in v] for v in centroids[:n_cells]]
-    cents = []
-    for j, vec in enumerate(cent_vecs):
-        acc = 0.0
-        for x in vec:
-            acc += x * x
-        cents.append((j, vec, math.sqrt(acc)))
-
-    # Scaled centroid scores as one vectorized pandas_udf: the interpreted
-    # HOF dot costs ~n_cells× a single cosine, which made assignment pricier
-    # than the brute-force scan it replaces at small scale. The numpy form
-    # accumulates dimension-by-dimension (a Python loop over dims, each step
-    # a fused batch op) — the SAME left-to-right IEEE addition order as the
-    # F.aggregate fold, so cell choices and the SQL oracle stay bit-exact.
-    C = np.array([vec for _, vec, _ in cents], dtype=np.float64)  # (cells, dim)
-    CN = np.array([cn for _, _, cn in cents], dtype=np.float64)  # (cells,)
-
-    @F.pandas_udf(T.ArrayType(T.DoubleType()))
-    def _scores_udf(vs: pd.Series) -> pd.Series:
-        V = np.array([np.asarray(v, dtype=np.float64) for v in vs])  # (n, dim)
-        acc = np.zeros((V.shape[0], C.shape[0]))
-        for dim in range(C.shape[1]):
-            acc += V[:, dim, None] * C[None, :, dim]
-        acc /= CN[None, :]
-        return pd.Series(list(acc))
+    C, CN = _prep_centroids(corpus, id_col, vec_col, n_cells, centroids)
+    n_cents = C.shape[0]
+    _scores_udf = _centroid_scores_udf(C, CN)
 
     c = (
         corpus.select(
@@ -355,7 +407,7 @@ def cosine_topk_ivf(
                         F.element_at(scores, j + 1).alias("s"),
                         F.lit(-j).alias("nj"),
                     )
-                    for j in range(len(cents))
+                    for j in range(n_cents)
                 ]
             ),
             asc=False,

@@ -550,3 +550,69 @@ def test_edit_distance_pairs_completeness_fuzz(spark):
             if lev(sa, sb) <= k
         }
         assert got == want, (k, got.keys() ^ want.keys())
+
+def test_semdedup_minid_and_far_rules(spark):
+    """SemDeDup: cell-scoped near-dup groups resolve to one survivor;
+    the paper's far-from-centroid rule keeps the least prototypical.
+    Ids 0-3 are the (lowest-id) centroids; dup groups live at 10+."""
+    from kusto_pre_forge_spark.operators import dedup as dd
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),       # centroid / cell 0
+        (1, [0.0, 1.0, 0.0, 0.0]),       # centroid / cell 1
+        (2, [0.0, 0.0, 1.0, 0.0]),       # centroid / cell 2
+        (3, [0.0, 0.0, 0.0, 1.0]),       # centroid / cell 3
+        (10, [0.98, 0.01, 0.0, 0.0]),    # group A (cell 0)
+        (11, [0.97, 0.02, 0.0, 0.0]),
+        (12, [0.90, 0.30, 0.0, 0.0]),    # farthest-from-centroid member
+        (20, [0.02, 0.99, 0.0, 0.0]),    # group B (cell 1)
+        (21, [0.01, 0.98, 0.0, 0.0]),
+        (30, [0.5, 0.0, 0.85, 0.0]),    # singleton (cell 2, cos to c2 = 0.86)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dd.semdedup(df, "embedding", "vec_id", n_cells=4, threshold=0.9)
+    got = {r.vec_id: r for r in out.collect()}
+    assert set(got) == {0, 1, 2, 3, 10, 11, 12, 20, 21, 30}
+    kept = {i for i, r in got.items() if r.is_kept}
+    # group A {0,10,11,12} shares cell 0 with its centroid row: survivor 0;
+    # group B {1,20,21}: survivor 1; singletons stay
+    assert got[10].cluster_id == 0 and got[11].cluster_id == 0
+    assert got[20].cluster_id == 1 and got[21].cluster_id == 1
+    assert kept == {0, 1, 2, 3, 30}
+    # far-from-centroid keeps the least prototypical member of each group:
+    # 12 is farthest off-axis in cell 0
+    far = dd.semdedup(
+        df, "embedding", "vec_id", n_cells=4, threshold=0.9,
+        keep="far_from_centroid",
+    )
+    fkept = {r.vec_id for r in far.collect() if r.is_kept}
+    assert 12 in fkept and 0 not in fkept and 10 not in fkept
+    assert {2, 3, 30} <= fkept
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dd.semdedup(df, "embedding", "vec_id", keep="bogus")
+
+
+def test_semdedup_comparisons_stay_cell_local(spark):
+    """a near-dup pair straddling two cells is NOT merged — the
+    documented SemDeDup recall trade proves pair generation is
+    cell-scoped (cost Σ|cell|², never n²)."""
+    from kusto_pre_forge_spark.operators import dedup as dd
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+        # cosine(10, 20) ≈ 0.9998 but they argmax to different cells
+        (10, [0.71, 0.70, 0.0, 0.0]),
+        (20, [0.70, 0.71, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in dd.semdedup(
+        df, "embedding", "vec_id", n_cells=4, threshold=0.99
+    ).collect()}
+    assert out[10].cell != out[20].cell
+    assert out[10].is_kept and out[20].is_kept
+    assert out[10].cluster_id == 10 and out[20].cluster_id == 20
