@@ -87,6 +87,9 @@ HEADLINE = [
     "dedup_span_cut",
     "corpus_temperature_mix",
     "pipeline_quality_route",
+    "text_unigram",
+    "text_ccnet_buckets",
+    "dedup_semantic",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

@@ -84,6 +84,9 @@ AUDITED = [
     ("kql_diffpatterns_text", "distinct-term explode feeds one combined aggregate; top-k is a sort of term-cardinality rows"),
     ("pipeline_quality_route", "three quality gates as projections of one scan; joins on the doc key only"),
     ("layout_zorder", "Morton key is a flat codegen projection - zero exchanges"),
+    ("text_ccnet_buckets", "vocabulary-sized LM count tables; the percent_rank window partitions by language, never SinglePartition over data"),
+    ("dedup_semantic", "cell assignment is a narrow vectorized pass; pairs are cell-scoped applyInPandas (one exchange on the cell key); CC rounds stay key-partitioned"),
+    ("text_unigram", "word-count scan + distinct-word Arrow tokenize joined back; no exploded-token shuffle beyond the histogram aggregate"),
 ]
 
 
