@@ -1400,6 +1400,30 @@ def _q_text_unigram(spark, sf):
     )
 
 
+def _q_text_wordpiece(spark, sf):
+    """WordPiece tokenizer (Schuster & Nakajima 2012 — BERT's): word-count
+    scan + in-driver likelihood-scored merge loop, then greedy
+    longest-match-first segmentation of DISTINCT words. Same invariant
+    oracle as text_unigram (pieces partition each word); the
+    likelihood-vs-raw-count ranking property and greedy longest-match
+    rule are pinned in tests/test_textprep.py."""
+    from kusto_pre_forge_spark.operators import textprep
+
+    d = load_table(spark, sf, "documents")
+    pieces = textprep.train_wordpiece(d, "text", n_merges=48)
+    out = textprep.apply_wordpiece(d, pieces, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_words",
+        "piece_chars",
+        "reconstruct_ok",
+        (
+            (F.col("n_pieces") >= F.col("n_words"))
+            & (F.col("n_pieces") <= F.col("piece_chars"))
+        ).alias("pieces_bounds_ok"),
+    )
+
+
 def _q_corpus_split(spark, sf):
     """Deterministic train/val/test assignment: md5-hash thresholds over
     doc_id (0.9/0.05/0.05), zero shuffle, zero RNG — the same row lands
@@ -4187,6 +4211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": _q_text_bm25,
         "text_bpe": _q_text_bpe,
         "text_unigram": _q_text_unigram,
+        "text_wordpiece": _q_text_wordpiece,
         "embedding_whiten": _q_embedding_whiten,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
@@ -6411,6 +6436,17 @@ def oracle_sql() -> dict[str, str]:
         "text_unigram": (
             # Viterbi pieces partition each word → word counts and summed
             # word lengths are vocabulary-independent; flags are invariants
+            "WITH t AS (SELECT doc_id, "
+            f"{_LTOKENS_SQL} AS toks FROM documents) "
+            "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words, "
+            "CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0) "
+            "AS BIGINT) AS piece_chars, "
+            "true AS reconstruct_ok, true AS pieces_bounds_ok "
+            "FROM t WHERE len(toks) > 0"
+        ),
+        "text_wordpiece": (
+            # greedy longest-match pieces partition each word → identical
+            # invariant oracle to text_unigram
             "WITH t AS (SELECT doc_id, "
             f"{_LTOKENS_SQL} AS toks FROM documents) "
             "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words, "

@@ -981,3 +981,212 @@ def apply_unigram(
         F.min("_ok").alias("reconstruct_ok"),
         F.min("_tk.joined").alias("sample_pieces"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer (Schuster & Nakajima 2012; BERT's tokenizer)
+# ---------------------------------------------------------------------------
+
+
+def _train_wordpiece_driver(
+    word_counts: list[tuple[str, int]],
+    n_merges: int,
+    min_pair_count: int = 2,
+) -> list[str]:
+    """In-driver WordPiece training over a (word, count) histogram: the
+    same incremental pair-index loop as :func:`_train_bpe_driver`, but
+    pairs rank by the LIKELIHOOD score count(ab)/(count(a)·count(b)) —
+    merge the pair whose fusion most increases a unigram LM's corpus
+    likelihood (Schuster & Nakajima 2012 §4; BERT). Unit counts update
+    incrementally with the pair counts. Tie-break (score desc, pair asc);
+    pairs under ``min_pair_count`` raw occurrences never merge. Returns
+    the PIECE vocabulary (single chars + merge results) for the greedy
+    longest-match :func:`apply_wordpiece` — WordPiece apply consults the
+    vocab, not the merge order. No end-of-word marker: pieces partition
+    the raw word (the repo's oracle identity), isomorphic to BERT's
+    ``##`` continuation convention."""
+    from collections import Counter, defaultdict
+
+    vocab: list[tuple[tuple[str, ...], int]] = [
+        (tuple(w), c) for w, c in word_counts if w
+    ]
+    stats: Counter = Counter()
+    units: Counter = Counter()
+    indices: dict[tuple[str, str], dict[int, int]] = defaultdict(dict)
+    for wi, (syms, c) in enumerate(vocab):
+        for s in syms:
+            units[s] += c
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            stats[p] += c
+            indices[p][wi] = indices[p].get(wi, 0) + 1
+    pieces = {s for s, _ in units.items()}
+    for _ in range(n_merges):
+        live = [
+            (p, c) for p, c in stats.items() if c >= min_pair_count
+        ]
+        if not live:
+            break
+        best = min(
+            live,
+            key=lambda kv: (
+                -(kv[1] / (units[kv[0][0]] * units[kv[0][1]])),
+                kv[0][0],
+                kv[0][1],
+            ),
+        )
+        a, b = best[0]
+        pieces.add(a + b)
+        touched = list(indices[(a, b)].items())
+        for wi, _occ in touched:
+            syms, c = vocab[wi]
+            for s in syms:
+                units[s] -= c
+                if units[s] <= 0:
+                    del units[s]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] -= c
+                if stats[p] <= 0:
+                    del stats[p]
+                d = indices[p]
+                d[wi] -= 1
+                if d[wi] <= 0:
+                    del d[wi]
+            out: list[str] = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_syms = tuple(out)
+            vocab[wi] = (new_syms, c)
+            for s in new_syms:
+                units[s] += c
+            for i in range(len(new_syms) - 1):
+                p = (new_syms[i], new_syms[i + 1])
+                stats[p] += c
+                indices[p][wi] = indices[p].get(wi, 0) + 1
+    return sorted(pieces)
+
+
+def train_wordpiece(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 64,
+    min_pair_count: int = 2,
+    driver_word_cap: int = 100_000,
+    sample_frac: float | None = None,
+    sample_id_col: str | None = None,
+    sample_salt: str = "kpf-wordpiece",
+) -> list[str]:
+    """Train a WordPiece vocabulary: the distributed job is the same
+    word-count scan as :func:`train_bpe` / :func:`train_unigram` (the
+    only stage that touches 100 TB); the likelihood-scored merge loop
+    runs in-driver over the capped histogram — the BERT trainer shape.
+    Returns the sorted piece vocabulary for :func:`apply_wordpiece`."""
+    if sample_frac is not None:
+        if sample_id_col is None:
+            raise ValueError("sample_frac requires sample_id_col")
+        from kusto_pre_forge_spark.operators.corpus import _hash_unit
+
+        df = df.filter(
+            _hash_unit(F.col(sample_id_col).cast("string"), sample_salt)
+            < F.lit(float(sample_frac))
+        )
+    hist_rows = (
+        df.select(F.explode(_words(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(driver_word_cap)
+        .collect()
+    )
+    return _train_wordpiece_driver(
+        [(r["w"], int(r["cnt"])) for r in hist_rows], n_merges, min_pair_count
+    )
+
+
+def _wordpiece_tokenize_udf(pieces: list[str]):
+    """Arrow-batched greedy longest-match-first segmenter (the WordPiece
+    apply rule — NOT merge-order replay): at each position take the
+    longest vocab piece matching the remaining prefix; unseen characters
+    fall back to themselves, so pieces always partition the word."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    table = set(pieces)
+    max_len = max((len(p) for p in table), default=1)
+
+    def tokenize_batch(words: pd.Series):
+        memo: dict[str, tuple[int, str]] = {}
+
+        def tok(w: str) -> tuple[int, str]:
+            hit = memo.get(w)
+            if hit is not None:
+                return hit
+            out = []
+            i, n = 0, len(w)
+            while i < n:
+                piece = w[i : i + 1]
+                for l in range(min(max_len, n - i), 1, -1):
+                    cand = w[i : i + l]
+                    if cand in table:
+                        piece = cand
+                        break
+                out.append(piece)
+                i += len(piece)
+            res = (len(out), "|".join(out))
+            memo[w] = res
+            return res
+
+        pairs = words.map(tok)
+        return pd.DataFrame(
+            {"n": pairs.map(lambda p: p[0]), "joined": pairs.map(lambda p: p[1])}
+        )
+
+    return pandas_udf(tokenize_batch, "n int, joined string", PandasUDFType.SCALAR)
+
+
+def apply_wordpiece(
+    df: DataFrame,
+    pieces: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a WordPiece vocabulary: greedy longest-match-first
+    per word. Same distributed shape as :func:`apply_unigram` (DISTINCT
+    words tokenize once, join back to per-(doc, word) counts) and the
+    same (id, n_words, n_pieces, piece_chars, reconstruct_ok,
+    sample_pieces) contract — the piece-partition identity makes
+    ``piece_chars`` and the flags engine-independent oracle hooks."""
+    w = F.explode(_words(F.lower(F.col(text_col))))
+    t = df.select(F.col(id_col), w.alias("w"))
+    per_word = t.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("_reps"))
+    tokenized = (
+        per_word.select("w")
+        .distinct()
+        .select("w", _wordpiece_tokenize_udf(pieces)(F.col("w")).alias("_tk"))
+    )
+    joined = per_word.join(tokenized, "w").withColumn(
+        "_ok",
+        (F.length("_tk.joined") - (F.col("_tk.n") - F.lit(1)))
+        == F.length("w"),
+    )
+    return joined.groupBy(id_col).agg(
+        F.sum("_reps").cast("long").alias("n_words"),
+        F.sum(F.col("_reps") * F.col("_tk.n")).cast("long").alias("n_pieces"),
+        F.sum(
+            F.col("_reps")
+            * (F.length("_tk.joined") - (F.col("_tk.n") - F.lit(1)))
+        )
+        .cast("long")
+        .alias("piece_chars"),
+        F.min("_ok").alias("reconstruct_ok"),
+        F.min("_tk.joined").alias("sample_pieces"),
+    )

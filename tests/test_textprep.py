@@ -454,3 +454,56 @@ def test_apply_unigram_reconstruct_bounds_and_unseen(spark, docs):
 
     assert rows[0].piece_chars == chars("the cat sat on the mat")
     assert rows[9].piece_chars == chars("the qqq zzz§ unseen|pipe")
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer
+# ---------------------------------------------------------------------------
+
+
+def test_wordpiece_likelihood_score_differs_from_bpe():
+    """the distinguishing property: WordPiece merges the pair with the
+    best count(ab)/(count(a)count(b)) — a rare pair of rare units beats
+    a frequent pair of ubiquitous units, where BPE picks raw count."""
+    # 'xy' occurs 4× but x,y occur ONLY together (score 4/(4*4)=0.25);
+    # 'ab' occurs 10× but a,b are everywhere (10/(31*21)≈0.015)
+    hist = [
+        ("ab", 10),
+        ("aab", 10),
+        ("ba", 1),
+        ("xy", 4),
+    ]
+    pieces = textprep._train_wordpiece_driver(hist, n_merges=1, min_pair_count=2)
+    assert "xy" in pieces and "ab" not in pieces
+    bpe = textprep._train_bpe_driver(hist, n_merges=1, min_pair_count=2)
+    assert bpe[0] != ("x", "y")  # BPE's raw count prefers an a/b pair
+
+
+def test_wordpiece_greedy_longest_match(spark):
+    pieces = ["a", "b", "c", "d", "ab", "abc"]
+    df = spark.createDataFrame([("abcd",), ("abd",), ("zabc",)], "w string")
+    out = {
+        r.w: r.tk.joined
+        for r in df.select(
+            "w", textprep._wordpiece_tokenize_udf(pieces)(F.col("w")).alias("tk")
+        ).collect()
+    }
+    assert out["abcd"] == "abc|d"   # longest-first, not 'ab|c|d'
+    assert out["abd"] == "ab|d"
+    assert out["zabc"] == "z|abc"   # unseen char falls back to itself
+
+
+def test_apply_wordpiece_on_docs(spark, docs):
+    pieces = textprep.train_wordpiece(docs, "text", n_merges=16)
+    out = {r.doc_id: r for r in textprep.apply_wordpiece(docs, pieces, "text", "doc_id").collect()}
+    assert 3 not in out  # empty doc
+    for r in out.values():
+        assert r.reconstruct_ok
+        assert r.n_words <= r.n_pieces <= r.piece_chars
+    # 'spam spam spam spam': 'spam' is a whole learned piece → 4 pieces
+    assert out[1].n_pieces == 4 and out[1].sample_pieces == "spam"
+
+
+def test_wordpiece_train_deterministic(spark, docs):
+    assert textprep.train_wordpiece(docs, "text", n_merges=12) == \
+        textprep.train_wordpiece(docs, "text", n_merges=12)
