@@ -90,6 +90,7 @@ HEADLINE = [
     "text_unigram",
     "text_ccnet_buckets",
     "dedup_semantic",
+    "text_wordpiece",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

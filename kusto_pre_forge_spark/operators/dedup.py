@@ -1080,14 +1080,7 @@ def incremental_dedup_accept(
     over long ids) — checked up front so a string-id call fails at plan
     build with a clear message instead of mid-job with CAST_INVALID_INPUT.
     """
-    _numeric = {"tinyint", "smallint", "int", "bigint", "long", "float", "double"}
-    for frame, name in ((new_df, "new_df"), (corpus_df, "corpus_df")):
-        dt = dict(frame.dtypes).get(id_col)
-        if dt is not None and dt not in _numeric and not dt.startswith("decimal"):
-            raise TypeError(
-                f"incremental_dedup_accept requires a numeric {id_col!r} "
-                f"({name} has {dt}): connected_components labels over long ids"
-            )
+    _check_numeric_ids(id_col, (new_df, "new_df"), (corpus_df, "corpus_df"))
     pairs = minhash_lsh_pairs_incremental(
         corpus_df,
         new_df,
@@ -1100,6 +1093,35 @@ def incremental_dedup_accept(
         seed=seed,
         max_bucket_size=max_bucket_size,
     )
+    return _resolve_admission(pairs, corpus_df, new_df, id_col, priority_col)
+
+
+def _check_numeric_ids(id_col: str, *frames: tuple[DataFrame, str]) -> None:
+    """Admission control labels clusters over long ids — fail at plan
+    build on a non-numeric id instead of mid-job with CAST_INVALID_INPUT."""
+    _numeric = {"tinyint", "smallint", "int", "bigint", "long", "float", "double"}
+    for frame, name in frames:
+        dt = dict(frame.dtypes).get(id_col)
+        if dt is not None and dt not in _numeric and not dt.startswith("decimal"):
+            raise TypeError(
+                f"admission control requires a numeric {id_col!r} "
+                f"({name} has {dt}): connected_components labels over long ids"
+            )
+
+
+def _resolve_admission(
+    pairs: DataFrame,
+    corpus_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    priority_col: str | None,
+) -> DataFrame:
+    """Shared accept/reject resolution for every incremental dedup flavor
+    (MinHash text, embedding/SemDeDup): near-dup pairs → connected
+    components → reject a new doc when its cluster contains a corpus
+    member (immutable history wins) or another new doc is the designated
+    survivor (min id, or highest ``priority_col``). Returns the accepted
+    subset of ``new_df``, unshuffled."""
     labels = connected_components(pairs, "id_a", "id_b")
     corpus_ids = corpus_df.select(F.col(id_col).alias("id")).withColumn(
         "_c", F.lit(1)
@@ -1134,6 +1156,99 @@ def incremental_dedup_accept(
         .select(F.col("id").alias(id_col))
     )
     return new_df.join(drops, id_col, "left_anti")
+
+
+def incremental_semdedup_accept(
+    corpus_df: DataFrame,
+    new_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Embedding-space admission control — the streaming form of
+    :func:`semdedup`: which NEW vectors enter the corpus. A new doc is
+    rejected when a same-cell corpus member (or an admitted same-batch
+    peer that wins the survivor rule) sits within cosine ``threshold``.
+
+    ``centroids`` must be FROZEN training artifacts
+    (:func:`ivf_kmeans_centroids`, optionally ``sample_frac``-trained) so
+    every batch assigns against the same cell geometry — the same
+    frozen-artifact contract as the streaming IVF-PQ index; ``None``
+    falls back to the lowest-id-of-``corpus_df`` deterministic variant
+    (fine for tests, unstable as the corpus grows — pass real centroids
+    in production).
+
+    Scale shape: only cells CONTAINING new arrivals are touched (the
+    corpus side is semi-joined on the batch's distinct cell keys before
+    any vector moves), and within a touched cell the cost is
+    |batch_cell| × |corpus_cell| numpy dot products in one Arrow batch —
+    size ``n_cells`` so cells stay bounded, exactly the :func:`semdedup`
+    sizing rule. The corpus never self-pairs.
+    """
+    _check_numeric_ids(id_col, (new_df, "new_df"), (corpus_df, "corpus_df"))
+    from kusto_pre_forge_spark.operators.similarity import cell_assign
+
+    if centroids is None:
+        # empty corpus: seed cell geometry from the batch itself
+        base = corpus_df if corpus_df.head(1) else new_df
+        centroids = _lowest_id_centroids(base, id_col, vec_col, n_cells)
+    new_a = cell_assign(
+        new_df, id_col=id_col, vec_col=vec_col, n_cells=n_cells, centroids=centroids
+    ).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "cell")
+    corpus_a = cell_assign(
+        corpus_df, id_col=id_col, vec_col=vec_col, n_cells=n_cells, centroids=centroids
+    ).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "cell")
+
+    touched = new_a.select("cell").distinct()
+    corpus_t = corpus_a.join(F.broadcast(touched), "cell")
+    union = new_a.withColumn("_new", F.lit(1)).unionByName(
+        corpus_t.withColumn("_new", F.lit(0))
+    )
+
+    def _admission_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        newm = pdf["_new"].to_numpy() == 1
+        if not newm.any():
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(
+                {"id_a": "int64", "id_b": "int64"}
+            )
+        ids = pdf["_id"].to_numpy()
+        V = np.array([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        B, bids = V[newm], ids[newm]
+        out_a, out_b = [], []
+        C, cids = V[~newm], ids[~newm]
+        if len(C):
+            cos = B @ C.T
+            ia, ib = np.nonzero(cos >= threshold)
+            out_a.extend(bids[ia])
+            out_b.extend(cids[ib])
+        if len(B) > 1:
+            cos = B @ B.T
+            ia, ib = np.triu_indices(len(B), k=1)
+            sel = cos[ia, ib] >= threshold
+            out_a.extend(bids[ia[sel]])
+            out_b.extend(bids[ib[sel]])
+        return pd.DataFrame(
+            {"id_a": np.asarray(out_a, "int64"), "id_b": np.asarray(out_b, "int64")}
+        )
+
+    pairs = union.groupBy("cell").applyInPandas(
+        _admission_pairs, "id_a long, id_b long"
+    )
+    return _resolve_admission(pairs, corpus_df, new_df, id_col, priority_col)
+
+
+def _lowest_id_centroids(
+    df: DataFrame, id_col: str, vec_col: str, n_cells: int
+) -> list[list[float]]:
+    rows = sorted(
+        df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(n_cells).collect(),
+        key=lambda r: r[id_col],
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
 
 
 def hamming_pairs(

@@ -285,6 +285,78 @@ class StreamingEtl:
 
         return self._start(process, trigger_seconds, available_now)
 
+    def semdedup_ingest_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        corpus_dir: str,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        **sem_kwargs,
+    ) -> int:
+        """One micro-batch of embedding-space admission — the SemDeDup
+        twin of :meth:`dedup_ingest_batch`, same replay-safety contract
+        (batch-partitioned store with dynamic overwrite; the corpus read
+        excludes the current batch's partition so a crash replay
+        reproduces the original accept set bit-for-bit). Pass FROZEN
+        ``centroids`` in ``sem_kwargs`` for production (the streaming
+        ANN index's frozen-artifact rule); the lowest-id fallback shifts
+        as the corpus grows."""
+        from pyspark.errors import AnalysisException
+
+        from kusto_pre_forge_spark.operators.dedup import (
+            incremental_semdedup_accept,
+        )
+
+        batch = batch_df.drop("_kpf_source").dropDuplicates([id_col])
+        if not batch.head(1):
+            return 0
+        try:
+            corpus = (
+                self.spark.read.parquet(corpus_dir)
+                .filter(F.col("_kpf_batch") != batch_id)
+                .drop("_kpf_batch")
+            )
+        except AnalysisException:  # first batch: store not created yet
+            corpus = self.spark.createDataFrame([], batch.schema)
+        accepted = incremental_semdedup_accept(
+            corpus, batch, vec_col, id_col, **sem_kwargs
+        ).withColumn("_kpf_batch", F.lit(batch_id))
+        (
+            accepted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_kpf_batch")
+            .parquet(corpus_dir)
+        )
+        return (
+            self.spark.read.parquet(corpus_dir)
+            .filter(F.col("_kpf_batch") == batch_id)
+            .count()
+        )
+
+    def start_semdedup_ingest(
+        self,
+        corpus_dir: str,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        trigger_seconds: int | None = 60,
+        available_now: bool = False,
+        **sem_kwargs,
+    ) -> StreamingQuery:
+        """Continuous embedding-near-dup-controlled ingestion: every
+        micro-batch of landed vectors is admitted through
+        ``incremental_semdedup_accept`` against the accepted corpus —
+        first arrival wins, cells are frozen geometry, cost scales with
+        the batch's touched cells. Effectively-once across crashes via
+        :meth:`semdedup_ingest_batch`."""
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            self.semdedup_ingest_batch(
+                batch_df, batch_id, corpus_dir, vec_col, id_col, **sem_kwargs
+            )
+
+        return self._start(process, trigger_seconds, available_now)
+
     def corpus_stats_batch(
         self,
         batch_df: DataFrame,

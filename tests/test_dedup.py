@@ -616,3 +616,79 @@ def test_semdedup_comparisons_stay_cell_local(spark):
     assert out[10].cell != out[20].cell
     assert out[10].is_kept and out[20].is_kept
     assert out[10].cluster_id == 10 and out[20].cluster_id == 20
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_incremental_semdedup_accept(spark):
+    """embedding admission: corpus wins, min-id wins within batch,
+    novel vectors pass, and comparison stays cell-scoped."""
+    from kusto_pre_forge_spark.operators import dedup as dd
+
+    centroids = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+    corpus = _emb_df(spark, [(1, [0.99, 0.01, 0.0, 0.0])])  # cell 0
+    batch = _emb_df(spark, [
+        (10, [0.98, 0.02, 0.0, 0.0]),   # near-dup of corpus 1 → reject
+        (11, [0.01, 0.99, 0.0, 0.0]),   # novel (cell 1) → accept
+        (12, [0.02, 0.98, 0.0, 0.0]),   # near-dup of 11 in-batch → reject
+        (13, [0.0, 0.0, 1.0, 0.0]),     # novel (cell 2) → accept
+    ])
+    got = {
+        r.vec_id
+        for r in dd.incremental_semdedup_accept(
+            corpus, batch, "embedding", "vec_id",
+            centroids=centroids, n_cells=4, threshold=0.95,
+        ).collect()
+    }
+    assert got == {11, 13}
+    # priority flips the within-batch survivor
+    batch_p = batch.withColumn(
+        "prio", F.when(F.col("vec_id") == 12, 9).otherwise(1)
+    )
+    got_p = {
+        r.vec_id
+        for r in dd.incremental_semdedup_accept(
+            corpus, batch_p, "embedding", "vec_id",
+            centroids=centroids, n_cells=4, threshold=0.95,
+            priority_col="prio",
+        ).collect()
+    }
+    assert got_p == {12, 13}
+
+
+def test_incremental_semdedup_empty_corpus_and_replay(spark):
+    """first batch seeds cell geometry from itself; re-running the same
+    admission against the already-admitted store is a no-op (all dups)."""
+    from kusto_pre_forge_spark.operators import dedup as dd
+
+    empty = _emb_df(spark, []).limit(0)
+    # ids 1,2 seed the two cells; 10 is an in-batch near-dup of 1
+    batch = _emb_df(spark, [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (10, [0.99, 0.01, 0.0, 0.0]),
+    ])
+    first = dd.incremental_semdedup_accept(
+        empty, batch, "embedding", "vec_id", n_cells=2, threshold=0.95
+    )
+    ids = {r.vec_id for r in first.collect()}
+    assert ids == {1, 2}
+    # frozen centroids for the second wave (production contract): fresh
+    # ids carrying duplicate content are all rejected by the corpus
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    wave2 = _emb_df(spark, [
+        (20, [0.999, 0.001, 0.0, 0.0]),
+        (21, [0.001, 0.999, 0.0, 0.0]),
+    ])
+    again = dd.incremental_semdedup_accept(
+        first, wave2, "embedding", "vec_id",
+        centroids=cents, n_cells=2, threshold=0.95,
+    )
+    assert again.count() == 0

@@ -531,3 +531,77 @@ def test_corpus_stats_file_partitions_are_pure(spark, tmp_path):
         for r in StreamingEtl.read_corpus_stats(spark, stats_dir).collect()
     }
     assert after == before, "per-file purity: repacked replay must not drift"
+
+
+def test_streaming_semdedup_ingest_across_batches(spark, tmp_path):
+    """Embedding near-dups arriving across micro-batches are admitted
+    exactly once under frozen centroids; batch replay is a no-op."""
+    from pyspark.sql import types as T
+
+    EMB_SCHEMA = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    cents = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+    waves = [
+        [(1, [0.99, 0.01, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        [(3, [0.98, 0.02, 0.0, 0.0]), (4, [0.0, 0.0, 1.0, 0.0])],   # 3 dups 1
+        [(5, [0.0, 0.99, 0.01, 0.0]), (6, [0.0, 0.0, 0.0, 1.0])],   # 5 dups 2
+    ]
+    land = tmp_path / "sem_landing"
+    land.mkdir()
+    corpus_dir = str(tmp_path / "sem_corpus")
+    etl = StreamingEtl(
+        spark,
+        str(land),
+        str(tmp_path / "ckpt_sem"),
+        str(tmp_path / "out_unused_sem"),
+        EMB_SCHEMA,
+        fmt="json",
+        max_files_per_trigger=1,
+    )
+    import json as _json
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, wave in enumerate(waves):
+        p = land / f"wave{i}.json"
+        with open(p, "w") as f:
+            for vid, vec in wave:
+                f.write(_json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
+        _os.utime(p, (now + i * 10, now + i * 10))
+    q = etl.start_semdedup_ingest(
+        corpus_dir,
+        trigger_seconds=None,
+        available_now=True,
+        centroids=cents,
+        n_cells=4,
+        threshold=0.95,
+    )
+    _drain(q)
+    got = {r.vec_id for r in spark.read.parquet(corpus_dir).collect()}
+    assert got == {1, 2, 4, 6}, got
+
+    # crash replay of wave 1 (batch id 1): no-op, same accept count
+    before = sorted(
+        (r.vec_id, r._kpf_batch)
+        for r in spark.read.parquet(corpus_dir).collect()
+    )
+    replay = spark.createDataFrame(waves[1], EMB_SCHEMA)
+    n = etl.semdedup_ingest_batch(
+        replay, 1, corpus_dir, centroids=cents, n_cells=4, threshold=0.95
+    )
+    after = sorted(
+        (r.vec_id, r._kpf_batch)
+        for r in spark.read.parquet(corpus_dir).collect()
+    )
+    assert after == before, "replay must be a no-op"
+    assert n == 1, "replay re-accepts exactly the original survivor (vec 4)"

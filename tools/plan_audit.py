@@ -87,6 +87,7 @@ AUDITED = [
     ("text_ccnet_buckets", "vocabulary-sized LM count tables; the percent_rank window partitions by language, never SinglePartition over data"),
     ("dedup_semantic", "cell assignment is a narrow vectorized pass; pairs are cell-scoped applyInPandas (one exchange on the cell key); CC rounds stay key-partitioned"),
     ("text_unigram", "word-count scan + distinct-word Arrow tokenize joined back; no exploded-token shuffle beyond the histogram aggregate"),
+    ("text_wordpiece", "same rank-dict shape as text_unigram: histogram aggregate + distinct-word tokenize, join back on the word key"),
 ]
 
 
