@@ -200,17 +200,21 @@ def ivf_kmeans_centroids(
     L2-normalized, assignment is argmax dot, the cell update is the mean
     of assigned unit vectors re-normalized. Every step is distributed:
 
-    - assignment — one vectorized pandas_udf pass (centroid matrix rides
-      the closure: n_cells × dim doubles);
-    - update — ``applyInPandas`` per cell (n_cells bounded groups, numpy
-      column means inside);
-    - driver traffic per iteration — exactly the n_cells × dim centroid
-      table, nothing corpus-sized.
+    - assignment + partial sums — ONE ``mapInPandas`` pass per
+      iteration (centroid matrix rides the closure: n_cells × dim
+      doubles); each task emits only its (cell, count, Σ unit-vector)
+      partials — ≤ n_cells tiny rows per task, no shuffle stage at all
+      (an earlier ``applyInPandas`` combine cost a full second Python
+      exchange per iteration and dominated wall-clock at bench scale);
+    - update — the driver folds the bounded partials (tasks × n_cells ×
+      dim doubles — MBs at 1000 tasks, never corpus-sized) in sorted
+      (cell, partition_id) order and re-normalizes.
 
     Determinism: seeds are the ``n_cells`` corpus rows with the smallest
     md5(seed ‖ id); iterations are a fixed count (no convergence test →
-    no data-dependent control flow); numpy means accumulate in a fixed
-    order. Empty cells keep their previous centroid.
+    no data-dependent control flow); the driver fold's (cell, pid) sort
+    fixes the FP accumulation order (parquet partitioning is
+    deterministic). Empty cells keep their previous centroid.
 
     ``sample_frac`` trains on a deterministic md5-threshold slice (the
     FAISS convention — centroids need statistics, not the full corpus;
@@ -235,30 +239,43 @@ def ivf_kmeans_centroids(
     # the same (possibly sampled) vectors are scanned n_iters times —
     # persist once, release after the loop
     vecs = corpus.select(F.col(vec_col).alias("_v")).persist()
+    part_schema = "pid int, cell int, cnt long, vsum array<double>"
     for _ in range(n_iters):
         Cb = C.copy()
 
-        @F.pandas_udf(T.IntegerType())
-        def _assign(vs: pd.Series) -> pd.Series:
-            V = np.array([np.asarray(v, dtype=np.float64) for v in vs])
-            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            return pd.Series(np.argmax(V @ Cb.T, axis=1).astype("int32"))
+        def _partials(it):
+            from pyspark import TaskContext
 
-        def _cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
-            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            return pd.DataFrame(
-                {"_cell": [int(pdf["_cell"].iloc[0])], "_mean": [V.mean(axis=0)]}
-            )
+            pid = TaskContext.get().partitionId()
+            for pdf in it:
+                V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+                if V.size == 0:
+                    continue
+                V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+                cells = np.argmax(V @ Cb.T, axis=1)
+                rows = {"pid": [], "cell": [], "cnt": [], "vsum": []}
+                for j in np.unique(cells):
+                    sel = V[cells == j]
+                    rows["pid"].append(pid)
+                    rows["cell"].append(int(j))
+                    rows["cnt"].append(int(sel.shape[0]))
+                    rows["vsum"].append(sel.sum(axis=0))
+                yield pd.DataFrame(rows)
 
-        means = (
-            vecs.withColumn("_cell", _assign(F.col("_v")))
-            .groupBy("_cell")
-            .applyInPandas(_cell_mean, "_cell int, _mean array<double>")
-            .collect()
-        )
-        for r in means:
-            C[r["_cell"]] = np.asarray(r["_mean"], dtype=np.float64)
+        partials = vecs.mapInPandas(_partials, part_schema).collect()
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for r in sorted(partials, key=lambda r: (r["cell"], r["pid"])):
+            j = r["cell"]
+            v = np.asarray(r["vsum"], dtype=np.float64)
+            if j in sums:
+                sums[j] += v
+                counts[j] += r["cnt"]
+            else:
+                sums[j] = v.copy()
+                counts[j] = int(r["cnt"])
+        for j, v in sums.items():
+            C[j] = v / counts[j]
         C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     vecs.unpersist()
     return [[float(x) for x in row] for row in C]
@@ -671,8 +688,11 @@ def pq_train_codebooks(
       per subspace over the batch) — vectors never leave their
       partitions;
     - each task emits only its (sub, code) → (count, sum) partials
-      (m × ks rows), which a groupBy combine reduces before the bounded
-      ``m × ks`` centroid table returns to the driver.
+      (≤ m × ks tiny rows per task); the driver folds them in sorted
+      (sub, code, partition_id) order — tasks × m × ks × dsub doubles,
+      MBs at 1000 tasks, never corpus-sized. (An earlier
+      ``applyInPandas`` combine cost a second full Python exchange per
+      iteration and dominated wall-clock at bench scale.)
 
     Determinism mirrors :func:`ivf_kmeans_centroids`: seeds are the
     ``ks`` corpus rows with smallest md5(seed ‖ id), iteration count is
@@ -701,17 +721,20 @@ def pq_train_codebooks(
     C = [V0[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
 
     vecs = corpus.select(F.col(vec_col).alias("_v")).persist()
-    part_schema = "sub int, code int, cnt long, vsum array<double>"
+    part_schema = "pid int, sub int, code int, cnt long, vsum array<double>"
     for _ in range(n_iters):
         Cb = [c.copy() for c in C]
 
         def partials(it):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
             for pdf in it:
                 V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
                 if V.size == 0:
                     continue
                 V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-                rows = {"sub": [], "code": [], "cnt": [], "vsum": []}
+                rows = {"pid": [], "sub": [], "code": [], "cnt": [], "vsum": []}
                 for s in range(m):
                     Vs = V[:, s * dsub : (s + 1) * dsub]  # (n, dsub)
                     # ||v - c||² argmin == argmax (v·c - ||c||²/2)
@@ -719,36 +742,28 @@ def pq_train_codebooks(
                     codes = np.argmax(scores, axis=1)
                     for j in np.unique(codes):
                         sel = Vs[codes == j]
+                        rows["pid"].append(pid)
                         rows["sub"].append(s)
                         rows["code"].append(int(j))
                         rows["cnt"].append(int(sel.shape[0]))
                         rows["vsum"].append(sel.sum(axis=0))
                 yield pd.DataFrame(rows)
 
-        def combine(pdf: pd.DataFrame) -> pd.DataFrame:
-            tot = np.zeros(dsub)
-            for v in pdf["vsum"]:
-                tot += np.asarray(v, dtype=np.float64)
-            return pd.DataFrame(
-                {
-                    "sub": [int(pdf["sub"].iloc[0])],
-                    "code": [int(pdf["code"].iloc[0])],
-                    "cnt": [int(pdf["cnt"].sum())],
-                    "vsum": [tot],
-                }
-            )
-
-        combined = (
-            vecs.mapInPandas(partials, part_schema)
-            .groupBy("sub", "code")
-            .applyInPandas(combine, part_schema)
-            .collect()
-        )
-        for r in combined:
-            if r["cnt"] > 0:
-                C[r["sub"]][r["code"]] = (
-                    np.asarray(r["vsum"], dtype=np.float64) / r["cnt"]
-                )
+        collected = vecs.mapInPandas(partials, part_schema).collect()
+        sums: dict[tuple[int, int], np.ndarray] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for r in sorted(collected, key=lambda r: (r["sub"], r["code"], r["pid"])):
+            key = (r["sub"], r["code"])
+            v = np.asarray(r["vsum"], dtype=np.float64)
+            if key in sums:
+                sums[key] += v
+                counts[key] += r["cnt"]
+            else:
+                sums[key] = v.copy()
+                counts[key] = int(r["cnt"])
+        for (s, j), v in sums.items():
+            if counts[(s, j)] > 0:
+                C[s][j] = v / counts[(s, j)]
     vecs.unpersist()
     return [[[float(x) for x in row] for row in c] for c in C]
 
