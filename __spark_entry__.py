@@ -1272,6 +1272,27 @@ def _q_contamination_check(spark, sf):
     )
 
 
+def _q_contamination_bloom(spark, sf):
+    """The big-benchmark decontamination path: a pure-Catalyst Bloom
+    bitset over the benchmark's n-gram hashes prefilters the corpus scan
+    map-side, and the verify join runs WITHOUT broadcasting the benchmark
+    (the shape for held-out sets too big to broadcast). Results are
+    exactly contamination_check's — Bloom has no false negatives and the
+    join verifies — so the oracle is the same exact SQL."""
+    from kusto_pre_forge_spark.operators import corpus as corpus_ops
+
+    d = load_table(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") < 20)
+    pool = d.filter(F.col("doc_id") >= 20)
+    out = corpus_ops.contamination_check(
+        pool, bench, ngram_n=8, min_shared=1,
+        bloom_prefilter=True, broadcast_benchmark=False,
+    )
+    return out.select(
+        "corpus_id", "bench_id", F.col("shared_ngrams").cast("long").alias("shared_ngrams")
+    )
+
+
 def _q_text_lm_score(spark, sf):
     """CCNet-style perplexity filter without an external LM: per-doc mean
     ln p(w2|w1) under the corpus's own add-0.5-smoothed bigram model."""
@@ -4253,6 +4274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack": _q_corpus_pack,
         "corpus_line_dedup": _q_corpus_line_dedup,
         "contamination_check": _q_contamination_check,
+        "contamination_bloom": _q_contamination_bloom,
         "kql_ipv4_suite": _q_kql_ipv4_suite,
         "kql_url_suite": _q_kql_url_suite,
         "kql_series_fill": _q_kql_series_fill,
@@ -6575,6 +6597,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM kept GROUP BY doc_id) "
             "SELECT d.doc_id, COALESCE(r.ct, '') AS clean_text "
             "FROM documents d LEFT JOIN r USING (doc_id)"
+        ),
+        "contamination_bloom": (
+            "WITH tok AS (SELECT doc_id, "
+            f"{_LTOKENS_SQL} AS toks FROM documents), "
+            "g AS (SELECT doc_id, list_distinct(list_transform("
+            "range(0, greatest(len(toks) - 7, 0)), "
+            "i -> array_to_string(toks[i+1:i+8], ' '))) AS gs FROM tok), "
+            "ce AS (SELECT doc_id AS corpus_id, unnest(gs) AS gr FROM g "
+            "WHERE doc_id >= 20), "
+            "be AS (SELECT doc_id AS bench_id, unnest(gs) AS gr FROM g "
+            "WHERE doc_id < 20) "
+            "SELECT corpus_id, bench_id, "
+            "CAST(count(DISTINCT ce.gr) AS BIGINT) AS shared_ngrams "
+            "FROM ce JOIN be USING (gr) GROUP BY 1, 2 HAVING count(DISTINCT ce.gr) >= 1"
         ),
         "contamination_check": (
             "WITH tok AS (SELECT doc_id, "

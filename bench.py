@@ -91,6 +91,7 @@ HEADLINE = [
     "text_ccnet_buckets",
     "dedup_semantic",
     "text_wordpiece",
+    "contamination_bloom",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

@@ -346,6 +346,76 @@ def _ngram_hashes_of(th: Column, n: int) -> Column:
     )
 
 
+def build_bloom(
+    keys: DataFrame,
+    key_col: str,
+    bits_per_key: int = 16,
+    k_hashes: int = 7,
+    seed: int = 41,
+) -> tuple[list[int], int, int]:
+    """Pure-Catalyst Bloom filter build: every key sets ``k_hashes`` bit
+    positions (``pmod(xxhash64(key, i), m)``); positions explode to
+    (word_index, bit_mask) rows and ONE map-side-combined ``bit_or``
+    aggregate folds them into m/64 longs — the classic runtime-filter
+    build, with no UDF and driver traffic = the bitset itself (m/64
+    rows; 16 bits/key ≈ m/8 bytes ≈ 2 MB per million keys). Returns
+    (words, m_bits, k_hashes) for :func:`bloom_probe`. No false
+    negatives by construction; FP rate ≈ 0.5^(k) at 16 bits/key ≈ 0.04%.
+    """
+    n = keys.select(key_col).distinct().count()
+    m_bits = max(64, ((max(n, 1) * bits_per_key + 63) // 64) * 64)
+    pos = [
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i + seed)), F.lit(m_bits))
+        for i in range(k_hashes)
+    ]
+    entries = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (p / 64).cast("int").alias("widx"),
+                        # SQL-level shiftleft: the F.shiftleft wrapper only
+                        # accepts a Python-int shift, the SQL fn takes a col
+                        F.call_function(
+                            "shiftleft",
+                            F.lit(1).cast("long"),
+                            (p % 64).cast("int"),
+                        ).alias("mask"),
+                    )
+                    for p in pos
+                ]
+            )
+        ).alias("e")
+    ).select("e.widx", "e.mask")
+    rows = (
+        entries.groupBy("widx")
+        .agg(F.expr("bit_or(mask)").alias("w"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["widx"]] = int(r["w"])
+    return words, m_bits, k_hashes
+
+
+def bloom_probe(
+    key: Column, bloom: tuple[list[int], int, int], seed: int = 41
+) -> Column:
+    """Membership probe against a :func:`build_bloom` bitset riding the
+    plan as an array literal — k bit tests, all codegen, evaluated
+    map-side (the probe side never shuffles for the filter)."""
+    words, m_bits, k_hashes = bloom
+    lit_words = F.array(*[F.lit(w).cast("long") for w in words])
+    hit = F.lit(True)
+    for i in range(k_hashes):
+        p = F.pmod(F.xxhash64(key, F.lit(i + seed)), F.lit(m_bits))
+        word = F.element_at(lit_words, (p / 64).cast("int") + 1)
+        hit = hit & (
+            F.call_function("getbit", word, (p % 64).cast("int")) == 1
+        )
+    return hit
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -353,6 +423,8 @@ def contamination_check(
     id_col: str = "doc_id",
     ngram_n: int = 8,
     min_shared: int = 1,
+    bloom_prefilter: bool = False,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Benchmark-contamination scan: which corpus documents share ≥
     ``min_shared`` distinct word ``ngram_n``-grams with which benchmark
@@ -364,6 +436,16 @@ def contamination_check(
     window (``_word_ngram_hashes`` — 8 bytes ride the join, the n-gram
     text is never even materialized); the benchmark side is explicitly
     broadcast — an eval suite is KBs–MBs against a TB corpus.
+
+    When the benchmark is too big to broadcast (decontaminating against
+    a large held-out set), pass ``broadcast_benchmark=False`` +
+    ``bloom_prefilter=True``: a pure-Catalyst Bloom bitset
+    (:func:`build_bloom` over the benchmark's n-gram hashes, ~2 MB per
+    million n-grams) rides the corpus scan as a map-side filter, so the
+    shuffle join receives only the ~FP-rate sliver of clean n-grams plus
+    true hits. Results are EXACTLY the broadcast path's (Bloom has no
+    false negatives; the join verifies) — equality is pinned in tests
+    and by the driver oracle of ``contamination_bloom``.
     """
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
@@ -379,9 +461,12 @@ def contamination_check(
         "bench_id",
         F.explode(_ngram_hashes_of(F.col("_th"), ngram_n)).alias("_gh"),
     )
+    if bloom_prefilter:
+        bloom = build_bloom(b, "_gh")
+        c = c.filter(bloom_probe(F.col("_gh"), bloom))
+    joined = c.join(F.broadcast(b) if broadcast_benchmark else b, "_gh")
     return (
-        c.join(F.broadcast(b), "_gh")
-        .groupBy("corpus_id", "bench_id")
+        joined.groupBy("corpus_id", "bench_id")
         .agg(F.count_distinct("_gh").alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= min_shared)
     )

@@ -244,3 +244,32 @@ def test_temperature_mix_alpha_semantics(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         temperature_mix(df, "source", "doc_id", "n_chars", alpha=0.0)
+
+
+def test_bloom_no_false_negatives_and_rejects(spark):
+    """members always pass (no false negatives); most non-members fail."""
+    from kusto_pre_forge_spark.operators import corpus as co
+
+    keys = spark.range(0, 500).select(F.xxhash64("id").alias("k"))
+    bloom = co.build_bloom(keys, "k")
+    hits = keys.filter(co.bloom_probe(F.col("k"), bloom)).count()
+    assert hits == 500  # every member passes
+    others = spark.range(10_000, 20_000).select(F.xxhash64("id").alias("k"))
+    fp = others.filter(co.bloom_probe(F.col("k"), bloom)).count()
+    assert fp < 100, f"false-positive rate too high: {fp}/10000"
+
+
+def test_contamination_bloom_path_equals_broadcast_path(spark, sf_smoke):
+    from kusto_pre_forge_spark.operators import corpus as co
+
+    d = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 37 == 0).select(
+        "doc_id", "text"
+    )
+    base = co.contamination_check(d, bench, ngram_n=6)
+    bloomed = co.contamination_check(
+        d, bench, ngram_n=6, bloom_prefilter=True, broadcast_benchmark=False
+    )
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, bloomed.collect()))
+    assert a == b and len(a) > 0

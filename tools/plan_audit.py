@@ -88,6 +88,7 @@ AUDITED = [
     ("dedup_semantic", "cell assignment is a narrow vectorized pass; pairs are cell-scoped applyInPandas (one exchange on the cell key); CC rounds stay key-partitioned"),
     ("text_unigram", "word-count scan + distinct-word Arrow tokenize joined back; no exploded-token shuffle beyond the histogram aggregate"),
     ("text_wordpiece", "same rank-dict shape as text_unigram: histogram aggregate + distinct-word tokenize, join back on the word key"),
+    ("contamination_bloom", "Bloom bitset rides the corpus scan as a map-side getbit filter; the verify join receives only survivors"),
 ]
 
 
