@@ -69,3 +69,39 @@ def zorder_layout(
         else keyed.repartitionByRange(key_col)
     )
     return parted.sortWithinPartitions(key_col)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-BUCKETED on its join/aggregation key — the
+    write-side half of shuffle elimination. Spark records the bucket
+    spec in the catalog; any later equi-join or aggregation on
+    ``bucket_cols`` between tables with compatible bucket counts reads
+    co-located buckets and plans NO exchange on either side (pinned by
+    ``tests/test_layout.py`` walking the join plan). ``sort_cols``
+    additionally pre-sorts each bucket so sort-merge joins skip their
+    sort too.
+
+    This is the standard 100 TB pattern for a fact table joined
+    repeatedly on the same key (orders ⋈ lineitem on the order key:
+    bucket both at write time, every downstream join is shuffle-free);
+    at 1000 executors the avoided exchange is the whole job cost.
+    Bucketed output requires the table catalog (``saveAsTable``) — plain
+    ``parquet(path)`` cannot record the spec.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark, table: str) -> DataFrame:
+    """Read a :func:`write_bucketed` table with its bucket spec live
+    (``spark.table`` — the spec only exists through the catalog)."""
+    return spark.table(table)

@@ -99,3 +99,36 @@ def test_zorder_key_fuzz_vs_reference(spark):
         assert got == want
 
     prop()
+
+
+def test_bucketed_join_plans_no_exchange(spark, tmp_path):
+    """both sides bucketed on the join key with equal bucket counts →
+    the join plan contains ZERO Exchange operators (the whole point)."""
+    from kusto_pre_forge_spark.operators import layout
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    layout.write_bucketed(a, "kpf_bkt_a", ["k"], n_buckets=8, sort_cols=["k"])
+    layout.write_bucketed(b, "kpf_bkt_b", ["k"], n_buckets=8, sort_cols=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ta = layout.read_bucketed(spark, "kpf_bkt_a")
+        tb = layout.read_bucketed(spark, "kpf_bkt_b")
+        joined = ta.join(tb, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        got = joined.agg(F.sum(F.col("va") + F.col("vb"))).collect()[0][0]
+        assert got == sum(2 * i + 3 * i for i in range(1000))
+        # control: the same join over unbucketed frames DOES exchange
+        plain = a.join(b, "k")
+        pplan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in pplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS kpf_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS kpf_bkt_b")
