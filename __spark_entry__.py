@@ -1272,6 +1272,29 @@ def _q_contamination_check(spark, sf):
     )
 
 
+def _q_events_attribution_join(spark, sf):
+    """Impression⋈click attribution: the stream-stream interval join
+    (streaming/windows.py) run over batch frames — equi-key + event-time
+    band [ts, ts+30min]. Streamed == batch equality is pinned in
+    tests/test_streaming_windows.py; here the batch form gets the exact
+    SQL oracle."""
+    from kusto_pre_forge_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id", "ts", "user_id")
+    views = ev.filter(F.col("event_id") % 3 == 0)
+    clicks = ev.filter(F.col("event_id") % 3 == 1).withColumnRenamed(
+        "event_id", "click_id"
+    )
+    out = stream_stream_interval_join(
+        views, clicks, "user_id",
+        watermark="365 days", max_delay="interval 30 minutes",
+    )
+    return out.select("user_id", "event_id", "click_id", "ts",
+                      F.col("ts_right").alias("click_ts"))
+
+
 def _q_contamination_bloom(spark, sf):
     """The big-benchmark decontamination path: a pure-Catalyst Bloom
     bitset over the benchmark's n-gram hashes prefilters the corpus scan
@@ -4275,6 +4298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_line_dedup": _q_corpus_line_dedup,
         "contamination_check": _q_contamination_check,
         "contamination_bloom": _q_contamination_bloom,
+        "events_attribution_join": _q_events_attribution_join,
         "kql_ipv4_suite": _q_kql_ipv4_suite,
         "kql_url_suite": _q_kql_url_suite,
         "kql_series_fill": _q_kql_series_fill,
@@ -6597,6 +6621,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM kept GROUP BY doc_id) "
             "SELECT d.doc_id, COALESCE(r.ct, '') AS clean_text "
             "FROM documents d LEFT JOIN r USING (doc_id)"
+        ),
+        "events_attribution_join": (
+            "WITH v AS (SELECT event_id, ts, user_id FROM events "
+            "WHERE event_id % 3 = 0), "
+            "c AS (SELECT event_id AS click_id, ts AS cts, user_id FROM events "
+            "WHERE event_id % 3 = 1) "
+            "SELECT v.user_id, v.event_id, c.click_id, v.ts, c.cts AS click_ts "
+            "FROM v JOIN c ON v.user_id = c.user_id "
+            "AND c.cts >= v.ts AND c.cts <= v.ts + INTERVAL 30 MINUTE"
         ),
         "contamination_bloom": (
             "WITH tok AS (SELECT doc_id, "

@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_semantic",
     "text_wordpiece",
     "contamination_bloom",
+    "events_attribution_join",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

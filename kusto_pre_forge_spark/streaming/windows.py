@@ -288,3 +288,52 @@ def streaming_zscore_anomalies(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    max_delay: str = "interval 5 minutes",
+    join_type: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the canonical streaming
+    attribution shape (impression ⋈ click within N minutes): equi-join on
+    ``key_col`` plus the event-time band
+    ``left_ts <= right_ts <= left_ts + max_delay``.
+
+    Both inputs get event-time watermarks, which is what BOUNDS the join
+    state: Spark buffers each side only until the other side's watermark
+    passes the band, then evicts — without the watermark + time-range
+    condition a stream-stream join's state grows forever (the reason
+    this wrapper makes both mandatory rather than optional). Works
+    identically on batch frames (tests pin stream == batch equality).
+    Outer joins emit the unmatched side only after watermark expiry, so
+    ``join_type='leftOuter'`` results are complete only once the
+    watermark passes — the standard Structured Streaming contract.
+
+    Scale: state is per-key and band-bounded; the shuffle keys are
+    (key, time-bucket) — the same skew rules as any keyed stream apply
+    (salt hot keys upstream).
+    """
+    lt, rt = f"_l_{left_ts}", f"_r_{right_ts}"
+    lf = left.withWatermark(left_ts, watermark).withColumnRenamed(left_ts, lt)
+    rf = right.withWatermark(right_ts, watermark).withColumnRenamed(right_ts, rt)
+    lk, rk = f"_l_{key_col}", f"_r_{key_col}"
+    lf = lf.withColumnRenamed(key_col, lk)
+    rf = rf.withColumnRenamed(key_col, rk)
+    cond = (
+        (F.col(lk) == F.col(rk))
+        & (F.col(rt) >= F.col(lt))
+        & (F.col(rt) <= F.col(lt) + F.expr(max_delay))
+    )
+    return (
+        lf.join(rf, cond, join_type)
+        .withColumnRenamed(lk, key_col)
+        .withColumnRenamed(lt, left_ts)
+        .withColumnRenamed(rt, f"{right_ts}_right")
+        .drop(rk)
+    )

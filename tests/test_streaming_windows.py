@@ -243,3 +243,49 @@ def test_session_window_stats_custom_value_col(spark):
         df, "user_id", "ts", gap="30 minutes", value_col="amount"
     ).first()
     assert r.n_events == 2 and r.total_value == 7.0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_smoke, tmp_path):
+    """streamed impression⋈click attribution == the same join run as a
+    batch query; watermark + band bound the state."""
+    from kusto_pre_forge_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "ts", "user_id")
+    views = ev.filter(F.col("event_id") % 3 == 0)
+    clicks = ev.filter(F.col("event_id") % 3 == 1).withColumnRenamed(
+        "event_id", "click_id"
+    )
+    # batch reference
+    want = sorted(
+        (r.user_id, r.ts, r.ts_right)
+        for r in stream_stream_interval_join(
+            views, clicks, "user_id",
+            watermark="365 days", max_delay="interval 30 minutes",
+        ).collect()
+    )
+    assert want, "fixture must produce matches"
+    vdir, cdir = tmp_path / "v", tmp_path / "c"
+    views.write.parquet(str(vdir))
+    clicks.write.parquet(str(cdir))
+    vs = spark.readStream.schema(views.schema).parquet(str(vdir))
+    cs = spark.readStream.schema(clicks.schema).parquet(str(cdir))
+    joined = stream_stream_interval_join(
+        vs, cs, "user_id",
+        watermark="365 days", max_delay="interval 30 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.ts, r.ts_right)
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    )
+    assert got == want

@@ -89,6 +89,7 @@ AUDITED = [
     ("text_unigram", "word-count scan + distinct-word Arrow tokenize joined back; no exploded-token shuffle beyond the histogram aggregate"),
     ("text_wordpiece", "same rank-dict shape as text_unigram: histogram aggregate + distinct-word tokenize, join back on the word key"),
     ("contamination_bloom", "Bloom bitset rides the corpus scan as a map-side getbit filter; the verify join receives only survivors"),
+    ("events_attribution_join", "equi-key hash join with the time band as a residual predicate; no cross join, no window"),
 ]
 
 
