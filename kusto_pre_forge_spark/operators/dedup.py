@@ -1198,9 +1198,21 @@ def incremental_semdedup_accept(
     new_a = cell_assign(
         new_df, id_col=id_col, vec_col=vec_col, n_cells=n_cells, centroids=centroids
     ).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "cell")
-    corpus_a = cell_assign(
-        corpus_df, id_col=id_col, vec_col=vec_col, n_cells=n_cells, centroids=centroids
-    ).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "cell")
+    if "cell" in corpus_df.columns:
+        # the store persisted assignments at accept time (frozen
+        # centroids) — the corpus side never re-scores, only the batch
+        # assigns; this is what makes per-trigger cost batch-shaped
+        corpus_a = corpus_df.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "cell"
+        )
+    else:
+        corpus_a = cell_assign(
+            corpus_df,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_cells=n_cells,
+            centroids=centroids,
+        ).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "cell")
 
     touched = new_a.select("cell").distinct()
     corpus_t = corpus_a.join(F.broadcast(touched), "cell")

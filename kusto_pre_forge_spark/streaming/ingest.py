@@ -308,9 +308,20 @@ class StreamingEtl:
             incremental_semdedup_accept,
         )
 
+        from kusto_pre_forge_spark.operators.similarity import cell_assign
+
         batch = batch_df.drop("_kpf_source").dropDuplicates([id_col])
         if not batch.head(1):
             return 0
+        # with FROZEN centroids the store persists each row's cell, so
+        # admission never re-scores the corpus (batch-shaped per-trigger
+        # cost); without them geometry shifts per batch → no stored cells
+        centroids = sem_kwargs.get("centroids")
+        store_schema = (
+            batch.schema
+            if centroids is None
+            else batch.withColumn("cell", F.lit(0)).schema
+        )
         try:
             corpus = (
                 self.spark.read.parquet(corpus_dir)
@@ -318,10 +329,19 @@ class StreamingEtl:
                 .drop("_kpf_batch")
             )
         except AnalysisException:  # first batch: store not created yet
-            corpus = self.spark.createDataFrame([], batch.schema)
+            corpus = self.spark.createDataFrame([], store_schema)
         accepted = incremental_semdedup_accept(
             corpus, batch, vec_col, id_col, **sem_kwargs
-        ).withColumn("_kpf_batch", F.lit(batch_id))
+        )
+        if centroids is not None:
+            accepted = cell_assign(
+                accepted,
+                id_col=id_col,
+                vec_col=vec_col,
+                n_cells=sem_kwargs.get("n_cells", 16),
+                centroids=centroids,
+            ).drop("cell_score")
+        accepted = accepted.withColumn("_kpf_batch", F.lit(batch_id))
         (
             accepted.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
