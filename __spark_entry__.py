@@ -1378,6 +1378,18 @@ def _q_corpus_budget_sample(spark, sf):
     return out.select("doc_id", "source", "n_chars")
 
 
+def _q_corpus_dsir_sample(spark, sf):
+    """DSIR importance resampling (Xie et al. 2023): learn a hashed
+    unigram+bigram log-ratio (target = 'en' docs vs the whole pool),
+    weight every document, draw 100 by deterministic Gumbel top-k.
+    Histogram aggregates are B-bounded, the log-ratio table broadcasts,
+    and the top-k plans as TakeOrderedAndProject — no global sort."""
+    from kusto_pre_forge_spark.operators import corpus as corpus_ops
+
+    d = load_table(spark, sf, "documents")
+    return corpus_ops.dsir_sample(d, d.filter(F.col("lang") == "en"), k=100)
+
+
 def _q_corpus_epoch_upsample(spark, sf):
     """Fractional-epoch upsampling — 2.3 epochs of 'en', 0.7 of the rest;
     deterministic per-(doc, epoch) md5 threshold, zero shuffle."""
@@ -4293,6 +4305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": _q_corpus_shuffle,
         "corpus_split": _q_corpus_split,
         "corpus_budget_sample": _q_corpus_budget_sample,
+        "corpus_dsir_sample": _q_corpus_dsir_sample,
         "corpus_epoch_upsample": _q_corpus_epoch_upsample,
         "corpus_pack": _q_corpus_pack,
         "corpus_line_dedup": _q_corpus_line_dedup,
@@ -6570,6 +6583,39 @@ def oracle_sql() -> dict[str, str]:
             "WHERE CAST(concat('0x', substr(md5(concat('kpf-budget', '|', "
             "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 "
             "< least(1.0, 20000 / CAST(total AS DOUBLE))"
+        ),
+        "corpus_dsir_sample": (
+            # full replay of DSIR: same md5 bucket fold, same Laplace
+            # smoothing (B=8192, s=1), same Gumbel-from-md5 key, both
+            # engines round to 4dp BEFORE the doc_id-tie-broken top-k
+            "WITH t AS (SELECT doc_id, lang, "
+            f"{_LTOKENS_SQL} AS toks FROM documents), "
+            "g AS (SELECT doc_id, lang, unnest(toks) AS gram FROM t "
+            "UNION ALL SELECT doc_id, lang, "
+            "unnest(list_transform(range(1, len(toks)), "
+            "i -> toks[i] || ' ' || toks[i+1])) AS gram "
+            "FROM t WHERE len(toks) >= 2), "
+            "b AS (SELECT doc_id, lang, "
+            "CAST(concat('0x', substr(md5(concat('kpf-dsir', '|', gram)), "
+            "1, 8)) AS BIGINT) % 8192 AS bucket FROM g), "
+            "th AS (SELECT bucket, count(*) AS ct FROM b "
+            "WHERE lang = 'en' GROUP BY 1), "
+            "rh AS (SELECT bucket, count(*) AS cr FROM b GROUP BY 1), "
+            "tn AS (SELECT sum(ct) AS nt FROM th), "
+            "rn AS (SELECT sum(cr) AS nr FROM rh), "
+            "lam AS (SELECT bucket, "
+            "ln((coalesce(ct, 0) + 1.0) / (nt + 8192.0)) "
+            "- ln((coalesce(cr, 0) + 1.0) / (nr + 8192.0)) AS lam "
+            "FROM th FULL OUTER JOIN rh USING (bucket), tn, rn), "
+            "w AS (SELECT b.doc_id, sum(lam) AS logw FROM b "
+            "JOIN lam USING (bucket) GROUP BY 1), "
+            "aw AS (SELECT d.doc_id, coalesce(w.logw, 0.0) AS logw "
+            "FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id) "
+            "SELECT doc_id, round(logw, 4) AS dsir_logw, "
+            "round(logw - ln(-ln((CAST(concat('0x', substr(md5(concat("
+            "'kpf-dsir-g', '|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) "
+            "+ 0.5) / 4294967296.0)), 4) AS sel_key FROM aw "
+            "ORDER BY sel_key DESC, doc_id ASC LIMIT 100"
         ),
         "corpus_epoch_upsample": (
             "WITH d AS (SELECT doc_id, lang, "

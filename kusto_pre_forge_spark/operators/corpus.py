@@ -616,3 +616,201 @@ def temperature_mix(
     )
     keep = (F.col(epoch_col) < F.floor(w)) | (u < (w - F.floor(w)))
     return out.filter(keep).drop("_kpf_rate")
+
+
+def _dsir_grams(col: Column) -> Column:
+    """Unigram + bigram occurrences (WITH multiplicity) of the lowercased
+    whitespace tokens — DSIR's hashed n-gram feature stream. Occurrence
+    counts matter (the importance weight is a product over token events,
+    not a set overlap), so unlike :func:`_word_ngrams` nothing is
+    deduplicated here."""
+    toks = F.filter(F.split(F.lower(F.trim(col)), WS_RE), lambda w: w != "")
+    n = F.size(toks)
+    bi = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bi)
+
+
+def _dsir_bucket(gram: Column, n_buckets: int, salt: str) -> Column:
+    """md5-fold of an n-gram into one of ``n_buckets`` hash features.
+    md5 (not xxhash64) so any engine — including the DuckDB oracle — can
+    replay the exact bucket assignment."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(salt), gram)), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(int(n_buckets)),
+    )
+
+
+def dsir_logratio(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    smoothing: float = 1.0,
+    salt: str = "kpf-dsir",
+) -> DataFrame:
+    """Hashed-n-gram importance log-ratio table — the learned half of DSIR
+    (Data Selection via Importance Resampling, Xie et al. 2023,
+    arXiv:2302.03169 §3): fit two bag-of-hashed-n-gram models, one on the
+    ``target`` distribution (the data you wish you had more of) and one on
+    the ``raw`` pool, and emit per-bucket
+    ``lam = ln p_target(b) - ln p_raw(b)`` with Laplace smoothing
+    ``p(b) = (c_b + s) / (N + s·B)``.
+
+    Returns ``(bucket, lam)`` with at most ``n_buckets`` rows.
+
+    Scale: each corpus contributes ONE map-side-combined count aggregate
+    whose key space is bounded by ``n_buckets`` — the shuffle moves at
+    most B rows per map task regardless of corpus size, and the totals
+    ride along as a grand-total aggregate. The join of the two histograms
+    is B×B-bounded (kilobytes). Nothing here scales with document count
+    except the scan itself.
+
+    The reference has no selection machinery at all — its mission ends at
+    partitioned ingestion (`code/KustoPreForgeLib/EtlRun.cs:123-137`);
+    this extends the corpus-assembly family per the round brief.
+    """
+    B = int(n_buckets)
+    s = float(smoothing)
+
+    def hist(df: DataFrame, cname: str) -> DataFrame:
+        g = df.select(
+            F.explode(_dsir_grams(F.col(text_col))).alias("_gram")
+        ).select(_dsir_bucket(F.col("_gram"), B, salt).alias("bucket"))
+        return g.groupBy("bucket").agg(F.count("*").alias(cname))
+
+    th = hist(target, "_ct")
+    rh = hist(raw, "_cr")
+    tn = th.agg(F.sum("_ct").alias("_nt"))
+    rn = rh.agg(F.sum("_cr").alias("_nr"))
+    j = (
+        th.join(rh, "bucket", "full_outer")
+        .crossJoin(F.broadcast(tn))
+        .crossJoin(F.broadcast(rn))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("_ct"), F.lit(0)).cast("double") + F.lit(s))
+                    / (F.col("_nt").cast("double") + F.lit(s * B))
+                )
+                - F.log(
+                    (F.coalesce(F.col("_cr"), F.lit(0)).cast("double") + F.lit(s))
+                    / (F.col("_nr").cast("double") + F.lit(s * B))
+                )
+            ).alias("lam"),
+        )
+    )
+    return j
+
+
+def dsir_weights(
+    raw: DataFrame,
+    logratio: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    salt: str = "kpf-dsir",
+    weight_col: str = "dsir_logw",
+) -> DataFrame:
+    """Per-document DSIR importance log-weight: the sum of the bucket
+    log-ratios over the document's n-gram OCCURRENCES (multiplicity
+    counts — Xie et al. 2023 eq. 3's product of per-feature probabilities
+    in log space). Documents with no tokens get weight 0.
+
+    Plan: explode grams (map-only), broadcast-join the ≤``n_buckets``-row
+    ``logratio`` table (a few MB at B=64k — always broadcastable), then
+    ONE map-side-combined sum keyed by ``id_col``. The only data-sized
+    shuffle is that final per-doc aggregation, which partial-aggregates
+    before the exchange.
+    """
+    grams = raw.select(
+        F.col(id_col), F.explode(_dsir_grams(F.col(text_col))).alias("_gram")
+    ).select(
+        id_col, _dsir_bucket(F.col("_gram"), int(n_buckets), salt).alias("bucket")
+    )
+    per_doc = (
+        grams.join(F.broadcast(logratio), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("lam").alias(weight_col))
+    )
+    return raw.join(per_doc, id_col, "left").withColumn(
+        weight_col, F.coalesce(F.col(weight_col), F.lit(0.0))
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    smoothing: float = 1.0,
+    salt: str = "kpf-dsir",
+    weight_col: str = "dsir_logw",
+    key_col: str = "sel_key",
+    key_decimals: int = 4,
+) -> DataFrame:
+    """DSIR selection end-to-end: learn the hashed-n-gram log-ratio from
+    ``target`` vs ``raw``, weight every raw document, and draw ``k``
+    documents by **Gumbel top-k** — equivalent to sampling without
+    replacement proportionally to the importance weights (Vieira 2014),
+    but as a deterministic ORDER BY: ``sel_key = logw + Gumbel(u)`` where
+    ``u`` derives from an md5 content hash of the document id, so the
+    draw is RNG-free and replayable on any engine.
+
+    Both ``sel_key`` and the reported weight are rounded to
+    ``key_decimals`` BEFORE the top-k (ties broken on ``id_col``), which
+    pins the selection against last-bit float divergence across engines —
+    the sum of a few hundred log terms agrees across summation orders to
+    ~1e-11, far inside a 1e-4 rounding step.
+
+    Scale: the learned table is B-bounded (see :func:`dsir_logratio`),
+    the weighting is one partial-agg shuffle (see :func:`dsir_weights`),
+    and the top-k plans as TakeOrderedAndProject — per-partition heaps of
+    size k, never a global sort.
+    """
+    lam = dsir_logratio(
+        target, raw, text_col=text_col, n_buckets=n_buckets,
+        smoothing=smoothing, salt=salt,
+    )
+    w = dsir_weights(
+        raw, lam, text_col=text_col, id_col=id_col, n_buckets=n_buckets,
+        salt=salt, weight_col=weight_col,
+    )
+    # Gumbel noise from an md5 unit shifted off 0 (u=0 would make
+    # -ln(-ln u) undefined): u = (h + 0.5) / 2^32 ∈ (0, 1).
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.lit(salt + "-g"), F.col(id_col).cast("string"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.round(
+        F.col(weight_col) - F.log(-F.log(u)), int(key_decimals)
+    ).alias(key_col)
+    return (
+        w.select(
+            id_col,
+            F.round(F.col(weight_col), int(key_decimals)).alias(weight_col),
+            key,
+        )
+        .orderBy(F.col(key_col).desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )

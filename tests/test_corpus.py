@@ -273,3 +273,32 @@ def test_contamination_bloom_path_equals_broadcast_path(spark, sf_smoke):
     a = sorted(map(tuple, base.collect()))
     b = sorted(map(tuple, bloomed.collect()))
     assert a == b and len(a) > 0
+
+
+def test_dsir_targets_rank_higher_and_deterministic(spark):
+    """DSIR with target='en' must rank en-like docs above non-en on
+    average, select exactly k, and replay identically across runs."""
+    from kusto_pre_forge_spark.operators import corpus as co
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sel = co.dsir_sample(d, d.filter(F.col("lang") == "en"), k=30)
+    rows = sel.collect()
+    assert len(rows) == 30
+    assert list(sel.columns) == ["doc_id", "dsir_logw", "sel_key"]
+    # selected docs skew en: compare en share in selection vs pool
+    langs = {r.doc_id: r.lang for r in d.select("doc_id", "lang").collect()}
+    sel_en = sum(1 for r in rows if langs[r.doc_id] == "en") / len(rows)
+    pool_en = sum(1 for v in langs.values() if v == "en") / len(langs)
+    assert sel_en > pool_en, (sel_en, pool_en)
+    # weights: en docs carry higher mean log-weight than zh docs
+    w = co.dsir_weights(
+        d, co.dsir_logratio(d.filter(F.col("lang") == "en"), d)
+    )
+    means = {
+        r.lang: r.m
+        for r in w.groupBy("lang").agg(F.avg("dsir_logw").alias("m")).collect()
+    }
+    assert means["en"] > means["zh"], means
+    # deterministic replay
+    again = co.dsir_sample(d, d.filter(F.col("lang") == "en"), k=30).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
