@@ -1963,6 +1963,71 @@ def _q_kql_top_hitters(spark, sf):
     ).withColumn("hits", F.col("hits").cast("long"))
 
 
+def _q_heavy_hitters_sketch(spark, sf):
+    """SpaceSaving heavy-hitters sketch (bounded n_buckets×k state) with
+    its guarantee surfaced as a predictive oracle: every item whose true
+    per-bucket count exceeds N_b/k must be captured with
+    true ≤ est ≤ true + N_b/k — the oracle computes the exact heavy set
+    in SQL and predicts captured/est_ok ≡ true."""
+    e = load_table(spark, sf, "events")
+    k = 32
+    sk = kql.heavy_hitters_sketch(e, "user_id", k=k, n_buckets=8)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit("kpf-hh"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(8),
+    )
+    exact = (
+        e.select(F.col("user_id").cast("string").alias("item"), bucket.alias("bucket"))
+        .groupBy("bucket", "item")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    totals = exact.groupBy("bucket").agg(F.sum("true_count").alias("_nb"))
+    heavy = exact.join(F.broadcast(totals), "bucket").filter(
+        F.col("true_count") * k > F.col("_nb")
+    )
+    j = heavy.join(sk, ["bucket", "item"], "left")
+    return j.select(
+        "bucket",
+        "item",
+        "true_count",
+        F.col("est").isNotNull().alias("captured"),
+        F.coalesce(
+            (F.col("est") >= F.col("true_count"))
+            & (
+                F.col("est")
+                <= F.col("true_count") + F.floor(F.col("_nb") / k)
+            ),
+            F.lit(False),
+        ).alias("est_ok"),
+    )
+
+
+def _q_kql_find(spark, sf):
+    """KQL find in (customer, supplier) where * contains '00001' —
+    cross-table search: per-table predicate over that table's own string
+    columns (pushed to each scan), schema-union with null padding and a
+    source_ tag. No shuffle — the union is plan-level only."""
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    return kql.find_in(
+        {"customer": c, "supplier": s},
+        term="00001",
+        project=["c_custkey", "c_name", "s_suppkey", "s_name"],
+    )
+
+
 def _q_set_union(spark, sf):
     """KQL union — by-name union of heterogeneous tables with null fill
     (customer and supplier share only the name/nationkey shape)."""
@@ -4298,6 +4363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_series_fill_linear": _q_kql_series_fill_linear,
         "kql_lookup": _q_kql_lookup,
         "kql_top_hitters": _q_kql_top_hitters,
+        "kql_find": _q_kql_find,
+        "heavy_hitters_sketch": _q_heavy_hitters_sketch,
         "kql_series_outliers": _q_kql_series_outliers,
         "pipeline_docs_clean": _q_pipeline_docs_clean,
         "pipeline_corpus_mix": _q_pipeline_corpus_mix,
@@ -6733,6 +6800,32 @@ def oracle_sql() -> dict[str, str]:
         "kql_top_hitters": (
             "SELECT user_id, count(*) AS hits FROM events"
             " GROUP BY 1 ORDER BY hits DESC, user_id LIMIT 5"
+        ),
+        "heavy_hitters_sketch": (
+            # predictive oracle: the exact heavy set (count*k > N_b, same
+            # md5 bucket fold) must be captured in-bounds by SpaceSaving
+            "WITH b AS (SELECT CAST(user_id AS VARCHAR) AS item, "
+            "CAST(concat('0x', substr(md5(concat('kpf-hh', '|', "
+            "CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8 AS bucket "
+            "FROM events), "
+            "c AS (SELECT bucket, item, count(*) AS true_count "
+            "FROM b GROUP BY 1, 2), "
+            "t AS (SELECT bucket, sum(true_count) AS n_b FROM c GROUP BY 1) "
+            "SELECT bucket, item, true_count, "
+            "true AS captured, true AS est_ok "
+            "FROM c JOIN t USING (bucket) WHERE true_count * 32 > n_b"
+        ),
+        "kql_find": (
+            # per-table `* contains` over that table's own string columns,
+            # then schema union with null padding + source_ tag
+            "SELECT 'customer' AS source_, c_custkey, c_name, "
+            "CAST(NULL AS BIGINT) AS s_suppkey, CAST(NULL AS VARCHAR) AS s_name "
+            "FROM customer WHERE contains(lower(c_name), '00001') "
+            "OR contains(lower(c_mktsegment), '00001') "
+            "UNION ALL "
+            "SELECT 'supplier', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), "
+            "s_suppkey, s_name FROM supplier "
+            "WHERE contains(lower(s_name), '00001')"
         ),
         "kql_series_fill_linear": (
             "WITH src AS (SELECT * FROM events WHERE value > 4.0"

@@ -719,6 +719,86 @@ def top_hitters(
     return agg.orderBy(F.col(count_name).desc(), F.col(of)).limit(k)
 
 
+def heavy_hitters_sketch(
+    df: DataFrame,
+    item_col: str,
+    k: int = 16,
+    n_buckets: int = 8,
+    salt: str = "kpf-hh",
+) -> DataFrame:
+    """SpaceSaving heavy-hitters sketch (Metwally et al. 2005) — the
+    bounded-memory form of KQL ``top-hitters`` (what Kusto itself runs
+    under that operator; :func:`top_hitters` is the exact twin). Items
+    hash (md5 — oracle-replayable) into ``n_buckets`` groups; each group
+    keeps AT MOST ``k`` ``(item, est, err)`` counters: a hit increments
+    its counter, a new item beyond capacity evicts the minimum counter m
+    and starts at ``est = m.est + 1, err = m.est``. Guarantees (per
+    bucket, N = bucket rows): every item with true count > N/k is
+    retained, ``true ≤ est ≤ true + N/k``.
+
+    Batch determinism: each bucket's rows are processed in sorted item
+    order and min-ties evict the lexicographically LAST item, so the
+    sketch is a pure function of the multiset — replayable by tests and
+    oracles. The streaming twin
+    (:func:`~kusto_pre_forge_spark.streaming.windows.streaming_heavy_hitters`)
+    processes in arrival order and carries the counters across
+    micro-batches as explicit state.
+
+    Scale: state is ``n_buckets × k`` counters TOTAL regardless of
+    distinct-item cardinality — this is the op to reach for when the
+    exact ``groupBy(item)`` would shuffle a distinct-key set too large to
+    aggregate (the situation KQL's approximation exists for). One keyed
+    shuffle of (bucket, item); Arrow-batched pandas, no per-row Python.
+    """
+    if k < 1 or n_buckets < 2:
+        raise ValueError("k >= 1 and n_buckets >= 2 required")
+    src = df.select(
+        F.col(item_col).cast("string").alias("item"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(salt), F.col(item_col).cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(int(n_buckets)),
+        ).alias("bucket"),
+    )
+
+    def run(pdf):
+        import pandas as pd
+
+        bucket = int(pdf["bucket"].iloc[0])
+        counters: dict[str, list[int]] = {}  # item -> [est, err]
+        for item in sorted(pdf["item"]):
+            if item in counters:
+                counters[item][0] += 1
+            elif len(counters) < k:
+                counters[item] = [1, 0]
+            else:
+                evict = max(
+                    counters, key=lambda it: (-counters[it][0], it)
+                )  # min est; ties -> lexicographically last item
+                m = counters.pop(evict)[0]
+                counters[item] = [m + 1, m]
+        items = sorted(counters)
+        return pd.DataFrame(
+            {
+                "bucket": [bucket] * len(items),
+                "item": items,
+                "est": [counters[i][0] for i in items],
+                "err": [counters[i][1] for i in items],
+            }
+        )
+
+    return src.groupBy("bucket").applyInPandas(
+        run, "bucket long, item string, est long, err long"
+    )
+
+
 def datatable(spark: SparkSession, schema: str, *rows: tuple) -> DataFrame:
     """KQL ``datatable(col:type, ...) [values]`` — inline literal table
     (the let-bound test fixtures shape, NoHeaderNoCompressionTest.cs:21-38).
@@ -1623,6 +1703,52 @@ def sample_distinct(
         .limit(n)
         .drop("_h")
     )
+
+
+def find_in(
+    tables: "Mapping[str, DataFrame]",
+    term: str | None = None,
+    predicate: Column | None = None,
+    project: "Sequence[str] | None" = None,
+    source_col: str = "source_",
+) -> DataFrame:
+    """KQL ``find in (T1, T2, …) where * contains term [project …]`` —
+    the cross-table search operator. The reference emits per-table KQL and
+    lets Kusto fan the search out (`code/KustoPreForgeLib/` delegates all
+    querying); here each table gets its own scan-local predicate — ``term``
+    becomes a case-insensitive substring test OVER THAT TABLE'S OWN string
+    columns (KQL's ``*`` wildcard), or pass an explicit ``predicate``
+    Column applied to every table — and the matches union by name with a
+    ``source_`` tag, null-padding columns a table lacks (KQL's schema
+    union). ``project`` limits output to the named columns where present.
+
+    Scale: the per-table filter sits directly over each scan (predicate
+    pushdown / column pruning apply per source); the union is plan-level
+    only — no shuffle is introduced at any size.
+    """
+    if (term is None) == (predicate is None):
+        raise ValueError("exactly one of term / predicate is required")
+    parts = []
+    for name, df in tables.items():
+        if term is not None:
+            strcols = [c for c, t in df.dtypes if t == "string"]
+            pred = F.lit(False)
+            for c in strcols:
+                pred = pred | F.contains(F.lower(F.col(c)), F.lit(term.lower()))
+        else:
+            pred = predicate
+        cols = (
+            [c for c in project if c in df.columns]
+            if project is not None
+            else list(df.columns)
+        )
+        parts.append(
+            df.filter(pred).select(F.lit(name).alias(source_col), *cols)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def reduce_by(

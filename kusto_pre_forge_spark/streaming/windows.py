@@ -337,3 +337,114 @@ def stream_stream_interval_join(
         .withColumnRenamed(rt, f"{right_ts}_right")
         .drop(rk)
     )
+
+
+HH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("ests", T.ArrayType(T.LongType())),
+        T.StructField("errs", T.ArrayType(T.LongType())),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+HH_OUTPUT_SCHEMA = "bucket long, item string, est long, err long, bucket_rows long"
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    item_col: str,
+    k: int = 16,
+    n_buckets: int = 8,
+    salt: str = "kpf-hh",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming SpaceSaving heavy hitters — the stateful twin of
+    :func:`~kusto_pre_forge_spark.operators.kql.heavy_hitters_sketch`.
+    Items hash (md5, same fold as the batch twin) into ``n_buckets``
+    groups; each group's ≤``k`` ``(item, est, err)`` counters persist
+    across micro-batches in ``applyInPandasWithState``, so the sketch
+    covers the WHOLE stream, not just the current batch. Every batch each
+    bucket re-emits its full counter table plus the lifetime row count —
+    downstream consumers read the latest emission per bucket.
+
+    State is ``n_buckets × k`` counters forever (bounded regardless of
+    stream length or item cardinality); SpaceSaving's guarantees hold
+    over the lifetime stream: every item with true count > N/k per bucket
+    is present, ``true ≤ est ≤ true + N/k``. Within a batch, rows are
+    applied in arrival order (the streaming contract); the batch twin
+    sorts instead — both orders satisfy the guarantees, tests pin each
+    separately.
+    """
+    if k < 1 or n_buckets < 2:
+        raise ValueError("k >= 1 and n_buckets >= 2 required")
+    src = events.select(
+        F.col(item_col).cast("string").alias("item"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit(salt), F.col(item_col).cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(int(n_buckets)),
+        ).alias("bucket"),
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            items, ests, errs, n = state.get
+            counters = {
+                it: [int(e), int(r)] for it, e, r in zip(items, ests, errs)
+            }
+            n = int(n)
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            for item in pdf["item"]:
+                n += 1
+                if item in counters:
+                    counters[item][0] += 1
+                elif len(counters) < k:
+                    counters[item] = [1, 0]
+                else:
+                    evict = max(
+                        counters, key=lambda it: (-counters[it][0], it)
+                    )
+                    m = counters.pop(evict)[0]
+                    counters[item] = [m + 1, m]
+        out_items = sorted(counters)
+        state.update(
+            (
+                out_items,
+                [counters[i][0] for i in out_items],
+                [counters[i][1] for i in out_items],
+                n,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(out_items),
+                "item": out_items,
+                "est": [counters[i][0] for i in out_items],
+                "err": [counters[i][1] for i in out_items],
+                "bucket_rows": [n] * len(out_items),
+            }
+        )
+
+    return src.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

@@ -1730,3 +1730,81 @@ def test_series_fit_poly_recovers_coefficients(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         kql.series_fit_poly("s", degree=3)
+
+
+def test_find_in_cross_table_search(spark):
+    """find: per-table string search, schema union with null padding,
+    source_ tag; explicit-predicate mode; arg validation."""
+    a = spark.createDataFrame(
+        [(1, "alpha Bravo", 10.0), (2, "charlie", 20.0)], "id long, txt string, v double"
+    )
+    b = spark.createDataFrame(
+        [(3, "BRAVO delta"), (4, "echo")], "id long, note string"
+    )
+    out = kql.find_in({"a": a, "b": b}, term="bravo")
+    rows = {(r.source_, r.id): r for r in out.collect()}
+    assert set(rows) == {("a", 1), ("b", 3)}
+    assert rows[("a", 1)].txt == "alpha Bravo" and rows[("a", 1)].note is None
+    assert rows[("b", 3)].note == "BRAVO delta" and rows[("b", 3)].v is None
+    # predicate mode applies the same Column to every table
+    out2 = kql.find_in({"a": a, "b": b}, predicate=F.col("id") >= 2)
+    assert sorted((r.source_, r.id) for r in out2.collect()) == [
+        ("a", 2), ("b", 3), ("b", 4),
+    ]
+    # project keeps only named columns present per table
+    out3 = kql.find_in({"a": a, "b": b}, term="bravo", project=["txt", "note"])
+    assert out3.columns == ["source_", "txt", "note"]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        kql.find_in({"a": a}, term="x", predicate=F.lit(True))
+    with _pt.raises(ValueError):
+        kql.find_in({"a": a})
+
+
+def test_heavy_hitters_sketch_replays_reference_algorithm(spark):
+    """Spark's per-bucket SpaceSaving == a reference Python replay (same
+    sorted order + tie-break), and the capture/bound guarantees hold."""
+    import hashlib
+
+    K, B, SALT = 3, 2, "kpf-hh"
+    items = ["a"] * 10 + ["b"] * 6 + [c for c in "cdefghij"]
+    df = spark.createDataFrame([(i,) for i in items], "item string")
+    out = kql.heavy_hitters_sketch(df, "item", k=K, n_buckets=B, salt=SALT)
+    got = {(r.bucket, r.item): (r.est, r.err) for r in out.collect()}
+
+    def bucket_of(it):
+        h = hashlib.md5(f"{SALT}|{it}".encode()).hexdigest()[:8]
+        return int(h, 16) % B
+
+    # reference replay per bucket
+    expect = {}
+    from collections import Counter
+    for b in range(B):
+        seq = sorted(i for i in items if bucket_of(i) == b)
+        counters = {}
+        for item in seq:
+            if item in counters:
+                counters[item][0] += 1
+            elif len(counters) < K:
+                counters[item] = [1, 0]
+            else:
+                evict = max(counters, key=lambda it: (-counters[it][0], it))
+                m = counters.pop(evict)[0]
+                counters[item] = [m + 1, m]
+        for it, (e, r) in counters.items():
+            expect[(b, it)] = (e, r)
+    assert got == expect
+    # guarantees: per bucket, any item with true > N_b/K captured in-bounds
+    true = Counter(items)
+    for b in range(B):
+        nb = sum(c for i, c in true.items() if bucket_of(i) == b)
+        for i, c in true.items():
+            if bucket_of(i) == b and c * K > nb:
+                est, err = got[(b, i)]
+                assert c <= est <= c + nb // K, (i, c, est, nb)
+    # bounded summary width
+    from collections import defaultdict
+    per_bucket = defaultdict(int)
+    for (b, _i) in got:
+        per_bucket[b] += 1
+    assert all(v <= K for v in per_bucket.values())

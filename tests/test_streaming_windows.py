@@ -289,3 +289,64 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_smoke, tmp_path):
         for r in spark.sql("SELECT * FROM ssj").collect()
     )
     assert got == want
+
+
+def test_streaming_heavy_hitters_state_across_batches(spark, tmp_path):
+    """SpaceSaving counters persist across micro-batches: the second
+    batch's emission reflects the WHOLE stream's counts, and lifetime
+    bucket_rows accumulates."""
+    from collections import Counter
+    import hashlib
+
+    from kusto_pre_forge_spark.streaming.windows import streaming_heavy_hitters
+
+    K, B, SALT = 4, 2, "kpf-hh"
+    w0 = ["x"] * 20 + ["y"] * 5
+    w1 = ["x"] * 10 + ["z"] * 3
+    land = tmp_path / "hh"
+    spark.createDataFrame([(i,) for i in w0], "item string").coalesce(1).write.parquet(
+        str(land / "w0")
+    )
+    import time as _time
+
+    _time.sleep(1.1)
+    spark.createDataFrame([(i,) for i in w1], "item string").coalesce(1).write.parquet(
+        str(land / "w1")
+    )
+    src = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "*"))
+    )
+    q = (
+        streaming_heavy_hitters(src, "item", k=K, n_buckets=B, salt=SALT)
+        .writeStream.format("memory")
+        .queryName("hh_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM hh_out").collect()
+
+    def bucket_of(it):
+        h = hashlib.md5(f"{SALT}|{it}".encode()).hexdigest()[:8]
+        return int(h, 16) % B
+
+    true = Counter(w0 + w1)
+    # latest emission per (bucket, item) = max bucket_rows
+    latest = {}
+    for r in rows:
+        cur = latest.get((r.bucket, r.item))
+        if cur is None or r.bucket_rows > cur[1]:
+            latest[(r.bucket, r.item)] = (r.est, r.bucket_rows)
+    # x spans both batches: its final est must count all 30 occurrences
+    bx = bucket_of("x")
+    assert latest[(bx, "x")][0] == 30, latest
+    # lifetime rows per bucket accumulate across batches
+    per_bucket_rows = {}
+    for (b, _i), (_e, n) in latest.items():
+        per_bucket_rows[b] = max(per_bucket_rows.get(b, 0), n)
+    total_rows = sum(per_bucket_rows.values())
+    assert total_rows == len(w0) + len(w1), per_bucket_rows
