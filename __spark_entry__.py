@@ -3045,6 +3045,64 @@ def _q_multimodal_image_dhash_gif(spark, sf):
     )
 
 
+def _q_multimodal_gif_dhash(spark, sf):
+    """Per-frame dHash over REAL animated-GIF decode with a
+    transparency-sensitive fixture: frame 0 is a gradient (dhash -1),
+    frame 1 is a FULLY TRANSPARENT overlay (canvas must stay the
+    gradient → -1; if transparency were ignored its literal constant
+    content would hash 0), frame 2 is an opaque constant (0). The oracle
+    predicts every hash from the rule — GIF decode is lossless, so the
+    bits are exact."""
+    from kusto_pre_forge_spark.operators import multimodal
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id")
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        from kusto_pre_forge_spark.operators import mediacodec
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 18, 8
+                grad = bytes(
+                    b for x in range(w) for b in (x * 14, x * 14, x * 14)
+                ) * h
+                tcol = (255, 0, 255)
+                trans = bytes(b for _ in range(w * h) for b in tcol)
+                const = bytes([(i * 31) % 256] * 3) * (w * h)
+                blobs.append(
+                    mediacodec.encode_gif_animation(
+                        w,
+                        h,
+                        [
+                            {"pixels": grad, "disposal": 1},
+                            {
+                                "pixels": trans,
+                                "transparent": tcol,
+                                "disposal": 1,
+                            },
+                            {"pixels": const, "disposal": 1},
+                        ],
+                    )
+                )
+                ids.append(i)
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    return multimodal.video_frame_dhash(blobs).select(
+        "doc_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        "dhash",
+    )
+
+
 def _q_multimodal_video_dhash(spark, sf):
     """Per-frame perceptual dHash over REAL decoded video: MJPEG-in-AVI
     fixtures (4 frames per doc; frame parity decides gradient vs
@@ -4491,6 +4549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_dhash_jpeg": _q_multimodal_image_dhash_jpeg,
         "multimodal_image_dhash_gif": _q_multimodal_image_dhash_gif,
         "multimodal_video_dhash": _q_multimodal_video_dhash,
+        "multimodal_gif_dhash": _q_multimodal_gif_dhash,
         "multimodal_dedup_pairs": _q_multimodal_dedup_pairs,
         "multimodal_audio_fp": _q_multimodal_audio_fp,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
@@ -7527,6 +7586,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "CAST(0 AS INT) AS distance "
             "FROM d a JOIN d b ON b.cls = a.cls AND b.doc_id > a.doc_id"
+        ),
+        "multimodal_gif_dhash": (
+            # fixture rule: frame 0 gradient -> -1; frame 1 fully
+            # transparent overlay -> canvas unchanged -> -1 (compositing
+            # proof); frame 2 opaque constant -> 0; docs under id 40
+            "SELECT d.doc_id, CAST(f.fi AS BIGINT) AS frame_index, "
+            "CAST(CASE WHEN f.fi < 2 THEN -1 ELSE 0 END AS BIGINT) AS dhash "
+            "FROM documents d CROSS JOIN (VALUES (0), (1), (2)) f(fi) "
+            "WHERE d.doc_id < 40"
         ),
         "multimodal_video_dhash": (
             # fixture rule: frame (doc+frame) even -> gradient -> -1,

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import struct
 import zlib
+from collections.abc import Sequence
 
 # ---------------------------------------------------------------- probing
 
@@ -1124,12 +1125,13 @@ def _write_jpeg_block(bw_, blk, encs, pred: int) -> int:
 
 # ---------------------------------------------------------------- GIF codec
 #
-# GIF87a/89a still-image decode — pure stdlib: the container is palette
-# indices compressed with variable-width LZW (LSB-first code packing).
-# Closes the "header-only" gap for the third common image container (the
-# first frame of an animation decodes; later frames would need disposal
-# compositing nobody needs for corpus fingerprinting). encode_gif forges
-# spec-valid fixtures with a real LZW compressor.
+# GIF87a/89a decode — pure stdlib: the container is palette indices
+# compressed with variable-width LZW (LSB-first code packing). Covers
+# stills AND full animations (decode_gif_frames: per-frame Graphic
+# Control transparency + disposal compositing), so GIF joins MJPEG-AVI
+# as a real video-frame source for the sampling pipeline. encode_gif /
+# encode_gif_animation forge spec-valid fixtures with a real LZW
+# compressor.
 
 
 def _gif_lzw_decode(min_code_size: int, data: bytes) -> bytearray:
@@ -1178,11 +1180,22 @@ def _gif_lzw_decode(min_code_size: int, data: bytes) -> bytearray:
     return out
 
 
-def decode_gif(raw: bytes):
-    """Decode the FIRST frame of a GIF → (width, height, 3, RGB bytes) at
-    logical-screen size: canvas filled with the background palette color,
-    frame composited at its (left, top) offset, interlacing unwoven.
-    Raises ValueError on malformed input."""
+def decode_gif_frames(raw: bytes, max_frames: int | None = None):
+    """Decode a GIF — still OR animated — into composited full-canvas
+    frames: ``(width, height, frames, delays_cs)`` where ``frames`` is a
+    list of RGB byte buffers at logical-screen size and ``delays_cs`` the
+    per-frame Graphic Control delays in centiseconds (0 when absent).
+
+    Full GIF89a animation semantics, stdlib-only: each frame composites
+    at its (left, top) sub-rectangle onto the running canvas,
+    Graphic-Control transparency indices leave the underlying pixels
+    visible, and the disposal method is applied AFTER the frame is
+    snapshotted — 0/1 leave the canvas, 2 restores the frame rectangle to
+    the background color, 3 restores the pre-frame canvas. Interlaced
+    frames are unwoven per the 4-pass row order. ``max_frames`` stops
+    early (the frame-sampling path decodes only what it keeps).
+    Raises ValueError on malformed input.
+    """
     hdr = parse_gif_header(raw)
     if hdr is None:
         raise ValueError("not a GIF")
@@ -1195,11 +1208,27 @@ def decode_gif(raw: bytes):
         ncolors = 2 << (packed & 0x07)
         gct = raw[pos : pos + 3 * ncolors]
         pos += 3 * ncolors
+    if gct is not None and 3 * bg_index + 3 <= len(gct):
+        bg = gct[3 * bg_index : 3 * bg_index + 3]
+    else:
+        bg = b"\x00\x00\x00"
+    canvas = bytearray(bg * (sw * sh))
+    frames: list[bytes] = []
+    delays: list[int] = []
+    gce: tuple[int, int | None, int] | None = None  # (disposal, tidx, delay)
     while pos < len(raw):
         intro = raw[pos]
         if intro == 0x3B:  # trailer
             break
-        if intro == 0x21:  # extension: skip sub-blocks
+        if intro == 0x21:  # extension
+            if pos + 1 < len(raw) and raw[pos + 1] == 0xF9 and pos + 7 < len(raw):
+                flags = raw[pos + 3]
+                delay = raw[pos + 4] | (raw[pos + 5] << 8)
+                gce = (
+                    (flags >> 2) & 0x07,
+                    raw[pos + 6] if flags & 0x01 else None,
+                    delay,
+                )
             pos += 2
             while pos < len(raw) and raw[pos] != 0:
                 pos += 1 + raw[pos]
@@ -1239,10 +1268,8 @@ def decode_gif(raw: bytes):
             for r in rows:
                 flat += r
             idx = flat
-        # composite onto the background-filled logical screen
-        bgo = 3 * bg_index
-        bg = ct[bgo : bgo + 3] if bgo + 3 <= len(ct) else b"\x00\x00\x00"
-        canvas = bytearray(bg * (sw * sh))
+        disposal, tidx, delay = gce if gce is not None else (0, None, 0)
+        saved = bytes(canvas) if disposal == 3 else None
         # a palette index past the color table would make ct[c:c+3] a
         # short slice; assigning it into the 3-byte canvas slice silently
         # SHRINKS the bytearray, corrupting every later pixel and breaking
@@ -1254,13 +1281,41 @@ def decode_gif(raw: bytes):
                 break
             row = idx[y * fw : (y + 1) * fw]
             for x in range(min(fw, sw - left)):
-                o = 3 * (cy * sw + left + x)
                 if row[x] >= n_colors:
                     raise ValueError("corrupt GIF: palette index out of range")
+                if tidx is not None and row[x] == tidx:
+                    continue  # transparent: underlying pixel shows through
+                o = 3 * (cy * sw + left + x)
                 c = 3 * row[x]
                 canvas[o : o + 3] = ct[c : c + 3]
-        return sw, sh, 3, bytes(canvas)
-    raise ValueError("no image data in GIF")
+        frames.append(bytes(canvas))
+        delays.append(delay)
+        if max_frames is not None and len(frames) >= max_frames:
+            return sw, sh, frames, delays
+        if disposal == 2:  # restore frame rect to background
+            for y in range(fh):
+                cy = top + y
+                if cy >= sh:
+                    break
+                for x in range(min(fw, sw - left)):
+                    o = 3 * (cy * sw + left + x)
+                    canvas[o : o + 3] = bg
+        elif disposal == 3 and saved is not None:
+            canvas = bytearray(saved)
+        gce = None
+    if not frames:
+        raise ValueError("no image data in GIF")
+    return sw, sh, frames, delays
+
+
+def decode_gif(raw: bytes):
+    """Decode the FIRST frame of a GIF → (width, height, 3, RGB bytes) at
+    logical-screen size: canvas filled with the background palette color,
+    frame composited at its (left, top) offset, interlacing unwoven,
+    Graphic-Control transparency honored. Raises ValueError on malformed
+    input. (Thin wrapper over :func:`decode_gif_frames`.)"""
+    sw, sh, frames, _delays = decode_gif_frames(raw, max_frames=1)
+    return sw, sh, 3, frames[0]
 
 
 def _gif_lzw_encode(min_code_size: int, indices: bytes) -> bytes:
@@ -1354,6 +1409,81 @@ def encode_gif(
         chunk = lzw[i : i + 255]
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def encode_gif_animation(
+    width: int, height: int, frames: "Sequence[dict]"
+) -> bytes:
+    """Spec-valid animated GIF89a fixture encoder (real LZW, GCE blocks).
+
+    Each frame dict: ``pixels`` (RGB bytes, fw*fh*3), ``left``/``top``
+    (default 0), ``fw``/``fh`` (default full canvas), ``delay_cs``
+    (default 4), ``disposal`` (0-3, default 1), ``transparent`` (an RGB
+    3-tuple whose pixels become the GCE transparent index, default None).
+    One GLOBAL color table is built across all frames (≤256 colors —
+    raises otherwise), so the tests' hand-computed composites and the
+    decoder agree color-for-color.
+    """
+    palette: dict[bytes, int] = {}
+
+    def idx_of(c: bytes) -> int:
+        j = palette.get(c)
+        if j is None:
+            j = len(palette)
+            if j >= 256:
+                raise ValueError("more than 256 distinct colors")
+            palette[c] = j
+        return j
+
+    norm = []
+    for fr in frames:
+        fw = int(fr.get("fw", width))
+        fh = int(fr.get("fh", height))
+        px = fr["pixels"]
+        if len(px) != fw * fh * 3:
+            raise ValueError("frame pixel buffer size mismatch")
+        tr = fr.get("transparent")
+        tidx = idx_of(bytes(tr)) if tr is not None else None
+        indices = bytes(
+            idx_of(px[i : i + 3]) for i in range(0, len(px), 3)
+        )
+        norm.append(
+            (
+                int(fr.get("left", 0)),
+                int(fr.get("top", 0)),
+                fw,
+                fh,
+                indices,
+                int(fr.get("delay_cs", 4)),
+                int(fr.get("disposal", 1)),
+                tidx,
+            )
+        )
+    bits = max(1, (len(palette) - 1).bit_length())
+    ncolors = 1 << bits
+    ct = b"".join(sorted(palette, key=palette.get)) + b"\x00\x00\x00" * (
+        ncolors - len(palette)
+    )
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT flag + size, bg 0, aspect
+    out += ct
+    for left, top, fw, fh, indices, delay, disposal, tidx in norm:
+        flags = (disposal & 0x07) << 2
+        if tidx is not None:
+            flags |= 0x01
+        out += bytes([0x21, 0xF9, 0x04, flags, delay & 0xFF, delay >> 8])
+        out += bytes([tidx if tidx is not None else 0, 0x00])
+        out += b"\x2c" + struct.pack("<HHHH", left, top, fw, fh) + b"\x00"
+        min_code_size = max(2, bits)
+        out += bytes([min_code_size])
+        lzw = _gif_lzw_encode(min_code_size, indices)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)
 
 

@@ -252,11 +252,14 @@ def sample_frames(
 ) -> DataFrame:
     """Sample video frames every ``every_n`` frames.
 
-    Real path (``fake=False``): MJPEG-in-AVI decodes for real — the RIFF
-    walk yields one complete baseline JPEG per '00dc' chunk, and
-    mediacodec.decode_jpeg turns the sampled ones into pixels;
-    ``frame_sha`` is the sha256 of the DECODED RGB/gray pixels, so two
-    MJPEG re-muxes of the same frames fingerprint identically.
+    Real path (``fake=False``): MJPEG-in-AVI and ANIMATED GIF decode for
+    real — the RIFF walk yields one complete baseline JPEG per '00dc'
+    chunk (mediacodec.decode_jpeg turns the sampled ones into pixels),
+    and GIF animations composite through mediacodec.decode_gif_frames
+    (disposal + transparency honored, so the sampled frames are true
+    canvas states); ``frame_sha`` is the sha256 of the DECODED RGB/gray
+    pixels, so two re-muxes/re-encodes of the same frames fingerprint
+    identically.
 
     ``decoder`` is the explicit extension point for every other codec
     (H.264/VP9 MP4 …, which need external libraries this container lacks):
@@ -287,12 +290,23 @@ def sample_frames(
                         for fi, frame in mediacodec.iter_avi_mjpeg_frames(raw)
                         if fi % every_n == 0
                     )
+                elif mediacodec.parse_gif_header(raw) is not None:
+                    # animated GIF: disposal compositing needs every frame
+                    # decoded in order; sampling selects afterwards
+                    _sw, _sh, gframes, _delays = mediacodec.decode_gif_frames(
+                        raw
+                    )
+                    frames = (
+                        (fi, px)
+                        for fi, px in enumerate(gframes)
+                        if fi % every_n == 0
+                    )
                 else:
                     raise NotImplementedError(
-                        "built-in frame sampling decodes MJPEG-in-AVI only; "
-                        "pass decoder=<raw -> iter[(frame_index, pixels)]> "
-                        "to plug an external codec (ffmpeg/pyav), or "
-                        "fake=True for the stub"
+                        "built-in frame sampling decodes MJPEG-in-AVI and "
+                        "animated GIF only; pass decoder=<raw -> "
+                        "iter[(frame_index, pixels)]> to plug an external "
+                        "codec (ffmpeg/pyav), or fake=True for the stub"
                     )
                 for fi, px in frames:
                     if fi % every_n:
@@ -758,11 +772,12 @@ def video_frame_dhash(
 ) -> DataFrame:
     """Per-frame perceptual dHash over REAL decoded video — the video
     near-dup fingerprint: sample every ``every_n`` frames of an
-    MJPEG-in-AVI payload, decode each JPEG, hash with the same
-    grayscale→9×8→64-bit rule as :func:`image_dhash`, so frame hashes
-    are drop-in for the simhash chunk-banding pair pipeline (re-encoded
-    or re-muxed copies of a video land within a few Hamming bits per
-    frame). Pure map stage, Arrow-batched.
+    MJPEG-in-AVI payload (each JPEG decoded) or an ANIMATED GIF (frames
+    composited with disposal + transparency via decode_gif_frames), hash
+    with the same grayscale→9×8→64-bit rule as :func:`image_dhash`, so
+    frame hashes are drop-in for the simhash chunk-banding pair pipeline
+    (re-encoded or re-muxed copies of a video land within a few Hamming
+    bits per frame). Pure map stage, Arrow-batched.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -786,10 +801,20 @@ def video_frame_dhash(
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 raw = bytes(blob)
-                for fi, frame in mediacodec.iter_avi_mjpeg_frames(raw):
-                    if fi % every_n:
-                        continue
-                    w, h, ch, px = mediacodec.decode_jpeg(frame)
+                if mediacodec.parse_gif_header(raw) is not None:
+                    gw, gh, gframes, _d = mediacodec.decode_gif_frames(raw)
+                    decoded = (
+                        (fi, gw, gh, 3, px)
+                        for fi, px in enumerate(gframes)
+                        if fi % every_n == 0
+                    )
+                else:
+                    decoded = (
+                        (fi, *mediacodec.decode_jpeg(frame))
+                        for fi, frame in mediacodec.iter_avi_mjpeg_frames(raw)
+                        if fi % every_n == 0
+                    )
+                for fi, w, h, ch, px in decoded:
                     rows.append(
                         {
                             "doc_id": int(doc_id),

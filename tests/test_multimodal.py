@@ -790,3 +790,99 @@ def test_resize_image_area_average(spark):
     import pytest as _pt
     with _pt.raises(Exception, match="unknown resize method"):
         multimodal.resize_image(df2, 2, 1, method="bogus").first()
+
+
+def test_gif_animation_disposal_and_transparency():
+    """Animated GIF compositing, hand-computed: disposal 1 leaves the
+    canvas (frame 2's transparent pixels show frame 1), disposal 2
+    restores the background under the next frame, disposal 3 restores the
+    pre-frame canvas; delays round-trip."""
+    W = H = 4
+    R, G, B, K = b"\xff\x00\x00", b"\x00\xff\x00", b"\x00\x00\xff", b"\x00\x00\x00"
+    f0 = R * (W * H)  # full red canvas, disposal 1 (leave)
+    # frame 1: 2x2 green square at (1,1), disposal 3 (restore previous)
+    f1 = G * 4
+    # frame 2: 2x2 blue square at (2,2) with a transparent marker pixel
+    T = b"\x01\x02\x03"
+    f2 = B + T + B + B
+    raw = mediacodec.encode_gif_animation(
+        W,
+        H,
+        [
+            {"pixels": f0, "disposal": 1, "delay_cs": 10},
+            {"pixels": f1, "left": 1, "top": 1, "fw": 2, "fh": 2,
+             "disposal": 3, "delay_cs": 20},
+            {"pixels": f2, "left": 2, "top": 2, "fw": 2, "fh": 2,
+             "transparent": (1, 2, 3), "disposal": 2, "delay_cs": 30},
+        ],
+    )
+    sw, sh, frames, delays = mediacodec.decode_gif_frames(raw)
+    assert (sw, sh) == (W, H) and delays == [10, 20, 30]
+
+    def px(buf, x, y):
+        o = 3 * (y * W + x)
+        return bytes(buf[o : o + 3])
+
+    # frame 0: all red
+    assert frames[0] == R * (W * H)
+    # frame 1: red canvas with green 2x2 at (1,1)
+    assert px(frames[1], 1, 1) == G and px(frames[1], 2, 2) == G
+    assert px(frames[1], 0, 0) == R and px(frames[1], 3, 3) == R
+    # frame 2: disposal 3 restored full red before compositing; blue 2x2
+    # at (2,2) except the transparent pixel (3,2) which shows red
+    assert px(frames[2], 2, 2) == B and px(frames[2], 2, 3) == B
+    assert px(frames[2], 3, 3) == B
+    assert px(frames[2], 3, 2) == R, "transparent pixel shows canvas"
+    assert px(frames[2], 1, 1) == R, "disposal 3 restored previous canvas"
+    # decode_gif (first frame) stays consistent with the frames path
+    w, h, c, first = mediacodec.decode_gif(raw)
+    assert (w, h, c) == (W, H, 3) and first == frames[0]
+
+
+def test_gif_animation_disposal2_restores_background():
+    """After a disposal-2 frame, the NEXT frame sees the frame rect
+    restored to the background (palette index 0) color."""
+    W = H = 3
+    A, Bc = b"\x10\x20\x30", b"\x40\x50\x60"
+    raw = mediacodec.encode_gif_animation(
+        W,
+        H,
+        [
+            # frame 0 paints everything A and asks for background restore
+            {"pixels": A * 9, "disposal": 2},
+            # frame 1 paints a single pixel at (0,0)
+            {"pixels": Bc, "left": 0, "top": 0, "fw": 1, "fh": 1, "disposal": 1},
+        ],
+    )
+    _, _, frames, _ = mediacodec.decode_gif_frames(raw)
+    # background = palette index 0 = A (first color registered)
+    def px(buf, x, y):
+        o = 3 * (y * W + x)
+        return bytes(buf[o : o + 3])
+
+    assert frames[0] == A * 9
+    assert px(frames[1], 0, 0) == Bc
+    # rest of canvas: disposal-2 restore to bg == A here (index 0)
+    assert px(frames[1], 1, 1) == A and px(frames[1], 2, 2) == A
+
+
+def test_sample_frames_real_animated_gif(spark):
+    """sample_frames decodes animated GIFs for real: frame_sha is the
+    sha256 of the composited canvas at the sampled indices."""
+    import hashlib
+
+    W = H = 5
+    frames = [
+        {"pixels": bytes([i * 30, 0, 255 - i * 30]) * (W * H), "disposal": 1}
+        for i in range(6)
+    ]
+    raw = mediacodec.encode_gif_animation(W, H, frames)
+    df = spark.createDataFrame([(9, raw)], "doc_id long, blob binary")
+    rows = {
+        r.frame_index: r.frame_sha
+        for r in multimodal.sample_frames(df, every_n=2, fake=False).collect()
+    }
+    assert sorted(rows) == [0, 2, 4]
+    _, _, dec, _ = mediacodec.decode_gif_frames(raw)
+    for fi in (0, 2, 4):
+        assert rows[fi] == hashlib.sha256(dec[fi]).hexdigest()
