@@ -549,6 +549,22 @@ def _q_dedup_cluster_sizes(spark, sf):
     ).select(F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters", "droppable_docs")
 
 
+def _q_dedup_soft_weights(spark, sf):
+    """SoftDeDup reweighting: every doc kept, weight = 1/cluster_size
+    over the same minhash pair set as dedup_clusters (unclustered docs
+    weight 1.0) — the corpus never shuffles; labels+sizes join back."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=64, bands=16, shingle_n=5, threshold=0.9
+    )
+    out = dedup.soft_dedup_weights(d, pairs, "doc_id")
+    return out.select(
+        "doc_id",
+        "cluster_size",
+        F.round("sample_weight", 6).alias("sample_weight"),
+    )
+
+
 def _q_dedup_clusters(spark, sf):
     """Pairs → duplicate clusters: connected components (alternating
     large-star/small-star) over the minhash near-dup pairs, labeled with
@@ -4137,6 +4153,39 @@ def _q_kql_geo_suite(spark, sf):
     )
 
 
+def _q_graph_pagerank(spark, sf):
+    """PageRank over the nation trade graph (edges = customer-nation →
+    supplier-nation, weight = lineitem revenue; the host-authority
+    quality-weighting shape): 3 fixed power-iteration rounds with
+    dangling-mass redistribution, replayed round-for-round by the
+    oracle's unrolled CTEs. One join + one partial-agg sum per round;
+    driver traffic = two scalars per round."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("w")
+        )
+    )
+    pr = kql.pagerank(e, weight_col="w", damping=0.85, iterations=3)
+    return pr.select(
+        F.col("node").cast("long").alias("node"),
+        F.round("rank", 6).alias("rank"),
+    )
+
+
 def _q_kql_graph_match(spark, sf):
     """make-graph + graph-match: the V-pattern (c1)-[buys]->(s)<-[buys]-(c2)
     over the customer->supplier purchase graph (orders x lineitem) — two
@@ -4362,6 +4411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors_policy": _q_dedup_survivors_policy,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
+        "dedup_soft_weights": _q_dedup_soft_weights,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_semantic": _q_dedup_semantic,
@@ -4451,6 +4501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_scalar_suite4": _q_kql_scalar_suite4,
         "kql_scalar_suite5": _q_kql_scalar_suite5,
         "kql_graph_match": _q_kql_graph_match,
+        "graph_pagerank": _q_graph_pagerank,
         "kql_ipv6_suite": _q_kql_ipv6_suite,
         "kql_geo_suite": _q_kql_geo_suite,
         "kql_xml_suite": _q_kql_xml_suite,
@@ -5042,6 +5093,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_clusters, "
             "CAST(count(*) * (cluster_size - 1) AS BIGINT) AS droppable_docs "
             "FROM cs GROUP BY cluster_size"
+        ),
+        "dedup_soft_weights": (
+            # same recursive-CTE labels as dedup_clusters; weight =
+            # round(1/size, 6); unclustered docs weight 1.0, size 1
+            "WITH RECURSIVE "
+            f"s AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s a "
+            "JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.9), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM p "
+            "UNION SELECT id_b, id_a FROM p), "
+            "reach(src, node) AS ("
+            "SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+            "UNION "
+            "SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node), "
+            "lab AS (SELECT src AS doc_id, min(node) AS cluster_id "
+            "FROM reach GROUP BY src), "
+            "cs AS (SELECT cluster_id, count(*) AS csize FROM lab GROUP BY 1) "
+            "SELECT d.doc_id, "
+            "CAST(coalesce(cs.csize, 1) AS BIGINT) AS cluster_size, "
+            "round(1.0 / coalesce(cs.csize, 1), 6) AS sample_weight "
+            "FROM documents d "
+            "LEFT JOIN lab ON d.doc_id = lab.doc_id "
+            "LEFT JOIN cs ON lab.cluster_id = cs.cluster_id"
         ),
         "dedup_clusters": (
             # connected components over the same >=0.9-Jaccard pair set:
@@ -6308,6 +6384,48 @@ def oracle_sql() -> dict[str, str]:
             "CAST(0 AS INT) AS cmp_eq, "
             "substr(canon1, 1, 8) = substr(canon2, 1, 8) AS m32, "
             "true AS m128 FROM c"
+        ),
+        "graph_pagerank": (
+            # round-for-round replay: same edge aggregate, same
+            # (1-d)/n + d*(contrib + dangling/n) update, 3 unrolled rounds
+            "WITH raw AS (SELECT CAST(c_nationkey AS BIGINT) AS s, "
+            "CAST(s_nationkey AS BIGINT) AS d, "
+            "sum(l_extendedprice * (1.0 - l_discount)) AS w "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE c_nationkey <> s_nationkey GROUP BY 1, 2), "
+            "ow AS (SELECT s, sum(w) AS ow FROM raw GROUP BY 1), "
+            "e AS (SELECT raw.s, raw.d, raw.w / ow.ow AS frac "
+            "FROM raw JOIN ow USING (s)), "
+            "nodes AS (SELECT DISTINCT node FROM "
+            "(SELECT s AS node FROM e UNION SELECT d FROM e)), "
+            "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), "
+            "has_out AS (SELECT DISTINCT s AS node FROM e), "
+            "r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn), "
+            "m0 AS (SELECT coalesce(sum(rank), 0) AS m FROM r0 "
+            "WHERE node NOT IN (SELECT node FROM has_out)), "
+            "c0 AS (SELECT e.d AS node, sum(r0.rank * e.frac) AS c "
+            "FROM r0 JOIN e ON r0.node = e.s GROUP BY 1), "
+            "r1 AS (SELECT nodes.node, "
+            "0.15 / n + 0.85 * (coalesce(c0.c, 0) + (SELECT m FROM m0) / n) "
+            "AS rank FROM nodes LEFT JOIN c0 USING (node), nn), "
+            "m1 AS (SELECT coalesce(sum(rank), 0) AS m FROM r1 "
+            "WHERE node NOT IN (SELECT node FROM has_out)), "
+            "c1 AS (SELECT e.d AS node, sum(r1.rank * e.frac) AS c "
+            "FROM r1 JOIN e ON r1.node = e.s GROUP BY 1), "
+            "r2 AS (SELECT nodes.node, "
+            "0.15 / n + 0.85 * (coalesce(c1.c, 0) + (SELECT m FROM m1) / n) "
+            "AS rank FROM nodes LEFT JOIN c1 USING (node), nn), "
+            "m2 AS (SELECT coalesce(sum(rank), 0) AS m FROM r2 "
+            "WHERE node NOT IN (SELECT node FROM has_out)), "
+            "c2 AS (SELECT e.d AS node, sum(r2.rank * e.frac) AS c "
+            "FROM r2 JOIN e ON r2.node = e.s GROUP BY 1), "
+            "r3 AS (SELECT nodes.node, "
+            "0.15 / n + 0.85 * (coalesce(c2.c, 0) + (SELECT m FROM m2) / n) "
+            "AS rank FROM nodes LEFT JOIN c2 USING (node), nn) "
+            "SELECT node, round(rank, 6) AS rank FROM r3"
         ),
         "kql_graph_match": (
             "WITH e AS (SELECT DISTINCT concat('c:', o_custkey) AS s, "

@@ -941,6 +941,50 @@ def dedup_survivors(
     return df.join(drops, id_col, "left_anti")
 
 
+def soft_dedup_weights(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    weight_col: str = "sample_weight",
+    size_col: str = "cluster_size",
+    max_iterations: int = 16,
+) -> DataFrame:
+    """SoftDeDup: keep EVERY near-duplicate copy but attach a sampling /
+    loss weight of ``1 / cluster_size`` — the reweighting alternative to
+    hard removal (SoftDeDup, He et al. 2024, arXiv:2407.06654: the
+    commonness-downweighting recipe; hard dedup is the weight→{0,1}
+    special case). Training samplers multiply example loss (or sampling
+    probability) by the weight so a 40-copy boilerplate cluster
+    contributes ~one document's worth of gradient while keeping its
+    best-copy diversity available.
+
+    ``pairs`` is any pair-generator output (minhash / simhash / ngram /
+    embedding / hamming). Docs in no pair get weight 1.0, size 1.
+
+    Plan: CC labels over the pair set only (clustered docs — a vanishing
+    fraction of the corpus), one map-side-combined size aggregate on the
+    labels, then ONE left broadcast-shaped join back to the corpus — the
+    corpus itself is never shuffled, same posture as
+    :func:`dedup_survivors`.
+    """
+    labels = connected_components(pairs, src_col, dst_col, max_iterations)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("_csize")
+    )
+    w = labels.join(sizes, "cluster_id").select(
+        F.col("id").alias(id_col),
+        F.col("_csize").cast("long").alias(size_col),
+        (F.lit(1.0) / F.col("_csize")).alias(weight_col),
+    )
+    return (
+        df.join(w, id_col, "left")
+        .withColumn(size_col, F.coalesce(F.col(size_col), F.lit(1).cast("long")))
+        .withColumn(weight_col, F.coalesce(F.col(weight_col), F.lit(1.0)))
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str,

@@ -4144,6 +4144,90 @@ def graph_shortest_paths(
     return dist
 
 
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    damping: float = 0.85,
+    iterations: int = 10,
+    handle_dangling: bool = True,
+) -> DataFrame:
+    """PageRank over an edge list — the link-authority score crawl
+    pipelines use for host-level quality weighting (Common Crawl host
+    ranks; the Brin & Page 1998 power iteration). Fixed ``iterations``
+    (no convergence test) so the result is a pure function of the input —
+    replayable by any engine unrolling the same rounds.
+
+    ``weight_col`` weights out-edges (contribution ∝ w / Σw per source);
+    None = uniform. ``handle_dangling=True`` redistributes the rank mass
+    of sink nodes uniformly each round (Σrank stays 1); False drops it
+    (the common simplification).
+
+    Plan per round: ONE hash join (edges ⋈ ranks on src — at web scale
+    pre-partition both on src so this co-locates) + one map-side-combined
+    sum by dst + a broadcast of two scalar aggregates (dangling mass,
+    node count). Lineage truncates every round (lazy localCheckpoint);
+    driver traffic is the two 1-row scalars per round. Rounds are a fixed
+    small constant — the classic O(iters × E) Pregel shape.
+
+    Returns (node, rank) for every node appearing as src or dst.
+    """
+    e = edges.select(
+        F.col(src_col).alias("s"),
+        F.col(dst_col).alias("d"),
+        (
+            F.col(weight_col).cast("double")
+            if weight_col is not None
+            else F.lit(1.0)
+        ).alias("w"),
+    )
+    outw = e.groupBy("s").agg(F.sum("w").alias("_outw"))
+    e = (
+        e.join(outw, "s")
+        .select("s", "d", (F.col("w") / F.col("_outw")).alias("frac"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()  # bounded driver scalar (node count)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    has_out = e.select(F.col("s").alias("node")).distinct()
+    d = float(damping)
+    for _ in range(int(iterations)):
+        if handle_dangling:
+            dm = (
+                ranks.join(has_out, "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+                .collect()[0]["m"]
+            )  # 1-row scalar per round
+        else:
+            dm = 0.0
+        contribs = (
+            ranks.join(e, ranks["node"] == e["s"])
+            .select(F.col("d").alias("node"), (F.col("rank") * F.col("frac")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - d) / n_nodes)
+                    + F.lit(d)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dm / n_nodes))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
 def startofyear(col: Column | str) -> Column:
     """KQL ``startofyear`` — midnight of Jan 1."""
     return F.trunc(_c(col), "year").cast("timestamp")

@@ -692,3 +692,22 @@ def test_incremental_semdedup_empty_corpus_and_replay(spark):
         centroids=cents, n_cells=2, threshold=0.95,
     )
     assert again.count() == 0
+
+
+def test_soft_dedup_weights_inverse_cluster_size(spark):
+    """weight = 1/cluster_size within components; singletons weight 1;
+    weights sum to the number of effective (unique) documents."""
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    # components: {1,2,3} (chain), {4,5}; 6,7 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    out = dedup.soft_dedup_weights(docs, pairs, "doc_id")
+    rows = {r.doc_id: (r.cluster_size, r.sample_weight) for r in out.collect()}
+    assert rows[1] == (3, pytest.approx(1 / 3)) and rows[2] == rows[1] == rows[3]
+    assert rows[4] == (2, 0.5) and rows[5] == (2, 0.5)
+    assert rows[6] == (1, 1.0) and rows[7] == (1, 1.0)
+    total = sum(w for _s, w in rows.values())
+    assert total == pytest.approx(1 + 1 + 2)  # 2 clusters + 2 singletons

@@ -1808,3 +1808,38 @@ def test_heavy_hitters_sketch_replays_reference_algorithm(spark):
     for (b, _i) in got:
         per_bucket[b] += 1
     assert all(v <= K for v in per_bucket.values())
+
+
+def test_pagerank_converges_to_analytic_fixed_point(spark):
+    """A->B, A->C, B->C, C->A with d=0.85: 60 rounds reach the analytic
+    stationary point; mass is conserved with dangling handling; weighted
+    out-edges split contributions proportionally."""
+    e = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A")], "src string, dst string"
+    )
+    r = {x.node: x.rank for x in kql.pagerank(e, iterations=60).collect()}
+    assert r["A"] == pytest.approx(0.387789, abs=1e-4)
+    assert r["B"] == pytest.approx(0.214810, abs=1e-4)
+    assert r["C"] == pytest.approx(0.397401, abs=1e-4)
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-9)
+    # dangling node: B has no out-edges; mass conserved only when handled
+    e2 = spark.createDataFrame([("A", "B")], "src string, dst string")
+    with_d = {x.node: x.rank for x in kql.pagerank(e2, iterations=30).collect()}
+    assert sum(with_d.values()) == pytest.approx(1.0, abs=1e-9)
+    no_d = {
+        x.node: x.rank
+        for x in kql.pagerank(e2, iterations=30, handle_dangling=False).collect()
+    }
+    assert sum(no_d.values()) < 0.7
+    # weighted: A->B w=3, A->C w=1 -> after 1 round B gets 3x C's contrib
+    e3 = spark.createDataFrame(
+        [("A", "B", 3.0), ("A", "C", 1.0)], "src string, dst string, w double"
+    )
+    one = {
+        x.node: x.rank
+        for x in kql.pagerank(
+            e3, weight_col="w", iterations=1, handle_dangling=False
+        ).collect()
+    }
+    base = 0.15 / 3
+    assert one["B"] - base == pytest.approx(3 * (one["C"] - base), rel=1e-9)
