@@ -1580,12 +1580,12 @@ def encode_bmp(width: int, height: int, pixels: bytes, channels: int = 3) -> byt
 
 # ---------------------------------------------------------------- AVI codec
 #
-# MJPEG-in-AVI: the RIFF container is a chunk walk, and every '00dc'
-# video chunk is a complete baseline JPEG — which decode_jpeg already
-# handles. That makes REAL video frame extraction possible with zero
-# codec dependencies for the MJPEG family (the format security cameras,
-# capture cards and many datasets actually use). Other video codecs
-# (H.264 etc.) stay env-gated.
+# Video-in-AVI: the RIFF container is a chunk walk. Two codecs decode
+# for real with zero dependencies — 'MJPG' (every '00dc' chunk is a
+# complete baseline JPEG; the format security cameras, capture cards and
+# many datasets actually use) and BI_RGB uncompressed DIB ('00db' raw
+# bottom-up BGR frames, the capture/intermediate format). Other video
+# codecs (H.264 etc.) stay behind the sample_frames(decoder=...) hook.
 
 
 def parse_avi_header(raw: bytes) -> dict | None:
@@ -1651,6 +1651,161 @@ def iter_avi_mjpeg_frames(raw: bytes):
                     idx += 1
                 inner += 8 + isz + (isz & 1)
         pos += 8 + csize + (csize & 1)
+
+
+def _avi_video_format(raw: bytes):
+    """The first 'vids' stream's BITMAPINFOHEADER essentials:
+    (compression, bit_count, width, height) — compression is the fourcc
+    int (0 = BI_RGB uncompressed DIB, 0x47504A4D = 'MJPG')."""
+    pos = 12
+    while pos + 8 <= len(raw):
+        ctype = raw[pos : pos + 4]
+        (csize,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        if ctype == b"LIST" and raw[pos + 8 : pos + 12] == b"hdrl":
+            inner = pos + 12
+            end = min(pos + 8 + csize, len(raw))
+            while inner + 8 <= end:
+                ic = raw[inner : inner + 4]
+                (isz,) = struct.unpack("<I", raw[inner + 4 : inner + 8])
+                if ic == b"LIST" and raw[inner + 8 : inner + 12] == b"strl":
+                    sl = inner + 12
+                    send = min(inner + 8 + isz, len(raw))
+                    is_vids = False
+                    while sl + 8 <= send:
+                        sc = raw[sl : sl + 4]
+                        (ssz,) = struct.unpack("<I", raw[sl + 4 : sl + 8])
+                        body = raw[sl + 8 : sl + 8 + ssz]
+                        if sc == b"strh":
+                            is_vids = body[:4] == b"vids"
+                        elif sc == b"strf" and is_vids and ssz >= 40:
+                            w, h = struct.unpack("<ii", body[4:12])
+                            (bits,) = struct.unpack("<H", body[14:16])
+                            (comp,) = struct.unpack("<I", body[16:20])
+                            return comp, bits, w, h
+                        sl += 8 + ssz + (ssz & 1)
+                inner += 8 + isz + (isz & 1)
+        pos += 8 + csize + (csize & 1)
+    return None
+
+
+def iter_avi_frames(raw: bytes):
+    """Yield ``(frame_index, width, height, channels, pixels)`` for every
+    video chunk, DECODED per the stream's declared codec: 'MJPG' chunks
+    go through the baseline JPEG decoder; BI_RGB (compression 0, 24-bit)
+    chunks are uncompressed DIB frames — bottom-up, 4-byte-aligned BGR
+    rows, flipped and swizzled to RGB (the same layout as a 24-bit BMP
+    body). Any other codec raises ValueError naming the
+    ``sample_frames(decoder=...)`` extension hook. The MJPEG-only
+    :func:`iter_avi_mjpeg_frames` remains for callers that want the
+    undecoded JPEG bytes."""
+    if parse_avi_header(raw) is None:
+        raise ValueError("not an AVI")
+    fmt = _avi_video_format(raw)
+    comp = fmt[0] if fmt is not None else 0x47504A4D
+    if fmt is not None and comp == 0 and fmt[1] != 24:
+        raise ValueError(f"unsupported DIB bit depth {fmt[1]} (24 only)")
+    pos = 12
+    idx = 0
+    while pos + 8 <= len(raw):
+        ctype = raw[pos : pos + 4]
+        (csize,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        if ctype == b"LIST" and raw[pos + 8 : pos + 12] == b"movi":
+            inner = pos + 12
+            end = min(pos + 8 + csize, len(raw))
+            while inner + 8 <= end:
+                ic = raw[inner : inner + 4]
+                (isz,) = struct.unpack("<I", raw[inner + 4 : inner + 8])
+                if ic in (b"00dc", b"00db"):
+                    frame = raw[inner + 8 : inner + 8 + isz]
+                    if frame[:2] == b"\xff\xd8":
+                        w, h, ch, px = decode_jpeg(frame)
+                        yield idx, w, h, ch, px
+                    elif comp == 0 and fmt is not None:
+                        w, h = fmt[2], abs(fmt[3])
+                        top_down = fmt[3] < 0
+                        stride = ((w * 3) + 3) & ~3
+                        if len(frame) < stride * h:
+                            raise ValueError("AVI DIB frame truncated")
+                        out = bytearray(w * h * 3)
+                        for row in range(h):
+                            src_row = row if top_down else h - 1 - row
+                            off = src_row * stride
+                            o = row * w * 3
+                            for x in range(w):
+                                i = off + 3 * x
+                                out[o + 3 * x : o + 3 * x + 3] = bytes(
+                                    (frame[i + 2], frame[i + 1], frame[i])
+                                )
+                        yield idx, w, h, 3, bytes(out)
+                    else:
+                        raise ValueError(
+                            "AVI video codec is neither MJPG nor BI_RGB "
+                            "DIB; pass sample_frames(decoder=...) to plug "
+                            "an external codec"
+                        )
+                    idx += 1
+                inner += 8 + isz + (isz & 1)
+        pos += 8 + csize + (csize & 1)
+
+
+def encode_avi_dib(
+    width: int, height: int, frames: list[bytes], fps: int = 10
+) -> bytes:
+    """Minimal valid uncompressed-DIB AVI (BI_RGB 24-bit): each RGB frame
+    is stored as bottom-up, 4-byte-aligned BGR rows in a '00db' chunk —
+    the second real, dependency-free AVI codec next to MJPEG."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    stride = ((width * 3) + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    dibs = []
+    for f in frames:
+        if len(f) != width * height * 3:
+            raise ValueError("frame pixel buffer size mismatch")
+        rows = []
+        for y in range(height - 1, -1, -1):  # bottom-up
+            row = f[y * width * 3 : (y + 1) * width * 3]
+            rows.append(
+                bytes(
+                    b
+                    for x in range(width)
+                    for b in (
+                        row[3 * x + 2],
+                        row[3 * x + 1],
+                        row[3 * x],
+                    )
+                )
+                + pad
+            )
+        dibs.append(b"".join(rows))
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(fps, 1),
+        0, 0, 0,
+        len(frames),
+        0, 1, 0,
+        width, height,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"\x00\x00\x00\x00"  # DIB: no fourcc
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0,  # BI_RGB
+        stride * height, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in dibs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_avi_mjpeg(

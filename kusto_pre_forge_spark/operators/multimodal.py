@@ -286,8 +286,10 @@ def sample_frames(
                     frames = decoder(raw)
                 elif mediacodec.parse_avi_header(raw) is not None:
                     frames = (
-                        (fi, mediacodec.decode_jpeg(frame)[3])
-                        for fi, frame in mediacodec.iter_avi_mjpeg_frames(raw)
+                        (fi, px)
+                        for fi, _w, _h, _ch, px in mediacodec.iter_avi_frames(
+                            raw
+                        )
                         if fi % every_n == 0
                     )
                 elif mediacodec.parse_gif_header(raw) is not None:
@@ -303,10 +305,11 @@ def sample_frames(
                     )
                 else:
                     raise NotImplementedError(
-                        "built-in frame sampling decodes MJPEG-in-AVI and "
-                        "animated GIF only; pass decoder=<raw -> "
-                        "iter[(frame_index, pixels)]> to plug an external "
-                        "codec (ffmpeg/pyav), or fake=True for the stub"
+                        "built-in frame sampling decodes MJPEG-in-AVI, "
+                        "uncompressed DIB-in-AVI and animated GIF only; "
+                        "pass decoder=<raw -> iter[(frame_index, pixels)]> "
+                        "to plug an external codec (ffmpeg/pyav), or "
+                        "fake=True for the stub"
                     )
                 for fi, px in frames:
                     if fi % every_n:
@@ -771,9 +774,10 @@ def video_frame_dhash(
     every_n: int = 1,
 ) -> DataFrame:
     """Per-frame perceptual dHash over REAL decoded video — the video
-    near-dup fingerprint: sample every ``every_n`` frames of an
-    MJPEG-in-AVI payload (each JPEG decoded) or an ANIMATED GIF (frames
-    composited with disposal + transparency via decode_gif_frames), hash
+    near-dup fingerprint: sample every ``every_n`` frames of an AVI
+    payload (MJPG chunks JPEG-decoded, BI_RGB chunks as raw DIB) or an
+    ANIMATED GIF (frames composited with disposal + transparency via
+    decode_gif_frames), hash
     with the same grayscale→9×8→64-bit rule as :func:`image_dhash`, so
     frame hashes are drop-in for the simhash chunk-banding pair pipeline
     (re-encoded or re-muxed copies of a video land within a few Hamming
@@ -810,9 +814,9 @@ def video_frame_dhash(
                     )
                 else:
                     decoded = (
-                        (fi, *mediacodec.decode_jpeg(frame))
-                        for fi, frame in mediacodec.iter_avi_mjpeg_frames(raw)
-                        if fi % every_n == 0
+                        t
+                        for t in mediacodec.iter_avi_frames(raw)
+                        if t[0] % every_n == 0
                     )
                 for fi, w, h, ch, px in decoded:
                     rows.append(

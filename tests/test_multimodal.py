@@ -886,3 +886,42 @@ def test_sample_frames_real_animated_gif(spark):
     _, _, dec, _ = mediacodec.decode_gif_frames(raw)
     for fi in (0, 2, 4):
         assert rows[fi] == hashlib.sha256(dec[fi]).hexdigest()
+
+
+def test_avi_dib_roundtrip_and_dispatch():
+    """Uncompressed DIB-in-AVI: encode → iter_avi_frames yields the exact
+    RGB frames back (bottom-up BGR + stride alignment both unwound)."""
+    w, h = 5, 3
+    f0 = bytes(range(w * h * 3))
+    f1 = bytes(reversed(range(w * h * 3)))
+    raw = mediacodec.encode_avi_dib(w, h, [f0, f1], fps=2)
+    assert mediacodec.parse_avi_header(raw)["n_samples"] == 2
+    frames = list(mediacodec.iter_avi_frames(raw))
+    assert [(i, fw, fh, ch) for i, fw, fh, ch, _ in frames] == [
+        (0, w, h, 3),
+        (1, w, h, 3),
+    ]
+    assert frames[0][4] == f0 and frames[1][4] == f1
+    # MJPEG AVIs dispatch through the same iterator
+    jf = mediacodec.encode_jpeg(16, 8, bytes([7] * 16 * 8), 1, quality=95)
+    mraw = mediacodec.encode_avi_mjpeg(16, 8, [jf], fps=4)
+    (idx, mw, mh, mch, px), = list(mediacodec.iter_avi_frames(mraw))
+    assert (idx, mw, mh) == (0, 16, 8) and len(px) == 16 * 8 * mch
+
+
+def test_sample_frames_real_dib_avi(spark):
+    """sample_frames fingerprints DIB-AVI frames by decoded pixels: the
+    sha matches the raw RGB frame (lossless codec)."""
+    import hashlib
+
+    w, h = 4, 4
+    frames = [bytes([i * 40] * (w * h * 3)) for i in range(5)]
+    raw = mediacodec.encode_avi_dib(w, h, frames, fps=2)
+    df = spark.createDataFrame([(3, raw)], "doc_id long, blob binary")
+    rows = {
+        r.frame_index: r.frame_sha
+        for r in multimodal.sample_frames(df, every_n=2, fake=False).collect()
+    }
+    assert sorted(rows) == [0, 2, 4]
+    for fi in (0, 2, 4):
+        assert rows[fi] == hashlib.sha256(frames[fi]).hexdigest()
