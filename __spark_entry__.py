@@ -1403,7 +1403,9 @@ def _q_corpus_dsir_sample(spark, sf):
     from kusto_pre_forge_spark.operators import corpus as corpus_ops
 
     d = load_table(spark, sf, "documents")
-    return corpus_ops.dsir_sample(d, d.filter(F.col("lang") == "en"), k=100)
+    return corpus_ops.dsir_sample(
+        d, None, k=100, target_filter=F.col("lang") == "en"
+    )
 
 
 def _q_corpus_epoch_upsample(spark, sf):

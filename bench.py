@@ -93,6 +93,12 @@ HEADLINE = [
     "text_wordpiece",
     "contamination_bloom",
     "events_attribution_join",
+    "corpus_dsir_sample",
+    "heavy_hitters_sketch",
+    "graph_pagerank",
+    "dedup_soft_weights",
+    "multimodal_gif_dhash",
+    "kql_find",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

@@ -965,9 +965,10 @@ def soft_dedup_weights(
 
     Plan: CC labels over the pair set only (clustered docs — a vanishing
     fraction of the corpus), one map-side-combined size aggregate on the
-    labels, then ONE left broadcast-shaped join back to the corpus — the
-    corpus itself is never shuffled, same posture as
-    :func:`dedup_survivors`.
+    labels, then ONE left join back to the corpus. The weight side is the
+    clustered fraction; when it fits the broadcast threshold AQE turns
+    the join broadcast and the corpus never shuffles — past that, the
+    single doc-id hash join is the floor for attaching per-doc state.
     """
     labels = connected_components(pairs, src_col, dst_col, max_iterations)
     sizes = labels.groupBy("cluster_id").agg(

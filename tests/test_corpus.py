@@ -302,3 +302,23 @@ def test_dsir_targets_rank_higher_and_deterministic(spark):
     # deterministic replay
     again = co.dsir_sample(d, d.filter(F.col("lang") == "en"), k=30).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_dsir_fused_filter_path_equals_generic(spark):
+    """target_filter fast path (single gram materialization) must equal
+    the generic two-DataFrame path row-for-row."""
+    from kusto_pre_forge_spark.operators import corpus as co
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    generic = co.dsir_sample(d, d.filter(F.col("lang") == "en"), k=40)
+    fused = co.dsir_sample(
+        d, None, k=40, target_filter=F.col("lang") == "en"
+    )
+    assert sorted(map(tuple, generic.collect())) == sorted(
+        map(tuple, fused.collect())
+    )
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        co.dsir_sample(d, d, k=5, target_filter=F.lit(True))
+    with _pt.raises(ValueError):
+        co.dsir_sample(d, None, k=5)

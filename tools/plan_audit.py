@@ -90,6 +90,12 @@ AUDITED = [
     ("text_wordpiece", "same rank-dict shape as text_unigram: histogram aggregate + distinct-word tokenize, join back on the word key"),
     ("contamination_bloom", "Bloom bitset rides the corpus scan as a map-side getbit filter; the verify join receives only survivors"),
     ("events_attribution_join", "equi-key hash join with the time band as a residual predicate; no cross join, no window"),
+    ("corpus_dsir_sample", "gram explode folds ONCE to checkpointed (doc,bucket) counts; histograms B-bounded; log-ratio broadcast; top-k is TakeOrderedAndProject"),
+    ("heavy_hitters_sketch", "sketch state is buckets x k regardless of cardinality; exact heavy set broadcast-joined for the invariant check"),
+    ("graph_pagerank", "per-round: one hash join + map-side-combined sum by dst; driver traffic = two scalars per round"),
+    ("dedup_soft_weights", "CC labels over the pair set only; ONE doc-id join attaches weights (broadcast under AQE when the clustered fraction is small)"),
+    ("multimodal_gif_dhash", "pure map stage: GIF animation compositing + dhash inside mapInPandas"),
+    ("kql_find", "per-table predicate sits on each scan (pushdown applies per source); the union is plan-level only, zero exchanges"),
 ]
 
 
