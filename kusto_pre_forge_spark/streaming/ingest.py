@@ -377,6 +377,91 @@ class StreamingEtl:
 
         return self._start(process, trigger_seconds, available_now)
 
+    def dsir_ingest_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        corpus_dir: str,
+        logratio: DataFrame,
+        threshold: float,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n_buckets: int = 8192,
+        salt: str = "kpf-dsir",
+    ) -> int:
+        """One micro-batch of importance-filtered ingestion: score each
+        landed document against a FROZEN DSIR log-ratio table
+        (``logratio`` = :func:`~kusto_pre_forge_spark.operators.corpus.
+        dsir_logratio` output, trained offline — the frozen-artifact rule
+        the ANN index and SemDeDup paths follow) and admit documents with
+        ``dsir_logw >= threshold``.
+
+        Unlike the dedup admissions, the decision is a PURE function of
+        the document and the frozen table — no corpus read at any batch,
+        so replay after a crash reproduces the accept set bit-for-bit by
+        construction; the store write is batch-partitioned dynamic
+        overwrite like the other admission paths (a replayed batch
+        replaces exactly its own partition)."""
+        from kusto_pre_forge_spark.operators.corpus import dsir_weights
+
+        batch = batch_df.drop("_kpf_source").dropDuplicates([id_col])
+        if not batch.head(1):
+            return 0
+        scored = dsir_weights(
+            batch,
+            logratio,
+            text_col=text_col,
+            id_col=id_col,
+            n_buckets=n_buckets,
+            salt=salt,
+        )
+        accepted = scored.filter(
+            F.col("dsir_logw") >= float(threshold)
+        ).withColumn("_kpf_batch", F.lit(batch_id))
+        (
+            accepted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_kpf_batch")
+            .parquet(corpus_dir)
+        )
+        return (
+            self.spark.read.parquet(corpus_dir)
+            .filter(F.col("_kpf_batch") == batch_id)
+            .count()
+        )
+
+    def start_dsir_ingest(
+        self,
+        corpus_dir: str,
+        logratio: DataFrame,
+        threshold: float,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        trigger_seconds: int | None = 60,
+        available_now: bool = False,
+        **dsir_kwargs,
+    ) -> StreamingQuery:
+        """Continuous importance-filtered ingestion: every micro-batch of
+        landed documents is scored against the frozen DSIR log-ratio and
+        only target-like documents enter the corpus store — the
+        train-on-target, filter-at-ingest recipe (Xie et al. 2023) as a
+        streaming admission valve. Effectively-once across crashes via
+        :meth:`dsir_ingest_batch`."""
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            self.dsir_ingest_batch(
+                batch_df,
+                batch_id,
+                corpus_dir,
+                logratio,
+                threshold,
+                text_col,
+                id_col,
+                **dsir_kwargs,
+            )
+
+        return self._start(process, trigger_seconds, available_now)
+
     def corpus_stats_batch(
         self,
         batch_df: DataFrame,

@@ -605,3 +605,84 @@ def test_streaming_semdedup_ingest_across_batches(spark, tmp_path):
     )
     assert after == before, "replay must be a no-op"
     assert n == 1, "replay re-accepts exactly the original survivor (vec 4)"
+
+
+def test_streaming_dsir_ingest_filters_by_importance(spark, tmp_path):
+    """Importance-filtered ingestion: docs scoring >= threshold against a
+    FROZEN log-ratio table are admitted, others dropped; batch replay is
+    a bit-exact no-op (pure per-doc decision)."""
+    from kusto_pre_forge_spark.operators import corpus as co
+
+    target_like = "spark streaming window merge spark streaming window merge"
+    off_target = "zzz qqq vvv kkk www nnn ppp rrr ttt yyy uuu iii ooo aaa"
+    # train the frozen log-ratio offline: target = the target-like shape
+    train = spark.createDataFrame(
+        [(100, target_like), (101, target_like + " extra"), (102, off_target)],
+        "doc_id long, text string",
+    )
+    lam = co.dsir_logratio(
+        train.filter(F.col("doc_id") < 102), train, n_buckets=512
+    ).collect()
+    lam_df = spark.createDataFrame(lam, "bucket long, lam double")
+    # pick threshold between the two populations' scores
+    scored = co.dsir_weights(
+        spark.createDataFrame(
+            [(1, target_like), (2, off_target)], "doc_id long, text string"
+        ),
+        lam_df,
+        n_buckets=512,
+    ).collect()
+    s = {r.doc_id: r.dsir_logw for r in scored}
+    assert s[1] > s[2]
+    thr = (s[1] + s[2]) / 2
+
+    waves = [
+        [(1, target_like), (2, off_target)],
+        [(3, target_like + " tail"), (4, off_target + " tail")],
+    ]
+    land = tmp_path / "dsir_landing"
+    land.mkdir()
+    corpus_dir = str(tmp_path / "dsir_corpus")
+    etl = StreamingEtl(
+        spark,
+        str(land),
+        str(tmp_path / "ckpt_dsir"),
+        str(tmp_path / "out_unused2"),
+        DOC_SCHEMA,
+        fmt="csv",
+        csv_headers=False,
+        max_files_per_trigger=1,
+    )
+    import csv as _csv
+    import os as _os
+
+    now = time.time()
+    for i, wave in enumerate(waves):
+        p = land / f"wave{i}.csv"
+        with open(p, "w", newline="") as f:
+            _csv.writer(f).writerows(wave)
+        _os.utime(p, (now + i * 10, now + i * 10))
+    q = etl.start_dsir_ingest(
+        corpus_dir,
+        lam_df,
+        thr,
+        trigger_seconds=None,
+        available_now=True,
+        n_buckets=512,
+    )
+    _drain(q)
+    stored = spark.read.parquet(corpus_dir)
+    got = {r.doc_id for r in stored.collect()}
+    assert got == {1, 3}, got
+    # replay wave 1's batch: same accept set, same store contents
+    before = sorted((r.doc_id, r._kpf_batch) for r in stored.collect())
+    wave1 = spark.createDataFrame(waves[1], "doc_id long, text string")
+    batch_ids = {r._kpf_batch for r in stored.collect() if r.doc_id == 3}
+    etl.dsir_ingest_batch(
+        wave1, batch_ids.pop(), corpus_dir, lam_df, thr, n_buckets=512
+    )
+    after = sorted(
+        (r.doc_id, r._kpf_batch)
+        for r in spark.read.parquet(corpus_dir).collect()
+    )
+    assert after == before
