@@ -634,6 +634,17 @@ def _q_similarity_topk(spark, sf):
     return similarity.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id", "rank")
 
 
+def _q_similarity_hard_negatives(spark, sf):
+    """Hard-negative mining (DPR shape): top-5 most-similar WRONG-label
+    vectors per query — broadcast NLJ with the label-mismatch predicate
+    fused below the rank window."""
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.hard_negatives(emb, q, k=5).select(
+        "query_id", "neighbor_id", F.col("neighbor_label").cast("long").alias("neighbor_label"), "rank"
+    )
+
+
 def _q_similarity_topk_lsh(spark, sf):
     """approximate ANN via multi-probe hyperplane LSH; the oracle replays
     the seeded hyperplanes as SQL literals (probe set ≡ Hamming ≤ 2)."""
@@ -4420,6 +4431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "dedup_embedding_clusters": _q_dedup_embedding_clusters,
         "similarity_topk": _q_similarity_topk,
+        "similarity_hard_negatives": _q_similarity_hard_negatives,
         "similarity_topk_lsh": _q_similarity_topk_lsh,
         "similarity_topk_ivf": _q_similarity_topk_ivf,
         "simhash_pairs": _q_simhash_pairs,
@@ -5220,6 +5232,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(node) AS BIGINT) AS cluster_id FROM reach GROUP BY src"
         ),
         "similarity_topk": topk_rank,
+        "similarity_hard_negatives": (
+            "WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e, "
+            "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+            "CAST(embedding AS DOUBLE[]))) nrm FROM embeddings), "
+            "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "CAST(c.label AS BIGINT) AS neighbor_label, "
+            "list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine "
+            "FROM v q JOIN v c ON c.vec_id != q.vec_id "
+            "AND c.label != q.label WHERE q.vec_id < 10) "
+            "SELECT query_id, neighbor_id, neighbor_label, rank FROM ("
+            "SELECT query_id, neighbor_id, neighbor_label, "
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cosine DESC, neighbor_id ASC) AS rank "
+            "FROM scored) WHERE rank <= 5"
+        ),
         "similarity_topk_lsh": lsh_rank,
         "similarity_topk_ivf": ivf_rank,
         "simhash_pairs": simhash,

@@ -96,6 +96,66 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    min_cosine: float | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR recipe,
+    Karpukhin et al. 2020 §4.2: the best negatives are the most-similar
+    wrong-label examples): for each query vector, the ``k``
+    highest-cosine corpus vectors whose ``label_col`` DIFFERS from the
+    query's. ``min_cosine`` optionally floors the mined negatives (very
+    dissimilar vectors are easy negatives — not worth emitting).
+
+    Plan: identical posture to :func:`cosine_topk` — broadcast(queries)
+    × corpus BroadcastNestedLoopJoin with the label-mismatch predicate
+    fused into the join filter, so wrong-label pruning happens before
+    scoring ranks. Per-query rank window partitions on query_id (never
+    SinglePartition). For corpora past brute-force reach, over-fetch
+    :func:`pq_topk_ivf` and filter labels instead.
+
+    Returns (query_id, query_label, neighbor_id, neighbor_label,
+    cosine, rank), rank in 1..k.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("_cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("query_label"))
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    if min_cosine is not None:
+        scored = scored.filter(F.col("cosine") >= float(min_cosine))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]

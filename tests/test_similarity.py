@@ -294,3 +294,25 @@ def test_sampled_training_deterministic_and_valid(spark, emb):
         similarity.pq_train_codebooks(emb, m=32, ks=16, sample_frac=0.0)
     with _pt.raises(ValueError):
         similarity.ivf_kmeans_centroids(emb, sample_frac=1.5)
+
+
+def test_hard_negatives_wrong_label_only(spark):
+    """Mined negatives never share the query's label; ranks are dense by
+    descending cosine; min_cosine floors the mined set."""
+    from kusto_pre_forge_spark.operators import similarity as sim
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.1], 0),   # same label as query 1 -> excluded
+        (3, [0.9, 0.3], 1),
+        (4, [0.5, 0.8], 1),
+        (5, [-1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = df.filter(F.col("vec_id") == 1)
+    out = sim.hard_negatives(df, q, k=3).collect()
+    got = [(r.neighbor_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    assert got == [(3, 1), (4, 2), (5, 3)]
+    assert all(r.neighbor_label != r.query_label for r in out)
+    floored = sim.hard_negatives(df, q, k=3, min_cosine=0.0).collect()
+    assert sorted(r.neighbor_id for r in floored) == [3, 4]
