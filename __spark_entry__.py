@@ -403,6 +403,225 @@ def _q10_returned_items(spark, sf):
     return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
 
 
+def _q4_order_priority(spark, sf):
+    """TPC-H Q4 shape (adapted: the synthetic lineitem has no
+    commit/receipt dates, so "late" = shipped after the order date):
+    order-priority checking via a left-semi join — the EXISTS subquery
+    becomes a semi join that never widens the orders side."""
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .select("o_orderpriority", F.col("order_count").cast("long").alias("order_count"))
+    )
+
+
+def _q6_forecast_revenue(spark, sf):
+    """TPC-H Q6: single-scan filtered aggregate — every predicate pushes
+    into the parquet scan; the sum is one map-side-combined decimal agg."""
+    li = load_table(spark, sf, "lineitem")
+    out = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+    return out
+
+
+def _q8_market_share(spark, sf):
+    """TPC-H Q8 shape: NATION_1's share of ECONOMY-part volume sold into
+    ASIA-region customers per order year — all dims broadcast, one
+    conditional/total aggregate pair, share rounded for the oracle."""
+    p = load_table(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.select(F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk"))
+    sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    vol = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(r), F.col("crk") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0).cast("decimal(20,4)")))
+                / F.sum(vol)
+            ).cast("double").alias("share")
+        )
+        .select("o_year", F.round("share", 6).alias("mkt_share"))
+    )
+
+
+def _q9_product_profit(spark, sf):
+    """TPC-H Q9 shape (adapted: no partsupp table in the synthetic set,
+    so supply cost proxies as half the part's retail price): profit by
+    supplier nation and order year over the STANDARD part class."""
+    p = load_table(spark, sf, "part").filter(F.col("p_type") == "STANDARD")
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    amount = _dec(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+def _q13_order_count_dist(spark, sf):
+    """TPC-H Q13: customer order-count distribution — left join keeps
+    zero-order customers, two map-side-combined aggregates, no windows."""
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(
+            F.col("c_count").cast("long").alias("c_count"),
+            F.col("custdist").cast("long").alias("custdist"),
+        )
+    )
+
+
+def _q14_promo_revenue(spark, sf):
+    """TPC-H Q14: promo revenue percentage for one ship month — part dim
+    broadcast, one conditional/total decimal aggregate pair."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf, "part")
+    vol = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    out = j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast("decimal(20,4)")))
+            / F.sum(vol)
+        ).cast("double").alias("pct")
+    )
+    return out.select(F.round("pct", 6).alias("promo_revenue_pct"))
+
+
+def _q15_top_supplier(spark, sf):
+    """TPC-H Q15: top supplier(s) by quarterly revenue — the scalar
+    max-subquery becomes a 1-row broadcast joined back (exact decimal
+    sums make the equality engine-stable)."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("double")
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def _q18_large_orders(spark, sf):
+    """TPC-H Q18: large-volume orders — the HAVING sum(quantity) > 300
+    aggregate feeds a semi-shaped join back to orders/customer; top-k is
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"), 2)).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    j = (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+    return j.orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    ).limit(20)
+
+
+def _q19_discounted_revenue(spark, sf):
+    """TPC-H Q19 shape: OR-of-ANDs predicate over (brand, size, quantity)
+    bands — one broadcast part join, predicate fused below the single
+    decimal aggregate."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    pred = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(pred).agg(
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
 def _q_window_topk(spark, sf):
     li = load_table(spark, sf, "lineitem")
     w = Window.partitionBy("l_returnflag").orderBy(
@@ -4411,6 +4630,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_revenue": _q5_nation_revenue,
         "q7_volume_shipping": _q7_volume_shipping,
         "q10_returned_items": _q10_returned_items,
+        "q4_order_priority": _q4_order_priority,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q8_market_share": _q8_market_share,
+        "q9_product_profit": _q9_product_profit,
+        "q13_order_count_dist": _q13_order_count_dist,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q15_top_supplier": _q15_top_supplier,
+        "q18_large_orders": _q18_large_orders,
+        "q19_discounted_revenue": _q19_discounted_revenue,
         "window_topk": _q_window_topk,
         "window_running": _q_window_running,
         "agg_rollup": _q_rollup,
@@ -5016,6 +5244,99 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "WHERE l_returnflag = 'R' "
             "GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
+        ),
+        "q4_order_priority": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count "
+            "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) "
+            "GROUP BY o_orderpriority"
+        ),
+        "q6_forecast_revenue": (
+            "SELECT CAST(sum(CAST(l_extendedprice * l_discount "
+            "AS DECIMAL(20,4))) AS DOUBLE) AS revenue FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount >= 0.02 AND l_discount <= 0.06 "
+            "AND l_quantity < 24"
+        ),
+        "q8_market_share": (
+            "SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, "
+            "round(CAST(sum(CASE WHEN sn.n_name = 'NATION_1' THEN "
+            "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4)) "
+            "ELSE CAST(0 AS DECIMAL(20,4)) END) / "
+            "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) "
+            "AS DOUBLE), 6) AS mkt_share "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+            "JOIN region ON cn.n_regionkey = r_regionkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+            "WHERE p_type = 'ECONOMY' AND r_name = 'ASIA' "
+            "GROUP BY 1"
+        ),
+        "q9_product_profit": (
+            "SELECT n_name AS nation, "
+            "CAST(year(o_orderdate) AS INTEGER) AS o_year, "
+            "CAST(sum(CAST(l_extendedprice * (1 - l_discount) "
+            "- 0.5 * p_retailprice * l_quantity AS DECIMAL(20,4))) "
+            "AS DOUBLE) AS sum_profit "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE p_type = 'STANDARD' GROUP BY 1, 2"
+        ),
+        "q13_order_count_dist": (
+            "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM ("
+            "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey) GROUP BY c_count"
+        ),
+        "q14_promo_revenue": (
+            "SELECT round(CAST(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN "
+            "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4)) "
+            "ELSE CAST(0 AS DECIMAL(20,4)) END) / "
+            "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) "
+            "AS DOUBLE), 6) AS promo_revenue_pct "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-03-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01'"
+        ),
+        "q15_top_supplier": (
+            "WITH rev AS (SELECT l_suppkey, "
+            "CAST(sum(CAST(l_extendedprice * (1 - l_discount) "
+            "AS DECIMAL(20,4))) AS DOUBLE) AS total_revenue "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) "
+            "SELECT s_suppkey, s_name, total_revenue "
+            "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"
+        ),
+        "q18_large_orders": (
+            "WITH big AS (SELECT l_orderkey, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) "
+            "AS total_qty FROM lineitem GROUP BY 1 "
+            "HAVING CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) > 300) "
+            "SELECT c_name, c_custkey, o_orderkey, o_orderdate, "
+            "o_totalprice, total_qty "
+            "FROM big JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"
+        ),
+        "q19_discounted_revenue": (
+            "SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) "
+            "AS DECIMAL(20,4))) AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5 "
+            "AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 "
+            "AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 20 AND 30)"
         ),
         "q5_nation_revenue": (
             "SELECT n_name, "

@@ -99,6 +99,11 @@ HEADLINE = [
     "dedup_soft_weights",
     "multimodal_gif_dhash",
     "kql_find",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_order_count_dist",
+    "q18_large_orders",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

@@ -96,6 +96,11 @@ AUDITED = [
     ("dedup_soft_weights", "CC labels over the pair set only; ONE doc-id join attaches weights (broadcast under AQE when the clustered fraction is small)"),
     ("multimodal_gif_dhash", "pure map stage: GIF animation compositing + dhash inside mapInPandas"),
     ("kql_find", "per-table predicate sits on each scan (pushdown applies per source); the union is plan-level only, zero exchanges"),
+    ("q6_forecast_revenue", "every predicate pushed into the parquet scan; one map-side-combined aggregate, no join"),
+    ("q8_market_share", "7-way join keeps every dim broadcast; the fact side shuffles only for the final year aggregate"),
+    ("q9_product_profit", "part/supplier/nation broadcast; orders join is the one fact-fact exchange"),
+    ("q13_order_count_dist", "left join preserves zero-order customers; two map-side-combined aggregates, no windows"),
+    ("q18_large_orders", "HAVING aggregate shrinks lineitem to qualifying orders before any join; top-k is TakeOrderedAndProject"),
 ]
 
 
