@@ -569,6 +569,27 @@ def _q15_top_supplier(spark, sf):
     )
 
 
+def _q17_small_quantity_revenue(spark, sf):
+    """TPC-H Q17: revenue loss if small-quantity orders were dropped —
+    the correlated avg-quantity subquery becomes a per-part aggregate
+    joined back on the part key (never re-correlated per row)."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#11")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.avg("l_quantity").alias("_avg_qty")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("_avg_qty"))
+    )
+    return j.agg(
+        (F.sum(_dec(F.col("l_extendedprice"))) / F.lit(7.0))
+        .cast("double")
+        .alias("avg_yearly")
+    ).select(F.round("avg_yearly", 4).alias("avg_yearly"))
+
+
 def _q18_large_orders(spark, sf):
     """TPC-H Q18: large-volume orders — the HAVING sum(quantity) > 300
     aggregate feeds a semi-shaped join back to orders/customer; top-k is
@@ -4637,6 +4658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_order_count_dist": _q13_order_count_dist,
         "q14_promo_revenue": _q14_promo_revenue,
         "q15_top_supplier": _q15_top_supplier,
+        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
         "q18_large_orders": _q18_large_orders,
         "q19_discounted_revenue": _q19_discounted_revenue,
         "window_topk": _q_window_topk,
@@ -5315,6 +5337,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s_suppkey, s_name, total_revenue "
             "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
             "WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"
+        ),
+        "q17_small_quantity_revenue": (
+            "WITH a AS (SELECT l_partkey, avg(l_quantity) AS avg_qty "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) "
+            "/ 7.0 AS DOUBLE), 4) AS avg_yearly "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN a USING (l_partkey) "
+            "WHERE p_brand = 'Brand#11' AND l_quantity < 0.2 * avg_qty"
         ),
         "q18_large_orders": (
             "WITH big AS (SELECT l_orderkey, "
