@@ -136,11 +136,16 @@ def parse_wav_header(raw: bytes) -> dict | None:
         size = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
         body = raw[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
-            (_fmt, channels, rate, _brate, block_align, bits) = struct.unpack(
+            (fmt_tag, channels, rate, _brate, block_align, bits) = struct.unpack(
                 "<HHIIHH", body[:16]
             )
             out.update(
-                {"channels": channels, "sample_rate": rate, "bits_per_sample": bits}
+                {
+                    "channels": channels,
+                    "sample_rate": rate,
+                    "bits_per_sample": bits,
+                    "format_tag": fmt_tag,
+                }
             )
         elif cid == b"data":
             out["_data_bytes"] = size
@@ -392,18 +397,49 @@ def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> byt
 # ---------------------------------------------------------------- WAV codec
 
 
-def decode_wav(raw: bytes) -> tuple[int, int, list[float]]:
-    """Full PCM WAV decode: (sample_rate, channels, samples in [-1, 1]).
+def _g711_ulaw_to_linear(u: int) -> int:
+    """ITU-T G.711 µ-law byte → 16-bit linear (the audioop/spec table)."""
+    u = ~u & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    x = (((mant << 3) + 0x84) << exp) - 0x84
+    return -x if sign else x
 
-    Supports PCM (format 1) at 8-bit unsigned / 16-bit signed. Multi-
+
+def _g711_alaw_to_linear(a: int) -> int:
+    """ITU-T G.711 A-law byte → 16-bit linear (the audioop/spec table)."""
+    a ^= 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    if exp == 0:
+        x = (mant << 4) + 8
+    else:
+        x = ((mant << 4) + 0x108) << (exp - 1)
+    return x if sign else -x  # A-law: set sign bit = POSITIVE (vs µ-law)
+
+
+def decode_wav(raw: bytes) -> tuple[int, int, list[float]]:
+    """Full WAV decode: (sample_rate, channels, samples in [-1, 1]).
+
+    Supports linear PCM (format 1) at 8-bit unsigned / 16-bit signed,
+    plus the two G.711 telephony companding laws — A-law (format 6) and
+    µ-law (format 7), expanded per the ITU-T spec formulas (cross-checked
+    against stdlib ``audioop`` over all 256 code points in tests). Multi-
     channel data stays interleaved.
     """
     hdr = parse_wav_header(raw)
     if hdr is None:
         raise ValueError("not a WAV")
     bits = hdr.get("bits_per_sample")
-    if bits not in (8, 16):
+    fmt_tag = hdr.get("format_tag", 1)
+    if fmt_tag not in (1, 6, 7):
+        raise ValueError(f"unsupported WAV format tag {fmt_tag}")
+    if fmt_tag == 1 and bits not in (8, 16):
         raise ValueError(f"unsupported WAV bit depth {bits}")
+    if fmt_tag in (6, 7) and bits != 8:
+        raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
     # locate the data chunk payload
     pos, n = 12, len(raw)
     data = None
@@ -416,7 +452,11 @@ def decode_wav(raw: bytes) -> tuple[int, int, list[float]]:
         pos += 8 + size + (size & 1)
     if data is None:
         raise ValueError("WAV has no data chunk")
-    if bits == 16:
+    if fmt_tag == 6:
+        samples = [_g711_alaw_to_linear(v) / 32768.0 for v in data]
+    elif fmt_tag == 7:
+        samples = [_g711_ulaw_to_linear(v) / 32768.0 for v in data]
+    elif bits == 16:
         ints = struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2])
         samples = [v / 32768.0 for v in ints]
     else:
@@ -439,6 +479,32 @@ def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes
         + b"data"
         + struct.pack("<I", len(body))
         + body
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def encode_wav_g711(
+    sample_rate: int, codes: bytes, law: str = "ulaw", channels: int = 1
+) -> bytes:
+    """Minimal G.711 WAV fixture: raw companded ``codes`` bytes under
+    format tag 7 (µ-law) or 6 (A-law), 8 bits per sample."""
+    tag = {"ulaw": 7, "alaw": 6}.get(law)
+    if tag is None:
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    block_align = channels
+    fmt = struct.pack(
+        "<HHIIHH", tag, channels, sample_rate, sample_rate * block_align,
+        block_align, 8,
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(codes))
+        + codes
+        + (b"\x00" if len(codes) & 1 else b"")
     )
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 

@@ -925,3 +925,46 @@ def test_sample_frames_real_dib_avi(spark):
     assert sorted(rows) == [0, 2, 4]
     for fi in (0, 2, 4):
         assert rows[fi] == hashlib.sha256(frames[fi]).hexdigest()
+
+
+def test_g711_expansion_matches_stdlib_all_codepoints():
+    """µ-law and A-law expansion equals stdlib audioop for every one of
+    the 256 code points (the full-domain oracle)."""
+    import struct as _struct
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    for law, fn, conv in (
+        ("ulaw", mediacodec._g711_ulaw_to_linear, audioop.ulaw2lin),
+        ("alaw", mediacodec._g711_alaw_to_linear, audioop.alaw2lin),
+    ):
+        for code in range(256):
+            (expect,) = _struct.unpack("<h", conv(bytes([code]), 2))
+            assert fn(code) == expect, (law, code, fn(code), expect)
+
+
+def test_g711_wav_decode_roundtrip():
+    """A G.711 WAV decodes through the same decode_wav surface as PCM;
+    header reports the format tag; unsupported tags raise."""
+    codes = bytes(range(0, 256, 8))
+    raw = mediacodec.encode_wav_g711(8000, codes, law="ulaw")
+    hdr = mediacodec.parse_wav_header(raw)
+    assert hdr["format_tag"] == 7 and hdr["bits_per_sample"] == 8
+    assert hdr["n_samples"] == len(codes)
+    sr, ch, samples = mediacodec.decode_wav(raw)
+    assert (sr, ch, len(samples)) == (8000, 1, len(codes))
+    assert all(-1.0 <= s <= 1.0 for s in samples)
+    expected0 = mediacodec._g711_ulaw_to_linear(codes[0]) / 32768.0
+    assert samples[0] == expected0
+    araw = mediacodec.encode_wav_g711(8000, codes, law="alaw")
+    assert mediacodec.parse_wav_header(araw)["format_tag"] == 6
+    _, _, asamples = mediacodec.decode_wav(araw)
+    assert asamples[3] == mediacodec._g711_alaw_to_linear(codes[3]) / 32768.0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="format tag"):
+        bad = bytearray(raw)
+        bad[20:22] = (3).to_bytes(2, "little")  # IEEE float tag
+        mediacodec.decode_wav(bytes(bad))
