@@ -3502,6 +3502,55 @@ def _q_multimodal_frame_plan(spark, sf):
     )
 
 
+def _q_multimodal_audio_g711(spark, sf):
+    """Energy-delta fingerprint over REAL G.711 telephony WAVs (µ-law
+    even docs, A-law odd docs): frames alternate silence and a loud
+    companded tone, so the 32 contour bits are analytic — quiet-first
+    docs read 1010… (0xAAAAAAAA), loud-first read 0101… (0x55555555).
+    Exercises the full companding expansion through the same
+    decode_wav → fingerprint surface as PCM."""
+    from kusto_pre_forge_spark.operators import multimodal
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id")
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        from kusto_pre_forge_spark.operators import mediacodec
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                law = "ulaw" if i % 2 == 0 else "alaw"
+                quiet = 0xFF if law == "ulaw" else 0xD5  # code for 0/+8
+                loud = 0x80 if law == "ulaw" else 0x2A  # large |linear|
+                first_quiet = (i // 2) % 2 == 0
+                codes = bytearray()
+                for f in range(33):
+                    even = f % 2 == 0
+                    c = (
+                        quiet
+                        if (even if first_quiet else not even)
+                        else loud
+                    )
+                    codes += bytes([c] * 10)
+                blobs.append(
+                    mediacodec.encode_wav_g711(8000, bytes(codes), law=law)
+                )
+                ids.append(i)
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    return multimodal.audio_fingerprint(blobs).select(
+        "doc_id", "afp", "sample_rate", "n_samples"
+    )
+
+
 def _q_multimodal_audio_fp(spark, sf):
     """Energy-delta fingerprint over REAL decoded WAVs; fixtures make the
     hash analytic: even docs get an amplitude ramp (every later-frame
@@ -4867,6 +4916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_dhash": _q_multimodal_gif_dhash,
         "multimodal_dedup_pairs": _q_multimodal_dedup_pairs,
         "multimodal_audio_fp": _q_multimodal_audio_fp,
+        "multimodal_audio_g711": _q_multimodal_audio_g711,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
     }
 
@@ -8041,6 +8091,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id < 60) "
             "SELECT doc_id, CAST(fi AS BIGINT) AS frame_index, "
             "CAST(fi * 1000 AS BIGINT) AS t_ms FROM x"
+        ),
+        "multimodal_audio_g711": (
+            # fixture rule: quiet-first contour -> 1010... (0xAAAAAAAA),
+            # loud-first -> 0101... (0x55555555); 33 frames x 10 codes
+            "SELECT doc_id, "
+            "CAST(CASE WHEN (doc_id // 2) % 2 = 0 THEN 2863311530 "
+            "ELSE 1431655765 END AS BIGINT) AS afp, "
+            "CAST(8000 AS INTEGER) AS sample_rate, "
+            "CAST(330 AS BIGINT) AS n_samples "
+            "FROM documents WHERE doc_id < 60"
         ),
         "multimodal_audio_fp": (
             # ground truth from the fixture rule: ramp -> all 32 bits,
