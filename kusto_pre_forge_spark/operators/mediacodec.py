@@ -424,16 +424,19 @@ def decode_wav(raw: bytes) -> tuple[int, int, list[float]]:
     """Full WAV decode: (sample_rate, channels, samples in [-1, 1]).
 
     Supports linear PCM (format 1) at 8-bit unsigned / 16-bit signed,
-    plus the two G.711 telephony companding laws — A-law (format 6) and
+    the two G.711 telephony companding laws — A-law (format 6) and
     µ-law (format 7), expanded per the ITU-T spec formulas (cross-checked
-    against stdlib ``audioop`` over all 256 code points in tests). Multi-
-    channel data stays interleaved.
+    against stdlib ``audioop`` over all 256 code points in tests) — and
+    mono IMA/DVI ADPCM (format 0x11, dispatched to
+    :func:`decode_wav_ima_adpcm`). Multi-channel data stays interleaved.
     """
     hdr = parse_wav_header(raw)
     if hdr is None:
         raise ValueError("not a WAV")
     bits = hdr.get("bits_per_sample")
     fmt_tag = hdr.get("format_tag", 1)
+    if fmt_tag == 0x11:
+        return decode_wav_ima_adpcm(raw)
     if fmt_tag not in (1, 6, 7):
         raise ValueError(f"unsupported WAV format tag {fmt_tag}")
     if fmt_tag == 1 and bits not in (8, 16):
@@ -479,6 +482,124 @@ def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes
         + b"data"
         + struct.pack("<I", len(body))
         + body
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_decode_nibble(n: int, predictor: int, index: int) -> tuple[int, int]:
+    """One IMA-ADPCM nibble step (IMA ADPCM spec / MS WAVE format 0x11):
+    returns (new_predictor, new_index)."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if n & 1:
+        diff += step >> 2
+    if n & 2:
+        diff += step >> 1
+    if n & 4:
+        diff += step
+    predictor = predictor - diff if n & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[n & 7]))
+    return predictor, index
+
+
+def decode_wav_ima_adpcm(raw: bytes) -> tuple[int, int, list[float]]:
+    """IMA/DVI ADPCM WAV (format tag 0x11, mono) → (rate, 1, samples in
+    [-1, 1]). Each ``block_align`` block: a 4-byte header (initial int16
+    predictor + step index) then 2 nibbles per byte, LOW nibble first —
+    the 4:1 compressed telephony/game-audio format. Stereo blocks
+    (channel-interleaved 4-byte groups) raise; stdlib-free."""
+    hdr = parse_wav_header(raw)
+    if hdr is None or hdr.get("format_tag") != 0x11:
+        raise ValueError("not an IMA ADPCM WAV")
+    if hdr.get("channels", 1) != 1:
+        raise ValueError("IMA ADPCM decode supports mono only")
+    # block_align comes from the fmt chunk; re-walk for it and the data
+    pos, n = 12, len(raw)
+    block_align = None
+    data = None
+    while pos + 8 <= n:
+        cid = raw[pos : pos + 4]
+        size = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            block_align = struct.unpack("<H", body[12:14])[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if data is None or not block_align or block_align < 5:
+        raise ValueError("malformed IMA ADPCM WAV")
+    out: list[float] = []
+    for bstart in range(0, len(data) - block_align + 1, block_align):
+        block = data[bstart : bstart + block_align]
+        predictor = struct.unpack("<h", block[0:2])[0]
+        index = block[2]
+        if index > 88:
+            raise ValueError("corrupt IMA ADPCM: step index > 88")
+        out.append(predictor / 32768.0)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):  # LOW nibble first
+                predictor, index = _ima_decode_nibble(nib, predictor, index)
+                out.append(predictor / 32768.0)
+    return hdr["sample_rate"], 1, out
+
+
+def encode_wav_ima_adpcm(
+    sample_rate: int, samples: list[int], block_align: int = 256
+) -> bytes:
+    """Mono IMA ADPCM WAV fixture encoder (real quantizer: greedy
+    nibble search over the same decode tables, so encode→decode tracks
+    the input within the codec's quantization error)."""
+    spb = (block_align - 4) * 2 + 1  # samples per block
+    body = bytearray()
+    i = 0
+    index = 0
+    while i < len(samples):
+        chunk = samples[i : i + spb]
+        predictor = max(-32768, min(32767, int(chunk[0])))
+        body += struct.pack("<hBB", predictor, index, 0)
+        nibbles: list[int] = []
+        for target in chunk[1:]:
+            best, best_err = 0, None
+            for n in range(16):
+                p2, _ = _ima_decode_nibble(n, predictor, index)
+                err = abs(int(target) - p2)
+                if best_err is None or err < best_err:
+                    best, best_err = n, err
+            predictor, index = _ima_decode_nibble(best, predictor, index)
+            nibbles.append(best)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for j in range(0, len(nibbles), 2):
+            body.append(nibbles[j] | (nibbles[j + 1] << 4))
+        # pad the final short block to block_align
+        pad = block_align - 4 - len(nibbles) // 2
+        body += b"\x00" * pad
+        i += spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate,
+        sample_rate * block_align // spb, block_align, 4, 2, spb,
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(body))
+        + bytes(body)
     )
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
