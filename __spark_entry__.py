@@ -4012,6 +4012,35 @@ def _q_kql_scalar_suite8(spark, sf):
     )
 
 
+def _q_kql_scalar_suite9(spark, sf):
+    """Scalar batch 9: todecimal (128-bit cast), reverse, extract_json
+    (JSONPath → get_json_object codegen, typed cast), and
+    base64_decode_toarray (unbase64 + per-byte hex fold — ASCII fixture
+    makes the byte array == the codepoint array)."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 300)
+    js = F.concat(
+        F.lit('{"a": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "b": {"c": "'),
+        F.col("event_type"),
+        F.lit('"}}'),
+    )
+    b64 = F.base64(F.col("event_type").cast("binary"))
+    return e.select(
+        "event_id",
+        F.round(kql.todecimal("value").cast("double"), 4).alias("dec_v"),
+        kql.reverse_kql("event_type").alias("rev_t"),
+        kql.extract_json("$.b.c", js).alias("jc"),
+        kql.extract_json("$.a", js, cast_to="long").alias("ja"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                kql.base64_decode_toarray(b64), lambda v: v.cast("string")
+            ),
+        ).alias("bytes_csv"),
+    )
+
+
 def _q_kql_datetime_suite2(spark, sf):
     """Calendar-boundary batch 2: startofyear/quarter, endofquarter/week
     (−1 µs convention, Sunday-anchored weeks)."""
@@ -4833,6 +4862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_graph_shortest": _q_kql_graph_shortest,
         "kql_datetime_suite2": _q_kql_datetime_suite2,
         "kql_scalar_suite8": _q_kql_scalar_suite8,
+        "kql_scalar_suite9": _q_kql_scalar_suite9,
         "kql_series_forecast": _q_kql_series_forecast,
         "kql_condagg2": _q_kql_condagg2,
         "kql_string_distance": _q_kql_string_distance,
@@ -6550,6 +6580,17 @@ def oracle_sql() -> dict[str, str]:
             "concat('10.', CAST(event_id % 256 AS VARCHAR), '.7.0/24') AS mask24, "
             "CAST(NULL AS VARCHAR) AS mask_bad, "
             "event_type AS present, 'fallback' AS absent "
+            "FROM events WHERE event_id < 300"
+        ),
+        "kql_scalar_suite9": (
+            # ASCII event_type makes base64-decoded bytes == codepoints
+            "SELECT event_id, round(CAST(CAST(value AS DECIMAL(28,10)) "
+            "AS DOUBLE), 4) AS dec_v, "
+            "reverse(event_type) AS rev_t, "
+            "event_type AS jc, CAST(event_id AS BIGINT) AS ja, "
+            "array_to_string(list_transform(range(1, length(event_type) + 1), "
+            "i -> CAST(ascii(substr(event_type, CAST(i AS INTEGER), 1)) "
+            "AS VARCHAR)), ',') AS bytes_csv "
             "FROM events WHERE event_id < 300"
         ),
         "kql_datetime_suite2": (

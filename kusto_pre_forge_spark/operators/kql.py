@@ -4312,6 +4312,38 @@ def isascii(col: Column | str) -> Column:
     return c.isNotNull() & c.rlike(r"^[\x00-\x7F]*$")
 
 
+def todecimal(col: Column | str, precision: int = 28, scale: int = 10) -> Column:
+    """KQL ``todecimal`` — 128-bit decimal conversion (null on overflow /
+    unparsable, the to*-family convention; try_cast so ANSI mode can't
+    fail the job on bad input)."""
+    return _c(col).try_cast(f"decimal({precision},{scale})")
+
+
+def reverse_kql(col: Column | str) -> Column:
+    """KQL ``reverse`` — string reversal (codepoint-wise)."""
+    return F.reverse(_c(col))
+
+
+def extract_json(path: str, col: Column | str, cast_to: str | None = None) -> Column:
+    """KQL ``extract_json(jsonPath, text[, typeof(T)])`` — one JSONPath
+    read compiled to Catalyst ``get_json_object`` (codegen, no parse of
+    the full document into a dynamic), optionally cast per the
+    ``typeof`` argument."""
+    out = F.get_json_object(_c(col), path)
+    return out.cast(cast_to) if cast_to else out
+
+
+def base64_decode_toarray(col: Column | str) -> Column:
+    """KQL ``base64_decode_toarray`` — base64 → array of byte values
+    (ints 0-255). Pure codegen: unbase64 then a per-byte hex fold; no
+    UDF, no explode."""
+    b = F.unbase64(_c(col))
+    return F.transform(
+        F.sequence(F.lit(1), F.octet_length(b)),
+        lambda i: F.conv(F.hex(F.substring(b, i, F.lit(1))), 16, 10).cast("int"),
+    )
+
+
 def estimate_data_size(*cols: Column) -> Column:
     """KQL ``estimate_data_size(col1, …)`` — APPROXIMATE per-row payload
     bytes: Σ octet_length(string form), nulls contributing 0. KQL's own

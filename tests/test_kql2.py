@@ -1843,3 +1843,20 @@ def test_pagerank_converges_to_analytic_fixed_point(spark):
     }
     base = 0.15 / 3
     assert one["B"] - base == pytest.approx(3 * (one["C"] - base), rel=1e-9)
+
+
+def test_scalar_suite9_functions(spark):
+    """todecimal overflow->null, reverse, extract_json typed, and
+    base64_decode_toarray byte values."""
+    df = spark.createDataFrame(
+        [("QUJD", "abc", '{"x": {"y": 7}}')], "b64 string, s string, js string"
+    )
+    r = df.select(
+        kql.base64_decode_toarray("b64").alias("arr"),
+        kql.reverse_kql("s").alias("rev"),
+        kql.extract_json("$.x.y", F.col("js"), cast_to="long").alias("v"),
+        kql.todecimal(F.lit("12.5")).cast("double").alias("d"),
+        kql.todecimal(F.lit("not-a-number")).alias("bad"),
+    ).first()
+    assert r.arr == [65, 66, 67]  # "ABC"
+    assert r.rev == "cba" and r.v == 7 and r.d == 12.5 and r.bad is None
