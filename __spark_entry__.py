@@ -4041,6 +4041,81 @@ def _q_kql_scalar_suite9(spark, sf):
     )
 
 
+def _q_kql_welch_test(spark, sf):
+    """evaluate welch_test(): click vs error event values — sufficient
+    statistics from ONE conditional aggregate; t and Welch-Satterthwaite
+    df are closed-form (oracle replays them exactly); the t-CDF p-value
+    (not SQL-expressible) ships as a bounds-checked invariant and is
+    pinned against t-table constants in tests."""
+    e = load_table(spark, sf, "events")
+    out = kql.welch_test(e, "value", "event_type", "click", "error")
+    return out.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("mean_a") - F.col("mean_b"), 6).alias("mean_diff"),
+        F.round("t_stat", 6).alias("t_stat"),
+        F.round("df_welch", 4).alias("df_welch"),
+        ((F.col("p_value") >= 0) & (F.col("p_value") <= 1)).alias("p_in_unit"),
+    )
+
+
+def _q_kql_series_fft(spark, sf):
+    """series_fft/series_ifft: per-type 16-point series — the DC bin
+    equals the plain sum (exact value check the oracle replays), and the
+    ifft∘fft round-trip + Parseval energy identity hold to 1e-9
+    (invariant booleans)."""
+    e = load_table(spark, sf, "events")
+    per = (
+        e.groupBy("event_type")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("event_id", "value"))
+                    ),
+                    lambda s: s["value"].cast("double"),
+                ),
+                1,
+                16,
+            ).alias("series")
+        )
+        .filter(F.size("series") == 16)
+    )
+    fx = per.withColumn("fft", kql.series_fft("series"))
+    fx = fx.withColumn(
+        "rt", kql.series_ifft(F.col("fft.re"), F.col("fft.im"))
+    )
+    n = F.size("series")
+    err = F.aggregate(
+        F.zip_with(
+            F.col("series"),
+            F.col("rt.re"),
+            lambda a, b: F.abs(a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    energy_t = F.aggregate(
+        F.col("series"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    energy_f = F.aggregate(
+        F.zip_with(
+            F.col("fft.re"),
+            F.col("fft.im"),
+            lambda a, b: a * a + b * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / n.cast("double")
+    return fx.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.round(F.element_at(F.col("fft.re"), 1), 4).alias("dc"),
+        (err < 1e-9).alias("roundtrip_ok"),
+        (F.abs(energy_t - energy_f) < 1e-6).alias("parseval_ok"),
+    )
+
+
 def _q_kql_datetime_suite2(spark, sf):
     """Calendar-boundary batch 2: startofyear/quarter, endofquarter/week
     (−1 µs convention, Sunday-anchored weeks)."""
@@ -4863,6 +4938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_datetime_suite2": _q_kql_datetime_suite2,
         "kql_scalar_suite8": _q_kql_scalar_suite8,
         "kql_scalar_suite9": _q_kql_scalar_suite9,
+        "kql_welch_test": _q_kql_welch_test,
+        "kql_series_fft": _q_kql_series_fft,
         "kql_series_forecast": _q_kql_series_forecast,
         "kql_condagg2": _q_kql_condagg2,
         "kql_string_distance": _q_kql_string_distance,
@@ -6592,6 +6669,34 @@ def oracle_sql() -> dict[str, str]:
             "i -> CAST(ascii(substr(event_type, CAST(i AS INTEGER), 1)) "
             "AS VARCHAR)), ',') AS bytes_csv "
             "FROM events WHERE event_id < 300"
+        ),
+        "kql_welch_test": (
+            # exact replay of the closed-form statistics; p bounds boolean
+            "WITH st AS (SELECT "
+            "count(*) FILTER (event_type = 'click') AS n_a, "
+            "count(*) FILTER (event_type = 'error') AS n_b, "
+            "avg(value) FILTER (event_type = 'click') AS mean_a, "
+            "avg(value) FILTER (event_type = 'error') AS mean_b, "
+            "var_samp(value) FILTER (event_type = 'click') AS var_a, "
+            "var_samp(value) FILTER (event_type = 'error') AS var_b "
+            "FROM events) "
+            "SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, "
+            "round(mean_a - mean_b, 6) AS mean_diff, "
+            "round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) "
+            "AS t_stat, "
+            "round(pow(var_a / n_a + var_b / n_b, 2) / "
+            "(pow(var_a / n_a, 2) / (n_a - 1) + pow(var_b / n_b, 2) / (n_b - 1)), 4) "
+            "AS df_welch, true AS p_in_unit FROM st"
+        ),
+        "kql_series_fft": (
+            # DC bin == the plain sum of the 16-point series; round-trip
+            # and Parseval identities predicted true
+            "WITH s AS (SELECT event_type, value, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY event_id) AS rn FROM events) "
+            "SELECT event_type, CAST(16 AS BIGINT) AS n, "
+            "round(sum(value), 4) AS dc, "
+            "true AS roundtrip_ok, true AS parseval_ok "
+            "FROM s WHERE rn <= 16 GROUP BY event_type HAVING count(*) = 16"
         ),
         "kql_datetime_suite2": (
             "SELECT event_id, "

@@ -4955,3 +4955,169 @@ def series_fit_poly(col: Column | str, degree: int = 2) -> Column:
             F.round(rss, 6).alias("rss"),
         ),
     )
+
+
+def _betainc_regularized(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b) — Lentz continued fraction
+    (Numerical Recipes §6.4 shape), stdlib-only. Accurate to ~1e-12 for
+    the t-distribution arguments welch_test produces."""
+    import math
+
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (
+        math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+        + a * math.log(x)
+        + b * math.log(1.0 - x)
+    )
+    front = math.exp(ln_front)
+    # continued fraction for I_x(a,b); use the symmetry transform when
+    # x > (a+1)/(a+b+2) for convergence
+    if x > (a + 1.0) / (a + b + 2.0):
+        return 1.0 - _betainc_regularized(b, a, 1.0 - x)
+    tiny = 1e-300
+    f, c, d = 1.0, 1.0, 0.0
+    for m in range(0, 300):
+        if m == 0:
+            num = 1.0
+        elif m % 2 == 0:
+            k = m // 2
+            num = k * (b - k) * x / ((a + 2 * k - 1) * (a + 2 * k))
+        else:
+            k = (m - 1) // 2
+            num = -((a + k) * (a + b + k) * x) / ((a + 2 * k) * (a + 2 * k + 1))
+        d = 1.0 + num * d
+        d = 1.0 / (d if abs(d) > tiny else tiny)
+        c = 1.0 + num / (c if abs(c) > tiny else tiny)
+        f *= c * d
+        if abs(1.0 - c * d) < 1e-14:
+            break
+    return front * (f - 1.0) / a
+
+
+def _t_sf_two_sided(t: float, df: float) -> float:
+    """Two-sided p-value for Student's t: I_{df/(df+t²)}(df/2, 1/2)."""
+    if df <= 0:
+        return float("nan")
+    x = df / (df + t * t)
+    return _betainc_regularized(df / 2.0, 0.5, x)
+
+
+def welch_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """KQL ``evaluate welch_test()`` — Welch's unequal-variance two-sample
+    t-test between the rows where ``group_col`` equals ``group_a`` vs
+    ``group_b``. Returns ONE row: (n_a, n_b, mean_a, mean_b, t_stat,
+    df_welch, p_value).
+
+    Plan: the five sufficient statistics per group come from ONE
+    map-side-combined conditional aggregate over the scan (no shuffle of
+    data, 1 result row); the t statistic and Welch–Satterthwaite degrees
+    of freedom are closed-form Catalyst arithmetic on that row, and the
+    p-value (Student-t CDF via the regularized incomplete beta — not
+    expressible in SQL) is computed DRIVER-SIDE on the single collected
+    row and attached as a literal. Driver traffic: one row, ever.
+    """
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    agg = df.agg(
+        F.count(F.when(g == group_a, 1)).alias("n_a"),
+        F.count(F.when(g == group_b, 1)).alias("n_b"),
+        F.avg(F.when(g == group_a, v)).alias("mean_a"),
+        F.avg(F.when(g == group_b, v)).alias("mean_b"),
+        F.var_samp(F.when(g == group_a, v)).alias("var_a"),
+        F.var_samp(F.when(g == group_b, v)).alias("var_b"),
+    )
+    row = agg.collect()[0]  # bounded: one row of sufficient statistics
+    n_a, n_b = row["n_a"], row["n_b"]
+    if n_a < 2 or n_b < 2 or row["var_a"] is None or row["var_b"] is None:
+        raise ValueError("welch_test needs >= 2 samples per group")
+    sa, sb = row["var_a"] / n_a, row["var_b"] / n_b
+    se2 = sa + sb
+    t_stat = (row["mean_a"] - row["mean_b"]) / (se2 ** 0.5) if se2 > 0 else 0.0
+    df_w = (
+        se2 * se2 / (sa * sa / (n_a - 1) + sb * sb / (n_b - 1))
+        if se2 > 0
+        else float(n_a + n_b - 2)
+    )
+    p = _t_sf_two_sided(t_stat, df_w)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(n_a),
+                int(n_b),
+                float(row["mean_a"]),
+                float(row["mean_b"]),
+                float(t_stat),
+                float(df_w),
+                float(p),
+            )
+        ],
+        "n_a long, n_b long, mean_a double, mean_b double, "
+        "t_stat double, df_welch double, p_value double",
+    )
+
+
+def series_fft(col: Column | str):
+    """KQL ``series_fft`` — discrete Fourier transform of a real series.
+    Returns a struct ``(re, im)`` of array<double>. numpy FFT inside an
+    Arrow ``pandas_udf`` (the one construct that beats any SQL expression
+    tree for an O(n log n) butterfly); a pure map stage, no shuffle.
+    """
+    from pyspark.sql import functions as _F
+
+    @_F.pandas_udf("struct<re: array<double>, im: array<double>>")
+    def _fft(s):
+        import numpy as np
+        import pandas as pd
+
+        res_re, res_im = [], []
+        for v in s:
+            if v is None:
+                res_re.append(None)
+                res_im.append(None)
+                continue
+            z = np.fft.fft(np.asarray(v, dtype=np.float64))
+            res_re.append(z.real.tolist())
+            res_im.append(z.imag.tolist())
+        return pd.DataFrame({"re": res_re, "im": res_im})
+
+    return _fft(_c(col))
+
+
+def series_ifft(re: Column | str, im: Column | str):
+    """KQL ``series_ifft`` — inverse DFT from (re, im) arrays back to a
+    complex series, returned as the same ``(re, im)`` struct (a real
+    input round-trips to im≈0)."""
+    from pyspark.sql import functions as _F
+
+    @_F.pandas_udf("struct<re: array<double>, im: array<double>>")
+    def _ifft(re_s, im_s):
+        import numpy as np
+        import pandas as pd
+
+        res_re, res_im = [], []
+        for rv, iv in zip(re_s, im_s):
+            if rv is None:
+                res_re.append(None)
+                res_im.append(None)
+                continue
+            z = np.asarray(rv, dtype=np.float64) + 1j * np.asarray(
+                iv if iv is not None else np.zeros(len(rv)), dtype=np.float64
+            )
+            w = np.fft.ifft(z)
+            res_re.append(w.real.tolist())
+            res_im.append(w.imag.tolist())
+        return pd.DataFrame({"re": res_re, "im": res_im})
+
+    return _ifft(_c(re), _c(im))

@@ -1860,3 +1860,45 @@ def test_scalar_suite9_functions(spark):
     ).first()
     assert r.arr == [65, 66, 67]  # "ABC"
     assert r.rev == "cba" and r.v == 7 and r.d == 12.5 and r.bad is None
+
+
+def test_welch_test_pinned_against_t_table(spark):
+    """welch_test p-values match classic t-table constants; equal groups
+    give t=0, p=1; tiny groups raise."""
+    # p(|t| >= 2.228, df=10) = 0.05 (two-sided t-table)
+    assert abs(kql._t_sf_two_sided(2.228, 10.0) - 0.05) < 1e-3
+    assert abs(kql._t_sf_two_sided(2.086, 20.0) - 0.05) < 1e-3
+    assert abs(kql._t_sf_two_sided(1.96, 1e9) - 0.05) < 1e-3
+    assert kql._t_sf_two_sided(0.0, 5.0) == 1.0
+    a = [(float(v), "a") for v in (1, 2, 3, 4, 5)]
+    b = [(float(v), "b") for v in (1, 2, 3, 4, 5)]
+    df = spark.createDataFrame(a + b, "v double, g string")
+    r = kql.welch_test(df, "v", "g", "a", "b").first()
+    assert r.t_stat == 0.0 and r.p_value == 1.0 and r.df_welch == 8.0
+    shifted = spark.createDataFrame(
+        a + [(v + 100.0, "b") for v, _ in b], "v double, g string"
+    )
+    r2 = kql.welch_test(shifted, "v", "g", "a", "b").first()
+    assert r2.p_value < 1e-6 and r2.t_stat < -50
+    import pytest as _pt
+    tiny = spark.createDataFrame([(1.0, "a"), (2.0, "b")], "v double, g string")
+    with _pt.raises(ValueError, match=">= 2 samples"):
+        kql.welch_test(tiny, "v", "g", "a", "b")
+
+
+def test_series_fft_matches_numpy(spark):
+    """fft values equal numpy's; ifft round-trips to the input."""
+    import numpy as np
+
+    vals = [1.0, 2.0, -1.0, 0.5, 3.0, -2.0, 0.0, 1.5]
+    df = spark.createDataFrame([(vals,)], "s array<double>")
+    r = df.select(kql.series_fft("s").alias("f")).first().f
+    z = np.fft.fft(np.array(vals))
+    assert np.allclose(r.re, z.real) and np.allclose(r.im, z.imag)
+    rt = (
+        df.select(kql.series_fft("s").alias("f"))
+        .select(kql.series_ifft(F.col("f.re"), F.col("f.im")).alias("b"))
+        .first()
+        .b
+    )
+    assert np.allclose(rt.re, vals) and np.allclose(rt.im, 0.0)
