@@ -3221,6 +3221,60 @@ def _q_multimodal_image_dhash(spark, sf):
     )
 
 
+def _q_multimodal_image_dhash_tiff(spark, sf):
+    """Perceptual dHash over REAL decoded baseline TIFFs — fixtures
+    rotate the codec's axes (gray vs RGB, little vs big endian,
+    uncompressed vs PackBits) while the hash rule stays analytic:
+    even docs a horizontal gradient (→ −1), odd docs constant (→ 0);
+    TIFF decode is lossless so the bits are exact."""
+    from kusto_pre_forge_spark.operators import multimodal
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id")
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        from kusto_pre_forge_spark.operators import mediacodec
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 18, 8
+                if i % 2 == 0:
+                    row = bytes(x * 14 for x in range(w))
+                else:
+                    row = bytes([(i * 29) % 256]) * w
+                gray = row * h
+                ch = 3 if i % 4 >= 2 else 1
+                px = (
+                    bytes(b for v in gray for b in (v, v, v))
+                    if ch == 3
+                    else gray
+                )
+                blobs.append(
+                    mediacodec.encode_tiff(
+                        w,
+                        h,
+                        px,
+                        channels=ch,
+                        packbits=(i // 4) % 2 == 0,
+                        big_endian=(i // 8) % 2 == 0,
+                    )
+                )
+                ids.append(i)
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    return multimodal.image_dhash(blobs).select(
+        "doc_id", "dhash", "width", "height"
+    )
+
+
 def _q_multimodal_image_dhash_jpeg(spark, sf):
     """Perceptual dHash over REAL decoded JPEGs — the pure-numpy baseline
     decoder (Huffman + dequant + IDCT) feeding the same pipeline as the
@@ -5018,6 +5072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_meta": _q_multimodal_real_meta,
         "multimodal_image_dhash": _q_multimodal_image_dhash,
         "multimodal_image_dhash_jpeg": _q_multimodal_image_dhash_jpeg,
+        "multimodal_image_dhash_tiff": _q_multimodal_image_dhash_tiff,
         "multimodal_image_dhash_gif": _q_multimodal_image_dhash_gif,
         "multimodal_video_dhash": _q_multimodal_video_dhash,
         "multimodal_gif_dhash": _q_multimodal_gif_dhash,
@@ -8264,6 +8319,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE 0 END AS BIGINT) AS dhash, "
             "CAST(18 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height "
             "FROM documents WHERE doc_id < 80"
+        ),
+        "multimodal_image_dhash_tiff": (
+            # lossless TIFF decode: gradient -> -1, constant -> 0,
+            # regardless of the endian/compression/channel axis rotated
+            "SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE 0 END AS BIGINT) AS dhash, "
+            "CAST(18 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height "
+            "FROM documents WHERE doc_id < 60"
         ),
         "multimodal_image_dhash_jpeg": (
             # same analytic ground truth as the PNG variant: the fixture

@@ -256,11 +256,49 @@ _MP4_UNITY_MATRIX = struct.pack(
 )
 
 
+def parse_tiff_header(raw: bytes) -> dict | None:
+    """Baseline TIFF header: endianness magic (II*/MM*), first IFD walk
+    for ImageWidth/ImageLength/SamplesPerPixel/BitsPerSample."""
+    if len(raw) < 8:
+        return None
+    if raw[:4] == b"II*\x00":
+        e = "<"
+    elif raw[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        return None
+    (ifd_off,) = struct.unpack(e + "I", raw[4:8])
+    if ifd_off + 2 > len(raw):
+        return None
+    (n_entries,) = struct.unpack(e + "H", raw[ifd_off : ifd_off + 2])
+    out = {"media_kind": "tiff", "channels": 1, "bits_per_sample": 8}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(raw):
+            break
+        tag, typ, cnt = struct.unpack(e + "HHI", raw[off : off + 8])
+        val_bytes = raw[off + 8 : off + 12]
+        if typ == 3:  # SHORT
+            val = struct.unpack(e + "H", val_bytes[:2])[0]
+        else:
+            val = struct.unpack(e + "I", val_bytes)[0]
+        if tag == 256:
+            out["width"] = val
+        elif tag == 257:
+            out["height"] = val
+        elif tag == 277:
+            out["channels"] = val
+    if "width" not in out or "height" not in out:
+        return None
+    return out
+
+
 _PROBES = (
     parse_png_header,
     parse_jpeg_header,
     parse_gif_header,
     parse_bmp_header,
+    parse_tiff_header,
     parse_wav_header,
     parse_mp4_header,
 )
@@ -1763,6 +1801,236 @@ def encode_bmp(width: int, height: int, pixels: bytes, channels: int = 3) -> byt
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
     return out + bytes(body)
+
+
+# --------------------------------------------------------------- TIFF codec
+#
+# Baseline TIFF (the scanner/science/print-pipeline format): both byte
+# orders, strip-organized 8-bit grayscale or RGB, Compression 1 (none)
+# or 32773 (PackBits run-length). Written from the TIFF 6.0 spec; the
+# fixture encoder emits both compressions so decode is lossless-oracled.
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytearray:
+    """TIFF PackBits: n in 0..127 → copy n+1 literals; n in -127..-1 →
+    repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # 128: no-op
+    if len(out) < expect:
+        raise ValueError("corrupt PackBits strip: short output")
+    return out[:expect]
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Greedy PackBits encoder (runs ≥3 become repeats)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and (len(row) - i < 3 or not (
+            i + 2 < n and row[i] == row[i + 1] == row[i + 2]
+        )) and i - lit_start < 128:
+            i += 1
+        out += bytes([i - lit_start - 1]) + row[lit_start:i]
+    return bytes(out)
+
+
+def decode_tiff(raw: bytes):
+    """Decode a baseline TIFF → (width, height, channels, pixel bytes).
+    8-bit gray (ch=1) or RGB (ch=3), strip-organized, Compression 1
+    (uncompressed) or 32773 (PackBits), either byte order. Other bit
+    depths/compressions raise ValueError."""
+    hdr = parse_tiff_header(raw)
+    if hdr is None:
+        raise ValueError("not a TIFF")
+    e = "<" if raw[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(e + "I", raw[4:8])
+    (n_entries,) = struct.unpack(e + "H", raw[ifd_off : ifd_off + 2])
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(e + "HHI", raw[off : off + 8])
+        tags[tag] = (typ, cnt, raw[off + 8 : off + 12])
+
+    def values(tag: int, default=None) -> list[int]:
+        if tag not in tags:
+            return default
+        typ, cnt, vb = tags[tag]
+        size = 2 if typ == 3 else 4
+        fmt = "H" if typ == 3 else "I"
+        if cnt * size <= 4:
+            return list(
+                struct.unpack(e + fmt * cnt, vb[: cnt * size])
+            )
+        (ptr,) = struct.unpack(e + "I", vb)
+        return list(
+            struct.unpack(e + fmt * cnt, raw[ptr : ptr + cnt * size])
+        )
+
+    w = values(256)[0]
+    h = values(257)[0]
+    ch = values(277, [1])[0]
+    bits = values(258, [8])
+    comp = values(259, [1])[0]
+    if any(b != 8 for b in bits):
+        raise ValueError(f"unsupported TIFF bit depths {bits} (8 only)")
+    if ch not in (1, 3):
+        raise ValueError(f"unsupported TIFF samples/pixel {ch}")
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    offsets = values(273)
+    counts = values(279)
+    rows_per_strip = values(278, [h])[0]
+    if offsets is None or counts is None:
+        raise ValueError("TIFF missing strip offsets/counts")
+    out = bytearray()
+    row_bytes = w * ch
+    for si, (so, sc) in enumerate(zip(offsets, counts)):
+        strip = raw[so : so + sc]
+        n_rows = min(rows_per_strip, h - si * rows_per_strip)
+        expect = n_rows * row_bytes
+        if comp == 32773:
+            out += _packbits_decode(strip, expect)
+        else:
+            if len(strip) < expect:
+                raise ValueError("TIFF strip truncated")
+            out += strip[:expect]
+    if len(out) != h * row_bytes:
+        raise ValueError("TIFF pixel data size mismatch")
+    return w, h, ch, bytes(out)
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    packbits: bool = False,
+    big_endian: bool = False,
+    rows_per_strip: int = 4,
+) -> bytes:
+    """Spec-valid baseline TIFF fixture encoder: 8-bit gray/RGB, strip
+    layout, optional PackBits compression, either byte order."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    e = ">" if big_endian else "<"
+    row_bytes = width * channels
+    strips = []
+    for r0 in range(0, height, rows_per_strip):
+        rows = pixels[r0 * row_bytes : min(r0 + rows_per_strip, height) * row_bytes]
+        strips.append(_packbits_encode(rows) if packbits else rows)
+    # layout: header(8) + strip data + bits array (if rgb) + IFD
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    bits_off = pos
+    if channels == 3:
+        pos += 6
+    ifd_off = pos
+    entries = []
+
+    def entry(tag, typ, cnt, val):
+        entries.append(struct.pack(e + "HHI", tag, typ, cnt) + val)
+
+    def short_val(v):
+        return struct.pack(e + "H", v) + b"\x00\x00"
+
+    def long_val(v):
+        return struct.pack(e + "I", v)
+
+    entry(256, 4, 1, long_val(width))
+    entry(257, 4, 1, long_val(height))
+    if channels == 3:
+        entry(258, 3, 3, long_val(bits_off))
+    else:
+        entry(258, 3, 1, short_val(8))
+    entry(259, 3, 1, short_val(32773 if packbits else 1))
+    entry(262, 3, 1, short_val(2 if channels == 3 else 1))
+    if len(strips) == 1:
+        entry(273, 4, 1, long_val(strip_offsets[0]))
+    else:
+        entry(273, 4, len(strips), long_val(ifd_off + 2 + 0))  # patched below
+    entry(277, 3, 1, short_val(channels))
+    entry(278, 4, 1, long_val(rows_per_strip))
+    if len(strips) == 1:
+        entry(279, 4, 1, long_val(len(strips[0])))
+    else:
+        entry(279, 4, len(strips), long_val(0))  # patched below
+    entries.sort(key=lambda b: struct.unpack(e + "H", b[:2])[0])
+    ifd_size = 2 + 12 * len(entries) + 4
+    arrays_off = ifd_off + ifd_size
+    # patch multi-strip offset/count arrays to live after the IFD
+    if len(strips) > 1:
+        so_off = arrays_off
+        sc_off = arrays_off + 4 * len(strips)
+        for i, b in enumerate(entries):
+            tag = struct.unpack(e + "H", b[:2])[0]
+            if tag == 273:
+                entries[i] = b[:8] + long_val(so_off)
+            elif tag == 279:
+                entries[i] = b[:8] + long_val(sc_off)
+    out = bytearray()
+    out += (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(
+        e + "I", ifd_off
+    )
+    for s in strips:
+        out += s
+    if channels == 3:
+        out += struct.pack(e + "HHH", 8, 8, 8)
+    out += struct.pack(e + "H", len(entries))
+    for b in entries:
+        out += b
+    out += struct.pack(e + "I", 0)  # next IFD
+    if len(strips) > 1:
+        for so in strip_offsets:
+            out += struct.pack(e + "I", so)
+        for s in strips:
+            out += struct.pack(e + "I", len(s))
+    return bytes(out)
+
+
+IMAGE_KINDS = ("png", "jpeg", "gif", "bmp", "tiff")
+
+
+def decode_image(raw: bytes):
+    """Decode ANY supported still-image container → (width, height,
+    channels, pixel bytes): the single dispatch point for
+    PNG/JPEG/GIF/BMP/TIFF (probe on magic bytes, then the per-format
+    decoder). Raises ValueError for non-image payloads."""
+    kind = probe_bytes(raw)["media_kind"]
+    if kind == "png":
+        return decode_png(raw)
+    if kind == "jpeg":
+        return decode_jpeg(raw)
+    if kind == "gif":
+        return decode_gif(raw)
+    if kind == "bmp":
+        return decode_bmp(raw)
+    if kind == "tiff":
+        return decode_tiff(raw)
+    raise ValueError(f"not a decodable image container (kind={kind})")
 
 
 # ---------------------------------------------------------------- AVI codec

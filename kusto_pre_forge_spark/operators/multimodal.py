@@ -200,15 +200,8 @@ def decode_image_features(
                 raw = bytes(blob)
                 hdr = mediacodec.probe_bytes(raw)
                 kind = hdr["media_kind"]
-                if kind in ("png", "jpeg", "gif", "bmp"):
-                    if kind == "png":
-                        w, h, ch, px = mediacodec.decode_png(raw)
-                    elif kind == "jpeg":
-                        w, h, ch, px = mediacodec.decode_jpeg(raw)
-                    elif kind == "gif":
-                        w, h, ch, px = mediacodec.decode_gif(raw)
-                    else:
-                        w, h, ch, px = mediacodec.decode_bmp(raw)
+                if kind in mediacodec.IMAGE_KINDS:
+                    w, h, ch, px = mediacodec.decode_image(raw)
                     n = w * h
                     means = [
                         sum(px[c::ch]) / n / 255.0 for c in range(ch)
@@ -431,18 +424,15 @@ def resize_image(
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 raw = bytes(blob)
-                if mediacodec.parse_png_header(raw) is not None:
-                    sw, sh, ch, px = mediacodec.decode_png(raw)
-                elif mediacodec.parse_jpeg_header(raw) is not None:
-                    sw, sh, ch, px = mediacodec.decode_jpeg(raw)
-                elif mediacodec.parse_gif_header(raw) is not None:
-                    sw, sh, ch, px = mediacodec.decode_gif(raw)
-                elif mediacodec.parse_bmp_header(raw) is not None:
-                    sw, sh, ch, px = mediacodec.decode_bmp(raw)
+                if (
+                    mediacodec.probe_bytes(raw)["media_kind"]
+                    in mediacodec.IMAGE_KINDS
+                ):
+                    sw, sh, ch, px = mediacodec.decode_image(raw)
                 else:
                     raise NotImplementedError(
-                        "real resize supports PNG, baseline JPEG, GIF and "
-                        "BMP; pass fake=True for the stub"
+                        "real resize supports PNG, baseline JPEG, GIF, BMP "
+                        "and TIFF; pass fake=True for the stub"
                     )
                 import numpy as np
 
@@ -599,14 +589,8 @@ def image_dhash(
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 raw = bytes(blob)
                 hdr = mediacodec.probe_bytes(raw)
-                if hdr["media_kind"] == "png":
-                    w, h, ch, pix = mediacodec.decode_png(raw)
-                elif hdr["media_kind"] == "jpeg":
-                    w, h, ch, pix = mediacodec.decode_jpeg(raw)
-                elif hdr["media_kind"] == "gif":
-                    w, h, ch, pix = mediacodec.decode_gif(raw)
-                elif hdr["media_kind"] == "bmp":
-                    w, h, ch, pix = mediacodec.decode_bmp(raw)
+                if hdr["media_kind"] in mediacodec.IMAGE_KINDS:
+                    w, h, ch, pix = mediacodec.decode_image(raw)
                 else:
                     rows.append(
                         {

@@ -79,7 +79,7 @@ def test_decode_audio_features_stub(blobs):
 
 
 def test_resize_audio_unrecognized_container_raise(blobs):
-    with pytest.raises(Exception, match="real resize supports PNG, baseline JPEG, GIF and"):
+    with pytest.raises(Exception, match="real resize supports PNG, baseline JPEG, GIF, BMP"):
         multimodal.resize_image(blobs, 8, 6, fake=False).collect()
     with pytest.raises(Exception, match="PCM WAV only"):
         multimodal.decode_audio_features(blobs, fake=False).collect()
@@ -1020,3 +1020,48 @@ def test_ima_adpcm_wav_roundtrip_tracks_signal():
     bad[22:24] = (2).to_bytes(2, "little")
     with _pt.raises(ValueError, match="mono"):
         mediacodec.decode_wav_ima_adpcm(bytes(bad))
+
+
+def test_tiff_roundtrip_fuzz_and_dispatch():
+    """Baseline TIFF: both byte orders x gray/RGB x none/PackBits all
+    round-trip losslessly through encode→decode; probe and the shared
+    decode_image dispatcher recognize it; unsupported depths raise."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    for ch, pb, be in itertools.product((1, 3), (False, True), (False, True)):
+        w, h = 7, 5
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        raw = mediacodec.encode_tiff(
+            w, h, px, channels=ch, packbits=pb, big_endian=be, rows_per_strip=2
+        )
+        hdr = mediacodec.probe_bytes(raw)
+        assert hdr["media_kind"] == "tiff" and hdr["width"] == w
+        assert mediacodec.decode_tiff(raw) == (w, h, ch, px)
+        assert mediacodec.decode_image(raw) == (w, h, ch, px)
+    # PackBits really compresses runs
+    runpx = bytes([9]) * (10 * 10 * 3)
+    small = mediacodec.encode_tiff(10, 10, runpx, packbits=True)
+    # 300 px bytes collapse to a few run codes (file overhead ~134 B of IFD)
+    assert len(small) < 200
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not a TIFF"):
+        mediacodec.decode_tiff(b"ab")
+
+
+def test_image_dhash_real_tiff_pixels(spark):
+    """image_dhash flows TIFF through the same real-decode path: a
+    horizontal gradient hashes to all bits (-1), constant to 0."""
+    w, h = 18, 8
+    grad = bytes(b for x in range(w) for b in (x * 14,) * 3) * h
+    const = bytes([60, 60, 60]) * (w * h)
+    df = spark.createDataFrame(
+        [
+            (1, mediacodec.encode_tiff(w, h, grad, packbits=True)),
+            (2, mediacodec.encode_tiff(w, h, const, big_endian=True)),
+        ],
+        "doc_id long, blob binary",
+    )
+    out = {r.doc_id: r.dhash for r in multimodal.image_dhash(df).collect()}
+    assert out[1] == -1 and out[2] == 0
