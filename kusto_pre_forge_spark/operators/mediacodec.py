@@ -2011,7 +2011,82 @@ def encode_tiff(
     return bytes(out)
 
 
-IMAGE_KINDS = ("png", "jpeg", "gif", "bmp", "tiff")
+# -------------------------------------------------------------- Netpbm codec
+#
+# Binary PGM (P5, 8-bit gray) and PPM (P6, 8-bit RGB): ASCII header
+# (magic, whitespace/comments, width height maxval) then raw samples —
+# the exchange format of scientific/CV pipelines. Trivial by design;
+# included so a corpus of .pgm/.ppm masks/frames decodes like any other
+# still container.
+
+
+def parse_pnm_header(raw: bytes) -> dict | None:
+    """P5/P6 header: (width, height, channels) after comment-tolerant
+    whitespace tokenization."""
+    if len(raw) < 2 or raw[0:1] != b"P" or raw[1:2] not in b"56":
+        return None
+    ch = 1 if raw[1:2] == b"5" else 3
+    toks: list[int] = []
+    i = 2
+    n = len(raw)
+    while i < n and len(toks) < 3:
+        c = raw[i]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == ord("#"):
+            while i < n and raw[i] not in b"\r\n":
+                i += 1
+        elif 48 <= c <= 57:
+            v = 0
+            while i < n and 48 <= raw[i] <= 57:
+                v = v * 10 + raw[i] - 48
+                i += 1
+            toks.append(v)
+        else:
+            return None
+    if len(toks) < 3:
+        return None
+    w, h, maxval = toks
+    if w <= 0 or h <= 0:
+        return None
+    return {
+        "media_kind": "pnm",
+        "width": w,
+        "height": h,
+        "channels": ch,
+        "bits_per_sample": 8 if maxval < 256 else 16,
+        "_data_off": i + 1,  # single whitespace after maxval
+    }
+
+
+def decode_pnm(raw: bytes):
+    """Decode binary PGM/PPM → (width, height, channels, bytes).
+    8-bit maxval only (the overwhelmingly common case)."""
+    hdr = parse_pnm_header(raw)
+    if hdr is None:
+        raise ValueError("not a binary PGM/PPM")
+    if hdr["bits_per_sample"] != 8:
+        raise ValueError("only 8-bit PNM supported")
+    w, h, ch = hdr["width"], hdr["height"], hdr["channels"]
+    off = hdr["_data_off"]
+    need = w * h * ch
+    data = raw[off : off + need]
+    if len(data) < need:
+        raise ValueError("PNM pixel data truncated")
+    return w, h, ch, bytes(data)
+
+
+def encode_pnm(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Binary PGM (channels=1) / PPM (channels=3) encoder."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    magic = b"P5" if channels == 1 else b"P6"
+    return magic + f"\n{width} {height}\n255\n".encode() + pixels
+
+
+IMAGE_KINDS = ("png", "jpeg", "gif", "bmp", "tiff", "pnm")
 
 
 def decode_image(raw: bytes):
@@ -2030,6 +2105,8 @@ def decode_image(raw: bytes):
         return decode_bmp(raw)
     if kind == "tiff":
         return decode_tiff(raw)
+    if kind == "pnm":
+        return decode_pnm(raw)
     raise ValueError(f"not a decodable image container (kind={kind})")
 
 
@@ -2301,4 +2378,4 @@ def encode_avi_mjpeg(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-_PROBES = _PROBES + (parse_avi_header,)
+_PROBES = _PROBES + (parse_avi_header, parse_pnm_header)

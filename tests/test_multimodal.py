@@ -1065,3 +1065,34 @@ def test_image_dhash_real_tiff_pixels(spark):
     )
     out = {r.doc_id: r.dhash for r in multimodal.image_dhash(df).collect()}
     assert out[1] == -1 and out[2] == 0
+
+
+def test_pnm_roundtrip_and_dispatch(spark):
+    """Binary PGM/PPM round-trip; comment-tolerant header; flows through
+    decode_image and image_dhash like any other container."""
+    import random
+
+    rng = random.Random(3)
+    for ch in (1, 3):
+        w, h = 6, 4
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        raw = mediacodec.encode_pnm(w, h, px, ch)
+        hdr = mediacodec.probe_bytes(raw)
+        assert hdr["media_kind"] == "pnm" and hdr["channels"] == ch
+        assert mediacodec.decode_pnm(raw) == (w, h, ch, px)
+        assert mediacodec.decode_image(raw) == (w, h, ch, px)
+    # comments in the header are skipped
+    commented = b"P5\n# a comment\n3 2\n# another\n255\n" + bytes(6)
+    assert mediacodec.decode_pnm(commented) == (3, 2, 1, bytes(6))
+    # truncated data raises
+    import pytest as _pt
+    with _pt.raises(ValueError, match="truncated"):
+        mediacodec.decode_pnm(b"P6\n4 4\n255\n" + bytes(5))
+    # dhash path: PPM gradient -> -1
+    w, h = 18, 8
+    grad = bytes(b for x in range(w) for b in (x * 14,) * 3) * h
+    df = spark.createDataFrame(
+        [(1, mediacodec.encode_pnm(w, h, grad, 3))], "doc_id long, blob binary"
+    )
+    out = multimodal.image_dhash(df).collect()[0]
+    assert out.dhash == -1 and out.width == 18
