@@ -4613,6 +4613,26 @@ def _q_kql_geo_suite(spark, sf):
     )
 
 
+def _q_kql_graph_components(spark, sf):
+    """KQL graph-mark-components over the derived functional user graph
+    (u → 7u+1 mod 97): alternating-star CC labels vs a recursive-CTE
+    reachability oracle (component = min reachable node over the
+    UNDIRECTED closure)."""
+    e = load_table(spark, sf, "events").where(F.col("event_id") < 2000)
+    edges = (
+        e.select(
+            (F.col("user_id") % 97).alias("src"),
+            ((F.col("user_id") * 7 + 1) % 97).alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .distinct()
+    )
+    return kql.graph_mark_components(edges).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def _q_graph_pagerank(spark, sf):
     """PageRank over the nation trade graph (edges = customer-nation →
     supplier-nation, weight = lineitem revenue; the host-authority
@@ -4973,6 +4993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_scalar_suite5": _q_kql_scalar_suite5,
         "kql_graph_match": _q_kql_graph_match,
         "graph_pagerank": _q_graph_pagerank,
+        "kql_graph_components": _q_kql_graph_components,
         "kql_ipv6_suite": _q_kql_ipv6_suite,
         "kql_geo_suite": _q_kql_geo_suite,
         "kql_xml_suite": _q_kql_xml_suite,
@@ -7016,6 +7037,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(0 AS INT) AS cmp_eq, "
             "substr(canon1, 1, 8) = substr(canon2, 1, 8) AS m32, "
             "true AS m128 FROM c"
+        ),
+        "kql_graph_components": (
+            # undirected reachability closure; component = min reachable
+            "WITH RECURSIVE ed AS (SELECT DISTINCT user_id % 97 AS s, "
+            "(user_id * 7 + 1) % 97 AS d FROM events "
+            "WHERE event_id < 2000 AND user_id IS NOT NULL), "
+            "und AS (SELECT s AS u, d AS v FROM ed "
+            "UNION SELECT d, s FROM ed), "
+            "reach(src, node) AS ("
+            "SELECT u, u FROM (SELECT DISTINCT u FROM und) "
+            "UNION "
+            "SELECT r.src, e.v FROM reach r JOIN und e ON e.u = r.node) "
+            "SELECT CAST(src AS BIGINT) AS node, "
+            "CAST(min(node) AS BIGINT) AS component FROM reach GROUP BY src"
         ),
         "graph_pagerank": (
             # round-for-round replay: same edge aggregate, same

@@ -4144,6 +4144,37 @@ def graph_shortest_paths(
     return dist
 
 
+def graph_mark_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 16,
+) -> DataFrame:
+    """KQL ``graph-mark-components`` — label every node with its weakly
+    connected component (component id = min node id, KQL's stable-label
+    convention). Thin façade over the dedup family's alternating
+    large-star/small-star ``connected_components`` (O(log n) rounds,
+    per-round lineage truncation) so the KQL graph surface and the dedup
+    cluster resolver share one implementation. Returns (node, component).
+    """
+    from .dedup import connected_components
+
+    labels = connected_components(
+        edges, src_col=src_col, dst_col=dst_col, max_iterations=max_iterations
+    ).select(F.col("id").alias("node"), F.col("cluster_id").alias("component"))
+    # the dedup CC drops self-loops (a self-pair is meaningless for
+    # duplicate resolution) — KQL keeps every node, so nodes that only
+    # self-loop (or are otherwise label-less) become their own component
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",

@@ -448,3 +448,59 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def streaming_source_quota(
+    events: DataFrame,
+    source_col: str,
+    quota: int,
+    order_col: str,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Per-source admission quota across the stream's LIFETIME: each
+    source admits at most ``quota`` rows, first-come within a batch by
+    ascending ``order_col`` (deterministic — never partition arrival
+    order), with the admitted count carried across micro-batches as
+    explicit state. The cross-batch form of the corpus budget valves
+    (``budget_sample`` caps per-mix tokens statically; this caps a LIVE
+    feed) — the standard guard against one crawl host flooding an ingest.
+
+    Emits only the admitted rows: (source, order_value, admitted_total)
+    where admitted_total is the source's running count AFTER this batch.
+    State is one long per source, bounded forever. Works on batch frames
+    (one batch = the whole input), which is how tests pin the arithmetic.
+    """
+    if quota < 1:
+        raise ValueError("quota must be >= 1")
+    src = events.select(
+        F.col(source_col).cast("string").alias("source"),
+        F.col(order_col).cast("long").alias("order_value"),
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        admitted = state.get[0] if state.exists else 0
+        rows = []
+        for pdf in pdfs:
+            for v in sorted(pdf["order_value"]):
+                if admitted >= quota:
+                    break
+                admitted += 1
+                rows.append(int(v))
+        state.update((admitted,))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]] * len(rows),
+                "order_value": rows,
+                "admitted_total": [admitted] * len(rows),
+            }
+        )
+
+    return src.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType="source string, order_value long, admitted_total long",
+        stateStructType=T.StructType([T.StructField("admitted", T.LongType())]),
+        outputMode="update",
+        timeoutConf=timeout,
+    )

@@ -1902,3 +1902,13 @@ def test_series_fft_matches_numpy(spark):
         .b
     )
     assert np.allclose(rt.re, vals) and np.allclose(rt.im, 0.0)
+
+
+def test_graph_mark_components_keeps_isolated_and_selfloop_nodes(spark):
+    """Components are min-id labeled; self-loop-only nodes survive as
+    their own component (KQL semantics, unlike the dedup CC)."""
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 5), (7, 8)], "src long, dst long"
+    )
+    out = {r.node: r.component for r in kql.graph_mark_components(e).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 8: 7}

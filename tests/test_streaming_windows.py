@@ -350,3 +350,53 @@ def test_streaming_heavy_hitters_state_across_batches(spark, tmp_path):
         per_bucket_rows[b] = max(per_bucket_rows.get(b, 0), n)
     total_rows = sum(per_bucket_rows.values())
     assert total_rows == len(w0) + len(w1), per_bucket_rows
+
+
+def test_streaming_source_quota_across_batches(spark, tmp_path):
+    """Quota admits deterministically by order within a batch and the
+    count persists across micro-batches: source a (quota 3) admits 2 in
+    wave 0 then exactly 1 more in wave 1; source b under quota admits
+    everything."""
+    from kusto_pre_forge_spark.streaming.windows import streaming_source_quota
+
+    w0 = [("a", 5), ("a", 1), ("b", 10)]
+    w1 = [("a", 7), ("a", 2), ("b", 20)]
+    land = tmp_path / "q"
+    spark.createDataFrame(w0, "src string, n long").coalesce(1).write.parquet(
+        str(land / "w0")
+    )
+    import time as _time
+
+    _time.sleep(1.1)
+    spark.createDataFrame(w1, "src string, n long").coalesce(1).write.parquet(
+        str(land / "w1")
+    )
+    srcs = (
+        spark.readStream.schema("src string, n long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "*"))
+    )
+    q = (
+        streaming_source_quota(srcs, "src", 3, "n")
+        .writeStream.format("memory")
+        .queryName("quota_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM quota_out").collect()
+    a = sorted(r.order_value for r in rows if r.source == "a")
+    b = sorted(r.order_value for r in rows if r.source == "b")
+    # wave0 admits 1 and 5 (sorted order); wave1 has room for ONE more,
+    # the smaller of (2, 7) -> 2. 7 is dropped by the lifetime quota.
+    assert a == [1, 2, 5], a
+    assert b == [10, 20], b
+    totals = {r.source: r.admitted_total for r in rows if r.source == "a"}
+    assert max(
+        r.admitted_total for r in rows if r.source == "a"
+    ) == 3
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        streaming_source_quota(srcs, "src", 0, "n")
