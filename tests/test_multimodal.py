@@ -1096,3 +1096,123 @@ def test_pnm_roundtrip_and_dispatch(spark):
     )
     out = multimodal.image_dhash(df).collect()[0]
     assert out.dhash == -1 and out.width == 18
+
+
+def test_gif_animation_property_vs_reference_compositor():
+    """Property test: random animations (sub-rect frames, all disposal
+    methods, optional transparency) decode EXACTLY as an independent
+    reference compositor written here from the GIF89a spec."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    colors = [bytes((r, g, b)) for r, g, b in
+              [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9), (200, 200, 0)]]
+
+    frame_st = st.fixed_dictionaries(
+        {
+            "left": st.integers(0, 3),
+            "top": st.integers(0, 3),
+            "fw": st.integers(1, 4),
+            "fh": st.integers(1, 4),
+            "disposal": st.sampled_from([0, 1, 2, 3]),
+            "color": st.integers(0, 4),
+            "transparent": st.booleans(),
+        }
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(frame_st, min_size=1, max_size=4), st.integers(5, 8), st.integers(5, 8))
+    def check(frames_spec, W, H):
+        T = (1, 2, 3)
+        frames = []
+        for fs in frames_spec:
+            c = colors[fs["color"]]
+            px = bytearray()
+            # checker of color and (transparent marker or black)
+            other = bytes(T) if fs["transparent"] else b"\x00\x00\x00"
+            for i in range(fs["fw"] * fs["fh"]):
+                px += c if i % 2 == 0 else other
+            frames.append(
+                {
+                    "pixels": bytes(px),
+                    "left": fs["left"],
+                    "top": fs["top"],
+                    "fw": fs["fw"],
+                    "fh": fs["fh"],
+                    "disposal": fs["disposal"],
+                    "transparent": T if fs["transparent"] else None,
+                }
+            )
+        raw = mediacodec.encode_gif_animation(W, H, frames)
+        gw, gh, got, _delays = mediacodec.decode_gif_frames(raw)
+        assert (gw, gh) == (W, H)
+        # ---- independent reference compositor (GIF89a 23.c + 89a App.) ----
+        # background = palette index 0 = the first color the encoder
+        # registers, which is frame 0's transparent marker when set
+        # (idx_of runs on `transparent` before the pixel loop), else
+        # frame 0's first pixel
+        bg = (
+            bytes(frames[0]["transparent"])
+            if frames[0]["transparent"] is not None
+            else frames[0]["pixels"][0:3]
+        )
+        canvas = bytearray(bg * (W * H))
+        expect = []
+        for fr in frames:
+            saved = bytes(canvas) if fr["disposal"] == 3 else None
+            for y in range(fr["fh"]):
+                cy = fr["top"] + y
+                if cy >= H:
+                    break
+                for x in range(fr["fw"]):
+                    cx = fr["left"] + x
+                    if cx >= W:
+                        continue
+                    p = fr["pixels"][3 * (y * fr["fw"] + x) : 3 * (y * fr["fw"] + x) + 3]
+                    if fr["transparent"] is not None and p == bytes(fr["transparent"]):
+                        continue
+                    o = 3 * (cy * W + cx)
+                    canvas[o : o + 3] = p
+            expect.append(bytes(canvas))
+            if fr["disposal"] == 2:
+                for y in range(fr["fh"]):
+                    cy = fr["top"] + y
+                    if cy >= H:
+                        break
+                    for x in range(fr["fw"]):
+                        cx = fr["left"] + x
+                        if cx >= W:
+                            continue
+                        o = 3 * (cy * W + cx)
+                        canvas[o : o + 3] = bg
+            elif fr["disposal"] == 3:
+                canvas = bytearray(saved)
+        assert got == expect
+
+    check()
+
+
+def test_tiff_property_roundtrip():
+    """Hypothesis fuzz: arbitrary pixel content, dims, strip heights,
+    byte orders and compressions round-trip losslessly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 9),
+        st.integers(1, 9),
+        st.sampled_from([1, 3]),
+        st.booleans(),
+        st.booleans(),
+        st.integers(1, 6),
+        st.randoms(use_true_random=False),
+    )
+    def check(w, h, ch, pb, be, rps, rng):
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        raw = mediacodec.encode_tiff(
+            w, h, px, channels=ch, packbits=pb, big_endian=be, rows_per_strip=rps
+        )
+        assert mediacodec.decode_tiff(raw) == (w, h, ch, px)
+
+    check()
