@@ -725,6 +725,7 @@ def heavy_hitters_sketch(
     k: int = 16,
     n_buckets: int = 8,
     salt: str = "kpf-hh",
+    two_level: bool = False,
 ) -> DataFrame:
     """SpaceSaving heavy-hitters sketch (Metwally et al. 2005) — the
     bounded-memory form of KQL ``top-hitters`` (what Kusto itself runs
@@ -749,6 +750,23 @@ def heavy_hitters_sketch(
     exact ``groupBy(item)`` would shuffle a distinct-key set too large to
     aggregate (the situation KQL's approximation exists for). One keyed
     shuffle of (bucket, item); Arrow-batched pandas, no per-row Python.
+
+    Default path parallelism is ``n_buckets`` tasks (every row funnels
+    into its bucket's task) — fine up to moderate volume, a ceiling at
+    100 TB. ``two_level=True`` is the scale path: stage 1 runs an
+    independent SpaceSaving PER INPUT PARTITION inside ``mapInPandas``
+    (full scan parallelism, no shuffle — only partials move), stage 2
+    merges each bucket's ≤ partitions×k partial counters with the
+    standard mergeable-summaries compensation (Agarwal et al., PODS'12):
+    an item ABSENT from a full partial could have hidden under that
+    partial's minimum counter, so the merge adds ``min_full`` for absent
+    partials to the upper estimate, then keeps the top k. Guarantees
+    after merge: every item with global count > N/k survives (pigeonhole
+    over partials), and ``true ≤ est ≤ true + N/k`` still holds (Σ of
+    per-partial bounds). The merged ests depend on the physical
+    partitioning (not on row order within partitions) — use the default
+    path when bit-replayable output matters, ``two_level`` when scan
+    parallelism does; the capture/bound guarantees hold for both.
     """
     if k < 1 or n_buckets < 2:
         raise ValueError("k >= 1 and n_buckets >= 2 required")
@@ -794,8 +812,92 @@ def heavy_hitters_sketch(
             }
         )
 
-    return src.groupBy("bucket").applyInPandas(
-        run, "bucket long, item string, est long, err long"
+    if not two_level:
+        return src.groupBy("bucket").applyInPandas(
+            run, "bucket long, item string, est long, err long"
+        )
+
+    def partials(it):
+        import pandas as pd
+
+        # ONE summary per (input partition, bucket): accumulate across
+        # every Arrow batch of the partition, emit once at the end —
+        # the merge stage's per-partial min_full bookkeeping depends on
+        # exactly one partial per partition
+        per_bucket: dict[int, dict[str, list[int]]] = {}
+        for pdf in it:
+            for item, bucket in zip(pdf["item"], pdf["bucket"]):
+                counters = per_bucket.setdefault(int(bucket), {})
+                if item in counters:
+                    counters[item][0] += 1
+                elif len(counters) < k:
+                    counters[item] = [1, 0]
+                else:
+                    evict = max(
+                        counters, key=lambda it_: (-counters[it_][0], it_)
+                    )
+                    m = counters.pop(evict)[0]
+                    counters[item] = [m + 1, m]
+        rows = []
+        for bucket, counters in per_bucket.items():
+            # min_full: the compensation an ABSENT item needs in the
+            # merge — 0 when this partial never evicted (not full)
+            min_full = (
+                min(e for e, _ in counters.values())
+                if len(counters) >= k
+                else 0
+            )
+            for item_, (e, r) in counters.items():
+                rows.append(
+                    {
+                        "bucket": bucket,
+                        "item": item_,
+                        "est": e,
+                        "err": r,
+                        "min_full": min_full,
+                    }
+                )
+        yield pd.DataFrame(
+            rows, columns=["bucket", "item", "est", "err", "min_full"]
+        )
+
+    def merge(pdf):
+        import pandas as pd
+
+        bucket = int(pdf["bucket"].iloc[0])
+        # partial id = rows sharing one min_full batch — reconstruct by
+        # grouping on the emitted order is unsafe; instead carry each
+        # partial's min_full on every row and aggregate per item:
+        # est(item) = Σ present est + Σ absent partials' min_full.
+        # Σ over all partials of min_full is a bucket-level constant:
+        partial_minfulls = pdf.groupby("_pid")["min_full"].first()
+        total_minfull = int(partial_minfulls.sum())
+        agg = pdf.groupby("item").agg(
+            est=("est", "sum"),
+            err=("err", "sum"),
+            present_minfull=("min_full", "sum"),
+        )
+        est_u = agg["est"] + (total_minfull - agg["present_minfull"])
+        err_u = agg["err"] + (total_minfull - agg["present_minfull"])
+        order = sorted(
+            agg.index, key=lambda it_: (-int(est_u[it_]), it_)
+        )[:k]
+        keep = sorted(order)
+        return pd.DataFrame(
+            {
+                "bucket": [bucket] * len(keep),
+                "item": keep,
+                "est": [int(est_u[i]) for i in keep],
+                "err": [int(err_u[i]) for i in keep],
+            }
+        )
+
+    part = src.mapInPandas(
+        partials,
+        "bucket long, item string, est long, err long, min_full long",
+    ).withColumn("_pid", F.spark_partition_id())
+    return part.groupBy("bucket").applyInPandas(
+        merge, "bucket long, item string, est long, err long"
     )
 
 

@@ -1912,3 +1912,36 @@ def test_graph_mark_components_keeps_isolated_and_selfloop_nodes(spark):
     )
     out = {r.node: r.component for r in kql.graph_mark_components(e).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 8: 7}
+
+
+def test_heavy_hitters_two_level_guarantees(spark):
+    """Two-level (partition-parallel) SpaceSaving: every globally heavy
+    item is captured with true <= est <= true + N_b/k regardless of
+    partitioning; forced repartitions agree on capture."""
+    import hashlib
+    from collections import Counter
+
+    K, B, SALT = 4, 2, "kpf-hh"
+    # skewed: x dominates, y moderate, long tail of singletons
+    items = ["x"] * 400 + ["y"] * 120 + [f"t{i}" for i in range(80)]
+    df = spark.createDataFrame([(i,) for i in items], "item string")
+    true = Counter(items)
+
+    def bucket_of(it):
+        h = hashlib.md5(f"{SALT}|{it}".encode()).hexdigest()[:8]
+        return int(h, 16) % B
+
+    nb = {b: sum(c for i, c in true.items() if bucket_of(i) == b) for b in range(B)}
+    for parts in (3, 11):
+        out = kql.heavy_hitters_sketch(
+            df.repartition(parts), "item", k=K, n_buckets=B, two_level=True
+        ).collect()
+        got = {(r.bucket, r.item): r.est for r in out}
+        per_bucket = Counter(b for b, _ in got)
+        assert all(v <= K for v in per_bucket.values())
+        for it, c in true.items():
+            b = bucket_of(it)
+            if c * K > nb[b]:  # globally heavy in its bucket
+                assert (b, it) in got, (parts, it)
+                est = got[(b, it)]
+                assert c <= est <= c + nb[b] // K, (parts, it, c, est)
