@@ -30,6 +30,7 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("kpf_shard_id", T.StringType(), True),
         T.StructField("kpf_last_shard", T.BooleanType(), True),
         T.StructField("record_count", T.LongType(), True),
+        T.StructField("drop_by", T.StringType(), True),
     ]
 )
 
@@ -70,6 +71,7 @@ class IngestManifest:
                 "kpf_shard_id",
                 "kpf_last_shard",
                 "record_count",
+                "drop_by",
             )
             .write.mode("append")
             .parquet(self.path)
@@ -84,6 +86,7 @@ def ingest_idempotent(
     shard_col: str = "_kpf_shard_id",
     last_col: str = "_kpf_last_shard",
     fmt: str = "parquet",
+    drop_by: str | None = None,
 ) -> DataFrame:
     """Ingest sharded data, skipping shards already committed.
 
@@ -111,6 +114,7 @@ def ingest_idempotent(
         )
         .withColumnRenamed(source_col, "kpf_original_blob")
         .withColumnRenamed(shard_col, "kpf_shard_id")
+        .withColumn("drop_by", F.lit(drop_by).cast("string"))
     )
     # Materialize the new-shard set up front: after the manifest commit the
     # anti-join would recompute to empty, so the decision must be pinned.
@@ -126,6 +130,7 @@ def ingest_idempotent(
             "kpf_shard_id",
             "kpf_last_shard",
             "record_count",
+            "drop_by",
         )
         .localCheckpoint(eager=True)
     )
@@ -145,3 +150,50 @@ def ingest_idempotent(
         )
         manifest.commit(new_meta)
     return new_meta
+
+
+def drop_by_tag(
+    manifest: IngestManifest, dest_path: str, tag: str
+) -> list[str]:
+    """Kusto ``.drop extents <| where tags has 'drop-by:<tag>'`` analogue
+    — bulk retirement of every shard ingested under ``drop_by=tag``
+    (the second extent-tag kind next to ingest-by; batch deletes of a
+    bad backfill are THE drop-by use case).
+
+    Ordering is manifest-first: the manifest forgets the shards, then
+    their ``ingest_by=`` data directories are deleted. A crash in
+    between leaves orphaned data that the next ingestion of the same
+    shards simply overwrites (dynamic partition overwrite on the same
+    key) — consistent either way. The reverse order would strand
+    manifest rows pointing at deleted data, which would WRONGLY block
+    re-ingestion. Returns the dropped ingest_by keys.
+    """
+    import shutil
+    from urllib.parse import quote
+
+    current = manifest.read()
+    dropped = [
+        r["ingest_by"]
+        for r in current.filter(F.col("drop_by") == tag)
+        .select("ingest_by")
+        .collect()  # bounded: shard-level metadata only
+    ]
+    if not dropped:
+        return []
+    kept = current.filter(
+        F.col("drop_by").isNull() | (F.col("drop_by") != tag)
+    )
+    tmp = manifest.path + ".compact"
+    kept.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(manifest.path)
+    os.rename(tmp, manifest.path)
+    for key in dropped:
+        # partition dirs URL-encode special chars (Spark's escapePathName)
+        d = os.path.join(dest_path, f"ingest_by={quote(key, safe='')}")
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        else:
+            d2 = os.path.join(dest_path, f"ingest_by={key}")
+            if os.path.exists(d2):
+                shutil.rmtree(d2)
+    return dropped

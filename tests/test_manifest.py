@@ -67,3 +67,33 @@ def test_ingest_same_shard_id_different_sources_coexist(spark, tmp_path, sharded
     out = spark.read.parquet(dest)
     assert out.count() == 20
     assert out.select("ingest_by").distinct().count() == 4
+
+
+def test_drop_by_tag_retires_shards_and_reopens_ingestion(spark, tmp_path, sharded):
+    """drop-by: shards ingested under a tag can be bulk-retired — data
+    dirs deleted, manifest rows gone, and the SAME shards re-ingest
+    afterwards (ingest-by no longer blocks them); other tags survive."""
+    from kusto_pre_forge_spark.sinks.manifest import drop_by_tag
+
+    manifest = IngestManifest(spark, str(tmp_path / "manifest"))
+    dest = str(tmp_path / "dest")
+    a = sharded.filter(F.col("_kpf_source") == "a")
+    b = sharded.filter(F.col("_kpf_source") == "b")
+    ingest_idempotent(a, manifest, dest, drop_by="backfill-bad")
+    ingest_idempotent(b, manifest, dest, drop_by="backfill-good")
+    assert spark.read.parquet(dest).count() == 20
+
+    dropped = drop_by_tag(manifest, dest, "backfill-bad")
+    assert sorted(dropped) == ["a-00000", "a-00001"]
+    remaining = spark.read.parquet(dest)
+    assert remaining.count() == 10
+    assert {r.ingest_by for r in remaining.select("ingest_by").distinct().collect()} == {
+        "b-00000", "b-00001",
+    }
+    assert manifest.read().count() == 2
+    # dropping an unknown tag is a no-op
+    assert drop_by_tag(manifest, dest, "no-such-tag") == []
+    # the dropped shards re-ingest (corrected data) — no longer blocked
+    again = ingest_idempotent(a, manifest, dest, drop_by="backfill-v2")
+    assert again.count() == 2
+    assert spark.read.parquet(dest).count() == 20
