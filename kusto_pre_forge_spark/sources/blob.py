@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kusto_pre_forge_spark.config import DataFormat, RunSettings
 
@@ -106,6 +107,7 @@ def read_landing(
     paths: list[str] | str,
     settings: RunSettings,
     schema=None,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Read input blobs into a DataFrame with lineage.
 
@@ -117,6 +119,15 @@ def read_landing(
     Output always carries ``_kpf_source`` = the source file path
     (``input_file_name()``), the Spark-native form of BlobData's blob URI —
     lineage needed by the idempotent sink (Text/TextKustoSink.cs:52-63).
+
+    ``corrupt_col`` (csv/tsv/psv/json with an explicit ``schema``) turns
+    on quarantine mode: malformed rows survive the read with their RAW
+    text captured in that column instead of silently nulling
+    (PERMISSIVE + columnNameOfCorruptRecord) — split them off with
+    :func:`split_corrupt`. The reference hard-fails the whole blob on a
+    malformed record (single-pass state machine, CsvParseTransform.cs);
+    production pre-forge wants the 99.99% good rows plus a reviewable
+    reject stream, so quarantine is the engine's default recommendation.
     """
     from kusto_pre_forge_spark.config import Compression
 
@@ -160,9 +171,34 @@ def read_landing(
             escape='"',
             multiLine="true",  # quoted embedded newlines, ref state machine :64-82
         )
-        df = reader.csv(paths, schema=schema) if schema is not None else reader.csv(paths)
+        use_schema = schema
+        if corrupt_col is not None:
+            if schema is None:
+                raise ValueError("corrupt_col requires an explicit schema")
+            use_schema = T.StructType(
+                list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+            )
+            reader = reader.options(
+                mode="PERMISSIVE", columnNameOfCorruptRecord=corrupt_col
+            )
+        df = (
+            reader.csv(paths, schema=use_schema)
+            if use_schema is not None
+            else reader.csv(paths)
+        )
     elif fmt == DataFormat.JSON:
-        df = spark.read.json(paths, schema=schema)
+        use_schema = schema
+        jreader = spark.read
+        if corrupt_col is not None:
+            if schema is None:
+                raise ValueError("corrupt_col requires an explicit schema")
+            use_schema = T.StructType(
+                list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+            )
+            jreader = jreader.options(
+                mode="PERMISSIVE", columnNameOfCorruptRecord=corrupt_col
+            )
+        df = jreader.json(paths, schema=use_schema)
     elif fmt == DataFormat.PARQUET:
         df = spark.read.parquet(*paths)
     elif fmt == DataFormat.ORC:
@@ -182,3 +218,20 @@ def read_landing(
     else:  # pragma: no cover - enum is closed
         raise NotImplementedError(f"format {fmt}")
     return df.withColumn("_kpf_source", F.input_file_name())
+
+
+def split_corrupt(
+    df: DataFrame, corrupt_col: str = "_kpf_corrupt"
+) -> tuple[DataFrame, DataFrame]:
+    """Split a quarantine-mode read into (good, rejected).
+
+    ``good`` drops the capture column; ``rejected`` keeps every column
+    (raw text in ``corrupt_col`` + whatever fields DID parse + lineage)
+    so the reject stream is reviewable and re-ingestable after a fix.
+    Spark refuses queries that reference ONLY the internal corrupt
+    column — both halves here select the full row, which keeps the
+    plans legal without caching.
+    """
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull())
+    return good, bad

@@ -331,3 +331,42 @@ def test_w3c_parse_typed_fields(spark):
         "date": "date", "cs_method": "string",
         "sc_status": "int", "time_taken": "bigint",
     }
+
+
+def test_read_landing_quarantine_mode(spark, tmp_path):
+    """Malformed CSV rows land in the corrupt column instead of nulling
+    silently; split_corrupt partitions the read; good rows unaffected."""
+    from pyspark.sql import types as T
+
+    from kusto_pre_forge_spark.config import DataFormat, RunSettings
+    from kusto_pre_forge_spark.sources.blob import read_landing, split_corrupt
+
+    p = tmp_path / "landing.csv"
+    p.write_text("1,alpha,2.5\nnot-a-number,beta,xyz\n3,gamma,9.0\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    df = read_landing(
+        spark,
+        str(p),
+        RunSettings(fmt=DataFormat.CSV, csv_headers=False),
+        schema=schema,
+        corrupt_col="_kpf_corrupt",
+    )
+    good, bad = split_corrupt(df)
+    grows = sorted((r.id, r.name, r.v) for r in good.collect())
+    assert grows == [(1, "alpha", 2.5), (3, "gamma", 9.0)]
+    brows = bad.collect()
+    assert len(brows) == 1
+    assert brows[0]._kpf_corrupt == "not-a-number,beta,xyz"
+    assert brows[0]._kpf_source.endswith("landing.csv")
+    # schema required for quarantine
+    import pytest as _pt
+    with _pt.raises(ValueError, match="requires an explicit schema"):
+        read_landing(
+            spark, str(p), RunSettings(fmt=DataFormat.CSV), corrupt_col="_c"
+        )
