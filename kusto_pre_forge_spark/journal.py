@@ -83,3 +83,35 @@ class PerfJournal:
             self._thread.join(timeout=self._delay + 1)
             self._thread = None
         self.report_counters()
+
+
+def observe_into_journal(df, journal: PerfJournal, prefix: str, **aggs):
+    """Attach Spark ``Observation`` metrics to a DataFrame and return
+    ``(observed_df, flush)`` — the zero-cost way to journal row counts /
+    null counts / byte sums at 100 TB: the aggregates piggyback on the
+    plan's own execution (computed task-side during whatever action the
+    caller runs), never a second scan, never a per-row accumulator.
+
+    ``aggs`` maps counter names to aggregate Columns
+    (``rows=F.count(F.lit(1)), bad=F.sum(F.when(...))``). After running
+    ANY action on the returned DataFrame, call ``flush()`` once to push
+    the observed values into the journal under ``{prefix}.{name}``.
+
+    ≡ the reference's per-stage counters (PerfCounterJournal readings
+    from DownloadBlobTransform/PartitioningTextTransform), re-expressed
+    as engine-computed metrics instead of hand-maintained longs.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    named = [col.alias(name) for name, col in aggs.items()]
+    observed = df.observe(obs, *named)
+
+    def flush() -> dict[str, int]:
+        got = obs.get  # blocks until the action has materialized metrics
+        for name, value in got.items():
+            if value is not None:
+                journal.add_reading(f"{prefix}.{name}", int(value))
+        return {k: int(v) for k, v in got.items() if v is not None}
+
+    return observed, flush

@@ -97,3 +97,28 @@ def test_drop_by_tag_retires_shards_and_reopens_ingestion(spark, tmp_path, shard
     again = ingest_idempotent(a, manifest, dest, drop_by="backfill-v2")
     assert again.count() == 2
     assert spark.read.parquet(dest).count() == 20
+
+
+def test_observe_into_journal_piggybacks_on_the_action(spark):
+    """Observation metrics ride the caller's own action (no extra scan)
+    and land in the journal under the prefix."""
+    from pyspark.sql import functions as F2
+
+    from kusto_pre_forge_spark.journal import PerfJournal, observe_into_journal
+
+    j = PerfJournal(sink=lambda _s: None)
+    df = spark.range(0, 100).withColumn(
+        "v", F2.when(F2.col("id") % 10 == 0, None).otherwise(F2.col("id"))
+    )
+    observed, flush = observe_into_journal(
+        df,
+        j,
+        "Ingest",
+        rows=F2.count(F2.lit(1)),
+        null_v=F2.count(F2.when(F2.col("v").isNull(), 1)),
+    )
+    assert observed.count() == 100  # the caller's action
+    got = flush()
+    assert got == {"rows": 100, "null_v": 10}
+    snap = j.snapshot()
+    assert snap["Ingest.rows"] == 100 and snap["Ingest.null_v"] == 10
