@@ -4356,7 +4356,10 @@ def pagerank(
                     * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dm / n_nodes))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            # dangling mode: the next round's dm collect materializes the
+            # lazy checkpoint; without it nothing would, so force eager —
+            # otherwise lineage compounds across every iteration
+            .localCheckpoint(eager=not handle_dangling)
         )
     return ranks
 

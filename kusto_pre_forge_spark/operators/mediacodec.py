@@ -154,7 +154,15 @@ def parse_wav_header(raw: bytes) -> dict | None:
         return None
     data_bytes = out.pop("_data_bytes", None)
     if data_bytes is not None and block_align:
-        out["n_samples"] = data_bytes // block_align
+        if out.get("format_tag") == 0x11:
+            # IMA ADPCM: block_align is a BLOCK, not a sample — samples
+            # per block = header sample + 2 nibbles per remaining byte
+            spb = (block_align - 4 * out.get("channels", 1)) * 2 // max(
+                out.get("channels", 1), 1
+            ) + 1
+            out["n_samples"] = (data_bytes // block_align) * spb
+        else:
+            out["n_samples"] = data_bytes // block_align
         out["duration_s"] = out["n_samples"] / out["sample_rate"]
     return out
 

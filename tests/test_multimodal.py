@@ -1216,3 +1216,18 @@ def test_tiff_property_roundtrip():
         assert mediacodec.decode_tiff(raw) == (w, h, ch, px)
 
     check()
+
+
+def test_ima_adpcm_header_reports_sample_count():
+    """parse_wav_header converts ADPCM blocks to samples (not blocks)."""
+    import math
+
+    sig = [int(8000 * math.sin(t / 10)) for t in range(1500)]
+    raw = mediacodec.encode_wav_ima_adpcm(8000, sig, block_align=256)
+    hdr = mediacodec.parse_wav_header(raw)
+    spb = (256 - 4) * 2 + 1  # 505
+    import math as _m
+    n_blocks = _m.ceil(len(sig) / spb)
+    assert hdr["n_samples"] == n_blocks * spb
+    _, _, out = mediacodec.decode_wav(raw)
+    assert len(out) == hdr["n_samples"]
