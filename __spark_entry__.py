@@ -885,6 +885,22 @@ def _q_similarity_hard_negatives(spark, sf):
     )
 
 
+def _q_similarity_knn_classify(spark, sf):
+    """k-NN pseudo-labeling: vectors ≥ 450 treated as unlabeled, label =
+    majority vote of their 5 nearest labeled neighbors (ties → smallest
+    label) — the weak-supervision curation primitive."""
+    emb = load_table(spark, sf, "embeddings")
+    labeled = emb.filter(F.col("vec_id") < 450)
+    pool = emb.filter(F.col("vec_id") >= 450)
+    out = similarity.knn_classify(labeled, pool, k=5)
+    return out.select(
+        "query_id",
+        F.col("predicted_label").cast("long").alias("predicted_label"),
+        F.col("votes").cast("long").alias("votes"),
+        F.round("top_cosine", 6).alias("top_cosine"),
+    )
+
+
 def _q_similarity_topk_lsh(spark, sf):
     """approximate ANN via multi-probe hyperplane LSH; the oracle replays
     the seeded hyperplanes as SQL literals (probe set ≡ Hamming ≤ 2)."""
@@ -4909,6 +4925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_clusters": _q_dedup_embedding_clusters,
         "similarity_topk": _q_similarity_topk,
         "similarity_hard_negatives": _q_similarity_hard_negatives,
+        "similarity_knn_classify": _q_similarity_knn_classify,
         "similarity_topk_lsh": _q_similarity_topk_lsh,
         "similarity_topk_ivf": _q_similarity_topk_ivf,
         "simhash_pairs": _q_simhash_pairs,
@@ -5817,6 +5834,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(node) AS BIGINT) AS cluster_id FROM reach GROUP BY src"
         ),
         "similarity_topk": topk_rank,
+        "similarity_knn_classify": (
+            "WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e, "
+            "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+            "CAST(embedding AS DOUBLE[]))) nrm FROM embeddings), "
+            "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "c.label AS neighbor_label, "
+            "list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine "
+            "FROM v q JOIN v c ON c.vec_id < 450 WHERE q.vec_id >= 450), "
+            "topk AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) rk "
+            "FROM scored) WHERE rk <= 5), "
+            "votes AS (SELECT query_id, neighbor_label, count(*) AS votes, "
+            "max(cosine) AS best FROM topk GROUP BY 1, 2), "
+            "win AS (SELECT query_id, "
+            "CAST(max_by(neighbor_label, votes * 1000 - neighbor_label) "
+            "AS BIGINT) AS predicted_label, "
+            "CAST(max(votes) AS BIGINT) AS votes, "
+            "round(max(best), 6) AS top_cosine FROM votes GROUP BY 1) "
+            "SELECT * FROM win"
+        ),
         "similarity_hard_negatives": (
             "WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e, "
             "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "

@@ -156,6 +156,60 @@ def hard_negatives(
     )
 
 
+def knn_classify(
+    labeled: DataFrame,
+    unlabeled: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN label propagation: predict each unlabeled vector's label by
+    majority vote over its ``k`` highest-cosine labeled neighbors (ties →
+    smallest label, then the better summed cosine is NOT consulted — the
+    deterministic convention oracles can replay). The pseudo-labeling /
+    weak-supervision primitive for corpus curation (label a seed set,
+    propagate to the pool).
+
+    Plan: same broadcast posture as :func:`cosine_topk` with the roles
+    swapped — the UNLABELED queries broadcast, the labeled corpus scans
+    once; then two map-side-combined aggregates (per-query per-label
+    votes, per-query argmax via ``max_by`` on (votes, -label)). For pools
+    past broadcast size, batch the pool or swap in :func:`pq_topk_ivf`
+    candidates. Returns (query_id, predicted_label, votes, top_cosine).
+    """
+    q = unlabeled.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = labeled.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("_cv"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    votes = topk.groupBy("query_id", "neighbor_label").agg(
+        F.count(F.lit(1)).alias("votes"), F.max("cosine").alias("_best")
+    )
+    return votes.groupBy("query_id").agg(
+        F.expr("max_by(neighbor_label, struct(votes, -neighbor_label))").alias(
+            "predicted_label"
+        ),
+        F.max("votes").alias("votes"),
+        F.max("_best").alias("top_cosine"),
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]

@@ -316,3 +316,28 @@ def test_hard_negatives_wrong_label_only(spark):
     assert all(r.neighbor_label != r.query_label for r in out)
     floored = sim.hard_negatives(df, q, k=3, min_cosine=0.0).collect()
     assert sorted(r.neighbor_id for r in floored) == [3, 4]
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    """Majority vote wins; vote ties resolve to the smallest label."""
+    from kusto_pre_forge_spark.operators import similarity as sim
+
+    labeled = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 7),
+            (2, [0.95, 0.1], 3),
+            (3, [0.9, 0.2], 7),
+            (4, [-1.0, 0.0], 0),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    pool = spark.createDataFrame(
+        [(100, [1.0, 0.05])], "vec_id long, embedding array<double>"
+    )
+    # k=3 neighbors: vecs 1, 2, 3 -> labels {7: 2 votes, 3: 1} -> 7 wins
+    r = sim.knn_classify(labeled, pool, k=3).first()
+    assert r.predicted_label == 7 and r.votes == 2
+    # k=2 neighbors: vecs 1 (label 7) and 2 (label 3) -> vote tie ->
+    # smallest label wins
+    r2 = sim.knn_classify(labeled, pool, k=2).first()
+    assert r2.votes == 1 and r2.predicted_label == 3
