@@ -789,6 +789,21 @@ def _q_dedup_cluster_sizes(spark, sf):
     ).select(F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters", "droppable_docs")
 
 
+def _q_dedup_cdc_chunks(spark, sf):
+    """Content-defined chunking dedup: word-level CDC boundaries (salted
+    md5 ≡ 0 mod 8 closes a chunk), then duplicated ≥3-token chunks
+    across ≥2 docs — shift-resistant passage-level dedup."""
+    d = load_table(spark, sf, "documents")
+    out = dedup.cdc_duplicate_chunks(d, "text", "doc_id")
+    return out.select(
+        "chunk_md5",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("sample_doc").cast("long").alias("sample_doc"),
+    )
+
+
 def _q_dedup_soft_weights(spark, sf):
     """SoftDeDup reweighting: every doc kept, weight = 1/cluster_size
     over the same minhash pair set as dedup_clusters (unclustered docs
@@ -4918,6 +4933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "dedup_soft_weights": _q_dedup_soft_weights,
+        "dedup_cdc_chunks": _q_dedup_cdc_chunks,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_semantic": _q_dedup_semantic,
@@ -5709,6 +5725,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_clusters, "
             "CAST(count(*) * (cluster_size - 1) AS BIGINT) AS droppable_docs "
             "FROM cs GROUP BY cluster_size"
+        ),
+        "dedup_cdc_chunks": (
+            # replay: same md5 boundary rule, running boundary count via
+            # a window, chunk text = in-order tokens joined by space
+            "WITH t AS (SELECT doc_id, "
+            f"{_LTOKENS_SQL} AS toks FROM documents), "
+            "u AS (SELECT doc_id, unnest(toks) AS tok, "
+            "unnest(range(1, len(toks) + 1)) AS pos FROM t), "
+            "fl AS (SELECT doc_id, tok, pos, "
+            "CASE WHEN CAST(concat('0x', substr(md5(concat('kpf-cdc', '|', "
+            "tok)), 1, 8)) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END AS b FROM u), "
+            "ch AS (SELECT doc_id, tok, pos, "
+            "sum(b) OVER (PARTITION BY doc_id ORDER BY pos "
+            "ROWS UNBOUNDED PRECEDING) - b AS chunk_id FROM fl), "
+            "agg AS (SELECT doc_id, chunk_id, "
+            "string_agg(tok, ' ' ORDER BY pos) AS chunk_text, "
+            "count(*) AS n_tokens FROM ch GROUP BY 1, 2), "
+            "h AS (SELECT doc_id, md5(chunk_text) AS chunk_md5, n_tokens "
+            "FROM agg WHERE n_tokens >= 3) "
+            "SELECT chunk_md5, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+            "CAST(count(*) AS BIGINT) AS n_occurrences, "
+            "CAST(min(doc_id) AS BIGINT) AS sample_doc "
+            "FROM h GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2"
         ),
         "dedup_soft_weights": (
             # same recursive-CTE labels as dedup_clusters; weight =

@@ -941,6 +941,99 @@ def dedup_survivors(
     return df.join(drops, id_col, "left_anti")
 
 
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    divisor: int = 8,
+    salt: str = "kpf-cdc",
+) -> DataFrame:
+    """Content-defined chunking at word granularity — the
+    shift-resistant chunker (the Rabin/FastCDC idea, token-level): a
+    chunk boundary falls AFTER every token whose salted md5 ≡ 0 mod
+    ``divisor``, so expected chunk length is ``divisor`` tokens and —
+    unlike fixed-size windows — inserting a paragraph early in a
+    document does NOT reshuffle every later chunk: boundaries are a pure
+    function of local content. Chunk-level exact dedup
+    (:func:`cdc_duplicate_chunks`) then catches shared passages that
+    whole-document hashing misses and fixed windows mis-align.
+
+    Returns (id, chunk_id, chunk_text, n_tokens, chunk_md5).
+
+    Plan: posexplode (map) → ONE window per doc for the running boundary
+    count (keyed by the doc id, never SinglePartition) → one groupBy
+    (doc, chunk) with an order-carrying collect. md5 folds keep every
+    step replayable by the DuckDB oracle.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != ""
+    )
+    ex = df.select(F.col(id_col), F.posexplode(toks).alias("_pos", "_tok"))
+    flag = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(salt), F.col("_tok"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % divisor
+        == 0
+    ).cast("long")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # boundary AFTER the marker token: the marker closes its own chunk
+    chunked = ex.withColumn("_b", flag).withColumn(
+        "chunk_id", F.sum("_b").over(w) - F.col("_b")
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_pos", "_tok"))),
+                    lambda s: s["_tok"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .withColumn("chunk_md5", F.md5("chunk_text"))
+    )
+
+
+def cdc_duplicate_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    divisor: int = 8,
+    min_docs: int = 2,
+    min_tokens: int = 3,
+    salt: str = "kpf-cdc",
+) -> DataFrame:
+    """Cross-document duplicated passages via CDC: chunk every document
+    (:func:`cdc_chunks`), then one map-side-combined aggregate per chunk
+    hash — chunks of ≥ ``min_tokens`` tokens appearing in ≥ ``min_docs``
+    distinct documents. The chunk-granularity companion to
+    ``exact_substring_spans`` (which is window-exact but emits every
+    duplicated window; CDC emits aligned UNITS, far fewer rows).
+    Returns (chunk_md5, n_tokens, n_docs, n_occurrences, sample_doc).
+    """
+    ch = cdc_chunks(df, text_col, id_col, divisor, salt).filter(
+        F.col("n_tokens") >= min_tokens
+    )
+    return (
+        ch.groupBy("chunk_md5", "n_tokens")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(id_col).alias("sample_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def soft_dedup_weights(
     df: DataFrame,
     pairs: DataFrame,

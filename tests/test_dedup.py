@@ -711,3 +711,33 @@ def test_soft_dedup_weights_inverse_cluster_size(spark):
     assert rows[6] == (1, 1.0) and rows[7] == (1, 1.0)
     total = sum(w for _s, w in rows.values())
     assert total == pytest.approx(1 + 1 + 2)  # 2 clusters + 2 singletons
+
+
+def test_cdc_chunks_shift_resistant(spark):
+    """CDC's defining property: prepending a paragraph changes only the
+    chunks up to the first boundary after the insertion point — every
+    later chunk hash is identical (fixed-size windows would all shift)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    shifted = "inserted words here " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    ch = dedup.cdc_chunks(df, divisor=4)
+    by_doc = {
+        1: {r.chunk_md5 for r in ch.filter("doc_id = 1").collect()},
+        2: {r.chunk_md5 for r in ch.filter("doc_id = 2").collect()},
+    }
+    shared = by_doc[1] & by_doc[2]
+    assert len(shared) >= len(by_doc[1]) - 1, (
+        "all but the first chunk must survive the prefix insertion"
+    )
+    # chunks rebuild the token stream exactly
+    rows = sorted(
+        (r.chunk_id, r.chunk_text)
+        for r in ch.filter("doc_id = 1").collect()
+    )
+    rebuilt = " ".join(t for _i, t in rows)
+    assert rebuilt == base.strip().lower()
+    # duplicated-passage report finds the shared chunks
+    dup = dedup.cdc_duplicate_chunks(df, divisor=4, min_tokens=2)
+    assert dup.filter("n_docs = 2").count() >= 1
