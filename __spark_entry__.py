@@ -901,12 +901,14 @@ def _q_similarity_hard_negatives(spark, sf):
 
 
 def _q_similarity_knn_classify(spark, sf):
-    """k-NN pseudo-labeling: vectors ≥ 450 treated as unlabeled, label =
-    majority vote of their 5 nearest labeled neighbors (ties → smallest
-    label) — the weak-supervision curation primitive."""
+    """k-NN pseudo-labeling: the 50 lowest-id vectors treated as new
+    unlabeled arrivals, label = majority vote of their 5 nearest
+    neighbors in the labeled corpus (ties → smallest label) — the
+    weak-supervision curation primitive. The query pool is a FIXED 50
+    rows at any scale factor (it is the broadcast side)."""
     emb = load_table(spark, sf, "embeddings")
-    labeled = emb.filter(F.col("vec_id") < 450)
-    pool = emb.filter(F.col("vec_id") >= 450)
+    labeled = emb.filter(F.col("vec_id") >= 50)
+    pool = emb.filter(F.col("vec_id") < 50)
     out = similarity.knn_classify(labeled, pool, k=5)
     return out.select(
         "query_id",
@@ -5881,7 +5883,7 @@ def oracle_sql() -> dict[str, str]:
             "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
             "c.label AS neighbor_label, "
             "list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine "
-            "FROM v q JOIN v c ON c.vec_id < 450 WHERE q.vec_id >= 450), "
+            "FROM v q JOIN v c ON c.vec_id >= 50 WHERE q.vec_id < 50), "
             "topk AS (SELECT * FROM (SELECT *, row_number() OVER ("
             "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) rk "
             "FROM scored) WHERE rk <= 5), "

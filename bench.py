@@ -104,6 +104,8 @@ HEADLINE = [
     "q9_product_profit",
     "q13_order_count_dist",
     "q18_large_orders",
+    "dedup_cdc_chunks",
+    "similarity_knn_classify",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

@@ -101,6 +101,8 @@ AUDITED = [
     ("q9_product_profit", "part/supplier/nation broadcast; orders join is the one fact-fact exchange"),
     ("q13_order_count_dist", "left join preserves zero-order customers; two map-side-combined aggregates, no windows"),
     ("q18_large_orders", "HAVING aggregate shrinks lineitem to qualifying orders before any join; top-k is TakeOrderedAndProject"),
+    ("dedup_cdc_chunks", "posexplode map stage; ONE doc-keyed window (never SinglePartition); chunk-hash aggregate map-side combines"),
+    ("similarity_knn_classify", "unlabeled queries broadcast; labeled corpus scans once; votes + argmax are two map-side-combined aggregates"),
 ]
 
 
