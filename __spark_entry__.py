@@ -643,6 +643,260 @@ def _q19_discounted_revenue(spark, sf):
     )
 
 
+def _supply_pairs(spark, sf):
+    """Synthetic-schema partsupp surrogate (no partsupp table in the
+    test set): the (part, supplier) pairs that actually shipped, with
+    supplycost proxied as the minimum observed unit price rounded to 4
+    decimals (decimal-exact, so both engines agree bit-for-bit)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(
+            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)
+        ).alias("ps_supplycost"),
+        F.sum(_dec(F.col("l_quantity"), 2)).cast("double").alias("ps_availqty"),
+    )
+
+
+def _q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape (adapted: partsupp derived from shipped pairs, see
+    :func:`_supply_pairs`): for each STANDARD part of size ≤ 15, the
+    region-0 supplier(s) achieving the MINIMUM supply cost — the
+    correlated scalar-min subquery decorrelated into a per-part
+    aggregate joined back on (part, cost). Dim stack (region → nation →
+    supplier) broadcasts; only the pairs aggregate shuffles."""
+    ps = _supply_pairs(spark, sf)
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    n = load_table(spark, sf, "nation").filter(F.col("n_regionkey") == 0)
+    s = load_table(spark, sf, "supplier")
+    rs = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name", "s_acctbal", "n_name"
+    )
+    scoped = ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey).join(
+        F.broadcast(rs), ps.ps_suppkey == rs.s_suppkey
+    )
+    min_cost = scoped.groupBy(F.col("ps_partkey").alias("_mk")).agg(
+        F.min("ps_supplycost").alias("_min_cost")
+    )
+    out = scoped.join(
+        min_cost,
+        (scoped.ps_partkey == F.col("_mk"))
+        & (scoped.ps_supplycost == F.col("_min_cost")),
+    )
+    return out.select(
+        "s_acctbal", "s_name", "n_name",
+        F.col("ps_partkey").cast("long").alias("p_partkey"),
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        F.round("ps_supplycost", 4).alias("supplycost"),
+    ).orderBy(
+        F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+    ).limit(100)
+
+
+def _q11_important_stock(spark, sf):
+    """TPC-H Q11 shape (adapted): per-part inventory value for NATION_7's
+    suppliers, keeping parts whose value exceeds 0.1% of the nation's
+    grand total — the HAVING-over-global-scalar plan: the 1-row total
+    broadcasts into the per-part stream (never a second scan of the
+    fact side; the valued frame is reused for both aggregates)."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier").filter(F.col("s_nationkey") == 7)
+    valued = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).select(
+        "l_partkey",
+        _dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_v"),
+    )
+    per_part = valued.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        F.sum("_v").alias("_pv")
+    )
+    total = per_part.agg(F.sum("_pv").alias("_tv"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_pv").cast("double") > 0.001 * F.col("_tv").cast("double"))
+        .select(
+            F.col("ps_partkey").cast("long").alias("ps_partkey"),
+            F.col("_pv").cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("ps_partkey").asc())
+    )
+
+
+def _q12_late_shipment_priority(spark, sf):
+    """TPC-H Q12 shape (adapted: no l_shipmode/commitdate — linestatus
+    plays shipmode, 'late' = shipped >300 days after the order date):
+    per linestatus, how many late lines belong to URGENT/HIGH orders vs
+    the rest. One join, one CASE-sum aggregate, no window."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 300 DAYS")
+        )
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(F.col("l_linestatus").alias("l_linestatus"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def _q16_supplier_counts(spark, sf):
+    """TPC-H Q16 shape (adapted: 'complaint' suppliers = negative account
+    balance): distinct supplier count per (brand, type, size) over
+    shipped pairs, EXCLUDING complaint suppliers via a broadcast
+    anti-join — the NOT IN subquery shape, decorrelated."""
+    li = load_table(spark, sf, "lineitem")
+    pairs = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = load_table(spark, sf, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("ps_suppkey"))
+    return (
+        pairs.join(F.broadcast(bad), "ps_suppkey", "left_anti")
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def _q20_excess_suppliers(spark, sf):
+    """TPC-H Q20 shape (adapted): NATION_3 suppliers that recently moved
+    'small%' parts hard — the nested IN-chain becomes two aggregates
+    over lineitem (1998 shipped qty vs all-time qty per pair) joined,
+    thresholded, semi-joined down to suppliers. Part filter broadcasts
+    below both aggregates."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(F.col("p_name").like("small%"))
+    scoped = li.join(
+        F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    )
+    recent = (
+        scoped.filter(F.year("l_shipdate") == 1998)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec(F.col("l_quantity"), 2)).cast("double").alias("_yq"))
+    )
+    alltime = scoped.groupBy(
+        F.col("l_partkey").alias("_pk"), F.col("l_suppkey").alias("_sk")
+    ).agg(F.sum(_dec(F.col("l_quantity"), 2)).cast("double").alias("_aq"))
+    hot = (
+        recent.join(
+            alltime,
+            (F.col("l_partkey") == F.col("_pk"))
+            & (F.col("l_suppkey") == F.col("_sk")),
+        )
+        .filter(F.col("_yq") > 0.4 * F.col("_aq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf, "supplier").filter(F.col("s_nationkey") == 3)
+    return (
+        s.join(hot, s.s_suppkey == hot.l_suppkey, "left_semi")
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name")
+        .orderBy("s_name")
+    )
+
+
+def _q21_suppliers_kept_waiting(spark, sf):
+    """TPC-H Q21 shape (adapted 'late' = shipped >500 days after order
+    date): suppliers who were the SOLE late supplier on a multi-supplier
+    finalized order — the EXISTS (another supplier shipped) + NOT EXISTS
+    (another supplier was late) stack, expressed as one left-semi and
+    one left-anti join on (orderkey, suppkey≠) conditions."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    base = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        o, F.col("l_orderkey") == o.o_orderkey
+    )
+    late = base.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 500 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    others = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    l1 = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("_ok"))
+        & (F.col("l_suppkey") != F.col("_sk")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("l_orderkey") == F.col("_ok"))
+        & (F.col("l_suppkey") != F.col("_sk")),
+        "left_anti",
+    )
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        l1.join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+def _q22_global_sales_opportunity(spark, sf):
+    """TPC-H Q22 shape (adapted: country code = last two digits of
+    c_name; 'no recent orders' = nothing since 2000-01-01): rich idle
+    customers per cohort — a decimal-exact global average broadcasts
+    into the filter, the NOT EXISTS is a left-anti join against the
+    recent-orders key set."""
+    c = load_table(spark, sf, "customer").withColumn(
+        "cntrycode", F.expr("substr(c_name, length(c_name)-1, 2)")
+    )
+    codes = ["10", "11", "12", "13", "14", "15", "16"]
+    cohort = c.filter(F.col("cntrycode").isin(codes))
+    avg_bal = cohort.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(
+            F.sum(_dec(F.col("c_acctbal"))).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("_avg")
+    )
+    recent = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        cohort.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 def _q_window_topk(spark, sf):
     li = load_table(spark, sf, "lineitem")
     w = Window.partitionBy("l_returnflag").orderBy(
@@ -863,9 +1117,15 @@ def _q_dedup_semantic(spark, sf):
     lowest-id centroids so the oracle can replay the assignment), connect
     within-cell pairs at cosine ≥ 0.4, keep min-id per component. The
     oracle replays ALL four stages: centroid argmax, cell-scoped pair
-    generation, recursive-CTE connected components, survivor rule."""
+    generation, recursive-CTE connected components, survivor rule.
+    ``max_cell_size`` arms the hot-cell valve in the benched plan; the
+    cap (100k) never fires at any test SF, so the oracle is unaffected —
+    at 100 TB it bounds a skewed cell's task to cap² instead of OOM."""
     emb = load_table(spark, sf, "embeddings")
-    return dedup.semdedup(emb, "embedding", "vec_id", n_cells=16, threshold=0.4)
+    return dedup.semdedup(
+        emb, "embedding", "vec_id", n_cells=16, threshold=0.4,
+        max_cell_size=100_000,
+    )
 
 
 def _q_dedup_embedding_clusters(spark, sf):
@@ -901,14 +1161,32 @@ def _q_similarity_hard_negatives(spark, sf):
 
 
 def _q_similarity_knn_classify(spark, sf):
-    """k-NN pseudo-labeling: the 50 lowest-id vectors treated as new
-    unlabeled arrivals, label = majority vote of their 5 nearest
-    neighbors in the labeled corpus (ties → smallest label) — the
-    weak-supervision curation primitive. The query pool is a FIXED 50
-    rows at any scale factor (it is the broadcast side)."""
+    """k-NN pseudo-labeling, small-pool posture: the 50 lowest-id vectors
+    treated as new unlabeled arrivals, label = majority vote of their 5
+    nearest neighbors in the labeled corpus (ties → smallest label).
+    ``broadcast_pool=True`` is the right plan HERE because the pool is a
+    FIXED 50 rows at any scale factor (it is the broadcast side) and the
+    labeled corpus is the scan side."""
     emb = load_table(spark, sf, "embeddings")
     labeled = emb.filter(F.col("vec_id") >= 50)
     pool = emb.filter(F.col("vec_id") < 50)
+    out = similarity.knn_classify(labeled, pool, k=5, broadcast_pool=True)
+    return out.select(
+        "query_id",
+        F.col("predicted_label").cast("long").alias("predicted_label"),
+        F.col("votes").cast("long").alias("votes"),
+        F.round("top_cosine", 6).alias("top_cosine"),
+    )
+
+
+def _q_similarity_knn_propagate(spark, sf):
+    """k-NN label PROPAGATION, the scale posture: a 50-vector labeled
+    seed set broadcast as one array column; the whole unlabeled corpus
+    scans map-only (top-k + majority vote inside array expressions —
+    zero shuffle of the pool, the side that is 100 TB in production)."""
+    emb = load_table(spark, sf, "embeddings")
+    labeled = emb.filter(F.col("vec_id") < 50)
+    pool = emb.filter(F.col("vec_id") >= 50)
     out = similarity.knn_classify(labeled, pool, k=5)
     return out.select(
         "query_id",
@@ -4921,6 +5199,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": _q17_small_quantity_revenue,
         "q18_large_orders": _q18_large_orders,
         "q19_discounted_revenue": _q19_discounted_revenue,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q11_important_stock": _q11_important_stock,
+        "q12_late_shipment_priority": _q12_late_shipment_priority,
+        "q16_supplier_counts": _q16_supplier_counts,
+        "q20_excess_suppliers": _q20_excess_suppliers,
+        "q21_suppliers_kept_waiting": _q21_suppliers_kept_waiting,
+        "q22_global_sales_opportunity": _q22_global_sales_opportunity,
         "window_topk": _q_window_topk,
         "window_running": _q_window_running,
         "agg_rollup": _q_rollup,
@@ -4944,6 +5229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": _q_similarity_topk,
         "similarity_hard_negatives": _q_similarity_hard_negatives,
         "similarity_knn_classify": _q_similarity_knn_classify,
+        "similarity_knn_propagate": _q_similarity_knn_propagate,
         "similarity_topk_lsh": _q_similarity_topk_lsh,
         "similarity_topk_ivf": _q_similarity_topk_ivf,
         "simhash_pairs": _q_simhash_pairs,
@@ -5637,6 +5923,112 @@ def oracle_sql() -> dict[str, str]:
             "OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 "
             "AND l_quantity BETWEEN 20 AND 30)"
         ),
+        "q2_min_cost_supplier": (
+            "WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS "
+            "ps_suppkey, min(round(l_extendedprice / l_quantity, 4)) AS "
+            "ps_supplycost FROM lineitem GROUP BY 1, 2), "
+            "scoped AS (SELECT ps.*, s_suppkey, s_name, s_acctbal, n_name "
+            "FROM ps JOIN part ON ps_partkey = p_partkey "
+            "JOIN supplier ON ps_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE p_size <= 15 AND p_type = 'STANDARD' AND n_regionkey = 0), "
+            "mc AS (SELECT ps_partkey AS mk, min(ps_supplycost) AS min_cost "
+            "FROM scoped GROUP BY 1) "
+            "SELECT s_acctbal, s_name, n_name, "
+            "CAST(ps_partkey AS BIGINT) AS p_partkey, "
+            "CAST(s_suppkey AS BIGINT) AS s_suppkey, "
+            "round(ps_supplycost, 4) AS supplycost "
+            "FROM scoped JOIN mc ON ps_partkey = mk "
+            "AND ps_supplycost = min_cost "
+            "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
+        ),
+        "q11_important_stock": (
+            "WITH v AS (SELECT l_partkey, "
+            "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4)) AS _v "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE s_nationkey = 7), "
+            "pp AS (SELECT l_partkey AS ps_partkey, sum(_v) AS pv "
+            "FROM v GROUP BY 1), "
+            "t AS (SELECT sum(pv) AS tv FROM pp) "
+            "SELECT CAST(ps_partkey AS BIGINT) AS ps_partkey, "
+            "CAST(pv AS DOUBLE) AS part_value FROM pp, t "
+            "WHERE CAST(pv AS DOUBLE) > 0.001 * CAST(tv AS DOUBLE) "
+            "ORDER BY part_value DESC, ps_partkey ASC"
+        ),
+        "q12_late_shipment_priority": (
+            "SELECT l_linestatus, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate > o_orderdate + INTERVAL 300 DAY "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "q16_supplier_counts": (
+            "WITH pairs AS (SELECT DISTINCT l_partkey AS ps_partkey, "
+            "l_suppkey AS ps_suppkey FROM lineitem), "
+            "good AS (SELECT * FROM pairs WHERE ps_suppkey NOT IN "
+            "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) "
+            "SELECT p_brand, p_type, p_size, "
+            "CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM good JOIN part ON ps_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO' "
+            "AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35) "
+            "GROUP BY 1, 2, 3 "
+            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        "q20_excess_suppliers": (
+            "WITH scoped AS (SELECT l_partkey, l_suppkey, l_quantity, "
+            "l_shipdate FROM lineitem WHERE l_partkey IN "
+            "(SELECT p_partkey FROM part WHERE p_name LIKE 'small%')), "
+            "recent AS (SELECT l_partkey, l_suppkey, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS yq "
+            "FROM scoped WHERE year(l_shipdate) = 1998 GROUP BY 1, 2), "
+            "alltime AS (SELECT l_partkey, l_suppkey, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS aq "
+            "FROM scoped GROUP BY 1, 2), "
+            "hot AS (SELECT DISTINCT r.l_suppkey FROM recent r "
+            "JOIN alltime a ON r.l_partkey = a.l_partkey "
+            "AND r.l_suppkey = a.l_suppkey WHERE r.yq > 0.4 * a.aq) "
+            "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name "
+            "FROM supplier WHERE s_nationkey = 3 "
+            "AND s_suppkey IN (SELECT l_suppkey FROM hot) ORDER BY s_name"
+        ),
+        "q21_suppliers_kept_waiting": (
+            "WITH base AS (SELECT l_orderkey, l_suppkey, l_shipdate, "
+            "o_orderdate FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderstatus = 'F'), "
+            "late AS (SELECT l_orderkey, l_suppkey FROM base "
+            "WHERE l_shipdate > o_orderdate + INTERVAL 500 DAY) "
+            "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait "
+            "FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey "
+            "WHERE EXISTS (SELECT 1 FROM lineitem l2 "
+            "WHERE l2.l_orderkey = l1.l_orderkey "
+            "AND l2.l_suppkey <> l1.l_suppkey) "
+            "AND NOT EXISTS (SELECT 1 FROM late l3 "
+            "WHERE l3.l_orderkey = l1.l_orderkey "
+            "AND l3.l_suppkey <> l1.l_suppkey) "
+            "GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100"
+        ),
+        "q22_global_sales_opportunity": (
+            "WITH cohort AS (SELECT c_custkey, c_acctbal, "
+            "substr(c_name, length(c_name) - 1, 2) AS cntrycode "
+            "FROM customer WHERE substr(c_name, length(c_name) - 1, 2) IN "
+            "('10', '11', '12', '13', '14', '15', '16')), "
+            "ab AS (SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) "
+            "AS DOUBLE) / count(*), 4) AS avg_bal FROM cohort "
+            "WHERE c_acctbal > 0.0) "
+            "SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust, "
+            "CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) "
+            "AS totacctbal FROM cohort, ab "
+            "WHERE c_acctbal > avg_bal AND NOT EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderdate >= TIMESTAMP '2000-01-01') "
+            "GROUP BY 1 ORDER BY 1"
+        ),
         "q5_nation_revenue": (
             "SELECT n_name, "
             "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) "
@@ -5884,6 +6276,26 @@ def oracle_sql() -> dict[str, str]:
             "c.label AS neighbor_label, "
             "list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine "
             "FROM v q JOIN v c ON c.vec_id >= 50 WHERE q.vec_id < 50), "
+            "topk AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) rk "
+            "FROM scored) WHERE rk <= 5), "
+            "votes AS (SELECT query_id, neighbor_label, count(*) AS votes, "
+            "max(cosine) AS best FROM topk GROUP BY 1, 2), "
+            "win AS (SELECT query_id, "
+            "CAST(max_by(neighbor_label, votes * 1000 - neighbor_label) "
+            "AS BIGINT) AS predicted_label, "
+            "CAST(max(votes) AS BIGINT) AS votes, "
+            "round(max(best), 6) AS top_cosine FROM votes GROUP BY 1) "
+            "SELECT * FROM win"
+        ),
+        "similarity_knn_propagate": (
+            "WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e, "
+            "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+            "CAST(embedding AS DOUBLE[]))) nrm FROM embeddings), "
+            "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "c.label AS neighbor_label, "
+            "list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine "
+            "FROM v q JOIN v c ON c.vec_id < 50 WHERE q.vec_id >= 50), "
             "topk AS (SELECT * FROM (SELECT *, row_number() OVER ("
             "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) rk "
             "FROM scored) WHERE rk <= 5), "

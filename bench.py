@@ -106,6 +106,14 @@ HEADLINE = [
     "q18_large_orders",
     "dedup_cdc_chunks",
     "similarity_knn_classify",
+    "similarity_knn_propagate",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q16_supplier_counts",
+    "q20_excess_suppliers",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

@@ -1305,6 +1305,8 @@ def incremental_semdedup_accept(
     n_cells: int = 16,
     threshold: float = 0.95,
     priority_col: str | None = None,
+    max_cell_size: int | None = None,
+    journal=None,
 ) -> DataFrame:
     """Embedding-space admission control — the streaming form of
     :func:`semdedup`: which NEW vectors enter the corpus. A new doc is
@@ -1325,6 +1327,12 @@ def incremental_semdedup_accept(
     |batch_cell| × |corpus_cell| numpy dot products in one Arrow batch —
     size ``n_cells`` so cells stay bounded, exactly the :func:`semdedup`
     sizing rule. The corpus never self-pairs.
+
+    ``max_cell_size`` valves hot cells (counted over corpus members of
+    touched cells PLUS the batch's arrivals — the rows that would meet
+    in one task's matrices): an over-cap cell skips pair generation, so
+    its new rows ADMIT (fail-open, matching the batch valve), and the
+    skipped-cell count journals as ``HotCellsDropped``.
     """
     _check_numeric_ids(id_col, (new_df, "new_df"), (corpus_df, "corpus_df"))
     from kusto_pre_forge_spark.operators.similarity import cell_assign
@@ -1385,6 +1393,9 @@ def incremental_semdedup_accept(
             {"id_a": np.asarray(out_a, "int64"), "id_b": np.asarray(out_b, "int64")}
         )
 
+    union = _apply_hot_bucket_valve(
+        union, ["cell"], max_cell_size, journal, counter="HotCellsDropped"
+    )
     pairs = union.groupBy("cell").applyInPandas(
         _admission_pairs, "id_a long, id_b long"
     )
@@ -1658,6 +1669,8 @@ def semdedup(
     threshold: float = 0.95,
     centroids: list[list[float]] | None = None,
     keep: str = "min_id",
+    max_cell_size: int | None = None,
+    journal=None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication scoped to k-means cells — cluster the embedding space,
@@ -1687,6 +1700,15 @@ def semdedup(
     singletons are their own cluster and always kept. At 100 TB size
     ``n_cells`` so a cell's vectors fit one task (the paper uses 50k
     cells for LAION); the pair stage parallelism equals ``n_cells``.
+
+    ``max_cell_size`` is the hot-cell valve (the :func:`_hot_buckets`
+    pattern): embedding spaces skew exactly where dedup matters —
+    boilerplate and near-empty docs collapse into ONE cell, and a hot
+    cell is an O(|cell|²) dense Gram in a single task. Over-cap cells
+    are excluded from the PAIR stage only (their rows stay in the
+    output as always-kept singletons — fail-open, identical to the
+    banded families' valve) and the dropped-cell count lands in
+    ``journal`` under ``HotCellsDropped``.
     """
     if keep not in ("min_id", "far_from_centroid"):
         raise ValueError(f"keep must be min_id|far_from_centroid, got {keep!r}")
@@ -1724,7 +1746,10 @@ def semdedup(
         sel = cos[ia, ib] >= threshold
         return pd.DataFrame({"id_a": ids[ia[sel]], "id_b": ids[ib[sel]]})
 
-    pairs = assigned.groupBy("cell").applyInPandas(
+    pair_input = _apply_hot_bucket_valve(
+        assigned, ["cell"], max_cell_size, journal, counter="HotCellsDropped"
+    )
+    pairs = pair_input.groupBy("cell").applyInPandas(
         _cell_pairs, "id_a long, id_b long"
     )
     comp = connected_components(pairs)  # (id, cluster_id)

@@ -960,17 +960,6 @@ def sort_by(df: DataFrame, *cols: Column | str, desc_first: bool = False) -> Dat
     return df.orderBy(*exprs)
 
 
-def getschema(df: DataFrame) -> DataFrame:
-    """KQL ``getschema`` — the table's schema as rows
-    (ColumnName, ColumnOrdinal, ColumnType). Driver-side metadata only;
-    touches no data."""
-    spark = df.sparkSession
-    rows = [(n, i, t) for i, (n, t) in enumerate(df.dtypes)]
-    return spark.createDataFrame(
-        rows, "ColumnName string, ColumnOrdinal int, ColumnType string"
-    )
-
-
 def bag_unpack(
     df: DataFrame, col: str, schema: str, drop: bool = True
 ) -> DataFrame:
@@ -1730,20 +1719,6 @@ def project_reorder(df: DataFrame, *first: str) -> DataFrame:
     return df.select(*first, *rest)
 
 
-def parse_where(df: DataFrame, col: Column | str, *segments) -> DataFrame:
-    """KQL ``parse-where`` — like ``parse`` but rows that don't match the
-    pattern are DROPPED (parse emits nulls/empties for them). One extra
-    rlike filter on the same compiled pattern — still a single codegen'd
-    projection + filter, no second regex family."""
-    import re as _re
-
-    pattern = "^"
-    for seg in segments:
-        pattern += _re.escape(seg) if isinstance(seg, str) else "(.*?)"
-    out = parse_pattern(df, col, *segments)
-    return out.filter(_c(col).rlike(pattern))
-
-
 def search_tables(
     named: Mapping[str, DataFrame], term: str, source_name: str = "source_"
 ) -> DataFrame:
@@ -1830,6 +1805,8 @@ def find_in(
     """
     if (term is None) == (predicate is None):
         raise ValueError("exactly one of term / predicate is required")
+    if not tables:
+        raise ValueError("find_in requires at least one table")
     parts = []
     for name, df in tables.items():
         if term is not None:
@@ -1915,23 +1892,9 @@ def make_bag_sorted(k: Column | str, v: Column | str) -> Column:
     return F.to_json(F.map_from_entries(deduped))
 
 
-def binary_all_and(col: Column | str) -> Column:
-    """KQL ``binary_all_and`` aggregate (native bit_and: works on computed
-    Columns and under Spark Connect, unlike the former SQL-string round-trip)."""
-    return F.bit_and(_c(col))
-
-
-def binary_all_or(col: Column | str) -> Column:
-    """KQL ``binary_all_or`` aggregate."""
-    return F.bit_or(_c(col))
-
-
-def binary_all_xor(col: Column | str) -> Column:
-    """KQL ``binary_all_xor`` aggregate."""
-    return F.bit_xor(_c(col))
-
-
 # ---- round-4 additions: IPv4 scalars, URL scalars, packed-series fills ----
+# (binary_all_and/or/xor live with the other aggregates further down —
+# exactly one definition each; a shadowed earlier trio was removed.)
 
 
 def parse_ipv4(col: Column | str) -> Column:

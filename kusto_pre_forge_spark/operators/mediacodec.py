@@ -2241,7 +2241,7 @@ def iter_avi_frames(raw: bytes):
     if parse_avi_header(raw) is None:
         raise ValueError("not an AVI")
     fmt = _avi_video_format(raw)
-    comp = fmt[0] if fmt is not None else 0x47504A4D
+    comp = fmt[0] if fmt is not None else None  # None -> sniff per frame
     if fmt is not None and comp == 0 and fmt[1] != 24:
         raise ValueError(f"unsupported DIB bit depth {fmt[1]} (24 only)")
     pos = 12
@@ -2257,7 +2257,13 @@ def iter_avi_frames(raw: bytes):
                 (isz,) = struct.unpack("<I", raw[inner + 4 : inner + 8])
                 if ic in (b"00dc", b"00db"):
                     frame = raw[inner + 8 : inner + 8 + isz]
-                    if frame[:2] == b"\xff\xd8":
+                    # Dispatch on the stream's DECLARED compression first;
+                    # content-sniff only when no strf header was found. A
+                    # BI_RGB frame whose first two BGR bytes happen to be
+                    # FF D8 must not be misrouted to the JPEG decoder.
+                    if comp == 0x47504A4D or (
+                        fmt is None and frame[:2] == b"\xff\xd8"
+                    ):
                         w, h, ch, px = decode_jpeg(frame)
                         yield idx, w, h, ch, px
                     elif comp == 0 and fmt is not None:

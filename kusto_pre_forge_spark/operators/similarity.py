@@ -163,6 +163,7 @@ def knn_classify(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    broadcast_pool: bool = False,
 ) -> DataFrame:
     """k-NN label propagation: predict each unlabeled vector's label by
     majority vote over its ``k`` highest-cosine labeled neighbors (ties →
@@ -171,42 +172,130 @@ def knn_classify(
     weak-supervision primitive for corpus curation (label a seed set,
     propagate to the pool).
 
-    Plan: same broadcast posture as :func:`cosine_topk` with the roles
-    swapped — the UNLABELED queries broadcast, the labeled corpus scans
-    once; then two map-side-combined aggregates (per-query per-label
-    votes, per-query argmax via ``max_by`` on (votes, -label)). For pools
-    past broadcast size, batch the pool or swap in :func:`pq_topk_ivf`
-    candidates. Returns (query_id, predicted_label, votes, top_cosine).
+    Plan (default, the propagation-scale posture): the LABELED seeds are
+    the small side — they broadcast as ONE array column (collect_list of
+    (id, label, vec, norm) structs), and the 100 TB unlabeled pool scans
+    exactly once in a MAP-ONLY stage: per pool row, score every seed with
+    a ``transform`` lambda, ``array_sort`` (cosine desc, id asc),
+    ``slice`` k, and majority-vote inside array expressions. Zero
+    shuffle, zero window, nothing per-pool-row ever leaves its input
+    partition. For seed sets past broadcast reach, shrink candidates
+    with :func:`pq_topk_ivf` first.
+
+    ``broadcast_pool=True`` keeps the original small-pool plan (pool
+    broadcasts, labeled corpus scans, rank window + two map-side-combined
+    aggregates) — right when the pool is a handful of new arrivals and
+    the labeled corpus is the big side. Both paths use type-agnostic
+    tie-breaks (labels may be strings — weak supervision's common case).
+
+    Returns (query_id, predicted_label, votes, top_cosine).
     """
-    q = unlabeled.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    if broadcast_pool:
+        q = unlabeled.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        )
+        c = labeled.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+            F.col(vec_col).alias("_cv"),
+        )
+        scored = c.crossJoin(F.broadcast(q)).select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+        votes = topk.groupBy("query_id", "neighbor_label").agg(
+            F.count(F.lit(1)).alias("votes"), F.max("cosine").alias("_best")
+        )
+        # min_by on (-votes, label): max votes first, then SMALLEST label,
+        # without negating the label itself (strings must stay legal).
+        return votes.groupBy("query_id").agg(
+            F.expr(
+                "min_by(neighbor_label, struct(-votes, neighbor_label))"
+            ).alias("predicted_label"),
+            F.max("votes").alias("votes"),
+            F.max("_best").alias("top_cosine"),
+        )
+
+    seeds = labeled.agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("nid"),
+                F.col(label_col).alias("lbl"),
+                F.col(vec_col).alias("v"),
+                norm(F.col(vec_col)).alias("nrm"),
+            )
+        ).alias("_seeds")
     )
-    c = labeled.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(label_col).alias("neighbor_label"),
-        F.col(vec_col).alias("_cv"),
+    pool = unlabeled.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        "neighbor_id",
-        "neighbor_label",
-        cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
-    votes = topk.groupBy("query_id", "neighbor_label").agg(
-        F.count(F.lit(1)).alias("votes"), F.max("cosine").alias("_best")
-    )
-    return votes.groupBy("query_id").agg(
-        F.expr("max_by(neighbor_label, struct(votes, -neighbor_label))").alias(
-            "predicted_label"
+
+    def by_cosine(l, r):  # cosine desc, neighbor id asc
+        return (
+            F.when(l["cosine"] > r["cosine"], F.lit(-1))
+            .when(l["cosine"] < r["cosine"], F.lit(1))
+            .when(l["nid"] < r["nid"], F.lit(-1))
+            .when(l["nid"] > r["nid"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    def by_votes(l, r):  # votes desc, label asc — works for ANY orderable label
+        return (
+            F.when(l["votes"] > r["votes"], F.lit(-1))
+            .when(l["votes"] < r["votes"], F.lit(1))
+            .when(l["lbl"] < r["lbl"], F.lit(-1))
+            .when(l["lbl"] > r["lbl"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    scored = F.transform(
+        F.col("_seeds"),
+        lambda s: F.struct(
+            (dot(F.col("_qv"), s["v"]) / (F.col("_qn") * s["nrm"])).alias(
+                "cosine"
+            ),
+            s["nid"].alias("nid"),
+            s["lbl"].alias("lbl"),
         ),
-        F.max("votes").alias("votes"),
-        F.max("_best").alias("top_cosine"),
+    )
+    out = (
+        pool.crossJoin(F.broadcast(seeds))
+        .withColumn("_topk", F.slice(F.array_sort(scored, by_cosine), 1, k))
+        .withColumn("_labels", F.transform(F.col("_topk"), lambda t: t["lbl"]))
+        .withColumn(
+            "_winner",
+            F.element_at(
+                F.array_sort(
+                    F.transform(
+                        F.array_distinct(F.col("_labels")),
+                        lambda l: F.struct(
+                            F.size(
+                                F.filter(F.col("_labels"), lambda x: x == l)
+                            ).alias("votes"),
+                            l.alias("lbl"),
+                        ),
+                    ),
+                    by_votes,
+                ),
+                1,
+            ),
+        )
+    )
+    return out.select(
+        "query_id",
+        F.col("_winner")["lbl"].alias("predicted_label"),
+        F.col("_winner")["votes"].cast("long").alias("votes"),
+        F.element_at(F.col("_topk"), 1)["cosine"].alias("top_cosine"),
     )
 
 

@@ -322,7 +322,7 @@ def bm25_topk(
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("_df"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(corpus)
+        .crossJoin(F.broadcast(corpus))  # 1-row corpus-stats frame
         .withColumn(
             "_idf",
             F.log(

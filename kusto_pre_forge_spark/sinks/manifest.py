@@ -49,7 +49,38 @@ class IngestManifest:
         self.spark = spark
         self.path = path
 
+    def _recover(self) -> None:
+        """Finish or roll back a compaction interrupted by a crash.
+
+        ``drop_by_tag`` swaps via write ``.compact`` → rename ledger aside
+        to ``.old`` → rename ``.compact`` into place → delete ``.old``.
+        Any leftover marks the crash window:
+        - ledger present + ``.old`` present: crash after the swap — the
+          ledger is the compacted one; drop ``.old``.
+        - ledger absent + ``.compact`` present: crash mid-swap — the
+          compacted ledger is complete (written first); promote it.
+        - ledger absent + only ``.old``: roll back to the pre-compaction
+          ledger (never loses committed keys; re-drop is idempotent).
+        - ledger present + only ``.compact``: compaction never began the
+          swap — discard the uncommitted compact.
+        """
+        import shutil
+
+        old, tmp = self.path + ".old", self.path + ".compact"
+        if os.path.exists(self.path):
+            for leftover in (old, tmp):
+                if os.path.exists(leftover):
+                    shutil.rmtree(leftover)
+            return
+        if os.path.exists(tmp):
+            os.rename(tmp, self.path)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        elif os.path.exists(old):
+            os.rename(old, self.path)
+
     def read(self) -> DataFrame:
+        self._recover()
         if not os.path.exists(self.path):
             return self.spark.createDataFrame([], MANIFEST_SCHEMA)
         return self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
@@ -183,10 +214,22 @@ def drop_by_tag(
     kept = current.filter(
         F.col("drop_by").isNull() | (F.col("drop_by") != tag)
     )
+    # Crash-safe ledger swap: write the compacted copy, move the live
+    # ledger ASIDE (never a destructive delete while it is the only
+    # copy), promote the compacted one, then drop the old. A crash at
+    # any point leaves either the old or the new complete ledger on
+    # disk; IngestManifest._recover() finishes or rolls back the swap
+    # on the next read. The old rmtree-then-rename had a window where
+    # NO ledger existed — a crash there silently reopened every
+    # committed shard for re-ingestion.
     tmp = manifest.path + ".compact"
+    old = manifest.path + ".old"
     kept.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(manifest.path)
+    if os.path.exists(old):  # stale from a previous recovered crash
+        shutil.rmtree(old)
+    os.rename(manifest.path, old)
     os.rename(tmp, manifest.path)
+    shutil.rmtree(old)
     for key in dropped:
         # partition dirs URL-encode special chars (Spark's escapePathName)
         d = os.path.join(dest_path, f"ingest_by={quote(key, safe='')}")

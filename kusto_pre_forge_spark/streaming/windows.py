@@ -482,12 +482,19 @@ def streaming_source_quota(
 
         admitted = state.get[0] if state.exists else 0
         rows = []
-        for pdf in pdfs:
-            for v in sorted(pdf["order_value"]):
-                if admitted >= quota:
-                    break
-                admitted += 1
-                rows.append(int(v))
+        # One sorted pass over the WHOLE micro-batch for this key: the
+        # pdfs iterator yields Arrow chunks (~10k rows each), and a
+        # per-chunk sort would make admission near the quota cut depend
+        # on nondeterministic chunk boundaries. Chunk count per key per
+        # batch is bounded (batch rows / chunk size), so the concat is
+        # the same memory applyInPandasWithState already budgets for.
+        chunks = [pdf["order_value"] for pdf in pdfs]
+        batch = pd.concat(chunks) if chunks else pd.Series([], dtype="int64")
+        for v in sorted(batch):
+            if admitted >= quota:
+                break
+            admitted += 1
+            rows.append(int(v))
         state.update((admitted,))
         yield pd.DataFrame(
             {

@@ -694,6 +694,69 @@ def test_incremental_semdedup_empty_corpus_and_replay(spark):
     assert again.count() == 0
 
 
+def test_semdedup_hot_cell_valve(spark):
+    """10k identical embeddings collapse into ONE cell — unvalved that
+    is a 10k×10k dense Gram in a single task. With ``max_cell_size`` the
+    degenerate cell skips pair generation (its rows stay as always-kept
+    singletons — fail-open like the banded valves), the drop is
+    journaled, and cells under the cap still dedup normally."""
+    import time
+
+    from kusto_pre_forge_spark.journal import PerfJournal
+    from kusto_pre_forge_spark.operators import dedup as dd
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    rows += [(100 + i, [0.0, 0.999, 0.001, 0.0]) for i in range(10_000)]
+    rows += [(50, [0.99, 0.01, 0.0, 0.0])]  # near-dup of 0, small cell
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(8)
+    j = PerfJournal(sink=lambda _s: None)
+    t0 = time.monotonic()
+    out = dd.semdedup(
+        df, "embedding", "vec_id", n_cells=2, threshold=0.95,
+        max_cell_size=1000, journal=j,
+    )
+    got = {r.vec_id: r for r in out.collect()}
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60, f"hot cell not valved: {elapsed:.1f}s"
+    assert j.snapshot()["HotCellsDropped"] == 1
+    # every row of the hot cell survives as a singleton
+    assert all(got[100 + i].is_kept for i in range(10_000))
+    # the cool cell still dedups: 50 clusters under 0
+    assert got[50].cluster_id == 0 and not got[50].is_kept
+    assert got[0].is_kept and got[1].is_kept
+
+
+def test_incremental_semdedup_hot_cell_valve_admits(spark):
+    """Streaming admission with an over-cap cell fails OPEN: the batch's
+    rows in that cell admit (no pair generation), the skip is journaled,
+    and under-cap cells keep rejecting duplicates."""
+    from kusto_pre_forge_spark.journal import PerfJournal
+    from kusto_pre_forge_spark.operators import dedup as dd
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    corpus = _emb_df(spark, [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        *[(100 + i, [0.0, 0.999, 0.001, 0.0]) for i in range(20)],
+    ])
+    batch = _emb_df(spark, [
+        (200, [0.0, 0.998, 0.002, 0.0]),  # dup content, but cell 1 is hot
+        (201, [0.999, 0.001, 0.0, 0.0]),  # dup of corpus id 1, cell 0 cool
+    ])
+    j = PerfJournal(sink=lambda _s: None)
+    got = {
+        r.vec_id
+        for r in dd.incremental_semdedup_accept(
+            corpus, batch, "embedding", "vec_id",
+            centroids=cents, n_cells=2, threshold=0.95,
+            max_cell_size=10, journal=j,
+        ).collect()
+    }
+    assert got == {200}  # hot-cell arrival admitted, cool-cell dup rejected
+    assert j.snapshot()["HotCellsDropped"] == 1
+
+
 def test_soft_dedup_weights_inverse_cluster_size(spark):
     """weight = 1/cluster_size within components; singletons weight 1;
     weights sum to the number of effective (unique) documents."""

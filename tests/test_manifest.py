@@ -122,3 +122,47 @@ def test_observe_into_journal_piggybacks_on_the_action(spark):
     assert got == {"rows": 100, "null_v": 10}
     snap = j.snapshot()
     assert snap["Ingest.rows"] == 100 and snap["Ingest.null_v"] == 10
+
+
+def test_manifest_compaction_crash_windows_recover(spark, tmp_path, sharded):
+    """Every crash window of drop_by_tag's ledger swap recovers on the
+    next read — at no point can a crash silently lose the committed-key
+    ledger (which would reopen every shard for re-ingestion)."""
+    import os
+
+    manifest = IngestManifest(spark, str(tmp_path / "manifest"))
+    dest = str(tmp_path / "dest")
+    ingest_idempotent(sharded, manifest, dest)
+    baseline = {r.ingest_by for r in manifest.read().collect()}
+    assert len(baseline) == 4
+
+    def snapshot(src, dst):
+        shutil.copytree(src, dst)
+
+    mpath = manifest.path
+    # window A: compacted copy written, swap never began -> live ledger
+    # wins, the stale .compact is discarded
+    snapshot(mpath, mpath + ".compact")
+    assert {r.ingest_by for r in manifest.read().collect()} == baseline
+    assert not os.path.exists(mpath + ".compact")
+
+    # window B: crash mid-swap (ledger renamed aside, compact complete
+    # but not yet promoted) -> the compact is promoted
+    snapshot(mpath, mpath + ".compact")
+    os.rename(mpath, mpath + ".old")
+    assert {r.ingest_by for r in manifest.read().collect()} == baseline
+    assert os.path.exists(mpath)
+    assert not os.path.exists(mpath + ".old")
+    assert not os.path.exists(mpath + ".compact")
+
+    # window C: crash after promotion, .old not yet deleted -> new ledger
+    # wins, .old dropped
+    snapshot(mpath, mpath + ".old")
+    assert {r.ingest_by for r in manifest.read().collect()} == baseline
+    assert not os.path.exists(mpath + ".old")
+
+    # window D: only .old exists (compact lost with the crash) -> roll
+    # back to the pre-compaction ledger; committed keys never vanish
+    os.rename(mpath, mpath + ".old")
+    assert {r.ingest_by for r in manifest.read().collect()} == baseline
+    assert os.path.exists(mpath)

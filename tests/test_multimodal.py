@@ -909,6 +909,23 @@ def test_avi_dib_roundtrip_and_dispatch():
     assert (idx, mw, mh) == (0, 16, 8) and len(px) == 16 * 8 * mch
 
 
+def test_avi_dib_frame_starting_with_jpeg_soi_not_misrouted():
+    """A BI_RGB DIB frame whose first stored bytes happen to be FF D8
+    (the JPEG SOI marker) must still decode as DIB: dispatch honors the
+    stream's DECLARED strf compression, content-sniffing only when no
+    format header exists. Bottom-up storage means the first stored
+    pixel is the bottom-left one; B=0xFF, G=0xD8 there forges the SOI."""
+    w, h = 2, 2
+    frame = bytearray([0] * (w * h * 3))
+    # bottom-left pixel (row h-1 in RGB order): R=1, G=0xD8, B=0xFF
+    o = (h - 1) * w * 3
+    frame[o : o + 3] = bytes((1, 0xD8, 0xFF))
+    raw = mediacodec.encode_avi_dib(w, h, [bytes(frame)], fps=1)
+    (idx, fw, fh, ch, px), = list(mediacodec.iter_avi_frames(raw))
+    assert (idx, fw, fh, ch) == (0, w, h, 3)
+    assert px == bytes(frame)
+
+
 def test_sample_frames_real_dib_avi(spark):
     """sample_frames fingerprints DIB-AVI frames by decoded pixels: the
     sha matches the raw RGB frame (lossless codec)."""

@@ -341,3 +341,59 @@ def test_knn_classify_majority_and_tiebreak(spark):
     # smallest label wins
     r2 = sim.knn_classify(labeled, pool, k=2).first()
     assert r2.votes == 1 and r2.predicted_label == 3
+    # both plans agree row-for-row
+    for k in (2, 3):
+        a = sim.knn_classify(labeled, pool, k=k).first()
+        b = sim.knn_classify(labeled, pool, k=k, broadcast_pool=True).first()
+        assert (a.predicted_label, a.votes) == (b.predicted_label, b.votes)
+        assert abs(a.top_cosine - b.top_cosine) < 1e-12
+
+
+def test_knn_classify_string_labels_both_paths(spark):
+    """Weak-supervision labels are usually STRINGS — both plans must
+    vote and tie-break (smallest label lexicographically) without any
+    numeric coercion (ANSI mode rejects unary minus on strings)."""
+    from kusto_pre_forge_spark.operators import similarity as sim
+
+    labeled = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "spam"),
+            (2, [0.95, 0.1], "ham"),
+            (3, [0.9, 0.2], "spam"),
+            (4, [-1.0, 0.0], "eggs"),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    pool = spark.createDataFrame(
+        [(100, [1.0, 0.05])], "vec_id long, embedding array<double>"
+    )
+    for kw in ({}, {"broadcast_pool": True}):
+        r = sim.knn_classify(labeled, pool, k=3, **kw).first()
+        assert r.predicted_label == "spam" and r.votes == 2
+        # k=2: tie between "spam" (vec 1) and "ham" (vec 2) -> "ham"
+        r2 = sim.knn_classify(labeled, pool, k=2, **kw).first()
+        assert r2.predicted_label == "ham" and r2.votes == 1
+
+
+def test_knn_propagation_plan_is_map_only(spark):
+    """The default (propagation-scale) plan broadcasts the LABELED seeds
+    and never shuffles the pool: no Exchange above the pool scan, no
+    window, and the broadcast build side is the 1-row seeds frame."""
+    from kusto_pre_forge_spark.operators import similarity as sim
+
+    labeled = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 3) for i in range(6)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    pool = spark.createDataFrame(
+        [(100 + i, [1.0, float(i)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    df = sim.knn_classify(labeled, pool, k=3)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+    # the only exchange allowed is the seeds' own 1-row aggregate /
+    # broadcast, never a hash-partitioning of pool rows by query
+    assert "hashpartitioning(query_id" not in plan

@@ -400,3 +400,36 @@ def test_streaming_source_quota_across_batches(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         streaming_source_quota(srcs, "src", 0, "n")
+
+
+def test_streaming_source_quota_whole_batch_sorted_across_chunks(spark, tmp_path):
+    """Admission near the quota cut must see the WHOLE micro-batch per
+    key sorted, not each Arrow chunk independently: with a 10-row Arrow
+    batch size and 100 rows arriving DESCENDING in one micro-batch, a
+    per-chunk sort would admit the first chunk's values (90..99); the
+    correct answer is the globally smallest 5 (0..4)."""
+    from kusto_pre_forge_spark.streaming.windows import streaming_source_quota
+
+    rows = [("a", 99 - i) for i in range(100)]
+    land = tmp_path / "chunked"
+    spark.createDataFrame(rows, "src string, n long").coalesce(1).write.parquet(
+        str(land)
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        srcs = spark.readStream.schema("src string, n long").parquet(str(land))
+        q = (
+            streaming_source_quota(srcs, "src", 5, "n")
+            .writeStream.format("memory")
+            .queryName("quota_chunks")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        out = spark.sql("SELECT * FROM quota_chunks").collect()
+        assert sorted(r.order_value for r in out) == [0, 1, 2, 3, 4]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

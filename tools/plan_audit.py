@@ -102,7 +102,15 @@ AUDITED = [
     ("q13_order_count_dist", "left join preserves zero-order customers; two map-side-combined aggregates, no windows"),
     ("q18_large_orders", "HAVING aggregate shrinks lineitem to qualifying orders before any join; top-k is TakeOrderedAndProject"),
     ("dedup_cdc_chunks", "posexplode map stage; ONE doc-keyed window (never SinglePartition); chunk-hash aggregate map-side combines"),
-    ("similarity_knn_classify", "unlabeled queries broadcast; labeled corpus scans once; votes + argmax are two map-side-combined aggregates"),
+    ("similarity_knn_classify", "small-pool posture (explicit broadcast_pool=True): 50-row pool broadcasts; labeled corpus scans once; votes + argmax are two map-side-combined aggregates"),
+    ("similarity_knn_propagate", "propagation posture: labeled seeds broadcast as ONE array column; pool scans map-only; top-k + vote are array expressions — zero pool shuffle, no window"),
+    ("q2_min_cost_supplier", "dim stack (part/nation/supplier) broadcasts; pairs aggregate is the one fact exchange; min-cost join back is aggregate-to-aggregate"),
+    ("q11_important_stock", "nation-scoped supplier broadcast below the per-part aggregate; the 1-row grand total broadcasts into the HAVING filter"),
+    ("q12_late_shipment_priority", "single orders join feeds one CASE-sum aggregate; no window, map-side combine on linestatus"),
+    ("q16_supplier_counts", "complaint suppliers anti-join is broadcast; distinct pairs shrink lineitem before the part join; countDistinct partial-aggregates"),
+    ("q20_excess_suppliers", "part filter broadcasts below BOTH qty aggregates; aggregate-to-aggregate join; final semi-join touches only 100 suppliers"),
+    ("q21_suppliers_kept_waiting", "late set computed once and reused for semi+anti (same orderkey equi-key); supplier name join broadcasts"),
+    ("q22_global_sales_opportunity", "1-row decimal avg broadcasts into the filter; NOT EXISTS is a left-anti on the recent-orders key set"),
 ]
 
 
