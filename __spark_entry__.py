@@ -5440,6 +5440,44 @@ _ES = "['el','la','de','que','y','en','un','es','por','con']"
 _FR = "['le','la','de','et','un','est','que','pour','dans','avec']"
 
 
+def _langid_ctes(extra_cols: str = "") -> str:
+    """CTE chain replaying the character-trigram language ID
+    (textstats.LANG_TRIGRAMS, rank-weighted Cavnar-Trenkle scoring) in
+    DuckDB, ending in ``lng(doc_id[, extra_cols], lang_pred)``. The
+    profile VALUES are generated from the SAME Python dict the Spark
+    expression compiles from, so the two engines cannot drift."""
+    from kusto_pre_forge_spark.operators.textstats import (
+        LANG_TRIGRAMS,
+        LANGID_CHARCLASS,
+    )
+
+    vals = []
+    for lang in sorted(LANG_TRIGRAMS):
+        prof = LANG_TRIGRAMS[lang]
+        for rank, tg in enumerate(prof):
+            vals.append(f"('{tg}', '{lang}', {len(prof) - rank})")
+    sel_extra = ("d." + ", d.".join(
+        c.strip() for c in extra_cols.split(",") if c.strip()
+    ) + ", ") if extra_cols else ""
+    return (
+        f"lprof(tg, lang, w) AS (VALUES {', '.join(vals)}), "
+        "lnorm AS (SELECT doc_id, ' ' || trim(regexp_replace(lower(text), "
+        f"'[^{LANGID_CHARCLASS}]+', ' ', 'g')) || ' ' AS lt FROM documents), "
+        "ltg AS (SELECT doc_id, substr(lt, CAST(gs.i AS INT), 3) AS tg "
+        "FROM lnorm, unnest(generate_series(1, length(lt) - 2)) AS gs(i) "
+        "WHERE length(lt) >= 3), "
+        "lsc AS (SELECT doc_id, lang, sum(w) AS s FROM ltg "
+        "JOIN lprof USING (tg) GROUP BY 1, 2), "
+        "lbest AS (SELECT doc_id, lang AS lang_pred FROM "
+        "(SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY s DESC, lang ASC) AS rn FROM lsc WHERE s > 0) "
+        "WHERE rn = 1), "
+        f"lng AS (SELECT d.doc_id, {sel_extra}"
+        "coalesce(b.lang_pred, 'und') AS lang_pred "
+        "FROM documents d LEFT JOIN lbest b USING (doc_id))"
+    )
+
+
 def _bpe_oracle_sql(n_merges: int = 6, min_pair: int = 2) -> str:
     """Full replay of train_bpe + apply_bpe in DuckDB — the 6 training
     iterations UNROLLED as chained CTEs (word-type table → adjacent-pair
@@ -5624,33 +5662,12 @@ def oracle_sql() -> dict[str, str]:
         "FROM t"
     )
     lang_case = (
-        f"WITH t AS (SELECT {_LTOKENS_SQL} AS toks FROM documents), "
-        "h AS (SELECT "
-        f"len(list_filter(toks, t -> list_contains({_DE}, t))) hde, "
-        f"len(list_filter(toks, t -> list_contains({_EN}, t))) hen, "
-        f"len(list_filter(toks, t -> list_contains({_ES}, t))) hes, "
-        f"len(list_filter(toks, t -> list_contains({_FR}, t))) hfr FROM t) "
-        "SELECT lang_pred, CAST(count(*) AS BIGINT) AS n FROM ("
-        "SELECT CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und' "
-        "WHEN hde = greatest(hde, hen, hes, hfr) THEN 'de' "
-        "WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en' "
-        "WHEN hes = greatest(hde, hen, hes, hfr) THEN 'es' "
-        "ELSE 'fr' END AS lang_pred FROM h) GROUP BY lang_pred"
+        f"WITH {_langid_ctes()} "
+        "SELECT lang_pred, CAST(count(*) AS BIGINT) AS n "
+        "FROM lng GROUP BY lang_pred"
     )
     pipeline_docs = (
-        f"WITH RECURSIVE t AS (SELECT doc_id, text, source, {_LTOKENS_SQL} AS toks"
-        " FROM documents), "
-        "h AS (SELECT doc_id, text, source, "
-        f"len(list_filter(toks, t -> list_contains({_DE}, t))) hde, "
-        f"len(list_filter(toks, t -> list_contains({_EN}, t))) hen, "
-        f"len(list_filter(toks, t -> list_contains({_ES}, t))) hes, "
-        f"len(list_filter(toks, t -> list_contains({_FR}, t))) hfr FROM t), "
-        "lng AS (SELECT doc_id, text, source, "
-        "CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und' "
-        "WHEN hde = greatest(hde, hen, hes, hfr) THEN 'de' "
-        "WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en' "
-        "WHEN hes = greatest(hde, hen, hes, hfr) THEN 'es' "
-        "ELSE 'fr' END AS lang_pred FROM h), "
+        f"WITH RECURSIVE {_langid_ctes('text, source')}, "
         "en AS (SELECT * FROM lng WHERE lang_pred = 'en'), "
         "keep AS (SELECT min(doc_id) AS doc_id FROM en GROUP BY md5(text)), "
         "kept AS (SELECT e.* FROM en e JOIN keep k ON e.doc_id = k.doc_id), "
@@ -7937,17 +7954,7 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(ln((c12 + 0.5) / (c1 + 0.5 * v))), 6) AS s "
             "FROM b JOIN bc USING (w1, w2) JOIN cc USING (w1), vv "
             "GROUP BY doc_id), "
-            "h AS (SELECT doc_id, "
-            f"len(list_filter(toks, t -> list_contains({_DE}, t))) hde, "
-            f"len(list_filter(toks, t -> list_contains({_EN}, t))) hen, "
-            f"len(list_filter(toks, t -> list_contains({_ES}, t))) hes, "
-            f"len(list_filter(toks, t -> list_contains({_FR}, t))) hfr FROM t), "
-            "lng AS (SELECT doc_id, "
-            "CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und' "
-            "WHEN hde = greatest(hde, hen, hes, hfr) THEN 'de' "
-            "WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en' "
-            "WHEN hes = greatest(hde, hen, hes, hfr) THEN 'es' "
-            "ELSE 'fr' END AS lang_pred FROM h), "
+            f"{_langid_ctes()}, "
             "j AS (SELECT lm.doc_id, lang_pred, n_bigrams, s "
             "FROM lm JOIN lng USING (doc_id)) "
             "SELECT doc_id, lang_pred, n_bigrams, s AS lm_score, "

@@ -49,35 +49,124 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def lang_scores(col: Column | str, profiles: dict[str, list[str]] | None = None) -> Column:
-    """Per-language marker-hit counts as a map<lang, int>."""
-    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
-    profiles = profiles or LANG_MARKERS
+#: character-trigram frequency profiles (Cavnar & Trenkle 1994 "N-Gram-Based
+#: Text Categorization" — the TextCat/CLD lineage): per language, the most
+#: characteristic trigrams over space-padded lowercase text, MOST frequent
+#: first. Rank weights (len-i) make distinctive grams count more. Profiles
+#: are distilled from public frequency knowledge of each language; swap in
+#: corpus-trained tables for production coverage. Unlike the old marker-WORD
+#: heuristic these fire on sub-word morphology ('sch', 'ció', 'aux'), so
+#: short texts with no stopwords still classify.
+LANG_TRIGRAMS: dict[str, list[str]] = {
+    "en": [
+        " th", "the", "he ", "ed ", " an", "and", "nd ", "ing", "ng ",
+        " of", "of ", " to", "to ", "er ", " in", "in ", "ion", "tio",
+        "ati", "at ", "es ", " re", "is ", " is", "on ", "ent", " be",
+        "e t", "as ", "or ", " he", "ere", " co", "hat", " wh", "ver",
+        "all", " no", "his", "ith",
+    ],
+    "de": [
+        "en ", "er ", " de", "der", "ie ", "ich", "ch ", "sch", "che",
+        "die", " di", "und", " un", "nd ", "ein", " ei", "ung", "ng ",
+        "cht", "ht ", "ten", " ge", "gen", " zu", "das", " da", "as ",
+        "ber", "ter", "st ", "ist", " is", "den", "ne ", "it ", "mit",
+        " mi", "auf", " au", "eit",
+    ],
+    "es": [
+        " de", "de ", "os ", " la", "la ", "el ", " el", "ión", "ció",
+        "aci", " co", "con", "es ", " es", "as ", "en ", " en", "que",
+        " qu", "ue ", "ent", "nte", "ado", "do ", "ar ", " se", "los",
+        " lo", "par", " pa", "ra ", "por", " po", "un ", " un", "dad",
+        "ida", "ien", "cia", "sta",
+    ],
+    "fr": [
+        " de", "de ", "es ", "ent", "le ", " le", "nt ", "la ", " la",
+        "ion", "on ", "e d", " pa", "tio", "que", " qu", "ue ", "re ",
+        " co", "les", "eur", "our", "aux", "eau", "au ", " po", "ait",
+        "ais", "ur ", "ant", "et ", " et", "ons", " so", "dan", " da",
+        "ans", "men", "une", "oir",
+    ],
+}
+
+#: letters kept by the language-ID normalizer — everything else collapses
+#: to a single space (word-boundary padding then produces boundary grams)
+LANGID_CHARCLASS = "a-zàâäáçéèêëíîïìñóôöòßúûüù"
+
+
+def _langid_norm(col: Column | str) -> Column:
+    """lowercase → non-letter runs to one space → trim → pad with one
+    space each side, so every word contributes its boundary trigrams.
+    All-symbol text normalizes to a single space (no trigram, → 'und')."""
+    c = F.col(col) if isinstance(col, str) else col
+    squashed = F.regexp_replace(F.lower(c), f"[^{LANGID_CHARCLASS}]+", " ")
+    return F.concat(F.lit(" "), F.trim(squashed), F.lit(" "))
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """All overlapping character n-grams as an array — pure expressions
+    (sequence + substr), no explode, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (n - 1)),
+        lambda i: c.substr(i, F.lit(n)),
+    )
+    return F.when(F.length(c) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _trigram_weight_map(profiles: dict[str, list[str]]):
+    """(langs sorted, map literal trigram → array of per-language rank
+    weights). One shared map = one lookup per trigram regardless of how
+    many languages are profiled."""
+    langs = sorted(profiles)
+    weights: dict[str, list[int]] = {}
+    for li, lang in enumerate(langs):
+        prof = profiles[lang]
+        for rank, tg in enumerate(prof):
+            weights.setdefault(tg, [0] * len(langs))[li] = len(prof) - rank
     entries = []
-    for lang, markers in profiles.items():
-        hits = F.size(F.filter(toks, lambda t: t.isin(markers)))
-        entries += [F.lit(lang), hits]
+    for tg in sorted(weights):
+        entries += [F.lit(tg), F.array(*[F.lit(w) for w in weights[tg]])]
+    return langs, F.create_map(*entries)
+
+
+def lang_scores(col: Column | str, profiles: dict[str, list[str]] | None = None) -> Column:
+    """Per-language trigram-evidence scores as a map<lang, int>: the sum
+    of rank weights of every profile trigram occurring in the text (with
+    multiplicity). One map-only expression chain — trigram extraction is
+    sequence+substr, scoring is a fold over ONE shared literal lookup
+    map; nothing leaves the row's partition."""
+    langs, wmap = _trigram_weight_map(profiles or LANG_TRIGRAMS)
+    zeros = F.array(*[F.lit(0) for _ in langs])
+    grams = char_ngrams(_langid_norm(col), 3)
+    totals = F.aggregate(
+        grams,
+        zeros,
+        lambda acc, tg: F.zip_with(
+            acc,
+            F.coalesce(F.element_at(wmap, tg), zeros),
+            lambda a, b: a + b,
+        ),
+    )
+    entries = []
+    for i, lang in enumerate(langs):
+        entries += [F.lit(lang), F.element_at(totals, i + 1)]
     return F.create_map(*entries)
 
 
 def lang_id(col: Column | str, profiles: dict[str, list[str]] | None = None) -> Column:
-    """argmax language, 'und' (undetermined) when no marker hits.
-
-    Ties break alphabetically (deterministic, oracle-checkable).
-    """
-    profiles = profiles or LANG_MARKERS
-    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
-
-    def marker_hits(markers: list[str]) -> Column:
-        # unary lambda only — pyspark binds HOF args by lambda arity
-        return F.size(F.filter(toks, lambda t: t.isin(markers)))
-
-    best_lang, best_hits = F.lit("und"), F.lit(0)
+    """argmax language over :func:`lang_scores`; 'und' (undetermined)
+    when no profile trigram fires. Ties break alphabetically
+    (deterministic, oracle-checkable)."""
+    profiles = profiles or LANG_TRIGRAMS
+    scores = lang_scores(col, profiles)
+    best_lang, best_score = F.lit("und"), F.lit(0)
     for lang in sorted(profiles):  # alphabetical scan order = tie-break
-        hits = marker_hits(profiles[lang])
-        is_better = hits > best_hits
+        s = F.element_at(scores, F.lit(lang))
+        is_better = s > best_score
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(is_better, hits).otherwise(best_hits)
+        best_score = F.when(is_better, s).otherwise(best_score)
     return best_lang
 
 

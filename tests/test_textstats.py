@@ -31,6 +31,34 @@ def test_lang_id(spark):
     assert out == {1: "en", 2: "de", 3: "es", 4: "und"}
 
 
+def test_lang_id_subword_morphology_where_markers_fail(spark):
+    """The char-trigram profiles classify SHORT text with ZERO stopwords
+    — wrong-language quotes, bare content words, code-mixed lines — where
+    the old marker-word heuristic returned 'und' or guessed. Evidence is
+    sub-word ('sch', 'ció', 'aux', 'ing')."""
+    df = spark.createDataFrame(
+        [
+            (1, "schneiden verschwinden Geschichte"),      # de morphology
+            (2, "información organización civilización"),  # es -ción
+            (3, "beaux chevaux travaux journaux"),         # fr -aux/-eaux
+            (4, "running jumping thinking showing"),       # en -ing
+            (5, "x = get_value(row); // checks the things"),  # code-mixed: en
+            (6, "¡!¿? 12345 +++"),                         # symbols only
+        ],
+        ["id", "t"],
+    )
+    out = {
+        r.id: r.lang
+        for r in df.select("id", textstats.lang_id("t").alias("lang")).collect()
+    }
+    assert out == {1: "de", 2: "es", 3: "fr", 4: "en", 5: "en", 6: "und"}
+    # scores map exposes the evidence; the winner's score is the max
+    s = df.filter("id = 2").select(
+        textstats.lang_scores("t").alias("s")
+    ).first().s
+    assert s["es"] == max(s.values()) and s["es"] > 0
+
+
 def test_quality_features(spark):
     df = spark.createDataFrame(
         [(1, "The quick brown fox jumps over the lazy dog with plenty of words to spare today"),
