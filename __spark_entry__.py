@@ -1956,6 +1956,68 @@ def _q_corpus_budget_sample(spark, sf):
     return out.select("doc_id", "source", "n_chars")
 
 
+def _q_text_oov_rate(spark, sf):
+    """Tokenizer-coverage diagnostic: derive a top-25 word vocabulary
+    from the corpus itself (count desc, word asc — deterministic), then
+    measure each document's out-of-vocabulary token rate against it.
+    Explode + broadcast vocab join + one per-doc aggregate."""
+    from kusto_pre_forge_spark.operators import textstats as ts
+
+    d = load_table(spark, sf, "documents")
+    words = d.select(
+        F.explode(ts.tokens(F.lower(F.col("text")))).alias("word")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("word").asc())
+        .limit(25)
+        .select("word")
+    )
+    return ts.oov_rate(d, vocab, "text", "doc_id")
+
+
+def _q_text_fix_mojibake(spark, sf):
+    """Mojibake repair over deterministically damaged documents: every
+    third doc gets classic UTF-8-as-cp1252 sequences spliced in
+    ('Ã©', 'â€™', 'Ã¼'); the repair chain (generated from the encoding
+    rule itself) must fix exactly those docs and leave the rest
+    byte-identical. The oracle replays splice + repair chain literally."""
+    from kusto_pre_forge_spark.operators import textprep as tp
+
+    d = load_table(spark, sf, "documents")
+    dirty = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("cafÃ© "),
+                F.substring(F.col("text"), 1, 40),
+                F.lit(" itâ€™s Ã¼ber"),
+            ),
+        )
+        .otherwise(F.substring(F.col("text"), 1, 40))
+        .alias("text"),
+    )
+    return tp.fix_mojibake(dirty, "text", "doc_id").select(
+        "doc_id", "fixed", "chars_removed", "changed"
+    )
+
+
+def _q_corpus_domain_shift(spark, sf):
+    """Per-source Jensen-Shannon divergence vs the corpus-wide unigram
+    distribution over a 512-bucket hashed feature space — the
+    mixture-design diagnostic (high JSD = the source adds something
+    different). B-bounded aggregates throughout; md5 buckets so the
+    oracle replays the exact feature assignment; round-6 sums."""
+    from kusto_pre_forge_spark.operators import corpus as corpus_ops
+
+    d = load_table(spark, sf, "documents")
+    return corpus_ops.domain_shift_jsd(
+        d, "text", "source", n_buckets=512
+    ).orderBy("source")
+
+
 def _q_corpus_dsir_sample(spark, sf):
     """DSIR importance resampling (Xie et al. 2023): learn a hashed
     unigram+bigram log-ratio (target = 'en' docs vs the whole pool),
@@ -3529,6 +3591,57 @@ def _q_multimodal_image_dhash(spark, sf):
     blobs = d.mapInPandas(gen, "doc_id long, blob binary")
     return multimodal.image_dhash(blobs).select(
         "doc_id", "dhash", "width", "height"
+    )
+
+
+def _q_multimodal_image_phash(spark, sf):
+    """Perceptual DCT hash (pHash) over REAL decoded PNGs. Fixtures have
+    ANALYTIC DCT structure: a horizontal decreasing ramp is linear, so
+    its even-frequency coefficients are EXACTLY zero and its odd ones
+    positive → bits {DC,1,3,5,7} = 171; a constant image keeps only DC
+    → 1 at ANY brightness (luminance invariance in the oracle itself);
+    a vertical ramp transposes to bits {0,8,24,40,56}. Width-64 ramps
+    hash identically to width-32 (scale invariance) — the oracle states
+    ground truth for decode→gray→resize→DCT→median→pack, not a replay."""
+    from kusto_pre_forge_spark.operators import multimodal
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 90)
+        .select("doc_id")
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        from kusto_pre_forge_spark.operators import mediacodec
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 3 == 0:
+                    w, h = (32, 32) if i % 2 == 0 else (64, 32)
+                    rep = w // 32
+                    row = bytes(
+                        248 - 8 * (x // rep) for x in range(w)
+                    )
+                    pix = row * h
+                elif i % 3 == 1:
+                    w = h = 32
+                    pix = bytes([(i * 29) % 255 + 1]) * (w * h)
+                else:
+                    w = h = 32
+                    pix = b"".join(
+                        bytes([248 - 8 * y]) * w for y in range(h)
+                    )
+                blobs.append(mediacodec.encode_png(w, h, pix, 1))
+                ids.append(i)
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    return multimodal.image_phash(blobs).select(
+        "doc_id", "phash", "width", "height"
     )
 
 
@@ -5293,6 +5406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": _q_corpus_split,
         "corpus_budget_sample": _q_corpus_budget_sample,
         "corpus_dsir_sample": _q_corpus_dsir_sample,
+        "corpus_domain_shift": _q_corpus_domain_shift,
+        "text_fix_mojibake": _q_text_fix_mojibake,
+        "text_oov_rate": _q_text_oov_rate,
         "corpus_epoch_upsample": _q_corpus_epoch_upsample,
         "corpus_pack": _q_corpus_pack,
         "corpus_line_dedup": _q_corpus_line_dedup,
@@ -5413,6 +5529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_real_meta": _q_multimodal_real_meta,
         "multimodal_image_dhash": _q_multimodal_image_dhash,
+        "multimodal_image_phash": _q_multimodal_image_phash,
         "multimodal_image_dhash_jpeg": _q_multimodal_image_dhash_jpeg,
         "multimodal_image_dhash_tiff": _q_multimodal_image_dhash_tiff,
         "multimodal_image_dhash_gif": _q_multimodal_image_dhash_gif,
@@ -5438,6 +5555,28 @@ _EN = "['the','and','of','to','in','is','that','it','for','with']"
 _DE = "['der','die','das','und','ist','nicht','ein','mit','für','auf']"
 _ES = "['el','la','de','que','y','en','un','es','por','con']"
 _FR = "['le','la','de','et','un','est','que','pour','dans','avec']"
+
+
+def _mojibake_oracle_sql() -> str:
+    """Replay fixture damage + the fix_mojibake literal-replace chain,
+    generated from the SAME pair list the Spark expression compiles from
+    (longest-first order preserved by nesting innermost-first)."""
+    from kusto_pre_forge_spark.operators.textprep import mojibake_pairs
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = "text"
+    for moji, ch in mojibake_pairs():
+        expr = f"replace({expr}, '{q(moji)}', '{q(ch)}')"
+    return (
+        "WITH dirty AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+        "concat('cafÃ© ', substr(text, 1, 40), ' itâ€™s Ã¼ber') "
+        "ELSE substr(text, 1, 40) END AS text FROM documents) "
+        f"SELECT doc_id, {expr} AS fixed, "
+        f"CAST(length(text) - length({expr}) AS BIGINT) AS chars_removed, "
+        f"length(text) != length({expr}) AS changed FROM dirty"
+    )
 
 
 def _langid_ctes(extra_cols: str = "") -> str:
@@ -7993,6 +8132,48 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 "
             "< least(1.0, 20000 / CAST(total AS DOUBLE))"
         ),
+        "text_fix_mojibake": _mojibake_oracle_sql(),
+        "text_oov_rate": (
+            "WITH t AS (SELECT doc_id, "
+            f"{_LTOKENS_SQL} AS toks FROM documents), "
+            "u AS (SELECT doc_id, unnest(toks) AS w FROM t), "
+            "vocab AS (SELECT w AS word FROM (SELECT w, count(*) AS n "
+            "FROM u GROUP BY 1 ORDER BY n DESC, w ASC LIMIT 25)), "
+            "pd AS (SELECT doc_id, count(*) AS n_tokens, "
+            "sum(CASE WHEN word IS NULL THEN 1 ELSE 0 END) AS n_oov "
+            "FROM u LEFT JOIN vocab ON u.w = vocab.word GROUP BY 1) "
+            "SELECT d.doc_id, "
+            "CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens, "
+            "CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov, "
+            "round(coalesce(n_oov, 0) / "
+            "greatest(coalesce(n_tokens, 0), 1), 6) AS oov_rate "
+            "FROM documents d LEFT JOIN pd USING (doc_id)"
+        ),
+        "corpus_domain_shift": (
+            # exact replay: same md5 bucket fold, same Laplace smoothing,
+            # same ½KL(P‖M)+½KL(Q‖M) over the full source×bucket grid
+            "WITH toks AS (SELECT source, unnest(list_filter("
+            "string_split_regex(trim(lower(text)), '\\s+'), t -> t != '')) "
+            "AS w FROM documents), "
+            "b AS (SELECT source AS grp, "
+            "CAST(concat('0x', substr(md5(concat('kpf-jsd', '|', w)), 1, 8)) "
+            "AS BIGINT) % 512 AS bucket FROM toks), "
+            "sc AS (SELECT grp, bucket, count(*) AS cs FROM b GROUP BY 1, 2), "
+            "ts AS (SELECT grp, sum(cs) AS ns FROM sc GROUP BY 1), "
+            "cb AS (SELECT bucket, sum(cs) AS c FROM sc GROUP BY 1), "
+            "tt AS (SELECT sum(c) AS n FROM cb), "
+            "grid AS (SELECT grp, ns, n, gs.i AS bucket FROM ts, tt, "
+            "unnest(generate_series(0, 511)) AS gs(i)), "
+            "j AS (SELECT grp, ns, "
+            "(coalesce(cs, 0) + 0.5) / (ns + 0.5 * 512) AS p, "
+            "(coalesce(c, 0) + 0.5) / (n + 0.5 * 512) AS q "
+            "FROM grid LEFT JOIN sc USING (grp, bucket) "
+            "LEFT JOIN cb USING (bucket)) "
+            "SELECT grp AS source, CAST(max(ns) AS BIGINT) AS n_tokens, "
+            "round(sum(0.5 * p * ln(p / ((p + q) / 2)) "
+            "+ 0.5 * q * ln(q / ((p + q) / 2))), 6) AS jsd "
+            "FROM j GROUP BY grp ORDER BY source"
+        ),
         "corpus_dsir_sample": (
             # full replay of DSIR: same md5 bucket fold, same Laplace
             # smoothing (B=8192, s=1), same Gumbel-from-md5 key, both
@@ -8852,6 +9033,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE 0 END AS BIGINT) AS dhash, "
             "CAST(18 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height "
             "FROM documents WHERE doc_id < 80"
+        ),
+        "multimodal_image_phash": (
+            # analytic DCT ground truth: linear horizontal ramp -> even
+            # frequencies EXACTLY zero, odd positive -> bits {0,1,3,5,7}
+            # = 171 at width 32 AND 64 (scale invariance); constant ->
+            # DC only = 1 at any brightness; vertical ramp -> transposed
+            # bits {0,8,24,40,56} = 1+2^8+2^24+2^40+2^56
+            "SELECT doc_id, CAST(CASE "
+            "WHEN doc_id % 3 = 0 THEN 171 "
+            "WHEN doc_id % 3 = 1 THEN 1 "
+            "ELSE 72058693566333185 END AS BIGINT) AS phash, "
+            "CAST(CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 1 "
+            "THEN 64 ELSE 32 END AS INTEGER) AS width, "
+            "CAST(32 AS INTEGER) AS height "
+            "FROM documents WHERE doc_id < 90"
         ),
         "multimodal_image_dhash_tiff": (
             # lossless TIFF decode: gradient -> -1, constant -> 0,

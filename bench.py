@@ -114,6 +114,10 @@ HEADLINE = [
     "q20_excess_suppliers",
     "q21_suppliers_kept_waiting",
     "q22_global_sales_opportunity",
+    "multimodal_image_phash",
+    "corpus_domain_shift",
+    "text_fix_mojibake",
+    "text_oov_rate",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

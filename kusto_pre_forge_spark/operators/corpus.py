@@ -890,3 +890,76 @@ def dsir_sample(
         .orderBy(F.col(key_col).desc(), F.col(id_col).asc())
         .limit(int(k))
     )
+
+
+def domain_shift_jsd(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n_buckets: int = 512,
+    smoothing: float = 0.5,
+    salt: str = "kpf-jsd",
+) -> DataFrame:
+    """Per-source distribution shift: Jensen-Shannon divergence between
+    each source's hashed-unigram distribution and the CORPUS-WIDE one —
+    the number a mixture designer reads before setting per-source rates
+    (a source with high JSD is contributing something different; near
+    zero, it is redundant mass). JSD = ½KL(P‖M) + ½KL(Q‖M), M=(P+Q)/2,
+    natural log, both distributions Laplace-smoothed over the SAME
+    ``n_buckets`` hashed feature space (the DSIR trick: the statistic is
+    B-bounded however large the corpus — per-source histograms are at
+    most B rows, the source×bucket grid is |sources|·B, and only the
+    token scan touches data).
+
+    md5 bucketing (not xxhash64) so an external engine replays the exact
+    feature assignment; the divergence rounds to 6 decimals (sums of ≤B
+    log terms agree across engines far inside that step).
+
+    Returns (group, n_tokens, jsd), jsd in [0, ln 2].
+    """
+    B, s = int(n_buckets), float(smoothing)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), WS_RE), lambda w: w != ""
+    )
+    g = _widen_for_fanout(df).select(
+        F.col(group_col).alias("_grp"), F.explode(toks).alias("_w")
+    ).select("_grp", _dsir_bucket(F.col("_w"), B, salt).alias("bucket"))
+    sc = g.groupBy("_grp", "bucket").agg(F.count("*").alias("_cs"))
+    tot_s = sc.groupBy("_grp").agg(F.sum("_cs").alias("_ns"))
+    corpus = sc.groupBy("bucket").agg(F.sum("_cs").alias("_c"))
+    tot = corpus.agg(F.sum("_c").alias("_n"))
+    # full |sources|×B grid (bounded, metadata-sized): absent buckets
+    # still carry smoothed mass, so they belong in the sum
+    grid = (
+        tot_s.select("_grp", "_ns")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_grp", "_ns", "_n",
+            F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("bucket"),
+        )
+    )
+    j = (
+        grid.join(sc, ["_grp", "bucket"], "left")
+        .join(F.broadcast(corpus), "bucket", "left")
+        .select(
+            "_grp", "_ns",
+            (
+                (F.coalesce(F.col("_cs"), F.lit(0)).cast("double") + F.lit(s))
+                / (F.col("_ns").cast("double") + F.lit(s * B))
+            ).alias("_p"),
+            (
+                (F.coalesce(F.col("_c"), F.lit(0)).cast("double") + F.lit(s))
+                / (F.col("_n").cast("double") + F.lit(s * B))
+            ).alias("_q"),
+        )
+        .withColumn("_m", (F.col("_p") + F.col("_q")) / 2)
+        .withColumn(
+            "_t",
+            F.lit(0.5) * F.col("_p") * F.log(F.col("_p") / F.col("_m"))
+            + F.lit(0.5) * F.col("_q") * F.log(F.col("_q") / F.col("_m")),
+        )
+    )
+    return j.groupBy(F.col("_grp").alias(group_col)).agg(
+        F.max("_ns").cast("long").alias("n_tokens"),
+        F.round(F.sum("_t"), 6).alias("jsd"),
+    )

@@ -671,6 +671,101 @@ def image_dhash(
     )
 
 
+PHASH_SCHEMA = "doc_id long, phash long, width int, height int"
+
+
+def image_phash(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    img_size: int = 32,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual DCT hash (pHash) — the frequency-domain sibling of
+    :func:`image_dhash`: grayscale → nearest-neighbor resize to
+    ``img_size``² → orthonormal 2-D DCT-II → keep the top-left
+    ``hash_size``² low-frequency coefficients → one bit per coefficient,
+    set iff it exceeds the MEDIAN of the non-DC block (DC participates
+    in bits, not in the median), packed LSB-first in row-major coefficient
+    order into a signed 64-bit long. pHash survives what dHash does not —
+    re-scaling, mild blur, brightness-preserving re-encodes — because it
+    compares a stable low-frequency signature instead of adjacent pixels.
+
+    Determinism: coefficients are ROUNDED to 4 decimals before the median
+    and the compares, which kills float matmul noise in coefficients that
+    are exactly zero in exact arithmetic (a horizontal-only image has
+    exactly-zero rows u>0) — so fixtures with known DCT structure hash to
+    ANALYTIC constants any engine can state. The DCT is a plain numpy
+    matmul against an explicit cosine basis (no scipy).
+
+    Same plan shape as dHash: Arrow-batched ``mapInPandas``, numpy work
+    per image, pure map stage — no shuffle at any corpus size. The
+    output column is drop-in for ``hamming_pairs`` banding.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from kusto_pre_forge_spark.operators import mediacodec
+
+        n = int(img_size)
+        k = np.arange(n)
+        # orthonormal DCT-II basis: T[u, x] = s(u)·cos(π(2x+1)u / 2n)
+        T = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+        T[0, :] *= 1.0 / np.sqrt(2.0)
+        T *= np.sqrt(2.0 / n)
+
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                raw = bytes(blob)
+                hdr = mediacodec.probe_bytes(raw)
+                if hdr["media_kind"] not in mediacodec.IMAGE_KINDS:
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "phash": None,
+                            "width": hdr.get("width"),
+                            "height": hdr.get("height"),
+                        }
+                    )
+                    continue
+                w, h, ch, pix = mediacodec.decode_image(raw)
+                a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, ch)
+                gray = a.mean(axis=2)  # same luma proxy as image_dhash
+                ys = (np.arange(n) * h) // n
+                xs = (np.arange(n) * w) // n
+                g = gray[np.ix_(ys, xs)]
+                coef = T @ g @ T.T
+                block = np.round(
+                    coef[: int(hash_size), : int(hash_size)].ravel(), 4
+                )
+                med = float(np.median(block[1:]))  # DC excluded from median
+                val = 0
+                for i, c in enumerate(block):
+                    if c > med:
+                        val |= 1 << i
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "phash": val,
+                        "width": int(w),
+                        "height": int(h),
+                    }
+                )
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "phash", "width", "height"]
+            )
+            out["phash"] = out["phash"].astype("Int64")
+            yield out
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        batches, PHASH_SCHEMA
+    )
+
+
 AUDIO_FP_SCHEMA = "doc_id long, afp long, sample_rate int, n_samples long"
 
 

@@ -1190,3 +1190,56 @@ def apply_wordpiece(
         F.min("_ok").alias("reconstruct_ok"),
         F.min("_tk.joined").alias("sample_pieces"),
     )
+
+
+#: characters whose UTF-8 bytes, mis-decoded as cp1252, produce the classic
+#: "Ã©"-style mojibake. The repair pairs are GENERATED from the encoding
+#: rule itself (ch.encode('utf-8').decode('cp1252')) — no hand-typed
+#: tables to get wrong; chars whose UTF-8 bytes hit cp1252's five
+#: undefined codepoints are skipped (they can't round-trip as text).
+MOJIBAKE_CHARS = (
+    "áàâäãéèêëíìîïóòôöõúùûüçñß"
+    "ÁÀÂÄÉÈÊËÍÎÓÔÖÚÜÇÑ"
+    "€£°«»‘’“”–—…™•ºª¿¡"
+)
+
+
+def mojibake_pairs() -> list[tuple[str, str]]:
+    """(mojibake, repaired) replace pairs, longest mojibake first so
+    3-byte sequences ('â€™') repair before their 2-byte prefixes could
+    misfire. Deterministic order (length desc, then the sequence)."""
+    pairs = []
+    for ch in MOJIBAKE_CHARS:
+        try:
+            pairs.append((ch.encode("utf-8").decode("cp1252"), ch))
+        except UnicodeDecodeError:
+            continue
+    return sorted(pairs, key=lambda p: (-len(p[0]), p[0]))
+
+
+def fix_mojibake(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_col: str = "fixed",
+) -> DataFrame:
+    """Repair UTF-8-decoded-as-cp1252 mojibake ('Ã©' → 'é', 'â€™' → '’')
+    — the single most common crawl-corpus encoding damage. The repair is
+    a chain of LITERAL replaces (one codegen projection, no regex, no
+    UDF), applied longest-sequence-first; an external engine replays the
+    identical chain, so the repaired text is engine-exact.
+
+    Returns (id, out_col, chars_removed, changed): every repair shrinks
+    the text (2→1 or 3→1 chars), so ``chars_removed`` is a cheap damage
+    meter and ``changed`` flags rows that needed repair at all.
+    """
+    c = F.col(text_col)
+    fixed = c
+    for moji, ch in mojibake_pairs():
+        fixed = F.replace(fixed, F.lit(moji), F.lit(ch))
+    return df.select(
+        id_col,
+        fixed.alias(out_col),
+        (F.length(c) - F.length(fixed)).cast("long").alias("chars_removed"),
+        (F.length(c) != F.length(fixed)).alias("changed"),
+    )

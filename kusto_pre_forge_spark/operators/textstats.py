@@ -706,3 +706,58 @@ def ccnet_buckets(
         F.col("_s").alias("lm_score"),
         bucket.alias("ppl_bucket"),
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    word_col: str = "word",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against a vocabulary table —
+    the coverage check run before committing to a tokenizer vocab or a
+    fixed embedding table (a corpus slice with high OOV will tokenize
+    into fragments or <unk>-flood the model).
+
+    Plan: explode tokens (map-only), LEFT join the broadcast vocabulary
+    (vocabularies are ≤ a few hundred k rows — always the small side),
+    ONE map-side-combined per-doc aggregate. Zero-token documents come
+    back with rate 0 via the final left join from the input (no row is
+    silently dropped). Rates round to 6 (the exact-fraction idiom).
+
+    Returns (id, n_tokens, n_oov, oov_rate).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    t = df.select(F.col(id_col), F.explode(toks).alias("_w"))
+    v = (
+        vocab.select(F.col(word_col).cast("string").alias("_w"))
+        .distinct()
+        .withColumn("_in", F.lit(1))
+    )
+    per_doc = (
+        t.join(F.broadcast(v), "_w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+            F.round(
+                F.coalesce(F.col("n_oov"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("n_tokens"), F.lit(0)), F.lit(1)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

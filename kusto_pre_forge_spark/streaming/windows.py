@@ -511,3 +511,98 @@ def streaming_source_quota(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def streaming_domain_drift(
+    docs: DataFrame,
+    source_col: str,
+    text_col: str,
+    n_buckets: int = 256,
+    smoothing: float = 0.5,
+    salt: str = "kpf-jsd",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Per-source distribution-DRIFT monitor — the streaming twin of
+    ``corpus.domain_shift_jsd``: each micro-batch's hashed-unigram
+    distribution is compared (Jensen-Shannon divergence, natural log,
+    Laplace-smoothed over the same ``n_buckets`` feature space) against
+    the source's LIFETIME distribution accumulated so far, then folded
+    into it. A crawl source that suddenly starts emitting something
+    different (template change, language flip, spam flood) raises its
+    JSD the trigger it happens — the alarm a live ingest wants BEFORE
+    the mixture drifts.
+
+    State per source is one B-long histogram + a total — bounded forever
+    (the SpaceSaving principle applied to distributions). Buckets use the
+    same md5 fold as the batch operator, so a batch row replayed through
+    ``domain_shift_jsd`` lands in the identical feature. Emits one row
+    per (source, batch): (source, batch_tokens, lifetime_tokens, jsd);
+    the FIRST batch of a source has no history — jsd is NULL by
+    contract, never 0 (0 means "matches history exactly").
+    """
+    import hashlib
+
+    B, sm = int(n_buckets), float(smoothing)
+
+    def bucket_of(w: str) -> int:
+        h = hashlib.md5(f"{salt}|{w}".encode()).hexdigest()[:8]
+        return int(h, 16) % B
+
+    src = docs.select(
+        F.col(source_col).cast("string").alias("source"),
+        F.col(text_col).cast("string").alias("_text"),
+    )
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        batch = np.zeros(B, dtype="int64")
+        for pdf in pdfs:
+            for text in pdf["_text"]:
+                for w in str(text).lower().split():
+                    batch[bucket_of(w)] += 1
+        if state.exists:
+            (hist_list, total) = state.get
+            hist = np.asarray(hist_list, dtype="int64")
+            total = int(total)
+        else:
+            hist, total = np.zeros(B, dtype="int64"), 0
+        bt = int(batch.sum())
+        if total > 0 and bt > 0:
+            p = (batch + sm) / (bt + sm * B)          # batch distribution
+            q = (hist + sm) / (total + sm * B)        # lifetime-so-far
+            m = (p + q) / 2.0
+            jsd = round(
+                float(0.5 * np.sum(p * np.log(p / m))
+                      + 0.5 * np.sum(q * np.log(q / m))),
+                6,
+            )
+        else:
+            jsd = None
+        hist += batch
+        state.update(([int(x) for x in hist], total + bt))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "batch_tokens": [bt],
+                "lifetime_tokens": [total + bt],
+                "jsd": [jsd],
+            }
+        )
+
+    return src.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "source string, batch_tokens long, lifetime_tokens long, "
+            "jsd double"
+        ),
+        stateStructType=T.StructType(
+            [
+                T.StructField("hist", T.ArrayType(T.LongType())),
+                T.StructField("total", T.LongType()),
+            ]
+        ),
+        outputMode="update",
+        timeoutConf=timeout,
+    )

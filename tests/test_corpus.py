@@ -322,3 +322,25 @@ def test_dsir_fused_filter_path_equals_generic(spark):
         co.dsir_sample(d, d, k=5, target_filter=F.lit(True))
     with _pt.raises(ValueError):
         co.dsir_sample(d, None, k=5)
+
+
+def test_domain_shift_jsd_bounds_and_extremes(spark):
+    """A source distributed like the corpus scores near 0; a source with
+    a disjoint vocabulary scores near ln 2; all scores stay in bounds."""
+    import math
+
+    from kusto_pre_forge_spark.operators import corpus as C
+
+    same = [("a", "alpha beta gamma delta " * 5)] * 10
+    clone = [("b", "alpha beta gamma delta " * 5)] * 10
+    alien = [("c", "zork quux fnord blee " * 5)] * 10
+    df = spark.createDataFrame(same + clone + alien, "source string, text string")
+    got = {r.source: r for r in C.domain_shift_jsd(df, "text", "source", n_buckets=64).collect()}
+    assert set(got) == {"a", "b", "c"}
+    for r in got.values():
+        assert 0.0 <= r.jsd <= math.log(2) + 1e-9
+        assert r.n_tokens == 200
+    # a and b are identical sources 2/3 of the corpus mass shares their
+    # vocab -> small divergence; c's vocabulary is disjoint -> much larger
+    assert got["a"].jsd == got["b"].jsd
+    assert got["c"].jsd > 2 * got["a"].jsd > 0

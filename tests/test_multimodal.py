@@ -1287,3 +1287,43 @@ def test_ima_adpcm_header_reports_sample_count():
     assert hdr["n_samples"] == n_blocks * spb
     _, _, out = mediacodec.decode_wav(raw)
     assert len(out) == hdr["n_samples"]
+
+
+def test_image_phash_analytic_and_invariances(spark):
+    """pHash matches the analytic DCT constants and keeps them under
+    brightness changes and 2x upscale (the invariances dHash lacks);
+    non-image payloads yield NULL with probed dimensions."""
+    ramp32 = mediacodec.encode_png(
+        32, 32, bytes(248 - 8 * x for x in range(32)) * 32, 1
+    )
+    ramp64 = mediacodec.encode_png(
+        64, 32, bytes(248 - 8 * (x // 2) for x in range(64)) * 32, 1
+    )
+    const_a = mediacodec.encode_png(32, 32, bytes([40]) * 1024, 1)
+    const_b = mediacodec.encode_png(32, 32, bytes([220]) * 1024, 1)
+    vramp = mediacodec.encode_png(
+        32, 32, b"".join(bytes([248 - 8 * y]) * 32 for y in range(32)), 1
+    )
+    df = spark.createDataFrame(
+        [(1, ramp32), (2, ramp64), (3, const_a), (4, const_b), (5, vramp),
+         (6, b"not an image")],
+        "doc_id long, blob binary",
+    )
+    got = {r.doc_id: r for r in multimodal.image_phash(df).collect()}
+    assert got[1].phash == 171 and got[2].phash == 171  # scale-invariant
+    assert got[3].phash == 1 and got[4].phash == 1      # brightness-invariant
+    assert got[5].phash == 1 + (1 << 8) + (1 << 24) + (1 << 40) + (1 << 56)
+    assert got[6].phash is None
+    # the hash column is drop-in for the hamming banding pipeline
+    from kusto_pre_forge_spark.operators import dedup as dd
+
+    hashes = multimodal.image_phash(df).filter("phash is not null").select(
+        "doc_id", "phash"
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.hamming_pairs(
+            hashes, "phash", "doc_id", max_hamming=0
+        ).collect()
+    }
+    assert (1, 2) in pairs and (3, 4) in pairs

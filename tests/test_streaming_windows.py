@@ -433,3 +433,87 @@ def test_streaming_source_quota_whole_batch_sorted_across_chunks(spark, tmp_path
         assert sorted(r.order_value for r in out) == [0, 1, 2, 3, 4]
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_streaming_domain_drift_jsd_against_history(spark, tmp_path):
+    """First batch of a source has no history (jsd NULL); a second wave
+    with the SAME distribution scores the closed-form near-zero JSD; a
+    shifted wave scores higher. Expected values computed independently
+    with numpy from the same histograms."""
+    import math
+    import time as _time
+
+    import numpy as np
+
+    from kusto_pre_forge_spark.streaming.windows import streaming_domain_drift
+
+    B, sm = 64, 0.5
+    w0 = [("a", "alpha beta gamma delta"), ("b", "one two three")]
+    w1 = [("a", "alpha beta gamma delta"), ("b", "nine ten eleven twelve")]
+    land = tmp_path / "drift"
+    spark.createDataFrame(w0, "src string, text string").coalesce(1).write.parquet(
+        str(land / "w0")
+    )
+    _time.sleep(1.1)
+    spark.createDataFrame(w1, "src string, text string").coalesce(1).write.parquet(
+        str(land / "w1")
+    )
+    srcs = (
+        spark.readStream.schema("src string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "*"))
+    )
+    q = (
+        streaming_domain_drift(srcs, "src", "text", n_buckets=B, smoothing=sm)
+        .writeStream.format("memory")
+        .queryName("drift_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT * FROM drift_out ORDER BY source, lifetime_tokens"
+    ).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.source, []).append(r)
+
+    import hashlib
+
+    def hist(words):
+        h = np.zeros(B, dtype="int64")
+        for w in words:
+            h[int(hashlib.md5(f"kpf-jsd|{w}".encode()).hexdigest()[:8], 16) % B] += 1
+        return h
+
+    def jsd(batch, lifetime):
+        p = (batch + sm) / (batch.sum() + sm * B)
+        q_ = (lifetime + sm) / (lifetime.sum() + sm * B)
+        m = (p + q_) / 2
+        return round(float(0.5 * (p * np.log(p / m)).sum()
+                           + 0.5 * (q_ * np.log(q_ / m)).sum()), 6)
+
+    # first batch: no history
+    assert by["a"][0].jsd is None and by["b"][0].jsd is None
+    # source a repeats its distribution; source b shifts vocabulary
+    a0 = hist("alpha beta gamma delta".split())
+    b0 = hist("one two three".split())
+    b1 = hist("nine ten eleven twelve".split())
+    assert by["a"][1].jsd == jsd(a0, a0)
+    assert by["b"][1].jsd == jsd(b1, b0)
+    assert by["b"][1].jsd > by["a"][1].jsd
+    assert by["a"][1].lifetime_tokens == 8 and by["b"][1].lifetime_tokens == 7
+    # bucket parity with the batch operator's md5 fold
+    from kusto_pre_forge_spark.operators.corpus import _dsir_bucket
+    from pyspark.sql import functions as F2
+
+    got = (
+        spark.createDataFrame([("alpha",), ("twelve",)], "w string")
+        .select(_dsir_bucket(F2.col("w"), B, "kpf-jsd").alias("b"))
+        .collect()
+    )
+    exp = [int(hashlib.md5(f"kpf-jsd|{w}".encode()).hexdigest()[:8], 16) % B
+           for w in ("alpha", "twelve")]
+    assert [r.b for r in got] == exp

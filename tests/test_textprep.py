@@ -507,3 +507,27 @@ def test_apply_wordpiece_on_docs(spark, docs):
 def test_wordpiece_train_deterministic(spark, docs):
     assert textprep.train_wordpiece(docs, "text", n_merges=12) == \
         textprep.train_wordpiece(docs, "text", n_merges=12)
+
+
+def test_fix_mojibake_repairs_and_counts(spark):
+    """Classic cp1252 mojibake repairs to the intended characters; clean
+    text passes byte-identical; chars_removed meters the damage."""
+    from kusto_pre_forge_spark.operators import textprep as tp
+
+    rows = [
+        (1, "cafÃ© rÃ©sumÃ©"),           # 3 two-byte repairs
+        (2, "itâ€™s â€œquotedâ€¦"),      # three-byte sequences
+        (3, "plain ascii text"),          # untouched
+        (4, "Ã¼ber naÃ¯ve faÃ§ade"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in tp.fix_mojibake(df, "text", "doc_id").collect()}
+    assert got[1].fixed == "café résumé" and got[1].chars_removed == 3
+    assert got[2].fixed == "it’s “quoted…"
+    assert got[2].chars_removed == 6 and got[2].changed
+    assert got[3].fixed == "plain ascii text"
+    assert got[3].chars_removed == 0 and not got[3].changed
+    assert got[4].fixed == "über naïve façade"
+    # the pair table is generated from the encoding rule itself
+    for moji, ch in tp.mojibake_pairs():
+        assert moji == ch.encode("utf-8").decode("cp1252")

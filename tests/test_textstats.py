@@ -285,3 +285,19 @@ def test_ccnet_buckets_omits_sub_bigram_docs(spark):
     )
     ids = {r.doc_id for r in textstats.ccnet_buckets(df, "t", "doc_id").collect()}
     assert ids == {2, 3}
+
+
+def test_oov_rate_counts_and_zero_token_docs(spark):
+    from kusto_pre_forge_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zork the blee"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("the",), ("cat",), ("sat",)], "word string")
+    got = {r.doc_id: r for r in ts.oov_rate(docs, vocab, "text", "doc_id").collect()}
+    assert (got[1].n_tokens, got[1].n_oov, got[1].oov_rate) == (3, 0, 0.0)
+    assert (got[2].n_tokens, got[2].n_oov) == (3, 2)
+    assert abs(got[2].oov_rate - round(2 / 3, 6)) < 1e-12
+    # whitespace-only doc: zero tokens, rate 0, row NOT dropped
+    assert (got[3].n_tokens, got[3].n_oov, got[3].oov_rate) == (0, 0, 0.0)

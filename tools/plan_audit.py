@@ -111,6 +111,10 @@ AUDITED = [
     ("q20_excess_suppliers", "part filter broadcasts below BOTH qty aggregates; aggregate-to-aggregate join; final semi-join touches only 100 suppliers"),
     ("q21_suppliers_kept_waiting", "late set computed once and reused for semi+anti (same orderkey equi-key); supplier name join broadcasts"),
     ("q22_global_sales_opportunity", "1-row decimal avg broadcasts into the filter; NOT EXISTS is a left-anti on the recent-orders key set"),
+    ("multimodal_image_phash", "pure map stage: Arrow-batched mapInPandas DCT per image, no shuffle at any corpus size"),
+    ("corpus_domain_shift", "B-bounded per-source histograms; source×bucket grid is metadata-sized; only the token scan touches data"),
+    ("text_fix_mojibake", "one codegen projection: a literal-replace chain, no regex, no UDF, no shuffle"),
+    ("text_oov_rate", "explode + broadcast vocab join + one map-side-combined per-doc aggregate"),
 ]
 
 
