@@ -1956,6 +1956,77 @@ def _q_corpus_budget_sample(spark, sf):
     return out.select("doc_id", "source", "n_chars")
 
 
+def _q_graph_triangles(spark, sf):
+    """Per-node triangle counts over the thresholded nation trade graph
+    (edges = nation pairs whose decimal-exact trade revenue exceeds
+    4.5M — the exact-decimal predicate keeps the edge set engine-exact).
+    Degree-ordered node-iterator in the operator; the oracle replays
+    with plain id orientation — valid because the count is
+    orientation-invariant."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("_rev")
+        )
+        .filter(F.col("_rev") > 4_500_000.0)
+    )
+    return kql.graph_triangles(pairs, "src", "dst").orderBy("node")
+
+
+def _q_corpus_domain_cap(spark, sf):
+    """Per-source document ceiling: each source keeps its 10 smallest
+    md5-hash docs (exact count, deterministic, partitioning-independent)
+    — the 'no host floods the mixture' valve. One per-source rank window
+    over a codegen hash projection."""
+    from kusto_pre_forge_spark.operators import corpus as corpus_ops
+
+    d = load_table(spark, sf, "documents")
+    out = corpus_ops.domain_cap(d, "source", "doc_id", 10)
+    return out.select("doc_id", "source")
+
+
+def _q_text_char_entropy(spark, sf):
+    """Shannon character entropy per document (nats, round-6) — the
+    gibberish / encoded-blob detector. Map-only array expressions; the
+    oracle recomputes per-char frequencies with unnest + group by."""
+    from kusto_pre_forge_spark.operators import textstats as ts
+
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        ts.char_entropy("text").alias("entropy"),
+    )
+
+
+def _q_join_bloom_prefilter(spark, sf):
+    """Big-to-big semi join via broadcast Bloom bitset + exact verify:
+    orders of customers in nation 7 — the runtime-filter pattern as a
+    reusable primitive. exact=True makes the result identical to a plain
+    semi join (the oracle), whatever the Bloom's FP rate."""
+    from kusto_pre_forge_spark.operators import corpus as corpus_ops
+
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer").filter(F.col("c_nationkey") == 7)
+    out = corpus_ops.bloom_semi_join(
+        o, c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey"
+    )
+    return out.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
 def _q_text_oov_rate(spark, sf):
     """Tokenizer-coverage diagnostic: derive a top-25 word vocabulary
     from the corpus itself (count desc, word asc — deterministic), then
@@ -5409,6 +5480,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_domain_shift": _q_corpus_domain_shift,
         "text_fix_mojibake": _q_text_fix_mojibake,
         "text_oov_rate": _q_text_oov_rate,
+        "text_char_entropy": _q_text_char_entropy,
+        "join_bloom_prefilter": _q_join_bloom_prefilter,
+        "corpus_domain_cap": _q_corpus_domain_cap,
+        "graph_triangles": _q_graph_triangles,
         "corpus_epoch_upsample": _q_corpus_epoch_upsample,
         "corpus_pack": _q_corpus_pack,
         "corpus_line_dedup": _q_corpus_line_dedup,
@@ -8133,6 +8208,49 @@ def oracle_sql() -> dict[str, str]:
             "< least(1.0, 20000 / CAST(total AS DOUBLE))"
         ),
         "text_fix_mojibake": _mojibake_oracle_sql(),
+        "graph_triangles": (
+            "WITH p AS (SELECT c_nationkey c, s_nationkey s, "
+            "CAST(sum(CAST(l_extendedprice * (1 - l_discount) "
+            "AS DECIMAL(20,4))) AS DOUBLE) AS rev "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE c_nationkey <> s_nationkey GROUP BY 1, 2), "
+            "e AS (SELECT DISTINCT least(c, s) a, greatest(c, s) b "
+            "FROM p WHERE rev > 4500000.0), "
+            "w AS (SELECT e1.a x, e1.b y, e2.b z FROM e e1 "
+            "JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b), "
+            "t AS (SELECT w.* FROM w JOIN e ON e.a = w.y AND e.b = w.z) "
+            "SELECT CAST(node AS BIGINT) AS node, "
+            "CAST(count(*) AS BIGINT) AS triangles FROM "
+            "(SELECT unnest([x, y, z]) AS node FROM t) "
+            "GROUP BY 1 ORDER BY node"
+        ),
+        "corpus_domain_cap": (
+            "SELECT doc_id, source FROM (SELECT doc_id, source, "
+            "row_number() OVER (PARTITION BY source ORDER BY "
+            "CAST(concat('0x', substr(md5(concat('kpf-cap', '|', "
+            "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) ASC, "
+            "CAST(doc_id AS VARCHAR) ASC) AS rk FROM documents) "
+            "WHERE rk <= 10"
+        ),
+        "text_char_entropy": (
+            "WITH ch AS (SELECT doc_id, substr(text, CAST(gs.i AS INT), 1) "
+            "AS c FROM documents, unnest(generate_series(1, length(text))) "
+            "AS gs(i)), "
+            "cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2), "
+            "n AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY 1), "
+            "h AS (SELECT doc_id, round(-sum((k / n) * ln(k / n)), 6) AS "
+            "entropy FROM cnt JOIN n USING (doc_id) GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars, "
+            "coalesce(h.entropy, 0.0) AS entropy "
+            "FROM documents d LEFT JOIN h USING (doc_id)"
+        ),
+        "join_bloom_prefilter": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_custkey IN (SELECT c_custkey FROM customer "
+            "WHERE c_nationkey = 7)"
+        ),
         "text_oov_rate": (
             "WITH t AS (SELECT doc_id, "
             f"{_LTOKENS_SQL} AS toks FROM documents), "

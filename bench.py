@@ -118,6 +118,10 @@ HEADLINE = [
     "corpus_domain_shift",
     "text_fix_mojibake",
     "text_oov_rate",
+    "text_char_entropy",
+    "join_bloom_prefilter",
+    "corpus_domain_cap",
+    "graph_triangles",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

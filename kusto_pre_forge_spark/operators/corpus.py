@@ -963,3 +963,79 @@ def domain_shift_jsd(
         F.max("_ns").cast("long").alias("n_tokens"),
         F.round(F.sum("_t"), 6).alias("jsd"),
     )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    keys_key: str | None = None,
+    bits_per_key: int = 16,
+    k_hashes: int = 7,
+    seed: int = 41,
+    exact: bool = True,
+) -> DataFrame:
+    """General big-to-big semi-join with a Bloom prefilter — the runtime-
+    filter pattern (:func:`build_bloom` / :func:`bloom_probe`) promoted
+    from the decontamination internals to a reusable join primitive:
+    the fact side is cut down by a broadcast BITSET (m/8 bytes — two
+    orders smaller than broadcasting the key set itself) BEFORE the real
+    shuffle, so the exchange moves only probable matches. With
+    ``exact=True`` (default) a left-semi join on the survivors removes
+    the Bloom's false positives — exact semantics, shuffle sized by the
+    prefiltered side; ``exact=False`` keeps the ~0.04 % FP rate
+    (16 bits/key) when downstream tolerates it (e.g. candidate
+    generation) and the plan is shuffle-free.
+
+    When the key side is broadcast-small anyway, use a plain semi join —
+    this primitive is for key sets past broadcast reach.
+    """
+    kk = keys_key or fact_key
+    bloom = build_bloom(
+        keys.select(F.col(kk).alias(fact_key)), fact_key,
+        bits_per_key=bits_per_key, k_hashes=k_hashes, seed=seed,
+    )
+    pre = fact.filter(bloom_probe(F.col(fact_key), bloom, seed=seed))
+    if not exact:
+        return pre
+    return pre.join(
+        keys.select(F.col(kk).alias(fact_key)).distinct(), fact_key, "left_semi"
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    group_col: str,
+    key: Column | str,
+    max_per_group: int,
+    salt: str = "kpf-cap",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Cap each group at EXACTLY ``max_per_group`` rows (fewer if the
+    group is smaller) — the per-domain ceiling every crawl mixture
+    applies ("no single host contributes more than N documents").
+    Selection is a deterministic md5-hash order per group (ties on the
+    key), so membership is partitioning- and run-independent — the same
+    property as :func:`stratified_sample`, but with an exact COUNT
+    guarantee instead of a rate. Pass ``keep_col`` to FLAG rows instead
+    of filtering (telemetry / soft enforcement).
+
+    Plan: one rank window partitioned by the group key (never
+    SinglePartition) over a codegen hash projection. Heavy-hitter
+    domains are exactly the rows this op exists to cut, and the window
+    sees each group on one task — at extreme skew pre-aggregate with
+    :func:`budget_sample` or salt the group first.
+    """
+    from pyspark.sql import Window
+
+    k = F.col(key) if isinstance(key, str) else key
+    u = _hash_unit(k.cast("string"), salt)
+    w = Window.partitionBy(group_col).orderBy(
+        u.asc(), k.cast("string").asc()
+    )
+    ranked = df.withColumn("_kpf_rk", F.row_number().over(w))
+    if keep_col is not None:
+        return ranked.withColumn(
+            keep_col, F.col("_kpf_rk") <= max_per_group
+        ).drop("_kpf_rk")
+    return ranked.filter(F.col("_kpf_rk") <= max_per_group).drop("_kpf_rk")

@@ -761,3 +761,32 @@ def oov_rate(
             ).alias("oov_rate"),
         )
     )
+
+
+def char_entropy(col: Column | str) -> Column:
+    """Shannon entropy (nats) of the text's character distribution — the
+    cheap gibberish/encoded-blob detector: natural prose sits ~2.9-3.3,
+    base64/hex blobs and key dumps run higher, single-char floods near 0.
+    Pure expressions: chars via sequence+substr, per-char counts via a
+    distinct-alphabet transform (alphabet-bounded, so the O(|Σ|·len)
+    filter scan stays linear in practice), one fold — map-only, no
+    explode, no shuffle. NULL-safe: empty text → 0.0.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    chars = char_ngrams(c, 1)
+    n = F.size(chars).cast("double")
+    dist = F.array_distinct(chars)
+    terms = F.transform(
+        dist,
+        lambda ch: (
+            F.size(F.filter(chars, lambda x: x == ch)).cast("double") / n
+        ),
+    )
+    h = -F.aggregate(
+        F.transform(terms, lambda p: p * F.log(p)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.coalesce(n, F.lit(0.0)) > 0, F.round(h, 6)).otherwise(
+        F.lit(0.0)
+    )

@@ -344,3 +344,20 @@ def test_domain_shift_jsd_bounds_and_extremes(spark):
     # vocab -> small divergence; c's vocabulary is disjoint -> much larger
     assert got["a"].jsd == got["b"].jsd
     assert got["c"].jsd > 2 * got["a"].jsd > 0
+
+
+def test_bloom_semi_join_exact_and_prefilter(spark):
+    """exact=True equals a plain semi join bit-for-bit; exact=False keeps
+    every true match (no false negatives) and the plan carries no
+    shuffle for the probe side."""
+    from kusto_pre_forge_spark.operators import corpus as C
+
+    fact = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(500)], "k long, v string"
+    )
+    keys = spark.createDataFrame([(i * 7,) for i in range(40)], "k long")
+    want = {r.k for r in fact.join(keys, "k", "left_semi").collect()}
+    got = {r.k for r in C.bloom_semi_join(fact, keys, "k").collect()}
+    assert got == want
+    approx = {r.k for r in C.bloom_semi_join(fact, keys, "k", exact=False).collect()}
+    assert want <= approx, "Bloom must never drop a true match"

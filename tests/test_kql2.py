@@ -1945,3 +1945,33 @@ def test_heavy_hitters_two_level_guarantees(spark):
                 assert (b, it) in got, (parts, it)
                 est = got[(b, it)]
                 assert c <= est <= c + nb[b] // K, (parts, it, c, est)
+
+
+def test_graph_triangles_hand_counted(spark):
+    """Hand-verifiable graphs: K4 (every node in C(3,2)=3 triangles),
+    a 4-cycle (none), a star (none — hubs alone make no triangles), and
+    direction/duplicate/self-loop noise collapsing first."""
+    from kusto_pre_forge_spark.operators.kql import graph_triangles
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noise = [(1, 0), (2, 2), (0, 1)]  # reverse dup, self-loop, dup
+    df = spark.createDataFrame(k4 + noise, "src long, dst long")
+    got = {r.node: r.triangles for r in graph_triangles(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    ring = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    assert graph_triangles(ring).count() == 0
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)], "src long, dst long"
+    )
+    assert graph_triangles(star).count() == 0
+
+    # one triangle hanging off a hub: only its three members count
+    tri_on_star = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)] + [(1, 2)], "src long, dst long"
+    )
+    got2 = {r.node: r.triangles for r in graph_triangles(tri_on_star).collect()}
+    assert got2 == {0: 1, 1: 1, 2: 1}

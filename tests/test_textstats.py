@@ -301,3 +301,20 @@ def test_oov_rate_counts_and_zero_token_docs(spark):
     assert abs(got[2].oov_rate - round(2 / 3, 6)) < 1e-12
     # whitespace-only doc: zero tokens, rate 0, row NOT dropped
     assert (got[3].n_tokens, got[3].n_oov, got[3].oov_rate) == (0, 0, 0.0)
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from kusto_pre_forge_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.h for r in df.select(
+        "doc_id", ts.char_entropy("text").alias("h")).collect()}
+    assert got[1] == 0.0                       # single char -> 0
+    assert got[2] == round(math.log(2), 6)     # uniform over 2 chars
+    assert got[3] == round(math.log(4), 6)     # uniform over 4 chars
+    assert got[4] == 0.0                       # empty -> 0, not NULL

@@ -85,7 +85,7 @@ AUDITED = [
     ("pipeline_quality_route", "three quality gates as projections of one scan; joins on the doc key only"),
     ("layout_zorder", "Morton key is a flat codegen projection - zero exchanges"),
     ("text_ccnet_buckets", "vocabulary-sized LM count tables; the percent_rank window partitions by language, never SinglePartition over data"),
-    ("dedup_semantic", "cell assignment is a narrow vectorized pass; pairs are cell-scoped applyInPandas (one exchange on the cell key); CC rounds stay key-partitioned"),
+    ("dedup_semantic", "cell assignment is a narrow vectorized pass; pairs are cell-scoped applyInPandas (one exchange on the cell key) behind the max_cell_size hot-cell valve; CC rounds stay key-partitioned"),
     ("text_unigram", "word-count scan + distinct-word Arrow tokenize joined back; no exploded-token shuffle beyond the histogram aggregate"),
     ("text_wordpiece", "same rank-dict shape as text_unigram: histogram aggregate + distinct-word tokenize, join back on the word key"),
     ("contamination_bloom", "Bloom bitset rides the corpus scan as a map-side getbit filter; the verify join receives only survivors"),
@@ -115,6 +115,10 @@ AUDITED = [
     ("corpus_domain_shift", "B-bounded per-source histograms; source×bucket grid is metadata-sized; only the token scan touches data"),
     ("text_fix_mojibake", "one codegen projection: a literal-replace chain, no regex, no UDF, no shuffle"),
     ("text_oov_rate", "explode + broadcast vocab join + one map-side-combined per-doc aggregate"),
+    ("text_char_entropy", "map-only array expressions; alphabet-bounded per-row work, no explode, no shuffle"),
+    ("join_bloom_prefilter", "broadcast bitset prefilter cuts the fact side BEFORE the semi-join shuffle; exact verify on survivors only"),
+    ("corpus_domain_cap", "one per-source rank window over a codegen hash projection — partitioned, never SinglePartition"),
+    ("graph_triangles", "degree-ordered orientation bounds wedge fan-out to O(m^1.5); two equi-joins + semi-join close + one explode aggregate"),
 ]
 
 
