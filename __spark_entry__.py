@@ -1237,7 +1237,12 @@ def _q_text_quality(spark, sf):
 
 
 def _q_text_langid(spark, sf):
-    d = load_table(spark, sf, "documents")
+    """Corpus language histogram over the char-trigram classifier —
+    input widened to cluster parallelism (the classifier is a heavy
+    per-row projection; see _q_text_ccnet_buckets)."""
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    d = _widen_for_fanout(load_table(spark, sf, "documents"))
     return d.select(textstats.lang_id("text").alias("lang_pred")).groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -1908,10 +1913,15 @@ def _q_text_lm_score(spark, sf):
 
 def _q_text_ccnet_buckets(spark, sf):
     """CCNet head/middle/tail perplexity buckets per language (Wenzek et
-    al. 2020 §4.3): corpus-bigram LM score + marker lang-id, split at
-    per-language percent_rank thirds (round-6 score ordering, id
-    tie-break — both engines sort the same keys)."""
-    d = load_table(spark, sf, "documents")
+    al. 2020 §4.3): corpus-bigram LM score + char-trigram lang-id, split
+    at per-language percent_rank thirds (round-6 score ordering, id
+    tie-break — both engines sort the same keys). Input widened: the
+    160-substring-pass lang-id is compute-heavy per row (the accuracy
+    upgrade over marker words), so a one-footer parquet must not run it
+    on one core."""
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    d = _widen_for_fanout(load_table(spark, sf, "documents"))
     return textstats.ccnet_buckets(d, "text", "doc_id")
 
 
@@ -5656,39 +5666,47 @@ def _mojibake_oracle_sql() -> str:
 
 def _langid_ctes(extra_cols: str = "") -> str:
     """CTE chain replaying the character-trigram language ID
-    (textstats.LANG_TRIGRAMS, rank-weighted Cavnar-Trenkle scoring) in
-    DuckDB, ending in ``lng(doc_id[, extra_cols], lang_pred)``. The
-    profile VALUES are generated from the SAME Python dict the Spark
-    expression compiles from, so the two engines cannot drift."""
+    (textstats.LANG_TRIGRAMS, rank-weighted Cavnar-Trenkle scoring via
+    the length-delta-of-replace occurrence count — the exact expression
+    the Spark side compiles) in DuckDB, ending in
+    ``lng(doc_id[, extra_cols], lang_pred)``. The per-gram terms are
+    generated from the SAME Python dict, so the engines cannot drift."""
     from kusto_pre_forge_spark.operators.textstats import (
         LANG_TRIGRAMS,
         LANGID_CHARCLASS,
     )
 
-    vals = []
-    for lang in sorted(LANG_TRIGRAMS):
+    def score_sql(lang: str) -> str:
         prof = LANG_TRIGRAMS[lang]
+        terms = []
         for rank, tg in enumerate(prof):
-            vals.append(f"('{tg}', '{lang}', {len(prof) - rank})")
-    sel_extra = ("d." + ", d.".join(
-        c.strip() for c in extra_cols.split(",") if c.strip()
-    ) + ", ") if extra_cols else ""
+            tq = tg.replace("'", "''")
+            terms.append(
+                f"{len(prof) - rank} * CAST((length(lt) - "
+                f"length(replace(lt, '{tq}', ''))) / 3 AS INT)"
+            )
+        return " + ".join(terms)
+
+    langs = sorted(LANG_TRIGRAMS)
+    extra = "".join(
+        ", " + c.strip() for c in extra_cols.split(",") if c.strip()
+    )
+    g = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    case = (
+        f"CASE WHEN {g} <= 0 THEN 'und' "
+        + " ".join(f"WHEN s_{la} = {g} THEN '{la}'" for la in langs[:-1])
+        + f" ELSE '{langs[-1]}' END"
+    )
+    scores = ", ".join(f"{score_sql(la)} AS s_{la}" for la in langs)
     return (
-        f"lprof(tg, lang, w) AS (VALUES {', '.join(vals)}), "
-        "lnorm AS (SELECT doc_id, ' ' || trim(regexp_replace(lower(text), "
+        f"lnorm AS (SELECT doc_id{extra}, ' ' || "
+        "trim(regexp_replace(lower(text), "
         f"'[^{LANGID_CHARCLASS}]+', ' ', 'g')) || ' ' AS lt FROM documents), "
-        "ltg AS (SELECT doc_id, substr(lt, CAST(gs.i AS INT), 3) AS tg "
-        "FROM lnorm, unnest(generate_series(1, length(lt) - 2)) AS gs(i) "
-        "WHERE length(lt) >= 3), "
-        "lsc AS (SELECT doc_id, lang, sum(w) AS s FROM ltg "
-        "JOIN lprof USING (tg) GROUP BY 1, 2), "
-        "lbest AS (SELECT doc_id, lang AS lang_pred FROM "
-        "(SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id "
-        "ORDER BY s DESC, lang ASC) AS rn FROM lsc WHERE s > 0) "
-        "WHERE rn = 1), "
-        f"lng AS (SELECT d.doc_id, {sel_extra}"
-        "coalesce(b.lang_pred, 'und') AS lang_pred "
-        "FROM documents d LEFT JOIN lbest b USING (doc_id))"
+        # MATERIALIZED: consumers (incl. recursive CTEs) must not
+        # re-inline the 160-term scoring projection per reference
+        f"lsc AS MATERIALIZED (SELECT doc_id{extra}, {scores} FROM lnorm), "
+        f"lng AS MATERIALIZED (SELECT doc_id{extra}, {case} AS lang_pred "
+        "FROM lsc)"
     )
 
 

@@ -1746,6 +1746,13 @@ def semdedup(
         sel = cos[ia, ib] >= threshold
         return pd.DataFrame({"id_a": ids[ia[sel]], "id_b": ids[ib[sel]]})
 
+    if max_cell_size is not None:
+        # the valve adds a second consumer of the cell-assignment pass
+        # (hot-cell aggregate + anti-join); pin so the vectorized argmax
+        # runs once, not once per consumer
+        from kusto_pre_forge_spark.pinning import pin
+
+        assigned = pin(assigned)
     pair_input = _apply_hot_bucket_valve(
         assigned, ["cell"], max_cell_size, journal, counter="HotCellsDropped"
     )

@@ -115,59 +115,88 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
     )
 
 
-def _trigram_weight_map(profiles: dict[str, list[str]]):
-    """(langs sorted, map literal trigram → array of per-language rank
-    weights). One shared map = one lookup per trigram regardless of how
-    many languages are profiled."""
-    langs = sorted(profiles)
-    weights: dict[str, list[int]] = {}
-    for li, lang in enumerate(langs):
-        prof = profiles[lang]
-        for rank, tg in enumerate(prof):
-            weights.setdefault(tg, [0] * len(langs))[li] = len(prof) - rank
-    entries = []
-    for tg in sorted(weights):
-        entries += [F.lit(tg), F.array(*[F.lit(w) for w in weights[tg]])]
-    return langs, F.create_map(*entries)
+def _occurrence_count(norm: Column, gram: str) -> Column:
+    """Non-overlapping occurrence count of a literal n-gram: the
+    length-delta-of-replace trick — (len(t) − len(replace(t, g, ''))) /
+    len(g). One tight JVM string pass per gram; measured ~14× faster
+    than folding per-position lookups through a literal map (whose
+    GetMapValue is a linear scan per probe)."""
+    return (
+        (F.length(norm) - F.length(F.replace(norm, F.lit(gram), F.lit(""))))
+        / F.lit(len(gram))
+    ).cast("int")
+
+
+def _bind_once(value: Column, fn) -> Column:
+    """Evaluate ``fn(var)`` with ``var`` bound to ``value`` computed
+    EXACTLY once: a 1-element ``transform`` lambda. The codegen CSE does
+    not merge the hundreds of textual copies a big expression would
+    otherwise make of ``value`` (measured: the langid normalizer ran
+    once per replace-term, 320×/row); a lambda variable is a single
+    slot by construction."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
 
 
 def lang_scores(col: Column | str, profiles: dict[str, list[str]] | None = None) -> Column:
     """Per-language trigram-evidence scores as a map<lang, int>: the sum
-    of rank weights of every profile trigram occurring in the text (with
-    multiplicity). One map-only expression chain — trigram extraction is
-    sequence+substr, scoring is a fold over ONE shared literal lookup
-    map; nothing leaves the row's partition."""
-    langs, wmap = _trigram_weight_map(profiles or LANG_TRIGRAMS)
-    zeros = F.array(*[F.lit(0) for _ in langs])
-    grams = char_ngrams(_langid_norm(col), 3)
-    totals = F.aggregate(
-        grams,
-        zeros,
-        lambda acc, tg: F.zip_with(
-            acc,
-            F.coalesce(F.element_at(wmap, tg), zeros),
-            lambda a, b: a + b,
-        ),
-    )
-    entries = []
-    for i, lang in enumerate(langs):
-        entries += [F.lit(lang), F.element_at(totals, i + 1)]
-    return F.create_map(*entries)
+    of rank weights of every profile trigram's (non-overlapping)
+    occurrence count in the normalized text. One codegen projection —
+    per profile gram a replace-count term over the normalizer's output
+    bound ONCE as a lambda variable; nothing leaves the row's partition,
+    no explode, no UDF."""
+    profiles = profiles or LANG_TRIGRAMS
+
+    def mk(t: Column) -> Column:
+        entries = []
+        for lang in sorted(profiles):
+            prof = profiles[lang]
+            s = F.lit(0)
+            for rank, tg in enumerate(prof):
+                s = s + F.lit(len(prof) - rank) * _occurrence_count(t, tg)
+            entries += [F.lit(lang), s]
+        return F.create_map(*entries)
+
+    return _bind_once(_langid_norm(col), mk)
 
 
 def lang_id(col: Column | str, profiles: dict[str, list[str]] | None = None) -> Column:
-    """argmax language over :func:`lang_scores`; 'und' (undetermined)
-    when no profile trigram fires. Ties break alphabetically
-    (deterministic, oracle-checkable)."""
+    """argmax language over the per-language trigram scores; 'und'
+    (undetermined) when no profile trigram fires. Ties break
+    alphabetically (deterministic, oracle-checkable).
+
+    The argmax is ONE ``array_max`` over (score, priority, lang) structs
+    — a running-best when-chain would re-embed every score expression
+    per comparison and blow the serialized plan up ~10× (measured 17 MB
+    task binaries); here each score expression appears exactly once and
+    the winner struct twice."""
     profiles = profiles or LANG_TRIGRAMS
-    scores = lang_scores(col, profiles)
-    best_lang, best_score = F.lit("und"), F.lit(0)
-    for lang in sorted(profiles):  # alphabetical scan order = tie-break
-        s = F.element_at(scores, F.lit(lang))
-        is_better = s > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, s).otherwise(best_score)
-    return best_lang
+    langs = sorted(profiles)
+
+    def argmax(t: Column) -> Column:
+        items = []
+        for i, lang in enumerate(langs):
+            prof = profiles[lang]
+            s = F.lit(0)
+            for rank, tg in enumerate(prof):
+                s = s + F.lit(len(prof) - rank) * _occurrence_count(t, tg)
+            items.append(
+                F.struct(
+                    s.alias("score"),
+                    # on a score tie the LARGEST priority wins the struct
+                    # compare -> alphabetically first language
+                    F.lit(len(langs) - 1 - i).alias("pri"),
+                    F.lit(lang).alias("lang"),
+                )
+            )
+        return F.array_max(F.array(*items))
+
+    # two _bind_once stages: the normalizer evaluates once, and the
+    # winner struct evaluates once (not per reference in the when)
+    winner_col = _bind_once(_langid_norm(col), argmax)
+    return _bind_once(
+        winner_col,
+        lambda w: F.when(w["score"] > 0, w["lang"]).otherwise(F.lit("und")),
+    )
 
 
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
