@@ -1996,6 +1996,34 @@ def _q_graph_triangles(spark, sf):
     return kql.graph_triangles(pairs, "src", "dst").orderBy("node")
 
 
+def _q_fixedwidth_roundtrip(spark, sf):
+    """Fixed-width input format: orders rows rendered to positional
+    lines (%10d%10d%-2s%-15s — no separators, no quoting) then parsed
+    back through sources.fixedwidth.parse_fixed_width. The oracle is the
+    ORIGINAL columns: the round trip must be lossless, which checks the
+    renderer and the positional parser against each other. One codegen
+    projection each way."""
+    from kusto_pre_forge_spark.sources.fixedwidth import parse_fixed_width
+
+    o = load_table(spark, sf, "orders")
+    lines = o.select(
+        F.format_string(
+            "%10d%10d%-2s%-15s",
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        ).alias("value")
+    )
+    spec = [
+        ("o_orderkey", 10, "bigint"),
+        ("o_custkey", 10, "bigint"),
+        ("o_orderstatus", 2, "string"),
+        ("o_orderpriority", 15, "string"),
+    ]
+    return parse_fixed_width(lines, spec)
+
+
 def _q_dedup_lsh_recall(spark, sf):
     """Candidate recall + efficiency of MinHash banding vs the exact
     ≥0.8-Jaccard pair set, at two (bands, rows) choices — the harness a
@@ -5530,6 +5558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_domain_cap": _q_corpus_domain_cap,
         "graph_triangles": _q_graph_triangles,
         "dedup_lsh_recall": _q_dedup_lsh_recall,
+        "fixedwidth_roundtrip": _q_fixedwidth_roundtrip,
         "corpus_epoch_upsample": _q_corpus_epoch_upsample,
         "corpus_pack": _q_corpus_pack,
         "corpus_line_dedup": _q_corpus_line_dedup,
@@ -8262,6 +8291,13 @@ def oracle_sql() -> dict[str, str]:
             "< least(1.0, 20000 / CAST(total AS DOUBLE))"
         ),
         "text_fix_mojibake": _mojibake_oracle_sql(),
+        "fixedwidth_roundtrip": (
+            # losslessness IS the oracle: render->parse must reproduce
+            # the original typed columns exactly
+            "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, "
+            "CAST(o_custkey AS BIGINT) AS o_custkey, "
+            "o_orderstatus, o_orderpriority FROM orders"
+        ),
         "dedup_lsh_recall": (
             # n_exact is the exact >=0.8-Jaccard pair count (full SQL);
             # the recall/efficiency floors are predictive invariants of

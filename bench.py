@@ -122,6 +122,7 @@ HEADLINE = [
     "join_bloom_prefilter",
     "corpus_domain_cap",
     "graph_triangles",
+    "fixedwidth_roundtrip",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

@@ -370,3 +370,28 @@ def test_read_landing_quarantine_mode(spark, tmp_path):
         read_landing(
             spark, str(p), RunSettings(fmt=DataFormat.CSV), corrupt_col="_c"
         )
+
+
+def test_fixed_width_parse_and_file_read(spark, tmp_path):
+    """Positional parsing: typed slices, short-line drop, malformed
+    numerics -> NULL (never a job kill), per-file header skip."""
+    from kusto_pre_forge_spark.sources.fixedwidth import (
+        parse_fixed_width,
+        read_fixed_width,
+    )
+
+    spec = [("id", 4, "bigint"), ("code", 3, "string"), ("qty", 5, "int")]
+    lines = [
+        "   1AB    10",    # id=1, code='AB', qty=10
+        "  22XYZ   -5",    # id=22, code='XYZ', qty=-5
+        "badXZZZ   xx",    # id NULL (not a number), qty NULL
+        "short",           # < record width -> dropped
+    ]
+    df = spark.createDataFrame([(x,) for x in lines], "value string")
+    got = {tuple(r) for r in parse_fixed_width(df, spec).collect()}
+    assert got == {(1, "AB", 10), (22, "XYZ", -5), (None, "ZZZ", None)}
+
+    p = tmp_path / "fw.txt"
+    p.write_text("HEADER LINE!\n" + "\n".join(lines[:2]) + "\n")
+    out = read_fixed_width(spark, str(p), spec, skip_header_lines=1)
+    assert {tuple(r) for r in out.collect()} == {(1, "AB", 10), (22, "XYZ", -5)}

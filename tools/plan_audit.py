@@ -120,6 +120,7 @@ AUDITED = [
     ("corpus_domain_cap", "one per-source rank window over a codegen hash projection — partitioned, never SinglePartition"),
     ("graph_triangles", "degree-ordered orientation bounds wedge fan-out to O(m^1.5); two equi-joins + semi-join close + one explode aggregate"),
     ("dedup_lsh_recall", "evaluation harness on a FIXED sample slice: exact inverted-index pass + banding pass, three 1-row count aggregates"),
+    ("fixedwidth_roundtrip", "render + positional parse are one codegen projection each; no shuffle, no UDF, try_cast keeps malformed rows as NULLs"),
 ]
 
 
