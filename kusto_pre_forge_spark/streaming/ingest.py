@@ -89,6 +89,11 @@ class StreamingEtl:
             df = reader.json(self.landing_dir)
         elif self.fmt == "parquet":
             df = reader.parquet(self.landing_dir)
+        elif self.fmt == "orc":
+            # ORC landing blobs — native Spark source, same declared
+            # schema contract as parquet (completes the batch
+            # read_landing format set on the streaming path)
+            df = reader.orc(self.landing_dir)
         else:
             raise NotImplementedError(f"streaming format {self.fmt}")
         return df.withColumn("_kpf_source", F.input_file_name())

@@ -339,6 +339,29 @@ def test_streaming_prepartition_parquet_landing(spark, sf_smoke, tmp_path):
     assert spark.read.parquet(str(tmp_path / "out_pq")).count() == orders.count()
 
 
+def test_streaming_prepartition_orc_landing(spark, sf_smoke, tmp_path):
+    """ORC landing blobs stream through the same plan — the last batch
+    read_landing format now accepted on the streaming path."""
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    land = tmp_path / "landing_orc"
+    orders.coalesce(1).write.orc(str(land))
+    etl = StreamingEtl(
+        spark,
+        landing_dir=str(land),
+        checkpoint_dir=str(tmp_path / "ckpt_orc"),
+        output_dir=str(tmp_path / "out_orc"),
+        schema=SCHEMA,
+        fmt="orc",
+    )
+    q = etl.start_prepartition(POLICY, available_now=True)
+    _drain(q)
+    assert spark.read.parquet(str(tmp_path / "out_orc")).count() == orders.count()
+
+
 def test_streaming_corpus_stats_accumulate_and_replay(spark, sf_smoke, tmp_path):
     """Incremental vocabulary/IDF maintenance: per-batch word deltas
     accumulate across waves; a lost-checkpoint replay rewrites its own
