@@ -8234,9 +8234,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM t WHERE len(toks) > 0"
         ),
         "text_ccnet_buckets": (
-            # lm CTE == text_lm_score oracle; lang CASE == text_langid
-            # oracle; percent_rank over (lang, round-6 score desc, id) —
-            # identical sort keys in both engines
+            # lm CTE == text_lm_score oracle; lang CTEs are the shared
+            # _langid_ctes trigram replay; percent_rank over (lang,
+            # round-6 score desc, id) — identical sort keys both engines
             "WITH t AS (SELECT doc_id, "
             f"{_LTOKENS_SQL} AS toks FROM documents), "
             "u AS (SELECT doc_id, unnest(toks) AS w, "

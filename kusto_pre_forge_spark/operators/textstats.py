@@ -38,9 +38,9 @@ def bpe_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_RE), 0))
 
 
-#: small marker-word profiles per language — an n-gram/stopword heuristic.
-#: Real language ID (fasttext/CLD3) is not in this container; the operator
-#: contract (argmax over per-language evidence scores) is what matters.
+#: small stop-word lists per language. Language ID itself moved to the
+#: character-trigram profiles below (LANG_TRIGRAMS); these word lists
+#: remain the stopword_ratio feature's vocabulary (quality_features).
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
