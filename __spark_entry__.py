@@ -1187,7 +1187,7 @@ def _q_similarity_knn_propagate(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     labeled = emb.filter(F.col("vec_id") < 50)
     pool = emb.filter(F.col("vec_id") >= 50)
-    out = similarity.knn_classify(labeled, pool, k=5)
+    out = similarity.knn_propagate(labeled, pool, k=5)
     return out.select(
         "query_id",
         F.col("predicted_label").cast("long").alias("predicted_label"),
@@ -2062,8 +2062,10 @@ def _q_dedup_lsh_recall(spark, sf):
 def _q_corpus_domain_cap(spark, sf):
     """Per-source document ceiling: each source keeps its 10 smallest
     md5-hash docs (exact count, deterministic, partitioning-independent)
-    — the 'no host floods the mixture' valve. One per-source rank window
-    over a codegen hash projection."""
+    — the 'no host floods the mixture' valve. Two-phase skew-safe plan:
+    a partial rank window per (input partition, source) trims first, so
+    the exact per-source window never sees a whole hot domain on one
+    task."""
     from kusto_pre_forge_spark.operators import corpus as corpus_ops
 
     d = load_table(spark, sf, "documents")
@@ -2145,6 +2147,94 @@ def _q_text_fix_mojibake(spark, sf):
     )
     return tp.fix_mojibake(dirty, "text", "doc_id").select(
         "doc_id", "fixed", "chars_removed", "changed"
+    )
+
+
+# synthetic crawl page wrapped around each document's text: real chrome
+# (head/style/script, link-list nav, header, link-only aside + footer) and
+# a too-short paragraph, all of which the extractor must drop. Shared by
+# the Spark query and the DuckDB oracle so both engines parse the SAME
+# bytes. No single quotes (SQL literal safety).
+_HTML_PAGE_PRE = (
+    '<html><!-- fixture chrome --><head><title>Doc</title>'
+    "<style>p {color: red}</style><script>var x = 1 < 2;</script></head>"
+    '<body><nav><ul><li><a href="/">Home</a></li>'
+    '<li><a href="/about">About us</a></li></ul></nav>'
+    '<header><h1><a href="#top">Site name</a></h1></header>'
+    '<div id="main"><p>'
+)
+_HTML_PAGE_POST = (
+    "</p><p>Too short.</p></div>"
+    '<aside><a href="/ad">Sponsored link one</a> '
+    '<a href="/ad2">Sponsored link two</a></aside>'
+    '<footer><p><a href="/contact">Contact</a> &middot; '
+    '<a href="/terms">Terms</a></p></footer></body></html>'
+)
+
+
+def _q_text_html_extract(spark, sf):
+    """HTML main-content extraction — the crawl pipeline's first
+    transform (C4 §2.2 / Gopher App. A are defined over EXTRACTED web
+    text): each document's text is wrapped in a fixture page full of
+    real chrome (nav, header, link-only aside/footer, a too-short
+    paragraph), and the extractor must return exactly the body text.
+    One map-only codegen projection (regex chain + array HOFs) — zero
+    exchanges; the oracle replays the identical rule chain."""
+    from kusto_pre_forge_spark.operators import textprep as tp
+
+    d = load_table(spark, sf, "documents")
+    page = F.concat(
+        F.lit(_HTML_PAGE_PRE), F.col("text"), F.lit(_HTML_PAGE_POST)
+    )
+    out = tp.html_extract(
+        d.select("doc_id", page.alias("html")), "html", "doc_id"
+    )
+    return out.select("doc_id", "content", "n_blocks", "n_kept")
+
+
+def _q_warc_parse(spark, sf):
+    """WARC container roundtrip through the REAL parser: every document
+    is rendered into a spec-shaped WARC response record (HTTP/1.1
+    message block, per-record gzip members — the Common Crawl layout),
+    then parsed back via sources.warc.parse_warc_blobs. The oracle is
+    the ORIGINAL columns plus the arithmetically-predicted WARC
+    Content-Length (HTTP head + body bytes), so framing, gzip member
+    handling, HTTP payload extraction, and UTF-8 round-tripping are all
+    checked against closed-form SQL. Both directions are pure map
+    stages (mapInPandas), zero exchanges."""
+    import pandas as pd
+
+    from kusto_pre_forge_spark.sources import warc as W
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    def forge(it):
+        for pdf in it:
+            recs = [
+                W.warc_record_bytes(
+                    f"https://example.com/doc/{int(i)}",
+                    (t if isinstance(t, str) else "").encode("utf-8"),
+                )
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "path": ["mem://forged.warc.gz"],
+                    "content": [W.write_warc(recs, gzip_per_record=True)],
+                }
+            )
+
+    blobs = d.mapInPandas(forge, "path string, content binary")
+    parsed = W.parse_warc_blobs(blobs)
+    return parsed.select(
+        F.regexp_extract("target_uri", r"([0-9]+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "target_uri",
+        F.col("http_status").cast("int").alias("http_status"),
+        "content_length",
+        "payload_text",
+        "warc_date",
     )
 
 
@@ -5552,6 +5642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir_sample": _q_corpus_dsir_sample,
         "corpus_domain_shift": _q_corpus_domain_shift,
         "text_fix_mojibake": _q_text_fix_mojibake,
+        "text_html_extract": _q_text_html_extract,
+        "warc_parse": _q_warc_parse,
         "text_oov_rate": _q_text_oov_rate,
         "text_char_entropy": _q_text_char_entropy,
         "join_bloom_prefilter": _q_join_bloom_prefilter,
@@ -5726,6 +5818,94 @@ def _mojibake_oracle_sql() -> str:
         f"SELECT doc_id, {expr} AS fixed, "
         f"CAST(length(text) - length({expr}) AS BIGINT) AS chars_removed, "
         f"length(text) != length({expr}) AS changed FROM dirty"
+    )
+
+
+def _warc_oracle_sql() -> str:
+    """Roundtrip-losslessness oracle for warc_parse: original columns,
+    plus the WARC block length predicted arithmetically from the SAME
+    record-forging code (probed once here — head bytes + body-length
+    digit count + body bytes), and the fixture constants (status 200,
+    the fixed WARC-Date)."""
+    from kusto_pre_forge_spark.sources.warc import (
+        iter_warc_records,
+        warc_record_bytes,
+    )
+
+    hdrs, _ = next(iter_warc_records(warc_record_bytes("x", b"")))
+    base0 = int(hdrs["content-length"])  # head with 'Content-Length: 0'
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "'https://example.com/doc/' || doc_id AS target_uri, "
+        "CAST(200 AS INT) AS http_status, "
+        f"CAST({base0 - 1} + length(CAST(strlen(COALESCE(text, '')) "
+        "AS VARCHAR)) + strlen(COALESCE(text, '')) AS BIGINT) "
+        "AS content_length, "
+        "COALESCE(text, '') AS payload_text, "
+        "TIMESTAMP '2024-01-01 00:00:00' AS warc_date FROM documents"
+    )
+
+
+def _html_extract_oracle_sql() -> str:
+    """Replay html_extract's full rule chain — chrome-element drops,
+    block segmentation, tag strip + entity decode + whitespace collapse,
+    word-count / link-density keep rule — generated from the SAME
+    module constants the Spark expression compiles from, over the SAME
+    fixture page. MATERIALIZED CTEs: the measured-block list is consumed
+    three times and DuckDB would otherwise re-inline the whole regex
+    chain per consumer."""
+    from kusto_pre_forge_spark.operators.textprep import (
+        HTML_ANCHOR_RE,
+        HTML_COMMENT_RE,
+        HTML_DROP_ELEMENTS,
+        HTML_ENTITY_PAIRS,
+        HTML_TAG_RE,
+        HTML_WS_RE,
+        html_block_split_re,
+        html_drop_element_re,
+    )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    cl = "html"
+    cl = f"regexp_replace({cl}, '(?s){q(HTML_COMMENT_RE)}', ' ', 'g')"
+    for tag in HTML_DROP_ELEMENTS:
+        cl = (
+            f"regexp_replace({cl}, '{q(html_drop_element_re(tag))}', "
+            "' ', 'g')"
+        )
+
+    def block_text(var: str) -> str:
+        t = f"regexp_replace({var}, '{q(HTML_TAG_RE)}', ' ', 'g')"
+        for ent, ch in HTML_ENTITY_PAIRS:
+            t = f"replace({t}, '{q(ent)}', '{q(ch)}')"
+        return f"trim(regexp_replace({t}, '{q(HTML_WS_RE)}', ' ', 'g'))"
+
+    nolink = f"regexp_replace(b, '{q(HTML_ANCHOR_RE)}', ' ', 'g')"
+    keep = "s.words >= 5 AND s.ld <= 0.33"
+    return (
+        "WITH h AS (SELECT doc_id, "
+        f"'{q(_HTML_PAGE_PRE)}' || text || '{q(_HTML_PAGE_POST)}' AS html "
+        "FROM documents), "
+        f"c AS MATERIALIZED (SELECT doc_id, {cl} AS cl FROM h), "
+        "b AS (SELECT doc_id, regexp_split_to_array(cl, "
+        f"'{q(html_block_split_re())}') AS blocks FROM c), "
+        "s AS MATERIALIZED (SELECT doc_id, list_transform(blocks, "
+        f"b -> struct_pack(txt := {block_text('b')}, "
+        f"nl := {block_text(nolink)})) AS st FROM b), "
+        "m AS MATERIALIZED (SELECT doc_id, list_transform(st, "
+        "s -> struct_pack(txt := s.txt, "
+        "words := len(list_filter(str_split(s.txt, ' '), w -> w != '')), "
+        "ld := CASE WHEN length(s.txt) > 0 THEN 1.0 - "
+        "CAST(length(s.nl) AS DOUBLE) / CAST(length(s.txt) AS DOUBLE) "
+        "ELSE 1.0 END)) AS mt FROM s) "
+        "SELECT doc_id, array_to_string(list_transform(list_filter(mt, "
+        f"s -> {keep}), s -> s.txt), chr(10)) AS content, "
+        "CAST(len(list_filter(mt, s -> s.words >= 1)) AS BIGINT) "
+        "AS n_blocks, "
+        f"CAST(len(list_filter(mt, s -> {keep})) AS BIGINT) AS n_kept "
+        "FROM m"
     )
 
 
@@ -8291,6 +8471,8 @@ def oracle_sql() -> dict[str, str]:
             "< least(1.0, 20000 / CAST(total AS DOUBLE))"
         ),
         "text_fix_mojibake": _mojibake_oracle_sql(),
+        "text_html_extract": _html_extract_oracle_sql(),
+        "warc_parse": _warc_oracle_sql(),
         "fixedwidth_roundtrip": (
             # losslessness IS the oracle: render->parse must reproduce
             # the original typed columns exactly

@@ -117,6 +117,8 @@ HEADLINE = [
     "multimodal_image_phash",
     "corpus_domain_shift",
     "text_fix_mojibake",
+    "text_html_extract",
+    "warc_parse",
     "text_oov_rate",
     "text_char_entropy",
     "join_bloom_prefilter",

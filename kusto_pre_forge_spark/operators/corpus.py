@@ -34,6 +34,7 @@ Scale posture:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame
@@ -646,11 +647,47 @@ def _widen_for_fanout(df: DataFrame) -> DataFrame:
     one parquet footer would otherwise fold its grams on ONE core
     (measured 7.7× on the benched DSIR query). Row-level op, order-free:
     every consumer aggregates, and float fold divergence is covered by
-    the round-before-top-k contract."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    the round-before-top-k contract.
+
+    The "already wide enough" probe must NOT be ``df.rdd
+    .getNumPartitions()`` — that forces full physical planning plus a
+    DataFrame→RDD conversion on every call (this helper sits under six
+    queries) and doesn't exist under Spark Connect. Instead the split
+    count is estimated from file-source metadata only:
+    ``df.inputFiles()`` + driver-side sizes vs ``maxPartitionBytes``
+    (the same arithmetic FileSourceScan uses). A 100 TB scan has
+    thousands of files → estimate ≥ target → no shuffle; a
+    one-footer test corpus (or a non-file frame, where the estimate
+    comes back empty) → repartition, which is noise next to the explode
+    it feeds."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        raw = str(spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728b"
+        )).strip().lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        digits = raw.rstrip("kmgb")
+        try:
+            max_pb = int(digits) * units.get(raw[len(digits):len(digits) + 1], 1)
+        except ValueError:
+            max_pb = 128 * 1024 * 1024
+        splits = 0
+        for f in files[:4096]:  # bounded driver work; 4096 files >> target
+            p = f[7:] if f.startswith("file://") else f
+            try:
+                size = os.path.getsize(p)
+            except OSError:
+                splits = 0  # remote FS — can't size cheaply; widen
+                break
+            splits += max(1, -(-size // max(max_pb, 1)))
+            if splits >= target:
+                return df
+    return df.repartition(target)
 
 
 def _dsir_bucket(gram: Column, n_buckets: int, salt: str) -> Column:
@@ -1020,22 +1057,52 @@ def domain_cap(
     guarantee instead of a rate. Pass ``keep_col`` to FLAG rows instead
     of filtering (telemetry / soft enforcement).
 
-    Plan: one rank window partitioned by the group key (never
-    SinglePartition) over a codegen hash projection. Heavy-hitter
-    domains are exactly the rows this op exists to cut, and the window
-    sees each group on one task — at extreme skew pre-aggregate with
-    :func:`budget_sample` or salt the group first.
+    Plan (two-phase, skew-safe): heavy-hitter domains are exactly the
+    rows this op exists to cut, so a single rank window partitioned by
+    the group key would put the whole hot domain on ONE task. Instead a
+    PARTIAL window over ``(spark_partition_id, group)`` trims first —
+    each input partition independently keeps its own ``max_per_group``
+    smallest hash keys per group, so no stage-1 cell can exceed one
+    input split (~``maxPartitionBytes``) however skewed the group. That
+    bounds the exact final window's input to ≤ partitions × cap rows
+    per group (KB-scale, not TB-scale, per domain). The result is
+    IDENTICAL to the one-window plan: any row a stage-1 cell discards
+    has ≥ cap rows ordered before it within that cell alone, so it can
+    never be in any valid global top-cap.
     """
     from pyspark.sql import Window
 
+    from kusto_pre_forge_spark.pinning import pin as _pin
+
     k = F.col(key) if isinstance(key, str) else key
     u = _hash_unit(k.cast("string"), salt)
-    w = Window.partitionBy(group_col).orderBy(
-        u.asc(), k.cast("string").asc()
+    base = (
+        df.withColumn("_kpf_u", u)
+        .withColumn("_kpf_k", k.cast("string"))
+        .withColumn("_kpf_pid", F.spark_partition_id())
     )
-    ranked = df.withColumn("_kpf_rk", F.row_number().over(w))
-    if keep_col is not None:
-        return ranked.withColumn(
-            keep_col, F.col("_kpf_rk") <= max_per_group
-        ).drop("_kpf_rk")
-    return ranked.filter(F.col("_kpf_rk") <= max_per_group).drop("_kpf_rk")
+    order = [F.col("_kpf_u").asc(), F.col("_kpf_k").asc()]
+    w1 = Window.partitionBy("_kpf_pid", group_col).orderBy(*order)
+    r1 = base.withColumn("_kpf_rk", F.row_number().over(w1))
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    tmp = ["_kpf_u", "_kpf_k", "_kpf_pid", "_kpf_rk"]
+    if keep_col is None:
+        cands = r1.filter(F.col("_kpf_rk") <= max_per_group)
+        return (
+            cands.withColumn("_kpf_rk2", F.row_number().over(w2))
+            .filter(F.col("_kpf_rk2") <= max_per_group)
+            .drop("_kpf_rk2", *tmp)
+        )
+    # flag mode feeds r1 to TWO consumers (candidates + losers) — pin so
+    # the stage-1 window runs once
+    r1 = _pin(r1)
+    losers = r1.filter(F.col("_kpf_rk") > max_per_group).withColumn(
+        keep_col, F.lit(False)
+    )
+    winners = (
+        r1.filter(F.col("_kpf_rk") <= max_per_group)
+        .withColumn("_kpf_rk2", F.row_number().over(w2))
+        .withColumn(keep_col, F.col("_kpf_rk2") <= max_per_group)
+        .drop("_kpf_rk2")
+    )
+    return winners.unionByName(losers).drop(*tmp)

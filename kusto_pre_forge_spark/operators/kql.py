@@ -5226,6 +5226,7 @@ def graph_triangles(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
+    pin_mode: str = "persist",
 ) -> DataFrame:
     """Per-node triangle counts over an UNDIRECTED graph — the clustering
     /community-density primitive next to :func:`pagerank` and
@@ -5243,8 +5244,20 @@ def graph_triangles(
     ordering. Two self-joins on the oriented edge set; per-node counts
     via one explode + map-side-combined aggregate.
 
+    The deduped edge frame ``e`` feeds two consumers (the degree
+    aggregate and the orientation join) and the oriented frame ``o``
+    feeds FOUR (both wedge self-join sides, both closing-edge
+    projections) — without a pin Catalyst specializes each subtree and
+    re-derives the whole dedup+degree pipeline per consumer (measured:
+    62 exchanges / 80 source scans for a logically 2-join plan). Both
+    are pinned via :func:`kusto_pre_forge_spark.pinning.pin`
+    (``pin_mode``, default lazy persist — see that module for the
+    lineage/executor-loss trade-offs).
+
     Returns (node, triangles) for every node with ≥1 triangle.
     """
+    from kusto_pre_forge_spark.pinning import pin as _pin
+
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -5253,6 +5266,7 @@ def graph_triangles(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    e = _pin(e, pin_mode)
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
@@ -5274,6 +5288,7 @@ def graph_triangles(
         )
         .select("e.u", "e.v")
     )
+    o = _pin(o, pin_mode)
     w = o.alias("e1").join(
         o.alias("e2"),
         (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),

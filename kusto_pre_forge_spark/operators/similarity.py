@@ -163,7 +163,7 @@ def knn_classify(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
-    broadcast_pool: bool = False,
+    broadcast_pool: bool = True,
 ) -> DataFrame:
     """k-NN label propagation: predict each unlabeled vector's label by
     majority vote over its ``k`` highest-cosine labeled neighbors (ties →
@@ -172,56 +172,107 @@ def knn_classify(
     weak-supervision primitive for corpus curation (label a seed set,
     propagate to the pool).
 
-    Plan (default, the propagation-scale posture): the LABELED seeds are
-    the small side — they broadcast as ONE array column (collect_list of
-    (id, label, vec, norm) structs), and the 100 TB unlabeled pool scans
-    exactly once in a MAP-ONLY stage: per pool row, score every seed with
-    a ``transform`` lambda, ``array_sort`` (cosine desc, id asc),
-    ``slice`` k, and majority-vote inside array expressions. Zero
-    shuffle, zero window, nothing per-pool-row ever leaves its input
-    partition. For seed sets past broadcast reach, shrink candidates
-    with :func:`pq_topk_ivf` first.
+    Plan (default ``broadcast_pool=True``, the classify posture): the
+    UNLABELED pool is the small side — it broadcasts, the labeled corpus
+    scans once, and a per-query rank window + two map-side-combined
+    aggregates pick the vote. Right when the pool is a handful of new
+    arrivals and the labeled corpus is the big side. This has been the
+    documented default since the operator landed — callers with a large
+    labeled corpus keep a safe plan without opting in.
 
-    ``broadcast_pool=True`` keeps the original small-pool plan (pool
-    broadcasts, labeled corpus scans, rank window + two map-side-combined
-    aggregates) — right when the pool is a handful of new arrivals and
-    the labeled corpus is the big side. Both paths use type-agnostic
-    tie-breaks (labels may be strings — weak supervision's common case).
+    ``broadcast_pool=False`` delegates to :func:`knn_propagate` — the
+    mirror-image posture where a SMALL labeled seed set broadcasts (as
+    one collect_list row) and a 100 TB pool scans map-only. That path
+    guards seed-set size; see its docstring. Both paths use
+    type-agnostic tie-breaks (labels may be strings — weak supervision's
+    common case) and return identical results.
 
     Returns (query_id, predicted_label, votes, top_cosine).
     """
-    if broadcast_pool:
-        q = unlabeled.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    if not broadcast_pool:
+        return knn_propagate(
+            labeled,
+            unlabeled,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            label_col=label_col,
         )
-        c = labeled.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(label_col).alias("neighbor_label"),
-            F.col(vec_col).alias("_cv"),
-        )
-        scored = c.crossJoin(F.broadcast(q)).select(
-            "query_id",
-            "neighbor_id",
-            "neighbor_label",
-            cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id").asc()
-        )
-        topk = scored.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= k
-        )
-        votes = topk.groupBy("query_id", "neighbor_label").agg(
-            F.count(F.lit(1)).alias("votes"), F.max("cosine").alias("_best")
-        )
-        # min_by on (-votes, label): max votes first, then SMALLEST label,
-        # without negating the label itself (strings must stay legal).
-        return votes.groupBy("query_id").agg(
-            F.expr(
-                "min_by(neighbor_label, struct(-votes, neighbor_label))"
-            ).alias("predicted_label"),
-            F.max("votes").alias("votes"),
-            F.max("_best").alias("top_cosine"),
+    q = unlabeled.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = labeled.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("_cv"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    votes = topk.groupBy("query_id", "neighbor_label").agg(
+        F.count(F.lit(1)).alias("votes"), F.max("cosine").alias("_best")
+    )
+    # min_by on (-votes, label): max votes first, then SMALLEST label,
+    # without negating the label itself (strings must stay legal).
+    return votes.groupBy("query_id").agg(
+        F.expr(
+            "min_by(neighbor_label, struct(-votes, neighbor_label))"
+        ).alias("predicted_label"),
+        F.max("votes").alias("votes"),
+        F.max("_best").alias("top_cosine"),
+    )
+
+
+
+def knn_propagate(
+    labeled: DataFrame,
+    unlabeled: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_seeds: int = 500_000,
+) -> DataFrame:
+    """Seed-broadcast k-NN propagation: the map-only mirror image of
+    :func:`knn_classify` for the pseudo-labeling posture — a SMALL
+    labeled seed set, a 100 TB unlabeled pool.
+
+    Plan: the seeds collapse to ONE array column (collect_list of
+    (id, label, vec, norm) structs) and broadcast; the pool scans
+    exactly once in a MAP-ONLY stage — per pool row, score every seed
+    with a ``transform`` lambda, ``array_sort`` (cosine desc, id asc),
+    ``slice`` k, majority-vote inside array expressions. Zero shuffle,
+    zero window, nothing per-pool-row ever leaves its input partition.
+
+    ``max_seeds`` guards the collect_list row: the whole seed set
+    becomes a single broadcast row (~(dim×4 + 32) bytes per seed — at
+    768-dim floats, 500k seeds ≈ 1.5 GB, the practical single-row /
+    broadcast ceiling), so a labeled side past the guard raises
+    ValueError instead of OOMing an executor at scale. The guard costs
+    one bounded ``limit(max_seeds+1).count()`` job. For larger seed
+    sets shrink candidates with :func:`pq_topk_ivf` first, or flip the
+    posture with :func:`knn_classify` if the POOL is the small side.
+
+    Returns (query_id, predicted_label, votes, top_cosine) — identical
+    values to :func:`knn_classify` on the same input.
+    """
+    n_seeds = labeled.limit(max_seeds + 1).count()
+    if n_seeds > max_seeds:
+        raise ValueError(
+            f"knn_propagate: labeled seed set exceeds max_seeds="
+            f"{max_seeds} — the seeds path broadcasts ALL seeds as one "
+            "row and would OOM; pre-shrink candidates (pq_topk_ivf) or "
+            "use knn_classify(broadcast_pool=True) if the pool is the "
+            "small side, or raise max_seeds explicitly."
         )
 
     seeds = labeled.agg(

@@ -1243,3 +1243,165 @@ def fix_mojibake(
         (F.length(c) - F.length(fixed)).cast("long").alias("chars_removed"),
         (F.length(c) != F.length(fixed)).alias("changed"),
     )
+
+
+# --- HTML main-content extraction ------------------------------------------
+#
+# The first transform of every crawl pipeline: raw HTML -> the page's main
+# text, with navigation / boilerplate chrome dropped. C4 (Raffel et al.
+# 2020 §2.2) and Gopher (Rae et al. 2021, App. A) are both DEFINED over
+# extracted web text; nothing downstream (quality filters, dedup, mixtures)
+# is meaningful on tag soup. The keep rule is the jusText/Boilerpipe
+# heuristic family (Pomikálek 2011; Kohlschütter et al., WSDM 2010) reduced
+# to an engine-replayable form: block segmentation on structural tags +
+# per-block word-count and LINK-DENSITY thresholds (chrome is short and
+# link-heavy; body text is long and link-light).
+#
+# Every stage is a deterministic regex/literal-replace chain shared (via
+# these module constants) with the DuckDB oracle generator, so an external
+# engine replays the extraction byte-for-byte. ASCII whitespace classes
+# are written explicitly ([ \t\n\x0b\f\r]) — Java and RE2 disagree on \s.
+
+# elements whose ENTIRE subtree is chrome/non-content: dropped before
+# block segmentation (non-greedy open..close match; nested same-tag
+# islands are rare in real chrome and degrade to extra-aggressive drops)
+HTML_DROP_ELEMENTS = (
+    "script", "style", "noscript", "svg", "iframe", "head",
+    "nav", "header", "footer", "aside", "form", "select", "button",
+)
+# structural tags that delimit text blocks (the jusText segmentation set)
+HTML_BLOCK_TAGS = (
+    "p", "div", "li", "ul", "ol", "h[1-6]", "table", "thead", "tbody",
+    "tr", "td", "th", "section", "article", "blockquote", "pre", "main",
+    "figure", "figcaption", "dl", "dt", "dd", "hr", "br",
+)
+# the common named/numeric entities, decoded LITERALLY (no regex);
+# &amp; must come last so "&amp;lt;" decodes to "&lt;", not "<"
+HTML_ENTITY_PAIRS = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+)
+HTML_COMMENT_RE = r"<!--.*?-->"
+HTML_TAG_RE = r"<[^>]*>"
+HTML_ANCHOR_RE = r"(?is)<a\b[^>]*>.*?</a[ \t\n\x0b\f\r]*>"
+HTML_WS_RE = r"[ \t\n\x0b\f\r]+"
+
+
+def html_drop_element_re(tag: str) -> str:
+    return rf"(?is)<{tag}\b[^>]*>.*?</{tag}[ \t\n\x0b\f\r]*>"
+
+
+def html_block_split_re() -> str:
+    return r"(?i)</?(?:" + "|".join(HTML_BLOCK_TAGS) + r")\b[^>]*>"
+
+
+def _html_clean(col: Column) -> Column:
+    """Comments + whole chrome elements removed (regexp chain, one
+    codegen projection). (?s) via inline flag so elements spanning
+    lines are still dropped."""
+    c = F.regexp_replace(col, "(?s)" + HTML_COMMENT_RE, " ")
+    for tag in HTML_DROP_ELEMENTS:
+        c = F.regexp_replace(c, html_drop_element_re(tag), " ")
+    return c
+
+
+def _html_block_text(b: Column) -> Column:
+    """Block HTML -> normalized text: strip remaining (inline) tags,
+    decode the common entities, collapse ASCII whitespace, trim."""
+    t = F.regexp_replace(b, HTML_TAG_RE, " ")
+    for ent, ch in HTML_ENTITY_PAIRS:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, HTML_WS_RE, " "))
+
+
+def html_extract(
+    df: DataFrame,
+    html_col: str,
+    id_col: str,
+    min_words: int = 5,
+    max_link_density: float = 0.33,
+    out_col: str = "content",
+) -> DataFrame:
+    """Main-content extraction: HTML -> the page's body text.
+
+    Pipeline (all inside ONE map-only codegen projection — zero
+    exchanges, zero UDFs, the plan is a scan + project however big the
+    crawl is):
+
+    1. drop comments and whole chrome elements (``HTML_DROP_ELEMENTS``);
+    2. segment the remainder into blocks on structural tags
+       (``HTML_BLOCK_TAGS`` — the jusText segmentation);
+    3. per block, compute normalized text and LINK text (chars inside
+       ``<a>`` elements) via one transform (each chain evaluates once
+       per block — see ``_bind_once`` for why textual reuse would not);
+    4. keep blocks with ≥ ``min_words`` words AND link density
+       (1 - len(text sans anchors)/len(text)) ≤ ``max_link_density`` —
+       chrome is short and link-heavy, body text the opposite;
+    5. join kept blocks with newlines.
+
+    Returns (id, out_col, n_blocks, n_kept): candidate blocks are those
+    with ≥1 word, so empty inter-tag gaps don't inflate telemetry.
+    """
+    from kusto_pre_forge_spark.operators.textstats import _bind_once
+
+    mw, ld_max = int(min_words), float(max_link_density)
+    blocks = F.split(_html_clean(F.col(html_col)), html_block_split_re())
+    scored = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _html_block_text(b).alias("txt"),
+            _html_block_text(
+                F.regexp_replace(b, HTML_ANCHOR_RE, " ")
+            ).alias("nl"),
+        ),
+    )
+    # second pass over the MATERIALIZED structs: word count + link
+    # density read s.txt/s.nl as slots, never re-running the chains
+    measured = F.transform(
+        scored,
+        lambda s: F.struct(
+            s["txt"].alias("txt"),
+            F.size(
+                F.filter(F.split(s["txt"], " "), lambda w: w != F.lit(""))
+            ).alias("words"),
+            F.when(
+                F.length(s["txt"]) > 0,
+                F.lit(1.0)
+                - F.length(s["nl"]).cast("double")
+                / F.length(s["txt"]).cast("double"),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("ld"),
+        ),
+    )
+    out = _bind_once(
+        measured,
+        lambda m: F.struct(
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        m,
+                        lambda s: (s["words"] >= mw) & (s["ld"] <= ld_max),
+                    ),
+                    lambda s: s["txt"],
+                ),
+                "\n",
+            ).alias("content"),
+            F.size(F.filter(m, lambda s: s["words"] >= 1))
+            .cast("long")
+            .alias("n_blocks"),
+            F.size(
+                F.filter(
+                    m, lambda s: (s["words"] >= mw) & (s["ld"] <= ld_max)
+                )
+            )
+            .cast("long")
+            .alias("n_kept"),
+        ),
+    )
+    return df.withColumn("_h", out).select(
+        id_col,
+        F.col("_h")["content"].alias(out_col),
+        F.col("_h")["n_blocks"].alias("n_blocks"),
+        F.col("_h")["n_kept"].alias("n_kept"),
+    )

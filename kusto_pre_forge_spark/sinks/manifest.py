@@ -43,11 +43,26 @@ class IngestManifest:
     at-most-once-per-key contract here because each micro-batch appends
     only keys proven absent at read time and batches are serialized
     (streaming foreachBatch runs batches in order).
+
+    SINGLE-WRITER CONTRACT: exactly one process may mutate a given
+    manifest path at a time (the posture of a streaming query's
+    foreachBatch driver — batches are serialized by the engine). Crash
+    recovery (``_recover``) runs on every ``read()`` and reclaims
+    leftover ``.compact``/``.old`` directories; with a concurrent
+    second writer mid-``drop_by_tag`` it could reclaim an IN-FLIGHT
+    compact. As a safety net against exactly that misuse, recovery only
+    deletes leftovers older than ``recover_grace_sec`` (default 300 s —
+    far beyond any compaction write); younger leftovers are left for
+    their owner to finish the swap. Concurrent multi-writer ingest needs
+    the transactional-table backend above, not this ledger.
     """
 
-    def __init__(self, spark: SparkSession, path: str) -> None:
+    def __init__(
+        self, spark: SparkSession, path: str, recover_grace_sec: float = 300.0
+    ) -> None:
         self.spark = spark
         self.path = path
+        self.recover_grace_sec = float(recover_grace_sec)
 
     def _recover(self) -> None:
         """Finish or roll back a compaction interrupted by a crash.
@@ -63,13 +78,22 @@ class IngestManifest:
           ledger (never loses committed keys; re-drop is idempotent).
         - ledger present + only ``.compact``: compaction never began the
           swap — discard the uncommitted compact.
+
+        When the ledger is present, leftovers are garbage ONLY under the
+        single-writer contract (class docstring); the mtime grace check
+        keeps a misconfigured concurrent reader from deleting another
+        process's in-flight compact.
         """
         import shutil
+        import time
 
         old, tmp = self.path + ".old", self.path + ".compact"
         if os.path.exists(self.path):
+            now = time.time()
             for leftover in (old, tmp):
-                if os.path.exists(leftover):
+                if os.path.exists(leftover) and (
+                    now - os.path.getmtime(leftover) > self.recover_grace_sec
+                ):
                     shutil.rmtree(leftover)
             return
         if os.path.exists(tmp):

@@ -1,0 +1,244 @@
+"""WARC (Web ARChive) source — Common Crawl's native container.
+
+Reference parity: the reference ingests whatever blob bytes land in the
+landing container (code/KustoPreForgeLib/BlobSources/ListBlobSource.cs) and
+delegates format handling; a crawl pipeline's raw input is WARC, so this
+sibling of the Avro/W3C readers closes the crawl-input front. Implemented
+from the public spec (ISO 28500 / WARC 1.1,
+https://iipc.github.io/warc-specifications/specifications/warc-format/warc-1.1/):
+a record is a ``WARC/1.x`` version line, CRLF-terminated named headers, a
+blank line, ``Content-Length`` octets of block, and a two-CRLF terminator.
+``response`` records carry an HTTP/1.x message as their block; the payload
+is the entity body (de-chunked when ``Transfer-Encoding: chunked``).
+
+Spark-first layout (the ``sources/avro.py`` playbook): files parallelize
+through the built-in ``binaryFile`` source — one task per blob, which is
+also Common Crawl's unit of distribution (~1 GB segments) — and records
+decode in Arrow batches via ``mapInPandas``. ``.gz`` members handle the
+Common Crawl convention of one gzip MEMBER per record: ``gzip.decompress``
+consumes concatenated members, so whole-file and per-record compression
+both just work.
+
+The parser is intentionally a pure function over bytes
+(``iter_warc_records``), so the record framing is unit-testable without
+Spark and reusable by the streaming landing path.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_DDL = (
+    "warc_type string, record_id string, warc_date timestamp, "
+    "target_uri string, content_type string, content_length long, "
+    "http_status int, http_content_type string, payload binary, "
+    "payload_text string, _kpf_source string"
+)
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer encoding body (RFC 9112 §7.1).
+    Malformed chunking returns the raw bytes — a crawl archive's job is
+    to surface what was captured, not to drop it."""
+    out = bytearray()
+    buf = io.BytesIO(body)
+    try:
+        while True:
+            line = buf.readline()
+            if not line:
+                return bytes(body)
+            size = int(line.split(b";")[0].strip() or b"0", 16)
+            if size == 0:
+                break
+            chunk = buf.read(size)
+            if len(chunk) < size:
+                return bytes(body)
+            out.extend(chunk)
+            buf.read(2)  # chunk's trailing CRLF
+    except ValueError:
+        return bytes(body)
+    return bytes(out)
+
+
+def parse_http_response(block: bytes):
+    """(status:int|None, headers:dict[lower str,str], body:bytes) from an
+    HTTP response message. Non-HTTP blocks return (None, {}, block)."""
+    if not block.startswith(b"HTTP/"):
+        return None, {}, block
+    head, sep, body = block.partition(b"\r\n\r\n")
+    if not sep:
+        return None, {}, block
+    lines = head.split(b"\r\n")
+    try:
+        status = int(lines[0].split()[1])
+    except (IndexError, ValueError):
+        return None, {}, block
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        name, _, value = ln.partition(b":")
+        if _:
+            headers[name.strip().lower().decode("latin-1")] = (
+                value.strip().decode("latin-1")
+            )
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    return status, headers, body
+
+
+def iter_warc_records(raw: bytes):
+    """Yield (headers: dict[lower str, str], block: bytes) per WARC
+    record. Framing is Content-Length-driven (the spec's contract);
+    stray bytes between records (padding, truncated tails) are skipped
+    by scanning to the next ``WARC/`` version line."""
+    n = len(raw)
+    pos = 0
+    while pos < n:
+        nxt = raw.find(b"WARC/", pos)
+        if nxt < 0:
+            return
+        head_end = raw.find(b"\r\n\r\n", nxt)
+        if head_end < 0:
+            return
+        lines = raw[nxt:head_end].split(b"\r\n")
+        if not lines[0].startswith(b"WARC/"):
+            pos = nxt + 5
+            continue
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            name, sep, value = ln.partition(b":")
+            if sep:
+                headers[name.strip().lower().decode("latin-1")] = (
+                    value.strip().decode("utf-8", "replace")
+                )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = head_end + 4
+            continue
+        block_start = head_end + 4
+        block = raw[block_start : block_start + length]
+        if len(block) < length:
+            return  # truncated tail — surface what framed completely
+        yield headers, block
+        pos = block_start + length
+
+
+def _maybe_gunzip(content: bytes) -> bytes:
+    """Transparent for plain bytes; decompresses gzip, INCLUDING the
+    Common Crawl one-member-per-record concatenation."""
+    if content[:2] == b"\x1f\x8b":
+        return gzip.decompress(content)
+    return content
+
+
+def records_to_rows(path: str, content: bytes, record_types):
+    """One WARC blob → list of row dicts (the WARC_DDL columns)."""
+    want = {t.lower() for t in record_types} if record_types else None
+    rows = []
+    for headers, block in iter_warc_records(_maybe_gunzip(bytes(content))):
+        wtype = headers.get("warc-type", "")
+        if want is not None and wtype.lower() not in want:
+            continue
+        status, http_headers, body = parse_http_response(block)
+        payload = body if status is not None else block
+        rows.append(
+            {
+                "warc_type": wtype,
+                "record_id": headers.get("warc-record-id"),
+                "warc_date": headers.get("warc-date"),
+                "target_uri": headers.get("warc-target-uri"),
+                "content_type": headers.get("content-type"),
+                "content_length": int(headers["content-length"]),
+                "http_status": status,
+                "http_content_type": http_headers.get("content-type"),
+                "payload": payload,
+                "payload_text": payload.decode("utf-8", "replace"),
+                "_kpf_source": path,
+            }
+        )
+    return rows
+
+
+def parse_warc_blobs(
+    blobs: DataFrame, record_types=("response",)
+) -> DataFrame:
+    """(path, content) blob rows → one typed row per WARC record.
+
+    Arrow-batched ``mapInPandas``, pure map stage: each blob's records
+    never leave the task that read it — the plan is scan + project at
+    any corpus size, and filtering to ``record_types`` (default:
+    ``response`` only, the records a text pipeline wants) happens before
+    any bytes are materialized into rows. ``record_types=None`` keeps
+    everything (warcinfo/request/metadata included)."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            out = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                out.extend(records_to_rows(p, content, record_types))
+            cols = [c.split()[0] for c in WARC_DDL.split(", ")]
+            res = pd.DataFrame(out, columns=cols)
+            res["warc_date"] = pd.to_datetime(
+                res["warc_date"], format="ISO8601", errors="coerce", utc=True
+            ).dt.tz_localize(None)
+            yield res
+
+    return blobs.select("path", "content").mapInPandas(batches, WARC_DDL)
+
+
+def read_warc(
+    spark: SparkSession, path: str, record_types=("response",)
+) -> DataFrame:
+    """Read a WARC directory/glob (``.warc`` / ``.warc.gz``) as a typed
+    DataFrame with ``_kpf_source`` lineage — the crawl→text pipeline's
+    first reader; compose with ``textprep.html_extract`` on
+    ``payload_text`` for main-content extraction."""
+    bf = spark.read.format("binaryFile").load(path)
+    return parse_warc_blobs(bf, record_types)
+
+
+# --------------------------------------------------- fixture-forging writer
+
+
+def warc_record_bytes(
+    uri: str,
+    body: bytes,
+    date: str = "2024-01-01T00:00:00Z",
+    record_id: str | None = None,
+    warc_type: str = "response",
+    http_content_type: str = "text/html; charset=utf-8",
+) -> bytes:
+    """One spec-shaped record for fixtures/tests (response records wrap
+    the body in an HTTP/1.1 200 message, like a crawler capture)."""
+    if warc_type == "response":
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: "
+            + http_content_type.encode()
+            + b"\r\nContent-Length: "
+            + str(len(body)).encode()
+            + b"\r\n\r\n"
+            + body
+        )
+        block, ctype = http, "application/http; msgtype=response"
+    else:
+        block, ctype = body, "application/octet-stream"
+    rid = record_id or f"<urn:uuid:{abs(hash(uri)) % 10**12}>"
+    head = (
+        f"WARC/1.1\r\nWARC-Type: {warc_type}\r\nWARC-Record-ID: {rid}\r\n"
+        f"WARC-Date: {date}\r\nWARC-Target-URI: {uri}\r\n"
+        f"Content-Type: {ctype}\r\nContent-Length: {len(block)}\r\n\r\n"
+    )
+    return head.encode() + block + b"\r\n\r\n"
+
+
+def write_warc(records, gzip_per_record: bool = False) -> bytes:
+    """Concatenate forged records into one WARC blob; with
+    ``gzip_per_record`` each record becomes its own gzip member (the
+    Common Crawl convention)."""
+    if gzip_per_record:
+        return b"".join(gzip.compress(r) for r in records)
+    return b"".join(records)

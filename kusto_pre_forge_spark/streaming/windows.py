@@ -539,10 +539,20 @@ def streaming_domain_drift(
     per (source, batch): (source, batch_tokens, lifetime_tokens, jsd);
     the FIRST batch of a source has no history — jsd is NULL by
     contract, never 0 (0 means "matches history exactly").
+
+    Tokenization matches the batch twin EXACTLY: NULL text contributes
+    zero tokens (``domain_shift_jsd``'s split-of-NULL explodes to
+    nothing — it must not become the literal token ``'none'`` here), and
+    the splitter is Java's ASCII ``\\s`` class ``[ \\t\\n\\x0b\\f\\r]``
+    — Python's ``str.split()`` also breaks on unicode whitespace
+    (e.g. NBSP \\xa0), which would make the streaming statistic drift
+    from the batch one on identical data.
     """
     import hashlib
+    import re
 
     B, sm = int(n_buckets), float(smoothing)
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def bucket_of(w: str) -> int:
         h = hashlib.md5(f"{salt}|{w}".encode()).hexdigest()[:8]
@@ -560,8 +570,11 @@ def streaming_domain_drift(
         batch = np.zeros(B, dtype="int64")
         for pdf in pdfs:
             for text in pdf["_text"]:
-                for w in str(text).lower().split():
-                    batch[bucket_of(w)] += 1
+                if text is None or pd.isna(text):
+                    continue
+                for w in java_ws.split(str(text).lower()):
+                    if w:
+                        batch[bucket_of(w)] += 1
         if state.exists:
             (hist_list, total) = state.get
             hist = np.asarray(hist_list, dtype="int64")

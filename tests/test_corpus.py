@@ -361,3 +361,44 @@ def test_bloom_semi_join_exact_and_prefilter(spark):
     assert got == want
     approx = {r.k for r in C.bloom_semi_join(fact, keys, "k", exact=False).collect()}
     assert want <= approx, "Bloom must never drop a true match"
+
+
+def test_domain_cap_exact_skew_safe(spark):
+    """Two-phase cap: exact per-group counts on a 90%-one-domain skew,
+    result invariant to input partitioning, flag mode agrees with filter
+    mode, and the executed plan carries the partition-id pre-trim window
+    BELOW the exact per-group window (no whole-domain-on-one-task)."""
+    from pyspark.sql import functions as F
+
+    from kusto_pre_forge_spark.operators import corpus as C
+
+    rows = [("hot.example", f"d{i:05d}") for i in range(900)] + [
+        (f"s{i % 10}", f"t{i:05d}") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id string")
+
+    out = C.domain_cap(df, "source", "doc_id", 7)
+    counts = {r.source: r.n for r in out.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    assert counts["hot.example"] == 7
+    for i in range(10):
+        assert counts[f"s{i}"] == 7
+    # partitioning-independent membership (distinct keys -> total order)
+    a = {(r.source, r.doc_id) for r in out.collect()}
+    b = {(r.source, r.doc_id)
+         for r in C.domain_cap(df.repartition(17), "source", "doc_id", 7)
+         .collect()}
+    assert a == b
+    # groups smaller than the cap keep everything
+    small = C.domain_cap(df, "source", "doc_id", 1000)
+    assert small.count() == 1000
+
+    # flag mode marks exactly the filter-mode survivors, keeps all rows
+    flagged = C.domain_cap(df, "source", "doc_id", 7, keep_col="keep")
+    assert flagged.count() == 1000
+    kept = {(r.source, r.doc_id) for r in flagged.filter("keep").collect()}
+    assert kept == a
+
+    # plan shape: stage-1 window is partitioned by (_kpf_pid, source)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_kpf_pid" in plan, "pre-trim window missing from the plan"

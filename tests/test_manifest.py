@@ -130,7 +130,12 @@ def test_manifest_compaction_crash_windows_recover(spark, tmp_path, sharded):
     ledger (which would reopen every shard for re-ingestion)."""
     import os
 
-    manifest = IngestManifest(spark, str(tmp_path / "manifest"))
+    # grace 0: this test IS the single crashed writer, so leftovers are
+    # reclaimable immediately (the default 300 s grace protects against
+    # a concurrent-writer misuse, exercised separately below)
+    manifest = IngestManifest(
+        spark, str(tmp_path / "manifest"), recover_grace_sec=0.0
+    )
     dest = str(tmp_path / "dest")
     ingest_idempotent(sharded, manifest, dest)
     baseline = {r.ingest_by for r in manifest.read().collect()}
@@ -166,3 +171,12 @@ def test_manifest_compaction_crash_windows_recover(spark, tmp_path, sharded):
     os.rename(mpath, mpath + ".old")
     assert {r.ingest_by for r in manifest.read().collect()} == baseline
     assert os.path.exists(mpath)
+
+    # concurrent-writer safety net: with the DEFAULT grace, a FRESH
+    # .compact (another process mid drop_by_tag) is NOT reclaimed by a
+    # reader — only stale leftovers are garbage
+    guarded = IngestManifest(spark, mpath)
+    snapshot(mpath, mpath + ".compact")
+    assert {r.ingest_by for r in guarded.read().collect()} == baseline
+    assert os.path.exists(mpath + ".compact")  # left for its owner
+    shutil.rmtree(mpath + ".compact")

@@ -341,10 +341,11 @@ def test_knn_classify_majority_and_tiebreak(spark):
     # smallest label wins
     r2 = sim.knn_classify(labeled, pool, k=2).first()
     assert r2.votes == 1 and r2.predicted_label == 3
-    # both plans agree row-for-row
+    # both plans agree row-for-row (classify window path vs the
+    # seed-broadcast map-only propagate path)
     for k in (2, 3):
-        a = sim.knn_classify(labeled, pool, k=k).first()
-        b = sim.knn_classify(labeled, pool, k=k, broadcast_pool=True).first()
+        a = sim.knn_propagate(labeled, pool, k=k).first()
+        b = sim.knn_classify(labeled, pool, k=k).first()
         assert (a.predicted_label, a.votes) == (b.predicted_label, b.votes)
         assert abs(a.top_cosine - b.top_cosine) < 1e-12
 
@@ -367,18 +368,18 @@ def test_knn_classify_string_labels_both_paths(spark):
     pool = spark.createDataFrame(
         [(100, [1.0, 0.05])], "vec_id long, embedding array<double>"
     )
-    for kw in ({}, {"broadcast_pool": True}):
-        r = sim.knn_classify(labeled, pool, k=3, **kw).first()
+    for fn in (sim.knn_classify, sim.knn_propagate):
+        r = fn(labeled, pool, k=3).first()
         assert r.predicted_label == "spam" and r.votes == 2
         # k=2: tie between "spam" (vec 1) and "ham" (vec 2) -> "ham"
-        r2 = sim.knn_classify(labeled, pool, k=2, **kw).first()
+        r2 = fn(labeled, pool, k=2).first()
         assert r2.predicted_label == "ham" and r2.votes == 1
 
 
 def test_knn_propagation_plan_is_map_only(spark):
-    """The default (propagation-scale) plan broadcasts the LABELED seeds
-    and never shuffles the pool: no Exchange above the pool scan, no
-    window, and the broadcast build side is the 1-row seeds frame."""
+    """knn_propagate broadcasts the LABELED seeds and never shuffles
+    the pool: no Exchange above the pool scan, no window, and the
+    broadcast build side is the 1-row seeds frame."""
     from kusto_pre_forge_spark.operators import similarity as sim
 
     labeled = spark.createDataFrame(
@@ -389,7 +390,7 @@ def test_knn_propagation_plan_is_map_only(spark):
         [(100 + i, [1.0, float(i)]) for i in range(8)],
         "vec_id long, embedding array<double>",
     )
-    df = sim.knn_classify(labeled, pool, k=3)
+    df = sim.knn_propagate(labeled, pool, k=3)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
@@ -397,3 +398,23 @@ def test_knn_propagation_plan_is_map_only(spark):
     # the only exchange allowed is the seeds' own 1-row aggregate /
     # broadcast, never a hash-partitioning of pool rows by query
     assert "hashpartitioning(query_id" not in plan
+
+
+def test_knn_propagate_max_seeds_guard(spark):
+    """The seeds path collects the WHOLE labeled side into one broadcast
+    row — past max_seeds it must refuse loudly, not OOM at scale."""
+    import pytest
+
+    from kusto_pre_forge_spark.operators import similarity as sim
+
+    labeled = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(6)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    pool = spark.createDataFrame(
+        [(100, [1.0, 0.5])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="max_seeds"):
+        sim.knn_propagate(labeled, pool, k=2, max_seeds=3)
+    # at exactly the limit it runs
+    assert sim.knn_propagate(labeled, pool, k=2, max_seeds=6).count() == 1

@@ -531,3 +531,62 @@ def test_fix_mojibake_repairs_and_counts(spark):
     # the pair table is generated from the encoding rule itself
     for moji, ch in tp.mojibake_pairs():
         assert moji == ch.encode("utf-8").decode("cp1252")
+
+
+def test_html_extract_drops_chrome_keeps_body(spark):
+    """jusText-style keep rule: body paragraphs survive; nav/header/
+    footer/aside/script/style/comments, link-heavy blocks and too-short
+    blocks are dropped; entities decode; plan is a pure scan+project."""
+    from kusto_pre_forge_spark.operators import textprep as tp
+
+    page = (
+        '<html><!-- c --><head><style>p{}</style>'
+        '<script>if (1 < 2) { x(); }</script></head><body>'
+        '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+        '<header><h1><a href="#">Site</a></h1></header>'
+        '<div><p>The quick brown fox jumps over the lazy dog &amp; '
+        "friends.</p>"
+        '<p>A second long paragraph with one <a href="x">inline link</a> '
+        "buried in plenty of ordinary body text.</p>"
+        "<p>Short.</p>"
+        '<p><a href="/l1">link one</a> <a href="/l2">link two</a> '
+        '<a href="/l3">link three</a> and barely any text</p></div>'
+        '<aside><a>Ad</a></aside>'
+        '<footer><p><a href="/c">Contact</a></p></footer></body></html>'
+    )
+    df = spark.createDataFrame(
+        [(1, page), (2, "<html><body><p>tiny</p></body></html>"), (3, None)],
+        "doc_id long, html string",
+    )
+    out = tp.html_extract(df, "html", "doc_id")
+    rows = {r.doc_id: r for r in out.collect()}
+    got = rows[1].content.split("\n")
+    assert got[0] == (
+        "The quick brown fox jumps over the lazy dog & friends."
+    )
+    assert got[1].startswith("A second long paragraph with one inline link")
+    assert len(got) == 2  # Short. + link-farm + all chrome dropped
+    assert rows[1].n_kept == 2 and rows[1].n_blocks >= 4
+    assert rows[2].content == "" and rows[2].n_kept == 0
+    assert rows[3].content is None  # NULL propagates, never fabricates
+
+    # scale posture: zero exchanges — scan + project only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_html_extract_link_density_boundary(spark):
+    """The density rule is char-based: a long mostly-link block drops
+    even when it clears the word floor."""
+    from kusto_pre_forge_spark.operators import textprep as tp
+
+    linky = (
+        '<div><p><a href="/a">aaaa aaaa aaaa aaaa aaaa</a> tail</p>'
+        "<p>plain body text with six words here</p></div>"
+    )
+    df = spark.createDataFrame(
+        [(1, f"<html><body>{linky}</body></html>")], "doc_id long, html string"
+    )
+    r = tp.html_extract(df, "html", "doc_id").first()
+    assert r.content == "plain body text with six words here"
+    assert r.n_kept == 1 and r.n_blocks == 2

@@ -1,0 +1,121 @@
+"""WARC source: record framing, gzip members, HTTP payload extraction."""
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from kusto_pre_forge_spark.sources import warc as W
+
+
+def _fixture_records():
+    return [
+        W.warc_record_bytes(
+            "meta:warcinfo", b"software: kpf-test", warc_type="warcinfo"
+        ),
+        W.warc_record_bytes(
+            "https://example.com/a",
+            b"<html><body><p>alpha page body</p></body></html>",
+            date="2024-03-01T12:00:00Z",
+        ),
+        W.warc_record_bytes(
+            "https://example.com/b",
+            "unicode éü body".encode(),
+            date="2024-03-01T12:00:05Z",
+        ),
+        W.warc_record_bytes(
+            "https://example.com/a", b"GET /a HTTP/1.1", warc_type="request"
+        ),
+    ]
+
+
+def test_iter_warc_records_framing():
+    raw = W.write_warc(_fixture_records())
+    recs = list(W.iter_warc_records(raw))
+    assert [h["warc-type"] for h, _ in recs] == [
+        "warcinfo", "response", "response", "request",
+    ]
+    # Content-Length framing exact: payload of record 2 round-trips
+    status, headers, body = W.parse_http_response(recs[1][1])
+    assert status == 200
+    assert headers["content-type"].startswith("text/html")
+    assert body == b"<html><body><p>alpha page body</p></body></html>"
+
+
+def test_warc_stray_bytes_and_truncation():
+    rs = _fixture_records()
+    raw = b"JUNK" + rs[1] + b"garbage between" + rs[2]
+    got = list(W.iter_warc_records(raw))
+    assert len(got) == 2
+    # truncated tail record is dropped, completed ones survive
+    trunc = W.write_warc([rs[1]]) + rs[2][: len(rs[2]) // 2]
+    got2 = list(W.iter_warc_records(trunc))
+    assert len(got2) == 1
+
+
+def test_http_chunked_dechunk():
+    body = b"7\r\nchunk-a\r\n8\r\n chunk-b\r\n0\r\n\r\n"
+    block = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + body
+    )
+    status, _, out = W.parse_http_response(block)
+    assert status == 200 and out == b"chunk-a chunk-b"
+    # malformed chunk sizes fall back to raw bytes, never raise
+    bad = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nx"
+    _, _, raw = W.parse_http_response(bad)
+    assert raw == b"zz\r\nx"
+
+
+def test_read_warc_plain_and_gzip(spark, tmp_path):
+    """File-level read: .warc plain, .warc.gz with one gzip member per
+    record (Common Crawl convention), and whole-file gzip all parse to
+    the same rows; default filter keeps only response records."""
+    rs = _fixture_records()
+    (tmp_path / "a.warc").write_bytes(W.write_warc(rs))
+    (tmp_path / "b.warc.gz").write_bytes(W.write_warc(rs, gzip_per_record=True))
+    (tmp_path / "c.warc.gz").write_bytes(gzip.compress(W.write_warc(rs)))
+
+    df = W.read_warc(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 6  # 2 responses × 3 files
+    assert {r.warc_type for r in rows} == {"response"}
+    by_uri = {}
+    for r in rows:
+        by_uri.setdefault(r.target_uri, []).append(r)
+    assert len(by_uri["https://example.com/a"]) == 3
+    a = by_uri["https://example.com/a"][0]
+    assert a.http_status == 200
+    assert a.payload_text == "<html><body><p>alpha page body</p></body></html>"
+    assert a.warc_date.isoformat().startswith("2024-03-01T12:00:00")
+    b = by_uri["https://example.com/b"][0]
+    assert "éü" in b.payload_text
+
+    # record_types=None keeps everything, including warcinfo/request
+    all_df = W.read_warc(spark, str(tmp_path / "a.warc"), record_types=None)
+    assert all_df.count() == 4
+
+    # plan posture: pure map stage — no exchange anywhere
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_warc_composes_with_html_extract(spark, tmp_path):
+    """The crawl→text pipeline: WARC response payloads feed
+    html_extract directly; chrome dropped, body kept."""
+    from kusto_pre_forge_spark.operators import textprep as tp
+
+    page = (
+        b"<html><head><script>x()</script></head><body>"
+        b'<nav><a href="/">Home</a></nav>'
+        b"<p>six plain words of body text here</p></body></html>"
+    )
+    (tmp_path / "x.warc").write_bytes(
+        W.write_warc([W.warc_record_bytes("https://e.com/x", page)])
+    )
+    df = W.read_warc(spark, str(tmp_path / "x.warc"))
+    out = tp.html_extract(
+        df.select(F.col("target_uri"), F.col("payload_text").alias("html")),
+        "html",
+        "target_uri",
+    ).first()
+    assert out.content == "six plain words of body text here"
+    assert out.n_kept == 1

@@ -114,6 +114,8 @@ AUDITED = [
     ("multimodal_image_phash", "pure map stage: Arrow-batched mapInPandas DCT per image, no shuffle at any corpus size"),
     ("corpus_domain_shift", "B-bounded per-source histograms; source×bucket grid is metadata-sized; only the token scan touches data"),
     ("text_fix_mojibake", "one codegen projection: a literal-replace chain, no regex, no UDF, no shuffle"),
+    ("text_html_extract", "crawl-page main-content extraction: regex chain + array HOFs, scan+project, zero exchanges"),
+    ("warc_parse", "WARC roundtrip: two pure mapInPandas stages, per-blob record decode, zero exchanges"),
     ("text_oov_rate", "explode + broadcast vocab join + one map-side-combined per-doc aggregate"),
     ("text_char_entropy", "map-only array expressions; alphabet-bounded per-row work, no explode, no shuffle"),
     ("join_bloom_prefilter", "broadcast bitset prefilter cuts the fact side BEFORE the semi-join shuffle; exact verify on survivors only"),
