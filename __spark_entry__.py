@@ -2238,6 +2238,96 @@ def _q_warc_parse(spark, sf):
     )
 
 
+def _q_multimodal_dedup_recall(spark, sf):
+    """Recall/efficiency harness for perceptual-hash (pHash/dHash)
+    banding — lsh_candidate_recall's sibling for hamming_pairs. Fixture
+    fingerprints are closed-form arithmetic (three far-apart group bases
+    XOR a contiguous low-bit flip mask derived from doc_id), so BOTH
+    engines compute the exact ≤3-Hamming pair set and the banding
+    candidate set directly — the oracle replays every number, floors
+    included, with no predictive bounds. chunks=4 > max_hamming
+    (pigeonhole: recall must MEASURE 1.0); chunks=2 trades cheaper
+    banding for real misses the harness quantifies."""
+    from kusto_pre_forge_spark.operators import dedup as dedup_ops
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+    base = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(0).cast("long"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(0x1555555555555555).cast("long"))
+        .otherwise(F.lit(0x0F0F0F0F00FF00FF).cast("long"))
+    )
+    # SQL-form shiftleft: the Python wrapper only takes a literal shift
+    flip = F.expr(
+        "shiftleft(shiftleft(1L, CAST(doc_id % 5 AS INT)) - 1L, "
+        "CAST((doc_id % 13) * 4 AS INT))"
+    )
+    fps = d.select("doc_id", base.bitwiseXOR(flip).alias("fp"))
+
+    def variant(chunks, name):
+        return dedup_ops.hamming_candidate_recall(
+            fps, "fp", "doc_id", max_hamming=3, chunks=chunks
+        ).select(F.lit(name).alias("variant"), "*")
+
+    return variant(4, "c4").unionByName(variant(2, "c2"))
+
+
+def _q_pipeline_crawl_extract(spark, sf):
+    """The crawl-input pipeline end-to-end: every document rendered as a
+    full HTML page (chrome and all) inside a WARC response record with
+    per-record gzip members (the Common Crawl layout), then WARC parse →
+    HTML main-content extraction → keep pages with extracted content →
+    token count. Composes the round-9 crawl front (sources/warc +
+    textprep.html_extract); both stages are pure map stages, so the plan
+    is two mapInPandas + one codegen projection, zero exchanges. The
+    oracle replays the HTML chain over the same page bytes (the WARC
+    layer is separately proven lossless by warc_parse)."""
+    import pandas as pd
+
+    from kusto_pre_forge_spark.operators import textprep as tp
+    from kusto_pre_forge_spark.operators import textstats as ts
+    from kusto_pre_forge_spark.sources import warc as W
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    def forge(it):
+        for pdf in it:
+            recs = [
+                W.warc_record_bytes(
+                    f"https://example.com/doc/{int(i)}",
+                    (
+                        _HTML_PAGE_PRE
+                        + (t if isinstance(t, str) else "")
+                        + _HTML_PAGE_POST
+                    ).encode("utf-8"),
+                )
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "path": ["mem://crawl.warc.gz"],
+                    "content": [W.write_warc(recs, gzip_per_record=True)],
+                }
+            )
+
+    blobs = d.mapInPandas(forge, "path string, content binary")
+    pages = W.parse_warc_blobs(blobs).select(
+        F.regexp_extract("target_uri", r"([0-9]+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("payload_text").alias("html"),
+    )
+    ext = tp.html_extract(pages, "html", "doc_id")
+    return ext.filter(F.col("n_kept") >= 1).select(
+        "doc_id",
+        "content",
+        ts.token_count(F.col("content")).cast("long").alias("n_tokens"),
+    )
+
+
 def _q_corpus_domain_shift(spark, sf):
     """Per-source Jensen-Shannon divergence vs the corpus-wide unigram
     distribution over a 512-bucket hashed feature space — the
@@ -5644,6 +5734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fix_mojibake": _q_text_fix_mojibake,
         "text_html_extract": _q_text_html_extract,
         "warc_parse": _q_warc_parse,
+        "multimodal_dedup_recall": _q_multimodal_dedup_recall,
+        "pipeline_crawl_extract": _q_pipeline_crawl_extract,
         "text_oov_rate": _q_text_oov_rate,
         "text_char_entropy": _q_text_char_entropy,
         "join_bloom_prefilter": _q_join_bloom_prefilter,
@@ -5846,14 +5938,67 @@ def _warc_oracle_sql() -> str:
     )
 
 
-def _html_extract_oracle_sql() -> str:
+def _hamming_recall_oracle_sql() -> str:
+    """Full replay of multimodal_dedup_recall: the closed-form fixture
+    fingerprints, the all-pairs exact ≤3-Hamming set, and both banding
+    candidate predicates, computed entirely in SQL (xor/bit_count/
+    shifts are engine-exact integer ops)."""
+
+    def share(chunks: int) -> str:
+        bits = 64 // chunks
+        mask = (1 << bits) - 1
+        return " OR ".join(
+            f"((fa >> {i * bits}) & {mask}) = ((fb >> {i * bits}) & {mask})"
+            for i in range(chunks)
+        )
+
+    def variant(chunks: int, name: str) -> str:
+        return (
+            f"SELECT '{name}' AS variant, "
+            "CAST(count(CASE WHEN dist <= 3 THEN 1 END) AS BIGINT) "
+            "AS n_exact, "
+            f"CAST(count(CASE WHEN {share(chunks)} THEN 1 END) AS BIGINT) "
+            "AS n_candidates, "
+            f"CAST(count(CASE WHEN dist <= 3 AND ({share(chunks)}) "
+            "THEN 1 END) AS BIGINT) AS n_hits, "
+            "CASE WHEN count(CASE WHEN dist <= 3 THEN 1 END) = 0 THEN 1.0 "
+            "ELSE round(CAST(count(CASE WHEN dist <= 3 AND "
+            f"({share(chunks)}) THEN 1 END) AS DOUBLE) / "
+            "count(CASE WHEN dist <= 3 THEN 1 END), 6) END AS recall, "
+            f"CASE WHEN count(CASE WHEN {share(chunks)} THEN 1 END) = 0 "
+            "THEN 1.0 ELSE round(CAST(count(CASE WHEN dist <= 3 AND "
+            f"({share(chunks)}) THEN 1 END) AS DOUBLE) / "
+            f"count(CASE WHEN {share(chunks)} THEN 1 END), 6) END "
+            "AS candidate_efficiency FROM p"
+        )
+
+    return (
+        "WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents "
+        "WHERE doc_id < 120), "
+        "f AS MATERIALIZED (SELECT i, xor(CASE WHEN i % 3 = 0 THEN 0 "
+        f"WHEN i % 3 = 1 THEN {0x1555555555555555} "
+        f"ELSE {0x0F0F0F0F00FF00FF} END::BIGINT, "
+        "((1::BIGINT << CAST(i % 5 AS INT)) - 1) << "
+        "CAST((i % 13) * 4 AS INT)) AS fp FROM d), "
+        "p AS MATERIALIZED (SELECT a.fp AS fa, b.fp AS fb, "
+        "bit_count(xor(a.fp, b.fp)) AS dist "
+        "FROM f a JOIN f b ON a.i < b.i) "
+        + variant(4, "c4")
+        + " UNION ALL "
+        + variant(2, "c2")
+    )
+
+
+def _html_extract_oracle_sql(tail: str | None = None) -> str:
     """Replay html_extract's full rule chain — chrome-element drops,
     block segmentation, tag strip + entity decode + whitespace collapse,
     word-count / link-density keep rule — generated from the SAME
     module constants the Spark expression compiles from, over the SAME
     fixture page. MATERIALIZED CTEs: the measured-block list is consumed
     three times and DuckDB would otherwise re-inline the whole regex
-    chain per consumer."""
+    chain per consumer. ``tail`` overrides the final SELECT (the CTE
+    chain ends in ``hx(doc_id, content, n_blocks, n_kept)``) so
+    composition queries reuse the replay."""
     from kusto_pre_forge_spark.operators.textprep import (
         HTML_ANCHOR_RE,
         HTML_COMMENT_RE,
@@ -5884,8 +6029,8 @@ def _html_extract_oracle_sql() -> str:
 
     nolink = f"regexp_replace(b, '{q(HTML_ANCHOR_RE)}', ' ', 'g')"
     keep = "s.words >= 5 AND s.ld <= 0.33"
-    return (
-        "WITH h AS (SELECT doc_id, "
+    ctes = (
+        "h AS (SELECT doc_id, "
         f"'{q(_HTML_PAGE_PRE)}' || text || '{q(_HTML_PAGE_POST)}' AS html "
         "FROM documents), "
         f"c AS MATERIALIZED (SELECT doc_id, {cl} AS cl FROM h), "
@@ -5899,59 +6044,110 @@ def _html_extract_oracle_sql() -> str:
         "words := len(list_filter(str_split(s.txt, ' '), w -> w != '')), "
         "ld := CASE WHEN length(s.txt) > 0 THEN 1.0 - "
         "CAST(length(s.nl) AS DOUBLE) / CAST(length(s.txt) AS DOUBLE) "
-        "ELSE 1.0 END)) AS mt FROM s) "
-        "SELECT doc_id, array_to_string(list_transform(list_filter(mt, "
-        f"s -> {keep}), s -> s.txt), chr(10)) AS content, "
+        "ELSE 1.0 END)) AS mt FROM s), "
+        "hx AS (SELECT doc_id, array_to_string(list_transform("
+        f"list_filter(mt, s -> {keep}), s -> s.txt), chr(10)) AS content, "
         "CAST(len(list_filter(mt, s -> s.words >= 1)) AS BIGINT) "
         "AS n_blocks, "
         f"CAST(len(list_filter(mt, s -> {keep})) AS BIGINT) AS n_kept "
-        "FROM m"
+        "FROM m)"
     )
+    if tail is None:
+        tail = "SELECT doc_id, content, n_blocks, n_kept FROM hx"
+    return f"WITH {ctes} {tail}"
 
 
 def _langid_ctes(extra_cols: str = "") -> str:
-    """CTE chain replaying the character-trigram language ID
-    (textstats.LANG_TRIGRAMS, rank-weighted Cavnar-Trenkle scoring via
-    the length-delta-of-replace occurrence count — the exact expression
-    the Spark side compiles) in DuckDB, ending in
-    ``lng(doc_id[, extra_cols], lang_pred)``. The per-gram terms are
-    generated from the SAME Python dict, so the engines cannot drift."""
+    """CTE chain replaying the script-gated trigram language ID in
+    DuckDB, ending in ``lng(doc_id[, extra_cols], lang_pred)``. Every
+    moving part — script codepoint ranges, the 2·x ≥ total majority
+    thresholds, gate order, both normalizers, the per-gram rank weights,
+    overlapping-occurrence counting (unnest of every trigram position),
+    argmax with alphabetical tie-break, the zero-evidence → 'und' rule —
+    is generated from the SAME textstats constants the vectorized Spark
+    scorer compiles, so the engines cannot drift."""
     from kusto_pre_forge_spark.operators.textstats import (
+        CYRILLIC_CHARCLASS,
+        CYRILLIC_TRIGRAMS,
         LANG_TRIGRAMS,
         LANGID_CHARCLASS,
+        SCRIPT_DIRECT_LANGS,
+        SCRIPT_RANGES,
     )
 
-    def score_sql(lang: str) -> str:
-        prof = LANG_TRIGRAMS[lang]
-        terms = []
-        for rank, tg in enumerate(prof):
-            tq = tg.replace("'", "''")
-            terms.append(
-                f"{len(prof) - rank} * CAST((length(lt) - "
-                f"length(replace(lt, '{tq}', ''))) / 3 AS INT)"
-            )
-        return " + ".join(terms)
+    def q(s: str) -> str:
+        return s.replace("'", "''")
 
-    langs = sorted(LANG_TRIGRAMS)
+    def range_class(fam: str) -> str:
+        return "".join(
+            f"\\x{{{lo:X}}}-\\x{{{hi:X}}}" for lo, hi in SCRIPT_RANGES[fam]
+        )
+
+    counts = ", ".join(
+        "length(regexp_replace(lower(text), "
+        f"'[^{range_class(fam)}]', '', 'g')) AS n_{fam}"
+        for fam in SCRIPT_RANGES
+    )
+    total = " + ".join(f"n_{fam}" for fam in SCRIPT_RANGES)
+
+    def weight_values(profiles) -> str:
+        rows = []
+        for lang in sorted(profiles):
+            prof = profiles[lang]
+            for rank, g in enumerate(prof):
+                rows.append(f"('{lang}', '{q(g)}', {len(prof) - rank})")
+        return ", ".join(rows)
+
+    def family(tag: str, profiles, charclass: str) -> str:
+        # normalize -> unnest every trigram POSITION (overlapping) ->
+        # join the generated weight table -> per-doc argmax (score desc,
+        # lang asc)
+        return (
+            f"{tag}norm AS (SELECT doc_id, ' ' || "
+            "trim(regexp_replace(lower(text), "
+            f"'[^{charclass}]+', ' ', 'g')) || ' ' AS lt FROM lraw), "
+            f"{tag}gr AS (SELECT doc_id, unnest(list_transform("
+            "range(1, greatest(length(lt) - 2, 0) + 1), "
+            f"i -> substr(lt, i, 3))) AS g FROM {tag}norm), "
+            f"{tag}w(lang, g, w) AS (SELECT * FROM (VALUES "
+            f"{weight_values(profiles)}) t(lang, g, w)), "
+            f"{tag}best AS (SELECT doc_id, first(lang ORDER BY score "
+            "DESC, lang ASC) AS blang, max(score) AS bscore FROM ("
+            f"SELECT doc_id, lang, CAST(sum(w) AS BIGINT) AS score "
+            f"FROM {tag}gr JOIN {tag}w USING (g) GROUP BY 1, 2) "
+            "GROUP BY doc_id)"
+        )
+
+    direct_whens = " ".join(
+        f"WHEN 2 * n_{fam} >= ({total}) THEN '{lang}'"
+        for fam, lang in SCRIPT_DIRECT_LANGS
+    )
+    case = (
+        f"CASE WHEN ({total}) = 0 THEN 'und' "
+        f"WHEN n_hiragana + n_katakana >= 1 AND 2 * (n_hiragana + "
+        f"n_katakana + n_han) >= ({total}) THEN 'ja' "
+        f"WHEN 2 * n_hangul >= ({total}) THEN 'ko' "
+        f"WHEN 2 * n_han >= ({total}) THEN 'zh' "
+        f"WHEN 2 * n_cyrillic >= ({total}) THEN CASE WHEN "
+        "cb.bscore > 0 THEN cb.blang ELSE 'und' END "
+        f"{direct_whens} "
+        "ELSE CASE WHEN lb.bscore > 0 THEN lb.blang ELSE 'und' END END"
+    )
     extra = "".join(
         ", " + c.strip() for c in extra_cols.split(",") if c.strip()
     )
-    g = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
-    case = (
-        f"CASE WHEN {g} <= 0 THEN 'und' "
-        + " ".join(f"WHEN s_{la} = {g} THEN '{la}'" for la in langs[:-1])
-        + f" ELSE '{langs[-1]}' END"
-    )
-    scores = ", ".join(f"{score_sql(la)} AS s_{la}" for la in langs)
     return (
-        f"lnorm AS (SELECT doc_id{extra}, ' ' || "
-        "trim(regexp_replace(lower(text), "
-        f"'[^{LANGID_CHARCLASS}]+', ' ', 'g')) || ' ' AS lt FROM documents), "
-        # MATERIALIZED: consumers (incl. recursive CTEs) must not
-        # re-inline the 160-term scoring projection per reference
-        f"lsc AS MATERIALIZED (SELECT doc_id{extra}, {scores} FROM lnorm), "
-        f"lng AS MATERIALIZED (SELECT doc_id{extra}, {case} AS lang_pred "
-        "FROM lsc)"
+        f"lraw AS (SELECT doc_id{extra}, text FROM documents), "
+        f"lsco AS MATERIALIZED (SELECT doc_id{extra}, {counts} "
+        "FROM lraw), "
+        + family("llat", LANG_TRIGRAMS, LANGID_CHARCLASS)
+        + ", "
+        + family("lcyr", CYRILLIC_TRIGRAMS, CYRILLIC_CHARCLASS)
+        + ", "
+        f"lng AS MATERIALIZED (SELECT s.doc_id{extra.replace(', ', ', s.')}, "
+        f"{case} AS lang_pred FROM lsco s "
+        "LEFT JOIN llatbest lb ON s.doc_id = lb.doc_id "
+        "LEFT JOIN lcyrbest cb ON s.doc_id = cb.doc_id)"
     )
 
 
@@ -8473,6 +8669,14 @@ def oracle_sql() -> dict[str, str]:
         "text_fix_mojibake": _mojibake_oracle_sql(),
         "text_html_extract": _html_extract_oracle_sql(),
         "warc_parse": _warc_oracle_sql(),
+        "multimodal_dedup_recall": _hamming_recall_oracle_sql(),
+        "pipeline_crawl_extract": _html_extract_oracle_sql(
+            tail=(
+                "SELECT doc_id, content, CAST(len(list_filter("
+                "string_split_regex(trim(content), '\\s+'), t -> t != '')) "
+                "AS BIGINT) AS n_tokens FROM hx WHERE n_kept >= 1"
+            )
+        ),
         "fixedwidth_roundtrip": (
             # losslessness IS the oracle: render->parse must reproduce
             # the original typed columns exactly

@@ -119,6 +119,8 @@ HEADLINE = [
     "text_fix_mojibake",
     "text_html_extract",
     "warc_parse",
+    "multimodal_dedup_recall",
+    "pipeline_crawl_extract",
     "text_oov_rate",
     "text_char_entropy",
     "join_bloom_prefilter",

@@ -1786,6 +1786,79 @@ def semdedup(
     )
 
 
+def hamming_candidate_recall(
+    df: DataFrame,
+    fp_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    n_bits: int = 64,
+) -> DataFrame:
+    """Measure, don't guess — the :func:`lsh_candidate_recall` harness
+    applied to :func:`hamming_pairs`' pigeonhole banding: candidate
+    recall and efficiency of the (chunks) choice against the EXACT
+    ≤``max_hamming`` pair set, on the fixture/sample slice it is pointed
+    at. With ``chunks > max_hamming`` the pigeonhole guarantees recall
+    1.0 (the harness should MEASURE that); with fewer chunks (cheaper
+    join, bigger chunks → fewer false candidates) real misses appear —
+    the number that justifies the choice before an image-dedup pass.
+
+    The exact side is an all-pairs ``bit_count(xor)`` — quadratic by
+    design, honest only on a sample (same contract as the LSH harness's
+    exact-Jaccard side). Returns ONE row: (n_exact, n_candidates,
+    n_hits, recall, candidate_efficiency); vacuous slices score 1.0.
+    """
+    bits_per = n_bits // chunks
+    mask = (1 << bits_per) - 1
+    fp = pin(
+        df.select(
+            F.col(id_col).alias("_id"), F.col(fp_col).cast("long").alias("_fp")
+        )
+    )
+    l, r = fp.alias("l"), fp.alias("r")
+    pairs = l.join(r, F.col("l._id") < F.col("r._id")).select(
+        F.col("l._id").alias("id_a"),
+        F.col("r._id").alias("id_b"),
+        F.bit_count(
+            F.col("l._fp").bitwiseXOR(F.col("r._fp"))
+        ).alias("distance"),
+        F.col("l._fp").alias("fa"),
+        F.col("r._fp").alias("fb"),
+    )
+    share = None
+    for i in range(chunks):
+        eq = (
+            F.shiftright(F.col("fa"), i * bits_per).bitwiseAND(mask)
+            == F.shiftright(F.col("fb"), i * bits_per).bitwiseAND(mask)
+        )
+        share = eq if share is None else (share | eq)
+    pairs = pin(pairs.withColumn("_cand", share))
+    agg = pairs.agg(
+        F.count(F.when(F.col("distance") <= max_hamming, 1))
+        .cast("long")
+        .alias("n_exact"),
+        F.count(F.when(F.col("_cand"), 1)).cast("long").alias("n_candidates"),
+        F.count(
+            F.when(F.col("_cand") & (F.col("distance") <= max_hamming), 1)
+        )
+        .cast("long")
+        .alias("n_hits"),
+    )
+    return agg.select(
+        "n_exact",
+        "n_candidates",
+        "n_hits",
+        F.when(F.col("n_exact") == 0, F.lit(1.0))
+        .otherwise(F.round(F.col("n_hits") / F.col("n_exact").cast("double"), 6))
+        .alias("recall"),
+        F.when(F.col("n_candidates") == 0, F.lit(1.0))
+        .otherwise(
+            F.round(F.col("n_hits") / F.col("n_candidates").cast("double"), 6)
+        )
+        .alias("candidate_efficiency"),
+    )
+
+
 def lsh_candidate_recall(
     df: DataFrame,
     text_col: str,

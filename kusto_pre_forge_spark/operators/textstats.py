@@ -86,11 +86,182 @@ LANG_TRIGRAMS: dict[str, list[str]] = {
         "ais", "ur ", "ant", "et ", " et", "ons", " so", "dan", " da",
         "ans", "men", "une", "oir",
     ],
+    "it": [
+        "di ", " di", "la ", " la", "to ", "re ", " co", "con", "ion",
+        "one", "ne ", "ent", "nte", "te ", "che", " ch", "he ", "per",
+        " pe", "er ", "del", "ell", "lla", " de", "are", "ato", "no ",
+        " no", "gli", " gl", "li ", "zio", "azi", " si", "si ", "men",
+        "nto", "ità", "tà ", " un",
+    ],
+    "pt": [
+        " de", "de ", "os ", " co", "ção", "açã", "ão ", "com", "es ",
+        " es", "da ", " da", "do ", " do", "que", " qu", "ue ", "ent",
+        "nte", "ar ", "em ", " em", "ra ", "par", " pa", "as ", " se",
+        "men", "ada", "ado", "ist", " um", "uma", "res", "ais", "eir",
+        "ira", "nto", "to ", "or ",
+    ],
+    "nl": [
+        "en ", "de ", " de", "het", " he", "et ", "van", " va", "an ",
+        "n d", "er ", "een", " ee", "ijn", "ij ", " ge", "ing", "ng ",
+        " en", "ver", " ve", "oor", " vo", "der", "ere", "ten", "nde",
+        "den", "dat", " da", "at ", "te ", " te", "sch", " zi", "ijk",
+        "ond", " on", "aar", "eer",
+    ],
+    "sv": [
+        "en ", "et ", "det", " de", "att", " at", "tt ", "ar ", "som",
+        " so", "om ", "för", " fö", "ör ", "och", " oc", "ch ", "er ",
+        "til", " ti", "ll ", "and", "nd ", "har", " ha", "ing", "ng ",
+        "ter", "med", " me", "ed ", "den", "ade", " sk", " st", "rna",
+        "na ", " är", "är ", "int",
+    ],
+    "da": [
+        "er ", "en ", "det", " de", "der", " og", "og ", " at", "at ",
+        "til", " ti", "il ", "ed ", "med", " me", "nde", "for", " fo",
+        "or ", "har", " ha", "ar ", "lig", "ige", "ig ", "sig", " si",
+        " er", "ere", "re ", "ikk", "kke", "ke ", " ik", "den", "nd ",
+        "et ", "end", "de ", "ler",
+    ],
+    "pl": [
+        "ie ", "nie", " ni", " po", "na ", " na", "ch ", "ych", " pr",
+        "prz", "rze", "ego", "go ", "ej ", " je", "jes", "się", " si",
+        "ię ", "owa", "ani", "nia", "ia ", "do ", " do", "ci ", "ści",
+        "ość", " za", "wie", " wi", "cze", " cz", "dzi", " dz", "ać ",
+        "ał ", "owi", "ki ", "ów ",
+    ],
+    "cs": [
+        " pr", "pro", " po", "ní ", "ně ", "ou ", " ne", "se ", " se",
+        " na", "na ", "je ", " je", "ch ", "ého", "ho ", " do", " st",
+        "sta", "ení", "ání", " za", "pří", "ří ", "ost", "ti ", " to",
+        "to ", "em ", "ce ", "ova", "vat", " by", "byl", "la ", "ky ",
+        "ých", " ve", "ist", "lo ",
+    ],
+    "ro": [
+        " de", "de ", " în", "în ", "ul ", "le ", " co", "con", "are",
+        "re ", " ca", "ea ", " pe", "pen", "ntr", "tru", "ru ", "at ",
+        "ate", "lor", "or ", "ui ", "lui", " al", "ale", "ste", " es",
+        "est", "te ", "ii ", " di", "din", "in ", "ați", "ție", "ent",
+        "men", "tat", "ere", "rea",
+    ],
+    "tr": [
+        "lar", "ler", "ar ", "er ", "bir", " bi", "ir ", " ve", "ve ",
+        "an ", "in ", "ın ", "en ", " ka", " ol", "ola", "lan", "ını",
+        "nın", "arı", "rı ", "da ", "de ", "nda", "nde", " bu", "bu ",
+        "un ", "ile", " il", "le ", "si ", "ası", "esi", "yor", "or ",
+        " ya", " sa", "dır", "ık ",
+    ],
+    "id": [
+        " me", "men", "an ", "kan", " ke", "ang", "ng ", " di", "di ",
+        "dan", " da", " pe", "per", "ada", " pa", "pad", "lah", "ah ",
+        "nya", "ya ", "yan", " ya", "ber", " be", "ter", " te", "ata",
+        " se", "ari", "dar", "ia ", "ini", " in", "asi", "si ", "ung",
+        "eng", "gan", "ala", "aan",
+    ],
+    "hu": [
+        " a ", " az", "az ", "el ", " el", "en ", "et ", "meg", " me",
+        "ek ", "ett", "tt ", " sz", "sze", "szt", "és ", " és", "ség",
+        "nek", "ben", " be", "hog", "ogy", "gy ", " ho", "nak", "tás",
+        "ás ", "ság", "att", " fe", "fel", "ele", "let", " ki", "int",
+        " mi", "min", "tel", "ány",
+    ],
+    "fi": [
+        "en ", "in ", " on", "on ", "ist", "sta", "ta ", " ja", "ja ",
+        "an ", "aan", " ka", "lla", "la ", "ssa", "sa ", " va", "itt",
+        "ttä", "tä ", "ään", "än ", "een", "ksi", "si ", "ell", "lle",
+        "le ", "sen", " se", "iin", " tu", "taa", "aa ", "ten", "nen",
+        "ine", "ais", "uks", " pä",
+    ],
+}
+
+#: Cyrillic-script trigram profiles — scored only when the script gate
+#: (SCRIPT_RANGES majority vote) lands on Cyrillic; same rank-weight
+#: scheme and normalizer pipeline as the Latin family.
+CYRILLIC_TRIGRAMS: dict[str, list[str]] = {
+    "ru": [
+        " пр", "про", " по", "по ", " на", "на ", "ого", "го ", "ени",
+        "ния", "ие ", "ия ", " не", "не ", "ть ", "ать", " ко", "ост",
+        "ств", "тво", " ст", "ста", "ом ", "ов ", " от", "от ", "ли ",
+        "ет ", " со", "ой ", "ый ", " за", "что", " чт", "то ", "сть",
+        "ров", "ние", "при", "ели",
+    ],
+    "uk": [
+        " пр", "про", " на", "на ", "ння", "ня ", " не", "не ", "ого",
+        "го ", " за", "за ", "ть ", "ати", "ють", " по", "по ", "ів ",
+        " ві", "від", " що", "що ", "енн", " та", "та ", "ься", "ся ",
+        " до", "до ", "ний", "ій ", "ої ", " з ", "их ", "ими", "ми ",
+        "ові", "ува", "льн", "ько",
+    ],
 }
 
 #: letters kept by the language-ID normalizer — everything else collapses
-#: to a single space (word-boundary padding then produces boundary grams)
-LANGID_CHARCLASS = "a-zàâäáçéèêëíîïìñóôöòßúûüù"
+#: to a single space (word-boundary padding then produces boundary grams).
+#: The Latin class covers every diacritic the 16 Latin profiles use.
+LANGID_CHARCLASS = (
+    "a-zàáâäãåæçèéêëìíîïñòóôöõøùúûüýß"
+    "ąćęłńśźżčďěňřšťůžășțşţğıőű"
+)
+CYRILLIC_CHARCLASS = "а-яёіїєґ"
+
+#: Unicode codepoint ranges per script family (inclusive), applied to
+#: LOWERCASED text — the charset gate that decides which profile family
+#: scores a row (Latin text never pays for Cyrillic scoring and vice
+#: versa) and that labels the block-exclusive scripts directly
+#: (zh/ja/ko/el/ar/he/hi/th need no trigram evidence: the script IS the
+#: language signal at this granularity). Shared with the SQL oracle
+#: generator, which emits the same ranges as RE2 classes.
+SCRIPT_RANGES: dict[str, tuple[tuple[int, int], ...]] = {
+    "latin": ((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0xD6), (0xD8, 0xF6),
+              (0xF8, 0x24F)),
+    "cyrillic": ((0x400, 0x4FF), (0x500, 0x52F)),
+    "greek": ((0x370, 0x3FF), (0x1F00, 0x1FFF)),
+    "arabic": ((0x600, 0x6FF), (0x750, 0x77F)),
+    "hebrew": ((0x590, 0x5FF),),
+    "devanagari": ((0x900, 0x97F),),
+    "thai": ((0xE00, 0xE7F),),
+    "hangul": ((0xAC00, 0xD7A3), (0x1100, 0x11FF), (0x3130, 0x318F)),
+    "hiragana": ((0x3040, 0x309F),),
+    "katakana": ((0x30A0, 0x30FF),),
+    "han": ((0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0xF900, 0xFAFF)),
+}
+
+#: block-exclusive script → language label, in GATE ORDER (evaluated
+#: after the ja/ko/zh CJK rules, before the Latin default). The order is
+#: part of the contract — the SQL oracle emits the same CASE chain.
+SCRIPT_DIRECT_LANGS: tuple[tuple[str, str], ...] = (
+    ("greek", "el"),
+    ("arabic", "ar"),
+    ("hebrew", "he"),
+    ("devanagari", "hi"),
+    ("thai", "th"),
+)
+
+
+def _validate_profiles() -> None:
+    for fam, (profiles, charclass) in {
+        "latin": (LANG_TRIGRAMS, LANGID_CHARCLASS),
+        "cyrillic": (CYRILLIC_TRIGRAMS, CYRILLIC_CHARCLASS),
+    }.items():
+        alphabet = set(" ")
+        i = 0
+        while i < len(charclass):
+            if i + 2 < len(charclass) and charclass[i + 1] == "-":
+                alphabet.update(
+                    chr(c)
+                    for c in range(ord(charclass[i]), ord(charclass[i + 2]) + 1)
+                )
+                i += 3
+            else:
+                alphabet.add(charclass[i])
+                i += 1
+        for lang, prof in profiles.items():
+            assert len(prof) == len(set(prof)), f"dup gram in {lang}"
+            for g in prof:
+                assert len(g) == 3, f"{fam}/{lang}: {g!r} not a trigram"
+                assert set(g) <= alphabet, (
+                    f"{fam}/{lang}: {g!r} outside the normalizer alphabet"
+                )
+
+
+_validate_profiles()
 
 
 def _langid_norm(col: Column | str) -> Column:
@@ -137,66 +308,220 @@ def _bind_once(value: Column, fn) -> Column:
     return F.element_at(F.transform(F.array(value), fn), 1)
 
 
-def lang_scores(col: Column | str, profiles: dict[str, list[str]] | None = None) -> Column:
-    """Per-language trigram-evidence scores as a map<lang, int>: the sum
-    of rank weights of every profile trigram's (non-overlapping)
-    occurrence count in the normalized text. One codegen projection —
-    per profile gram a replace-count term over the normalizer's output
-    bound ONCE as a lambda variable; nothing leaves the row's partition,
-    no explode, no UDF."""
-    profiles = profiles or LANG_TRIGRAMS
-
-    def mk(t: Column) -> Column:
-        entries = []
-        for lang in sorted(profiles):
-            prof = profiles[lang]
-            s = F.lit(0)
-            for rank, tg in enumerate(prof):
-                s = s + F.lit(len(prof) - rank) * _occurrence_count(t, tg)
-            entries += [F.lit(lang), s]
-        return F.create_map(*entries)
-
-    return _bind_once(_langid_norm(col), mk)
+# ---------------------------------------------------------------------------
+# Vectorized trigram scoring engine (numpy, Arrow-batched)
+#
+# At 4 languages the replace-count expression fold (160 one-pass string
+# scans per row) was the measured-fastest plan; at the 18-profile coverage
+# a multilingual crawl needs (~700 grams) it scales linearly in GRAMS. This
+# engine scales in TEXT length instead: per Arrow batch, every row's
+# normalized text is concatenated (NUL-fenced), each codepoint window
+# becomes one int64 trigram code, one np.searchsorted against the compiled
+# profile codes finds hits, and one scatter-add accumulates rank-weighted
+# scores per (row, language). Counts are OVERLAPPING occurrences — the
+# textbook Cavnar–Trenkle statistic (every text position votes), replayed
+# exactly by the oracle's unnest-positions + weight-table join.
 
 
-def lang_id(col: Column | str, profiles: dict[str, list[str]] | None = None) -> Column:
-    """argmax language over the per-language trigram scores; 'und'
-    (undetermined) when no profile trigram fires. Ties break
-    alphabetically (deterministic, oracle-checkable).
+def _tri_code(g: str) -> int:
+    k = 0x110000  # one past the Unicode codepoint space
+    return (ord(g[0]) * k + ord(g[1])) * k + ord(g[2])
 
-    The argmax is ONE ``array_max`` over (score, priority, lang) structs
-    — a running-best when-chain would re-embed every score expression
-    per comparison and blow the serialized plan up ~10× (measured 17 MB
-    task binaries); here each score expression appears exactly once and
-    the winner struct twice."""
-    profiles = profiles or LANG_TRIGRAMS
+
+def _compile_family(profiles: dict[str, list[str]]):
+    """(langs, sorted trigram codes, weight matrix W[gram, lang])."""
+    import numpy as np
+
     langs = sorted(profiles)
+    grams = sorted({g for p in profiles.values() for g in p})
+    codes = np.array([_tri_code(g) for g in grams], dtype=np.int64)
+    order = np.argsort(codes)
+    codes = codes[order]
+    pos_of = {grams[int(j)]: i for i, j in enumerate(order)}
+    W = np.zeros((len(grams), len(langs)), dtype=np.int64)
+    for li, lang in enumerate(langs):
+        prof = profiles[lang]
+        for rank, g in enumerate(prof):
+            W[pos_of[g], li] += len(prof) - rank
+    return langs, codes, W
 
-    def argmax(t: Column) -> Column:
-        items = []
-        for i, lang in enumerate(langs):
-            prof = profiles[lang]
-            s = F.lit(0)
-            for rank, tg in enumerate(prof):
-                s = s + F.lit(len(prof) - rank) * _occurrence_count(t, tg)
-            items.append(
-                F.struct(
-                    s.alias("score"),
-                    # on a score tie the LARGEST priority wins the struct
-                    # compare -> alphabetically first language
-                    F.lit(len(langs) - 1 - i).alias("pri"),
-                    F.lit(lang).alias("lang"),
+
+def _family_scores(norm_texts, codes, W):
+    """Score a batch: list of normalized strings → int64 matrix
+    (n_rows, n_langs) of rank-weighted overlapping trigram counts."""
+    import numpy as np
+
+    n = len(norm_texts)
+    out = np.zeros((n, W.shape[1]), dtype=np.int64)
+    if n == 0:
+        return out
+    # two NUL fences between rows: any window crossing a row boundary
+    # contains a NUL and no profile gram does, so it can never match
+    joined = "\x00\x00".join(norm_texts)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(
+        np.int64
+    )
+    if cp.size < 3:
+        return out
+    k = 0x110000
+    tri = (cp[:-2] * k + cp[1:-1]) * k + cp[2:]
+    pos = np.searchsorted(codes, tri)
+    pos_c = np.minimum(pos, len(codes) - 1)
+    hit = codes[pos_c] == tri
+    if not hit.any():
+        return out
+    lens = np.array([len(s) for s in norm_texts], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens + 2)))[:-1]
+    rows = np.searchsorted(starts, np.nonzero(hit)[0], side="right") - 1
+    np.add.at(out, rows, W[pos_c[hit]])
+    return out
+
+
+def _norm_py(text, charclass: str):
+    """Python twin of the SQL normalizer: lower → non-alphabet runs to
+    one space → trim → pad. Returns ' ' (no grams) for NULL/empty."""
+    import re
+
+    if text is None or not isinstance(text, str):
+        return " "
+    squashed = re.sub(f"[^{charclass}]+", " ", text.lower()).strip()
+    return f" {squashed} "
+
+
+def _script_count_batch(texts, ranges):
+    """Per-row count of lowercased codepoints inside ``ranges``."""
+    import numpy as np
+
+    n = len(texts)
+    lowered = [t.lower() if isinstance(t, str) else "" for t in texts]
+    joined = "\x00".join(lowered)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(
+        np.int64
+    )
+    # ranges must be ascending for the even/odd searchsorted trick
+    bounds = np.array(
+        [b for lo, hi in sorted(ranges) for b in (lo, hi + 1)],
+        dtype=np.int64,
+    )
+    inside = (np.searchsorted(bounds, cp, side="right") % 2) == 1
+    lens = np.array([len(s) for s in lowered], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens + 1)))[:-1]
+    out = np.zeros(n, dtype=np.int64)
+    idx = np.nonzero(inside)[0]
+    if idx.size:
+        rows = np.searchsorted(starts, idx, side="right") - 1
+        np.add.at(out, rows, 1)
+    return out
+
+
+def _langid_batch(texts) -> list:
+    """The full gate + score pipeline for one batch of raw texts.
+    MUST stay in lockstep with the SQL chain the oracle generator emits
+    (__spark_entry__._langid_ctes): same script ranges, same 2·x ≥ total
+    majority thresholds, same gate order, same tie-breaks."""
+    import numpy as np
+
+    sc = {
+        fam: _script_count_batch(texts, SCRIPT_RANGES[fam])
+        for fam in SCRIPT_RANGES
+    }
+    total = np.sum(np.stack(list(sc.values())), axis=0)
+    kana = sc["hiragana"] + sc["katakana"]
+
+    lat_langs, lat_codes, lat_W = _compile_family(LANG_TRIGRAMS)
+    cyr_langs, cyr_codes, cyr_W = _compile_family(CYRILLIC_TRIGRAMS)
+
+    def family_pick(text, langs, codes, W, charclass):
+        s = _family_scores([_norm_py(text, charclass)], codes, W)[0]
+        best = int(np.max(s))
+        if best <= 0:
+            return "und"
+        # langs is sorted, so the FIRST index at the max is the
+        # alphabetical tie-break
+        return langs[int(np.argmax(s == best))]
+
+    out = []
+    for i, text in enumerate(texts):
+        t = int(total[i])
+        if t == 0:
+            out.append("und")
+        elif kana[i] >= 1 and 2 * (kana[i] + sc["han"][i]) >= t:
+            out.append("ja")
+        elif 2 * sc["hangul"][i] >= t:
+            out.append("ko")
+        elif 2 * sc["han"][i] >= t:
+            out.append("zh")
+        elif 2 * sc["cyrillic"][i] >= t:
+            out.append(
+                family_pick(text, cyr_langs, cyr_codes, cyr_W,
+                            CYRILLIC_CHARCLASS)
+            )
+        else:
+            direct = next(
+                (
+                    lang
+                    for fam, lang in SCRIPT_DIRECT_LANGS
+                    if 2 * sc[fam][i] >= t
+                ),
+                None,
+            )
+            out.append(
+                direct
+                if direct is not None
+                else family_pick(
+                    text, lat_langs, lat_codes, lat_W, LANGID_CHARCLASS
                 )
             )
-        return F.array_max(F.array(*items))
+    return out
 
-    # two _bind_once stages: the normalizer evaluates once, and the
-    # winner struct evaluates once (not per reference in the when)
-    winner_col = _bind_once(_langid_norm(col), argmax)
-    return _bind_once(
-        winner_col,
-        lambda w: F.when(w["score"] > 0, w["lang"]).otherwise(F.lit("und")),
-    )
+
+def lang_scores(col: Column | str, profiles: dict[str, list[str]] | None = None) -> Column:
+    """Per-language trigram-evidence scores as a map<lang, int>: the sum
+    of rank weights over every OVERLAPPING occurrence of each profile
+    trigram in the normalized text (the Cavnar–Trenkle statistic — every
+    position votes). Arrow-batched vectorized scorer: one searchsorted
+    over compiled trigram codes per batch, cost linear in text length
+    and independent of how many profiles are loaded."""
+    profiles = dict(profiles or LANG_TRIGRAMS)
+    langs, codes, W = _compile_family(profiles)
+
+    @F.pandas_udf("map<string,int>")
+    def _scores(s):
+        import pandas as pd
+
+        norm = [_norm_py(t, LANGID_CHARCLASS) for t in s]
+        m = _family_scores(norm, codes, W)
+        return pd.Series(
+            [dict(zip(langs, (int(v) for v in row))) for row in m]
+        )
+
+    return _scores(F.col(col) if isinstance(col, str) else col)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Language label over 24 languages: a script gate (codepoint-range
+    majority over SCRIPT_RANGES) routes each row to its profile family —
+    Latin rows score the 16 Latin trigram profiles, Cyrillic rows the
+    ru/uk profiles, and block-exclusive scripts label directly (ja via
+    kana presence, ko via Hangul, zh via Han, el/ar/he/hi/th via their
+    blocks). 'und' when no letters of any known script, or when the
+    gated family's trigram evidence is zero. Ties break alphabetically.
+
+    Arrow-batched, numpy-vectorized: scoring cost is linear in text
+    length (one searchsorted per batch), NOT in profile count — the
+    property that lets coverage grow to dozens of languages without the
+    per-gram replace fold's linear cost blow-up (the 4-language fold was
+    160 string passes/row; 18 profiles would have been ~700). The SQL
+    oracle replays the identical statistic via trigram-position unnest +
+    a generated weight-table join."""
+
+    @F.pandas_udf("string")
+    def _lid(s):
+        import pandas as pd
+
+        return pd.Series(_langid_batch(list(s)))
+
+    return _lid(F.col(col) if isinstance(col, str) else col)
 
 
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:

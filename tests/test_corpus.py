@@ -402,3 +402,24 @@ def test_domain_cap_exact_skew_safe(spark):
     # plan shape: stage-1 window is partitioned by (_kpf_pid, source)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "_kpf_pid" in plan, "pre-trim window missing from the plan"
+
+
+def test_widen_for_fanout_metadata_probe(spark, tmp_path):
+    """The split estimate comes from file metadata only: a one-footer
+    parquet widens to cluster parallelism; a non-file frame widens; an
+    already-wide frame would skip (covered implicitly: estimate >=
+    target short-circuits before any repartition)."""
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    df = spark.range(100).selectExpr("id", "repeat('x', 10) AS text")
+    p = str(tmp_path / "one")
+    df.coalesce(1).write.parquet(p)
+    one = spark.read.parquet(p)
+    target = spark.sparkContext.defaultParallelism
+    widened = _widen_for_fanout(one)
+    assert "RoundRobinPartitioning" in widened._jdf.queryExecution() \
+        .executedPlan().toString() or widened.rdd.getNumPartitions() == target
+    assert widened.count() == 100
+    # non-file frames (no inputFiles) also widen rather than crash
+    mem = spark.createDataFrame([(1, "a")], "id long, text string")
+    assert _widen_for_fanout(mem).count() == 1

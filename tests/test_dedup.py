@@ -827,3 +827,28 @@ def test_lsh_candidate_recall_pinned_values(spark, sf_smoke):
 
     with _pt.raises(ValueError):
         dd.lsh_candidate_recall(d, "text", "doc_id", num_hashes=64, bands=7)
+
+
+def test_hamming_candidate_recall_pigeonhole_and_misses(spark):
+    """chunks > max_hamming must MEASURE recall 1.0 (the pigeonhole
+    guarantee); chunks = 2 at distance ≤ 3 has real misses — pairs whose
+    differing bits straddle both 32-bit halves — and the harness
+    quantifies them. Hand-built fingerprints pin exact numbers."""
+    from kusto_pre_forge_spark.operators import dedup as D
+
+    rows = [
+        (1, 0b0000),          # base
+        (2, 0b0011),          # dist 2 from base, both flips in chunk 0
+        (3, (1 << 0) | (1 << 40)),   # dist 2 from base, straddles halves
+        (4, (1 << 40) | (1 << 41)),  # dist 2, both in top half
+        (5, 0x5555555555555555),     # far from everything
+    ]
+    df = spark.createDataFrame(rows, "id long, fp long")
+    r4 = D.hamming_candidate_recall(df, "fp", "id", max_hamming=3, chunks=4).first()
+    assert r4.recall == 1.0 and r4.n_exact == r4.n_hits
+    r2 = D.hamming_candidate_recall(df, "fp", "id", max_hamming=3, chunks=2).first()
+    # pair (1,3) differs in bit 0 and bit 40: with 2 chunks NEITHER half
+    # matches -> a genuine miss
+    assert r2.n_exact == r4.n_exact
+    assert r2.n_hits < r2.n_exact
+    assert r2.recall < 1.0

@@ -318,3 +318,72 @@ def test_char_entropy_known_values(spark):
     assert got[2] == round(math.log(2), 6)     # uniform over 2 chars
     assert got[3] == round(math.log(4), 6)     # uniform over 4 chars
     assert got[4] == 0.0                       # empty -> 0, not NULL
+
+
+def test_lang_id_sixteen_latin_languages(spark):
+    """One clearly-in-language sentence per Latin-script profile — each
+    must win against the other 15."""
+    fixtures = {
+        "en": "the quick brown fox is jumping over the lazy dog with all things",
+        "de": "der schnelle braune fuchs ist über den faulen hund gesprungen und die geschichte",
+        "es": "la ciudad de la información es que los parques son por la organización",
+        "fr": "les beaux chevaux de la ville sont dans une maison pour que les eaux",
+        "it": "la città della informazione che per gli amici sono condizione degli anni",
+        "pt": "a cidade da informação com uma grande população que pode ser do governo",
+        "nl": "het is een van de grootste dingen die wij ooit hebben gezien in het land",
+        "sv": "det är en av de största sakerna som vi har sett och det kommer att",
+        "da": "han sagde at det ikke er muligt at gøre det uden at være til stede og med sig",
+        "pl": "nie wiem czy to jest największe z przedsięwzięć które widzieliśmy się",
+        "cs": "je to jedna z největších věcí které jsme kdy viděli a není to pro nás",
+        "ro": "este unul dintre cele mai mari lucruri pe care le-am văzut în țară pentru",
+        "tr": "bu bizim gördüğümüz en büyük şeylerden biri ve bunlar onların arasında yer",
+        "id": "ini adalah salah satu hal terbesar yang pernah kami lihat dan akan menjadi",
+        "hu": "ez az egyik legnagyobb dolog amit valaha láttunk és ez meg fog történni",
+        "fi": "se on yksi suurimmista asioista joita olemme koskaan nähneet ja se on",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in fixtures.items()], ["want", "t"]
+    )
+    rows = df.select(
+        "want", textstats.lang_id("t").alias("got")
+    ).collect()
+    wrong = {r.want: r.got for r in rows if r.want != r.got}
+    assert not wrong, f"misclassified: {wrong}"
+
+
+def test_lang_id_script_gate(spark):
+    """Non-Latin scripts route by codepoint-range majority: Cyrillic to
+    the ru/uk trigram profiles, block-exclusive scripts directly."""
+    fixtures = [
+        ("ru", "это одно из самых больших что мы когда-либо видели в стране"),
+        ("uk", "це одна з найбільших речей які ми коли-небудь бачили від того що"),
+        ("el", "αυτό είναι ένα από τα μεγαλύτερα πράγματα που έχουμε δει ποτέ"),
+        ("ar", "هذا واحد من أكبر الأشياء التي رأيناها على الإطلاق في البلاد"),
+        ("he", "זה אחד הדברים הגדולים ביותר שראינו אי פעם במדינה הזאת"),
+        ("hi", "यह अब तक देखी गई सबसे बड़ी चीजों में से एक है"),
+        ("th", "นี่คือหนึ่งในสิ่งที่ยิ่งใหญ่ที่สุดที่เราเคยเห็น"),
+        ("zh", "这是我们所见过的最伟大的事情之一在这个国家里"),
+        ("ja", "これは私たちが見た中で最も素晴らしいものの一つです"),
+        ("ko", "이것은 우리가 본 것 중 가장 위대한 것 중 하나입니다"),
+        ("und", "12345 +++ !!! ???"),
+        ("und", None),
+    ]
+    df = spark.createDataFrame(fixtures, ["want", "t"])
+    rows = df.select("want", textstats.lang_id("t").alias("got")).collect()
+    wrong = [(r.want, r.got) for r in rows if r.want != r.got]
+    assert not wrong, f"misrouted: {wrong}"
+
+
+def test_lang_id_mixed_script_majority(spark):
+    """The gate is a MAJORITY vote: a mostly-English line quoting two
+    Cyrillic words stays English; kana presence flips Han text to ja."""
+    df = spark.createDataFrame(
+        [
+            (1, "the report from москва said that the weather is nice and all things are"),
+            (2, "日本語のテキストです"),  # han + kana -> ja
+        ],
+        ["id", "t"],
+    )
+    out = {r.id: r.got for r in df.select(
+        "id", textstats.lang_id("t").alias("got")).collect()}
+    assert out == {1: "en", 2: "ja"}

@@ -116,6 +116,8 @@ AUDITED = [
     ("text_fix_mojibake", "one codegen projection: a literal-replace chain, no regex, no UDF, no shuffle"),
     ("text_html_extract", "crawl-page main-content extraction: regex chain + array HOFs, scan+project, zero exchanges"),
     ("warc_parse", "WARC roundtrip: two pure mapInPandas stages, per-blob record decode, zero exchanges"),
+    ("multimodal_dedup_recall", "pHash banding recall harness: pinned all-pairs frame, one aggregate per variant"),
+    ("pipeline_crawl_extract", "crawl pipeline end-to-end: two mapInPandas map stages + one codegen projection, zero exchanges"),
     ("text_oov_rate", "explode + broadcast vocab join + one map-side-combined per-doc aggregate"),
     ("text_char_entropy", "map-only array expressions; alphabet-bounded per-row work, no explode, no shuffle"),
     ("join_bloom_prefilter", "broadcast bitset prefilter cuts the fact side BEFORE the semi-join shuffle; exact verify on survivors only"),
