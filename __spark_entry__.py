@@ -2328,6 +2328,89 @@ def _q_pipeline_crawl_extract(spark, sf):
     )
 
 
+_URL_BLOCKLIST = ["src1.example.com", "src3.example.com", "src15.example.com",
+                  "spam.example.org"]
+
+
+def _q_corpus_url_blocklist(spark, sf):
+    """URL domain-blocklist filter — the crawl-hygiene gate C4/Gopher
+    apply before any text filter. Synthetic per-doc URLs put every host
+    one subdomain BELOW its blocklist entry (www.srcN.example.com vs
+    srcN.example.com), so the match must be suffix-at-label-boundary,
+    not equality. Plan: suffix explode (≤6 rows/host) + broadcast semi
+    join + broadcast anti join back — the corpus never shuffles."""
+    from kusto_pre_forge_spark.operators import textprep as tp
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www."),
+            F.col("source"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id"),
+        ).alias("url"),
+    )
+    bl = spark.createDataFrame([(x,) for x in _URL_BLOCKLIST], "domain string")
+    return tp.domain_blocklist_filter(d, "url", bl).select("doc_id", "url")
+
+
+def _q_corpus_filter_attribution(spark, sf):
+    """Per-(source, rule) Gopher filter attribution: n_fail (docs this
+    rule rejects) and n_fail_only (docs ONLY this rule rejects — the
+    marginal cost of keeping it) — the calibration read before a 100 TB
+    filter pass. One metric scan + a 7-struct explode + one map-side-
+    combined aggregate; rule conditions are the same SQL strings in
+    both engines (GOPHER_RULE_SQL via F.expr / embedded in the oracle)."""
+    from kusto_pre_forge_spark.operators import textstats as ts
+
+    d = load_table(spark, sf, "documents")
+    return ts.gopher_rule_attribution(d, "text", "doc_id", "source").select(
+        F.col("grp").alias("source"),
+        "rule",
+        "n_docs",
+        "n_fail",
+        "n_fail_only",
+    )
+
+
+def _gopher_attribution_oracle_sql() -> str:
+    """Replay of corpus_filter_attribution: the gopher metric chain
+    (shared generator, source carried) wrapped in per-rule pass flags —
+    the SAME condition strings the Spark side evaluates — then one
+    UNION-ALL long-format aggregate per rule."""
+    from kusto_pre_forge_spark.operators.textstats import (
+        GOPHER_RULE_DEFAULTS,
+        GOPHER_RULE_SQL,
+    )
+
+    conds = {
+        name: cond.format(**GOPHER_RULE_DEFAULTS)
+        for name, cond in GOPHER_RULE_SQL.items()
+    }
+    flags = ", ".join(
+        f"coalesce({c}, false) AS ok_{n}" for n, c in conds.items()
+    )
+
+    def rule_select(name: str) -> str:
+        others = " AND ".join(
+            f"ok_{o}" for o in GOPHER_RULE_SQL if o != name
+        )
+        return (
+            f"SELECT source, '{name}' AS rule, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            f"CAST(sum(CASE WHEN NOT ok_{name} THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_fail, "
+            f"CAST(sum(CASE WHEN NOT ok_{name} AND {others} THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_fail_only FROM r GROUP BY source"
+        )
+
+    return (
+        f"WITH gq AS MATERIALIZED ({_gopher_oracle_sql('source')}), "
+        f"r AS MATERIALIZED (SELECT source, {flags} FROM gq) "
+        + " UNION ALL ".join(rule_select(n) for n in GOPHER_RULE_SQL)
+    )
+
+
 def _q_corpus_domain_shift(spark, sf):
     """Per-source Jensen-Shannon divergence vs the corpus-wide unigram
     distribution over a 512-bucket hashed feature space — the
@@ -5736,6 +5819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_parse": _q_warc_parse,
         "multimodal_dedup_recall": _q_multimodal_dedup_recall,
         "pipeline_crawl_extract": _q_pipeline_crawl_extract,
+        "corpus_url_blocklist": _q_corpus_url_blocklist,
+        "corpus_filter_attribution": _q_corpus_filter_attribution,
         "text_oov_rate": _q_text_oov_rate,
         "text_char_entropy": _q_text_char_entropy,
         "join_bloom_prefilter": _q_join_bloom_prefilter,
@@ -6055,6 +6140,53 @@ def _html_extract_oracle_sql(tail: str | None = None) -> str:
     if tail is None:
         tail = "SELECT doc_id, content, n_blocks, n_kept FROM hx"
     return f"WITH {ctes} {tail}"
+
+
+def _gopher_oracle_sql(extra_cols: str = "") -> str:
+    """text_gopher's metric replay, with optional carried columns so
+    composition oracles (rule attribution) reuse the identical metric
+    expressions."""
+    extra = "".join(
+        ", " + c.strip() for c in extra_cols.split(",") if c.strip()
+    )
+    return (
+        f"WITH t AS (SELECT doc_id{extra}, text, {_TOKENS_SQL} AS toks, "
+            "list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lines "
+            "FROM documents) "
+            f"SELECT doc_id{extra}, CAST(len(toks) AS BIGINT) AS n_words, "
+            "CASE WHEN len(toks) > 0 THEN round(CAST(list_sum(list_transform(toks, "
+            "w -> length(w))) AS DOUBLE) / len(toks), 6) END AS mean_word_len, "
+            "CASE WHEN len(toks) > 0 THEN round(CAST(len(regexp_extract_all(text, '#')) "
+            "+ len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) / len(toks), 6) END "
+            "AS symbol_word_ratio, "
+            "CASE WHEN len(lines) > 0 THEN round(CAST(len(list_filter(lines, "
+            "x -> regexp_matches(trim(x), '^[-*•]'))) AS DOUBLE) / len(lines), 6) END "
+            "AS bullet_line_frac, "
+            "CASE WHEN len(lines) > 0 THEN round(CAST(len(list_filter(lines, "
+            "x -> regexp_matches(trim(x), '\\.\\.\\.$'))) AS DOUBLE) / len(lines), 6) END "
+            "AS ellipsis_line_frac, "
+            "CASE WHEN len(toks) > 0 THEN round(CAST(len(list_filter(toks, "
+            "w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(toks), 6) END "
+            "AS alpha_word_frac, "
+            "CAST(len(list_intersect(list_distinct(list_transform(toks, w -> lower(w))), "
+            "['the','be','to','of','and','that','have','with'])) "
+            "AS BIGINT) AS stop_word_hits, "
+            "coalesce(len(toks) BETWEEN 50 AND 100000 "
+            "AND (CASE WHEN len(toks) > 0 THEN round(CAST(list_sum(list_transform(toks, "
+            "w -> length(w))) AS DOUBLE) / len(toks), 6) END) BETWEEN 3.0 AND 10.0 "
+            "AND (CASE WHEN len(toks) > 0 THEN round(CAST(len(regexp_extract_all(text, '#')) "
+            "+ len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) / len(toks), 6) END) <= 0.1 "
+            "AND (CASE WHEN len(lines) > 0 THEN round(CAST(len(list_filter(lines, "
+            "x -> regexp_matches(trim(x), '^[-*•]'))) AS DOUBLE) / len(lines), 6) END) <= 0.9 "
+            "AND (CASE WHEN len(lines) > 0 THEN round(CAST(len(list_filter(lines, "
+            "x -> regexp_matches(trim(x), '\\.\\.\\.$'))) AS DOUBLE) / len(lines), 6) END) <= 0.3 "
+            "AND (CASE WHEN len(toks) > 0 THEN round(CAST(len(list_filter(toks, "
+            "w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(toks), 6) END) >= 0.8 "
+            "AND len(list_intersect(list_distinct(list_transform(toks, w -> lower(w))), "
+            "['the','be','to','of','and','that','have','with'])) >= 2, "
+            "false) AS passes_gopher "
+            "FROM t"
+    )
 
 
 def _langid_ctes(extra_cols: str = "") -> str:
@@ -7033,44 +7165,8 @@ def oracle_sql() -> dict[str, str]:
             "AS stopword_ratio FROM t"
         ),
         "text_langid": lang_case,
-        "text_gopher": (
-            f"WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks, "
-            "list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lines "
-            "FROM documents) "
-            "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words, "
-            "CASE WHEN len(toks) > 0 THEN round(CAST(list_sum(list_transform(toks, "
-            "w -> length(w))) AS DOUBLE) / len(toks), 6) END AS mean_word_len, "
-            "CASE WHEN len(toks) > 0 THEN round(CAST(len(regexp_extract_all(text, '#')) "
-            "+ len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) / len(toks), 6) END "
-            "AS symbol_word_ratio, "
-            "CASE WHEN len(lines) > 0 THEN round(CAST(len(list_filter(lines, "
-            "x -> regexp_matches(trim(x), '^[-*•]'))) AS DOUBLE) / len(lines), 6) END "
-            "AS bullet_line_frac, "
-            "CASE WHEN len(lines) > 0 THEN round(CAST(len(list_filter(lines, "
-            "x -> regexp_matches(trim(x), '\\.\\.\\.$'))) AS DOUBLE) / len(lines), 6) END "
-            "AS ellipsis_line_frac, "
-            "CASE WHEN len(toks) > 0 THEN round(CAST(len(list_filter(toks, "
-            "w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(toks), 6) END "
-            "AS alpha_word_frac, "
-            "CAST(len(list_intersect(list_distinct(list_transform(toks, w -> lower(w))), "
-            "['the','be','to','of','and','that','have','with'])) "
-            "AS BIGINT) AS stop_word_hits, "
-            "coalesce(len(toks) BETWEEN 50 AND 100000 "
-            "AND (CASE WHEN len(toks) > 0 THEN round(CAST(list_sum(list_transform(toks, "
-            "w -> length(w))) AS DOUBLE) / len(toks), 6) END) BETWEEN 3.0 AND 10.0 "
-            "AND (CASE WHEN len(toks) > 0 THEN round(CAST(len(regexp_extract_all(text, '#')) "
-            "+ len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) / len(toks), 6) END) <= 0.1 "
-            "AND (CASE WHEN len(lines) > 0 THEN round(CAST(len(list_filter(lines, "
-            "x -> regexp_matches(trim(x), '^[-*•]'))) AS DOUBLE) / len(lines), 6) END) <= 0.9 "
-            "AND (CASE WHEN len(lines) > 0 THEN round(CAST(len(list_filter(lines, "
-            "x -> regexp_matches(trim(x), '\\.\\.\\.$'))) AS DOUBLE) / len(lines), 6) END) <= 0.3 "
-            "AND (CASE WHEN len(toks) > 0 THEN round(CAST(len(list_filter(toks, "
-            "w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(toks), 6) END) >= 0.8 "
-            "AND len(list_intersect(list_distinct(list_transform(toks, w -> lower(w))), "
-            "['the','be','to','of','and','that','have','with'])) >= 2, "
-            "false) AS passes_gopher "
-            "FROM t"
-        ),
+        "text_gopher": _gopher_oracle_sql(),
+        "corpus_filter_attribution": _gopher_attribution_oracle_sql(),
         "kql_evaluate_python": (
             "SELECT event_id, round(value * 2.0 + event_id % 10, 6) AS score "
             "FROM events WHERE event_id < 3000"
@@ -8670,6 +8766,17 @@ def oracle_sql() -> dict[str, str]:
         "text_html_extract": _html_extract_oracle_sql(),
         "warc_parse": _warc_oracle_sql(),
         "multimodal_dedup_recall": _hamming_recall_oracle_sql(),
+        "corpus_url_blocklist": (
+            "WITH u AS (SELECT doc_id, 'https://www.' || source || "
+            "'.example.com/doc/' || doc_id AS url, "
+            "lower('www.' || source || '.example.com') AS host "
+            "FROM documents) SELECT doc_id, url FROM u WHERE NOT ("
+            + " OR ".join(
+                f"host = '{d}' OR suffix(host, '.{d}')"
+                for d in _URL_BLOCKLIST
+            )
+            + ")"
+        ),
         "pipeline_crawl_extract": _html_extract_oracle_sql(
             tail=(
                 "SELECT doc_id, content, CAST(len(list_filter("

@@ -89,6 +89,7 @@ HEADLINE = [
     "pipeline_quality_route",
     "text_unigram",
     "text_ccnet_buckets",
+    "text_langid",
     "dedup_semantic",
     "text_wordpiece",
     "contamination_bloom",
@@ -121,6 +122,8 @@ HEADLINE = [
     "warc_parse",
     "multimodal_dedup_recall",
     "pipeline_crawl_extract",
+    "corpus_url_blocklist",
+    "corpus_filter_attribution",
     "text_oov_rate",
     "text_char_entropy",
     "join_bloom_prefilter",

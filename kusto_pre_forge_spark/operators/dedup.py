@@ -1891,7 +1891,9 @@ def lsh_candidate_recall(
         df, text_col, id_col, shingle_n=shingle_n, threshold=threshold
     ).select("id_a", "id_b")
     base = _mh_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
-    banded = _mh_band_keys(base, bands, num_hashes // bands)
+    # both self-join sides read the band keys; unpinned, the shingle +
+    # 64-hash signature pipeline would run once PER SIDE
+    banded = pin(_mh_band_keys(base, bands, num_hashes // bands))
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(

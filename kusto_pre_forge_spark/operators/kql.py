@@ -2556,9 +2556,14 @@ def autocluster(
                     *proj,
                 )
             )
+    from kusto_pre_forge_spark.pinning import pin as _pin
+
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    # the self-join below reads `out` from BOTH sides — pin it so the
+    # per-size corpus aggregates it unions run once, not twice
+    out = _pin(out)
     # Rank by (n_rows desc, size asc, pattern asc) WITHOUT a global window:
     # even over bounded aggregate rows, a row_number() window plans an
     # Exchange SinglePartition, and the repo's plan-shape guard

@@ -1405,3 +1405,75 @@ def html_extract(
         F.col("_h")["n_blocks"].alias("n_blocks"),
         F.col("_h")["n_kept"].alias("n_kept"),
     )
+
+
+# --- URL host / domain blocklist (crawl hygiene) -----------------------------
+
+def url_host(col: Column | str) -> Column:
+    """Lowercased host of a URL (codegen regex — no java.net.URI edge
+    cases on crawl-grade malformed input; absent host → NULL)."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    h = F.lower(F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+    return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host, most-specific first —
+    'a.b.example.com' → [a.b.example.com, b.example.com, example.com,
+    com]. Array HOF over the label array (no explode); the shape that
+    makes subdomain-inclusive blocklist matching one arrays-overlap /
+    one exploded broadcast join."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    url_col: str,
+    blocklist: DataFrame,
+    domain_col: str = "domain",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Drop rows whose URL host matches a blocked domain AT ANY LABEL
+    DEPTH ('example.com' blocks 'www.sub.example.com' — the standard
+    crawl-blocklist semantics; Gopher App. A and C4 both apply a URL
+    blocklist before any text filter).
+
+    Plan: hosts explode into their ≤ ~6 dot-suffixes, the blocklist —
+    curation lists are thousands of rows, never corpus-sized —
+    BROADCASTS, and matched ids feed one broadcast left-anti join back.
+    Nothing shuffles the corpus; rows with NULL/absent hosts are kept
+    (no URL ≠ blocked). ``keep_col`` flags instead of filtering.
+    """
+    ids = df.select(F.col(url_col)).withColumn(
+        "_kpf_host", url_host(F.col(url_col))
+    )
+    sufs = ids.filter(F.col("_kpf_host").isNotNull()).select(
+        F.col(url_col),
+        F.explode(host_suffixes(F.col("_kpf_host"))).alias("_kpf_suf"),
+    )
+    blocked = (
+        sufs.join(
+            F.broadcast(
+                blocklist.select(
+                    F.lower(F.col(domain_col)).alias("_kpf_suf")
+                ).distinct()
+            ),
+            "_kpf_suf",
+            "left_semi",
+        )
+        .select(url_col)
+        .distinct()
+    )
+    if keep_col is not None:
+        hit = blocked.withColumn("_kpf_blocked", F.lit(True))
+        return (
+            df.join(F.broadcast(hit), url_col, "left_outer")
+            .withColumn(keep_col, F.col("_kpf_blocked").isNull())
+            .drop("_kpf_blocked")
+        )
+    return df.join(F.broadcast(blocked), url_col, "left_anti")

@@ -431,47 +431,55 @@ def _langid_batch(texts) -> list:
     lat_langs, lat_codes, lat_W = _compile_family(LANG_TRIGRAMS)
     cyr_langs, cyr_codes, cyr_W = _compile_family(CYRILLIC_TRIGRAMS)
 
-    def family_pick(text, langs, codes, W, charclass):
-        s = _family_scores([_norm_py(text, charclass)], codes, W)[0]
-        best = int(np.max(s))
-        if best <= 0:
-            return "und"
-        # langs is sorted, so the FIRST index at the max is the
-        # alphabetical tie-break
-        return langs[int(np.argmax(s == best))]
-
-    out = []
-    for i, text in enumerate(texts):
+    # resolve every row's gate first, then batch-score each trigram
+    # family ONCE over exactly the rows it gates to — no per-row numpy
+    # calls (the whole point of the vectorized scorer)
+    gates = []
+    for i in range(len(texts)):
         t = int(total[i])
         if t == 0:
-            out.append("und")
+            gates.append("und")
         elif kana[i] >= 1 and 2 * (kana[i] + sc["han"][i]) >= t:
-            out.append("ja")
+            gates.append("ja")
         elif 2 * sc["hangul"][i] >= t:
-            out.append("ko")
+            gates.append("ko")
         elif 2 * sc["han"][i] >= t:
-            out.append("zh")
+            gates.append("zh")
         elif 2 * sc["cyrillic"][i] >= t:
-            out.append(
-                family_pick(text, cyr_langs, cyr_codes, cyr_W,
-                            CYRILLIC_CHARCLASS)
-            )
+            gates.append("_cyr")
         else:
-            direct = next(
-                (
-                    lang
-                    for fam, lang in SCRIPT_DIRECT_LANGS
-                    if 2 * sc[fam][i] >= t
-                ),
-                None,
-            )
-            out.append(
-                direct
-                if direct is not None
-                else family_pick(
-                    text, lat_langs, lat_codes, lat_W, LANGID_CHARCLASS
+            gates.append(
+                next(
+                    (
+                        lang
+                        for fam, lang in SCRIPT_DIRECT_LANGS
+                        if 2 * sc[fam][i] >= t
+                    ),
+                    "_lat",
                 )
             )
+
+    def batch_pick(idx, langs, codes, W, charclass):
+        norm = [_norm_py(texts[i], charclass) for i in idx]
+        m = _family_scores(norm, codes, W)
+        best = m.max(axis=1)
+        # langs is sorted, so the FIRST argmax is the alphabetical
+        # tie-break; zero evidence → 'und'
+        win = np.argmax(m == best[:, None], axis=1)
+        return [
+            langs[int(w)] if int(b) > 0 else "und"
+            for w, b in zip(win, best)
+        ]
+
+    out = list(gates)
+    for tag, (langs, codes, W, cls) in {
+        "_lat": (lat_langs, lat_codes, lat_W, LANGID_CHARCLASS),
+        "_cyr": (cyr_langs, cyr_codes, cyr_W, CYRILLIC_CHARCLASS),
+    }.items():
+        idx = [i for i, g in enumerate(gates) if g == tag]
+        if idx:
+            for i, lang in zip(idx, batch_pick(idx, langs, codes, W, cls)):
+                out[i] = lang
     return out
 
 
@@ -860,6 +868,7 @@ def gopher_quality(
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_stop_word_hits: int = 2,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """The Gopher document-quality rules (Rae et al. 2021, Appendix A1.1)
     as one codegen scan projection — the standard pre-training corpus
@@ -923,6 +932,7 @@ def gopher_quality(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         n_words.cast("long").alias("n_words"),
         mean_wl.alias("mean_word_len"),
         symbol_ratio.alias("symbol_word_ratio"),
@@ -931,6 +941,98 @@ def gopher_quality(
         alpha_frac.alias("alpha_word_frac"),
         stop_hits.cast("long").alias("stop_word_hits"),
         F.coalesce(passes, F.lit(False)).alias("passes_gopher"),
+    )
+
+
+#: per-rule pass conditions over gopher_quality's OUTPUT columns. These
+#: snippets are valid in BOTH Spark SQL and DuckDB — the attribution
+#: operator evaluates them via F.expr and the oracle generator embeds the
+#: identical strings, so the rule definitions cannot drift between engines.
+GOPHER_RULE_SQL: dict[str, str] = {
+    "words": "n_words >= {min_words} AND n_words <= {max_words}",
+    "mean_word_len": (
+        "mean_word_len >= {min_mean_word_len} "
+        "AND mean_word_len <= {max_mean_word_len}"
+    ),
+    "symbol_ratio": "symbol_word_ratio <= {max_symbol_word_ratio}",
+    "bullet_lines": "bullet_line_frac <= {max_bullet_line_frac}",
+    "ellipsis_lines": "ellipsis_line_frac <= {max_ellipsis_line_frac}",
+    "alpha_words": "alpha_word_frac >= {min_alpha_word_frac}",
+    "stop_words": "stop_word_hits >= {min_stop_word_hits}",
+}
+
+GOPHER_RULE_DEFAULTS: dict[str, float] = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+    "min_stop_word_hits": 2,
+}
+
+
+def gopher_rule_attribution(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    **thresholds,
+) -> DataFrame:
+    """Which rule is doing the filtering, per source — the calibration
+    number a team reads BEFORE committing a 100 TB Gopher pass: a rule
+    that fails 40 % of one source is either a miscalibrated threshold or
+    a genuinely bad source, and ``n_fail_only`` (docs failing THIS rule
+    and no other) is the marginal cost of keeping it.
+
+    Returns one row per (group, rule): (group, rule, n_docs, n_fail,
+    n_fail_only). Plan: the gopher metric scan (one codegen projection),
+    a 7-struct array explode (rules × docs rows, map-side combined), one
+    aggregate — nothing corpus-sized shuffles beyond the |groups|×7
+    result. Rule conditions come from GOPHER_RULE_SQL, the same strings
+    the oracle embeds."""
+    th = {**GOPHER_RULE_DEFAULTS, **thresholds}
+    g = gopher_quality(
+        df,
+        text_col,
+        id_col,
+        carry_cols=(group_col,),
+        **{
+            k: th[k]
+            for k in (
+                "min_words", "max_words", "min_mean_word_len",
+                "max_mean_word_len", "max_symbol_word_ratio",
+                "max_bullet_line_frac", "max_ellipsis_line_frac",
+                "min_alpha_word_frac", "min_stop_word_hits",
+            )
+        },
+    )
+    ok = {
+        name: F.coalesce(F.expr(cond.format(**th)), F.lit(False))
+        for name, cond in GOPHER_RULE_SQL.items()
+    }
+    items = []
+    for name in GOPHER_RULE_SQL:
+        others = [ok[o] for o in GOPHER_RULE_SQL if o != name]
+        all_others = others[0]
+        for o in others[1:]:
+            all_others = all_others & o
+        items.append(
+            F.struct(
+                F.lit(name).alias("rule"),
+                (~ok[name]).cast("int").alias("fail"),
+                ((~ok[name]) & all_others).cast("int").alias("fail_only"),
+            )
+        )
+    long = g.select(
+        F.col(group_col).alias("grp"), F.explode(F.array(*items)).alias("x")
+    ).select("grp", "x.rule", "x.fail", "x.fail_only")
+    return long.groupBy("grp", "rule").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("fail").cast("long").alias("n_fail"),
+        F.sum("fail_only").cast("long").alias("n_fail_only"),
     )
 
 

@@ -66,6 +66,30 @@ class StreamingEtl:
     def _source(self) -> DataFrame:
         from pyspark.sql import types as T
 
+        if self.fmt == "warc":
+            # WARC landing blobs (crawler output dropped into the landing
+            # dir): binaryFile is a streaming-capable file source, and the
+            # record decode is the same pure map stage the batch reader
+            # uses — the declared self.schema is ignored (WARC rows have
+            # the fixed sources.warc.WARC_DDL shape, lineage included)
+            from kusto_pre_forge_spark.sources.warc import parse_warc_blobs
+
+            # streaming file sources need an explicit schema — binaryFile's
+            # is fixed by the format
+            breader = (
+                self.spark.readStream.format("binaryFile")
+                .schema(
+                    "path string, modificationTime timestamp, "
+                    "length long, content binary"
+                )
+                .option("pathGlobFilter", "*.warc*")
+            )
+            if self.max_files_per_trigger:
+                breader = breader.option(
+                    "maxFilesPerTrigger", self.max_files_per_trigger
+                )
+            return parse_warc_blobs(breader.load(self.landing_dir))
+
         schema = self.schema
         if self.fmt == "text":
             # the text source has exactly one string column regardless of
@@ -463,6 +487,69 @@ class StreamingEtl:
                 text_col,
                 id_col,
                 **dsir_kwargs,
+            )
+
+        return self._start(process, trigger_seconds, available_now)
+
+    def blocklist_ingest_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        corpus_dir: str,
+        blocklist: DataFrame,
+        url_col: str = "url",
+        id_col: str = "doc_id",
+        domain_col: str = "domain",
+    ) -> int:
+        """One micro-batch of URL-blocklist-gated ingestion: landed
+        documents whose URL host matches a blocked domain at ANY label
+        depth are refused at the door (the crawl-hygiene gate C4/Gopher
+        apply before any text filter — cheapest first). Like the DSIR
+        admission, the decision is a PURE function of the document and
+        the FROZEN blocklist — no corpus read per batch, so crash replay
+        reproduces the accept set by construction; batch-partitioned
+        dynamic-overwrite store write like every admission path."""
+        from kusto_pre_forge_spark.operators.textprep import (
+            domain_blocklist_filter,
+        )
+
+        batch = batch_df.drop("_kpf_source").dropDuplicates([id_col])
+        if not batch.head(1):
+            return 0
+        accepted = domain_blocklist_filter(
+            batch, url_col, blocklist, domain_col=domain_col
+        ).withColumn("_kpf_batch", F.lit(batch_id))
+        (
+            accepted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_kpf_batch")
+            .parquet(corpus_dir)
+        )
+        return (
+            self.spark.read.parquet(corpus_dir)
+            .filter(F.col("_kpf_batch") == batch_id)
+            .count()
+        )
+
+    def start_blocklist_ingest(
+        self,
+        corpus_dir: str,
+        blocklist: DataFrame,
+        url_col: str = "url",
+        id_col: str = "doc_id",
+        trigger_seconds: int | None = 60,
+        available_now: bool = False,
+        **kwargs,
+    ) -> StreamingQuery:
+        """Continuous URL-blocklist admission: every micro-batch of
+        landed documents passes the suffix-at-label-boundary domain gate
+        before entering the corpus store. Effectively-once across
+        crashes via :meth:`blocklist_ingest_batch`."""
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            self.blocklist_ingest_batch(
+                batch_df, batch_id, corpus_dir, blocklist, url_col,
+                id_col, **kwargs,
             )
 
         return self._start(process, trigger_seconds, available_now)

@@ -709,3 +709,60 @@ def test_streaming_dsir_ingest_filters_by_importance(spark, tmp_path):
         for r in spark.read.parquet(corpus_dir).collect()
     )
     assert after == before
+
+
+def test_streaming_blocklist_ingest(spark, tmp_path):
+    """URL-blocklist admission at the door: docs whose URL host matches
+    a frozen blocked domain at any subdomain depth are refused; batch
+    replay is a bit-exact no-op (pure per-doc decision)."""
+    import csv as _csv
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+        ]
+    )
+    waves = [
+        [(1, "https://www.spam.example.com/a"), (2, "https://good.org/b")],
+        [(3, "https://spam.example.com/c"), (4, "https://also.fine.net/d")],
+    ]
+    land = tmp_path / "bl_landing"
+    land.mkdir()
+    corpus_dir = str(tmp_path / "bl_corpus")
+    etl = StreamingEtl(
+        spark,
+        str(land),
+        str(tmp_path / "ckpt_bl"),
+        str(tmp_path / "out_unused3"),
+        schema,
+        fmt="csv",
+        csv_headers=False,
+        max_files_per_trigger=1,
+    )
+    now = time.time()
+    for i, wave in enumerate(waves):
+        p = land / f"wave{i}.csv"
+        with open(p, "w", newline="") as f:
+            _csv.writer(f).writerows(wave)
+        _os.utime(p, (now + i * 10, now + i * 10))
+    bl = spark.createDataFrame([("spam.example.com",)], "domain string")
+    q = etl.start_blocklist_ingest(
+        corpus_dir, bl, trigger_seconds=None, available_now=True
+    )
+    _drain(q)
+    stored = spark.read.parquet(corpus_dir)
+    assert {r.doc_id for r in stored.collect()} == {2, 4}
+    # replay wave 1: identical store afterwards
+    before = sorted((r.doc_id, r._kpf_batch) for r in stored.collect())
+    wave1 = spark.createDataFrame(waves[1], schema)
+    bid = next(r._kpf_batch for r in stored.collect() if r.doc_id == 4)
+    etl.blocklist_ingest_batch(wave1, bid, corpus_dir, bl)
+    after = sorted(
+        (r.doc_id, r._kpf_batch)
+        for r in spark.read.parquet(corpus_dir).collect()
+    )
+    assert after == before

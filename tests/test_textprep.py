@@ -590,3 +590,53 @@ def test_html_extract_link_density_boundary(spark):
     r = tp.html_extract(df, "html", "doc_id").first()
     assert r.content == "plain body text with six words here"
     assert r.n_kept == 1 and r.n_blocks == 2
+
+
+def test_domain_blocklist_filter_label_boundary(spark):
+    """Blocking 'example.com' must drop any-depth subdomains but NOT
+    'notexample.com' (label-boundary, not substring); NULL/absent hosts
+    are kept; flag mode marks instead of dropping."""
+    from kusto_pre_forge_spark.operators import textprep as tp
+
+    rows = [
+        (1, "https://example.com/x"),
+        (2, "https://www.sub.example.com/y"),
+        (3, "https://notexample.com/z"),
+        (4, "https://good.org/w"),
+        (5, "no scheme here"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    bl = spark.createDataFrame([("EXAMPLE.com",)], "domain string")
+    kept = {r.id for r in tp.domain_blocklist_filter(df, "url", bl).collect()}
+    assert kept == {3, 4, 5, 6}
+    flagged = {
+        r.id: r.keep
+        for r in tp.domain_blocklist_filter(
+            df, "url", bl, keep_col="keep"
+        ).collect()
+    }
+    assert flagged == {1: False, 2: False, 3: True, 4: True, 5: True, 6: True}
+    # plan posture: every join is a broadcast - the corpus never shuffles
+    plan = (
+        tp.domain_blocklist_filter(df, "url", bl)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_url_host_and_suffixes(spark):
+    from pyspark.sql import functions as F
+
+    from kusto_pre_forge_spark.operators import textprep as tp
+
+    df = spark.createDataFrame(
+        [(1, "HTTPS://A.B.Example.COM:8080/p?q=1")], "id long, url string"
+    )
+    r = df.select(
+        tp.url_host("url").alias("h"),
+        tp.host_suffixes(tp.url_host("url")).alias("s"),
+    ).first()
+    assert r.h == "a.b.example.com"
+    assert r.s == ["a.b.example.com", "b.example.com", "example.com", "com"]

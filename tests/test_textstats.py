@@ -387,3 +387,31 @@ def test_lang_id_mixed_script_majority(spark):
     out = {r.id: r.got for r in df.select(
         "id", textstats.lang_id("t").alias("got")).collect()}
     assert out == {1: "en", 2: "ja"}
+
+
+def test_gopher_rule_attribution_hand_counts(spark):
+    """fail vs fail_only on a hand-built corpus: one doc failing ONLY
+    the word floor, one failing everything, one clean."""
+    from kusto_pre_forge_spark.operators import textstats as ts
+
+    good = ("the quick brown fox jumps with " * 12).strip()  # 72 words
+    short = "the fox and that dog have been here with all of the others"
+    junk = "### ### ### ### ###"
+    df = spark.createDataFrame(
+        [(1, good, "a"), (2, short, "a"), (3, junk, "b")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r.grp, r.rule): r
+        for r in ts.gopher_rule_attribution(df).collect()
+    }
+    assert len(out) == 2 * 7  # groups x rules
+    # source a: the short doc fails ONLY the word floor
+    r = out[("a", "words")]
+    assert (r.n_docs, r.n_fail, r.n_fail_only) == (2, 1, 1)
+    assert out[("a", "symbol_ratio")].n_fail == 0
+    # source b: junk fails words AND symbol AND alpha AND stop-words ->
+    # nothing is a sole cause
+    assert out[("b", "words")].n_fail == 1
+    assert out[("b", "words")].n_fail_only == 0
+    assert out[("b", "alpha_words")].n_fail == 1

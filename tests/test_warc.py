@@ -119,3 +119,38 @@ def test_warc_composes_with_html_extract(spark, tmp_path):
     ).first()
     assert out.content == "six plain words of body text here"
     assert out.n_kept == 1
+
+
+def test_warc_streaming_landing(spark, tmp_path):
+    """WARC blobs dropped into a streaming landing dir parse through the
+    same pure map stage as the batch reader (binaryFile is a
+    streaming-capable source)."""
+    from kusto_pre_forge_spark.streaming.ingest import StreamingEtl
+
+    land = tmp_path / "warc_landing"
+    land.mkdir()
+    for i, gz in enumerate((False, True)):
+        name = f"crawl{i}.warc" + (".gz" if gz else "")
+        (land / name).write_bytes(W.write_warc(_fixture_records(), gz))
+    etl = StreamingEtl(
+        spark,
+        str(land),
+        str(tmp_path / "ckpt_warc"),
+        str(tmp_path / "out_warc"),
+        schema=None,
+        fmt="warc",
+        max_files_per_trigger=1,
+    )
+    q = (
+        etl._source()
+        .writeStream.format("memory")
+        .queryName("warc_mem")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_warc"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM warc_mem").collect()
+    assert len(rows) == 4  # 2 responses x 2 files
+    assert {r.warc_type for r in rows} == {"response"}
+    assert all(r._kpf_source for r in rows)
