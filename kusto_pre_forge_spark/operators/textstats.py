@@ -170,6 +170,13 @@ LANG_TRIGRAMS: dict[str, list[str]] = {
         "le ", "sen", " se", "iin", " tu", "taa", "aa ", "ten", "nen",
         "ine", "ais", "uks", " pä",
     ],
+    "vi": [
+        " và", "và ", " củ", "của", "ủa ", " là", "là ", " có", "có ",
+        " kh", "khô", "hôn", "ông", "ng ", " ng", "ngư", "gườ", "ười",
+        "ời ", " tr", "tro", "ron", "ong", " đư", "đượ", "ược", "ợc ",
+        " mộ", "một", "ột ", " nh", "như", "ững", " nà", "này", "ày ",
+        " ch", "cho", "ho ", " đã",
+    ],
 }
 
 #: Cyrillic-script trigram profiles — scored only when the script gate
@@ -198,6 +205,8 @@ CYRILLIC_TRIGRAMS: dict[str, list[str]] = {
 LANGID_CHARCLASS = (
     "a-zàáâäãåæçèéêëìíîïñòóôöõøùúûüýß"
     "ąćęłńśźżčďěňřšťůžășțşţğıőű"
+    # Vietnamese: horn vowels ơ/ư, breve ă, đ, and the tone-marked set
+    "ơưăđạảắằẳẵặấầẩẫậẹẻẽếềểễệỉịọỏốồổỗộớờởỡợụủứừửữựỳỵỷỹ"
 )
 CYRILLIC_CHARCLASS = "а-яёіїєґ"
 
@@ -507,7 +516,7 @@ def lang_scores(col: Column | str, profiles: dict[str, list[str]] | None = None)
 
 
 def lang_id(col: Column | str) -> Column:
-    """Language label over 24 languages: a script gate (codepoint-range
+    """Language label over 25 languages: a script gate (codepoint-range
     majority over SCRIPT_RANGES) routes each row to its profile family —
     Latin rows score the 16 Latin trigram profiles, Cyrillic rows the
     ru/uk profiles, and block-exclusive scripts label directly (ja via

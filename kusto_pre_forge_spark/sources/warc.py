@@ -238,7 +238,8 @@ def warc_record_bytes(
 def write_warc(records, gzip_per_record: bool = False) -> bytes:
     """Concatenate forged records into one WARC blob; with
     ``gzip_per_record`` each record becomes its own gzip member (the
-    Common Crawl convention)."""
+    Common Crawl convention). Level 1: fixture forging is CPU-bound on
+    compression and the reader must handle any valid member anyway."""
     if gzip_per_record:
-        return b"".join(gzip.compress(r) for r in records)
+        return b"".join(gzip.compress(r, compresslevel=1) for r in records)
     return b"".join(records)

@@ -322,7 +322,7 @@ def test_char_entropy_known_values(spark):
 
 def test_lang_id_sixteen_latin_languages(spark):
     """One clearly-in-language sentence per Latin-script profile — each
-    must win against the other 15."""
+    must win against all the others."""
     fixtures = {
         "en": "the quick brown fox is jumping over the lazy dog with all things",
         "de": "der schnelle braune fuchs ist über den faulen hund gesprungen und die geschichte",
@@ -340,6 +340,7 @@ def test_lang_id_sixteen_latin_languages(spark):
         "id": "ini adalah salah satu hal terbesar yang pernah kami lihat dan akan menjadi",
         "hu": "ez az egyik legnagyobb dolog amit valaha láttunk és ez meg fog történni",
         "fi": "se on yksi suurimmista asioista joita olemme koskaan nähneet ja se on",
+        "vi": "đây là một trong những điều tuyệt vời nhất mà chúng tôi từng thấy và của người này",
     }
     df = spark.createDataFrame(
         [(k, v) for k, v in fixtures.items()], ["want", "t"]

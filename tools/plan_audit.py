@@ -118,7 +118,7 @@ AUDITED = [
     ("warc_parse", "WARC roundtrip: two pure mapInPandas stages, per-blob record decode, zero exchanges"),
     ("multimodal_dedup_recall", "pHash banding recall harness: pinned all-pairs frame, one aggregate per variant"),
     ("pipeline_crawl_extract", "crawl pipeline end-to-end: two mapInPandas map stages + one codegen projection, zero exchanges"),
-    ("text_langid", "script-gated 24-language ID: one Arrow scan stage + map-side-combined histogram, cost linear in text bytes"),
+    ("text_langid", "script-gated 25-language ID: one Arrow scan stage + map-side-combined histogram, cost linear in text bytes"),
     ("corpus_url_blocklist", "URL blocklist: suffix explode + two broadcast joins, corpus never shuffles"),
     ("corpus_filter_attribution", "gopher rule attribution: one metric scan + 7-struct explode + map-side-combined aggregate"),
     ("text_oov_rate", "explode + broadcast vocab join + one map-side-combined per-doc aggregate"),
