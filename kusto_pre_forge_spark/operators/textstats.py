@@ -498,7 +498,9 @@ def lang_scores(col: Column | str, profiles: dict[str, list[str]] | None = None)
     trigram in the normalized text (the Cavnar–Trenkle statistic — every
     position votes). Arrow-batched vectorized scorer: one searchsorted
     over compiled trigram codes per batch, cost linear in text length
-    and independent of how many profiles are loaded."""
+    and independent of how many profiles are loaded. Custom ``profiles``
+    score against the LATIN normalizer (LANGID_CHARCLASS): grams using
+    characters outside that alphabet can never match."""
     profiles = dict(profiles or LANG_TRIGRAMS)
     langs, codes, W = _compile_family(profiles)
 

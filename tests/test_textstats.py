@@ -320,7 +320,7 @@ def test_char_entropy_known_values(spark):
     assert got[4] == 0.0                       # empty -> 0, not NULL
 
 
-def test_lang_id_sixteen_latin_languages(spark):
+def test_lang_id_latin_family_languages(spark):
     """One clearly-in-language sentence per Latin-script profile — each
     must win against all the others."""
     fixtures = {
