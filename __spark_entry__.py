@@ -2373,6 +2373,52 @@ def _q_corpus_filter_attribution(spark, sf):
     )
 
 
+def _q_corpus_c4_attribution(spark, sf):
+    """Per-(source, rule) C4 filter attribution — the gopher
+    attribution's twin over the other standard filter stack; same
+    engine-shared rule strings (C4_RULE_SQL), same one-scan plan."""
+    from kusto_pre_forge_spark.operators import textstats as ts
+
+    d = load_table(spark, sf, "documents")
+    return ts.c4_rule_attribution(d, "text", "doc_id", "source").select(
+        F.col("grp").alias("source"), "rule", "n_docs", "n_fail",
+        "n_fail_only",
+    )
+
+
+def _c4_attribution_oracle_sql() -> str:
+    """Replay of corpus_c4_attribution: the c4 rule chain (shared
+    generator, source carried) wrapped in per-rule pass flags — the
+    SAME condition strings the Spark side evaluates — then one
+    UNION-ALL long-format aggregate per rule."""
+    from kusto_pre_forge_spark.operators.textstats import C4_RULE_SQL
+
+    conds = {
+        name: cond.format(min_sentences=3)
+        for name, cond in C4_RULE_SQL.items()
+    }
+    flags = ", ".join(
+        f"coalesce({c}, false) AS ok_{n}" for n, c in conds.items()
+    )
+
+    def rule_select(name: str) -> str:
+        others = " AND ".join(f"ok_{o}" for o in C4_RULE_SQL if o != name)
+        return (
+            f"SELECT source, '{name}' AS rule, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            f"CAST(sum(CASE WHEN NOT ok_{name} THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_fail, "
+            f"CAST(sum(CASE WHEN NOT ok_{name} AND {others} THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_fail_only FROM r GROUP BY source"
+        )
+
+    return (
+        f"WITH cq AS MATERIALIZED ({_c4_oracle_sql('source')}), "
+        f"r AS MATERIALIZED (SELECT source, {flags} FROM cq) "
+        + " UNION ALL ".join(rule_select(n) for n in C4_RULE_SQL)
+    )
+
+
 def _gopher_attribution_oracle_sql() -> str:
     """Replay of corpus_filter_attribution: the gopher metric chain
     (shared generator, source carried) wrapped in per-rule pass flags —
@@ -5821,6 +5867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_crawl_extract": _q_pipeline_crawl_extract,
         "corpus_url_blocklist": _q_corpus_url_blocklist,
         "corpus_filter_attribution": _q_corpus_filter_attribution,
+        "corpus_c4_attribution": _q_corpus_c4_attribution,
         "text_oov_rate": _q_text_oov_rate,
         "text_char_entropy": _q_text_char_entropy,
         "join_bloom_prefilter": _q_join_bloom_prefilter,
@@ -6140,6 +6187,35 @@ def _html_extract_oracle_sql(tail: str | None = None) -> str:
     if tail is None:
         tail = "SELECT doc_id, content, n_blocks, n_kept FROM hx"
     return f"WITH {ctes} {tail}"
+
+
+def _c4_oracle_sql(extra_cols: str = "") -> str:
+    """text_c4's rule replay, with optional carried columns so the
+    C4 rule-attribution oracle reuses the identical expressions."""
+    extra = "".join(
+        ", " + c.strip() for c in extra_cols.split(",") if c.strip()
+    )
+    return (
+        f"WITH t AS (SELECT doc_id{extra}, text, "
+            "list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lines "
+            "FROM documents), "
+            f"k AS (SELECT doc_id{extra}, text, lines, list_filter(lines, x -> "
+            "regexp_matches(trim(x), '[.!?\"]$') "
+            "AND len(list_filter(string_split_regex(trim(x), '\\s+'), w -> w != '')) >= 3 "
+            "AND NOT contains(lower(trim(x)), 'javascript') "
+            "AND NOT contains(trim(x), '{')) AS kept FROM t) "
+            f"SELECT doc_id{extra}, CAST(len(lines) AS BIGINT) AS n_lines, "
+            "CAST(len(kept) AS BIGINT) AS n_kept_lines, "
+            "CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentences, "
+            "contains(lower(text), 'lorem ipsum') AS has_lorem, "
+            "contains(text, '{') AS has_brace, "
+            "(NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{') "
+            "AND len(regexp_extract_all(text, '[.!?]')) >= 3 AND len(kept) >= 1) "
+            "AS passes_c4, "
+            "coalesce(list_aggregate(list_transform(kept, x -> trim(x)), "
+            "'string_agg', chr(10)), '') AS cleaned_text "
+            "FROM k"
+    )
 
 
 def _gopher_oracle_sql(extra_cols: str = "") -> str:
@@ -7167,6 +7243,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": lang_case,
         "text_gopher": _gopher_oracle_sql(),
         "corpus_filter_attribution": _gopher_attribution_oracle_sql(),
+        "corpus_c4_attribution": _c4_attribution_oracle_sql(),
         "kql_evaluate_python": (
             "SELECT event_id, round(value * 2.0 + event_id % 10, 6) AS score "
             "FROM events WHERE event_id < 3000"
@@ -7396,27 +7473,7 @@ def oracle_sql() -> dict[str, str]:
             "min(concat('/p/', CAST(event_id % 97 AS VARCHAR))) AS first_uri "
             "FROM events WHERE event_id < 5000 GROUP BY 1, 2"
         ),
-        "text_c4": (
-            "WITH t AS (SELECT doc_id, text, "
-            "list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lines "
-            "FROM documents), "
-            "k AS (SELECT doc_id, text, lines, list_filter(lines, x -> "
-            "regexp_matches(trim(x), '[.!?\"]$') "
-            "AND len(list_filter(string_split_regex(trim(x), '\\s+'), w -> w != '')) >= 3 "
-            "AND NOT contains(lower(trim(x)), 'javascript') "
-            "AND NOT contains(trim(x), '{')) AS kept FROM t) "
-            "SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, "
-            "CAST(len(kept) AS BIGINT) AS n_kept_lines, "
-            "CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentences, "
-            "contains(lower(text), 'lorem ipsum') AS has_lorem, "
-            "contains(text, '{') AS has_brace, "
-            "(NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{') "
-            "AND len(regexp_extract_all(text, '[.!?]')) >= 3 AND len(kept) >= 1) "
-            "AS passes_c4, "
-            "coalesce(list_aggregate(list_transform(kept, x -> trim(x)), "
-            "'string_agg', chr(10)), '') AS cleaned_text "
-            "FROM k"
-        ),
+        "text_c4": _c4_oracle_sql(),
         "text_fingerprint": fingerprint,
         "multimodal_meta": (
             "SELECT doc_id, sha256(text) AS content_sha, "

@@ -124,6 +124,7 @@ HEADLINE = [
     "pipeline_crawl_extract",
     "corpus_url_blocklist",
     "corpus_filter_attribution",
+    "corpus_c4_attribution",
     "text_oov_rate",
     "text_char_entropy",
     "join_bloom_prefilter",

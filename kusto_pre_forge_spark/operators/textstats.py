@@ -1053,6 +1053,7 @@ def c4_filters(
     id_col: str = "doc_id",
     min_line_words: int = 3,
     min_sentences: int = 3,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """The C4 cleaning rules (Raffel et al. 2020, §2.2) as one codegen
     scan projection: keep lines that end in terminal punctuation and
@@ -1091,6 +1092,7 @@ def c4_filters(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.size(lines).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept_lines"),
         n_sentences.cast("long").alias("n_sentences"),
@@ -1098,6 +1100,66 @@ def c4_filters(
         has_brace.alias("has_brace"),
         passes.alias("passes_c4"),
         F.array_join(F.transform(kept, F.trim), "\n").alias("cleaned_text"),
+    )
+
+
+#: per-rule pass conditions over c4_filters' OUTPUT columns — the same
+#: engine-shared-SQL-string contract as GOPHER_RULE_SQL.
+C4_RULE_SQL: dict[str, str] = {
+    "no_lorem": "NOT has_lorem",
+    "no_brace": "NOT has_brace",
+    "min_sentences": "n_sentences >= {min_sentences}",
+    "kept_lines": "n_kept_lines >= 1",
+}
+
+
+def c4_rule_attribution(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    min_line_words: int = 3,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """:func:`gopher_rule_attribution`'s C4 twin: per (group, rule)
+    n_fail and n_fail_only over the four C4 document-level rules — the
+    calibration read for the OTHER standard filter stack. Same plan
+    shape (one rule-flag scan + a 4-struct explode + one map-side-
+    combined aggregate) and the same engine-shared condition strings
+    (C4_RULE_SQL via F.expr / embedded in the oracle)."""
+    th = {"min_sentences": int(min_sentences)}
+    g = c4_filters(
+        df,
+        text_col,
+        id_col,
+        min_line_words=min_line_words,
+        min_sentences=min_sentences,
+        carry_cols=(group_col,),
+    )
+    ok = {
+        name: F.coalesce(F.expr(cond.format(**th)), F.lit(False))
+        for name, cond in C4_RULE_SQL.items()
+    }
+    items = []
+    for name in C4_RULE_SQL:
+        others = [ok[o] for o in C4_RULE_SQL if o != name]
+        all_others = others[0]
+        for o in others[1:]:
+            all_others = all_others & o
+        items.append(
+            F.struct(
+                F.lit(name).alias("rule"),
+                (~ok[name]).cast("int").alias("fail"),
+                ((~ok[name]) & all_others).cast("int").alias("fail_only"),
+            )
+        )
+    long = g.select(
+        F.col(group_col).alias("grp"), F.explode(F.array(*items)).alias("x")
+    ).select("grp", "x.rule", "x.fail", "x.fail_only")
+    return long.groupBy("grp", "rule").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("fail").cast("long").alias("n_fail"),
+        F.sum("fail_only").cast("long").alias("n_fail_only"),
     )
 
 

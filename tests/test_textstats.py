@@ -416,3 +416,27 @@ def test_gopher_rule_attribution_hand_counts(spark):
     assert out[("b", "words")].n_fail == 1
     assert out[("b", "words")].n_fail_only == 0
     assert out[("b", "alpha_words")].n_fail == 1
+
+
+def test_c4_rule_attribution_hand_counts(spark):
+    """The C4 twin of the gopher attribution: sole-cause vs any-cause
+    fail counts per rule."""
+    from kusto_pre_forge_spark.operators import textstats as ts
+
+    clean = "First line is long enough to pass. Second proper line here. Third one too."
+    lorem_only = "lorem ipsum dolor sit amet. A fine sentence here. And another one. Plus one more."
+    junk = "short {"
+    df = spark.createDataFrame(
+        [(1, clean, "a"), (2, lorem_only, "a"), (3, junk, "b")],
+        "doc_id long, text string, source string",
+    )
+    out = {(r.grp, r.rule): r for r in ts.c4_rule_attribution(df).collect()}
+    assert len(out) == 2 * 4
+    # doc 2 fails ONLY the lorem rule
+    r = out[("a", "no_lorem")]
+    assert (r.n_docs, r.n_fail, r.n_fail_only) == (2, 1, 1)
+    assert out[("a", "no_brace")].n_fail == 0
+    # junk fails brace AND sentences AND kept-lines -> no sole cause
+    assert out[("b", "no_brace")].n_fail == 1
+    assert out[("b", "no_brace")].n_fail_only == 0
+    assert out[("b", "min_sentences")].n_fail == 1

@@ -121,6 +121,7 @@ AUDITED = [
     ("text_langid", "script-gated 25-language ID: one Arrow scan stage + map-side-combined histogram, cost linear in text bytes"),
     ("corpus_url_blocklist", "URL blocklist: suffix explode + two broadcast joins, corpus never shuffles"),
     ("corpus_filter_attribution", "gopher rule attribution: one metric scan + 7-struct explode + map-side-combined aggregate"),
+    ("corpus_c4_attribution", "c4 rule attribution: one flag scan + 4-struct explode + map-side-combined aggregate"),
     ("text_oov_rate", "explode + broadcast vocab join + one map-side-combined per-doc aggregate"),
     ("text_char_entropy", "map-only array expressions; alphabet-bounded per-row work, no explode, no shuffle"),
     ("join_bloom_prefilter", "broadcast bitset prefilter cuts the fact side BEFORE the semi-join shuffle; exact verify on survivors only"),
