@@ -2238,6 +2238,43 @@ def _q_warc_parse(spark, sf):
     )
 
 
+def _q_pdf_text_extract(spark, sf):
+    """PDF container roundtrip through the REAL ISO 32000 parser: every
+    document is rendered as a spec-valid PDF (xref table, page tree,
+    Flate content streams, UTF-16BE hex show-text lines) — one page when
+    the text fits 200 chars, two pages otherwise, so the page-tree walk
+    and page ordering are both on the hook — then parsed back via
+    sources.pdf.parse_pdf_blobs. The oracle is closed-form: the same
+    200-char page split replayed in SQL over documents. Both directions
+    are pure map stages (mapInPandas), zero exchanges."""
+    import pandas as pd
+
+    from kusto_pre_forge_spark.sources import pdf as P
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    def forge(it):
+        for pdf in it:
+            paths, blobs = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                t = t if isinstance(t, str) else ""
+                pages = [t] if len(t) <= 200 else [t[:200], t[200:]]
+                paths.append(f"mem://doc/{int(i)}.pdf")
+                blobs.append(P.pdf_bytes(pages))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    blobs = d.mapInPandas(forge, "path string, content binary")
+    parsed = P.parse_pdf_blobs(blobs)
+    return parsed.select(
+        F.regexp_extract("_kpf_source", r"([0-9]+)\.pdf$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("page_no").cast("int").alias("page_no"),
+        "page_text",
+        F.col("n_pages").cast("int").alias("n_pages"),
+    )
+
+
 def _q_multimodal_dedup_recall(spark, sf):
     """Recall/efficiency harness for perceptual-hash (pHash/dHash)
     banding — lsh_candidate_recall's sibling for hamming_pairs. Fixture
@@ -5863,6 +5900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fix_mojibake": _q_text_fix_mojibake,
         "text_html_extract": _q_text_html_extract,
         "warc_parse": _q_warc_parse,
+        "pdf_text_extract": _q_pdf_text_extract,
         "multimodal_dedup_recall": _q_multimodal_dedup_recall,
         "pipeline_crawl_extract": _q_pipeline_crawl_extract,
         "corpus_url_blocklist": _q_corpus_url_blocklist,
@@ -8822,6 +8860,19 @@ def oracle_sql() -> dict[str, str]:
         "text_fix_mojibake": _mojibake_oracle_sql(),
         "text_html_extract": _html_extract_oracle_sql(),
         "warc_parse": _warc_oracle_sql(),
+        "pdf_text_extract": (
+            # closed-form replay of the forge's 200-char page split;
+            # the PDF layer itself must be lossless (tests/test_pdf.py)
+            "WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "COALESCE(text, '') AS t FROM documents) "
+            "SELECT doc_id, CAST(0 AS INT) AS page_no, "
+            "CASE WHEN length(t) <= 200 THEN t ELSE substr(t, 1, 200) END "
+            "AS page_text, "
+            "CAST(CASE WHEN length(t) <= 200 THEN 1 ELSE 2 END AS INT) "
+            "AS n_pages FROM d "
+            "UNION ALL SELECT doc_id, CAST(1 AS INT), substr(t, 201), "
+            "CAST(2 AS INT) FROM d WHERE length(t) > 200"
+        ),
         "multimodal_dedup_recall": _hamming_recall_oracle_sql(),
         "corpus_url_blocklist": (
             "WITH u AS (SELECT doc_id, 'https://www.' || source || "

@@ -131,6 +131,7 @@ HEADLINE = [
     "corpus_domain_cap",
     "graph_triangles",
     "fixedwidth_roundtrip",
+    "pdf_text_extract",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

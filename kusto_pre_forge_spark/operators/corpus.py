@@ -655,11 +655,16 @@ def _widen_for_fanout(df: DataFrame) -> DataFrame:
     queries) and doesn't exist under Spark Connect. Instead the split
     count is estimated from file-source metadata only:
     ``df.inputFiles()`` + driver-side sizes vs ``maxPartitionBytes``
-    (the same arithmetic FileSourceScan uses). A 100 TB scan has
-    thousands of files → estimate ≥ target → no shuffle; a
-    one-footer test corpus (or a non-file frame, where the estimate
-    comes back empty) → repartition, which is noise next to the explode
-    it feeds."""
+    (the same arithmetic FileSourceScan uses). Each file is ≥1 split, so
+    **file count alone** decides the 100 TB case first: a remote scan
+    (s3://, abfss://, hdfs://) with thousands of objects short-circuits
+    to "wide" on ``len(files) >= target`` with NO sizing at all —
+    ``os.path.getsize`` only ever runs on local paths, and a path it
+    cannot size is treated as wide (never forced through a full-corpus
+    shuffle). A one-footer local test corpus still sizes small →
+    repartition, which is noise next to the explode it feeds; a
+    non-file frame (empty inputFiles — in-memory test fixtures) also
+    repartitions, matching the one-footer posture."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
@@ -667,6 +672,8 @@ def _widen_for_fanout(df: DataFrame) -> DataFrame:
     except Exception:
         files = []
     if files:
+        if len(files) >= target:
+            return df  # ≥1 split per file — wide regardless of scheme
         raw = str(spark.conf.get(
             "spark.sql.files.maxPartitionBytes", "134217728b"
         )).strip().lower()
@@ -677,13 +684,12 @@ def _widen_for_fanout(df: DataFrame) -> DataFrame:
         except ValueError:
             max_pb = 128 * 1024 * 1024
         splits = 0
-        for f in files[:4096]:  # bounded driver work; 4096 files >> target
+        for f in files:  # < target files, so bounded driver work
             p = f[7:] if f.startswith("file://") else f
             try:
                 size = os.path.getsize(p)
             except OSError:
-                splits = 0  # remote FS — can't size cheaply; widen
-                break
+                return df  # remote/un-sizable scheme — treat as wide
             splits += max(1, -(-size // max(max_pb, 1)))
             if splits >= target:
                 return df

@@ -518,6 +518,26 @@ def minhash_lsh_pairs_incremental(
     return _mh_exact_verify(surviving, src, text_col, id_col, shingle_n, threshold)
 
 
+def _chunk_layout(n_bits: int, chunks: int) -> list[tuple[int, int]]:
+    """(shift, mask) per pigeonhole chunk, covering ALL ``n_bits`` bits.
+
+    ``n_bits // chunks`` alone silently leaves the top ``n_bits %
+    chunks`` bits outside every band — two fingerprints differing only
+    there would share every chunk and the documented pigeonhole
+    guarantee (recall 1.0 when ``chunks > max_hamming``) would fail
+    without a trace. The LAST chunk absorbs the remainder bits instead;
+    unequal widths are safe because every join/compare keys on
+    (chunk_index, chunk_value)."""
+    if chunks < 1 or chunks > n_bits:
+        raise ValueError(f"chunks must be in [1, {n_bits}], got {chunks}")
+    base = n_bits // chunks
+    layout = []
+    for i in range(chunks):
+        width = base if i < chunks - 1 else n_bits - base * (chunks - 1)
+        layout.append((i * base, (1 << width) - 1))
+    return layout
+
+
 def token_hashes60(col: Column | str, token_split: str = r"\s+") -> Column:
     """Per-token 60-bit hashes (first 15 md5 hex chars → positive long)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -578,7 +598,6 @@ def simhash_pairs(
     the drop count lands in ``journal`` when given. ``None`` = exact
     banding (the oracle-checked configuration).
     """
-    bits_per = 60 // chunks
     # fingerprints feed BOTH sides of the chunk self-join; without pinning,
     # the md5-token transform recomputes per side (2 full scans). The frame
     # is (id, 64-bit fp) — trivial to store, so pin it (lazy persist keeps
@@ -587,11 +606,9 @@ def simhash_pairs(
     chunk_structs = [
         F.struct(
             F.lit(i).alias("ci"),
-            F.shiftright(F.col("_fp"), i * bits_per)
-            .bitwiseAND((1 << bits_per) - 1)
-            .alias("cv"),
+            F.shiftright(F.col("_fp"), shift).bitwiseAND(mask).alias("cv"),
         )
-        for i in range(chunks)
+        for i, (shift, mask) in enumerate(_chunk_layout(60, chunks))
     ]
     chunked = fp.select(
         "_id", "_fp", F.explode(F.array(*chunk_structs)).alias("c")
@@ -1446,8 +1463,6 @@ def hamming_pairs(
     """
     if chunks <= max_hamming:
         raise ValueError("need chunks > max_hamming for recall completeness")
-    bits_per = n_bits // chunks
-    mask = (1 << bits_per) - 1
     fp = pin(
         df.select(
             F.col(id_col).alias("_id"), F.col(fp_col).cast("long").alias("_fp")
@@ -1457,11 +1472,9 @@ def hamming_pairs(
     chunk_structs = [
         F.struct(
             F.lit(i).alias("ci"),
-            F.shiftright(F.col("_fp"), i * bits_per)
-            .bitwiseAND(mask)
-            .alias("cv"),
+            F.shiftright(F.col("_fp"), shift).bitwiseAND(mask).alias("cv"),
         )
-        for i in range(chunks)
+        for i, (shift, mask) in enumerate(_chunk_layout(n_bits, chunks))
     ]
     chunked = fp.select(
         "_id", "_fp", F.explode(F.array(*chunk_structs)).alias("c")
@@ -1808,8 +1821,6 @@ def hamming_candidate_recall(
     exact-Jaccard side). Returns ONE row: (n_exact, n_candidates,
     n_hits, recall, candidate_efficiency); vacuous slices score 1.0.
     """
-    bits_per = n_bits // chunks
-    mask = (1 << bits_per) - 1
     fp = pin(
         df.select(
             F.col(id_col).alias("_id"), F.col(fp_col).cast("long").alias("_fp")
@@ -1826,10 +1837,10 @@ def hamming_candidate_recall(
         F.col("r._fp").alias("fb"),
     )
     share = None
-    for i in range(chunks):
+    for shift, mask in _chunk_layout(n_bits, chunks):
         eq = (
-            F.shiftright(F.col("fa"), i * bits_per).bitwiseAND(mask)
-            == F.shiftright(F.col("fb"), i * bits_per).bitwiseAND(mask)
+            F.shiftright(F.col("fa"), shift).bitwiseAND(mask)
+            == F.shiftright(F.col("fb"), shift).bitwiseAND(mask)
         )
         share = eq if share is None else (share | eq)
     pairs = pin(pairs.withColumn("_cand", share))

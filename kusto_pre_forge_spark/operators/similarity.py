@@ -164,6 +164,7 @@ def knn_classify(
     vec_col: str = "embedding",
     label_col: str = "label",
     broadcast_pool: bool = True,
+    max_pool: int = 500_000,
 ) -> DataFrame:
     """k-NN label propagation: predict each unlabeled vector's label by
     majority vote over its ``k`` highest-cosine labeled neighbors (ties →
@@ -176,9 +177,21 @@ def knn_classify(
     UNLABELED pool is the small side — it broadcasts, the labeled corpus
     scans once, and a per-query rank window + two map-side-combined
     aggregates pick the vote. Right when the pool is a handful of new
-    arrivals and the labeled corpus is the big side. This has been the
-    documented default since the operator landed — callers with a large
-    labeled corpus keep a safe plan without opting in.
+    arrivals and the labeled corpus is the big side.
+
+    .. note:: **Migration (round 9).** The default was
+       ``broadcast_pool=False`` (seed-broadcast, map-only pool scan)
+       from the operator's landing through round 8; round 9 split the
+       two postures and flipped the default to ``True`` so the function
+       name matches its plan (classify = small query pool). Callers who
+       relied on the old default with a LARGE unlabeled pool must now
+       pass ``broadcast_pool=False`` explicitly (it delegates to
+       :func:`knn_propagate`). To keep the flip from silently OOMing
+       such callers, ``max_pool`` guards the broadcast side: a pool
+       larger than ``max_pool`` rows raises ValueError naming the
+       ``broadcast_pool=False`` escape hatch instead of blowing the
+       broadcast limit at scale. The guard costs one bounded
+       ``limit(max_pool+1).count()`` job.
 
     ``broadcast_pool=False`` delegates to :func:`knn_propagate` — the
     mirror-image posture where a SMALL labeled seed set broadcasts (as
@@ -197,6 +210,14 @@ def knn_classify(
             id_col=id_col,
             vec_col=vec_col,
             label_col=label_col,
+        )
+    n_pool = unlabeled.limit(max_pool + 1).count()
+    if n_pool > max_pool:
+        raise ValueError(
+            f"knn_classify: unlabeled pool exceeds max_pool={max_pool} — "
+            "the classify posture broadcasts the ENTIRE pool; for a large "
+            "pool pass broadcast_pool=False (seed-broadcast knn_propagate, "
+            "map-only pool scan) or raise max_pool explicitly."
         )
     q = unlabeled.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")

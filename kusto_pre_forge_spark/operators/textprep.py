@@ -1411,9 +1411,20 @@ def html_extract(
 
 def url_host(col: Column | str) -> Column:
     """Lowercased host of a URL (codegen regex — no java.net.URI edge
-    cases on crawl-grade malformed input; absent host → NULL)."""
+    cases on crawl-grade malformed input; absent host → NULL).
+
+    Userinfo is stripped before the host is taken: the authority may be
+    ``user:pass@host`` (RFC 3986 §3.2), and a crawl-controllable URL
+    like ``https://user@blocked.com/`` must still yield host
+    ``blocked.com`` — otherwise ``domain_blocklist_filter`` has a
+    trivial '@'-prefix bypass. The optional ``(?:[^/@?#]*@)?`` group
+    consumes everything through the LAST pre-path '@' (including any
+    password's ':'), then the capture stops at port/path/query/fragment
+    delimiters and excludes '@' so a host can never retain one."""
     c = F.trim(F.col(col) if isinstance(col, str) else col)
-    h = F.lower(F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+    h = F.lower(F.regexp_extract(
+        c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)", 1
+    ))
     return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
 
 

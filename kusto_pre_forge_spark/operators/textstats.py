@@ -500,7 +500,14 @@ def lang_scores(col: Column | str, profiles: dict[str, list[str]] | None = None)
     over compiled trigram codes per batch, cost linear in text length
     and independent of how many profiles are loaded. Custom ``profiles``
     score against the LATIN normalizer (LANGID_CHARCLASS): grams using
-    characters outside that alphabet can never match."""
+    characters outside that alphabet can never match.
+
+    .. versionchanged:: round 9
+       Counts switched from non-overlapping (``replace``-fold) to
+       OVERLAPPING occurrences, and the implementation moved from pure
+       codegen Columns to an Arrow-batched pandas UDF (executors need
+       numpy + pyarrow). Calibrated thresholds from earlier rounds must
+       be re-derived against the overlapping statistic."""
     profiles = dict(profiles or LANG_TRIGRAMS)
     langs, codes, W = _compile_family(profiles)
 
@@ -517,7 +524,9 @@ def lang_scores(col: Column | str, profiles: dict[str, list[str]] | None = None)
     return _scores(F.col(col) if isinstance(col, str) else col)
 
 
-def lang_id(col: Column | str) -> Column:
+def lang_id(
+    col: Column | str, profiles: dict[str, list[str]] | None = None
+) -> Column:
     """Language label over 25 languages: a script gate (codepoint-range
     majority over SCRIPT_RANGES) routes each row to its profile family —
     Latin rows score the 16 Latin trigram profiles, Cyrillic rows the
@@ -526,6 +535,22 @@ def lang_id(col: Column | str) -> Column:
     blocks). 'und' when no letters of any known script, or when the
     gated family's trigram evidence is zero. Ties break alphabetically.
 
+    ``profiles`` (the pre-round-9 escape hatch, kept for API
+    compatibility) bypasses the script gate entirely: every row scores
+    against the caller's trigram profiles over the LATIN normalizer
+    (same contract as :func:`lang_scores` — grams outside that alphabet
+    can never match), argmax wins, zero evidence → 'und'.
+
+    .. versionchanged:: round 9
+       Occurrence counting is OVERLAPPING (every position votes — the
+       Cavnar–Trenkle statistic), where earlier rounds counted
+       non-overlapping ``replace``-fold occurrences: callers with
+       thresholds calibrated against the old counts must recalibrate.
+       The implementation also moved from pure codegen Column
+       expressions to Arrow-batched pandas UDFs, so executors need
+       numpy + pyarrow (both already required by the engine's dedup and
+       similarity families).
+
     Arrow-batched, numpy-vectorized: scoring cost is linear in text
     length (one searchsorted per batch), NOT in profile count — the
     property that lets coverage grow to dozens of languages without the
@@ -533,6 +558,27 @@ def lang_id(col: Column | str) -> Column:
     160 string passes/row; 18 profiles would have been ~700). The SQL
     oracle replays the identical statistic via trigram-position unnest +
     a generated weight-table join."""
+    if profiles is not None:
+        custom = {k: list(v) for k, v in profiles.items()}
+        langs, codes, W = _compile_family(custom)
+
+        @F.pandas_udf("string")
+        def _lid_custom(s):
+            import numpy as np
+            import pandas as pd
+
+            norm = [_norm_py(t, LANGID_CHARCLASS) for t in s]
+            m = _family_scores(norm, codes, W)
+            best = m.max(axis=1)
+            win = np.argmax(m == best[:, None], axis=1)
+            return pd.Series(
+                [
+                    langs[int(w)] if int(b) > 0 else "und"
+                    for w, b in zip(win, best)
+                ]
+            )
+
+        return _lid_custom(F.col(col) if isinstance(col, str) else col)
 
     @F.pandas_udf("string")
     def _lid(s):

@@ -1,0 +1,609 @@
+"""PDF text-extraction source — the most common document container in a
+real training corpus after HTML.
+
+Reference parity: the reference ingests whatever blob bytes land in the
+landing container (code/KustoPreForgeLib/BlobSources/ListBlobSource.cs)
+and its format dispatch throws for anything beyond txt
+(code/KustoPreForgeLib/EtlRun.cs:87-89); this sibling of ``sources/warc.py``
+continues closing that gap for the crawl→text pipeline (a crawl yields
+PDFs as well as HTML).
+
+Implemented purely from the public spec (ISO 32000-1 / PDF 1.7):
+
+- **xref/trailer walk** (§7.5.4-7.5.5): the ``startxref`` tail scan finds
+  the last cross-reference table; subsections of ``offset gen n|f`` lines
+  map object numbers to byte offsets; the ``trailer`` dictionary names
+  ``/Root`` and chains ``/Prev`` tables (newest entries win).
+- **object syntax** (§7.3): dictionaries ``<<…>>``, arrays, names,
+  numbers, booleans/null, indirect references ``n g R``, literal strings
+  with the full escape table (§7.3.4.2 — ``\\n \\r \\t \\b \\f \\( \\) \\\\``,
+  octal ``\\ddd``, line continuations) and hex strings ``<…>`` (§7.3.4.3).
+- **streams** (§7.3.8): ``/Length``-framed with an ``endstream`` fallback;
+  ``/FlateDecode`` via stdlib ``zlib`` and ``/ASCIIHexDecode`` are
+  supported — other filters raise ``NotImplementedError`` naming the
+  filter (the house unsupported-input guard; DCT/JBIG2 etc. are image
+  filters a text pass never needs).
+- **page tree** (§7.7.3): ``/Root → /Pages → /Kids`` recursion (interior
+  ``/Pages`` nodes allowed), per-page ``/Contents`` as one stream or an
+  array of streams.
+- **text extraction** (§9.4): ``BT…ET`` blocks; show-text operators
+  ``Tj``, ``'``, ``"``, and ``TJ`` (array form — kerning numbers are
+  ignored); the line-advancing operators ``T* Td TD ' "`` start a new
+  output line. Strings decode per the §7.9.2.2 text-string convention:
+  a UTF-16BE BOM means UTF-16BE, a UTF-8 BOM means UTF-8, otherwise
+  byte-per-char (PDFDocEncoding approximated as latin-1).
+
+Spark-first layout (the ``sources/warc.py`` playbook): files parallelize
+through the built-in ``binaryFile`` source — one task per blob — and
+pages decode in Arrow batches via ``mapInPandas``; the plan is a pure
+map stage (scan + project, zero exchanges) at any corpus size. The
+parser is a pure function over bytes (``extract_pdf_pages``), so framing
+and text assembly are unit-testable without Spark, and a fixture-forging
+writer (``pdf_bytes``) emits spec-valid PDFs — real xref offsets, Flate
+content streams — so tests and oracles exercise the REAL parser.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+PDF_DDL = (
+    "page_no int, page_text string, n_pages int, _kpf_source string"
+)
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num, self.gen = num, gen
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"{self.num} {self.gen} R"
+
+
+class _Name(str):
+    """A PDF name token (/Type); subclasses str so dict keys read naturally."""
+
+
+def _skip_ws(data: bytes, i: int) -> int:
+    n = len(data)
+    while i < n:
+        c = data[i : i + 1]
+        if c in b"%":  # comment runs to end of line (§7.2.4)
+            j = data.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif c in _WS:
+            i += 1
+        else:
+            break
+    return i
+
+
+def _parse_name(data: bytes, i: int):
+    j = i + 1
+    n = len(data)
+    out = bytearray()
+    while j < n and data[j : j + 1] not in _WS and data[j : j + 1] not in _DELIM:
+        if data[j : j + 1] == b"#" and j + 2 < n:  # §7.3.5 hex escape
+            out.append(int(data[j + 1 : j + 3], 16))
+            j += 3
+        else:
+            out.append(data[j])
+            j += 1
+    return _Name(out.decode("latin-1")), j
+
+
+_ESCAPES = {
+    ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
+    ord("b"): b"\b", ord("f"): b"\f",
+    ord("("): b"(", ord(")"): b")", ord("\\"): b"\\",
+}
+
+
+def _parse_literal_string(data: bytes, i: int):
+    """§7.3.4.2: balanced parens, backslash escapes, octal, line folds."""
+    out = bytearray()
+    depth = 1
+    j = i + 1
+    n = len(data)
+    while j < n and depth:
+        c = data[j]
+        if c == 0x5C:  # backslash
+            j += 1
+            if j >= n:
+                break
+            e = data[j]
+            if e in _ESCAPES:
+                out += _ESCAPES[e]
+                j += 1
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                k = j
+                while k < min(j + 3, n) and 0x30 <= data[k] <= 0x37:
+                    k += 1
+                out.append(int(data[j:k], 8) & 0xFF)
+                j = k
+            elif e in (0x0A, 0x0D):  # line continuation
+                j += 1
+                if e == 0x0D and j < n and data[j] == 0x0A:
+                    j += 1
+            else:  # unknown escape: the char stands for itself
+                out.append(e)
+                j += 1
+        elif c == 0x28:  # (
+            depth += 1
+            out.append(c)
+            j += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth:
+                out.append(c)
+            j += 1
+        else:
+            out.append(c)
+            j += 1
+    return bytes(out), j
+
+
+def _parse_hex_string(data: bytes, i: int):
+    j = data.find(b">", i)
+    if j < 0:
+        j = len(data)
+    hx = re.sub(rb"[^0-9A-Fa-f]", b"", data[i + 1 : j])
+    if len(hx) % 2:
+        hx += b"0"  # §7.3.4.3: odd count → trailing zero
+    return bytes.fromhex(hx.decode("ascii")), j + 1
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_REF_RE = re.compile(rb"\s+(\d+)\s+R(?![A-Za-z0-9])")
+
+
+def _parse_value(data: bytes, i: int):
+    """Recursive-descent parse of one object value at ``i`` →
+    (value, next_index). Indirect references collapse to ``_Ref``."""
+    i = _skip_ws(data, i)
+    c = data[i : i + 1]
+    if c == b"/":
+        return _parse_name(data, i)
+    if data[i : i + 2] == b"<<":
+        d: dict = {}
+        j = i + 2
+        while True:
+            j = _skip_ws(data, j)
+            if data[j : j + 2] == b">>":
+                return d, j + 2
+            if j >= len(data):
+                return d, j
+            key, j = _parse_name(data, j)
+            val, j = _parse_value(data, j)
+            d[str(key)] = val
+    if c == b"<":
+        return _parse_hex_string(data, i)
+    if c == b"(":
+        return _parse_literal_string(data, i)
+    if c == b"[":
+        arr = []
+        j = i + 1
+        while True:
+            j = _skip_ws(data, j)
+            if data[j : j + 1] == b"]":
+                return arr, j + 1
+            if j >= len(data):
+                return arr, j
+            val, j = _parse_value(data, j)
+            arr.append(val)
+    if data[i : i + 4] == b"true":
+        return True, i + 4
+    if data[i : i + 5] == b"false":
+        return False, i + 5
+    if data[i : i + 4] == b"null":
+        return None, i + 4
+    m = _NUM_RE.match(data, i)
+    if m:
+        tok = m.group()
+        if b"." not in tok:
+            num = int(tok)
+            r = _REF_RE.match(data, m.end())
+            if r:  # "n g R" indirect reference
+                return _Ref(num, int(r.group(1))), r.end()
+            return num, m.end()
+        return float(tok), m.end()
+    # unknown byte — consume it so the caller can't loop forever
+    return None, i + 1
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+def _parse_indirect_at(data: bytes, i: int):
+    """Parse ``n g obj … endobj`` at offset ``i`` →
+    (num, value, stream_bytes_or_None). Streams are framed by /Length
+    when it is a direct integer, with an ``endstream`` search fallback
+    (covers /Length given as an indirect reference)."""
+    m = _OBJ_RE.match(data, _skip_ws(data, i))
+    if not m:
+        return None
+    num = int(m.group(1))
+    val, j = _parse_value(data, m.end())
+    j = _skip_ws(data, j)
+    stream = None
+    if data[j : j + 6] == b"stream":
+        j += 6
+        if data[j : j + 2] == b"\r\n":
+            j += 2
+        elif data[j : j + 1] == b"\n":
+            j += 1
+        length = val.get("Length") if isinstance(val, dict) else None
+        if isinstance(length, int):
+            stream = data[j : j + length]
+            tail = _skip_ws(data, j + length)
+            if data[tail : tail + 9] != b"endstream":
+                length = None  # mis-declared — fall back to the search
+        if not isinstance(length, int):
+            end = data.find(b"endstream", j)
+            if end < 0:
+                end = len(data)
+            stream = data[j:end].rstrip(b"\r\n")
+    return num, val, stream
+
+
+def _xref_offsets(data: bytes):
+    """The §7.5.4 walk: startxref tail scan → xref table(s) → (offsets
+    by object number, trailer dict). Returns None when the file has no
+    classic xref table (e.g. PDF 1.5 xref streams) or the tail is
+    damaged — the caller then falls back to a full object scan."""
+    tail = data.rfind(b"startxref")
+    if tail < 0:
+        return None
+    m = re.match(rb"\s*(\d+)", data[tail + 9 : tail + 40])
+    if not m:
+        return None
+    offsets: dict[int, int] = {}
+    trailer: dict = {}
+    seen = set()
+    pos = int(m.group(1))
+    while pos not in seen:
+        seen.add(pos)
+        i = _skip_ws(data, pos)
+        if data[i : i + 4] != b"xref":
+            return None
+        i += 4
+        while True:
+            i = _skip_ws(data, i)
+            sec = re.match(rb"(\d+)\s+(\d+)", data[i : i + 40])
+            if not sec:
+                break
+            start, count = int(sec.group(1)), int(sec.group(2))
+            i += sec.end()
+            for k in range(count):
+                i = _skip_ws(data, i)
+                ent = re.match(rb"(\d{10})\s+(\d{5})\s+([nf])", data[i : i + 20])
+                if not ent:
+                    return None
+                if ent.group(3) == b"n":
+                    offsets.setdefault(start + k, int(ent.group(1)))
+                i += ent.end()
+        i = _skip_ws(data, i)
+        if data[i : i + 7] != b"trailer":
+            return None
+        tr, _ = _parse_value(data, i + 7)
+        if not isinstance(tr, dict):
+            return None
+        for k, v in tr.items():
+            trailer.setdefault(k, v)
+        prev = tr.get("Prev")
+        if not isinstance(prev, int):
+            break
+        pos = prev
+    return offsets, trailer
+
+
+def _scan_objects(data: bytes):
+    """Fallback reconstruction: scan for every ``n g obj`` (what a repair
+    tool does for crawl-grade PDFs with broken xref tables)."""
+    objects: dict[int, tuple] = {}
+    for m in _OBJ_RE.finditer(data):
+        parsed = _parse_indirect_at(data, m.start())
+        if parsed:
+            num, val, stream = parsed
+            objects[num] = (val, stream)
+    return objects
+
+
+def load_pdf_objects(data: bytes):
+    """(objects: {num: (value, stream|None)}, root_ref_or_None). Tries
+    the spec's xref walk first; falls back to the full object scan."""
+    xr = _xref_offsets(data)
+    objects: dict[int, tuple] = {}
+    root = None
+    if xr:
+        offsets, trailer = xr
+        root = trailer.get("Root")
+        for num, off in offsets.items():
+            parsed = _parse_indirect_at(data, off) if 0 <= off < len(data) else None
+            if parsed and parsed[0] == num:
+                objects[num] = (parsed[1], parsed[2])
+            else:
+                objects = {}
+                break
+    if not objects:
+        objects = _scan_objects(data)
+    return objects, root
+
+
+def _resolve(objects: dict, val):
+    hops = 0
+    while isinstance(val, _Ref) and hops < 32:
+        val = objects.get(val.num, (None, None))[0]
+        hops += 1
+    return val
+
+
+def decode_stream(entry: tuple, objects: dict) -> bytes:
+    """Apply a stream's /Filter chain (§7.4). Flate + ASCIIHex are the
+    text-relevant filters; anything else is a genuine unsupported input."""
+    val, raw = entry
+    if raw is None:
+        return b""
+    filters = _resolve(objects, val.get("Filter")) if isinstance(val, dict) else None
+    if filters is None:
+        chain = []
+    elif isinstance(filters, list):
+        chain = [str(_resolve(objects, f)) for f in filters]
+    else:
+        chain = [str(filters)]
+    for f in chain:
+        if f == "FlateDecode":
+            raw = zlib.decompress(raw)
+        elif f == "ASCIIHexDecode":
+            hx = re.sub(rb"[^0-9A-Fa-f]", b"", raw.split(b">")[0])
+            if len(hx) % 2:
+                hx += b"0"
+            raw = bytes.fromhex(hx.decode("ascii"))
+        else:
+            raise NotImplementedError(
+                f"PDF stream filter {f!r} is not supported (text "
+                "extraction handles FlateDecode/ASCIIHexDecode; image "
+                "filters like DCTDecode carry no text)"
+            )
+    return raw
+
+
+def decode_pdf_string(b: bytes) -> str:
+    """§7.9.2.2 text-string convention: BOM-tagged UTF-16BE or UTF-8,
+    else single-byte (PDFDocEncoding ≈ latin-1 for the printable range)."""
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be", "replace")
+    if b[:3] == b"\xef\xbb\xbf":
+        return b[3:].decode("utf-8", "replace")
+    return b.decode("latin-1")
+
+
+_TOKEN_RE = re.compile(rb"[^\s()<>\[\]{}/%]+")
+_NEWLINE_OPS = {b"T*", b"Td", b"TD", b"'", b'"'}
+_SHOW_OPS = {b"Tj", b"'", b'"'}
+
+
+def content_stream_text(content: bytes) -> str:
+    """Extract the show-text stream of one page's content (§9.4):
+    operator-driven, newline on the line-advancing operators, kerning
+    numbers in TJ arrays ignored. Output lines join with ``\\n``."""
+    lines: list[str] = []
+    cur: list[str] = []
+    stack: list = []
+    in_text = False
+    i, n = 0, len(content)
+
+    def newline():
+        lines.append("".join(cur))
+        cur.clear()
+
+    while i < n:
+        i = _skip_ws(content, i)
+        if i >= n:
+            break
+        c = content[i : i + 1]
+        if c in b"(<[/" and not (c == b"<" and content[i : i + 2] == b"<<"):
+            val, i = _parse_value(content, i)
+            stack.append(val)
+            continue
+        if content[i : i + 2] == b"<<":
+            val, i = _parse_value(content, i)
+            stack.append(val)
+            continue
+        m = _NUM_RE.match(content, i)
+        if m:
+            stack.append(m.group())
+            i = m.end()
+            continue
+        t = _TOKEN_RE.match(content, i)
+        if not t:
+            i += 1
+            continue
+        op = t.group()
+        i = t.end()
+        if op == b"BT":
+            in_text = True
+        elif op == b"ET":
+            in_text = False
+        elif in_text:
+            if op in _NEWLINE_OPS and (lines or cur):
+                newline()
+            if op in _SHOW_OPS:
+                s = next(
+                    (v for v in reversed(stack) if isinstance(v, bytes)), b""
+                )
+                cur.append(decode_pdf_string(s))
+            elif op == b"TJ":
+                arr = next(
+                    (v for v in reversed(stack) if isinstance(v, list)), []
+                )
+                cur.append(
+                    "".join(
+                        decode_pdf_string(e) for e in arr if isinstance(e, bytes)
+                    )
+                )
+        stack.clear()  # operands are postfix — consumed by their operator
+    if cur or lines:
+        newline()
+    return "\n".join(lines)
+
+
+def _walk_pages(objects: dict, node, acc: list, depth: int = 0):
+    node = _resolve(objects, node)
+    if not isinstance(node, dict) or depth > 64:
+        return
+    t = str(node.get("Type", ""))
+    if t == "Pages" or (t != "Page" and "Kids" in node):
+        for kid in _resolve(objects, node.get("Kids")) or []:
+            _walk_pages(objects, kid, acc, depth + 1)
+    elif t == "Page" or "Contents" in node:
+        acc.append(node)
+
+
+def extract_pdf_pages(data: bytes, errors: str = "skip") -> list[str]:
+    """The whole pipeline as a pure function: bytes → per-page extracted
+    text, in page-tree order. ``errors="skip"`` (crawl posture) turns an
+    unsupported-filter page into '' and surfaces what parsed;
+    ``errors="strict"`` re-raises."""
+    objects, root = load_pdf_objects(bytes(data))
+    pages: list[dict] = []
+    root_dict = _resolve(objects, root) if root is not None else None
+    if isinstance(root_dict, dict) and "Pages" in root_dict:
+        _walk_pages(objects, root_dict["Pages"], pages)
+    else:  # no usable catalog — find one by /Type (repair posture)
+        for num in sorted(objects):
+            val = objects[num][0]
+            if isinstance(val, dict) and str(val.get("Type", "")) == "Catalog":
+                _walk_pages(objects, val.get("Pages"), pages)
+                break
+    out: list[str] = []
+    for page in pages:
+        contents = _resolve(objects, page.get("Contents"))
+        refs = contents if isinstance(contents, list) else [page.get("Contents")]
+        buf = bytearray()
+        for ref in refs:
+            target = ref
+            while isinstance(target, _Ref):
+                entry = objects.get(target.num)
+                target = None
+                if entry is not None:
+                    try:
+                        buf += decode_stream(entry, objects)
+                        buf += b"\n"  # §7.8.2: streams concatenate with WS
+                    except NotImplementedError:
+                        if errors == "strict":
+                            raise
+        out.append(content_stream_text(bytes(buf)))
+    return out
+
+
+# ------------------------------------------------------------- Spark layer
+
+
+def parse_pdf_blobs(blobs: DataFrame, errors: str = "skip") -> DataFrame:
+    """(path, content) blob rows → one row per page (PDF_DDL columns).
+
+    Arrow-batched ``mapInPandas``, pure map stage: each blob's pages
+    never leave the task that read it — scan + project at any corpus
+    size, the ``parse_warc_blobs`` posture."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                texts = extract_pdf_pages(content, errors=errors)
+                for i, txt in enumerate(texts):
+                    rows.append(
+                        {
+                            "page_no": i,
+                            "page_text": txt,
+                            "n_pages": len(texts),
+                            "_kpf_source": p,
+                        }
+                    )
+            cols = [c.split()[0] for c in PDF_DDL.split(", ")]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return blobs.select("path", "content").mapInPandas(batches, PDF_DDL)
+
+
+def read_pdf(spark: SparkSession, path: str, errors: str = "skip") -> DataFrame:
+    """Read a PDF directory/glob as one typed row per page with
+    ``_kpf_source`` lineage — compose with the ``textstats`` quality
+    gates downstream exactly like ``html_extract`` output."""
+    bf = spark.read.format("binaryFile").load(path)
+    return parse_pdf_blobs(bf, errors=errors)
+
+
+# --------------------------------------------------- fixture-forging writer
+
+
+def _pdf_text_string(s: str) -> bytes:
+    """Forge encoding: hex string of BOM + UTF-16BE — round-trips any
+    Unicode content with zero escape interactions (§7.9.2.2)."""
+    return b"<" + (b"\xfe\xff" + s.encode("utf-16-be")).hex().encode() + b">"
+
+
+def pdf_bytes(pages: list[str], compress: bool = True) -> bytes:
+    """Forge one spec-valid PDF: real xref offsets, a page tree, one
+    Flate (or raw) content stream per page, text as hex-encoded
+    UTF-16BE show-text lines separated by ``T*``. The parser under test
+    must reproduce each page string EXACTLY (lines re-join with \\n) —
+    the closed-form contract oracles replay."""
+    objs: list[bytes] = []  # bodies; object number = index + 1
+    n = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()
+    )
+    font_num = 3 + 2 * n
+    for i, text in enumerate(pages):
+        page_num, cont_num = 3 + 2 * i, 4 + 2 * i
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {cont_num} 0 R /Resources << /Font "
+                f"<< /F1 {font_num} 0 R >> >> >>"
+            ).encode()
+        )
+        shows = b" T*\n".join(
+            _pdf_text_string(line) + b" Tj" for line in text.split("\n")
+        )
+        content = (
+            b"BT\n/F1 12 Tf\n14 TL\n1 0 0 1 72 720 Tm\n" + shows + b"\nET"
+        )
+        if compress:
+            body, filt = zlib.compress(content), b" /Filter /FlateDecode"
+        else:
+            body, filt = content, b""
+        objs.append(
+            b"<< /Length " + str(len(body)).encode() + filt + b" >>\n"
+            b"stream\n" + body + b"\nendstream"
+        )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]  # object 0 is the free-list head
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)

@@ -126,6 +126,73 @@ def iter_warc_records(raw: bytes):
         pos = block_start + length
 
 
+def iter_warc_records_from(fileobj, chunk_size: int = 1 << 20):
+    """Streaming twin of :func:`iter_warc_records`: yield (headers,
+    block) from a FILE OBJECT, reading ``chunk_size`` bytes at a time
+    and never holding more than one record (+ one chunk) in memory —
+    the path that lifts ``binaryFile``'s 2 GiB-per-blob ceiling and its
+    whole-blob materialization. Framing, header parsing, and
+    stray-byte skipping are IDENTICAL to the in-memory iterator (same
+    parsing decisions byte for byte), so the two paths are bit-exact on
+    the same input; the equivalence is pinned by tests."""
+    buf = bytearray()
+    eof = False
+
+    def fill(need: int) -> bool:
+        nonlocal eof
+        while len(buf) < need and not eof:
+            chunk = fileobj.read(chunk_size)
+            if not chunk:
+                eof = True
+                return len(buf) >= need
+            buf.extend(chunk)
+        return len(buf) >= need
+
+    while True:
+        # scan to the next version line (same contract as the in-memory
+        # iterator: stray padding/truncated tails between records skip)
+        while True:
+            nxt = buf.find(b"WARC/")
+            if nxt >= 0:
+                del buf[:nxt]
+                break
+            if eof:
+                return
+            # keep the last 4 bytes — a marker could straddle the chunk seam
+            del buf[: max(0, len(buf) - 4)]
+            if not fill(len(buf) + 1):
+                return
+        # accumulate the full header (blank-line terminated)
+        while True:
+            head_end = buf.find(b"\r\n\r\n")
+            if head_end >= 0:
+                break
+            if eof:
+                return
+            fill(len(buf) + 1)
+        lines = bytes(buf[:head_end]).split(b"\r\n")
+        if not lines[0].startswith(b"WARC/"):
+            del buf[:5]
+            continue
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            name, sep, value = ln.partition(b":")
+            if sep:
+                headers[name.strip().lower().decode("latin-1")] = (
+                    value.strip().decode("utf-8", "replace")
+                )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            del buf[: head_end + 4]
+            continue
+        if not fill(head_end + 4 + length):
+            return  # truncated tail — surface what framed completely
+        block = bytes(buf[head_end + 4 : head_end + 4 + length])
+        del buf[: head_end + 4 + length]
+        yield headers, block
+
+
 def _maybe_gunzip(content: bytes) -> bytes:
     """Transparent for plain bytes; decompresses gzip, INCLUDING the
     Common Crawl one-member-per-record concatenation."""
@@ -134,31 +201,38 @@ def _maybe_gunzip(content: bytes) -> bytes:
     return content
 
 
+def _record_row(path: str, headers: dict, block: bytes, want) -> dict | None:
+    """(headers, block) → one WARC_DDL row dict, or None when filtered.
+    Shared by the in-memory, path-streaming, and streaming-landing paths
+    so every reader builds IDENTICAL rows."""
+    wtype = headers.get("warc-type", "")
+    if want is not None and wtype.lower() not in want:
+        return None
+    status, http_headers, body = parse_http_response(block)
+    payload = body if status is not None else block
+    return {
+        "warc_type": wtype,
+        "record_id": headers.get("warc-record-id"),
+        "warc_date": headers.get("warc-date"),
+        "target_uri": headers.get("warc-target-uri"),
+        "content_type": headers.get("content-type"),
+        "content_length": int(headers["content-length"]),
+        "http_status": status,
+        "http_content_type": http_headers.get("content-type"),
+        "payload": payload,
+        "payload_text": payload.decode("utf-8", "replace"),
+        "_kpf_source": path,
+    }
+
+
 def records_to_rows(path: str, content: bytes, record_types):
     """One WARC blob → list of row dicts (the WARC_DDL columns)."""
     want = {t.lower() for t in record_types} if record_types else None
     rows = []
     for headers, block in iter_warc_records(_maybe_gunzip(bytes(content))):
-        wtype = headers.get("warc-type", "")
-        if want is not None and wtype.lower() not in want:
-            continue
-        status, http_headers, body = parse_http_response(block)
-        payload = body if status is not None else block
-        rows.append(
-            {
-                "warc_type": wtype,
-                "record_id": headers.get("warc-record-id"),
-                "warc_date": headers.get("warc-date"),
-                "target_uri": headers.get("warc-target-uri"),
-                "content_type": headers.get("content-type"),
-                "content_length": int(headers["content-length"]),
-                "http_status": status,
-                "http_content_type": http_headers.get("content-type"),
-                "payload": payload,
-                "payload_text": payload.decode("utf-8", "replace"),
-                "_kpf_source": path,
-            }
-        )
+        row = _record_row(path, headers, block, want)
+        if row is not None:
+            rows.append(row)
     return rows
 
 
@@ -190,14 +264,101 @@ def parse_warc_blobs(
     return blobs.select("path", "content").mapInPandas(batches, WARC_DDL)
 
 
+# Spark's binaryFile source materializes each file as ONE byte array whose
+# length must fit a JVM array (Int.MaxValue) — the in-memory path's hard
+# per-blob ceiling. Module constant so tests can exercise the guard.
+BINARYFILE_MAX_BYTES = 2_147_483_647
+
+
+def _open_for_records(path: str):
+    """Open a worker-local path for incremental record reading. Strips
+    the ``file:`` scheme Spark's listers emit; ``.gz`` wraps in
+    GzipFile (multi-member concatenation — the Common Crawl layout —
+    decompresses transparently and incrementally)."""
+    p = path
+    if p.startswith("file://"):
+        p = p[7:]
+    elif p.startswith("file:"):
+        p = p[5:]
+    f = open(p, "rb")
+    if p.endswith(".gz"):
+        return gzip.GzipFile(fileobj=f)
+    return f
+
+
+def stream_warc_paths(
+    paths: DataFrame, record_types=("response",)
+) -> DataFrame:
+    """(path) rows → one typed row per WARC record, opening each file
+    INSIDE the worker and iterating records incrementally
+    (:func:`iter_warc_records_from`) — never materializing a whole blob.
+    This is the >2 GiB-archive path: memory per task is one record plus
+    one read chunk, regardless of file size. Rows are bit-identical to
+    :func:`parse_warc_blobs` on the same files (shared ``_record_row``
+    builder + framing-equivalent iterators; pinned by tests)."""
+    import pandas as pd
+
+    want = {t.lower() for t in record_types} if record_types else None
+    cols = [c.split()[0] for c in WARC_DDL.split(", ")]
+
+    def batches(it):
+        for pdf in it:
+            out = []
+            for p in pdf["path"]:
+                with _open_for_records(p) as f:
+                    for headers, block in iter_warc_records_from(f):
+                        row = _record_row(p, headers, block, want)
+                        if row is not None:
+                            out.append(row)
+            res = pd.DataFrame(out, columns=cols)
+            res["warc_date"] = pd.to_datetime(
+                res["warc_date"], format="ISO8601", errors="coerce", utc=True
+            ).dt.tz_localize(None)
+            yield res
+
+    return paths.select("path").mapInPandas(batches, WARC_DDL)
+
+
 def read_warc(
-    spark: SparkSession, path: str, record_types=("response",)
+    spark: SparkSession,
+    path: str,
+    record_types=("response",),
+    stream: bool = False,
 ) -> DataFrame:
     """Read a WARC directory/glob (``.warc`` / ``.warc.gz``) as a typed
     DataFrame with ``_kpf_source`` lineage — the crawl→text pipeline's
     first reader; compose with ``textprep.html_extract`` on
-    ``payload_text`` for main-content extraction."""
+    ``payload_text`` for main-content extraction.
+
+    ``stream=False`` (default) rides ``binaryFile`` — one task per blob,
+    the Common Crawl ~1 GiB distribution unit — and materializes each
+    blob once per task. That source hard-caps a file at
+    ``BINARYFILE_MAX_BYTES`` (a JVM byte-array limit); oversized files
+    raise a clear ValueError here, at the engine surface, instead of a
+    Spark-internal error mid-job. ``stream=True`` distributes PATHS and
+    opens each file inside the worker, iterating records incrementally —
+    no per-file size ceiling and no whole-blob memory spike; results are
+    bit-identical. The listing itself is metadata-only either way
+    (``binaryFile`` prunes the content column when only path/length are
+    selected)."""
     bf = spark.read.format("binaryFile").load(path)
+    if stream:
+        n = max(1, len(bf.select("path").inputFiles()) or 1)
+        # one file per task (records decode where the file is opened)
+        return stream_warc_paths(
+            bf.select("path").repartition(min(n, 10_000), "path"),
+            record_types,
+        )
+    over = (
+        bf.selectExpr("max(length) AS m").first().m or 0
+    )  # metadata-only: binaryFile prunes content for status-level columns
+    if over > BINARYFILE_MAX_BYTES:
+        raise ValueError(
+            f"read_warc: an input file is {over} bytes, past the "
+            f"binaryFile per-blob ceiling ({BINARYFILE_MAX_BYTES}); "
+            "pass stream=True to read it incrementally (path-streaming "
+            "mode has no per-file limit)"
+        )
     return parse_warc_blobs(bf, record_types)
 
 

@@ -423,3 +423,41 @@ def test_widen_for_fanout_metadata_probe(spark, tmp_path):
     # non-file frames (no inputFiles) also widen rather than crash
     mem = spark.createDataFrame([(1, "a")], "id long, text string")
     assert _widen_for_fanout(mem).count() == 1
+
+
+def test_widen_for_fanout_file_count_short_circuit(spark, tmp_path, monkeypatch):
+    """ADVICE r9 #2: each file is >=1 split, so len(files) >= target must
+    short-circuit to 'wide' with NO sizing at all — the remote-scheme
+    (s3://, abfss://) 100 TB posture, where os.path.getsize raises. An
+    un-sizable path below the count threshold must ALSO be treated as
+    wide, never forced through a full-corpus shuffle."""
+    import os as _os
+
+    from kusto_pre_forge_spark.operators import corpus as C
+
+    target = spark.sparkContext.defaultParallelism
+    df = spark.range(target * 20).selectExpr("id", "repeat('x', 5) AS text")
+    p = str(tmp_path / "many")
+    df.repartition(target).write.parquet(p)
+    many = spark.read.parquet(p)
+    assert len(many.inputFiles()) >= target
+
+    # simulate a remote scheme: sizing any file raises — the count
+    # short-circuit must win before getsize is ever consulted
+    def boom(_path):
+        raise OSError("remote scheme — cannot stat")
+
+    monkeypatch.setattr(C.os.path, "getsize", boom)
+    out = C._widen_for_fanout(many)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" not in plan, "wide input must not reshuffle"
+
+    # below the count threshold but un-sizable: treat as wide (no shuffle)
+    p1 = str(tmp_path / "one")
+    spark.range(10).coalesce(1).write.parquet(p1)
+    single = spark.read.parquet(p1)
+    out2 = C._widen_for_fanout(single)
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" not in plan2, (
+        "un-sizable (remote) input must be treated as wide, not shuffled"
+    )

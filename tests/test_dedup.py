@@ -852,3 +852,42 @@ def test_hamming_candidate_recall_pigeonhole_and_misses(spark):
     assert r2.n_exact == r4.n_exact
     assert r2.n_hits < r2.n_exact
     assert r2.recall < 1.0
+
+
+def test_chunk_layout_covers_every_bit(spark):
+    """chunks not dividing n_bits must NOT leave the top bits outside
+    every band (ADVICE r9 #4): the last chunk absorbs the remainder, so
+    the pigeonhole guarantee holds for e.g. chunks=5 over 64 bits."""
+    from kusto_pre_forge_spark.operators import dedup as D
+
+    # layout covers [0, n_bits) exactly, no gaps, no overlap
+    for n_bits, chunks in [(64, 5), (64, 3), (60, 7), (64, 4), (60, 4)]:
+        layout = D._chunk_layout(n_bits, chunks)
+        covered = 0
+        for shift, mask in layout:
+            covered |= mask << shift
+        assert covered == (1 << n_bits) - 1, (n_bits, chunks)
+        assert len(layout) == chunks
+
+    # the old floor bug's concrete failure: chunks=5, 64 bits — bits_per
+    # floored to 12, bits 60-63 uncovered. Two fps differing ONLY in the
+    # top bits would share every truncated chunk yet be a real pair; with
+    # the remainder-absorbing last chunk the harness must measure 1.0.
+    rows = [
+        (1, 0),
+        # dist 2, both flips in the top nibble (bit 63 set -> negative long)
+        (2, ((1 << 63) | (1 << 61)) - (1 << 64)),
+        (3, 0x5555555555555555),
+    ]
+    df = spark.createDataFrame(rows, "id long, fp long")
+    r = D.hamming_candidate_recall(
+        df, "fp", "id", max_hamming=3, chunks=5
+    ).first()
+    assert r.recall == 1.0 and r.n_exact == r.n_hits == 1
+    got = {
+        (p.id_a, p.id_b): p.distance
+        for p in D.hamming_pairs(
+            df, "fp", "id", max_hamming=3, chunks=5
+        ).collect()
+    }
+    assert got == {(1, 2): 2}, got

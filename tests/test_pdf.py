@@ -1,0 +1,150 @@
+"""PDF text-extraction source (sources/pdf.py) — pure-bytes parser units
+plus the Spark blob→pages layer. The forge (pdf_bytes) writes spec-valid
+PDFs (real xref table, Flate content streams), so every test exercises
+the REAL parser end-to-end, the sources/warc.py fixture posture."""
+
+import zlib
+
+import pytest
+
+from kusto_pre_forge_spark.sources import pdf as P
+
+
+def _minimal_pdf(objs: dict[int, bytes], with_xref: bool = True) -> bytes:
+    """Assemble numbered object bodies into a PDF, optionally with a
+    correct xref table + trailer (object 1 must be the catalog)."""
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for n in sorted(objs):
+        offs[n] = len(out)
+        out += f"{n} 0 obj\n".encode() + objs[n] + b"\nendobj\n"
+    if with_xref:
+        xref_at = len(out)
+        out += b"xref\n0 1\n0000000000 65535 f \n"
+        for n in sorted(objs):
+            out += f"{n} 1\n{offs[n]:010d} 00000 n \n".encode()
+        out += (
+            f"trailer\n<< /Size {max(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF"
+        ).encode()
+    return bytes(out)
+
+
+def test_forge_roundtrip_exact():
+    pages = [
+        "hello world\nsecond line",
+        "café ü — em-dash 中文 and emoji 🙂\n\ntrailing empty\n",
+        "",
+        "parens (nested (deep)) and \\ backslash",
+        "\nleading newline",
+    ]
+    for compress in (True, False):
+        assert P.extract_pdf_pages(P.pdf_bytes(pages, compress=compress)) == pages
+
+
+def test_xref_walk_is_the_primary_path():
+    data = P.pdf_bytes(["a", "b"])
+    xr = P._xref_offsets(data)
+    assert xr is not None
+    offsets, trailer = xr
+    # every forged object is addressable at its declared offset
+    for num, off in offsets.items():
+        parsed = P._parse_indirect_at(data, off)
+        assert parsed is not None and parsed[0] == num
+    assert isinstance(trailer.get("Root"), P._Ref)
+
+
+def test_broken_xref_falls_back_to_scan():
+    pages = ["recovered text"]
+    data = P.pdf_bytes(pages)
+    assert P.extract_pdf_pages(data.replace(b"startxref", b"startxrEF")) == pages
+    # no trailer/catalog-ref at all: catalog found by /Type scan
+    body = data[: data.rfind(b"xref")]
+    assert P.extract_pdf_pages(body) == pages
+
+
+def test_literal_string_escapes_and_operators():
+    """§7.3.4.2 escapes (named, octal, line fold), TJ kerning arrays,
+    the ' newline-show operator, and an interior /Pages tree node."""
+    content1 = (
+        b"BT /F1 12 Tf (Hi \\(there\\) \\\\ end\\051) Tj T*\n"
+        b"[(kern) -120 (ed)] TJ (third) '\nET"
+    )
+    content2 = b"BT (\\101\\102\\103 oct) Tj T* (a\\\nb folded) Tj ET"
+    hex2 = content2.hex().encode() + b">"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [7 0 R] /Count 2 >>",
+        7: b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 /Parent 2 0 R >>",
+        3: b"<< /Type /Page /Parent 7 0 R /Contents 5 0 R >>",
+        4: b"<< /Type /Page /Parent 7 0 R /Contents 6 0 R >>",
+        # /Length via indirect reference (object 8)
+        5: b"<< /Length 8 0 R >>\nstream\n" + content1 + b"\nendstream",
+        6: b"<< /Length " + str(len(hex2)).encode()
+        + b" /Filter /ASCIIHexDecode >>\nstream\n" + hex2 + b"\nendstream",
+        8: str(len(content1)).encode(),
+    }
+    got = P.extract_pdf_pages(_minimal_pdf(objs))
+    assert got == ["Hi (there) \\ end)\nkerned\nthird", "ABC oct\nab folded"]
+
+
+def test_unsupported_filter_strict_vs_skip():
+    data = P.pdf_bytes(["fine page"]).replace(
+        b"/FlateDecode", b"/DCTDecode\x20\x20"
+    )
+    with pytest.raises(NotImplementedError, match="DCTDecode"):
+        P.extract_pdf_pages(data, errors="strict")
+    assert P.extract_pdf_pages(data) == [""]  # crawl posture: skip
+
+
+def test_filter_chain_and_text_string_boms():
+    """A [ASCIIHexDecode FlateDecode] chain, plus UTF-8-BOM literal and
+    plain latin-1 strings decoding per §7.9.2.2."""
+    content = (
+        b"BT (\xef\xbb\xbfutf8 \xc3\xa9) Tj T* (plain \xe9) Tj ET"
+    )
+    enc = zlib.compress(content).hex().encode() + b">"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: b"<< /Length " + str(len(enc)).encode()
+        + b" /Filter [/ASCIIHexDecode /FlateDecode] >>\nstream\n"
+        + enc + b"\nendstream",
+    }
+    assert P.extract_pdf_pages(_minimal_pdf(objs)) == ["utf8 é\nplain é"]
+
+
+def test_contents_array_concatenates_streams():
+    c1, c2 = b"BT (part one) Tj", b"(part two) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents [4 0 R 5 0 R] >>",
+        4: b"<< /Length " + str(len(c1)).encode() + b" >>\nstream\n" + c1 + b"\nendstream",
+        5: b"<< /Length " + str(len(c2)).encode() + b" >>\nstream\n" + c2 + b"\nendstream",
+    }
+    # §7.8.2: split content streams parse as one (BT in one, ET in the next)
+    assert P.extract_pdf_pages(_minimal_pdf(objs)) == ["part onepart two"]
+
+
+def test_parse_pdf_blobs_spark_layer(spark, tmp_path):
+    """binaryFile → mapInPandas plumbing: per-page rows, lineage column,
+    page order, and a pure-map plan (zero exchanges)."""
+    import glob
+
+    docs = {"a.pdf": ["alpha\nbeta", "gamma"], "b.pdf": ["solo page"]}
+    for name, pages in docs.items():
+        (tmp_path / name).write_bytes(P.pdf_bytes(pages))
+    df = P.read_pdf(spark, str(tmp_path / "*.pdf"))
+    rows = df.collect()
+    got = {}
+    for r in rows:
+        key = r._kpf_source.rsplit("/", 1)[-1]
+        got.setdefault(key, {})[r.page_no] = (r.page_text, r.n_pages)
+    assert got == {
+        "a.pdf": {0: ("alpha\nbeta", 2), 1: ("gamma", 2)},
+        "b.pdf": {0: ("solo page", 1)},
+    }
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "pdf parse must stay a pure map stage"

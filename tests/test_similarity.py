@@ -418,3 +418,33 @@ def test_knn_propagate_max_seeds_guard(spark):
         sim.knn_propagate(labeled, pool, k=2, max_seeds=3)
     # at exactly the limit it runs
     assert sim.knn_propagate(labeled, pool, k=2, max_seeds=6).count() == 1
+
+
+def test_knn_classify_max_pool_guard(spark):
+    """ADVICE r9 #1: the classify posture broadcasts the ENTIRE unlabeled
+    pool — past max_pool it must refuse loudly (naming the
+    broadcast_pool=False escape hatch), not blow the broadcast limit; at
+    the limit it runs; broadcast_pool=False takes the propagate path
+    regardless of pool size."""
+    import pytest
+
+    from kusto_pre_forge_spark.operators import similarity as sim
+
+    labeled = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(4)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    pool = spark.createDataFrame(
+        [(100 + i, [1.0, 0.5]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="broadcast_pool=False"):
+        sim.knn_classify(labeled, pool, k=2, max_pool=4)
+    assert sim.knn_classify(labeled, pool, k=2, max_pool=5).count() == 5
+    # the big-pool posture ignores max_pool entirely
+    assert (
+        sim.knn_classify(
+            labeled, pool, k=2, broadcast_pool=False, max_pool=1
+        ).count()
+        == 5
+    )

@@ -640,3 +640,38 @@ def test_url_host_and_suffixes(spark):
     ).first()
     assert r.h == "a.b.example.com"
     assert r.s == ["a.b.example.com", "b.example.com", "example.com", "com"]
+
+
+def test_url_host_strips_userinfo(spark):
+    """RFC 3986 authority userinfo must never leak into the host — a
+    crawl-controllable 'user@' prefix would otherwise bypass
+    domain_blocklist_filter (ADVICE r9 #3)."""
+    from kusto_pre_forge_spark.operators import textprep as tp
+
+    cases = [
+        ("https://user@blocked.com/x", "blocked.com"),
+        ("https://x:y@blocked.com/", "blocked.com"),       # password ':'
+        ("https://a@b@c.example.org/p", "c.example.org"),  # last '@' wins
+        ("https://user@Blocked.COM:8443/", "blocked.com"), # userinfo+port
+        ("https://plain.example.com/", "plain.example.com"),
+        ("https://host:8080/path", "host"),                # port, no userinfo
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "id long, url string"
+    )
+    got = {
+        r.id: r.h
+        for r in df.select("id", tp.url_host("url").alias("h")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
+    # end-to-end: the bypass URL is actually blocked now
+    bl = spark.createDataFrame([("blocked.com",)], "domain string")
+    docs = spark.createDataFrame(
+        [(1, "https://user@blocked.com/a"), (2, "https://fine.org/b")],
+        "id long, url string",
+    )
+    kept = sorted(
+        r.id for r in tp.domain_blocklist_filter(docs, "url", bl).collect()
+    )
+    assert kept == [2]

@@ -31,6 +31,27 @@ def test_lang_id(spark):
     assert out == {1: "en", 2: "de", 3: "es", 4: "und"}
 
 
+def test_lang_id_custom_profiles_kwarg(spark):
+    """ADVICE r9 #5: lang_id keeps its pre-round-9 `profiles` escape
+    hatch — custom profiles bypass the script gate and score over the
+    Latin normalizer, argmax wins, zero evidence → 'und'."""
+    profiles = {
+        "meow": ["meo", "eow", " me"],
+        "woof": ["woo", "oof", " wo"],
+    }
+    df = spark.createDataFrame(
+        [(1, "meow meow meow"), (2, "woof woof"), (3, "zzz qqq")],
+        ["id", "t"],
+    )
+    out = {
+        r.id: r.lang
+        for r in df.select(
+            "id", textstats.lang_id("t", profiles=profiles).alias("lang")
+        ).collect()
+    }
+    assert out == {1: "meow", 2: "woof", 3: "und"}
+
+
 def test_lang_id_subword_morphology_where_markers_fail(spark):
     """The char-trigram profiles classify SHORT text with ZERO stopwords
     — wrong-language quotes, bare content words, code-mixed lines — where

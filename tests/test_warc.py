@@ -154,3 +154,83 @@ def test_warc_streaming_landing(spark, tmp_path):
     assert len(rows) == 4  # 2 responses x 2 files
     assert {r.warc_type for r in rows} == {"response"}
     assert all(r._kpf_source for r in rows)
+
+
+def test_iter_warc_records_from_matches_in_memory():
+    """The streaming iterator must make the SAME framing decisions as
+    the in-memory one — including stray padding between records and a
+    truncated tail — across chunk seams (tiny chunk_size stresses every
+    boundary)."""
+    import io
+
+    rs = _fixture_records()
+    raw = (
+        b"JUNKPAD" + rs[0] + b"\x00\x00garbage" + rs[1] + rs[2][: len(rs[2]) // 2]
+    )
+    want = list(W.iter_warc_records(raw))
+    for chunk in (1, 3, 7, 64, 1 << 20):
+        got = list(W.iter_warc_records_from(io.BytesIO(raw), chunk_size=chunk))
+        assert got == want, f"chunk_size={chunk}"
+
+
+def test_stream_warc_paths_bit_identical(spark, tmp_path):
+    """read_warc(stream=True) must return the same rows as the
+    binaryFile path on the same files — plain AND gzip-member."""
+    rs = _fixture_records()
+    (tmp_path / "a.warc").write_bytes(W.write_warc(rs))
+    (tmp_path / "b.warc.gz").write_bytes(W.write_warc(rs, gzip_per_record=True))
+    glob = str(tmp_path / "*.warc*")
+
+    def key(r):
+        return (r._kpf_source, r.record_id, r.target_uri)
+
+    mem = sorted(W.read_warc(spark, glob).collect(), key=key)
+    st = sorted(W.read_warc(spark, glob, stream=True).collect(), key=key)
+    assert len(mem) == len(st) and len(mem) > 0
+    for a, b in zip(mem, st):
+        assert a.asDict() == b.asDict()
+    # the streaming plan stays a pure map stage over paths
+    plan = (
+        W.read_warc(spark, glob, stream=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_stream_large_archive_bounded_memory(tmp_path):
+    """A multi-hundred-MB archive streams through the pure iterator
+    without whole-file materialization: peak extra memory is one record
+    + one chunk. Bodies are repetitive so the forge is fast; the point
+    is the framing at scale, not the compression."""
+    body = (b"lorem ipsum dolor sit amet " * 40)[:1000]
+    n = 250_000  # ~256 MB of decompressed records
+    path = tmp_path / "big.warc"
+    with open(path, "wb") as f:
+        for i in range(n):
+            f.write(W.warc_record_bytes(f"https://example.com/{i}", body))
+    assert path.stat().st_size > 250 * 1024 * 1024
+    count = 0
+    first = last = None
+    with open(path, "rb") as f:
+        for headers, block in W.iter_warc_records_from(f):
+            if count == 0:
+                first = headers["warc-target-uri"]
+            last = headers["warc-target-uri"]
+            count += 1
+    assert count == n
+    assert first == "https://example.com/0"
+    assert last == f"https://example.com/{n - 1}"
+
+
+def test_read_warc_size_guard_names_stream_flag(spark, tmp_path, monkeypatch):
+    """Past the binaryFile per-blob ceiling the engine must refuse with
+    an error naming stream=True — not die in a Spark-internal array
+    allocation mid-job."""
+    import pytest
+
+    (tmp_path / "a.warc").write_bytes(W.write_warc(_fixture_records()))
+    monkeypatch.setattr(W, "BINARYFILE_MAX_BYTES", 10)
+    with pytest.raises(ValueError, match="stream=True"):
+        W.read_warc(spark, str(tmp_path / "*.warc"))
+    # stream mode has no ceiling
+    assert W.read_warc(spark, str(tmp_path / "*.warc"), stream=True).count() > 0

@@ -129,6 +129,7 @@ AUDITED = [
     ("graph_triangles", "degree-ordered orientation bounds wedge fan-out to O(m^1.5); pinned edge/oriented frames run once across all four consumers"),
     ("dedup_lsh_recall", "evaluation harness on a FIXED sample slice: exact inverted-index pass + banding pass, three 1-row count aggregates"),
     ("fixedwidth_roundtrip", "render + positional parse are one codegen projection each; no shuffle, no UDF, try_cast keeps malformed rows as NULLs"),
+    ("pdf_text_extract", "PDF roundtrip through the ISO 32000 parser: two pure mapInPandas stages (forge + parse), zero exchanges"),
 ]
 
 
