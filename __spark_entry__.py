@@ -1248,6 +1248,31 @@ def _q_text_langid(spark, sf):
     )
 
 
+def _q_text_langid_eval(spark, sf):
+    """Language-ID ACCURACY harness — the measure-don't-guess tier
+    (dedup.py lsh/hamming recall precedents) applied to the 27-label
+    classifier (19 trigram profiles + 8 script-direct labels):
+    per-language precision/recall/confusion counts over the
+    labeled LANGID_EVAL_FIXTURE corpus (long sentences that must all
+    win, short sentences where real Romance/Slavic confusions appear,
+    and digits/empty/NULL/stopword-free adversarial rows). The oracle
+    replays the ENTIRE chain — script gate, both normalizers,
+    overlapping trigram scoring, argmax, then the same confusion
+    aggregation — from the same textstats constants, so the measured
+    numbers are engine-shared by construction. Fixed fixture: the
+    number under test is profile accuracy, not corpus scale."""
+    from kusto_pre_forge_spark.operators.textstats import (
+        LANGID_EVAL_FIXTURE,
+        langid_eval,
+    )
+
+    fix = spark.createDataFrame(
+        [(i, lang, text) for i, (lang, _tier, text) in enumerate(LANGID_EVAL_FIXTURE)],
+        "doc_id long, true_lang string, text string",
+    )
+    return langid_eval(fix, "text", "true_lang")
+
+
 def _q_text_gopher(spark, sf):
     """Gopher document-quality rules (Rae et al. 2021 App. A1.1) as one
     codegen scan projection — exact integer numerators + round-6 ratios
@@ -5861,6 +5886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_wordpiece": _q_text_wordpiece,
         "embedding_whiten": _q_embedding_whiten,
         "text_langid": _q_text_langid,
+        "text_langid_eval": _q_text_langid_eval,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_meta": _q_multimodal_meta,
         "events_hourly": _q_events_hourly,
@@ -6394,6 +6420,45 @@ def _langid_ctes(extra_cols: str = "") -> str:
         f"{case} AS lang_pred FROM lsco s "
         "LEFT JOIN llatbest lb ON s.doc_id = lb.doc_id "
         "LEFT JOIN lcyrbest cb ON s.doc_id = cb.doc_id)"
+    )
+
+
+def _langid_eval_oracle_sql() -> str:
+    """Full replay of text_langid_eval: the labeled fixture as a VALUES
+    CTE that SHADOWS the documents view (DuckDB resolves CTE names
+    before base tables), the complete langid chain (_langid_ctes — same
+    constants as the Spark scorer), then the same per-language
+    precision/recall aggregation."""
+    from kusto_pre_forge_spark.operators.textstats import LANGID_EVAL_FIXTURE
+
+    def lit(t: str | None) -> str:
+        if t is None:
+            return "CAST(NULL AS VARCHAR)"
+        return "'" + t.replace("'", "''") + "'"
+
+    values = ", ".join(
+        f"({i}, '{lang}', {lit(text)})"
+        for i, (lang, _tier, text) in enumerate(LANGID_EVAL_FIXTURE)
+    )
+    return (
+        f"WITH documents(doc_id, true_lang, text) AS "
+        f"(SELECT * FROM (VALUES {values})), "
+        f"{_langid_ctes('true_lang')}, "
+        "t AS (SELECT true_lang AS lang, CAST(count(*) AS BIGINT) AS n_true, "
+        "CAST(count(CASE WHEN lang_pred = true_lang THEN 1 END) AS BIGINT) "
+        "AS n_correct FROM lng GROUP BY 1), "
+        "p AS (SELECT lang_pred AS lang, CAST(count(*) AS BIGINT) AS n_pred "
+        "FROM lng GROUP BY 1) "
+        "SELECT COALESCE(t.lang, p.lang) AS lang, "
+        "COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred, "
+        "COALESCE(n_correct, 0) AS n_correct, "
+        "CASE WHEN COALESCE(n_pred, 0) > 0 THEN "
+        "round(CAST(COALESCE(n_correct, 0) AS DOUBLE) / n_pred, 6) END "
+        "AS prec, "
+        "CASE WHEN COALESCE(n_true, 0) > 0 THEN "
+        "round(CAST(COALESCE(n_correct, 0) AS DOUBLE) / n_true, 6) END "
+        "AS recall "
+        "FROM t FULL OUTER JOIN p ON t.lang = p.lang"
     )
 
 
@@ -7279,6 +7344,7 @@ def oracle_sql() -> dict[str, str]:
             "AS stopword_ratio FROM t"
         ),
         "text_langid": lang_case,
+        "text_langid_eval": _langid_eval_oracle_sql(),
         "text_gopher": _gopher_oracle_sql(),
         "corpus_filter_attribution": _gopher_attribution_oracle_sql(),
         "corpus_c4_attribution": _c4_attribution_oracle_sql(),

@@ -132,6 +132,7 @@ HEADLINE = [
     "graph_triangles",
     "fixedwidth_roundtrip",
     "pdf_text_extract",
+    "text_langid_eval",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

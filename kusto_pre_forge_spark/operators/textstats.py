@@ -244,6 +244,126 @@ SCRIPT_DIRECT_LANGS: tuple[tuple[str, str], ...] = (
 )
 
 
+# Labeled evaluation corpus for the language-ID harness (measure, don't
+# guess — the lsh_candidate_recall precedent applied to the engine's most
+# guess-driven heuristic). Three tiers per the harness contract:
+# "long" — full sentences where the 25 profiles SHOULD all win (the pinned
+# 100% tier; a profile edit that breaks one fails the regression net);
+# "short" — 6-9 word sentences where trigram evidence is thin and real
+# confusions appear (Romance/Slavic near-neighbors — the tier the harness
+# exists to quantify); "adversarial" — digits-only, empty, NULL, and
+# single stopword-free words. One source of truth: the Spark query, the
+# SQL oracle's VALUES list, and the pytest pins all render from this
+# constant, so the measured numbers cannot drift between engines.
+LANGID_EVAL_FIXTURE: tuple[tuple[str, str, str | None], ...] = (
+    ("cs", "long", "Dnes je krásný den a půjdeme se projít do města, protože svítí slunce a všichni jsou šťastní."),
+    ("da", "long", "I dag er det en smuk dag, og vi skal gå en tur i byen, fordi solen skinner og alle er glade."),
+    ("de", "long", "Heute ist ein schöner Tag und wir werden durch die Stadt spazieren, weil die Sonne scheint."),
+    ("en", "long", "Today is a beautiful day and we are going to walk through the city because the sun is shining."),
+    ("es", "long", "Hoy es un día hermoso y vamos a caminar por la ciudad porque el sol está brillando y todos están felices."),
+    ("fi", "long", "Tänään on kaunis päivä ja menemme kävelylle kaupunkiin, koska aurinko paistaa ja kaikki ovat iloisia."),
+    ("fr", "long", "Aujourd'hui est une belle journée et nous allons nous promener dans la ville parce que le soleil brille."),
+    ("hu", "long", "Ma gyönyörű nap van, és sétálni megyünk a városba, mert süt a nap és mindenki boldog."),
+    ("id", "long", "Hari ini adalah hari yang indah dan kita akan berjalan-jalan di kota karena matahari bersinar."),
+    ("it", "long", "Oggi è una bella giornata e andremo a passeggiare per la città perché il sole splende e tutti sono felici."),
+    ("nl", "long", "Vandaag is het een mooie dag en we gaan wandelen door de stad omdat de zon schijnt en iedereen blij is."),
+    ("pl", "long", "Dzisiaj jest piękny dzień i pójdziemy na spacer do miasta, ponieważ świeci słońce i wszyscy są szczęśliwi."),
+    ("pt", "long", "Hoje é um dia bonito e vamos caminhar pela cidade porque o sol está brilhando e todos estão felizes."),
+    ("ro", "long", "Astăzi este o zi frumoasă și vom merge la plimbare prin oraș pentru că soarele strălucește."),
+    ("sv", "long", "Idag är det en vacker dag och vi ska gå en promenad i staden eftersom solen skiner och alla är glada."),
+    ("tr", "long", "Bugün güzel bir gün ve güneş parladığı için şehirde yürüyüşe çıkacağız, herkes mutlu."),
+    ("vi", "long", "Hôm nay là một ngày đẹp trời và chúng ta sẽ đi dạo quanh thành phố vì mặt trời đang tỏa sáng."),
+    ("ru", "long", "Сегодня прекрасный день, и мы пойдём гулять по городу, потому что светит солнце и все счастливы."),
+    ("uk", "long", "Сьогодні чудовий день, і ми підемо гуляти містом, тому що світить сонце і всі щасливі."),
+    ("el", "long", "Σήμερα είναι μια όμορφη μέρα και θα περπατήσουμε στην πόλη επειδή ο ήλιος λάμπει."),
+    ("ar", "long", "اليوم يوم جميل وسوف نتمشى في المدينة لأن الشمس مشرقة والجميع سعداء."),
+    ("he", "long", "היום הוא יום יפה ואנחנו הולכים לטייל בעיר כי השמש זורחת וכולם שמחים."),
+    ("hi", "long", "आज एक सुंदर दिन है और हम शहर में टहलने जाएंगे क्योंकि सूरज चमक रहा है और सभी खुश हैं।"),
+    ("th", "long", "วันนี้เป็นวันที่สวยงามและเราจะไปเดินเล่นในเมืองเพราะแสงแดดส่องสว่างและทุกคนมีความสุข"),
+    ("ja", "long", "今日はとても良い天気なので、街を散歩しに行きます。みんなが幸せです。"),
+    ("ko", "long", "오늘은 날씨가 좋아서 우리는 도시를 산책하러 갈 것입니다. 모두가 행복합니다."),
+    ("zh", "long", "今天天气很好，我们要去城里散步，因为阳光明媚，大家都很开心。"),
+    ("cs", "short", "to je velmi dobrý nápad, děkuji"),
+    ("da", "short", "det er en rigtig god idé, tak"),
+    ("de", "short", "das ist eine sehr gute Idee, danke"),
+    ("en", "short", "that is a very good idea, thank you"),
+    ("es", "short", "esa es una muy buena idea, gracias"),
+    ("fi", "short", "se on todella hyvä idea, kiitos"),
+    ("fr", "short", "c'est une très bonne idée, merci"),
+    ("hu", "short", "ez egy nagyon jó ötlet, köszönöm"),
+    ("id", "short", "itu ide yang sangat bagus, terima kasih"),
+    ("it", "short", "questa è un'ottima idea, grazie"),
+    ("nl", "short", "dat is een heel goed idee, dank je"),
+    ("pl", "short", "to jest bardzo dobry pomysł, dziękuję"),
+    ("pt", "short", "essa é uma ideia muito boa, obrigado"),
+    ("ro", "short", "aceasta este o idee foarte bună, mulțumesc"),
+    ("sv", "short", "det är en mycket bra idé, tack"),
+    ("tr", "short", "bu çok iyi bir fikir, teşekkürler"),
+    ("vi", "short", "đó là một ý tưởng rất hay, cảm ơn"),
+    ("ru", "short", "это очень хорошая идея, спасибо вам"),
+    ("uk", "short", "це дуже гарна ідея, дякую вам"),
+    ("el", "short", "αυτή είναι μια πολύ καλή ιδέα, ευχαριστώ"),
+    ("ar", "short", "هذه فكرة جيدة جدا شكرا لك"),
+    ("he", "short", "זה רעיון טוב מאוד תודה לך"),
+    ("hi", "short", "यह बहुत अच्छा विचार है धन्यवाद"),
+    ("th", "short", "นั่นเป็นความคิดที่ดีมากขอบคุณ"),
+    ("ja", "short", "それはとても良い考えですね"),
+    ("ko", "short", "그것은 정말 좋은 생각입니다"),
+    ("zh", "short", "这是一个非常好的主意，谢谢"),
+    ("und", "adversarial", "12345 67890 --- !!!"),
+    ("und", "adversarial", ""),
+    ("und", "adversarial", None),
+    ("en", "adversarial", "internationalization"),
+    ("de", "adversarial", "Donaudampfschifffahrtsgesellschaft"),
+    ("es", "adversarial", "otorrinolaringología"),
+)
+
+
+def langid_eval(
+    df: DataFrame, text_col: str, label_col: str
+) -> DataFrame:
+    """Per-language precision/recall over a LABELED corpus — the
+    measure-don't-guess harness (the ``lsh_candidate_recall`` /
+    ``hamming_candidate_recall`` precedent) applied to :func:`lang_id`.
+    For each language appearing as a true label OR a prediction:
+    n_true, n_pred, n_correct (pred == label), prec = n_correct/n_pred
+    (NULL when never predicted), recall = n_correct/n_true (NULL when
+    never true), both rounded to 6 (the round-before-compare contract).
+
+    Plan: one Arrow scan stage scores every row, then two
+    map-side-combined aggregates (per-true-label and per-prediction)
+    full-outer-join on the language key — label-cardinality-sized
+    frames, never corpus-sized."""
+    pred = df.select(
+        F.col(label_col).alias("_true"), lang_id(F.col(text_col)).alias("_pred")
+    )
+    t = pred.groupBy(F.col("_true").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.count(F.when(F.col("_pred") == F.col("_true"), 1))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    p = pred.groupBy(F.col("_pred").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred")
+    )
+    j = t.join(p, "lang", "full_outer")
+    n_true = F.coalesce(F.col("n_true"), F.lit(0)).cast("long")
+    n_pred = F.coalesce(F.col("n_pred"), F.lit(0)).cast("long")
+    n_correct = F.coalesce(F.col("n_correct"), F.lit(0)).cast("long")
+    return j.select(
+        "lang",
+        n_true.alias("n_true"),
+        n_pred.alias("n_pred"),
+        n_correct.alias("n_correct"),
+        F.when(
+            n_pred > 0, F.round(n_correct.cast("double") / n_pred, 6)
+        ).alias("prec"),
+        F.when(
+            n_true > 0, F.round(n_correct.cast("double") / n_true, 6)
+        ).alias("recall"),
+    )
+
+
 def _validate_profiles() -> None:
     for fam, (profiles, charclass) in {
         "latin": (LANG_TRIGRAMS, LANGID_CHARCLASS),

@@ -130,6 +130,7 @@ AUDITED = [
     ("dedup_lsh_recall", "evaluation harness on a FIXED sample slice: exact inverted-index pass + banding pass, three 1-row count aggregates"),
     ("fixedwidth_roundtrip", "render + positional parse are one codegen projection each; no shuffle, no UDF, try_cast keeps malformed rows as NULLs"),
     ("pdf_text_extract", "PDF roundtrip through the ISO 32000 parser: two pure mapInPandas stages (forge + parse), zero exchanges"),
+    ("text_langid_eval", "langid accuracy harness: one Arrow scan scores the fixed labeled fixture; two label-cardinality aggregates full-outer-join"),
 ]
 
 
