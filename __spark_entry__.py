@@ -2356,24 +2356,28 @@ def _q_pipeline_crawl_extract(spark, sf):
     d = load_table(spark, sf, "documents").select("doc_id", "text")
 
     def forge(it):
+        # one blob per ~64 docs (not per Arrow batch): the benched parse
+        # stage's task count then reflects the OPERATOR's parallelism,
+        # not the fixture's partition count (r9 verdict note)
+        per_blob = 64
         for pdf in it:
-            recs = [
-                W.warc_record_bytes(
-                    f"https://example.com/doc/{int(i)}",
-                    (
-                        _HTML_PAGE_PRE
-                        + (t if isinstance(t, str) else "")
-                        + _HTML_PAGE_POST
-                    ).encode("utf-8"),
-                )
-                for i, t in zip(pdf["doc_id"], pdf["text"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "path": ["mem://crawl.warc.gz"],
-                    "content": [W.write_warc(recs, gzip_per_record=True)],
-                }
-            )
+            paths, blobs_out = [], []
+            for lo in range(0, len(pdf), per_blob):
+                chunk = pdf.iloc[lo : lo + per_blob]
+                recs = [
+                    W.warc_record_bytes(
+                        f"https://example.com/doc/{int(i)}",
+                        (
+                            _HTML_PAGE_PRE
+                            + (t if isinstance(t, str) else "")
+                            + _HTML_PAGE_POST
+                        ).encode("utf-8"),
+                    )
+                    for i, t in zip(chunk["doc_id"], chunk["text"])
+                ]
+                paths.append(f"mem://crawl-{int(chunk['doc_id'].iloc[0])}.warc.gz")
+                blobs_out.append(W.write_warc(recs, gzip_per_record=True))
+            yield pd.DataFrame({"path": paths, "content": blobs_out})
 
     blobs = d.mapInPandas(forge, "path string, content binary")
     pages = W.parse_warc_blobs(blobs).select(
@@ -2414,6 +2418,62 @@ def _q_corpus_url_blocklist(spark, sf):
     )
     bl = spark.createDataFrame([(x,) for x in _URL_BLOCKLIST], "domain string")
     return tp.domain_blocklist_filter(d, "url", bl).select("doc_id", "url")
+
+
+def _code_corpus_frame(spark, sf):
+    """Deterministic code-file forge over documents, closed-form in both
+    engines: doc_id % 9 picks the file kind (7 extensions + an
+    extensionless bash-shebang script + an unknown '.xyz'), doc_id % 5
+    injects an auto-generated header, % 3 an SPDX line, % 11 a
+    1200-char separator line (long-line + alnum violations); the doc
+    text rides along as the variable-length payload."""
+    did = F.col("doc_id").cast("long")
+    m = did % 9
+    suffix = (
+        F.when(m == 0, ".py").when(m == 1, ".js").when(m == 2, ".go")
+        .when(m == 3, ".java").when(m == 4, ".rs").when(m == 5, ".rb")
+        .when(m == 6, ".c").when(m == 7, "").otherwise(".xyz")
+    )
+    content = F.concat(
+        F.when(m == 7, F.lit("#!/usr/bin/env bash\n")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("// Auto-Generated by kpf-codegen. DO NOT EDIT.\n")).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit("// SPDX-License-Identifier: Apache-2.0\n")).otherwise(F.lit("")),
+        F.lit("def f_"), did.cast("string"), F.lit("():\n    return "),
+        did.cast("string"), F.lit("\n"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 240),
+        F.when(did % 11 == 0, F.concat(F.lit("\n"), F.expr("repeat('=', 1200)"))).otherwise(F.lit("")),
+    )
+    return load_table(spark, sf, "documents").select(
+        did.alias("doc_id"),
+        F.concat(F.lit("repo/src/file_"), did.cast("string"), suffix).alias("path"),
+        content.alias("content"),
+    )
+
+
+def _q_code_quality(spark, sf):
+    """The Stack / StarCoder per-file code-quality signals over a forged
+    code corpus: language by extension + shebang, line-length profile,
+    alnum fraction, auto-generated-header flag, SPDX license id, and the
+    ANDed pass flag. One codegen scan projection (no UDF, no shuffle);
+    the oracle replays both the forge and every signal closed-form, with
+    the language CASE and rule conditions as engine-shared SQL strings
+    (codestats.code_lang_case_sql / CODE_RULE_SQL)."""
+    from kusto_pre_forge_spark.operators import codestats as cs
+
+    return cs.code_quality(_code_corpus_frame(spark, sf))
+
+
+def _q_corpus_code_attribution(spark, sf):
+    """Per-(language, rule) attribution for the code-quality rules —
+    gopher/c4 attribution's code twin: n_fail and n_fail_only per rule,
+    grouped by assigned language ('unknown' for NULL). The calibration
+    read before filtering a code corpus at scale."""
+    from kusto_pre_forge_spark.operators import codestats as cs
+
+    return cs.code_rule_attribution(_code_corpus_frame(spark, sf)).select(
+        F.col("grp").alias("language"), "rule", "n_docs", "n_fail",
+        "n_fail_only",
+    )
 
 
 def _q_corpus_filter_attribution(spark, sf):
@@ -5932,6 +5992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_url_blocklist": _q_corpus_url_blocklist,
         "corpus_filter_attribution": _q_corpus_filter_attribution,
         "corpus_c4_attribution": _q_corpus_c4_attribution,
+        "code_quality": _q_code_quality,
+        "corpus_code_attribution": _q_corpus_code_attribution,
         "text_oov_rate": _q_text_oov_rate,
         "text_char_entropy": _q_text_char_entropy,
         "join_bloom_prefilter": _q_join_bloom_prefilter,
@@ -6420,6 +6482,107 @@ def _langid_ctes(extra_cols: str = "") -> str:
         f"{case} AS lang_pred FROM lsco s "
         "LEFT JOIN llatbest lb ON s.doc_id = lb.doc_id "
         "LEFT JOIN lcyrbest cb ON s.doc_id = cb.doc_id)"
+    )
+
+
+def _code_corpus_ctes() -> str:
+    """CTE chain replaying _code_corpus_frame + every code_quality
+    signal in DuckDB, ending in ``cq(doc_id, language, n_lines,
+    max_line_len, mean_line_len, alnum_frac, is_autogenerated,
+    spdx_license_id, ok_* rule flags)``. The language CASE and the rule
+    conditions are the SAME generated SQL strings the Spark operator
+    evaluates (codestats.code_lang_case_sql / CODE_RULE_SQL)."""
+    from kusto_pre_forge_spark.operators.codestats import (
+        AUTOGEN_MARKERS,
+        CODE_RULE_DEFAULTS,
+        CODE_RULE_SQL,
+        code_lang_case_sql,
+    )
+
+    nl = "chr(10)"
+    content = (
+        f"CASE WHEN doc_id % 9 = 7 THEN '#!/usr/bin/env bash' || {nl} "
+        "ELSE '' END || "
+        "CASE WHEN doc_id % 5 = 0 THEN "
+        f"'// Auto-Generated by kpf-codegen. DO NOT EDIT.' || {nl} "
+        "ELSE '' END || "
+        "CASE WHEN doc_id % 3 = 0 THEN "
+        f"'// SPDX-License-Identifier: Apache-2.0' || {nl} ELSE '' END || "
+        f"'def f_' || doc_id || '():' || {nl} || '    return ' || doc_id "
+        f"|| {nl} || substr(coalesce(text, ''), 1, 240) || "
+        f"CASE WHEN doc_id % 11 = 0 THEN {nl} || repeat('=', 1200) "
+        "ELSE '' END"
+    )
+    suffix = (
+        "CASE doc_id % 9 WHEN 0 THEN '.py' WHEN 1 THEN '.js' "
+        "WHEN 2 THEN '.go' WHEN 3 THEN '.java' WHEN 4 THEN '.rs' "
+        "WHEN 5 THEN '.rb' WHEN 6 THEN '.c' WHEN 7 THEN '' "
+        "ELSE '.xyz' END"
+    )
+    autogen = " OR ".join(
+        f"position('{m}' IN lower(substr(content, 1, 500))) > 0"
+        for m in AUTOGEN_MARKERS
+    )
+    flags = ", ".join(
+        f"coalesce({cond.format(**CODE_RULE_DEFAULTS)}, false) AS ok_{name}"
+        for name, cond in CODE_RULE_SQL.items()
+    )
+    return (
+        "cf AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"'repo/src/file_' || doc_id || ({suffix}) AS path, "
+        f"{content} AS content FROM documents), "
+        "cs AS MATERIALIZED (SELECT doc_id, content, "
+        "lower(regexp_extract(path, '\\.([A-Za-z0-9_]+)$', 1)) AS ext, "
+        "string_split(content, chr(10)) AS lines FROM cf), "
+        "ct AS (SELECT doc_id, ext, coalesce(lines[1], '') AS first_line, "
+        "CAST(len(lines) AS BIGINT) AS n_lines, "
+        "CAST(coalesce(list_max(list_transform(lines, x -> length(x))), 0) "
+        "AS BIGINT) AS max_line_len, "
+        "round(CAST(coalesce(list_sum(list_transform(lines, "
+        "x -> length(x))), 0) AS DOUBLE) / greatest(len(lines), 1), 6) "
+        "AS mean_line_len, "
+        "round(CAST(length(regexp_replace(content, '[^A-Za-z0-9]', '', "
+        "'g')) AS DOUBLE) / greatest(length(content), 1), 6) "
+        "AS alnum_frac, "
+        f"({autogen}) AS is_autogenerated, "
+        "nullif(regexp_extract(content, "
+        "'SPDX-License-Identifier:[ \\t]*([0-9A-Za-z.+-]+)', 1), '') "
+        "AS spdx_license_id FROM cs), "
+        "cq AS MATERIALIZED (SELECT *, "
+        f"{code_lang_case_sql('ext', 'first_line')} AS language, "
+        f"{flags} FROM ct)"
+    )
+
+
+def _code_quality_oracle_sql() -> str:
+    from kusto_pre_forge_spark.operators.codestats import CODE_RULE_SQL
+
+    all_ok = " AND ".join(f"ok_{n}" for n in CODE_RULE_SQL)
+    return (
+        f"WITH {_code_corpus_ctes()} "
+        "SELECT doc_id, language, n_lines, max_line_len, mean_line_len, "
+        "alnum_frac, is_autogenerated, spdx_license_id, "
+        f"({all_ok}) AS passes_code_quality FROM cq"
+    )
+
+
+def _code_attribution_oracle_sql() -> str:
+    from kusto_pre_forge_spark.operators.codestats import CODE_RULE_SQL
+
+    def rule_select(name: str) -> str:
+        others = " AND ".join(f"ok_{o}" for o in CODE_RULE_SQL if o != name)
+        return (
+            f"SELECT coalesce(language, 'unknown') AS language, "
+            f"'{name}' AS rule, CAST(count(*) AS BIGINT) AS n_docs, "
+            f"CAST(sum(CASE WHEN NOT ok_{name} THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_fail, "
+            f"CAST(sum(CASE WHEN NOT ok_{name} AND {others} THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_fail_only FROM cq GROUP BY 1"
+        )
+
+    return (
+        f"WITH {_code_corpus_ctes()} "
+        + " UNION ALL ".join(rule_select(n) for n in CODE_RULE_SQL)
     )
 
 
@@ -7348,6 +7511,8 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher": _gopher_oracle_sql(),
         "corpus_filter_attribution": _gopher_attribution_oracle_sql(),
         "corpus_c4_attribution": _c4_attribution_oracle_sql(),
+        "code_quality": _code_quality_oracle_sql(),
+        "corpus_code_attribution": _code_attribution_oracle_sql(),
         "kql_evaluate_python": (
             "SELECT event_id, round(value * 2.0 + event_id % 10, 6) AS score "
             "FROM events WHERE event_id < 3000"

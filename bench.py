@@ -133,6 +133,8 @@ HEADLINE = [
     "fixedwidth_roundtrip",
     "pdf_text_extract",
     "text_langid_eval",
+    "code_quality",
+    "corpus_code_attribution",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

@@ -1508,6 +1508,87 @@ def hamming_pairs(
     )
 
 
+def window_hash_frame(
+    df: DataFrame, text_col: str, id_col: str, window_tokens: int
+) -> DataFrame:
+    """(_id, i, h): every ``window_tokens``-token rolling window of each
+    document as a 128-bit md5 key over the window's whitespace-
+    normalized lowercase tokens — the shared primitive of
+    :func:`exact_substring_spans`, :func:`cut_duplicate_spans`, and the
+    streaming ExactSubstr admission. Only (doc, position, 16-byte hash)
+    rows ever exist — never the window text."""
+    k = window_tokens
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_tk"))
+    return base.select(
+        "_id",
+        F.explode(
+            F.when(
+                F.size("_tk") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_tk") - k),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.md5(F.array_join(F.slice("_tk", i + 1, k), " ")).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<i:int,h:string>>"))
+        ).alias("w"),
+    ).select("_id", "w.i", "w.h")
+
+
+def incremental_substr_accept(
+    corpus_windows: DataFrame,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int = 8,
+    max_dup_windows: int = 0,
+) -> DataFrame:
+    """Admission control at SPAN granularity — the streaming twin the
+    ExactSubstr family lacked (minhash/SemDeDup/DSIR/quota/blocklist all
+    have one). A new doc is rejected when more than ``max_dup_windows``
+    of its k-token window hashes are FOREIGN: already present in the
+    accepted corpus's window store (``corpus_windows``: one ``h``
+    column; the corpus text is never re-tokenized), or owned by a
+    smaller-id doc in the same batch (the designated-survivor
+    convention of :func:`incremental_dedup_accept` — the min-id owner
+    keeps the window even if it is itself rejected, so chains resolve
+    deterministically without iteration; documented approximation, same
+    as the batch family's).
+
+    Cost scales with the batch: the only corpus-sized touch is the hash
+    equi-probe into the window store (column-pruned 16-byte keys).
+    Returns the accepted subset of ``new_df``, unshuffled."""
+    wins = window_hash_frame(new_df, text_col, id_col, window_tokens)
+    corpus_hits = (
+        wins.join(corpus_windows.select("h"), "h", "left_semi")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_n_corpus"))
+    )
+    owners = wins.groupBy("h").agg(F.min("_id").alias("_own"))
+    batch_fore = (
+        wins.join(owners, "h")
+        .filter(F.col("_id") > F.col("_own"))
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_n_batch"))
+    )
+    rejected = (
+        corpus_hits.join(batch_fore, "_id", "full_outer")
+        .filter(
+            F.coalesce(F.col("_n_corpus"), F.lit(0))
+            + F.coalesce(F.col("_n_batch"), F.lit(0))
+            > max_dup_windows
+        )
+        .select("_id")
+    )
+    return new_df.join(
+        rejected.withColumnRenamed("_id", id_col), id_col, "left_anti"
+    )
+
+
 def exact_substring_spans(
     df: DataFrame,
     text_col: str,
@@ -1536,23 +1617,7 @@ def exact_substring_spans(
     n_dup_windows) with token-index spans for the caller's cutter.
     """
     k = window_tokens
-    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
-    base = df.select(F.col(id_col).alias("_id"), toks.alias("_tk"))
-    wins = base.select(
-        "_id",
-        F.explode(
-            F.when(
-                F.size("_tk") >= k,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_tk") - k),
-                    lambda i: F.struct(
-                        i.alias("i"),
-                        F.md5(F.array_join(F.slice("_tk", i + 1, k), " ")).alias("h"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<i:int,h:string>>"))
-        ).alias("w"),
-    ).select("_id", "w.i", "w.h")
+    wins = window_hash_frame(df, text_col, id_col, k)
     dup = (
         wins.groupBy("h")
         .agg(F.count_distinct("_id").alias("_df"))

@@ -314,6 +314,107 @@ class StreamingEtl:
 
         return self._start(process, trigger_seconds, available_now)
 
+    def exact_substr_ingest_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        corpus_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        window_tokens: int = 8,
+        max_dup_windows: int = 0,
+    ) -> int:
+        """One micro-batch of SPAN-granularity admission — the
+        ExactSubstr twin of :meth:`dedup_ingest_batch` (the one dedup
+        family member that had no streaming mode). Arriving docs' k-token
+        window hashes probe the corpus WINDOW STORE
+        (``{corpus_dir}/wins`` — persisted 16-byte keys, so the corpus
+        text is never re-tokenized per trigger); a doc with more than
+        ``max_dup_windows`` foreign windows (in-store, or owned by a
+        smaller-id batch doc) is dropped. Accepted docs land in
+        ``{corpus_dir}/docs`` and their windows extend the store.
+
+        Replay safety is the family contract: BOTH stores are
+        batch-partitioned with dynamic overwrite, and both reads exclude
+        the current batch's partition, so a crash replay reproduces the
+        original accept set bit-for-bit."""
+        from pyspark.errors import AnalysisException
+
+        from kusto_pre_forge_spark.operators.dedup import (
+            incremental_substr_accept,
+            window_hash_frame,
+        )
+
+        batch = batch_df.drop("_kpf_source").dropDuplicates([id_col])
+        if not batch.head(1):
+            return 0
+        docs_dir, wins_dir = f"{corpus_dir}/docs", f"{corpus_dir}/wins"
+        try:
+            corpus_wins = (
+                self.spark.read.parquet(wins_dir)
+                .filter(F.col("_kpf_batch") != batch_id)
+                .select("h")
+            )
+        except AnalysisException:  # first batch: store not created yet
+            corpus_wins = self.spark.createDataFrame([], "h string")
+        accepted = incremental_substr_accept(
+            corpus_wins,
+            batch,
+            text_col,
+            id_col,
+            window_tokens=window_tokens,
+            max_dup_windows=max_dup_windows,
+        ).withColumn("_kpf_batch", F.lit(batch_id))
+        (
+            accepted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_kpf_batch")
+            .parquet(docs_dir)
+        )
+        new_wins = window_hash_frame(
+            self.spark.read.parquet(docs_dir).filter(
+                F.col("_kpf_batch") == batch_id
+            ),
+            text_col,
+            id_col,
+            window_tokens,
+        ).select("h").distinct().withColumn("_kpf_batch", F.lit(batch_id))
+        (
+            new_wins.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_kpf_batch")
+            .parquet(wins_dir)
+        )
+        return (
+            self.spark.read.parquet(docs_dir)
+            .filter(F.col("_kpf_batch") == batch_id)
+            .count()
+        )
+
+    def start_exact_substr_ingest(
+        self,
+        corpus_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        trigger_seconds: int | None = 60,
+        available_now: bool = False,
+        **substr_kwargs,
+    ) -> StreamingQuery:
+        """Continuous ExactSubstr-controlled ingestion: admit a document
+        only when its k-token windows are (mostly) unseen — the
+        span-granularity sibling of :meth:`start_dedup_ingest` (Lee et
+        al., ACL 2022: repeated SUBSTRINGS drive memorization, so the
+        admission key is windows, not whole-document similarity).
+        Checkpoint-committed per micro-batch like every other mode."""
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            self.exact_substr_ingest_batch(
+                batch_df, batch_id, corpus_dir, text_col, id_col,
+                **substr_kwargs,
+            )
+
+        return self._start(process, trigger_seconds, available_now)
+
     def semdedup_ingest_batch(
         self,
         batch_df: DataFrame,

@@ -766,3 +766,106 @@ def test_streaming_blocklist_ingest(spark, tmp_path):
         for r in spark.read.parquet(corpus_dir).collect()
     )
     assert after == before
+
+
+def test_streaming_exact_substr_ingest_across_batches(spark, tmp_path):
+    """Span-granularity admission: a doc arriving later that repeats an
+    8-token window of an accepted doc is dropped (first arrival wins),
+    batch replay is a bit-exact no-op, and a single wave reproduces the
+    batch-mode rule (corpus-empty + min-id ownership)."""
+    import csv as _csv
+    import os as _os
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    texts = {
+        1: base + " india juliet kilo lima mike november oscar papa",
+        2: "one two three four five six seven eight nine ten eleven twelve",
+        # 3 repeats doc 1's leading window verbatim inside fresh prose
+        3: "completely fresh words surround " + base + " and then more new",
+        4: "utterly distinct content with no overlapping windows anywhere here today",
+        # 5 repeats doc 2's window; 6 is clean
+        5: "prefix tokens first then one two three four five six seven eight done",
+        6: "closing document unlike all previous ones in every token position",
+    }
+    waves = [[(1, texts[1]), (2, texts[2])],
+             [(3, texts[3]), (4, texts[4])],
+             [(5, texts[5]), (6, texts[6])]]
+    land = tmp_path / "substr_landing"
+    land.mkdir()
+    corpus_dir = str(tmp_path / "substr_corpus")
+    etl = StreamingEtl(
+        spark,
+        str(land),
+        str(tmp_path / "ckpt_substr"),
+        str(tmp_path / "out_unused2"),
+        DOC_SCHEMA,
+        fmt="csv",
+        csv_headers=False,
+        max_files_per_trigger=1,
+    )
+    now = time.time()
+    for i, wave in enumerate(waves):
+        p = land / f"wave{i}.csv"
+        with open(p, "w", newline="") as f:
+            _csv.writer(f).writerows(wave)
+        _os.utime(p, (now + i * 10, now + i * 10))
+    q = etl.start_exact_substr_ingest(
+        corpus_dir, trigger_seconds=None, available_now=True
+    )
+    _drain(q)
+    docs = spark.read.parquet(f"{corpus_dir}/docs")
+    got = {r.doc_id for r in docs.collect()}
+    assert got == {1, 2, 4, 6}, got
+
+    # crash replay of wave 1 (batch id 1): both stores exclude the
+    # batch's own partitions, so the rerun reproduces the accept set
+    before = sorted(
+        (r.doc_id, r._kpf_batch) for r in docs.collect()
+    )
+    wins_before = spark.read.parquet(f"{corpus_dir}/wins").count()
+    replay_df = spark.createDataFrame(waves[1], DOC_SCHEMA)
+    n = etl.exact_substr_ingest_batch(replay_df, 1, corpus_dir)
+    after = sorted(
+        (r.doc_id, r._kpf_batch)
+        for r in spark.read.parquet(f"{corpus_dir}/docs").collect()
+    )
+    assert after == before, "replay must be a no-op"
+    assert n == 1, "replay re-accepts exactly the original survivor (doc 4)"
+    assert spark.read.parquet(f"{corpus_dir}/wins").count() == wins_before
+
+    # single-wave == batch rule: all six docs in ONE batch on a fresh
+    # store -> min-id window ownership drops 3 and 5, same as the waves
+    one_dir = str(tmp_path / "substr_one")
+    all_docs = spark.createDataFrame(
+        [d for w in waves for d in w], DOC_SCHEMA
+    )
+    etl.exact_substr_ingest_batch(all_docs, 0, one_dir)
+    one = {r.doc_id for r in spark.read.parquet(f"{one_dir}/docs").collect()}
+    assert one == {1, 2, 4, 6}
+
+
+def test_incremental_substr_accept_threshold(spark):
+    """max_dup_windows tolerates that many foreign windows before
+    rejecting — the knob between strict ExactSubstr (0) and quote-
+    tolerant admission."""
+    from kusto_pre_forge_spark.operators.dedup import (
+        incremental_substr_accept,
+        window_hash_frame,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "alpha bravo charlie delta echo foxtrot golf hotel india")],
+        "doc_id long, text string",
+    )
+    corpus_wins = window_hash_frame(corpus, "text", "doc_id", 8).select("h")
+    # new doc shares exactly 2 corpus windows (9-token overlap = 2 windows)
+    new = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo foxtrot golf hotel india plus fresh tail words here")],
+        "doc_id long, text string",
+    )
+    strict = incremental_substr_accept(corpus_wins, new, "text", "doc_id")
+    assert strict.count() == 0
+    tol = incremental_substr_accept(
+        corpus_wins, new, "text", "doc_id", max_dup_windows=2
+    )
+    assert tol.count() == 1

@@ -131,6 +131,8 @@ AUDITED = [
     ("fixedwidth_roundtrip", "render + positional parse are one codegen projection each; no shuffle, no UDF, try_cast keeps malformed rows as NULLs"),
     ("pdf_text_extract", "PDF roundtrip through the ISO 32000 parser: two pure mapInPandas stages (forge + parse), zero exchanges"),
     ("text_langid_eval", "langid accuracy harness: one Arrow scan scores the fixed labeled fixture; two label-cardinality aggregates full-outer-join"),
+    ("code_quality", "The Stack per-file rules: ONE codegen scan projection (split + array HOFs + regex), no UDF, no shuffle"),
+    ("corpus_code_attribution", "code rule attribution: one signal scan + 5-struct explode + map-side-combined aggregate"),
 ]
 
 
