@@ -2300,6 +2300,37 @@ def _q_pdf_text_extract(spark, sf):
     )
 
 
+def _q_pipeline_pdf_extract(spark, sf):
+    """The PDF half of the crawl-input pipeline end-to-end: forge →
+    sources.pdf parse → per-doc page reassembly (order-pinned) → token
+    gate — the pdf sibling of pipeline_crawl_extract, proving the PDF
+    front composes into the same doc-prep gates. Plan: two mapInPandas
+    map stages + ONE exchange (the per-doc reassembly groupBy — pages of
+    one doc must meet; at 100 TB this shuffles extracted text, not PDF
+    bytes). The oracle is closed-form: reassembled text equals the
+    original document text, so the gate replays directly on documents."""
+    from kusto_pre_forge_spark.operators import textstats as ts
+
+    parsed = _q_pdf_text_extract(spark, sf)
+    docs = parsed.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("page_no", "page_text"))
+                ),
+                lambda s: s["page_text"],
+            ),
+        ).alias("text"),
+        F.max("n_pages").cast("int").alias("n_pages"),
+    )
+    return docs.select(
+        "doc_id",
+        "n_pages",
+        ts.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 10)
+
+
 def _q_multimodal_dedup_recall(spark, sf):
     """Recall/efficiency harness for perceptual-hash (pHash/dHash)
     banding — lsh_candidate_recall's sibling for hamming_pairs. Fixture
@@ -5987,6 +6018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_html_extract": _q_text_html_extract,
         "warc_parse": _q_warc_parse,
         "pdf_text_extract": _q_pdf_text_extract,
+        "pipeline_pdf_extract": _q_pipeline_pdf_extract,
         "multimodal_dedup_recall": _q_multimodal_dedup_recall,
         "pipeline_crawl_extract": _q_pipeline_crawl_extract,
         "corpus_url_blocklist": _q_corpus_url_blocklist,
@@ -9103,6 +9135,17 @@ def oracle_sql() -> dict[str, str]:
             "AS n_pages FROM d "
             "UNION ALL SELECT doc_id, CAST(1 AS INT), substr(t, 201), "
             "CAST(2 AS INT) FROM d WHERE length(t) > 200"
+        ),
+        "pipeline_pdf_extract": (
+            # reassembled pages == original text (pdf layer proven
+            # lossless by pdf_text_extract), so the gate replays directly
+            "WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "COALESCE(text, '') AS text FROM documents) "
+            "SELECT doc_id, "
+            "CAST(CASE WHEN length(text) <= 200 THEN 1 ELSE 2 END AS INT) "
+            "AS n_pages, "
+            f"CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens FROM d "
+            f"WHERE len({_TOKENS_SQL}) >= 10"
         ),
         "multimodal_dedup_recall": _hamming_recall_oracle_sql(),
         "corpus_url_blocklist": (

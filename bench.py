@@ -135,6 +135,7 @@ HEADLINE = [
     "text_langid_eval",
     "code_quality",
     "corpus_code_attribution",
+    "pipeline_pdf_extract",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

@@ -90,6 +90,27 @@ class StreamingEtl:
                 )
             return parse_warc_blobs(breader.load(self.landing_dir))
 
+        if self.fmt == "pdf":
+            # PDF landing blobs (a crawl yields PDFs next to HTML): same
+            # binaryFile streaming posture as WARC; rows have the fixed
+            # sources.pdf.PDF_DDL shape (one row per page, lineage in
+            # _kpf_source), so the declared self.schema is ignored
+            from kusto_pre_forge_spark.sources.pdf import parse_pdf_blobs
+
+            breader = (
+                self.spark.readStream.format("binaryFile")
+                .schema(
+                    "path string, modificationTime timestamp, "
+                    "length long, content binary"
+                )
+                .option("pathGlobFilter", "*.pdf")
+            )
+            if self.max_files_per_trigger:
+                breader = breader.option(
+                    "maxFilesPerTrigger", self.max_files_per_trigger
+                )
+            return parse_pdf_blobs(breader.load(self.landing_dir))
+
         schema = self.schema
         if self.fmt == "text":
             # the text source has exactly one string column regardless of

@@ -148,3 +148,42 @@ def test_parse_pdf_blobs_spark_layer(spark, tmp_path):
     }
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, "pdf parse must stay a pure map stage"
+
+
+def test_pdf_streaming_landing(spark, tmp_path):
+    """PDF blobs dropped into the landing dir stream through binaryFile
+    into the same pure-map page decode as the batch reader — the crawl
+    container invariant (every batch format streams) extends to PDF."""
+    from kusto_pre_forge_spark.streaming.ingest import StreamingEtl
+
+    land = tmp_path / "pdf_landing"
+    land.mkdir()
+    (land / "a.pdf").write_bytes(P.pdf_bytes(["first page", "second page"]))
+    (land / "b.pdf").write_bytes(P.pdf_bytes(["solo"]))
+    etl = StreamingEtl(
+        spark,
+        str(land),
+        str(tmp_path / "ckpt_pdf"),
+        str(tmp_path / "out_pdf"),
+        schema=None,
+        fmt="pdf",
+        max_files_per_trigger=1,
+    )
+    q = (
+        etl._source()
+        .writeStream.format("memory")
+        .queryName("pdf_mem")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_pdf"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM pdf_mem").collect()
+    got = {}
+    for r in rows:
+        key = r._kpf_source.rsplit("/", 1)[-1]
+        got.setdefault(key, {})[r.page_no] = r.page_text
+    assert got == {
+        "a.pdf": {0: "first page", 1: "second page"},
+        "b.pdf": {0: "solo"},
+    }

@@ -133,6 +133,7 @@ AUDITED = [
     ("text_langid_eval", "langid accuracy harness: one Arrow scan scores the fixed labeled fixture; two label-cardinality aggregates full-outer-join"),
     ("code_quality", "The Stack per-file rules: ONE codegen scan projection (split + array HOFs + regex), no UDF, no shuffle"),
     ("corpus_code_attribution", "code rule attribution: one signal scan + 5-struct explode + map-side-combined aggregate"),
+    ("pipeline_pdf_extract", "pdf pipeline end-to-end: two mapInPandas stages + ONE exchange (per-doc page reassembly shuffles extracted text, not PDF bytes)"),
 ]
 
 
