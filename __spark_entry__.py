@@ -2265,13 +2265,15 @@ def _q_warc_parse(spark, sf):
 
 def _q_pdf_text_extract(spark, sf):
     """PDF container roundtrip through the REAL ISO 32000 parser: every
-    document is rendered as a spec-valid PDF (xref table, page tree,
-    Flate content streams, UTF-16BE hex show-text lines) — one page when
-    the text fits 200 chars, two pages otherwise, so the page-tree walk
-    and page ordering are both on the hook — then parsed back via
-    sources.pdf.parse_pdf_blobs. The oracle is closed-form: the same
-    200-char page split replayed in SQL over documents. Both directions
-    are pure map stages (mapInPandas), zero exchanges."""
+    document is rendered as a spec-valid PDF — CLASSIC table-xref layout
+    for even doc_ids, MODERN xref-stream + object-stream layout (PNG-Up
+    predictor, /Type /ObjStm packing) for odd ones, so both decode paths
+    are permanently on the correctness hook — one page when the text
+    fits 200 chars, two pages otherwise (page-tree walk + ordering).
+    Parsed back via sources.pdf.parse_pdf_blobs. The oracle is
+    closed-form (the layouts extract identically): the same 200-char
+    page split replayed in SQL over documents. Both directions are pure
+    map stages (mapInPandas), zero exchanges."""
     import pandas as pd
 
     from kusto_pre_forge_spark.sources import pdf as P
@@ -2284,8 +2286,9 @@ def _q_pdf_text_extract(spark, sf):
             for i, t in zip(pdf["doc_id"], pdf["text"]):
                 t = t if isinstance(t, str) else ""
                 pages = [t] if len(t) <= 200 else [t[:200], t[200:]]
+                writer = P.pdf_bytes if int(i) % 2 == 0 else P.pdf_bytes_xrefstream
                 paths.append(f"mem://doc/{int(i)}.pdf")
-                blobs.append(P.pdf_bytes(pages))
+                blobs.append(writer(pages))
             yield pd.DataFrame({"path": paths, "content": blobs})
 
     blobs = d.mapInPandas(forge, "path string, content binary")

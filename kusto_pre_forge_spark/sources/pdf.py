@@ -305,6 +305,157 @@ def _xref_offsets(data: bytes):
     return offsets, trailer
 
 
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Reverse the PNG row filters (§7.4.4.4 via RFC 2083) for
+    Predictor ≥ 10 streams — xref streams use Colors=1 /
+    BitsPerComponent=8, so bytes-per-pixel is 1 and each row is one
+    filter-type byte + ``columns`` data bytes."""
+    out = bytearray()
+    prev = bytearray(columns)
+    i, n = 0, len(data)
+    while i < n:
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + 1 + columns])
+        i += 1 + columns
+        if len(row) < columns:
+            row.extend(b"\x00" * (columns - len(row)))
+        if ft == 1:  # Sub
+            for j in range(1, columns):
+                row[j] = (row[j] + row[j - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(columns):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(columns):
+                left = row[j - 1] if j else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(columns):
+                a = row[j - 1] if j else 0
+                b, c = prev[j], (prev[j - 1] if j else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _apply_predictor(raw: bytes, parms, objects: dict) -> bytes:
+    """Apply a /DecodeParms predictor after filter decode (§7.4.4.4):
+    1 = none, 2 = TIFF horizontal (bpp 1), ≥10 = PNG row filters."""
+    parms = _resolve(objects, parms)
+    if not isinstance(parms, dict):
+        return raw
+    pred = _resolve(objects, parms.get("Predictor", 1))
+    if not isinstance(pred, int) or pred <= 1:
+        return raw
+    columns = _resolve(objects, parms.get("Columns", 1)) or 1
+    if pred == 2:
+        out = bytearray(raw)
+        for r in range(0, len(out) - columns + 1, columns):
+            for j in range(1, columns):
+                out[r + j] = (out[r + j] + out[r + j - 1]) & 0xFF
+        return bytes(out)
+    return _png_unpredict(raw, int(columns))
+
+
+def _xref_stream_load(data: bytes):
+    """The §7.5.8 cross-reference STREAM walk (PDF 1.5+ — what most
+    modern PDFs write instead of the classic table): parse the indirect
+    object at the startxref offset, decode its /W-packed binary rows
+    (predictor-aware), and return (offsets by object number, compressed
+    {objnum: (objstm_num, index)}, trailer dict from the stream's own
+    dictionary). Follows /Prev chains; returns None when the tail
+    doesn't frame an XRef stream."""
+    tail = data.rfind(b"startxref")
+    if tail < 0:
+        return None
+    m = re.match(rb"\s*(\d+)", data[tail + 9 : tail + 40])
+    if not m:
+        return None
+    offsets: dict[int, int] = {}
+    compressed: dict[int, tuple[int, int]] = {}
+    trailer: dict = {}
+    seen = set()
+    pos = int(m.group(1))
+    while pos not in seen and 0 <= pos < len(data):
+        seen.add(pos)
+        parsed = _parse_indirect_at(data, pos)
+        if not parsed or not isinstance(parsed[1], dict):
+            return None
+        _, d, raw = parsed
+        if str(d.get("Type", "")) != "XRef" or raw is None:
+            return None
+        try:
+            body = decode_stream((d, raw), {})
+        except NotImplementedError:
+            return None
+        body = _apply_predictor(body, d.get("DecodeParms") or d.get("DP"), {})
+        w = d.get("W")
+        if not (isinstance(w, list) and len(w) >= 3):
+            return None
+        w1, w2, w3 = (int(x) for x in w[:3])
+        size = int(d.get("Size", 0))
+        index = d.get("Index") or [0, size]
+        rowlen = w1 + w2 + w3
+        rows = [
+            body[i : i + rowlen] for i in range(0, len(body) - rowlen + 1, rowlen)
+        ]
+        ri = 0
+        for s in range(0, len(index) - 1, 2):
+            start, count = int(index[s]), int(index[s + 1])
+            for k in range(count):
+                if ri >= len(rows):
+                    break
+                row = rows[ri]
+                ri += 1
+                t = int.from_bytes(row[:w1], "big") if w1 else 1
+                f2 = int.from_bytes(row[w1 : w1 + w2], "big")
+                f3 = int.from_bytes(row[w1 + w2 :], "big")
+                num = start + k
+                if num in offsets or num in compressed:
+                    continue  # newest table wins
+                if t == 1:
+                    offsets[num] = f2
+                elif t == 2:
+                    compressed[num] = (f2, f3)
+        for k, v in d.items():
+            trailer.setdefault(k, v)
+        prev = d.get("Prev")
+        if not isinstance(prev, int):
+            break
+        pos = prev
+    return offsets, compressed, trailer
+
+
+def _explode_objstms(objects: dict) -> None:
+    """Unpack every /Type /ObjStm (§7.5.7 object stream — N compressed
+    non-stream objects: a 'num offset …' header then the serialized
+    values at /First + offset) into the object map, in place."""
+    for num in list(objects):
+        val, raw = objects[num]
+        if not isinstance(val, dict) or str(val.get("Type", "")) != "ObjStm":
+            continue
+        try:
+            body = decode_stream((val, raw), objects)
+        except NotImplementedError:
+            continue
+        first = _resolve(objects, val.get("First"))
+        count = _resolve(objects, val.get("N"))
+        if not isinstance(first, int) or not isinstance(count, int):
+            continue
+        header = body[:first].split()
+        for k in range(0, min(len(header) - 1, 2 * count - 1), 2):
+            try:
+                onum, off = int(header[k]), int(header[k + 1])
+            except ValueError:
+                break
+            value, _ = _parse_value(body, first + off)
+            objects.setdefault(onum, (value, None))
+
+
 def _scan_objects(data: bytes):
     """Fallback reconstruction: scan for every ``n g obj`` (what a repair
     tool does for crawl-grade PDFs with broken xref tables)."""
@@ -318,11 +469,16 @@ def _scan_objects(data: bytes):
 
 
 def load_pdf_objects(data: bytes):
-    """(objects: {num: (value, stream|None)}, root_ref_or_None). Tries
-    the spec's xref walk first; falls back to the full object scan."""
-    xr = _xref_offsets(data)
+    """(objects: {num: (value, stream|None)}, root_ref_or_None). Walks
+    the classic xref TABLE first (§7.5.4), then the xref STREAM
+    (§7.5.8 — the PDF 1.5+ layout most modern files write, including
+    /Type /ObjStm compressed-object unpacking); a damaged tail falls
+    back to the full object scan, which also explodes any object
+    streams it finds (scan-reconstruction can't see packed objects
+    otherwise)."""
     objects: dict[int, tuple] = {}
     root = None
+    xr = _xref_offsets(data)
     if xr:
         offsets, trailer = xr
         root = trailer.get("Root")
@@ -334,7 +490,30 @@ def load_pdf_objects(data: bytes):
                 objects = {}
                 break
     if not objects:
+        xs = _xref_stream_load(data)
+        if xs:
+            offsets, compressed, trailer = xs
+            root = trailer.get("Root") or root
+            ok = True
+            for num, off in offsets.items():
+                parsed = (
+                    _parse_indirect_at(data, off) if 0 <= off < len(data) else None
+                )
+                if parsed and parsed[0] == num:
+                    objects[num] = (parsed[1], parsed[2])
+                else:
+                    ok = False
+                    break
+            if ok and compressed:
+                _explode_objstms(objects)
+                # type-2 entries name their container; anything the
+                # exploder didn't surface marks the walk as damaged
+                ok = all(num in objects for num in compressed)
+            if not ok:
+                objects = {}
+    if not objects:
         objects = _scan_objects(data)
+        _explode_objstms(objects)
     return objects, root
 
 
@@ -553,12 +732,111 @@ def _pdf_text_string(s: str) -> bytes:
     return b"<" + (b"\xfe\xff" + s.encode("utf-16-be")).hex().encode() + b">"
 
 
+def _page_content(text: str) -> bytes:
+    shows = b" T*\n".join(
+        _pdf_text_string(line) + b" Tj" for line in text.split("\n")
+    )
+    return b"BT\n/F1 12 Tf\n14 TL\n1 0 0 1 72 720 Tm\n" + shows + b"\nET"
+
+
+def pdf_bytes_xrefstream(pages: list[str]) -> bytes:
+    """Forge the MODERN (PDF 1.5+) layout of :func:`pdf_bytes`: the
+    catalog, page tree, page dictionaries, and font pack into ONE
+    /Type /ObjStm object stream (§7.5.7); content streams stay regular
+    indirect objects; the cross-reference is a /Type /XRef STREAM
+    (§7.5.8) with W [1 4 2] binary rows, FlateDecode, and the PNG Up
+    predictor (/DecodeParms /Predictor 12) — the exact shape common PDF
+    writers emit, so the decoder's predictor/W/Index/type-2 paths are
+    all on the hook. Extracted text must equal :func:`pdf_bytes`'s."""
+    n = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
+    font_num = 3 + 2 * n
+    packed: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode(),
+        font_num: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    regular: dict[int, bytes] = {}
+    for i, text in enumerate(pages):
+        page_num, cont_num = 3 + 2 * i, 4 + 2 * i
+        packed[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {cont_num} 0 R /Resources << /Font "
+            f"<< /F1 {font_num} 0 R >> >> >>"
+        ).encode()
+        body = zlib.compress(_page_content(text))
+        regular[cont_num] = (
+            b"<< /Length " + str(len(body)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + body + b"\nendstream"
+        )
+    objstm_num, xref_num = 4 + 2 * n, 5 + 2 * n
+    # object stream: "num offset ..." header, then the packed values
+    payload = bytearray()
+    header = []
+    for num in sorted(packed):
+        header.append(f"{num} {len(payload)}")
+        payload += packed[num] + b"\n"
+    head = (" ".join(header) + "\n").encode()
+    stm = zlib.compress(head + bytes(payload))
+    regular[objstm_num] = (
+        f"<< /Type /ObjStm /N {len(packed)} /First {len(head)} /Length "
+        f"{len(stm)} /Filter /FlateDecode >>".encode()
+        + b"\nstream\n" + stm + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(regular):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + regular[num] + b"\nendobj\n"
+    # XRef stream rows, W = [1 4 2]: type 0 free / 1 offset / 2 packed
+    size = xref_num + 1
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+        elif num in packed:
+            idx = sorted(packed).index(num)
+            rows += bytes([2]) + objstm_num.to_bytes(4, "big") + idx.to_bytes(2, "big")
+        elif num in offsets:
+            rows += bytes([1]) + offsets[num].to_bytes(4, "big") + (0).to_bytes(2, "big")
+        elif num == xref_num:
+            rows += bytes([1]) + len(out).to_bytes(4, "big") + (0).to_bytes(2, "big")
+        else:
+            rows += bytes([0]) + (0).to_bytes(4, "big") + (0).to_bytes(2, "big")
+    # PNG Up predictor over 7-byte columns, then Flate
+    cols = 7
+    filtered = bytearray()
+    prev = bytes(cols)
+    for r in range(0, len(rows), cols):
+        row = bytes(rows[r : r + cols])
+        filtered += bytes([2]) + bytes(
+            (row[j] - prev[j]) & 0xFF for j in range(cols)
+        )
+        prev = row
+    xbody = zlib.compress(bytes(filtered))
+    xref_at = len(out)
+    out += (
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
+        f"/Root 1 0 R /Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns {cols} >> /Length "
+        f"{len(xbody)} >>\nstream\n".encode()
+    )
+    out += xbody
+    out += f"\nendstream\nendobj\nstartxref\n{xref_at}\n%%EOF\n".encode()
+    return bytes(out)
+
+
 def pdf_bytes(pages: list[str], compress: bool = True) -> bytes:
     """Forge one spec-valid PDF: real xref offsets, a page tree, one
     Flate (or raw) content stream per page, text as hex-encoded
     UTF-16BE show-text lines separated by ``T*``. The parser under test
     must reproduce each page string EXACTLY (lines re-join with \\n) —
-    the closed-form contract oracles replay."""
+    the closed-form contract oracles replay.
+
+    This writes the CLASSIC (table-xref) layout;
+    :func:`pdf_bytes_xrefstream` writes the same document in the modern
+    xref-stream + object-stream layout."""
     objs: list[bytes] = []  # bodies; object number = index + 1
     n = len(pages)
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
@@ -576,12 +854,7 @@ def pdf_bytes(pages: list[str], compress: bool = True) -> bytes:
                 f"<< /F1 {font_num} 0 R >> >> >>"
             ).encode()
         )
-        shows = b" T*\n".join(
-            _pdf_text_string(line) + b" Tj" for line in text.split("\n")
-        )
-        content = (
-            b"BT\n/F1 12 Tf\n14 TL\n1 0 0 1 72 720 Tm\n" + shows + b"\nET"
-        )
+        content = _page_content(text)
         if compress:
             body, filt = zlib.compress(content), b" /Filter /FlateDecode"
         else:

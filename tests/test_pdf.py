@@ -187,3 +187,54 @@ def test_pdf_streaming_landing(spark, tmp_path):
         "a.pdf": {0: "first page", 1: "second page"},
         "b.pdf": {0: "solo"},
     }
+
+
+def test_xrefstream_objstm_roundtrip():
+    """The PDF 1.5+ layout (xref STREAM with PNG-Up predictor + packed
+    /Type /ObjStm objects) round-trips identically to the classic table
+    layout, via its PRIMARY decode path and via the scan fallback."""
+    pages = ["hello world\nsecond line", "café ü 中文 🙂\n\ntail\n", "", "x (y) \\ z"]
+    data = P.pdf_bytes_xrefstream(pages)
+    xs = P._xref_stream_load(data)
+    assert xs is not None, "xref stream walk must frame the tail"
+    offsets, compressed, trailer = xs
+    assert compressed, "catalog/pages/font must be type-2 (packed) entries"
+    assert isinstance(trailer.get("Root"), P._Ref)
+    assert P.extract_pdf_pages(data) == pages
+    # damaged tail: the scan fallback must also explode the ObjStm
+    assert P.extract_pdf_pages(data.replace(b"startxref", b"startxrEF")) == pages
+    # both layouts extract the same text
+    assert P.extract_pdf_pages(P.pdf_bytes(pages)) == pages
+
+
+def test_png_unpredict_filters():
+    """All five PNG row filters reverse correctly (bpp=1 — the xref
+    stream shape): forward-filter random-ish rows, unfilter, compare."""
+    cols = 5
+    rows = [bytes((r * 37 + j * 11) % 256 for j in range(cols)) for r in range(6)]
+    for ft in range(5):
+        filtered = bytearray()
+        prev = bytes(cols)
+        for row in rows:
+            enc = bytearray([ft])
+            for j in range(cols):
+                a = row[j - 1] if j else 0
+                b, c = prev[j], (prev[j - 1] if j else 0)
+                if ft == 0:
+                    x = row[j]
+                elif ft == 1:
+                    x = (row[j] - a) & 0xFF
+                elif ft == 2:
+                    x = (row[j] - b) & 0xFF
+                elif ft == 3:
+                    x = (row[j] - ((a + b) >> 1)) & 0xFF
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    x = (row[j] - pred) & 0xFF
+                enc.append(x)
+            filtered += enc
+            prev = row
+        got = P._png_unpredict(bytes(filtered), cols)
+        assert got == b"".join(rows), f"filter type {ft}"
