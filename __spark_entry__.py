@@ -2303,6 +2303,40 @@ def _q_pdf_text_extract(spark, sf):
     )
 
 
+def _q_docx_text_extract(spark, sf):
+    """DOCX (ECMA-376) container roundtrip through the REAL parser:
+    every document rendered as a spec-valid OPC package (stdlib zipfile
+    — real ZIP central directory, content-types, rels) with one
+    wordprocessingml paragraph per text line, then parsed back via
+    sources.docx.parse_docx_blobs. XML escaping/unescaping and ZIP
+    inflate are on the hook; the oracle is the identity over documents
+    (the layer is lossless by construction, pinned here). Two pure map
+    stages, zero exchanges."""
+    import pandas as pd
+
+    from kusto_pre_forge_spark.sources import docx as X
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    def forge(it):
+        for pdf in it:
+            paths, blobs = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                paths.append(f"mem://doc/{int(i)}.docx")
+                blobs.append(X.docx_bytes(t if isinstance(t, str) else ""))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    blobs = d.mapInPandas(forge, "path string, content binary")
+    parsed = X.parse_docx_blobs(blobs)
+    return parsed.select(
+        F.regexp_extract("_kpf_source", r"([0-9]+)\.docx$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "text",
+        F.col("n_paragraphs").cast("int").alias("n_paragraphs"),
+    )
+
+
 def _q_pipeline_pdf_extract(spark, sf):
     """The PDF half of the crawl-input pipeline end-to-end: forge →
     sources.pdf parse → per-doc page reassembly (order-pinned) → token
@@ -6022,6 +6056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_parse": _q_warc_parse,
         "pdf_text_extract": _q_pdf_text_extract,
         "pipeline_pdf_extract": _q_pipeline_pdf_extract,
+        "docx_text_extract": _q_docx_text_extract,
         "multimodal_dedup_recall": _q_multimodal_dedup_recall,
         "pipeline_crawl_extract": _q_pipeline_crawl_extract,
         "corpus_url_blocklist": _q_corpus_url_blocklist,
@@ -9138,6 +9173,14 @@ def oracle_sql() -> dict[str, str]:
             "AS n_pages FROM d "
             "UNION ALL SELECT doc_id, CAST(1 AS INT), substr(t, 201), "
             "CAST(2 AS INT) FROM d WHERE length(t) > 200"
+        ),
+        "docx_text_extract": (
+            # the docx layer is lossless (lines <-> paragraphs); the
+            # oracle is the identity plus the paragraph count
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "COALESCE(text, '') AS text, "
+            "CAST(len(string_split(COALESCE(text, ''), chr(10))) AS INT) "
+            "AS n_paragraphs FROM documents"
         ),
         "pipeline_pdf_extract": (
             # reassembled pages == original text (pdf layer proven

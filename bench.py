@@ -136,6 +136,7 @@ HEADLINE = [
     "code_quality",
     "corpus_code_attribution",
     "pipeline_pdf_extract",
+    "docx_text_extract",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

@@ -635,6 +635,24 @@ def content_stream_text(content: bytes) -> str:
     return "\n".join(lines)
 
 
+def _is_encrypted(data: bytes) -> bool:
+    """True when a trailer (classic or xref-stream) carries /Encrypt.
+    Cheap tail probe: both trailer forms live near the file end, and a
+    false negative just means the garbage-looking output a legacy parser
+    would produce anyway; a false positive requires the literal key in
+    the last trailer dict, where it only legitimately appears."""
+    tail = data[-2048:]
+    if b"/Encrypt" not in data:
+        return False
+    xr = _xref_offsets(data)
+    if xr:
+        return "Encrypt" in xr[1]
+    xs = _xref_stream_load(data)
+    if xs:
+        return "Encrypt" in xs[2]
+    return b"/Encrypt" in tail
+
+
 def _walk_pages(objects: dict, node, acc: list, depth: int = 0):
     node = _resolve(objects, node)
     if not isinstance(node, dict) or depth > 64:
@@ -651,8 +669,20 @@ def extract_pdf_pages(data: bytes, errors: str = "skip") -> list[str]:
     """The whole pipeline as a pure function: bytes → per-page extracted
     text, in page-tree order. ``errors="skip"`` (crawl posture) turns an
     unsupported-filter page into '' and surfaces what parsed;
-    ``errors="strict"`` re-raises."""
-    objects, root = load_pdf_objects(bytes(data))
+    ``errors="strict"`` re-raises. Encrypted documents (an /Encrypt
+    trailer entry — §7.6) are a genuine unsupported input: strings and
+    streams are RC4/AES-obfuscated, so extraction would emit garbage;
+    strict mode raises naming the gap, skip mode yields no pages."""
+    data = bytes(data)
+    if _is_encrypted(data):
+        if errors == "strict":
+            raise NotImplementedError(
+                "PDF is encrypted (/Encrypt): string/stream decryption "
+                "(ISO 32000 §7.6 RC4/AES) is not supported — decrypt "
+                "upstream or drop the document"
+            )
+        return []
+    objects, root = load_pdf_objects(data)
     pages: list[dict] = []
     root_dict = _resolve(objects, root) if root is not None else None
     if isinstance(root_dict, dict) and "Pages" in root_dict:

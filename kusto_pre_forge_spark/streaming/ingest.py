@@ -111,6 +111,25 @@ class StreamingEtl:
                 )
             return parse_pdf_blobs(breader.load(self.landing_dir))
 
+        if self.fmt == "docx":
+            # DOCX landing blobs: same binaryFile posture; rows have the
+            # fixed sources.docx.DOCX_DDL shape (one row per document)
+            from kusto_pre_forge_spark.sources.docx import parse_docx_blobs
+
+            breader = (
+                self.spark.readStream.format("binaryFile")
+                .schema(
+                    "path string, modificationTime timestamp, "
+                    "length long, content binary"
+                )
+                .option("pathGlobFilter", "*.docx")
+            )
+            if self.max_files_per_trigger:
+                breader = breader.option(
+                    "maxFilesPerTrigger", self.max_files_per_trigger
+                )
+            return parse_docx_blobs(breader.load(self.landing_dir))
+
         schema = self.schema
         if self.fmt == "text":
             # the text source has exactly one string column regardless of

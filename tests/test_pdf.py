@@ -238,3 +238,18 @@ def test_png_unpredict_filters():
             prev = row
         got = P._png_unpredict(bytes(filtered), cols)
         assert got == b"".join(rows), f"filter type {ft}"
+
+
+def test_encrypted_pdf_guard():
+    """/Encrypt in the trailer means strings/streams are RC4/AES
+    obfuscated — strict mode must refuse loudly, skip mode yields no
+    pages (never garbage text)."""
+    data = P.pdf_bytes(["secret page"])
+    enc = data.replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
+    )
+    with pytest.raises(NotImplementedError, match="Encrypt"):
+        P.extract_pdf_pages(enc, errors="strict")
+    assert P.extract_pdf_pages(enc) == []
+    # unencrypted document is untouched by the probe
+    assert P.extract_pdf_pages(data) == ["secret page"]

@@ -134,6 +134,7 @@ AUDITED = [
     ("code_quality", "The Stack per-file rules: ONE codegen scan projection (split + array HOFs + regex), no UDF, no shuffle"),
     ("corpus_code_attribution", "code rule attribution: one signal scan + 5-struct explode + map-side-combined aggregate"),
     ("pipeline_pdf_extract", "pdf pipeline end-to-end: two mapInPandas stages + ONE exchange (per-doc page reassembly shuffles extracted text, not PDF bytes)"),
+    ("docx_text_extract", "DOCX (ECMA-376) roundtrip: two pure mapInPandas stages (zip forge + zip inflate/XML scan), zero exchanges"),
 ]
 
 
