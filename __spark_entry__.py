@@ -2337,6 +2337,49 @@ def _q_docx_text_extract(spark, sf):
     )
 
 
+def _q_ipynb_cells_extract(spark, sf):
+    """Jupyter notebook roundtrip through the REAL nbformat reader:
+    every document becomes a 3-cell notebook (markdown carrying the
+    first 100 chars of the doc text in the spec's keep-newline
+    line-list form, a deterministic code cell, a raw cell), then
+    flattens back to per-cell rows. JSON framing, line-list
+    normalization, kernel-language metadata, and cell ordering are on
+    the hook; the oracle replays the forge closed-form. Two pure map
+    stages, zero exchanges."""
+    import pandas as pd
+
+    from kusto_pre_forge_spark.sources import ipynb as N
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    def forge(it):
+        for pdf in it:
+            paths, blobs = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                t = t if isinstance(t, str) else ""
+                cells = [
+                    ("markdown", t[:100]),
+                    ("code", f"def f_{int(i)}():\n    return {int(i)}"),
+                    ("raw", "meta"),
+                ]
+                paths.append(f"mem://nb/{int(i)}.ipynb")
+                blobs.append(N.ipynb_bytes(cells))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    blobs = d.mapInPandas(forge, "path string, content binary")
+    parsed = N.parse_ipynb_blobs(blobs)
+    return parsed.select(
+        F.regexp_extract("_kpf_source", r"([0-9]+)\.ipynb$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("cell_idx").cast("int").alias("cell_idx"),
+        "cell_type",
+        "source",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        "language",
+    )
+
+
 def _q_pipeline_pdf_extract(spark, sf):
     """The PDF half of the crawl-input pipeline end-to-end: forge →
     sources.pdf parse → per-doc page reassembly (order-pinned) → token
@@ -6057,6 +6100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_text_extract": _q_pdf_text_extract,
         "pipeline_pdf_extract": _q_pipeline_pdf_extract,
         "docx_text_extract": _q_docx_text_extract,
+        "ipynb_cells_extract": _q_ipynb_cells_extract,
         "multimodal_dedup_recall": _q_multimodal_dedup_recall,
         "pipeline_crawl_extract": _q_pipeline_crawl_extract,
         "corpus_url_blocklist": _q_corpus_url_blocklist,
@@ -9173,6 +9217,23 @@ def oracle_sql() -> dict[str, str]:
             "AS n_pages FROM d "
             "UNION ALL SELECT doc_id, CAST(1 AS INT), substr(t, 201), "
             "CAST(2 AS INT) FROM d WHERE length(t) > 200"
+        ),
+        "ipynb_cells_extract": (
+            # closed-form replay of the 3-cell forge; the ipynb layer is
+            # lossless by construction (tests/test_ipynb.py)
+            "WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "COALESCE(text, '') AS t FROM documents), "
+            "md AS (SELECT doc_id, substr(t, 1, 100) AS src FROM d) "
+            "SELECT doc_id, CAST(0 AS INT) AS cell_idx, "
+            "'markdown' AS cell_type, src AS source, "
+            "CAST(CASE WHEN src = '' THEN 0 ELSE "
+            "len(string_split(src, chr(10))) END AS INT) AS n_lines, "
+            "'python' AS language FROM md "
+            "UNION ALL SELECT doc_id, CAST(1 AS INT), 'code', "
+            "'def f_' || doc_id || '():' || chr(10) || '    return ' || "
+            "doc_id, CAST(2 AS INT), 'python' FROM d "
+            "UNION ALL SELECT doc_id, CAST(2 AS INT), 'raw', 'meta', "
+            "CAST(1 AS INT), 'python' FROM d"
         ),
         "docx_text_extract": (
             # the docx layer is lossless (lines <-> paragraphs); the

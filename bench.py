@@ -137,6 +137,7 @@ HEADLINE = [
     "corpus_code_attribution",
     "pipeline_pdf_extract",
     "docx_text_extract",
+    "ipynb_cells_extract",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

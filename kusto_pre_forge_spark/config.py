@@ -49,11 +49,16 @@ class DataFormat(Enum):
 
 class Compression(Enum):
     """ref: input None|GZip|Zip (Text/TextSource.cs:80-108); live path
-    None|GZip (EtlRun.cs:100-118). Spark reads .gz/.zst/... transparently."""
+    None|GZip (EtlRun.cs:100-118). Spark/Hadoop read .gz and .bz2
+    transparently; ZIP and XZ route through the archive readers in
+    ``sources.blob`` (XZ has no built-in Hadoop codec in a stock Spark —
+    a plain text read of an .xz file silently yields raw compressed
+    bytes, so the engine routes it explicitly)."""
 
     NONE = "None"
     GZIP = "GZip"
     ZIP = "Zip"
+    XZ = "XZ"
 
 
 @dataclass

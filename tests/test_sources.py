@@ -395,3 +395,44 @@ def test_fixed_width_parse_and_file_read(spark, tmp_path):
     p.write_text("HEADER LINE!\n" + "\n".join(lines[:2]) + "\n")
     out = read_fixed_width(spark, str(p), spec, skip_header_lines=1)
     assert {tuple(r) for r in out.collect()} == {(1, "AB", 10), (22, "XYZ", -5)}
+
+
+def test_read_xz_lines_and_landing(spark, tmp_path):
+    """Stock Spark has no XZ codec (a text read of .xz yields raw
+    compressed bytes) — the lzma archive reader closes that silently-
+    wrong path: lines, lineage, header peel, delimited parse, and
+    multi-stream concatenation all work."""
+    import lzma
+
+    from pyspark.sql import types as T
+
+    from kusto_pre_forge_spark.config import Compression, DataFormat, RunSettings
+    from kusto_pre_forge_spark.sources.blob import read_landing, read_xz_lines
+
+    # two concatenated xz streams in one blob (the gzip-members analogue)
+    part1 = lzma.compress(b"alpha\nbravo\n")
+    part2 = lzma.compress(b"charlie\n")
+    (tmp_path / "a.txt.xz").write_bytes(part1 + part2)
+    df = read_xz_lines(spark, str(tmp_path / "a.txt.xz"))
+    rows = [r.Text for r in df.collect()]
+    assert rows == ["alpha", "bravo", "charlie"]
+    assert all(r._kpf_source.endswith("a.txt.xz") for r in df.collect())
+
+    # delimited + header peel through read_landing
+    csv = "id,name\n1,aa\n2,bb\n"
+    (tmp_path / "b.csv.xz").write_bytes(lzma.compress(csv.encode()))
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    out = read_landing(
+        spark,
+        str(tmp_path / "b.csv.xz"),
+        RunSettings(
+            fmt=DataFormat.CSV,
+            csv_headers=True,
+            input_compression=Compression.XZ,
+        ),
+        schema=schema,
+    )
+    got = sorted((r.id, r.name) for r in out.collect())
+    assert got == [(1, "aa"), (2, "bb")]

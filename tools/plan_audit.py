@@ -135,6 +135,7 @@ AUDITED = [
     ("corpus_code_attribution", "code rule attribution: one signal scan + 5-struct explode + map-side-combined aggregate"),
     ("pipeline_pdf_extract", "pdf pipeline end-to-end: two mapInPandas stages + ONE exchange (per-doc page reassembly shuffles extracted text, not PDF bytes)"),
     ("docx_text_extract", "DOCX (ECMA-376) roundtrip: two pure mapInPandas stages (zip forge + zip inflate/XML scan), zero exchanges"),
+    ("ipynb_cells_extract", "notebook cell flatten: two pure mapInPandas stages (nbformat forge + JSON parse), zero exchanges"),
 ]
 
 
