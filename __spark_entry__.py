@@ -1276,8 +1276,12 @@ def _q_text_langid_eval(spark, sf):
 def _q_text_gopher(spark, sf):
     """Gopher document-quality rules (Rae et al. 2021 App. A1.1) as one
     codegen scan projection — exact integer numerators + round-6 ratios
-    so the DuckDB oracle replays every rule bit-for-bit."""
-    d = load_table(spark, sf, "documents")
+    so the DuckDB oracle replays every rule bit-for-bit. Input widened:
+    a one-footer test parquet must not fold the whole rule scan on one
+    core."""
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    d = _widen_for_fanout(load_table(spark, sf, "documents"))
     return textstats.gopher_quality(d, "text")
 
 
@@ -2203,11 +2207,12 @@ def _q_text_html_extract(spark, sf):
     text): each document's text is wrapped in a fixture page full of
     real chrome (nav, header, link-only aside/footer, a too-short
     paragraph), and the extractor must return exactly the body text.
-    One map-only codegen projection (regex chain + array HOFs) — zero
-    exchanges; the oracle replays the identical rule chain."""
+    One map-only codegen projection (regex chain + array HOFs) above the
+    widen re-split; the oracle replays the identical rule chain."""
     from kusto_pre_forge_spark.operators import textprep as tp
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
 
-    d = load_table(spark, sf, "documents")
+    d = _widen_for_fanout(load_table(spark, sf, "documents"))
     page = F.concat(
         F.lit(_HTML_PAGE_PRE), F.col("text"), F.lit(_HTML_PAGE_POST)
     )
@@ -2231,7 +2236,11 @@ def _q_warc_parse(spark, sf):
 
     from kusto_pre_forge_spark.sources import warc as W
 
-    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    d = _widen_for_fanout(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
 
     def forge(it):
         for pdf in it:
@@ -2273,12 +2282,17 @@ def _q_pdf_text_extract(spark, sf):
     Parsed back via sources.pdf.parse_pdf_blobs. The oracle is
     closed-form (the layouts extract identically): the same 200-char
     page split replayed in SQL over documents. Both directions are pure
-    map stages (mapInPandas), zero exchanges."""
+    map stages (mapInPandas); the only exchange is the widen re-split of
+    a one-footer test scan."""
     import pandas as pd
 
     from kusto_pre_forge_spark.sources import pdf as P
 
-    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    d = _widen_for_fanout(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
 
     def forge(it):
         for pdf in it:
@@ -2303,6 +2317,31 @@ def _q_pdf_text_extract(spark, sf):
     )
 
 
+def _q_text_markdown_extract(spark, sf):
+    """Markdown → prose over a forged README corpus: every document
+    wrapped in deterministic markdown chrome (header, emphasis, a link,
+    inline code, a fenced block) around the real text, then reduced by
+    textprep.markdown_extract's MARKDOWN_RULES chain. ONE codegen
+    projection above the widen re-split; the oracle replays the identical RE2-compatible
+    chain (same tuples, DuckDB replacement syntax) over the same forge."""
+    from kusto_pre_forge_spark.operators import textprep as tp
+
+    did = F.col("doc_id").cast("long")
+    md = F.concat(
+        F.lit("# Doc "), did.cast("string"), F.lit("\n\n**Intro** with a "),
+        F.lit("[link](https://example.com/"), did.cast("string"),
+        F.lit(") and `tick`.\n\n```\nhidden "), did.cast("string"),
+        F.lit("\n```\n\n"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 300),
+    )
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    d = _widen_for_fanout(load_table(spark, sf, "documents")).select(
+        did.alias("doc_id"), md.alias("md")
+    )
+    return tp.markdown_extract(d, "md", "doc_id")
+
+
 def _q_docx_text_extract(spark, sf):
     """DOCX (ECMA-376) container roundtrip through the REAL parser:
     every document rendered as a spec-valid OPC package (stdlib zipfile
@@ -2311,12 +2350,16 @@ def _q_docx_text_extract(spark, sf):
     sources.docx.parse_docx_blobs. XML escaping/unescaping and ZIP
     inflate are on the hook; the oracle is the identity over documents
     (the layer is lossless by construction, pinned here). Two pure map
-    stages, zero exchanges."""
+    stages plus the widen re-split of a one-footer test scan."""
     import pandas as pd
 
     from kusto_pre_forge_spark.sources import docx as X
 
-    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    d = _widen_for_fanout(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
 
     def forge(it):
         for pdf in it:
@@ -2345,12 +2388,16 @@ def _q_ipynb_cells_extract(spark, sf):
     flattens back to per-cell rows. JSON framing, line-list
     normalization, kernel-language metadata, and cell ordering are on
     the hook; the oracle replays the forge closed-form. Two pure map
-    stages, zero exchanges."""
+    stages plus the widen re-split of a one-footer test scan."""
     import pandas as pd
 
     from kusto_pre_forge_spark.sources import ipynb as N
 
-    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    d = _widen_for_fanout(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
 
     def forge(it):
         for pdf in it:
@@ -2464,7 +2511,11 @@ def _q_pipeline_crawl_extract(spark, sf):
     from kusto_pre_forge_spark.operators import textstats as ts
     from kusto_pre_forge_spark.sources import warc as W
 
-    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    d = _widen_for_fanout(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
 
     def forge(it):
         # one blob per ~64 docs (not per Arrow batch): the benched parse
@@ -2554,7 +2605,9 @@ def _code_corpus_frame(spark, sf):
         F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 240),
         F.when(did % 11 == 0, F.concat(F.lit("\n"), F.expr("repeat('=', 1200)"))).otherwise(F.lit("")),
     )
-    return load_table(spark, sf, "documents").select(
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    return _widen_for_fanout(load_table(spark, sf, "documents")).select(
         did.alias("doc_id"),
         F.concat(F.lit("repo/src/file_"), did.cast("string"), suffix).alias("path"),
         content.alias("content"),
@@ -6101,6 +6154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pdf_extract": _q_pipeline_pdf_extract,
         "docx_text_extract": _q_docx_text_extract,
         "ipynb_cells_extract": _q_ipynb_cells_extract,
+        "text_markdown_extract": _q_text_markdown_extract,
         "multimodal_dedup_recall": _q_multimodal_dedup_recall,
         "pipeline_crawl_extract": _q_pipeline_crawl_extract,
         "corpus_url_blocklist": _q_corpus_url_blocklist,
@@ -6596,6 +6650,45 @@ def _langid_ctes(extra_cols: str = "") -> str:
         f"{case} AS lang_pred FROM lsco s "
         "LEFT JOIN llatbest lb ON s.doc_id = lb.doc_id "
         "LEFT JOIN lcyrbest cb ON s.doc_id = cb.doc_id)"
+    )
+
+
+def _markdown_oracle_sql() -> str:
+    """Replay of text_markdown_extract: the same forge and the same
+    MARKDOWN_RULES chain (shared pattern tuples; DuckDB replacement
+    syntax and the explicit 'g' flag), counts included."""
+    from kusto_pre_forge_spark.operators.textprep import (
+        _MD_FENCE_RE,
+        _MD_LINK_RE,
+        MARKDOWN_RULES,
+    )
+
+    nl = "chr(10)"
+    forge = (
+        f"'# Doc ' || doc_id || {nl} || {nl} || '**Intro** with a ' || "
+        f"'[link](https://example.com/' || doc_id || ') and `tick`.' || "
+        f"{nl} || {nl} || '```' || {nl} || 'hidden ' || doc_id || {nl} || "
+        f"'```' || {nl} || {nl} || substr(coalesce(text, ''), 1, 300)"
+    )
+    out = "md"
+    for pattern, _, duck_repl in MARKDOWN_RULES:
+        p = pattern.replace("'", "''")
+        # replacements with literal newlines route through chr(10) so no
+        # SQL-dialect escape processing is involved on either engine
+        r_expr = (
+            "chr(10) || chr(10)"
+            if duck_repl == "\n\n"
+            else "'" + duck_repl.replace("'", "''") + "'"
+        )
+        out = f"regexp_replace({out}, '{p}', {r_expr}, 'g')"
+    return (
+        "WITH m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"{forge} AS md FROM documents) "
+        f"SELECT doc_id, trim({out}) AS content, "
+        f"CAST(len(regexp_extract_all(md, '{_MD_FENCE_RE}')) AS BIGINT) "
+        "AS n_code_blocks, "
+        f"CAST(len(regexp_extract_all(md, '{_MD_LINK_RE}')) AS BIGINT) "
+        "AS n_links FROM m"
     )
 
 
@@ -9218,6 +9311,7 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT doc_id, CAST(1 AS INT), substr(t, 201), "
             "CAST(2 AS INT) FROM d WHERE length(t) > 200"
         ),
+        "text_markdown_extract": _markdown_oracle_sql(),
         "ipynb_cells_extract": (
             # closed-form replay of the 3-cell forge; the ipynb layer is
             # lossless by construction (tests/test_ipynb.py)

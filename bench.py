@@ -138,6 +138,7 @@ HEADLINE = [
     "pipeline_pdf_extract",
     "docx_text_extract",
     "ipynb_cells_extract",
+    "text_markdown_extract",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection
@@ -151,6 +152,14 @@ CHECKSUM_ACTION = {
     "doc_chunks",
     "text_c4",
     "text_gopher",
+    # pure projections over a forge: count() would prune the whole
+    # operator (row count == input count) and measure nothing
+    "code_quality",
+    "text_markdown_extract",
+    # latent since r9: these two are projections as well — their count()
+    # numbers measured the pruned scan, not the operator
+    "text_html_extract",
+    "text_fix_mojibake",
 }
 
 

@@ -1488,3 +1488,71 @@ def domain_blocklist_filter(
             .drop("_kpf_blocked")
         )
     return df.join(F.broadcast(blocked), url_col, "left_anti")
+
+
+# --- Markdown main-content extraction (code-corpus README prose) -------------
+
+#: The markdown→prose rule chain, applied IN ORDER. Each rule is
+#: (RE2-compatible pattern, Spark replacement, DuckDB replacement) — the
+#: patterns are shared verbatim between engines (no pattern backreferences:
+#: DuckDB's RE2 rejects them); only the replacement syntax differs
+#: ($1 vs \1), translated per column. One source of truth — the operator
+#: folds the chain and the oracle generator embeds the same tuples.
+MARKDOWN_RULES: tuple[tuple[str, str, str], ...] = (
+    (r"(?s)```.*?```", " ", " "),                      # fenced code blocks
+    (r"(?s)~~~.*?~~~", " ", " "),
+    (r"`([^`\n]*)`", "$1", r"\1"),                     # inline code -> content
+    (r"!\[([^\]]*)\]\([^)]*\)", "$1", r"\1"),          # images -> alt text
+    (r"\[([^\]]*)\]\([^)]*\)", "$1", r"\1"),           # links -> anchor text
+    (r"<https?://[^>\s]*>", " ", " "),                 # autolinks
+    (r"<[^>\n]+>", " ", " "),                          # inline HTML tags
+    (r"(?m)^#{1,6}[ \t]*", "", ""),                    # ATX headers
+    (r"(?m)^>[ \t]?", "", ""),                         # blockquote markers
+    (r"(?m)^[ \t]*\*[ \t]+", "", ""),                  # bullet markers
+    (r"(?m)^[ \t]*[-+][ \t]+", "", ""),
+    (r"(?m)^[ \t]*[0-9]+\.[ \t]+", "", ""),            # ordered-list markers
+    (r"(?m)^[-*_]{3,}[ \t]*$", " ", " "),              # horizontal rules
+    (r"\*{1,3}([^*\n]+)\*{1,3}", "$1", r"\1"),         # *emphasis*
+    (r"\b_{1,3}([^_\n]+)_{1,3}\b", "$1", r"\1"),       # _emphasis_ (\b spares snake_case)
+    (r"[ \t]+", " ", " "),                             # intra-line collapse
+    (r"(?m)^ +| +$", "", ""),                          # line-edge trim
+    (r"\n{3,}", "\n\n", "\n\n"),                       # blank-line squeeze
+    (r"^\n+|\n+$", "", ""),                            # document-edge newlines
+)
+
+_MD_FENCE_RE = r"(?s)```.*?```|(?s)~~~.*?~~~"
+_MD_LINK_RE = r"\[[^\]]*\]\([^)]*\)"
+
+
+def markdown_extract(
+    df: DataFrame, md_col: str, id_col: str, out_col: str = "content"
+) -> DataFrame:
+    """Markdown → prose — `html_extract`'s sibling for the OTHER text
+    container a code corpus carries (READMEs, docs/ trees; The Stack
+    keeps markdown as a first-class subset). Fenced/inline code, images,
+    links, autolinks, inline HTML, header/list/quote markers, rules, and
+    emphasis wrappers reduce to their prose content via the
+    MARKDOWN_RULES chain; counts of dropped fences and rewritten links
+    ride along for telemetry (code-heavy READMEs gate differently).
+
+    ONE zero-exchange codegen projection (the regexp_replace fold), the
+    html_extract posture: at 100 TB this runs inside the scan. Every
+    pattern is RE2-compatible so the DuckDB oracle replays the identical
+    chain; trailing/leading whitespace trims at the end in both engines.
+    """
+    c = F.coalesce(F.col(md_col), F.lit(""))
+    n_fences = F.size(F.expr(
+        f"regexp_extract_all({md_col}, '{_MD_FENCE_RE}', 0)"
+    ))
+    n_links = F.size(F.expr(
+        f"regexp_extract_all({md_col}, '{_MD_LINK_RE.replace(chr(92), chr(92)*2)}', 0)"
+    ))
+    out = c
+    for pattern, spark_repl, _ in MARKDOWN_RULES:
+        out = F.regexp_replace(out, pattern, spark_repl)
+    return df.select(
+        F.col(id_col),
+        F.trim(out).alias(out_col),
+        F.coalesce(n_fences, F.lit(0)).cast("long").alias("n_code_blocks"),
+        F.coalesce(n_links, F.lit(0)).cast("long").alias("n_links"),
+    )

@@ -675,3 +675,31 @@ def test_url_host_strips_userinfo(spark):
         r.id for r in tp.domain_blocklist_filter(docs, "url", bl).collect()
     )
     assert kept == [2]
+
+
+def test_markdown_extract(spark):
+    """The MARKDOWN_RULES chain: fences drop, inline constructs reduce
+    to their prose, markers strip, snake_case survives the emphasis
+    rule, counts ride along, and the plan is one codegen projection."""
+    from kusto_pre_forge_spark.operators import textprep as tp
+
+    md = (
+        "# Title\n\nSome **bold** and _italic_ prose with `inline code` "
+        "and a [link](https://x.y).\n\n```python\ncode = 'dropped'\n```\n\n"
+        "- bullet one\n- bullet two\n\n> quoted wisdom\n\n"
+        "![logo](img.png) keep my_var_name end."
+    )
+    df = spark.createDataFrame([(1, md), (2, None)], "id long, md string")
+    out = {r.id: r for r in tp.markdown_extract(df, "md", "id").collect()}
+    r = out[1]
+    assert r.content == (
+        "Title\n\nSome bold and italic prose with inline code and a link.\n\n"
+        "bullet one\nbullet two\n\nquoted wisdom\n\nlogo keep my_var_name end."
+    ), repr(r.content)
+    assert r.n_code_blocks == 1 and r.n_links == 2
+    assert out[2].content == "" and out[2].n_code_blocks == 0
+    plan = (
+        tp.markdown_extract(df, "md", "id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -74,7 +74,7 @@ AUDITED = [
     ("activity_new_metrics", "distinct pairs self-joined one bin apart on the actor key; no windows"),
     ("multimodal_video_dhash", "pure map stage: RIFF walk + per-frame JPEG decode inside mapInPandas"),
     ("text_c4", "C4 cleaning rules in the scan projection — array HOFs, zero exchanges below the aggregate-free projection"),
-    ("text_gopher", "Gopher quality rules in the scan projection — zero exchanges, no UDF"),
+    ("text_gopher", "Gopher quality rules in the scan projection, no UDF; one widen exchange re-splits the one-footer test scan"),
     ("w3c_log_parse", "positional split projection feeds one map-side-combined aggregate"),
     ("avro_roundtrip", "OCF encode→decode is a pure map stage; one exchange for the final aggregate"),
     ("dedup_edit_distance", "segment-vs-window banding: hash equi-join on (si, len, text) keys, never all-pairs"),
@@ -114,10 +114,10 @@ AUDITED = [
     ("multimodal_image_phash", "pure map stage: Arrow-batched mapInPandas DCT per image, no shuffle at any corpus size"),
     ("corpus_domain_shift", "B-bounded per-source histograms; source×bucket grid is metadata-sized; only the token scan touches data"),
     ("text_fix_mojibake", "one codegen projection: a literal-replace chain, no regex, no UDF, no shuffle"),
-    ("text_html_extract", "crawl-page main-content extraction: regex chain + array HOFs, scan+project, zero exchanges"),
-    ("warc_parse", "WARC roundtrip: two pure mapInPandas stages, per-blob record decode, zero exchanges"),
+    ("text_html_extract", "crawl-page main-content extraction: regex chain + array HOFs in one codegen projection; one widen exchange re-splits the one-footer test scan"),
+    ("warc_parse", "WARC roundtrip: two pure mapInPandas stages, per-blob record decode; one widen exchange re-splits the one-footer test scan"),
     ("multimodal_dedup_recall", "pHash banding recall harness: pinned all-pairs frame, one aggregate per variant"),
-    ("pipeline_crawl_extract", "crawl pipeline end-to-end: two mapInPandas map stages + one codegen projection, zero exchanges"),
+    ("pipeline_crawl_extract", "crawl pipeline end-to-end: two mapInPandas map stages + one codegen projection; one widen exchange re-splits the one-footer test scan"),
     ("text_langid", "script-gated 25-language ID: one Arrow scan stage + map-side-combined histogram, cost linear in text bytes"),
     ("corpus_url_blocklist", "URL blocklist: suffix explode + two broadcast joins, corpus never shuffles"),
     ("corpus_filter_attribution", "gopher rule attribution: one metric scan + 7-struct explode + map-side-combined aggregate"),
@@ -129,13 +129,14 @@ AUDITED = [
     ("graph_triangles", "degree-ordered orientation bounds wedge fan-out to O(m^1.5); pinned edge/oriented frames run once across all four consumers"),
     ("dedup_lsh_recall", "evaluation harness on a FIXED sample slice: exact inverted-index pass + banding pass, three 1-row count aggregates"),
     ("fixedwidth_roundtrip", "render + positional parse are one codegen projection each; no shuffle, no UDF, try_cast keeps malformed rows as NULLs"),
-    ("pdf_text_extract", "PDF roundtrip through the ISO 32000 parser: two pure mapInPandas stages (forge + parse), zero exchanges"),
+    ("pdf_text_extract", "PDF roundtrip through the ISO 32000 parser: two pure mapInPandas stages (forge + parse); one widen exchange re-splits the one-footer test scan"),
     ("text_langid_eval", "langid accuracy harness: one Arrow scan scores the fixed labeled fixture; two label-cardinality aggregates full-outer-join"),
-    ("code_quality", "The Stack per-file rules: ONE codegen scan projection (split + array HOFs + regex), no UDF, no shuffle"),
-    ("corpus_code_attribution", "code rule attribution: one signal scan + 5-struct explode + map-side-combined aggregate"),
-    ("pipeline_pdf_extract", "pdf pipeline end-to-end: two mapInPandas stages + ONE exchange (per-doc page reassembly shuffles extracted text, not PDF bytes)"),
-    ("docx_text_extract", "DOCX (ECMA-376) roundtrip: two pure mapInPandas stages (zip forge + zip inflate/XML scan), zero exchanges"),
-    ("ipynb_cells_extract", "notebook cell flatten: two pure mapInPandas stages (nbformat forge + JSON parse), zero exchanges"),
+    ("code_quality", "The Stack per-file rules: ONE codegen projection (split + array HOFs + regex), no UDF; one widen exchange re-splits the one-footer test scan"),
+    ("corpus_code_attribution", "code rule attribution: one widened signal scan + 5-struct explode + map-side-combined aggregate"),
+    ("pipeline_pdf_extract", "pdf pipeline end-to-end: two mapInPandas stages + the per-doc reassembly exchange (shuffles extracted text, not PDF bytes) + the widen re-split"),
+    ("docx_text_extract", "DOCX (ECMA-376) roundtrip: two pure mapInPandas stages (zip forge + zip inflate/XML scan); one widen exchange re-splits the one-footer test scan"),
+    ("ipynb_cells_extract", "notebook cell flatten: two pure mapInPandas stages (nbformat forge + JSON parse); one widen exchange re-splits the one-footer test scan"),
+    ("text_markdown_extract", "markdown → prose: ONE codegen regexp_replace chain, no UDF; one widen exchange re-splits the one-footer test scan"),
 ]
 
 
