@@ -1,0 +1,88 @@
+"""Property-based roundtrip tests for the container forges/parsers
+(PDF, DOCX, WARC, ipynb) — hypothesis drives arbitrary Unicode text
+through the REAL encoders and parsers, a far wider input space than the
+hand-picked fixtures. Pure-python (no Spark session), so the examples
+run fast and shrink well."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# XML 1.0 / PDF string sanity: exclude the control chars neither format
+# can legally carry (except \n\t), surrogates, and BOM-ambiguous chars.
+_text = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",),
+        blacklist_characters="".join(
+            chr(c) for c in range(32) if c not in (9, 10)
+        )
+        + "\r\x7f﻿",
+    ),
+    max_size=400,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=4))
+def test_pdf_roundtrip_property_classic(pages):
+    from kusto_pre_forge_spark.sources import pdf as P
+
+    assert P.extract_pdf_pages(P.pdf_bytes(pages)) == pages
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=4))
+def test_pdf_roundtrip_property_xrefstream(pages):
+    from kusto_pre_forge_spark.sources import pdf as P
+
+    assert P.extract_pdf_pages(P.pdf_bytes_xrefstream(pages)) == pages
+
+
+@settings(max_examples=60, deadline=None)
+@given(_text)
+def test_docx_roundtrip_property(text):
+    from kusto_pre_forge_spark.sources import docx as D
+
+    got, n = D.extract_docx_text(D.docx_bytes(text))
+    assert got == text
+    assert n == len(text.split("\n"))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=3), st.booleans())
+def test_warc_roundtrip_property(bodies, gzip_members):
+    """Both WARC iterators (in-memory and streaming) must recover every
+    record body byte-for-byte, for arbitrary Unicode payloads, plain
+    and gzip-member framed."""
+    import io
+
+    from kusto_pre_forge_spark.sources import warc as W
+
+    recs = [
+        W.warc_record_bytes(f"https://example.com/{i}", b.encode("utf-8"))
+        for i, b in enumerate(bodies)
+    ]
+    blob = W.write_warc(recs, gzip_per_record=gzip_members)
+    raw = W._maybe_gunzip(blob)
+    mem = list(W.iter_warc_records(raw))
+    stream = list(W.iter_warc_records_from(io.BytesIO(raw), chunk_size=17))
+    assert mem == stream
+    got = [
+        W.parse_http_response(block)[2].decode("utf-8")
+        for _, block in mem
+    ]
+    assert got == bodies
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["code", "markdown", "raw"]), _text),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_ipynb_roundtrip_property(cells):
+    from kusto_pre_forge_spark.sources import ipynb as N
+
+    got = N.notebook_cells(N.ipynb_bytes(cells))
+    assert [(c["cell_type"], c["source"]) for c in got] == cells
