@@ -2458,6 +2458,85 @@ def _q_pipeline_pdf_extract(spark, sf):
     ).filter(F.col("n_tokens") >= 10)
 
 
+def _q_pipeline_multiformat_extract(spark, sf):
+    """The document-container front end-to-end, cross-checked: every
+    document is rendered into THREE real containers — a WARC-wrapped
+    HTML page, a (classic-layout) PDF, and a DOCX package — each parsed
+    back by its REAL reader, and the three extracted texts are compared
+    per document. Output is (doc_id, n_formats, consistent): the oracle
+    PREDICTS (doc_id, 3, true) for every doc, so any parser or forge
+    regression in any of the three fronts breaks the hash. Three
+    forge+parse map-stage pairs + one per-doc aggregate exchange."""
+    import pandas as pd
+
+    from kusto_pre_forge_spark.operators import textprep as tp
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+    from kusto_pre_forge_spark.sources import docx as X
+    from kusto_pre_forge_spark.sources import pdf as P
+    from kusto_pre_forge_spark.sources import warc as W
+
+    d = _widen_for_fanout(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
+
+    def forge(it):
+        for pdf in it:
+            paths, blobs = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                t = t if isinstance(t, str) else ""
+                html = (_HTML_PAGE_PRE + t + _HTML_PAGE_POST).encode("utf-8")
+                paths.append(f"mem://{int(i)}.warc")
+                blobs.append(
+                    W.write_warc(
+                        [W.warc_record_bytes(f"https://e.com/{int(i)}", html)]
+                    )
+                )
+                paths.append(f"mem://{int(i)}.pdf")
+                blobs.append(P.pdf_bytes([t]))
+                paths.append(f"mem://{int(i)}.docx")
+                blobs.append(X.docx_bytes(t))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    blobs = d.mapInPandas(forge, "path string, content binary")
+    doc_of = F.regexp_extract("_kpf_source", r"([0-9]+)\.[a-z]+$", 1).cast(
+        "long"
+    )
+    warc_rows = W.parse_warc_blobs(
+        blobs.filter(F.col("path").endswith(".warc"))
+    )
+    html_texts = tp.html_extract(
+        warc_rows.select(
+            doc_of.alias("doc_id"), F.col("payload_text").alias("html")
+        ),
+        "html",
+        "doc_id",
+    ).select("doc_id", F.col("content").alias("t"))
+    pdf_texts = P.parse_pdf_blobs(
+        blobs.filter(F.col("path").endswith(".pdf"))
+    ).select(doc_of.alias("doc_id"), F.col("page_text").alias("t"))
+    docx_texts = X.parse_docx_blobs(
+        blobs.filter(F.col("path").endswith(".docx"))
+    ).select(doc_of.alias("doc_id"), F.col("text").alias("t"))
+
+    # html_extract collapses whitespace runs inside the body block, so
+    # normalize all three the same way before comparing
+    def norm(df):
+        return df.select(
+            "doc_id",
+            F.trim(F.regexp_replace("t", r"\s+", " ")).alias("t"),
+        )
+
+    u = (
+        norm(html_texts)
+        .unionByName(norm(pdf_texts))
+        .unionByName(norm(docx_texts))
+    )
+    return u.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_formats"),
+        (F.count_distinct("t") == 1).alias("consistent"),
+    )
+
+
 def _q_multimodal_dedup_recall(spark, sf):
     """Recall/efficiency harness for perceptual-hash (pHash/dHash)
     banding — lsh_candidate_recall's sibling for hamming_pairs. Fixture
@@ -6155,6 +6234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docx_text_extract": _q_docx_text_extract,
         "ipynb_cells_extract": _q_ipynb_cells_extract,
         "text_markdown_extract": _q_text_markdown_extract,
+        "pipeline_multiformat_extract": _q_pipeline_multiformat_extract,
         "multimodal_dedup_recall": _q_multimodal_dedup_recall,
         "pipeline_crawl_extract": _q_pipeline_crawl_extract,
         "corpus_url_blocklist": _q_corpus_url_blocklist,
@@ -9312,6 +9392,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(2 AS INT) FROM d WHERE length(t) > 200"
         ),
         "text_markdown_extract": _markdown_oracle_sql(),
+        "pipeline_multiformat_extract": (
+            # predictive oracle: all three container roundtrips are
+            # lossless (each pinned by its own query), so every doc must
+            # see 3 formats with identical whitespace-normalized text
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(3 AS INT) AS n_formats, true AS consistent "
+            "FROM documents"
+        ),
         "ipynb_cells_extract": (
             # closed-form replay of the 3-cell forge; the ipynb layer is
             # lossless by construction (tests/test_ipynb.py)

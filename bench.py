@@ -139,6 +139,7 @@ HEADLINE = [
     "docx_text_extract",
     "ipynb_cells_extract",
     "text_markdown_extract",
+    "pipeline_multiformat_extract",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

@@ -274,12 +274,27 @@ def _open_for_records(path: str):
     """Open a worker-local path for incremental record reading. Strips
     the ``file:`` scheme Spark's listers emit; ``.gz`` wraps in
     GzipFile (multi-member concatenation — the Common Crawl layout —
-    decompresses transparently and incrementally)."""
+    decompresses transparently and incrementally).
+
+    Stream mode reads through Python's ``open`` inside the worker, so it
+    covers filesystems the worker OS can address (local disks, NFS/
+    fuse-mounted object stores — the common >2 GiB-archive deployments).
+    A bare remote scheme (s3://, abfss://, hdfs://) has no Python-side
+    client here; refuse with the workaround named rather than surfacing
+    a bewildering FileNotFoundError from ``open``."""
     p = path
     if p.startswith("file://"):
         p = p[7:]
     elif p.startswith("file:"):
         p = p[5:]
+    scheme = p.split("://", 1)[0] if "://" in p else ""
+    if scheme:
+        raise NotImplementedError(
+            f"read_warc(stream=True) opens files with the worker's own "
+            f"filesystem and cannot address the '{scheme}://' scheme "
+            "directly; mount the store (fuse/NFS) or, for files under "
+            "the 2 GiB binaryFile ceiling, use stream=False"
+        )
     f = open(p, "rb")
     if p.endswith(".gz"):
         return gzip.GzipFile(fileobj=f)

@@ -234,3 +234,14 @@ def test_read_warc_size_guard_names_stream_flag(spark, tmp_path, monkeypatch):
         W.read_warc(spark, str(tmp_path / "*.warc"))
     # stream mode has no ceiling
     assert W.read_warc(spark, str(tmp_path / "*.warc"), stream=True).count() > 0
+
+
+def test_stream_open_refuses_remote_schemes():
+    """stream=True reads through the worker's own filesystem; a bare
+    remote scheme must refuse with the workaround named, not surface a
+    FileNotFoundError from open()."""
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="s3"):
+        W._open_for_records("s3://bucket/archive.warc.gz")
+    # file: schemes strip fine (exercised end-to-end elsewhere)

@@ -137,6 +137,7 @@ AUDITED = [
     ("docx_text_extract", "DOCX (ECMA-376) roundtrip: two pure mapInPandas stages (zip forge + zip inflate/XML scan); one widen exchange re-splits the one-footer test scan"),
     ("ipynb_cells_extract", "notebook cell flatten: two pure mapInPandas stages (nbformat forge + JSON parse); one widen exchange re-splits the one-footer test scan"),
     ("text_markdown_extract", "markdown → prose: ONE codegen regexp_replace chain, no UDF; one widen exchange re-splits the one-footer test scan"),
+    ("pipeline_multiformat_extract", "three container forge+parse map-stage pairs cross-checked; one per-doc aggregate exchange + the widen re-split"),
 ]
 
 
