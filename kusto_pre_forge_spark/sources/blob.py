@@ -102,6 +102,53 @@ def read_zip_lines(
     )
 
 
+def read_blobs_via_paths(
+    spark: SparkSession, path: str, max_files_per_task: int = 1
+) -> DataFrame:
+    """(path, content) blob rows where the CONTENT is read inside the
+    worker with Python's ``open`` — the escape hatch from ``binaryFile``'s
+    JVM byte-array ceiling (Int.MaxValue per file) for whole-file
+    parsers that need the full blob (PDF's xref lives at the tail, a
+    ZIP's central directory likewise). The listing itself is
+    metadata-only (binaryFile prunes the content column when only
+    ``path`` is selected); paths then repartition so at most
+    ``max_files_per_task`` files materialize per task. Covers
+    filesystems the worker OS can address (local, NFS/fuse mounts); bare
+    remote schemes refuse with the mount workaround named.
+
+    Record-granular formats should prefer true incremental reading
+    (``warc.iter_warc_records_from``) — this helper trades the JVM cap
+    for Python-heap residency of one file at a time."""
+    import pandas as pd
+
+    listing = spark.read.format("binaryFile").load(path).select("path")
+    n = max(1, len(listing.inputFiles()) or 1)
+    tasks = max(1, -(-n // max_files_per_task))
+    paths = listing.repartition(min(tasks, 10_000), "path")
+
+    def batches(it):
+        for pdf in it:
+            for p in pdf["path"]:
+                raw = p
+                if raw.startswith("file://"):
+                    raw = raw[7:]
+                elif raw.startswith("file:"):
+                    raw = raw[5:]
+                if "://" in raw:
+                    scheme = raw.split("://", 1)[0]
+                    raise NotImplementedError(
+                        f"read_blobs_via_paths opens files with the "
+                        f"worker's own filesystem and cannot address the "
+                        f"'{scheme}://' scheme; mount the store (fuse/NFS) "
+                        "or use the binaryFile path for files under 2 GiB"
+                    )
+                with open(raw, "rb") as f:
+                    content = f.read()
+                yield pd.DataFrame({"path": [p], "content": [content]})
+
+    return paths.mapInPandas(batches, "path string, content binary")
+
+
 def read_xz_lines(
     spark: SparkSession,
     paths: list[str] | str,

@@ -120,10 +120,16 @@ def parse_docx_blobs(blobs: DataFrame) -> DataFrame:
     return blobs.select("path", "content").mapInPandas(batches, DOCX_DDL)
 
 
-def read_docx(spark: SparkSession, path: str) -> DataFrame:
+def read_docx(spark: SparkSession, path: str, stream: bool = False) -> DataFrame:
     """Read a directory/glob of .docx packages as one typed row per
     document with ``_kpf_source`` lineage — composes with the same
-    downstream gates as ``html_extract`` / ``read_pdf`` output."""
+    downstream gates as ``html_extract`` / ``read_pdf`` output.
+    ``stream=True`` reads files worker-side past the binaryFile 2 GiB
+    cap (see ``blob.read_blobs_via_paths``); results are identical."""
+    if stream:
+        from kusto_pre_forge_spark.sources.blob import read_blobs_via_paths
+
+        return parse_docx_blobs(read_blobs_via_paths(spark, path))
     bf = spark.read.format("binaryFile").load(path)
     return parse_docx_blobs(bf)
 

@@ -111,9 +111,15 @@ def parse_ipynb_blobs(blobs: DataFrame) -> DataFrame:
     return blobs.select("path", "content").mapInPandas(batches, IPYNB_DDL)
 
 
-def read_ipynb(spark: SparkSession, path: str) -> DataFrame:
+def read_ipynb(spark: SparkSession, path: str, stream: bool = False) -> DataFrame:
     """Read a directory/glob of notebooks as one typed row per cell with
-    ``_kpf_source`` lineage."""
+    ``_kpf_source`` lineage. ``stream=True`` reads files worker-side
+    past the binaryFile 2 GiB cap (see ``blob.read_blobs_via_paths``);
+    results are identical."""
+    if stream:
+        from kusto_pre_forge_spark.sources.blob import read_blobs_via_paths
+
+        return parse_ipynb_blobs(read_blobs_via_paths(spark, path))
     bf = spark.read.format("binaryFile").load(path)
     return parse_ipynb_blobs(bf)
 

@@ -745,10 +745,22 @@ def parse_pdf_blobs(blobs: DataFrame, errors: str = "skip") -> DataFrame:
     return blobs.select("path", "content").mapInPandas(batches, PDF_DDL)
 
 
-def read_pdf(spark: SparkSession, path: str, errors: str = "skip") -> DataFrame:
+def read_pdf(
+    spark: SparkSession, path: str, errors: str = "skip", stream: bool = False
+) -> DataFrame:
     """Read a PDF directory/glob as one typed row per page with
     ``_kpf_source`` lineage — compose with the ``textstats`` quality
-    gates downstream exactly like ``html_extract`` output."""
+    gates downstream exactly like ``html_extract`` output.
+
+    ``stream=True`` reads each file inside the worker via
+    ``blob.read_blobs_via_paths`` — past ``binaryFile``'s JVM 2 GiB
+    per-file cap (the xref tail means a PDF must be whole-file in
+    memory either way, but Python's heap has no Int.MaxValue array
+    limit). Results are identical."""
+    if stream:
+        from kusto_pre_forge_spark.sources.blob import read_blobs_via_paths
+
+        return parse_pdf_blobs(read_blobs_via_paths(spark, path), errors=errors)
     bf = spark.read.format("binaryFile").load(path)
     return parse_pdf_blobs(bf, errors=errors)
 
