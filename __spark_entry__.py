@@ -1248,6 +1248,22 @@ def _q_text_langid(spark, sf):
     )
 
 
+def _q_text_lm_backoff(spark, sf):
+    """Stupid-Backoff trigram LM scoring (Brants et al. 2007) with a
+    REAL train/score split: counts come from the even-doc_id half, every
+    document scores against them — so held-out odd docs genuinely back
+    off through the bigram/unigram/OOV tiers. The oracle replays the
+    whole chain (one trigram CTE, marginal sums for every lower order,
+    the tiered CASE, round-6 avg-log) in SQL."""
+    from kusto_pre_forge_spark.operators.textstats import (
+        lm_score_stupid_backoff,
+    )
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    return lm_score_stupid_backoff(d, "text", "doc_id", corpus=corpus)
+
+
 def _q_text_langid_eval(spark, sf):
     """Language-ID ACCURACY harness — the measure-don't-guess tier
     (dedup.py lsh/hamming recall precedents) applied to the 27-label
@@ -6190,6 +6206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_whiten": _q_embedding_whiten,
         "text_langid": _q_text_langid,
         "text_langid_eval": _q_text_langid_eval,
+        "text_lm_backoff": _q_text_lm_backoff,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_meta": _q_multimodal_meta,
         "events_hourly": _q_events_hourly,
@@ -6730,6 +6747,43 @@ def _langid_ctes(extra_cols: str = "") -> str:
         f"{case} AS lang_pred FROM lsco s "
         "LEFT JOIN llatbest lb ON s.doc_id = lb.doc_id "
         "LEFT JOIN lcyrbest cb ON s.doc_id = cb.doc_id)"
+    )
+
+
+def _lm_backoff_oracle_sql(alpha: float = 0.4) -> str:
+    """Replay of text_lm_backoff: trigram positions unnested per doc,
+    count tables as marginal sums over ONE corpus trigram CTE (even
+    doc_ids), the Stupid-Backoff tiered CASE, round-6 mean log."""
+    tg = (
+        "SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3 "
+        "FROM toks, unnest(range(1, greatest(len(t) - 2, 0) + 1)) u(i)"
+    )
+    return (
+        f"WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"{_LTOKENS_SQL} AS t FROM documents), "
+        f"dtg AS MATERIALIZED ({tg}), "
+        "ctg AS MATERIALIZED (SELECT w1, w2, w3, "
+        "CAST(count(*) AS BIGINT) AS c123 FROM dtg "
+        "WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3), "
+        "ctx12 AS (SELECT w1, w2, sum(c123) AS c12 FROM ctg GROUP BY 1, 2), "
+        "bi23 AS (SELECT w2, w3, sum(c123) AS c23 FROM ctg GROUP BY 1, 2), "
+        "ctx2 AS (SELECT w2, sum(c123) AS c2 FROM ctg GROUP BY 1), "
+        "uni3 AS (SELECT w3, sum(c123) AS c3 FROM ctg GROUP BY 1), "
+        "n AS (SELECT sum(c123) AS nn FROM ctg), "
+        "scored AS (SELECT d.doc_id, CASE "
+        "WHEN ctg.c123 IS NOT NULL THEN CAST(ctg.c123 AS DOUBLE) / ctx12.c12 "
+        f"WHEN bi23.c23 IS NOT NULL THEN {alpha} * CAST(bi23.c23 AS DOUBLE) / ctx2.c2 "
+        f"WHEN uni3.c3 IS NOT NULL THEN {alpha * alpha} * CAST(uni3.c3 AS DOUBLE) / n.nn "
+        f"ELSE {alpha ** 3} / n.nn END AS p "
+        "FROM dtg d "
+        "LEFT JOIN ctg USING (w1, w2, w3) "
+        "LEFT JOIN ctx12 USING (w1, w2) "
+        "LEFT JOIN bi23 USING (w2, w3) "
+        "LEFT JOIN ctx2 USING (w2) "
+        "LEFT JOIN uni3 USING (w3) "
+        "CROSS JOIN n) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, "
+        "round(avg(ln(p)), 6) AS sb_score FROM scored GROUP BY doc_id"
     )
 
 
@@ -7795,6 +7849,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_langid": lang_case,
         "text_langid_eval": _langid_eval_oracle_sql(),
+        "text_lm_backoff": _lm_backoff_oracle_sql(),
         "text_gopher": _gopher_oracle_sql(),
         "corpus_filter_attribution": _gopher_attribution_oracle_sql(),
         "corpus_c4_attribution": _c4_attribution_oracle_sql(),

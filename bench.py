@@ -140,6 +140,7 @@ HEADLINE = [
     "ipynb_cells_extract",
     "text_markdown_extract",
     "pipeline_multiformat_extract",
+    "text_lm_backoff",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

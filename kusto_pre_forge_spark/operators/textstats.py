@@ -709,6 +709,117 @@ def lang_id(
     return _lid(F.col(col) if isinstance(col, str) else col)
 
 
+def lm_score_stupid_backoff(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    corpus: DataFrame | None = None,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Trigram language-model score with STUPID BACKOFF (Brants et al.
+    2007, "Large Language Models in Machine Translation" §4 — the
+    backoff designed FOR distributed count-table LMs: no discounting, a
+    fixed backoff factor, quality approaching Kneser-Ney at scale).
+    :func:`lm_score`'s higher-order sibling, the CCNet-grade perplexity
+    filter shape. Per document: mean ln S(w₃|w₁w₂) over its trigram
+    positions, where
+
+        S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂·)        if the trigram is seen
+                   = α · c(w₂w₃·)/c(w₂··)       else if the bigram is
+                   = α² · c(··w₃)/N             else if the unigram is
+                   = α³ · 1/N                   else (OOV floor)
+
+    All orders derive from ONE trigram count table (lower orders are
+    marginal sums), so the normalizations are consistent in any engine.
+    ``corpus`` is the frame the counts come from (default: ``df`` itself
+    — backoff then never fires; pass a training split to score held-out
+    docs, where unseen trigrams genuinely back off). Docs with < 3
+    tokens are omitted (no trigram evidence — length filters own them).
+    Returns (id, n_trigrams, sb_score) with the score rounded to 6 (the
+    round-before-compare contract: distributed float sums).
+
+    Plan: one trigram explode per side; four vocabulary-shaped marginal
+    aggregates (map-side combined); scoring is left hash joins of doc
+    trigrams against the count tables plus one 1-row N broadcast —
+    the classic distributed-LM shape (count tables sharded by n-gram
+    key), nothing corpus-sized ever sits on one task."""
+    a = float(alpha)
+
+    def trigram_rows(frame: DataFrame, with_id: bool) -> DataFrame:
+        toks = tokens(F.lower(F.col(text_col)))
+        base = frame.select(
+            F.col(id_col).alias("_id"), toks.alias("_w")
+        )
+        k = F.size(F.col("_w")) - 2
+        cols = ["_id"] if with_id else []
+        return (
+            base.filter(k >= 1)
+            .select(
+                *cols,
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                        lambda i: F.struct(
+                            F.element_at("_w", i).alias("w1"),
+                            F.element_at("_w", i + 1).alias("w2"),
+                            F.element_at("_w", i + 2).alias("w3"),
+                        ),
+                    )
+                ).alias("_tg"),
+            )
+            .select(*cols, "_tg.w1", "_tg.w2", "_tg.w3")
+        )
+
+    from kusto_pre_forge_spark.pinning import pin
+
+    # the trigram table feeds FIVE consumers (four marginal sums + the
+    # scoring join); without pinning, the corpus re-scans and re-explodes
+    # per consumer (measured 7 scans / 12 exchanges) — pin it once
+    tri = pin(
+        trigram_rows(corpus if corpus is not None else df, False)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("_c123"))
+    )
+    ctx12 = tri.groupBy("w1", "w2").agg(F.sum("_c123").alias("_c12"))
+    bi23 = tri.groupBy("w2", "w3").agg(F.sum("_c123").alias("_c23"))
+    ctx2 = tri.groupBy("w2").agg(F.sum("_c123").alias("_c2"))
+    uni3 = tri.groupBy("w3").agg(F.sum("_c123").alias("_c3"))
+    n_total = tri.agg(F.sum("_c123").alias("_n"))
+
+    doc_tg = trigram_rows(df, True)
+    scored = (
+        doc_tg.join(tri, ["w1", "w2", "w3"], "left")
+        .join(ctx12, ["w1", "w2"], "left")
+        .join(bi23, ["w2", "w3"], "left")
+        .join(ctx2, ["w2"], "left")
+        .join(uni3, ["w3"], "left")
+        .crossJoin(F.broadcast(n_total))
+    )
+    p = (
+        F.when(
+            F.col("_c123").isNotNull(),
+            F.col("_c123").cast("double") / F.col("_c12"),
+        )
+        .when(
+            F.col("_c23").isNotNull(),
+            F.lit(a) * F.col("_c23").cast("double") / F.col("_c2"),
+        )
+        .when(
+            F.col("_c3").isNotNull(),
+            F.lit(a * a) * F.col("_c3").cast("double") / F.col("_n"),
+        )
+        .otherwise(F.lit(a * a * a) / F.col("_n"))
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.round(F.avg(F.log(p)), 6).alias("sb_score"),
+        )
+        .select(F.col("_id").alias(id_col), "n_trigrams", "sb_score")
+    )
+
+
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     """Standard pre-training quality signals per document:
 

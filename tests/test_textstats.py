@@ -519,3 +519,40 @@ def test_langid_eval_operator(spark):
     assert rows["de"].prec == 1.0 and rows["de"].recall == 1.0
     assert rows["und"].n_true == 0 and rows["und"].n_pred == 1
     assert rows["und"].recall is None and rows["und"].prec == 0.0
+
+
+def test_lm_score_stupid_backoff_hand_computed(spark):
+    """Brants et al. backoff tiers pinned by hand: seen trigram uses the
+    raw ratio, unseen trigram backs off through bigram → unigram → OOV
+    floor with alpha factors; sub-3-token docs are omitted."""
+    import math
+
+    from kusto_pre_forge_spark.operators.textstats import (
+        lm_score_stupid_backoff,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "a b c a b c"), (101, "a b d")], "doc_id long, text string"
+    )
+    # corpus trigrams: abc:2 bca:1 cab:1 abd:1 → N=5
+    test = spark.createDataFrame(
+        [(1, "a b c"), (2, "x a b c"), (3, "z z q"), (4, "a b")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in lm_score_stupid_backoff(
+            test, "text", "doc_id", corpus=corpus
+        ).collect()
+    }
+    assert out[1].n_trigrams == 1
+    assert out[1].sb_score == round(math.log(2 / 3), 6)
+    # (x,a,b): tri unseen → α·c(a,b·)/c(a··)... keys are (w2,w3)=(a,b)=1,
+    # ctx2 a=1 → 0.4 ; (a,b,c) seen → 2/3
+    assert out[2].sb_score == round((math.log(0.4) + math.log(2 / 3)) / 2, 6)
+    # fully OOV → α³/N
+    assert out[3].sb_score == round(math.log(0.4**3 / 5), 6)
+    assert 4 not in out, "docs without trigrams are omitted"
+    # corpus=None (self-scoring): backoff never fires, all tiers seen
+    self_out = lm_score_stupid_backoff(corpus, "text", "doc_id").collect()
+    assert all(r.sb_score <= 0.0 for r in self_out)
