@@ -2290,11 +2290,13 @@ def _q_warc_parse(spark, sf):
 
 def _q_pdf_text_extract(spark, sf):
     """PDF container roundtrip through the REAL ISO 32000 parser: every
-    document is rendered as a spec-valid PDF — CLASSIC table-xref layout
-    for even doc_ids, MODERN xref-stream + object-stream layout (PNG-Up
-    predictor, /Type /ObjStm packing) for odd ones, so both decode paths
-    are permanently on the correctness hook — one page when the text
-    fits 200 chars, two pages otherwise (page-tree walk + ordering).
+    document is rendered as a spec-valid PDF, rotating through THREE
+    real layouts by doc_id % 3: CLASSIC table-xref, MODERN xref-stream +
+    object-stream (PNG-Up predictor, /Type /ObjStm packing), and
+    SUBSET-FONT (2-byte glyph codes recoverable only through the
+    /ToUnicode CMap) — every decode path permanently on the correctness
+    hook — one page when the text fits 200 chars, two pages otherwise
+    (page-tree walk + ordering).
     Parsed back via sources.pdf.parse_pdf_blobs. The oracle is
     closed-form (the layouts extract identically): the same 200-char
     page split replayed in SQL over documents. Both directions are pure
@@ -2316,7 +2318,11 @@ def _q_pdf_text_extract(spark, sf):
             for i, t in zip(pdf["doc_id"], pdf["text"]):
                 t = t if isinstance(t, str) else ""
                 pages = [t] if len(t) <= 200 else [t[:200], t[200:]]
-                writer = P.pdf_bytes if int(i) % 2 == 0 else P.pdf_bytes_xrefstream
+                writer = [
+                    P.pdf_bytes,
+                    P.pdf_bytes_xrefstream,
+                    P.pdf_bytes_cid,
+                ][int(i) % 3]
                 paths.append(f"mem://doc/{int(i)}.pdf")
                 blobs.append(writer(pages))
             yield pd.DataFrame({"path": paths, "content": blobs})

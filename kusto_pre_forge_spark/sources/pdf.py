@@ -565,20 +565,106 @@ def decode_pdf_string(b: bytes) -> str:
     return b.decode("latin-1")
 
 
+def parse_cmap(data: bytes) -> dict[bytes, str]:
+    """Parse a /ToUnicode CMap stream (§9.10.3, built on Adobe CMap
+    syntax): ``beginbfchar`` pairs and ``beginbfrange`` ranges (both the
+    incrementing-destination and explicit-array forms) → {code bytes:
+    unicode string}. Subset-embedded fonts store show-text as GLYPH
+    CODES; without this map their text is unrecoverable garbage — the
+    single most common real-world PDF extraction gap."""
+    out: dict[bytes, str] = {}
+
+    def hexbytes(tok: bytes) -> bytes:
+        hx = re.sub(rb"[^0-9A-Fa-f]", b"", tok)
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+
+    def dst_str(b: bytes) -> str:
+        return b.decode("utf-16-be", "replace") if b else ""
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.DOTALL):
+        toks = re.findall(rb"<([0-9A-Fa-f\s]*)>", m.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            out[hexbytes(toks[i])] = dst_str(hexbytes(toks[i + 1]))
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.DOTALL):
+        body = m.group(1)
+        # explicit-array form: <lo> <hi> [<d1> <d2> ...]
+        pos = 0
+        triple = re.compile(
+            rb"<([0-9A-Fa-f\s]*)>\s*<([0-9A-Fa-f\s]*)>\s*"
+            rb"(\[(?:\s*<[0-9A-Fa-f\s]*>)*\s*\]|<[0-9A-Fa-f\s]*>)"
+        )
+        for t in triple.finditer(body):
+            lo, hi = hexbytes(t.group(1)), hexbytes(t.group(2))
+            width = len(lo)
+            lo_i = int.from_bytes(lo, "big")
+            hi_i = int.from_bytes(hi, "big") if hi else lo_i
+            dst = t.group(3)
+            if dst.startswith(b"["):
+                dsts = re.findall(rb"<([0-9A-Fa-f\s]*)>", dst)
+                for k, d in enumerate(dsts):
+                    if lo_i + k > hi_i:
+                        break
+                    out[(lo_i + k).to_bytes(width, "big")] = dst_str(
+                        hexbytes(d)
+                    )
+            else:
+                base = hexbytes(dst)
+                base_i = int.from_bytes(base, "big") if base else 0
+                for k in range(hi_i - lo_i + 1):
+                    out[(lo_i + k).to_bytes(width, "big")] = dst_str(
+                        (base_i + k).to_bytes(max(len(base), 2), "big")
+                    )
+    return out
+
+
+def _decode_with_cmap(b: bytes, cmap: dict[bytes, str]) -> str:
+    """Decode show-text bytes through a ToUnicode CMap: greedy
+    longest-code-first over the map's code widths; bytes outside the
+    map fall back to latin-1 (what a viewer shows for unmapped glyphs
+    is undefined — surfacing the raw byte beats dropping it)."""
+    widths = sorted({len(k) for k in cmap}, reverse=True) or [1]
+    out = []
+    i, n = 0, len(b)
+    while i < n:
+        for w in widths:
+            piece = b[i : i + w]
+            if len(piece) == w and piece in cmap:
+                out.append(cmap[piece])
+                i += w
+                break
+        else:
+            out.append(b[i : i + 1].decode("latin-1"))
+            i += 1
+    return "".join(out)
+
+
 _TOKEN_RE = re.compile(rb"[^\s()<>\[\]{}/%]+")
 _NEWLINE_OPS = {b"T*", b"Td", b"TD", b"'", b'"'}
 _SHOW_OPS = {b"Tj", b"'", b'"'}
 
 
-def content_stream_text(content: bytes) -> str:
+def content_stream_text(content: bytes, font_cmaps=None) -> str:
     """Extract the show-text stream of one page's content (§9.4):
     operator-driven, newline on the line-advancing operators, kerning
-    numbers in TJ arrays ignored. Output lines join with ``\\n``."""
+    numbers in TJ arrays ignored. ``font_cmaps`` maps font resource
+    names (the ``Tf`` operand, e.g. 'F1') to ToUnicode CMaps — when the
+    CURRENT font has one, show-text bytes decode through it (subset
+    fonts); otherwise the §7.9.2.2 BOM heuristic applies. Output lines
+    join with ``\\n``."""
+    font_cmaps = font_cmaps or {}
+    cmap: dict | None = None
     lines: list[str] = []
     cur: list[str] = []
     stack: list = []
     in_text = False
     i, n = 0, len(content)
+
+    def decode(b: bytes) -> str:
+        if cmap:
+            return _decode_with_cmap(b, cmap)
+        return decode_pdf_string(b)
 
     def newline():
         lines.append("".join(cur))
@@ -610,6 +696,11 @@ def content_stream_text(content: bytes) -> str:
         i = t.end()
         if op == b"BT":
             in_text = True
+        elif op == b"Tf":
+            name = next(
+                (v for v in reversed(stack) if isinstance(v, _Name)), None
+            )
+            cmap = font_cmaps.get(str(name)) if name is not None else None
         elif op == b"ET":
             in_text = False
         elif in_text:
@@ -619,14 +710,14 @@ def content_stream_text(content: bytes) -> str:
                 s = next(
                     (v for v in reversed(stack) if isinstance(v, bytes)), b""
                 )
-                cur.append(decode_pdf_string(s))
+                cur.append(decode(s))
             elif op == b"TJ":
                 arr = next(
                     (v for v in reversed(stack) if isinstance(v, list)), []
                 )
                 cur.append(
                     "".join(
-                        decode_pdf_string(e) for e in arr if isinstance(e, bytes)
+                        decode(e) for e in arr if isinstance(e, bytes)
                     )
                 )
         stack.clear()  # operands are postfix — consumed by their operator
@@ -710,8 +801,49 @@ def extract_pdf_pages(data: bytes, errors: str = "skip") -> list[str]:
                     except NotImplementedError:
                         if errors == "strict":
                             raise
-        out.append(content_stream_text(bytes(buf)))
+        out.append(
+            content_stream_text(
+                bytes(buf), _page_font_cmaps(objects, page, errors)
+            )
+        )
     return out
+
+
+def _page_font_cmaps(objects: dict, page: dict, errors: str) -> dict:
+    """{font resource name: ToUnicode CMap} for one page. /Resources is
+    INHERITABLE (§7.7.3.4 Table 30) — absent on the page, it comes from
+    the nearest ancestor /Pages node via /Parent."""
+    node = page
+    resources = None
+    for _ in range(64):
+        resources = _resolve(objects, node.get("Resources"))
+        if isinstance(resources, dict) or "Parent" not in node:
+            break
+        node = _resolve(objects, node.get("Parent"))
+        if not isinstance(node, dict):
+            break
+    if not isinstance(resources, dict):
+        return {}
+    fonts = _resolve(objects, resources.get("Font"))
+    if not isinstance(fonts, dict):
+        return {}
+    cmaps: dict[str, dict] = {}
+    for name, ref in fonts.items():
+        font = _resolve(objects, ref)
+        if not isinstance(font, dict):
+            continue
+        tu = font.get("ToUnicode")
+        target = tu
+        while isinstance(target, _Ref):
+            entry = objects.get(target.num)
+            target = None
+            if entry is not None:
+                try:
+                    cmaps[str(name)] = parse_cmap(decode_stream(entry, objects))
+                except NotImplementedError:
+                    if errors == "strict":
+                        raise
+    return cmaps
 
 
 # ------------------------------------------------------------- Spark layer
@@ -866,6 +998,127 @@ def pdf_bytes_xrefstream(pages: list[str]) -> bytes:
     )
     out += xbody
     out += f"\nendstream\nendobj\nstartxref\n{xref_at}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def pdf_bytes_cid(pages: list[str]) -> bytes:
+    """Forge the SUBSET-FONT layout of :func:`pdf_bytes`: show-text is
+    2-byte GLYPH CODES (not character bytes), recoverable ONLY through
+    the font's /ToUnicode CMap (§9.10.3) — the layout every PDF with an
+    embedded font subset uses. Each page's distinct characters get
+    arbitrary codes; consecutive-codepoint runs are emitted as bfrange
+    entries (one incrementing, plus the array form for the first run)
+    and the rest as bfchar pairs, so all three CMap constructs are on
+    the hook. Extracted text must equal the classic layout's."""
+    all_chars = sorted({ch for t in pages for ch in t if ch != "\n"})
+    # glyph code assignment: arbitrary but deterministic, starts at 7
+    code_of = {ch: i + 7 for i, ch in enumerate(all_chars)}
+
+    # CMap body: first run as an explicit-array bfrange, the next run as
+    # an incrementing bfrange, everything else as bfchar pairs
+    def u16(s: str) -> str:
+        return s.encode("utf-16-be").hex()
+
+    entries = sorted((c, ch) for ch, c in code_of.items())
+    bfchars, bfranges = [], []
+    i = 0
+    runs = 0
+    while i < len(entries):
+        j = i
+        while (
+            j + 1 < len(entries)
+            and entries[j + 1][0] == entries[j][0] + 1
+            and len(entries[j + 1][1]) == 1
+            and len(entries[i][1]) == 1
+            and ord(entries[j + 1][1]) == ord(entries[j][1]) + 1
+        ):
+            j += 1
+        if j > i and runs == 0:
+            dsts = " ".join(f"<{u16(ch)}>" for _, ch in entries[i : j + 1])
+            bfranges.append(
+                f"<{entries[i][0]:04x}> <{entries[j][0]:04x}> [{dsts}]"
+            )
+            runs += 1
+        elif j > i:
+            bfranges.append(
+                f"<{entries[i][0]:04x}> <{entries[j][0]:04x}> "
+                f"<{u16(entries[i][1])}>"
+            )
+        else:
+            bfchars.append(f"<{entries[i][0]:04x}> <{u16(entries[i][1])}>")
+        i = j + 1
+    cmap_src = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+    )
+    if bfranges:
+        cmap_src += (
+            f"{len(bfranges)} beginbfrange\n"
+            + "\n".join(bfranges)
+            + "\nendbfrange\n"
+        )
+    if bfchars:
+        cmap_src += (
+            f"{len(bfchars)} beginbfchar\n"
+            + "\n".join(bfchars)
+            + "\nendbfchar\n"
+        )
+    cmap_src += "end\n"
+    cmap_body = zlib.compress(cmap_src.encode("ascii"))
+
+    def code_string(line: str) -> bytes:
+        codes = b"".join(code_of[ch].to_bytes(2, "big") for ch in line)
+        return b"<" + codes.hex().encode() + b">"
+
+    objs: list[bytes] = []
+    n = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode())
+    font_num, cmap_num = 3 + 2 * n, 4 + 2 * n
+    for i, text in enumerate(pages):
+        cont_num = 4 + 2 * i
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {cont_num} 0 R /Resources << /Font "
+                f"<< /F9 {font_num} 0 R >> >> >>"
+            ).encode()
+        )
+        shows = b" T*\n".join(
+            code_string(line) + b" Tj" for line in text.split("\n")
+        )
+        content = b"BT\n/F9 12 Tf\n14 TL\n1 0 0 1 72 720 Tm\n" + shows + b"\nET"
+        body = zlib.compress(content)
+        objs.append(
+            b"<< /Length " + str(len(body)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + body + b"\nendstream"
+        )
+    objs.append(
+        (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /KPF-Subset "
+            f"/Encoding /Identity-H /ToUnicode {cmap_num} 0 R >>"
+        ).encode()
+    )
+    objs.append(
+        b"<< /Length " + str(len(cmap_body)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + cmap_body + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
     return bytes(out)
 
 

@@ -86,3 +86,14 @@ def test_ipynb_roundtrip_property(cells):
 
     got = N.notebook_cells(N.ipynb_bytes(cells))
     assert [(c["cell_type"], c["source"]) for c in got] == cells
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=3))
+def test_pdf_roundtrip_property_cid(pages):
+    """The subset-font layout (ToUnicode CMap) holds on arbitrary
+    Unicode too — glyph-code assignment, bfrange/bfchar emission, and
+    the greedy CMap decoder all property-checked."""
+    from kusto_pre_forge_spark.sources import pdf as P
+
+    assert P.extract_pdf_pages(P.pdf_bytes_cid(pages)) == pages

@@ -253,3 +253,42 @@ def test_encrypted_pdf_guard():
     assert P.extract_pdf_pages(enc) == []
     # unencrypted document is untouched by the probe
     assert P.extract_pdf_pages(data) == ["secret page"]
+
+
+def test_cid_tounicode_roundtrip():
+    """Subset-font layout: show-text is 2-byte glyph codes recoverable
+    ONLY through the /ToUnicode CMap — the single most common real-world
+    extraction gap. All three CMap constructs (bfchar, incrementing
+    bfrange, array bfrange) and /Resources font routing via Tf are on
+    the hook; output must equal the classic layout's."""
+    pages = ["hello world\nabcdefg consecutive", "café ü 中文 — mixed\n\nxyz"]
+    data = P.pdf_bytes_cid(pages)
+    assert P.extract_pdf_pages(data) == pages
+    assert P.extract_pdf_pages(P.pdf_bytes(pages)) == pages
+    # the forge genuinely uses non-character codes: raw BOM-heuristic
+    # decoding of the content must NOT reproduce the text
+    objects, root = P.load_pdf_objects(data)
+    page = next(
+        v for v, _ in objects.values()
+        if isinstance(v, dict) and str(v.get("Type")) == "Page"
+    )
+    ref = page["Contents"]
+    raw = P.decode_stream(objects[ref.num], objects)
+    assert P.content_stream_text(raw) != pages[0], (
+        "without the CMap the glyph codes must NOT decode to the text"
+    )
+
+
+def test_parse_cmap_constructs():
+    cm = P.parse_cmap(
+        b"2 beginbfrange\n<0001> <0003> <0041>\n"
+        b"<0010> <0011> [<0058> <0059>]\nendbfrange\n"
+        b"1 beginbfchar\n<00ff> <20AC>\nendbfchar"
+    )
+    assert cm[b"\x00\x01"] == "A" and cm[b"\x00\x03"] == "C"
+    assert cm[b"\x00\x10"] == "X" and cm[b"\x00\x11"] == "Y"
+    assert cm[b"\x00\xff"] == "€"
+    # single-byte codes coexist with two-byte ones; greedy widest-first
+    cm2 = {b"\x01": "a", b"\x00\x02": "b"}
+    assert P._decode_with_cmap(b"\x01\x00\x02\x01", cm2) == "aba"
+
