@@ -645,14 +645,19 @@ _NEWLINE_OPS = {b"T*", b"Td", b"TD", b"'", b'"'}
 _SHOW_OPS = {b"Tj", b"'", b'"'}
 
 
-def content_stream_text(content: bytes, font_cmaps=None) -> str:
+def content_stream_text(
+    content: bytes, font_cmaps=None, tj_space_threshold: float = -180.0
+) -> str:
     """Extract the show-text stream of one page's content (§9.4):
-    operator-driven, newline on the line-advancing operators, kerning
-    numbers in TJ arrays ignored. ``font_cmaps`` maps font resource
-    names (the ``Tf`` operand, e.g. 'F1') to ToUnicode CMaps — when the
-    CURRENT font has one, show-text bytes decode through it (subset
-    fonts); otherwise the §7.9.2.2 BOM heuristic applies. Output lines
-    join with ``\\n``."""
+    operator-driven, newline on the line-advancing operators.
+    ``font_cmaps`` maps font resource names (the ``Tf`` operand, e.g.
+    'F1') to ToUnicode CMaps — when the CURRENT font has one, show-text
+    bytes decode through it (subset fonts); otherwise the §7.9.2.2 BOM
+    heuristic applies. TJ kerning numbers are in thousandths of an em
+    (§9.4.3); writers often encode INTER-WORD GAPS as a large negative
+    adjustment instead of a space glyph, so adjustments below
+    ``tj_space_threshold`` (≈0.18 em) emit one space — smaller tweaks
+    (typographic kerning) are ignored. Output lines join with ``\\n``."""
     font_cmaps = font_cmaps or {}
     cmap: dict | None = None
     lines: list[str] = []
@@ -715,11 +720,16 @@ def content_stream_text(content: bytes, font_cmaps=None) -> str:
                 arr = next(
                     (v for v in reversed(stack) if isinstance(v, list)), []
                 )
-                cur.append(
-                    "".join(
-                        decode(e) for e in arr if isinstance(e, bytes)
-                    )
-                )
+                parts = []
+                for e in arr:
+                    if isinstance(e, bytes):
+                        parts.append(decode(e))
+                    elif (
+                        isinstance(e, (int, float))
+                        and e < tj_space_threshold
+                    ):
+                        parts.append(" ")
+                cur.append("".join(parts))
         stack.clear()  # operands are postfix — consumed by their operator
     if cur or lines:
         newline()

@@ -292,3 +292,11 @@ def test_parse_cmap_constructs():
     cm2 = {b"\x01": "a", b"\x00\x02": "b"}
     assert P._decode_with_cmap(b"\x01\x00\x02\x01", cm2) == "aba"
 
+
+
+def test_tj_kerning_space_heuristic():
+    """Large negative TJ adjustments (inter-word gaps real writers emit
+    instead of space glyphs) become one space; small typographic kerning
+    does not."""
+    c = b"BT [(word) -500 (gap)] TJ T* [(ke) -50 (rn)] TJ ET"
+    assert P.content_stream_text(c) == "word gap\nkern"
