@@ -2480,6 +2480,63 @@ def _q_pipeline_pdf_extract(spark, sf):
     ).filter(F.col("n_tokens") >= 10)
 
 
+def _q_corpus_autoextract(spark, sf):
+    """The mixed-dump front door: each document forged into ONE of five
+    real blob kinds by doc_id % 5 (PDF, DOCX, notebook, WARC, plain
+    text), then routed by MAGIC-BYTE sniffing — not the path — through
+    sources.autoextract.extract_text_blobs to a unified (kind, text)
+    frame. The oracle predicts both columns closed-form (each container
+    roundtrip is lossless, pinned by its own query). Two pure map
+    stages above the widen re-split."""
+    import pandas as pd
+
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+    from kusto_pre_forge_spark.sources import autoextract as A
+    from kusto_pre_forge_spark.sources import docx as X
+    from kusto_pre_forge_spark.sources import ipynb as N
+    from kusto_pre_forge_spark.sources import pdf as P
+    from kusto_pre_forge_spark.sources import warc as W
+
+    d = _widen_for_fanout(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
+
+    def forge(it):
+        for pdf in it:
+            paths, blobs = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                t = t if isinstance(t, str) else ""
+                m = int(i) % 5
+                # extension deliberately wrong/absent — content decides
+                paths.append(f"mem://blob/{int(i)}.bin")
+                if m == 0:
+                    blobs.append(P.pdf_bytes([t]))
+                elif m == 1:
+                    blobs.append(X.docx_bytes(t))
+                elif m == 2:
+                    blobs.append(N.ipynb_bytes([("code", t)]))
+                elif m == 3:
+                    blobs.append(
+                        W.write_warc(
+                            [W.warc_record_bytes(f"https://e.com/{int(i)}",
+                                                 t.encode("utf-8"))]
+                        )
+                    )
+                else:
+                    blobs.append(t.encode("utf-8"))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    blobs = d.mapInPandas(forge, "path string, content binary")
+    out = A.extract_text_blobs(blobs)
+    return out.select(
+        F.regexp_extract("_kpf_source", r"([0-9]+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "kind",
+        "text",
+    )
+
+
 def _q_pipeline_multiformat_extract(spark, sf):
     """The document-container front end-to-end, cross-checked: every
     document is rendered into THREE real containers — a WARC-wrapped
@@ -6258,6 +6315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ipynb_cells_extract": _q_ipynb_cells_extract,
         "text_markdown_extract": _q_text_markdown_extract,
         "pipeline_multiformat_extract": _q_pipeline_multiformat_extract,
+        "corpus_autoextract": _q_corpus_autoextract,
         "multimodal_dedup_recall": _q_multimodal_dedup_recall,
         "pipeline_crawl_extract": _q_pipeline_crawl_extract,
         "corpus_url_blocklist": _q_corpus_url_blocklist,
@@ -9453,6 +9511,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(2 AS INT) FROM d WHERE length(t) > 200"
         ),
         "text_markdown_extract": _markdown_oracle_sql(),
+        "corpus_autoextract": (
+            # each container roundtrip is lossless and the sniff is
+            # deterministic (doc texts carry no magic-byte prefixes —
+            # verified at every SF), so both columns predict closed-form
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CASE doc_id % 5 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' "
+            "WHEN 2 THEN 'ipynb' WHEN 3 THEN 'warc' ELSE 'text' END "
+            "AS kind, COALESCE(text, '') AS text FROM documents"
+        ),
         "pipeline_multiformat_extract": (
             # predictive oracle: all three container roundtrips are
             # lossless (each pinned by its own query), so every doc must

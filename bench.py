@@ -141,6 +141,7 @@ HEADLINE = [
     "text_markdown_extract",
     "pipeline_multiformat_extract",
     "text_lm_backoff",
+    "corpus_autoextract",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

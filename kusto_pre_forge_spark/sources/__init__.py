@@ -5,6 +5,7 @@ from kusto_pre_forge_spark.sources.blob import (
     read_xz_lines,
     read_zip_lines,
 )
+from kusto_pre_forge_spark.sources.autoextract import read_text_auto
 from kusto_pre_forge_spark.sources.docx import read_docx
 from kusto_pre_forge_spark.sources.ipynb import read_ipynb
 from kusto_pre_forge_spark.sources.pdf import read_pdf
@@ -17,6 +18,7 @@ __all__ = [
     "read_xz_lines",
     "read_zip_lines",
     "read_docx",
+    "read_text_auto",
     "read_ipynb",
     "read_pdf",
     "read_warc",

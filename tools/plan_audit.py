@@ -139,6 +139,7 @@ AUDITED = [
     ("text_markdown_extract", "markdown → prose: ONE codegen regexp_replace chain, no UDF; one widen exchange re-splits the one-footer test scan"),
     ("pipeline_multiformat_extract", "three container forge+parse map-stage pairs cross-checked; one per-doc aggregate exchange + the widen re-split"),
     ("text_lm_backoff", "Stupid-Backoff trigram LM: the pinned trigram table feeds four marginal sums + the scoring joins (2 scans, was 7 unpinned); vocabulary-shaped count tables — the distributed-LM shape"),
+    ("corpus_autoextract", "magic-byte sniff + per-kind extraction in one Arrow map stage; widen re-split is the only exchange"),
 ]
 
 
