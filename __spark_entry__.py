@@ -5954,6 +5954,26 @@ def _q_kql_graph_components(spark, sf):
     )
 
 
+def _q_graph_label_propagation(spark, sf):
+    """Synchronous LPA communities over a closed-form chain graph (20
+    blocks of 10 docs, edges i→i+1 within a block): 4 fixed rounds with
+    min-label ties, replayed round-for-round by the oracle's unrolled
+    CTEs — on a chain the smallest-label tie-break walks labels toward
+    the block head a bounded distance per round, so every value is
+    exactly predictable."""
+    from kusto_pre_forge_spark.operators.kql import label_propagation
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+    edges = d.filter(F.col("doc_id") % 10 != 9).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    return label_propagation(edges, n_iter=4)
+
+
 def _q_graph_pagerank(spark, sf):
     """PageRank over the nation trade graph (edges = customer-nation →
     supplier-nation, weight = lineitem revenue; the host-authority
@@ -6316,6 +6336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_markdown_extract": _q_text_markdown_extract,
         "pipeline_multiformat_extract": _q_pipeline_multiformat_extract,
         "corpus_autoextract": _q_corpus_autoextract,
+        "graph_label_propagation": _q_graph_label_propagation,
         "multimodal_dedup_recall": _q_multimodal_dedup_recall,
         "pipeline_crawl_extract": _q_pipeline_crawl_extract,
         "corpus_url_blocklist": _q_corpus_url_blocklist,
@@ -6848,6 +6869,38 @@ def _lm_backoff_oracle_sql(alpha: float = 0.4) -> str:
         "CROSS JOIN n) "
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, "
         "round(avg(ln(p)), 6) AS sb_score FROM scored GROUP BY doc_id"
+    )
+
+
+def _lpa_oracle_sql(n_iter: int = 4) -> str:
+    """Replay of graph_label_propagation: the closed-form chain graph,
+    then each synchronous round unrolled as CTEs (neighbor-label join →
+    (node, label) counts → per-node argmax with min-label ties →
+    isolated nodes keep their label)."""
+    rounds = []
+    for k in range(1, n_iter + 1):
+        prev = f"l{k - 1}"
+        rounds.append(
+            f"m{k} AS (SELECT sym.s AS node, l.label FROM sym "
+            f"JOIN {prev} l ON sym.d2 = l.node), "
+            f"c{k} AS (SELECT node, label, count(*) AS n FROM m{k} "
+            "GROUP BY 1, 2), "
+            f"w{k} AS (SELECT node, first(label ORDER BY n DESC, label ASC) "
+            f"AS label FROM c{k} GROUP BY node), "
+            f"l{k} AS MATERIALIZED (SELECT nd.node, "
+            f"coalesce(w.label, nd.node) AS label FROM nodes nd "
+            f"LEFT JOIN w{k} w USING (node))"
+        )
+    return (
+        "WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents "
+        "WHERE doc_id < 200), "
+        "e AS (SELECT i AS src, i + 1 AS dst FROM d WHERE i % 10 != 9), "
+        "sym AS MATERIALIZED (SELECT src AS s, dst AS d2 FROM e "
+        "UNION SELECT dst, src FROM e), "
+        "nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM sym), "
+        "l0 AS (SELECT node, node AS label FROM nodes), "
+        + ", ".join(rounds)
+        + f" SELECT node, label FROM l{n_iter}"
     )
 
 
@@ -9511,6 +9564,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(2 AS INT) FROM d WHERE length(t) > 200"
         ),
         "text_markdown_extract": _markdown_oracle_sql(),
+        "graph_label_propagation": _lpa_oracle_sql(),
         "corpus_autoextract": (
             # each container roundtrip is lossless and the sniff is
             # deterministic (doc texts carry no magic-byte prefixes —

@@ -142,6 +142,7 @@ HEADLINE = [
     "pipeline_multiformat_extract",
     "text_lm_backoff",
     "corpus_autoextract",
+    "graph_label_propagation",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

@@ -4245,6 +4245,71 @@ def graph_mark_components(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan et
+    al. 2007, "Near linear time algorithm to detect community structures
+    in large-scale networks") — the graph family's community member next
+    to :func:`graph_mark_components` (which finds CONNECTED components;
+    LPA splits a connected graph into densely-linked communities).
+
+    Deterministic variant oracles can replay: every node starts labeled
+    with its own id; each round, every node adopts the most frequent
+    label among its neighbors with ties broken by the SMALLEST label,
+    all nodes updating simultaneously (synchronous — the asynchronous
+    variant is order-dependent and irreproducible across engines), for
+    a FIXED ``n_iter`` rounds. Isolated nodes keep their own label.
+
+    Plan per round: one edge⋈labels hash join + one map-side-combined
+    (node, label) count + one per-node argmax aggregate — the PageRank
+    cost shape. Each round ends in an eager localCheckpoint (the
+    :func:`connected_components` contract): bounded lineage, and round
+    N+1's shuffles read materialized round-N labels. Returns
+    (node, label)."""
+    sym = (
+        edges.select(
+            F.col(src_col).cast("long").alias("s"),
+            F.col(dst_col).cast("long").alias("d"),
+        )
+        .unionByName(
+            edges.select(
+                F.col(dst_col).cast("long").alias("s"),
+                F.col(src_col).cast("long").alias("d"),
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds every round's join
+    )
+    nodes = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(int(n_iter)):
+        msgs = sym.join(
+            labels.withColumnRenamed("node", "d"), "d"
+        ).select(F.col("s").alias("node"), "label")
+        counts = msgs.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        winners = counts.groupBy("node").agg(
+            F.expr("min_by(label, struct(-_n, label))").alias("label")
+        )
+        labels = (
+            nodes.join(winners, "node", "left")
+            .select(
+                "node", F.coalesce("label", F.col("node")).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",

@@ -130,6 +130,24 @@ class StreamingEtl:
                 )
             return parse_docx_blobs(breader.load(self.landing_dir))
 
+        if self.fmt == "auto":
+            # mixed-dump landing: whatever blob arrives is magic-byte
+            # sniffed and routed to its extractor (PDF/DOCX/notebook/
+            # WARC/html/text) — rows have the fixed AUTOEXTRACT_DDL shape
+            from kusto_pre_forge_spark.sources.autoextract import (
+                extract_text_blobs,
+            )
+
+            breader = self.spark.readStream.format("binaryFile").schema(
+                "path string, modificationTime timestamp, "
+                "length long, content binary"
+            )
+            if self.max_files_per_trigger:
+                breader = breader.option(
+                    "maxFilesPerTrigger", self.max_files_per_trigger
+                )
+            return extract_text_blobs(breader.load(self.landing_dir))
+
         schema = self.schema
         if self.fmt == "text":
             # the text source has exactly one string column regardless of

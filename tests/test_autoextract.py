@@ -69,3 +69,41 @@ def test_read_text_auto_spark(spark, tmp_path):
     }
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_auto_streaming_landing(spark, tmp_path):
+    """A mixed dump dropped into a streaming landing dir: every arriving
+    blob is sniffed and extracted through the same pure map stage as the
+    batch front door."""
+    from kusto_pre_forge_spark.streaming.ingest import StreamingEtl
+
+    land = tmp_path / "auto_landing"
+    land.mkdir()
+    (land / "one").write_bytes(P.pdf_bytes(["pdf page"]))
+    (land / "two").write_bytes(D.docx_bytes("docx body"))
+    (land / "three").write_bytes(b"plain text blob")
+    etl = StreamingEtl(
+        spark,
+        str(land),
+        str(tmp_path / "ckpt_auto"),
+        str(tmp_path / "out_auto"),
+        schema=None,
+        fmt="auto",
+        max_files_per_trigger=1,
+    )
+    q = (
+        etl._source()
+        .writeStream.format("memory")
+        .queryName("auto_mem")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_auto"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM auto_mem").collect()
+    got = {r._kpf_source.rsplit("/", 1)[-1]: (r.kind, r.text) for r in rows}
+    assert got == {
+        "one": ("pdf", "pdf page"),
+        "two": ("docx", "docx body"),
+        "three": ("text", "plain text blob"),
+    }

@@ -1975,3 +1975,32 @@ def test_graph_triangles_hand_counted(spark):
     )
     got2 = {r.node: r.triangles for r in graph_triangles(tri_on_star).collect()}
     assert got2 == {0: 1, 1: 1, 2: 1}
+
+
+def test_label_propagation_communities(spark):
+    """Synchronous LPA with min-label ties: two 4-cliques joined by one
+    bridge edge resolve to two communities (each labeled by its min id);
+    an isolated node keeps its own label; the result is deterministic
+    round-for-round."""
+    from kusto_pre_forge_spark.operators.kql import label_propagation
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.label for r in label_propagation(e, n_iter=4).collect()
+    }
+    assert {got[n] for n in (1, 2, 3)} == {1}
+    assert {got[n] for n in (11, 12, 13)} == {10}
+    # the bridge endpoints join their own cliques (clique majority beats
+    # the single cross edge)
+    assert got[4] == 1 and got[10] == 10
+
+    # isolated node: self-loop-free singleton keeps its own label
+    e2 = spark.createDataFrame(edges + [(99, 99)], "src long, dst long")
+    got2 = {
+        r.node: r.label for r in label_propagation(e2, n_iter=2).collect()
+    }
+    assert got2[99] == 99

@@ -140,6 +140,7 @@ AUDITED = [
     ("pipeline_multiformat_extract", "three container forge+parse map-stage pairs cross-checked; one per-doc aggregate exchange + the widen re-split"),
     ("text_lm_backoff", "Stupid-Backoff trigram LM: the pinned trigram table feeds four marginal sums + the scoring joins (2 scans, was 7 unpinned); vocabulary-shaped count tables — the distributed-LM shape"),
     ("corpus_autoextract", "magic-byte sniff + per-kind extraction in one Arrow map stage; widen re-split is the only exchange"),
+    ("graph_label_propagation", "synchronous LPA: per round one edge-labels hash join + map-side-combined count + per-node argmax; eager localCheckpoint bounds lineage"),
 ]
 
 
