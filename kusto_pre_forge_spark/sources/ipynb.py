@@ -26,8 +26,32 @@ from pyspark.sql import functions as F
 
 IPYNB_DDL = (
     "cell_idx int, cell_type string, source string, n_lines int, "
-    "language string, _kpf_source string"
+    "language string, output_text string, _kpf_source string"
 )
+
+
+def _cell_output_text(cell: dict) -> str:
+    """Concatenated TEXT outputs of a code cell (nbformat §outputs):
+    ``stream`` text, ``execute_result``/``display_data`` text/plain, and
+    ``error`` traceback lines — the console story some code-corpus
+    configurations keep alongside the source. Rich mimetypes (images,
+    html) are skipped; non-code cells have no outputs."""
+    parts = []
+    for out in cell.get("outputs") or []:
+        if not isinstance(out, dict):
+            continue
+        ot = out.get("output_type")
+        if ot == "stream":
+            t = out.get("text", "")
+            parts.append("".join(t) if isinstance(t, list) else str(t))
+        elif ot in ("execute_result", "display_data"):
+            data = out.get("data") or {}
+            t = data.get("text/plain", "")
+            parts.append("".join(t) if isinstance(t, list) else str(t))
+        elif ot == "error":
+            tb = out.get("traceback") or []
+            parts.append("\n".join(str(x) for x in tb))
+    return "".join(parts)
 
 
 def notebook_cells(data: bytes) -> list[dict]:
@@ -71,6 +95,7 @@ def notebook_cells(data: bytes) -> list[dict]:
                 "source": src,
                 "n_lines": len(src.split("\n")) if src else 0,
                 "language": lang,
+                "output_text": _cell_output_text(cell),
             }
         )
     return out

@@ -57,3 +57,25 @@ def test_read_ipynb_and_scripts(spark, tmp_path):
     for name, cells in nbs.items():
         want = N.to_script(N.notebook_cells(N.ipynb_bytes(cells)))
         assert scripts[name] == want, name
+
+
+def test_cell_output_text_extraction():
+    """stream / execute_result text-plain / error-traceback outputs
+    concatenate; rich mimetypes skip; markdown cells have none."""
+    import json
+
+    nb = json.loads(N.ipynb_bytes([("code", "print('hi')"), ("markdown", "doc")]))
+    nb["cells"][0]["outputs"] = [
+        {"output_type": "stream", "name": "stdout", "text": ["hi\n", "there\n"]},
+        {
+            "output_type": "execute_result",
+            "data": {"text/plain": ["42"], "image/png": "AAAA"},
+            "execution_count": 1,
+        },
+        {"output_type": "error", "ename": "E", "evalue": "x",
+         "traceback": ["Traceback", "E: x"]},
+        {"output_type": "display_data", "data": {"image/png": "BBBB"}},
+    ]
+    cells = N.notebook_cells(json.dumps(nb).encode())
+    assert cells[0]["output_text"] == "hi\nthere\n42Traceback\nE: x"
+    assert cells[1]["output_text"] == ""
