@@ -3045,6 +3045,27 @@ def _q_corpus_pack(spark, sf):
     )
 
 
+def _q_corpus_pack_boundaries(spark, sf):
+    """Per-sequence document-boundary offsets for block-diagonal
+    attention over the 512-token packing — the mask info "sample
+    packing" trainers need. The oracle replays the pack prefix sum,
+    explodes each doc to the sequences it overlaps (generate_series),
+    and aggregates the same sorted offset lists."""
+    from kusto_pre_forge_spark.operators import corpus as corpus_ops
+
+    d = load_table(spark, sf, "documents")
+    out = corpus_ops.pack_attention_boundaries(
+        d, "text", "doc_id", seq_len=512
+    )
+    # arrays stringify for the driver's value hash (round-7 convention)
+    return out.select(
+        "seq_id",
+        "n_docs",
+        F.concat_ws(",", F.transform("boundaries", lambda x: x.cast("string")))
+        .alias("boundaries"),
+    )
+
+
 def _q_corpus_line_dedup(spark, sf):
     """Corpus-level boilerplate removal: drop every unit occurring in more
     than 60 distinct documents (units = words here, sep=' '), reassemble
@@ -6337,6 +6358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_multiformat_extract": _q_pipeline_multiformat_extract,
         "corpus_autoextract": _q_corpus_autoextract,
         "graph_label_propagation": _q_graph_label_propagation,
+        "corpus_pack_boundaries": _q_corpus_pack_boundaries,
         "multimodal_dedup_recall": _q_multimodal_dedup_recall,
         "pipeline_crawl_extract": _q_pipeline_crawl_extract,
         "corpus_url_blocklist": _q_corpus_url_blocklist,
@@ -9565,6 +9587,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_markdown_extract": _markdown_oracle_sql(),
         "graph_label_propagation": _lpa_oracle_sql(),
+        "corpus_pack_boundaries": (
+            # the pack prefix sum (corpus_pack's oracle), then each doc
+            # explodes to the sequences it overlaps and offsets aggregate
+            "WITH t AS (SELECT doc_id, "
+            f"CAST(len({_LTOKENS_SQL}) AS BIGINT) AS n_tokens, "
+            "CAST(concat('0x', substr(md5(concat('kpf', '|', "
+            "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 "
+            "AS h FROM documents), "
+            "p AS (SELECT doc_id, n_tokens, "
+            "CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS BIGINT) AS token_start FROM t), "
+            "s AS (SELECT p.token_start, u.s AS seq_id FROM p, "
+            "unnest(range(CAST(FLOOR(token_start / 512) AS BIGINT), "
+            "CAST(FLOOR((token_start + n_tokens - 1) / 512) AS BIGINT) + 1"
+            ")) u(s) WHERE n_tokens > 0) "
+            "SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs, "
+            "array_to_string(list_sort(list(greatest(token_start - "
+            "seq_id * 512, 0))), ',') AS boundaries "
+            "FROM s GROUP BY seq_id"
+        ),
         "corpus_autoextract": (
             # each container roundtrip is lossless and the sniff is
             # deterministic (doc texts carry no magic-byte prefixes —

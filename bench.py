@@ -143,6 +143,7 @@ HEADLINE = [
     "text_lm_backoff",
     "corpus_autoextract",
     "graph_label_propagation",
+    "corpus_pack_boundaries",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

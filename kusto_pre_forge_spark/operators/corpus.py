@@ -243,6 +243,52 @@ def sequence_pack(
     return out.select(id_col, "n_tokens", "token_start", "seq_id")
 
 
+def pack_attention_boundaries(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seq_len: int,
+    salt: str = "kpf",
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Per-SEQUENCE document-boundary offsets for block-diagonal
+    attention — the mask information modern packed pre-training needs
+    (cross-document attention is masked out, so the trainer must know
+    where, inside each packed sequence, a new document's tokens begin;
+    the "sample packing" convention).
+
+    Built on :func:`sequence_pack`'s (token_start, n_tokens): a document
+    occupying global token span [start, start+n) overlaps sequences
+    ⌊start/L⌋ .. ⌊(start+n−1)/L⌋; within sequence s its segment begins
+    at ``max(start, s·L) − s·L``. Each doc explodes to the ≤ n/L + 1
+    sequences it overlaps (constant amortized fan-out: total exploded
+    rows ≤ docs + total_tokens/L), then one per-sequence aggregate
+    collects the sorted offsets. Returns (seq_id, n_docs, boundaries)
+    where boundaries[0] is 0 exactly when a document starts at the
+    sequence head."""
+    packed = sequence_pack(
+        df, text_col, id_col, seq_len, salt=salt, num_buckets=num_buckets
+    ).filter(F.col("n_tokens") > 0)
+    L = F.lit(int(seq_len))
+    first_seq = F.floor(F.col("token_start") / L).cast("long")
+    last_seq = F.floor(
+        (F.col("token_start") + F.col("n_tokens") - 1) / L
+    ).cast("long")
+    spans = packed.select(
+        "token_start",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    ).select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.greatest(
+            F.col("token_start") - F.col("seq_id") * L, F.lit(0)
+        ).cast("long").alias("offset"),
+    )
+    return spans.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.array_sort(F.collect_list("offset")).alias("boundaries"),
+    )
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str,

@@ -141,6 +141,7 @@ AUDITED = [
     ("text_lm_backoff", "Stupid-Backoff trigram LM: the pinned trigram table feeds four marginal sums + the scoring joins (2 scans, was 7 unpinned); vocabulary-shaped count tables — the distributed-LM shape"),
     ("corpus_autoextract", "magic-byte sniff + per-kind extraction in one Arrow map stage; widen re-split is the only exchange"),
     ("graph_label_propagation", "synchronous LPA: per round one edge-labels hash join + map-side-combined count + per-node argmax; eager localCheckpoint bounds lineage"),
+    ("corpus_pack_boundaries", "pack prefix sum + constant-fanout sequence explode + one per-sequence aggregate; never a whole-corpus window"),
 ]
 
 
