@@ -2537,6 +2537,79 @@ def _q_corpus_autoextract(spark, sf):
     )
 
 
+def _q_corpus_archive_extract(spark, sf):
+    """Archive-bundle expansion through the mixed-dump front door
+    (round-11: closes the front door's one silent data drop — generic
+    archives previously surfaced as ('zip', None)). Each document is
+    bundled into a REAL archive — tar.gz for even doc_ids, zip for odd
+    — holding three members: a plain-text file, a second text file
+    derived from the id, and a classic-layout PDF. extract_text_blobs
+    expands one row PER MEMBER (``_kpf_source = "<blob>!<member>"``),
+    each member re-sniffed by magic bytes, so the PDF member extracts
+    AS a PDF. Oracle predicts all three rows per document closed-form
+    (text members verbatim, the PDF via its pinned lossless roundtrip).
+    Pure map stages above the widen re-split — zero joins, zero
+    aggregates; at 100 TB this is the same one-task-per-bundle shape
+    as the WARC crawl front. Reference parity: the reference's
+    DataSourceFormat handles single-blob formats only
+    (Kusto/DataFormat.cs) — bundles are an extension the reference's
+    own users unpack out-of-band."""
+    import gzip as _gz
+    import io
+    import tarfile
+    import zipfile
+
+    import pandas as pd
+
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+    from kusto_pre_forge_spark.sources import autoextract as A
+    from kusto_pre_forge_spark.sources import pdf as P
+
+    d = _widen_for_fanout(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
+
+    def forge(it):
+        for pdf in it:
+            paths, blobs = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                t = t if isinstance(t, str) else ""
+                members = [
+                    ("m0.txt", ("txt: " + t).encode("utf-8")),
+                    ("m1.txt", f"part two of {i}".encode("utf-8")),
+                    ("m2.pdf", P.pdf_bytes([t])),
+                ]
+                if i % 2 == 0:
+                    buf = io.BytesIO()
+                    with tarfile.open(fileobj=buf, mode="w") as tf:
+                        for name, data in members:
+                            ti = tarfile.TarInfo(name)
+                            ti.size = len(data)
+                            tf.addfile(ti, io.BytesIO(data))
+                    blob = _gz.compress(buf.getvalue())
+                else:
+                    buf = io.BytesIO()
+                    with zipfile.ZipFile(buf, "w") as zf:
+                        for name, data in members:
+                            zf.writestr(name, data)
+                    blob = buf.getvalue()
+                paths.append(f"mem://arch/{i}.bundle")
+                blobs.append(blob)
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    blobs = d.mapInPandas(forge, "path string, content binary")
+    out = A.extract_text_blobs(blobs)
+    return out.select(
+        F.regexp_extract("_kpf_source", r"([0-9]+)\.bundle!", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.substring_index("_kpf_source", "!", -1).alias("member"),
+        "kind",
+        "text",
+    )
+
+
 def _q_pipeline_multiformat_extract(spark, sf):
     """The document-container front end-to-end, cross-checked: every
     document is rendered into THREE real containers — a WARC-wrapped
@@ -6357,6 +6430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_markdown_extract": _q_text_markdown_extract,
         "pipeline_multiformat_extract": _q_pipeline_multiformat_extract,
         "corpus_autoextract": _q_corpus_autoextract,
+        "corpus_archive_extract": _q_corpus_archive_extract,
         "graph_label_propagation": _q_graph_label_propagation,
         "corpus_pack_boundaries": _q_corpus_pack_boundaries,
         "multimodal_dedup_recall": _q_multimodal_dedup_recall,
@@ -9616,6 +9690,18 @@ def oracle_sql() -> dict[str, str]:
             "CASE doc_id % 5 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' "
             "WHEN 2 THEN 'ipynb' WHEN 3 THEN 'warc' ELSE 'text' END "
             "AS kind, COALESCE(text, '') AS text FROM documents"
+        ),
+        "corpus_archive_extract": (
+            # predictive: the 'txt: ' prefix pins the text members'
+            # sniff, and the PDF member's roundtrip is lossless (pinned
+            # by pdf_text_extract) — all 3 member rows are closed-form
+            "WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "COALESCE(text, '') AS t FROM documents) "
+            "SELECT doc_id, 'm0.txt' AS member, 'text' AS kind, "
+            "'txt: ' || t AS text FROM d "
+            "UNION ALL SELECT doc_id, 'm1.txt', 'text', "
+            "'part two of ' || doc_id FROM d "
+            "UNION ALL SELECT doc_id, 'm2.pdf', 'pdf', t FROM d"
         ),
         "pipeline_multiformat_extract": (
             # predictive oracle: all three container roundtrips are

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import gzip
 import io
+import lzma
+import tarfile
 import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,10 +41,18 @@ AUTOEXTRACT_DDL = "kind string, text string, _kpf_source string"
 
 PAGE_SEP = "\x0c"  # form feed between PDF pages / WARC records
 
+#: Zip-bomb valves for archive-member expansion — the ``_hot_buckets``
+#: fail-open philosophy: a blob past the cap yields the members UP TO
+#: the cap plus one loud ``archive_truncated`` sentinel row, never an
+#: error and never a silent total drop.
+MAX_ARCHIVE_MEMBERS = 10_000
+MAX_ARCHIVE_BYTES = 1 << 30  # 1 GiB decompressed per archive
+
 
 def sniff_format(content: bytes) -> str:
     """Magic-byte format sniff (content decides; extensions lie in a
-    crawl). Returns one of pdf/docx/zip/ipynb/warc/gzip/html/text/binary."""
+    crawl). Returns one of pdf/docx/zip/tar/ipynb/warc/gzip/xz/html/
+    text/binary."""
     head = bytes(content[:512])
     if head.startswith(b"%PDF"):
         return "pdf"
@@ -52,8 +62,18 @@ def sniff_format(content: bytes) -> str:
         return "warc"
     if head.startswith(b"\x1f\x8b"):
         return "gzip"
+    if head.startswith(b"\xfd7zXZ\x00"):
+        return "xz"
+    # POSIX ustar magic at offset 257 (covers GNU tar's "ustar  \0" too)
+    if bytes(content[257:262]) == b"ustar":
+        return "tar"
     stripped = head.lstrip()
-    if stripped[:1] == b"{" and b'"cells"' in bytes(content[:4096]):
+    # Probe the WHOLE blob for "cells", not a fixed head: a notebook's
+    # metadata block (kernelspec + serialized widget state) routinely
+    # exceeds 4 KiB before the cells key appears. A false positive
+    # (plain JSON that mentions "cells") is harmless — extract_auto
+    # verifies via notebook_cells() and falls back to text.
+    if stripped[:1] == b"{" and b'"cells"' in bytes(content):
         return "ipynb"
     low = stripped[:64].lower()
     if low.startswith(b"<!doctype html") or low.startswith(b"<html"):
@@ -79,13 +99,17 @@ def extract_auto(content: bytes) -> tuple[str, str | None]:
 
     kind = sniff_format(content)
     data = bytes(content)
-    if kind == "gzip":
+    if kind in ("gzip", "xz"):
         try:
-            data = gzip.decompress(data)
-        except OSError:
+            data = (
+                gzip.decompress(data) if kind == "gzip" else lzma.decompress(data)
+            )
+        except (OSError, lzma.LZMAError):
             return "binary", None
         inner = sniff_format(data)
-        kind = inner if inner != "gzip" else "binary"
+        kind = inner if inner not in ("gzip", "xz") else "binary"
+    if kind == "tar":
+        return "tar", None  # bundles expand via extract_auto_rows
     if kind == "pdf":
         return "pdf", PAGE_SEP.join(extract_pdf_pages(data))
     if kind == "zip":
@@ -119,18 +143,123 @@ def extract_auto(content: bytes) -> tuple[str, str | None]:
     return "binary", None
 
 
+def iter_archive_members(
+    data: bytes,
+    kind: str,
+    max_members: int = MAX_ARCHIVE_MEMBERS,
+    max_total_bytes: int = MAX_ARCHIVE_BYTES,
+):
+    """Yield ``(member_name, member_bytes)`` for a tar/zip bundle, then
+    ``(None, None)`` once IF the valves clipped it (zip-bomb posture:
+    fail open with a loud sentinel, never error, never drop silently).
+    Directories and zero-name members are skipped; declared sizes are
+    checked BEFORE decompressing each member so a bomb can't expand
+    past the byte valve."""
+    count, total = 0, 0
+    if kind == "tar":
+        try:
+            tf = tarfile.open(fileobj=io.BytesIO(data))
+        except tarfile.TarError:
+            return
+        with tf:
+            for m in tf:
+                if not m.isfile():
+                    continue
+                if count >= max_members or total + m.size > max_total_bytes:
+                    yield None, None
+                    return
+                f = tf.extractfile(m)
+                if f is None:
+                    continue
+                count, total = count + 1, total + m.size
+                yield m.name, f.read()
+    elif kind == "zip":
+        try:
+            zf = zipfile.ZipFile(io.BytesIO(data))
+        except zipfile.BadZipFile:
+            return
+        with zf:
+            for info in zf.infolist():
+                if info.is_dir():
+                    continue
+                if (
+                    count >= max_members
+                    or total + info.file_size > max_total_bytes
+                ):
+                    yield None, None
+                    return
+                count, total = count + 1, total + info.file_size
+                yield info.filename, zf.read(info)
+
+
+def extract_auto_rows(
+    content: bytes,
+    max_members: int = MAX_ARCHIVE_MEMBERS,
+    max_total_bytes: int = MAX_ARCHIVE_BYTES,
+) -> list[tuple[str | None, str, str | None]]:
+    """(member, kind, text) rows for one blob — the bundle-aware front
+    door. Non-archive blobs yield one row with member=None; tar /
+    generic-zip bundles (incl. .tar.gz/.tgz/.tar.xz — the compression
+    peels first) yield one row PER MEMBER, each member's bytes routed
+    back through :func:`extract_auto` (a PDF inside a zip extracts as a
+    PDF). One nesting level: an archive INSIDE an archive surfaces as
+    its own ('tar'/'zip', None) row rather than recursing — crawl dumps
+    nest compression around bundles, not bundles in bundles, and a
+    fixed depth is the zip-bomb-safe posture. A valve-clipped archive
+    ends with one ('archive_truncated', None) sentinel row."""
+    kind = sniff_format(content)
+    data = bytes(content)
+    if kind in ("gzip", "xz"):
+        try:
+            data = (
+                gzip.decompress(data) if kind == "gzip" else lzma.decompress(data)
+            )
+        except (OSError, lzma.LZMAError):
+            return [(None, "binary", None)]
+        inner = sniff_format(data)
+        kind = inner if inner not in ("gzip", "xz") else "binary"
+    if kind == "zip":
+        # DOCX is a document, not a bundle — route whole-blob
+        try:
+            with zipfile.ZipFile(io.BytesIO(data)) as zf:
+                if "word/document.xml" in set(zf.namelist()):
+                    return [(None,) + extract_auto(data)]
+        except zipfile.BadZipFile:
+            return [(None, "binary", None)]
+    if kind in ("tar", "zip"):
+        rows: list[tuple[str | None, str, str | None]] = []
+        for name, blob in iter_archive_members(
+            data, kind, max_members, max_total_bytes
+        ):
+            if name is None:
+                rows.append((None, "archive_truncated", None))
+                break
+            mk, mt = extract_auto(blob)
+            rows.append((name, mk, mt))
+        # empty or unparseable archive: surface the blob as one
+        # (kind, NULL) row — the quarantine posture, never a silent drop
+        return rows or [(None, kind, None)]
+    return [(None,) + extract_auto(data)]
+
+
 def extract_text_blobs(blobs: DataFrame) -> DataFrame:
     """(path, content) rows → (kind, text, _kpf_source): the mixed-dump
     front door. One Arrow map stage; chain ``textprep.html_extract`` /
-    ``markdown_extract`` on the tagged html/text rows Spark-side."""
+    ``markdown_extract`` on the tagged html/text rows Spark-side.
+    Archive bundles (tar/tar.gz/tar.xz/generic zip) expand to one row
+    per member with ``_kpf_source = "<blob>!<member>"`` — the bang
+    convention Hadoop archive URIs use."""
     import pandas as pd
 
     def batches(it):
         for pdf in it:
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                kind, text = extract_auto(content)
-                rows.append({"kind": kind, "text": text, "_kpf_source": p})
+                for member, kind, text in extract_auto_rows(content):
+                    src = p if member is None else f"{p}!{member}"
+                    rows.append(
+                        {"kind": kind, "text": text, "_kpf_source": src}
+                    )
             cols = [c.split()[0] for c in AUTOEXTRACT_DDL.split(", ")]
             yield pd.DataFrame(rows, columns=cols)
 

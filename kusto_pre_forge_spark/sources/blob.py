@@ -121,10 +121,28 @@ def read_blobs_via_paths(
     for Python-heap residency of one file at a time."""
     import pandas as pd
 
-    listing = spark.read.format("binaryFile").load(path).select("path")
-    n = max(1, len(listing.inputFiles()) or 1)
-    tasks = max(1, -(-n // max_files_per_task))
-    paths = listing.repartition(min(tasks, 10_000), "path")
+    files = sorted(
+        # inputFiles() spells the empty authority as file:///x while the
+        # binaryFile `path` column spells it file:/x — emit the column
+        # form so (path, content) rows are drop-in identical.
+        "file:" + p[7:] if p.startswith("file:///") else p
+        for p in spark.read.format("binaryFile").load(path).inputFiles()
+    )
+    n = max(1, len(files) or 1)
+    tasks = min(max(1, -(-n // max_files_per_task)), 10_000)
+    # EXACT slicing, not hashing: hash-by-path can collide several huge
+    # files onto one task while others stay empty — exactly wrong for
+    # the >2 GiB whole-file use case this reader exists for (and a
+    # plain round-robin repartition starts at a random offset per input
+    # partition, so collisions survive it too). The listing is already
+    # driver-resident (Spark's own InMemoryFileIndex materializes it;
+    # ``inputFiles()`` just exposes that), so parallelize's contiguous
+    # numSlices split costs nothing extra and guarantees at most
+    # ceil(n/tasks) files per task.
+    paths = spark.createDataFrame(
+        spark.sparkContext.parallelize([(p,) for p in files], tasks),
+        "path string",
+    )
 
     def batches(it):
         for pdf in it:

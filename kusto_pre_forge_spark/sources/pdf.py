@@ -268,6 +268,7 @@ def _xref_offsets(data: bytes):
     offsets: dict[int, int] = {}
     trailer: dict = {}
     seen = set()
+    claimed: set[int] = set()  # newest section wins — INCLUDING free rows
     pos = int(m.group(1))
     while pos not in seen:
         seen.add(pos)
@@ -287,8 +288,14 @@ def _xref_offsets(data: bytes):
                 ent = re.match(rb"(\d{10})\s+(\d{5})\s+([nf])", data[i : i + 20])
                 if not ent:
                     return None
-                if ent.group(3) == b"n":
-                    offsets.setdefault(start + k, int(ent.group(1)))
+                # A newer section's 'f' (free) row must SHADOW an older
+                # 'n' offset — an object deleted in an incremental
+                # update would otherwise be resurrected with stale
+                # content (§7.5.4: later updates supersede earlier).
+                if start + k not in claimed:
+                    claimed.add(start + k)
+                    if ent.group(3) == b"n":
+                        offsets[start + k] = int(ent.group(1))
                 i += ent.end()
         i = _skip_ws(data, i)
         if data[i : i + 7] != b"trailer":
@@ -379,6 +386,7 @@ def _xref_stream_load(data: bytes):
     compressed: dict[int, tuple[int, int]] = {}
     trailer: dict = {}
     seen = set()
+    claimed: set[int] = set()  # newest section wins — INCLUDING type-0
     pos = int(m.group(1))
     while pos not in seen and 0 <= pos < len(data):
         seen.add(pos)
@@ -415,8 +423,9 @@ def _xref_stream_load(data: bytes):
                 f2 = int.from_bytes(row[w1 : w1 + w2], "big")
                 f3 = int.from_bytes(row[w1 + w2 :], "big")
                 num = start + k
-                if num in offsets or num in compressed:
-                    continue  # newest table wins
+                if num in claimed:
+                    continue  # newest table wins — type-0 (free) too
+                claimed.add(num)
                 if t == 1:
                     offsets[num] = f2
                 elif t == 2:
@@ -611,11 +620,32 @@ def parse_cmap(data: bytes) -> dict[bytes, str]:
                     )
             else:
                 base = hexbytes(dst)
-                base_i = int.from_bytes(base, "big") if base else 0
-                for k in range(hi_i - lo_i + 1):
-                    out[(lo_i + k).to_bytes(width, "big")] = dst_str(
-                        (base_i + k).to_bytes(max(len(base), 2), "big")
-                    )
+                if len(base) > 2:
+                    # Non-BMP destination (UTF-16BE surrogate pair):
+                    # increment the CODEPOINT, not the raw integer — a
+                    # raw +k crosses surrogate boundaries (0xDFFF→0xE000
+                    # in the low half) and lands on wrong codepoints.
+                    base_cp = ord(dst_str(base)[:1] or "\x00") if (
+                        len(dst_str(base)) == 1
+                    ) else None
+                    for k in range(hi_i - lo_i + 1):
+                        if base_cp is not None:
+                            out[(lo_i + k).to_bytes(width, "big")] = chr(
+                                base_cp + k
+                            )
+                        else:  # multi-char destination: spec says only
+                            # the LAST code unit increments (§CMap);
+                            # keep prefix, bump final codepoint
+                            s = dst_str(base)
+                            out[(lo_i + k).to_bytes(width, "big")] = (
+                                s[:-1] + chr(ord(s[-1]) + k) if s else ""
+                            )
+                else:
+                    base_i = int.from_bytes(base, "big") if base else 0
+                    for k in range(hi_i - lo_i + 1):
+                        out[(lo_i + k).to_bytes(width, "big")] = dst_str(
+                            (base_i + k).to_bytes(max(len(base), 2), "big")
+                        )
     return out
 
 
@@ -742,7 +772,6 @@ def _is_encrypted(data: bytes) -> bool:
     false negative just means the garbage-looking output a legacy parser
     would produce anyway; a false positive requires the literal key in
     the last trailer dict, where it only legitimately appears."""
-    tail = data[-2048:]
     if b"/Encrypt" not in data:
         return False
     xr = _xref_offsets(data)
@@ -751,7 +780,24 @@ def _is_encrypted(data: bytes) -> bool:
     xs = _xref_stream_load(data)
     if xs:
         return "Encrypt" in xs[2]
-    return b"/Encrypt" in tail
+    # Both xref walks failed (damaged tail). A bare substring probe
+    # would silently drop a decryptable document whose tail merely
+    # CONTAINS the token (comment, stream bytes) — require /Encrypt
+    # inside a parsed trailer-like dict instead: either a literal
+    # ``trailer << … /Encrypt … >>`` or an XRef-stream dict carrying
+    # both /Root and /Encrypt.
+    for m in re.finditer(rb"trailer", data):
+        tr, _ = _parse_value(data, m.end())
+        if isinstance(tr, dict) and "Encrypt" in tr:
+            return True
+    for m in re.finditer(rb"/Encrypt", data):
+        start = data.rfind(b"<<", max(0, m.start() - 4096), m.start())
+        if start < 0:
+            continue
+        d, _ = _parse_value(data, start)
+        if isinstance(d, dict) and "Encrypt" in d and "Root" in d:
+            return True
+    return False
 
 
 def _walk_pages(objects: dict, node, acc: list, depth: int = 0):

@@ -107,3 +107,157 @@ def test_auto_streaming_landing(spark, tmp_path):
         "two": ("docx", "docx body"),
         "three": ("text", "plain text blob"),
     }
+
+
+def test_metadata_heavy_notebook_sniffs_as_ipynb():
+    """A notebook whose metadata block (kernelspec + serialized widget
+    state) exceeds 4 KiB before "cells" appears must still route to
+    ipynb — the sniff probes the whole blob, not a fixed head
+    (round-11 ADVICE)."""
+    import json
+
+    nb = json.loads(N.ipynb_bytes([("code", "y = 2")]).decode())
+    meta = dict(nb.get("metadata") or {})
+    meta["widgets"] = {"state": {f"w{i}": {"blob": "x" * 64} for i in range(120)}}
+    # serialize with metadata FIRST so "cells" lands past 8 KiB
+    payload = (
+        '{"metadata": ' + json.dumps(meta)
+        + ', "nbformat": 4, "nbformat_minor": 5, "cells": '
+        + json.dumps(nb["cells"]) + "}"
+    ).encode()
+    assert payload.index(b'"cells"') > 8192
+    assert A.sniff_format(payload) == "ipynb"
+    kind, text = A.extract_auto(payload)
+    assert kind == "ipynb" and "y = 2" in text
+
+
+def _tar_bytes(members, mode="w"):
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode=mode) as tf:
+        for name, data in members:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def _zip_bytes(members):
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, data in members:
+            z.writestr(name, data)
+    return buf.getvalue()
+
+
+def test_archive_bundles_expand_to_member_rows():
+    """tar / tar.gz / tar.xz / generic zip expand to one row per member,
+    each member routed back through the sniffing dispatcher (a PDF
+    inside a zip extracts AS a pdf); DOCX (a zip that is a document)
+    stays whole-blob (round-11 verdict ask #1)."""
+    import gzip as _gz
+    import lzma
+
+    members = [
+        ("a.txt", b"hello"),
+        ("sub/b.pdf", P.pdf_bytes(["pdf text"])),
+        ("c.bin", b"\x80\x81\xff"),
+    ]
+    want = [
+        ("a.txt", "text", "hello"),
+        ("sub/b.pdf", "pdf", "pdf text"),
+        ("c.bin", "binary", None),
+    ]
+    for blob in (
+        _tar_bytes(members),
+        _gz.compress(_tar_bytes(members)),
+        lzma.compress(_tar_bytes(members)),
+        _zip_bytes(members),
+    ):
+        assert A.extract_auto_rows(blob) == want
+    # DOCX routes whole-blob, single row
+    assert A.extract_auto_rows(D.docx_bytes("dtext")) == [(None, "docx", "dtext")]
+    # nested bundle does NOT recurse — surfaces as its own (zip, None)
+    nested = _tar_bytes([("inner.zip", _zip_bytes([("x.txt", b"deep")]))])
+    assert A.extract_auto_rows(nested) == [("inner.zip", "zip", None)]
+    # non-archives still yield exactly one member-None row
+    assert A.extract_auto_rows(b"plain") == [(None, "text", "plain")]
+
+
+def test_archive_valves_fail_open_with_sentinel():
+    """Zip-bomb posture: past the member/byte caps the blob yields the
+    members UP TO the cap plus one loud archive_truncated sentinel —
+    never an error, never a silent total drop."""
+    blob = _zip_bytes([(f"m{i}.txt", b"x") for i in range(6)])
+    rows = A.extract_auto_rows(blob, max_members=3)
+    assert rows[:3] == [(f"m{i}.txt", "text", "x") for i in range(3)]
+    assert rows[3] == (None, "archive_truncated", None) and len(rows) == 4
+    rows = A.extract_auto_rows(blob, max_total_bytes=2)
+    assert rows[-1] == (None, "archive_truncated", None) and len(rows) == 3
+    tar = _tar_bytes([(f"t{i}", b"yy") for i in range(4)])
+    rows = A.extract_auto_rows(tar, max_members=2)
+    assert len(rows) == 3 and rows[-1] == (None, "archive_truncated", None)
+
+
+def test_archive_members_spark_source_bang_convention(spark, tmp_path):
+    """Spark layer: member rows carry _kpf_source = "<blob>!<member>"
+    (the Hadoop archive-URI convention); plain blobs keep the bare
+    path; the plan stays a pure map stage."""
+    import gzip as _gz
+
+    (tmp_path / "bundle.dat").write_bytes(
+        _gz.compress(
+            _tar_bytes([("one.txt", b"first"), ("two.txt", b"second")])
+        )
+    )
+    (tmp_path / "plain.txt").write_bytes(b"loose")
+    df = A.read_text_auto(spark, str(tmp_path / "*"))
+    got = {
+        r._kpf_source.rsplit("/", 1)[-1]: (r.kind, r.text) for r in df.collect()
+    }
+    assert got == {
+        "bundle.dat!one.txt": ("text", "first"),
+        "bundle.dat!two.txt": ("text", "second"),
+        "plain.txt": ("text", "loose"),
+    }
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_archive_streaming_landing(spark, tmp_path):
+    """A tar.gz bundle dropped into a fmt="auto" streaming landing dir
+    expands to member rows through the same pure map stage."""
+    import gzip as _gz
+
+    from kusto_pre_forge_spark.streaming.ingest import StreamingEtl
+
+    land = tmp_path / "arch_landing"
+    land.mkdir()
+    (land / "drop").write_bytes(
+        _gz.compress(_tar_bytes([("m1", b"alpha"), ("m2", b"beta")]))
+    )
+    etl = StreamingEtl(
+        spark,
+        str(land),
+        str(tmp_path / "ckpt_arch"),
+        str(tmp_path / "out_arch"),
+        schema=None,
+        fmt="auto",
+    )
+    q = (
+        etl._source()
+        .writeStream.format("memory")
+        .queryName("arch_mem")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_arch"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from arch_mem").collect()
+    got = sorted((r._kpf_source.split("!")[-1], r.text) for r in rows)
+    assert got == [("m1", "alpha"), ("m2", "beta")]

@@ -97,3 +97,59 @@ def test_pdf_roundtrip_property_cid(pages):
     from kusto_pre_forge_spark.sources import pdf as P
 
     assert P.extract_pdf_pages(P.pdf_bytes_cid(pages)) == pages
+
+
+# archive member names: portable path chars, no leading slash / drive
+_member = st.from_regex(r"[A-Za-z0-9_][A-Za-z0-9_.\-/]{0,30}", fullmatch=True).filter(
+    lambda s: ".." not in s and not s.endswith("/")
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_member, st.text(max_size=200)),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from(["tar", "tar.gz", "tar.xz", "zip"]),
+)
+def test_archive_member_roundtrip_property(members, form):
+    """Every (name, text) member of a tar/tar.gz/tar.xz/zip bundle must
+    come back through the bundle-aware front door with its name and
+    UTF-8 text intact, in archive order."""
+    import gzip
+    import io
+    import lzma
+    import tarfile
+    import zipfile
+
+    from kusto_pre_forge_spark.sources import autoextract as A
+
+    payload = [(n, t.encode("utf-8")) for n, t in members]
+    if form == "zip":
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for n, b in payload:
+                z.writestr(n, b)
+        blob = buf.getvalue()
+    else:
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for n, b in payload:
+                ti = tarfile.TarInfo(n)
+                ti.size = len(b)
+                tf.addfile(ti, io.BytesIO(b))
+        blob = buf.getvalue()
+        if form == "tar.gz":
+            blob = gzip.compress(blob)
+        elif form == "tar.xz":
+            blob = lzma.compress(blob)
+    rows = A.extract_auto_rows(blob)
+    # members whose CONTENT sniffs as a container kind still surface
+    # under their member name; plain-text members roundtrip exactly
+    assert [r[0] for r in rows] == [n for n, _ in members]
+    for (name, text), (gname, kind, gtext) in zip(members, rows):
+        if kind == "text":
+            assert gtext == text

@@ -300,3 +300,61 @@ def test_tj_kerning_space_heuristic():
     does not."""
     c = b"BT [(word) -500 (gap)] TJ T* [(ke) -50 (rn)] TJ ET"
     assert P.content_stream_text(c) == "word gap\nkern"
+
+
+def test_incremental_update_free_entry_shadows_old_offset():
+    """§7.5.4 incremental updates: a NEWER xref section's 'f' (free)
+    entry must suppress the OLDER section's 'n' offset — an object
+    deleted in an update would otherwise be resurrected with stale
+    content (round-11 ADVICE)."""
+    data = P.pdf_bytes(["stale"])
+    xr = P._xref_offsets(data)
+    assert xr is not None
+    victim = max(xr[0])  # free the highest-numbered live object
+    old_xref_at = int(data[data.rfind(b"startxref") + 9 :].split()[0])
+    upd = bytearray(data)
+    new_xref_at = len(upd)
+    upd += (
+        f"xref\n{victim} 1\n0000000000 00001 f \n"
+        f"trailer\n<< /Size {victim + 1} /Root 1 0 R "
+        f"/Prev {old_xref_at} >>\n"
+        f"startxref\n{new_xref_at}\n%%EOF"
+    ).encode()
+    offsets, trailer = P._xref_offsets(bytes(upd))
+    assert victim not in offsets, "freed object must not resurrect"
+    assert victim in xr[0], "sanity: it WAS live before the update"
+    # untouched objects keep their original offsets
+    for num, off in offsets.items():
+        assert xr[0][num] == off
+
+
+def test_encrypt_token_in_comment_is_not_encryption():
+    """A damaged-tail PDF whose bytes merely CONTAIN '/Encrypt' (e.g. a
+    comment) must not be dropped in skip mode: the fallback probe
+    requires /Encrypt inside a parsed trailer-like dict (round-11
+    ADVICE). A REAL /Encrypt trailer with the same damaged tail must
+    still be refused."""
+    data = P.pdf_bytes(["survivor"])
+    damaged = data.replace(b"startxref", b"startxrEF")
+    with_comment = damaged + b"\n% see /Encrypt handling notes\n"
+    assert not P._is_encrypted(with_comment)
+    assert P.extract_pdf_pages(with_comment) == ["survivor"]
+    really_enc = data.replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
+    ).replace(b"startxref", b"startxrEF")
+    assert P._is_encrypted(really_enc)
+    assert P.extract_pdf_pages(really_enc) == []
+
+
+def test_bfrange_non_bmp_increments_codepoints():
+    """Incrementing bfrange with a non-BMP base (UTF-16BE surrogate
+    pair): the CODEPOINT increments, never the raw integer — a raw +1
+    on <D83EDFFF> (U+1FBFF, low surrogate at its DFFF ceiling) crosses
+    the surrogate boundary and lands on garbage (round-11 ADVICE)."""
+    cm = P.parse_cmap(b"1 beginbfrange\n<0001> <0003> <D83EDFFF>\nendbfrange")
+    assert cm[b"\x00\x01"] == "\U0001FBFF"
+    assert cm[b"\x00\x02"] == "\U0001FC00"  # next pair is D83F DC00
+    assert cm[b"\x00\x03"] == "\U0001FC01"
+    # multi-char destination: only the last code unit increments
+    cm2 = P.parse_cmap(b"1 beginbfrange\n<0001> <0002> <00410042>\nendbfrange")
+    assert cm2[b"\x00\x01"] == "AB" and cm2[b"\x00\x02"] == "AC"

@@ -482,3 +482,25 @@ def test_read_blobs_via_paths_identical_to_binaryfile(spark, tmp_path):
     # remote-scheme refusal: the same guard shape as warc._open_for_records
     # (tested there); here just pin that a file: URI strips cleanly, which
     # is what every row above already exercised end-to-end.
+
+
+def test_read_blobs_via_paths_balanced_one_file_per_task(spark, tmp_path):
+    """max_files_per_task=1 must GUARANTEE at most one file per task:
+    the listing round-robins (no hash column) so collisions cannot
+    co-locate several huge files on one task (round-11 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from kusto_pre_forge_spark.sources.blob import read_blobs_via_paths
+
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(12):
+        (d / f"f{i:02d}.bin").write_bytes(b"x" * (i + 1))
+    out = read_blobs_via_paths(spark, str(d / "*"), max_files_per_task=1)
+    per_task = (
+        out.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    assert sum(r["count"] for r in per_task) == 12
+    assert max(r["count"] for r in per_task) == 1
