@@ -3031,6 +3031,31 @@ def _q_text_bpe(spark, sf):
     )
 
 
+def _q_text_bpe_byte(spark, sf):
+    """Byte-level BPE, the GPT-2 lineage (round-11: production vocabs
+    are byte-level, not whitespace-Sennrich): pre-tokens from the TRUE
+    GPT-2 regex (contractions, space-attachment, the ``\\s+(?!\\S)``
+    whitespace lookahead — java.util.regex runs it natively), initial
+    symbols are the pre-token's UTF-8 bytes through the
+    bytes_to_unicode remap, no end-of-word marker. Training runs the
+    driver-histogram path (one distributed pre-token count scan — the
+    only part that touches the corpus — then Sennrich's incremental
+    pair index in the driver); apply is the rank-dict Arrow path. The
+    DuckDB oracle replays BOTH training and apply: RE2 has no
+    lookahead, so the oracle emulates it exactly by inserting a \\x01
+    sentinel between each whitespace run and its following
+    non-whitespace char, splitting, and extracting with the
+    lookahead-free pattern — equivalence proven by case analysis on
+    run length and pinned by the hand-vector unit tests."""
+    from kusto_pre_forge_spark.operators import textprep
+
+    d = load_table(spark, sf, "documents")
+    merges = textprep.train_bpe(d, n_merges=6, byte_level=True)
+    return textprep.apply_bpe(d, merges, byte_level=True).select(
+        "doc_id", "n_words", "n_bpe_tokens", "sample_tokens"
+    )
+
+
 def _q_text_unigram(spark, sf):
     """Unigram-LM tokenizer (SentencePiece/Kudo 2018): one distributed
     word-count scan, in-driver EM + expected-count pruning to a 120-piece
@@ -6378,6 +6403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ccnet_buckets": _q_text_ccnet_buckets,
         "text_bm25": _q_text_bm25,
         "text_bpe": _q_text_bpe,
+        "text_bpe_byte": _q_text_bpe_byte,
         "text_unigram": _q_text_unigram,
         "text_wordpiece": _q_text_wordpiece,
         "embedding_whiten": _q_embedding_whiten,
@@ -7179,6 +7205,104 @@ def _langid_eval_oracle_sql() -> str:
     )
 
 
+def _bpe_rewrite_case(i: int, min_pair: int) -> str:
+    """The shared DuckDB replay of one greedy left-to-right BPE merge
+    over a space-joined symbol string ``s`` — the DOUBLE-SPACE trick
+    (see _bpe_oracle_sql) — guarded by the early-stop CASE."""
+    return (
+        "CASE WHEN (SELECT coalesce(max(n),0) FROM b{i}) >= {mp} THEN "
+        "replace(trim(replace(' ' || replace(s, ' ', '  ') || ' ', "
+        "' ' || (SELECT a FROM b{i}) || '  ' || (SELECT b FROM b{i}) || ' ', "
+        "' ' || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || ' ')), '  ', ' ') "
+        "ELSE s END"
+    ).format(i=i, mp=min_pair)
+
+
+def _bpe_byte_oracle_sql(n_merges: int = 6, min_pair: int = 2) -> str:
+    """Full replay of byte-level train_bpe + apply_bpe in DuckDB.
+
+    Three pieces beyond _bpe_oracle_sql's merge chain (which is reused
+    verbatim — same argmax, same tie-break, same double-space apply):
+
+    - GPT-2 pre-tokenization WITHOUT lookahead support: RE2 can't run
+      ``\\s+(?!\\S)``, so the oracle first inserts a \\x01 sentinel
+      between every whitespace char and a following non-whitespace
+      (``regexp_replace(.., '(\\s)(\\S)', chr(1)||'\\1\\2', 'g')``),
+      splits on the sentinel, and extracts with the lookahead-free
+      pattern per piece. Case analysis: a run of n whitespace chars
+      before a non-ws char becomes (n-1 chars)+SEP+(1 char + token),
+      which is exactly what the lookahead's backtracking yields; runs
+      at end-of-text/piece fall to the plain ``\\s+`` branch in both
+      engines. (Assumes documents carry no literal \\x01 — the same
+      sniff-cleanliness assumption corpus_autoextract pins per SF.)
+    - bytes_to_unicode: hex(encode(w)) pairs → byte value → the GPT-2
+      piecewise map (printables identity; b<=32 → 256+b; 127..160 →
+      b+162; 173 → 323), proven bijective in unit tests.
+    - no ``</w>`` marker anywhere.
+    """
+    pat = (
+        "''s|''t|''re|''ve|''m|''ll|''d"
+        r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    )
+    toks = (
+        "flatten(list_transform(string_split(regexp_replace("
+        r"COALESCE(text, ''), '(\s)(\S)', chr(1) || '\1\2', 'g'), chr(1)), "
+        f"p -> regexp_extract_all(p, '{pat}')))"
+    )
+    v = (
+        "CAST((strpos('0123456789ABCDEF', hx[2*i-1])-1)*16 + "
+        "strpos('0123456789ABCDEF', hx[2*i])-1 AS INT)"
+    )
+    remap = (
+        f"CASE WHEN ({v} BETWEEN 33 AND 126) OR ({v} BETWEEN 161 AND 172) "
+        f"OR ({v} BETWEEN 174 AND 255) THEN chr({v}) "
+        f"WHEN {v} <= 32 THEN chr(256+{v}) "
+        f"WHEN {v} BETWEEN 127 AND 160 THEN chr({v}+162) "
+        "ELSE chr(323) END"
+    )
+    syms = (
+        "array_to_string(list_transform(range(1, length(hx)//2 + 1), "
+        f"i -> {remap}), ' ')"
+    )
+    parts = [
+        "WITH docw AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"unnest({toks}) AS w FROM documents), "
+        "words AS MATERIALIZED (SELECT w, count(*) AS cnt FROM docw "
+        "GROUP BY w), "
+        f"v0 AS MATERIALIZED (SELECT {syms} AS s, cnt FROM "
+        "(SELECT hex(encode(w)) AS hx, cnt FROM words))"
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f", p{i} AS MATERIALIZED (SELECT z.p[1] AS a, z.p[2] AS b, "
+            f"sum(z.cnt) AS n FROM ("
+            f"SELECT unnest(list_zip(string_split(s, ' '), "
+            f"string_split(s, ' ')[2:])) AS p, cnt "
+            f"FROM v{i}) z WHERE z.p[2] IS NOT NULL GROUP BY 1, 2)"
+            f", b{i} AS MATERIALIZED (SELECT a, b, n FROM p{i} "
+            f"ORDER BY n DESC, a ASC, b ASC LIMIT 1)"
+            f", v{i + 1} AS MATERIALIZED "
+            f"(SELECT {_bpe_rewrite_case(i, min_pair)} AS s, cnt FROM v{i})"
+        )
+    parts.append(
+        f", ds0 AS MATERIALIZED (SELECT doc_id, {syms} AS s FROM "
+        "(SELECT doc_id, hex(encode(w)) AS hx FROM docw))"
+    )
+    for i in range(n_merges):
+        parts.append(
+            f", ds{i + 1} AS MATERIALIZED "
+            f"(SELECT doc_id, {_bpe_rewrite_case(i, min_pair)} AS s "
+            f"FROM ds{i})"
+        )
+    parts.append(
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(len(string_split(s, ' '))) AS BIGINT) AS n_bpe_tokens, "
+        "min(replace(s, ' ', '|')) AS sample_tokens "
+        f"FROM ds{n_merges} GROUP BY doc_id"
+    )
+    return "".join(parts)
+
+
 def _bpe_oracle_sql(n_merges: int = 6, min_pair: int = 2) -> str:
     """Full replay of train_bpe + apply_bpe in DuckDB — the 6 training
     iterations UNROLLED as chained CTEs (word-type table → adjacent-pair
@@ -7407,6 +7531,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         # full train+apply replay — see _bpe_oracle_sql
         "text_bpe": _bpe_oracle_sql(),
+        # byte-level train+apply replay — see _bpe_byte_oracle_sql
+        "text_bpe_byte": _bpe_byte_oracle_sql(),
         # predictive invariant: cov(whitened) == I — the oracle emits the
         # identity matrix at the data's dim plus the vector count
         "embedding_whiten": (

@@ -260,8 +260,63 @@ def _merge_pattern(a: str, b: str) -> str:
     return f"(?:(?<=^)|(?<= )){_java_q(a)} {_java_q(b)}(?=$| )"
 
 
+#: GPT-2's pre-tokenizer (public gpt-2/src/encoder.py `pat`): contractions,
+#: optionally-space-prefixed letter/number/punct runs, and whitespace runs
+#: that yield their final character to the following token (the
+#: ``\s+(?!\S)`` lookahead). java.util.regex supports the lookahead and
+#: Unicode \p{L}/\p{N} natively, so the Spark side runs the TRUE pattern;
+#: the DuckDB oracle emulates the lookahead with a sentinel-marking
+#: rewrite (see `_bpe_byte_oracle_sql` in __spark_entry__.py).
+GPT2_SPLIT_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+)
+
+
+def _bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's byte↔unicode bijection (public gpt-2/src/encoder.py
+    ``bytes_to_unicode``): printable latin-1 bytes map to themselves;
+    the 68 others (controls, space, DEL..NBSP, SHY) map to 256+rank so
+    every byte is a visible character and no symbol ever contains the
+    ' ' the space-joined symbol strings use as separator."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAC + 1))
+        + list(range(0xAE, 0xFF + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+def byte_pretokens(
+    col: Column, special_tokens: list[str] | None = None
+) -> Column:
+    """GPT-2 pre-tokens of a text column — one ``regexp_extract_all``,
+    pure codegen. ``special_tokens`` (e.g. ``<|endoftext|>``) are
+    prepended to the alternation, so the left-to-right first-match scan
+    extracts them ATOMICALLY wherever they occur; elsewhere their
+    constituent characters tokenize normally."""
+    pat = GPT2_SPLIT_RE
+    if special_tokens:
+        pat = (
+            "|".join(_java_q(s) for s in sorted(special_tokens, key=len, reverse=True))
+            + "|"
+            + pat
+        )
+    return F.regexp_extract_all(col, F.lit("(" + pat + ")"), 1)
+
+
 def _train_bpe_driver(
-    word_counts: list[tuple[str, int]], n_merges: int, min_pair_count: int
+    word_counts: list[tuple[str, int]],
+    n_merges: int,
+    min_pair_count: int,
+    to_symbols=None,
 ) -> list[tuple[str, str]]:
     """In-driver sequential BPE over a (word, count) histogram — the
     incremental pair-statistics algorithm of Sennrich et al.'s public
@@ -270,9 +325,14 @@ def _train_bpe_driver(
     merges over a 1M-word histogram run in minutes of pure Python with
     NO per-merge jobs. Semantics identical to the distributed loop:
     greedy left-to-right non-overlapping merge, (count desc, pair asc)
-    tie-break, stop under ``min_pair_count``."""
+    tie-break, stop under ``min_pair_count``. ``to_symbols`` overrides
+    the initial word→symbols split (default Sennrich characters +
+    ``</w>``; the byte-level path passes the GPT-2 byte alphabet and
+    no end marker)."""
+    if to_symbols is None:
+        to_symbols = lambda w: tuple(list(w) + ["</w>"])  # noqa: E731
     vocab: list[tuple[tuple[str, ...], int]] = [
-        (tuple(list(w) + ["</w>"]), c) for w, c in word_counts
+        (to_symbols(w), c) for w, c in word_counts
     ]
     from collections import Counter, defaultdict
 
@@ -334,6 +394,8 @@ def train_bpe(
     sample_salt: str = "kpf-bpe",
     batch_top_k: int = 64,
     driver_vocab_cap: int | None = None,
+    byte_level: bool = False,
+    special_tokens: list[str] | None = None,
 ) -> list[tuple[str, str]]:
     """Learn byte-pair-encoding merge rules from the corpus — the standard
     Sennrich et al. procedure, run Spark-first: the vocabulary is a
@@ -381,6 +443,18 @@ def train_bpe(
     result is EXACTLY the sequential/distributed result (pinned in
     tests); a tight cap drops only rare words' pair mass, the standard
     trainer trade. Returns the merge list for :func:`apply_bpe`.
+
+    ``byte_level=True`` is the GPT-2 lineage (public gpt-2/src/
+    encoder.py): pre-tokens come from :data:`GPT2_SPLIT_RE` (case
+    preserved, leading space attached, whitespace runs kept), each
+    pre-token's UTF-8 BYTES remapped through ``bytes_to_unicode`` form
+    the initial symbols, and there is no end-of-word marker — so a
+    trained vocab has the exact shape production byte-level tokenizers
+    ship, and every possible input is coverable (no OOV). The merge
+    loop always runs on the driver histogram in this mode (the
+    production path; ``driver_vocab_cap`` defaults to 1M). Pre-tokens
+    equal to a ``special_tokens`` entry are excluded from training —
+    specials are atomic by fiat, never merged into.
     """
     if sample_frac is not None:
         if sample_id_col is None:
@@ -393,6 +467,28 @@ def train_bpe(
         )
     if batch_top_k < 1:
         raise ValueError("batch_top_k must be >= 1")
+    if byte_level:
+        cap = driver_vocab_cap if driver_vocab_cap is not None else 1_000_000
+        specials = set(special_tokens or ())
+        hist = (
+            df.select(
+                F.explode(
+                    byte_pretokens(F.col(text_col), special_tokens)
+                ).alias("w")
+            )
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("w").asc())
+            .limit(cap)
+            .collect()
+        )
+        b2u = _bytes_to_unicode()
+        return _train_bpe_driver(
+            [(r["w"], r["cnt"]) for r in hist if r["w"] not in specials],
+            n_merges,
+            min_pair_count,
+            to_symbols=lambda w: tuple(b2u[b] for b in w.encode("utf-8")),
+        )
     words = (
         df.select(F.explode(_words(F.lower(F.col(text_col)))).alias("w"))
         .groupBy("w")
@@ -475,18 +571,25 @@ def train_bpe(
     return merges
 
 
-def _bpe_tokenize_udf(merges: list[tuple[str, str]]):
+def _bpe_tokenize_udf(
+    merges: list[tuple[str, str]],
+    byte_level: bool = False,
+    special_tokens: frozenset[str] = frozenset(),
+):
     """Arrow-batched word tokenizer applying the merge list in TRAINING
     ORDER, one greedy left-to-right pass per merge — the exact chained-
     regex semantics, in a rank-dict loop: per word, each merge costs one
     O(1) adjacent-pair set probe and only applying merges rebuild the
     token list, so 32k merges are ~32k set probes per DISTINCT word.
-    Within-batch memoization collapses repeated words."""
+    Within-batch memoization collapses repeated words. ``byte_level``
+    starts from GPT-2 byte-remapped symbols (no ``</w>``); special
+    tokens pass through as one symbol, never split or merged."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.pandas.functions import PandasUDFType
 
     merge_list = list(merges)
+    b2u = _bytes_to_unicode() if byte_level else None
 
     def tokenize_batch(words: pd.Series):
         memo: dict[str, tuple[int, str]] = {}
@@ -495,7 +598,14 @@ def _bpe_tokenize_udf(merges: list[tuple[str, str]]):
             hit = memo.get(w)
             if hit is not None:
                 return hit
-            toks = [c for c in w] + ["</w>"]
+            if w in special_tokens:
+                res = (1, w)
+                memo[w] = res
+                return res
+            if byte_level:
+                toks = [b2u[b] for b in w.encode("utf-8")]
+            else:
+                toks = [c for c in w] + ["</w>"]
             present = set(zip(toks, toks[1:]))
             for a, b in merge_list:
                 if (a, b) not in present:
@@ -533,6 +643,8 @@ def apply_bpe(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_chained: int = 256,
+    byte_level: bool = False,
+    special_tokens: list[str] | None = None,
 ) -> DataFrame:
     """Tokenize with learned BPE merges: per word, start from characters +
     ``</w>`` and apply each merge in training order (greedy left-to-right
@@ -556,7 +668,41 @@ def apply_bpe(
       exploded word stream, and the tokenized side is |distinct words|
       rows — at 100 TB this is the only shape that survives a
       production vocabulary.
+
+    ``byte_level=True`` applies a GPT-2-lineage vocabulary (train with
+    ``train_bpe(byte_level=True)``): GPT-2 regex pre-tokens (case
+    preserved, whitespace tokens kept), byte-remapped initial symbols,
+    no end marker; ``special_tokens`` extract atomically and pass
+    through as single tokens. Always the rank-dict path — real
+    byte-level vocabs are 32k+ merges.
     """
+    if byte_level:
+        t = df.select(
+            F.col(id_col),
+            F.explode(
+                byte_pretokens(F.col(text_col), special_tokens)
+            ).alias("w"),
+        )
+        per_word = t.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("_reps"))
+        tokenized = (
+            per_word.select("w")
+            .distinct()
+            .select(
+                "w",
+                _bpe_tokenize_udf(
+                    merges, byte_level=True,
+                    special_tokens=frozenset(special_tokens or ()),
+                )(F.col("w")).alias("_tk"),
+            )
+        )
+        joined = per_word.join(tokenized, "w")
+        return joined.groupBy(id_col).agg(
+            F.sum("_reps").cast("long").alias("n_words"),
+            F.sum(F.col("_reps") * F.col("_tk.n"))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+            F.min("_tk.joined").alias("sample_tokens"),
+        )
     w = F.explode(_words(F.lower(F.col(text_col))))
     t = df.select(F.col(id_col), w.alias("w"))
     if len(merges) <= max_chained:

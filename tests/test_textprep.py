@@ -703,3 +703,112 @@ def test_markdown_extract(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bytes_to_unicode_bijection_and_knowns():
+    """The GPT-2 byte↔unicode table: a 256-entry bijection, printable
+    latin-1 identity, the famous Ġ (space) / Ċ (newline) remaps, and
+    no symbol is ever the ' ' separator."""
+    from kusto_pre_forge_spark.operators.textprep import _bytes_to_unicode
+
+    b2u = _bytes_to_unicode()
+    assert len(b2u) == 256 and len(set(b2u.values())) == 256
+    assert b2u[ord("a")] == "a" and b2u[ord("!")] == "!"
+    assert b2u[0x20] == "Ġ" and b2u[0x0A] == "Ċ" and b2u[0x09] == "ĉ"
+    assert b2u[0xC3] == "Ã" and b2u[0xA9] == "©"
+    assert " " not in b2u.values()
+    # the 68 non-printables occupy 256..323 contiguously, b-ascending
+    remapped = sorted(
+        ord(c) for b, c in b2u.items() if ord(c) != b
+    )
+    assert remapped == list(range(256, 324))
+
+
+def test_gpt2_pretokenizer_vectors(spark):
+    """Hand-checked GPT-2 pre-tokenization: contractions split,
+    leading space attaches, a whitespace run yields its FINAL char to
+    the following token (the lookahead branch), specials extract
+    atomically."""
+    from kusto_pre_forge_spark.operators.textprep import byte_pretokens
+
+    cases = [
+        ("Hello world", None, ["Hello", " world"]),
+        ("a  b", None, ["a", " ", " b"]),
+        ("don't stop", None, ["don", "'t", " stop"]),
+        ("x\n\ny", None, ["x", "\n", "\n", "y"]),
+        ("num 123!?", None, ["num", " 123", "!?"]),
+        ("tail  ", None, ["tail", "  "]),
+        (
+            "foo<|endoftext|>bar",
+            ["<|endoftext|>"],
+            ["foo", "<|endoftext|>", "bar"],
+        ),
+        ("foo<|end", ["<|endoftext|>"], ["foo", "<|", "end"]),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _, _) in enumerate(cases)], "i long, text string"
+    )
+    for i, (text, specials, want) in enumerate(cases):
+        got = (
+            df.filter(F.col("i") == i)
+            .select(byte_pretokens(F.col("text"), specials).alias("p"))
+            .collect()[0]
+            .p
+        )
+        assert got == want, (text, got, want)
+
+
+def test_byte_bpe_hand_computed_merges(spark):
+    """Byte-level training pinned against a hand-computed merge
+    sequence, including a multi-byte UTF-8 character (é = 0xC3 0xA9 →
+    symbols 'Ã','©') whose bytes merge FIRST and then cross a merge
+    boundary into a bigger token."""
+    from kusto_pre_forge_spark.operators import textprep as tp
+
+    # pre-tokens: "ééé" ×3 docs → symbols Ã © Ã © Ã ©  (cnt 3)
+    #             " cat" ×2     → Ġ c a t               (cnt 2)
+    df = spark.createDataFrame(
+        [(1, "ééé cat"), (2, "ééé cat"), (3, "ééé")],
+        "doc_id long, text string",
+    )
+    merges = tp.train_bpe(df, n_merges=4, byte_level=True)
+    # pair counts round 1: ('Ã','©') 3×3=9 wins (greedy L-to-R gives 3
+    # per word); then ('Ã©','Ã©') 3; then tie ('Ġ','c') 2 = ('a','t') 2
+    # = ('Ã©Ã©','Ã©') 3? — recompute: after merge2 word is [Ã©Ã©, Ã©]
+    # → pair ('Ã©Ã©','Ã©') count 3 wins round 3; round 4: 2-count tie
+    # breaks lexicographically: 'at' < 'Ġc'? 'a'(97) < 'Ġ'(288) → a,t
+    assert merges == [
+        ("Ã", "©"),
+        ("Ã©", "Ã©"),
+        ("Ã©Ã©", "Ã©"),
+        ("a", "t"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in tp.apply_bpe(df, merges, byte_level=True).collect()
+    }
+    # doc 3: one pre-token "ééé" → single token 'Ã©Ã©Ã©'
+    assert out[3].n_words == 1 and out[3].n_bpe_tokens == 1
+    assert out[3].sample_tokens == "Ã©Ã©Ã©"
+    # doc 1: ["ééé", " cat"] → ['Ã©Ã©Ã©'] + ['Ġ','c','at']
+    assert out[1].n_words == 2 and out[1].n_bpe_tokens == 4
+
+
+def test_byte_bpe_special_tokens_atomic(spark):
+    """Specials never split, never merge, and never train."""
+    from kusto_pre_forge_spark.operators import textprep as tp
+
+    sp = ["<|endoftext|>"]
+    df = spark.createDataFrame(
+        [(i, "aaaa<|endoftext|>aaaa") for i in range(3)],
+        "doc_id long, text string",
+    )
+    merges = tp.train_bpe(df, n_merges=3, byte_level=True, special_tokens=sp)
+    flat = {s for m in merges for s in m} | {a + b for a, b in merges}
+    assert not any("<|" in s for s in flat), "specials leaked into merges"
+    out = tp.apply_bpe(
+        df, merges, byte_level=True, special_tokens=sp
+    ).collect()[0]
+    # pre-tokens: ["aaaa", "<|endoftext|>", "aaaa"]; merges collapse
+    # aaaa→(aa)(aa)→aaaa in 2 merges; special stays 1 token
+    assert out.n_words == 3 and out.n_bpe_tokens == 3
