@@ -3143,6 +3143,35 @@ def _q_corpus_pack(spark, sf):
     )
 
 
+def _q_corpus_pack_bpe(spark, sf):
+    """Tokenizer-TRUE sequence packing (round-11: whitespace counts
+    misplace every offset the trainer actually sees): train a byte-level
+    BPE vocab, then pack with ``token_counter=bpe_token_count(...)`` —
+    a pure-codegen per-doc count (LUT byte remap + chained merge
+    regexes + aggregate fold), so the pack plan gains NO udf and NO
+    extra pass; the distributed prefix sum is unchanged. Oracle replays
+    byte-BPE training + counting (shared CTE chain with text_bpe_byte)
+    and the same (hash, doc_id) window cumsum as corpus_pack."""
+    from kusto_pre_forge_spark.operators import corpus as corpus_ops
+    from kusto_pre_forge_spark.operators import textprep
+
+    d = load_table(spark, sf, "documents")
+    merges = textprep.train_bpe(d, n_merges=6, byte_level=True)
+    out = corpus_ops.sequence_pack(
+        d,
+        "text",
+        "doc_id",
+        seq_len=512,
+        token_counter=lambda c: textprep.bpe_token_count(c, merges),
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("token_start").cast("long").alias("token_start"),
+        F.col("seq_id").cast("int").alias("seq_id"),
+    )
+
+
 def _q_corpus_pack_boundaries(spark, sf):
     """Per-sequence document-boundary offsets for block-diagonal
     attention over the 512-token packing — the mask info "sample
@@ -6475,6 +6504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixedwidth_roundtrip": _q_fixedwidth_roundtrip,
         "corpus_epoch_upsample": _q_corpus_epoch_upsample,
         "corpus_pack": _q_corpus_pack,
+        "corpus_pack_bpe": _q_corpus_pack_bpe,
         "corpus_line_dedup": _q_corpus_line_dedup,
         "contamination_check": _q_contamination_check,
         "contamination_bloom": _q_contamination_bloom,
@@ -7218,8 +7248,12 @@ def _bpe_rewrite_case(i: int, min_pair: int) -> str:
     ).format(i=i, mp=min_pair)
 
 
-def _bpe_byte_oracle_sql(n_merges: int = 6, min_pair: int = 2) -> str:
-    """Full replay of byte-level train_bpe + apply_bpe in DuckDB.
+def _bpe_byte_ctes(n_merges: int = 6, min_pair: int = 2) -> str:
+    """Full replay of byte-level train_bpe + apply in DuckDB, as a
+    CTE chain ending at ``ds{n_merges}`` = (doc_id, space-joined final
+    symbol string) per document pre-token — callers append their own
+    final SELECT (token stats for text_bpe_byte, per-doc counts +
+    prefix sum for corpus_pack_bpe).
 
     Three pieces beyond _bpe_oracle_sql's merge chain (which is reused
     verbatim — same argmax, same tie-break, same double-space apply):
@@ -7294,13 +7328,45 @@ def _bpe_byte_oracle_sql(n_merges: int = 6, min_pair: int = 2) -> str:
             f"(SELECT doc_id, {_bpe_rewrite_case(i, min_pair)} AS s "
             f"FROM ds{i})"
         )
-    parts.append(
+    return "".join(parts)
+
+
+def _bpe_byte_oracle_sql(n_merges: int = 6, min_pair: int = 2) -> str:
+    """text_bpe_byte's oracle: the shared replay chain + per-doc token
+    stats (column names matching apply_bpe's output)."""
+    return _bpe_byte_ctes(n_merges, min_pair) + (
         " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
         "CAST(sum(len(string_split(s, ' '))) AS BIGINT) AS n_bpe_tokens, "
         "min(replace(s, ' ', '|')) AS sample_tokens "
         f"FROM ds{n_merges} GROUP BY doc_id"
     )
-    return "".join(parts)
+
+
+def _pack_bpe_oracle_sql(n_merges: int = 6, seq_len: int = 512) -> str:
+    """corpus_pack_bpe's oracle: the shared byte-BPE replay chain →
+    per-doc token counts (0 for empty/whitespace-only docs via the LEFT
+    JOIN — documents with no pre-tokens still pack) → the same
+    (hash, doc_id)-ordered window cumsum the whitespace pack oracle
+    uses. The Spark side's distributed prefix sum over
+    ``bpe_token_count`` offsets must equal this exactly."""
+    return _bpe_byte_ctes(n_merges) + (
+        ", bpecnt AS MATERIALIZED (SELECT doc_id, "
+        "CAST(sum(len(string_split(s, ' '))) AS BIGINT) AS n_tokens "
+        f"FROM ds{n_merges} GROUP BY doc_id), "
+        "t AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+        "COALESCE(b.n_tokens, 0) AS n_tokens, "
+        "CAST(concat('0x', substr(md5(concat('kpf', '|', "
+        "CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 "
+        "AS h FROM documents d LEFT JOIN bpecnt b "
+        "ON CAST(d.doc_id AS BIGINT) = b.doc_id) "
+        "SELECT doc_id, n_tokens, "
+        "CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+        "AS token_start, "
+        "CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {seq_len}) "
+        "AS INT) AS seq_id FROM t"
+    )
 
 
 def _bpe_oracle_sql(n_merges: int = 6, min_pair: int = 2) -> str:
@@ -7533,6 +7599,8 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe": _bpe_oracle_sql(),
         # byte-level train+apply replay — see _bpe_byte_oracle_sql
         "text_bpe_byte": _bpe_byte_oracle_sql(),
+        # tokenizer-true packing: byte-BPE replay → window cumsum
+        "corpus_pack_bpe": _pack_bpe_oracle_sql(),
         # predictive invariant: cov(whitened) == I — the oracle emits the
         # identity matrix at the data's dim plus the vector count
         "embedding_whiten": (

@@ -197,6 +197,7 @@ def sequence_pack(
     salt: str = "kpf",
     num_buckets: int = 1024,
     num_partitions: int | None = None,
+    token_counter=None,
 ) -> DataFrame:
     """Pack documents into fixed-length training sequences
     (concat-then-chunk): lay every document's tokens end-to-end in the
@@ -213,21 +214,31 @@ def sequence_pack(
     respect the (hash, key) order by construction), per-bucket token
     subtotals, exclusive prefix over the tiny subtotal table, broadcast
     the base offsets back, within-bucket running sum. Never a
-    whole-corpus window; one hash exchange on the bucket key. Token count
-    is whitespace tokenization (swap in a BPE count column upstream if
-    the run uses a real tokenizer — the packing math is count-agnostic).
+    whole-corpus window; one hash exchange on the bucket key.
+
+    ``token_counter`` makes the offsets tokenizer-TRUE: a callable
+    mapping the text Column to a per-document token-count Column —
+    e.g. ``lambda c: textprep.bpe_token_count(c, merges)`` for a
+    trained byte-level BPE vocab, so token_start/seq_id are the offsets
+    the trainer will actually see. Default (None) is whitespace
+    tokenization; the packing math is count-agnostic either way.
     """
     from kusto_pre_forge_spark.plans.split import keyed_shard_assign
 
     k = F.col(id_col).cast("string")
     h = _hash_unit(k, salt)
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), WS_RE), lambda w: w != ""
-    )
+    if token_counter is None:
+        toks = F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), WS_RE),
+            lambda w: w != "",
+        )
+        n_tokens = F.size(toks).cast("long")
+    else:
+        n_tokens = token_counter(F.col(text_col)).cast("long")
     t = df.select(
         F.col(id_col),
         h.alias("_kpf_h"),
-        F.size(toks).cast("long").alias("n_tokens"),
+        n_tokens.alias("n_tokens"),
     )
     bucket = F.floor(F.col("_kpf_h") * F.lit(float(num_buckets))).cast("long")
     out = keyed_shard_assign(
@@ -250,6 +261,7 @@ def pack_attention_boundaries(
     seq_len: int,
     salt: str = "kpf",
     num_buckets: int = 1024,
+    token_counter=None,
 ) -> DataFrame:
     """Per-SEQUENCE document-boundary offsets for block-diagonal
     attention — the mask information modern packed pre-training needs
@@ -265,9 +277,18 @@ def pack_attention_boundaries(
     rows ≤ docs + total_tokens/L), then one per-sequence aggregate
     collects the sorted offsets. Returns (seq_id, n_docs, boundaries)
     where boundaries[0] is 0 exactly when a document starts at the
-    sequence head."""
+    sequence head. ``token_counter`` passes through to
+    :func:`sequence_pack` — block-diagonal masks built from whitespace
+    counts are WRONG masks under a real tokenizer, so a production run
+    must pass its vocab's counter here."""
     packed = sequence_pack(
-        df, text_col, id_col, seq_len, salt=salt, num_buckets=num_buckets
+        df,
+        text_col,
+        id_col,
+        seq_len,
+        salt=salt,
+        num_buckets=num_buckets,
+        token_counter=token_counter,
     ).filter(F.col("n_tokens") > 0)
     L = F.lit(int(seq_len))
     first_seq = F.floor(F.col("token_start") / L).cast("long")
@@ -540,6 +561,11 @@ def budget_sample(
     hash-threshold sample is the only shape that stays deterministic AND
     shuffle-free on the data side; exact caps need a per-stratum prefix
     sum (see ``sequence_pack``) at one extra exchange.
+
+    ``token_col`` is already counter-agnostic: pass a tokenizer-true
+    expression (e.g. ``textprep.bpe_token_count(F.col("text"),
+    merges)``) and the budget is enforced in the tokens the trainer
+    will actually consume, not whitespace approximations.
     """
     k = F.col(key) if isinstance(key, str) else key
     tok = F.col(token_col) if isinstance(token_col, str) else token_col

@@ -312,6 +312,63 @@ def byte_pretokens(
     return F.regexp_extract_all(col, F.lit("(" + pat + ")"), 1)
 
 
+def bpe_token_count(
+    text_col: Column,
+    merges: list[tuple[str, str]],
+    special_tokens: list[str] | None = None,
+) -> Column:
+    """Tokenizer-TRUE token count of a text column under a trained
+    byte-level BPE vocabulary — as a pure-codegen Column (no UDF, no
+    shuffle, no extra pass): GPT-2 pre-tokens via
+    :func:`byte_pretokens`, each pre-token's bytes remapped through a
+    256-char literal LUT (one ``substr`` per byte — ``chr()`` can't
+    reach the 256..323 remap range but indexing a literal can), the
+    merge list applied as chained ``regexp_replace`` passes, and the
+    final symbol counts folded with ``aggregate``. This is the count
+    column :func:`corpus.sequence_pack` / ``budget_sample`` should see
+    when the run uses a real tokenizer — whitespace counts misplace
+    every packing offset the trainer will actually train on.
+
+    Codegen path only: the expression tree grows with ``len(merges)``,
+    so cap at a few hundred merges (the ``apply_bpe`` ``max_chained``
+    regime). For production 32k-merge vocabs, precompute per-doc counts
+    once with ``apply_bpe(byte_level=True)`` and pass that column —
+    the packing math is count-agnostic."""
+    b2u = _bytes_to_unicode()
+    lut = "".join(b2u[v] for v in range(256))
+    specials = list(special_tokens or ())
+
+    def count_one(w: Column) -> Column:
+        hx = F.hex(F.encode(w, "UTF-8"))
+        syms = F.transform(
+            F.sequence(F.lit(1), (F.length(hx) / 2).cast("int")),
+            lambda i: F.substr(
+                F.lit(lut),
+                F.conv(F.substr(hx, i * 2 - 1, F.lit(2)), 16, 10).cast(
+                    "int"
+                )
+                + 1,
+                F.lit(1),
+            ),
+        )
+        s = F.array_join(syms, " ")
+        for a, b in merges:
+            s = F.regexp_replace(s, _merge_pattern(a, b), _repl_q(a + b))
+        n = F.size(F.split(s, " ")).cast("long")
+        guarded = F.when(F.length(w) == 0, F.lit(0).cast("long")).otherwise(n)
+        if specials:
+            guarded = F.when(
+                w.isin(*specials), F.lit(1).cast("long")
+            ).otherwise(guarded)
+        return guarded
+
+    return F.aggregate(
+        byte_pretokens(F.coalesce(text_col, F.lit("")), special_tokens),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + count_one(w),
+    )
+
+
 def _train_bpe_driver(
     word_counts: list[tuple[str, int]],
     n_merges: int,
