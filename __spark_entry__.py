@@ -2610,6 +2610,51 @@ def _q_corpus_archive_extract(spark, sf):
     )
 
 
+def _q_pipeline_pdf_route(spark, sf):
+    """Scanned-PDF routing end-to-end (round-11 ask #3): every third
+    document forges as an IMAGE-ONLY scanned PDF (/Subtype /Image
+    XObject paint, zero show-text), the rest as classic text PDFs; the
+    parser surfaces per-page n_chars + has_images and
+    ``route_pdf_documents`` sends image-only docs to the multimodal
+    arm instead of letting empty strings pass text quality gates for
+    the wrong reason. Oracle is closed-form: doc_id%3==0 →
+    ('multimodal', 0 chars, images), else text/empty by the document's
+    own length. Two pure map stages + one per-source aggregate."""
+    import pandas as pd
+
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+    from kusto_pre_forge_spark.sources import pdf as P
+
+    d = _widen_for_fanout(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
+
+    def forge(it):
+        for pdf in it:
+            paths, blobs = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                t = t if isinstance(t, str) else ""
+                paths.append(f"mem://scan/{i}.pdf")
+                if i % 3 == 0:
+                    blobs.append(P.pdf_bytes_scanned(n_pages=1 + i % 2))
+                else:
+                    blobs.append(P.pdf_bytes([t]))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    blobs = d.mapInPandas(forge, "path string, content binary")
+    routed = P.route_pdf_documents(P.parse_pdf_blobs(blobs))
+    return routed.select(
+        F.regexp_extract("_kpf_source", r"([0-9]+)\.pdf$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "n_pages",
+        "n_chars",
+        "has_images",
+        "route",
+    )
+
+
 def _q_pipeline_multiformat_extract(spark, sf):
     """The document-container front end-to-end, cross-checked: every
     document is rendered into THREE real containers — a WARC-wrapped
@@ -6486,6 +6531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_multiformat_extract": _q_pipeline_multiformat_extract,
         "corpus_autoextract": _q_corpus_autoextract,
         "corpus_archive_extract": _q_corpus_archive_extract,
+        "pipeline_pdf_route": _q_pipeline_pdf_route,
         "graph_label_propagation": _q_graph_label_propagation,
         "corpus_pack_boundaries": _q_corpus_pack_boundaries,
         "multimodal_dedup_recall": _q_multimodal_dedup_recall,
@@ -9904,6 +9950,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
             "CAST(3 AS INT) AS n_formats, true AS consistent "
             "FROM documents"
+        ),
+        "pipeline_pdf_route": (
+            # closed-form: scanned docs (doc_id%3=0, 1 or 2 pages by
+            # parity) carry images and zero chars → multimodal; text
+            # docs route by their own length (pdf roundtrip lossless)
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 2 "
+            "ELSE 1 END AS INT) AS n_pages, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN 0 "
+            "ELSE length(COALESCE(text, '')) END AS BIGINT) AS n_chars, "
+            "doc_id % 3 = 0 AS has_images, "
+            "CASE WHEN doc_id % 3 = 0 THEN 'multimodal' "
+            "WHEN length(COALESCE(text, '')) = 0 THEN 'empty' "
+            "ELSE 'text' END AS route FROM documents"
         ),
         "ipynb_cells_extract": (
             # closed-form replay of the 3-cell forge; the ipynb layer is

@@ -51,7 +51,8 @@ import zlib
 from pyspark.sql import DataFrame, SparkSession
 
 PDF_DDL = (
-    "page_no int, page_text string, n_pages int, _kpf_source string"
+    "page_no int, page_text string, n_pages int, n_chars int, "
+    "has_images boolean, _kpf_source string"
 )
 
 _WS = b"\x00\t\n\x0c\r "
@@ -813,13 +814,30 @@ def _walk_pages(objects: dict, node, acc: list, depth: int = 0):
 
 
 def extract_pdf_pages(data: bytes, errors: str = "skip") -> list[str]:
-    """The whole pipeline as a pure function: bytes → per-page extracted
-    text, in page-tree order. ``errors="skip"`` (crawl posture) turns an
-    unsupported-filter page into '' and surfaces what parsed;
-    ``errors="strict"`` re-raises. Encrypted documents (an /Encrypt
-    trailer entry — §7.6) are a genuine unsupported input: strings and
-    streams are RC4/AES-obfuscated, so extraction would emit garbage;
-    strict mode raises naming the gap, skip mode yields no pages."""
+    """Per-page extracted text, in page-tree order — the text view of
+    :func:`extract_pdf_page_infos` (which also carries the scanned-PDF
+    diagnostics)."""
+    return [p["text"] for p in extract_pdf_page_infos(data, errors=errors)]
+
+
+def extract_pdf_page_infos(
+    data: bytes, errors: str = "skip"
+) -> list[dict]:
+    """The whole pipeline as a pure function: bytes → one dict per page
+    (``text``, ``has_images``), in page-tree order. ``errors="skip"``
+    (crawl posture) turns an unsupported-filter page into '' and
+    surfaces what parsed; ``errors="strict"`` re-raises. Encrypted
+    documents (an /Encrypt trailer entry — §7.6) are a genuine
+    unsupported input: strings and streams are RC4/AES-obfuscated, so
+    extraction would emit garbage; strict mode raises naming the gap,
+    skip mode yields no pages.
+
+    ``has_images`` is the scanned-PDF diagnostic (round-11): an
+    image-only page — /Subtype /Image XObjects in the (inheritable)
+    /Resources, no show-text — extracts as '' for a structural reason,
+    not a quality one, and must route to the multimodal/OCR family
+    instead of silently passing quality gates as an empty string. The
+    probe walks the XObject dict only; it never decodes image data."""
     data = bytes(data)
     if _is_encrypted(data):
         if errors == "strict":
@@ -840,7 +858,7 @@ def extract_pdf_pages(data: bytes, errors: str = "skip") -> list[str]:
             if isinstance(val, dict) and str(val.get("Type", "")) == "Catalog":
                 _walk_pages(objects, val.get("Pages"), pages)
                 break
-    out: list[str] = []
+    out: list[dict] = []
     for page in pages:
         contents = _resolve(objects, page.get("Contents"))
         refs = contents if isinstance(contents, list) else [page.get("Contents")]
@@ -858,17 +876,20 @@ def extract_pdf_pages(data: bytes, errors: str = "skip") -> list[str]:
                         if errors == "strict":
                             raise
         out.append(
-            content_stream_text(
-                bytes(buf), _page_font_cmaps(objects, page, errors)
-            )
+            {
+                "text": content_stream_text(
+                    bytes(buf), _page_font_cmaps(objects, page, errors)
+                ),
+                "has_images": _page_has_image_xobjects(objects, page),
+            }
         )
     return out
 
 
-def _page_font_cmaps(objects: dict, page: dict, errors: str) -> dict:
-    """{font resource name: ToUnicode CMap} for one page. /Resources is
-    INHERITABLE (§7.7.3.4 Table 30) — absent on the page, it comes from
-    the nearest ancestor /Pages node via /Parent."""
+def _page_resources(objects: dict, page: dict):
+    """The page's /Resources dict, following §7.7.3.4 inheritance
+    (absent on the page, it comes from the nearest ancestor /Pages
+    node via /Parent)."""
     node = page
     resources = None
     for _ in range(64):
@@ -878,7 +899,32 @@ def _page_font_cmaps(objects: dict, page: dict, errors: str) -> dict:
         node = _resolve(objects, node.get("Parent"))
         if not isinstance(node, dict):
             break
-    if not isinstance(resources, dict):
+    return resources if isinstance(resources, dict) else None
+
+
+def _page_has_image_xobjects(objects: dict, page: dict) -> bool:
+    """True when the page's (inheritable) /Resources /XObject dict
+    carries any /Subtype /Image entry — dictionary walk only, the image
+    stream is never decoded (DCT/JBIG2/JPX data routes to the
+    multimodal codecs, not this parser)."""
+    resources = _page_resources(objects, page)
+    if resources is None:
+        return False
+    xobjects = _resolve(objects, resources.get("XObject"))
+    if not isinstance(xobjects, dict):
+        return False
+    for ref in xobjects.values():
+        d = _resolve(objects, ref)
+        if isinstance(d, dict) and str(d.get("Subtype", "")) == "Image":
+            return True
+    return False
+
+
+def _page_font_cmaps(objects: dict, page: dict, errors: str) -> dict:
+    """{font resource name: ToUnicode CMap} for one page, /Resources
+    inheritance included."""
+    resources = _page_resources(objects, page)
+    if resources is None:
         return {}
     fonts = _resolve(objects, resources.get("Font"))
     if not isinstance(fonts, dict):
@@ -917,13 +963,15 @@ def parse_pdf_blobs(blobs: DataFrame, errors: str = "skip") -> DataFrame:
         for pdf in it:
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                texts = extract_pdf_pages(content, errors=errors)
-                for i, txt in enumerate(texts):
+                infos = extract_pdf_page_infos(content, errors=errors)
+                for i, info in enumerate(infos):
                     rows.append(
                         {
                             "page_no": i,
-                            "page_text": txt,
-                            "n_pages": len(texts),
+                            "page_text": info["text"],
+                            "n_pages": len(infos),
+                            "n_chars": len(info["text"]),
+                            "has_images": info["has_images"],
                             "_kpf_source": p,
                         }
                     )
@@ -951,6 +999,39 @@ def read_pdf(
         return parse_pdf_blobs(read_blobs_via_paths(spark, path), errors=errors)
     bf = spark.read.format("binaryFile").load(path)
     return parse_pdf_blobs(bf, errors=errors)
+
+
+def route_pdf_documents(parsed: DataFrame) -> DataFrame:
+    """Per-DOCUMENT routing over :func:`parse_pdf_blobs` output — the
+    scanned-PDF escape hatch (round-11): an image-only document (zero
+    extracted chars, image XObjects present) extracts '' for a
+    STRUCTURAL reason and must go to the multimodal/OCR family, not
+    through text quality gates that would pass/fail an empty string for
+    the wrong reason. Routes:
+
+    - ``multimodal`` — no text anywhere, ≥1 page carries /Image
+      XObjects (the scanned/figure-only case; OCR or image features)
+    - ``empty``      — no text and no images (blank or unsupported)
+    - ``text``       — extracted text present (images may coexist)
+
+    One map-side-combined aggregate per source; composes upstream of
+    the gates at any corpus size."""
+    from pyspark.sql import functions as F
+
+    return parsed.groupBy("_kpf_source").agg(
+        F.max("n_pages").cast("int").alias("n_pages"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.max(F.col("has_images").cast("int")).cast("boolean").alias(
+            "has_images"
+        ),
+    ).withColumn(
+        "route",
+        F.when(
+            (F.col("n_chars") == 0) & F.col("has_images"), F.lit("multimodal")
+        )
+        .when(F.col("n_chars") == 0, F.lit("empty"))
+        .otherwise(F.lit("text")),
+    )
 
 
 # --------------------------------------------------- fixture-forging writer
@@ -1161,6 +1242,62 @@ def pdf_bytes_cid(pages: list[str]) -> bytes:
         + b" /Filter /FlateDecode >>\nstream\n" + cmap_body + b"\nendstream"
     )
 
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def pdf_bytes_scanned(n_pages: int = 1, jpeg_payload: bytes | None = None) -> bytes:
+    """Forge a SCANNED-style PDF: each page's content is a single
+    ``/ImN Do`` image paint (no BT..ET text at all), with a /Subtype
+    /Image /Filter /DCTDecode XObject in /Resources — the structure a
+    scanner/OCR-less export writes. The parser must yield '' text with
+    ``has_images=True`` per page, so the corpus pipeline routes the
+    document to the multimodal family instead of passing empty strings
+    through quality gates."""
+    payload = jpeg_payload if jpeg_payload is not None else (
+        b"\xff\xd8\xff\xe0\x00\x10JFIF\x00fake-scan\xff\xd9"
+    )
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    for i in range(n_pages):
+        cont_num, img_num = 4 + 2 * i, 3 + 2 * n_pages + i
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {cont_num} 0 R /Resources << /XObject "
+                f"<< /Im0 {img_num} 0 R >> >> >>"
+            ).encode()
+        )
+        content = b"q 612 0 0 792 0 0 cm /Im0 Do Q"
+        objs.append(
+            b"<< /Length " + str(len(content)).encode() + b" >>\n"
+            b"stream\n" + content + b"\nendstream"
+        )
+    for _ in range(n_pages):
+        objs.append(
+            b"<< /Type /XObject /Subtype /Image /Width 1275 /Height 1650"
+            b" /ColorSpace /DeviceRGB /BitsPerComponent 8"
+            b" /Filter /DCTDecode /Length "
+            + str(len(payload)).encode()
+            + b" >>\nstream\n" + payload + b"\nendstream"
+        )
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for num, body in enumerate(objs, start=1):

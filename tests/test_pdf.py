@@ -358,3 +358,29 @@ def test_bfrange_non_bmp_increments_codepoints():
     # multi-char destination: only the last code unit increments
     cm2 = P.parse_cmap(b"1 beginbfrange\n<0001> <0002> <00410042>\nendbfrange")
     assert cm2[b"\x00\x01"] == "AB" and cm2[b"\x00\x02"] == "AC"
+
+
+def test_scanned_pdf_diagnostics_and_routing(spark, tmp_path):
+    """Scanned-PDF escape hatch (round-11): image-only pages surface
+    n_chars=0 + has_images=true and route_pdf_documents sends the
+    document to 'multimodal' — never through text gates as an empty
+    string; text docs route 'text', truly blank docs 'empty'."""
+    assert P.extract_pdf_page_infos(P.pdf_bytes_scanned(2)) == [
+        {"text": "", "has_images": True},
+        {"text": "", "has_images": True},
+    ]
+    (tmp_path / "scan.pdf").write_bytes(P.pdf_bytes_scanned(1))
+    (tmp_path / "text.pdf").write_bytes(P.pdf_bytes(["real words"]))
+    (tmp_path / "blank.pdf").write_bytes(P.pdf_bytes([""]))
+    parsed = P.parse_pdf_blobs(
+        spark.read.format("binaryFile").load(str(tmp_path / "*.pdf"))
+    )
+    routed = {
+        r._kpf_source.rsplit("/", 1)[-1]: (r.route, r.n_chars, r.has_images)
+        for r in P.route_pdf_documents(parsed).collect()
+    }
+    assert routed == {
+        "scan.pdf": ("multimodal", 0, True),
+        "text.pdf": ("text", 10, False),
+        "blank.pdf": ("empty", 0, False),
+    }
