@@ -3540,6 +3540,33 @@ def _q_text_quality_lr(spark, sf):
     )
 
 
+def _q_text_quality_lr_train(spark, sf):
+    """IN-ENGINE classifier training (round-11 ask #4): learn the
+    quality LR from a rule-derived labeled seed (y = quality_score ≥
+    0.5 — replayable closed-form) by 8 fixed full-batch GD iterations,
+    each ONE map-side-combined sufficient-statistics aggregate +
+    driver update + broadcast-literal weights back — the FineWeb
+    labeled-seed → corpus-filter workflow with no model server. Output
+    is the learned parameter vector plus the last iteration's loss,
+    rounded to 6 (absorbs cross-engine sum-order and exp ulps). The
+    DuckDB oracle unrolls the same 8 iterations as CTE pairs
+    (gradient aggregate, weight update) — the graph_pagerank pattern;
+    monotone loss is pinned in tests/test_textstats.py."""
+    from kusto_pre_forge_spark.operators import textstats as ts
+
+    d = load_table(spark, sf, "documents")
+    labeled = ts.quality_features(d, "text").withColumn(
+        "_label", (F.col("quality_score") >= 0.5).cast("double")
+    )
+    res = ts.train_quality_lr(labeled, "_label", n_iters=8, learn_rate=0.2)
+    rows = [(k, float(v)) for k, v in sorted(res["weights"].items())]
+    rows.append(("__bias__", float(res["bias"])))
+    rows.append(("__loss__", float(res["losses"][-1])))
+    return spark.createDataFrame(rows, "name string, value double").select(
+        "name", F.round("value", 6).alias("value")
+    )
+
+
 def _q_activity_funnel_sequence(spark, sf):
     """funnel_sequence — (prev, next) state pairs around every 'view'
     event per user's time-ordered sequence."""
@@ -6618,6 +6645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_session_count": _q_activity_session_count,
         "embedding_quantize": _q_embedding_quantize,
         "text_quality_lr": _q_text_quality_lr,
+        "text_quality_lr_train": _q_text_quality_lr_train,
         "activity_funnel_sequence": _q_activity_funnel_sequence,
         "kql_bag_ops": _q_kql_bag_ops,
         "activity_funnel": _q_activity_funnel,
@@ -7413,6 +7441,71 @@ def _pack_bpe_oracle_sql(n_merges: int = 6, seq_len: int = 512) -> str:
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {seq_len}) "
         "AS INT) AS seq_id FROM t"
     )
+
+
+def _lr_train_oracle_sql(n_iters: int = 8, lr: float = 0.2) -> str:
+    """Full replay of train_quality_lr in DuckDB: the quality-feature
+    chain (shared shape with text_quality_lr's oracle), the rule label
+    y = quality_score >= 0.5 (pure IEEE +,*,/ comparisons — identical
+    in both engines), then ``n_iters`` gradient-descent iterations
+    UNROLLED as (gradient-aggregate, weight-update) CTE pairs — the
+    graph_pagerank pattern. Feature/sum order matches the Spark side
+    exactly (sorted feature names); round(…, 6) on the outputs absorbs
+    cross-engine sum-order and exp ulp differences."""
+    feats = (
+        "f AS MATERIALIZED (SELECT "
+        "length(text) AS n_chars, "
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        "x -> x != '')) AS n_tokens, "
+        "length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS punct, "
+        "length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits, "
+        "len(list_filter(list_transform(list_filter("
+        "regexp_split_to_array(trim(text), '\\s+'), x -> x != ''), "
+        "t -> lower(t)), "
+        "t -> t IN ('the','and','of','to','in','is','that','it','for','with')"
+        ")) AS stop_hits FROM documents), "
+        "r AS MATERIALIZED (SELECT "
+        "digits / CAST(greatest(n_chars, 1) AS DOUBLE) AS f1, "  # digit_ratio
+        "ln(1.0 + n_tokens) AS f2, "  # log_tokens
+        "punct / CAST(greatest(n_chars, 1) AS DOUBLE) AS f3, "  # punct_ratio
+        "stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE) AS f4, "
+        "CAST(least(n_tokens / 20.0, 1.0) * 0.4 "
+        "+ (1 - least(punct / CAST(greatest(n_chars, 1) AS DOUBLE) * 4, 1.0)) * 0.2 "
+        "+ (1 - least(digits / CAST(greatest(n_chars, 1) AS DOUBLE) * 4, 1.0)) * 0.2 "
+        "+ least(stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5, 1.0) * 0.2 "
+        ">= 0.5 AS DOUBLE) AS y FROM f)"
+    )
+    parts = [
+        "WITH " + feats,
+        ", w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4, "
+        "0.0 AS bb)",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f", g{i} AS MATERIALIZED (SELECT "
+            "avg((p - y) * f1) AS g1, avg((p - y) * f2) AS g2, "
+            "avg((p - y) * f3) AS g3, avg((p - y) * f4) AS g4, "
+            "avg(p - y) AS gb, "
+            "avg(ln(1.0 + exp(-z)) + (1.0 - y) * z) AS L FROM ("
+            "SELECT y, f1, f2, f3, f4, z, 1.0 / (1.0 + exp(-z)) AS p "
+            "FROM (SELECT y, f1, f2, f3, f4, "
+            "bb + w1 * f1 + w2 * f2 + w3 * f3 + w4 * f4 AS z "
+            f"FROM r, w{i - 1}) zz) pp)"
+            f", w{i} AS (SELECT w1 - {lr} * g1 AS w1, "
+            f"w2 - {lr} * g2 AS w2, w3 - {lr} * g3 AS w3, "
+            f"w4 - {lr} * g4 AS w4, bb - {lr} * gb AS bb "
+            f"FROM w{i - 1}, g{i})"
+        )
+    n = n_iters
+    parts.append(
+        f" SELECT 'digit_ratio' AS name, round(w1, 6) AS value FROM w{n} "
+        f"UNION ALL SELECT 'log_tokens', round(w2, 6) FROM w{n} "
+        f"UNION ALL SELECT 'punct_ratio', round(w3, 6) FROM w{n} "
+        f"UNION ALL SELECT 'stopword_ratio', round(w4, 6) FROM w{n} "
+        f"UNION ALL SELECT '__bias__', round(bb, 6) FROM w{n} "
+        f"UNION ALL SELECT '__loss__', round(L, 6) FROM g{n}"
+    )
+    return "".join(parts)
 
 
 def _bpe_oracle_sql(n_merges: int = 6, min_pair: int = 2) -> str:
@@ -10675,6 +10768,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1 "
             "FROM q"
         ),
+        "text_quality_lr_train": _lr_train_oracle_sql(),
         "text_quality_lr": (
             # replay of quality_features + the literal-weight sigmoid;
             # term order matches the Spark sum (sorted by feature name)

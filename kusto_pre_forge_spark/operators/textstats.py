@@ -1138,6 +1138,74 @@ def quality_classifier_score(
     )
 
 
+def train_quality_lr(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    feature_cols: tuple = (
+        "digit_ratio",
+        "log_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+    ),
+    n_iters: int = 8,
+    learn_rate: float = 0.2,
+) -> dict:
+    """Close the classifier loop IN-ENGINE (round-11: the FineWeb-style
+    labeled-seed → corpus-scale-filter workflow with no model server):
+    train the logistic regression that :func:`quality_classifier_score`
+    infers with, by fixed-iteration full-batch gradient descent over the
+    :func:`quality_features` columns.
+
+    Scale shape — per iteration exactly ONE map-side-combined aggregate
+    collapses the whole corpus to a feature-dim-bounded sufficient-
+    statistics row (∂loss/∂w_f = avg((σ(z)−y)·f), ∂/∂b = avg(σ(z)−y),
+    plus the mean log-loss in its overflow-free algebraic form
+    ln(1+e^{−z}) + (1−y)·z); the weight update happens on the driver and
+    goes back as broadcast literals in the next iteration's expressions.
+    Driver traffic: ``n_iters`` rows of ``len(features)+2`` doubles —
+    independent of corpus size. The feature projection is computed once
+    and lineage-pinned (eager localCheckpoint) so iterations re-scan the
+    materialized (label, features) frame, not the raw text.
+
+    Deterministic and oracle-replayable: zero-initialized weights,
+    fixed iteration count, no RNG, no standardization pass — the DuckDB
+    oracle unrolls the same iterations as CTEs (the graph_pagerank
+    pattern). Returns ``{"weights", "bias", "losses"}`` where
+    ``losses[i]`` is the mean log-loss at the START of iteration i
+    (monotone decrease is pinned in tests)."""
+    feats = (
+        quality_features(df, text_col)
+        .withColumn("log_tokens", F.log1p(F.col("n_tokens").cast("double")))
+        .select(
+            F.col(label_col).cast("double").alias("_y"),
+            *[F.col(f).cast("double") for f in feature_cols],
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = {f: 0.0 for f in feature_cols}
+    b = 0.0
+    losses: list[float] = []
+    y = F.col("_y")
+    for _ in range(int(n_iters)):
+        z = F.lit(float(b))
+        for f in feature_cols:
+            z = z + F.lit(float(w[f])) * F.col(f)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        row = feats.agg(
+            *[F.avg((p - y) * F.col(f)).alias(f"g_{f}") for f in feature_cols],
+            F.avg(p - y).alias("g_bias"),
+            F.avg(F.log(F.lit(1.0) + F.exp(-z)) + (F.lit(1.0) - y) * z).alias(
+                "loss"
+            ),
+        ).collect()[0]
+        losses.append(float(row["loss"]))
+        for f in feature_cols:
+            w[f] -= learn_rate * float(row[f"g_{f}"])
+        b -= learn_rate * float(row["g_bias"])
+    return {"weights": w, "bias": b, "losses": losses}
+
+
 #: Gopher quality-rule stop words (Rae et al. 2021, "Scaling Language
 #: Models: Methods, Analysis & Insights from Training Gopher", App. A1.1)
 GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

@@ -556,3 +556,31 @@ def test_lm_score_stupid_backoff_hand_computed(spark):
     # corpus=None (self-scoring): backoff never fires, all tiers seen
     self_out = lm_score_stupid_backoff(corpus, "text", "doc_id").collect()
     assert all(r.sb_score <= 0.0 for r in self_out)
+
+
+def test_train_quality_lr_monotone_and_learns(spark):
+    """In-engine LR training: loss decreases monotonically over the
+    fixed iterations, the learned separator actually separates an
+    obviously separable fixture, and the whole run is deterministic
+    (replay yields identical parameters)."""
+    from kusto_pre_forge_spark.operators import textstats as ts
+
+    good = "the cat and the dog went to the market with the others " * 4
+    bad = "000 111 222 333 444 555 666 777 888 999 " * 4
+    df = spark.createDataFrame(
+        [(i, good if i % 2 == 0 else bad) for i in range(40)],
+        "doc_id long, text string",
+    )
+    labeled = ts.quality_features(df, "text").withColumn(
+        "y", (F.col("doc_id") % 2 == 0).cast("double")
+    )
+    res = ts.train_quality_lr(labeled, "y", n_iters=40, learn_rate=0.5)
+    assert all(
+        a >= b for a, b in zip(res["losses"], res["losses"][1:])
+    ), res["losses"]
+    assert res["losses"][-1] < res["losses"][0] / 2
+    # stopwords indicate good docs, digits indicate bad ones
+    assert res["weights"]["stopword_ratio"] > 0
+    assert res["weights"]["digit_ratio"] < 0
+    res2 = ts.train_quality_lr(labeled, "y", n_iters=40, learn_rate=0.5)
+    assert res2 == res, "training must be fully deterministic"
