@@ -144,6 +144,12 @@ HEADLINE = [
     "corpus_autoextract",
     "graph_label_propagation",
     "corpus_pack_boundaries",
+    # round-11 flagships
+    "corpus_archive_extract",
+    "text_bpe_byte",
+    "corpus_pack_bpe",
+    "pipeline_pdf_route",
+    "text_quality_lr_train",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection
@@ -165,6 +171,10 @@ CHECKSUM_ACTION = {
     # numbers measured the pruned scan, not the operator
     "text_html_extract",
     "text_fix_mojibake",
+    # r11 (judge finding): the render+filter half evaluated under
+    # count(), but the typed substring/try_cast parse projections were
+    # pruned — the same trap as the four above
+    "fixedwidth_roundtrip",
 }
 
 
@@ -278,7 +288,9 @@ def main() -> None:
         print(f"# warmup failed: {exc!r}", file=sys.stderr)
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    load_before = os.getloadavg()
     for name in HEADLINE:
         runs: list[float] = []
         for rep in range(REPS):
@@ -293,6 +305,11 @@ def main() -> None:
             print(f"# {name}[{rep}]: {sec:.3f}s ({n} rows)", file=sys.stderr)
         if runs:
             timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+            spreads[name] = [
+                round(min(runs), 3),
+                round(sorted(runs)[len(runs) // 2], 3),
+                round(max(runs), 3),
+            ]
     try:
         streaming = bench_streaming(spark)
         print(f"# streaming availableNow: {streaming}", file=sys.stderr)
@@ -308,6 +325,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # self-labeling (r10 judge: a loaded box read 2-3x slower
+                # on nine queries and the artifact couldn't show it):
+                # 1/5/15-min loadavg before and after, and per-query
+                # [min, median, max] across reps — a loaded run now
+                # carries its own evidence
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+                "spreads": spreads,
                 "errors": errors,
                 "reps": REPS,
                 "streaming": streaming,
