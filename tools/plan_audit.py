@@ -142,6 +142,11 @@ AUDITED = [
     ("corpus_autoextract", "magic-byte sniff + per-kind extraction in one Arrow map stage; widen re-split is the only exchange"),
     ("graph_label_propagation", "synchronous LPA: per round one edge-labels hash join + map-side-combined count + per-node argmax; eager localCheckpoint bounds lineage"),
     ("corpus_pack_boundaries", "pack prefix sum + constant-fanout sequence explode + one per-sequence aggregate; never a whole-corpus window"),
+    ("corpus_archive_extract", "bundle forge + member expansion are pure map stages (one task per archive); only the widen re-split exchanges"),
+    ("text_bpe_byte", "pre-token histogram is the only distributed pass (map-side combine); merge loop driver-side; apply joins rank-dict tokens back on the word key"),
+    ("corpus_pack_bpe", "tokenizer-true counts stay pure codegen inside the same keyed prefix-sum shape as corpus_pack — no UDF, no extra exchange"),
+    ("pipeline_pdf_route", "forge + parse are pure map stages; routing is one map-side-combined per-source aggregate"),
+    ("text_quality_lr_train", "per-iteration sufficient-statistics aggregate over the checkpointed feature frame; driver traffic is feature-dim-bounded"),
 ]
 
 
