@@ -102,6 +102,53 @@ def read_zip_lines(
     )
 
 
+def exact_path_slices(
+    spark: SparkSession, path: str, max_files_per_task: int = 1
+) -> DataFrame:
+    """A one-column ``path`` frame listing a directory/glob, partitioned
+    into EXACT contiguous slices of at most ``max_files_per_task`` paths
+    per task. Exact slicing, not hashing: hash-by-path can collide
+    several huge files onto one task while others stay empty (and a
+    plain round-robin repartition starts at a random offset per input
+    partition, so collisions survive it too). The listing is already
+    driver-resident (Spark's own InMemoryFileIndex materializes it;
+    ``inputFiles()`` just exposes that), so parallelize's contiguous
+    numSlices split costs nothing extra and guarantees at most
+    ceil(n/tasks) files per task. Paths are emitted in the binaryFile
+    column spelling (``file:/x``, not ``file:///x``) so rows are
+    drop-in identical to a binaryFile read."""
+    files = sorted(
+        "file:" + p[7:] if p.startswith("file:///") else p
+        for p in spark.read.format("binaryFile").load(path).inputFiles()
+    )
+    n = max(1, len(files) or 1)
+    tasks = min(max(1, -(-n // max_files_per_task)), 10_000)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize([(p,) for p in files], tasks),
+        "path string",
+    )
+
+
+def worker_local_path(path: str) -> str:
+    """Strip the file: scheme and refuse bare remote schemes — the
+    shared guard for worker-side ``open()`` readers (the
+    ``warc._open_for_records`` posture)."""
+    raw = path
+    if raw.startswith("file://"):
+        raw = raw[7:]
+    elif raw.startswith("file:"):
+        raw = raw[5:]
+    if "://" in raw:
+        scheme = raw.split("://", 1)[0]
+        raise NotImplementedError(
+            f"worker-side readers open files with the worker's own "
+            f"filesystem and cannot address the '{scheme}://' scheme; "
+            "mount the store (fuse/NFS) or use the binaryFile path for "
+            "files under 2 GiB"
+        )
+    return raw
+
+
 def read_blobs_via_paths(
     spark: SparkSession, path: str, max_files_per_task: int = 1
 ) -> DataFrame:
@@ -121,46 +168,12 @@ def read_blobs_via_paths(
     for Python-heap residency of one file at a time."""
     import pandas as pd
 
-    files = sorted(
-        # inputFiles() spells the empty authority as file:///x while the
-        # binaryFile `path` column spells it file:/x — emit the column
-        # form so (path, content) rows are drop-in identical.
-        "file:" + p[7:] if p.startswith("file:///") else p
-        for p in spark.read.format("binaryFile").load(path).inputFiles()
-    )
-    n = max(1, len(files) or 1)
-    tasks = min(max(1, -(-n // max_files_per_task)), 10_000)
-    # EXACT slicing, not hashing: hash-by-path can collide several huge
-    # files onto one task while others stay empty — exactly wrong for
-    # the >2 GiB whole-file use case this reader exists for (and a
-    # plain round-robin repartition starts at a random offset per input
-    # partition, so collisions survive it too). The listing is already
-    # driver-resident (Spark's own InMemoryFileIndex materializes it;
-    # ``inputFiles()`` just exposes that), so parallelize's contiguous
-    # numSlices split costs nothing extra and guarantees at most
-    # ceil(n/tasks) files per task.
-    paths = spark.createDataFrame(
-        spark.sparkContext.parallelize([(p,) for p in files], tasks),
-        "path string",
-    )
+    paths = exact_path_slices(spark, path, max_files_per_task)
 
     def batches(it):
         for pdf in it:
             for p in pdf["path"]:
-                raw = p
-                if raw.startswith("file://"):
-                    raw = raw[7:]
-                elif raw.startswith("file:"):
-                    raw = raw[5:]
-                if "://" in raw:
-                    scheme = raw.split("://", 1)[0]
-                    raise NotImplementedError(
-                        f"read_blobs_via_paths opens files with the "
-                        f"worker's own filesystem and cannot address the "
-                        f"'{scheme}://' scheme; mount the store (fuse/NFS) "
-                        "or use the binaryFile path for files under 2 GiB"
-                    )
-                with open(raw, "rb") as f:
+                with open(worker_local_path(p), "rb") as f:
                     content = f.read()
                 yield pd.DataFrame({"path": [p], "content": [content]})
 

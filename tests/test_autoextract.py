@@ -261,3 +261,64 @@ def test_archive_streaming_landing(spark, tmp_path):
     rows = spark.sql("select * from arch_mem").collect()
     got = sorted((r._kpf_source.split("!")[-1], r.text) for r in rows)
     assert got == [("m1", "alpha"), ("m2", "beta")]
+
+
+def test_read_text_auto_stream_identical_to_inmemory(spark, tmp_path):
+    """The >2 GiB path: read_text_auto_stream (worker-side open, tar
+    members streamed one-at-a-time via tarfile pipe mode, zip via the
+    path-seekable reader) must return EXACTLY the in-memory front
+    door's rows on a mixed dir of tar.gz + zip + pdf + text blobs."""
+    import gzip as _gz
+
+    (tmp_path / "bundle.tgz").write_bytes(
+        _gz.compress(
+            _tar_bytes(
+                [("a.txt", b"alpha"), ("b.pdf", P.pdf_bytes(["pdf body"]))]
+            )
+        )
+    )
+    (tmp_path / "pack.zip").write_bytes(
+        _zip_bytes([("x.txt", b"xray"), ("y.bin", b"\x80\x81")])
+    )
+    (tmp_path / "doc.pdf").write_bytes(P.pdf_bytes(["loose pdf"]))
+    (tmp_path / "plain.txt").write_bytes(b"loose text")
+    (tmp_path / "word.docx").write_bytes(D.docx_bytes("docx body"))
+
+    def rows(df):
+        return sorted(
+            (r._kpf_source.rsplit("/", 1)[-1], r.kind, r.text)
+            for r in df.collect()
+        )
+
+    mem = rows(A.read_text_auto(spark, str(tmp_path / "*")))
+    st = rows(A.read_text_auto_stream(spark, str(tmp_path / "*")))
+    assert st == mem and len(mem) == 7
+    assert ("bundle.tgz!b.pdf", "pdf", "pdf body") in mem
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="scheme"):
+        A.read_text_auto_stream(spark, "s3://bucket/x").collect()
+
+
+def test_stream_tar_valves_match_inmemory(spark, tmp_path):
+    """Valve sentinel parity between the streamed and in-memory paths."""
+    blob = _tar_bytes([(f"m{i}.txt", b"data") for i in range(5)])
+    (tmp_path / "big.tar").write_bytes(blob)
+    got = sorted(
+        (
+            r._kpf_source.split("!")[-1]
+            if "!" in r._kpf_source
+            else r._kpf_source.rsplit("/", 1)[-1],
+            r.kind,
+        )
+        for r in A.read_text_auto_stream(
+            spark, str(tmp_path / "big.tar"), max_members=2
+        ).collect()
+    )
+    want = sorted(
+        (m if m else "big.tar", k)
+        for m, k, _ in A.extract_auto_rows(blob, max_members=2)
+    )
+    assert got == want
+    assert ("big.tar", "archive_truncated") in got
