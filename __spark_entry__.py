@@ -3101,6 +3101,23 @@ def _q_text_bpe_byte(spark, sf):
     )
 
 
+def _q_text_bpe_encode(spark, sf):
+    """Documents encoded to the INTEGER token ids a trainer consumes
+    (byte-level vocab: 0..255 raw bytes + 256+rank per merge — no UNK
+    possible by construction). Order preserved via posexplode +
+    array_sort reassembly; the oracle replays training, maps symbols
+    through the ordered-CASE vocab (first-rank-wins on merge-string
+    collisions, early-stopped merges NULLed), and flattens per doc in
+    pre-token order."""
+    from kusto_pre_forge_spark.operators import textprep
+
+    d = load_table(spark, sf, "documents")
+    merges = textprep.train_bpe(d, n_merges=6, byte_level=True)
+    return textprep.bpe_encode(d, merges).select(
+        "doc_id", "n_tokens", "ids_head"
+    )
+
+
 def _q_text_unigram(spark, sf):
     """Unigram-LM tokenizer (SentencePiece/Kudo 2018): one distributed
     word-count scan, in-driver EM + expected-count pruning to a 120-piece
@@ -3564,6 +3581,33 @@ def _q_text_quality_lr_train(spark, sf):
     rows.append(("__loss__", float(res["losses"][-1])))
     return spark.createDataFrame(rows, "name string, value double").select(
         "name", F.round("value", 6).alias("value")
+    )
+
+
+def _q_pipeline_quality_lr_filter(spark, sf):
+    """The trained classifier APPLIED — train→filter in one pipeline
+    (the full FineWeb workflow): learn the LR from the rule-derived
+    seed (8 GD iterations, sufficient-statistics aggregates), then
+    score every document with the LEARNED weights as a pure codegen
+    scan projection (quality_classifier_score with the literal weights
+    swapped for the learned ones; untrained features enter as exact
+    +0.0 terms so the non-zero addition order matches training's z).
+    At 100 TB: 8 tiny aggregates + one filter scan — no model server,
+    no UDF. Oracle: the unrolled training chain + per-doc scoring."""
+    from kusto_pre_forge_spark.operators import textstats as ts
+
+    d = load_table(spark, sf, "documents")
+    labeled = ts.quality_features(d, "text").withColumn(
+        "_label", (F.col("quality_score") >= 0.5).cast("double")
+    )
+    res = ts.train_quality_lr(labeled, "_label", n_iters=8, learn_rate=0.2)
+    w = {f: 0.0 for f in ts.QUALITY_LR_WEIGHTS}
+    w.update(res["weights"])
+    out = ts.quality_classifier_score(
+        d, "text", "doc_id", weights=w, bias=res["bias"]
+    )
+    return out.select(
+        "doc_id", F.round(F.col("lr_score"), 6).alias("lr_score"), "keep"
     )
 
 
@@ -6505,6 +6549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": _q_text_bm25,
         "text_bpe": _q_text_bpe,
         "text_bpe_byte": _q_text_bpe_byte,
+        "text_bpe_encode": _q_text_bpe_encode,
         "text_unigram": _q_text_unigram,
         "text_wordpiece": _q_text_wordpiece,
         "embedding_whiten": _q_embedding_whiten,
@@ -6646,6 +6691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": _q_embedding_quantize,
         "text_quality_lr": _q_text_quality_lr,
         "text_quality_lr_train": _q_text_quality_lr_train,
+        "pipeline_quality_lr_filter": _q_pipeline_quality_lr_filter,
         "activity_funnel_sequence": _q_activity_funnel_sequence,
         "kql_bag_ops": _q_kql_bag_ops,
         "activity_funnel": _q_activity_funnel,
@@ -7373,8 +7419,11 @@ def _bpe_byte_ctes(n_merges: int = 6, min_pair: int = 2) -> str:
         f"i -> {remap}), ' ')"
     )
     parts = [
+        # parallel unnests of equal length ZIP in DuckDB — pos rides
+        # along for order-sensitive tails (text_bpe_encode)
         "WITH docw AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
-        f"unnest({toks}) AS w FROM documents), "
+        f"unnest({toks}) AS w, "
+        f"unnest(range(1, len({toks}) + 1)) AS pos FROM documents), "
         "words AS MATERIALIZED (SELECT w, count(*) AS cnt FROM docw "
         "GROUP BY w), "
         f"v0 AS MATERIALIZED (SELECT {syms} AS s, cnt FROM "
@@ -7393,16 +7442,52 @@ def _bpe_byte_ctes(n_merges: int = 6, min_pair: int = 2) -> str:
             f"(SELECT {_bpe_rewrite_case(i, min_pair)} AS s, cnt FROM v{i})"
         )
     parts.append(
-        f", ds0 AS MATERIALIZED (SELECT doc_id, {syms} AS s FROM "
-        "(SELECT doc_id, hex(encode(w)) AS hx FROM docw))"
+        f", ds0 AS MATERIALIZED (SELECT doc_id, pos, {syms} AS s FROM "
+        "(SELECT doc_id, pos, hex(encode(w)) AS hx FROM docw))"
     )
     for i in range(n_merges):
         parts.append(
             f", ds{i + 1} AS MATERIALIZED "
-            f"(SELECT doc_id, {_bpe_rewrite_case(i, min_pair)} AS s "
+            f"(SELECT doc_id, pos, {_bpe_rewrite_case(i, min_pair)} AS s "
             f"FROM ds{i})"
         )
     return "".join(parts)
+
+
+def _bpe_encode_oracle_sql(
+    n_merges: int = 6, min_pair: int = 2, head: int = 16
+) -> str:
+    """text_bpe_encode's oracle: the shared replay chain → symbol→id
+    mapping (ids 0..255 via the INVERSE bytes_to_unicode piecewise map
+    on single-char symbols; 256+rank for merge concatenations, ordered
+    CASE = first-rank-wins on string collisions; early-stopped merges
+    NULL out and never match) → per-doc order-preserving flatten."""
+    n = n_merges
+    ms = ", ".join(
+        f"CASE WHEN (SELECT coalesce(max(n), 0) FROM b{i}) >= {min_pair} "
+        f"THEN (SELECT a FROM b{i}) || (SELECT b FROM b{i}) END AS m{i}"
+        for i in range(n_merges)
+    )
+    merge_cases = " ".join(
+        f"WHEN t = m{i} THEN {256 + i}" for i in range(n_merges)
+    )
+    inv = (
+        "CASE WHEN unicode(t) < 256 THEN unicode(t) "
+        "WHEN unicode(t) <= 288 THEN unicode(t) - 256 "
+        "WHEN unicode(t) <= 322 THEN unicode(t) - 162 "
+        "ELSE 173 END"
+    )
+    return _bpe_byte_ctes(n_merges, min_pair) + (
+        f", mm AS MATERIALIZED (SELECT {ms})"
+        ", wid AS MATERIALIZED (SELECT doc_id, pos, "
+        "list_transform(string_split(s, ' '), t -> "
+        f"CASE {merge_cases} ELSE {inv} END) AS ids FROM ds{n}, mm)"
+        ", ag AS (SELECT doc_id, flatten(list(ids ORDER BY pos)) AS al "
+        "FROM wid GROUP BY doc_id) "
+        "SELECT doc_id, CAST(len(al) AS BIGINT) AS n_tokens, "
+        f"array_to_string(list_transform(al[1:{head}], "
+        "x -> CAST(x AS VARCHAR)), ',') AS ids_head FROM ag"
+    )
 
 
 def _bpe_byte_oracle_sql(n_merges: int = 6, min_pair: int = 2) -> str:
@@ -7443,7 +7528,9 @@ def _pack_bpe_oracle_sql(n_merges: int = 6, seq_len: int = 512) -> str:
     )
 
 
-def _lr_train_oracle_sql(n_iters: int = 8, lr: float = 0.2) -> str:
+def _lr_train_oracle_sql(
+    n_iters: int = 8, lr: float = 0.2, final_select: str | None = None
+) -> str:
     """Full replay of train_quality_lr in DuckDB: the quality-feature
     chain (shared shape with text_quality_lr's oracle), the rule label
     y = quality_score >= 0.5 (pure IEEE +,*,/ comparisons — identical
@@ -7453,7 +7540,7 @@ def _lr_train_oracle_sql(n_iters: int = 8, lr: float = 0.2) -> str:
     exactly (sorted feature names); round(…, 6) on the outputs absorbs
     cross-engine sum-order and exp ulp differences."""
     feats = (
-        "f AS MATERIALIZED (SELECT "
+        "f AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
         "length(text) AS n_chars, "
         "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
         "x -> x != '')) AS n_tokens, "
@@ -7464,7 +7551,7 @@ def _lr_train_oracle_sql(n_iters: int = 8, lr: float = 0.2) -> str:
         "t -> lower(t)), "
         "t -> t IN ('the','and','of','to','in','is','that','it','for','with')"
         ")) AS stop_hits FROM documents), "
-        "r AS MATERIALIZED (SELECT "
+        "r AS MATERIALIZED (SELECT doc_id, "
         "digits / CAST(greatest(n_chars, 1) AS DOUBLE) AS f1, "  # digit_ratio
         "ln(1.0 + n_tokens) AS f2, "  # log_tokens
         "punct / CAST(greatest(n_chars, 1) AS DOUBLE) AS f3, "  # punct_ratio
@@ -7497,15 +7584,35 @@ def _lr_train_oracle_sql(n_iters: int = 8, lr: float = 0.2) -> str:
             f"FROM w{i - 1}, g{i})"
         )
     n = n_iters
-    parts.append(
-        f" SELECT 'digit_ratio' AS name, round(w1, 6) AS value FROM w{n} "
-        f"UNION ALL SELECT 'log_tokens', round(w2, 6) FROM w{n} "
-        f"UNION ALL SELECT 'punct_ratio', round(w3, 6) FROM w{n} "
-        f"UNION ALL SELECT 'stopword_ratio', round(w4, 6) FROM w{n} "
-        f"UNION ALL SELECT '__bias__', round(bb, 6) FROM w{n} "
-        f"UNION ALL SELECT '__loss__', round(L, 6) FROM g{n}"
-    )
+    if final_select is None:
+        final_select = (
+            f" SELECT 'digit_ratio' AS name, round(w1, 6) AS value FROM w{n} "
+            f"UNION ALL SELECT 'log_tokens', round(w2, 6) FROM w{n} "
+            f"UNION ALL SELECT 'punct_ratio', round(w3, 6) FROM w{n} "
+            f"UNION ALL SELECT 'stopword_ratio', round(w4, 6) FROM w{n} "
+            f"UNION ALL SELECT '__bias__', round(bb, 6) FROM w{n} "
+            f"UNION ALL SELECT '__loss__', round(L, 6) FROM g{n}"
+        )
+    parts.append(final_select)
     return "".join(parts)
+
+
+def _lr_filter_oracle_sql(n_iters: int = 8, lr: float = 0.2) -> str:
+    """pipeline_quality_lr_filter's oracle: the same unrolled training
+    chain, then every document scored with the LEARNED weights (the
+    untrained features enter Spark's sum as exact +0.0 terms, so the
+    non-zero addition sequence matches this z exactly)."""
+    n = n_iters
+    return _lr_train_oracle_sql(
+        n_iters,
+        lr,
+        final_select=(
+            " SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS lr_score, "
+            "1.0 / (1.0 + exp(-z)) >= 0.5 AS keep FROM ("
+            "SELECT doc_id, bb + w1 * f1 + w2 * f2 + w3 * f3 + w4 * f4 "
+            f"AS z FROM r, w{n}) zz"
+        ),
+    )
 
 
 def _bpe_oracle_sql(n_merges: int = 6, min_pair: int = 2) -> str:
@@ -7738,6 +7845,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe": _bpe_oracle_sql(),
         # byte-level train+apply replay — see _bpe_byte_oracle_sql
         "text_bpe_byte": _bpe_byte_oracle_sql(),
+        "text_bpe_encode": _bpe_encode_oracle_sql(),
         # tokenizer-true packing: byte-BPE replay → window cumsum
         "corpus_pack_bpe": _pack_bpe_oracle_sql(),
         # predictive invariant: cov(whitened) == I — the oracle emits the
@@ -10769,6 +10877,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM q"
         ),
         "text_quality_lr_train": _lr_train_oracle_sql(),
+        "pipeline_quality_lr_filter": _lr_filter_oracle_sql(),
         "text_quality_lr": (
             # replay of quality_features + the literal-weight sigmoid;
             # term order matches the Spark sum (sorted by feature name)

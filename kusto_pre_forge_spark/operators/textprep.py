@@ -694,6 +694,118 @@ def _bpe_tokenize_udf(
     return pandas_udf(tokenize_batch, "n int, joined string", PandasUDFType.SCALAR)
 
 
+def bpe_vocab_ids(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """The deterministic byte-level symbol→id table a trained merge
+    list induces: ids 0..255 are the raw bytes (via the
+    bytes_to_unicode symbol), merged tokens take 256+merge_rank. When
+    two merges concatenate to the SAME string (('a','bc') and
+    ('ab','c') both yield 'abc'), the FIRST rank wins — the rule the
+    oracle's ordered CASE replays."""
+    b2u = _bytes_to_unicode()
+    ids = {c: v for v, c in b2u.items()}
+    for i, (a, b) in enumerate(merges):
+        ids.setdefault(a + b, 256 + i)
+    return ids
+
+
+def _bpe_encode_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched byte-level word ENCODER: same merge application as
+    _bpe_tokenize_udf, then symbols map through the bpe_vocab_ids table
+    to the integer ids a trainer consumes. Byte-level has no UNK — every
+    byte is id 0..255 by construction."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    merge_list = list(merges)
+    b2u = _bytes_to_unicode()
+    vocab = bpe_vocab_ids(merge_list)
+
+    def encode_batch(words: pd.Series):
+        memo: dict[str, list[int]] = {}
+
+        def enc(w: str) -> list[int]:
+            hit = memo.get(w)
+            if hit is not None:
+                return hit
+            toks = [b2u[b] for b in w.encode("utf-8")]
+            present = set(zip(toks, toks[1:]))
+            for a, b in merge_list:
+                if (a, b) not in present:
+                    continue
+                out = []
+                i = 0
+                n = len(toks)
+                while i < n:
+                    if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+                present = set(zip(toks, toks[1:]))
+            res = [vocab[t] for t in toks]
+            memo[w] = res
+            return res
+
+        return words.map(enc)
+
+    return pandas_udf(encode_batch, "array<int>", PandasUDFType.SCALAR)
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    head: int = 16,
+) -> DataFrame:
+    """Encode documents to the INTEGER TOKEN IDS a trainer actually
+    consumes (byte-level vocab: bytes 0..255 + 256+rank per merge, no
+    UNK possible). Returns (id, n_tokens, ids_head) where ids_head is
+    the first ``head`` ids comma-joined — the human-checkable (and
+    oracle-hashable) probe; full id arrays stay distributed.
+
+    Plan: pre-tokens posexplode (order kept), DISTINCT pre-tokens
+    encode once through the rank-dict Arrow UDF, join back on the word
+    key, and one per-doc aggregate reassembles document order via
+    array_sort(collect_list(struct(pos, ids))) — the same
+    one-exchange-per-side shape as apply_bpe's rank-dict path, plus the
+    unavoidable reassembly exchange any order-preserving document
+    rebuild pays (cf. line_dedup)."""
+    t = df.select(
+        F.col(id_col),
+        F.posexplode(
+            byte_pretokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("pos", "w"),
+    )
+    encoded = (
+        t.select("w")
+        .distinct()
+        .select("w", _bpe_encode_udf(merges)(F.col("w")).alias("_ids"))
+    )
+    joined = t.join(encoded, "w")
+    per_doc = joined.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_ids"))),
+                lambda x: x["_ids"],
+            )
+        ).alias("_all")
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.size("_all").cast("long").alias("n_tokens"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("_all", 1, int(head)), lambda v: v.cast("string")
+            ),
+        ).alias("ids_head"),
+    )
+
+
 def apply_bpe(
     df: DataFrame,
     merges: list[tuple[str, str]],

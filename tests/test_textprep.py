@@ -812,3 +812,25 @@ def test_byte_bpe_special_tokens_atomic(spark):
     # pre-tokens: ["aaaa", "<|endoftext|>", "aaaa"]; merges collapse
     # aaaa→(aa)(aa)→aaaa in 2 merges; special stays 1 token
     assert out.n_words == 3 and out.n_bpe_tokens == 3
+
+
+def test_bpe_encode_ids_hand_checked(spark):
+    """Encoded ids: raw bytes 0..255 (space = 32 through Ġ), merged
+    tokens 256+rank, document order preserved, no UNK possible."""
+    from kusto_pre_forge_spark.operators import textprep as tp
+
+    df = spark.createDataFrame(
+        [(1, "the the the"), (2, "café")], "doc_id long, text string"
+    )
+    # no merges: pure byte ids
+    out = {r.doc_id: r for r in tp.bpe_encode(df, []).collect()}
+    assert out[1].ids_head == "116,104,101,32,116,104,101,32,116,104,101"
+    assert out[1].n_tokens == 11
+    assert out[2].ids_head == "99,97,102,195,169"  # é = 0xC3 0xA9
+    # with merges: ('t','h')->256, ('th','e')->257, ('Ġ','the')->258
+    merges = [("t", "h"), ("th", "e"), ("Ġ", "the")]
+    out = {r.doc_id: r for r in tp.bpe_encode(df, merges).collect()}
+    assert out[1].ids_head == "257,258,258" and out[1].n_tokens == 3
+    # vocab table: first-rank-wins on string collisions
+    ids = tp.bpe_vocab_ids([("a", "bc"), ("ab", "c")])
+    assert ids["abc"] == 256
