@@ -2655,6 +2655,68 @@ def _q_pipeline_pdf_route(spark, sf):
     )
 
 
+def _q_pipeline_pdf_images(spark, sf):
+    """The scanned-PDF → multimodal HAND-OFF made real (round-11): each
+    document forges as a scanned PDF whose image XObject carries REAL
+    Flate-compressed RGB pixels (one of four deterministic 16×16
+    textures by doc_id % 4), extract_pdf_images pulls the decoded
+    samples back out, mediacodec.encode_png re-containers them, and
+    multimodal.image_phash computes the perceptual hash the dedup
+    family banding consumes. The oracle pins the four pattern hashes as
+    literal ground-truth vectors (the kql_punycode posture): any
+    regression in the PDF image walk, the Flate decode, the PNG codec,
+    or the DCT hash breaks the match. All pure map stages."""
+    import pandas as pd
+
+    from kusto_pre_forge_spark.operators import mediacodec as MC
+    from kusto_pre_forge_spark.operators import multimodal as MM
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+    from kusto_pre_forge_spark.sources import pdf as P
+
+    d = _widen_for_fanout(
+        load_table(spark, sf, "documents").select("doc_id")
+    )
+
+    def _pattern(k: int, w: int = 16, h: int = 16) -> bytes:
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = (x * x * 7 + y * y * 13 + k * 29 + x * y * (k + 3)) % 256
+                px += bytes((v, (v * 3 + 50 * k) % 256, (255 - v + 17 * k) % 256))
+        return bytes(px)
+
+    def forge(it):
+        for pdf in it:
+            paths, blobs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                paths.append(f"mem://scanimg/{i}.pdf")
+                blobs.append(
+                    P.pdf_bytes_scanned(
+                        1, pixels=_pattern(i % 4), width=16, height=16
+                    )
+                )
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    blobs = d.mapInPandas(forge, "path string, content binary")
+    imgs = P.parse_pdf_images(blobs)
+
+    def to_png(it):
+        for pdf in it:
+            ids, pngs = [], []
+            for src, w, h, data in zip(
+                pdf["_kpf_source"], pdf["width"], pdf["height"], pdf["data"]
+            ):
+                ids.append(int(src.rsplit("/", 1)[-1].split(".")[0]))
+                pngs.append(MC.encode_png(int(w), int(h), bytes(data), 3))
+            yield pd.DataFrame({"doc_id": ids, "blob": pngs})
+
+    pngs = imgs.mapInPandas(to_png, "doc_id long, blob binary")
+    return MM.image_phash(pngs, "blob", "doc_id").select(
+        "doc_id", "phash", "width", "height"
+    )
+
+
 def _q_pipeline_multiformat_extract(spark, sf):
     """The document-container front end-to-end, cross-checked: every
     document is rendered into THREE real containers — a WARC-wrapped
@@ -6604,6 +6666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_autoextract": _q_corpus_autoextract,
         "corpus_archive_extract": _q_corpus_archive_extract,
         "pipeline_pdf_route": _q_pipeline_pdf_route,
+        "pipeline_pdf_images": _q_pipeline_pdf_images,
         "graph_label_propagation": _q_graph_label_propagation,
         "corpus_pack_boundaries": _q_corpus_pack_boundaries,
         "multimodal_dedup_recall": _q_multimodal_dedup_recall,
@@ -10150,6 +10213,19 @@ def oracle_sql() -> dict[str, str]:
             # see 3 formats with identical whitespace-normalized text
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
             "CAST(3 AS INT) AS n_formats, true AS consistent "
+            "FROM documents"
+        ),
+        "pipeline_pdf_images": (
+            # literal ground-truth vectors (the kql_punycode posture):
+            # the four 16x16 texture hashes computed once and frozen —
+            # any regression in the PDF image walk, Flate decode, PNG
+            # codec, or DCT hash breaks these constants
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CASE doc_id % 4 WHEN 0 THEN -1700909427066263315 "
+            "WHEN 1 THEN -7076836626391547305 "
+            "WHEN 2 THEN -6374941567704814433 "
+            "ELSE 6306747246700006711 END AS phash, "
+            "CAST(16 AS INT) AS width, CAST(16 AS INT) AS height "
             "FROM documents"
         ),
         "pipeline_pdf_route": (

@@ -1001,6 +1001,110 @@ def read_pdf(
     return parse_pdf_blobs(bf, errors=errors)
 
 
+def extract_pdf_images(data: bytes, errors: str = "skip") -> list[dict]:
+    """Pull the embedded image XObjects out of a PDF — the payload the
+    multimodal family consumes once :func:`route_pdf_documents` sends a
+    scanned document its way. One dict per (page, image): ``page_no``,
+    ``name`` (resource key), ``width``/``height``/``bits``/
+    ``color_space`` from the image dict, ``codec`` + ``data``:
+
+    - ``/DCTDecode`` → ``codec='jpeg'``, data = the RAW stream bytes —
+      a DCT-encoded XObject IS a complete JFIF/JPEG payload
+      (ISO 32000 §7.4.8), decodable by ``mediacodec.decode_jpeg``;
+    - Flate/uncompressed → ``codec='raw'``, data = decoded samples
+      (``decode_stream``), row-major, ready for ``encode_png``;
+    - other filters (JPX/JBIG2/CCITT) → skipped in skip mode, raised
+      in strict — the escape hatches name themselves.
+
+    Shares the encrypted-document guard with text extraction."""
+    data = bytes(data)
+    if _is_encrypted(data):
+        if errors == "strict":
+            raise NotImplementedError(
+                "PDF is encrypted (/Encrypt): stream decryption is not "
+                "supported — decrypt upstream or drop the document"
+            )
+        return []
+    objects, root = load_pdf_objects(data)
+    pages: list[dict] = []
+    root_dict = _resolve(objects, root) if root is not None else None
+    if isinstance(root_dict, dict) and "Pages" in root_dict:
+        _walk_pages(objects, root_dict["Pages"], pages)
+    else:
+        for num in sorted(objects):
+            val = objects[num][0]
+            if isinstance(val, dict) and str(val.get("Type", "")) == "Catalog":
+                _walk_pages(objects, val.get("Pages"), pages)
+                break
+    out: list[dict] = []
+    for page_no, page in enumerate(pages):
+        resources = _page_resources(objects, page)
+        if resources is None:
+            continue
+        xobjects = _resolve(objects, resources.get("XObject"))
+        if not isinstance(xobjects, dict):
+            continue
+        for name, ref in sorted(xobjects.items(), key=lambda kv: str(kv[0])):
+            d = _resolve(objects, ref)
+            if not isinstance(d, dict) or str(d.get("Subtype", "")) != "Image":
+                continue
+            entry = objects.get(ref.num) if isinstance(ref, _Ref) else None
+            raw = entry[1] if entry else None
+            if raw is None:
+                continue
+            filt = d.get("Filter")
+            filt_names = [str(f) for f in (filt if isinstance(filt, list) else [filt] if filt else [])]
+            meta = {
+                "page_no": page_no,
+                "name": str(name),
+                "width": int(_resolve(objects, d.get("Width")) or 0),
+                "height": int(_resolve(objects, d.get("Height")) or 0),
+                "bits": int(_resolve(objects, d.get("BitsPerComponent")) or 0),
+                "color_space": str(_resolve(objects, d.get("ColorSpace")) or ""),
+            }
+            if filt_names == ["DCTDecode"]:
+                out.append({**meta, "codec": "jpeg", "data": raw})
+            elif filt_names in ([], ["FlateDecode"]):
+                try:
+                    body = decode_stream(entry, objects)
+                except NotImplementedError:
+                    if errors == "strict":
+                        raise
+                    continue
+                out.append({**meta, "codec": "raw", "data": body})
+            else:
+                if errors == "strict":
+                    raise NotImplementedError(
+                        f"image XObject filter {'+'.join(filt_names)} is "
+                        "not decodable here — route the raw stream to an "
+                        "external decoder"
+                    )
+    return out
+
+
+def parse_pdf_images(blobs: DataFrame, errors: str = "skip") -> DataFrame:
+    """(path, content) blob rows → one row per embedded image — the
+    multimodal hand-off as a pure Arrow map stage (the
+    ``parse_pdf_blobs`` posture)."""
+    import pandas as pd
+
+    ddl = (
+        "page_no int, name string, width int, height int, bits int, "
+        "color_space string, codec string, data binary, _kpf_source string"
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for img in extract_pdf_images(content, errors=errors):
+                    rows.append({**img, "_kpf_source": p})
+            cols = [c.split()[0] for c in ddl.split(", ")]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return blobs.select("path", "content").mapInPandas(batches, ddl)
+
+
 def route_pdf_documents(parsed: DataFrame) -> DataFrame:
     """Per-DOCUMENT routing over :func:`parse_pdf_blobs` output — the
     scanned-PDF escape hatch (round-11): an image-only document (zero
@@ -1259,17 +1363,31 @@ def pdf_bytes_cid(pages: list[str]) -> bytes:
     return bytes(out)
 
 
-def pdf_bytes_scanned(n_pages: int = 1, jpeg_payload: bytes | None = None) -> bytes:
+def pdf_bytes_scanned(
+    n_pages: int = 1,
+    jpeg_payload: bytes | None = None,
+    pixels: bytes | None = None,
+    width: int = 1275,
+    height: int = 1650,
+) -> bytes:
     """Forge a SCANNED-style PDF: each page's content is a single
     ``/ImN Do`` image paint (no BT..ET text at all), with a /Subtype
     /Image /Filter /DCTDecode XObject in /Resources — the structure a
     scanner/OCR-less export writes. The parser must yield '' text with
     ``has_images=True`` per page, so the corpus pipeline routes the
     document to the multimodal family instead of passing empty strings
-    through quality gates."""
-    payload = jpeg_payload if jpeg_payload is not None else (
-        b"\xff\xd8\xff\xe0\x00\x10JFIF\x00fake-scan\xff\xd9"
-    )
+    through quality gates. Pass ``pixels`` (row-major RGB samples, with
+    ``width``/``height``) to embed a REAL /FlateDecode /DeviceRGB image
+    instead of the fake-JPEG stub — the extract_pdf_images →
+    mediacodec hand-off then carries genuine decodable pixel data."""
+    if pixels is not None:
+        payload = zlib.compress(bytes(pixels))
+        filt = b"/FlateDecode"
+    else:
+        payload = jpeg_payload if jpeg_payload is not None else (
+            b"\xff\xd8\xff\xe0\x00\x10JFIF\x00fake-scan\xff\xd9"
+        )
+        filt = b"/DCTDecode"
     objs: list[bytes] = []
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
@@ -1292,9 +1410,12 @@ def pdf_bytes_scanned(n_pages: int = 1, jpeg_payload: bytes | None = None) -> by
         )
     for _ in range(n_pages):
         objs.append(
-            b"<< /Type /XObject /Subtype /Image /Width 1275 /Height 1650"
-            b" /ColorSpace /DeviceRGB /BitsPerComponent 8"
-            b" /Filter /DCTDecode /Length "
+            b"<< /Type /XObject /Subtype /Image /Width "
+            + str(int(width)).encode()
+            + b" /Height "
+            + str(int(height)).encode()
+            + b" /ColorSpace /DeviceRGB /BitsPerComponent 8"
+            b" /Filter " + filt + b" /Length "
             + str(len(payload)).encode()
             + b" >>\nstream\n" + payload + b"\nendstream"
         )

@@ -384,3 +384,26 @@ def test_scanned_pdf_diagnostics_and_routing(spark, tmp_path):
         "text.pdf": ("text", 10, False),
         "blank.pdf": ("empty", 0, False),
     }
+
+
+def test_extract_pdf_images_roundtrip_and_codecs():
+    """Embedded image XObjects extract with their metadata: Flate raw
+    RGB decodes back to the exact forged pixels; a DCT XObject's raw
+    stream IS a complete JPEG payload; text PDFs yield none; unsupported
+    filters skip (crawl posture) or raise (strict)."""
+    px = bytes(range(16)) * 12  # 8x8 RGB = 192 bytes
+    blob = P.pdf_bytes_scanned(2, pixels=px, width=8, height=8)
+    imgs = P.extract_pdf_images(blob)
+    assert [i["page_no"] for i in imgs] == [0, 1]
+    for im in imgs:
+        assert (im["codec"], im["width"], im["height"], im["bits"]) == (
+            "raw", 8, 8, 8,
+        )
+        assert im["data"] == px and im["color_space"] == "DeviceRGB"
+    jm = P.extract_pdf_images(P.pdf_bytes_scanned(1))[0]
+    assert jm["codec"] == "jpeg" and jm["data"].startswith(b"\xff\xd8")
+    assert P.extract_pdf_images(P.pdf_bytes(["text only"])) == []
+    jbig = P.pdf_bytes_scanned(1).replace(b"/DCTDecode", b"/JBIG2Decode")
+    assert P.extract_pdf_images(jbig) == []
+    with pytest.raises(NotImplementedError, match="JBIG2"):
+        P.extract_pdf_images(jbig, errors="strict")
