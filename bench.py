@@ -150,6 +150,9 @@ HEADLINE = [
     "corpus_pack_bpe",
     "pipeline_pdf_route",
     "text_quality_lr_train",
+    "pipeline_quality_lr_filter",
+    "text_bpe_encode",
+    "pipeline_pdf_images",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

@@ -147,6 +147,9 @@ AUDITED = [
     ("corpus_pack_bpe", "tokenizer-true counts stay pure codegen inside the same keyed prefix-sum shape as corpus_pack — no UDF, no extra exchange"),
     ("pipeline_pdf_route", "forge + parse are pure map stages; routing is one map-side-combined per-source aggregate"),
     ("text_quality_lr_train", "per-iteration sufficient-statistics aggregate over the checkpointed feature frame; driver traffic is feature-dim-bounded"),
+    ("pipeline_quality_lr_filter", "learned weights applied as a pure codegen scan projection — no UDF, no model server"),
+    ("text_bpe_encode", "distinct pre-tokens encode once; order-preserving reassembly pays the one unavoidable doc-key exchange"),
+    ("pipeline_pdf_images", "forge → image walk → PNG re-container → perceptual hash: all pure map stages above the widen re-split"),
 ]
 
 
