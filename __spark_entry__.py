@@ -3296,6 +3296,27 @@ def _q_corpus_pack_bpe(spark, sf):
     )
 
 
+def _q_corpus_pack_nosplit(spark, sf):
+    """NO-TRUNCATION packing (next-fit, the SFT convention — examples
+    never split across sequences; overlong docs flagged, never silently
+    cut): per-bucket sequential walk inside applyInPandas over (id,
+    count) pairs only, global sequence ids via the tiny per-bucket
+    exclusive prefix broadcast. Oracle replays the walk exactly with a
+    RECURSIVE CTE stepping each bucket's rank order — next-fit is
+    deterministic, so both engines must agree on every assignment."""
+    from kusto_pre_forge_spark.operators import corpus as corpus_ops
+
+    d = load_table(spark, sf, "documents")
+    return corpus_ops.sequence_pack_nosplit(
+        d, "text", "doc_id", seq_len=512, num_buckets=16
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "overflow",
+    )
+
+
 def _q_corpus_pack_boundaries(spark, sf):
     """Per-sequence document-boundary offsets for block-diagonal
     attention over the 512-token packing — the mask info "sample
@@ -6686,6 +6707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_epoch_upsample": _q_corpus_epoch_upsample,
         "corpus_pack": _q_corpus_pack,
         "corpus_pack_bpe": _q_corpus_pack_bpe,
+        "corpus_pack_nosplit": _q_corpus_pack_nosplit,
         "corpus_line_dedup": _q_corpus_line_dedup,
         "contamination_check": _q_contamination_check,
         "contamination_bloom": _q_contamination_bloom,
@@ -7911,6 +7933,41 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_encode": _bpe_encode_oracle_sql(),
         # tokenizer-true packing: byte-BPE replay → window cumsum
         "corpus_pack_bpe": _pack_bpe_oracle_sql(),
+        "corpus_pack_nosplit": (
+            # next-fit replay: WITH RECURSIVE steps each bucket's
+            # (hash, doc_id) rank order carrying (seq_local, fill) —
+            # deterministic, so every assignment must match Spark's
+            # per-bucket sequential walk; global ids via the same
+            # bucket-ordered exclusive prefix
+            "WITH RECURSIVE t0 AS MATERIALIZED (SELECT "
+            "CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(len(" + _LTOKENS_SQL + ") AS BIGINT) AS n, "
+            "CAST(concat('0x', substr(md5(concat('kpf', '|', "
+            "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 "
+            "AS h FROM documents), "
+            "t AS MATERIALIZED (SELECT doc_id, n, h, "
+            "CAST(floor(h * 16) AS BIGINT) AS bucket, "
+            "row_number() OVER (PARTITION BY CAST(floor(h * 16) AS BIGINT) "
+            "ORDER BY h, doc_id) AS rn FROM t0), "
+            "rec AS (SELECT bucket, rn, doc_id, n, "
+            "CAST(0 AS BIGINT) AS seq_local, n AS fill FROM t WHERE rn = 1 "
+            "UNION ALL SELECT t.bucket, t.rn, t.doc_id, t.n, "
+            "CASE WHEN rec.fill + t.n <= 512 THEN rec.seq_local "
+            "ELSE rec.seq_local + 1 END, "
+            "CASE WHEN rec.fill + t.n <= 512 THEN rec.fill + t.n "
+            "ELSE t.n END "
+            "FROM rec JOIN t ON t.bucket = rec.bucket AND t.rn = rec.rn + 1), "
+            "cnt AS (SELECT bucket, max(seq_local) + 1 AS nseq FROM rec "
+            "GROUP BY bucket), "
+            "base AS (SELECT bucket, CAST(COALESCE(SUM(nseq) OVER ("
+            "ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS BIGINT) AS b FROM cnt) "
+            "SELECT r.doc_id, r.n AS n_tokens, "
+            "CAST(base.b + r.seq_local AS BIGINT) AS seq_id, "
+            "r.n > 512 AS overflow FROM rec r "
+            "JOIN base ON r.bucket = base.bucket"
+        ),
+
         # predictive invariant: cov(whitened) == I — the oracle emits the
         # identity matrix at the data's dim plus the vector count
         "embedding_whiten": (

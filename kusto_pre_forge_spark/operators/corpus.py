@@ -37,7 +37,7 @@ from __future__ import annotations
 import os
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 WS_RE = r"\s+"
@@ -307,6 +307,107 @@ def pack_attention_boundaries(
     return spans.groupBy("seq_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.array_sort(F.collect_list("offset")).alias("boundaries"),
+    )
+
+
+def sequence_pack_nosplit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seq_len: int,
+    salt: str = "kpf",
+    num_buckets: int = 64,
+    token_counter=None,
+) -> DataFrame:
+    """NO-TRUNCATION sequence packing (next-fit): walk documents in the
+    deterministic ``corpus_shuffle`` order and start a NEW sequence
+    whenever the current one cannot hold the next document whole —
+    documents are never split across sequences (the SFT/instruction-
+    tuning convention, where cutting an example mid-span corrupts the
+    label structure; cf. Krell et al. 2021's packing-without-
+    cross-contamination motivation — next-fit is its deterministic,
+    replayable baseline). A document longer than ``seq_len`` gets a
+    sequence of its own, flagged ``overflow`` (truncate or reroute
+    downstream — never silently).
+
+    Plan: hash-bucket the corpus (same bucketing as
+    :func:`sequence_pack`); the next-fit walk is inherently sequential
+    so it runs PER BUCKET inside one ``applyInPandas`` (each bucket's
+    docs sorted by (hash, id) — a few MB of (id, count) pairs per task,
+    never the text); per-bucket sequence counts then take the same tiny
+    exclusive-prefix broadcast as the keyed prefix sum, so sequence ids
+    are globally dense without any whole-corpus pass. Returns
+    (id, n_tokens, seq_id, overflow).
+
+    ``token_counter`` as in :func:`sequence_pack` (tokenizer-true
+    offsets)."""
+    import pandas as pd
+
+    k = F.col(id_col).cast("string")
+    h = _hash_unit(k, salt)
+    if token_counter is None:
+        toks = F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), WS_RE),
+            lambda w: w != "",
+        )
+        n_tokens = F.size(toks).cast("long")
+    else:
+        n_tokens = token_counter(F.col(text_col)).cast("long")
+    bucket = F.floor(h * F.lit(float(num_buckets))).cast("long")
+    t = df.select(
+        F.col(id_col),
+        h.alias("_h"),
+        n_tokens.alias("n_tokens"),
+        bucket.alias("_bucket"),
+    )
+    L = int(seq_len)
+
+    def pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_h", id_col]).reset_index(drop=True)
+        seq_local, fill = [], None
+        cur = -1
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if cur < 0 or fill + n > L:
+                cur += 1
+                fill = n
+            else:
+                fill += n
+            seq_local.append(cur)
+        pdf["_seq_local"] = seq_local
+        pdf["_bucket_seqs"] = (seq_local[-1] + 1) if seq_local else 0
+        return pdf
+
+    packed = t.groupBy("_bucket").applyInPandas(
+        pack_bucket,
+        f"{id_col} long, _h double, n_tokens long, _bucket long, "
+        "_seq_local long, _bucket_seqs long",
+    )
+    packed = packed.localCheckpoint(eager=False)
+    counts = (
+        packed.groupBy("_bucket")
+        .agg(F.max("_bucket_seqs").alias("_n"))
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bucket", "_base")
+    )
+    return (
+        packed.join(F.broadcast(counts), "_bucket")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (F.col("_base") + F.col("_seq_local")).cast("long").alias("seq_id"),
+            (F.col("n_tokens") > L).alias("overflow"),
+        )
     )
 
 

@@ -567,3 +567,50 @@ def test_sequence_pack_token_counter_hook(spark):
     assert sum(r["n_docs"] for r in b.values()) >= 3
     for r in b.values():
         assert all(0 <= o < 8 for o in r["boundaries"])
+
+
+def test_sequence_pack_nosplit_invariants(spark):
+    """Next-fit packing: no sequence exceeds seq_len unless it is a
+    single overlong (flagged) document; sequence ids are dense from 0;
+    documents never split; the token_counter hook composes."""
+    from kusto_pre_forge_spark.operators import corpus as corpus_ops
+
+    rows = [(i, "w " * ((i * 7) % 13 + 1)) for i in range(60)]
+    rows.append((999, "x " * 40))  # overlong vs seq_len=16
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus_ops.sequence_pack_nosplit(
+        df, "text", "doc_id", seq_len=16, num_buckets=4
+    ).collect()
+    assert len(out) == 61
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault(r.seq_id, []).append(r)
+    assert sorted(by_seq) == list(range(len(by_seq))), "ids must be dense"
+    for seq, docs in by_seq.items():
+        total = sum(r.n_tokens for r in docs)
+        if total > 16:
+            assert len(docs) == 1 and docs[0].overflow, (
+                "only a single overlong doc may exceed the cap"
+            )
+    ov = [r for r in out if r.doc_id == 999][0]
+    assert ov.overflow and ov.n_tokens == 40
+    assert len(by_seq[ov.seq_id]) == 1
+    # deterministic replay
+    out2 = corpus_ops.sequence_pack_nosplit(
+        df, "text", "doc_id", seq_len=16, num_buckets=4
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # tokenizer-true counts drive the fill decisions
+    from kusto_pre_forge_spark.operators import textprep as tp
+
+    merges = tp.train_bpe(df, n_merges=4, byte_level=True)
+    bpe = corpus_ops.sequence_pack_nosplit(
+        df, "text", "doc_id", seq_len=64, num_buckets=4,
+        token_counter=lambda c: tp.bpe_token_count(c, merges),
+    ).collect()
+    via_apply = {
+        r.doc_id: r.n_bpe_tokens
+        for r in tp.apply_bpe(df, merges, byte_level=True).collect()
+    }
+    for r in bpe:
+        assert r.n_tokens == via_apply[r.doc_id]
