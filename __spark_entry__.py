@@ -3296,6 +3296,35 @@ def _q_corpus_pack_bpe(spark, sf):
     )
 
 
+def _q_corpus_webdataset_roundtrip(spark, sf):
+    """The training-shard WRITE side closed against the archive READ
+    side: documents write as WebDataset tar shards (deterministic
+    bucketed-prefix-sum assignment, zeroed tar metadata, atomic
+    publish), then read back through the member-streaming tar front
+    door; the oracle is the IDENTITY — the roundtrip must be lossless,
+    which checks the sink's member framing and the reader's member
+    iteration against each other (the fixedwidth_roundtrip posture)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from kusto_pre_forge_spark.sinks.webdataset import write_webdataset
+    from kusto_pre_forge_spark.sources import autoextract as A
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"kpf-wds-{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    write_webdataset(d, out, max_members_per_shard=256).collect()
+    back = A.read_text_auto_stream(spark, out + "/*.tar")
+    return back.select(
+        F.regexp_extract("_kpf_source", r"!([0-9]+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+
+
 def _q_corpus_pack_nosplit(spark, sf):
     """NO-TRUNCATION packing (next-fit, the SFT convention — examples
     never split across sequences; overlong docs flagged, never silently
@@ -6708,6 +6737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack": _q_corpus_pack,
         "corpus_pack_bpe": _q_corpus_pack_bpe,
         "corpus_pack_nosplit": _q_corpus_pack_nosplit,
+        "corpus_webdataset_roundtrip": _q_corpus_webdataset_roundtrip,
         "corpus_line_dedup": _q_corpus_line_dedup,
         "contamination_check": _q_contamination_check,
         "contamination_bloom": _q_contamination_bloom,
@@ -7933,6 +7963,11 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_encode": _bpe_encode_oracle_sql(),
         # tokenizer-true packing: byte-BPE replay → window cumsum
         "corpus_pack_bpe": _pack_bpe_oracle_sql(),
+        "corpus_webdataset_roundtrip": (
+            # identity: the write->read roundtrip must be lossless
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "COALESCE(text, '') AS text FROM documents"
+        ),
         "corpus_pack_nosplit": (
             # next-fit replay: WITH RECURSIVE steps each bucket's
             # (hash, doc_id) rank order carrying (seq_local, fill) —

@@ -1,0 +1,106 @@
+"""WebDataset tar-shard sink — the training-shard container convention
+(webdataset.github.io; Aizman et al., "High Performance I/O For
+Large-Scale Deep Learning"): samples are consecutive tar members sharing
+a basename key (``<key>.txt`` here; sidecar ``<key>.json`` metadata
+optional), bundled into size-capped ``shard-%06d.tar`` files a training
+loader streams sequentially. This is the WRITE side of the archive front
+door (``autoextract`` reads tar bundles, incl. member-streamed past
+2 GiB) — forge→parse roundtrips pin the pair.
+
+Spark-first shape: shard ASSIGNMENT is the deterministic bucketed prefix
+sum every other sharder here uses (``plans/split.keyed_shard_assign`` —
+replayable by an external engine, no whole-corpus window); the tar WRITE
+is one ``applyInPandas`` per shard group, each task writing exactly its
+own ``shard-%06d.tar``. Tar metadata is zeroed (mtime/uid/gid), so a
+re-run writes BYTE-IDENTICAL shards — the idempotent-retry property the
+manifest sink's protocol expects of its writers.
+
+At 100 TB: members per shard bounds task memory (one member's bytes at a
+time are written via streaming addfile); shard count scales the write's
+parallelism; nothing collects.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WDS_MANIFEST_DDL = "shard_id long, path string, n_members long, n_bytes long"
+
+
+def write_webdataset(
+    df: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_members_per_shard: int = 512,
+    salt: str = "kpf",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Write (id, text) rows as WebDataset tar shards under ``out_dir``;
+    returns the shard manifest (shard_id, path, n_members, n_bytes) —
+    an ACTION result (the write happens when the manifest materializes).
+
+    Members are ``<id>.txt`` with UTF-8 text bytes, laid out in the
+    deterministic ``corpus_shuffle`` (hash, id) order that
+    ``sequence_pack`` uses, so shard contents are replayable: shard k
+    holds global positions [k·cap, (k+1)·cap)."""
+    from kusto_pre_forge_spark.operators.corpus import _hash_unit
+    from kusto_pre_forge_spark.plans.split import keyed_shard_assign
+
+    os.makedirs(out_dir, exist_ok=True)
+    h = _hash_unit(F.col(id_col).cast("string"), salt)
+    t = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_text"),
+        h.alias("_kpf_h"),
+    )
+    assigned = keyed_shard_assign(
+        t,
+        order_cols=["_kpf_h", id_col],
+        bucket=F.floor(F.col("_kpf_h") * F.lit(float(num_buckets))).cast(
+            "long"
+        ),
+        rec_bytes=F.lit(1).cast("long"),
+        max_bytes_per_shard=int(max_members_per_shard),
+        shard_col="_shard",
+        start_col="_pos",
+    )
+
+    def write_shard(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("_pos")
+        shard = int(pdf["_shard"].iloc[0])
+        path = os.path.join(out_dir, f"shard-{shard:06d}.tar")
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for i, txt in zip(pdf[id_col], pdf["_text"]):
+                data = str(txt).encode("utf-8")
+                ti = tarfile.TarInfo(f"{i}.txt")
+                ti.size = len(data)
+                ti.mtime = 0  # zeroed metadata → byte-identical re-runs
+                tf.addfile(ti, io.BytesIO(data))
+        body = buf.getvalue()
+        tmp = path + ".inprogress"
+        with open(tmp, "wb") as f:
+            f.write(body)
+        os.replace(tmp, path)  # atomic publish — readers never see a torn shard
+        return pd.DataFrame(
+            [
+                {
+                    "shard_id": shard,
+                    "path": path,
+                    "n_members": len(pdf),
+                    "n_bytes": len(body),
+                }
+            ]
+        )
+
+    return assigned.groupBy("_shard").applyInPandas(
+        write_shard, WDS_MANIFEST_DDL
+    )
