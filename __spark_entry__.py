@@ -2717,6 +2717,64 @@ def _q_pipeline_pdf_images(spark, sf):
     )
 
 
+def _q_pipeline_pdf_ocr(spark, sf):
+    """The OCR escape hatch end-to-end (scanned PDF → image walk → PNG
+    → ocr_text): the recognition model is the clearly-marked stub (this
+    container ships no OCR library; engine='tesseract' raises naming
+    the dependency, 'auto' routes per-worker), but every OTHER stage is
+    real — the PDF image extraction, the Flate pixel decode, the PNG
+    codec, and the Arrow plumbing — and the stub is DETERMINISTIC
+    (sha256 of decoded pixels → pseudo-words), so the oracle pins the
+    four texture transcripts as frozen vectors."""
+    import pandas as pd
+
+    from kusto_pre_forge_spark.operators import mediacodec as MC
+    from kusto_pre_forge_spark.operators import multimodal as MM
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+    from kusto_pre_forge_spark.sources import pdf as P
+
+    d = _widen_for_fanout(load_table(spark, sf, "documents").select("doc_id"))
+
+    def _pattern(k: int, w: int = 16, h: int = 16) -> bytes:
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = (x * x * 7 + y * y * 13 + k * 29 + x * y * (k + 3)) % 256
+                px += bytes((v, (v * 3 + 50 * k) % 256, (255 - v + 17 * k) % 256))
+        return bytes(px)
+
+    def forge(it):
+        for pdf in it:
+            paths, blobs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                paths.append(f"mem://ocr/{i}.pdf")
+                blobs.append(
+                    P.pdf_bytes_scanned(
+                        1, pixels=_pattern(i % 4), width=16, height=16
+                    )
+                )
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    blobs = d.mapInPandas(forge, "path string, content binary")
+    imgs = P.parse_pdf_images(blobs)
+
+    def to_png(it):
+        for pdf in it:
+            ids, pngs = [], []
+            for src, w, h, data in zip(
+                pdf["_kpf_source"], pdf["width"], pdf["height"], pdf["data"]
+            ):
+                ids.append(int(src.rsplit("/", 1)[-1].split(".")[0]))
+                pngs.append(MC.encode_png(int(w), int(h), bytes(data), 3))
+            yield pd.DataFrame({"doc_id": ids, "blob": pngs})
+
+    pngs = imgs.mapInPandas(to_png, "doc_id long, blob binary")
+    return MM.ocr_text(pngs, "blob", "doc_id", engine="stub").select(
+        "doc_id", "ocr_text", "ocr_engine", "n_chars"
+    )
+
+
 def _q_pipeline_multiformat_extract(spark, sf):
     """The document-container front end-to-end, cross-checked: every
     document is rendered into THREE real containers — a WARC-wrapped
@@ -6717,6 +6775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_archive_extract": _q_corpus_archive_extract,
         "pipeline_pdf_route": _q_pipeline_pdf_route,
         "pipeline_pdf_images": _q_pipeline_pdf_images,
+        "pipeline_pdf_ocr": _q_pipeline_pdf_ocr,
         "graph_label_propagation": _q_graph_label_propagation,
         "corpus_pack_boundaries": _q_corpus_pack_boundaries,
         "multimodal_dedup_recall": _q_multimodal_dedup_recall,
@@ -10305,6 +10364,18 @@ def oracle_sql() -> dict[str, str]:
             # see 3 formats with identical whitespace-normalized text
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
             "CAST(3 AS INT) AS n_formats, true AS consistent "
+            "FROM documents"
+        ),
+        "pipeline_pdf_ocr": (
+            # frozen stub transcripts: sha256 of the four decoded
+            # texture pixel streams, in the stub's 4x8-hex-word form
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CASE doc_id % 4 "
+            "WHEN 0 THEN '682c3668 32257aa7 778edde3 4d1c4e2d' "
+            "WHEN 1 THEN 'b8a1b660 4c04787c 59b706a5 12607478' "
+            "WHEN 2 THEN '7824cd90 3ecb7043 44cd4edd 58ff6d73' "
+            "ELSE '8ec49452 28f1b76a 2bc9bf84 ea54f680' END AS ocr_text, "
+            "'stub' AS ocr_engine, CAST(35 AS INT) AS n_chars "
             "FROM documents"
         ),
         "pipeline_pdf_images": (

@@ -953,3 +953,107 @@ def video_frame_dhash(
     return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
         batches, VIDEO_DHASH_SCHEMA
     )
+
+
+OCR_SCHEMA = "doc_id long, ocr_text string, ocr_engine string, n_chars int"
+
+
+def ocr_available() -> bool:
+    """True when an optional OCR binding (pytesseract) is importable in
+    THIS interpreter — checked on the executor inside the task, the
+    ``pyav_available`` routing posture."""
+    try:
+        import pytesseract  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def ocr_text(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    engine: str = "auto",
+) -> DataFrame:
+    """The OCR escape hatch for image-only documents (what
+    ``pdf.route_pdf_documents`` sends to the multimodal arm): PNG/JPEG
+    blobs → recognized text.
+
+    Engines:
+
+    - ``"tesseract"`` — the real path, gated behind an import-try:
+      this container ships no OCR library, so the worker raises
+      ``NotImplementedError`` naming the dependency (the engine's
+      clearly-marked stub posture for optional native decoders); on a
+      cluster where workers have pytesseract installed the same code
+      runs it.
+    - ``"stub"`` — a DETERMINISTIC fake (sha256 of the decoded pixel
+      bytes → pseudo-words): exercises the real Spark plumbing —
+      schema, decode, batching, downstream gate composition — with
+      replayable output any engine can predict.
+    - ``"auto"`` — tesseract when importable on the worker, stub
+      otherwise (the ``pyav`` routing convention).
+
+    The image DECODE half is always real (mediacodec PNG/JPEG/GIF/BMP);
+    only the recognition model is stubbed. One Arrow map stage."""
+    from kusto_pre_forge_spark.operators import mediacodec
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            ids, texts, engines, chars = [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                raw = bytes(blob)
+                kind = mediacodec.probe_bytes(raw)["media_kind"]
+                if kind == "png":
+                    w, h, ch, px = mediacodec.decode_png(raw)
+                elif kind == "jpeg":
+                    w, h, ch, px = mediacodec.decode_jpeg(raw)
+                elif kind == "gif":
+                    w, h, ch, px = mediacodec.decode_gif(raw)
+                elif kind == "bmp":
+                    w, h, ch, px = mediacodec.decode_bmp(raw)
+                else:
+                    raise NotImplementedError(
+                        f"ocr_text cannot decode media_kind={kind!r} — "
+                        "png/jpeg/gif/bmp route here; others go through "
+                        "their own decoders first"
+                    )
+                use = engine
+                if use == "auto":
+                    use = "tesseract" if ocr_available() else "stub"
+                if use == "tesseract":
+                    if not ocr_available():
+                        raise NotImplementedError(
+                            "OCR engine 'tesseract' requires pytesseract "
+                            "on the executors; install it or pass "
+                            "engine='stub' for the deterministic fake"
+                        )
+                    import pytesseract
+                    from PIL import Image  # noqa: F401 — pytesseract dep
+
+                    img = Image.frombytes("RGB", (w, h), bytes(px))
+                    text = pytesseract.image_to_string(img)
+                else:
+                    digest = hashlib.sha256(bytes(px)).hexdigest()
+                    text = " ".join(
+                        digest[k : k + 8] for k in range(0, 32, 8)
+                    )
+                ids.append(int(doc_id))
+                texts.append(text)
+                engines.append(use)
+                chars.append(len(text))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="Int64"),
+                    "ocr_text": texts,
+                    "ocr_engine": engines,
+                    "n_chars": pd.array(chars, dtype="Int32"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        batches, OCR_SCHEMA
+    )

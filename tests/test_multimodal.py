@@ -1327,3 +1327,36 @@ def test_image_phash_analytic_and_invariances(spark):
         ).collect()
     }
     assert (1, 2) in pairs and (3, 4) in pairs
+
+
+def test_ocr_text_stub_and_gating(spark):
+    """OCR escape hatch: the stub is deterministic over decoded pixels
+    (container-independent — the same image as PNG and BMP transcribes
+    identically), engine='tesseract' raises naming the missing
+    dependency in this container, and non-image blobs refuse loudly."""
+    import pytest
+
+    from kusto_pre_forge_spark.operators import mediacodec as MC
+    from kusto_pre_forge_spark.operators import multimodal as MM
+
+    px = bytes((i * 7) % 256 for i in range(4 * 4 * 3))
+    png = MC.encode_png(4, 4, px, 3)
+    df = spark.createDataFrame([(1, png), (2, png)], "doc_id long, blob binary")
+    out = {r.doc_id: r for r in MM.ocr_text(df, engine="stub").collect()}
+    assert out[1].ocr_text == out[2].ocr_text
+    assert out[1].ocr_engine == "stub" and out[1].n_chars == 35
+    words = out[1].ocr_text.split(" ")
+    assert len(words) == 4 and all(len(w) == 8 for w in words)
+
+    if not MM.ocr_available():
+        with pytest.raises(Exception, match="pytesseract"):
+            MM.ocr_text(df, engine="tesseract").collect()
+        # auto routes to the stub on workers without the dependency
+        auto = MM.ocr_text(df, engine="auto").collect()[0]
+        assert auto.ocr_engine == "stub"
+
+    bad = spark.createDataFrame(
+        [(9, b"\x00\x01not-an-image")], "doc_id long, blob binary"
+    )
+    with pytest.raises(Exception, match="media_kind"):
+        MM.ocr_text(bad, engine="stub").collect()
