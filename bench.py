@@ -153,6 +153,9 @@ HEADLINE = [
     "pipeline_quality_lr_filter",
     "text_bpe_encode",
     "pipeline_pdf_images",
+    "corpus_pack_nosplit",
+    "corpus_webdataset_roundtrip",
+    "pipeline_pdf_ocr",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

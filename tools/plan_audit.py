@@ -150,6 +150,9 @@ AUDITED = [
     ("pipeline_quality_lr_filter", "learned weights applied as a pure codegen scan projection — no UDF, no model server"),
     ("text_bpe_encode", "distinct pre-tokens encode once; order-preserving reassembly pays the one unavoidable doc-key exchange"),
     ("pipeline_pdf_images", "forge → image walk → PNG re-container → perceptual hash: all pure map stages above the widen re-split"),
+    ("corpus_pack_nosplit", "per-bucket sequential next-fit over (id, count) pairs; global ids via the tiny per-bucket prefix broadcast"),
+    ("corpus_webdataset_roundtrip", "shard write is one applyInPandas task per shard above the bucketed prefix sum; read-back is a pure map stage"),
+    ("pipeline_pdf_ocr", "forge → image walk → PNG → stub transcription: pure map stages; the recognition model is the only stubbed step"),
 ]
 
 
