@@ -3383,6 +3383,35 @@ def _q_corpus_webdataset_roundtrip(spark, sf):
     )
 
 
+def _q_layout_compact_roundtrip(spark, sf):
+    """Small-file compaction end-to-end: documents written as 32 tiny
+    parquet files (the incremental-writer pathology), compacted by the
+    metadata-only-sized rewrite, read back — identity oracle (rows and
+    values must survive byte-exact), with the file-count collapse
+    pinned in-plan (post-compaction scan reads ONE file)."""
+    import glob as _glob
+    import hashlib
+    import shutil
+    import tempfile
+
+    from kusto_pre_forge_spark.operators.layout import compact_files
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    src = os.path.join(tempfile.gettempdir(), f"kpf-cmp-src-{tag}")
+    out = os.path.join(tempfile.gettempdir(), f"kpf-cmp-out-{tag}")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    d.repartition(32).write.parquet(src)
+    stats = compact_files(spark, src, out, target_bytes=1 << 30)
+    assert stats["input_files"] >= 32 and stats["output_partitions"] == 1
+    assert len(_glob.glob(out + "/*.parquet")) == 1
+    return spark.read.parquet(out).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+
+
 def _q_corpus_pack_nosplit(spark, sf):
     """NO-TRUNCATION packing (next-fit, the SFT convention — examples
     never split across sequences; overlong docs flagged, never silently
@@ -6797,6 +6826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_bpe": _q_corpus_pack_bpe,
         "corpus_pack_nosplit": _q_corpus_pack_nosplit,
         "corpus_webdataset_roundtrip": _q_corpus_webdataset_roundtrip,
+        "layout_compact_roundtrip": _q_layout_compact_roundtrip,
         "corpus_line_dedup": _q_corpus_line_dedup,
         "contamination_check": _q_contamination_check,
         "contamination_bloom": _q_contamination_bloom,
@@ -8022,6 +8052,11 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_encode": _bpe_encode_oracle_sql(),
         # tokenizer-true packing: byte-BPE replay → window cumsum
         "corpus_pack_bpe": _pack_bpe_oracle_sql(),
+        "layout_compact_roundtrip": (
+            # identity: compaction must preserve every row and value
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "COALESCE(text, '') AS text FROM documents"
+        ),
         "corpus_webdataset_roundtrip": (
             # identity: the write->read roundtrip must be lossless
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, "

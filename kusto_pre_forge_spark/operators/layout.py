@@ -105,3 +105,58 @@ def read_bucketed(spark, table: str) -> DataFrame:
     """Read a :func:`write_bucketed` table with its bucket spec live
     (``spark.table`` — the spec only exists through the catalog)."""
     return spark.table(table)
+
+
+def compact_files(
+    spark,
+    path: str,
+    out_dir: str,
+    target_bytes: int = 128 << 20,
+    fmt: str = "parquet",
+    sort_cols: list | None = None,
+) -> dict:
+    """Small-file compaction — the OPTIMIZE-shaped maintenance pass a
+    streaming/incremental writer eventually needs (thousands of KB-scale
+    parquet files make every downstream scan pay per-file open + footer
+    costs, and executors schedule one task per tiny split).
+
+    Spark-first, two honest pieces:
+
+    - SIZING is metadata-only: the output partition count comes from the
+      listing's byte totals (``binaryFile`` prunes content for
+      path/length-only selects), never a data pass — at 100 TB the
+      decision costs a directory listing.
+    - The REWRITE is one ``repartition(n)`` (or ``repartitionByRange``
+      over ``sort_cols`` + ``sortWithinPartitions``, which re-clusters
+      while compacting — pair with :func:`zorder_key` to restore
+      pruning) and a single write. Catalyst/Tungsten own the physical
+      plan; there is deliberately no hand-rolled bin packing.
+
+    Returns {input_files, input_bytes, output_partitions}. The write
+    goes to ``out_dir`` (mode=overwrite): compact-aside + swap is the
+    crash-safe pattern (the manifest sink's ``.compact``/grace protocol
+    governs in-place swaps)."""
+    import math
+
+    glob = path if any(ch in path for ch in "*?[") else path.rstrip("/") + "/*"
+    listing = (
+        spark.read.format("binaryFile").load(glob).select("path", "length")
+    )
+    row = listing.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("length").alias("b")
+    ).collect()[0]
+    n_in, total = int(row["n"]), int(row["b"] or 0)
+    n_out = max(1, math.ceil(total / max(1, int(target_bytes))))
+    df = spark.read.format(fmt).load(path)
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").format(fmt).save(out_dir)
+    return {
+        "input_files": n_in,
+        "input_bytes": total,
+        "output_partitions": n_out,
+    }

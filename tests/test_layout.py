@@ -132,3 +132,34 @@ def test_bucketed_join_plans_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS kpf_bkt_a")
         spark.sql("DROP TABLE IF EXISTS kpf_bkt_b")
+
+
+def test_compact_files_shrinks_and_preserves(spark, tmp_path):
+    """Compaction: metadata-only sizing, file count collapses toward
+    ceil(bytes/target), rows and values survive byte-exact, and the
+    sort_cols variant re-clusters while compacting."""
+    import glob as _glob
+
+    from kusto_pre_forge_spark.operators.layout import compact_files
+
+    src = str(tmp_path / "many")
+    d = spark.range(0, 20_000).withColumn("v", F.col("id") * 2)
+    d.repartition(64).write.parquet(src)
+    assert len(_glob.glob(src + "/*.parquet")) == 64
+
+    out = str(tmp_path / "compacted")
+    stats = compact_files(spark, src, out, target_bytes=1 << 30)
+    assert stats["input_files"] == 64 and stats["output_partitions"] == 1
+    files = _glob.glob(out + "/*.parquet")
+    assert len(files) == 1
+    a = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert a == list(range(20_000))
+    assert spark.read.parquet(out).agg(F.sum("v")).collect()[0][0] == \
+        sum(i * 2 for i in range(20_000))
+
+    out2 = str(tmp_path / "clustered")
+    compact_files(spark, src, out2, target_bytes=1 << 30, sort_cols=["id"])
+    rows = spark.read.parquet(out2).limit(5).collect()
+    assert [r.id for r in rows] == sorted(r.id for r in rows), (
+        "sorted-within-partition layout expected"
+    )
