@@ -156,6 +156,7 @@ HEADLINE = [
     "corpus_pack_nosplit",
     "corpus_webdataset_roundtrip",
     "pipeline_pdf_ocr",
+    "layout_compact_roundtrip",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

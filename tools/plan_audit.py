@@ -153,6 +153,7 @@ AUDITED = [
     ("corpus_pack_nosplit", "per-bucket sequential next-fit over (id, count) pairs; global ids via the tiny per-bucket prefix broadcast"),
     ("corpus_webdataset_roundtrip", "shard write is one applyInPandas task per shard above the bucketed prefix sum; read-back is a pure map stage"),
     ("pipeline_pdf_ocr", "forge → image walk → PNG → stub transcription: pure map stages; the recognition model is the only stubbed step"),
+    ("layout_compact_roundtrip", "metadata-only sizing; the rewrite is one repartition + write; read-back scans ONE compacted file"),
 ]
 
 
