@@ -40,6 +40,7 @@ def write_webdataset(
     max_members_per_shard: int = 512,
     salt: str = "kpf",
     num_buckets: int = 64,
+    meta_cols: tuple = (),
 ) -> DataFrame:
     """Write (id, text) rows as WebDataset tar shards under ``out_dir``;
     returns the shard manifest (shard_id, path, n_members, n_bytes) —
@@ -48,7 +49,11 @@ def write_webdataset(
     Members are ``<id>.txt`` with UTF-8 text bytes, laid out in the
     deterministic ``corpus_shuffle`` (hash, id) order that
     ``sequence_pack`` uses, so shard contents are replayable: shard k
-    holds global positions [k·cap, (k+1)·cap)."""
+    holds global positions [k·cap, (k+1)·cap). ``meta_cols`` adds the
+    convention's sidecar: a ``<id>.json`` member immediately after each
+    sample's ``.txt``, holding those columns as a sorted-key JSON
+    object (sort_keys + zeroed tar metadata keep re-runs
+    byte-identical)."""
     from kusto_pre_forge_spark.operators.corpus import _hash_unit
     from kusto_pre_forge_spark.plans.split import keyed_shard_assign
 
@@ -58,6 +63,7 @@ def write_webdataset(
         F.col(id_col),
         F.coalesce(F.col(text_col), F.lit("")).alias("_text"),
         h.alias("_kpf_h"),
+        *[F.col(c) for c in meta_cols],
     )
     assigned = keyed_shard_assign(
         t,
@@ -72,6 +78,8 @@ def write_webdataset(
     )
 
     def write_shard(pdf):
+        import json
+
         import pandas as pd
 
         pdf = pdf.sort_values("_pos")
@@ -79,12 +87,28 @@ def write_webdataset(
         path = os.path.join(out_dir, f"shard-{shard:06d}.tar")
         buf = io.BytesIO()
         with tarfile.open(fileobj=buf, mode="w") as tf:
-            for i, txt in zip(pdf[id_col], pdf["_text"]):
-                data = str(txt).encode("utf-8")
-                ti = tarfile.TarInfo(f"{i}.txt")
+
+            def add(name: str, data: bytes) -> None:
+                ti = tarfile.TarInfo(name)
                 ti.size = len(data)
                 ti.mtime = 0  # zeroed metadata → byte-identical re-runs
                 tf.addfile(ti, io.BytesIO(data))
+
+            for _, row in pdf.iterrows():
+                i = row[id_col]
+                add(f"{i}.txt", str(row["_text"]).encode("utf-8"))
+                if meta_cols:
+                    meta = {c: row[c] for c in meta_cols}
+                    add(
+                        f"{i}.json",
+                        json.dumps(
+                            {
+                                k: (v.item() if hasattr(v, "item") else v)
+                                for k, v in meta.items()
+                            },
+                            sort_keys=True,
+                        ).encode("utf-8"),
+                    )
         body = buf.getvalue()
         tmp = path + ".inprogress"
         with open(tmp, "wb") as f:

@@ -38,3 +38,30 @@ def test_webdataset_roundtrip_and_determinism(spark, tmp_path):
     with tarfile.open(shards[0]) as tf:
         names = [m.name for m in tf]
     assert len(names) == len(set(names)) and all(n.endswith(".txt") for n in names)
+
+
+def test_webdataset_meta_sidecars(spark, tmp_path):
+    """meta_cols writes the convention's <id>.json sidecar right after
+    each sample's .txt, deterministic (sorted keys, zeroed metadata)."""
+    import json
+    import tarfile
+
+    df = spark.createDataFrame(
+        [(1, "alpha", "web", 0.9), (2, "beta", "books", 0.4)],
+        "doc_id long, text string, source string, score double",
+    )
+    out = str(tmp_path / "wds_meta")
+    write_webdataset(
+        df, out, max_members_per_shard=8, num_buckets=2,
+        meta_cols=("source", "score"),
+    ).collect()
+    members = {}
+    for p in sorted(glob.glob(out + "/shard-*.tar")):
+        with tarfile.open(p) as tf:
+            for m in tf:
+                members[m.name] = tf.extractfile(m).read()
+    assert members["1.txt"] == b"alpha"
+    assert json.loads(members["1.json"]) == {"source": "web", "score": 0.9}
+    assert json.loads(members["2.json"]) == {"source": "books", "score": 0.4}
+    names = sorted(members)
+    assert {n.split(".")[-1] for n in names} == {"txt", "json"}
