@@ -3412,6 +3412,38 @@ def _q_layout_compact_roundtrip(spark, sf):
     )
 
 
+def _q_corpus_pack_materialize(spark, sf):
+    """The trainer hand-off MATERIALIZED (round-11 capstone): text →
+    byte-BPE ids → fixed-512 packed sequences with block-diagonal
+    boundaries, as actual id rows a dataloader consumes. Docs explode
+    to array SLICES per overlapped sequence (never per-token rows);
+    one per-sequence aggregate reassembles. The oracle replays the
+    ENTIRE chain — BPE training, per-doc encoding, the pack cumsum,
+    fragment slicing, and per-sequence reassembly — so every id in
+    every sequence is independently derived."""
+    from kusto_pre_forge_spark.operators import corpus as corpus_ops
+    from kusto_pre_forge_spark.operators import textprep
+
+    d = load_table(spark, sf, "documents")
+    merges = textprep.train_bpe(d, n_merges=6, byte_level=True)
+    seqs = corpus_ops.materialize_packed_sequences(
+        d, merges, "text", "doc_id", seq_len=512
+    )
+    return seqs.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.size("ids").cast("long").alias("n_ids"),
+        F.concat_ws(
+            ",",
+            F.transform(F.slice("ids", 1, 8), lambda v: v.cast("string")),
+        ).alias("ids_head"),
+        "n_docs",
+        F.concat_ws(
+            ",",
+            F.transform(F.col("boundaries"), lambda v: v.cast("string")),
+        ).alias("boundaries"),
+    )
+
+
 def _q_corpus_pack_nosplit(spark, sf):
     """NO-TRUNCATION packing (next-fit, the SFT convention — examples
     never split across sequences; overlong docs flagged, never silently
@@ -6825,6 +6857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack": _q_corpus_pack,
         "corpus_pack_bpe": _q_corpus_pack_bpe,
         "corpus_pack_nosplit": _q_corpus_pack_nosplit,
+        "corpus_pack_materialize": _q_corpus_pack_materialize,
         "corpus_webdataset_roundtrip": _q_corpus_webdataset_roundtrip,
         "layout_compact_roundtrip": _q_layout_compact_roundtrip,
         "corpus_line_dedup": _q_corpus_line_dedup,
@@ -7819,6 +7852,61 @@ def _lr_filter_oracle_sql(n_iters: int = 8, lr: float = 0.2) -> str:
     )
 
 
+def _pack_materialize_oracle_sql(
+    n_merges: int = 6, min_pair: int = 2, seq_len: int = 512
+) -> str:
+    """corpus_pack_materialize's oracle: the shared byte-BPE replay →
+    per-doc id arrays (the text_bpe_encode tail) → pack cumsum in
+    (hash, doc_id) order → per-sequence fragment slices (DuckDB
+    1-based INCLUSIVE list slicing) reassembled in offset order."""
+    n = n_merges
+    L = seq_len
+    ms = ", ".join(
+        f"CASE WHEN (SELECT coalesce(max(n), 0) FROM b{i}) >= {min_pair} "
+        f"THEN (SELECT a FROM b{i}) || (SELECT b FROM b{i}) END AS m{i}"
+        for i in range(n_merges)
+    )
+    merge_cases = " ".join(
+        f"WHEN t = m{i} THEN {256 + i}" for i in range(n_merges)
+    )
+    inv = (
+        "CASE WHEN unicode(t) < 256 THEN unicode(t) "
+        "WHEN unicode(t) <= 288 THEN unicode(t) - 256 "
+        "WHEN unicode(t) <= 322 THEN unicode(t) - 162 "
+        "ELSE 173 END"
+    )
+    return _bpe_byte_ctes(n_merges, min_pair) + (
+        f", mm AS MATERIALIZED (SELECT {ms})"
+        ", wid AS MATERIALIZED (SELECT doc_id, pos, "
+        "list_transform(string_split(s, ' '), t -> "
+        f"CASE {merge_cases} ELSE {inv} END) AS ids FROM ds{n}, mm)"
+        ", ag AS MATERIALIZED (SELECT doc_id, "
+        "flatten(list(ids ORDER BY pos)) AS al FROM wid GROUP BY doc_id)"
+        ", packt AS MATERIALIZED (SELECT doc_id, al, "
+        "CAST(len(al) AS BIGINT) AS nn, "
+        "CAST(COALESCE(SUM(len(al)) OVER (ORDER BY "
+        "CAST(concat('0x', substr(md5(concat('kpf', '|', "
+        "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0, "
+        "doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS BIGINT) AS st FROM ag WHERE len(al) > 0)"
+        ", fr AS MATERIALIZED (SELECT CAST(u.s AS BIGINT) AS seq_id, "
+        f"greatest(st, u.s * {L}) - u.s * {L} AS off, "
+        f"al[(greatest(u.s * {L} - st, 0) + 1):"
+        f"(least(st + nn, (u.s + 1) * {L}) - st)] AS frag "
+        f"FROM packt, unnest(range(CAST(FLOOR(st / {L}) AS BIGINT), "
+        f"CAST(FLOOR((st + nn - 1) / {L}) AS BIGINT) + 1)) u(s)) "
+        "SELECT seq_id, CAST(len(flatten(list(frag ORDER BY off))) "
+        "AS BIGINT) AS n_ids, "
+        "array_to_string(list_transform("
+        "flatten(list(frag ORDER BY off))[1:8], "
+        "x -> CAST(x AS VARCHAR)), ',') AS ids_head, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "array_to_string(list_transform(list_sort(list(off)), "
+        "x -> CAST(x AS VARCHAR)), ',') AS boundaries "
+        "FROM fr GROUP BY seq_id"
+    )
+
+
 def _bpe_oracle_sql(n_merges: int = 6, min_pair: int = 2) -> str:
     """Full replay of train_bpe + apply_bpe in DuckDB — the 6 training
     iterations UNROLLED as chained CTEs (word-type table → adjacent-pair
@@ -8062,6 +8150,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
             "COALESCE(text, '') AS text FROM documents"
         ),
+        "corpus_pack_materialize": _pack_materialize_oracle_sql(),
         "corpus_pack_nosplit": (
             # next-fit replay: WITH RECURSIVE steps each bucket's
             # (hash, doc_id) rank order carrying (seq_local, fill) —

@@ -182,6 +182,9 @@ CHECKSUM_ACTION = {
     # count(), but the typed substring/try_cast parse projections were
     # pruned — the same trap as the four above
     "fixedwidth_roundtrip",
+    # r11: count() on a plain parquet read-back is a footer row-count —
+    # the checksum forces the compacted file to actually scan
+    "layout_compact_roundtrip",
 }
 
 

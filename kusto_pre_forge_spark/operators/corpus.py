@@ -310,6 +310,85 @@ def pack_attention_boundaries(
     )
 
 
+def materialize_packed_sequences(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 512,
+    salt: str = "kpf",
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """The trainer hand-off, MATERIALIZED: text → byte-BPE token ids →
+    fixed-length packed sequences with block-diagonal attention
+    boundaries — (seq_id, ids, n_docs, boundaries), every sequence
+    exactly ``seq_len`` ids except the global last. This is the row a
+    dataloader consumes; everything upstream (pack offsets, boundary
+    masks, token budgets) was bookkeeping for this.
+
+    Plan: per-doc id arrays (``textprep.bpe_encode_arrays``), the same
+    distributed prefix sum as :func:`sequence_pack` for global offsets,
+    then each doc explodes to the ≤ n/L + 1 sequences it overlaps as
+    ARRAY SLICES (never per-token rows — constant amortized fan-out),
+    and one per-sequence aggregate reassembles fragments in offset
+    order. A sequence row is ≤ seq_len ints; no whole-corpus window,
+    no driver state."""
+    from kusto_pre_forge_spark.operators.textprep import bpe_encode_arrays
+    from kusto_pre_forge_spark.plans.split import keyed_shard_assign
+
+    enc = bpe_encode_arrays(df, merges, text_col, id_col).filter(
+        F.size("ids") > 0
+    )
+    h = _hash_unit(F.col(id_col).cast("string"), salt)
+    t = enc.select(
+        F.col(id_col),
+        F.col("ids"),
+        h.alias("_kpf_h"),
+        F.size("ids").cast("long").alias("_n"),
+    )
+    assigned = keyed_shard_assign(
+        t,
+        order_cols=["_kpf_h", id_col],
+        bucket=F.floor(F.col("_kpf_h") * F.lit(float(num_buckets))).cast(
+            "long"
+        ),
+        rec_bytes=F.col("_n"),
+        max_bytes_per_shard=int(seq_len),
+        shard_col="_seq_first",
+        start_col="token_start",
+    )
+    L = F.lit(int(seq_len))
+    start = F.col("token_start")
+    n = F.col("_n")
+    first_seq = F.floor(start / L).cast("long")
+    last_seq = F.floor((start + n - 1) / L).cast("long")
+    spans = assigned.select(
+        "ids",
+        start,
+        n,
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    glob_from = F.greatest(start, F.col("seq_id") * L)
+    glob_to = F.least(start + n, (F.col("seq_id") + 1) * L)  # exclusive
+    local_from = (glob_from - start).cast("int")
+    frag_len = (glob_to - glob_from).cast("int")
+    frags = spans.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (glob_from - F.col("seq_id") * L).cast("long").alias("offset"),
+        F.slice("ids", local_from + F.lit(1), frag_len).alias("frag"),
+    )
+    return frags.groupBy("seq_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("offset", "frag"))),
+                lambda x: x["frag"],
+            )
+        ).alias("ids"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.array_sort(F.collect_list("offset")).alias("boundaries"),
+    )
+
+
 def sequence_pack_nosplit(
     df: DataFrame,
     text_col: str,

@@ -754,6 +754,39 @@ def _bpe_encode_udf(merges: list[tuple[str, str]]):
     return pandas_udf(encode_batch, "array<int>", PandasUDFType.SCALAR)
 
 
+def bpe_encode_arrays(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, ids) with the FULL per-document token-id array in document
+    order — the building block :func:`bpe_encode` (head probe) and
+    :func:`corpus.materialize_packed_sequences` (trainer hand-off)
+    share. Same plan as bpe_encode: distinct pre-tokens encode once,
+    order-preserving reassembly pays the one doc-key exchange."""
+    t = df.select(
+        F.col(id_col),
+        F.posexplode(
+            byte_pretokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("pos", "w"),
+    )
+    encoded = (
+        t.select("w")
+        .distinct()
+        .select("w", _bpe_encode_udf(merges)(F.col("w")).alias("_ids"))
+    )
+    joined = t.join(encoded, "w")
+    return joined.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_ids"))),
+                lambda x: x["_ids"],
+            )
+        ).alias("ids")
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -774,33 +807,14 @@ def bpe_encode(
     one-exchange-per-side shape as apply_bpe's rank-dict path, plus the
     unavoidable reassembly exchange any order-preserving document
     rebuild pays (cf. line_dedup)."""
-    t = df.select(
-        F.col(id_col),
-        F.posexplode(
-            byte_pretokens(F.coalesce(F.col(text_col), F.lit("")))
-        ).alias("pos", "w"),
-    )
-    encoded = (
-        t.select("w")
-        .distinct()
-        .select("w", _bpe_encode_udf(merges)(F.col("w")).alias("_ids"))
-    )
-    joined = t.join(encoded, "w")
-    per_doc = joined.groupBy(id_col).agg(
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "_ids"))),
-                lambda x: x["_ids"],
-            )
-        ).alias("_all")
-    )
+    per_doc = bpe_encode_arrays(df, merges, text_col, id_col)
     return per_doc.select(
         F.col(id_col),
-        F.size("_all").cast("long").alias("n_tokens"),
+        F.size("ids").cast("long").alias("n_tokens"),
         F.concat_ws(
             ",",
             F.transform(
-                F.slice("_all", 1, int(head)), lambda v: v.cast("string")
+                F.slice("ids", 1, int(head)), lambda v: v.cast("string")
             ),
         ).alias("ids_head"),
     )

@@ -614,3 +614,44 @@ def test_sequence_pack_nosplit_invariants(spark):
     }
     for r in bpe:
         assert r.n_tokens == via_apply[r.doc_id]
+
+
+def test_materialize_packed_sequences_invariants(spark):
+    """The materialized trainer rows: every sequence except the global
+    last is exactly seq_len ids; the concatenated sequence stream
+    equals the per-doc id arrays laid out in (hash, id) order;
+    boundaries are in-range sorted offsets; seq ids dense."""
+    from kusto_pre_forge_spark.operators import corpus as C
+    from kusto_pre_forge_spark.operators import textprep as tp
+    from kusto_pre_forge_spark.operators.corpus import _hash_unit
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} body " * (i % 7 + 1)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    merges = tp.train_bpe(df, n_merges=4, byte_level=True)
+    seqs = (
+        C.materialize_packed_sequences(df, merges, seq_len=32)
+        .orderBy("seq_id")
+        .collect()
+    )
+    enc = {r.doc_id: list(r.ids) for r in tp.bpe_encode_arrays(df, merges).collect()}
+    assert sum(len(r.ids) for r in seqs) == sum(map(len, enc.values()))
+    assert [r.seq_id for r in seqs] == list(range(len(seqs)))
+    for r in seqs[:-1]:
+        assert len(r.ids) == 32
+    for r in seqs:
+        assert list(r.boundaries) == sorted(r.boundaries)
+        assert all(0 <= o < 32 for o in r.boundaries)
+        assert r.n_docs == len(r.boundaries)
+    hs = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id",
+            _hash_unit(F.col("doc_id").cast("string"), "kpf").alias("h"),
+        ).collect()
+    }
+    order = sorted(hs, key=lambda d: (hs[d], d))
+    stream = [i for d in order for i in enc[d]]
+    got = [i for r in seqs for i in r.ids]
+    assert got == stream, "global id stream must equal the concat order"
