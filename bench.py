@@ -157,6 +157,7 @@ HEADLINE = [
     "corpus_webdataset_roundtrip",
     "pipeline_pdf_ocr",
     "layout_compact_roundtrip",
+    "corpus_pack_materialize",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

@@ -154,6 +154,7 @@ AUDITED = [
     ("corpus_webdataset_roundtrip", "shard write is one applyInPandas task per shard above the bucketed prefix sum; read-back is a pure map stage"),
     ("pipeline_pdf_ocr", "forge → image walk → PNG → stub transcription: pure map stages; the recognition model is the only stubbed step"),
     ("layout_compact_roundtrip", "metadata-only sizing; the rewrite is one repartition + write; read-back scans ONE compacted file"),
+    ("corpus_pack_materialize", "docs explode to array SLICES per overlapped sequence (constant fan-out) above the keyed prefix sum; one per-sequence aggregate"),
 ]
 
 
