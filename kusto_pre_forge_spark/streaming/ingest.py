@@ -713,6 +713,76 @@ class StreamingEtl:
 
         return self._start(process, trigger_seconds, available_now)
 
+    def webdataset_ingest_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        out_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        max_members_per_shard: int = 512,
+    ) -> int:
+        """One micro-batch of continuous WebDataset shard production:
+        each landed SOURCE FILE's documents write as tar shards under
+        ``out_dir/<md5(file)[:16]>/`` — a pure function of that file
+        alone, the :meth:`corpus_stats_batch` replay posture (batch ids
+        renumber when a checkpoint is lost; file keys never do), and
+        the sink's zeroed-metadata + atomic-rename write makes ANY
+        replay — same checkpoint or rebuilt, same packing or repacked —
+        overwrite each shard byte-identically. Consumers glob
+        ``out_dir/*/shard-*.tar`` (the archive front door reads them
+        back, member-streamed). Returns members written."""
+        import os as _os
+
+        from kusto_pre_forge_spark.sinks.webdataset import write_webdataset
+
+        fkey = F.substring(F.md5(F.col("_kpf_source")), 1, 16)
+        batch = batch_df.withColumn("_kpf_file", fkey).dropDuplicates(
+            [id_col, "_kpf_file"]
+        )
+        files = [r["_kpf_file"] for r in batch.select("_kpf_file").distinct().collect()]
+        total = 0
+        for fk in sorted(files):
+            sub = batch.filter(F.col("_kpf_file") == fk).select(
+                id_col, text_col
+            )
+            man = write_webdataset(
+                sub,
+                _os.path.join(out_dir, fk),
+                text_col=text_col,
+                id_col=id_col,
+                max_members_per_shard=max_members_per_shard,
+            ).agg(F.sum("n_members").alias("n")).collect()[0]
+            total += int(man["n"] or 0)
+        return total
+
+    def start_webdataset_ingest(
+        self,
+        out_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        max_members_per_shard: int = 512,
+        trigger_seconds: int | None = 60,
+        available_now: bool = False,
+    ) -> StreamingQuery:
+        """Continuous training-shard production: landed documents roll
+        into WebDataset tar shards as they arrive — the streaming twin
+        of ``sinks.webdataset.write_webdataset``, replay-exact via
+        per-source-file shard directories (see
+        :meth:`webdataset_ingest_batch`)."""
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            self.webdataset_ingest_batch(
+                batch_df,
+                batch_id,
+                out_dir,
+                text_col,
+                id_col,
+                max_members_per_shard,
+            )
+
+        return self._start(process, trigger_seconds, available_now)
+
     def corpus_stats_batch(
         self,
         batch_df: DataFrame,

@@ -5,6 +5,8 @@ through the archive front door."""
 import glob
 import tarfile
 
+from pyspark.sql import functions as F
+
 from kusto_pre_forge_spark.sinks.webdataset import write_webdataset
 from kusto_pre_forge_spark.sources import autoextract as A
 
@@ -65,3 +67,87 @@ def test_webdataset_meta_sidecars(spark, tmp_path):
     assert json.loads(members["2.json"]) == {"source": "books", "score": 0.4}
     names = sorted(members)
     assert {n.split(".")[-1] for n in names} == {"txt", "json"}
+
+
+def test_streaming_webdataset_ingest(spark, tmp_path):
+    """Continuous shard production: two landing waves roll into
+    per-source-file shard dirs; the full member set reads back through
+    the archive front door; replaying a wave overwrites byte-identical
+    shards (never duplicates)."""
+    import csv as _csv
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from kusto_pre_forge_spark.streaming.ingest import StreamingEtl
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    waves = [
+        [(1, "alpha one"), (2, "beta two")],
+        [(3, "gamma three"), (4, "delta four")],
+    ]
+    land = tmp_path / "wds_landing"
+    land.mkdir()
+    out = str(tmp_path / "wds_out")
+    etl = StreamingEtl(
+        spark,
+        str(land),
+        str(tmp_path / "ckpt_wds"),
+        str(tmp_path / "unused_wds"),
+        schema,
+        fmt="csv",
+        csv_headers=False,
+        max_files_per_trigger=1,
+    )
+    now = _time.time()
+    for i, wave in enumerate(waves):
+        p = land / f"wave{i}.csv"
+        with open(p, "w", newline="") as f:
+            _csv.writer(f).writerows(wave)
+        _os.utime(p, (now + i * 10, now + i * 10))
+    q = etl.start_webdataset_ingest(
+        out, trigger_seconds=None, available_now=True
+    )
+    q.awaitTermination(300)
+    shards = sorted(glob.glob(out + "/*/shard-*.tar"))
+    assert len(shards) >= 2  # one dir per landing file
+    back = {
+        int(r._kpf_source.split("!")[-1].split(".")[0]): r.text
+        for r in A.read_text_auto_stream(spark, out + "/*/*.tar").collect()
+    }
+    assert back == {1: "alpha one", 2: "beta two", 3: "gamma three", 4: "delta four"}
+    # replay wave 0 through the batch hook (any replay overwrites its
+    # own file-keyed shard dir byte-identically — never duplicates)
+    before = {p: open(p, "rb").read() for p in shards}
+    # input_file_name() spells the landing path as a file:// URI —
+    # reproduce it exactly so the replay hits the same file-keyed dir
+    src_tag = [
+        r.tag
+        for r in spark.read.schema(schema)
+        .csv(str(land / "wave0.csv"))
+        .select(F.input_file_name().alias("tag"))
+        .limit(1)
+        .collect()
+    ][0]
+    wave0 = spark.createDataFrame(waves[0], schema).withColumn(
+        "_kpf_source", F.lit(src_tag)
+    )
+    etl.webdataset_ingest_batch(wave0, 999, out)
+    after = {
+        p: open(p, "rb").read()
+        for p in sorted(glob.glob(out + "/*/shard-*.tar"))
+    }
+    assert set(after) == set(before), "replay must not create new shards"
+    assert after == before, "replayed shards must be byte-identical"
+    # member set unchanged
+    back2 = {
+        int(r._kpf_source.split("!")[-1].split(".")[0]): r.text
+        for r in A.read_text_auto_stream(spark, out + "/*/*.tar").collect()
+    }
+    assert back2 == back
