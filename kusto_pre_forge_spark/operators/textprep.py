@@ -708,6 +708,25 @@ def bpe_vocab_ids(merges: list[tuple[str, str]]) -> dict[str, int]:
     return ids
 
 
+def bpe_decode_ids(
+    ids: list[int], merges: list[tuple[str, str]]
+) -> str:
+    """Invert :func:`bpe_encode` — the LOSSLESSNESS pin byte-level BPE
+    exists for: every id maps to its symbol string (raw byte 0..255 or
+    a merge concatenation), symbols concatenate, and the
+    bytes_to_unicode bijection inverts back to the original UTF-8
+    bytes. decode(encode(text)) == text for ANY input text — there is
+    no UNK and no normalization loss in this lineage (pinned in
+    tests over adversarial Unicode)."""
+    vocab = bpe_vocab_ids(merges)
+    rev: dict[int, str] = {}
+    for tok, i in vocab.items():
+        rev[i] = tok
+    u2b = {c: b for b, c in _bytes_to_unicode().items()}
+    syms = "".join(rev[i] for i in ids)
+    return bytes(u2b[ch] for ch in syms).decode("utf-8", "replace")
+
+
 def _bpe_encode_udf(merges: list[tuple[str, str]]):
     """Arrow-batched byte-level word ENCODER: same merge application as
     _bpe_tokenize_udf, then symbols map through the bpe_vocab_ids table

@@ -834,3 +834,33 @@ def test_bpe_encode_ids_hand_checked(spark):
     # vocab table: first-rank-wins on string collisions
     ids = tp.bpe_vocab_ids([("a", "bc"), ("ab", "c")])
     assert ids["abc"] == 256
+
+
+def test_byte_bpe_encode_decode_lossless(spark):
+    """decode(encode(text)) == text for adversarial Unicode — the
+    no-UNK, no-normalization-loss property byte-level BPE exists for,
+    with and without trained merges."""
+    from kusto_pre_forge_spark.operators import textprep as tp
+
+    tricky = [
+        "plain ascii",
+        "多字节中文与日本語のテキスト",
+        "emoji 🙂🧿 and zwj 👩‍🚀 sequences",
+        "combining áë marks",
+        "tabs\tnewlines\n\nand  runs   of spaces",
+        "don't stop 'tis the contraction's test",
+        "mixed 123 numbers and !?#$ punct",
+        " nbsp and  line-sep para-sep",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tricky)], "doc_id long, text string"
+    )
+    for merges in ([], tp.train_bpe(df, n_merges=8, byte_level=True)):
+        got = {
+            r.doc_id: list(r.ids)
+            for r in tp.bpe_encode_arrays(df, merges).collect()
+        }
+        for i, t in enumerate(tricky):
+            ids = got.get(i, [])
+            assert tp.bpe_decode_ids(ids, merges) == t, (i, t, merges)
