@@ -3412,6 +3412,33 @@ def _q_layout_compact_roundtrip(spark, sf):
     )
 
 
+def _q_corpus_version_diff(spark, sf):
+    """Versioned-corpus change audit: v2 forges from v1 by dropping
+    every 11th document, rewriting every 7th (of the survivors), and
+    appending a fresh id for every 13th — corpus_diff must recover
+    exactly the added/removed/modified sets from the two snapshots'
+    (id, md5) tables (text never shuffles). Closed-form oracle."""
+    from kusto_pre_forge_spark.operators.corpus import corpus_diff
+
+    v1 = load_table(spark, sf, "documents").select("doc_id", "text")
+    survivors = v1.filter(F.col("doc_id") % 11 != 0)
+    modified = survivors.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.coalesce("text", F.lit("")), F.lit(" v2")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = v1.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    v2 = modified.unionByName(added)
+    out = corpus_diff(v1, v2)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "change")
+
+
 def _q_corpus_pack_materialize(spark, sf):
     """The trainer hand-off MATERIALIZED (round-11 capstone): text →
     byte-BPE ids → fixed-512 packed sequences with block-diagonal
@@ -6858,6 +6885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_bpe": _q_corpus_pack_bpe,
         "corpus_pack_nosplit": _q_corpus_pack_nosplit,
         "corpus_pack_materialize": _q_corpus_pack_materialize,
+        "corpus_version_diff": _q_corpus_version_diff,
         "corpus_webdataset_roundtrip": _q_corpus_webdataset_roundtrip,
         "layout_compact_roundtrip": _q_layout_compact_roundtrip,
         "corpus_line_dedup": _q_corpus_line_dedup,
@@ -8151,6 +8179,17 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(text, '') AS text FROM documents"
         ),
         "corpus_pack_materialize": _pack_materialize_oracle_sql(),
+        "corpus_version_diff": (
+            # closed-form: the v2 forge is deterministic (added ids are
+            # offset past every real id at tested SFs)
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, 'removed' AS change "
+            "FROM documents WHERE doc_id % 11 = 0 "
+            "UNION ALL SELECT CAST(doc_id AS BIGINT), 'modified' "
+            "FROM documents WHERE doc_id % 11 <> 0 AND doc_id % 7 = 0 "
+            "UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), 'added' "
+            "FROM documents WHERE doc_id % 13 = 0"
+        ),
+
         "corpus_pack_nosplit": (
             # next-fit replay: WITH RECURSIVE steps each bucket's
             # (hash, doc_id) rank order carrying (seq_local, fill) —

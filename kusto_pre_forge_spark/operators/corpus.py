@@ -310,6 +310,42 @@ def pack_attention_boundaries(
     )
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot-to-snapshot change detection — the "what changed
+    between corpus v1 and v2" audit every versioned-dataset release
+    needs (which documents were added / removed / modified, feeding
+    incremental dedup/stats maintenance and release notes). Returns
+    (id, change ∈ added|removed|modified); unchanged documents drop
+    out.
+
+    Plan: each side reduces to (id, md5(text)) BEFORE the full-outer
+    join — the shuffle carries 16-byte digests, never document text,
+    so diffing two 100 TB snapshots moves two id+hash tables. One
+    exchange per side."""
+    o = old.select(
+        F.col(id_col),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h_old"),
+    )
+    n = new.select(
+        F.col(id_col),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h_new"),
+    )
+    j = o.join(n, id_col, "full_outer")
+    change = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("modified"))
+    )
+    return j.select(F.col(id_col), change.alias("change")).filter(
+        F.col("change").isNotNull()
+    )
+
+
 def materialize_packed_sequences(
     df: DataFrame,
     merges: list[tuple[str, str]],

