@@ -158,6 +158,7 @@ HEADLINE = [
     "pipeline_pdf_ocr",
     "layout_compact_roundtrip",
     "corpus_pack_materialize",
+    "corpus_version_diff",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

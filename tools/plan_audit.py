@@ -155,6 +155,7 @@ AUDITED = [
     ("pipeline_pdf_ocr", "forge → image walk → PNG → stub transcription: pure map stages; the recognition model is the only stubbed step"),
     ("layout_compact_roundtrip", "metadata-only sizing; the rewrite is one repartition + write; read-back scans ONE compacted file"),
     ("corpus_pack_materialize", "docs explode to array SLICES per overlapped sequence (constant fan-out) above the keyed prefix sum; one per-sequence aggregate"),
+    ("corpus_version_diff", "both snapshots reduce to (id, md5) before the full-outer join — text never shuffles"),
 ]
 
 
