@@ -3412,6 +3412,25 @@ def _q_layout_compact_roundtrip(spark, sf):
     )
 
 
+def _q_corpus_datacard(spark, sf):
+    """The release datacard's statistics row in one pass (plus the tiny
+    digest aggregate for the dup count) — the numbers every dataset
+    README states, each independently replayed by the oracle."""
+    from kusto_pre_forge_spark.operators.corpus import corpus_datacard
+
+    d = load_table(spark, sf, "documents")
+    out = corpus_datacard(d)
+    return out.select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_empty",
+        F.round("median_tokens", 1).alias("median_tokens"),
+        "max_tokens",
+        "n_dup_docs",
+    )
+
+
 def _q_corpus_version_diff(spark, sf):
     """Versioned-corpus change audit: v2 forges from v1 by dropping
     every 11th document, rewriting every 7th (of the survivors), and
@@ -6886,6 +6905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_nosplit": _q_corpus_pack_nosplit,
         "corpus_pack_materialize": _q_corpus_pack_materialize,
         "corpus_version_diff": _q_corpus_version_diff,
+        "corpus_datacard": _q_corpus_datacard,
         "corpus_webdataset_roundtrip": _q_corpus_webdataset_roundtrip,
         "layout_compact_roundtrip": _q_layout_compact_roundtrip,
         "corpus_line_dedup": _q_corpus_line_dedup,
@@ -8179,6 +8199,22 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(text, '') AS text FROM documents"
         ),
         "corpus_pack_materialize": _pack_materialize_oracle_sql(),
+        "corpus_datacard": (
+            "WITH b AS (SELECT CAST(len(" + _LTOKENS_SQL + ") AS BIGINT) "
+            "AS nt, CAST(length(COALESCE(text, '')) AS BIGINT) AS nc, "
+            "md5(COALESCE(text, '')) AS h FROM documents), "
+            "d AS (SELECT CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n "
+            "ELSE 0 END), 0) AS BIGINT) AS n_dup_docs FROM "
+            "(SELECT count(*) AS n FROM b GROUP BY h)) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(nt) AS BIGINT) AS n_tokens, "
+            "CAST(sum(nc) AS BIGINT) AS n_chars, "
+            "CAST(sum(CASE WHEN nt = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_empty, "
+            "round(median(nt), 1) AS median_tokens, "
+            "CAST(max(nt) AS BIGINT) AS max_tokens, "
+            "(SELECT n_dup_docs FROM d) AS n_dup_docs FROM b"
+        ),
         "corpus_version_diff": (
             # closed-form: the v2 forge is deterministic (added ids are
             # offset past every real id at tested SFs)

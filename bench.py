@@ -159,6 +159,7 @@ HEADLINE = [
     "layout_compact_roundtrip",
     "corpus_pack_materialize",
     "corpus_version_diff",
+    "corpus_datacard",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

@@ -310,6 +310,51 @@ def pack_attention_boundaries(
     )
 
 
+def corpus_datacard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The release datacard's quantitative row — ONE map-side-combined
+    aggregate over the corpus: document/token/char totals, empty-doc
+    count, token-count median and max, duplicate-text count (docs whose
+    md5 repeats). Everything a dataset README's "statistics" table
+    states, derived in one pass plus the tiny digest aggregate for the
+    dup count."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), WS_RE),
+        lambda w: w != "",
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("_nt"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias(
+            "_nc"
+        ),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h"),
+    )
+    dups = (
+        base.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.sum(F.when(F.col("_n") > 1, F.col("_n")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs")
+        )
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.sum("_nc").cast("long").alias("n_chars"),
+        F.sum(F.when(F.col("_nt") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_empty"),
+        F.median("_nt").cast("double").alias("median_tokens"),
+        F.max("_nt").cast("long").alias("max_tokens"),
+    )
+    return stats.crossJoin(dups)
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,

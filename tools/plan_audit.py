@@ -156,6 +156,7 @@ AUDITED = [
     ("layout_compact_roundtrip", "metadata-only sizing; the rewrite is one repartition + write; read-back scans ONE compacted file"),
     ("corpus_pack_materialize", "docs explode to array SLICES per overlapped sequence (constant fan-out) above the keyed prefix sum; one per-sequence aggregate"),
     ("corpus_version_diff", "both snapshots reduce to (id, md5) before the full-outer join — text never shuffles"),
+    ("corpus_datacard", "one map-side-combined aggregate + the tiny digest aggregate; output is a single stats row"),
 ]
 
 
