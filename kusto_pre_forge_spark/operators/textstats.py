@@ -1199,6 +1199,8 @@ def train_quality_lr(
                 "loss"
             ),
         ).collect()[0]
+        if row["loss"] is None:  # empty corpus: nothing to fit
+            break
         losses.append(float(row["loss"]))
         for f in feature_cols:
             w[f] -= learn_rate * float(row[f"g_{f}"])

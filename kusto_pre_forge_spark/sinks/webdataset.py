@@ -84,6 +84,10 @@ def write_webdataset(
 
         pdf = pdf.sort_values("_pos")
         shard = int(pdf["_shard"].iloc[0])
+        # executor-side too: on a multi-node cluster the driver's
+        # makedirs touched a different machine (out_dir must be shared
+        # storage — the read_blobs_via_paths worker-fs contract)
+        os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, f"shard-{shard:06d}.tar")
         buf = io.BytesIO()
         with tarfile.open(fileobj=buf, mode="w") as tf:

@@ -1105,7 +1105,9 @@ def parse_pdf_images(blobs: DataFrame, errors: str = "skip") -> DataFrame:
     return blobs.select("path", "content").mapInPandas(batches, ddl)
 
 
-def route_pdf_documents(parsed: DataFrame) -> DataFrame:
+def route_pdf_documents(
+    parsed: DataFrame, blobs: DataFrame | None = None
+) -> DataFrame:
     """Per-DOCUMENT routing over :func:`parse_pdf_blobs` output — the
     scanned-PDF escape hatch (round-11): an image-only document (zero
     extracted chars, image XObjects present) extracts '' for a
@@ -1118,11 +1120,18 @@ def route_pdf_documents(parsed: DataFrame) -> DataFrame:
     - ``empty``      — no text and no images (blank or unsupported)
     - ``text``       — extracted text present (images may coexist)
 
+    - ``unparsed``   — only with ``blobs``: the source produced ZERO
+      page rows (encrypted, truncated beyond repair) — the quarantine
+      row a reject stream reviews; without the listing these documents
+      would vanish silently, which is the one thing a router must
+      never do.
+
     One map-side-combined aggregate per source; composes upstream of
-    the gates at any corpus size."""
+    the gates at any corpus size. Pass the original ``blobs`` frame
+    (its ``path`` column) to surface zero-page documents."""
     from pyspark.sql import functions as F
 
-    return parsed.groupBy("_kpf_source").agg(
+    routed = parsed.groupBy("_kpf_source").agg(
         F.max("n_pages").cast("int").alias("n_pages"),
         F.sum("n_chars").cast("long").alias("n_chars"),
         F.max(F.col("has_images").cast("int")).cast("boolean").alias(
@@ -1135,6 +1144,16 @@ def route_pdf_documents(parsed: DataFrame) -> DataFrame:
         )
         .when(F.col("n_chars") == 0, F.lit("empty"))
         .otherwise(F.lit("text")),
+    )
+    if blobs is None:
+        return routed
+    all_sources = blobs.select(F.col("path").alias("_kpf_source")).distinct()
+    return (
+        all_sources.join(routed, "_kpf_source", "left")
+        .withColumn("route", F.coalesce("route", F.lit("unparsed")))
+        .withColumn("n_pages", F.coalesce("n_pages", F.lit(0)))
+        .withColumn("n_chars", F.coalesce("n_chars", F.lit(0).cast("long")))
+        .withColumn("has_images", F.coalesce("has_images", F.lit(False)))
     )
 
 

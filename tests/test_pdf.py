@@ -407,3 +407,27 @@ def test_extract_pdf_images_roundtrip_and_codecs():
     assert P.extract_pdf_images(jbig) == []
     with pytest.raises(NotImplementedError, match="JBIG2"):
         P.extract_pdf_images(jbig, errors="strict")
+
+
+def test_route_pdf_documents_surfaces_unparsed(spark, tmp_path):
+    """Zero-page documents (encrypted, hopelessly truncated) must not
+    vanish from the router: with the original blob listing they surface
+    as route='unparsed' — the quarantine row, never a silent drop."""
+    enc = P.pdf_bytes(["secret"]).replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
+    )
+    (tmp_path / "enc.pdf").write_bytes(enc)
+    (tmp_path / "ok.pdf").write_bytes(P.pdf_bytes(["fine"]))
+    blobs = spark.read.format("binaryFile").load(str(tmp_path / "*.pdf"))
+    parsed = P.parse_pdf_blobs(blobs)
+    routed = {
+        r._kpf_source.rsplit("/", 1)[-1]: r.route
+        for r in P.route_pdf_documents(parsed, blobs).collect()
+    }
+    assert routed == {"enc.pdf": "unparsed", "ok.pdf": "text"}
+    # without the listing, only parsed sources appear (documented)
+    bare = {
+        r._kpf_source.rsplit("/", 1)[-1]
+        for r in P.route_pdf_documents(parsed).collect()
+    }
+    assert bare == {"ok.pdf"}
