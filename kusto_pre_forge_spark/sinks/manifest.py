@@ -31,6 +31,10 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("kpf_last_shard", T.BooleanType(), True),
         T.StructField("record_count", T.LongType(), True),
         T.StructField("drop_by", T.StringType(), True),
+        # commit wall-clock — what tag RETENTION expires on (the
+        # reference's extent_tags_retention policy, templates/
+        # script.kql:5-18). Legacy ledgers read it as NULL.
+        T.StructField("committed_at", T.TimestampType(), True),
     ]
 )
 
@@ -128,6 +132,7 @@ class IngestManifest:
                 "record_count",
                 "drop_by",
             )
+            .withColumn("committed_at", F.current_timestamp())
             .write.mode("append")
             .parquet(self.path)
         )
@@ -207,6 +212,67 @@ def ingest_idempotent(
     return new_meta
 
 
+def _swap_ledger(manifest: IngestManifest, kept: DataFrame) -> None:
+    """Crash-safe ledger swap (shared by drop_by_tag and
+    expire_ingest_tags): write the compacted copy, move the live ledger
+    ASIDE (never a destructive delete while it is the only copy),
+    promote the compacted one, then drop the old. A crash at any point
+    leaves either the old or the new complete ledger on disk;
+    IngestManifest._recover() finishes or rolls back the swap on the
+    next read."""
+    import shutil
+
+    tmp = manifest.path + ".compact"
+    old = manifest.path + ".old"
+    kept.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(old):  # stale from a previous recovered crash
+        shutil.rmtree(old)
+    os.rename(manifest.path, old)
+    os.rename(tmp, manifest.path)
+    shutil.rmtree(old)
+
+
+def expire_ingest_tags(
+    manifest: IngestManifest,
+    max_age_seconds: float,
+    now=None,
+    treat_unknown_as_expired: bool = False,
+) -> int:
+    """The reference's extent-tags RETENTION policy (templates/
+    script.kql:5-18: ``ingest-by:`` tags expire after 2h,
+    ``original-blob:`` after 4h — "it is recommended not to keep too
+    many tags in a table"): drop ledger rows older than
+    ``max_age_seconds``, bounding the idempotency window exactly the
+    way Kusto's policy does — a blob re-landed after the window
+    re-ingests (the duplicate risk the retention trade accepts), and
+    the ledger stops growing without bound.
+
+    Rows with NULL ``committed_at`` (ledgers written before the column
+    existed) are KEPT by default — idempotency over storage;
+    ``treat_unknown_as_expired=True`` flips that for a one-time legacy
+    purge. Same crash-safe swap protocol as :func:`drop_by_tag`.
+    Returns the number of expired rows. ``now`` (a timestamp or ISO
+    string) pins the clock for tests/replays."""
+    current = manifest.read()
+    now_col = F.lit(now).cast("timestamp") if now is not None else (
+        F.current_timestamp()
+    )
+    age_ok = F.col("committed_at") >= (
+        now_col - F.expr(f"INTERVAL {int(max_age_seconds)} SECONDS")
+    )
+    if treat_unknown_as_expired:
+        keep_cond = age_ok & F.col("committed_at").isNotNull()
+    else:
+        keep_cond = age_ok | F.col("committed_at").isNull()
+    kept = current.filter(keep_cond)
+    n_total = current.count()
+    n_kept = kept.count()
+    if n_kept == n_total:
+        return 0
+    _swap_ledger(manifest, kept)
+    return n_total - n_kept
+
+
 def drop_by_tag(
     manifest: IngestManifest, dest_path: str, tag: str
 ) -> list[str]:
@@ -238,22 +304,7 @@ def drop_by_tag(
     kept = current.filter(
         F.col("drop_by").isNull() | (F.col("drop_by") != tag)
     )
-    # Crash-safe ledger swap: write the compacted copy, move the live
-    # ledger ASIDE (never a destructive delete while it is the only
-    # copy), promote the compacted one, then drop the old. A crash at
-    # any point leaves either the old or the new complete ledger on
-    # disk; IngestManifest._recover() finishes or rolls back the swap
-    # on the next read. The old rmtree-then-rename had a window where
-    # NO ledger existed — a crash there silently reopened every
-    # committed shard for re-ingestion.
-    tmp = manifest.path + ".compact"
-    old = manifest.path + ".old"
-    kept.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(old):  # stale from a previous recovered crash
-        shutil.rmtree(old)
-    os.rename(manifest.path, old)
-    os.rename(tmp, manifest.path)
-    shutil.rmtree(old)
+    _swap_ledger(manifest, kept)
     for key in dropped:
         # partition dirs URL-encode special chars (Spark's escapePathName)
         d = os.path.join(dest_path, f"ingest_by={quote(key, safe='')}")

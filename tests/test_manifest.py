@@ -180,3 +180,44 @@ def test_manifest_compaction_crash_windows_recover(spark, tmp_path, sharded):
     assert {r.ingest_by for r in guarded.read().collect()} == baseline
     assert os.path.exists(mpath + ".compact")  # left for its owner
     shutil.rmtree(mpath + ".compact")
+
+
+def test_expire_ingest_tags_bounds_idempotency_window(spark, tmp_path, sharded):
+    """The extent-tags retention analogue (templates/script.kql:5-18):
+    expired ledger rows reopen their keys for re-ingestion (the
+    documented duplicate-risk trade), fresh rows keep blocking, and the
+    swap rides the same crash-safe protocol as drop_by_tag."""
+    from kusto_pre_forge_spark.sinks.manifest import expire_ingest_tags
+
+    manifest = IngestManifest(spark, str(tmp_path / "manifest"))
+    dest = str(tmp_path / "dest")
+    assert ingest_idempotent(sharded, manifest, dest).count() == 4
+    assert ingest_idempotent(sharded, manifest, dest).count() == 0
+
+    # nothing is older than 2h yet: expiry is a no-op
+    assert expire_ingest_tags(manifest, 7200) == 0
+    assert ingest_idempotent(sharded, manifest, dest).count() == 0
+
+    # pin the clock 3h ahead: every row ages past the window
+    import datetime
+
+    future = datetime.datetime.now() + datetime.timedelta(hours=3)
+    assert expire_ingest_tags(manifest, 7200, now=future.isoformat(" ")) == 4
+    assert manifest.read().count() == 0
+    # the keys are reopened — re-ingestion proceeds (and, because the
+    # data write is dynamic partition overwrite on ingest_by, the data
+    # itself does not duplicate)
+    assert ingest_idempotent(sharded, manifest, dest).count() == 4
+    assert spark.read.parquet(dest).count() == 20
+
+    # legacy NULL committed_at rows are kept by default
+    legacy = manifest.read().drop("committed_at")
+    legacy.write.mode("overwrite").parquet(str(tmp_path / "legacy"))
+    m2 = IngestManifest(spark, str(tmp_path / "legacy"))
+    assert expire_ingest_tags(m2, 1, now=future.isoformat(" ")) == 0
+    assert (
+        expire_ingest_tags(
+            m2, 1, now=future.isoformat(" "), treat_unknown_as_expired=True
+        )
+        == 4
+    )
