@@ -3214,7 +3214,9 @@ def _q_text_bpe_byte(spark, sf):
     run length and pinned by the hand-vector unit tests."""
     from kusto_pre_forge_spark.operators import textprep
 
-    d = load_table(spark, sf, "documents")
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    d = _widen_for_fanout(load_table(spark, sf, "documents"))
     merges = textprep.train_bpe(d, n_merges=6, byte_level=True)
     return textprep.apply_bpe(d, merges, byte_level=True).select(
         "doc_id", "n_words", "n_bpe_tokens", "sample_tokens"
@@ -3231,7 +3233,9 @@ def _q_text_bpe_encode(spark, sf):
     pre-token order."""
     from kusto_pre_forge_spark.operators import textprep
 
-    d = load_table(spark, sf, "documents")
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    d = _widen_for_fanout(load_table(spark, sf, "documents"))
     merges = textprep.train_bpe(d, n_merges=6, byte_level=True)
     return textprep.bpe_encode(d, merges).select(
         "doc_id", "n_tokens", "ids_head"
@@ -3337,7 +3341,9 @@ def _q_corpus_pack_bpe(spark, sf):
     from kusto_pre_forge_spark.operators import corpus as corpus_ops
     from kusto_pre_forge_spark.operators import textprep
 
-    d = load_table(spark, sf, "documents")
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    d = _widen_for_fanout(load_table(spark, sf, "documents"))
     merges = textprep.train_bpe(d, n_merges=6, byte_level=True)
     out = corpus_ops.sequence_pack(
         d,
@@ -3418,7 +3424,9 @@ def _q_corpus_datacard(spark, sf):
     README states, each independently replayed by the oracle."""
     from kusto_pre_forge_spark.operators.corpus import corpus_datacard
 
-    d = load_table(spark, sf, "documents")
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    d = _widen_for_fanout(load_table(spark, sf, "documents"))
     out = corpus_datacard(d)
     return out.select(
         "n_docs",
@@ -3470,7 +3478,9 @@ def _q_corpus_pack_materialize(spark, sf):
     from kusto_pre_forge_spark.operators import corpus as corpus_ops
     from kusto_pre_forge_spark.operators import textprep
 
-    d = load_table(spark, sf, "documents")
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    d = _widen_for_fanout(load_table(spark, sf, "documents"))
     merges = textprep.train_bpe(d, n_merges=6, byte_level=True)
     seqs = corpus_ops.materialize_packed_sequences(
         d, merges, "text", "doc_id", seq_len=512
@@ -3500,7 +3510,9 @@ def _q_corpus_pack_nosplit(spark, sf):
     deterministic, so both engines must agree on every assignment."""
     from kusto_pre_forge_spark.operators import corpus as corpus_ops
 
-    d = load_table(spark, sf, "documents")
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    d = _widen_for_fanout(load_table(spark, sf, "documents"))
     return corpus_ops.sequence_pack_nosplit(
         d, "text", "doc_id", seq_len=512, num_buckets=16
     ).select(

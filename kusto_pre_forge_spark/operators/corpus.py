@@ -420,15 +420,21 @@ def materialize_packed_sequences(
     enc = bpe_encode_arrays(df, merges, text_col, id_col).filter(
         F.size("ids") > 0
     )
+    # pin the encode once: the slim prefix-sum pass and the id-array
+    # join both read it, and re-encoding 100 TB twice is the one cost
+    # this operator must never pay
+    enc = enc.localCheckpoint(eager=False)
     h = _hash_unit(F.col(id_col).cast("string"), salt)
-    t = enc.select(
+    # the prefix sum only needs (id, hash, count): keep the id ARRAYS
+    # out of its exchanges (they would otherwise ride 4+ shuffles) and
+    # join them back across exactly one
+    slim = enc.select(
         F.col(id_col),
-        F.col("ids"),
         h.alias("_kpf_h"),
         F.size("ids").cast("long").alias("_n"),
     )
-    assigned = keyed_shard_assign(
-        t,
+    assigned_slim = keyed_shard_assign(
+        slim,
         order_cols=["_kpf_h", id_col],
         bucket=F.floor(F.col("_kpf_h") * F.lit(float(num_buckets))).cast(
             "long"
@@ -438,6 +444,7 @@ def materialize_packed_sequences(
         shard_col="_seq_first",
         start_col="token_start",
     )
+    assigned = assigned_slim.join(enc.select(id_col, "ids"), id_col)
     L = F.lit(int(seq_len))
     start = F.col("token_start")
     n = F.col("_n")

@@ -773,6 +773,54 @@ def _bpe_encode_udf(merges: list[tuple[str, str]]):
     return pandas_udf(encode_batch, "array<int>", PandasUDFType.SCALAR)
 
 
+def _bpe_encode_doc_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched DOCUMENT encoder: array-of-pre-tokens in, flat id
+    array out. Per-batch memo over distinct pre-tokens (Zipf makes the
+    hit rate high), same merge-application inner loop as
+    :func:`_bpe_encode_udf`."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    merge_list = list(merges)
+    b2u = _bytes_to_unicode()
+    vocab = bpe_vocab_ids(merge_list)
+
+    def encode_batch(docs: pd.Series):
+        memo: dict[str, list[int]] = {}
+
+        def enc(w: str) -> list[int]:
+            hit = memo.get(w)
+            if hit is not None:
+                return hit
+            toks = [b2u[b] for b in w.encode("utf-8")]
+            present = set(zip(toks, toks[1:]))
+            for a, b in merge_list:
+                if (a, b) not in present:
+                    continue
+                out = []
+                i = 0
+                n = len(toks)
+                while i < n:
+                    if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+                present = set(zip(toks, toks[1:]))
+            res = [vocab[t] for t in toks]
+            memo[w] = res
+            return res
+
+        return docs.map(
+            lambda ws: [i for w in (ws if ws is not None else []) for i in enc(w)]
+        )
+
+    return pandas_udf(encode_batch, "array<int>", PandasUDFType.SCALAR)
+
+
 def bpe_encode_arrays(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -782,27 +830,18 @@ def bpe_encode_arrays(
     """(id, ids) with the FULL per-document token-id array in document
     order — the building block :func:`bpe_encode` (head probe) and
     :func:`corpus.materialize_packed_sequences` (trainer hand-off)
-    share. Same plan as bpe_encode: distinct pre-tokens encode once,
-    order-preserving reassembly pays the one doc-key exchange."""
-    t = df.select(
+    share. ONE Arrow map stage: JVM-side pre-tokenization
+    (``byte_pretokens``, pure codegen) feeds an array-in/array-out
+    document encoder with a per-batch distinct-pre-token memo — zero
+    exchanges, document order trivially preserved. (The earlier
+    posexplode → distinct-word join → collect_list shape paid three
+    shuffles to deduplicate pre-token work globally; the batch memo
+    captures the same Zipf mass without any of them.)"""
+    return df.select(
         F.col(id_col),
-        F.posexplode(
+        _bpe_encode_doc_udf(merges)(
             byte_pretokens(F.coalesce(F.col(text_col), F.lit("")))
-        ).alias("pos", "w"),
-    )
-    encoded = (
-        t.select("w")
-        .distinct()
-        .select("w", _bpe_encode_udf(merges)(F.col("w")).alias("_ids"))
-    )
-    joined = t.join(encoded, "w")
-    return joined.groupBy(id_col).agg(
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "_ids"))),
-                lambda x: x["_ids"],
-            )
-        ).alias("ids")
+        ).alias("ids"),
     )
 
 
