@@ -2537,6 +2537,44 @@ def _q_corpus_autoextract(spark, sf):
     )
 
 
+def _q_epub_text_extract(spark, sf):
+    """EPUB container roundtrip through the REAL OCF parser: each
+    document forges as a spec-valid ebook (stored-mimetype magic,
+    container.xml → OPF → spine; one chapter when the text fits 150
+    chars, two otherwise — written in REVERSED member-name order so
+    only spine resolution passes), parsed back to spine-ordered raw
+    XHTML. Closed-form oracle replays the chapter split + wrapper.
+    Pure map stages both ways."""
+    import pandas as pd
+
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+    from kusto_pre_forge_spark.sources import epub as EP
+
+    d = _widen_for_fanout(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
+
+    def forge(it):
+        for pdf in it:
+            paths, blobs = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                t = t if isinstance(t, str) else ""
+                chapters = [t] if len(t) <= 150 else [t[:150], t[150:]]
+                paths.append(f"mem://book/{int(i)}.epub")
+                blobs.append(EP.epub_bytes(chapters))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    blobs = d.mapInPandas(forge, "path string, content binary")
+    parsed = EP.parse_epub_blobs(blobs)
+    return parsed.select(
+        F.regexp_extract("_kpf_source", r"([0-9]+)\.epub$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("chapter_no").cast("int").alias("chapter_no"),
+        "html",
+    )
+
+
 def _q_corpus_archive_extract(spark, sf):
     """Archive-bundle expansion through the mixed-dump front door
     (round-11: closes the front door's one silent data drop — generic
@@ -6891,6 +6929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_markdown_extract": _q_text_markdown_extract,
         "pipeline_multiformat_extract": _q_pipeline_multiformat_extract,
         "corpus_autoextract": _q_corpus_autoextract,
+        "epub_text_extract": _q_epub_text_extract,
         "corpus_archive_extract": _q_corpus_archive_extract,
         "pipeline_pdf_route": _q_pipeline_pdf_route,
         "pipeline_pdf_images": _q_pipeline_pdf_images,
@@ -10556,6 +10595,19 @@ def oracle_sql() -> dict[str, str]:
             "CASE doc_id % 5 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' "
             "WHEN 2 THEN 'ipynb' WHEN 3 THEN 'warc' ELSE 'text' END "
             "AS kind, COALESCE(text, '') AS text FROM documents"
+        ),
+        "epub_text_extract": (
+            # closed-form chapter-split replay; the epub layer is a raw
+            # member slice (no XML unescaping), so text is verbatim
+            "WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "COALESCE(text, '') AS t FROM documents) "
+            "SELECT doc_id, CAST(0 AS INT) AS chapter_no, "
+            "'<?xml version=''1.0''?><html><body>' || "
+            "CASE WHEN length(t) <= 150 THEN t ELSE substr(t, 1, 150) END "
+            "|| '</body></html>' AS html FROM d "
+            "UNION ALL SELECT doc_id, CAST(1 AS INT), "
+            "'<?xml version=''1.0''?><html><body>' || substr(t, 151) || "
+            "'</body></html>' FROM d WHERE length(t) > 150"
         ),
         "corpus_archive_extract": (
             # predictive: the 'txt: ' prefix pins the text members'

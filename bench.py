@@ -160,6 +160,7 @@ HEADLINE = [
     "corpus_pack_materialize",
     "corpus_version_diff",
     "corpus_datacard",
+    "epub_text_extract",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

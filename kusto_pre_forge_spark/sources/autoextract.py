@@ -113,6 +113,15 @@ def extract_auto(content: bytes) -> tuple[str, str | None]:
     if kind == "pdf":
         return "pdf", PAGE_SEP.join(extract_pdf_pages(data))
     if kind == "zip":
+        from kusto_pre_forge_spark.sources.epub import (
+            extract_epub_chapters,
+            is_epub,
+        )
+
+        if is_epub(data):
+            return "epub", PAGE_SEP.join(
+                html for _, html in extract_epub_chapters(data)
+            )
         try:
             zf = zipfile.ZipFile(io.BytesIO(data))
             names = set(zf.namelist())
@@ -219,7 +228,11 @@ def extract_auto_rows(
         inner = sniff_format(data)
         kind = inner if inner not in ("gzip", "xz") else "binary"
     if kind == "zip":
-        # DOCX is a document, not a bundle — route whole-blob
+        from kusto_pre_forge_spark.sources.epub import is_epub
+
+        # DOCX and EPUB are DOCUMENTS, not bundles — route whole-blob
+        if is_epub(data):
+            return [(None,) + extract_auto(data)]
         try:
             with zipfile.ZipFile(io.BytesIO(data)) as zf:
                 if "word/document.xml" in set(zf.namelist()):
@@ -341,8 +354,12 @@ def read_text_auto_stream(
                 with open(raw, "rb") as f:
                     head = f.read(512)
                 if head.startswith(b"PK\x03\x04"):
+                    from kusto_pre_forge_spark.sources.epub import is_epub
+
                     with zipfile.ZipFile(raw) as zf:
-                        if "word/document.xml" in set(zf.namelist()):
+                        if is_epub(head) or "word/document.xml" in set(
+                            zf.namelist()
+                        ):
                             with open(raw, "rb") as f:
                                 data = f.read()
                             for member, kind, text in extract_auto_rows(

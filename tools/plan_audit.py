@@ -157,6 +157,7 @@ AUDITED = [
     ("corpus_pack_materialize", "docs explode to array SLICES per overlapped sequence (constant fan-out) above the keyed prefix sum; one per-sequence aggregate"),
     ("corpus_version_diff", "both snapshots reduce to (id, md5) before the full-outer join — text never shuffles"),
     ("corpus_datacard", "one map-side-combined aggregate + the tiny digest aggregate; output is a single stats row"),
+    ("epub_text_extract", "forge + OCF spine resolution are pure map stages above the widen re-split"),
 ]
 
 
