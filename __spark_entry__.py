@@ -2537,6 +2537,62 @@ def _q_corpus_autoextract(spark, sf):
     )
 
 
+def _q_mail_mbox_extract(spark, sf):
+    """Mail-corpus roundtrip through the REAL RFC 4155/5322 parser:
+    each document forges as a two-message mbox (body one = the doc's
+    first 120 chars — from-stuffing exercised wherever the text has a
+    line starting 'From '; body two derived from the id), parsed back
+    via stdlib email. Closed-form oracle (trailing newlines rtrim to
+    the parser's canonical form). Pure map stages."""
+    import pandas as pd
+
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+    from kusto_pre_forge_spark.sources import mail as ML
+
+    d = _widen_for_fanout(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
+
+    def forge(it):
+        for pdf in it:
+            paths, blobs = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                t = t if isinstance(t, str) else ""
+                paths.append(f"mem://mail/{i}.mbox")
+                blobs.append(
+                    ML.mbox_bytes(
+                        [
+                            {
+                                "subject": f"doc {i} part 0",
+                                "from_addr": f"user{i}@example.org",
+                                "date": "",
+                                "body": t[:120],
+                            },
+                            {
+                                "subject": f"doc {i} part 1",
+                                "from_addr": f"user{i}@example.org",
+                                "date": "",
+                                "body": f"part two of {i}",
+                            },
+                        ]
+                    )
+                )
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    blobs = d.mapInPandas(forge, "path string, content binary")
+    parsed = ML.parse_mail_blobs(blobs)
+    return parsed.select(
+        F.regexp_extract("_kpf_source", r"([0-9]+)\.mbox$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("msg_no").cast("int").alias("msg_no"),
+        "subject",
+        "from_addr",
+        "body",
+    )
+
+
 def _q_epub_text_extract(spark, sf):
     """EPUB container roundtrip through the REAL OCF parser: each
     document forges as a spec-valid ebook (stored-mimetype magic,
@@ -6929,6 +6985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_markdown_extract": _q_text_markdown_extract,
         "pipeline_multiformat_extract": _q_pipeline_multiformat_extract,
         "corpus_autoextract": _q_corpus_autoextract,
+        "mail_mbox_extract": _q_mail_mbox_extract,
         "epub_text_extract": _q_epub_text_extract,
         "corpus_archive_extract": _q_corpus_archive_extract,
         "pipeline_pdf_route": _q_pipeline_pdf_route,
@@ -10595,6 +10652,21 @@ def oracle_sql() -> dict[str, str]:
             "CASE doc_id % 5 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' "
             "WHEN 2 THEN 'ipynb' WHEN 3 THEN 'warc' ELSE 'text' END "
             "AS kind, COALESCE(text, '') AS text FROM documents"
+        ),
+        "mail_mbox_extract": (
+            # closed-form two-message replay; bodies rtrim trailing
+            # newlines to the parser's canonical position-independent
+            # form; from-stuffing roundtrips verbatim
+            "WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "COALESCE(text, '') AS t FROM documents) "
+            "SELECT doc_id, CAST(0 AS INT) AS msg_no, "
+            "'doc ' || doc_id || ' part 0' AS subject, "
+            "'user' || doc_id || '@example.org' AS from_addr, "
+            "rtrim(substr(t, 1, 120), chr(10)) AS body FROM d "
+            "UNION ALL SELECT doc_id, CAST(1 AS INT), "
+            "'doc ' || doc_id || ' part 1', "
+            "'user' || doc_id || '@example.org', 'part two of ' || doc_id "
+            "FROM d"
         ),
         "epub_text_extract": (
             # closed-form chapter-split replay; the epub layer is a raw

@@ -161,6 +161,7 @@ HEADLINE = [
     "corpus_version_diff",
     "corpus_datacard",
     "epub_text_extract",
+    "mail_mbox_extract",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

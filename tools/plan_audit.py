@@ -158,6 +158,7 @@ AUDITED = [
     ("corpus_version_diff", "both snapshots reduce to (id, md5) before the full-outer join — text never shuffles"),
     ("corpus_datacard", "one map-side-combined aggregate + the tiny digest aggregate; output is a single stats row"),
     ("epub_text_extract", "forge + OCF spine resolution are pure map stages above the widen re-split"),
+    ("mail_mbox_extract", "forge + RFC 4155/5322 parse are pure map stages above the widen re-split"),
 ]
 
 
