@@ -67,6 +67,14 @@ def sniff_format(content: bytes) -> str:
     # POSIX ustar magic at offset 257 (covers GNU tar's "ustar  \0" too)
     if bytes(content[257:262]) == b"ustar":
         return "tar"
+    # RFC 4155 mbox: requires BOTH the From_ line at byte 0 AND a real
+    # RFC 5322 header soon after — a plain text starting "From Berlin
+    # with love" must NOT route here (conservative two-signal sniff)
+    if head.startswith(b"From ") and any(
+        marker in bytes(content[:2048])
+        for marker in (b"\nFrom: ", b"\nReceived: ", b"\nReturn-Path: ")
+    ):
+        return "mbox"
     stripped = head.lstrip()
     # Probe the WHOLE blob for "cells", not a fixed head: a notebook's
     # metadata block (kernelspec + serialized widget state) routinely
@@ -110,6 +118,12 @@ def extract_auto(content: bytes) -> tuple[str, str | None]:
         kind = inner if inner not in ("gzip", "xz") else "binary"
     if kind == "tar":
         return "tar", None  # bundles expand via extract_auto_rows
+    if kind == "mbox":
+        from kusto_pre_forge_spark.sources.mail import parse_mbox_messages
+
+        return "mbox", PAGE_SEP.join(
+            m["body"] for m in parse_mbox_messages(data)
+        )
     if kind == "pdf":
         return "pdf", PAGE_SEP.join(extract_pdf_pages(data))
     if kind == "zip":

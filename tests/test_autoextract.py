@@ -322,3 +322,20 @@ def test_stream_tar_valves_match_inmemory(spark, tmp_path):
     )
     assert got == want
     assert ("big.tar", "archive_truncated") in got
+
+
+def test_mbox_sniff_two_signal():
+    """mbox routes only on From_-at-0 PLUS a real header; prose that
+    merely starts with 'From ' stays text."""
+    from kusto_pre_forge_spark.sources import mail as M
+
+    mb = M.mbox_bytes(
+        [{"subject": "s", "from_addr": "a@b.c", "date": "", "body": "one"},
+         {"subject": "t", "from_addr": "a@b.c", "date": "", "body": "two"}]
+    )
+    assert A.sniff_format(mb) == "mbox"
+    kind, text = A.extract_auto(mb)
+    assert kind == "mbox" and text == "one\x0ctwo"
+    prose = b"From Berlin with love\nit was a dark night\n"
+    assert A.sniff_format(prose) == "text"
+    assert A.extract_auto(prose)[0] == "text"
