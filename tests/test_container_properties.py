@@ -153,3 +153,46 @@ def test_archive_member_roundtrip_property(members, form):
     for (name, text), (gname, kind, gtext) in zip(members, rows):
         if kind == "text":
             assert gtext == text
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=3))
+def test_epub_roundtrip_property(chapters):
+    """Spine-ordered chapter extraction reproduces every forged chapter
+    body verbatim (raw member slice — no XML loss), for arbitrary
+    Unicode, despite member names being written in reversed order."""
+    from kusto_pre_forge_spark.sources import epub as E
+
+    got = E.extract_epub_chapters(E.epub_bytes(chapters))
+    assert [
+        h[h.index("<body>") + 6 : h.index("</body>")] for _, h in got
+    ] == chapters
+
+
+# mail bodies: exclude lone \r (the email parser canonicalizes \r\n)
+_mail_text = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",),
+        blacklist_characters="".join(
+            chr(c) for c in range(32) if c not in (9, 10)
+        )
+        + "\r\x7f",
+    ),
+    max_size=300,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_mail_text, min_size=1, max_size=3))
+def test_mbox_roundtrip_property(bodies):
+    """mbox framing + from-stuffing + 8bit MIME reproduce every body in
+    canonical (trailing-newline-stripped) form for arbitrary Unicode."""
+    from kusto_pre_forge_spark.sources import mail as M
+
+    msgs = [
+        {"subject": f"s{i}", "from_addr": "u@example.org", "date": "",
+         "body": b}
+        for i, b in enumerate(bodies)
+    ]
+    got = M.parse_mbox_messages(M.mbox_bytes(msgs))
+    assert [m["body"] for m in got] == [b.rstrip("\n") for b in bodies]
