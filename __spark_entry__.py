@@ -2537,6 +2537,52 @@ def _q_corpus_autoextract(spark, sf):
     )
 
 
+def _q_subtitles_extract(spark, sf):
+    """Timed-text roundtrip through the REAL SRT/WebVTT parser: even
+    doc_ids forge as SRT, odd as WebVTT (dot timestamps, NOTE block,
+    cue settings — all must parse/skip correctly), two cues each with
+    id-derived millisecond timings. Oracle replays timings as
+    total_ms/1000.0 (the parser's exact arithmetic) and cue text
+    closed-form. Pure map stages."""
+    import pandas as pd
+
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+    from kusto_pre_forge_spark.sources import subtitles as SB
+
+    d = _widen_for_fanout(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
+
+    def forge(it):
+        for pdf in it:
+            paths, blobs = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                t = (t if isinstance(t, str) else "").replace("\n", " ")
+                cues = [
+                    ((i % 3600) * 1000, (i % 3600) * 1000 + 1500, t[:80]),
+                    (7_200_000 + i % 1000, 7_200_500 + i % 1000,
+                     f"cue two of {i}"),
+                ]
+                writer = SB.srt_bytes if i % 2 == 0 else SB.vtt_bytes
+                paths.append(f"mem://subs/{i}.dat")
+                blobs.append(writer(cues))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    blobs = d.mapInPandas(forge, "path string, content binary")
+    parsed = SB.parse_subtitle_blobs(blobs)
+    return parsed.select(
+        F.regexp_extract("_kpf_source", r"([0-9]+)\.dat$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("cue_no").cast("int").alias("cue_no"),
+        F.round("start_s", 3).alias("start_s"),
+        F.round("end_s", 3).alias("end_s"),
+        "text",
+        "dialect",
+    )
+
+
 def _q_mail_mbox_extract(spark, sf):
     """Mail-corpus roundtrip through the REAL RFC 4155/5322 parser:
     each document forges as a two-message mbox (body one = the doc's
@@ -6985,6 +7031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_markdown_extract": _q_text_markdown_extract,
         "pipeline_multiformat_extract": _q_pipeline_multiformat_extract,
         "corpus_autoextract": _q_corpus_autoextract,
+        "subtitles_extract": _q_subtitles_extract,
         "mail_mbox_extract": _q_mail_mbox_extract,
         "epub_text_extract": _q_epub_text_extract,
         "corpus_archive_extract": _q_corpus_archive_extract,
@@ -10652,6 +10699,25 @@ def oracle_sql() -> dict[str, str]:
             "CASE doc_id % 5 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' "
             "WHEN 2 THEN 'ipynb' WHEN 3 THEN 'warc' ELSE 'text' END "
             "AS kind, COALESCE(text, '') AS text FROM documents"
+        ),
+        "subtitles_extract": (
+            # closed-form cue replay; timings as total_ms/1000.0 (the
+            # parser's exact arithmetic) rounded to 3
+            "WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "replace(COALESCE(text, ''), chr(10), ' ') AS t "
+            "FROM documents) "
+            "SELECT doc_id, CAST(0 AS INT) AS cue_no, "
+            "round(CAST((doc_id % 3600) * 1000 AS DOUBLE) / 1000.0, 3) "
+            "AS start_s, "
+            "round(CAST((doc_id % 3600) * 1000 + 1500 AS DOUBLE) / 1000.0, 3) "
+            "AS end_s, substr(t, 1, 80) AS text, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS dialect "
+            "FROM d "
+            "UNION ALL SELECT doc_id, CAST(1 AS INT), "
+            "round(CAST(7200000 + doc_id % 1000 AS DOUBLE) / 1000.0, 3), "
+            "round(CAST(7200500 + doc_id % 1000 AS DOUBLE) / 1000.0, 3), "
+            "'cue two of ' || doc_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END FROM d"
         ),
         "mail_mbox_extract": (
             # closed-form two-message replay; bodies rtrim trailing

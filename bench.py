@@ -162,6 +162,7 @@ HEADLINE = [
     "corpus_datacard",
     "epub_text_extract",
     "mail_mbox_extract",
+    "subtitles_extract",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

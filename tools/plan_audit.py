@@ -159,6 +159,7 @@ AUDITED = [
     ("corpus_datacard", "one map-side-combined aggregate + the tiny digest aggregate; output is a single stats row"),
     ("epub_text_extract", "forge + OCF spine resolution are pure map stages above the widen re-split"),
     ("mail_mbox_extract", "forge + RFC 4155/5322 parse are pure map stages above the widen re-split"),
+    ("subtitles_extract", "forge + SRT/VTT cue parse are pure map stages above the widen re-split"),
 ]
 
 
