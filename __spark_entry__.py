@@ -2537,6 +2537,42 @@ def _q_corpus_autoextract(spark, sf):
     )
 
 
+def _q_pipeline_audio_asr(spark, sf):
+    """The ASR escape hatch end-to-end (audio twin of
+    pipeline_pdf_ocr): each document forges as a real PCM16 WAV (one of
+    four deterministic 160-sample waveforms by doc_id % 4), the REAL
+    wav decode recovers the samples, and the deterministic stub
+    transcribes them — frozen transcript vectors in the oracle pin the
+    decode + canonicalization chain; the whisper arm stays an
+    import-try on the executors."""
+    import pandas as pd
+
+    from kusto_pre_forge_spark.operators import mediacodec as MC
+    from kusto_pre_forge_spark.operators import multimodal as MM
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    d = _widen_for_fanout(load_table(spark, sf, "documents").select("doc_id"))
+
+    def _pattern(k: int, n: int = 160) -> list:
+        return [
+            ((i * (k + 3) * 37 + k * 1001) % 20001) - 10000 for i in range(n)
+        ]
+
+    def forge(it):
+        for pdf in it:
+            ids, blobs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                ids.append(i)
+                blobs.append(MC.encode_wav(8000, _pattern(i % 4)))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    wavs = d.mapInPandas(forge, "doc_id long, blob binary")
+    return MM.asr_text(wavs, "blob", "doc_id", engine="stub").select(
+        "doc_id", "asr_text", "asr_engine", "n_samples"
+    )
+
+
 def _q_subtitles_extract(spark, sf):
     """Timed-text roundtrip through the REAL SRT/WebVTT parser: even
     doc_ids forge as SRT, odd as WebVTT (dot timestamps, NOTE block,
@@ -7031,6 +7067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_markdown_extract": _q_text_markdown_extract,
         "pipeline_multiformat_extract": _q_pipeline_multiformat_extract,
         "corpus_autoextract": _q_corpus_autoextract,
+        "pipeline_audio_asr": _q_pipeline_audio_asr,
         "subtitles_extract": _q_subtitles_extract,
         "mail_mbox_extract": _q_mail_mbox_extract,
         "epub_text_extract": _q_epub_text_extract,
@@ -10699,6 +10736,18 @@ def oracle_sql() -> dict[str, str]:
             "CASE doc_id % 5 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' "
             "WHEN 2 THEN 'ipynb' WHEN 3 THEN 'warc' ELSE 'text' END "
             "AS kind, COALESCE(text, '') AS text FROM documents"
+        ),
+        "pipeline_audio_asr": (
+            # frozen stub transcripts: sha256 over the four decoded
+            # waveforms' canonical sample streams
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CASE doc_id % 4 "
+            "WHEN 0 THEN '8cd3ad76 631bb187 40381bf4 470b7c90' "
+            "WHEN 1 THEN 'c6148617 d10f7f2f 7dc86dc6 2040f6a0' "
+            "WHEN 2 THEN '70d32318 6b958643 18972d9e dabb617c' "
+            "ELSE '9d86b816 074929f5 87048ee9 4bd3a91d' END AS asr_text, "
+            "'stub' AS asr_engine, CAST(160 AS BIGINT) AS n_samples "
+            "FROM documents"
         ),
         "subtitles_extract": (
             # closed-form cue replay; timings as total_ms/1000.0 (the

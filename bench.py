@@ -163,6 +163,7 @@ HEADLINE = [
     "epub_text_extract",
     "mail_mbox_extract",
     "subtitles_extract",
+    "pipeline_audio_asr",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

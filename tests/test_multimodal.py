@@ -1360,3 +1360,28 @@ def test_ocr_text_stub_and_gating(spark):
     )
     with pytest.raises(Exception, match="media_kind"):
         MM.ocr_text(bad, engine="stub").collect()
+
+
+def test_asr_text_stub_and_gating(spark):
+    """ASR escape hatch: deterministic stub over decoded samples,
+    whisper gated behind an import-try, non-WAV blobs refuse loudly."""
+    import pytest
+
+    from kusto_pre_forge_spark.operators import mediacodec as MC
+    from kusto_pre_forge_spark.operators import multimodal as MM
+
+    wav = MC.encode_wav(8000, [100, -200, 300, -400] * 10)
+    df = spark.createDataFrame([(1, wav), (2, wav)], "doc_id long, blob binary")
+    out = {r.doc_id: r for r in MM.asr_text(df, engine="stub").collect()}
+    assert out[1].asr_text == out[2].asr_text
+    assert out[1].asr_engine == "stub" and out[1].n_samples == 40
+    assert len(out[1].asr_text.split(" ")) == 4
+
+    if not MM.asr_available():
+        with pytest.raises(Exception, match="whisper"):
+            MM.asr_text(df, engine="whisper").collect()
+        assert MM.asr_text(df, engine="auto").collect()[0].asr_engine == "stub"
+
+    bad = spark.createDataFrame([(9, b"not audio")], "doc_id long, blob binary")
+    with pytest.raises(Exception):
+        MM.asr_text(bad, engine="stub").collect()

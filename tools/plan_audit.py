@@ -160,6 +160,7 @@ AUDITED = [
     ("epub_text_extract", "forge + OCF spine resolution are pure map stages above the widen re-split"),
     ("mail_mbox_extract", "forge + RFC 4155/5322 parse are pure map stages above the widen re-split"),
     ("subtitles_extract", "forge + SRT/VTT cue parse are pure map stages above the widen re-split"),
+    ("pipeline_audio_asr", "WAV forge + real decode + stub transcription: pure map stages; only the recognition model is stubbed"),
 ]
 
 
