@@ -67,6 +67,15 @@ def sniff_format(content: bytes) -> str:
     # POSIX ustar magic at offset 257 (covers GNU tar's "ustar  \0" too)
     if bytes(content[257:262]) == b"ustar":
         return "tar"
+    # WebVTT: magic header (BOM tolerated)
+    if head.lstrip(b"\xef\xbb\xbf").startswith(b"WEBVTT"):
+        return "vtt"
+    # SRT: conservative two-signal sniff — a bare integer first line AND
+    # a cue-timestamp arrow in the head (plain text starting with a
+    # number must NOT route here)
+    first = head.split(b"\n", 1)[0].strip()
+    if first.isdigit() and b"-->" in head:
+        return "srt"
     # RFC 4155 mbox: requires BOTH the From_ line at byte 0 AND a real
     # RFC 5322 header soon after — a plain text starting "From Berlin
     # with love" must NOT route here (conservative two-signal sniff)
@@ -123,6 +132,12 @@ def extract_auto(content: bytes) -> tuple[str, str | None]:
 
         return "mbox", PAGE_SEP.join(
             m["body"] for m in parse_mbox_messages(data)
+        )
+    if kind in ("srt", "vtt"):
+        from kusto_pre_forge_spark.sources.subtitles import parse_subtitles
+
+        return kind, PAGE_SEP.join(
+            c["text"] for c in parse_subtitles(data)
         )
     if kind == "pdf":
         return "pdf", PAGE_SEP.join(extract_pdf_pages(data))

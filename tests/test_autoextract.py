@@ -339,3 +339,18 @@ def test_mbox_sniff_two_signal():
     prose = b"From Berlin with love\nit was a dark night\n"
     assert A.sniff_format(prose) == "text"
     assert A.extract_auto(prose)[0] == "text"
+
+
+def test_subtitle_sniff_two_signal():
+    """SRT needs a digit first line AND a cue arrow; VTT by magic; a
+    numbered plain-text list stays text."""
+    from kusto_pre_forge_spark.sources import subtitles as SB
+
+    srt = SB.srt_bytes([(0, 1000, "hello"), (1000, 2000, "there")])
+    assert A.sniff_format(srt) == "srt"
+    assert A.extract_auto(srt) == ("srt", "hello\x0cthere")
+    vtt = SB.vtt_bytes([(0, 500, "cap")])
+    assert A.sniff_format(vtt) == "vtt"
+    assert A.extract_auto(vtt) == ("vtt", "cap")
+    listy = b"1\nfirst item\n2\nsecond item\n"
+    assert A.sniff_format(listy) == "text"
