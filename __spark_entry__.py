@@ -6915,6 +6915,100 @@ def _q_kql_scalar_suite4(spark, sf):
     )
 
 
+def _q_wiki_dump_extract(spark, sf):
+    """MediaWiki XML dump roundtrip through the REAL iterparse reader
+    (sources/mediawiki.py): every document forges as a schema-valid
+    two-page export — page one carries the doc text as the LATEST of
+    two revisions (last-revision-wins on the hook) plus an earlier
+    decoy revision; page two is a redirect (attribute parsing on the
+    hook). Compression rotates by doc_id % 3 (plain / bz2 / gzip — the
+    peel step on the hook; bz2 is what Wikimedia actually ships). XML
+    escaping/unescaping roundtrips the text. Closed-form oracle; pure
+    map stages plus the widen re-split."""
+    import pandas as pd
+
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+    from kusto_pre_forge_spark.sources import mediawiki as MW
+
+    d = _widen_for_fanout(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
+
+    def forge(it):
+        comp = [None, "bz2", "gzip"]
+        for pdf in it:
+            paths, blobs = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                t = t if isinstance(t, str) else ""
+                paths.append(f"mem://wiki/{i}.xml")
+                blobs.append(
+                    MW.mediawiki_bytes(
+                        [
+                            dict(
+                                title=f"Page {i}",
+                                ns=0,
+                                page_id=i * 10,
+                                text=t[:200],
+                                old_texts=[f"stale revision {i}"],
+                            ),
+                            dict(
+                                title=f"Redirect {i}",
+                                ns=0,
+                                page_id=i * 10 + 1,
+                                redirect=f"Page {i}",
+                                text=f"#REDIRECT [[Page {i}]]",
+                            ),
+                        ],
+                        compress=comp[i % 3],
+                    )
+                )
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    blobs = d.mapInPandas(forge, "path string, content binary")
+    parsed = MW.parse_mediawiki_blobs(blobs)
+    return parsed.select(
+        F.regexp_extract("_kpf_source", r"([0-9]+)\.xml$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("page_no").cast("int").alias("page_no"),
+        "title",
+        F.col("ns").cast("int").alias("ns"),
+        F.col("page_id").cast("long").alias("page_id"),
+        "redirect",
+        "text",
+    )
+
+
+def _q_text_wikitext_extract(spark, sf):
+    """Wikitext → prose over a forged Wikipedia-article corpus: every
+    document wrapped in deterministic wikitext chrome (a NESTED infobox
+    template, bold-quote title, piped + plain wikilinks, a ref, a
+    heading, a Category link, an external link with a label) around the
+    real text, then reduced by textprep.wikitext_extract's
+    WIKITEXT_RULES chain. ONE codegen projection above the widen
+    re-split; the oracle replays the identical RE2-compatible chain
+    (same tuples, DuckDB replacement syntax) over the same forge."""
+    from kusto_pre_forge_spark.operators import textprep as tp
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    did = F.col("doc_id").cast("long")
+    wt = F.concat(
+        F.lit("{{Infobox doc|id={{val|"), did.cast("string"),
+        F.lit("}}|name=Forged}}\n'''Doc "), did.cast("string"),
+        F.lit("''' is a [[test article|test]] about [[stuff]]."),
+        F.lit("<ref name=\"r1\">cite "), did.cast("string"),
+        F.lit("</ref>\n== History ==\n"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 300),
+        F.lit("\n[[Category:Forged]]\n[http://example.com/"),
+        did.cast("string"), F.lit(" link text]"),
+    )
+    d = _widen_for_fanout(load_table(spark, sf, "documents")).select(
+        did.alias("doc_id"), wt.alias("wiki")
+    )
+    return tp.wikitext_extract(d, "wiki", "doc_id")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7065,6 +7159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docx_text_extract": _q_docx_text_extract,
         "ipynb_cells_extract": _q_ipynb_cells_extract,
         "text_markdown_extract": _q_text_markdown_extract,
+        "wiki_dump_extract": _q_wiki_dump_extract,
+        "text_wikitext_extract": _q_text_wikitext_extract,
         "pipeline_multiformat_extract": _q_pipeline_multiformat_extract,
         "corpus_autoextract": _q_corpus_autoextract,
         "pipeline_audio_asr": _q_pipeline_audio_asr,
@@ -7650,6 +7746,54 @@ def _lpa_oracle_sql(n_iter: int = 4) -> str:
         "l0 AS (SELECT node, node AS label FROM nodes), "
         + ", ".join(rounds)
         + f" SELECT node, label FROM l{n_iter}"
+    )
+
+
+def _wikitext_oracle_sql() -> str:
+    """Replay of text_wikitext_extract: the same forge and the same
+    WIKITEXT_RULES chain (shared pattern tuples; DuckDB replacement
+    syntax and the explicit 'g' flag), template/wikilink counts
+    included."""
+    from kusto_pre_forge_spark.operators.textprep import (
+        _WIKI_LINK_RE,
+        _WIKI_TEMPLATE_RE,
+        WIKITEXT_RULES,
+    )
+
+    nl = "chr(10)"
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    forge = (
+        f"{lit('{{Infobox doc|id={{val|')} || doc_id || "
+        f"{lit('}}|name=Forged}}')} || {nl} || "
+        f"{lit(chr(39) * 3 + 'Doc ')} || doc_id || "
+        f"{lit(chr(39) * 3 + ' is a [[test article|test]] about [[stuff]].')}"
+        f" || {lit('<ref name=' + chr(34) + 'r1' + chr(34) + '>cite ')}"
+        f" || doc_id || {lit('</ref>')} || {nl} || "
+        f"{lit('== History ==')} || {nl} || "
+        "substr(coalesce(text, ''), 1, 300) || "
+        f"{nl} || {lit('[[Category:Forged]]')} || {nl} || "
+        f"{lit('[http://example.com/')} || doc_id || {lit(' link text]')}"
+    )
+    out = "wiki"
+    for pattern, _, duck_repl in WIKITEXT_RULES:
+        p = pattern.replace("'", "''")
+        r_expr = (
+            "chr(10) || chr(10)"
+            if duck_repl == "\n\n"
+            else "'" + duck_repl.replace("'", "''") + "'"
+        )
+        out = f"regexp_replace({out}, '{p}', {r_expr}, 'g')"
+    return (
+        "WITH m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"{forge} AS wiki FROM documents) "
+        f"SELECT doc_id, trim({out}) AS content, "
+        f"CAST(len(regexp_extract_all(wiki, '{_WIKI_TEMPLATE_RE}')) AS BIGINT) "
+        "AS n_templates, "
+        f"CAST(len(regexp_extract_all(wiki, '{_WIKI_LINK_RE}')) AS BIGINT) "
+        "AS n_wikilinks FROM m"
     )
 
 
@@ -10706,6 +10850,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(2 AS INT) FROM d WHERE length(t) > 200"
         ),
         "text_markdown_extract": _markdown_oracle_sql(),
+        "text_wikitext_extract": _wikitext_oracle_sql(),
+        "wiki_dump_extract": (
+            # closed-form two-page replay: latest revision wins (the
+            # stale decoy must NOT surface), redirect attribute parsed,
+            # XML escape/unescape and the %3 compression rotation are
+            # lossless by construction
+            "WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "COALESCE(text, '') AS t FROM documents) "
+            "SELECT doc_id, CAST(0 AS INT) AS page_no, "
+            "'Page ' || doc_id AS title, CAST(0 AS INT) AS ns, "
+            "CAST(doc_id * 10 AS BIGINT) AS page_id, "
+            "CAST(NULL AS VARCHAR) AS redirect, "
+            "substr(t, 1, 200) AS text FROM d "
+            "UNION ALL SELECT doc_id, CAST(1 AS INT), "
+            "'Redirect ' || doc_id, CAST(0 AS INT), "
+            "CAST(doc_id * 10 + 1 AS BIGINT), 'Page ' || doc_id, "
+            "'#REDIRECT [[Page ' || doc_id || ']]' FROM d"
+        ),
         "graph_label_propagation": _lpa_oracle_sql(),
         "corpus_pack_boundaries": (
             # the pack prefix sum (corpus_pack's oracle), then each doc

@@ -164,6 +164,8 @@ HEADLINE = [
     "mail_mbox_extract",
     "subtitles_extract",
     "pipeline_audio_asr",
+    "wiki_dump_extract",
+    "text_wikitext_extract",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection
@@ -181,6 +183,7 @@ CHECKSUM_ACTION = {
     # operator (row count == input count) and measure nothing
     "code_quality",
     "text_markdown_extract",
+    "text_wikitext_extract",
     # latent since r9: these two are projections as well — their count()
     # numbers measured the pruned scan, not the operator
     "text_html_extract",

@@ -1943,3 +1943,99 @@ def markdown_extract(
         F.coalesce(n_fences, F.lit(0)).cast("long").alias("n_code_blocks"),
         F.coalesce(n_links, F.lit(0)).cast("long").alias("n_links"),
     )
+
+
+# --- Wikitext main-content extraction (Wikipedia-corpus prose) ---------------
+
+#: The wikitext→prose rule chain, applied IN ORDER — markdown_extract's
+#: sibling for MediaWiki markup (sources/mediawiki.py page text). Same
+#: contract as MARKDOWN_RULES: each rule is (RE2-compatible pattern,
+#: Spark replacement, DuckDB replacement), patterns shared VERBATIM
+#: between engines (no backreferences in patterns — DuckDB's RE2
+#: rejects them), replacement syntax translated per column. RE2 can't
+#: recurse, so nested constructs unroll a FIXED number of times:
+#: templates ({{..{{..}}..}}) as three innermost-first passes, tables
+#: as two, media links as a pass before AND after inner wikilinks
+#: rewrite (a caption's [[link|label]] resolves to bare text first, so
+#: the second pass's [^\[\]]* matches). Entity decoding runs AFTER
+#: HTML-tag removal: '&lt;b&gt;' is LITERAL text in wikitext and must
+#: not become a strippable tag.
+WIKITEXT_RULES: tuple[tuple[str, str, str], ...] = (
+    (r"(?s)<!--.*?-->", " ", " "),                      # comments
+    (r"(?is)<ref[^>/]*/>", " ", " "),                   # self-closed refs
+    (r"(?is)<ref[^>]*>.*?</ref>", " ", " "),            # footnote refs
+    (                                                   # verbatim islands
+        r"(?is)<(?:nowiki|math|code|pre|gallery|timeline|score"
+        r"|syntaxhighlight|source)[^>]*>.*?"
+        r"</(?:nowiki|math|code|pre|gallery|timeline|score"
+        r"|syntaxhighlight|source)>",
+        " ",
+        " ",
+    ),
+    (r"(?s)\{\{[^{}]*\}\}", " ", " "),                  # templates ×3 (nesting)
+    (r"(?s)\{\{[^{}]*\}\}", " ", " "),
+    (r"(?s)\{\{[^{}]*\}\}", " ", " "),
+    (r"(?s)\{\|.*?\|\}", " ", " "),                     # tables ×2 (nesting)
+    (r"(?s)\{\|.*?\|\}", " ", " "),
+    (r"\[\[(?:File|Image|Category)[^\[\]]*\]\]", " ", " "),  # media pass 1
+    (r"\[\[[^\[\]|]*\|([^\[\]]*)\]\]", "$1", r"\1"),    # [[target|label]]
+    (r"\[\[([^\[\]|]*)\]\]", "$1", r"\1"),              # [[target]]
+    (r"\[\[(?:File|Image|Category)[^\[\]]*\]\]", " ", " "),  # media pass 2
+    (r"\[https?://[^ \]]+ ([^\]]*)\]", "$1", r"\1"),    # [url label]
+    (r"\[https?://[^\]]*\]", " ", " "),                 # bare [url]
+    (r"(?m)^={1,6}[ \t]*", "", ""),                     # heading open fence
+    (r"(?m)[ \t]*={1,6}[ \t]*$", "", ""),               # heading close fence
+    (r"'{2,5}", "", ""),                                # bold/italic quotes
+    (r"__[A-Z]+__", " ", " "),                          # magic words
+    (r"<[^>\n]+>", " ", " "),                           # leftover inline HTML
+    (r"&nbsp;", " ", " "),                              # entities (post-tag)
+    (r"&ndash;|&mdash;", "-", "-"),
+    (r"&lt;", "<", "<"),
+    (r"&gt;", ">", ">"),
+    (r"&quot;", "\"", "\""),
+    (r"&amp;", "&", "&"),
+    (r"(?m)^[*#:;]+[ \t]*", "", ""),                    # list/indent markers
+    (r"[ \t]+", " ", " "),                              # intra-line collapse
+    (r"(?m)^ +| +$", "", ""),                           # line-edge trim
+    (r"\n{3,}", "\n\n", "\n\n"),                        # blank-line squeeze
+    (r"^\n+|\n+$", "", ""),                             # document edges
+)
+
+_WIKI_TEMPLATE_RE = r"\{\{"
+_WIKI_LINK_RE = r"\[\["
+
+
+def wikitext_extract(
+    df: DataFrame, wiki_col: str, id_col: str, out_col: str = "content"
+) -> DataFrame:
+    """Wikitext → prose — the extraction stage after
+    ``sources/mediawiki.py`` parses a dump: templates, tables,
+    ref/verbatim islands, media links, wikilink/external-link labels,
+    heading fences, quote-run emphasis, magic words, inline HTML, and
+    common entities reduce to prose via the WIKITEXT_RULES chain;
+    template/wikilink counts ride along for telemetry (infobox-heavy
+    pages gate differently).
+
+    ONE zero-exchange codegen projection (the regexp_replace fold), the
+    markdown_extract posture: at 100 TB this runs inside the scan, and
+    every pattern is RE2-compatible so the DuckDB oracle replays the
+    identical chain.
+    """
+    c = F.coalesce(F.col(wiki_col), F.lit(""))
+    esc = _WIKI_TEMPLATE_RE.replace(chr(92), chr(92) * 2)
+    n_templates = F.size(
+        F.expr(f"regexp_extract_all({wiki_col}, '{esc}', 0)")
+    )
+    esc = _WIKI_LINK_RE.replace(chr(92), chr(92) * 2)
+    n_wikilinks = F.size(
+        F.expr(f"regexp_extract_all({wiki_col}, '{esc}', 0)")
+    )
+    out = c
+    for pattern, spark_repl, _ in WIKITEXT_RULES:
+        out = F.regexp_replace(out, pattern, spark_repl)
+    return df.select(
+        F.col(id_col),
+        F.trim(out).alias(out_col),
+        F.coalesce(n_templates, F.lit(0)).cast("long").alias("n_templates"),
+        F.coalesce(n_wikilinks, F.lit(0)).cast("long").alias("n_wikilinks"),
+    )

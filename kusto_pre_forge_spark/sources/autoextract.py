@@ -19,6 +19,10 @@ Kinds and routing:
   ``textprep.html_extract`` Spark-side on the tagged rows)
 - ``html``  — a leading ``<`` with an html/doctype tag → text passes
   through RAW with the tag (extraction is the Spark-side codegen chain)
+- ``mediawiki`` — a ``<mediawiki`` XML export root (Wikipedia dumps;
+  bz2/gzip peel first) → page wikitexts joined with form feeds, RAW —
+  chain ``textprep.wikitext_extract`` Spark-side; per-page rows via
+  ``sources.mediawiki.read_mediawiki`` / ``read_mediawiki_stream``
 - ``text``  — decodes as UTF-8 → passes through
 - ``binary``— everything else → NULL text (images/media route to the
   ``multimodal`` family instead)
@@ -29,6 +33,7 @@ Spark) inside one Arrow ``mapInPandas`` stage; nothing shuffles.
 
 from __future__ import annotations
 
+import bz2
 import gzip
 import io
 import lzma
@@ -48,11 +53,20 @@ PAGE_SEP = "\x0c"  # form feed between PDF pages / WARC records
 MAX_ARCHIVE_MEMBERS = 10_000
 MAX_ARCHIVE_BYTES = 1 << 30  # 1 GiB decompressed per archive
 
+#: whole-blob decompressors the peel step dispatches on (bz2 is what
+#: Wikimedia dumps actually ship; bz2.decompress raises ValueError on
+#: garbage, folded into the quarantine catch)
+_DECOMPRESS = {
+    "gzip": gzip.decompress,
+    "bz2": bz2.decompress,
+    "xz": lzma.decompress,
+}
+
 
 def sniff_format(content: bytes) -> str:
     """Magic-byte format sniff (content decides; extensions lie in a
-    crawl). Returns one of pdf/docx/zip/tar/ipynb/warc/gzip/xz/html/
-    text/binary."""
+    crawl). Returns one of pdf/docx/zip/tar/ipynb/warc/gzip/bz2/xz/
+    mediawiki/html/text/binary."""
     head = bytes(content[:512])
     if head.startswith(b"%PDF"):
         return "pdf"
@@ -62,6 +76,8 @@ def sniff_format(content: bytes) -> str:
         return "warc"
     if head.startswith(b"\x1f\x8b"):
         return "gzip"
+    if head.startswith(b"BZh") and len(head) > 3 and head[3:4].isdigit():
+        return "bz2"  # what Wikimedia dumps actually ship as
     if head.startswith(b"\xfd7zXZ\x00"):
         return "xz"
     # POSIX ustar magic at offset 257 (covers GNU tar's "ustar  \0" too)
@@ -84,6 +100,11 @@ def sniff_format(content: bytes) -> str:
         for marker in (b"\nFrom: ", b"\nReceived: ", b"\nReturn-Path: ")
     ):
         return "mbox"
+    # MediaWiki XML export dump (Wikipedia corpus) — pages route whole
+    from kusto_pre_forge_spark.sources.mediawiki import is_mediawiki
+
+    if is_mediawiki(head):
+        return "mediawiki"
     stripped = head.lstrip()
     # Probe the WHOLE blob for "cells", not a fixed head: a notebook's
     # metadata block (kernelspec + serialized widget state) routinely
@@ -116,17 +137,23 @@ def extract_auto(content: bytes) -> tuple[str, str | None]:
 
     kind = sniff_format(content)
     data = bytes(content)
-    if kind in ("gzip", "xz"):
+    if kind in ("gzip", "bz2", "xz"):
         try:
-            data = (
-                gzip.decompress(data) if kind == "gzip" else lzma.decompress(data)
-            )
-        except (OSError, lzma.LZMAError):
+            data = _DECOMPRESS[kind](data)
+        except (OSError, lzma.LZMAError, ValueError):
             return "binary", None
         inner = sniff_format(data)
-        kind = inner if inner not in ("gzip", "xz") else "binary"
+        kind = inner if inner not in ("gzip", "bz2", "xz") else "binary"
     if kind == "tar":
         return "tar", None  # bundles expand via extract_auto_rows
+    if kind == "mediawiki":
+        from kusto_pre_forge_spark.sources.mediawiki import (
+            parse_mediawiki_pages,
+        )
+
+        return "mediawiki", PAGE_SEP.join(
+            pg["text"] or "" for pg in parse_mediawiki_pages(data)
+        )
     if kind == "mbox":
         from kusto_pre_forge_spark.sources.mail import parse_mbox_messages
 
@@ -247,15 +274,13 @@ def extract_auto_rows(
     ends with one ('archive_truncated', None) sentinel row."""
     kind = sniff_format(content)
     data = bytes(content)
-    if kind in ("gzip", "xz"):
+    if kind in ("gzip", "bz2", "xz"):
         try:
-            data = (
-                gzip.decompress(data) if kind == "gzip" else lzma.decompress(data)
-            )
-        except (OSError, lzma.LZMAError):
+            data = _DECOMPRESS[kind](data)
+        except (OSError, lzma.LZMAError, ValueError):
             return [(None, "binary", None)]
         inner = sniff_format(data)
-        kind = inner if inner not in ("gzip", "xz") else "binary"
+        kind = inner if inner not in ("gzip", "bz2", "xz") else "binary"
     if kind == "zip":
         from kusto_pre_forge_spark.sources.epub import is_epub
 
@@ -418,7 +443,12 @@ def read_text_auto_stream(
                     streamed = False
                     # tar magic at 257, or a compressed stream that MAY
                     # be a tar — try pipe mode, fall back whole-file
-                    if head[257:262] == b"ustar" or head[:2] == b"\x1f\x8b" or head.startswith(b"\xfd7zXZ\x00"):
+                    if (
+                        head[257:262] == b"ustar"
+                        or head[:2] == b"\x1f\x8b"
+                        or head[:3] == b"BZh"
+                        or head.startswith(b"\xfd7zXZ\x00")
+                    ):
                         try:
                             count = 0
                             for member, blob in iter_tar_members_from(

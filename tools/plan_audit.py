@@ -161,6 +161,8 @@ AUDITED = [
     ("mail_mbox_extract", "forge + RFC 4155/5322 parse are pure map stages above the widen re-split"),
     ("subtitles_extract", "forge + SRT/VTT cue parse are pure map stages above the widen re-split"),
     ("pipeline_audio_asr", "WAV forge + real decode + stub transcription: pure map stages; only the recognition model is stubbed"),
+    ("wiki_dump_extract", "forge + iterparse page walk (bz2/gzip peel rotated) are pure map stages above the widen re-split"),
+    ("text_wikitext_extract", "ONE codegen projection — the WIKITEXT_RULES regexp_replace fold runs inside the scan"),
 ]
 
 
