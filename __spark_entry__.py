@@ -7009,6 +7009,107 @@ def _q_text_wikitext_extract(spark, sf):
     return tp.wikitext_extract(d, "wiki", "doc_id")
 
 
+def _q_stackexchange_posts_extract(spark, sf):
+    """Stack Exchange dump roundtrip through the REAL attribute-row XML
+    reader (sources/xmlrows.py): every document forges as a two-row
+    Posts.xml (question with an HTML Body + Title + Tags; answer with a
+    ParentId and NO Title — missing attributes must surface as NULL),
+    attribute escaping/unescaping and the %3 compression rotation on
+    the hook. Bodies come back as raw HTML (chain textprep.html_extract
+    Spark-side — the WARC posture); Score exercises the
+    string-attribute → int typing path incl. negatives. Closed-form
+    oracle; pure map stages plus the widen re-split."""
+    import pandas as pd
+
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+    from kusto_pre_forge_spark.sources import xmlrows as XR
+
+    d = _widen_for_fanout(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
+
+    def forge(it):
+        comp = [None, "bz2", "gzip"]
+        for pdf in it:
+            paths, blobs = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                t = t if isinstance(t, str) else ""
+                rows = [
+                    dict(
+                        Id=i * 2,
+                        PostTypeId=1,
+                        Score=i % 100 - 5,
+                        Title=f"Question {i}",
+                        Body=f"<p>{t[:150]}</p>",
+                        Tags="<spark><etl>",
+                    ),
+                    dict(
+                        Id=i * 2 + 1,
+                        PostTypeId=2,
+                        ParentId=i * 2,
+                        Score=i % 7,
+                        Body=f"<p>answer {i}</p>",
+                    ),
+                ]
+                paths.append(f"mem://se/{i}.xml")
+                blobs.append(XR.xml_rows_bytes(rows, compress=comp[i % 3]))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    blobs = d.mapInPandas(forge, "path string, content binary")
+    parsed = XR.parse_xml_row_blobs(
+        blobs, ["Id", "PostTypeId", "ParentId", "Score", "Title", "Body", "Tags"]
+    )
+    return parsed.select(
+        F.regexp_extract("_kpf_source", r"([0-9]+)\.xml$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("row_no").cast("int").alias("row_no"),
+        F.col("Id").cast("long").alias("post_id"),
+        F.col("PostTypeId").cast("int").alias("post_type"),
+        F.col("ParentId").cast("long").alias("parent_id"),
+        F.col("Score").cast("int").alias("score"),
+        F.col("Title").alias("title"),
+        F.col("Body").alias("body"),
+        F.col("Tags").alias("tags"),
+    )
+
+
+def _q_text_latex_extract(spark, sf):
+    """LaTeX → prose over a forged arXiv-paper corpus: every document
+    wrapped in deterministic LaTeX chrome (preamble, title with a
+    nested \\textbf, a comment line, inline + equation math, a cite, an
+    escaped \\%, an itemize, a verbatim island, a ~ tie and a \\\\
+    break) around the real text, then reduced by textprep.
+    latex_extract's LATEX_RULES chain. ONE codegen projection above the
+    widen re-split; the oracle replays the identical RE2-compatible
+    chain (same tuples, DuckDB replacement syntax) over the same
+    forge."""
+    from kusto_pre_forge_spark.operators import textprep as tp
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    did = F.col("doc_id").cast("long")
+    tex = F.concat(
+        F.lit("\\documentclass{article}\n\\title{Doc \\textbf{"),
+        did.cast("string"),
+        F.lit("}}\n\\begin{document}\n\\maketitle\n% comment "),
+        did.cast("string"),
+        F.lit("\n\\section{Intro}\nMath $x_"), did.cast("string"),
+        F.lit("$ and 100\\% cite \\cite{k"), did.cast("string"),
+        F.lit("}.\n\\begin{equation}\nE_"), did.cast("string"),
+        F.lit("\n\\end{equation}\n"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 300),
+        F.lit("\n\\begin{itemize}\n\\item point~one\\\\\n\\end{itemize}\n"
+              "\\begin{verbatim}\nraw {"),
+        did.cast("string"),
+        F.lit("}\n\\end{verbatim}\n\\end{document}"),
+    )
+    d = _widen_for_fanout(load_table(spark, sf, "documents")).select(
+        did.alias("doc_id"), tex.alias("tex")
+    )
+    return tp.latex_extract(d, "tex", "doc_id")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7161,6 +7262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_markdown_extract": _q_text_markdown_extract,
         "wiki_dump_extract": _q_wiki_dump_extract,
         "text_wikitext_extract": _q_text_wikitext_extract,
+        "stackexchange_posts_extract": _q_stackexchange_posts_extract,
+        "text_latex_extract": _q_text_latex_extract,
         "pipeline_multiformat_extract": _q_pipeline_multiformat_extract,
         "corpus_autoextract": _q_corpus_autoextract,
         "pipeline_audio_asr": _q_pipeline_audio_asr,
@@ -7794,6 +7897,63 @@ def _wikitext_oracle_sql() -> str:
         "AS n_templates, "
         f"CAST(len(regexp_extract_all(wiki, '{_WIKI_LINK_RE}')) AS BIGINT) "
         "AS n_wikilinks FROM m"
+    )
+
+
+def _latex_oracle_sql() -> str:
+    """Replay of text_latex_extract: the same forge and the same
+    LATEX_RULES chain (shared pattern tuples; DuckDB replacement syntax
+    and the explicit 'g' flag), command/math counts included."""
+    from kusto_pre_forge_spark.operators.textprep import (
+        _LATEX_CMD_RE,
+        _LATEX_MATH_RE,
+        LATEX_RULES,
+    )
+
+    nl = "chr(10)"
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    forge = (
+        f"{lit(chr(92) + 'documentclass{article}')} || {nl} || "
+        f"{lit(chr(92) + 'title{Doc ' + chr(92) + 'textbf{')} || doc_id || "
+        f"{lit('}}')} || {nl} || {lit(chr(92) + 'begin{document}')} || {nl} "
+        f"|| {lit(chr(92) + 'maketitle')} || {nl} || "
+        f"{lit('% comment ')} || doc_id || {nl} || "
+        f"{lit(chr(92) + 'section{Intro}')} || {nl} || "
+        f"{lit('Math $x_')} || doc_id || "
+        f"{lit('$ and 100' + chr(92) + '% cite ' + chr(92) + 'cite{k')} "
+        f"|| doc_id || {lit('}.')} || {nl} || "
+        f"{lit(chr(92) + 'begin{equation}')} || {nl} || "
+        f"{lit('E_')} || doc_id || {nl} || "
+        f"{lit(chr(92) + 'end{equation}')} || {nl} || "
+        "substr(coalesce(text, ''), 1, 300) || "
+        f"{nl} || {lit(chr(92) + 'begin{itemize}')} || {nl} || "
+        f"{lit(chr(92) + 'item point~one' + chr(92) + chr(92))} || {nl} || "
+        f"{lit(chr(92) + 'end{itemize}')} || {nl} || "
+        f"{lit(chr(92) + 'begin{verbatim}')} || {nl} || "
+        f"{lit('raw {')} || doc_id || {lit('}')} || {nl} || "
+        f"{lit(chr(92) + 'end{verbatim}')} || {nl} || "
+        f"{lit(chr(92) + 'end{document}')}"
+    )
+    out = "tex"
+    for pattern, _, duck_repl in LATEX_RULES:
+        p = pattern.replace("'", "''")
+        r_expr = (
+            "chr(10) || chr(10)"
+            if duck_repl == "\n\n"
+            else "'" + duck_repl.replace("'", "''") + "'"
+        )
+        out = f"regexp_replace({out}, '{p}', {r_expr}, 'g')"
+    return (
+        "WITH m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"{forge} AS tex FROM documents) "
+        f"SELECT doc_id, trim({out}) AS content, "
+        f"CAST(len(regexp_extract_all(tex, '{_LATEX_CMD_RE}')) AS BIGINT) "
+        "AS n_commands, "
+        f"CAST(len(regexp_extract_all(tex, '{_LATEX_MATH_RE}')) AS BIGINT) "
+        "AS n_math_delims FROM m"
     )
 
 
@@ -10851,6 +11011,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_markdown_extract": _markdown_oracle_sql(),
         "text_wikitext_extract": _wikitext_oracle_sql(),
+        "text_latex_extract": _latex_oracle_sql(),
+        "stackexchange_posts_extract": (
+            # closed-form two-post replay: attribute escape/unescape is
+            # lossless, missing attributes (answer Title, question
+            # ParentId) surface as NULL, Score round-trips negatives
+            "WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "COALESCE(text, '') AS t FROM documents) "
+            "SELECT doc_id, CAST(0 AS INT) AS row_no, "
+            "CAST(doc_id * 2 AS BIGINT) AS post_id, "
+            "CAST(1 AS INT) AS post_type, "
+            "CAST(NULL AS BIGINT) AS parent_id, "
+            "CAST(doc_id % 100 - 5 AS INT) AS score, "
+            "'Question ' || doc_id AS title, "
+            "'<p>' || substr(t, 1, 150) || '</p>' AS body, "
+            "'<spark><etl>' AS tags FROM d "
+            "UNION ALL SELECT doc_id, CAST(1 AS INT), "
+            "CAST(doc_id * 2 + 1 AS BIGINT), CAST(2 AS INT), "
+            "CAST(doc_id * 2 AS BIGINT), CAST(doc_id % 7 AS INT), "
+            "CAST(NULL AS VARCHAR), '<p>answer ' || doc_id || '</p>', "
+            "CAST(NULL AS VARCHAR) FROM d"
+        ),
         "wiki_dump_extract": (
             # closed-form two-page replay: latest revision wins (the
             # stale decoy must NOT surface), redirect attribute parsed,

@@ -166,6 +166,8 @@ HEADLINE = [
     "pipeline_audio_asr",
     "wiki_dump_extract",
     "text_wikitext_extract",
+    "stackexchange_posts_extract",
+    "text_latex_extract",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection
@@ -184,6 +186,7 @@ CHECKSUM_ACTION = {
     "code_quality",
     "text_markdown_extract",
     "text_wikitext_extract",
+    "text_latex_extract",
     # latent since r9: these two are projections as well — their count()
     # numbers measured the pruned scan, not the operator
     "text_html_extract",

@@ -2039,3 +2039,120 @@ def wikitext_extract(
         F.coalesce(n_templates, F.lit(0)).cast("long").alias("n_templates"),
         F.coalesce(n_wikilinks, F.lit(0)).cast("long").alias("n_wikilinks"),
     )
+
+
+# --- LaTeX main-content extraction (arXiv-corpus prose) ----------------------
+
+#: The LaTeX→prose rule chain, applied IN ORDER — the detex operation
+#: for arXiv-class corpora (a standard LLM pretraining source ships as
+#: .tex). Same contract as MARKDOWN_RULES / WIKITEXT_RULES: (RE2-safe
+#: pattern, Spark replacement, DuckDB replacement), patterns shared
+#: VERBATIM between engines. RE2 has no lookbehind, so the comment rule
+#: captures the preceding non-backslash character and puts it back
+#: (replacement backrefs are fine in both engines — only PATTERN
+#: backrefs are banned); escaped specials (\%, \&) decode AFTER the
+#: comment rule so they never read as comment starts. Verbatim islands
+#: and math drop before command stripping; argument-keeping commands
+#: (\section, \textbf, …) unwrap innermost-first ×2 for one nesting
+#: level (\textbf{a \emph{b}}).
+LATEX_RULES: tuple[tuple[str, str, str], ...] = (
+    (                                                   # verbatim islands
+        r"(?s)\\begin\{(?:verbatim|lstlisting|minted)\}"
+        r".*?\\end\{(?:verbatim|lstlisting|minted)\}",
+        " ",
+        " ",
+    ),
+    (r"(?m)(^|[^\\])%.*$", "$1", r"\1"),                # comments (\% spared)
+    (                                                   # display math envs
+        r"(?s)\\begin\{(?:equation|align|eqnarray|gather|multline|math"
+        r"|displaymath)\*?\}.*?"
+        r"\\end\{(?:equation|align|eqnarray|gather|multline|math"
+        r"|displaymath)\*?\}",
+        " ",
+        " ",
+    ),
+    (r"(?s)\$\$.*?\$\$", " ", " "),                     # $$ display math
+    (r"(?s)\\\[.*?\\\]", " ", " "),                     # \[ \] display math
+    (r"\$[^$\n]*\$", " ", " "),                         # $inline$ math
+    (                                                   # keep-argument cmds ×2
+        r"\\(?:section|subsection|subsubsection|paragraph|chapter|title"
+        r"|author|textbf|textit|emph|texttt|textsc|textrm|textsf|mbox"
+        r"|text|underline|caption|footnote)\*?\{([^{}]*)\}",
+        "$1",
+        r"\1",
+    ),
+    (
+        r"\\(?:section|subsection|subsubsection|paragraph|chapter|title"
+        r"|author|textbf|textit|emph|texttt|textsc|textrm|textsf|mbox"
+        r"|text|underline|caption|footnote)\*?\{([^{}]*)\}",
+        "$1",
+        r"\1",
+    ),
+    (                                                   # refs/labels drop
+        r"\\(?:cite|citep|citet|citealp|ref|eqref|autoref|label|cref"
+        r"|pageref|vref|url|href)\*?\{[^{}]*\}",
+        " ",
+        " ",
+    ),
+    (                                                   # preamble/includes
+        r"\\(?:includegraphics|input|include|usepackage|documentclass"
+        r"|bibliography|bibliographystyle)\*?(?:\[[^\]]*\])?\{[^{}]*\}",
+        " ",
+        " ",
+    ),
+    (r"\\(?:begin|end)\{[^{}]*\}(?:\[[^\]]*\])?", " ", " "),  # env fences
+    (r"(?m)^[ \t]*\\item\b[ \t]*", "", ""),             # list items
+    (r"\\\\(?:\[[^\]]*\])?", " ", " "),                 # \\ line breaks
+    (r"\\&", "&", "&"),                                 # escaped specials
+    (r"\\%", "%", "%"),
+    (r"\\_", "_", "_"),
+    (r"\\#", "#", "#"),
+    (r"\\\$", "\\$", "$"),
+    (r"\\\{", "{", "{"),
+    (r"\\\}", "}", "}"),
+    (r"\\[a-zA-Z@]+(?:\[[^\]]*\])?", " ", " "),         # leftover commands
+    (r"[{}]", "", ""),                                  # leftover braces
+    (r"~", " ", " "),                                   # non-breaking ties
+    (r"[ \t]+", " ", " "),                              # intra-line collapse
+    (r"(?m)^ +| +$", "", ""),                           # line-edge trim
+    (r"\n{3,}", "\n\n", "\n\n"),                        # blank-line squeeze
+    (r"^\n+|\n+$", "", ""),                             # document edges
+)
+
+_LATEX_CMD_RE = r"\\[a-zA-Z@]+"
+_LATEX_MATH_RE = r"\$\$|\$"
+
+
+def latex_extract(
+    df: DataFrame, tex_col: str, id_col: str, out_col: str = "content"
+) -> DataFrame:
+    """LaTeX → prose — the detex stage for arXiv-class corpora:
+    comments, verbatim/math islands, citation/ref/label commands,
+    preamble includes, environment fences, escaped specials, and
+    leftover commands reduce to prose via the LATEX_RULES chain;
+    command/math-delimiter counts ride along for telemetry
+    (equation-heavy papers gate differently).
+
+    ONE zero-exchange codegen projection (the regexp_replace fold), the
+    markdown_extract posture: at 100 TB this runs inside the scan, and
+    every pattern is RE2-compatible so the DuckDB oracle replays the
+    identical chain.
+    """
+    c = F.coalesce(F.col(tex_col), F.lit(""))
+    esc = _LATEX_CMD_RE.replace(chr(92), chr(92) * 2)
+    n_commands = F.size(
+        F.expr(f"regexp_extract_all({tex_col}, '{esc}', 0)")
+    )
+    esc = _LATEX_MATH_RE.replace(chr(92), chr(92) * 2)
+    n_math = F.size(
+        F.expr(f"regexp_extract_all({tex_col}, '{esc}', 0)")
+    )
+    out = c
+    for pattern, spark_repl, _ in LATEX_RULES:
+        out = F.regexp_replace(out, pattern, spark_repl)
+    return df.select(
+        F.col(id_col),
+        F.trim(out).alias(out_col),
+        F.coalesce(n_commands, F.lit(0)).cast("long").alias("n_commands"),
+        F.coalesce(n_math, F.lit(0)).cast("long").alias("n_math_delims"),
+    )

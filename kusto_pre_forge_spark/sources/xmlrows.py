@@ -1,0 +1,233 @@
+"""Attribute-row XML source — the Stack Exchange data-dump shape.
+
+The Stack Exchange archive (a standard LLM Q&A source) ships each table
+as one XML file whose rows are self-closing elements with ALL fields in
+attributes::
+
+    <posts>
+      <row Id="4" PostTypeId="1" Body="&lt;p&gt;prose...&lt;/p&gt;" ... />
+      ...
+    </posts>
+
+This module reads any such element-per-row file: the caller names the
+attributes to surface (the explicit-schema posture delimited sources
+already use — there is no sampling pass over a 100 GB dump), each
+becomes a string column (cast downstream with try_cast; XML attributes
+are untyped), missing attributes are NULL, and XML entity unescaping is
+the parser's (``&lt;p&gt;`` bodies come back as real HTML — chain
+``textprep.html_extract`` Spark-side for prose, the WARC posture).
+
+Reference parity: the reference's format dispatch throws for anything
+beyond txt (code/KustoPreForgeLib/EtlRun.cs:87-89); this continues the
+document-input family from public formats.
+
+Two read paths, the house convention:
+
+- :func:`read_xml_rows` — ``binaryFile`` + one Arrow map stage, bz2 /
+  gzip peel by magic.
+- :func:`read_xml_rows_stream` — PAST the 2 GiB ceiling (stackoverflow
+  Posts.xml is ~100 GB uncompressed): worker-side incremental
+  iterparse, one row element resident at a time, Arrow batches out.
+
+Stack Exchange publishes ``.7z`` archives — no stdlib 7z codec exists,
+so those refuse loudly with the recompression workaround named (the
+import-try escape-hatch posture).
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import io
+from xml.etree import ElementTree as ET
+from xml.sax.saxutils import quoteattr
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _ddl(attrs: list[str]) -> str:
+    cols = ", ".join(f"`{a}` string" for a in attrs)
+    return f"row_no long, {cols}, _kpf_source string"
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def iter_xml_rows(fileobj, row_tag: str = "row"):
+    """Incremental iterator over an element-per-row XML stream: yields
+    one ``{attribute: value}`` dict per ``<row .../>``, clearing each
+    element after use so memory stays one-row-bounded regardless of
+    file size (the iterparse idiom shared with sources/mediawiki.py)."""
+    context = ET.iterparse(fileobj, events=("start", "end"))
+    root = None
+    for event, elem in context:
+        if event == "start":
+            if root is None:
+                root = elem
+            continue
+        if _local(elem.tag) == row_tag:
+            yield dict(elem.attrib)
+            elem.clear()
+            if root is not None:
+                try:
+                    root.remove(elem)
+                except ValueError:
+                    pass
+
+
+def _peel(data: bytes) -> bytes:
+    if data[:3] == b"BZh":
+        return bz2.decompress(data)
+    if data[:2] == b"\x1f\x8b":
+        return gzip.decompress(data)
+    if data[:6] == b"7z\xbc\xaf\x27\x1c":
+        raise NotImplementedError(
+            "Stack Exchange ships .7z archives and no stdlib 7z codec "
+            "exists; recompress to bz2/gzip (e.g. `7z x` then `bzip2`) "
+            "or extract the inner .xml first"
+        )
+    return data
+
+
+def parse_xml_rows(
+    data: bytes, attrs: list[str], row_tag: str = "row"
+) -> list[dict]:
+    """Pure function: dump bytes (plain / .bz2 / .gz) → row dicts with
+    ``row_no`` + the requested attributes (missing → None)."""
+    try:
+        payload = _peel(bytes(data))
+        out = []
+        for i, attrib in enumerate(iter_xml_rows(io.BytesIO(payload), row_tag)):
+            row = {"row_no": i}
+            for a in attrs:
+                row[a] = attrib.get(a)
+            out.append(row)
+        return out
+    except (OSError, ET.ParseError, EOFError):
+        return []
+
+
+def parse_xml_row_blobs(
+    blobs: DataFrame, attrs: list[str], row_tag: str = "row"
+) -> DataFrame:
+    """(path, content) blob rows → one row per ``<row>`` element —
+    pure Arrow map stage, the sibling-reader posture."""
+    import pandas as pd
+
+    attrs = list(attrs)
+    cols = ["row_no", *attrs, "_kpf_source"]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for row in parse_xml_rows(content, attrs, row_tag):
+                    rows.append({**row, "_kpf_source": p})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return blobs.select("path", "content").mapInPandas(batches, _ddl(attrs))
+
+
+def read_xml_rows(
+    spark: SparkSession,
+    path: str,
+    attrs: list[str],
+    row_tag: str = "row",
+) -> DataFrame:
+    """Read an attribute-row XML directory/glob (plain / .bz2 / .gz) as
+    one typed row per element. Blobs must fit the 2 GiB ``binaryFile``
+    ceiling — stackoverflow's Posts.xml doesn't; use
+    :func:`read_xml_rows_stream` there."""
+    bf = spark.read.format("binaryFile").load(path)
+    return parse_xml_row_blobs(bf, attrs, row_tag)
+
+
+def read_xml_rows_stream(
+    spark: SparkSession,
+    path: str,
+    attrs: list[str],
+    row_tag: str = "row",
+) -> DataFrame:
+    """Attribute-row XML PAST the 2 GiB ceiling: paths distribute via
+    exact one-file-per-task slicing, each worker opens its file through
+    the matching decompressor and iterparse yields one row at a time in
+    Arrow batches. Pinned row-identical to :func:`read_xml_rows`; bare
+    remote schemes refuse with the mount workaround named."""
+    import pandas as pd
+
+    from kusto_pre_forge_spark.sources.blob import (
+        exact_path_slices,
+        worker_local_path,
+    )
+
+    attrs = list(attrs)
+    cols = ["row_no", *attrs, "_kpf_source"]
+    paths = exact_path_slices(spark, path, max_files_per_task=1)
+
+    def batches(it):
+        for pdf in it:
+            for p in pdf["path"]:
+                raw = worker_local_path(p)
+                with open(raw, "rb") as probe:
+                    head = probe.read(6)
+                if head[:6] == b"7z\xbc\xaf\x27\x1c":
+                    raise NotImplementedError(
+                        "no stdlib 7z codec; recompress to bz2/gzip"
+                    )
+                if head[:3] == b"BZh":
+                    opener = bz2.BZ2File(raw, "rb")
+                elif head[:2] == b"\x1f\x8b":
+                    opener = gzip.open(raw, "rb")
+                else:
+                    opener = open(raw, "rb")
+                rows: list[dict] = []
+                try:
+                    with opener as f:
+                        for i, attrib in enumerate(
+                            iter_xml_rows(f, row_tag)
+                        ):
+                            row = {"row_no": i}
+                            for a in attrs:
+                                row[a] = attrib.get(a)
+                            row["_kpf_source"] = p
+                            rows.append(row)
+                            if len(rows) >= 1024:
+                                yield pd.DataFrame(rows, columns=cols)
+                                rows = []
+                except (OSError, ET.ParseError, EOFError):
+                    rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return paths.mapInPandas(batches, _ddl(attrs))
+
+
+# --------------------------------------------------- fixture-forging writer
+
+
+def xml_rows_bytes(
+    rows: list[dict],
+    root_tag: str = "posts",
+    row_tag: str = "row",
+    compress: str | None = None,
+) -> bytes:
+    """Forge a Stack-Exchange-shaped dump: one self-closing row element
+    per dict, values XML-attribute-escaped (quoteattr — the parser
+    must unescape them back). ``compress``: None / 'bz2' / 'gzip'."""
+    parts = [
+        '<?xml version="1.0" encoding="utf-8"?>\n',
+        f"<{root_tag}>\n",
+    ]
+    for r in rows:
+        attrs = " ".join(
+            f"{k}={quoteattr(str(v))}" for k, v in r.items() if v is not None
+        )
+        parts.append(f"  <{row_tag} {attrs} />\n")
+    parts.append(f"</{root_tag}>\n")
+    raw = "".join(parts).encode("utf-8")
+    if compress == "bz2":
+        return bz2.compress(raw)
+    if compress == "gzip":
+        return gzip.compress(raw)
+    return raw

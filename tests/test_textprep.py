@@ -864,3 +864,82 @@ def test_byte_bpe_encode_decode_lossless(spark):
         for i, t in enumerate(tricky):
             ids = got.get(i, [])
             assert tp.bpe_decode_ids(ids, merges) == t, (i, t, merges)
+
+
+# --- latex_extract ------------------------------------------------------------
+
+LATEX_VECTORS = [
+    ("\\section{Intro}\nbody", "Intro\nbody"),
+    (r"A \textbf{bold \emph{nested}} word", "A bold nested word"),
+    ("pre % comment\npost", "pre\npost"),
+    (r"100\% and \& and \_ and \$5", "100% and & and _ and $5"),
+    (r"math $x^2$ here", "math here"),
+    ("disp $$x$$ and \\[y\\] gone", "disp and gone"),
+    ("\\begin{equation}\nE=mc^2\n\\end{equation}after", "after"),
+    ("\\begin{verbatim}\nraw $x$ {y}\n\\end{verbatim}kept", "kept"),
+    (r"see \cite{a} and \ref{b} end", "see and end"),
+    ("\\begin{itemize}\n\\item one\n\\item two\n\\end{itemize}", "one\ntwo"),
+    (r"tie~break and a\\ split", "tie break and a split"),
+    (r"\unknowncmd[opt]{x} tail", "x tail"),
+]
+
+
+@pytest.mark.parametrize("src,want", LATEX_VECTORS)
+def test_latex_rules_vectors(spark, src, want):
+    from pyspark.sql import functions as F
+
+    from kusto_pre_forge_spark.operators.textprep import latex_extract
+
+    df = spark.range(1).select(
+        F.col("id").alias("doc_id"), F.lit(src).alias("t")
+    )
+    got = latex_extract(df, "t", "doc_id").collect()[0]["content"]
+    assert got == want
+
+
+def test_latex_counts(spark):
+    from pyspark.sql import functions as F
+
+    from kusto_pre_forge_spark.operators.textprep import latex_extract
+
+    df = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.lit(r"\title{x} $a$ $$b$$ \cite{c}").alias("t"),
+    )
+    row = latex_extract(df, "t", "doc_id").collect()[0]
+    assert row["n_commands"] == 2  # \title, \cite
+    # $a$ counts its two singles; $$b$$ counts as two $$ (alternation
+    # puts $$ first so doubles never split)
+    assert row["n_math_delims"] == 4
+
+
+def test_latex_rules_duckdb_parity():
+    """Every LATEX_RULES pattern must be RE2-compatible and produce the
+    same output in DuckDB as in Python/Java regex over the vectors (the
+    engine-shared-rules guarantee the oracle relies on)."""
+    import re
+
+    import duckdb
+
+    from kusto_pre_forge_spark.operators.textprep import LATEX_RULES
+
+    con = duckdb.connect()
+    for src, _ in LATEX_VECTORS:
+        py = src
+        for pat, spark_repl, _duck in LATEX_RULES:
+            py = re.sub(
+                pat, spark_repl.replace("$1", "\\1").replace("\\$", "$"), py
+            )
+        expr = "t"
+        for pat, _spark, duck_repl in LATEX_RULES:
+            p = pat.replace("'", "''")
+            r = (
+                "chr(10) || chr(10)"
+                if duck_repl == "\n\n"
+                else "'" + duck_repl.replace("'", "''") + "'"
+            )
+            expr = f"regexp_replace({expr}, '{p}', {r}, 'g')"
+        duck = con.execute(
+            f"SELECT trim({expr}) FROM (SELECT ? AS t)", [src]
+        ).fetchone()[0]
+        assert duck == py.strip(), src

@@ -163,6 +163,8 @@ AUDITED = [
     ("pipeline_audio_asr", "WAV forge + real decode + stub transcription: pure map stages; only the recognition model is stubbed"),
     ("wiki_dump_extract", "forge + iterparse page walk (bz2/gzip peel rotated) are pure map stages above the widen re-split"),
     ("text_wikitext_extract", "ONE codegen projection — the WIKITEXT_RULES regexp_replace fold runs inside the scan"),
+    ("stackexchange_posts_extract", "forge + attribute-row iterparse (bz2/gzip peel rotated) are pure map stages above the widen re-split"),
+    ("text_latex_extract", "ONE codegen projection — the LATEX_RULES regexp_replace fold runs inside the scan"),
 ]
 
 
