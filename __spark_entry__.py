@@ -7110,6 +7110,145 @@ def _q_text_latex_extract(spark, sf):
     return tp.latex_extract(d, "tex", "doc_id")
 
 
+def _q_wet_text_extract(spark, sf):
+    """Common Crawl WET sidecar roundtrip: every document forges as a
+    WET-shaped blob — a warcinfo record followed by a ``conversion``
+    record carrying bare text/plain (NO HTTP message; the reader must
+    fall back to the raw block), per-record gzip members (the CC
+    layout) — then parses back via the same parse_warc_blobs the
+    crawl pipeline uses, filtered to conversion records. The predicted
+    Content-Length (payload BYTE length) pins the framing arithmetic.
+    Closed-form oracle; pure map stages plus the widen re-split."""
+    import pandas as pd
+
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+    from kusto_pre_forge_spark.sources import warc as W
+
+    d = _widen_for_fanout(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
+
+    def forge(it):
+        for pdf in it:
+            paths, blobs = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                t = (t if isinstance(t, str) else "")[:200]
+                uri = f"https://example.org/{i}"
+                recs = [
+                    W.warc_record_bytes(
+                        uri,
+                        b"software: kpf-forge",
+                        warc_type="warcinfo",
+                        content_type="application/warc-fields",
+                    ),
+                    W.warc_record_bytes(
+                        uri,
+                        t.encode("utf-8"),
+                        warc_type="conversion",
+                        content_type="text/plain",
+                    ),
+                ]
+                paths.append(f"mem://wet/{i}.warc.wet.gz")
+                blobs.append(W.write_warc(recs, gzip_per_record=True))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    blobs = d.mapInPandas(forge, "path string, content binary")
+    parsed = W.parse_warc_blobs(blobs, record_types=("conversion",))
+    return parsed.select(
+        F.regexp_extract("_kpf_source", r"([0-9]+)\.warc\.wet\.gz$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "warc_type",
+        "target_uri",
+        "content_type",
+        F.col("content_length").cast("long").alias("content_length"),
+        "payload_text",
+    )
+
+
+def _q_wat_metadata_extract(spark, sf):
+    """Common Crawl WAT sidecar roundtrip: every document forges as a
+    ``metadata`` record whose block is the Envelope JSON (the WAT
+    layout), parsed back through parse_warc_blobs and then mined
+    Spark-side with get_json_object — JVM JSON path evaluation, zero
+    UDFs (the crawl-metadata analytics posture: link graphs and title
+    mining run inside the scan). Closed-form oracle over the same
+    deterministic Envelope."""
+    import json
+
+    import pandas as pd
+
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+    from kusto_pre_forge_spark.sources import warc as W
+
+    d = _widen_for_fanout(load_table(spark, sf, "documents").select("doc_id"))
+
+    def forge(it):
+        for pdf in it:
+            paths, blobs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                uri = f"https://example.org/{i}"
+                envelope = {
+                    "Envelope": {
+                        "WARC-Header-Metadata": {"WARC-Target-URI": uri},
+                        "Payload-Metadata": {
+                            "HTTP-Response-Metadata": {
+                                "HTML-Metadata": {
+                                    "Head": {"Title": f"Doc {i}"},
+                                    "Links": [
+                                        {"url": f"/l/{i}/{k}"}
+                                        for k in range(i % 4)
+                                    ],
+                                }
+                            }
+                        },
+                    }
+                }
+                paths.append(f"mem://wat/{i}.warc.wat.gz")
+                blobs.append(
+                    W.write_warc(
+                        [
+                            W.warc_record_bytes(
+                                uri,
+                                json.dumps(
+                                    envelope, sort_keys=True
+                                ).encode("utf-8"),
+                                warc_type="metadata",
+                                content_type="application/json",
+                            )
+                        ],
+                        gzip_per_record=True,
+                    )
+                )
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    blobs = d.mapInPandas(forge, "path string, content binary")
+    parsed = W.parse_warc_blobs(blobs, record_types=("metadata",))
+    meta = "$.Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata"
+    return parsed.select(
+        F.regexp_extract("_kpf_source", r"([0-9]+)\.warc\.wat\.gz$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "target_uri",
+        F.get_json_object("payload_text", f"{meta}.Head.Title").alias(
+            "title"
+        ),
+        F.coalesce(
+            F.json_array_length(
+                F.get_json_object("payload_text", f"{meta}.Links")
+            ),
+            F.lit(0),
+        )
+        .cast("int")
+        .alias("n_links"),
+        F.get_json_object("payload_text", f"{meta}.Links[0].url").alias(
+            "first_link"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7264,6 +7403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_wikitext_extract": _q_text_wikitext_extract,
         "stackexchange_posts_extract": _q_stackexchange_posts_extract,
         "text_latex_extract": _q_text_latex_extract,
+        "wet_text_extract": _q_wet_text_extract,
+        "wat_metadata_extract": _q_wat_metadata_extract,
         "pipeline_multiformat_extract": _q_pipeline_multiformat_extract,
         "corpus_autoextract": _q_corpus_autoextract,
         "pipeline_audio_asr": _q_pipeline_audio_asr,
@@ -11012,6 +11153,29 @@ def oracle_sql() -> dict[str, str]:
         "text_markdown_extract": _markdown_oracle_sql(),
         "text_wikitext_extract": _wikitext_oracle_sql(),
         "text_latex_extract": _latex_oracle_sql(),
+        "wet_text_extract": (
+            # closed-form conversion-record replay; content_length is
+            # the payload's BYTE length (UTF-8), pinning the framing
+            "WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "substr(COALESCE(text, ''), 1, 200) AS t FROM documents) "
+            "SELECT doc_id, 'conversion' AS warc_type, "
+            "'https://example.org/' || doc_id AS target_uri, "
+            "'text/plain' AS content_type, "
+            "CAST(octet_length(encode(t)) AS BIGINT) AS content_length, "
+            "t AS payload_text FROM d"
+        ),
+        "wat_metadata_extract": (
+            # closed-form Envelope replay: title, link count (doc_id%4,
+            # with 0 links meaning an ABSENT array -> coalesce 0 and a
+            # NULL first link), and the first link's deterministic url
+            "WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id "
+            "FROM documents) "
+            "SELECT doc_id, 'https://example.org/' || doc_id AS target_uri, "
+            "'Doc ' || doc_id AS title, "
+            "CAST(doc_id % 4 AS INT) AS n_links, "
+            "CASE WHEN doc_id % 4 = 0 THEN NULL "
+            "ELSE '/l/' || doc_id || '/0' END AS first_link FROM d"
+        ),
         "stackexchange_posts_extract": (
             # closed-form two-post replay: attribute escape/unescape is
             # lossless, missing attributes (answer Title, question

@@ -168,6 +168,8 @@ HEADLINE = [
     "text_wikitext_extract",
     "stackexchange_posts_extract",
     "text_latex_extract",
+    "wet_text_extract",
+    "wat_metadata_extract",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

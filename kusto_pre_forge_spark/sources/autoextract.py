@@ -80,6 +80,17 @@ def sniff_format(content: bytes) -> str:
         return "bz2"  # what Wikimedia dumps actually ship as
     if head.startswith(b"\xfd7zXZ\x00"):
         return "xz"
+    # columnar/container formats a mixed dump can carry: tag them so the
+    # caller routes to the real reader (spark.read.parquet/orc,
+    # sources/avro.py) — 'binary' would hide that they are readable
+    if head.startswith(b"PAR1"):
+        return "parquet"
+    if head.startswith(b"ORC"):
+        return "orc"
+    if head.startswith(b"Obj\x01"):
+        return "avro"
+    if head.startswith(b"7z\xbc\xaf\x27\x1c"):
+        return "7z"
     # POSIX ustar magic at offset 257 (covers GNU tar's "ustar  \0" too)
     if bytes(content[257:262]) == b"ustar":
         return "tar"
@@ -146,6 +157,10 @@ def extract_auto(content: bytes) -> tuple[str, str | None]:
         kind = inner if inner not in ("gzip", "bz2", "xz") else "binary"
     if kind == "tar":
         return "tar", None  # bundles expand via extract_auto_rows
+    if kind in ("parquet", "orc", "avro", "7z"):
+        # tag-only: route to spark.read.parquet/orc / sources.avro (7z
+        # has no stdlib codec — recompress); never silently 'binary'
+        return kind, None
     if kind == "mediawiki":
         from kusto_pre_forge_spark.sources.mediawiki import (
             parse_mediawiki_pages,
@@ -192,9 +207,14 @@ def extract_auto(content: bytes) -> tuple[str, str | None]:
             return "ipynb", to_script(cells)
         kind = "text"  # JSON that wasn't a notebook — fall through
     if kind == "warc":
+        # response records (WARC captures) AND conversion records (WET —
+        # Common Crawl's extracted-text sidecar, whose blocks are bare
+        # text/plain with no HTTP message) both carry corpus text; a WET
+        # blob must not extract empty
         payloads = []
         for headers, block in iter_warc_records(data):
-            if headers.get("warc-type", "").lower() != "response":
+            wtype = headers.get("warc-type", "").lower()
+            if wtype not in ("response", "conversion"):
                 continue
             status, _, body = parse_http_response(block)
             payloads.append(

@@ -387,9 +387,13 @@ def warc_record_bytes(
     record_id: str | None = None,
     warc_type: str = "response",
     http_content_type: str = "text/html; charset=utf-8",
+    content_type: str | None = None,
 ) -> bytes:
     """One spec-shaped record for fixtures/tests (response records wrap
-    the body in an HTTP/1.1 200 message, like a crawler capture)."""
+    the body in an HTTP/1.1 200 message, like a crawler capture).
+    ``content_type`` overrides the record-level Content-Type header —
+    WET conversion records declare ``text/plain``, WAT metadata records
+    ``application/json`` (the Common Crawl sidecar conventions)."""
     if warc_type == "response":
         http = (
             b"HTTP/1.1 200 OK\r\nContent-Type: "
@@ -402,6 +406,8 @@ def warc_record_bytes(
         block, ctype = http, "application/http; msgtype=response"
     else:
         block, ctype = body, "application/octet-stream"
+    if content_type is not None:
+        ctype = content_type
     rid = record_id or f"<urn:uuid:{abs(hash(uri)) % 10**12}>"
     head = (
         f"WARC/1.1\r\nWARC-Type: {warc_type}\r\nWARC-Record-ID: {rid}\r\n"

@@ -354,3 +354,24 @@ def test_subtitle_sniff_two_signal():
     assert A.extract_auto(vtt) == ("vtt", "cap")
     listy = b"1\nfirst item\n2\nsecond item\n"
     assert A.sniff_format(listy) == "text"
+
+
+def test_columnar_formats_tag_not_binary():
+    """parquet/orc/avro/7z blobs in a mixed dump tag their real format
+    (route to the real readers) instead of hiding as 'binary'."""
+    from kusto_pre_forge_spark.sources.autoextract import (
+        extract_auto,
+        sniff_format,
+    )
+
+    assert sniff_format(b"PAR1\x15\x00\x15") == "parquet"
+    assert sniff_format(b"ORC\x00postscript") == "orc"
+    assert sniff_format(b"Obj\x01\x02schema") == "avro"
+    assert sniff_format(b"7z\xbc\xaf\x27\x1c\x00") == "7z"
+    for blob in (b"PAR1xx", b"ORC\x00", b"Obj\x01x", b"7z\xbc\xaf\x27\x1cx"):
+        kind, text = extract_auto(blob)
+        assert text is None and kind not in ("binary", "text"), (blob, kind)
+    # real columnar bytes still tag through the rows front door
+    from kusto_pre_forge_spark.sources.autoextract import extract_auto_rows
+
+    assert extract_auto_rows(b"PAR1 body") == [(None, "parquet", None)]

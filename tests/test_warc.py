@@ -245,3 +245,73 @@ def test_stream_open_refuses_remote_schemes():
     with pytest.raises(NotImplementedError, match="s3"):
         W._open_for_records("s3://bucket/archive.warc.gz")
     # file: schemes strip fine (exercised end-to-end elsewhere)
+
+
+# --- WET / WAT sidecars -------------------------------------------------------
+
+
+def test_wet_conversion_records_parse():
+    from kusto_pre_forge_spark.sources import warc as W
+
+    blob = W.write_warc(
+        [
+            W.warc_record_bytes(
+                "https://e.com/a", b"info", warc_type="warcinfo",
+                content_type="application/warc-fields",
+            ),
+            W.warc_record_bytes(
+                "https://e.com/a", "extracted prose é".encode(),
+                warc_type="conversion", content_type="text/plain",
+            ),
+        ],
+        gzip_per_record=True,
+    )
+    rows = W.records_to_rows("p", blob, ("conversion",))
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["warc_type"] == "conversion"
+    assert r["content_type"] == "text/plain"
+    # no HTTP message: payload is the raw block, status NULL
+    assert r["http_status"] is None
+    assert r["payload_text"] == "extracted prose é"
+    assert r["content_length"] == len("extracted prose é".encode())
+
+
+def test_front_door_wet_blob_yields_text():
+    """A WET blob in a mixed dump must extract its conversion text —
+    the pre-fix front door (response-only) returned empty."""
+    from kusto_pre_forge_spark.sources import autoextract as A
+    from kusto_pre_forge_spark.sources import warc as W
+
+    blob = W.write_warc(
+        [
+            W.warc_record_bytes(
+                "https://e.com/a", b"meta", warc_type="warcinfo",
+                content_type="application/warc-fields",
+            ),
+            W.warc_record_bytes(
+                "https://e.com/a", b"wet text one", warc_type="conversion",
+                content_type="text/plain",
+            ),
+            W.warc_record_bytes(
+                "https://e.com/b", b"wet text two", warc_type="conversion",
+                content_type="text/plain",
+            ),
+        ]
+    )
+    kind, text = A.extract_auto(blob)
+    assert kind == "warc"
+    assert text == "wet text one\x0cwet text two"
+
+
+def test_content_type_override_default_unchanged():
+    from kusto_pre_forge_spark.sources import warc as W
+
+    rec = W.warc_record_bytes("https://e.com", b"x")
+    assert b"Content-Type: application/http; msgtype=response" in rec
+    rec2 = W.warc_record_bytes(
+        "https://e.com", b"{}", warc_type="metadata",
+        content_type="application/json",
+    )
+    assert b"Content-Type: application/json" in rec2
+    assert b"WARC-Type: metadata" in rec2

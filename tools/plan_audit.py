@@ -165,6 +165,8 @@ AUDITED = [
     ("text_wikitext_extract", "ONE codegen projection — the WIKITEXT_RULES regexp_replace fold runs inside the scan"),
     ("stackexchange_posts_extract", "forge + attribute-row iterparse (bz2/gzip peel rotated) are pure map stages above the widen re-split"),
     ("text_latex_extract", "ONE codegen projection — the LATEX_RULES regexp_replace fold runs inside the scan"),
+    ("wet_text_extract", "WET forge + conversion-record parse are pure map stages above the widen re-split"),
+    ("wat_metadata_extract", "WAT forge + metadata parse map stages; JSON mining is JVM get_json_object inside the projection"),
 ]
 
 
