@@ -7249,6 +7249,42 @@ def _q_wat_metadata_extract(spark, sf):
     )
 
 
+def _q_rtf_text_extract(spark, sf):
+    """RTF container roundtrip through the REAL destination-aware state
+    machine (sources/rtf.py): every document forges as a spec-valid RTF
+    (font table + \\*-generator destinations the parser must skip,
+    \\uN? unicode escapes with \\uc1 fallback swallowing, \\par
+    newlines), then extracts back. The layer is lossless by
+    construction — identity oracle plus the constant forge group count
+    pins the brace walk. Pure map stages plus the widen re-split."""
+    import pandas as pd
+
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+    from kusto_pre_forge_spark.sources import rtf as R
+
+    d = _widen_for_fanout(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
+
+    def forge(it):
+        for pdf in it:
+            paths, blobs = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                paths.append(f"mem://rtf/{int(i)}.rtf")
+                blobs.append(R.rtf_bytes(t if isinstance(t, str) else ""))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    blobs = d.mapInPandas(forge, "path string, content binary")
+    parsed = R.parse_rtf_blobs(blobs)
+    return parsed.select(
+        F.regexp_extract("_kpf_source", r"([0-9]+)\.rtf$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "text",
+        F.col("n_groups").cast("int").alias("n_groups"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7405,6 +7441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_latex_extract": _q_text_latex_extract,
         "wet_text_extract": _q_wet_text_extract,
         "wat_metadata_extract": _q_wat_metadata_extract,
+        "rtf_text_extract": _q_rtf_text_extract,
         "pipeline_multiformat_extract": _q_pipeline_multiformat_extract,
         "corpus_autoextract": _q_corpus_autoextract,
         "pipeline_audio_asr": _q_pipeline_audio_asr,
@@ -11163,6 +11200,14 @@ def oracle_sql() -> dict[str, str]:
             "'text/plain' AS content_type, "
             "CAST(octet_length(encode(t)) AS BIGINT) AS content_length, "
             "t AS payload_text FROM d"
+        ),
+        "rtf_text_extract": (
+            # identity oracle: the RTF layer (escapes, destinations,
+            # \uc fallback protocol) is lossless by construction; the
+            # constant group count pins the brace walk
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "COALESCE(text, '') AS text, CAST(4 AS INT) AS n_groups "
+            "FROM documents"
         ),
         "wat_metadata_extract": (
             # closed-form Envelope replay: title, link count (doc_id%4,

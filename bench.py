@@ -170,6 +170,7 @@ HEADLINE = [
     "text_latex_extract",
     "wet_text_extract",
     "wat_metadata_extract",
+    "rtf_text_extract",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

@@ -111,6 +111,8 @@ def sniff_format(content: bytes) -> str:
         for marker in (b"\nFrom: ", b"\nReceived: ", b"\nReturn-Path: ")
     ):
         return "mbox"
+    if head.startswith(b"{\\rtf"):
+        return "rtf"
     # MediaWiki XML export dump (Wikipedia corpus) — pages route whole
     from kusto_pre_forge_spark.sources.mediawiki import is_mediawiki
 
@@ -161,6 +163,10 @@ def extract_auto(content: bytes) -> tuple[str, str | None]:
         # tag-only: route to spark.read.parquet/orc / sources.avro (7z
         # has no stdlib codec — recompress); never silently 'binary'
         return kind, None
+    if kind == "rtf":
+        from kusto_pre_forge_spark.sources.rtf import extract_rtf_text
+
+        return "rtf", extract_rtf_text(data)[0]
     if kind == "mediawiki":
         from kusto_pre_forge_spark.sources.mediawiki import (
             parse_mediawiki_pages,

@@ -167,6 +167,7 @@ AUDITED = [
     ("text_latex_extract", "ONE codegen projection — the LATEX_RULES regexp_replace fold runs inside the scan"),
     ("wet_text_extract", "WET forge + conversion-record parse are pure map stages above the widen re-split"),
     ("wat_metadata_extract", "WAT forge + metadata parse map stages; JSON mining is JVM get_json_object inside the projection"),
+    ("rtf_text_extract", "forge + destination-aware state machine are pure map stages above the widen re-split"),
 ]
 
 
