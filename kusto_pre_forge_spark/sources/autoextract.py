@@ -91,6 +91,8 @@ def sniff_format(content: bytes) -> str:
         return "avro"
     if head.startswith(b"7z\xbc\xaf\x27\x1c"):
         return "7z"
+    if head.startswith(b"\x28\xb5\x2f\xfd"):
+        return "zstd"  # no stdlib codec on 3.11 — tag, never 'binary'
     # POSIX ustar magic at offset 257 (covers GNU tar's "ustar  \0" too)
     if bytes(content[257:262]) == b"ustar":
         return "tar"
@@ -159,9 +161,10 @@ def extract_auto(content: bytes) -> tuple[str, str | None]:
         kind = inner if inner not in ("gzip", "bz2", "xz") else "binary"
     if kind == "tar":
         return "tar", None  # bundles expand via extract_auto_rows
-    if kind in ("parquet", "orc", "avro", "7z"):
-        # tag-only: route to spark.read.parquet/orc / sources.avro (7z
-        # has no stdlib codec — recompress); never silently 'binary'
+    if kind in ("parquet", "orc", "avro", "7z", "zstd"):
+        # tag-only: route to spark.read.parquet/orc / sources.avro; 7z
+        # and zstd have no stdlib codec on 3.11 (recompress, or install
+        # `zstandard` and decompress upstream); never silently 'binary'
         return kind, None
     if kind == "rtf":
         from kusto_pre_forge_spark.sources.rtf import extract_rtf_text

@@ -79,9 +79,19 @@ def test_auto_streaming_landing(spark, tmp_path):
 
     land = tmp_path / "auto_landing"
     land.mkdir()
+    from kusto_pre_forge_spark.sources import mediawiki as MW
+    from kusto_pre_forge_spark.sources import rtf as R
+
     (land / "one").write_bytes(P.pdf_bytes(["pdf page"]))
     (land / "two").write_bytes(D.docx_bytes("docx body"))
     (land / "three").write_bytes(b"plain text blob")
+    (land / "four").write_bytes(R.rtf_bytes("rtf body"))
+    (land / "five").write_bytes(
+        MW.mediawiki_bytes(
+            [dict(title="T", ns=0, page_id=1, text="wiki body")],
+            compress="bz2",
+        )
+    )
     etl = StreamingEtl(
         spark,
         str(land),
@@ -106,6 +116,8 @@ def test_auto_streaming_landing(spark, tmp_path):
         "one": ("pdf", "pdf page"),
         "two": ("docx", "docx body"),
         "three": ("text", "plain text blob"),
+        "four": ("rtf", "rtf body"),
+        "five": ("mediawiki", "wiki body"),
     }
 
 
@@ -375,3 +387,14 @@ def test_columnar_formats_tag_not_binary():
     from kusto_pre_forge_spark.sources.autoextract import extract_auto_rows
 
     assert extract_auto_rows(b"PAR1 body") == [(None, "parquet", None)]
+
+
+def test_zstd_tags_not_binary():
+    from kusto_pre_forge_spark.sources.autoextract import (
+        extract_auto,
+        sniff_format,
+    )
+
+    blob = b"\x28\xb5\x2f\xfd\x00\x00frame"
+    assert sniff_format(blob) == "zstd"
+    assert extract_auto(blob) == ("zstd", None)

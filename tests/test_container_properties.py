@@ -196,3 +196,61 @@ def test_mbox_roundtrip_property(bodies):
     ]
     got = M.parse_mbox_messages(M.mbox_bytes(msgs))
     assert [m["body"] for m in got] == [b.rstrip("\n") for b in bodies]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=3))
+def test_mediawiki_roundtrip_property(texts):
+    """The dump forge → iterparse walk must recover every page's
+    wikitext verbatim (XML escape/unescape on the hook) for arbitrary
+    Unicode, under every compression arm."""
+    from kusto_pre_forge_spark.sources import mediawiki as MW
+
+    pages = [
+        dict(title=f"P{i}", ns=0, page_id=i + 1, text=t)
+        for i, t in enumerate(texts)
+    ]
+    for comp in (None, "bz2"):
+        rows = MW.parse_mediawiki_pages(
+            MW.mediawiki_bytes(pages, compress=comp)
+        )
+        assert [r["text"] for r in rows] == texts
+        assert [r["title"] for r in rows] == [f"P{i}" for i in range(len(texts))]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=3))
+def test_xmlrows_roundtrip_property(values):
+    """Attribute escape (quoteattr) → iterparse unescape must be the
+    identity for arbitrary Unicode attribute values."""
+    from kusto_pre_forge_spark.sources import xmlrows as XR
+
+    rows = [dict(Id=i, Val=v) for i, v in enumerate(values)]
+    got = XR.parse_xml_rows(XR.xml_rows_bytes(rows), ["Id", "Val"])
+    assert [r["Val"] for r in got] == [str(v) for v in values]
+
+
+# RTF legally carries \r\n as ignorable whitespace but never as TEXT —
+# the forge emits \par for \n, so the roundtrip text space excludes \r
+# (normalized by every RTF writer) but keeps \n and \t.
+_rtf_text = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",),
+        blacklist_characters="".join(
+            chr(c) for c in range(32) if c not in (9, 10)
+        )
+        + "\r\x7f",
+    ),
+    max_size=300,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_rtf_text)
+def test_rtf_roundtrip_property(text):
+    """Forge (escapes + \\uN? unicode incl. surrogate pairs) → state
+    machine must be the identity for arbitrary Unicode text."""
+    from kusto_pre_forge_spark.sources import rtf as R
+
+    got, _ = R.extract_rtf_text(R.rtf_bytes(text))
+    assert got == text
