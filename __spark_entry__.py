@@ -7285,6 +7285,56 @@ def _q_rtf_text_extract(spark, sf):
     )
 
 
+_FT_DIM = 64
+_FT_ITERS = 4
+_FT_LR = 4.0
+
+
+def _ft_forged(spark, sf):
+    """Shared forge for the hashed-text-classifier query: class-marker
+    tokens planted by doc_id parity (the learnable-separator posture —
+    a rule-derived label over raw corpus text is majority-class bait),
+    text bounded to 160 chars so the oracle's per-gram CTEs stay
+    replayable-fast."""
+    d = load_table(spark, sf, "documents")
+    marker = F.when(
+        F.col("doc_id") % 2 == 0, F.lit(" goodsignal fine prose")
+    ).otherwise(F.lit(" lowrent spam casino"))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 160), marker
+        ).alias("text"),
+        (F.col("doc_id") % 2 == 0).cast("double").alias("y"),
+    )
+
+
+def _q_text_fasttext_quality(spark, sf):
+    """The fastText-linear corpus classifier end-to-end IN-ENGINE:
+    hashed unigram+bigram features (md5 hashing trick, dim 64), fixed-
+    iteration full-batch logistic regression (4 iters — per iteration
+    ONE ≤dim-row map-side-combined gradient aggregate + one scalar
+    bias/loss aggregate over the lineage-pinned feature frame), then
+    corpus-wide scoring as a pure codegen scan projection. Class
+    markers planted by parity make the separator learnable; the oracle
+    unrolls ALL four iterations as CTE pairs (the graph_pagerank /
+    text_quality_lr_train pattern) and re-scores every document —
+    round(6) absorbs cross-engine sum-order ulps."""
+    from kusto_pre_forge_spark.operators import textstats as TS
+
+    d = _ft_forged(spark, sf)
+    model = TS.train_hashed_text_lr(
+        d, "y", dim=_FT_DIM, n_iters=_FT_ITERS, learn_rate=_FT_LR
+    )
+    scored = TS.score_hashed_text_lr(d, model["weights"], model["bias"])
+    return scored.select(
+        "doc_id",
+        F.round("p_quality", 6).alias("p_quality"),
+        (F.col("p_quality") >= 0.5).alias("pred"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7442,6 +7492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_text_extract": _q_wet_text_extract,
         "wat_metadata_extract": _q_wat_metadata_extract,
         "rtf_text_extract": _q_rtf_text_extract,
+        "text_fasttext_quality": _q_text_fasttext_quality,
         "pipeline_multiformat_extract": _q_pipeline_multiformat_extract,
         "corpus_autoextract": _q_corpus_autoextract,
         "pipeline_audio_asr": _q_pipeline_audio_asr,
@@ -8075,6 +8126,80 @@ def _wikitext_oracle_sql() -> str:
         "AS n_templates, "
         f"CAST(len(regexp_extract_all(wiki, '{_WIKI_LINK_RE}')) AS BIGINT) "
         "AS n_wikilinks FROM m"
+    )
+
+
+def _fasttext_oracle_sql() -> str:
+    """Replay of text_fasttext_quality: the same forge, tokenizer,
+    md5-hashing-trick indices, all _FT_ITERS gradient-descent
+    iterations unrolled as (z, r, g, w, b) CTE chains, and the final
+    corpus-wide scoring — every probability independently derived."""
+    from kusto_pre_forge_spark.operators.textstats import HASHED_LR_TOKEN_RE
+
+    dim, lr = _FT_DIM, _FT_LR
+    ctes = [
+        "base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "lower(substr(coalesce(text, ''), 1, 160) || "
+        "CASE WHEN doc_id % 2 = 0 THEN ' goodsignal fine prose' "
+        "ELSE ' lowrent spam casino' END) AS t, "
+        "CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS y "
+        "FROM documents)",
+        "tok AS (SELECT doc_id, y, "
+        f"regexp_extract_all(t, '{HASHED_LR_TOKEN_RE}') AS l FROM base)",
+        "gr AS (SELECT doc_id, y, l || list_transform("
+        "generate_series(1, len(l) - 1), i -> l[i] || '_' || l[i+1]) AS g "
+        "FROM tok)",
+        "feat AS (SELECT doc_id, len(g) AS n, "
+        "CAST(concat('0x', substr(md5('ft|' || u.gi), 1, 8)) AS BIGINT) "
+        f"% {dim} AS idx FROM gr, UNNEST(g) AS u(gi))",
+        "docs AS (SELECT doc_id, y, len(g) AS n FROM gr)",
+        "nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM docs)",
+        f"w0 AS (SELECT CAST(s.i AS BIGINT) AS idx, 0.0 AS w "
+        f"FROM generate_series(0, {dim - 1}) s(i))",
+        "b0 AS (SELECT 0.0 AS b)",
+    ]
+    for k in range(1, _FT_ITERS + 1):
+        p = k - 1
+        ctes.append(
+            f"s{k} AS (SELECT f.doc_id, SUM(w.w) AS sw FROM feat f "
+            f"JOIN w{p} w USING (idx) GROUP BY f.doc_id)"
+        )
+        ctes.append(
+            f"z{k} AS (SELECT d.doc_id, d.y, d.n, (SELECT b FROM b{p}) + "
+            f"CASE WHEN d.n > 0 THEN COALESCE(s{k}.sw, 0) / d.n "
+            f"ELSE 0 END AS z FROM docs d LEFT JOIN s{k} USING (doc_id))"
+        )
+        ctes.append(
+            f"r{k} AS (SELECT doc_id, n, "
+            f"1.0 / (1.0 + exp(-z)) - y AS r FROM z{k})"
+        )
+        ctes.append(
+            f"g{k} AS (SELECT f.idx, SUM(r.r / r.n) AS gsum FROM feat f "
+            f"JOIN r{k} r USING (doc_id) GROUP BY f.idx)"
+        )
+        ctes.append(
+            f"w{k} AS (SELECT w.idx, w.w - {lr} * COALESCE(g.gsum, 0) / "
+            f"(SELECT nd FROM nd) AS w "
+            f"FROM w{p} w LEFT JOIN g{k} g USING (idx))"
+        )
+        ctes.append(
+            f"b{k} AS (SELECT (SELECT b FROM b{p}) - {lr} * "
+            f"(SELECT AVG(r) FROM r{k}) AS b)"
+        )
+    K = _FT_ITERS
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f", sf AS (SELECT f.doc_id, SUM(w.w) AS sw FROM feat f "
+        f"JOIN w{K} w USING (idx) GROUP BY f.doc_id) "
+        f"SELECT d.doc_id, round(1.0 / (1.0 + exp(-((SELECT b FROM b{K}) + "
+        "CASE WHEN d.n > 0 THEN COALESCE(sf.sw, 0) / d.n ELSE 0 END))), 6) "
+        "AS p_quality, "
+        f"(1.0 / (1.0 + exp(-((SELECT b FROM b{K}) + "
+        "CASE WHEN d.n > 0 THEN COALESCE(sf.sw, 0) / d.n ELSE 0 END)))) "
+        ">= 0.5 AS pred, "
+        "CAST(d.n AS BIGINT) AS n_grams "
+        "FROM docs d LEFT JOIN sf USING (doc_id)"
     )
 
 
@@ -11190,6 +11315,7 @@ def oracle_sql() -> dict[str, str]:
         "text_markdown_extract": _markdown_oracle_sql(),
         "text_wikitext_extract": _wikitext_oracle_sql(),
         "text_latex_extract": _latex_oracle_sql(),
+        "text_fasttext_quality": _fasttext_oracle_sql(),
         "wet_text_extract": (
             # closed-form conversion-record replay; content_length is
             # the payload's BYTE length (UTF-8), pinning the framing

@@ -171,6 +171,7 @@ HEADLINE = [
     "wet_text_extract",
     "wat_metadata_extract",
     "rtf_text_extract",
+    "text_fasttext_quality",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

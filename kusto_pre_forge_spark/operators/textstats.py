@@ -1666,3 +1666,171 @@ def char_entropy(col: Column | str) -> Column:
     return F.when(F.coalesce(n, F.lit(0.0)) > 0, F.round(h, 6)).otherwise(
         F.lit(0.0)
     )
+
+
+# --- hashed n-gram text classifier (the fastText-linear family) --------------
+
+#: token pattern shared verbatim with the DuckDB oracle
+HASHED_LR_TOKEN_RE = "[a-z0-9]+"
+
+
+def _gram_index(col: Column, dim: int, salt: str = "ft") -> Column:
+    """Feature index via the hashing trick — first 8 md5 hex chars mod
+    ``dim``, the engine-shared construction ``corpus._hash_unit`` uses
+    (replayable in any engine with md5; no murmur dependency)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "|"), col)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(int(dim))
+    )
+
+
+def hashed_text_features(
+    df: DataFrame,
+    text_col: str,
+    label_col: Column | str | None = None,
+    dim: int = 1024,
+    salt: str = "ft",
+) -> DataFrame:
+    """(…, _idxs array<long>, _n long[, _y double]) — the hashed
+    unigram+bigram feature indices of each document, mean-pooled by
+    convention (each gram contributes 1/n). This is the fastText-
+    supervised input layer without the embedding table (= Vowpal-Wabbit
+    style linear hashing): tokens are lowercase ``[a-z0-9]+`` runs,
+    bigrams join with '_', and the md5 hashing trick maps an unbounded
+    vocabulary to a fixed ``dim`` so the MODEL is feature-dim-bounded
+    however large the corpus vocabulary grows — the property that makes
+    corpus-scale training a sufficient-statistics aggregate.
+
+    Pure codegen projection (regexp_extract_all + array HOFs + md5);
+    indices materialize ONCE — training iterations never re-hash."""
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '{HASHED_LR_TOKEN_RE}', 0)"
+    )
+    d = df.withColumn("_toks", toks)
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.zip_with(
+            F.slice("_toks", 1, F.greatest(F.size("_toks") - 1, F.lit(1))),
+            F.slice("_toks", 2, F.greatest(F.size("_toks") - 1, F.lit(1))),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        ),
+    ).otherwise(F.array())
+    grams = F.concat(F.col("_toks"), bigrams)
+    out = d.withColumn(
+        "_idxs", F.transform(grams, lambda g: _gram_index(g, dim, salt))
+    ).withColumn("_n", F.size("_idxs").cast("long")).drop("_toks")
+    if label_col is not None:
+        lab = F.col(label_col) if isinstance(label_col, str) else label_col
+        out = out.withColumn("_y", lab.cast("double"))
+    return out
+
+
+def _hashed_z(weights: list, bias: float) -> Column:
+    """Per-doc logit from materialized ``_idxs``/``_n`` under literal
+    weights — a pure codegen aggregate fold (broadcast-literal array,
+    the train_quality_lr posture)."""
+    w_arr = F.array(*[F.lit(float(v)) for v in weights])
+    s = F.aggregate(
+        F.transform(
+            F.col("_idxs"),
+            lambda i: F.element_at(w_arr, (i + F.lit(1)).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.lit(float(bias)) + F.when(
+        F.col("_n") > 0, s / F.col("_n").cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def train_hashed_text_lr(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    dim: int = 1024,
+    n_iters: int = 8,
+    learn_rate: float = 0.5,
+    salt: str = "ft",
+) -> dict:
+    """Train a logistic regression over hashed unigram+bigram text
+    features — the fastText-supervised/VW architecture that powers
+    production corpus classifiers (CCNet's quality model, langid
+    filters), trained fully in-engine with no model server.
+
+    Scale shape: the feature frame (label, gram indices, n) materializes
+    ONCE and is lineage-pinned; each iteration runs (a) one pure-codegen
+    scan computing per-doc residuals under broadcast-literal weights and
+    ONE map-side-combined groupBy(idx) aggregate whose output is ≤ dim
+    rows (partial aggregation collapses every partition to ≤ dim rows
+    BEFORE the exchange — shuffle traffic is partitions×dim, independent
+    of corpus size), and (b) one scalar aggregate for the bias gradient
+    + mean log-loss (overflow-free algebraic form). Driver traffic per
+    iteration: dim+2 doubles. Zero RNG, zero-init weights — the DuckDB
+    oracle unrolls the identical iterations as CTEs.
+
+    Returns {"weights": list[dim], "bias", "losses"}."""
+    feats = (
+        hashed_text_features(df, text_col, label_col, dim, salt)
+        .select("_y", "_idxs", "_n")
+        .localCheckpoint(eager=True)
+    )
+    n_docs = feats.count()
+    w = [0.0] * int(dim)
+    b = 0.0
+    losses: list[float] = []
+    if n_docs == 0:
+        return {"weights": w, "bias": b, "losses": losses}
+    y = F.col("_y")
+    for _ in range(int(n_iters)):
+        z = _hashed_z(w, b)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        scored = feats.select(
+            "_idxs", "_n", (p - y).alias("_r"),
+            (F.log(F.lit(1.0) + F.exp(-z)) + (F.lit(1.0) - y) * z).alias(
+                "_l"
+            ),
+        )
+        head = scored.agg(
+            F.avg("_r").alias("g_bias"), F.avg("_l").alias("loss")
+        ).collect()[0]
+        grad_rows = (
+            scored.filter(F.col("_n") > 0)
+            .select(
+                F.explode("_idxs").alias("_i"),
+                (F.col("_r") / F.col("_n").cast("double")).alias("_g"),
+            )
+            .groupBy("_i")
+            .agg(F.sum("_g").alias("_g"))
+            .collect()
+        )
+        losses.append(float(head["loss"]))
+        for r in grad_rows:
+            w[int(r["_i"])] -= learn_rate * float(r["_g"]) / n_docs
+        b -= learn_rate * float(head["g_bias"])
+    return {"weights": w, "bias": b, "losses": losses}
+
+
+def score_hashed_text_lr(
+    df: DataFrame,
+    weights: list,
+    bias: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "ft",
+    out_col: str = "p_quality",
+) -> DataFrame:
+    """Corpus-wide inference under a trained hashed-feature model — one
+    pure-codegen scan projection (hash + literal-array fold + sigmoid),
+    the pipeline_quality_lr_filter posture: no UDF, no model server, the
+    filter runs inside the scan at any corpus size."""
+    d = hashed_text_features(df, text_col, None, len(weights), salt)
+    z = _hashed_z(weights, bias)
+    return d.select(
+        F.col(id_col),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(out_col),
+        F.col("_n").alias("n_grams"),
+    )

@@ -584,3 +584,97 @@ def test_train_quality_lr_monotone_and_learns(spark):
     assert res["weights"]["digit_ratio"] < 0
     res2 = ts.train_quality_lr(labeled, "y", n_iters=40, learn_rate=0.5)
     assert res2 == res, "training must be fully deterministic"
+
+
+# --- hashed n-gram text classifier (fastText-linear family) -------------------
+
+
+def _ft_frame(spark, n=160):
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(n)
+        .select(
+            "doc_id",
+            F.concat(
+                F.substring("text", 1, 160),
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.lit(" goodsignal fine prose"),
+                ).otherwise(F.lit(" lowrent spam casino")),
+            ).alias("text"),
+            (F.col("doc_id") % 2 == 0).cast("double").alias("y"),
+        )
+    )
+    return df
+
+
+def test_hashed_lr_monotone_loss_and_learns(spark):
+    from kusto_pre_forge_spark.operators import textstats as TS
+
+    df = _ft_frame(spark)
+    model = TS.train_hashed_text_lr(
+        df, "y", dim=64, n_iters=8, learn_rate=4.0
+    )
+    assert len(model["losses"]) == 8
+    assert all(
+        a >= b - 1e-12
+        for a, b in zip(model["losses"], model["losses"][1:])
+    ), model["losses"]
+    scored = TS.score_hashed_text_lr(df, model["weights"], model["bias"])
+    rows = scored.join(df.select("doc_id", "y"), "doc_id").collect()
+    acc = sum(
+        1 for r in rows if (r["p_quality"] >= 0.5) == (r["y"] == 1.0)
+    ) / len(rows)
+    assert acc >= 0.85, acc
+
+
+def test_hashed_lr_deterministic(spark):
+    from kusto_pre_forge_spark.operators import textstats as TS
+
+    df = _ft_frame(spark, n=60)
+    m1 = TS.train_hashed_text_lr(df, "y", dim=32, n_iters=3)
+    m2 = TS.train_hashed_text_lr(df, "y", dim=32, n_iters=3)
+    assert m1 == m2
+
+
+def test_hashed_lr_empty_corpus(spark):
+    from kusto_pre_forge_spark.operators import textstats as TS
+
+    df = _ft_frame(spark).filter("doc_id < 0")
+    m = TS.train_hashed_text_lr(df, "y", dim=16, n_iters=2)
+    assert m["weights"] == [0.0] * 16 and m["bias"] == 0.0
+    assert m["losses"] == []
+
+
+def test_hashed_features_shape(spark):
+    from pyspark.sql import functions as F
+
+    from kusto_pre_forge_spark.operators import textstats as TS
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "one")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in TS.hashed_text_features(df, "text", dim=8).collect()
+    }
+    # 3 unigrams + 2 bigrams
+    assert rows[1]["_n"] == 5
+    assert all(0 <= i < 8 for i in rows[1]["_idxs"])
+    assert rows[2]["_n"] == 0 and rows[2]["_idxs"] == []
+    assert rows[3]["_n"] == 1  # single token: no bigrams
+
+
+def test_score_hashed_lr_is_codegen_projection(spark):
+    """Inference must stay a pure scan projection — no exchange, no
+    Python UDF (the filter-inside-the-scan posture)."""
+    from kusto_pre_forge_spark.operators import textstats as TS
+
+    df = _ft_frame(spark, n=20)
+    scored = TS.score_hashed_text_lr(df, [0.1] * 16, -0.2)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

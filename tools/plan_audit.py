@@ -168,6 +168,7 @@ AUDITED = [
     ("wet_text_extract", "WET forge + conversion-record parse are pure map stages above the widen re-split"),
     ("wat_metadata_extract", "WAT forge + metadata parse map stages; JSON mining is JVM get_json_object inside the projection"),
     ("rtf_text_extract", "forge + destination-aware state machine are pure map stages above the widen re-split"),
+    ("text_fasttext_quality", "per-iteration gradient collapses map-side to ≤dim rows before its exchange; scoring is a pure codegen projection"),
 ]
 
 
