@@ -7335,6 +7335,32 @@ def _q_text_fasttext_quality(spark, sf):
     )
 
 
+def _q_text_pii_extended(spark, sf):
+    """The corpus-release PII pass end-to-end: every document wrapped in
+    deterministic PII chrome — an email, a Luhn-VALID card (must
+    scrub), a Luhn-INVALID card (must stay: ISBN/order-id posture), an
+    IPv4, an international phone — then scrubbed by
+    textprep.pii_scrub_extended (one codegen projection chain: regex
+    replaces + the sequence/aggregate Luhn fold + the replace fold).
+    The doc text itself is digit/@/+-free at every SF (checked), so the
+    oracle predicts the scrubbed string CLOSED-FORM."""
+    from kusto_pre_forge_spark.operators import textprep as tp
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    did = F.col("doc_id").cast("long")
+    t = F.concat(
+        F.lit("user"), did.cast("string"), F.lit("@example.org says "),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 120),
+        F.lit(" card 4111 1111 1111 1111 or 4111-1111-1111-1112 ip 10.0.0."),
+        (did % 256).cast("string"),
+        F.lit(" call +44 20 7946 0958 end"),
+    )
+    d = _widen_for_fanout(load_table(spark, sf, "documents")).select(
+        did.alias("doc_id"), t.alias("t")
+    )
+    return tp.pii_scrub_extended(d, "t", "doc_id")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7493,6 +7519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_metadata_extract": _q_wat_metadata_extract,
         "rtf_text_extract": _q_rtf_text_extract,
         "text_fasttext_quality": _q_text_fasttext_quality,
+        "text_pii_extended": _q_text_pii_extended,
         "pipeline_multiformat_extract": _q_pipeline_multiformat_extract,
         "corpus_autoextract": _q_corpus_autoextract,
         "pipeline_audio_asr": _q_pipeline_audio_asr,
@@ -11316,6 +11343,19 @@ def oracle_sql() -> dict[str, str]:
         "text_wikitext_extract": _wikitext_oracle_sql(),
         "text_latex_extract": _latex_oracle_sql(),
         "text_fasttext_quality": _fasttext_oracle_sql(),
+        "text_pii_extended": (
+            # closed-form: the Luhn-valid card scrubs, the Luhn-invalid
+            # twin survives verbatim, IPv4/phone/email tokenize; doc
+            # text carries no digits/@/+ so nothing else can match
+            "WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "substr(COALESCE(text, ''), 1, 120) AS t FROM documents) "
+            "SELECT doc_id, CAST(1 AS BIGINT) AS n_emails, "
+            "CAST(1 AS BIGINT) AS n_ccs, CAST(1 AS BIGINT) AS n_ipv4, "
+            "CAST(1 AS BIGINT) AS n_phones, "
+            "'<EMAIL> says ' || t || "
+            "' card <CC> or 4111-1111-1111-1112 ip <IP> call <PHONE> end' "
+            "AS scrubbed FROM d"
+        ),
         "wet_text_extract": (
             # closed-form conversion-record replay; content_length is
             # the payload's BYTE length (UTF-8), pinning the framing

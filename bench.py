@@ -172,6 +172,7 @@ HEADLINE = [
     "wat_metadata_extract",
     "rtf_text_extract",
     "text_fasttext_quality",
+    "text_pii_extended",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection
@@ -191,6 +192,7 @@ CHECKSUM_ACTION = {
     "text_markdown_extract",
     "text_wikitext_extract",
     "text_latex_extract",
+    "text_pii_extended",
     # latent since r9: these two are projections as well — their count()
     # numbers measured the pruned scan, not the operator
     "text_html_extract",

@@ -2156,3 +2156,104 @@ def latex_extract(
         F.coalesce(n_commands, F.lit(0)).cast("long").alias("n_commands"),
         F.coalesce(n_math, F.lit(0)).cast("long").alias("n_math_delims"),
     )
+
+
+# --- extended PII scrubbing (the corpus-release pass) ------------------------
+
+#: engine-shared PII patterns (RE2-compatible). The credit-card pattern
+#: matches CANDIDATES only — 13–19 digits with optional single space/
+#: dash separators; validation is the Luhn checksum, because a release
+#: pipeline that scrubs every long digit run destroys ISBNs, order ids
+#: and timestamps, while one that keeps Luhn-valid PANs leaks cards.
+PII_IPV4_RE = (
+    r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+    r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b"
+)
+PII_PHONE_RE = r"\+[0-9][0-9 ()-]{6,18}[0-9]"
+PII_CC_CAND_RE = r"\b[0-9](?:[ -]?[0-9]){12,18}\b"
+
+
+def _sql_escape(pattern: str) -> str:
+    """Regex → Spark SQL string literal body (backslashes doubled)."""
+    return pattern.replace(chr(92), chr(92) * 2).replace("'", "''")
+
+
+def _luhn_filter_sql(cands_col: str) -> str:
+    """Spark SQL HOF expression keeping only Luhn-valid candidates —
+    pure codegen (sequence + aggregate fold over digit positions;
+    separators stripped first; doubled digits fold via the −9 rule)."""
+    d = f"regexp_replace(c, '[ -]', '')"
+    digit = f"CAST(substr({d}, i, 1) AS INT)"
+    return (
+        f"filter({cands_col}, c -> ("
+        f"aggregate(sequence(1, length({d})), 0, (acc, i) -> acc + ("
+        f"CASE WHEN pmod(length({d}) - i, 2) = 0 THEN {digit} "
+        f"WHEN {digit} * 2 > 9 THEN {digit} * 2 - 9 "
+        f"ELSE {digit} * 2 END)) % 10) = 0)"
+    )
+
+
+def pii_scrub_extended(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    email_token: str = "<EMAIL>",
+    ip_token: str = "<IP>",
+    phone_token: str = "<PHONE>",
+    cc_token: str = "<CC>",
+) -> DataFrame:
+    """The corpus-release PII pass: emails, IPv4 addresses (octet-
+    validated), international phone numbers (+prefix form — bare
+    national formats false-positive on prose numbers), and credit-card
+    numbers that PASS the Luhn checksum (candidates that fail stay —
+    they are ISBNs/order ids, and scrubbing them destroys data for no
+    privacy gain).
+
+    Order matters and is fixed: emails → cards → IPv4 → phones, so a
+    separator-formatted PAN is never half-eaten by the phone rule and
+    an IP never feeds the phone pattern's digit runs.
+
+    Output: (id, n_emails, n_ccs, n_ipv4, n_phones, scrubbed). One
+    codegen projection chain — regex replaces plus a sequence/aggregate
+    Luhn fold and a replace fold over the validated candidates; zero
+    UDFs, zero exchanges (the pii_scrub posture at any corpus size)."""
+    d = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    )
+    d = d.withColumn(
+        "_n_emails", F.regexp_count(F.col("_t"), F.lit(EMAIL_RE)).cast("long")
+    ).withColumn("_t", F.regexp_replace("_t", EMAIL_RE, email_token))
+    cc_sql = _sql_escape(PII_CC_CAND_RE)
+    d = d.withColumn(
+        "_valid",
+        F.expr(_luhn_filter_sql(f"regexp_extract_all(_t, '{cc_sql}', 0)")),
+    )
+    d = d.withColumn(
+        "_t",
+        F.expr(
+            f"aggregate(_valid, _t, (acc, c) -> replace(acc, c, '{cc_token}'))"
+        ),
+    )
+    d = d.withColumn(
+        "_n_ipv4", F.regexp_count(F.col("_t"), F.lit(PII_IPV4_RE)).cast("long")
+    ).withColumn("_t", F.regexp_replace("_t", PII_IPV4_RE, ip_token))
+    d = d.withColumn(
+        "_n_phones",
+        F.regexp_count(F.col("_t"), F.lit(PII_PHONE_RE)).cast("long"),
+    ).withColumn("_t", F.regexp_replace("_t", PII_PHONE_RE, phone_token))
+    return d.select(
+        F.col(id_col),
+        "_n_emails",
+        F.size("_valid").cast("long").alias("_n_ccs"),
+        "_n_ipv4",
+        "_n_phones",
+        F.col("_t").alias("scrubbed"),
+    ).withColumnsRenamed(
+        {
+            "_n_emails": "n_emails",
+            "_n_ccs": "n_ccs",
+            "_n_ipv4": "n_ipv4",
+            "_n_phones": "n_phones",
+        }
+    )

@@ -943,3 +943,53 @@ def test_latex_rules_duckdb_parity():
             f"SELECT trim({expr}) FROM (SELECT ? AS t)", [src]
         ).fetchone()[0]
         assert duck == py.strip(), src
+
+
+# --- pii_scrub_extended --------------------------------------------------------
+
+
+def test_pii_extended_luhn_and_patterns(spark):
+    from kusto_pre_forge_spark.operators.textprep import pii_scrub_extended
+
+    rows = spark.createDataFrame(
+        [
+            (1, "mail bob@x.io card 4111 1111 1111 1111 end"),
+            # Luhn-fail twin and a 13-digit ISBN (not Luhn-valid) stay
+            (2, "fake 4111 1111 1111 1112 stays, isbn 9780306406157 ok"),
+            (3, "ip 192.168.0.1 and phone +1 (555) 123-4567 done"),
+            # invalid octet is NOT an IP; short +NN run is NOT a phone
+            (4, "octets 999.1.1.1 not ip; +12 prose 123"),
+            # amex (15 digits, Luhn-valid) with dashes
+            (5, "amex 3782-822463-10005 pays"),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pii_scrub_extended(rows, "text", "doc_id").collect()
+    }
+    assert out[1]["scrubbed"] == "mail <EMAIL> card <CC> end"
+    assert out[1]["n_emails"] == 1 and out[1]["n_ccs"] == 1
+    assert out[2]["scrubbed"] == (
+        "fake 4111 1111 1111 1112 stays, isbn 9780306406157 ok"
+    )
+    assert out[2]["n_ccs"] == 0
+    assert out[3]["scrubbed"] == "ip <IP> and phone <PHONE> done"
+    assert out[4]["scrubbed"] == "octets 999.1.1.1 not ip; +12 prose 123"
+    assert out[5]["scrubbed"] == "amex <CC> pays"
+    assert out[6]["scrubbed"] == ""
+
+
+def test_pii_extended_is_codegen_projection(spark):
+    from kusto_pre_forge_spark.operators.textprep import pii_scrub_extended
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = (
+        pii_scrub_extended(df, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

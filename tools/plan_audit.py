@@ -169,6 +169,7 @@ AUDITED = [
     ("wat_metadata_extract", "WAT forge + metadata parse map stages; JSON mining is JVM get_json_object inside the projection"),
     ("rtf_text_extract", "forge + destination-aware state machine are pure map stages above the widen re-split"),
     ("text_fasttext_quality", "per-iteration gradient collapses map-side to ≤dim rows before its exchange; scoring is a pure codegen projection"),
+    ("text_pii_extended", "ONE codegen projection chain — regex replaces + the sequence/aggregate Luhn fold run inside the scan"),
 ]
 
 
