@@ -7361,6 +7361,93 @@ def _q_text_pii_extended(spark, sf):
     return tp.pii_scrub_extended(d, "t", "doc_id")
 
 
+def _q_pipeline_corpus_release(spark, sf):
+    """The corpus-release pipeline END-TO-END — the composite a real
+    data release runs, chained from the REAL operators: PII scrub
+    (pii_scrub_extended) → quality gates (repetition_features: word
+    count + duplicate-word fraction) → exact dedup (content md5, min
+    doc_id survives, the one-shuffle window form). The forge plants
+    every failure class: spam docs (doc_id%7==3, 12× repeated word —
+    must gate on dup_word_frac), stubs (%13==5, 'tiny' — must gate on
+    n_words), duplicates (%10==1 copies the PREVIOUS doc's classed
+    text; each doc appends its OWN email, so dedup only works AFTER
+    scrubbing normalizes both to <EMAIL> — the pipeline-order lesson,
+    pinned by construction). Dup-class takes precedence over the dup
+    doc's own class in both engines. The oracle derives every surviving
+    row: same forge CTEs, the exact whitespace-token formulas, the same
+    gate thresholds, the same min-id dedup."""
+    from pyspark.sql import Window
+
+    from kusto_pre_forge_spark.operators import textprep as tp
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    did = F.col("doc_id").cast("long")
+    d = _widen_for_fanout(load_table(spark, sf, "documents")).select(
+        did.alias("doc_id"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 200).alias(
+            "t0"
+        ),
+    )
+    spam = " ".join(["spam"] * 12)
+    classed = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 3, F.lit(spam))
+        .when(F.col("doc_id") % 13 == 5, F.lit("tiny"))
+        .otherwise(F.col("t0"))
+        .alias("t1"),
+    )
+    prev = classed.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("t1").alias("_pt")
+    )
+    forged = (
+        classed.join(prev, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat(
+                F.when(
+                    F.col("doc_id") % 10 == 1,
+                    F.coalesce(F.col("_pt"), F.col("t1")),
+                ).otherwise(F.col("t1")),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.org"),
+            ).alias("raw"),
+        )
+    )
+    scrubbed = tp.pii_scrub_extended(forged, "raw", "doc_id").select(
+        "doc_id", F.col("scrubbed").alias("text")
+    )
+    # gate signals are the zero-shuffle half of repetition_features
+    # (same _words tokenizer, same formulas) computed INLINE — calling
+    # the full operator would join its bigram aggregate back for
+    # columns this gate never reads (two exchanges for nothing)
+    words = tp._words(F.col("text"))
+    rep = scrubbed.select(
+        "doc_id",
+        "text",
+        F.size(words).alias("n_words"),
+        F.when(F.size(words) == 0, F.lit(0.0))
+        .otherwise(
+            1.0
+            - F.size(F.array_distinct(words)).cast("double")
+            / F.size(words).cast("double")
+        )
+        .alias("dup_word_frac"),
+    )
+    gated = rep.filter(
+        (F.col("n_words") >= 5) & (F.col("dup_word_frac") <= 0.6)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = gated.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return kept.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7520,6 +7607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rtf_text_extract": _q_rtf_text_extract,
         "text_fasttext_quality": _q_text_fasttext_quality,
         "text_pii_extended": _q_text_pii_extended,
+        "pipeline_corpus_release": _q_pipeline_corpus_release,
         "pipeline_multiformat_extract": _q_pipeline_multiformat_extract,
         "corpus_autoextract": _q_corpus_autoextract,
         "pipeline_audio_asr": _q_pipeline_audio_asr,
@@ -11343,6 +11431,34 @@ def oracle_sql() -> dict[str, str]:
         "text_wikitext_extract": _wikitext_oracle_sql(),
         "text_latex_extract": _latex_oracle_sql(),
         "text_fasttext_quality": _fasttext_oracle_sql(),
+        "pipeline_corpus_release": (
+            # full-chain replay: forge CTEs (class -> dup-overrides ->
+            # email append), closed-form scrub, the exact whitespace-
+            # token gate formulas, min-id dedup over md5(scrubbed)
+            "WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "substr(COALESCE(text, ''), 1, 200) AS t0 FROM documents), "
+            "c AS (SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN '"
+            + " ".join(["spam"] * 12)
+            + "' WHEN doc_id % 13 = 5 THEN 'tiny' ELSE t0 END AS t1 "
+            "FROM d), "
+            "dup AS (SELECT c.doc_id, CASE WHEN c.doc_id % 10 = 1 THEN "
+            "COALESCE(p.t1, c.t1) ELSE c.t1 END AS t2 "
+            "FROM c LEFT JOIN c p ON p.doc_id = c.doc_id - 1), "
+            "scr AS (SELECT doc_id, t2 || ' contact <EMAIL>' AS s "
+            "FROM dup), "
+            "w AS (SELECT doc_id, s, list_filter(regexp_split_to_array("
+            "s, '\\s+'), x -> x <> '') AS ws FROM scr), "
+            "m AS (SELECT doc_id, s, len(ws) AS n_words, "
+            "CASE WHEN len(ws) = 0 THEN 0.0 ELSE 1.0 - "
+            "CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) END "
+            "AS dup_word_frac FROM w), "
+            "g AS (SELECT * FROM m WHERE n_words >= 5 "
+            "AND dup_word_frac <= 0.6), "
+            "k AS (SELECT *, row_number() OVER (PARTITION BY md5(s) "
+            "ORDER BY doc_id) AS rn FROM g) "
+            "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+            "round(dup_word_frac, 6) AS dup_word_frac FROM k WHERE rn = 1"
+        ),
         "text_pii_extended": (
             # closed-form: the Luhn-valid card scrubs, the Luhn-invalid
             # twin survives verbatim, IPv4/phone/email tokenize; doc

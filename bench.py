@@ -173,6 +173,7 @@ HEADLINE = [
     "rtf_text_extract",
     "text_fasttext_quality",
     "text_pii_extended",
+    "pipeline_corpus_release",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

@@ -170,6 +170,7 @@ AUDITED = [
     ("rtf_text_extract", "forge + destination-aware state machine are pure map stages above the widen re-split"),
     ("text_fasttext_quality", "per-iteration gradient collapses map-side to ≤dim rows before its exchange; scoring is a pure codegen projection"),
     ("text_pii_extended", "ONE codegen projection chain — regex replaces + the sequence/aggregate Luhn fold run inside the scan"),
+    ("pipeline_corpus_release", "scrub + gate signals are one codegen projection; dedup is ONE hash exchange (window min-id); the dup-plant self-join broadcasts"),
 ]
 
 
