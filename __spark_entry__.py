@@ -2481,20 +2481,23 @@ def _q_pipeline_pdf_extract(spark, sf):
 
 
 def _q_corpus_autoextract(spark, sf):
-    """The mixed-dump front door: each document forged into ONE of five
-    real blob kinds by doc_id % 5 (PDF, DOCX, notebook, WARC, plain
-    text), then routed by MAGIC-BYTE sniffing — not the path — through
-    sources.autoextract.extract_text_blobs to a unified (kind, text)
-    frame. The oracle predicts both columns closed-form (each container
-    roundtrip is lossless, pinned by its own query). Two pure map
-    stages above the widen re-split."""
+    """The mixed-dump front door: each document forged into ONE of
+    EIGHT real blob kinds by doc_id % 8 (PDF, DOCX, notebook, WARC
+    response, plain text, RTF, bz2-compressed MediaWiki dump, WET
+    conversion sidecar), then routed by MAGIC-BYTE sniffing — not the
+    path — through sources.autoextract.extract_text_blobs to a unified
+    (kind, text) frame. The oracle predicts both columns closed-form
+    (each container roundtrip is lossless, pinned by its own query).
+    Two pure map stages above the widen re-split."""
     import pandas as pd
 
     from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
     from kusto_pre_forge_spark.sources import autoextract as A
     from kusto_pre_forge_spark.sources import docx as X
     from kusto_pre_forge_spark.sources import ipynb as N
+    from kusto_pre_forge_spark.sources import mediawiki as MW
     from kusto_pre_forge_spark.sources import pdf as P
+    from kusto_pre_forge_spark.sources import rtf as R
     from kusto_pre_forge_spark.sources import warc as W
 
     d = _widen_for_fanout(
@@ -2506,7 +2509,7 @@ def _q_corpus_autoextract(spark, sf):
             paths, blobs = [], []
             for i, t in zip(pdf["doc_id"], pdf["text"]):
                 t = t if isinstance(t, str) else ""
-                m = int(i) % 5
+                m = int(i) % 8
                 # extension deliberately wrong/absent — content decides
                 paths.append(f"mem://blob/{int(i)}.bin")
                 if m == 0:
@@ -2522,8 +2525,38 @@ def _q_corpus_autoextract(spark, sf):
                                                  t.encode("utf-8"))]
                         )
                     )
-                else:
+                elif m == 4:
                     blobs.append(t.encode("utf-8"))
+                elif m == 5:
+                    blobs.append(R.rtf_bytes(t))
+                elif m == 6:
+                    blobs.append(
+                        MW.mediawiki_bytes(
+                            [dict(title=f"P{int(i)}", ns=0,
+                                  page_id=int(i), text=t)],
+                            compress="bz2",
+                        )
+                    )
+                else:  # WET conversion sidecar (no HTTP message)
+                    blobs.append(
+                        W.write_warc(
+                            [
+                                W.warc_record_bytes(
+                                    f"https://e.com/{int(i)}",
+                                    b"software: forge",
+                                    warc_type="warcinfo",
+                                    content_type="application/warc-fields",
+                                ),
+                                W.warc_record_bytes(
+                                    f"https://e.com/{int(i)}",
+                                    t.encode("utf-8"),
+                                    warc_type="conversion",
+                                    content_type="text/plain",
+                                ),
+                            ],
+                            gzip_per_record=True,
+                        )
+                    )
             yield pd.DataFrame({"path": paths, "content": blobs})
 
     blobs = d.mapInPandas(forge, "path string, content binary")
@@ -11567,8 +11600,9 @@ def oracle_sql() -> dict[str, str]:
             # deterministic (doc texts carry no magic-byte prefixes —
             # verified at every SF), so both columns predict closed-form
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
-            "CASE doc_id % 5 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' "
-            "WHEN 2 THEN 'ipynb' WHEN 3 THEN 'warc' ELSE 'text' END "
+            "CASE doc_id % 8 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' "
+            "WHEN 2 THEN 'ipynb' WHEN 3 THEN 'warc' WHEN 4 THEN 'text' "
+            "WHEN 5 THEN 'rtf' WHEN 6 THEN 'mediawiki' ELSE 'warc' END "
             "AS kind, COALESCE(text, '') AS text FROM documents"
         ),
         "pipeline_audio_asr": (
