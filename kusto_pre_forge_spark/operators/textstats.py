@@ -1794,23 +1794,37 @@ def train_hashed_text_lr(
                 "_l"
             ),
         )
-        head = scored.agg(
-            F.avg("_r").alias("g_bias"), F.avg("_l").alias("loss")
-        ).collect()[0]
-        grad_rows = (
-            scored.filter(F.col("_n") > 0)
-            .select(
-                F.explode("_idxs").alias("_i"),
-                (F.col("_r") / F.col("_n").cast("double")).alias("_g"),
-            )
-            .groupBy("_i")
-            .agg(F.sum("_g").alias("_g"))
+        # ONE job per iteration: per-occurrence gradient contributions
+        # plus two sentinel rows per doc (-1 = bias gradient, -2 = loss)
+        # fold through the same map-side-combined groupBy — sums only,
+        # so partial aggregation stays algebraic
+        occ = F.transform(
+            F.col("_idxs"),
+            lambda i: F.struct(
+                i.alias("i"),
+                (F.col("_r") / F.col("_n").cast("double")).alias("g"),
+            ),
+        )
+        sent = F.array(
+            F.struct(
+                F.lit(-1).cast("long").alias("i"), F.col("_r").alias("g")
+            ),
+            F.struct(
+                F.lit(-2).cast("long").alias("i"), F.col("_l").alias("g")
+            ),
+        )
+        rows = (
+            scored.select(F.explode(F.concat(occ, sent)).alias("x"))
+            .groupBy("x.i")
+            .agg(F.sum("x.g").alias("g"))
             .collect()
         )
-        losses.append(float(head["loss"]))
-        for r in grad_rows:
-            w[int(r["_i"])] -= learn_rate * float(r["_g"]) / n_docs
-        b -= learn_rate * float(head["g_bias"])
+        sums = {int(r["i"]): float(r["g"]) for r in rows}
+        losses.append(sums[-2] / n_docs)
+        for i, g in sums.items():
+            if i >= 0:
+                w[i] -= learn_rate * g / n_docs
+        b -= learn_rate * sums[-1] / n_docs
     return {"weights": w, "bias": b, "losses": losses}
 
 
