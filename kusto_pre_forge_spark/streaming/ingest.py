@@ -690,6 +690,78 @@ class StreamingEtl:
             .count()
         )
 
+    def classifier_ingest_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        corpus_dir: str,
+        weights: list,
+        bias: float,
+        threshold: float = 0.5,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> int:
+        """One micro-batch of quality-classifier-gated ingestion: landed
+        documents score under a FROZEN hashed n-gram model
+        (``textstats.train_hashed_text_lr`` output — the FineWeb-at-
+        ingest posture: train once on a labeled seed, gate the firehose
+        forever after) and only p ≥ threshold enters the corpus store.
+        The score is a pure codegen projection of the document under
+        frozen literals — no corpus read per batch, no model server —
+        so crash replay reproduces the accept set by construction;
+        batch-partitioned dynamic-overwrite store write like every
+        admission path."""
+        from kusto_pre_forge_spark.operators.textstats import (
+            score_hashed_text_lr,
+        )
+
+        batch = batch_df.drop("_kpf_source").dropDuplicates([id_col])
+        if not batch.head(1):
+            return 0
+        scores = score_hashed_text_lr(
+            batch, weights, bias, text_col=text_col, id_col=id_col
+        ).select(id_col, "p_quality")
+        accepted = (
+            batch.join(scores, id_col)
+            .filter(F.col("p_quality") >= float(threshold))
+            .withColumn("_kpf_batch", F.lit(batch_id))
+        )
+        (
+            accepted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_kpf_batch")
+            .parquet(corpus_dir)
+        )
+        return (
+            self.spark.read.parquet(corpus_dir)
+            .filter(F.col("_kpf_batch") == batch_id)
+            .count()
+        )
+
+    def start_classifier_ingest(
+        self,
+        corpus_dir: str,
+        weights: list,
+        bias: float,
+        threshold: float = 0.5,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        trigger_seconds: int | None = 60,
+        available_now: bool = False,
+    ) -> StreamingQuery:
+        """Continuous quality-classifier admission: every micro-batch of
+        landed documents scores under the frozen hashed n-gram model
+        before entering the corpus store. Effectively-once across
+        crashes via :meth:`classifier_ingest_batch`."""
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            self.classifier_ingest_batch(
+                batch_df, batch_id, corpus_dir, weights, bias,
+                threshold, text_col, id_col,
+            )
+
+        return self._start(process, trigger_seconds, available_now)
+
     def start_blocklist_ingest(
         self,
         corpus_dir: str,

@@ -869,3 +869,83 @@ def test_incremental_substr_accept_threshold(spark):
         corpus_wins, new, "text", "doc_id", max_dup_windows=2
     )
     assert tol.count() == 1
+
+
+def test_streaming_classifier_ingest(spark, tmp_path):
+    """Quality-classifier admission at the door: a hashed n-gram LR
+    trained offline on a labeled seed gates the landing firehose — docs
+    scoring >= threshold enter the corpus store, others are refused;
+    batch replay is a bit-exact no-op (pure per-doc decision under a
+    FROZEN model)."""
+    import csv as _csv
+    import os as _os
+
+    from kusto_pre_forge_spark.operators import textstats as TS
+
+    good = "solid fine prose goodsignal keeps flowing with care"
+    bad = "lowrent spam casino lowrent spam casino jackpot"
+    seed = spark.createDataFrame(
+        [(100 + i, good + f" v{i}", 1.0) for i in range(6)]
+        + [(200 + i, bad + f" v{i}", 0.0) for i in range(6)],
+        "doc_id long, text string, y double",
+    )
+    model = TS.train_hashed_text_lr(
+        seed, "y", dim=64, n_iters=10, learn_rate=8.0
+    )
+    s = {
+        r["doc_id"]: r["p_quality"]
+        for r in TS.score_hashed_text_lr(
+            spark.createDataFrame(
+                [(1, good), (2, bad)], "doc_id long, text string"
+            ),
+            model["weights"],
+            model["bias"],
+        ).collect()
+    }
+    assert s[1] > s[2]
+    thr = (s[1] + s[2]) / 2
+
+    waves = [[(1, good), (2, bad)], [(3, good + " tail"), (4, bad + " tail")]]
+    land = tmp_path / "clf_landing"
+    land.mkdir()
+    corpus_dir = str(tmp_path / "clf_corpus")
+    etl = StreamingEtl(
+        spark,
+        str(land),
+        str(tmp_path / "ckpt_clf"),
+        str(tmp_path / "out_unused_clf"),
+        DOC_SCHEMA,
+        fmt="csv",
+        csv_headers=False,
+        max_files_per_trigger=1,
+    )
+    now = time.time()
+    for i, wave in enumerate(waves):
+        p = land / f"wave{i}.csv"
+        with open(p, "w", newline="") as f:
+            _csv.writer(f).writerows(wave)
+        _os.utime(p, (now + i * 10, now + i * 10))
+    q = etl.start_classifier_ingest(
+        corpus_dir,
+        model["weights"],
+        model["bias"],
+        thr,
+        trigger_seconds=None,
+        available_now=True,
+    )
+    _drain(q)
+    stored = spark.read.parquet(corpus_dir)
+    got = {r.doc_id for r in stored.collect()}
+    assert got == {1, 3}, got
+    # replay wave 1's batch: same accept set, same store contents
+    before = sorted((r.doc_id, r._kpf_batch) for r in stored.collect())
+    wave1 = spark.createDataFrame(waves[1], "doc_id long, text string")
+    batch_ids = {r._kpf_batch for r in stored.collect() if r.doc_id == 3}
+    etl.classifier_ingest_batch(
+        wave1, batch_ids.pop(), corpus_dir, model["weights"], model["bias"], thr
+    )
+    after = sorted(
+        (r.doc_id, r._kpf_batch)
+        for r in spark.read.parquet(corpus_dir).collect()
+    )
+    assert after == before
