@@ -7481,6 +7481,32 @@ def _q_pipeline_corpus_release(spark, sf):
     )
 
 
+def _q_text_hash_embedding(spark, sf):
+    """Model-free deterministic text embeddings: hashed unigram+bigram
+    count vectors, L2-normalized — cosine over them is n-gram
+    similarity, so the whole similarity family applies to raw text with
+    no model and no external table. Components are exact small-integer
+    arithmetic (counts, an integer-sum L2 norm, one division), so the
+    DuckDB replay matches bit-for-bit with NO rounding. Components
+    posexplode to rows (the comparison harness hashes scalars). One
+    codegen projection + generate above the widen re-split."""
+    from kusto_pre_forge_spark.operators import textstats as TS
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    d = _widen_for_fanout(load_table(spark, sf, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 160).alias(
+            "t"
+        ),
+    )
+    emb = TS.hashed_text_embedding(d, "t", "doc_id", dim=32)
+    return emb.select(
+        "doc_id",
+        F.posexplode("embedding").alias("k", "v"),
+        F.col("n_grams"),
+    ).select("doc_id", F.col("k").cast("int").alias("k"), "v", "n_grams")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7641,6 +7667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fasttext_quality": _q_text_fasttext_quality,
         "text_pii_extended": _q_text_pii_extended,
         "pipeline_corpus_release": _q_pipeline_corpus_release,
+        "text_hash_embedding": _q_text_hash_embedding,
         "pipeline_multiformat_extract": _q_pipeline_multiformat_extract,
         "corpus_autoextract": _q_corpus_autoextract,
         "pipeline_audio_asr": _q_pipeline_audio_asr,
@@ -11464,6 +11491,33 @@ def oracle_sql() -> dict[str, str]:
         "text_wikitext_extract": _wikitext_oracle_sql(),
         "text_latex_extract": _latex_oracle_sql(),
         "text_fasttext_quality": _fasttext_oracle_sql(),
+        "text_hash_embedding": (
+            # full replay: tokenizer, hashing trick, per-component
+            # counts, integer-sum L2 norm — exact doubles, no rounding
+            "WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "lower(substr(coalesce(text, ''), 1, 160)) AS t "
+            "FROM documents), "
+            "tok AS (SELECT doc_id, "
+            "regexp_extract_all(t, '[a-z0-9]+') AS l FROM base), "
+            "gr AS (SELECT doc_id, l || list_transform("
+            "generate_series(1, len(l) - 1), i -> l[i] || '_' || l[i+1]) "
+            "AS g FROM tok), "
+            "feat AS (SELECT doc_id, CAST(concat('0x', "
+            "substr(md5('ft|' || u.gi), 1, 8)) AS BIGINT) % 32 AS idx "
+            "FROM gr, UNNEST(g) AS u(gi)), "
+            "docs AS (SELECT doc_id, len(g) AS n FROM gr), "
+            "cnt AS (SELECT d.doc_id, s.k, CAST(COUNT(f.idx) AS DOUBLE) "
+            "AS c FROM docs d CROSS JOIN generate_series(0, 31) s(k) "
+            "LEFT JOIN feat f ON f.doc_id = d.doc_id AND f.idx = s.k "
+            "GROUP BY d.doc_id, s.k), "
+            "nrm AS (SELECT doc_id, sqrt(SUM(c * c)) AS nm FROM cnt "
+            "GROUP BY doc_id) "
+            "SELECT c.doc_id, CAST(c.k AS INT) AS k, "
+            "CASE WHEN n.nm > 0 THEN c.c / n.nm ELSE c.c END AS v, "
+            "CAST(d.n AS BIGINT) AS n_grams "
+            "FROM cnt c JOIN nrm n USING (doc_id) "
+            "JOIN docs d USING (doc_id)"
+        ),
         "pipeline_corpus_release": (
             # full-chain replay: forge CTEs (class -> dup-overrides ->
             # email append), closed-form scrub, the exact whitespace-

@@ -174,6 +174,7 @@ HEADLINE = [
     "text_fasttext_quality",
     "text_pii_extended",
     "pipeline_corpus_release",
+    "text_hash_embedding",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection
@@ -194,6 +195,7 @@ CHECKSUM_ACTION = {
     "text_wikitext_extract",
     "text_latex_extract",
     "text_pii_extended",
+    "text_hash_embedding",
     # latent since r9: these two are projections as well — their count()
     # numbers measured the pruned scan, not the operator
     "text_html_extract",

@@ -1848,3 +1848,51 @@ def score_hashed_text_lr(
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(out_col),
         F.col("_n").alias("n_grams"),
     )
+
+
+def hashed_text_embedding(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    salt: str = "ft",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic MODEL-FREE text embedding — the hashed
+    unigram+bigram count vector, L2-normalized: cosine over these
+    vectors IS n-gram similarity (the classic hashing-trick document
+    vector), which makes every operator in the similarity family
+    (brute/LSH/IVF top-k, kNN, SemDeDup) applicable to raw text with
+    no embedding model and no external table. Zero RNG: the same text
+    embeds identically on any engine (md5 hashing trick), so stores
+    built from it are replayable.
+
+    One codegen projection (the hashed_text_features chain + a
+    dim-bounded counting transform + the L2 fold); zero-gram documents
+    embed as the zero vector rather than NULL (cosine handles it
+    downstream as similarity 0). All sums are small-integer-valued
+    doubles, so components are EXACT — no rounding needed for
+    cross-engine replay."""
+    d = hashed_text_features(df, text_col, None, dim, salt)
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(int(dim) - 1)),
+        lambda k: F.size(
+            F.filter(F.col("_idxs"), lambda i: i == k.cast("long"))
+        ).cast("double"),
+    )
+    d = d.withColumn("_cnt", counts)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("_cnt"), F.lit(0.0), lambda a, x: a + x * x
+        )
+    )
+    d = d.withColumn("_norm", norm)
+    emb = F.when(
+        F.col("_norm") > 0,
+        F.transform(F.col("_cnt"), lambda x: x / F.col("_norm")),
+    ).otherwise(F.col("_cnt"))
+    return d.select(
+        F.col(id_col),
+        emb.alias(out_col),
+        F.col("_n").cast("long").alias("n_grams"),
+    )

@@ -678,3 +678,50 @@ def test_score_hashed_lr_is_codegen_projection(spark):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hash_embedding_properties(spark):
+    from kusto_pre_forge_spark.operators import textstats as TS
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha gamma"),
+            (2, "alpha beta alpha gamma"),   # identical text
+            (3, "totally different words here"),
+            (4, ""),                          # zero-gram
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["embedding"]
+        for r in TS.hashed_text_embedding(df, dim=32).collect()
+    }
+    assert rows[1] == rows[2], "identical text must embed identically"
+    assert abs(sum(x * x for x in rows[1]) - 1.0) < 1e-12, "unit norm"
+    assert rows[4] == [0.0] * 32, "zero-gram doc embeds as zero vector"
+    cos_same = sum(a * b for a, b in zip(rows[1], rows[2]))
+    cos_diff = sum(a * b for a, b in zip(rows[1], rows[3]))
+    assert cos_same > cos_diff, "cosine must rank identical text first"
+
+
+def test_hash_embedding_feeds_similarity_family(spark):
+    """The bridge property: model-free embeddings drive the existing
+    brute-force cosine top-k with no external embeddings table."""
+    from kusto_pre_forge_spark.operators import similarity as SIM
+    from kusto_pre_forge_spark.operators import textstats as TS
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark shuffle partition exchange plan"),
+            (2, "spark shuffle partition exchange planner"),
+            (3, "grilled cheese sandwich recipe butter"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = TS.hashed_text_embedding(df, dim=64).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    top = SIM.cosine_topk(emb, emb.filter("vec_id = 1"), k=2).collect()
+    ranked = [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    # self-matches are excluded: the near-paraphrase must rank first
+    assert ranked[0] == 2, ranked

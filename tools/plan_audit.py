@@ -171,6 +171,7 @@ AUDITED = [
     ("text_fasttext_quality", "per-iteration gradient collapses map-side to ≤dim rows before its exchange; scoring is a pure codegen projection"),
     ("text_pii_extended", "ONE codegen projection chain — regex replaces + the sequence/aggregate Luhn fold run inside the scan"),
     ("pipeline_corpus_release", "scrub + gate signals are one codegen projection; dedup is ONE hash exchange (window min-id); the dup-plant self-join broadcasts"),
+    ("text_hash_embedding", "hash + dim-bounded counting transform + L2 fold: one codegen projection + generate, zero UDFs"),
 ]
 
 
