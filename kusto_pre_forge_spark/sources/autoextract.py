@@ -39,6 +39,7 @@ import io
 import lzma
 import tarfile
 import zipfile
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -155,7 +156,7 @@ def extract_auto(content: bytes) -> tuple[str, str | None]:
     if kind in ("gzip", "bz2", "xz"):
         try:
             data = _DECOMPRESS[kind](data)
-        except (OSError, lzma.LZMAError, ValueError):
+        except (OSError, EOFError, zlib.error, lzma.LZMAError, ValueError):
             return "binary", None
         inner = sniff_format(data)
         kind = inner if inner not in ("gzip", "bz2", "xz") else "binary"
@@ -306,7 +307,7 @@ def extract_auto_rows(
     if kind in ("gzip", "bz2", "xz"):
         try:
             data = _DECOMPRESS[kind](data)
-        except (OSError, lzma.LZMAError, ValueError):
+        except (OSError, EOFError, zlib.error, lzma.LZMAError, ValueError):
             return [(None, "binary", None)]
         inner = sniff_format(data)
         kind = inner if inner not in ("gzip", "bz2", "xz") else "binary"

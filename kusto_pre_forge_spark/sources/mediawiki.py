@@ -38,6 +38,7 @@ from __future__ import annotations
 import bz2
 import gzip
 import io
+import zlib
 from xml.etree import ElementTree as ET
 from xml.sax.saxutils import escape
 
@@ -146,7 +147,7 @@ def parse_mediawiki_pages(data: bytes) -> list[dict]:
     try:
         payload = _peel(bytes(data))
         return list(iter_mediawiki_pages(io.BytesIO(payload)))
-    except (OSError, ET.ParseError, EOFError):
+    except (OSError, EOFError, ValueError, zlib.error, ET.ParseError):
         return []
 
 
@@ -217,7 +218,7 @@ def read_mediawiki_stream(spark: SparkSession, path: str) -> DataFrame:
                             if len(rows) >= 1024:
                                 yield pd.DataFrame(rows, columns=_COLS)
                                 rows = []
-                except (OSError, ET.ParseError, EOFError):
+                except (OSError, EOFError, ValueError, zlib.error, ET.ParseError):
                     rows = []
                 if rows:
                     yield pd.DataFrame(rows, columns=_COLS)

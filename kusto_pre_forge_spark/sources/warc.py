@@ -27,6 +27,7 @@ Spark and reusable by the streaming landing path.
 from __future__ import annotations
 
 import gzip
+import zlib
 import io
 
 from pyspark.sql import DataFrame, SparkSession
@@ -226,10 +227,18 @@ def _record_row(path: str, headers: dict, block: bytes, want) -> dict | None:
 
 
 def records_to_rows(path: str, content: bytes, record_types):
-    """One WARC blob → list of row dicts (the WARC_DDL columns)."""
+    """One WARC blob → list of row dicts (the WARC_DDL columns). A blob
+    whose gzip framing is corrupt quarantines as zero rows — one bad
+    archive must not fail the task holding ten thousand good ones (the
+    reject-stream posture; truncated TAILS already surface what framed
+    completely)."""
     want = {t.lower() for t in record_types} if record_types else None
+    try:
+        raw = _maybe_gunzip(bytes(content))
+    except (OSError, EOFError, zlib.error):
+        return []
     rows = []
-    for headers, block in iter_warc_records(_maybe_gunzip(bytes(content))):
+    for headers, block in iter_warc_records(raw):
         row = _record_row(path, headers, block, want)
         if row is not None:
             rows.append(row)

@@ -39,6 +39,7 @@ from __future__ import annotations
 import bz2
 import gzip
 import io
+import zlib
 from xml.etree import ElementTree as ET
 from xml.sax.saxutils import quoteattr
 
@@ -104,7 +105,7 @@ def parse_xml_rows(
                 row[a] = attrib.get(a)
             out.append(row)
         return out
-    except (OSError, ET.ParseError, EOFError):
+    except (OSError, EOFError, ValueError, zlib.error, ET.ParseError):
         return []
 
 
@@ -195,7 +196,7 @@ def read_xml_rows_stream(
                             if len(rows) >= 1024:
                                 yield pd.DataFrame(rows, columns=cols)
                                 rows = []
-                except (OSError, ET.ParseError, EOFError):
+                except (OSError, EOFError, ValueError, zlib.error, ET.ParseError):
                     rows = []
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)

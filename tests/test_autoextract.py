@@ -398,3 +398,48 @@ def test_zstd_tags_not_binary():
     blob = b"\x28\xb5\x2f\xfd\x00\x00frame"
     assert sniff_format(blob) == "zstd"
     assert extract_auto(blob) == ("zstd", None)
+
+
+def test_front_door_is_total_on_arbitrary_bytes():
+    """Quarantine posture, pinned: the front door NEVER raises — a
+    corrupt blob in a 100 TB dump must not fail the task holding ten
+    thousand good ones. Hypothesis drives arbitrary bytes, then a
+    seeded sweep prepends every magic prefix so each real parser's
+    error path is exercised (this fuzz found truncated-gzip EOFError,
+    corrupt-deflate zlib.error, and truncated-bz2 ValueError escaping
+    the peel catches — all quarantined now)."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kusto_pre_forge_spark.sources import mediawiki as MW
+    from kusto_pre_forge_spark.sources import warc as W
+    from kusto_pre_forge_spark.sources import xmlrows as XR
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=1024))
+    def arbitrary(blob):
+        kind, _ = A.extract_auto(blob)
+        assert isinstance(kind, str)
+        assert A.extract_auto_rows(blob)
+
+    arbitrary()
+
+    prefixes = [
+        b"\x1f\x8b", b"BZh9", b"\xfd7zXZ\x00", b"%PDF-", b"PK\x03\x04",
+        b"WARC/1.1\r\n", b"{\\rtf1", b"<mediawiki>", b'{"cells"',
+        b"From x\nFrom: y\n", b"WEBVTT", b"1\n00:00:00,000 --> 99",
+        b"Obj\x01", b"ustar", b"<posts>",
+    ]
+    rng = random.Random(7)
+    for p in prefixes:
+        for _ in range(60):
+            blob = p + bytes(
+                rng.randrange(256) for _ in range(rng.randrange(0, 300))
+            )
+            A.extract_auto(blob)
+            A.extract_auto_rows(blob)
+            W.records_to_rows("p", blob, ("response",))
+            MW.parse_mediawiki_pages(blob)
+            XR.parse_xml_rows(blob, ["Id"])
