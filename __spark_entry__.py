@@ -7507,6 +7507,72 @@ def _q_text_hash_embedding(spark, sf):
     ).select("doc_id", F.col("k").cast("int").alias("k"), "v", "n_grams")
 
 
+def _kqltext_tables(spark, sf):
+    from kusto_pre_forge_spark.tables import TABLE_NAMES
+
+    return {
+        t: load_table(spark, sf, t)
+        for t in ("lineitem", "orders", "events")
+    }
+
+
+def _q_kqltext_q1(spark, sf):
+    """The TPC-H Q1 shape written AS KQL TEXT and run through the
+    parser (operators/kqltext.py) — the reference emits KQL strings,
+    and this engine runs them natively; the oracle is the plain SQL the
+    pipeline means, so the parser's where/summarize/sort construction
+    is checked end-to-end against an independent engine."""
+    from kusto_pre_forge_spark.operators.kqltext import run_kql
+
+    q = (
+        "lineitem\n"
+        "| where l_quantity > 10\n"
+        "| summarize sum_qty=sum(l_quantity), n=count() "
+        "by l_returnflag, l_linestatus\n"
+        "| sort by l_returnflag asc, l_linestatus asc"
+    )
+    return run_kql(spark, q, _kqltext_tables(spark, sf))
+
+
+def _q_kqltext_pipeline(spark, sf):
+    """A multi-stage KQL pipeline through the parser: has-term + between
+    predicates, numeric bin(), iff(), named summarize, default-desc
+    top. Checks the expression grammar's precedence and the stage
+    plumbing against plain SQL."""
+    from kusto_pre_forge_spark.operators.kqltext import run_kql
+
+    q = (
+        "orders\n"
+        "| where o_orderpriority has '1-URGENT' "
+        "and o_totalprice between (1000.0 .. 200000.0)\n"
+        "| extend Bucket=bin(o_totalprice, 50000), "
+        "Cls=iff(o_custkey % 2 == 0, 'even', 'odd')\n"
+        "| summarize n=count(), total=round(sum(o_totalprice), 2) "
+        "by Bucket, Cls\n"
+        "| sort by Bucket asc, Cls asc"
+    )
+    return run_kql(spark, q, _kqltext_tables(spark, sf))
+
+
+def _q_kqltext_dynamic(spark, sf):
+    """The reference's dynamic-JSON idiom (EtlRun.cs:153-159) as KQL
+    text: todynamic(props).k path access coerced by toint, a split()[i]
+    projection, take_any per group — the exact construct family the
+    emitted policy/shard queries use, over the events table."""
+    from kusto_pre_forge_spark.operators.kqltext import run_kql
+
+    q = (
+        "events\n"
+        "| extend K=toint(todynamic(props).k)\n"
+        "| where K >= 50\n"
+        "| summarize n=count(), any_k=take_any(strcat('k=', tostring(K))) "
+        "by K\n"
+        "| sort by K asc\n"
+        "| take 40"
+    )
+    return run_kql(spark, q, _kqltext_tables(spark, sf))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7668,6 +7734,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_extended": _q_text_pii_extended,
         "pipeline_corpus_release": _q_pipeline_corpus_release,
         "text_hash_embedding": _q_text_hash_embedding,
+        "kqltext_q1": _q_kqltext_q1,
+        "kqltext_pipeline": _q_kqltext_pipeline,
+        "kqltext_dynamic": _q_kqltext_dynamic,
         "pipeline_multiformat_extract": _q_pipeline_multiformat_extract,
         "corpus_autoextract": _q_corpus_autoextract,
         "pipeline_audio_asr": _q_pipeline_audio_asr,
@@ -11491,6 +11560,37 @@ def oracle_sql() -> dict[str, str]:
         "text_wikitext_extract": _wikitext_oracle_sql(),
         "text_latex_extract": _latex_oracle_sql(),
         "text_fasttext_quality": _fasttext_oracle_sql(),
+        "kqltext_q1": (
+            # the SQL the KQL text MEANS — checks the parser's
+            # where/summarize/sort construction end-to-end
+            "SELECT l_returnflag, l_linestatus, "
+            "SUM(l_quantity) AS sum_qty, COUNT(*) AS n "
+            "FROM lineitem WHERE l_quantity > 10 "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "kqltext_pipeline": (
+            # bin() -> floor multiple as BIGINT (Spark floor returns
+            # long); has-term over exact-valued priorities == equality
+            "WITH f AS (SELECT o_totalprice, "
+            "CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) "
+            "AS Bucket, "
+            "CASE WHEN o_custkey % 2 = 0 THEN 'even' ELSE 'odd' END "
+            "AS Cls FROM orders WHERE o_orderpriority = '1-URGENT' "
+            "AND o_totalprice BETWEEN 1000.0 AND 200000.0) "
+            "SELECT Bucket, Cls, COUNT(*) AS n, "
+            "round(SUM(o_totalprice), 2) AS total FROM f "
+            "GROUP BY Bucket, Cls"
+        ),
+        "kqltext_dynamic": (
+            # todynamic(props).k coerced by toint == JSON int extract;
+            # take_any made deterministic by aggregating a per-group
+            # constant; distinct sorted K makes take 40 a stable set
+            "WITH e AS (SELECT CAST(json_extract_string(props, '$.k') "
+            "AS INTEGER) AS K FROM events) "
+            "SELECT K, CAST(COUNT(*) AS BIGINT) AS n, "
+            "'k=' || K AS any_k FROM e WHERE K >= 50 "
+            "GROUP BY K ORDER BY K LIMIT 40"
+        ),
         "text_hash_embedding": (
             # full replay: tokenizer, hashing trick, per-component
             # counts, integer-sum L2 norm — exact doubles, no rounding

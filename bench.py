@@ -175,6 +175,8 @@ HEADLINE = [
     "text_pii_extended",
     "pipeline_corpus_release",
     "text_hash_embedding",
+    "kqltext_q1",
+    "kqltext_dynamic",
 ]
 
 # Projection-shaped queries: count() lets Catalyst prune the projection

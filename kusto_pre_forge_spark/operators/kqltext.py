@@ -1,0 +1,988 @@
+"""KQL text → Spark: parse and RUN the query strings the reference emits.
+
+The reference delegates its relational work to Kusto by EMITTING KQL
+text (EtlRun.cs:148-164 partition-policy introspection,
+TestBase.cs:305-332 shard-count tracking, schema.kql's generator). The
+operator wrappers in ``operators/kql.py`` implement the semantics; this
+module closes the last gap for a user switching off Kusto: the emitted
+STRINGS themselves run, via a recursive-descent parser over the KQL
+tabular-expression grammar (public language spec:
+https://learn.microsoft.com/azure/data-explorer/kusto/query/).
+
+Scope — the reference's full emitted surface (SURVEY §2.5) plus the
+everyday tabular operators:
+
+- sources: table name, ``range x from a to b step s``, ``print n=e``
+- ``let`` statements (scalar and tabular)
+- ``where  project  project-away  extend  summarize ... by  distinct
+  count  take/limit  top N by  sort/order by  mv-expand
+  join kind=... (T) on ...  union``
+- scalar exprs: arithmetic, comparisons, ``and/or/not``, ``has``,
+  ``contains``, ``startswith/endswith``, ``matches regex``, ``in``,
+  ``between (a .. b)``, dynamic path access ``x.y.z`` (VariantType,
+  type-coerced at use), array indexing ``a[i]``, timespan literals
+  (``1h``/``30m``/``10s``/``100ms`` — double seconds internally,
+  converted at datetime ± boundaries), ``datetime(...)`` literals
+- scalar fns: to*/strcat/strlen/substring/split/extract/replace_string
+  /tolower/toupper/trim/bin/iff/case/coalesce/is*/now/ago/array_length
+  /strcat_array/round/floor/abs/…; aggregates: count/countif/sum/sumif
+  /avg/min/max/minif/maxif/dcount/make_list/make_set/take_any/any
+  /arg_max/arg_min/percentile
+- ``functions=`` lets callers bind environment functions — e.g. map
+  ``extent_tags()``/``extent_id()`` onto this engine's lineage columns
+  so the reference's shard-tracking queries run VERBATIM (pinned in
+  tests).
+
+Posture: the parser builds pyspark Columns/DataFrames directly (no
+interpreter in the data path — whatever text compiles here runs as
+ordinary Catalyst plans with full pushdown/codegen); unknown constructs
+raise ``KqlSyntaxError`` naming the position, never mis-run.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kusto_pre_forge_spark.operators import kql as K
+
+__all__ = ["run_kql", "KqlSyntaxError"]
+
+
+class KqlSyntaxError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------- lexer
+
+_TS_FACTORS = {
+    "d": 86400.0,
+    "h": 3600.0,
+    "m": 60.0,
+    "s": 1.0,
+    "ms": 1e-3,
+    "microsecond": 1e-6,
+    "microseconds": 1e-6,
+    "tick": 1e-7,
+    "ticks": 1e-7,
+}
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+|//[^\n]*)
+  | (?P<verbatim>@"(?:[^"]|"")*")
+  | (?P<dstr>"(?:[^"\\]|\\.)*")
+  | (?P<sstr>'(?:[^'\\]|\\.)*')
+  | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<bracketid>\[\s*(?:'[^']*'|"[^"]*")\s*\])
+  | (?P<punct>==|!=|=~|!~|<=|>=|<>|\.\.|[|,()\[\]{}=.<>+\-*/%!$;])
+    """,
+    re.VERBOSE,
+)
+
+_STR_ESCAPES = {
+    "n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'", '"': '"',
+    "0": "\0",
+}
+
+
+def _unescape(body: str) -> str:
+    out = []
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if ch == "\\" and i + 1 < len(body):
+            out.append(_STR_ESCAPES.get(body[i + 1], body[i + 1]))
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+class _Tok:
+    __slots__ = ("kind", "val", "pos")
+
+    def __init__(self, kind, val, pos):
+        self.kind, self.val, self.pos = kind, val, pos
+
+    def __repr__(self):
+        return f"{self.kind}:{self.val!r}"
+
+
+def _lex(text: str) -> list[_Tok]:
+    toks: list[_Tok] = []
+    pos = 0
+    n = len(text)
+    while pos < n:
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise KqlSyntaxError(
+                f"unexpected character {text[pos]!r} at offset {pos}"
+            )
+        kind = m.lastgroup
+        raw = m.group()
+        if kind == "ws":
+            pos = m.end()
+            continue
+        if kind == "verbatim":
+            toks.append(_Tok("str", raw[2:-1].replace('""', '"'), pos))
+        elif kind in ("dstr", "sstr"):
+            toks.append(_Tok("str", _unescape(raw[1:-1]), pos))
+        elif kind == "num":
+            # timespan literal: number immediately followed by a unit
+            m2 = re.match(r"[A-Za-z]+", text[m.end() :])
+            unit = m2.group() if m2 else ""
+            if unit in _TS_FACTORS and not (
+                unit == "m" and text[m.end() : m.end() + 2] == "ms"
+            ):
+                toks.append(
+                    _Tok("ts", float(raw) * _TS_FACTORS[unit], pos)
+                )
+                pos = m.end() + len(unit)
+                continue
+            toks.append(
+                _Tok("num", float(raw) if "." in raw or "e" in raw.lower()
+                     else int(raw), pos)
+            )
+        elif kind == "ident":
+            toks.append(_Tok("ident", raw, pos))
+        elif kind == "bracketid":
+            inner = raw[1:-1].strip()
+            toks.append(_Tok("ident", inner[1:-1], pos))
+        else:
+            toks.append(_Tok("punct", raw, pos))
+        pos = m.end()
+    toks.append(_Tok("eof", None, n))
+    return toks
+
+
+# ------------------------------------------------------------ expr node
+
+class KExpr:
+    """A parsed scalar expression: a Column plus the bits of KQL typing
+    the grammar needs — pending VARIANT paths (materialized with the
+    right target type at use: ``Keys.Kind == "Hash"`` coerces to
+    string, ``toint(Keys.Seed)`` to int) and timespan-ness (double
+    seconds internally; converted at datetime ± boundaries)."""
+
+    def __init__(self, col: Column, name: str | None = None,
+                 kind: str = "plain", vbase: Column | None = None,
+                 vpath: str | None = None, pyval=None):
+        self.col = col
+        self.name = name
+        self.kind = kind  # plain | timespan | variant | string | number
+        self.vbase = vbase
+        self.vpath = vpath
+        self.pyval = pyval  # python literal when known (grammar constants)
+
+    def as_type(self, typ: str) -> Column:
+        if self.kind == "variant" and self.vbase is not None:
+            return F.try_variant_get(self.vbase, f"$.{self.vpath}", typ)
+        if typ == "variant":
+            return self.col
+        return self.col.cast(
+            {"string": "string", "int": "int", "long": "long",
+             "double": "double", "boolean": "boolean",
+             "timestamp": "timestamp"}[typ]
+        )
+
+    def c(self) -> Column:
+        if self.kind == "variant" and self.vbase is not None:
+            return F.try_variant_get(self.vbase, f"$.{self.vpath}", "variant")
+        return self.col
+
+
+def _coerce_pair(a: KExpr, b: KExpr):
+    """Comparison operands: a pending variant coerces to the OTHER
+    side's natural type (string literal → string, number → double)."""
+    def target(other: KExpr) -> str:
+        return "double" if other.kind == "number" else (
+            "string" if other.kind == "string" else "variant"
+        )
+
+    ca = a.as_type(target(b)) if a.kind == "variant" else a.col
+    cb = b.as_type(target(a)) if b.kind == "variant" else b.col
+    return ca, cb
+
+
+# ------------------------------------------------------------- parser
+
+_AGG_FNS = {
+    "count", "countif", "sum", "sumif", "avg", "avgif", "min", "minif",
+    "max", "maxif", "dcount", "make_list", "make_set", "take_any",
+    "any", "arg_max", "arg_min", "percentile", "stdev", "variance",
+}
+
+_JOIN_KINDS = {
+    "inner": "inner", "innerunique": "inner", "leftouter": "left",
+    "rightouter": "right", "fullouter": "outer", "leftsemi": "left_semi",
+    "leftanti": "left_anti", "anti": "left_anti",
+}
+
+
+class _Parser:
+    def __init__(self, text: str, tables, functions, spark):
+        self.toks = _lex(text)
+        self.i = 0
+        self.tables = dict(tables or {})
+        self.functions = dict(functions or {})
+        self.spark = spark
+        self.lets: dict[str, KExpr] = {}
+
+    # ---- token helpers
+    def peek(self, k=0) -> _Tok:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def eat(self, kind, val=None) -> _Tok:
+        t = self.peek()
+        if t.kind != kind or (val is not None and t.val != val):
+            raise KqlSyntaxError(
+                f"expected {val or kind} at offset {t.pos}, got {t.val!r}"
+            )
+        return self.next()
+
+    def at(self, kind, val=None) -> bool:
+        t = self.peek()
+        return t.kind == kind and (val is None or t.val == val)
+
+    def at_ident(self, *names) -> bool:
+        t = self.peek()
+        return t.kind == "ident" and t.val in names
+
+    # ---- entry
+    def parse_query(self) -> DataFrame:
+        while self.at_ident("let"):
+            self._parse_let()
+        df = self.parse_pipeline()
+        self.eat("eof")
+        return df
+
+    def _parse_let(self):
+        self.eat("ident", "let")
+        name = self.eat("ident").val
+        self.eat("punct", "=")
+        # tabular let: RHS starts with a known table / source keyword
+        t = self.peek()
+        if t.kind == "ident" and (
+            t.val in self.tables or t.val in ("range", "print")
+            or self._is_table(t.val)
+        ):
+            self.tables[name] = self.parse_pipeline(stop_at_semicolon=True)
+        else:
+            self.lets[name] = self.parse_expr()
+        if self.at("punct", ";"):
+            self.next()
+
+    def _is_table(self, name: str) -> bool:
+        if name in self.tables:
+            return True
+        if self.spark is not None:
+            try:
+                return self.spark.catalog.tableExists(name)
+            except Exception:
+                return False
+        return False
+
+    # ---- pipeline
+    def parse_pipeline(self, stop_at_semicolon=False) -> DataFrame:
+        df = self._parse_source()
+        while self.at("punct", "|"):
+            self.next()
+            df = self._parse_stage(df)
+        return df
+
+    def _parse_source(self) -> DataFrame:
+        if self.at("punct", "("):
+            self.next()
+            df = self.parse_pipeline()
+            self.eat("punct", ")")
+            return df
+        t = self.eat("ident")
+        if t.val == "range":
+            name = self.eat("ident").val
+            self.eat("ident", "from")
+            lo = self.parse_expr()
+            self.eat("ident", "to")
+            hi = self.parse_expr()
+            self.eat("ident", "step")
+            step = self.parse_expr()
+            lo_v, hi_v, st_v = (
+                _lit_value(lo), _lit_value(hi), _lit_value(step)
+            )
+            return self.spark.range(
+                int(lo_v), int(hi_v) + 1, int(st_v)
+            ).select(F.col("id").alias(name))
+        if t.val == "print":
+            cols = []
+            while True:
+                name, e = self._parse_named_expr(default_prefix="print")
+                cols.append(e.c().alias(name))
+                if self.at("punct", ","):
+                    self.next()
+                    continue
+                break
+            return self.spark.range(1).select(*cols)
+        if t.val in self.tables:
+            return self.tables[t.val]
+        if self.spark is not None and self._is_table(t.val):
+            return self.spark.table(t.val)
+        raise KqlSyntaxError(f"unknown table {t.val!r} at offset {t.pos}")
+
+    def _parse_stage(self, df: DataFrame) -> DataFrame:
+        t = self.eat("ident")
+        op = t.val
+        # mv-expand / project-away / project-rename / order-by hyphens
+        if self.at("punct", "-"):
+            self.next()
+            op = f"{op}-{self.eat('ident').val}"
+        handler = getattr(self, "_op_" + op.replace("-", "_"), None)
+        if handler is None:
+            raise KqlSyntaxError(
+                f"unsupported operator {op!r} at offset {t.pos}"
+            )
+        return handler(df)
+
+    # ---- stages
+    def _op_where(self, df):
+        return df.filter(self.parse_expr(df=df).c())
+
+    def _op_filter(self, df):
+        return self._op_where(df)
+
+    def _op_take(self, df):
+        return df.limit(int(_lit_value(self.parse_expr())))
+
+    def _op_limit(self, df):
+        return self._op_take(df)
+
+    def _op_count(self, df):
+        return df.groupBy().agg(F.count(F.lit(1)).alias("Count"))
+
+    def _op_distinct(self, df):
+        if self.at("punct", "*"):
+            self.next()
+            return df.distinct()
+        cols = []
+        while True:
+            name, e = self._parse_named_expr()
+            cols.append(e.c().alias(name))
+            if self.at("punct", ","):
+                self.next()
+                continue
+            break
+        return df.select(*cols).distinct()
+
+    def _op_project(self, df):
+        cols = []
+        while True:
+            name, e = self._parse_named_expr()
+            cols.append(e.c().alias(name))
+            if self.at("punct", ","):
+                self.next()
+                continue
+            break
+        return df.select(*cols)
+
+    def _op_project_away(self, df):
+        names = []
+        while True:
+            names.append(self.eat("ident").val)
+            if self.at("punct", ","):
+                self.next()
+                continue
+            break
+        return df.drop(*names)
+
+    def _op_project_rename(self, df):
+        pairs = []
+        while True:
+            new = self.eat("ident").val
+            self.eat("punct", "=")
+            old = self.eat("ident").val
+            pairs.append((old, new))
+            if self.at("punct", ","):
+                self.next()
+                continue
+            break
+        return df.withColumnsRenamed(dict(pairs))
+
+    def _op_extend(self, df):
+        cols = dict()
+        while True:
+            name, e = self._parse_named_expr(default_prefix="Column")
+            cols[name] = e.c()
+            if self.at("punct", ","):
+                self.next()
+                continue
+            break
+        return df.withColumns(cols)
+
+    def _op_summarize(self, df):
+        aggs = []
+        keys = []
+        if not self.at_ident("by"):
+            while True:
+                name, e = self._parse_named_expr(agg=True)
+                aggs.append(e.c().alias(name))
+                if self.at("punct", ","):
+                    self.next()
+                    continue
+                break
+        if self.at_ident("by"):
+            self.next()
+            while True:
+                name, e = self._parse_named_expr()
+                keys.append(e.c().alias(name))
+                if self.at("punct", ","):
+                    self.next()
+                    continue
+                break
+        if not aggs:
+            # `summarize by k1, k2` == distinct over the keys
+            return df.select(*keys).distinct()
+        return df.groupBy(*keys).agg(*aggs)
+
+    def _op_sort(self, df):
+        return self._sort_like(df)
+
+    def _op_order(self, df):
+        return self._sort_like(df)
+
+    def _sort_like(self, df):
+        self.eat("ident", "by")
+        order = []
+        while True:
+            e = self.parse_expr(df=df)
+            col = e.c()
+            desc = True  # KQL default order is DESCENDING
+            if self.at_ident("asc"):
+                self.next()
+                desc = False
+            elif self.at_ident("desc"):
+                self.next()
+            if self.at_ident("nulls"):
+                self.next()
+                self.eat("ident")
+            order.append(col.desc() if desc else col.asc())
+            if self.at("punct", ","):
+                self.next()
+                continue
+            break
+        return df.orderBy(*order)
+
+    def _op_top(self, df):
+        n = int(_lit_value(self.parse_expr()))
+        self.eat("ident", "by")
+        e = self.parse_expr(df=df)
+        col = e.c()
+        desc = True
+        if self.at_ident("asc"):
+            self.next()
+            desc = False
+        elif self.at_ident("desc"):
+            self.next()
+        return df.orderBy(col.desc() if desc else col.asc()).limit(n)
+
+    def _op_mv_expand(self, df):
+        from pyspark.sql.types import VariantType
+
+        name, e = self._parse_named_expr()
+        col = e.c()
+        # a dynamic (VARIANT) column holding a JSON array explodes via
+        # an array<variant> view — KQL's mv-expand over dynamic
+        if (
+            e.name is not None
+            and e.name in df.columns
+            and isinstance(df.schema[e.name].dataType, VariantType)
+        ):
+            col = F.try_variant_get(col, "$", "array<variant>")
+        elif e.kind == "variant":
+            col = e.as_type("array<variant>")
+        elif e.name is not None and e.name in df.columns and name == e.name:
+            return K.mv_expand(df, e.name)
+        others = [c for c in df.columns if c != name]
+        return df.select(*others, F.explode(col).alias(name))
+
+    def _op_union(self, df):
+        right = self._parse_source()
+        while self.at("punct", "|"):
+            self.next()
+            right = self._parse_stage(right)
+        return df.unionByName(right, allowMissingColumns=True)
+
+    def _op_join(self, df):
+        kind = "inner"
+        if self.at_ident("kind"):
+            self.next()
+            self.eat("punct", "=")
+            kraw = self.eat("ident").val
+            if kraw not in _JOIN_KINDS:
+                raise KqlSyntaxError(f"unsupported join kind {kraw!r}")
+            kind = _JOIN_KINDS[kraw]
+        self.eat("punct", "(")
+        right = self.parse_pipeline()
+        self.eat("punct", ")")
+        self.eat("ident", "on")
+        on = []
+        while True:
+            if self.at("punct", "$"):
+                self.next()
+                side1 = self.eat("ident").val
+                self.eat("punct", ".")
+                c1 = self.eat("ident").val
+                self.eat("punct", "==")
+                self.eat("punct", "$")
+                side2 = self.eat("ident").val
+                self.eat("punct", ".")
+                c2 = self.eat("ident").val
+                lcol = c1 if side1 == "left" else c2
+                rcol = c2 if side2 == "right" else c1
+                on.append(df[lcol] == right[rcol])
+            else:
+                on.append(self.eat("ident").val)
+            if self.at("punct", ","):
+                self.next()
+                continue
+            break
+        if all(isinstance(x, str) for x in on):
+            return df.join(right, on=on, how=kind)
+        cond = on[0]
+        for c in on[1:]:
+            cond = cond & c
+        return df.join(right, on=cond, how=kind)
+
+    # ---- named expr (Name=expr | expr)
+    def _parse_named_expr(self, agg=False, default_prefix=None):
+        t = self.peek()
+        if (
+            t.kind == "ident"
+            and self.peek(1).kind == "punct"
+            and self.peek(1).val == "="
+            and not (self.peek(2).kind == "punct" and self.peek(2).val == "=")
+        ):
+            name = self.next().val
+            self.next()  # =
+            e = self.parse_expr()
+            return name, e
+        e = self.parse_expr()
+        if e.name is not None:
+            return e.name, e
+        if default_prefix is not None:
+            return f"{default_prefix}_{self.i}", e
+        return f"Column_{self.i}", e
+
+    # ---- expressions (precedence climbing)
+    def parse_expr(self, df=None) -> KExpr:
+        return self._parse_or()
+
+    def _parse_or(self) -> KExpr:
+        left = self._parse_and()
+        while self.at_ident("or"):
+            self.next()
+            right = self._parse_and()
+            left = KExpr(left.c() | right.c())
+        return left
+
+    def _parse_and(self) -> KExpr:
+        left = self._parse_not()
+        while self.at_ident("and"):
+            self.next()
+            right = self._parse_not()
+            left = KExpr(left.c() & right.c())
+        return left
+
+    def _parse_not(self) -> KExpr:
+        if self.at_ident("not"):
+            self.next()
+            self.eat("punct", "(")
+            e = self.parse_expr()
+            self.eat("punct", ")")
+            return KExpr(~e.c())
+        return self._parse_comparison()
+
+    def _parse_comparison(self) -> KExpr:
+        left = self._parse_add()
+        t = self.peek()
+        if t.kind == "punct" and t.val in ("==", "!=", "<>", "<", "<=", ">",
+                                           ">=", "=~", "!~"):
+            self.next()
+            right = self._parse_add()
+            lc, rc = _coerce_pair(left, right)
+            if t.val == "==":
+                return KExpr(lc == rc)
+            if t.val in ("!=", "<>"):
+                return KExpr(lc != rc)
+            if t.val == "<":
+                return KExpr(lc < rc)
+            if t.val == "<=":
+                return KExpr(lc <= rc)
+            if t.val == ">":
+                return KExpr(lc > rc)
+            if t.val == ">=":
+                return KExpr(lc >= rc)
+            if t.val == "=~":
+                return KExpr(F.lower(lc) == F.lower(rc))
+            return KExpr(F.lower(lc) != F.lower(rc))
+        neg = False
+        if t.kind == "punct" and t.val == "!":
+            # !has / !contains / !in
+            self.next()
+            t = self.peek()
+            neg = True
+        if t.kind == "ident" and t.val in (
+            "has", "has_cs", "contains", "contains_cs", "startswith",
+            "endswith", "matches", "in", "between",
+        ):
+            self.next()
+            if t.val == "matches":
+                self.eat("ident", "regex")
+                pat = self._parse_add()
+                out = left.as_type("string").rlike(_lit_value(pat))
+            elif t.val == "in":
+                self.eat("punct", "(")
+                vals = []
+                while True:
+                    vals.append(_lit_value(self.parse_expr()))
+                    if self.at("punct", ","):
+                        self.next()
+                        continue
+                    break
+                self.eat("punct", ")")
+                out = left.c().isin(vals)
+            elif t.val == "between":
+                self.eat("punct", "(")
+                lo = self.parse_expr()
+                self.eat("punct", "..")
+                hi = self.parse_expr()
+                self.eat("punct", ")")
+                out = (left.c() >= lo.c()) & (left.c() <= hi.c())
+            elif t.val in ("has", "has_cs"):
+                term = self._parse_add()
+                out = K.has_term(
+                    left.as_type("string"), str(_lit_value(term))
+                )
+            elif t.val in ("contains", "contains_cs"):
+                term = self._parse_add()
+                base = left.as_type("string")
+                if t.val == "contains":
+                    out = F.contains(
+                        F.lower(base), F.lower(F.lit(_lit_value(term)))
+                    )
+                else:
+                    out = base.contains(_lit_value(term))
+            elif t.val == "startswith":
+                term = self._parse_add()
+                out = F.lower(left.as_type("string")).startswith(
+                    str(_lit_value(term)).lower()
+                )
+            else:  # endswith
+                term = self._parse_add()
+                out = F.lower(left.as_type("string")).endswith(
+                    str(_lit_value(term)).lower()
+                )
+            return KExpr(~out if neg else out)
+        if neg:
+            raise KqlSyntaxError(f"unexpected '!' at offset {t.pos}")
+        return left
+
+    def _parse_add(self) -> KExpr:
+        left = self._parse_mul()
+        while self.at("punct", "+") or self.at("punct", "-"):
+            op = self.next().val
+            right = self._parse_mul()
+            left = _arith(left, right, op)
+        return left
+
+    def _parse_mul(self) -> KExpr:
+        left = self._parse_unary()
+        while (
+            self.at("punct", "*") or self.at("punct", "/")
+            or self.at("punct", "%")
+        ):
+            op = self.next().val
+            right = self._parse_unary()
+            left = _arith(left, right, op)
+        return left
+
+    def _parse_unary(self) -> KExpr:
+        if self.at("punct", "-"):
+            self.next()
+            e = self._parse_unary()
+            return KExpr(
+                -e.c(), kind=e.kind,
+                pyval=(-e.pyval if e.pyval is not None else None),
+            )
+        return self._parse_postfix()
+
+    def _parse_postfix(self) -> KExpr:
+        e = self._parse_primary()
+        while True:
+            if self.at("punct", "."):
+                self.next()
+                field = self.eat("ident").val
+                if e.kind == "variant":
+                    e = KExpr(
+                        e.col, kind="variant", vbase=e.vbase,
+                        vpath=f"{e.vpath}.{field}",
+                    )
+                else:
+                    e = KExpr(
+                        e.c(), kind="variant", vbase=e.c(), vpath=field
+                    )
+            elif self.at("punct", "["):
+                self.next()
+                idx = self.parse_expr()
+                self.eat("punct", "]")
+                if e.kind == "variant":
+                    e = KExpr(
+                        e.col, kind="variant", vbase=e.vbase,
+                        vpath=f"{e.vpath}[{int(_lit_value(idx))}]",
+                    )
+                else:
+                    e = KExpr(e.c().getItem(_lit_value(idx)))
+            else:
+                return e
+
+    def _parse_primary(self) -> KExpr:
+        t = self.next()
+        if t.kind == "str":
+            return KExpr(F.lit(t.val), kind="string", pyval=t.val)
+        if t.kind == "num":
+            return KExpr(F.lit(t.val), kind="number", pyval=t.val)
+        if t.kind == "ts":
+            return KExpr(
+                F.lit(float(t.val)), kind="timespan", pyval=float(t.val)
+            )
+        if t.kind == "punct" and t.val == "(":
+            e = self.parse_expr()
+            self.eat("punct", ")")
+            return e
+        if t.kind == "punct" and t.val == "*":
+            return KExpr(F.lit(1), name="*")
+        if t.kind != "ident":
+            raise KqlSyntaxError(
+                f"unexpected token {t.val!r} at offset {t.pos}"
+            )
+        name = t.val
+        if name in ("true", "false"):
+            return KExpr(F.lit(name == "true"))
+        if name == "null":
+            return KExpr(F.lit(None))
+        if self.at("punct", "("):
+            self.next()
+            args = []
+            if not self.at("punct", ")"):
+                while True:
+                    args.append(self.parse_expr())
+                    if self.at("punct", ","):
+                        self.next()
+                        continue
+                    break
+            self.eat("punct", ")")
+            return self._call(name, args, t.pos)
+        if name in self.lets:
+            return self.lets[name]
+        return KExpr(F.col(name), name=name)
+
+    # ---- functions
+    def _call(self, name: str, args: list[KExpr], pos: int) -> KExpr:
+        if name in self.functions:
+            return KExpr(self.functions[name](*[a.c() for a in args]))
+        fn = getattr(self, "_fn_" + name, None)
+        if fn is not None:
+            return fn(args)
+        builder = _SCALAR_FNS.get(name)
+        if builder is not None:
+            return KExpr(builder(*args))
+        raise KqlSyntaxError(
+            f"unsupported function {name!r} at offset {pos}"
+        )
+
+    def _fn_count(self, args):
+        if not args:
+            return KExpr(F.count(F.lit(1)), name="count_")
+        return KExpr(F.count(args[0].c()))
+
+    def _fn_countif(self, args):
+        return KExpr(F.sum(F.when(args[0].c(), 1).otherwise(0)))
+
+    def _fn_iff(self, args):
+        return KExpr(
+            F.when(args[0].c(), args[1].c()).otherwise(args[2].c())
+        )
+
+    _fn_iif = _fn_iff
+
+    def _fn_case(self, args):
+        out = args[-1].c()
+        pairs = list(zip(args[:-1:2], args[1::2]))
+        col = None
+        for cond, val in pairs:
+            col = (
+                F.when(cond.c(), val.c())
+                if col is None
+                else col.when(cond.c(), val.c())
+            )
+        return KExpr(col.otherwise(out) if col is not None else out)
+
+    def _fn_ago(self, args):
+        span = args[0]
+        return KExpr(
+            F.current_timestamp()
+            - F.make_dt_interval(secs=span.col)
+        )
+
+    def _fn_bin(self, args):
+        x, span = args
+        if span.kind == "timespan":
+            secs = F.lit(float(_lit_value(span)))
+            return KExpr(
+                F.timestamp_seconds(
+                    F.floor(F.unix_timestamp(x.c()) / secs) * secs
+                )
+            )
+        s = span.c()
+        return KExpr(F.floor(x.c() / s) * s)
+
+    def _fn_datetime(self, args):
+        return KExpr(args[0].as_type("timestamp"))
+
+    def _fn_totimespan(self, args):
+        if args[0].kind == "timespan":
+            return args[0]
+        return KExpr(args[0].c(), kind="timespan")
+
+
+def _arith(a: KExpr, b: KExpr, op: str) -> KExpr:
+    # datetime ± timespan: timespans are double seconds internally
+    if op in ("+", "-") and (a.kind == "timespan") != (b.kind == "timespan"):
+        dt, span, sign = (
+            (a, b, 1) if b.kind == "timespan" else (b, a, 1)
+        )
+        iv = F.make_dt_interval(secs=span.col)
+        if op == "+":
+            return KExpr(dt.c() + iv)
+        return KExpr(dt.c() - iv)
+    ca, cb = a.c(), b.c()
+    out = {
+        "+": lambda: ca + cb,
+        "-": lambda: ca - cb,
+        "*": lambda: ca * cb,
+        "/": lambda: ca / cb,
+        "%": lambda: ca % cb,
+    }[op]()
+    kind = "timespan" if "timespan" in (a.kind, b.kind) else "plain"
+    return KExpr(out, kind=kind)
+
+
+def _lit_value(e: KExpr):
+    """Extract the Python literal from a literal expression (errors on
+    non-literals — used where the grammar requires constants)."""
+    if e.pyval is None:
+        raise KqlSyntaxError("expected a literal value")
+    return e.pyval
+
+
+_SCALAR_FNS = {
+    "tostring": lambda a: a.as_type("string"),
+    "toint": lambda a: a.as_type("int"),
+    "tolong": lambda a: a.as_type("long"),
+    "todouble": lambda a: a.as_type("double"),
+    "toreal": lambda a: a.as_type("double"),
+    "tobool": lambda a: a.as_type("boolean"),
+    "todatetime": lambda a: a.as_type("timestamp"),
+    "todynamic": lambda a: K.todynamic(a.c()),
+    "parse_json": lambda a: K.todynamic(a.c()),
+    "strcat": lambda *a: F.concat(*[x.as_type("string") for x in a]),
+    "strcat_array": lambda a, s: F.array_join(a.c(), _lit_value(s)),
+    "strlen": lambda a: F.length(a.as_type("string")),
+    "substring": lambda a, start, *ln: (
+        F.substring(
+            a.as_type("string"),
+            int(_lit_value(start)) + 1,
+            int(_lit_value(ln[0])) if ln else (1 << 30),
+        )
+    ),
+    "split": lambda a, sep: F.split(
+        a.as_type("string"), re.escape(str(_lit_value(sep)))
+    ),
+    "extract": lambda pat, grp, src: F.regexp_extract(
+        src.as_type("string"), str(_lit_value(pat)), int(_lit_value(grp))
+    ),
+    "replace_string": lambda src, old, new: F.replace(
+        src.as_type("string"),
+        F.lit(str(_lit_value(old))),
+        F.lit(str(_lit_value(new))),
+    ),
+    "tolower": lambda a: F.lower(a.as_type("string")),
+    "toupper": lambda a: F.upper(a.as_type("string")),
+    "trim": lambda pat, a: F.regexp_replace(
+        a.as_type("string"),
+        f"^(?:{_lit_value(pat)})+|(?:{_lit_value(pat)})+$",
+        "",
+    ),
+    "coalesce": lambda *a: F.coalesce(*[x.c() for x in a]),
+    "isempty": lambda a: F.coalesce(a.as_type("string"), F.lit("")) == "",
+    "isnotempty": lambda a: F.coalesce(a.as_type("string"), F.lit(""))
+    != "",
+    "isnull": lambda a: a.c().isNull(),
+    "isnotnull": lambda a: a.c().isNotNull(),
+    "now": lambda: F.current_timestamp(),
+    "round": lambda a, *n: F.round(a.c(), int(_lit_value(n[0])) if n else 0),
+    "floor": lambda a, s: F.floor(a.c() / s.c()) * s.c(),
+    "abs": lambda a: F.abs(a.c()),
+    "exp": lambda a: F.exp(a.c()),
+    "log": lambda a: F.log(a.c()),
+    "sqrt": lambda a: F.sqrt(a.c()),
+    "pow": lambda a, b: F.pow(a.c(), b.c()),
+    "array_length": lambda a: F.size(a.c()).cast("long"),
+    "new_guid": lambda: F.expr("uuid()"),
+    "rand": lambda: F.rand(),
+    "startofday": lambda a: F.date_trunc("day", a.c()),
+    "startofmonth": lambda a: F.date_trunc("month", a.c()),
+    "format_datetime": lambda a, fmt: K.format_datetime(
+        a.c(), str(_lit_value(fmt))
+    ),
+    # aggregates
+    "sum": lambda a: F.sum(a.c()),
+    "sumif": lambda a, p: F.sum(F.when(p.c(), a.c()).otherwise(F.lit(0))),
+    "avg": lambda a: F.avg(a.c()),
+    "min": lambda a: F.min(a.c()),
+    "max": lambda a: F.max(a.c()),
+    "minif": lambda a, p: F.min(F.when(p.c(), a.c())),
+    "maxif": lambda a, p: F.max(F.when(p.c(), a.c())),
+    "dcount": lambda a: F.count_distinct(a.c()),
+    "make_list": lambda a: F.collect_list(a.c()),
+    "make_set": lambda a: F.array_sort(F.collect_set(a.c())),
+    "take_any": lambda a: F.first(a.c(), ignorenulls=True),
+    "any": lambda a: F.first(a.c(), ignorenulls=True),
+    "percentile": lambda a, p: F.percentile_approx(
+        a.c(), _lit_value(p) / 100.0
+    ),
+}
+
+
+def run_kql(
+    spark: SparkSession,
+    text: str,
+    tables: dict[str, DataFrame] | None = None,
+    functions: dict | None = None,
+) -> DataFrame:
+    """Parse one KQL tabular query and return the equivalent DataFrame.
+
+    ``tables`` maps table names to DataFrames (names not found there
+    fall back to ``spark.table``); ``functions`` binds environment
+    functions (e.g. ``extent_tags``) to Column builders so ingestion-
+    metadata queries the reference emits run verbatim. The result is an
+    ordinary lazy DataFrame — Catalyst sees the full plan (pushdown,
+    codegen, AQE all apply)."""
+    return _Parser(text, tables, functions, spark).parse_query()

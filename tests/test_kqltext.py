@@ -1,0 +1,275 @@
+"""KQL text parser/runner (operators/kqltext.py): grammar units, the
+reference's emitted queries VERBATIM, and loud-failure guarantees."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kusto_pre_forge_spark.operators.kqltext import KqlSyntaxError, run_kql
+
+
+@pytest.fixture(scope="module")
+def t(spark):
+    events = spark.createDataFrame(
+        [
+            (1, "Error", "disk full on node-3", 10.0, '["a","b"]'),
+            (2, "Warning", "retry scheduled", 5.0, '["c"]'),
+            (3, "Error", "disk full on node-7", 7.5, "[]"),
+            (4, "Information", "ok", 1.0, '["d","e","f"]'),
+        ],
+        "Id long, Level string, Text string, Value double, TagsJson string",
+    )
+    return {"Events": events}
+
+
+def _rows(spark, q, t, **kw):
+    return [tuple(r) for r in run_kql(spark, q, t, **kw).collect()]
+
+
+def test_where_project_take(spark, t):
+    out = _rows(
+        spark,
+        "Events | where Value >= 5 and Level == 'Error' "
+        "| project Id, V=Value * 2 | sort by Id asc | take 5",
+        t,
+    )
+    assert out == [(1, 20.0), (3, 15.0)]
+
+
+def test_summarize_named_aggs_and_keys(spark, t):
+    out = _rows(
+        spark,
+        "Events | summarize n=count(), Total=sum(Value) by Level "
+        "| sort by Level asc",
+        t,
+    )
+    assert out == [
+        ("Error", 2, 17.5), ("Information", 1, 1.0), ("Warning", 1, 5.0),
+    ]
+
+
+def test_summarize_by_only_is_distinct_and_count_col(spark, t):
+    assert _rows(spark, "Events | summarize by Level | count", t) == [(3,)]
+    df = run_kql(spark, "Events | count", t)
+    assert df.columns == ["Count"]
+
+
+def test_string_predicates(spark, t):
+    assert _rows(
+        spark, "Events | where Text has 'disk' | project Id", t
+    ) == [(1,), (3,)]
+    # has is a TERM match: 'dis' is a prefix, not a term
+    assert _rows(
+        spark, "Events | where Text has 'dis' | project Id", t
+    ) == []
+    assert _rows(
+        spark, "Events | where Text contains 'SCHED' | project Id", t
+    ) == [(2,)]
+    assert _rows(
+        spark, "Events | where Level startswith 'err' | project Id", t
+    ) == [(1,), (3,)]
+    assert _rows(
+        spark,
+        "Events | where Text matches regex 'node-[0-9]+' | project Id",
+        t,
+    ) == [(1,), (3,)]
+    assert _rows(
+        spark,
+        "Events | where Level in ('Error', 'Warning') | distinct Level "
+        "| sort by Level asc",
+        t,
+    ) == [("Error",), ("Warning",)]
+    assert _rows(
+        spark, "Events | where Value between (5 .. 8) | project Id", t
+    ) == [(2,), (3,)]
+    assert _rows(
+        spark, "Events | where Level =~ 'ERROR' | count", t
+    ) == [(2,)]
+    assert _rows(
+        spark, "Events | where Text !has 'disk' | count", t
+    ) == [(2,)]
+
+
+def test_extend_case_iff_split_indexing(spark, t):
+    out = _rows(
+        spark,
+        "Events | extend Sev=case(Level == 'Error', 2, Level == "
+        "'Warning', 1, 0), Node=split(Text, ' ')[0] "
+        "| project Id, Sev, Node | sort by Id asc | take 2",
+        t,
+    )
+    assert out == [(1, 2, "disk"), (2, 1, "retry")]
+
+
+def test_dynamic_path_and_mv_expand(spark, t):
+    out = _rows(
+        spark,
+        "Events | extend Tags=todynamic(TagsJson) | mv-expand Tags "
+        "| project Id, Tag=tostring(Tags) | sort by Id asc, Tag asc",
+        t,
+    )
+    # KQL mv-expand drops empty arrays (Id 3)
+    assert out == [
+        (1, "a"), (1, "b"), (2, "c"), (4, "d"), (4, "e"), (4, "f"),
+    ]
+
+
+def test_join_and_union(spark, t):
+    lookup = t["Events"].sparkSession.createDataFrame(
+        [("Error", 1), ("Warning", 2)], "Level string, Code int"
+    )
+    tables = dict(t, Lookup=lookup)
+    out = _rows(
+        spark,
+        "Events | join kind=inner (Lookup) on Level "
+        "| summarize n=count() by Code | sort by Code asc",
+        tables,
+    )
+    assert out == [(1, 2), (2, 1)]
+    assert _rows(
+        spark,
+        "Events | where Id == 1 | project Id "
+        "| union (Events | where Id == 4 | project Id) | sort by Id asc",
+        tables,
+    ) == [(1,), (4,)]
+
+
+def test_range_print_let(spark, t):
+    assert _rows(spark, "range x from 0 to 4 step 2 | count", t) == [(3,)]
+    assert _rows(spark, "print a = 1 + 2 * 3, b = strcat('x', 'y')", t) == [
+        (7, "xy")
+    ]
+    assert _rows(
+        spark, "let thr = 6; Events | where Value > thr | project Id", t
+    ) == [(1,), (3,)]
+    # tabular let
+    assert _rows(
+        spark,
+        "let E = Events | where Level == 'Error'; E | count",
+        t,
+    ) == [(2,)]
+
+
+def test_timespan_and_datetime(spark, t):
+    out = run_kql(
+        spark,
+        "range i from 0 to 2 step 1 "
+        "| extend ts = datetime('2024-03-01 00:00:00') + 30m * i",
+        t,
+    ).collect()
+    assert [str(r.ts) for r in out] == [
+        "2024-03-01 00:00:00",
+        "2024-03-01 00:30:00",
+        "2024-03-01 01:00:00",
+    ]
+    binned = run_kql(
+        spark,
+        "range i from 0 to 3 step 1 "
+        "| extend ts = datetime('2024-03-01 00:00:00') + 40m * i "
+        "| extend b = bin(ts, 1h) | summarize n=count() by b | sort by b asc",
+        t,
+    ).collect()
+    assert [r.n for r in binned] == [2, 1, 1]
+
+
+def test_top_and_default_sort_desc(spark, t):
+    assert _rows(spark, "Events | top 2 by Value | project Id", t) == [
+        (1,), (3,)
+    ]
+    # KQL sort defaults to DESC
+    assert _rows(spark, "Events | sort by Value | project Id | take 1", t) == [
+        (1,)
+    ]
+
+
+def test_verbatim_reference_policy_query(spark):
+    """EtlRun.cs:150-159's partition-policy introspection pipeline runs
+    VERBATIM (the `.show` control-command head replaced by the table it
+    produces): todynamic path access, variant mv-expand, Kind filter,
+    typed projections."""
+    policy_json = (
+        '{"PartitionKeys":[{"ColumnName":"o_orderpriority","Kind":"Hash",'
+        '"Properties":{"MaxPartitionCount":8,"Seed":42,"Function":'
+        '"XxHash64"}},{"ColumnName":"ts","Kind":"UniformRange",'
+        '"Properties":{}}]}'
+    )
+    pol = spark.createDataFrame([(policy_json,)], "Policy string")
+    q = """
+PolicyTable
+| project Keys=todynamic(Policy).PartitionKeys
+| mv-expand Keys
+| where Keys.Kind=="Hash"
+| project
+    ColumnName=tostring(Keys.ColumnName),
+    MaxPartitionCount = toint(Keys.Properties.MaxPartitionCount),
+    Seed = toint(Keys.Properties.Seed)"""
+    rows = run_kql(spark, q, {"PolicyTable": pol}).collect()
+    assert [tuple(r) for r in rows] == [("o_orderpriority", 8, 42)]
+
+
+def test_verbatim_reference_shard_tracking_queries(spark):
+    """TestBase.cs:305-332's two shard-tracking queries run VERBATIM,
+    with extent_tags()/extent_id() bound to this engine's lineage
+    columns via the functions= hook."""
+    data = spark.createDataFrame(
+        [(i, i % 3, i % 3 == 2) for i in range(30)],
+        "v long, _kpf_shard_id int, _kpf_last_shard boolean",
+    )
+    fns = {
+        "extent_tags": lambda: F.filter(
+            F.array(
+                F.concat(
+                    F.lit("kpf-shard-id:"),
+                    F.col("_kpf_shard_id").cast("string"),
+                ),
+                F.when(F.col("_kpf_last_shard"), F.lit("kpf-last-shard")),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        "extent_id": lambda: F.col("_kpf_shard_id"),
+    }
+    q_cardinality = """
+Data
+| summarize Tags=take_any(extent_tags()) by ExtentId=extent_id()
+| mv-expand Tags
+| where Tags has "kpf-shard-id"
+| project ShardId=split(Tags, ":")[1]
+| summarize Cardinality=toint(count())"""
+    r = run_kql(spark, q_cardinality, {"Data": data}, functions=fns)
+    assert r.collect()[0]["Cardinality"] == 3
+    q_total = """
+Data
+| summarize Tags=take_any(extent_tags()) by ExtentId=extent_id()
+| where Tags has "kpf-last-shard"
+| mv-expand Tags
+| where Tags has "kpf-shard-id"
+| project ShardCount=toint(split(Tags,':')[1])"""
+    r = run_kql(spark, q_total, {"Data": data}, functions=fns)
+    assert r.collect()[0]["ShardCount"] == 2
+
+
+def test_catalyst_sees_through_the_parser(spark, t):
+    """Parsed plans are ordinary Catalyst plans: a where on a parquet
+    scan must reach PushedFilters — the parser is compile-time only."""
+    import os
+
+    path = "/root/testdata/sf0.001/orders.parquet"
+    if not os.path.exists(path):
+        pytest.skip("testdata missing")
+    df = run_kql(
+        spark,
+        "orders | where o_totalprice > 400000 | project o_orderkey",
+        {"orders": spark.read.parquet(path)},
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan
+
+
+def test_loud_failures(spark, t):
+    with pytest.raises(KqlSyntaxError, match="unsupported operator"):
+        run_kql(spark, "Events | evaluate python(1)", t)
+    with pytest.raises(KqlSyntaxError, match="unsupported function"):
+        run_kql(spark, "Events | extend x = no_such_fn(1)", t)
+    with pytest.raises(KqlSyntaxError, match="unknown table"):
+        run_kql(spark, "NoSuchTable | count", t)
+    with pytest.raises(KqlSyntaxError):
+        run_kql(spark, "Events | where (Value > ", t)

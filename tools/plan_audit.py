@@ -172,6 +172,8 @@ AUDITED = [
     ("text_pii_extended", "ONE codegen projection chain — regex replaces + the sequence/aggregate Luhn fold run inside the scan"),
     ("pipeline_corpus_release", "scrub + gate signals are one codegen projection; dedup is ONE hash exchange (window min-id); the dup-plant self-join broadcasts"),
     ("text_hash_embedding", "hash + dim-bounded counting transform + L2 fold: one codegen projection + generate, zero UDFs"),
+    ("kqltext_q1", "parsed KQL compiles to the same plan hand-built DataFrames give: partial agg before ONE exchange, filter pushed to the scan"),
+    ("kqltext_dynamic", "variant path access + aggregate from parsed text: Catalyst sees the full plan, filter pushes, one exchange"),
 ]
 
 
