@@ -965,6 +965,11 @@ _SCALAR_FNS = {
     "make_set": lambda a: F.array_sort(F.collect_set(a.c())),
     "take_any": lambda a: F.first(a.c(), ignorenulls=True),
     "any": lambda a: F.first(a.c(), ignorenulls=True),
+    "arg_max": lambda m, r: F.max_by(r.c(), m.c()),
+    "arg_min": lambda m, r: F.min_by(r.c(), m.c()),
+    "stdev": lambda a: F.stddev(a.c()),
+    "variance": lambda a: F.variance(a.c()),
+    "dcountif": lambda a, p: F.count_distinct(F.when(p.c(), a.c())),
     "percentile": lambda a, p: F.percentile_approx(
         a.c(), _lit_value(p) / 100.0
     ),

@@ -273,3 +273,13 @@ def test_loud_failures(spark, t):
         run_kql(spark, "NoSuchTable | count", t)
     with pytest.raises(KqlSyntaxError):
         run_kql(spark, "Events | where (Value > ", t)
+
+
+def test_arg_max_and_dcountif(spark, t):
+    out = _rows(
+        spark,
+        "Events | summarize worst=arg_max(Value, Text), "
+        "kinds=dcountif(Level, Value > 2) by x=1",
+        t,
+    )
+    assert out == [(1, "disk full on node-3", 2)]
