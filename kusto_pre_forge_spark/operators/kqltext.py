@@ -446,6 +446,9 @@ class _Parser:
                     self.next()
                     continue
                 break
+        rid = getattr(self, "_mv_rid", None)
+        if rid is not None and rid in df.columns:
+            keys.append(F.col(rid))
         if not aggs:
             # `summarize by k1, k2` == distinct over the keys
             return df.select(*keys).distinct()
@@ -511,6 +514,42 @@ class _Parser:
             return K.mv_expand(df, e.name)
         others = [c for c in df.columns if c != name]
         return df.select(*others, F.explode(col).alias(name))
+
+    def _op_mv_apply(self, df):
+        """``mv-apply Name=arr to typeof(T) on ( stages )`` — apply a
+        subpipeline to each row's array: explode behind a synthetic
+        row id, run the stages (summarize grouping silently gains the
+        row id — the per-ROW aggregation mv-apply means), then join the
+        subquery's new columns back to the original rows. KQL's
+        schema.kql generator uses exactly this shape."""
+        name, e = self._parse_named_expr()
+        if self.at_ident("to"):
+            self.next()
+            self.eat("ident", "typeof")
+            self.eat("punct", "(")
+            self.eat("ident")
+            self.eat("punct", ")")
+        self.eat("ident", "on")
+        self.eat("punct", "(")
+        rid = "_kpf_mvrow"
+        src = df.withColumn(rid, F.monotonically_increasing_id())
+        exploded = src.withColumn(name, F.explode(e.c()))
+        prev = getattr(self, "_mv_rid", None)
+        self._mv_rid = rid
+        try:
+            sub = self._parse_stage(exploded)
+            while self.at("punct", "|"):
+                self.next()
+                sub = self._parse_stage(sub)
+        finally:
+            self._mv_rid = prev
+        self.eat("punct", ")")
+        if set(src.columns) <= set(sub.columns):
+            return sub.drop(rid)
+        new_cols = [c for c in sub.columns if c not in src.columns and c != rid]
+        return src.join(
+            sub.select(rid, *new_cols), rid, "left"
+        ).drop(rid)
 
     def _op_union(self, df):
         right = self._parse_source()
@@ -747,8 +786,12 @@ class _Parser:
                         e.col, kind="variant", vbase=e.vbase,
                         vpath=f"{e.vpath}[{int(_lit_value(idx))}]",
                     )
+                elif idx.pyval is not None:
+                    e = KExpr(e.c().getItem(idx.pyval))
                 else:
-                    e = KExpr(e.c().getItem(_lit_value(idx)))
+                    # computed index (LetterList[toint(rand(27))]):
+                    # F.get is 0-based like KQL and NULL-safe
+                    e = KExpr(F.get(e.c(), idx.c().cast("int")))
             else:
                 return e
 
@@ -778,6 +821,17 @@ class _Parser:
         if name == "null":
             return KExpr(F.lit(None))
         if self.at("punct", "("):
+            if name == "dynamic":
+                return self._parse_dynamic_literal()
+            if name == "toscalar":
+                # tabular -> scalar: run the subquery NOW (driver-side,
+                # exactly Kusto's semantics) and embed the result
+                self.eat("punct", "(")
+                sub = self.parse_pipeline()
+                self.eat("punct", ")")
+                row = sub.limit(1).collect()
+                val = row[0][0] if row else None
+                return KExpr(F.lit(val), pyval=val)
             self.next()
             args = []
             if not self.at("punct", ")"):
@@ -793,6 +847,22 @@ class _Parser:
             return self.lets[name]
         return KExpr(F.col(name), name=name)
 
+    def _parse_dynamic_literal(self) -> KExpr:
+        self.eat("punct", "(")
+        self.eat("punct", "[")
+        vals = []
+        if not self.at("punct", "]"):
+            while True:
+                e = self.parse_expr()
+                vals.append(_lit_value(e))
+                if self.at("punct", ","):
+                    self.next()
+                    continue
+                break
+        self.eat("punct", "]")
+        self.eat("punct", ")")
+        return KExpr(F.lit(vals), pyval=vals)
+
     # ---- functions
     def _call(self, name: str, args: list[KExpr], pos: int) -> KExpr:
         if name in self.functions:
@@ -806,6 +876,29 @@ class _Parser:
         raise KqlSyntaxError(
             f"unsupported function {name!r} at offset {pos}"
         )
+
+    def _fn_dynamic(self, args):
+        raise KqlSyntaxError("dynamic() parses its literal in _parse_primary")
+
+    def _fn_rand(self, args):
+        # KQL rand() -> real [0,1); rand(n) -> value in [0, n) (toint
+        # truncation gives the 0..n-1 int the generator wants)
+        if not args:
+            return KExpr(F.rand())
+        return KExpr(F.rand() * args[0].c())
+
+    def _fn_range(self, args):
+        # SCALAR range(start, stop, step) -> inclusive-stop array (the
+        # tabular range source parses elsewhere)
+        step = args[2].c() if len(args) > 2 else F.lit(1)
+        return KExpr(F.sequence(
+            args[0].c().cast("long"),
+            args[1].c().cast("long"),
+            step.cast("long"),
+        ))
+
+    def _fn_toscalar(self, args):
+        raise KqlSyntaxError("toscalar() parses its subquery in _parse_primary")
 
     def _fn_count(self, args):
         if not args:
@@ -946,7 +1039,6 @@ _SCALAR_FNS = {
     "pow": lambda a, b: F.pow(a.c(), b.c()),
     "array_length": lambda a: F.size(a.c()).cast("long"),
     "new_guid": lambda: F.expr("uuid()"),
-    "rand": lambda: F.rand(),
     "startofday": lambda a: F.date_trunc("day", a.c()),
     "startofmonth": lambda a: F.date_trunc("month", a.c()),
     "format_datetime": lambda a, fmt: K.format_datetime(
@@ -989,5 +1081,15 @@ def run_kql(
     functions (e.g. ``extent_tags``) to Column builders so ingestion-
     metadata queries the reference emits run verbatim. The result is an
     ordinary lazy DataFrame — Catalyst sees the full plan (pushdown,
-    codegen, AQE all apply)."""
+    codegen, AQE all apply). A ``.create-or-alter function F() { body }``
+    wrapper (the schema.kql form) is stripped so the stored-function
+    FILE runs as-is."""
+    m = re.match(
+        r"\s*\.create(?:-or-alter)?\s+function\s+\w+\s*\(\s*\)"
+        r"\s*\{(.*)\}\s*$",
+        text,
+        re.S,
+    )
+    if m:
+        text = m.group(1)
     return _Parser(text, tables, functions, spark).parse_query()
