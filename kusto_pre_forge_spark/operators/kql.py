@@ -451,7 +451,10 @@ def parse_pattern(df: DataFrame, col: Column | str, *segments) -> DataFrame:
     for gi, (name, typ) in enumerate(caps, start=1):
         val = F.regexp_extract(c, pattern, gi)
         if typ and typ != "string":
-            val = val.cast(typ)
+            # try_cast, not cast: plain `parse` KEEPS non-matching rows,
+            # whose empty captures must become NULL (ANSI cast would
+            # fail the job on the first non-matching row)
+            val = val.try_cast(typ)
         out = out.withColumn(name, val)
     return out
 

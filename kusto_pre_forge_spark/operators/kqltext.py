@@ -78,7 +78,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<bracketid>\[\s*(?:'[^']*'|"[^"]*")\s*\])
-  | (?P<punct>==|!=|=~|!~|<=|>=|<>|\.\.|[|,()\[\]{}=.<>+\-*/%!$;])
+  | (?P<punct>==|!=|=~|!~|<=|>=|<>|\.\.|[|,()\[\]{}=.<>+\-*/%!$;:])
     """,
     re.VERBOSE,
 )
@@ -550,6 +550,59 @@ class _Parser:
         return src.join(
             sub.select(rid, *new_cols), rid, "left"
         ).drop(rid)
+
+    def _op_getschema(self, df):
+        return K.getschema(df)
+
+    def _op_search(self, df):
+        """``T | search "term"`` — case-insensitive match across every
+        string column (the KQL search-in-table form)."""
+        from pyspark.sql.types import StringType
+
+        term = str(_lit_value(self._parse_add())).lower()
+        cond = F.lit(False)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, StringType):
+                cond = cond | F.lower(F.col(f.name)).contains(term)
+        return df.filter(cond)
+
+    def _op_parse(self, df):
+        """``parse [kind=simple] Col with 'lit' Name[:type] 'lit' …`` —
+        compiles to kql.parse_pattern's single anchored regex pass;
+        ``parse-where`` additionally drops non-matching rows."""
+        return self._parse_like(df, where=False)
+
+    def _op_parse_where(self, df):
+        return self._parse_like(df, where=True)
+
+    def _parse_like(self, df, where: bool):
+        if self.at_ident("kind"):
+            self.next()
+            self.eat("punct", "=")
+            self.eat("ident")
+        src = self.eat("ident").val
+        self.eat("ident", "with")
+        segments = []
+        while True:
+            t = self.peek()
+            if t.kind == "str":
+                segments.append(self.next().val)
+                continue
+            if t.kind == "ident":
+                name = self.next().val
+                typ = "string"
+                if self.at("punct", ":"):
+                    self.next()
+                    typ = self.eat("ident").val
+                segments.append(
+                    (name, {"int": "int", "long": "long", "real": "double",
+                            "double": "double", "string": "string",
+                            "datetime": "timestamp"}.get(typ, "string"))
+                )
+                continue
+            break
+        fn = K.parse_where if where else K.parse_pattern
+        return fn(df, src, *segments)
 
     def _op_union(self, df):
         right = self._parse_source()

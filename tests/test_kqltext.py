@@ -354,3 +354,25 @@ def test_toscalar_subquery(spark, t):
         "Events | where Value == m | project Id",
         t,
     ) == [(1,)]
+
+
+def test_search_getschema_parse(spark, t):
+    assert _rows(spark, "Events | search 'DISK' | project Id", t) == [
+        (1,), (3,)
+    ]
+    sch = _rows(spark, "Events | getschema | project ColumnName", t)
+    assert ("Level",) in sch and len(sch) == 5
+    out = _rows(
+        spark,
+        "Events | parse Text with 'disk full on node-' N:int "
+        "| where isnotnull(N) | project Id, N | sort by Id asc",
+        t,
+    )
+    assert out == [(1, 3), (3, 7)]
+    # parse-where drops the non-matching rows entirely
+    assert _rows(
+        spark,
+        "Events | parse-where Text with 'disk full on node-' N:int "
+        "| count",
+        t,
+    ) == [(2,)]
