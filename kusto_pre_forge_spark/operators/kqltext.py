@@ -604,6 +604,33 @@ class _Parser:
         fn = K.parse_where if where else K.parse_pattern
         return fn(df, src, *segments)
 
+    def _op_evaluate(self, df):
+        """``| evaluate pivot(PivotCol, agg(AggCol) [, GroupCol…])`` —
+        the one evaluate plugin the grammar runs (others raise loudly);
+        maps to kql.pivot_kql's single conditional-aggregate plan."""
+        t = self.eat("ident")
+        if t.val != "pivot":
+            raise KqlSyntaxError(
+                f"unsupported evaluate plugin {t.val!r} at offset {t.pos}"
+            )
+        self.eat("punct", "(")
+        pivot_col = self.eat("ident").val
+        self.eat("punct", ",")
+        agg_name = self.eat("ident").val
+        self.eat("punct", "(")
+        agg_col = self.eat("ident").val
+        self.eat("punct", ")")
+        groups = None
+        if self.at("punct", ","):
+            groups = []
+            while self.at("punct", ","):
+                self.next()
+                groups.append(self.eat("ident").val)
+        self.eat("punct", ")")
+        return K.pivot_kql(
+            df, pivot_col, agg_col, agg=agg_name, group_cols=groups
+        )
+
     def _op_union(self, df):
         right = self._parse_source()
         while self.at("punct", "|"):

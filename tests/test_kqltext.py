@@ -376,3 +376,14 @@ def test_search_getschema_parse(spark, t):
         "| count",
         t,
     ) == [(2,)]
+
+
+def test_evaluate_pivot(spark, t):
+    out = run_kql(
+        spark,
+        "Events | evaluate pivot(Level, sum(Value))",
+        t,
+    ).collect()[0]
+    assert out["Error"] == 17.5 and out["Warning"] == 5.0
+    with pytest.raises(KqlSyntaxError, match="unsupported evaluate"):
+        run_kql(spark, "Events | evaluate narrow()", t)
