@@ -604,6 +604,49 @@ class _Parser:
         fn = K.parse_where if where else K.parse_pattern
         return fn(df, src, *segments)
 
+    def _op_make_series(self, df):
+        """``make-series Name=agg(x) [default=d] on Ts step <1h|1d|1m|1s>
+        by Keys`` — the canonical Kusto time-series operator, through
+        kql.make_series (dense axis via sequence+broadcast, per-bucket
+        map-side combine). Bounds derive from the data (the wrapper's
+        contract); an explicit from/to clause raises loudly."""
+        name, e = self._parse_named_expr(agg=True)
+        default = 0.0
+        if self.at_ident("default"):
+            self.next()
+            self.eat("punct", "=")
+            default = float(_lit_value(self.parse_expr()))
+        self.eat("ident", "on")
+        on_col = self.eat("ident").val
+        if self.at_ident("from"):
+            raise KqlSyntaxError(
+                "make-series from/to is unsupported — bounds derive "
+                "from the data; pre-filter with where instead"
+            )
+        self.eat("ident", "step")
+        st = self.next()
+        if st.kind != "ts":
+            raise KqlSyntaxError("make-series step must be a timespan")
+        grain = {86400.0: "day", 3600.0: "hour", 60.0: "minute",
+                 1.0: "second"}.get(float(st.val))
+        if grain is None:
+            raise KqlSyntaxError(
+                "make-series step must be one of 1d/1h/1m/1s"
+            )
+        by = []
+        if self.at_ident("by"):
+            self.next()
+            while True:
+                by.append(self.eat("ident").val)
+                if self.at("punct", ","):
+                    self.next()
+                    continue
+                break
+        return K.make_series(
+            df, on_col, grain, by, e.c(), default=default,
+            value_name=name, ts_name=on_col, exploded=True,
+        )
+
     def _op_evaluate(self, df):
         """``| evaluate pivot(PivotCol, agg(AggCol) [, GroupCol…])`` —
         the one evaluate plugin the grammar runs (others raise loudly);

@@ -387,3 +387,32 @@ def test_evaluate_pivot(spark, t):
     assert out["Error"] == 17.5 and out["Warning"] == 5.0
     with pytest.raises(KqlSyntaxError, match="unsupported evaluate"):
         run_kql(spark, "Events | evaluate narrow()", t)
+
+
+def test_make_series(spark, t):
+    tbl = {
+        "M": spark.createDataFrame(
+            [
+                ("2024-01-01 00:10:00", "a", 1.0),
+                ("2024-01-01 00:50:00", "a", 2.0),
+                # hour 1 empty for key a -> default 0 fills it
+                ("2024-01-01 02:20:00", "a", 4.0),
+                ("2024-01-01 00:30:00", "b", 7.0),
+            ],
+            "Ts string, K string, V double",
+        ).selectExpr("CAST(Ts AS TIMESTAMP) AS Ts", "K", "V")
+    }
+    out = _rows(
+        spark,
+        "M | make-series Total=sum(V) default=0 on Ts step 1h by K "
+        "| sort by K asc, Ts asc",
+        tbl,
+    )
+    assert [(k, str(ts), v) for k, ts, v in out] == [
+        ("a", "2024-01-01 00:00:00", 3.0),
+        ("a", "2024-01-01 01:00:00", 0.0),
+        ("a", "2024-01-01 02:00:00", 4.0),
+        ("b", "2024-01-01 00:00:00", 7.0),
+        ("b", "2024-01-01 01:00:00", 0.0),
+        ("b", "2024-01-01 02:00:00", 0.0),
+    ]
