@@ -307,6 +307,8 @@ class _Parser:
             self.eat("punct", ")")
             return df
         t = self.eat("ident")
+        if t.val == "externaldata":
+            return self._parse_externaldata()
         if t.val == "range":
             name = self.eat("ident").val
             self.eat("ident", "from")
@@ -336,6 +338,76 @@ class _Parser:
         if self.spark is not None and self._is_table(t.val):
             return self.spark.table(t.val)
         raise KqlSyntaxError(f"unknown table {t.val!r} at offset {t.pos}")
+
+    def _parse_externaldata(self) -> DataFrame:
+        """``externaldata (Col:type, …) ['path', …] with (format='csv',
+        ignoreFirstRecord=true)`` — KQL's inline external table, mapped
+        onto Spark's own readers with the declared schema (csv / tsv /
+        json / parquet / txt). Local/mounted paths only (this engine
+        has no cloud credential plumbing — mount the store, the
+        worker_local_path contract)."""
+        type_map = {
+            "string": "string", "int": "int", "long": "long",
+            "real": "double", "double": "double", "bool": "boolean",
+            "boolean": "boolean", "datetime": "timestamp",
+            "decimal": "decimal(38,18)", "guid": "string",
+        }
+        self.eat("punct", "(")
+        fields = []
+        while True:
+            name = self.eat("ident").val
+            self.eat("punct", ":")
+            typ = self.eat("ident").val
+            if typ not in type_map:
+                raise KqlSyntaxError(f"unsupported externaldata type {typ!r}")
+            fields.append(f"`{name}` {type_map[typ]}")
+            if self.at("punct", ","):
+                self.next()
+                continue
+            break
+        self.eat("punct", ")")
+        paths = []
+        if self.at("punct", "["):
+            self.next()
+            while True:
+                paths.append(str(_lit_value(self.parse_expr())))
+                if self.at("punct", ","):
+                    self.next()
+                    continue
+                break
+            self.eat("punct", "]")
+        else:
+            # a SINGLE ['path'] lexes as a bracket-quoted identifier
+            # (same surface syntax) — accept it as the one path
+            paths.append(self.eat("ident").val)
+        fmt, header = "csv", False
+        if self.at_ident("with"):
+            self.next()
+            self.eat("punct", "(")
+            while not self.at("punct", ")"):
+                key = self.eat("ident").val
+                self.eat("punct", "=")
+                val = self.next().val
+                if key.lower() == "format":
+                    fmt = str(val).lower()
+                elif key.lower() == "ignorefirstrecord":
+                    header = str(val).lower() == "true"
+                if self.at("punct", ","):
+                    self.next()
+            self.eat("punct", ")")
+        ddl = ", ".join(fields)
+        if fmt in ("csv", "tsv", "psv", "txt"):
+            sep = {"csv": ",", "tsv": "\t", "psv": "|", "txt": "\x01"}[fmt]
+            return (
+                self.spark.read.schema(ddl)
+                .options(sep=sep, header=str(header).lower())
+                .csv(paths)
+            )
+        if fmt in ("json", "multijson"):
+            return self.spark.read.schema(ddl).json(paths)
+        if fmt == "parquet":
+            return self.spark.read.schema(ddl).parquet(*paths)
+        raise KqlSyntaxError(f"unsupported externaldata format {fmt!r}")
 
     def _parse_stage(self, df: DataFrame) -> DataFrame:
         t = self.eat("ident")

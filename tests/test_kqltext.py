@@ -265,8 +265,10 @@ def test_catalyst_sees_through_the_parser(spark, t):
 
 
 def test_loud_failures(spark, t):
-    with pytest.raises(KqlSyntaxError, match="unsupported operator"):
+    with pytest.raises(KqlSyntaxError, match="unsupported"):
         run_kql(spark, "Events | evaluate python(1)", t)
+    with pytest.raises(KqlSyntaxError, match="unsupported operator"):
+        run_kql(spark, "Events | lookup something", t)
     with pytest.raises(KqlSyntaxError, match="unsupported function"):
         run_kql(spark, "Events | extend x = no_such_fn(1)", t)
     with pytest.raises(KqlSyntaxError, match="unknown table"):
@@ -416,3 +418,16 @@ def test_make_series(spark, t):
         ("b", "2024-01-01 01:00:00", 0.0),
         ("b", "2024-01-01 02:00:00", 0.0),
     ]
+
+
+def test_externaldata(spark, t, tmp_path):
+    p = tmp_path / "ext.csv"
+    p.write_text("Id,Name,Score\n1,alpha,2.5\n2,beta,9.0\n")
+    out = _rows(
+        spark,
+        f"externaldata (Id:long, Name:string, Score:real) ['{p}'] "
+        "with (format='csv', ignoreFirstRecord=true) "
+        "| where Score > 3 | project Id, Name",
+        t,
+    )
+    assert out == [(2, "beta")]
