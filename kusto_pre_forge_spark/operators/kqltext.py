@@ -535,6 +535,7 @@ class _Parser:
     def _sort_like(self, df):
         self.eat("ident", "by")
         order = []
+        self._last_order = order  # serialize/row_number/prev/next reuse it
         while True:
             e = self.parse_expr(df=df)
             col = e.c()
@@ -675,6 +676,18 @@ class _Parser:
             break
         fn = K.parse_where if where else K.parse_pattern
         return fn(df, src, *segments)
+
+    def _op_serialize(self, df):
+        """``| serialize`` — marks the preceding sort's order as the
+        serialized row order; row_number()/prev()/next() then window
+        over it. KQL's unkeyed serialize is inherently single-reducer
+        (the serialize_rows wrapper documents the same)."""
+        if not getattr(self, "_last_order", None):
+            raise KqlSyntaxError(
+                "serialize requires a preceding `sort by` to pin the "
+                "row order (Spark has no implicit table order)"
+            )
+        return df
 
     def _op_make_series(self, df):
         """``make-series Name=agg(x) [default=d] on Ts step <1h|1d|1m|1s>
@@ -1121,6 +1134,37 @@ class _Parser:
                 else col.when(cond.c(), val.c())
             )
         return KExpr(col.otherwise(out) if col is not None else out)
+
+    def _serial_window(self):
+        from pyspark.sql.window import Window
+
+        order = getattr(self, "_last_order", None)
+        if not order:
+            raise KqlSyntaxError(
+                "row_number()/prev()/next() need `sort by …| serialize` "
+                "first to pin the row order"
+            )
+        return Window.partitionBy().orderBy(*order)
+
+    def _fn_row_number(self, args):
+        rn = F.row_number().over(self._serial_window())
+        if args:
+            rn = rn + F.lit(int(_lit_value(args[0])) - 1)
+        return KExpr(rn.cast("long"))
+
+    def _fn_prev(self, args):
+        off = int(_lit_value(args[1])) if len(args) > 1 else 1
+        return KExpr(F.lag(args[0].c(), off).over(self._serial_window()))
+
+    def _fn_next(self, args):
+        off = int(_lit_value(args[1])) if len(args) > 1 else 1
+        return KExpr(F.lead(args[0].c(), off).over(self._serial_window()))
+
+    def _fn_row_cumsum(self, args):
+        w = self._serial_window().rowsBetween(
+            __import__("pyspark").sql.window.Window.unboundedPreceding, 0
+        )
+        return KExpr(F.sum(args[0].c()).over(w))
 
     def _fn_ago(self, args):
         span = args[0]

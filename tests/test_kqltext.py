@@ -431,3 +431,21 @@ def test_externaldata(spark, t, tmp_path):
         t,
     )
     assert out == [(2, "beta")]
+
+
+def test_serialize_row_functions(spark, t):
+    out = _rows(
+        spark,
+        "Events | sort by Id asc | serialize "
+        "| extend rn=row_number(), p=prev(Value), c=row_cumsum(Value) "
+        "| project Id, rn, p, c",
+        t,
+    )
+    assert out == [
+        (1, 1, None, 10.0),
+        (2, 2, 10.0, 15.0),
+        (3, 3, 5.0, 22.5),
+        (4, 4, 7.5, 23.5),
+    ]
+    with pytest.raises(KqlSyntaxError, match="serialize requires"):
+        run_kql(spark, "Events | serialize", t)
