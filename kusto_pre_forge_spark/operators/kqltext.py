@@ -12,11 +12,16 @@ https://learn.microsoft.com/azure/data-explorer/kusto/query/).
 Scope — the reference's full emitted surface (SURVEY §2.5) plus the
 everyday tabular operators:
 
-- sources: table name, ``range x from a to b step s``, ``print n=e``
-- ``let`` statements (scalar and tabular)
-- ``where  project  project-away  extend  summarize ... by  distinct
-  count  take/limit  top N by  sort/order by  mv-expand
-  join kind=... (T) on ...  union``
+- sources: table name, ``range x from a to b step s``, ``print n=e``,
+  ``externaldata (schema) ['path'] with (format=...)``
+- ``let`` statements (scalar and tabular), ``toscalar(subquery)``
+  (driver-evaluated, Kusto's own semantics)
+- ``where  project  project-away  project-rename  extend
+  summarize ... by  distinct  count  take/limit  top N by
+  sort/order by  serialize (+row_number/prev/next/row_cumsum)
+  mv-expand  mv-apply ... to typeof(T) on (stages)
+  join kind=... (T) on ...  union  search  getschema
+  parse/parse-where ... with  evaluate pivot(...)  make-series``
 - scalar exprs: arithmetic, comparisons, ``and/or/not``, ``has``,
   ``contains``, ``startswith/endswith``, ``matches regex``, ``in``,
   ``between (a .. b)``, dynamic path access ``x.y.z`` (VariantType,
