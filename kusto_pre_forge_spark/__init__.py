@@ -19,6 +19,12 @@ re-expresses that capability surface Spark-first:
                   (ref: Transforms/PartitionedContentSink.cs, Text/TextKustoSink.cs)
 - ``streaming`` — file-arrival continuous mode ≡ Event Grid → Service Bus
                   ingress (ref: code/KustoPreForgeServiceBus/ServiceBusServer.cs)
+
+The KQL strings the reference emits (EtlRun.cs:148-164,
+TestBase.cs:305-332, deployment/infra/schema.kql) run natively via
+:func:`run_kql` (``operators/kqltext.py``).
 """
+
+from kusto_pre_forge_spark.operators.kqltext import run_kql  # noqa: F401
 
 __version__ = "0.1.0"
