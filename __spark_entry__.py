@@ -7573,6 +7573,25 @@ def _q_kqltext_dynamic(spark, sf):
     return run_kql(spark, q, _kqltext_tables(spark, sf))
 
 
+def _q_kqltext_mvapply(spark, sf):
+    """mv-apply through the parser (the GenerateLogData idiom): each
+    row's split array runs a per-row aggregating subpipeline (summarize
+    silently grouped by the synthetic row id), the results join back,
+    then a corpus-level rollup. Deterministic aggregates only (max +
+    count — make_list order would be engine-dependent)."""
+    from kusto_pre_forge_spark.operators.kqltext import run_kql
+
+    q = (
+        "orders\n"
+        "| extend Parts = split(o_orderpriority, '-')\n"
+        "| mv-apply P=Parts to typeof(string) on "
+        "(summarize MaxPart=max(P), nParts=count())\n"
+        "| summarize n=count() by MaxPart, nParts\n"
+        "| sort by MaxPart asc"
+    )
+    return run_kql(spark, q, _kqltext_tables(spark, sf))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7737,6 +7756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kqltext_q1": _q_kqltext_q1,
         "kqltext_pipeline": _q_kqltext_pipeline,
         "kqltext_dynamic": _q_kqltext_dynamic,
+        "kqltext_mvapply": _q_kqltext_mvapply,
         "pipeline_multiformat_extract": _q_pipeline_multiformat_extract,
         "corpus_autoextract": _q_corpus_autoextract,
         "pipeline_audio_asr": _q_pipeline_audio_asr,
@@ -11560,6 +11580,15 @@ def oracle_sql() -> dict[str, str]:
         "text_wikitext_extract": _wikitext_oracle_sql(),
         "text_latex_extract": _latex_oracle_sql(),
         "text_fasttext_quality": _fasttext_oracle_sql(),
+        "kqltext_mvapply": (
+            # per-row list aggregates replayed with DuckDB list fns
+            "WITH p AS (SELECT list_aggregate(string_split("
+            "o_orderpriority, '-'), 'max') AS MaxPart, "
+            "CAST(len(string_split(o_orderpriority, '-')) AS BIGINT) "
+            "AS nParts FROM orders) "
+            "SELECT MaxPart, nParts, COUNT(*) AS n FROM p "
+            "GROUP BY MaxPart, nParts"
+        ),
         "kqltext_q1": (
             # the SQL the KQL text MEANS — checks the parser's
             # where/summarize/sort construction end-to-end
