@@ -890,6 +890,23 @@ class _Parser:
             self.next()
             t = self.peek()
             neg = True
+        if t.kind == "ident" and t.val in ("has_any", "has_all"):
+            self.next()
+            self.eat("punct", "(")
+            terms = []
+            while True:
+                terms.append(str(_lit_value(self.parse_expr())))
+                if self.at("punct", ","):
+                    self.next()
+                    continue
+                break
+            self.eat("punct", ")")
+            base = left.as_type("string")
+            conds = [K.has_term(base, term) for term in terms]
+            out = conds[0]
+            for c in conds[1:]:
+                out = (out | c) if t.val == "has_any" else (out & c)
+            return KExpr(~out if neg else out)
         if t.kind == "ident" and t.val in (
             "has", "has_cs", "contains", "contains_cs", "startswith",
             "endswith", "matches", "in", "between",
@@ -1221,6 +1238,24 @@ def _arith(a: KExpr, b: KExpr, op: str) -> KExpr:
     return KExpr(out, kind=kind)
 
 
+def _datetime_diff(unit: str, a: Column, b: Column) -> Column:
+    """KQL datetime_diff(part, later, earlier) = later − earlier in
+    units of part. Fixed-width units via epoch arithmetic; calendar
+    units via months_between (no timestampdiff Column API here)."""
+    unit = unit.strip("'\"").lower()
+    fixed = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+             "week": 604800}
+    if unit in fixed:
+        return (
+            (F.unix_timestamp(a) - F.unix_timestamp(b)) / fixed[unit]
+        ).cast("long")
+    if unit == "month":
+        return F.floor(F.months_between(a, b)).cast("long")
+    if unit == "year":
+        return F.floor(F.months_between(a, b) / 12).cast("long")
+    raise KqlSyntaxError(f"unsupported datetime_diff unit {unit!r}")
+
+
 def _lit_value(e: KExpr):
     """Extract the Python literal from a literal expression (errors on
     non-literals — used where the grammar requires constants)."""
@@ -1284,7 +1319,21 @@ _SCALAR_FNS = {
     "array_length": lambda a: F.size(a.c()).cast("long"),
     "new_guid": lambda: F.expr("uuid()"),
     "startofday": lambda a: F.date_trunc("day", a.c()),
+    "startofweek": lambda a: F.date_trunc("week", a.c()),
     "startofmonth": lambda a: F.date_trunc("month", a.c()),
+    "startofyear": lambda a: F.date_trunc("year", a.c()),
+    "endofday": lambda a: F.date_trunc("day", a.c())
+    + F.make_dt_interval(days=F.lit(1))
+    - F.make_dt_interval(secs=F.lit(1e-6)),
+    "dayofweek": lambda a: (F.dayofweek(a.c()) - 1).cast("long"),
+    "getmonth": lambda a: F.month(a.c()).cast("long"),
+    "getyear": lambda a: F.year(a.c()).cast("long"),
+    "hourofday": lambda a: F.hour(a.c()).cast("long"),
+    # KQL datetime_diff(part, later, earlier) -> later - earlier in
+    # units of part; Spark's timestampdiff counts start->end
+    "datetime_diff": lambda part, a, b: _datetime_diff(
+        str(_lit_value(part)), a.c(), b.c()
+    ),
     "format_datetime": lambda a, fmt: K.format_datetime(
         a.c(), str(_lit_value(fmt))
     ),

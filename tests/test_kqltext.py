@@ -449,3 +449,31 @@ def test_serialize_row_functions(spark, t):
     ]
     with pytest.raises(KqlSyntaxError, match="serialize requires"):
         run_kql(spark, "Events | serialize", t)
+
+
+def test_has_any_has_all_and_datetime_parts(spark, t):
+    assert _rows(
+        spark,
+        "Events | where Text has_any ('retry', 'ok') | project Id "
+        "| sort by Id asc",
+        t,
+    ) == [(2,), (4,)]
+    assert _rows(
+        spark,
+        "Events | where Text has_all ('disk', 'full') | count",
+        t,
+    ) == [(2,)]
+    out = _rows(
+        spark,
+        "print d = dayofweek(datetime('2024-03-04 10:30:00')), "
+        "m = getmonth(datetime('2024-03-04 10:30:00')), "
+        "h = hourofday(datetime('2024-03-04 10:30:00')), "
+        "w = startofweek(datetime('2024-03-06 10:30:00')), "
+        "dd = datetime_diff('day', datetime('2024-03-10 00:00:00'), "
+        "datetime('2024-03-04 00:00:00'))",
+        t,
+    )
+    d, m, h, w, dd = out[0]
+    assert (m, h, dd) == (3, 10, 6)
+    assert d == 1  # 2024-03-04 is a Monday; KQL dayofweek Sunday=0
+    assert str(w) == "2024-03-04 00:00:00"  # Spark weeks start Monday
