@@ -1867,32 +1867,41 @@ def hashed_text_embedding(
     embeds identically on any engine (md5 hashing trick), so stores
     built from it are replayable.
 
-    One codegen projection (the hashed_text_features chain + a
-    dim-bounded counting transform + the L2 fold); zero-gram documents
-    embed as the zero vector rather than NULL (cosine handles it
-    downstream as similarity 0). All sums are small-integer-valued
-    doubles, so components are EXACT — no rounding needed for
-    cross-engine replay."""
+    The feature indices stay codegen (hashed_text_features); the dense
+    count/normalize step is an ARROW-VECTORIZED pandas_udf over
+    numpy.bincount. Not a HOF chain on purpose: Spark's higher-order
+    functions run INTERPRETED, and reusing the count array across the
+    norm fold and the per-component divide re-inlines the whole
+    subexpression per element (no CSE inside lambdas) — measured
+    O(dim²·grams) interpreted ops per document, 450 s for 5 000 docs
+    at dim 32 where the bincount form takes under a second. Zero-gram
+    documents embed as the zero vector rather than NULL (cosine
+    handles it downstream as similarity 0). Counts are integers and
+    the norm an integer-sum sqrt, so components stay EXACT — no
+    rounding needed for cross-engine replay."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.pandas.functions import PandasUDFType
+
     d = hashed_text_features(df, text_col, None, dim, salt)
-    counts = F.transform(
-        F.sequence(F.lit(0), F.lit(int(dim) - 1)),
-        lambda k: F.size(
-            F.filter(F.col("_idxs"), lambda i: i == k.cast("long"))
-        ).cast("double"),
-    )
-    d = d.withColumn("_cnt", counts)
-    norm = F.sqrt(
-        F.aggregate(
-            F.col("_cnt"), F.lit(0.0), lambda a, x: a + x * x
-        )
-    )
-    d = d.withColumn("_norm", norm)
-    emb = F.when(
-        F.col("_norm") > 0,
-        F.transform(F.col("_cnt"), lambda x: x / F.col("_norm")),
-    ).otherwise(F.col("_cnt"))
+    dim = int(dim)
+
+    def _emb_batch(idxs):
+        import numpy as np
+
+        out = []
+        for ix in idxs:
+            c = np.bincount(
+                np.asarray(ix, dtype=np.int64), minlength=dim
+            ).astype(np.float64)
+            nrm = float(np.sqrt((c * c).sum()))
+            out.append((c / nrm).tolist() if nrm > 0 else c.tolist())
+        return pd.Series(out)
+
+    _emb = pandas_udf(_emb_batch, "array<double>", PandasUDFType.SCALAR)
+
     return d.select(
         F.col(id_col),
-        emb.alias(out_col),
+        _emb(F.col("_idxs")).alias(out_col),
         F.col("_n").cast("long").alias("n_grams"),
     )

@@ -171,7 +171,7 @@ AUDITED = [
     ("text_fasttext_quality", "per-iteration gradient collapses map-side to ≤dim rows before its exchange; scoring is a pure codegen projection"),
     ("text_pii_extended", "ONE codegen projection chain — regex replaces + the sequence/aggregate Luhn fold run inside the scan"),
     ("pipeline_corpus_release", "scrub + gate signals are one codegen projection; dedup is ONE hash exchange (window min-id); the dup-plant self-join broadcasts"),
-    ("text_hash_embedding", "hash + dim-bounded counting transform + L2 fold: one codegen projection + generate, zero UDFs"),
+    ("text_hash_embedding", "codegen hash indices + ONE Arrow bincount stage (HOF chains run interpreted and blow up on subexpression reuse), zero exchanges beyond the widen"),
     ("kqltext_q1", "parsed KQL compiles to the same plan hand-built DataFrames give: partial agg before ONE exchange, filter pushed to the scan"),
     ("kqltext_dynamic", "variant path access + aggregate from parsed text: Catalyst sees the full plan, filter pushes, one exchange"),
 ]
