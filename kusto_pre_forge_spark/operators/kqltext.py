@@ -83,7 +83,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<bracketid>\[\s*(?:'[^']*'|"[^"]*")\s*\])
-  | (?P<punct>==|!=|=~|!~|<=|>=|<>|\.\.|[|,()\[\]{}=.<>+\-*/%!$;:])
+  | (?P<punct>==|!=|=~|!~|<=|>=|<>|<\||\.\.|[|,()\[\]{}=.<>+\-*/%!$;:])
     """,
     re.VERBOSE,
 )
@@ -1385,4 +1385,61 @@ def run_kql(
     )
     if m:
         text = m.group(1)
+    if text.lstrip().startswith(".export"):
+        return _run_export(spark, text, tables, functions)
     return _Parser(text, tables, functions, spark).parse_query()
+
+
+def _run_export(spark, text, tables, functions) -> DataFrame:
+    """The reference's ``.export [async] [compressed] to <fmt>
+    (connection…) with (sizeLimit=…, namePrefix=…, distribution=…,
+    includeHeaders=…) <| query`` control command
+    (TestBase.cs:397-408), executed against this engine's export
+    surface (kql.export_any): namePrefix is the OUTPUT PATH (a local /
+    mounted directory — this engine has no cloud credential plumbing;
+    the parenthesized connection strings are parsed and ignored),
+    sizeLimit caps file bytes via the sampled-row-width contract,
+    distribution="single" → one file, ``compressed`` → gzip for text
+    formats. Returns the exported DataFrame (the command's side effect
+    is the write)."""
+    head, sep, tail = text.partition("<|")
+    if not sep:
+        raise KqlSyntaxError(".export requires a `<|` query tail")
+    mm = re.match(
+        r"\s*\.export(\s+async)?(\s+compressed)?\s+to\s+(\w+)\s*"
+        r"\(([^)]*)\)\s*(?:with\s*\((.*)\))?\s*$",
+        head,
+        re.S,
+    )
+    if not mm:
+        raise KqlSyntaxError("unrecognized .export command shape")
+    compressed = bool(mm.group(2))
+    fmt = mm.group(3).lower()
+    opts: dict[str, str] = {}
+    for om in re.finditer(
+        r"(\w+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^,\s)]+))",
+        mm.group(5) or "",
+    ):
+        opts[om.group(1).lower()] = (
+            om.group(2) or om.group(3) or om.group(4) or ""
+        )
+    prefix = opts.get("nameprefix")
+    if not prefix:
+        raise KqlSyntaxError(
+            ".export needs namePrefix=<output path> (this engine writes "
+            "to local/mounted paths; connection strings are ignored)"
+        )
+    size_limit = int(opts["sizelimit"]) if "sizelimit" in opts else None
+    distribution = 1 if opts.get("distribution") == "single" else None
+    include_headers = opts.get("includeheaders", "all") != "none"
+    df = _Parser(tail, tables, functions, spark).parse_query()
+    if fmt == "csv":
+        K.export_csv(
+            df, prefix, size_limit, include_headers, distribution
+        )
+    else:
+        K.export_any(
+            df, prefix, fmt, size_limit, distribution,
+            compression="gzip" if compressed else None,
+        )
+    return df

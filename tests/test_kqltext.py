@@ -477,3 +477,32 @@ def test_has_any_has_all_and_datetime_parts(spark, t):
     assert (m, h, dd) == (3, 10, 6)
     assert d == 1  # 2024-03-04 is a Monday; KQL dayofweek Sunday=0
     assert str(w) == "2024-03-04 00:00:00"  # Spark weeks start Monday
+
+
+def test_verbatim_export_command(spark, t, tmp_path):
+    """The reference's FIFTH emitted KQL artifact — the .export script
+    (TestBase.cs:397-408) — runs in the emitted shape: async/compressed
+    flags, a connection-string group (parsed, ignored — namePrefix is
+    the output path here), the with-options block, and the `<|` query
+    tail. Reads the export back and checks rows + header."""
+    prefix = str(tmp_path / "export_out")
+    script = f'''
+.export async to csv (
+    @"https://account.blob.example/container;impersonate"
+  )
+  with (
+    sizeLimit=1000000000,
+    namePrefix="{prefix}",
+    distribution="single",
+    includeHeaders="all"
+  )
+  <| 
+  Events | where Level == 'Error' | project Id, Level | sort by Id asc'''
+    df = run_kql(spark, script, t)
+    assert df.count() == 2
+    back = spark.read.option("header", "true").csv(prefix)
+    assert sorted(int(r.Id) for r in back.collect()) == [1, 3]
+    assert back.columns == ["Id", "Level"]
+    import glob
+
+    assert len(glob.glob(prefix + "/part-*.csv")) == 1  # single
