@@ -297,6 +297,15 @@ class _Parser:
                 return False
         return False
 
+    def continue_pipeline(self, df: DataFrame) -> DataFrame:
+        """Run the remaining `| stage` chain over an externally-built
+        source (the .show control-command results)."""
+        while self.at("punct", "|"):
+            self.next()
+            df = self._parse_stage(df)
+        self.eat("eof")
+        return df
+
     # ---- pipeline
     def parse_pipeline(self, stop_at_semicolon=False) -> DataFrame:
         df = self._parse_source()
@@ -1366,6 +1375,7 @@ def run_kql(
     text: str,
     tables: dict[str, DataFrame] | None = None,
     functions: dict | None = None,
+    catalog=None,
 ) -> DataFrame:
     """Parse one KQL tabular query and return the equivalent DataFrame.
 
@@ -1387,7 +1397,63 @@ def run_kql(
         text = m.group(1)
     if text.lstrip().startswith(".export"):
         return _run_export(spark, text, tables, functions)
+    if text.lstrip().startswith(".show"):
+        return _run_show(spark, text, tables, functions, catalog)
     return _Parser(text, tables, functions, spark).parse_query()
+
+
+def _run_show(spark, text, tables, functions, catalog) -> DataFrame:
+    """The reference's ``.show table T policy partitioning`` and
+    ``.show table T`` control commands (EtlRun.cs:148-164), answered
+    from this engine's catalog (catalog.py — the registry that replaces
+    the Kusto round-trip): the policy command yields one row with the
+    Policy JSON in Kusto's PartitionKeys shape, the plain form yields
+    (AttributeName, AttributeType) rows; any trailing ``| stage`` chain
+    continues over that result, so the emitted introspection pipelines
+    run WHOLE — control command included."""
+    import json as _json
+
+    if catalog is None:
+        raise KqlSyntaxError(
+            ".show table needs a catalog= (the engine's table registry)"
+        )
+    mm = re.match(
+        r"\s*\.show\s+table\s+(\w+)(\s+policy\s+partitioning)?\s*",
+        text,
+    )
+    if not mm:
+        raise KqlSyntaxError("unrecognized .show command shape")
+    tdef = catalog.get(mm.group(1))
+    if mm.group(2):
+        pol = tdef.partition_policy
+        keys = []
+        if pol is not None:
+            keys.append(
+                {
+                    "ColumnName": pol.column_name,
+                    "Kind": "Hash",
+                    "Properties": {
+                        "Function": "XxHash64",
+                        "MaxPartitionCount": pol.max_partition_count,
+                        "Seed": pol.seed,
+                        "PartitionAssignmentMode": "Uniform",
+                    },
+                }
+            )
+        df = spark.createDataFrame(
+            [(mm.group(1), _json.dumps({"PartitionKeys": keys}))],
+            "TableName string, Policy string",
+        )
+    else:
+        df = spark.createDataFrame(
+            [
+                (f.name, f.dataType.simpleString())
+                for f in tdef.schema.fields
+            ],
+            "AttributeName string, AttributeType string",
+        )
+    parser = _Parser(text[mm.end():], tables, functions, spark)
+    return parser.continue_pipeline(df)
 
 
 def _run_export(spark, text, tables, functions) -> DataFrame:

@@ -506,3 +506,41 @@ def test_verbatim_export_command(spark, t, tmp_path):
     import glob
 
     assert len(glob.glob(prefix + "/part-*.csv")) == 1  # single
+
+
+def test_verbatim_show_policy_pipeline_whole(spark):
+    """EtlRun.cs:150-164's BOTH emitted control-command pipelines run
+    WHOLE — `.show table … policy partitioning | project …` answered
+    from this engine's catalog (no head replacement needed), and
+    `.show table … | project AttributeName`."""
+    from kusto_pre_forge_spark.catalog import (
+        Catalog,
+        LOG_EVENTS_SCHEMA,
+        PartitionPolicy,
+        TableDef,
+    )
+
+    cat = Catalog()
+    cat.register(
+        TableDef(
+            "LogTable",
+            LOG_EVENTS_SCHEMA,
+            PartitionPolicy("Node", 16, 7),
+        )
+    )
+    q = """
+.show table LogTable policy partitioning
+| project Keys=todynamic(Policy).PartitionKeys
+| mv-expand Keys
+| where Keys.Kind=="Hash"
+| project
+    ColumnName=tostring(Keys.ColumnName),
+    MaxPartitionCount = toint(Keys.Properties.MaxPartitionCount),
+    Seed = toint(Keys.Properties.Seed)"""
+    rows = run_kql(spark, q, catalog=cat).collect()
+    assert [tuple(r) for r in rows] == [("Node", 16, 7)]
+    q2 = """
+.show table LogTable
+| project AttributeName"""
+    cols = [r.AttributeName for r in run_kql(spark, q2, catalog=cat).collect()]
+    assert cols == ["Id", "Timestamp", "Level", "Node", "ActivityId", "Text"]
