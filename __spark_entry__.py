@@ -7592,6 +7592,39 @@ def _q_kqltext_mvapply(spark, sf):
     return run_kql(spark, q, _kqltext_tables(spark, sf))
 
 
+def _q_kqltext_show_policy(spark, sf):
+    """The reference's partition-policy introspection pipeline
+    (EtlRun.cs:150-159) run WHOLE as emitted — `.show table … policy
+    partitioning` answered from the engine's catalog registry, the
+    todynamic/mv-expand/coerce tail through the parser. Closed-form
+    oracle (the policy registered IS the expected row)."""
+    from kusto_pre_forge_spark.catalog import (
+        Catalog,
+        LOG_EVENTS_SCHEMA,
+        PartitionPolicy,
+        TableDef,
+    )
+    from kusto_pre_forge_spark.operators.kqltext import run_kql
+
+    cat = Catalog()
+    cat.register(
+        TableDef(
+            "LogTable", LOG_EVENTS_SCHEMA, PartitionPolicy("Node", 16, 7)
+        )
+    )
+    q = (
+        ".show table LogTable policy partitioning\n"
+        "| project Keys=todynamic(Policy).PartitionKeys\n"
+        "| mv-expand Keys\n"
+        '| where Keys.Kind=="Hash"\n'
+        "| project\n"
+        "    ColumnName=tostring(Keys.ColumnName),\n"
+        "    MaxPartitionCount = toint(Keys.Properties.MaxPartitionCount),\n"
+        "    Seed = toint(Keys.Properties.Seed)"
+    )
+    return run_kql(spark, q, catalog=cat)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7757,6 +7790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kqltext_pipeline": _q_kqltext_pipeline,
         "kqltext_dynamic": _q_kqltext_dynamic,
         "kqltext_mvapply": _q_kqltext_mvapply,
+        "kqltext_show_policy": _q_kqltext_show_policy,
         "pipeline_multiformat_extract": _q_pipeline_multiformat_extract,
         "corpus_autoextract": _q_corpus_autoextract,
         "pipeline_audio_asr": _q_pipeline_audio_asr,
@@ -11580,6 +11614,11 @@ def oracle_sql() -> dict[str, str]:
         "text_wikitext_extract": _wikitext_oracle_sql(),
         "text_latex_extract": _latex_oracle_sql(),
         "text_fasttext_quality": _fasttext_oracle_sql(),
+        "kqltext_show_policy": (
+            # the registered policy IS the expected row
+            "SELECT 'Node' AS ColumnName, CAST(16 AS INT) "
+            "AS MaxPartitionCount, CAST(7 AS INT) AS Seed"
+        ),
         "kqltext_mvapply": (
             # per-row list aggregates replayed with DuckDB list fns
             "WITH p AS (SELECT list_aggregate(string_split("

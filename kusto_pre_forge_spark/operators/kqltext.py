@@ -14,6 +14,10 @@ everyday tabular operators:
 
 - sources: table name, ``range x from a to b step s``, ``print n=e``,
   ``externaldata (schema) ['path'] with (format=...)``
+- control commands: ``.export … with (…) <| query`` (writes through
+  kql.export_any), ``.show table T [policy partitioning]`` (answered
+  from the engine catalog, trailing stages continue), and the
+  ``.create-or-alter function`` wrapper strip
 - ``let`` statements (scalar and tabular), ``toscalar(subquery)``
   (driver-evaluated, Kusto's own semantics)
 - ``where  project  project-away  project-rename  extend
