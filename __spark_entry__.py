@@ -2864,6 +2864,60 @@ def _q_pipeline_pdf_route(spark, sf):
     )
 
 
+def _q_pipeline_pdf_decrypt(spark, sf):
+    """Blank-user-password PDF decryption end-to-end (round-12): each
+    document forges as an ENCRYPTED PDF — the standard security
+    handler's RC4 paths rotate by doc_id % 3 (R2/40-bit, R3/128-bit,
+    R4 crypt-filter /CFM /V2), and every fifth document carries the
+    /CFM /AESV2 marker instead. The owner-password-only restriction
+    case (user password BLANK) must extract losslessly through
+    Algorithm 2 key derivation + per-object RC4 (ISO 32000 §7.6.3);
+    AES documents refuse by name and quarantine to zero pages in skip
+    mode. Oracle is closed-form: AES docs (doc_id%5=0) → 0 pages /
+    'refused', the rest roundtrip their own text length. Pure map
+    stages — decryption is per-blob arithmetic, no shuffle."""
+    import pandas as pd
+
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+    from kusto_pre_forge_spark.sources import pdf as P
+
+    d = _widen_for_fanout(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
+
+    def forge_and_extract(it):
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                t = t if isinstance(t, str) else ""
+                r = (2, 3, 4)[i % 3]
+                blob = P.pdf_bytes_encrypted(
+                    [t], r=4 if i % 5 == 0 else r, aes_marker=i % 5 == 0
+                )
+                pages = P.extract_pdf_pages(blob)  # skip mode
+                enc = P.pdf_encryption(blob)
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "n_pages": len(pages),
+                        "n_chars": sum(len(p) for p in pages),
+                        "enc_class": (
+                            "decryptable" if enc == "decryptable" else "refused"
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_pages", "n_chars", "enc_class"],
+            )
+
+    return d.mapInPandas(
+        forge_and_extract,
+        "doc_id long, n_pages int, n_chars long, enc_class string",
+    )
+
+
 def _q_pipeline_pdf_images(spark, sf):
     """The scanned-PDF → multimodal HAND-OFF made real (round-11): each
     document forges as a scanned PDF whose image XObject carries REAL
@@ -7800,6 +7854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_archive_extract": _q_corpus_archive_extract,
         "pipeline_pdf_route": _q_pipeline_pdf_route,
         "pipeline_pdf_images": _q_pipeline_pdf_images,
+        "pipeline_pdf_decrypt": _q_pipeline_pdf_decrypt,
         "pipeline_pdf_ocr": _q_pipeline_pdf_ocr,
         "graph_label_propagation": _q_graph_label_propagation,
         "corpus_pack_boundaries": _q_corpus_pack_boundaries,
@@ -11930,6 +11985,18 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 6306747246700006711 END AS phash, "
             "CAST(16 AS INT) AS width, CAST(16 AS INT) AS height "
             "FROM documents"
+        ),
+        "pipeline_pdf_decrypt": (
+            # closed-form: AES-marked docs (doc_id%5=0) refuse →
+            # quarantine (0 pages); the RC4 revisions decrypt lossless,
+            # so n_chars is the document's own text length
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS INT) "
+            "AS n_pages, "
+            "CAST(CASE WHEN doc_id % 5 = 0 THEN 0 "
+            "ELSE length(COALESCE(text, '')) END AS BIGINT) AS n_chars, "
+            "CASE WHEN doc_id % 5 = 0 THEN 'refused' "
+            "ELSE 'decryptable' END AS enc_class FROM documents"
         ),
         "pipeline_pdf_route": (
             # closed-form: scanned docs (doc_id%3=0, 1 or 2 pages by

@@ -158,6 +158,7 @@ HEADLINE = [
     "pipeline_pdf_ocr",
     "layout_compact_roundtrip",
     "corpus_pack_materialize",
+    "pipeline_pdf_decrypt",
     "corpus_version_diff",
     "corpus_datacard",
     "epub_text_extract",

@@ -304,6 +304,7 @@ class _Parser:
     def continue_pipeline(self, df: DataFrame) -> DataFrame:
         """Run the remaining `| stage` chain over an externally-built
         source (the .show control-command results)."""
+        self._last_order = None  # fresh pipeline — no inherited order
         while self.at("punct", "|"):
             self.next()
             df = self._parse_stage(df)
@@ -312,11 +313,19 @@ class _Parser:
 
     # ---- pipeline
     def parse_pipeline(self, stop_at_semicolon=False) -> DataFrame:
-        df = self._parse_source()
-        while self.at("punct", "|"):
-            self.next()
-            df = self._parse_stage(df)
-        return df
+        # _last_order is scoped to THIS pipeline: a `sort by` inside a
+        # let / join branch / union source / toscalar subquery must not
+        # leak into the outer pipeline's serialize/row_number windows.
+        outer_order = getattr(self, "_last_order", None)
+        self._last_order = None
+        try:
+            df = self._parse_source()
+            while self.at("punct", "|"):
+                self.next()
+                df = self._parse_stage(df)
+            return df
+        finally:
+            self._last_order = outer_order
 
     def _parse_source(self) -> DataFrame:
         if self.at("punct", "("):
@@ -626,7 +635,9 @@ class _Parser:
         src = df.withColumn(rid, F.monotonically_increasing_id())
         exploded = src.withColumn(name, F.explode(e.c()))
         prev = getattr(self, "_mv_rid", None)
+        prev_order = getattr(self, "_last_order", None)
         self._mv_rid = rid
+        self._last_order = None  # a sort inside on(...) is subquery-scoped
         try:
             sub = self._parse_stage(exploded)
             while self.at("punct", "|"):
@@ -634,6 +645,7 @@ class _Parser:
                 sub = self._parse_stage(sub)
         finally:
             self._mv_rid = prev
+            self._last_order = prev_order
         self.eat("punct", ")")
         if set(src.columns) <= set(sub.columns):
             return sub.drop(rid)
@@ -778,11 +790,20 @@ class _Parser:
         )
 
     def _op_union(self, df):
-        right = self._parse_source()
-        while self.at("punct", "|"):
-            self.next()
-            right = self._parse_stage(right)
-        return df.unionByName(right, allowMissingColumns=True)
+        """``| union T1[, T2…]`` — the right operand is a SOURCE (table
+        name or parenthesized pipeline), never the rest of the stage
+        chain: `A | union B | count` counts the UNION, so the `| count`
+        belongs to parse_pipeline's loop, not to B. (A previous version
+        greedily consumed trailing stages into the right side — silent
+        wrong results for that standard shape.)"""
+        while True:
+            right = self._parse_source()
+            df = df.unionByName(right, allowMissingColumns=True)
+            if self.at("punct", ","):
+                self.next()
+                continue
+            break
+        return df
 
     def _op_join(self, df):
         kind = "inner"
@@ -1124,11 +1145,12 @@ class _Parser:
         raise KqlSyntaxError("dynamic() parses its literal in _parse_primary")
 
     def _fn_rand(self, args):
-        # KQL rand() -> real [0,1); rand(n) -> value in [0, n) (toint
-        # truncation gives the 0..n-1 int the generator wants)
+        # KQL rand() -> real [0,1); rand(n) -> a DISCRETE uniform over
+        # the integers 0..n-1 (real-typed, like Kusto) — not a
+        # continuous value in [0, n)
         if not args:
             return KExpr(F.rand())
-        return KExpr(F.rand() * args[0].c())
+        return KExpr(F.floor(F.rand() * args[0].c()).cast("double"))
 
     def _fn_range(self, args):
         # SCALAR range(start, stop, step) -> inclusive-stop array (the

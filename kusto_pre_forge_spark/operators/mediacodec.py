@@ -2393,3 +2393,88 @@ def encode_avi_mjpeg(
 
 
 _PROBES = _PROBES + (parse_avi_header, parse_pnm_header)
+
+
+# ------------------------------------------- compressed-audio probes
+# MP3/OGG/FLAC are what real audio corpora ship; their SAMPLES decode
+# only through the pyav import-try hatch (multimodal.pyav_decode_audio),
+# but the container HEADERS parse here dependency-free so probe_bytes /
+# routing / datacards see them (the WebP-tag posture: identified, never
+# silently 'unknown').
+
+
+def parse_flac_header(raw: bytes):
+    """fLaC STREAMINFO (the mandatory first metadata block): sample
+    rate (20 bits), channels (3 bits + 1), bits-per-sample (5 bits +
+    1), total samples (36 bits) — offsets per the FLAC format spec."""
+    if raw[:4] != b"fLaC" or len(raw) < 4 + 4 + 34:
+        return None
+    if raw[4] & 0x7F != 0:  # first block must be STREAMINFO (type 0)
+        return None
+    si = raw[8 : 8 + 34]
+    sample_rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+    channels = ((si[12] >> 1) & 0x07) + 1
+    bps = (((si[12] & 0x01) << 4) | (si[13] >> 4)) + 1
+    n_samples = ((si[13] & 0x0F) << 32) | int.from_bytes(si[14:18], "big")
+    out = {
+        "media_kind": "flac",
+        "sample_rate": sample_rate or None,
+        "channels": channels,
+        "bits_per_sample": bps,
+        "n_samples": n_samples or None,
+    }
+    if sample_rate and n_samples:
+        out["duration_s"] = n_samples / sample_rate
+    return out
+
+
+_MP3_RATES = {0: 44100, 1: 48000, 2: 32000}  # MPEG-1; /2 for MPEG-2
+
+
+def parse_mp3_header(raw: bytes):
+    """MPEG audio: an ID3v2 tag or a frame sync (11 set bits). Sample
+    rate from the first frame header's version + rate-index bits."""
+    pos = 0
+    if raw[:3] == b"ID3" and len(raw) >= 10:
+        # syncsafe 28-bit tag size
+        size = (
+            (raw[6] << 21) | (raw[7] << 14) | (raw[8] << 7) | raw[9]
+        )
+        pos = 10 + size
+    if len(raw) < pos + 4:
+        return {"media_kind": "mp3"} if pos else None
+    b0, b1, b2 = raw[pos], raw[pos + 1], raw[pos + 2]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return {"media_kind": "mp3"} if pos else None
+    version = (b1 >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    rate_idx = (b2 >> 2) & 0x03
+    rate = _MP3_RATES.get(rate_idx)
+    if rate is not None:
+        if version == 2:
+            rate //= 2
+        elif version == 0:
+            rate //= 4
+    channels_bits = (raw[pos + 3] >> 6) & 0x03 if len(raw) > pos + 3 else 3
+    return {
+        "media_kind": "mp3",
+        "sample_rate": rate,
+        "channels": 1 if channels_bits == 3 else 2,
+    }
+
+
+def parse_ogg_header(raw: bytes):
+    """OggS capture pattern; a Vorbis identification header in the
+    first page carries channels + sample rate at fixed offsets."""
+    if raw[:4] != b"OggS":
+        return None
+    out = {"media_kind": "ogg"}
+    i = raw.find(b"\x01vorbis")
+    if 0 <= i and len(raw) >= i + 16:
+        out["channels"] = raw[i + 11]
+        out["sample_rate"] = (
+            int.from_bytes(raw[i + 12 : i + 16], "little") or None
+        )
+    return out
+
+
+_PROBES = _PROBES + (parse_flac_header, parse_mp3_header, parse_ogg_header)

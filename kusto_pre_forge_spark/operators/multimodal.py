@@ -262,6 +262,65 @@ def pyav_decode(raw: bytes):
             yield fi, frame.to_ndarray(format="rgb24").tobytes()
 
 
+_COMPRESSED_AUDIO_KINDS = ("mp3", "ogg", "flac")
+
+
+def pyav_decode_audio(raw: bytes) -> tuple[int, int, list[float]]:
+    """Optional-runtime audio decoder for FFmpeg-supported codecs
+    (MP3/OGG/FLAC — what real audio corpora ship): returns
+    ``(sample_rate, channels, interleaved samples in [-1, 1])``, the
+    EXACT contract of ``mediacodec.decode_wav``, so fingerprinting and
+    ASR downstream are codec-agnostic. Import deferred (the
+    ``pyav_available`` executor-side convention)."""
+    import io
+
+    import av
+    import numpy as np
+
+    with av.open(io.BytesIO(raw)) as container:
+        stream = container.streams.audio[0]
+        rate = int(stream.rate)
+        channels = int(stream.channels) or 1
+        parts = []
+        for frame in container.decode(audio=0):
+            arr = frame.to_ndarray()  # (channels, n) or (1, n*ch) packed
+            if arr.dtype.kind == "i":
+                arr = arr.astype(np.float64) / float(
+                    1 << (8 * arr.dtype.itemsize - 1)
+                )
+            if arr.ndim == 2 and arr.shape[0] > 1:
+                arr = arr.T.reshape(-1)  # planar → interleaved
+            else:
+                arr = arr.reshape(-1)
+            parts.append(arr.astype(np.float64))
+        samples = (
+            np.concatenate(parts) if parts else np.zeros(0, dtype=np.float64)
+        )
+    return rate, channels, [float(s) for s in samples]
+
+
+def decode_audio_any(raw: bytes) -> tuple[int, int, list[float]]:
+    """``(rate, channels, samples)`` for ANY supported audio payload:
+    WAV decodes dependency-free (mediacodec PCM/G.711/ADPCM);
+    MP3/OGG/FLAC route through the pyav hatch where the wheel is
+    present, and refuse NAMING the hatch where it is not — never
+    garbage samples, never a silent drop."""
+    from kusto_pre_forge_spark.operators import mediacodec
+
+    kind = mediacodec.probe_bytes(bytes(raw))["media_kind"]
+    if kind == "wav":
+        return mediacodec.decode_wav(bytes(raw))
+    if kind in _COMPRESSED_AUDIO_KINDS:
+        if pyav_available():
+            return pyav_decode_audio(bytes(raw))
+        raise NotImplementedError(
+            f"compressed audio ({kind}) decodes through the pyav hatch: "
+            "`pip install av` on the executors, or transcode to PCM WAV "
+            "upstream"
+        )
+    raise ValueError(f"not an audio payload (probe: {kind})")
+
+
 def sample_frames(
     df: DataFrame,
     blob_col: str = "blob",
@@ -799,13 +858,22 @@ def audio_fingerprint(
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 raw = bytes(blob)
                 hdr = mediacodec.probe_bytes(raw)
-                if hdr["media_kind"] != "wav":
+                kind = hdr["media_kind"]
+                if kind == "wav":
+                    rate, ch, samples = mediacodec.decode_wav(raw)
+                elif kind in _COMPRESSED_AUDIO_KINDS and pyav_available():
+                    # the pyav hatch: MP3/OGG/FLAC fingerprint for real
+                    # where the wheel is present (same decode contract)
+                    rate, ch, samples = pyav_decode_audio(raw)
+                else:
+                    # non-audio, or compressed audio without the hatch:
+                    # NULL fingerprint (the soft-path posture — the
+                    # header still surfaces what it was)
                     rows.append(
                         {"doc_id": int(doc_id), "afp": None,
                          "sample_rate": hdr.get("sample_rate"), "n_samples": None}
                     )
                     continue
-                rate, ch, samples = mediacodec.decode_wav(raw)
                 s = np.abs(np.asarray(samples, dtype=np.float64))
                 # frame boundaries over the full stream (channel-agnostic:
                 # interleaving preserves per-frame mean loudness)
@@ -1094,16 +1162,19 @@ def asr_text(
     - ``"auto"`` — whisper when importable on the worker, stub
       otherwise.
 
-    One Arrow map stage; non-WAV blobs refuse loudly."""
+    One Arrow map stage. WAV decodes dependency-free; MP3/OGG/FLAC
+    route through the pyav import-try hatch (``decode_audio_any``) and
+    refuse naming it where the wheel is absent; non-audio blobs refuse
+    loudly."""
     import hashlib
-
-    from kusto_pre_forge_spark.operators import mediacodec
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, texts, engines, counts = [], [], [], []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                rate, channels, samples = mediacodec.decode_wav(bytes(blob))
+                # WAV dependency-free; MP3/OGG/FLAC via the pyav hatch
+                # (loud refusal naming it otherwise)
+                rate, channels, samples = decode_audio_any(bytes(blob))
                 use = engine
                 if use == "auto":
                     use = "whisper" if asr_available() else "stub"

@@ -64,6 +64,54 @@ _DECOMPRESS = {
 }
 
 
+def zstd_available() -> bool:
+    """True when the ``zstandard`` wheel is importable — the import-try
+    hatch convention (pyav/tesseract): Dolma/RedPajama-class corpora
+    ship ``.jsonl.zst``, Python 3.11 has no stdlib codec, so the front
+    door decodes where the wheel is present and tag-only routes
+    (never silently 'binary') where it is not."""
+    try:
+        import zstandard  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _zstd_decompress(data: bytes) -> bytes:
+    """Whole-blob zstd decode behind :func:`zstd_available`, streamed
+    against the decompressed-size valve (frames in the wild omit the
+    content-size header, so ``max_output_size`` alone can't be trusted);
+    codec errors normalize to ValueError for the quarantine catch."""
+    import zstandard
+
+    dctx = zstandard.ZstdDecompressor()
+    chunks: list[bytes] = []
+    total = 0
+    try:
+        with dctx.stream_reader(io.BytesIO(data)) as r:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                total += len(chunk)
+                if total > MAX_ARCHIVE_BYTES:
+                    raise ValueError(
+                        "zstd blob exceeds the decompressed-size valve"
+                    )
+                chunks.append(chunk)
+    except zstandard.ZstdError as e:
+        raise ValueError(f"zstd decode failed: {e}") from e
+    return b"".join(chunks)
+
+
+def _peelable_kinds() -> tuple[str, ...]:
+    if zstd_available():
+        _DECOMPRESS.setdefault("zstd", _zstd_decompress)
+        return ("gzip", "bz2", "xz", "zstd")
+    return ("gzip", "bz2", "xz")
+
+
 def sniff_format(content: bytes) -> str:
     """Magic-byte format sniff (content decides; extensions lie in a
     crawl). Returns one of pdf/docx/zip/tar/ipynb/warc/gzip/bz2/xz/
@@ -153,19 +201,21 @@ def extract_auto(content: bytes) -> tuple[str, str | None]:
 
     kind = sniff_format(content)
     data = bytes(content)
-    if kind in ("gzip", "bz2", "xz"):
+    peelable = _peelable_kinds()
+    if kind in peelable:
         try:
             data = _DECOMPRESS[kind](data)
         except (OSError, EOFError, zlib.error, lzma.LZMAError, ValueError):
             return "binary", None
         inner = sniff_format(data)
-        kind = inner if inner not in ("gzip", "bz2", "xz") else "binary"
+        kind = inner if inner not in peelable else "binary"
     if kind == "tar":
         return "tar", None  # bundles expand via extract_auto_rows
     if kind in ("parquet", "orc", "avro", "7z", "zstd"):
         # tag-only: route to spark.read.parquet/orc / sources.avro; 7z
-        # and zstd have no stdlib codec on 3.11 (recompress, or install
-        # `zstandard` and decompress upstream); never silently 'binary'
+        # has no stdlib codec on 3.11 and zstd reaches here only when
+        # the `zstandard` wheel is absent (the import-try hatch above
+        # peels it otherwise) — never silently 'binary'
         return kind, None
     if kind == "rtf":
         from kusto_pre_forge_spark.sources.rtf import extract_rtf_text
@@ -304,13 +354,14 @@ def extract_auto_rows(
     ends with one ('archive_truncated', None) sentinel row."""
     kind = sniff_format(content)
     data = bytes(content)
-    if kind in ("gzip", "bz2", "xz"):
+    peelable = _peelable_kinds()
+    if kind in peelable:
         try:
             data = _DECOMPRESS[kind](data)
         except (OSError, EOFError, zlib.error, lzma.LZMAError, ValueError):
             return [(None, "binary", None)]
         inner = sniff_format(data)
-        kind = inner if inner not in ("gzip", "bz2", "xz") else "binary"
+        kind = inner if inner not in peelable else "binary"
     if kind == "zip":
         from kusto_pre_forge_spark.sources.epub import is_epub
 

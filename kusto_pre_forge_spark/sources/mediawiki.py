@@ -198,28 +198,38 @@ def read_mediawiki_stream(spark: SparkSession, path: str) -> DataFrame:
 
     paths = exact_path_slices(spark, path, max_files_per_task=1)
 
+    def _open(raw):
+        with open(raw, "rb") as probe:
+            head = probe.read(3)
+        if head[:3] == b"BZh":
+            return bz2.BZ2File(raw, "rb")
+        if head[:2] == b"\x1f\x8b":
+            return gzip.open(raw, "rb")
+        return open(raw, "rb")
+
     def batches(it):
         for pdf in it:
             for p in pdf["path"]:
                 raw = worker_local_path(p)
-                with open(raw, "rb") as probe:
-                    head = probe.read(3)
-                if head[:3] == b"BZh":
-                    opener = bz2.BZ2File(raw, "rb")
-                elif head[:2] == b"\x1f\x8b":
-                    opener = gzip.open(raw, "rb")
-                else:
-                    opener = open(raw, "rb")
-                rows: list[dict] = []
+                # Pass 1 — validate the WHOLE blob streaming (rows
+                # discarded, O(1) memory): a corrupt dump must yield
+                # ZERO rows, identical to read_mediawiki's quarantine,
+                # never a partial prefix. Pass 2 then re-streams and
+                # emits; the 2x decompress buys the row-identical
+                # contract without buffering an unbounded dump.
                 try:
-                    with opener as f:
-                        for row in iter_mediawiki_pages(f):
-                            rows.append({**row, "_kpf_source": p})
-                            if len(rows) >= 1024:
-                                yield pd.DataFrame(rows, columns=_COLS)
-                                rows = []
+                    with _open(raw) as f:
+                        for _ in iter_mediawiki_pages(f):
+                            pass
                 except (OSError, EOFError, ValueError, zlib.error, ET.ParseError):
-                    rows = []
+                    continue
+                rows: list[dict] = []
+                with _open(raw) as f:
+                    for row in iter_mediawiki_pages(f):
+                        rows.append({**row, "_kpf_source": p})
+                        if len(rows) >= 1024:
+                            yield pd.DataFrame(rows, columns=_COLS)
+                            rows = []
                 if rows:
                     yield pd.DataFrame(rows, columns=_COLS)
 

@@ -499,6 +499,8 @@ def load_pdf_objects(data: bytes):
             else:
                 objects = {}
                 break
+        if objects:
+            _maybe_decrypt(objects, trailer)
     if not objects:
         xs = _xref_stream_load(data)
         if xs:
@@ -514,6 +516,10 @@ def load_pdf_objects(data: bytes):
                 else:
                     ok = False
                     break
+            if ok:
+                # decrypt BEFORE exploding object streams: packed
+                # objects are covered by their container's encryption
+                _maybe_decrypt(objects, trailer)
             if ok and compressed:
                 _explode_objstms(objects)
                 # type-2 entries name their container; anything the
@@ -523,6 +529,29 @@ def load_pdf_objects(data: bytes):
                 objects = {}
     if not objects:
         objects = _scan_objects(data)
+        if _is_encrypted(data):
+            # damaged tail on an encrypted file: recover the trailer
+            # dict by probe (the _is_encrypted fallbacks) so the scan
+            # path decrypts too, or refuse by name
+            trailer = None
+            for m in re.finditer(rb"trailer", data):
+                tr, _ = _parse_value(data, m.end())
+                if isinstance(tr, dict) and "Encrypt" in tr:
+                    trailer = tr
+            if trailer is None:
+                for m in re.finditer(rb"/Encrypt", data):
+                    start = data.rfind(b"<<", max(0, m.start() - 4096), m.start())
+                    if start < 0:
+                        continue
+                    d, _ = _parse_value(data, start)
+                    if isinstance(d, dict) and "Encrypt" in d and "Root" in d:
+                        trailer = d
+            if trailer is None:
+                raise NotImplementedError(
+                    "PDF is encrypted and its trailer is unrecoverable — "
+                    "cannot derive the decryption key"
+                )
+            _maybe_decrypt(objects, trailer)
         _explode_objstms(objects)
     return objects, root
 
@@ -801,6 +830,175 @@ def _is_encrypted(data: bytes) -> bool:
     return False
 
 
+# ------------------------------------------- standard security handler
+# ISO 32000-1 §7.6.3: a large share of real-world PDFs are encrypted
+# with an OWNER password only (print/copy restrictions) and a BLANK
+# user password — legally and technically openable by any reader. The
+# RC4 paths (V 1/2, R 2/3, and V 4 crypt filters with /CFM /V2) are
+# ~60 lines of stdlib arithmetic, so those documents extract instead of
+# dropping; AES (/CFM /AESV2, V 5/R 6) and real user passwords refuse
+# loudly by name.
+
+_PW_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (the §7.6.2 'RC4 function') — pure stdlib."""
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[k] = b ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(enc: dict, objects: dict, file_id: bytes) -> bytes:
+    """Algorithm 2 file key for a BLANK user password, verified against
+    /U (Algorithm 4/5 inverse check). Raises ``NotImplementedError``
+    naming the gap for AES, V5/R6, non-Standard handlers, and real
+    (non-blank) user passwords."""
+    import hashlib
+
+    filt = str(_resolve(objects, enc.get("Filter", "")))
+    if filt != "Standard":
+        raise NotImplementedError(
+            f"PDF security handler /{filt} is not supported — only the "
+            "standard handler (§7.6.3) decrypts here"
+        )
+    v = int(_resolve(objects, enc.get("V", 0)) or 0)
+    r = int(_resolve(objects, enc.get("R", 2)) or 2)
+    if v == 4:
+        # crypt filters: only the RC4 (/CFM /V2) StdCF decrypts here
+        cf = _resolve(objects, enc.get("CF")) or {}
+        stmf = str(_resolve(objects, enc.get("StmF", "Identity")))
+        strf = str(_resolve(objects, enc.get("StrF", "Identity")))
+        for name in {stmf, strf} - {"Identity"}:
+            cfm = str(
+                _resolve(objects, (_resolve(objects, cf.get(name)) or {}).get("CFM", ""))
+            )
+            if cfm != "V2":
+                raise NotImplementedError(
+                    f"PDF crypt filter /{name} uses /CFM /{cfm}: only RC4 "
+                    "(/V2) is supported — AES decryption is not implemented"
+                )
+    elif v not in (1, 2):
+        raise NotImplementedError(
+            f"PDF encryption /V {v} (AES-256 era) is not supported — "
+            "only the RC4 paths (V 1/2/4-with-V2) decrypt here"
+        )
+    if r not in (2, 3, 4):
+        raise NotImplementedError(
+            f"PDF standard handler revision /R {r} is not supported"
+        )
+    o = _resolve(objects, enc.get("O"))
+    u = _resolve(objects, enc.get("U"))
+    if not isinstance(o, bytes) or not isinstance(u, bytes):
+        raise NotImplementedError("PDF /Encrypt dict lacks /O or /U strings")
+    p = int(_resolve(objects, enc.get("P", -1)))
+    n = 5 if r == 2 else max(5, int(_resolve(objects, enc.get("Length", 40)) or 40) // 8)
+    # /P as its 4 two's-complement little-endian bytes (§7.6.3.3)
+    h = hashlib.md5(_PW_PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + file_id)
+    if r >= 4 and _resolve(objects, enc.get("EncryptMetadata", True)) is False:
+        h.update(b"\xff\xff\xff\xff")
+    key = h.digest()[:n]
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key).digest()[:n]
+    # verify the BLANK user password against /U
+    if r == 2:
+        ok = _rc4(key, _PW_PAD) == u[:32]
+    else:
+        x = hashlib.md5(_PW_PAD + file_id).digest()
+        x = _rc4(key, x)
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+        ok = x[:16] == u[:16]
+    if not ok:
+        raise NotImplementedError(
+            "PDF has a real (non-blank) user password: decryption "
+            "without the password is not possible — supply the "
+            "plaintext upstream or drop the document"
+        )
+    return key
+
+
+def _decrypt_value(val, obj_key: bytes):
+    """Per-object string decryption: strings parse to ``bytes``; names
+    (str) and numbers pass through untouched."""
+    if isinstance(val, bytes):
+        return _rc4(obj_key, val)
+    if isinstance(val, list):
+        return [_decrypt_value(v, obj_key) for v in val]
+    if isinstance(val, dict):
+        return {k: _decrypt_value(v, obj_key) for k, v in val.items()}
+    return val
+
+
+def _decrypt_objects(objects: dict, enc_ref, file_key: bytes) -> None:
+    """In-place Algorithm-1 decryption of every object's strings and
+    stream bytes BEFORE filter decoding / ObjStm explosion (strings
+    inside object streams are covered by the container's encryption,
+    never twice). Skips the /Encrypt dict itself and XRef streams —
+    the spec never encrypts either."""
+    import hashlib
+
+    skip = enc_ref.num if isinstance(enc_ref, _Ref) else None
+    for num, (val, stream) in list(objects.items()):
+        if num == skip:
+            continue
+        if isinstance(val, dict) and str(val.get("Type", "")) == "XRef":
+            continue
+        obj_key = hashlib.md5(
+            file_key + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+        ).digest()[: min(len(file_key) + 5, 16)]
+        new_val = _decrypt_value(val, obj_key)
+        new_stream = _rc4(obj_key, stream) if stream is not None else None
+        objects[num] = (new_val, new_stream)
+
+
+def _maybe_decrypt(objects: dict, trailer: dict) -> None:
+    """If the trailer carries /Encrypt, derive the blank-user-password
+    file key and decrypt in place; refusals propagate by name."""
+    enc_ref = trailer.get("Encrypt")
+    if enc_ref is None:
+        return
+    enc = _resolve(objects, enc_ref)
+    if not isinstance(enc, dict):
+        raise NotImplementedError("PDF /Encrypt entry does not resolve")
+    ids = trailer.get("ID")
+    file_id = ids[0] if isinstance(ids, list) and ids and isinstance(ids[0], bytes) else b""
+    key = _std_file_key(enc, objects, file_id)
+    _decrypt_objects(objects, enc_ref, key)
+
+
+def pdf_encryption(data: bytes) -> str:
+    """Classify a document's encryption: ``'none'``, ``'decryptable'``
+    (standard handler, RC4, blank user password), or the refusal reason
+    string — the routing diagnostic the quarantine path surfaces."""
+    data = bytes(data)
+    if not _is_encrypted(data):
+        return "none"
+    try:
+        load_pdf_objects(data)
+        return "decryptable"
+    except NotImplementedError as e:
+        return str(e)
+
+
 def _walk_pages(objects: dict, node, acc: list, depth: int = 0):
     node = _resolve(objects, node)
     if not isinstance(node, dict) or depth > 64:
@@ -827,10 +1025,12 @@ def extract_pdf_page_infos(
     (``text``, ``has_images``), in page-tree order. ``errors="skip"``
     (crawl posture) turns an unsupported-filter page into '' and
     surfaces what parsed; ``errors="strict"`` re-raises. Encrypted
-    documents (an /Encrypt trailer entry — §7.6) are a genuine
-    unsupported input: strings and streams are RC4/AES-obfuscated, so
-    extraction would emit garbage; strict mode raises naming the gap,
-    skip mode yields no pages.
+    documents (an /Encrypt trailer entry — §7.6) DECRYPT in place when
+    the standard handler's RC4 paths apply with a blank user password
+    (the owner-password-only restriction case — most encrypted PDFs in
+    a crawl); AES and real user passwords remain genuine unsupported
+    inputs: strict mode raises naming the gap, skip mode yields no
+    pages (``pdf_encryption`` surfaces the reason for routing).
 
     ``has_images`` is the scanned-PDF diagnostic (round-11): an
     image-only page — /Subtype /Image XObjects in the (inheritable)
@@ -839,15 +1039,12 @@ def extract_pdf_page_infos(
     instead of silently passing quality gates as an empty string. The
     probe walks the XObject dict only; it never decodes image data."""
     data = bytes(data)
-    if _is_encrypted(data):
+    try:
+        objects, root = load_pdf_objects(data)  # decrypts RC4/blank-user
+    except NotImplementedError:
         if errors == "strict":
-            raise NotImplementedError(
-                "PDF is encrypted (/Encrypt): string/stream decryption "
-                "(ISO 32000 §7.6 RC4/AES) is not supported — decrypt "
-                "upstream or drop the document"
-            )
+            raise
         return []
-    objects, root = load_pdf_objects(data)
     pages: list[dict] = []
     root_dict = _resolve(objects, root) if root is not None else None
     if isinstance(root_dict, dict) and "Pages" in root_dict:
@@ -1018,14 +1215,12 @@ def extract_pdf_images(data: bytes, errors: str = "skip") -> list[dict]:
 
     Shares the encrypted-document guard with text extraction."""
     data = bytes(data)
-    if _is_encrypted(data):
+    try:
+        objects, root = load_pdf_objects(data)  # decrypts RC4/blank-user
+    except NotImplementedError:
         if errors == "strict":
-            raise NotImplementedError(
-                "PDF is encrypted (/Encrypt): stream decryption is not "
-                "supported — decrypt upstream or drop the document"
-            )
+            raise
         return []
-    objects, root = load_pdf_objects(data)
     pages: list[dict] = []
     root_dict = _resolve(objects, root) if root is not None else None
     if isinstance(root_dict, dict) and "Pages" in root_dict:
@@ -1505,6 +1700,122 @@ def pdf_bytes(pages: list[str], compress: bool = True) -> bytes:
         out += f"{off:010d} 00000 n \n".encode()
     out += (
         f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def pdf_bytes_encrypted(
+    pages: list[str],
+    r: int = 3,
+    owner_pw: bytes = b"owner",
+    p: int = -3904,
+    aes_marker: bool = False,
+) -> bytes:
+    """Forge :func:`pdf_bytes`'s document ENCRYPTED with the standard
+    security handler (§7.6.3) — owner password set, user password
+    BLANK, exactly the restriction-only case the decryptor targets.
+    ``r=2`` writes V1/RC4-40, ``r=3`` V2/RC4-128, ``r=4`` the V4
+    crypt-filter layout (/CF /StdCF /CFM /V2). ``aes_marker=True``
+    writes /CFM /AESV2 instead (content left RC4 — the fixture only
+    exercises the refusal, which triggers before any decryption).
+    The encryptor IS the test oracle: decrypt(encrypt(doc)) must equal
+    the plaintext forge's extraction."""
+    import hashlib
+
+    if r not in (2, 3, 4):
+        raise ValueError("r must be 2, 3 or 4")
+    v = {2: 1, 3: 2, 4: 4}[r]
+    n = 5 if r == 2 else 16
+    file_id = hashlib.md5(b"kpf-fixture" + str(pages).encode()).digest()
+
+    def pad_pw(pw: bytes) -> bytes:
+        return (pw + _PW_PAD)[:32]
+
+    # Algorithm 3: /O from the owner password (user pw blank)
+    okey = hashlib.md5(pad_pw(owner_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            okey = hashlib.md5(okey).digest()
+    okey = okey[:n]
+    o = _rc4(okey, pad_pw(b""))
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in okey), o)
+    # Algorithm 2: file key for the blank user password
+    h = hashlib.md5(
+        _PW_PAD + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + file_id
+    )
+    key = h.digest()[:n]
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key).digest()[:n]
+    # Algorithm 4/5: /U
+    if r == 2:
+        u = _rc4(key, _PW_PAD)
+    else:
+        u = _rc4(key, hashlib.md5(_PW_PAD + file_id).digest())
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        u = u + b"\x00" * 16  # padded to 32 (§7.6.3.4 step f)
+
+    def obj_key(num: int) -> bytes:
+        return hashlib.md5(
+            key + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+        ).digest()[: min(n + 5, 16)]
+
+    # same object layout as pdf_bytes, content streams encrypted
+    objs: list[bytes] = []
+    npages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(npages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {npages} >>".encode())
+    font_num = 3 + 2 * npages
+    for i, text in enumerate(pages):
+        cont_num = 4 + 2 * i
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {cont_num} 0 R /Resources << /Font "
+                f"<< /F1 {font_num} 0 R >> >> >>"
+            ).encode()
+        )
+        body = _rc4(obj_key(cont_num), zlib.compress(_page_content(text)))
+        objs.append(
+            b"<< /Length " + str(len(body)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + body + b"\nendstream"
+        )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    enc_num = len(objs) + 1
+    if r == 4:
+        cfm = "AESV2" if aes_marker else "V2"
+        enc_body = (
+            f"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            f"/CF << /StdCF << /CFM /{cfm} /AuthEvent /DocOpen >> >> "
+            f"/StmF /StdCF /StrF /StdCF "
+            f"/O <{o.hex()}> /U <{u.hex()}> /P {p} >>"
+        ).encode()
+    else:
+        enc_body = (
+            f"<< /Filter /Standard /V {v} /R {r} /Length {n * 8} "
+            f"/O <{o.hex()}> /U <{u.hex()}> /P {p} >>"
+        ).encode()
+    objs.append(enc_body)
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R "
+        f"/Encrypt {enc_num} 0 R "
+        f"/ID [<{file_id.hex()}> <{file_id.hex()}>] >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
     return bytes(out)

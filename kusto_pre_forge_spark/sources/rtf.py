@@ -81,6 +81,9 @@ def extract_rtf_text(data: bytes) -> tuple[str, int]:
         if b == 0x7D:  # }
             if stack:
                 skipping, uc = stack.pop()
+            # the \uN fallback-skip protocol is GROUP-scoped (RTF 1.9.1):
+            # a \uN that ends its group must not swallow text after `}`
+            pending_uc_skip = 0
             i += 1
             continue
         if b == 0x5C:  # backslash

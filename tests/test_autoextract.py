@@ -393,11 +393,63 @@ def test_zstd_tags_not_binary():
     from kusto_pre_forge_spark.sources.autoextract import (
         extract_auto,
         sniff_format,
+        zstd_available,
     )
 
     blob = b"\x28\xb5\x2f\xfd\x00\x00frame"
     assert sniff_format(blob) == "zstd"
-    assert extract_auto(blob) == ("zstd", None)
+    if zstd_available():
+        # wheel present: a CORRUPT frame quarantines as binary (the
+        # peel catch), never raises
+        assert extract_auto(blob) == ("binary", None)
+    else:
+        # wheel absent: tag-only routing, never silently 'binary'
+        assert extract_auto(blob) == ("zstd", None)
+
+
+def test_zstd_front_door_peel_when_wheel_present():
+    """Env-gated (the pyav convention): where `pip install zstandard`
+    happened, .jsonl.zst / .txt.zst blobs peel through the front door
+    exactly like gzip — inner format sniffed and extracted."""
+    import pytest as _pt
+
+    from kusto_pre_forge_spark.sources import autoextract as A
+
+    if not A.zstd_available():
+        _pt.skip("zstandard not installed in this environment")
+    import zstandard
+
+    inner = b'{"text": "dolma-style record"}\n' * 3
+    blob = zstandard.ZstdCompressor().compress(inner)
+    assert A.sniff_format(blob) == "zstd"
+    kind, text = A.extract_auto(blob)
+    assert kind == "text" and "dolma-style" in text
+    # valve: a frame decompressing past MAX_ARCHIVE_BYTES quarantines
+    rows = A.extract_auto_rows(blob)
+    assert rows == [(None, "text", inner.decode())]
+
+
+def test_zstd_magic_prefix_fuzz_total():
+    """Quarantine fuzz extended to the zstd magic: arbitrary bytes after
+    the frame magic must never raise from the front door, whether the
+    wheel is present (decode errors → ValueError → quarantine) or not
+    (tag-only)."""
+    import random
+
+    from kusto_pre_forge_spark.sources.autoextract import (
+        extract_auto,
+        extract_auto_rows,
+    )
+
+    rng = random.Random(0x5D)
+    for n in (0, 1, 7, 64, 513):
+        blob = b"\x28\xb5\x2f\xfd" + bytes(
+            rng.randrange(256) for _ in range(n)
+        )
+        kind, text = extract_auto(blob)
+        assert kind in ("zstd", "binary")
+        rows = extract_auto_rows(blob)
+        assert rows[0][1] in ("zstd", "binary")
 
 
 def test_front_door_is_total_on_arbitrary_bytes():

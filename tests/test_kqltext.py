@@ -544,3 +544,62 @@ def test_verbatim_show_policy_pipeline_whole(spark):
 | project AttributeName"""
     cols = [r.AttributeName for r in run_kql(spark, q2, catalog=cat).collect()]
     assert cols == ["Id", "Timestamp", "Level", "Node", "ActivityId", "Text"]
+
+
+def test_union_trailing_stages_apply_to_union_result(spark, t):
+    # `A | union B | count` counts the UNION (4+4=8 rows), not B —
+    # the trailing stage belongs to the outer pipeline, not to B
+    assert _rows(spark, "Events | union Events | count", t) == [(8,)]
+    assert _rows(
+        spark,
+        "Events | where Id == 1 | project Id "
+        "| union (Events | where Id == 4 | project Id) | count",
+        t,
+    ) == [(2,)]
+    # `| where` after union filters the union result (both sides)
+    assert _rows(
+        spark,
+        "Events | project Id | union (Events | project Id) "
+        "| where Id <= 2 | count",
+        t,
+    ) == [(4,)]
+    # comma-form multi-table union
+    assert _rows(spark, "Events | union Events, Events | count", t) == [(12,)]
+
+
+def test_sort_order_is_pipeline_scoped(spark, t):
+    # a `sort by` inside a join/union subquery must NOT satisfy the
+    # outer pipeline's serialize requirement
+    with pytest.raises(KqlSyntaxError, match="serialize"):
+        run_kql(
+            spark,
+            "Events | union (Events | sort by Id asc) | serialize "
+            "| extend rn = row_number()",
+            t,
+        )
+    with pytest.raises(KqlSyntaxError, match="serialize"):
+        run_kql(
+            spark,
+            "Events | join kind=inner (Events | sort by Id asc "
+            "| project Id) on Id | serialize | extend rn = row_number()",
+            t,
+        )
+    # and the legitimate outer-sort form still works
+    out = _rows(
+        spark,
+        "Events | sort by Id asc | serialize "
+        "| extend rn = row_number() | project Id, rn | take 2",
+        t,
+    )
+    assert out == [(1, 1), (2, 2)]
+
+
+def test_rand_n_is_discrete_integer_valued(spark, t):
+    rows = _rows(
+        spark,
+        "range x from 1 to 200 step 1 | extend r = rand(3) | project r",
+        t,
+    )
+    vals = {v for (v,) in rows}
+    assert vals <= {0.0, 1.0, 2.0}
+    assert len(vals) > 1  # actually uniform-ish, not constant

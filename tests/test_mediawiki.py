@@ -187,3 +187,28 @@ def test_wikitext_rules_duckdb_parity():
             f"SELECT trim({expr}) FROM (SELECT ? AS t)", [src]
         ).fetchone()[0]
         assert duck == py.strip(), src
+
+
+def test_stream_quarantines_whole_corrupt_blob(spark, tmp_path):
+    # A dump that decompresses fine for >1024 pages, then hits a parse
+    # error, must yield ZERO rows (read_mediawiki's quarantine), never
+    # a partial prefix — the row-identical contract between the paths.
+    d = tmp_path / "wikicorrupt"
+    d.mkdir()
+    pages = [
+        {"title": f"P{i}", "ns": 0, "page_id": i, "text": f"body {i}"}
+        for i in range(1, 1301)
+    ]
+    good = MW.mediawiki_bytes(pages)
+    # truncate mid-page-element: well-formed prefix, fatal at the end
+    cut = good.rfind(b"<page>")
+    corrupt = good[:cut] + b"<page><title>broken"
+    (d / "bad.xml").write_bytes(corrupt)
+    (d / "ok.xml").write_bytes(MW.mediawiki_bytes(pages[:3]))
+    stream = MW.read_mediawiki_stream(spark, str(d)).toPandas()
+    batch = MW.read_mediawiki(spark, str(d)).toPandas()
+    assert set(stream["_kpf_source"].unique()) == {
+        p for p in batch["_kpf_source"].unique()
+    }
+    assert not any(stream["_kpf_source"].str.endswith("bad.xml"))
+    assert len(stream) == 3 == len(batch)

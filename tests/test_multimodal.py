@@ -1385,3 +1385,99 @@ def test_asr_text_stub_and_gating(spark):
     bad = spark.createDataFrame([(9, b"not audio")], "doc_id long, blob binary")
     with pytest.raises(Exception):
         MM.asr_text(bad, engine="stub").collect()
+
+
+def _forge_flac_header(rate=44100, channels=2, bps=16, n=1000):
+    si = bytearray(34)
+    si[10] = (rate >> 12) & 0xFF
+    si[11] = (rate >> 4) & 0xFF
+    si[12] = ((rate & 0xF) << 4) | ((channels - 1) << 1) | (((bps - 1) >> 4) & 1)
+    si[13] = ((bps - 1) & 0xF) << 4
+    si[14:18] = n.to_bytes(4, "big")
+    return b"fLaC" + bytes([0x00, 0, 0, 34]) + bytes(si)
+
+
+def test_compressed_audio_probes():
+    """MP3/OGG/FLAC container headers parse dependency-free (the
+    WebP-tag posture): probe_bytes identifies them with rate/channels
+    where the header carries them, so routing and datacards see the
+    corpus even where the pyav decode hatch is closed."""
+    from kusto_pre_forge_spark.operators import mediacodec as mc
+
+    flac = mc.probe_bytes(_forge_flac_header())
+    assert flac["media_kind"] == "flac"
+    assert (flac["sample_rate"], flac["channels"], flac["bits_per_sample"],
+            flac["n_samples"]) == (44100, 2, 16, 1000)
+    mp3 = mc.probe_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 32)
+    assert mp3["media_kind"] == "mp3" and mp3["sample_rate"] == 44100
+    id3 = mc.probe_bytes(
+        b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + b"\xff\xf3\x90\xc0"
+    )
+    assert id3["media_kind"] == "mp3"
+    assert id3["sample_rate"] == 22050  # MPEG-2: half the MPEG-1 rate
+    ogg = mc.probe_bytes(
+        b"OggS" + b"\x00" * 22 + b"\x01\x1e" + b"\x01vorbis"
+        + bytes([0, 0, 0, 0, 2]) + (22050).to_bytes(4, "little") + b"\x00" * 8
+    )
+    assert ogg["media_kind"] == "ogg"
+    assert (ogg["channels"], ogg["sample_rate"]) == (2, 22050)
+    # plain text / random bytes never classify as audio
+    assert mc.probe_bytes(b"hello world, plain text")["media_kind"] == "unknown"
+
+
+def test_compressed_audio_refusal_names_the_hatch(spark):
+    """MP3 without the pyav wheel: asr_text refuses NAMING the hatch;
+    audio_fingerprint yields the NULL-fp soft row (header surfaced)."""
+    import pytest as _pt
+
+    if multimodal.pyav_available():
+        _pt.skip("pyav present: the hatch is open, refusal unreachable")
+    mp3 = b"\xff\xfb\x90\x00" + b"\x00" * 64
+    df = spark.createDataFrame([(1, mp3)], "doc_id long, blob binary")
+    with _pt.raises(Exception, match="pyav|install av"):
+        multimodal.asr_text(df, engine="stub").collect()
+    rows = multimodal.audio_fingerprint(df).collect()
+    assert len(rows) == 1 and rows[0].afp is None
+    assert rows[0].sample_rate == 44100  # the header still surfaced
+
+
+def test_compressed_audio_pyav_route(spark):
+    """Env-gated (runs where `pip install av` happened): an MP3/FLAC
+    twin of a PCM waveform fingerprints within a few Hamming bits of
+    the WAV original — the decode_audio_any contract equivalence."""
+    import pytest as _pt
+
+    if not multimodal.pyav_available():
+        _pt.skip("pyav not installed in this environment")
+    import io as _io
+
+    import av
+    import numpy as np
+
+    from kusto_pre_forge_spark.operators import mediacodec as mc
+
+    rate, n = 8000, 8000
+    t = np.arange(n) / rate
+    wave = (0.5 * np.sin(2 * np.pi * 440 * t) * (t < 0.5)).astype(np.float32)
+    buf = _io.BytesIO()
+    with av.open(buf, "w", format="mp3") as out:
+        stream = out.add_stream("mp3", rate=rate)
+        frame = av.AudioFrame.from_ndarray(
+            wave[None, :], format="flt", layout="mono"
+        )
+        frame.sample_rate = rate
+        for pkt in stream.encode(frame):
+            out.mux(pkt)
+        for pkt in stream.encode(None):
+            out.mux(pkt)
+    mp3 = buf.getvalue()
+    r, ch, samples = multimodal.decode_audio_any(mp3)
+    assert r == rate and len(samples) > n // 2
+    wav = mc.encode_wav(rate, [int(x * 32767) for x in wave])
+    df = spark.createDataFrame(
+        [(1, wav), (2, mp3)], "doc_id long, blob binary"
+    )
+    fps = {row.doc_id: row.afp for row in multimodal.audio_fingerprint(df).collect()}
+    assert fps[1] is not None and fps[2] is not None
+    ham = bin((fps[1] ^ fps[2]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 8, ham

@@ -431,3 +431,47 @@ def test_route_pdf_documents_surfaces_unparsed(spark, tmp_path):
         for r in P.route_pdf_documents(parsed).collect()
     }
     assert bare == {"ok.pdf"}
+
+
+def test_rc4_blank_user_password_decrypts():
+    """Owner-password-only PDFs (blank user password — the common
+    restriction case) decrypt through the standard handler's RC4 paths:
+    R2 (V1/40-bit), R3 (V2/128-bit), and R4 (V4 crypt filter /CFM /V2).
+    The encryptor is the oracle: extraction must equal the plaintext
+    forge's, byte for byte."""
+    pages = ["Restricted but readable\nline 2", "Page 2: café € ✓"]
+    plain = P.extract_pdf_pages(P.pdf_bytes(pages))
+    for r in (2, 3, 4):
+        doc = P.pdf_bytes_encrypted(pages, r=r)
+        assert P._is_encrypted(doc)
+        assert P.pdf_encryption(doc) == "decryptable"
+        assert P.extract_pdf_pages(doc) == plain, f"r={r}"
+        infos = P.extract_pdf_page_infos(doc)
+        assert [i["text"] for i in infos] == plain
+
+
+def test_aes_and_real_user_password_refuse_by_name():
+    pages = ["won't decrypt"]
+    aes = P.pdf_bytes_encrypted(pages, r=4, aes_marker=True)
+    with pytest.raises(NotImplementedError, match="AESV2"):
+        P.extract_pdf_pages(aes, errors="strict")
+    assert P.extract_pdf_pages(aes) == []  # skip mode: quarantine
+    assert "AESV2" in P.pdf_encryption(aes)
+    # a real (non-blank) user password: the /U check fails → refusal
+    doc = P.pdf_bytes_encrypted(pages, r=3)
+    import re as _re
+
+    m = _re.search(rb"/U <([0-9a-f]+)>", doc)
+    wrong_u = b"0123456789abcdef" * (len(m.group(1)) // 16)
+    flipped = doc[: m.start(1)] + wrong_u + doc[m.end(1):]
+    with pytest.raises(NotImplementedError, match="user password"):
+        P.extract_pdf_pages(flipped, errors="strict")
+    assert P.extract_pdf_pages(flipped) == []
+    assert "user password" in P.pdf_encryption(flipped)
+
+
+def test_rc4_known_vector():
+    # public RC4 test vectors (Key/Plaintext from the original
+    # cypherpunks posting, reproduced in RFC 6229 era docs)
+    assert P._rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    assert P._rc4(b"Wiki", b"pedia").hex() == "1021bf0420"

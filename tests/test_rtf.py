@@ -74,3 +74,10 @@ def test_front_door_routes_rtf():
     kind, text = A.extract_auto(R.rtf_bytes("front door prose"))
     assert (kind, text) == ("rtf", "front door prose")
     assert A.sniff_format(b"{\\rtf1\\ansi hi}") == "rtf"
+
+
+def test_uc_skip_resets_at_group_close():
+    # \uN's fallback-skip protocol is GROUP-scoped: a \u escape that
+    # ends its group must not swallow the first char after `}`
+    doc = b"{\\rtf1\\ansi A{\\uc1 \\u8364}B}"
+    assert R.extract_rtf_text(doc)[0] == "A€B"

@@ -151,3 +151,51 @@ def test_streaming_webdataset_ingest(spark, tmp_path):
         for r in A.read_text_auto_stream(spark, out + "/*/*.tar").collect()
     }
     assert back2 == back
+
+
+def test_webdataset_byte_cap_bounds_shards(spark, tmp_path):
+    """Byte-capped layout (the default): no shard's text payload exceeds
+    the cap unless a single document alone does; an oversized document
+    still lands (in its own shard) rather than erroring."""
+    docs = [(i, "x" * (500 + 100 * (i % 7))) for i in range(30)]
+    docs.append((999, "B" * 20_000))  # one doc >> cap
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = str(tmp_path / "wds_bytes")
+    man = write_webdataset(
+        df, out, max_bytes_per_shard=4096, num_buckets=4
+    ).collect()
+    assert sum(r.n_members for r in man) == 31
+    by_shard = {}
+    for p in sorted(glob.glob(out + "/shard-*.tar")):
+        with tarfile.open(p) as tf:
+            by_shard[p] = [len(tf.extractfile(m).read()) for m in tf]
+    for p, sizes in by_shard.items():
+        # cap-and-seal (floor(cum_before/cap)): a record STARTING below
+        # the boundary joins the shard, so overflow is at most the last
+        # record — everything before it must fit under the cap
+        assert sum(sizes[:-1]) < 4096, (p, sizes)
+    # the giant doc SEALS its shard (anything after it starts past the
+    # boundary) — it is always its shard's last member
+    assert any(sizes[-1] == 20_000 for sizes in by_shard.values())
+    assert not any(
+        20_000 in sizes[:-1] for sizes in by_shard.values()
+    )
+    # byte-identical replay still holds under the byte cap
+    first = {p: open(p, "rb").read() for p in by_shard}
+    write_webdataset(df, out, max_bytes_per_shard=4096, num_buckets=4).collect()
+    for p, body in first.items():
+        assert open(p, "rb").read() == body
+
+
+def test_webdataset_joint_caps(spark, tmp_path):
+    """Both caps at once: each record charges >= byte_cap/member_cap, so
+    shards can exceed NEITHER the byte cap nor the member cap."""
+    docs = [(i, "y" * 10) for i in range(64)]  # tiny docs → member cap binds
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = str(tmp_path / "wds_joint")
+    man = write_webdataset(
+        df, out, max_bytes_per_shard=8192, max_members_per_shard=5,
+        num_buckets=4,
+    ).collect()
+    assert sum(r.n_members for r in man) == 64
+    assert all(r.n_members <= 5 for r in man)
