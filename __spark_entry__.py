@@ -3286,6 +3286,56 @@ def _q_code_quality(spark, sf):
     return cs.code_quality(_code_corpus_frame(spark, sf))
 
 
+def _q_code_license_gate(spark, sf):
+    """The Stack's release rule end-to-end (round-12): a forged code
+    corpus rotates its SPDX header by doc_id % 5 (MIT / Apache-2.0 /
+    GPL-3.0-only / none / BSD-3-Clause); ``license_gate`` keeps the
+    permissive slice and ``license_attribution`` accounts for every
+    license — kept AND excluded — with exact doc/byte counts for the
+    datacard. The result joins both: per license, the attribution row
+    plus how many docs survived the gate (n_docs when allowed, else 0
+    — the join pins gate and attribution against each other). One
+    codegen projection + two tiny aggregates + one broadcast join."""
+    from kusto_pre_forge_spark.operators import codestats as cs
+
+    did = F.col("doc_id").cast("long")
+    lic = (
+        F.when(did % 5 == 0, "MIT")
+        .when(did % 5 == 1, "Apache-2.0")
+        .when(did % 5 == 2, "GPL-3.0-only")
+        .when(did % 5 == 3, F.lit(None).cast("string"))
+        .otherwise("BSD-3-Clause")
+    )
+    content = F.concat(
+        F.when(
+            lic.isNotNull(),
+            F.concat(F.lit("// SPDX-License-Identifier: "), lic, F.lit("\n")),
+        ).otherwise(F.lit("")),
+        F.lit("int main() { return "),
+        did.cast("string"),
+        F.lit("; }\n"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 240),
+    )
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    corpus = _widen_for_fanout(load_table(spark, sf, "documents")).select(
+        did.alias("doc_id"), content.alias("content")
+    )
+    attr = cs.license_attribution(corpus)
+    gated = (
+        cs.license_gate(corpus)
+        .groupBy(F.col("spdx_license_id").alias("license"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gated"))
+    )
+    return attr.join(F.broadcast(gated), "license", "left").select(
+        "license",
+        "allowed",
+        "n_docs",
+        "n_bytes",
+        F.coalesce(F.col("n_gated"), F.lit(0).cast("long")).alias("n_gated"),
+    )
+
+
 def _q_corpus_code_attribution(spark, sf):
     """Per-(language, rule) attribution for the code-quality rules —
     gopher/c4 attribution's code twin: n_fail and n_fail_only per rule,
@@ -7566,7 +7616,7 @@ def _kqltext_tables(spark, sf):
 
     return {
         t: load_table(spark, sf, t)
-        for t in ("lineitem", "orders", "events")
+        for t in ("lineitem", "orders", "events", "customer")
     }
 
 
@@ -7604,6 +7654,36 @@ def _q_kqltext_pipeline(spark, sf):
         "| summarize n=count(), total=round(sum(o_totalprice), 2) "
         "by Bucket, Cls\n"
         "| sort by Bucket asc, Cls asc"
+    )
+    return run_kql(spark, q, _kqltext_tables(spark, sf))
+
+
+def _q_kqltext_plugins(spark, sf):
+    """The evaluate-plugin family through the TEXT parser (round-12
+    ask #7): tabular lets forge a CIDR block table and a zone dimension
+    with `range`, ``evaluate ipv4_lookup`` annotates each customer's
+    synthetic IP by broadcast non-equi containment, and the ``lookup``
+    operator joins the dimension with the library's explicit broadcast
+    hint. Oracle is the containment arithmetic closed-form (/16 blocks
+    at second octets 0,25,…,175). The fact side never shuffles before
+    the final aggregate."""
+    from kusto_pre_forge_spark.operators.kqltext import run_kql
+
+    q = (
+        "let Blocks = range i from 0 to 7 step 1\n"
+        "  | extend network=strcat('10.', tostring(i * 25), '.0.0/16'),"
+        " zone_id=i\n"
+        "  | project network, zone_id;\n"
+        "let Zones = range z from 0 to 7 step 1\n"
+        "  | extend zone_id=z, zone_name=strcat('zone-', tostring(z))\n"
+        "  | project zone_id, zone_name;\n"
+        "customer\n"
+        "| extend ip = strcat('10.', tostring(c_custkey % 200), '.',"
+        " tostring(c_nationkey), '.7')\n"
+        "| evaluate ipv4_lookup(Blocks, ip)\n"
+        "| lookup kind=inner Zones on zone_id\n"
+        "| summarize n=count() by zone_name\n"
+        "| sort by zone_name asc"
     )
     return run_kql(spark, q, _kqltext_tables(spark, sf))
 
@@ -7842,6 +7922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hash_embedding": _q_text_hash_embedding,
         "kqltext_q1": _q_kqltext_q1,
         "kqltext_pipeline": _q_kqltext_pipeline,
+        "kqltext_plugins": _q_kqltext_plugins,
         "kqltext_dynamic": _q_kqltext_dynamic,
         "kqltext_mvapply": _q_kqltext_mvapply,
         "kqltext_show_policy": _q_kqltext_show_policy,
@@ -7864,6 +7945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter_attribution": _q_corpus_filter_attribution,
         "corpus_c4_attribution": _q_corpus_c4_attribution,
         "code_quality": _q_code_quality,
+        "code_license_gate": _q_code_license_gate,
         "corpus_code_attribution": _q_corpus_code_attribution,
         "text_oov_rate": _q_text_oov_rate,
         "text_char_entropy": _q_text_char_entropy,
@@ -10073,6 +10155,31 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter_attribution": _gopher_attribution_oracle_sql(),
         "corpus_c4_attribution": _c4_attribution_oracle_sql(),
         "code_quality": _code_quality_oracle_sql(),
+        "code_license_gate": (
+            # closed-form replay of the %5 license rotation: per license
+            # (NULL → NOASSERTION) the allow-list verdict, exact doc/byte
+            # counts, and the gate survivor count (n_docs iff allowed)
+            "WITH corpus AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CASE doc_id % 5 WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0' "
+            "WHEN 2 THEN 'GPL-3.0-only' WHEN 3 THEN NULL "
+            "ELSE 'BSD-3-Clause' END AS lic, "
+            "'int main() { return ' || doc_id || '; }' || chr(10) || "
+            "substr(COALESCE(text, ''), 1, 240) AS body FROM documents), "
+            "sized AS (SELECT lic, CASE WHEN lic IS NULL THEN 0 "
+            "ELSE octet_length(encode('// SPDX-License-Identifier: ' || lic)) + 1 "
+            "END + octet_length(encode(body)) AS b FROM corpus) "
+            "SELECT COALESCE(lic, 'NOASSERTION') AS license, "
+            "COALESCE(lic IN ('MIT', 'Apache-2.0', 'BSD-2-Clause', "
+            "'BSD-3-Clause', 'ISC', 'Unlicense', '0BSD', 'CC0-1.0', "
+            "'Zlib', 'MIT-0'), FALSE) AS allowed, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(b) AS BIGINT) AS n_bytes, "
+            "CAST(CASE WHEN COALESCE(lic IN ('MIT', 'Apache-2.0', "
+            "'BSD-2-Clause', 'BSD-3-Clause', 'ISC', 'Unlicense', '0BSD', "
+            "'CC0-1.0', 'Zlib', 'MIT-0'), FALSE) THEN count(*) ELSE 0 END "
+            "AS BIGINT) AS n_gated "
+            "FROM sized GROUP BY lic"
+        ),
         "corpus_code_attribution": _code_attribution_oracle_sql(),
         "kql_evaluate_python": (
             "SELECT event_id, round(value * 2.0 + event_id % 10, 6) AS score "
@@ -11703,6 +11810,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT Bucket, Cls, COUNT(*) AS n, "
             "round(SUM(o_totalprice), 2) AS total FROM f "
             "GROUP BY Bucket, Cls"
+        ),
+        "kqltext_plugins": (
+            # /16 containment closed-form: ip second octet c_custkey%200
+            # matches block octet i*25 exactly when %25==0 and <=175
+            "WITH m AS (SELECT c_custkey % 200 AS oct2 FROM customer "
+            "WHERE c_custkey % 200 <= 175 AND c_custkey % 25 = 0) "
+            "SELECT 'zone-' || CAST(oct2 // 25 AS BIGINT) AS zone_name, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1"
         ),
         "kqltext_dynamic": (
             # todynamic(props).k coerced by toint == JSON int extract;

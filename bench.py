@@ -159,6 +159,8 @@ HEADLINE = [
     "layout_compact_roundtrip",
     "corpus_pack_materialize",
     "pipeline_pdf_decrypt",
+    "code_license_gate",
+    "kqltext_plugins",
     "corpus_version_diff",
     "corpus_datacard",
     "epub_text_extract",

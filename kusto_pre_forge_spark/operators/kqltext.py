@@ -763,31 +763,111 @@ class _Parser:
         )
 
     def _op_evaluate(self, df):
-        """``| evaluate pivot(PivotCol, agg(AggCol) [, GroupCol…])`` —
-        the one evaluate plugin the grammar runs (others raise loudly);
-        maps to kql.pivot_kql's single conditional-aggregate plan."""
+        """``| evaluate <plugin>(…)`` — the plugin family, each bound to
+        the library's deterministic implementation (others raise loudly
+        naming the plugin):
+
+        - ``pivot(PivotCol, agg(AggCol) [, GroupCol…])`` →
+          kql.pivot_kql's single conditional-aggregate plan;
+        - ``basket([Threshold])`` → kql.basket_frequent over ALL input
+          columns (the exact variant of Kusto's sampled Apriori);
+        - ``autocluster([Threshold])`` → kql.autocluster over all
+          columns;
+        - ``diffpatterns(SplitCol, ValueA, ValueB [, Threshold])`` →
+          kql.diffpatterns, pattern columns = everything but SplitCol;
+        - ``ipv4_lookup(LookupTable, IpCol [, CidrCol])`` →
+          kql.ipv4_lookup's broadcast non-equi containment join."""
         t = self.eat("ident")
-        if t.val != "pivot":
-            raise KqlSyntaxError(
-                f"unsupported evaluate plugin {t.val!r} at offset {t.pos}"
+        if t.val == "pivot":
+            self.eat("punct", "(")
+            pivot_col = self.eat("ident").val
+            self.eat("punct", ",")
+            agg_name = self.eat("ident").val
+            self.eat("punct", "(")
+            agg_col = self.eat("ident").val
+            self.eat("punct", ")")
+            groups = None
+            if self.at("punct", ","):
+                groups = []
+                while self.at("punct", ","):
+                    self.next()
+                    groups.append(self.eat("ident").val)
+            self.eat("punct", ")")
+            return K.pivot_kql(
+                df, pivot_col, agg_col, agg=agg_name, group_cols=groups
             )
-        self.eat("punct", "(")
-        pivot_col = self.eat("ident").val
-        self.eat("punct", ",")
-        agg_name = self.eat("ident").val
-        self.eat("punct", "(")
-        agg_col = self.eat("ident").val
-        self.eat("punct", ")")
-        groups = None
-        if self.at("punct", ","):
-            groups = []
-            while self.at("punct", ","):
+        if t.val in ("basket", "autocluster"):
+            self.eat("punct", "(")
+            threshold = 0.05 if t.val == "basket" else 0.1
+            if not self.at("punct", ")"):
+                threshold = float(_lit_value(self.parse_expr()))
+            self.eat("punct", ")")
+            if t.val == "basket":
+                return K.basket_frequent(
+                    df, list(df.columns), min_support=threshold
+                )
+            return K.autocluster(df, list(df.columns), min_support=threshold)
+        if t.val == "diffpatterns":
+            self.eat("punct", "(")
+            split_col = self.eat("ident").val
+            self.eat("punct", ",")
+            value_a = _lit_value(self.parse_expr())
+            self.eat("punct", ",")
+            value_b = _lit_value(self.parse_expr())
+            threshold = 0.05
+            if self.at("punct", ","):
                 self.next()
-                groups.append(self.eat("ident").val)
-        self.eat("punct", ")")
-        return K.pivot_kql(
-            df, pivot_col, agg_col, agg=agg_name, group_cols=groups
+                threshold = float(_lit_value(self.parse_expr()))
+            self.eat("punct", ")")
+            cols = [c for c in df.columns if c != split_col]
+            return K.diffpatterns(
+                df, cols, split_col, value_a, value_b, min_support=threshold
+            )
+        if t.val == "ipv4_lookup":
+            self.eat("punct", "(")
+            lk = self._parse_source()
+            self.eat("punct", ",")
+            ip_col = self.eat("ident").val
+            cidr_col = "network"
+            if self.at("punct", ","):
+                self.next()
+                cidr_col = self.eat("ident").val
+            self.eat("punct", ")")
+            return K.ipv4_lookup(df, lk, ip_col, cidr_col=cidr_col)
+        raise KqlSyntaxError(
+            f"unsupported evaluate plugin {t.val!r} at offset {t.pos}"
         )
+
+    def _op_lookup(self, df):
+        """``| lookup [kind=leftouter] (DimTable) on Key[, …]`` — the
+        dimension-join operator, bound to kql.lookup's explicit
+        broadcast-hint plan (KQL defines lookup for small right sides;
+        the fact side never shuffles). Common-key ``on`` form only —
+        the $left/$right form belongs to ``join``."""
+        kind = "leftouter"
+        if self.at_ident("kind"):
+            self.next()
+            self.eat("punct", "=")
+            kind = self.eat("ident").val
+            if kind not in ("leftouter", "inner"):
+                raise KqlSyntaxError(
+                    f"lookup supports kind=leftouter|inner, got {kind!r}"
+                )
+        dim = self._parse_source()
+        self.eat("ident", "on")
+        on = []
+        while True:
+            if self.at("punct", "$"):
+                raise KqlSyntaxError(
+                    "lookup takes common-key `on Col` terms; use join "
+                    "for the $left.x == $right.y form"
+                )
+            on.append(self.eat("ident").val)
+            if self.at("punct", ","):
+                self.next()
+                continue
+            break
+        return K.lookup(df, dim, on, kind=kind)
 
     def _op_union(self, df):
         """``| union T1[, T2…]`` — the right operand is a SOURCE (table

@@ -267,8 +267,11 @@ def test_catalyst_sees_through_the_parser(spark, t):
 def test_loud_failures(spark, t):
     with pytest.raises(KqlSyntaxError, match="unsupported"):
         run_kql(spark, "Events | evaluate python(1)", t)
+    # lookup is bound (round-12) — an unknown dim table still refuses
+    with pytest.raises(KqlSyntaxError, match="unknown table"):
+        run_kql(spark, "Events | lookup something on Id", t)
     with pytest.raises(KqlSyntaxError, match="unsupported operator"):
-        run_kql(spark, "Events | lookup something", t)
+        run_kql(spark, "Events | facet by Level", t)
     with pytest.raises(KqlSyntaxError, match="unsupported function"):
         run_kql(spark, "Events | extend x = no_such_fn(1)", t)
     with pytest.raises(KqlSyntaxError, match="unknown table"):
@@ -603,3 +606,76 @@ def test_rand_n_is_discrete_integer_valued(spark, t):
     vals = {v for (v,) in rows}
     assert vals <= {0.0, 1.0, 2.0}
     assert len(vals) > 1  # actually uniform-ish, not constant
+
+
+def test_evaluate_plugin_family_and_lookup(spark, t):
+    """The plugin family binds to the library implementations: basket /
+    autocluster / diffpatterns / ipv4_lookup, plus the lookup operator
+    (broadcast dimension join); unbound plugins still refuse loudly."""
+    rows = [
+        ("web", "us", "10.0.0.5"),
+        ("web", "us", "10.0.0.9"),
+        ("web", "eu", "192.168.1.3"),
+        ("db", "us", "10.0.0.7"),
+    ]
+    traffic = spark.createDataFrame(
+        rows, "svc string, region string, ip string"
+    )
+    cidrs = spark.createDataFrame(
+        [("10.0.0.0/24", "corp"), ("192.168.0.0/16", "lab")],
+        "network string, zone string",
+    )
+    tables = dict(t, Traffic=traffic, Cidrs=cidrs)
+    # basket: (svc=web) support 3/4, (svc=web, region=us) 2/4 …
+    out = run_kql(
+        spark,
+        "Traffic | project svc, region | evaluate basket(0.5)",
+        tables,
+    ).collect()
+    itemsets = {r[0] for r in out}
+    assert "svc=web" in itemsets and "region=us" in itemsets
+    # autocluster: top segments over the two columns
+    seg = run_kql(
+        spark,
+        "Traffic | project svc, region | evaluate autocluster(0.5)",
+        tables,
+    )
+    assert {"svc", "region"} <= set(seg.columns)
+    assert seg.count() >= 1
+    # diffpatterns: cohorts by region us vs eu over svc
+    dp = run_kql(
+        spark,
+        "Traffic | project svc, region "
+        "| evaluate diffpatterns(region, 'us', 'eu')",
+        tables,
+    ).collect()
+    bysvc = {r["svc"]: r for r in dp if r["svc"] is not None}
+    assert bysvc["db"]["count_a"] == 1 and bysvc["db"]["count_b"] == 0
+    # ipv4_lookup: CIDR containment annotation (broadcast non-equi)
+    ipl = run_kql(
+        spark,
+        "Traffic | evaluate ipv4_lookup(Cidrs, ip) "
+        "| summarize n=count() by zone | sort by zone asc",
+        tables,
+    ).collect()
+    assert [(r["zone"], r["n"]) for r in ipl] == [("corp", 3), ("lab", 1)]
+    # lookup operator: dimension join with broadcast hint
+    dim = spark.createDataFrame(
+        [("web", "frontline"), ("db", "stateful")], "svc string, tier string"
+    )
+    lk = run_kql(
+        spark,
+        "Traffic | lookup (Dim) on svc | summarize n=count() by tier "
+        "| sort by tier asc",
+        dict(tables, Dim=dim),
+    ).collect()
+    assert [(r["tier"], r["n"]) for r in lk] == [("frontline", 3), ("stateful", 1)]
+    # bare-table-name right side + kind=inner
+    lk2 = run_kql(
+        spark, "Traffic | lookup kind=inner Dim on svc | count",
+        dict(tables, Dim=dim),
+    ).collect()
+    assert lk2[0][0] == 4
+    # still-unbound plugins refuse loudly by name
+    with pytest.raises(KqlSyntaxError, match="narrow"):
+        run_kql(spark, "Traffic | evaluate narrow()", tables)
