@@ -5555,6 +5555,46 @@ def _q_multimodal_image_dhash_gif(spark, sf):
     )
 
 
+def _q_multimodal_image_dhash_webp(spark, sf):
+    """Perceptual dHash over REAL decoded WebP (round-12 ask #1): the
+    dependency-free VP8L decoder (operators/webp.py — prefix codes,
+    LZ77, color cache, all four transforms) feeds the same dedup
+    family as PNG/GIF/JPEG. The forge writes lossless VP8L, so the
+    analytic oracle is exact with zero quantization margin: even docs
+    a strict horizontal gradient (hash −1), odd docs a constant fill
+    (hash 0) — the GIF pattern, swapping only the container."""
+    from kusto_pre_forge_spark.operators import multimodal
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id")
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        from kusto_pre_forge_spark.operators import webp
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 18, 8
+                if i % 2 == 0:
+                    row = bytes(x * 14 for x in range(w))
+                else:
+                    row = bytes([(i * 17) % 256]) * w
+                blobs.append(webp.encode_webp_vp8l(w, h, 1, row * h))
+                ids.append(i)
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    return multimodal.image_dhash(blobs).select(
+        "doc_id", "dhash", "width", "height"
+    )
+
+
 def _q_multimodal_gif_dhash(spark, sf):
     """Per-frame dHash over REAL animated-GIF decode with a
     transparency-sensitive fixture: frame 0 is a gradient (dhash -1),
@@ -8087,6 +8127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_dhash_jpeg": _q_multimodal_image_dhash_jpeg,
         "multimodal_image_dhash_tiff": _q_multimodal_image_dhash_tiff,
         "multimodal_image_dhash_gif": _q_multimodal_image_dhash_gif,
+        "multimodal_image_dhash_webp": _q_multimodal_image_dhash_webp,
         "multimodal_video_dhash": _q_multimodal_video_dhash,
         "multimodal_gif_dhash": _q_multimodal_gif_dhash,
         "multimodal_dedup_pairs": _q_multimodal_dedup_pairs,
@@ -13189,6 +13230,15 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_dhash_gif": (
             # GIF decode is lossless, so the same ground truth holds with
             # zero tolerance: gradient -> -1, constant -> 0
+            "SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE 0 END AS BIGINT) AS dhash, "
+            "CAST(18 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height "
+            "FROM documents WHERE doc_id < 80"
+        ),
+        "multimodal_image_dhash_webp": (
+            # VP8L decode is lossless, so the GIF ground truth holds
+            # bit-for-bit in the WebP container too: gradient -> -1,
+            # constant -> 0
             "SELECT doc_id, "
             "CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE 0 END AS BIGINT) AS dhash, "
             "CAST(18 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height "

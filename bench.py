@@ -161,6 +161,7 @@ HEADLINE = [
     "pipeline_pdf_decrypt",
     "code_license_gate",
     "kqltext_plugins",
+    "multimodal_image_dhash_webp",
     "corpus_version_diff",
     "corpus_datacard",
     "epub_text_extract",

@@ -2094,7 +2094,7 @@ def encode_pnm(width: int, height: int, pixels: bytes, channels: int = 3) -> byt
     return magic + f"\n{width} {height}\n255\n".encode() + pixels
 
 
-IMAGE_KINDS = ("png", "jpeg", "gif", "bmp", "tiff", "pnm")
+IMAGE_KINDS = ("png", "jpeg", "gif", "bmp", "tiff", "pnm", "webp")
 
 
 def decode_image(raw: bytes):
@@ -2115,6 +2115,12 @@ def decode_image(raw: bytes):
         return decode_tiff(raw)
     if kind == "pnm":
         return decode_pnm(raw)
+    if kind == "webp":
+        # VP8L lossless decodes dependency-free (operators/webp.py);
+        # lossy VP8 refuses inside naming the pyav hatch
+        from kusto_pre_forge_spark.operators.webp import decode_webp
+
+        return decode_webp(raw)
     raise ValueError(f"not a decodable image container (kind={kind})")
 
 
@@ -2478,3 +2484,28 @@ def parse_ogg_header(raw: bytes):
 
 
 _PROBES = _PROBES + (parse_flac_header, parse_mp3_header, parse_ogg_header)
+
+
+def parse_webp_probe(raw: bytes):
+    """RIFF/WEBP header probe — delegates to operators/webp.py (the
+    VP8L codec module); registered last so RIFF 'WAVE'/'AVI ' never
+    collide (different FourCCs)."""
+    from kusto_pre_forge_spark.operators.webp import parse_webp_header
+
+    return parse_webp_header(raw)
+
+
+_PROBES = _PROBES + (parse_webp_probe,)
+
+
+def decodable_image(raw: bytes) -> bool:
+    """True when :func:`decode_image` will return pixels for this blob —
+    the soft-path guard the hash/feature operators use (a lossy-VP8
+    WebP is an image by kind but decodes only through the pyav hatch,
+    so it must take the NULL-row path, not crash the task)."""
+    kind = probe_bytes(raw)["media_kind"]
+    if kind == "webp":
+        from kusto_pre_forge_spark.operators.webp import webp_flavor
+
+        return webp_flavor(raw) == "lossless"
+    return kind in IMAGE_KINDS

@@ -200,7 +200,7 @@ def decode_image_features(
                 raw = bytes(blob)
                 hdr = mediacodec.probe_bytes(raw)
                 kind = hdr["media_kind"]
-                if kind in mediacodec.IMAGE_KINDS:
+                if mediacodec.decodable_image(raw):
                     w, h, ch, px = mediacodec.decode_image(raw)
                     n = w * h
                     means = [
@@ -688,7 +688,7 @@ def image_dhash(
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 raw = bytes(blob)
                 hdr = mediacodec.probe_bytes(raw)
-                if hdr["media_kind"] in mediacodec.IMAGE_KINDS:
+                if mediacodec.decodable_image(raw):
                     w, h, ch, pix = mediacodec.decode_image(raw)
                 else:
                     rows.append(
@@ -779,7 +779,7 @@ def image_phash(
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 raw = bytes(blob)
                 hdr = mediacodec.probe_bytes(raw)
-                if hdr["media_kind"] not in mediacodec.IMAGE_KINDS:
+                if not mediacodec.decodable_image(raw):
                     rows.append(
                         {
                             "doc_id": int(doc_id),

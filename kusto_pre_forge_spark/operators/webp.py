@@ -1,0 +1,783 @@
+"""WebP (VP8L lossless) codec — dependency-free, from the public WebP
+Lossless Bitstream Specification (the same class of work as the GIF LZW
+and PNG inflate decoders in ``mediacodec``). WebP is the most common
+post-2015 crawl image format after JPEG; without this branch the whole
+perceptual-hash dedup family (``image_dhash``/``image_phash``/
+``hamming_pairs``) is blind to it.
+
+Scope: the LOSSLESS stream ('VP8L' chunk, incl. inside a 'VP8X'
+extended container) decodes fully — prefix codes (simple + code-length
+coded, max-symbol form), meta prefix-code tiling, LZ77 backward
+references with the 120-entry 2D distance map, the color cache, and all
+four transforms (predictor ×14 modes, cross-color, subtract-green,
+color-indexing with sub-pixel bundling). LOSSY streams ('VP8 ' chunk)
+route to the pyav import-try hatch with a loud refusal naming it — a
+DCT video-intra decoder is pyav's job, not stdlib arithmetic.
+
+The encoder (:func:`encode_webp_vp8l`) is the fixture forge AND the
+roundtrip oracle: literal-only coding, no transforms, package-merge
+depth-limited canonical codes — every byte it writes exercises the
+decoder's prefix-code reader (simple, code-length, and max-symbol
+paths).
+
+Parity note: the reference (microsoft/kusto-pre-forge, EtlRun.cs:87-89)
+declares no image handling at all — this is extension surface for the
+LLM-data pipeline (multimodal dedup over crawl images).
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ------------------------------------------------------------- bit I/O
+# VP8L bit order: bits fill bytes LSB-first; prefix-code bits are read
+# one at a time, first-read bit = MSB of the canonical code (the
+# DEFLATE convention).
+
+
+class _BitReader:
+    __slots__ = ("val", "nbits", "pos")
+
+    def __init__(self, data: bytes):
+        self.val = int.from_bytes(data, "little")
+        self.nbits = 8 * len(data)
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > self.nbits:
+            raise ValueError("VP8L bitstream truncated")
+        v = (self.val >> self.pos) & ((1 << n) - 1)
+        self.pos += n
+        return v
+
+
+class _BitWriter:
+    __slots__ = ("out", "cur", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.n = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.cur |= (value & ((1 << n) - 1)) << self.n
+        self.n += n
+        while self.n >= 8:
+            self.out.append(self.cur & 0xFF)
+            self.cur >>= 8
+            self.n -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        """Canonical prefix code: MSB first, one bit at a time."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        if self.n:
+            self.out.append(self.cur & 0xFF)
+            self.cur, self.n = 0, 0
+        return bytes(self.out)
+
+
+# ------------------------------------------- canonical prefix codes
+
+
+class _PrefixCode:
+    """Canonical (RFC 1951-style) prefix code from code lengths; decode
+    reads one bit at a time, first bit = MSB (zlib's incremental walk).
+    A single-symbol code decodes with ZERO bits read (the spec's
+    length-0 convention)."""
+
+    __slots__ = ("counts", "offsets", "symbols", "single")
+
+    def __init__(self, lengths: list[int]):
+        nz = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
+        if not nz:
+            raise ValueError("prefix code with no symbols")
+        if len(nz) == 1:
+            self.single = nz[0][1]
+            return
+        self.single = None
+        max_len = max(ln for ln, _ in nz)
+        counts = [0] * (max_len + 1)
+        for ln, _ in nz:
+            counts[ln] += 1
+        # Kraft completeness: an over/under-subscribed code is corrupt
+        total = 0
+        for ln in range(1, max_len + 1):
+            total = (total << 1) + counts[ln]
+        if total != (1 << max_len):
+            raise ValueError("invalid prefix code (Kraft violation)")
+        nz.sort()
+        self.counts = counts
+        self.symbols = [s for _, s in nz]
+        offs = [0] * (max_len + 1)
+        acc = 0
+        for ln in range(1, max_len + 1):
+            offs[ln] = acc
+            acc += counts[ln]
+        self.offsets = offs
+
+    def decode(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        first = 0
+        for ln in range(1, len(self.counts)):
+            code = (code << 1) | br.read(1)
+            cnt = self.counts[ln]
+            if code - first < cnt:
+                return self.symbols[self.offsets[ln] + code - first]
+            first = (first + cnt) << 1
+        raise ValueError("invalid prefix-code bits")
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), RFC 1951 canonical assignment."""
+    nz = sorted((ln, s) for s, ln in enumerate(lengths) if ln > 0)
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for ln, s in nz:
+        code <<= ln - prev_len
+        codes[s] = (code, ln)
+        code += 1
+        prev_len = ln
+    return codes
+
+
+def _package_merge(freqs: dict[int, int], max_len: int) -> list[int]:
+    """Depth-limited optimal code lengths (package-merge). Returns a
+    full lengths list over max(symbol)+1 entries (0 = unused)."""
+    syms = sorted(freqs)
+    n = len(syms)
+    size = (max(syms) + 1) if syms else 0
+    lengths = [0] * size
+    if n == 1:
+        lengths[syms[0]] = 1
+        return lengths
+    # packages: list of (weight, {sym: count}) built level by level
+    level: list[tuple[int, dict]] = []
+    for _ in range(max_len):
+        items = [(freqs[s], {s: 1}) for s in syms]
+        merged: list[tuple[int, dict]] = []
+        pool = sorted(items + level, key=lambda x: x[0])
+        for i in range(0, len(pool) - 1, 2):
+            w = pool[i][0] + pool[i + 1][0]
+            d: dict = {}
+            for src in (pool[i][1], pool[i + 1][1]):
+                for k, v in src.items():
+                    d[k] = d.get(k, 0) + v
+            merged.append((w, d))
+        level = merged
+    level.sort(key=lambda x: x[0])
+    active = {}
+    for _, d in level[: n - 1]:
+        for k, v in d.items():
+            active[k] = active.get(k, 0) + v
+    for s in syms:
+        lengths[s] = active.get(s, 0)
+    return lengths
+
+
+# ------------------------------------------------- spec constants
+
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+#: 2D LZ77 distance map (spec "plane codes"): the COMPLETE neighborhood
+#: dy in 0..7, dx in -7..8 (dy>0, or dy==0 with dx>0 — 120 offsets
+#: exactly), ordered by squared euclidean distance, ties broken larger
+#: dy first, then larger dx. This reproduces the spec's 120-entry table
+#: algorithmically; dist_code > 120 means a plain linear distance.
+_DIST_MAP = sorted(
+    (
+        (dx, dy)
+        for dy in range(8)
+        for dx in range(-7, 9)
+        if dy > 0 or dx > 0
+    ),
+    key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -p[0]),
+)
+assert len(_DIST_MAP) == 120
+
+_GREEN_BASE = 256
+_N_LENGTH = 24
+_N_DIST = 40
+
+
+def _lz77_value(prefix: int, br: _BitReader) -> int:
+    """Length/distance prefix symbol -> value (spec LZ77 prefix coding)."""
+    if prefix < 4:
+        return prefix + 1
+    extra = (prefix - 2) >> 1
+    offset = (2 + (prefix & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _dist_from_code(dist_code: int, xsize: int) -> int:
+    if dist_code > 120:
+        return dist_code - 120
+    dx, dy = _DIST_MAP[dist_code - 1]
+    return max(1, dy * xsize + dx)
+
+
+# --------------------------------------------------------- decoding
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
+    if br.read(1):  # simple code
+        num_symbols = br.read(1) + 1
+        first_8bits = br.read(1)
+        sym0 = br.read(8 if first_8bits else 1)
+        lengths = [0] * alphabet_size
+        if num_symbols == 1:
+            if sym0 >= alphabet_size:
+                raise ValueError("simple-code symbol out of range")
+            lengths[sym0] = 1  # single symbol → 0-bit decode
+        else:
+            sym1 = br.read(8)
+            if sym0 >= alphabet_size or sym1 >= alphabet_size:
+                raise ValueError("simple-code symbol out of range")
+            lengths[sym0] = 1
+            lengths[sym1] = 1
+        return _PrefixCode(lengths)
+    num_cl = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = br.read(3)
+    cl_code = _PrefixCode(cl_lengths)
+    if br.read(1):  # explicit max symbol
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = []
+    prev = 8
+    while len(lengths) < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        s = cl_code.decode(br)
+        if s < 16:
+            lengths.append(s)
+            if s:
+                prev = s
+        elif s == 16:
+            lengths.extend([prev] * (3 + br.read(2)))
+        elif s == 17:
+            lengths.extend([0] * (3 + br.read(3)))
+        else:
+            lengths.extend([0] * (11 + br.read(7)))
+    lengths = lengths[:alphabet_size]
+    lengths.extend([0] * (alphabet_size - len(lengths)))
+    return _PrefixCode(lengths)
+
+
+def _div_round_up(a: int, shift: int) -> int:
+    return (a + (1 << shift) - 1) >> shift
+
+
+def _decode_entropy_image(
+    br: _BitReader, w: int, h: int, allow_meta: bool
+) -> list[int]:
+    """One entropy-coded VP8L image (spec 'decoding image data') →
+    row-major ARGB uint32 list. ``allow_meta``: only the ARGB-role
+    image may carry a meta prefix-code tiling."""
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"bad color-cache bits {cache_bits}")
+    meta = None
+    meta_bits = 0
+    num_groups = 1
+    if allow_meta and br.read(1):
+        meta_bits = br.read(3) + 2
+        mw, mh = _div_round_up(w, meta_bits), _div_round_up(h, meta_bits)
+        meta = _decode_entropy_image(br, mw, mh, allow_meta=False)
+        num_groups = 1 + max(((p >> 8) & 0xFFFF) for p in meta)
+    green_size = _GREEN_BASE + _N_LENGTH + (1 << cache_bits if cache_bits else 0)
+    groups = []
+    for _ in range(num_groups):
+        groups.append(
+            (
+                _read_prefix_code(br, green_size),
+                _read_prefix_code(br, 256),  # red
+                _read_prefix_code(br, 256),  # blue
+                _read_prefix_code(br, 256),  # alpha
+                _read_prefix_code(br, _N_DIST),
+            )
+        )
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    cache_shift = 32 - cache_bits if cache_bits else 0
+    n = w * h
+    out = [0] * n
+    pos = 0
+    tiles_per_row = _div_round_up(w, meta_bits) if meta is not None else 0
+    group = groups[0]
+    while pos < n:
+        if meta is not None:
+            x, y = pos % w, pos // w
+            mp = meta[(y >> meta_bits) * tiles_per_row + (x >> meta_bits)]
+            group = groups[(mp >> 8) & 0xFFFF]
+        g_code, r_code, b_code, a_code, d_code = group
+        s = g_code.decode(br)
+        if s < _GREEN_BASE:
+            red = r_code.decode(br)
+            blue = b_code.decode(br)
+            alpha = a_code.decode(br)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            if cache is not None:
+                cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> cache_shift] = px
+            pos += 1
+        elif s < _GREEN_BASE + _N_LENGTH:
+            length = _lz77_value(s - _GREEN_BASE, br)
+            dist_code = _lz77_value(d_code.decode(br), br)
+            dist = _dist_from_code(dist_code, w)
+            if dist > pos or pos + length > n:
+                raise ValueError("VP8L backward reference out of range")
+            for _ in range(length):
+                px = out[pos - dist]
+                out[pos] = px
+                if cache is not None:
+                    cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> cache_shift] = px
+                pos += 1
+        else:
+            if cache is None:
+                raise ValueError("color-cache symbol without a cache")
+            out[pos] = cache[s - _GREEN_BASE - _N_LENGTH]
+            pos += 1
+    return out
+
+
+# ------------------------------------------------- inverse transforms
+
+
+def _avg2(a: int, b: int) -> int:
+    return (a + b) >> 1
+
+
+def _predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
+    """One of the 14 spatial predictors, per-channel on packed ARGB."""
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+
+    def per_channel(f) -> int:
+        out = 0
+        for sh in (24, 16, 8, 0):
+            out |= (
+                f((left >> sh) & 0xFF, (top >> sh) & 0xFF,
+                  (tl >> sh) & 0xFF, (tr >> sh) & 0xFF) & 0xFF
+            ) << sh
+        return out
+
+    if mode == 5:
+        return per_channel(lambda l, t, c, r: _avg2(_avg2(l, r), t))
+    if mode == 6:
+        return per_channel(lambda l, t, c, r: _avg2(l, c))
+    if mode == 7:
+        return per_channel(lambda l, t, c, r: _avg2(l, t))
+    if mode == 8:
+        return per_channel(lambda l, t, c, r: _avg2(c, t))
+    if mode == 9:
+        return per_channel(lambda l, t, c, r: _avg2(t, r))
+    if mode == 10:
+        return per_channel(lambda l, t, c, r: _avg2(_avg2(l, c), _avg2(t, r)))
+    if mode == 11:
+        # Select: whichever of top/left is closer to the gradient
+        pa = pb = 0
+        for sh in (24, 16, 8, 0):
+            lc = (left >> sh) & 0xFF
+            tc = (top >> sh) & 0xFF
+            cc = (tl >> sh) & 0xFF
+            pa += abs(lc - cc)
+            pb += abs(tc - cc)
+        return top if pa <= pb else left
+    if mode == 12:
+        return per_channel(
+            lambda l, t, c, r: min(255, max(0, l + t - c))
+        )
+    if mode == 13:
+        def half(l, t, c, r):
+            a = _avg2(l, t)
+            d = a - c
+            q = d // 2 if d >= 0 else -((-d) // 2)  # C trunc-toward-zero
+            return min(255, max(0, a + q))
+
+        return per_channel(half)
+    raise ValueError(f"unknown predictor mode {mode}")
+
+
+def _inv_predictor(
+    pixels: list[int], w: int, h: int, tiles: list[int], bits: int
+) -> None:
+    tiles_per_row = _div_round_up(w, bits)
+    for y in range(h):
+        for x in range(w):
+            pos = y * w + x
+            if pos == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = pixels[pos - 1]  # left
+            elif x == 0:
+                pred = pixels[pos - w]  # top
+            else:
+                mode = (
+                    tiles[(y >> bits) * tiles_per_row + (x >> bits)] >> 8
+                ) & 0xFF
+                pred = _predict(
+                    mode,
+                    pixels[pos - 1],
+                    pixels[pos - w],
+                    pixels[pos - w - 1],
+                    pixels[pos - w + 1],
+                )
+            px = pixels[pos]
+            out = 0
+            for sh in (24, 16, 8, 0):
+                out |= (((px >> sh) + (pred >> sh)) & 0xFF) << sh
+            pixels[pos] = out
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """ColorTransformDelta: signed-8bit t × signed-8bit c, >> 5."""
+    if t >= 128:
+        t -= 256
+    if c >= 128:
+        c -= 256
+    return (t * c) >> 5
+
+
+def _inv_color_transform(
+    pixels: list[int], w: int, h: int, tiles: list[int], bits: int
+) -> None:
+    tiles_per_row = _div_round_up(w, bits)
+    for y in range(h):
+        for x in range(w):
+            pos = y * w + x
+            m = tiles[(y >> bits) * tiles_per_row + (x >> bits)]
+            g2r = m & 0xFF          # blue byte
+            g2b = (m >> 8) & 0xFF   # green byte
+            r2b = (m >> 16) & 0xFF  # red byte
+            px = pixels[pos]
+            a = (px >> 24) & 0xFF
+            r = (px >> 16) & 0xFF
+            g = (px >> 8) & 0xFF
+            b = px & 0xFF
+            r = (r + _ct_delta(g2r, g)) & 0xFF
+            b = (b + _ct_delta(g2b, g) + _ct_delta(r2b, r)) & 0xFF
+            pixels[pos] = (a << 24) | (r << 16) | (g << 8) | b
+
+
+def _inv_subtract_green(pixels: list[int]) -> None:
+    for i, px in enumerate(pixels):
+        g = (px >> 8) & 0xFF
+        r = (((px >> 16) & 0xFF) + g) & 0xFF
+        b = ((px & 0xFF) + g) & 0xFF
+        pixels[i] = (px & 0xFF00FF00) | (r << 16) | b
+
+
+def decode_vp8l(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode one VP8L chunk payload → (width, height, 4, RGBA bytes)."""
+    if not data or data[0] != 0x2F:
+        raise ValueError("not a VP8L stream (bad signature)")
+    br = _BitReader(data[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha-is-used hint
+    if br.read(3) != 0:
+        raise ValueError("unsupported VP8L version")
+    # transforms (top level only), each at most once, read order kept
+    transforms: list[tuple] = []
+    cur_w = w
+    seen = set()
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise ValueError("duplicate VP8L transform")
+        seen.add(ttype)
+        if ttype == 2:  # subtract green — no data
+            transforms.append((2, None, None))
+        elif ttype in (0, 1):  # predictor / color transform
+            bits = br.read(3) + 2
+            tw, th = _div_round_up(cur_w, bits), _div_round_up(h, bits)
+            tiles = _decode_entropy_image(br, tw, th, allow_meta=False)
+            transforms.append((ttype, bits, tiles))
+        else:  # 3: color indexing
+            n_colors = br.read(8) + 1
+            pal = _decode_entropy_image(br, n_colors, 1, allow_meta=False)
+            # palette entries are per-channel deltas of the previous
+            for i in range(1, n_colors):
+                prev, cur = pal[i - 1], pal[i]
+                px = 0
+                for sh in (24, 16, 8, 0):
+                    px |= (((cur >> sh) + (prev >> sh)) & 0xFF) << sh
+                pal[i] = px
+            if n_colors <= 2:
+                pbits = 3
+            elif n_colors <= 4:
+                pbits = 2
+            elif n_colors <= 16:
+                pbits = 1
+            else:
+                pbits = 0
+            transforms.append((3, (pbits, n_colors, cur_w), pal))
+            cur_w = _div_round_up(cur_w, pbits) if pbits else cur_w
+    pixels = _decode_entropy_image(br, cur_w, h, allow_meta=True)
+    # inverse transforms, reverse read order
+    for ttype, arg, payload in reversed(transforms):
+        if ttype == 3:
+            pbits, n_colors, full_w = arg
+            if pbits:
+                expanded = [0] * (full_w * h)
+                per = 1 << pbits
+                idx_bits = 8 >> pbits
+                mask = (1 << idx_bits) - 1
+                packed_w = _div_round_up(full_w, pbits)
+                for y in range(h):
+                    for px_i in range(packed_w):
+                        packed = (pixels[y * packed_w + px_i] >> 8) & 0xFF
+                        for k in range(per):
+                            x = px_i * per + k
+                            if x >= full_w:
+                                break
+                            idx = (packed >> (k * idx_bits)) & mask
+                            expanded[y * full_w + x] = (
+                                payload[idx] if idx < n_colors else 0
+                            )
+                pixels = expanded
+                cur_w = full_w
+            else:
+                pixels = [
+                    payload[(p >> 8) & 0xFF]
+                    if ((p >> 8) & 0xFF) < n_colors
+                    else 0
+                    for p in pixels
+                ]
+        elif ttype == 2:
+            _inv_subtract_green(pixels)
+        elif ttype == 0:
+            _inv_predictor(pixels, cur_w, h, payload, arg)
+        else:
+            _inv_color_transform(pixels, cur_w, h, payload, arg)
+    out = bytearray(w * h * 4)
+    for i, px in enumerate(pixels):
+        out[4 * i] = (px >> 16) & 0xFF      # R
+        out[4 * i + 1] = (px >> 8) & 0xFF   # G
+        out[4 * i + 2] = px & 0xFF          # B
+        out[4 * i + 3] = (px >> 24) & 0xFF  # A
+    return w, h, 4, bytes(out)
+
+
+# ------------------------------------------------- container walk
+
+
+def _webp_chunks(raw: bytes):
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
+        return
+    pos = 12
+    while pos + 8 <= len(raw):
+        tag = raw[pos : pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        yield tag, raw[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+
+
+def is_webp(raw: bytes) -> bool:
+    return len(raw) >= 12 and raw[:4] == b"RIFF" and raw[8:12] == b"WEBP"
+
+
+def parse_webp_header(raw: bytes) -> dict | None:
+    """probe_bytes-compatible header: media_kind 'webp' with canvas
+    dims from VP8L (exact), VP8X (canvas fields), or VP8 (lossy frame
+    header) — no pixel decode."""
+    if not is_webp(bytes(raw)):
+        return None
+    raw = bytes(raw)
+    out: dict = {"media_kind": "webp"}
+    for tag, body in _webp_chunks(raw):
+        if tag == b"VP8L" and body and body[0] == 0x2F and len(body) >= 5:
+            bits = int.from_bytes(body[1:5], "little")
+            out["width"] = (bits & 0x3FFF) + 1
+            out["height"] = ((bits >> 14) & 0x3FFF) + 1
+            out["channels"] = 4
+            return out
+        if tag == b"VP8X" and len(body) >= 10:
+            out["width"] = int.from_bytes(body[4:7], "little") + 1
+            out["height"] = int.from_bytes(body[7:10], "little") + 1
+            # keep walking — a VP8L chunk refines nothing but confirms
+        if tag == b"VP8 " and len(body) >= 10:
+            # lossy key-frame header: start code 9d 01 2a then dims
+            if body[3:6] == b"\x9d\x01\x2a":
+                out.setdefault(
+                    "width", int.from_bytes(body[6:8], "little") & 0x3FFF
+                )
+                out.setdefault(
+                    "height", int.from_bytes(body[8:10], "little") & 0x3FFF
+                )
+    return out
+
+
+def webp_flavor(raw: bytes) -> str:
+    """'lossless' | 'lossy' | 'unknown' — the decode-route diagnostic."""
+    for tag, _ in _webp_chunks(bytes(raw)):
+        if tag == b"VP8L":
+            return "lossless"
+    for tag, _ in _webp_chunks(bytes(raw)):
+        if tag == b"VP8 ":
+            return "lossy"
+    return "unknown"
+
+
+def decode_webp(raw: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, 4, RGBA bytes) for a lossless WebP; lossy VP8
+    refuses loudly naming the pyav hatch (the compressed-audio
+    convention)."""
+    raw = bytes(raw)
+    if not is_webp(raw):
+        raise ValueError("not a WebP container")
+    for tag, body in _webp_chunks(raw):
+        if tag == b"VP8L":
+            return decode_vp8l(body)
+    for tag, _ in _webp_chunks(raw):
+        if tag == b"VP8 ":
+            raise NotImplementedError(
+                "lossy WebP (VP8 intra-frame) decodes through the pyav "
+                "hatch: `pip install av` on the executors, or transcode "
+                "to lossless/PNG upstream"
+            )
+    raise ValueError("WebP container without an image chunk")
+
+
+# --------------------------------------------------------- encoding
+
+
+def _write_prefix_code(
+    bw: _BitWriter, lengths: list[int], codes: dict[int, tuple[int, int]]
+) -> None:
+    """Emit one prefix code: simple form for ≤2 symbols, else the
+    code-length-coded form with the explicit max-symbol field (no
+    16/17/18 repeats — fixture-forge simplicity, decoder generality)."""
+    used = [s for s, ln in enumerate(lengths) if ln > 0]
+    if len(used) <= 2 and all(s < 256 for s in used):
+        bw.write(1, 1)  # simple
+        bw.write(len(used) - 1, 1)
+        if used[0] > 1:
+            bw.write(1, 1)
+            bw.write(used[0], 8)
+        else:
+            bw.write(0, 1)
+            bw.write(used[0], 1)
+        if len(used) == 2:
+            bw.write(used[1], 8)
+        return
+    bw.write(0, 1)  # code-length-coded
+    max_symbol = max(used) + 1
+    cl_freqs: dict[int, int] = {}
+    for s in range(max_symbol):
+        cl_freqs[lengths[s]] = cl_freqs.get(lengths[s], 0) + 1
+    cl_lengths = _package_merge(cl_freqs, 7)
+    cl_lengths.extend([0] * (19 - len(cl_lengths)))
+    # num_code_lengths must cover every nonzero slot in _CL_ORDER order
+    num_cl = max(
+        i + 1 for i in range(19) if cl_lengths[_CL_ORDER[i]] > 0 or i < 4
+    )
+    bw.write(num_cl - 4, 4)
+    for i in range(num_cl):
+        bw.write(cl_lengths[_CL_ORDER[i]], 3)
+    cl_codes = _canonical_codes(cl_lengths)
+    # explicit max symbol (16-bit field — covers the 280-wide green)
+    bw.write(1, 1)
+    bw.write(7, 3)  # length_nbits = 2 + 2*7 = 16
+    bw.write(max_symbol - 2, 16)
+    for s in range(max_symbol):
+        code, ln = cl_codes[lengths[s]]
+        bw.write_code(code, ln)
+
+
+def encode_webp_vp8l(
+    width: int, height: int, channels: int, pixels: bytes
+) -> bytes:
+    """Forge one spec-valid LOSSLESS WebP from interleaved 8-bit pixels
+    (1/3/4 channels — the decode_image contract). Literal-only coding
+    (no LZ77, no cache, no transforms), canonical depth-limited codes:
+    decode_webp(encode_webp_vp8l(img)) == img EXACTLY — the roundtrip
+    IS the oracle (the GIF/PNG forge pattern)."""
+    n = width * height
+    argb = []
+    for i in range(n):
+        if channels == 1:
+            g = pixels[i]
+            argb.append((0xFF << 24) | (g << 16) | (g << 8) | g)
+        elif channels == 3:
+            r, g, b = pixels[3 * i : 3 * i + 3]
+            argb.append((0xFF << 24) | (r << 16) | (g << 8) | b)
+        elif channels == 4:
+            r, g, b, a = pixels[4 * i : 4 * i + 4]
+            argb.append((a << 24) | (r << 16) | (g << 8) | b)
+        else:
+            raise ValueError(f"unsupported channel count {channels}")
+    bw = _BitWriter()
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(1 if channels == 4 else 0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix codes
+    chans = {
+        "g": [(p >> 8) & 0xFF for p in argb],
+        "r": [(p >> 16) & 0xFF for p in argb],
+        "b": [p & 0xFF for p in argb],
+        "a": [(p >> 24) & 0xFF for p in argb],
+    }
+    green_size = _GREEN_BASE + _N_LENGTH
+    plans = {}
+    for key, alphabet in (
+        ("g", green_size), ("r", 256), ("b", 256), ("a", 256),
+    ):
+        freqs: dict[int, int] = {}
+        for v in chans[key]:
+            freqs[v] = freqs.get(v, 0) + 1
+        lengths = _package_merge(freqs, 15)
+        lengths.extend([0] * (alphabet - len(lengths)))
+        plans[key] = (lengths, _canonical_codes(lengths))
+    dist_lengths = [0] * _N_DIST
+    dist_lengths[0] = 1  # unused single-symbol distance code
+    plans["d"] = (dist_lengths, _canonical_codes(dist_lengths))
+    for key in ("g", "r", "b", "a", "d"):
+        _write_prefix_code(bw, plans[key][0], plans[key][1])
+    g_codes, r_codes, b_codes, a_codes = (
+        plans["g"][1], plans["r"][1], plans["b"][1], plans["a"][1],
+    )
+    single = {k: len([x for x in plans[k][0] if x]) == 1 for k in "grba"}
+    for i in range(n):
+        for key, codes in (
+            ("g", g_codes), ("r", r_codes), ("b", b_codes), ("a", a_codes),
+        ):
+            if single[key]:
+                continue  # single-symbol codes decode with zero bits
+            code, ln = codes[chans[key][i]]
+            bw.write_code(code, ln)
+    return wrap_vp8l(b"\x2f" + bw.bytes())
+
+
+def wrap_vp8l(payload: bytes) -> bytes:
+    """RIFF/WEBP container around one VP8L chunk payload (2-byte chunk
+    alignment per RIFF) — shared by the encoder and the hand-forged
+    spec-construct test streams."""
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

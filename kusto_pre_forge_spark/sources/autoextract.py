@@ -142,6 +142,8 @@ def sniff_format(content: bytes) -> str:
         return "7z"
     if head.startswith(b"\x28\xb5\x2f\xfd"):
         return "zstd"  # no stdlib codec on 3.11 — tag, never 'binary'
+    if head.startswith(b"RIFF") and head[8:12] == b"WEBP":
+        return "webp"  # routes to operators/webp.py (VP8L decodes)
     # POSIX ustar magic at offset 257 (covers GNU tar's "ustar  \0" too)
     if bytes(content[257:262]) == b"ustar":
         return "tar"
@@ -211,11 +213,12 @@ def extract_auto(content: bytes) -> tuple[str, str | None]:
         kind = inner if inner not in peelable else "binary"
     if kind == "tar":
         return "tar", None  # bundles expand via extract_auto_rows
-    if kind in ("parquet", "orc", "avro", "7z", "zstd"):
-        # tag-only: route to spark.read.parquet/orc / sources.avro; 7z
-        # has no stdlib codec on 3.11 and zstd reaches here only when
-        # the `zstandard` wheel is absent (the import-try hatch above
-        # peels it otherwise) — never silently 'binary'
+    if kind in ("parquet", "orc", "avro", "7z", "zstd", "webp"):
+        # tag-only: route to spark.read.parquet/orc / sources.avro /
+        # the multimodal image family (webp → mediacodec.decode_image);
+        # 7z has no stdlib codec on 3.11 and zstd reaches here only
+        # when the `zstandard` wheel is absent (the import-try hatch
+        # above peels it otherwise) — never silently 'binary'
         return kind, None
     if kind == "rtf":
         from kusto_pre_forge_spark.sources.rtf import extract_rtf_text

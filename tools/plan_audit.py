@@ -174,6 +174,10 @@ AUDITED = [
     ("text_hash_embedding", "codegen hash indices + ONE Arrow bincount stage (HOF chains run interpreted and blow up on subexpression reuse), zero exchanges beyond the widen"),
     ("kqltext_q1", "parsed KQL compiles to the same plan hand-built DataFrames give: partial agg before ONE exchange, filter pushed to the scan"),
     ("kqltext_dynamic", "variant path access + aggregate from parsed text: Catalyst sees the full plan, filter pushes, one exchange"),
+    ("pipeline_pdf_decrypt", "RC4 key derivation + per-object decrypt are per-blob arithmetic: pure map stages, zero exchanges"),
+    ("code_license_gate", "gate is a codegen filter; attribution + survivor counts are two tiny aggregates + one broadcast join"),
+    ("kqltext_plugins", "parsed ipv4_lookup + lookup both broadcast: the fact side shuffles only at the final aggregate"),
+    ("multimodal_image_dhash_webp", "VP8L decode + dHash are one Arrow map stage — no shuffle at any corpus size"),
 ]
 
 
