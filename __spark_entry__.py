@@ -3555,6 +3555,63 @@ def _q_text_bpe_encode(spark, sf):
     )
 
 
+def _q_text_bpe_interchange(spark, sf):
+    """GPT-2 tokenizer FILE interchange end-to-end (round-12): train
+    byte-BPE, export the exact vocab.json + merges.txt pair HF loaders
+    read, import the files back (vocab.json AUTHORITATIVE for ids —
+    the HF contract), encode through the IMPORTED table, and decode
+    every document back. Output adds ``lossless`` — decode(encode(d))
+    == d per document, computed in-engine. The oracle replays training
+    + encoding closed-form and predicts lossless TRUE for every row
+    (byte-level BPE has no UNK and no normalization loss), so a
+    regression anywhere in export → parse → id-table → encode →
+    decode flips a hash-checked column."""
+    import tempfile
+
+    from pyspark.sql.functions import pandas_udf
+
+    from kusto_pre_forge_spark.operators import textprep
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    d = _widen_for_fanout(load_table(spark, sf, "documents"))
+    merges = textprep.train_bpe(d, n_merges=6, byte_level=True)
+    out_dir = tempfile.mkdtemp(prefix="kpf-tok-")
+    textprep.export_gpt2_tokenizer(merges, out_dir)
+    m2, v2 = textprep.import_gpt2_tokenizer(
+        f"{out_dir}/vocab.json", f"{out_dir}/merges.txt"
+    )
+    arrays = textprep.bpe_encode_arrays(d, m2, vocab_ids=v2).join(
+        d.select("doc_id", "text"), "doc_id"
+    )
+
+    @pandas_udf("string")
+    def decode_ids(col):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                textprep.bpe_decode_ids(
+                    [int(x) for x in (ids if ids is not None else [])],
+                    m2,
+                    vocab_ids=v2,
+                )
+                for ids in col
+            ]
+        )
+
+    return arrays.select(
+        "doc_id",
+        F.size("ids").cast("long").alias("n_tokens"),
+        F.concat_ws(
+            ",",
+            F.transform(F.slice("ids", 1, 16), lambda v: v.cast("string")),
+        ).alias("ids_head"),
+        (
+            decode_ids(F.col("ids")) == F.coalesce(F.col("text"), F.lit(""))
+        ).alias("lossless"),
+    )
+
+
 def _q_text_unigram(spark, sf):
     """Unigram-LM tokenizer (SentencePiece/Kudo 2018): one distributed
     word-count scan, in-driver EM + expected-count pruning to a 120-piece
@@ -7899,6 +7956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe": _q_text_bpe,
         "text_bpe_byte": _q_text_bpe_byte,
         "text_bpe_encode": _q_text_bpe_encode,
+        "text_bpe_interchange": _q_text_bpe_interchange,
         "text_unigram": _q_text_unigram,
         "text_wordpiece": _q_text_wordpiece,
         "embedding_whiten": _q_embedding_whiten,
@@ -9461,6 +9519,15 @@ def oracle_sql() -> dict[str, str]:
         # byte-level train+apply replay — see _bpe_byte_oracle_sql
         "text_bpe_byte": _bpe_byte_oracle_sql(),
         "text_bpe_encode": _bpe_encode_oracle_sql(),
+        "text_bpe_interchange": (
+            # the exported/imported table is the engine's own, so the
+            # encode replay is text_bpe_encode's; byte-level decode is
+            # lossless by construction → TRUE for every document
+            _bpe_encode_oracle_sql().replace(
+                "AS ids_head FROM ag",
+                "AS ids_head, TRUE AS lossless FROM ag",
+            )
+        ),
         # tokenizer-true packing: byte-BPE replay → window cumsum
         "corpus_pack_bpe": _pack_bpe_oracle_sql(),
         "layout_compact_roundtrip": (

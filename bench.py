@@ -162,6 +162,7 @@ HEADLINE = [
     "code_license_gate",
     "kqltext_plugins",
     "multimodal_image_dhash_webp",
+    "text_bpe_interchange",
     "corpus_version_diff",
     "corpus_datacard",
     "epub_text_extract",

@@ -282,7 +282,8 @@ class _Parser:
         # tabular let: RHS starts with a known table / source keyword
         t = self.peek()
         if t.kind == "ident" and (
-            t.val in self.tables or t.val in ("range", "print")
+            t.val in self.tables
+            or t.val in ("range", "print", "datatable", "externaldata")
             or self._is_table(t.val)
         ):
             self.tables[name] = self.parse_pipeline(stop_at_semicolon=True)
@@ -336,6 +337,8 @@ class _Parser:
         t = self.eat("ident")
         if t.val == "externaldata":
             return self._parse_externaldata()
+        if t.val == "datatable":
+            return self._parse_datatable()
         if t.val == "range":
             name = self.eat("ident").val
             self.eat("ident", "from")
@@ -365,6 +368,54 @@ class _Parser:
         if self.spark is not None and self._is_table(t.val):
             return self.spark.table(t.val)
         raise KqlSyntaxError(f"unknown table {t.val!r} at offset {t.pos}")
+
+    def _parse_datatable(self) -> DataFrame:
+        """``datatable(Col:type, …) [ v1, v2, … ]`` — KQL's inline
+        literal table (the single most common source form in pasted
+        snippets and docs examples). Values are row-major literal
+        expressions; a trailing comma is tolerated (Kusto does)."""
+        type_map = {
+            "string": "string", "int": "int", "long": "long",
+            "real": "double", "double": "double", "bool": "boolean",
+            "boolean": "boolean", "datetime": "timestamp",
+            "guid": "string",
+        }
+        self.eat("punct", "(")
+        fields = []
+        while True:
+            name = self.eat("ident").val
+            self.eat("punct", ":")
+            typ = self.eat("ident").val
+            if typ not in type_map:
+                raise KqlSyntaxError(f"unsupported datatable type {typ!r}")
+            fields.append((name, type_map[typ]))
+            if self.at("punct", ","):
+                self.next()
+                continue
+            break
+        self.eat("punct", ")")
+        self.eat("punct", "[")
+        values = []
+        while not self.at("punct", "]"):
+            if self.at_ident("null"):
+                self.next()
+                values.append(None)
+            else:
+                values.append(_lit_value(self.parse_expr()))
+            if self.at("punct", ","):
+                self.next()
+        self.eat("punct", "]")
+        ncols = len(fields)
+        if len(values) % ncols:
+            raise KqlSyntaxError(
+                f"datatable value count {len(values)} is not a multiple "
+                f"of the {ncols}-column schema"
+            )
+        rows = [
+            tuple(values[i : i + ncols]) for i in range(0, len(values), ncols)
+        ]
+        ddl = ", ".join(f"`{n}` {t}" for n, t in fields)
+        return self.spark.createDataFrame(rows, ddl)
 
     def _parse_externaldata(self) -> DataFrame:
         """``externaldata (Col:type, …) ['path', …] with (format='csv',
@@ -1161,7 +1212,7 @@ class _Parser:
             )
         name = t.val
         if name in ("true", "false"):
-            return KExpr(F.lit(name == "true"))
+            return KExpr(F.lit(name == "true"), pyval=name == "true")
         if name == "null":
             return KExpr(F.lit(None))
         if self.at("punct", "("):

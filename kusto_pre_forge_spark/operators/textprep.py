@@ -709,7 +709,9 @@ def bpe_vocab_ids(merges: list[tuple[str, str]]) -> dict[str, int]:
 
 
 def bpe_decode_ids(
-    ids: list[int], merges: list[tuple[str, str]]
+    ids: list[int],
+    merges: list[tuple[str, str]],
+    vocab_ids: dict[str, int] | None = None,
 ) -> str:
     """Invert :func:`bpe_encode` — the LOSSLESSNESS pin byte-level BPE
     exists for: every id maps to its symbol string (raw byte 0..255 or
@@ -718,10 +720,10 @@ def bpe_decode_ids(
     bytes. decode(encode(text)) == text for ANY input text — there is
     no UNK and no normalization loss in this lineage (pinned in
     tests over adversarial Unicode)."""
-    vocab = bpe_vocab_ids(merges)
+    vocab = vocab_ids if vocab_ids is not None else bpe_vocab_ids(merges)
     rev: dict[int, str] = {}
     for tok, i in vocab.items():
-        rev[i] = tok
+        rev.setdefault(i, tok)
     u2b = {c: b for b, c in _bytes_to_unicode().items()}
     syms = "".join(rev[i] for i in ids)
     return bytes(u2b[ch] for ch in syms).decode("utf-8", "replace")
@@ -773,18 +775,21 @@ def _bpe_encode_udf(merges: list[tuple[str, str]]):
     return pandas_udf(encode_batch, "array<int>", PandasUDFType.SCALAR)
 
 
-def _bpe_encode_doc_udf(merges: list[tuple[str, str]]):
+def _bpe_encode_doc_udf(merges: list[tuple[str, str]], vocab_ids=None):
     """Arrow-batched DOCUMENT encoder: array-of-pre-tokens in, flat id
     array out. Per-batch memo over distinct pre-tokens (Zipf makes the
     hit rate high), same merge-application inner loop as
-    :func:`_bpe_encode_udf`."""
+    :func:`_bpe_encode_udf`. ``vocab_ids`` overrides the derived id
+    table — the imported-tokenizer path, where vocab.json is
+    AUTHORITATIVE for ids (the HF/GPT-2 contract) and merges.txt only
+    ranks the merges."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.pandas.functions import PandasUDFType
 
     merge_list = list(merges)
     b2u = _bytes_to_unicode()
-    vocab = bpe_vocab_ids(merge_list)
+    vocab = dict(vocab_ids) if vocab_ids is not None else bpe_vocab_ids(merge_list)
 
     def encode_batch(docs: pd.Series):
         memo: dict[str, list[int]] = {}
@@ -826,6 +831,7 @@ def bpe_encode_arrays(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    vocab_ids: dict[str, int] | None = None,
 ) -> DataFrame:
     """(id, ids) with the FULL per-document token-id array in document
     order — the building block :func:`bpe_encode` (head probe) and
@@ -839,7 +845,7 @@ def bpe_encode_arrays(
     captures the same Zipf mass without any of them.)"""
     return df.select(
         F.col(id_col),
-        _bpe_encode_doc_udf(merges)(
+        _bpe_encode_doc_udf(merges, vocab_ids)(
             byte_pretokens(F.coalesce(F.col(text_col), F.lit("")))
         ).alias("ids"),
     )
@@ -2257,3 +2263,84 @@ def pii_scrub_extended(
             "_n_phones": "n_phones",
         }
     )
+
+
+# --------------------------------------------- GPT-2 tokenizer interchange
+# The trainer hand-off's LAST mile: a tokenizer trained in this engine
+# exports to the exact vocab.json + merges.txt pair GPT-2/Hugging Face
+# loaders read, and the actual released GPT-2 files import back and
+# tokenize/decode identically (vocab.json is AUTHORITATIVE for ids —
+# the HF contract — merges.txt only ranks the merges).
+
+
+def export_gpt2_tokenizer(
+    merges: list[tuple[str, str]],
+    out_dir: str | None = None,
+    vocab_ids: dict[str, int] | None = None,
+) -> tuple[dict[str, int], list[str]]:
+    """(vocab dict, merges.txt lines) in the GPT-2/HF file format:
+    vocab.json maps byte-remapped token strings to the ids
+    ``bpe_encode`` emits (or ``vocab_ids`` when supplied), merges.txt
+    is '#version: 0.2' + one space-separated pair per line in rank
+    order. ``out_dir`` writes both files (UTF-8, non-ASCII kept
+    literal — the upstream format)."""
+    import json
+    import os
+
+    vocab = dict(vocab_ids) if vocab_ids is not None else bpe_vocab_ids(merges)
+    lines = ["#version: 0.2"] + [f"{a} {b}" for a, b in merges]
+    if out_dir is not None:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(
+            os.path.join(out_dir, "vocab.json"), "w", encoding="utf-8"
+        ) as f:
+            json.dump(vocab, f, ensure_ascii=False, separators=(",", ":"))
+        with open(
+            os.path.join(out_dir, "merges.txt"), "w", encoding="utf-8"
+        ) as f:
+            f.write("\n".join(lines) + "\n")
+    return vocab, lines
+
+
+def import_gpt2_tokenizer(
+    vocab_json, merges_txt
+) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """(merges, vocab_ids) from GPT-2/HF tokenizer files. Accepts dicts/
+    line-lists or file paths. The returned pair feeds ``bpe_encode(...,
+    vocab_ids=...)`` / ``bpe_decode_ids(..., vocab_ids=...)`` — so the
+    RELEASED GPT-2 vocabulary tokenizes in-engine with its own ids, and
+    an engine-trained tokenizer roundtrips through its exported files
+    exactly."""
+    import json
+    import os
+
+    if isinstance(vocab_json, str) and os.path.exists(vocab_json):
+        with open(vocab_json, encoding="utf-8") as f:
+            vocab = json.load(f)
+    elif isinstance(vocab_json, str):
+        vocab = json.loads(vocab_json)
+    else:
+        vocab = dict(vocab_json)
+    if isinstance(merges_txt, str) and os.path.exists(merges_txt):
+        with open(merges_txt, encoding="utf-8") as f:
+            lines = f.read().splitlines()
+    elif isinstance(merges_txt, str):
+        lines = merges_txt.splitlines()
+    else:
+        lines = list(merges_txt)
+    merges: list[tuple[str, str]] = []
+    for line in lines:
+        line = line.rstrip("\n")
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split(" ")
+        if len(parts) != 2:
+            raise ValueError(f"malformed merges.txt line: {line!r}")
+        merges.append((parts[0], parts[1]))
+    missing = [a + b for a, b in merges if a + b not in vocab]
+    if missing:
+        raise ValueError(
+            f"merges.txt names tokens absent from vocab.json: "
+            f"{missing[:3]}{'…' if len(missing) > 3 else ''}"
+        )
+    return merges, {str(k): int(v) for k, v in vocab.items()}

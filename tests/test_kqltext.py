@@ -679,3 +679,30 @@ def test_evaluate_plugin_family_and_lookup(spark, t):
     # still-unbound plugins refuse loudly by name
     with pytest.raises(KqlSyntaxError, match="narrow"):
         run_kql(spark, "Traffic | evaluate narrow()", tables)
+
+
+def test_datatable_literal_source(spark, t):
+    out = _rows(
+        spark,
+        "datatable(name:string, n:long, ok:bool) [\n"
+        "  'alpha', 3, true,\n"
+        "  'beta', 5, false,\n"
+        "  'gamma', 2, true,\n"  # trailing comma tolerated
+        "] | where ok | summarize total=sum(n)",
+        t,
+    )
+    assert out == [(5,)]
+    # let-bound datatable joins against real tables
+    out = _rows(
+        spark,
+        "let Dim = datatable(Level:string, code:int) "
+        "['Error', 9, 'Warning', 5];\n"
+        "Events | lookup kind=inner Dim on Level "
+        "| summarize n=count() by code | sort by code asc",
+        t,
+    )
+    assert out == [(5, 1), (9, 2)]
+    # empty datatable is a valid empty relation
+    assert _rows(spark, "datatable(x:int) [] | count", t) == [(0,)]
+    with pytest.raises(KqlSyntaxError, match="multiple"):
+        run_kql(spark, "datatable(x:int, y:int) [1, 2, 3] | count", t)

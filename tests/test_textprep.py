@@ -993,3 +993,65 @@ def test_pii_extended_is_codegen_projection(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gpt2_tokenizer_export_import_roundtrip(tmp_path):
+    """The trainer hand-off's last mile: exported vocab.json +
+    merges.txt reload into the SAME merges and id table, byte for
+    byte, through real files on disk."""
+    from kusto_pre_forge_spark.operators import textprep as T
+
+    merges = [("h", "e"), ("l", "l"), ("he", "ll"), ("hell", "o"),
+              ("Ġ", "t"), ("Ġt", "he")]
+    vocab, lines = T.export_gpt2_tokenizer(merges, str(tmp_path))
+    assert (tmp_path / "vocab.json").exists()
+    assert (tmp_path / "merges.txt").read_text(encoding="utf-8").startswith(
+        "#version: 0.2\n"
+    )
+    m2, v2 = T.import_gpt2_tokenizer(
+        str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt")
+    )
+    assert m2 == merges and v2 == vocab
+    # every base byte symbol is present with its raw-byte id
+    assert v2["a"] == ord("a") and len([i for i in v2.values() if i < 256]) == 256
+
+
+def test_gpt2_import_foreign_vocab_is_authoritative():
+    """vocab.json ids win over the derived table (the HF contract): a
+    permuted foreign id assignment encodes AND decodes losslessly."""
+    from kusto_pre_forge_spark.operators import textprep as T
+
+    merges = [("h", "e"), ("he", "y")]
+    vocab, lines = T.export_gpt2_tokenizer(merges)
+    foreign = {tok: 50000 - i for tok, i in vocab.items()}
+    m2, v2 = T.import_gpt2_tokenizer(foreign, lines)
+    text = "hey hé ✓"
+    # encode via the UDF's inner path: use decode as the witness
+    ids = []
+    b2u = T._bytes_to_unicode()
+    toks = [b2u[b] for b in text.encode("utf-8")]
+    for a, b in m2:
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b); i += 2
+            else:
+                out.append(toks[i]); i += 1
+        toks = out
+    ids = [v2[t] for t in toks]
+    assert T.bpe_decode_ids(ids, m2, vocab_ids=v2) == text
+
+
+def test_gpt2_import_validation():
+    from kusto_pre_forge_spark.operators import textprep as T
+
+    merges = [("a", "b")]
+    vocab, lines = T.export_gpt2_tokenizer(merges)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="malformed"):
+        T.import_gpt2_tokenizer(vocab, lines + ["a b c"])
+    bad = dict(vocab)
+    del bad["ab"]
+    with _pt.raises(ValueError, match="absent"):
+        T.import_gpt2_tokenizer(bad, lines)
