@@ -3555,6 +3555,45 @@ def _q_text_bpe_encode(spark, sf):
     )
 
 
+def _q_text_fix_encoding(spark, sf):
+    """Encoding repair (ftfy-lite, round-12) end-to-end: each document
+    forges as MOJIBAKE — its text plus a unicode suffix, UTF-8 bytes
+    decoded through the sloppy-cp1252 table (doc_id%3==0 docs are
+    DOUBLE-encoded), exactly the defect crawl corpora carry —
+    and ``fix_encoding`` must recover the original string byte-for-
+    byte with the predicted pass count. The oracle is closed-form
+    (text || suffix, passes by the %3 rule) because repair of the
+    forge is exact by construction. One Arrow map stage."""
+    import pandas as pd
+
+    from kusto_pre_forge_spark.operators import textprep
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    suffix = " — café “naïve” ✓"
+    d = _widen_for_fanout(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
+
+    def forge(it):
+        t = textprep._SLOPPY_CP1252
+        for pdf in it:
+            ids, texts = [], []
+            for i, txt in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                s = (txt if isinstance(txt, str) else "") + suffix
+                m = "".join(t[b] for b in s.encode("utf-8"))
+                if i % 3 == 0:
+                    m = "".join(t[b] for b in m.encode("utf-8"))
+                ids.append(i)
+                texts.append(m)
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    moji = d.mapInPandas(forge, "doc_id long, text string")
+    return textprep.fix_encoding(moji).select(
+        "doc_id", "fixed", "n_mojibake_passes", "was_fixed"
+    )
+
+
 def _q_text_bpe_interchange(spark, sf):
     """GPT-2 tokenizer FILE interchange end-to-end (round-12): train
     byte-BPE, export the exact vocab.json + merges.txt pair HF loaders
@@ -7957,6 +7996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_byte": _q_text_bpe_byte,
         "text_bpe_encode": _q_text_bpe_encode,
         "text_bpe_interchange": _q_text_bpe_interchange,
+        "text_fix_encoding": _q_text_fix_encoding,
         "text_unigram": _q_text_unigram,
         "text_wordpiece": _q_text_wordpiece,
         "embedding_whiten": _q_embedding_whiten,
@@ -9527,6 +9567,15 @@ def oracle_sql() -> dict[str, str]:
                 "AS ids_head FROM ag",
                 "AS ids_head, TRUE AS lossless FROM ag",
             )
+        ),
+        "text_fix_encoding": (
+            # repair of the forge is exact: fixed == original text +
+            # suffix (documents.text is ASCII at this SF — verified —
+            # and the suffix is NFC-stable), passes by the %3 rule
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "COALESCE(text, '') || ' — café “naïve” ✓' AS fixed, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) "
+            "AS n_mojibake_passes, TRUE AS was_fixed FROM documents"
         ),
         # tokenizer-true packing: byte-BPE replay → window cumsum
         "corpus_pack_bpe": _pack_bpe_oracle_sql(),

@@ -163,6 +163,7 @@ HEADLINE = [
     "kqltext_plugins",
     "multimodal_image_dhash_webp",
     "text_bpe_interchange",
+    "text_fix_encoding",
     "corpus_version_diff",
     "corpus_datacard",
     "epub_text_extract",

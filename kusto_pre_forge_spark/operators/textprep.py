@@ -2344,3 +2344,123 @@ def import_gpt2_tokenizer(
             f"{missing[:3]}{'…' if len(missing) > 3 else ''}"
         )
     return merges, {str(k): int(v) for k, v in vocab.items()}
+
+
+# ------------------------------------------------- encoding repair (ftfy-lite)
+# The single most common crawl defect after bad HTML: UTF-8 bytes that
+# some upstream system decoded as Windows-1252 ("mojibake": café →
+# cafÃ©). The repair is exact where it applies — re-encode through the
+# SLOPPY cp1252 table (cp1252 with identity fallback on its five
+# undefined bytes, the table real-world decoders effectively use; the
+# map is a 256-entry bijection) and require the result to be VALID
+# UTF-8. Validity is the safety filter: legitimate Latin-1 text like
+# 'café' re-encodes to a lone 0xE9 byte, which is never valid UTF-8,
+# so it is never touched. A text deliberately containing the mojibake
+# sequence itself is indistinguishable from the defect — the same
+# documented tradeoff every encoding fixer makes.
+
+_SLOPPY_CP1252: dict[int, str] = {}
+for _b in range(256):
+    try:
+        _SLOPPY_CP1252[_b] = bytes([_b]).decode("cp1252")
+    except UnicodeDecodeError:
+        _SLOPPY_CP1252[_b] = chr(_b)  # the five undefined bytes
+_SLOPPY_CP1252_INV = {c: b for b, c in _SLOPPY_CP1252.items()}
+
+#: C1 gremlins: raw 0x80-0x9F codepoints in text are the trace of a
+#: cp1252 document decoded as Latin-1 — map each through cp1252 (ftfy's
+#: fix_c1_controls); the five undefined bytes stay as-is.
+_C1_GREMLINS = {
+    chr(b): _SLOPPY_CP1252[b]
+    for b in range(0x80, 0xA0)
+    if _SLOPPY_CP1252[b] != chr(b)
+}
+
+_CONTROL_STRIP = {
+    c: None
+    for c in list(range(0x00, 0x09)) + [0x0B, 0x0C] + list(range(0x0E, 0x20))
+    + [0x7F]
+}
+
+
+def _undo_cp1252_pass(s: str) -> str | None:
+    """One mojibake undo: inverse sloppy-cp1252 map, then UTF-8 decode.
+    None when the string is not in the map's image or the bytes are not
+    valid UTF-8 — i.e. when this was NOT utf-8-as-cp1252 mojibake."""
+    try:
+        bs = bytes(_SLOPPY_CP1252_INV[ch] for ch in s)
+    except KeyError:
+        return None
+    try:
+        out = bs.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    return out if out != s else None
+
+
+def fix_text_value(
+    s: str,
+    max_passes: int = 2,
+    normalize: str | None = "NFC",
+    strip_controls: bool = True,
+    fix_c1: bool = True,
+) -> tuple[str, int]:
+    """(repaired text, mojibake passes applied) for ONE string — the
+    pure function :func:`fix_encoding` distributes. Repairs double-
+    encoded UTF-8 (once per pass, up to ``max_passes`` — twice-encoded
+    mojibake needs two), maps C1 gremlins through cp1252, strips C0
+    controls (keeping tab/LF/CR), and NFC-normalizes."""
+    import unicodedata
+
+    passes = 0
+    while passes < max_passes:
+        undone = _undo_cp1252_pass(s)
+        if undone is None:
+            break
+        s = undone
+        passes += 1
+    if fix_c1 and any("\x80" <= ch <= "\x9f" for ch in s):
+        s = "".join(_C1_GREMLINS.get(ch, ch) for ch in s)
+    if strip_controls:
+        s = s.translate(_CONTROL_STRIP)
+    if normalize:
+        s = unicodedata.normalize(normalize, s)
+    return s, passes
+
+
+def fix_encoding(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_passes: int = 2,
+    normalize: str | None = "NFC",
+) -> DataFrame:
+    """(id, fixed, n_mojibake_passes, was_fixed) — encoding repair over
+    the corpus as ONE Arrow map stage (string-table work is Python's;
+    there is no codegen inverse-cp1252). At 100 TB this is a pure map —
+    partition by input files, nothing shuffles."""
+    from pyspark.sql.functions import pandas_udf
+
+    mp, nf = int(max_passes), normalize
+
+    @pandas_udf("struct<fixed:string, n_passes:int>")
+    def fix_udf(col):
+        import pandas as pd
+
+        out_f, out_n = [], []
+        for s in col:
+            s = s if isinstance(s, str) else ""
+            f, n = fix_text_value(s, max_passes=mp, normalize=nf)
+            out_f.append(f)
+            out_n.append(n)
+        return pd.DataFrame({"fixed": out_f, "n_passes": out_n})
+
+    fixed = fix_udf(F.coalesce(F.col(text_col), F.lit("")))
+    return df.select(
+        F.col(id_col),
+        fixed["fixed"].alias("fixed"),
+        fixed["n_passes"].alias("n_mojibake_passes"),
+        (
+            fixed["fixed"] != F.coalesce(F.col(text_col), F.lit(""))
+        ).alias("was_fixed"),
+    )

@@ -36,21 +36,28 @@ import struct
 
 
 class _BitReader:
-    __slots__ = ("val", "nbits", "pos")
+    """LSB-first reader over a byte window. Each read slices only the
+    bytes it touches (a whole-stream big-int shift would make every
+    read O(stream size) — quadratic on megabyte images)."""
+
+    __slots__ = ("data", "pos", "nbits")
 
     def __init__(self, data: bytes):
-        self.val = int.from_bytes(data, "little")
+        self.data = data
         self.nbits = 8 * len(data)
         self.pos = 0
 
     def read(self, n: int) -> int:
         if n == 0:
             return 0
-        if self.pos + n > self.nbits:
+        pos = self.pos
+        if pos + n > self.nbits:
             raise ValueError("VP8L bitstream truncated")
-        v = (self.val >> self.pos) & ((1 << n) - 1)
-        self.pos += n
-        return v
+        self.pos = pos + n
+        first = pos >> 3
+        last = (pos + n + 7) >> 3
+        chunk = int.from_bytes(self.data[first:last], "little")
+        return (chunk >> (pos & 7)) & ((1 << n) - 1)
 
 
 class _BitWriter:
@@ -701,6 +708,8 @@ def _write_prefix_code(
     bw.write(1, 1)
     bw.write(7, 3)  # length_nbits = 2 + 2*7 = 16
     bw.write(max_symbol - 2, 16)
+    if len(cl_codes) == 1:
+        return  # single-symbol code-length code decodes with ZERO bits
     for s in range(max_symbol):
         code, ln = cl_codes[lengths[s]]
         bw.write_code(code, ln)

@@ -1055,3 +1055,37 @@ def test_gpt2_import_validation():
     del bad["ab"]
     with _pt.raises(ValueError, match="absent"):
         T.import_gpt2_tokenizer(bad, lines)
+
+
+def test_fix_encoding_repairs_mojibake(spark):
+    """ftfy-lite: single- and double-encoded UTF-8-as-cp1252 repairs
+    exactly; legitimate Latin-1-looking text and clean text are never
+    touched (UTF-8 validity is the safety filter); C1 gremlins map
+    through cp1252; C0 controls strip (tab/LF/CR kept)."""
+    from kusto_pre_forge_spark.operators import textprep as T
+
+    orig = "café — “naïve” ✓ 日本語"
+    moji = "".join(T._SLOPPY_CP1252[b] for b in orig.encode("utf-8"))
+    double = "".join(T._SLOPPY_CP1252[b] for b in moji.encode("utf-8"))
+    assert T.fix_text_value(moji) == (orig, 1)
+    assert T.fix_text_value(double) == (orig, 2)
+    assert T.fix_text_value(orig) == (orig, 0)
+    assert T.fix_text_value("plain ascii") == ("plain ascii", 0)
+    # a real word with a bare é is NOT valid UTF-8 when re-encoded —
+    # never modified by the mojibake pass
+    assert T.fix_text_value("café")[1] == 0
+    assert T.fix_text_value("a\x93quoted\x94b")[0] == "a“quoted”b"
+    assert T.fix_text_value("a\x00b\tc\r\n")[0] == "ab\tc\r\n"
+    # NFC: decomposed e + combining acute folds to é
+    assert T.fix_text_value("café")[0] == "café"
+    # Spark surface: one Arrow map stage, null-safe
+    df = spark.createDataFrame(
+        [(1, moji), (2, orig), (3, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in T.fix_encoding(df).collect()}
+    assert rows[1].fixed == orig and rows[1].n_mojibake_passes == 1
+    assert rows[1].was_fixed
+    assert rows[2].fixed == orig and not rows[2].was_fixed
+    assert rows[3].fixed == "" and not rows[3].was_fixed
+    plan = T.fix_encoding(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map stage

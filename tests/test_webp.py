@@ -406,3 +406,15 @@ def test_hypothesis_roundtrip():
             assert dpx == px
 
     check()
+
+
+def test_roundtrip_uniform_noise_degenerate_codes():
+    """All-256-symbols-uniform channels force the degenerate
+    single-symbol CODE-LENGTH code (every length 8): the encoder must
+    emit ZERO bits per symbol length — the libwebp 0-bit convention
+    the decoder implements. Caught live on a 256x256 noise image."""
+    rng = random.Random(1)
+    w = h = 32
+    px = bytes(rng.randrange(256) for _ in range(w * h * 4))
+    dw, dh, dch, dpx = W.decode_webp(W.encode_webp_vp8l(w, h, 4, px))
+    assert dpx == px
