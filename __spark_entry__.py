@@ -7824,6 +7824,28 @@ def _q_kqltext_plugins(spark, sf):
     return run_kql(spark, q, _kqltext_tables(spark, sf))
 
 
+def _q_kqltext_parse_kv(spark, sf):
+    """``parse-kv`` through the text parser (round-12): forge key=value
+    log lines from orders in-pipeline, extract them back with typed
+    fields (one anchored regexp_extract per key, single codegen
+    projection), aggregate. The oracle computes the same aggregate from
+    the source columns directly — extraction must be lossless for the
+    row to hash-match."""
+    from kusto_pre_forge_spark.operators.kqltext import run_kql
+
+    q = (
+        "orders\n"
+        "| extend Line = strcat('pri=\"', o_orderpriority, '\" price=',"
+        " tostring(o_totalprice), ' status=', o_orderstatus)\n"
+        "| parse-kv Line as (pri: string, price: real, status: string)"
+        " with (pair_delimiter=' ', kv_delimiter='=', quote='\"')\n"
+        "| where price > 1000\n"
+        "| summarize n=count(), total=round(sum(price), 2) by status, pri\n"
+        "| sort by status asc, pri asc"
+    )
+    return run_kql(spark, q, _kqltext_tables(spark, sf))
+
+
 def _q_kqltext_dynamic(spark, sf):
     """The reference's dynamic-JSON idiom (EtlRun.cs:153-159) as KQL
     text: todynamic(props).k path access coerced by toint, a split()[i]
@@ -8061,6 +8083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kqltext_q1": _q_kqltext_q1,
         "kqltext_pipeline": _q_kqltext_pipeline,
         "kqltext_plugins": _q_kqltext_plugins,
+        "kqltext_parse_kv": _q_kqltext_parse_kv,
         "kqltext_dynamic": _q_kqltext_dynamic,
         "kqltext_mvapply": _q_kqltext_mvapply,
         "kqltext_show_policy": _q_kqltext_show_policy,
@@ -11975,6 +11998,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_custkey % 200 <= 175 AND c_custkey % 25 = 0) "
             "SELECT 'zone-' || CAST(oct2 // 25 AS BIGINT) AS zone_name, "
             "CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1"
+        ),
+        "kqltext_parse_kv": (
+            # extraction is lossless, so the aggregate computes from the
+            # source columns directly
+            "SELECT o_orderstatus AS status, o_orderpriority AS pri, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "round(SUM(o_totalprice), 2) AS total FROM orders "
+            "WHERE o_totalprice > 1000 GROUP BY 1, 2"
         ),
         "kqltext_dynamic": (
             # todynamic(props).k coerced by toint == JSON int extract;

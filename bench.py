@@ -164,6 +164,7 @@ HEADLINE = [
     "multimodal_image_dhash_webp",
     "text_bpe_interchange",
     "text_fix_encoding",
+    "kqltext_parse_kv",
     "corpus_version_diff",
     "corpus_datacard",
     "epub_text_extract",

@@ -729,6 +729,82 @@ class _Parser:
     def _op_parse_where(self, df):
         return self._parse_like(df, where=True)
 
+    def _op_parse_kv(self, df):
+        """``parse-kv Col as (k1:type, k2:type) with
+        (pair_delimiter=' ', kv_delimiter='=' [, quote='"'])`` — the
+        log-analytics key-value extractor: first occurrence of each
+        declared key, one anchored ``regexp_extract`` per key inside a
+        single codegen projection (no UDF, no extra pass). Quoted
+        values (when ``quote`` is given) may contain the pair
+        delimiter. Single-character delimiters only (the common case;
+        multi-char would need lookahead classes — refuse loudly)."""
+        type_map = {
+            "string": "string", "int": "int", "long": "long",
+            "real": "double", "double": "double", "bool": "boolean",
+            "boolean": "boolean", "datetime": "timestamp",
+        }
+        src = self.eat("ident").val
+        self.eat("ident", "as")
+        self.eat("punct", "(")
+        fields = []
+        while True:
+            name = self.eat("ident").val
+            self.eat("punct", ":")
+            typ = self.eat("ident").val
+            if typ not in type_map:
+                raise KqlSyntaxError(f"unsupported parse-kv type {typ!r}")
+            fields.append((name, type_map[typ]))
+            if self.at("punct", ","):
+                self.next()
+                continue
+            break
+        self.eat("punct", ")")
+        pair_delim, kv_delim, quote = " ", "=", None
+        if self.at_ident("with"):
+            self.next()
+            self.eat("punct", "(")
+            while not self.at("punct", ")"):
+                key = self.eat("ident").val.lower()
+                self.eat("punct", "=")
+                val = str(_lit_value(self.parse_expr()))
+                if key == "pair_delimiter":
+                    pair_delim = val
+                elif key == "kv_delimiter":
+                    kv_delim = val
+                elif key == "quote":
+                    quote = val
+                else:
+                    raise KqlSyntaxError(
+                        f"unsupported parse-kv property {key!r}"
+                    )
+                if self.at("punct", ","):
+                    self.next()
+            self.eat("punct", ")")
+        for d in (pair_delim, kv_delim) + ((quote,) if quote else ()):
+            if len(d) != 1:
+                raise KqlSyntaxError(
+                    "parse-kv delimiters/quote must be single characters"
+                )
+        pd_esc, kv_esc = re.escape(pair_delim), re.escape(kv_delim)
+        cols = {}
+        for name, typ in fields:
+            if quote:
+                q = re.escape(quote)
+                val_pat = f"(?:{q}([^{q}]*){q}|([^{pd_esc}]*))"
+            else:
+                val_pat = f"([^{pd_esc}]*)"
+            pat = (
+                f"(?:^|{pd_esc}){re.escape(name)}{kv_esc}{val_pat}"
+            )
+            c = F.regexp_extract(F.col(src).cast("string"), pat, 1)
+            if quote:
+                c = F.when(c != "", c).otherwise(
+                    F.regexp_extract(F.col(src).cast("string"), pat, 2)
+                )
+            c = F.nullif(c, F.lit(""))
+            cols[name] = c.cast(typ)
+        return df.withColumns(cols)
+
     def _parse_like(self, df, where: bool):
         if self.at_ident("kind"):
             self.next()
@@ -1469,6 +1545,47 @@ _SCALAR_FNS = {
         "",
     ),
     "coalesce": lambda *a: F.coalesce(*[x.c() for x in a]),
+    # KQL indexof is 0-based with -1 absent; Spark instr is 1-based
+    # with 0 absent — the off-by-one cancels exactly
+    "indexof": lambda s, sub: (
+        F.instr(s.as_type("string"), str(_lit_value(sub))) - 1
+    ).cast("long"),
+    "countof": lambda s, sub: (
+        (
+            F.length(s.as_type("string"))
+            - F.length(
+                F.replace(
+                    s.as_type("string"),
+                    F.lit(str(_lit_value(sub))),
+                    F.lit(""),
+                )
+            )
+        )
+        / F.lit(len(str(_lit_value(sub))) or 1)
+    ).cast("long"),
+    "reverse": lambda a: F.reverse(a.as_type("string")),
+    "strrep": lambda a, n: F.repeat(a.as_type("string"), n.c().cast("int")),
+    "strcat_delim": lambda d, *a: F.concat_ws(
+        str(_lit_value(d)), *[x.as_type("string") for x in a]
+    ),
+    # KQL translate(from, to, text); Spark translate(text, from, to)
+    "translate": lambda frm, to, s: F.translate(
+        s.as_type("string"), str(_lit_value(frm)), str(_lit_value(to))
+    ),
+    "base64_encode_tostring": lambda a: F.base64(
+        F.encode(a.as_type("string"), "UTF-8")
+    ),
+    "base64_decode_tostring": lambda a: F.decode(
+        F.unbase64(a.as_type("string")), "UTF-8"
+    ),
+    "hash_sha256": lambda a: F.sha2(a.as_type("string"), 256),
+    "hash_md5": lambda a: F.md5(a.as_type("string")),
+    "tohex": lambda a: F.lower(F.hex(a.c().cast("long"))),
+    "sign": lambda a: F.signum(a.c()),
+    "log2": lambda a: F.log2(a.c()),
+    "log10": lambda a: F.log10(a.c()),
+    "isnan": lambda a: F.isnan(a.c()),
+    "iif": lambda c, x, y: F.when(c.c(), x.c()).otherwise(y.c()),
     "isempty": lambda a: F.coalesce(a.as_type("string"), F.lit("")) == "",
     "isnotempty": lambda a: F.coalesce(a.as_type("string"), F.lit(""))
     != "",

@@ -706,3 +706,70 @@ def test_datatable_literal_source(spark, t):
     assert _rows(spark, "datatable(x:int) [] | count", t) == [(0,)]
     with pytest.raises(KqlSyntaxError, match="multiple"):
         run_kql(spark, "datatable(x:int, y:int) [1, 2, 3] | count", t)
+
+
+def test_parse_kv(spark, t):
+    logs = spark.createDataFrame(
+        [
+            (1, 'ts=2024-01-01 level=error code=503 msg="disk full" host=n3'),
+            (2, "level=warn code=301 host=n7"),
+            (3, "unrelated text entirely"),
+        ],
+        "Id long, Line string",
+    )
+    tables = dict(t, Logs=logs)
+    out = run_kql(
+        spark,
+        "Logs | parse-kv Line as (level: string, code: int, msg: string) "
+        "with (pair_delimiter=' ', kv_delimiter='=', quote='\"') "
+        "| project Id, level, code, msg | sort by Id asc",
+        tables,
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        (1, "error", 503, "disk full"),
+        (2, "warn", 301, None),
+        (3, None, None, None),
+    ]
+    # comma-delimited dialect without quoting
+    csvish = spark.createDataFrame(
+        [(1, "a=1,b=two,c=3.5")], "Id long, Line string"
+    )
+    out = run_kql(
+        spark,
+        "KV | parse-kv Line as (a: long, c: real) "
+        "with (pair_delimiter=',', kv_delimiter='=') | project a, c",
+        dict(t, KV=csvish),
+    ).collect()
+    assert [tuple(r) for r in out] == [(1, 3.5)]
+    with pytest.raises(KqlSyntaxError, match="single"):
+        run_kql(
+            spark,
+            "Logs | parse-kv Line as (a: int) with (pair_delimiter='::')",
+            tables,
+        )
+
+
+def test_scalar_function_batch_round12(spark, t):
+    out = _rows(
+        spark,
+        "print a = indexof('hello world', 'world'), "
+        "b = indexof('hello', 'zzz'), "
+        "c = countof('a,b,c,d', ','), "
+        "d = reverse('abc'), e = strrep('xy', 3), "
+        "f = strcat_delim('-', 'a', 'b', 'c'), "
+        "g = translate('abc', 'xyz', 'aabbcc'), "
+        "h = base64_decode_tostring(base64_encode_tostring('kql ✓')), "
+        "i = tohex(255), j = sign(-3.5), k = log10(1000.0), "
+        "l = iif(1 > 0, 'yes', 'no'), "
+        "m = hash_sha256('abc')",
+        t,
+    )
+    (a, b, c, d, e, f, g, h, i, j, k, l, m), = out
+    assert (a, b, c) == (6, -1, 3)
+    assert (d, e, f, g) == ("cba", "xyxyxy", "a-b-c", "xxyyzz")
+    assert h == "kql ✓" and i == "ff"
+    assert (j, k, l) == (-1.0, 3.0, "yes")
+    # FIPS 180-2 test vector for sha256("abc")
+    assert m == (
+        "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+    )
