@@ -5749,6 +5749,63 @@ def _q_multimodal_gif_dhash(spark, sf):
     )
 
 
+def _q_multimodal_webp_dhash(spark, sf):
+    """Per-frame dHash over REAL animated-WebP decode (round-12): the
+    GIF transparency fixture transposed into the ANMF container —
+    frame 0 a gradient (dhash −1), frame 1 a FULLY TRANSPARENT blended
+    overlay (canvas must stay the gradient → −1; ignoring the blend
+    flag would hash its literal content 0), frame 2 an opaque no-blend
+    constant (0). Compositing proof + oracle exactness: VP8L is
+    lossless, so every hash is predicted bit-for-bit."""
+    from kusto_pre_forge_spark.operators import multimodal
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id")
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        from kusto_pre_forge_spark.operators import webp
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 18, 8
+                grad = bytes(
+                    c
+                    for _y in range(h)
+                    for x in range(w)
+                    for c in (x * 14, x * 14, x * 14, 255)
+                )
+                trans = bytes((0, 0, 0, 0)) * (w * h)
+                const = bytes(((i * 31) % 256,) * 3 + (255,)) * (w * h)
+                blobs.append(
+                    webp.encode_webp_animation(
+                        w,
+                        h,
+                        [
+                            {"pixels": grad, "duration": 40},
+                            {"pixels": trans, "duration": 40},
+                            {"pixels": const, "blend": False,
+                             "duration": 40},
+                        ],
+                    )
+                )
+                ids.append(i)
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    return multimodal.video_frame_dhash(blobs).select(
+        "doc_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        "dhash",
+    )
+
+
 def _q_multimodal_video_dhash(spark, sf):
     """Per-frame perceptual dHash over REAL decoded video: MJPEG-in-AVI
     fixtures (4 frames per doc; frame parity decides gradient vs
@@ -8251,6 +8308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_dhash_webp": _q_multimodal_image_dhash_webp,
         "multimodal_video_dhash": _q_multimodal_video_dhash,
         "multimodal_gif_dhash": _q_multimodal_gif_dhash,
+        "multimodal_webp_dhash": _q_multimodal_webp_dhash,
         "multimodal_dedup_pairs": _q_multimodal_dedup_pairs,
         "multimodal_audio_fp": _q_multimodal_audio_fp,
         "multimodal_audio_g711": _q_multimodal_audio_g711,
@@ -13404,6 +13462,16 @@ def oracle_sql() -> dict[str, str]:
             # fixture rule: frame 0 gradient -> -1; frame 1 fully
             # transparent overlay -> canvas unchanged -> -1 (compositing
             # proof); frame 2 opaque constant -> 0; docs under id 40
+            "SELECT d.doc_id, CAST(f.fi AS BIGINT) AS frame_index, "
+            "CAST(CASE WHEN f.fi < 2 THEN -1 ELSE 0 END AS BIGINT) AS dhash "
+            "FROM documents d CROSS JOIN (VALUES (0), (1), (2)) f(fi) "
+            "WHERE d.doc_id < 40"
+        ),
+        "multimodal_webp_dhash": (
+            # fixture rule, VP8L lossless → exact: frame 0 gradient ->
+            # -1; frame 1 transparent BLENDED overlay -> canvas
+            # unchanged -> -1 (compositing proof); frame 2 opaque
+            # constant -> 0; docs under id 40
             "SELECT d.doc_id, CAST(f.fi AS BIGINT) AS frame_index, "
             "CAST(CASE WHEN f.fi < 2 THEN -1 ELSE 0 END AS BIGINT) AS dhash "
             "FROM documents d CROSS JOIN (VALUES (0), (1), (2)) f(fi) "

@@ -165,6 +165,7 @@ HEADLINE = [
     "text_bpe_interchange",
     "text_fix_encoding",
     "kqltext_parse_kv",
+    "multimodal_webp_dhash",
     "corpus_version_diff",
     "corpus_datacard",
     "epub_text_extract",

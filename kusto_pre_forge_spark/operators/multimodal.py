@@ -362,7 +362,7 @@ def sample_frames(
     def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        from kusto_pre_forge_spark.operators import mediacodec
+        from kusto_pre_forge_spark.operators import mediacodec, webp
 
         for pdf in it:
             rows = []
@@ -387,6 +387,15 @@ def sample_frames(
                     frames = (
                         (fi, px)
                         for fi, px in enumerate(gframes)
+                        if fi % every_n == 0
+                    )
+                elif webp.is_webp(raw):
+                    # animated (or still) WebP: same compositing contract
+                    # as GIF — blend/dispose honored, sample afterwards
+                    _ww, _wh, wframes, _durs = webp.decode_webp_frames(raw)
+                    frames = (
+                        (fi, px)
+                        for fi, px in enumerate(wframes)
                         if fi % every_n == 0
                     )
                 elif pyav_available():
@@ -997,6 +1006,15 @@ def video_frame_dhash(
                     decoded = (
                         (fi, gw, gh, 3, px)
                         for fi, px in enumerate(gframes)
+                        if fi % every_n == 0
+                    )
+                elif raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+                    from kusto_pre_forge_spark.operators import webp
+
+                    ww, wh, wframes, _d = webp.decode_webp_frames(raw)
+                    decoded = (
+                        (fi, ww, wh, 4, px)
+                        for fi, px in enumerate(wframes)
                         if fi % every_n == 0
                     )
                 else:

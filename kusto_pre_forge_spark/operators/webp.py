@@ -637,14 +637,33 @@ def parse_webp_header(raw: bytes) -> dict | None:
 
 
 def webp_flavor(raw: bytes) -> str:
-    """'lossless' | 'lossy' | 'unknown' — the decode-route diagnostic."""
-    for tag, _ in _webp_chunks(bytes(raw)):
+    """'lossless' | 'lossy' | 'unknown' — the decode-route diagnostic.
+    Animated files classify by their FIRST frame's image chunk (ANMF
+    sub-chunks walk like top-level ones)."""
+    chunks = list(_webp_chunks(bytes(raw)))
+    for tag, body in chunks:
+        if tag == b"ANMF" and len(body) > 16:
+            sub = body[16:]
+            pos = 0
+            while pos + 8 <= len(sub):
+                stag = sub[pos : pos + 4]
+                (size,) = struct.unpack("<I", sub[pos + 4 : pos + 8])
+                if stag == b"VP8L":
+                    return "lossless"
+                if stag == b"VP8 ":
+                    return "lossy"
+                pos += 8 + size + (size & 1)
+    for tag, _ in chunks:
         if tag == b"VP8L":
             return "lossless"
-    for tag, _ in _webp_chunks(bytes(raw)):
+    for tag, _ in chunks:
         if tag == b"VP8 ":
             return "lossy"
     return "unknown"
+
+
+def is_animated_webp(raw: bytes) -> bool:
+    return any(tag == b"ANMF" for tag, _ in _webp_chunks(bytes(raw)))
 
 
 def decode_webp(raw: bytes) -> tuple[int, int, int, bytes]:
@@ -654,6 +673,11 @@ def decode_webp(raw: bytes) -> tuple[int, int, int, bytes]:
     raw = bytes(raw)
     if not is_webp(raw):
         raise ValueError("not a WebP container")
+    if is_animated_webp(raw):
+        # still-image view of an animation: the first composited frame
+        # (the decode_gif convention)
+        w, h, frames, _ = decode_webp_frames(raw, max_frames=1)
+        return w, h, 4, frames[0]
     for tag, body in _webp_chunks(raw):
         if tag == b"VP8L":
             return decode_vp8l(body)
@@ -782,6 +806,19 @@ def encode_webp_vp8l(
     return wrap_vp8l(b"\x2f" + bw.bytes())
 
 
+def vp8l_payload(
+    width: int, height: int, channels: int, pixels: bytes
+) -> bytes:
+    """The bare VP8L chunk payload for one image — what
+    :func:`encode_webp_vp8l` wraps, and what ANMF animation frames
+    embed as sub-chunks."""
+    blob = encode_webp_vp8l(width, height, channels, pixels)
+    for tag, body in _webp_chunks(blob):
+        if tag == b"VP8L":
+            return body
+    raise AssertionError("encoder produced no VP8L chunk")
+
+
 def wrap_vp8l(payload: bytes) -> bytes:
     """RIFF/WEBP container around one VP8L chunk payload (2-byte chunk
     alignment per RIFF) — shared by the encoder and the hand-forged
@@ -790,3 +827,163 @@ def wrap_vp8l(payload: bytes) -> bytes:
     if len(payload) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# --------------------------------------------------------- animation
+# Animated WebP (VP8X + ANIM + ANMF chunks — the container spec): each
+# ANMF frame is a sub-image placed at an even (2x, 2y) offset onto the
+# running canvas, alpha-BLENDED or overwritten per its flags, and
+# optionally DISPOSED to transparent after snapshotting — the same
+# compositing contract decode_gif_frames implements for GIF89a, so the
+# frame-sampling family treats both containers identically.
+
+
+def _blend_px(dst: tuple, src: tuple) -> tuple:
+    """Container-spec alpha blend of src OVER dst (RGBA 0-255)."""
+    sa, da = src[3] / 255.0, dst[3] / 255.0
+    oa = sa + da * (1.0 - sa)
+    if oa <= 0.0:
+        return (0, 0, 0, 0)
+    out = tuple(
+        int(round((src[i] * sa + dst[i] * da * (1.0 - sa)) / oa))
+        for i in range(3)
+    )
+    return (*out, int(round(oa * 255.0)))
+
+
+def decode_webp_frames(
+    raw: bytes, max_frames: int | None = None
+) -> tuple[int, int, list[bytes], list[int]]:
+    """(canvas_w, canvas_h, composited RGBA frames, durations_ms) for a
+    WebP — still OR animated. Lossless (VP8L) frames decode; a lossy
+    (VP8) frame refuses naming the pyav hatch. Disposal fills the frame
+    rectangle with transparent black after the snapshot (the
+    alpha-canvas convention libwebp's demuxer applies)."""
+    raw = bytes(raw)
+    if not is_webp(raw):
+        raise ValueError("not a WebP container")
+    anmf = [body for tag, body in _webp_chunks(raw) if tag == b"ANMF"]
+    if not anmf:
+        w, h, _, px = decode_webp(raw)
+        return w, h, [px], [0]
+    cw = ch_ = None
+    for tag, body in _webp_chunks(raw):
+        if tag == b"VP8X" and len(body) >= 10:
+            cw = int.from_bytes(body[4:7], "little") + 1
+            ch_ = int.from_bytes(body[7:10], "little") + 1
+    if cw is None:
+        raise ValueError("animated WebP without a VP8X canvas")
+    canvas = [(0, 0, 0, 0)] * (cw * ch_)
+    frames: list[bytes] = []
+    durations: list[int] = []
+    for body in anmf:
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+        if len(body) < 16:
+            raise ValueError("short ANMF chunk")
+        fx = int.from_bytes(body[0:3], "little") * 2
+        fy = int.from_bytes(body[3:6], "little") * 2
+        fw = int.from_bytes(body[6:9], "little") + 1
+        fh = int.from_bytes(body[9:12], "little") + 1
+        dur = int.from_bytes(body[12:15], "little")
+        flags = body[15]
+        sub = body[16:]
+        fpx = None
+        pos = 0
+        while pos + 8 <= len(sub):
+            tag = sub[pos : pos + 4]
+            (size,) = struct.unpack("<I", sub[pos + 4 : pos + 8])
+            if tag == b"VP8L":
+                dw, dh, _, fpx = decode_vp8l(sub[pos + 8 : pos + 8 + size])
+                if (dw, dh) != (fw, fh):
+                    raise ValueError("ANMF frame dims disagree with header")
+                break
+            if tag == b"VP8 ":
+                raise NotImplementedError(
+                    "lossy animated-WebP frames (VP8) decode through the "
+                    "pyav hatch: `pip install av` on the executors"
+                )
+            pos += 8 + size + (size & 1)
+        if fpx is None:
+            raise ValueError("ANMF frame without an image chunk")
+        no_blend = bool(flags & 0x02)
+        dispose_bg = bool(flags & 0x01)
+        for y in range(fh):
+            cy = fy + y
+            if cy >= ch_:
+                break
+            for x in range(fw):
+                cx = fx + x
+                if cx >= cw:
+                    break
+                i = 4 * (y * fw + x)
+                src = (fpx[i], fpx[i + 1], fpx[i + 2], fpx[i + 3])
+                ci = cy * cw + cx
+                canvas[ci] = (
+                    src if no_blend else _blend_px(canvas[ci], src)
+                )
+        snap = bytearray(cw * ch_ * 4)
+        for i, (r, g, b, a) in enumerate(canvas):
+            snap[4 * i : 4 * i + 4] = bytes((r, g, b, a))
+        frames.append(bytes(snap))
+        durations.append(dur)
+        if dispose_bg:
+            for y in range(fh):
+                cy = fy + y
+                if cy >= ch_:
+                    break
+                for x in range(fw):
+                    cx = fx + x
+                    if cx >= cw:
+                        break
+                    canvas[cy * cw + cx] = (0, 0, 0, 0)
+    return cw, ch_, frames, durations
+
+
+def encode_webp_animation(
+    canvas_w: int,
+    canvas_h: int,
+    frames: list[dict],
+    loop_count: int = 0,
+) -> bytes:
+    """Forge one spec-valid ANIMATED WebP: VP8X (animation flag +
+    canvas) + ANIM + one ANMF per frame dict (keys: ``pixels`` RGBA
+    bytes, optional ``x``/``y`` even offsets, ``w``/``h`` sub-frame
+    dims (default canvas), ``duration`` ms, ``blend`` bool (default
+    True), ``dispose`` bool). decode(encode(frames)) is the roundtrip
+    oracle, exactly the GIF-animation forge pattern."""
+    chunks = bytearray()
+    vp8x = bytes([0x02, 0, 0, 0]) + (canvas_w - 1).to_bytes(
+        3, "little"
+    ) + (canvas_h - 1).to_bytes(3, "little")
+    chunks += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    anim = b"\x00\x00\x00\x00" + int(loop_count).to_bytes(2, "little")
+    chunks += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for fr in frames:
+        fw = int(fr.get("w", canvas_w))
+        fh = int(fr.get("h", canvas_h))
+        fx, fy = int(fr.get("x", 0)), int(fr.get("y", 0))
+        if fx % 2 or fy % 2:
+            raise ValueError("ANMF offsets must be even (stored /2)")
+        payload = vp8l_payload(fw, fh, 4, bytes(fr["pixels"]))
+        sub = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            sub += b"\x00"
+        flags = (0x00 if fr.get("blend", True) else 0x02) | (
+            0x01 if fr.get("dispose", False) else 0x00
+        )
+        body = (
+            (fx // 2).to_bytes(3, "little")
+            + (fy // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + int(fr.get("duration", 100)).to_bytes(3, "little")
+            + bytes([flags])
+            + sub
+        )
+        chunks += b"ANMF" + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            chunks += b"\x00"
+    return (
+        b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + bytes(chunks)
+    )

@@ -418,3 +418,54 @@ def test_roundtrip_uniform_noise_degenerate_codes():
     px = bytes(rng.randrange(256) for _ in range(w * h * 4))
     dw, dh, dch, dpx = W.decode_webp(W.encode_webp_vp8l(w, h, 4, px))
     assert dpx == px
+
+
+def test_animated_webp_compositing(spark):
+    """ANMF compositing mirrors the GIF contract: a fully transparent
+    blended overlay leaves the canvas unchanged, a no-blend sub-frame
+    overwrites its rectangle, dispose clears it, and sample_frames
+    fingerprints the composited canvas states."""
+    from kusto_pre_forge_spark.operators import multimodal
+
+    w = h = 8
+    grad = bytes(
+        c for y in range(h) for x in range(w) for c in (x * 30 % 256,) * 3 + (255,)
+    )
+    const = bytes((7, 8, 9, 255)) * (w * h)
+    overlay = bytes((255, 0, 0, 255)) * 16
+    trans = bytes((0, 0, 0, 0)) * 16
+    blob = W.encode_webp_animation(w, h, [
+        {"pixels": grad, "duration": 50},
+        {"pixels": trans, "w": 4, "h": 4, "x": 2, "y": 2, "duration": 60},
+        {"pixels": overlay, "w": 4, "h": 4, "x": 4, "y": 4,
+         "blend": False, "duration": 70, "dispose": True},
+        {"pixels": const, "duration": 80},
+    ])
+    assert W.is_animated_webp(blob)
+    assert W.webp_flavor(blob) == "lossless"
+    cw, ch, frames, durs = W.decode_webp_frames(blob)
+    assert (cw, ch, len(frames), durs) == (8, 8, 4, [50, 60, 70, 80])
+    assert frames[0] == frames[1]  # transparent blend is a no-op
+    assert tuple(frames[2][4 * (5 * w + 5) :][:4]) == (255, 0, 0, 255)
+    # dispose cleared the overlay rect before the final frame painted
+    assert all(
+        tuple(frames[3][4 * i : 4 * i + 4]) == (7, 8, 9, 255)
+        for i in range(w * h)
+    )
+    # decode_image view of an animation = first composited frame
+    dw, dh, dch, first = W.decode_webp(blob)
+    assert (dw, dh, dch) == (8, 8, 4) and first == frames[0]
+    # max_frames early-stop
+    assert len(W.decode_webp_frames(blob, max_frames=2)[2]) == 2
+    # sample_frames: every_n=2 keeps composited frames 0 and 2
+    df = spark.createDataFrame([(1, blob)], "doc_id long, blob binary")
+    rows = sorted(
+        multimodal.sample_frames(df, every_n=2).collect(),
+        key=lambda r: r.frame_index,
+    )
+    import hashlib
+
+    assert [(r.frame_index, r.frame_sha) for r in rows] == [
+        (0, hashlib.sha256(frames[0]).hexdigest()),
+        (2, hashlib.sha256(frames[2]).hexdigest()),
+    ]
