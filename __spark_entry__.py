@@ -7881,6 +7881,27 @@ def _q_kqltext_plugins(spark, sf):
     return run_kql(spark, q, _kqltext_tables(spark, sf))
 
 
+def _q_kqltext_top_nested(spark, sf):
+    """``top-nested`` through the text parser (round-12): top 3 order
+    priorities by revenue, and within each the top 2 statuses by count
+    — the hierarchical-drilldown operator every Kusto dashboard uses.
+    Each level is one map-side-combinable aggregate + a rank window
+    over the TINY aggregate (never the fact stream); levels join by
+    broadcast. Oracle: the same two ranked windows in plain SQL
+    (ties break agg desc, then key asc — the engine's documented
+    deterministic order)."""
+    from kusto_pre_forge_spark.operators.kqltext import run_kql
+
+    q = (
+        "orders\n"
+        "| top-nested 3 of o_orderpriority by"
+        " total=round(sum(o_totalprice), 2),\n"
+        "  top-nested 2 of o_orderstatus by n=count()\n"
+        "| sort by o_orderpriority asc, o_orderstatus asc"
+    )
+    return run_kql(spark, q, _kqltext_tables(spark, sf))
+
+
 def _q_kqltext_parse_kv(spark, sf):
     """``parse-kv`` through the text parser (round-12): forge key=value
     log lines from orders in-pipeline, extract them back with typed
@@ -8141,6 +8162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kqltext_pipeline": _q_kqltext_pipeline,
         "kqltext_plugins": _q_kqltext_plugins,
         "kqltext_parse_kv": _q_kqltext_parse_kv,
+        "kqltext_top_nested": _q_kqltext_top_nested,
         "kqltext_dynamic": _q_kqltext_dynamic,
         "kqltext_mvapply": _q_kqltext_mvapply,
         "kqltext_show_policy": _q_kqltext_show_policy,
@@ -12064,6 +12086,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n, "
             "round(SUM(o_totalprice), 2) AS total FROM orders "
             "WHERE o_totalprice > 1000 GROUP BY 1, 2"
+        ),
+        "kqltext_top_nested": (
+            # two ranked windows, ties agg desc then key asc (the
+            # engine's documented deterministic order)
+            "WITH l1 AS (SELECT o_orderpriority, "
+            "round(SUM(o_totalprice), 2) AS total FROM orders GROUP BY 1), "
+            "k1 AS (SELECT * FROM (SELECT *, row_number() OVER "
+            "(ORDER BY total DESC, o_orderpriority ASC) AS r FROM l1) "
+            "WHERE r <= 3), "
+            "l2 AS (SELECT o.o_orderpriority, o.o_orderstatus, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM orders o "
+            "JOIN k1 USING (o_orderpriority) GROUP BY 1, 2), "
+            "k2 AS (SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY o_orderpriority ORDER BY n DESC, "
+            "o_orderstatus ASC) AS r FROM l2) WHERE r <= 2) "
+            "SELECT k2.o_orderpriority, k1.total, k2.o_orderstatus, k2.n "
+            "FROM k2 JOIN k1 USING (o_orderpriority)"
         ),
         "kqltext_dynamic": (
             # todynamic(props).k coerced by toint == JSON int extract;

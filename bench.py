@@ -166,6 +166,7 @@ HEADLINE = [
     "text_fix_encoding",
     "kqltext_parse_kv",
     "multimodal_webp_dhash",
+    "kqltext_top_nested",
     "corpus_version_diff",
     "corpus_datacard",
     "epub_text_extract",

@@ -646,6 +646,60 @@ class _Parser:
             self.next()
         return df.orderBy(col.desc() if desc else col.asc()).limit(n)
 
+    def _op_top_nested(self, df):
+        """``top-nested K1 of Col1 by Agg1=agg(...), top-nested K2 of
+        Col2 by Agg2=agg(...)`` — hierarchical top-K: level 1 keeps the
+        K1 best Col1 values by Agg1 over the whole input; level 2 keeps,
+        WITHIN each surviving Col1, the K2 best Col2 by Agg2; and so on.
+        Spark shape: one aggregate per level over (prefix keys + level
+        key) + a rank window partitioned by the prefix — each level's
+        aggregate is map-side combinable and the windows run over the
+        (tiny) aggregate, never the fact stream."""
+        from pyspark.sql.window import Window
+
+        levels = []
+        while True:
+            k = int(_lit_value(self.parse_expr()))
+            self.eat("ident", "of")
+            col = self.eat("ident").val
+            self.eat("ident", "by")
+            agg_name, agg_e = self._parse_named_expr(agg=True)
+            levels.append((k, col, agg_name, agg_e.c()))
+            if self.at("punct", ","):
+                self.next()
+                self.eat("ident", "top")
+                self.eat("punct", "-")
+                self.eat("ident", "nested")
+                continue
+            break
+        prefix: list[str] = []
+        kept = None  # surviving rows: prefix keys + earlier agg columns
+        out_cols: list[str] = []
+        for k, col, agg_name, agg_c in levels:
+            agg_df = df
+            if kept is not None:
+                agg_df = df.join(
+                    F.broadcast(kept.select(*prefix)), prefix, "inner"
+                )
+            lvl = agg_df.groupBy(*(prefix + [col])).agg(
+                agg_c.alias(agg_name)
+            )
+            w = (
+                Window.partitionBy(*prefix)
+                if prefix
+                else Window.partitionBy(F.lit(1))
+            ).orderBy(F.col(agg_name).desc(), F.col(col).asc())
+            lvl = lvl.withColumn("_kpf_rnk", F.row_number().over(w)).filter(
+                F.col("_kpf_rnk") <= k
+            ).drop("_kpf_rnk")
+            if kept is not None:
+                # reattach the earlier levels' aggregate columns
+                lvl = lvl.join(F.broadcast(kept), prefix, "inner")
+            kept = lvl
+            prefix = prefix + [col]
+            out_cols = out_cols + [col, agg_name]
+        return kept.select(*out_cols)
+
     def _op_mv_expand(self, df):
         from pyspark.sql.types import VariantType
 

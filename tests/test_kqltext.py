@@ -773,3 +773,31 @@ def test_scalar_function_batch_round12(spark, t):
     assert m == (
         "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
     )
+
+
+def test_top_nested(spark, t):
+    sales = spark.createDataFrame(
+        [
+            ("eu", "de", 10), ("eu", "de", 20), ("eu", "fr", 25),
+            ("eu", "es", 1), ("us", "ca", 40), ("us", "ny", 5),
+            ("us", "tx", 30), ("ap", "jp", 2),
+        ],
+        "region string, state string, amount long",
+    )
+    out = _rows(
+        spark,
+        "Sales | top-nested 2 of region by total=sum(amount), "
+        "top-nested 1 of state by sub=sum(amount) "
+        "| sort by region asc",
+        dict(t, Sales=sales),
+    )
+    # top 2 regions by total: us=75, eu=56; within each, the top state
+    # (eu: de=30 beats fr=25; us: ca=40 beats tx=30)
+    assert out == [("eu", 56, "de", 30), ("us", 75, "ca", 40)]
+    # single-level form == plain top by aggregate
+    out = _rows(
+        spark,
+        "Sales | top-nested 1 of region by n=count() | project region, n",
+        dict(t, Sales=sales),
+    )
+    assert out == [("eu", 4)]
