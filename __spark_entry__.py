@@ -3336,6 +3336,54 @@ def _q_code_license_gate(spark, sf):
     )
 
 
+def _q_corpus_robots_gate(spark, sf):
+    """robots.txt compliance gate end-to-end (round-12, RFC 9309):
+    five forged site policies exercise longest-match precedence (Allow
+    /public/ beats Disallow /), agent-specific group selection (site2
+    defines a mybot group that overrides its deny-all star group),
+    ``$``-anchored wildcards, and default-allow; documents carry URLs
+    rotated over (domain %5, path %4). The rule table broadcasts; the
+    verdict is one rank window over matched rules per URL. Oracle is
+    the 5×4 closed-form verdict matrix."""
+    from kusto_pre_forge_spark.operators import robots as R
+
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
+    robots_df = spark.createDataFrame(
+        [
+            ("site0.example", "User-agent: *\nDisallow: /private/"),
+            ("site1.example",
+             "User-agent: *\nDisallow: /\nAllow: /public/"),
+            ("site2.example",
+             "User-agent: mybot\nDisallow: /mybot-only/\n\n"
+             "User-agent: *\nDisallow: /"),
+            ("site3.example", "User-agent: *\nDisallow: /*.pdf$"),
+            ("site4.example", "# empty policy"),
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = R.robots_rules(robots_df)
+    did = F.col("doc_id").cast("long")
+    path = (
+        F.when(did % 4 == 0, "/public/doc")
+        .when(did % 4 == 1, "/private/x")
+        .when(did % 4 == 2, "/paper.pdf")
+        .otherwise("/ok")
+    )
+    docs = _widen_for_fanout(load_table(spark, sf, "documents")).select(
+        did.alias("doc_id"),
+        F.concat(
+            F.lit("https://site"),
+            (did % 5).cast("string"),
+            F.lit(".example"),
+            path,
+        ).alias("url"),
+    )
+    return R.robots_gate(docs, rules, agent="mybot", keep_col="kept").select(
+        "doc_id", "url", "kept"
+    )
+
+
 def _q_corpus_code_attribution(spark, sf):
     """Per-(language, rule) attribution for the code-quality rules —
     gopher/c4 attribution's code twin: n_fail and n_fail_only per rule,
@@ -8186,6 +8234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_c4_attribution": _q_corpus_c4_attribution,
         "code_quality": _q_code_quality,
         "code_license_gate": _q_code_license_gate,
+        "corpus_robots_gate": _q_corpus_robots_gate,
         "corpus_code_attribution": _q_corpus_code_attribution,
         "text_oov_rate": _q_text_oov_rate,
         "text_char_entropy": _q_text_char_entropy,
@@ -10415,6 +10464,24 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter_attribution": _gopher_attribution_oracle_sql(),
         "corpus_c4_attribution": _c4_attribution_oracle_sql(),
         "code_quality": _code_quality_oracle_sql(),
+        "corpus_robots_gate": (
+            # the 5x4 verdict matrix: site0 blocks /private/; site1
+            # deny-all except the longer /public/ allow; site2's mybot
+            # group (overriding deny-all) blocks only /mybot-only/;
+            # site3 blocks the $-anchored *.pdf; site4 has no rules
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "'https://site' || (doc_id % 5) || '.example' || "
+            "CASE doc_id % 4 WHEN 0 THEN '/public/doc' "
+            "WHEN 1 THEN '/private/x' WHEN 2 THEN '/paper.pdf' "
+            "ELSE '/ok' END AS url, "
+            "CASE doc_id % 5 "
+            "WHEN 0 THEN doc_id % 4 != 1 "
+            "WHEN 1 THEN doc_id % 4 = 0 "
+            "WHEN 2 THEN TRUE "
+            "WHEN 3 THEN doc_id % 4 != 2 "
+            "ELSE TRUE END AS kept "
+            "FROM documents"
+        ),
         "code_license_gate": (
             # closed-form replay of the %5 license rotation: per license
             # (NULL → NOASSERTION) the allow-list verdict, exact doc/byte
