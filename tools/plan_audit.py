@@ -178,6 +178,12 @@ AUDITED = [
     ("code_license_gate", "gate is a codegen filter; attribution + survivor counts are two tiny aggregates + one broadcast join"),
     ("kqltext_plugins", "parsed ipv4_lookup + lookup both broadcast: the fact side shuffles only at the final aggregate"),
     ("multimodal_image_dhash_webp", "VP8L decode + dHash are one Arrow map stage — no shuffle at any corpus size"),
+    ("text_bpe_interchange", "exported/imported tokenizer encodes via one Arrow map; decode-roundtrip column rides the same stage"),
+    ("text_fix_encoding", "mojibake forge + repair are one Arrow map stage — zero exchanges"),
+    ("kqltext_parse_kv", "per-key regexp_extracts fold into one codegen projection before the aggregate"),
+    ("kqltext_top_nested", "each level aggregates map-side; rank windows run over the tiny aggregates, joined by broadcast"),
+    ("multimodal_webp_dhash", "ANMF compositing + per-frame dHash are one Arrow map stage"),
+    ("corpus_robots_gate", "rule table broadcasts; verdict is a rank window over matched rules — the corpus never shuffles"),
 ]
 
 
