@@ -2867,13 +2867,14 @@ def _q_pipeline_pdf_route(spark, sf):
 def _q_pipeline_pdf_decrypt(spark, sf):
     """Blank-user-password PDF decryption end-to-end (round-12): each
     document forges as an ENCRYPTED PDF — the standard security
-    handler's RC4 paths rotate by doc_id % 3 (R2/40-bit, R3/128-bit,
-    R4 crypt-filter /CFM /V2), and every fifth document carries the
-    /CFM /AESV2 marker instead. The owner-password-only restriction
-    case (user password BLANK) must extract losslessly through
-    Algorithm 2 key derivation + per-object RC4 (ISO 32000 §7.6.3);
-    AES documents refuse by name and quarantine to zero pages in skip
-    mode. Oracle is closed-form: AES docs (doc_id%5=0) → 0 pages /
+    handler rotates by doc_id % 4 (R2/RC4-40, R3/RC4-128, R4
+    crypt-filter RC4, R4 crypt-filter AES-128-CBC — real AESV2, the
+    Acrobat 7+ default), and every fifth document carries a V5/R6
+    (AES-256) dict instead. The owner-password-only restriction case
+    (user password BLANK) must extract losslessly through Algorithm 2
+    key derivation + per-object RC4/AES (ISO 32000 §7.6.2-3); V5
+    documents refuse by name and quarantine to zero pages in skip
+    mode. Oracle is closed-form: V5 docs (doc_id%5=0) → 0 pages /
     'refused', the rest roundtrip their own text length. Pure map
     stages — decryption is per-blob arithmetic, no shuffle."""
     import pandas as pd
@@ -2891,10 +2892,13 @@ def _q_pipeline_pdf_decrypt(spark, sf):
             for i, t in zip(pdf["doc_id"], pdf["text"]):
                 i = int(i)
                 t = t if isinstance(t, str) else ""
-                r = (2, 3, 4)[i % 3]
-                blob = P.pdf_bytes_encrypted(
-                    [t], r=4 if i % 5 == 0 else r, aes_marker=i % 5 == 0
-                )
+                if i % 5 == 0:
+                    blob = P.pdf_bytes_encrypted([t], v5_marker=True)
+                else:
+                    r = (2, 3, 4, 4)[i % 4]
+                    blob = P.pdf_bytes_encrypted(
+                        [t], r=r, aes=i % 4 == 3
+                    )
                 pages = P.extract_pdf_pages(blob)  # skip mode
                 enc = P.pdf_encryption(blob)
                 rows.append(

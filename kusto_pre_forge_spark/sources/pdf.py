@@ -866,11 +866,151 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def _std_file_key(enc: dict, objects: dict, file_id: bytes) -> bytes:
-    """Algorithm 2 file key for a BLANK user password, verified against
-    /U (Algorithm 4/5 inverse check). Raises ``NotImplementedError``
-    naming the gap for AES, V5/R6, non-Standard handlers, and real
-    (non-blank) user passwords."""
+# AES-128 (FIPS-197) — pure stdlib, decrypt + encrypt (the encryptor
+# exists for the fixture forge; the cipher core is pinned against the
+# FIPS-197 Appendix C.1 vector in tests). PDF's /CFM /AESV2 is
+# AES-128-CBC with a per-object salted key (ISO 32000 §7.6.2) — the
+# Acrobat 7+ default, so a large share of encrypted PDFs in the wild.
+
+_AES_SBOX = bytes.fromhex(
+    "637c777bf26b6fc53001672bfed7ab76ca82c97dfa5947f0add4a2af9ca472c0"
+    "b7fd9326363ff7cc34a5e5f171d8311504c723c31896059a071280e2eb27b275"
+    "09832c1a1b6e5aa0523bd6b329e32f8453d100ed20fcb15b6acbbe394a4c58cf"
+    "d0efaafb434d338545f9027f503c9fa851a3408f929d38f5bcb6da2110fff3d2"
+    "cd0c13ec5f974417c4a77e3d645d197360814fdc222a908846eeb814de5e0bdb"
+    "e0323a0a4906245cc2d3ac629195e479e7c8376d8dd54ea96c56f4ea657aae08"
+    "ba78252e1ca6b4c6e8dd741f4bbd8b8a703eb5664803f60e613557b986c11d9e"
+    "e1f8981169d98e949b1e87e9ce5528df8ca1890dbfe6426841992d0fb054bb16"
+)
+_AES_INV_SBOX = bytes(256)
+_AES_INV_SBOX = bytearray(256)
+for _i, _v in enumerate(_AES_SBOX):
+    _AES_INV_SBOX[_v] = _i
+_AES_INV_SBOX = bytes(_AES_INV_SBOX)
+_AES_RCON = (0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36)
+
+
+def _xtime(a: int) -> int:
+    a <<= 1
+    return (a ^ 0x1B) & 0xFF if a & 0x100 else a
+
+
+def _gmul(a: int, b: int) -> int:
+    p = 0
+    for _ in range(8):
+        if b & 1:
+            p ^= a
+        b >>= 1
+        a = _xtime(a)
+    return p
+
+
+# precomputed GF(2^8) multiplication tables for the MixColumns
+# constants — the per-byte bit loop would dominate per-block time
+_GM = {
+    k: bytes(_gmul(x, k) for x in range(256))
+    for k in (2, 3, 9, 11, 13, 14)
+}
+
+
+def _aes_expand_key(key: bytes) -> list[bytes]:
+    words = [key[i : i + 4] for i in range(0, 16, 4)]
+    for r in range(10):
+        t = words[-1]
+        t = bytes(
+            _AES_SBOX[t[1]] ^ (_AES_RCON[r] if j == 0 else 0)
+            if j == 0
+            else _AES_SBOX[t[(j + 1) % 4]]
+            for j in range(4)
+        )
+        for _ in range(4):
+            w = bytes(x ^ y for x, y in zip(words[-4], t))
+            words.append(w)
+            t = w
+    return [b"".join(words[4 * r : 4 * r + 4]) for r in range(11)]
+
+
+def _aes_encrypt_block(block: bytes, rk: list[bytes]) -> bytes:
+    s = bytearray(x ^ y for x, y in zip(block, rk[0]))
+    for rnd in range(1, 11):
+        s = bytearray(_AES_SBOX[b] for b in s)  # SubBytes
+        # ShiftRows (state is column-major: s[c*4+r])
+        s = bytearray(s[(i + 4 * (i % 4)) % 16] for i in range(16))
+        if rnd != 10:  # MixColumns (table-multiplied)
+            g2, g3 = _GM[2], _GM[3]
+            m = bytearray(16)
+            for c in range(0, 16, 4):
+                a0, a1, a2, a3 = s[c], s[c + 1], s[c + 2], s[c + 3]
+                m[c] = g2[a0] ^ g3[a1] ^ a2 ^ a3
+                m[c + 1] = a0 ^ g2[a1] ^ g3[a2] ^ a3
+                m[c + 2] = a0 ^ a1 ^ g2[a2] ^ g3[a3]
+                m[c + 3] = g3[a0] ^ a1 ^ a2 ^ g2[a3]
+            s = m
+        s = bytearray(x ^ y for x, y in zip(s, rk[rnd]))
+    return bytes(s)
+
+
+def _aes_decrypt_block(block: bytes, rk: list[bytes]) -> bytes:
+    s = bytearray(x ^ y for x, y in zip(block, rk[10]))
+    for rnd in range(9, -1, -1):
+        # InvShiftRows
+        s = bytearray(s[(i - 4 * (i % 4)) % 16] for i in range(16))
+        s = bytearray(_AES_INV_SBOX[b] for b in s)  # InvSubBytes
+        s = bytearray(x ^ y for x, y in zip(s, rk[rnd]))
+        if rnd != 0:  # InvMixColumns (table-multiplied)
+            g9, g11, g13, g14 = _GM[9], _GM[11], _GM[13], _GM[14]
+            m = bytearray(16)
+            for c in range(0, 16, 4):
+                a0, a1, a2, a3 = s[c], s[c + 1], s[c + 2], s[c + 3]
+                m[c] = g14[a0] ^ g11[a1] ^ g13[a2] ^ g9[a3]
+                m[c + 1] = g9[a0] ^ g14[a1] ^ g11[a2] ^ g13[a3]
+                m[c + 2] = g13[a0] ^ g9[a1] ^ g14[a2] ^ g11[a3]
+                m[c + 3] = g11[a0] ^ g13[a1] ^ g9[a2] ^ g14[a3]
+            s = m
+    return bytes(s)
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """AESV2 payload: first 16 bytes are the IV, PKCS#7 padding
+    (§7.6.2 Algorithm 1 step b). Malformed framing → ValueError."""
+    if len(data) < 32 or len(data) % 16:
+        raise ValueError("AES-CBC payload framing invalid")
+    rk = _aes_expand_key(key)
+    iv = data[:16]
+    out = bytearray()
+    prev = iv
+    for i in range(16, len(data), 16):
+        block = data[i : i + 16]
+        out += bytes(
+            x ^ y for x, y in zip(_aes_decrypt_block(block, rk), prev)
+        )
+        prev = block
+    pad = out[-1]
+    if not 1 <= pad <= 16 or out[-pad:] != bytearray([pad]) * pad:
+        raise ValueError("AES-CBC padding invalid")
+    return bytes(out[:-pad])
+
+
+def _aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
+    rk = _aes_expand_key(key)
+    pad = 16 - (len(data) % 16)
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = bytes(x ^ y for x, y in zip(data[i : i + 16], prev))
+        prev = _aes_encrypt_block(block, rk)
+        out += prev
+    return bytes(out)
+
+
+def _std_file_key(
+    enc: dict, objects: dict, file_id: bytes
+) -> tuple[bytes, str]:
+    """(Algorithm-2 file key, method 'rc4'|'aes') for a BLANK user
+    password, verified against /U (Algorithm 4/5 inverse check). Raises
+    ``NotImplementedError`` naming the gap for AES-256 (V5/R6),
+    non-Standard handlers, and real (non-blank) user passwords."""
     import hashlib
 
     filt = str(_resolve(objects, enc.get("Filter", "")))
@@ -881,24 +1021,30 @@ def _std_file_key(enc: dict, objects: dict, file_id: bytes) -> bytes:
         )
     v = int(_resolve(objects, enc.get("V", 0)) or 0)
     r = int(_resolve(objects, enc.get("R", 2)) or 2)
+    method = "rc4"
     if v == 4:
-        # crypt filters: only the RC4 (/CFM /V2) StdCF decrypts here
+        # crypt filters: RC4 (/CFM /V2) and AES-128 (/CFM /AESV2 —
+        # the Acrobat 7+ default) both decrypt; anything else refuses
         cf = _resolve(objects, enc.get("CF")) or {}
         stmf = str(_resolve(objects, enc.get("StmF", "Identity")))
         strf = str(_resolve(objects, enc.get("StrF", "Identity")))
+        cfms = set()
         for name in {stmf, strf} - {"Identity"}:
-            cfm = str(
+            cfms.add(str(
                 _resolve(objects, (_resolve(objects, cf.get(name)) or {}).get("CFM", ""))
+            ))
+        if cfms == {"AESV2"}:
+            method = "aes"
+        elif cfms - {"V2"}:
+            raise NotImplementedError(
+                f"PDF crypt filters use /CFM {sorted(cfms)}: only RC4 "
+                "(/V2) and AES-128 (/AESV2) are supported — AES-256 "
+                "(/AESV3) needs the V5 handler, which is not implemented"
             )
-            if cfm != "V2":
-                raise NotImplementedError(
-                    f"PDF crypt filter /{name} uses /CFM /{cfm}: only RC4 "
-                    "(/V2) is supported — AES decryption is not implemented"
-                )
     elif v not in (1, 2):
         raise NotImplementedError(
-            f"PDF encryption /V {v} (AES-256 era) is not supported — "
-            "only the RC4 paths (V 1/2/4-with-V2) decrypt here"
+            f"PDF encryption /V {v} (the AES-256 / R6 handler) is not "
+            "supported — V 1/2 (RC4) and V 4 (RC4 or AES-128) decrypt here"
         )
     if r not in (2, 3, 4):
         raise NotImplementedError(
@@ -933,29 +1079,34 @@ def _std_file_key(enc: dict, objects: dict, file_id: bytes) -> bytes:
             "without the password is not possible — supply the "
             "plaintext upstream or drop the document"
         )
-    return key
+    return key, method
 
 
-def _decrypt_value(val, obj_key: bytes):
+def _decrypt_value(val, obj_key: bytes, fn):
     """Per-object string decryption: strings parse to ``bytes``; names
     (str) and numbers pass through untouched."""
     if isinstance(val, bytes):
-        return _rc4(obj_key, val)
+        return fn(obj_key, val)
     if isinstance(val, list):
-        return [_decrypt_value(v, obj_key) for v in val]
+        return [_decrypt_value(v, obj_key, fn) for v in val]
     if isinstance(val, dict):
-        return {k: _decrypt_value(v, obj_key) for k, v in val.items()}
+        return {k: _decrypt_value(v, obj_key, fn) for k, v in val.items()}
     return val
 
 
-def _decrypt_objects(objects: dict, enc_ref, file_key: bytes) -> None:
+def _decrypt_objects(
+    objects: dict, enc_ref, file_key: bytes, method: str = "rc4"
+) -> None:
     """In-place Algorithm-1 decryption of every object's strings and
     stream bytes BEFORE filter decoding / ObjStm explosion (strings
     inside object streams are covered by the container's encryption,
     never twice). Skips the /Encrypt dict itself and XRef streams —
-    the spec never encrypts either."""
+    the spec never encrypts either. ``method='aes'`` salts the
+    per-object key with sAlT and runs AES-128-CBC (§7.6.2)."""
     import hashlib
 
+    salt = b"sAlT" if method == "aes" else b""
+    fn = _aes_cbc_decrypt if method == "aes" else _rc4
     skip = enc_ref.num if isinstance(enc_ref, _Ref) else None
     for num, (val, stream) in list(objects.items()):
         if num == skip:
@@ -963,10 +1114,13 @@ def _decrypt_objects(objects: dict, enc_ref, file_key: bytes) -> None:
         if isinstance(val, dict) and str(val.get("Type", "")) == "XRef":
             continue
         obj_key = hashlib.md5(
-            file_key + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+            file_key
+            + num.to_bytes(3, "little")
+            + (0).to_bytes(2, "little")
+            + salt
         ).digest()[: min(len(file_key) + 5, 16)]
-        new_val = _decrypt_value(val, obj_key)
-        new_stream = _rc4(obj_key, stream) if stream is not None else None
+        new_val = _decrypt_value(val, obj_key, fn)
+        new_stream = fn(obj_key, stream) if stream is not None else None
         objects[num] = (new_val, new_stream)
 
 
@@ -981,8 +1135,12 @@ def _maybe_decrypt(objects: dict, trailer: dict) -> None:
         raise NotImplementedError("PDF /Encrypt entry does not resolve")
     ids = trailer.get("ID")
     file_id = ids[0] if isinstance(ids, list) and ids and isinstance(ids[0], bytes) else b""
-    key = _std_file_key(enc, objects, file_id)
-    _decrypt_objects(objects, enc_ref, key)
+    key, method = _std_file_key(enc, objects, file_id)
+    try:
+        _decrypt_objects(objects, enc_ref, key, method)
+    except ValueError as e:
+        # corrupt ciphertext/padding: quarantine, not a task crash
+        raise NotImplementedError(f"PDF decryption failed: {e}") from e
 
 
 def pdf_encryption(data: bytes) -> str:
@@ -1710,18 +1868,23 @@ def pdf_bytes_encrypted(
     r: int = 3,
     owner_pw: bytes = b"owner",
     p: int = -3904,
-    aes_marker: bool = False,
+    aes: bool = False,
+    v5_marker: bool = False,
 ) -> bytes:
     """Forge :func:`pdf_bytes`'s document ENCRYPTED with the standard
     security handler (§7.6.3) — owner password set, user password
     BLANK, exactly the restriction-only case the decryptor targets.
     ``r=2`` writes V1/RC4-40, ``r=3`` V2/RC4-128, ``r=4`` the V4
-    crypt-filter layout (/CF /StdCF /CFM /V2). ``aes_marker=True``
-    writes /CFM /AESV2 instead (content left RC4 — the fixture only
-    exercises the refusal, which triggers before any decryption).
+    crypt-filter layout (/CF /StdCF /CFM /V2 — or REAL AES-128-CBC
+    content with /CFM /AESV2 when ``aes=True``, deterministic
+    per-object IVs so forges are byte-stable). ``v5_marker=True``
+    writes a V5/R6 (AES-256) dict — the one remaining refusal class.
     The encryptor IS the test oracle: decrypt(encrypt(doc)) must equal
     the plaintext forge's extraction."""
     import hashlib
+
+    if aes and r != 4:
+        raise ValueError("AESV2 requires the V4 crypt-filter layout (r=4)")
 
     if r not in (2, 3, 4):
         raise ValueError("r must be 2, 3 or 4")
@@ -1759,10 +1922,19 @@ def pdf_bytes_encrypted(
             u = _rc4(bytes(b ^ i for b in key), u)
         u = u + b"\x00" * 16  # padded to 32 (§7.6.3.4 step f)
 
+    salt = b"sAlT" if aes else b""
+
     def obj_key(num: int) -> bytes:
         return hashlib.md5(
             key + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+            + salt
         ).digest()[: min(n + 5, 16)]
+
+    def enc_bytes(num: int, data: bytes) -> bytes:
+        if aes:
+            iv = hashlib.md5(b"kpf-iv" + num.to_bytes(3, "little") + file_id).digest()
+            return _aes_cbc_encrypt(obj_key(num), data, iv)
+        return _rc4(obj_key(num), data)
 
     # same object layout as pdf_bytes, content streams encrypted
     objs: list[bytes] = []
@@ -1780,15 +1952,23 @@ def pdf_bytes_encrypted(
                 f"<< /F1 {font_num} 0 R >> >> >>"
             ).encode()
         )
-        body = _rc4(obj_key(cont_num), zlib.compress(_page_content(text)))
+        body = enc_bytes(cont_num, zlib.compress(_page_content(text)))
         objs.append(
             b"<< /Length " + str(len(body)).encode()
             + b" /Filter /FlateDecode >>\nstream\n" + body + b"\nendstream"
         )
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     enc_num = len(objs) + 1
-    if r == 4:
-        cfm = "AESV2" if aes_marker else "V2"
+    if v5_marker:
+        enc_body = (
+            f"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+            f"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen >> >> "
+            f"/StmF /StdCF /StrF /StdCF "
+            f"/O <{(o + o).hex()}> /U <{(u + u).hex()}> /P {p} "
+            f"/OE <{o.hex()}> /UE <{u.hex()}> /Perms <{o[:16].hex()}> >>"
+        ).encode()
+    elif r == 4:
+        cfm = "AESV2" if aes else "V2"
         enc_body = (
             f"<< /Filter /Standard /V 4 /R 4 /Length 128 "
             f"/CF << /StdCF << /CFM /{cfm} /AuthEvent /DocOpen >> >> "

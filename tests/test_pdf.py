@@ -441,22 +441,23 @@ def test_rc4_blank_user_password_decrypts():
     forge's, byte for byte."""
     pages = ["Restricted but readable\nline 2", "Page 2: café € ✓"]
     plain = P.extract_pdf_pages(P.pdf_bytes(pages))
-    for r in (2, 3, 4):
-        doc = P.pdf_bytes_encrypted(pages, r=r)
+    variants = [dict(r=2), dict(r=3), dict(r=4), dict(r=4, aes=True)]
+    for kw in variants:
+        doc = P.pdf_bytes_encrypted(pages, **kw)
         assert P._is_encrypted(doc)
-        assert P.pdf_encryption(doc) == "decryptable"
-        assert P.extract_pdf_pages(doc) == plain, f"r={r}"
+        assert P.pdf_encryption(doc) == "decryptable", kw
+        assert P.extract_pdf_pages(doc) == plain, kw
         infos = P.extract_pdf_page_infos(doc)
         assert [i["text"] for i in infos] == plain
 
 
-def test_aes_and_real_user_password_refuse_by_name():
+def test_aes256_and_real_user_password_refuse_by_name():
     pages = ["won't decrypt"]
-    aes = P.pdf_bytes_encrypted(pages, r=4, aes_marker=True)
-    with pytest.raises(NotImplementedError, match="AESV2"):
-        P.extract_pdf_pages(aes, errors="strict")
-    assert P.extract_pdf_pages(aes) == []  # skip mode: quarantine
-    assert "AESV2" in P.pdf_encryption(aes)
+    v5 = P.pdf_bytes_encrypted(pages, v5_marker=True)
+    with pytest.raises(NotImplementedError, match="V 5|AES-256"):
+        P.extract_pdf_pages(v5, errors="strict")
+    assert P.extract_pdf_pages(v5) == []  # skip mode: quarantine
+    assert "AES-256" in P.pdf_encryption(v5) or "V 5" in P.pdf_encryption(v5)
     # a real (non-blank) user password: the /U check fails → refusal
     doc = P.pdf_bytes_encrypted(pages, r=3)
     import re as _re
@@ -475,3 +476,21 @@ def test_rc4_known_vector():
     # cypherpunks posting, reproduced in RFC 6229 era docs)
     assert P._rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
     assert P._rc4(b"Wiki", b"pedia").hex() == "1021bf0420"
+
+
+def test_aes128_core_fips_vector_and_cbc():
+    """FIPS-197 Appendix C.1 — the independent ground truth for the
+    AES-128 cipher core (encryptor and decryptor check each other AND
+    the published vector)."""
+    key = bytes(range(16))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    rk = P._aes_expand_key(key)
+    ct = P._aes_encrypt_block(pt, rk)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert P._aes_decrypt_block(ct, rk) == pt
+    data = b"pdf aes cbc framing \xe2\x9c\x93" * 5
+    blob = P._aes_cbc_encrypt(key, data, bytes.fromhex("aa" * 16))
+    assert P._aes_cbc_decrypt(key, blob) == data
+    # corrupt padding quarantines as ValueError, never garbage
+    with pytest.raises(ValueError, match="padding|framing"):
+        P._aes_cbc_decrypt(key, blob[:-1] + bytes([blob[-1] ^ 1]))
