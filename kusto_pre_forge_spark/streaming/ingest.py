@@ -690,6 +690,68 @@ class StreamingEtl:
             .count()
         )
 
+    def robots_ingest_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        corpus_dir: str,
+        rules: DataFrame,
+        url_col: str = "url",
+        id_col: str = "doc_id",
+        agent: str = "*",
+    ) -> int:
+        """One micro-batch of robots.txt-gated ingestion (RFC 9309):
+        landed documents whose URL the FROZEN rule table (the output of
+        ``robots.robots_rules``, captured at stream start — the frozen-
+        artifact admission convention) disallows for ``agent`` are
+        refused at the door. Like the blocklist gate, the decision is a
+        pure function of the document and the frozen rules — no corpus
+        read per batch, crash replay reproduces the accept set by
+        construction; batch-partitioned dynamic-overwrite store write
+        like every admission path."""
+        from kusto_pre_forge_spark.operators.robots import robots_gate
+
+        batch = batch_df.drop("_kpf_source").dropDuplicates([id_col])
+        if not batch.head(1):
+            return 0
+        accepted = robots_gate(
+            batch, rules, url_col=url_col, agent=agent
+        ).withColumn("_kpf_batch", F.lit(batch_id))
+        (
+            accepted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_kpf_batch")
+            .parquet(corpus_dir)
+        )
+        return (
+            self.spark.read.parquet(corpus_dir)
+            .filter(F.col("_kpf_batch") == batch_id)
+            .count()
+        )
+
+    def start_robots_ingest(
+        self,
+        corpus_dir: str,
+        rules: DataFrame,
+        url_col: str = "url",
+        id_col: str = "doc_id",
+        agent: str = "*",
+        trigger_seconds: int | None = 60,
+        available_now: bool = False,
+    ) -> StreamingQuery:
+        """Continuous robots.txt admission: every micro-batch of landed
+        documents passes the RFC 9309 gate before entering the corpus
+        store. Effectively-once across crashes via
+        :meth:`robots_ingest_batch`."""
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            self.robots_ingest_batch(
+                batch_df, batch_id, corpus_dir, rules, url_col, id_col,
+                agent,
+            )
+
+        return self._start(process, trigger_seconds, available_now)
+
     def classifier_ingest_batch(
         self,
         batch_df: DataFrame,

@@ -949,3 +949,72 @@ def test_streaming_classifier_ingest(spark, tmp_path):
         for r in spark.read.parquet(corpus_dir).collect()
     )
     assert after == before
+
+
+def test_streaming_robots_ingest(spark, tmp_path):
+    """robots.txt admission at the door (RFC 9309): docs whose URL the
+    frozen rule table disallows for the crawler's agent are refused;
+    longest-match precedence holds inside the stream; batch replay is a
+    bit-exact no-op (pure per-doc decision against frozen rules)."""
+    import csv as _csv
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from kusto_pre_forge_spark.operators import robots as R
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+        ]
+    )
+    waves = [
+        [(1, "https://closed.example/private/x"),
+         (2, "https://closed.example/public/ok")],
+        [(3, "https://open.example/anything"),
+         (4, "https://closed.example/other")],
+    ]
+    land = tmp_path / "robots_landing"
+    land.mkdir()
+    corpus_dir = str(tmp_path / "robots_corpus")
+    etl = StreamingEtl(
+        spark,
+        str(land),
+        str(tmp_path / "ckpt_robots"),
+        str(tmp_path / "out_unused_r"),
+        schema,
+        fmt="csv",
+        csv_headers=False,
+        max_files_per_trigger=1,
+    )
+    now = time.time()
+    for i, wave in enumerate(waves):
+        p = land / f"wave{i}.csv"
+        with open(p, "w", newline="") as f:
+            _csv.writer(f).writerows(wave)
+        _os.utime(p, (now + i * 10, now + i * 10))
+    rules = R.robots_rules(
+        spark.createDataFrame(
+            [("closed.example",
+              "User-agent: *\nDisallow: /\nAllow: /public/")],
+            "domain string, robots_txt string",
+        )
+    )
+    q = etl.start_robots_ingest(
+        corpus_dir, rules, agent="kpfbot",
+        trigger_seconds=None, available_now=True,
+    )
+    _drain(q)
+    stored = spark.read.parquet(corpus_dir)
+    assert {r.doc_id for r in stored.collect()} == {2, 3}
+    # replay wave 1 under its original batch id: identical store
+    before = sorted((r.doc_id, r._kpf_batch) for r in stored.collect())
+    wave1 = spark.createDataFrame(waves[1], schema)
+    bid = next(r._kpf_batch for r in stored.collect() if r.doc_id == 3)
+    etl.robots_ingest_batch(wave1, bid, corpus_dir, rules, agent="kpfbot")
+    after = sorted(
+        (r.doc_id, r._kpf_batch)
+        for r in spark.read.parquet(corpus_dir).collect()
+    )
+    assert after == before
