@@ -762,6 +762,25 @@ class _Parser:
     def _op_getschema(self, df):
         return K.getschema(df)
 
+    def _op_render(self, df):
+        """``| render timechart [with (…)]`` — a PRESENTATION directive,
+        not a relational operator: dashboards terminate nearly every
+        query with one. The chart kind and its with-properties parse
+        (so the pipeline is accepted verbatim) and the data passes
+        through untouched — rendering belongs to the client."""
+        self.eat("ident")  # chart kind (timechart, barchart, table, …)
+        if self.at_ident("with"):
+            self.next()
+            self.eat("punct", "(")
+            depth = 1
+            while depth and not self.at("eof"):
+                tok = self.next()
+                if tok.kind == "punct" and tok.val == "(":
+                    depth += 1
+                elif tok.kind == "punct" and tok.val == ")":
+                    depth -= 1
+        return df
+
     def _op_search(self, df):
         """``T | search "term"`` — case-insensitive match across every
         string column (the KQL search-in-table form)."""
@@ -1204,7 +1223,8 @@ class _Parser:
             return KExpr(~out if neg else out)
         if t.kind == "ident" and t.val in (
             "has", "has_cs", "contains", "contains_cs", "startswith",
-            "endswith", "matches", "in", "between",
+            "startswith_cs", "endswith", "endswith_cs", "matches", "in",
+            "between",
         ):
             self.next()
             if t.val == "matches":
@@ -1230,10 +1250,18 @@ class _Parser:
                 self.eat("punct", ")")
                 out = (left.c() >= lo.c()) & (left.c() <= hi.c())
             elif t.val in ("has", "has_cs"):
-                term = self._parse_add()
-                out = K.has_term(
-                    left.as_type("string"), str(_lit_value(term))
-                )
+                tv = str(_lit_value(self._parse_add()))
+                if t.val == "has_cs":
+                    # case-SENSITIVE whole-term: same boundaries, no (?i)
+                    import re as _re
+
+                    out = left.as_type("string").rlike(
+                        "(^|[^a-zA-Z0-9])"
+                        + _re.escape(tv)
+                        + "($|[^a-zA-Z0-9])"
+                    )
+                else:
+                    out = K.has_term(left.as_type("string"), tv)
             elif t.val in ("contains", "contains_cs"):
                 term = self._parse_add()
                 base = left.as_type("string")
@@ -1243,16 +1271,22 @@ class _Parser:
                     )
                 else:
                     out = base.contains(_lit_value(term))
-            elif t.val == "startswith":
-                term = self._parse_add()
-                out = F.lower(left.as_type("string")).startswith(
-                    str(_lit_value(term)).lower()
-                )
-            else:  # endswith
-                term = self._parse_add()
-                out = F.lower(left.as_type("string")).endswith(
-                    str(_lit_value(term)).lower()
-                )
+            elif t.val in ("startswith", "startswith_cs"):
+                tv = str(_lit_value(self._parse_add()))
+                if t.val == "startswith_cs":
+                    out = left.as_type("string").startswith(tv)
+                else:
+                    out = F.lower(left.as_type("string")).startswith(
+                        tv.lower()
+                    )
+            else:  # endswith / endswith_cs
+                tv = str(_lit_value(self._parse_add()))
+                if t.val == "endswith_cs":
+                    out = left.as_type("string").endswith(tv)
+                else:
+                    out = F.lower(left.as_type("string")).endswith(
+                        tv.lower()
+                    )
             return KExpr(~out if neg else out)
         if neg:
             raise KqlSyntaxError(f"unexpected '!' at offset {t.pos}")

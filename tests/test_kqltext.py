@@ -801,3 +801,30 @@ def test_top_nested(spark, t):
         dict(t, Sales=sales),
     )
     assert out == [("eu", 4)]
+
+
+def test_case_sensitive_predicate_variants_and_render(spark, t):
+    # has is case-insensitive; has_cs is not
+    assert _rows(spark, "Events | where Text has 'DISK' | count", t) == [(2,)]
+    assert _rows(spark, "Events | where Text has_cs 'DISK' | count", t) == [(0,)]
+    assert _rows(spark, "Events | where Text has_cs 'disk' | count", t) == [(2,)]
+    # startswith_cs / endswith_cs
+    assert _rows(
+        spark, "Events | where Level startswith_cs 'err' | count", t
+    ) == [(0,)]
+    assert _rows(
+        spark, "Events | where Level startswith_cs 'Err' | count", t
+    ) == [(2,)]
+    assert _rows(
+        spark, "Events | where Level endswith_cs 'ROR' | count", t
+    ) == [(0,)]
+    assert _rows(
+        spark, "Events | where Level endswith 'ROR' | count", t
+    ) == [(2,)]
+    # render is a parsed no-op: dashboards end almost every query with it
+    assert _rows(
+        spark,
+        "Events | summarize n=count() by Level | sort by Level asc "
+        "| render barchart with (title='sev mix', ymin=0)",
+        t,
+    ) == [("Error", 2), ("Information", 1), ("Warning", 1)]
