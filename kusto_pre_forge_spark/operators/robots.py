@@ -143,11 +143,15 @@ def robots_gate(
 
     Plan: the rule table broadcasts twice — once as a per-domain
     "has a group for this agent" flag (a tiny aggregate), once for the
-    pattern join — and precedence is one rank window over the matched
-    rules per document (specificity desc, allow desc). The corpus side
-    shuffles only if the caller's lineage already did."""
-    from pyspark.sql.window import Window
-
+    pattern join — and precedence is one map-side-combinable aggregate
+    over the matched rows (``max_by(allow, struct(specificity,
+    allow))``: the longest-match rule wins, allow wins ties, RFC 9309
+    §2.2.2). Only the rows that matched ANY rule shuffle (one hash
+    exchange keyed by url for the aggregate and the rejoin, which AQE
+    plans together); the verdict frame is corpus-derived and therefore
+    deliberately NOT broadcast — on a crawl where sites publish broad
+    ``Disallow:`` patterns it is corpus-scale, and Catalyst may still
+    pick a broadcast on its own when stats prove it small."""
     agent = agent.lower()
     host = F.lower(F.coalesce(F.parse_url(F.col(url_col), F.lit("HOST")), F.lit("")))
     docs = df.withColumn("_kpf_dom", host).withColumn(
@@ -180,17 +184,13 @@ def robots_gate(
         & F.regexp_like(F.col("_kpf_path"), F.col("pattern")),
         "inner",
     )
-    w = Window.partitionBy(url_col).orderBy(
-        F.col("specificity").desc(), F.col("allow").desc()
-    )
-    verdicts = (
-        matched.withColumn("_kpf_rnk", F.row_number().over(w))
-        .filter(F.col("_kpf_rnk") == 1)
-        .select(F.col(url_col), F.col("allow").alias("_kpf_allow"))
-        .distinct()
+    verdicts = matched.groupBy(url_col).agg(
+        F.max_by("allow", F.struct("specificity", "allow")).alias(
+            "_kpf_allow"
+        )
     )
     out = (
-        docs.join(F.broadcast(verdicts), url_col, "left")
+        docs.join(verdicts, url_col, "left")
         .withColumn(
             "_kpf_keep", F.coalesce(F.col("_kpf_allow"), F.lit(True))
         )

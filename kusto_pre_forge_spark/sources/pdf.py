@@ -835,9 +835,10 @@ def _is_encrypted(data: bytes) -> bool:
 # with an OWNER password only (print/copy restrictions) and a BLANK
 # user password — legally and technically openable by any reader. The
 # RC4 paths (V 1/2, R 2/3, and V 4 crypt filters with /CFM /V2) are
-# ~60 lines of stdlib arithmetic, so those documents extract instead of
-# dropping; AES (/CFM /AESV2, V 5/R 6) and real user passwords refuse
-# loudly by name.
+# ~60 lines of stdlib arithmetic, and AES-128 (/CFM /AESV2, the
+# Acrobat-7+ default) rides the pure-stdlib FIPS-197 core below — all
+# of those documents extract instead of dropping. V 5/R 6 (AES-256)
+# and real user passwords refuse loudly by name.
 
 _PW_PAD = bytes(
     [

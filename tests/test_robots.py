@@ -101,9 +101,14 @@ def test_robots_gate_semantics(spark, gate_tables):
 
 def test_robots_gate_plan_broadcasts(spark, gate_tables):
     docs, rules = gate_tables
-    plan = (
-        R.robots_gate(docs, rules, agent="mybot")
-        ._jdf.queryExecution().executedPlan().toString()
-    )
+    gated = R.robots_gate(docs, rules, agent="mybot")
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    # the rule-table joins stay broadcast (tiny, rule-derived)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan  # the corpus side never shuffles
+    # the verdict frame is corpus-derived: it must carry NO forced
+    # broadcast hint (exactly the two rule-table hints survive
+    # analysis — has_agent and the pattern join's applicable side).
+    analyzed = gated._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 2
+    # the verdict aggregate combines map-side before its exchange
+    assert "partial_max_by" in plan or "partial_max" in plan
