@@ -2500,12 +2500,20 @@ _PROBES = _PROBES + (parse_webp_probe,)
 
 def decodable_image(raw: bytes) -> bool:
     """True when :func:`decode_image` will return pixels for this blob —
-    the soft-path guard the hash/feature operators use (a lossy-VP8
-    WebP is an image by kind but decodes only through the pyav hatch,
-    so it must take the NULL-row path, not crash the task)."""
+    the soft-path guard the hash/feature operators use. A lossy-VP8
+    WebP decodes only through the pyav hatch: where the wheel is
+    importable on this executor it is decodable (and the image-dedup
+    family sees it), otherwise it takes the NULL-row path instead of
+    crashing the task."""
     kind = probe_bytes(raw)["media_kind"]
     if kind == "webp":
+        from kusto_pre_forge_spark.operators.multimodal import (
+            pyav_available,
+        )
         from kusto_pre_forge_spark.operators.webp import webp_flavor
 
-        return webp_flavor(raw) == "lossless"
+        flavor = webp_flavor(raw)
+        return flavor == "lossless" or (
+            flavor == "lossy" and pyav_available()
+        )
     return kind in IMAGE_KINDS

@@ -11,8 +11,11 @@ coded, max-symbol form), meta prefix-code tiling, LZ77 backward
 references with the 120-entry 2D distance map, the color cache, and all
 four transforms (predictor ×14 modes, cross-color, subtract-green,
 color-indexing with sub-pixel bundling). LOSSY streams ('VP8 ' chunk)
-route to the pyav import-try hatch with a loud refusal naming it — a
-DCT video-intra decoder is pyav's job, not stdlib arithmetic.
+route through the pyav import-try hatch where the wheel is present
+(the ``decode_audio_any`` convention — a DCT video-intra decoder is
+pyav's job, not stdlib arithmetic), and refuse loudly NAMING the hatch
+where it is not: lossy is the majority of CDN-served crawl WebP, so on
+a pyav-equipped cluster the whole image-dedup family sees it.
 
 The encoder (:func:`encode_webp_vp8l`) is the fixture forge AND the
 roundtrip oracle: literal-only coding, no transforms, package-merge
@@ -666,10 +669,63 @@ def is_animated_webp(raw: bytes) -> bool:
     return any(tag == b"ANMF" for tag, _ in _webp_chunks(bytes(raw)))
 
 
+def _pyav_webp_rgba(container: bytes) -> tuple[int, int, int, bytes]:
+    """First frame of a (lossy) WebP container via pyav → (w, h, 4,
+    RGBA bytes). Deferred import: called only after the hatch probe
+    says the wheel is present on THIS executor."""
+    import io
+
+    import av
+
+    with av.open(io.BytesIO(container)) as c:
+        for frame in c.decode(video=0):
+            arr = frame.to_ndarray(format="rgba")
+            h, w = int(arr.shape[0]), int(arr.shape[1])
+            return w, h, 4, arr.tobytes()
+    raise ValueError("pyav produced no frames for the WebP payload")
+
+
+def wrap_anmf_still(sub: bytes, fw: int, fh: int) -> bytes:
+    """Wrap one ANMF frame's sub-chunk bytes (optional ALPH + VP8/VP8L)
+    into a minimal STANDALONE WebP container, so a lossy animation
+    frame decodes through the same still-image route (pyav included).
+    An ALPH plane forces the VP8X extended layout with the alpha flag,
+    per the container spec's chunk-ordering rules."""
+    chunks: list[tuple[bytes, bytes]] = []
+    has_alpha = False
+    pos = 0
+    while pos + 8 <= len(sub):
+        tag = sub[pos : pos + 4]
+        (size,) = struct.unpack("<I", sub[pos + 4 : pos + 8])
+        body = sub[pos + 8 : pos + 8 + size]
+        if tag == b"ALPH":
+            has_alpha = True
+            chunks.append((tag, body))
+        elif tag in (b"VP8 ", b"VP8L"):
+            chunks.append((tag, body))
+        pos += 8 + size + (size & 1)
+    payload = b""
+    if has_alpha:
+        vp8x = (
+            bytes([0x10, 0, 0, 0])
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+        )
+        payload += b"VP8X" + len(vp8x).to_bytes(4, "little") + vp8x
+    for tag, body in chunks:
+        payload += tag + len(body).to_bytes(4, "little") + body
+        if len(body) & 1:
+            payload += b"\x00"
+    return (
+        b"RIFF" + (4 + len(payload)).to_bytes(4, "little") + b"WEBP" + payload
+    )
+
+
 def decode_webp(raw: bytes) -> tuple[int, int, int, bytes]:
-    """(width, height, 4, RGBA bytes) for a lossless WebP; lossy VP8
-    refuses loudly naming the pyav hatch (the compressed-audio
-    convention)."""
+    """(width, height, 4, RGBA bytes) for ANY WebP: lossless (VP8L)
+    decodes dependency-free; lossy VP8 routes through pyav where the
+    wheel is importable on this executor, and refuses loudly naming
+    the hatch where it is not (the ``decode_audio_any`` convention)."""
     raw = bytes(raw)
     if not is_webp(raw):
         raise ValueError("not a WebP container")
@@ -683,6 +739,12 @@ def decode_webp(raw: bytes) -> tuple[int, int, int, bytes]:
             return decode_vp8l(body)
     for tag, _ in _webp_chunks(raw):
         if tag == b"VP8 ":
+            from kusto_pre_forge_spark.operators.multimodal import (
+                pyav_available,
+            )
+
+            if pyav_available():
+                return _pyav_webp_rgba(raw)
             raise NotImplementedError(
                 "lossy WebP (VP8 intra-frame) decodes through the pyav "
                 "hatch: `pip install av` on the executors, or transcode "
@@ -855,10 +917,12 @@ def decode_webp_frames(
     raw: bytes, max_frames: int | None = None
 ) -> tuple[int, int, list[bytes], list[int]]:
     """(canvas_w, canvas_h, composited RGBA frames, durations_ms) for a
-    WebP — still OR animated. Lossless (VP8L) frames decode; a lossy
-    (VP8) frame refuses naming the pyav hatch. Disposal fills the frame
-    rectangle with transparent black after the snapshot (the
-    alpha-canvas convention libwebp's demuxer applies)."""
+    WebP — still OR animated. Lossless (VP8L) frames decode
+    dependency-free; a lossy (VP8) frame re-wraps as a standalone still
+    (:func:`wrap_anmf_still`) and routes through pyav where the wheel
+    is present, refusing naming the hatch where it is not. Disposal
+    fills the frame rectangle with transparent black after the snapshot
+    (the alpha-canvas convention libwebp's demuxer applies)."""
     raw = bytes(raw)
     if not is_webp(raw):
         raise ValueError("not a WebP container")
@@ -899,6 +963,19 @@ def decode_webp_frames(
                     raise ValueError("ANMF frame dims disagree with header")
                 break
             if tag == b"VP8 ":
+                from kusto_pre_forge_spark.operators.multimodal import (
+                    pyav_available,
+                )
+
+                if pyav_available():
+                    dw, dh, _, fpx = _pyav_webp_rgba(
+                        wrap_anmf_still(sub, fw, fh)
+                    )
+                    if (dw, dh) != (fw, fh):
+                        raise ValueError(
+                            "ANMF frame dims disagree with header"
+                        )
+                    break
                 raise NotImplementedError(
                     "lossy animated-WebP frames (VP8) decode through the "
                     "pyav hatch: `pip install av` on the executors"
