@@ -2865,18 +2865,21 @@ def _q_pipeline_pdf_route(spark, sf):
 
 
 def _q_pipeline_pdf_decrypt(spark, sf):
-    """Blank-user-password PDF decryption end-to-end (round-12): each
-    document forges as an ENCRYPTED PDF — the standard security
-    handler rotates by doc_id % 4 (R2/RC4-40, R3/RC4-128, R4
+    """Blank-password PDF decryption end-to-end (round-12, V5 added
+    round-13): each document forges as an ENCRYPTED PDF — the standard
+    security handler rotates by doc_id % 4 (R2/RC4-40, R3/RC4-128, R4
     crypt-filter RC4, R4 crypt-filter AES-128-CBC — real AESV2, the
-    Acrobat 7+ default), and every fifth document carries a V5/R6
-    (AES-256) dict instead. The owner-password-only restriction case
-    (user password BLANK) must extract losslessly through Algorithm 2
-    key derivation + per-object RC4/AES (ISO 32000 §7.6.2-3); V5
-    documents refuse by name and quarantine to zero pages in skip
-    mode. Oracle is closed-form: V5 docs (doc_id%5=0) → 0 pages /
-    'refused', the rest roundtrip their own text length. Pure map
-    stages — decryption is per-blob arithmetic, no shuffle."""
+    Acrobat 7+ default); every fifth document uses the V5 AES-256
+    handler instead (R5/AESV3 at doc_id%10=5, R6/PDF-2.0 Algorithm 2.B
+    at doc_id%10=0 — fixed salts, so the expensive 2.B chain caches
+    once per worker); and doc_id%10=7 carries an unvalidatable V5 dict
+    (the real-password stand-in). Blank-password documents extract
+    losslessly through Algorithm-2 / hash-2.B key derivation +
+    per-object RC4 / AES-128 / direct-key AES-256 (ISO 32000
+    §7.6.2-4); real-password docs refuse by name and quarantine to
+    zero pages in skip mode. Oracle is closed-form: doc_id%10=7 → 0
+    pages / 'refused', the rest roundtrip their own text length. Pure
+    map stages — decryption is per-blob arithmetic, no shuffle."""
     import pandas as pd
 
     from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
@@ -2892,8 +2895,12 @@ def _q_pipeline_pdf_decrypt(spark, sf):
             for i, t in zip(pdf["doc_id"], pdf["text"]):
                 i = int(i)
                 t = t if isinstance(t, str) else ""
-                if i % 5 == 0:
+                if i % 10 == 7:
                     blob = P.pdf_bytes_encrypted([t], v5_marker=True)
+                elif i % 5 == 0:
+                    blob = P.pdf_bytes_encrypted(
+                        [t], r=6 if i % 10 == 0 else 5
+                    )
                 else:
                     r = (2, 3, 4, 4)[i % 4]
                     blob = P.pdf_bytes_encrypted(
@@ -12458,15 +12465,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "pipeline_pdf_decrypt": (
-            # closed-form: AES-marked docs (doc_id%5=0) refuse →
-            # quarantine (0 pages); the RC4 revisions decrypt lossless,
-            # so n_chars is the document's own text length
+            # closed-form: real-password stand-ins (doc_id%10=7)
+            # refuse → quarantine (0 pages); every other revision —
+            # RC4, AES-128, and the V5 AES-256 handler (R5 at
+            # doc_id%10=5, R6 at doc_id%10=0) — decrypts lossless, so
+            # n_chars is the document's own text length
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
-            "CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS INT) "
+            "CAST(CASE WHEN doc_id % 10 = 7 THEN 0 ELSE 1 END AS INT) "
             "AS n_pages, "
-            "CAST(CASE WHEN doc_id % 5 = 0 THEN 0 "
+            "CAST(CASE WHEN doc_id % 10 = 7 THEN 0 "
             "ELSE length(COALESCE(text, '')) END AS BIGINT) AS n_chars, "
-            "CASE WHEN doc_id % 5 = 0 THEN 'refused' "
+            "CASE WHEN doc_id % 10 = 7 THEN 'refused' "
             "ELSE 'decryptable' END AS enc_class FROM documents"
         ),
         "pipeline_pdf_route": (

@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import re
 import zlib
+from functools import lru_cache as _lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -835,10 +836,13 @@ def _is_encrypted(data: bytes) -> bool:
 # with an OWNER password only (print/copy restrictions) and a BLANK
 # user password — legally and technically openable by any reader. The
 # RC4 paths (V 1/2, R 2/3, and V 4 crypt filters with /CFM /V2) are
-# ~60 lines of stdlib arithmetic, and AES-128 (/CFM /AESV2, the
-# Acrobat-7+ default) rides the pure-stdlib FIPS-197 core below — all
-# of those documents extract instead of dropping. V 5/R 6 (AES-256)
-# and real user passwords refuse loudly by name.
+# ~60 lines of stdlib arithmetic; AES-128 (/CFM /AESV2, the Acrobat-7+
+# default) rides the pure-stdlib FIPS-197 core below; and the V5
+# AES-256 handler (R5/AESV3 ExtensionLevel 3 and R6/PDF 2.0, the
+# Acrobat-X+ default) derives via SHA-256 / Algorithm 2.B and unwraps
+# the file key from /UE-/OE — all of those documents extract instead
+# of dropping. Real (non-blank) passwords and non-Standard (PKI)
+# handlers refuse loudly by name.
 
 _PW_PAD = bytes(
     [
@@ -915,45 +919,131 @@ _GM = {
 
 
 def _aes_expand_key(key: bytes) -> list[bytes]:
-    words = [key[i : i + 4] for i in range(0, 16, 4)]
-    for r in range(10):
+    """FIPS-197 §5.2 key schedule — AES-128 (Nk=4, 10 rounds) and
+    AES-256 (Nk=8, 14 rounds, with the extra SubWord at i≡4 mod Nk —
+    the V5 PDF handler's key size). Both pinned on Appendix C vectors
+    in tests."""
+    nk = len(key) // 4
+    nr = {4: 10, 8: 14}[nk]
+    words = [key[4 * i : 4 * i + 4] for i in range(nk)]
+    i = nk
+    while len(words) < 4 * (nr + 1):
         t = words[-1]
-        t = bytes(
-            _AES_SBOX[t[1]] ^ (_AES_RCON[r] if j == 0 else 0)
-            if j == 0
-            else _AES_SBOX[t[(j + 1) % 4]]
-            for j in range(4)
-        )
-        for _ in range(4):
-            w = bytes(x ^ y for x, y in zip(words[-4], t))
-            words.append(w)
-            t = w
-    return [b"".join(words[4 * r : 4 * r + 4]) for r in range(11)]
+        if i % nk == 0:
+            t = bytes(_AES_SBOX[t[(j + 1) % 4]] for j in range(4))
+            t = bytes([t[0] ^ _AES_RCON[i // nk - 1]]) + t[1:]
+        elif nk == 8 and i % nk == 4:
+            t = bytes(_AES_SBOX[b] for b in t)
+        words.append(bytes(x ^ y for x, y in zip(words[-nk], t)))
+        i += 1
+    return [b"".join(words[4 * r : 4 * r + 4]) for r in range(nr + 1)]
+
+
+# 32-bit T-tables (Te0..Te3): each round becomes 4 lookups + 4 XORs
+# per column instead of byte-wise SubBytes/ShiftRows/MixColumns — the
+# R6 hash-2.B chain runs tens of thousands of blocks per derivation,
+# so per-block Python cost is the whole game.
+_TE0 = [0] * 256
+_TE1 = [0] * 256
+_TE2 = [0] * 256
+_TE3 = [0] * 256
+for _x in range(256):
+    _s = _AES_SBOX[_x]
+    _t = (_gmul(_s, 2) << 24) | (_s << 16) | (_s << 8) | _gmul(_s, 3)
+    _TE0[_x] = _t
+    _TE1[_x] = ((_t >> 8) | ((_t & 0xFF) << 24)) & 0xFFFFFFFF
+    _TE2[_x] = ((_t >> 16) | ((_t & 0xFFFF) << 16)) & 0xFFFFFFFF
+    _TE3[_x] = ((_t >> 24) | ((_t & 0xFFFFFF) << 8)) & 0xFFFFFFFF
+del _x, _s, _t
+
+
+def _rk_words(rk: list[bytes]) -> list[int]:
+    return [
+        int.from_bytes(r[4 * c : 4 * c + 4], "big")
+        for r in rk
+        for c in range(4)
+    ]
 
 
 def _aes_encrypt_block(block: bytes, rk: list[bytes]) -> bytes:
-    s = bytearray(x ^ y for x, y in zip(block, rk[0]))
-    for rnd in range(1, 11):
-        s = bytearray(_AES_SBOX[b] for b in s)  # SubBytes
-        # ShiftRows (state is column-major: s[c*4+r])
-        s = bytearray(s[(i + 4 * (i % 4)) % 16] for i in range(16))
-        if rnd != 10:  # MixColumns (table-multiplied)
-            g2, g3 = _GM[2], _GM[3]
-            m = bytearray(16)
-            for c in range(0, 16, 4):
-                a0, a1, a2, a3 = s[c], s[c + 1], s[c + 2], s[c + 3]
-                m[c] = g2[a0] ^ g3[a1] ^ a2 ^ a3
-                m[c + 1] = a0 ^ g2[a1] ^ g3[a2] ^ a3
-                m[c + 2] = a0 ^ a1 ^ g2[a2] ^ g3[a3]
-                m[c + 3] = g3[a0] ^ a1 ^ a2 ^ g2[a3]
-            s = m
-        s = bytearray(x ^ y for x, y in zip(s, rk[rnd]))
-    return bytes(s)
+    return _aes_encrypt_block_w(block, _rk_words(rk), len(rk) - 1)
+
+
+def _aes_encrypt_block_w(block: bytes, w: list[int], nr: int) -> bytes:
+    c0 = int.from_bytes(block[0:4], "big") ^ w[0]
+    c1 = int.from_bytes(block[4:8], "big") ^ w[1]
+    c2 = int.from_bytes(block[8:12], "big") ^ w[2]
+    c3 = int.from_bytes(block[12:16], "big") ^ w[3]
+    t0, t1, t2, t3 = _TE0, _TE1, _TE2, _TE3
+    k = 4
+    for _ in range(nr - 1):
+        n0 = (
+            t0[c0 >> 24]
+            ^ t1[(c1 >> 16) & 255]
+            ^ t2[(c2 >> 8) & 255]
+            ^ t3[c3 & 255]
+            ^ w[k]
+        )
+        n1 = (
+            t0[c1 >> 24]
+            ^ t1[(c2 >> 16) & 255]
+            ^ t2[(c3 >> 8) & 255]
+            ^ t3[c0 & 255]
+            ^ w[k + 1]
+        )
+        n2 = (
+            t0[c2 >> 24]
+            ^ t1[(c3 >> 16) & 255]
+            ^ t2[(c0 >> 8) & 255]
+            ^ t3[c1 & 255]
+            ^ w[k + 2]
+        )
+        n3 = (
+            t0[c3 >> 24]
+            ^ t1[(c0 >> 16) & 255]
+            ^ t2[(c1 >> 8) & 255]
+            ^ t3[c2 & 255]
+            ^ w[k + 3]
+        )
+        c0, c1, c2, c3 = n0, n1, n2, n3
+        k += 4
+    sb = _AES_SBOX
+    n0 = (
+        (sb[c0 >> 24] << 24)
+        | (sb[(c1 >> 16) & 255] << 16)
+        | (sb[(c2 >> 8) & 255] << 8)
+        | sb[c3 & 255]
+    ) ^ w[k]
+    n1 = (
+        (sb[c1 >> 24] << 24)
+        | (sb[(c2 >> 16) & 255] << 16)
+        | (sb[(c3 >> 8) & 255] << 8)
+        | sb[c0 & 255]
+    ) ^ w[k + 1]
+    n2 = (
+        (sb[c2 >> 24] << 24)
+        | (sb[(c3 >> 16) & 255] << 16)
+        | (sb[(c0 >> 8) & 255] << 8)
+        | sb[c1 & 255]
+    ) ^ w[k + 2]
+    n3 = (
+        (sb[c3 >> 24] << 24)
+        | (sb[(c0 >> 16) & 255] << 16)
+        | (sb[(c1 >> 8) & 255] << 8)
+        | sb[c2 & 255]
+    ) ^ w[k + 3]
+    return (
+        n0.to_bytes(4, "big")
+        + n1.to_bytes(4, "big")
+        + n2.to_bytes(4, "big")
+        + n3.to_bytes(4, "big")
+    )
 
 
 def _aes_decrypt_block(block: bytes, rk: list[bytes]) -> bytes:
-    s = bytearray(x ^ y for x, y in zip(block, rk[10]))
-    for rnd in range(9, -1, -1):
+    nr = len(rk) - 1
+    s = bytearray(x ^ y for x, y in zip(block, rk[nr]))
+    for rnd in range(nr - 1, -1, -1):
         # InvShiftRows
         s = bytearray(s[(i - 4 * (i % 4)) % 16] for i in range(16))
         s = bytearray(_AES_INV_SBOX[b] for b in s)  # InvSubBytes
@@ -1005,13 +1095,134 @@ def _aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
     return bytes(out)
 
 
+def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC, NO padding, IV not emitted — the ISO 32000-2 hash-2.B
+    round function and the /UE-/OE file-key wrap both use this form."""
+    if len(data) % 16:
+        raise ValueError("no-pad CBC needs a 16-byte-aligned payload")
+    rk = _aes_expand_key(key)
+    w, nr = _rk_words(rk), len(rk) - 1
+    out = bytearray()
+    pv = int.from_bytes(iv, "big")
+    for i in range(0, len(data), 16):
+        block = (
+            int.from_bytes(data[i : i + 16], "big") ^ pv
+        ).to_bytes(16, "big")
+        enc = _aes_encrypt_block_w(block, w, nr)
+        pv = int.from_bytes(enc, "big")
+        out += enc
+    return bytes(out)
+
+
+def _aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    if len(data) % 16:
+        raise ValueError("no-pad CBC needs a 16-byte-aligned payload")
+    rk = _aes_expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = data[i : i + 16]
+        out += bytes(
+            x ^ y for x, y in zip(_aes_decrypt_block(block, rk), prev)
+        )
+        prev = block
+    return bytes(out)
+
+
+@_lru_cache(maxsize=64)
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 §7.6.4.3.4 Algorithm 2.B — the R6 password hash: an
+    iterated SHA-256/384/512 chain keyed by AES-128-CBC rounds over 64
+    repetitions of (password ‖ K ‖ udata), ending when ≥64 rounds ran
+    AND the last cipher byte ≤ rounds−32. Cached: a corpus of documents
+    forged or encrypted with the same salts pays the ~64-round chain
+    once per worker, not once per blob."""
+    import hashlib
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    rounds = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        k = (
+            hashlib.sha256,
+            hashlib.sha384,
+            hashlib.sha512,
+        )[sum(e[:16]) % 3](e).digest()
+        rounds += 1
+        if rounds >= 64 and e[-1] <= rounds - 32:
+            return k[:32]
+
+
+def _v5_file_key(enc: dict, objects: dict) -> bytes:
+    """ISO 32000-2 §7.6.4.3.3/4 + §7.6.4.4.10-11: the V5 (AES-256)
+    standard handler for a BLANK password. /U carries hash(32) ‖
+    validation-salt(8) ‖ key-salt(8); a blank USER password validates
+    against the hash (R5: plain SHA-256, the deprecated Adobe
+    ExtensionLevel-3 AESV3; R6: Algorithm 2.B), then the file key
+    unwraps from /UE via AES-256-CBC, zero IV, no padding. When the
+    user hash misses, the blank OWNER password is tried against /O
+    (udata = the full 48-byte /U string) and the key unwraps from /OE.
+    Real (non-blank) passwords refuse by name."""
+    import hashlib
+
+    r = int(_resolve(objects, enc.get("R", 0)) or 0)
+    if r not in (5, 6):
+        raise NotImplementedError(
+            f"PDF V5 handler revision /R {r} is not supported — R5 "
+            "(AESV3 ExtensionLevel 3) and R6 (PDF 2.0) decrypt here"
+        )
+    u = _resolve(objects, enc.get("U"))
+    ue = _resolve(objects, enc.get("UE"))
+    o = _resolve(objects, enc.get("O"))
+    oe = _resolve(objects, enc.get("OE"))
+    if not (isinstance(u, bytes) and len(u) >= 48):
+        raise NotImplementedError("PDF V5 /Encrypt dict lacks a 48-byte /U")
+
+    def hsh(salt: bytes, udata: bytes = b"") -> bytes:
+        if r == 5:
+            return hashlib.sha256(b"" + salt + udata).digest()
+        return _hash_2b(b"", salt, udata)
+
+    if hsh(u[32:40]) == u[:32]:
+        if not (isinstance(ue, bytes) and len(ue) >= 32):
+            raise NotImplementedError("PDF V5 /Encrypt dict lacks /UE")
+        ik = hsh(u[40:48])
+        key = _aes_cbc_decrypt_nopad(ik, b"\x00" * 16, ue[:32])
+    elif (
+        isinstance(o, bytes)
+        and len(o) >= 48
+        and isinstance(oe, bytes)
+        and len(oe) >= 32
+        and hsh(o[32:40], u[:48]) == o[:32]
+    ):
+        ik = hsh(o[40:48], u[:48])
+        key = _aes_cbc_decrypt_nopad(ik, b"\x00" * 16, oe[:32])
+    else:
+        raise NotImplementedError(
+            "PDF has a real (non-blank) user password: decryption "
+            "without the password is not possible — supply the "
+            "plaintext upstream or drop the document"
+        )
+    perms = _resolve(objects, enc.get("Perms"))
+    if isinstance(perms, bytes) and len(perms) >= 16:
+        dec = _aes_decrypt_block(perms[:16], _aes_expand_key(key))
+        if dec[9:12] != b"adb":
+            raise NotImplementedError(
+                "PDF V5 /Perms sanity check failed — wrong file key "
+                "(corrupt document or unsupported handler variant)"
+            )
+    return key
+
+
 def _std_file_key(
     enc: dict, objects: dict, file_id: bytes
 ) -> tuple[bytes, str]:
-    """(Algorithm-2 file key, method 'rc4'|'aes') for a BLANK user
-    password, verified against /U (Algorithm 4/5 inverse check). Raises
-    ``NotImplementedError`` naming the gap for AES-256 (V5/R6),
-    non-Standard handlers, and real (non-blank) user passwords."""
+    """(file key, method 'rc4'|'aes'|'aes256') for a BLANK password,
+    verified against /U (Algorithm 4/5 inverse check for R2-R4, the
+    validation-salt hash for V5). Raises ``NotImplementedError`` naming
+    the gap for non-Standard handlers (PKI/custom) and real (non-blank)
+    passwords."""
     import hashlib
 
     filt = str(_resolve(objects, enc.get("Filter", "")))
@@ -1023,6 +1234,9 @@ def _std_file_key(
     v = int(_resolve(objects, enc.get("V", 0)) or 0)
     r = int(_resolve(objects, enc.get("R", 2)) or 2)
     method = "rc4"
+    if v == 5:
+        # AES-256: R5 (AESV3 ExtensionLevel 3) / R6 (PDF 2.0 §7.6.4)
+        return _v5_file_key(enc, objects), "aes256"
     if v == 4:
         # crypt filters: RC4 (/CFM /V2) and AES-128 (/CFM /AESV2 —
         # the Acrobat 7+ default) both decrypt; anything else refuses
@@ -1039,13 +1253,13 @@ def _std_file_key(
         elif cfms - {"V2"}:
             raise NotImplementedError(
                 f"PDF crypt filters use /CFM {sorted(cfms)}: only RC4 "
-                "(/V2) and AES-128 (/AESV2) are supported — AES-256 "
-                "(/AESV3) needs the V5 handler, which is not implemented"
+                "(/V2) and AES-128 (/AESV2) are valid at /V 4 — "
+                "AES-256 (/AESV3) requires the V5 handler layout"
             )
     elif v not in (1, 2):
         raise NotImplementedError(
-            f"PDF encryption /V {v} (the AES-256 / R6 handler) is not "
-            "supported — V 1/2 (RC4) and V 4 (RC4 or AES-128) decrypt here"
+            f"PDF encryption /V {v} is not supported — V 1/2 (RC4), "
+            "V 4 (RC4 or AES-128) and V 5 (AES-256) decrypt here"
         )
     if r not in (2, 3, 4):
         raise NotImplementedError(
@@ -1103,23 +1317,29 @@ def _decrypt_objects(
     inside object streams are covered by the container's encryption,
     never twice). Skips the /Encrypt dict itself and XRef streams —
     the spec never encrypts either. ``method='aes'`` salts the
-    per-object key with sAlT and runs AES-128-CBC (§7.6.2)."""
+    per-object key with sAlT and runs AES-128-CBC (§7.6.2);
+    ``method='aes256'`` (the V5 handler) uses the 32-byte file key
+    DIRECTLY for every object — ISO 32000-2 drops the per-object MD5
+    derivation."""
     import hashlib
 
     salt = b"sAlT" if method == "aes" else b""
-    fn = _aes_cbc_decrypt if method == "aes" else _rc4
+    fn = _aes_cbc_decrypt if method in ("aes", "aes256") else _rc4
     skip = enc_ref.num if isinstance(enc_ref, _Ref) else None
     for num, (val, stream) in list(objects.items()):
         if num == skip:
             continue
         if isinstance(val, dict) and str(val.get("Type", "")) == "XRef":
             continue
-        obj_key = hashlib.md5(
-            file_key
-            + num.to_bytes(3, "little")
-            + (0).to_bytes(2, "little")
-            + salt
-        ).digest()[: min(len(file_key) + 5, 16)]
+        if method == "aes256":
+            obj_key = file_key
+        else:
+            obj_key = hashlib.md5(
+                file_key
+                + num.to_bytes(3, "little")
+                + (0).to_bytes(2, "little")
+                + salt
+            ).digest()[: min(len(file_key) + 5, 16)]
         new_val = _decrypt_value(val, obj_key, fn)
         new_stream = fn(obj_key, stream) if stream is not None else None
         objects[num] = (new_val, new_stream)
@@ -1146,8 +1366,9 @@ def _maybe_decrypt(objects: dict, trailer: dict) -> None:
 
 def pdf_encryption(data: bytes) -> str:
     """Classify a document's encryption: ``'none'``, ``'decryptable'``
-    (standard handler, RC4, blank user password), or the refusal reason
-    string — the routing diagnostic the quarantine path surfaces."""
+    (standard handler, RC4 / AES-128 / AES-256, blank password), or
+    the refusal reason string — the routing diagnostic the quarantine
+    path surfaces."""
     data = bytes(data)
     if not _is_encrypted(data):
         return "none"
@@ -1185,11 +1406,13 @@ def extract_pdf_page_infos(
     (crawl posture) turns an unsupported-filter page into '' and
     surfaces what parsed; ``errors="strict"`` re-raises. Encrypted
     documents (an /Encrypt trailer entry — §7.6) DECRYPT in place when
-    the standard handler's RC4 paths apply with a blank user password
+    the standard handler applies with a blank password
     (the owner-password-only restriction case — most encrypted PDFs in
-    a crawl); AES and real user passwords remain genuine unsupported
-    inputs: strict mode raises naming the gap, skip mode yields no
-    pages (``pdf_encryption`` surfaces the reason for routing).
+    a crawl) across RC4, AES-128 (AESV2) and AES-256 (the V5 handler);
+    real (non-blank) passwords and PKI handlers remain genuine
+    unsupported inputs: strict mode raises naming the gap, skip mode
+    yields no pages (``pdf_encryption`` surfaces the reason for
+    routing).
 
     ``has_images`` is the scanned-PDF diagnostic (round-11): an
     image-only page — /Subtype /Image XObjects in the (inheritable)
@@ -1199,7 +1422,7 @@ def extract_pdf_page_infos(
     probe walks the XObject dict only; it never decodes image data."""
     data = bytes(data)
     try:
-        objects, root = load_pdf_objects(data)  # decrypts RC4/blank-user
+        objects, root = load_pdf_objects(data)  # decrypts blank-password docs
     except NotImplementedError:
         if errors == "strict":
             raise
@@ -1375,7 +1598,7 @@ def extract_pdf_images(data: bytes, errors: str = "skip") -> list[dict]:
     Shares the encrypted-document guard with text extraction."""
     data = bytes(data)
     try:
-        objects, root = load_pdf_objects(data)  # decrypts RC4/blank-user
+        objects, root = load_pdf_objects(data)  # decrypts blank-password docs
     except NotImplementedError:
         if errors == "strict":
             raise
@@ -1864,6 +2087,101 @@ def pdf_bytes(pages: list[str], compress: bool = True) -> bytes:
     return bytes(out)
 
 
+def _pdf_bytes_encrypted_v5(
+    pages: list[str], r: int, owner_pw: bytes, p: int,
+    user_pw: bytes = b"",
+) -> bytes:
+    """The REAL V5 (AES-256) forge behind ``pdf_bytes_encrypted(r=5|6)``:
+    blank user password (R5 plain-SHA-256 / R6 Algorithm 2.B hashes),
+    real owner password, /UE and /OE file-key wraps (AES-256-CBC, zero
+    IV, no pad), the /Perms ECB block, and per-object AES-256-CBC
+    content with the file key used directly (no per-object MD5 — the
+    ISO 32000-2 change). Salts are FIXED so the expensive 2.B chain
+    caches across a forged corpus; the file key is content-derived so
+    forges stay deterministic."""
+    import hashlib
+
+    file_key = hashlib.sha256(b"kpf-v5-filekey" + str(pages).encode()).digest()
+    vsalt, ksalt = b"kpfVsalt", b"kpfKsalt"
+    ovsalt, oksalt = b"kpfOVslt", b"kpfOKslt"
+
+    def hsh(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+        if r == 5:
+            return hashlib.sha256(pw + salt + udata).digest()
+        return _hash_2b(pw, salt, udata)
+
+    u = hsh(user_pw, vsalt) + vsalt + ksalt
+    ue = _aes_cbc_encrypt_nopad(hsh(user_pw, ksalt), b"\x00" * 16, file_key)
+    o = hsh(owner_pw, ovsalt, u) + ovsalt + oksalt
+    oe = _aes_cbc_encrypt_nopad(
+        hsh(owner_pw, oksalt, u), b"\x00" * 16, file_key
+    )
+    perms_plain = (
+        (p & 0xFFFFFFFF).to_bytes(4, "little")
+        + b"\xff\xff\xff\xff"
+        + b"T"  # EncryptMetadata true
+        + b"adb"
+        + b"kpf0"
+    )
+    perms = _aes_encrypt_block(perms_plain, _aes_expand_key(file_key))
+
+    def enc_bytes(num: int, data: bytes) -> bytes:
+        iv = hashlib.md5(b"kpf-v5-iv" + num.to_bytes(3, "little")).digest()
+        return _aes_cbc_encrypt(file_key, data, iv)
+
+    objs: list[bytes] = []
+    npages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(npages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {npages} >>".encode())
+    font_num = 3 + 2 * npages
+    for i, text in enumerate(pages):
+        cont_num = 4 + 2 * i
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {cont_num} 0 R /Resources << /Font "
+                f"<< /F1 {font_num} 0 R >> >> >>"
+            ).encode()
+        )
+        body = enc_bytes(cont_num, zlib.compress(_page_content(text)))
+        objs.append(
+            b"<< /Length " + str(len(body)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + body + b"\nendstream"
+        )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    enc_num = len(objs) + 1
+    objs.append(
+        (
+            f"<< /Filter /Standard /V 5 /R {r} /Length 256 "
+            f"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen >> >> "
+            f"/StmF /StdCF /StrF /StdCF "
+            f"/O <{o.hex()}> /U <{u.hex()}> "
+            f"/OE <{oe.hex()}> /UE <{ue.hex()}> "
+            f"/P {p} /Perms <{perms.hex()}> >>"
+        ).encode()
+    )
+
+    file_id = hashlib.md5(b"kpf-fixture-v5" + str(pages).encode()).digest()
+    out = bytearray(b"%PDF-2.0\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R "
+        f"/Encrypt {enc_num} 0 R "
+        f"/ID [<{file_id.hex()}> <{file_id.hex()}>] >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
 def pdf_bytes_encrypted(
     pages: list[str],
     r: int = 3,
@@ -1871,6 +2189,7 @@ def pdf_bytes_encrypted(
     p: int = -3904,
     aes: bool = False,
     v5_marker: bool = False,
+    user_pw: bytes = b"",
 ) -> bytes:
     """Forge :func:`pdf_bytes`'s document ENCRYPTED with the standard
     security handler (§7.6.3) — owner password set, user password
@@ -1878,17 +2197,26 @@ def pdf_bytes_encrypted(
     ``r=2`` writes V1/RC4-40, ``r=3`` V2/RC4-128, ``r=4`` the V4
     crypt-filter layout (/CF /StdCF /CFM /V2 — or REAL AES-128-CBC
     content with /CFM /AESV2 when ``aes=True``, deterministic
-    per-object IVs so forges are byte-stable). ``v5_marker=True``
-    writes a V5/R6 (AES-256) dict — the one remaining refusal class.
-    The encryptor IS the test oracle: decrypt(encrypt(doc)) must equal
-    the plaintext forge's extraction."""
+    per-object IVs so forges are byte-stable), ``r=5``/``r=6`` the
+    REAL V5 AES-256 layout (/CFM /AESV3: R5 hashes with plain SHA-256,
+    R6 with Algorithm 2.B; blank user password, real owner password,
+    /UE-/OE key wraps, /Perms block — fixed salts so the 2.B chain
+    caches across a forged corpus). ``v5_marker=True`` writes a V5/R6
+    dict whose /U can NEVER validate (a stand-in for a real-password
+    document — the remaining refusal class). The encryptor IS the test
+    oracle: decrypt(encrypt(doc)) must equal the plaintext forge's
+    extraction."""
     import hashlib
 
     if aes and r != 4:
         raise ValueError("AESV2 requires the V4 crypt-filter layout (r=4)")
 
+    if r in (5, 6) and not v5_marker:
+        return _pdf_bytes_encrypted_v5(pages, r, owner_pw, p, user_pw)
+    if v5_marker:
+        r = 3  # the RC4 machinery below only feeds the bogus V5 dict
     if r not in (2, 3, 4):
-        raise ValueError("r must be 2, 3 or 4")
+        raise ValueError("r must be 2, 3, 4, 5 or 6")
     v = {2: 1, 3: 2, 4: 4}[r]
     n = 5 if r == 2 else 16
     file_id = hashlib.md5(b"kpf-fixture" + str(pages).encode()).digest()
@@ -1961,8 +2289,11 @@ def pdf_bytes_encrypted(
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     enc_num = len(objs) + 1
     if v5_marker:
+        # /R 5 on purpose: the SHA-256 validation (not the 64-round
+        # 2.B chain) is enough to PROVE the password mismatch, so a
+        # corpus of real-password stand-ins stays cheap to refuse
         enc_body = (
-            f"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+            f"<< /Filter /Standard /V 5 /R 5 /Length 256 "
             f"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen >> >> "
             f"/StmF /StdCF /StrF /StdCF "
             f"/O <{(o + o).hex()}> /U <{(u + u).hex()}> /P {p} "

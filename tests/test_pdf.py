@@ -451,14 +451,93 @@ def test_rc4_blank_user_password_decrypts():
         assert [i["text"] for i in infos] == plain
 
 
-def test_aes256_and_real_user_password_refuse_by_name():
+def test_aes256_blank_password_decrypts():
+    """V5 (AES-256) blank-password PDFs decrypt: R5 (the deprecated
+    AESV3 ExtensionLevel-3 plain-SHA-256 hash) and R6 (PDF 2.0 /
+    Acrobat X+ Algorithm 2.B). The encryptor is the oracle; the file
+    key unwraps from /UE and is used DIRECTLY per object (no MD5
+    salting — the ISO 32000-2 change), and /Perms must sanity-check."""
+    pages = ["AES-256 but readable\nline 2", "Page 2: café € ✓"]
+    plain = P.extract_pdf_pages(P.pdf_bytes(pages))
+    for r in (5, 6):
+        doc = P.pdf_bytes_encrypted(pages, r=r)
+        assert P._is_encrypted(doc)
+        assert P.pdf_encryption(doc) == "decryptable", r
+        assert P.extract_pdf_pages(doc) == plain, r
+
+
+def test_aes256_blank_owner_password_route():
+    """When the USER hash misses (real user password) but the blank
+    OWNER password validates against /O (udata = the 48-byte /U), the
+    key unwraps from /OE — the owner-locked-open case."""
+    pages = ["owner-route text"]
+    plain = P.extract_pdf_pages(P.pdf_bytes(pages))
+    for r in (5, 6):
+        doc = P.pdf_bytes_encrypted(
+            pages, r=r, owner_pw=b"", user_pw=b"real-user-pw"
+        )
+        assert P.extract_pdf_pages(doc) == plain, r
+    # both passwords real → refusal naming the password gap
+    doc = P.pdf_bytes_encrypted(
+        pages, r=6, owner_pw=b"real-owner", user_pw=b"real-user"
+    )
+    with pytest.raises(NotImplementedError, match="password"):
+        P.extract_pdf_pages(doc, errors="strict")
+
+
+def test_hash_2b_round_semantics():
+    """Algorithm 2.B pins: ≥64 rounds always run, the SHA-256/384/512
+    selector follows sum(E[:16]) % 3, and the result is 32 bytes
+    deterministic for (password, salt, udata)."""
+    a = P._hash_2b(b"", b"saltsalt")
+    b = P._hash_2b(b"", b"saltsalt")
+    c = P._hash_2b(b"", b"other-s8")
+    assert a == b and a != c and len(a) == 32
+    d = P._hash_2b(b"pw", b"saltsalt", b"u" * 48)
+    assert d != a and len(d) == 32
+
+
+def test_aes256_real_password_and_bad_perms_refuse_by_name():
     pages = ["won't decrypt"]
+    # a V5 dict whose /U can never validate (stand-in for a real
+    # user+owner password): refusal names the password gap
     v5 = P.pdf_bytes_encrypted(pages, v5_marker=True)
-    with pytest.raises(NotImplementedError, match="V 5|AES-256"):
+    with pytest.raises(NotImplementedError, match="password"):
         P.extract_pdf_pages(v5, errors="strict")
     assert P.extract_pdf_pages(v5) == []  # skip mode: quarantine
-    assert "AES-256" in P.pdf_encryption(v5) or "V 5" in P.pdf_encryption(v5)
+    assert "password" in P.pdf_encryption(v5)
+    # a corrupted /Perms block fails the 'adb' sanity check by name
+    import re as _re
+
+    doc = P.pdf_bytes_encrypted(pages, r=6)
+    m = _re.search(rb"/Perms <([0-9a-f]{32})>", doc)
+    bad = doc[: m.start(1)] + b"f" * 32 + doc[m.end(1):]
+    with pytest.raises(NotImplementedError, match="Perms"):
+        P.extract_pdf_pages(bad, errors="strict")
+    # an unsupported V5 revision refuses naming the revision
+    r7 = _re.sub(rb"/R 6", rb"/R 7", doc)
+    with pytest.raises(NotImplementedError, match="R 7"):
+        P.extract_pdf_pages(r7, errors="strict")
+
+
+def test_aes256_fips_vector():
+    """FIPS-197 Appendix C.3 (AES-256) + C.1 (AES-128) pin the T-table
+    cipher core for both key sizes."""
+    key = bytes(range(32))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = P._aes_encrypt_block(pt, P._aes_expand_key(key))
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert P._aes_decrypt_block(ct, P._aes_expand_key(key)) == pt
+    k128 = bytes(range(16))
+    assert (
+        P._aes_encrypt_block(pt, P._aes_expand_key(k128)).hex()
+        == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    )
+
+
+def test_real_user_password_refuses_by_name():
     # a real (non-blank) user password: the /U check fails → refusal
+    pages = ["won't decrypt"]
     doc = P.pdf_bytes_encrypted(pages, r=3)
     import re as _re
 
