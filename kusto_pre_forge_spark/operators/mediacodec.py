@@ -93,6 +93,130 @@ def parse_jpeg_header(raw: bytes) -> dict | None:
     return None
 
 
+def parse_exif_orientation(raw: bytes) -> int:
+    """The EXIF ``Orientation`` tag (0x0112) from a JPEG's APP1
+    segment, 1-8; 1 (upright) for anything absent or malformed — a
+    crawl decoder never crashes on a bad EXIF blob. Walks the JPEG
+    marker stream to APP1 (``Exif\\x00\\x00`` payload), then the TIFF
+    header (II little- / MM big-endian) and IFD0's 12-byte entries.
+    Camera JPEGs routinely store sensor-rotated pixels with this tag;
+    ignoring it makes a rotated duplicate hash differently from its
+    upright re-encode, so the perceptual-dedup family misses the whole
+    class."""
+    if len(raw) < 4 or raw[:2] != b"\xff\xd8":
+        return 1
+    pos = 2
+    n = len(raw)
+    while pos + 4 <= n:
+        if raw[pos] != 0xFF:
+            return 1
+        marker = raw[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if 0xD0 <= marker <= 0xD9 or marker == 0x01:
+            pos += 2
+            continue
+        if pos + 4 > n:
+            return 1
+        seg_len = struct.unpack(">H", raw[pos + 2 : pos + 4])[0]
+        if marker == 0xDA:  # scan data: no APP1 ahead
+            return 1
+        if marker == 0xE1 and raw[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            tiff = raw[pos + 10 : pos + 2 + seg_len]
+            return _tiff_orientation(tiff)
+        pos += 2 + seg_len
+    return 1
+
+
+def _tiff_orientation(tiff: bytes) -> int:
+    """Orientation from a TIFF blob (EXIF APP1 payload past the
+    ``Exif\\x00\\x00`` prefix): header endianness, IFD0 walk, tag
+    0x0112 type SHORT. 1 on anything malformed."""
+    if len(tiff) < 8:
+        return 1
+    if tiff[:4] == b"II*\x00":
+        e = "<"
+    elif tiff[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        return 1
+    try:
+        (ifd0,) = struct.unpack(e + "I", tiff[4:8])
+        if ifd0 + 2 > len(tiff):
+            return 1
+        (count,) = struct.unpack(e + "H", tiff[ifd0 : ifd0 + 2])
+        for i in range(count):
+            at = ifd0 + 2 + 12 * i
+            if at + 12 > len(tiff):
+                return 1
+            tag, typ = struct.unpack(e + "HH", tiff[at : at + 4])
+            if tag == 0x0112 and typ == 3:  # SHORT, value inline
+                (val,) = struct.unpack(e + "H", tiff[at + 8 : at + 10])
+                return val if 1 <= val <= 8 else 1
+    except struct.error:
+        return 1
+    return 1
+
+
+def apply_exif_orientation(
+    width: int, height: int, channels: int, pixels: bytes, orientation: int
+) -> tuple[int, int, int, bytes]:
+    """Return the UPRIGHT view of decoded pixels for an EXIF
+    orientation value 1-8 (TIFF 6.0 §Orientation / EXIF 2.32): 2
+    mirrors, 3 rotates 180°, 4 flips vertically, 5 transposes, 6
+    rotates 90° CW, 7 transverses, 8 rotates 90° CCW. Orientations 5-8
+    swap width and height."""
+    if orientation == 1 or not 1 <= orientation <= 8:
+        return width, height, channels, pixels
+    import numpy as np
+
+    a = np.frombuffer(pixels, np.uint8).reshape(height, width, channels)
+    if orientation == 2:
+        a = a[:, ::-1]
+    elif orientation == 3:
+        a = a[::-1, ::-1]
+    elif orientation == 4:
+        a = a[::-1, :]
+    elif orientation == 5:
+        a = a.transpose(1, 0, 2)
+    elif orientation == 6:
+        a = a.transpose(1, 0, 2)[:, ::-1]
+    elif orientation == 7:
+        a = a.transpose(1, 0, 2)[::-1, ::-1]
+    elif orientation == 8:
+        a = a.transpose(1, 0, 2)[::-1, :]
+    h, w = int(a.shape[0]), int(a.shape[1])
+    return w, h, channels, np.ascontiguousarray(a).tobytes()
+
+
+def exif_app1(orientation: int, endian: str = "<") -> bytes:
+    """Forge one minimal EXIF APP1 segment (marker + length + Exif
+    prefix + TIFF header + a 1-entry IFD0 carrying Orientation) — the
+    fixture side of :func:`parse_exif_orientation`; ``endian`` '<'
+    forges II (Intel) layout, '>' MM (Motorola)."""
+    if endian == "<":
+        tiff = b"II*\x00" + struct.pack("<I", 8)
+        tiff += struct.pack("<H", 1)
+        tiff += struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0)
+        tiff += struct.pack("<I", 0)
+    else:
+        tiff = b"MM\x00*" + struct.pack(">I", 8)
+        tiff += struct.pack(">H", 1)
+        tiff += struct.pack(">HHIHH", 0x0112, 3, 1, orientation, 0)
+        tiff += struct.pack(">I", 0)
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def insert_exif_app1(jpeg: bytes, orientation: int, endian: str = "<") -> bytes:
+    """Insert a forged Orientation APP1 right after SOI — turns any
+    baseline JPEG fixture into a camera-rotated one."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    return jpeg[:2] + exif_app1(orientation, endian) + jpeg[2:]
+
+
 def parse_gif_header(raw: bytes) -> dict | None:
     """GIF87a/89a logical screen descriptor: width/height (LE16)."""
     if len(raw) < 10 or raw[:6] not in (b"GIF87a", b"GIF89a"):
@@ -2106,7 +2230,14 @@ def decode_image(raw: bytes):
     if kind == "png":
         return decode_png(raw)
     if kind == "jpeg":
-        return decode_jpeg(raw)
+        # camera JPEGs store sensor-rotated pixels + an EXIF
+        # Orientation tag: normalize to the upright view so a rotated
+        # capture and its upright re-encode hash as the duplicates
+        # they are (perceptual-dedup correctness, not cosmetics)
+        w, h, ch, px = decode_jpeg(raw)
+        return apply_exif_orientation(
+            w, h, ch, px, parse_exif_orientation(raw)
+        )
     if kind == "gif":
         return decode_gif(raw)
     if kind == "bmp":

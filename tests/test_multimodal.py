@@ -426,6 +426,105 @@ def test_image_dhash_real_jpeg_pixels(spark):
     assert (out[1].width, out[1].height) == (w, h)
 
 
+def test_exif_orientation_parse_all_values():
+    """The APP1 TIFF Orientation tag parses for all 8 values in both
+    byte orders; absence, scan-data-first, and malformed blobs all
+    default to 1 (never crash — crawl posture)."""
+    w, h = 8, 8
+    base = mediacodec.encode_jpeg(w, h, bytes(range(64)), 1)
+    assert mediacodec.parse_exif_orientation(base) == 1
+    for o in range(1, 9):
+        for e in ("<", ">"):
+            tagged = mediacodec.insert_exif_app1(base, o, e)
+            assert mediacodec.parse_exif_orientation(tagged) == o, (o, e)
+            # the decoder still accepts the tagged file
+            assert mediacodec.parse_jpeg_header(tagged)["width"] == w
+    # out-of-range value, truncated TIFF, non-Exif APP1 → 1
+    assert mediacodec.parse_exif_orientation(
+        mediacodec.insert_exif_app1(base, 9)
+    ) == 1
+    bad = base[:2] + b"\xff\xe1\x00\x08Exif\x00\x00" + base[2:]
+    assert mediacodec.parse_exif_orientation(bad) == 1
+    xmp = base[:2] + b"\xff\xe1\x00\x07http\x00" + base[2:]
+    assert mediacodec.parse_exif_orientation(xmp) == 1
+    assert mediacodec.parse_exif_orientation(b"\x00\x01") == 1
+
+
+def test_apply_exif_orientation_analytic():
+    """TIFF 6.0 orientation semantics pinned on a 2x2 matrix with four
+    distinct pixels: every one of the 8 transforms lands each pixel
+    exactly where the upright view puts it."""
+    px = bytes([1, 2, 3, 4])  # [[1,2],[3,4]] h=2, w=2, gray
+    want = {
+        1: ([1, 2, 3, 4], 2, 2),
+        2: ([2, 1, 4, 3], 2, 2),   # mirror
+        3: ([4, 3, 2, 1], 2, 2),   # rotate 180
+        4: ([3, 4, 1, 2], 2, 2),   # flip vertical
+        5: ([1, 3, 2, 4], 2, 2),   # transpose
+        6: ([3, 1, 4, 2], 2, 2),   # rotate 90 CW
+        7: ([4, 2, 3, 1], 2, 2),   # transverse
+        8: ([2, 4, 1, 3], 2, 2),   # rotate 90 CCW
+    }
+    for o, (vals, ww, hh) in want.items():
+        w2, h2, ch, out = mediacodec.apply_exif_orientation(2, 2, 1, px, o)
+        assert (list(out), w2, h2, ch) == (vals, ww, hh, 1), o
+    # 5-8 swap dimensions on a non-square image
+    w2, h2, _, _ = mediacodec.apply_exif_orientation(
+        4, 2, 1, bytes(8), 6
+    )
+    assert (w2, h2) == (2, 4)
+    # involutions: applying twice returns the original for 2/3/4/5/7
+    for o in (2, 3, 4, 5, 7):
+        w2, h2, _, once = mediacodec.apply_exif_orientation(2, 2, 1, px, o)
+        _, _, _, twice = mediacodec.apply_exif_orientation(
+            w2, h2, 1, once, o
+        )
+        assert twice == px, o
+
+
+def test_decode_image_normalizes_exif_orientation():
+    """decode_image returns the UPRIGHT view of a tagged JPEG: for
+    every orientation, decoding the tagged file equals applying the
+    transform to the raw (untagged) decode."""
+    w, h = 16, 8
+    grad = bytes((x * 16 + y) % 256 for y in range(h) for x in range(w))
+    base = mediacodec.encode_jpeg(w, h, grad, 1, quality=95)
+    raw = mediacodec.decode_jpeg(base)
+    for o in range(1, 9):
+        tagged = mediacodec.insert_exif_app1(base, o)
+        assert mediacodec.decode_image(tagged) == \
+            mediacodec.apply_exif_orientation(*raw, o), o
+
+
+def test_exif_rotated_duplicate_hashes_match(spark):
+    """The dedup property the normalization exists for: a camera JPEG
+    stored rotated with Orientation=6 and a lossless re-encode of its
+    upright view hash IDENTICALLY — and the same pixels WITHOUT the
+    tag hash differently (the miss the tag parse closes)."""
+    w, h = 18, 8
+    grad = bytes(x * 14 for x in range(w)) * h
+    # what a camera stores: the upright gradient rotated 90 deg CCW
+    # (so orientation 6 = rotate CW restores it)
+    sw, sh, _, stored = mediacodec.apply_exif_orientation(
+        w, h, 1, grad, 8
+    )
+    cam = mediacodec.insert_exif_app1(
+        mediacodec.encode_jpeg(sw, sh, stored, 1, quality=95), 6
+    )
+    uw, uh, uch, upx = mediacodec.decode_image(cam)
+    assert (uw, uh) == (w, h)  # normalized back to landscape
+    upright_png = mediacodec.encode_png(uw, uh, upx, uch)
+    untagged = mediacodec.encode_jpeg(sw, sh, stored, 1, quality=95)
+    df = spark.createDataFrame(
+        [(1, cam), (2, upright_png), (3, untagged)],
+        "doc_id long, blob binary",
+    )
+    out = {r.doc_id: r for r in multimodal.image_dhash(df).collect()}
+    assert out[1].dhash == out[2].dhash  # rotated capture == upright twin
+    assert out[1].dhash != out[3].dhash  # without the tag they miss
+    assert (out[1].width, out[1].height) == (w, h)
+
+
 def test_decode_image_features_real_jpeg(spark):
     """Real-JPEG features match the PNG features of identical content."""
     import numpy as np
