@@ -3659,8 +3659,11 @@ def _q_text_bpe_interchange(spark, sf):
     read, import the files back (vocab.json AUTHORITATIVE for ids —
     the HF contract), encode through the IMPORTED table, and decode
     every document back. Output adds ``lossless`` — decode(encode(d))
-    == d per document, computed in-engine. The oracle replays training
-    + encoding closed-form and predicts lossless TRUE for every row
+    == d per document, computed in-engine — and ``hf_json_agrees``
+    (round-13): the same vocabulary exported/imported through the
+    single-file HF fast-tokenizer ``tokenizer.json`` must reproduce
+    the legacy pair's tables exactly. The oracle replays training +
+    encoding closed-form and predicts both flags TRUE for every row
     (byte-level BPE has no UNK and no normalization loss), so a
     regression anywhere in export → parse → id-table → encode →
     decode flips a hash-checked column."""
@@ -3678,6 +3681,14 @@ def _q_text_bpe_interchange(spark, sf):
     m2, v2 = textprep.import_gpt2_tokenizer(
         f"{out_dir}/vocab.json", f"{out_dir}/merges.txt"
     )
+    # round-13: the SAME vocabulary through the single-file HF
+    # fast-tokenizer artifact — tokenizer.json must reproduce the
+    # legacy pair's tables exactly (equal tables ⇒ equal ids by
+    # construction, so the flag is computed once, not re-encoded
+    # per row — the scale-aware form of the check)
+    textprep.export_hf_tokenizer(merges, f"{out_dir}/tokenizer.json")
+    m3, v3 = textprep.import_hf_tokenizer(f"{out_dir}/tokenizer.json")
+    hf_agrees = bool(m3 == m2 and v3 == v2)
     arrays = textprep.bpe_encode_arrays(d, m2, vocab_ids=v2).join(
         d.select("doc_id", "text"), "doc_id"
     )
@@ -3707,6 +3718,7 @@ def _q_text_bpe_interchange(spark, sf):
         (
             decode_ids(F.col("ids")) == F.coalesce(F.col("text"), F.lit(""))
         ).alias("lossless"),
+        F.lit(hf_agrees).alias("hf_json_agrees"),
     )
 
 
@@ -9728,7 +9740,8 @@ def oracle_sql() -> dict[str, str]:
             # lossless by construction → TRUE for every document
             _bpe_encode_oracle_sql().replace(
                 "AS ids_head FROM ag",
-                "AS ids_head, TRUE AS lossless FROM ag",
+                "AS ids_head, TRUE AS lossless, "
+                "TRUE AS hf_json_agrees FROM ag",
             )
         ),
         "text_fix_encoding": (

@@ -2346,6 +2346,124 @@ def import_gpt2_tokenizer(
     return merges, {str(k): int(v) for k, v in vocab.items()}
 
 
+def export_hf_tokenizer(
+    merges: list[tuple[str, str]],
+    out_path: str | None = None,
+    vocab_ids: dict[str, int] | None = None,
+) -> str:
+    """The single-file HF fast-tokenizer ``tokenizer.json`` (the
+    artifact current ``transformers``/``tokenizers`` stacks read and
+    write — the legacy vocab.json+merges.txt pair is
+    :func:`export_gpt2_tokenizer`): a ByteLevel pre-tokenizer/decoder
+    wrapping the SAME byte-BPE tables, so an engine-trained vocabulary
+    is drop-in for modern trainer stacks. Returns the JSON text;
+    ``out_path`` also writes it (UTF-8, non-ASCII literal)."""
+    import json
+
+    vocab = dict(vocab_ids) if vocab_ids is not None else bpe_vocab_ids(merges)
+    obj = {
+        "version": "1.0",
+        "truncation": None,
+        "padding": None,
+        "added_tokens": [],
+        "normalizer": None,
+        "pre_tokenizer": {
+            "type": "ByteLevel",
+            "add_prefix_space": False,
+            "trim_offsets": True,
+            "use_regex": True,
+        },
+        "post_processor": None,
+        "decoder": {
+            "type": "ByteLevel",
+            "add_prefix_space": True,
+            "trim_offsets": True,
+            "use_regex": True,
+        },
+        "model": {
+            "type": "BPE",
+            "dropout": None,
+            "unk_token": None,
+            "continuing_subword_prefix": None,
+            "end_of_word_suffix": None,
+            "fuse_unk": False,
+            "byte_fallback": False,
+            "vocab": vocab,
+            "merges": [f"{a} {b}" for a, b in merges],
+        },
+    }
+    text = json.dumps(obj, ensure_ascii=False, separators=(",", ":"))
+    if out_path is not None:
+        with open(out_path, "w", encoding="utf-8") as f:
+            f.write(text)
+    return text
+
+
+def import_hf_tokenizer(src) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """(merges, vocab_ids) from an HF fast-tokenizer ``tokenizer.json``
+    — path, JSON text, or parsed dict. Accepts both merges encodings
+    the ``tokenizers`` library has shipped ('a b' strings pre-0.20,
+    [a, b] arrays after), folds ``added_tokens`` into the id table,
+    and refuses non-BPE models and non-ByteLevel pre-tokenizers BY
+    NAME (a Metaspace/Unigram file segments differently — silently
+    encoding with the wrong algorithm would be corruption, not
+    compatibility). The returned pair feeds ``bpe_encode(...,
+    vocab_ids=...)`` exactly like :func:`import_gpt2_tokenizer`."""
+    import json
+    import os
+
+    if isinstance(src, str) and os.path.exists(src):
+        with open(src, encoding="utf-8") as f:
+            obj = json.load(f)
+    elif isinstance(src, str):
+        obj = json.loads(src)
+    else:
+        obj = dict(src)
+    model = obj.get("model") or {}
+    mtype = str(model.get("type", ""))
+    if mtype != "BPE":
+        raise ValueError(
+            f"tokenizer.json model type {mtype!r} is not BPE — only "
+            "byte-level BPE models import here (Unigram/WordPiece files "
+            "segment differently)"
+        )
+    pre = obj.get("pre_tokenizer")
+    if pre is not None:
+        ptypes = (
+            [str(p.get("type", "")) for p in pre.get("pretokenizers", [])]
+            if str(pre.get("type", "")) == "Sequence"
+            else [str(pre.get("type", ""))]
+        )
+        if "ByteLevel" not in ptypes:
+            raise ValueError(
+                f"tokenizer.json pre_tokenizer {ptypes} is not ByteLevel "
+                "— this engine's BPE is byte-level (GPT-2 convention)"
+            )
+    merges: list[tuple[str, str]] = []
+    for m in model.get("merges") or []:
+        if isinstance(m, str):
+            parts = m.split(" ")
+            if len(parts) != 2:
+                raise ValueError(f"malformed tokenizer.json merge: {m!r}")
+            merges.append((parts[0], parts[1]))
+        else:
+            a, b = m
+            merges.append((str(a), str(b)))
+    vocab = {
+        str(k): int(v) for k, v in (model.get("vocab") or {}).items()
+    }
+    for t in obj.get("added_tokens") or []:
+        if "content" in t and "id" in t:
+            vocab.setdefault(str(t["content"]), int(t["id"]))
+    missing = [a + b for a, b in merges if a + b not in vocab]
+    if missing:
+        raise ValueError(
+            f"tokenizer.json merges name tokens absent from the vocab: "
+            f"{missing[:3]}{'…' if len(missing) > 3 else ''}"
+        )
+    return merges, vocab
+
+
 # ------------------------------------------------- encoding repair (ftfy-lite)
 # The single most common crawl defect after bad HTML: UTF-8 bytes that
 # some upstream system decoded as Windows-1252 ("mojibake": café →

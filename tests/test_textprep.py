@@ -1057,6 +1057,79 @@ def test_gpt2_import_validation():
         T.import_gpt2_tokenizer(bad, lines)
 
 
+def test_hf_tokenizer_json_roundtrip(tmp_path):
+    """tokenizer.json (the single-file HF fast-tokenizer artifact)
+    roundtrips the SAME tables as the legacy vocab.json+merges.txt
+    pair — export → import → identical merges and id table, via a
+    real file on disk, cross-checked against the pair on the same
+    vocabulary."""
+    from kusto_pre_forge_spark.operators import textprep as T
+
+    merges = [("h", "e"), ("l", "l"), ("he", "ll"), ("hell", "o"),
+              ("Ġ", "t"), ("Ġt", "he")]
+    path = str(tmp_path / "tokenizer.json")
+    text = T.export_hf_tokenizer(merges, path)
+    import json
+
+    obj = json.loads(text)
+    assert obj["model"]["type"] == "BPE"
+    assert obj["pre_tokenizer"]["type"] == "ByteLevel"
+    m2, v2 = T.import_hf_tokenizer(path)
+    assert m2 == merges
+    # cross-check: identical tables to the legacy pair
+    vocab, lines = T.export_gpt2_tokenizer(merges, str(tmp_path))
+    m3, v3 = T.import_gpt2_tokenizer(
+        str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt")
+    )
+    assert (m2, v2) == (m3, v3)
+
+
+def test_hf_tokenizer_json_merge_array_format_and_added_tokens():
+    """tokenizers >= 0.20 writes merges as [a, b] ARRAYS; added_tokens
+    fold into the id table; Sequence pre-tokenizers containing
+    ByteLevel are accepted."""
+    from kusto_pre_forge_spark.operators import textprep as T
+
+    import json
+
+    merges = [("a", "b"), ("ab", "c")]
+    obj = json.loads(T.export_hf_tokenizer(merges))
+    obj["model"]["merges"] = [list(m.split(" ")) for m in obj["model"]["merges"]]
+    obj["added_tokens"] = [{"id": 50256, "content": "<|endoftext|>"}]
+    obj["pre_tokenizer"] = {
+        "type": "Sequence",
+        "pretokenizers": [{"type": "ByteLevel", "add_prefix_space": False}],
+    }
+    m2, v2 = T.import_hf_tokenizer(obj)
+    assert m2 == merges
+    assert v2["<|endoftext|>"] == 50256
+    assert v2["ab"] == T.bpe_vocab_ids(merges)["ab"]
+
+
+def test_hf_tokenizer_json_refusals():
+    """Non-BPE models and non-ByteLevel pre-tokenizers refuse BY NAME
+    — encoding a Unigram/Metaspace file with byte-BPE would be silent
+    corruption."""
+    from kusto_pre_forge_spark.operators import textprep as T
+
+    import json
+    import pytest as _pt
+
+    obj = json.loads(T.export_hf_tokenizer([("a", "b")]))
+    uni = dict(obj)
+    uni["model"] = {"type": "Unigram", "vocab": []}
+    with _pt.raises(ValueError, match="Unigram"):
+        T.import_hf_tokenizer(uni)
+    meta = json.loads(T.export_hf_tokenizer([("a", "b")]))
+    meta["pre_tokenizer"] = {"type": "Metaspace"}
+    with _pt.raises(ValueError, match="Metaspace|ByteLevel"):
+        T.import_hf_tokenizer(meta)
+    missing = json.loads(T.export_hf_tokenizer([("a", "b")]))
+    del missing["model"]["vocab"]["ab"]
+    with _pt.raises(ValueError, match="absent"):
+        T.import_hf_tokenizer(missing)
+
+
 def test_fix_encoding_repairs_mojibake(spark):
     """ftfy-lite: single- and double-encoded UTF-8-as-cp1252 repairs
     exactly; legitimate Latin-1-looking text and clean text are never
