@@ -78,18 +78,55 @@ def zstd_available() -> bool:
         return False
 
 
+def _zstd_stream_reader(fileobj):
+    """A zstd decompressing stream over ``fileobj`` that reads ACROSS
+    frame boundaries (real .zst corpora are multi-frame: seekable-zstd,
+    per-record frames) — older ``zstandard`` wheels lack the kwarg, so
+    fall back to single-frame semantics rather than refuse."""
+    import zstandard
+
+    dctx = zstandard.ZstdDecompressor()
+    try:
+        return dctx.stream_reader(fileobj, read_across_frames=True)
+    except TypeError:  # pragma: no cover — pre-kwarg wheels
+        return dctx.stream_reader(fileobj)
+
+
+class _ZstdTarPipe:
+    """Minimal read-only file object for ``tarfile``'s sequential mode
+    that normalizes codec errors to ValueError — a corrupt frame in the
+    middle of a 100 GB bundle must hit the caller's quarantine catch,
+    not escape as a third-party exception type."""
+
+    def __init__(self, fileobj):
+        import zstandard
+
+        self._zstd_error = zstandard.ZstdError
+        self._r = _zstd_stream_reader(fileobj)
+
+    def read(self, n: int = -1) -> bytes:
+        try:
+            return self._r.read(n)
+        except self._zstd_error as e:
+            raise ValueError(f"zstd decode failed: {e}") from e
+
+    def close(self) -> None:
+        self._r.close()
+
+
 def _zstd_decompress(data: bytes) -> bytes:
     """Whole-blob zstd decode behind :func:`zstd_available`, streamed
     against the decompressed-size valve (frames in the wild omit the
     content-size header, so ``max_output_size`` alone can't be trusted);
-    codec errors normalize to ValueError for the quarantine catch."""
+    reads across frame boundaries (multi-frame files decode WHOLE, not
+    first-frame-only); codec errors normalize to ValueError for the
+    quarantine catch."""
     import zstandard
 
-    dctx = zstandard.ZstdDecompressor()
     chunks: list[bytes] = []
     total = 0
     try:
-        with dctx.stream_reader(io.BytesIO(data)) as r:
+        with _zstd_stream_reader(io.BytesIO(data)) as r:
             while True:
                 chunk = r.read(1 << 20)
                 if not chunk:
@@ -432,28 +469,46 @@ def iter_tar_members_from(
     max_total_bytes: int = MAX_ARCHIVE_BYTES,
 ):
     """Tar members streamed INCREMENTALLY from a path — ``tarfile``'s
-    ``r|*`` pipe mode reads sequentially (gzip/bz2/xz transparently),
-    holding ONE member in memory at a time, so a 100 GB crawl bundle
-    never materializes. Same yield contract as
+    ``r|*`` pipe mode reads sequentially (gzip/bz2/xz transparently;
+    zstd via :class:`_ZstdTarPipe` where the wheel is present — no
+    stdlib codec on 3.11), holding ONE member in memory at a time, so
+    a 100 GB crawl bundle never materializes. Same yield contract as
     :func:`iter_archive_members` incl. the (None, None) valve
     sentinel."""
     count, total = 0, 0
+    fh = None
     try:
-        tf = tarfile.open(path, mode="r|*")
-    except (tarfile.TarError, OSError):
+        with open(path, "rb") as probe:
+            zst = probe.read(4) == b"\x28\xb5\x2f\xfd"
+        if zst and zstd_available():
+            fh = open(path, "rb")
+            tf = tarfile.open(fileobj=_ZstdTarPipe(fh), mode="r|")
+        else:
+            tf = tarfile.open(path, mode="r|*")
+    except (tarfile.TarError, OSError, ValueError):
+        if fh is not None:
+            fh.close()
         return
-    with tf:
-        for m in tf:
-            if not m.isfile():
-                continue
-            if count >= max_members or total + m.size > max_total_bytes:
-                yield None, None
-                return
-            f = tf.extractfile(m)
-            if f is None:
-                continue
-            count, total = count + 1, total + m.size
-            yield m.name, f.read()
+    try:
+        with tf:
+            for m in tf:
+                if not m.isfile():
+                    continue
+                if count >= max_members or total + m.size > max_total_bytes:
+                    yield None, None
+                    return
+                f = tf.extractfile(m)
+                if f is None:
+                    continue
+                count, total = count + 1, total + m.size
+                yield m.name, f.read()
+    finally:
+        # mid-stream corruption propagates (ValueError from the zstd
+        # pipe, TarError from tarfile) so the caller's quarantine /
+        # in-memory-fallback catch keeps its semantics; the outer file
+        # handle must close on every exit
+        if fh is not None:
+            fh.close()
 
 
 def read_text_auto_stream(
@@ -465,8 +520,9 @@ def read_text_auto_stream(
     """The mixed-dump front door PAST the 2 GiB ``binaryFile`` ceiling:
     paths distribute (exact one-file-per-task slicing), each blob opens
     inside the worker, and archives iterate member-at-a-time — tar
-    (+tar.gz/.bz2/.xz) through ``tarfile``'s streaming pipe mode (one
-    member resident at a time), ZIP through the path-seekable
+    (+tar.gz/.bz2/.xz, and .tar.zst where the zstandard wheel is
+    present) through ``tarfile``'s streaming pipe mode (one member
+    resident at a time), ZIP through the path-seekable
     ``zipfile`` (central directory + one member at a time; a zip's
     directory lives at the tail, so true forward streaming is not a
     ZIP-format possibility). Non-archive blobs fall back to the
@@ -527,14 +583,20 @@ def read_text_auto_stream(
                     streamed = False
                     # tar magic at 257, or a compressed stream that MAY
                     # be a tar — try pipe mode, fall back whole-file
+                    # (.tar.zst joins when the zstandard wheel is there)
                     if (
                         head[257:262] == b"ustar"
                         or head[:2] == b"\x1f\x8b"
                         or head[:3] == b"BZh"
                         or head.startswith(b"\xfd7zXZ\x00")
+                        or (
+                            head[:4] == b"\x28\xb5\x2f\xfd"
+                            and zstd_available()
+                        )
                     ):
                         try:
                             count = 0
+                            rows = []
                             for member, blob in iter_tar_members_from(
                                 raw, max_members, max_total_bytes
                             ):
@@ -547,7 +609,7 @@ def read_text_auto_stream(
                                 rows.append((member, kind, text))
                                 count += 1
                             streamed = bool(rows)
-                        except tarfile.TarError:
+                        except (tarfile.TarError, ValueError, EOFError):
                             streamed = False
                     if not streamed:
                         rows = []
