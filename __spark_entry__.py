@@ -7973,6 +7973,33 @@ def _q_kqltext_top_nested(spark, sf):
     return run_kql(spark, q, _kqltext_tables(spark, sf))
 
 
+def _q_kqltext_fork_python(spark, sf):
+    """``materialize`` + ``fork`` + ``evaluate python`` through the
+    TEXT parser (round-13 ask #7): the source pipeline — orders pushed
+    through the ADX inline-Python plugin (mapInPandas sandbox, `*`
+    schema expansion plus a computed column) — is materialized ONCE,
+    and two fork branches aggregate it (per-bucket revenue; a filtered
+    count). The runner represents ADX's one-table-per-branch output as
+    the branch-labeled union (`_kpf_fork`). Oracle is the SQL each
+    branch means, unioned with the same labels. Plan: the scan +
+    Python stage run once (lazy persist), each branch is one
+    map-side-combinable aggregate."""
+    from kusto_pre_forge_spark.operators.kqltext import run_kql
+
+    q = (
+        "let src = materialize(orders\n"
+        "  | evaluate python(typeof(*, half:real),"
+        " 'result = df.assign(half=df[\"o_totalprice\"] / 2)'));\n"
+        "src\n"
+        "| fork\n"
+        "  (by_bucket = extend bucket = o_orderkey % 4\n"
+        "   | summarize n=count(), revenue=round(sum(half), 2)"
+        " by bucket)\n"
+        "  (hi = where o_totalprice > 200000.0 | summarize hi_n=count())"
+    )
+    return run_kql(spark, q, _kqltext_tables(spark, sf))
+
+
 def _q_kqltext_parse_kv(spark, sf):
     """``parse-kv`` through the text parser (round-12): forge key=value
     log lines from orders in-pipeline, extract them back with typed
@@ -8232,6 +8259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kqltext_q1": _q_kqltext_q1,
         "kqltext_pipeline": _q_kqltext_pipeline,
         "kqltext_plugins": _q_kqltext_plugins,
+        "kqltext_fork_python": _q_kqltext_fork_python,
         "kqltext_parse_kv": _q_kqltext_parse_kv,
         "kqltext_top_nested": _q_kqltext_top_nested,
         "kqltext_dynamic": _q_kqltext_dynamic,
@@ -12169,6 +12197,20 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_custkey % 200 <= 175 AND c_custkey % 25 = 0) "
             "SELECT 'zone-' || CAST(oct2 // 25 AS BIGINT) AS zone_name, "
             "CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1"
+        ),
+        "kqltext_fork_python": (
+            # the SQL each fork branch means, unioned with the same
+            # branch labels; the python stage's computed column is
+            # o_totalprice / 2 replayed natively
+            "SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "round(SUM(o_totalprice / 2), 2) AS revenue, "
+            "'by_bucket' AS _kpf_fork, CAST(NULL AS BIGINT) AS hi_n "
+            "FROM orders GROUP BY 1 "
+            "UNION ALL "
+            "SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), "
+            "CAST(NULL AS DOUBLE), 'hi', CAST(COUNT(*) AS BIGINT) "
+            "FROM orders WHERE o_totalprice > 200000.0"
         ),
         "kqltext_parse_kv": (
             # extraction is lossless, so the aggregate computes from the

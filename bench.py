@@ -167,6 +167,7 @@ HEADLINE = [
     "kqltext_parse_kv",
     "multimodal_webp_dhash",
     "kqltext_top_nested",
+    "kqltext_fork_python",
     "corpus_robots_gate",
     "corpus_version_diff",
     "corpus_datacard",

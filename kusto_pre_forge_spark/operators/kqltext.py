@@ -283,7 +283,8 @@ class _Parser:
         t = self.peek()
         if t.kind == "ident" and (
             t.val in self.tables
-            or t.val in ("range", "print", "datatable", "externaldata")
+            or t.val
+            in ("range", "print", "datatable", "externaldata", "materialize")
             or self._is_table(t.val)
         ):
             self.tables[name] = self.parse_pipeline(stop_at_semicolon=True)
@@ -339,6 +340,14 @@ class _Parser:
             return self._parse_externaldata()
         if t.val == "datatable":
             return self._parse_datatable()
+        if t.val == "materialize":
+            # materialize(subquery): pin one evaluation for every
+            # consumer — bound to kql.materialize's lazy persist (the
+            # Spark-idiomatic form of Kusto's subquery cache)
+            self.eat("punct", "(")
+            inner = self.parse_pipeline()
+            self.eat("punct", ")")
+            return K.materialize(inner)
         if t.val == "range":
             name = self.eat("ident").val
             self.eat("ident", "from")
@@ -1034,6 +1043,52 @@ class _Parser:
                 cidr_col = self.eat("ident").val
             self.eat("punct", ")")
             return K.ipv4_lookup(df, lk, ip_col, cidr_col=cidr_col)
+        if t.val == "python":
+            # evaluate python(typeof(*, Col:type …), 'script') — the
+            # ADX inline-Python plugin, bound to kql.evaluate_python's
+            # mapInPandas sandbox (script sees the Arrow batch as `df`,
+            # binds `result`); `*` expands to the input schema
+            type_map = {
+                "string": "string", "int": "int", "long": "long",
+                "real": "double", "double": "double", "bool": "boolean",
+                "boolean": "boolean", "datetime": "timestamp",
+                "guid": "string",
+            }
+            self.eat("punct", "(")
+            self.eat("ident", "typeof")
+            self.eat("punct", "(")
+            fields: list[str] = []
+            while not self.at("punct", ")"):
+                if self.at("punct", "*"):
+                    self.next()
+                    fields.extend(
+                        f"`{f.name}` {f.dataType.simpleString()}"
+                        for f in df.schema.fields
+                    )
+                else:
+                    nm = self.eat("ident").val
+                    self.eat("punct", ":")
+                    ty = self.eat("ident").val
+                    if ty not in type_map:
+                        raise KqlSyntaxError(
+                            f"unsupported python plugin output type {ty!r}"
+                        )
+                    fields.append(f"`{nm}` {type_map[ty]}")
+                if self.at("punct", ","):
+                    self.next()
+            self.eat("punct", ")")
+            self.eat("punct", ",")
+            script = _lit_value(self.parse_expr())
+            if not isinstance(script, str):
+                raise KqlSyntaxError(
+                    "python plugin script must be a string literal"
+                )
+            self.eat("punct", ")")
+            if not fields:
+                raise KqlSyntaxError(
+                    "python plugin typeof() spec is empty"
+                )
+            return K.evaluate_python(df, script, ", ".join(fields))
         raise KqlSyntaxError(
             f"unsupported evaluate plugin {t.val!r} at offset {t.pos}"
         )
@@ -1068,6 +1123,53 @@ class _Parser:
                 continue
             break
         return K.lookup(df, dim, on, kind=kind)
+
+    def _op_fork(self, df):
+        """``| fork (name = subquery) (subquery) …`` — every branch is
+        a stage chain over ONE evaluation of the source (bound through
+        kql.materialize's lazy persist: the scan + upstream pipeline
+        runs once, the plan sharing ADX's fork promises). ADX emits one
+        result table per branch; a single-DataFrame runner represents
+        that faithfully as the branch-labeled union — ``_kpf_fork``
+        names the branch (explicit name or ``fork_<i>``) and each ADX
+        result table is ``where _kpf_fork == <name>``; unionByName with
+        allowMissingColumns lets branches of different shapes coexist
+        (absent columns null)."""
+        src = K.materialize(df)
+        outer_order = getattr(self, "_last_order", None)
+        out = None
+        idx = 0
+        try:
+            while self.at("punct", "("):
+                self.next()
+                name = f"fork_{idx}"
+                if (
+                    self.peek().kind == "ident"
+                    and self.peek(1).kind == "punct"
+                    and self.peek(1).val == "="
+                ):
+                    name = self.next().val
+                    self.next()  # '='
+                self._last_order = None  # branch-scoped sort state
+                b = self._parse_stage(src)
+                while self.at("punct", "|"):
+                    self.next()
+                    b = self._parse_stage(b)
+                self.eat("punct", ")")
+                b = b.withColumn("_kpf_fork", F.lit(name))
+                out = (
+                    b
+                    if out is None
+                    else out.unionByName(b, allowMissingColumns=True)
+                )
+                idx += 1
+        finally:
+            self._last_order = outer_order
+        if out is None:
+            raise KqlSyntaxError(
+                "fork needs at least one (subquery) branch"
+            )
+        return out
 
     def _op_union(self, df):
         """``| union T1[, T2…]`` — the right operand is a SOURCE (table

@@ -265,7 +265,11 @@ def test_catalyst_sees_through_the_parser(spark, t):
 
 
 def test_loud_failures(spark, t):
+    # python is BOUND (round-13) — a still-unbound plugin refuses by name
     with pytest.raises(KqlSyntaxError, match="unsupported"):
+        run_kql(spark, "Events | evaluate narrow()", t)
+    # and a malformed python() call fails loudly at the typeof spec
+    with pytest.raises(KqlSyntaxError, match="typeof"):
         run_kql(spark, "Events | evaluate python(1)", t)
     # lookup is bound (round-12) — an unknown dim table still refuses
     with pytest.raises(KqlSyntaxError, match="unknown table"):
@@ -828,3 +832,84 @@ def test_case_sensitive_predicate_variants_and_render(spark, t):
         "| render barchart with (title='sev mix', ymin=0)",
         t,
     ) == [("Error", 2), ("Information", 1), ("Warning", 1)]
+
+
+def test_materialize_source_pins_one_evaluation(spark, t):
+    # materialize(subquery) is a SOURCE: usable in a let and inline;
+    # results identical to the unmaterialized pipeline
+    out = _rows(
+        spark,
+        "let src = materialize(Events | where Value >= 5);\n"
+        "src | summarize n=count()",
+        t,
+    )
+    assert out == [(3,)]
+    out2 = _rows(
+        spark,
+        "materialize(Events | project Id) | count",
+        t,
+    )
+    assert out2 == [(4,)]
+
+
+def test_fork_branch_labeled_union(spark, t):
+    # each branch runs over ONE evaluation of the source; output is
+    # the branch-labeled union (_kpf_fork; unnamed branches fork_<i>)
+    df = run_kql(
+        spark,
+        "Events\n"
+        "| fork (errs = where Level == 'Error' | summarize n=count())\n"
+        "       (summarize total=sum(Value))",
+        t,
+    )
+    rows = {r._kpf_fork: r for r in df.collect()}
+    assert set(rows) == {"errs", "fork_1"}
+    assert rows["errs"].n == 2 and rows["errs"].total is None
+    assert rows["fork_1"].total == 23.5 and rows["fork_1"].n is None
+
+
+def test_fork_needs_a_branch(spark, t):
+    with pytest.raises(KqlSyntaxError, match="fork"):
+        run_kql(spark, "Events | fork", t)
+
+
+def test_evaluate_python_star_and_typed_outputs(spark, t):
+    # typeof(*, new:type) expands * to the input schema; the script
+    # sees the Arrow batch as `df` and binds `result`
+    out = _rows(
+        spark,
+        "Events\n"
+        "| evaluate python(typeof(*, vlen:long),"
+        " 'result = df.assign(vlen=df[\"Text\"].str.len())')\n"
+        "| summarize s=sum(vlen)",
+        t,
+    )
+    assert out == [(sum(len(x) for x in
+                        ("disk full on node-3", "retry scheduled",
+                         "disk full on node-7", "ok")),)]
+    # explicit (non-*) output schema projects exactly the named columns
+    out2 = _rows(
+        spark,
+        "Events\n"
+        "| evaluate python(typeof(Id:long, double_v:real),"
+        " 'result = pd.DataFrame({\"Id\": df[\"Id\"],"
+        " \"double_v\": df[\"Value\"] * 2})')\n"
+        "| sort by Id asc",
+        t,
+    )
+    assert out2 == [(1, 20.0), (2, 10.0), (3, 15.0), (4, 2.0)]
+
+
+def test_evaluate_python_refusals(spark, t):
+    with pytest.raises(KqlSyntaxError, match="output type"):
+        run_kql(
+            spark,
+            "Events | evaluate python(typeof(x:widget), 'result = df')",
+            t,
+        )
+    with pytest.raises(KqlSyntaxError, match="literal"):
+        run_kql(
+            spark,
+            "Events | evaluate python(typeof(x:long), 1 + 2)",
+            t,
+        )
