@@ -8000,6 +8000,35 @@ def _q_kqltext_fork_python(spark, sf):
     return run_kql(spark, q, _kqltext_tables(spark, sf))
 
 
+def _q_kqltext_facet(spark, sf):
+    """``facet by`` through the TEXT parser (round-13): one value-count
+    table per facet column plus the ``with``-clause table, represented
+    as the branch-labeled union (the fork convention; ADX emits one
+    result table per facet). Each facet is one map-side-combinable
+    aggregate over the materialized source. Oracle is the SQL each
+    facet means, unioned with the same labels."""
+    from kusto_pre_forge_spark.operators.kqltext import run_kql
+
+    q = (
+        "orders\n"
+        "| facet by o_orderstatus, o_orderpriority"
+        " with (where o_totalprice > 200000.0 | summarize hi=count())"
+    )
+    return run_kql(spark, q, _kqltext_tables(spark, sf))
+
+
+def _q_kqltext_top_hitters(spark, sf):
+    """``top-hitters`` through the TEXT parser (round-13): ADX's
+    approximate heavy-hitters bound exactly — one map-side-combinable
+    aggregate + TakeOrderedAndProject under ADX's output column name
+    (approximate_sum_<col>). Oracle: the same ranked aggregate in
+    plain SQL (ties value asc)."""
+    from kusto_pre_forge_spark.operators.kqltext import run_kql
+
+    q = "lineitem | top-hitters 2 of l_returnflag by l_quantity"
+    return run_kql(spark, q, _kqltext_tables(spark, sf))
+
+
 def _q_kqltext_parse_kv(spark, sf):
     """``parse-kv`` through the text parser (round-12): forge key=value
     log lines from orders in-pipeline, extract them back with typed
@@ -8260,6 +8289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kqltext_pipeline": _q_kqltext_pipeline,
         "kqltext_plugins": _q_kqltext_plugins,
         "kqltext_fork_python": _q_kqltext_fork_python,
+        "kqltext_facet": _q_kqltext_facet,
+        "kqltext_top_hitters": _q_kqltext_top_hitters,
         "kqltext_parse_kv": _q_kqltext_parse_kv,
         "kqltext_top_nested": _q_kqltext_top_nested,
         "kqltext_dynamic": _q_kqltext_dynamic,
@@ -12197,6 +12228,31 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_custkey % 200 <= 175 AND c_custkey % 25 = 0) "
             "SELECT 'zone-' || CAST(oct2 // 25 AS BIGINT) AS zone_name, "
             "CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1"
+        ),
+        "kqltext_facet": (
+            # the SQL each facet table means, unioned with the
+            # same branch labels (values stringified to union)
+            "SELECT CAST(o_orderstatus AS VARCHAR) AS value, "
+            "CAST(COUNT(*) AS BIGINT) AS count_, "
+            "'o_orderstatus' AS _kpf_facet, "
+            "CAST(NULL AS BIGINT) AS hi FROM orders GROUP BY 1 "
+            "UNION ALL "
+            "SELECT CAST(o_orderpriority AS VARCHAR), "
+            "CAST(COUNT(*) AS BIGINT), 'o_orderpriority', "
+            "CAST(NULL AS BIGINT) FROM orders GROUP BY 1 "
+            "UNION ALL "
+            "SELECT CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), "
+            "'_with', CAST(COUNT(*) AS BIGINT) "
+            "FROM orders WHERE o_totalprice > 200000.0"
+        ),
+        "kqltext_top_hitters": (
+            # the ranked aggregate top-hitters means (ties value asc)
+            "SELECT l_returnflag, approximate_sum_l_quantity FROM "
+            "(SELECT l_returnflag, "
+            "SUM(l_quantity) AS approximate_sum_l_quantity, "
+            "row_number() OVER (ORDER BY SUM(l_quantity) DESC, "
+            "l_returnflag ASC) AS r FROM lineitem GROUP BY 1) "
+            "WHERE r <= 2"
         ),
         "kqltext_fork_python": (
             # the SQL each fork branch means, unioned with the same

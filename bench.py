@@ -168,6 +168,8 @@ HEADLINE = [
     "multimodal_webp_dhash",
     "kqltext_top_nested",
     "kqltext_fork_python",
+    "kqltext_facet",
+    "kqltext_top_hitters",
     "corpus_robots_gate",
     "corpus_version_diff",
     "corpus_datacard",

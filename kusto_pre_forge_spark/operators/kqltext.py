@@ -1171,6 +1171,96 @@ class _Parser:
             )
         return out
 
+    def _op_facet(self, df):
+        """``| facet by C1[, C2…] [with (stages)]`` — ADX returns one
+        value-count table per facet column (its ``count_`` convention)
+        plus, with the ``with`` clause, the source pipeline's own
+        table. Single-frame representation (the fork convention): the
+        branch-labeled union — ``_kpf_facet`` names the facet column,
+        ``value`` is the stringified facet value (columns of different
+        types must union), ``count_`` the count; ``with``-clause rows
+        carry label ``_with`` and keep their own columns. Each facet is
+        one map-side-combinable aggregate over the shared source."""
+        self.eat("ident", "by")
+        src = K.materialize(df)
+        cols = []
+        while True:
+            cols.append(self.eat("ident").val)
+            if self.at("punct", ","):
+                self.next()
+                continue
+            break
+        out = None
+        for c in cols:
+            b = (
+                src.groupBy(F.col(c).cast("string").alias("value"))
+                .agg(F.count(F.lit(1)).alias("count_"))
+                .withColumn("_kpf_facet", F.lit(c))
+            )
+            out = b if out is None else out.unionByName(b)
+        if self.at_ident("with"):
+            self.next()
+            self.eat("punct", "(")
+            outer_order = getattr(self, "_last_order", None)
+            self._last_order = None
+            try:
+                b = self._parse_stage(src)
+                while self.at("punct", "|"):
+                    self.next()
+                    b = self._parse_stage(b)
+            finally:
+                self._last_order = outer_order
+            self.eat("punct", ")")
+            b = b.withColumn("_kpf_facet", F.lit("_with"))
+            out = out.unionByName(b, allowMissingColumns=True)
+        return out
+
+    def _op_top_hitters(self, df):
+        """``| top-hitters N of Col [by SumCol]`` — ADX's approximate
+        heavy-hitters, bound EXACTLY (one map-side-combinable aggregate
+        + TakeOrderedAndProject, never a full sort) under ADX's output
+        column names (``approximate_count_<Col>`` /
+        ``approximate_sum_<SumCol>``): exact is a valid refinement of
+        an approximate contract, and at Spark's partial-agg cost there
+        is nothing to approximate away. Ties break value asc — the
+        deterministic order the engine documents for top-nested."""
+        n = int(_lit_value(self.parse_expr()))
+        self.eat("ident", "of")
+        col = self.eat("ident").val
+        if self.at_ident("by"):
+            self.next()
+            sum_col = self.eat("ident").val
+            out_col = f"approximate_sum_{sum_col}"
+            agg = F.sum(F.col(sum_col)).alias(out_col)
+        else:
+            out_col = f"approximate_count_{col}"
+            agg = F.count(F.lit(1)).alias(out_col)
+        return (
+            df.groupBy(col)
+            .agg(agg)
+            .orderBy(F.col(out_col).desc(), F.col(col).asc())
+            .limit(n)
+        )
+
+    def _op_as(self, df):
+        """``| as [hint.materialized=true] Name`` — bind the pipeline
+        so far to a query-scoped name usable as a source later in the
+        SAME query (Kusto's tabular alias). ``hint.materialized=true``
+        pins one evaluation through kql.materialize; without it the
+        name shares lineage lazily (Kusto's default — re-evaluation is
+        Catalyst's call)."""
+        pinned = False
+        if self.at_ident("hint"):
+            self.next()
+            self.eat("punct", ".")
+            self.eat("ident", "materialized")
+            self.eat("punct", "=")
+            pinned = self.eat("ident").val == "true"
+        name = self.eat("ident").val
+        out = K.materialize(df) if pinned else df
+        self.tables[name] = out
+        return out
+
     def _op_union(self, df):
         """``| union T1[, T2…]`` — the right operand is a SOURCE (table
         name or parenthesized pipeline), never the rest of the stage

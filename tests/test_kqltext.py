@@ -913,3 +913,53 @@ def test_evaluate_python_refusals(spark, t):
             "Events | evaluate python(typeof(x:long), 1 + 2)",
             t,
         )
+
+
+def test_facet_by_branch_labeled_union(spark, t):
+    df = run_kql(spark, "Events | facet by Level", t)
+    rows = sorted(
+        (r._kpf_facet, r.value, r.count_) for r in df.collect()
+    )
+    assert rows == [
+        ("Level", "Error", 2), ("Level", "Information", 1),
+        ("Level", "Warning", 1),
+    ]
+    # multiple facet columns + the `with` clause's own table
+    df2 = run_kql(
+        spark,
+        "Events | facet by Level, Id with (summarize hi=count())",
+        t,
+    )
+    got = [r for r in df2.collect()]
+    assert {r._kpf_facet for r in got} == {"Level", "Id", "_with"}
+    ids = sorted(r.value for r in got if r._kpf_facet == "Id")
+    assert ids == ["1", "2", "3", "4"]  # values stringify to union
+    w = [r for r in got if r._kpf_facet == "_with"]
+    assert len(w) == 1 and w[0].hi == 4 and w[0].value is None
+
+
+def test_top_hitters_exact_with_adx_names(spark, t):
+    out = _rows(spark, "Events | top-hitters 2 of Level", t)
+    assert out == [("Error", 2), ("Information", 1)]
+    df = run_kql(spark, "Events | top-hitters 1 of Level by Value", t)
+    assert df.columns == ["Level", "approximate_sum_Value"]
+    assert [tuple(r) for r in df.collect()] == [("Error", 17.5)]
+
+
+def test_as_binds_query_scoped_alias(spark, t):
+    # `as` makes the pipeline-so-far addressable as a source later in
+    # the SAME query (here: via toscalar over the alias)
+    out = _rows(
+        spark,
+        "Events | where Value > 4 | as hint.materialized=true Big\n"
+        "| summarize n=count()\n"
+        "| extend tot = toscalar(Big | summarize sum(Value))",
+        t,
+    )
+    assert out == [(3, 22.5)]
+    out2 = _rows(
+        spark,
+        "Events | as E2 | count",
+        t,
+    )
+    assert out2 == [(4,)]
