@@ -2058,9 +2058,12 @@ def encode_tiff(
     packbits: bool = False,
     big_endian: bool = False,
     rows_per_strip: int = 4,
+    orientation: int = 1,
 ) -> bytes:
     """Spec-valid baseline TIFF fixture encoder: 8-bit gray/RGB, strip
-    layout, optional PackBits compression, either byte order."""
+    layout, optional PackBits compression, either byte order; a
+    non-upright ``orientation`` writes tag 274 (the fixture side of the
+    decode_image normalization)."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 or 3")
     if len(pixels) != width * height * channels:
@@ -2100,6 +2103,8 @@ def encode_tiff(
         entry(258, 3, 1, short_val(8))
     entry(259, 3, 1, short_val(32773 if packbits else 1))
     entry(262, 3, 1, short_val(2 if channels == 3 else 1))
+    if orientation != 1:
+        entry(274, 3, 1, short_val(orientation))
     if len(strips) == 1:
         entry(273, 4, 1, long_val(strip_offsets[0]))
     else:
@@ -2243,7 +2248,12 @@ def decode_image(raw: bytes):
     if kind == "bmp":
         return decode_bmp(raw)
     if kind == "tiff":
-        return decode_tiff(raw)
+        # a TIFF file IS a TIFF blob: its own IFD0 Orientation tag gets
+        # the same upright normalization as the JPEG APP1 route
+        w, h, ch, px = decode_tiff(raw)
+        return apply_exif_orientation(
+            w, h, ch, px, _tiff_orientation(raw)
+        )
     if kind == "pnm":
         return decode_pnm(raw)
     if kind == "webp":

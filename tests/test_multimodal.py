@@ -1580,3 +1580,23 @@ def test_compressed_audio_pyav_route(spark):
     assert fps[1] is not None and fps[2] is not None
     ham = bin((fps[1] ^ fps[2]) & ((1 << 64) - 1)).count("1")
     assert ham <= 8, ham
+
+
+def test_tiff_orientation_normalizes_decode():
+    """A TIFF's own IFD0 Orientation tag (274) gets the same upright
+    normalization as the JPEG APP1 route — all 8 values, both byte
+    orders, exact pixel equality (TIFF is lossless)."""
+    w, h = 4, 2
+    px = bytes(range(8))
+    for o in range(1, 9):
+        for be in (False, True):
+            t = mediacodec.encode_tiff(
+                w, h, px, 1, big_endian=be, orientation=o
+            )
+            if o != 1:
+                assert mediacodec._tiff_orientation(t) == o
+            assert mediacodec.decode_image(t) == \
+                mediacodec.apply_exif_orientation(w, h, 1, px, o), (o, be)
+    # untagged fixture unchanged (decode_tiff == decode_image)
+    base = mediacodec.encode_tiff(w, h, px, 1)
+    assert mediacodec.decode_image(base) == mediacodec.decode_tiff(base)
