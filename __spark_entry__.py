@@ -3614,6 +3614,44 @@ def _q_text_bpe_encode(spark, sf):
     )
 
 
+def _q_text_url_canonicalize(spark, sf):
+    """URL canonicalization — the crawl dedup key (round-13): each
+    document forges a deliberately messy URL from doc_id arithmetic
+    (upper-case scheme/host, scheme-default OR explicit port, unsorted
+    query with utm_/gclid trackers, fragment) and
+    ``textprep.canonicalize_url`` reduces it to the canonical form the
+    oracle predicts closed-form from the same arithmetic — every rule
+    (case, default-port strip, kept non-default port, param sort,
+    tracker drop, fragment drop) is hash-checked per row. One
+    zero-exchange codegen projection."""
+    from kusto_pre_forge_spark.operators.textprep import canonicalize_url
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 3 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(did % 2 == 0, F.lit("ExAmple")).otherwise(F.lit("example")),
+        F.lit(".COM"),
+        F.when(
+            did % 4 == 0,
+            F.when(did % 3 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        )
+        .when(did % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/p/"),
+        did.cast("string"),
+        F.lit("?b=2&utm_source=x&a="),
+        (did % 5).cast("string"),
+        F.lit("&gclid=zz#frag"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        canonicalize_url(url).alias("canon_url"),
+    )
+
+
 def _q_text_fix_encoding(spark, sf):
     """Encoding repair (ftfy-lite, round-12) end-to-end: each document
     forges as MOJIBAKE — its text plus a unicode suffix, UTF-8 bytes
@@ -8223,6 +8261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_byte": _q_text_bpe_byte,
         "text_bpe_encode": _q_text_bpe_encode,
         "text_bpe_interchange": _q_text_bpe_interchange,
+        "text_url_canonicalize": _q_text_url_canonicalize,
         "text_fix_encoding": _q_text_fix_encoding,
         "text_unigram": _q_text_unigram,
         "text_wordpiece": _q_text_wordpiece,
@@ -9802,6 +9841,27 @@ def oracle_sql() -> dict[str, str]:
                 "AS ids_head, TRUE AS lossless, "
                 "TRUE AS hf_json_agrees FROM ag",
             )
+        ),
+        "text_url_canonicalize": (
+            # the forge AND the canonical form replayed closed-form
+            # from doc_id arithmetic
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "(CASE WHEN doc_id%3=0 THEN 'HTTP' ELSE 'https' END) "
+            "|| '://' || "
+            "(CASE WHEN doc_id%2=0 THEN 'ExAmple' ELSE 'example' END) "
+            "|| '.COM' || "
+            "(CASE WHEN doc_id%4=0 THEN (CASE WHEN doc_id%3=0 "
+            "THEN ':80' ELSE ':443' END) WHEN doc_id%4=1 "
+            "THEN ':8080' ELSE '' END) || "
+            "'/p/' || CAST(doc_id AS VARCHAR) || "
+            "'?b=2&utm_source=x&a=' || CAST(doc_id%5 AS VARCHAR) "
+            "|| '&gclid=zz#frag' AS url, "
+            "(CASE WHEN doc_id%3=0 THEN 'http' ELSE 'https' END) "
+            "|| '://example.com' || "
+            "(CASE WHEN doc_id%4=1 THEN ':8080' ELSE '' END) || "
+            "'/p/' || CAST(doc_id AS VARCHAR) || "
+            "'?a=' || CAST(doc_id%5 AS VARCHAR) || '&b=2' "
+            "AS canon_url FROM documents"
         ),
         "text_fix_encoding": (
             # repair of the forge is exact: fixed == original text +

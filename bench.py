@@ -170,6 +170,7 @@ HEADLINE = [
     "kqltext_fork_python",
     "kqltext_facet",
     "kqltext_top_hitters",
+    "text_url_canonicalize",
     "corpus_robots_gate",
     "corpus_version_diff",
     "corpus_datacard",

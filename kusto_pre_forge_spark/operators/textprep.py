@@ -1038,7 +1038,9 @@ def url_normalize(col: Column | str) -> Column:
 
     Pure codegen (regexp + array HOFs) — at 100 TB this runs inside the
     scan projection. Malformed input passes through lowercased (a dedup
-    key must never be null for a present URL).
+    key must never be null for a present URL). The RFC-conservative
+    sibling — tracker/userinfo stripping, case semantics preserved,
+    NULL on non-URLs — is :func:`canonicalize_url`.
     """
     c = F.trim(F.col(col) if isinstance(col, str) else col)
     no_frag = F.regexp_replace(c, r"#.*$", "")
@@ -1819,6 +1821,79 @@ def url_host(col: Column | str) -> Column:
         c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)", 1
     ))
     return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
+
+
+#: query parameters that track, not address, content — the exact keys
+#: (plus the utm_ prefix family) every crawl canonicalizer strips;
+#: shared with the oracle generator
+TRACKING_PARAMS = (
+    "gclid", "fbclid", "msclkid", "mc_eid", "igshid", "ref", "ref_src",
+    "utm",
+)
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """The canonical dedup key for a crawl URL — one zero-exchange
+    codegen projection (regex decomposition, not java.net.URI — the
+    ``url_host`` rationale): scheme and host lowercase; userinfo
+    dropped (it never addresses content; the blocklist gate keeps its
+    own '@' hardening); default ports stripped (:80 http, :443 https),
+    explicit non-default ports kept; empty path → '/'; query
+    parameters sorted with tracking params removed (``utm_*`` prefix
+    family + the TRACKING_PARAMS exacts); fragment dropped (never sent
+    to the server). The SAME page crawled as
+    ``HTTP://Site.COM:80/p?b=2&utm_source=x&a=1#sec`` and
+    ``http://site.com/p?a=1&b=2`` keys identically, so exact dedup
+    collapses the pair. Percent-encoding is NOT normalized (%2F vs /
+    can be semantically different upstream); NULL for anything without
+    an absolute scheme://host. Idempotent by construction.
+
+    Layering vs :func:`url_normalize`: that op is the AGGRESSIVE dedup
+    key (scheme coerced to https, path lowercased, trailing slash
+    trimmed, malformed input passed through) — this one is the
+    RFC-conservative canonical form (scheme/path case-semantics
+    preserved, trackers and userinfo stripped, NULL on non-URLs); pick
+    by how much collapse the corpus wants."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    scheme = F.lower(
+        F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    )
+    host = F.lower(F.regexp_extract(
+        c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)", 1
+    ))
+    port = F.regexp_extract(
+        c,
+        r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?[^/:?#@]+:(\d+)",
+        1,
+    )
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(
+        c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(c, r"^[^#?]*\?([^#]*)", 1)
+    exacts = [p for p in TRACKING_PARAMS if p != "utm"]
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.lower(F.split(p, "=").getItem(0)).startswith("utm_")
+        & ~F.lower(F.split(p, "=").getItem(0)).isin(*exacts),
+    )
+    q2 = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit("")),
+    )
+    return F.when(
+        (scheme == "") | (host == ""), F.lit(None).cast("string")
+    ).otherwise(canon)
 
 
 def host_suffixes(host: Column) -> Column:

@@ -1162,3 +1162,44 @@ def test_fix_encoding_repairs_mojibake(spark):
     assert rows[3].fixed == "" and not rows[3].was_fixed
     plan = T.fix_encoding(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure map stage
+
+
+def test_canonicalize_url_vectors(spark):
+    """The crawl dedup key: case, default-port strip, kept explicit
+    port, userinfo drop, param sort + tracker strip, fragment drop,
+    empty-path '/', NULL for non-absolute — and idempotency."""
+    from kusto_pre_forge_spark.operators.textprep import canonicalize_url
+
+    cases = [
+        ("HTTP://Site.COM:80/p?b=2&utm_source=x&a=1#sec",
+         "http://site.com/p?a=1&b=2"),
+        ("http://site.com/p?a=1&b=2", "http://site.com/p?a=1&b=2"),
+        ("https://Site.com:443/", "https://site.com/"),
+        ("https://site.com:8443/x", "https://site.com:8443/x"),
+        ("https://user:pw@site.com/x", "https://site.com/x"),
+        ("http://site.com", "http://site.com/"),
+        ("http://site.com?gclid=z&REF=t&c=3", "http://site.com/?c=3"),
+        ("ftp://Host/En", "ftp://host/En"),  # path case preserved
+        ("not a url", None),
+        ("/relative/only", None),
+        ("http://site.com/p?", "http://site.com/p"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonicalize_url("u").alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+    twice = df.select(
+        canonicalize_url("u").alias("c1"),
+        canonicalize_url(canonicalize_url("u")).alias("c2"),
+    )
+    assert all(r.c1 == r.c2 for r in twice.collect())
+    plan = (
+        df.select(canonicalize_url("u"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure codegen projection
