@@ -990,6 +990,17 @@ class _Parser:
         if t.val == "pivot":
             self.eat("punct", "(")
             pivot_col = self.eat("ident").val
+            if self.at("punct", ")"):
+                # ADX's bare pivot(Col): default count() aggregation,
+                # remaining columns group implicitly
+                self.next()
+                return K.pivot_kql(
+                    df,
+                    pivot_col,
+                    pivot_col,
+                    agg="count",
+                    group_cols=[c for c in df.columns if c != pivot_col],
+                )
             self.eat("punct", ",")
             agg_name = self.eat("ident").val
             self.eat("punct", "(")
@@ -1241,6 +1252,23 @@ class _Parser:
             .orderBy(F.col(out_col).desc(), F.col(col).asc())
             .limit(n)
         )
+
+    def _op_sample(self, df):
+        """``| sample N`` — ADX documents sample as geared for speed,
+        not even distribution: ANY N rows satisfy the contract, so the
+        binding is a plain limit (LocalLimit per task, no shuffle, no
+        rand() pass over 100 TB — the rows a node reaches first, which
+        is precisely what Kusto's own sample returns)."""
+        return df.limit(int(_lit_value(self.parse_expr())))
+
+    def _op_sample_distinct(self, df):
+        """``| sample-distinct N of Col`` — up to N distinct values of
+        Col (ADX: arbitrary which ones): distinct + limit, one hash
+        aggregate with early-out."""
+        n = int(_lit_value(self.parse_expr()))
+        self.eat("ident", "of")
+        col = self.eat("ident").val
+        return df.select(col).distinct().limit(n)
 
     def _op_as(self, df):
         """``| as [hint.materialized=true] Name`` — bind the pipeline

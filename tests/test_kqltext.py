@@ -963,3 +963,27 @@ def test_as_binds_query_scoped_alias(spark, t):
         t,
     )
     assert out2 == [(4,)]
+
+
+def test_sample_and_sample_distinct(spark, t):
+    # ADX sample is "any N rows" by contract — assert count + subset
+    got = run_kql(spark, "Events | sample 2", t).collect()
+    assert len(got) == 2 and {r.Id for r in got} <= {1, 2, 3, 4}
+    sd = run_kql(spark, "Events | sample-distinct 2 of Level", t).collect()
+    vals = {r.Level for r in sd}
+    assert len(sd) == 2 == len(vals)
+    assert vals <= {"Error", "Warning", "Information"}
+    # N beyond cardinality returns all distinct values
+    all3 = run_kql(spark, "Events | sample-distinct 9 of Level", t).collect()
+    assert {r.Level for r in all3} == {"Error", "Warning", "Information"}
+
+
+def test_pivot_bare_default_count(spark, t):
+    # pivot(Col) with no aggregation: count(), remaining cols group
+    df = run_kql(
+        spark,
+        "Events | project Level | extend g = 1 | evaluate pivot(Level)",
+        t,
+    )
+    assert df.columns == ["g", "Error", "Information", "Warning"]
+    assert [tuple(r) for r in df.collect()] == [(1, 2, 1, 1)]
