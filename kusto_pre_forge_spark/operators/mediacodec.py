@@ -159,6 +159,63 @@ def _tiff_orientation(tiff: bytes) -> int:
     return 1
 
 
+def _png_exif_orientation(raw: bytes) -> int:
+    """Orientation from a PNG's ``eXIf`` chunk (PNG 1.2 extension,
+    standardized 2017 — the chunk payload is a raw TIFF blob); 1 when
+    absent or malformed."""
+    if len(raw) < 8 or raw[:8] != b"\x89PNG\r\n\x1a\n":
+        return 1
+    pos = 8
+    n = len(raw)
+    while pos + 8 <= n:
+        (size,) = struct.unpack(">I", raw[pos : pos + 4])
+        ctype = raw[pos + 4 : pos + 8]
+        if ctype == b"eXIf":
+            return _tiff_orientation(raw[pos + 8 : pos + 8 + size])
+        if ctype == b"IEND":
+            return 1
+        pos += 12 + size
+    return 1
+
+
+def _webp_exif_orientation(raw: bytes) -> int:
+    """Orientation from a WebP VP8X container's ``EXIF`` chunk (TIFF
+    blob, with or without the JPEG-style ``Exif\\x00\\x00`` prefix some
+    encoders write); 1 when absent or malformed."""
+    if len(raw) < 16 or raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
+        return 1
+    pos = 12
+    n = len(raw)
+    while pos + 8 <= n:
+        tag = raw[pos : pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        if tag == b"EXIF":
+            body = raw[pos + 8 : pos + 8 + size]
+            if body[:6] == b"Exif\x00\x00":
+                body = body[6:]
+            return _tiff_orientation(body)
+        pos += 8 + size + (size & 1)
+    return 1
+
+
+def image_exif_orientation(raw: bytes) -> int:
+    """The EXIF/TIFF Orientation value (1-8) for ANY container that can
+    carry one — JPEG APP1, TIFF IFD0, PNG eXIf, WebP EXIF — and 1 for
+    everything else: the single probe :func:`decode_image` normalizes
+    through, so a rotated capture hashes like its upright re-encode in
+    every format the camera/export pipeline might have produced."""
+    raw = bytes(raw)
+    if raw[:2] == b"\xff\xd8":
+        return parse_exif_orientation(raw)
+    if raw[:4] in (b"II*\x00", b"MM\x00*"):
+        return _tiff_orientation(raw)
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_exif_orientation(raw)
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+        return _webp_exif_orientation(raw)
+    return 1
+
+
 def apply_exif_orientation(
     width: int, height: int, channels: int, pixels: bytes, orientation: int
 ) -> tuple[int, int, int, bytes]:
@@ -2232,37 +2289,33 @@ def decode_image(raw: bytes):
     PNG/JPEG/GIF/BMP/TIFF (probe on magic bytes, then the per-format
     decoder). Raises ValueError for non-image payloads."""
     kind = probe_bytes(raw)["media_kind"]
+    # camera/export pipelines store sensor-rotated pixels + an
+    # Orientation tag (JPEG APP1, TIFF IFD0, PNG eXIf, WebP EXIF):
+    # normalize to the upright view so a rotated capture and its
+    # upright re-encode hash as the duplicates they are
+    # (perceptual-dedup correctness, not cosmetics)
     if kind == "png":
-        return decode_png(raw)
-    if kind == "jpeg":
-        # camera JPEGs store sensor-rotated pixels + an EXIF
-        # Orientation tag: normalize to the upright view so a rotated
-        # capture and its upright re-encode hash as the duplicates
-        # they are (perceptual-dedup correctness, not cosmetics)
-        w, h, ch, px = decode_jpeg(raw)
-        return apply_exif_orientation(
-            w, h, ch, px, parse_exif_orientation(raw)
-        )
-    if kind == "gif":
+        out = decode_png(raw)
+    elif kind == "jpeg":
+        out = decode_jpeg(raw)
+    elif kind == "gif":
         return decode_gif(raw)
-    if kind == "bmp":
+    elif kind == "bmp":
         return decode_bmp(raw)
-    if kind == "tiff":
-        # a TIFF file IS a TIFF blob: its own IFD0 Orientation tag gets
-        # the same upright normalization as the JPEG APP1 route
-        w, h, ch, px = decode_tiff(raw)
-        return apply_exif_orientation(
-            w, h, ch, px, _tiff_orientation(raw)
-        )
-    if kind == "pnm":
+    elif kind == "tiff":
+        out = decode_tiff(raw)
+    elif kind == "pnm":
         return decode_pnm(raw)
-    if kind == "webp":
+    elif kind == "webp":
         # VP8L lossless decodes dependency-free (operators/webp.py);
-        # lossy VP8 refuses inside naming the pyav hatch
+        # lossy VP8 routes through pyav where importable, refuses
+        # naming the hatch otherwise
         from kusto_pre_forge_spark.operators.webp import decode_webp
 
-        return decode_webp(raw)
-    raise ValueError(f"not a decodable image container (kind={kind})")
+        out = decode_webp(raw)
+    else:
+        raise ValueError(f"not a decodable image container (kind={kind})")
+    return apply_exif_orientation(*out, image_exif_orientation(raw))
 
 
 # ---------------------------------------------------------------- AVI codec

@@ -1600,3 +1600,65 @@ def test_tiff_orientation_normalizes_decode():
     # untagged fixture unchanged (decode_tiff == decode_image)
     base = mediacodec.encode_tiff(w, h, px, 1)
     assert mediacodec.decode_image(base) == mediacodec.decode_tiff(base)
+
+
+def test_png_and_webp_exif_orientation():
+    """The orientation story closes across EVERY container that can
+    carry the tag: PNG's eXIf chunk and WebP's VP8X EXIF chunk (raw
+    TIFF or Exif\\x00\\x00-prefixed) normalize through decode_image
+    exactly like JPEG APP1 and TIFF IFD0."""
+    import struct
+    import zlib
+
+    from kusto_pre_forge_spark.operators import webp as W
+
+    w, h = 4, 2
+    px = bytes(range(8))
+    png = mediacodec.encode_png(w, h, px, 1)
+
+    def png_tagged(o):
+        tiff = mediacodec.exif_app1(o)[10:]
+        chunk = struct.pack(">I", len(tiff)) + b"eXIf" + tiff
+        chunk += struct.pack(">I", zlib.crc32(b"eXIf" + tiff) & 0xFFFFFFFF)
+        at = 8 + 12 + 13  # after IHDR
+        return png[:at] + chunk + png[at:]
+
+    rgba = bytes(range(32))
+    src = W.encode_webp_vp8l(4, 2, 4, rgba)
+    vp8l = next(b for t_, b in W._webp_chunks(src) if t_ == b"VP8L")
+
+    def webp_tagged(o, prefixed):
+        tiff = mediacodec.exif_app1(o)[10:]
+        body = (b"Exif\x00\x00" + tiff) if prefixed else tiff
+        vp8x = (
+            bytes([0x08, 0, 0, 0])
+            + (3).to_bytes(3, "little")
+            + (1).to_bytes(3, "little")
+        )
+        payload = b"VP8X" + len(vp8x).to_bytes(4, "little") + vp8x
+        payload += b"VP8L" + len(vp8l).to_bytes(4, "little") + vp8l
+        if len(vp8l) & 1:
+            payload += b"\x00"
+        payload += b"EXIF" + len(body).to_bytes(4, "little") + body
+        if len(body) & 1:
+            payload += b"\x00"
+        return (
+            b"RIFF" + (4 + len(payload)).to_bytes(4, "little")
+            + b"WEBP" + payload
+        )
+
+    for o in range(1, 9):
+        t_ = png_tagged(o)
+        assert mediacodec.image_exif_orientation(t_) == o
+        assert mediacodec.decode_image(t_) == \
+            mediacodec.apply_exif_orientation(w, h, 1, px, o), ("png", o)
+        for prefixed in (False, True):
+            wb = webp_tagged(o, prefixed)
+            assert mediacodec.image_exif_orientation(wb) == o
+            assert mediacodec.decode_image(wb) == \
+                mediacodec.apply_exif_orientation(4, 2, 4, rgba, o), (
+                    "webp", o, prefixed)
+    # untagged files decode unchanged
+    assert mediacodec.decode_image(png) == mediacodec.decode_png(png)
+    assert mediacodec.decode_image(src) == W.decode_webp(src)
+    assert mediacodec.image_exif_orientation(b"\x00\x01") == 1
