@@ -976,8 +976,12 @@ class _Parser:
         the library's deterministic implementation (others raise loudly
         naming the plugin):
 
-        - ``pivot(PivotCol, agg(AggCol) [, GroupCol…])`` →
-          kql.pivot_kql's single conditional-aggregate plan;
+        - ``pivot(PivotCol [, agg(AggCol)] [, GroupCol…])`` →
+          kql.pivot_kql's single conditional-aggregate plan (the bare
+          form defaults to count() with implicit grouping, per ADX);
+        - ``python(typeof(*, Col:type …), 'script')`` →
+          kql.evaluate_python's mapInPandas sandbox (`*` expands to
+          the input schema);
         - ``basket([Threshold])`` → kql.basket_frequent over ALL input
           columns (the exact variant of Kusto's sampled Apriori);
         - ``autocluster([Threshold])`` → kql.autocluster over all

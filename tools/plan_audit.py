@@ -183,7 +183,11 @@ AUDITED = [
     ("kqltext_parse_kv", "per-key regexp_extracts fold into one codegen projection before the aggregate"),
     ("kqltext_top_nested", "each level aggregates map-side; rank windows run over the tiny aggregates, joined by broadcast"),
     ("multimodal_webp_dhash", "ANMF compositing + per-frame dHash are one Arrow map stage"),
-    ("corpus_robots_gate", "rule table broadcasts; verdict is a rank window over matched rules — the corpus never shuffles"),
+    ("corpus_robots_gate", "rule table broadcasts; verdict is `max_by(allow, struct(specificity, allow))` over matched rows (map-side partial), rejoined by a plain url-keyed join — the verdict frame is corpus-derived so it is never broadcast; only matched rows + the rejoin shuffle"),
+    ("kqltext_fork_python", "the materialized python-stage source fills ONE InMemoryTableScan both fork branches read; each branch is one map-side-combined aggregate over the cached frame"),
+    ("kqltext_facet", "one map-side-combined aggregate per facet column over the materialized source, unioned; the with-branch is a third partial aggregate"),
+    ("kqltext_top_hitters", "one map-side-combined aggregate + TakeOrderedAndProject — never a full sort"),
+    ("text_url_canonicalize", "forge + canonicalization are one codegen scan projection — zero exchanges"),
 ]
 
 
