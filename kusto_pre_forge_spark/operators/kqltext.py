@@ -663,7 +663,14 @@ class _Parser:
         Spark shape: one aggregate per level over (prefix keys + level
         key) + a rank window partitioned by the prefix — each level's
         aggregate is map-side combinable and the windows run over the
-        (tiny) aggregate, never the fact stream."""
+        (tiny) aggregate, never the fact stream.
+
+        ``with others = "Label"`` (ADX's basket row) aggregates every
+        NON-surviving value under the label — one anti-join against the
+        tiny survivor set + one more map-side aggregate. Bound for the
+        LAST level (the dominant "top N plus the rest" report shape);
+        an inner-level others row would need null-padded descent and
+        refuses by name."""
         from pyspark.sql.window import Window
 
         levels = []
@@ -671,9 +678,19 @@ class _Parser:
             k = int(_lit_value(self.parse_expr()))
             self.eat("ident", "of")
             col = self.eat("ident").val
+            label = None
+            if self.at_ident("with"):
+                self.next()
+                self.eat("ident", "others")
+                self.eat("punct", "=")
+                label = _lit_value(self.parse_expr())
+                if not isinstance(label, str):
+                    raise KqlSyntaxError(
+                        "top-nested `with others` label must be a string"
+                    )
             self.eat("ident", "by")
             agg_name, agg_e = self._parse_named_expr(agg=True)
-            levels.append((k, col, agg_name, agg_e.c()))
+            levels.append((k, col, agg_name, agg_e.c(), label))
             if self.at("punct", ","):
                 self.next()
                 self.eat("ident", "top")
@@ -681,10 +698,16 @@ class _Parser:
                 self.eat("ident", "nested")
                 continue
             break
+        if any(lab is not None for *_x, lab in levels[:-1]):
+            raise KqlSyntaxError(
+                "top-nested `with others` is supported on the LAST "
+                "level only (an inner-level others row would need "
+                "null-padded descent)"
+            )
         prefix: list[str] = []
         kept = None  # surviving rows: prefix keys + earlier agg columns
         out_cols: list[str] = []
-        for k, col, agg_name, agg_c in levels:
+        for k, col, agg_name, agg_c, label in levels:
             agg_df = df
             if kept is not None:
                 agg_df = df.join(
@@ -701,6 +724,21 @@ class _Parser:
             lvl = lvl.withColumn("_kpf_rnk", F.row_number().over(w)).filter(
                 F.col("_kpf_rnk") <= k
             ).drop("_kpf_rnk")
+            if label is not None:
+                # everything the rank window dropped, re-aggregated
+                # under the label: anti-join against the TINY survivor
+                # set, then the same map-side-combinable aggregate
+                others = (
+                    agg_df.join(
+                        F.broadcast(lvl.select(*(prefix + [col]))),
+                        prefix + [col],
+                        "left_anti",
+                    )
+                    .groupBy(*prefix)
+                    .agg(agg_c.alias(agg_name))
+                    .withColumn(col, F.lit(label))
+                )
+                lvl = lvl.unionByName(others.select(*lvl.columns))
             if kept is not None:
                 # reattach the earlier levels' aggregate columns
                 lvl = lvl.join(F.broadcast(kept), prefix, "inner")

@@ -987,3 +987,49 @@ def test_pivot_bare_default_count(spark, t):
     )
     assert df.columns == ["g", "Error", "Information", "Warning"]
     assert [tuple(r) for r in df.collect()] == [(1, 2, 1, 1)]
+
+
+def test_top_nested_with_others(spark):
+    ev = spark.createDataFrame(
+        [("a", 10.0), ("b", 5.0), ("c", 3.0), ("d", 1.0), ("a", 2.0)],
+        "K string, V double",
+    )
+    t = {"E": ev}
+    rows = sorted(
+        tuple(r)
+        for r in run_kql(
+            spark,
+            'E | top-nested 2 of K with others = "Rest" by s=sum(V)',
+            t,
+        ).collect()
+    )
+    # survivors a(12), b(5); c+d re-aggregate under the label
+    assert rows == [("Rest", 4.0), ("a", 12.0), ("b", 5.0)]
+    # nested: others applies within each surviving outer key
+    ev2 = spark.createDataFrame(
+        [("x", "a", 10.0), ("x", "b", 5.0), ("x", "c", 1.0),
+         ("y", "a", 2.0)],
+        "G string, K string, V double",
+    )
+    rows2 = sorted(
+        tuple(r)
+        for r in run_kql(
+            spark,
+            'E2 | top-nested 1 of G by gs=sum(V), '
+            'top-nested 1 of K with others = "Rest" by s=sum(V)',
+            {"E2": ev2},
+        ).collect()
+    )
+    assert rows2 == [("x", 16.0, "Rest", 6.0), ("x", 16.0, "a", 10.0)]
+    # inner-level others refuses by name; non-string label refuses
+    with pytest.raises(KqlSyntaxError, match="LAST"):
+        run_kql(
+            spark,
+            'E2 | top-nested 1 of G with others = "o" by gs=sum(V), '
+            "top-nested 1 of K by s=sum(V)",
+            {"E2": ev2},
+        )
+    with pytest.raises(KqlSyntaxError, match="string"):
+        run_kql(
+            spark, "E | top-nested 2 of K with others = 7 by s=sum(V)", t
+        )
