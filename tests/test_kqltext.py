@@ -274,8 +274,10 @@ def test_loud_failures(spark, t):
     # lookup is bound (round-12) — an unknown dim table still refuses
     with pytest.raises(KqlSyntaxError, match="unknown table"):
         run_kql(spark, "Events | lookup something on Id", t)
+    # facet was bound round-13; a name that is not a KQL operator at all
+    # still hits the unsupported-operator refusal
     with pytest.raises(KqlSyntaxError, match="unsupported operator"):
-        run_kql(spark, "Events | facet by Level", t)
+        run_kql(spark, "Events | frobnicate by Level", t)
     with pytest.raises(KqlSyntaxError, match="unsupported function"):
         run_kql(spark, "Events | extend x = no_such_fn(1)", t)
     with pytest.raises(KqlSyntaxError, match="unknown table"):
