@@ -1800,7 +1800,9 @@ def find_in(
     columns (KQL's ``*`` wildcard), or pass an explicit ``predicate``
     Column applied to every table — and the matches union by name with a
     ``source_`` tag, null-padding columns a table lacks (KQL's schema
-    union). ``project`` limits output to the named columns where present.
+    union). ``project`` limits output to the named columns IN THAT ORDER
+    — a table lacking one contributes nulls for it (KQL's null-padding),
+    so the output schema is identical across tables.
 
     Scale: the per-table filter sits directly over each scan (predicate
     pushdown / column pruning apply per source); the union is plan-level
@@ -1819,11 +1821,13 @@ def find_in(
                 pred = pred | F.contains(F.lower(F.col(c)), F.lit(term.lower()))
         else:
             pred = predicate
-        cols = (
-            [c for c in project if c in df.columns]
-            if project is not None
-            else list(df.columns)
-        )
+        if project is not None:
+            cols = [
+                F.col(c) if c in df.columns else F.lit(None).alias(c)
+                for c in project
+            ]
+        else:
+            cols = [F.col(c) for c in df.columns]
         parts.append(
             df.filter(pred).select(F.lit(name).alias(source_col), *cols)
         )

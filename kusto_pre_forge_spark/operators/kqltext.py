@@ -19,7 +19,14 @@ everyday tabular operators:
   from the engine catalog, trailing stages continue), and the
   ``.create-or-alter function`` wrapper strip
 - ``let`` statements (scalar and tabular), ``toscalar(subquery)``
-  (driver-evaluated, Kusto's own semantics)
+  (driver-evaluated, Kusto's own semantics), let-bound FUNCTION
+  literals ``let f = (T:(*), k:long=5) { … }`` called in scalar,
+  source, or ``| invoke f(…)`` position (bodies re-parse at the call
+  site — every invocation is an ordinary Catalyst plan)
+- ``find in (T1, T2) where …``, ``partition by Col ( stages )``
+  (legacy bounded-key contract), ``scan`` (accumulate profiles →
+  segment windows), ``project-keep``/``project-reorder``,
+  ``reduce by``, ``consume``
 - ``where  project  project-away  project-rename  extend
   summarize ... by  distinct  count  take/limit  top N by
   sort/order by  serialize (+row_number/prev/next/row_cumsum)
@@ -241,6 +248,7 @@ class _Parser:
         self.functions = dict(functions or {})
         self.spark = spark
         self.lets: dict[str, KExpr] = {}
+        self.lambdas: dict[str, tuple] = {}
 
     # ---- token helpers
     def peek(self, k=0) -> _Tok:
@@ -281,6 +289,11 @@ class _Parser:
         self.eat("punct", "=")
         # tabular let: RHS starts with a known table / source keyword
         t = self.peek()
+        if t.kind == "punct" and t.val == "(" and self._lambda_ahead():
+            self.lambdas[name] = self._parse_lambda()
+            if self.at("punct", ";"):
+                self.next()
+            return
         if t.kind == "ident" and (
             t.val in self.tables
             or t.val
@@ -292,6 +305,144 @@ class _Parser:
             self.lets[name] = self.parse_expr()
         if self.at("punct", ";"):
             self.next()
+
+    # ---- let-bound function literals (lambdas)
+    def _lambda_ahead(self) -> bool:
+        """True when the cursor sits on ``(params) {`` — a function
+        literal RHS, vs a parenthesized scalar/tabular expression."""
+        depth = 0
+        j = self.i
+        while j < len(self.toks):
+            t = self.toks[j]
+            if t.kind == "punct" and t.val == "(":
+                depth += 1
+            elif t.kind == "punct" and t.val == ")":
+                depth -= 1
+                if depth == 0:
+                    nxt = self.toks[j + 1] if j + 1 < len(self.toks) else None
+                    return (
+                        nxt is not None
+                        and nxt.kind == "punct"
+                        and nxt.val == "{"
+                    )
+            j += 1
+        return False
+
+    def _parse_lambda(self):
+        """``let f = (T:(*), k:long [= default], …) { body };`` —
+        Kusto's let-bound function literal. Parameters are tabular
+        (``(*)`` or a declared row schema — documentation here, callers
+        pass real frames) or scalar with optional literal defaults. The
+        body is captured as a TOKEN SPAN and re-parsed at each call
+        site with the arguments bound (tabular args become tables,
+        scalar args become lets) — so every invocation compiles to
+        ordinary Catalyst plans over the caller's lineage, exactly like
+        writing the body inline. No interpreter in the data path."""
+        self.eat("punct", "(")
+        params = []  # (name, "tabular" | scalar-type-name, default)
+        while not self.at("punct", ")"):
+            pname = self.eat("ident").val
+            self.eat("punct", ":")
+            if self.at("punct", "("):
+                depth = 0
+                while True:
+                    t = self.next()
+                    if t.kind == "punct" and t.val == "(":
+                        depth += 1
+                    elif t.kind == "punct" and t.val == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    elif t.kind == "eof":
+                        raise KqlSyntaxError(
+                            "unterminated tabular parameter type"
+                        )
+                params.append((pname, "tabular", None))
+            else:
+                typ = self.eat("ident").val
+                default = None
+                if self.at("punct", "="):
+                    self.next()
+                    default = _lit_value(self.parse_expr())
+                params.append((pname, typ, default))
+            if self.at("punct", ","):
+                self.next()
+        self.eat("punct", ")")
+        self.eat("punct", "{")
+        depth = 1
+        body: list[_Tok] = []
+        while True:
+            t = self.next()
+            if t.kind == "punct" and t.val == "{":
+                depth += 1
+            elif t.kind == "punct" and t.val == "}":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif t.kind == "eof":
+                raise KqlSyntaxError("unterminated function body")
+            body.append(t)
+        if not body:
+            raise KqlSyntaxError("empty function body")
+        return params, body
+
+    def _lambda_env(self, body, bind_tab, bind_scalar) -> "_Parser":
+        """A sub-parser over a captured body span, with the call-site
+        bindings layered over this parser's tables / lets / lambdas."""
+        p = _Parser.__new__(_Parser)
+        p.toks = list(body) + [_Tok("eof", None, body[-1].pos + 1)]
+        p.i = 0
+        p.tables = dict(self.tables)
+        p.tables.update(bind_tab)
+        p.functions = self.functions
+        p.spark = self.spark
+        p.lets = dict(self.lets)
+        p.lets.update(bind_scalar)
+        p.lambdas = dict(self.lambdas)
+        return p
+
+    def _parse_lambda_args(self, name, params, piped_df=None):
+        """Parse a ``(…)`` call-site argument list against the declared
+        params. A piped frame (``| invoke``) binds the FIRST tabular
+        parameter (Kusto's invoke contract); remaining tabular params
+        take source arguments, scalar params take expressions, and
+        trailing defaults fill in."""
+        self.eat("punct", "(")
+        plist = list(params)
+        bind_tab: dict[str, DataFrame] = {}
+        bind_scalar: dict[str, KExpr] = {}
+        if piped_df is not None:
+            for i, (pn, pk, _) in enumerate(plist):
+                if pk == "tabular":
+                    bind_tab[pn] = piped_df
+                    del plist[i]
+                    break
+            else:
+                raise KqlSyntaxError(
+                    f"invoke target {name!r} has no tabular parameter"
+                )
+        idx = 0
+        while not self.at("punct", ")"):
+            if idx >= len(plist):
+                raise KqlSyntaxError(
+                    f"too many arguments for function {name!r}"
+                )
+            pn, pk, _ = plist[idx]
+            if pk == "tabular":
+                bind_tab[pn] = self._parse_source()
+            else:
+                bind_scalar[pn] = self.parse_expr()
+            idx += 1
+            if self.at("punct", ","):
+                self.next()
+        self.eat("punct", ")")
+        for pn, pk, dflt in plist[idx:]:
+            if dflt is None:
+                raise KqlSyntaxError(
+                    f"missing argument for parameter {pn!r} of {name!r}"
+                )
+            bind_scalar[pn] = KExpr(F.lit(dflt), pyval=dflt)
+        return bind_tab, bind_scalar
 
     def _is_table(self, name: str) -> bool:
         if name in self.tables:
@@ -336,6 +487,12 @@ class _Parser:
             self.eat("punct", ")")
             return df
         t = self.eat("ident")
+        if t.val == "find":
+            return self._parse_find()
+        if t.val in self.lambdas and self.at("punct", "("):
+            params, body = self.lambdas[t.val]
+            bt, bs = self._parse_lambda_args(t.val, params)
+            return self._lambda_env(body, bt, bs).parse_query()
         if t.val == "externaldata":
             return self._parse_externaldata()
         if t.val == "datatable":
@@ -1312,6 +1469,383 @@ class _Parser:
         col = self.eat("ident").val
         return df.select(col).distinct().limit(n)
 
+    def _op_invoke(self, df):
+        """``| invoke f(args…)`` — apply a let-bound function literal
+        with the piped table as its first tabular parameter (Kusto's
+        invoke contract). The body re-parses over the SAME lineage — no
+        materialization; its stages fuse into the surrounding plan like
+        inline text."""
+        t = self.eat("ident")
+        lam = self.lambdas.get(t.val)
+        if lam is None:
+            raise KqlSyntaxError(
+                f"invoke target {t.val!r} at offset {t.pos} is not a "
+                "let-bound function literal"
+            )
+        params, body = lam
+        bt, bs = self._parse_lambda_args(t.val, params, piped_df=df)
+        return self._lambda_env(body, bt, bs).parse_query()
+
+    def _parse_col_pattern(self, pos_hint="column pattern"):
+        """Column name or ``*`` wildcard (``Name``, ``Name*``,
+        ``*Name``, bare ``*``) — the project-keep / project-reorder
+        argument grammar. Returns a name predicate."""
+        if self.at("punct", "*"):
+            self.next()
+            if self.peek().kind == "ident" and not self.at_ident(
+                "asc", "desc"
+            ):
+                suf = self.next().val
+                return lambda c, s=suf: c.endswith(s)
+            return lambda c: True
+        name = self.eat("ident").val
+        if self.at("punct", "*"):
+            self.next()
+            return lambda c, p=name: c.startswith(p)
+        return lambda c, n=name: c == n
+
+    def _op_project_keep(self, df):
+        """``| project-keep Pat[, …]`` — keep matching columns in their
+        ORIGINAL table order (ADX contract: output order is the
+        table's, not the argument list's). Pure projection — column
+        pruning reaches the scan."""
+        pats = []
+        while True:
+            pats.append(self._parse_col_pattern())
+            if self.at("punct", ","):
+                self.next()
+                continue
+            break
+        keep = [c for c in df.columns if any(p(c) for p in pats)]
+        if not keep:
+            raise KqlSyntaxError("project-keep matched no columns")
+        return df.select(*keep)
+
+    def _op_project_reorder(self, df):
+        """``| project-reorder Pat [asc|desc][, …]`` — matched columns
+        first (each pattern's matches in table order, or name-sorted
+        under asc/desc), unmatched columns after in their original
+        order (ADX's contract). Metadata-only projection."""
+        ordered: list[str] = []
+        taken: set[str] = set()
+        while True:
+            pat = self._parse_col_pattern()
+            direction = None
+            if self.at_ident("asc", "desc"):
+                direction = self.next().val
+            matches = [c for c in df.columns if pat(c) and c not in taken]
+            if direction == "asc":
+                matches.sort()
+            elif direction == "desc":
+                matches.sort(reverse=True)
+            ordered.extend(matches)
+            taken.update(matches)
+            if self.at("punct", ","):
+                self.next()
+                continue
+            break
+        rest = [c for c in df.columns if c not in taken]
+        return df.select(*ordered, *rest)
+
+    def _op_reduce(self, df):
+        """``| reduce by Expr [with (threshold=…, characters=…)]`` —
+        string pattern clustering, bound to kql.reduce_by's
+        DETERMINISTIC masker (Kusto's own grouping is a proprietary
+        similarity heuristic; a deterministic pattern is what runs and
+        oracles can agree on). The with() knobs tune Kusto's heuristic
+        and are accepted-and-ignored — the masker has no tuning
+        surface; unknown properties refuse by name."""
+        if self.at_ident("kind"):
+            self.next()
+            self.eat("punct", "=")
+            self.eat("ident")  # source|... — output shape is the same
+        self.eat("ident", "by")
+        e = self.parse_expr(df=df)
+        if self.at_ident("with"):
+            self.next()
+            self.eat("punct", "(")
+            while not self.at("punct", ")"):
+                key = self.eat("ident").val
+                if key not in ("threshold", "characters"):
+                    raise KqlSyntaxError(
+                        f"unsupported reduce property {key!r}"
+                    )
+                self.eat("punct", "=")
+                self.parse_expr()
+                if self.at("punct", ","):
+                    self.next()
+            self.eat("punct", ")")
+        return K.reduce_by(df, e.c())
+
+    def _op_consume(self, df):
+        """``| consume [decodeblocks=true]`` — run the pipeline for its
+        side effects and return no rows. Kusto returns an empty result;
+        the single-frame runner returns the empty frame with the
+        pipeline's schema (limit 0 — Catalyst still builds and can
+        execute the full upstream plan under an action that forces
+        it)."""
+        if self.at_ident("decodeblocks"):
+            self.next()
+            self.eat("punct", "=")
+            self.next()
+        return df.limit(0)
+
+    def _op_scan(self, df):
+        """``| scan [with_match_id=M] declare (s:type[=init]) with
+        (step s1: Cond => s = s + Expr;)`` — the ACCUMULATE profile of
+        KQL scan, bound to kql.scan_accumulate's segment-window plan
+        (two windows over the serialize order — the shuffle-minimal
+        distributed equivalent of Kusto's sequential walk).
+
+        Supported shapes (the profiles windows can express exactly):
+
+        - one step, assignment ``s = s + Expr`` — running accumulate;
+          a non-``true`` condition pre-filters (a row matching no step
+          is not emitted, Kusto's rule);
+        - two steps ``step a: Cond => s = Expr; step b: true =>
+          s = s + Expr`` with the SAME Expr — restart-at-Cond (the
+          reset row's output is its own Expr value, both here and in
+          Kusto's sequential evaluation).
+
+        Scan is defined over the serialize order, so a ``sort by``/
+        ``serialize`` must precede it. Like Kusto's own scan the
+        sequence is GLOBAL (single window partition) — keyed scans at
+        scale belong to kql.scan_accumulate(by=…) or partition_apply.
+        Multi-step scans with cross-step predicates refuse by name:
+        route those through kql.partition_apply."""
+        order = getattr(self, "_last_order", None)
+        if not order:
+            raise KqlSyntaxError(
+                "scan needs `sort by …` first to pin the row order"
+            )
+        match_name = None
+        if self.at_ident("with_match_id"):
+            self.next()
+            self.eat("punct", "=")
+            match_name = self.eat("ident").val
+        self.eat("ident", "declare")
+        self.eat("punct", "(")
+        var = self.eat("ident").val
+        self.eat("punct", ":")
+        self.eat("ident")  # declared type — output inherits Expr's
+        if self.at("punct", "="):
+            self.next()
+            self.parse_expr()  # init value: segment sums start at 0
+        if self.at("punct", ","):
+            raise KqlSyntaxError(
+                "scan: only a single declared state variable is "
+                "supported (multi-variable scans: use "
+                "kql.partition_apply)"
+            )
+        self.eat("punct", ")")
+        self.eat("ident", "with")
+        self.eat("punct", "(")
+        steps = []  # (cond KExpr, cond_is_true, rhs token span)
+        while self.at_ident("step"):
+            self.next()
+            self.eat("ident")  # step name
+            self.eat("punct", ":")
+            cond = self.parse_expr(df=df)
+            rhs_span = None
+            accumulate = False
+            expr = None
+            if self.at("punct", "="):
+                self.next()
+                self.eat("punct", ">")
+                tgt = self.eat("ident").val
+                if tgt != var:
+                    raise KqlSyntaxError(
+                        f"scan assigns to undeclared variable {tgt!r}"
+                    )
+                self.eat("punct", "=")
+                if (
+                    self.peek().kind == "ident"
+                    and self.peek().val == var
+                    and self.peek(1).kind == "punct"
+                    and self.peek(1).val == "+"
+                ):
+                    accumulate = True
+                    self.next()
+                    self.next()
+                start = self.i
+                expr = self.parse_expr(df=df)
+                rhs_span = [
+                    (t.kind, t.val) for t in self.toks[start:self.i]
+                ]
+            steps.append((cond, expr, accumulate, rhs_span))
+            if self.at("punct", ";"):
+                self.next()
+        self.eat("punct", ")")
+        if len(steps) == 1:
+            cond, expr, accumulate, _ = steps[0]
+            if not accumulate:
+                raise KqlSyntaxError(
+                    "scan: single-step profile needs the accumulate "
+                    "form `s = s + Expr` (general scans: use "
+                    "kql.partition_apply)"
+                )
+            src = df if cond.pyval is True else df.filter(cond.c())
+            restart = F.lit(False)
+            value = expr.c()
+        elif len(steps) == 2:
+            (c1, e1, acc1, span1), (c2, e2, acc2, span2) = steps
+            if acc1 or not acc2 or c2.pyval is not True or span1 != span2:
+                raise KqlSyntaxError(
+                    "scan: two-step profile is `step a: Cond => s = "
+                    "Expr; step b: true => s = s + Expr` with the same "
+                    "Expr (general scans: use kql.partition_apply)"
+                )
+            src = df
+            restart = c1.c()
+            value = e2.c()
+        else:
+            raise KqlSyntaxError(
+                "scan: more than two steps — use kql.partition_apply "
+                "for general sequential scans"
+            )
+        out = K.scan_accumulate(
+            src, by=[], order=order, value=value, restart=restart,
+            out_name=var,
+        )
+        keep = [c for c in df.columns] + [var]
+        if match_name is not None:
+            out = out.withColumnRenamed("scan_match_id", match_name)
+            keep.append(match_name)
+        return out.select(*keep)
+
+    def _op_partition(self, df):
+        """``| partition [hint.…=…] by Col ( stages )`` — run the
+        subquery once per distinct key value and union the results:
+        Kusto's LEGACY partition contract including its bounded
+        partition count (64 — the cap IS the design: partition is the
+        low-cardinality per-key subquery operator; high-cardinality
+        per-key work belongs to summarize/windows/partition_apply).
+
+        Plan: the source is pinned once (kql.materialize), the bounded
+        key list is the only driver-side data (the pivot-width valve
+        pattern), and each branch re-parses the stage span over
+        ``src where Col == key`` — a union of filtered branches over
+        one shared evaluation; Spark schedules the branches itself
+        (hint.spread / hint.concurrency are Kusto scheduling metadata,
+        accepted and ignored; hint.strategy likewise — the bounded
+        plan serves all strategies at this operator's cardinality
+        contract)."""
+        while self.at_ident("hint"):
+            self.next()
+            self.eat("punct", ".")
+            self.eat("ident")
+            self.eat("punct", "=")
+            self.next()
+        self.eat("ident", "by")
+        col = self.eat("ident").val
+        self.eat("punct", "(")
+        start = self.i
+        src = K.materialize(df)
+        cap = 64
+        keys = [
+            r[0]
+            for r in src.select(col).distinct().limit(cap + 1).collect()
+        ]
+        if len(keys) > cap:
+            raise KqlSyntaxError(
+                f"partition by {col!r}: over {cap} distinct values — "
+                "Kusto's partition operator is bounded by design; use "
+                "summarize/window forms or kql.partition_apply for "
+                "high-cardinality keys"
+            )
+        keys.sort(key=lambda k: (k is not None, k))
+        outer_order = getattr(self, "_last_order", None)
+        out = None
+        branches = keys if keys else [object()]  # empty source: one
+        # replay over the empty frame keeps parse + schema
+        try:
+            for k in branches:
+                self.i = start
+                self._last_order = None
+                if not keys:
+                    b = src.limit(0)
+                elif k is None:
+                    b = src.filter(F.col(col).isNull())
+                else:
+                    b = src.filter(F.col(col) == F.lit(k))
+                b = self._parse_stage(b)
+                while self.at("punct", "|"):
+                    self.next()
+                    b = self._parse_stage(b)
+                out = (
+                    b
+                    if out is None
+                    else out.unionByName(b, allowMissingColumns=True)
+                )
+        finally:
+            self._last_order = outer_order
+        self.eat("punct", ")")
+        return out
+
+    def _parse_find(self) -> DataFrame:
+        """``find [withsource=Col] in (T1[, T2…]) where <pred>
+        [project c1[, …]]`` — cross-table search, bound to
+        kql.find_in: per-table scan-local predicates (pushdown and
+        column pruning apply per source), plan-level union with
+        null-padded schema alignment, a source-tag column. ``* has /
+        contains 'term'`` is the wildcard form (each table's own
+        all-string-columns test); any other predicate is compiled once
+        and applied to every table (columns must resolve in each —
+        Kusto's own rule for column references in find)."""
+        source_col = "source_"
+        if self.at_ident("withsource"):
+            self.next()
+            self.eat("punct", "=")
+            source_col = self.eat("ident").val
+        self.eat("ident", "in")
+        self.eat("punct", "(")
+        tables: dict[str, DataFrame] = {}
+        idx = 0
+        while True:
+            t = self.peek()
+            name = (
+                t.val
+                if t.kind == "ident" and (
+                    t.val in self.tables or self._is_table(t.val)
+                )
+                else f"table_{idx}"
+            )
+            tables[name] = self._parse_source()
+            idx += 1
+            if self.at("punct", ","):
+                self.next()
+                continue
+            break
+        self.eat("punct", ")")
+        self.eat("ident", "where")
+        term = None
+        predicate = None
+        if self.at("punct", "*"):
+            self.next()
+            op = self.eat("ident").val
+            if op not in ("has", "contains"):
+                raise KqlSyntaxError(
+                    f"find wildcard predicate supports has/contains, "
+                    f"got {op!r}"
+                )
+            term = self.eat("str").val
+        else:
+            predicate = self.parse_expr().c()
+        project = None
+        if self.at_ident("project"):
+            self.next()
+            project = []
+            while True:
+                project.append(self.eat("ident").val)
+                if self.at("punct", ","):
+                    self.next()
+                    continue
+                break
+        return K.find_in(
+            tables, term=term, predicate=predicate, project=project,
+            source_col=source_col,
+        )
+
     def _op_as(self, df):
         """``| as [hint.materialized=true] Name`` — bind the pipeline
         so far to a query-scoped name usable as a source later in the
@@ -1686,6 +2220,27 @@ class _Parser:
 
     # ---- functions
     def _call(self, name: str, args: list[KExpr], pos: int) -> KExpr:
+        if name in self.lambdas:
+            # scalar-position call of a let-bound function literal:
+            # bind args positionally as lets, re-parse the body as an
+            # expression (body type is use-inferred, Kusto's own rule)
+            params, body = self.lambdas[name]
+            scalars = [p for p in params if p[1] != "tabular"]
+            if len(args) > len(scalars):
+                raise KqlSyntaxError(
+                    f"too many arguments for function {name!r} at offset {pos}"
+                )
+            bind = {pn: a for (pn, _, _), a in zip(scalars, args)}
+            for pn, _, dflt in scalars[len(args):]:
+                if dflt is None:
+                    raise KqlSyntaxError(
+                        f"missing argument for parameter {pn!r} of {name!r}"
+                    )
+                bind[pn] = KExpr(F.lit(dflt), pyval=dflt)
+            p = self._lambda_env(body, {}, bind)
+            e = p.parse_expr()
+            p.eat("eof")
+            return e
         if name in self.functions:
             return KExpr(self.functions[name](*[a.c() for a in args]))
         fn = getattr(self, "_fn_" + name, None)

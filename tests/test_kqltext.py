@@ -1035,3 +1035,225 @@ def test_top_nested_with_others(spark):
         run_kql(
             spark, "E | top-nested 2 of K with others = 7 by s=sum(V)", t
         )
+
+
+# ---------------------------------------------------------------------------
+# round-13 additions: lambdas/invoke, scan, partition, find, project-keep/
+# reorder, reduce, consume
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return {
+        "Docs": spark.createDataFrame(
+            [(1, "en", "web", 100), (2, "en", "book", 300),
+             (3, "fr", "web", 200), (4, "fr", "web", 50),
+             (5, "de", "book", 400)],
+            "doc_id long, lang string, source string, n_chars long",
+        )
+    }
+
+
+def test_project_keep_original_order_and_wildcards(spark, docs):
+    df = run_kql(spark, "Docs | project-keep n_chars, doc_id", docs)
+    # ADX contract: output order is the TABLE's, not the argument list's
+    assert df.columns == ["doc_id", "n_chars"]
+    df = run_kql(spark, "Docs | project-keep *_id, lang", docs)
+    assert df.columns == ["doc_id", "lang"]
+    with pytest.raises(KqlSyntaxError, match="no columns"):
+        run_kql(spark, "Docs | project-keep zz*", docs)
+
+
+def test_project_reorder(spark, docs):
+    df = run_kql(spark, "Docs | project-reorder n_chars, * asc", docs)
+    assert df.columns == ["n_chars", "doc_id", "lang", "source"]
+    df = run_kql(spark, "Docs | project-reorder * desc", docs)
+    assert df.columns == ["source", "n_chars", "lang", "doc_id"]
+
+
+def test_reduce_by(spark, docs):
+    rows = sorted(
+        tuple(r)
+        for r in run_kql(
+            spark,
+            "Docs | extend k = strcat(source, tostring(doc_id)) "
+            "| reduce by k with (threshold=0.5)",
+            docs,
+        ).collect()
+    )
+    assert rows == [
+        ("book*", 2, "book2"), ("web*", 3, "web1"),
+    ]
+    with pytest.raises(KqlSyntaxError, match="reduce property"):
+        run_kql(spark, "Docs | reduce by lang with (nope=1)", docs)
+
+
+def test_consume_returns_empty_with_schema(spark, docs):
+    df = run_kql(spark, "Docs | where n_chars > 100 | consume", docs)
+    assert df.columns == ["doc_id", "lang", "source", "n_chars"]
+    assert df.count() == 0
+
+
+def test_scan_accumulate_single_step(spark, docs):
+    rows = [
+        tuple(r)
+        for r in run_kql(
+            spark,
+            "Docs | sort by doc_id asc | scan declare (s:long=0) with "
+            "(step s1: true => s = s + n_chars;)",
+            docs,
+        ).select("doc_id", "s").collect()
+    ]
+    assert rows == [(1, 100), (2, 400), (3, 600), (4, 650), (5, 1050)]
+
+
+def test_scan_condition_prefilters_unmatched_rows(spark, docs):
+    # a row matching no step is NOT emitted (Kusto's rule)
+    rows = [
+        tuple(r)
+        for r in run_kql(
+            spark,
+            "Docs | sort by doc_id asc | scan declare (s:long=0) with "
+            "(step s1: source == 'web' => s = s + n_chars;)",
+            docs,
+        ).select("doc_id", "s").collect()
+    ]
+    assert rows == [(1, 100), (3, 300), (4, 350)]
+
+
+def test_scan_two_step_restart(spark, docs):
+    # restart the running sum at every 'book' row; match id counts resets
+    rows = [
+        tuple(r)
+        for r in run_kql(
+            spark,
+            "Docs | sort by doc_id asc | scan with_match_id=m declare "
+            "(s:long=0) with (step a: source == 'book' => s = n_chars; "
+            "step b: true => s = s + n_chars;)",
+            docs,
+        ).select("doc_id", "s", "m").collect()
+    ]
+    assert rows == [
+        (1, 100, 0), (2, 300, 1), (3, 500, 1), (4, 550, 1), (5, 400, 2),
+    ]
+
+
+def test_scan_refusals(spark, docs):
+    with pytest.raises(KqlSyntaxError, match="sort by"):
+        run_kql(
+            spark,
+            "Docs | scan declare (s:long=0) with "
+            "(step s1: true => s = s + n_chars;)",
+            docs,
+        )
+    with pytest.raises(KqlSyntaxError, match="partition_apply"):
+        run_kql(
+            spark,
+            "Docs | sort by doc_id asc | scan declare (s:long=0) with "
+            "(step a: true => s = s + n_chars; step b: true => "
+            "s = s + doc_id; step c: true => s = s + 1;)",
+            docs,
+        )
+    # two-step with DIFFERENT exprs is outside the restart profile
+    with pytest.raises(KqlSyntaxError, match="same"):
+        run_kql(
+            spark,
+            "Docs | sort by doc_id asc | scan declare (s:long=0) with "
+            "(step a: source == 'book' => s = doc_id; step b: true => "
+            "s = s + n_chars;)",
+            docs,
+        )
+
+
+def test_partition_by_bounded_branches(spark, docs):
+    rows = sorted(
+        tuple(r)
+        for r in run_kql(
+            spark,
+            "Docs | partition by lang "
+            "( sort by n_chars desc, doc_id asc | take 1 )",
+            docs,
+        ).collect()
+    )
+    assert rows == [
+        (2, "en", "book", 300), (3, "fr", "web", 200),
+        (5, "de", "book", 400),
+    ]
+    # summarize branch form
+    rows = sorted(
+        tuple(r)
+        for r in run_kql(
+            spark,
+            "Docs | partition by lang ( summarize n=count(), "
+            "mx=max(n_chars) by source )",
+            docs,
+        ).collect()
+    )
+    assert ("web", 2, 200) in rows and ("book", 1, 400) in rows
+
+
+def test_partition_cap_valve(spark):
+    wide = spark.range(100).selectExpr("id", "cast(id as string) k")
+    with pytest.raises(KqlSyntaxError, match="64"):
+        run_kql(spark, "W | partition by k ( take 1 )", {"W": wide})
+
+
+def test_find_wildcard_and_predicate(spark, docs, t):
+    tbls = dict(docs)
+    tbls.update(t)
+    df = run_kql(
+        spark,
+        "find withsource=src in (Docs, Events) where * contains 'disk' "
+        "project Text, lang",
+        tbls,
+    )
+    rows = [tuple(r) for r in df.collect()]
+    assert df.columns == ["src", "Text", "lang"]
+    assert all(r[0] == "Events" for r in rows) and len(rows) == 2
+    # column-predicate form over one table
+    rows = sorted(
+        r["doc_id"]
+        for r in run_kql(
+            spark, "find in (Docs) where n_chars >= 300", tbls
+        ).collect()
+    )
+    assert rows == [2, 5]
+
+
+def test_lambda_let_invoke_and_calls(spark, docs):
+    # | invoke binds the piped table to the first tabular param
+    rows = sorted(
+        r["doc_id"]
+        for r in run_kql(
+            spark,
+            "let big = (T:(*), k:long) { T | where n_chars > k }; "
+            "Docs | invoke big(150)",
+            docs,
+        ).collect()
+    )
+    assert rows == [2, 3, 5]
+    # source-position call + scalar default
+    assert _rows(
+        spark,
+        "let big = (T:(*), k:long=250) { T | where n_chars > k }; "
+        "big(Docs) | count",
+        docs,
+    ) == [(2,)]
+    # scalar-position lambda call
+    assert _rows(
+        spark,
+        "let add = (a:long, b:long) { a + b }; print v = add(3, 4)",
+        docs,
+    ) == [(7,)]
+    # missing required argument refuses by parameter name
+    with pytest.raises(KqlSyntaxError, match="missing argument"):
+        run_kql(
+            spark,
+            "let big = (T:(*), k:long) { T | where n_chars > k }; "
+            "Docs | invoke big()",
+            docs,
+        )
+    # invoke over a non-function name refuses loudly
+    with pytest.raises(KqlSyntaxError, match="not a let-bound"):
+        run_kql(spark, "Docs | invoke missing(1)", docs)
