@@ -8011,6 +8011,101 @@ def _q_kqltext_top_nested(spark, sf):
     return run_kql(spark, q, _kqltext_tables(spark, sf))
 
 
+def _q_kqltext_scan(spark, sf):
+    """``scan`` through the TEXT parser (round-13): the restart
+    profile — a running n_chars total that restarts at every 'en'
+    document, with ``with_match_id`` counting the restarts. Bound to
+    kql.scan_accumulate's two-window segment plan (the shuffle-minimal
+    distributed equivalent of Kusto's sequential walk; the sequence is
+    GLOBAL like Kusto's own scan, so the window is single-partition by
+    the operator's own contract — keyed scans use scan_accumulate(by=)).
+    Oracle: the same segment-id construction in plain SQL. Integer
+    accumulator, so runs and oracle agree exactly."""
+    from kusto_pre_forge_spark.operators.kqltext import run_kql
+
+    q = (
+        "documents\n"
+        "| sort by doc_id asc\n"
+        "| scan with_match_id=m declare (s:long=0) with (\n"
+        "    step a: lang == 'en' => s = n_chars;\n"
+        "    step b: true => s = s + n_chars;)\n"
+        "| project doc_id, s, m"
+    )
+    return run_kql(
+        spark, q, {"documents": load_table(spark, sf, "documents")}
+    )
+
+
+def _q_kqltext_partition(spark, sf):
+    """``partition by`` through the TEXT parser (round-13): per-lang
+    top-2 documents by n_chars — Kusto's LEGACY bounded-key contract
+    (64-key valve; the cap IS the operator's design center). Plan: the
+    source is pinned once, the key list is the only driver-side data,
+    each branch re-parses the stage span over `src where lang == k`,
+    and the result is a plan-level union of filtered branches. Oracle:
+    the per-key rank window in plain SQL."""
+    from kusto_pre_forge_spark.operators.kqltext import run_kql
+
+    q = (
+        "documents\n"
+        "| partition by lang (\n"
+        "    sort by n_chars desc, doc_id asc\n"
+        "    | take 2\n"
+        "    | project lang, doc_id, n_chars)"
+    )
+    return run_kql(
+        spark, q, {"documents": load_table(spark, sf, "documents")}
+    )
+
+
+def _q_kqltext_find(spark, sf):
+    """``find in (…)`` through the TEXT parser (round-13): cross-table
+    wildcard search — each table gets its own all-string-columns
+    case-insensitive term test directly over its scan (pushdown and
+    pruning per source), the union is plan-level, and the project list
+    null-pads in declared order so the schema is identical across
+    tables. Oracle: the two per-table scans unioned with the same
+    null padding."""
+    from kusto_pre_forge_spark.operators.kqltext import run_kql
+
+    q = (
+        "find withsource=src in (documents, customer) "
+        "where * contains 'ar' project doc_id, c_custkey"
+    )
+    return run_kql(
+        spark,
+        q,
+        {
+            "documents": load_table(spark, sf, "documents"),
+            "customer": load_table(spark, sf, "customer"),
+        },
+    )
+
+
+def _q_kqltext_lambda(spark, sf):
+    """let-bound function literals through the TEXT parser (round-13):
+    a tabular lambda applied with ``| invoke`` (piped table binds the
+    first tabular parameter), a scalar parameter with a default, and a
+    scalar lambda called in expression position. Bodies re-parse at the
+    call site, so the whole query is ONE Catalyst plan — filter pushed
+    to the scan, the scalar lambda folded into the projection. Oracle:
+    the SQL the bindings mean."""
+    from kusto_pre_forge_spark.operators.kqltext import run_kql
+
+    q = (
+        "let chop = (T:(*), k:long=500) "
+        "{ T | where n_chars >= k | project doc_id, lang, n_chars };\n"
+        "let label = (a:string, b:long) { strcat(a, '-', tostring(b)) };\n"
+        "documents\n"
+        "| invoke chop(400)\n"
+        "| extend tag = label(lang, n_chars % 10)\n"
+        "| sort by doc_id asc"
+    )
+    return run_kql(
+        spark, q, {"documents": load_table(spark, sf, "documents")}
+    )
+
+
 def _q_kqltext_fork_python(spark, sf):
     """``materialize`` + ``fork`` + ``evaluate python`` through the
     TEXT parser (round-13 ask #7): the source pipeline — orders pushed
@@ -8332,6 +8427,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kqltext_top_hitters": _q_kqltext_top_hitters,
         "kqltext_parse_kv": _q_kqltext_parse_kv,
         "kqltext_top_nested": _q_kqltext_top_nested,
+        "kqltext_scan": _q_kqltext_scan,
+        "kqltext_partition": _q_kqltext_partition,
+        "kqltext_find": _q_kqltext_find,
+        "kqltext_lambda": _q_kqltext_lambda,
         "kqltext_dynamic": _q_kqltext_dynamic,
         "kqltext_mvapply": _q_kqltext_mvapply,
         "kqltext_show_policy": _q_kqltext_show_policy,
@@ -12352,6 +12451,44 @@ def oracle_sql() -> dict[str, str]:
             "o_orderstatus ASC) AS r FROM l2) WHERE r <= 2) "
             "SELECT k2.o_orderpriority, k1.total, k2.o_orderstatus, k2.n "
             "FROM k2 JOIN k1 USING (o_orderpriority)"
+        ),
+        "kqltext_scan": (
+            # the restart profile as the segment-id construction:
+            # segment count = running count of 'en' rows, running sum
+            # within each segment (the reset row's value is its own)
+            "WITH seg AS (SELECT doc_id, n_chars, "
+            "SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) OVER "
+            "(ORDER BY doc_id) AS m FROM documents) "
+            "SELECT doc_id, SUM(n_chars) OVER "
+            "(PARTITION BY m ORDER BY doc_id) AS s, m FROM seg"
+        ),
+        "kqltext_partition": (
+            # per-key branches == the per-key rank window
+            "SELECT lang, doc_id, n_chars FROM ("
+            "SELECT lang, doc_id, n_chars, row_number() OVER "
+            "(PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS r "
+            "FROM documents) WHERE r <= 2"
+        ),
+        "kqltext_find": (
+            # per-table all-string-columns case-insensitive term test,
+            # null-padded union in project order
+            "SELECT 'documents' AS src, doc_id, "
+            "CAST(NULL AS BIGINT) AS c_custkey FROM documents "
+            "WHERE contains(lower(text), 'ar') "
+            "OR contains(lower(lang), 'ar') "
+            "OR contains(lower(source), 'ar') "
+            "UNION ALL "
+            "SELECT 'customer' AS src, CAST(NULL AS BIGINT) AS doc_id, "
+            "c_custkey FROM customer "
+            "WHERE contains(lower(c_name), 'ar') "
+            "OR contains(lower(c_mktsegment), 'ar')"
+        ),
+        "kqltext_lambda": (
+            # chop(800): filter+project; label(lang, n_chars % 10):
+            # scalar lambda folded into the projection
+            "SELECT doc_id, lang, n_chars, "
+            "lang || '-' || CAST(n_chars % 10 AS VARCHAR) AS tag "
+            "FROM documents WHERE n_chars >= 400"
         ),
         "kqltext_dynamic": (
             # todynamic(props).k coerced by toint == JSON int extract;

@@ -170,6 +170,10 @@ HEADLINE = [
     "kqltext_fork_python",
     "kqltext_facet",
     "kqltext_top_hitters",
+    "kqltext_scan",
+    "kqltext_partition",
+    "kqltext_find",
+    "kqltext_lambda",
     "text_url_canonicalize",
     "corpus_robots_gate",
     "corpus_version_diff",

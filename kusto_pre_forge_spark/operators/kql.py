@@ -1394,8 +1394,72 @@ def scan_accumulate(
     the ``match_id()``-style output. Arbitrary multi-step scans with
     cross-step predicates need per-key sequential logic: route those
     through :func:`partition_apply`.
+
+    ``by=[]`` is the GLOBAL scan (KQL's own sequence model). A naive
+    unpartitioned window would serialize the corpus through one reducer;
+    instead the global form is the classic two-phase distributed prefix
+    sum (the split.py shard-assignment pattern): range-repartition by
+    the order keys (pins the global order across partitions), one
+    per-partition window for the three running totals (value, restart
+    flags, row count) in parallel, a TINY per-partition subtotal
+    aggregate whose exclusive prefix (a bounded single-partition window
+    over #partitions rows) broadcasts each partition its bases, then a
+    per-segment min-join rebases the running sum at each restart. Every
+    full-data exchange is range/hash — never SinglePartition. The
+    repartitioned frame and the windowed frame are PINNED
+    (:func:`materialize` — the fork convention): each has multiple
+    consumers, and without the pin the scan + range exchange replay
+    once per consumer (measured: 4 scans at sf0.01). Integer and
+    decimal accumulators are exact; float accumulators can differ
+    from a sequential walk in the last ulp (the rebase is a difference
+    of global prefix sums, a reassociation).
     """
     cols = [_c(c) for c in order]
+    if not by:
+        t = df.repartitionByRange(*cols).withColumn(
+            "_kpf_pid", F.spark_partition_id()
+        )
+        t = materialize(t.withColumns({
+            "_kpf_v": _c(value),
+            "_kpf_f": F.when(restart, 1).otherwise(0),
+        }))
+        part_sums = t.groupBy("_kpf_pid").agg(
+            F.sum("_kpf_v").alias("_kpf_sv"),
+            F.sum("_kpf_f").alias("_kpf_sf"),
+            F.count(F.lit(1)).alias("_kpf_sn"),
+        )
+        w_prev = Window.orderBy("_kpf_pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        bases = part_sums.select(
+            "_kpf_pid",
+            F.coalesce(F.sum("_kpf_sv").over(w_prev), F.lit(0)).alias("_kpf_bv"),
+            F.coalesce(F.sum("_kpf_sf").over(w_prev), F.lit(0)).alias("_kpf_bf"),
+            F.coalesce(F.sum("_kpf_sn").over(w_prev), F.lit(0)).alias("_kpf_bn"),
+        )
+        t = t.join(F.broadcast(bases), "_kpf_pid")
+        w_in = Window.partitionBy("_kpf_pid").orderBy(*cols).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        t = materialize(t.select(
+            *df.columns,
+            "_kpf_v",
+            (F.col("_kpf_bv") + F.sum("_kpf_v").over(w_in)).alias("_kpf_g"),
+            (F.col("_kpf_bf") + F.sum("_kpf_f").over(w_in))
+            .cast("long").alias("scan_match_id"),
+            (F.col("_kpf_bn") + F.row_number().over(w_in)).alias("_kpf_rn"),
+        ))
+        seg = t.groupBy("scan_match_id").agg(
+            F.min(F.col("_kpf_g") - F.col("_kpf_v")).alias("_kpf_gbase"),
+            F.min("_kpf_rn").alias("_kpf_rbase"),
+        )
+        return t.join(seg, "scan_match_id").select(
+            *df.columns,
+            (F.col("_kpf_g") - F.col("_kpf_gbase")).alias(out_name),
+            (F.col("_kpf_rn") - F.col("_kpf_rbase") + 1)
+            .cast("int").alias(step_name),
+            "scan_match_id",
+        )
     w = Window.partitionBy(*by).orderBy(*cols).rowsBetween(
         Window.unboundedPreceding, 0
     )
