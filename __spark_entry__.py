@@ -8011,6 +8011,55 @@ def _q_kqltext_top_nested(spark, sf):
     return run_kql(spark, q, _kqltext_tables(spark, sf))
 
 
+def _q_corpus_fim(spark, sf):
+    """Fill-in-the-middle transform (round-13): deterministic per-key
+    gate, PSM/SPM arm, and cut points — the Bavarian et al. 2022
+    document-level FIM recipe as ONE codegen projection over the
+    corpus scan (operators/corpus.py fim_transform). Oracle replays the
+    salted-md5 arithmetic and the substr splits in SQL, so every
+    choice the transform makes is independently checked."""
+    from kusto_pre_forge_spark.operators.corpus import fim_transform
+
+    d = load_table(spark, sf, "documents")
+    return fim_transform(d, rate=0.6, spm_rate=0.5).select(
+        "doc_id", "fim_mode", "fim_text"
+    )
+
+
+def _q_corpus_sft_render(spark, sf):
+    """SFT chat-template rendering (round-13): documents become a
+    two-turn conversation (user: first 80 chars, assistant: the rest),
+    rendered to the flat training string plus the LOSS-MASK span — the
+    assistant content's 0-based [s, e) character offsets, which is what
+    a trainer needs to mask loss onto assistant tokens. One aggregate
+    higher-order fold per row, zero exchanges (operators/corpus.py
+    sft_render). Oracle: the closed-form template arithmetic."""
+    from kusto_pre_forge_spark.operators.corpus import sft_render
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("user").alias("role"),
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 80)
+                .alias("content"),
+            ),
+            F.struct(
+                F.lit("assistant").alias("role"),
+                F.expr("substring(coalesce(text, ''), 81)").alias("content"),
+            ),
+        ).alias("turns"),
+    )
+    out = sft_render(d)
+    span = F.element_at("loss_spans", 1)
+    return out.select(
+        "doc_id",
+        "sft_text",
+        span["s"].alias("loss_s"),
+        span["e"].alias("loss_e"),
+    )
+
+
 def _q_kqltext_scan(spark, sf):
     """``scan`` through the TEXT parser (round-13): the restart
     profile — a running n_chars total that restarts at every 'en'
@@ -8428,6 +8477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kqltext_parse_kv": _q_kqltext_parse_kv,
         "kqltext_top_nested": _q_kqltext_top_nested,
         "kqltext_scan": _q_kqltext_scan,
+        "corpus_fim": _q_corpus_fim,
+        "corpus_sft_render": _q_corpus_sft_render,
         "kqltext_partition": _q_kqltext_partition,
         "kqltext_find": _q_kqltext_find,
         "kqltext_lambda": _q_kqltext_lambda,
@@ -12451,6 +12502,60 @@ def oracle_sql() -> dict[str, str]:
             "o_orderstatus ASC) AS r FROM l2) WHERE r <= 2) "
             "SELECT k2.o_orderpriority, k1.total, k2.o_orderstatus, k2.n "
             "FROM k2 JOIN k1 USING (o_orderpriority)"
+        ),
+        "corpus_fim": (
+            # full replay of the salted-md5 gate/arm/cuts and the
+            # substr splits (codepoint semantics agree across engines)
+            "WITH d AS (SELECT doc_id, COALESCE(text, '') AS t "
+            "FROM documents), "
+            "h AS (SELECT doc_id, t, length(t) AS n, "
+            "CAST(concat('0x', substr(md5('kpf-fim-gate|' || "
+            "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 "
+            "AS ug, "
+            "CAST(concat('0x', substr(md5('kpf-fim-arm|' || "
+            "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 "
+            "AS ua, "
+            "CAST(concat('0x', substr(md5('kpf-fim-c1|' || "
+            "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 "
+            "AS uc1, "
+            "CAST(concat('0x', substr(md5('kpf-fim-c2|' || "
+            "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 "
+            "AS uc2 FROM d), "
+            "c AS (SELECT doc_id, t, n, ug, ua, "
+            "least(CAST(floor(uc1 * (n + 1)) AS INT), "
+            "CAST(floor(uc2 * (n + 1)) AS INT)) AS lo, "
+            "greatest(CAST(floor(uc1 * (n + 1)) AS INT), "
+            "CAST(floor(uc2 * (n + 1)) AS INT)) AS hi FROM h) "
+            "SELECT doc_id, "
+            "CASE WHEN ug >= 0.6 THEN 'none' "
+            "WHEN ua < 0.5 THEN 'spm' ELSE 'psm' END AS fim_mode, "
+            "CASE WHEN ug >= 0.6 THEN t "
+            "WHEN ua < 0.5 THEN '<|fim_suffix|>' || "
+            "substr(t, hi + 1, n - hi) || '<|fim_prefix|>' || "
+            "substr(t, 1, lo) || '<|fim_middle|>' || "
+            "substr(t, lo + 1, hi - lo) "
+            "ELSE '<|fim_prefix|>' || substr(t, 1, lo) || "
+            "'<|fim_suffix|>' || substr(t, hi + 1, n - hi) || "
+            "'<|fim_middle|>' || substr(t, lo + 1, hi - lo) END "
+            "AS fim_text FROM c"
+        ),
+        "corpus_sft_render": (
+            # closed-form template arithmetic: '<|user|>\n'=9 chars,
+            # '<|end|>\n'=8, '<|assistant|>\n'=14; loss span covers
+            # the assistant content only
+            "WITH d AS (SELECT doc_id, COALESCE(text, '') AS t "
+            "FROM documents), "
+            "p AS (SELECT doc_id, substr(t, 1, 80) AS u, "
+            "CASE WHEN length(t) > 80 THEN substr(t, 81) ELSE '' END "
+            "AS a FROM d) "
+            "SELECT doc_id, "
+            "chr(60) || '|user|' || chr(62) || chr(10) || u || "
+            "chr(60) || '|end|' || chr(62) || chr(10) || "
+            "chr(60) || '|assistant|' || chr(62) || chr(10) || a || "
+            "chr(60) || '|end|' || chr(62) || chr(10) AS sft_text, "
+            "CAST(9 + length(u) + 8 + 14 AS BIGINT) AS loss_s, "
+            "CAST(9 + length(u) + 8 + 14 + length(a) AS BIGINT) "
+            "AS loss_e FROM p"
         ),
         "kqltext_scan": (
             # the restart profile as the segment-id construction:

@@ -174,6 +174,8 @@ HEADLINE = [
     "kqltext_partition",
     "kqltext_find",
     "kqltext_lambda",
+    "corpus_fim",
+    "corpus_sft_render",
     "text_url_canonicalize",
     "corpus_robots_gate",
     "corpus_version_diff",

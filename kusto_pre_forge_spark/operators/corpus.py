@@ -1452,3 +1452,128 @@ def domain_cap(
         .drop("_kpf_rk2")
     )
     return winners.unionByName(losers).drop(*tmp)
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    key: Column | str = "doc_id",
+    rate: float = 0.5,
+    spm_rate: float = 0.5,
+    prefix_tok: str = "<|fim_prefix|>",
+    middle_tok: str = "<|fim_middle|>",
+    suffix_tok: str = "<|fim_suffix|>",
+    salt: str = "kpf-fim",
+    out_text: str = "fim_text",
+    out_mode: str = "fim_mode",
+) -> DataFrame:
+    """Fill-in-the-middle transform for code/text pretraining (the
+    public FIM recipe: Bavarian et al. 2022, arXiv:2207.14255 — split a
+    document into (prefix, middle, suffix), emit the pieces re-ordered
+    around sentinel tokens so the model learns infilling).
+
+    Everything is DETERMINISTIC per row key (the
+    :func:`stratified_sample` convention): the transform gate
+    (``rate``), the PSM/SPM arm (``spm_rate``), and both cut points
+    derive from salted md5 of the key, so membership is partitioning-
+    and run-independent and a SQL oracle can replay every choice.
+
+    - gate u < rate → transformed, else ``fim_mode='none'`` and the
+      text passes through (document-level mixing, the paper's setup);
+    - two cuts c1,c2 ∈ [0, n] from independent hash units; lo/hi =
+      sorted → prefix = [0,lo), middle = [lo,hi), suffix = [hi,n)
+      (character-level splits — token-boundary FIM belongs to the
+      tokenizer stage downstream);
+    - PSM: ``prefix_tok P suffix_tok S middle_tok M``;
+      SPM: ``suffix_tok S prefix_tok P middle_tok M``.
+
+    Pure codegen projection — zero exchanges; at 100 TB this is a map
+    stage over the corpus scan."""
+    k = (F.col(key) if isinstance(key, str) else key).cast("string")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    gate = _hash_unit(k, f"{salt}-gate") < F.lit(rate)
+    spm = _hash_unit(k, f"{salt}-arm") < F.lit(spm_rate)
+    c1 = F.floor(_hash_unit(k, f"{salt}-c1") * (n + 1)).cast("int")
+    c2 = F.floor(_hash_unit(k, f"{salt}-c2") * (n + 1)).cast("int")
+    lo = F.least(c1, c2)
+    hi = F.greatest(c1, c2)
+    prefix = F.substring(t, 1, lo)
+    middle = t.substr(lo + 1, hi - lo)
+    suffix = t.substr(hi + 1, n - hi)
+    psm_text = F.concat(
+        F.lit(prefix_tok), prefix, F.lit(suffix_tok), suffix,
+        F.lit(middle_tok), middle,
+    )
+    spm_text = F.concat(
+        F.lit(suffix_tok), suffix, F.lit(prefix_tok), prefix,
+        F.lit(middle_tok), middle,
+    )
+    return df.withColumns({
+        out_mode: F.when(~gate, F.lit("none"))
+        .when(spm, F.lit("spm")).otherwise(F.lit("psm")),
+        out_text: F.when(~gate, t)
+        .when(spm, spm_text).otherwise(psm_text),
+    })
+
+
+def sft_render(
+    df: DataFrame,
+    turns_col: str = "turns",
+    assistant_role: str = "assistant",
+    out_text: str = "sft_text",
+    out_spans: str = "loss_spans",
+) -> DataFrame:
+    """Render conversation turns into one training string plus the
+    LOSS-MASK spans — the supervised-fine-tuning hand-off: trainers
+    compute loss only on assistant tokens, so the renderer must emit
+    both the flat text and where the assistant content lives in it.
+
+    ``turns_col`` is ``array<struct<role:string, content:string>>``.
+    Template (a deterministic ChatML-style contract):
+    ``<|role|>\\n{content}<|end|>\\n`` per turn, concatenated in order.
+    ``out_spans`` is ``array<struct<s:long, e:long>>`` — 0-based
+    half-open character offsets of each ``assistant_role`` turn's
+    content in the rendered string (header and end sentinels excluded:
+    loss covers what the assistant SAID, not the scaffolding — char
+    spans convert to token masks after tokenization via offset
+    mapping).
+
+    One ``aggregate`` higher-order fold per row, all JVM-side — zero
+    exchanges, a pure map stage at any scale."""
+    turns = F.col(turns_col)
+    part = F.transform(
+        turns,
+        lambda x: F.concat(
+            F.lit("<|"), x["role"], F.lit("|>\n"),
+            x["content"], F.lit("<|end|>\n"),
+        ),
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("pos"),
+        F.array().cast("array<struct<s:long,e:long>>").alias("spans"),
+    )
+
+    def step(acc, x):
+        header = (F.length(x["role"]) + F.lit(5)).cast("long")
+        clen = F.length(x["content"]).cast("long")
+        start = acc["pos"] + header
+        spans = F.when(
+            x["role"] == F.lit(assistant_role),
+            F.concat(
+                acc["spans"],
+                F.array(F.struct(
+                    start.alias("s"), (start + clen).alias("e")
+                )),
+            ),
+        ).otherwise(acc["spans"])
+        return F.struct(
+            (acc["pos"] + header + clen + F.lit(8)).alias("pos"),
+            spans.alias("spans"),
+        )
+
+    agg = F.aggregate(turns, zero, step)
+    return df.withColumns({
+        out_text: F.concat_ws("", part),
+        out_spans: agg["spans"],
+    })

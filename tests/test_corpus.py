@@ -678,3 +678,77 @@ def test_corpus_diff_changes_only_and_hash_shuffle(spark):
     assert "text" not in plan.split("FullOuter")[0].lower() or True
     # the join inputs project id + digest only
     assert "_h_old" in plan and "_h_new" in plan
+
+
+# ------------------------------------------------------- round-13: FIM + SFT
+
+
+def test_fim_transform_reconstructs_and_gates(spark):
+    from kusto_pre_forge_spark.operators.corpus import fim_transform
+    import re
+
+    d = spark.createDataFrame(
+        [(i, "payload-%02d-" % i + "x" * i) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = fim_transform(d, rate=1.0, spm_rate=0.0).collect()
+    originals = {r.doc_id: r.text for r in d.collect()}
+    for r in out:
+        assert r.fim_mode == "psm"
+        m = re.match(
+            r"<\|fim_prefix\|>(.*)<\|fim_suffix\|>(.*)<\|fim_middle\|>(.*)",
+            r.fim_text,
+            re.S,
+        )
+        p, s, mid = m.groups()
+        # the three pieces reassemble the document exactly
+        assert p + mid + s == originals[r.doc_id]
+    # spm arm re-orders: suffix sentinel leads
+    out = fim_transform(d, rate=1.0, spm_rate=1.0).collect()
+    for r in out:
+        assert r.fim_mode == "spm" and r.fim_text.startswith("<|fim_suffix|>")
+    # gate: rate=0 passes everything through untouched
+    out = fim_transform(d, rate=0.0).collect()
+    for r in out:
+        assert r.fim_mode == "none" and r.fim_text == originals[r.doc_id]
+    # determinism: same salt, same choices, independent of partitioning
+    a = {r.doc_id: r.fim_text for r in fim_transform(d, rate=0.5).collect()}
+    b = {
+        r.doc_id: r.fim_text
+        for r in fim_transform(d.repartition(7), rate=0.5).collect()
+    }
+    assert a == b
+
+
+def test_fim_transform_empty_and_null_text(spark):
+    from kusto_pre_forge_spark.operators.corpus import fim_transform
+
+    d = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in fim_transform(d, rate=1.0).collect()}
+    # empty docs still produce the sentinel skeleton, never nulls
+    assert out[1].fim_text is not None and out[2].fim_text is not None
+
+
+def test_sft_render_spans_cover_assistant_content(spark):
+    from kusto_pre_forge_spark.operators.corpus import sft_render
+
+    conv = spark.createDataFrame(
+        [
+            (1, [("system", "be nice"), ("user", "hi"),
+                 ("assistant", "hello!"), ("user", "bye"),
+                 ("assistant", "cya")]),
+            (2, [("user", "lone")]),
+            (3, []),
+        ],
+        "cid long, turns array<struct<role:string,content:string>>",
+    )
+    rows = {r.cid: r for r in sft_render(conv).collect()}
+    r = rows[1]
+    assert [r.sft_text[sp.s:sp.e] for sp in r.loss_spans] == ["hello!", "cya"]
+    # template is the documented ChatML-style contract
+    assert r.sft_text.startswith("<|system|>\nbe nice<|end|>\n<|user|>\n")
+    # no assistant turn -> no spans; empty conversation -> empty text
+    assert rows[2].loss_spans == [] and rows[2].sft_text.startswith("<|user|>")
+    assert rows[3].sft_text == "" and rows[3].loss_spans == []

@@ -191,6 +191,8 @@ AUDITED = [
     ("kqltext_partition", "bounded-key contract: one cached scan, one filtered branch per key, plan-level union — no per-key shuffle"),
     ("kqltext_find", "per-table term predicate sits on each scan; the union is plan-level only — zero exchanges"),
     ("kqltext_lambda", "lambda bodies re-parse into ONE plan: the where lands on the scan (DataFilters), the scalar lambda folds into the projection; the single exchange is the final sort"),
+    ("corpus_fim", "deterministic gate/arm/cuts + substr splits in one codegen projection — zero exchanges"),
+    ("corpus_sft_render", "template render + loss-span fold are higher-order functions in one projection — zero exchanges"),
     ("text_url_canonicalize", "forge + canonicalization are one codegen scan projection — zero exchanges"),
 ]
 
