@@ -8011,6 +8011,25 @@ def _q_kqltext_top_nested(spark, sf):
     return run_kql(spark, q, _kqltext_tables(spark, sf))
 
 
+def _q_kqltext_bag_narrow(spark, sf):
+    """``evaluate bag_unpack`` + ``evaluate narrow`` through the TEXT
+    parser (round-13): unpack the events property bag with a DECLARED
+    schema (one codegen'd from_json — ADX's data-driven key inference
+    would cost an extra full scan), aggregate, then narrow the tiny
+    aggregate to (k, Column, Value) rows with k as the row identity
+    (the scale path — no serialize ordinal). Oracle: json extract +
+    group + manual unpivot in SQL."""
+    from kusto_pre_forge_spark.operators.kqltext import run_kql
+
+    q = (
+        "events\n"
+        "| evaluate bag_unpack(props) : (k:long)\n"
+        "| summarize n=count() by k\n"
+        "| evaluate narrow(k)"
+    )
+    return run_kql(spark, q, {"events": load_table(spark, sf, "events")})
+
+
 def _q_corpus_fim(spark, sf):
     """Fill-in-the-middle transform (round-13): deterministic per-key
     gate, PSM/SPM arm, and cut points — the Bavarian et al. 2022
@@ -8477,6 +8496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kqltext_parse_kv": _q_kqltext_parse_kv,
         "kqltext_top_nested": _q_kqltext_top_nested,
         "kqltext_scan": _q_kqltext_scan,
+        "kqltext_bag_narrow": _q_kqltext_bag_narrow,
         "corpus_fim": _q_corpus_fim,
         "corpus_sft_render": _q_corpus_sft_render,
         "kqltext_partition": _q_kqltext_partition,
@@ -12502,6 +12522,16 @@ def oracle_sql() -> dict[str, str]:
             "o_orderstatus ASC) AS r FROM l2) WHERE r <= 2) "
             "SELECT k2.o_orderpriority, k1.total, k2.o_orderstatus, k2.n "
             "FROM k2 JOIN k1 USING (o_orderpriority)"
+        ),
+        "kqltext_bag_narrow": (
+            # json extract with the declared type, group, then the
+            # one-value-column unpivot narrow() means here
+            "WITH e AS (SELECT CAST(json_extract_string(props, '$.k') "
+            "AS BIGINT) AS k FROM events), "
+            "a AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM e "
+            "GROUP BY k) "
+            "SELECT k, 'n' AS \"Column\", CAST(n AS VARCHAR) AS \"Value\" "
+            "FROM a"
         ),
         "corpus_fim": (
             # full replay of the salted-md5 gate/arm/cuts and the

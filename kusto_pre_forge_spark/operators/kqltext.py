@@ -1184,7 +1184,17 @@ class _Parser:
         - ``diffpatterns(SplitCol, ValueA, ValueB [, Threshold])`` →
           kql.diffpatterns, pattern columns = everything but SplitCol;
         - ``ipv4_lookup(LookupTable, IpCol [, CidrCol])`` →
-          kql.ipv4_lookup's broadcast non-equi containment join."""
+          kql.ipv4_lookup's broadcast non-equi containment join;
+        - ``bag_unpack(Col [, 'Prefix']) : (Name:type, …)`` →
+          kql.bag_unpack's single codegen'd from_json — the output
+          schema spec is REQUIRED (ADX's data-driven key inference
+          would force an extra full scan; the declared spec keeps the
+          plan static), matching ADX's own documented spec syntax;
+        - ``narrow([IdCol, …])`` → kql.narrow's native unpivot. With
+          id columns they carry the row identity (the scale path);
+          bare ``narrow()`` emits ADX's (Row, Column, Value) shape
+          with Row from the pinned serialize order — requires a
+          preceding ``sort by`` exactly like row_number()."""
         t = self.eat("ident")
         if t.val == "pivot":
             self.eat("punct", "(")
@@ -1299,6 +1309,70 @@ class _Parser:
                     "python plugin typeof() spec is empty"
                 )
             return K.evaluate_python(df, script, ", ".join(fields))
+        if t.val == "bag_unpack":
+            self.eat("punct", "(")
+            col = self.eat("ident").val
+            prefix = ""
+            if self.at("punct", ","):
+                self.next()
+                prefix = self.eat("str").val
+            self.eat("punct", ")")
+            if not self.at("punct", ":"):
+                raise KqlSyntaxError(
+                    "bag_unpack needs the output schema — append "
+                    "': (Name:type, …)' (data-driven key inference "
+                    "would force an extra full scan; the declared spec "
+                    "keeps the plan static)"
+                )
+            self.next()
+            self.eat("punct", "(")
+            type_map = {
+                "string": "string", "int": "int", "long": "long",
+                "real": "double", "double": "double", "bool": "boolean",
+                "boolean": "boolean", "datetime": "timestamp",
+                "guid": "string",
+            }
+            fields = []
+            while True:
+                nm = self.eat("ident").val
+                self.eat("punct", ":")
+                ty = self.eat("ident").val
+                if ty not in type_map:
+                    raise KqlSyntaxError(
+                        f"unsupported bag_unpack type {ty!r}"
+                    )
+                fields.append((nm, type_map[ty]))
+                if self.at("punct", ","):
+                    self.next()
+                    continue
+                break
+            self.eat("punct", ")")
+            out = K.bag_unpack(
+                df, col, ", ".join(f"`{n}` {ty}" for n, ty in fields)
+            )
+            if prefix:
+                out = out.withColumnsRenamed(
+                    {n: prefix + n for n, _ in fields}
+                )
+            return out
+        if t.val == "narrow":
+            self.eat("punct", "(")
+            ids = []
+            if not self.at("punct", ")"):
+                while True:
+                    ids.append(self.eat("ident").val)
+                    if self.at("punct", ","):
+                        self.next()
+                        continue
+                    break
+            self.eat("punct", ")")
+            if ids:
+                vals = [c for c in df.columns if c not in ids]
+                return K.narrow(df, ids, vals)
+            rn = F.row_number().over(self._serial_window()).cast("long")
+            return K.narrow(
+                df.withColumn("Row", rn), ["Row"], list(df.columns)
+            )
         raise KqlSyntaxError(
             f"unsupported evaluate plugin {t.val!r} at offset {t.pos}"
         )

@@ -265,8 +265,12 @@ def test_catalyst_sees_through_the_parser(spark, t):
 
 
 def test_loud_failures(spark, t):
-    # python is BOUND (round-13) — a still-unbound plugin refuses by name
+    # python/narrow/bag_unpack are BOUND — a plugin this engine will
+    # never bind (external DB calls) still refuses by name
     with pytest.raises(KqlSyntaxError, match="unsupported"):
+        run_kql(spark, "Events | evaluate sql_request()", t)
+    # bare narrow() needs the serialize order pinned, like row_number
+    with pytest.raises(KqlSyntaxError, match="sort"):
         run_kql(spark, "Events | evaluate narrow()", t)
     # and a malformed python() call fails loudly at the typeof spec
     with pytest.raises(KqlSyntaxError, match="typeof"):
@@ -397,7 +401,7 @@ def test_evaluate_pivot(spark, t):
     ).collect()[0]
     assert out["Error"] == 17.5 and out["Warning"] == 5.0
     with pytest.raises(KqlSyntaxError, match="unsupported evaluate"):
-        run_kql(spark, "Events | evaluate narrow()", t)
+        run_kql(spark, "Events | evaluate sql_request()", t)
 
 
 def test_make_series(spark, t):
@@ -683,8 +687,8 @@ def test_evaluate_plugin_family_and_lookup(spark, t):
     ).collect()
     assert lk2[0][0] == 4
     # still-unbound plugins refuse loudly by name
-    with pytest.raises(KqlSyntaxError, match="narrow"):
-        run_kql(spark, "Traffic | evaluate narrow()", tables)
+    with pytest.raises(KqlSyntaxError, match="sql_request"):
+        run_kql(spark, "Traffic | evaluate sql_request()", tables)
 
 
 def test_datatable_literal_source(spark, t):
@@ -1103,7 +1107,7 @@ def test_scan_accumulate_single_step(spark, docs):
             "Docs | sort by doc_id asc | scan declare (s:long=0) with "
             "(step s1: true => s = s + n_chars;)",
             docs,
-        ).select("doc_id", "s").collect()
+        ).select("doc_id", "s").orderBy("doc_id").collect()
     ]
     assert rows == [(1, 100), (2, 400), (3, 600), (4, 650), (5, 1050)]
 
@@ -1117,7 +1121,7 @@ def test_scan_condition_prefilters_unmatched_rows(spark, docs):
             "Docs | sort by doc_id asc | scan declare (s:long=0) with "
             "(step s1: source == 'web' => s = s + n_chars;)",
             docs,
-        ).select("doc_id", "s").collect()
+        ).select("doc_id", "s").orderBy("doc_id").collect()
     ]
     assert rows == [(1, 100), (3, 300), (4, 350)]
 
@@ -1132,7 +1136,7 @@ def test_scan_two_step_restart(spark, docs):
             "(s:long=0) with (step a: source == 'book' => s = n_chars; "
             "step b: true => s = s + n_chars;)",
             docs,
-        ).select("doc_id", "s", "m").collect()
+        ).select("doc_id", "s", "m").orderBy("doc_id").collect()
     ]
     assert rows == [
         (1, 100, 0), (2, 300, 1), (3, 500, 1), (4, 550, 1), (5, 400, 2),
@@ -1257,3 +1261,54 @@ def test_lambda_let_invoke_and_calls(spark, docs):
     # invoke over a non-function name refuses loudly
     with pytest.raises(KqlSyntaxError, match="not a let-bound"):
         run_kql(spark, "Docs | invoke missing(1)", docs)
+
+
+def test_evaluate_bag_unpack_and_narrow(spark, t):
+    ev = spark.createDataFrame(
+        [(1, '{"k": "a", "n": 3}'), (2, '{"k": "b"}')],
+        "Id long, Props string",
+    )
+    tbls = {"E": ev}
+    rows = sorted(
+        tuple(r)
+        for r in run_kql(
+            spark,
+            "E | evaluate bag_unpack(Props) : (k:string, n:long)",
+            tbls,
+        ).collect()
+    )
+    assert rows == [(1, "a", 3), (2, "b", None)]
+    # prefix form renames the unpacked keys only
+    df = run_kql(
+        spark,
+        "E | evaluate bag_unpack(Props, 'p_') : (k:string, n:long)",
+        tbls,
+    )
+    assert df.columns == ["Id", "p_k", "p_n"]
+    # schema spec is REQUIRED (static plans, no inference scan)
+    with pytest.raises(KqlSyntaxError, match="schema"):
+        run_kql(spark, "E | evaluate bag_unpack(Props)", tbls)
+    # narrow with an id column — the scale path
+    rows = sorted(
+        tuple(r)
+        for r in run_kql(
+            spark, "Events | evaluate narrow(Id) | where Column == 'Level'", t
+        ).collect()
+    )
+    assert rows == [
+        (1, "Level", "Error"), (2, "Level", "Warning"),
+        (3, "Level", "Error"), (4, "Level", "Information"),
+    ]
+    # bare narrow(): ADX's (Row, Column, Value) over the pinned order
+    rows = [
+        tuple(r)
+        for r in run_kql(
+            spark,
+            "Events | sort by Id asc | evaluate narrow() "
+            "| where Column == 'Id' | sort by Row asc",
+            t,
+        ).collect()
+    ]
+    assert rows == [
+        (1, "Id", "1"), (2, "Id", "2"), (3, "Id", "3"), (4, "Id", "4"),
+    ]
