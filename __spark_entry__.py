@@ -8011,6 +8011,48 @@ def _q_kqltext_top_nested(spark, sf):
     return run_kql(spark, q, _kqltext_tables(spark, sf))
 
 
+def _q_kqltext_series_fromto(spark, sf):
+    """``make-series from/to`` through the TEXT parser (round-13):
+    explicit [from, to) axis with buckets ALIGNED TO ``from`` (Kusto's
+    bin_at semantics — a 12:00 weekly window buckets at 12:00, not
+    midnight), out-of-window rows excluded, empty buckets filled.
+    Integer counts so runs and oracle agree exactly. Plan: per-bucket
+    map-side combine + a literal-sized broadcast axis."""
+    from kusto_pre_forge_spark.operators.kqltext import run_kql
+
+    q = (
+        "events\n"
+        "| make-series n=count() on ts "
+        "from datetime('2024-01-05 12:00:00') "
+        "to datetime('2024-01-12 12:00:00') step 1d\n"
+        "| sort by ts asc"
+    )
+    return run_kql(spark, q, {"events": load_table(spark, sf, "events")})
+
+
+def _q_corpus_dpo_render(spark, sf):
+    """Preference-pair (DPO / reward-model) rendering (round-13):
+    documents become (prompt, chosen, rejected) triples — prompt the
+    first 60 chars, chosen the rest, rejected its reverse — rendered
+    twice with the shared chat template plus each response's loss span
+    (operators/corpus.py dpo_render). One codegen projection, zero
+    exchanges. Oracle: the closed-form template arithmetic."""
+    from kusto_pre_forge_spark.operators.corpus import dpo_render
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 60)
+        .alias("prompt"),
+        F.expr("substring(coalesce(text, ''), 61)").alias("chosen"),
+        F.reverse(F.expr("substring(coalesce(text, ''), 61)"))
+        .alias("rejected"),
+    )
+    return dpo_render(d).select(
+        "doc_id", "dpo_chosen_text", "dpo_chosen_s", "dpo_chosen_e",
+        "dpo_rejected_text", "dpo_rejected_s", "dpo_rejected_e",
+    )
+
+
 def _q_kqltext_bag_narrow(spark, sf):
     """``evaluate bag_unpack`` + ``evaluate narrow`` through the TEXT
     parser (round-13): unpack the events property bag with a DECLARED
@@ -8497,6 +8539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kqltext_top_nested": _q_kqltext_top_nested,
         "kqltext_scan": _q_kqltext_scan,
         "kqltext_bag_narrow": _q_kqltext_bag_narrow,
+        "kqltext_series_fromto": _q_kqltext_series_fromto,
+        "corpus_dpo_render": _q_corpus_dpo_render,
         "corpus_fim": _q_corpus_fim,
         "corpus_sft_render": _q_corpus_sft_render,
         "kqltext_partition": _q_kqltext_partition,
@@ -12522,6 +12566,49 @@ def oracle_sql() -> dict[str, str]:
             "o_orderstatus ASC) AS r FROM l2) WHERE r <= 2) "
             "SELECT k2.o_orderpriority, k1.total, k2.o_orderstatus, k2.n "
             "FROM k2 JOIN k1 USING (o_orderpriority)"
+        ),
+        "kqltext_series_fromto": (
+            # bin_at alignment via epoch-difference arithmetic (the
+            # absolute offsets cancel, so timezone never enters);
+            # axis = [from, to) stepped daily; default fill coerces
+            # the count to double (the engine's fill type)
+            "WITH f AS (SELECT ts FROM events WHERE "
+            "ts >= TIMESTAMP '2024-01-05 12:00:00' AND "
+            "ts < TIMESTAMP '2024-01-12 12:00:00'), "
+            "b AS (SELECT TIMESTAMP '2024-01-05 12:00:00' + "
+            "CAST(floor((floor(epoch(ts)) - "
+            "floor(epoch(TIMESTAMP '2024-01-05 12:00:00'))) / 86400) "
+            "AS BIGINT) * INTERVAL 1 DAY AS ts FROM f), "
+            "a AS (SELECT ts, COUNT(*) AS cnt FROM b GROUP BY ts), "
+            "axis AS (SELECT unnest(generate_series("
+            "TIMESTAMP '2024-01-05 12:00:00', "
+            "TIMESTAMP '2024-01-11 12:00:00', INTERVAL 1 DAY)) AS ts) "
+            "SELECT axis.ts, CAST(COALESCE(a.cnt, 0) AS DOUBLE) AS n "
+            "FROM axis LEFT JOIN a USING (ts) ORDER BY ts"
+        ),
+        "corpus_dpo_render": (
+            # shared template header, two renderings, span = header
+            # length .. header + response length
+            "WITH d AS (SELECT doc_id, "
+            "substr(COALESCE(text, ''), 1, 60) AS p, "
+            "CASE WHEN length(COALESCE(text, '')) > 60 "
+            "THEN substr(COALESCE(text, ''), 61) ELSE '' END AS c "
+            "FROM documents), "
+            "e AS (SELECT doc_id, p, c, reverse(c) AS r, "
+            "chr(60) || '|user|' || chr(62) || chr(10) || p || "
+            "chr(60) || '|end|' || chr(62) || chr(10) || "
+            "chr(60) || '|assistant|' || chr(62) || chr(10) AS hdr "
+            "FROM d) "
+            "SELECT doc_id, "
+            "hdr || c || chr(60) || '|end|' || chr(62) || chr(10) "
+            "AS dpo_chosen_text, "
+            "CAST(length(hdr) AS BIGINT) AS dpo_chosen_s, "
+            "CAST(length(hdr) + length(c) AS BIGINT) AS dpo_chosen_e, "
+            "hdr || r || chr(60) || '|end|' || chr(62) || chr(10) "
+            "AS dpo_rejected_text, "
+            "CAST(length(hdr) AS BIGINT) AS dpo_rejected_s, "
+            "CAST(length(hdr) + length(r) AS BIGINT) AS dpo_rejected_e "
+            "FROM e"
         ),
         "kqltext_bag_narrow": (
             # json extract with the declared type, group, then the

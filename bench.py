@@ -176,6 +176,9 @@ HEADLINE = [
     "kqltext_lambda",
     "corpus_fim",
     "corpus_sft_render",
+    "corpus_dpo_render",
+    "kqltext_bag_narrow",
+    "kqltext_series_fromto",
     "text_url_canonicalize",
     "corpus_robots_gate",
     "corpus_version_diff",

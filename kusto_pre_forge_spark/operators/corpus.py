@@ -1577,3 +1577,47 @@ def sft_render(
         out_text: F.concat_ws("", part),
         out_spans: agg["spans"],
     })
+
+
+def dpo_render(
+    df: DataFrame,
+    prompt_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    out_prefix: str = "dpo_",
+) -> DataFrame:
+    """Preference-pair rendering for DPO / reward-model training: each
+    row's prompt is rendered twice with the SAME chat template as
+    :func:`sft_render` (``<|role|>\\n{content}<|end|>\\n``) — once with
+    the chosen response, once with the rejected one — plus each
+    response's loss span (0-based [s, e) char offsets of the response
+    content), so the trainer scores exactly the tokens that differ.
+
+    Output columns: ``{prefix}chosen_text``, ``{prefix}rejected_text``,
+    ``{prefix}chosen_s/e``, ``{prefix}rejected_s/e``. Pure string
+    concatenation in one codegen projection — zero exchanges."""
+    header = F.concat(
+        F.lit("<|user|>\n"),
+        F.coalesce(F.col(prompt_col), F.lit("")),
+        F.lit("<|end|>\n<|assistant|>\n"),
+    )
+    start = F.length(header).cast("long")
+
+    def rendered(col):
+        resp = F.coalesce(F.col(col), F.lit(""))
+        return (
+            F.concat(header, resp, F.lit("<|end|>\n")),
+            start,
+            start + F.length(resp).cast("long"),
+        )
+
+    ct, cs, ce = rendered(chosen_col)
+    rt, rs, re_ = rendered(rejected_col)
+    return df.withColumns({
+        f"{out_prefix}chosen_text": ct,
+        f"{out_prefix}chosen_s": cs,
+        f"{out_prefix}chosen_e": ce,
+        f"{out_prefix}rejected_text": rt,
+        f"{out_prefix}rejected_s": rs,
+        f"{out_prefix}rejected_e": re_,
+    })

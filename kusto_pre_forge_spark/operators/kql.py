@@ -469,8 +469,11 @@ def make_series(
     value_name: str = "series_value",
     ts_name: str = "series_ts",
     exploded: bool = False,
+    lo: Column | None = None,
+    hi: Column | None = None,
 ) -> DataFrame:
-    """KQL ``make-series agg() default=d on Ts step S by Keys``.
+    """KQL ``make-series agg() default=d on Ts [from lo to hi] step S
+    by Keys``.
 
     KQL extension beyond the reference's emitted surface (SURVEY §2.5 notes
     the reference delegates relational work to Kusto; make-series is the
@@ -489,20 +492,53 @@ def make_series(
 
     At 100 TB the only shuffles are the per-bucket aggregation (map-side
     partial combine) and the distinct over keys; the axis join is broadcast.
+
+    ``lo``/``hi`` (both or neither) are KQL's explicit ``from lo to hi``
+    bounds: the axis spans [lo, hi) and rows outside are excluded —
+    and, per Kusto's ``bin_at`` semantics, buckets ALIGN TO ``lo``
+    rather than to calendar boundaries (a ``from 02:30`` hourly series
+    buckets at :30). Fixed-width steps only (day and below — months
+    are not fixed-width, same as bin_at).
     """
     step_interval = {"hour": "1 hour", "day": "1 day", "minute": "1 minute",
                      "week": "1 week", "month": "1 month"}.get(step, step)
-    b = F.date_trunc(step, _c(on)).alias("_bucket")
-    binned = df.groupBy(*by, b).agg(agg.alias(value_name))
-    bounds = df.agg(
-        F.min(F.date_trunc(step, _c(on))).alias("_lo"),
-        F.max(F.date_trunc(step, _c(on))).alias("_hi"),
-    )
-    axis = bounds.select(
-        F.explode(
-            F.sequence(F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL {step_interval}"))
+    if (lo is None) != (hi is None):
+        raise ValueError("make_series: pass both lo and hi, or neither")
+    if lo is not None:
+        secs = {"week": 604800, "day": 86400, "hour": 3600,
+                "minute": 60, "second": 1}.get(step)
+        if secs is None:
+            raise ValueError(
+                f"make_series from/to needs a fixed-width step, got {step!r}"
+            )
+        df = df.where((_c(on) >= lo) & (_c(on) < hi))
+        lo_s = F.unix_timestamp(lo)
+        b = F.timestamp_seconds(
+            lo_s
+            + F.floor((F.unix_timestamp(_c(on)) - lo_s) / secs) * secs
         ).alias("_bucket")
-    )
+        binned = df.groupBy(*by, b).agg(agg.alias(value_name))
+        axis = (
+            df.sparkSession.range(1)
+            .select(
+                F.explode(
+                    F.sequence(lo, hi, F.expr(f"INTERVAL {step_interval}"))
+                ).alias("_bucket")
+            )
+            .where(F.col("_bucket") < hi)
+        )
+    else:
+        b = F.date_trunc(step, _c(on)).alias("_bucket")
+        binned = df.groupBy(*by, b).agg(agg.alias(value_name))
+        bounds = df.agg(
+            F.min(F.date_trunc(step, _c(on))).alias("_lo"),
+            F.max(F.date_trunc(step, _c(on))).alias("_hi"),
+        )
+        axis = bounds.select(
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL {step_interval}"))
+            ).alias("_bucket")
+        )
     keys = df.select(*by).distinct()
     dense = keys.crossJoin(F.broadcast(axis))
     out = dense.join(binned, [*by, "_bucket"], "left")

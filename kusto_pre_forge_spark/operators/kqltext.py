@@ -1127,8 +1127,9 @@ class _Parser:
         """``make-series Name=agg(x) [default=d] on Ts step <1h|1d|1m|1s>
         by Keys`` — the canonical Kusto time-series operator, through
         kql.make_series (dense axis via sequence+broadcast, per-bucket
-        map-side combine). Bounds derive from the data (the wrapper's
-        contract); an explicit from/to clause raises loudly."""
+        map-side combine). Without from/to the bounds derive from the
+        data; ``from lo to hi`` pins the axis to [lo, hi) and aligns
+        buckets to ``lo`` (Kusto's bin_at semantics — round-13)."""
         name, e = self._parse_named_expr(agg=True)
         default = 0.0
         if self.at_ident("default"):
@@ -1137,11 +1138,12 @@ class _Parser:
             default = float(_lit_value(self.parse_expr()))
         self.eat("ident", "on")
         on_col = self.eat("ident").val
+        lo = hi = None
         if self.at_ident("from"):
-            raise KqlSyntaxError(
-                "make-series from/to is unsupported — bounds derive "
-                "from the data; pre-filter with where instead"
-            )
+            self.next()
+            lo = self.parse_expr().as_type("timestamp")
+            self.eat("ident", "to")
+            hi = self.parse_expr().as_type("timestamp")
         self.eat("ident", "step")
         st = self.next()
         if st.kind != "ts":
@@ -1164,6 +1166,7 @@ class _Parser:
         return K.make_series(
             df, on_col, grain, by, e.c(), default=default,
             value_name=name, ts_name=on_col, exploded=True,
+            lo=lo, hi=hi,
         )
 
     def _op_evaluate(self, df):

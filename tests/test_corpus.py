@@ -752,3 +752,25 @@ def test_sft_render_spans_cover_assistant_content(spark):
     # no assistant turn -> no spans; empty conversation -> empty text
     assert rows[2].loss_spans == [] and rows[2].sft_text.startswith("<|user|>")
     assert rows[3].sft_text == "" and rows[3].loss_spans == []
+
+
+def test_dpo_render_pair_spans(spark):
+    from kusto_pre_forge_spark.operators.corpus import dpo_render
+
+    d = spark.createDataFrame(
+        [(1, "2+2?", "4", "5"), (2, "hi", "hello", None)],
+        "id long, prompt string, chosen string, rejected string",
+    )
+    rows = {r.id: r for r in dpo_render(d).collect()}
+    r = rows[1]
+    assert r.dpo_chosen_text == (
+        "<|user|>\n2+2?<|end|>\n<|assistant|>\n4<|end|>\n"
+    )
+    # spans slice exactly the response content out of each rendering
+    assert r.dpo_chosen_text[r.dpo_chosen_s:r.dpo_chosen_e] == "4"
+    assert r.dpo_rejected_text[r.dpo_rejected_s:r.dpo_rejected_e] == "5"
+    # both renderings share the identical prompt header
+    assert r.dpo_chosen_text[: r.dpo_chosen_s] == \
+        r.dpo_rejected_text[: r.dpo_rejected_s]
+    # null response renders as empty content, never a null row
+    assert rows[2].dpo_rejected_s == rows[2].dpo_rejected_e

@@ -1312,3 +1312,29 @@ def test_evaluate_bag_unpack_and_narrow(spark, t):
     assert rows == [
         (1, "Id", "1"), (2, "Id", "2"), (3, "Id", "3"), (4, "Id", "4"),
     ]
+
+
+def test_make_series_from_to_binat_alignment(spark):
+    ev = spark.createDataFrame(
+        [("2024-03-01 02:45:00", 1.0), ("2024-03-01 03:40:00", 2.0),
+         ("2024-03-01 04:10:00", 4.0), ("2024-03-01 08:00:00", 99.0)],
+        "tss string, V double",
+    ).selectExpr("cast(tss as timestamp) Ts", "V")
+    rows = [
+        tuple(r)
+        for r in run_kql(
+            spark,
+            "E | make-series s=sum(V) on Ts "
+            "from datetime('2024-03-01 02:30:00') "
+            "to datetime('2024-03-01 05:30:00') step 1h "
+            "| sort by Ts asc",
+            {"E": ev},
+        ).collect()
+    ]
+    # buckets align to 02:30 (bin_at), the axis is [from, to) — the
+    # 08:00 row is outside and excluded; empty buckets fill default
+    assert [(str(ts), s) for ts, s in rows] == [
+        ("2024-03-01 02:30:00", 1.0),
+        ("2024-03-01 03:30:00", 6.0),
+        ("2024-03-01 04:30:00", 0.0),
+    ]

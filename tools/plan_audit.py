@@ -193,6 +193,9 @@ AUDITED = [
     ("kqltext_lambda", "lambda bodies re-parse into ONE plan: the where lands on the scan (DataFilters), the scalar lambda folds into the projection; the single exchange is the final sort"),
     ("corpus_fim", "deterministic gate/arm/cuts + substr splits in one codegen projection — zero exchanges"),
     ("corpus_sft_render", "template render + loss-span fold are higher-order functions in one projection — zero exchanges"),
+    ("corpus_dpo_render", "both preference renderings + spans in one codegen projection — zero exchanges"),
+    ("kqltext_bag_narrow", "bag_unpack is one codegen'd from_json; narrow unpivots the TINY aggregate, never the fact stream"),
+    ("kqltext_series_fromto", "bin_at bucketing map-side combines; the [from,to) axis is a literal-sized broadcast side"),
     ("text_url_canonicalize", "forge + canonicalization are one codegen scan projection — zero exchanges"),
 ]
 
