@@ -120,10 +120,12 @@ def _unescape(body: str) -> str:
 
 
 class _Tok:
-    __slots__ = ("kind", "val", "pos")
+    __slots__ = ("kind", "val", "pos", "braq")
 
-    def __init__(self, kind, val, pos):
-        self.kind, self.val, self.pos = kind, val, pos
+    def __init__(self, kind, val, pos, braq=False):
+        # braq: this ident came from ['bracket quoting'] — in postfix
+        # position that surface form is KQL's bracket member access
+        self.kind, self.val, self.pos, self.braq = kind, val, pos, braq
 
     def __repr__(self):
         return f"{self.kind}:{self.val!r}"
@@ -168,7 +170,7 @@ def _lex(text: str) -> list[_Tok]:
             toks.append(_Tok("ident", raw, pos))
         elif kind == "bracketid":
             inner = raw[1:-1].strip()
-            toks.append(_Tok("ident", inner[1:-1], pos))
+            toks.append(_Tok("ident", inner[1:-1], pos, braq=True))
         else:
             toks.append(_Tok("punct", raw, pos))
         pos = m.end()
@@ -187,13 +189,15 @@ class KExpr:
 
     def __init__(self, col: Column, name: str | None = None,
                  kind: str = "plain", vbase: Column | None = None,
-                 vpath: str | None = None, pyval=None):
+                 vpath: str | None = None, pyval=None,
+                 struct_fields=None):
         self.col = col
         self.name = name
-        self.kind = kind  # plain | timespan | variant | string | number
+        self.kind = kind  # plain | timespan | variant | string | number | struct
         self.vbase = vbase
         self.vpath = vpath
         self.pyval = pyval  # python literal when known (grammar constants)
+        self.struct_fields = struct_fields  # field order for tuple extend
 
     def as_type(self, typ: str) -> Column:
         if self.kind == "variant" and self.vbase is not None:
@@ -277,11 +281,44 @@ class _Parser:
 
     # ---- entry
     def parse_query(self) -> DataFrame:
-        while self.at_ident("let"):
-            self._parse_let()
+        while self.at_ident("let", "declare"):
+            if self.at_ident("declare"):
+                self._parse_declare_query_parameters()
+            else:
+                self._parse_let()
         df = self.parse_pipeline()
         self.eat("eof")
         return df
+
+    def _parse_declare_query_parameters(self):
+        """``declare query_parameters (Name:type [= default], …);`` —
+        dashboard/app queries ship with this preamble. Parameters bind
+        like scalar lets from their declared defaults (this runner has
+        no out-of-band parameter channel — pass real values by string
+        substitution or a wrapping let); a parameter WITHOUT a default
+        refuses by name rather than mis-running with null."""
+        self.eat("ident", "declare")
+        self.eat("ident", "query_parameters")
+        self.eat("punct", "(")
+        while not self.at("punct", ")"):
+            name = self.eat("ident").val
+            self.eat("punct", ":")
+            self.eat("ident")  # declared type: the literal carries it
+            if not self.at("punct", "="):
+                raise KqlSyntaxError(
+                    f"query parameter {name!r} has no default — this "
+                    "runner binds parameters from defaults; provide one "
+                    "or bind the name with a let"
+                )
+            self.next()
+            e = self.parse_expr()
+            if name not in self.lets:  # an outer let overrides defaults
+                self.lets[name] = e
+            if self.at("punct", ","):
+                self.next()
+        self.eat("punct", ")")
+        if self.at("punct", ";"):
+            self.next()
 
     def _parse_let(self):
         self.eat("ident", "let")
@@ -489,6 +526,10 @@ class _Parser:
         t = self.eat("ident")
         if t.val == "find":
             return self._parse_find()
+        if t.val == "search" and t.val not in self.tables and (
+            self.at_ident("in") or self.peek().kind == "str"
+        ):
+            return self._parse_search_source()
         if t.val in self.lambdas and self.at("punct", "("):
             params, body = self.lambdas[t.val]
             bt, bs = self._parse_lambda_args(t.val, params)
@@ -734,8 +775,36 @@ class _Parser:
     def _op_extend(self, df):
         cols = dict()
         while True:
-            name, e = self._parse_named_expr(default_prefix="Column")
-            cols[name] = e.c()
+            if self.at("punct", "("):
+                # ADX tuple unpacking: (a, b, …) = series_fit_line(s)
+                # — positional against the function's declared fields
+                self.next()
+                names = []
+                while True:
+                    names.append(self.eat("ident").val)
+                    if self.at("punct", ","):
+                        self.next()
+                        continue
+                    break
+                self.eat("punct", ")")
+                self.eat("punct", "=")
+                e = self.parse_expr(df=df)
+                if e.kind != "struct" or not e.struct_fields:
+                    raise KqlSyntaxError(
+                        "tuple extend needs a struct-returning function "
+                        "(series_fit_line / series_fit_2lines)"
+                    )
+                if len(names) > len(e.struct_fields):
+                    raise KqlSyntaxError(
+                        f"tuple extend: {len(names)} names but the "
+                        f"function returns {len(e.struct_fields)} fields"
+                    )
+                base = e.c()
+                for nm, fld in zip(names, e.struct_fields):
+                    cols[nm] = base.getItem(fld)
+            else:
+                name, e = self._parse_named_expr(default_prefix="Column")
+                cols[name] = e.c()
             if self.at("punct", ","):
                 self.next()
                 continue
@@ -1859,6 +1928,43 @@ class _Parser:
         self.eat("punct", ")")
         return out
 
+    def _parse_search_source(self) -> DataFrame:
+        """Query-initial ``search [in (T1, T2)] 'term'`` — the
+        cross-table free-text form, bound to kql.find_in's term path
+        (case-insensitive contains over every string column of each
+        table, per-table scan-local predicates, plan-level union).
+        Output carries ADX's ``$table`` source column. Without the
+        ``in`` clause the search spans every table the runner was given
+        (the database-wide form). The ``T | search 'term'`` stage form
+        parses in _op_search."""
+        tables: dict[str, DataFrame] = {}
+        if self.at_ident("in"):
+            self.next()
+            self.eat("punct", "(")
+            idx = 0
+            while True:
+                tk = self.peek()
+                name = (
+                    tk.val
+                    if tk.kind == "ident" and (
+                        tk.val in self.tables or self._is_table(tk.val)
+                    )
+                    else f"table_{idx}"
+                )
+                tables[name] = self._parse_source()
+                idx += 1
+                if self.at("punct", ","):
+                    self.next()
+                    continue
+                break
+            self.eat("punct", ")")
+        else:
+            tables = dict(self.tables)
+        if not tables:
+            raise KqlSyntaxError("search has no tables to search")
+        term = self.eat("str").val
+        return K.find_in(tables, term=term, source_col="$table")
+
     def _parse_find(self) -> DataFrame:
         """``find [withsource=Col] in (T1[, T2…]) where <pred>
         [project c1[, …]]`` — cross-table search, bound to
@@ -2200,7 +2306,25 @@ class _Parser:
             if self.at("punct", "."):
                 self.next()
                 field = self.eat("ident").val
-                if e.kind == "variant":
+                if e.kind == "struct":
+                    e = KExpr(e.c().getItem(field))
+                elif e.kind == "variant":
+                    e = KExpr(
+                        e.col, kind="variant", vbase=e.vbase,
+                        vpath=f"{e.vpath}.{field}",
+                    )
+                else:
+                    e = KExpr(
+                        e.c(), kind="variant", vbase=e.c(), vpath=field
+                    )
+            elif self.peek().kind == "ident" and self.peek().braq:
+                # Name['field'] — the lexer folds quoted brackets into
+                # one ident token; in postfix position that surface form
+                # is KQL's bracket member access, same as .field
+                field = self.next().val
+                if e.kind == "struct":
+                    e = KExpr(e.c().getItem(field))
+                elif e.kind == "variant":
                     e = KExpr(
                         e.col, kind="variant", vbase=e.vbase,
                         vpath=f"{e.vpath}.{field}",
@@ -2325,7 +2449,12 @@ class _Parser:
             return fn(args)
         builder = _SCALAR_FNS.get(name)
         if builder is not None:
-            return KExpr(builder(*args))
+            fields = _STRUCT_FNS.get(name)
+            return KExpr(
+                builder(*args),
+                kind="struct" if fields else "plain",
+                struct_fields=fields,
+            )
         raise KqlSyntaxError(
             f"unsupported function {name!r} at offset {pos}"
         )
@@ -2623,6 +2752,62 @@ _SCALAR_FNS = {
     "percentile": lambda a, p: F.percentile_approx(
         a.c(), _lit_value(p) / 100.0
     ),
+}
+
+# Packed-series scalars (round-13): the library's Column→Column series
+# toolkit exposed to pasted KQL. Coefficient/size arguments are literals
+# (dynamic([...]) / numbers) — the same plan-build-time unrolling the
+# library documents; struct outputs (series_fit_line) read fields via
+# indexing: f['slope'].
+_SCALAR_FNS.update({
+    "series_fir": lambda s, c, *o: K.series_fir(
+        s.c(), [float(x) for x in _lit_value(c)],
+        normalize=bool(_lit_value(o[0])) if len(o) > 0 else True,
+        center=bool(_lit_value(o[1])) if len(o) > 1 else False,
+    ),
+    "series_iir": lambda s, b, a: K.series_iir(
+        s.c(),
+        [float(x) for x in _lit_value(b)],
+        [float(x) for x in _lit_value(a)],
+    ),
+    "series_moving_avg": lambda s, w, *o: K.series_moving_avg(
+        s.c(), int(_lit_value(w)),
+        center=bool(_lit_value(o[0])) if o else False,
+    ),
+    "series_seasonal": lambda s, p: K.series_seasonal(
+        s.c(), int(_lit_value(p))
+    ),
+    "series_fill_forward": lambda s: K.series_fill_forward(s.c()),
+    "series_fill_backward": lambda s: K.series_fill_backward(s.c()),
+    "series_add": lambda a, b: K.series_add(a.c(), b.c()),
+    "series_subtract": lambda a, b: K.series_subtract(a.c(), b.c()),
+    "series_multiply": lambda a, b: K.series_multiply(a.c(), b.c()),
+    "series_divide": lambda a, b: K.series_divide(a.c(), b.c()),
+    "series_abs": lambda s: K.series_abs(s.c()),
+    "series_sign": lambda s: K.series_sign(s.c()),
+    "series_sum": lambda s: K.series_sum(s.c()),
+    "series_avg": lambda s: K.series_avg(s.c()),
+    "series_min": lambda s: K.series_min(s.c()),
+    "series_max": lambda s: K.series_max(s.c()),
+    "series_fit_line": lambda s: K.series_fit_line(s.c()),
+    "series_fit_2lines": lambda s: K.series_fit_2lines(s.c()),
+    "series_pearson_correlation": lambda a, b: (
+        K.series_pearson_correlation(a.c(), b.c())
+    ),
+})
+
+# Struct-returning scalars: postfix `.field` / `['field']` reads the
+# struct field IN THE SAME STAGE (vs the variant-path machinery json
+# columns use), and `extend (a, b, …) = fn(…)` unpacks positionally —
+# ADX's own multi-output form. Values are the declared field orders.
+_STRUCT_FNS = {
+    "series_fit_line": [
+        "slope", "interception", "rsquare", "variance", "rvariance",
+    ],
+    "series_fit_2lines": [
+        "split_idx", "rsquare", "slope_left", "interception_left",
+        "slope_right", "interception_right",
+    ],
 }
 
 

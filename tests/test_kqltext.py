@@ -1338,3 +1338,54 @@ def test_make_series_from_to_binat_alignment(spark):
         ("2024-03-01 03:30:00", 6.0),
         ("2024-03-01 04:30:00", 0.0),
     ]
+
+
+def test_series_scalar_batch_round13(spark):
+    q = (
+        "print s = dynamic([1.0, 2.0, 4.0, 8.0]), "
+        "t = dynamic([1.0, 1.0, 1.0, 1.0])\n"
+        "| extend mavg = series_moving_avg(s, 2), "
+        "fir = series_fir(s, dynamic([1, 1]), true, false), "
+        "ssum = series_sum(s), smax = series_max(s), "
+        "sadd = series_add(s, t), "
+        "corr = series_pearson_correlation(s, s), "
+        "slope0 = series_fit_line(t)['slope']\n"
+        "| extend (slope, icept) = series_fit_line(s)\n"
+        "| project mavg, fir, ssum, smax, sadd, corr, slope0, slope, icept"
+    )
+    r = run_kql(spark, q, {}).collect()[0]
+    assert r.mavg == [1.0, 1.5, 3.0, 6.0]
+    assert r.fir == [1.0, 1.5, 3.0, 6.0]
+    assert r.ssum == 15.0 and r.smax == 8.0
+    assert r.sadd == [2.0, 3.0, 5.0, 9.0]
+    assert abs(r.corr - 1.0) < 1e-12
+    assert r.slope0 == 0.0  # flat series, same-stage bracket access
+    # tuple extend unpacks positionally: y = 1+2x fits s roughly;
+    # exact check against numpy's lstsq is overkill — pin the flat case
+    # and that both outputs materialized
+    assert r.slope is not None and r.icept is not None
+
+
+def test_search_source_and_declare_parameters(spark, t, docs):
+    tbls = dict(t)
+    tbls.update(docs)
+    # query-initial cross-table search: ADX's $table source column
+    df = run_kql(spark, "search in (Events, Docs) 'disk'", tbls)
+    assert df.columns[0] == "$table"
+    rows = df.collect()
+    assert len(rows) == 2 and all(r["$table"] == "Events" for r in rows)
+    # bare form spans every table the runner was given
+    assert run_kql(spark, "search 'disk'", tbls).count() == 2
+    # declare query_parameters binds defaults like lets
+    assert _rows(
+        spark,
+        "declare query_parameters (thr:long = 150);\n"
+        "Docs | where n_chars > thr | count",
+        docs,
+    ) == [(3,)]
+    with pytest.raises(KqlSyntaxError, match="no default"):
+        run_kql(
+            spark,
+            "declare query_parameters (thr:long); Docs | count",
+            docs,
+        )
