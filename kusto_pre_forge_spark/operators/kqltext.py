@@ -858,10 +858,22 @@ class _Parser:
                 desc = False
             elif self.at_ident("desc"):
                 self.next()
+            nulls = None
             if self.at_ident("nulls"):
                 self.next()
-                self.eat("ident")
-            order.append(col.desc() if desc else col.asc())
+                nulls = self.eat("ident").val
+                if nulls not in ("first", "last"):
+                    raise KqlSyntaxError(
+                        f"sort: nulls first|last, got {nulls!r}"
+                    )
+            if nulls == "first":
+                order.append(col.desc_nulls_first() if desc
+                             else col.asc_nulls_first())
+            elif nulls == "last":
+                order.append(col.desc_nulls_last() if desc
+                             else col.asc_nulls_last())
+            else:
+                order.append(col.desc() if desc else col.asc())
             if self.at("punct", ","):
                 self.next()
                 continue
@@ -2066,16 +2078,44 @@ class _Parser:
 
     def _op_join(self, df):
         kind = "inner"
-        if self.at_ident("kind"):
+        strategy = None
+        while self.at_ident("kind", "hint"):
+            if self.at_ident("kind"):
+                self.next()
+                self.eat("punct", "=")
+                kraw = self.eat("ident").val
+                if kraw not in _JOIN_KINDS:
+                    raise KqlSyntaxError(f"unsupported join kind {kraw!r}")
+                kind = _JOIN_KINDS[kraw]
+                continue
+            # hint.strategy=broadcast|shuffle (ADX's join hints):
+            # broadcast forces the RIGHT side broadcast (ADX broadcasts
+            # the left in its docs' $left/$right orientation, but its
+            # remoting guidance and this runner both treat the
+            # parenthesized operand as the small side); shuffle forces
+            # a hash-partitioned join via the SHUFFLE_HASH hint.
+            # hint.shufflekey/num_partitions are Kusto scheduling
+            # metadata — accepted and ignored (Catalyst plans keys).
             self.next()
+            self.eat("punct", ".")
+            prop = self.eat("ident").val
             self.eat("punct", "=")
-            kraw = self.eat("ident").val
-            if kraw not in _JOIN_KINDS:
-                raise KqlSyntaxError(f"unsupported join kind {kraw!r}")
-            kind = _JOIN_KINDS[kraw]
+            val = self.next().val
+            if prop == "strategy":
+                if val not in ("broadcast", "shuffle"):
+                    raise KqlSyntaxError(
+                        f"join hint.strategy=broadcast|shuffle, got {val!r}"
+                    )
+                strategy = val
+            elif prop not in ("shufflekey", "num_partitions", "remote"):
+                raise KqlSyntaxError(f"unsupported join hint {prop!r}")
         self.eat("punct", "(")
         right = self.parse_pipeline()
         self.eat("punct", ")")
+        if strategy == "broadcast":
+            right = F.broadcast(right)
+        elif strategy == "shuffle":
+            right = right.hint("shuffle_hash")
         self.eat("ident", "on")
         on = []
         while True:

@@ -1389,3 +1389,41 @@ def test_search_source_and_declare_parameters(spark, t, docs):
             "declare query_parameters (thr:long); Docs | count",
             docs,
         )
+
+
+def test_sort_nulls_and_join_hints(spark, t):
+    ev = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, 1.0)], "Id long, V double"
+    )
+    tbls = {"E": ev}
+    assert [r.Id for r in run_kql(
+        spark, "E | sort by V asc nulls first", tbls).collect()] == [1, 3, 2]
+    assert [r.Id for r in run_kql(
+        spark, "E | sort by V asc nulls last", tbls).collect()] == [3, 2, 1]
+    with pytest.raises(KqlSyntaxError, match="nulls"):
+        run_kql(spark, "E | sort by V asc nulls sideways", tbls)
+    # join hint.strategy=broadcast shows up in the physical plan
+    lookup = spark.createDataFrame(
+        [("Error", 1)], "Level string, Code int"
+    )
+    tables = dict(t, Lookup=lookup)
+    df = run_kql(
+        spark,
+        "Events | join kind=inner hint.strategy=broadcast (Lookup) on Level",
+        tables,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    df = run_kql(
+        spark,
+        "Events | join kind=inner hint.strategy=shuffle (Lookup) on Level",
+        tables,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    with pytest.raises(KqlSyntaxError, match="join hint"):
+        run_kql(
+            spark,
+            "Events | join kind=inner hint.nope=1 (Lookup) on Level",
+            tables,
+        )
