@@ -812,6 +812,20 @@ class _Parser:
         return df.withColumns(cols)
 
     def _op_summarize(self, df):
+        # hint.shufflekey / hint.strategy / hint.num_partitions are
+        # Kusto scheduling metadata — accepted and ignored (Catalyst
+        # plans the aggregate's partial combine + exchange itself);
+        # unknown hints refuse by name
+        while self.at_ident("hint"):
+            self.next()
+            self.eat("punct", ".")
+            prop = self.eat("ident").val
+            if prop not in ("shufflekey", "strategy", "num_partitions"):
+                raise KqlSyntaxError(
+                    f"unsupported summarize hint {prop!r}"
+                )
+            self.eat("punct", "=")
+            self.next()
         aggs = []
         keys = []
         if not self.at_ident("by"):
@@ -1393,6 +1407,78 @@ class _Parser:
                     "python plugin typeof() spec is empty"
                 )
             return K.evaluate_python(df, script, ", ".join(fields))
+        if t.val == "rows_near":
+            # rows_near(Condition, NumRows [, RowsAfter]) — context rows
+            # around matches, over the pinned serialize order (require a
+            # preceding sort, the row_number convention; KQL defines the
+            # plugin over the serialized sequence)
+            order = getattr(self, "_last_order", None)
+            if not order:
+                raise KqlSyntaxError(
+                    "rows_near needs `sort by …` first to pin the row "
+                    "order"
+                )
+            self.eat("punct", "(")
+            cond = self.parse_expr(df=df)
+            self.eat("punct", ",")
+            before = int(_lit_value(self.parse_expr()))
+            after = None
+            if self.at("punct", ","):
+                self.next()
+                after = int(_lit_value(self.parse_expr()))
+            self.eat("punct", ")")
+            return K.rows_near(
+                df, cond.c(), order, before=before, after=after
+            )
+        if t.val == "sequence_detect":
+            # sequence_detect(TsCol, MaxStepWindow, MaxSpanWindow,
+            # State == 's1', State == 's2', …, ActorCol) — bound to the
+            # funnel-join plan (activity.sequence_detect). The step
+            # expressions must all test the SAME column against string
+            # literals (the library's state-column contract); richer
+            # predicates refuse by name.
+            from kusto_pre_forge_spark.operators.activity import (
+                sequence_detect,
+            )
+
+            self.eat("punct", "(")
+            ts_col = self.eat("ident").val
+            self.eat("punct", ",")
+            step_w = self.next()
+            self.eat("punct", ",")
+            span_w = self.next()
+            if step_w.kind != "ts" or span_w.kind != "ts":
+                raise KqlSyntaxError(
+                    "sequence_detect windows must be timespan literals"
+                )
+            steps = []
+            state_col = None
+            while True:
+                self.eat("punct", ",")
+                first = self.eat("ident")
+                if self.at("punct", ")"):
+                    actor = first.val
+                    self.next()
+                    break
+                if state_col is None:
+                    state_col = first.val
+                elif first.val != state_col:
+                    raise KqlSyntaxError(
+                        "sequence_detect steps must all test the same "
+                        f"column ({state_col!r}), got {first.val!r} — "
+                        "richer predicates: use activity.funnel_steps"
+                    )
+                self.eat("punct", "==")
+                steps.append(str(_lit_value(self.parse_expr())))
+            if len(steps) < 2:
+                raise KqlSyntaxError(
+                    "sequence_detect needs at least two step expressions"
+                )
+            return sequence_detect(
+                df, actor, ts_col, state_col, steps,
+                max_step_seconds=int(step_w.val),
+                max_span_seconds=int(span_w.val),
+            )
         if t.val == "bag_unpack":
             self.eat("punct", "(")
             col = self.eat("ident").val

@@ -1427,3 +1427,51 @@ def test_sort_nulls_and_join_hints(spark, t):
             "Events | join kind=inner hint.nope=1 (Lookup) on Level",
             tables,
         )
+
+
+def test_evaluate_rows_near_and_sequence_detect(spark):
+    ev = spark.createDataFrame(
+        [(1, "ok"), (2, "ok"), (3, "error"), (4, "ok"), (5, "ok"),
+         (6, "ok"), (7, "error"), (8, "ok")],
+        "Id long, St string",
+    )
+    rows = [r.Id for r in run_kql(
+        spark,
+        "E | sort by Id asc | evaluate rows_near(St == 'error', 1)",
+        {"E": ev},
+    ).orderBy("Id").collect()]
+    assert rows == [2, 3, 4, 6, 7, 8]
+    # asymmetric window: 0 before, 2 after... (args: NumRows, RowsAfter)
+    rows = [r.Id for r in run_kql(
+        spark,
+        "E | sort by Id asc | evaluate rows_near(St == 'error', 0, 2)",
+        {"E": ev},
+    ).orderBy("Id").collect()]
+    assert rows == [3, 4, 5, 7, 8]
+    with pytest.raises(KqlSyntaxError, match="sort"):
+        run_kql(spark, "E | evaluate rows_near(St == 'error', 1)", {"E": ev})
+
+    seq = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00", "login"),
+         ("u1", "2024-01-01 00:10:00", "search"),
+         ("u1", "2024-01-01 00:15:00", "buy"),
+         ("u2", "2024-01-01 00:00:00", "login"),
+         ("u2", "2024-01-01 09:00:00", "search")],
+        "uid string, tss string, ev string",
+    ).selectExpr("uid", "cast(tss as timestamp) ts", "ev")
+    out = run_kql(
+        spark,
+        "S | evaluate sequence_detect(ts, 30m, 1h, "
+        "ev == 'login', ev == 'search', ev == 'buy', uid)",
+        {"S": seq},
+    ).collect()
+    # u1 completes within windows; u2's search is 9h after login
+    assert [r.uid for r in out] == ["u1"]
+    assert str(out[0].step3_ts) == "2024-01-01 00:15:00"
+    with pytest.raises(KqlSyntaxError, match="same"):
+        run_kql(
+            spark,
+            "S | evaluate sequence_detect(ts, 30m, 1h, "
+            "ev == 'login', uid == 'u1', uid)",
+            {"S": seq},
+        )
