@@ -1002,6 +1002,13 @@ class _Parser:
     def _op_mv_expand(self, df):
         from pyspark.sql.types import VariantType
 
+        idx_name = None
+        if self.at_ident("with_itemindex"):
+            # ``mv-expand with_itemindex=Idx Col`` — ADX's element
+            # ordinal, via posexplode (0-based, per-row; no window)
+            self.next()
+            self.eat("punct", "=")
+            idx_name = self.eat("ident").val
         name, e = self._parse_named_expr()
         col = e.c()
         # a dynamic (VARIANT) column holding a JSON array explodes via
@@ -1014,9 +1021,17 @@ class _Parser:
             col = F.try_variant_get(col, "$", "array<variant>")
         elif e.kind == "variant":
             col = e.as_type("array<variant>")
-        elif e.name is not None and e.name in df.columns and name == e.name:
+        elif (
+            e.name is not None and e.name in df.columns
+            and name == e.name and idx_name is None
+        ):
             return K.mv_expand(df, e.name)
         others = [c for c in df.columns if c != name]
+        if idx_name is not None:
+            return df.select(
+                *others,
+                F.posexplode(col).alias(idx_name, name),
+            ).select(*others, F.col(idx_name).cast("long"), name)
         return df.select(*others, F.explode(col).alias(name))
 
     def _op_mv_apply(self, df):

@@ -1475,3 +1475,17 @@ def test_evaluate_rows_near_and_sequence_detect(spark):
             "ev == 'login', uid == 'u1', uid)",
             {"S": seq},
         )
+
+
+def test_mv_expand_with_itemindex(spark, t):
+    out = _rows(
+        spark,
+        "Events | extend Tags=todynamic(TagsJson) "
+        "| mv-expand with_itemindex=Ix Tags "
+        "| project Id, Ix, Tag=tostring(Tags) | sort by Id asc, Ix asc",
+        t,
+    )
+    assert out == [
+        (1, 0, "a"), (1, 1, "b"), (2, 0, "c"),
+        (4, 0, "d"), (4, 1, "e"), (4, 2, "f"),
+    ]
