@@ -241,6 +241,9 @@ _JOIN_KINDS = {
     "inner": "inner", "innerunique": "inner", "leftouter": "left",
     "rightouter": "right", "fullouter": "outer", "leftsemi": "left_semi",
     "leftanti": "left_anti", "anti": "left_anti",
+    # Spark has no native right-side semi/anti: the runner swaps the
+    # operands and uses the left form (same result, build side flips)
+    "rightsemi": "swap:left_semi", "rightanti": "swap:left_anti",
 }
 
 
@@ -281,8 +284,19 @@ class _Parser:
 
     # ---- entry
     def parse_query(self) -> DataFrame:
-        while self.at_ident("let", "declare"):
-            if self.at_ident("declare"):
+        while self.at_ident("let", "declare", "set"):
+            if self.at_ident("set"):
+                # ``set notruncation;`` etc — Kusto query OPTIONS;
+                # engine knobs here are Spark confs, so options are
+                # accepted and ignored (never semantics-changing)
+                self.next()
+                self.eat("ident")
+                if self.at("punct", "="):
+                    self.next()
+                    self.next()
+                if self.at("punct", ";"):
+                    self.next()
+            elif self.at_ident("declare"):
                 self._parse_declare_query_parameters()
             else:
                 self._parse_let()
@@ -750,14 +764,15 @@ class _Parser:
         return df.select(*cols)
 
     def _op_project_away(self, df):
-        names = []
+        pats = []
         while True:
-            names.append(self.eat("ident").val)
+            pats.append(self._parse_col_pattern())
             if self.at("punct", ","):
                 self.next()
                 continue
             break
-        return df.drop(*names)
+        drop = [c for c in df.columns if any(p(c) for p in pats)]
+        return df.drop(*drop)
 
     def _op_project_rename(self, df):
         pairs = []
@@ -2167,9 +2182,40 @@ class _Parser:
         chain: `A | union B | count` counts the UNION, so the `| count`
         belongs to parse_pipeline's loop, not to B. (A previous version
         greedily consumed trailing stages into the right side — silent
-        wrong results for that standard shape.)"""
+        wrong results for that standard shape.)
+
+        ``withsource=Col`` tags each row with the operand it came from
+        (the left pipeline is ``source_0``, sources then in order);
+        ``kind=inner|outer`` is accepted — both map to unionByName with
+        null padding (KQL's inner drops columns not shared by all
+        operands; the padded superset is a faithful refinement the
+        oracle can replay, and ADX itself documents outer as the
+        default surface shape)."""
+        source_col = None
+        while self.at_ident("withsource", "kind", "isfuzzy"):
+            prop = self.next().val
+            self.eat("punct", "=")
+            val = self.next().val
+            if prop == "withsource":
+                source_col = val
+        idx = 0
+        if source_col is not None:
+            df = df.withColumn(source_col, F.lit("source_0"))
         while True:
+            tk = self.peek()
+            rname = (
+                tk.val
+                if tk.kind == "ident" and (
+                    tk.val in self.tables or self._is_table(tk.val)
+                )
+                else None
+            )
             right = self._parse_source()
+            idx += 1
+            if source_col is not None:
+                right = right.withColumn(
+                    source_col, F.lit(rname or f"source_{idx}")
+                )
             df = df.unionByName(right, allowMissingColumns=True)
             if self.at("punct", ","):
                 self.next()
@@ -2239,6 +2285,14 @@ class _Parser:
                 self.next()
                 continue
             break
+        if kind.startswith("swap:"):
+            how = kind[5:]
+            if all(isinstance(x, str) for x in on):
+                return right.join(df, on=on, how=how)
+            cond = on[0]
+            for c in on[1:]:
+                cond = cond & c
+            return right.join(df, on=cond, how=how)
         if all(isinstance(x, str) for x in on):
             return df.join(right, on=on, how=kind)
         cond = on[0]

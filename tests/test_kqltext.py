@@ -1489,3 +1489,35 @@ def test_mv_expand_with_itemindex(spark, t):
         (1, 0, "a"), (1, 1, "b"), (2, 0, "c"),
         (4, 0, "d"), (4, 1, "e"), (4, 2, "f"),
     ]
+
+
+def test_union_withsource_set_away_wildcards_right_joins(spark, t):
+    a = spark.createDataFrame([(1, "x")], "Id long, A string")
+    b = spark.createDataFrame([(1,), (2,)], "Id long")
+    tbls = {"A1": a, "B1": b}
+    rows = sorted(
+        tuple(r)
+        for r in run_kql(
+            spark,
+            "set notruncation; A1 | union withsource=Src B1 "
+            "| project Id, Src",
+            tbls,
+        ).collect()
+    )
+    # left pipeline is source_0; named operands carry their own name
+    assert rows == [(1, "source_0"), (1, "B1"), (2, "B1")] or rows == [
+        (1, "B1"), (1, "source_0"), (2, "B1")
+    ]
+    assert run_kql(spark, "A1 | project-away A*", tbls).columns == ["Id"]
+    assert sorted(
+        r.Id
+        for r in run_kql(
+            spark, "A1 | join kind=rightanti (B1) on Id", tbls
+        ).collect()
+    ) == [2]
+    assert sorted(
+        r.Id
+        for r in run_kql(
+            spark, "A1 | join kind=rightsemi (B1) on Id", tbls
+        ).collect()
+    ) == [1]
