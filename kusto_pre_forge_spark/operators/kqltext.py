@@ -2755,6 +2755,27 @@ class _Parser:
         s = span.c()
         return KExpr(F.floor(x.c() / s) * s)
 
+    def _fn_bin_at(self, args):
+        """``bin_at(x, size, fixedPoint)`` — bins aligned to the fixed
+        point rather than zero/epoch (the make-series from/to
+        alignment, exposed as the scalar). Timespan sizes bin
+        datetimes; numeric sizes bin numbers."""
+        x, span, fixed = args
+        if span.kind == "timespan":
+            secs = F.lit(float(_lit_value(span)))
+            f = F.unix_timestamp(fixed.as_type("timestamp"))
+            return KExpr(
+                F.timestamp_seconds(
+                    f + F.floor(
+                        (F.unix_timestamp(x.as_type("timestamp")) - f)
+                        / secs
+                    ) * secs
+                )
+            )
+        s = span.c()
+        f = fixed.c()
+        return KExpr(f + F.floor((x.c() - f) / s) * s)
+
     def _fn_datetime(self, args):
         return KExpr(args[0].as_type("timestamp"))
 

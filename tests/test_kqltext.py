@@ -1521,3 +1521,17 @@ def test_union_withsource_set_away_wildcards_right_joins(spark, t):
             spark, "A1 | join kind=rightsemi (B1) on Id", tbls
         ).collect()
     ) == [1]
+
+
+def test_bin_at(spark, t):
+    out = run_kql(
+        spark,
+        "print x = bin_at(6.5, 2.5, 7.0), "
+        "t = bin_at(datetime('2024-03-01 03:45:00'), 1h, "
+        "datetime('2024-03-01 00:30:00'))",
+        t,
+    ).collect()[0]
+    # ADX doc example: bin_at(6.5, 2.5, 7) == 4.5; datetime bins align
+    # to the fixed point's minute offset
+    assert out.x == 4.5
+    assert str(out.t) == "2024-03-01 03:30:00"
