@@ -414,17 +414,20 @@ def ago(interval_expr: str) -> Column:
     return F.current_timestamp() - F.expr(f"INTERVAL {interval_expr}")
 
 
-def _build_parse_pattern(segments) -> tuple[str, list[tuple[str, str]]]:
+def _build_parse_pattern(
+    segments, regex_literals: bool = False
+) -> tuple[str, list[tuple[str, str]]]:
     """(regex, captures) for the KQL ``parse`` segment list — ONE builder
     shared by ``parse_pattern`` and ``parse_where`` so the row filter and
-    the extractor can never disagree."""
+    the extractor can never disagree. ``regex_literals`` is KQL's
+    ``kind=regex``: the string segments are regex fragments, used raw."""
     import re as _re
 
     pattern = "^"
     caps: list[tuple[str, str]] = []
     for i, seg in enumerate(segments):
         if isinstance(seg, str):
-            pattern += _re.escape(seg)
+            pattern += seg if regex_literals else _re.escape(seg)
         else:
             name, typ = seg
             is_last_capture = all(isinstance(s, str) for s in segments[i + 1 :])
@@ -433,7 +436,9 @@ def _build_parse_pattern(segments) -> tuple[str, list[tuple[str, str]]]:
     return pattern, caps
 
 
-def parse_pattern(df: DataFrame, col: Column | str, *segments) -> DataFrame:
+def parse_pattern(
+    df: DataFrame, col: Column | str, *segments, regex_literals: bool = False
+) -> DataFrame:
     """KQL ``parse Col with "lit" Name:type "lit2" Name2:type2 ...``.
 
     ``segments`` alternate string literals and ``(name, type)`` capture
@@ -446,7 +451,7 @@ def parse_pattern(df: DataFrame, col: Column | str, *segments) -> DataFrame:
     codegen'd pass, not one regex per field.
     """
     c = _c(col)
-    pattern, caps = _build_parse_pattern(segments)
+    pattern, caps = _build_parse_pattern(segments, regex_literals)
     out = df
     for gi, (name, typ) in enumerate(caps, start=1):
         val = F.regexp_extract(c, pattern, gi)
@@ -5137,14 +5142,19 @@ def ipv6_lookup(
     return out.drop("_kpf_ip6", "_kpf_net", "_kpf_q", "_kpf_r")
 
 
-def parse_where(df: DataFrame, col: Column | str, *segments) -> DataFrame:
+def parse_where(
+    df: DataFrame, col: Column | str, *segments, regex_literals: bool = False
+) -> DataFrame:
     """KQL ``parse-where`` — :func:`parse_pattern` that additionally DROPS
     rows not matching the pattern (plain ``parse`` keeps them with
     empty/null captures). The filter rlikes the SAME compiled pattern
     the extractor uses (one shared builder), so match + extract stay one
     codegen pass and can never disagree."""
-    pattern, _ = _build_parse_pattern(segments)
-    return parse_pattern(df.filter(_c(col).rlike(pattern)), col, *segments)
+    pattern, _ = _build_parse_pattern(segments, regex_literals)
+    return parse_pattern(
+        df.filter(_c(col).rlike(pattern)), col, *segments,
+        regex_literals=regex_literals,
+    )
 
 
 def getschema(df: DataFrame) -> DataFrame:

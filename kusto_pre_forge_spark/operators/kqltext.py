@@ -1208,10 +1208,23 @@ class _Parser:
         return df.withColumns(cols)
 
     def _parse_like(self, df, where: bool):
+        # kind=simple (default) escapes the literal segments;
+        # kind=regex uses them as raw regex fragments; kind=relaxed
+        # maps to simple — the extractor already try_casts, so failed
+        # typed captures become null, the relaxed contract. Unknown
+        # kinds refuse (a previous version swallowed kind=regex and
+        # silently ran SIMPLE semantics — a mis-run, never again).
+        regex_lits = False
         if self.at_ident("kind"):
             self.next()
             self.eat("punct", "=")
-            self.eat("ident")
+            k = self.eat("ident").val
+            if k == "regex":
+                regex_lits = True
+            elif k not in ("simple", "relaxed"):
+                raise KqlSyntaxError(
+                    f"parse kind=simple|regex|relaxed, got {k!r}"
+                )
         src = self.eat("ident").val
         self.eat("ident", "with")
         segments = []
@@ -1234,7 +1247,7 @@ class _Parser:
                 continue
             break
         fn = K.parse_where if where else K.parse_pattern
-        return fn(df, src, *segments)
+        return fn(df, src, *segments, regex_literals=regex_lits)
 
     def _op_serialize(self, df):
         """``| serialize`` — marks the preceding sort's order as the

@@ -1535,3 +1535,31 @@ def test_bin_at(spark, t):
     # to the fixed point's minute offset
     assert out.x == 4.5
     assert str(out.t) == "2024-03-01 03:30:00"
+
+
+def test_parse_kind_regex_and_refusal(spark):
+    ev = spark.createDataFrame(
+        [(1, "id=42   level=err"), (2, "nope")], "Id long, T string"
+    )
+    t = {"E": ev}
+    out = _rows(
+        spark,
+        "E | parse-where kind=regex T with 'id=' n:long '\\\\s+level=' lv "
+        "| project Id, n, lv",
+        t,
+    )
+    assert out == [(1, 42, "err")]
+    # default simple kind ESCAPES literals: \s+ is four literal chars
+    assert run_kql(
+        spark, "E | parse-where T with 'id=' n:long '\\\\s+level=' lv", t
+    ).count() == 0
+    # relaxed maps to simple (try_cast already nulls failed captures)
+    out = _rows(
+        spark,
+        "E | parse kind=relaxed T with 'id=' n:long ' ' rest "
+        "| project Id, n | sort by Id asc",
+        t,
+    )
+    assert out == [(1, 42), (2, None)]
+    with pytest.raises(KqlSyntaxError, match="kind"):
+        run_kql(spark, "E | parse kind=bogus T with 'x' v", t)
