@@ -1450,6 +1450,64 @@ class _Parser:
                     "python plugin typeof() spec is empty"
                 )
             return K.evaluate_python(df, script, ", ".join(fields))
+        if t.val in (
+            "activity_counts_metrics", "session_count",
+            "activity_engagement", "funnel_sequence",
+        ):
+            # the ADX activity-analytics plugin family, bound to the
+            # library's actor-keyed plans (operators/activity.py):
+            # activity_counts_metrics(Actor, Ts) — per-day counts/
+            # dcounts/new/cumulative; session_count(Actor, Ts
+            # [, Lookback]) — sessions started per day;
+            # activity_engagement(Actor, Ts, InnerSpan, OuterSpan) —
+            # rolling DAU/WAU-style ratios; funnel_sequence(Actor, Ts,
+            # State, MidState) — (prev, next) pair counts around a
+            # state. Day granularity (the plugins' bin argument
+            # defaults); timespan args convert to whole days/seconds.
+            from kusto_pre_forge_spark.operators import activity as A
+
+            self.eat("punct", "(")
+            actor = self.eat("ident").val
+            self.eat("punct", ",")
+            ts_col = self.eat("ident").val
+            if t.val == "activity_counts_metrics":
+                self.eat("punct", ")")
+                return A.activity_counts_metrics(df, actor, ts_col)
+            if t.val == "session_count":
+                lookback = 1800.0
+                if self.at("punct", ","):
+                    self.next()
+                    lb = self.next()
+                    if lb.kind != "ts":
+                        raise KqlSyntaxError(
+                            "session_count lookback must be a timespan"
+                        )
+                    lookback = float(lb.val)
+                self.eat("punct", ")")
+                return A.session_count(
+                    df, actor, ts_col, lookback_seconds=lookback
+                )
+            if t.val == "activity_engagement":
+                self.eat("punct", ",")
+                inner = self.next()
+                self.eat("punct", ",")
+                outer = self.next()
+                self.eat("punct", ")")
+                if inner.kind != "ts" or outer.kind != "ts":
+                    raise KqlSyntaxError(
+                        "activity_engagement spans must be timespans"
+                    )
+                return A.rolling_engagement(
+                    df, actor, ts_col,
+                    inner_days=max(1, int(float(inner.val) // 86400)),
+                    outer_days=max(1, int(float(outer.val) // 86400)),
+                )
+            self.eat("punct", ",")
+            state = self.eat("ident").val
+            self.eat("punct", ",")
+            mid = str(_lit_value(self.parse_expr()))
+            self.eat("punct", ")")
+            return A.funnel_sequence(df, actor, ts_col, state, mid)
         if t.val == "rows_near":
             # rows_near(Condition, NumRows [, RowsAfter]) — context rows
             # around matches, over the pinned serialize order (require a

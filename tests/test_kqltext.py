@@ -1563,3 +1563,45 @@ def test_parse_kind_regex_and_refusal(spark):
     assert out == [(1, 42), (2, None)]
     with pytest.raises(KqlSyntaxError, match="kind"):
         run_kql(spark, "E | parse kind=bogus T with 'x' v", t)
+
+
+def test_evaluate_activity_plugin_family(spark):
+    rows = [
+        ("u1", "2024-01-01 10:00:00", "a"),
+        ("u1", "2024-01-01 10:05:00", "b"),
+        ("u1", "2024-01-01 12:00:00", "c"),
+        ("u2", "2024-01-02 09:00:00", "a"),
+    ]
+    s = spark.createDataFrame(
+        rows, "uid string, tss string, st string"
+    ).selectExpr("uid", "cast(tss as timestamp) ts", "st")
+    t = {"S": s}
+    acm = {
+        str(r.bin): (r.count_, r.dcount, r.new_dcount, r.aggregated_dcount)
+        for r in run_kql(
+            spark, "S | evaluate activity_counts_metrics(uid, ts)", t
+        ).collect()
+    }
+    assert acm["2024-01-01 00:00:00"] == (3, 1, 1, 1)
+    assert acm["2024-01-02 00:00:00"] == (1, 1, 1, 2)
+    # 30m lookback: u1's 12:00 event starts a second session
+    sc = sorted(
+        (str(r[0]), r[1])
+        for r in run_kql(
+            spark, "S | evaluate session_count(uid, ts, 30m)", t
+        ).collect()
+    )
+    assert sc == [("2024-01-01 00:00:00", 2), ("2024-01-02 00:00:00", 1)]
+    eng = run_kql(
+        spark, "S | evaluate activity_engagement(uid, ts, 1d, 7d)", t
+    )
+    assert eng.columns == [
+        "day", "inner_active", "outer_active", "engagement_ratio",
+    ]
+    fs = sorted(
+        tuple(r)
+        for r in run_kql(
+            spark, "S | evaluate funnel_sequence(uid, ts, st, 'b')", t
+        ).collect()
+    )
+    assert fs == [("a", "c", 1)]
