@@ -3041,6 +3041,73 @@ _SCALAR_FNS = {
     ),
 }
 
+# Everyday scalar completions (round-13): datetime parts, min/max_of,
+# array/bag merges, float classification — each a direct builtin map.
+_SCALAR_FNS.update({
+    "format_timespan": lambda a, fmt: _format_timespan(
+        a, str(_lit_value(fmt))
+    ),
+    "datetime_part": lambda part, a: _datetime_part(
+        str(_lit_value(part)).lower(), a
+    ),
+    "week_of_year": lambda a: F.weekofyear(a.c()).cast("long"),
+    "monthofyear": lambda a: F.month(a.c()).cast("long"),
+    "dayofyear": lambda a: F.dayofyear(a.c()).cast("long"),
+    "make_datetime": lambda y, mo, d, *hms: F.make_timestamp(
+        y.c().cast("int"), mo.c().cast("int"), d.c().cast("int"),
+        hms[0].c().cast("int") if len(hms) > 0 else F.lit(0),
+        hms[1].c().cast("int") if len(hms) > 1 else F.lit(0),
+        hms[2].c().cast("double") if len(hms) > 2 else F.lit(0.0),
+    ),
+    "unixtime_seconds_todatetime": lambda a: F.timestamp_seconds(
+        a.c().cast("double")
+    ),
+    "unixtime_milliseconds_todatetime": lambda a: F.timestamp_millis(
+        a.c().cast("long")
+    ),
+    "max_of": lambda *a: F.greatest(*[x.c() for x in a]),
+    "min_of": lambda *a: F.least(*[x.c() for x in a]),
+    "array_concat": lambda *a: F.concat(*[x.c() for x in a]),
+    "isfinite": lambda a: ~(F.isnan(a.c()) | (F.abs(a.c()) == float("inf"))),
+    "isinf": lambda a: F.abs(a.c()) == float("inf"),
+})
+
+
+def _datetime_part(part: str, a) -> Column:
+    """KQL ``datetime_part(part, dt)`` — named calendar component.
+    Kusto returns int; weeks are ISO (weekofyear)."""
+    c = a.c()
+    parts = {
+        "year": F.year, "month": F.month, "day": F.dayofmonth,
+        "hour": F.hour, "minute": F.minute, "second": F.second,
+        "dayofyear": F.dayofyear, "week_of_year": F.weekofyear,
+        "quarter": F.quarter,
+    }
+    fn = parts.get(part)
+    if fn is None:
+        raise KqlSyntaxError(f"unsupported datetime_part {part!r}")
+    return fn(c).cast("long")
+
+
+def _format_timespan(a, fmt: str) -> Column:
+    """KQL ``format_timespan(ts, fmt)`` for the common ``d.hh:mm:ss``
+    and ``hh:mm:ss`` shapes (timespans are double seconds internally).
+    Other format strings refuse by name."""
+    total = a.c().cast("double")
+    d = F.floor(total / 86400).cast("long")
+    h = F.floor((total % 86400) / 3600).cast("long")
+    m = F.floor((total % 3600) / 60).cast("long")
+    s = F.floor(total % 60).cast("long")
+    if fmt in ("d.hh:mm:ss",):
+        return F.format_string("%d.%02d:%02d:%02d", d, h, m, s)
+    if fmt in ("hh:mm:ss",):
+        return F.format_string("%02d:%02d:%02d", d * 24 + h, m, s)
+    raise KqlSyntaxError(
+        f"unsupported format_timespan format {fmt!r} — "
+        "d.hh:mm:ss and hh:mm:ss are supported"
+    )
+
+
 # Packed-series scalars (round-13): the library's Column→Column series
 # toolkit exposed to pasted KQL. Coefficient/size arguments are literals
 # (dynamic([...]) / numbers) — the same plan-build-time unrolling the

@@ -1605,3 +1605,31 @@ def test_evaluate_activity_plugin_family(spark):
         ).collect()
     )
     assert fs == [("a", "c", 1)]
+
+
+def test_scalar_completions_round13(spark, t):
+    out = run_kql(
+        spark,
+        "print a = week_of_year(datetime('2024-03-01')), "
+        "b = datetime_part('quarter', datetime('2024-05-01')), "
+        "c = max_of(1, 9, 4), d = min_of(2.5, 1.5), "
+        "e = format_timespan(90061s, 'd.hh:mm:ss'), "
+        "f = format_timespan(3725s, 'hh:mm:ss'), "
+        "g = make_datetime(2024, 3, 1, 12, 30, 15.0), "
+        "h = unixtime_seconds_todatetime(1704067200), "
+        "i = array_concat(dynamic([1, 2]), dynamic([3])), "
+        "j = isfinite(1.0), k = isinf(1.0)",
+        t,
+    ).collect()[0]
+    assert out.a == 9 and out.b == 2 and out.c == 9 and out.d == 1.5
+    assert out.e == "1.01:01:01" and out.f == "01:02:05"
+    assert str(out.g) == "2024-03-01 12:30:15"
+    assert str(out.h) == "2024-01-01 00:00:00"
+    assert out.i == [1, 2, 3]
+    assert out.j is True and out.k is False
+    with pytest.raises(KqlSyntaxError, match="format_timespan"):
+        run_kql(spark, "print x = format_timespan(1s, 'ss.fff')", t)
+    with pytest.raises(KqlSyntaxError, match="datetime_part"):
+        run_kql(
+            spark, "print x = datetime_part('era', datetime('2024-01-01'))", t
+        )
