@@ -2671,6 +2671,13 @@ class _Parser:
 
     def _parse_dynamic_literal(self) -> KExpr:
         self.eat("punct", "(")
+        if self.peek().kind == "ident" and self.peek().braq:
+            # dynamic(['x']) — a single quoted string in brackets lexes
+            # as a bracket-quoted identifier; here it is the one-element
+            # list literal
+            v = self.next().val
+            self.eat("punct", ")")
+            return KExpr(F.lit([v]), pyval=[v])
         self.eat("punct", "[")
         vals = []
         if not self.at("punct", "]"):
@@ -3070,6 +3077,19 @@ _SCALAR_FNS.update({
     "array_concat": lambda *a: F.concat(*[x.c() for x in a]),
     "isfinite": lambda a: ~(F.isnan(a.c()) | (F.abs(a.c()) == float("inf"))),
     "isinf": lambda a: F.abs(a.c()) == float("inf"),
+    # property-bag scalars, bound to the library's deterministic
+    # (sorted-key) JSON forms
+    "bag_keys": lambda a: K.bag_keys(a.as_type("string")),
+    "bag_merge": lambda a, b: K.bag_merge(
+        a.as_type("string"), b.as_type("string")
+    ),
+    "bag_remove_keys": lambda a, ks: K.bag_remove_keys(
+        a.as_type("string"), [str(k) for k in _lit_value(ks)]
+    ),
+    "bag_has_key": lambda a, k: K.bag_has_key(
+        a.as_type("string"), str(_lit_value(k))
+    ),
+    "bag_pack": lambda *a: K.bag_pack(*[x.c() for x in a]),
 })
 
 

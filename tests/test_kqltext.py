@@ -1633,3 +1633,26 @@ def test_scalar_completions_round13(spark, t):
         run_kql(
             spark, "print x = datetime_part('era', datetime('2024-01-01'))", t
         )
+
+
+def test_bag_scalars_and_single_element_dynamic(spark, t):
+    out = run_kql(
+        spark,
+        "print a = bag_keys('{\"b\": 1, \"a\": 2}'), "
+        "m = bag_merge('{\"x\": \"1\"}', '{\"x\": \"9\", \"y\": \"2\"}'), "
+        "r = bag_remove_keys('{\"x\": \"1\", \"y\": \"2\"}', "
+        "dynamic(['y'])), "
+        "h = bag_has_key('{\"x\": 1}', 'x'), "
+        "p = bag_pack('k', 5)",
+        t,
+    ).collect()[0]
+    assert out.a == ["a", "b"]
+    # left value wins on conflict (Kusto's bag_merge rule), keys sorted
+    assert out.m == '{"x":"1","y":"2"}'
+    assert out.r == '{"x":"1"}'
+    assert out.h is True and out.p == '{"k":5}'
+    # dynamic(['x']) — the single-quoted-string list form parses (it
+    # lexes as a bracket-quoted ident; the literal grammar folds it)
+    assert _rows(
+        spark, "print v = array_length(dynamic(['only']))", t
+    ) == [(1,)]
