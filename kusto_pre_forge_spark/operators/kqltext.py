@@ -568,6 +568,20 @@ class _Parser:
             hi = self.parse_expr()
             self.eat("ident", "step")
             step = self.parse_expr()
+            if step.kind == "timespan":
+                # datetime axis: range ts from datetime(a) to
+                # datetime(b) step 1d — inclusive bounds like the
+                # numeric form, via one literal-sized sequence
+                secs = int(float(_lit_value(step)))
+                return self.spark.range(1).select(
+                    F.explode(
+                        F.sequence(
+                            lo.as_type("timestamp"),
+                            hi.as_type("timestamp"),
+                            F.expr(f"INTERVAL {secs} SECOND"),
+                        )
+                    ).alias(name)
+                )
             lo_v, hi_v, st_v = (
                 _lit_value(lo), _lit_value(hi), _lit_value(step)
             )

@@ -1656,3 +1656,22 @@ def test_bag_scalars_and_single_element_dynamic(spark, t):
     assert _rows(
         spark, "print v = array_length(dynamic(['only']))", t
     ) == [(1,)]
+
+
+def test_range_datetime_axis(spark, t):
+    out = run_kql(
+        spark,
+        "range d from datetime('2024-03-01') to datetime('2024-03-04') "
+        "step 1d | count",
+        t,
+    ).collect()[0][0]
+    assert out == 4  # inclusive bounds, like the numeric form
+    first = run_kql(
+        spark,
+        "range h from datetime('2024-03-01 00:00:00') "
+        "to datetime('2024-03-01 02:00:00') step 30m | sort by h asc",
+        t,
+    ).collect()
+    assert [str(r.h) for r in first][:3] == [
+        "2024-03-01 00:00:00", "2024-03-01 00:30:00", "2024-03-01 01:00:00",
+    ]
