@@ -744,7 +744,10 @@ class _Parser:
         return self._op_where(df)
 
     def _op_take(self, df):
-        return df.limit(int(_lit_value(self.parse_expr())))
+        n = int(_lit_value(self.parse_expr()))
+        if not 0 <= n <= 2**31 - 1:
+            raise KqlSyntaxError(f"take: row count {n} out of range")
+        return df.limit(n)
 
     def _op_limit(self, df):
         return self._op_take(df)
@@ -2636,6 +2639,13 @@ class _Parser:
         if t.kind == "str":
             return KExpr(F.lit(t.val), kind="string", pyval=t.val)
         if t.kind == "num":
+            if isinstance(t.val, int) and not (
+                -(2**63) <= t.val <= 2**63 - 1
+            ):
+                raise KqlSyntaxError(
+                    f"integer literal {t.val} exceeds long range "
+                    f"at offset {t.pos}"
+                )
             return KExpr(F.lit(t.val), kind="number", pyval=t.val)
         if t.kind == "ts":
             return KExpr(
@@ -2737,8 +2747,17 @@ class _Parser:
         builder = _SCALAR_FNS.get(name)
         if builder is not None:
             fields = _STRUCT_FNS.get(name)
+            try:
+                col = builder(*args)
+            except TypeError as ex:
+                # arity mismatch on a bound scalar: a grammar error,
+                # not an engine crash
+                raise KqlSyntaxError(
+                    f"wrong number of arguments for {name}() at offset "
+                    f"{pos}: {ex}"
+                ) from None
             return KExpr(
-                builder(*args),
+                col,
                 kind="struct" if fields else "plain",
                 struct_fields=fields,
             )

@@ -1675,3 +1675,25 @@ def test_range_datetime_axis(spark, t):
     assert [str(r.h) for r in first][:3] == [
         "2024-03-01 00:00:00", "2024-03-01 00:30:00", "2024-03-01 01:00:00",
     ]
+
+
+def test_malformed_queries_fail_loudly_not_crash(spark, t):
+    """A sweep of malformed inputs: every one must raise KqlSyntaxError
+    (grammar error), never an engine-internal TypeError/IndexError."""
+    bad = [
+        "E |", "E | where", "| where x", "E | project ,",
+        "E | top", "E | join (E)", "E | join kind=inner (E) on",
+        "E | mv-expand", "E | evaluate", "E | evaluate pivot(",
+        "E | parse", "E | scan", "E | partition by",
+        "find in ()", "search", "let x = ;",
+        "E | extend (a, b) = 1", "E | invoke", "E | lookup (E) on",
+        "range x from 1 to", "print", "datatable(a:long) [1",
+        "E | as", "E | sample", "E | union", "E | reduce",
+        "E | where (Id", "E | sort by",
+        "E | extend x = bag_merge()",
+        "E | take 9999999999999999999999",
+    ]
+    e = spark.createDataFrame([(1,)], "Id long")
+    for q in bad:
+        with pytest.raises(KqlSyntaxError):
+            run_kql(spark, q, {"E": e})
