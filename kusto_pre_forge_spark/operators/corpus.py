@@ -1621,3 +1621,49 @@ def dpo_render(
         f"{out_prefix}rejected_s": rs,
         f"{out_prefix}rejected_e": re_,
     })
+
+
+def sft_tokenize_mask(
+    df: DataFrame,
+    merges,
+    prompt_col: str = "prompt",
+    response_col: str = "response",
+    id_col: str = "doc_id",
+    vocab_ids=None,
+) -> DataFrame:
+    """Token-level SFT hand-off: ``input_ids`` + ``loss_mask`` per
+    example, by the standard trainer recipe — prompt and response are
+    byte-BPE encoded SEPARATELY and concatenated, so the mask is
+    ``[0]*len(prompt_ids) ++ [1]*len(response_ids)`` by construction
+    (no offset mapping, no tokenizer changes; segment-boundary tokens
+    differ from a whole-string encode exactly as they do in real
+    trainer stacks, which insert role sentinels at the same seam).
+
+    ONE Arrow map stage: both segments encode through the same
+    rank-dict document encoder in a single projection — zero joins,
+    zero exchanges; compose with :func:`sequence_pack_nosplit` /
+    :func:`materialize_packed_sequences` downstream for packed batches.
+    """
+    from kusto_pre_forge_spark.operators.textprep import (
+        _bpe_encode_doc_udf,
+        byte_pretokens,
+    )
+
+    enc = _bpe_encode_doc_udf(merges, vocab_ids)
+    p_ids = enc(byte_pretokens(F.coalesce(F.col(prompt_col), F.lit(""))))
+    r_ids = enc(byte_pretokens(F.coalesce(F.col(response_col), F.lit(""))))
+    t = df.select(
+        F.col(id_col),
+        p_ids.alias("_p"),
+        r_ids.alias("_r"),
+    )
+    return t.select(
+        id_col,
+        F.concat("_p", "_r").alias("input_ids"),
+        F.concat(
+            F.transform("_p", lambda _: F.lit(0)),
+            F.transform("_r", lambda _: F.lit(1)),
+        ).alias("loss_mask"),
+        F.size("_p").cast("long").alias("n_prompt_tokens"),
+        F.size("_r").cast("long").alias("n_response_tokens"),
+    )

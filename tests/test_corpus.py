@@ -774,3 +774,42 @@ def test_dpo_render_pair_spans(spark):
         r.dpo_rejected_text[: r.dpo_rejected_s]
     # null response renders as empty content, never a null row
     assert rows[2].dpo_rejected_s == rows[2].dpo_rejected_e
+
+
+def test_sft_tokenize_mask_invariants(spark):
+    from kusto_pre_forge_spark.operators.corpus import sft_tokenize_mask
+    from kusto_pre_forge_spark.operators import textprep
+
+    d = spark.createDataFrame(
+        [(1, "the quick brown", "fox jumps over"),
+         (2, "hello", ""), (3, "", "world"), (4, None, None)],
+        "doc_id long, prompt string, response string",
+    )
+    corpus = d.selectExpr(
+        "doc_id", "concat(coalesce(prompt,''), ' ', coalesce(response,'')) as text"
+    )
+    merges = textprep.train_bpe(corpus, n_merges=4, byte_level=True)
+    out = {r.doc_id: r for r in sft_tokenize_mask(d, merges).collect()}
+    for r in out.values():
+        # mask length == ids length; mask sums to the response tokens;
+        # prompt+response counts partition the stream
+        assert len(r.loss_mask) == len(r.input_ids)
+        assert sum(r.loss_mask) == r.n_response_tokens
+        assert r.n_prompt_tokens + r.n_response_tokens == len(r.input_ids)
+        # mask is a clean 0-block then 1-block (separately-encoded
+        # segments concatenate, never interleave)
+        assert r.loss_mask == [0] * r.n_prompt_tokens + [1] * r.n_response_tokens
+    # the response segment's ids equal encoding the response alone
+    solo = {
+        r.doc_id: r
+        for r in sft_tokenize_mask(
+            d.selectExpr("doc_id", "'' as prompt", "response"), merges
+        ).collect()
+    }
+    for k in out:
+        assert out[k].input_ids[out[k].n_prompt_tokens:] == list(
+            solo[k].input_ids
+        )
+    # empty/null segments yield empty blocks, never nulls
+    assert out[2].n_response_tokens == 0 and out[3].n_prompt_tokens == 0
+    assert out[4].input_ids == [] and out[4].loss_mask == []
