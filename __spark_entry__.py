@@ -8053,6 +8053,63 @@ def _q_corpus_dpo_render(spark, sf):
     )
 
 
+def _q_corpus_sft_tokenize(spark, sf):
+    """Token-level SFT hand-off (round-13): documents split into
+    (prompt = first 60 chars, response = the rest), byte-BPE trained on
+    the SEGMENT corpus and each segment encoded separately
+    (corpus.sft_tokenize_mask — the standard trainer recipe: loss_mask
+    is zeros(prompt) ++ ones(response) by construction, no offset
+    mapping). Output exposes per-segment token counts + id heads so the
+    oracle — the full DuckDB byte-BPE replay chain run over a CTE that
+    SHADOWS the documents view with the doubled segment table — checks
+    the actual token ids end to end."""
+    from kusto_pre_forge_spark.operators import textprep
+    from kusto_pre_forge_spark.operators.corpus import (
+        _widen_for_fanout,
+        sft_tokenize_mask,
+    )
+
+    d = _widen_for_fanout(load_table(spark, sf, "documents"))
+    text = F.coalesce(F.col("text"), F.lit(""))
+    seg = d.select(
+        "doc_id",
+        F.substring(text, 1, 60).alias("prompt"),
+        F.when(
+            F.length(text) > 60,
+            F.expr("substring(coalesce(text, ''), 61)"),
+        ).otherwise(F.lit("")).alias("response"),
+    )
+    segcorpus = seg.selectExpr(
+        "doc_id * 2 AS doc_id", "prompt AS text"
+    ).unionAll(
+        seg.selectExpr("doc_id * 2 + 1 AS doc_id", "response AS text")
+    )
+    merges = textprep.train_bpe(segcorpus, n_merges=6, byte_level=True)
+    out = sft_tokenize_mask(seg, merges)
+
+    def head(arr):
+        return F.concat_ws(
+            ",", F.transform(arr, lambda v: v.cast("string"))
+        )
+
+    p_head = head(F.slice(
+        "input_ids", F.lit(1),
+        F.least(F.lit(16), F.col("n_prompt_tokens")).cast("int"),
+    ))
+    r_head = head(F.slice(
+        "input_ids",
+        (F.col("n_prompt_tokens") + 1).cast("int"),
+        F.lit(16),
+    ))
+    return out.select(
+        "doc_id",
+        "n_prompt_tokens",
+        "n_response_tokens",
+        p_head.alias("prompt_ids_head"),
+        r_head.alias("response_ids_head"),
+    )
+
+
 def _q_kqltext_bag_narrow(spark, sf):
     """``evaluate bag_unpack`` + ``evaluate narrow`` through the TEXT
     parser (round-13): unpack the events property bag with a DECLARED
@@ -8539,6 +8596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kqltext_top_nested": _q_kqltext_top_nested,
         "kqltext_scan": _q_kqltext_scan,
         "kqltext_bag_narrow": _q_kqltext_bag_narrow,
+        "corpus_sft_tokenize": _q_corpus_sft_tokenize,
         "kqltext_series_fromto": _q_kqltext_series_fromto,
         "corpus_dpo_render": _q_corpus_dpo_render,
         "corpus_fim": _q_corpus_fim,
@@ -9635,6 +9693,37 @@ def _bpe_encode_oracle_sql(
     )
 
 
+def _sft_tokenize_oracle_sql() -> str:
+    """corpus_sft_tokenize's oracle: the byte-BPE replay chain reused
+    VERBATIM, run over a CTE that SHADOWS the documents view with the
+    doubled segment table (prompt rows keyed doc_id*2, response rows
+    doc_id*2+1; ``main.documents`` reaches the real view underneath —
+    DuckDB's schema-qualified escape from CTE shadowing), then a
+    per-doc rejoin of the two segment encodings with 0/'' fills for
+    segments that produced no pre-tokens."""
+    shadow = (
+        "documents AS ("
+        "SELECT doc_id * 2 AS doc_id, "
+        "substr(COALESCE(text, ''), 1, 60) AS text FROM main.documents "
+        "UNION ALL "
+        "SELECT doc_id * 2 + 1, CASE WHEN length(COALESCE(text, '')) > 60 "
+        "THEN substr(COALESCE(text, ''), 61) ELSE '' END "
+        "FROM main.documents), "
+    )
+    enc = "WITH " + shadow + _bpe_encode_oracle_sql()[len("WITH "):]
+    return (
+        "WITH enc AS (" + enc + ") "
+        "SELECT CAST(b.doc_id AS BIGINT) AS doc_id, "
+        "COALESCE(p.n_tokens, 0) AS n_prompt_tokens, "
+        "COALESCE(r.n_tokens, 0) AS n_response_tokens, "
+        "COALESCE(p.ids_head, '') AS prompt_ids_head, "
+        "COALESCE(r.ids_head, '') AS response_ids_head "
+        "FROM main.documents b "
+        "LEFT JOIN enc p ON p.doc_id = CAST(b.doc_id AS BIGINT) * 2 "
+        "LEFT JOIN enc r ON r.doc_id = CAST(b.doc_id AS BIGINT) * 2 + 1"
+    )
+
+
 def _bpe_byte_oracle_sql(n_merges: int = 6, min_pair: int = 2) -> str:
     """text_bpe_byte's oracle: the shared replay chain + per-doc token
     stats (column names matching apply_bpe's output)."""
@@ -10046,6 +10135,7 @@ def oracle_sql() -> dict[str, str]:
         # byte-level train+apply replay — see _bpe_byte_oracle_sql
         "text_bpe_byte": _bpe_byte_oracle_sql(),
         "text_bpe_encode": _bpe_encode_oracle_sql(),
+        "corpus_sft_tokenize": _sft_tokenize_oracle_sql(),
         "text_bpe_interchange": (
             # the exported/imported table is the engine's own, so the
             # encode replay is text_bpe_encode's; byte-level decode is

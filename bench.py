@@ -177,6 +177,7 @@ HEADLINE = [
     "corpus_fim",
     "corpus_sft_render",
     "corpus_dpo_render",
+    "corpus_sft_tokenize",
     "kqltext_bag_narrow",
     "kqltext_series_fromto",
     "text_url_canonicalize",
