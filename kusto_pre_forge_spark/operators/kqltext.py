@@ -23,10 +23,25 @@ everyday tabular operators:
   literals ``let f = (T:(*), k:long=5) { … }`` called in scalar,
   source, or ``| invoke f(…)`` position (bodies re-parse at the call
   site — every invocation is an ordinary Catalyst plan)
-- ``find in (T1, T2) where …``, ``partition by Col ( stages )``
-  (legacy bounded-key contract), ``scan`` (accumulate profiles →
-  segment windows), ``project-keep``/``project-reorder``,
-  ``reduce by``, ``consume``
+- ``find in (T1, T2) where …``, ``search in (T1, T2) 'term'``,
+  ``partition by Col ( stages )`` (legacy bounded-key contract),
+  ``scan`` (accumulate profiles → distributed-prefix-sum segment
+  windows), ``project-keep``/``project-reorder``, ``reduce by``,
+  ``consume``, ``declare query_parameters (…)``, ``set option;``
+- evaluate plugins: ``pivot`` / ``python`` / ``basket`` /
+  ``autocluster`` / ``diffpatterns`` / ``ipv4_lookup`` /
+  ``bag_unpack : (schema)`` / ``narrow`` / ``rows_near`` /
+  ``sequence_detect`` / ``activity_counts_metrics`` /
+  ``session_count`` / ``activity_engagement`` / ``funnel_sequence``;
+  ``lookup`` / ``fork`` / ``facet`` / ``top-nested [with others]`` /
+  ``top-hitters`` / ``as`` / ``sample`` / ``invoke``
+- the packed-series scalar batch (``series_fir``/``series_iir``/
+  ``series_moving_avg``/fills/arithmetic/stats/``series_fit_line`` +
+  ``extend (a, b, …) = fn()`` tuple unpacking), property-bag scalars,
+  ``bin_at``, datetime ``range`` axes, ``make-series from/to``
+  (bin_at-aligned), join/summarize hints, ``union withsource``,
+  right-side semi/anti joins, ``nulls first/last``, ``parse
+  kind=regex/relaxed``, ``mv-expand with_itemindex``
 - ``where  project  project-away  project-rename  extend
   summarize ... by  distinct  count  take/limit  top N by
   sort/order by  serialize (+row_number/prev/next/row_cumsum)
