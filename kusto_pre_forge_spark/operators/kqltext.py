@@ -877,8 +877,41 @@ class _Parser:
         keys = []
         if not self.at_ident("by"):
             while True:
-                name, e = self._parse_named_expr(agg=True)
-                aggs.append(e.c().alias(name))
+                if (
+                    self.at_ident("percentiles")
+                    and self.peek(1).kind == "punct"
+                    and self.peek(1).val == "("
+                ):
+                    # percentiles(Col, p1, p2, …) — ADX's multi-output
+                    # aggregate: one percentile_<Col>_<p> column per
+                    # requested percentile (ADX's own naming), all from
+                    # a single approx-percentile accumulator pass
+                    self.next()
+                    self.next()
+                    colname = self.eat("ident").val
+                    ps = []
+                    while self.at("punct", ","):
+                        self.next()
+                        ps.append(float(_lit_value(self.parse_expr())))
+                    self.eat("punct", ")")
+                    if not ps:
+                        raise KqlSyntaxError(
+                            "percentiles() needs at least one percentile"
+                        )
+                    for p in ps:
+                        suffix = (
+                            str(int(p))
+                            if p == int(p)
+                            else str(p).replace(".", "_")
+                        )
+                        aggs.append(
+                            F.percentile_approx(
+                                F.col(colname), p / 100.0
+                            ).alias(f"percentile_{colname}_{suffix}")
+                        )
+                else:
+                    name, e = self._parse_named_expr(agg=True)
+                    aggs.append(e.c().alias(name))
                 if self.at("punct", ","):
                     self.next()
                     continue

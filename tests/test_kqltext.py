@@ -1697,3 +1697,20 @@ def test_malformed_queries_fail_loudly_not_crash(spark, t):
     for q in bad:
         with pytest.raises(KqlSyntaxError):
             run_kql(spark, q, {"E": e})
+
+
+def test_summarize_percentiles_multi_output(spark, t):
+    df = run_kql(
+        spark,
+        "Events | summarize percentiles(Value, 50, 95), n=count() by x=1",
+        t,
+    )
+    assert df.columns == [
+        "x", "percentile_Value_50", "percentile_Value_95", "n",
+    ]
+    r = df.collect()[0]
+    # values 1, 5, 7.5, 10 — approx percentile picks real elements
+    assert r.percentile_Value_50 in (5.0, 7.5) and r.percentile_Value_95 == 10.0
+    assert r.n == 4
+    with pytest.raises(KqlSyntaxError, match="percentile"):
+        run_kql(spark, "Events | summarize percentiles(Value)", t)
