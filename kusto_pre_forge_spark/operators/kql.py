@@ -523,14 +523,26 @@ def make_series(
             + F.floor((F.unix_timestamp(_c(on)) - lo_s) / secs) * secs
         ).alias("_bucket")
         binned = df.groupBy(*by, b).agg(agg.alias(value_name))
+        # the axis MUST use the same epoch-seconds arithmetic as the bucket
+        # labels above: a calendar INTERVAL sequence diverges from
+        # lo + k*secs across a DST transition (day/week steps in a
+        # DST-observing session timezone), and every post-transition bucket
+        # would miss the axis join and silently read as `default`.
+        hi_s = F.unix_timestamp(hi)
         axis = (
             df.sparkSession.range(1)
             .select(
                 F.explode(
-                    F.sequence(lo, hi, F.expr(f"INTERVAL {step_interval}"))
-                ).alias("_bucket")
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        F.floor((hi_s - lo_s - F.lit(1)) / secs).cast("long"),
+                    )
+                ).alias("_k")
             )
-            .where(F.col("_bucket") < hi)
+            .select(
+                F.timestamp_seconds(lo_s + F.col("_k") * secs).alias("_bucket")
+            )
+            .where((F.col("_bucket") >= lo) & (F.col("_bucket") < hi))
         )
     else:
         b = F.date_trunc(step, _c(on)).alias("_bucket")
@@ -1490,8 +1502,14 @@ def scan_accumulate(
             .cast("long").alias("scan_match_id"),
             (F.col("_kpf_bn") + F.row_number().over(w_in)).alias("_kpf_rn"),
         ))
+        # the rebase is the EXCLUSIVE prefix at the segment's FIRST row
+        # (min over _kpf_rn), not min over the prefix values themselves:
+        # with negative accumulated values (scan over deltas) the minimum
+        # prefix can occur mid-segment and would shift every running sum.
         seg = t.groupBy("scan_match_id").agg(
-            F.min(F.col("_kpf_g") - F.col("_kpf_v")).alias("_kpf_gbase"),
+            F.min_by(F.col("_kpf_g") - F.col("_kpf_v"), F.col("_kpf_rn")).alias(
+                "_kpf_gbase"
+            ),
             F.min("_kpf_rn").alias("_kpf_rbase"),
         )
         return t.join(seg, "scan_match_id").select(
@@ -1891,7 +1909,7 @@ def sample_distinct(
 
 
 def find_in(
-    tables: "Mapping[str, DataFrame]",
+    tables: "Mapping[str, DataFrame] | Sequence[tuple[str, DataFrame]]",
     term: str | None = None,
     predicate: Column | None = None,
     project: "Sequence[str] | None" = None,
@@ -1915,10 +1933,14 @@ def find_in(
     """
     if (term is None) == (predicate is None):
         raise ValueError("exactly one of term / predicate is required")
-    if not tables:
+    # accept (name, df) pairs so repeated display names (``find in
+    # (T, T | where …)``) keep BOTH operands — a name-keyed dict would
+    # silently drop all but the last same-named source.
+    items = list(tables.items()) if hasattr(tables, "items") else list(tables)
+    if not items:
         raise ValueError("find_in requires at least one table")
     parts = []
-    for name, df in tables.items():
+    for name, df in items:
         if term is not None:
             strcols = [c for c, t in df.dtypes if t == "string"]
             pred = F.lit(False)

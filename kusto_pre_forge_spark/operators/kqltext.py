@@ -2201,7 +2201,9 @@ class _Parser:
         ``in`` clause the search spans every table the runner was given
         (the database-wide form). The ``T | search 'term'`` stage form
         parses in _op_search."""
-        tables: dict[str, DataFrame] = {}
+        # (name, df) PAIRS, not a dict: `search in (T, T | where …)`
+        # repeats the display name and a dict would drop a source.
+        tables: list[tuple[str, DataFrame]] = []
         if self.at_ident("in"):
             self.next()
             self.eat("punct", "(")
@@ -2215,7 +2217,7 @@ class _Parser:
                     )
                     else f"table_{idx}"
                 )
-                tables[name] = self._parse_source()
+                tables.append((name, self._parse_source()))
                 idx += 1
                 if self.at("punct", ","):
                     self.next()
@@ -2223,7 +2225,7 @@ class _Parser:
                 break
             self.eat("punct", ")")
         else:
-            tables = dict(self.tables)
+            tables = list(self.tables.items())
         if not tables:
             raise KqlSyntaxError("search has no tables to search")
         term = self.eat("str").val
@@ -2246,7 +2248,9 @@ class _Parser:
             source_col = self.eat("ident").val
         self.eat("ident", "in")
         self.eat("punct", "(")
-        tables: dict[str, DataFrame] = {}
+        # (name, df) pairs — `find in (T, T | where …)` repeats the
+        # display name; both operands must survive into the union.
+        tables: list[tuple[str, DataFrame]] = []
         idx = 0
         while True:
             t = self.peek()
@@ -2257,7 +2261,7 @@ class _Parser:
                 )
                 else f"table_{idx}"
             )
-            tables[name] = self._parse_source()
+            tables.append((name, self._parse_source()))
             idx += 1
             if self.at("punct", ","):
                 self.next()
@@ -2322,18 +2326,23 @@ class _Parser:
 
         ``withsource=Col`` tags each row with the operand it came from
         (the left pipeline is ``source_0``, sources then in order);
-        ``kind=inner|outer`` is accepted — both map to unionByName with
-        null padding (KQL's inner drops columns not shared by all
-        operands; the padded superset is a faithful refinement the
-        oracle can replay, and ADX itself documents outer as the
-        default surface shape)."""
+        ``kind=outer`` (ADX's default) maps to unionByName with null
+        padding; ``kind=inner`` keeps only the columns COMMON to all
+        operands (ADX's documented inner-union schema) — schemas are
+        known at plan time, so the intersection is a plan-side select,
+        no data pass."""
         source_col = None
+        kind = "outer"
         while self.at_ident("withsource", "kind", "isfuzzy"):
             prop = self.next().val
             self.eat("punct", "=")
             val = self.next().val
             if prop == "withsource":
                 source_col = val
+            elif prop == "kind":
+                if val not in ("inner", "outer"):
+                    raise KqlSyntaxError(f"unsupported union kind {val!r}")
+                kind = val
         idx = 0
         if source_col is not None:
             df = df.withColumn(source_col, F.lit("source_0"))
@@ -2352,7 +2361,15 @@ class _Parser:
                 right = right.withColumn(
                     source_col, F.lit(rname or f"source_{idx}")
                 )
-            df = df.unionByName(right, allowMissingColumns=True)
+            if kind == "inner":
+                common = [c for c in df.columns if c in set(right.columns)]
+                if not common:
+                    raise KqlSyntaxError(
+                        "union kind=inner: operands share no columns"
+                    )
+                df = df.select(*common).unionByName(right.select(*common))
+            else:
+                df = df.unionByName(right, allowMissingColumns=True)
             if self.at("punct", ","):
                 self.next()
                 continue

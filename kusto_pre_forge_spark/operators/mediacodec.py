@@ -366,6 +366,102 @@ def _mp4_boxes(raw: bytes, start: int, end: int):
         pos += size
 
 
+_HEIF_AVIF_BRANDS = frozenset((b"avif", b"avis"))
+_HEIF_HEIC_BRANDS = frozenset(
+    (b"heic", b"heix", b"heim", b"heis", b"hevc", b"hevx", b"mif1", b"msf1")
+)
+
+
+def _heif_kind(raw: bytes) -> str | None:
+    """'avif' / 'heic' from the ISO-BMFF ``ftyp`` brand set, None for
+    every other container (including plain MP4/MOV). Any avif/avis brand
+    — major or compatible — wins over the HEVC family; a bare structural
+    brand (mif1/msf1) with no codec brand classifies as heic (the
+    dominant producer of brand-minimal HEIF files is Apple's HEIC
+    pipeline)."""
+    if len(raw) < 12 or raw[4:8] != b"ftyp":
+        return None
+    for btype, bs, be in _mp4_boxes(raw, 0, min(len(raw), 1 << 16)):
+        if btype != b"ftyp":
+            continue
+        brands = [raw[bs : bs + 4]]
+        brands += [raw[p : p + 4] for p in range(bs + 8, be - 3, 4)]
+        if any(b in _HEIF_AVIF_BRANDS for b in brands):
+            return "avif"
+        if any(b in _HEIF_HEIC_BRANDS for b in brands):
+            return "heic"
+        return None
+    return None
+
+
+def parse_heif_header(raw: bytes) -> dict | None:
+    """AVIF/HEIC header probe — dependency-free ISO-BMFF walk, the
+    lossy-WebP playbook's probe half: brands from ``ftyp`` (avif/avis →
+    avif; heic/heix/…/mif1 → heic), stored dimensions from the largest
+    ``meta/iprp/ipco/ispe`` item property (thumbnails carry their own,
+    smaller, ispe), display transforms from ``irot`` (90° CCW units) and
+    ``imir`` (mirror axis). ``meta`` and ``ispe`` are FullBoxes — their
+    bodies start past the 4 version/flags bytes. Pixel decode routes
+    through the pyav hatch in :func:`decode_image`; this probe makes the
+    blobs VISIBLE (dims, brand, front-door tag) with zero dependencies."""
+    raw = bytes(raw)
+    kind = _heif_kind(raw)
+    if kind is None:
+        return None
+    out: dict = {"media_kind": kind}
+    best = None
+    for btype, bs, be in _mp4_boxes(raw, 0, len(raw)):
+        if btype != b"meta":
+            continue
+        for ctype, cs, ce in _mp4_boxes(raw, bs + 4, be):
+            if ctype != b"iprp":
+                continue
+            for ptype, ps, pe in _mp4_boxes(raw, cs, ce):
+                if ptype != b"ipco":
+                    continue
+                for itype, is_, ie in _mp4_boxes(raw, ps, pe):
+                    if itype == b"ispe" and ie - is_ >= 12:
+                        w, h = struct.unpack(">II", raw[is_ + 4 : is_ + 12])
+                        if best is None or w * h > best[0] * best[1]:
+                            best = (w, h)
+                    elif itype == b"irot" and ie - is_ >= 1:
+                        out["_irot"] = raw[is_] & 0x03
+                    elif itype == b"imir" and ie - is_ >= 1:
+                        out["_imir"] = raw[is_] & 0x01
+    if best is not None:
+        out["width"], out["height"] = best
+    return out
+
+
+def encode_heif_meta(
+    width: int,
+    height: int,
+    brand: bytes = b"avif",
+    thumb: "tuple[int, int] | None" = None,
+    irot: int | None = None,
+    imir: int | None = None,
+) -> bytes:
+    """Minimal metadata-only AVIF/HEIC file (ftyp + meta(iprp(ipco(
+    ispe…)))) — the test-fixture twin of :func:`parse_heif_header`, as
+    ``encode_mp4_meta`` is for the MP4 probe (no coded image data)."""
+
+    def box(t: bytes, b: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(b)) + t + b
+
+    ftyp = box(b"ftyp", brand + b"\x00" * 4 + brand + b"mif1")
+    props = box(b"ispe", b"\x00" * 4 + struct.pack(">II", width, height))
+    if thumb is not None:
+        props += box(
+            b"ispe", b"\x00" * 4 + struct.pack(">II", *thumb)
+        )
+    if irot is not None:
+        props += box(b"irot", bytes([irot & 0x03]))
+    if imir is not None:
+        props += box(b"imir", bytes([imir & 0x01]))
+    meta = box(b"meta", b"\x00" * 4 + box(b"iprp", box(b"ipco", props)))
+    return ftyp + meta
+
+
 def parse_mp4_header(raw: bytes) -> dict | None:
     """ISO-BMFF (MP4/MOV) box walk: ``moov/mvhd`` gives timescale+duration,
     the first ``moov/trak/tkhd`` with a nonzero 16.16-fixed width/height
@@ -373,6 +469,8 @@ def parse_mp4_header(raw: bytes) -> dict | None:
     no decoder, no dependency — pure struct reads, like the other probes."""
     if len(raw) < 12 or raw[4:8] != b"ftyp":
         return None
+    if _heif_kind(bytes(raw)) is not None:
+        return None  # AVIF/HEIC are still images — parse_heif_header owns them
     out: dict = {"media_kind": "mp4"}
     for btype, bs, be in _mp4_boxes(raw, 0, len(raw)):
         if btype != b"moov":
@@ -489,6 +587,7 @@ _PROBES = (
     parse_bmp_header,
     parse_tiff_header,
     parse_wav_header,
+    parse_heif_header,  # before mp4: both start with ftyp, brands decide
     parse_mp4_header,
 )
 # parse_avi_header is appended to _PROBES after its definition below
@@ -2280,7 +2379,9 @@ def encode_pnm(width: int, height: int, pixels: bytes, channels: int = 3) -> byt
     return magic + f"\n{width} {height}\n255\n".encode() + pixels
 
 
-IMAGE_KINDS = ("png", "jpeg", "gif", "bmp", "tiff", "pnm", "webp")
+IMAGE_KINDS = (
+    "png", "jpeg", "gif", "bmp", "tiff", "pnm", "webp", "avif", "heic",
+)
 
 
 def decode_image(raw: bytes):
@@ -2313,9 +2414,67 @@ def decode_image(raw: bytes):
         from kusto_pre_forge_spark.operators.webp import decode_webp
 
         out = decode_webp(raw)
+    elif kind in ("avif", "heic"):
+        # the lossy-WebP playbook: AV1/HEVC intra frames decode through
+        # the pyav hatch where importable on THIS executor, refuse
+        # naming the hatch otherwise; display transforms come from the
+        # container's irot/imir item properties (HEIF carries them
+        # there, not in EXIF), normalized through the same
+        # apply_exif_orientation the EXIF family uses
+        from kusto_pre_forge_spark.operators.multimodal import (
+            pyav_available,
+        )
+
+        if not pyav_available():
+            raise NotImplementedError(
+                f"{kind} (AV1/HEVC intra-frame) decodes through the pyav "
+                "hatch: `pip install av` on the executors, or transcode "
+                "to PNG/lossless upstream"
+            )
+        out = _pyav_first_frame_rgba(bytes(raw))
+        return apply_exif_orientation(*out, heif_display_orientation(raw))
     else:
         raise ValueError(f"not a decodable image container (kind={kind})")
     return apply_exif_orientation(*out, image_exif_orientation(raw))
+
+
+def _pyav_first_frame_rgba(container: bytes) -> tuple[int, int, int, bytes]:
+    """First decoded frame of any pyav-readable container → (w, h, 4,
+    RGBA bytes). Deferred import: called only after ``pyav_available``
+    said the wheel is present on THIS executor (the decode_webp
+    convention)."""
+    import io
+
+    import av
+
+    with io.BytesIO(container) as buf, av.open(buf) as c:
+        for frame in c.decode(video=0):
+            arr = frame.to_ndarray(format="rgba")
+            return int(arr.shape[1]), int(arr.shape[0]), 4, arr.tobytes()
+    raise ValueError("pyav produced no frames for the payload")
+
+
+def heif_display_orientation(raw: bytes) -> int:
+    """Map HEIF ``irot``/``imir`` item properties to the EXIF
+    orientation value :func:`apply_exif_orientation` understands, so an
+    irot-rotated AVIF and its upright re-encode hash as duplicates.
+    irot counts 90° CCW steps (1→EXIF 8, 2→EXIF 3, 3→EXIF 6); imir
+    axis 0 mirrors about the vertical axis (EXIF 2), 1 about the
+    horizontal (EXIF 4). A file carrying BOTH maps to the composed
+    transverse/transpose orientations (ISO 23008-12 applies rotation
+    before mirror in the property order writers emit)."""
+    hdr = parse_heif_header(bytes(raw))
+    if hdr is None:
+        return 1
+    irot = hdr.get("_irot", 0)
+    imir = hdr.get("_imir")
+    if imir is None:
+        return {0: 1, 1: 8, 2: 3, 3: 6}[irot]
+    # rotate-then-mirror compositions (mirror applied after the
+    # rotation): mirror(rot90ccw^k(a)) reduced to the single EXIF code
+    if imir == 0:  # vertical-axis mirror (horizontal flip)
+        return {0: 2, 1: 7, 2: 4, 3: 5}[irot]
+    return {0: 4, 1: 5, 2: 2, 3: 7}[irot]
 
 
 # ---------------------------------------------------------------- AVI codec
@@ -2710,4 +2869,12 @@ def decodable_image(raw: bytes) -> bool:
         return flavor == "lossless" or (
             flavor == "lossy" and pyav_available()
         )
+    if kind in ("avif", "heic"):
+        # truthful per-worker: decodable exactly where the pyav hatch
+        # is open (the lossy-WebP contract)
+        from kusto_pre_forge_spark.operators.multimodal import (
+            pyav_available,
+        )
+
+        return pyav_available()
     return kind in IMAGE_KINDS

@@ -181,6 +181,15 @@ def sniff_format(content: bytes) -> str:
         return "zstd"  # no stdlib codec on 3.11 — tag, never 'binary'
     if head.startswith(b"RIFF") and head[8:12] == b"WEBP":
         return "webp"  # routes to operators/webp.py (VP8L decodes)
+    if len(head) >= 12 and head[4:8] == b"ftyp":
+        # AVIF/HEIC (ISO-BMFF still images, brands decide) — tag so the
+        # image family sees them; plain MP4/MOV stays 'binary' (media,
+        # not a document)
+        from kusto_pre_forge_spark.operators.mediacodec import _heif_kind
+
+        hk = _heif_kind(bytes(content[:4096]))
+        if hk is not None:
+            return hk
     # POSIX ustar magic at offset 257 (covers GNU tar's "ustar  \0" too)
     if bytes(content[257:262]) == b"ustar":
         return "tar"
@@ -250,7 +259,8 @@ def extract_auto(content: bytes) -> tuple[str, str | None]:
         kind = inner if inner not in peelable else "binary"
     if kind == "tar":
         return "tar", None  # bundles expand via extract_auto_rows
-    if kind in ("parquet", "orc", "avro", "7z", "zstd", "webp"):
+    if kind in ("parquet", "orc", "avro", "7z", "zstd", "webp", "avif",
+                "heic"):
         # tag-only: route to spark.read.parquet/orc / sources.avro /
         # the multimodal image family (webp → mediacodec.decode_image);
         # 7z has no stdlib codec on 3.11 and zstd reaches here only

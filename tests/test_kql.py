@@ -273,3 +273,29 @@ def test_sort_by_kql_desc_default_and_getschema(spark):
     schema = {(r.ColumnName, r.ColumnOrdinal, r.ColumnType)
               for r in kql.getschema(df).collect()}
     assert schema == {("x", 0, "bigint"), ("y", 1, "string")}
+
+
+def test_make_series_fromto_dst_axis_alignment(spark):
+    """ADVICE r14 (medium): the from/to axis must use the same
+    epoch-seconds arithmetic as the bucket labels. A calendar INTERVAL
+    axis diverges after a DST transition (day step, DST-observing
+    session timezone) and post-transition buckets silently read as the
+    default fill."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = spark.createDataFrame(
+            [("2024-03-09 12:00:00", 1.0), ("2024-03-11 12:00:00", 7.0)],
+            "tss string, v double",
+        ).selectExpr("cast(tss as timestamp) ts", "v")
+        out = kql.make_series(
+            df, on="ts", step="day", by=[], agg=F.sum("v"), default=0.0,
+            lo=F.to_timestamp(F.lit("2024-03-09 00:00:00")),
+            hi=F.to_timestamp(F.lit("2024-03-13 00:00:00")),
+            exploded=True,
+        )
+        vals = [r.series_value for r in out.collect()]
+        assert len(vals) == 4          # [lo, hi) at 86400-s steps
+        assert sum(vals) == 8.0        # nothing lost to the default fill
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

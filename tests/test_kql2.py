@@ -2004,3 +2004,25 @@ def test_label_propagation_communities(spark):
         r.node: r.label for r in label_propagation(e2, n_iter=2).collect()
     }
     assert got2[99] == 99
+
+
+def test_scan_accumulate_global_negative_values(spark):
+    """ADVICE r14 (high): the global (by=[]) rebase must take each
+    segment's base from its FIRST row's exclusive prefix, not the minimum
+    prefix in the segment — with negative accumulated values the minimum
+    can occur mid-segment and every running sum silently shifts."""
+    vals = [-3.0 if i % 4 == 0 else float(i % 7 - 3) for i in range(200)]
+    df = spark.createDataFrame(
+        [(i, v, i % 50 == 0) for i, v in enumerate(vals)],
+        "x long, v double, flag boolean",
+    ).repartition(8)
+    out = kql.scan_accumulate(
+        df, by=[], order=["x"], value="v", restart=F.col("flag")
+    )
+    got = {r["x"]: r["scan_sum"] for r in out.collect()}
+    s = 0.0
+    for i, v in enumerate(vals):  # sequential replay is the truth
+        if i % 50 == 0:
+            s = 0.0
+        s += v
+        assert got[i] == pytest.approx(s), f"row {i}"

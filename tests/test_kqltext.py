@@ -1714,3 +1714,50 @@ def test_summarize_percentiles_multi_output(spark, t):
     assert r.n == 4
     with pytest.raises(KqlSyntaxError, match="percentile"):
         run_kql(spark, "Events | summarize percentiles(Value)", t)
+
+
+def test_union_kind_inner_intersects_columns(spark, t):
+    # ADVICE r14: ADX inner union keeps only the columns common to all
+    # operands — previously it returned the null-padded superset.
+    inner = run_kql(
+        spark,
+        "Events | project Id, Level "
+        "| union kind=inner (Events | project Id, Value)",
+        t,
+    )
+    assert inner.columns == ["Id"]
+    assert inner.count() == 8
+    outer = run_kql(
+        spark,
+        "Events | project Id, Level "
+        "| union kind=outer (Events | project Id, Value)",
+        t,
+    )
+    assert sorted(outer.columns) == ["Id", "Level", "Value"]
+    with pytest.raises(KqlSyntaxError, match="no columns"):
+        run_kql(
+            spark,
+            "Events | project Id "
+            "| union kind=inner (Events | project Level)",
+            t,
+        )
+    with pytest.raises(KqlSyntaxError, match="union kind"):
+        run_kql(spark, "Events | union kind=leftouter Events", t)
+
+
+def test_find_and_search_keep_duplicate_sources(spark, t):
+    # ADVICE r14: `find in (T, T | where …)` repeats the display name —
+    # a name-keyed dict silently dropped all but the last source.
+    df = run_kql(
+        spark, "find in (Events, Events) where * has 'disk'", t
+    )
+    assert df.count() == 4  # both same-named operands searched
+    assert sorted(r["source_"] for r in df.collect()) == ["Events"] * 4
+    sub = run_kql(
+        spark,
+        "find in (Events, (Events | where Id == 1)) where * has 'disk'",
+        t,
+    )
+    assert sub.count() == 3  # 2 from the full table + 1 from the filtered
+    s = run_kql(spark, "search in (Events, Events) 'disk'", t)
+    assert s.count() == 4  # both operands searched

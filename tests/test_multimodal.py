@@ -1662,3 +1662,195 @@ def test_png_and_webp_exif_orientation():
     assert mediacodec.decode_image(png) == mediacodec.decode_png(png)
     assert mediacodec.decode_image(src) == W.decode_webp(src)
     assert mediacodec.image_exif_orientation(b"\x00\x01") == 1
+
+
+# ------------------------------------------------------- AVIF / HEIC
+
+from kusto_pre_forge_spark.operators import mediacodec as mc  # noqa: E402
+
+
+def test_heif_probe_brands_dims_and_mp4_disambiguation():
+    """AVIF/HEIC visibility (the lossy-WebP playbook, r14): ftyp brands
+    classify, the LARGEST meta/iprp/ipco/ispe wins (thumbnails carry
+    their own), and plain MP4 keeps probing as mp4 — both containers
+    start with ftyp, brands disambiguate."""
+    avif = mc.encode_heif_meta(640, 480, brand=b"avif", thumb=(64, 48))
+    got = mc.parse_heif_header(avif)
+    assert got["media_kind"] == "avif"
+    assert (got["width"], got["height"]) == (640, 480)
+    assert mc.probe_bytes(avif)["media_kind"] == "avif"
+    assert mc.parse_mp4_header(avif) is None  # heif never probes as mp4
+
+    heic = mc.encode_heif_meta(320, 200, brand=b"heic")
+    assert mc.probe_bytes(heic)["media_kind"] == "heic"
+
+    # animated AVIF brand + structural-only major brand
+    assert mc.parse_heif_header(
+        mc.encode_heif_meta(8, 8, brand=b"avis")
+    )["media_kind"] == "avif"
+    # mif1 major with an avif compatible brand → avif (any avif wins)
+    import struct as _s
+
+    def _box(t, b):
+        return _s.pack(">I", 8 + len(b)) + t + b
+
+    mif = _box(b"ftyp", b"mif1" + b"\x00" * 4 + b"mif1avif") + mc.encode_heif_meta(4, 4)[len(_box(b"ftyp", b"avif" + b"\x00" * 4 + b"avifmif1")):]
+    assert mc._heif_kind(mif) == "avif"
+    # bare structural brand classifies heic
+    bare = _box(b"ftyp", b"mif1" + b"\x00" * 4 + b"mif1")
+    assert mc._heif_kind(bare) == "heic"
+
+    # a real mp4 still probes as mp4 with its track dims
+    mp4 = mc.encode_mp4_meta(640, 360, 2500, 1000)
+    assert mc.probe_bytes(mp4)["media_kind"] == "mp4"
+    # truncated / non-bmff bytes refuse quietly
+    assert mc.parse_heif_header(avif[:10]) is None
+    assert mc.parse_heif_header(b"\x00" * 64) is None
+
+
+def test_heif_front_door_tag():
+    """The mixed-dump front door tags AVIF/HEIC by content (extensions
+    lie in a crawl) instead of hiding them as 'binary'; plain MP4 stays
+    binary (media, not a document)."""
+    from kusto_pre_forge_spark.sources.autoextract import (
+        extract_auto,
+        sniff_format,
+    )
+
+    avif = mc.encode_heif_meta(16, 8, brand=b"avif")
+    heic = mc.encode_heif_meta(16, 8, brand=b"heix")
+    assert sniff_format(avif) == "avif"
+    assert sniff_format(heic) == "heic"
+    assert extract_auto(avif) == ("avif", None)
+    assert extract_auto(heic) == ("heic", None)
+    mp4 = mc.encode_mp4_meta(640, 360, 2500, 1000)
+    assert sniff_format(mp4) == "binary"
+
+
+def test_heif_decode_refusal_names_the_hatch():
+    from kusto_pre_forge_spark.operators import multimodal
+
+    if multimodal.pyav_available():
+        pytest.skip("pyav present: the hatch is open, refusal unreachable")
+    blob = mc.encode_heif_meta(16, 8, brand=b"avif")
+    with pytest.raises(NotImplementedError, match="pyav|install av"):
+        mc.decode_image(blob)
+    assert not mc.decodable_image(blob)  # NULL-row path, not a crash
+
+
+def test_heif_routes_through_pyav_stub(monkeypatch):
+    """The hatch is ROUTED, not just named: with an importable ``av``,
+    decode_image hands the WHOLE container to pyav, returns its RGBA
+    frame, and decodable_image flips to True (the decode_webp stub-pin
+    convention — the real-decoder twin is env-gated below)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    w, h = 16, 8
+    rgba = np.arange(w * h * 4, dtype=np.uint8).reshape(h, w, 4)
+
+    class _Frame:
+        def to_ndarray(self, format):
+            assert format == "rgba"
+            return rgba
+
+    class _Container:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def decode(self, video=0):
+            yield _Frame()
+
+    captured = {}
+    fake = types.ModuleType("av")
+
+    def _open(buf):
+        captured["raw"] = buf.read()
+        return _Container()
+
+    fake.open = _open
+    monkeypatch.setitem(sys.modules, "av", fake)
+
+    blob = mc.encode_heif_meta(w, h, brand=b"avif")
+    dw, dh, ch, px = mc.decode_image(blob)
+    assert (dw, dh, ch) == (w, h, 4)
+    assert px == rgba.tobytes()
+    assert captured["raw"] == blob  # the whole container reaches pyav
+    assert mc.decodable_image(blob)
+
+    # an irot=1 (90° CCW display) container comes back upright —
+    # dims swap and pixels equal the CCW-rotated stub frame
+    rot = mc.encode_heif_meta(w, h, brand=b"avif", irot=1)
+    dw, dh, ch, px = mc.decode_image(rot)
+    assert (dw, dh) == (h, w)
+    assert px == np.ascontiguousarray(np.rot90(rgba, 1)).tobytes()
+
+
+def test_heif_display_orientation_full_matrix():
+    """Every irot × imir combination maps to the EXIF code whose
+    apply_exif_orientation output equals the numpy reference
+    composition mirror(rot90ccw^k(a)) — ISO 23008-12 applies rotation
+    before mirror."""
+    import numpy as np
+
+    w, h = 6, 4
+    a = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+
+    for irot in (None, 0, 1, 2, 3):
+        for imir in (None, 0, 1):
+            blob = mc.encode_heif_meta(
+                w, h, brand=b"avif", irot=irot, imir=imir
+            )
+            code = mc.heif_display_orientation(blob)
+            got_w, got_h, _, got_px = mc.apply_exif_orientation(
+                w, h, 3, a.tobytes(), code
+            )
+            exp = np.rot90(a, irot or 0)
+            if imir == 0:
+                exp = exp[:, ::-1]
+            elif imir == 1:
+                exp = exp[::-1, :]
+            assert (got_h, got_w) == exp.shape[:2], (irot, imir, code)
+            assert got_px == np.ascontiguousarray(exp).tobytes(), (
+                irot, imir, code,
+            )
+
+
+def test_heif_real_pyav_twin():
+    """Env-gated twin of the stub pin: where the real pyav wheel is
+    present, a forged AVIF round-trips through the actual decoder."""
+    from kusto_pre_forge_spark.operators import multimodal
+
+    if not multimodal.pyav_available():
+        pytest.skip("pyav absent (expected in this container)")
+    import io
+
+    import av
+    import numpy as np
+
+    # encode a real one-frame AV1 stream via pyav itself, then decode
+    # through decode_image's route
+    buf = io.BytesIO()
+    try:
+        with av.open(buf, "w", format="avif") as c:
+            stream = c.add_stream("av1", rate=1)
+            stream.width, stream.height = 16, 8
+            frame = av.VideoFrame.from_ndarray(
+                np.zeros((8, 16, 3), dtype=np.uint8), format="rgb24"
+            )
+            for pkt in stream.encode(frame):
+                c.mux(pkt)
+            for pkt in stream.encode():
+                c.mux(pkt)
+    except Exception:
+        pytest.skip("this pyav build cannot encode AV1/AVIF")
+    blob = buf.getvalue()
+    if mc._heif_kind(blob) is None:
+        pytest.skip("pyav avif muxer emitted a non-heif container")
+    dw, dh, ch, _ = mc.decode_image(blob)
+    assert (dw, dh, ch) == (16, 8, 4)
