@@ -2290,13 +2290,15 @@ def _q_warc_parse(spark, sf):
 
 def _q_pdf_text_extract(spark, sf):
     """PDF container roundtrip through the REAL ISO 32000 parser: every
-    document is rendered as a spec-valid PDF, rotating through THREE
-    real layouts by doc_id % 3: CLASSIC table-xref, MODERN xref-stream +
-    object-stream (PNG-Up predictor, /Type /ObjStm packing), and
+    document is rendered as a spec-valid PDF, rotating through FOUR
+    real layouts by doc_id % 4: CLASSIC table-xref, MODERN xref-stream +
+    object-stream (PNG-Up predictor, /Type /ObjStm packing),
     SUBSET-FONT (2-byte glyph codes recoverable only through the
-    /ToUnicode CMap) — every decode path permanently on the correctness
-    hook — one page when the text fits 200 chars, two pages otherwise
-    (page-tree walk + ordering).
+    /ToUnicode CMap), and PRE-2005 SIMPLE-FONT (/Encoding /Differences
+    glyph-name remapping, no ToUnicode — raw byte decode must differ) —
+    every decode path permanently on the correctness hook — one page
+    when the text fits 200 chars, two pages otherwise (page-tree walk +
+    ordering).
     Parsed back via sources.pdf.parse_pdf_blobs. The oracle is
     closed-form (the layouts extract identically): the same 200-char
     page split replayed in SQL over documents. Both directions are pure
@@ -2322,7 +2324,8 @@ def _q_pdf_text_extract(spark, sf):
                     P.pdf_bytes,
                     P.pdf_bytes_xrefstream,
                     P.pdf_bytes_cid,
-                ][int(i) % 3]
+                    P.pdf_bytes_differences,
+                ][int(i) % 4]
                 paths.append(f"mem://doc/{int(i)}.pdf")
                 blobs.append(writer(pages))
             yield pd.DataFrame({"path": paths, "content": blobs})

@@ -701,6 +701,200 @@ def _decode_with_cmap(b: bytes, cmap: dict[bytes, str]) -> str:
     return "".join(out)
 
 
+# --------------------------------------------- simple-font /Encoding
+#
+# Pre-CID PDFs (the dominant pre-2005 layout) carry Type1/TrueType
+# fonts whose show-text bytes decode through a NAMED base encoding
+# (§D.2: Standard/WinAnsi/MacRoman) optionally patched by an
+# /Encoding dict's /Differences array of glyph NAMES. Without this
+# table — and without a /ToUnicode CMap — raw byte decode silently
+# mis-extracts every accented/symbol character. Glyph names resolve
+# through the Adobe Glyph List convention (public: the AGL
+# specification); the subset below covers the names the three base
+# encodings and common /Differences arrays actually use, plus the
+# algorithmic uniXXXX/uXXXXXX forms.
+
+_AGL = {
+    # digits and basic punctuation
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    # Latin-1 supplement
+    "exclamdown": "¡", "cent": "¢", "sterling": "£",
+    "currency": "¤", "yen": "¥", "brokenbar": "¦",
+    "section": "§", "dieresis": "¨", "copyright": "©",
+    "ordfeminine": "ª", "guillemotleft": "«",
+    "logicalnot": "¬", "registered": "®", "macron": "¯",
+    "degree": "°", "plusminus": "±", "acute": "´",
+    "mu": "µ", "paragraph": "¶", "periodcentered": "·",
+    "cedilla": "¸", "ordmasculine": "º",
+    "guillemotright": "»", "onequarter": "¼",
+    "onehalf": "½", "threequarters": "¾",
+    "questiondown": "¿", "multiply": "×", "divide": "÷",
+    # accented capitals
+    "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â",
+    "Atilde": "Ã", "Adieresis": "Ä", "Aring": "Å",
+    "AE": "Æ", "Ccedilla": "Ç", "Egrave": "È",
+    "Eacute": "É", "Ecircumflex": "Ê", "Edieresis": "Ë",
+    "Igrave": "Ì", "Iacute": "Í", "Icircumflex": "Î",
+    "Idieresis": "Ï", "Eth": "Ð", "Ntilde": "Ñ",
+    "Ograve": "Ò", "Oacute": "Ó", "Ocircumflex": "Ô",
+    "Otilde": "Õ", "Odieresis": "Ö", "Oslash": "Ø",
+    "Ugrave": "Ù", "Uacute": "Ú", "Ucircumflex": "Û",
+    "Udieresis": "Ü", "Yacute": "Ý", "Thorn": "Þ",
+    # accented lowercase
+    "germandbls": "ß", "agrave": "à", "aacute": "á",
+    "acircumflex": "â", "atilde": "ã", "adieresis": "ä",
+    "aring": "å", "ae": "æ", "ccedilla": "ç",
+    "egrave": "è", "eacute": "é", "ecircumflex": "ê",
+    "edieresis": "ë", "igrave": "ì", "iacute": "í",
+    "icircumflex": "î", "idieresis": "ï", "eth": "ð",
+    "ntilde": "ñ", "ograve": "ò", "oacute": "ó",
+    "ocircumflex": "ô", "otilde": "õ", "odieresis": "ö",
+    "oslash": "ø", "ugrave": "ù", "uacute": "ú",
+    "ucircumflex": "û", "udieresis": "ü", "yacute": "ý",
+    "thorn": "þ", "ydieresis": "ÿ",
+    # central European + extended Latin the Win/Mac sets reach
+    "Scaron": "Š", "scaron": "š", "Zcaron": "Ž",
+    "zcaron": "ž", "OE": "Œ", "oe": "œ",
+    "Ydieresis": "Ÿ", "Lslash": "Ł", "lslash": "ł",
+    "dotlessi": "ı", "florin": "ƒ",
+    # typography
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "dagger": "†", "daggerdbl": "‡", "bullet": "•",
+    "ellipsis": "…", "perthousand": "‰",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "fraction": "⁄", "endash": "–", "emdash": "—",
+    "trademark": "™", "minus": "−", "Euro": "€",
+    "fi": "ﬁ", "fl": "ﬂ",
+    # spacing accents
+    "circumflex": "ˆ", "caron": "ˇ", "breve": "˘",
+    "dotaccent": "˙", "ring": "˚", "ogonek": "˛",
+    "tilde": "˜", "hungarumlaut": "˝",
+}
+
+# StandardEncoding's non-ASCII half (PDF spec Appendix D.2, octal
+# codes) — no Python codec exists for it, unlike WinAnsi/MacRoman
+_STD_HIGH = {
+    0o241: "exclamdown", 0o242: "cent", 0o243: "sterling",
+    0o244: "fraction", 0o245: "yen", 0o246: "florin", 0o247: "section",
+    0o250: "currency", 0o251: "quotesingle", 0o252: "quotedblleft",
+    0o253: "guillemotleft", 0o254: "guilsinglleft",
+    0o255: "guilsinglright", 0o256: "fi", 0o257: "fl",
+    0o261: "endash", 0o262: "dagger", 0o263: "daggerdbl",
+    0o264: "periodcentered", 0o266: "paragraph", 0o267: "bullet",
+    0o270: "quotesinglbase", 0o271: "quotedblbase",
+    0o272: "quotedblright", 0o273: "guillemotright", 0o274: "ellipsis",
+    0o275: "perthousand", 0o277: "questiondown", 0o301: "grave",
+    0o302: "acute", 0o303: "circumflex", 0o304: "tilde",
+    0o305: "macron", 0o306: "breve", 0o307: "dotaccent",
+    0o310: "dieresis", 0o312: "ring", 0o313: "cedilla",
+    0o315: "hungarumlaut", 0o316: "ogonek", 0o317: "caron",
+    0o320: "emdash", 0o341: "AE", 0o343: "ordfeminine",
+    0o350: "Lslash", 0o351: "Oslash", 0o352: "OE",
+    0o353: "ordmasculine", 0o361: "ae", 0o365: "dotlessi",
+    0o370: "lslash", 0o371: "oslash", 0o372: "oe",
+    0o373: "germandbls",
+}
+
+
+def glyph_name_to_char(name: str) -> str | None:
+    """AGL-convention glyph name → unicode: the explicit subset table,
+    single-character names as themselves, and the algorithmic
+    uniXXXX / uXXXX(XX) forms. None for unresolvable names (gNN/cidNN
+    subset-private glyphs) — the caller keeps the base-encoding byte."""
+    got = _AGL.get(name)
+    if got is not None:
+        return got
+    if len(name) == 1:
+        return name
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4})", name)
+    if m:
+        return chr(int(m.group(1), 16))
+    m = re.fullmatch(r"u([0-9A-Fa-f]{4,6})", name)
+    if m:
+        cp = int(m.group(1), 16)
+        if cp <= 0x10FFFF:
+            return chr(cp)
+    return None
+
+
+def _base_encoding_table(name: str | None) -> dict[bytes, str]:
+    """code byte → unicode for one of the §D.2 base encodings.
+    WinAnsi is cp1252 and MacRoman is mac_roman (both stdlib codecs,
+    byte-exact for the defined codes); Standard — also the fallback
+    when no /BaseEncoding is named — is ASCII with the Appendix D.2
+    high half and its two low-range divergences (0x27 → quoteright,
+    0x60 → quoteleft)."""
+    table: dict[bytes, str] = {}
+    codec = {
+        "WinAnsiEncoding": "cp1252",
+        "MacRomanEncoding": "mac_roman",
+    }.get(name or "")
+    if codec is not None:
+        for c in range(256):
+            try:
+                table[bytes([c])] = bytes([c]).decode(codec)
+            except UnicodeDecodeError:
+                pass  # cp1252's five undefined codes
+        return table
+    for c in range(0x20, 0x7F):
+        table[bytes([c])] = chr(c)
+    table[b"'"] = "’"
+    table[b"`"] = "‘"
+    for code, gname in _STD_HIGH.items():
+        ch = glyph_name_to_char(gname)
+        if ch is not None:
+            table[bytes([code])] = ch
+    return table
+
+
+def simple_font_encoding_map(font: dict, objects: dict) -> dict | None:
+    """{code byte: unicode} for a simple (Type1/TrueType/Type3) font's
+    /Encoding — base-encoding name or dict with /BaseEncoding +
+    /Differences (§9.6.6) — or None when the font declares no
+    /Encoding (its built-in encoding applies; raw byte decode is the
+    documented fallback) or is a composite font (CID text decodes only
+    through /ToUnicode). The result plugs into the same
+    ``_decode_with_cmap`` path ToUnicode CMaps use (all codes 1 byte
+    wide)."""
+    subtype = str(font.get("Subtype", ""))
+    if subtype not in ("Type1", "TrueType", "Type3", "MMType1"):
+        return None
+    enc = _resolve(objects, font.get("Encoding"))
+    if isinstance(enc, _Name):
+        return _base_encoding_table(str(enc))
+    if not isinstance(enc, dict):
+        return None
+    base = enc.get("BaseEncoding")
+    table = _base_encoding_table(str(base) if base is not None else None)
+    diffs = _resolve(objects, enc.get("Differences"))
+    if isinstance(diffs, list):
+        code = 0
+        for item in diffs:
+            if isinstance(item, _Name):
+                ch = glyph_name_to_char(str(item))
+                if ch is not None and 0 <= code <= 255:
+                    table[bytes([code])] = ch
+                code += 1
+            else:
+                try:
+                    code = int(float(item))
+                except (TypeError, ValueError):
+                    pass
+    return table
+
+
 _TOKEN_RE = re.compile(rb"[^\s()<>\[\]{}/%]+")
 _NEWLINE_OPS = {b"T*", b"Td", b"TD", b"'", b'"'}
 _SHOW_OPS = {b"Tj", b"'", b'"'}
@@ -1524,6 +1718,13 @@ def _page_font_cmaps(objects: dict, page: dict, errors: str) -> dict:
                 except NotImplementedError:
                     if errors == "strict":
                         raise
+        if str(name) not in cmaps:
+            # no ToUnicode: a simple font's named /Encoding (+
+            # /Differences) is the pre-2005 decode path — without it
+            # accented/symbol text silently mis-extracts as raw bytes
+            enc_map = simple_font_encoding_map(font, objects)
+            if enc_map is not None:
+                cmaps[str(name)] = enc_map
     return cmaps
 
 
@@ -2072,6 +2273,77 @@ def pdf_bytes(pages: list[str], compress: bool = True) -> bytes:
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]  # object 0 is the free-list head
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def pdf_bytes_differences(pages: list[str]) -> bytes:
+    """Forge the pre-2005 SIMPLE-FONT layout: a Type1 font with NO
+    /ToUnicode whose /Encoding dict patches /BaseEncoding
+    /WinAnsiEncoding with a /Differences array remapping codes
+    0x80–0x99 to the glyph names /a–/z (§9.6.6). Show-text encodes
+    lowercase letters through the remap, so raw byte decode yields
+    cp1252 high-range garbage and ONLY the /Differences table recovers
+    the text — the decode path this fixture pins. Extracted text must
+    equal :func:`pdf_bytes`'s for the same pages (ASCII input)."""
+    diffs = " ".join(f"/{chr(c)}" for c in range(ord("a"), ord("z") + 1))
+
+    def enc_line(line: str) -> bytes:
+        bs = bytearray()
+        for ch in line:
+            if "a" <= ch <= "z":
+                bs.append(0x80 + ord(ch) - ord("a"))
+            else:
+                bs += ch.encode("cp1252", "replace")
+        return b"<" + bytes(bs).hex().encode() + b">"
+
+    def page_content(text: str) -> bytes:
+        shows = b" T*\n".join(
+            enc_line(line) + b" Tj" for line in text.split("\n")
+        )
+        return b"BT\n/F1 12 Tf\n14 TL\n1 0 0 1 72 720 Tm\n" + shows + b"\nET"
+
+    objs: list[bytes] = []
+    n = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode())
+    font_num = 3 + 2 * n
+    for i, text in enumerate(pages):
+        cont_num = 4 + 2 * i
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {cont_num} 0 R /Resources << /Font "
+                f"<< /F1 {font_num} 0 R >> >> >>"
+            ).encode()
+        )
+        body = zlib.compress(page_content(text))
+        objs.append(
+            b"<< /Length " + str(len(body)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + body + b"\nendstream"
+        )
+    objs.append(
+        (
+            "<< /Type /Font /Subtype /Type1 /BaseFont /CustomOldStyle "
+            "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+            f"/Differences [128 {diffs}] >> >>"
+        ).encode()
+    )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
     for num, body in enumerate(objs, start=1):
         offsets.append(len(out))
         out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"

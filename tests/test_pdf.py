@@ -573,3 +573,78 @@ def test_aes128_core_fips_vector_and_cbc():
     # corrupt padding quarantines as ValueError, never garbage
     with pytest.raises(ValueError, match="padding|framing"):
         P._aes_cbc_decrypt(key, blob[:-1] + bytes([blob[-1] ^ 1]))
+
+
+def test_differences_simple_font_roundtrip():
+    """Pre-2005 simple-font layout (r14): a Type1 font with NO
+    /ToUnicode whose /Encoding patches WinAnsi with a /Differences
+    glyph-name remap. The table-driven decode must be lossless and the
+    raw byte decode must NOT reproduce the text (the CID pin's twin for
+    the /Differences path)."""
+    pages = ["hello world\nabc consecutive", "lower case tail\n\nxyz"]
+    data = P.pdf_bytes_differences(pages)
+    assert P.extract_pdf_pages(data) == pages
+    assert P.extract_pdf_pages(P.pdf_bytes(pages)) == pages
+    objects, root = P.load_pdf_objects(data)
+    page = next(
+        v for v, _ in objects.values()
+        if isinstance(v, dict) and str(v.get("Type")) == "Page"
+    )
+    raw = P.decode_stream(objects[page["Contents"].num], objects)
+    assert P.content_stream_text(raw) != pages[0], (
+        "without the /Differences table the remapped codes must NOT "
+        "decode to the text"
+    )
+
+
+def test_glyph_name_resolution_and_base_encodings():
+    # explicit AGL subset, single-char fallback, algorithmic forms,
+    # unresolvable subset-private names
+    assert P.glyph_name_to_char("eacute") == "é"
+    assert P.glyph_name_to_char("Euro") == "€"
+    assert P.glyph_name_to_char("fi") == "ﬁ"
+    assert P.glyph_name_to_char("A") == "A"
+    assert P.glyph_name_to_char("uni20AC") == "€"
+    assert P.glyph_name_to_char("u1F600") == "😀"
+    assert P.glyph_name_to_char("g42") is None
+    assert P.glyph_name_to_char("cid007") is None
+
+    win = P._base_encoding_table("WinAnsiEncoding")
+    assert win[b"\x80"] == "€" and win[b"\xe9"] == "é"
+    assert b"\x81" not in win  # cp1252 undefined code
+    mac = P._base_encoding_table("MacRomanEncoding")
+    assert mac[b"\x8e"] == "é"
+    std = P._base_encoding_table(None)
+    assert std[b"'"] == "’" and std[b"`"] == "‘"
+    assert std[b"\xae"] == "ﬁ" and std[b"\xa5"] == "¥"  # D.2 high half
+    assert std[b"A"] == "A"
+
+
+def test_simple_font_encoding_map_shapes():
+    # name-form /Encoding, dict-form with /Differences, composite
+    # fonts and encoding-less fonts stay on their existing paths
+    objects: dict = {}
+    name_font = {"Subtype": P._Name("Type1"),
+                 "Encoding": P._Name("WinAnsiEncoding")}
+    m = P.simple_font_encoding_map(name_font, objects)
+    assert m is not None and m[b"\x80"] == "€"
+
+    diff_font = {
+        "Subtype": P._Name("Type1"),
+        "Encoding": {
+            "BaseEncoding": P._Name("WinAnsiEncoding"),
+            "Differences": [65, P._Name("eacute"), P._Name("g9"),
+                            200, P._Name("bullet")],
+        },
+    }
+    m = P.simple_font_encoding_map(diff_font, objects)
+    assert m[b"A"] == "é"          # 65 remapped
+    assert m[b"B"] == "B"          # g9 unresolvable: base byte survives
+    assert m[b"\xc8"] == "•"       # second start code
+    assert m[b"C"] == "C"          # untouched codes keep the base
+
+    cid_font = {"Subtype": P._Name("Type0"),
+                "Encoding": P._Name("Identity-H")}
+    assert P.simple_font_encoding_map(cid_font, objects) is None
+    plain = {"Subtype": P._Name("Type1")}
+    assert P.simple_font_encoding_map(plain, objects) is None
