@@ -8303,6 +8303,31 @@ def _q_kqltext_fork_python(spark, sf):
     return run_kql(spark, q, _kqltext_tables(spark, sf))
 
 
+def _q_kqltext_plugins2(spark, sf):
+    """The round-14 evaluate-plugin bindings through the TEXT parser:
+    ``sliding_window_counts`` (trailing 3-day event + distinct-actor
+    counts on the dense day axis) joined with ``rolling_percentile``
+    (exact trailing 3-day median of value) — both were library-oracled
+    since r9/r10 (operators/activity.py); this key pins the pasted-ADX
+    argument plumbing. Plans are the library's contribute-to-trailing-
+    bins explode (constant window/bin blowup, map-side-combined
+    aggregates, broadcast axis join); the day-keyed inner join is tiny
+    (≤ #days rows/side). Oracle: dense generate_series axis + trailing
+    BETWEEN join + quantile_cont in plain SQL; p50 rounds to 4 both
+    sides (interpolation is last-ulp sensitive)."""
+    from kusto_pre_forge_spark.operators.kqltext import run_kql
+
+    q = (
+        "let W = events | evaluate sliding_window_counts(user_id, ts, 3d);\n"
+        "let P = events | evaluate rolling_percentile(value, 50, ts, 3d);\n"
+        "W | join kind=inner (P) on day\n"
+        "| project day = todatetime(day), count_events, dcount_actors, "
+        "p50 = round(p50, 4)\n"
+        "| sort by day asc"
+    )
+    return run_kql(spark, q, {"events": load_table(spark, sf, "events")})
+
+
 def _q_kqltext_facet(spark, sf):
     """``facet by`` through the TEXT parser (round-13): one value-count
     table per facet column plus the ``with``-clause table, represented
@@ -8594,6 +8619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kqltext_plugins": _q_kqltext_plugins,
         "kqltext_fork_python": _q_kqltext_fork_python,
         "kqltext_facet": _q_kqltext_facet,
+        "kqltext_plugins2": _q_kqltext_plugins2,
         "kqltext_top_hitters": _q_kqltext_top_hitters,
         "kqltext_parse_kv": _q_kqltext_parse_kv,
         "kqltext_top_nested": _q_kqltext_top_nested,
@@ -12595,6 +12621,28 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_custkey % 200 <= 175 AND c_custkey % 25 = 0) "
             "SELECT 'zone-' || CAST(oct2 // 25 AS BIGINT) AS zone_name, "
             "CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1"
+        ),
+        "kqltext_plugins2": (
+            # dense day axis + trailing-3-day window replayed with a
+            # BETWEEN join; exact interpolated median via quantile_cont
+            "WITH ev AS (SELECT CAST(ts AS DATE) AS d, user_id, value "
+            "FROM events), "
+            "b AS (SELECT min(d) AS lo, max(d) AS hi FROM ev), "
+            "axis AS (SELECT CAST(unnest(generate_series(lo, hi, "
+            "INTERVAL 1 DAY)) AS DATE) AS day FROM b), "
+            "w AS (SELECT a.day, count(e.d) AS count_events, "
+            "count(DISTINCT e.user_id) AS dcount_actors "
+            "FROM axis a LEFT JOIN ev e "
+            "ON e.d BETWEEN a.day - INTERVAL 2 DAY AND a.day "
+            "GROUP BY a.day), "
+            "p AS (SELECT a.day, quantile_cont(e.value, 0.5) AS p50 "
+            "FROM axis a JOIN ev e "
+            "ON e.d BETWEEN a.day - INTERVAL 2 DAY AND a.day "
+            "AND e.value IS NOT NULL GROUP BY a.day) "
+            "SELECT CAST(w.day AS TIMESTAMP) AS day, CAST(w.count_events AS BIGINT) AS count_events, "
+            "CAST(w.dcount_actors AS BIGINT) AS dcount_actors, "
+            "round(p.p50, 4) AS p50 FROM w JOIN p ON w.day = p.day "
+            "ORDER BY w.day"
         ),
         "kqltext_facet": (
             # the SQL each facet table means, unioned with the

@@ -169,6 +169,7 @@ HEADLINE = [
     "kqltext_top_nested",
     "kqltext_fork_python",
     "kqltext_facet",
+    "kqltext_plugins2",
     "kqltext_top_hitters",
     "kqltext_scan",
     "kqltext_partition",

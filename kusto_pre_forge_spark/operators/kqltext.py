@@ -32,7 +32,10 @@ everyday tabular operators:
   ``autocluster`` / ``diffpatterns`` / ``ipv4_lookup`` /
   ``bag_unpack : (schema)`` / ``narrow`` / ``rows_near`` /
   ``sequence_detect`` / ``activity_counts_metrics`` /
-  ``session_count`` / ``activity_engagement`` / ``funnel_sequence``;
+  ``session_count`` / ``activity_engagement`` / ``funnel_sequence`` /
+  ``sliding_window_counts`` / ``rolling_percentile`` /
+  ``new_activity_metrics`` / ``dcount_intersect`` /
+  ``diffpatterns_text``;
   ``lookup`` / ``fork`` / ``facet`` / ``top-nested [with others]`` /
   ``top-hitters`` / ``as`` / ``sample`` / ``invoke``
 - the packed-series scalar batch (``series_fir``/``series_iir``/
@@ -1708,6 +1711,107 @@ class _Parser:
             rn = F.row_number().over(self._serial_window()).cast("long")
             return K.narrow(
                 df.withColumn("Row", rn), ["Row"], list(df.columns)
+            )
+        if t.val in ("sliding_window_counts", "rolling_percentile",
+                     "new_activity_metrics"):
+            # the remaining activity-analytics plugins, bound to the
+            # library's dense-axis plans (operators/activity.py) in the
+            # engine's established abbreviated-argument convention (the
+            # activity_counts_metrics family drops ADX's start/end/bin
+            # positions; lookback/window timespans convert to whole
+            # days): sliding_window_counts(Id, Ts [, Lookback]) —
+            # trailing-window event + distinct-actor counts per day;
+            # rolling_percentile(Value, Pct, Ts [, Window]) — exact
+            # trailing percentile per day; new_activity_metrics(Id, Ts
+            # [, bin]) — per-bin dcount/new/retained/churn (+rates).
+            from kusto_pre_forge_spark.operators import activity as A
+
+            self.eat("punct", "(")
+            if t.val == "rolling_percentile":
+                value = self.eat("ident").val
+                self.eat("punct", ",")
+                pct = float(_lit_value(self.parse_expr()))
+                self.eat("punct", ",")
+                ts_col = self.eat("ident").val
+                window = 7
+                if self.at("punct", ","):
+                    self.next()
+                    w = self.next()
+                    if w.kind != "ts":
+                        raise KqlSyntaxError(
+                            "rolling_percentile window must be a timespan"
+                        )
+                    window = max(1, int(float(w.val) // 86400))
+                self.eat("punct", ")")
+                return A.rolling_percentile(
+                    df, value, ts_col, percentile=pct, window_days=window
+                )
+            actor = self.eat("ident").val
+            self.eat("punct", ",")
+            ts_col = self.eat("ident").val
+            if t.val == "sliding_window_counts":
+                lookback = 7
+                if self.at("punct", ","):
+                    self.next()
+                    lb = self.next()
+                    if lb.kind != "ts":
+                        raise KqlSyntaxError(
+                            "sliding_window_counts lookback must be a "
+                            "timespan"
+                        )
+                    lookback = max(1, int(float(lb.val) // 86400))
+                self.eat("punct", ")")
+                return A.sliding_window_counts(
+                    df, actor, ts_col, lookback_days=lookback
+                )
+            bin_name = "day"
+            if self.at("punct", ","):
+                self.next()
+                bin_name = self.eat("ident").val
+            self.eat("punct", ")")
+            if bin_name not in ("day", "hour", "week"):
+                raise KqlSyntaxError(
+                    "new_activity_metrics bin must be day/hour/week"
+                )
+            return A.new_activity_metrics(df, actor, ts_col, bin=bin_name)
+        if t.val == "dcount_intersect":
+            # dcount_intersect(Key, Group, 'g1', 'g2', …) — progressive
+            # intersection dcounts s0..sN−1. ADX's plugin consumes hll()
+            # sketch columns; the engine's exact-dcount contract binds
+            # the (key, group) form instead — same output shape, exact
+            # counts (the percentiles()-is-exact convention).
+            self.eat("punct", "(")
+            key = self.eat("ident").val
+            self.eat("punct", ",")
+            group = self.eat("ident").val
+            names: list[str] = []
+            while self.at("punct", ","):
+                self.next()
+                names.append(str(_lit_value(self.parse_expr())))
+            self.eat("punct", ")")
+            if not names:
+                raise KqlSyntaxError(
+                    "dcount_intersect needs at least one group literal"
+                )
+            return K.dcount_intersect(df, key, group, names)
+        if t.val == "diffpatterns_text":
+            # diffpatterns_text(Text, SplitBool [, TopK [, MinDocs]]) —
+            # the terms whose document frequency differs most between
+            # the split's true/false row sets
+            self.eat("punct", "(")
+            text_col = self.eat("ident").val
+            self.eat("punct", ",")
+            split = self.parse_expr(df=df)
+            top_k, min_docs = 20, 2
+            if self.at("punct", ","):
+                self.next()
+                top_k = int(_lit_value(self.parse_expr()))
+            if self.at("punct", ","):
+                self.next()
+                min_docs = int(_lit_value(self.parse_expr()))
+            self.eat("punct", ")")
+            return K.diffpatterns_text(
+                df, text_col, split.c(), top_k=top_k, min_doc_count=min_docs
             )
         raise KqlSyntaxError(
             f"unsupported evaluate plugin {t.val!r} at offset {t.pos}"

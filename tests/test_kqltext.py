@@ -1761,3 +1761,76 @@ def test_find_and_search_keep_duplicate_sources(spark, t):
     assert sub.count() == 3  # 2 from the full table + 1 from the filtered
     s = run_kql(spark, "search in (Events, Events) 'disk'", t)
     assert s.count() == 4  # both operands searched
+
+
+def test_evaluate_plugin_batch_round14(spark):
+    """r14 plugin bindings: sliding_window_counts / rolling_percentile /
+    new_activity_metrics / dcount_intersect / diffpatterns_text — the
+    library implementations already existed and were oracled; these pin
+    the text-layer argument plumbing."""
+    rows = [
+        ("u1", "2024-01-01 10:00:00", 10.0, "g1", "alpha beta"),
+        ("u2", "2024-01-01 11:00:00", 20.0, "g1", "alpha gamma"),
+        ("u1", "2024-01-02 09:00:00", 30.0, "g2", "beta beta"),
+        ("u3", "2024-01-03 09:00:00", 40.0, "g2", "delta"),
+    ]
+    s = spark.createDataFrame(
+        rows, "uid string, tss string, v double, g string, txt string"
+    ).selectExpr("uid", "cast(tss as timestamp) ts", "v", "g", "txt")
+    t = {"S": s}
+
+    swc = {
+        str(r.day): (r.count_events, r.dcount_actors)
+        for r in run_kql(
+            spark, "S | evaluate sliding_window_counts(uid, ts, 2d)", t
+        ).collect()
+    }
+    # day 2 sees days 1-2 (3 events, 2 actors); day 3 sees days 2-3
+    assert swc["2024-01-01"] == (2, 2)
+    assert swc["2024-01-02"] == (3, 2)
+    assert swc["2024-01-03"] == (2, 2)
+
+    rp = {
+        str(r.day): r.p50
+        for r in run_kql(
+            spark, "S | evaluate rolling_percentile(v, 50, ts, 2d)", t
+        ).collect()
+    }
+    assert rp["2024-01-01"] == 15.0      # median of 10, 20
+    assert rp["2024-01-02"] == 20.0      # median of 10, 20, 30
+    assert rp["2024-01-03"] == 35.0      # median of 30, 40
+
+    nam = {
+        str(r.bin): (r.dcount, r.new_dcount, r.retained_dcount,
+                     r.churn_dcount)
+        for r in run_kql(
+            spark, "S | evaluate new_activity_metrics(uid, ts)", t
+        ).collect()
+    }
+    assert nam["2024-01-01 00:00:00"] == (2, 2, 0, 0)
+    assert nam["2024-01-02 00:00:00"] == (1, 0, 1, 1)  # u1 retained, u2 churned
+    assert nam["2024-01-03 00:00:00"] == (1, 1, 0, 1)
+
+    di = run_kql(
+        spark, "S | evaluate dcount_intersect(uid, g, 'g1', 'g2')", t
+    ).collect()[0]
+    assert (di.s0, di.s1) == (2, 1)  # g1 = {u1,u2}; g1 ∩ g2 = {u1}
+
+    dp = {
+        r.term: (r.n_true, r.n_false)
+        for r in run_kql(
+            spark,
+            "S | evaluate diffpatterns_text(txt, v >= 25, 10, 1)",
+            t,
+        ).collect()
+    }
+    assert dp["delta"] == (1, 0) and dp["alpha"] == (0, 2)
+    assert dp["beta"] == (1, 1)  # document frequency, not term spam
+
+    # argument errors refuse loudly
+    with pytest.raises(KqlSyntaxError, match="timespan"):
+        run_kql(spark, "S | evaluate sliding_window_counts(uid, ts, 5)", t)
+    with pytest.raises(KqlSyntaxError, match="day/hour/week"):
+        run_kql(spark, "S | evaluate new_activity_metrics(uid, ts, month)", t)
+    with pytest.raises(KqlSyntaxError, match="group literal"):
+        run_kql(spark, "S | evaluate dcount_intersect(uid, g)", t)
