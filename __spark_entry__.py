@@ -8303,6 +8303,33 @@ def _q_kqltext_fork_python(spark, sf):
     return run_kql(spark, q, _kqltext_tables(spark, sf))
 
 
+def _q_kqltext_scan_steps(spark, sf):
+    """The GENERAL multi-step scan machine through the TEXT parser
+    (round-14): session labeling over events — a two-step state machine
+    whose second step's condition READS the state (``ts - last_ts <=
+    30s``), the shape the window profiles refuse. Bound to
+    kql.scan_steps' sequential executor (applyInPandas; the global text
+    form walks rows in one task — Kusto's scan is sequential — with the
+    documented bound-the-input posture; keyed scale runs via
+    scan_steps(by=…)). Oracle: the machine's semantics reduce exactly
+    to windowed sessionization for this step shape (a first-step match
+    IS a new sequence; cont advances/extends within the gap), so the
+    SQL replay is the classic break-flag cumulative sum + per-session
+    row_number — every row compared, not an aggregate."""
+    from kusto_pre_forge_spark.operators.kqltext import run_kql
+
+    q = (
+        "events\n"
+        "| sort by ts asc, event_id asc\n"
+        "| scan with_match_id=session declare (last_ts:datetime, n:long=0) "
+        "with (\n"
+        "    step start: true => last_ts = ts, n = 1;\n"
+        "    step cont: ts - last_ts <= 30s => last_ts = ts, n = n + 1;)\n"
+        "| project event_id, n, session"
+    )
+    return run_kql(spark, q, {"events": load_table(spark, sf, "events")})
+
+
 def _q_kqltext_plugins2(spark, sf):
     """The round-14 evaluate-plugin bindings through the TEXT parser:
     ``sliding_window_counts`` (trailing 3-day event + distinct-actor
@@ -8620,6 +8647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kqltext_fork_python": _q_kqltext_fork_python,
         "kqltext_facet": _q_kqltext_facet,
         "kqltext_plugins2": _q_kqltext_plugins2,
+        "kqltext_scan_steps": _q_kqltext_scan_steps,
         "kqltext_top_hitters": _q_kqltext_top_hitters,
         "kqltext_parse_kv": _q_kqltext_parse_kv,
         "kqltext_top_nested": _q_kqltext_top_nested,
@@ -12621,6 +12649,20 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_custkey % 200 <= 175 AND c_custkey % 25 = 0) "
             "SELECT 'zone-' || CAST(oct2 // 25 AS BIGINT) AS zone_name, "
             "CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1"
+        ),
+        "kqltext_scan_steps": (
+            # the machine reduces to windowed sessionization for this
+            # step shape: break-flag cumsum = session id (arrival
+            # order), row_number within session = n
+            "WITH o AS (SELECT event_id, ts, CASE WHEN "
+            "lag(ts) OVER (ORDER BY ts, event_id) IS NULL OR "
+            "ts - lag(ts) OVER (ORDER BY ts, event_id) > "
+            "INTERVAL 30 SECOND THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT event_id, ts, SUM(brk) OVER (ORDER BY ts, "
+            "event_id ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+            "SELECT event_id, CAST(row_number() OVER (PARTITION BY sid "
+            "ORDER BY ts, event_id) AS BIGINT) AS n, "
+            "CAST(sid - 1 AS BIGINT) AS session FROM s"
         ),
         "kqltext_plugins2": (
             # dense day axis + trailing-3-day window replayed with a

@@ -170,6 +170,7 @@ HEADLINE = [
     "kqltext_fork_python",
     "kqltext_facet",
     "kqltext_plugins2",
+    "kqltext_scan_steps",
     "kqltext_top_hitters",
     "kqltext_scan",
     "kqltext_partition",

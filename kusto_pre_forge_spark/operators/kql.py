@@ -1535,6 +1535,122 @@ def scan_accumulate(
     )
 
 
+def scan_steps(
+    df: DataFrame,
+    order: Sequence[str],
+    steps: Sequence[tuple],
+    declare: "dict[str, tuple]",
+    by: Sequence[str] = (),
+    match_name: str = "match_id",
+    step_name: str = "step",
+) -> DataFrame:
+    """KQL ``scan`` — the GENERAL bounded multi-step state machine the
+    window profiles (:func:`scan_accumulate`) can't express: session
+    labeling, multi-state funnels, scans whose step conditions read the
+    accumulated state.
+
+    ``steps`` is ``[(name, cond, assigns), …]`` where ``cond`` is a
+    Python callable ``env → bool`` and ``assigns`` is ``[(var, env →
+    value), …]``; ``env`` maps column names AND state variables to the
+    current row's/instance's values. ``declare`` maps each state
+    variable to ``(default, spark_type_ddl)``.
+
+    Sequence semantics (the engine's documented contract, modeled on
+    ADX's scan): records walk in ``order``; per record, steps scan
+    LAST → FIRST; the record is captured by the first step k whose
+    condition holds under (in preference order) the active instance AT
+    step k (the sequence absorbs another record — NON-first steps
+    only), else the instance at step k−1 (the sequence advances — the
+    k−1 instance is promoted, i.e. removed from k−1), else — for the
+    FIRST step only — the declared defaults (a NEW sequence starts,
+    replacing any instance at step 1, with a fresh ``match_id``). The
+    first step never extends its own instance: a first-step match IS a
+    new sequence, which is what makes match ids delimit sessions
+    (single-step running accumulations belong to the
+    :func:`scan_accumulate` window profile, not this machine).
+    Assignments see the pre-update state (``s = s + x`` accumulates).
+    A record captured by no step is not emitted (Kusto's rule). Each
+    step holds at most one active instance.
+
+    Scale: with ``by`` the machine runs per key via ``applyInPandas``
+    (one hash exchange; each key's rows must fit one task — the
+    :func:`partition_apply` contract). ``by=()`` is the inherently
+    sequential GLOBAL scan: ONE task walks the whole input (a constant
+    grouping key, so the plan stays a hash exchange, but the size
+    posture is explicit: bound the input first, or key the scan). The
+    window-expressible accumulate/restart profiles should use
+    :func:`scan_accumulate` — this executor exists for the shapes they
+    refuse."""
+    import pandas as pd
+
+    in_cols = list(df.columns)
+    var_names = list(declare)
+    defaults = {v: declare[v][0] for v in var_names}
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"`{v}` {declare[v][1]}" for v in var_names]
+        + [f"`{match_name}` long", f"`{step_name}` string"]
+    )
+    n = len(steps)
+    # order entries: "col" (ascending) or ("col", asc_bool)
+    order_cols = [o if isinstance(o, str) else o[0] for o in order]
+    order_asc = [True if isinstance(o, str) else bool(o[1]) for o in order]
+    key_cols = list(by)
+
+    def machine(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_cols, ascending=order_asc,
+                              kind="mergesort")
+        states: list = [None] * n
+        mids: list = [None] * n
+        next_mid = 0
+        out: list[dict] = []
+        for rec in pdf.to_dict("records"):
+            for k in range(n - 1, -1, -1):
+                name_k, cond_k, assigns_k = steps[k]
+                if (
+                    k > 0
+                    and states[k] is not None
+                    and cond_k({**rec, **states[k]})
+                ):
+                    st, mid = states[k], mids[k]
+                elif (
+                    k > 0
+                    and states[k - 1] is not None
+                    and cond_k({**rec, **states[k - 1]})
+                ):
+                    st, mid = states[k - 1], mids[k - 1]
+                    states[k - 1] = None
+                    mids[k - 1] = None
+                elif k == 0 and cond_k({**rec, **defaults}):
+                    st, mid = dict(defaults), next_mid
+                    next_mid += 1
+                else:
+                    continue
+                env = {**rec, **st}
+                newst = dict(st)
+                for var, fn in assigns_k:
+                    newst[var] = fn(env)
+                states[k], mids[k] = newst, mid
+                out.append(
+                    {
+                        **{c: rec[c] for c in in_cols},
+                        **newst,
+                        match_name: mid,
+                        step_name: name_k,
+                    }
+                )
+                break
+        cols = in_cols + var_names + [match_name, step_name]
+        return pd.DataFrame(out, columns=cols)
+
+    if key_cols:
+        return df.groupBy(*key_cols).applyInPandas(machine, out_schema)
+    return df.groupBy(F.lit(0).alias("_kpf_g")).applyInPandas(
+        lambda pdf: machine(pdf.drop(columns=["_kpf_g"], errors="ignore")),
+        out_schema,
+    )
+
+
 def narrow(
     df: DataFrame,
     ids: Sequence[str],

@@ -527,6 +527,7 @@ class _Parser:
         """Run the remaining `| stage` chain over an externally-built
         source (the .show control-command results)."""
         self._last_order = None  # fresh pipeline — no inherited order
+        self._last_order_names = None
         while self.at("punct", "|"):
             self.next()
             df = self._parse_stage(df)
@@ -539,7 +540,9 @@ class _Parser:
         # let / join branch / union source / toscalar subquery must not
         # leak into the outer pipeline's serialize/row_number windows.
         outer_order = getattr(self, "_last_order", None)
+        outer_names = getattr(self, "_last_order_names", None)
         self._last_order = None
+        self._last_order_names = None
         try:
             df = self._parse_source()
             while self.at("punct", "|"):
@@ -548,6 +551,7 @@ class _Parser:
             return df
         finally:
             self._last_order = outer_order
+            self._last_order_names = outer_names
 
     def _parse_source(self) -> DataFrame:
         if self.at("punct", "("):
@@ -946,6 +950,11 @@ class _Parser:
         self.eat("ident", "by")
         order = []
         self._last_order = order  # serialize/row_number/prev/next reuse it
+        # bare-column sort keys also record (name, asc) — the sequential
+        # scan machine (general multi-step scan) needs plain names to
+        # replay the order pandas-side; None marks a computed key
+        order_names = []
+        self._last_order_names = order_names
         while True:
             e = self.parse_expr(df=df)
             col = e.c()
@@ -955,6 +964,11 @@ class _Parser:
                 desc = False
             elif self.at_ident("desc"):
                 self.next()
+            order_names.append(
+                (e.name, not desc)
+                if getattr(e, "name", None) in df.columns
+                else None
+            )
             nulls = None
             if self.at_ident("nulls"):
                 self.next()
@@ -1138,8 +1152,10 @@ class _Parser:
         exploded = src.withColumn(name, F.explode(e.c()))
         prev = getattr(self, "_mv_rid", None)
         prev_order = getattr(self, "_last_order", None)
+        prev_names = getattr(self, "_last_order_names", None)
         self._mv_rid = rid
         self._last_order = None  # a sort inside on(...) is subquery-scoped
+        self._last_order_names = None
         try:
             sub = self._parse_stage(exploded)
             while self.at("punct", "|"):
@@ -1148,6 +1164,7 @@ class _Parser:
         finally:
             self._mv_rid = prev
             self._last_order = prev_order
+            self._last_order_names = prev_names
         self.eat("punct", ")")
         if set(src.columns) <= set(sub.columns):
             return sub.drop(rid)
@@ -2104,29 +2121,82 @@ class _Parser:
             self.next()
         return df.limit(0)
 
+    def _scan_span(self, arrow: bool) -> list:
+        """Capture a scan sub-expression's raw token span up to a
+        depth-0 boundary: ``;`` / ``)`` always, ``,`` for assignment
+        lists (arrow=False), ``=>`` for step conditions (arrow=True).
+        Spans re-parse later — as Spark expressions on the window
+        profiles, as row-level closures on the sequential machine."""
+        depth = 0
+        start = self.i
+        while True:
+            t = self.peek()
+            if t.kind == "eof":
+                break
+            if t.kind == "punct":
+                if t.val in ("(", "[", "{"):
+                    depth += 1
+                elif t.val in (")", "]", "}"):
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif depth == 0:
+                    if t.val == ";":
+                        break
+                    if not arrow and t.val == ",":
+                        break
+                    if (
+                        arrow
+                        and t.val == "="
+                        and self.peek(1).kind == "punct"
+                        and self.peek(1).val == ">"
+                    ):
+                        break
+            self.next()
+        return self.toks[start:self.i]
+
+    def _span_kexpr(self, span: list, df) -> KExpr:
+        """Re-parse a captured token span as ONE Spark expression (the
+        lambda-body sub-parser convention)."""
+        p = self._lambda_env(span, {}, {})
+        e = p.parse_expr(df=df)
+        if p.peek().kind != "eof":
+            raise KqlSyntaxError("scan: trailing tokens in expression")
+        return e
+
     def _op_scan(self, df):
-        """``| scan [with_match_id=M] declare (s:type[=init]) with
-        (step s1: Cond => s = s + Expr;)`` — the ACCUMULATE profile of
-        KQL scan, bound to kql.scan_accumulate's segment-window plan
-        (two windows over the serialize order — the shuffle-minimal
-        distributed equivalent of Kusto's sequential walk).
+        """``| scan [with_match_id=M] declare (s:type[=init], …) with
+        (step s1: Cond [=> s = Expr, …]; …)`` — KQL scan.
 
-        Supported shapes (the profiles windows can express exactly):
+        Two execution tiers, chosen by shape:
 
-        - one step, assignment ``s = s + Expr`` — running accumulate;
-          a non-``true`` condition pre-filters (a row matching no step
-          is not emitted, Kusto's rule);
-        - two steps ``step a: Cond => s = Expr; step b: true =>
-          s = s + Expr`` with the SAME Expr — restart-at-Cond (the
-          reset row's output is its own Expr value, both here and in
-          Kusto's sequential evaluation).
+        - WINDOW PROFILES (single variable, 1–2 steps, the accumulate /
+          restart shapes, state-free conditions) bind to
+          kql.scan_accumulate's two-phase distributed prefix sum — the
+          shuffle-minimal plan, preferred whenever windows can express
+          the semantics. The restart profile keeps the engine's
+          documented restart semantics (rows before the first restart
+          row still accumulate — kql.scan_accumulate's contract).
+        - GENERAL MULTI-STEP state machines (3+ steps, multiple state
+          variables, state-reading conditions, distinct per-step
+          assignments — session labeling, multi-state funnels) bind to
+          kql.scan_steps' sequence semantics (steps scanned last→first
+          per record; capture continues the instance at the step —
+          non-first steps — else advances the instance at the previous
+          step, else — first step only — starts a NEW sequence with a
+          fresh match id; non-capturing records are not emitted;
+          kql.scan_steps' docstring is the full contract). Conditions
+          and
+          assignments compile to row-level closures
+          (_compile_scan_pyexpr's scalar subset — unsupported functions
+          refuse by name at parse time). The global text-layer form
+          walks rows in ONE task (Kusto's own scan is sequential);
+          bound the input or key the scan (kql.scan_steps(by=…)) at
+          scale.
 
         Scan is defined over the serialize order, so a ``sort by``/
-        ``serialize`` must precede it. Like Kusto's own scan the
-        sequence is GLOBAL (single window partition) — keyed scans at
-        scale belong to kql.scan_accumulate(by=…) or partition_apply.
-        Multi-step scans with cross-step predicates refuse by name:
-        route those through kql.partition_apply."""
+        ``serialize`` must precede it; the machine additionally needs
+        plain-column sort keys (project computed keys first)."""
         order = getattr(self, "_last_order", None)
         if not order:
             raise KqlSyntaxError(
@@ -2139,91 +2209,184 @@ class _Parser:
             match_name = self.eat("ident").val
         self.eat("ident", "declare")
         self.eat("punct", "(")
-        var = self.eat("ident").val
-        self.eat("punct", ":")
-        self.eat("ident")  # declared type — output inherits Expr's
-        if self.at("punct", "="):
-            self.next()
-            self.parse_expr()  # init value: segment sums start at 0
-        if self.at("punct", ","):
-            raise KqlSyntaxError(
-                "scan: only a single declared state variable is "
-                "supported (multi-variable scans: use "
-                "kql.partition_apply)"
-            )
-        self.eat("punct", ")")
-        self.eat("ident", "with")
-        self.eat("punct", "(")
-        steps = []  # (cond KExpr, cond_is_true, rhs token span)
-        while self.at_ident("step"):
-            self.next()
-            self.eat("ident")  # step name
+        decls = []  # (var, ktype, python default)
+        while True:
+            var = self.eat("ident").val
             self.eat("punct", ":")
-            cond = self.parse_expr(df=df)
-            rhs_span = None
-            accumulate = False
-            expr = None
+            ktype = self.eat("ident").val
+            default = None
             if self.at("punct", "="):
                 self.next()
-                self.eat("punct", ">")
-                tgt = self.eat("ident").val
-                if tgt != var:
+                neg = False
+                if self.at("punct", "-"):
+                    self.next()
+                    neg = True
+                tok = self.next()
+                if tok.kind in ("num", "ts"):
+                    default = -tok.val if neg else tok.val
+                elif tok.kind == "str" and not neg:
+                    default = tok.val
+                elif tok.kind == "ident" and tok.val in ("true", "false"):
+                    default = tok.val == "true"
+                else:
                     raise KqlSyntaxError(
-                        f"scan assigns to undeclared variable {tgt!r}"
+                        "scan: declare defaults are literals"
                     )
-                self.eat("punct", "=")
-                if (
-                    self.peek().kind == "ident"
-                    and self.peek().val == var
-                    and self.peek(1).kind == "punct"
-                    and self.peek(1).val == "+"
-                ):
-                    accumulate = True
-                    self.next()
-                    self.next()
-                start = self.i
-                expr = self.parse_expr(df=df)
-                rhs_span = [
-                    (t.kind, t.val) for t in self.toks[start:self.i]
-                ]
-            steps.append((cond, expr, accumulate, rhs_span))
+            decls.append((var, ktype, default))
+            if self.at("punct", ","):
+                self.next()
+                continue
+            break
+        self.eat("punct", ")")
+        var_names = {d[0] for d in decls}
+        self.eat("ident", "with")
+        self.eat("punct", "(")
+        steps_raw = []  # (name, cond span, [(var, rhs span), …])
+        while self.at_ident("step"):
+            self.next()
+            sname = self.eat("ident").val
+            self.eat("punct", ":")
+            cond_span = self._scan_span(arrow=True)
+            if not cond_span:
+                raise KqlSyntaxError("scan: empty step condition")
+            assigns = []
+            if (
+                self.at("punct", "=")
+                and self.peek(1).kind == "punct"
+                and self.peek(1).val == ">"
+            ):
+                self.next()
+                self.next()
+                while True:
+                    tgt = self.eat("ident").val
+                    if tgt not in var_names:
+                        raise KqlSyntaxError(
+                            f"scan assigns to undeclared variable {tgt!r}"
+                        )
+                    self.eat("punct", "=")
+                    rhs = self._scan_span(arrow=False)
+                    if not rhs:
+                        raise KqlSyntaxError(
+                            "scan: empty assignment expression"
+                        )
+                    assigns.append((tgt, rhs))
+                    if self.at("punct", ","):
+                        self.next()
+                        continue
+                    break
+            steps_raw.append((sname, cond_span, assigns))
             if self.at("punct", ";"):
                 self.next()
         self.eat("punct", ")")
-        if len(steps) == 1:
-            cond, expr, accumulate, _ = steps[0]
-            if not accumulate:
-                raise KqlSyntaxError(
-                    "scan: single-step profile needs the accumulate "
-                    "form `s = s + Expr` (general scans: use "
-                    "kql.partition_apply)"
-                )
-            src = df if cond.pyval is True else df.filter(cond.c())
-            restart = F.lit(False)
-            value = expr.c()
-        elif len(steps) == 2:
-            (c1, e1, acc1, span1), (c2, e2, acc2, span2) = steps
-            if acc1 or not acc2 or c2.pyval is not True or span1 != span2:
-                raise KqlSyntaxError(
-                    "scan: two-step profile is `step a: Cond => s = "
-                    "Expr; step b: true => s = s + Expr` with the same "
-                    "Expr (general scans: use kql.partition_apply)"
-                )
-            src = df
-            restart = c1.c()
-            value = e2.c()
-        else:
-            raise KqlSyntaxError(
-                "scan: more than two steps — use kql.partition_apply "
-                "for general sequential scans"
+        if not steps_raw:
+            raise KqlSyntaxError("scan: at least one step is required")
+
+        def is_true(span):
+            return (
+                len(span) == 1
+                and span[0].kind == "ident"
+                and span[0].val == "true"
             )
-        out = K.scan_accumulate(
-            src, by=[], order=order, value=value, restart=restart,
-            out_name=var,
+
+        def mentions_state(span):
+            return any(
+                tk.kind == "ident" and tk.val in var_names for tk in span
+            )
+
+        def shape(span):
+            return [(tk.kind, tk.val) for tk in span]
+
+        var0 = decls[0][0]
+
+        def is_acc(rhs):
+            return (
+                len(rhs) >= 3
+                and rhs[0].kind == "ident"
+                and rhs[0].val == var0
+                and rhs[1].kind == "punct"
+                and rhs[1].val == "+"
+            )
+
+        fast = (
+            len(decls) == 1
+            and len(steps_raw) <= 2
+            and all(
+                len(a) == 1 and a[0][0] == var0 for _, _, a in steps_raw
+            )
+            and not any(mentions_state(c) for _, c, _ in steps_raw)
         )
-        keep = [c for c in df.columns] + [var]
+        if fast:
+            if len(steps_raw) == 1:
+                fast = is_acc(steps_raw[0][2][0][1])
+            else:
+                a_rhs = steps_raw[0][2][0][1]
+                b_rhs = steps_raw[1][2][0][1]
+                fast = (
+                    not is_acc(a_rhs)
+                    and is_acc(b_rhs)
+                    and is_true(steps_raw[1][1])
+                    and shape(a_rhs) == shape(b_rhs[2:])
+                )
+        if fast:
+            if len(steps_raw) == 1:
+                cond_span, rhs = steps_raw[0][1], steps_raw[0][2][0][1]
+                value = self._span_kexpr(rhs[2:], df).c()
+                src = (
+                    df
+                    if is_true(cond_span)
+                    else df.filter(self._span_kexpr(cond_span, df).c())
+                )
+                restart = F.lit(False)
+            else:
+                restart = self._span_kexpr(steps_raw[0][1], df).c()
+                value = self._span_kexpr(steps_raw[0][2][0][1], df).c()
+                src = df
+            out = K.scan_accumulate(
+                src, by=[], order=order, value=value, restart=restart,
+                out_name=var0,
+            )
+            keep = [c for c in df.columns] + [var0]
+            if match_name is not None:
+                out = out.withColumnRenamed("scan_match_id", match_name)
+                keep.append(match_name)
+            return out.select(*keep)
+
+        # ---- general multi-step sequential machine (kql.scan_steps)
+        order_names = getattr(self, "_last_order_names", None)
+        if not order_names or any(o is None for o in order_names):
+            raise KqlSyntaxError(
+                "scan (multi-step): sort keys must be plain columns — "
+                "project computed sort keys first"
+            )
+        type_map = {
+            "long": "bigint", "int": "int", "real": "double",
+            "double": "double", "string": "string", "bool": "boolean",
+            "boolean": "boolean", "datetime": "timestamp",
+            "timespan": "double",
+        }
+        declare = {}
+        for var, ktype, default in decls:
+            if ktype not in type_map:
+                raise KqlSyntaxError(
+                    f"scan: unsupported declared type {ktype!r}"
+                )
+            declare[var] = (default, type_map[ktype])
+        steps = []
+        for sname, cond_span, assigns in steps_raw:
+            steps.append(
+                (
+                    sname,
+                    _compile_scan_pyexpr(cond_span),
+                    [(v, _compile_scan_pyexpr(r)) for v, r in assigns],
+                )
+            )
+        mid = match_name or "_kpf_mid"
+        out = K.scan_steps(
+            df, order=order_names, steps=steps, declare=declare,
+            match_name=mid, step_name="_kpf_step",
+        )
+        keep = [c for c in df.columns] + [d[0] for d in decls]
         if match_name is not None:
-            out = out.withColumnRenamed("scan_match_id", match_name)
             keep.append(match_name)
         return out.select(*keep)
 
@@ -3063,6 +3226,318 @@ class _Parser:
         if args[0].kind == "timespan":
             return args[0]
         return KExpr(args[0].c(), kind="timespan")
+
+
+# --------------------------------------- row-level expression compiler
+#
+# The general multi-step `scan` runs a sequential state machine
+# (kql.scan_steps) whose step conditions/assignments read STATE
+# variables — not expressible as Spark Columns. This compiles a
+# captured token span into a plain-Python closure ``env → value``
+# (env = row columns + state vars), mirroring KQL's operator grammar
+# for the scalar subset the machine needs. Unsupported constructs
+# refuse by name at PARSE time (the loud-failure contract), never
+# mid-task.
+
+def _scan_num(v):
+    import datetime as _dt
+
+    if isinstance(v, _dt.timedelta):
+        return v.total_seconds()
+    if hasattr(v, "total_seconds") and not isinstance(v, _dt.datetime):
+        return v.total_seconds()  # pandas Timedelta
+    return v
+
+
+def _scan_arith(a, b, op: str):
+    import datetime as _dt
+
+    if a is None or b is None:
+        return None
+    a, b = _scan_num(a), _scan_num(b)
+    a_dt = isinstance(a, _dt.date)
+    b_dt = isinstance(b, _dt.date)
+    if op == "+":
+        if a_dt and isinstance(b, (int, float)):
+            return a + _dt.timedelta(seconds=b)
+        if b_dt and isinstance(a, (int, float)):
+            return b + _dt.timedelta(seconds=a)
+        return a + b
+    if op == "-":
+        if a_dt and b_dt:
+            return _scan_num(a - b)
+        if a_dt and isinstance(b, (int, float)):
+            return a - _dt.timedelta(seconds=b)
+        return a - b
+    if op == "*":
+        return a * b
+    if op == "/":
+        return a / b if b != 0 else None
+    return a % b if b != 0 else None  # %
+
+
+def _scan_cmp(a, b, op: str) -> bool:
+    if a is None or b is None:
+        return False
+    a, b = _scan_num(a), _scan_num(b)
+    try:
+        if op == "==":
+            return a == b
+        if op == "!=":
+            return a != b
+        if op == "<":
+            return a < b
+        if op == "<=":
+            return a <= b
+        if op == ">":
+            return a > b
+        return a >= b
+    except TypeError:
+        return False
+
+
+_SCAN_FNS = {
+    "strlen": lambda s: None if s is None else len(s),
+    "tolower": lambda s: None if s is None else str(s).lower(),
+    "toupper": lambda s: None if s is None else str(s).upper(),
+    "tostring": lambda v: "" if v is None else str(v),
+    "tolong": lambda v: None if v is None else int(_scan_num(v)),
+    "toint": lambda v: None if v is None else int(_scan_num(v)),
+    "todouble": lambda v: None if v is None else float(_scan_num(v)),
+    "toreal": lambda v: None if v is None else float(_scan_num(v)),
+    "abs": lambda v: None if v is None else abs(_scan_num(v)),
+    "round": lambda v, *n: None if v is None else round(
+        _scan_num(v), int(n[0]) if n else 0
+    ),
+    "isempty": lambda s: s is None or s == "",
+    "isnotempty": lambda s: not (s is None or s == ""),
+    "isnull": lambda v: v is None,
+    "isnotnull": lambda v: v is not None,
+    "coalesce": lambda *vs: next((v for v in vs if v is not None), None),
+    "strcat": lambda *vs: "".join("" if v is None else str(v) for v in vs),
+    "iff": lambda c, a, b: a if c else b,
+    "iif": lambda c, a, b: a if c else b,
+    "max_of": lambda *vs: max(_scan_num(v) for v in vs),
+    "min_of": lambda *vs: min(_scan_num(v) for v in vs),
+    "substring": lambda s, start, *ln: None if s is None else (
+        str(s)[int(start):] if not ln
+        else str(s)[int(start):int(start) + int(ln[0])]
+    ),
+}
+
+
+class _PyExprParser:
+    """Pratt parser over a captured token span → ``env → value``."""
+
+    def __init__(self, toks: list):
+        self.toks = list(toks) + [_Tok("eof", None, -1)]
+        self.i = 0
+
+    def _peek(self, k=0):
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def _next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def _at_punct(self, *vals):
+        t = self._peek()
+        return t.kind == "punct" and t.val in vals
+
+    def parse(self):
+        fn = self._or()
+        t = self._peek()
+        if t.kind != "eof":
+            raise KqlSyntaxError(
+                f"scan expression: unexpected {t.val!r} (the sequential "
+                "scan evaluator supports the scalar operator subset; "
+                "route richer expressions through kql.partition_apply)"
+            )
+        return fn
+
+    def _or(self):
+        left = self._and()
+        while self._peek().kind == "ident" and self._peek().val == "or":
+            self._next()
+            right = self._and()
+            left = (lambda a, b: lambda env: bool(a(env)) or bool(b(env)))(
+                left, right
+            )
+        return left
+
+    def _and(self):
+        left = self._not()
+        while self._peek().kind == "ident" and self._peek().val == "and":
+            self._next()
+            right = self._not()
+            left = (lambda a, b: lambda env: bool(a(env)) and bool(b(env)))(
+                left, right
+            )
+        return left
+
+    def _not(self):
+        if self._peek().kind == "ident" and self._peek().val == "not":
+            self._next()
+            inner = self._not()
+            return lambda env: not bool(inner(env))
+        return self._cmp()
+
+    def _cmp(self):
+        left = self._add()
+        t = self._peek()
+        if t.kind == "punct" and t.val in ("==", "!=", "<", "<=", ">", ">="):
+            op = self._next().val
+            right = self._add()
+            return (
+                lambda a, b, o: lambda env: _scan_cmp(a(env), b(env), o)
+            )(left, right, op)
+        if t.kind == "ident" and t.val in (
+            "has", "contains", "startswith", "endswith",
+        ):
+            op = self._next().val
+            right = self._add()
+
+            def mk(a, b, o):
+                def run(env):
+                    s, needle = a(env), b(env)
+                    if s is None or needle is None:
+                        return False
+                    s, needle = str(s).lower(), str(needle).lower()
+                    if o == "has":
+                        import re as _re
+
+                        return bool(
+                            _re.search(
+                                r"(?<![0-9A-Za-z_])"
+                                + _re.escape(needle)
+                                + r"(?![0-9A-Za-z_])",
+                                s,
+                            )
+                        )
+                    if o == "contains":
+                        return needle in s
+                    if o == "startswith":
+                        return s.startswith(needle)
+                    return s.endswith(needle)
+
+                return run
+
+            return mk(left, right, op)
+        if t.kind == "ident" and t.val == "in":
+            self._next()
+            vals = self._paren_list()
+            return (lambda a, vs: lambda env: a(env) in vs)(left, vals)
+        if t.kind == "punct" and t.val == "!" and (
+            self._peek(1).kind == "ident" and self._peek(1).val == "in"
+        ):
+            self._next()
+            self._next()
+            vals = self._paren_list()
+            return (lambda a, vs: lambda env: a(env) not in vs)(left, vals)
+        return left
+
+    def _paren_list(self):
+        if not self._at_punct("("):
+            raise KqlSyntaxError("scan expression: `in` needs a literal list")
+        self._next()
+        vals = []
+        while not self._at_punct(")"):
+            t = self._next()
+            if t.kind not in ("num", "str", "ts"):
+                raise KqlSyntaxError(
+                    "scan expression: `in` list takes literals only"
+                )
+            vals.append(t.val)
+            if self._at_punct(","):
+                self._next()
+        self._next()
+        return vals
+
+    def _add(self):
+        left = self._mul()
+        while self._at_punct("+", "-"):
+            op = self._next().val
+            right = self._mul()
+            left = (
+                lambda a, b, o: lambda env: _scan_arith(a(env), b(env), o)
+            )(left, right, op)
+        return left
+
+    def _mul(self):
+        left = self._unary()
+        while self._at_punct("*", "/", "%"):
+            op = self._next().val
+            right = self._unary()
+            left = (
+                lambda a, b, o: lambda env: _scan_arith(a(env), b(env), o)
+            )(left, right, op)
+        return left
+
+    def _unary(self):
+        if self._at_punct("-"):
+            self._next()
+            inner = self._unary()
+            return lambda env: (
+                None if inner(env) is None else -_scan_num(inner(env))
+            )
+        return self._primary()
+
+    def _primary(self):
+        t = self._next()
+        if t.kind in ("num", "str", "ts"):
+            v = t.val
+            return lambda env: v
+        if t.kind == "punct" and t.val == "(":
+            inner = self._or()
+            if not self._at_punct(")"):
+                raise KqlSyntaxError("scan expression: unbalanced (")
+            self._next()
+            return inner
+        if t.kind == "ident":
+            name = t.val
+            if name == "true":
+                return lambda env: True
+            if name == "false":
+                return lambda env: False
+            if name == "datetime" and self._at_punct("("):
+                self._next()
+                lit = self._next()
+                if not self._at_punct(")"):
+                    raise KqlSyntaxError("scan expression: datetime(…)")
+                self._next()
+                import pandas as pd
+
+                v = pd.Timestamp(str(lit.val))
+                return lambda env: v
+            if self._at_punct("("):
+                fn = _SCAN_FNS.get(name)
+                if fn is None:
+                    raise KqlSyntaxError(
+                        f"scan expression: unsupported function {name!r} "
+                        "(the sequential evaluator's scalar subset; route "
+                        "richer logic through kql.partition_apply)"
+                    )
+                self._next()
+                args = []
+                while not self._at_punct(")"):
+                    args.append(self._or())
+                    if self._at_punct(","):
+                        self._next()
+                self._next()
+                return (
+                    lambda f, a: lambda env: f(*[x(env) for x in a])
+                )(fn, args)
+            return lambda env, _n=name: env.get(_n)
+        raise KqlSyntaxError(
+            f"scan expression: unexpected token {t.val!r}"
+        )
+
+
+def _compile_scan_pyexpr(span: list):
+    """Compile a captured token span into ``env → value`` for the
+    sequential scan machine (kql.scan_steps)."""
+    return _PyExprParser(span).parse()
 
 
 def _arith(a: KExpr, b: KExpr, op: str) -> KExpr:

@@ -64,6 +64,20 @@ _DECOMPRESS = {
 }
 
 
+def py7zr_available() -> bool:
+    """True when the ``py7zr`` wheel is importable — the zstd/pyav
+    import-try hatch convention: Stack Exchange ships its dumps as
+    ``.7z`` and Python has no stdlib codec, so archives expand where
+    the wheel is present and tag-only route (never silently 'binary',
+    never a crash) where it is not."""
+    try:
+        import py7zr  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def zstd_available() -> bool:
     """True when the ``zstandard`` wheel is importable — the import-try
     hatch convention (pyav/tesseract): Dolma/RedPajama-class corpora
@@ -385,6 +399,37 @@ def iter_archive_members(
                     return
                 count, total = count + 1, total + info.file_size
                 yield info.filename, zf.read(info)
+    elif kind == "7z":
+        # py7zr hatch (the zstd convention): declared uncompressed
+        # sizes are checked against the valves BEFORE extraction, the
+        # same bomb posture as tar/zip
+        import py7zr
+
+        try:
+            sz = py7zr.SevenZipFile(io.BytesIO(data))
+        except Exception:
+            return
+        with sz:
+            names = []
+            clipped = False
+            for fi in sz.list():
+                if getattr(fi, "is_directory", False):
+                    continue
+                size = getattr(fi, "uncompressed", 0) or 0
+                if count >= max_members or total + size > max_total_bytes:
+                    clipped = True
+                    break
+                count, total = count + 1, total + size
+                names.append(fi.filename)
+            sz.reset()
+            extracted = sz.read(names) if names else {}
+            for name in names:
+                bio = extracted.get(name)
+                if bio is None:
+                    continue
+                yield name, bio.read()
+            if clipped:
+                yield None, None
 
 
 def extract_auto_rows(
@@ -424,7 +469,7 @@ def extract_auto_rows(
                     return [(None,) + extract_auto(data)]
         except zipfile.BadZipFile:
             return [(None, "binary", None)]
-    if kind in ("tar", "zip"):
+    if kind in ("tar", "zip") or (kind == "7z" and py7zr_available()):
         rows: list[tuple[str | None, str, str | None]] = []
         for name, blob in iter_archive_members(
             data, kind, max_members, max_total_bytes

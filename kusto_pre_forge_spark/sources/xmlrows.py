@@ -83,10 +83,32 @@ def _peel(data: bytes) -> bytes:
     if data[:2] == b"\x1f\x8b":
         return gzip.decompress(data)
     if data[:6] == b"7z\xbc\xaf\x27\x1c":
+        from kusto_pre_forge_spark.sources.autoextract import (
+            py7zr_available,
+        )
+
+        if py7zr_available():
+            # Stack Exchange .7z archives hold ONE xml dump each
+            # (Posts.7z → Posts.xml): extract the first .xml member
+            import py7zr
+
+            with py7zr.SevenZipFile(io.BytesIO(bytes(data))) as sz:
+                names = [
+                    fi.filename
+                    for fi in sz.list()
+                    if not getattr(fi, "is_directory", False)
+                    and fi.filename.lower().endswith(".xml")
+                ]
+                sz.reset()
+                if names:
+                    got = sz.read(names[:1])
+                    return got[names[0]].read()
+            raise ValueError("7z archive holds no .xml member")
         raise NotImplementedError(
             "Stack Exchange ships .7z archives and no stdlib 7z codec "
-            "exists; recompress to bz2/gzip (e.g. `7z x` then `bzip2`) "
-            "or extract the inner .xml first"
+            "exists; `pip install py7zr` on the executors (the "
+            "import-try hatch), or recompress to bz2/gzip "
+            "(e.g. `7z x` then `bzip2`)"
         )
     return data
 
@@ -173,10 +195,21 @@ def read_xml_rows_stream(
                 with open(raw, "rb") as probe:
                     head = probe.read(6)
                 if head[:6] == b"7z\xbc\xaf\x27\x1c":
-                    raise NotImplementedError(
-                        "no stdlib 7z codec; recompress to bz2/gzip"
+                    from kusto_pre_forge_spark.sources.autoextract import (
+                        py7zr_available,
                     )
-                if head[:3] == b"BZh":
+
+                    if not py7zr_available():
+                        raise NotImplementedError(
+                            "no stdlib 7z codec; `pip install py7zr` on "
+                            "the executors (the import-try hatch), or "
+                            "recompress to bz2/gzip"
+                        )
+                    # whole-archive read: SE dumps are one xml per .7z,
+                    # and 7z's solid compression has no streaming entry
+                    with open(raw, "rb") as f7:
+                        opener = io.BytesIO(_peel(f7.read()))
+                elif head[:3] == b"BZh":
                     opener = bz2.BZ2File(raw, "rb")
                 elif head[:2] == b"\x1f\x8b":
                     opener = gzip.open(raw, "rb")

@@ -618,3 +618,91 @@ def test_front_door_is_total_on_arbitrary_bytes():
             W.records_to_rows("p", blob, ("response",))
             MW.parse_mediawiki_pages(blob)
             XR.parse_xml_rows(blob, ["Id"])
+
+
+def _fake_py7zr(monkeypatch, members):
+    """Install a stub ``py7zr`` module (the stub-av convention): pins
+    the 7z bundle ROUTING in every environment; the real-wheel twin is
+    env-gated below."""
+    import io as _io
+    import sys
+    import types
+
+    class _FI:
+        def __init__(self, name, size):
+            self.filename = name
+            self.uncompressed = size
+            self.is_directory = False
+
+    class _SZ:
+        def __init__(self, fileobj):
+            self._data = fileobj.read()
+            assert self._data[:6] == b"7z\xbc\xaf\x27\x1c"
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def list(self):
+            return [_FI(n, len(b)) for n, b in members.items()]
+
+        def reset(self):
+            pass
+
+        def read(self, names):
+            return {n: _io.BytesIO(members[n]) for n in names}
+
+    fake = types.ModuleType("py7zr")
+    fake.SevenZipFile = _SZ
+    monkeypatch.setitem(sys.modules, "py7zr", fake)
+
+
+def test_7z_bundle_routes_through_py7zr_stub(monkeypatch):
+    """With an importable py7zr, a .7z blob expands member-at-a-time
+    through the SAME dispatcher rows tar/zip use; valves intact."""
+    members = {
+        "readme.txt": b"hello from the archive",
+        "Posts.xml": b'<posts><row Id="1" /></posts>',
+    }
+    _fake_py7zr(monkeypatch, members)
+    blob = b"7z\xbc\xaf\x27\x1c" + b"\x00" * 32
+    rows = A.extract_auto_rows(blob)
+    got = {m: (k, t) for m, k, t in rows}
+    assert got["readme.txt"] == ("text", "hello from the archive")
+    assert got["Posts.xml"][0] in ("text", "html")  # xml routes as text
+    # valves: a member past the byte cap clips with the loud sentinel
+    big = {"big.bin": b"x" * 10}
+    _fake_py7zr(monkeypatch, big)
+    rows = A.extract_auto_rows(blob, max_total_bytes=5)
+    assert rows[-1][1] == "archive_truncated"
+
+
+def test_7z_without_wheel_stays_tag_only():
+    if A.py7zr_available():
+        import pytest
+
+        pytest.skip("py7zr present: tag-only path unreachable")
+    blob = b"7z\xbc\xaf\x27\x1c" + b"\x00" * 32
+    assert A.extract_auto(blob) == ("7z", None)
+    assert A.extract_auto_rows(blob) == [(None, "7z", None)]
+
+
+def test_7z_real_wheel_roundtrip(tmp_path):
+    """Env-gated twin: where the real py7zr wheel is present, a forged
+    archive extracts its members byte-exactly."""
+    import pytest
+
+    if not A.py7zr_available():
+        pytest.skip("py7zr absent (expected in this container)")
+    import io
+    import py7zr
+
+    buf = io.BytesIO()
+    with py7zr.SevenZipFile(buf, "w") as z:
+        z.writestr("a.txt", "alpha")
+        z.writestr("b/Posts.xml", '<posts><row Id="7" /></posts>')
+    rows = A.extract_auto_rows(buf.getvalue())
+    got = {m: (k, t) for m, k, t in rows}
+    assert got["a.txt"] == ("text", "alpha")

@@ -2026,3 +2026,36 @@ def test_scan_accumulate_global_negative_values(spark):
             s = 0.0
         s += v
         assert got[i] == pytest.approx(s), f"row {i}"
+
+
+def test_scan_steps_keyed_machine(spark):
+    """kql.scan_steps keyed form (r14): the sequential state machine
+    runs per key via applyInPandas — one hash exchange, each key's rows
+    one task. Per-key session labeling with a state-reading condition."""
+    rows = [
+        ("a", 0, 1.0), ("a", 10, 2.0), ("a", 100, 3.0),
+        ("b", 5, 4.0), ("b", 200, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    steps = [
+        ("start", lambda env: True, [("last_t", lambda env: env["t"]),
+                                     ("n", lambda env: 1)]),
+        ("cont",
+         lambda env: env["last_t"] is not None
+         and env["t"] - env["last_t"] <= 50,
+         [("last_t", lambda env: env["t"]),
+          ("n", lambda env: env["n"] + 1)]),
+    ]
+    out = kql.scan_steps(
+        df, order=[("t", True)], steps=steps,
+        declare={"last_t": (None, "bigint"), "n": (0, "bigint")},
+        by=["k"], match_name="sid",
+    )
+    got = sorted((r.k, r.t, r.n, r.sid) for r in out.collect())
+    assert got == [
+        ("a", 0, 1, 0), ("a", 10, 2, 0), ("a", 100, 1, 1),
+        ("b", 5, 1, 0), ("b", 200, 1, 1),
+    ]
+    # keyed form plans one hash exchange on the key, not SinglePartition
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

@@ -1151,23 +1151,110 @@ def test_scan_refusals(spark, docs):
             "(step s1: true => s = s + n_chars;)",
             docs,
         )
-    with pytest.raises(KqlSyntaxError, match="partition_apply"):
+    # r14: multi-step scans RUN now; the refusals narrow to genuinely
+    # uncompilable shapes, each naming its escape hatch
+    with pytest.raises(KqlSyntaxError, match="unsupported function"):
+        run_kql(
+            spark,
+            "Docs | sort by doc_id asc | scan declare (s:string='') with "
+            "(step a: lang == 'en' => s = base64_encode_tostring(lang); "
+            "step b: s != '' => s = s; step c: true => s = s;)",
+            docs,
+        )
+    with pytest.raises(KqlSyntaxError, match="plain columns"):
+        run_kql(
+            spark,
+            "Docs | sort by strcat(lang, source) asc | scan declare "
+            "(s:long=0) with (step a: true => s = n_chars; "
+            "step b: s > 0 => s = s + n_chars; step c: true => s = s;)",
+            docs,
+        )
+    with pytest.raises(KqlSyntaxError, match="undeclared variable"):
         run_kql(
             spark,
             "Docs | sort by doc_id asc | scan declare (s:long=0) with "
-            "(step a: true => s = s + n_chars; step b: true => "
-            "s = s + doc_id; step c: true => s = s + 1;)",
+            "(step a: true => t = n_chars;)",
             docs,
         )
-    # two-step with DIFFERENT exprs is outside the restart profile
-    with pytest.raises(KqlSyntaxError, match="same"):
+    with pytest.raises(KqlSyntaxError, match="unsupported declared type"):
         run_kql(
             spark,
-            "Docs | sort by doc_id asc | scan declare (s:long=0) with "
-            "(step a: source == 'book' => s = doc_id; step b: true => "
-            "s = s + n_chars;)",
+            "Docs | sort by doc_id asc | scan declare (s:guid) with "
+            "(step a: true => s = s; step b: s == s => s = s; "
+            "step c: true => s = s;)",
             docs,
         )
+
+
+def test_scan_multi_step_sequence_semantics(spark, docs):
+    """The general machine (r14): a 3-step funnel with distinct
+    assignments and a state-reading condition. Sequence semantics:
+    steps scan last→first; capture continues the instance at the step,
+    else advances the previous step's instance, else (first step only)
+    starts a new sequence. Rows captured by no step are not emitted."""
+    rows = [
+        ("u", "login", "2024-01-01 10:00:00"),
+        ("u", "browse", "2024-01-01 10:05:00"),
+        ("u", "browse", "2024-01-01 10:07:00"),
+        ("u", "buy", "2024-01-01 10:10:00"),
+        ("u", "noise", "2024-01-01 10:11:00"),
+        ("u", "login", "2024-01-01 11:00:00"),
+        ("u", "buy", "2024-01-01 11:05:00"),
+    ]
+    s = spark.createDataFrame(
+        rows, "uid string, ev string, tss string"
+    ).selectExpr("uid", "ev", "cast(tss as timestamp) ts")
+    out = run_kql(
+        spark,
+        "S | sort by ts asc | scan with_match_id=m declare "
+        "(n:long=0) with ("
+        "step login: ev == 'login' => n = 0; "
+        "step browse: ev == 'browse' => n = n + 1; "
+        "step buy: ev == 'buy' => n = n;)",
+        {"S": s},
+    ).select("ev", "n", "m")
+    got = sorted(tuple(r) for r in out.collect())
+    # seq 0: login → browse ×2 (n counts them) → buy; 'noise' matches
+    # no step and is NOT emitted; the second login starts seq 1; the
+    # second buy CONTINUES seq 0's instance still active at the buy
+    # step (a step keeps absorbing records whose condition holds —
+    # the rule that also makes single-step accumulates run)
+    assert got == sorted([
+        ("login", 0, 0), ("browse", 1, 0), ("browse", 2, 0),
+        ("buy", 2, 0), ("login", 0, 1), ("buy", 2, 0),
+    ])
+
+
+def test_scan_state_reading_condition_session_timeout(spark):
+    """Session labeling: a 2-step scan whose second step's condition
+    reads the state (ts - last_ts <= 10m) — the shape the window
+    profiles refuse, now on the sequential machine."""
+    rows = [
+        ("2024-01-01 10:00:00",),
+        ("2024-01-01 10:04:00",),
+        ("2024-01-01 10:30:00",),
+        ("2024-01-01 10:35:00",),
+    ]
+    s = spark.createDataFrame(rows, "tss string").selectExpr(
+        "cast(tss as timestamp) ts"
+    )
+    out = run_kql(
+        spark,
+        "S | sort by ts asc | scan with_match_id=session declare "
+        "(last_ts:datetime, k:long=0) with ("
+        "step start: true => last_ts = ts, k = 1; "
+        "step cont: ts - last_ts <= 10m => last_ts = ts, k = k + 1;)",
+        {"S": s},
+    ).selectExpr("cast(ts as string) ts", "k", "session")
+    got = sorted(tuple(r) for r in out.collect())
+    # 10:30 is 26m after 10:04 → cont's condition fails; start (true)
+    # captures it as a NEW session
+    assert got == [
+        ("2024-01-01 10:00:00", 1, 0),
+        ("2024-01-01 10:04:00", 2, 0),
+        ("2024-01-01 10:30:00", 1, 1),
+        ("2024-01-01 10:35:00", 2, 1),
+    ]
 
 
 def test_partition_by_bounded_branches(spark, docs):

@@ -71,3 +71,45 @@ def test_batch_and_stream_reads_identical(spark, tmp_path):
 def test_stream_refuses_remote_scheme(spark):
     with pytest.raises(Exception, match="scheme"):
         XR.read_xml_rows_stream(spark, "s3://bucket/se", ATTRS).collect()
+
+
+def test_7z_hatch_extracts_inner_xml(monkeypatch):
+    """r14: the py7zr import-try hatch — a .7z Stack Exchange dump
+    peels to its inner .xml where the wheel is importable (stub pin);
+    the loud refusal (test_7z_refuses_loudly) holds where it is not."""
+    import io as _io
+    import sys
+    import types
+
+    xml = b'<posts><row Id="1" PostTypeId="1" /></posts>'
+
+    class _FI:
+        filename = "Posts.xml"
+        uncompressed = len(xml)
+        is_directory = False
+
+    class _SZ:
+        def __init__(self, fileobj):
+            assert fileobj.read(6) == b"7z\xbc\xaf\x27\x1c"
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def list(self):
+            return [_FI()]
+
+        def reset(self):
+            pass
+
+        def read(self, names):
+            return {"Posts.xml": _io.BytesIO(xml)}
+
+    fake = types.ModuleType("py7zr")
+    fake.SevenZipFile = _SZ
+    monkeypatch.setitem(sys.modules, "py7zr", fake)
+    blob = b"7z\xbc\xaf\x27\x1c" + b"\x00" * 16
+    rows = XR.parse_xml_rows(blob, ["Id", "PostTypeId"])
+    assert rows == [{"row_no": 0, "Id": "1", "PostTypeId": "1"}]

@@ -187,6 +187,7 @@ AUDITED = [
     ("kqltext_fork_python", "the materialized python-stage source fills ONE InMemoryTableScan both fork branches read; each branch is one map-side-combined aggregate over the cached frame"),
     ("kqltext_facet", "one map-side-combined aggregate per facet column over the materialized source, unioned; the with-branch is a third partial aggregate"),
     ("kqltext_top_hitters", "one map-side-combined aggregate + TakeOrderedAndProject — never a full sort"),
+    ("kqltext_scan_steps", "sequential-by-contract: ONE constant-keyed applyInPandas task walks the serialized rows (Kusto scan semantics; bound the input or key via scan_steps(by=)); no SinglePartition exchange, no window over unbounded data"),
     ("kqltext_plugins2", "contribute-to-trailing-bins explode (constant 3x blowup) feeds map-side-combined per-day aggregates; axis and the day-keyed plugin join are broadcast-tiny (<= #days rows)"),
     ("kqltext_scan", "global scan as a two-phase distributed prefix sum: ONE range exchange over data (repartitioned + windowed frames pinned — plan text repeats the cached child, the cache fills once); SinglePartition only above the #partitions-row subtotal aggregate; segment rebase joins on the segment id"),
     ("kqltext_partition", "bounded-key contract: one cached scan, one filtered branch per key, plan-level union — no per-key shuffle"),
