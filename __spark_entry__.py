@@ -8056,6 +8056,84 @@ def _q_corpus_dpo_render(spark, sf):
     )
 
 
+def _q_corpus_sft_conversation(spark, sf):
+    """MULTI-TURN token-level SFT masks (round-14): documents forged
+    into 3-turn conversations (system = chars 1-30, user = 31-90,
+    assistant = the rest), tokenized per-turn-SEGMENT (header /
+    content / end sentinel — 9 byte-BPE segments per doc) by
+    corpus.sft_tokenize_conversation; loss mask is 1 exactly on
+    assistant-content tokens by construction. Merges train on the
+    9-segment corpus. The oracle replays the token ids through the
+    shared DuckDB byte-BPE CTE chain over a documents view SHADOWED by
+    the same 9-row segment table (keys doc_id*16+seg), then checks
+    totals + the assistant-content and user-content id heads — actual
+    token ids end to end, the corpus_sft_tokenize pattern generalized
+    over turns."""
+    from kusto_pre_forge_spark.operators import textprep
+    from kusto_pre_forge_spark.operators.corpus import (
+        _widen_for_fanout,
+        sft_tokenize_conversation,
+    )
+
+    d = _widen_for_fanout(load_table(spark, sf, "documents"))
+    text = F.coalesce(F.col("text"), F.lit(""))
+    tail = F.when(
+        F.length(text) > 90, F.expr("substring(coalesce(text, ''), 91)")
+    ).otherwise(F.lit(""))
+    conv = d.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("system").alias("role"),
+                F.substring(text, 1, 30).alias("content"),
+            ),
+            F.struct(
+                F.lit("user").alias("role"),
+                F.substring(text, 31, 60).alias("content"),
+            ),
+            F.struct(
+                F.lit("assistant").alias("role"), tail.alias("content")
+            ),
+        ).alias("turns"),
+    )
+    segtab = d.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                F.lit("<|system|>\n"), F.substring(text, 1, 30),
+                F.lit("<|end|>\n"), F.lit("<|user|>\n"),
+                F.substring(text, 31, 60), F.lit("<|end|>\n"),
+                F.lit("<|assistant|>\n"), tail, F.lit("<|end|>\n"),
+            )
+        ),
+    ).select(
+        (F.col("doc_id").cast("long") * 16 + F.col("pos")).alias("doc_id"),
+        F.col("col").alias("text"),
+    )
+    merges = textprep.train_bpe(segtab, n_merges=6, byte_level=True)
+    out = sft_tokenize_conversation(conv, merges)
+
+    def head_at(seg_idx):
+        start = F.aggregate(
+            F.slice("segment_sizes", 1, seg_idx),
+            F.lit(0),
+            lambda a, b: a + b,
+        )
+        n = F.least(F.lit(16), F.element_at("segment_sizes", seg_idx + 1))
+        ids = F.slice("input_ids", start + 1, n)
+        return F.concat_ws(
+            ",", F.transform(ids, lambda v: v.cast("string"))
+        )
+
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_loss_tokens",
+        head_at(7).alias("loss_ids_head"),
+        head_at(4).alias("user_ids_head"),
+    )
+
+
 def _q_corpus_sft_tokenize(spark, sf):
     """Token-level SFT hand-off (round-13): documents split into
     (prompt = first 60 chars, response = the rest), byte-BPE trained on
@@ -8654,6 +8732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kqltext_scan": _q_kqltext_scan,
         "kqltext_bag_narrow": _q_kqltext_bag_narrow,
         "corpus_sft_tokenize": _q_corpus_sft_tokenize,
+        "corpus_sft_conversation": _q_corpus_sft_conversation,
         "kqltext_series_fromto": _q_kqltext_series_fromto,
         "corpus_dpo_render": _q_corpus_dpo_render,
         "corpus_fim": _q_corpus_fim,
@@ -9750,6 +9829,47 @@ def _bpe_encode_oracle_sql(
     )
 
 
+def _sft_conversation_oracle_sql() -> str:
+    """corpus_sft_conversation's oracle: the byte-BPE replay chain over
+    a documents view SHADOWED by the 9-row-per-doc turn-segment table
+    (keys doc_id*16+seg, the _sft_tokenize_oracle_sql convention), then
+    per-doc totals (sum over present segments — empty segments produce
+    no pre-tokens and so no enc row), assistant-content (seg 7) and
+    user-content (seg 4) id heads."""
+    t = "COALESCE(text, '')"
+    segs = [
+        "'<|system|>\n'", f"substr({t}, 1, 30)", "'<|end|>\n'",
+        "'<|user|>\n'", f"substr({t}, 31, 60)", "'<|end|>\n'",
+        "'<|assistant|>\n'",
+        f"CASE WHEN length({t}) > 90 THEN substr({t}, 91) ELSE '' END",
+        "'<|end|>\n'",
+    ]
+    shadow = (
+        "documents AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id * 16 + {i} AS doc_id, {s} AS text "
+            "FROM main.documents"
+            for i, s in enumerate(segs)
+        )
+        + "), "
+    )
+    enc = "WITH " + shadow + _bpe_encode_oracle_sql()[len("WITH "):]
+    return (
+        "WITH enc AS (" + enc + ") "
+        "SELECT CAST(b.doc_id AS BIGINT) AS doc_id, "
+        "COALESCE(tot.n, 0) AS n_tokens, "
+        "COALESCE(a7.n_tokens, 0) AS n_loss_tokens, "
+        "COALESCE(a7.ids_head, '') AS loss_ids_head, "
+        "COALESCE(a4.ids_head, '') AS user_ids_head "
+        "FROM main.documents b "
+        "LEFT JOIN (SELECT CAST(floor(doc_id / 16) AS BIGINT) AS d, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS n FROM enc GROUP BY 1) tot "
+        "ON tot.d = CAST(b.doc_id AS BIGINT) "
+        "LEFT JOIN enc a7 ON a7.doc_id = CAST(b.doc_id AS BIGINT) * 16 + 7 "
+        "LEFT JOIN enc a4 ON a4.doc_id = CAST(b.doc_id AS BIGINT) * 16 + 4"
+    )
+
+
 def _sft_tokenize_oracle_sql() -> str:
     """corpus_sft_tokenize's oracle: the byte-BPE replay chain reused
     VERBATIM, run over a CTE that SHADOWS the documents view with the
@@ -10193,6 +10313,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_byte": _bpe_byte_oracle_sql(),
         "text_bpe_encode": _bpe_encode_oracle_sql(),
         "corpus_sft_tokenize": _sft_tokenize_oracle_sql(),
+        "corpus_sft_conversation": _sft_conversation_oracle_sql(),
         "text_bpe_interchange": (
             # the exported/imported table is the engine's own, so the
             # encode replay is text_bpe_encode's; byte-level decode is

@@ -180,6 +180,7 @@ HEADLINE = [
     "corpus_sft_render",
     "corpus_dpo_render",
     "corpus_sft_tokenize",
+    "corpus_sft_conversation",
     "kqltext_bag_narrow",
     "kqltext_series_fromto",
     "text_url_canonicalize",

@@ -1667,3 +1667,75 @@ def sft_tokenize_mask(
         F.size("_p").cast("long").alias("n_prompt_tokens"),
         F.size("_r").cast("long").alias("n_response_tokens"),
     )
+
+
+def sft_tokenize_conversation(
+    df: DataFrame,
+    merges,
+    turns_col: str = "turns",
+    id_col: str = "doc_id",
+    assistant_role: str = "assistant",
+    vocab_ids=None,
+) -> DataFrame:
+    """MULTI-TURN token-level SFT masks — :func:`sft_tokenize_mask`
+    generalized over a conversation: each turn renders through the SAME
+    deterministic template :func:`sft_render` uses
+    (``<|role|>\\n{content}<|end|>\\n``) but as three SEPARATE
+    byte-BPE segments per turn (header, content, end sentinel), so the
+    loss mask is 1 exactly on ``assistant_role`` CONTENT tokens and 0
+    on scaffolding and every other role — by construction, no offset
+    mapping (span-equivalent to sft_render's char spans: decoding the
+    mask-1 tokens reproduces precisely the rendered string's loss-span
+    characters). ``segment_sizes`` carries per-segment token counts in
+    turn order (3 per turn) — the turn boundaries packing needs.
+
+    Plan: segment pre-tokenization is pure codegen inside one array
+    ``transform`` (regexp over the lambda variable), and the encode is
+    ONE Arrow projection (`_bpe_encode_segments_udf`) — zero joins,
+    zero exchanges, a map stage at any scale."""
+    from kusto_pre_forge_spark.operators.textprep import (
+        _bpe_encode_segments_udf,
+        byte_pretokens,
+    )
+
+    turns = F.col(turns_col)
+    segs = F.flatten(
+        F.transform(
+            turns,
+            lambda x: F.array(
+                F.struct(
+                    byte_pretokens(
+                        F.concat(F.lit("<|"), x["role"], F.lit("|>\n"))
+                    ).alias("toks"),
+                    F.lit(0).cast("int").alias("m"),
+                ),
+                F.struct(
+                    byte_pretokens(
+                        F.coalesce(x["content"], F.lit(""))
+                    ).alias("toks"),
+                    F.when(x["role"] == F.lit(assistant_role), 1)
+                    .otherwise(0)
+                    .cast("int")
+                    .alias("m"),
+                ),
+                F.struct(
+                    byte_pretokens(F.lit("<|end|>\n")).alias("toks"),
+                    F.lit(0).cast("int").alias("m"),
+                ),
+            ),
+        )
+    )
+    enc = _bpe_encode_segments_udf(merges, vocab_ids)
+    t = df.select(F.col(id_col), enc(segs).alias("_s"))
+    return t.select(
+        id_col,
+        F.col("_s.input_ids").alias("input_ids"),
+        F.col("_s.loss_mask").alias("loss_mask"),
+        F.col("_s.segment_sizes").alias("segment_sizes"),
+        F.size("_s.input_ids").cast("long").alias("n_tokens"),
+        F.aggregate(
+            "_s.loss_mask",
+            F.lit(0).cast("long"),
+            lambda acc, m: acc + m.cast("long"),
+        ).alias("n_loss_tokens"),
+    )

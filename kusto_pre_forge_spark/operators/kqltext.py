@@ -25,8 +25,10 @@ everyday tabular operators:
   site — every invocation is an ordinary Catalyst plan)
 - ``find in (T1, T2) where …``, ``search in (T1, T2) 'term'``,
   ``partition by Col ( stages )`` (legacy bounded-key contract),
-  ``scan`` (accumulate profiles → distributed-prefix-sum segment
-  windows), ``project-keep``/``project-reorder``, ``reduce by``,
+  ``scan`` (accumulate/restart profiles → distributed-prefix-sum
+  segment windows; general multi-step state machines — multiple
+  variables, state-reading conditions — → kql.scan_steps' sequential
+  executor), ``project-keep``/``project-reorder``, ``reduce by``,
   ``consume``, ``declare query_parameters (…)``, ``set option;``
 - evaluate plugins: ``pivot`` / ``python`` / ``basket`` /
   ``autocluster`` / ``diffpatterns`` / ``ipv4_lookup`` /

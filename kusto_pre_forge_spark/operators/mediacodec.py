@@ -2623,7 +2623,13 @@ def iter_avi_frames(raw: bytes):
                     if comp == 0x47504A4D or (
                         fmt is None and frame[:2] == b"\xff\xd8"
                     ):
-                        w, h, ch, px = decode_jpeg(frame)
+                        # per-frame EXIF: a camera that stores rotated
+                        # MJPEG frames + Orientation tags must sample
+                        # upright like the still-image path does
+                        w, h, ch, px = apply_exif_orientation(
+                            *decode_jpeg(frame),
+                            parse_exif_orientation(frame),
+                        )
                         yield idx, w, h, ch, px
                     elif comp == 0 and fmt is not None:
                         w, h = fmt[2], abs(fmt[3])

@@ -391,10 +391,18 @@ def sample_frames(
                     )
                 elif webp.is_webp(raw):
                     # animated (or still) WebP: same compositing contract
-                    # as GIF — blend/dispose honored, sample afterwards
+                    # as GIF — blend/dispose honored, sample afterwards;
+                    # the container's EXIF chunk orients every composited
+                    # frame (same upright contract as decode_image)
                     _ww, _wh, wframes, _durs = webp.decode_webp_frames(raw)
+                    _ori = mediacodec.image_exif_orientation(raw)
                     frames = (
-                        (fi, px)
+                        (
+                            fi,
+                            mediacodec.apply_exif_orientation(
+                                _ww, _wh, 4, px, _ori
+                            )[3],
+                        )
                         for fi, px in enumerate(wframes)
                         if fi % every_n == 0
                     )
@@ -1012,9 +1020,18 @@ def video_frame_dhash(
                     from kusto_pre_forge_spark.operators import webp
 
                     ww, wh, wframes, _d = webp.decode_webp_frames(raw)
+                    # container EXIF orients composited frames (the
+                    # decode_image upright contract; dims may swap)
+                    _ori = mediacodec.image_exif_orientation(raw)
+                    _orf = [
+                        mediacodec.apply_exif_orientation(
+                            ww, wh, 4, px, _ori
+                        )
+                        for px in wframes
+                    ]
                     decoded = (
-                        (fi, ww, wh, 4, px)
-                        for fi, px in enumerate(wframes)
+                        (fi, fw_, fh_, 4, px)
+                        for fi, (fw_, fh_, _c, px) in enumerate(_orf)
                         if fi % every_n == 0
                     )
                 else:
@@ -1093,14 +1110,11 @@ def ocr_text(
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 raw = bytes(blob)
                 kind = mediacodec.probe_bytes(raw)["media_kind"]
-                if kind == "png":
-                    w, h, ch, px = mediacodec.decode_png(raw)
-                elif kind == "jpeg":
-                    w, h, ch, px = mediacodec.decode_jpeg(raw)
-                elif kind == "gif":
-                    w, h, ch, px = mediacodec.decode_gif(raw)
-                elif kind == "bmp":
-                    w, h, ch, px = mediacodec.decode_bmp(raw)
+                if kind in ("png", "jpeg", "gif", "bmp"):
+                    # the single normalized dispatch point: a rotated
+                    # capture must OCR upright, so this path may not
+                    # bypass decode_image's EXIF orientation handling
+                    w, h, ch, px = mediacodec.decode_image(raw)
                 else:
                     raise NotImplementedError(
                         f"ocr_text cannot decode media_kind={kind!r} — "

@@ -826,6 +826,87 @@ def _bpe_encode_doc_udf(merges: list[tuple[str, str]], vocab_ids=None):
     return pandas_udf(encode_batch, "array<int>", PandasUDFType.SCALAR)
 
 
+def _bpe_encode_segments_udf(
+    merges: list[tuple[str, str]], vocab_ids=None
+):
+    """Arrow-batched SEGMENTED encoder — :func:`_bpe_encode_doc_udf`
+    generalized to a VARIABLE number of (pre-token-array, mask-flag)
+    segments per row (multi-turn conversations): each segment encodes
+    separately through the same memoized merge loop, ids concatenate in
+    segment order, and the mask repeats each segment's flag once per
+    emitted token — loss masks BY CONSTRUCTION, no offset mapping.
+    ``segment_sizes`` carries the per-segment token counts (turn
+    boundaries for packing / trainer bookkeeping). One Arrow
+    projection; zero joins."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    merge_list = list(merges)
+    b2u = _bytes_to_unicode()
+    vocab = (
+        dict(vocab_ids) if vocab_ids is not None else bpe_vocab_ids(merge_list)
+    )
+
+    def encode_batch(rows: pd.Series):
+        memo: dict[str, list[int]] = {}
+
+        def enc(w: str) -> list[int]:
+            hit = memo.get(w)
+            if hit is not None:
+                return hit
+            toks = [b2u[b] for b in w.encode("utf-8")]
+            present = set(zip(toks, toks[1:]))
+            for a, b in merge_list:
+                if (a, b) not in present:
+                    continue
+                out = []
+                i = 0
+                n = len(toks)
+                while i < n:
+                    if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+                present = set(zip(toks, toks[1:]))
+            res = [vocab[t] for t in toks]
+            memo[w] = res
+            return res
+
+        ids_col, mask_col, sizes_col = [], [], []
+        for segs in rows:
+            ids: list[int] = []
+            mask: list[int] = []
+            sizes: list[int] = []
+            for seg in segs if segs is not None else []:
+                toks = seg["toks"] if seg["toks"] is not None else []
+                m = int(seg["m"] or 0)
+                seg_ids = [i for w in toks for i in enc(w)]
+                ids.extend(seg_ids)
+                mask.extend([m] * len(seg_ids))
+                sizes.append(len(seg_ids))
+            ids_col.append(ids)
+            mask_col.append(mask)
+            sizes_col.append(sizes)
+        return pd.DataFrame(
+            {
+                "input_ids": ids_col,
+                "loss_mask": mask_col,
+                "segment_sizes": sizes_col,
+            }
+        )
+
+    return pandas_udf(
+        encode_batch,
+        "struct<input_ids:array<int>, loss_mask:array<int>, "
+        "segment_sizes:array<int>>",
+        PandasUDFType.SCALAR,
+    )
+
+
 def bpe_encode_arrays(
     df: DataFrame,
     merges: list[tuple[str, str]],

@@ -813,3 +813,55 @@ def test_sft_tokenize_mask_invariants(spark):
     # empty/null segments yield empty blocks, never nulls
     assert out[2].n_response_tokens == 0 and out[3].n_prompt_tokens == 0
     assert out[4].input_ids == [] and out[4].loss_mask == []
+
+
+def test_sft_tokenize_conversation_span_equivalence(spark):
+    """r14 multi-turn token masks: decoding the mask-1 tokens must
+    reproduce EXACTLY the characters sft_render's loss_spans cover —
+    the two hand-offs agree on what the trainer computes loss on."""
+    from kusto_pre_forge_spark.operators import textprep
+    from kusto_pre_forge_spark.operators.corpus import (
+        sft_render,
+        sft_tokenize_conversation,
+    )
+
+    conv = spark.createDataFrame(
+        [
+            (1, [("system", "be nice"), ("user", "hi there"),
+                 ("assistant", "hello friend!"), ("user", "bye"),
+                 ("assistant", "cya")]),
+            (2, [("user", "lone question")]),
+            (3, []),
+        ],
+        "doc_id long, turns array<struct<role:string,content:string>>",
+    )
+    flat = conv.selectExpr(
+        "doc_id",
+        "array_join(transform(turns, t -> concat('<|', t.role, '|>\\n', "
+        "t.content, '<|end|>\\n')), '') AS text",
+    )
+    merges = textprep.train_bpe(flat, n_merges=6, byte_level=True)
+    out = {r.doc_id: r for r in sft_tokenize_conversation(conv, merges).collect()}
+    spans = {r.doc_id: r for r in sft_render(conv).collect()}
+    for k, r in out.items():
+        assert len(r.loss_mask) == len(r.input_ids) == r.n_tokens
+        assert sum(r.loss_mask) == r.n_loss_tokens
+        assert sum(r.segment_sizes) == r.n_tokens
+        masked_ids = [i for i, m in zip(r.input_ids, r.loss_mask) if m]
+        decoded = textprep.bpe_decode_ids(masked_ids, merges)
+        sp = spans[k]
+        expected = "".join(sp.sft_text[s.s:s.e] for s in sp.loss_spans)
+        assert decoded == expected, k
+        # the WHOLE id stream decodes to the rendered conversation
+        # (byte-BPE losslessness survives segmentation)
+        assert textprep.bpe_decode_ids(list(r.input_ids), merges) == sp.sft_text
+        # 3 segments per turn, sizes partition the stream
+        assert len(r.segment_sizes) % 3 == 0
+    assert out[3].input_ids == [] and out[3].n_loss_tokens == 0
+    # assistant-content tokens equal encoding the contents alone,
+    # in order (separate segments never interleave)
+    both = out[1]
+    a_sizes = both.segment_sizes
+    # turns 2 and 4 (0-based) are assistant: segments 3*2+1=7, 3*4+1=13
+    start7 = sum(a_sizes[:7])
+    assert both.loss_mask[start7:start7 + a_sizes[7]] == [1] * a_sizes[7]

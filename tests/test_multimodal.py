@@ -1854,3 +1854,118 @@ def test_heif_real_pyav_twin():
         pytest.skip("pyav avif muxer emitted a non-heif container")
     dw, dh, ch, _ = mc.decode_image(blob)
     assert (dw, dh, ch) == (16, 8, 4)
+
+
+# ------------------------------------- EXIF wiring equality (r14)
+
+
+def _png_tagged(png: bytes, o: int) -> bytes:
+    import struct
+    import zlib
+
+    tiff = mc.exif_app1(o)[10:]
+    chunk = struct.pack(">I", len(tiff)) + b"eXIf" + tiff
+    chunk += struct.pack(">I", zlib.crc32(b"eXIf" + tiff) & 0xFFFFFFFF)
+    at = 8 + 12 + 13  # after IHDR
+    return png[:at] + chunk + png[at:]
+
+
+def _webp_tagged(vp8l_src: bytes, o: int) -> bytes:
+    from kusto_pre_forge_spark.operators import webp as W
+
+    vp8l = next(b for t_, b in W._webp_chunks(vp8l_src) if t_ == b"VP8L")
+    tiff = mc.exif_app1(o)[10:]
+    vp8x = (
+        bytes([0x08, 0, 0, 0])
+        + (3).to_bytes(3, "little")
+        + (1).to_bytes(3, "little")
+    )
+    payload = b"VP8X" + len(vp8x).to_bytes(4, "little") + vp8x
+    payload += b"VP8L" + len(vp8l).to_bytes(4, "little") + vp8l
+    if len(vp8l) & 1:
+        payload += b"\x00"
+    payload += b"EXIF" + len(tiff).to_bytes(4, "little") + tiff
+    if len(tiff) & 1:
+        payload += b"\x00"
+    return (
+        b"RIFF" + (4 + len(payload)).to_bytes(4, "little")
+        + b"WEBP" + payload
+    )
+
+
+def test_exif_wiring_equality_across_entry_points(spark):
+    """r14 wiring pins: NO image entry point bypasses orientation
+    normalization. A capture stored 180°-rotated with an EXIF/eXIf tag
+    must produce byte-identical results to its upright twin through
+    resize_image, decode_image_features, ocr_text, and the WebP frame
+    paths (video_frame_dhash + sample_frames)."""
+    import numpy as np
+
+    w, h = 4, 2
+    up = bytes(range(8))
+    stored = up[::-1]  # gray 180° = byte reverse
+    png_up = mc.encode_png(w, h, up, 1)
+    png_rot = _png_tagged(mc.encode_png(w, h, stored, 1), 3)
+
+    def one(blob):
+        return spark.createDataFrame([(1, bytearray(blob))],
+                                     "doc_id long, blob binary")
+
+    def rowdict(df):
+        r = df.collect()[0].asDict()
+        r.pop("doc_id", None)
+        # the raw-container hash differs by design (different bytes on
+        # disk); every PIXEL-derived field must agree
+        r.pop("content_sha", None)
+        return r
+
+    feats_up = rowdict(multimodal.decode_image_features(one(png_up)))
+    feats_rot = rowdict(multimodal.decode_image_features(one(png_rot)))
+    assert feats_up == feats_rot
+
+    rs_up = rowdict(multimodal.resize_image(one(png_up), 2, 1))
+    rs_rot = rowdict(multimodal.resize_image(one(png_rot), 2, 1))
+    assert rs_up == rs_rot
+
+    ocr_up = rowdict(multimodal.ocr_text(one(png_up), engine="stub"))
+    ocr_rot = rowdict(multimodal.ocr_text(one(png_rot), engine="stub"))
+    assert ocr_up == ocr_rot
+
+    # WebP frame paths: still VP8L container, EXIF chunk orients the
+    # composited frame the same way decode_image does
+    from kusto_pre_forge_spark.operators import webp as W
+
+    rgba_up = bytes(range(32))
+    rgba_stored = (
+        np.frombuffer(rgba_up, np.uint8)
+        .reshape(2, 4, 4)[::-1, ::-1]
+        .tobytes()
+    )
+    webp_up = W.encode_webp_vp8l(4, 2, 4, rgba_up)
+    webp_rot = _webp_tagged(W.encode_webp_vp8l(4, 2, 4, rgba_stored), 3)
+    vd_up = rowdict(multimodal.video_frame_dhash(one(webp_up)))
+    vd_rot = rowdict(multimodal.video_frame_dhash(one(webp_rot)))
+    assert vd_up == vd_rot
+
+    sf_up = rowdict(multimodal.sample_frames(one(webp_up), every_n=1))
+    sf_rot = rowdict(multimodal.sample_frames(one(webp_rot), every_n=1))
+    assert sf_up == sf_rot
+
+
+def test_avi_mjpeg_frames_apply_per_frame_exif():
+    """MJPEG-in-AVI video frames honor a per-frame JPEG Orientation
+    tag: iter_avi_frames yields the upright view (dims swap for 90°),
+    equal to apply_exif_orientation over the raw frame decode."""
+    w, h = 16, 8
+    px = bytes((x * 7) % 256 for x in range(w * h))
+    frame = mc.encode_jpeg(w, h, px, 1)
+    assert frame[:2] == b"\xff\xd8"
+    tagged = frame[:2] + mc.exif_app1(6) + frame[2:]
+    assert mc.parse_exif_orientation(tagged) == 6
+    avi = mc.encode_avi_mjpeg(w, h, [tagged], fps=4)
+    frames = list(mc.iter_avi_frames(avi))
+    assert len(frames) == 1
+    idx, fw, fh, ch, fpx = frames[0]
+    assert (fw, fh) == (h, w)  # orientation 6 swaps dims
+    exp = mc.apply_exif_orientation(*mc.decode_jpeg(tagged), 6)
+    assert (fw, fh, ch, fpx) == exp

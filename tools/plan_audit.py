@@ -197,6 +197,7 @@ AUDITED = [
     ("corpus_sft_render", "template render + loss-span fold are higher-order functions in one projection — zero exchanges"),
     ("corpus_dpo_render", "both preference renderings + spans in one codegen projection — zero exchanges"),
     ("corpus_sft_tokenize", "both segments encode through ONE Arrow projection (no joins); the only exchanges are train_bpe's merge-table aggregates"),
+    ("corpus_sft_conversation", "segment pretokenization is codegen inside one array transform; the 9-segment encode is ONE Arrow projection (masks by construction) — zero joins above the widen re-split; merges train via the shared sampled-aggregate path"),
     ("kqltext_bag_narrow", "bag_unpack is one codegen'd from_json; narrow unpivots the TINY aggregate, never the fact stream"),
     ("kqltext_series_fromto", "bin_at bucketing map-side combines; the [from,to) axis is a literal-sized broadcast side"),
     ("text_url_canonicalize", "forge + canonicalization are one codegen scan projection — zero exchanges"),
