@@ -1549,11 +1549,14 @@ def scan_steps(
     labeling, multi-state funnels, scans whose step conditions read the
     accumulated state.
 
-    ``steps`` is ``[(name, cond, assigns), …]`` where ``cond`` is a
-    Python callable ``env → bool`` and ``assigns`` is ``[(var, env →
-    value), …]``; ``env`` maps column names AND state variables to the
-    current row's/instance's values. ``declare`` maps each state
-    variable to ``(default, spark_type_ddl)``.
+    ``steps`` is ``[(name, cond, assigns[, emit]), …]`` where ``cond``
+    is a Python callable ``env → bool`` and ``assigns`` is ``[(var,
+    env → value), …]``; ``env`` maps column names AND state variables
+    to the current row's/instance's values; ``emit=False`` is ADX's
+    per-step ``output=none`` (the step still captures and advances
+    state, but its records are suppressed — the mute-intermediate-steps
+    funnel form). ``declare`` maps each state variable to ``(default,
+    spark_type_ddl)``.
 
     Sequence semantics (the engine's documented contract, modeled on
     ADX's scan): records walk in ``order``; per record, steps scan
@@ -1606,7 +1609,8 @@ def scan_steps(
         out: list[dict] = []
         for rec in pdf.to_dict("records"):
             for k in range(n - 1, -1, -1):
-                name_k, cond_k, assigns_k = steps[k]
+                name_k, cond_k, assigns_k = steps[k][:3]
+                emit_k = steps[k][3] if len(steps[k]) > 3 else True
                 if (
                     k > 0
                     and states[k] is not None
@@ -1631,14 +1635,15 @@ def scan_steps(
                 for var, fn in assigns_k:
                     newst[var] = fn(env)
                 states[k], mids[k] = newst, mid
-                out.append(
-                    {
-                        **{c: rec[c] for c in in_cols},
-                        **newst,
-                        match_name: mid,
-                        step_name: name_k,
-                    }
-                )
+                if emit_k:
+                    out.append(
+                        {
+                            **{c: rec[c] for c in in_cols},
+                            **newst,
+                            match_name: mid,
+                            step_name: name_k,
+                        }
+                    )
                 break
         cols = in_cols + var_names + [match_name, step_name]
         return pd.DataFrame(out, columns=cols)

@@ -2243,10 +2243,30 @@ class _Parser:
         var_names = {d[0] for d in decls}
         self.eat("ident", "with")
         self.eat("punct", "(")
-        steps_raw = []  # (name, cond span, [(var, rhs span), …])
+        steps_raw = []  # (name, cond span, [(var, rhs span), …], emit)
+        has_mute = False
         while self.at_ident("step"):
             self.next()
             sname = self.eat("ident").val
+            emit = True
+            if self.at_ident("output"):
+                # ADX per-step output directive: all (default) emits,
+                # none captures/advances state but suppresses the
+                # record (mute intermediate funnel steps); last (emit
+                # only each sequence's final record at the step) needs
+                # pending-row buffering — refuse by name until asked
+                self.next()
+                self.eat("punct", "=")
+                oval = self.eat("ident").val
+                if oval == "none":
+                    emit = False
+                    has_mute = True
+                elif oval != "all":
+                    raise KqlSyntaxError(
+                        f"scan step output={oval!r} unsupported "
+                        "(all/none; 'last' needs pending-row buffering "
+                        "— route through kql.partition_apply)"
+                    )
             self.eat("punct", ":")
             cond_span = self._scan_span(arrow=True)
             if not cond_span:
@@ -2276,7 +2296,7 @@ class _Parser:
                         self.next()
                         continue
                     break
-            steps_raw.append((sname, cond_span, assigns))
+            steps_raw.append((sname, cond_span, assigns, emit))
             if self.at("punct", ";"):
                 self.next()
         self.eat("punct", ")")
@@ -2312,10 +2332,12 @@ class _Parser:
         fast = (
             len(decls) == 1
             and len(steps_raw) <= 2
+            and not has_mute
             and all(
-                len(a) == 1 and a[0][0] == var0 for _, _, a in steps_raw
+                len(a) == 1 and a[0][0] == var0
+                for _, _, a, _ in steps_raw
             )
-            and not any(mentions_state(c) for _, c, _ in steps_raw)
+            and not any(mentions_state(c) for _, c, _, _ in steps_raw)
         )
         if fast:
             if len(steps_raw) == 1:
@@ -2374,12 +2396,13 @@ class _Parser:
                 )
             declare[var] = (default, type_map[ktype])
         steps = []
-        for sname, cond_span, assigns in steps_raw:
+        for sname, cond_span, assigns, emit in steps_raw:
             steps.append(
                 (
                     sname,
                     _compile_scan_pyexpr(cond_span),
                     [(v, _compile_scan_pyexpr(r)) for v, r in assigns],
+                    emit,
                 )
             )
         mid = match_name or "_kpf_mid"

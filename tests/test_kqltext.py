@@ -1921,3 +1921,33 @@ def test_evaluate_plugin_batch_round14(spark):
         run_kql(spark, "S | evaluate new_activity_metrics(uid, ts, month)", t)
     with pytest.raises(KqlSyntaxError, match="group literal"):
         run_kql(spark, "S | evaluate dcount_intersect(uid, g)", t)
+
+
+def test_scan_step_output_none_mutes_but_advances(spark, docs):
+    """ADX per-step output directive: output=none steps capture and
+    advance state but emit nothing; output=last refuses by name."""
+    rows = [
+        ("u", "login", 1), ("u", "browse", 2), ("u", "buy", 3),
+    ]
+    s = spark.createDataFrame(rows, "uid string, ev string, t long")
+    out = run_kql(
+        spark,
+        "S | sort by t asc | scan with_match_id=m declare (n:long=0) "
+        "with ("
+        "step login: ev == 'login' => n = 0; "
+        "step browse output=none: ev == 'browse' => n = n + 1; "
+        "step buy: ev == 'buy' => n = n;)",
+        {"S": s},
+    ).select("ev", "n", "m")
+    got = sorted(tuple(r) for r in out.collect())
+    # browse advanced the state (n=1 reaches buy) but emitted no row
+    assert got == [("buy", 1, 0), ("login", 0, 0)]
+    with pytest.raises(KqlSyntaxError, match="output='last'"):
+        run_kql(
+            spark,
+            "S | sort by t asc | scan declare (n:long=0) with ("
+            "step a: true => n = 0; "
+            "step b output=last: ev == 'buy' => n = n; "
+            "step c: true => n = n;)",
+            {"S": s},
+        )
