@@ -3321,6 +3321,14 @@ def _scan_cmp(a, b, op: str) -> bool:
         return False
 
 
+def _scan_isnull(v) -> bool:
+    # Arrow→pandas surfaces null numerics as NaN (and null timestamps
+    # as NaT): the machine's null tests must see both as null
+    return v is None or (isinstance(v, float) and v != v) or (
+        v.__class__.__name__ == "NaTType"
+    )
+
+
 _SCAN_FNS = {
     "strlen": lambda s: None if s is None else len(s),
     "tolower": lambda s: None if s is None else str(s).lower(),
@@ -3334,11 +3342,13 @@ _SCAN_FNS = {
     "round": lambda v, *n: None if v is None else round(
         _scan_num(v), int(n[0]) if n else 0
     ),
-    "isempty": lambda s: s is None or s == "",
-    "isnotempty": lambda s: not (s is None or s == ""),
-    "isnull": lambda v: v is None,
-    "isnotnull": lambda v: v is not None,
-    "coalesce": lambda *vs: next((v for v in vs if v is not None), None),
+    "isempty": lambda s: _scan_isnull(s) or s == "",
+    "isnotempty": lambda s: not (_scan_isnull(s) or s == ""),
+    "isnull": _scan_isnull,
+    "isnotnull": lambda v: not _scan_isnull(v),
+    "coalesce": lambda *vs: next(
+        (v for v in vs if not _scan_isnull(v)), None
+    ),
     "strcat": lambda *vs: "".join("" if v is None else str(v) for v in vs),
     "iff": lambda c, a, b: a if c else b,
     "iif": lambda c, a, b: a if c else b,
