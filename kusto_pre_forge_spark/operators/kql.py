@@ -1567,10 +1567,12 @@ def scan_steps(
     k−1 instance is promoted, i.e. removed from k−1), else — for the
     FIRST step only — the declared defaults (a NEW sequence starts,
     replacing any instance at step 1, with a fresh ``match_id``). The
-    first step never extends its own instance: a first-step match IS a
-    new sequence, which is what makes match ids delimit sessions
-    (single-step running accumulations belong to the
-    :func:`scan_accumulate` window profile, not this machine).
+    first step never extends its own instance IN MULTI-STEP scans: a
+    first-step match IS a new sequence, which is what makes match ids
+    delimit sessions. SINGLE-step scans are the opposite contract —
+    ADX's canonical cumulative form (``step s1: true => c = x + s1.c``)
+    extends its one instance on every match — so with exactly one step
+    the instance at step 0 extends (preferred over restarting).
     Assignments see the pre-update state (``s = s + x`` accumulates).
     A record captured by no step is not emitted (Kusto's rule). Each
     step holds at most one active instance.
@@ -1612,7 +1614,7 @@ def scan_steps(
                 name_k, cond_k, assigns_k = steps[k][:3]
                 emit_k = steps[k][3] if len(steps[k]) > 3 else True
                 if (
-                    k > 0
+                    (k > 0 or n == 1)
                     and states[k] is not None
                     and cond_k({**rec, **states[k]})
                 ):

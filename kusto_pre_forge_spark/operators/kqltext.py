@@ -2396,12 +2396,16 @@ class _Parser:
                 )
             declare[var] = (default, type_map[ktype])
         steps = []
+        snames = [sr[0] for sr in steps_raw]
         for sname, cond_span, assigns, emit in steps_raw:
             steps.append(
                 (
                     sname,
-                    _compile_scan_pyexpr(cond_span),
-                    [(v, _compile_scan_pyexpr(r)) for v, r in assigns],
+                    _compile_scan_pyexpr(cond_span, snames),
+                    [
+                        (v, _compile_scan_pyexpr(r, snames))
+                        for v, r in assigns
+                    ],
                     emit,
                 )
             )
@@ -3362,11 +3366,18 @@ _SCAN_FNS = {
 
 
 class _PyExprParser:
-    """Pratt parser over a captured token span → ``env → value``."""
+    """Pratt parser over a captured token span → ``env → value``.
 
-    def __init__(self, toks: list):
+    ``step_names``: ADX lets conditions/assignments reference a step's
+    state as ``stepname.var`` (the docs' canonical cumulative form is
+    ``c = x + s1.c``). In this machine each candidate instance's state
+    is already flattened into ``env``, so the qualifier is pure sugar —
+    ``s1.c`` reads ``env['c']``."""
+
+    def __init__(self, toks: list, step_names=()):
         self.toks = list(toks) + [_Tok("eof", None, -1)]
         self.i = 0
+        self.step_names = frozenset(step_names)
 
     def _peek(self, k=0):
         return self.toks[min(self.i + k, len(self.toks) - 1)]
@@ -3545,6 +3556,15 @@ class _PyExprParser:
 
                 v = pd.Timestamp(str(lit.val))
                 return lambda env: v
+            if name in self.step_names and self._at_punct("."):
+                self._next()
+                field = self._next()
+                if field.kind != "ident":
+                    raise KqlSyntaxError(
+                        "scan expression: step qualifier needs a "
+                        "variable name after the dot"
+                    )
+                return lambda env, _n=field.val: env.get(_n)
             if self._at_punct("("):
                 fn = _SCAN_FNS.get(name)
                 if fn is None:
@@ -3569,10 +3589,10 @@ class _PyExprParser:
         )
 
 
-def _compile_scan_pyexpr(span: list):
+def _compile_scan_pyexpr(span: list, step_names=()):
     """Compile a captured token span into ``env → value`` for the
     sequential scan machine (kql.scan_steps)."""
-    return _PyExprParser(span).parse()
+    return _PyExprParser(span, step_names).parse()
 
 
 def _arith(a: KExpr, b: KExpr, op: str) -> KExpr:

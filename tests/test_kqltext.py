@@ -1951,3 +1951,28 @@ def test_scan_step_output_none_mutes_but_advances(spark, docs):
             "step c: true => n = n;)",
             {"S": s},
         )
+
+
+def test_scan_single_step_cumulative_adx_doc_form(spark):
+    """The ADX docs' canonical cumulative scan — a SINGLE step whose
+    assignment references the step's own state by qualifier
+    (`c = x + s1.c`) — must accumulate, not reset: single-step scans
+    extend their one instance (kql.scan_steps' documented contract),
+    and the `s1.` qualifier is sugar for the flattened state."""
+    s = spark.createDataFrame([(i,) for i in range(1, 6)], "x long")
+    out = run_kql(
+        spark,
+        "S | sort by x asc | scan declare (c:long=0) with "
+        "(step s1: true => c = x + s1.c;)",
+        {"S": s},
+    ).select("x", "c")
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [(1, 1), (2, 3), (3, 6), (4, 10), (5, 15)]
+    # the unqualified window-profile form agrees
+    out2 = run_kql(
+        spark,
+        "S | sort by x asc | scan declare (c:long=0) with "
+        "(step s1: true => c = c + x;)",
+        {"S": s},
+    ).select("x", "c")
+    assert sorted(tuple(r) for r in out2.collect()) == got
