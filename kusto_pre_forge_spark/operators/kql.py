@@ -1597,14 +1597,31 @@ def scan_steps(
         + [f"`{match_name}` long", f"`{step_name}` string"]
     )
     n = len(steps)
-    # order entries: "col" (ascending) or ("col", asc_bool)
-    order_cols = [o if isinstance(o, str) else o[0] for o in order]
-    order_asc = [True if isinstance(o, str) else bool(o[1]) for o in order]
+    # order entries: "col" (ascending), ("col", asc) or
+    # ("col", asc, nulls) with nulls in (None, "first", "last").
+    # The replay must match the SPARK serialize order the window tier
+    # uses: Spark asc is NULLS FIRST, desc NULLS LAST (unless the sort
+    # carried an explicit qualifier) — pandas defaults to na-last for
+    # both, so each key sorts in its own stable pass with the right
+    # na_position (mergesort keeps earlier keys' order).
+    def _spec(o):
+        if isinstance(o, str):
+            return (o, True, None)
+        return (o[0], bool(o[1]), o[2] if len(o) > 2 else None)
+
+    order_spec = [_spec(o) for o in order]
     key_cols = list(by)
 
+    def _replay_order(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        for name, asc, nulls in reversed(order_spec):
+            na = nulls or ("first" if asc else "last")
+            pdf = pdf.sort_values(
+                name, ascending=asc, kind="mergesort", na_position=na
+            )
+        return pdf
+
     def machine(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(order_cols, ascending=order_asc,
-                              kind="mergesort")
+        pdf = _replay_order(pdf)
         states: list = [None] * n
         mids: list = [None] * n
         next_mid = 0

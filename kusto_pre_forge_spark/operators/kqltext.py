@@ -966,11 +966,6 @@ class _Parser:
                 desc = False
             elif self.at_ident("desc"):
                 self.next()
-            order_names.append(
-                (e.name, not desc)
-                if getattr(e, "name", None) in df.columns
-                else None
-            )
             nulls = None
             if self.at_ident("nulls"):
                 self.next()
@@ -987,6 +982,11 @@ class _Parser:
                              else col.asc_nulls_last())
             else:
                 order.append(col.desc() if desc else col.asc())
+            order_names.append(
+                (e.name, not desc, nulls)
+                if getattr(e, "name", None) in df.columns
+                else None
+            )
             if self.at("punct", ","):
                 self.next()
                 continue
@@ -1880,6 +1880,7 @@ class _Parser:
         (absent columns null)."""
         src = K.materialize(df)
         outer_order = getattr(self, "_last_order", None)
+        outer_names = getattr(self, "_last_order_names", None)
         out = None
         idx = 0
         try:
@@ -1894,6 +1895,7 @@ class _Parser:
                     name = self.next().val
                     self.next()  # '='
                 self._last_order = None  # branch-scoped sort state
+                self._last_order_names = None
                 b = self._parse_stage(src)
                 while self.at("punct", "|"):
                     self.next()
@@ -1908,6 +1910,7 @@ class _Parser:
                 idx += 1
         finally:
             self._last_order = outer_order
+            self._last_order_names = outer_names
         if out is None:
             raise KqlSyntaxError(
                 "fork needs at least one (subquery) branch"
@@ -1945,7 +1948,9 @@ class _Parser:
             self.next()
             self.eat("punct", "(")
             outer_order = getattr(self, "_last_order", None)
+            outer_names = getattr(self, "_last_order_names", None)
             self._last_order = None
+            self._last_order_names = None
             try:
                 b = self._parse_stage(src)
                 while self.at("punct", "|"):
@@ -1953,6 +1958,7 @@ class _Parser:
                     b = self._parse_stage(b)
             finally:
                 self._last_order = outer_order
+                self._last_order_names = outer_names
             self.eat("punct", ")")
             b = b.withColumn("_kpf_facet", F.lit("_with"))
             out = out.unionByName(b, allowMissingColumns=True)
@@ -2382,6 +2388,13 @@ class _Parser:
                 "scan (multi-step): sort keys must be plain columns — "
                 "project computed sort keys first"
             )
+        missing = [o[0] for o in order_names if o[0] not in df.columns]
+        if missing:
+            raise KqlSyntaxError(
+                "scan (multi-step): sort key(s) "
+                f"{missing!r} were projected away before the scan — "
+                "keep them through the stage chain"
+            )
         type_map = {
             "long": "bigint", "int": "int", "real": "double",
             "double": "double", "string": "string", "bool": "boolean",
@@ -2461,6 +2474,7 @@ class _Parser:
             )
         keys.sort(key=lambda k: (k is not None, k))
         outer_order = getattr(self, "_last_order", None)
+        outer_names = getattr(self, "_last_order_names", None)
         out = None
         branches = keys if keys else [object()]  # empty source: one
         # replay over the empty frame keeps parse + schema
@@ -2468,6 +2482,7 @@ class _Parser:
             for k in branches:
                 self.i = start
                 self._last_order = None
+                self._last_order_names = None
                 if not keys:
                     b = src.limit(0)
                 elif k is None:
@@ -2485,6 +2500,7 @@ class _Parser:
                 )
         finally:
             self._last_order = outer_order
+            self._last_order_names = outer_names
         self.eat("punct", ")")
         return out
 
@@ -2658,7 +2674,8 @@ class _Parser:
                     source_col, F.lit(rname or f"source_{idx}")
                 )
             if kind == "inner":
-                common = [c for c in df.columns if c in set(right.columns)]
+                rcols = set(right.columns)
+                common = [c for c in df.columns if c in rcols]
                 if not common:
                     raise KqlSyntaxError(
                         "union kind=inner: operands share no columns"
@@ -3356,8 +3373,12 @@ _SCAN_FNS = {
     "strcat": lambda *vs: "".join("" if v is None else str(v) for v in vs),
     "iff": lambda c, a, b: a if c else b,
     "iif": lambda c, a, b: a if c else b,
-    "max_of": lambda *vs: max(_scan_num(v) for v in vs),
-    "min_of": lambda *vs: min(_scan_num(v) for v in vs),
+    "max_of": lambda *vs: max(
+        (_scan_num(v) for v in vs if not _scan_isnull(v)), default=None
+    ),
+    "min_of": lambda *vs: min(
+        (_scan_num(v) for v in vs if not _scan_isnull(v)), default=None
+    ),
     "substring": lambda s, start, *ln: None if s is None else (
         str(s)[int(start):] if not ln
         else str(s)[int(start):int(start) + int(ln[0])]

@@ -1021,17 +1021,16 @@ def video_frame_dhash(
 
                     ww, wh, wframes, _d = webp.decode_webp_frames(raw)
                     # container EXIF orients composited frames (the
-                    # decode_image upright contract; dims may swap)
+                    # decode_image upright contract; dims may swap) —
+                    # applied AFTER the every_n filter so skipped
+                    # frames never pay the transform
                     _ori = mediacodec.image_exif_orientation(raw)
-                    _orf = [
-                        mediacodec.apply_exif_orientation(
+                    decoded = (
+                        (fi,)
+                        + mediacodec.apply_exif_orientation(
                             ww, wh, 4, px, _ori
                         )
-                        for px in wframes
-                    ]
-                    decoded = (
-                        (fi, fw_, fh_, 4, px)
-                        for fi, (fw_, fh_, _c, px) in enumerate(_orf)
+                        for fi, px in enumerate(wframes)
                         if fi % every_n == 0
                     )
                 else:

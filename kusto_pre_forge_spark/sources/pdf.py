@@ -2299,19 +2299,46 @@ def pdf_bytes_differences(pages: list[str]) -> bytes:
     equal :func:`pdf_bytes`'s for the same pages (ASCII input)."""
     diffs = " ".join(f"/{chr(c)}" for c in range(ord("a"), ord("z") + 1))
 
+    def needs_f2(ch: str) -> bool:
+        # characters whose cp1252 byte collides with the remapped
+        # 0x80–0x99 range (curly quotes, dashes, €, ™, …) — and
+        # anything cp1252 can't encode — show through the PLAIN second
+        # font as UTF-16 text, so extraction stays lossless for ANY
+        # input while lowercase still exercises the /Differences path
+        if "a" <= ch <= "z":
+            return False
+        try:
+            b = ch.encode("cp1252")
+        except UnicodeEncodeError:
+            return True
+        return len(b) != 1 or 0x80 <= b[0] <= 0x99
+
     def enc_line(line: str) -> bytes:
-        bs = bytearray()
+        runs: list[tuple[bool, str]] = []
         for ch in line:
-            if "a" <= ch <= "z":
-                bs.append(0x80 + ord(ch) - ord("a"))
+            f2 = needs_f2(ch)
+            if runs and runs[-1][0] == f2:
+                runs[-1] = (f2, runs[-1][1] + ch)
             else:
-                bs += ch.encode("cp1252", "replace")
-        return b"<" + bytes(bs).hex().encode() + b">"
+                runs.append((f2, ch))
+        ops: list[bytes] = []
+        for f2, txt in runs:
+            if f2:
+                ops.append(b"/F2 12 Tf " + _pdf_text_string(txt) + b" Tj")
+            else:
+                bs = bytearray()
+                for ch in txt:
+                    if "a" <= ch <= "z":
+                        bs.append(0x80 + ord(ch) - ord("a"))
+                    else:
+                        bs += ch.encode("cp1252")
+                ops.append(
+                    b"/F1 12 Tf <" + bytes(bs).hex().encode() + b"> Tj"
+                )
+        return b" ".join(ops) if ops else b"<> Tj"
 
     def page_content(text: str) -> bytes:
-        shows = b" T*\n".join(
-            enc_line(line) + b" Tj" for line in text.split("\n")
-        )
+        shows = b" T*\n".join(enc_line(line) for line in text.split("\n"))
         return b"BT\n/F1 12 Tf\n14 TL\n1 0 0 1 72 720 Tm\n" + shows + b"\nET"
 
     objs: list[bytes] = []
@@ -2320,13 +2347,14 @@ def pdf_bytes_differences(pages: list[str]) -> bytes:
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode())
     font_num = 3 + 2 * n
+    font2_num = font_num + 1
     for i, text in enumerate(pages):
         cont_num = 4 + 2 * i
         objs.append(
             (
                 f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
                 f"/Contents {cont_num} 0 R /Resources << /Font "
-                f"<< /F1 {font_num} 0 R >> >> >>"
+                f"<< /F1 {font_num} 0 R /F2 {font2_num} 0 R >> >> >>"
             ).encode()
         )
         body = zlib.compress(page_content(text))
@@ -2341,6 +2369,7 @@ def pdf_bytes_differences(pages: list[str]) -> bytes:
             f"/Differences [128 {diffs}] >> >>"
         ).encode()
     )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]

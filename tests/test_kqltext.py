@@ -1976,3 +1976,69 @@ def test_scan_single_step_cumulative_adx_doc_form(spark):
         {"S": s},
     ).select("x", "c")
     assert sorted(tuple(r) for r in out2.collect()) == got
+
+
+def test_scan_review_fixes_round14(spark):
+    """Self-review regressions: (a) a fork/facet branch's sort must not
+    leak its sort-key NAMES into the outer scan's order replay; (b)
+    max_of/min_of ignore nulls (the F.greatest contract) instead of
+    crashing mid-task; (c) a sort key projected away before the scan
+    refuses at parse time; (d) the machine replays Spark's serialize
+    null order (asc = nulls first), not pandas' na-last default."""
+    rows = [
+        ("a", 1, 5.0, "g"), ("b", 2, None, "g"),
+        ("c", 3, 9.0, "g"), ("d", 4, 2.0, "g"),
+    ]
+    s = spark.createDataFrame(rows, "k string, t long, v double, g string")
+    # the chaining machine numbers rows in WALK order: start begins the
+    # one sequence, cont extends it on every later record
+    chain = (
+        "| scan declare (c:long=0) with ("
+        "step start: true => c = 1; "
+        "step cont: c >= 1 => c = c + 1;)"
+    )
+
+    # (a) a partition-by branch's `sort by v desc` must not leak its
+    # sort-key NAMES into the outer scan's order replay (t asc)
+    leaked = run_kql(
+        spark,
+        "S | sort by t asc | partition by g ( sort by v desc "
+        f"| take 100 ) {chain}",
+        {"S": s},
+    )
+    got = {r.k: r.c for r in leaked.collect()}
+    assert got == {"a": 1, "b": 2, "c": 3, "d": 4}  # t-asc walk order
+
+    # (b) running max over a default-less (null) state variable
+    mx = run_kql(
+        spark,
+        "S | sort by t asc | scan declare (m:real) with ("
+        "step s1: true => m = max_of(m, v);)",
+        {"S": s},
+    )
+    assert [r.m for r in mx.orderBy("t").collect()] == [5.0, 5.0, 9.0, 9.0]
+
+    # (c) sort key projected away before the scan: loud parse refusal
+    with pytest.raises(KqlSyntaxError, match="projected away"):
+        run_kql(
+            spark,
+            "S | sort by t asc | project k, v | scan declare (c:long=0) "
+            "with (step a: true => c = c + 1; "
+            "step b: c > 99 => c = c; step e: false => c = c;)",
+            {"S": s},
+        )
+
+    # (d) null sort keys walk FIRST under asc (Spark/KQL serialize
+    # order), so the machine's running count assigns them step 1
+    ns = spark.createDataFrame(
+        [(None, "x"), (5, "y"), (2, "z")], "t int, k string"
+    )
+    seq = run_kql(
+        spark,
+        "N | sort by t asc | scan declare (c:long=0) with ("
+        "step start: true => c = 1; "
+        "step cont: c >= 1 => c = c + 1;)",
+        {"N": ns},
+    )
+    order = {r.k: r.c for r in seq.collect()}
+    assert order == {"x": 1, "z": 2, "y": 3}

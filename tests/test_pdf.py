@@ -648,3 +648,14 @@ def test_simple_font_encoding_map_shapes():
     assert P.simple_font_encoding_map(cid_font, objects) is None
     plain = {"Subtype": P._Name("Type1")}
     assert P.simple_font_encoding_map(plain, objects) is None
+
+
+def test_differences_fixture_handles_typographic_chars():
+    """Self-review regression: input characters whose cp1252 byte falls
+    in the remapped 0x80-0x99 range (em dash, curly quotes, euro, ...)
+    — and characters cp1252 cannot encode at all — must survive the
+    /Differences layout losslessly (they show through the second,
+    plain font; lowercase still exercises the remap)."""
+    pages = ["dash — quote ’ euro € tm ™", "mixed Ω greek and lower abc"]
+    data = P.pdf_bytes_differences(pages)
+    assert P.extract_pdf_pages(data) == pages
