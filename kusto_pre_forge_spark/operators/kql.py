@@ -1535,6 +1535,57 @@ def scan_accumulate(
     )
 
 
+def scan_steps_walk(
+    records,
+    steps: Sequence[tuple],
+    defaults: dict,
+    states: list,
+    mids: list,
+    next_mid: int,
+    emit,
+) -> int:
+    """The shared sequential walker behind :func:`scan_steps` (batch)
+    and ``streaming.windows.streaming_scan_steps`` (state carried
+    across micro-batches): mutates ``states``/``mids`` in place, calls
+    ``emit(rec, new_state, match_id, step_name)`` for every captured
+    record, returns the advanced ``next_mid``. Semantics exactly per
+    :func:`scan_steps`'s docstring — one walker, zero drift between
+    the batch and streaming tiers."""
+    n = len(steps)
+    for rec in records:
+        for k in range(n - 1, -1, -1):
+            name_k, cond_k, assigns_k = steps[k][:3]
+            emit_k = steps[k][3] if len(steps[k]) > 3 else True
+            if (
+                (k > 0 or n == 1)
+                and states[k] is not None
+                and cond_k({**rec, **states[k]})
+            ):
+                st, mid = states[k], mids[k]
+            elif (
+                k > 0
+                and states[k - 1] is not None
+                and cond_k({**rec, **states[k - 1]})
+            ):
+                st, mid = states[k - 1], mids[k - 1]
+                states[k - 1] = None
+                mids[k - 1] = None
+            elif k == 0 and cond_k({**rec, **defaults}):
+                st, mid = dict(defaults), next_mid
+                next_mid += 1
+            else:
+                continue
+            env = {**rec, **st}
+            newst = dict(st)
+            for var, fn in assigns_k:
+                newst[var] = fn(env)
+            states[k], mids[k] = newst, mid
+            if emit_k:
+                emit(rec, newst, mid, name_k)
+            break
+    return next_mid
+
+
 def scan_steps(
     df: DataFrame,
     order: Sequence[str],
@@ -1624,46 +1675,21 @@ def scan_steps(
         pdf = _replay_order(pdf)
         states: list = [None] * n
         mids: list = [None] * n
-        next_mid = 0
         out: list[dict] = []
-        for rec in pdf.to_dict("records"):
-            for k in range(n - 1, -1, -1):
-                name_k, cond_k, assigns_k = steps[k][:3]
-                emit_k = steps[k][3] if len(steps[k]) > 3 else True
-                if (
-                    (k > 0 or n == 1)
-                    and states[k] is not None
-                    and cond_k({**rec, **states[k]})
-                ):
-                    st, mid = states[k], mids[k]
-                elif (
-                    k > 0
-                    and states[k - 1] is not None
-                    and cond_k({**rec, **states[k - 1]})
-                ):
-                    st, mid = states[k - 1], mids[k - 1]
-                    states[k - 1] = None
-                    mids[k - 1] = None
-                elif k == 0 and cond_k({**rec, **defaults}):
-                    st, mid = dict(defaults), next_mid
-                    next_mid += 1
-                else:
-                    continue
-                env = {**rec, **st}
-                newst = dict(st)
-                for var, fn in assigns_k:
-                    newst[var] = fn(env)
-                states[k], mids[k] = newst, mid
-                if emit_k:
-                    out.append(
-                        {
-                            **{c: rec[c] for c in in_cols},
-                            **newst,
-                            match_name: mid,
-                            step_name: name_k,
-                        }
-                    )
-                break
+
+        def emit(rec, newst, mid, name_k):
+            out.append(
+                {
+                    **{c: rec[c] for c in in_cols},
+                    **newst,
+                    match_name: mid,
+                    step_name: name_k,
+                }
+            )
+
+        scan_steps_walk(
+            pdf.to_dict("records"), steps, defaults, states, mids, 0, emit
+        )
         cols = in_cols + var_names + [match_name, step_name]
         return pd.DataFrame(out, columns=cols)
 

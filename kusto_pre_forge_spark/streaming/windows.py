@@ -13,6 +13,10 @@ dedup-state across micro-batches. Two building blocks:
   per-key state machine for aggregations Spark's built-ins can't express
   (here: a running total + last-seen timestamp per key, emitted every
   batch; swap the update function for custom semantics).
+- ``streaming_scan_steps`` — the multi-step scan machine
+  (kql.scan_steps: session labeling, multi-state funnels) over a
+  stream, per-key state resumed across micro-batches; the SAME walker
+  as the batch tier, so the two can never drift.
 
 Scale: state is partitioned by key across executors; the watermark bounds
 how much of it lives; checkpointing makes both exactly-once across
@@ -616,6 +620,137 @@ def streaming_domain_drift(
                 T.StructField("total", T.LongType()),
             ]
         ),
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
+# ------------------------------------------------- streaming scan
+
+
+def _scan_state_encode(states: list, mids: list, next_mid: int) -> str:
+    """JSON-serialize the per-key scan machine state (one instance per
+    step). Timestamps wrap as {"$ts": iso}; everything else the
+    declared scalar types cover is JSON-native (json round-trips NaN)."""
+    import json
+
+    def enc(v):
+        if v is None or isinstance(v, (int, float, str, bool)):
+            return v
+        if hasattr(v, "isoformat"):
+            return {"$ts": v.isoformat()}
+        raise TypeError(f"scan state cannot serialize {type(v).__name__}")
+
+    return json.dumps(
+        {
+            "states": [
+                None if s is None else {k: enc(v) for k, v in s.items()}
+                for s in states
+            ],
+            "mids": mids,
+            "next_mid": next_mid,
+        }
+    )
+
+
+def _scan_state_decode(blob: str, n_steps: int):
+    import json
+
+    import pandas as pd
+
+    def dec(v):
+        if isinstance(v, dict) and "$ts" in v:
+            return pd.Timestamp(v["$ts"])
+        return v
+
+    if not blob:
+        return [None] * n_steps, [None] * n_steps, 0
+    saved = json.loads(blob)
+    states = [
+        None if s is None else {k: dec(v) for k, v in s.items()}
+        for s in saved["states"]
+    ]
+    return states, saved["mids"], saved["next_mid"]
+
+
+def streaming_scan_steps(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    steps,
+    declare: dict,
+    match_name: str = "match_id",
+    step_name: str = "step",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """The multi-step scan state machine (``kql.scan_steps`` — same
+    ``steps``/``declare`` shapes, SAME walker, zero semantic drift)
+    over a STREAM: per-key session labeling / multi-state funnels on
+    live data, state carried across micro-batches via
+    ``applyInPandasWithState``.
+
+    Within each micro-batch a key's rows walk in ``ts_col`` order;
+    across batches the machine resumes from its persisted state
+    (per-step instances + match-id counter, JSON in the state store —
+    bounded: n_steps instances × declared vars per key). Rows are
+    emitted only when CAPTURED (Kusto's rule), one output row per
+    captured event with the post-update state variables.
+
+    Arrival-order contract (the ingest family's replay posture): a row
+    arriving in a later batch than a newer-ts row processes late — the
+    stream analogue of Kusto's serialize order is per-batch; replays
+    through checkpoints are exactly-once. Scale: state partitions by
+    key across executors like every stateful op here.
+    """
+    var_names = list(declare)
+    defaults = {v: declare[v][0] for v in var_names}
+    n = len(steps)
+    out_schema = ", ".join(
+        [f"`{key_col}` string", f"`{ts_col}` timestamp"]
+        + [f"`{v}` {declare[v][1]}" for v in var_names]
+        + [f"`{match_name}` bigint", f"`{step_name}` string"]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        from kusto_pre_forge_spark.operators.kql import scan_steps_walk
+
+        if state.exists:
+            states, mids, next_mid = _scan_state_decode(state.get[0], n)
+        else:
+            states, mids, next_mid = [None] * n, [None] * n, 0
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        out_rows: list[dict] = []
+
+        def emit(rec, newst, mid, name_k):
+            out_rows.append(
+                {
+                    key_col: str(key[0]),
+                    ts_col: rec[ts_col],
+                    **{v: newst.get(v) for v in var_names},
+                    match_name: mid,
+                    step_name: name_k,
+                }
+            )
+
+        if batches:
+            batch = pd.concat(batches).sort_values(ts_col, kind="mergesort")
+            next_mid = scan_steps_walk(
+                batch.to_dict("records"), steps, defaults, states, mids,
+                next_mid, emit,
+            )
+        state.update((_scan_state_encode(states, mids, next_mid),))
+        yield pd.DataFrame(
+            out_rows,
+            columns=[key_col, ts_col, *var_names, match_name, step_name],
+        )
+
+    src = _norm_ts(events, ts_col)
+    return src.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="state_json string",
         outputMode="update",
         timeoutConf=timeout,
     )

@@ -517,3 +517,65 @@ def test_streaming_domain_drift_jsd_against_history(spark, tmp_path):
     exp = [int(hashlib.md5(f"kpf-jsd|{w}".encode()).hexdigest()[:8], 16) % B
            for w in ("alpha", "twelve")]
     assert [r.b for r in got] == exp
+
+
+def test_streaming_scan_steps_matches_batch_machine(spark, sf_smoke, tmp_path):
+    """r14: the multi-step scan machine over a stream — two TIME-ORDERED
+    waves (state must resume mid-session across the batch boundary)
+    replay EXACTLY the batch machine's per-row output: same running
+    state, same match ids. One walker backs both tiers, so this pins
+    the state (de)serialization and batch-boundary resume, not a
+    reimplementation."""
+    from kusto_pre_forge_spark.operators import kql
+    from kusto_pre_forge_spark.streaming.windows import streaming_scan_steps
+
+    ev = (
+        load_table(spark, sf_smoke, "events")
+        .select("event_id", "ts", "user_id")
+        .filter(F.col("user_id") < 15)
+    )
+    land = tmp_path / "scanev"
+    ev.filter("ts < '2024-01-16'").coalesce(1).write.parquet(str(land / "w0"))
+    ev.filter("ts >= '2024-01-16'").coalesce(1).write.parquet(str(land / "w1"))
+
+    steps = [
+        ("start", lambda env: True,
+         [("last_ts", lambda env: env["ts"]), ("c", lambda env: 1)]),
+        ("cont",
+         lambda env: env["last_ts"] is not None
+         and (env["ts"] - env["last_ts"]).total_seconds() <= 6 * 3600,
+         [("last_ts", lambda env: env["ts"]),
+          ("c", lambda env: env["c"] + 1)]),
+    ]
+    declare = {"last_ts": (None, "timestamp"), "c": (0, "bigint")}
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{land}/w0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{land}/w*/")
+    )
+    out = streaming_scan_steps(stream, "user_id", "ts", steps, declare)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scan_sess")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_scan"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.ts): (r.c, r.match_id)
+        for r in spark.sql("SELECT * FROM scan_sess").collect()
+    }
+    batch = kql.scan_steps(
+        ev, order=[("ts", True)], steps=steps, declare=declare,
+        by=["user_id"], match_name="match_id",
+    )
+    want = {
+        (str(r.user_id), r.ts): (r.c, r.match_id) for r in batch.collect()
+    }
+    assert got == want and got
+    # sessions genuinely cross the wave boundary (state resumed) OR at
+    # minimum both waves emitted — the memory sink saw two batches
+    assert len(got) == ev.count()
