@@ -2337,6 +2337,11 @@ class _Parser:
 
         fast = (
             len(decls) == 1
+            # the window profiles model running sums FROM ZERO; a
+            # non-trivial declared default must go to the machine,
+            # which seeds new sequences with it (the r13 standing
+            # rule: honor the consumed token or refuse — never ignore)
+            and decls[0][2] in (None, 0)
             and len(steps_raw) <= 2
             and not has_mute
             and all(

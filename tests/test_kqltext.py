@@ -2042,3 +2042,19 @@ def test_scan_review_fixes_round14(spark):
     )
     order = {r.k: r.c for r in seq.collect()}
     assert order == {"x": 1, "z": 2, "y": 3}
+
+
+def test_scan_nonzero_declare_default_is_honored(spark):
+    """A non-zero declared default previously fell into the window
+    profile, which models sums FROM ZERO — silently dropping the seed.
+    Such scans now route to the machine, which seeds every new
+    sequence with the default (ADX's `s:long=5` semantics)."""
+    s = spark.createDataFrame([(i,) for i in range(1, 4)], "x long")
+    out = run_kql(
+        spark,
+        "S | sort by x asc | scan declare (c:long=100) with "
+        "(step s1: true => c = c + x;)",
+        {"S": s},
+    ).select("x", "c")
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [(1, 101), (2, 103), (3, 106)]
