@@ -36,8 +36,8 @@ everyday tabular operators:
   ``sequence_detect`` / ``activity_counts_metrics`` /
   ``session_count`` / ``activity_engagement`` / ``funnel_sequence`` /
   ``sliding_window_counts`` / ``rolling_percentile`` /
-  ``new_activity_metrics`` / ``dcount_intersect`` /
-  ``diffpatterns_text``;
+  ``new_activity_metrics`` / ``active_users_count`` /
+  ``dcount_intersect`` / ``diffpatterns_text``;
   ``lookup`` / ``fork`` / ``facet`` / ``top-nested [with others]`` /
   ``top-hitters`` / ``as`` / ``sample`` / ``invoke``
 - the packed-series scalar batch (``series_fir``/``series_iir``/
@@ -1793,6 +1793,34 @@ class _Parser:
                     "new_activity_metrics bin must be day/hour/week"
                 )
             return A.new_activity_metrics(df, actor, ts_col, bin=bin_name)
+        if t.val == "active_users_count":
+            # active_users_count(Id, Ts [, Lookback [, MinActiveDays]])
+            # — engaged actives: users active on >= MinActiveDays
+            # DISTINCT days of the trailing window (abbreviated-argument
+            # convention; timespan lookback converts to whole days)
+            from kusto_pre_forge_spark.operators import activity as A
+
+            self.eat("punct", "(")
+            actor = self.eat("ident").val
+            self.eat("punct", ",")
+            ts_col = self.eat("ident").val
+            lookback, min_days = 7, 2
+            if self.at("punct", ","):
+                self.next()
+                lb = self.next()
+                if lb.kind != "ts":
+                    raise KqlSyntaxError(
+                        "active_users_count lookback must be a timespan"
+                    )
+                lookback = max(1, int(float(lb.val) // 86400))
+            if self.at("punct", ","):
+                self.next()
+                min_days = int(_lit_value(self.parse_expr()))
+            self.eat("punct", ")")
+            return A.active_users_count(
+                df, actor, ts_col,
+                lookback_days=lookback, min_active_days=min_days,
+            )
         if t.val == "dcount_intersect":
             # dcount_intersect(Key, Group, 'g1', 'g2', …) — progressive
             # intersection dcounts s0..sN−1. ADX's plugin consumes hll()

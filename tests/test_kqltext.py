@@ -2058,3 +2058,27 @@ def test_scan_nonzero_declare_default_is_honored(spark):
     ).select("x", "c")
     got = sorted(tuple(r) for r in out.collect())
     assert got == [(1, 101), (2, 103), (3, 106)]
+
+
+def test_evaluate_active_users_count(spark):
+    rows = [
+        ("u1", "2024-01-01 10:00:00"), ("u1", "2024-01-02 10:00:00"),
+        ("u2", "2024-01-01 11:00:00"), ("u3", "2024-01-03 09:00:00"),
+    ]
+    s = spark.createDataFrame(rows, "uid string, tss string").selectExpr(
+        "uid", "cast(tss as timestamp) ts"
+    )
+    auc = {
+        str(r.day): r.active_users
+        for r in run_kql(
+            spark, "S | evaluate active_users_count(uid, ts, 3d, 2)",
+            {"S": s},
+        ).collect()
+    }
+    # u1 active on 2 distinct days of the trailing 3-day window from
+    # day 2 onward; nobody else reaches 2 distinct days
+    assert auc == {"2024-01-01": 0, "2024-01-02": 1, "2024-01-03": 1}
+    with pytest.raises(KqlSyntaxError, match="timespan"):
+        run_kql(
+            spark, "S | evaluate active_users_count(uid, ts, 5)", {"S": s}
+        )
