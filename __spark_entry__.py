@@ -5320,12 +5320,27 @@ def _q_ann_recall(spark, sf):
     lsh = similarity.cosine_topk_lsh(emb, q, k=10, bits=4, probe_hamming=2).select(
         "query_id", "neighbor_id"
     )
-    hits = exact.join(lsh, ["query_id", "neighbor_id"], "left_semi")
-    per_q = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
-    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    return base.join(per_q, "query_id", "left").select(
-        "query_id",
-        (F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias("recall_at_10"),
+    # ONE reference to `exact`: the former semi-join + separate per-query
+    # base inlined the brute-force subtree twice into the plan. A left
+    # join against the (rank-unique) LSH candidates folds hit flag and
+    # base count through a single aggregate — identical values (n_hit =
+    # matched rows, n_exact = all rows; both exact integer counts), half
+    # the ground-truth work (guide §2.4; r14 optimization).
+    joined = exact.join(
+        lsh.withColumn("_m", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum("_m").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            (F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias(
+                "recall_at_10"
+            ),
+        )
     )
 
 
@@ -5350,15 +5365,6 @@ def _q_ann_recall_ivf(spark, sf):
     q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
     exact = similarity.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id")
 
-    def mean_recall(approx, variant):
-        hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
-        per_q = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
-        base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-        return base.join(per_q, "query_id", "left").select(
-            F.lit(variant).alias("variant"),
-            (F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias("r"),
-        )
-
     km = similarity.ivf_kmeans_centroids(emb, n_cells=16, n_iters=8, seed=13)
     trained = similarity.cosine_topk_ivf(
         emb, q, k=10, n_cells=16, nprobe=6, centroids=km
@@ -5366,10 +5372,38 @@ def _q_ann_recall_ivf(spark, sf):
     baseline = similarity.cosine_topk_ivf(emb, q, k=10, n_cells=16, nprobe=6).select(
         "query_id", "neighbor_id"
     )
+    # ONE reference per heavy subtree: the former per-variant
+    # mean_recall inlined the brute-force ground truth 4× (two
+    # references × two variants). Now the rank-unique candidate sets
+    # union with a variant tag, the ground truth explodes to the
+    # 2-variant grid once, and one left join + two aggregates produce
+    # the same per-variant mean recalls — same integer hit/base counts,
+    # same floor booleans (guide §2.4; r14 optimization).
+    approx = trained.withColumn("variant", F.lit("ivf_kmeans")).unionByName(
+        baseline.withColumn("variant", F.lit("ivf_lowest_id"))
+    )
+    grid = exact.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(
+            F.array(F.lit("ivf_kmeans"), F.lit("ivf_lowest_id"))
+        ).alias("variant"),
+    )
+    per_q = (
+        grid.join(
+            approx.withColumn("_m", F.lit(1)),
+            ["variant", "query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("variant", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"), F.sum("_m").alias("n_hit"))
+        .select(
+            "variant",
+            (F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias("r"),
+        )
+    )
     return (
-        mean_recall(trained, "ivf_kmeans")
-        .unionByName(mean_recall(baseline, "ivf_lowest_id"))
-        .groupBy("variant")
+        per_q.groupBy("variant")
         .agg(F.avg("r").alias("_recall"))
         .select(
             "variant",
@@ -5398,37 +5432,80 @@ def _q_ann_recall_pq(spark, sf):
     q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
     exact = similarity.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id")
 
-    def mean_recall(approx, variant, floor):
-        hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
-        per_q = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
-        base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-        return (
-            base.join(per_q, "query_id", "left")
-            .agg(
-                F.avg(F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias("_r")
-            )
-            .select(
-                F.lit(variant).alias("variant"),
-                (F.col("_r") >= floor).alias("recall_floor_ok"),
-                F.lit("m=32,ks=16,iters=5").alias("config"),
-            )
-        )
+    # The two trainings are independent driver loops of small sequential
+    # jobs (6 for PQ codebooks, 9 for k-means); overlap them so one
+    # loop's job tail back-fills the other's idle executors (guide
+    # §2.6). Each training's internal arithmetic (seeds, fold order,
+    # iteration count) is untouched — results are bit-identical.
+    from concurrent.futures import ThreadPoolExecutor
 
-    cb = similarity.pq_train_codebooks(emb, m=32, ks=16, n_iters=5)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cb_f = pool.submit(
+            similarity.pq_train_codebooks, emb, m=32, ks=16, n_iters=5
+        )
+        km_f = pool.submit(
+            similarity.ivf_kmeans_centroids, emb, n_cells=16, n_iters=8, seed=13
+        )
+        cb, km = cb_f.result(), km_f.result()
     raw = similarity.pq_topk(emb, q, k=10, codebooks=cb).select(
         "query_id", "neighbor_id"
     )
     rr = similarity.pq_topk(emb, q, k=10, codebooks=cb, rerank=50).select(
         "query_id", "neighbor_id"
     )
-    km = similarity.ivf_kmeans_centroids(emb, n_cells=16, n_iters=8, seed=13)
     ivfpq = similarity.pq_topk_ivf(
         emb, q, k=10, n_cells=16, nprobe=8, centroids=km, codebooks=cb, rerank=50
     ).select("query_id", "neighbor_id")
+
+    # ONE reference per heavy subtree: the former per-variant
+    # mean_recall referenced `exact` twice per call, inlining the
+    # brute-force ground-truth subtree SIX times into the union plan
+    # (measured: 70 Exchanges, ~8 s isolated — guide §2.4). Now the
+    # rank-unique candidate sets union once with a variant tag, the
+    # ground truth explodes to the 3-variant grid once, and one left
+    # join + two aggregates yield the same per-variant mean recalls —
+    # identical integer hit/base counts per (variant, query), identical
+    # floor booleans. Plan after: 1 ground-truth subtree, 18 Exchanges.
+    floors = {"pq_adc": 0.55, "pq_adc_rerank": 0.90, "pq_ivf_rerank": 0.60}
+    approx = (
+        raw.withColumn("variant", F.lit("pq_adc"))
+        .unionByName(rr.withColumn("variant", F.lit("pq_adc_rerank")))
+        .unionByName(ivfpq.withColumn("variant", F.lit("pq_ivf_rerank")))
+    )
+    grid = exact.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(
+            F.array(*[F.lit(v) for v in sorted(floors)])
+        ).alias("variant"),
+    )
+    per_q = (
+        grid.join(
+            approx.withColumn("_m", F.lit(1)),
+            ["variant", "query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("variant", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"), F.sum("_m").alias("n_hit"))
+        .select(
+            "variant",
+            (F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias("r"),
+        )
+    )
+    floor_expr = None
+    for v, fl in floors.items():
+        case = (F.col("variant") == v, F.lit(fl))
+        floor_expr = (
+            F.when(*case) if floor_expr is None else floor_expr.when(*case)
+        )
     return (
-        mean_recall(raw, "pq_adc", 0.55)
-        .unionByName(mean_recall(rr, "pq_adc_rerank", 0.90))
-        .unionByName(mean_recall(ivfpq, "pq_ivf_rerank", 0.60))
+        per_q.groupBy("variant")
+        .agg(F.avg("r").alias("_r"))
+        .select(
+            "variant",
+            (F.col("_r") >= floor_expr).alias("recall_floor_ok"),
+            F.lit("m=32,ks=16,iters=5").alias("config"),
+        )
         .orderBy("variant")
     )
 
