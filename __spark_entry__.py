@@ -2867,6 +2867,18 @@ def _q_pipeline_pdf_route(spark, sf):
     )
 
 
+def _scanpdf_pattern(k: int, w: int = 16, h: int = 16) -> bytes:
+    """The four deterministic 16×16 RGB textures the scanned-PDF forges
+    rotate by doc_id % 4 — shared by pipeline_pdf_images and
+    pipeline_pdf_ocr (and their oracles' pinned ground-truth vectors)."""
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = (x * x * 7 + y * y * 13 + k * 29 + x * y * (k + 3)) % 256
+            px += bytes((v, (v * 3 + 50 * k) % 256, (255 - v + 17 * k) % 256))
+    return bytes(px)
+
+
 def _q_pipeline_pdf_decrypt(spark, sf):
     """Blank-password PDF decryption end-to-end (round-12, V5 added
     round-13): each document forges as an ENCRYPTED PDF — the standard
@@ -2945,52 +2957,46 @@ def _q_pipeline_pdf_images(spark, sf):
     or the DCT hash breaks the match. All pure map stages."""
     import pandas as pd
 
-    from kusto_pre_forge_spark.operators import mediacodec as MC
-    from kusto_pre_forge_spark.operators import multimodal as MM
     from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
-    from kusto_pre_forge_spark.sources import pdf as P
 
     d = _widen_for_fanout(
         load_table(spark, sf, "documents").select("doc_id")
     )
 
-    def _pattern(k: int, w: int = 16, h: int = 16) -> bytes:
-        px = bytearray()
-        for y in range(h):
-            for x in range(w):
-                v = (x * x * 7 + y * y * 13 + k * 29 + x * y * (k + 3)) % 256
-                px += bytes((v, (v * 3 + 50 * k) % 256, (255 - v + 17 * k) % 256))
-        return bytes(px)
+    def fused(it):
+        # forge → image walk → PNG re-container → pHash in ONE Arrow map
+        # stage (r14 guide §4: the four chained mapInPandas each paid a
+        # JVM↔Python crossing and its own 32-process worker pool for
+        # ~1 ms/doc of actual work; same per-blob library calls, one
+        # boundary). Imports inside: once per worker, not per batch.
+        from kusto_pre_forge_spark.operators import mediacodec as MC
+        from kusto_pre_forge_spark.operators import multimodal as MM
+        from kusto_pre_forge_spark.sources import pdf as P
 
-    def forge(it):
         for pdf in it:
-            paths, blobs = [], []
+            rows = []
             for i in pdf["doc_id"]:
                 i = int(i)
-                paths.append(f"mem://scanimg/{i}.pdf")
-                blobs.append(
-                    P.pdf_bytes_scanned(
-                        1, pixels=_pattern(i % 4), width=16, height=16
-                    )
+                blob = P.pdf_bytes_scanned(
+                    1, pixels=_scanpdf_pattern(i % 4), width=16, height=16
                 )
-            yield pd.DataFrame({"path": paths, "content": blobs})
+                for img in P.extract_pdf_images(blob):
+                    png = MC.encode_png(
+                        int(img["width"]), int(img["height"]),
+                        bytes(img["data"]), 3,
+                    )
+                    ph, w, h = MM.phash_bytes(png)
+                    rows.append(
+                        {"doc_id": i, "phash": ph, "width": w, "height": h}
+                    )
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "phash", "width", "height"]
+            )
+            out["phash"] = out["phash"].astype("Int64")
+            yield out
 
-    blobs = d.mapInPandas(forge, "path string, content binary")
-    imgs = P.parse_pdf_images(blobs)
-
-    def to_png(it):
-        for pdf in it:
-            ids, pngs = [], []
-            for src, w, h, data in zip(
-                pdf["_kpf_source"], pdf["width"], pdf["height"], pdf["data"]
-            ):
-                ids.append(int(src.rsplit("/", 1)[-1].split(".")[0]))
-                pngs.append(MC.encode_png(int(w), int(h), bytes(data), 3))
-            yield pd.DataFrame({"doc_id": ids, "blob": pngs})
-
-    pngs = imgs.mapInPandas(to_png, "doc_id long, blob binary")
-    return MM.image_phash(pngs, "blob", "doc_id").select(
-        "doc_id", "phash", "width", "height"
+    return d.mapInPandas(
+        fused, "doc_id long, phash long, width int, height int"
     )
 
 
@@ -3005,50 +3011,45 @@ def _q_pipeline_pdf_ocr(spark, sf):
     four texture transcripts as frozen vectors."""
     import pandas as pd
 
-    from kusto_pre_forge_spark.operators import mediacodec as MC
-    from kusto_pre_forge_spark.operators import multimodal as MM
     from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
-    from kusto_pre_forge_spark.sources import pdf as P
 
     d = _widen_for_fanout(load_table(spark, sf, "documents").select("doc_id"))
 
-    def _pattern(k: int, w: int = 16, h: int = 16) -> bytes:
-        px = bytearray()
-        for y in range(h):
-            for x in range(w):
-                v = (x * x * 7 + y * y * 13 + k * 29 + x * y * (k + 3)) % 256
-                px += bytes((v, (v * 3 + 50 * k) % 256, (255 - v + 17 * k) % 256))
-        return bytes(px)
+    def fused(it):
+        # forge → image walk → PNG → stub OCR in ONE Arrow map stage
+        # (same fusion as pipeline_pdf_images; same per-blob calls).
+        from kusto_pre_forge_spark.operators import mediacodec as MC
+        from kusto_pre_forge_spark.operators import multimodal as MM
+        from kusto_pre_forge_spark.sources import pdf as P
 
-    def forge(it):
         for pdf in it:
-            paths, blobs = [], []
+            ids, texts, engines, chars = [], [], [], []
             for i in pdf["doc_id"]:
                 i = int(i)
-                paths.append(f"mem://ocr/{i}.pdf")
-                blobs.append(
-                    P.pdf_bytes_scanned(
-                        1, pixels=_pattern(i % 4), width=16, height=16
-                    )
+                blob = P.pdf_bytes_scanned(
+                    1, pixels=_scanpdf_pattern(i % 4), width=16, height=16
                 )
-            yield pd.DataFrame({"path": paths, "content": blobs})
+                for img in P.extract_pdf_images(blob):
+                    png = MC.encode_png(
+                        int(img["width"]), int(img["height"]),
+                        bytes(img["data"]), 3,
+                    )
+                    text, use = MM.ocr_blob(png, engine="stub")
+                    ids.append(i)
+                    texts.append(text)
+                    engines.append(use)
+                    chars.append(len(text))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="Int64"),
+                    "ocr_text": texts,
+                    "ocr_engine": engines,
+                    "n_chars": pd.array(chars, dtype="Int32"),
+                }
+            )
 
-    blobs = d.mapInPandas(forge, "path string, content binary")
-    imgs = P.parse_pdf_images(blobs)
-
-    def to_png(it):
-        for pdf in it:
-            ids, pngs = [], []
-            for src, w, h, data in zip(
-                pdf["_kpf_source"], pdf["width"], pdf["height"], pdf["data"]
-            ):
-                ids.append(int(src.rsplit("/", 1)[-1].split(".")[0]))
-                pngs.append(MC.encode_png(int(w), int(h), bytes(data), 3))
-            yield pd.DataFrame({"doc_id": ids, "blob": pngs})
-
-    pngs = imgs.mapInPandas(to_png, "doc_id long, blob binary")
-    return MM.ocr_text(pngs, "blob", "doc_id", engine="stub").select(
-        "doc_id", "ocr_text", "ocr_engine", "n_chars"
+    return d.mapInPandas(
+        fused, "doc_id long, ocr_text string, ocr_engine string, n_chars int"
     )
 
 

@@ -749,6 +749,54 @@ def image_dhash(
 
 PHASH_SCHEMA = "doc_id long, phash long, width int, height int"
 
+# DCT-II basis cache keyed by size — built once per worker process, shared
+# by every phash_bytes call (the heavy-init-once posture of guide §4.5).
+_DCT_BASES: dict[int, object] = {}
+
+
+def phash_bytes(
+    raw: bytes, img_size: int = 32, hash_size: int = 8
+) -> tuple[int | None, int | None, int | None]:
+    """Per-blob pHash core — the exact computation :func:`image_phash`
+    applies per row, exposed so fused single-map-stage pipelines (forge →
+    parse → encode → hash inside ONE mapInPandas) share the one
+    implementation instead of paying a JVM↔Python Arrow crossing per
+    stage. Returns ``(phash, width, height)``; a non-decodable blob
+    yields ``(None, probed_width, probed_height)`` exactly like the
+    DataFrame operator's NULL row."""
+    import numpy as np
+
+    from kusto_pre_forge_spark.operators import mediacodec
+
+    n = int(img_size)
+    T = _DCT_BASES.get(n)
+    if T is None:
+        k = np.arange(n)
+        # orthonormal DCT-II basis: T[u, x] = s(u)·cos(π(2x+1)u / 2n)
+        T = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+        T[0, :] *= 1.0 / np.sqrt(2.0)
+        T *= np.sqrt(2.0 / n)
+        _DCT_BASES[n] = T
+    hdr = mediacodec.probe_bytes(raw)
+    if not mediacodec.decodable_image(raw):
+        return None, hdr.get("width"), hdr.get("height")
+    w, h, ch, pix = mediacodec.decode_image(raw)
+    a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, ch)
+    gray = a.mean(axis=2)  # same luma proxy as image_dhash
+    ys = (np.arange(n) * h) // n
+    xs = (np.arange(n) * w) // n
+    g = gray[np.ix_(ys, xs)]
+    coef = T @ g @ T.T
+    block = np.round(coef[: int(hash_size), : int(hash_size)].ravel(), 4)
+    med = float(np.median(block[1:]))  # DC excluded from median
+    val = 0
+    for i, c in enumerate(block):
+        if c > med:
+            val |= 1 << i
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val, int(w), int(h)
+
 
 def image_phash(
     df: DataFrame,
@@ -780,55 +828,18 @@ def image_phash(
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        from kusto_pre_forge_spark.operators import mediacodec
-
-        n = int(img_size)
-        k = np.arange(n)
-        # orthonormal DCT-II basis: T[u, x] = s(u)·cos(π(2x+1)u / 2n)
-        T = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
-        T[0, :] *= 1.0 / np.sqrt(2.0)
-        T *= np.sqrt(2.0 / n)
-
         for pdf in it:
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                raw = bytes(blob)
-                hdr = mediacodec.probe_bytes(raw)
-                if not mediacodec.decodable_image(raw):
-                    rows.append(
-                        {
-                            "doc_id": int(doc_id),
-                            "phash": None,
-                            "width": hdr.get("width"),
-                            "height": hdr.get("height"),
-                        }
-                    )
-                    continue
-                w, h, ch, pix = mediacodec.decode_image(raw)
-                a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, ch)
-                gray = a.mean(axis=2)  # same luma proxy as image_dhash
-                ys = (np.arange(n) * h) // n
-                xs = (np.arange(n) * w) // n
-                g = gray[np.ix_(ys, xs)]
-                coef = T @ g @ T.T
-                block = np.round(
-                    coef[: int(hash_size), : int(hash_size)].ravel(), 4
+                val, w, h = phash_bytes(
+                    bytes(blob), img_size=img_size, hash_size=hash_size
                 )
-                med = float(np.median(block[1:]))  # DC excluded from median
-                val = 0
-                for i, c in enumerate(block):
-                    if c > med:
-                        val |= 1 << i
-                if val >= 1 << 63:
-                    val -= 1 << 64
                 rows.append(
                     {
                         "doc_id": int(doc_id),
                         "phash": val,
-                        "width": int(w),
-                        "height": int(h),
+                        "width": w,
+                        "height": h,
                     }
                 )
             out = pd.DataFrame(
@@ -1060,6 +1071,48 @@ def video_frame_dhash(
 OCR_SCHEMA = "doc_id long, ocr_text string, ocr_engine string, n_chars int"
 
 
+def ocr_blob(raw: bytes, engine: str = "auto") -> tuple[str, str]:
+    """Per-blob OCR core — the exact computation :func:`ocr_text` applies
+    per row (real mediacodec decode, stub/tesseract recognition dispatch),
+    exposed for fused single-map-stage pipelines. Returns
+    ``(text, engine_used)``."""
+    import hashlib
+
+    from kusto_pre_forge_spark.operators import mediacodec
+
+    kind = mediacodec.probe_bytes(raw)["media_kind"]
+    if kind in ("png", "jpeg", "gif", "bmp"):
+        # the single normalized dispatch point: a rotated capture must
+        # OCR upright, so this path may not bypass decode_image's EXIF
+        # orientation handling
+        w, h, ch, px = mediacodec.decode_image(raw)
+    else:
+        raise NotImplementedError(
+            f"ocr_text cannot decode media_kind={kind!r} — "
+            "png/jpeg/gif/bmp route here; others go through "
+            "their own decoders first"
+        )
+    use = engine
+    if use == "auto":
+        use = "tesseract" if ocr_available() else "stub"
+    if use == "tesseract":
+        if not ocr_available():
+            raise NotImplementedError(
+                "OCR engine 'tesseract' requires pytesseract "
+                "on the executors; install it or pass "
+                "engine='stub' for the deterministic fake"
+            )
+        import pytesseract
+        from PIL import Image  # noqa: F401 — pytesseract dep
+
+        img = Image.frombytes("RGB", (w, h), bytes(px))
+        text = pytesseract.image_to_string(img)
+    else:
+        digest = hashlib.sha256(bytes(px)).hexdigest()
+        text = " ".join(digest[k : k + 8] for k in range(0, 32, 8))
+    return text, use
+
+
 def ocr_available() -> bool:
     """True when an optional OCR binding (pytesseract) is importable in
     THIS interpreter — checked on the executor inside the task, the
@@ -1099,47 +1152,12 @@ def ocr_text(
 
     The image DECODE half is always real (mediacodec PNG/JPEG/GIF/BMP);
     only the recognition model is stubbed. One Arrow map stage."""
-    from kusto_pre_forge_spark.operators import mediacodec
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in it:
             ids, texts, engines, chars = [], [], [], []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                raw = bytes(blob)
-                kind = mediacodec.probe_bytes(raw)["media_kind"]
-                if kind in ("png", "jpeg", "gif", "bmp"):
-                    # the single normalized dispatch point: a rotated
-                    # capture must OCR upright, so this path may not
-                    # bypass decode_image's EXIF orientation handling
-                    w, h, ch, px = mediacodec.decode_image(raw)
-                else:
-                    raise NotImplementedError(
-                        f"ocr_text cannot decode media_kind={kind!r} — "
-                        "png/jpeg/gif/bmp route here; others go through "
-                        "their own decoders first"
-                    )
-                use = engine
-                if use == "auto":
-                    use = "tesseract" if ocr_available() else "stub"
-                if use == "tesseract":
-                    if not ocr_available():
-                        raise NotImplementedError(
-                            "OCR engine 'tesseract' requires pytesseract "
-                            "on the executors; install it or pass "
-                            "engine='stub' for the deterministic fake"
-                        )
-                    import pytesseract
-                    from PIL import Image  # noqa: F401 — pytesseract dep
-
-                    img = Image.frombytes("RGB", (w, h), bytes(px))
-                    text = pytesseract.image_to_string(img)
-                else:
-                    digest = hashlib.sha256(bytes(px)).hexdigest()
-                    text = " ".join(
-                        digest[k : k + 8] for k in range(0, 32, 8)
-                    )
+                text, use = ocr_blob(bytes(blob), engine=engine)
                 ids.append(int(doc_id))
                 texts.append(text)
                 engines.append(use)

@@ -1112,11 +1112,14 @@ _GM = {
 }
 
 
-def _aes_expand_key(key: bytes) -> list[bytes]:
+@_lru_cache(maxsize=64)
+def _aes_expand_key(key: bytes) -> tuple[bytes, ...]:
     """FIPS-197 §5.2 key schedule — AES-128 (Nk=4, 10 rounds) and
     AES-256 (Nk=8, 14 rounds, with the extra SubWord at i≡4 mod Nk —
     the V5 PDF handler's key size). Both pinned on Appendix C vectors
-    in tests."""
+    in tests. Cached: every object in a document (and every document
+    sharing a forged file key) reuses one schedule instead of
+    re-expanding per CBC call."""
     nk = len(key) // 4
     nr = {4: 10, 8: 14}[nk]
     words = [key[4 * i : 4 * i + 4] for i in range(nk)]
@@ -1130,7 +1133,7 @@ def _aes_expand_key(key: bytes) -> list[bytes]:
             t = bytes(_AES_SBOX[b] for b in t)
         words.append(bytes(x ^ y for x, y in zip(words[-nk], t)))
         i += 1
-    return [b"".join(words[4 * r : 4 * r + 4]) for r in range(nr + 1)]
+    return tuple(b"".join(words[4 * r : 4 * r + 4]) for r in range(nr + 1))
 
 
 # 32-bit T-tables (Te0..Te3): each round becomes 4 lookups + 4 XORs
@@ -1148,6 +1151,28 @@ for _x in range(256):
     _TE1[_x] = ((_t >> 8) | ((_t & 0xFF) << 24)) & 0xFFFFFFFF
     _TE2[_x] = ((_t >> 16) | ((_t & 0xFFFF) << 16)) & 0xFFFFFFFF
     _TE3[_x] = ((_t >> 24) | ((_t & 0xFFFFFF) << 8)) & 0xFFFFFFFF
+del _x, _s, _t
+
+# inverse T-tables (Td0..Td3) for the FIPS-197 §5.3.5 EQUIVALENT INVERSE
+# CIPHER: decryption becomes the same 4-lookup/4-XOR round as encryption
+# (the byte-wise InvShiftRows/InvSubBytes/InvMixColumns loop was ~10× the
+# per-block cost and dominated pipeline_pdf_decrypt's map stage).
+_TD0 = [0] * 256
+_TD1 = [0] * 256
+_TD2 = [0] * 256
+_TD3 = [0] * 256
+for _x in range(256):
+    _s = _AES_INV_SBOX[_x]
+    _t = (
+        (_gmul(_s, 14) << 24)
+        | (_gmul(_s, 9) << 16)
+        | (_gmul(_s, 13) << 8)
+        | _gmul(_s, 11)
+    )
+    _TD0[_x] = _t
+    _TD1[_x] = ((_t >> 8) | ((_t & 0xFF) << 24)) & 0xFFFFFFFF
+    _TD2[_x] = ((_t >> 16) | ((_t & 0xFFFF) << 16)) & 0xFFFFFFFF
+    _TD3[_x] = ((_t >> 24) | ((_t & 0xFFFFFF) << 8)) & 0xFFFFFFFF
 del _x, _s, _t
 
 
@@ -1234,25 +1259,100 @@ def _aes_encrypt_block_w(block: bytes, w: list[int], nr: int) -> bytes:
     )
 
 
-def _aes_decrypt_block(block: bytes, rk: list[bytes]) -> bytes:
+@_lru_cache(maxsize=64)
+def _aes_dec_schedule(rk: tuple[bytes, ...]) -> tuple[tuple[int, ...], int]:
+    """Decryption round keys for the equivalent inverse cipher
+    (§5.3.5): the encryption schedule reversed, with InvMixColumns
+    applied to the inner rounds — computed via the Td∘SBox identity
+    (Td0[SBox[x]] is InvMixColumns of column (x,0,0,0)). Cached per
+    schedule: one derivation per file key per worker."""
+    w = _rk_words(list(rk))
     nr = len(rk) - 1
-    s = bytearray(x ^ y for x, y in zip(block, rk[nr]))
-    for rnd in range(nr - 1, -1, -1):
-        # InvShiftRows
-        s = bytearray(s[(i - 4 * (i % 4)) % 16] for i in range(16))
-        s = bytearray(_AES_INV_SBOX[b] for b in s)  # InvSubBytes
-        s = bytearray(x ^ y for x, y in zip(s, rk[rnd]))
-        if rnd != 0:  # InvMixColumns (table-multiplied)
-            g9, g11, g13, g14 = _GM[9], _GM[11], _GM[13], _GM[14]
-            m = bytearray(16)
-            for c in range(0, 16, 4):
-                a0, a1, a2, a3 = s[c], s[c + 1], s[c + 2], s[c + 3]
-                m[c] = g14[a0] ^ g11[a1] ^ g13[a2] ^ g9[a3]
-                m[c + 1] = g9[a0] ^ g14[a1] ^ g11[a2] ^ g13[a3]
-                m[c + 2] = g13[a0] ^ g9[a1] ^ g14[a2] ^ g11[a3]
-                m[c + 3] = g11[a0] ^ g13[a1] ^ g9[a2] ^ g14[a3]
-            s = m
-    return bytes(s)
+    dw: list[int] = []
+    for r in range(nr, -1, -1):
+        for c in range(4):
+            word = w[4 * r + c]
+            if 0 < r < nr:
+                word = (
+                    _TD0[_AES_SBOX[word >> 24]]
+                    ^ _TD1[_AES_SBOX[(word >> 16) & 255]]
+                    ^ _TD2[_AES_SBOX[(word >> 8) & 255]]
+                    ^ _TD3[_AES_SBOX[word & 255]]
+                )
+            dw.append(word)
+    return tuple(dw), nr
+
+
+def _aes_decrypt_block(block: bytes, rk: list[bytes]) -> bytes:
+    w, nr = _aes_dec_schedule(tuple(rk))
+    c0 = int.from_bytes(block[0:4], "big") ^ w[0]
+    c1 = int.from_bytes(block[4:8], "big") ^ w[1]
+    c2 = int.from_bytes(block[8:12], "big") ^ w[2]
+    c3 = int.from_bytes(block[12:16], "big") ^ w[3]
+    t0, t1, t2, t3 = _TD0, _TD1, _TD2, _TD3
+    k = 4
+    for _ in range(nr - 1):
+        n0 = (
+            t0[c0 >> 24]
+            ^ t1[(c3 >> 16) & 255]
+            ^ t2[(c2 >> 8) & 255]
+            ^ t3[c1 & 255]
+            ^ w[k]
+        )
+        n1 = (
+            t0[c1 >> 24]
+            ^ t1[(c0 >> 16) & 255]
+            ^ t2[(c3 >> 8) & 255]
+            ^ t3[c2 & 255]
+            ^ w[k + 1]
+        )
+        n2 = (
+            t0[c2 >> 24]
+            ^ t1[(c1 >> 16) & 255]
+            ^ t2[(c0 >> 8) & 255]
+            ^ t3[c3 & 255]
+            ^ w[k + 2]
+        )
+        n3 = (
+            t0[c3 >> 24]
+            ^ t1[(c2 >> 16) & 255]
+            ^ t2[(c1 >> 8) & 255]
+            ^ t3[c0 & 255]
+            ^ w[k + 3]
+        )
+        c0, c1, c2, c3 = n0, n1, n2, n3
+        k += 4
+    sb = _AES_INV_SBOX
+    n0 = (
+        (sb[c0 >> 24] << 24)
+        | (sb[(c3 >> 16) & 255] << 16)
+        | (sb[(c2 >> 8) & 255] << 8)
+        | sb[c1 & 255]
+    ) ^ w[k]
+    n1 = (
+        (sb[c1 >> 24] << 24)
+        | (sb[(c0 >> 16) & 255] << 16)
+        | (sb[(c3 >> 8) & 255] << 8)
+        | sb[c2 & 255]
+    ) ^ w[k + 1]
+    n2 = (
+        (sb[c2 >> 24] << 24)
+        | (sb[(c1 >> 16) & 255] << 16)
+        | (sb[(c0 >> 8) & 255] << 8)
+        | sb[c3 & 255]
+    ) ^ w[k + 2]
+    n3 = (
+        (sb[c3 >> 24] << 24)
+        | (sb[(c2 >> 16) & 255] << 16)
+        | (sb[(c1 >> 8) & 255] << 8)
+        | sb[c0 & 255]
+    ) ^ w[k + 3]
+    return (
+        n0.to_bytes(4, "big")
+        + n1.to_bytes(4, "big")
+        + n2.to_bytes(4, "big")
+        + n3.to_bytes(4, "big")
+    )
 
 
 def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
