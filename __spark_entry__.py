@@ -679,14 +679,15 @@ def _q2_min_cost_supplier(spark, sf):
     scoped = ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey).join(
         F.broadcast(rs), ps.ps_suppkey == rs.s_suppkey
     )
-    min_cost = scoped.groupBy(F.col("ps_partkey").alias("_mk")).agg(
-        F.min("ps_supplycost").alias("_min_cost")
-    )
-    out = scoped.join(
-        min_cost,
-        (scoped.ps_partkey == F.col("_mk"))
-        & (scoped.ps_supplycost == F.col("_min_cost")),
-    )
+    # per-part min as a window over the SAME key instead of an
+    # aggregate self-joined back (r14, guide §2.4): the aggregate form
+    # inlined the scoped subtree twice — two pairs-aggregate shuffles
+    # and a join — where one hash exchange + min-over-partition keeps
+    # every min-cost row identically
+    w_part = Window.partitionBy("ps_partkey")
+    out = scoped.withColumn(
+        "_min_cost", F.min("ps_supplycost").over(w_part)
+    ).filter(F.col("ps_supplycost") == F.col("_min_cost"))
     return out.select(
         "s_acctbal", "s_name", "n_name",
         F.col("ps_partkey").cast("long").alias("p_partkey"),
@@ -1166,9 +1167,14 @@ def _q_similarity_knn_classify(spark, sf):
     nearest neighbors in the labeled corpus (ties → smallest label).
     ``broadcast_pool=True`` is the right plan HERE because the pool is a
     FIXED 50 rows at any scale factor (it is the broadcast side) and the
-    labeled corpus is the scan side."""
+    labeled corpus is the scan side. The scan side widens to the
+    cluster's parallelism (r14: a one-footer local parquet put the
+    whole 50×N cosine stage on ONE core; at scale the corpus arrives
+    in many splits and the helper no-ops)."""
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
+
     emb = load_table(spark, sf, "embeddings")
-    labeled = emb.filter(F.col("vec_id") >= 50)
+    labeled = _widen_for_fanout(emb.filter(F.col("vec_id") >= 50))
     pool = emb.filter(F.col("vec_id") < 50)
     out = similarity.knn_classify(labeled, pool, k=5, broadcast_pool=True)
     return out.select(
@@ -3060,71 +3066,66 @@ def _q_pipeline_multiformat_extract(spark, sf):
     back by its REAL reader, and the three extracted texts are compared
     per document. Output is (doc_id, n_formats, consistent): the oracle
     PREDICTS (doc_id, 3, true) for every doc, so any parser or forge
-    regression in any of the three fronts breaks the hash. Three
-    forge+parse map-stage pairs + one per-doc aggregate exchange."""
+    regression in any of the three fronts breaks the hash. ONE fused
+    forge+parse map stage (r14: the three per-format branches each
+    re-ran the forge subtree — 3× the work for the same rows) + the
+    conditional html_extract projection + one per-doc aggregate
+    exchange."""
     import pandas as pd
 
     from kusto_pre_forge_spark.operators import textprep as tp
     from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
-    from kusto_pre_forge_spark.sources import docx as X
-    from kusto_pre_forge_spark.sources import pdf as P
-    from kusto_pre_forge_spark.sources import warc as W
 
     d = _widen_for_fanout(
         load_table(spark, sf, "documents").select("doc_id", "text")
     )
 
-    def forge(it):
+    def fused(it):
+        # forge all three containers AND parse each back with its real
+        # reader in one Arrow map stage — same per-blob library calls
+        # the branched parse_*_blobs operators make
+        from kusto_pre_forge_spark.sources import docx as X
+        from kusto_pre_forge_spark.sources import pdf as P
+        from kusto_pre_forge_spark.sources import warc as W
+
         for pdf in it:
-            paths, blobs = [], []
+            ids, fmts, ts = [], [], []
             for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
                 t = t if isinstance(t, str) else ""
                 html = (_HTML_PAGE_PRE + t + _HTML_PAGE_POST).encode("utf-8")
-                paths.append(f"mem://{int(i)}.warc")
-                blobs.append(
-                    W.write_warc(
-                        [W.warc_record_bytes(f"https://e.com/{int(i)}", html)]
-                    )
+                wblob = W.write_warc(
+                    [W.warc_record_bytes(f"https://e.com/{i}", html)]
                 )
-                paths.append(f"mem://{int(i)}.pdf")
-                blobs.append(P.pdf_bytes([t]))
-                paths.append(f"mem://{int(i)}.docx")
-                blobs.append(X.docx_bytes(t))
-            yield pd.DataFrame({"path": paths, "content": blobs})
+                for row in W.records_to_rows(
+                    f"mem://{i}.warc", wblob, ("response",)
+                ):
+                    ids.append(i)
+                    fmts.append("html")
+                    ts.append(row["payload_text"])
+                for info in P.extract_pdf_page_infos(P.pdf_bytes([t])):
+                    ids.append(i)
+                    fmts.append("pdf")
+                    ts.append(info["text"])
+                dtext, _n = X.extract_docx_text(X.docx_bytes(t))
+                ids.append(i)
+                fmts.append("docx")
+                ts.append(dtext)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="Int64"),
+                    "fmt": fmts,
+                    "t": ts,
+                }
+            )
 
-    blobs = d.mapInPandas(forge, "path string, content binary")
-    doc_of = F.regexp_extract("_kpf_source", r"([0-9]+)\.[a-z]+$", 1).cast(
-        "long"
-    )
-    warc_rows = W.parse_warc_blobs(
-        blobs.filter(F.col("path").endswith(".warc"))
-    )
-    html_texts = tp.html_extract(
-        warc_rows.select(
-            doc_of.alias("doc_id"), F.col("payload_text").alias("html")
-        ),
-        "html",
-        "doc_id",
-    ).select("doc_id", F.col("content").alias("t"))
-    pdf_texts = P.parse_pdf_blobs(
-        blobs.filter(F.col("path").endswith(".pdf"))
-    ).select(doc_of.alias("doc_id"), F.col("page_text").alias("t"))
-    docx_texts = X.parse_docx_blobs(
-        blobs.filter(F.col("path").endswith(".docx"))
-    ).select(doc_of.alias("doc_id"), F.col("text").alias("t"))
-
+    rows = d.mapInPandas(fused, "doc_id long, fmt string, t string")
+    h = tp.html_extract_struct(F.when(F.col("fmt") == "html", F.col("t")))
+    t2 = F.when(F.col("fmt") == "html", h["content"]).otherwise(F.col("t"))
     # html_extract collapses whitespace runs inside the body block, so
     # normalize all three the same way before comparing
-    def norm(df):
-        return df.select(
-            "doc_id",
-            F.trim(F.regexp_replace("t", r"\s+", " ")).alias("t"),
-        )
-
-    u = (
-        norm(html_texts)
-        .unionByName(norm(pdf_texts))
-        .unionByName(norm(docx_texts))
+    u = rows.select(
+        "doc_id", F.trim(F.regexp_replace(t2, r"\s+", " ")).alias("t")
     )
     return u.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_formats"),

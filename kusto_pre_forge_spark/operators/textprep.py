@@ -1818,10 +1818,32 @@ def html_extract(
     Returns (id, out_col, n_blocks, n_kept): candidate blocks are those
     with ≥1 word, so empty inter-tag gaps don't inflate telemetry.
     """
+    out = html_extract_struct(
+        F.col(html_col), min_words=min_words,
+        max_link_density=max_link_density,
+    )
+    return df.withColumn("_h", out).select(
+        id_col,
+        F.col("_h")["content"].alias(out_col),
+        F.col("_h")["n_blocks"].alias("n_blocks"),
+        F.col("_h")["n_kept"].alias("n_kept"),
+    )
+
+
+def html_extract_struct(
+    html: Column,
+    min_words: int = 5,
+    max_link_density: float = 0.33,
+) -> Column:
+    """The :func:`html_extract` pipeline as a plain Column expression —
+    ``struct<content, n_blocks, n_kept>`` over one HTML column. Exposed
+    so fused pipelines can apply extraction conditionally (e.g. only to
+    the rows of a mixed-format frame that carry HTML) without branching
+    the frame and duplicating its upstream subtree per branch."""
     from kusto_pre_forge_spark.operators.textstats import _bind_once
 
     mw, ld_max = int(min_words), float(max_link_density)
-    blocks = F.split(_html_clean(F.col(html_col)), html_block_split_re())
+    blocks = F.split(_html_clean(html), html_block_split_re())
     scored = F.transform(
         blocks,
         lambda b: F.struct(
@@ -1850,7 +1872,7 @@ def html_extract(
             .alias("ld"),
         ),
     )
-    out = _bind_once(
+    return _bind_once(
         measured,
         lambda m: F.struct(
             F.array_join(
@@ -1874,12 +1896,6 @@ def html_extract(
             .cast("long")
             .alias("n_kept"),
         ),
-    )
-    return df.withColumn("_h", out).select(
-        id_col,
-        F.col("_h")["content"].alias(out_col),
-        F.col("_h")["n_blocks"].alias("n_blocks"),
-        F.col("_h")["n_kept"].alias("n_kept"),
     )
 
 

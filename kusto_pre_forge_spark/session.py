@@ -38,6 +38,15 @@ def get_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true): an r14 A/B with
+        # parallelismFirst=false + 64m advisory size coalesced every
+        # compute-heavy-but-small-byte post-shuffle stage to ONE task
+        # (q2 2.2 s → 17.6 s, dedup_clusters 2.5 s → 9.8 s) — columnar
+        # compression makes shuffle BYTES a bad proxy for downstream
+        # COMPUTE here. Bytes-based sizing belongs on IO-bound clusters
+        # (set spark.sql.adaptive.advisoryPartitionSizeInBytes ~256m
+        # there, guide §9); the engine keeps Spark's parallelism-first
+        # default so the post-shuffle stage count tracks the cluster.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
