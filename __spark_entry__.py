@@ -793,19 +793,20 @@ def _q20_excess_suppliers(spark, sf):
     scoped = li.join(
         F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey")
     )
-    recent = (
-        scoped.filter(F.year("l_shipdate") == 1998)
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(_dec(F.col("l_quantity"), 2)).cast("double").alias("_yq"))
-    )
-    alltime = scoped.groupBy(
-        F.col("l_partkey").alias("_pk"), F.col("l_suppkey").alias("_sk")
-    ).agg(F.sum(_dec(F.col("l_quantity"), 2)).cast("double").alias("_aq"))
+    # ONE conditional aggregate instead of two aggregates over the same
+    # scoped subtree joined back (r14, guide §2.3 "aggregate before you
+    # shuffle"): the 1998 sum is a when()-guarded sum in the same pass;
+    # pairs with no 1998 rows get a NULL _yq, and NULL > 0.4·_aq is
+    # false — exactly the rows the former inner join dropped.
     hot = (
-        recent.join(
-            alltime,
-            (F.col("l_partkey") == F.col("_pk"))
-            & (F.col("l_suppkey") == F.col("_sk")),
+        scoped.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.year("l_shipdate") == 1998, _dec(F.col("l_quantity"), 2)
+                )
+            ).cast("double").alias("_yq"),
+            F.sum(_dec(F.col("l_quantity"), 2)).cast("double").alias("_aq"),
         )
         .filter(F.col("_yq") > 0.4 * F.col("_aq"))
         .select("l_suppkey")
@@ -1406,42 +1407,33 @@ def _q_kql_diffpatterns_text(spark, sf):
 def _q_pipeline_quality_route(spark, sf):
     """Quality-filter ensemble routing — the decision stage a corpus
     pipeline actually ships: Gopher rules, C4 rules and the LR classifier
-    evaluated in ONE pass over the scan (three projections of the same
-    frame, no self-join), each doc routed keep/drop with its FIRST
-    failing gate as the reason code. Oracle replays all three gates."""
+    evaluated in ONE pass over the scan — the three gates CHAIN through
+    their carry_cols (r14: the former three-projections-of-one-frame +
+    two doc_id joins re-scanned documents three times; all three are
+    row-preserving codegen projections, so they compose into one scan
+    projection with zero joins), each doc routed keep/drop with its
+    FIRST failing gate as the reason code. Oracle replays all three
+    gates."""
     from kusto_pre_forge_spark.operators import textstats
 
     d = load_table(spark, sf, "documents")
-    g = textstats.gopher_quality(d, "text").select(
-        "doc_id", F.col("passes_gopher").alias("_g")
+    g = textstats.gopher_quality(d, "text", carry_cols=("text",)).select(
+        "doc_id", "text", F.col("passes_gopher").alias("_g")
     )
-    c = textstats.c4_filters(d, "text").select(
-        "doc_id", F.col("passes_c4").alias("_c")
+    c = textstats.c4_filters(g, "text", carry_cols=("text", "_g")).select(
+        "doc_id", "text", "_g", F.col("passes_c4").alias("_c")
     )
-    lr = textstats.quality_classifier_score(d, "text").select(
-        "doc_id", F.col("keep").alias("_l")
-    )
-    routed = (
-        d.select("doc_id")
-        .join(g, "doc_id")
-        .join(c, "doc_id")
-        .select(
-            "doc_id",
-            (F.col("_g") & F.col("_c")).alias("_gc"),
-            F.when(~F.col("_g"), F.lit("gopher"))
-            .when(~F.col("_c"), F.lit("c4"))
-            .otherwise(F.lit("pass"))
-            .alias("_pre"),
-        )
-        .join(lr, "doc_id")
-        .select(
-            "doc_id",
-            (F.col("_gc") & F.col("_l")).alias("keep"),
-            F.when(F.col("_pre") != "pass", F.col("_pre"))
-            .when(~F.col("_l"), F.lit("lr"))
-            .otherwise(F.lit("pass"))
-            .alias("reason"),
-        )
+    lr = textstats.quality_classifier_score(
+        c, "text", carry_cols=("_g", "_c")
+    ).select("doc_id", "_g", "_c", F.col("keep").alias("_l"))
+    routed = lr.select(
+        "doc_id",
+        (F.col("_g") & F.col("_c") & F.col("_l")).alias("keep"),
+        F.when(~F.col("_g"), F.lit("gopher"))
+        .when(~F.col("_c"), F.lit("c4"))
+        .when(~F.col("_l"), F.lit("lr"))
+        .otherwise(F.lit("pass"))
+        .alias("reason"),
     )
     return routed.groupBy("keep", "reason").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -1111,6 +1111,7 @@ def quality_classifier_score(
     weights: dict[str, float] | None = None,
     bias: float = -1.5,
     keep_threshold: float = 0.5,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Model inference in-plan: a logistic-regression quality classifier
     (fasttext/C4-classifier shape) scored entirely in codegen — the
@@ -1133,6 +1134,7 @@ def quality_classifier_score(
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return feats.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         score.alias("lr_score"),
         (score >= F.lit(float(keep_threshold))).alias("keep"),
     )

@@ -82,7 +82,7 @@ AUDITED = [
     ("dedup_span_cut", "spans join back per doc key; token rebuild is an array-HOF projection"),
     ("corpus_temperature_mix", "per-source rate aggregate broadcast back; epoch explode + hash threshold are map-only"),
     ("kql_diffpatterns_text", "distinct-term explode feeds one combined aggregate; top-k is a sort of term-cardinality rows"),
-    ("pipeline_quality_route", "three quality gates as projections of one scan; joins on the doc key only"),
+    ("pipeline_quality_route", "three quality gates CHAIN through carry_cols into ONE scan projection (r14) — zero joins"),
     ("layout_zorder", "Morton key is a flat codegen projection - zero exchanges"),
     ("text_ccnet_buckets", "vocabulary-sized LM count tables; the percent_rank window partitions by language, never SinglePartition over data"),
     ("dedup_semantic", "cell assignment is a narrow vectorized pass; pairs are cell-scoped applyInPandas (one exchange on the cell key) behind the max_cell_size hot-cell valve; CC rounds stay key-partitioned"),
@@ -102,17 +102,17 @@ AUDITED = [
     ("q13_order_count_dist", "left join preserves zero-order customers; two map-side-combined aggregates, no windows"),
     ("q18_large_orders", "HAVING aggregate shrinks lineitem to qualifying orders before any join; top-k is TakeOrderedAndProject"),
     ("dedup_cdc_chunks", "posexplode map stage; ONE doc-keyed window (never SinglePartition); chunk-hash aggregate map-side combines"),
-    ("similarity_knn_classify", "small-pool posture (explicit broadcast_pool=True): 50-row pool broadcasts; labeled corpus scans once; votes + argmax are two map-side-combined aggregates"),
+    ("similarity_knn_classify", "small-pool posture (explicit broadcast_pool=True): 50-row pool broadcasts; labeled corpus scans once, widened to cluster parallelism (r14); votes + argmax are two map-side-combined aggregates"),
     ("similarity_knn_propagate", "propagation posture: labeled seeds broadcast as ONE array column; pool scans map-only; top-k + vote are array expressions — zero pool shuffle, no window"),
-    ("q2_min_cost_supplier", "dim stack (part/nation/supplier) broadcasts; pairs aggregate is the one fact exchange; min-cost join back is aggregate-to-aggregate"),
+    ("q2_min_cost_supplier", "dim stack (part/nation/supplier) broadcasts; pairs aggregate is the one fact exchange; per-part min is a window over the same key (r14 — no self-join)"),
     ("q11_important_stock", "nation-scoped supplier broadcast below the per-part aggregate; the 1-row grand total broadcasts into the HAVING filter"),
     ("q12_late_shipment_priority", "single orders join feeds one CASE-sum aggregate; no window, map-side combine on linestatus"),
     ("q16_supplier_counts", "complaint suppliers anti-join is broadcast; distinct pairs shrink lineitem before the part join; countDistinct partial-aggregates"),
-    ("q20_excess_suppliers", "part filter broadcasts below BOTH qty aggregates; aggregate-to-aggregate join; final semi-join touches only 100 suppliers"),
+    ("q20_excess_suppliers", "part filter broadcasts below the ONE conditional qty aggregate (1998 sum rides the all-time sum, r14); final semi-join touches only 100 suppliers"),
     ("q21_suppliers_kept_waiting", "late set computed once and reused for semi+anti (same orderkey equi-key); supplier name join broadcasts"),
     ("q22_global_sales_opportunity", "1-row decimal avg broadcasts into the filter; NOT EXISTS is a left-anti on the recent-orders key set"),
     ("multimodal_image_phash", "pure map stage: Arrow-batched mapInPandas DCT per image, no shuffle at any corpus size"),
-    ("corpus_domain_shift", "B-bounded per-source histograms; source×bucket grid is metadata-sized; only the token scan touches data"),
+    ("corpus_domain_shift", "B-bounded per-source histograms PINNED once for all three consumers (r14); source×bucket grid is metadata-sized; only the one token scan touches data"),
     ("text_fix_mojibake", "one codegen projection: a literal-replace chain, no regex, no UDF, no shuffle"),
     ("text_html_extract", "crawl-page main-content extraction: regex chain + array HOFs in one codegen projection; one widen exchange re-splits the one-footer test scan"),
     ("warc_parse", "WARC roundtrip: two pure mapInPandas stages, per-blob record decode; one widen exchange re-splits the one-footer test scan"),
@@ -137,7 +137,7 @@ AUDITED = [
     ("docx_text_extract", "DOCX (ECMA-376) roundtrip: two pure mapInPandas stages (zip forge + zip inflate/XML scan); one widen exchange re-splits the one-footer test scan"),
     ("ipynb_cells_extract", "notebook cell flatten: two pure mapInPandas stages (nbformat forge + JSON parse); one widen exchange re-splits the one-footer test scan"),
     ("text_markdown_extract", "markdown → prose: ONE codegen regexp_replace chain, no UDF; one widen exchange re-splits the one-footer test scan"),
-    ("pipeline_multiformat_extract", "three container forge+parse map-stage pairs cross-checked; one per-doc aggregate exchange + the widen re-split"),
+    ("pipeline_multiformat_extract", "ONE fused forge+parse map stage for all three containers (r14); conditional html_extract projection; one per-doc aggregate exchange + the widen re-split"),
     ("text_lm_backoff", "Stupid-Backoff trigram LM: the pinned trigram table feeds four marginal sums + the scoring joins (2 scans, was 7 unpinned); vocabulary-shaped count tables — the distributed-LM shape"),
     ("corpus_autoextract", "magic-byte sniff + per-kind extraction in one Arrow map stage; widen re-split is the only exchange"),
     ("graph_label_propagation", "synchronous LPA: per round one edge-labels hash join + map-side-combined count + per-node argmax; eager localCheckpoint bounds lineage"),
@@ -149,10 +149,10 @@ AUDITED = [
     ("text_quality_lr_train", "per-iteration sufficient-statistics aggregate over the checkpointed feature frame; driver traffic is feature-dim-bounded"),
     ("pipeline_quality_lr_filter", "learned weights applied as a pure codegen scan projection — no UDF, no model server"),
     ("text_bpe_encode", "distinct pre-tokens encode once; order-preserving reassembly pays the one unavoidable doc-key exchange"),
-    ("pipeline_pdf_images", "forge → image walk → PNG re-container → perceptual hash: all pure map stages above the widen re-split"),
+    ("pipeline_pdf_images", "forge → image walk → PNG re-container → perceptual hash fused into ONE Arrow map stage (r14) above the widen re-split"),
     ("corpus_pack_nosplit", "per-bucket sequential next-fit over (id, count) pairs; global ids via the tiny per-bucket prefix broadcast"),
     ("corpus_webdataset_roundtrip", "shard write is one applyInPandas task per shard above the bucketed prefix sum; read-back is a pure map stage"),
-    ("pipeline_pdf_ocr", "forge → image walk → PNG → stub transcription: pure map stages; the recognition model is the only stubbed step"),
+    ("pipeline_pdf_ocr", "forge → image walk → PNG → stub transcription fused into ONE Arrow map stage (r14); the recognition model is the only stubbed step"),
     ("layout_compact_roundtrip", "metadata-only sizing; the rewrite is one repartition + write; read-back scans ONE compacted file"),
     ("corpus_pack_materialize", "docs explode to array SLICES per overlapped sequence (constant fan-out) above the keyed prefix sum; one per-sequence aggregate"),
     ("corpus_version_diff", "both snapshots reduce to (id, md5) before the full-outer join — text never shuffles"),
@@ -181,7 +181,7 @@ AUDITED = [
     ("text_bpe_interchange", "exported/imported tokenizer encodes via one Arrow map; decode-roundtrip column rides the same stage"),
     ("text_fix_encoding", "mojibake forge + repair are one Arrow map stage — zero exchanges"),
     ("kqltext_parse_kv", "per-key regexp_extracts fold into one codegen projection before the aggregate"),
-    ("kqltext_top_nested", "each level aggregates map-side; rank windows run over the tiny aggregates, joined by broadcast"),
+    ("kqltext_top_nested", "each level aggregates map-side; rank windows run over the tiny PINNED aggregate (r14 — one fact pass), joined by broadcast"),
     ("multimodal_webp_dhash", "ANMF compositing + per-frame dHash are one Arrow map stage"),
     ("corpus_robots_gate", "rule table broadcasts; verdict is `max_by(allow, struct(specificity, allow))` over matched rows (map-side partial), rejoined by a plain url-keyed join — the verdict frame is corpus-derived so it is never broadcast; only matched rows + the rejoin shuffle"),
     ("kqltext_fork_python", "the materialized python-stage source fills ONE InMemoryTableScan both fork branches read; each branch is one map-side-combined aggregate over the cached frame"),
