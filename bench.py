@@ -250,7 +250,21 @@ def sf_from_dir(path: str) -> float:
 def warmup(spark) -> None:
     """Pay one-time costs (JIT/codegen warm-up, Python worker fork, parquet
     footer reads) outside the timed region so per-query numbers measure the
-    queries, not session startup."""
+    queries, not session startup.
+
+    r15 (measurement fix, declared in OPTIMIZATION_r15.md): the original
+    warmup only forked the Python workers; the first ~8 timed queries still
+    paid the JVM's own warm-in (codegen/janino + C2-compiling the whole-stage
+    codegen, shuffle, sort, hash-join and window machinery) — measured 3-11x
+    inflated medians on the first queries of a cold session (e.g.
+    kql_summarize_q1 7.0 s vs 0.6 s steady-state) and a 107 s cold first rep
+    of the first pandas-UDF-heavy query. The added block below exercises
+    those engine paths GENERICALLY (synthetic spark.range data; no headline
+    query or its tables is touched beyond the existing one-row footer read),
+    so timed reps start from the steady state the numbers are meant to
+    represent."""
+    import pandas as pd
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.functions import PandasUDFType
 
@@ -267,6 +281,52 @@ def warmup(spark) -> None:
         F.sum(_noop("id"))
     ).collect()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).count()
+    # JVM warm-in: shuffle + hash aggregate + sort-merge/broadcast join +
+    # window + array HOFs through enough rows that C2 compiles the hot
+    # loops (janino-generated classes are per-plan, but the interpreter/
+    # C2 tiers they lean on are shared).
+    n = cores * 30_000
+    a = spark.range(n).select(
+        F.col("id"), (F.col("id") % 97).alias("k"), (F.col("id") % 7).alias("g")
+    )
+    b = spark.range(97).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    w = Window.partitionBy("g").orderBy("id")
+    (
+        a.join(b, "k")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "h",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda i: F.xxhash64(F.concat_ws("|", F.col("id").cast("string"), i.cast("string"))),
+            ),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            # bit_xor, not sum: sum(xxhash64) overflows long under ANSI
+            F.expr("bit_xor(xxhash64(k, v, rn))").alias("s"),
+        )
+        .write.format("noop").mode("overwrite").save()
+    )
+    # Arrow boundary warm-in: mapInPandas + grouped applyInPandas (the two
+    # serializer paths the pipeline/dedup operators use).
+    def _mip(it):
+        for pdf in it:
+            yield pdf
+
+    def _gap(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf
+
+    small = spark.range(cores * 100).select(
+        F.col("id"), (F.col("id") % 16).alias("g")
+    )
+    small.mapInPandas(_mip, "id long, g long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    small.groupBy("g").applyInPandas(_gap, "id long, g long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
@@ -371,6 +431,20 @@ def main() -> None:
                 round(sorted(runs)[len(runs) // 2], 3),
                 round(max(runs), 3),
             ]
+        # r15 session hygiene (measurement fix, declared in
+        # OPTIMIZATION_r15.md): operators pin multi-consumer intermediates
+        # with lazy persist (pinning.py); the pins belong to the returned
+        # DataFrame's lifetime, so bench — the session owner — releases
+        # them once a query's reps are done, exactly as pinning.py's
+        # docstring tells long-lived sessions to. Without this the
+        # CacheManager accumulates every query's pinned plans and their
+        # blocks for the whole 169-query session, and later driver-heavy
+        # queries degrade 3-4x (measured: ann_recall_pq 5 s fresh ->
+        # 18-20 s after five pin-heavy queries; clearCache + GC restores
+        # the floor — tools/diag_cache.py). Between QUERIES only, outside
+        # the timed region: reps of the same query keep the exact r14
+        # rep semantics.
+        spark.catalog.clearCache()
     try:
         streaming = bench_streaming(spark)
         print(f"# streaming availableNow: {streaming}", file=sys.stderr)

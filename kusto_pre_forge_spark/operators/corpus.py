@@ -698,7 +698,13 @@ def build_bloom(
     (words, m_bits, k_hashes) for :func:`bloom_probe`. No false
     negatives by construction; FP rate ≈ 0.5^(k) at 16 bits/key ≈ 0.04%.
     """
-    n = keys.select(key_col).distinct().count()
+    # Plain count, not distinct().count(): n only SIZES the bitset (any m
+    # keeps the no-false-negative guarantee and the verify join makes
+    # results m-independent), so paying a full distinct shuffle of the key
+    # set for an exact n buys nothing — the duplicate-inclusive count is a
+    # safe upper bound that merely rounds the FP rate down (r15, guide
+    # §2.4: one exchange removed from every bloom build).
+    n = keys.select(key_col).count()
     m_bits = max(64, ((max(n, 1) * bits_per_key + 63) // 64) * 64)
     pos = [
         F.pmod(F.xxhash64(F.col(key_col), F.lit(i + seed)), F.lit(m_bits))

@@ -48,6 +48,21 @@ def get_session(
         # there, guide §9); the engine keeps Spark's parallelism-first
         # default so the post-shuffle stage count tracks the cluster.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Sessions that run many queries back-to-back (the bench's 169x3
+        # reps, the 345-query oracle replay, a real multi-tenant service)
+        # accumulate dead RDD/broadcast/shuffle state that ContextCleaner
+        # only releases after a JVM GC notices the dropped references;
+        # the default periodic-GC interval (30 min) is longer than an
+        # entire local session, so cleanup arrives as one crisis instead
+        # of a steady trickle (measured: driver-heavy queries degrade
+        # 3-4x mid-session, then recover — tools/diag_cache.py). 90 s
+        # keeps the cleaner live at a cost of one minor-pause System.gc()
+        # per interval; env-overridable for clusters that prefer the
+        # default.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "90s"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.csv.parser.columnPruning.enabled", "true")
@@ -56,6 +71,19 @@ def get_session(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Whole-stage codegen emits one compiled class per distinct plan;
+        # a session running hundreds of distinct queries fills the JVM's
+        # default 240 MB code cache (measured ~130 MB by query 63 of the
+        # bench), after which the JIT flushes/disables compilation and
+        # every JVM-bound operator runs interpreted for the REST of the
+        # session. 512 MB is the standard headroom for codegen-heavy
+        # Spark drivers; harmless when unused (reserved, not committed).
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=512m"
+            ),
+        )
         # bucketed tables (operators/bucketing.py) land here, not in cwd
         .config(
             "spark.sql.warehouse.dir",

@@ -15,6 +15,25 @@ def spark():
     spark.stop()
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _session_hygiene(request):
+    """Release leaked operator pins between test modules (r15): operators
+    pin multi-consumer intermediates with lazy persist (pinning.py); a
+    1149-test session otherwise accumulates every module's pinned plans
+    and blocks in the CacheManager and degrades driver-heavy tests 3-4x
+    mid-suite (measured — tools/diag_cache.py). Safe: pins are lazy
+    persists with full lineage; anything still referenced recomputes."""
+    yield
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        try:
+            active.catalog.clearCache()
+        except Exception:
+            pass
+
+
 @pytest.fixture(scope="session")
 def sf_smoke():
     return SF_SMOKE

@@ -7,6 +7,8 @@ driver's order-insensitive value-hash.
 """
 
 import math
+import os
+from concurrent.futures import ThreadPoolExecutor
 
 import duckdb
 import pytest
@@ -18,6 +20,33 @@ SF_DIR = "/root/testdata/sf0.01"
 
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
+
+# Overlap the Spark side of the 345-query replay (guide §2.6): each
+# query's wall time at sf0.01 is dominated by per-job scheduler latency,
+# so a few driver threads submitting independent queries back-fill the
+# idle executor cores and cut the replay's wall clock ~3x. Queries touch
+# no shared mutable state (no temp views / saveAsTable in entry paths;
+# tmp dirs are per-query), so concurrent construction+collect is safe.
+# Results still surface per-test: each test waits on its own future and
+# re-raises that query's exception. Futures are dropped after use so at
+# most ~_PREFETCH_WORKERS + pending pandas frames are held.
+_PREFETCH_WORKERS = int(os.environ.get("KPF_TEST_PREFETCH", "4"))
+_POOL = ThreadPoolExecutor(max_workers=_PREFETCH_WORKERS) if _PREFETCH_WORKERS else None
+_FUTURES: dict = {}
+
+
+def _spark_result(spark, name):
+    if _POOL is None:
+        return QUERIES[name](spark, SF_DIR).toPandas()
+    if not _FUTURES:
+        for n in sorted(QUERIES):
+            _FUTURES[n] = _POOL.submit(
+                lambda n=n: QUERIES[n](spark, SF_DIR).toPandas()
+            )
+    fut = _FUTURES.pop(name, None)
+    if fut is None:  # re-run of a consumed name: compute inline
+        return QUERIES[name](spark, SF_DIR).toPandas()
+    return fut.result()
 
 
 @pytest.fixture(scope="module")
@@ -62,7 +91,7 @@ def test_entry_smoke(spark):
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, ddb, name):
-    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    sdf = _spark_result(spark, name)
     if name not in ORACLES:
         # rows-only contract: must run and return a stable schema
         assert len(sdf.columns) > 0

@@ -28,7 +28,11 @@ import bench
 from kusto_pre_forge_spark.session import get_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PLANS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+PLANS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("KPF_PLANS_ROUND", "r15"),
+)
 
 TOP = [
     "pipeline_multiformat_extract",
@@ -67,14 +71,35 @@ TOP = [
 def profile(spark, queries, name: str, tag: str) -> None:
     sc = spark.sparkContext
     os.makedirs(PLANS_DIR, exist_ok=True)
-    # warm run 0 is discarded (JIT/codegen); run 1 is the profiled one
+    # warm run 0 is discarded (JIT/codegen); run 1 is the profiled one,
+    # and ITS DataFrame is reused for the plan dump — rebuilding the
+    # query just for explain re-ran driver-side training loops
+    # (ann_recall_pq/_ivf) a third time (r14 ADVICE item).
     times = []
+    last_df = None
     for rep in range(2):
         group = f"prof-{name}-{rep}"
         sc.setJobGroup(group, name)
         t0 = time.perf_counter()
         try:
-            sec, n = bench.run_once(spark, queries, name)
+            fn = queries[name]
+            df = fn(spark, SF_DIR)
+            if name in bench.CHECKSUM_ACTION:
+                from pyspark.sql import functions as F
+
+                row = (
+                    df.select(F.xxhash64(*df.columns).alias("_h"))
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.expr("bit_xor(_h)").alias("checksum"),
+                    )
+                    .collect()[0]
+                )
+                n = row["n"]
+            else:
+                n = df.count()
+            sec = time.perf_counter() - t0
+            last_df = df
         except Exception as exc:  # noqa: BLE001
             print(f"{name}: FAILED {type(exc).__name__}: {exc}", flush=True)
             sc.setJobGroup(None, None)
@@ -98,11 +123,9 @@ def profile(spark, queries, name: str, tag: str) -> None:
                 flush=True,
             )
     sc.setJobGroup(None, None)
-    # plan capture (construction only — cheap)
     try:
-        df = queries[name](spark, SF_DIR)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
+        plan = last_df._sc._jvm.PythonSQLUtils.explainString(
+            last_df._jdf.queryExecution(), "formatted"
         )
         with open(os.path.join(PLANS_DIR, f"{name}_{tag}.txt"), "w") as f:
             f.write(plan)
