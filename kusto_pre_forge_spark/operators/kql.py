@@ -2834,48 +2834,75 @@ def autocluster(
     Output: (segment_id, n_rows, percent, <one column per input column —
     value, or null for wildcard>).
 
-    Scale: one map-side-combinable aggregation per column subset (the
-    column list is small by construction); rows never join rows; the
-    ranking window runs over ≤ Σ|distinct patterns| aggregate rows, not
-    data rows.
+    Scale: ONE map-side-combinable GROUPING SETS aggregation computes
+    every column subset's counts AND the global row count in a single
+    pass (r15, guide §2.4: the former per-subset groupBys + a separate
+    count() re-scanned the source once per subset — 7 scans for 3
+    columns at max_size=2 — for byte-identical rows); rows never join
+    rows; the ranking runs over ≤ Σ|distinct patterns| aggregate rows,
+    not data rows.
     """
     from itertools import combinations
-
-    n = df.count()
-    floor_n = float(min_support) * n
 
     def _s(col_name: str) -> Column:
         return F.coalesce(F.col(col_name).cast("string"), F.lit("null"))
 
-    parts = []
-    for size in range(1, max_size + 1):
-        for subset in combinations(cols, size):
-            proj = [
-                (_s(c) if c in subset else F.lit(None).cast("string")).alias(c)
-                for c in cols
-            ]
-            rendered = F.concat_ws(
-                ",", *[F.concat(F.lit(f"{c}="), _s(c)) for c in subset]
-            )
-            parts.append(
-                df.groupBy(*[F.col(c) for c in subset])
-                .agg(F.count(F.lit(1)).alias("n_rows"))
-                .filter(F.col("n_rows") >= floor_n)
-                .select(
-                    F.lit(size).alias("_size"),
-                    rendered.alias("_pattern"),
-                    F.col("n_rows"),
-                    *proj,
-                )
-            )
+    subsets = [
+        list(subset)
+        for size in range(1, max_size + 1)
+        for subset in combinations(cols, size)
+    ]
     from kusto_pre_forge_spark.pinning import pin as _pin
 
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    # the self-join below reads `out` from BOTH sides — pin it so the
-    # per-size corpus aggregates it unions run once, not twice
-    out = _pin(out)
+    # grouping() disambiguates a wildcard (grouping-set null) from a real
+    # null VALUE in a grouped column, so grouping raw columns here is
+    # exactly equivalent to the former one-groupBy-per-subset form. The
+    # empty set [] contributes the global row count the min_support floor
+    # and `percent` divide by — the former separate df.count() pass.
+    agg = _pin(
+        df.groupingSets(
+            [[F.col(c) for c in s] for s in subsets] + [[]],
+            *[F.col(c) for c in cols],
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[F.grouping(c).alias(f"_g_{c}") for c in cols],
+        )
+    )
+    is_total = None
+    for c in cols:
+        t = F.col(f"_g_{c}") == 1
+        is_total = t if is_total is None else (is_total & t)
+    n = agg.filter(is_total).collect()[0]["n_rows"]
+    floor_n = float(min_support) * n
+    size_expr = None
+    for c in cols:
+        s = F.lit(1) - F.col(f"_g_{c}")
+        size_expr = s if size_expr is None else (size_expr + s)
+    rendered = F.concat_ws(
+        ",",
+        *[
+            F.when(
+                F.col(f"_g_{c}") == 0, F.concat(F.lit(f"{c}="), _s(c))
+            )
+            for c in cols
+        ],
+    )
+    proj = [
+        F.when(F.col(f"_g_{c}") == 1, F.lit(None).cast("string"))
+        .otherwise(_s(c))
+        .alias(c)
+        for c in cols
+    ]
+    out = (
+        agg.filter(~is_total)
+        .filter(F.col("n_rows") >= floor_n)
+        .select(
+            size_expr.alias("_size"),
+            rendered.alias("_pattern"),
+            F.col("n_rows"),
+            *proj,
+        )
+    )
     # Rank by (n_rows desc, size asc, pattern asc) WITHOUT a global window:
     # even over bounded aggregate rows, a row_number() window plans an
     # Exchange SinglePartition, and the repo's plan-shape guard
@@ -4617,7 +4644,14 @@ def label_propagation(
             .select(
                 "node", F.coalesce("label", F.col("node")).alias("label")
             )
-            .localCheckpoint(eager=True)
+            # r15: lazy, not eager — the checkpoint call already flattens
+            # the round's logical plan to a LogicalRDD, so the loop no
+            # longer needs a per-round materialization job just to bound
+            # lineage. All n_iter rounds execute back-to-back inside ONE
+            # job at the caller's action (guide §2.6: the per-round
+            # scheduler latency WAS the local cost — rounds are
+            # data-bound at scale). Round arithmetic untouched.
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -4651,6 +4685,8 @@ def pagerank(
 
     Returns (node, rank) for every node appearing as src or dst.
     """
+    from kusto_pre_forge_spark.pinning import pin as _pin
+
     e = edges.select(
         F.col(src_col).alias("s"),
         F.col(dst_col).alias("d"),
@@ -4660,6 +4696,12 @@ def pagerank(
             else F.lit(1.0)
         ).alias("w"),
     )
+    # r15: the caller's edge frame is typically an expensive aggregate
+    # (the benched query feeds a 4-way lineitem join); the out-weight
+    # aggregate and the normalization join below both reference it, and
+    # column pruning specializes the two subtrees past ReuseExchange —
+    # pin so the upstream runs once (guide §2.4).
+    e = _pin(e)
     outw = e.groupBy("s").agg(F.sum("w").alias("_outw"))
     e = (
         e.join(outw, "s")
@@ -4676,6 +4718,15 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     has_out = e.select(F.col("s").alias("node")).distinct()
     d = float(damping)
+    # r15 NEGATIVE RESULT, kept honest: chaining the rounds lazily with
+    # the dangling mass as an in-plan broadcast cross-join (one job for
+    # the whole power iteration instead of one dm-collect job per round)
+    # was measured and REVERTED — the per-round checkpoint RDDs compiled
+    # via toRdd lose AQE's partition coalescing, and the round shuffles
+    # ran at the static partition count (tasks 99 -> 563, warm 2.2 s ->
+    # 3.3 s at sf0.1). The per-round 1-row collect keeps every round on
+    # the adaptively-coalesced plan; at scale the 3-10 driver scalars per
+    # query are noise.
     for _ in range(int(iterations)):
         if handle_dangling:
             dm = (

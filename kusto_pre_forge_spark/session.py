@@ -48,6 +48,18 @@ def get_session(
         # there, guide §9); the engine keeps Spark's parallelism-first
         # default so the post-shuffle stage count tracks the cluster.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # The engine pins multi-consumer intermediates with lazy persist
+        # (pinning.py); by default Spark compiles cached plans WITHOUT
+        # AQE so every shuffle under a pin runs at the static partition
+        # count (measured: pinning pagerank's edge frame exploded the
+        # query from 99 to 563 tiny tasks at sf0.1). This flag (3.4+)
+        # lets AQE coalesce/skew-split inside cached plans too; the
+        # documented trade-off (cache consumers may re-shuffle if they
+        # needed the static partitioning) does not apply to the pin
+        # pattern, which never relies on a pinned frame's partitioning.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
         # Sessions that run many queries back-to-back (the bench's 169x3
         # reps, the 345-query oracle replay, a real multi-tenant service)
         # accumulate dead RDD/broadcast/shuffle state that ContextCleaner
