@@ -4379,7 +4379,12 @@ def _q_text_quality_lr_train(spark, sf):
     labeled = ts.quality_features(d, "text").withColumn(
         "_label", (F.col("quality_score") >= 0.5).cast("double")
     )
-    res = ts.train_quality_lr(labeled, "_label", n_iters=8, learn_rate=0.2)
+    # features_ready: `labeled` already carries the feature columns the
+    # trainer needs — without it the checkpoint plan re-derived every
+    # feature from text a second time (r15, guide §2.4; same values)
+    res = ts.train_quality_lr(
+        labeled, "_label", n_iters=8, learn_rate=0.2, features_ready=True
+    )
     rows = [(k, float(v)) for k, v in sorted(res["weights"].items())]
     rows.append(("__bias__", float(res["bias"])))
     rows.append(("__loss__", float(res["losses"][-1])))
@@ -4399,16 +4404,27 @@ def _q_pipeline_quality_lr_filter(spark, sf):
     At 100 TB: 8 tiny aggregates + one filter scan — no model server,
     no UDF. Oracle: the unrolled training chain + per-doc scoring."""
     from kusto_pre_forge_spark.operators import textstats as ts
+    from kusto_pre_forge_spark.pinning import pin
 
     d = load_table(spark, sf, "documents")
-    labeled = ts.quality_features(d, "text").withColumn(
+    # ONE feature-extraction pass (r15, guide §2.4): the pinned
+    # quality_features frame feeds BOTH the trainer (which used to
+    # re-derive features inside its checkpoint plan) and the scoring
+    # projection (which used to re-scan the text a third time). Feature
+    # values, the GD fold, and the score are byte-identical — only where
+    # the shared expressions evaluate moves.
+    feats = pin(ts.quality_features(d, "text"))
+    labeled = feats.withColumn(
         "_label", (F.col("quality_score") >= 0.5).cast("double")
     )
-    res = ts.train_quality_lr(labeled, "_label", n_iters=8, learn_rate=0.2)
+    res = ts.train_quality_lr(
+        labeled, "_label", n_iters=8, learn_rate=0.2, features_ready=True
+    )
     w = {f: 0.0 for f in ts.QUALITY_LR_WEIGHTS}
     w.update(res["weights"])
     out = ts.quality_classifier_score(
-        d, "text", "doc_id", weights=w, bias=res["bias"]
+        feats, "text", "doc_id", weights=w, bias=res["bias"],
+        features_ready=True,
     )
     return out.select(
         "doc_id", F.round(F.col("lr_score"), 6).alias("lr_score"), "keep"

@@ -1112,6 +1112,7 @@ def quality_classifier_score(
     bias: float = -1.5,
     keep_threshold: float = 0.5,
     carry_cols: tuple = (),
+    features_ready: bool = False,
 ) -> DataFrame:
     """Model inference in-plan: a logistic-regression quality classifier
     (fasttext/C4-classifier shape) scored entirely in codegen — the
@@ -1121,11 +1122,19 @@ def quality_classifier_score(
     ln(1+n_tokens); ``keep`` thresholds the sigmoid score.
 
     Returns (id, lr_score, keep).
+
+    ``features_ready=True`` (r15, guide §2.4) declares that ``df``
+    already carries the :func:`quality_features` columns (e.g. the
+    caller pinned one feature pass shared with training) — the score is
+    then a projection over those columns instead of re-deriving every
+    feature from the text. Values are identical either way: the feature
+    expressions are the same, only where they are evaluated moves.
     """
     w = dict(QUALITY_LR_WEIGHTS)
     if weights:
         w.update(weights)
-    feats = quality_features(df, text_col).withColumn(
+    base = df if features_ready else quality_features(df, text_col)
+    feats = base.withColumn(
         "log_tokens", F.log1p(F.col("n_tokens").cast("double"))
     )
     z = F.lit(float(bias))
@@ -1152,6 +1161,7 @@ def train_quality_lr(
     ),
     n_iters: int = 8,
     learn_rate: float = 0.2,
+    features_ready: bool = False,
 ) -> dict:
     """Close the classifier loop IN-ENGINE (round-11: the FineWeb-style
     labeled-seed → corpus-scale-filter workflow with no model server):
@@ -1176,8 +1186,14 @@ def train_quality_lr(
     pattern). Returns ``{"weights", "bias", "losses"}`` where
     ``losses[i]`` is the mean log-loss at the START of iteration i
     (monotone decrease is pinned in tests)."""
+    # features_ready=True (r15): the caller's frame already carries the
+    # quality_features columns (typical callers label BY quality_score,
+    # so they computed the features anyway) — skip re-deriving them from
+    # text inside the checkpoint plan. Identical values, one less
+    # feature-extraction pass in the materialization job.
+    base = df if features_ready else quality_features(df, text_col)
     feats = (
-        quality_features(df, text_col)
+        base
         .withColumn("log_tokens", F.log1p(F.col("n_tokens").cast("double")))
         .select(
             F.col(label_col).cast("double").alias("_y"),
