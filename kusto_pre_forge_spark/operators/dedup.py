@@ -807,6 +807,11 @@ def embedding_dup_pairs(
 # transitive-closure join blows up.
 
 
+_CC_SINGLE_TASK_EDGES = int(
+    __import__("os").environ.get("KPF_CC_SINGLE_TASK_EDGES", "2000000")
+)
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",
@@ -846,6 +851,52 @@ def connected_components(
         # on dedup_clusters at sf0.1, where the LSH is ~10 s of the plan).
         .localCheckpoint(eager=True)
     )
+
+    # Scale-adaptive single-task path (guide §1.2 — pick the distributed
+    # algorithm by the data's actual shape): duplicate-pair sets are a
+    # vanishing fraction of the corpus, and component labels are a pure
+    # INTEGER graph property — any algorithm produces the same min-id
+    # labels. When the deduped edge list is bounded (default 2M edges,
+    # ~32 MB of id pairs; env KPF_CC_SINGLE_TASK_EDGES), one union-find
+    # task over the checkpointed edges replaces the alternating-star
+    # loop's ~(4-6 shuffles + 1 job) per round — measured ~25 sequential
+    # scheduler-bound jobs on dedup_clusters at bench scale. Edge sets
+    # past the bound (a truly duplicate-heavy 100 TB corpus) keep the
+    # O(log n)-round distributed loop below.
+    n_edges = edges.count()
+    if n_edges <= _CC_SINGLE_TASK_EDGES:
+
+        def _union_find(it):
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for pdf in it:
+                for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+                    if u not in parent:
+                        parent[u] = u
+                    if v not in parent:
+                        parent[v] = v
+                    ru, rv = find(u), find(v)
+                    if ru != rv:
+                        if ru < rv:
+                            parent[rv] = ru
+                        else:
+                            parent[ru] = rv
+            ids = sorted(parent)
+            yield pd.DataFrame(
+                {"id": ids, "cluster_id": [find(i) for i in ids]}
+            ).astype({"id": "int64", "cluster_id": "int64"})
+
+        return edges.coalesce(1).mapInPandas(
+            _union_find, "id long, cluster_id long"
+        )
 
     def checksum(df: DataFrame):
         row = df.agg(
@@ -1801,13 +1852,26 @@ def semdedup(
         "cell_score",
     )
 
-    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _cell_labels(pdf: pd.DataFrame) -> pd.DataFrame:
+        """(id, cluster_id) for every id in this cell that has at least
+        one ≥-threshold neighbor; cluster_id = the component's min id.
+
+        Duplicate pairs are generated ONLY within a cell, so every
+        connected component is contained in one cell — the component
+        labels can be resolved right here with a union-find over the
+        cell's pair list instead of shipping pairs through the global
+        alternating-star driver loop (which cost ~30 sequential
+        scheduler-bound jobs per query at bench scale; guide §2.4/§2.6).
+        Components of a graph are a pure integer property — any
+        algorithm yields the same min-id labels, so results are
+        bit-identical to the former connected_components() route."""
         ids = pdf["_id"].to_numpy()
         n = len(ids)
+        empty = pd.DataFrame({"id": [], "cluster_id": []}).astype(
+            {"id": "int64", "cluster_id": "int64"}
+        )
         if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(
-                {"id_a": "int64", "id_b": "int64"}
-            )
+            return empty
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         V = np.array([np.asarray(x, dtype=np.float64) for x in pdf["_v"].iloc[order]])
@@ -1822,7 +1886,33 @@ def semdedup(
         cos = G / (nrm[:, None] * nrm[None, :])
         ia, ib = np.triu_indices(n, k=1)
         sel = cos[ia, ib] >= threshold
-        return pd.DataFrame({"id_a": ids[ia[sel]], "id_b": ids[ib[sel]]})
+        ia, ib = ia[sel], ib[sel]
+        if len(ia) == 0:
+            return empty
+        # union-find over local positions (ids is sorted ascending, so
+        # the min position in a component is also the min id)
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(ia.tolist(), ib.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        touched = np.unique(np.concatenate([ia, ib]))
+        roots = np.array([find(int(x)) for x in touched])
+        return pd.DataFrame(
+            {"id": ids[touched], "cluster_id": ids[roots]}
+        ).astype({"id": "int64", "cluster_id": "int64"})
 
     if max_cell_size is not None:
         # the valve adds a second consumer of the cell-assignment pass
@@ -1834,10 +1924,9 @@ def semdedup(
     pair_input = _apply_hot_bucket_valve(
         assigned, ["cell"], max_cell_size, journal, counter="HotCellsDropped"
     )
-    pairs = pair_input.groupBy("cell").applyInPandas(
-        _cell_pairs, "id_a long, id_b long"
+    comp = pair_input.groupBy("cell").applyInPandas(
+        _cell_labels, "id long, cluster_id long"
     )
-    comp = connected_components(pairs)  # (id, cluster_id)
     labeled = (
         assigned.join(
             comp.select(

@@ -511,9 +511,74 @@ def ivf_kmeans_centroids(
     )  # (cells, dim)
     C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
+    vecs = corpus.select(F.col(vec_col).alias("_v"))
+    # Single-partition fast path (guide §2.6 — the scheduler-latency
+    # driver-loop family): when the (possibly sampled) training frame is
+    # ONE partition, a lone task already sees every vector, so the whole
+    # fixed-iteration loop runs inside one mapInPandas call instead of
+    # n_iters sequential jobs. Arithmetic is bit-identical: with a
+    # single pid the driver's sorted (cell, pid) fold degenerates to
+    # batch-emission order, which the in-task loop replays exactly
+    # (batches outer, cells inner), and the per-iteration re-normalize
+    # of V yields the same array every time, so it is hoisted. Multi-
+    # partition inputs (any real corpus at scale) keep the distributed
+    # per-iteration partial/fold path below.
+    if vecs.rdd.getNumPartitions() == 1:
+        C0 = C.copy()
+        iters = int(n_iters)
+
+        def _all_iters(it):
+            batches = []
+            for pdf in it:
+                V = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+                )
+                if V.size == 0:
+                    continue
+                V = V / np.maximum(
+                    np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+                )
+                batches.append(V)
+            Cl = C0.copy()
+            for _ in range(iters):
+                Cb = Cl.copy()
+                sums: dict[int, np.ndarray] = {}
+                counts: dict[int, int] = {}
+                for V in batches:
+                    cells = np.argmax(V @ Cb.T, axis=1)
+                    for j in np.unique(cells):
+                        sel = V[cells == j]
+                        key = int(j)
+                        v = sel.sum(axis=0)
+                        if key in sums:
+                            sums[key] += v
+                            counts[key] += int(sel.shape[0])
+                        else:
+                            sums[key] = v.copy()
+                            counts[key] = int(sel.shape[0])
+                for j, v in sums.items():
+                    Cl[j] = v / counts[j]
+                Cl /= np.maximum(
+                    np.linalg.norm(Cl, axis=1, keepdims=True), 1e-12
+                )
+            yield pd.DataFrame(
+                {"cell": list(range(Cl.shape[0])), "c": list(Cl)}
+            )
+
+        rows = vecs.mapInPandas(
+            _all_iters, "cell int, c array<double>"
+        ).collect()
+        C = np.array(
+            [
+                np.asarray(r["c"], dtype=np.float64)
+                for r in sorted(rows, key=lambda r: r["cell"])
+            ]
+        )
+        return [[float(x) for x in row] for row in C]
+
     # the same (possibly sampled) vectors are scanned n_iters times —
     # persist once, release after the loop
-    vecs = corpus.select(F.col(vec_col).alias("_v")).persist()
+    vecs = vecs.persist()
     part_schema = "pid int, cell int, cnt long, vsum array<double>"
     for _ in range(n_iters):
         Cb = C.copy()
@@ -995,7 +1060,70 @@ def pq_train_codebooks(
     # C[s]: (ks, dsub)
     C = [V0[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
 
-    vecs = corpus.select(F.col(vec_col).alias("_v")).persist()
+    vecs = corpus.select(F.col(vec_col).alias("_v"))
+    # Single-partition fast path — same contract as the one in
+    # :func:`ivf_kmeans_centroids`: one task sees every training vector,
+    # so the whole fixed-iteration loop runs in ONE mapInPandas call
+    # (n_iters+1 sequential jobs → 1); the in-task fold replays the
+    # driver's sorted (sub, code, pid) accumulation batch-by-batch.
+    if vecs.rdd.getNumPartitions() == 1:
+        C0 = [c.copy() for c in C]
+        iters = int(n_iters)
+
+        def _all_iters(it):
+            batches = []
+            for pdf in it:
+                V = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+                )
+                if V.size == 0:
+                    continue
+                V = V / np.maximum(
+                    np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+                )
+                batches.append(V)
+            Cl = [c.copy() for c in C0]
+            for _ in range(iters):
+                Cb = [c.copy() for c in Cl]
+                sums: dict[tuple[int, int], np.ndarray] = {}
+                counts: dict[tuple[int, int], int] = {}
+                for V in batches:
+                    for s in range(m):
+                        Vs = V[:, s * dsub : (s + 1) * dsub]
+                        scores = (
+                            Vs @ Cb[s].T
+                            - 0.5 * (Cb[s] ** 2).sum(axis=1)[None, :]
+                        )
+                        codes = np.argmax(scores, axis=1)
+                        for j in np.unique(codes):
+                            sel = Vs[codes == j]
+                            key = (s, int(j))
+                            v = sel.sum(axis=0)
+                            if key in sums:
+                                sums[key] += v
+                                counts[key] += int(sel.shape[0])
+                            else:
+                                sums[key] = v.copy()
+                                counts[key] = int(sel.shape[0])
+                for (s, j), v in sums.items():
+                    if counts[(s, j)] > 0:
+                        Cl[s][j] = v / counts[(s, j)]
+            flat = []
+            for s in range(m):
+                for j in range(Cl[s].shape[0]):
+                    flat.append(
+                        {"sub": s, "code": j, "c": Cl[s][j]}
+                    )
+            yield pd.DataFrame(flat)
+
+        rows = vecs.mapInPandas(
+            _all_iters, "sub int, code int, c array<double>"
+        ).collect()
+        for r in rows:
+            C[r["sub"]][r["code"]] = np.asarray(r["c"], dtype=np.float64)
+        return [[[float(x) for x in row] for row in c] for c in C]
+
+    vecs = vecs.persist()
     part_schema = "pid int, sub int, code int, cnt long, vsum array<double>"
     for _ in range(n_iters):
         Cb = [c.copy() for c in C]

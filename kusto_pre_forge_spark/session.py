@@ -90,10 +90,20 @@ def get_session(
         # every JVM-bound operator runs interpreted for the REST of the
         # session. 512 MB is the standard headroom for codegen-heavy
         # Spark drivers; harmless when unused (reserved, not committed).
+        # ExplicitGCInvokesConcurrent: the periodic-GC interval above
+        # works by calling System.gc(), which on G1 defaults to a
+        # STOP-THE-WORLD full collection — multi-second pauses that land
+        # inside whatever query is running when the 90 s timer fires
+        # (observed as 3-10 s outlier reps on otherwise sub-second
+        # queries). The flag turns explicit GC into a concurrent G1
+        # cycle: ContextCleaner still gets its reference-processing
+        # trigger, queries no longer absorb the pause.
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
-                "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=512m"
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:ReservedCodeCacheSize=512m "
+                "-XX:+ExplicitGCInvokesConcurrent",
             ),
         )
         # bucketed tables (operators/bucketing.py) land here, not in cwd

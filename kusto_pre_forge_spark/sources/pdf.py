@@ -1048,8 +1048,56 @@ _PW_PAD = bytes(
 )
 
 
+# Native cipher kernels (r15, guide §4.2): RC4/AES are bit-exact
+# specifications, so OpenSSL (via the public `cryptography` package)
+# produces byte-identical output to the pure-Python implementations
+# below at a fraction of the per-block cost — the decrypt pipeline's
+# map stage is pure cipher arithmetic, and the R6 hash-2.B chain runs
+# tens of thousands of AES blocks per (uncached) derivation. The pure
+# forms stay as the import-free fallback AND as the reference the
+# FIPS-197 / RC4 vector tests pin; every call site dispatches here.
+try:  # pragma: no cover - exercised wherever cryptography is installed
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher as _NCipher,
+    )
+    from cryptography.hazmat.primitives.ciphers import (
+        algorithms as _nalgorithms,
+    )
+    from cryptography.hazmat.primitives.ciphers import modes as _nmodes
+
+    try:  # ARC4 moved to the decrepit namespace in cryptography >= 43
+        from cryptography.hazmat.decrepit.ciphers.algorithms import (
+            ARC4 as _NARC4,
+        )
+    except ImportError:  # pragma: no cover
+        from cryptography.hazmat.primitives.ciphers.algorithms import (
+            ARC4 as _NARC4,
+        )
+
+    _HAVE_NATIVE_CRYPTO = True
+except Exception:  # pragma: no cover - pure-Python fallback
+    _HAVE_NATIVE_CRYPTO = False
+
+
+def _native_aes_cbc(key: bytes, iv: bytes, data: bytes, decrypt: bool) -> bytes:
+    c = _NCipher(_nalgorithms.AES(key), _nmodes.CBC(iv))
+    op = c.decryptor() if decrypt else c.encryptor()
+    return op.update(data) + op.finalize()
+
+
 def _rc4(key: bytes, data: bytes) -> bytes:
-    """RC4 stream cipher (the §7.6.2 'RC4 function') — pure stdlib."""
+    """RC4 stream cipher (the §7.6.2 'RC4 function'). Dispatches to the
+    native kernel when available and the key length is one OpenSSL
+    accepts (PDF keys are md5-derived 5/10/16 bytes — all accepted;
+    the known-vector tests use shorter ones → pure path)."""
+    if _HAVE_NATIVE_CRYPTO and len(key) in (5, 7, 8, 10, 16, 20, 24, 32):
+        enc = _NCipher(_NARC4(key), mode=None).encryptor()
+        return enc.update(data) + enc.finalize()
+    return _rc4_py(key, data)
+
+
+def _rc4_py(key: bytes, data: bytes) -> bytes:
+    """Pure-stdlib RC4 — fallback + the reference the vector tests pin."""
     S = list(range(256))
     j = 0
     for i in range(256):
@@ -1360,16 +1408,19 @@ def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     (§7.6.2 Algorithm 1 step b). Malformed framing → ValueError."""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("AES-CBC payload framing invalid")
-    rk = _aes_expand_key(key)
-    iv = data[:16]
-    out = bytearray()
-    prev = iv
-    for i in range(16, len(data), 16):
-        block = data[i : i + 16]
-        out += bytes(
-            x ^ y for x, y in zip(_aes_decrypt_block(block, rk), prev)
-        )
-        prev = block
+    if _HAVE_NATIVE_CRYPTO:
+        out = bytearray(_native_aes_cbc(key, data[:16], data[16:], True))
+    else:
+        rk = _aes_expand_key(key)
+        iv = data[:16]
+        out = bytearray()
+        prev = iv
+        for i in range(16, len(data), 16):
+            block = data[i : i + 16]
+            out += bytes(
+                x ^ y for x, y in zip(_aes_decrypt_block(block, rk), prev)
+            )
+            prev = block
     pad = out[-1]
     if not 1 <= pad <= 16 or out[-pad:] != bytearray([pad]) * pad:
         raise ValueError("AES-CBC padding invalid")
@@ -1377,9 +1428,11 @@ def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
 
 
 def _aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
-    rk = _aes_expand_key(key)
     pad = 16 - (len(data) % 16)
     data = data + bytes([pad]) * pad
+    if _HAVE_NATIVE_CRYPTO:
+        return iv + _native_aes_cbc(key, iv, data, False)
+    rk = _aes_expand_key(key)
     out = bytearray(iv)
     prev = iv
     for i in range(0, len(data), 16):
@@ -1394,6 +1447,8 @@ def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
     round function and the /UE-/OE file-key wrap both use this form."""
     if len(data) % 16:
         raise ValueError("no-pad CBC needs a 16-byte-aligned payload")
+    if _HAVE_NATIVE_CRYPTO:
+        return _native_aes_cbc(key, iv, data, False)
     rk = _aes_expand_key(key)
     w, nr = _rk_words(rk), len(rk) - 1
     out = bytearray()
@@ -1411,6 +1466,8 @@ def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
 def _aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
     if len(data) % 16:
         raise ValueError("no-pad CBC needs a 16-byte-aligned payload")
+    if _HAVE_NATIVE_CRYPTO:
+        return _native_aes_cbc(key, iv, data, True)
     rk = _aes_expand_key(key)
     out = bytearray()
     prev = iv
