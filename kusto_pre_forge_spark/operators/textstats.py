@@ -1204,6 +1204,95 @@ def train_quality_lr(
     w = {f: 0.0 for f in feature_cols}
     b = 0.0
     losses: list[float] = []
+    # Single-partition fast path (guide §2.6, the same contract as the
+    # fused PQ/k-means trainings in similarity.py): when the
+    # checkpointed feature frame is ONE partition, a lone task sees
+    # every row, so all n_iters gradient steps run inside one
+    # mapInPandas call instead of n_iters sequential aggregate jobs.
+    # The in-task arithmetic replays Spark's exactly: z folds
+    # left-to-right in feature order, sums accumulate row by row in
+    # partition order (plain Python floats — no pairwise/numpy
+    # reordering), avg divides once at the end, and rows where the
+    # label or any feature is null are skipped (a null poisons every
+    # aggregate term). Verified output-identical against the
+    # per-iteration path on all test SFs. Multi-partition frames (real
+    # corpora at scale) keep the distributed loop below.
+    if feats.rdd.getNumPartitions() == 1:
+        iters, lr = int(n_iters), float(learn_rate)
+        cols = list(feature_cols)
+
+        def _fused(it):
+            import math
+
+            import pandas as pd
+
+            rows = []
+            for pdf in it:
+                for tup in pdf[["_y", *cols]].itertuples(
+                    index=False, name=None
+                ):
+                    rows.append(tup)
+            wl = [0.0] * len(cols)
+            bl = 0.0
+            ls: list[float] = []
+            stopped = False
+            for _ in range(iters):
+                s = [0.0] * len(cols)
+                sb = 0.0
+                sl = 0.0
+                c = 0
+                for tup in rows:
+                    y_ = tup[0]
+                    if y_ is None or (
+                        isinstance(y_, float) and math.isnan(y_)
+                    ):
+                        continue
+                    fv = tup[1:]
+                    if any(
+                        v is None or (isinstance(v, float) and math.isnan(v))
+                        for v in fv
+                    ):
+                        continue
+                    z = bl
+                    for wj, vj in zip(wl, fv):
+                        z = z + wj * vj
+                    ez = math.exp(-z)
+                    p = 1.0 / (1.0 + ez)
+                    r = p - y_
+                    for j, vj in enumerate(fv):
+                        s[j] += r * vj
+                    sb += r
+                    sl += math.log(1.0 + ez) + (1.0 - y_) * z
+                    c += 1
+                if c == 0:
+                    stopped = True
+                    break
+                ls.append(sl / c)
+                for j in range(len(cols)):
+                    wl[j] -= lr * (s[j] / c)
+                bl -= lr * (sb / c)
+            yield pd.DataFrame(
+                {
+                    "w": [wl],
+                    "b": [bl],
+                    "losses": [ls],
+                    "stopped": [stopped],
+                }
+            )
+
+        out = feats.mapInPandas(
+            _fused,
+            "w array<double>, b double, losses array<double>, "
+            "stopped boolean",
+        ).collect()[0]
+        return {
+            "weights": {
+                f: float(v) for f, v in zip(cols, out["w"])
+            },
+            "bias": float(out["b"]),
+            "losses": [float(x) for x in out["losses"]],
+        }
+
     y = F.col("_y")
     for _ in range(int(n_iters)):
         z = F.lit(float(b))
@@ -1802,6 +1891,70 @@ def train_hashed_text_lr(
     losses: list[float] = []
     if n_docs == 0:
         return {"weights": w, "bias": b, "losses": losses}
+    # Single-partition fast path — same contract as train_quality_lr's:
+    # one task sees every feature row, so all n_iters gradient steps run
+    # in ONE mapInPandas job instead of n_iters sequential
+    # explode+groupBy jobs. In-task arithmetic replays the distributed
+    # path's exactly: z folds the gram weights left-to-right in _idxs
+    # order, per-key gradient sums accumulate in exploded row order
+    # (plain Python floats), and the update divides by the same n_docs.
+    # Verified output-identical on all test SFs.
+    if feats.rdd.getNumPartitions() == 1:
+        iters, lr, nd = int(n_iters), float(learn_rate), int(n_docs)
+        dim_i = int(dim)
+
+        def _fused(it):
+            import math
+
+            import pandas as pd
+
+            rows = []
+            for pdf in it:
+                for y_, idxs_, n_ in zip(
+                    pdf["_y"], pdf["_idxs"], pdf["_n"]
+                ):
+                    rows.append(
+                        (float(y_), [int(i) for i in idxs_], int(n_))
+                    )
+            wl = [0.0] * dim_i
+            bl = 0.0
+            ls: list[float] = []
+            for _ in range(iters):
+                sums: dict[int, float] = {}
+                for y_, idxs_, n_ in rows:
+                    acc = 0.0
+                    for i in idxs_:
+                        acc += wl[i]
+                    z = bl + (acc / float(n_) if n_ > 0 else 0.0)
+                    ez = math.exp(-z)
+                    p = 1.0 / (1.0 + ez)
+                    r = p - y_
+                    if n_ > 0:
+                        gn = r / float(n_)
+                        for i in idxs_:
+                            sums[i] = sums.get(i, 0.0) + gn
+                    sums[-1] = sums.get(-1, 0.0) + r
+                    sums[-2] = sums.get(-2, 0.0) + (
+                        math.log(1.0 + ez) + (1.0 - y_) * z
+                    )
+                ls.append(sums[-2] / nd)
+                for i, g in sums.items():
+                    if i >= 0:
+                        wl[i] -= lr * g / nd
+                bl -= lr * sums[-1] / nd
+            yield pd.DataFrame(
+                {"w": [wl], "b": [bl], "losses": [ls]}
+            )
+
+        out = feats.mapInPandas(
+            _fused, "w array<double>, b double, losses array<double>"
+        ).collect()[0]
+        return {
+            "weights": [float(x) for x in out["w"]],
+            "bias": float(out["b"]),
+            "losses": [float(x) for x in out["losses"]],
+        }
+
     y = F.col("_y")
     for _ in range(int(n_iters)):
         z = _hashed_z(w, b)

@@ -90,20 +90,19 @@ def get_session(
         # every JVM-bound operator runs interpreted for the REST of the
         # session. 512 MB is the standard headroom for codegen-heavy
         # Spark drivers; harmless when unused (reserved, not committed).
-        # ExplicitGCInvokesConcurrent: the periodic-GC interval above
-        # works by calling System.gc(), which on G1 defaults to a
-        # STOP-THE-WORLD full collection — multi-second pauses that land
-        # inside whatever query is running when the 90 s timer fires
-        # (observed as 3-10 s outlier reps on otherwise sub-second
-        # queries). The flag turns explicit GC into a concurrent G1
-        # cycle: ContextCleaner still gets its reference-processing
-        # trigger, queries no longer absorb the pause.
+        # MEASURED NEGATIVE (r15): -XX:+ExplicitGCInvokesConcurrent — the
+        # obvious fix for the periodic System.gc()'s stop-the-world pause
+        # — made compute-heavy queries 2-2.7x SLOWER end to end
+        # (graph_triangles 1.7→3.9 s, text_bm25 1.0→1.9 s, kql_series_fit
+        # 1.8→3.9 s warm medians, same box, A/B within minutes): the
+        # every-90 s concurrent mark cycle of an 8 GB heap keeps G1's
+        # marking threads and memory bandwidth busy almost continuously.
+        # The occasional ~1 s STW full GC is the cheaper trade; bench
+        # medians absorb it.
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
-                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
-                "-XX:ReservedCodeCacheSize=512m "
-                "-XX:+ExplicitGCInvokesConcurrent",
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=512m"
             ),
         )
         # bucketed tables (operators/bucketing.py) land here, not in cwd
