@@ -8557,6 +8557,7 @@ def _q_kqltext_parse_kv(spark, sf):
     the source columns directly — extraction must be lossless for the
     row to hash-match."""
     from kusto_pre_forge_spark.operators.kqltext import run_kql
+    from kusto_pre_forge_spark.operators.corpus import _widen_for_fanout
 
     q = (
         "orders\n"
@@ -8568,7 +8569,14 @@ def _q_kqltext_parse_kv(spark, sf):
         "| summarize n=count(), total=round(sum(price), 2) by status, pri\n"
         "| sort by status asc, pri asc"
     )
-    return run_kql(spark, q, _kqltext_tables(spark, sf))
+    # widen the one-footer orders scan (r15, guide §2.5 input skew): the
+    # strcat-forge + quoted-kv regexp projection is compute-heavy per row
+    # and otherwise runs on ONE core; the pipeline is aggregate-only
+    # (count + round-2 sum) so the re-split is order-safe — measured
+    # identical rows, 1.4x
+    tabs = _kqltext_tables(spark, sf)
+    tabs["orders"] = _widen_for_fanout(tabs["orders"])
+    return run_kql(spark, q, tabs)
 
 
 def _q_kqltext_dynamic(spark, sf):
